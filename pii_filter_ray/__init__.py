@@ -1,0 +1,19 @@
+"""pii_filter_ray — a Ray-Data-native quality-filter + PII-scrub engine.
+
+A from-scratch rebuild of the data-processing capabilities of the reference
+``DiegoAndradeD/pii-filter`` (see /root/reference, SURVEY.md) as a batch
+pipeline over Parquet tables of source-code repositories:
+
+    langid -> perplexity -> heuristic quality rules -> regex/NER PII scrub
+    -> keep/drop label + masked content, resumable, skew-aware.
+
+Layout:
+    core/       pure-Python scrub & scoring semantics (no Ray) — doubles as
+                the pytest oracle for the Ray pipeline.
+    stages/     Ray Data map_batches stages (stateless fns + actor pools).
+    sources/    parquet readers + the deterministic synthetic code corpus.
+    pipelines/  end-to-end Dataset pipelines (quality/scrub, relational).
+    state/      per-partition checkpoint manifest for resumable jobs.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,6 @@
+"""Pure-Python core: patterns, validators, scrub, quality, langid, perplexity.
+
+No Ray imports anywhere in this subpackage — every function here is both the
+per-row kernel used inside Ray Data ``map_batches`` stages and the reference
+oracle the pytest suite checks the distributed pipeline against.
+"""

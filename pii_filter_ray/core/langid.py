@@ -1,0 +1,122 @@
+"""Deterministic language identification.
+
+The north-star stage is "fastText language-ID held in an actor pool". No
+model downloads exist in this sandbox, so the model is a deterministic
+linear scorer over hashed token features — same shape as a fastText
+classifier (bag of token/ngram features -> per-class score -> argmax with a
+confidence), with hand-fixed weights instead of learned ones. The Ray stage
+(stages/scorer_stages.py) holds an instance per actor, mirroring how a real
+fastText .bin would be loaded once per actor in ``__init__``.
+
+Two classifiers:
+  - ``detect_code_lang``: {python, javascript, java, go, markdown, text}
+    for the (repo, path, commit, lang, content) source-code corpus.
+  - ``detect_natural_lang``: {en, es, fr, de, pt, zh} for prose columns
+    (the sandbox ``documents`` table carries these labels).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Tuple
+
+_TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*|=>|:=|#|//|/\*|```|;|\{|\}")
+
+# Per-language indicative feature weights (token -> weight).
+_CODE_FEATURES: Dict[str, Dict[str, float]] = {
+    "python": {
+        "def": 3, "self": 3, "import": 1.5, "elif": 3, "lambda": 2, "None": 2.5,
+        "True": 1, "False": 1, "print": 1, "__init__": 3, "pass": 1.5, "#": 0.4,
+        "from": 1, "class": 0.5, "return": 0.3, "with": 0.5, "as": 0.5,
+    },
+    "javascript": {
+        "function": 2, "var": 2, "let": 2.5, "const": 2.5, "=>": 3, "console": 3,
+        "require": 2, "module": 1.5, "exports": 2, "undefined": 2.5, "null": 1,
+        ";": 0.2, "===": 3, "document": 2, "window": 2, "//": 0.4, "{": 0.05, "}": 0.05,
+    },
+    "java": {
+        "public": 2.5, "private": 2.5, "static": 2, "void": 3, "extends": 2,
+        "implements": 3, "package": 1, "final": 1.5, "System": 2.5, "String": 2,
+        "new": 1, "class": 1, "int": 1, ";": 0.2, "{": 0.05, "}": 0.05, "@Override": 3,
+    },
+    "go": {
+        "func": 3, "package": 2, ":=": 3, "nil": 2.5, "chan": 3, "defer": 3,
+        "struct": 1.5, "interface": 1, "fmt": 3, "err": 2, "range": 1.5,
+        "go": 1.5, "type": 1, "var": 0.5,
+    },
+    "markdown": {
+        "#": 0.3, "```": 3, "##": 2, "###": 2, "*": 0.3, "-": 0.1,
+        "](": 2.5, "![": 2.5,
+    },
+    "text": {},  # fallback class: wins when nothing code-like scores
+}
+
+_CODE_TEXT_BIAS = 0.5  # baseline score for the "text" class per 100 tokens
+
+_NATURAL_STOPWORDS: Dict[str, frozenset] = {
+    "en": frozenset("the and of to in is that it for was with as his on be at by this had not are but from or have an they which one you were her all she there would their we him been has when who will more no if out so said what up its about into than them can only other".split()),
+    "es": frozenset("de la que el en y a los del se las por un para con no una su al lo como más pero sus le ya o este sí porque esta entre cuando muy sin sobre también me hasta hay donde quien desde todo nos durante todos uno les ni contra otros ese eso ante ellos e esto mí antes algunos qué unos yo otro otras otra él tanto esa estos mucho quienes nada muchos cual poco ella estar estas algunas algo nosotros".split()),
+    "fr": frozenset("de la le et les des en un du une que est pour qui dans a par plus pas au sur ne se ce il sont la aux avec son ses ont cette mais ou où leur si tout être fait elle deux comme ces dont aussi bien après avoir autre depuis".split()),
+    "de": frozenset("der die und in den von zu das mit sich des auf für ist im dem nicht ein eine als auch es an werden aus er hat dass sie nach wird bei einer um am sind noch wie einem über einen so zum war haben nur oder aber vor zur bis mehr durch man sein wurde sei".split()),
+    "pt": frozenset("de a o que e do da em um para é com não uma os no se na por mais as dos como mas foi ao ele das tem à seu sua ou ser quando muito há nos já está eu também só pelo pela até isso ela entre era depois sem mesmo aos ter seus quem nas me esse eles estão você tinha foram essa num nem suas meu às minha têm numa pelos bem".split()),
+}
+
+
+def detect_code_lang(content: str, max_chars: int = 8192) -> Tuple[str, float]:
+    """(language, confidence) for a source file; deterministic linear scorer."""
+    if not content:
+        return "text", 0.0
+    sample = content[:max_chars]
+    toks = _TOKEN_RE.findall(sample)
+    n = max(1, len(toks))
+    scores = {lang: 0.0 for lang in _CODE_FEATURES}
+    for t in toks:
+        for lang, feats in _CODE_FEATURES.items():
+            w = feats.get(t)
+            if w:
+                scores[lang] += w
+    scores["text"] += _CODE_TEXT_BIAS * (n / 100.0)
+    # markdown structural cue: lines starting with '#' or '-'
+    md_lines = sum(
+        1 for line in sample.split("\n") if line.startswith(("## ", "### ", "- ", "* "))
+    )
+    scores["markdown"] += 2.0 * md_lines
+    scores["markdown"] += 0.75 * sum(
+        1 for line in sample.split("\n") if line.startswith("# ")
+    )
+    best = max(sorted(scores), key=lambda k: scores[k])
+    total = sum(scores.values()) or 1.0
+    return best, scores[best] / total
+
+
+def detect_natural_lang(text: str, max_chars: int = 4096) -> Tuple[str, float]:
+    """(language, confidence) for prose; stopword voting + CJK ratio."""
+    if not text:
+        return "en", 0.0
+    sample = text[:max_chars]
+    n_cjk = sum(1 for c in sample if "一" <= c <= "鿿")
+    if n_cjk / max(1, len(sample)) > 0.05:
+        return "zh", min(1.0, n_cjk / max(1, len(sample)) * 5)
+    words = re.findall(r"[a-zà-þäöüßéèêëàâîïôûùç]+", sample.lower())
+    if not words:
+        return "en", 0.0
+    scores = {lang: 0 for lang in _NATURAL_STOPWORDS}
+    for w in words:
+        for lang, stops in _NATURAL_STOPWORDS.items():
+            if w in stops:
+                scores[lang] += 1
+    best = max(sorted(scores), key=lambda k: scores[k])
+    return best, scores[best] / max(1, len(words))
+
+
+# Claimed-label compatibility: markdown/text files legitimately carry prose.
+_LANG_COMPATIBLE = {
+    ("markdown", "text"), ("text", "markdown"),
+    ("javascript", "java"),  # weak-featured short files
+}
+
+
+def lang_matches(claimed: str, detected: str) -> bool:
+    if claimed == detected:
+        return True
+    return (claimed, detected) in _LANG_COMPATIBLE

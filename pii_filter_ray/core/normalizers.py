@@ -1,0 +1,25 @@
+"""PII value normalization — metadata only, never used for replacement.
+
+Reference: /root/reference/src/utils/normalizers.py:6-31 (called from
+regex_service.py:67-69). Extended for the new code-corpus types.
+"""
+
+from __future__ import annotations
+
+import re
+
+_NON_DIGIT = re.compile(r"\D")
+
+_DIGIT_TYPES = frozenset({"CPF", "CNPJ", "RG", "PIS", "TELEFONE",
+                          "CREDIT_CARD", "SSN"})
+
+
+def normalize_pii_value(pii_type: str, value: str) -> str:
+    if pii_type in _DIGIT_TYPES:
+        return _NON_DIGIT.sub("", value)
+    if pii_type == "EMAIL":
+        return value.lower()
+    if pii_type == "CEP":
+        digits = _NON_DIGIT.sub("", value)
+        return f"{digits[:5]}-{digits[5:]}"
+    return value

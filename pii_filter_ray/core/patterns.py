@@ -1,0 +1,194 @@
+"""PII pattern / priority / NER-rule configuration.
+
+Semantics reproduced from the reference (cited per item):
+  - base Brazilian-HR regexes: /root/reference/src/core/constants.py:11-25
+  - overlap priorities:        /root/reference/src/services/regex_service.py:32-39
+  - NER entity-type mapping:   /root/reference/src/core/constants.py:92-103
+  - NER false-positive set:    /root/reference/src/core/constants.py:198-254
+  - profession ruler patterns: /root/reference/src/core/constants.py:105-196
+  - sensitive categories:      /root/reference/src/core/constants.py:29-49
+
+Extensions required by the north-star (code-corpus PII): IP_ADDRESS,
+CREDIT_CARD, SSN — new patterns with their own validators, kept in a separate
+dict so the reference-parity layer can run without them.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List
+
+# --- Base patterns (reference parity; constants.py:11-25) -------------------
+
+PII_PATTERNS: Dict[str, re.Pattern] = {
+    # CPF: 11 digits as XXX.XXX.XXX-XX with optional punctuation.
+    "CPF": re.compile(r"\b\d{3}\.?\d{3}\.?\d{3}-?\d{2}\b"),
+    # RG: X.XXX.XXX-X or XX.XXX.XXX-X, last digit may be X.
+    "RG": re.compile(r"\b\d{1,2}\.\d{3}\.\d{3}-[0-9X]\b", re.IGNORECASE),
+    # Email: basic RFC-ish.
+    "EMAIL": re.compile(
+        r"\b[a-zA-Z0-9](?:[a-zA-Z0-9._%+-]*[a-zA-Z0-9])?@[a-zA-Z0-9](?:[a-zA-Z0-9.-]*[a-zA-Z0-9])?\.[a-zA-Z]{2,}\b",
+        re.IGNORECASE,
+    ),
+    # Brazilian phone, optional +55, optional parens around area code.
+    "TELEFONE": re.compile(r"(?:\+?55\s?)?\(?\d{2}\)?\s?\d{4,5}[-\s]?\d{4}"),
+    # Postal code XXXXX-XXX (hyphen optional).
+    "CEP": re.compile(r"\b\d{5}-?\d{3}\b"),
+}
+
+# --- Extended patterns (north-star code-corpus additions) --------------------
+
+EXTENDED_PII_PATTERNS: Dict[str, re.Pattern] = {
+    # IPv4 dotted-quad; octet range enforced by validator.
+    "IP_ADDRESS": re.compile(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    # 13-19 digit card numbers with optional space/hyphen group separators;
+    # Luhn-checked by the validator.
+    "CREDIT_CARD": re.compile(r"\b\d{4}(?:[ -]?\d{4}){2,3}(?:[ -]?\d{1,3})?\b"),
+    # US SSN-style AAA-GG-SSSS (separators required so we don't swallow
+    # arbitrary 9-digit ints in code).
+    "SSN": re.compile(r"\b\d{3}-\d{2}-\d{4}\b"),
+}
+
+def all_patterns(extended: bool = True) -> Dict[str, re.Pattern]:
+    pats = dict(PII_PATTERNS)
+    if extended:
+        pats.update(EXTENDED_PII_PATTERNS)
+    return pats
+
+# --- Overlap priorities (regex_service.py:32-39; lower = wins) ---------------
+
+TYPE_PRIORITY: Dict[str, int] = {
+    "CPF": 1,
+    "RG": 2,
+    "EMAIL": 1,
+    "TELEFONE": 3,
+    "CEP": 4,
+    "CONTA_BANCARIA": 2,
+    # Extension types: specific IDs outrank the loose numeric patterns.
+    "SSN": 1,
+    "CREDIT_CARD": 2,
+    "IP_ADDRESS": 2,
+}
+DEFAULT_PRIORITY = 99
+
+# --- Sensitive (non-PII) categories (constants.py:29-49) ---------------------
+
+SENSITIVE_CATEGORIES: List[str] = [
+    "CONDICAO_DE_SAUDE",
+    "INFORMACAO_FINANCEIRA_DETALHADA",
+    "HISTORICO_DISCIPLINAR",
+    "PROBLEMA_PESSOAL_FAMILIAR",
+    "USUARIO_REDE",
+    "IP_ADDRESS",
+    "REGISTRO_PONTO",
+    "CARGO",
+    "DEPARTAMENTO",
+    "MATRICULA",
+    "SALARIO",
+    "ENDERECO_COMPLETO",
+    "ENDERECO_LOGRADOURO",
+    "ENDERECO_BAIRRO",
+    "ENDERECO_CIDADE",
+    "NOME_BANCO",
+    "AGENCIA_BANCARIA",
+    "DATA_NASCIMENTO",
+    "CONTA_BANCARIA",
+]
+
+# --- NER configuration (constants.py:85-254) ---------------------------------
+
+NER_ENTITY_TYPE_MAPPING: Dict[str, str] = {
+    "PERSON": "NOME_COMPLETO",
+    "PER": "NOME_COMPLETO",
+    "ORG": "ORGANIZACAO",
+    "LOC": "LOCAL",
+    "EVENT": "EVENTO",
+    "WORK_OF_ART": "OBRA_ARTE",
+    "LAW": "LEI",
+    "LANGUAGE": "IDIOMA",
+    "PROFISSAO": "CARGO",
+    "CARGO": "CARGO",
+}
+
+NER_FALSE_POSITIVES: set = {
+    "oi", "olá", "ei", "bom dia", "boa tarde", "boa noite", "use",
+    "cpf", "cnpj", "email", "telefone", "rg", "cep", "clt", "cnh",
+    "ip", "mac", "mac address", "endereço", "detalhes", "fraude",
+    "evidências", "digitais", "informações", "adicionais", "cúmplices",
+    "dados", "contato", "documentos", "cargo", "departamento",
+    "matrícula", "salário", "investigação", "relatório", "confidencial",
+    "operação", "assunto", "urgente", "funcionário", "principal",
+    "sr", "sra", "dr", "rh", "ti",
+    "funcionário principal: nome", "evidências digitais",
+    "detalhes da fraude", "informações adicionais", "cúmplices:",
+    "contato: telefone", "setor de suprimentos matrícula",
+    "setor de suprimentos", "funcionário principal",
+}
+
+# Head words of the reference's EntityRuler CARGO patterns
+# (constants.py:105-147) — multi-token "<head> [de] <X...> [<seniority>]".
+CARGO_HEAD_WORDS = [
+    "analista", "gerente", "coordenador", "coordenadora", "diretor",
+    "diretora", "supervisor", "supervisora", "assistente", "estagiário",
+    "estagiária", "consultor", "consultora", "técnico", "técnica",
+    "engenheiro", "engenheira", "desenvolvedor", "desenvolvedora",
+    "especialista", "chefe", "lider", "líder",
+]
+CARGO_SENIORITY = ["júnior", "junior", "pleno", "sênior", "senior", "sr",
+                   "pl", "jr", "ii", "iii"]
+CARGO_SINGLE = [
+    "médico", "médica", "advogado", "advogada", "professor", "professora",
+    "motorista", "recepcionista",
+]
+CARGO_TECH_AREAS = [
+    "enfermagem", "segurança", "ti", "informática", "manutenção", "suporte",
+]
+CARGO_ENG_AREAS = ["software", "dados", "segurança", "sistemas"]
+
+def _alt(words) -> str:
+    return "|".join(re.escape(w) for w in sorted(words, key=len, reverse=True))
+
+_W = r"[^\W\d_][\w'-]*"  # a word token (starts with a letter)
+
+# Deterministic regex equivalents of the spaCy EntityRuler token patterns
+# (ner_service.py:50-56 mechanism; constants.py:105-196 content). The spaCy
+# {"OP": "+"} wildcard is bounded here to 1-3 tokens so the rule NER stays
+# local and deterministic; matched longest-first by the overlap filter.
+CARGO_RULER_PATTERNS: List[re.Pattern] = [
+    # engenheiro de software/dados/... [+ trailing seniority]
+    re.compile(
+        rf"\b(?:engenheiro|engenheira)\s+de\s+(?:{_alt(CARGO_ENG_AREAS)})"
+        rf"(?:\s+(?:{_alt(CARGO_SENIORITY)}))?\b",
+        re.IGNORECASE,
+    ),
+    # técnico em/de <area>
+    re.compile(
+        rf"\b(?:técnico|técnica)\s+(?:em|de)\s+(?:{_alt(CARGO_TECH_AREAS)})\b",
+        re.IGNORECASE,
+    ),
+    # dev/desenvolvedor [full|back|front] [stack|end] [seniority]
+    re.compile(
+        rf"\b(?:desenvolvedor|desenvolvedora|dev)"
+        rf"(?:\s+(?:full|back|front))?(?:[ -]?(?:stack|end))?"
+        rf"(?:\s+(?:{_alt(CARGO_SENIORITY)}))?\b",
+        re.IGNORECASE,
+    ),
+    # <head> [de] <word>{1,3} [seniority]
+    re.compile(
+        rf"\b(?:{_alt(CARGO_HEAD_WORDS)})(?:\s+de)?"
+        rf"(?:\s+{_W}){{1,3}}?"
+        rf"(?:\s+(?:{_alt(CARGO_SENIORITY)}))?\b",
+        re.IGNORECASE,
+    ),
+    # single-token professions
+    re.compile(rf"\b(?:{_alt(CARGO_SINGLE)})\b", re.IGNORECASE),
+]
+
+NER_PII_TYPES = {
+    "NOME_COMPLETO": "Nome completo de pessoa física",
+    "ORGANIZACAO": "Nome de organização/empresa",
+    "LOCAL": "Nome de local/endereço",
+    "CARGO": "Cargo/profissão",
+}
+
+ALL_PII_TYPES = list(PII_PATTERNS.keys()) + list(NER_PII_TYPES.keys())

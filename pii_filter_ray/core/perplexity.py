@@ -1,0 +1,144 @@
+"""Character-bigram perplexity scorer (KenLM-style n-gram LM, tiny and local).
+
+The north-star stage is "KenLM-style n-gram perplexity scoring". No model
+files can be downloaded here, so the LM is a character-bigram model with
+add-k smoothing trained deterministically, at import, on an embedded corpus
+of well-formed source code + English prose (the kind of content the pipeline
+should KEEP). Well-formed code scores low bits/char; gibberish, binary noise
+and wrong-alphabet text score high — which is exactly the signal the drop
+rule needs. The scoring loop is pure numpy (vocab-indexed log-prob matrix +
+fancy indexing), so the Ray actor stage stays vectorized per batch.
+
+Interface mirrors a real KenLM binding: build once (per actor), then
+``bits_per_char(text)`` / ``perplexity(text)`` are pure.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Embedded training corpus: representative keep-class content.
+_TRAIN_TEXT = r'''
+import os
+import sys
+from typing import List, Dict, Optional
+
+def process_records(records: List[dict], key: str) -> Dict[str, int]:
+    """Aggregate record counts by the given key."""
+    counts: Dict[str, int] = {}
+    for record in records:
+        value = record.get(key, "unknown")
+        counts[value] = counts.get(value, 0) + 1
+    return counts
+
+class Pipeline:
+    def __init__(self, name: str, batch_size: int = 128):
+        self.name = name
+        self.batch_size = batch_size
+        self.stages = []
+
+    def add_stage(self, fn):
+        self.stages.append(fn)
+        return self
+
+    def run(self, data):
+        for stage in self.stages:
+            data = stage(data)
+        return data
+
+function computeTotals(items) {
+    let total = 0;
+    const results = [];
+    for (const item of items) {
+        total += item.price * item.quantity;
+        results.push({ id: item.id, subtotal: item.price });
+    }
+    return { total, results };
+}
+
+public class OrderService {
+    private final Repository repository;
+
+    public OrderService(Repository repository) {
+        this.repository = repository;
+    }
+
+    public List<Order> findPending(String customerId) {
+        return repository.findByStatus(customerId, Status.PENDING);
+    }
+}
+
+func main() {
+    ch := make(chan int, 10)
+    for i := 0; i < 10; i++ {
+        go func(n int) { ch <- n * n }(i)
+    }
+    fmt.Println("done")
+}
+
+# Project overview
+
+This module implements a streaming data pipeline over Parquet tables.
+The executor schedules batches across workers with backpressure, and
+each stage is a vectorized transform over Arrow record batches. The
+quality filter drops files with abnormal line lengths, low ratios of
+alphanumeric characters, or highly repetitive content, and masks any
+personally identifiable information found in comments or string
+literals before the corpus is written back to storage. Results are
+partitioned by repository so that a failed run can resume from the
+last completed partition without recomputing finished work.
+'''
+
+_VOCAB_SIZE = 98  # 95 printable ASCII + newline + tab + OTHER bucket
+_OTHER = _VOCAB_SIZE - 1
+_ADD_K = 0.1
+
+
+def _encode(text: str) -> np.ndarray:
+    """Map chars to vocab indices: printable ASCII 32..126 -> 0..94,
+    '\n' -> 95, '\t' -> 96, everything else -> 97."""
+    codes = np.frombuffer(text.encode("utf-8", errors="replace"), dtype=np.uint8).astype(np.int32)
+    out = np.full(codes.shape, _OTHER, dtype=np.int32)
+    printable = (codes >= 32) & (codes <= 126)
+    out[printable] = codes[printable] - 32
+    out[codes == 10] = 95
+    out[codes == 9] = 96
+    return out
+
+
+class CharBigramLM:
+    """Add-k smoothed char-bigram LM with a dense log2-prob matrix."""
+
+    def __init__(self, train_text: str = _TRAIN_TEXT, add_k: float = _ADD_K):
+        codes = _encode(train_text)
+        counts = np.full((_VOCAB_SIZE, _VOCAB_SIZE), add_k, dtype=np.float64)
+        np.add.at(counts, (codes[:-1], codes[1:]), 1.0)
+        probs = counts / counts.sum(axis=1, keepdims=True)
+        self.logp = np.log2(probs).astype(np.float32)
+
+    def bits_per_char(self, text: str) -> float:
+        """Average -log2 P(c_i | c_{i-1}); 0.0 for texts shorter than 2 chars."""
+        if not text or len(text) < 2:
+            return 0.0
+        codes = _encode(text)
+        if len(codes) < 2:
+            return 0.0
+        return float(-self.logp[codes[:-1], codes[1:]].mean())
+
+    def perplexity(self, text: str) -> float:
+        return float(2.0 ** self.bits_per_char(text))
+
+
+_DEFAULT_LM: CharBigramLM | None = None
+
+
+def default_lm() -> CharBigramLM:
+    global _DEFAULT_LM
+    if _DEFAULT_LM is None:
+        _DEFAULT_LM = CharBigramLM()
+    return _DEFAULT_LM
+
+
+# Drop threshold in bits/char: well-formed code/prose lands ~3-4.5 with this
+# LM; random base64 ~6+; wrong-alphabet / binary noise higher still.
+DEFAULT_MAX_BITS_PER_CHAR = 6.0

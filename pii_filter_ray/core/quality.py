@@ -1,0 +1,87 @@
+"""Heuristic quality rules for the keep/drop decision.
+
+The reference has no keep/drop logic (it is a masking service); these rules
+are the north-star additions (BASELINE.json north_rule: "heuristic quality
+rules (line-length, alnum ratio, repetition)"), in the spirit of the
+published Gopher / RedPajama / C4 quality heuristics.
+
+Deterministic and pure. Rule evaluation order defines ``drop_reason``
+precedence (first failing rule wins):
+
+    empty -> repetition -> max_line_len -> long_token -> alnum_ratio
+
+Language-mismatch and perplexity drops are decided by their own stages
+(langid.py / perplexity.py) and folded in by the keep/drop stage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class QualityConfig:
+    max_line_len: int = 1000          # longest line a real source file has
+    max_mean_token_len: float = 25.0  # base64/hex blobs, minified bundles
+    min_alnum_ratio: float = 0.25     # binary noise / punctuation soup
+    max_repetition: float = 0.05      # distinct-trigram ratio floor
+    repetition_min_chars: int = 200   # don't judge tiny files for repetition
+    min_chars: int = 1                # empty/whitespace-only files
+
+
+DEFAULT_QUALITY = QualityConfig()
+
+
+def trigram_diversity(text: str) -> float:
+    """distinct char-3grams / total char-3grams; 1.0 for very short text."""
+    n = len(text)
+    if n < 3:
+        return 1.0
+    total = n - 2
+    distinct = len({text[i : i + 3] for i in range(total)})
+    return distinct / total
+
+
+def quality_stats(text: str) -> dict:
+    """All heuristic features for one document (vector-friendly subset is
+    recomputed with numpy in the Ray stage; this is the per-row oracle)."""
+    if not text:
+        return {
+            "n_chars": 0, "n_lines": 0, "max_line_len": 0,
+            "mean_token_len": 0.0, "alnum_ratio": 0.0, "trigram_diversity": 1.0,
+            "n_tokens": 0,
+        }
+    lines = text.split("\n")
+    tokens = text.split()
+    n_alnum = sum(c.isalnum() for c in text)
+    return {
+        "n_chars": len(text),
+        "n_lines": len(lines),
+        "max_line_len": max(len(l) for l in lines),
+        "mean_token_len": (sum(len(t) for t in tokens) / len(tokens)) if tokens else 0.0,
+        "alnum_ratio": n_alnum / len(text),
+        "trigram_diversity": trigram_diversity(text),
+        "n_tokens": len(tokens),
+    }
+
+
+def heuristic_drop_reason(
+    text: Optional[str], cfg: QualityConfig = DEFAULT_QUALITY
+) -> Tuple[bool, str]:
+    """(keep, drop_reason) for the heuristic rules alone; reason '' when kept."""
+    if text is None or len(text.strip()) < cfg.min_chars:
+        return False, "empty"
+    stats = quality_stats(text)
+    if (
+        stats["n_chars"] >= cfg.repetition_min_chars
+        and stats["trigram_diversity"] < cfg.max_repetition
+    ):
+        return False, "repetition"
+    if stats["max_line_len"] > cfg.max_line_len:
+        return False, "max_line_len"
+    if stats["mean_token_len"] > cfg.max_mean_token_len:
+        return False, "long_token"
+    if stats["alnum_ratio"] < cfg.min_alnum_ratio:
+        return False, "alnum_ratio"
+    return True, ""

@@ -1,0 +1,151 @@
+"""Regex PII scan, overlap resolution, and placeholder substitution.
+
+Faithful re-implementation of the reference's regex masking core:
+  - scan + validate:      /root/reference/src/services/regex_service.py:45-75
+  - overlap resolution:   regex_service.py:77-113 (group matches whose start
+    precedes the FIRST group member's end; winner = min priority, stable tie)
+  - placeholder splice:   regex_service.py:115-161 (right-to-left replacement,
+    per-type left-to-right numbering via countdown; mapping.span is the
+    ORIGINAL value's span in the input text)
+  - driver:               regex_service.py:163-202 (empty/non-str passthrough)
+
+Matches are plain dicts (start, end, type, value, normalized_value) rather
+than re.Match objects; observable behavior is identical.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Tuple
+
+from .normalizers import normalize_pii_value
+from .patterns import DEFAULT_PRIORITY, TYPE_PRIORITY, all_patterns
+from .validators import validate_pii
+
+
+@dataclass
+class PIIMapping:
+    """One masked span. Mirrors /root/reference/src/models/models.py:14-27."""
+
+    placeholder: str
+    original_value: str
+    type: str
+    span: Tuple[int, int]
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {
+            "placeholder": self.placeholder,
+            "original_value": self.original_value,
+            "type": self.type,
+            "span_start": self.span[0],
+            "span_end": self.span[1],
+        }
+
+
+def find_all_matches(
+    text: str,
+    validate_pii_data: bool = True,
+    extended: bool = True,
+    patterns=None,
+) -> List[Dict[str, Any]]:
+    """All valid PII matches, in pattern-dict order then position order."""
+    pats = patterns if patterns is not None else all_patterns(extended)
+    out: List[Dict[str, Any]] = []
+    for pii_type, pattern in pats.items():
+        for m in pattern.finditer(text):
+            value = m.group(0)
+            if validate_pii_data and not validate_pii(pii_type, value):
+                continue
+            out.append(
+                {
+                    "start": m.start(),
+                    "end": m.end(),
+                    "type": pii_type,
+                    "value": value,
+                    "normalized_value": normalize_pii_value(pii_type, value),
+                }
+            )
+    return out
+
+
+def handle_overlaps(all_matches: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+    """Resolve overlapping matches by type priority (regex_service.py:77-113).
+
+    Grouping rule kept bug-for-bug: a group collects subsequent matches whose
+    start lies before the end of the group's FIRST match (not the running max
+    end). Winner is the minimum priority; Python ``min`` is stable so ties go
+    to the earliest match in sorted order.
+    """
+    if not all_matches:
+        return []
+    all_matches = sorted(all_matches, key=lambda x: x["start"])
+    unique: List[Dict[str, Any]] = []
+    i = 0
+    n = len(all_matches)
+    while i < n:
+        current = all_matches[i]
+        current_end = current["end"]
+        group = [current]
+        j = i + 1
+        while j < n and all_matches[j]["start"] < current_end:
+            group.append(all_matches[j])
+            j += 1
+        best = min(group, key=lambda m: TYPE_PRIORITY.get(m["type"], DEFAULT_PRIORITY))
+        unique.append(best)
+        i = j
+    return unique
+
+
+def replace_with_placeholders(
+    text: str, matches: List[Dict[str, Any]]
+) -> Tuple[str, List[PIIMapping]]:
+    """Right-to-left splice with per-type L->R numbering (regex_service.py:115-161)."""
+    modified = text
+    mappings: List[PIIMapping] = []
+
+    matches = sorted(matches, key=lambda x: x["start"], reverse=True)
+
+    total_counts: Dict[str, int] = {}
+    for item in matches:
+        total_counts[item["type"]] = total_counts.get(item["type"], 0) + 1
+    current_counts = dict(total_counts)
+
+    for item in matches:
+        pii_type = item["type"]
+        placeholder = f"[{pii_type}_{current_counts[pii_type]}]"
+        current_counts[pii_type] -= 1
+        mappings.append(
+            PIIMapping(
+                placeholder=placeholder,
+                original_value=item["value"],
+                type=pii_type,
+                span=(item["start"], item["end"]),
+            )
+        )
+        modified = modified[: item["start"]] + placeholder + modified[item["end"] :]
+
+    mappings.reverse()
+    return modified, mappings
+
+
+def filter_by_regex(
+    text: Optional[str],
+    validate_pii_data: bool = True,
+    extended: bool = True,
+) -> Tuple[str, List[PIIMapping]]:
+    """Full regex scrub of one document (regex_service.py:163-202)."""
+    if not text or not isinstance(text, str):
+        return text or "", []
+    matches = find_all_matches(text, validate_pii_data, extended)
+    if not matches:
+        return text, []
+    unique = handle_overlaps(matches)
+    return replace_with_placeholders(text, unique)
+
+
+def restore_pii_from_mappings(filtered_text: str, mappings: List[PIIMapping]) -> str:
+    """Sequential global str.replace per mapping (regex_service.py:204-231)."""
+    restored = filtered_text
+    for m in mappings:
+        restored = restored.replace(m.placeholder, m.original_value)
+    return restored

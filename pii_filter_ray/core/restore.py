@@ -1,0 +1,88 @@
+"""Restoration — the inverse transform, layered exactly like the reference.
+
+Ports:
+  - generic restore (span-desc order, skip-missing-with-warning, global
+    str.replace):            /root/reference/src/services/restoration_service.py:43-74
+  - integrity check:         restoration_service.py:76-91
+  - duplicate-label cleanup: restoration_service.py:93-106
+  - restore_all (LLM -> NER -> regex order, cleanup, integrity, fail-open
+    returning the filtered text on error): restoration_service.py:108-165
+
+The known reference pathology is kept bug-for-bug: ``str.replace`` is global,
+so a masked value that itself contains placeholder-shaped text corrupts the
+round trip (documented in SURVEY.md §7.3); the span-precedence engine never
+produces such mappings from well-formed input.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import List
+
+from .regex_scan import PIIMapping, restore_pii_from_mappings
+from .rule_ner import restore_from_ner
+
+PLACEHOLDER_RE = re.compile(r"\[[A-Z_]+_\d+\]")
+
+_KNOWN_LABELS = ["matrícula", "conta", "agência", "cpf", "rg"]
+_CLEANUP_PATTERNS = [
+    re.compile(rf"(\b{label}\b)\s+\1", re.IGNORECASE) for label in _KNOWN_LABELS
+]
+
+
+@dataclass
+class RestorationData:
+    """restoration_service.py:17-25."""
+
+    regex_mappings: List[PIIMapping] = field(default_factory=list)
+    ner_mappings: List[PIIMapping] = field(default_factory=list)
+    llm_mappings: List[PIIMapping] = field(default_factory=list)
+
+
+def generic_restore(text: str, mappings: List[PIIMapping]) -> str:
+    """restoration_service.py:43-74."""
+    if not mappings:
+        return text
+    restored = text
+    for m in sorted(mappings, key=lambda m: m.span[0] if m.span else 0, reverse=True):
+        if m.placeholder not in restored:
+            continue
+        restored = restored.replace(m.placeholder, m.original_value)
+    return restored
+
+
+def check_restoration_integrity(text: str) -> bool:
+    """True iff no placeholder-shaped token remains (restoration_service.py:76-91)."""
+    return not PLACEHOLDER_RE.findall(text)
+
+
+def cleanup_duplicate_labels(text: str) -> str:
+    """Collapse doubled labels like 'conta conta' (restoration_service.py:93-106)."""
+    for pat in _CLEANUP_PATTERNS:
+        text = pat.sub(r"\1", text)
+    return text
+
+
+def restore_all(filtered_text: str, data: RestorationData) -> str:
+    """Layered restore in reverse application order (restoration_service.py:108-165)."""
+    if not filtered_text:
+        return filtered_text
+    restored = filtered_text
+    try:
+        if data.llm_mappings:
+            restored = generic_restore(restored, data.llm_mappings)
+        if data.ner_mappings:
+            restored = restore_from_ner(restored, list(data.ner_mappings))
+        if data.regex_mappings:
+            restored = restore_pii_from_mappings(restored, data.regex_mappings)
+        restored = cleanup_duplicate_labels(restored)
+        check_restoration_integrity(restored)
+    except (ValueError, TypeError, RuntimeError):
+        return filtered_text
+    return restored
+
+
+def restore_scrubbed(masked: str, mappings: List[PIIMapping]) -> str:
+    """Inverse of scrub.scrub_text: one flat mapping list, span-desc generic restore."""
+    return generic_restore(masked, mappings)

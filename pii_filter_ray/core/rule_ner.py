@@ -1,0 +1,212 @@
+"""Deterministic rule-based NER (names, organizations, places, professions).
+
+The reference uses spaCy ``pt_core_news_lg`` with an EntityRuler injected
+before the statistical model (/root/reference/src/services/ner_service.py:34-69).
+This sandbox has no model downloads, and the north-star corpus is source code,
+so the statistical model is replaced by deterministic candidate generators —
+the same mechanism the reference already front-loads (ruler before model) —
+while every downstream rule is a faithful port:
+
+  - entity type mapping + FP guards:  ner_service.py:72-149
+  - placeholder avoidance:            ner_service.py:151-186 (overlapping
+    occurrence scan with ``start = pos + 1``)
+  - name-with-numbers exception:      ner_service.py:188-192
+  - longest-first overlap filter:     ner_service.py:194-216
+  - numbering + splice (placeholder-span convention): ner_service.py:218-285
+  - restore (longest placeholder first): ner_service.py:287-314
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+from .patterns import CARGO_RULER_PATTERNS, NER_FALSE_POSITIVES
+from .regex_scan import PIIMapping
+
+# --- Candidate generators (deterministic stand-ins for the spaCy model) ------
+
+_CONNECT = r"(?:de|da|do|das|dos|e)"
+_CAP = r"[A-ZÀ-Þ][a-zà-þ]+"
+_NAME_SUFFIX = r"(?:\s+(?:II|III|IV|V|Jr|Sr|Filho|Neto))?"
+
+# Two or more capitalized words, optionally joined by Portuguese connectives,
+# optional generational suffix ("John Filho II").
+NAME_PATTERN = re.compile(
+    rf"\b{_CAP}(?:\s+(?:{_CONNECT}\s+)?{_CAP})+{_NAME_SUFFIX}\b"
+)
+
+# Capitalized phrase with a corporate suffix, or introduced by "empresa".
+ORG_PATTERN = re.compile(
+    rf"\b{_CAP}(?:\s+{_CAP})*\s+(?:Ltda\.?|S\.?A\.?|S/A|Inc\.?|Corp\.?|LLC|GmbH)(?=[\s.,;)\]]|$)"
+    rf"|(?<=\bempresa\s){_CAP}(?:\s+{_CAP})*"
+)
+
+# Street-style addresses.
+LOCAL_PATTERN = re.compile(
+    rf"\b(?:Rua|Avenida|Av\.|Travessa|Pra[çc]a|Alameda|Rodovia|Estrada)\s+"
+    rf"(?:{_CONNECT}\s+)?{_CAP}(?:\s+(?:{_CONNECT}\s+)?{_CAP})*"
+)  # street number excluded: digits fail the FP guard (ner_service.py:122-127)
+
+_GENERATORS: List[Tuple[str, List[re.Pattern]]] = [
+    ("CARGO", CARGO_RULER_PATTERNS),  # ruler runs before the model (ner_service.py:50-52)
+    ("LOCAL", [LOCAL_PATTERN]),
+    ("ORGANIZACAO", [ORG_PATTERN]),
+    ("NOME_COMPLETO", [NAME_PATTERN]),
+]
+
+
+def _is_valid_name_with_numbers(text: str) -> bool:
+    """ner_service.py:188-192."""
+    text_clean = text.lower().strip()
+    return any(
+        text_clean.endswith(p)
+        for p in (" ii", " iii", " iv", " v", " jr", " sr", " filho", " neto")
+    )
+
+
+def _passes_guards(ent_text: str, pii_type: str) -> bool:
+    """False-positive guards, ported from ner_service.py:95-127."""
+    ent_text = ent_text.strip()
+    if len(ent_text) < 3:
+        return False
+    if ent_text.isdigit():
+        return False
+    if ent_text.lower() in NER_FALSE_POSITIVES:
+        return False
+    if ":" in ent_text:
+        return False
+    if "[" in ent_text or "]" in ent_text or "_" in ent_text or (
+        ent_text.isupper() and len(ent_text) > 4
+    ):
+        return False
+    if any(c.isdigit() for c in ent_text) and not _is_valid_name_with_numbers(ent_text):
+        if pii_type not in ("LEI", "EVENTO"):
+            return False
+    return True
+
+
+def extract_entities(text: str) -> List[Dict[str, Any]]:
+    """All rule-NER candidates surviving the FP guards (ner_service.py:72-149).
+
+    Generator precedence (CARGO > LOCAL > ORGANIZACAO > NOME_COMPLETO)
+    mirrors the reference's EntityRuler-before-statistical-model ordering
+    (ner_service.py:50-52): once a higher-precedence generator claims a span,
+    lower-precedence candidates overlapping it are suppressed, exactly as
+    spaCy's doc.ents cannot overlap an earlier component's entity.
+    """
+    entities: List[Dict[str, Any]] = []
+    claimed: List[tuple] = []
+    for pii_type, pats in _GENERATORS:
+        tier: List[Dict[str, Any]] = []
+        for pat in pats:
+            for m in pat.finditer(text):
+                value = m.group(0).strip()
+                if not _passes_guards(value, pii_type):
+                    continue
+                # Span of the stripped value (the generators may keep spaces).
+                start = m.start() + m.group(0).index(value)
+                span = (start, start + len(value))
+                if any(span[0] < ce and span[1] > cs for cs, ce in claimed):
+                    continue
+                tier.append({"type": pii_type, "value": value, "span": span})
+        entities.extend(tier)
+        claimed.extend(e["span"] for e in tier)
+    return entities
+
+
+def placeholder_spans(text: str, placeholders: List[str]) -> List[Tuple[int, int]]:
+    """Occurrences of each placeholder string (ner_service.py:156-163)."""
+    spans: List[Tuple[int, int]] = []
+    for ph in placeholders:
+        start = 0
+        while True:
+            pos = text.find(ph, start)
+            if pos == -1:
+                break
+            spans.append((pos, pos + len(ph)))
+            start = pos + 1
+    return spans
+
+
+def drop_overlapping(
+    entities: List[Dict[str, Any]], blocked: List[Tuple[int, int]]
+) -> List[Dict[str, Any]]:
+    """Drop entities intersecting any blocked span (ner_service.py:166-186)."""
+    out = []
+    for ent in entities:
+        s, e = ent["span"]
+        if not any(s < be and e > bs for bs, be in blocked):
+            out.append(ent)
+    return out
+
+
+def filter_overlapping_entities(entities: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+    """Greedy longest-first, non-overlapping (ner_service.py:194-216)."""
+    if not entities:
+        return []
+    entities = sorted(entities, key=lambda x: (x["span"][0], -(x["span"][1] - x["span"][0])))
+    kept: List[Dict[str, Any]] = []
+    last_end = -1
+    for ent in entities:
+        start, end = ent["span"]
+        if start >= last_end:
+            kept.append(ent)
+            last_end = end
+    return kept
+
+
+def filter_by_ner(
+    text: str, existing_placeholders: Optional[List[str]] = None
+) -> Tuple[str, List[PIIMapping]]:
+    """Rule-NER scrub of one document (ner_service.py:218-285).
+
+    Note the reference convention: the recorded mapping span is the span of
+    the PLACEHOLDER in the output text, unlike the regex layer which records
+    the original value's span (ner_service.py:273 vs regex_service.py:146).
+    """
+    if not text or not text.strip():
+        return text, []
+
+    entities = extract_entities(text)
+    if existing_placeholders:
+        entities = drop_overlapping(entities, placeholder_spans(text, existing_placeholders))
+    entities = filter_overlapping_entities(entities)
+    if not entities:
+        return text, []
+
+    type_counts: Dict[str, int] = {}
+    for ent in entities:
+        type_counts[ent["type"]] = type_counts.get(ent["type"], 0) + 1
+    current_counts = dict(type_counts)
+
+    entities.sort(key=lambda x: x["span"][0], reverse=True)
+    filtered = text
+    mappings: List[PIIMapping] = []
+    for ent in entities:
+        pii_type = ent["type"]
+        start, end = ent["span"]
+        count = current_counts[pii_type]
+        current_counts[pii_type] -= 1
+        placeholder = f"[{pii_type}_{count}]"
+        filtered = filtered[:start] + placeholder + filtered[end:]
+        mappings.append(
+            PIIMapping(
+                placeholder=placeholder,
+                original_value=ent["value"],
+                type=pii_type,
+                span=(start, start + len(placeholder)),
+            )
+        )
+    mappings.reverse()
+    return filtered, mappings
+
+
+def restore_from_ner(filtered_text: str, mappings: List[PIIMapping]) -> str:
+    """Longest placeholder first, global replace (ner_service.py:287-314)."""
+    if not mappings:
+        return filtered_text
+    restored = filtered_text
+    for m in sorted(mappings, key=lambda m: len(m.placeholder), reverse=True):
+        restored = restored.replace(m.placeholder, m.original_value)
+    return restored

@@ -1,0 +1,105 @@
+"""Single-pass span-precedence scrub — the engine's canonical masking kernel.
+
+The reference applies its layers sequentially, mutating the text between
+layers (regex -> NER -> LLM), which makes every later span relative to the
+mutated text. Its own integration test instead runs all detectors on the RAW
+text and resolves conflicts by layer precedence
+(/root/reference/tests/unit/test_pipeline_integration.py:93-143); that
+formulation is offset-stable and order-independent, and SURVEY.md §7 adopts it
+as the rebuild's canonical semantics.
+
+Precedence: regex layer > rule-NER layer (regex mappings kept wholesale; NER
+candidates dropped on any overlap with a regex span — mirroring both the
+integration test and the runtime placeholder-avoidance in
+ner_service.py:151-186). Within the regex layer: type-priority groups
+(regex_service.py:77-113). Within the NER layer: longest-first
+(ner_service.py:194-216). Placeholder numbering is left-to-right 1..N per
+type (regex_service.py:122-148), which matches the sequential reference
+output because the two layers' type sets are disjoint.
+
+All emitted spans refer to the RAW input text (engine convention; the
+reference's per-layer span conventions are preserved in regex_scan.py /
+rule_ner.py for the parity tests).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List
+
+from . import rule_ner
+from .regex_scan import PIIMapping, find_all_matches, handle_overlaps
+
+
+@dataclass
+class ScrubResult:
+    masked: str
+    mappings: List[PIIMapping] = field(default_factory=list)
+
+    @property
+    def pii_count(self) -> int:
+        return len(self.mappings)
+
+    def mappings_dicts(self) -> List[Dict[str, Any]]:
+        return [m.to_dict() for m in self.mappings]
+
+
+def scrub_text(
+    text: str,
+    extended: bool = True,
+    enable_ner: bool = True,
+    validate_pii_data: bool = True,
+) -> ScrubResult:
+    """Mask all PII in one document; deterministic, pure."""
+    if not text or not isinstance(text, str):
+        return ScrubResult(masked=text or "")
+
+    # Layer 1: regex (with intra-layer priority resolution).
+    regex_sel = handle_overlaps(find_all_matches(text, validate_pii_data, extended))
+    spans = [
+        {"start": m["start"], "end": m["end"], "type": m["type"], "value": m["value"]}
+        for m in regex_sel
+    ]
+
+    # Layer 2: rule NER, lower precedence — drop on overlap with layer 1.
+    if enable_ner:
+        ents = rule_ner.extract_entities(text)
+        blocked = [(s["start"], s["end"]) for s in spans]
+        ents = rule_ner.drop_overlapping(ents, blocked)
+        ents = rule_ner.filter_overlapping_entities(ents)
+        spans.extend(
+            {"start": e["span"][0], "end": e["span"][1], "type": e["type"], "value": e["value"]}
+            for e in ents
+        )
+
+    if not spans:
+        return ScrubResult(masked=text)
+
+    # Per-type left-to-right numbering over the final span set.
+    spans.sort(key=lambda s: s["start"])
+    counters: Dict[str, int] = {}
+    for s in spans:
+        counters[s["type"]] = counters.get(s["type"], 0) + 1
+        s["placeholder"] = f"[{s['type']}_{counters[s['type']]}]"
+
+    # One left-to-right parts join — output identical to the reference's
+    # right-to-left splice (regex_service.py:150-155) but O(n) not O(n*k).
+    parts: List[str] = []
+    cursor = 0
+    for s in spans:
+        parts.append(text[cursor : s["start"]])
+        parts.append(s["placeholder"])
+        cursor = s["end"]
+    parts.append(text[cursor:])
+    masked = "".join(parts)
+
+    mappings = [
+        PIIMapping(
+            placeholder=s["placeholder"],
+            original_value=s["value"],
+            type=s["type"],
+            span=(s["start"], s["end"]),
+        )
+        for s in spans
+    ]
+    return ScrubResult(masked=masked, mappings=mappings)

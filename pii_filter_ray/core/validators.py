@@ -1,0 +1,149 @@
+"""Algorithmic PII validators — the second layer after a regex match.
+
+Reference semantics (cited per function):
+  - CPF plausibility (NOT the checksum — deliberate fail-safe choice):
+    /root/reference/src/utils/validators.py:6-26
+  - CPF checksum (defined but unused in dispatch): validators.py:29-58
+  - CNPJ mod-11: validators.py:61-92
+  - CNH DENATRAN: validators.py:134-169
+  - dispatch table: validators.py:95-131 (unknown types -> True)
+
+Extensions (north-star): Luhn for CREDIT_CARD, octet-range for IP_ADDRESS,
+area/group/serial rules for SSN.
+"""
+
+from __future__ import annotations
+
+import re
+
+_NON_DIGIT = re.compile(r"\D")
+
+
+def _digits(value: str) -> str:
+    return _NON_DIGIT.sub("", value)
+
+
+def is_plausible_cpf(cpf: str) -> bool:
+    """11 digits, not all equal. Mirrors validators.py:6-26 (no checksum)."""
+    cpf = _digits(cpf)
+    if len(cpf) != 11:
+        return False
+    if cpf == cpf[0] * 11:
+        return False
+    return True
+
+
+def validate_cpf(cpf: str) -> bool:
+    """Official CPF checksum (validators.py:29-58). Not used in dispatch."""
+    cpf = _digits(cpf)
+    if len(cpf) != 11 or cpf == cpf[0] * 11:
+        return False
+    s = sum(int(cpf[i]) * (10 - i) for i in range(9))
+    d1 = (s * 10) % 11
+    if d1 == 10:
+        d1 = 0
+    s = sum(int(cpf[i]) * (11 - i) for i in range(10))
+    d2 = (s * 10) % 11
+    if d2 == 10:
+        d2 = 0
+    return int(cpf[9]) == d1 and int(cpf[10]) == d2
+
+
+def validate_cnpj(cnpj: str) -> bool:
+    """Official CNPJ mod-11 checksum (validators.py:61-92)."""
+    cnpj = _digits(cnpj)
+    if len(cnpj) != 14 or cnpj == cnpj[0] * 14:
+        return False
+    w1 = [5, 4, 3, 2, 9, 8, 7, 6, 5, 4, 3, 2]
+    d1 = 11 - (sum(int(cnpj[i]) * w1[i] for i in range(12)) % 11)
+    if d1 >= 10:
+        d1 = 0
+    w2 = [6, 5, 4, 3, 2, 9, 8, 7, 6, 5, 4, 3, 2]
+    d2 = 11 - (sum(int(cnpj[i]) * w2[i] for i in range(13)) % 11)
+    if d2 >= 10:
+        d2 = 0
+    return int(cnpj[12]) == d1 and int(cnpj[13]) == d2
+
+
+def validate_cnh(cnh: str) -> bool:
+    """DENATRAN CNH checksum (validators.py:134-169)."""
+    cnh = _digits(cnh)
+    if len(cnh) != 11 or cnh == cnh[0] * 11:
+        return False
+    dv1 = sum(int(cnh[i]) * (9 - i) for i in range(9)) % 11
+    if dv1 >= 10:
+        dv1 = 0
+    dv2 = sum(int(cnh[i]) * (1 + i) for i in range(9)) % 11
+    if dv2 >= 10:
+        dv2 = 0
+    return int(cnh[9]) == dv1 and int(cnh[10]) == dv2
+
+
+def luhn_valid(number: str) -> bool:
+    """Luhn mod-10 check for card numbers (public algorithm)."""
+    digits = _digits(number)
+    if not 13 <= len(digits) <= 19:
+        return False
+    total = 0
+    for i, ch in enumerate(reversed(digits)):
+        d = ord(ch) - 48
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def validate_ipv4(value: str) -> bool:
+    parts = value.split(".")
+    if len(parts) != 4:
+        return False
+    for p in parts:
+        if not p.isdigit() or len(p) > 3:
+            return False
+        if int(p) > 255:
+            return False
+        if len(p) > 1 and p[0] == "0":  # reject leading zeros (081.1.1.1)
+            return False
+    return True
+
+
+def validate_ssn(value: str) -> bool:
+    """SSA structural rules: area not 000/666/9xx, group not 00, serial not 0000."""
+    digits = _digits(value)
+    if len(digits) != 9:
+        return False
+    area, group, serial = digits[:3], digits[3:5], digits[5:]
+    if area == "000" or area == "666" or area[0] == "9":
+        return False
+    if group == "00" or serial == "0000":
+        return False
+    return True
+
+
+def validate_pii(pii_type: str, value: str) -> bool:
+    """Dispatch per type; unknown types pass (validators.py:95-131)."""
+    if pii_type == "CPF":
+        return is_plausible_cpf(value)
+    if pii_type == "CNH":
+        return validate_cnh(value)
+    if pii_type == "CNPJ":
+        return validate_cnpj(value)
+    if pii_type == "EMAIL":
+        parts = value.split("@")
+        if len(parts) != 2:
+            return False
+        local, domain = parts
+        return bool(local and domain and ".." not in value)
+    if pii_type == "CEP":
+        return len(_digits(value)) == 8
+    if pii_type == "TELEFONE":
+        return 10 <= len(_digits(value)) <= 13
+    if pii_type == "CREDIT_CARD":
+        return luhn_valid(value)
+    if pii_type == "IP_ADDRESS":
+        return validate_ipv4(value)
+    if pii_type == "SSN":
+        return validate_ssn(value)
+    return True

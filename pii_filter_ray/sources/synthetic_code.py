@@ -1,0 +1,363 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md §1).
+
+Generates the north-star input table — Parquet with columns
+``(repo, path, commit, lang, content)`` — plus a sidecar expectations table
+used by the conformance tests:
+
+    row mix (seed=42):
+      ~70% clean code     -> expected keep, sha256 must survive untouched
+      ~15% PII-bearing    -> expected keep, PII injected at known offsets
+      ~10% junk           -> expected drop with a specific drop_reason
+      ~5%  wrong-language -> expected drop (lang_mismatch)
+
+Repo sizes are Zipf-skewed so a few giant repos exist (exercises the salted
+groupby path). Everything is pure-python deterministic: same (seed, n_rows)
+-> byte-identical tables.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import random
+from typing import Dict, List, Optional, Tuple
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+LANGS = ["python", "javascript", "java", "go", "markdown", "text"]
+
+_IDENT_WORDS = [
+    "data", "batch", "record", "stream", "index", "cache", "query", "table",
+    "result", "buffer", "config", "worker", "task", "block", "shard", "merge",
+    "filter", "reduce", "parse", "encode", "write", "reader", "count", "total",
+]
+
+_COMMENT_WORDS = [
+    "handles", "computes", "returns", "the", "current", "next", "value",
+    "given", "input", "output", "for", "each", "partition", "before",
+    "after", "update", "state", "from", "into", "with", "checks",
+]
+
+_PROSE_WORDS = [
+    "the", "quick", "system", "processes", "records", "over", "many",
+    "partitions", "and", "writes", "results", "back", "to", "storage",
+    "while", "keeping", "memory", "bounded", "under", "load", "every",
+    "stage", "runs", "in", "parallel", "backpressure", "applied",
+]
+
+
+def _ident(rng: random.Random) -> str:
+    return "_".join(rng.sample(_IDENT_WORDS, rng.randint(1, 2)))
+
+
+def _comment(rng: random.Random, n: int = 6) -> str:
+    return " ".join(rng.choice(_COMMENT_WORDS) for _ in range(n))
+
+
+def _gen_python(rng: random.Random, n_funcs: int) -> str:
+    out = ["import os", "import sys", ""]
+    for _ in range(n_funcs):
+        fn, arg, var = _ident(rng), _ident(rng), _ident(rng)
+        out += [
+            f"def {fn}({arg}):",
+            f"    # {_comment(rng)}",
+            f"    {var} = {arg} + {rng.randint(1, 99)}",
+            f"    return {var} * {rng.randint(2, 9)}",
+            "",
+        ]
+    return "\n".join(out)
+
+
+def _gen_javascript(rng: random.Random, n_funcs: int) -> str:
+    out = ["const util = require('util');", ""]
+    for _ in range(n_funcs):
+        fn, arg, var = _ident(rng), _ident(rng), _ident(rng)
+        out += [
+            f"function {fn}({arg}) {{",
+            f"  // {_comment(rng)}",
+            f"  let {var} = {arg} + {rng.randint(1, 99)};",
+            f"  return {var} * {rng.randint(2, 9)};",
+            "}",
+            "",
+        ]
+    return "\n".join(out)
+
+
+def _gen_java(rng: random.Random, n_funcs: int) -> str:
+    cls = "".join(w.capitalize() for w in rng.sample(_IDENT_WORDS, 2))
+    out = [f"public class {cls} {{"]
+    for _ in range(n_funcs):
+        fn, arg, var = _ident(rng), _ident(rng), _ident(rng)
+        out += [
+            f"    // {_comment(rng)}",
+            f"    public static int {fn}(int {arg}) {{",
+            f"        int {var} = {arg} + {rng.randint(1, 99)};",
+            f"        return {var} * {rng.randint(2, 9)};",
+            "    }",
+        ]
+    out += ["}", ""]
+    return "\n".join(out)
+
+
+def _gen_go(rng: random.Random, n_funcs: int) -> str:
+    out = ["package main", "", "import \"fmt\"", ""]
+    for _ in range(n_funcs):
+        fn, arg, var = _ident(rng), _ident(rng), _ident(rng)
+        out += [
+            f"// {_comment(rng)}",
+            f"func {fn}({arg} int) int {{",
+            f"\t{var} := {arg} + {rng.randint(1, 99)}",
+            f"\treturn {var} * {rng.randint(2, 9)}",
+            "}",
+            "",
+        ]
+    return "\n".join(out)
+
+
+def _gen_markdown(rng: random.Random, n_secs: int) -> str:
+    # headings kept lowercase so the rule-NER name pattern (capitalized word
+    # sequences) never fires on clean markdown — preserves the sha256
+    # untouched-row invariant for clean rows.
+    out = [f"# {_comment(rng, 3)}", ""]
+    for _ in range(n_secs):
+        out += [
+            f"## {_comment(rng, 3)}",
+            "",
+            " ".join(rng.choice(_PROSE_WORDS) for _ in range(rng.randint(20, 60))),
+            "",
+            f"- {_comment(rng, 4)}",
+            f"- {_comment(rng, 4)}",
+            "",
+        ]
+    return "\n".join(out)
+
+
+def _gen_text(rng: random.Random, n_paras: int) -> str:
+    return "\n\n".join(
+        " ".join(rng.choice(_PROSE_WORDS) for _ in range(rng.randint(30, 80)))
+        for _ in range(n_paras)
+    )
+
+
+_GEN_BY_LANG = {
+    "python": _gen_python,
+    "javascript": _gen_javascript,
+    "java": _gen_java,
+    "go": _gen_go,
+    "markdown": _gen_markdown,
+    "text": _gen_text,
+}
+
+# --- PII literal generators (valid per core.validators) ----------------------
+
+
+def _gen_cpf(rng: random.Random) -> str:
+    d = [rng.randint(0, 9) for _ in range(11)]
+    while len(set(d)) == 1:
+        d = [rng.randint(0, 9) for _ in range(11)]
+    s = "".join(map(str, d))
+    return f"{s[:3]}.{s[3:6]}.{s[6:9]}-{s[9:]}"
+
+
+def _gen_email(rng: random.Random) -> str:
+    return f"{rng.choice(_IDENT_WORDS)}.{rng.choice(_IDENT_WORDS)}@{rng.choice(['corp', 'example', 'acme'])}.com"
+
+
+def _gen_phone(rng: random.Random) -> str:
+    return f"({rng.randint(11, 99)}) 9{rng.randint(1000, 9999)}-{rng.randint(1000, 9999)}"
+
+
+def _gen_cep(rng: random.Random) -> str:
+    return f"{rng.randint(10000, 99999)}-{rng.randint(100, 999):03d}"
+
+
+def _gen_ip(rng: random.Random) -> str:
+    return ".".join(str(rng.randint(1, 254)) for _ in range(4))
+
+
+def _gen_card(rng: random.Random) -> str:
+    digits = [4] + [rng.randint(0, 9) for _ in range(14)]
+
+    def luhn_sum(ds):
+        t = 0
+        for i, d in enumerate(reversed(ds)):
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            t += d
+        return t
+
+    check = (10 - luhn_sum(digits + [0]) % 10) % 10
+    s = "".join(map(str, digits + [check]))
+    return f"{s[:4]} {s[4:8]} {s[8:12]} {s[12:]}"
+
+
+def _gen_ssn(rng: random.Random) -> str:
+    area = rng.choice([i for i in range(1, 900) if i != 666])
+    return f"{area:03d}-{rng.randint(1, 99):02d}-{rng.randint(1, 9999):04d}"
+
+
+_PII_GENS = [
+    ("CPF", _gen_cpf),
+    ("EMAIL", _gen_email),
+    ("TELEFONE", _gen_phone),
+    ("CEP", _gen_cep),
+    ("IP_ADDRESS", _gen_ip),
+    ("CREDIT_CARD", _gen_card),
+    ("SSN", _gen_ssn),
+]
+
+
+def _inject_pii(rng: random.Random, content: str, lang: str) -> Tuple[str, List[Dict]]:
+    """Append 1-6 PII literals inside comment lines; returns new content +
+    injected (type, value) ground truth."""
+    comment = {"python": "#", "javascript": "//", "java": "//", "go": "//",
+               "markdown": ">", "text": ""}[lang]
+    injected = []
+    lines = content.split("\n")
+    for _ in range(rng.randint(1, 6)):
+        pii_type, gen = _PII_GENS[rng.randrange(len(_PII_GENS))]
+        value = gen(rng)
+        label = rng.choice(["contact", "server", "billing", "owner", "see"])
+        line = f"{comment} {label} {value}".strip()
+        pos = rng.randint(0, len(lines))
+        lines.insert(pos, line)
+        injected.append({"pii_type": pii_type, "value": value})
+    return "\n".join(lines), injected
+
+
+def _gen_junk(rng: random.Random) -> Tuple[str, str]:
+    """(content, expected_drop_reason)."""
+    kind = rng.randrange(4)
+    if kind == 0:  # minified one-liner
+        body = ";".join(
+            f"var {_ident(rng)}={rng.randint(0, 9)}" for _ in range(400)
+        )
+        return body, "max_line_len"
+    if kind == 1:  # base64-ish blob, chunked lines (long tokens)
+        alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+        lines = [
+            "".join(rng.choice(alphabet) for _ in range(76)) for _ in range(30)
+        ]
+        return "\n".join(lines), "long_token"
+    if kind == 2:  # pathological repetition
+        unit = rng.choice(["ab", "xy", "0a"])
+        return unit * rng.randint(5000, 20000), "repetition"
+    return rng.choice(["", "   \n  \n", "\n\n\n"]), "empty"
+
+
+def _zipf_repo(rng: random.Random, n_repos: int, alpha: float = 1.3) -> int:
+    """Sample a repo index with Zipf(alpha) skew (deterministic via rng)."""
+    weights = [1.0 / (i + 1) ** alpha for i in range(n_repos)]
+    total = sum(weights)
+    x = rng.random() * total
+    acc = 0.0
+    for i, w in enumerate(weights):
+        acc += w
+        if x <= acc:
+            return i
+    return n_repos - 1
+
+
+def generate_corpus(
+    n_rows: int = 2000, seed: int = 42, n_repos: int = 50
+) -> Tuple[pa.Table, pa.Table]:
+    """Returns (corpus_table, expectations_table)."""
+    rows: Dict[str, list] = {k: [] for k in ("repo", "path", "commit", "lang", "content")}
+    exp: Dict[str, list] = {
+        k: []
+        for k in (
+            "repo", "path", "commit", "content_sha256", "expect_keep",
+            "expect_reason", "expect_pii_types", "expect_pii_values", "untouched",
+        )
+    }
+    master = random.Random(seed)
+    repo_file_counter: Dict[int, int] = {}
+    for row_id in range(n_rows):
+        rng = random.Random((seed << 20) ^ row_id)
+        repo_idx = _zipf_repo(master, n_repos)
+        fileno = repo_file_counter.get(repo_idx, 0)
+        repo_file_counter[repo_idx] = fileno + 1
+        repo = f"org_{repo_idx % 10:03d}/repo_{repo_idx:03d}"
+        commit = hashlib.sha1(f"{repo}:{seed}".encode()).hexdigest()
+
+        r = rng.random()
+        pii: List[Dict] = []
+        if r < 0.70:  # clean code
+            lang = LANGS[rng.randrange(4)]
+            content = _GEN_BY_LANG[lang](rng, rng.randint(2, 12))
+            expect_keep, reason = True, ""
+        elif r < 0.85:  # PII-bearing code
+            lang = LANGS[rng.randrange(4)]
+            content = _GEN_BY_LANG[lang](rng, rng.randint(2, 10))
+            content, pii = _inject_pii(rng, content, lang)
+            expect_keep, reason = True, ""
+        elif r < 0.95:  # junk
+            lang = LANGS[rng.randrange(len(LANGS))]
+            content, reason = _gen_junk(rng)
+            expect_keep = False
+        else:  # wrong language: prose labeled as code
+            lang = LANGS[rng.randrange(4)]
+            content = _gen_text(rng, rng.randint(2, 5))
+            expect_keep, reason = False, "lang_mismatch"
+
+        ext = {"python": "py", "javascript": "js", "java": "java", "go": "go",
+               "markdown": "md", "text": "txt"}[lang]
+        path = f"src/module_{fileno % 20:02d}/file_{fileno:05d}.{ext}"
+
+        rows["repo"].append(repo)
+        rows["path"].append(path)
+        rows["commit"].append(commit)
+        rows["lang"].append(lang)
+        rows["content"].append(content)
+
+        exp["repo"].append(repo)
+        exp["path"].append(path)
+        exp["commit"].append(commit)
+        exp["content_sha256"].append(hashlib.sha256(content.encode()).hexdigest())
+        exp["expect_keep"].append(expect_keep)
+        exp["expect_reason"].append(reason)
+        exp["expect_pii_types"].append([p["pii_type"] for p in pii])
+        exp["expect_pii_values"].append([p["value"] for p in pii])
+        exp["untouched"].append(len(pii) == 0)
+
+    corpus = pa.table(
+        {
+            "repo": pa.array(rows["repo"], pa.string()),
+            "path": pa.array(rows["path"], pa.string()),
+            "commit": pa.array(rows["commit"], pa.string()),
+            "lang": pa.array(rows["lang"], pa.string()),
+            "content": pa.array(rows["content"], pa.string()),
+        }
+    )
+    expectations = pa.table(
+        {
+            "repo": pa.array(exp["repo"], pa.string()),
+            "path": pa.array(exp["path"], pa.string()),
+            "commit": pa.array(exp["commit"], pa.string()),
+            "content_sha256": pa.array(exp["content_sha256"], pa.string()),
+            "expect_keep": pa.array(exp["expect_keep"], pa.bool_()),
+            "expect_reason": pa.array(exp["expect_reason"], pa.string()),
+            "expect_pii_types": pa.array(exp["expect_pii_types"], pa.list_(pa.string())),
+            "expect_pii_values": pa.array(exp["expect_pii_values"], pa.list_(pa.string())),
+            "untouched": pa.array(exp["untouched"], pa.bool_()),
+        }
+    )
+    return corpus, expectations
+
+
+def corpus_dir(n_rows: int = 2000, seed: int = 42, root: str = "/tmp/pii_ray_corpus") -> str:
+    """Generate (once) and cache the corpus + expectations under ``root``;
+    returns the directory containing corpus.parquet / expectations.parquet."""
+    d = os.path.join(root, f"n{n_rows}_s{seed}")
+    marker = os.path.join(d, "_complete")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        corpus, expectations = generate_corpus(n_rows=n_rows, seed=seed)
+        pq.write_table(corpus, os.path.join(d, "corpus.parquet"))
+        pq.write_table(expectations, os.path.join(d, "expectations.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d

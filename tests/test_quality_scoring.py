@@ -1,0 +1,100 @@
+"""Keep/drop + scorer fixtures (FIXTURES.md §3) against the pure core."""
+
+from pii_filter_ray.core.langid import (
+    detect_code_lang,
+    detect_natural_lang,
+    lang_matches,
+)
+from pii_filter_ray.core.perplexity import DEFAULT_MAX_BITS_PER_CHAR, default_lm
+from pii_filter_ray.core.quality import heuristic_drop_reason, quality_stats
+
+
+def test_normal_code_keeps():
+    code = "\n".join(
+        f"def f_{i}(x):\n    # add {i}\n    return x + {i}\n" for i in range(20)
+    )
+    keep, reason = heuristic_drop_reason(code)
+    assert keep and reason == ""
+
+
+def test_long_line_drops():
+    # a varied (non-repetitive) 5000-char single line, e.g. minified JS
+    import random
+
+    rng = random.Random(7)
+    line = ";".join(f"var v{rng.randint(0, 999)}={rng.randint(0, 99)}" for _ in range(500))
+    assert len(line.split("\n")) == 1 and len(line) > 1000
+    keep, reason = heuristic_drop_reason(line)
+    assert not keep and reason == "max_line_len"
+
+
+def test_base64_blob_drops_long_token():
+    import random
+
+    rng = random.Random(11)
+    alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+    blob = "\n".join("".join(rng.choice(alphabet) for _ in range(76)) for _ in range(30))
+    keep, reason = heuristic_drop_reason(blob)
+    assert not keep and reason == "long_token"
+
+
+def test_repetition_drops():
+    keep, reason = heuristic_drop_reason("ab" * 20000)
+    assert not keep and reason == "repetition"
+
+
+def test_empty_drops():
+    for text in ("", "   \n  ", None):
+        keep, reason = heuristic_drop_reason(text)
+        assert not keep and reason == "empty"
+
+
+def test_quality_stats_fields():
+    s = quality_stats("ab cd\nefgh\n")
+    assert s["n_lines"] == 3 and s["max_line_len"] == 5
+    assert s["n_tokens"] == 3
+    assert 0 < s["alnum_ratio"] < 1
+
+
+def test_code_langid():
+    assert detect_code_lang("def f():\n    return self.x\nimport os")[0] == "python"
+    assert detect_code_lang("const x = () => console.log(1);")[0] == "javascript"
+    assert detect_code_lang("public class A { private static void m() {} }")[0] == "java"
+    assert detect_code_lang("func main() {\n\tx := 1\n\tfmt.Println(x)\n}")[0] == "go"
+    assert detect_code_lang("# title\n\n## section\n\n- item\n- item\n```\nx\n```")[0] == "markdown"
+    prose = "the system processes records over many partitions and writes results back"
+    assert detect_code_lang(prose * 3)[0] == "text"
+
+
+def test_natural_langid():
+    assert detect_natural_lang("the quick brown fox jumps over the lazy dog and it was good")[0] == "en"
+    assert detect_natural_lang("la casa de la pradera es muy bonita y el perro que vive en ella")[0] == "es"
+    assert detect_natural_lang("le chien est dans la maison et il est très content de la vie")[0] == "fr"
+    assert detect_natural_lang("der Hund ist in dem Haus und er ist sehr glücklich mit dem Leben")[0] == "de"
+    assert detect_natural_lang("这是一个中文文本，包含很多汉字")[0] == "zh"
+
+
+def test_lang_matches():
+    assert lang_matches("python", "python")
+    assert lang_matches("markdown", "text")
+    assert not lang_matches("python", "text")
+
+
+def test_perplexity_separates_code_from_noise():
+    lm = default_lm()
+    code = "def process(records):\n    return [r for r in records if r]\n" * 10
+    assert lm.bits_per_char(code) < DEFAULT_MAX_BITS_PER_CHAR
+    import random
+
+    rng = random.Random(3)
+    noise = "".join(chr(rng.randint(33, 126)) for _ in range(2000))
+    assert lm.bits_per_char(noise) > DEFAULT_MAX_BITS_PER_CHAR
+    assert lm.bits_per_char("") == 0.0
+    assert lm.perplexity(code) == 2.0 ** lm.bits_per_char(code)
+
+
+def test_lm_deterministic():
+    from pii_filter_ray.core.perplexity import CharBigramLM
+
+    a, b = CharBigramLM(), CharBigramLM()
+    assert a.bits_per_char("hello world") == b.bits_per_char("hello world")

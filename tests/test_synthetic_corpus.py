@@ -1,0 +1,73 @@
+"""Synthetic corpus generator: determinism + oracle agreement."""
+
+import hashlib
+
+from pii_filter_ray.core.langid import detect_code_lang, lang_matches
+from pii_filter_ray.core.perplexity import DEFAULT_MAX_BITS_PER_CHAR, default_lm
+from pii_filter_ray.core.quality import heuristic_drop_reason
+from pii_filter_ray.core.scrub import scrub_text
+from pii_filter_ray.sources.synthetic_code import generate_corpus
+
+
+def test_deterministic():
+    a, _ = generate_corpus(n_rows=50, seed=42)
+    b, _ = generate_corpus(n_rows=50, seed=42)
+    assert a.equals(b)
+    c, _ = generate_corpus(n_rows=50, seed=43)
+    assert not a.equals(c)
+
+
+def test_schema():
+    corpus, exp = generate_corpus(n_rows=20)
+    assert corpus.column_names == ["repo", "path", "commit", "lang", "content"]
+    assert exp.num_rows == corpus.num_rows
+
+
+def test_oracle_agreement(small_corpus):
+    """The pure-python oracle reproduces every expectation label: keep/drop,
+    drop_reason, sha256, and untouched-row invariance (BASELINE.md F1 target
+    is 1.0 by construction on the deterministic layers)."""
+    corpus, exp = small_corpus
+    lm = default_lm()
+    for i in range(corpus.num_rows):
+        content = corpus["content"][i].as_py()
+        lang = corpus["lang"][i].as_py()
+        keep, reason = heuristic_drop_reason(content)
+        if keep:
+            det, _ = detect_code_lang(content)
+            if not lang_matches(lang, det):
+                keep, reason = False, "lang_mismatch"
+            elif lm.bits_per_char(content) > DEFAULT_MAX_BITS_PER_CHAR:
+                keep, reason = False, "perplexity"
+        assert keep == exp["expect_keep"][i].as_py(), (i, reason)
+        assert reason == exp["expect_reason"][i].as_py(), i
+        assert (
+            hashlib.sha256(content.encode()).hexdigest()
+            == exp["content_sha256"][i].as_py()
+        )
+        if exp["untouched"][i].as_py() and keep:
+            assert scrub_text(content).masked == content
+
+
+def test_injected_pii_detected(small_corpus):
+    """Every injected PII literal is found (type + value) by the scrubber."""
+    corpus, exp = small_corpus
+    for i in range(corpus.num_rows):
+        values = exp["expect_pii_values"][i].as_py()
+        if not values:
+            continue
+        types = exp["expect_pii_types"][i].as_py()
+        r = scrub_text(corpus["content"][i].as_py())
+        found = {(m.type, m.original_value) for m in r.mappings}
+        for t, v in zip(types, values):
+            assert (t, v) in found, (i, t, v, found)
+
+
+def test_zipf_skew():
+    corpus, _ = generate_corpus(n_rows=2000)
+    import collections
+
+    counts = collections.Counter(corpus["repo"].to_pylist())
+    top = counts.most_common(1)[0][1]
+    assert top / corpus.num_rows > 0.15  # a giant repo exists
+    assert len(counts) > 10

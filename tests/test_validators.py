@@ -1,0 +1,94 @@
+"""Validator unit tests — port parity with /root/reference/src/utils/validators.py."""
+
+from pii_filter_ray.core.normalizers import normalize_pii_value
+from pii_filter_ray.core.validators import (
+    is_plausible_cpf,
+    luhn_valid,
+    validate_cnh,
+    validate_cnpj,
+    validate_cpf,
+    validate_ipv4,
+    validate_pii,
+    validate_ssn,
+)
+
+
+def test_plausible_cpf():
+    assert is_plausible_cpf("123.456.789-00")
+    assert is_plausible_cpf("12345678900")
+    assert not is_plausible_cpf("111.111.111-11")  # all-equal (validators.py:21-22)
+    assert not is_plausible_cpf("1234567890")      # 10 digits
+    assert not is_plausible_cpf("123456789012")    # 12 digits
+
+
+def test_cpf_checksum():
+    # valid CPF per the official algorithm: 529.982.247-25
+    assert validate_cpf("529.982.247-25")
+    assert not validate_cpf("529.982.247-26")
+    assert not validate_cpf("111.111.111-11")
+
+
+def test_cnpj_checksum():
+    # 11.222.333/0001-81 is the canonical valid example
+    assert validate_cnpj("11.222.333/0001-81")
+    assert not validate_cnpj("11.222.333/0001-82")
+    assert not validate_cnpj("11111111111111")
+
+
+def test_cnh_checksum():
+    # construct a valid CNH: 9 base digits + DENATRAN check digits
+    base = "123456789"
+    dv1 = sum(int(base[i]) * (9 - i) for i in range(9)) % 11
+    dv1 = 0 if dv1 >= 10 else dv1
+    dv2 = sum(int(base[i]) * (1 + i) for i in range(9)) % 11
+    dv2 = 0 if dv2 >= 10 else dv2
+    assert validate_cnh(base + str(dv1) + str(dv2))
+    assert not validate_cnh(base + str((dv1 + 1) % 10) + str(dv2))
+
+
+def test_email_dispatch():
+    assert validate_pii("EMAIL", "a.b@corp.com")
+    assert not validate_pii("EMAIL", "a@b@c.com")   # two @
+    assert not validate_pii("EMAIL", "a..b@c.com")  # '..' anywhere
+    assert not validate_pii("EMAIL", "@c.com")      # empty local
+
+
+def test_cep_phone_dispatch():
+    assert validate_pii("CEP", "01310-100")
+    assert not validate_pii("CEP", "0131-100")
+    assert validate_pii("TELEFONE", "(11) 99876-5432")
+    assert not validate_pii("TELEFONE", "123-456")  # < 10 digits
+
+
+def test_unknown_type_passes():
+    assert validate_pii("WHATEVER", "anything")  # validators.py:109
+
+
+def test_luhn():
+    assert luhn_valid("4111 1111 1111 1111")
+    assert not luhn_valid("4111 1111 1111 1112")
+    assert not luhn_valid("1234")  # too short
+
+
+def test_ipv4():
+    assert validate_ipv4("192.168.0.1")
+    assert validate_ipv4("255.255.255.255")
+    assert not validate_ipv4("256.1.1.1")
+    assert not validate_ipv4("01.1.1.1")  # leading zero
+
+
+def test_ssn():
+    assert validate_ssn("078-05-1120")
+    assert not validate_ssn("000-05-1120")
+    assert not validate_ssn("666-05-1120")
+    assert not validate_ssn("900-05-1120")
+    assert not validate_ssn("078-00-1120")
+    assert not validate_ssn("078-05-0000")
+
+
+def test_normalizers():
+    assert normalize_pii_value("CPF", "123.456.789-00") == "12345678900"
+    assert normalize_pii_value("EMAIL", "A.B@Corp.COM") == "a.b@corp.com"
+    assert normalize_pii_value("CEP", "01310100") == "01310-100"
+    assert normalize_pii_value("TELEFONE", "(11) 99876-5432") == "11998765432"
+    assert normalize_pii_value("NOME_COMPLETO", "Maria Silva") == "Maria Silva"
