@@ -1,16 +1,10 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship quality+scrub pipeline on sf0.001.
+``queries()`` exposes every implemented operator/pipeline; ``oracle_sql()``
+gives the DuckDB-equivalent SQL for the SQL-expressible subset (same column
+names, dtypes pinned by CASTs). Ray is initialised by the driver before this
+module is imported — nothing here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +12,180 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: documents table -> fused langid/perplexity/
+    heuristics/PII-scrub -> keep/drop + masked content."""
+    import os
+
+    import ray.data
+
+    from pii_filter_ray.pipelines.quality_pipeline import quality_scrub
+
+    ds = ray.data.read_parquet(
+        os.path.join(SF_SMOKE, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    return quality_scrub(
+        ds, content_col="text", lang_col="lang", mode="text", emit_mappings=True
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pii_filter_ray.pipelines import relational as r
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # documents: text analysis / quality / scrub
+        "doc_lang_stats": r.doc_lang_stats,
+        "doc_exact_dedup": r.doc_exact_dedup,
+        "doc_token_stats": r.doc_token_stats,
+        "doc_quality_flags": r.doc_quality_flags,
+        "doc_sql_keep": r.doc_sql_keep,
+        "doc_scrub": r.doc_scrub,
+        "doc_langid": r.doc_langid,
+        "doc_simhash": r.doc_simhash,
+        "doc_fingerprint": r.doc_fingerprint,
+        "doc_minhash_candidates": r.doc_minhash_candidates,
+        "doc_jaccard_dups": r.doc_jaccard_dups,
+        # embeddings: similarity search / near-dup
+        "emb_knn_top10": r.emb_knn_top10,
+        "emb_label_count": r.emb_label_count,
+        "emb_cosine_neardup": r.emb_cosine_neardup,
+        # relational operator coverage
+        "q1_pricing_summary": r.q1_pricing_summary,
+        "top10_orders": r.top10_orders,
+        "revenue_by_mktsegment": r.revenue_by_mktsegment,
+        "nation_customer_count": r.nation_customer_count,
+        "events_by_type": r.events_by_type,
+        "events_daily": r.events_daily,
+        "events_top_users": r.events_top_users,
+        "part_type_stats": r.part_type_stats,
+        "lineitem_filter_count": r.lineitem_filter_count,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_lang_stats": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY lang
+        """,
+        "doc_exact_dedup": """
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+            FROM documents GROUP BY text
+        """,
+        "doc_token_stats": """
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                        x -> x != '')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+        """,
+        "doc_quality_flags": """
+            SELECT doc_id,
+                   CAST(list_max(list_transform(string_split(text, chr(10)),
+                                                x -> length(x))) AS BIGINT) AS max_line_len,
+                   CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+                   CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS BIGINT) AS n_alnum
+            FROM documents
+        """,
+        "doc_sql_keep": """
+            WITH f AS (
+              SELECT doc_id,
+                     trim(text) = '' AS is_empty,
+                     list_max(list_transform(string_split(text, chr(10)),
+                                             x -> length(x))) AS mll,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks,
+                     length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS n_alnum,
+                     length(text) AS n_chars
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN is_empty THEN FALSE
+                        WHEN mll > 1000 THEN FALSE
+                        WHEN len(toks) > 0 AND
+                             CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                               / len(toks) > 25.0 THEN FALSE
+                        WHEN n_chars > 0 AND CAST(n_alnum AS DOUBLE) / n_chars < 0.25 THEN FALSE
+                        ELSE TRUE END AS keep,
+                   CASE WHEN is_empty THEN 'empty'
+                        WHEN mll > 1000 THEN 'max_line_len'
+                        WHEN len(toks) > 0 AND
+                             CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                               / len(toks) > 25.0 THEN 'long_token'
+                        WHEN n_chars > 0 AND CAST(n_alnum AS DOUBLE) / n_chars < 0.25 THEN 'alnum_ratio'
+                        ELSE '' END AS drop_reason
+            FROM f
+        """,
+        "emb_knn_top10": """
+            SELECT CAST(e.vec_id AS BIGINT) AS vec_id
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            ORDER BY round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[])), 9) DESC,
+                     e.vec_id
+            LIMIT 10
+        """,
+        "emb_label_count": """
+            SELECT label, CAST(count(*) AS BIGINT) AS n
+            FROM embeddings GROUP BY label
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_quantity) / count(*), 2) AS avg_qty,
+                   round(sum(l_extendedprice) / count(*), 2) AS avg_price,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top10_orders": """
+            SELECT o_orderkey FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "revenue_by_mktsegment": """
+            SELECT c.c_mktsegment,
+                   round(sum(o.o_totalprice), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "nation_customer_count": """
+            SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "events_by_type": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY event_type
+        """,
+        "events_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        """,
+        "events_top_users": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id
+            ORDER BY n DESC, user_id LIMIT 10
+        """,
+        "part_type_stats": """
+            SELECT p_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(avg(p_retailprice), 2) AS avg_price
+            FROM part GROUP BY p_type
+        """,
+        "lineitem_filter_count": """
+            SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem
+            WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+        """,
+    }

@@ -99,13 +99,15 @@ def detect_natural_lang(text: str, max_chars: int = 4096) -> Tuple[str, float]:
         return "zh", min(1.0, n_cjk / max(1, len(sample)) * 5)
     words = re.findall(r"[a-zà-þäöüßéèêëàâîïôûùç]+", sample.lower())
     if not words:
-        return "en", 0.0
+        return "und", 0.0
     scores = {lang: 0 for lang in _NATURAL_STOPWORDS}
     for w in words:
         for lang, stops in _NATURAL_STOPWORDS.items():
             if w in stops:
                 scores[lang] += 1
     best = max(sorted(scores), key=lambda k: scores[k])
+    if scores[best] == 0:
+        return "und", 0.0  # no stopword evidence at all — undetermined
     return best, scores[best] / max(1, len(words))
 
 
@@ -119,4 +121,6 @@ _LANG_COMPATIBLE = {
 def lang_matches(claimed: str, detected: str) -> bool:
     if claimed == detected:
         return True
+    if detected == "und":
+        return True  # undetermined content never triggers a mismatch drop
     return (claimed, detected) in _LANG_COMPATIBLE

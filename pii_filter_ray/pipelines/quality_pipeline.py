@@ -1,0 +1,141 @@
+"""Flagship quality-filter + PII-scrub pipeline (the north-star DAG).
+
+    read_parquet(repo, path, commit, lang, content)
+      -> map_batches(QualityScrubStage, actor pool)     # fused per-file chain
+      [-> groupby("repo") per-repo lineage stats, salted for giant repos]
+      -> write_parquet(out, partitioned) | Dataset
+
+Everything streams: no full materialization anywhere; the only wide ops are
+the optional per-repo aggregate (two-level, pre-aggregated per batch before
+the shuffle) and exact dedup (hash partition on content_sha256).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+
+import ray.data
+
+from ..core.quality import DEFAULT_QUALITY, QualityConfig
+from ..stages import DEFAULT_POOL
+from ..stages.quality_scrub import QualityScrubStage
+
+
+def read_corpus(
+    path: str,
+    columns=("repo", "path", "commit", "lang", "content"),
+) -> "ray.data.Dataset":
+    """Column-pruned parquet read of the code-corpus table."""
+    return ray.data.read_parquet(path, columns=list(columns))
+
+
+def quality_scrub(
+    ds: "ray.data.Dataset",
+    content_col: str = "content",
+    lang_col: Optional[str] = "lang",
+    mode: str = "code",
+    cfg: QualityConfig = DEFAULT_QUALITY,
+    emit_mappings: bool = True,
+    concurrency=None,
+    batch_size: int = 256,
+) -> "ray.data.Dataset":
+    """Apply the fused flagship stage as an actor pool.
+
+    ``batch_size=256`` keeps a batch of KB-scale files ~1 MB; for MB-scale
+    files pass a smaller batch_size (the stage is O(content bytes)).
+    ``concurrency=None`` uses the DEFAULT_POOL autoscaling bounds.
+    """
+    if concurrency is None:
+        concurrency = DEFAULT_POOL
+    return ds.map_batches(
+        QualityScrubStage,
+        fn_constructor_kwargs={
+            "content_col": content_col,
+            "lang_col": lang_col,
+            "mode": mode,
+            "cfg": cfg,
+            "emit_mappings": emit_mappings,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def per_repo_stats(scrubbed: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-repo lineage/metrics aggregate, skew-safe.
+
+    Pre-aggregates inside map_batches (one partial row per repo per batch —
+    a giant repo contributes one row per batch, not all its files), then a
+    small groupby("repo") merges partials. This two-level scheme is the
+    salted-aggregation pattern from SURVEY.md §4: the first level is
+    implicitly salted by block, so no single reducer ever sees a giant
+    repo's raw rows.
+    """
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = {}
+        tbl = batch.select(["repo", "keep", "pii_count"]).group_by("repo").aggregate(
+            [("keep", "sum"), ("keep", "count"), ("pii_count", "sum")]
+        )
+        out["repo"] = tbl["repo"]
+        out["n_files"] = pc.cast(tbl["keep_count"], pa.int64())
+        out["n_kept"] = pc.cast(tbl["keep_sum"], pa.int64())
+        out["n_pii"] = pc.cast(tbl["pii_count_sum"], pa.int64())
+        return pa.table(out)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        scrubbed.map_batches(partials, batch_format="pyarrow")
+        .groupby("repo")
+        .aggregate(
+            Sum("n_files", alias_name="n_files"),
+            Sum("n_kept", alias_name="n_kept"),
+            Sum("n_pii", alias_name="n_pii"),
+        )
+    )
+
+
+def global_metrics(scrubbed: "ray.data.Dataset") -> dict:
+    """Tiny driver-side aggregate of pipeline counters."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    row = scrubbed.aggregate(
+        Count(alias_name="n_files"),
+        Sum("pii_count", alias_name="n_pii"),
+        Mean("ppl_bits", alias_name="mean_ppl_bits"),
+    )
+    keeps = scrubbed.groupby("drop_reason").aggregate(Count(alias_name="n")).to_pandas()
+    row["by_reason"] = dict(zip(keeps["drop_reason"], keeps["n"]))
+    return row
+
+
+def run_pipeline(
+    input_path: str,
+    output_path: Optional[str] = None,
+    mode: str = "code",
+    content_col: str = "content",
+    lang_col: Optional[str] = "lang",
+    emit_mappings: bool = False,
+    concurrency=None,
+) -> "ray.data.Dataset":
+    """read -> fused quality/scrub -> (optional) partitioned parquet sink."""
+    ds = read_corpus(input_path) if mode == "code" else ray.data.read_parquet(input_path)
+    out = quality_scrub(
+        ds,
+        content_col=content_col,
+        lang_col=lang_col,
+        mode=mode,
+        emit_mappings=emit_mappings,
+        concurrency=concurrency,
+    )
+    if output_path:
+        out.write_parquet(output_path)
+    return out

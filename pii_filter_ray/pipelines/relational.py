@@ -1,0 +1,344 @@
+"""Relational + analysis pipelines over the sandbox test tables.
+
+Each function takes ``sf_dir`` (a directory of parquet tables) and returns a
+Dataset / pandas DataFrame whose column names and dtypes exactly mirror the
+DuckDB oracle SQL in ``__ray_entry__.oracle_sql`` (the driver hash-compares
+values after sorting columns by name).
+
+Patterns demonstrated (SURVEY.md §2.5 — operators the reference lacks but
+the engine must provide): column-pruned reads, vectorized filters, partial
+pre-aggregation before groupby shuffles, broadcast (ray.put) hash joins for
+small dimension tables, sort/limit top-k, time-bucketed aggregation.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..stages import DEFAULT_POOL
+from ..stages.dedup import exact_dedup_representatives, minhash_lsh_pairs, simhash_fingerprints, verify_jaccard_pairs
+from ..stages.similarity import cosine_neardup_pairs, knn_ids_for_query_id
+from ..stages.text_stats import (
+    NaturalLangIdStage,
+    quality_flags_batch,
+    rolling_fingerprint_batch,
+    sql_keep_batch,
+    token_stats_batch,
+)
+
+
+def _tbl(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+# --- documents ---------------------------------------------------------------
+
+
+def doc_lang_stats(sf_dir: str):
+    """groupby(lang): doc count + char volume (pruned read: 2 columns)."""
+    ds = _tbl(sf_dir, "documents", columns=["lang", "n_chars"])
+    out = ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
+    )
+    df = out.to_pandas()
+    return df.astype({"n_docs": "int64", "total_chars": "int64"})
+
+
+def doc_exact_dedup(sf_dir: str):
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup_representatives(ds, text_col="text", id_col="doc_id")
+
+
+def doc_token_stats(sf_dir: str):
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(token_stats_batch, batch_format="pyarrow")
+
+
+def doc_quality_flags(sf_dir: str):
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(quality_flags_batch, batch_format="pyarrow")
+
+
+def doc_sql_keep(sf_dir: str):
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(sql_keep_batch, batch_format="pyarrow")
+
+
+def doc_scrub(sf_dir: str):
+    """Full quality+scrub flagship over the documents table (text mode)."""
+    from .quality_pipeline import quality_scrub
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    out = quality_scrub(
+        ds, content_col="text", lang_col="lang", mode="text", emit_mappings=False
+    )
+    return out.select_columns(
+        ["doc_id", "keep", "drop_reason", "pii_count", "content_sha256"]
+    )
+
+
+def doc_langid(sf_dir: str):
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(NaturalLangIdStage, batch_format="pyarrow", concurrency=DEFAULT_POOL)
+
+
+def doc_simhash(sf_dir: str):
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_fingerprints(ds, text_col="text", id_col="doc_id")
+
+
+def doc_fingerprint(sf_dir: str):
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(rolling_fingerprint_batch, batch_format="pyarrow")
+
+
+def doc_minhash_candidates(sf_dir: str):
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, text_col="text", id_col="doc_id")
+
+
+def doc_jaccard_dups(sf_dir: str, threshold: float = 0.5):
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    cands = minhash_lsh_pairs(ds, text_col="text", id_col="doc_id")
+    return verify_jaccard_pairs(ds, cands, text_col="text", id_col="doc_id", threshold=threshold)
+
+
+# --- embeddings --------------------------------------------------------------
+
+
+def emb_knn_top10(sf_dir: str):
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = knn_ids_for_query_id(ds, query_id=0, k=10)
+    return df.astype({"vec_id": "int64"})
+
+
+def emb_label_count(sf_dir: str):
+    ds = _tbl(sf_dir, "embeddings", columns=["label"])
+    df = ds.groupby("label").aggregate(Count(alias_name="n")).to_pandas()
+    return df.astype({"label": "int32", "n": "int64"})
+
+
+def emb_cosine_neardup(sf_dir: str, threshold: float = 0.8):
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return cosine_neardup_pairs(ds, threshold=threshold)
+
+
+# --- TPC-H-style relational --------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str):
+    """Pricing summary with partial pre-aggregation before the groupby
+    shuffle (one partial row per key per block; the shuffle moves partials,
+    not line items)."""
+    ds = _tbl(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_shipdate",
+        ],
+    )
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "l_linestatus": pa.array([], pa.string()),
+                    "s_qty": pa.array([], pa.float64()),
+                    "s_base": pa.array([], pa.float64()),
+                    "s_disc": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": batch["l_quantity"],
+                "base": batch["l_extendedprice"],
+                "disc": disc_price,
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base", "sum"), ("disc", "sum"), ("qty", "count")]
+        )
+        return pa.table(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "l_linestatus": g["l_linestatus"],
+                "s_qty": g["qty_sum"],
+                "s_base": g["base_sum"],
+                "s_disc": g["disc_sum"],
+                "n": pc.cast(g["qty_count"], pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("s_qty", alias_name="s_qty"),
+            Sum("s_base", alias_name="s_base"),
+            Sum("s_disc", alias_name="s_disc"),
+            Sum("n", alias_name="n"),
+        )
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "l_returnflag": merged["l_returnflag"],
+            "l_linestatus": merged["l_linestatus"],
+            "sum_qty": merged["s_qty"].round(2),
+            "sum_base_price": merged["s_base"].round(2),
+            "sum_disc_price": merged["s_disc"].round(2),
+            "avg_qty": (merged["s_qty"] / merged["n"]).round(2),
+            "avg_price": (merged["s_base"] / merged["n"]).round(2),
+            "count_order": merged["n"].astype("int64"),
+        }
+    )
+    return out
+
+
+def top10_orders(sf_dir: str):
+    ds = _tbl(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    df = (
+        ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    return df[["o_orderkey"]].astype({"o_orderkey": "int64"})
+
+
+def revenue_by_mktsegment(sf_dir: str):
+    """Broadcast hash join: tiny customer dim via ray.put, looked up per
+    batch; groupby segment on the fact side only."""
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_map = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+    ref = ray.put(seg_map)
+
+    class AddSegment:
+        def __init__(self):
+            self.seg = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            segs = [self.seg.get(k) for k in batch["o_custkey"].to_pylist()]
+            return batch.append_column("c_mktsegment", pa.array(segs, pa.string()))
+
+    ds = _tbl(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    df = (
+        ds.map_batches(AddSegment, batch_format="pyarrow", concurrency=DEFAULT_POOL)
+        .groupby("c_mktsegment")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    df["revenue"] = df["revenue"].round(2)
+    return df.astype({"n_orders": "int64"})
+
+
+def nation_customer_count(sf_dir: str):
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    name_map = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    ref = ray.put(name_map)
+
+    def add_name(batch: pa.Table) -> pa.Table:
+        name_by_key = ray.get(ref)  # local object-store read, zero-copy cached
+        names = [name_by_key.get(k) for k in batch["c_nationkey"].to_pylist()]
+        return batch.append_column("n_name", pa.array(names, pa.string()))
+
+    ds = _tbl(sf_dir, "customer", columns=["c_nationkey"])
+    df = (
+        ds.map_batches(add_name, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_customers"))
+        .to_pandas()
+    )
+    return df.astype({"n_customers": "int64"})
+
+
+def events_by_type(sf_dir: str):
+    ds = _tbl(sf_dir, "events", columns=["event_type", "value"])
+    df = (
+        ds.groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"))
+        .to_pandas()
+    )
+    df["total_value"] = df["total_value"].round(2)
+    return df.astype({"n": "int64"})
+
+
+def events_daily(sf_dir: str):
+    """Time-bucketed (tumbling daily window) event counts."""
+    ds = _tbl(sf_dir, "events", columns=["ts"])
+
+    def day_col(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"day": batch["ts"].dt.strftime("%Y-%m-%d")})
+
+    df = (
+        ds.map_batches(day_col, batch_format="pandas")
+        .groupby("day")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    return df.astype({"n": "int64"})
+
+
+def events_top_users(sf_dir: str):
+    ds = _tbl(sf_dir, "events", columns=["user_id"])
+    df = (
+        ds.groupby("user_id")
+        .aggregate(Count(alias_name="n"))
+        .sort(["n", "user_id"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    return df.astype({"user_id": "int64", "n": "int64"})
+
+
+def part_type_stats(sf_dir: str):
+    ds = _tbl(sf_dir, "part", columns=["p_type", "p_retailprice"])
+    df = (
+        ds.groupby("p_type")
+        .aggregate(Count(alias_name="n"), Mean("p_retailprice", alias_name="avg_price"))
+        .to_pandas()
+    )
+    df["avg_price"] = df["avg_price"].round(2)
+    return df.astype({"n": "int64"})
+
+
+def lineitem_filter_count(sf_dir: str):
+    """Vectorized predicate + count (single-row result)."""
+    ds = _tbl(sf_dir, "lineitem", columns=["l_discount", "l_quantity"])
+
+    def flt(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch["l_discount"], pa.scalar(0.05)),
+                pc.less_equal(batch["l_discount"], pa.scalar(0.07)),
+            ),
+            pc.less(batch["l_quantity"], pa.scalar(24.0)),
+        )
+        return batch.filter(mask)
+
+    n = ds.map_batches(flt, batch_format="pyarrow").count()
+    return pd.DataFrame({"n": pd.Series([n], dtype="int64")})

@@ -1,0 +1,7 @@
+"""Ray Data stages: batch transforms (stateless fns) and actor-pool classes."""
+
+# Default autoscaling actor-pool bounds for stateful map_batches stages:
+# scales 1..8 actors with demand so no single pool reserves the whole node
+# (multiple stages must coexist under the streaming executor).
+DEFAULT_POOL = (1, 8)
+

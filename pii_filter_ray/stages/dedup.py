@@ -1,0 +1,375 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All are Ray-Data-first:
+
+  * exact: per-batch combine (pyarrow group_by) -> small groupby shuffle on
+    the content hash -> min-id representative per group.
+  * MinHash/LSH: signatures per batch -> explode to (band, band_hash, doc_id)
+    rows -> groupby(band, band_hash) -> candidate pairs -> optional exact
+    Jaccard verification.
+  * SimHash: 64-bit fingerprint per doc (vectorized with a per-actor word
+    hash cache), near-dup = identical fingerprint (or banded buckets).
+
+The shuffles are keyed on uniformly-distributed hashes, so no skew handling
+is needed beyond Ray's hash partitioning; group sizes are capped to bound
+pathological buckets (caps logged via the returned stats).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from . import DEFAULT_POOL
+
+# --- shared hashing ----------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def stable_hash64(data: bytes) -> int:
+    """Deterministic (unsalted) 64-bit hash."""
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
+
+
+def _minhash_params(num_perm: int, seed: int) -> Tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def word_shingles(text: str, k: int = 3) -> List[bytes]:
+    words = text.split()
+    if len(words) < k:
+        return [" ".join(words).encode()] if words else []
+    return [" ".join(words[i : i + k]).encode() for i in range(len(words) - k + 1)]
+
+
+# --- exact dedup -------------------------------------------------------------
+
+
+def exact_dedup_representatives(
+    ds: "ray.data.Dataset", text_col: str, id_col: str
+) -> "ray.data.Dataset":
+    """min(id) per distinct text — hash-partition + per-group min.
+
+    Per-batch pre-combine keeps the shuffle small: each block contributes at
+    most one row per distinct hash, so the groupby moves (hash, id) pairs,
+    never the text payload.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = pa.array(
+            [hashlib.sha256((v or "").encode()).hexdigest() for v in batch[text_col].to_pylist()],
+            pa.string(),
+        )
+        t = pa.table({"text_hash": keys, id_col: batch[id_col]})
+        g = t.group_by("text_hash").aggregate([(id_col, "min")])
+        return pa.table({"text_hash": g["text_hash"], id_col: g[f"{id_col}_min"]})
+
+    from ray.data.aggregate import Min
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("text_hash")
+        .aggregate(Min(id_col, alias_name=id_col))
+        .select_columns([id_col])
+    )
+
+
+def exact_dedup(
+    ds: "ray.data.Dataset", text_col: str, id_col: str
+) -> "ray.data.Dataset":
+    """Keep the first (min id) full row per distinct text.
+
+    Scale note: this groupby shuffles full rows once, keyed by the content
+    hash (uniform). For 100 TB, prefer the two-phase form: representatives()
+    (tiny shuffle) -> broadcast/semi-join filter of the original dataset.
+    """
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        keys = [hashlib.sha256((v or "").encode()).hexdigest() for v in batch[text_col].to_pylist()]
+        return batch.append_column("text_hash", pa.array(keys, pa.string()))
+
+    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).head(1)
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("text_hash")
+        .map_groups(first_per_group, batch_format="pandas")
+        .drop_columns(["text_hash"])
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+
+class MinHashStage:
+    """Per-actor MinHash signatures; emits one row per (doc, band)."""
+
+    def __init__(
+        self,
+        text_col: str,
+        id_col: str,
+        num_perm: int = 64,
+        bands: int = 16,
+        shingle_k: int = 3,
+        seed: int = 7,
+    ):
+        assert num_perm % bands == 0
+        self.text_col, self.id_col = text_col, id_col
+        self.num_perm, self.bands = num_perm, bands
+        self.rows_per_band = num_perm // bands
+        self.shingle_k = seed_k = shingle_k
+        self.a, self.b = _minhash_params(num_perm, seed)
+        self._shingle_cache: dict = {}
+
+    def _sig(self, text: str) -> Optional[np.ndarray]:
+        shingles = word_shingles(text, self.shingle_k)
+        if not shingles:
+            return None
+        hs = np.fromiter(
+            (stable_hash64(s) for s in shingles), dtype=np.uint64, count=len(shingles)
+        )
+        # (a*h + b) mod p, min over shingles, per permutation
+        vals = (self.a[:, None] * hs[None, :] + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out, band_ids, band_hashes = [], [], []
+        for doc_id, text in zip(
+            batch[self.id_col].to_pylist(), batch[self.text_col].to_pylist()
+        ):
+            sig = self._sig(text or "")
+            if sig is None:
+                continue
+            for band in range(self.bands):
+                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
+                ids_out.append(doc_id)
+                band_ids.append(band)
+                band_hashes.append(stable_hash64(chunk.tobytes()) & 0x7FFFFFFFFFFFFFFF)
+        return pa.table(
+            {
+                self.id_col: pa.array(ids_out),
+                "band_id": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.int64()),
+            }
+        )
+
+
+def minhash_lsh_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket: int = 64,
+    seed: int = 7,
+) -> "ray.data.Dataset":
+    """Candidate near-dup pairs (id_a < id_b) from LSH band buckets.
+
+    Buckets larger than ``max_bucket`` are truncated (pairs from the first
+    ``max_bucket`` members only) to bound quadratic blowup on degenerate
+    buckets; real corpora hit this only on boilerplate-identical files,
+    which exact-dedup should remove first.
+    """
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g[id_col].tolist()))[:max_bucket]
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        pa_, pb_ = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pa_.append(ids[i])
+                pb_.append(ids[j])
+        return pd.DataFrame({"id_a": pa_, "id_b": pb_})
+
+    pairs = (
+        ds.map_batches(
+            MinHashStage,
+            fn_constructor_kwargs={
+                "text_col": text_col,
+                "id_col": id_col,
+                "num_perm": num_perm,
+                "bands": bands,
+                "shingle_k": shingle_k,
+                "seed": seed,
+            },
+            batch_format="pyarrow",
+            concurrency=DEFAULT_POOL,
+        )
+        .groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    # distinct pairs (a pair can collide in several bands)
+    from ray.data.aggregate import Count
+
+    return (
+        pairs.groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="n_bands"))
+        .select_columns(["id_a", "id_b"])
+    )
+
+
+def verify_jaccard_pairs(
+    ds: "ray.data.Dataset",
+    candidate_pairs: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    shingle_k: int = 3,
+) -> "ray.data.Dataset":
+    """Exact word-shingle Jaccard verification of candidate pairs.
+
+    The shingle-set index is broadcast via ray.put (sets of 64-bit shingle
+    hashes, NOT texts — ~8 bytes/shingle). Fine for small-to-medium corpora;
+    at 100 TB the candidate pairs would instead be joined back to the docs
+    by id (two hash-joins) before a pairwise verify stage.
+    """
+    index = {}
+    for batch in ds.select_columns([id_col, text_col]).iter_batches(
+        batch_size=4096, batch_format="pyarrow"
+    ):
+        for doc_id, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            index[doc_id] = frozenset(stable_hash64(s) for s in word_shingles(text or "", shingle_k))
+    ref = ray.put(index)
+
+    class Verify:
+        def __init__(self):
+            self.index = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keep_a, keep_b, jac = [], [], []
+            for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
+                sa, sb = self.index.get(a), self.index.get(b)
+                if not sa or not sb:
+                    continue
+                j = len(sa & sb) / len(sa | sb)
+                if j >= threshold:
+                    keep_a.append(a)
+                    keep_b.append(b)
+                    jac.append(j)
+            return pa.table(
+                {
+                    "id_a": pa.array(keep_a, pa.int64()),
+                    "id_b": pa.array(keep_b, pa.int64()),
+                    "jaccard": pa.array(jac, pa.float64()),
+                }
+            )
+
+    return candidate_pairs.map_batches(Verify, batch_format="pyarrow", concurrency=DEFAULT_POOL)
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+class SimHashStage:
+    """64-bit SimHash fingerprints; word-level features with a per-actor
+    hash cache (vocab repeats heavily, so caching collapses the hashing cost)."""
+
+    def __init__(self, text_col: str, id_col: str):
+        self.text_col, self.id_col = text_col, id_col
+        self._cache: dict = {}
+        self._bit_cols = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+    def _word_bits(self, w: str) -> np.ndarray:
+        v = self._cache.get(w)
+        if v is None:
+            h = np.uint64(stable_hash64(w.encode()))
+            v = ((h & self._bit_cols) > 0).astype(np.int32) * 2 - 1  # ±1 per bit
+            self._cache[w] = v
+        return v
+
+    def fingerprint(self, text: str) -> int:
+        words = text.split()
+        if not words:
+            return 0
+        acc = np.zeros(64, dtype=np.int64)
+        for w in words:
+            acc += self._word_bits(w)
+        bits = (acc > 0).astype(np.uint64)
+        return int((bits * self._bit_cols).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = [self.fingerprint(v or "") for v in batch[self.text_col].to_pylist()]
+        # store as int64 (reinterpret) so parquet/duckdb round-trips cleanly
+        fps64 = [f - (1 << 64) if f >= (1 << 63) else f for f in fps]
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "simhash": pa.array(fps64, pa.int64()),
+            }
+        )
+
+
+def simhash_fingerprints(
+    ds: "ray.data.Dataset", text_col: str, id_col: str
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        SimHashStage,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=DEFAULT_POOL,
+    )
+
+
+def simhash_dup_groups(
+    ds: "ray.data.Dataset", text_col: str, id_col: str, max_hamming: int = 3
+) -> "ray.data.Dataset":
+    """Near-dup pairs by SimHash: band the 64 bits into 4 16-bit chunks
+    (any pair within Hamming distance 3 shares >=1 chunk — pigeonhole),
+    groupby chunk value, verify Hamming distance within buckets."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, chunk_ids, chunk_vals, sims = [], [], [], []
+        for doc_id, sh in zip(batch[id_col].to_pylist(), batch["simhash"].to_pylist()):
+            u = sh & 0xFFFFFFFFFFFFFFFF
+            for c in range(4):
+                ids.append(doc_id)
+                chunk_ids.append(c)
+                chunk_vals.append((u >> (16 * c)) & 0xFFFF)
+                sims.append(sh)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "chunk_id": pa.array(chunk_ids, pa.int32()),
+                "chunk_val": pa.array(chunk_vals, pa.int32()),
+                "simhash": pa.array(sims, pa.int64()),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(set(zip(g[id_col], g["simhash"])))[:128]
+        a_, b_, d_ = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                x = (rows[i][1] ^ rows[j][1]) & 0xFFFFFFFFFFFFFFFF
+                d = bin(x).count("1")
+                if d <= max_hamming:
+                    a_.append(rows[i][0])
+                    b_.append(rows[j][0])
+                    d_.append(d)
+        return pd.DataFrame({"id_a": a_, "id_b": b_, "hamming": d_})
+
+    from ray.data.aggregate import Min
+
+    return (
+        simhash_fingerprints(ds, text_col, id_col)
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby(["chunk_id", "chunk_val"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )

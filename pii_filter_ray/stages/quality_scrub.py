@@ -1,0 +1,227 @@
+"""The quality+scrub stages — the engine's flagship per-file transforms.
+
+Two granularities are exposed:
+
+  * Individual stages (``LangIdStage``, ``PerplexityStage``, ``ScrubStage``,
+    ``quality_batch``) — composable operator inventory, one concern each.
+  * ``QualityScrubStage`` — the FUSED flagship stage: langid + perplexity +
+    heuristic rules + PII scrub + keep/drop in a single actor pass per batch.
+    At 100 TB scale, fusing the per-row chain into one ``map_batches`` stage
+    halves object-store traffic (each separate stage writes a full new block
+    stream); wide operations stay separate. Models/patterns are built once
+    per actor in ``__init__`` (the reference reloads spaCy per request —
+    /root/reference/src/api/proxy.py:43-54 — which its own comment calls out;
+    the actor pool is the fix).
+
+All stages are Arrow-in/Arrow-out (``batch_format="pyarrow"``); string
+columns are processed with per-row kernels (regex/LM scoring is inherently
+per-document) over zero-copy Arrow buffers, with all constant state hoisted
+to module/actor init.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional
+
+import pyarrow as pa
+
+from ..core.langid import detect_code_lang, detect_natural_lang, lang_matches
+from ..core.perplexity import DEFAULT_MAX_BITS_PER_CHAR, CharBigramLM
+from ..core.quality import DEFAULT_QUALITY, QualityConfig, heuristic_drop_reason
+from ..core.scrub import scrub_text
+
+PII_MAPPING_TYPE = pa.list_(
+    pa.struct(
+        [
+            ("placeholder", pa.string()),
+            ("original_value", pa.string()),
+            ("type", pa.string()),
+            ("span_start", pa.int32()),
+            ("span_end", pa.int32()),
+        ]
+    )
+)
+
+
+def sha256_hex(text: str) -> str:
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+
+def sha256_batch(batch: pa.Table, content_col: str = "content") -> pa.Table:
+    """Stateless: append content_sha256 (the per-row invariant column)."""
+    shas = [sha256_hex(v) if v is not None else "" for v in batch[content_col].to_pylist()]
+    return batch.append_column("content_sha256", pa.array(shas, pa.string()))
+
+
+def quality_batch(
+    batch: pa.Table, content_col: str = "content", cfg: QualityConfig = DEFAULT_QUALITY
+) -> pa.Table:
+    """Stateless: heuristic keep/drop columns (keep_heuristic, heuristic_reason)."""
+    keeps, reasons = [], []
+    for v in batch[content_col].to_pylist():
+        k, r = heuristic_drop_reason(v, cfg)
+        keeps.append(k)
+        reasons.append(r)
+    return batch.append_column(
+        "keep_heuristic", pa.array(keeps, pa.bool_())
+    ).append_column("heuristic_reason", pa.array(reasons, pa.string()))
+
+
+class LangIdStage:
+    """Actor-pool language-ID stage (fastText-shaped: model held per actor)."""
+
+    def __init__(self, content_col: str = "content", mode: str = "code"):
+        self.content_col = content_col
+        self.detect = detect_code_lang if mode == "code" else detect_natural_lang
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs, confs = [], []
+        for v in batch[self.content_col].to_pylist():
+            lang, conf = self.detect(v or "")
+            langs.append(lang)
+            confs.append(conf)
+        return batch.append_column(
+            "lang_detected", pa.array(langs, pa.string())
+        ).append_column("lang_conf", pa.array(confs, pa.float64()))
+
+
+class PerplexityStage:
+    """Actor-pool perplexity stage (KenLM-shaped: LM built once per actor)."""
+
+    def __init__(self, content_col: str = "content"):
+        self.content_col = content_col
+        self.lm = CharBigramLM()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bits = [self.lm.bits_per_char(v or "") for v in batch[self.content_col].to_pylist()]
+        return batch.append_column("ppl_bits", pa.array(bits, pa.float64()))
+
+
+class ScrubStage:
+    """Actor-pool PII scrub stage: content_masked + pii mappings + counts."""
+
+    def __init__(
+        self,
+        content_col: str = "content",
+        emit_mappings: bool = True,
+        extended: bool = True,
+        enable_ner: bool = True,
+    ):
+        self.content_col = content_col
+        self.emit_mappings = emit_mappings
+        self.extended = extended
+        self.enable_ner = enable_ner
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        masked_col: List[str] = []
+        counts: List[int] = []
+        mappings_col: List[list] = []
+        for v in batch[self.content_col].to_pylist():
+            r = scrub_text(v, extended=self.extended, enable_ner=self.enable_ner)
+            masked_col.append(r.masked)
+            counts.append(r.pii_count)
+            if self.emit_mappings:
+                mappings_col.append(r.mappings_dicts())
+        batch = batch.append_column(
+            "content_masked", pa.array(masked_col, pa.string())
+        ).append_column("pii_count", pa.array(counts, pa.int32()))
+        if self.emit_mappings:
+            batch = batch.append_column(
+                "pii_masked", pa.array(mappings_col, PII_MAPPING_TYPE)
+            )
+        return batch
+
+
+class QualityScrubStage:
+    """FUSED flagship stage: sha256 -> heuristics -> langid -> perplexity ->
+    scrub (kept rows only) -> keep/drop label, one pass per batch.
+
+    Drop-reason precedence (first failure wins):
+        empty/repetition/max_line_len/long_token/alnum_ratio (heuristics)
+        -> lang_mismatch -> perplexity
+
+    Dropped rows are NOT scrubbed (wasted work at scale); their
+    content_masked is null and pii_count 0. Kept, untouched rows satisfy
+    sha256(content_masked) == content_sha256 — the per-row invariant from
+    BASELINE.json.
+    """
+
+    def __init__(
+        self,
+        content_col: str = "content",
+        lang_col: Optional[str] = "lang",
+        mode: str = "code",
+        cfg: QualityConfig = DEFAULT_QUALITY,
+        max_bits_per_char: float = DEFAULT_MAX_BITS_PER_CHAR,
+        emit_mappings: bool = True,
+        extended: bool = True,
+        enable_ner: bool = True,
+        drop_content: bool = False,
+    ):
+        self.content_col = content_col
+        self.lang_col = lang_col
+        self.detect = detect_code_lang if mode == "code" else detect_natural_lang
+        self.mode = mode
+        self.cfg = cfg
+        self.max_bits = max_bits_per_char
+        self.emit_mappings = emit_mappings
+        self.extended = extended
+        self.enable_ner = enable_ner
+        self.drop_content = drop_content
+        self.lm = CharBigramLM()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        contents = batch[self.content_col].to_pylist()
+        claimed = (
+            batch[self.lang_col].to_pylist()
+            if self.lang_col and self.lang_col in batch.column_names
+            else [None] * len(contents)
+        )
+
+        shas, langs, confs, bits = [], [], [], []
+        keeps, reasons = [], []
+        masked_col, counts, mappings_col = [], [], []
+
+        for text, claim in zip(contents, claimed):
+            text = text or ""
+            shas.append(sha256_hex(text))
+            keep, reason = heuristic_drop_reason(text, self.cfg)
+            lang, conf = self.detect(text)
+            langs.append(lang)
+            confs.append(conf)
+            b = self.lm.bits_per_char(text)
+            bits.append(b)
+            if keep:
+                if claim is not None and not lang_matches(claim, lang):
+                    keep, reason = False, "lang_mismatch"
+                elif b > self.max_bits:
+                    keep, reason = False, "perplexity"
+            keeps.append(keep)
+            reasons.append(reason)
+            if keep:
+                r = scrub_text(text, extended=self.extended, enable_ner=self.enable_ner)
+                masked_col.append(r.masked)
+                counts.append(r.pii_count)
+                mappings_col.append(r.mappings_dicts() if self.emit_mappings else None)
+            else:
+                masked_col.append(None)
+                counts.append(0)
+                mappings_col.append([] if self.emit_mappings else None)
+
+        out = batch
+        if self.drop_content:
+            out = out.drop_columns([self.content_col])
+        out = (
+            out.append_column("content_sha256", pa.array(shas, pa.string()))
+            .append_column("lang_detected", pa.array(langs, pa.string()))
+            .append_column("lang_conf", pa.array(confs, pa.float64()))
+            .append_column("ppl_bits", pa.array(bits, pa.float64()))
+            .append_column("keep", pa.array(keeps, pa.bool_()))
+            .append_column("drop_reason", pa.array(reasons, pa.string()))
+            .append_column("content_masked", pa.array(masked_col, pa.string()))
+            .append_column("pii_count", pa.array(counts, pa.int32()))
+        )
+        if self.emit_mappings:
+            out = out.append_column("pii_masked", pa.array(mappings_col, PII_MAPPING_TYPE))
+        return out

@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (list<float>).
+
+  * ``knn_bruteforce`` — cosine top-k: per-block numpy matmul against a
+    broadcast query matrix, partial top-k per block, tiny driver-side merge.
+    No shuffle at all; scales linearly with corpus size.
+  * ``lsh_buckets`` / ``cosine_neardup_pairs`` — random-hyperplane LSH:
+    sign-bit bucket per table, groupby(bucket), in-bucket matmul. The scale
+    path for all-pairs similarity; recall is tunable via n_tables/n_bits.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _to_matrix(col) -> np.ndarray:
+    """list<float> Arrow column -> (n, d) float64 matrix (zero-copy-ish)."""
+    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def knn_bruteforce(
+    ds: "ray.data.Dataset",
+    query: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Top-k rows by cosine similarity to ``query`` (1-D vector).
+
+    Returns a small pandas DataFrame (id, sim) ordered by (sim desc, id).
+    The query is broadcast once via ray.put; each block computes a local
+    top-k; the driver merges the partials (k rows per block).
+    """
+    q = np.asarray(query, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    qref = ray.put(q)
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        m = _normalize(_to_matrix(batch[vec_col]))
+        sims = m @ qv
+        idx = np.argsort(-sims)[:k]
+        return pa.table(
+            {
+                id_col: batch[id_col].take(pa.array(idx)),
+                "sim": pa.array(sims[idx], pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    partials = partials.sort_values(
+        ["sim", id_col], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return partials.reset_index(drop=True)
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((dim, n_bits))
+
+
+def cosine_neardup_pairs(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bits: int = 8,
+    n_tables: int = 2,
+    seed: int = 13,
+    max_bucket: int = 2048,
+) -> "ray.data.Dataset":
+    """Approximate all-pairs cosine near-duplicates via hyperplane LSH.
+
+    Each table hashes every vector to a ``n_bits``-bit sign bucket;
+    groupby(table, bucket) then exact in-bucket pairwise cosine. Pairs are
+    deduped across tables with a final tiny groupby. Precision is exact
+    (pairs are verified); recall grows with n_tables and shrinking n_bits.
+    """
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch[vec_col])
+        ids_out, tables, buckets, vec_rows = [], [], [], []
+        ids = batch[id_col].to_pylist()
+        vecs = _normalize(m)
+        for t in range(n_tables):
+            H = _hyperplanes(m.shape[1], n_bits, seed + t)
+            bits = (vecs @ H) > 0
+            codes = (bits * (1 << np.arange(n_bits))).sum(axis=1)
+            for i, doc_id in enumerate(ids):
+                ids_out.append(doc_id)
+                tables.append(t)
+                buckets.append(int(codes[i]))
+                vec_rows.append(vecs[i].tolist())
+        return pa.table(
+            {
+                id_col: pa.array(ids_out),
+                "table_id": pa.array(tables, pa.int32()),
+                "bucket": pa.array(buckets, pa.int64()),
+                "vec": pa.array(vec_rows, pa.list_(pa.float64())),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col).head(max_bucket)
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        ids = g[id_col].to_numpy()
+        m = np.stack(g["vec"].to_numpy())
+        sims = m @ m.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        mask = sims[iu, ju] >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[iu[mask]], "id_b": ids[ju[mask]], "sim": sims[iu, ju][mask]}
+        )
+
+    from ray.data.aggregate import Max
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby(["table_id", "bucket"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Max("sim", alias_name="sim"))
+    )
+
+
+def knn_ids_for_query_id(
+    ds: "ray.data.Dataset",
+    query_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 9,
+) -> pd.DataFrame:
+    """Top-k ids by cosine to the embedding of ``query_id`` (itself included),
+    ordered by (round(sim, round_digits) desc, id) for oracle-stable output."""
+    import pyarrow.compute as pc
+
+    qrow = ds.filter(lambda r: r[id_col] == query_id).take(1)
+    q = np.asarray(qrow[0][vec_col], dtype=np.float64)
+    res = knn_bruteforce(ds, q, k=max(k * 4, k), vec_col=vec_col, id_col=id_col)
+    res["sim_r"] = res["sim"].round(round_digits)
+    res = res.sort_values(["sim_r", id_col], ascending=[False, True], kind="mergesort").head(k)
+    return res[[id_col]].reset_index(drop=True)

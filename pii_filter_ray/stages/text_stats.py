@@ -1,0 +1,154 @@
+"""Text-analysis operators over prose/document tables: token counts, quality
+flags, language ID, rolling-hash fingerprints — each SQL-mirrorable where
+possible so the DuckDB oracle can check it value-for-value."""
+
+from __future__ import annotations
+
+from typing import List
+
+import pyarrow as pa
+
+import ray.data
+
+from ..core.langid import detect_natural_lang
+from ..core.quality import quality_stats
+
+
+def token_stats_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Whitespace token count + char count per doc.
+
+    SQL mirror: len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
+    — python str.split() splits on the same whitespace runs.
+    """
+    n_tokens: List[int] = []
+    n_chars: List[int] = []
+    for v in batch[text_col].to_pylist():
+        v = v or ""
+        n_tokens.append(len(v.split()))
+        n_chars.append(len(v))
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_chars": pa.array(n_chars, pa.int64()),
+        }
+    )
+
+
+def quality_flags_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """max_line_len / n_lines / alnum count per doc (SQL-mirrorable: ASCII
+    alnum counted as [a-zA-Z0-9] to match the regexp_replace oracle)."""
+    max_lines, n_lines, n_alnum = [], [], []
+    for v in batch[text_col].to_pylist():
+        v = v or ""
+        lines = v.split("\n")
+        n_lines.append(len(lines))
+        max_lines.append(max(len(l) for l in lines) if lines else 0)
+        n_alnum.append(sum(1 for c in v if ("a" <= c <= "z") or ("A" <= c <= "Z") or ("0" <= c <= "9")))
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "max_line_len": pa.array(max_lines, pa.int64()),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_alnum": pa.array(n_alnum, pa.int64()),
+        }
+    )
+
+
+def sql_keep_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_line_len: int = 1000,
+    max_mean_token_len: float = 25.0,
+    min_alnum_ratio: float = 0.25,
+) -> pa.Table:
+    """SQL-expressible subset of the keep/drop rule (no trigram repetition):
+    empty -> max_line_len -> long_token -> alnum_ratio. ASCII-alnum ratio to
+    mirror the oracle exactly."""
+    keeps, reasons = [], []
+    for v in batch[text_col].to_pylist():
+        v = v or ""
+        if not v.strip():
+            keeps.append(False)
+            reasons.append("empty")
+            continue
+        lines = v.split("\n")
+        tokens = v.split()
+        n_alnum = sum(1 for c in v if ("a" <= c <= "z") or ("A" <= c <= "Z") or ("0" <= c <= "9"))
+        if max(len(l) for l in lines) > max_line_len:
+            keeps.append(False)
+            reasons.append("max_line_len")
+        elif tokens and (sum(len(t) for t in tokens) / len(tokens)) > max_mean_token_len:
+            keeps.append(False)
+            reasons.append("long_token")
+        elif len(v) > 0 and (n_alnum / len(v)) < min_alnum_ratio:
+            keeps.append(False)
+            reasons.append("alnum_ratio")
+        else:
+            keeps.append(True)
+            reasons.append("")
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "keep": pa.array(keeps, pa.bool_()),
+            "drop_reason": pa.array(reasons, pa.string()),
+        }
+    )
+
+
+class NaturalLangIdStage:
+    """Actor-pool natural-language ID over a prose column."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs, confs = [], []
+        for v in batch[self.text_col].to_pylist():
+            lang, conf = detect_natural_lang(v or "")
+            langs.append(lang)
+            confs.append(conf)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "lang_detected": pa.array(langs, pa.string()),
+                "lang_conf": pa.array(confs, pa.float64()),
+            }
+        )
+
+
+def rolling_fingerprint_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id", window: int = 16
+) -> pa.Table:
+    """Deterministic document fingerprint: min of a Rabin-Karp style rolling
+    hash over ``window``-char windows (a 1-element MinHash — cheap winnowing).
+    Equal fingerprints => high chance of shared content."""
+    import numpy as np
+
+    fps = []
+    for v in batch[text_col].to_pylist():
+        v = v or ""
+        if len(v) < window:
+            h = 0
+            for b in v.encode():
+                h = (h * 1000003 + b) & 0xFFFFFFFFFFFFFFFF
+            fps.append(h - (1 << 64) if h >= (1 << 63) else h)
+            continue
+        codes = np.frombuffer(v.encode("utf-8", "replace"), dtype=np.uint8).astype(np.uint64)
+        n = len(codes)
+        w = min(window, n)
+        # vectorized: H[i] = sum_j codes[i+j] * B^(w-1-j)  (mod 2^64), i.e.
+        # w shifted multiply-adds instead of a per-char python loop
+        n_win = n - w + 1
+        H = np.zeros(n_win, dtype=np.uint64)
+        p = 1
+        with np.errstate(over="ignore"):
+            for j in range(w - 1, -1, -1):
+                H += codes[j : j + n_win] * np.uint64(p)
+                p = (p * 1000003) & 0xFFFFFFFFFFFFFFFF
+        bi = int(H.min())
+        fps.append(bi - (1 << 64) if bi >= (1 << 63) else bi)
+    return pa.table(
+        {id_col: batch[id_col], "fingerprint": pa.array(fps, pa.int64())}
+    )

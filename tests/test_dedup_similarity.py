@@ -1,0 +1,146 @@
+"""Dedup + similarity operators on data with KNOWN duplicate structure
+(the testdata tables contain no near-dups, so these fixtures inject them)."""
+
+import random
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _docs_with_dups():
+    """60 base docs + exact dups + near dups (90% shingle overlap)."""
+    rng = random.Random(5)
+    words = [f"w{i}" for i in range(200)]
+    rows = {"doc_id": [], "text": []}
+    base_texts = []
+    for i in range(60):
+        text = " ".join(rng.choice(words) for _ in range(80))
+        base_texts.append(text)
+        rows["doc_id"].append(i)
+        rows["text"].append(text)
+    # exact duplicates of docs 0..4 -> ids 100..104
+    for i in range(5):
+        rows["doc_id"].append(100 + i)
+        rows["text"].append(base_texts[i])
+    # near duplicates of docs 10..14 (edit last 5 words) -> ids 200..204
+    for i in range(5):
+        w = base_texts[10 + i].split()
+        w[-5:] = [rng.choice(words) for _ in range(5)]
+        rows["doc_id"].append(200 + i)
+        rows["text"].append(" ".join(w))
+    return pa.table({"doc_id": pa.array(rows["doc_id"], pa.int64()),
+                     "text": pa.array(rows["text"], pa.string())})
+
+
+@pytest.fixture(scope="module")
+def dup_ds(ray_session):
+    import ray.data
+
+    return ray.data.from_arrow(_docs_with_dups())
+
+
+def test_exact_dedup_representatives(dup_ds):
+    from pii_filter_ray.stages.dedup import exact_dedup_representatives
+
+    reps = sorted(
+        exact_dedup_representatives(dup_ds, "text", "doc_id").to_pandas()["doc_id"]
+    )
+    # 70 docs, 5 exact dups -> 65 distinct texts, min-id representative kept
+    assert len(reps) == 65
+    assert set(range(60)).issubset(reps)
+    assert all(r < 100 or r >= 200 for r in reps)
+
+
+def test_exact_dedup_full_rows(dup_ds):
+    from pii_filter_ray.stages.dedup import exact_dedup
+
+    out = exact_dedup(dup_ds, "text", "doc_id").to_pandas()
+    assert len(out) == 65
+    assert set(out.columns) == {"doc_id", "text"}
+    assert out["text"].nunique() == 65
+
+
+def test_minhash_finds_near_dups(dup_ds):
+    from pii_filter_ray.stages.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(dup_ds, "text", "doc_id").to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    # every exact dup pair and every near-dup pair must be found
+    for i in range(5):
+        assert (i, 100 + i) in got, f"exact dup pair {i} missed"
+    for i in range(5):
+        assert (10 + i, 200 + i) in got, f"near dup pair {i} missed"
+
+
+def test_jaccard_verification(dup_ds):
+    from pii_filter_ray.stages.dedup import minhash_lsh_pairs, verify_jaccard_pairs
+
+    cands = minhash_lsh_pairs(dup_ds, "text", "doc_id")
+    verified = verify_jaccard_pairs(dup_ds, cands, "text", "doc_id", threshold=0.5).to_pandas()
+    got = {(a, b): j for a, b, j in zip(verified["id_a"], verified["id_b"], verified["jaccard"])}
+    for i in range(5):
+        assert got.get((i, 100 + i)) == 1.0  # exact dups: jaccard exactly 1
+    for i in range(5):
+        assert got.get((10 + i, 200 + i), 0) > 0.5
+    # all surviving pairs really meet the threshold
+    assert (verified["jaccard"] >= 0.5).all()
+
+
+def test_simhash_dup_groups(dup_ds):
+    from pii_filter_ray.stages.dedup import simhash_dup_groups
+
+    pairs = simhash_dup_groups(dup_ds, "text", "doc_id", max_hamming=3).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    for i in range(5):
+        assert (i, 100 + i) in got  # identical text -> hamming 0
+    assert (pairs["hamming"] <= 3).all()
+
+
+def test_simhash_deterministic(dup_ds):
+    from pii_filter_ray.stages.dedup import simhash_fingerprints
+
+    a = simhash_fingerprints(dup_ds, "text", "doc_id").to_pandas().sort_values("doc_id")
+    b = simhash_fingerprints(dup_ds, "text", "doc_id").to_pandas().sort_values("doc_id")
+    assert (a["simhash"].values == b["simhash"].values).all()
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((100, 32))
+    # rows 100..104 = near-copies of rows 0..4 (tiny noise -> cosine ~0.999)
+    near = base[:5] + 0.01 * rng.standard_normal((5, 32))
+    vecs = np.vstack([base, near])
+    ids = list(range(100)) + list(range(100, 105))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            }
+        )
+    )
+
+
+def test_knn_bruteforce(emb_ds):
+    from pii_filter_ray.stages.similarity import knn_bruteforce
+
+    # query = row 0's vector; its near-copy (id 100) must rank in the top 2
+    row = emb_ds.take(1)[0]
+    res = knn_bruteforce(emb_ds, np.asarray(row["embedding"]), k=5)
+    assert list(res["vec_id"][:2]) == [0, 100] or list(res["vec_id"][:2]) == [100, 0]
+    assert res["sim"].iloc[0] >= res["sim"].iloc[-1]
+
+
+def test_cosine_neardup_pairs(emb_ds):
+    from pii_filter_ray.stages.similarity import cosine_neardup_pairs
+
+    pairs = cosine_neardup_pairs(emb_ds, threshold=0.95).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    found = sum((i, 100 + i) in got for i in range(5))
+    assert found >= 4  # LSH recall: at least 4/5 planted pairs
+    assert (pairs["sim"] >= 0.95).all()  # precision exact

@@ -1,0 +1,119 @@
+"""Distributed pipeline vs pure-python oracle: per-row equality on the
+synthetic corpus (SURVEY.md §5 rebuild test plan, item b/c)."""
+
+import hashlib
+
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def scrubbed(ray_session, small_corpus):
+    import ray.data
+
+    from pii_filter_ray.pipelines.quality_pipeline import quality_scrub
+
+    corpus, exp = small_corpus
+    ds = ray.data.from_arrow(corpus)
+    out = quality_scrub(ds, emit_mappings=True, concurrency=2).to_pandas()
+    return out, exp.to_pandas()
+
+
+def test_schema(scrubbed):
+    out, _ = scrubbed
+    for col in (
+        "repo", "path", "commit", "lang", "content_sha256", "lang_detected",
+        "lang_conf", "ppl_bits", "keep", "drop_reason", "content_masked",
+        "pii_count", "pii_masked",
+    ):
+        assert col in out.columns, col
+
+
+def test_keep_drop_matches_expectations(scrubbed):
+    """keep/drop F1 vs generated ground truth must be 1.0 (deterministic)."""
+    out, exp = scrubbed
+    merged = out.merge(exp, on=["repo", "path", "commit"], how="inner")
+    assert len(merged) == len(exp)
+    assert (merged["keep"] == merged["expect_keep"]).all()
+    assert (merged["drop_reason"] == merged["expect_reason"]).all()
+
+
+def test_sha256_invariant(scrubbed):
+    """content_sha256 equals the generator's hash for every row; for kept
+    untouched rows, masked output hashes identically (BASELINE.json)."""
+    out, exp = scrubbed
+    merged = out.merge(
+        exp, on=["repo", "path", "commit"], how="inner", suffixes=("", "_exp")
+    )
+    assert (merged["content_sha256"] == merged["content_sha256_exp"]).all()
+    untouched = merged[merged["untouched"] & merged["keep"]]
+    assert len(untouched) > 0
+    for _, row in untouched.iterrows():
+        assert (
+            hashlib.sha256(row["content_masked"].encode()).hexdigest()
+            == row["content_sha256"]
+        )
+
+
+def test_pipeline_equals_oracle(scrubbed, small_corpus):
+    """Per-row equality of the Ray output against the pure-python oracle."""
+    from pii_filter_ray.core.scrub import scrub_text
+
+    out, _ = scrubbed
+    corpus, _ = small_corpus
+    content_by_key = {
+        (r, p, c): t
+        for r, p, c, t in zip(
+            corpus["repo"].to_pylist(),
+            corpus["path"].to_pylist(),
+            corpus["commit"].to_pylist(),
+            corpus["content"].to_pylist(),
+        )
+    }
+    kept = out[out["keep"]]
+    assert len(kept) > 0
+    for _, row in kept.sample(min(150, len(kept)), random_state=7).iterrows():
+        text = content_by_key[(row["repo"], row["path"], row["commit"])]
+        r = scrub_text(text)
+        assert row["content_masked"] == r.masked
+        assert row["pii_count"] == r.pii_count
+
+
+def test_dropped_rows_not_scrubbed(scrubbed):
+    out, _ = scrubbed
+    dropped = out[~out["keep"]]
+    assert len(dropped) > 0
+    assert dropped["content_masked"].isna().all()
+    assert (dropped["pii_count"] == 0).all()
+
+
+def test_per_repo_stats(ray_session, small_corpus):
+    import ray.data
+
+    from pii_filter_ray.pipelines.quality_pipeline import per_repo_stats, quality_scrub
+
+    corpus, _ = small_corpus
+    scrubbed_ds = quality_scrub(ray.data.from_arrow(corpus), concurrency=2)
+    stats = per_repo_stats(scrubbed_ds).to_pandas().set_index("repo")
+    # ground truth via pandas on the same scrubbed output
+    full = quality_scrub(ray.data.from_arrow(corpus), concurrency=2).to_pandas()
+    gt = full.groupby("repo").agg(
+        n_files=("keep", "size"), n_kept=("keep", "sum"), n_pii=("pii_count", "sum")
+    )
+    for repo, row in gt.iterrows():
+        assert stats.loc[repo, "n_files"] == row["n_files"]
+        assert stats.loc[repo, "n_kept"] == row["n_kept"]
+        assert stats.loc[repo, "n_pii"] == row["n_pii"]
+
+
+def test_global_metrics(ray_session, small_corpus):
+    import ray.data
+
+    from pii_filter_ray.pipelines.quality_pipeline import global_metrics, quality_scrub
+
+    corpus, exp = small_corpus
+    m = global_metrics(quality_scrub(ray.data.from_arrow(corpus), concurrency=2))
+    assert m["n_files"] == corpus.num_rows
+    exp_pd = exp.to_pandas()
+    n_kept_expected = int(exp_pd["expect_keep"].sum())
+    assert m["by_reason"].get("", 0) == n_kept_expected
