@@ -62,6 +62,17 @@ _NATURAL_STOPWORDS: Dict[str, frozenset] = {
 }
 
 
+# inverted feature index: token -> ((lang, weight), ...) — one dict lookup
+# per token instead of one per (token, language)
+_FEATURE_INDEX: Dict[str, tuple] = {}
+for _lang, _feats in _CODE_FEATURES.items():
+    for _tok, _w in _feats.items():
+        _FEATURE_INDEX.setdefault(_tok, ())
+        _FEATURE_INDEX[_tok] = _FEATURE_INDEX[_tok] + ((_lang, _w),)
+
+_LANG_ORDER = sorted(_CODE_FEATURES)
+
+
 def detect_code_lang(content: str, max_chars: int = 8192) -> Tuple[str, float]:
     """(language, confidence) for a source file; deterministic linear scorer."""
     if not content:
@@ -70,21 +81,22 @@ def detect_code_lang(content: str, max_chars: int = 8192) -> Tuple[str, float]:
     toks = _TOKEN_RE.findall(sample)
     n = max(1, len(toks))
     scores = {lang: 0.0 for lang in _CODE_FEATURES}
+    index = _FEATURE_INDEX
     for t in toks:
-        for lang, feats in _CODE_FEATURES.items():
-            w = feats.get(t)
-            if w:
+        hits = index.get(t)
+        if hits:
+            for lang, w in hits:
                 scores[lang] += w
     scores["text"] += _CODE_TEXT_BIAS * (n / 100.0)
-    # markdown structural cue: lines starting with '#' or '-'
-    md_lines = sum(
-        1 for line in sample.split("\n") if line.startswith(("## ", "### ", "- ", "* "))
-    )
-    scores["markdown"] += 2.0 * md_lines
-    scores["markdown"] += 0.75 * sum(
-        1 for line in sample.split("\n") if line.startswith("# ")
-    )
-    best = max(sorted(scores), key=lambda k: scores[k])
+    # markdown structural cue: lines starting with heading/bullet markers
+    md = 0.0
+    for line in sample.split("\n"):
+        if line.startswith(("## ", "### ", "- ", "* ")):
+            md += 2.0
+        elif line.startswith("# "):
+            md += 0.75
+    scores["markdown"] += md
+    best = max(_LANG_ORDER, key=lambda k: scores[k])
     total = sum(scores.values()) or 1.0
     return best, scores[best] / total
 

@@ -52,6 +52,8 @@ def find_all_matches(
     pats = patterns if patterns is not None else all_patterns(extended)
     out: List[Dict[str, Any]] = []
     for pii_type, pattern in pats.items():
+        if pii_type == "EMAIL" and "@" not in text:
+            continue  # prescreen: the pattern requires a literal '@'
         for m in pattern.finditer(text):
             value = m.group(0)
             if validate_pii_data and not validate_pii(pii_type, value):

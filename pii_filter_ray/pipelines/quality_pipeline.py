@@ -19,8 +19,7 @@ import pyarrow as pa
 import ray.data
 
 from ..core.quality import DEFAULT_QUALITY, QualityConfig
-from ..stages import DEFAULT_POOL
-from ..stages.quality_scrub import QualityScrubStage
+from ..stages.quality_scrub import QualityScrubStage, make_scrub_task_fn
 
 
 def read_corpus(
@@ -40,24 +39,45 @@ def quality_scrub(
     emit_mappings: bool = True,
     concurrency=None,
     batch_size: int = 256,
+    use_actors: bool = False,
 ) -> "ray.data.Dataset":
-    """Apply the fused flagship stage as an actor pool.
+    """Apply the fused flagship stage.
 
     ``batch_size=256`` keeps a batch of KB-scale files ~1 MB; for MB-scale
     files pass a smaller batch_size (the stage is O(content bytes)).
-    ``concurrency=None`` uses the DEFAULT_POOL autoscaling bounds.
+
+    Compute strategy: by default TASKS with a worker-process-cached stage —
+    Ray reuses worker processes, so stage construction amortizes like actor
+    ``__init__`` but without the actor-pool spin-up (~4s for a 31-actor
+    pool, measured; tasks hit 2.3x the throughput on a 60k-file corpus).
+    Pass ``use_actors=True`` for genuinely heavy per-actor state (real
+    fastText/KenLM model files, GPU inference); then ``concurrency=None``
+    sizes a FIXED pool to all-but-one cluster CPU (autoscaling pools ramp
+    too slowly for batch jobs, and a pool of exactly num_cpus starves the
+    read tasks).
     """
+    stage_kwargs = {
+        "content_col": content_col,
+        "lang_col": lang_col,
+        "mode": mode,
+        "cfg": cfg,
+        "emit_mappings": emit_mappings,
+    }
+    if not use_actors:
+        return ds.map_batches(
+            make_scrub_task_fn(**stage_kwargs),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+        )
     if concurrency is None:
-        concurrency = DEFAULT_POOL
+        import ray
+
+        n_cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = max(1, n_cpus - 1)
     return ds.map_batches(
         QualityScrubStage,
-        fn_constructor_kwargs={
-            "content_col": content_col,
-            "lang_col": lang_col,
-            "mode": mode,
-            "cfg": cfg,
-            "emit_mappings": emit_mappings,
-        },
+        fn_constructor_kwargs=stage_kwargs,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,

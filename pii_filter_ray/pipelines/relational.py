@@ -26,7 +26,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-from ..stages import DEFAULT_POOL
+from ..stages import cached_stage_fn
 from ..stages.dedup import exact_dedup_representatives, minhash_lsh_pairs, simhash_fingerprints, verify_jaccard_pairs
 from ..stages.similarity import cosine_neardup_pairs, knn_ids_for_query_id
 from ..stages.text_stats import (
@@ -42,17 +42,52 @@ def _tbl(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
     return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
+def preagg_groupby(
+    ds: "ray.data.Dataset",
+    keys,
+    sums: Dict[str, str] | None = None,
+    count_alias: str | None = None,
+) -> "ray.data.Dataset":
+    """groupby(keys) with per-batch partial aggregation: each block emits one
+    row per key (pyarrow group_by), so the all-to-all shuffle moves partials
+    instead of raw rows. ``sums`` maps output column -> input column;
+    ``count_alias`` adds a row count."""
+    keys = list(keys)
+    sums = sums or {}
+
+    def partials(batch: pa.Table) -> pa.Table:
+        aggs = [(c, "sum") for c in sums.values()]
+        cols = keys + list(sums.values())
+        if count_alias:
+            aggs.append((keys[0], "count"))
+        g = batch.select(sorted(set(cols))).group_by(keys).aggregate(aggs)
+        out = {k: g[k] for k in keys}
+        for alias, col in sums.items():
+            out[alias] = g[f"{col}_sum"]
+        if count_alias:
+            out[count_alias] = pc.cast(g[f"{keys[0]}_count"], pa.int64())
+        return pa.table(out)
+
+    from ray.data.aggregate import Sum
+
+    aggs = [Sum(alias, alias_name=alias) for alias in sums]
+    if count_alias:
+        aggs.append(Sum(count_alias, alias_name=count_alias))
+    return ds.map_batches(partials, batch_format="pyarrow").groupby(keys).aggregate(*aggs)
+
+
 # --- documents ---------------------------------------------------------------
 
 
 def doc_lang_stats(sf_dir: str):
     """groupby(lang): doc count + char volume (pruned read: 2 columns)."""
     ds = _tbl(sf_dir, "documents", columns=["lang", "n_chars"])
-    out = ds.groupby("lang").aggregate(
-        Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
-    )
-    df = out.to_pandas()
-    return df.astype({"n_docs": "int64", "total_chars": "int64"})
+    df = preagg_groupby(
+        ds, ["lang"], sums={"total_chars": "n_chars"}, count_alias="n_docs"
+    ).to_pandas()
+    return df.astype({"n_docs": "int64", "total_chars": "int64"})[
+        ["lang", "n_docs", "total_chars"]
+    ]
 
 
 def doc_exact_dedup(sf_dir: str):
@@ -90,7 +125,7 @@ def doc_scrub(sf_dir: str):
 
 def doc_langid(sf_dir: str):
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(NaturalLangIdStage, batch_format="pyarrow", concurrency=DEFAULT_POOL)
+    return ds.map_batches(cached_stage_fn(NaturalLangIdStage), batch_format="pyarrow")
 
 
 def doc_simhash(sf_dir: str):
@@ -235,21 +270,18 @@ def revenue_by_mktsegment(sf_dir: str):
     seg_map = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
     ref = ray.put(seg_map)
 
-    class AddSegment:
-        def __init__(self):
-            self.seg = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            segs = [self.seg.get(k) for k in batch["o_custkey"].to_pylist()]
-            return batch.append_column("c_mktsegment", pa.array(segs, pa.string()))
+    def add_segment(batch: pa.Table) -> pa.Table:
+        seg = ray.get(ref)  # local plasma read, zero-copy cached per worker
+        segs = [seg.get(k) for k in batch["o_custkey"].to_pylist()]
+        return batch.append_column("c_mktsegment", pa.array(segs, pa.string()))
 
     ds = _tbl(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    df = (
-        ds.map_batches(AddSegment, batch_format="pyarrow", concurrency=DEFAULT_POOL)
-        .groupby("c_mktsegment")
-        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
-        .to_pandas()
-    )
+    df = preagg_groupby(
+        ds.map_batches(add_segment, batch_format="pyarrow"),
+        ["c_mktsegment"],
+        sums={"revenue": "o_totalprice"},
+        count_alias="n_orders",
+    ).to_pandas()
     df["revenue"] = df["revenue"].round(2)
     return df.astype({"n_orders": "int64"})
 
@@ -267,22 +299,17 @@ def nation_customer_count(sf_dir: str):
         return batch.append_column("n_name", pa.array(names, pa.string()))
 
     ds = _tbl(sf_dir, "customer", columns=["c_nationkey"])
-    df = (
-        ds.map_batches(add_name, batch_format="pyarrow")
-        .groupby("n_name")
-        .aggregate(Count(alias_name="n_customers"))
-        .to_pandas()
-    )
+    df = preagg_groupby(
+        ds.map_batches(add_name, batch_format="pyarrow"), ["n_name"], count_alias="n_customers"
+    ).to_pandas()
     return df.astype({"n_customers": "int64"})
 
 
 def events_by_type(sf_dir: str):
     ds = _tbl(sf_dir, "events", columns=["event_type", "value"])
-    df = (
-        ds.groupby("event_type")
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"))
-        .to_pandas()
-    )
+    df = preagg_groupby(
+        ds, ["event_type"], sums={"total_value": "value"}, count_alias="n"
+    ).to_pandas()
     df["total_value"] = df["total_value"].round(2)
     return df.astype({"n": "int64"})
 
@@ -294,20 +321,16 @@ def events_daily(sf_dir: str):
     def day_col(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"day": batch["ts"].dt.strftime("%Y-%m-%d")})
 
-    df = (
-        ds.map_batches(day_col, batch_format="pandas")
-        .groupby("day")
-        .aggregate(Count(alias_name="n"))
-        .to_pandas()
-    )
+    df = preagg_groupby(
+        ds.map_batches(day_col, batch_format="pandas"), ["day"], count_alias="n"
+    ).to_pandas()
     return df.astype({"n": "int64"})
 
 
 def events_top_users(sf_dir: str):
     ds = _tbl(sf_dir, "events", columns=["user_id"])
     df = (
-        ds.groupby("user_id")
-        .aggregate(Count(alias_name="n"))
+        preagg_groupby(ds, ["user_id"], count_alias="n")
         .sort(["n", "user_id"], descending=[True, False])
         .limit(10)
         .to_pandas()

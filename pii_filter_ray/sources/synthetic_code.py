@@ -348,16 +348,36 @@ def generate_corpus(
     return corpus, expectations
 
 
+SHARD_ROWS = 4096
+
+
 def corpus_dir(n_rows: int = 2000, seed: int = 42, root: str = "/tmp/pii_ray_corpus") -> str:
     """Generate (once) and cache the corpus + expectations under ``root``;
-    returns the directory containing corpus.parquet / expectations.parquet."""
+    returns the directory containing corpus/ (sharded parquet) and
+    expectations.parquet.
+
+    The corpus is written as MANY shard files: ray.data.read_parquet
+    parallelizes at file granularity (one read task per file — a
+    single-file table reads serially no matter how many row groups), and
+    sharded input is the realistic layout for a 100 TB corpus anyway.
+    """
     d = os.path.join(root, f"n{n_rows}_s{seed}")
     marker = os.path.join(d, "_complete")
     if not os.path.exists(marker):
-        os.makedirs(d, exist_ok=True)
+        os.makedirs(os.path.join(d, "corpus"), exist_ok=True)
         corpus, expectations = generate_corpus(n_rows=n_rows, seed=seed)
-        pq.write_table(corpus, os.path.join(d, "corpus.parquet"))
+        for shard, start in enumerate(range(0, corpus.num_rows, SHARD_ROWS)):
+            pq.write_table(
+                corpus.slice(start, SHARD_ROWS),
+                os.path.join(d, "corpus", f"part-{shard:04d}.parquet"),
+                row_group_size=1024,
+            )
         pq.write_table(expectations, os.path.join(d, "expectations.parquet"))
         with open(marker, "w") as f:
             f.write("ok")
     return d
+
+
+def corpus_path(n_rows: int = 2000, seed: int = 42, root: str = "/tmp/pii_ray_corpus") -> str:
+    """Path of the sharded corpus directory (generates/caches on demand)."""
+    return os.path.join(corpus_dir(n_rows=n_rows, seed=seed, root=root), "corpus")

@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from . import DEFAULT_POOL
+from . import DEFAULT_POOL, cached_stage_fn
 
 # --- shared hashing ----------------------------------------------------------
 
@@ -138,9 +138,15 @@ class MinHashStage:
         shingles = word_shingles(text, self.shingle_k)
         if not shingles:
             return None
-        hs = np.fromiter(
-            (stable_hash64(s) for s in shingles), dtype=np.uint64, count=len(shingles)
-        )
+        # per-worker shingle-hash cache: real corpora repeat shingles heavily
+        cache = self._shingle_cache
+        hs = np.empty(len(shingles), dtype=np.uint64)
+        for i, s in enumerate(shingles):
+            v = cache.get(s)
+            if v is None:
+                v = stable_hash64(s)
+                cache[s] = v
+            hs[i] = v
         # (a*h + b) mod p, min over shingles, per permutation
         vals = (self.a[:, None] * hs[None, :] + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
@@ -179,11 +185,73 @@ def minhash_lsh_pairs(
 ) -> "ray.data.Dataset":
     """Candidate near-dup pairs (id_a < id_b) from LSH band buckets.
 
+    Almost all band buckets are singletons, so running pair-generation via
+    ``groupby().map_groups`` over every bucket costs one Python call per
+    bucket (measured ~10s for 80k buckets). Instead:
+
+      1. explode signatures to (band_id, band_hash, id) rows [materialized —
+         3 int columns, tiny relative to the corpus; at extreme scale spill
+         this to parquet instead],
+      2. find COLLIDING bucket keys with a C-speed count aggregate,
+      3. semi-join (broadcast key set) the band rows down to collisions only,
+      4. pair-generate per bucket on that tiny remainder.
+
     Buckets larger than ``max_bucket`` are truncated (pairs from the first
     ``max_bucket`` members only) to bound quadratic blowup on degenerate
     buckets; real corpora hit this only on boilerplate-identical files,
     which exact-dedup should remove first.
     """
+    from ray.data.aggregate import Count
+
+    band_rows = ds.map_batches(
+        cached_stage_fn(
+            MinHashStage,
+            text_col=text_col,
+            id_col=id_col,
+            num_perm=num_perm,
+            bands=bands,
+            shingle_k=shingle_k,
+            seed=seed,
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # colliding keys (count>=2) via aggregate — no per-bucket python calls
+    def key_partials(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["band_id", "band_hash"]).aggregate([("band_hash", "count")])
+        return pa.table(
+            {
+                "band_id": g["band_id"],
+                "band_hash": g["band_hash"],
+                "n": pc.cast(g["band_hash_count"], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    key_counts = (
+        band_rows.map_batches(key_partials, batch_format="pyarrow")
+        .groupby(["band_id", "band_hash"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    colliding = key_counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n"], pa.scalar(2))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if len(colliding) == 0:
+        return ray.data.from_items([]).map_batches(
+            lambda b: pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}),
+            batch_format="pyarrow",
+        )
+    key_ref = ray.put(set(zip(colliding["band_id"], colliding["band_hash"])))
+
+    def semi_join(batch: pa.Table) -> pa.Table:
+        keys = ray.get(key_ref)
+        mask = [
+            (b, h) in keys
+            for b, h in zip(batch["band_id"].to_pylist(), batch["band_hash"].to_pylist())
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(g[id_col].tolist()))[:max_bucket]
@@ -197,25 +265,11 @@ def minhash_lsh_pairs(
         return pd.DataFrame({"id_a": pa_, "id_b": pb_})
 
     pairs = (
-        ds.map_batches(
-            MinHashStage,
-            fn_constructor_kwargs={
-                "text_col": text_col,
-                "id_col": id_col,
-                "num_perm": num_perm,
-                "bands": bands,
-                "shingle_k": shingle_k,
-                "seed": seed,
-            },
-            batch_format="pyarrow",
-            concurrency=DEFAULT_POOL,
-        )
+        band_rows.map_batches(semi_join, batch_format="pyarrow")
         .groupby(["band_id", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     # distinct pairs (a pair can collide in several bands)
-    from ray.data.aggregate import Count
-
     return (
         pairs.groupby(["id_a", "id_b"])
         .aggregate(Count(alias_name="n_bands"))
@@ -246,14 +300,11 @@ def verify_jaccard_pairs(
             index[doc_id] = frozenset(stable_hash64(s) for s in word_shingles(text or "", shingle_k))
     ref = ray.put(index)
 
-    class Verify:
-        def __init__(self):
-            self.index = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    def verify(batch: pa.Table) -> pa.Table:
+            index = ray.get(ref)  # local plasma read, cached per worker
             keep_a, keep_b, jac = [], [], []
             for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
-                sa, sb = self.index.get(a), self.index.get(b)
+                sa, sb = index.get(a), index.get(b)
                 if not sa or not sb:
                     continue
                 j = len(sa & sb) / len(sa | sb)
@@ -269,7 +320,7 @@ def verify_jaccard_pairs(
                 }
             )
 
-    return candidate_pairs.map_batches(Verify, batch_format="pyarrow", concurrency=DEFAULT_POOL)
+    return candidate_pairs.map_batches(verify, batch_format="pyarrow")
 
 
 # --- SimHash -----------------------------------------------------------------
@@ -318,10 +369,8 @@ def simhash_fingerprints(
     ds: "ray.data.Dataset", text_col: str, id_col: str
 ) -> "ray.data.Dataset":
     return ds.map_batches(
-        SimHashStage,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        cached_stage_fn(SimHashStage, text_col=text_col, id_col=id_col),
         batch_format="pyarrow",
-        concurrency=DEFAULT_POOL,
     )
 
 

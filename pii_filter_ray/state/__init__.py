@@ -1,0 +1,1 @@
+"""Job state: per-partition checkpoint manifest for resumable runs."""

@@ -1,0 +1,87 @@
+"""Per-partition checkpoint manifest (north_rule: "resumable from checkpoint
+with per-partition lineage + metrics").
+
+Layout under the job output directory:
+
+    out/
+      part=0007/ ... parquet files ...       (renamed into place atomically)
+      _manifest/part-0007.json               (written AFTER the rename)
+      _manifest/job.json                     (job-level config fingerprint)
+
+A partition is complete iff its manifest entry exists; a rerun skips those.
+The parquet directory is written to a temp name and os.rename()d so a crash
+mid-write never leaves a partition that looks complete.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+
+class JobManifest:
+    def __init__(self, output_dir: str):
+        self.output_dir = output_dir
+        self.manifest_dir = os.path.join(output_dir, "_manifest")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    def _part_path(self, part: int) -> str:
+        return os.path.join(self.manifest_dir, f"part-{part:04d}.json")
+
+    def part_output_dir(self, part: int) -> str:
+        return os.path.join(self.output_dir, f"part={part:04d}")
+
+    def part_tmp_dir(self, part: int) -> str:
+        return os.path.join(self.output_dir, f".tmp-part={part:04d}")
+
+    def is_done(self, part: int) -> bool:
+        return os.path.exists(self._part_path(part))
+
+    def done_parts(self) -> List[int]:
+        out = []
+        for name in os.listdir(self.manifest_dir):
+            if name.startswith("part-") and name.endswith(".json"):
+                out.append(int(name[5:-5]))
+        return sorted(out)
+
+    def mark_done(self, part: int, stats: Optional[Dict] = None) -> None:
+        entry = {"part": part, "completed_at": time.time(), "stats": stats or {}}
+        tmp = self._part_path(part) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+        os.rename(tmp, self._part_path(part))
+
+    def part_stats(self, part: int) -> Optional[Dict]:
+        if not self.is_done(part):
+            return None
+        with open(self._part_path(part)) as f:
+            return json.load(f)
+
+    def write_job_config(self, config: Dict) -> None:
+        """Persist (and on resume, validate) the job fingerprint so a resume
+        with different partitioning/config fails loudly instead of mixing."""
+        path = os.path.join(self.manifest_dir, "job.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                existing = json.load(f)
+            for key in ("input", "partitions", "mode"):
+                if existing.get(key) != config.get(key):
+                    raise ValueError(
+                        f"resume config mismatch for {key!r}: "
+                        f"{existing.get(key)!r} != {config.get(key)!r}"
+                    )
+            return
+        with open(path, "w") as f:
+            json.dump(config, f)
+
+    def summary(self) -> Dict:
+        parts = self.done_parts()
+        totals: Dict[str, float] = {}
+        for p in parts:
+            stats = self.part_stats(p)["stats"]
+            for k, v in stats.items():
+                if isinstance(v, (int, float)):
+                    totals[k] = totals.get(k, 0) + v
+        return {"done_parts": len(parts), "totals": totals}
