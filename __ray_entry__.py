@@ -63,6 +63,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_users": r.events_top_users,
         "part_type_stats": r.part_type_stats,
         "lineitem_filter_count": r.lineitem_filter_count,
+        # windows / having / argmax / multi-join / distinct
+        "orders_by_month": r.orders_by_month,
+        "customer_order_counts": r.customer_order_counts,
+        "events_user_daily": r.events_user_daily,
+        "events_row_number": r.events_row_number,
+        "top_part_per_brand": r.top_part_per_brand,
+        "region_supplier_count": r.region_supplier_count,
+        "q6_revenue": r.q6_revenue,
+        "distinct_event_types": r.distinct_event_types,
+        "doc_source_stats": r.doc_source_stats,
     }
 
 
@@ -187,5 +197,59 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_filter_count": """
             SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem
             WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+        """,
+        "orders_by_month": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   round(sum(o_totalprice), 2) AS total,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1
+        """,
+        "customer_order_counts": """
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY o_custkey HAVING count(*) >= 5
+        """,
+        "events_user_daily": """
+            SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "events_row_number": """
+            SELECT event_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS BIGINT) AS rn
+            FROM events
+        """,
+        "top_part_per_brand": """
+            SELECT p_brand, CAST(min(p_partkey) AS BIGINT) AS p_partkey
+            FROM part p
+            WHERE p_retailprice = (
+                SELECT max(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+            )
+            GROUP BY p_brand
+        """,
+        "region_supplier_count": """
+            SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_suppliers
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "q6_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "distinct_event_types": """
+            SELECT DISTINCT event_type FROM events
+        """,
+        "doc_source_stats": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   round(sum(n_chars) / count(*), 2) AS avg_chars
+            FROM documents GROUP BY source
         """,
     }

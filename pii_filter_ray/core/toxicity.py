@@ -1,0 +1,82 @@
+"""Deterministic toxicity scoring + masking (word-list based).
+
+The north-star pipeline is a "PII/toxicity-scrub": alongside the PII layers
+this provides the toxicity side as a deterministic word-list scorer in the
+style of the public C4 / RedPajama blocklist filtering — no model, fully
+reproducible. Terms carry severity weights; score = weighted hits per 100
+tokens. ``mask_toxic`` replaces hits with ``[TOXIC_n]`` placeholders using
+the same left-to-right numbering convention as the PII layers
+(regex_service.py:122-148 semantics).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+# severity-weighted term list (kept mild; a production deployment would load
+# the full public blocklist here — the mechanism is what matters)
+TOXIC_TERMS = {
+    "damn": 1.0, "hell": 0.5, "crap": 1.0, "idiot": 2.0, "stupid": 1.5,
+    "moron": 2.0, "dumbass": 3.0, "jerk": 1.5, "loser": 1.5, "hate": 0.5,
+    "kill yourself": 5.0, "kys": 5.0, "screw you": 2.0, "shut up": 1.0,
+    "garbage human": 4.0, "worthless": 2.0,
+}
+
+# longest-first so multi-word terms win over their substrings
+_TOXIC_RE = re.compile(
+    r"\b(?:" + "|".join(
+        re.escape(t) for t in sorted(TOXIC_TERMS, key=len, reverse=True)
+    ) + r")\b",
+    re.IGNORECASE,
+)
+
+DEFAULT_MAX_TOXICITY = 5.0  # weighted hits per 100 tokens
+
+
+def find_toxic_spans(text: str) -> List[Tuple[int, int, str, float]]:
+    """(start, end, term, weight) for every blocklist hit."""
+    out = []
+    for m in _TOXIC_RE.finditer(text):
+        term = m.group(0).lower()
+        out.append((m.start(), m.end(), m.group(0), TOXIC_TERMS.get(term, 1.0)))
+    return out
+
+
+def toxicity_score(text: str) -> float:
+    """Weighted hits per 100 whitespace tokens (0.0 for empty text)."""
+    if not text:
+        return 0.0
+    spans = find_toxic_spans(text)
+    if not spans:
+        return 0.0
+    n_tokens = max(1, len(text.split()))
+    return 100.0 * sum(w for _, _, _, w in spans) / n_tokens
+
+
+def mask_toxic(text: str) -> Tuple[str, List[dict]]:
+    """Replace toxic terms with [TOXIC_n], numbered left-to-right."""
+    if not text:
+        return text or "", []
+    spans = find_toxic_spans(text)
+    if not spans:
+        return text, []
+    parts: List[str] = []
+    mappings: List[dict] = []
+    cursor = 0
+    for i, (start, end, value, _w) in enumerate(spans, start=1):
+        placeholder = f"[TOXIC_{i}]"
+        parts.append(text[cursor:start])
+        parts.append(placeholder)
+        mappings.append(
+            {
+                "placeholder": placeholder,
+                "original_value": value,
+                "type": "TOXIC",
+                "span_start": start,
+                "span_end": end,
+            }
+        )
+        cursor = end
+    parts.append(text[cursor:])
+    return "".join(parts), mappings

@@ -365,3 +365,166 @@ def lineitem_filter_count(sf_dir: str):
 
     n = ds.map_batches(flt, batch_format="pyarrow").count()
     return pd.DataFrame({"n": pd.Series([n], dtype="int64")})
+
+
+# --- additional operator coverage: windows, having, argmax, multi-joins ------
+
+
+def orders_by_month(sf_dir: str):
+    """Time-bucketed (monthly) order stats."""
+    ds = _tbl(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def month_col(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"month": batch["o_orderdate"].dt.strftime("%Y-%m"),
+             "o_totalprice": batch["o_totalprice"]}
+        )
+
+    df = preagg_groupby(
+        ds.map_batches(month_col, batch_format="pandas"),
+        ["month"],
+        sums={"total": "o_totalprice"},
+        count_alias="n",
+    ).to_pandas()
+    df["total"] = df["total"].round(2)
+    return df.astype({"n": "int64"})
+
+
+def customer_order_counts(sf_dir: str, min_orders: int = 5):
+    """groupby + HAVING analog: customers with >= min_orders orders."""
+    ds = _tbl(sf_dir, "orders", columns=["o_custkey"])
+    agg = preagg_groupby(ds, ["o_custkey"], count_alias="n")
+    df = agg.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n"], pa.scalar(min_orders))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return df.astype({"o_custkey": "int64", "n": "int64"})
+
+
+def events_user_daily(sf_dir: str):
+    """Per-user tumbling daily window counts."""
+    ds = _tbl(sf_dir, "events", columns=["user_id", "ts"])
+
+    def day_col(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": batch["user_id"], "day": batch["ts"].dt.strftime("%Y-%m-%d")}
+        )
+
+    df = preagg_groupby(
+        ds.map_batches(day_col, batch_format="pandas"), ["user_id", "day"], count_alias="n"
+    ).to_pandas()
+    return df.astype({"user_id": "int64", "n": "int64"})
+
+
+def events_row_number(sf_dir: str):
+    """Window function: ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts,
+    event_id) — per-key sorted window via groupby().map_groups. The
+    partitioning assumption: one group fits in one worker's memory (holds
+    for per-user event streams; salt the key if a user is pathological)."""
+    ds = _tbl(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def number(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        return pd.DataFrame(
+            {"event_id": g["event_id"], "rn": range(1, len(g) + 1)}
+        )
+
+    df = ds.groupby("user_id").map_groups(number, batch_format="pandas").to_pandas()
+    return df.astype({"event_id": "int64", "rn": "int64"})
+
+
+def top_part_per_brand(sf_dir: str):
+    """Per-group argmax: cheapest representative partkey of the priciest
+    parts per brand (ties -> min partkey)."""
+    ds = _tbl(sf_dir, "part", columns=["p_brand", "p_partkey", "p_retailprice"])
+
+    def argmax_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        mx = df.groupby("p_brand")["p_retailprice"].transform("max")
+        best = df[df["p_retailprice"] == mx]
+        best = best.groupby(["p_brand", "p_retailprice"], as_index=False)["p_partkey"].min()
+        return pa.Table.from_pandas(best[["p_brand", "p_partkey", "p_retailprice"]],
+                                    preserve_index=False)
+
+    def argmax_final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["p_retailprice"] == g["p_retailprice"].max()]
+        return pd.DataFrame(
+            {"p_brand": [g["p_brand"].iloc[0]], "p_partkey": [g["p_partkey"].min()]}
+        )
+
+    df = (
+        ds.map_batches(argmax_partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .map_groups(argmax_final, batch_format="pandas")
+        .to_pandas()
+    )
+    return df.astype({"p_partkey": "int64"})
+
+
+def region_supplier_count(sf_dir: str):
+    """Three-way broadcast join: supplier -> nation -> region."""
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    r_name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    nat_to_region = {
+        nk: r_name[rk]
+        for nk, rk in zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
+    }
+    ref = ray.put(nat_to_region)
+
+    def add_region(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        names = [m.get(k) for k in batch["s_nationkey"].to_pylist()]
+        return batch.append_column("r_name", pa.array(names, pa.string()))
+
+    ds = _tbl(sf_dir, "supplier", columns=["s_nationkey"])
+    df = preagg_groupby(
+        ds.map_batches(add_region, batch_format="pyarrow"), ["r_name"], count_alias="n_suppliers"
+    ).to_pandas()
+    return df.astype({"n_suppliers": "int64"})
+
+
+def q6_revenue(sf_dir: str):
+    """TPC-H Q6-style single-row filtered aggregate."""
+    ds = _tbl(sf_dir, "lineitem", columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch["l_shipdate"], pa.scalar(pd.Timestamp("1995-01-01"), pa.timestamp("us"))),
+                pc.less(batch["l_shipdate"], pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(batch["l_discount"], pa.scalar(0.05)),
+                    pc.less_equal(batch["l_discount"], pa.scalar(0.07)),
+                ),
+                pc.less(batch["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        f = batch.filter(mask)
+        rev = pc.sum(pc.multiply(f["l_extendedprice"], f["l_discount"])).as_py() or 0.0
+        return pa.table({"partial_rev": pa.array([rev], pa.float64())})
+
+    from ray.data.aggregate import Sum
+
+    total = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("partial_rev", alias_name="revenue")
+    )
+    return pd.DataFrame({"revenue": [round(total["revenue"], 2)]})
+
+
+def distinct_event_types(sf_dir: str):
+    """DISTINCT via per-batch dedupe + tiny groupby (never a full-row shuffle)."""
+    ds = _tbl(sf_dir, "events", columns=["event_type"])
+    df = preagg_groupby(ds, ["event_type"], count_alias="n").to_pandas()
+    return df[["event_type"]]
+
+
+def doc_source_stats(sf_dir: str):
+    ds = _tbl(sf_dir, "documents", columns=["source", "n_chars"])
+    df = preagg_groupby(
+        ds, ["source"], sums={"total_chars": "n_chars"}, count_alias="n_docs"
+    ).to_pandas()
+    df["avg_chars"] = (df["total_chars"] / df["n_docs"]).round(2)
+    return df[["source", "n_docs", "avg_chars"]].astype({"n_docs": "int64"})

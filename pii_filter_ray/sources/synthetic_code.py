@@ -348,7 +348,7 @@ def generate_corpus(
     return corpus, expectations
 
 
-SHARD_ROWS = 4096
+SHARD_ROWS = 4096  # ~4s of scrub per shard: big enough to amortize task overhead
 
 
 def corpus_dir(n_rows: int = 2000, seed: int = 42, root: str = "/tmp/pii_ray_corpus") -> str:

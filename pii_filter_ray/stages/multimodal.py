@@ -1,0 +1,177 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with
+sidecar metadata columns; decode / feature-extract / resize / frame-sample
+are actor-pool ``map_batches`` stages. The imaging/audio libraries are NOT
+in this container, so the codec step is stubbed: ``DeterministicStubCodec``
+produces seeded, content-derived fakes (real schema, real batch flow, real
+actor lifecycle — only the pixel math is fake), and ``decode_fn=None``
+raises ``NotImplementedError`` to mark the integration point for a real
+PIL/ffmpeg-backed codec.
+
+Batch sizing: binary payloads are large — callers should pass a SMALL
+``batch_size`` (default 32 here vs 256 for text) so batch x concurrency
+stays inside worker heaps; blocks of multi-MB rows should also lower
+``DataContext.target_max_block_size``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, List, Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),        # "image" | "audio" | "video"
+        ("format", pa.string()),      # claimed container/codec, e.g. "png"
+        ("payload", pa.binary()),     # opaque encoded bytes
+        ("width", pa.int32()),        # -1 when unknown/not applicable
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+def synthesize_media_table(n_rows: int = 64, seed: int = 42) -> pa.Table:
+    """Deterministic fake media table obeying MEDIA_SCHEMA (payloads are
+    seeded random bytes — stand-ins for encoded images/audio)."""
+    import random
+
+    rng = random.Random(seed)
+    kinds = ["image", "audio", "video"]
+    fmts = {"image": ["png", "jpeg"], "audio": ["wav", "mp3"], "video": ["mp4"]}
+    cols = {k: [] for k in ("media_id", "kind", "format", "payload", "width", "height", "duration_ms")}
+    for i in range(n_rows):
+        kind = kinds[i % 3]
+        cols["media_id"].append(i)
+        cols["kind"].append(kind)
+        cols["format"].append(rng.choice(fmts[kind]))
+        cols["payload"].append(rng.randbytes(rng.randint(256, 4096)))
+        cols["width"].append(rng.choice([64, 128, 256]) if kind != "audio" else -1)
+        cols["height"].append(rng.choice([64, 128, 256]) if kind != "audio" else -1)
+        cols["duration_ms"].append(rng.randint(500, 60000) if kind != "image" else -1)
+    return pa.table(
+        {name: pa.array(cols[name], MEDIA_SCHEMA.field(name).type) for name in MEDIA_SCHEMA.names}
+    )
+
+
+class DeterministicStubCodec:
+    """Stand-in codec: derives a fixed-size float feature vector and fake
+    decode dimensions purely from the payload bytes (sha256-seeded), so the
+    whole pipeline is testable end-to-end without PIL/ffmpeg."""
+
+    def decode_image(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        seed = int.from_bytes(hashlib.sha256(payload).digest()[:4], "little")
+        rng = np.random.RandomState(seed)
+        w = width if width > 0 else 64
+        h = height if height > 0 else 64
+        return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    def sample_frames(self, payload: bytes, duration_ms: int, every_ms: int) -> List[bytes]:
+        n = max(1, duration_ms // max(1, every_ms))
+        return [
+            hashlib.sha256(payload + i.to_bytes(4, "little")).digest() for i in range(min(n, 64))
+        ]
+
+
+class MediaFeatureStage:
+    """Actor-pool stage: payload -> feature vector (stub codec by default).
+
+    Pass ``decode_fn`` to plug a real decoder; with the default None the
+    stub runs. Set ``require_real=True`` to assert a real decoder exists
+    (raises NotImplementedError otherwise — the marked integration point).
+    """
+
+    def __init__(
+        self,
+        dim: int = 16,
+        decode_fn: Optional[Callable] = None,
+        require_real: bool = False,
+    ):
+        if require_real and decode_fn is None:
+            raise NotImplementedError(
+                "real media decoding requires an imaging/audio library not "
+                "present in this environment; pass decode_fn=... to integrate"
+            )
+        self.dim = dim
+        self.codec = DeterministicStubCodec()
+        self.decode_fn = decode_fn
+
+    def _features(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        if self.decode_fn is not None:
+            pixels = self.decode_fn(payload, width, height)
+        else:
+            pixels = self.codec.decode_image(payload, width, height)
+        flat = pixels.reshape(-1).astype(np.float64)
+        # channel-bucketed mean features — deterministic, size self.dim
+        pad = (-len(flat)) % self.dim
+        if pad:
+            flat = np.pad(flat, (0, pad))
+        return flat.reshape(self.dim, -1).mean(axis=1) / 255.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [
+            self._features(p, w, h).tolist()
+            for p, w, h in zip(
+                batch["payload"].to_pylist(),
+                batch["width"].to_pylist(),
+                batch["height"].to_pylist(),
+            )
+        ]
+        return batch.append_column(
+            "features", pa.array(feats, pa.list_(pa.float64()))
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool stage for video rows: payload -> sampled frame digests."""
+
+    def __init__(self, every_ms: int = 1000):
+        self.every_ms = every_ms
+        self.codec = DeterministicStubCodec()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        frames = []
+        for kind, payload, dur in zip(
+            batch["kind"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["duration_ms"].to_pylist(),
+        ):
+            if kind != "video":
+                frames.append([])
+            else:
+                frames.append(self.codec.sample_frames(payload, dur, self.every_ms))
+        return batch.append_column("frames", pa.array(frames, pa.list_(pa.binary())))
+
+
+def media_features(
+    ds: "ray.data.Dataset", concurrency=(1, 4), batch_size: int = 32
+) -> "ray.data.Dataset":
+    """Feature-extract every media row (actor pool, small batches for the
+    wide binary payloads)."""
+    return ds.map_batches(
+        MediaFeatureStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def sample_video_frames(
+    ds: "ray.data.Dataset", every_ms: int = 1000, concurrency=(1, 4), batch_size: int = 32
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"every_ms": every_ms},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

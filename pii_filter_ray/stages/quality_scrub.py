@@ -29,6 +29,7 @@ import pyarrow as pa
 from ..core.langid import detect_code_lang, detect_natural_lang, lang_matches
 from ..core.perplexity import DEFAULT_MAX_BITS_PER_CHAR, CharBigramLM
 from ..core.quality import DEFAULT_QUALITY, QualityConfig, heuristic_drop_reason
+from ..core.toxicity import DEFAULT_MAX_TOXICITY, toxicity_score
 from ..core.scrub import scrub_text
 
 PII_MAPPING_TYPE = pa.list_(
@@ -163,7 +164,7 @@ class QualityScrubStage:
 
     Drop-reason precedence (first failure wins):
         empty/repetition/max_line_len/long_token/alnum_ratio (heuristics)
-        -> lang_mismatch -> perplexity
+        -> lang_mismatch -> perplexity -> toxicity
 
     Dropped rows are NOT scrubbed (wasted work at scale); their
     content_masked is null and pii_count 0. Kept, untouched rows satisfy
@@ -178,6 +179,7 @@ class QualityScrubStage:
         mode: str = "code",
         cfg: QualityConfig = DEFAULT_QUALITY,
         max_bits_per_char: float = DEFAULT_MAX_BITS_PER_CHAR,
+        max_toxicity: float = DEFAULT_MAX_TOXICITY,
         emit_mappings: bool = True,
         extended: bool = True,
         enable_ner: bool = True,
@@ -189,6 +191,7 @@ class QualityScrubStage:
         self.mode = mode
         self.cfg = cfg
         self.max_bits = max_bits_per_char
+        self.max_toxicity = max_toxicity
         self.emit_mappings = emit_mappings
         self.extended = extended
         self.enable_ner = enable_ner
@@ -203,7 +206,7 @@ class QualityScrubStage:
             else [None] * len(contents)
         )
 
-        shas, langs, confs, bits = [], [], [], []
+        shas, langs, confs, bits, tox = [], [], [], [], []
         keeps, reasons = [], []
         masked_col, counts, mappings_col = [], [], []
 
@@ -216,11 +219,15 @@ class QualityScrubStage:
             confs.append(conf)
             b = self.lm.bits_per_char(text)
             bits.append(b)
+            t_score = toxicity_score(text)
+            tox.append(t_score)
             if keep:
                 if claim is not None and not lang_matches(claim, lang):
                     keep, reason = False, "lang_mismatch"
                 elif b > self.max_bits:
                     keep, reason = False, "perplexity"
+                elif t_score > self.max_toxicity:
+                    keep, reason = False, "toxicity"
             keeps.append(keep)
             reasons.append(reason)
             if keep:
@@ -241,6 +248,7 @@ class QualityScrubStage:
             .append_column("lang_detected", pa.array(langs, pa.string()))
             .append_column("lang_conf", pa.array(confs, pa.float64()))
             .append_column("ppl_bits", pa.array(bits, pa.float64()))
+            .append_column("toxicity", pa.array(tox, pa.float64()))
             .append_column("keep", pa.array(keeps, pa.bool_()))
             .append_column("drop_reason", pa.array(reasons, pa.string()))
             .append_column("content_masked", pa.array(masked_col, pa.string()))
