@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_revenue": r.q6_revenue,
         "distinct_event_types": r.distinct_event_types,
         "doc_source_stats": r.doc_source_stats,
+        "top_docs_per_lang": r.top_docs_per_lang,
+        "doc_scrub_roundtrip": r.doc_scrub_roundtrip,
     }
 
 
@@ -251,5 +253,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    round(sum(n_chars) / count(*), 2) AS avg_chars
             FROM documents GROUP BY source
+        """,
+        "top_docs_per_lang": """
+            SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM (
+                SELECT lang, doc_id, n_chars,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 2
+        """,
+        "doc_scrub_roundtrip": """
+            SELECT doc_id, TRUE AS roundtrip_ok, TRUE AS no_residual_placeholder
+            FROM documents
         """,
     }

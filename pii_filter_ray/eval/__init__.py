@@ -1,0 +1,1 @@
+"""Evaluation harness: span-overlap matching + precision/recall/F1."""

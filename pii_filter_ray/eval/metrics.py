@@ -1,0 +1,91 @@
+"""Span-overlap TP/FP/FN matching and P/R/F1 — the reference's evaluation
+aggregation, re-expressed for distributed runs.
+
+Ports (cited):
+  - overlap predicate ``s1 < e2 and e1 > s2``: /root/reference/tests/utils/test_utils.py:23-29
+  - greedy 1:1 matcher (each detected item consumed at most once, matched on
+    type equality + span overlap): test_utils.py:59-111
+  - zero-guarded precision/recall/F1: test_utils.py:114-145
+
+Distributed use: ``match_counts`` runs per row inside ``map_batches``; the
+global P/R/F1 is a tiny ``Dataset.aggregate`` over the counter columns —
+per-row matching is embarrassingly parallel, only three ints shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import pyarrow as pa
+
+
+def spans_overlap(s1: int, e1: int, s2: int, e2: int) -> bool:
+    """test_utils.py:23-29."""
+    return s1 < e2 and e1 > s2
+
+
+def match_counts(
+    ground_truth: List[Dict], detected: List[Dict]
+) -> Tuple[int, int, int]:
+    """(tp, fp, fn) by greedy 1:1 type+overlap matching (test_utils.py:59-111).
+
+    Items are dicts with ``pii_type``/``type``, ``span_start``, ``span_end``.
+    """
+    used = [False] * len(detected)
+    tp = 0
+    for gt in ground_truth:
+        gt_type = gt.get("pii_type") or gt.get("type")
+        for i, det in enumerate(detected):
+            if used[i]:
+                continue
+            det_type = det.get("pii_type") or det.get("type")
+            if det_type != gt_type:
+                continue
+            if spans_overlap(
+                gt["span_start"], gt["span_end"], det["span_start"], det["span_end"]
+            ):
+                used[i] = True
+                tp += 1
+                break
+    fp = sum(1 for u in used if not u)
+    fn = len(ground_truth) - tp
+    return tp, fp, fn
+
+
+def precision_recall_f1(tp: int, fp: int, fn: int) -> Dict[str, float]:
+    """test_utils.py:114-145 (zero-guarded)."""
+    precision = tp / (tp + fp) if (tp + fp) else 0.0
+    recall = tp / (tp + fn) if (tp + fn) else 0.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if (precision + recall)
+        else 0.0
+    )
+    return {"precision": precision, "recall": recall, "f1": f1}
+
+
+def match_batch(
+    batch: pa.Table, gt_col: str = "ground_truth", det_col: str = "pii_masked"
+) -> pa.Table:
+    """Per-row TP/FP/FN counters for map_batches."""
+    tps, fps, fns = [], [], []
+    for gt, det in zip(batch[gt_col].to_pylist(), batch[det_col].to_pylist()):
+        tp, fp, fn = match_counts(gt or [], det or [])
+        tps.append(tp)
+        fps.append(fp)
+        fns.append(fn)
+    return batch.append_column("tp", pa.array(tps, pa.int64())).append_column(
+        "fp", pa.array(fps, pa.int64())
+    ).append_column("fn", pa.array(fns, pa.int64()))
+
+
+def corpus_prf(ds, gt_col: str = "ground_truth", det_col: str = "pii_masked") -> Dict[str, float]:
+    """Global P/R/F1 over a Dataset carrying ground-truth + detected lists."""
+    from ray.data.aggregate import Sum
+
+    counts = ds.map_batches(
+        lambda b: match_batch(b, gt_col, det_col), batch_format="pyarrow"
+    ).aggregate(Sum("tp", alias_name="tp"), Sum("fp", alias_name="fp"), Sum("fn", alias_name="fn"))
+    out = precision_recall_f1(counts["tp"], counts["fp"], counts["fn"])
+    out.update(counts)
+    return out

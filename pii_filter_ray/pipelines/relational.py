@@ -528,3 +528,26 @@ def doc_source_stats(sf_dir: str):
     ).to_pandas()
     df["avg_chars"] = (df["total_chars"] / df["n_docs"]).round(2)
     return df[["source", "n_docs", "avg_chars"]].astype({"n_docs": "int64"})
+
+
+def top_docs_per_lang(sf_dir: str, k: int = 2):
+    """Skew-safe per-group top-k (salted two-level; stages/skew.py)."""
+    from ..stages.skew import salted_topk_per_group
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    df = salted_topk_per_group(
+        ds, key="lang", order_col="n_chars", k=k, id_cols=["doc_id"], salt_buckets=8
+    ).to_pandas()
+    return df[["lang", "doc_id", "n_chars"]].astype({"doc_id": "int64", "n_chars": "int64"})
+
+
+def doc_scrub_roundtrip(sf_dir: str):
+    """Restoration round-trip audit over the documents table (SURVEY §5d):
+    restore(mask(x)) == x and no residual placeholder, distributed."""
+    from ..stages.restore_stage import roundtrip_audit_batch
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: roundtrip_audit_batch(b, content_col="text"), batch_format="pyarrow"
+    )
+    return out.select_columns(["doc_id", "roundtrip_ok", "no_residual_placeholder"])

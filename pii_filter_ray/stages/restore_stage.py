@@ -1,0 +1,64 @@
+"""Restoration as a pipeline stage — the inverse transform over
+(content_masked, pii_masked) columns, plus a round-trip audit stage.
+
+Reference semantics in core/restore.py (restoration_service.py:43-165);
+here they are lifted to Arrow batches. ``restore_batch`` rebuilds the
+original text; ``roundtrip_audit_batch`` proves the per-row invariant
+restore(mask(x)) == x and that no placeholder-shaped token survives
+(restoration_service.py:76-91 integrity check) — the property-based oracle
+from SURVEY.md §5(d), run distributed.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..core.regex_scan import PIIMapping
+from ..core.restore import PLACEHOLDER_RE, generic_restore
+from ..core.scrub import scrub_text
+
+
+def _mappings_from_arrow(raw) -> list:
+    return [
+        PIIMapping(
+            placeholder=m["placeholder"],
+            original_value=m["original_value"],
+            type=m["type"],
+            span=(m["span_start"], m["span_end"]),
+        )
+        for m in (raw or [])
+    ]
+
+
+def restore_batch(
+    batch: pa.Table,
+    masked_col: str = "content_masked",
+    mappings_col: str = "pii_masked",
+    out_col: str = "content_restored",
+) -> pa.Table:
+    """content_restored = generic span-desc restore of every mapping."""
+    out = []
+    for masked, raw in zip(
+        batch[masked_col].to_pylist(), batch[mappings_col].to_pylist()
+    ):
+        if masked is None:
+            out.append(None)
+            continue
+        out.append(generic_restore(masked, _mappings_from_arrow(raw)))
+    return batch.append_column(out_col, pa.array(out, pa.string()))
+
+
+def roundtrip_audit_batch(
+    batch: pa.Table, content_col: str = "content"
+) -> pa.Table:
+    """Scrub then restore each row; emit the two invariant flags."""
+    ok, clean = [], []
+    for text in batch[content_col].to_pylist():
+        text = text or ""
+        r = scrub_text(text)
+        restored = generic_restore(r.masked, r.mappings)
+        ok.append(restored == text)
+        clean.append(not PLACEHOLDER_RE.findall(restored))
+    return batch.append_column(
+        "roundtrip_ok", pa.array(ok, pa.bool_())
+    ).append_column("no_residual_placeholder", pa.array(clean, pa.bool_()))

@@ -1,0 +1,71 @@
+"""Skew-aware grouped computation: explicit salted two-level patterns.
+
+A single ``groupby(key)`` sends every row of a hot key to one reducer; a
+giant repo (the Zipf head holds ~25% of the synthetic corpus) would
+serialize there. The salted pattern: add ``salt = hash(row_id) % B``,
+process each (key, salt) sub-group independently (small, parallel), then
+merge the B partials per key (tiny second shuffle). Works for any
+merge-able per-group computation; for plain algebraic aggregates prefer
+``pipelines.relational.preagg_groupby`` (per-block partials need no salt
+column at all).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from .dedup import stable_hash64
+
+
+def add_salt(
+    batch: pa.Table, id_cols: List[str], buckets: int, out_col: str = "salt"
+) -> pa.Table:
+    """Deterministic per-row salt from the id columns."""
+    parts = [batch[c].to_pylist() for c in id_cols]
+    salts = [
+        stable_hash64("|".join(str(v) for v in row).encode()) % buckets
+        for row in zip(*parts)
+    ]
+    return batch.append_column(out_col, pa.array(salts, pa.int32()))
+
+
+def salted_topk_per_group(
+    ds: "ray.data.Dataset",
+    key: str,
+    order_col: str,
+    k: int,
+    id_cols: List[str],
+    salt_buckets: int = 16,
+    descending: bool = True,
+) -> "ray.data.Dataset":
+    """Top-k rows per key, skew-safe.
+
+    Level 1: groupby (key, salt) -> local top-k per sub-group (a hot key's
+    rows spread across ``salt_buckets`` parallel reducers).
+    Level 2: groupby (key) over <= B*k rows/key -> final top-k.
+    Ties break on ``id_cols`` ascending for determinism.
+    """
+    sort_cols = [order_col] + id_cols
+    ascending = [not descending] + [True] * len(id_cols)
+
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(sort_cols, ascending=ascending, kind="mergesort").head(k)
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, ascending=ascending, kind="mergesort").head(k)
+        return g.drop(columns=["salt"])
+
+    return (
+        ds.map_batches(
+            lambda b: add_salt(b, id_cols, salt_buckets), batch_format="pyarrow"
+        )
+        .groupby([key, "salt"])
+        .map_groups(local_topk, batch_format="pandas")
+        .groupby(key)
+        .map_groups(merge_topk, batch_format="pandas")
+    )

@@ -1,0 +1,158 @@
+"""Eval metrics (reference test_utils port), salted top-k, restore stages."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from pii_filter_ray.eval.metrics import (
+    match_counts,
+    precision_recall_f1,
+    spans_overlap,
+)
+
+
+def test_spans_overlap():
+    assert spans_overlap(0, 5, 3, 8)
+    assert not spans_overlap(0, 5, 5, 8)  # touching is not overlap (test_utils.py:23-29)
+    assert spans_overlap(3, 8, 0, 5)
+
+
+def test_match_counts_greedy():
+    gt = [
+        {"pii_type": "CPF", "span_start": 0, "span_end": 11},
+        {"pii_type": "EMAIL", "span_start": 20, "span_end": 30},
+    ]
+    det = [
+        {"type": "CPF", "span_start": 2, "span_end": 9},     # TP (overlap)
+        {"type": "EMAIL", "span_start": 40, "span_end": 50},  # FP (no overlap)
+    ]
+    tp, fp, fn = match_counts(gt, det)
+    assert (tp, fp, fn) == (1, 1, 1)
+
+
+def test_match_counts_consumes_once():
+    gt = [
+        {"pii_type": "CPF", "span_start": 0, "span_end": 11},
+        {"pii_type": "CPF", "span_start": 5, "span_end": 11},
+    ]
+    det = [{"type": "CPF", "span_start": 0, "span_end": 11}]
+    tp, fp, fn = match_counts(gt, det)
+    assert (tp, fp, fn) == (1, 0, 1)  # one detection can satisfy one GT
+
+
+def test_prf_zero_guarded():
+    m = precision_recall_f1(0, 0, 0)
+    assert m == {"precision": 0.0, "recall": 0.0, "f1": 0.0}
+    m = precision_recall_f1(8, 2, 0)
+    assert m["precision"] == 0.8 and m["recall"] == 1.0
+
+
+def test_corpus_prf_on_synthetic(ray_session, small_corpus):
+    """Distributed P/R/F1 of the scrubber against injected ground truth.
+
+    Span offsets for GT are unknown (only values/types recorded), so this
+    builds GT spans by locating injected values in the content — then the
+    scrubber's F1 on the deterministic layers must be >= 0.99 (BASELINE)."""
+    import ray.data
+
+    from pii_filter_ray.core.scrub import scrub_text
+    from pii_filter_ray.eval.metrics import corpus_prf
+
+    corpus, exp = small_corpus
+    rows = {"ground_truth": [], "pii_masked": []}
+    for i in range(corpus.num_rows):
+        content = corpus["content"][i].as_py()
+        gts = []
+        for t, v in zip(
+            exp["expect_pii_types"][i].as_py(), exp["expect_pii_values"][i].as_py()
+        ):
+            pos = content.find(v)
+            assert pos >= 0
+            gts.append({"pii_type": t, "span_start": pos, "span_end": pos + len(v)})
+        rows["ground_truth"].append(gts)
+        r = scrub_text(content)
+        rows["pii_masked"].append(
+            [
+                {"type": m.type, "span_start": m.span[0], "span_end": m.span[1]}
+                for m in r.mappings
+            ]
+        )
+    item_type = pa.list_(
+        pa.struct(
+            [("pii_type", pa.string()), ("type", pa.string()),
+             ("span_start", pa.int64()), ("span_end", pa.int64())]
+        )
+    )
+    tbl = pa.table(
+        {
+            "ground_truth": pa.array(
+                [[{**g, "type": None} for g in row] for row in rows["ground_truth"]], item_type
+            ),
+            "pii_masked": pa.array(
+                [[{**d, "pii_type": None} for d in row] for row in rows["pii_masked"]], item_type
+            ),
+        }
+    )
+    result = corpus_prf(ray.data.from_arrow(tbl))
+    assert result["recall"] >= 0.99, result
+    # precision < 1 is fine (rule-NER finds entities beyond injected GT)
+    assert result["f1"] >= 0.9, result
+
+
+def test_salted_topk(ray_session):
+    import ray.data
+
+    from pii_filter_ray.stages.skew import salted_topk_per_group
+
+    # skewed: key 'hot' has 500 rows, others 5
+    rows = {"k": [], "doc_id": [], "v": []}
+    n = 0
+    for key, cnt in [("hot", 500), ("a", 5), ("b", 5)]:
+        for i in range(cnt):
+            rows["k"].append(key)
+            rows["doc_id"].append(n)
+            rows["v"].append((n * 37) % 1000)
+            n += 1
+    ds = ray.data.from_arrow(pa.table(rows))
+    out = salted_topk_per_group(
+        ds, key="k", order_col="v", k=3, id_cols=["doc_id"], salt_buckets=8
+    ).to_pandas()
+    gt = (
+        pd.DataFrame(rows)
+        .sort_values(["v", "doc_id"], ascending=[False, True], kind="mergesort")
+        .groupby("k")
+        .head(3)
+    )
+    for key in ("hot", "a", "b"):
+        got = sorted(out[out["k"] == key]["doc_id"])
+        want = sorted(gt[gt["k"] == key]["doc_id"])
+        assert got == want, (key, got, want)
+
+
+def test_restore_batch_stage(ray_session, small_corpus):
+    import ray.data
+
+    from pii_filter_ray.pipelines.quality_pipeline import quality_scrub
+    from pii_filter_ray.stages.restore_stage import restore_batch
+
+    corpus, _ = small_corpus
+    scrubbed = quality_scrub(ray.data.from_arrow(corpus.slice(0, 150)), emit_mappings=True)
+    restored = scrubbed.map_batches(restore_batch, batch_format="pyarrow").to_pandas()
+    kept = restored[restored["keep"]]
+    assert len(kept) > 0
+    assert (kept["content_restored"] == kept["content"]).all()
+
+
+def test_roundtrip_audit_stage(ray_session, small_corpus):
+    import ray.data
+
+    from pii_filter_ray.stages.restore_stage import roundtrip_audit_batch
+
+    corpus, _ = small_corpus
+    out = (
+        ray.data.from_arrow(corpus.slice(0, 200))
+        .map_batches(roundtrip_audit_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert out["roundtrip_ok"].all()
+    assert out["no_residual_placeholder"].all()
