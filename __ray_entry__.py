@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_stats": r.doc_source_stats,
         "top_docs_per_lang": r.top_docs_per_lang,
         "doc_scrub_roundtrip": r.doc_scrub_roundtrip,
+        "emb_ivf_knn": r.emb_ivf_knn,
+        "doc_toxicity": r.doc_toxicity,
     }
 
 

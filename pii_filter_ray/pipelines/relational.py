@@ -551,3 +551,29 @@ def doc_scrub_roundtrip(sf_dir: str):
         lambda b: roundtrip_audit_batch(b, content_col="text"), batch_format="pyarrow"
     )
     return out.select_columns(["doc_id", "roundtrip_ok", "no_residual_placeholder"])
+
+
+def emb_ivf_knn(sf_dir: str):
+    """Approximate top-10 via IVF coarse quantizer (n_probe=4 of 8 clusters);
+    approximate by design -> rows-only check (no SQL oracle)."""
+    from ..stages.similarity import ivf_build, ivf_knn
+
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    assigned, centroids = ivf_build(ds, n_clusters=8, train_rows=2048)
+    q = np.asarray(ds.take(1)[0]["embedding"], dtype=np.float64)
+    df = ivf_knn(assigned, centroids, q, k=10, n_probe=4)
+    return df[["vec_id"]].astype({"vec_id": "int64"})
+
+
+def doc_toxicity(sf_dir: str):
+    """Word-list toxicity score per document (deterministic)."""
+    from ..core.toxicity import toxicity_score
+
+    def score(batch: pa.Table) -> pa.Table:
+        vals = [toxicity_score(v or "") for v in batch["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "toxicity": pa.array(vals, pa.float64())}
+        )
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -162,3 +162,85 @@ def knn_ids_for_query_id(
     res["sim_r"] = res["sim"].round(round_digits)
     res = res.sort_values(["sim_r", id_col], ascending=[False, True], kind="mergesort").head(k)
     return res[[id_col]].reset_index(drop=True)
+
+
+# --- IVF (inverted-file) ANN: the coarse-quantizer scale path ---------------
+
+
+def _kmeans(sample: np.ndarray, k: int, iters: int = 10, seed: int = 29) -> np.ndarray:
+    """Deterministic lightweight k-means on normalized vectors."""
+    rng = np.random.RandomState(seed)
+    sample = _normalize(sample)
+    centroids = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
+    for _ in range(iters):
+        sims = sample @ centroids.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    centroids[c] = m / n
+    return centroids
+
+
+def ivf_build(
+    ds: "ray.data.Dataset",
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_rows: int = 4096,
+    seed: int = 29,
+):
+    """Train a coarse quantizer on a driver-side sample and assign every
+    vector to its nearest centroid (one extra int column; no shuffle).
+
+    Returns (assigned_dataset, centroids). At 100 TB the train sample still
+    fits on the driver (k-means needs ~10^4 rows); assignment is a stateless
+    map over the full corpus; the per-cluster "inverted lists" are realized
+    lazily by predicate filters (or a partitioned write keyed on cluster).
+    """
+    sample = []
+    for batch in ds.select_columns([vec_col]).iter_batches(
+        batch_size=2048, batch_format="pyarrow"
+    ):
+        sample.append(_to_matrix(batch[vec_col]))
+        if sum(len(s) for s in sample) >= train_rows:
+            break
+    centroids = _kmeans(np.vstack(sample)[:train_rows], n_clusters, seed=seed)
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        m = _normalize(_to_matrix(batch[vec_col]))
+        cluster = (m @ C.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("cluster", pa.array(cluster, pa.int32()))
+
+    return ds.map_batches(assign, batch_format="pyarrow"), centroids
+
+
+def ivf_knn(
+    assigned_ds: "ray.data.Dataset",
+    centroids: np.ndarray,
+    query: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Approximate top-k: probe the n_probe nearest clusters only.
+
+    Recall grows with n_probe (n_probe == n_clusters is exact); the scan
+    touches ~n_probe/n_clusters of the corpus."""
+    q = np.asarray(query, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    probe = set(int(c) for c in np.argsort(-(centroids @ q))[:n_probe])
+
+    import pyarrow.compute as pc
+
+    filtered = assigned_ds.map_batches(
+        lambda b: b.filter(pc.is_in(b["cluster"], value_set=pa.array(sorted(probe), pa.int32()))),
+        batch_format="pyarrow",
+    )
+    return knn_bruteforce(filtered, q, k=k, vec_col=vec_col, id_col=id_col)

@@ -1,0 +1,102 @@
+"""IVF ANN + hypothesis property-based tests for the scrub core."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pii_filter_ray.core.restore import PLACEHOLDER_RE, restore_scrubbed
+from pii_filter_ray.core.scrub import scrub_text
+
+# --- IVF ---------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb_sf(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+
+def test_ivf_recall_vs_bruteforce(emb_sf):
+    from pii_filter_ray.stages.similarity import ivf_build, ivf_knn, knn_bruteforce
+
+    assigned, centroids = ivf_build(emb_sf, n_clusters=8, train_rows=500)
+    assigned = assigned.materialize()  # small; reused for several queries
+    total_recall = 0.0
+    queries = 5
+    for qid in range(queries):
+        q = np.asarray(
+            emb_sf.filter(lambda r, qid=qid: r["vec_id"] == qid).take(1)[0]["embedding"]
+        )
+        exact = set(knn_bruteforce(emb_sf, q, k=10)["vec_id"])
+        approx = set(ivf_knn(assigned, centroids, q, k=10, n_probe=3)["vec_id"])
+        total_recall += len(exact & approx) / 10
+    assert total_recall / queries >= 0.6  # 3/8 of the corpus scanned
+    # full probe == exact
+    q = np.asarray(emb_sf.take(1)[0]["embedding"])
+    exact = list(knn_bruteforce(emb_sf, q, k=10)["vec_id"])
+    full = list(ivf_knn(assigned, centroids, q, k=10, n_probe=8)["vec_id"])
+    assert exact == full
+
+
+def test_ivf_deterministic(emb_sf):
+    from pii_filter_ray.stages.similarity import ivf_build
+
+    _, c1 = ivf_build(emb_sf, n_clusters=8, train_rows=500)
+    _, c2 = ivf_build(emb_sf, n_clusters=8, train_rows=500)
+    assert np.array_equal(c1, c2)
+
+
+# --- property-based scrub invariants ----------------------------------------
+
+PII_SNIPPETS = [
+    "123.456.789-00", "a.b@corp.com", "(11) 99876-5432", "01310-100",
+    "192.168.0.55", "4111 1111 1111 1111", "078-05-1120", "Maria da Silva",
+]
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.text(
+                alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+                max_size=30,
+            ),
+            st.sampled_from(PII_SNIPPETS),
+        ),
+        max_size=8,
+    )
+)
+def test_roundtrip_property(parts):
+    """restore(mask(x)) == x for arbitrary interleavings of noise + PII."""
+    text = " ".join(parts)
+    r = scrub_text(text)
+    assert restore_scrubbed(r.masked, r.mappings) == text
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=200))
+def test_scrub_never_crashes_and_spans_valid(text):
+    r = scrub_text(text)
+    for m in r.mappings:
+        assert text[m.span[0] : m.span[1]] == m.original_value
+    if not r.mappings:
+        assert r.masked == (text or "")
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.sampled_from(PII_SNIPPETS), st.integers(1, 4))
+def test_repeated_pii_numbering(snippet, n):
+    """n occurrences of one value -> n distinct placeholders numbered 1..n."""
+    text = " x ".join([snippet] * n)
+    r = scrub_text(text)
+    by_type = {}
+    for m in r.mappings:
+        by_type.setdefault(m.type, []).append(m.placeholder)
+    for t, phs in by_type.items():
+        assert phs == [f"[{t}_{i}]" for i in range(1, len(phs) + 1)]
