@@ -1,0 +1,95 @@
+"""Differential parity: our regex layer vs the REFERENCE's own code.
+
+The reference's RegexService (/root/reference/src/services/regex_service.py)
+is pure `re` + pydantic and runs in this sandbox, so the rebuilt layer is
+tested against the reference IMPLEMENTATION itself — bit-level masked-text
+and mapping equality on fixtures, random fuzz, and the reference's golden
+dataset prompts. (The NER layer needs spaCy weights, unavailable here; its
+rule semantics are pinned by the mask-fixture tests instead.)
+
+Note: extended=False — the reference has no IP/CC/SSN patterns.
+"""
+
+import json
+import random
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/reference")
+
+try:
+    from src.services.regex_service import RegexService
+    from src.services.restoration_service import RestorationService
+
+    _REF_AVAILABLE = True
+except Exception:  # pragma: no cover - reference deps missing
+    _REF_AVAILABLE = False
+
+from pii_filter_ray.core.regex_scan import filter_by_regex, restore_pii_from_mappings
+
+pytestmark = pytest.mark.skipif(not _REF_AVAILABLE, reason="reference not importable")
+
+
+@pytest.fixture(scope="module")
+def ref_service():
+    return RegexService()
+
+
+def _assert_parity(ref_service, text):
+    ref_masked, ref_maps = ref_service.filter_by_regex(text)
+    our_masked, our_maps = filter_by_regex(text, extended=False)
+    assert our_masked == ref_masked, repr(text)
+    assert [(m.placeholder, m.original_value, m.type, tuple(m.span)) for m in our_maps] == [
+        (m.placeholder, m.original_value, m.type, tuple(m.span)) for m in ref_maps
+    ], repr(text)
+
+
+FIXED_CASES = [
+    "CPF 123.456.789-00 e 111.111.111-11",
+    "dois cpfs 123.456.789-00 e 987.654.321-00 email x@y.com",
+    "RG 12.345.678-9 cep 01310-100 ou 01310100",
+    "tel +55 11 4004-1000 e (11) 99876-5432 e 11998765432",
+    "overlap 12345678900 12345678 900",
+    "a..b@@x nao é email; a.b@corp.com é",
+    "numero grande 123456789001234567890",
+    "",
+    "sem pii nenhum aqui",
+    "pontas 01310-100",
+    "55 11 99876-5432 com ddi",
+    "fim de linha 123.456.789-00",
+]
+
+
+@pytest.mark.parametrize("text", FIXED_CASES, ids=range(len(FIXED_CASES)))
+def test_fixed_case_parity(ref_service, text):
+    _assert_parity(ref_service, text)
+
+
+def test_golden_dataset_parity(ref_service):
+    """Every prompt of the reference's 500-case golden dataset masks
+    IDENTICALLY under both implementations."""
+    with open("/root/reference/dataset.json") as f:
+        cases = json.load(f)
+    assert len(cases) == 500
+    for case in cases:
+        _assert_parity(ref_service, case["prompt_text"])
+
+
+def test_fuzz_parity(ref_service):
+    """Random digit/punctuation soups — the regex layer's worst terrain."""
+    rng = random.Random(99)
+    alphabet = "0123456789.-() @abce+5 \n"
+    for _ in range(300):
+        text = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 120)))
+        _assert_parity(ref_service, text)
+
+
+def test_restore_parity(ref_service):
+    """Round-trip through BOTH restore implementations agrees."""
+    for text in FIXED_CASES:
+        masked, maps = filter_by_regex(text, extended=False)
+        ours = restore_pii_from_mappings(masked, maps)
+        ref_masked, ref_maps = ref_service.filter_by_regex(text)
+        theirs = ref_service.restore_pii_from_mappings(ref_masked, ref_maps)
+        assert ours == theirs == text
