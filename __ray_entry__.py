@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_scrub_roundtrip": r.doc_scrub_roundtrip,
         "emb_ivf_knn": r.emb_ivf_knn,
         "doc_toxicity": r.doc_toxicity,
+        "union_keys_count": r.union_keys_count,
     }
 
 
@@ -268,5 +269,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_scrub_roundtrip": """
             SELECT doc_id, TRUE AS roundtrip_ok, TRUE AS no_residual_placeholder
             FROM documents
+        """,
+        "union_keys_count": """
+            SELECT CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT o_orderkey AS key FROM orders
+                UNION ALL
+                SELECT event_id AS key FROM events
+            )
         """,
     }

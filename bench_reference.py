@@ -1,0 +1,89 @@
+"""Head-to-head: the REFERENCE's own RegexService vs this engine.
+
+Runs both on the same documents (single thread for the like-for-like layer
+comparison, plus the engine's full fused pipeline on all cores). Prints one
+JSON line; results recorded in BASELINE.md.
+
+The reference is a per-request service with no batch mode or parallelism
+(SURVEY §4) — its best case is a tight single-threaded loop, which is what
+we time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/reference")
+
+N_DOCS = int(os.environ.get("GRAFT_REF_DOCS", "5000"))
+
+
+def main():
+    from src.services.regex_service import RegexService
+
+    from pii_filter_ray.core.regex_scan import filter_by_regex
+    from pii_filter_ray.sources.synthetic_code import corpus_path
+
+    import pyarrow.dataset as pads
+
+    cp = corpus_path(n_rows=max(N_DOCS, 2000), seed=42)
+    texts = (
+        pads.dataset(cp).head(N_DOCS, columns=["content"])["content"].to_pylist()
+    )
+    total_mb = sum(len(t) for t in texts) / 1e6
+
+    ref = RegexService()
+    # warm both
+    for t in texts[:50]:
+        ref.filter_by_regex(t)
+        filter_by_regex(t, extended=False)
+
+    t0 = time.perf_counter()
+    for t in texts:
+        ref.filter_by_regex(t)
+    ref_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for t in texts:
+        filter_by_regex(t, extended=False)
+    ours_s = time.perf_counter() - t0
+
+    # engine full fused pipeline (all stages), all cores
+    import ray
+
+    ray.init(address="local", num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+             include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    from pii_filter_ray.pipelines.quality_pipeline import quality_scrub
+
+    # the parallel measurement needs enough files to occupy every core:
+    # use the 60k-file bench corpus (cached), not the small single-thread set
+    big_cp = corpus_path(n_rows=60000, seed=42)
+    quality_scrub(
+        ray.data.read_parquet(big_cp), mode="code", emit_mappings=False
+    ).count()  # warm workers
+    t0 = time.perf_counter()
+    n = quality_scrub(
+        ray.data.read_parquet(big_cp), mode="code", emit_mappings=False
+    ).count()
+    full_s = time.perf_counter() - t0
+    ray.shutdown()
+
+    print(json.dumps({
+        "n_docs": N_DOCS,
+        "total_mb": round(total_mb, 1),
+        "reference_regex_docs_per_s": round(N_DOCS / ref_s, 1),
+        "engine_regex_docs_per_s": round(N_DOCS / ours_s, 1),
+        "regex_layer_speedup_1core": round(ref_s / ours_s, 2),
+        "engine_full_pipeline_docs_per_s": round(n / full_s, 1),
+        "full_pipeline_vs_reference_regex": round((n / full_s) / (N_DOCS / ref_s), 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

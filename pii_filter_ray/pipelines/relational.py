@@ -577,3 +577,17 @@ def doc_toxicity(sf_dir: str):
 
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def union_keys_count(sf_dir: str):
+    """Dataset.union coverage: total keys across two sources."""
+    a = _tbl(sf_dir, "orders", columns=["o_orderkey"]).map_batches(
+        lambda b: pa.table({"key": pc.cast(b["o_orderkey"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    b = _tbl(sf_dir, "events", columns=["event_id"]).map_batches(
+        lambda t: pa.table({"key": pc.cast(t["event_id"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    n = a.union(b).count()
+    return pd.DataFrame({"n": pd.Series([n], dtype="int64")})
