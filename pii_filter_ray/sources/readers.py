@@ -1,0 +1,57 @@
+"""Source readers: the corpus schema over parquet / jsonl / csv.
+
+Parquet is the production source (north_rule input_hint); json/csv ingestion
+exists for interoperability (e.g. crawler exports) — each normalizes to the
+canonical (repo, path, commit, lang, content) schema so every downstream
+stage is format-agnostic.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import pyarrow as pa
+
+import ray.data
+
+CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+
+def _normalize_schema(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    def fix(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name in CORPUS_COLUMNS:
+            if name in batch.column_names:
+                col = batch[name]
+                if not pa.types.is_string(col.type):
+                    import pyarrow.compute as pc
+
+                    col = pc.cast(col, pa.string())
+                cols[name] = col
+            else:
+                cols[name] = pa.array([None] * batch.num_rows, pa.string())
+        return pa.table(cols)
+
+    return ds.map_batches(fix, batch_format="pyarrow")
+
+
+def read_code_corpus(
+    path: str,
+    format: str = "parquet",
+    columns: Optional[List[str]] = None,
+) -> "ray.data.Dataset":
+    """Read a code corpus in any supported format, normalized to the
+    canonical schema. Parquet gets true column pruning at the read; the
+    row-based formats prune post-read."""
+    if format == "parquet":
+        return ray.data.read_parquet(path, columns=columns or CORPUS_COLUMNS)
+    if format == "json":
+        ds = ray.data.read_json(path)
+    elif format == "csv":
+        ds = ray.data.read_csv(path)
+    else:
+        raise ValueError(f"unsupported corpus format: {format!r}")
+    ds = _normalize_schema(ds)
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds

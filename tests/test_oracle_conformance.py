@@ -84,13 +84,12 @@ def test_entry_smoke(ray_session):
     assert {"keep", "drop_reason", "content_masked", "content_sha256"} <= set(df.columns)
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
-        "doc_scrub", "doc_langid", "doc_simhash", "doc_fingerprint",
-        "doc_minhash_candidates", "doc_jaccard_dups", "emb_cosine_neardup",
-    ],
-)
+def _rows_only_names():
+    mod = _entry_module()
+    return sorted(set(mod.queries()) - set(mod.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", _rows_only_names())
 def test_rows_only_queries_run(ray_session, name):
     """Queries without SQL oracles must still execute and return a stable
     schema at sf0.001."""

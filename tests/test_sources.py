@@ -1,0 +1,59 @@
+"""Multi-format corpus readers normalize to the canonical schema."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from pii_filter_ray.sources.readers import CORPUS_COLUMNS, read_code_corpus
+from pii_filter_ray.sources.synthetic_code import generate_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("formats")
+    corpus, _ = generate_corpus(n_rows=40, seed=42)
+    import pyarrow.parquet as pq
+
+    pq.write_table(corpus, os.path.join(d, "c.parquet"))
+    with open(os.path.join(d, "c.jsonl"), "w") as f:
+        for row in corpus.to_pylist():
+            f.write(json.dumps(row) + "\n")
+    import pyarrow.csv as pacsv
+
+    pacsv.write_csv(corpus, os.path.join(d, "c.csv"))
+    return str(d)
+
+
+@pytest.mark.parametrize("fmt,name", [("parquet", "c.parquet"), ("json", "c.jsonl"), ("csv", "c.csv")])
+def test_read_formats_equivalent(ray_session, corpus_files, fmt, name):
+    ds = read_code_corpus(os.path.join(corpus_files, name), format=fmt)
+    df = ds.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    assert list(df.columns) == CORPUS_COLUMNS
+    assert len(df) == 40
+    ref = (
+        read_code_corpus(os.path.join(corpus_files, "c.parquet"))
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    # csv writers may normalize newlines; compare keys + content length
+    assert (df["repo"] == ref["repo"]).all()
+    assert (df["commit"] == ref["commit"]).all()
+    if fmt != "csv":
+        assert (df["content"] == ref["content"]).all()
+
+
+def test_unknown_format_rejected():
+    with pytest.raises(ValueError, match="unsupported corpus format"):
+        read_code_corpus("/tmp/x", format="xml")
+
+
+def test_pipeline_over_json_source(ray_session, corpus_files):
+    from pii_filter_ray.pipelines.quality_pipeline import quality_scrub
+
+    ds = read_code_corpus(os.path.join(corpus_files, "c.jsonl"), format="json")
+    df = quality_scrub(ds, emit_mappings=False).to_pandas()
+    assert {"keep", "drop_reason", "content_masked"} <= set(df.columns)
+    assert len(df) == 40
