@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ivf_knn": r.emb_ivf_knn,
         "doc_toxicity": r.doc_toxicity,
         "union_keys_count": r.union_keys_count,
+        "doc_dup_components": r.doc_dup_components,
+        "events_sessions": r.events_sessions,
     }
 
 
@@ -275,6 +277,21 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_orderkey AS key FROM orders
                 UNION ALL
                 SELECT event_id AS key FROM events
+            )
+        """,
+        "events_sessions": """
+            SELECT event_id,
+                   CAST(1 + sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS session_id
+            FROM (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
             )
         """,
     }

@@ -56,10 +56,22 @@ def scrub_text(
 
     # Layer 1: regex (with intra-layer priority resolution).
     regex_sel = handle_overlaps(find_all_matches(text, validate_pii_data, extended))
-    spans = [
-        {"start": m["start"], "end": m["end"], "type": m["type"], "value": m["value"]}
-        for m in regex_sel
-    ]
+    # The reference's overlap grouping is non-transitive (group membership is
+    # judged against the FIRST member's end, regex_service.py:89-102), so
+    # chained overlaps can yield overlapping selections — which corrupt any
+    # splice (the reference itself mangles such inputs; SURVEY §7.3). The
+    # engine guards with a final leftmost-wins pass so masked output is
+    # always well-formed and the restore round-trip always holds; the
+    # parity-path filter_by_regex keeps the reference behavior verbatim.
+    spans = []
+    last_end = -1
+    for m in sorted(regex_sel, key=lambda m: m["start"]):
+        if m["start"] < last_end:
+            continue
+        spans.append(
+            {"start": m["start"], "end": m["end"], "type": m["type"], "value": m["value"]}
+        )
+        last_end = m["end"]
 
     # Layer 2: rule NER, lower precedence — drop on overlap with layer 1.
     if enable_ner:

@@ -591,3 +591,29 @@ def union_keys_count(sf_dir: str):
     )
     n = a.union(b).count()
     return pd.DataFrame({"n": pd.Series([n], dtype="int64")})
+
+
+def doc_dup_components(sf_dir: str, threshold: float = 0.5):
+    """Near-dup GROUPS: verified Jaccard pairs -> connected components
+    (min-label propagation). Returns (id, component)."""
+    from ..stages.dedup import dup_components, minhash_lsh_pairs, verify_jaccard_pairs
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    cands = minhash_lsh_pairs(ds, text_col="text", id_col="doc_id")
+    pairs = verify_jaccard_pairs(ds, cands, text_col="text", id_col="doc_id", threshold=threshold)
+    return dup_components(pairs)
+
+
+def events_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Session windows per user: a new session starts after a >30 min gap.
+    Sorted per-user map_groups; mirrors the SQL lag + cumulative-sum idiom."""
+    ds = _tbl(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        session = gap.cumsum() + 1  # first row: diff=NaT -> False -> session 1
+        return pd.DataFrame({"event_id": g["event_id"], "session_id": session.astype("int64")})
+
+    df = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas").to_pandas()
+    return df.astype({"event_id": "int64", "session_id": "int64"})

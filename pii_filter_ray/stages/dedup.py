@@ -422,3 +422,79 @@ def simhash_dup_groups(
         .groupby(["id_a", "id_b"])
         .aggregate(Min("hamming", alias_name="hamming"))
     )
+
+
+# --- duplicate GROUPS: connected components over the pair graph -------------
+
+
+def dup_components(
+    pairs: "ray.data.Dataset", max_iters: int = 10
+) -> "ray.data.Dataset":
+    """Connected components of the near-dup pair graph by iterative min-label
+    propagation — each round is one groupby(node) -> min(label) shuffle over
+    the EDGE LIST (small: only duplicate candidates, never the corpus).
+
+    Returns (id, component) where component = min doc id in the component.
+    Converges in O(diameter) rounds; dup clusters are near-cliques from LSH,
+    so 2-3 rounds typically suffice; ``max_iters`` bounds pathological
+    chains. The per-round label table (one row per duplicate-involved node,
+    typically a tiny fraction of the corpus) is broadcast via ray.put; when
+    even the dup set outgrows driver memory, the broadcast becomes a
+    hash-join of labels to edges (groupby on node id) with identical
+    semantics.
+    """
+    from ray.data.aggregate import Min
+
+    edges = pairs.select_columns(["id_a", "id_b"]).materialize()
+    if edges.count() == 0:
+        return ray.data.from_items([]).map_batches(
+            lambda b: pa.table({"id": pa.array([], pa.int64()),
+                                "component": pa.array([], pa.int64())}),
+            batch_format="pyarrow",
+        )
+
+    # labels: start as node -> node id
+    def init_labels(batch: pa.Table) -> pa.Table:
+        ids = batch["id_a"].to_pylist() + batch["id_b"].to_pylist()
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "component": pa.array(ids, pa.int64())})
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(Min("component", alias_name="component"))
+        .materialize()
+    )
+
+    for _ in range(max_iters):
+        label_map = dict(
+            zip(
+                labels.to_pandas()["id"],
+                labels.to_pandas()["component"],
+            )
+        )
+        lref = ray.put(label_map)
+
+        def propagate(batch: pa.Table) -> pa.Table:
+            lm = ray.get(lref)
+            out_ids, out_lbls = [], []
+            for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
+                la, lb = lm[a], lm[b]
+                m = la if la < lb else lb
+                out_ids.extend((a, b))
+                out_lbls.extend((m, m))
+            return pa.table({"id": pa.array(out_ids, pa.int64()),
+                             "component": pa.array(out_lbls, pa.int64())})
+
+        new_labels = (
+            edges.map_batches(propagate, batch_format="pyarrow")
+            .groupby("id")
+            .aggregate(Min("component", alias_name="component"))
+            .materialize()
+        )
+        old = labels.to_pandas().sort_values("id").reset_index(drop=True)
+        new = new_labels.to_pandas().sort_values("id").reset_index(drop=True)
+        labels = new_labels
+        if old.equals(new):
+            break
+    return labels

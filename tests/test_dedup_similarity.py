@@ -144,3 +144,43 @@ def test_cosine_neardup_pairs(emb_ds):
     found = sum((i, 100 + i) in got for i in range(5))
     assert found >= 4  # LSH recall: at least 4/5 planted pairs
     assert (pairs["sim"] >= 0.95).all()  # precision exact
+
+
+def test_dup_components(dup_ds):
+    from pii_filter_ray.stages.dedup import (
+        dup_components,
+        minhash_lsh_pairs,
+        verify_jaccard_pairs,
+    )
+
+    cands = minhash_lsh_pairs(dup_ds, "text", "doc_id")
+    pairs = verify_jaccard_pairs(dup_ds, cands, "text", "doc_id", threshold=0.5)
+    comp = dup_components(pairs).to_pandas().set_index("id")["component"].to_dict()
+    # exact dup pairs (i, 100+i) share component i; near dups (10+i, 200+i) too
+    for i in range(5):
+        assert comp[i] == comp[100 + i] == i
+        assert comp[10 + i] == comp[200 + i] == 10 + i
+
+
+def test_dup_components_chain(ray_session):
+    """A chain a-b, b-c collapses to one component via propagation."""
+    import ray.data
+
+    pairs = ray.data.from_arrow(
+        pa.table({"id_a": pa.array([1, 2], pa.int64()), "id_b": pa.array([2, 3], pa.int64())})
+    )
+    from pii_filter_ray.stages.dedup import dup_components
+
+    comp = dup_components(pairs).to_pandas().set_index("id")["component"].to_dict()
+    assert comp == {1: 1, 2: 1, 3: 1}
+
+
+def test_dup_components_empty(ray_session):
+    import ray.data
+
+    pairs = ray.data.from_arrow(
+        pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    )
+    from pii_filter_ray.stages.dedup import dup_components
+
+    assert dup_components(pairs).count() == 0
