@@ -34,8 +34,15 @@ _TOXIC_RE = re.compile(
 DEFAULT_MAX_TOXICITY = 5.0  # weighted hits per 100 tokens
 
 
+_ANCHORS = tuple({t.split()[0] for t in TOXIC_TERMS})
+
+
 def find_toxic_spans(text: str) -> List[Tuple[int, int, str, float]]:
     """(start, end, term, weight) for every blocklist hit."""
+    # substring prescreen (each anchor is a required literal of the regex)
+    lower = text.lower()
+    if not any(a in lower for a in _ANCHORS):
+        return []
     out = []
     for m in _TOXIC_RE.finditer(text):
         term = m.group(0).lower()
