@@ -18,9 +18,13 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Tuple
 
+import re
+
 from .normalizers import normalize_pii_value
 from .patterns import DEFAULT_PRIORITY, TYPE_PRIORITY, all_patterns
 from .validators import validate_pii
+
+_DIGIT_SEARCH = re.compile(r"\d").search
 
 
 @dataclass
@@ -51,9 +55,17 @@ def find_all_matches(
     """All valid PII matches, in pattern-dict order then position order."""
     pats = patterns if patterns is not None else all_patterns(extended)
     out: List[Dict[str, Any]] = []
+    # prescreens (match-preserving): every non-EMAIL pattern requires a
+    # digit; EMAIL requires a literal '@'. One C-speed scan each replaces
+    # up to 8 full regex passes on digit-free / @-free text.
+    has_digit = _DIGIT_SEARCH(text) is not None
+    has_at = "@" in text
     for pii_type, pattern in pats.items():
-        if pii_type == "EMAIL" and "@" not in text:
-            continue  # prescreen: the pattern requires a literal '@'
+        if pii_type == "EMAIL":
+            if not has_at:
+                continue
+        elif not has_digit:
+            continue
         for m in pattern.finditer(text):
             value = m.group(0)
             if validate_pii_data and not validate_pii(pii_type, value):

@@ -91,16 +91,23 @@ def run_job(
         t0 = time.time()
         scrubbed.write_parquet(tmp_dir)
 
-        # per-partition lineage stats from what was just written
+        # per-partition lineage stats from what was just written; an empty
+        # partition produces no files (write_parquet skips), so guard it
         import pyarrow.parquet as pq
 
-        written = pq.read_table(tmp_dir, columns=["keep", "pii_count"])
-        stats = {
-            "rows": written.num_rows,
-            "kept": int(pc.sum(pc.cast(written["keep"], pa.int64())).as_py() or 0),
-            "pii_found": int(pc.sum(written["pii_count"]).as_py() or 0),
-            "seconds": round(time.time() - t0, 3),
-        }
+        os.makedirs(tmp_dir, exist_ok=True)
+        has_files = any(name.endswith(".parquet") for name in os.listdir(tmp_dir))
+        if has_files:
+            written = pq.read_table(tmp_dir, columns=["keep", "pii_count"])
+            stats = {
+                "rows": written.num_rows,
+                "kept": int(pc.sum(pc.cast(written["keep"], pa.int64())).as_py() or 0),
+                "pii_found": int(pc.sum(written["pii_count"]).as_py() or 0),
+                "seconds": round(time.time() - t0, 3),
+            }
+        else:
+            stats = {"rows": 0, "kept": 0, "pii_found": 0,
+                     "seconds": round(time.time() - t0, 3)}
         shutil.rmtree(final_dir, ignore_errors=True)
         os.rename(tmp_dir, final_dir)
         manifest.mark_done(part, stats)

@@ -77,3 +77,41 @@ def test_manifest_atomicity(tmp_path):
     m.mark_done(3, {"rows": 10})
     assert m.is_done(3) and m.done_parts() == [3]
     assert m.part_stats(3)["stats"]["rows"] == 10
+
+
+def test_job_text_mode(ray_session, tmp_path_factory):
+    """Text-mode job over a documents-shaped table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    from pii_filter_ray.job import run_job
+
+    d = tmp_path_factory.mktemp("textjob")
+    t = pa.table(
+        {
+            "repo": ["r"] * 4,
+            "path": [f"p{i}" for i in range(4)],
+            "commit": ["c"] * 4,
+            "lang": ["en"] * 4,
+            "content": [
+                "the quick brown fox and the lazy dog were friends",
+                "cpf 123.456.789-00 in a document",
+                "",
+                "x" * 3000,
+            ],
+        }
+    )
+    src = str(d / "in.parquet")
+    pq_.write_table(t, src)
+    out = str(d / "out")
+    s = run_job(src, out, partitions=2, mode="text", concurrency=2)
+    assert s["done_parts"] == 2 and s["totals"]["rows"] == 4
+    import pandas as pd
+
+    frames = []
+    for part in ("part=0000", "part=0001"):
+        try:
+            frames.append(pq_.read_table(out + "/" + part).to_pandas())
+        except Exception:
+            pass  # empty partition has no parquet files
+    res = pd.concat(frames)
+    assert len(res) == 4 and "drop_reason" in res.columns
