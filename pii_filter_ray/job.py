@@ -112,7 +112,42 @@ def run_job(
         os.rename(tmp_dir, final_dir)
         manifest.mark_done(part, stats)
 
+    _write_metrics_table(manifest)
     return manifest.summary()
+
+
+def _write_metrics_table(manifest: JobManifest) -> None:
+    """Queryable lineage/metrics parquet (one row per completed partition) —
+    the batch analogue of the reference's SSE telemetry sink (SURVEY §2.1
+    S2). Rebuilt from the manifest on every run, so it always reflects the
+    full set of completed partitions."""
+    import pyarrow.parquet as pq
+
+    rows = {"part": [], "rows": [], "kept": [], "pii_found": [], "seconds": [],
+            "completed_at": []}
+    for part in manifest.done_parts():
+        entry = manifest.part_stats(part)
+        rows["part"].append(part)
+        rows["completed_at"].append(entry["completed_at"])
+        for k in ("rows", "kept", "pii_found", "seconds"):
+            rows[k].append(entry["stats"].get(k, 0))
+    metrics_dir = os.path.join(manifest.output_dir, "_metrics")
+    os.makedirs(metrics_dir, exist_ok=True)
+    tmp = os.path.join(metrics_dir, ".metrics.parquet.tmp")
+    pq.write_table(
+        pa.table(
+            {
+                "part": pa.array(rows["part"], pa.int32()),
+                "rows": pa.array(rows["rows"], pa.int64()),
+                "kept": pa.array(rows["kept"], pa.int64()),
+                "pii_found": pa.array(rows["pii_found"], pa.int64()),
+                "seconds": pa.array(rows["seconds"], pa.float64()),
+                "completed_at": pa.array(rows["completed_at"], pa.float64()),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, os.path.join(metrics_dir, "metrics.parquet"))
 
 
 def main(argv=None):

@@ -115,3 +115,25 @@ def test_job_text_mode(ray_session, tmp_path_factory):
             pass  # empty partition has no parquet files
     res = pd.concat(frames)
     assert len(res) == 4 and "drop_reason" in res.columns
+
+
+def test_metrics_parquet_sink(ray_session, corpus_path, tmp_path_factory):
+    from pii_filter_ray.job import run_job
+
+    out = str(tmp_path_factory.mktemp("job_metrics"))
+    run_job(corpus_path, out, partitions=3, concurrency=2)
+    m = pq.read_table(os.path.join(out, "_metrics", "metrics.parquet")).to_pandas()
+    assert len(m) == 3
+    assert m["rows"].sum() == pq.read_table(corpus_path).num_rows
+    assert set(m.columns) == {"part", "rows", "kept", "pii_found", "seconds", "completed_at"}
+
+
+def test_write_pipeline_output(ray_session, corpus_path, tmp_path):
+    from pii_filter_ray.pipelines.quality_pipeline import run_pipeline
+
+    out = str(tmp_path / "pipe_out")
+    ds = run_pipeline(corpus_path, output_path=out, mode="code")
+    written = pq.read_table(out)
+    assert written.num_rows == pq.read_table(corpus_path).num_rows
+    for col in ("keep", "drop_reason", "content_masked", "content_sha256"):
+        assert col in written.column_names
