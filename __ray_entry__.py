@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_keys_count": r.union_keys_count,
         "doc_dup_components": r.doc_dup_components,
         "events_sessions": r.events_sessions,
+        "doc_top_words": r.doc_top_words,
     }
 
 
@@ -278,6 +279,17 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT event_id AS key FROM events
             )
+        """,
+        "doc_top_words": """
+            SELECT word, CAST(count(*) AS BIGINT) AS n
+            FROM (
+                SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                          x -> x != '')) AS word
+                FROM documents
+            )
+            GROUP BY word
+            ORDER BY n DESC, word
+            LIMIT 20
         """,
         "events_sessions": """
             SELECT event_id,

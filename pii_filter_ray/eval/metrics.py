@@ -89,3 +89,51 @@ def corpus_prf(ds, gt_col: str = "ground_truth", det_col: str = "pii_masked") ->
     out = precision_recall_f1(counts["tp"], counts["fp"], counts["fn"])
     out.update(counts)
     return out
+
+
+def corpus_prf_by_type(
+    ds, gt_col: str = "ground_truth", det_col: str = "pii_masked"
+) -> Dict[str, Dict[str, float]]:
+    """Per-type P/R/F1: per-row (type, tp, fp, fn) partials -> tiny groupby.
+
+    Mirrors the reference's per-stage evaluation reports
+    (tests/unit/test_regex_service.py:80-149 style) distributed."""
+    import pyarrow as pa_
+
+    def typed_counts(batch: pa_.Table) -> pa_.Table:
+        types_out, tps, fps, fns = [], [], [], []
+        for gt, det in zip(batch[gt_col].to_pylist(), batch[det_col].to_pylist()):
+            gt = gt or []
+            det = det or []
+            all_types = {g.get("pii_type") or g.get("type") for g in gt} | {
+                d.get("pii_type") or d.get("type") for d in det
+            }
+            for t in all_types:
+                g1 = [g for g in gt if (g.get("pii_type") or g.get("type")) == t]
+                d1 = [d for d in det if (d.get("pii_type") or d.get("type")) == t]
+                tp, fp, fn = match_counts(g1, d1)
+                types_out.append(t)
+                tps.append(tp)
+                fps.append(fp)
+                fns.append(fn)
+        return pa_.table(
+            {
+                "pii_type": pa_.array(types_out, pa_.string()),
+                "tp": pa_.array(tps, pa_.int64()),
+                "fp": pa_.array(fps, pa_.int64()),
+                "fn": pa_.array(fns, pa_.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(typed_counts, batch_format="pyarrow")
+        .groupby("pii_type")
+        .aggregate(Sum("tp", alias_name="tp"), Sum("fp", alias_name="fp"), Sum("fn", alias_name="fn"))
+        .to_pandas()
+    )
+    return {
+        row["pii_type"]: precision_recall_f1(int(row["tp"]), int(row["fp"]), int(row["fn"]))
+        for _, row in agg.iterrows()
+    }

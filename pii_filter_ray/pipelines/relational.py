@@ -617,3 +617,35 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30):
 
     df = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas").to_pandas()
     return df.astype({"event_id": "int64", "session_id": "int64"})
+
+
+def doc_top_words(sf_dir: str, k: int = 20):
+    """Corpus vocabulary top-k: per-batch word-count partials (Counter) ->
+    small groupby(word) merge -> top-k. The shuffle moves one row per
+    distinct word per block, never the documents."""
+    ds = _tbl(sf_dir, "documents", columns=["text"])
+
+    def word_partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for v in batch["text"].to_pylist():
+            counts.update((v or "").split())
+        return pa.table(
+            {
+                "word": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    df = (
+        ds.map_batches(word_partials, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "word"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return df.astype({"n": "int64"})

@@ -156,3 +156,27 @@ def test_roundtrip_audit_stage(ray_session, small_corpus):
     )
     assert out["roundtrip_ok"].all()
     assert out["no_residual_placeholder"].all()
+
+
+def test_corpus_prf_by_type(ray_session):
+    import ray.data
+
+    from pii_filter_ray.eval.metrics import corpus_prf_by_type
+
+    item = pa.list_(
+        pa.struct(
+            [("pii_type", pa.string()), ("type", pa.string()),
+             ("span_start", pa.int64()), ("span_end", pa.int64())]
+        )
+    )
+    gt = [[{"pii_type": "CPF", "type": None, "span_start": 0, "span_end": 10}],
+          [{"pii_type": "EMAIL", "type": None, "span_start": 5, "span_end": 15}]]
+    det = [[{"pii_type": None, "type": "CPF", "span_start": 2, "span_end": 8}],
+           [{"pii_type": None, "type": "CEP", "span_start": 5, "span_end": 15}]]
+    ds = ray.data.from_arrow(
+        pa.table({"ground_truth": pa.array(gt, item), "pii_masked": pa.array(det, item)})
+    )
+    by_type = corpus_prf_by_type(ds)
+    assert by_type["CPF"]["f1"] == 1.0
+    assert by_type["EMAIL"]["recall"] == 0.0  # missed
+    assert by_type["CEP"]["precision"] == 0.0  # spurious
