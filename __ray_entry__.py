@@ -283,7 +283,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_top_words": """
             SELECT word, CAST(count(*) AS BIGINT) AS n
             FROM (
-                SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
                                           x -> x != '')) AS word
                 FROM documents
             )

@@ -156,7 +156,10 @@ def knn_ids_for_query_id(
     ordered by (round(sim, round_digits) desc, id) for oracle-stable output."""
     import pyarrow.compute as pc
 
-    qrow = ds.filter(lambda r: r[id_col] == query_id).take(1)
+    qrow = ds.map_batches(
+        lambda b: b.filter(pc.equal(b[id_col], pa.scalar(query_id))),
+        batch_format="pyarrow",
+    ).take(1)
     q = np.asarray(qrow[0][vec_col], dtype=np.float64)
     res = knn_bruteforce(ds, q, k=max(k * 4, k), vec_col=vec_col, id_col=id_col)
     res["sim_r"] = res["sim"].round(round_digits)

@@ -29,8 +29,13 @@ def test_ivf_recall_vs_bruteforce(emb_sf):
     total_recall = 0.0
     queries = 5
     for qid in range(queries):
+        import pyarrow.compute as pc
+
         q = np.asarray(
-            emb_sf.filter(lambda r, qid=qid: r["vec_id"] == qid).take(1)[0]["embedding"]
+            emb_sf.map_batches(
+                lambda b, qid=qid: b.filter(pc.equal(b["vec_id"], pa.scalar(qid))),
+                batch_format="pyarrow",
+            ).take(1)[0]["embedding"]
         )
         exact = set(knn_bruteforce(emb_sf, q, k=10)["vec_id"])
         approx = set(ivf_knn(assigned, centroids, q, k=10, n_probe=3)["vec_id"])
