@@ -1,0 +1,117 @@
+"""Stateful streaming windows: incremental per-key aggregation in actors.
+
+Ray Data has no event-time windows/watermarks; SURVEY §2.5 and the build
+brief allow three implementations in increasing statefulness:
+
+  (a) batch windowing via groupby().map_groups over sorted groups
+      (pipelines.relational.events_daily / events_user_daily /
+      events_sessions) — preferred whenever the log is re-readable;
+  (b) actor-pool stage holding per-key state — THIS module: a pool of
+      ``WindowActor``s, each owning a hash-bucket of keys, fed batches in
+      timestamp order, emitting CLOSED tumbling windows incrementally and
+      holding open windows in memory (the streaming pattern when the input
+      is an ordered feed that cannot be re-read);
+  (c) raw @ray.remote actors — not needed; (b) expresses it.
+
+Ordering assumption (documented per the brief): batches arrive in
+non-decreasing ts order PER KEY-BUCKET; a window closes when an event at or
+past its end arrives for that bucket, plus a final flush. Late events
+within an open window are absorbed; events later than a closed window are
+counted in ``late_dropped`` (no watermark recovery — matches the
+"documented partitioning assumption" requirement).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import pandas as pd
+
+import ray
+
+
+@ray.remote
+class WindowActor:
+    """Owns the open tumbling windows for one key-bucket."""
+
+    def __init__(self, window_seconds: int):
+        self.window_s = window_seconds
+        self.open: Dict[Tuple[int, int], dict] = {}  # (key, window_start) -> agg
+        self.late_dropped = 0
+        self.max_closed_start: Dict[int, int] = {}
+
+    def _window_start(self, ts_epoch: float) -> int:
+        return int(ts_epoch // self.window_s) * self.window_s
+
+    def feed(self, keys: List[int], ts_epochs: List[float], values: List[float]) -> List[dict]:
+        """Absorb one batch; return windows closed by this batch's progress."""
+        closed: List[dict] = []
+        for key, ts, value in zip(keys, ts_epochs, values):
+            ws = self._window_start(ts)
+            if ws <= self.max_closed_start.get(key, -1):
+                self.late_dropped += 1  # window already closed -> late event
+                continue
+            slot = self.open.setdefault((key, ws), {"n": 0, "total": 0.0})
+            slot["n"] += 1
+            slot["total"] += value
+            # close any window of this key that ended at or before ts
+            for (k, start) in [kk for kk in self.open if kk[0] == key]:
+                if start + self.window_s <= ts and (k, start) != (key, ws):
+                    agg = self.open.pop((k, start))
+                    self.max_closed_start[k] = max(self.max_closed_start.get(k, -1), start)
+                    closed.append({"key": k, "window_start": start, **agg})
+        return closed
+
+    def flush(self) -> List[dict]:
+        out = [
+            {"key": k, "window_start": start, **agg}
+            for (k, start), agg in sorted(self.open.items())
+        ]
+        self.open.clear()
+        return out
+
+    def stats(self) -> dict:
+        return {"late_dropped": self.late_dropped, "open_windows": len(self.open)}
+
+
+def streaming_tumbling_counts(
+    ds,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int = 3600,
+    n_buckets: int = 4,
+) -> pd.DataFrame:
+    """Drive a WindowActor pool from a Dataset consumed as an ordered feed.
+
+    The dataset is iterated in ts order (sort first — in a true streaming
+    deployment the feed is already ordered); each batch is split by key
+    hash across the actor pool, so per-key state never crosses actors.
+    Returns the closed-window table (key, window_start, n, total).
+    """
+    actors = [WindowActor.remote(window_seconds) for _ in range(n_buckets)]
+    results: List[dict] = []
+    pending = []
+    for batch in (
+        ds.sort([ts_col, key_col])
+        .iter_batches(batch_size=4096, batch_format="pandas")
+    ):
+        ts_epoch = batch[ts_col].astype("int64") / 1e9
+        bucket = batch[key_col].astype("int64") % n_buckets
+        for b in range(n_buckets):
+            mask = bucket == b
+            if not mask.any():
+                continue
+            pending.append(
+                actors[b].feed.remote(
+                    batch.loc[mask, key_col].tolist(),
+                    ts_epoch[mask].tolist(),
+                    batch.loc[mask, value_col].tolist(),
+                )
+            )
+    for chunk in ray.get(pending):
+        results.extend(chunk)
+    for chunk in ray.get([a.flush.remote() for a in actors]):
+        results.extend(chunk)
+    df = pd.DataFrame(results, columns=["key", "window_start", "n", "total"])
+    return df.sort_values(["key", "window_start"]).reset_index(drop=True)

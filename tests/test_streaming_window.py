@@ -1,0 +1,51 @@
+"""Stateful streaming tumbling windows vs a batch ground truth."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def test_streaming_tumbling_matches_batch(ray_session):
+    import ray.data
+
+    from pii_filter_ray.stages.streaming_window import streaming_tumbling_counts
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    out = streaming_tumbling_counts(
+        ds, key_col="user_id", ts_col="ts", value_col="value",
+        window_seconds=86400, n_buckets=3,
+    )
+
+    # batch ground truth: plain pandas daily tumbling windows
+    pdf = ds.to_pandas()
+    pdf["window_start"] = (pdf["ts"].astype("int64") // 10**9 // 86400) * 86400
+    gt = (
+        pdf.groupby(["user_id", "window_start"])
+        .agg(n=("value", "size"), total=("value", "sum"))
+        .reset_index()
+        .rename(columns={"user_id": "key"})
+        .sort_values(["key", "window_start"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(gt)
+    assert (out["key"].values == gt["key"].values).all()
+    assert (out["window_start"].values == gt["window_start"].values).all()
+    assert (out["n"].values == gt["n"].values).all()
+    assert abs(out["total"].values - gt["total"].values).max() < 1e-9
+
+
+def test_streaming_late_event_dropped(ray_session):
+    import ray
+
+    from pii_filter_ray.stages.streaming_window import WindowActor
+
+    actor = WindowActor.remote(window_seconds=10)
+    # window [0,10) closes when ts=25 arrives for the same key
+    ray.get(actor.feed.remote([1, 1], [5.0, 25.0], [1.0, 1.0]))
+    stats = ray.get(actor.stats.remote())
+    assert stats["open_windows"] == 1  # [20,30) open
+    # late event for the closed [0,10) window is dropped and counted
+    ray.get(actor.feed.remote([1], [7.0], [1.0]))
+    assert ray.get(actor.stats.remote())["late_dropped"] == 1
