@@ -1,0 +1,206 @@
+"""Trained statistical NER: a deterministic averaged perceptron tagger.
+
+The reference's statistical layer is spaCy's ``pt_core_news_lg`` — weights
+that cannot be downloaded here. This module supplies the same ROLE with a
+self-contained, deterministically-trained model: an averaged perceptron
+BIO tagger over hashed lexical/shape features (the classic public
+Collins-2002 recipe), trained at build time on a seeded synthetic corpus
+of name-bearing sentences. Same shape as a real model deployment:
+
+  * ``train_default_model()`` builds weights once (deterministic: fixed
+    seed, fixed epochs, fixed feature space);
+  * the Ray stage (stages/quality_scrub.StatNerStage-style usage) loads
+    the weights once per actor and tags per batch.
+
+It is NOT in the flagship path (the rule NER is the parity-bearing layer);
+it exists as the upgrade path for prose corpora where learned context
+beats rules, and to prove the heavy-model actor-pool pattern end to end.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, List, Sequence, Tuple
+
+_FIRST = [
+    "maria", "joão", "ana", "pedro", "carla", "lucas", "julia", "rafael",
+    "beatriz", "thiago", "laura", "bruno", "sofia", "diego", "helena",
+]
+_LAST = [
+    "silva", "santos", "oliveira", "souza", "costa", "pereira", "almeida",
+    "ferreira", "rodrigues", "gomes", "martins", "araújo", "ribeiro",
+]
+_CONTEXT_BEFORE = [
+    "o relatório de", "assinado por", "contato de", "enviado para",
+    "responsável", "atribuído a", "em nome de", "autor", "reunião com",
+    "aprovado por",
+]
+_CONTEXT_AFTER = [
+    "foi aprovado", "está pendente", "segue anexo", "na segunda",
+    "pela manhã", "conforme combinado", "sem ressalvas", "ontem",
+]
+_NOISE = [
+    "sistema", "processo", "arquivo", "tabela", "registro", "valor",
+    "cliente", "pedido", "nota", "projeto", "versão", "ambiente",
+]
+
+
+def _shape(w: str) -> str:
+    if not w:
+        return "EMPTY"
+    if w.isdigit():
+        return "DIGIT"
+    if w[0].isupper():
+        return "TITLE" if w[1:].islower() or len(w) == 1 else "MIXED"
+    if w.isupper():
+        return "UPPER"
+    return "LOWER"
+
+
+def _features(tokens: Sequence[str], i: int) -> List[str]:
+    w = tokens[i]
+    prev_w = tokens[i - 1] if i > 0 else "<s>"
+    next_w = tokens[i + 1] if i + 1 < len(tokens) else "</s>"
+    lw = w.lower()
+    return [
+        f"w={lw}",
+        f"shape={_shape(w)}",
+        f"suf3={lw[-3:]}",
+        f"pre2={lw[:2]}",
+        f"prev={prev_w.lower()}",
+        f"next={next_w.lower()}",
+        f"prevshape={_shape(prev_w)}",
+        f"nextshape={_shape(next_w)}",
+        f"shape2={_shape(prev_w)}|{_shape(w)}",
+    ]
+
+
+_TAGS = ("O", "B-PER", "I-PER")
+
+
+class PerceptronNER:
+    """Averaged perceptron BIO tagger (Collins 2002), greedy decoding."""
+
+    def __init__(self, weights: Dict[str, Dict[str, float]] | None = None):
+        self.weights: Dict[str, Dict[str, float]] = weights or {}
+
+    def _score(self, feats: List[str]) -> Dict[str, float]:
+        scores = {t: 0.0 for t in _TAGS}
+        for f in feats:
+            wf = self.weights.get(f)
+            if wf:
+                for t, v in wf.items():
+                    scores[t] += v
+        return scores
+
+    def tag(self, tokens: Sequence[str]) -> List[str]:
+        out = []
+        for i in range(len(tokens)):
+            feats = _features(tokens, i)
+            if out:
+                feats.append(f"prevtag={out[-1]}")
+            scores = self._score(feats)
+            out.append(max(_TAGS, key=lambda t: (scores[t], t)))
+        return out
+
+    def entities(self, text: str) -> List[Tuple[int, int, str]]:
+        """(start, end, value) char spans of PER entities."""
+        tokens, starts = [], []
+        pos = 0
+        for tok in text.split():
+            s = text.index(tok, pos)
+            tokens.append(tok)
+            starts.append(s)
+            pos = s + len(tok)
+        tags = self.tag(tokens)
+        spans = []
+        i = 0
+        while i < len(tokens):
+            if tags[i] == "B-PER":
+                j = i + 1
+                while j < len(tokens) and tags[j] == "I-PER":
+                    j += 1
+                start = starts[i]
+                end = starts[j - 1] + len(tokens[j - 1])
+                spans.append((start, end, text[start:end]))
+                i = j
+            else:
+                i += 1
+        return spans
+
+    # --- training ---
+
+    def train(self, examples: List[Tuple[List[str], List[str]]], epochs: int = 5) -> None:
+        totals: Dict[str, Dict[str, float]] = {}
+        stamps: Dict[str, Dict[str, int]] = {}
+        step = 0
+
+        def upd(f: str, t: str, delta: float):
+            wf = self.weights.setdefault(f, {})
+            tf = totals.setdefault(f, {})
+            sf = stamps.setdefault(f, {})
+            tf[t] = tf.get(t, 0.0) + (step - sf.get(t, 0)) * wf.get(t, 0.0)
+            sf[t] = step
+            wf[t] = wf.get(t, 0.0) + delta
+
+        for _ in range(epochs):
+            for tokens, gold in examples:
+                prev_pred = None
+                for i in range(len(tokens)):
+                    feats = _features(tokens, i)
+                    if prev_pred is not None:
+                        feats.append(f"prevtag={prev_pred}")
+                    step += 1
+                    scores = self._score(feats)
+                    pred = max(_TAGS, key=lambda t: (scores[t], t))
+                    if pred != gold[i]:
+                        for f in feats:
+                            upd(f, gold[i], 1.0)
+                            upd(f, pred, -1.0)
+                    prev_pred = pred
+        # averaging
+        for f, wf in self.weights.items():
+            tf = totals.get(f, {})
+            sf = stamps.get(f, {})
+            for t in list(wf):
+                total = tf.get(t, 0.0) + (step - sf.get(t, 0)) * wf[t]
+                wf[t] = total / max(1, step)
+
+
+def synth_examples(n: int, seed: int) -> List[Tuple[List[str], List[str]]]:
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n):
+        before = rng.choice(_CONTEXT_BEFORE).split()
+        after = rng.choice(_CONTEXT_AFTER).split()
+        noise = [rng.choice(_NOISE) for _ in range(rng.randint(0, 3))]
+        name = [rng.choice(_FIRST).title()] + (
+            ["da"] if rng.random() < 0.2 else []
+        ) + [rng.choice(_LAST).title()]
+        if rng.random() < 0.3:
+            name.append(rng.choice(_LAST).title())
+        tokens = before + name + after + noise
+        tags = (
+            ["O"] * len(before)
+            + ["B-PER"] + ["I-PER"] * (len(name) - 1)
+            + ["O"] * (len(after) + len(noise))
+        )
+        out.append((tokens, tags))
+    return out
+
+
+_MODEL: PerceptronNER | None = None
+
+
+def train_default_model(n_train: int = 1500, seed: int = 17, epochs: int = 5) -> PerceptronNER:
+    """Deterministic build (same data, order, epochs -> same weights)."""
+    model = PerceptronNER()
+    model.train(synth_examples(n_train, seed), epochs=epochs)
+    return model
+
+
+def default_model() -> PerceptronNER:
+    global _MODEL
+    if _MODEL is None:
+        _MODEL = train_default_model()
+    return _MODEL

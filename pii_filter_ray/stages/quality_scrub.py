@@ -257,3 +257,41 @@ class QualityScrubStage:
         if self.emit_mappings:
             out = out.append_column("pii_masked", pa.array(mappings_col, PII_MAPPING_TYPE))
         return out
+
+
+class StatNerStage:
+    """Actor-pool stage for the TRAINED perceptron NER (core/stat_ner.py).
+
+    This is the genuinely-heavy-state pattern: the model is trained/loaded
+    in ``__init__`` (once per actor, like loading a spaCy/fastText binary)
+    and applied per batch. Emits a ``stat_entities`` list column of PER
+    spans; not part of the flagship (the rule NER carries parity), it is
+    the learned upgrade path for prose corpora.
+    """
+
+    def __init__(self, content_col: str = "content"):
+        from ..core.stat_ner import default_model
+
+        self.content_col = content_col
+        self.model = default_model()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ents_col = []
+        for v in batch[self.content_col].to_pylist():
+            ents_col.append(
+                [
+                    {"span_start": s, "span_end": e, "value": val, "type": "NOME_COMPLETO"}
+                    for s, e, val in self.model.entities(v or "")
+                ]
+            )
+        ent_type = pa.list_(
+            pa.struct(
+                [
+                    ("span_start", pa.int32()),
+                    ("span_end", pa.int32()),
+                    ("value", pa.string()),
+                    ("type", pa.string()),
+                ]
+            )
+        )
+        return batch.append_column("stat_entities", pa.array(ents_col, ent_type))

@@ -104,3 +104,67 @@ def test_real_codec_integration_point():
 
     with pytest.raises(NotImplementedError):
         MediaFeatureStage(require_real=True)
+
+
+# --- trained statistical NER -------------------------------------------------
+
+
+def test_stat_ner_deterministic_training():
+    from pii_filter_ray.core.stat_ner import train_default_model
+
+    a = train_default_model(n_train=300, epochs=3)
+    b = train_default_model(n_train=300, epochs=3)
+    assert a.weights == b.weights
+
+
+def test_stat_ner_heldout_quality():
+    from pii_filter_ray.core.stat_ner import default_model, synth_examples
+
+    m = default_model()
+    tp = fp = fn = 0
+    for tokens, gold in synth_examples(200, seed=123):
+        pred = m.tag(tokens)
+
+        def spans(tags):
+            out, i = [], 0
+            while i < len(tags):
+                if tags[i] == "B-PER":
+                    j = i + 1
+                    while j < len(tags) and tags[j] == "I-PER":
+                        j += 1
+                    out.append((i, j))
+                    i = j
+                else:
+                    i += 1
+            return set(out)
+
+        g, p = spans(gold), spans(pred)
+        tp += len(g & p)
+        fp += len(p - g)
+        fn += len(g - p)
+    prec = tp / (tp + fp) if tp + fp else 0
+    rec = tp / (tp + fn) if tp + fn else 0
+    assert prec >= 0.95 and rec >= 0.95, (prec, rec)
+
+
+def test_stat_ner_stage(ray_session):
+    import ray.data
+
+    from pii_filter_ray.stages.quality_scrub import StatNerStage
+
+    t = pa.table(
+        {
+            "content": [
+                "assinado por Maria da Silva ontem",
+                "o processo foi aprovado sem nomes",
+            ]
+        }
+    )
+    df = (
+        ray.data.from_arrow(t)
+        .map_batches(StatNerStage, batch_format="pyarrow", concurrency=(1, 2))
+        .to_pandas()
+    )
+    ents0 = list(df["stat_entities"].iloc[0])
+    assert any(e["value"] == "Maria da Silva" for e in ents0)
+    assert len(df["stat_entities"].iloc[1]) == 0
