@@ -47,6 +47,28 @@ def add_part_id(batch: pa.Table, partitions: int) -> pa.Table:
     return batch.append_column("part_id", pa.array(parts, pa.int32()))
 
 
+def _partition_files(input_path: str, partitions: int) -> Optional[dict]:
+    """When the input is a directory of parquet shards, map each shard to a
+    partition by filename hash: partition p reads ONLY its own files — no
+    re-scan, no row filter. Returns {part: [files]} or None (single file)."""
+    if not os.path.isdir(input_path):
+        return None
+    files = sorted(
+        os.path.join(input_path, f)
+        for f in os.listdir(input_path)
+        if f.endswith(".parquet")
+    )
+    if len(files) < partitions:
+        # fewer shards than partitions -> file mapping would leave empty
+        # partitions and lose balance; fall back to row-hash filtering
+        return None
+    assignment: dict = {p: [] for p in range(partitions)}
+    for f in files:
+        h = hashlib.blake2b(os.path.basename(f).encode(), digest_size=8).digest()
+        assignment[int.from_bytes(h, "little") % partitions].append(f)
+    return assignment
+
+
 def run_job(
     input_path: str,
     output_dir: str,
@@ -57,11 +79,18 @@ def run_job(
     concurrency=None,
 ) -> dict:
     """Returns the manifest summary. Ray must already be initialised by the
-    caller (or auto-inits on first Dataset use)."""
+    caller (or auto-inits on first Dataset use).
+
+    Partitioning strategy: sharded-directory inputs map whole FILES to
+    partitions (each partition reads only its own shards — the true
+    at-scale layout); a single-file input falls back to hash-of-row
+    filtering with a documented re-scan per partition.
+    """
     import ray.data
 
     from .pipelines.quality_pipeline import quality_scrub
 
+    file_parts = _partition_files(input_path, partitions)
     manifest = JobManifest(output_dir)
     manifest.write_job_config(
         {"input": os.path.abspath(input_path), "partitions": partitions, "mode": mode}
@@ -75,21 +104,39 @@ def run_job(
         todo = todo[:limit_parts]
 
     for part in todo:
-        ds = ray.data.read_parquet(input_path)
-        ds = ds.map_batches(
-            lambda b, P=partitions: add_part_id(b, P), batch_format="pyarrow"
+        if file_parts is not None:
+            shard_files = file_parts[part]
+            if shard_files:
+                ds = ray.data.read_parquet(shard_files)
+                ds = ds.map_batches(
+                    lambda b, p=part: b.append_column(
+                        "part_id", pa.array([p] * b.num_rows, pa.int32())
+                    ),
+                    batch_format="pyarrow",
+                )
+            else:
+                ds = None
+        else:
+            ds = ray.data.read_parquet(input_path)
+            ds = ds.map_batches(
+                lambda b, P=partitions: add_part_id(b, P), batch_format="pyarrow"
+            )
+            ds = ds.map_batches(
+                lambda b, p=part: b.filter(pc.equal(b["part_id"], pa.scalar(p, pa.int32()))),
+                batch_format="pyarrow",
+            )
+        scrubbed = (
+            quality_scrub(ds, mode=mode, emit_mappings=False, concurrency=concurrency)
+            if ds is not None
+            else None
         )
-        ds = ds.map_batches(
-            lambda b, p=part: b.filter(pc.equal(b["part_id"], pa.scalar(p, pa.int32()))),
-            batch_format="pyarrow",
-        )
-        scrubbed = quality_scrub(ds, mode=mode, emit_mappings=False, concurrency=concurrency)
 
         tmp_dir = manifest.part_tmp_dir(part)
         final_dir = manifest.part_output_dir(part)
         shutil.rmtree(tmp_dir, ignore_errors=True)
         t0 = time.time()
-        scrubbed.write_parquet(tmp_dir)
+        if scrubbed is not None:
+            scrubbed.write_parquet(tmp_dir)
 
         # per-partition lineage stats from what was just written; an empty
         # partition produces no files (write_parquet skips), so guard it

@@ -39,16 +39,8 @@ def test_job_runs_and_resumes(ray_session, corpus_path, tmp_path_factory):
     for col in ("repo", "keep", "drop_reason", "content_masked", "content_sha256", "part_id"):
         assert col in t.column_names
 
-    # rows landed in the partition their key hashes to
-    from pii_filter_ray.job import _part_of
-
-    for r, p, c, pid in zip(
-        t["repo"].to_pylist()[:50],
-        t["path"].to_pylist()[:50],
-        t["commit"].to_pylist()[:50],
-        t["part_id"].to_pylist()[:50],
-    ):
-        assert _part_of(r, p, c, 4) == 0 == pid
+    # sharded-directory input: every row of part=0000 is tagged part 0
+    assert set(t["part_id"].to_pylist()) == {0}
 
 
 def test_resume_is_noop_when_complete(ray_session, corpus_path, tmp_path_factory):
@@ -77,6 +69,31 @@ def test_manifest_atomicity(tmp_path):
     m.mark_done(3, {"rows": 10})
     assert m.is_done(3) and m.done_parts() == [3]
     assert m.part_stats(3)["stats"]["rows"] == 10
+
+
+def test_single_file_fallback_row_hash(ray_session, tmp_path_factory):
+    """Single-file input uses hash-of-(repo,path,commit) row partitioning."""
+    import pyarrow.parquet as pq_
+
+    from pii_filter_ray.job import _part_of, run_job
+    from pii_filter_ray.sources.synthetic_code import generate_corpus
+
+    d = tmp_path_factory.mktemp("singlefile")
+    corpus, _ = generate_corpus(n_rows=120, seed=42)
+    src = str(d / "corpus_single.parquet")
+    pq_.write_table(corpus, src)
+    out = str(d / "out")
+    s = run_job(src, out, partitions=3, concurrency=2)
+    assert s["done_parts"] == 3 and s["totals"]["rows"] == 120
+    from pii_filter_ray.state.checkpoint import JobManifest
+
+    m = JobManifest(out)
+    t = pq_.read_table(m.part_output_dir(1))
+    for r, pth, c, pid in zip(
+        t["repo"].to_pylist()[:30], t["path"].to_pylist()[:30],
+        t["commit"].to_pylist()[:30], t["part_id"].to_pylist()[:30],
+    ):
+        assert _part_of(r, pth, c, 3) == 1 == pid
 
 
 def test_job_text_mode(ray_session, tmp_path_factory):
@@ -137,3 +154,19 @@ def test_write_pipeline_output(ray_session, corpus_path, tmp_path):
     assert written.num_rows == pq.read_table(corpus_path).num_rows
     for col in ("keep", "drop_reason", "content_masked", "content_sha256"):
         assert col in written.column_names
+
+
+def test_file_mapped_partitions(ray_session, tmp_path_factory):
+    """Directory with >= partitions shards maps whole files to partitions
+    (no re-scan); rows conserved and each shard lands in exactly one part."""
+    from pii_filter_ray.job import _partition_files, run_job
+    from pii_filter_ray.sources.synthetic_code import corpus_path as cpath
+
+    src = cpath(n_rows=9000, seed=42)  # 3 shards of 4096
+    assignment = _partition_files(src, 2)
+    assert assignment is not None
+    assert sum(len(v) for v in assignment.values()) == 3
+
+    out = str(tmp_path_factory.mktemp("filemap_out"))
+    s = run_job(src, out, partitions=2, concurrency=2)
+    assert s["done_parts"] == 2 and s["totals"]["rows"] == 9000
