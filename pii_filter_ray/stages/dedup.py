@@ -498,3 +498,87 @@ def dup_components(
         if old.equals(new):
             break
     return labels
+
+
+def dup_components_joined(
+    pairs: "ray.data.Dataset", max_iters: int = 10
+) -> "ray.data.Dataset":
+    """Connected components with NO driver-side broadcast — the fully
+    distributed variant for dup sets that outgrow driver memory
+    (NOTES backlog #1).
+
+    Per round, one tagged-union groupby implements the label-edge join:
+    the group for node n sees its current label row plus its adjacency
+    rows, and emits (neighbor, comp_n) messages + its own label; a second
+    groupby takes the min per node. Converges when the (monotonically
+    non-increasing) label sum stops changing.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    def adjacency(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_pylist()
+        b = batch["id_b"].to_pylist()
+        return pa.table(
+            {
+                "id": pa.array(a + b, pa.int64()),
+                "nbr": pa.array(b + a, pa.int64()),
+                "comp": pa.array([None] * (len(a) + len(b)), pa.int64()),
+            }
+        )
+
+    edges = pairs.select_columns(["id_a", "id_b"]).materialize()
+    if edges.count() == 0:
+        return ray.data.from_items([]).map_batches(
+            lambda b: pa.table({"id": pa.array([], pa.int64()),
+                                "component": pa.array([], pa.int64())}),
+            batch_format="pyarrow",
+        )
+    adj = edges.map_batches(adjacency, batch_format="pyarrow").materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_pylist()
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "component": pa.array(ids, pa.int64())})
+
+    labels = (
+        adj.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(Min("component", alias_name="component"))
+        .materialize()
+    )
+    prev_sum = None
+    for _ in range(max_iters):
+        tagged_labels = labels.map_batches(
+            lambda b: pa.table(
+                {
+                    "id": b["id"],
+                    "nbr": pa.array([None] * b.num_rows, pa.int64()),
+                    "comp": pc.cast(b["component"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def propagate(g: pd.DataFrame) -> pd.DataFrame:
+            comp_rows = g[g["comp"].notna()]
+            if len(comp_rows) == 0:
+                return pd.DataFrame({"id": pd.Series(dtype="int64"),
+                                     "component": pd.Series(dtype="int64")})
+            comp = int(comp_rows["comp"].min())
+            nbrs = g[g["nbr"].notna()]["nbr"].astype("int64").tolist()
+            ids = nbrs + [int(g["id"].iloc[0])]
+            return pd.DataFrame({"id": ids, "component": [comp] * len(ids)})
+
+        labels = (
+            tagged_labels.union(adj)
+            .groupby("id")
+            .map_groups(propagate, batch_format="pandas")
+            .groupby("id")
+            .aggregate(Min("component", alias_name="component"))
+            .materialize()
+        )
+        cur_sum = labels.aggregate(Sum("component", alias_name="s"))["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels

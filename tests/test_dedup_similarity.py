@@ -184,3 +184,28 @@ def test_dup_components_empty(ray_session):
     from pii_filter_ray.stages.dedup import dup_components
 
     assert dup_components(pairs).count() == 0
+
+
+def test_dup_components_joined_equivalent(dup_ds, ray_session):
+    """The broadcast-free variant produces identical components."""
+    import ray.data
+
+    from pii_filter_ray.stages.dedup import (
+        dup_components,
+        dup_components_joined,
+        minhash_lsh_pairs,
+        verify_jaccard_pairs,
+    )
+
+    cands = minhash_lsh_pairs(dup_ds, "text", "doc_id")
+    pairs = verify_jaccard_pairs(dup_ds, cands, "text", "doc_id", threshold=0.5).materialize()
+    a = dup_components(pairs).to_pandas().sort_values("id").reset_index(drop=True)
+    b = dup_components_joined(pairs).to_pandas().sort_values("id").reset_index(drop=True)
+    assert a.equals(b)
+
+    # chain case
+    chain = ray.data.from_arrow(
+        pa.table({"id_a": pa.array([1, 2], pa.int64()), "id_b": pa.array([2, 3], pa.int64())})
+    )
+    comp = dup_components_joined(chain).to_pandas().set_index("id")["component"].to_dict()
+    assert comp == {1: 1, 2: 1, 3: 1}
