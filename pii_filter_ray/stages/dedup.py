@@ -182,6 +182,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     max_bucket: int = 64,
     seed: int = 7,
+    spill_dir: Optional[str] = None,
 ) -> "ray.data.Dataset":
     """Candidate near-dup pairs (id_a < id_b) from LSH band buckets.
 
@@ -214,7 +215,14 @@ def minhash_lsh_pairs(
             seed=seed,
         ),
         batch_format="pyarrow",
-    ).materialize()
+    )
+    if spill_dir is not None:
+        # corpus-scale path: persist the band table to parquet instead of
+        # pinning it in the object store (it is consumed twice below)
+        band_rows.write_parquet(spill_dir)
+        band_rows = ray.data.read_parquet(spill_dir)
+    else:
+        band_rows = band_rows.materialize()
 
     # colliding keys (count>=2) via aggregate — no per-bucket python calls
     def key_partials(batch: pa.Table) -> pa.Table:

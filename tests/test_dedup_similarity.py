@@ -209,3 +209,14 @@ def test_dup_components_joined_equivalent(dup_ds, ray_session):
     )
     comp = dup_components_joined(chain).to_pandas().set_index("id")["component"].to_dict()
     assert comp == {1: 1, 2: 1, 3: 1}
+
+
+def test_minhash_spill_dir_equivalent(dup_ds, tmp_path):
+    from pii_filter_ray.stages.dedup import minhash_lsh_pairs
+
+    a = minhash_lsh_pairs(dup_ds, "text", "doc_id").to_pandas()
+    b = minhash_lsh_pairs(
+        dup_ds, "text", "doc_id", spill_dir=str(tmp_path / "bands")
+    ).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["id_a", "id_b"]].values.tolist()))
+    assert key(a) == key(b)
