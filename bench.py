@@ -186,8 +186,32 @@ def run_scaling() -> dict:
     }
 
 
+def run_stats() -> str:
+    """ds.stats() snapshot of the flagship (NOTES #4: per-stage regression
+    tracking). Prints the per-operator wall/cpu/rows breakdown."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    from pii_filter_ray.pipelines.quality_pipeline import quality_scrub
+    from pii_filter_ray.sources.synthetic_code import corpus_path
+
+    cp = corpus_path(n_rows=CODE_ROWS, seed=42)
+    m = quality_scrub(
+        ray.data.read_parquet(cp), mode="code", emit_mappings=False
+    ).materialize()
+    stats = m.stats()
+    ray.shutdown()
+    return stats
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stats" in sys.argv:
+        print(run_stats())
     else:
         print(json.dumps(run_bench()))
