@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_components": r.doc_dup_components,
         "events_sessions": r.events_sessions,
         "doc_top_words": r.doc_top_words,
+        "customers_without_orders": r.customers_without_orders,
     }
 
 
@@ -290,6 +291,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY word
             ORDER BY n DESC, word
             LIMIT 20
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
         """,
         "events_sessions": """
             SELECT event_id,

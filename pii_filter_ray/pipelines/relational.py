@@ -649,3 +649,21 @@ def doc_top_words(sf_dir: str, k: int = 20):
         .to_pandas()
     )
     return df.astype({"n": "int64"})
+
+
+def customers_without_orders(sf_dir: str):
+    """Anti-join via broadcast key set (semi/anti pattern: broadcast the
+    small side's keys, filter inside map_batches — no shuffle)."""
+    orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
+    key_ref = ray.put(set(orders["o_custkey"].to_pylist()))
+
+    def anti(batch: pa.Table) -> pa.Table:
+        keys = ray.get(key_ref)
+        mask = [k not in keys for k in batch["c_custkey"].to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    ds = _tbl(sf_dir, "customer", columns=["c_custkey"])
+    df = ds.map_batches(anti, batch_format="pyarrow").to_pandas()
+    if "c_custkey" not in df.columns:  # empty result loses its schema
+        df = pd.DataFrame({"c_custkey": pd.Series(dtype="int64")})
+    return df.astype({"c_custkey": "int64"})

@@ -1,0 +1,61 @@
+"""Distributed-correctness properties: block-layout invariance and
+fail-closed error semantics."""
+
+import pyarrow as pa
+import pytest
+
+
+def test_result_invariant_to_block_layout(ray_session, small_corpus):
+    """The pipeline's output must not depend on how rows are blocked —
+    the core guarantee that lets the streaming executor re-split freely."""
+    import ray.data
+
+    from pii_filter_ray.pipelines.quality_pipeline import quality_scrub
+
+    corpus, _ = small_corpus
+    corpus = corpus.slice(0, 200)
+
+    def run(num_blocks):
+        ds = ray.data.from_arrow(corpus)
+        if num_blocks > 1:
+            ds = ds.repartition(num_blocks)
+        return (
+            quality_scrub(ds, emit_mappings=False)
+            .to_pandas()
+            .sort_values(["repo", "path", "commit"])
+            .reset_index(drop=True)
+        )
+
+    a, b, c = run(1), run(7), run(32)
+    for col in ("keep", "drop_reason", "content_masked", "content_sha256",
+                "lang_detected", "pii_count"):
+        assert (a[col].fillna("~") == b[col].fillna("~")).all(), col
+        assert (a[col].fillna("~") == c[col].fillna("~")).all(), col
+
+
+def test_fail_closed_semantics(ray_session):
+    """A stage error PROPAGATES (fails the job) instead of passing text
+    through unmasked — the deliberate inversion of the reference's
+    fail-open degradation (SURVEY §4, regex_service.py:72-74)."""
+    import ray.data
+
+    def poisoned_stage(batch: pa.Table) -> pa.Table:
+        if "poison" in batch["content"].to_pylist()[0]:
+            raise ValueError("scrub failure must not be swallowed")
+        return batch
+
+    ds = ray.data.from_arrow(pa.table({"content": ["poison pill"]}))
+    with pytest.raises(Exception):
+        ds.map_batches(poisoned_stage, batch_format="pyarrow").take_all()
+
+
+def test_non_string_content_fails_loudly(ray_session):
+    """Schema violations surface as errors, not silent passthrough."""
+    import ray.data
+
+    from pii_filter_ray.pipelines.quality_pipeline import quality_scrub
+
+    ds = ray.data.from_arrow(pa.table({"content": [1, 2], "lang": ["python", "go"]}))
+    # int content: sha256/encode raises inside the stage -> job fails
+    with pytest.raises(Exception):
+        quality_scrub(ds, emit_mappings=False).take_all()
