@@ -9,8 +9,13 @@ module is imported — nothing here calls ray.init()/ray.shutdown().
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# the package lives beside this file; make imports robust to the caller's cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -82,6 +87,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": r.events_sessions,
         "doc_top_words": r.doc_top_words,
         "customers_without_orders": r.customers_without_orders,
+        # north-star pipeline over the synthetic code corpus (self-input)
+        "code_corpus_flagship": r.code_corpus_flagship,
+        "code_corpus_repo_stats": r.code_corpus_repo_stats,
     }
 
 

@@ -667,3 +667,27 @@ def customers_without_orders(sf_dir: str):
     if "c_custkey" not in df.columns:  # empty result loses its schema
         df = pd.DataFrame({"c_custkey": pd.Series(dtype="int64")})
     return df.astype({"c_custkey": "int64"})
+
+
+def code_corpus_flagship(sf_dir: str):
+    """The north-star pipeline over the synthetic (repo,path,commit,lang,
+    content) corpus (sf_dir is unused — the corpus is self-generated and
+    cached; deterministic seed 42). Returns per-file keep/drop + pii counts."""
+    from ..pipelines.quality_pipeline import quality_scrub
+    from ..sources.synthetic_code import corpus_path
+
+    ds = ray.data.read_parquet(corpus_path(n_rows=2000, seed=42))
+    out = quality_scrub(ds, mode="code", emit_mappings=False)
+    return out.select_columns(
+        ["repo", "path", "keep", "drop_reason", "pii_count", "content_sha256"]
+    )
+
+
+def code_corpus_repo_stats(sf_dir: str):
+    """Per-repo lineage stats (two-level skew-safe aggregate) over the
+    synthetic code corpus; demonstrates the salted groupby-repo path."""
+    from ..pipelines.quality_pipeline import per_repo_stats, quality_scrub
+    from ..sources.synthetic_code import corpus_path
+
+    ds = ray.data.read_parquet(corpus_path(n_rows=2000, seed=42))
+    return per_repo_stats(quality_scrub(ds, mode="code", emit_mappings=False))
