@@ -59,3 +59,52 @@ def test_non_string_content_fails_loudly(ray_session):
     # int content: sha256/encode raises inside the stage -> job fails
     with pytest.raises(Exception):
         quality_scrub(ds, emit_mappings=False).take_all()
+
+
+def test_large_file_through_pipeline(ray_session):
+    """MB-scale content rows flow with small batch_size (memory-aware path)."""
+    import ray.data
+
+    from pii_filter_ray.pipelines.quality_pipeline import quality_scrub
+
+    big = ("def f(x):\n    # long body\n    return x\n" * 40000)  # ~1.5 MB
+    big += "\n# contact a.b@corp.com\n"
+    t = pa.table({"content": [big, "small = 1\n" * 20], "lang": ["python", "python"]})
+    df = quality_scrub(
+        ray.data.from_arrow(t), emit_mappings=False, batch_size=1
+    ).to_pandas()
+    assert len(df) == 2
+    row = df[df["content"].str.len() > 10000].iloc[0]
+    # repetitive megafile is dropped by the repetition rule — as intended
+    assert not row["keep"] and row["drop_reason"] == "repetition"
+
+
+def test_unicode_through_ray_roundtrip(ray_session):
+    """Non-ASCII content survives Arrow <-> pipeline intact and masks only
+    the PII."""
+    import ray.data
+
+    from pii_filter_ray.pipelines.quality_pipeline import quality_scrub
+
+    # mostly-Latin text with a sprinkle of CJK/emoji: enough to prove the
+    # byte-path, not enough to (legitimately) trip the perplexity drop
+    texts = [
+        "usuário José enviou o relatório com o CPF 123.456.789-00 em anexo "
+        "para a reunião de segunda pela manhã 中文 🎉",
+        "naïve café text, no pii at all ümlauts",
+    ]
+    t = pa.table({"content": texts, "lang": ["pt", "en"]})
+    df = quality_scrub(ray.data.from_arrow(t), mode="text", emit_mappings=True).to_pandas()
+    assert df["keep"].all(), df[["drop_reason", "lang_detected"]].to_dict("records")
+    assert "[CPF_1]" in df["content_masked"].iloc[0]
+    assert "中文" in df["content_masked"].iloc[0]
+    assert df["content_masked"].iloc[1] == texts[1]
+    # restore through the stage
+    from pii_filter_ray.stages.restore_stage import restore_batch
+
+    out = (
+        quality_scrub(ray.data.from_arrow(t), mode="text", emit_mappings=True)
+        .map_batches(restore_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert list(out["content_restored"]) == texts

@@ -93,3 +93,69 @@ def test_restore_parity(ref_service):
         ref_masked, ref_maps = ref_service.filter_by_regex(text)
         theirs = ref_service.restore_pii_from_mappings(ref_masked, ref_maps)
         assert ours == theirs == text
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+PII_SEEDS = [
+    "123.456.789-00", "12345678900", "a.b@corp.com", "(11) 99876-5432",
+    "+55 11 4004-1000", "01310-100", "12.345.678-9", "111.111.111-11",
+]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.sampled_from(PII_SEEDS),
+            st.text(alphabet="0123456789.-() @abce+5\n", max_size=25),
+            st.text(max_size=15),
+        ),
+        max_size=6,
+    )
+)
+def test_hypothesis_parity(parts):
+    """Property: for ANY input, our regex layer equals the reference's."""
+    ref = RegexService()
+    text = " ".join(parts)
+    ref_masked, ref_maps = ref.filter_by_regex(text)
+    our_masked, our_maps = filter_by_regex(text, extended=False)
+    assert our_masked == ref_masked
+    assert [(m.placeholder, m.original_value, tuple(m.span)) for m in our_maps] == [
+        (m.placeholder, m.original_value, tuple(m.span)) for m in ref_maps
+    ]
+
+
+def test_layered_restore_all_parity(ref_service):
+    """R4 order (LLM -> NER -> regex) against the reference's
+    RestorationService on a sequentially-masked document."""
+    from pii_filter_ray.core import rule_ner
+    from pii_filter_ray.core.restore import RestorationData, restore_all
+
+    text = "CPF 123.456.789-00 de Maria da Silva, médico em Acme Ltda"
+    # sequential reference-style flow: regex first, then NER on masked text
+    masked1, regex_maps = filter_by_regex(text, extended=False)
+    masked2, ner_maps = rule_ner.filter_by_ner(
+        masked1, existing_placeholders=[m.placeholder for m in regex_maps]
+    )
+    ours = restore_all(masked2, RestorationData(regex_mappings=regex_maps, ner_mappings=ner_maps))
+    assert ours == text
+
+    # reference restoration over the same layered mappings
+    ref_rest = RestorationService()
+    data = ref_rest.create_restoration_data(
+        regex_mappings=[_as_ref_mapping(m) for m in regex_maps],
+        ner_mappings=[_as_ref_mapping(m) for m in ner_maps],
+    )
+    theirs = ref_rest.restore_all(masked2, data)
+    assert theirs == ours == text
+
+
+def _as_ref_mapping(m):
+    from src.models.models import PIIMapping as RefMapping
+
+    return RefMapping(
+        placeholder=m.placeholder, original_value=m.original_value,
+        type=m.type, span=tuple(m.span),
+    )
