@@ -1,0 +1,122 @@
+"""The mask-fixture table (FIXTURES.md §2, literal schema).
+
+Hand-authored (input, expected_masked, expected_pii) cases pinning the
+reference behaviors — the same cases as tests/test_mask_fixtures.py, packaged
+as the parquet-ready Arrow table FIXTURES.md specifies so external harnesses
+can consume them without importing pytest.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import pyarrow as pa
+
+# (case_id, text, expected_masked) — expectations AUTHORED, not derived.
+CASES: List[Tuple[str, str, str]] = [
+    ("cpf_punct", "CPF 123.456.789-00 ok", "CPF [CPF_1] ok"),
+    ("cpf_bare", "id 12345678900 fim", "id [CPF_1] fim"),
+    ("cpf_all_equal", "CPF 111.111.111-11 ok", "CPF 111.111.111-11 ok"),
+    ("rg", "RG 12.345.678-9 e 20.123.456-X", "RG [RG_1] e [RG_2]"),
+    ("email_ok", "mande a.b@corp.com agora", "mande [EMAIL_1] agora"),
+    ("email_dotdot", "x a..b@corp.com y", "x a..b@corp.com y"),
+    ("phone_paren", "ligue (11) 99876-5432 ja", "ligue [TELEFONE_1] ja"),
+    ("phone_cc", "tel +55 11 4004-1000 fim", "tel [TELEFONE_1] fim"),
+    ("cep", "cep 01310-100 ou 01310100", "cep [CEP_1] ou [CEP_2]"),
+    ("numbering", "a 123.456.789-00 b x@y.com c 987.654.321-00",
+     "a [CPF_1] b [EMAIL_1] c [CPF_2]"),
+    ("multi_occurrence", "cpf 123.456.789-00 e 123.456.789-00",
+     "cpf [CPF_1] e [CPF_2]"),
+    ("overlap_priority", "veja 12345678900 fim", "veja [CPF_1] fim"),
+    ("ipv4", "host 192.168.0.55 up", "host [IP_ADDRESS_1] up"),
+    ("ipv4_bad_octet", "v 999.999.999.999 x", "v 999.999.999.999 x"),
+    ("card_luhn", "pay 4111 1111 1111 1111 now", "pay [CREDIT_CARD_1] now"),
+    ("ssn", "ssn 078-05-1120 end", "ssn [SSN_1] end"),
+    ("ssn_area_666", "ssn 666-05-1120 end", "ssn 666-05-1120 end"),
+    ("cargo_ruler", "vaga de Engenheiro de Software Sênior aqui",
+     "vaga de [CARGO_1] aqui"),
+    ("nome", "assinado por Maria da Silva hoje", "assinado por [NOME_COMPLETO_1] hoje"),
+    ("nome_suffix", "doc de John Filho II aqui", "doc de [NOME_COMPLETO_1] aqui"),
+    ("org", "trabalha na Acme Ltda agora", "trabalha na [ORGANIZACAO_1] agora"),
+    ("local", "mora na Rua das Flores, 123", "mora na [LOCAL_1], 123"),
+    ("ner_fp_rh", "o RH decide amanha", "o RH decide amanha"),
+    ("ner_fp_caps", "sigla ABCDE presente", "sigla ABCDE presente"),
+    ("precedence", "Maria da Silva <maria.silva@corp.com> escreveu",
+     "[NOME_COMPLETO_1] <[EMAIL_1]> escreveu"),
+    ("empty", "", ""),
+    ("no_match", "nada aqui", "nada aqui"),
+]
+
+SCHEMA = pa.schema(
+    [
+        ("case_id", pa.string()),
+        ("text", pa.string()),
+        ("expected_masked", pa.string()),
+        (
+            "expected_pii",
+            pa.list_(
+                pa.struct(
+                    [
+                        ("pii_type", pa.string()),
+                        ("value", pa.string()),
+                        ("span_start", pa.int32()),
+                        ("span_end", pa.int32()),
+                        ("placeholder", pa.string()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def fixture_table() -> pa.Table:
+    """The FIXTURES.md §2 table. expected_pii is reconstructed from the
+    authored masked string: every [TYPE_n] placeholder aligned back to its
+    source span in the raw text (pure string alignment, no scrubber)."""
+    import re
+
+    ph_re = re.compile(r"\[([A-Z_]+)_(\d+)\]")
+    rows = {"case_id": [], "text": [], "expected_masked": [], "expected_pii": []}
+    for case_id, text, masked in CASES:
+        pii = []
+        ti = 0  # cursor in text
+        mi = 0  # cursor in masked
+        while mi < len(masked):
+            m = ph_re.match(masked, mi)
+            if m:
+                # find where the surrounding literal resumes in the raw text
+                rest = masked[m.end() :]
+                nxt = ph_re.search(rest)
+                literal = rest[: nxt.start()] if nxt else rest
+                if literal:
+                    end = text.index(literal, ti)
+                else:
+                    end = len(text)
+                pii.append(
+                    {
+                        "pii_type": m.group(1),
+                        "value": text[ti:end],
+                        "span_start": ti,
+                        "span_end": end,
+                        "placeholder": m.group(0),
+                    }
+                )
+                ti = end
+                mi = m.end()
+            else:
+                assert masked[mi] == text[ti], (case_id, mi, ti)
+                mi += 1
+                ti += 1
+        rows["case_id"].append(case_id)
+        rows["text"].append(text)
+        rows["expected_masked"].append(masked)
+        rows["expected_pii"].append(pii)
+    return pa.table(
+        {
+            "case_id": pa.array(rows["case_id"], pa.string()),
+            "text": pa.array(rows["text"], pa.string()),
+            "expected_masked": pa.array(rows["expected_masked"], pa.string()),
+            "expected_pii": pa.array(rows["expected_pii"], SCHEMA.field("expected_pii").type),
+        }
+    )

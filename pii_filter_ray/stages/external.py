@@ -1,0 +1,79 @@
+"""External-service scoring stage — the reference's connector pattern
+(S4 Gemini / S5 Ollama: stateful client, init-once, timeout, retries)
+rebuilt as an actor-pool stage with FAIL-CLOSED semantics.
+
+The reference degrades open on connector errors (returns text unfiltered,
+local_llm_service.py:122-124; apology string, gemini_service.py:62-70).
+Here, exhausted retries raise — a failed scorer must fail the task (Ray
+retries it) rather than silently emitting unscored rows.
+
+No network exists in this sandbox, so the client is pluggable: pass any
+callable (text -> float); the deterministic default hashes the text. The
+mechanics under test are the actor lifecycle, bounded retries with
+deterministic backoff bookkeeping, per-call timeout, and fail-closed
+propagation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+from typing import Callable, Optional
+
+import pyarrow as pa
+
+
+def _default_client(text: str) -> float:
+    """Deterministic stand-in for a remote scoring call."""
+    h = hashlib.blake2b(text.encode("utf-8", "replace"), digest_size=8).digest()
+    return int.from_bytes(h, "little") % 10_000 / 10_000.0
+
+
+class ExternalScorerStage:
+    """Actor-pool stage wrapping a (possibly flaky) external scoring client.
+
+    Args:
+        client: text -> score callable (the "connection" built once per
+            actor, like the reference's per-service client).
+        max_retries: attempts per row before failing closed.
+        timeout_s: per-call budget; a call exceeding it counts as a failure
+            (the reference's 90 s Ollama timeout analogue).
+    """
+
+    def __init__(
+        self,
+        content_col: str = "content",
+        client: Optional[Callable[[str], float]] = None,
+        max_retries: int = 3,
+        timeout_s: float = 30.0,
+    ):
+        self.content_col = content_col
+        self.client = client or _default_client
+        self.max_retries = max_retries
+        self.timeout_s = timeout_s
+        self.calls = 0
+        self.retries = 0
+
+    def _score_one(self, text: str) -> float:
+        last_err: Optional[Exception] = None
+        for attempt in range(self.max_retries):
+            self.calls += 1
+            start = time.monotonic()
+            try:
+                score = self.client(text)
+            except Exception as err:  # flaky connector
+                last_err = err
+                self.retries += 1
+                continue
+            if time.monotonic() - start > self.timeout_s:
+                last_err = TimeoutError(f"external call exceeded {self.timeout_s}s")
+                self.retries += 1
+                continue
+            return float(score)
+        raise RuntimeError(
+            f"external scorer failed after {self.max_retries} attempts"
+        ) from last_err
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        scores = [self._score_one(v or "") for v in batch[self.content_col].to_pylist()]
+        return batch.append_column("external_score", pa.array(scores, pa.float64()))
