@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # north-star pipeline over the synthetic code corpus (self-input)
         "code_corpus_flagship": r.code_corpus_flagship,
         "code_corpus_repo_stats": r.code_corpus_repo_stats,
+        "events_streaming_windows": r.events_streaming_windows,
     }
 
 
@@ -303,6 +304,13 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": """
             SELECT c_custkey FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "events_streaming_windows": """
+            SELECT user_id AS key,
+                   CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS window_start,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 2) AS total
+            FROM events GROUP BY 1, 2
         """,
         "events_sessions": """
             SELECT event_id,

@@ -90,10 +90,13 @@ def run_job(
 
     from .pipelines.quality_pipeline import quality_scrub
 
+    from .core.patterns import RULES_VERSION
+
     file_parts = _partition_files(input_path, partitions)
     manifest = JobManifest(output_dir)
     manifest.write_job_config(
-        {"input": os.path.abspath(input_path), "partitions": partitions, "mode": mode}
+        {"input": os.path.abspath(input_path), "partitions": partitions,
+         "mode": mode, "rules_version": RULES_VERSION}
     )
     if not resume:
         for p in manifest.done_parts():

@@ -691,3 +691,18 @@ def code_corpus_repo_stats(sf_dir: str):
 
     ds = ray.data.read_parquet(corpus_path(n_rows=2000, seed=42))
     return per_repo_stats(quality_scrub(ds, mode="code", emit_mappings=False))
+
+
+def events_streaming_windows(sf_dir: str):
+    """STATEFUL streaming path: actor-held per-key tumbling daily windows
+    (stages/streaming_window.py) — same result as the batch groupby, proven
+    here by the SQL oracle."""
+    from ..stages.streaming_window import streaming_tumbling_counts
+
+    ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "value"])
+    df = streaming_tumbling_counts(
+        ds, key_col="user_id", ts_col="ts", value_col="value",
+        window_seconds=86400, n_buckets=4,
+    )
+    df["total"] = df["total"].round(2)
+    return df.astype({"key": "int64", "window_start": "int64", "n": "int64"})

@@ -96,7 +96,8 @@ def streaming_tumbling_counts(
         ds.sort([ts_col, key_col])
         .iter_batches(batch_size=4096, batch_format="pandas")
     ):
-        ts_epoch = batch[ts_col].astype("int64") / 1e9
+        # normalize to ns first: pandas datetime64 unit varies (us/ns)
+        ts_epoch = batch[ts_col].astype("datetime64[ns]").astype("int64") / 1e9
         bucket = batch[key_col].astype("int64") % n_buckets
         for b in range(n_buckets):
             mask = bucket == b

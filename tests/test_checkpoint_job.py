@@ -170,3 +170,21 @@ def test_file_mapped_partitions(ray_session, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("filemap_out"))
     s = run_job(src, out, partitions=2, concurrency=2)
     assert s["done_parts"] == 2 and s["totals"]["rows"] == 9000
+
+
+def test_rules_version_guard(ray_session, corpus_path, tmp_path_factory):
+    """Resuming under a different rules version is rejected."""
+    import json
+
+    from pii_filter_ray.job import run_job
+
+    out = str(tmp_path_factory.mktemp("rules_guard"))
+    run_job(corpus_path, out, partitions=2, limit_parts=1, concurrency=2)
+    cfg = os.path.join(out, "_manifest", "job.json")
+    with open(cfg) as f:
+        data = json.load(f)
+    data["rules_version"] = "older-rules"
+    with open(cfg, "w") as f:
+        json.dump(data, f)
+    with pytest.raises(ValueError, match="rules_version"):
+        run_job(corpus_path, out, partitions=2, concurrency=2)

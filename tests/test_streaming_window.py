@@ -20,7 +20,9 @@ def test_streaming_tumbling_matches_batch(ray_session):
 
     # batch ground truth: plain pandas daily tumbling windows
     pdf = ds.to_pandas()
-    pdf["window_start"] = (pdf["ts"].astype("int64") // 10**9 // 86400) * 86400
+    pdf["window_start"] = (
+        pdf["ts"].astype("datetime64[ns]").astype("int64") // 10**9 // 86400
+    ) * 86400
     gt = (
         pdf.groupby(["user_id", "window_start"])
         .agg(n=("value", "size"), total=("value", "sum"))
