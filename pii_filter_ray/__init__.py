@@ -17,3 +17,22 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+# Public API (lazy imports so `import pii_filter_ray.core.*` stays Ray-free)
+
+
+def __getattr__(name):
+    if name in ("quality_scrub", "run_pipeline", "per_repo_stats", "global_metrics"):
+        from .pipelines import quality_pipeline as _qp
+
+        return getattr(_qp, name)
+    if name == "run_job":
+        from .job import run_job as _rj
+
+        return _rj
+    if name == "scrub_text":
+        from .core.scrub import scrub_text as _st
+
+        return _st
+    raise AttributeError(name)

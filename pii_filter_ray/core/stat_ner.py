@@ -43,6 +43,18 @@ _NOISE = [
     "sistema", "processo", "arquivo", "tabela", "registro", "valor",
     "cliente", "pedido", "nota", "projeto", "versão", "ambiente",
 ]
+_ORG_CORE = [
+    "acme", "globex", "initech", "umbrella", "vertex", "nimbus", "aurora",
+    "quantum", "atlas", "horizonte",
+]
+_ORG_SUFFIX = ["Ltda", "S.A.", "Corp", "Inc", "Tecnologia", "Sistemas"]
+_ORG_INTRO = ["na empresa", "fornecedor", "contratada", "parceria com", "pela"]
+_LOC_KIND = ["Rua", "Avenida", "Travessa", "Alameda"]
+_LOC_NAME = [
+    "flores", "paulista", "aurora", "central", "comércio", "estação",
+    "liberdade", "palmeiras",
+]
+_LOC_INTRO = ["entrega na", "endereço:", "sede na", "filial da", "situada na"]
 
 
 def _shape(w: str) -> str:
@@ -75,7 +87,7 @@ def _features(tokens: Sequence[str], i: int) -> List[str]:
     ]
 
 
-_TAGS = ("O", "B-PER", "I-PER")
+_TAGS = ("O", "B-PER", "I-PER", "B-ORG", "I-ORG", "B-LOC", "I-LOC")
 
 
 class PerceptronNER:
@@ -103,8 +115,8 @@ class PerceptronNER:
             out.append(max(_TAGS, key=lambda t: (scores[t], t)))
         return out
 
-    def entities(self, text: str) -> List[Tuple[int, int, str]]:
-        """(start, end, value) char spans of PER entities."""
+    def entities(self, text: str) -> List[Tuple[int, int, str, str]]:
+        """(start, end, value, label) char spans of PER/ORG/LOC entities."""
         tokens, starts = [], []
         pos = 0
         for tok in text.split():
@@ -116,13 +128,14 @@ class PerceptronNER:
         spans = []
         i = 0
         while i < len(tokens):
-            if tags[i] == "B-PER":
+            if tags[i].startswith("B-"):
+                label = tags[i][2:]
                 j = i + 1
-                while j < len(tokens) and tags[j] == "I-PER":
+                while j < len(tokens) and tags[j] == f"I-{label}":
                     j += 1
                 start = starts[i]
                 end = starts[j - 1] + len(tokens[j - 1])
-                spans.append((start, end, text[start:end]))
+                spans.append((start, end, text[start:end], label))
                 i = j
             else:
                 i += 1
@@ -168,21 +181,38 @@ class PerceptronNER:
 
 
 def synth_examples(n: int, seed: int) -> List[Tuple[List[str], List[str]]]:
+    """Mixed PER / ORG / LOC / entity-free training sentences."""
     rng = random.Random(seed)
     out = []
     for _ in range(n):
-        before = rng.choice(_CONTEXT_BEFORE).split()
+        kind = rng.randrange(4)
         after = rng.choice(_CONTEXT_AFTER).split()
         noise = [rng.choice(_NOISE) for _ in range(rng.randint(0, 3))]
-        name = [rng.choice(_FIRST).title()] + (
-            ["da"] if rng.random() < 0.2 else []
-        ) + [rng.choice(_LAST).title()]
-        if rng.random() < 0.3:
-            name.append(rng.choice(_LAST).title())
-        tokens = before + name + after + noise
+        if kind == 0:  # person
+            before = rng.choice(_CONTEXT_BEFORE).split()
+            ent = [rng.choice(_FIRST).title()] + (
+                ["da"] if rng.random() < 0.2 else []
+            ) + [rng.choice(_LAST).title()]
+            if rng.random() < 0.3:
+                ent.append(rng.choice(_LAST).title())
+            label = "PER"
+        elif kind == 1:  # organization
+            before = rng.choice(_ORG_INTRO).split()
+            ent = [rng.choice(_ORG_CORE).title(), rng.choice(_ORG_SUFFIX)]
+            label = "ORG"
+        elif kind == 2:  # location
+            before = rng.choice(_LOC_INTRO).split()
+            ent = [rng.choice(_LOC_KIND), rng.choice(_LOC_NAME).title()]
+            label = "LOC"
+        else:  # entity-free sentence
+            before = rng.choice(_CONTEXT_BEFORE).split()
+            tokens = before + after + noise
+            out.append((tokens, ["O"] * len(tokens)))
+            continue
+        tokens = before + ent + after + noise
         tags = (
             ["O"] * len(before)
-            + ["B-PER"] + ["I-PER"] * (len(name) - 1)
+            + [f"B-{label}"] + [f"I-{label}"] * (len(ent) - 1)
             + ["O"] * (len(after) + len(noise))
         )
         out.append((tokens, tags))

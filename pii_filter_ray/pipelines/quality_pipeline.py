@@ -159,3 +159,11 @@ def run_pipeline(
     if output_path:
         out.write_parquet(output_path)
     return out
+
+
+def configure_context_for_large_files(max_block_mb: int = 32) -> None:
+    """Tune the Ray Data context for MB-scale content rows: smaller blocks
+    so batch x concurrency stays inside worker heaps (SCALE.md). Call once
+    before building pipelines over large-file corpora."""
+    ctx = ray.data.DataContext.get_current()
+    ctx.target_max_block_size = max_block_mb * 1024 * 1024

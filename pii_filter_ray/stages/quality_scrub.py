@@ -275,13 +275,16 @@ class StatNerStage:
         self.content_col = content_col
         self.model = default_model()
 
+    _LABEL_MAP = {"PER": "NOME_COMPLETO", "ORG": "ORGANIZACAO", "LOC": "LOCAL"}
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ents_col = []
         for v in batch[self.content_col].to_pylist():
             ents_col.append(
                 [
-                    {"span_start": s, "span_end": e, "value": val, "type": "NOME_COMPLETO"}
-                    for s, e, val in self.model.entities(v or "")
+                    {"span_start": s, "span_end": e, "value": val,
+                     "type": self._LABEL_MAP.get(label, label)}
+                    for s, e, val, label in self.model.entities(v or "")
                 ]
             )
         ent_type = pa.list_(

@@ -168,3 +168,16 @@ def test_stat_ner_stage(ray_session):
     ents0 = list(df["stat_entities"].iloc[0])
     assert any(e["value"] == "Maria da Silva" for e in ents0)
     assert len(df["stat_entities"].iloc[1]) == 0
+
+
+def test_stat_ner_multiclass():
+    from pii_filter_ray.core.stat_ner import default_model
+
+    m = default_model()
+    ents = m.entities(
+        "assinado por Maria da Silva na empresa Acme Ltda sede na Rua Aurora"
+    )
+    labels = {(v, l) for _, _, v, l in ents}
+    assert ("Maria da Silva", "PER") in labels
+    assert ("Acme Ltda", "ORG") in labels
+    assert ("Rua Aurora", "LOC") in labels
