@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from . import DEFAULT_POOL, cached_stage_fn
+from . import cached_stage_fn
 
 # --- shared hashing ----------------------------------------------------------
 
@@ -130,7 +130,7 @@ class MinHashStage:
         self.text_col, self.id_col = text_col, id_col
         self.num_perm, self.bands = num_perm, bands
         self.rows_per_band = num_perm // bands
-        self.shingle_k = seed_k = shingle_k
+        self.shingle_k = shingle_k
         self.a, self.b = _minhash_params(num_perm, seed)
         self._shingle_cache: dict = {}
 
