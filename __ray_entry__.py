@@ -124,7 +124,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_sql_keep": """
             WITH f AS (
               SELECT doc_id,
-                     trim(text) = '' AS is_empty,
+                     trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) = '' AS is_empty,
                      list_max(list_transform(string_split(text, chr(10)),
                                              x -> length(x))) AS mll,
                      list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks,

@@ -126,7 +126,7 @@ def detect_natural_lang(text: str, max_chars: int = 4096) -> Tuple[str, float]:
 # Claimed-label compatibility: markdown/text files legitimately carry prose.
 _LANG_COMPATIBLE = {
     ("markdown", "text"), ("text", "markdown"),
-    ("javascript", "java"),  # weak-featured short files
+    ("javascript", "java"), ("java", "javascript"),  # weak-featured short files
 }
 
 

@@ -60,18 +60,27 @@ def scrub_text(
     # judged against the FIRST member's end, regex_service.py:89-102), so
     # chained overlaps can yield overlapping selections — which corrupt any
     # splice (the reference itself mangles such inputs; SURVEY §7.3). The
-    # engine guards with a final leftmost-wins pass so masked output is
-    # always well-formed and the restore round-trip always holds; the
-    # parity-path filter_by_regex keeps the reference behavior verbatim.
+    # engine MERGES overlapping selections into one span labeled with the
+    # higher-priority type: no selected PII text can survive unmasked (a
+    # drop-the-loser guard would leak the overhanging characters), masked
+    # output is always well-formed, and the restore round-trip always holds.
+    # The parity-path filter_by_regex keeps the reference behavior verbatim.
+    from .patterns import DEFAULT_PRIORITY, TYPE_PRIORITY
+
     spans = []
-    last_end = -1
     for m in sorted(regex_sel, key=lambda m: m["start"]):
-        if m["start"] < last_end:
+        if spans and m["start"] < spans[-1]["end"]:
+            cur = spans[-1]
+            cur["end"] = max(cur["end"], m["end"])
+            if TYPE_PRIORITY.get(m["type"], DEFAULT_PRIORITY) < TYPE_PRIORITY.get(
+                cur["type"], DEFAULT_PRIORITY
+            ):
+                cur["type"] = m["type"]
+            cur["value"] = text[cur["start"] : cur["end"]]
             continue
         spans.append(
             {"start": m["start"], "end": m["end"], "type": m["type"], "value": m["value"]}
         )
-        last_end = m["end"]
 
     # Layer 2: rule NER, lower precedence — drop on overlap with layer 1.
     if enable_ner:

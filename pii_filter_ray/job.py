@@ -94,13 +94,18 @@ def run_job(
 
     file_parts = _partition_files(input_path, partitions)
     manifest = JobManifest(output_dir)
+    if not resume:
+        # a fresh recompute: clear the fingerprint, part manifests, and any
+        # stale partition outputs so a changed config can't mix with them
+        shutil.rmtree(manifest.manifest_dir, ignore_errors=True)
+        os.makedirs(manifest.manifest_dir, exist_ok=True)
+        for name in os.listdir(output_dir):
+            if name.startswith("part=") or name.startswith(".tmp-part="):
+                shutil.rmtree(os.path.join(output_dir, name), ignore_errors=True)
     manifest.write_job_config(
         {"input": os.path.abspath(input_path), "partitions": partitions,
          "mode": mode, "rules_version": RULES_VERSION}
     )
-    if not resume:
-        for p in manifest.done_parts():
-            os.remove(os.path.join(manifest.manifest_dir, f"part-{p:04d}.json"))
 
     todo = [p for p in range(partitions) if not manifest.is_done(p)]
     if limit_parts is not None:

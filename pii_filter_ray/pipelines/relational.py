@@ -42,6 +42,14 @@ def _tbl(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
     return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
+def round_half_away(x, digits: int = 2):
+    """Round half away from zero — DuckDB's round() semantics. pandas/numpy
+    .round() is half-to-even, which diverges from the SQL oracle exactly at
+    representable half boundaries (e.g. 25.125 -> 25.12 vs 25.13)."""
+    factor = 10.0 ** digits
+    return np.sign(x) * np.floor(np.abs(np.asarray(x, dtype=np.float64)) * factor + 0.5) / factor
+
+
 def preagg_groupby(
     ds: "ray.data.Dataset",
     keys,
@@ -240,11 +248,11 @@ def q1_pricing_summary(sf_dir: str):
         {
             "l_returnflag": merged["l_returnflag"],
             "l_linestatus": merged["l_linestatus"],
-            "sum_qty": merged["s_qty"].round(2),
-            "sum_base_price": merged["s_base"].round(2),
-            "sum_disc_price": merged["s_disc"].round(2),
-            "avg_qty": (merged["s_qty"] / merged["n"]).round(2),
-            "avg_price": (merged["s_base"] / merged["n"]).round(2),
+            "sum_qty": round_half_away(merged["s_qty"]),
+            "sum_base_price": round_half_away(merged["s_base"]),
+            "sum_disc_price": round_half_away(merged["s_disc"]),
+            "avg_qty": round_half_away(merged["s_qty"] / merged["n"]),
+            "avg_price": round_half_away(merged["s_base"] / merged["n"]),
             "count_order": merged["n"].astype("int64"),
         }
     )
@@ -282,7 +290,7 @@ def revenue_by_mktsegment(sf_dir: str):
         sums={"revenue": "o_totalprice"},
         count_alias="n_orders",
     ).to_pandas()
-    df["revenue"] = df["revenue"].round(2)
+    df["revenue"] = round_half_away(df["revenue"])
     return df.astype({"n_orders": "int64"})
 
 
@@ -310,7 +318,7 @@ def events_by_type(sf_dir: str):
     df = preagg_groupby(
         ds, ["event_type"], sums={"total_value": "value"}, count_alias="n"
     ).to_pandas()
-    df["total_value"] = df["total_value"].round(2)
+    df["total_value"] = round_half_away(df["total_value"])
     return df.astype({"n": "int64"})
 
 
@@ -345,7 +353,7 @@ def part_type_stats(sf_dir: str):
         .aggregate(Count(alias_name="n"), Mean("p_retailprice", alias_name="avg_price"))
         .to_pandas()
     )
-    df["avg_price"] = df["avg_price"].round(2)
+    df["avg_price"] = round_half_away(df["avg_price"])
     return df.astype({"n": "int64"})
 
 
@@ -386,7 +394,7 @@ def orders_by_month(sf_dir: str):
         sums={"total": "o_totalprice"},
         count_alias="n",
     ).to_pandas()
-    df["total"] = df["total"].round(2)
+    df["total"] = round_half_away(df["total"])
     return df.astype({"n": "int64"})
 
 
@@ -511,7 +519,7 @@ def q6_revenue(sf_dir: str):
     total = ds.map_batches(partial, batch_format="pyarrow").aggregate(
         Sum("partial_rev", alias_name="revenue")
     )
-    return pd.DataFrame({"revenue": [round(total["revenue"], 2)]})
+    return pd.DataFrame({"revenue": [float(round_half_away(total["revenue"]))]})
 
 
 def distinct_event_types(sf_dir: str):
@@ -526,7 +534,7 @@ def doc_source_stats(sf_dir: str):
     df = preagg_groupby(
         ds, ["source"], sums={"total_chars": "n_chars"}, count_alias="n_docs"
     ).to_pandas()
-    df["avg_chars"] = (df["total_chars"] / df["n_docs"]).round(2)
+    df["avg_chars"] = round_half_away(df["total_chars"] / df["n_docs"])
     return df[["source", "n_docs", "avg_chars"]].astype({"n_docs": "int64"})
 
 
@@ -704,5 +712,5 @@ def events_streaming_windows(sf_dir: str):
         ds, key_col="user_id", ts_col="ts", value_col="value",
         window_seconds=86400, n_buckets=4,
     )
-    df["total"] = df["total"].round(2)
+    df["total"] = round_half_away(df["total"])
     return df.astype({"key": "int64", "window_start": "int64", "n": "int64"})

@@ -138,8 +138,11 @@ class MinHashStage:
         shingles = word_shingles(text, self.shingle_k)
         if not shingles:
             return None
-        # per-worker shingle-hash cache: real corpora repeat shingles heavily
+        # per-worker shingle-hash cache; BOUNDED — 3-word shingles are mostly
+        # unique across a big corpus, so an uncapped cache grows linearly
         cache = self._shingle_cache
+        if len(cache) > 2_000_000:
+            cache.clear()
         hs = np.empty(len(shingles), dtype=np.uint64)
         for i, s in enumerate(shingles):
             v = cache.get(s)
@@ -475,13 +478,8 @@ def dup_components(
     )
 
     for _ in range(max_iters):
-        label_map = dict(
-            zip(
-                labels.to_pandas()["id"],
-                labels.to_pandas()["component"],
-            )
-        )
-        lref = ray.put(label_map)
+        label_df = labels.to_pandas()
+        lref = ray.put(dict(zip(label_df["id"], label_df["component"])))
 
         def propagate(batch: pa.Table) -> pa.Table:
             lm = ray.get(lref)
@@ -500,10 +498,9 @@ def dup_components(
             .aggregate(Min("component", alias_name="component"))
             .materialize()
         )
-        old = labels.to_pandas().sort_values("id").reset_index(drop=True)
         new = new_labels.to_pandas().sort_values("id").reset_index(drop=True)
         labels = new_labels
-        if old.equals(new):
+        if label_df.sort_values("id").reset_index(drop=True).equals(new):
             break
     return labels
 

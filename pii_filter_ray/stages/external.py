@@ -47,26 +47,39 @@ class ExternalScorerStage:
         max_retries: int = 3,
         timeout_s: float = 30.0,
     ):
+        import concurrent.futures
+
         self.content_col = content_col
         self.client = client or _default_client
         self.max_retries = max_retries
         self.timeout_s = timeout_s
         self.calls = 0
         self.retries = 0
+        # >1 worker so an abandoned (hung) call can't block later retries;
+        # abandoned threads are leaked until the connector unblocks — the
+        # standard cost of timing out a synchronous client
+        self._executor = concurrent.futures.ThreadPoolExecutor(max_workers=8)
 
     def _score_one(self, text: str) -> float:
+        """Bounded-retry call with a REAL caller-side timeout: the client
+        runs in a worker thread and ``result(timeout=...)`` abandons it if
+        the budget elapses (a hung socket cannot stall the stage; the
+        abandoned thread may still complete remotely, so retried scoring
+        must be idempotent — documented connector contract)."""
+        import concurrent.futures
+
         last_err: Optional[Exception] = None
         for attempt in range(self.max_retries):
             self.calls += 1
-            start = time.monotonic()
             try:
-                score = self.client(text)
-            except Exception as err:  # flaky connector
-                last_err = err
+                future = self._executor.submit(self.client, text)
+                score = future.result(timeout=self.timeout_s)
+            except concurrent.futures.TimeoutError:
+                last_err = TimeoutError(f"external call exceeded {self.timeout_s}s")
                 self.retries += 1
                 continue
-            if time.monotonic() - start > self.timeout_s:
-                last_err = TimeoutError(f"external call exceeded {self.timeout_s}s")
+            except Exception as err:  # flaky connector
+                last_err = err
                 self.retries += 1
                 continue
             return float(score)

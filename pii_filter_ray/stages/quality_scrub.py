@@ -134,28 +134,17 @@ class ScrubStage:
         return batch
 
 
-# Worker-process cache for the task-based path: Ray reuses worker processes
-# across tasks, so a module-level singleton amortizes stage construction
-# exactly like an actor's __init__ — without the actor-pool spin-up cost
-# (~4s for a 31-actor pool per map_batches call, measured). Keyed by config.
-_STAGE_CACHE: dict = {}
-
-
 def make_scrub_task_fn(**stage_kwargs):
-    """A plain function for map_batches (task compute) wrapping a cached
-    QualityScrubStage. Use when stage state is cheap (this engine's
-    deterministic models); use the actor-pool class when state is heavy
-    (real fastText/KenLM binaries, GPU models)."""
-    key = tuple(sorted((k, repr(v)) for k, v in stage_kwargs.items()))
+    """A plain function for map_batches (task compute) wrapping a
+    per-worker-cached QualityScrubStage (see stages.cached_stage_fn: Ray
+    reuses worker processes, so construction amortizes like actor __init__
+    without the actor-pool spin-up cost, ~4s for a 31-actor pool measured).
+    Use when stage state is cheap (this engine's deterministic models); use
+    the actor-pool class when state is heavy (real fastText/KenLM binaries,
+    GPU models)."""
+    from . import cached_stage_fn
 
-    def scrub_task(batch: pa.Table) -> pa.Table:
-        stage = _STAGE_CACHE.get(key)
-        if stage is None:
-            stage = QualityScrubStage(**stage_kwargs)
-            _STAGE_CACHE[key] = stage
-        return stage(batch)
-
-    return scrub_task
+    return cached_stage_fn(QualityScrubStage, **stage_kwargs)
 
 
 class QualityScrubStage:
@@ -214,20 +203,24 @@ class QualityScrubStage:
             text = text or ""
             shas.append(sha256_hex(text))
             keep, reason = heuristic_drop_reason(text, self.cfg)
-            lang, conf = self.detect(text)
-            langs.append(lang)
-            confs.append(conf)
-            b = self.lm.bits_per_char(text)
-            bits.append(b)
-            t_score = toxicity_score(text)
-            tox.append(t_score)
             if keep:
+                # score only rows the cheap heuristics did not already shed
+                # (scoring is O(content bytes); junk blobs skip it entirely)
+                lang, conf = self.detect(text)
+                b = self.lm.bits_per_char(text)
+                t_score = toxicity_score(text)
                 if claim is not None and not lang_matches(claim, lang):
                     keep, reason = False, "lang_mismatch"
                 elif b > self.max_bits:
                     keep, reason = False, "perplexity"
                 elif t_score > self.max_toxicity:
                     keep, reason = False, "toxicity"
+            else:
+                lang, conf, b, t_score = "und", 0.0, 0.0, 0.0
+            langs.append(lang)
+            confs.append(conf)
+            bits.append(b)
+            tox.append(t_score)
             keeps.append(keep)
             reasons.append(reason)
             if keep:
