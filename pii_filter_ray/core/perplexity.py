@@ -94,10 +94,13 @@ _OTHER = _VOCAB_SIZE - 1
 _ADD_K = 0.1
 
 
-def _encode(text: str) -> np.ndarray:
+def _encode(text: str, data: bytes | None = None) -> np.ndarray:
     """Map chars to vocab indices: printable ASCII 32..126 -> 0..94,
-    '\n' -> 95, '\t' -> 96, everything else -> 97."""
-    codes = np.frombuffer(text.encode("utf-8", errors="replace"), dtype=np.uint8).astype(np.int32)
+    '\n' -> 95, '\t' -> 96, everything else -> 97. ``data`` lets callers
+    share one UTF-8 encoding."""
+    if data is None:
+        data = text.encode("utf-8", errors="replace")
+    codes = np.frombuffer(data, dtype=np.uint8).astype(np.int32)
     out = np.full(codes.shape, _OTHER, dtype=np.int32)
     printable = (codes >= 32) & (codes <= 126)
     out[printable] = codes[printable] - 32
@@ -116,11 +119,11 @@ class CharBigramLM:
         probs = counts / counts.sum(axis=1, keepdims=True)
         self.logp = np.log2(probs).astype(np.float32)
 
-    def bits_per_char(self, text: str) -> float:
+    def bits_per_char(self, text: str, data: bytes | None = None) -> float:
         """Average -log2 P(c_i | c_{i-1}); 0.0 for texts shorter than 2 chars."""
         if not text or len(text) < 2:
             return 0.0
-        codes = _encode(text)
+        codes = _encode(text, data)
         if len(codes) < 2:
             return 0.0
         return float(-self.logp[codes[:-1], codes[1:]].mean())

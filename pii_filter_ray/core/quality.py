@@ -58,16 +58,18 @@ def trigram_diversity(text: str) -> float:
     return len(np.unique(tri)) / (n - 2)
 
 
-def quality_stats(text: str) -> dict:
+def quality_stats(text: str, data: bytes | None = None) -> dict:
     """All heuristic features for one document — numpy-vectorized; used by
-    both the pure oracle and the Ray stage (single source of truth)."""
+    both the pure oracle and the Ray stage (single source of truth).
+    ``data`` lets callers share one UTF-8 encoding across stages."""
     if not text:
         return {
             "n_chars": 0, "n_lines": 0, "max_line_len": 0,
             "mean_token_len": 0.0, "alnum_ratio": 0.0, "trigram_diversity": 1.0,
             "n_tokens": 0,
         }
-    data = text.encode("utf-8", "replace")
+    if data is None:
+        data = text.encode("utf-8", "replace")
     codes = np.frombuffer(data, dtype=np.uint8)
     n = len(codes)
 
@@ -106,12 +108,12 @@ def quality_stats(text: str) -> dict:
 
 
 def heuristic_drop_reason(
-    text: Optional[str], cfg: QualityConfig = DEFAULT_QUALITY
+    text: Optional[str], cfg: QualityConfig = DEFAULT_QUALITY, data: bytes | None = None
 ) -> Tuple[bool, str]:
     """(keep, drop_reason) for the heuristic rules alone; reason '' when kept."""
     if text is None or len(text.strip()) < cfg.min_chars:
         return False, "empty"
-    stats = quality_stats(text)
+    stats = quality_stats(text, data=data)
     if (
         stats["n_chars"] >= cfg.repetition_min_chars
         and stats["trigram_diversity"] < cfg.max_repetition

@@ -201,13 +201,14 @@ class QualityScrubStage:
 
         for text, claim in zip(contents, claimed):
             text = text or ""
-            shas.append(sha256_hex(text))
-            keep, reason = heuristic_drop_reason(text, self.cfg)
+            data = text.encode("utf-8", "replace")  # ONE encode shared by
+            shas.append(hashlib.sha256(data).hexdigest())  # sha/quality/ppl
+            keep, reason = heuristic_drop_reason(text, self.cfg, data=data)
             if keep:
                 # score only rows the cheap heuristics did not already shed
                 # (scoring is O(content bytes); junk blobs skip it entirely)
                 lang, conf = self.detect(text)
-                b = self.lm.bits_per_char(text)
+                b = self.lm.bits_per_char(text, data=data)
                 t_score = toxicity_score(text)
                 if claim is not None and not lang_matches(claim, lang):
                     keep, reason = False, "lang_mismatch"
