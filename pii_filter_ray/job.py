@@ -93,6 +93,15 @@ def run_job(
     from .core.patterns import RULES_VERSION
 
     file_parts = _partition_files(input_path, partitions)
+    # fingerprint the shard set: a resume against a CHANGED input directory
+    # (shards added/removed between crash and resume) would silently lose or
+    # duplicate rows, since completed partitions are skipped wholesale
+    shard_fingerprint = None
+    if file_parts is not None:
+        names = sorted(os.path.basename(f) for fs in file_parts.values() for f in fs)
+        shard_fingerprint = hashlib.blake2b(
+            "\n".join(names).encode(), digest_size=8
+        ).hexdigest()
     manifest = JobManifest(output_dir)
     if not resume:
         # a fresh recompute: clear the fingerprint, part manifests, and any
@@ -104,7 +113,8 @@ def run_job(
                 shutil.rmtree(os.path.join(output_dir, name), ignore_errors=True)
     manifest.write_job_config(
         {"input": os.path.abspath(input_path), "partitions": partitions,
-         "mode": mode, "rules_version": RULES_VERSION}
+         "mode": mode, "rules_version": RULES_VERSION,
+         "shard_fingerprint": shard_fingerprint}
     )
 
     todo = [p for p in range(partitions) if not manifest.is_done(p)]

@@ -221,7 +221,13 @@ def minhash_lsh_pairs(
     )
     if spill_dir is not None:
         # corpus-scale path: persist the band table to parquet instead of
-        # pinning it in the object store (it is consumed twice below)
+        # pinning it in the object store (it is consumed twice below).
+        # spill_dir is scratch OWNED by this call: stale files are cleared
+        # first (write_parquet appends, so leftovers from a previous run
+        # would inject phantom band collisions)
+        import shutil as _shutil
+
+        _shutil.rmtree(spill_dir, ignore_errors=True)
         band_rows.write_parquet(spill_dir)
         band_rows = ray.data.read_parquet(spill_dir)
     else:

@@ -47,18 +47,13 @@ class ExternalScorerStage:
         max_retries: int = 3,
         timeout_s: float = 30.0,
     ):
-        import concurrent.futures
-
         self.content_col = content_col
         self.client = client or _default_client
         self.max_retries = max_retries
         self.timeout_s = timeout_s
         self.calls = 0
         self.retries = 0
-        # >1 worker so an abandoned (hung) call can't block later retries;
-        # abandoned threads are leaked until the connector unblocks — the
-        # standard cost of timing out a synchronous client
-        self._executor = concurrent.futures.ThreadPoolExecutor(max_workers=8)
+
 
     def _score_one(self, text: str) -> float:
         """Bounded-retry call with a REAL caller-side timeout: the client
@@ -71,10 +66,14 @@ class ExternalScorerStage:
         last_err: Optional[Exception] = None
         for attempt in range(self.max_retries):
             self.calls += 1
+            # fresh single-use executor per attempt: a hung call leaks only
+            # its own thread and can never queue healthy retries behind it
+            executor = concurrent.futures.ThreadPoolExecutor(max_workers=1)
             try:
-                future = self._executor.submit(self.client, text)
+                future = executor.submit(self.client, text)
                 score = future.result(timeout=self.timeout_s)
             except concurrent.futures.TimeoutError:
+                future.cancel()
                 last_err = TimeoutError(f"external call exceeded {self.timeout_s}s")
                 self.retries += 1
                 continue
@@ -82,6 +81,8 @@ class ExternalScorerStage:
                 last_err = err
                 self.retries += 1
                 continue
+            finally:
+                executor.shutdown(wait=False)
             return float(score)
         raise RuntimeError(
             f"external scorer failed after {self.max_retries} attempts"

@@ -217,7 +217,10 @@ class QualityScrubStage:
                 elif t_score > self.max_toxicity:
                     keep, reason = False, "toxicity"
             else:
-                lang, conf, b, t_score = "und", 0.0, 0.0, 0.0
+                # NULL, not fabricated values: 0.0 is a legitimate genuine
+                # score, and aggregates (Mean over ppl_bits) must not absorb
+                # unscored rows
+                lang, conf, b, t_score = None, None, None, None
             langs.append(lang)
             confs.append(conf)
             bits.append(b)

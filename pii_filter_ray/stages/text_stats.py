@@ -69,7 +69,9 @@ def sql_keep_batch(
     keeps, reasons = [], []
     for v in batch[text_col].to_pylist():
         v = v or ""
-        if not v.strip():
+        # ASCII whitespace only — mirrors the DuckDB oracle's trim(char-list)
+        # exactly (python str.strip() would also strip Unicode whitespace)
+        if not v.strip(" \t\n\r\x0b\x0c"):
             keeps.append(False)
             reasons.append("empty")
             continue

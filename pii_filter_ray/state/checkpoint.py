@@ -66,7 +66,7 @@ class JobManifest:
         if os.path.exists(path):
             with open(path) as f:
                 existing = json.load(f)
-            for key in ("input", "partitions", "mode", "rules_version"):
+            for key in ("input", "partitions", "mode", "rules_version", "shard_fingerprint"):
                 if existing.get(key) != config.get(key):
                     raise ValueError(
                         f"resume config mismatch for {key!r}: "

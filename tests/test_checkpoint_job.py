@@ -39,7 +39,8 @@ def test_job_runs_and_resumes(ray_session, corpus_path, tmp_path_factory):
     for col in ("repo", "keep", "drop_reason", "content_masked", "content_sha256", "part_id"):
         assert col in t.column_names
 
-    # sharded-directory input: every row of part=0000 is tagged part 0
+    # (single-shard corpus -> row-hash fallback path) every row written to
+    # part=0000 is tagged part 0
     assert set(t["part_id"].to_pylist()) == {0}
 
 
@@ -156,6 +157,27 @@ def test_write_pipeline_output(ray_session, corpus_path, tmp_path):
         assert col in written.column_names
 
 
+def test_resume_rejects_changed_shard_set(ray_session, tmp_path_factory):
+    """Adding a shard between crash and resume fails loudly (fingerprint)."""
+    import shutil
+
+    from pii_filter_ray.job import run_job
+    from pii_filter_ray.sources.synthetic_code import corpus_path as cpath
+
+    src_orig = cpath(n_rows=9000, seed=42)
+    d = tmp_path_factory.mktemp("mutating_input")
+    src = str(d / "corpus")
+    shutil.copytree(src_orig, src)
+    out = str(d / "out")
+    run_job(src, out, partitions=2, limit_parts=1, concurrency=2)
+    # a new shard arrives mid-crash
+    shutil.copy(
+        os.path.join(src, "part-0000.parquet"), os.path.join(src, "part-9999.parquet")
+    )
+    with pytest.raises(ValueError, match="shard_fingerprint"):
+        run_job(src, out, partitions=2, concurrency=2)
+
+
 def test_file_mapped_partitions(ray_session, tmp_path_factory):
     """Directory with >= partitions shards maps whole files to partitions
     (no re-scan); rows conserved and each shard lands in exactly one part."""
@@ -170,6 +192,16 @@ def test_file_mapped_partitions(ray_session, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("filemap_out"))
     s = run_job(src, out, partitions=2, concurrency=2)
     assert s["done_parts"] == 2 and s["totals"]["rows"] == 9000
+    # each partition's rows are tagged with ITS part id (file-mapped branch)
+    import pyarrow.parquet as pq_
+
+    from pii_filter_ray.state.checkpoint import JobManifest
+
+    m = JobManifest(out)
+    for part in (0, 1):
+        t = pq_.read_table(m.part_output_dir(part), columns=["part_id"])
+        if t.num_rows:
+            assert set(t["part_id"].to_pylist()) == {part}
 
 
 def test_rules_version_guard(ray_session, corpus_path, tmp_path_factory):
