@@ -108,3 +108,51 @@ def test_unicode_through_ray_roundtrip(ray_session):
         .to_pandas()
     )
     assert list(out["content_restored"]) == texts
+
+
+def test_different_seed_corpus_oracle_agreement(ray_session):
+    """Guard against seed-42 overfitting: a corpus from a different seed
+    still matches the pure oracle row-for-row."""
+    import ray.data
+
+    from pii_filter_ray.core.langid import detect_code_lang, lang_matches
+    from pii_filter_ray.core.perplexity import DEFAULT_MAX_BITS_PER_CHAR, default_lm
+    from pii_filter_ray.core.quality import heuristic_drop_reason
+    from pii_filter_ray.pipelines.quality_pipeline import quality_scrub
+    from pii_filter_ray.sources.synthetic_code import generate_corpus
+
+    corpus, exp = generate_corpus(n_rows=800, seed=7)
+    out = (
+        quality_scrub(ray.data.from_arrow(corpus), emit_mappings=False)
+        .to_pandas()
+        .merge(exp.to_pandas(), on=["repo", "path", "commit"])
+    )
+    assert len(out) == 800
+    assert (out["keep"] == out["expect_keep"]).all()
+    assert (out["drop_reason"] == out["expect_reason"]).all()
+
+
+def test_crash_mid_write_recovers(ray_session, tmp_path_factory):
+    """A stale .tmp-part dir (crash during write) is replaced on rerun and
+    never mistaken for a completed partition."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pii_filter_ray.job import run_job
+    from pii_filter_ray.sources.synthetic_code import corpus_path
+    from pii_filter_ray.state.checkpoint import JobManifest
+
+    src = corpus_path(n_rows=300, seed=42)
+    out = str(tmp_path_factory.mktemp("crashy"))
+    m = JobManifest(out)
+    # simulate: a previous run died mid-write leaving garbage in the tmp dir
+    tmp = m.part_tmp_dir(0)
+    os.makedirs(tmp, exist_ok=True)
+    with open(os.path.join(tmp, "garbage.parquet"), "w") as f:
+        f.write("not parquet")
+    s = run_job(src, out, partitions=2, concurrency=2)
+    assert s["done_parts"] == 2 and s["totals"]["rows"] == 300
+    # the garbage never reached the final output
+    t = pq.read_table(m.part_output_dir(0))
+    assert t.num_rows > 0
