@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_corpus_flagship": r.code_corpus_flagship,
         "code_corpus_repo_stats": r.code_corpus_repo_stats,
         "events_streaming_windows": r.events_streaming_windows,
+        "mask_fixture_check": r.mask_fixture_check,
     }
 
 
@@ -304,6 +305,17 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": """
             SELECT c_custkey FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "mask_fixture_check": """
+            SELECT case_id, TRUE AS ok FROM (VALUES
+                ('cpf_punct'), ('cpf_bare'), ('cpf_all_equal'), ('rg'),
+                ('email_ok'), ('email_dotdot'), ('phone_paren'), ('phone_cc'),
+                ('cep'), ('numbering'), ('multi_occurrence'),
+                ('overlap_priority'), ('ipv4'), ('ipv4_bad_octet'),
+                ('card_luhn'), ('ssn'), ('ssn_area_666'), ('cargo_ruler'),
+                ('nome'), ('nome_suffix'), ('org'), ('local'), ('ner_fp_rh'),
+                ('ner_fp_caps'), ('precedence'), ('empty'), ('no_match')
+            ) AS t(case_id)
         """,
         "events_streaming_windows": """
             SELECT user_id AS key,

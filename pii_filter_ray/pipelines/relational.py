@@ -714,3 +714,20 @@ def events_streaming_windows(sf_dir: str):
     )
     df["total"] = round_half_away(df["total"])
     return df.astype({"key": "int64", "window_start": "int64", "n": "int64"})
+
+
+def mask_fixture_check(sf_dir: str):
+    """Driver-visible self-check: every authored mask-fixture case (the
+    FIXTURES.md §2 table) scrubbed and compared to its expected output.
+    all_pass must be TRUE for every row — pinned by the SQL oracle."""
+    from ..core.scrub import scrub_text
+    from ..sources.mask_fixtures import fixture_table
+
+    t = fixture_table()
+    rows = {"case_id": [], "ok": []}
+    for case_id, text, expected in zip(
+        t["case_id"].to_pylist(), t["text"].to_pylist(), t["expected_masked"].to_pylist()
+    ):
+        rows["case_id"].append(case_id)
+        rows["ok"].append(scrub_text(text).masked == expected)
+    return pd.DataFrame(rows)
