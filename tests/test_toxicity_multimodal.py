@@ -181,3 +181,21 @@ def test_stat_ner_multiclass():
     assert ("Maria da Silva", "PER") in labels
     assert ("Acme Ltda", "ORG") in labels
     assert ("Rua Aurora", "LOC") in labels
+
+
+def test_toxic_mask_roundtrip():
+    """[TOXIC_n] masking restores via the generic layered restore."""
+    from pii_filter_ray.core.regex_scan import PIIMapping
+    from pii_filter_ray.core.restore import generic_restore
+    from pii_filter_ray.core.toxicity import mask_toxic
+
+    text = "what the hell, you idiot, this hell again"
+    masked, maps = mask_toxic(text)
+    mappings = [
+        PIIMapping(
+            placeholder=m["placeholder"], original_value=m["original_value"],
+            type=m["type"], span=(m["span_start"], m["span_end"]),
+        )
+        for m in maps
+    ]
+    assert generic_restore(masked, mappings) == text
