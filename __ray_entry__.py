@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_corpus_repo_stats": r.code_corpus_repo_stats,
         "events_streaming_windows": r.events_streaming_windows,
         "mask_fixture_check": r.mask_fixture_check,
+        "full_shuffle_count": r.full_shuffle_count,
     }
 
 
@@ -305,6 +306,9 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": """
             SELECT c_custkey FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "full_shuffle_count": """
+            SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem
         """,
         "mask_fixture_check": """
             SELECT case_id, TRUE AS ok FROM (VALUES

@@ -222,6 +222,8 @@ def main(argv=None):
     ap.add_argument("--partitions", type=int, default=16)
     ap.add_argument("--mode", choices=["code", "text"], default="code")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--limit-parts", type=int, default=None,
+                    help="process at most N pending partitions (operational chunking)")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -241,6 +243,7 @@ def main(argv=None):
         partitions=args.partitions,
         mode=args.mode,
         resume=not args.no_resume,
+        limit_parts=args.limit_parts,
     )
     print(json.dumps(summary))
     ray.shutdown()

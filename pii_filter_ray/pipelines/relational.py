@@ -731,3 +731,11 @@ def mask_fixture_check(sf_dir: str):
         rows["case_id"].append(case_id)
         rows["ok"].append(scrub_text(text).masked == expected)
     return pd.DataFrame(rows)
+
+
+def full_shuffle_count(sf_dir: str):
+    """repartition(shuffle=True) coverage: a true all-to-all exchange of the
+    lineitem table (row count invariant under redistribution)."""
+    ds = _tbl(sf_dir, "lineitem", columns=["l_orderkey"])
+    n = ds.repartition(16, shuffle=True).count()
+    return pd.DataFrame({"n": pd.Series([n], dtype="int64")})
