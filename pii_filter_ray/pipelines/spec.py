@@ -1,0 +1,129 @@
+"""Pipeline spec: the engine's user-extension surface (SURVEY §2.6).
+
+The reference extends via Protocol interfaces per stage + a provider factory
+(+ config-as-constants): /root/reference/src/interfaces/
+proxy_service_interface.py:16-131, src/core/llm_factory.py:18-32. The
+engine's equivalent:
+
+  * a STAGE is anything map_batches accepts — a ``fn(batch: pa.Table) ->
+    pa.Table`` or a callable class (actor pool); registered by name here;
+  * a ``PipelineSpec`` is an ordered list of (stage_name, options) that
+    builds a Dataset pipeline — declarative, serializable, versioned next
+    to the rules (core.patterns.RULES_VERSION);
+  * new behavior = register a stage + reference it in a spec; no engine
+    code changes (the reference's "new PII type = new pattern + priority +
+    validator branch" extension story, lifted to whole stages).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import ray.data
+
+_REGISTRY: Dict[str, Callable[..., Any]] = {}
+
+
+def register_stage(name: str):
+    """Decorator/registrar: a factory(**options) -> map_batches-compatible
+    stage (plain fn or callable class INSTANCE)."""
+
+    def deco(factory):
+        if name in _REGISTRY:
+            raise ValueError(f"stage {name!r} already registered")
+        _REGISTRY[name] = factory
+        return factory
+
+    return deco
+
+
+def stage_names() -> List[str]:
+    return sorted(_REGISTRY)
+
+
+class PipelineSpec:
+    """Declarative pipeline: ordered (stage_name, options) pairs.
+
+    ``options`` may include the reserved keys ``batch_size`` and
+    ``concurrency`` (forwarded to map_batches; concurrency implies an actor
+    pool when the factory returns a class); everything else goes to the
+    stage factory.
+    """
+
+    RESERVED = ("batch_size", "concurrency", "num_cpus")
+
+    def __init__(self, stages: List[Tuple[str, Dict[str, Any]]]):
+        unknown = [name for name, _ in stages if name not in _REGISTRY]
+        if unknown:
+            raise ValueError(f"unknown stages: {unknown}; known: {stage_names()}")
+        self.stages = stages
+
+    def build(self, ds: "ray.data.Dataset") -> "ray.data.Dataset":
+        for name, options in self.stages:
+            opts = dict(options)
+            mb_kwargs = {k: opts.pop(k) for k in self.RESERVED if k in opts}
+            stage = _REGISTRY[name](**opts)
+            ds = ds.map_batches(stage, batch_format="pyarrow", **mb_kwargs)
+        return ds
+
+    def to_config(self) -> List[Tuple[str, Dict[str, Any]]]:
+        return [(name, dict(opts)) for name, opts in self.stages]
+
+
+# --- built-in stage registrations -------------------------------------------
+
+
+@register_stage("quality_scrub")
+def _quality_scrub_stage(**kwargs):
+    from ..stages.quality_scrub import make_scrub_task_fn
+
+    return make_scrub_task_fn(**kwargs)
+
+
+@register_stage("sha256")
+def _sha_stage(content_col: str = "content"):
+    from ..stages.quality_scrub import sha256_batch
+
+    return lambda b: sha256_batch(b, content_col=content_col)
+
+
+@register_stage("quality_rules")
+def _quality_rules_stage(content_col: str = "content"):
+    from ..stages.quality_scrub import quality_batch
+
+    return lambda b: quality_batch(b, content_col=content_col)
+
+
+@register_stage("restore")
+def _restore_stage(**kwargs):
+    from ..stages.restore_stage import restore_batch
+
+    return lambda b: restore_batch(b, **kwargs)
+
+
+@register_stage("roundtrip_audit")
+def _audit_stage(content_col: str = "content"):
+    from ..stages.restore_stage import roundtrip_audit_batch
+
+    return lambda b: roundtrip_audit_batch(b, content_col=content_col)
+
+
+@register_stage("token_stats")
+def _token_stats_stage(**kwargs):
+    from ..stages.text_stats import token_stats_batch
+
+    return lambda b: token_stats_batch(b, **kwargs)
+
+
+@register_stage("external_score")
+def _external_stage(**kwargs):
+    from ..stages.external import ExternalScorerStage
+
+    return ExternalScorerStage(**kwargs)
+
+
+@register_stage("stat_ner")
+def _stat_ner_stage(**kwargs):
+    from ..stages.quality_scrub import StatNerStage
+
+    return StatNerStage(**kwargs)

@@ -1,0 +1,67 @@
+"""Pipeline spec / stage registry (SURVEY §2.6 extension surface)."""
+
+import pyarrow as pa
+import pytest
+
+from pii_filter_ray.pipelines.spec import PipelineSpec, register_stage, stage_names
+
+
+def test_builtin_stages_registered():
+    names = stage_names()
+    for n in ("quality_scrub", "sha256", "quality_rules", "restore",
+              "roundtrip_audit", "token_stats", "external_score", "stat_ner"):
+        assert n in names
+
+
+def test_unknown_stage_rejected():
+    with pytest.raises(ValueError, match="unknown stages"):
+        PipelineSpec([("nope", {})])
+
+
+def test_duplicate_registration_rejected():
+    with pytest.raises(ValueError, match="already registered"):
+        register_stage("sha256")(lambda: None)
+
+
+def test_spec_builds_flagship_equivalent(ray_session, small_corpus):
+    """A declarative spec reproduces the flagship pipeline's output."""
+    import ray.data
+
+    from pii_filter_ray.pipelines.quality_pipeline import quality_scrub
+
+    corpus, _ = small_corpus
+    corpus = corpus.slice(0, 100)
+    spec = PipelineSpec([("quality_scrub", {"emit_mappings": False})])
+    a = (
+        spec.build(ray.data.from_arrow(corpus))
+        .to_pandas()
+        .sort_values("path")
+        .reset_index(drop=True)
+    )
+    b = (
+        quality_scrub(ray.data.from_arrow(corpus), emit_mappings=False)
+        .to_pandas()
+        .sort_values("path")
+        .reset_index(drop=True)
+    )
+    assert (a["keep"] == b["keep"]).all()
+    assert (a["content_masked"].fillna("~") == b["content_masked"].fillna("~")).all()
+
+
+def test_custom_stage_extension(ray_session):
+    """User extension: register a stage, reference it declaratively."""
+    import ray.data
+
+    @register_stage("shout")
+    def shout_stage(col: str = "content"):
+        def fn(batch: pa.Table) -> pa.Table:
+            vals = [(v or "").upper() for v in batch[col].to_pylist()]
+            return batch.append_column("shouted", pa.array(vals, pa.string()))
+
+        return fn
+
+    spec = PipelineSpec([("shout", {"col": "content", "batch_size": 2})])
+    t = pa.table({"content": ["abc", "def"]})
+    out = spec.build(ray.data.from_arrow(t)).to_pandas()
+    assert list(out["shouted"]) == ["ABC", "DEF"]
+    assert spec.to_config() == [("shout", {"col": "content", "batch_size": 2})]
