@@ -8,10 +8,11 @@ processed as its own sub-pipeline, written to ``out/part=p`` via an atomic
 rename, and recorded in the manifest with per-partition lineage stats
 (rows, kept, pii found). A rerun skips completed partitions.
 
-Scale note: on a real multi-node deployment (ray job submit), part_id maps
-to input file shards so each partition's read touches only its own files;
-in this sandbox the input is a single parquet file, so partitions re-scan
-and row-filter it (documented tradeoff, correctness identical).
+Partitioning: sharded-directory inputs map whole FILES to partitions by
+filename hash (each partition reads only its own shards — the at-scale
+layout; the shard list is fingerprinted so a resume against a changed
+input fails loudly); single-file inputs fall back to hash-of-row filtering
+with a re-scan per partition (documented tradeoff, correctness identical).
 """
 
 from __future__ import annotations
