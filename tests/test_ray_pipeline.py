@@ -117,3 +117,30 @@ def test_global_metrics(ray_session, small_corpus):
     exp_pd = exp.to_pandas()
     n_kept_expected = int(exp_pd["expect_keep"].sum())
     assert m["by_reason"].get("", 0) == n_kept_expected
+
+
+def test_mappings_schema_roundtrips_parquet(ray_session, small_corpus, tmp_path):
+    """The pii_masked list<struct> column survives a parquet write/read —
+    the full-fidelity output schema is durable, not just in-memory."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from pii_filter_ray.pipelines.quality_pipeline import quality_scrub
+
+    corpus, _ = small_corpus
+    out = str(tmp_path / "full_schema")
+    quality_scrub(
+        ray.data.from_arrow(corpus.slice(0, 120)), emit_mappings=True
+    ).write_parquet(out)
+    t = pq.read_table(out)
+    assert "pii_masked" in t.column_names
+    import pyarrow as pa
+
+    assert pa.types.is_list(t.schema.field("pii_masked").type)
+    # spot-check: some row carries mappings and they align with the text
+    rows = t.to_pylist()
+    carried = [r for r in rows if r["pii_masked"]]
+    assert carried
+    r = carried[0]
+    m = r["pii_masked"][0]
+    assert r["content"][m["span_start"] : m["span_end"]] == m["original_value"]
