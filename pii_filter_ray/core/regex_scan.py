@@ -26,6 +26,21 @@ from .validators import validate_pii
 
 _DIGIT_SEARCH = re.compile(r"\d").search
 
+# Match-preserving prescreens, per type: a cheap required-literal check that
+# must hit before the pattern can possibly match. Types absent from this
+# table get NO prescreen (a caller-supplied or future pattern without a
+# known required literal is always scanned — never silently skipped).
+_PRESCREEN: Dict[str, str] = {
+    "CPF": "digit",
+    "RG": "digit",
+    "TELEFONE": "digit",
+    "CEP": "digit",
+    "IP_ADDRESS": "digit",
+    "CREDIT_CARD": "digit",
+    "SSN": "digit",
+    "EMAIL": "@",
+}
+
 
 @dataclass
 class PIIMapping:
@@ -55,16 +70,16 @@ def find_all_matches(
     """All valid PII matches, in pattern-dict order then position order."""
     pats = patterns if patterns is not None else all_patterns(extended)
     out: List[Dict[str, Any]] = []
-    # prescreens (match-preserving): every non-EMAIL pattern requires a
-    # digit; EMAIL requires a literal '@'. One C-speed scan each replaces
-    # up to 8 full regex passes on digit-free / @-free text.
+    # prescreens (match-preserving, per-type via _PRESCREEN): one C-speed
+    # scan each replaces up to 8 full regex passes on digit-free / @-free
+    # text. Unknown types are never prescreened.
     has_digit = _DIGIT_SEARCH(text) is not None
     has_at = "@" in text
     for pii_type, pattern in pats.items():
-        if pii_type == "EMAIL":
-            if not has_at:
-                continue
-        elif not has_digit:
+        req = _PRESCREEN.get(pii_type)
+        if req == "digit" and not has_digit:
+            continue
+        if req == "@" and not has_at:
             continue
         for m in pattern.finditer(text):
             value = m.group(0)

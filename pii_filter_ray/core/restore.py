@@ -86,3 +86,38 @@ def restore_all(filtered_text: str, data: RestorationData) -> str:
 def restore_scrubbed(masked: str, mappings: List[PIIMapping]) -> str:
     """Inverse of scrub.scrub_text: one flat mapping list, span-desc generic restore."""
     return generic_restore(masked, mappings)
+
+
+def restore_by_spans(masked: str, mappings: List[PIIMapping]) -> str:
+    """Positional restore — the engine-canonical exact inverse of
+    ``scrub.scrub_text``'s left-to-right splice.
+
+    ``scrub_text`` records every span against the RAW text and splices
+    non-overlapping placeholders left-to-right, so the placeholder position
+    in the masked text is fully determined by span arithmetic: no string
+    search, no global replace. Unlike ``generic_restore`` (kept bug-for-bug
+    with restoration_service.py:43-74), this is immune to the reference's
+    known pathology where raw text that already contains a
+    placeholder-shaped literal (e.g. '[CPF_1]') corrupts the round trip —
+    each placeholder is consumed exactly once, at its computed position.
+    """
+    if not mappings:
+        return masked
+    parts: List[str] = []
+    mpos = 0  # cursor in the masked text
+    rpos = 0  # cursor in the raw text (span arithmetic)
+    for m in sorted(mappings, key=lambda m: m.span[0]):
+        seg = m.span[0] - rpos
+        parts.append(masked[mpos : mpos + seg])
+        expected = masked[mpos + seg : mpos + seg + len(m.placeholder)]
+        if expected != m.placeholder:
+            raise ValueError(
+                f"masked text does not carry {m.placeholder!r} at the "
+                f"span-derived position (found {expected!r}) — mappings do "
+                "not belong to this masked text"
+            )
+        parts.append(m.original_value)
+        mpos += seg + len(m.placeholder)
+        rpos = m.span[1]
+    parts.append(masked[mpos:])
+    return "".join(parts)

@@ -97,12 +97,26 @@ def run_job(
     # fingerprint the shard set: a resume against a CHANGED input directory
     # (shards added/removed between crash and resume) would silently lose or
     # duplicate rows, since completed partitions are skipped wholesale
-    shard_fingerprint = None
     if file_parts is not None:
         names = sorted(os.path.basename(f) for fs in file_parts.values() for f in fs)
         shard_fingerprint = hashlib.blake2b(
             "\n".join(names).encode(), digest_size=8
         ).hexdigest()
+    else:
+        # single-file (or few-shard) input: fingerprint size+mtime so a
+        # resume after the input was rewritten IN PLACE (same path) fails
+        # loudly instead of silently mixing old completed partitions with
+        # partitions computed from the new content
+        st = os.stat(input_path)
+        sig = f"{os.path.abspath(input_path)}|{st.st_size}|{st.st_mtime_ns}"
+        if os.path.isdir(input_path):
+            parts_sig = [
+                f"{f}|{os.stat(os.path.join(input_path, f)).st_size}"
+                for f in sorted(os.listdir(input_path))
+                if f.endswith(".parquet")
+            ]
+            sig += "|" + "|".join(parts_sig)
+        shard_fingerprint = hashlib.blake2b(sig.encode(), digest_size=8).hexdigest()
     manifest = JobManifest(output_dir)
     if not resume:
         # a fresh recompute: clear the fingerprint, part manifests, and any

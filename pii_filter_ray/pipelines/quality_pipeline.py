@@ -64,11 +64,15 @@ def quality_scrub(
         "emit_mappings": emit_mappings,
     }
     if not use_actors:
+        # concurrency is honored on the task path too (max concurrent
+        # tasks) — callers like run_job(..., concurrency=N) cap parallelism
+        # regardless of compute strategy
         return ds.map_batches(
             make_scrub_task_fn(**stage_kwargs),
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=batch_size,
+            **({"concurrency": concurrency} if concurrency is not None else {}),
         )
     if concurrency is None:
         import ray

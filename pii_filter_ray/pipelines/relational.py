@@ -84,6 +84,21 @@ def preagg_groupby(
     return ds.map_batches(partials, batch_format="pyarrow").groupby(keys).aggregate(*aggs)
 
 
+def broadcast_lookup_fn(keys: pa.Array, values: pa.Array, key_col: str, out_col: str):
+    """Vectorized broadcast hash join: the small side's (keys, values) arrays
+    are put in the object store ONCE; every batch does pc.index_in + take
+    (C-speed) instead of a per-row Python dict lookup. Missing keys yield
+    nulls, matching LEFT JOIN semantics."""
+    ref = ray.put((keys, values))
+
+    def add(batch: pa.Table) -> pa.Table:
+        k, v = ray.get(ref)  # local plasma read, zero-copy cached per worker
+        idx = pc.index_in(batch[key_col], value_set=k)
+        return batch.append_column(out_col, pc.take(v, idx))
+
+    return add
+
+
 # --- documents ---------------------------------------------------------------
 
 
@@ -275,13 +290,10 @@ def revenue_by_mktsegment(sf_dir: str):
     cust = pq.read_table(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
     )
-    seg_map = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
-    ref = ray.put(seg_map)
-
-    def add_segment(batch: pa.Table) -> pa.Table:
-        seg = ray.get(ref)  # local plasma read, zero-copy cached per worker
-        segs = [seg.get(k) for k in batch["o_custkey"].to_pylist()]
-        return batch.append_column("c_mktsegment", pa.array(segs, pa.string()))
+    add_segment = broadcast_lookup_fn(
+        cust["c_custkey"].combine_chunks(), cust["c_mktsegment"].combine_chunks(),
+        key_col="o_custkey", out_col="c_mktsegment",
+    )
 
     ds = _tbl(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     df = preagg_groupby(
@@ -298,13 +310,10 @@ def nation_customer_count(sf_dir: str):
     nation = pq.read_table(
         os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
     )
-    name_map = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
-    ref = ray.put(name_map)
-
-    def add_name(batch: pa.Table) -> pa.Table:
-        name_by_key = ray.get(ref)  # local object-store read, zero-copy cached
-        names = [name_by_key.get(k) for k in batch["c_nationkey"].to_pylist()]
-        return batch.append_column("n_name", pa.array(names, pa.string()))
+    add_name = broadcast_lookup_fn(
+        nation["n_nationkey"].combine_chunks(), nation["n_name"].combine_chunks(),
+        key_col="c_nationkey", out_col="n_name",
+    )
 
     ds = _tbl(sf_dir, "customer", columns=["c_nationkey"])
     df = preagg_groupby(
@@ -323,14 +332,15 @@ def events_by_type(sf_dir: str):
 
 
 def events_daily(sf_dir: str):
-    """Time-bucketed (tumbling daily window) event counts."""
+    """Time-bucketed (tumbling daily window) event counts — Arrow-native
+    bucketing via pc.strftime (no pandas hop)."""
     ds = _tbl(sf_dir, "events", columns=["ts"])
 
-    def day_col(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"day": batch["ts"].dt.strftime("%Y-%m-%d")})
+    def day_col(batch: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.strftime(batch["ts"], format="%Y-%m-%d")})
 
     df = preagg_groupby(
-        ds.map_batches(day_col, batch_format="pandas"), ["day"], count_alias="n"
+        ds.map_batches(day_col, batch_format="pyarrow"), ["day"], count_alias="n"
     ).to_pandas()
     return df.astype({"n": "int64"})
 
@@ -382,14 +392,14 @@ def orders_by_month(sf_dir: str):
     """Time-bucketed (monthly) order stats."""
     ds = _tbl(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
 
-    def month_col(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"month": batch["o_orderdate"].dt.strftime("%Y-%m"),
+    def month_col(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"month": pc.strftime(batch["o_orderdate"], format="%Y-%m"),
              "o_totalprice": batch["o_totalprice"]}
         )
 
     df = preagg_groupby(
-        ds.map_batches(month_col, batch_format="pandas"),
+        ds.map_batches(month_col, batch_format="pyarrow"),
         ["month"],
         sums={"total": "o_totalprice"},
         count_alias="n",
@@ -413,13 +423,14 @@ def events_user_daily(sf_dir: str):
     """Per-user tumbling daily window counts."""
     ds = _tbl(sf_dir, "events", columns=["user_id", "ts"])
 
-    def day_col(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"user_id": batch["user_id"], "day": batch["ts"].dt.strftime("%Y-%m-%d")}
+    def day_col(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": batch["user_id"],
+             "day": pc.strftime(batch["ts"], format="%Y-%m-%d")}
         )
 
     df = preagg_groupby(
-        ds.map_batches(day_col, batch_format="pandas"), ["user_id", "day"], count_alias="n"
+        ds.map_batches(day_col, batch_format="pyarrow"), ["user_id", "day"], count_alias="n"
     ).to_pandas()
     return df.astype({"user_id": "int64", "n": "int64"})
 
@@ -474,16 +485,15 @@ def region_supplier_count(sf_dir: str):
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
     region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
     r_name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
-    nat_to_region = {
-        nk: r_name[rk]
-        for nk, rk in zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
-    }
-    ref = ray.put(nat_to_region)
-
-    def add_region(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        names = [m.get(k) for k in batch["s_nationkey"].to_pylist()]
-        return batch.append_column("r_name", pa.array(names, pa.string()))
+    # collapse the two tiny dims driver-side (nation -> region name), then one
+    # vectorized broadcast join against the fact side
+    nat_keys = nation["n_nationkey"].combine_chunks()
+    nat_region_names = pa.array(
+        [r_name[rk] for rk in nation["n_regionkey"].to_pylist()], pa.string()
+    )
+    add_region = broadcast_lookup_fn(
+        nat_keys, nat_region_names, key_col="s_nationkey", out_col="r_name"
+    )
 
     ds = _tbl(sf_dir, "supplier", columns=["s_nationkey"])
     df = preagg_groupby(
@@ -663,12 +673,11 @@ def customers_without_orders(sf_dir: str):
     """Anti-join via broadcast key set (semi/anti pattern: broadcast the
     small side's keys, filter inside map_batches — no shuffle)."""
     orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
-    key_ref = ray.put(set(orders["o_custkey"].to_pylist()))
+    key_ref = ray.put(pc.unique(orders["o_custkey"].combine_chunks()))
 
     def anti(batch: pa.Table) -> pa.Table:
         keys = ray.get(key_ref)
-        mask = [k not in keys for k in batch["c_custkey"].to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        return batch.filter(pc.invert(pc.is_in(batch["c_custkey"], value_set=keys)))
 
     ds = _tbl(sf_dir, "customer", columns=["c_custkey"])
     df = ds.map_batches(anti, batch_format="pyarrow").to_pandas()

@@ -57,6 +57,14 @@ def word_shingles(text: str, k: int = 3) -> List[bytes]:
 # --- exact dedup -------------------------------------------------------------
 
 
+def _text_hash_key(v: Optional[str]) -> str:
+    """sha256 key for exact dedup. A distinct sentinel byte keeps NULL and
+    empty-string text in SEPARATE groups, matching SQL GROUP BY semantics
+    (DuckDB groups all NULLs together but apart from '')."""
+    data = b"\x00" if v is None else b"\x01" + v.encode()
+    return hashlib.sha256(data).hexdigest()
+
+
 def exact_dedup_representatives(
     ds: "ray.data.Dataset", text_col: str, id_col: str
 ) -> "ray.data.Dataset":
@@ -69,7 +77,7 @@ def exact_dedup_representatives(
 
     def partial(batch: pa.Table) -> pa.Table:
         keys = pa.array(
-            [hashlib.sha256((v or "").encode()).hexdigest() for v in batch[text_col].to_pylist()],
+            [_text_hash_key(v) for v in batch[text_col].to_pylist()],
             pa.string(),
         )
         t = pa.table({"text_hash": keys, id_col: batch[id_col]})
@@ -97,7 +105,7 @@ def exact_dedup(
     """
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        keys = [hashlib.sha256((v or "").encode()).hexdigest() for v in batch[text_col].to_pylist()]
+        keys = [_text_hash_key(v) for v in batch[text_col].to_pylist()]
         return batch.append_column("text_hash", pa.array(keys, pa.string()))
 
     def first_per_group(g: pd.DataFrame) -> pd.DataFrame:

@@ -220,3 +220,21 @@ def test_minhash_spill_dir_equivalent(dup_ds, tmp_path):
     ).to_pandas()
     key = lambda df: sorted(map(tuple, df[["id_a", "id_b"]].values.tolist()))
     assert key(a) == key(b)
+
+
+def test_exact_dedup_null_vs_empty_distinct(ray_session):
+    """NULL text and '' text must form separate dedup groups (SQL GROUP BY
+    semantics: NULLs group together but apart from '')."""
+    import ray.data
+
+    from pii_filter_ray.stages.dedup import exact_dedup_representatives
+
+    ds = ray.data.from_items(
+        [{"doc_id": 1, "text": None}, {"doc_id": 2, "text": ""},
+         {"doc_id": 3, "text": None}, {"doc_id": 4, "text": ""}]
+    )
+    reps = sorted(
+        r["doc_id"]
+        for r in exact_dedup_representatives(ds, "text", "doc_id").take_all()
+    )
+    assert reps == [1, 2]

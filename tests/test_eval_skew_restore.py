@@ -180,3 +180,39 @@ def test_corpus_prf_by_type(ray_session):
     assert by_type["CPF"]["f1"] == 1.0
     assert by_type["EMAIL"]["recall"] == 0.0  # missed
     assert by_type["CEP"]["precision"] == 0.0  # spurious
+
+
+def test_restore_by_spans_handles_placeholder_literal():
+    """Positional restore survives raw text that already contains a
+    placeholder-shaped literal (the generic_restore global-replace
+    pathology, SURVEY §7.3)."""
+    from pii_filter_ray.core.restore import restore_by_spans
+    from pii_filter_ray.core.scrub import scrub_text
+
+    raw = "note [CPF_1] literal then real cpf 529.982.247-25 end"
+    r = scrub_text(raw)
+    assert "[CPF_" in r.masked
+    assert restore_by_spans(r.masked, r.mappings) == raw
+
+
+def test_restore_by_spans_rejects_foreign_mappings():
+    import pytest
+
+    from pii_filter_ray.core.regex_scan import PIIMapping
+    from pii_filter_ray.core.restore import restore_by_spans
+
+    bad = [PIIMapping(placeholder="[CPF_1]", original_value="x", type="CPF", span=(0, 3))]
+    with pytest.raises(ValueError):
+        restore_by_spans("unrelated text", bad)
+
+
+def test_restore_by_spans_matches_generic_on_clean_input(small_corpus):
+    from pii_filter_ray.core.restore import generic_restore, restore_by_spans
+    from pii_filter_ray.core.scrub import scrub_text
+
+    corpus, _ = small_corpus
+    for text in corpus["content"].to_pylist()[:200]:
+        r = scrub_text(text or "")
+        assert restore_by_spans(r.masked, r.mappings) == generic_restore(
+            r.masked, r.mappings
+        ) == (text or "")

@@ -208,3 +208,17 @@ def test_degenerate_inputs():
     assert scrub_text("").masked == ""
     r = scrub_text("texto limpo sem pii")
     assert r.masked == "texto limpo sem pii" and r.pii_count == 0
+
+
+def test_prescreen_unknown_type_not_skipped():
+    """A caller-supplied pattern without a known required literal must be
+    scanned even on digit-free text (the prescreen table defaults to no
+    prescreen for unknown types)."""
+    import re
+
+    from pii_filter_ray.core.regex_scan import find_all_matches
+
+    pats = {"CODENAME": re.compile(r"\bsecret-\w+\b")}
+    out = find_all_matches("the secret-alpha project", patterns=pats,
+                           validate_pii_data=False)
+    assert [m["value"] for m in out] == ["secret-alpha"]
