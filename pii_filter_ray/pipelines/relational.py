@@ -27,7 +27,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..stages import cached_stage_fn
-from ..stages.dedup import exact_dedup_representatives, minhash_lsh_pairs, simhash_fingerprints, verify_jaccard_pairs
+from ..stages.dedup import exact_dedup_representatives, minhash_lsh_pairs, simhash_fingerprints
 from ..stages.similarity import cosine_neardup_pairs, knn_ids_for_query_id
 from ..stages.text_stats import (
     NaturalLangIdStage,
@@ -167,9 +167,21 @@ def doc_minhash_candidates(sf_dir: str):
 
 
 def doc_jaccard_dups(sf_dir: str, threshold: float = 0.5):
+    """EXACT n-gram Jaccard near-dup pairs (inverted-index self-join, no
+    LSH recall loss) — oracle-checked value-for-value against a DuckDB
+    brute-force shingle join. jaccard is rounded to 6 digits on both sides
+    so the value hash is float-stable."""
+    from ..stages.dedup import jaccard_similarity_join
+
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
-    cands = minhash_lsh_pairs(ds, text_col="text", id_col="doc_id")
-    return verify_jaccard_pairs(ds, cands, text_col="text", id_col="doc_id", threshold=threshold)
+    out = jaccard_similarity_join(ds, text_col="text", id_col="doc_id", threshold=threshold)
+    return out.map_batches(
+        lambda b: pa.table(
+            {"id_a": b["id_a"], "id_b": b["id_b"],
+             "jaccard": pa.array(round_half_away(b["jaccard"].to_numpy(zero_copy_only=False), 6), pa.float64())}
+        ),
+        batch_format="pyarrow",
+    )
 
 
 # --- embeddings --------------------------------------------------------------
@@ -612,14 +624,15 @@ def union_keys_count(sf_dir: str):
 
 
 def doc_dup_components(sf_dir: str, threshold: float = 0.5):
-    """Near-dup GROUPS: verified Jaccard pairs -> connected components
-    (min-label propagation). Returns (id, component)."""
-    from ..stages.dedup import dup_components, minhash_lsh_pairs, verify_jaccard_pairs
+    """Near-dup GROUPS: EXACT Jaccard pairs -> connected components via the
+    broadcast-free tagged-union label propagation (dup_components_joined) —
+    oracle-checked against a DuckDB recursive-CTE transitive closure over
+    the same SQL-computed pair set."""
+    from ..stages.dedup import dup_components_joined, jaccard_similarity_join
 
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
-    cands = minhash_lsh_pairs(ds, text_col="text", id_col="doc_id")
-    pairs = verify_jaccard_pairs(ds, cands, text_col="text", id_col="doc_id", threshold=threshold)
-    return dup_components(pairs)
+    pairs = jaccard_similarity_join(ds, text_col="text", id_col="doc_id", threshold=threshold)
+    return dup_components_joined(pairs)
 
 
 def events_sessions(sf_dir: str, gap_minutes: int = 30):

@@ -4,9 +4,11 @@ All are Ray-Data-first:
 
   * exact: per-batch combine (pyarrow group_by) -> small groupby shuffle on
     the content hash -> min-id representative per group.
-  * MinHash/LSH: signatures per batch -> explode to (band, band_hash, doc_id)
-    rows -> groupby(band, band_hash) -> candidate pairs -> optional exact
-    Jaccard verification.
+  * MinHash/LSH: signatures per batch -> explode to (band_key, doc_id)
+    rows -> groupby(band_key) -> candidate pairs -> optional exact Jaccard
+    verification (distributed; broadcast or tagged-union join by size).
+  * n-gram Jaccard: EXACT inverted-index self-join with df pruning
+    (jaccard_similarity_join) — the oracle-checkable alternative to LSH.
   * SimHash: 64-bit fingerprint per doc (vectorized with a per-actor word
     hash cache), near-dup = identical fingerprint (or banded buckets).
 
@@ -33,6 +35,7 @@ from . import cached_stage_fn
 # --- shared hashing ----------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1
+_FOLD_B = 1_000_003  # polynomial fold multiplier (band keys)
 
 
 def stable_hash64(data: bytes) -> int:
@@ -40,11 +43,28 @@ def stable_hash64(data: bytes) -> int:
     return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
 
 
+def sql_hash64(data: bytes) -> int:
+    """Deterministic 63-bit hash that a SQL oracle can recompute (and that
+    fits Arrow/DuckDB signed int64): the first 8 bytes of sha256,
+    big-endian, top bit masked — DuckDB mirror is
+    ``CAST('0x' || left(sha256(s), 16) AS UBIGINT) % 9223372036854775808``.
+    Used by every dedup operator whose output is hash-checked against the
+    DuckDB oracle."""
+    return int.from_bytes(hashlib.sha256(data).digest()[:8], "big") & 0x7FFFFFFFFFFFFFFF
+
+
 def _minhash_params(num_perm: int, seed: int) -> Tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
     b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
     return a, b
+
+
+def minhash_params_literal(num_perm: int = 64, seed: int = 7) -> List[Tuple[int, int, int]]:
+    """(perm_index, a, b) rows for embedding the (deterministic) permutation
+    parameters into an oracle SQL VALUES table."""
+    a, b = _minhash_params(num_perm, seed)
+    return [(i, int(a[i]), int(b[i])) for i in range(num_perm)]
 
 
 def word_shingles(text: str, k: int = 3) -> List[bytes]:
@@ -123,7 +143,15 @@ def exact_dedup(
 
 
 class MinHashStage:
-    """Per-actor MinHash signatures; emits one row per (doc, band)."""
+    """Per-actor MinHash signatures; emits one row per (doc, band).
+
+    Every arithmetic step is chosen to be exactly recomputable by a DuckDB
+    oracle (see __ray_entry__.oracle_sql['doc_minhash_candidates']):
+    shingle hash = ``sql_hash64``; permutation = ``(a*h + b)`` with uint64
+    wraparound then mod (2^61 - 1); band key = a polynomial fold of
+    (band_id, sig chunk) mod the same prime — one int64 column, so the
+    bucket groupby and the oracle's GROUP BY see identical keys.
+    """
 
     def __init__(
         self,
@@ -155,15 +183,25 @@ class MinHashStage:
         for i, s in enumerate(shingles):
             v = cache.get(s)
             if v is None:
-                v = stable_hash64(s)
+                v = sql_hash64(s)
                 cache[s] = v
             hs[i] = v
-        # (a*h + b) mod p, min over shingles, per permutation
-        vals = (self.a[:, None] * hs[None, :] + self.b[:, None]) % _MERSENNE
+        # (a*h + b) with uint64 wraparound, then mod p, min per permutation —
+        # the SQL mirror reproduces the wraparound via HUGEINT % 2^64
+        with np.errstate(over="ignore"):
+            vals = (self.a[:, None] * hs[None, :] + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
 
+    def band_key(self, band: int, chunk) -> int:
+        """Polynomial fold of (band_id, chunk values) mod 2^61-1 — int64,
+        SQL mirror: list_reduce([band, v0..], (acc,x) -> (acc*B + x) % p)."""
+        acc = band
+        for v in chunk:
+            acc = (acc * _FOLD_B + int(v)) % _MERSENNE
+        return acc
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids_out, band_ids, band_hashes = [], [], []
+        ids_out, band_keys = [], []
         for doc_id, text in zip(
             batch[self.id_col].to_pylist(), batch[self.text_col].to_pylist()
         ):
@@ -173,15 +211,34 @@ class MinHashStage:
             for band in range(self.bands):
                 chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
                 ids_out.append(doc_id)
-                band_ids.append(band)
-                band_hashes.append(stable_hash64(chunk.tobytes()) & 0x7FFFFFFFFFFFFFFF)
+                band_keys.append(self.band_key(band, chunk))
         return pa.table(
             {
                 self.id_col: pa.array(ids_out),
-                "band_id": pa.array(band_ids, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.int64()),
+                "band_key": pa.array(band_keys, pa.int64()),
             }
         )
+
+
+def _empty_pairs() -> "ray.data.Dataset":
+    return ray.data.from_arrow(
+        pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    )
+
+
+def _bucket_pairs_fn(id_col: str, max_bucket: int):
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g[id_col].tolist()))[:max_bucket]
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        pa_, pb_ = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pa_.append(ids[i])
+                pb_.append(ids[j])
+        return pd.DataFrame({"id_a": pa_, "id_b": pb_})
+
+    return bucket_pairs
 
 
 def minhash_lsh_pairs(
@@ -194,6 +251,7 @@ def minhash_lsh_pairs(
     max_bucket: int = 64,
     seed: int = 7,
     spill_dir: Optional[str] = None,
+    broadcast_key_limit: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Candidate near-dup pairs (id_a < id_b) from LSH band buckets.
 
@@ -201,19 +259,22 @@ def minhash_lsh_pairs(
     ``groupby().map_groups`` over every bucket costs one Python call per
     bucket (measured ~10s for 80k buckets). Instead:
 
-      1. explode signatures to (band_id, band_hash, id) rows [materialized —
-         3 int columns, tiny relative to the corpus; at extreme scale spill
-         this to parquet instead],
+      1. explode signatures to (band_key, id) rows [materialized — 2 int
+         columns, tiny relative to the corpus; at extreme scale spill this
+         to parquet via ``spill_dir``],
       2. find COLLIDING bucket keys with a C-speed count aggregate,
-      3. semi-join (broadcast key set) the band rows down to collisions only,
+      3. cut the band rows down to collisions only: a vectorized
+         pc.is_in semi-join against a ray.put key array when the colliding
+         key set is small (the normal case — dups are rare), else a fully
+         distributed groupby semi-join (no driver materialization),
       4. pair-generate per bucket on that tiny remainder.
 
     Buckets larger than ``max_bucket`` are truncated (pairs from the first
-    ``max_bucket`` members only) to bound quadratic blowup on degenerate
-    buckets; real corpora hit this only on boilerplate-identical files,
-    which exact-dedup should remove first.
+    ``max_bucket`` members only, by id order) to bound quadratic blowup on
+    degenerate buckets; real corpora hit this only on boilerplate-identical
+    files, which exact-dedup should remove first.
     """
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Sum
 
     band_rows = ds.map_batches(
         cached_stage_fn(
@@ -243,56 +304,65 @@ def minhash_lsh_pairs(
 
     # colliding keys (count>=2) via aggregate — no per-bucket python calls
     def key_partials(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["band_id", "band_hash"]).aggregate([("band_hash", "count")])
+        g = batch.group_by("band_key").aggregate([("band_key", "count")])
         return pa.table(
             {
-                "band_id": g["band_id"],
-                "band_hash": g["band_hash"],
-                "n": pc.cast(g["band_hash_count"], pa.int64()),
+                "band_key": g["band_key"],
+                "n": pc.cast(g["band_key_count"], pa.int64()),
             }
         )
 
-    from ray.data.aggregate import Sum
-
-    key_counts = (
+    colliding = (
         band_rows.map_batches(key_partials, batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
+        .groupby("band_key")
         .aggregate(Sum("n", alias_name="n"))
-    )
-    colliding = key_counts.map_batches(
-        lambda b: b.filter(pc.greater_equal(b["n"], pa.scalar(2))),
-        batch_format="pyarrow",
-    ).to_pandas()
-    if len(colliding) == 0:
-        return ray.data.from_items([]).map_batches(
-            lambda b: pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}),
+        .map_batches(
+            lambda b: b.filter(pc.greater_equal(b["n"], pa.scalar(2))).select(["band_key"]),
             batch_format="pyarrow",
         )
-    key_ref = ray.put(set(zip(colliding["band_id"], colliding["band_hash"])))
+        .materialize()
+    )
+    n_colliding = colliding.count()
+    if n_colliding == 0:
+        return _empty_pairs()
 
-    def semi_join(batch: pa.Table) -> pa.Table:
-        keys = ray.get(key_ref)
-        mask = [
-            (b, h) in keys
-            for b, h in zip(batch["band_id"].to_pylist(), batch["band_hash"].to_pylist())
-        ]
-        return batch.filter(pa.array(mask, pa.bool_()))
+    if n_colliding <= broadcast_key_limit:
+        # broadcast path: one is_in kernel per batch against a ray.put array
+        # (driver holds only the colliding keys — bounded by the limit)
+        keys = pa.array(colliding.to_pandas()["band_key"], pa.int64())
+        key_ref = ray.put(keys)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g[id_col].tolist()))[:max_bucket]
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
-        pa_, pb_ = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pa_.append(ids[i])
-                pb_.append(ids[j])
-        return pd.DataFrame({"id_a": pa_, "id_b": pb_})
+        def semi_join(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch["band_key"], value_set=ray.get(key_ref)))
 
-    pairs = (
-        band_rows.map_batches(semi_join, batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        colliding_rows = band_rows.map_batches(semi_join, batch_format="pyarrow")
+    else:
+        # distributed path: tagged-union groupby semi-join — the colliding
+        # key table never touches the driver
+        marker = colliding.map_batches(
+            lambda b: pa.table(
+                {
+                    "band_key": b["band_key"],
+                    id_col: pa.array([None] * b.num_rows, pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def keep_marked(g: pd.DataFrame) -> pd.DataFrame:
+            if g[id_col].isna().any():
+                kept = g[g[id_col].notna()]
+                return kept.astype({id_col: "int64"})
+            return g.iloc[0:0]
+
+        colliding_rows = (
+            band_rows.union(marker).groupby("band_key").map_groups(
+                keep_marked, batch_format="pandas"
+            )
+        )
+
+    pairs = colliding_rows.groupby("band_key").map_groups(
+        _bucket_pairs_fn(id_col, max_bucket), batch_format="pandas"
     )
     # distinct pairs (a pair can collide in several bands)
     return (
@@ -302,6 +372,46 @@ def minhash_lsh_pairs(
     )
 
 
+def _shingle_sets_for_ids(
+    ds: "ray.data.Dataset",
+    id_array: Optional[pa.Array],
+    text_col: str,
+    id_col: str,
+    shingle_k: int,
+) -> "ray.data.Dataset":
+    """(id, sig: list<int64>) — per-doc DISTINCT shingle hashes, optionally
+    restricted to the ids in ``id_array`` (broadcast once, filtered with a
+    vectorized is_in before any shingling work)."""
+    id_ref = ray.put(id_array) if id_array is not None else None
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        if id_ref is not None:
+            batch = batch.filter(pc.is_in(batch[id_col], value_set=ray.get(id_ref)))
+        ids, sig_col = [], []
+        for doc_id, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            hs = sorted({sql_hash64(s) for s in word_shingles(text or "", shingle_k)})
+            ids.append(doc_id)
+            sig_col.append(hs)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "sig": pa.array(sig_col, pa.list_(pa.int64())),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(sigs, batch_format="pyarrow")
+
+
+def _jaccard_from_sigs(sa, sb) -> float:
+    # sa/sb may arrive as list, numpy array (pandas-ified Arrow list), or None
+    A = set() if sa is None else set(sa)
+    B = set() if sb is None else set(sb)
+    if not A or not B:
+        return -1.0
+    inter = len(A & B)
+    return inter / (len(A) + len(B) - inter)
+
+
 def verify_jaccard_pairs(
     ds: "ray.data.Dataset",
     candidate_pairs: "ray.data.Dataset",
@@ -309,30 +419,45 @@ def verify_jaccard_pairs(
     id_col: str,
     threshold: float,
     shingle_k: int = 3,
+    broadcast_doc_limit: int = 200_000,
 ) -> "ray.data.Dataset":
-    """Exact word-shingle Jaccard verification of candidate pairs.
+    """Exact word-shingle Jaccard verification of candidate pairs —
+    distributed; the driver never holds a corpus-wide index.
 
-    The shingle-set index is broadcast via ray.put (sets of 64-bit shingle
-    hashes, NOT texts — ~8 bytes/shingle). Fine for small-to-medium corpora;
-    at 100 TB the candidate pairs would instead be joined back to the docs
-    by id (two hash-joins) before a pairwise verify stage.
+    The shingle-set table is computed ONLY for candidate-involved docs
+    (vectorized is_in filter at the read — candidates are a tiny fraction
+    of the corpus). When that filtered table is small it is broadcast via
+    ray.put (sets of 64-bit shingle hashes, never texts); when the
+    candidate set itself outgrows ``broadcast_doc_limit``, the pairs are
+    hash-JOINED back to the sig table by id (two tagged-union groupby
+    shuffles) — no driver materialization at all.
     """
-    index = {}
-    for batch in ds.select_columns([id_col, text_col]).iter_batches(
-        batch_size=4096, batch_format="pyarrow"
-    ):
-        for doc_id, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            index[doc_id] = frozenset(stable_hash64(s) for s in word_shingles(text or "", shingle_k))
-    ref = ray.put(index)
+    # pin the candidate pairs once — they are consumed twice below, and a
+    # lazy Dataset would re-run the whole upstream LSH per consumption
+    candidate_pairs = candidate_pairs.materialize()
+    ids_df = candidate_pairs.select_columns(["id_a", "id_b"]).to_pandas()
+    if len(ids_df) == 0:
+        return ray.data.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+        )
+    cand_ids = pa.array(
+        sorted(set(ids_df["id_a"]) | set(ids_df["id_b"])), pa.int64()
+    )
+    sig_ds = _shingle_sets_for_ids(ds, cand_ids, text_col, id_col, shingle_k)
 
-    def verify(batch: pa.Table) -> pa.Table:
-            index = ray.get(ref)  # local plasma read, cached per worker
+    if len(cand_ids) <= broadcast_doc_limit:
+        index = {}
+        for batch in sig_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+            for doc_id, sig in zip(batch[id_col].to_pylist(), batch["sig"].to_pylist()):
+                index[doc_id] = frozenset(sig)
+        ref = ray.put(index)
+
+        def verify(batch: pa.Table) -> pa.Table:
+            idx = ray.get(ref)  # local plasma read, cached per worker
             keep_a, keep_b, jac = [], [], []
             for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
-                sa, sb = index.get(a), index.get(b)
-                if not sa or not sb:
-                    continue
-                j = len(sa & sb) / len(sa | sb)
+                j = _jaccard_from_sigs(idx.get(a), idx.get(b))
                 if j >= threshold:
                     keep_a.append(a)
                     keep_b.append(b)
@@ -345,7 +470,225 @@ def verify_jaccard_pairs(
                 }
             )
 
-    return candidate_pairs.map_batches(verify, batch_format="pyarrow")
+        return candidate_pairs.map_batches(verify, batch_format="pyarrow")
+
+    return _verify_pairs_joined(sig_ds, candidate_pairs, id_col, threshold)
+
+
+def _verify_pairs_joined(
+    sig_ds: "ray.data.Dataset",
+    candidate_pairs: "ray.data.Dataset",
+    id_col: str,
+    threshold: float,
+) -> "ray.data.Dataset":
+    """Fully distributed verify: hash-join pairs to shingle sets by id via
+    two tagged-union groupby shuffles (the at-scale path; semantics proven
+    equal to the broadcast path by test_jaccard_verify_joined_equivalent)."""
+
+    def tag_sigs(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "join_key": pc.cast(b[id_col], pa.int64()),
+                "sig": b["sig"],
+                "id_a": pa.array([None] * n, pa.int64()),
+                "id_b": pa.array([None] * n, pa.int64()),
+                "sig_a": pa.array([None] * n, pa.list_(pa.int64())),
+            }
+        )
+
+    def tag_pairs(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "join_key": pc.cast(b["id_a"], pa.int64()),
+                "sig": pa.array([None] * n, pa.list_(pa.int64())),
+                "id_a": b["id_a"],
+                "id_b": b["id_b"],
+                "sig_a": pa.array([None] * n, pa.list_(pa.int64())),
+            }
+        )
+
+    def attach_a(g: pd.DataFrame) -> pd.DataFrame:
+        sig_rows = g[g["id_a"].isna()]
+        pair_rows = g[g["id_a"].notna()]
+        if len(sig_rows) == 0 or len(pair_rows) == 0:
+            return pair_rows.iloc[0:0]
+        sig = sig_rows["sig"].iloc[0]
+        out = pair_rows.copy()
+        out["sig_a"] = [sig] * len(out)
+        out["join_key"] = out["id_b"].astype("int64")
+        return out
+
+    def as_arrow(b: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "join_key": pa.array(b["join_key"], pa.int64()),
+                "sig": pa.array(
+                    [None if s is None else list(s) for s in b["sig"]],
+                    pa.list_(pa.int64()),
+                ),
+                "id_a": pa.array(b["id_a"], pa.int64()),
+                "id_b": pa.array(b["id_b"], pa.int64()),
+                "sig_a": pa.array(
+                    [None if s is None else list(s) for s in b["sig_a"]],
+                    pa.list_(pa.int64()),
+                ),
+            }
+        )
+
+    stage1 = (
+        sig_ds.map_batches(tag_sigs, batch_format="pyarrow")
+        .union(candidate_pairs.map_batches(tag_pairs, batch_format="pyarrow"))
+        .groupby("join_key")
+        .map_groups(attach_a, batch_format="pandas")
+        # normalize back to Arrow blocks: union() requires homogeneous block
+        # types, and the next union partner is Arrow
+        .map_batches(as_arrow, batch_format="pandas")
+    )
+
+    def attach_b_and_score(g: pd.DataFrame) -> pd.DataFrame:
+        sig_rows = g[g["id_a"].isna()]
+        pair_rows = g[g["id_a"].notna()]
+        if len(sig_rows) == 0 or len(pair_rows) == 0:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+                 "jaccard": pd.Series(dtype="float64")}
+            )
+        sig_b = sig_rows["sig"].iloc[0]
+        out_a, out_b, out_j = [], [], []
+        for _, row in pair_rows.iterrows():
+            j = _jaccard_from_sigs(row["sig_a"], sig_b)
+            if j >= threshold:
+                out_a.append(int(row["id_a"]))
+                out_b.append(int(row["id_b"]))
+                out_j.append(j)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+
+    return (
+        stage1.union(sig_ds.map_batches(tag_sigs, batch_format="pyarrow"))
+        .groupby("join_key")
+        .map_groups(attach_b_and_score, batch_format="pandas")
+    )
+
+
+def jaccard_similarity_join(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    max_df: int = 1000,
+) -> "ray.data.Dataset":
+    """EXACT all-pairs word-shingle Jaccard join — no LSH, no driver index.
+
+    Classic inverted-index self-join, fully distributed:
+
+      1. per-doc distinct shingle hashes exploded to (sh, id, n_sh) rows
+         [n_sh = doc's set size, carried for the jaccard denominator],
+      2. C-speed count aggregate finds shingles shared by >= 2 docs; those
+         with document frequency > ``max_df`` are pruned (a shingle in
+         thousands of docs contributes ~nothing to near-dup evidence but
+         O(df^2) pair rows — the standard df-pruning tradeoff; the SQL
+         oracle mirrors the same pruning so equality is exact),
+      3. per-shingle pair generation on the colliding remainder,
+      4. groupby(id_a, id_b): |A∩B| = co-occurrence count; jaccard =
+         c / (n_a + n_b - c); filter >= threshold.
+
+    Guaranteed-complete output (unlike LSH candidates) for every pair whose
+    intersection contains at least one shingle with df <= max_df — which at
+    any realistic threshold is every near-dup pair. This powers the
+    oracle-checked doc_jaccard_dups / doc_dup_components queries; the
+    MinHash path remains the cheaper screen when exactness isn't required.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sh_col, ids, sizes = [], [], []
+        for doc_id, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            hs = {sql_hash64(s) for s in word_shingles(text or "", shingle_k)}
+            for h in hs:
+                sh_col.append(h)
+                ids.append(doc_id)
+                sizes.append(len(hs))
+        return pa.table(
+            {
+                "sh": pa.array(sh_col, pa.int64()),
+                id_col: pa.array(ids, pa.int64()),
+                "n_sh": pa.array(sizes, pa.int64()),
+            }
+        )
+
+    shingle_rows = ds.map_batches(explode, batch_format="pyarrow").materialize()
+
+    def df_partials(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("sh").aggregate([("sh", "count")])
+        return pa.table({"sh": g["sh"], "n": pc.cast(g["sh_count"], pa.int64())})
+
+    shared = (
+        shingle_rows.map_batches(df_partials, batch_format="pyarrow")
+        .groupby("sh")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda b: b.filter(
+                pc.and_(
+                    pc.greater_equal(b["n"], pa.scalar(2)),
+                    pc.less_equal(b["n"], pa.scalar(max_df)),
+                )
+            ).select(["sh"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    if shared.count() == 0:
+        return ray.data.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+        )
+    shared_ref = ray.put(pa.array(shared.to_pandas()["sh"], pa.int64()))
+
+    def semi_join(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["sh"], value_set=ray.get(shared_ref)))
+
+    def shingle_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(set(zip(g[id_col], g["n_sh"])))
+        a_, b_, na_, nb_ = [], [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                a_.append(rows[i][0])
+                b_.append(rows[j][0])
+                na_.append(rows[i][1])
+                nb_.append(rows[j][1])
+        return pd.DataFrame({"id_a": a_, "id_b": b_, "n_a": na_, "n_b": nb_})
+
+    pair_rows = (
+        shingle_rows.map_batches(semi_join, batch_format="pyarrow")
+        .groupby("sh")
+        .map_groups(shingle_pairs, batch_format="pandas")
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        c = pc.cast(batch["c"], pa.float64())
+        denom = pc.subtract(
+            pc.cast(pc.add(batch["n_a"], batch["n_b"]), pa.float64()), c
+        )
+        jac = pc.divide(c, denom)
+        out = pa.table(
+            {"id_a": batch["id_a"], "id_b": batch["id_b"], "jaccard": jac}
+        )
+        return out.filter(pc.greater_equal(jac, pa.scalar(float(threshold))))
+
+    from ray.data.aggregate import Count
+
+    return (
+        pair_rows.groupby(["id_a", "id_b"])
+        .aggregate(
+            Count(alias_name="c"),
+            Max("n_a", alias_name="n_a"),
+            Max("n_b", alias_name="n_b"),
+        )
+        .map_batches(score, batch_format="pyarrow")
+    )
 
 
 # --- SimHash -----------------------------------------------------------------
@@ -453,7 +796,7 @@ def simhash_dup_groups(
 
 
 def dup_components(
-    pairs: "ray.data.Dataset", max_iters: int = 10
+    pairs: "ray.data.Dataset", max_iters: int = 10, broadcast_node_limit: int = 500_000
 ) -> "ray.data.Dataset":
     """Connected components of the near-dup pair graph by iterative min-label
     propagation — each round is one groupby(node) -> min(label) shuffle over
@@ -463,14 +806,17 @@ def dup_components(
     Converges in O(diameter) rounds; dup clusters are near-cliques from LSH,
     so 2-3 rounds typically suffice; ``max_iters`` bounds pathological
     chains. The per-round label table (one row per duplicate-involved node,
-    typically a tiny fraction of the corpus) is broadcast via ray.put; when
-    even the dup set outgrows driver memory, the broadcast becomes a
-    hash-join of labels to edges (groupby on node id) with identical
-    semantics.
-    """
+    typically a tiny fraction of the corpus) is broadcast via ray.put ONLY
+    while it fits ``broadcast_node_limit``; a larger dup set automatically
+    switches to ``dup_components_joined`` — the broadcast-free hash-join
+    formulation with identical semantics (equivalence-tested)."""
     from ray.data.aggregate import Min
 
     edges = pairs.select_columns(["id_a", "id_b"]).materialize()
+    # ~2 label rows per edge upper-bounds the node count: decide the
+    # strategy BEFORE materializing any label table on the driver
+    if edges.count() * 2 > broadcast_node_limit:
+        return dup_components_joined(edges, max_iters=max_iters)
     if edges.count() == 0:
         return ray.data.from_items([]).map_batches(
             lambda b: pa.table({"id": pa.array([], pa.int64()),

@@ -238,3 +238,79 @@ def test_exact_dedup_null_vs_empty_distinct(ray_session):
         for r in exact_dedup_representatives(ds, "text", "doc_id").take_all()
     )
     assert reps == [1, 2]
+
+
+def _brute_jaccard_pairs(rows, threshold, k=3):
+    import itertools
+
+    from pii_filter_ray.stages.dedup import sql_hash64, word_shingles
+
+    sets = {i: frozenset(sql_hash64(s) for s in word_shingles(t or "", k)) for i, t in rows}
+    out = []
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        if inter and inter / len(sa | sb) >= threshold:
+            out.append((a, b, inter / len(sa | sb)))
+    return sorted(out)
+
+
+def test_jaccard_similarity_join_matches_bruteforce(dup_ds):
+    """The exact inverted-index join must reproduce the brute-force
+    all-pairs jaccard result (no LSH recall loss)."""
+    from pii_filter_ray.stages.dedup import jaccard_similarity_join
+
+    ds = dup_ds
+    got = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in jaccard_similarity_join(ds, "text", "doc_id", threshold=0.5).take_all()
+    )
+    t = _docs_with_dups()
+    want = _brute_jaccard_pairs(
+        list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist())), 0.5
+    )
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
+    for (_, _, ja), (_, _, jb) in zip(got, want):
+        assert abs(ja - jb) < 1e-12
+
+
+def test_jaccard_verify_joined_equivalent(dup_ds, ray_session):
+    """The broadcast-free tagged-union verify path returns exactly the
+    broadcast path's result."""
+    from pii_filter_ray.stages.dedup import (
+        _shingle_sets_for_ids,
+        _verify_pairs_joined,
+        minhash_lsh_pairs,
+        verify_jaccard_pairs,
+    )
+
+    ds = dup_ds
+    cands = minhash_lsh_pairs(ds, text_col="text", id_col="doc_id").materialize()
+    base = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in verify_jaccard_pairs(ds, cands, "text", "doc_id", 0.5).take_all()
+    )
+    sig_ds = _shingle_sets_for_ids(ds, None, "text", "doc_id", 3)
+    joined = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in _verify_pairs_joined(sig_ds, cands, "doc_id", 0.5).take_all()
+    )
+    assert base == joined
+    assert len(base) > 0
+
+
+def test_dup_components_auto_switch(dup_ds, ray_session):
+    """dup_components with a tiny broadcast limit must route through the
+    joined variant and still produce identical components."""
+    from pii_filter_ray.stages.dedup import dup_components, jaccard_similarity_join
+
+    ds = dup_ds
+    pairs = jaccard_similarity_join(ds, "text", "doc_id", threshold=0.5).materialize()
+    a = sorted((r["id"], r["component"]) for r in dup_components(pairs).take_all())
+    b = sorted(
+        (r["id"], r["component"])
+        for r in dup_components(pairs, broadcast_node_limit=1).take_all()
+    )
+    assert a == b and len(a) > 0
