@@ -97,7 +97,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from pii_filter_ray import oracles as o
+
     return {
+        # full SQL recomputations of the non-trivial operators (see
+        # pii_filter_ray/oracles.py — shingling, MinHash permutations,
+        # SimHash votes, rolling hashes, the char-bigram LM, stopword
+        # language voting and toxicity scoring are all re-executed by
+        # DuckDB itself; constants are embedded as literal tables)
+        "doc_scrub": o.doc_scrub_sql(),
+        "doc_langid": o.doc_langid_sql(),
+        "doc_toxicity": o.doc_toxicity_sql(),
+        "doc_simhash": o.doc_simhash_sql(),
+        "doc_fingerprint": o.doc_fingerprint_sql(),
+        "doc_minhash_candidates": o.doc_minhash_candidates_sql(),
+        "doc_jaccard_dups": o.doc_jaccard_dups_sql(),
+        "doc_dup_components": o.doc_dup_components_sql(),
         "doc_lang_stats": """
             SELECT lang,
                    CAST(count(*) AS BIGINT) AS n_docs,

@@ -117,7 +117,11 @@ class CharBigramLM:
         counts = np.full((_VOCAB_SIZE, _VOCAB_SIZE), add_k, dtype=np.float64)
         np.add.at(counts, (codes[:-1], codes[1:]), 1.0)
         probs = counts / counts.sum(axis=1, keepdims=True)
-        self.logp = np.log2(probs).astype(np.float32)
+        # float64 end-to-end: the DuckDB oracle recomputes these log-probs
+        # from the same embedded training text, so both sides must carry
+        # full double precision (float32 truncation would diverge at the
+        # rounded-to-6-digits comparison)
+        self.logp = np.log2(probs)
 
     def bits_per_char(self, text: str, data: bytes | None = None) -> float:
         """Average -log2 P(c_i | c_{i-1}); 0.0 for texts shorter than 2 chars."""

@@ -1,0 +1,499 @@
+"""DuckDB oracle SQL builders for the driver's correctness gate.
+
+Every query in ``__ray_entry__.queries()`` is paired with SQL that DuckDB
+can run on the same parquet tables; the driver hash-compares values after
+sorting columns by name. The queries here are the non-trivial ones: each
+builder RECOMPUTES the operator's semantics in pure SQL (shingling, MinHash
+permutations, SimHash bit votes, rolling hashes, the char-bigram LM,
+stopword language voting, toxicity scoring) so the check is a genuinely
+independent second implementation, not a pin of stored outputs. Model
+parameters (permutation constants, LM log-probs, stopword lists,
+hyperplanes) are embedded as literal VALUES tables — sharing constants is
+sharing the spec; all per-document computation is DuckDB's own.
+
+Float columns are rounded to 6 digits on BOTH sides (DuckDB ``round`` is
+half-away-from-zero; the Ray side uses ``relational.round_half_away``), so
+value hashes are stable across summation-order ulp differences.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+# 63-bit SQL-recomputable hash — mirror of stages.dedup.sql_hash64
+_H64 = (
+    "CAST(CAST('0x' || left(sha256({s}), 16) AS UBIGINT) "
+    "% 9223372036854775808 AS BIGINT)"
+)
+_P61 = (1 << 61) - 1
+_Q64 = 1 << 64
+_FOLD_B = 1_000_003  # polynomial fold multiplier — mirror of dedup._FOLD_B
+
+
+def h64(expr: str) -> str:
+    return _H64.format(s=expr)
+
+
+def words_expr(text: str = "text") -> str:
+    """Mirror of python str.split(): whitespace runs, no empties."""
+    return f"list_filter(string_split_regex({text}, '\\s+'), x -> x != '')"
+
+
+def shingle_strings_cte(k: int = 3, table: str = "documents",
+                        id_col: str = "doc_id", text_col: str = "text") -> str:
+    """CTEs doc_words / doc_shingles: per-doc word list and DISTINCT 63-bit
+    shingle hashes (mirror of dedup.word_shingles + sql_hash64)."""
+    windows = ", ".join(f"words[i+{j}]" for j in range(k))
+    return f"""
+  doc_words AS (
+    SELECT {id_col} AS doc_id, {words_expr(text_col)} AS words FROM {table}
+  ),
+  doc_shingles AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+             CASE WHEN len(words) = 0 THEN CAST([] AS VARCHAR[])
+                  WHEN len(words) < {k} THEN [array_to_string(words, ' ')]
+                  ELSE list_transform(range(1, len(words) - {k} + 2),
+                                      i -> concat_ws(' ', {windows}))
+             END,
+             s -> {h64('s')})) AS shs
+    FROM doc_words
+  )"""
+
+
+def jaccard_pairs_ctes(threshold: float, max_df: int, k: int = 3) -> str:
+    """CTE chain ending in ``jac_pairs(id_a, id_b, jaccard)`` — the exact
+    inverted-index jaccard join (mirror of dedup.jaccard_similarity_join,
+    including the df-pruning: shingles shared by more than max_df docs are
+    excluded from intersection evidence on both sides)."""
+    return f"""WITH {shingle_strings_cte(k)},
+  sh_rows AS (
+    SELECT doc_id, unnest(shs) AS sh, len(shs) AS n_sh
+    FROM doc_shingles WHERE len(shs) > 0
+  ),
+  shared AS (
+    SELECT sh FROM sh_rows GROUP BY sh
+    HAVING count(*) >= 2 AND count(*) <= {max_df}
+  ),
+  pair_counts AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS c, min(a.n_sh) AS n_a, min(b.n_sh) AS n_b
+    FROM sh_rows a
+    JOIN sh_rows b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    JOIN shared s ON s.sh = a.sh
+    GROUP BY 1, 2
+  ),
+  jac_pairs AS (
+    SELECT id_a, id_b, CAST(c AS DOUBLE) / (n_a + n_b - c) AS jaccard
+    FROM pair_counts
+    WHERE CAST(c AS DOUBLE) / (n_a + n_b - c) >= {threshold}
+  )"""
+
+
+def doc_jaccard_dups_sql(threshold: float = 0.5, max_df: int = 1000) -> str:
+    return f"""{jaccard_pairs_ctes(threshold, max_df)}
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           round(jaccard, 6) AS jaccard
+    FROM jac_pairs"""
+
+
+def doc_minhash_candidates_sql(
+    num_perm: int = 64, bands: int = 16, seed: int = 7, max_bucket: int = 64,
+    k: int = 3,
+) -> str:
+    """Full MinHash+LSH recompute in SQL (mirror of dedup.MinHashStage +
+    minhash_lsh_pairs): 63-bit shingle hashes -> 64 permutations with the
+    exact uint64-wraparound-then-mod-p arithmetic (HUGEINT) -> per-band
+    polynomial band keys -> bucket collisions -> max_bucket-truncated pair
+    generation -> distinct pairs. Permutation constants are embedded as a
+    literal VALUES table (deterministic, from minhash_params_literal)."""
+    from .stages.dedup import minhash_params_literal
+
+    rows_per_band = num_perm // bands
+    perm_rows = ", ".join(
+        f"({i}, {a}, {b})" for i, a, b in minhash_params_literal(num_perm, seed)
+    )
+    return f"""WITH {shingle_strings_cte(k)},
+  sh AS (
+    SELECT doc_id, unnest(shs) AS h FROM doc_shingles WHERE len(shs) > 0
+  ),
+  perms(i, a, b) AS (VALUES {perm_rows}),
+  sigs AS (
+    SELECT sh.doc_id, p.i AS i,
+           min(CAST((((CAST(p.a AS HUGEINT) * sh.h) % {_Q64} + p.b) % {_Q64})
+                    % {_P61} AS BIGINT)) AS v
+    FROM sh CROSS JOIN perms p
+    GROUP BY sh.doc_id, p.i
+  ),
+  band_keys AS (
+    SELECT doc_id,
+           CAST(list_reduce(
+             list_prepend(CAST(band AS HUGEINT),
+                          list_transform(vs, x -> CAST(x AS HUGEINT))),
+             (acc, x) -> (acc * {_FOLD_B} + x) % {_P61}) AS BIGINT) AS band_key
+    FROM (
+      SELECT doc_id, i // {rows_per_band} AS band, list(v ORDER BY i) AS vs
+      FROM sigs GROUP BY doc_id, i // {rows_per_band}
+    )
+  ),
+  ranked AS (
+    SELECT doc_id, band_key,
+           ROW_NUMBER() OVER (PARTITION BY band_key ORDER BY doc_id) AS rn
+    FROM (SELECT DISTINCT doc_id, band_key FROM band_keys)
+  )
+  SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a,
+                  CAST(b.doc_id AS BIGINT) AS id_b
+  FROM ranked a
+  JOIN ranked b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+  WHERE a.rn <= {max_bucket} AND b.rn <= {max_bucket}"""
+
+
+def doc_simhash_sql() -> str:
+    """SimHash recompute in SQL (mirror of dedup.SimHashStage with
+    sql_hash64 word hashes): per-word 63-bit hash, per-bit ±1 vote over all
+    word occurrences, bit set iff vote sum > 0."""
+    return f"""WITH doc_words AS (
+    SELECT doc_id, {words_expr()} AS words FROM documents
+  ),
+  wh AS (
+    SELECT doc_id, {h64('w')} AS h
+    FROM (SELECT doc_id, unnest(words) AS w FROM doc_words)
+  ),
+  bits AS (
+    SELECT doc_id, bs.b AS b,
+           CASE WHEN sum(CASE WHEN (h >> bs.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                THEN 1 ELSE 0 END AS bit
+    FROM wh CROSS JOIN (SELECT unnest(range(63)) AS b) bs
+    GROUP BY doc_id, bs.b
+  ),
+  fp AS (
+    SELECT doc_id,
+           sum(CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << CAST(b AS INT))) AS simhash
+    FROM bits GROUP BY doc_id
+  )
+  SELECT d.doc_id, CAST(COALESCE(fp.simhash, 0) AS BIGINT) AS simhash
+  FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id"""
+
+
+def doc_fingerprint_sql(window: int = 16) -> str:
+    """Rolling-hash winnowing fingerprint recompute in SQL (mirror of
+    text_stats.rolling_fingerprint_batch): per-window polynomial hash mod
+    2^64 (HUGEINT arithmetic reproduces numpy's uint64 wraparound), min over
+    windows, reinterpreted as signed int64. Character codepoints equal UTF-8
+    bytes for this ASCII corpus (the python side hashes bytes)."""
+    poly = f"(acc * 1000003 + c) % {_Q64}"
+    return f"""WITH fpu AS (
+    SELECT doc_id,
+      CASE
+        WHEN text IS NULL OR length(text) = 0 THEN CAST(0 AS HUGEINT)
+        WHEN length(text) < {window} THEN
+          list_reduce(
+            list_transform(range(1, length(text) + 1),
+                           j -> CAST(unicode(text[j]) AS HUGEINT)),
+            (acc, c) -> {poly})
+        ELSE
+          list_min(list_transform(
+            range(1, length(text) - {window} + 2),
+            i -> list_reduce(
+                   list_transform(range(i, i + {window}),
+                                  j -> CAST(unicode(text[j]) AS HUGEINT)),
+                   (acc, c) -> {poly})))
+      END AS u
+    FROM documents
+  )
+  SELECT doc_id,
+         CAST(CASE WHEN u >= {1 << 63} THEN u - {_Q64} ELSE u END AS BIGINT)
+           AS fingerprint
+  FROM fpu"""
+
+
+def _q(s: str) -> str:
+    """SQL single-quoted string literal."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+_WORD_CHARS_RE = "'[a-zà-þäöüßéèêëàâîïôûùç]+'"  # mirror of langid word regex
+
+
+def langid_ctes(table: str = "documents", id_col: str = "doc_id",
+                text_col: str = "text") -> str:
+    """CTE chain ending in ``lang_det(doc_id, lang_detected, lang_conf)`` —
+    full recompute of core.langid.detect_natural_lang: 4096-char sample,
+    CJK-ratio shortcut, stopword voting with multiplicity, argmax with
+    alphabetical tie-break, 'und' on zero evidence. Stopword lists are the
+    module's own constants embedded as a VALUES table."""
+    from .core.langid import _NATURAL_STOPWORDS
+
+    stop_rows = ", ".join(
+        f"({_q(lang)}, {_q(w)})"
+        for lang in sorted(_NATURAL_STOPWORDS)
+        for w in sorted(_NATURAL_STOPWORDS[lang])
+    )
+    return f"""
+  lang_samples AS (
+    SELECT {id_col} AS doc_id, {text_col} AS text,
+           substring({text_col}, 1, 4096) AS sample,
+           CAST(length(substring({text_col}, 1, 4096))
+                - length(regexp_replace(substring({text_col}, 1, 4096),
+                                        '[一-鿿]', '', 'g')) AS DOUBLE)
+             / greatest(1, length(substring({text_col}, 1, 4096))) AS cjk_ratio
+    FROM {table}
+  ),
+  lang_words AS (
+    SELECT doc_id, regexp_extract_all(lower(sample), {_WORD_CHARS_RE}) AS lws
+    FROM lang_samples
+  ),
+  lang_stopwords(lang, word) AS (VALUES {stop_rows}),
+  lang_scores AS (
+    SELECT r.doc_id, s.lang, count(*) AS score
+    FROM (SELECT doc_id, unnest(lws) AS w FROM lang_words) r
+    JOIN lang_stopwords s ON r.w = s.word
+    GROUP BY 1, 2
+  ),
+  lang_top AS (
+    SELECT doc_id, lang, score FROM (
+      SELECT doc_id, lang, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang ASC) AS rn
+      FROM lang_scores
+    ) WHERE rn = 1
+  ),
+  lang_det AS (
+    SELECT d.doc_id,
+      CASE WHEN d.text IS NULL OR d.text = '' THEN 'en'
+           WHEN d.cjk_ratio > 0.05 THEN 'zh'
+           WHEN len(w.lws) = 0 THEN 'und'
+           WHEN t.score IS NULL OR t.score = 0 THEN 'und'
+           ELSE t.lang END AS lang_detected,
+      CASE WHEN d.text IS NULL OR d.text = '' THEN 0.0
+           WHEN d.cjk_ratio > 0.05 THEN least(1.0, d.cjk_ratio * 5)
+           WHEN len(w.lws) = 0 THEN 0.0
+           WHEN t.score IS NULL OR t.score = 0 THEN 0.0
+           ELSE CAST(t.score AS DOUBLE) / greatest(1, len(w.lws))
+      END AS lang_conf
+    FROM lang_samples d
+    LEFT JOIN lang_words w USING (doc_id)
+    LEFT JOIN lang_top t USING (doc_id)
+  )"""
+
+
+def doc_langid_sql() -> str:
+    return f"""WITH {langid_ctes()}
+    SELECT doc_id, lang_detected, round(lang_conf, 6) AS lang_conf
+    FROM lang_det"""
+
+
+def toxicity_ctes(table: str = "documents", id_col: str = "doc_id",
+                  text_col: str = "text") -> str:
+    """CTE ``tox(doc_id, toxicity)`` — recompute of
+    core.toxicity.toxicity_score: longest-first blocklist alternation with
+    word boundaries (case-insensitive), severity weights, per-100-token
+    normalization."""
+    import re as _re
+
+    from .core.toxicity import TOXIC_TERMS
+
+    pattern = r"\b(?:" + "|".join(
+        _re.escape(t) for t in sorted(TOXIC_TERMS, key=len, reverse=True)
+    ) + r")\b"
+    weight_cases = " ".join(
+        f"WHEN {_q(t)} THEN {w}" for t, w in sorted(TOXIC_TERMS.items())
+    )
+    return f"""
+  tox AS (
+    SELECT {id_col} AS doc_id,
+      CASE WHEN {text_col} IS NULL OR {text_col} = '' THEN 0.0
+           WHEN len(regexp_extract_all({text_col}, {_q(pattern)}, 0, 'i')) = 0
+             THEN 0.0
+           ELSE 100.0 * list_sum(list_transform(
+                  regexp_extract_all({text_col}, {_q(pattern)}, 0, 'i'),
+                  h -> CASE lower(h) {weight_cases} ELSE 1.0 END))
+                / greatest(1, len({words_expr(text_col)}))
+      END AS toxicity
+    FROM {table}
+  )"""
+
+
+def doc_toxicity_sql() -> str:
+    return f"""WITH {toxicity_ctes()}
+    SELECT doc_id, round(toxicity, 6) AS toxicity FROM tox"""
+
+
+def _vocab_idx(c: str) -> str:
+    """Mirror of perplexity._encode: printable ASCII 32..126 -> 0..94,
+    newline -> 95, tab -> 96, everything else -> 97."""
+    return (
+        f"CASE WHEN unicode({c}) BETWEEN 32 AND 126 THEN unicode({c}) - 32 "
+        f"WHEN unicode({c}) = 10 THEN 95 "
+        f"WHEN unicode({c}) = 9 THEN 96 ELSE 97 END"
+    )
+
+
+def perplexity_ctes(table: str = "documents", id_col: str = "doc_id",
+                    text_col: str = "text") -> str:
+    """CTE chain ending in ``ppl(doc_id, ppl_bits)`` — full recompute of
+    core.perplexity.CharBigramLM: the embedded training text is re-counted
+    in SQL (add-0.1 smoothing, row-normalized, log2), then every document's
+    bigrams are scored against that table and averaged. Equality holds to
+    well under the 6-digit rounding (both sides are float64; only
+    summation-order ulps differ)."""
+    from .core.perplexity import _TRAIN_TEXT, _VOCAB_SIZE
+
+    return f"""
+  lm_train(t) AS (SELECT {_q(_TRAIN_TEXT)}),
+  lm_train_codes AS (
+    SELECT list_transform(range(1, length(t) + 1),
+                          j -> {_vocab_idx('t[j]')}) AS cs
+    FROM lm_train
+  ),
+  lm_train_bigrams AS (
+    SELECT bg['p'] AS prev, bg['c'] AS cur FROM (
+      SELECT unnest(list_transform(range(1, len(cs)),
+                                   j -> {{'p': cs[j], 'c': cs[j+1]}})) AS bg
+      FROM lm_train_codes
+    )
+  ),
+  lm_counts AS (
+    SELECT prev, cur, count(*) AS n FROM lm_train_bigrams GROUP BY 1, 2
+  ),
+  lm_row_totals AS (
+    SELECT prev, count(*) AS total FROM lm_train_bigrams GROUP BY prev
+  ),
+  lm_logp AS (
+    SELECT g.prev, g.cur,
+           log2((0.1 + COALESCE(c.n, 0))
+                / ({_VOCAB_SIZE} * 0.1 + COALESCE(rt.total, 0))) AS lp
+    FROM (SELECT p.i AS prev, q.i AS cur
+          FROM (SELECT unnest(range({_VOCAB_SIZE})) AS i) p,
+               (SELECT unnest(range({_VOCAB_SIZE})) AS i) q) g
+    LEFT JOIN lm_counts c ON c.prev = g.prev AND c.cur = g.cur
+    LEFT JOIN lm_row_totals rt ON rt.prev = g.prev
+  ),
+  doc_bigrams AS (
+    SELECT doc_id, bg['p'] AS prev, bg['c'] AS cur FROM (
+      SELECT {id_col} AS doc_id,
+             unnest(list_transform(range(1, length({text_col})),
+                                   j -> {{'p': {_vocab_idx(f'{text_col}[j]')},
+                                          'c': {_vocab_idx(f'{text_col}[j+1]')}}})) AS bg
+      FROM {table} WHERE length({text_col}) >= 2
+    )
+  ),
+  ppl AS (
+    SELECT d.{id_col} AS doc_id, COALESCE(-s.m, 0.0) AS ppl_bits
+    FROM {table} d
+    LEFT JOIN (
+      SELECT doc_id, avg(lp) AS m
+      FROM doc_bigrams JOIN lm_logp USING (prev, cur) GROUP BY doc_id
+    ) s ON s.doc_id = d.{id_col}
+  )"""
+
+
+def heuristics_ctes(table: str = "documents", id_col: str = "doc_id",
+                    text_col: str = "text") -> str:
+    """CTE ``heur(doc_id, reason_h)`` — recompute of
+    core.quality.heuristic_drop_reason over this ASCII corpus (byte stats
+    equal char stats): empty -> repetition -> max_line_len -> long_token ->
+    alnum_ratio, first failure wins, '' when kept."""
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    return f"""
+  heur_feats AS (
+    SELECT {id_col} AS doc_id, {text_col} AS text,
+           trim({text_col}, {ws}) AS trimmed,
+           length({text_col}) AS n_chars,
+           list_max(list_transform(string_split({text_col}, chr(10)),
+                                   x -> length(x))) AS mll,
+           {words_expr(text_col)} AS toks,
+           length(regexp_replace({text_col}, '[^a-zA-Z0-9]', '', 'g')) AS n_alnum
+    FROM {table}
+  ),
+  heur AS (
+    SELECT doc_id,
+      CASE
+        WHEN text IS NULL OR trimmed = '' THEN 'empty'
+        WHEN n_chars >= 200 AND
+             CAST(len(list_distinct(list_transform(
+                    range(1, n_chars - 1), i -> substring(text, i, 3))))
+                  AS DOUBLE) / (n_chars - 2) < 0.05 THEN 'repetition'
+        WHEN mll > 1000 THEN 'max_line_len'
+        WHEN len(toks) > 0 AND
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+               / len(toks) > 25.0 THEN 'long_token'
+        WHEN n_chars > 0 AND
+             CAST(n_alnum AS DOUBLE) / n_chars < 0.25 THEN 'alnum_ratio'
+        ELSE '' END AS reason_h
+    FROM heur_feats
+  )"""
+
+
+_LANG_COMPAT_PAIRS = [
+    ("markdown", "text"), ("text", "markdown"),
+    ("javascript", "java"), ("java", "javascript"),
+]
+
+
+def doc_scrub_sql(max_bits: float = 6.0, max_toxicity: float = 5.0) -> str:
+    """Full keep/drop mirror of the text-mode flagship
+    (stages.quality_scrub.QualityScrubStage): sha256, heuristics, langid,
+    char-bigram LM bits, toxicity, drop-reason precedence, NULL scores for
+    heuristic-dropped rows. pii_count's mirror is the digit/'@' prescreen
+    bound (provably 0 matches on text with neither — NULL otherwise, so an
+    unexpected PII-bearing corpus fails loudly rather than silently).
+    scrub_ok is the pipeline's own roundtrip self-check, pinned TRUE."""
+    compat = " OR ".join(
+        f"(d.lang = {_q(a)} AND l.lang_detected = {_q(b)})"
+        for a, b in _LANG_COMPAT_PAIRS
+    )
+    lang_ok = f"(d.lang IS NULL OR d.lang = l.lang_detected OR l.lang_detected = 'und' OR {compat})"
+    return f"""WITH {heuristics_ctes()}, {langid_ctes()}, {toxicity_ctes()}, {perplexity_ctes()},
+  verdict AS (
+    SELECT d.doc_id, d.text, sha256(d.text) AS content_sha256,
+           l.lang_detected, l.lang_conf, p.ppl_bits, t.toxicity,
+      CASE
+        WHEN h.reason_h <> '' THEN h.reason_h
+        WHEN NOT {lang_ok} THEN 'lang_mismatch'
+        WHEN p.ppl_bits > {max_bits} THEN 'perplexity'
+        WHEN t.toxicity > {max_toxicity} THEN 'toxicity'
+        ELSE '' END AS drop_reason,
+      h.reason_h
+    FROM documents d
+    JOIN heur h USING (doc_id)
+    JOIN lang_det l USING (doc_id)
+    JOIN tox t USING (doc_id)
+    JOIN ppl p USING (doc_id)
+  )
+  SELECT doc_id, content_sha256,
+         CASE WHEN reason_h <> '' THEN NULL ELSE lang_detected END AS lang_detected,
+         CASE WHEN reason_h <> '' THEN NULL ELSE round(lang_conf, 6) END AS lang_conf,
+         CASE WHEN reason_h <> '' THEN NULL ELSE round(ppl_bits, 6) END AS ppl_bits,
+         CASE WHEN reason_h <> '' THEN NULL ELSE round(toxicity, 6) END AS toxicity,
+         drop_reason = '' AS keep,
+         drop_reason,
+         CAST(CASE WHEN drop_reason <> '' THEN 0
+                   WHEN NOT regexp_matches(text, '[0-9@]') THEN 0
+                   ELSE NULL END AS INT) AS pii_count,
+         TRUE AS scrub_ok
+  FROM verdict"""
+
+
+def doc_dup_components_sql(threshold: float = 0.5, max_df: int = 1000) -> str:
+    """Connected components of the exact-jaccard pair graph — transitive
+    closure by recursive CTE, component label = min reachable id (mirror of
+    dedup.dup_components_joined over jaccard_similarity_join pairs)."""
+    return f"""WITH RECURSIVE {jaccard_pairs_ctes(threshold, max_df).removeprefix("WITH ")},
+  nodes AS (
+    SELECT DISTINCT id FROM (
+      SELECT id_a AS id FROM jac_pairs UNION ALL SELECT id_b FROM jac_pairs
+    )
+  ),
+  bi_edges AS (
+    SELECT id_a AS a, id_b AS b FROM jac_pairs
+    UNION ALL
+    SELECT id_b AS a, id_a AS b FROM jac_pairs
+  ),
+  reach(id, r) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT e.a, reach.r FROM bi_edges e JOIN reach ON reach.id = e.b
+  )
+  SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS component
+  FROM reach GROUP BY id"""

@@ -134,21 +134,86 @@ def doc_sql_keep(sf_dir: str):
 
 
 def doc_scrub(sf_dir: str):
-    """Full quality+scrub flagship over the documents table (text mode)."""
+    """Full quality+scrub flagship over the documents table (text mode),
+    oracle-checked value-for-value: sha256, langid, char-bigram LM bits,
+    toxicity, keep/drop and pii_count are all recomputed independently by
+    the DuckDB oracle (oracles.doc_scrub_sql); scrub_ok is the in-pipeline
+    restoration round-trip self-check (restore(mask(x)) == x and
+    placeholder-count == pii_count), pinned TRUE by the oracle."""
+    from ..core.regex_scan import PIIMapping
+    from ..core.restore import restore_by_spans
     from .quality_pipeline import quality_scrub
 
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     out = quality_scrub(
-        ds, content_col="text", lang_col="lang", mode="text", emit_mappings=False
+        ds, content_col="text", lang_col="lang", mode="text", emit_mappings=True
     )
-    return out.select_columns(
-        ["doc_id", "keep", "drop_reason", "pii_count", "content_sha256"]
-    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        ok = []
+        for text, masked, raw, n in zip(
+            batch["text"].to_pylist(),
+            batch["content_masked"].to_pylist(),
+            batch["pii_masked"].to_pylist(),
+            batch["pii_count"].to_pylist(),
+        ):
+            if masked is None:  # dropped row: not scrubbed, vacuously ok
+                ok.append(True)
+                continue
+            mappings = [
+                PIIMapping(m["placeholder"], m["original_value"], m["type"],
+                           (m["span_start"], m["span_end"]))
+                for m in (raw or [])
+            ]
+            ok.append(
+                len(mappings) == n
+                and restore_by_spans(masked, mappings) == (text or "")
+            )
+
+        def r6(col):
+            vals = batch[col].to_pylist()
+            return pa.array(
+                [None if v is None else float(round_half_away(v, 6)) for v in vals],
+                pa.float64(),
+            )
+
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "content_sha256": batch["content_sha256"],
+                "lang_detected": batch["lang_detected"],
+                "lang_conf": r6("lang_conf"),
+                "ppl_bits": r6("ppl_bits"),
+                "toxicity": r6("toxicity"),
+                "keep": batch["keep"],
+                "drop_reason": batch["drop_reason"],
+                "pii_count": batch["pii_count"],
+                "scrub_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
 
 
 def doc_langid(sf_dir: str):
+    """Natural-language ID per doc — oracle-checked: the DuckDB oracle
+    recomputes the stopword-voting detector (oracles.doc_langid_sql);
+    conf rounded to 6 on both sides for float-stable value hashes."""
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(cached_stage_fn(NaturalLangIdStage), batch_format="pyarrow")
+    out = ds.map_batches(cached_stage_fn(NaturalLangIdStage), batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "lang_detected": b["lang_detected"],
+                "lang_conf": pa.array(
+                    round_half_away(b["lang_conf"].to_numpy(zero_copy_only=False), 6),
+                    pa.float64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def doc_simhash(sf_dir: str):
@@ -596,11 +661,12 @@ def emb_ivf_knn(sf_dir: str):
 
 
 def doc_toxicity(sf_dir: str):
-    """Word-list toxicity score per document (deterministic)."""
+    """Word-list toxicity score per document — oracle-checked: the DuckDB
+    oracle recomputes the weighted blocklist score (oracles.doc_toxicity_sql)."""
     from ..core.toxicity import toxicity_score
 
     def score(batch: pa.Table) -> pa.Table:
-        vals = [toxicity_score(v or "") for v in batch["text"].to_pylist()]
+        vals = [float(round_half_away(toxicity_score(v or ""), 6)) for v in batch["text"].to_pylist()]
         return pa.table(
             {"doc_id": batch["doc_id"], "toxicity": pa.array(vals, pa.float64())}
         )

@@ -695,8 +695,13 @@ def jaccard_similarity_join(
 
 
 class SimHashStage:
-    """64-bit SimHash fingerprints; word-level features with a per-actor
-    hash cache (vocab repeats heavily, so caching collapses the hashing cost)."""
+    """SimHash fingerprints; word-level features with a per-actor hash cache
+    (vocab repeats heavily, so caching collapses the hashing cost).
+
+    Word hashes are ``sql_hash64`` (63 effective bits — bit 63 is never
+    set, so the fingerprint is always a non-negative int64) so the DuckDB
+    oracle can recompute every fingerprint from the text
+    (__ray_entry__.oracle_sql['doc_simhash'])."""
 
     def __init__(self, text_col: str, id_col: str):
         self.text_col, self.id_col = text_col, id_col
@@ -706,7 +711,7 @@ class SimHashStage:
     def _word_bits(self, w: str) -> np.ndarray:
         v = self._cache.get(w)
         if v is None:
-            h = np.uint64(stable_hash64(w.encode()))
+            h = np.uint64(sql_hash64(w.encode()))
             v = ((h & self._bit_cols) > 0).astype(np.int32) * 2 - 1  # ±1 per bit
             self._cache[w] = v
         return v
