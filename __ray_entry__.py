@@ -113,6 +113,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_candidates": o.doc_minhash_candidates_sql(),
         "doc_jaccard_dups": o.doc_jaccard_dups_sql(),
         "doc_dup_components": o.doc_dup_components_sql(),
+        "emb_cosine_neardup": o.emb_cosine_neardup_sql(),
+        "emb_ivf_knn": o.emb_ivf_knn_sql(),
+        # ground truth for the self-generated code corpus comes from the
+        # generator's expectations sidecar (independent of the pipeline)
+        "code_corpus_flagship": o.code_corpus_flagship_sql(),
+        "code_corpus_repo_stats": o.code_corpus_repo_stats_sql(),
         "doc_lang_stats": """
             SELECT lang,
                    CAST(count(*) AS BIGINT) AS n_docs,

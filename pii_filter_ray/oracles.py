@@ -475,6 +475,110 @@ def doc_scrub_sql(max_bits: float = 6.0, max_toxicity: float = 5.0) -> str:
   FROM verdict"""
 
 
+def emb_cosine_neardup_sql(
+    threshold: float = 0.4, n_bits: int = 6, n_tables: int = 8,
+    seed: int = 13, dim: int = 64, max_bucket: int = 2048,
+) -> str:
+    """Hyperplane-LSH cosine near-dup recompute in SQL (mirror of
+    similarity.cosine_neardup_pairs): the deterministic hyperplanes are
+    embedded as literals; DuckDB recomputes every sign bit, bucket code,
+    bucket truncation and exact in-bucket cosine. ``dim`` is the embeddings
+    table's fixed vector width."""
+    from .stages.similarity import _hyperplanes
+
+    rows = []
+    for t in range(n_tables):
+        H = _hyperplanes(dim, n_bits, seed + t)  # (dim, n_bits)
+        for b in range(n_bits):
+            for d in range(dim):
+                rows.append(f"({t}, {b}, {d}, {H[d, b]!r})")
+    hp_rows = ", ".join(rows)
+    return f"""WITH hp(table_id, bit, dim, w) AS (VALUES {hp_rows}),
+  vecs AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  ),
+  proj AS (
+    SELECT v.vec_id, h.table_id, h.bit, sum(v.v[h.dim + 1] * h.w) AS dot
+    FROM vecs v CROSS JOIN hp h
+    GROUP BY 1, 2, 3
+  ),
+  codes AS (
+    SELECT vec_id, table_id,
+           sum(CASE WHEN dot > 0 THEN 1 << CAST(bit AS INT) ELSE 0 END) AS bucket
+    FROM proj GROUP BY 1, 2
+  ),
+  ranked AS (
+    SELECT vec_id, table_id, bucket,
+           ROW_NUMBER() OVER (PARTITION BY table_id, bucket ORDER BY vec_id) AS rn
+    FROM codes
+  ),
+  cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM ranked a
+    JOIN ranked b ON a.table_id = b.table_id AND a.bucket = b.bucket
+                 AND a.vec_id < b.vec_id
+    WHERE a.rn <= {max_bucket} AND b.rn <= {max_bucket}
+  ),
+  sims AS (
+    SELECT c.id_a, c.id_b, list_cosine_similarity(va.v, vb.v) AS sim
+    FROM cand c
+    JOIN vecs va ON va.vec_id = c.id_a
+    JOIN vecs vb ON vb.vec_id = c.id_b
+  )
+  SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+         round(sim, 6) AS sim
+  FROM sims WHERE sim >= {threshold}"""
+
+
+def emb_ivf_knn_sql(query_id: int = 1, k: int = 10) -> str:
+    """Brute-force cosine ranking — valid oracle for the IVF query because
+    it runs with n_probe = n_clusters (exact). Same tie-break as the Ray
+    side: round(sim, 9) desc, then vec_id."""
+    return f"""
+    SELECT CAST(e.vec_id AS BIGINT) AS vec_id
+    FROM embeddings e,
+         (SELECT embedding FROM embeddings WHERE vec_id = {query_id}) q
+    ORDER BY round(list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[]),
+               CAST(q.embedding AS DOUBLE[])), 9) DESC,
+             e.vec_id
+    LIMIT {k}"""
+
+
+def code_corpus_expectations_path(n_rows: int = 2000, seed: int = 42) -> str:
+    """Materializes (cached) the synthetic code corpus and returns the
+    absolute path of its generator-written expectations sidecar — the
+    INDEPENDENT ground truth (keep/drop labels, injected PII inventory,
+    sha256) that the code-corpus oracles read via read_parquet()."""
+    import os
+
+    from .sources.synthetic_code import corpus_dir
+
+    return os.path.join(corpus_dir(n_rows=n_rows, seed=seed), "expectations.parquet")
+
+
+def code_corpus_flagship_sql(n_rows: int = 2000, seed: int = 42) -> str:
+    path = code_corpus_expectations_path(n_rows, seed)
+    return f"""
+    SELECT repo, path, expect_keep AS keep, expect_reason AS drop_reason,
+           CAST(CASE WHEN expect_keep THEN len(expect_pii_types) ELSE 0 END
+                AS INT) AS pii_count,
+           content_sha256
+    FROM read_parquet({_q(path)})"""
+
+
+def code_corpus_repo_stats_sql(n_rows: int = 2000, seed: int = 42) -> str:
+    path = code_corpus_expectations_path(n_rows, seed)
+    return f"""
+    SELECT repo,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN expect_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN expect_keep THEN len(expect_pii_types) ELSE 0 END)
+                AS BIGINT) AS n_pii
+    FROM read_parquet({_q(path)})
+    GROUP BY repo"""
+
+
 def doc_dup_components_sql(threshold: float = 0.5, max_df: int = 1000) -> str:
     """Connected components of the exact-jaccard pair graph — transitive
     closure by recursive CTE, component label = min reachable id (mirror of

@@ -264,9 +264,21 @@ def emb_label_count(sf_dir: str):
     return df.astype({"label": "int32", "n": "int64"})
 
 
-def emb_cosine_neardup(sf_dir: str, threshold: float = 0.8):
+def emb_cosine_neardup(sf_dir: str, threshold: float = 0.4):
+    """Hyperplane-LSH cosine near-dup pairs — oracle-checked: the DuckDB
+    oracle recomputes the sign-bit bucketing from the same hyperplane
+    literals and the exact in-bucket cosines (oracles.emb_cosine_neardup_sql).
+    Params (0.4 / 6 bits / 8 tables) chosen so the synthetic embeddings
+    yield a non-trivial pair set at every sf."""
     ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return cosine_neardup_pairs(ds, threshold=threshold)
+    out = cosine_neardup_pairs(ds, threshold=threshold, n_bits=6, n_tables=8)
+    return out.map_batches(
+        lambda b: pa.table(
+            {"id_a": b["id_a"], "id_b": b["id_b"],
+             "sim": pa.array(round_half_away(b["sim"].to_numpy(zero_copy_only=False), 6), pa.float64())}
+        ),
+        batch_format="pyarrow",
+    )
 
 
 # --- TPC-H-style relational --------------------------------------------------
@@ -649,15 +661,29 @@ def doc_scrub_roundtrip(sf_dir: str):
 
 
 def emb_ivf_knn(sf_dir: str):
-    """Approximate top-10 via IVF coarse quantizer (n_probe=4 of 8 clusters);
-    approximate by design -> rows-only check (no SQL oracle)."""
+    """Top-10 via the IVF coarse-quantizer machinery run in EXACT mode
+    (n_probe = n_clusters), which makes it oracle-checkable against a
+    brute-force SQL cosine ranking — the driver verifies the whole IVF
+    path (k-means train, assignment, probe-filtered scan, merge) end to
+    end. The recall-bounded approximate mode (n_probe < n_clusters) is
+    property-tested in tests/test_ivf_property.py. Query vector = vec_id 1
+    (deterministic; vec_id 0 is emb_knn_top10's query)."""
+    import pyarrow.compute as _pc
+
     from ..stages.similarity import ivf_build, ivf_knn
 
     ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     assigned, centroids = ivf_build(ds, n_clusters=8, train_rows=2048)
-    q = np.asarray(ds.take(1)[0]["embedding"], dtype=np.float64)
-    df = ivf_knn(assigned, centroids, q, k=10, n_probe=4)
-    return df[["vec_id"]].astype({"vec_id": "int64"})
+    qrow = ds.map_batches(
+        lambda b: b.filter(_pc.equal(b["vec_id"], pa.scalar(1))),
+        batch_format="pyarrow",
+    ).take(1)
+    q = np.asarray(qrow[0]["embedding"], dtype=np.float64)
+    df = ivf_knn(assigned, centroids, q, k=40, n_probe=8)
+    df["sim_r"] = df["sim"].round(9)
+    df = df.sort_values(["sim_r", "vec_id"], ascending=[False, True],
+                        kind="mergesort").head(10)
+    return df[["vec_id"]].astype({"vec_id": "int64"}).reset_index(drop=True)
 
 
 def doc_toxicity(sf_dir: str):
