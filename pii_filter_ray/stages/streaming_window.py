@@ -1,4 +1,4 @@
-"""Stateful streaming windows: incremental per-key aggregation in actors.
+"""Stateful streaming windows: incremental per-key tumbling aggregation.
 
 Ray Data has no event-time windows/watermarks; SURVEY §2.5 and the build
 brief allow three implementations in increasing statefulness:
@@ -6,72 +6,115 @@ brief allow three implementations in increasing statefulness:
   (a) batch windowing via groupby().map_groups over sorted groups
       (pipelines.relational.events_daily / events_user_daily /
       events_sessions) — preferred whenever the log is re-readable;
-  (b) actor-pool stage holding per-key state — THIS module: a pool of
-      ``WindowActor``s, each owning a hash-bucket of keys, fed batches in
-      timestamp order, emitting CLOSED tumbling windows incrementally and
-      holding open windows in memory (the streaming pattern when the input
-      is an ordered feed that cannot be re-read);
-  (c) raw @ray.remote actors — not needed; (b) expresses it.
+  (b) the SAME incremental per-key state machine (``TumblingWindowState``)
+      replayed inside distributed tasks, one key-bucket per task
+      (``streaming_tumbling_counts`` default): the dataset is bucketed by
+      key hash, each bucket sorted by (ts, key) and streamed through its
+      own state instance — no driver-side feed pump, parallelism =
+      n_buckets, and the state machine is exactly the one a live feed
+      would drive;
+  (c) an actor pool holding open windows across feed() calls
+      (``WindowActor`` + ``streaming_tumbling_counts(mode="actors")``) —
+      the pattern for a true ordered feed that cannot be re-read.
 
-Ordering assumption (documented per the brief): batches arrive in
+Ordering assumption (documented per the brief): events arrive in
 non-decreasing ts order PER KEY-BUCKET; a window closes when an event at or
-past its end arrives for that bucket, plus a final flush. Late events
-within an open window are absorbed; events later than a closed window are
-counted in ``late_dropped`` (no watermark recovery — matches the
-"documented partitioning assumption" requirement).
+past its end arrives for that key, plus a final flush. Late events within
+an open window are absorbed; events later than a closed window are counted
+in ``late_dropped`` (no watermark recovery — matches the "documented
+partitioning assumption" requirement).
+
+Scale note: open windows are indexed PER KEY (``open_by_key``), so each
+event touches only its own key's open windows — O(1) amortized per event
+regardless of how many keys a bucket holds (the round-1 implementation
+scanned every open window of the actor per event).
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import pandas as pd
 
 import ray
 
 
-@ray.remote
-class WindowActor:
-    """Owns the open tumbling windows for one key-bucket."""
+class TumblingWindowState:
+    """Per-bucket incremental tumbling-window aggregator (pure Python, no
+    Ray) — the single state machine behind both the task-replay and the
+    actor-pool paths."""
 
     def __init__(self, window_seconds: int):
         self.window_s = window_seconds
-        self.open: Dict[Tuple[int, int], dict] = {}  # (key, window_start) -> agg
-        self.late_dropped = 0
+        # key -> {window_start -> {"n": int, "total": float}}
+        self.open_by_key: Dict[int, Dict[int, dict]] = {}
         self.max_closed_start: Dict[int, int] = {}
+        self.late_dropped = 0
 
-    def _window_start(self, ts_epoch: float) -> int:
-        return int(ts_epoch // self.window_s) * self.window_s
+    def feed(self, key: int, ts_epoch: float, value: float) -> List[dict]:
+        """Absorb one event; return any windows of this key that it closes."""
+        w = self.window_s
+        ws = int(ts_epoch // w) * w
+        if ws <= self.max_closed_start.get(key, -1):
+            self.late_dropped += 1  # window already closed -> late event
+            return []
+        wins = self.open_by_key.setdefault(key, {})
+        slot = wins.setdefault(ws, {"n": 0, "total": 0.0})
+        slot["n"] += 1
+        slot["total"] += value
+        # close THIS KEY's windows that ended at or before ts (typically 0-1
+        # entries; other keys' windows are never scanned)
+        closed: List[dict] = []
+        if len(wins) > 1:
+            for start in [s for s in wins if s + w <= ts_epoch and s != ws]:
+                agg = wins.pop(start)
+                prev = self.max_closed_start.get(key, -1)
+                self.max_closed_start[key] = start if start > prev else prev
+                closed.append({"key": key, "window_start": start, **agg})
+        return closed
 
-    def feed(self, keys: List[int], ts_epochs: List[float], values: List[float]) -> List[dict]:
-        """Absorb one batch; return windows closed by this batch's progress."""
+    def feed_many(self, keys, ts_epochs, values) -> List[dict]:
         closed: List[dict] = []
         for key, ts, value in zip(keys, ts_epochs, values):
-            ws = self._window_start(ts)
-            if ws <= self.max_closed_start.get(key, -1):
-                self.late_dropped += 1  # window already closed -> late event
-                continue
-            slot = self.open.setdefault((key, ws), {"n": 0, "total": 0.0})
-            slot["n"] += 1
-            slot["total"] += value
-            # close any window of this key that ended at or before ts
-            for (k, start) in [kk for kk in self.open if kk[0] == key]:
-                if start + self.window_s <= ts and (k, start) != (key, ws):
-                    agg = self.open.pop((k, start))
-                    self.max_closed_start[k] = max(self.max_closed_start.get(k, -1), start)
-                    closed.append({"key": k, "window_start": start, **agg})
+            closed.extend(self.feed(key, ts, value))
         return closed
 
     def flush(self) -> List[dict]:
         out = [
             {"key": k, "window_start": start, **agg}
-            for (k, start), agg in sorted(self.open.items())
+            for k, wins in sorted(self.open_by_key.items())
+            for start, agg in sorted(wins.items())
         ]
-        self.open.clear()
+        self.open_by_key.clear()
         return out
 
+    def open_window_count(self) -> int:
+        return sum(len(w) for w in self.open_by_key.values())
+
+
+@ray.remote
+class WindowActor:
+    """Owns the open tumbling windows for one key-bucket of a live feed."""
+
+    def __init__(self, window_seconds: int):
+        self.state = TumblingWindowState(window_seconds)
+
+    def feed(self, keys: List[int], ts_epochs: List[float], values: List[float]) -> List[dict]:
+        return self.state.feed_many(keys, ts_epochs, values)
+
+    def flush(self) -> List[dict]:
+        return self.state.flush()
+
     def stats(self) -> dict:
-        return {"late_dropped": self.late_dropped, "open_windows": len(self.open)}
+        return {
+            "late_dropped": self.state.late_dropped,
+            "open_windows": self.state.open_window_count(),
+        }
+
+
+def _ts_epoch(series: pd.Series) -> pd.Series:
+    # normalize to ns first: pandas datetime64 unit varies (us/ns)
+    return series.astype("datetime64[ns]").astype("int64") / 1e9
 
 
 def streaming_tumbling_counts(
@@ -81,14 +124,50 @@ def streaming_tumbling_counts(
     value_col: str,
     window_seconds: int = 3600,
     n_buckets: int = 4,
+    mode: str = "tasks",
 ) -> pd.DataFrame:
-    """Drive a WindowActor pool from a Dataset consumed as an ordered feed.
+    """Closed-window table (key, window_start, n, total) via the incremental
+    state machine.
 
-    The dataset is iterated in ts order (sort first — in a true streaming
-    deployment the feed is already ordered); each batch is split by key
-    hash across the actor pool, so per-key state never crosses actors.
-    Returns the closed-window table (key, window_start, n, total).
+    Default ``mode="tasks"``: bucket by key hash, then one distributed task
+    per bucket sorts its bucket by (ts, key) and REPLAYS it through a fresh
+    ``TumblingWindowState`` — identical event order and semantics to a live
+    per-bucket feed, no driver pump, parallelism = n_buckets (size it to
+    the cluster at scale; per-key state never crosses buckets).
+
+    ``mode="actors"``: drives a ``WindowActor`` pool from an ordered
+    driver-side iterator — the pattern for a feed that cannot be re-read;
+    kept for the true-streaming deployment shape and equivalence-tested
+    against the task path.
     """
+    if mode == "tasks":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            keys = pc.cast(batch[key_col], pa.int64()).to_numpy(zero_copy_only=False)
+            b = pa.array((keys % n_buckets).astype("int32"), pa.int32())
+            return batch.append_column("bucket", b)
+
+        def replay(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values([ts_col, key_col], kind="mergesort")
+            state = TumblingWindowState(window_seconds)
+            rows = state.feed_many(
+                g[key_col].astype("int64").tolist(),
+                _ts_epoch(g[ts_col]).tolist(),
+                g[value_col].tolist(),
+            )
+            rows.extend(state.flush())
+            return pd.DataFrame(rows, columns=["key", "window_start", "n", "total"])
+
+        df = (
+            ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(replay, batch_format="pandas")
+            .to_pandas()
+        )
+        return df.sort_values(["key", "window_start"]).reset_index(drop=True)
+
     actors = [WindowActor.remote(window_seconds) for _ in range(n_buckets)]
     results: List[dict] = []
     pending = []
@@ -96,8 +175,7 @@ def streaming_tumbling_counts(
         ds.sort([ts_col, key_col])
         .iter_batches(batch_size=4096, batch_format="pandas")
     ):
-        # normalize to ns first: pandas datetime64 unit varies (us/ns)
-        ts_epoch = batch[ts_col].astype("datetime64[ns]").astype("int64") / 1e9
+        ts_epoch = _ts_epoch(batch[ts_col])
         bucket = batch[key_col].astype("int64") % n_buckets
         for b in range(n_buckets):
             mask = bucket == b

@@ -51,3 +51,48 @@ def test_streaming_late_event_dropped(ray_session):
     # late event for the closed [0,10) window is dropped and counted
     ray.get(actor.feed.remote([1], [7.0], [1.0]))
     assert ray.get(actor.stats.remote())["late_dropped"] == 1
+
+
+def test_task_and_actor_paths_equivalent(ray_session):
+    """mode='tasks' (distributed replay) and mode='actors' (driver-fed
+    pool) must produce identical closed-window tables."""
+    import ray.data
+
+    from pii_filter_ray.stages.streaming_window import streaming_tumbling_counts
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    a = streaming_tumbling_counts(
+        ds, key_col="user_id", ts_col="ts", value_col="value",
+        window_seconds=86400, n_buckets=3, mode="tasks",
+    )
+    b = streaming_tumbling_counts(
+        ds, key_col="user_id", ts_col="ts", value_col="value",
+        window_seconds=86400, n_buckets=3, mode="actors",
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_state_per_key_index_many_interleaved_keys():
+    """Per-key open-window index: feeding K interleaved keys leaves K
+    single-window entries; closing one key's window never touches the
+    others (the round-1 scan-all-open-windows behavior is gone)."""
+    from pii_filter_ray.stages.streaming_window import TumblingWindowState
+
+    st = TumblingWindowState(window_seconds=10)
+    K = 2000
+    for k in range(K):
+        assert st.feed(k, 5.0, 1.0) == []
+    assert st.open_window_count() == K
+    assert len(st.open_by_key) == K
+    # advance ONE key past its window end: only that key's window closes
+    closed = st.feed(7, 15.0, 2.0)
+    assert closed == [{"key": 7, "window_start": 0, "n": 1, "total": 1.0}]
+    assert st.open_window_count() == K  # 7's new window replaced the old one
+    # a late event for key 7's closed window is dropped and counted
+    assert st.feed(7, 3.0, 9.9) == []
+    assert st.late_dropped == 1
+    # other keys' windows are untouched and still flushable
+    flushed = st.flush()
+    assert len(flushed) == K
