@@ -136,43 +136,9 @@ def run_job(
     if limit_parts is not None:
         todo = todo[:limit_parts]
 
-    for part in todo:
-        if file_parts is not None:
-            shard_files = file_parts[part]
-            if shard_files:
-                ds = ray.data.read_parquet(shard_files)
-                ds = ds.map_batches(
-                    lambda b, p=part: b.append_column(
-                        "part_id", pa.array([p] * b.num_rows, pa.int32())
-                    ),
-                    batch_format="pyarrow",
-                )
-            else:
-                ds = None
-        else:
-            ds = ray.data.read_parquet(input_path)
-            ds = ds.map_batches(
-                lambda b, P=partitions: add_part_id(b, P), batch_format="pyarrow"
-            )
-            ds = ds.map_batches(
-                lambda b, p=part: b.filter(pc.equal(b["part_id"], pa.scalar(p, pa.int32()))),
-                batch_format="pyarrow",
-            )
-        scrubbed = (
-            quality_scrub(ds, mode=mode, emit_mappings=False, concurrency=concurrency)
-            if ds is not None
-            else None
-        )
-
-        tmp_dir = manifest.part_tmp_dir(part)
-        final_dir = manifest.part_output_dir(part)
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        t0 = time.time()
-        if scrubbed is not None:
-            scrubbed.write_parquet(tmp_dir)
-
-        # per-partition lineage stats from what was just written; an empty
-        # partition produces no files (write_parquet skips), so guard it
+    def _finalize_part(part: int, tmp_dir: str, seconds: float) -> None:
+        """Stats from what was just written, atomic rename, manifest entry.
+        An empty partition produces no files (write_parquet skips)."""
         import pyarrow.parquet as pq
 
         os.makedirs(tmp_dir, exist_ok=True)
@@ -183,14 +149,70 @@ def run_job(
                 "rows": written.num_rows,
                 "kept": int(pc.sum(pc.cast(written["keep"], pa.int64())).as_py() or 0),
                 "pii_found": int(pc.sum(written["pii_count"]).as_py() or 0),
-                "seconds": round(time.time() - t0, 3),
+                "seconds": round(seconds, 3),
             }
         else:
-            stats = {"rows": 0, "kept": 0, "pii_found": 0,
-                     "seconds": round(time.time() - t0, 3)}
+            stats = {"rows": 0, "kept": 0, "pii_found": 0, "seconds": round(seconds, 3)}
+        final_dir = manifest.part_output_dir(part)
         shutil.rmtree(final_dir, ignore_errors=True)
         os.rename(tmp_dir, final_dir)
         manifest.mark_done(part, stats)
+
+    if file_parts is not None:
+        # sharded input: each partition reads ONLY its own files
+        for part in todo:
+            shard_files = file_parts[part]
+            tmp_dir = manifest.part_tmp_dir(part)
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            t0 = time.time()
+            if shard_files:
+                ds = ray.data.read_parquet(shard_files)
+                ds = ds.map_batches(
+                    lambda b, p=part: b.append_column(
+                        "part_id", pa.array([p] * b.num_rows, pa.int32())
+                    ),
+                    batch_format="pyarrow",
+                )
+                quality_scrub(
+                    ds, mode=mode, emit_mappings=False, concurrency=concurrency
+                ).write_parquet(tmp_dir)
+            _finalize_part(part, tmp_dir, time.time() - t0)
+    elif todo:
+        # single-file input: ONE pass over the input writes every pending
+        # partition via a hive-partitioned write on the part hash (the
+        # round-1 fallback re-read the whole input once per partition —
+        # P-fold read amplification). part_id is carried twice for the
+        # write: as a kept data column and as the (consumed) partition key.
+        stage_root = os.path.join(output_dir, ".stage")
+        shutil.rmtree(stage_root, ignore_errors=True)
+        t0 = time.time()
+        ds = ray.data.read_parquet(input_path)
+        ds = ds.map_batches(
+            lambda b, P=partitions: add_part_id(b, P), batch_format="pyarrow"
+        )
+        if len(todo) < partitions:
+            pend = pa.array(sorted(todo), pa.int32())
+            ds = ds.map_batches(
+                lambda b, s=pend: b.filter(pc.is_in(b["part_id"], value_set=s)),
+                batch_format="pyarrow",
+            )
+        scrubbed = quality_scrub(
+            ds, mode=mode, emit_mappings=False, concurrency=concurrency
+        ).map_batches(
+            lambda b: b.append_column("part_key", pc.cast(b["part_id"], pa.int32())),
+            batch_format="pyarrow",
+        )
+        scrubbed.write_parquet(stage_root, partition_cols=["part_key"])
+        elapsed = time.time() - t0
+        per_part = elapsed / max(1, len(todo))
+        for part in todo:
+            staged = os.path.join(stage_root, f"part_key={part}")
+            tmp_dir = manifest.part_tmp_dir(part)
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            if os.path.isdir(staged):
+                os.rename(staged, tmp_dir)
+            _finalize_part(part, tmp_dir, per_part)
+        shutil.rmtree(stage_root, ignore_errors=True)
 
     _write_metrics_table(manifest)
     return manifest.summary()

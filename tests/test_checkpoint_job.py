@@ -220,3 +220,30 @@ def test_rules_version_guard(ray_session, corpus_path, tmp_path_factory):
         json.dump(data, f)
     with pytest.raises(ValueError, match="rules_version"):
         run_job(corpus_path, out, partitions=2, concurrency=2)
+
+
+def test_single_file_one_pass_read(ray_session, tmp_path_factory, monkeypatch):
+    """The single-file fallback must read the input exactly ONCE regardless
+    of partition count (round 1 re-read it once per partition)."""
+    import pyarrow.parquet as pq_
+
+    import ray.data as rd
+    from pii_filter_ray.job import run_job
+    from pii_filter_ray.sources.synthetic_code import generate_corpus
+
+    d = tmp_path_factory.mktemp("onepass")
+    corpus, _ = generate_corpus(n_rows=60, seed=42)
+    src = str(d / "single.parquet")
+    pq_.write_table(corpus, src)
+
+    calls = []
+    real = rd.read_parquet
+
+    def counting(path, *a, **k):
+        calls.append(path)
+        return real(path, *a, **k)
+
+    monkeypatch.setattr(rd, "read_parquet", counting)
+    s = run_job(src, str(d / "out"), partitions=4, concurrency=2)
+    assert s["done_parts"] == 4 and s["totals"]["rows"] == 60
+    assert calls.count(src) == 1
