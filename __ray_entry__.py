@@ -339,7 +339,11 @@ def oracle_sql() -> dict[str, str]:
                 ('overlap_priority'), ('ipv4'), ('ipv4_bad_octet'),
                 ('card_luhn'), ('ssn'), ('ssn_area_666'), ('cargo_ruler'),
                 ('nome'), ('nome_suffix'), ('org'), ('local'), ('ner_fp_rh'),
-                ('ner_fp_caps'), ('precedence'), ('empty'), ('no_match')
+                ('ner_fp_caps'), ('precedence'), ('empty'), ('no_match'),
+                ('conta_bancaria'), ('conta_corrente'), ('conta_no_anchor'),
+                ('matricula'), ('matricula_colon'), ('salario'),
+                ('salario_plain'), ('usuario_rede'), ('usuario_rede_user'),
+                ('version_no_fp')
             ) AS t(case_id)
         """,
         "events_streaming_windows": """

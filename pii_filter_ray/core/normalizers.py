@@ -11,7 +11,7 @@ import re
 _NON_DIGIT = re.compile(r"\D")
 
 _DIGIT_TYPES = frozenset({"CPF", "CNPJ", "RG", "PIS", "TELEFONE",
-                          "CREDIT_CARD", "SSN"})
+                          "CREDIT_CARD", "SSN", "CONTA_BANCARIA", "MATRICULA"})
 
 
 def normalize_pii_value(pii_type: str, value: str) -> str:

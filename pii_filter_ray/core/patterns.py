@@ -21,7 +21,7 @@ from typing import Dict, List
 # Version stamp of the rule set (patterns, priorities, FP lists, thresholds).
 # Recorded in every job manifest; a resume under a different rules version
 # fails loudly instead of mixing differently-scrubbed partitions.
-RULES_VERSION = "2026.08.17-r1"
+RULES_VERSION = "2026.08.17-r2"
 
 # --- Base patterns (reference parity; constants.py:11-25) -------------------
 
@@ -54,10 +54,49 @@ EXTENDED_PII_PATTERNS: Dict[str, re.Pattern] = {
     "SSN": re.compile(r"\b\d{3}-\d{2}-\d{4}\b"),
 }
 
+# --- Deterministic detectors for the SQL-expressible subset of the
+# --- reference's SENSITIVE_CATEGORIES (constants.py:29-49) -------------------
+#
+# The reference detects these via its local-LLM layer (M12,
+# local_llm_service.py:38-209), which the north_rule replaces with
+# deterministic scrubbers. Context-anchored lookbehinds keep false positives
+# out of source code (a bare \d{4,12}-\d would swallow version strings);
+# each lookbehind branch is fixed-width as `re` requires. Only the value
+# (never the anchor word) is masked, which is also what made the
+# reference's duplicate-label cleanup ("conta conta" -> "conta",
+# restoration_service.py:93-106) necessary in the first place.
+
+SENSITIVE_DETECTOR_PATTERNS: Dict[str, re.Pattern] = {
+    # bank account w/ check digit after a conta/corrente/c-c anchor
+    "CONTA_BANCARIA": re.compile(
+        r"(?:(?<=\bconta\s)|(?<=\bconta:\s)|(?<=\bcorrente\s)|(?<=\bc/c\s))"
+        r"\d{4,12}-\d\b",
+        re.IGNORECASE,
+    ),
+    # employee id after a matrícula anchor
+    "MATRICULA": re.compile(
+        r"(?:(?<=\bmatrícula\s)|(?<=\bmatricula\s)"
+        r"|(?<=\bmatrícula:\s)|(?<=\bmatricula:\s))\d{4,10}\b",
+        re.IGNORECASE,
+    ),
+    # Brazilian-format money amount (R$ anchor is part of the mask)
+    "SALARIO": re.compile(
+        r"R\$\s?\d{1,9}(?:\.\d{3})*(?:,\d{2})?\b", re.IGNORECASE
+    ),
+    # network username after a user/login anchor
+    "USUARIO_REDE": re.compile(
+        r"(?:(?<=\busuário:\s)|(?<=\busuario:\s)|(?<=\buser:\s)|(?<=\blogin:\s))"
+        r"[A-Za-z][A-Za-z0-9._-]{2,}\b",
+        re.IGNORECASE,
+    ),
+}
+
+
 def all_patterns(extended: bool = True) -> Dict[str, re.Pattern]:
     pats = dict(PII_PATTERNS)
     if extended:
         pats.update(EXTENDED_PII_PATTERNS)
+        pats.update(SENSITIVE_DETECTOR_PATTERNS)
     return pats
 
 # --- Overlap priorities (regex_service.py:32-39; lower = wins) ---------------
@@ -73,10 +112,20 @@ TYPE_PRIORITY: Dict[str, int] = {
     "SSN": 1,
     "CREDIT_CARD": 2,
     "IP_ADDRESS": 2,
+    # sensitive-category detectors: anchored, so rarely overlap; below the
+    # identity documents when they do
+    "MATRICULA": 3,
+    "SALARIO": 3,
+    "USUARIO_REDE": 3,
 }
 DEFAULT_PRIORITY = 99
 
 # --- Sensitive (non-PII) categories (constants.py:29-49) ---------------------
+# The deterministic subset is detected by SENSITIVE_DETECTOR_PATTERNS above
+# (CONTA_BANCARIA, MATRICULA, SALARIO, USUARIO_REDE) and IP_ADDRESS by the
+# extended regex layer; the remaining free-text categories (health,
+# disciplinary history, ...) have no deterministic signature and are out of
+# scope for the batch engine per north_rule (the reference needed an LLM).
 
 SENSITIVE_CATEGORIES: List[str] = [
     "CONDICAO_DE_SAUDE",

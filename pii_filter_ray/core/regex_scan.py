@@ -27,7 +27,8 @@ from .validators import validate_pii
 _DIGIT_SEARCH = re.compile(r"\d").search
 
 # Match-preserving prescreens, per type: a cheap required-literal check that
-# must hit before the pattern can possibly match. Types absent from this
+# must hit before the pattern can possibly match. Values: "digit" (any
+# digit), or a literal substring required verbatim. Types absent from this
 # table get NO prescreen (a caller-supplied or future pattern without a
 # known required literal is always scanned — never silently skipped).
 _PRESCREEN: Dict[str, str] = {
@@ -39,6 +40,10 @@ _PRESCREEN: Dict[str, str] = {
     "CREDIT_CARD": "digit",
     "SSN": "digit",
     "EMAIL": "@",
+    "CONTA_BANCARIA": "digit",
+    "MATRICULA": "digit",
+    "SALARIO": "digit",
+    "USUARIO_REDE": ":",  # every anchor branch contains a colon
 }
 
 
@@ -74,12 +79,12 @@ def find_all_matches(
     # scan each replaces up to 8 full regex passes on digit-free / @-free
     # text. Unknown types are never prescreened.
     has_digit = _DIGIT_SEARCH(text) is not None
-    has_at = "@" in text
     for pii_type, pattern in pats.items():
         req = _PRESCREEN.get(pii_type)
-        if req == "digit" and not has_digit:
-            continue
-        if req == "@" and not has_at:
+        if req == "digit":
+            if not has_digit:
+                continue
+        elif req is not None and req not in text:
             continue
         for m in pattern.finditer(text):
             value = m.group(0)

@@ -146,4 +146,12 @@ def validate_pii(pii_type: str, value: str) -> bool:
         return validate_ipv4(value)
     if pii_type == "SSN":
         return validate_ssn(value)
+    if pii_type == "CONTA_BANCARIA":
+        return "-" in value and 5 <= len(_digits(value)) <= 13
+    if pii_type == "MATRICULA":
+        return value.isdigit() and 4 <= len(value) <= 10
+    if pii_type == "SALARIO":
+        return any(c.isdigit() for c in value)
+    if pii_type == "USUARIO_REDE":
+        return len(value) >= 3 and value[0].isalpha()
     return True

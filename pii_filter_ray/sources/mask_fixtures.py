@@ -45,6 +45,18 @@ CASES: List[Tuple[str, str, str]] = [
      "[NOME_COMPLETO_1] <[EMAIL_1]> escreveu"),
     ("empty", "", ""),
     ("no_match", "nada aqui", "nada aqui"),
+    # deterministic SENSITIVE_CATEGORIES detectors (anchored; only the
+    # value is masked, never the anchor word)
+    ("conta_bancaria", "a conta 12345-6 do cliente", "a conta [CONTA_BANCARIA_1] do cliente"),
+    ("conta_corrente", "conta corrente 9876543-0 ativa", "conta corrente [CONTA_BANCARIA_1] ativa"),
+    ("conta_no_anchor", "range 10000-2 in code", "range 10000-2 in code"),
+    ("matricula", "matrícula 123456 do funcionário", "matrícula [MATRICULA_1] do funcionário"),
+    ("matricula_colon", "Matricula: 9988776 setor", "Matricula: [MATRICULA_1] setor"),
+    ("salario", "salário de R$ 5.000,00 mensais", "salário de [SALARIO_1] mensais"),
+    ("salario_plain", "bonus R$2500 pago", "bonus [SALARIO_1] pago"),
+    ("usuario_rede", "login: jsilva_92 no sistema", "login: [USUARIO_REDE_1] no sistema"),
+    ("usuario_rede_user", "User: maria.souza ok", "User: [USUARIO_REDE_1] ok"),
+    ("version_no_fp", "versions 2023-1 and 2024-2 unchanged", "versions 2023-1 and 2024-2 unchanged"),
 ]
 
 SCHEMA = pa.schema(
