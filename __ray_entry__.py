@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_corpus_repo_stats": r.code_corpus_repo_stats,
         "events_streaming_windows": r.events_streaming_windows,
         "mask_fixture_check": r.mask_fixture_check,
+        "stat_ner_fixture_check": r.stat_ner_fixture_check,
+        "doc_stat_ner": r.doc_stat_ner,
         "full_shuffle_count": r.full_shuffle_count,
     }
 
@@ -119,6 +121,8 @@ def oracle_sql() -> dict[str, str]:
         # generator's expectations sidecar (independent of the pipeline)
         "code_corpus_flagship": o.code_corpus_flagship_sql(),
         "code_corpus_repo_stats": o.code_corpus_repo_stats_sql(),
+        "stat_ner_fixture_check": o.stat_ner_fixture_check_sql(),
+        "doc_stat_ner": o.doc_stat_ner_sql(),
         "doc_lang_stats": """
             SELECT lang,
                    CAST(count(*) AS BIGINT) AS n_docs,

@@ -44,13 +44,27 @@ class ScrubResult:
         return [m.to_dict() for m in self.mappings]
 
 
+STAT_NER_LABEL_MAP = {"PER": "NOME_COMPLETO", "ORG": "ORGANIZACAO", "LOC": "LOCAL"}
+
+
 def scrub_text(
     text: str,
     extended: bool = True,
     enable_ner: bool = True,
     validate_pii_data: bool = True,
+    stat_model=None,
 ) -> ScrubResult:
-    """Mask all PII in one document; deterministic, pure."""
+    """Mask all PII in one document; deterministic, pure.
+
+    ``stat_model`` (a core.stat_ner.PerceptronNER) optionally adds a third,
+    lowest-precedence layer — the statistical model behind the rule layer,
+    mirroring the reference's EntityRuler-before-model ordering
+    (ner_service.py:50-52). Stat candidates run through the same FP guards
+    (ner_service.py:95-127) and are dropped on overlap with any
+    regex/rule-NER span. Texts with no uppercase character skip the model
+    entirely (entity shapes require capitalization — documented prescreen,
+    and the soundness basis of the doc_stat_ner oracle).
+    """
     if not text or not isinstance(text, str):
         return ScrubResult(masked=text or "")
 
@@ -91,6 +105,22 @@ def scrub_text(
         spans.extend(
             {"start": e["span"][0], "end": e["span"][1], "type": e["type"], "value": e["value"]}
             for e in ents
+        )
+
+    # Layer 3: statistical NER (optional), lowest precedence.
+    if stat_model is not None and text != text.lower():
+        stat_ents = []
+        for s, e, value, label in stat_model.entities(text):
+            pii_type = STAT_NER_LABEL_MAP.get(label, label)
+            if not rule_ner._passes_guards(value, pii_type):
+                continue
+            stat_ents.append({"type": pii_type, "value": value, "span": (s, e)})
+        blocked = [(s["start"], s["end"]) for s in spans]
+        stat_ents = rule_ner.drop_overlapping(stat_ents, blocked)
+        stat_ents = rule_ner.filter_overlapping_entities(stat_ents)
+        spans.extend(
+            {"start": e["span"][0], "end": e["span"][1], "type": e["type"], "value": e["value"]}
+            for e in stat_ents
         )
 
     if not spans:

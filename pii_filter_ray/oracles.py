@@ -475,6 +475,36 @@ def doc_scrub_sql(max_bits: float = 6.0, max_toxicity: float = 5.0) -> str:
   FROM verdict"""
 
 
+def stat_ner_fixture_check_sql() -> str:
+    """Pinned expectations for the deterministic perceptron-NER fixtures
+    (relational.STAT_NER_CASES): same training data + seed + epochs always
+    produces these exact spans."""
+    expected = [
+        ("per_simple", "NOME_COMPLETO:Maria Silva"),
+        ("per_meeting", "NOME_COMPLETO:Pedro Costa"),
+        ("org_suffix", "ORGANIZACAO:Acme Ltda"),
+        ("org_partner", "ORGANIZACAO:Globex Corp"),
+        ("loc_street", "LOCAL:Rua Flores"),
+        ("loc_avenue", "LOCAL:Avenida Paulista"),
+        ("none_prose", ""),
+        ("none_lower", ""),
+    ]
+    rows = ", ".join(f"({_q(c)}, {_q(d)})" for c, d in expected)
+    return f"SELECT case_id, detected FROM (VALUES {rows}) AS t(case_id, detected)"
+
+
+def doc_stat_ner_sql() -> str:
+    """Capitalization-prescreen bound: the StatNerStage gates on
+    ``text != text.lower()``, so all-lowercase documents have exactly zero
+    entities by construction; an uppercase-bearing document yields NULL —
+    a loud mismatch rather than a silently-wrong pin."""
+    return """
+    SELECT doc_id,
+           CAST(CASE WHEN text IS NULL OR text = lower(text) THEN 0
+                     ELSE NULL END AS BIGINT) AS n_stat_entities
+    FROM documents"""
+
+
 def emb_cosine_neardup_sql(
     threshold: float = 0.4, n_bits: int = 6, n_tables: int = 8,
     seed: int = 13, dim: int = 64, max_bucket: int = 2048,

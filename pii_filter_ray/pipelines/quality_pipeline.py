@@ -40,6 +40,7 @@ def quality_scrub(
     concurrency=None,
     batch_size: int = 256,
     use_actors: bool = False,
+    stat_ner: bool = False,
 ) -> "ray.data.Dataset":
     """Apply the fused flagship stage.
 
@@ -62,6 +63,7 @@ def quality_scrub(
         "mode": mode,
         "cfg": cfg,
         "emit_mappings": emit_mappings,
+        "stat_ner": stat_ner,
     }
     if not use_actors:
         # concurrency is honored on the task path too (max concurrent

@@ -830,6 +830,68 @@ def events_streaming_windows(sf_dir: str):
     return df.astype({"key": "int64", "window_start": "int64", "n": "int64"})
 
 
+STAT_NER_CASES = [
+    # (case_id, text) — expectations live in the oracle's VALUES table;
+    # the model is deterministic (fixed seed/epochs), so these are stable
+    ("per_simple", "assinado por Maria Silva ontem"),
+    ("per_meeting", "reunião com Pedro Costa pela manhã"),
+    ("org_suffix", "na empresa Acme Ltda conforme combinado"),
+    ("org_partner", "parceria com Globex Corp segue anexo"),
+    ("loc_street", "entrega na Rua Flores na segunda"),
+    ("loc_avenue", "sede na Avenida Paulista ontem"),
+    ("none_prose", "o relatório de sistema foi aprovado"),
+    ("none_lower", "texto sem entidades aqui presente"),
+]
+
+
+def stat_ner_fixture_check(sf_dir: str):
+    """Trained-perceptron NER exercised on authored in-distribution prose;
+    the oracle pins each case's detected '<TYPE>:<value>' list. Proves the
+    heavy-model actor-state path produces the expected entities end to end
+    (the corpus-scale counterpart is doc_stat_ner)."""
+    from ..core.stat_ner import default_model
+
+    model = default_model()
+    label_map = {"PER": "NOME_COMPLETO", "ORG": "ORGANIZACAO", "LOC": "LOCAL"}
+    rows = {"case_id": [], "detected": []}
+    for case_id, text in STAT_NER_CASES:
+        ents = [
+            f"{label_map.get(label, label)}:{val}"
+            for _, _, val, label in model.entities(text)
+        ]
+        rows["case_id"].append(case_id)
+        rows["detected"].append(";".join(ents))
+    return pd.DataFrame(rows)
+
+
+def doc_stat_ner(sf_dir: str):
+    """Statistical-NER entity counts over the documents table via the
+    actor-pool StatNerStage (model trained once per actor). The oracle is
+    the capitalization-prescreen bound: all-lowercase text provably yields
+    zero entities (the stage gates on it); any uppercase-bearing doc would
+    surface as NULL and fail loudly."""
+    from ..stages.quality_scrub import StatNerStage
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        StatNerStage,
+        fn_constructor_kwargs={"content_col": "text"},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_stat_entities": pa.array(
+                    [len(v or []) for v in b["stat_entities"].to_pylist()], pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def mask_fixture_check(sf_dir: str):
     """Driver-visible self-check: every authored mask-fixture case (the
     FIXTURES.md §2 table) scrubbed and compared to its expected output.

@@ -172,6 +172,7 @@ class QualityScrubStage:
         emit_mappings: bool = True,
         extended: bool = True,
         enable_ner: bool = True,
+        stat_ner: bool = False,
         drop_content: bool = False,
     ):
         self.content_col = content_col
@@ -186,6 +187,13 @@ class QualityScrubStage:
         self.enable_ner = enable_ner
         self.drop_content = drop_content
         self.lm = CharBigramLM()
+        # statistical NER is the heavy per-actor state (trained once per
+        # actor/worker like a spaCy/fastText binary); prose corpora only
+        self.stat_model = None
+        if stat_ner:
+            from ..core.stat_ner import default_model
+
+            self.stat_model = default_model()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         contents = batch[self.content_col].to_pylist()
@@ -228,7 +236,8 @@ class QualityScrubStage:
             keeps.append(keep)
             reasons.append(reason)
             if keep:
-                r = scrub_text(text, extended=self.extended, enable_ner=self.enable_ner)
+                r = scrub_text(text, extended=self.extended, enable_ner=self.enable_ner,
+                               stat_model=self.stat_model)
                 masked_col.append(r.masked)
                 counts.append(r.pii_count)
                 mappings_col.append(r.mappings_dicts() if self.emit_mappings else None)
@@ -277,11 +286,18 @@ class StatNerStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ents_col = []
         for v in batch[self.content_col].to_pylist():
+            v = v or ""
+            # capitalization prescreen: entity shapes require an uppercase
+            # char; all-lowercase text provably yields no entities (also the
+            # soundness basis of the doc_stat_ner oracle)
+            if v == v.lower():
+                ents_col.append([])
+                continue
             ents_col.append(
                 [
                     {"span_start": s, "span_end": e, "value": val,
                      "type": self._LABEL_MAP.get(label, label)}
-                    for s, e, val, label in self.model.entities(v or "")
+                    for s, e, val, label in self.model.entities(v)
                 ]
             )
         ent_type = pa.list_(

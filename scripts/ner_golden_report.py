@@ -1,0 +1,93 @@
+"""NER-layer efficacy on the reference's own 500-case golden dataset —
+the measured counterpart of /root/reference/tests/unit/test_ner_service.py:53-150.
+
+Ground truth is filtered to the NER-responsibility types
+{NOME_COMPLETO, ORGANIZACAO, LOCAL, CARGO} (test_ner_service.py:38-43);
+matching is the reference's greedy type+span-overlap 1:1 matcher
+(eval/metrics.py ports of test_utils.py:59-111). Reports the rule-NER layer
+alone and rule+statistical (averaged-perceptron) combined, overall and
+per type.
+
+    python scripts/ner_golden_report.py            # prints one JSON object
+
+Pure driver-side (500 short prompts); the distributed path for corpus-scale
+evaluation is eval.metrics.corpus_prf / corpus_prf_by_type.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pii_filter_ray.core import rule_ner
+from pii_filter_ray.core.scrub import STAT_NER_LABEL_MAP
+from pii_filter_ray.core.stat_ner import default_model
+from pii_filter_ray.eval.metrics import match_counts, precision_recall_f1
+
+DATASET = "/root/reference/dataset.json"
+NER_TYPES = {"NOME_COMPLETO", "ORGANIZACAO", "LOCAL", "CARGO"}
+
+
+def detect(text: str, stat_model=None):
+    ents = rule_ner.extract_entities(text)
+    ents = rule_ner.filter_overlapping_entities(ents)
+    if stat_model is not None and text != text.lower():
+        stat = []
+        for s, e, value, label in stat_model.entities(text):
+            t = STAT_NER_LABEL_MAP.get(label, label)
+            if t in NER_TYPES and rule_ner._passes_guards(value, t):
+                stat.append({"type": t, "value": value, "span": (s, e)})
+        stat = rule_ner.drop_overlapping(stat, [e["span"] for e in ents])
+        ents = ents + rule_ner.filter_overlapping_entities(stat)
+    return [
+        {"type": e["type"], "span_start": e["span"][0], "span_end": e["span"][1]}
+        for e in ents
+    ]
+
+
+def evaluate(stat: bool):
+    with open(DATASET) as f:
+        cases = json.load(f)
+    model = default_model() if stat else None
+    tot = [0, 0, 0]
+    by_type = defaultdict(lambda: [0, 0, 0])
+    for case in cases:
+        text = case["prompt_text"]
+        gt = [
+            {"pii_type": g["pii_type"], "span_start": g["span"][0], "span_end": g["span"][1]}
+            for g in case["ground_truth"]
+            if g["pii_type"] in NER_TYPES
+        ]
+        det = detect(text, model)
+        tp, fp, fn = match_counts(gt, det)
+        tot[0] += tp
+        tot[1] += fp
+        tot[2] += fn
+        all_types = {g["pii_type"] for g in gt} | {d["type"] for d in det}
+        for t in all_types:
+            g1 = [g for g in gt if g["pii_type"] == t]
+            d1 = [d for d in det if d["type"] == t]
+            a, b, c = match_counts(g1, d1)
+            by_type[t][0] += a
+            by_type[t][1] += b
+            by_type[t][2] += c
+    out = {"overall": precision_recall_f1(*tot) | {"tp": tot[0], "fp": tot[1], "fn": tot[2]}}
+    out["by_type"] = {
+        t: {k: round(v, 4) for k, v in precision_recall_f1(*c).items()}
+        for t, c in sorted(by_type.items())
+    }
+    out["overall"] = {
+        k: (round(v, 4) if isinstance(v, float) else v) for k, v in out["overall"].items()
+    }
+    return out
+
+
+if __name__ == "__main__":
+    print(json.dumps({
+        "rule_ner": evaluate(stat=False),
+        "rule_plus_stat_ner": evaluate(stat=True),
+    }, indent=2))

@@ -216,3 +216,36 @@ def test_restore_by_spans_matches_generic_on_clean_input(small_corpus):
         assert restore_by_spans(r.masked, r.mappings) == generic_restore(
             r.masked, r.mappings
         ) == (text or "")
+
+
+def test_ner_golden_report_floors():
+    """Regression floor for the golden-dataset NER measurement recorded in
+    BASELINE.md (rule layer: F1 >= 0.43, NOME recall >= 0.9)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ner_golden_report", "/root/repo/scripts/ner_golden_report.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rep = mod.evaluate(stat=False)
+    assert rep["overall"]["f1"] >= 0.43
+    assert rep["by_type"]["NOME_COMPLETO"]["recall"] >= 0.9
+    assert rep["by_type"]["CARGO"]["f1"] >= 0.7
+
+
+def test_scrub_with_stat_model_adds_layer3():
+    """stat_model adds lowest-precedence entities; regex/rule spans win."""
+    from pii_filter_ray.core.scrub import scrub_text
+    from pii_filter_ray.core.stat_ner import default_model
+
+    m = default_model()
+    # stat-only entity (in-distribution PER)
+    r = scrub_text("assinado por Maria Silva ontem", stat_model=m)
+    assert r.masked == "assinado por [NOME_COMPLETO_1] ontem"
+    # all-lowercase text skips the model entirely
+    r2 = scrub_text("assinado por maria silva ontem", stat_model=m)
+    assert r2.masked == "assinado por maria silva ontem"
+    # regex layer still outranks: the email is regex territory
+    r3 = scrub_text("contato de Maria Silva <m@x.com>", stat_model=m)
+    assert "[EMAIL_1]" in r3.masked
