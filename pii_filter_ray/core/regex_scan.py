@@ -26,24 +26,34 @@ from .validators import validate_pii
 
 _DIGIT_SEARCH = re.compile(r"\d").search
 
-# Match-preserving prescreens, per type: a cheap required-literal check that
-# must hit before the pattern can possibly match. Values: "digit" (any
-# digit), or a literal substring required verbatim. Types absent from this
-# table get NO prescreen (a caller-supplied or future pattern without a
-# known required literal is always scanned — never silently skipped).
-_PRESCREEN: Dict[str, str] = {
-    "CPF": "digit",
-    "RG": "digit",
-    "TELEFONE": "digit",
-    "CEP": "digit",
-    "IP_ADDRESS": "digit",
-    "CREDIT_CARD": "digit",
-    "SSN": "digit",
-    "EMAIL": "@",
-    "CONTA_BANCARIA": "digit",
-    "MATRICULA": "digit",
-    "SALARIO": "digit",
-    "USUARIO_REDE": ":",  # every anchor branch contains a colon
+# Match-preserving prescreens, per type: cheap required-feature checks that
+# must ALL hit before the pattern can possibly match (each entry is a
+# conjunction). Requirement kinds:
+#   "digit"        — any digit anywhere
+#   "digitcluster" — a 4+ digit run OR a digits.digits pair; every match of
+#                    the digit-bearing ID patterns provably contains one
+#                    (CPF/RG punct forms carry digits.digits, every other
+#                    pattern embeds a \d{4,} run), while isolated 1-3 digit
+#                    literals — the norm in source code — are skipped
+#   "<literal>"    — case-sensitive substring required verbatim
+#   (a, b, ...)    — any-of, matched against ONE lazily lowercased copy
+# Types absent from this table get NO prescreen (a caller-supplied pattern
+# without a known required feature is always scanned, never skipped).
+_DIGIT_CLUSTER_SEARCH = re.compile(r"\d{4}|\d{1,3}\.\d{1,3}").search
+
+_PRESCREEN: Dict[str, tuple] = {
+    "CPF": ("digitcluster",),
+    "RG": ("digitcluster",),
+    "TELEFONE": ("digitcluster",),
+    "CEP": ("digitcluster",),
+    "IP_ADDRESS": ("digitcluster",),
+    "CREDIT_CARD": ("digitcluster",),
+    "SSN": ("digitcluster",),
+    "EMAIL": ("@",),
+    "CONTA_BANCARIA": ("digitcluster", ("conta", "corrente", "c/c")),
+    "MATRICULA": ("digitcluster", ("matr",)),
+    "SALARIO": (("r$",),),
+    "USUARIO_REDE": ((":",),),
 }
 
 
@@ -75,16 +85,36 @@ def find_all_matches(
     """All valid PII matches, in pattern-dict order then position order."""
     pats = patterns if patterns is not None else all_patterns(extended)
     out: List[Dict[str, Any]] = []
-    # prescreens (match-preserving, per-type via _PRESCREEN): one C-speed
-    # scan each replaces up to 8 full regex passes on digit-free / @-free
-    # text. Unknown types are never prescreened.
-    has_digit = _DIGIT_SEARCH(text) is not None
+    # prescreens (match-preserving, per-type via _PRESCREEN): shared lazy
+    # features — one digit-cluster scan and one lowercase() replace up to a
+    # dozen full regex passes on ordinary source text.
+    has_digit = has_cluster = lower = None
+
+    def _passes(reqs: tuple) -> bool:
+        nonlocal has_digit, has_cluster, lower
+        for req in reqs:
+            if req == "digit":
+                if has_digit is None:
+                    has_digit = _DIGIT_SEARCH(text) is not None
+                if not has_digit:
+                    return False
+            elif req == "digitcluster":
+                if has_cluster is None:
+                    has_cluster = _DIGIT_CLUSTER_SEARCH(text) is not None
+                if not has_cluster:
+                    return False
+            elif isinstance(req, tuple):
+                if lower is None:
+                    lower = text.lower()
+                if not any(lit in lower for lit in req):
+                    return False
+            elif req not in text:
+                return False
+        return True
+
     for pii_type, pattern in pats.items():
-        req = _PRESCREEN.get(pii_type)
-        if req == "digit":
-            if not has_digit:
-                continue
-        elif req is not None and req not in text:
+        reqs = _PRESCREEN.get(pii_type)
+        if reqs is not None and not _passes(reqs):
             continue
         for m in pattern.finditer(text):
             value = m.group(0)

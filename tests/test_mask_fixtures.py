@@ -222,3 +222,30 @@ def test_prescreen_unknown_type_not_skipped():
     out = find_all_matches("the secret-alpha project", patterns=pats,
                            validate_pii_data=False)
     assert [m["value"] for m in out] == ["secret-alpha"]
+
+
+def test_prescreen_is_match_preserving_fuzz():
+    """The per-type prescreens must never change scan results — compared
+    against a prescreen-disabled scan over synthetic code + adversarial
+    snippets (digit clusters, floats, anchored sensitive values)."""
+    import pii_filter_ray.core.regex_scan as rs
+    from pii_filter_ray.sources.synthetic_code import generate_corpus
+
+    corpus, _ = generate_corpus(n_rows=300, seed=11)
+    texts = corpus["content"].to_pylist() + [
+        "R$250 e R$ 5.000,00", "conta 12345-6", "matricula: 44556677",
+        "ip 1.2.3.4", "rg 1.234.567-8", "v3.14 x2.71", "a1b2c3", "12.34",
+        "123.456.789-00", "tel (11) 98765-4321", "cep 01310100",
+        "login: abc", "User: x.y", "", "   ", "9" * 30,
+    ]
+    orig = dict(rs._PRESCREEN)
+    try:
+        for t in texts:
+            a = rs.find_all_matches(t)
+            rs._PRESCREEN.clear()
+            b = rs.find_all_matches(t)
+            rs._PRESCREEN.update(orig)
+            assert a == b, t[:80]
+    finally:
+        rs._PRESCREEN.clear()
+        rs._PRESCREEN.update(orig)
