@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mask_fixture_check": r.mask_fixture_check,
         "stat_ner_fixture_check": r.stat_ner_fixture_check,
         "doc_stat_ner": r.doc_stat_ner,
+        "lineitem_quantity_quantiles": r.lineitem_quantity_quantiles,
+        "media_pipeline_check": r.media_pipeline_check,
         "full_shuffle_count": r.full_shuffle_count,
     }
 
@@ -123,6 +125,8 @@ def oracle_sql() -> dict[str, str]:
         "code_corpus_repo_stats": o.code_corpus_repo_stats_sql(),
         "stat_ner_fixture_check": o.stat_ner_fixture_check_sql(),
         "doc_stat_ner": o.doc_stat_ner_sql(),
+        "lineitem_quantity_quantiles": o.lineitem_quantity_quantiles_sql(),
+        "media_pipeline_check": o.media_pipeline_check_sql(),
         "doc_lang_stats": """
             SELECT lang,
                    CAST(count(*) AS BIGINT) AS n_docs,

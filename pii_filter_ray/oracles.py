@@ -475,6 +475,33 @@ def doc_scrub_sql(max_bits: float = 6.0, max_toxicity: float = 5.0) -> str:
   FROM verdict"""
 
 
+def lineitem_quantity_quantiles_sql() -> str:
+    # quantile_disc requires a CONSTANT q -> one SELECT per quantile
+    parts = [
+        f"SELECT {q} AS q, quantile_disc(l_quantity, {q}) AS value FROM lineitem"
+        for q in (0.25, 0.5, 0.75, 0.9)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def media_pipeline_check_sql() -> str:
+    """Recomputes payload integrity + the frame-count contract from the
+    same media parquet the Ray pipeline reads (relational.media_table_path).
+    sha256 runs over the hex encoding because DuckDB's sha256 takes VARCHAR
+    only; the python side hashes payload.hex() identically."""
+    from .pipelines.relational import media_table_path
+
+    return f"""
+    SELECT media_id, kind,
+           sha256(lower(hex(payload))) AS payload_sha256,
+           CAST(octet_length(payload) AS BIGINT) AS payload_bytes,
+           CAST(16 AS BIGINT) AS n_features,
+           CAST(CASE WHEN kind = 'video'
+                     THEN least(greatest(1, duration_ms // 1000), 64)
+                     ELSE 0 END AS BIGINT) AS n_frames
+    FROM read_parquet({_q(media_table_path())})"""
+
+
 def stat_ner_fixture_check_sql() -> str:
     """Pinned expectations for the deterministic perceptron-NER fixtures
     (relational.STAT_NER_CASES): same training data + seed + epochs always

@@ -909,6 +909,101 @@ def mask_fixture_check(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+QUANTILE_QS = (0.25, 0.5, 0.75, 0.9)
+
+
+def lineitem_quantity_quantiles(sf_dir: str):
+    """EXACT distributed quantiles via value histogram — the 100 TB pattern
+    for low-cardinality numeric columns: per-batch value counts (pyarrow
+    group_by) -> tiny groupby(value) merge -> driver-side cumulative walk.
+    No sort, no full-column materialization; the shuffle moves one row per
+    distinct value per block. Matches DuckDB quantile_disc (discrete lower
+    quantile: element at rank ceil(q*n))."""
+    import math
+
+    ds = _tbl(sf_dir, "lineitem", columns=["l_quantity"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("l_quantity").aggregate([("l_quantity", "count")])
+        return pa.table(
+            {"v": g["l_quantity"], "n": pc.cast(g["l_quantity_count"], pa.int64())}
+        )
+
+    hist = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    total = int(hist["n"].sum())
+    cum = hist["n"].cumsum()
+    values = []
+    for q in QUANTILE_QS:
+        k = max(1, math.ceil(q * total))
+        values.append(float(hist["v"][int((cum >= k).idxmax())]))
+    return pd.DataFrame({"q": list(QUANTILE_QS), "value": values})
+
+
+_MEDIA_CACHE = "/tmp/pii_ray_media/media_n96_s42.parquet"
+
+
+def media_table_path() -> str:
+    """Materializes (once) the deterministic synthetic media table so both
+    the Ray pipeline and the DuckDB oracle read the same parquet."""
+    from ..stages.multimodal import synthesize_media_table
+
+    if not os.path.exists(_MEDIA_CACHE):
+        os.makedirs(os.path.dirname(_MEDIA_CACHE), exist_ok=True)
+        tmp = _MEDIA_CACHE + ".tmp"
+        pq.write_table(synthesize_media_table(n_rows=96, seed=42), tmp)
+        os.replace(tmp, _MEDIA_CACHE)
+    return _MEDIA_CACHE
+
+
+def media_pipeline_check(sf_dir: str):
+    """Multimodal plumbing driver-verified end to end: binary payloads +
+    typed metadata flow through BOTH actor-pool stages (feature extraction,
+    video frame sampling; stub codec — no imaging libs in this container).
+    The oracle independently recomputes payload integrity (sha256 of the
+    hex encoding), sizes, and the frame-count contract from the same
+    parquet; feature VALUES are stub-derived and covered by pytest."""
+    import hashlib as _hashlib
+
+    from ..stages.multimodal import media_features, sample_video_frames
+
+    # concurrency=1 per stage: two chained actor pools must leave CPUs for
+    # the read/map tasks even on a 4-cpu test session (2+2 actors would
+    # reserve the whole session and deadlock the stream)
+    ds = ray.data.read_parquet(media_table_path())
+    out = sample_video_frames(media_features(ds, concurrency=1), every_ms=1000, concurrency=1)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        shas = [
+            _hashlib.sha256(p.hex().encode()).hexdigest()
+            for p in batch["payload"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "payload_sha256": pa.array(shas, pa.string()),
+                "payload_bytes": pa.array(
+                    [len(p) for p in batch["payload"].to_pylist()], pa.int64()
+                ),
+                "n_features": pa.array(
+                    [len(f) for f in batch["features"].to_pylist()], pa.int64()
+                ),
+                "n_frames": pa.array(
+                    [len(f) for f in batch["frames"].to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def full_shuffle_count(sf_dir: str):
     """repartition(shuffle=True) coverage: a true all-to-all exchange of the
     lineitem table (row count invariant under redistribution)."""
