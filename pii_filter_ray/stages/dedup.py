@@ -646,48 +646,66 @@ def jaccard_similarity_join(
                       "jaccard": pa.array([], pa.float64())})
         )
     shared_ref = ray.put(pa.array(shared.to_pandas()["sh"], pa.int64()))
+    pair_buckets = 256  # shingle-hash buckets: bounds python calls at 256
+    # vectorized pandas self-joins, instead of one call per shingle (text
+    # corpora can have 10^5+ colliding shingles — per-shingle map_groups
+    # measured 200s at sf0.1; this form runs in seconds)
 
     def semi_join(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_in(batch["sh"], value_set=ray.get(shared_ref)))
+        batch = batch.filter(pc.is_in(batch["sh"], value_set=ray.get(shared_ref)))
+        bucket = (
+            batch["sh"].to_numpy(zero_copy_only=False) % pair_buckets
+        ).astype("int32")
+        return batch.append_column("bucket", pa.array(bucket, pa.int32()))
 
-    def shingle_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(set(zip(g[id_col], g["n_sh"])))
-        a_, b_, na_, nb_ = [], [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                a_.append(rows[i][0])
-                b_.append(rows[j][0])
-                na_.append(rows[i][1])
-                nb_.append(rows[j][1])
-        return pd.DataFrame({"id_a": a_, "id_b": b_, "n_a": na_, "n_b": nb_})
-
-    pair_rows = (
-        shingle_rows.map_batches(semi_join, batch_format="pyarrow")
-        .groupby("sh")
-        .map_groups(shingle_pairs, batch_format="pandas")
-    )
-
-    def score(batch: pa.Table) -> pa.Table:
-        c = pc.cast(batch["c"], pa.float64())
-        denom = pc.subtract(
-            pc.cast(pc.add(batch["n_a"], batch["n_b"]), pa.float64()), c
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # pair co-occurrence rows within this shingle bucket, rekeyed by a
+        # PAIR hash bucket for the cross-bucket count merge
+        m = g.merge(g, on="sh", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        ids_a = m[f"{id_col}_a"].to_numpy()
+        ids_b = m[f"{id_col}_b"].to_numpy()
+        # per-(shingle-bucket) partial counts: shrink the shuffle to one row
+        # per pair per bucket before it moves
+        part = (
+            pd.DataFrame(
+                {"id_a": ids_a, "id_b": ids_b,
+                 "n_a": m["n_sh_a"].to_numpy(), "n_b": m["n_sh_b"].to_numpy()}
+            )
+            .groupby(["id_a", "id_b"], as_index=False)
+            .agg(c=("n_a", "size"), n_a=("n_a", "first"), n_b=("n_b", "first"))
         )
-        jac = pc.divide(c, denom)
-        out = pa.table(
-            {"id_a": batch["id_a"], "id_b": batch["id_b"], "jaccard": jac}
-        )
-        return out.filter(pc.greater_equal(jac, pa.scalar(float(threshold))))
+        part["pair_bucket"] = (
+            (part["id_a"].to_numpy() * np.int64(2654435761) + part["id_b"].to_numpy())
+            % pair_buckets
+        ).astype("int32")
+        return part
 
-    from ray.data.aggregate import Count
+    def merge_and_score(g: pd.DataFrame) -> pd.DataFrame:
+        # total |A∩B| per pair across shingle buckets (vectorized pandas —
+        # a Ray aggregate over 10^6 distinct pairs measured 200s; 256
+        # bucket groups with C-speed groupbys inside run in seconds)
+        agg = g.groupby(["id_a", "id_b"], as_index=False).agg(
+            c=("c", "sum"), n_a=("n_a", "first"), n_b=("n_b", "first")
+        )
+        jac = agg["c"].to_numpy(dtype=np.float64) / (
+            agg["n_a"].to_numpy(dtype=np.float64)
+            + agg["n_b"].to_numpy(dtype=np.float64)
+            - agg["c"].to_numpy(dtype=np.float64)
+        )
+        keep = jac >= threshold
+        return pd.DataFrame(
+            {"id_a": agg["id_a"].to_numpy()[keep],
+             "id_b": agg["id_b"].to_numpy()[keep],
+             "jaccard": jac[keep]}
+        )
 
     return (
-        pair_rows.groupby(["id_a", "id_b"])
-        .aggregate(
-            Count(alias_name="c"),
-            Max("n_a", alias_name="n_a"),
-            Max("n_b", alias_name="n_b"),
-        )
-        .map_batches(score, batch_format="pyarrow")
+        shingle_rows.map_batches(semi_join, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("pair_bucket")
+        .map_groups(merge_and_score, batch_format="pandas")
     )
 
 

@@ -156,3 +156,40 @@ def test_crash_mid_write_recovers(ray_session, tmp_path_factory):
     # the garbage never reached the final output
     t = pq.read_table(m.part_output_dir(0))
     assert t.num_rows > 0
+
+
+def test_jaccard_join_invariant_to_block_layout(ray_session):
+    """The exact jaccard join must produce identical pairs regardless of
+    how the input is split into blocks (1 vs many)."""
+    import ray.data
+
+    from pii_filter_ray.stages.dedup import jaccard_similarity_join
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    def pairs(d):
+        return sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in jaccard_similarity_join(d, "text", "doc_id", 0.5).take_all()
+        )
+
+    a = pairs(ds.repartition(1))
+    b = pairs(ds.repartition(13))
+    assert a == b and len(a) > 0
+
+
+def test_quantiles_invariant_to_block_layout(ray_session, monkeypatch):
+    """Histogram quantiles must not depend on block layout."""
+    import ray.data
+
+    from pii_filter_ray.pipelines import relational as r
+
+    base = r._tbl
+    def tbl_repart(sf_dir, name, columns=None):
+        return base(sf_dir, name, columns).repartition(9)
+
+    got1 = r.lineitem_quantity_quantiles("/root/testdata/sf0.001")
+    monkeypatch.setattr(r, "_tbl", tbl_repart)
+    got2 = r.lineitem_quantity_quantiles("/root/testdata/sf0.001")
+    assert got1.equals(got2)
