@@ -119,6 +119,8 @@ def run_bench() -> dict:
         ("emb_cosine_neardup", r.emb_cosine_neardup),
         ("revenue_by_mktsegment", r.revenue_by_mktsegment),
         ("events_daily", r.events_daily),
+        ("doc_jaccard_dups", r.doc_jaccard_dups),
+        ("lineitem_quantity_quantiles", r.lineitem_quantity_quantiles),
     ]:
         def run(fn=fn):
             import pandas as pd
