@@ -158,14 +158,14 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # Default pair 4 -> 16 cpus: the proxy for N -> 4N NODES. At 32 cpus this
-    # single box saturates shared LLC/DRAM (per-core throughput drops ~25%
-    # while raw cache-resident compute still scales at 0.95); real multi-node
-    # scaling adds network but each node brings its own memory system, so the
-    # unsaturated within-node pair is the faithful proxy. The 8 -> 32 pair is
-    # also reported in BASELINE.md for transparency.
-    lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
-    hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
+    # Default pair 8 -> 32 cpus: the proxy for N -> 4N NODES at the full
+    # box width. Round 1 straddled 0.8 here from shared LLC/DRAM
+    # saturation; the round-2 prescreen work cut per-file memory traffic
+    # enough that the pair now clears the bar outright (0.833 measured,
+    # BASELINE.md). The unsaturated 4 -> 16 pair (0.949) remains available
+    # via GRAFT_SCALING_LO/HI.
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
     trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))
     # best-of-N per level: single-trial variance on this shared box is >20%,
     # so the fastest trial is the best estimate of steady-state throughput

@@ -524,20 +524,35 @@ def events_user_daily(sf_dir: str):
     return df.astype({"user_id": "int64", "n": "int64"})
 
 
+WINDOW_BUCKETS = 64
+
+
+def _add_user_bucket(batch: pa.Table, n: int = WINDOW_BUCKETS) -> pa.Table:
+    b = (batch["user_id"].to_numpy(zero_copy_only=False) % n).astype("int32")
+    return batch.append_column("bucket", pa.array(b, pa.int32()))
+
+
 def events_row_number(sf_dir: str):
     """Window function: ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts,
-    event_id) — per-key sorted window via groupby().map_groups. The
-    partitioning assumption: one group fits in one worker's memory (holds
-    for per-user event streams; salt the key if a user is pathological)."""
+    event_id). Keys are hashed into WINDOW_BUCKETS groups and each bucket's
+    per-user windows are computed with ONE vectorized pandas pass
+    (sort + cumcount) — bounded Python-call count instead of one call per
+    user (the 100 TB form: millions of users, fixed task count). The
+    partitioning assumption: one bucket fits in one worker's memory; users
+    never split across buckets."""
     ds = _tbl(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
     def number(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        return pd.DataFrame(
-            {"event_id": g["event_id"], "rn": range(1, len(g) + 1)}
-        )
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        rn = g.groupby("user_id").cumcount().to_numpy() + 1
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(), "rn": rn})
 
-    df = ds.groupby("user_id").map_groups(number, batch_format="pandas").to_pandas()
+    df = (
+        ds.map_batches(_add_user_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(number, batch_format="pandas")
+        .to_pandas()
+    )
     return df.astype({"event_id": "int64", "rn": "int64"})
 
 
@@ -729,16 +744,29 @@ def doc_dup_components(sf_dir: str, threshold: float = 0.5):
 
 def events_sessions(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user: a new session starts after a >30 min gap.
-    Sorted per-user map_groups; mirrors the SQL lag + cumulative-sum idiom."""
+    Same bucketed-vectorized shape as events_row_number: one pandas pass
+    per key-bucket (per-user diff via groupby shift, cumulative sum within
+    user) — mirrors the SQL lag + cumulative-sum idiom at bounded task
+    count."""
     ds = _tbl(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
     def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
-        session = gap.cumsum() + 1  # first row: diff=NaT -> False -> session 1
-        return pd.DataFrame({"event_id": g["event_id"], "session_id": session.astype("int64")})
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        gap = (g["ts"] - g.groupby("user_id")["ts"].shift()) > pd.Timedelta(
+            minutes=gap_minutes
+        )  # first event per user: NaT comparison -> False -> session 1
+        session = gap.astype("int64").groupby(g["user_id"].to_numpy()).cumsum() + 1
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(),
+             "session_id": session.to_numpy()}
+        )
 
-    df = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas").to_pandas()
+    df = (
+        ds.map_batches(_add_user_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sessionize, batch_format="pandas")
+        .to_pandas()
+    )
     return df.astype({"event_id": "int64", "session_id": "int64"})
 
 
