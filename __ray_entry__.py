@@ -351,7 +351,8 @@ def oracle_sql() -> dict[str, str]:
                 ('conta_bancaria'), ('conta_corrente'), ('conta_no_anchor'),
                 ('matricula'), ('matricula_colon'), ('salario'),
                 ('salario_plain'), ('usuario_rede'), ('usuario_rede_user'),
-                ('version_no_fp')
+                ('version_no_fp'), ('org_banco'), ('org_saude'),
+                ('org_caixa'), ('local_city_uf')
             ) AS t(case_id)
         """,
         "events_streaming_windows": """

@@ -21,7 +21,7 @@ from typing import Dict, List
 # Version stamp of the rule set (patterns, priorities, FP lists, thresholds).
 # Recorded in every job manifest; a resume under a different rules version
 # fails loudly instead of mixing differently-scrubbed partitions.
-RULES_VERSION = "2026.08.17-r2"
+RULES_VERSION = "2026.08.17-r3"
 
 # --- Base patterns (reference parity; constants.py:11-25) -------------------
 

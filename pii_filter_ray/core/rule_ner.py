@@ -42,16 +42,37 @@ ORG_PATTERN = re.compile(
     rf"|(?<=\bempresa\s){_CAP}(?:\s+{_CAP})*"
 )
 
+# Institution-prefix organizations (the dominant ORG shape in pt-BR HR/
+# financial prose — "Banco do Brasil", "Seguradora Porto Seguro", "Caixa
+# Econômica Federal", "Bradesco Saúde"): a head noun or a Saúde/Seguros
+# tail anchors the capitalized phrase deterministically.
+_CAPWORD = r"[A-ZÀ-Þ][A-Za-zà-þÀ-Þ0-9]*"  # allows mixed case: SulAmérica, C6
+ORG_INSTITUTION_PATTERN = re.compile(
+    rf"\b(?:Banco|Seguradora|Corretora|Financeira|Cooperativa|Operadora)\s+"
+    rf"(?:{_CONNECT}\s+)?{_CAPWORD}(?:\s+(?:{_CONNECT}\s+)?{_CAPWORD})*"
+    rf"|\bCaixa\s+Econ[ôo]mica(?:\s+Federal)?\b"
+    rf"|\b{_CAPWORD}(?:\s+{_CAPWORD})*\s+(?:Sa[úu]de|Seguros)\b"
+)
+
 # Street-style addresses.
 LOCAL_PATTERN = re.compile(
     rf"\b(?:Rua|Avenida|Av\.|Travessa|Pra[çc]a|Alameda|Rodovia|Estrada)\s+"
     rf"(?:{_CONNECT}\s+)?{_CAP}(?:\s+(?:{_CONNECT}\s+)?{_CAP})*"
 )  # street number excluded: digits fail the FP guard (ner_service.py:122-127)
 
+# City-with-UF ("São Paulo-SP", "Recife-PE"): the two-letter federative-unit
+# suffix is restricted to the 27 real UFs so code identifiers never match.
+_UFS = (
+    "AC|AL|AP|AM|BA|CE|DF|ES|GO|MA|MT|MS|MG|PA|PB|PR|PE|PI|RJ|RN|RS|RO|RR|SC|SP|SE|TO"
+)
+LOCAL_CITY_UF_PATTERN = re.compile(
+    rf"\b{_CAP}(?:\s+(?:{_CONNECT}\s+)?{_CAP})*-(?:{_UFS})\b"
+)
+
 _GENERATORS: List[Tuple[str, List[re.Pattern]]] = [
     ("CARGO", CARGO_RULER_PATTERNS),  # ruler runs before the model (ner_service.py:50-52)
-    ("LOCAL", [LOCAL_PATTERN]),
-    ("ORGANIZACAO", [ORG_PATTERN]),
+    ("LOCAL", [LOCAL_PATTERN, LOCAL_CITY_UF_PATTERN]),
+    ("ORGANIZACAO", [ORG_PATTERN, ORG_INSTITUTION_PATTERN]),
     ("NOME_COMPLETO", [NAME_PATTERN]),
 ]
 
@@ -62,9 +83,14 @@ _GENERATORS: List[Tuple[str, List[re.Pattern]]] = [
 from .patterns import CARGO_HEAD_WORDS, CARGO_SINGLE
 
 _CARGO_ANCHORS = tuple(CARGO_HEAD_WORDS + CARGO_SINGLE + ["dev"])
-_ORG_ANCHORS = ("ltda", "s.a", "s/a", "inc", "corp", "llc", "gmbh", "empresa")
+_ORG_ANCHORS = ("ltda", "s.a", "s/a", "inc", "corp", "llc", "gmbh", "empresa",
+                "banco", "seguradora", "corretora", "financeira",
+                "cooperativa", "operadora", "caixa econ", "saúde", "saude",
+                "seguros")
 _LOCAL_ANCHORS = ("rua", "avenida", "av.", "travessa", "praça", "praca",
-                  "alameda", "rodovia", "estrada")
+                  "alameda", "rodovia", "estrada") + tuple(
+    "-" + uf.lower() for uf in _UFS.split("|")
+)
 
 
 def _generator_enabled(pii_type: str, text: str, lower: str) -> bool:

@@ -57,6 +57,11 @@ CASES: List[Tuple[str, str, str]] = [
     ("usuario_rede", "login: jsilva_92 no sistema", "login: [USUARIO_REDE_1] no sistema"),
     ("usuario_rede_user", "User: maria.souza ok", "User: [USUARIO_REDE_1] ok"),
     ("version_no_fp", "versions 2023-1 and 2024-2 unchanged", "versions 2023-1 and 2024-2 unchanged"),
+    # round-2 institution/city NER generators
+    ("org_banco", "cliente do Banco do Brasil agora", "cliente do [ORGANIZACAO_1] agora"),
+    ("org_saude", "plano Bradesco Saúde ativo", "plano [ORGANIZACAO_1] ativo"),
+    ("org_caixa", "agência da Caixa Econômica Federal", "agência da [ORGANIZACAO_1]"),
+    ("local_city_uf", "mora em São Paulo-SP hoje", "mora em [LOCAL_1] hoje"),
 ]
 
 SCHEMA = pa.schema(

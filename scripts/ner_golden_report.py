@@ -31,6 +31,19 @@ from pii_filter_ray.eval.metrics import match_counts, precision_recall_f1
 DATASET = "/root/reference/dataset.json"
 NER_TYPES = {"NOME_COMPLETO", "ORGANIZACAO", "LOCAL", "CARGO"}
 
+# The golden dataset types addresses as ENDERECO_* and never emits the
+# spaCy-mapped "LOCAL" label, so the reference's own NER eval (GT filtered
+# to NER_TYPES, test_ner_service.py:38-43) structurally counts every
+# address detection as a false positive. ``gt_map="mapped"`` folds the
+# ENDERECO_* types into LOCAL for a fairer recall read; the default mirrors
+# the reference exactly.
+ENDERECO_TO_LOCAL = {
+    "ENDERECO_COMPLETO": "LOCAL",
+    "ENDERECO_LOGRADOURO": "LOCAL",
+    "ENDERECO_BAIRRO": "LOCAL",
+    "ENDERECO_CIDADE": "LOCAL",
+}
+
 
 def detect(text: str, stat_model=None):
     ents = rule_ner.extract_entities(text)
@@ -49,18 +62,20 @@ def detect(text: str, stat_model=None):
     ]
 
 
-def evaluate(stat: bool):
+def evaluate(stat: bool, gt_map: str = "reference"):
     with open(DATASET) as f:
         cases = json.load(f)
     model = default_model() if stat else None
+    remap = ENDERECO_TO_LOCAL if gt_map == "mapped" else {}
     tot = [0, 0, 0]
     by_type = defaultdict(lambda: [0, 0, 0])
     for case in cases:
         text = case["prompt_text"]
         gt = [
-            {"pii_type": g["pii_type"], "span_start": g["span"][0], "span_end": g["span"][1]}
+            {"pii_type": remap.get(g["pii_type"], g["pii_type"]),
+             "span_start": g["span"][0], "span_end": g["span"][1]}
             for g in case["ground_truth"]
-            if g["pii_type"] in NER_TYPES
+            if remap.get(g["pii_type"], g["pii_type"]) in NER_TYPES
         ]
         det = detect(text, model)
         tp, fp, fn = match_counts(gt, det)
@@ -90,4 +105,5 @@ if __name__ == "__main__":
     print(json.dumps({
         "rule_ner": evaluate(stat=False),
         "rule_plus_stat_ner": evaluate(stat=True),
+        "rule_ner_gt_mapped": evaluate(stat=False, gt_map="mapped"),
     }, indent=2))
