@@ -107,6 +107,28 @@ def _generator_enabled(pii_type: str, text: str, lower: str) -> bool:
     return True
 
 
+# Tokens that disqualify a capitalized phrase as a PERSON name — HR/financial
+# document nouns and toponym heads (the dominant false-positive shapes in
+# pt-BR prose: "Data de Nascimento", "Termo de Rescisão", "Conta Corrente",
+# "São Paulo"). Same mechanism as the reference's NER_FALSE_POSITIVES word
+# blocklist (constants.py:198-254), specialized to the NOME layer; ORG/LOCAL
+# generators are unaffected (they are anchor-driven).
+_NAME_STOP_TOKENS = frozenset(
+    """data termo carteira vara plano aviso departamento conta auxílio
+    auxilio acordo gestão gestao contrato folha guia ficha cartão cartao
+    nota fatura boleto recibo anexo setor relatório relatorio processo
+    reunião reuniao agenda pedido ordem prazo valor saldo limite crédito
+    credito débito debito imposto taxa juros seguro benefício beneficio
+    licença licenca rescisão rescisao admissão admissao exame atestado
+    home office web online letter sistema área area alta baixa
+    são sao santa nova novo jardim vila porto praia lagoa morro vale""".split()
+)
+
+
+def _name_tokens_ok(value: str) -> bool:
+    return not any(t in _NAME_STOP_TOKENS for t in value.lower().split())
+
+
 def _is_valid_name_with_numbers(text: str) -> bool:
     """ner_service.py:188-192."""
     text_clean = text.lower().strip()
@@ -157,6 +179,8 @@ def extract_entities(text: str) -> List[Dict[str, Any]]:
             for m in pat.finditer(text):
                 value = m.group(0).strip()
                 if not _passes_guards(value, pii_type):
+                    continue
+                if pii_type == "NOME_COMPLETO" and not _name_tokens_ok(value):
                     continue
                 # Span of the stripped value (the generators may keep spaces).
                 start = m.start() + m.group(0).index(value)

@@ -229,12 +229,12 @@ def test_ner_golden_report_floors():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     rep = mod.evaluate(stat=False)
-    assert rep["overall"]["f1"] >= 0.54
+    assert rep["overall"]["f1"] >= 0.56
     assert rep["by_type"]["NOME_COMPLETO"]["recall"] >= 0.9
     assert rep["by_type"]["CARGO"]["f1"] >= 0.7
     assert rep["by_type"]["ORGANIZACAO"]["f1"] >= 0.85
     mapped = mod.evaluate(stat=False, gt_map="mapped")
-    assert mapped["overall"]["f1"] >= 0.75
+    assert mapped["overall"]["f1"] >= 0.78
     assert mapped["by_type"]["LOCAL"]["f1"] >= 0.75
 
 
