@@ -601,7 +601,6 @@ def jaccard_similarity_join(
     oracle-checked doc_jaccard_dups / doc_dup_components queries; the
     MinHash path remains the cheaper screen when exactness isn't required.
     """
-    from ray.data.aggregate import Max, Sum
 
     def explode(batch: pa.Table) -> pa.Table:
         sh_col, ids, sizes = [], [], []
@@ -619,48 +618,33 @@ def jaccard_similarity_join(
             }
         )
 
-    shingle_rows = ds.map_batches(explode, batch_format="pyarrow").materialize()
-
-    def df_partials(batch: pa.Table) -> pa.Table:
-        g = batch.group_by("sh").aggregate([("sh", "count")])
-        return pa.table({"sh": g["sh"], "n": pc.cast(g["sh_count"], pa.int64())})
-
-    shared = (
-        shingle_rows.map_batches(df_partials, batch_format="pyarrow")
-        .groupby("sh")
-        .aggregate(Sum("n", alias_name="n"))
-        .map_batches(
-            lambda b: b.filter(
-                pc.and_(
-                    pc.greater_equal(b["n"], pa.scalar(2)),
-                    pc.less_equal(b["n"], pa.scalar(max_df)),
-                )
-            ).select(["sh"]),
-            batch_format="pyarrow",
-        )
-        .materialize()
-    )
-    if shared.count() == 0:
-        return ray.data.from_arrow(
-            pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-                      "jaccard": pa.array([], pa.float64())})
-        )
-    shared_ref = ray.put(pa.array(shared.to_pandas()["sh"], pa.int64()))
+    shingle_rows = ds.map_batches(explode, batch_format="pyarrow")
     pair_buckets = 256  # shingle-hash buckets: bounds python calls at 256
     # vectorized pandas self-joins, instead of one call per shingle (text
     # corpora can have 10^5+ colliding shingles — per-shingle map_groups
-    # measured 200s at sf0.1; this form runs in seconds)
+    # measured 200s at sf0.1; this form runs in seconds). Every row of a
+    # given shingle lands in the SAME bucket, so document frequency is
+    # computed in-bucket — no global df aggregate, no driver-side state.
 
-    def semi_join(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.is_in(batch["sh"], value_set=ray.get(shared_ref)))
+    def add_bucket(batch: pa.Table) -> pa.Table:
         bucket = (
             batch["sh"].to_numpy(zero_copy_only=False) % pair_buckets
         ).astype("int32")
         return batch.append_column("bucket", pa.array(bucket, pa.int32()))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # pair co-occurrence rows within this shingle bucket, rekeyed by a
-        # PAIR hash bucket for the cross-bucket count merge
+        # in-bucket df pruning (exact: a shingle's rows never split buckets),
+        # then pair co-occurrence rows, rekeyed by a PAIR hash bucket for
+        # the cross-bucket count merge
+        df = g.groupby("sh")["sh"].transform("size")
+        g = g[(df >= 2) & (df <= max_df)]
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+                 "c": pd.Series(dtype="int64"), "n_a": pd.Series(dtype="int64"),
+                 "n_b": pd.Series(dtype="int64"),
+                 "pair_bucket": pd.Series(dtype="int32")}
+            )
         m = g.merge(g, on="sh", suffixes=("_a", "_b"))
         m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
         ids_a = m[f"{id_col}_a"].to_numpy()
@@ -701,7 +685,7 @@ def jaccard_similarity_join(
         )
 
     return (
-        shingle_rows.map_batches(semi_join, batch_format="pyarrow")
+        shingle_rows.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
         .groupby("pair_bucket")

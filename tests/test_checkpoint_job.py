@@ -247,3 +247,33 @@ def test_single_file_one_pass_read(ray_session, tmp_path_factory, monkeypatch):
     s = run_job(src, str(d / "out"), partitions=4, concurrency=2)
     assert s["done_parts"] == 4 and s["totals"]["rows"] == 60
     assert calls.count(src) == 1
+
+
+def test_single_file_limit_parts_then_resume(ray_session, tmp_path_factory):
+    """One-pass single-file path must respect limit_parts (writing ONLY the
+    pending subset) and a later resume must complete the rest without
+    touching finished partitions."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from pii_filter_ray.job import run_job
+    from pii_filter_ray.sources.synthetic_code import generate_corpus
+    from pii_filter_ray.state.checkpoint import JobManifest
+
+    d = tmp_path_factory.mktemp("limitparts")
+    corpus, _ = generate_corpus(n_rows=80, seed=42)
+    src = str(d / "single.parquet")
+    pq_.write_table(corpus, src)
+    out = str(d / "out")
+
+    s1 = run_job(src, out, partitions=4, limit_parts=2, concurrency=2)
+    assert s1["done_parts"] == 2
+    m = JobManifest(out)
+    done_first = set(m.done_parts())
+    mtimes = {p: os.path.getmtime(m.part_output_dir(p)) for p in done_first}
+
+    s2 = run_job(src, out, partitions=4, concurrency=2)
+    assert s2["done_parts"] == 4 and s2["totals"]["rows"] == 80
+    for p in done_first:  # finished partitions untouched by the resume
+        assert os.path.getmtime(m.part_output_dir(p)) == mtimes[p]
