@@ -39,7 +39,14 @@ _DIGIT_SEARCH = re.compile(r"\d").search
 #   (a, b, ...)    — any-of, matched against ONE lazily lowercased copy
 # Types absent from this table get NO prescreen (a caller-supplied pattern
 # without a known required feature is always scanned, never skipped).
-_DIGIT_CLUSTER_SEARCH = re.compile(r"\d{4}|\d{1,3}\.\d{1,3}").search
+#
+# The single-row search form is `\d(?:\d{3}|\.\d)` rather than the canonical
+# `\d{4}|\d{1,3}\.\d{1,3}`: a match EXISTS for one iff for the other (any
+# digits.digits occurrence contains a d.d window, and \d{1,3} admits length
+# 1), but the single-charset-prefix form lets sre's fast skip jump between
+# digit positions — measured 3.5x faster on source text (69 -> 19 us/file).
+_DIGIT_CLUSTER_RE = r"\d{4}|\d{1,3}\.\d{1,3}"  # canonical (RE2/batch form)
+_DIGIT_CLUSTER_SEARCH = re.compile(r"\d(?:\d{3}|\.\d)").search
 
 _PRESCREEN: Dict[str, tuple] = {
     "CPF": ("digitcluster",),
@@ -53,7 +60,10 @@ _PRESCREEN: Dict[str, tuple] = {
     "CONTA_BANCARIA": ("digitcluster", ("conta", "corrente", "c/c")),
     "MATRICULA": ("digitcluster", ("matr",)),
     "SALARIO": (("r$",),),
-    "USUARIO_REDE": ((":",),),
+    # the pattern's lookbehind requires one of these literals verbatim
+    # (IGNORECASE -> checked on the lowercased copy); a bare ":" gate made
+    # the pattern scan essentially every source file
+    "USUARIO_REDE": (("usuário:", "usuario:", "user:", "login:"),),
 }
 
 
@@ -81,19 +91,31 @@ def find_all_matches(
     validate_pii_data: bool = True,
     extended: bool = True,
     patterns=None,
+    feature_flags: Optional[Dict[Any, bool]] = None,
 ) -> List[Dict[str, Any]]:
-    """All valid PII matches, in pattern-dict order then position order."""
+    """All valid PII matches, in pattern-dict order then position order.
+
+    ``feature_flags`` optionally supplies precomputed prescreen features for
+    THIS text (requirement object -> bool), as produced row-wise by
+    :func:`batch_prescreen_flags` — the batch path computes every feature in
+    one vectorized RE2 pass per feature instead of per-row sre scans.
+    Requirements absent from the dict fall back to the lazy per-row scan.
+    """
     pats = patterns if patterns is not None else all_patterns(extended)
     out: List[Dict[str, Any]] = []
     # prescreens (match-preserving, per-type via _PRESCREEN): shared lazy
     # features — one digit-cluster scan and one lowercase() replace up to a
     # dozen full regex passes on ordinary source text.
     has_digit = has_cluster = lower = None
+    flags = feature_flags
 
     def _passes(reqs: tuple) -> bool:
         nonlocal has_digit, has_cluster, lower
         for req in reqs:
-            if req == "digit":
+            if flags is not None and req in flags:
+                if not flags[req]:
+                    return False
+            elif req == "digit":
                 if has_digit is None:
                     has_digit = _DIGIT_SEARCH(text) is not None
                 if not has_digit:
@@ -130,6 +152,44 @@ def find_all_matches(
                 }
             )
     return out
+
+
+def batch_prescreen_flags(col, lower=None) -> List[Dict[Any, bool]]:
+    """Per-row prescreen feature dicts for a whole Arrow string column.
+
+    One vectorized pass per distinct requirement (Arrow's RE2 compiles the
+    literal alternations into a DFA — a single C-speed streaming scan,
+    replacing dozens of per-row Python substring/sre scans; measured 36 vs
+    ~180 us/file on the synthetic code corpus with identical results —
+    equivalence fuzz-tested in test_prescreen_fuzz.py). ``lower`` optionally
+    shares a pc.utf8_lower(col) computed by the caller. Null rows get
+    all-False flags (callers never scan null text anyway).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    reqs = {r for rs in _PRESCREEN.values() for r in rs}
+    arrays: Dict[Any, Any] = {}
+    for req in reqs:
+        if req == "digitcluster":
+            arrays[req] = pc.match_substring_regex(col, _DIGIT_CLUSTER_RE)
+        elif req == "digit":
+            arrays[req] = pc.match_substring_regex(col, r"\d")
+        elif isinstance(req, tuple):
+            if lower is None:
+                lower = pc.utf8_lower(col)
+            arrays[req] = pc.match_substring_regex(
+                lower, "|".join(re.escape(lit) for lit in req)
+            )
+        else:  # verbatim case-sensitive literal
+            arrays[req] = pc.match_substring(col, req)
+    cols = {req: a.to_pylist() for req, a in arrays.items()}
+    n = len(col)
+    return [
+        {req: bool(vals[i]) for req, vals in cols.items()} for i in range(n)
+    ]
 
 
 def handle_overlaps(all_matches: List[Dict[str, Any]]) -> List[Dict[str, Any]]:

@@ -53,6 +53,8 @@ def scrub_text(
     enable_ner: bool = True,
     validate_pii_data: bool = True,
     stat_model=None,
+    feature_flags=None,
+    ner_gates=None,
 ) -> ScrubResult:
     """Mask all PII in one document; deterministic, pure.
 
@@ -69,7 +71,12 @@ def scrub_text(
         return ScrubResult(masked=text or "")
 
     # Layer 1: regex (with intra-layer priority resolution).
-    regex_sel = handle_overlaps(find_all_matches(text, validate_pii_data, extended))
+    # feature_flags / ner_gates: this row's precomputed prescreen features
+    # (batch_prescreen_flags / batch_ner_gates — vectorized RE2 over the
+    # whole batch); None falls back to the per-row lazy scans.
+    regex_sel = handle_overlaps(
+        find_all_matches(text, validate_pii_data, extended, feature_flags=feature_flags)
+    )
     # The reference's overlap grouping is non-transitive (group membership is
     # judged against the FIRST member's end, regex_service.py:89-102), so
     # chained overlaps can yield overlapping selections — which corrupt any
@@ -98,7 +105,7 @@ def scrub_text(
 
     # Layer 2: rule NER, lower precedence — drop on overlap with layer 1.
     if enable_ner:
-        ents = rule_ner.extract_entities(text)
+        ents = rule_ner.extract_entities(text, gates=ner_gates)
         blocked = [(s["start"], s["end"]) for s in spans]
         ents = rule_ner.drop_overlapping(ents, blocked)
         ents = rule_ner.filter_overlapping_entities(ents)

@@ -196,18 +196,38 @@ class QualityScrubStage:
             self.stat_model = default_model()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        contents = batch[self.content_col].to_pylist()
+        col = batch[self.content_col]
+        contents = col.to_pylist()
         claimed = (
             batch[self.lang_col].to_pylist()
             if self.lang_col and self.lang_col in batch.column_names
             else [None] * len(contents)
         )
+        # All scrub prescreen features for the batch in one vectorized RE2
+        # pass per feature (identical decisions to the per-row scans; see
+        # batch_prescreen_flags / batch_ner_gates)
+        import pyarrow.compute as pc
+
+        from ..core.regex_scan import batch_prescreen_flags
+        from ..core.rule_ner import batch_ner_gates
+
+        col_c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        lower = pc.utf8_lower(col_c)
+        flag_rows = batch_prescreen_flags(col_c, lower=lower)
+        gate_rows = batch_ner_gates(col_c, lower=lower) if self.enable_ner else None
 
         shas, langs, confs, bits, tox = [], [], [], [], []
         keeps, reasons = [], []
         masked_col, counts, mappings_col = [], [], []
 
-        for text, claim in zip(contents, claimed):
+        # NOTE: heuristics stay PER-ROW numpy deliberately — a fully
+        # batch-vectorized variant was built and benchmarked SLOWER (180 vs
+        # 113 us/row): per-row arrays are L1/L2-resident while the batch
+        # form streams ~25 passes over multi-MB int64 arrays, trading cheap
+        # dispatch overhead for DRAM traffic (the scarce resource at 32
+        # cores). The RE2 prescreen flags above are the opposite trade —
+        # they REMOVE per-row passes — and are kept.
+        for i, (text, claim) in enumerate(zip(contents, claimed)):
             text = text or ""
             data = text.encode("utf-8", "replace")  # ONE encode shared by
             shas.append(hashlib.sha256(data).hexdigest())  # sha/quality/ppl
@@ -237,7 +257,9 @@ class QualityScrubStage:
             reasons.append(reason)
             if keep:
                 r = scrub_text(text, extended=self.extended, enable_ner=self.enable_ner,
-                               stat_model=self.stat_model)
+                               stat_model=self.stat_model,
+                               feature_flags=flag_rows[i],
+                               ner_gates=gate_rows[i] if gate_rows else None)
                 masked_col.append(r.masked)
                 counts.append(r.pii_count)
                 mappings_col.append(r.mappings_dicts() if self.emit_mappings else None)

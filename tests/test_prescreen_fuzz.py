@@ -1,0 +1,120 @@
+"""Equivalence of the vectorized (batch RE2) prescreen/gate path with the
+per-row lazy scans: identical scrub output, and gate decisions that are
+never LESS permissive than a real pattern match requires.
+
+The invariant that matters is end-to-end: for any text,
+scrub_text(text, feature_flags=batch_row, ner_gates=batch_row) must equal
+scrub_text(text). Gate booleans themselves may legitimately differ from
+the per-row form on exotic case folds (Arrow uses simple case mapping,
+Python full folding) — but only in the MORE permissive direction relative
+to what the patterns can match, which output equality verifies.
+"""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pii_filter_ray.core.regex_scan import (
+    _DIGIT_CLUSTER_SEARCH,
+    batch_prescreen_flags,
+    find_all_matches,
+)
+from pii_filter_ray.core.rule_ner import batch_ner_gates, extract_entities
+from pii_filter_ray.core.scrub import scrub_text
+
+PII_SNIPPETS = [
+    "CPF 123.456.789-09",
+    "mail joao.silva@empresa.com.br",
+    "RG 12.345.678-9",
+    "tel (11) 98765-4321",
+    "CEP 01310-100",
+    "IP 192.168.0.1",
+    "conta corrente: 12345-6 ag 0001",
+    "matrícula 123456",
+    "salário R$ 3.500,00",
+    "usuario: jsilva senha: hunter2",
+    "Rua das Flores, Centro",
+    "Banco do Brasil",
+    "Empresa Acme Ltda.",
+    "Dr. João da Silva",
+    "engenheiro de software sênior",
+    "São Paulo-SP",
+    "Caixa Econômica Federal",
+    "4111 1111 1111 1111",
+]
+
+CODE_SNIPPETS = [
+    "def handler(self, x):\n    return x + 1\n",
+    "const device = window.devicePixelRatio;",
+    "for i in range(1234): pass  # 2024",
+    "v := fmt.Sprintf(\"%d.%d\", a, b)",
+    "SELECT * FROM t WHERE id = 42;",
+    "x = {'k': 3.14, 'port': 8080}",
+]
+
+
+def _texts():
+    return st.lists(
+        st.sampled_from(PII_SNIPPETS + CODE_SNIPPETS)
+        | st.text(max_size=60)
+        | st.text(
+            alphabet="0123456789.-@:$/ ABCDEFabcdefçãéÀÈİßẞ\n", max_size=60
+        ),
+        min_size=1,
+        max_size=6,
+    ).map(lambda parts: " ".join(parts))
+
+
+@settings(max_examples=300, deadline=None)
+@given(_texts())
+def test_batch_flags_scrub_output_identical(text):
+    col = pa.array([text], pa.string())
+    lower = pc.utf8_lower(col)
+    flags = batch_prescreen_flags(col, lower=lower)[0]
+    gates = batch_ner_gates(col, lower=lower)[0]
+    base = scrub_text(text)
+    fast = scrub_text(text, feature_flags=flags, ner_gates=gates)
+    assert fast.masked == base.masked
+    assert [m.to_dict() for m in fast.mappings] == [m.to_dict() for m in base.mappings]
+
+
+@settings(max_examples=300, deadline=None)
+@given(_texts())
+def test_digit_cluster_rewrite_existence_equivalent(text):
+    import re
+
+    canonical = re.compile(r"\d{4}|\d{1,3}\.\d{1,3}").search
+    assert (canonical(text) is None) == (_DIGIT_CLUSTER_SEARCH(text) is None)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_texts())
+def test_batch_flags_find_all_matches_identical(text):
+    flags = batch_prescreen_flags(pa.array([text], pa.string()))[0]
+    assert find_all_matches(text, feature_flags=flags) == find_all_matches(text)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_texts())
+def test_batch_gates_extract_entities_identical(text):
+    gates = batch_ner_gates(pa.array([text], pa.string()))[0]
+    assert extract_entities(text, gates=gates) == extract_entities(text)
+
+
+def test_batch_flags_on_nulls_and_batches():
+    col = pa.array(["CPF 123.456.789-09", None, "", "plain text"], pa.string())
+    flags = batch_prescreen_flags(col)
+    gates = batch_ner_gates(col)
+    assert len(flags) == len(gates) == 4
+    assert flags[0]["digitcluster"] is True
+    assert all(v is False for v in flags[1].values())  # null row: all off
+    assert all(v is False for v in gates[1].values())
+
+
+def test_chunked_array_accepted():
+    col = pa.chunked_array([["a@b.com"], ["no pii 1234"]])
+    flags = batch_prescreen_flags(col)
+    assert flags[0]["@"] is True and flags[1]["@"] is False
+    assert flags[1]["digitcluster"] is True

@@ -98,3 +98,4 @@ def test_lm_deterministic():
 
     a, b = CharBigramLM(), CharBigramLM()
     assert a.bits_per_char("hello world") == b.bits_per_char("hello world")
+
