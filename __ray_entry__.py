@@ -97,6 +97,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_quantity_quantiles": r.lineitem_quantity_quantiles,
         "media_pipeline_check": r.media_pipeline_check,
         "full_shuffle_count": r.full_shuffle_count,
+        # temporal joins (no Ray Data primitive; stages/asof.py)
+        "events_asof_order": r.events_asof_order,
+        "orders_events_7d": r.orders_events_7d,
     }
 
 
@@ -376,5 +379,26 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END AS new_sess
                 FROM events
             )
+        """,
+        # as-of join: ties on o_orderdate pre-resolved (greatest o_orderkey)
+        # so DuckDB's ASOF JOIN and the engine's merge_asof agree exactly
+        "events_asof_order": """
+            WITH o AS (
+                SELECT o_custkey, o_orderdate,
+                       max(o_orderkey) AS o_orderkey
+                FROM orders GROUP BY o_custkey, o_orderdate
+            )
+            SELECT e.event_id, e.user_id,
+                   CAST(o.o_orderkey AS BIGINT) AS o_orderkey
+            FROM events e ASOF JOIN o
+            ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "orders_events_7d": """
+            SELECT o.o_orderkey,
+                   CAST(coalesce(sum(CASE WHEN e.ts >= o.o_orderdate
+                                           AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_in_range
+            FROM orders o LEFT JOIN events e ON e.user_id = o.o_custkey
+            GROUP BY o.o_orderkey
         """,
     }

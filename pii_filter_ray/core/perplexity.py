@@ -94,19 +94,22 @@ _OTHER = _VOCAB_SIZE - 1
 _ADD_K = 0.1
 
 
+# byte -> vocab index lookup table: ONE fancy-index pass replaces the
+# previous astype + masks formulation (6 array passes); identical mapping
+_ENC_TABLE = np.full(256, _OTHER, dtype=np.int32)
+for _c in range(32, 127):
+    _ENC_TABLE[_c] = _c - 32
+_ENC_TABLE[10] = 95
+_ENC_TABLE[9] = 96
+
+
 def _encode(text: str, data: bytes | None = None) -> np.ndarray:
     """Map chars to vocab indices: printable ASCII 32..126 -> 0..94,
     '\n' -> 95, '\t' -> 96, everything else -> 97. ``data`` lets callers
     share one UTF-8 encoding."""
     if data is None:
         data = text.encode("utf-8", errors="replace")
-    codes = np.frombuffer(data, dtype=np.uint8).astype(np.int32)
-    out = np.full(codes.shape, _OTHER, dtype=np.int32)
-    printable = (codes >= 32) & (codes <= 126)
-    out[printable] = codes[printable] - 32
-    out[codes == 10] = 95
-    out[codes == 9] = 96
-    return out
+    return _ENC_TABLE[np.frombuffer(data, dtype=np.uint8)]
 
 
 class CharBigramLM:

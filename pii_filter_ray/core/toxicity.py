@@ -50,9 +50,28 @@ def find_toxic_spans(text: str) -> List[Tuple[int, int, str, float]]:
     return out
 
 
-def toxicity_score(text: str) -> float:
-    """Weighted hits per 100 whitespace tokens (0.0 for empty text)."""
-    if not text:
+def batch_toxic_anchor_flags(col, lower=None) -> list:
+    """Per-row bool: does any blocklist anchor occur? One RE2 pass over the
+    batch (the vectorized twin of find_toxic_spans' prescreen — a False
+    provably means zero toxic spans, so the caller can skip the row)."""
+    import re as _re
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if lower is None:
+        lower = pc.utf8_lower(col)
+    pat = "|".join(_re.escape(a) for a in _ANCHORS)
+    return [bool(v) for v in pc.match_substring_regex(lower, pat).to_pylist()]
+
+
+def toxicity_score(text: str, anchor_hint: bool | None = None) -> float:
+    """Weighted hits per 100 whitespace tokens (0.0 for empty text).
+    ``anchor_hint=False`` (from batch_toxic_anchor_flags) short-circuits:
+    no anchor -> no span -> score 0."""
+    if not text or anchor_hint is False:
         return 0.0
     spans = find_toxic_spans(text)
     if not spans:

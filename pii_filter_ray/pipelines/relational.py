@@ -1038,3 +1038,50 @@ def full_shuffle_count(sf_dir: str):
     ds = _tbl(sf_dir, "lineitem", columns=["l_orderkey"])
     n = ds.repartition(16, shuffle=True).count()
     return pd.DataFrame({"n": pd.Series([n], dtype="int64")})
+
+def events_asof_order(sf_dir: str):
+    """Temporal as-of join (no Ray Data primitive exists): for every event,
+    the customer's most recent order at-or-before the event time.
+
+    One hash shuffle co-partitions events and orders by user bucket; each
+    bucket resolves with a single vectorized pandas.merge_asof (see
+    stages/asof.py for the partitioning contract). Ties on o_orderdate are
+    broken deterministically (greatest o_orderkey) so the result is
+    layout-independent and SQL-recomputable (DuckDB ASOF JOIN over the
+    date-deduped orders)."""
+    from ..stages.asof import asof_join
+
+    events = _tbl(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = _tbl(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+    out = asof_join(
+        events, orders,
+        left_by="user_id", right_by="o_custkey",
+        left_on="ts", right_on="o_orderdate",
+        left_cols=["event_id", "user_id"],
+        right_cols=["o_orderkey"],
+        schema={"event_id": pa.int64(), "user_id": pa.int64(), "o_orderkey": pa.int64()},
+        tie_break="o_orderkey",
+    )
+    df = out.to_pandas()[["event_id", "user_id", "o_orderkey"]]
+    return df.astype({"event_id": "int64", "user_id": "int64", "o_orderkey": "int64"})
+
+
+def orders_events_7d(sf_dir: str):
+    """Banded range join, aggregated: per order, how many events the
+    customer generated in the 7 days starting at the order date. Same
+    one-shuffle bucket co-partitioning as the as-of join; per-bucket
+    counting is two np.searchsorted calls per key run (stages/asof.py)."""
+    from ..stages.asof import range_count_join
+
+    orders = _tbl(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    events = _tbl(sf_dir, "events", columns=["user_id", "ts"])
+    out = range_count_join(
+        orders, events,
+        left_by="o_custkey", right_by="user_id",
+        left_on="o_orderdate", right_on="ts",
+        left_cols=["o_orderkey"],
+        schema={"o_orderkey": pa.int64()},
+        window=pd.Timedelta(days=7),
+    )
+    df = out.to_pandas()[["o_orderkey", "n_in_range"]]
+    return df.astype({"o_orderkey": "int64", "n_in_range": "int64"})

@@ -108,10 +108,11 @@ def asof_join(
 
     def bucket_asof(g: pd.DataFrame) -> pd.DataFrame:
         lf, rf = _split_sides(g, left_cols, right_cols)
-        if len(lf) == 0:
-            out = lf.iloc[0:0]
-        elif len(rf) == 0:
-            out = lf.iloc[0:0].assign(**{c: pd.Series(dtype="float64") for c in right_cols})
+        if len(lf) == 0 or len(rf) == 0:
+            # INNER join: a bucket lacking either side emits nothing
+            out = lf.iloc[0:0].assign(
+                **{c: pd.Series(dtype="float64") for c in right_cols if c not in lf.columns}
+            )
         else:
             if tie_break is not None:
                 # deterministic: one right row per (key, time), greatest

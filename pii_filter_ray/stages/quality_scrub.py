@@ -211,10 +211,13 @@ class QualityScrubStage:
         from ..core.regex_scan import batch_prescreen_flags
         from ..core.rule_ner import batch_ner_gates
 
+        from ..core.toxicity import batch_toxic_anchor_flags
+
         col_c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         lower = pc.utf8_lower(col_c)
         flag_rows = batch_prescreen_flags(col_c, lower=lower)
         gate_rows = batch_ner_gates(col_c, lower=lower) if self.enable_ner else None
+        tox_gate = batch_toxic_anchor_flags(col_c, lower=lower)
 
         shas, langs, confs, bits, tox = [], [], [], [], []
         keeps, reasons = [], []
@@ -237,7 +240,7 @@ class QualityScrubStage:
                 # (scoring is O(content bytes); junk blobs skip it entirely)
                 lang, conf = self.detect(text)
                 b = self.lm.bits_per_char(text, data=data)
-                t_score = toxicity_score(text)
+                t_score = toxicity_score(text, anchor_hint=tox_gate[i])
                 if claim is not None and not lang_matches(claim, lang):
                     keep, reason = False, "lang_mismatch"
                 elif b > self.max_bits:

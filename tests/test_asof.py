@@ -1,0 +1,140 @@
+"""As-of and range joins (stages/asof.py): correctness vs DuckDB on real
+tables, block-layout invariance, and edge semantics (ties, unmatched keys,
+empty sides)."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+
+SF = "/root/testdata/sf0.001"
+
+
+def _norm(df):
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_events_asof_order_matches_duckdb(ray_session):
+    from pii_filter_ray.pipelines.relational import events_asof_order
+
+    got = events_asof_order(SF)
+    con = duckdb.connect()
+    exp = con.execute(f"""
+        WITH o AS (
+            SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+            FROM read_parquet('{SF}/orders.parquet')
+            GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, e.user_id, CAST(o.o_orderkey AS BIGINT) AS o_orderkey
+        FROM read_parquet('{SF}/events.parquet') e ASOF JOIN o
+        ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """).df()
+    pd.testing.assert_frame_equal(_norm(got), _norm(exp))
+
+
+def test_orders_events_7d_matches_duckdb(ray_session):
+    from pii_filter_ray.pipelines.relational import orders_events_7d
+
+    got = orders_events_7d(SF)
+    con = duckdb.connect()
+    exp = con.execute(f"""
+        SELECT o.o_orderkey,
+               CAST(coalesce(sum(CASE WHEN e.ts >= o.o_orderdate
+                                       AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_in_range
+        FROM read_parquet('{SF}/orders.parquet') o
+        LEFT JOIN read_parquet('{SF}/events.parquet') e ON e.user_id = o.o_custkey
+        GROUP BY o.o_orderkey
+    """).df()
+    pd.testing.assert_frame_equal(_norm(got), _norm(exp))
+
+
+def _toy_sides():
+    left = pa.table({
+        "lid": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "k": pa.array([10, 10, 20, 30, 40], pa.int64()),
+        "t": pa.array(
+            pd.to_datetime(
+                ["2024-01-05", "2024-01-01", "2024-01-10", "2024-01-10", "2024-01-10"]
+            ),
+            pa.timestamp("us"),
+        ),
+    })
+    right = pa.table({
+        "k2": pa.array([10, 10, 10, 20, 99], pa.int64()),
+        "t2": pa.array(
+            pd.to_datetime(
+                ["2024-01-02", "2024-01-05", "2024-01-05", "2024-01-11", "2024-01-01"]
+            ),
+            pa.timestamp("us"),
+        ),
+        "rid": pa.array([100, 101, 102, 200, 900], pa.int64()),
+    })
+    return left, right
+
+
+def test_asof_edge_semantics(ray_session):
+    """Exact-time match is inclusive; date ties resolve to max tie_break;
+    left keys with no right row (30) or only later right rows (20) drop
+    (inner); right-only keys (99) never appear."""
+    from pii_filter_ray.stages.asof import asof_join
+
+    left, right = _toy_sides()
+    out = asof_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        left_by="k", right_by="k2", left_on="t", right_on="t2",
+        left_cols=["lid", "k"], right_cols=["rid"],
+        schema={"lid": pa.int64(), "k": pa.int64(), "rid": pa.int64()},
+        tie_break="rid", num_buckets=4,
+    ).to_pandas()
+    got = dict(zip(out["lid"], out["rid"]))
+    # lid 1 @01-05: tie between rid 101/102 at 01-05 -> 102; inclusive match
+    # lid 2 @01-01: no order at-or-before -> dropped
+    assert got[1] == 102
+    assert 2 not in got
+    assert 3 not in got  # key 20's only right row is later (01-11 > 01-10)
+    assert 4 not in got  # key 30 absent from right
+    assert len(out) == 1
+
+
+def test_asof_layout_invariance(ray_session):
+    """Result must not depend on block layout of either side."""
+    from pii_filter_ray.stages.asof import asof_join
+
+    left, right = _toy_sides()
+    kw = dict(
+        left_by="k", right_by="k2", left_on="t", right_on="t2",
+        left_cols=["lid", "k"], right_cols=["rid"],
+        schema={"lid": pa.int64(), "k": pa.int64(), "rid": pa.int64()},
+        tie_break="rid",
+    )
+    a = asof_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), num_buckets=2, **kw
+    ).to_pandas()
+    b = asof_join(
+        ray.data.from_arrow(left).repartition(5),
+        ray.data.from_arrow(right).repartition(3),
+        num_buckets=16, **kw
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_norm(a), _norm(b))
+
+
+def test_range_count_edges(ray_session):
+    from pii_filter_ray.stages.asof import range_count_join
+
+    left, right = _toy_sides()
+    out = range_count_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        left_by="k", right_by="k2", left_on="t", right_on="t2",
+        left_cols=["lid"],
+        schema={"lid": pa.int64()},
+        window=pd.Timedelta(days=7), num_buckets=4,
+    ).to_pandas()
+    got = dict(zip(out["lid"], out["n_in_range"]))
+    # lid1 @01-05 +7d: rids 101,102 (01-05 inclusive) -> 2
+    # lid2 @01-01 +7d: 01-02 and 2x 01-05 -> 3
+    # lid3 @01-10 +7d: 01-11 -> 1 ; lid4/lid5: no right rows for keys 30/40 -> 0
+    assert got == {1: 2, 2: 3, 3: 1, 4: 0, 5: 0}

@@ -118,3 +118,29 @@ def test_chunked_array_accepted():
     flags = batch_prescreen_flags(col)
     assert flags[0]["@"] is True and flags[1]["@"] is False
     assert flags[1]["digitcluster"] is True
+
+
+@settings(max_examples=200, deadline=None)
+@given(_texts())
+def test_batch_toxicity_gate_equivalent(text):
+    from pii_filter_ray.core.toxicity import batch_toxic_anchor_flags, toxicity_score
+
+    hint = batch_toxic_anchor_flags(pa.array([text], pa.string()))[0]
+    assert toxicity_score(text, anchor_hint=hint) == toxicity_score(text)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_texts())
+def test_perplexity_encode_lut_equivalent(text):
+    import numpy as np
+
+    from pii_filter_ray.core.perplexity import _OTHER, _encode
+
+    data = text.encode("utf-8", errors="replace")
+    codes = np.frombuffer(data, dtype=np.uint8).astype(np.int32)
+    ref = np.full(codes.shape, _OTHER, dtype=np.int32)
+    printable = (codes >= 32) & (codes <= 126)
+    ref[printable] = codes[printable] - 32
+    ref[codes == 10] = 95
+    ref[codes == 9] = 96
+    assert (_encode(text) == ref).all()
