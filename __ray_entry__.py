@@ -100,6 +100,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # temporal joins (no Ray Data primitive; stages/asof.py)
         "events_asof_order": r.events_asof_order,
         "orders_events_7d": r.orders_events_7d,
+        # training-corpus utilities
+        "events_sliding_windows": r.events_sliding_windows,
+        "doc_hash_split": r.doc_hash_split,
+        # large x large shuffle hash join (stages/joins.py)
+        "order_lineitem_revenue": r.order_lineitem_revenue,
     }
 
 
@@ -400,5 +405,28 @@ def oracle_sql() -> dict[str, str]:
                                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_in_range
             FROM orders o LEFT JOIN events e ON e.user_id = o.o_custkey
             GROUP BY o.o_orderkey
+        """,
+        # each event covers length/hop = 4 hopping windows
+        "events_sliding_windows": """
+            SELECT user_id,
+                   CAST((floor(epoch(ts) / 21600) - o.i) * 21600 AS BIGINT) AS window_start,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS o(i)
+            GROUP BY 1, 2
+        """,
+        "doc_hash_split": """
+            SELECT doc_id,
+                   (doc_id * 2654435761) % 4294967296 % 100 AS bucket,
+                   CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+                        WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "order_lineitem_revenue": """
+            SELECT o.o_orderpriority,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
         """,
     }

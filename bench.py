@@ -72,8 +72,15 @@ def run_bench() -> dict:
     quality_scrub(warm, mode="code", emit_mappings=False).count()
 
     # --- headline 1: code-corpus flagship (files/sec end-to-end) ---
+    # Block count sized to cores: shards carry 1024-row row groups, so the
+    # read can split past file granularity. Without this the 200k corpus is
+    # 49 blocks = 1.53 task waves at 32 cpus — wave quantization alone caps
+    # scaling efficiency at ~0.77 (measured; a small-corpus artifact: at
+    # 100 TB every node owns thousands of blocks and no such cliff exists).
+    n_blocks = max(64, NUM_CPUS * 6)
+
     def code_flagship():
-        ds = ray.data.read_parquet(code_path)  # sharded files -> parallel read
+        ds = ray.data.read_parquet(code_path, override_num_blocks=n_blocks)
         out = quality_scrub(ds, mode="code", emit_mappings=False)
         # consume as a stream; count() materializes nothing
         return out.count()

@@ -1085,3 +1085,92 @@ def orders_events_7d(sf_dir: str):
     )
     df = out.to_pandas()[["o_orderkey", "n_in_range"]]
     return df.astype({"o_orderkey": "int64", "n_in_range": "int64"})
+
+def events_sliding_windows(sf_dir: str, hop_s: int = 21600, length_s: int = 86400):
+    """Sliding (hopping) windows: per-user event counts over 24h windows
+    hopping every 6h — each event belongs to length/hop = 4 windows.
+
+    The Ray form is assign-then-aggregate: a vectorized map_batches emits
+    (user_id, window_start) ONCE PER COVERING WINDOW (np.repeat, no Python
+    row loop), then the standard partial pre-agg + groupby shuffle counts
+    them — the replication factor is the constant length/hop, so the
+    shuffle moves 4x key pairs, never event payloads."""
+    k = length_s // hop_s
+    ds = _tbl(sf_dir, "events", columns=["user_id", "ts"])
+
+    def explode_windows(batch: pa.Table) -> pa.Table:
+        epoch = batch["ts"].cast(pa.int64()).to_numpy() // 1_000_000
+        base = epoch // hop_s
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        n = len(uid)
+        offs = np.tile(np.arange(k, dtype=np.int64), n)
+        starts = (np.repeat(base, k) - offs) * hop_s
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(uid, k), pa.int64()),
+                "window_start": pa.array(starts, pa.int64()),
+            }
+        )
+
+    df = preagg_groupby(
+        ds.map_batches(explode_windows, batch_format="pyarrow"),
+        ["user_id", "window_start"],
+        count_alias="n",
+    ).to_pandas()
+    return df.astype({"user_id": "int64", "window_start": "int64", "n": "int64"})
+
+
+def doc_hash_split(sf_dir: str):
+    """Deterministic train/val/test assignment by multiplicative hash of the
+    stable id (the standard leakage-free split for training corpora: no
+    shuffle, no state, reproducible anywhere — including in SQL). Bucket =
+    (doc_id * 2654435761) mod 2^32 mod 100; <80 train, <90 val, else test."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.uint64)
+        bucket = ((ids * np.uint64(2654435761)) % np.uint64(2**32)) % np.uint64(100)
+        split = np.where(bucket < 80, "train", np.where(bucket < 90, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "bucket": pa.array(bucket.astype("int64"), pa.int64()),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    df = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
+    return df.astype({"doc_id": "int64", "bucket": "int64"})
+
+def order_lineitem_revenue(sf_dir: str):
+    """LARGE x LARGE shuffle hash join (stages/joins.py): lineitem joined to
+    orders on orderkey — neither side is broadcastable at scale — then
+    revenue per order priority. The join output feeds a partial pre-agg so
+    the second shuffle moves one row per (bucket, priority)."""
+    from ..stages.joins import hash_join
+
+    lineitem = _tbl(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy()
+        disc = batch["l_discount"].to_numpy()
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "rev": pa.array(price * (1.0 - disc), pa.float64()),
+        })
+
+    orders = _tbl(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = hash_join(
+        lineitem.map_batches(rev, batch_format="pyarrow"), orders,
+        left_key="l_orderkey", right_key="o_orderkey",
+        left_cols=["rev"], right_cols=["o_orderpriority"],
+        schema={"rev": pa.float64(), "o_orderpriority": pa.string()},
+    )
+    df = preagg_groupby(
+        joined, ["o_orderpriority"], sums={"revenue": "rev"}, count_alias="n_items"
+    ).to_pandas()
+    df["revenue"] = round_half_away(df["revenue"], 2)
+    return df.astype({"revenue": "float64", "n_items": "int64"})[
+        ["o_orderpriority", "revenue", "n_items"]
+    ]

@@ -1,0 +1,86 @@
+"""Distributed shuffle hash join for two LARGE tables.
+
+The broadcast joins in pipelines/relational.py cover the small-dimension
+case (ray.put once, pc.index_in per batch); this module covers the case
+neither side fits in memory: ONE hash shuffle co-partitions both sides by
+key bucket (tagged union -> groupby bucket), then each bucket joins with a
+single vectorized pandas merge. Keys never split buckets, so the join is
+exact; ``num_buckets`` bounds per-task memory (size it so the LARGER
+side's bucket fits a worker heap — at 100 TB that means thousands of
+buckets, and a hot key beyond one bucket needs the salted variant of the
+same pattern, per the custom-operator contract in stages/asof.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+_LEFT, _RIGHT = 0, 1
+
+
+def _tag(side: int, key: str, payload: List[str], schema: Dict[str, pa.DataType],
+         num_buckets: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        key_np = batch[key].to_numpy(zero_copy_only=False).astype("int64")
+        cols = {
+            "__bucket": pa.array((key_np % num_buckets).astype("int32"), pa.int32()),
+            "__side": pa.array(np.full(n, side, dtype="int8"), pa.int8()),
+            "__key": pa.array(key_np, pa.int64()),
+        }
+        for name, typ in schema.items():
+            cols[name] = batch[name].cast(typ) if name in payload else pa.nulls(n, typ)
+        return pa.table(cols)
+
+    return fn
+
+
+def hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    left_key: str,
+    right_key: str,
+    left_cols: List[str],
+    right_cols: List[str],
+    schema: Dict[str, pa.DataType],
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """INNER equi-join on an int64 key. Returns columns: ['key'] renamed to
+    the LEFT key name + left_cols + right_cols. ``schema`` maps every
+    payload column to its arrow type (used to null-fill the tagged union
+    and to restore int dtypes after the pandas float upcast)."""
+    tagged = left.map_batches(
+        _tag(_LEFT, left_key, left_cols, schema, num_buckets), batch_format="pyarrow"
+    ).union(
+        right.map_batches(
+            _tag(_RIGHT, right_key, right_cols, schema, num_buckets),
+            batch_format="pyarrow",
+        )
+    )
+    int_like = {n for n, t in schema.items() if pa.types.is_integer(t)}
+    out_cols = [left_key, *left_cols, *right_cols]
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["__side"] == _LEFT][["__key", *left_cols]]
+        rf = g[g["__side"] == _RIGHT][["__key", *right_cols]]
+        if len(lf) == 0 or len(rf) == 0:
+            out = lf.iloc[0:0].assign(
+                **{c: pd.Series(dtype="float64") for c in right_cols}
+            )
+        else:
+            out = lf.merge(rf, on="__key", how="inner")
+        out = out.rename(columns={"__key": left_key})[out_cols]
+        for c in out_cols:
+            if c in int_like or c == left_key:
+                out[c] = out[c].astype("int64")
+        return out
+
+    return tagged.groupby("__bucket").map_groups(bucket_join, batch_format="pandas")
