@@ -105,6 +105,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hash_split": r.doc_hash_split,
         # large x large shuffle hash join (stages/joins.py)
         "order_lineitem_revenue": r.order_lineitem_revenue,
+        # grouped exact quantiles (stages/quantiles.py) + stratified sample
+        "events_value_quantiles": r.events_value_quantiles,
+        "doc_sample_per_lang": r.doc_sample_per_lang,
     }
 
 
@@ -428,5 +431,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_items
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderpriority
+        """,
+        "events_value_quantiles": """
+            SELECT event_type, 0.5 AS q, quantile_disc(value, 0.5) AS value
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.95 AS q, quantile_disc(value, 0.95) AS value
+            FROM events GROUP BY event_type
+        """,
+        "doc_sample_per_lang": """
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 3
         """,
     }

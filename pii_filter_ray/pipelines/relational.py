@@ -1174,3 +1174,35 @@ def order_lineitem_revenue(sf_dir: str):
     return df.astype({"revenue": "float64", "n_items": "int64"})[
         ["o_orderpriority", "revenue", "n_items"]
     ]
+
+def events_value_quantiles(sf_dir: str):
+    """Grouped EXACT quantiles of a continuous double column (p50/p95 of
+    event value per type) — three streaming passes, no per-group sort
+    (stages/quantiles.py). quantile_disc semantics, element-exact vs SQL."""
+    from ..stages.quantiles import grouped_quantile_disc
+
+    ds = _tbl(sf_dir, "events", columns=["event_type", "value"])
+    df = grouped_quantile_disc(ds, key="event_type", value_col="value",
+                               qs=(0.5, 0.95))
+    return df.astype({"q": "float64", "value": "float64"})
+
+
+def doc_sample_per_lang(sf_dir: str, k: int = 3):
+    """Deterministic stratified sample: k docs per language in
+    multiplicative-hash order — the leakage-free 'take a reproducible
+    slice of each stratum' primitive for corpus audits/eval sets. Reuses
+    the skew-safe salted top-k (hot languages spread over salt buckets)."""
+    from ..stages.skew import salted_topk_per_group
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(2**32)
+        return batch.append_column("h", pa.array(h.astype("int64"), pa.int64()))
+
+    out = salted_topk_per_group(
+        ds.map_batches(add_hash, batch_format="pyarrow"),
+        key="lang", order_col="h", k=k, id_cols=["doc_id"], descending=False,
+    ).to_pandas()[["lang", "doc_id"]]
+    return out.astype({"doc_id": "int64"})

@@ -1,0 +1,162 @@
+"""Grouped EXACT quantiles over a continuous column, without per-group sort.
+
+``pipelines.relational.lineitem_quantity_quantiles`` covers the
+low-cardinality case (histogram on the values themselves). This module
+covers continuous doubles grouped by a small key domain (the aggregation
+dimension — event types, languages, shards — is small by definition even
+when each group holds billions of rows):
+
+  pass 1  map_batches partials -> groupby: per-group (n, min, max)
+  driver  per-group linear grid of ``n_buckets``; target rank per quantile
+  pass 2  map_batches histogram partials -> groupby: per-(group, bucket)
+          counts; driver cumulative walk finds each rank's bucket
+  pass 3  filter-pull ONLY the target buckets (expected n/n_buckets rows
+          per group) and select the exact ranked element
+
+All three passes stream; nothing is sorted; the shuffle moves one row per
+(group, bucket) per block. Extreme-scale note: a pathological point-mass
+bucket (>> n/n_buckets rows) would need one recursive refinement of the
+same three passes over that bucket — not wired, asserted against instead.
+
+Matches DuckDB ``quantile_disc``: element at rank max(1, ceil(q*n)),
+1-indexed over the sorted group.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Max, Min, Sum
+
+
+def grouped_quantile_disc(
+    ds: "ray.data.Dataset",
+    key: str,
+    value_col: str,
+    qs: Sequence[float],
+    n_buckets: int = 4096,
+    max_pull: int = 2_000_000,
+) -> pd.DataFrame:
+    """DataFrame (key, q, value) with quantile_disc semantics per group."""
+
+    def stat_partials(batch: pa.Table) -> pa.Table:
+        t = batch.drop_null()
+        g = t.group_by(key).aggregate(
+            [(value_col, "count"), (value_col, "min"), (value_col, "max")]
+        )
+        return pa.table(
+            {
+                key: g[key],
+                "n": pc.cast(g[f"{value_col}_count"], pa.int64()),
+                "lo": g[f"{value_col}_min"],
+                "hi": g[f"{value_col}_max"],
+            }
+        )
+
+    stats = (
+        ds.map_batches(stat_partials, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("lo", alias_name="lo"),
+            Max("hi", alias_name="hi"),
+        )
+        .to_pandas()
+    )
+    # grids: group -> (lo, width); width 0 => single-value group
+    grids: Dict[object, Tuple[float, float]] = {}
+    ranks: Dict[object, List[Tuple[float, int]]] = {}
+    for _, row in stats.iterrows():
+        k_, n, lo, hi = row[key], int(row["n"]), float(row["lo"]), float(row["hi"])
+        grids[k_] = (lo, (hi - lo) / n_buckets)
+        ranks[k_] = [(q, max(1, math.ceil(q * n))) for q in qs]
+    grids_ref = ray.put(grids)
+
+    def bucket_of(vals: np.ndarray, lo: float, w: float) -> np.ndarray:
+        if w <= 0.0:
+            return np.zeros(len(vals), dtype=np.int64)
+        return np.clip(((vals - lo) / w).astype(np.int64), 0, n_buckets - 1)
+
+    def hist_partials(batch: pa.Table) -> pa.Table:
+        g = ray.get(grids_ref)
+        t = batch.drop_null()
+        keys_np = t[key].to_numpy(zero_copy_only=False)
+        vals = t[value_col].to_numpy()
+        out_k, out_b, out_n = [], [], []
+        for k_ in np.unique(keys_np):
+            lo, w = g[k_]
+            m = keys_np == k_
+            b = bucket_of(vals[m], lo, w)
+            ub, cnt = np.unique(b, return_counts=True)
+            out_k.extend([k_] * len(ub))
+            out_b.extend(ub.tolist())
+            out_n.extend(cnt.tolist())
+        return pa.table(
+            {
+                key: pa.array(out_k),
+                "bucket": pa.array(out_b, pa.int64()),
+                "cnt": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(hist_partials, batch_format="pyarrow")
+        .groupby([key, "bucket"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values([key, "bucket"])
+    )
+    # locate each rank's bucket + the residual rank within it
+    targets: Dict[object, Dict[int, List[Tuple[float, int]]]] = {}
+    for k_, grp in hist.groupby(key, sort=False):
+        cum = grp["cnt"].cumsum().to_numpy()
+        buckets = grp["bucket"].to_numpy()
+        for q, rank in ranks[k_]:
+            i = int(np.searchsorted(cum, rank))
+            below = int(cum[i - 1]) if i > 0 else 0
+            targets.setdefault(k_, {}).setdefault(int(buckets[i]), []).append(
+                (q, rank - below)
+            )
+    targets_ref = ray.put(targets)
+
+    def pull(batch: pa.Table) -> pa.Table:
+        tg = ray.get(targets_ref)
+        g = ray.get(grids_ref)
+        t = batch.drop_null()
+        keys_np = t[key].to_numpy(zero_copy_only=False)
+        vals = t[value_col].to_numpy()
+        keep = np.zeros(len(vals), dtype=bool)
+        for k_ in np.unique(keys_np):
+            if k_ not in tg:
+                continue
+            lo, w = g[k_]
+            m = keys_np == k_
+            b = bucket_of(vals[m], lo, w)
+            keep[np.flatnonzero(m)[np.isin(b, list(tg[k_]))]] = True
+        return pa.table({key: pa.array(keys_np[keep]), "v": pa.array(vals[keep])})
+
+    pulled = ds.map_batches(pull, batch_format="pyarrow").to_pandas()
+    assert len(pulled) <= max_pull, (
+        f"point-mass bucket: pulled {len(pulled)} rows — recurse the "
+        "three-pass refinement over the hot bucket for this distribution"
+    )
+
+    rows = []
+    for k_, grp in pulled.groupby(key, sort=False):
+        lo, w = grids[k_]
+        vals = grp["v"].to_numpy()
+        b = bucket_of(vals, lo, w)
+        for bucket, q_ranks in targets[k_].items():
+            bucket_vals = np.sort(vals[b == bucket])
+            for q, within in q_ranks:
+                rows.append({key: k_, "q": q, "value": float(bucket_vals[within - 1])})
+    out = pd.DataFrame(rows).sort_values([key, "q"]).reset_index(drop=True)
+    return out
