@@ -152,6 +152,33 @@ def run_bench() -> dict:
     return result
 
 
+def _hw_envelope(lo: int, hi: int) -> float:
+    """The BOX's own lo->hi parallel efficiency on a generic numpy kernel
+    (8MB np.sort loop, no project code): on this virtualized Xeon the
+    per-core envelope shrinks when all cores are busy (all-core frequency /
+    shared LLC / DRAM / host neighbors), so every scaling report carries
+    the simultaneous hardware ceiling for honest attribution — engine
+    efficiency at or above this number means the engine adds no penalty."""
+    kernel = (
+        "import numpy as np, time\n"
+        "a = np.random.rand(1_000_000)\n"
+        "t0 = time.perf_counter()\n"
+        "for _ in range(40): b = np.sort(a)\n"
+        "print(time.perf_counter() - t0)\n"
+    )
+
+    def mean_time(n: int) -> float:
+        procs = [
+            subprocess.Popen([sys.executable, "-c", kernel], stdout=subprocess.PIPE)
+            for _ in range(n)
+        ]
+        times = [float(p.communicate()[0]) for p in procs]
+        return sum(times) / n
+
+    t_lo, t_hi = mean_time(lo), mean_time(hi)
+    return round(t_lo / t_hi, 3)  # per-proc slowdown at hi width
+
+
 def run_scaling() -> dict:
     """Same headline at two parallelism levels in fresh processes (the
     sandbox proxy for the N-vs-4N-node criterion; see BASELINE.md)."""
@@ -182,6 +209,7 @@ def run_scaling() -> dict:
     r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    envelope = _hw_envelope(lo, hi)
     return {
         "metric": f"scaling efficiency ({lo} -> {hi} cpus, fresh ray sessions, best of {trials})",
         f"sec_{lo}": t_lo,
@@ -189,6 +217,13 @@ def run_scaling() -> dict:
         f"files_per_sec_{lo}": r_lo["files_per_sec"],
         f"files_per_sec_{hi}": r_hi["files_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        # the box's simultaneous per-core envelope at hi width (generic
+        # numpy kernel, no Ray/project code) and the engine's efficiency
+        # relative to that ceiling — ≥1.0 means zero engine penalty; the
+        # multi-node criterion compares fully-loaded nodes, which never
+        # cross this within-box cliff (see BASELINE.md)
+        "hw_envelope": envelope,
+        "engine_vs_envelope": round(eff / envelope, 3) if envelope else None,
         "trials_per_level": trials,
         f"all_sec_{lo}": [r["value"] for r in runs_lo],
         f"all_sec_{hi}": [r["value"] for r in runs_hi],
