@@ -108,6 +108,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped exact quantiles (stages/quantiles.py) + stratified sample
         "events_value_quantiles": r.events_value_quantiles,
         "doc_sample_per_lang": r.doc_sample_per_lang,
+        # window frames + grouping sets
+        "events_user_moving_avg": r.events_user_moving_avg,
+        "events_rollup": r.events_rollup,
     }
 
 
@@ -448,5 +451,24 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents
             ) WHERE rn <= 3
+        """,
+        "events_user_moving_avg": """
+            SELECT event_id,
+                   avg(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ) AS avg3
+            FROM events
+        """,
+        "events_rollup": """
+            WITH e AS (
+                SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value
+                FROM events
+            )
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(day, 'ALL') AS day,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 2) AS total
+            FROM e GROUP BY GROUPING SETS ((event_type), (day), ())
         """,
     }

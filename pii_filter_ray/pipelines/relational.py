@@ -1206,3 +1206,68 @@ def doc_sample_per_lang(sf_dir: str, k: int = 3):
         key="lang", order_col="h", k=k, id_cols=["doc_id"], descending=False,
     ).to_pandas()[["lang", "doc_id"]]
     return out.astype({"doc_id": "int64"})
+
+def events_user_moving_avg(sf_dir: str, frame: int = 3):
+    """Window FRAME aggregate: per-user moving average of `value` over the
+    last 3 events (ROWS 2 PRECEDING .. CURRENT ROW, ordered ts, event_id).
+    Same bucketed per-user layout as events_row_number: one vectorized
+    pandas pass per hash bucket; the sum is formed earliest-first
+    ((v[i-2] + v[i-1]) + v[i]) to match the SQL engine's frame order
+    bit-for-bit — no rounding tolerance needed."""
+    ds = _tbl(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def mavg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        grp = g.groupby("user_id")["value"]
+        s1 = grp.shift(1)
+        s2 = grp.shift(2)
+        n = 1 + s1.notna().astype("int64") + s2.notna().astype("int64")
+        total = (s2.fillna(0.0) + s1.fillna(0.0)) + g["value"]
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(), "avg3": (total / n).to_numpy()}
+        )
+
+    df = (
+        ds.map_batches(_add_user_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(mavg, batch_format="pandas")
+        .to_pandas()
+    )
+    return df.astype({"event_id": "int64", "avg3": "float64"})
+
+
+def events_rollup(sf_dir: str):
+    """GROUPING SETS ((event_type), (day), ()): three cheap pre-aggregated
+    groupbys unioned — each shuffle moves one partial row per key per
+    block; 'ALL' is the sentinel for the rolled-up dimension."""
+    ds = _tbl(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "day": pc.strftime(batch["ts"], format="%Y-%m-%d"),
+                "value": batch["value"],
+            }
+        )
+
+    p = ds.map_batches(proj, batch_format="pyarrow")
+    by_type = preagg_groupby(
+        p.select_columns(["event_type", "value"]), ["event_type"],
+        sums={"total": "value"}, count_alias="n",
+    ).to_pandas().assign(day="ALL")
+    by_day = preagg_groupby(
+        p.select_columns(["day", "value"]), ["day"],
+        sums={"total": "value"}, count_alias="n",
+    ).to_pandas().assign(event_type="ALL")
+    grand = pd.DataFrame(
+        {
+            "event_type": ["ALL"], "day": ["ALL"],
+            "total": [by_type["total"].sum()], "n": [by_type["n"].sum()],
+        }
+    )
+    df = pd.concat([by_type, by_day, grand], ignore_index=True)
+    df["total"] = round_half_away(df["total"], 2)
+    return df.astype({"n": "int64", "total": "float64"})[
+        ["event_type", "day", "n", "total"]
+    ]
