@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # window frames + grouping sets
         "events_user_moving_avg": r.events_user_moving_avg,
         "events_rollup": r.events_rollup,
+        "events_distinct_users_per_type": r.events_distinct_users_per_type,
     }
 
 
@@ -470,5 +471,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(value), 2) AS total
             FROM e GROUP BY GROUPING SETS ((event_type), (day), ())
+        """,
+        "events_distinct_users_per_type": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type
         """,
     }

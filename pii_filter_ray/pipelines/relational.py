@@ -1271,3 +1271,22 @@ def events_rollup(sf_dir: str):
     return df.astype({"n": "int64", "total": "float64"})[
         ["event_type", "day", "n", "total"]
     ]
+
+def events_distinct_users_per_type(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type at scale: per-block
+    dedup of (type, user) pairs BEFORE the shuffle (pyarrow group_by), one
+    exchange of unique pairs, then a pre-aggregated count — the two-level
+    distinct that never ships duplicate pairs."""
+    ds = _tbl(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def local_unique(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["event_type", "user_id"]).aggregate([])
+
+    uniq = (
+        ds.map_batches(local_unique, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_c"))  # global dedup of pairs
+        .drop_columns(["_c"])
+    )
+    df = preagg_groupby(uniq, ["event_type"], count_alias="n_users").to_pandas()
+    return df.astype({"n_users": "int64"})

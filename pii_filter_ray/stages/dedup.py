@@ -312,6 +312,39 @@ def minhash_lsh_pairs(
             }
         )
 
+    # Small-table fast path (size-gated like dup_components' auto-switch):
+    # when the whole band table is below broadcast_key_limit rows, three
+    # all-to-all exchanges (collision aggregate, pair map_groups, pair
+    # distinct) each cost ~1s of fixed Ray shuffle overhead on data this
+    # small — merge the per-block count partials and generate pairs on the
+    # driver instead (identical keys, truncation and dedup rules; the
+    # distributed path below is byte-identical in output and takes over
+    # past the gate).
+    if band_rows.count() <= broadcast_key_limit:
+        parts = band_rows.map_batches(key_partials, batch_format="pyarrow").to_pandas()
+        cnt = parts.groupby("band_key", sort=False)["n"].sum()
+        keys_np = cnt.index.to_numpy()[cnt.to_numpy() >= 2]
+        if len(keys_np) == 0:
+            return _empty_pairs()
+        key_ref = ray.put(pa.array(keys_np.astype("int64"), pa.int64()))
+
+        def semi_join_small(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch["band_key"], value_set=ray.get(key_ref)))
+
+        rows = band_rows.map_batches(semi_join_small, batch_format="pyarrow").to_pandas()
+        pair_set = set()
+        for _, grp in rows.groupby("band_key", sort=False):
+            ids = sorted(set(grp[id_col]))[:max_bucket]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    pair_set.add((ids[i], ids[j]))
+        if not pair_set:
+            return _empty_pairs()
+        ida, idb = zip(*sorted(pair_set))
+        return ray.data.from_arrow(
+            pa.table({"id_a": pa.array(ida, pa.int64()), "id_b": pa.array(idb, pa.int64())})
+        )
+
     colliding = (
         band_rows.map_batches(key_partials, batch_format="pyarrow")
         .groupby("band_key")
