@@ -612,6 +612,7 @@ def jaccard_similarity_join(
     threshold: float = 0.5,
     shingle_k: int = 3,
     max_df: int = 1000,
+    driver_merge_limit: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """EXACT all-pairs word-shingle Jaccard join — no LSH, no driver index.
 
@@ -717,12 +718,31 @@ def jaccard_similarity_join(
              "jaccard": jac[keep]}
         )
 
-    return (
+    pair_partials = (
         shingle_rows.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby("pair_bucket")
-        .map_groups(merge_and_score, batch_format="pandas")
+        .materialize()
+    )
+    # Size-gated driver merge (same pattern as minhash_lsh_pairs): the
+    # pair partials are one row per (pair, shingle-bucket) — tiny for
+    # ordinary corpora — and the final all-to-all costs ~1s of fixed
+    # overhead; below the gate, run the SAME merge_and_score once on the
+    # driver. Past the gate the distributed pair_bucket groupby (unchanged)
+    # takes over.
+    if pair_partials.count() <= driver_merge_limit:
+        merged = merge_and_score(pair_partials.to_pandas())
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array(merged["id_a"].to_numpy(), pa.int64()),
+                    "id_b": pa.array(merged["id_b"].to_numpy(), pa.int64()),
+                    "jaccard": pa.array(merged["jaccard"].to_numpy(), pa.float64()),
+                }
+            )
+        )
+    return pair_partials.groupby("pair_bucket").map_groups(
+        merge_and_score, batch_format="pandas"
     )
 
 
