@@ -135,13 +135,29 @@ def cosine_neardup_pairs(
 
     from ray.data.aggregate import Max
 
-    return (
+    pairs = (
         ds.map_batches(assign, batch_format="pyarrow")
         .groupby(["table_id", "bucket"])
         .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Max("sim", alias_name="sim"))
+        .materialize()
     )
+    # cross-table pair dedup: size-gated driver merge below 2M rows (the
+    # final all-to-all costs ~1s fixed on data this small; same pattern as
+    # minhash_lsh_pairs / jaccard_similarity_join), distributed aggregate
+    # past the gate
+    if pairs.count() <= 2_000_000:
+        df = pairs.to_pandas()
+        agg = df.groupby(["id_a", "id_b"], as_index=False)["sim"].max()
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array(agg["id_a"].to_numpy(), pa.int64()),
+                    "id_b": pa.array(agg["id_b"].to_numpy(), pa.int64()),
+                    "sim": pa.array(agg["sim"].to_numpy(), pa.float64()),
+                }
+            )
+        )
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("sim", alias_name="sim"))
 
 
 def knn_ids_for_query_id(
