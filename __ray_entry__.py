@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_moving_avg": r.events_user_moving_avg,
         "events_rollup": r.events_rollup,
         "events_distinct_users_per_type": r.events_distinct_users_per_type,
+        "events_daily_type_pivot": r.events_daily_type_pivot,
+        "doc_tfidf_top_terms": r.doc_tfidf_top_terms,
     }
 
 
@@ -476,5 +478,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "events_daily_type_pivot": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+            FROM events GROUP BY 1
+        """,
+        "doc_tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x != '')) AS term
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term,
+                       round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score
+                FROM tf JOIN df USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, score FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, term
+                ) AS rn FROM scored
+            ) WHERE rn <= 3
         """,
     }

@@ -1290,3 +1290,95 @@ def events_distinct_users_per_type(sf_dir: str):
     )
     df = preagg_groupby(uniq, ["event_type"], count_alias="n_users").to_pandas()
     return df.astype({"n_users": "int64"})
+
+def events_daily_type_pivot(sf_dir: str):
+    """Pivot via conditional aggregation: one row per day, one count column
+    per event type — indicator columns are built vectorized per batch, so
+    the groupby shuffle moves one partial row per day per block (no
+    wide-row explosion, no second pass to discover the type domain at
+    scale: the domain is declared, as a production pivot must be)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = _tbl(sf_dir, "events", columns=["event_type", "ts"])
+
+    def indicators(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(batch["ts"], format="%Y-%m-%d")
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        cols = {"day": day}
+        for t in types:
+            cols[f"n_{t}"] = pa.array((et == t).astype("int64"), pa.int64())
+        return pa.table(cols)
+
+    df = preagg_groupby(
+        ds.map_batches(indicators, batch_format="pyarrow"),
+        ["day"],
+        sums={f"n_{t}": f"n_{t}" for t in types},
+    ).to_pandas()
+    return df.astype({f"n_{t}": "int64" for t in types})[
+        ["day"] + [f"n_{t}" for t in types]
+    ]
+
+def doc_tfidf_top_terms(sf_dir: str, k: int = 3):
+    """Per-doc top-k terms by TF-IDF (tf * ln(N/df), whitespace tokens —
+    the same token definition as doc_top_words).
+
+    Two passes: (1) document frequencies via per-batch DISTINCT-term
+    partials -> one small groupby (the shuffle moves one row per distinct
+    term per block, never documents), broadcast as a term->df map;
+    (2) per-doc scoring + top-k inside map_batches — no second shuffle.
+    The broadcast assumes a bounded vocabulary (true for natural-language
+    corpora); an unbounded term domain would switch to the tagged-union
+    hash join of stages/joins.py keyed on term."""
+    from collections import Counter
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def df_partials(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for v in batch["text"].to_pylist():
+            c.update(set((v or "").split()))
+        return pa.table(
+            {
+                "term": pa.array(list(c.keys()), pa.string()),
+                "df": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    df_tbl = (
+        ds.map_batches(df_partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    df_map = dict(zip(df_tbl["term"], df_tbl["df"].astype(int)))
+    df_ref = ray.put(df_map)
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        dfm = ray.get(df_ref)
+        ids_out, terms_out, scores_out = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            tf = Counter((text or "").split())
+            if not tf:
+                continue
+            # sort on the ROUNDED score (ties -> term asc) so ordering is
+            # identical to the oracle's row_number over round(score, 6)
+            scored = sorted(
+                (
+                    (-float(round_half_away(t * np.log(n_docs / dfm[w]), 6)), w)
+                    for w, t in tf.items()
+                ),
+            )[:k]
+            for neg, w in scored:
+                ids_out.append(doc_id)
+                terms_out.append(w)
+                scores_out.append(0.0 if neg == 0 else -neg)  # never -0.0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "term": pa.array(terms_out, pa.string()),
+                "score": pa.array(scores_out, pa.float64()),
+            }
+        )
+
+    df = ds.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    return df.astype({"doc_id": "int64", "score": "float64"})
