@@ -193,3 +193,39 @@ def test_quantiles_invariant_to_block_layout(ray_session, monkeypatch):
     monkeypatch.setattr(r, "_tbl", tbl_repart)
     got2 = r.lineitem_quantity_quantiles("/root/testdata/sf0.001")
     assert got1.equals(got2)
+
+
+def test_minhash_driver_gate_equivalent_to_distributed(ray_session):
+    """The size-gated driver fast path and the distributed path must emit
+    identical pairs (gate forced off via broadcast_key_limit=0)."""
+    import ray as _ray
+
+    from pii_filter_ray.stages.dedup import minhash_lsh_pairs
+
+    ds = _ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    small = minhash_lsh_pairs(ds, "text", "doc_id").to_pandas()
+    big = minhash_lsh_pairs(ds, "text", "doc_id", broadcast_key_limit=0).to_pandas()
+    key = ["id_a", "id_b"]
+    assert small.sort_values(key).reset_index(drop=True).equals(
+        big.sort_values(key).reset_index(drop=True)
+    )
+    assert len(small) > 0  # the fixture corpus has known near-dups
+
+
+def test_jaccard_driver_gate_equivalent_to_distributed(ray_session):
+    import ray as _ray
+
+    from pii_filter_ray.stages.dedup import jaccard_similarity_join
+
+    ds = _ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    small = jaccard_similarity_join(ds, "text", "doc_id").to_pandas()
+    big = jaccard_similarity_join(ds, "text", "doc_id", driver_merge_limit=0).to_pandas()
+    key = ["id_a", "id_b"]
+    assert small.sort_values(key).reset_index(drop=True).equals(
+        big.sort_values(key).reset_index(drop=True)
+    )
+    assert len(small) > 0
