@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_per_type": r.events_distinct_users_per_type,
         "events_daily_type_pivot": r.events_daily_type_pivot,
         "doc_tfidf_top_terms": r.doc_tfidf_top_terms,
+        "emb_label_centroids": r.emb_label_centroids,
     }
 
 
@@ -508,5 +509,12 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY doc_id ORDER BY score DESC, term
                 ) AS rn FROM scored
             ) WHERE rn <= 3
+        """,
+        "emb_label_centroids": """
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(i AS BIGINT) AS dim,
+                   round(avg(embedding[i + 1]), 6) AS mean
+            FROM embeddings CROSS JOIN range(64) t(i)
+            GROUP BY 1, 2
         """,
     }

@@ -1382,3 +1382,40 @@ def doc_tfidf_top_terms(sf_dir: str, k: int = 3):
 
     df = ds.map_batches(score_topk, batch_format="pyarrow").to_pandas()
     return df.astype({"doc_id": "int64", "score": "float64"})
+
+def emb_label_centroids(sf_dir: str):
+    """Vector aggregation: per-label centroid of the embedding column.
+    Per-block partial (sum-matrix, count) per label — the shuffle moves one
+    64-float row per (label, block), never the vectors — then a driver
+    merge of the tiny partials (labels x blocks rows). Output exploded to
+    (label, dim, mean) rows so the SQL oracle can recompute it."""
+    ds = _tbl(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        labels = batch["label"].to_numpy(zero_copy_only=False)
+        m = _np.stack([_np.asarray(v, dtype=_np.float64) for v in batch["embedding"].to_pylist()])
+        out_l, out_s, out_n = [], [], []
+        for lab in _np.unique(labels):
+            mask = labels == lab
+            out_l.append(int(lab))
+            out_s.append(m[mask].sum(axis=0).tolist())
+            out_n.append(int(mask.sum()))
+        return pa.table(
+            {
+                "label": pa.array(out_l, pa.int64()),
+                "vsum": pa.array(out_s, pa.list_(pa.float64())),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    rows = []
+    for lab, grp in parts.groupby("label", sort=True):
+        total = np.sum(np.stack(grp["vsum"].to_numpy()), axis=0)
+        n = int(grp["n"].sum())
+        mean = round_half_away(total / n, 6)
+        for d, v in enumerate(mean):
+            rows.append({"label": int(lab), "dim": d, "mean": float(v) if v != 0 else 0.0})
+    return pd.DataFrame(rows).astype({"label": "int64", "dim": "int64", "mean": "float64"})
