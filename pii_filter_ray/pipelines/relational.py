@@ -1410,12 +1410,32 @@ def emb_label_centroids(sf_dir: str):
             }
         )
 
-    parts = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
-    rows = []
-    for lab, grp in parts.groupby("label", sort=True):
-        total = np.sum(np.stack(grp["vsum"].to_numpy()), axis=0)
-        n = int(grp["n"].sum())
-        mean = round_half_away(total / n, 6)
-        for d, v in enumerate(mean):
-            rows.append({"label": int(lab), "dim": d, "mean": float(v) if v != 0 else 0.0})
-    return pd.DataFrame(rows).astype({"label": "int64", "dim": "int64", "mean": "float64"})
+    def explode_dims(batch: pa.Table) -> pa.Table:
+        labs = batch["label"].to_numpy()
+        n = batch["n"].to_numpy()
+        m = np.stack([np.asarray(v) for v in batch["vsum"].to_pylist()])
+        dim = m.shape[1]
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(labs, dim), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(labs)), pa.int64()),
+                "s": pa.array(m.reshape(-1), pa.float64()),
+                "n": pa.array(np.repeat(n, dim), pa.int64()),
+            }
+        )
+
+    # distributed merge: the shuffle carries one (label, dim) row per block
+    # — bounded by the label x dim DOMAIN, independent of data size
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .map_batches(explode_dims, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    mean = round_half_away(agg["s"].to_numpy() / agg["n"].to_numpy(), 6)
+    mean[mean == 0] = 0.0  # DuckDB round() normalizes -0.0 to +0.0
+    out = pd.DataFrame(
+        {"label": agg["label"], "dim": agg["dim"], "mean": mean}
+    ).sort_values(["label", "dim"]).reset_index(drop=True)
+    return out.astype({"label": "int64", "dim": "int64", "mean": "float64"})
