@@ -138,3 +138,80 @@ def test_range_count_edges(ray_session):
     # lid2 @01-01 +7d: 01-02 and 2x 01-05 -> 3
     # lid3 @01-10 +7d: 01-11 -> 1 ; lid4/lid5: no right rows for keys 30/40 -> 0
     assert got == {1: 2, 2: 3, 3: 1, 4: 0, 5: 0}
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42])
+def test_asof_random_vs_pandas_reference(ray_session, seed):
+    """Randomized tables: distributed asof_join must equal a direct
+    single-process pandas merge_asof over the same (deduped) inputs."""
+    import numpy as np
+
+    from pii_filter_ray.stages.asof import asof_join
+
+    rng = np.random.RandomState(seed)
+    n_l, n_r = 300, 120
+    left = pd.DataFrame({
+        "lid": np.arange(n_l, dtype="int64"),
+        "k": rng.randint(0, 12, n_l).astype("int64"),
+        "t": pd.to_datetime("2024-01-01")
+             + pd.to_timedelta(rng.randint(0, 10**6, n_l), unit="s"),
+    })
+    right = pd.DataFrame({
+        "k2": rng.randint(0, 15, n_r).astype("int64"),
+        "t2": pd.to_datetime("2024-01-01")
+              + pd.to_timedelta(rng.randint(0, 10**6, n_r), unit="s"),
+        "rid": np.arange(1000, 1000 + n_r, dtype="int64"),
+    })
+    left["t"] = left["t"].astype("datetime64[us]")
+    right["t2"] = right["t2"].astype("datetime64[us]")
+
+    got = asof_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        left_by="k", right_by="k2", left_on="t", right_on="t2",
+        left_cols=["lid", "k"], right_cols=["rid"],
+        schema={"lid": pa.int64(), "k": pa.int64(), "rid": pa.int64()},
+        tie_break="rid", num_buckets=8,
+    ).to_pandas().sort_values("lid").reset_index(drop=True)
+
+    rd = (right.sort_values(["k2", "t2", "rid"])
+               .drop_duplicates(["k2", "t2"], keep="last"))
+    exp = pd.merge_asof(
+        left.sort_values("t"), rd.sort_values("t2"),
+        left_on="t", right_on="t2", left_by="k", right_by="k2",
+        direction="backward",
+    )
+    exp = exp[exp["rid"].notna()][["lid", "k", "t", "rid"]]
+    exp = exp.astype({"rid": "int64"}).sort_values("lid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["lid", "k", "rid"]], exp[["lid", "k", "rid"]]
+    )
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_hash_join_random_vs_pandas_reference(ray_session, seed):
+    import numpy as np
+
+    from pii_filter_ray.stages.joins import hash_join
+
+    rng = np.random.RandomState(seed)
+    left = pd.DataFrame({
+        "k": rng.randint(0, 20, 400).astype("int64"),
+        "a": rng.randint(0, 1000, 400).astype("int64"),
+    })
+    right = pd.DataFrame({
+        "k2": rng.randint(0, 25, 150).astype("int64"),
+        "b": rng.randint(0, 1000, 150).astype("int64"),
+    })
+    got = hash_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        left_key="k", right_key="k2",
+        left_cols=["a"], right_cols=["b"],
+        schema={"a": pa.int64(), "b": pa.int64()},
+        num_buckets=8,
+    ).to_pandas()
+    exp = left.merge(right, left_on="k", right_on="k2")[["k", "a", "b"]]
+    key = ["k", "a", "b"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        exp.sort_values(key).reset_index(drop=True),
+    )
