@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_type_pivot": r.events_daily_type_pivot,
         "doc_tfidf_top_terms": r.doc_tfidf_top_terms,
         "emb_label_centroids": r.emb_label_centroids,
+        # §2.6 extension surface driven end-to-end (declarative spec)
+        "spec_pipeline_check": r.spec_pipeline_check,
     }
 
 
@@ -145,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stat_ner": o.doc_stat_ner_sql(),
         "lineitem_quantity_quantiles": o.lineitem_quantity_quantiles_sql(),
         "media_pipeline_check": o.media_pipeline_check_sql(),
+        "spec_pipeline_check": o.spec_pipeline_check_sql(),
         "doc_lang_stats": """
             SELECT lang,
                    CAST(count(*) AS BIGINT) AS n_docs,

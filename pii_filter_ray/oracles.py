@@ -658,3 +658,18 @@ def doc_dup_components_sql(threshold: float = 0.5, max_df: int = 1000) -> str:
   )
   SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS component
   FROM reach GROUP BY id"""
+
+
+def spec_pipeline_check_sql() -> str:
+    """Mirror of the declarative PipelineSpec [sha256 -> quality_rules]
+    chain (pipelines/spec.py — the §2.6 user-extension surface): sha256 of
+    the text plus the full heuristic keep/drop recompute."""
+    return f"""
+WITH
+{heuristics_ctes()}
+SELECT d.doc_id,
+       sha256(d.text) AS content_sha256,
+       (h.reason_h = '') AS keep_heuristic,
+       h.reason_h AS heuristic_reason
+FROM documents d JOIN heur h ON d.doc_id = h.doc_id
+"""

@@ -1439,3 +1439,22 @@ def emb_label_centroids(sf_dir: str):
         {"label": agg["label"], "dim": agg["dim"], "mean": mean}
     ).sort_values(["label", "dim"]).reset_index(drop=True)
     return out.astype({"label": "int64", "dim": "int64", "mean": "float64"})
+
+def spec_pipeline_check(sf_dir: str):
+    """Drives the §2.6 user-extension surface end-to-end: a declarative
+    PipelineSpec chaining two REGISTERED stages ([sha256 -> quality_rules],
+    pipelines/spec.py) over the documents table; the oracle recomputes both
+    stages' outputs in SQL (oracles.spec_pipeline_check_sql)."""
+    from .spec import PipelineSpec
+
+    spec = PipelineSpec(
+        [("sha256", {"content_col": "text"}),
+         ("quality_rules", {"content_col": "text"})]
+    )
+    ds = spec.build(_tbl(sf_dir, "documents", columns=["doc_id", "text"]))
+    return ds.map_batches(
+        lambda b: b.select(
+            ["doc_id", "content_sha256", "keep_heuristic", "heuristic_reason"]
+        ),
+        batch_format="pyarrow",
+    )
