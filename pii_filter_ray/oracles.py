@@ -668,7 +668,8 @@ def spec_pipeline_check_sql() -> str:
 WITH
 {heuristics_ctes()}
 SELECT d.doc_id,
-       sha256(d.text) AS content_sha256,
+       CASE WHEN d.text IS NULL THEN ''  -- sha256_batch maps null text to ''
+            ELSE sha256(d.text) END AS content_sha256,
        (h.reason_h = '') AS keep_heuristic,
        h.reason_h AS heuristic_reason
 FROM documents d JOIN heur h ON d.doc_id = h.doc_id

@@ -22,13 +22,24 @@ the custom-operator contract:
 As-of semantics: for each left row, the single right row with the same key
 and the greatest right-time <= left-time ("backward", inclusive). Ties on
 right-time within a key are broken deterministically BEFORE the join by
-keeping the row with the greatest ``tie_break`` column, so output never
-depends on block layout.
+keeping the row with the greatest ``tie_break`` column (required — without
+it tied right rows would make the output depend on block layout), so output
+never depends on block layout.
+
+Implementation notes for exactness:
+  * the tagged union ZERO-fills integer payload columns on the opposite
+    side (those cells are never read) instead of null-filling — a nulled
+    int64 column becomes float64 in the pandas group block and silently
+    rounds values above 2^53 (e.g. sql_hash64 ids);
+  * the asof match itself joins on a positional row index, then gathers
+    the right payload by index — so matches are decided by the index
+    (never by payload null-ness) and payload values of any dtype pass
+    through ungathered/uncast.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 import pandas as pd
@@ -40,10 +51,28 @@ import ray.data
 _LEFT, _RIGHT = 0, 1
 
 
+def _fill_column(n: int, typ: pa.DataType):
+    """Opposite-side filler: zero for ints (exactness through the pandas
+    block — see module notes), nulls otherwise."""
+    if pa.types.is_integer(typ):
+        return pa.array(np.zeros(n, dtype="int64"), typ)
+    return pa.nulls(n, typ)
+
+
+def _pd_dtype(typ: pa.DataType) -> str:
+    if pa.types.is_integer(typ):
+        return "int64"
+    if pa.types.is_floating(typ):
+        return "float64"
+    if pa.types.is_timestamp(typ):
+        return "datetime64[us]"
+    return "object"
+
+
 def _tagged(side: int, by: str, on: str, payload: List[str], schema: Dict[str, pa.DataType],
             num_buckets: int):
     """Batch fn producing the common tagged schema: __bucket/__side/__by/__on
-    + every payload column of BOTH sides (null-filled on the other side)."""
+    + every payload column of BOTH sides (filler on the other side)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -56,9 +85,7 @@ def _tagged(side: int, by: str, on: str, payload: List[str], schema: Dict[str, p
         }
         for name, typ in schema.items():
             cols[name] = (
-                batch[name].cast(typ)
-                if name in payload
-                else pa.nulls(n, typ)
+                batch[name].cast(typ) if name in payload else _fill_column(n, typ)
             )
         return pa.table(cols)
 
@@ -66,8 +93,8 @@ def _tagged(side: int, by: str, on: str, payload: List[str], schema: Dict[str, p
 
 
 def _split_sides(g: pd.DataFrame, left_cols: List[str], right_cols: List[str]):
-    """Split a tagged bucket back into typed left/right frames (the union
-    null-fill upcasts int columns to float in the pandas block; restore)."""
+    """Split a tagged bucket back into the two sides' frames (each side
+    reads ONLY its own payload columns; filler cells are never read)."""
     lf = g[g["__side"] == _LEFT][["__by", "__on", *left_cols]].copy()
     rf = g[g["__side"] == _RIGHT][["__by", "__on", *right_cols]].copy()
     return lf, rf
@@ -84,56 +111,57 @@ def asof_join(
     left_cols: List[str],
     right_cols: List[str],
     schema: Dict[str, pa.DataType],
-    tie_break: Optional[str] = None,
+    tie_break: str,
     num_buckets: int = 64,
 ) -> "ray.data.Dataset":
     """Backward-inclusive as-of INNER join (left rows with no match drop).
 
     ``schema`` maps every payload column (left_cols + right_cols) to its
-    arrow type; ``tie_break`` (a right payload column) deterministically
-    resolves equal right_on times within a key (greatest wins).
-    Returns columns: left_cols + [left_on] + right_cols, with the join key
-    exposed as its LEFT name (include left_by in left_cols for that).
+    arrow type; ``tie_break`` (a right payload column, required) makes
+    equal right_on times within a key resolve deterministically (greatest
+    wins). Returns columns: left_cols + [left_on] + right_cols, with the
+    join key exposed as its LEFT name (include left_by in left_cols).
     """
     tag_l = _tagged(_LEFT, left_by, left_on, left_cols, schema, num_buckets)
     tag_r = _tagged(_RIGHT, right_by, right_on, right_cols, schema, num_buckets)
     tagged = left.map_batches(tag_l, batch_format="pyarrow").union(
         right.map_batches(tag_r, batch_format="pyarrow")
     )
+    out_cols = [*left_cols, left_on, *right_cols]
 
-    int_like = {
-        name for name, typ in schema.items()
-        if pa.types.is_integer(typ)
-    }
+    def _empty_out() -> pd.DataFrame:
+        cols = {c: pd.Series(dtype=_pd_dtype(schema[c])) for c in left_cols}
+        cols[left_on] = pd.Series(dtype="datetime64[us]")
+        for c in right_cols:
+            cols[c] = pd.Series(dtype=_pd_dtype(schema[c]))
+        return pd.DataFrame(cols)[out_cols]
 
     def bucket_asof(g: pd.DataFrame) -> pd.DataFrame:
         lf, rf = _split_sides(g, left_cols, right_cols)
         if len(lf) == 0 or len(rf) == 0:
-            # INNER join: a bucket lacking either side emits nothing
-            out = lf.iloc[0:0].assign(
-                **{c: pd.Series(dtype="float64") for c in right_cols if c not in lf.columns}
-            )
-        else:
-            if tie_break is not None:
-                # deterministic: one right row per (key, time), greatest
-                # tie_break value wins
-                rf = rf.sort_values(["__by", "__on", tie_break], kind="mergesort")
-                rf = rf.drop_duplicates(["__by", "__on"], keep="last")
-            lf = lf.sort_values("__on", kind="mergesort")
-            rf = rf.sort_values("__on", kind="mergesort")
-            out = pd.merge_asof(
-                lf, rf, on="__on", by="__by",
-                direction="backward", allow_exact_matches=True,
-                suffixes=("", "__r"),
-            )
-            out = out[out[right_cols[0]].notna()]  # INNER: drop unmatched
-        out = out.rename(columns={"__on": left_on})
-        cols = [*left_cols, left_on, *right_cols]
-        out = out[cols]
-        for c in cols:
-            if c in int_like:
-                out[c] = out[c].astype("int64")
-        return out
+            return _empty_out()  # INNER: a bucket lacking a side emits nothing
+        # deterministic: one right row per (key, time), greatest tie_break
+        rf = rf.sort_values(["__by", "__on", tie_break], kind="mergesort")
+        rf = rf.drop_duplicates(["__by", "__on"], keep="last")
+        lf = lf.sort_values("__on", kind="mergesort").reset_index(drop=True)
+        rf = rf.sort_values("__on", kind="mergesort").reset_index(drop=True)
+        # match on a positional index; gather payload by index afterwards —
+        # match-ness never depends on payload nulls, payload never casts
+        rf_key = rf[["__by", "__on"]].copy()
+        rf_key["__ridx"] = np.arange(len(rf), dtype="int64")
+        m = pd.merge_asof(
+            lf, rf_key, on="__on", by="__by",
+            direction="backward", allow_exact_matches=True,
+        )
+        matched = m["__ridx"].notna().to_numpy()
+        if not matched.any():
+            return _empty_out()
+        ridx = m.loc[matched, "__ridx"].to_numpy().astype("int64")
+        out = m.loc[matched, [*left_cols, "__on"]].reset_index(drop=True)
+        gathered = rf.iloc[ridx][right_cols].reset_index(drop=True)
+        for c in right_cols:
+            out[c] = gathered[c]
+        return out.rename(columns={"__on": left_on})[out_cols]
 
     return (
         tagged.groupby("__bucket")
@@ -158,9 +186,9 @@ def range_count_join(
     rows with the same key and right_on in [left_on, left_on + window).
 
     Same one-shuffle bucket co-partitioning as :func:`asof_join`; each
-    bucket resolves with two ``np.searchsorted`` calls per key-ordered
-    frame (no per-key Python, no pair materialization — the count form of
-    a range join never explodes the output the way the pair form can).
+    bucket resolves with two ``np.searchsorted`` calls per key run (no
+    per-key Python, no pair materialization — the count form of a range
+    join never explodes the output the way the pair form can).
     Returns columns: left_cols + [left_on, 'n_in_range'].
     """
     tag_l = _tagged(_LEFT, left_by, left_on, left_cols, schema, num_buckets)
@@ -168,43 +196,29 @@ def range_count_join(
     tagged = left.map_batches(tag_l, batch_format="pyarrow").union(
         right.map_batches(tag_r, batch_format="pyarrow")
     )
-    int_like = {name for name, typ in schema.items() if pa.types.is_integer(typ)}
     win_us = np.int64(window // pd.Timedelta(microseconds=1))
 
     def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
         lf, rf = _split_sides(g, left_cols, [])
         if len(lf) == 0:
-            return pd.DataFrame({
-                **{c: pd.Series(dtype="int64" if c in int_like else "object")
-                   for c in left_cols},
-                left_on: pd.Series(dtype="datetime64[us]"),
-                "n_in_range": pd.Series(dtype="int64"),
-            })
+            cols = {c: pd.Series(dtype=_pd_dtype(schema[c])) for c in left_cols}
+            cols[left_on] = pd.Series(dtype="datetime64[us]")
+            cols["n_in_range"] = pd.Series(dtype="int64")
+            return pd.DataFrame(cols)
         # key-major, time-minor sort puts every key's right rows in one
-        # contiguous run; a composite (key << is impossible for full range)
-        # — instead searchsorted over (key, time) tuples via a single
-        # int128-free trick: sort both and use per-key offsets.
+        # contiguous, time-sorted run
         lf = lf.sort_values(["__by", "__on"], kind="mergesort")
         rf = rf.sort_values(["__by", "__on"], kind="mergesort")
         l_key = lf["__by"].to_numpy()
         l_ts = lf["__on"].to_numpy().astype("datetime64[us]").astype("int64")
         r_key = rf["__by"].to_numpy()
         r_ts = rf["__on"].to_numpy().astype("datetime64[us]").astype("int64")
-        # right-side run boundaries per key
+        # right-side run boundaries per left row's key
         r_starts = np.searchsorted(r_key, l_key, side="left")
         r_ends = np.searchsorted(r_key, l_key, side="right")
-        # within-run time range via searchsorted on the GLOBAL sorted r_ts,
-        # clipped to the key's run (r_ts is time-sorted within each run)
-        lo = np.empty(len(lf), dtype="int64")
-        hi = np.empty(len(lf), dtype="int64")
-        # vectorized per-row binary search bounded by run: use the fact
-        # that r_ts restricted to [start, end) is sorted; np.searchsorted
-        # has no per-row bounds, so search the whole array then clip is
-        # WRONG across runs — do it with one pass over unique keys' runs.
-        order = np.argsort(l_key, kind="stable")  # already sorted; identity
         n_right = np.zeros(len(lf), dtype="int64")
-        # iterate runs of equal key in the LEFT frame (bounded by the
-        # number of distinct keys in the bucket, each run vectorized)
+        # iterate runs of equal key in the LEFT frame (bounded by distinct
+        # keys in the bucket, each run fully vectorized)
         run_starts = np.flatnonzero(np.r_[True, l_key[1:] != l_key[:-1]])
         run_ends = np.r_[run_starts[1:], len(l_key)]
         for s, e in zip(run_starts, run_ends):
@@ -218,9 +232,6 @@ def range_count_join(
         out = lf[left_cols].copy()
         out[left_on] = lf["__on"].to_numpy()
         out["n_in_range"] = n_right
-        for c in left_cols:
-            if c in int_like:
-                out[c] = out[c].astype("int64")
         return out
 
     return (

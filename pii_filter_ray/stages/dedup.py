@@ -332,17 +332,24 @@ def minhash_lsh_pairs(
             return batch.filter(pc.is_in(batch["band_key"], value_set=ray.get(key_ref)))
 
         rows = band_rows.map_batches(semi_join_small, batch_format="pyarrow").to_pandas()
-        pair_set = set()
-        for _, grp in rows.groupby("band_key", sort=False):
-            ids = sorted(set(grp[id_col]))[:max_bucket]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    pair_set.add((ids[i], ids[j]))
-        if not pair_set:
+        # SAME pair-generation/truncation code object as the distributed
+        # map_groups path — one source of truth for the bucket contract
+        gen = _bucket_pairs_fn(id_col, max_bucket)
+        parts = [gen(grp) for _, grp in rows.groupby("band_key", sort=False)]
+        pairs = (
+            pd.concat(parts, ignore_index=True).drop_duplicates(["id_a", "id_b"])
+            if parts else pd.DataFrame({"id_a": [], "id_b": []})
+        )
+        if len(pairs) == 0:
             return _empty_pairs()
-        ida, idb = zip(*sorted(pair_set))
+        pairs = pairs.sort_values(["id_a", "id_b"])
         return ray.data.from_arrow(
-            pa.table({"id_a": pa.array(ida, pa.int64()), "id_b": pa.array(idb, pa.int64())})
+            pa.table(
+                {
+                    "id_a": pa.array(pairs["id_a"].to_numpy().astype("int64"), pa.int64()),
+                    "id_b": pa.array(pairs["id_b"].to_numpy().astype("int64"), pa.int64()),
+                }
+            )
         )
 
     colliding = (

@@ -27,6 +27,10 @@ _LEFT, _RIGHT = 0, 1
 
 def _tag(side: int, key: str, payload: List[str], schema: Dict[str, pa.DataType],
          num_buckets: int):
+    from .asof import _fill_column  # zero-fill ints: a nulled int64 column
+    # becomes float64 in the pandas group block and silently rounds values
+    # above 2^53 (e.g. sql_hash64 ids); filler cells are never read
+
     def fn(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         key_np = batch[key].to_numpy(zero_copy_only=False).astype("int64")
@@ -36,7 +40,7 @@ def _tag(side: int, key: str, payload: List[str], schema: Dict[str, pa.DataType]
             "__key": pa.array(key_np, pa.int64()),
         }
         for name, typ in schema.items():
-            cols[name] = batch[name].cast(typ) if name in payload else pa.nulls(n, typ)
+            cols[name] = batch[name].cast(typ) if name in payload else _fill_column(n, typ)
         return pa.table(cols)
 
     return fn
@@ -65,22 +69,22 @@ def hash_join(
             batch_format="pyarrow",
         )
     )
-    int_like = {n for n, t in schema.items() if pa.types.is_integer(t)}
+    from .asof import _pd_dtype
+
     out_cols = [left_key, *left_cols, *right_cols]
+
+    def _empty_out() -> pd.DataFrame:
+        cols = {left_key: pd.Series(dtype="int64")}
+        for c in [*left_cols, *right_cols]:
+            cols[c] = pd.Series(dtype=_pd_dtype(schema[c]))
+        return pd.DataFrame(cols)[out_cols]
 
     def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
         lf = g[g["__side"] == _LEFT][["__key", *left_cols]]
         rf = g[g["__side"] == _RIGHT][["__key", *right_cols]]
         if len(lf) == 0 or len(rf) == 0:
-            out = lf.iloc[0:0].assign(
-                **{c: pd.Series(dtype="float64") for c in right_cols}
-            )
-        else:
-            out = lf.merge(rf, on="__key", how="inner")
-        out = out.rename(columns={"__key": left_key})[out_cols]
-        for c in out_cols:
-            if c in int_like or c == left_key:
-                out[c] = out[c].astype("int64")
-        return out
+            return _empty_out()
+        out = lf.merge(rf, on="__key", how="inner")
+        return out.rename(columns={"__key": left_key})[out_cols]
 
     return tagged.groupby("__bucket").map_groups(bucket_join, batch_format="pandas")

@@ -45,10 +45,21 @@ def grouped_quantile_disc(
     n_buckets: int = 4096,
     max_pull: int = 2_000_000,
 ) -> pd.DataFrame:
-    """DataFrame (key, q, value) with quantile_disc semantics per group."""
+    """DataFrame (key, q, value) with quantile_disc semantics per group.
+
+    Null VALUES are ignored (matching SQL aggregate semantics). Null KEYS
+    are dropped — SQL's NULL group is not represented (documented contract;
+    callers should prune ``ds`` to exactly [key, value_col])."""
+
+    def _valid(batch: pa.Table) -> pa.Table:
+        # filter ONLY on (key, value) validity — never on unrelated columns
+        t = batch.select([key, value_col])
+        return t.filter(
+            pc.and_(pc.is_valid(t[key]), pc.is_valid(t[value_col]))
+        )
 
     def stat_partials(batch: pa.Table) -> pa.Table:
-        t = batch.drop_null()
+        t = _valid(batch)
         g = t.group_by(key).aggregate(
             [(value_col, "count"), (value_col, "min"), (value_col, "max")]
         )
@@ -87,7 +98,7 @@ def grouped_quantile_disc(
 
     def hist_partials(batch: pa.Table) -> pa.Table:
         g = ray.get(grids_ref)
-        t = batch.drop_null()
+        t = _valid(batch)
         keys_np = t[key].to_numpy(zero_copy_only=False)
         vals = t[value_col].to_numpy()
         out_k, out_b, out_n = [], [], []
@@ -130,7 +141,7 @@ def grouped_quantile_disc(
     def pull(batch: pa.Table) -> pa.Table:
         tg = ray.get(targets_ref)
         g = ray.get(grids_ref)
-        t = batch.drop_null()
+        t = _valid(batch)
         keys_np = t[key].to_numpy(zero_copy_only=False)
         vals = t[value_col].to_numpy()
         keep = np.zeros(len(vals), dtype=bool)

@@ -86,6 +86,7 @@ def cosine_neardup_pairs(
     n_tables: int = 2,
     seed: int = 13,
     max_bucket: int = 2048,
+    driver_merge_limit: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Approximate all-pairs cosine near-duplicates via hyperplane LSH.
 
@@ -145,7 +146,7 @@ def cosine_neardup_pairs(
     # final all-to-all costs ~1s fixed on data this small; same pattern as
     # minhash_lsh_pairs / jaccard_similarity_join), distributed aggregate
     # past the gate
-    if pairs.count() <= 2_000_000:
+    if pairs.count() <= driver_merge_limit:
         df = pairs.to_pandas()
         agg = df.groupby(["id_a", "id_b"], as_index=False)["sim"].max()
         return ray.data.from_arrow(

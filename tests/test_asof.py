@@ -215,3 +215,83 @@ def test_hash_join_random_vs_pandas_reference(ray_session, seed):
         got.sort_values(key).reset_index(drop=True),
         exp.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_asof_large_int64_payload_exact(ray_session):
+    """int64 payloads above 2^53 must survive the join bit-exact (the
+    tagged union zero-fills ints so the pandas block never becomes
+    float64; the match gathers payload by positional index)."""
+    big = 9_007_199_254_740_993  # 2^53 + 1: first float64-unrepresentable int
+    left = pa.table({
+        "lid": pa.array([big + 10, big + 11], pa.int64()),
+        "k": pa.array([1, 1], pa.int64()),
+        "t": pa.array(pd.to_datetime(["2024-01-05", "2024-01-06"]), pa.timestamp("us")),
+    })
+    right = pa.table({
+        "k2": pa.array([1], pa.int64()),
+        "t2": pa.array(pd.to_datetime(["2024-01-01"]), pa.timestamp("us")),
+        "rid": pa.array([big + 7], pa.int64()),
+    })
+    from pii_filter_ray.stages.asof import asof_join
+
+    out = asof_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        left_by="k", right_by="k2", left_on="t", right_on="t2",
+        left_cols=["lid", "k"], right_cols=["rid"],
+        schema={"lid": pa.int64(), "k": pa.int64(), "rid": pa.int64()},
+        tie_break="rid", num_buckets=4,
+    ).to_pandas().sort_values("lid").reset_index(drop=True)
+    assert out["lid"].tolist() == [big + 10, big + 11]
+    assert out["rid"].tolist() == [big + 7, big + 7]
+
+
+def test_hash_join_large_int64_and_string_payload(ray_session):
+    """Large int64 payloads stay exact and string payloads keep a string
+    dtype even when some buckets are one-sided (typed empty frames)."""
+    big = 9_007_199_254_740_993
+    left = pa.table({
+        "k": pa.array([2, 3], pa.int64()),
+        "a": pa.array([big + 1, big + 2], pa.int64()),
+    })
+    right = pa.table({
+        "k2": pa.array([2, 50], pa.int64()),   # key 50 -> one-sided bucket
+        "s": pa.array(["hello", "orphan"], pa.string()),
+    })
+    from pii_filter_ray.stages.joins import hash_join
+
+    out = hash_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        left_key="k", right_key="k2",
+        left_cols=["a"], right_cols=["s"],
+        schema={"a": pa.int64(), "s": pa.string()},
+        num_buckets=8,
+    ).to_pandas()
+    assert out["a"].tolist() == [big + 1]
+    assert out["s"].tolist() == ["hello"]
+
+
+def test_asof_matched_row_with_null_payload_kept(ray_session):
+    """A left row whose matched right row carries a NULL payload value is
+    still a match (match-ness is decided by the join index, never by
+    payload null-ness)."""
+    left = pa.table({
+        "lid": pa.array([1], pa.int64()),
+        "k": pa.array([5], pa.int64()),
+        "t": pa.array(pd.to_datetime(["2024-02-01"]), pa.timestamp("us")),
+    })
+    right = pa.table({
+        "k2": pa.array([5], pa.int64()),
+        "t2": pa.array(pd.to_datetime(["2024-01-15"]), pa.timestamp("us")),
+        "note": pa.array([None], pa.string()),
+        "rid": pa.array([77], pa.int64()),
+    })
+    from pii_filter_ray.stages.asof import asof_join
+
+    out = asof_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        left_by="k", right_by="k2", left_on="t", right_on="t2",
+        left_cols=["lid"], right_cols=["note", "rid"],
+        schema={"lid": pa.int64(), "note": pa.string(), "rid": pa.int64()},
+        tie_break="rid", num_buckets=2,
+    ).to_pandas()
+    assert len(out) == 1 and out["rid"].iloc[0] == 77 and pd.isna(out["note"].iloc[0])

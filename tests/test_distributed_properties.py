@@ -229,3 +229,19 @@ def test_jaccard_driver_gate_equivalent_to_distributed(ray_session):
         big.sort_values(key).reset_index(drop=True)
     )
     assert len(small) > 0
+
+
+def test_cosine_driver_gate_equivalent_to_distributed(ray_session):
+    import pandas as pd
+
+    import ray as _ray
+
+    from pii_filter_ray.stages.similarity import cosine_neardup_pairs
+
+    ds = _ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    small = cosine_neardup_pairs(ds, threshold=0.4).to_pandas()
+    big = cosine_neardup_pairs(ds, threshold=0.4, driver_merge_limit=0).to_pandas()
+    key = ["id_a", "id_b"]
+    a = small.sort_values(key).reset_index(drop=True)
+    b = big.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])

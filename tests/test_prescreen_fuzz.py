@@ -144,3 +144,15 @@ def test_perplexity_encode_lut_equivalent(text):
     ref[codes == 10] = 95
     ref[codes == 9] = 96
     assert (_encode(text) == ref).all()
+
+
+def test_unicode_digit_pii_not_skipped_by_batch_flags():
+    """RE2's \\d is ASCII-only; the batch gate must still fire on PII
+    written with non-ASCII (Unicode Nd) digits — a gate miss here would
+    leak the PII unmasked through the production batch path while the
+    per-row path masks it."""
+    t = "CPF ١٢٣.٤٥٦.٧٨٩-٠٩"
+    flags = batch_prescreen_flags(pa.array([t], pa.string()))[0]
+    assert flags["digitcluster"] is True
+    assert find_all_matches(t, feature_flags=flags) == find_all_matches(t)
+    assert any(m["type"] == "CPF" for m in find_all_matches(t, feature_flags=flags))
