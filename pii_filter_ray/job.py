@@ -110,11 +110,13 @@ def run_job(
         st = os.stat(input_path)
         sig = f"{os.path.abspath(input_path)}|{st.st_size}|{st.st_mtime_ns}"
         if os.path.isdir(input_path):
-            parts_sig = [
-                f"{f}|{os.stat(os.path.join(input_path, f)).st_size}"
-                for f in sorted(os.listdir(input_path))
-                if f.endswith(".parquet")
-            ]
+            # member mtimes included: a directory's own mtime does NOT
+            # change when a member file's content is rewritten in place
+            parts_sig = []
+            for f in sorted(os.listdir(input_path)):
+                if f.endswith(".parquet"):
+                    fst = os.stat(os.path.join(input_path, f))
+                    parts_sig.append(f"{f}|{fst.st_size}|{fst.st_mtime_ns}")
             sig += "|" + "|".join(parts_sig)
         shard_fingerprint = hashlib.blake2b(sig.encode(), digest_size=8).hexdigest()
     manifest = JobManifest(output_dir)

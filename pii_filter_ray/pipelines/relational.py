@@ -880,7 +880,7 @@ def stat_ner_fixture_check(sf_dir: str):
     from ..core.stat_ner import default_model
 
     model = default_model()
-    label_map = {"PER": "NOME_COMPLETO", "ORG": "ORGANIZACAO", "LOC": "LOCAL"}
+    from ..core.scrub import STAT_NER_LABEL_MAP as label_map  # single source
     rows = {"case_id": [], "detected": []}
     for case_id, text in STAT_NER_CASES:
         ents = [
@@ -983,8 +983,15 @@ def media_table_path() -> str:
     from ..stages.multimodal import synthesize_media_table
 
     if not os.path.exists(_MEDIA_CACHE):
+        import tempfile
+
         os.makedirs(os.path.dirname(_MEDIA_CACHE), exist_ok=True)
-        tmp = _MEDIA_CACHE + ".tmp"
+        # per-process unique temp name: two concurrent builders must never
+        # interleave writes into one .tmp file (os.replace stays atomic)
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(_MEDIA_CACHE), suffix=".tmp"
+        )
+        os.close(fd)
         pq.write_table(synthesize_media_table(n_rows=96, seed=42), tmp)
         os.replace(tmp, _MEDIA_CACHE)
     return _MEDIA_CACHE

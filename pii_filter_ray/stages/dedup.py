@@ -378,25 +378,34 @@ def minhash_lsh_pairs(
         colliding_rows = band_rows.map_batches(semi_join, batch_format="pyarrow")
     else:
         # distributed path: tagged-union groupby semi-join — the colliding
-        # key table never touches the driver
+        # key table never touches the driver. Markers carry an EXPLICIT
+        # __m flag and a zero-filled id (never read) instead of a null id:
+        # a nulled int64 column becomes float64 in the pandas group block
+        # and silently rounds ids above 2^53.
         marker = colliding.map_batches(
             lambda b: pa.table(
                 {
                     "band_key": b["band_key"],
-                    id_col: pa.array([None] * b.num_rows, pa.int64()),
+                    id_col: pa.array(np.zeros(b.num_rows, dtype="int64"), pa.int64()),
+                    "__m": pa.array(np.ones(b.num_rows, dtype="int8"), pa.int8()),
                 }
+            ),
+            batch_format="pyarrow",
+        )
+        tagged_band = band_rows.map_batches(
+            lambda b: b.append_column(
+                "__m", pa.array(np.zeros(b.num_rows, dtype="int8"), pa.int8())
             ),
             batch_format="pyarrow",
         )
 
         def keep_marked(g: pd.DataFrame) -> pd.DataFrame:
-            if g[id_col].isna().any():
-                kept = g[g[id_col].notna()]
-                return kept.astype({id_col: "int64"})
-            return g.iloc[0:0]
+            if (g["__m"] == 1).any():
+                return g[g["__m"] == 0][["band_key", id_col]]
+            return g.iloc[0:0][["band_key", id_col]]
 
         colliding_rows = (
-            band_rows.union(marker).groupby("band_key").map_groups(
+            tagged_band.union(marker).groupby("band_key").map_groups(
                 keep_marked, batch_format="pandas"
             )
         )
@@ -475,44 +484,55 @@ def verify_jaccard_pairs(
     # pin the candidate pairs once — they are consumed twice below, and a
     # lazy Dataset would re-run the whole upstream LSH per consumption
     candidate_pairs = candidate_pairs.materialize()
-    ids_df = candidate_pairs.select_columns(["id_a", "id_b"]).to_pandas()
-    if len(ids_df) == 0:
+    n_pairs = candidate_pairs.count()
+    if n_pairs == 0:
         return ray.data.from_arrow(
             pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
         )
+    if 2 * n_pairs > broadcast_doc_limit:
+        # at-scale path FIRST, decided from the (metadata-cheap) pair count
+        # so the candidate ids are never pulled to the driver at all:
+        # compute shingle sets for the WHOLE corpus (streaming, no driver
+        # state — a broadcast id filter would itself be driver-held; a
+        # bloom-filter prefilter is the noted optimization) and hash-join
+        # pairs to sigs distributively. Materialized because the joined
+        # verify consumes it in both union stages.
+        sig_ds = _shingle_sets_for_ids(ds, None, text_col, id_col, shingle_k).materialize()
+        return _verify_pairs_joined(sig_ds, candidate_pairs, id_col, threshold)
+
+    ids_df = candidate_pairs.select_columns(["id_a", "id_b"]).to_pandas()
     cand_ids = pa.array(
         sorted(set(ids_df["id_a"]) | set(ids_df["id_b"])), pa.int64()
     )
     sig_ds = _shingle_sets_for_ids(ds, cand_ids, text_col, id_col, shingle_k)
 
-    if len(cand_ids) <= broadcast_doc_limit:
-        index = {}
-        for batch in sig_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-            for doc_id, sig in zip(batch[id_col].to_pylist(), batch["sig"].to_pylist()):
-                index[doc_id] = frozenset(sig)
-        ref = ray.put(index)
+    # broadcast path (cand_ids <= 2*n_pairs <= broadcast_doc_limit by the
+    # branch above): candidate-doc sigs only, shipped once via ray.put
+    index = {}
+    for batch in sig_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for doc_id, sig in zip(batch[id_col].to_pylist(), batch["sig"].to_pylist()):
+            index[doc_id] = frozenset(sig)
+    ref = ray.put(index)
 
-        def verify(batch: pa.Table) -> pa.Table:
-            idx = ray.get(ref)  # local plasma read, cached per worker
-            keep_a, keep_b, jac = [], [], []
-            for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
-                j = _jaccard_from_sigs(idx.get(a), idx.get(b))
-                if j >= threshold:
-                    keep_a.append(a)
-                    keep_b.append(b)
-                    jac.append(j)
-            return pa.table(
-                {
-                    "id_a": pa.array(keep_a, pa.int64()),
-                    "id_b": pa.array(keep_b, pa.int64()),
-                    "jaccard": pa.array(jac, pa.float64()),
-                }
-            )
+    def verify(batch: pa.Table) -> pa.Table:
+        idx = ray.get(ref)  # local plasma read, cached per worker
+        keep_a, keep_b, jac = [], [], []
+        for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
+            j = _jaccard_from_sigs(idx.get(a), idx.get(b))
+            if j >= threshold:
+                keep_a.append(a)
+                keep_b.append(b)
+                jac.append(j)
+        return pa.table(
+            {
+                "id_a": pa.array(keep_a, pa.int64()),
+                "id_b": pa.array(keep_b, pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
 
-        return candidate_pairs.map_batches(verify, batch_format="pyarrow")
-
-    return _verify_pairs_joined(sig_ds, candidate_pairs, id_col, threshold)
+    return candidate_pairs.map_batches(verify, batch_format="pyarrow")
 
 
 def _verify_pairs_joined(
@@ -526,14 +546,18 @@ def _verify_pairs_joined(
     equal to the broadcast path by test_jaccard_verify_joined_equivalent)."""
 
     def tag_sigs(b: pa.Table) -> pa.Table:
+        # sig rows: __m=1; id columns ZERO-filled (never read on this side)
+        # rather than null-filled — a nulled int64 column becomes float64 in
+        # the pandas group block and silently rounds ids above 2^53
         n = b.num_rows
         return pa.table(
             {
                 "join_key": pc.cast(b[id_col], pa.int64()),
                 "sig": b["sig"],
-                "id_a": pa.array([None] * n, pa.int64()),
-                "id_b": pa.array([None] * n, pa.int64()),
+                "id_a": pa.array(np.zeros(n, dtype="int64"), pa.int64()),
+                "id_b": pa.array(np.zeros(n, dtype="int64"), pa.int64()),
                 "sig_a": pa.array([None] * n, pa.list_(pa.int64())),
+                "__m": pa.array(np.ones(n, dtype="int8"), pa.int8()),
             }
         )
 
@@ -546,18 +570,19 @@ def _verify_pairs_joined(
                 "id_a": b["id_a"],
                 "id_b": b["id_b"],
                 "sig_a": pa.array([None] * n, pa.list_(pa.int64())),
+                "__m": pa.array(np.zeros(n, dtype="int8"), pa.int8()),
             }
         )
 
     def attach_a(g: pd.DataFrame) -> pd.DataFrame:
-        sig_rows = g[g["id_a"].isna()]
-        pair_rows = g[g["id_a"].notna()]
+        sig_rows = g[g["__m"] == 1]
+        pair_rows = g[g["__m"] == 0]
         if len(sig_rows) == 0 or len(pair_rows) == 0:
             return pair_rows.iloc[0:0]
         sig = sig_rows["sig"].iloc[0]
         out = pair_rows.copy()
         out["sig_a"] = [sig] * len(out)
-        out["join_key"] = out["id_b"].astype("int64")
+        out["join_key"] = out["id_b"]
         return out
 
     def as_arrow(b: pd.DataFrame) -> pa.Table:
@@ -574,6 +599,7 @@ def _verify_pairs_joined(
                     [None if s is None else list(s) for s in b["sig_a"]],
                     pa.list_(pa.int64()),
                 ),
+                "__m": pa.array(b["__m"], pa.int8()),
             }
         )
 
@@ -588,8 +614,8 @@ def _verify_pairs_joined(
     )
 
     def attach_b_and_score(g: pd.DataFrame) -> pd.DataFrame:
-        sig_rows = g[g["id_a"].isna()]
-        pair_rows = g[g["id_a"].notna()]
+        sig_rows = g[g["__m"] == 1]
+        pair_rows = g[g["__m"] == 0]
         if len(sig_rows) == 0 or len(pair_rows) == 0:
             return pd.DataFrame(
                 {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
@@ -948,13 +974,18 @@ def dup_components_joined(
     from ray.data.aggregate import Min, Sum
 
     def adjacency(batch: pa.Table) -> pa.Table:
+        # __m=0 marks adjacency rows; comp is ZERO-filled (never read on
+        # this side) rather than null-filled — nulled int64 turns float64
+        # in the pandas group block and rounds ids above 2^53
         a = batch["id_a"].to_pylist()
         b = batch["id_b"].to_pylist()
+        n = len(a) + len(b)
         return pa.table(
             {
                 "id": pa.array(a + b, pa.int64()),
                 "nbr": pa.array(b + a, pa.int64()),
-                "comp": pa.array([None] * (len(a) + len(b)), pa.int64()),
+                "comp": pa.array(np.zeros(n, dtype="int64"), pa.int64()),
+                "__m": pa.array(np.zeros(n, dtype="int8"), pa.int8()),
             }
         )
 
@@ -984,20 +1015,21 @@ def dup_components_joined(
             lambda b: pa.table(
                 {
                     "id": b["id"],
-                    "nbr": pa.array([None] * b.num_rows, pa.int64()),
+                    "nbr": pa.array(np.zeros(b.num_rows, dtype="int64"), pa.int64()),
                     "comp": pc.cast(b["component"], pa.int64()),
+                    "__m": pa.array(np.ones(b.num_rows, dtype="int8"), pa.int8()),
                 }
             ),
             batch_format="pyarrow",
         )
 
         def propagate(g: pd.DataFrame) -> pd.DataFrame:
-            comp_rows = g[g["comp"].notna()]
+            comp_rows = g[g["__m"] == 1]
             if len(comp_rows) == 0:
                 return pd.DataFrame({"id": pd.Series(dtype="int64"),
                                      "component": pd.Series(dtype="int64")})
             comp = int(comp_rows["comp"].min())
-            nbrs = g[g["nbr"].notna()]["nbr"].astype("int64").tolist()
+            nbrs = g[g["__m"] == 0]["nbr"].tolist()
             ids = nbrs + [int(g["id"].iloc[0])]
             return pd.DataFrame({"id": ids, "component": [comp] * len(ids)})
 

@@ -306,7 +306,7 @@ class StatNerStage:
         self.content_col = content_col
         self.model = default_model()
 
-    _LABEL_MAP = {"PER": "NOME_COMPLETO", "ORG": "ORGANIZACAO", "LOC": "LOCAL"}
+    from ..core.scrub import STAT_NER_LABEL_MAP as _LABEL_MAP  # single source
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ents_col = []
