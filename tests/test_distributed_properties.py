@@ -245,3 +245,54 @@ def test_cosine_driver_gate_equivalent_to_distributed(ray_session):
     a = small.sort_values(key).reset_index(drop=True)
     b = big.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_jaccard_verify_joined_exact_with_huge_ids(ray_session):
+    """Doc ids above 2^53 must pass through the tagged-union joined verify
+    and connected components bit-exact (__m-flag markers, zero-filled ints
+    — a nulled int64 would round through float64)."""
+    import pandas as pd
+    import pyarrow as _pa
+
+    import ray as _ray
+    from pii_filter_ray.stages.dedup import (
+        dup_components_joined,
+        verify_jaccard_pairs,
+    )
+
+    big = 9_007_199_254_740_993  # 2^53 + 1
+    ids = [big + i for i in range(4)]
+    texts = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "the quick brown fox jumps over the lazy dog today",
+        "a completely different document about ray data pipelines",
+        "the quick brown fox jumps over the lazy dog tonight",
+    ]
+    docs = _ray.data.from_arrow(_pa.table({
+        "doc_id": _pa.array(ids, _pa.int64()),
+        "text": _pa.array(texts, _pa.string()),
+    }))
+    cands = _ray.data.from_arrow(_pa.table({
+        "id_a": _pa.array([ids[0], ids[0], ids[1]], _pa.int64()),
+        "id_b": _pa.array([ids[1], ids[3], ids[2]], _pa.int64()),
+    }))
+    # force the joined (at-scale) path via the limit, and compare with the
+    # broadcast path
+    joined = verify_jaccard_pairs(
+        docs, cands, "text", "doc_id", threshold=0.5, broadcast_doc_limit=0
+    ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    bcast = verify_jaccard_pairs(
+        docs, cands, "text", "doc_id", threshold=0.5
+    ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(joined, bcast)
+    assert set(joined["id_a"]) | set(joined["id_b"]) <= set(ids)
+    assert (ids[0], ids[3]) in set(zip(joined["id_a"], joined["id_b"]))  # exact dup pair
+
+    comp = dup_components_joined(
+        _ray.data.from_arrow(_pa.table({
+            "id_a": _pa.array([ids[0], ids[0]], _pa.int64()),
+            "id_b": _pa.array([ids[1], ids[3]], _pa.int64()),
+        }))
+    ).to_pandas()
+    by_id = dict(zip(comp["id"], comp["component"]))
+    assert by_id[ids[0]] == by_id[ids[1]] == by_id[ids[3]] == ids[0]
