@@ -78,6 +78,7 @@ def run_job(
     resume: bool = True,
     limit_parts: Optional[int] = None,
     concurrency=None,
+    parts_per_pass: int = 8,
 ) -> dict:
     """Returns the manifest summary. Ray must already be initialised by the
     caller (or auto-inits on first Dataset use).
@@ -161,24 +162,56 @@ def run_job(
         manifest.mark_done(part, stats)
 
     if file_parts is not None:
-        # sharded input: each partition reads ONLY its own files
-        for part in todo:
-            shard_files = file_parts[part]
-            tmp_dir = manifest.part_tmp_dir(part)
-            shutil.rmtree(tmp_dir, ignore_errors=True)
+        # sharded input: partitions are processed in CHUNKS of
+        # ``parts_per_pass``, each chunk as ONE streaming pipeline with a
+        # hive-partitioned write. Measured on the 200k corpus at 32 cpus:
+        # per-partition pipelines (the old form) 47s; chunks of 8 -> 37s;
+        # ONE 32-partition pass -> 225s (a union of 32+ sub-datasets
+        # degenerates in the streaming executor — keep chunks moderate).
+        # parts_per_pass therefore balances fixed pipeline cost against
+        # both failure granularity and union width.
+        for i in range(0, len(todo), parts_per_pass):
+            chunk = todo[i : i + parts_per_pass]
+            chunk_files = [f for p in chunk for f in file_parts[p]]
+            tmp_dirs = {}
             t0 = time.time()
-            if shard_files:
-                ds = ray.data.read_parquet(shard_files)
-                ds = ds.map_batches(
-                    lambda b, p=part: b.append_column(
-                        "part_id", pa.array([p] * b.num_rows, pa.int32())
+            for part in chunk:
+                tmp_dirs[part] = manifest.part_tmp_dir(part)
+                shutil.rmtree(tmp_dirs[part], ignore_errors=True)
+            if chunk_files:
+                # one sub-dataset per partition (constant part_id), unioned
+                # into a SINGLE streaming pipeline for the chunk — no
+                # per-row path bookkeeping, no column-name collisions
+                ds = None
+                for part in chunk:
+                    if not file_parts[part]:
+                        continue
+                    sub = ray.data.read_parquet(file_parts[part]).map_batches(
+                        lambda b, p=part: b.append_column(
+                            "part_id", pa.array([p] * b.num_rows, pa.int32())
+                        ),
+                        batch_format="pyarrow",
+                    )
+                    ds = sub if ds is None else ds.union(sub)
+                stage_root = os.path.join(output_dir, ".stage")
+                shutil.rmtree(stage_root, ignore_errors=True)
+                scrubbed = quality_scrub(
+                    ds, mode=mode, emit_mappings=False, concurrency=concurrency
+                ).map_batches(
+                    lambda b: b.append_column(
+                        "part_key", pc.cast(b["part_id"], pa.int32())
                     ),
                     batch_format="pyarrow",
                 )
-                quality_scrub(
-                    ds, mode=mode, emit_mappings=False, concurrency=concurrency
-                ).write_parquet(tmp_dir)
-            _finalize_part(part, tmp_dir, time.time() - t0)
+                scrubbed.write_parquet(stage_root, partition_cols=["part_key"])
+                for part in chunk:
+                    staged = os.path.join(stage_root, f"part_key={part}")
+                    if os.path.isdir(staged):
+                        os.rename(staged, tmp_dirs[part])
+                shutil.rmtree(stage_root, ignore_errors=True)
+            per_part = (time.time() - t0) / max(1, len(chunk))
+            for part in chunk:
+                _finalize_part(part, tmp_dirs[part], per_part)
     elif todo:
         # single-file input: ONE pass over the input writes every pending
         # partition via a hive-partitioned write on the part hash (the
@@ -263,6 +296,9 @@ def main(argv=None):
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--limit-parts", type=int, default=None,
                     help="process at most N pending partitions (operational chunking)")
+    ap.add_argument("--parts-per-pass", type=int, default=8,
+                    help="partitions written per streaming pass (failure "
+                         "granularity vs fixed-pipeline-cost amortization)")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -283,6 +319,7 @@ def main(argv=None):
         mode=args.mode,
         resume=not args.no_resume,
         limit_parts=args.limit_parts,
+        parts_per_pass=args.parts_per_pass,
     )
     print(json.dumps(summary))
     ray.shutdown()
