@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_label_centroids": r.emb_label_centroids,
         # §2.6 extension surface driven end-to-end (declarative spec)
         "spec_pipeline_check": r.spec_pipeline_check,
+        "doc_lang_confusion": r.doc_lang_confusion,
     }
 
 
@@ -148,6 +149,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_quantity_quantiles": o.lineitem_quantity_quantiles_sql(),
         "media_pipeline_check": o.media_pipeline_check_sql(),
         "spec_pipeline_check": o.spec_pipeline_check_sql(),
+        "doc_lang_confusion": o.doc_lang_confusion_sql(),
         "doc_lang_stats": """
             SELECT lang,
                    CAST(count(*) AS BIGINT) AS n_docs,

@@ -674,3 +674,12 @@ SELECT d.doc_id,
        h.reason_h AS heuristic_reason
 FROM documents d JOIN heur h ON d.doc_id = h.doc_id
 """
+
+
+def doc_lang_confusion_sql() -> str:
+    """Confusion matrix of the claimed lang column vs the stopword-voting
+    detector, fully recomputed in SQL (langid_ctes)."""
+    return f"""WITH {langid_ctes()}
+    SELECT d.lang, l.lang_detected, CAST(count(*) AS BIGINT) AS n
+    FROM documents d JOIN lang_det l ON d.doc_id = l.doc_id
+    GROUP BY 1, 2"""

@@ -1465,3 +1465,25 @@ def spec_pipeline_check(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+def doc_lang_confusion(sf_dir: str):
+    """Claimed-vs-detected language confusion matrix in long form — the
+    standard dataset-audit view of a classifier against labels. Detection
+    runs in the actor-pool langid stage; the (claimed, detected) pair
+    counts move as pre-aggregated partials (one row per cell per block)."""
+    ds = _tbl(sf_dir, "documents", columns=["text", "lang"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        from ..core.langid import detect_natural_lang
+
+        det = [detect_natural_lang(v or "")[0] for v in batch["text"].to_pylist()]
+        return pa.table(
+            {"lang": batch["lang"], "lang_detected": pa.array(det, pa.string())}
+        )
+
+    df = preagg_groupby(
+        ds.map_batches(cells, batch_format="pyarrow"),
+        ["lang", "lang_detected"],
+        count_alias="n",
+    ).to_pandas()
+    return df.astype({"n": "int64"})[["lang", "lang_detected", "n"]]

@@ -277,3 +277,28 @@ def test_single_file_limit_parts_then_resume(ray_session, tmp_path_factory):
     assert s2["done_parts"] == 4 and s2["totals"]["rows"] == 80
     for p in done_first:  # finished partitions untouched by the resume
         assert os.path.getmtime(m.part_output_dir(p)) == mtimes[p]
+
+
+def test_stale_staging_dir_does_not_corrupt_output(ray_session, tmp_path_factory):
+    """A crash mid-pass leaves .stage residue; the next run must clear it
+    and produce exactly the correct output (no phantom rows)."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from pii_filter_ray.job import run_job
+    from pii_filter_ray.sources.synthetic_code import corpus_dir
+
+    d = tmp_path_factory.mktemp("stale_stage")
+    src = os.path.join(corpus_dir(n_rows=120, seed=42), "corpus")
+    out = str(d / "out")
+    # plant garbage staging residue from a "crashed" previous pass
+    stale = os.path.join(out, ".stage", "part_key=0")
+    os.makedirs(stale, exist_ok=True)
+    pq_.write_table(
+        pq_.read_table(os.path.join(src, sorted(os.listdir(src))[0])).slice(0, 5),
+        os.path.join(stale, "garbage.parquet"),
+    )
+    s = run_job(src, out, partitions=4, parts_per_pass=2)
+    assert s["done_parts"] == 4 and s["totals"]["rows"] == 120
+    assert not os.path.exists(os.path.join(out, ".stage"))
