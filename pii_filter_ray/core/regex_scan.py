@@ -52,6 +52,42 @@ _DIGIT_SEARCH = re.compile(r"\d").search
 _DIGIT_CLUSTER_RE = r"\p{Nd}{4}|\p{Nd}{1,3}\.\p{Nd}{1,3}"
 _DIGIT_RE2 = r"\p{Nd}"
 _DIGIT_CLUSTER_SEARCH = re.compile(r"\d(?:\d{3}|\.\d)").search
+_DIGIT_CLUSTER_FINDITER = re.compile(r"\d(?:\d{3}|\.\d)").finditer
+
+# digit-REGION scanning: every match of a digitcluster-gated pattern
+# provably contains a digit cluster, so those patterns only need to scan
+# windows around the clusters instead of the whole text. _REGION_PAD must
+# exceed (a) the longest lookbehind context of any gated pattern
+# ("conta corrente: " ~ 17 chars) and (b) the longest match tail before/
+# after a cluster (phone/card formatting, ~20) — 48 is comfortably above
+# both. Region edges then snap OUTWARD to whitespace/text bounds (capped)
+# so a cut can never land inside a token and fabricate a spurious \b.
+_REGION_PAD = 48
+_REGION_SNAP_CAP = 120
+_WS = " \t\n\r\x0b\x0c"
+
+
+def _digit_regions(text: str) -> List[Tuple[int, int]]:
+    """Merged, whitespace-snapped windows around every digit cluster."""
+    n = len(text)
+    regions: List[Tuple[int, int]] = []
+    for m in _DIGIT_CLUSTER_FINDITER(text):
+        s = m.start() - _REGION_PAD
+        e = m.end() + _REGION_PAD
+        # snap outward to a whitespace boundary (bounded walk)
+        s_min = max(0, m.start() - _REGION_SNAP_CAP)
+        while s > s_min and s > 0 and text[s - 1] not in _WS:
+            s -= 1
+        s = max(0, s)
+        e_max = min(n, m.end() + _REGION_SNAP_CAP)
+        while e < e_max and e < n and text[e] not in _WS:
+            e += 1
+        e = min(n, e)
+        if regions and s <= regions[-1][1]:
+            regions[-1] = (regions[-1][0], max(regions[-1][1], e))
+        else:
+            regions.append((s, e))
+    return regions
 
 _PRESCREEN: Dict[str, tuple] = {
     "CPF": ("digitcluster",),
@@ -139,18 +175,35 @@ def find_all_matches(
                 return False
         return True
 
+    regions = None  # lazily built digit windows, shared by gated patterns
+
+    def _matches(pattern, gated: bool):
+        nonlocal regions
+        if not gated:
+            yield from ((m.start(), m.end(), m.group(0)) for m in pattern.finditer(text))
+            return
+        if regions is None:
+            regions = _digit_regions(text)
+        # scan only the digit windows; regions are whitespace-snapped so a
+        # window edge never fabricates a \b, and _REGION_PAD covers every
+        # gated pattern's lookbehind context and match extent (equivalence
+        # fuzz-tested in test_prescreen_fuzz.py against full-text scans)
+        for rs, re_ in regions:
+            for m in pattern.finditer(text, rs, re_):
+                yield m.start(), m.end(), m.group(0)
+
     for pii_type, pattern in pats.items():
         reqs = _PRESCREEN.get(pii_type)
         if reqs is not None and not _passes(reqs):
             continue
-        for m in pattern.finditer(text):
-            value = m.group(0)
+        gated = reqs is not None and "digitcluster" in reqs
+        for start, end, value in _matches(pattern, gated):
             if validate_pii_data and not validate_pii(pii_type, value):
                 continue
             out.append(
                 {
-                    "start": m.start(),
-                    "end": m.end(),
+                    "start": start,
+                    "end": end,
                     "type": pii_type,
                     "value": value,
                     "normalized_value": normalize_pii_value(pii_type, value),

@@ -156,3 +156,75 @@ def test_unicode_digit_pii_not_skipped_by_batch_flags():
     assert flags["digitcluster"] is True
     assert find_all_matches(t, feature_flags=flags) == find_all_matches(t)
     assert any(m["type"] == "CPF" for m in find_all_matches(t, feature_flags=flags))
+
+
+@settings(max_examples=500, deadline=None)
+@given(_texts())
+def test_digit_region_scan_equivalent(text):
+    """Region-windowed scanning of digit-gated patterns must equal the
+    full-text scan exactly (same matches, same spans, same order)."""
+    from pii_filter_ray.core import regex_scan as rs
+
+    full = []
+    pats = __import__("pii_filter_ray.core.patterns", fromlist=["all_patterns"]).all_patterns(True)
+    for pii_type, pattern in pats.items():
+        reqs = rs._PRESCREEN.get(pii_type)
+        if reqs is None or "digitcluster" not in reqs:
+            continue
+        for m in pattern.finditer(text):
+            full.append((pii_type, m.start(), m.end(), m.group(0)))
+    regions = rs._digit_regions(text)
+    regioned = []
+    for pii_type, pattern in pats.items():
+        reqs = rs._PRESCREEN.get(pii_type)
+        if reqs is None or "digitcluster" not in reqs:
+            continue
+        for s, e in regions:
+            for m in pattern.finditer(text, s, e):
+                regioned.append((pii_type, m.start(), m.end(), m.group(0)))
+    assert sorted(full) == sorted(regioned)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(PII_SNIPPETS)
+        | st.text(alphabet="0123456789. -x", min_size=40, max_size=200)
+        | st.from_regex(r"[a-z]{0,5}\d{8,40}[a-z]{0,5}", fullmatch=True)
+        | st.from_regex(r"\d{1,3}(\.\d{1,3}){3,20}", fullmatch=True),
+        min_size=1, max_size=5,
+    ).map(" ".join)
+)
+def test_digit_region_boundaries_adversarial(text):
+    """Adversarial digit-dense inputs (long runs, dotted chains, padding
+    near the snap cap): find_all_matches must equal a forced full-scan."""
+    from pii_filter_ray.core.patterns import all_patterns
+    from pii_filter_ray.core.regex_scan import _PRESCREEN, find_all_matches
+
+    got = find_all_matches(text)
+    # reference: full scans with the region machinery bypassed via a
+    # pattern dict that defeats the digitcluster gate mapping
+    ref = []
+    for pii_type, pattern in all_patterns(True).items():
+        reqs = _PRESCREEN.get(pii_type)
+        if reqs is not None:
+            # emulate only the boolean prescreen, not the region scan
+            from pii_filter_ray.core.regex_scan import _DIGIT_CLUSTER_SEARCH
+            ok = True
+            for req in reqs:
+                if req == "digitcluster":
+                    ok = ok and _DIGIT_CLUSTER_SEARCH(text) is not None
+                elif isinstance(req, tuple):
+                    low = text.lower()
+                    ok = ok and any(l in low for l in req)
+                else:
+                    ok = ok and req in text
+            if not ok:
+                continue
+        from pii_filter_ray.core.validators import validate_pii
+        for m in pattern.finditer(text):
+            if not validate_pii(pii_type, m.group(0)):
+                continue
+            ref.append((m.start(), m.end(), pii_type, m.group(0)))
+    got_t = [(d["start"], d["end"], d["type"], d["value"]) for d in got]
+    assert sorted(got_t) == sorted(ref)
