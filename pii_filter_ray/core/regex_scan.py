@@ -196,7 +196,11 @@ def find_all_matches(
         reqs = _PRESCREEN.get(pii_type)
         if reqs is not None and not _passes(reqs):
             continue
-        gated = reqs is not None and "digitcluster" in reqs
+        # region scanning ONLY for the BUILT-IN gated patterns: their
+        # lookbehind/tail extents are what _REGION_PAD was sized against; a
+        # caller-supplied pattern under a gated type name gets the boolean
+        # prescreen + full-text scan (the pre-region behavior)
+        gated = patterns is None and reqs is not None and "digitcluster" in reqs
         for start, end, value in _matches(pattern, gated):
             if validate_pii_data and not validate_pii(pii_type, value):
                 continue

@@ -99,9 +99,15 @@ def run_job(
     # (shards added/removed between crash and resume) would silently lose or
     # duplicate rows, since completed partitions are skipped wholesale
     if file_parts is not None:
-        names = sorted(os.path.basename(f) for fs in file_parts.values() for f in fs)
+        # name + size + mtime per shard: names alone would let an IN-PLACE
+        # shard rewrite (same filenames, new content) pass the resume guard
+        sigs = []
+        for fs in file_parts.values():
+            for f in fs:
+                st = os.stat(f)
+                sigs.append(f"{os.path.basename(f)}|{st.st_size}|{st.st_mtime_ns}")
         shard_fingerprint = hashlib.blake2b(
-            "\n".join(names).encode(), digest_size=8
+            "\n".join(sorted(sigs)).encode(), digest_size=8
         ).hexdigest()
     else:
         # single-file (or few-shard) input: fingerprint size+mtime so a
@@ -139,7 +145,9 @@ def run_job(
     if limit_parts is not None:
         todo = todo[:limit_parts]
 
-    def _finalize_part(part: int, tmp_dir: str, seconds: float) -> None:
+    def _finalize_part(
+        part: int, tmp_dir: str, seconds: float, extra: Optional[dict] = None
+    ) -> None:
         """Stats from what was just written, atomic rename, manifest entry.
         An empty partition produces no files (write_parquet skips)."""
         import pyarrow.parquet as pq
@@ -156,6 +164,8 @@ def run_job(
             }
         else:
             stats = {"rows": 0, "kept": 0, "pii_found": 0, "seconds": round(seconds, 3)}
+        if extra:
+            stats.update(extra)
         final_dir = manifest.part_output_dir(part)
         shutil.rmtree(final_dir, ignore_errors=True)
         os.rename(tmp_dir, final_dir)
@@ -170,6 +180,7 @@ def run_job(
         # degenerates in the streaming executor — keep chunks moderate).
         # parts_per_pass therefore balances fixed pipeline cost against
         # both failure granularity and union width.
+        parts_per_pass = max(1, int(parts_per_pass))
         for i in range(0, len(todo), parts_per_pass):
             chunk = todo[i : i + parts_per_pass]
             chunk_files = [f for p in chunk for f in file_parts[p]]
@@ -209,9 +220,18 @@ def run_job(
                     if os.path.isdir(staged):
                         os.rename(staged, tmp_dirs[part])
                 shutil.rmtree(stage_root, ignore_errors=True)
-            per_part = (time.time() - t0) / max(1, len(chunk))
+            chunk_wall = time.time() - t0
+            per_part = chunk_wall / max(1, len(chunk))
+            # 'seconds' is the CHUNK MEAN (partitions in a chunk share one
+            # pipeline and are not separately timeable); chunk_seconds /
+            # chunk_parts make that explicit for telemetry consumers —
+            # per-partition skew shows in 'rows', not 'seconds'
             for part in chunk:
-                _finalize_part(part, tmp_dirs[part], per_part)
+                _finalize_part(
+                    part, tmp_dirs[part], per_part,
+                    extra={"chunk_seconds": round(chunk_wall, 3),
+                           "chunk_parts": len(chunk)},
+                )
     elif todo:
         # single-file input: ONE pass over the input writes every pending
         # partition via a hive-partitioned write on the part hash (the

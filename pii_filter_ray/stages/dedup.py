@@ -471,18 +471,20 @@ def verify_jaccard_pairs(
     broadcast_doc_limit: int = 200_000,
 ) -> "ray.data.Dataset":
     """Exact word-shingle Jaccard verification of candidate pairs —
-    distributed; the driver never holds a corpus-wide index.
+    distributed; the driver never holds a corpus-wide index, and never
+    pulls more than ``broadcast_doc_limit`` candidate ids.
 
-    The shingle-set table is computed ONLY for candidate-involved docs
-    (vectorized is_in filter at the read — candidates are a tiny fraction
-    of the corpus). When that filtered table is small it is broadcast via
-    ray.put (sets of 64-bit shingle hashes, never texts); when the
-    candidate set itself outgrows ``broadcast_doc_limit``, the pairs are
-    hash-JOINED back to the sig table by id (two tagged-union groupby
-    shuffles) — no driver materialization at all.
+    Below the limit (decided from the EXACT distinct candidate-doc count,
+    computed distributively), shingle sets are computed only for
+    candidate-involved docs and broadcast via ray.put (sets of 64-bit
+    shingle hashes, never texts). Above it — candidates covering a
+    significant fraction of the corpus — shingle sets are computed for the
+    whole corpus (streaming, within a small constant of the required
+    work) and the pairs are hash-JOINED back to them by id (two
+    tagged-union groupby shuffles) with nothing on the driver.
     """
-    # pin the candidate pairs once — they are consumed twice below, and a
-    # lazy Dataset would re-run the whole upstream LSH per consumption
+    # pin the candidate pairs once — they are consumed several times below,
+    # and a lazy Dataset would re-run the whole upstream LSH per consumption
     candidate_pairs = candidate_pairs.materialize()
     n_pairs = candidate_pairs.count()
     if n_pairs == 0:
@@ -490,20 +492,40 @@ def verify_jaccard_pairs(
             pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
         )
-    if 2 * n_pairs > broadcast_doc_limit:
-        # at-scale path FIRST, decided from the (metadata-cheap) pair count
-        # so the candidate ids are never pulled to the driver at all:
-        # compute shingle sets for the WHOLE corpus (streaming, no driver
-        # state — a broadcast id filter would itself be driver-held; a
-        # bloom-filter prefilter is the noted optimization) and hash-join
-        # pairs to sigs distributively. Materialized because the joined
-        # verify consumes it in both union stages.
+    # EXACT distinct candidate-doc table, computed distributively (a dense
+    # near-dup cluster has quadratically more pairs than docs, so the pair
+    # count is a uselessly pessimistic proxy). Only this deduplicated id
+    # table — bounded by the limit check below — is ever pulled.
+    from ray.data.aggregate import Count as _Count
+
+    def pair_ids(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"cid": pa.concat_arrays([
+                b["id_a"].combine_chunks() if isinstance(b["id_a"], pa.ChunkedArray) else b["id_a"],
+                b["id_b"].combine_chunks() if isinstance(b["id_b"], pa.ChunkedArray) else b["id_b"],
+            ])}
+        )
+
+    distinct_ids = (
+        candidate_pairs.map_batches(pair_ids, batch_format="pyarrow")
+        .groupby("cid")
+        .aggregate(_Count(alias_name="_c"))
+        .materialize()
+    )
+    n_docs = distinct_ids.count()
+
+    if n_docs > broadcast_doc_limit:
+        # at-scale path: the candidate-doc set itself is too large to hold
+        # anywhere central, which also means candidates cover a significant
+        # fraction of the corpus — compute shingle sets for the whole
+        # corpus (streaming; within a small constant of the required work)
+        # and hash-join pairs to sigs distributively. Materialized because
+        # the joined verify consumes it in both union stages.
         sig_ds = _shingle_sets_for_ids(ds, None, text_col, id_col, shingle_k).materialize()
         return _verify_pairs_joined(sig_ds, candidate_pairs, id_col, threshold)
 
-    ids_df = candidate_pairs.select_columns(["id_a", "id_b"]).to_pandas()
     cand_ids = pa.array(
-        sorted(set(ids_df["id_a"]) | set(ids_df["id_b"])), pa.int64()
+        sorted(distinct_ids.select_columns(["cid"]).to_pandas()["cid"]), pa.int64()
     )
     sig_ds = _shingle_sets_for_ids(ds, cand_ids, text_col, id_col, shingle_k)
 
