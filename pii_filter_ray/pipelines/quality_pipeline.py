@@ -130,17 +130,51 @@ def per_repo_stats(scrubbed: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 def global_metrics(scrubbed: "ray.data.Dataset") -> dict:
-    """Tiny driver-side aggregate of pipeline counters."""
-    from ray.data.aggregate import Count, Mean, Sum
+    """Tiny driver-side aggregate of pipeline counters — ONE pass: the
+    counters and the by-reason breakdown are folded into per-block partials
+    over the pruned columns (aggregating the lazy pipeline twice would
+    re-run the whole scrub, the dominant cost)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
 
-    row = scrubbed.aggregate(
-        Count(alias_name="n_files"),
-        Sum("pii_count", alias_name="n_pii"),
-        Mean("ppl_bits", alias_name="mean_ppl_bits"),
+    def partials(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["drop_reason", "pii_count", "ppl_bits"])
+            .group_by("drop_reason")
+            .aggregate([
+                ("drop_reason", "count"),
+                ("pii_count", "sum"),
+                ("ppl_bits", "sum"),
+                ("ppl_bits", "count"),  # non-null scored rows
+            ])
+        )
+        return pa.table({
+            "drop_reason": g["drop_reason"],
+            "n": pc.cast(g["drop_reason_count"], pa.int64()),
+            "pii": pc.cast(g["pii_count_sum"], pa.int64()),
+            "ppl_sum": g["ppl_bits_sum"],
+            "ppl_n": pc.cast(g["ppl_bits_count"], pa.int64()),
+        })
+
+    by = (
+        scrubbed.map_batches(partials, batch_format="pyarrow")
+        .groupby("drop_reason")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("pii", alias_name="pii"),
+            Sum("ppl_sum", alias_name="ppl_sum"),
+            Sum("ppl_n", alias_name="ppl_n"),
+        )
+        .to_pandas()
     )
-    keeps = scrubbed.groupby("drop_reason").aggregate(Count(alias_name="n")).to_pandas()
-    row["by_reason"] = dict(zip(keeps["drop_reason"], keeps["n"]))
-    return row
+    ppl_n = int(by["ppl_n"].sum())
+    return {
+        "n_files": int(by["n"].sum()),
+        "n_pii": int(by["pii"].sum()),
+        "mean_ppl_bits": (float(by["ppl_sum"].sum()) / ppl_n) if ppl_n else None,
+        "by_reason": dict(zip(by["drop_reason"], by["n"].astype(int))),
+    }
 
 
 def run_pipeline(
@@ -153,7 +187,14 @@ def run_pipeline(
     concurrency=None,
 ) -> "ray.data.Dataset":
     """read -> fused quality/scrub -> (optional) partitioned parquet sink."""
-    ds = read_corpus(input_path) if mode == "code" else ray.data.read_parquet(input_path)
+    if mode == "code" and content_col == "content":
+        ds = read_corpus(input_path)  # pruned to the standard corpus columns
+    else:
+        # non-default content column (or text mode): the fixed corpus
+        # pruning would silently drop the requested column — read the full
+        # schema and let the stage select (caller-specific schemas vary)
+        ds = ray.data.read_parquet(input_path)
+
     out = quality_scrub(
         ds,
         content_col=content_col,

@@ -73,8 +73,12 @@ class JobManifest:
                         f"{existing.get(key)!r} != {config.get(key)!r}"
                     )
             return
-        with open(path, "w") as f:
+        # atomic like mark_done: a crash mid-dump must not leave a
+        # truncated job.json that breaks every future resume in json.load
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(config, f)
+        os.replace(tmp, path)
 
     def summary(self) -> Dict:
         parts = self.done_parts()
@@ -82,6 +86,8 @@ class JobManifest:
         for p in parts:
             stats = self.part_stats(p)["stats"]
             for k, v in stats.items():
-                if isinstance(v, (int, float)):
+                # chunk_* fields describe a SHARED pass — summing them per
+                # partition would overcount by the chunk width
+                if isinstance(v, (int, float)) and not k.startswith("chunk_"):
                     totals[k] = totals.get(k, 0) + v
         return {"done_parts": len(parts), "totals": totals}
