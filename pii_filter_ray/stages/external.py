@@ -44,46 +44,71 @@ class ExternalScorerStage:
         self,
         content_col: str = "content",
         client: Optional[Callable[[str], float]] = None,
+        client_factory: Optional[Callable[[], Callable[[str], float]]] = None,
         max_retries: int = 3,
         timeout_s: float = 30.0,
+        backoff_s: float = 0.0,
     ):
         self.content_col = content_col
+        self.client_factory = client_factory
+        if client is None and client_factory is not None:
+            client = client_factory()
         self.client = client or _default_client
         self.max_retries = max_retries
         self.timeout_s = timeout_s
+        # deterministic linear backoff (attempt * backoff_s); 0 in tests so
+        # the retry mechanics stay instant, sized to the endpoint in prod
+        self.backoff_s = backoff_s
         self.calls = 0
         self.retries = 0
 
 
     def _score_one(self, text: str) -> float:
-        """Bounded-retry call with a REAL caller-side timeout: the client
-        runs in a worker thread and ``result(timeout=...)`` abandons it if
-        the budget elapses (a hung socket cannot stall the stage; the
-        abandoned thread may still complete remotely, so retried scoring
-        must be idempotent — documented connector contract)."""
-        import concurrent.futures
+        """Bounded-retry call with a REAL caller-side timeout.
+
+        The client runs in a DAEMON thread and join(timeout) abandons it if
+        the budget elapses — a hung socket cannot stall the stage, an
+        abandoned thread cannot block interpreter exit (a
+        ThreadPoolExecutor's non-daemon threads are atexit-joined and would
+        wedge actor teardown), and — because the abandoned thread may still
+        be mid-call on the client — the retry switches to a FRESH client
+        when a factory is available, so two threads never share a
+        non-thread-safe connection. Retried scoring must be idempotent
+        (documented connector contract). Backoff is deterministic:
+        attempt * backoff_s.
+        """
+        import threading
 
         last_err: Optional[Exception] = None
+        client = self.client
         for attempt in range(self.max_retries):
             self.calls += 1
-            # fresh single-use executor per attempt: a hung call leaks only
-            # its own thread and can never queue healthy retries behind it
-            executor = concurrent.futures.ThreadPoolExecutor(max_workers=1)
-            try:
-                future = executor.submit(self.client, text)
-                score = future.result(timeout=self.timeout_s)
-            except concurrent.futures.TimeoutError:
-                future.cancel()
+            box: dict = {}
+
+            def run(c=client, out=box):
+                try:
+                    out["score"] = c(text)
+                except Exception as err:  # noqa: BLE001 — connector surface
+                    out["err"] = err
+
+            t = threading.Thread(target=run, daemon=True)
+            t.start()
+            t.join(self.timeout_s)
+            if t.is_alive():
                 last_err = TimeoutError(f"external call exceeded {self.timeout_s}s")
                 self.retries += 1
+                # the abandoned thread still holds `client`: rebuild the
+                # connection rather than invoking the same object twice
+                if self.client_factory is not None:
+                    client = self.client_factory()
+                time.sleep(self.backoff_s * (attempt + 1))
                 continue
-            except Exception as err:  # flaky connector
-                last_err = err
+            if "err" in box:
+                last_err = box["err"]
                 self.retries += 1
+                time.sleep(self.backoff_s * (attempt + 1))
                 continue
-            finally:
-                executor.shutdown(wait=False)
-            return float(score)
+            return float(box["score"])
         raise RuntimeError(
             f"external scorer failed after {self.max_retries} attempts"
         ) from last_err

@@ -116,14 +116,21 @@ class MediaFeatureStage:
         return flat.reshape(self.dim, -1).mean(axis=1) / 255.0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = [
-            self._features(p, w, h).tolist()
-            for p, w, h in zip(
-                batch["payload"].to_pylist(),
-                batch["width"].to_pylist(),
-                batch["height"].to_pylist(),
-            )
-        ]
+        # a REAL decoder is an IMAGE decoder: audio/video payloads (width
+        # -1) would make PIL-style decode_fns raise, so non-image rows get
+        # null features on that path. The stub fabricates features for any
+        # bytes (deterministic plumbing), so its behavior is unchanged.
+        feats = []
+        for p, w, h, kind in zip(
+            batch["payload"].to_pylist(),
+            batch["width"].to_pylist(),
+            batch["height"].to_pylist(),
+            batch["kind"].to_pylist(),
+        ):
+            if self.decode_fn is not None and kind != "image":
+                feats.append(None)
+            else:
+                feats.append(self._features(p, w, h).tolist())
         return batch.append_column(
             "features", pa.array(feats, pa.list_(pa.float64()))
         )
@@ -151,16 +158,20 @@ class FrameSampleStage:
 
 
 def media_features(
-    ds: "ray.data.Dataset", concurrency=(1, 4), batch_size: int = 32
+    ds: "ray.data.Dataset", concurrency=(1, 4), batch_size: int = 32,
+    **stage_kwargs,
 ) -> "ray.data.Dataset":
     """Feature-extract every media row (actor pool, small batches for the
-    wide binary payloads)."""
+    wide binary payloads). ``stage_kwargs`` (decode_fn=..., dim=...,
+    require_real=...) reach MediaFeatureStage — the documented real-codec
+    integration point is usable through this public helper."""
     return ds.map_batches(
         MediaFeatureStage,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
+        fn_constructor_kwargs=stage_kwargs or None,
     )
 
 
