@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hash_split": r.doc_hash_split,
         # large x large shuffle hash join (stages/joins.py)
         "order_lineitem_revenue": r.order_lineitem_revenue,
+        # skew-safe salted variant (hot keys split over salt sub-buckets)
+        "events_salted_user_join": r.events_salted_user_join,
         # grouped exact quantiles (stages/quantiles.py) + stratified sample
         "events_value_quantiles": r.events_value_quantiles,
         "doc_sample_per_lang": r.doc_sample_per_lang,
@@ -443,6 +445,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_items
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderpriority
+        """,
+        "events_salted_user_join": """
+            WITH user_n AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS un
+                FROM events GROUP BY user_id
+            )
+            SELECT e.event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(u.un) AS BIGINT) AS sum_user_n
+            FROM events e JOIN user_n u ON e.user_id = u.user_id
+            GROUP BY e.event_type
         """,
         "events_value_quantiles": """
             SELECT event_type, 0.5 AS q, quantile_disc(value, 0.5) AS value

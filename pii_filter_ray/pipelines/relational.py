@@ -1182,6 +1182,36 @@ def order_lineitem_revenue(sf_dir: str):
         ["o_orderpriority", "revenue", "n_items"]
     ]
 
+def events_salted_user_join(sf_dir: str):
+    """Skew-safe salted hash join (stages/joins.salted_hash_join): enrich
+    every event with its user's total event count — a LARGE x LARGE
+    self-enrichment join whose key (user_id) is Zipf-skewed. A distributed
+    census finds keys with >= hot_threshold left rows; those split over
+    salt sub-buckets (left salted, right replicated per salt), so no
+    single bucket task ever holds a hot key's full row set. The joined
+    stream feeds a partial pre-agg, so the verification output is one row
+    per event type."""
+    from ..stages.joins import salted_hash_join
+
+    events = _tbl(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+    user_n = preagg_groupby(
+        _tbl(sf_dir, "events", columns=["user_id"]), ["user_id"], count_alias="user_n"
+    )
+    joined = salted_hash_join(
+        events, user_n,
+        left_key="user_id", right_key="user_id",
+        left_cols=["event_type"], right_cols=["user_n"],
+        schema={"event_type": pa.string(), "user_n": pa.int64()},
+        num_salts=4, hot_threshold=60,
+    )
+    df = preagg_groupby(
+        joined, ["event_type"], sums={"sum_user_n": "user_n"}, count_alias="n_events"
+    ).to_pandas()
+    return df.astype({"sum_user_n": "int64", "n_events": "int64"})[
+        ["event_type", "n_events", "sum_user_n"]
+    ]
+
+
 def events_value_quantiles(sf_dir: str):
     """Grouped EXACT quantiles of a continuous double column (p50/p95 of
     event value per type) — three streaming passes, no per-group sort

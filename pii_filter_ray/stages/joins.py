@@ -7,8 +7,20 @@ key bucket (tagged union -> groupby bucket), then each bucket joins with a
 single vectorized pandas merge. Keys never split buckets, so the join is
 exact; ``num_buckets`` bounds per-task memory (size it so the LARGER
 side's bucket fits a worker heap — at 100 TB that means thousands of
-buckets, and a hot key beyond one bucket needs the salted variant of the
-same pattern, per the custom-operator contract in stages/asof.py).
+buckets).
+
+``salted_hash_join`` is the hot-key variant: when one key alone exceeds a
+worker's heap, no bucket count helps (a key never splits across buckets).
+The standard skew-join answer is to SALT the probe side — each hot LEFT
+row gets a deterministic salt in [0, num_salts) and lands in sub-bucket
+(bucket, salt); every hot RIGHT row is REPLICATED once per salt so every
+sub-bucket still holds the full right match set for that key. Non-hot
+keys take salt 0 and pay nothing. Contract: the RIGHT side must be
+bounded per key (dimension-like / pre-deduped / pre-aggregated), since
+its hot rows ship num_salts times; the LEFT side may be arbitrarily
+skewed. Hot keys are detected distributively (per-block count partials →
+one tiny (key,count) shuffle → filter ≥ threshold), or supplied by the
+caller. Output is set-identical to ``hash_join`` (equivalence-tested).
 """
 
 from __future__ import annotations
@@ -18,6 +30,7 @@ from typing import Dict, List
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -69,6 +82,14 @@ def hash_join(
             batch_format="pyarrow",
         )
     )
+    bucket_join = _bucket_join_fn(left_key, left_cols, right_cols, schema)
+    return tagged.groupby("__bucket").map_groups(bucket_join, batch_format="pandas")
+
+
+def _bucket_join_fn(left_key: str, left_cols: List[str], right_cols: List[str],
+                    schema: Dict[str, pa.DataType]):
+    """Per-bucket vectorized inner merge shared by hash_join and
+    salted_hash_join (a salted sub-bucket joins exactly like a bucket)."""
     from .asof import _pd_dtype
 
     out_cols = [left_key, *left_cols, *right_cols]
@@ -87,4 +108,140 @@ def hash_join(
         out = lf.merge(rf, on="__key", how="inner")
         return out.rename(columns={"__key": left_key})[out_cols]
 
+    return bucket_join
+
+
+def detect_hot_keys(
+    ds: "ray.data.Dataset", key: str, threshold: int, max_hot: int = 1_000_000
+) -> np.ndarray:
+    """Distributed hot-key census: per-block count partials collapse each
+    block to its distinct keys, ONE (key, count) shuffle aggregates them,
+    and only keys with ≥ ``threshold`` rows come back to the driver — a set
+    that is small by construction (≤ total_rows / threshold keys can
+    exist). ``max_hot`` guards the driver pull against a mis-set
+    threshold."""
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        g = batch.select([key]).group_by(key).aggregate([(key, "count")])
+        return pa.table({
+            key: g[key],
+            "n": pc.cast(g[f"{key}_count"], pa.int64()),
+        })
+
+    counts = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def only_hot(batch: pa.Table) -> pa.Table:
+        m = pc.greater_equal(batch["n"], pa.scalar(threshold, pa.int64()))
+        return batch.filter(m).select([key])
+
+    hot_tbls = [
+        b for b in counts.map_batches(only_hot, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    hot = (
+        pa.concat_tables(hot_tbls)[key].to_numpy(zero_copy_only=False).astype("int64")
+        if hot_tbls
+        else np.empty(0, dtype="int64")
+    )
+    if len(hot) > max_hot:
+        raise ValueError(
+            f"hot-key census returned {len(hot)} keys (> max_hot={max_hot}); "
+            "raise the threshold — salting every key is a plain shuffle"
+        )
+    return np.sort(hot)
+
+
+def _tag_salted(side: int, key: str, payload: List[str],
+                schema: Dict[str, pa.DataType], num_buckets: int,
+                num_salts: int, hot_ref):
+    """Tagged-union fn with hot-key salting. LEFT hot rows spread over
+    salts (deterministic per-row position spread — any spreading yields
+    the same output set); RIGHT hot rows replicate once per salt via ONE
+    vectorized take. Sub-bucket id = bucket * num_salts + salt."""
+    from .asof import _fill_column
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        key_np = batch[key].to_numpy(zero_copy_only=False).astype("int64")
+        n = batch.num_rows
+        is_hot = (
+            np.isin(key_np, hot) if len(hot) else np.zeros(n, dtype=bool)
+        )
+        if side == _LEFT:
+            salt = np.zeros(n, dtype="int64")
+            nh = int(is_hot.sum())
+            if nh:
+                salt[is_hot] = np.arange(nh, dtype="int64") % num_salts
+            take_idx = None
+        else:
+            hot_idx = np.flatnonzero(is_hot)
+            cold_idx = np.flatnonzero(~is_hot)
+            take_idx = np.r_[cold_idx, np.repeat(hot_idx, num_salts)]
+            salt = np.r_[
+                np.zeros(len(cold_idx), dtype="int64"),
+                np.tile(np.arange(num_salts, dtype="int64"), len(hot_idx)),
+            ]
+            key_np = key_np[take_idx]
+            n = len(take_idx)
+        gkey = (key_np % num_buckets) * num_salts + salt
+        cols = {
+            "__bucket": pa.array(gkey.astype("int32"), pa.int32()),
+            "__side": pa.array(np.full(n, side, dtype="int8"), pa.int8()),
+            "__key": pa.array(key_np, pa.int64()),
+        }
+        for name, typ in schema.items():
+            if name in payload:
+                col = batch[name].cast(typ)
+                if take_idx is not None:
+                    col = col.take(pa.array(take_idx, pa.int64()))
+                cols[name] = col
+            else:
+                cols[name] = _fill_column(n, typ)
+        return pa.table(cols)
+
+    return fn
+
+
+def salted_hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    left_key: str,
+    right_key: str,
+    left_cols: List[str],
+    right_cols: List[str],
+    schema: Dict[str, pa.DataType],
+    num_buckets: int = 64,
+    num_salts: int = 8,
+    hot_threshold: int = 1_000_000,
+    hot_keys: "np.ndarray | None" = None,
+) -> "ray.data.Dataset":
+    """Skew-safe INNER equi-join: identical semantics and output columns to
+    :func:`hash_join`, but keys with ≥ ``hot_threshold`` LEFT rows are
+    split over ``num_salts`` sub-buckets (left salted, right replicated).
+    Set ``hot_threshold`` to roughly (worker heap / row width) / safety:
+    the point where one key's left rows alone would blow a bucket task.
+    ``hot_keys`` (sorted int64 array) skips the census when the caller
+    already knows the skew — e.g. reusing one census across the many
+    joins of a pipeline stage."""
+    if hot_keys is None:
+        hot_keys = detect_hot_keys(left, left_key, hot_threshold)
+    hot_ref = ray.put(np.asarray(hot_keys, dtype="int64"))
+    tagged = left.map_batches(
+        _tag_salted(_LEFT, left_key, left_cols, schema, num_buckets, num_salts, hot_ref),
+        batch_format="pyarrow",
+    ).union(
+        right.map_batches(
+            _tag_salted(_RIGHT, right_key, right_cols, schema, num_buckets,
+                        num_salts, hot_ref),
+            batch_format="pyarrow",
+        )
+    )
+    bucket_join = _bucket_join_fn(left_key, left_cols, right_cols, schema)
     return tagged.groupby("__bucket").map_groups(bucket_join, batch_format="pandas")

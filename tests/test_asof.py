@@ -295,3 +295,146 @@ def test_asof_matched_row_with_null_payload_kept(ray_session):
         tie_break="rid", num_buckets=2,
     ).to_pandas()
     assert len(out) == 1 and out["rid"].iloc[0] == 77 and pd.isna(out["note"].iloc[0])
+
+
+# ---------------------------------------------------------------------------
+# salted (skew-safe) hash join
+# ---------------------------------------------------------------------------
+
+def test_detect_hot_keys_census(ray_session):
+    """The distributed census returns exactly the keys with >= threshold
+    rows, across block boundaries (partials must sum, not max)."""
+    import numpy as np
+
+    from pii_filter_ray.stages.joins import detect_hot_keys
+
+    # key 7 -> 50 rows, key 3 -> 20, key 1 -> 5, spread over 5 blocks
+    keys = np.r_[np.full(50, 7), np.full(20, 3), np.full(5, 1)].astype("int64")
+    rng = np.random.RandomState(0)
+    rng.shuffle(keys)
+    ds = ray.data.from_pandas(pd.DataFrame({"k": keys})).repartition(5)
+    assert detect_hot_keys(ds, "k", threshold=20).tolist() == [3, 7]
+    assert detect_hot_keys(ds, "k", threshold=21).tolist() == [7]
+    assert detect_hot_keys(ds, "k", threshold=51).tolist() == []
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+def test_salted_hash_join_equivalence_on_skew(ray_session, seed):
+    """Output set-identical to the unsalted join (and to pandas merge) on a
+    corpus where one key carries ~half the left rows and right keys repeat
+    (multiplicity must be preserved through replication)."""
+    import numpy as np
+
+    from pii_filter_ray.stages.joins import hash_join, salted_hash_join
+
+    rng = np.random.RandomState(seed)
+    hot = 13
+    left_keys = np.r_[
+        np.full(300, hot), rng.randint(0, 40, 300)
+    ].astype("int64")
+    rng.shuffle(left_keys)
+    left = pd.DataFrame({
+        "k": left_keys,
+        "a": rng.randint(0, 10_000, len(left_keys)).astype("int64"),
+    })
+    # right side: up to 3 rows per key, including the hot key
+    right_keys = np.r_[np.full(3, hot), rng.randint(0, 45, 80)].astype("int64")
+    right = pd.DataFrame({
+        "k2": right_keys,
+        "b": rng.randint(0, 10_000, len(right_keys)).astype("int64"),
+    })
+    kwargs = dict(
+        left_key="k", right_key="k2",
+        left_cols=["a"], right_cols=["b"],
+        schema={"a": pa.int64(), "b": pa.int64()},
+        num_buckets=8,
+    )
+    lds = ray.data.from_pandas(left).repartition(6)
+    rds = ray.data.from_pandas(right).repartition(3)
+    got = salted_hash_join(
+        lds, rds, num_salts=4, hot_threshold=100, **kwargs
+    ).to_pandas()
+    base = hash_join(lds, rds, **kwargs).to_pandas()
+    exp = left.merge(right, left_on="k", right_on="k2")[["k", "a", "b"]]
+    key = ["k", "a", "b"]
+
+    def norm(df):
+        return df.sort_values(key).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(norm(got), norm(exp))
+    pd.testing.assert_frame_equal(norm(base), norm(exp))
+
+
+def test_salted_hash_join_actually_splits_hot_key(ray_session):
+    """With the hot key salted, no single group task may see all of its
+    left rows: assert the per-group left row counts stay under the
+    unsalted bucket size (the whole point of the operator)."""
+    import numpy as np
+
+    from pii_filter_ray.stages.joins import salted_hash_join
+
+    n_hot = 400
+    left = pd.DataFrame({
+        "k": np.full(n_hot, 9, dtype="int64"),
+        "a": np.arange(n_hot, dtype="int64"),
+    })
+    right = pd.DataFrame({"k2": np.array([9], dtype="int64"),
+                          "b": np.array([1], dtype="int64")})
+    seen = []
+
+    out = salted_hash_join(
+        ray.data.from_pandas(left).repartition(4),
+        ray.data.from_pandas(right),
+        left_key="k", right_key="k2",
+        left_cols=["a"], right_cols=["b"],
+        schema={"a": pa.int64(), "b": pa.int64()},
+        num_buckets=4, num_salts=4, hot_threshold=100,
+    ).to_pandas()
+    # every left row appears exactly once; salting spread them 4 ways, so
+    # with a deterministic per-batch position spread each salt got ~n/4
+    assert sorted(out["a"].tolist()) == list(range(n_hot))
+    salts = (np.sort(out["a"].to_numpy()) % 4)  # placeholder no-op, set below
+    # verify the spread by recomputing the tag: groups = salt buckets
+    from pii_filter_ray.stages.joins import _tag_salted, _LEFT
+    hot_ref = ray.put(np.array([9], dtype="int64"))
+    tag = _tag_salted(_LEFT, "k", ["a"], {"a": pa.int64()}, 4, 4, hot_ref)
+    tagged = tag(pa.table({"k": pa.array(left["k"]), "a": pa.array(left["a"])}))
+    counts = pd.Series(tagged["__bucket"].to_numpy()).value_counts()
+    assert len(counts) == 4 and counts.max() <= n_hot // 4 + 4
+
+
+def test_salted_hash_join_large_int64_payload(ray_session):
+    """2^53+1-scale int64 payloads survive the replicated right path (the
+    take+tile reindex must not hop through float)."""
+    import numpy as np
+
+    from pii_filter_ray.stages.joins import salted_hash_join
+
+    big = 9_007_199_254_740_993
+    left = pd.DataFrame({
+        "k": np.full(60, 4, dtype="int64"),
+        "a": (big + np.arange(60)).astype("int64"),
+    })
+    right = pd.DataFrame({"k2": np.array([4], dtype="int64"),
+                          "b": np.array([big + 500], dtype="int64")})
+    out = salted_hash_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        left_key="k", right_key="k2",
+        left_cols=["a"], right_cols=["b"],
+        schema={"a": pa.int64(), "b": pa.int64()},
+        num_buckets=4, num_salts=3, hot_threshold=50,
+    ).to_pandas()
+    assert sorted(out["a"].tolist()) == [big + i for i in range(60)]
+    assert set(out["b"].tolist()) == {big + 500}
+
+
+def test_detect_hot_keys_max_hot_guard(ray_session):
+    import numpy as np
+
+    from pii_filter_ray.stages.joins import detect_hot_keys
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"k": np.arange(50, dtype="int64")})
+    )
+    with pytest.raises(ValueError, match="max_hot"):
+        detect_hot_keys(ds, "k", threshold=1, max_hot=10)
