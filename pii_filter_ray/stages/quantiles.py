@@ -6,20 +6,27 @@ covers continuous doubles grouped by a small key domain (the aggregation
 dimension — event types, languages, shards — is small by definition even
 when each group holds billions of rows):
 
-  pass 1  map_batches partials -> groupby: per-group (n, min, max)
-  driver  per-group linear grid of ``n_buckets``; target rank per quantile
-  pass 2  map_batches histogram partials -> groupby: per-(group, bucket)
-          counts; driver cumulative walk finds each rank's bucket
-  pass 3  filter-pull ONLY the target buckets (expected n/n_buckets rows
-          per group) and select the exact ranked element
+  pass 1   map_batches partials -> groupby: per-group (n, min, max)
+  loop     map_batches histogram partials -> groupby: per-(segment, bucket)
+           (count, min, max); driver cumulative walk finds each target
+           rank's bucket. A target bucket small enough to pull becomes a
+           FINAL segment; a point-mass bucket (min == max) resolves
+           immediately to that value; any other hot bucket RECURSES as a
+           new segment over [bucket_min, bucket_max] with residual ranks —
+           the interval shrinks to the actual value range each round, so
+           heavy near-point distributions converge in a round or two.
+  final    ONE filter-pull pass over all final segments (each bounded by
+           ``pull_limit`` rows) selects the exact ranked elements.
 
-All three passes stream; nothing is sorted; the shuffle moves one row per
-(group, bucket) per block. Extreme-scale note: a pathological point-mass
-bucket (>> n/n_buckets rows) would need one recursive refinement of the
-same three passes over that bucket — not wired, asserted against instead.
+All passes stream; nothing is sorted; each histogram shuffle moves one row
+per (segment, bucket) per block. Equal values always share a bucket
+(bucketing is a monotone function of the value), so a segment's rows are
+exactly recovered later by ``key`` + closed value interval — no grid
+bookkeeping crosses rounds.
 
 Matches DuckDB ``quantile_disc``: element at rank max(1, ceil(q*n)),
-1-indexed over the sorted group.
+1-indexed over the sorted group. Values must be finite doubles; null
+values are ignored, null keys dropped (documented contract).
 """
 
 from __future__ import annotations
@@ -44,12 +51,14 @@ def grouped_quantile_disc(
     qs: Sequence[float],
     n_buckets: int = 4096,
     max_pull: int = 2_000_000,
+    pull_limit: int = 100_000,
+    max_depth: int = 6,
 ) -> pd.DataFrame:
     """DataFrame (key, q, value) with quantile_disc semantics per group.
 
-    Null VALUES are ignored (matching SQL aggregate semantics). Null KEYS
-    are dropped — SQL's NULL group is not represented (documented contract;
-    callers should prune ``ds`` to exactly [key, value_col])."""
+    ``pull_limit`` caps the rows any single final segment may pull (a
+    bucket above it refines recursively, up to ``max_depth`` rounds);
+    ``max_pull`` guards the one combined driver pull at the end."""
 
     def _valid(batch: pa.Table) -> pa.Table:
         # filter ONLY on (key, value) validity — never on unrelated columns
@@ -82,92 +91,150 @@ def grouped_quantile_disc(
         )
         .to_pandas()
     )
-    # grids: group -> (lo, width); width 0 => single-value group
-    grids: Dict[object, Tuple[float, float]] = {}
-    ranks: Dict[object, List[Tuple[float, int]]] = {}
+
+    # A segment: (seg_id, group key, vlo, vhi, [(q, rank-within-segment)]).
+    # Segments of one key always hold disjoint value intervals, so a row
+    # belongs to at most one segment of its key.
+    answers: List[Tuple[object, float, float]] = []  # (key, q, value)
+    finals: List[Tuple[int, object, float, float, int, List[Tuple[float, int]]]] = []
+    active: List[Tuple[int, object, float, float, List[Tuple[float, int]]]] = []
+    seg_counter = 0
     for _, row in stats.iterrows():
         k_, n, lo, hi = row[key], int(row["n"]), float(row["lo"]), float(row["hi"])
-        grids[k_] = (lo, (hi - lo) / n_buckets)
-        ranks[k_] = [(q, max(1, math.ceil(q * n))) for q in qs]
-    grids_ref = ray.put(grids)
+        ranks = [(q, max(1, math.ceil(q * n))) for q in qs]
+        if lo == hi:  # single-valued group: every quantile is that value
+            answers.extend((k_, q, lo) for q, _ in ranks)
+        elif n <= pull_limit:
+            finals.append((seg_counter, k_, lo, hi, n, ranks))
+            seg_counter += 1
+        else:
+            active.append((seg_counter, k_, lo, hi, ranks))
+            seg_counter += 1
 
-    def bucket_of(vals: np.ndarray, lo: float, w: float) -> np.ndarray:
-        if w <= 0.0:
-            return np.zeros(len(vals), dtype=np.int64)
-        return np.clip(((vals - lo) / w).astype(np.int64), 0, n_buckets - 1)
+    def seg_map(segs) -> Dict[object, List[Tuple[int, float, float]]]:
+        m: Dict[object, List[Tuple[int, float, float]]] = {}
+        for sid, k_, vlo, vhi, _ranks in segs:
+            m.setdefault(k_, []).append((sid, vlo, vhi))
+        return m
 
-    def hist_partials(batch: pa.Table) -> pa.Table:
-        g = ray.get(grids_ref)
-        t = _valid(batch)
-        keys_np = t[key].to_numpy(zero_copy_only=False)
-        vals = t[value_col].to_numpy()
-        out_k, out_b, out_n = [], [], []
-        for k_ in np.unique(keys_np):
-            lo, w = g[k_]
-            m = keys_np == k_
-            b = bucket_of(vals[m], lo, w)
-            ub, cnt = np.unique(b, return_counts=True)
-            out_k.extend([k_] * len(ub))
-            out_b.extend(ub.tolist())
-            out_n.extend(cnt.tolist())
-        return pa.table(
-            {
-                key: pa.array(out_k),
-                "bucket": pa.array(out_b, pa.int64()),
-                "cnt": pa.array(out_n, pa.int64()),
-            }
-        )
+    depth = 0
+    while active:
+        segs_ref = ray.put(seg_map(active))
 
-    hist = (
-        ds.map_batches(hist_partials, batch_format="pyarrow")
-        .groupby([key, "bucket"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .to_pandas()
-        .sort_values([key, "bucket"])
-    )
-    # locate each rank's bucket + the residual rank within it
-    targets: Dict[object, Dict[int, List[Tuple[float, int]]]] = {}
-    for k_, grp in hist.groupby(key, sort=False):
-        cum = grp["cnt"].cumsum().to_numpy()
-        buckets = grp["bucket"].to_numpy()
-        for q, rank in ranks[k_]:
-            i = int(np.searchsorted(cum, rank))
-            below = int(cum[i - 1]) if i > 0 else 0
-            targets.setdefault(k_, {}).setdefault(int(buckets[i]), []).append(
-                (q, rank - below)
+        def hist_partials(batch: pa.Table) -> pa.Table:
+            segs = ray.get(segs_ref)
+            t = _valid(batch)
+            keys_np = t[key].to_numpy(zero_copy_only=False)
+            vals = t[value_col].to_numpy()
+            out_s, out_b, out_n, out_lo, out_hi = [], [], [], [], []
+            for k_ in np.unique(keys_np):
+                if k_ not in segs:
+                    continue
+                km = keys_np == k_
+                kvals = vals[km]
+                for sid, vlo, vhi in segs[k_]:
+                    m = (kvals >= vlo) & (kvals <= vhi)
+                    if not m.any():
+                        continue
+                    sv = kvals[m]
+                    w = (vhi - vlo) / n_buckets
+                    b = np.clip(((sv - vlo) / w).astype(np.int64), 0, n_buckets - 1)
+                    for ub in np.unique(b):
+                        bm = sv[b == ub]
+                        out_s.append(sid)
+                        out_b.append(int(ub))
+                        out_n.append(len(bm))
+                        out_lo.append(float(bm.min()))
+                        out_hi.append(float(bm.max()))
+            return pa.table(
+                {
+                    "sid": pa.array(out_s, pa.int64()),
+                    "bucket": pa.array(out_b, pa.int64()),
+                    "cnt": pa.array(out_n, pa.int64()),
+                    "blo": pa.array(out_lo, pa.float64()),
+                    "bhi": pa.array(out_hi, pa.float64()),
+                }
             )
-    targets_ref = ray.put(targets)
 
-    def pull(batch: pa.Table) -> pa.Table:
-        tg = ray.get(targets_ref)
-        g = ray.get(grids_ref)
-        t = _valid(batch)
-        keys_np = t[key].to_numpy(zero_copy_only=False)
-        vals = t[value_col].to_numpy()
-        keep = np.zeros(len(vals), dtype=bool)
-        for k_ in np.unique(keys_np):
-            if k_ not in tg:
-                continue
-            lo, w = g[k_]
-            m = keys_np == k_
-            b = bucket_of(vals[m], lo, w)
-            keep[np.flatnonzero(m)[np.isin(b, list(tg[k_]))]] = True
-        return pa.table({key: pa.array(keys_np[keep]), "v": pa.array(vals[keep])})
+        hist = (
+            ds.map_batches(hist_partials, batch_format="pyarrow")
+            .groupby(["sid", "bucket"])
+            .aggregate(
+                Sum("cnt", alias_name="cnt"),
+                Min("blo", alias_name="blo"),
+                Max("bhi", alias_name="bhi"),
+            )
+            .to_pandas()
+            .sort_values(["sid", "bucket"])
+        )
+        by_sid = dict(tuple(hist.groupby("sid", sort=False)))
+        next_active: List[Tuple[int, object, float, float, List[Tuple[float, int]]]] = []
+        force_pull = depth + 1 >= max_depth
+        for sid, k_, vlo, vhi, ranks in active:
+            grp = by_sid[sid]
+            cum = grp["cnt"].cumsum().to_numpy()
+            cnts = grp["cnt"].to_numpy()
+            blos = grp["blo"].to_numpy()
+            bhis = grp["bhi"].to_numpy()
+            # residual ranks grouped per target bucket index
+            per_bucket: Dict[int, List[Tuple[float, int]]] = {}
+            for q, rank in ranks:
+                i = int(np.searchsorted(cum, rank))
+                below = int(cum[i - 1]) if i > 0 else 0
+                per_bucket.setdefault(i, []).append((q, rank - below))
+            for i, rs in per_bucket.items():
+                cnt, blo, bhi = int(cnts[i]), float(blos[i]), float(bhis[i])
+                if blo == bhi:  # point mass: rank position is irrelevant
+                    answers.extend((k_, q, blo) for q, _ in rs)
+                elif cnt <= pull_limit or force_pull:
+                    finals.append((seg_counter, k_, blo, bhi, cnt, rs))
+                    seg_counter += 1
+                else:
+                    next_active.append((seg_counter, k_, blo, bhi, rs))
+                    seg_counter += 1
+        active = next_active
+        depth += 1
 
-    pulled = ds.map_batches(pull, batch_format="pyarrow").to_pandas()
-    assert len(pulled) <= max_pull, (
-        f"point-mass bucket: pulled {len(pulled)} rows — recurse the "
-        "three-pass refinement over the hot bucket for this distribution"
-    )
+    if finals:
+        total = sum(n for _, _, _, _, n, _ in finals)
+        assert total <= max_pull, (
+            f"final segments hold {total} rows (> max_pull={max_pull}); "
+            "lower pull_limit or raise n_buckets/max_depth"
+        )
+        fin_ref = ray.put(seg_map([(s, k_, lo, hi, r) for s, k_, lo, hi, _n, r in finals]))
 
-    rows = []
-    for k_, grp in pulled.groupby(key, sort=False):
-        lo, w = grids[k_]
-        vals = grp["v"].to_numpy()
-        b = bucket_of(vals, lo, w)
-        for bucket, q_ranks in targets[k_].items():
-            bucket_vals = np.sort(vals[b == bucket])
-            for q, within in q_ranks:
-                rows.append({key: k_, "q": q, "value": float(bucket_vals[within - 1])})
-    out = pd.DataFrame(rows).sort_values([key, "q"]).reset_index(drop=True)
-    return out
+        def pull(batch: pa.Table) -> pa.Table:
+            segs = ray.get(fin_ref)
+            t = _valid(batch)
+            keys_np = t[key].to_numpy(zero_copy_only=False)
+            vals = t[value_col].to_numpy()
+            out_s: List[int] = []
+            out_v: List[np.ndarray] = []
+            for k_ in np.unique(keys_np):
+                if k_ not in segs:
+                    continue
+                kvals = vals[keys_np == k_]
+                for sid, vlo, vhi in segs[k_]:
+                    m = (kvals >= vlo) & (kvals <= vhi)
+                    if m.any():
+                        sv = kvals[m]
+                        out_s.extend([sid] * len(sv))
+                        out_v.append(sv)
+            return pa.table(
+                {
+                    "sid": pa.array(out_s, pa.int64()),
+                    "v": pa.array(
+                        np.concatenate(out_v) if out_v else np.empty(0), pa.float64()
+                    ),
+                }
+            )
+
+        pulled = ds.map_batches(pull, batch_format="pyarrow").to_pandas()
+        pulled_by_sid = dict(tuple(pulled.groupby("sid", sort=False)))
+        for sid, k_, _lo, _hi, _n, rs in finals:
+            seg_vals = np.sort(pulled_by_sid[sid]["v"].to_numpy())
+            for q, within in rs:
+                answers.append((k_, q, float(seg_vals[within - 1])))
+
+    out = pd.DataFrame(answers, columns=[key, "q", "value"])
+    return out.sort_values([key, "q"]).reset_index(drop=True)

@@ -1,0 +1,108 @@
+"""grouped_quantile_disc: exactness vs a rank-formula reference, including
+the point-mass / hot-bucket recursion paths added in round 2."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+
+from pii_filter_ray.stages.quantiles import grouped_quantile_disc
+
+
+def ref_quantile_disc(df: pd.DataFrame, key: str, col: str, qs) -> pd.DataFrame:
+    rows = []
+    for k, grp in df.groupby(key):
+        vals = np.sort(grp[col].to_numpy())
+        n = len(vals)
+        for q in qs:
+            rows.append({key: k, "q": q, "value": float(vals[max(1, math.ceil(q * n)) - 1])})
+    return pd.DataFrame(rows).sort_values([key, "q"]).reset_index(drop=True)
+
+
+def check(df, qs, ray_session_kwargs=None, **kw):
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = grouped_quantile_disc(ds, "k", "v", qs, **kw)
+    exp = ref_quantile_disc(df, "k", "v", qs)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp, check_dtype=False, atol=0
+    )
+
+
+@pytest.mark.parametrize("seed", [1, 8])
+def test_continuous_random_exact(ray_session, seed):
+    rng = np.random.RandomState(seed)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 5000),
+        "v": rng.normal(0, 100, 5000),
+    })
+    check(df, (0.1, 0.5, 0.95), n_buckets=64)
+
+
+def test_point_mass_bucket_recurses_and_resolves(ray_session):
+    """One value carries 90% of a group: the old implementation asserted;
+    now the hot bucket's min==max short-circuit answers it exactly, with a
+    pull_limit far below the mass size."""
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "k": ["g"] * 30_000,
+        "v": np.r_[np.full(27_000, 42.5), rng.uniform(0, 100, 3_000)],
+    })
+    check(df, (0.1, 0.5, 0.9, 0.99), n_buckets=16, pull_limit=500, max_pull=50_000)
+
+
+def test_near_point_cluster_needs_deep_refinement(ray_session):
+    """A cluster spanning 1e-9 inside a [0, 1e6] range: the first grid puts
+    it all in one bucket; recursion re-grids on [cluster_min, cluster_max]
+    and resolves without ever pulling more than pull_limit rows."""
+    rng = np.random.RandomState(7)
+    cluster = 500.0 + rng.uniform(0, 1e-9, 20_000)
+    df = pd.DataFrame({
+        "k": ["g"] * 20_050,
+        "v": np.r_[cluster, rng.uniform(0, 1e6, 50)],
+    })
+    check(df, (0.5, 0.9), n_buckets=8, pull_limit=4096, max_pull=50_000)
+
+
+def test_multi_hot_buckets_same_group(ray_session):
+    """Two separated point masses in one group -> two segments of the same
+    key recurse in the same round (disjoint intervals)."""
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({
+        "k": ["g"] * 22_000,
+        "v": np.r_[np.full(10_000, 1.0), np.full(10_000, 999.0),
+                   rng.uniform(0, 1000, 2_000)],
+    })
+    check(df, (0.25, 0.75), n_buckets=8, pull_limit=500, max_pull=50_000)
+
+
+def test_single_valued_and_tiny_groups(ray_session):
+    df = pd.DataFrame({
+        "k": ["solo"] * 40 + ["tiny"] * 3,
+        "v": [7.0] * 40 + [3.0, 1.0, 2.0],
+    })
+    check(df, (0.0, 0.5, 1.0), n_buckets=4, pull_limit=10)
+
+
+def test_null_values_ignored_null_keys_dropped(ray_session):
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "a", None],
+        "v": [1.0, None, 3.0, 5.0, 9.0],
+    })
+    ds = ray.data.from_pandas(df)
+    got = grouped_quantile_disc(ds, "k", "v", (0.5,), n_buckets=4)
+    # group 'a' has values {1,3,5}; median = 3
+    assert got.to_dict("records") == [{"k": "a", "q": 0.5, "value": 3.0}]
+
+
+def test_max_pull_guard(ray_session):
+    rng = np.random.RandomState(2)
+    df = pd.DataFrame({"k": ["a"] * 5000, "v": rng.uniform(0, 1, 5000)})
+    with pytest.raises(AssertionError, match="max_pull"):
+        grouped_quantile_disc(
+            ray.data.from_pandas(df), "k", "v", (0.5,),
+            n_buckets=4, pull_limit=5000, max_pull=100,
+        )
