@@ -107,6 +107,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_lineitem_revenue": r.order_lineitem_revenue,
         # skew-safe salted variant (hot keys split over salt sub-buckets)
         "events_salted_user_join": r.events_salted_user_join,
+        # training-corpus hygiene: benchmark decontamination + repetition
+        "doc_decontam": r.doc_decontam,
+        "doc_repetition_signals": r.doc_repetition_signals,
         # grouped exact quantiles (stages/quantiles.py) + stratified sample
         "events_value_quantiles": r.events_value_quantiles,
         "doc_sample_per_lang": r.doc_sample_per_lang,
@@ -445,6 +448,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_items
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderpriority
+        """,
+        "doc_decontam": """
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x != '') AS ws
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws) - 3),
+                                             i -> array_to_string(ws[i:i+4], ' '))) AS g
+                FROM docs WHERE len(ws) >= 5
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+            hit_grams AS (
+                SELECT DISTINCT grams.doc_id, grams.g
+                FROM grams JOIN bench ON grams.g = bench.g
+            ),
+            hits AS (
+                SELECT d.doc_id, count(h.g) AS n_hits
+                FROM docs d LEFT JOIN hit_grams h ON d.doc_id = h.doc_id
+                GROUP BY d.doc_id
+            )
+            SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+                   n_hits > 0 AS contaminated
+            FROM hits
+        """,
+        "doc_repetition_signals": """
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x != '') AS ws
+                FROM documents
+            ),
+            words AS (SELECT doc_id, unnest(ws) AS w FROM docs),
+            wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2),
+            wstats AS (
+                SELECT doc_id, sum(c) AS nw, count(*) AS ndw, max(c) AS maxc
+                FROM wc GROUP BY doc_id
+            ),
+            g2 AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws)),
+                                             i -> array_to_string(ws[i:i+1], ' '))) AS g
+                FROM docs WHERE len(ws) >= 2
+            ),
+            g2stats AS (
+                SELECT doc_id, count(*) AS ng, count(DISTINCT g) AS ndg
+                FROM g2 GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   round(coalesce(1 - w.ndw / CAST(w.nw AS DOUBLE), 0), 6) AS dup_word_frac,
+                   round(coalesce(w.maxc / CAST(w.nw AS DOUBLE), 0), 6) AS max_word_frac,
+                   round(coalesce(1 - g.ndg / CAST(g.ng AS DOUBLE), 0), 6) AS dup_2gram_frac
+            FROM (SELECT doc_id FROM docs) d
+            LEFT JOIN wstats w ON d.doc_id = w.doc_id
+            LEFT JOIN g2stats g ON d.doc_id = g.doc_id
         """,
         "events_salted_user_join": """
             WITH user_n AS (

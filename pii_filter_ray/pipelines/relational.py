@@ -1182,6 +1182,64 @@ def order_lineitem_revenue(sf_dir: str):
         ["o_orderpriority", "revenue", "n_items"]
     ]
 
+def doc_decontam(sf_dir: str, n: int = 5):
+    """Benchmark decontamination (stages/decontam.py): flag every document
+    sharing any word 5-gram with the 'benchmark' slice (deterministically
+    doc_id % 97 == 0 — standing in for a held-out eval set). The benchmark
+    n-gram set is built distributively and broadcast once; the corpus pass
+    is shuffle-free."""
+    from ..stages.decontam import benchmark_ngram_set, flag_contaminated
+
+    docs = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_filter(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 97 == 0))
+
+    bench = docs.map_batches(bench_filter, batch_format="pyarrow")
+    bset = benchmark_ngram_set(bench, "text", n)
+    out = flag_contaminated(docs, bset, id_col="doc_id", text_col="text", n=n)
+    df = out.to_pandas()
+    return df.astype({"doc_id": "int64", "n_hits": "int64", "contaminated": "bool"})
+
+
+def doc_repetition_signals(sf_dir: str):
+    """Gopher-style repetition quality signals per document: duplicate-word
+    fraction (1 - distinct/total), most-frequent-word fraction, and
+    duplicate-2-gram fraction — the standard 'is this document degenerate
+    repetition' features for corpus filtering. Pure per-row map, no
+    shuffle; whitespace tokens (same definition as doc_top_words)."""
+    from collections import Counter
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def signals(batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        dup_w = np.zeros(n_rows)
+        max_w = np.zeros(n_rows)
+        dup_2g = np.zeros(n_rows)
+        for i, v in enumerate(batch["text"].to_pylist()):
+            ws = (v or "").split()
+            if ws:
+                c = Counter(ws)
+                dup_w[i] = 1.0 - len(c) / len(ws)
+                max_w[i] = max(c.values()) / len(ws)
+            if len(ws) >= 2:
+                g2 = list(zip(ws, ws[1:]))
+                dup_2g[i] = 1.0 - len(set(g2)) / len(g2)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "dup_word_frac": pa.array(round_half_away(dup_w, 6), pa.float64()),
+                "max_word_frac": pa.array(round_half_away(max_w, 6), pa.float64()),
+                "dup_2gram_frac": pa.array(round_half_away(dup_2g, 6), pa.float64()),
+            }
+        )
+
+    df = ds.map_batches(signals, batch_format="pyarrow").to_pandas()
+    return df.astype({"doc_id": "int64"})
+
+
 def events_salted_user_join(sf_dir: str):
     """Skew-safe salted hash join (stages/joins.salted_hash_join): enrich
     every event with its user's total event count — a LARGE x LARGE

@@ -1,0 +1,106 @@
+"""Benchmark decontamination: flag corpus documents that share any word
+n-gram with an evaluation/benchmark set.
+
+The standard training-corpus hygiene step (the reference —
+DiegoAndradeD/pii-filter — has no corpus-level operators at all; this is a
+north-star addition): before training, every document that textually
+overlaps the eval benchmarks must be found, or reported metrics are
+contaminated. Published pipelines do exactly this shape (GPT-3 appendix C
+used 13-gram overlap; Llama/Dolma use 10–13): exact n-gram membership
+against the benchmark set.
+
+Scale shape (100 TB corpus, small benchmark — benchmarks are KBs–MBs by
+nature):
+  * the benchmark n-gram set is built DISTRIBUTIVELY (per-block distinct
+    n-gram partials -> one groupby dedup whose width is the benchmark
+    vocabulary, not the corpus) and pulled once to the driver — bounded
+    by the benchmark's size, with ``max_ngrams`` guarding a mis-scoped
+    benchmark filter;
+  * the set ships to workers ONCE via ray.put and every corpus batch
+    checks membership locally — no corpus-side shuffle at all;
+  * per-doc work is set-intersection over the doc's own n-grams.
+
+Tokens are whitespace words (identical to doc_top_words / the SQL oracle's
+``string_split_regex(text, '\\s+')``); an n-gram is n consecutive words
+joined by a single space.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _doc_ngrams(text: str, n: int) -> List[str]:
+    ws = (text or "").split()
+    if len(ws) < n:
+        return []
+    return [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+
+
+def benchmark_ngram_set(
+    bench: "ray.data.Dataset", text_col: str, n: int, max_ngrams: int = 50_000_000
+):
+    """Distinct n-grams of the benchmark set as a driver frozenset.
+
+    Per-block partials emit each n-gram once, the groupby dedups across
+    blocks, and the pull is bounded by the benchmark size (``max_ngrams``
+    fails loudly if the 'benchmark' accidentally selects half the
+    corpus)."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        grams = set()
+        for v in batch[text_col].to_pylist():
+            grams.update(_doc_ngrams(v, n))
+        return pa.table({"g": pa.array(sorted(grams), pa.string())})
+
+    from ray.data.aggregate import Count
+
+    deduped = (
+        bench.map_batches(partials, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Count(alias_name="n"))
+    )
+    grams: List[str] = []
+    for b in deduped.iter_batches(batch_format="pyarrow"):
+        grams.extend(b["g"].to_pylist())
+        if len(grams) > max_ngrams:
+            raise ValueError(
+                f"benchmark n-gram set exceeds max_ngrams={max_ngrams}; "
+                "the benchmark filter is selecting too much of the corpus"
+            )
+    return frozenset(grams)
+
+
+def flag_contaminated(
+    corpus: "ray.data.Dataset",
+    bench_ngrams: frozenset,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int,
+) -> "ray.data.Dataset":
+    """(id, n_hits, contaminated) per corpus document, where n_hits counts
+    the DISTINCT benchmark n-grams the document contains."""
+    ref = ray.put(bench_ngrams)
+
+    def check(batch: pa.Table) -> pa.Table:
+        bset = ray.get(ref)
+        ids = batch[id_col]
+        hits = np.empty(batch.num_rows, dtype="int64")
+        for i, v in enumerate(batch[text_col].to_pylist()):
+            hits[i] = len(bset.intersection(_doc_ngrams(v, n)))
+        return pa.table(
+            {
+                id_col: ids,
+                "n_hits": pa.array(hits, pa.int64()),
+                "contaminated": pa.array(hits > 0, pa.bool_()),
+            }
+        )
+
+    return corpus.map_batches(check, batch_format="pyarrow")

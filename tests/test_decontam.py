@@ -1,0 +1,83 @@
+"""Benchmark decontamination (stages/decontam.py): membership semantics,
+distinct-hit counting, and the broadcast-set guard."""
+
+import pandas as pd
+import pytest
+
+import ray
+
+from pii_filter_ray.stages.decontam import (
+    _doc_ngrams,
+    benchmark_ngram_set,
+    flag_contaminated,
+)
+
+
+def test_doc_ngrams():
+    assert _doc_ngrams("a b c d", 3) == ["a b c", "b c d"]
+    assert _doc_ngrams("a b", 3) == []
+    assert _doc_ngrams("", 3) == []
+    assert _doc_ngrams(None, 2) == []
+    # whitespace runs collapse exactly like str.split
+    assert _doc_ngrams("  a   b\tc ", 2) == ["a b", "b c"]
+
+
+def test_flag_contaminated_exact_overlap_semantics(ray_session):
+    bench = ray.data.from_pandas(
+        pd.DataFrame({"text": ["the quick brown fox jumps over"]})
+    )
+    bset = benchmark_ngram_set(bench, "text", n=5)
+    assert "the quick brown fox jumps" in bset and len(bset) == 2
+
+    corpus = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "intro the quick brown fox jumps outro",       # full 5-gram hit
+            "the quick brown fox sleeps all day",          # only 4 words shared
+            "quick brown fox jumps over and over again",   # second bench gram
+            "tiny doc",                                    # < n words
+        ],
+    })
+    out = (
+        flag_contaminated(
+            ray.data.from_pandas(corpus).repartition(2), bset,
+            id_col="doc_id", text_col="text", n=5,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["contaminated"].tolist() == [True, False, True, False]
+    assert out["n_hits"].tolist() == [1, 0, 1, 0]
+
+
+def test_n_hits_counts_distinct_grams_once(ray_session):
+    bench = ray.data.from_pandas(pd.DataFrame({"text": ["x y z w v u"]}))
+    bset = benchmark_ngram_set(bench, "text", n=3)
+    # doc repeats the same benchmark 3-gram twice -> counted once; also
+    # contains two other distinct benchmark grams
+    corpus = pd.DataFrame({
+        "doc_id": [1],
+        "text": ["x y z x y z w v"],
+    })
+    out = flag_contaminated(
+        ray.data.from_pandas(corpus), bset, id_col="doc_id", text_col="text", n=3
+    ).to_pandas()
+    # distinct benchmark grams present: 'x y z', 'y z w', 'z w v'
+    assert out["n_hits"].tolist() == [3]
+
+
+def test_benchmark_set_dedups_across_blocks(ray_session):
+    bench = ray.data.from_pandas(
+        pd.DataFrame({"text": ["a b c", "a b c", "b c d"]})
+    ).repartition(3)
+    bset = benchmark_ngram_set(bench, "text", n=3)
+    assert bset == frozenset({"a b c", "b c d"})
+
+
+def test_benchmark_set_max_guard(ray_session):
+    bench = ray.data.from_pandas(
+        pd.DataFrame({"text": [" ".join(str(i + j) for j in range(6)) for i in range(50)]})
+    )
+    with pytest.raises(ValueError, match="max_ngrams"):
+        benchmark_ngram_set(bench, "text", n=2, max_ngrams=10)
