@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-corpus hygiene: benchmark decontamination + repetition
         "doc_decontam": r.doc_decontam,
         "doc_repetition_signals": r.doc_repetition_signals,
+        # HyperLogLog register sketch (deterministic, SQL-recomputable)
+        "events_hll_users": r.events_hll_users,
         # grouped exact quantiles (stages/quantiles.py) + stratified sample
         "events_value_quantiles": r.events_value_quantiles,
         "doc_sample_per_lang": r.doc_sample_per_lang,
@@ -128,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from pii_filter_ray import oracles as o
+    from pii_filter_ray.stages.sketches import hll_sql
 
     return {
         # full SQL recomputations of the non-trivial operators (see
@@ -449,6 +452,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderpriority
         """,
+        "events_hll_users": hll_sql("events", "event_type", "user_id", p=12),
         "doc_decontam": """
             WITH docs AS (
                 SELECT doc_id,

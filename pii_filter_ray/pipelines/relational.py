@@ -1240,6 +1240,21 @@ def doc_repetition_signals(sf_dir: str):
     return df.astype({"doc_id": "int64"})
 
 
+def events_hll_users(sf_dir: str):
+    """Approximate distinct users per event type via a HyperLogLog register
+    sketch (stages/sketches.py): the shuffle moves at most 2^p register
+    rows per group per block — fixed cost regardless of event volume,
+    unlike the exact pair-dedup of events_distinct_users_per_type. The
+    estimate is DETERMINISTIC (splitmix64 + exact-integer S), so the SQL
+    oracle recomputes it bit-for-bit rather than tolerance-checking."""
+    from ..stages.sketches import hll_distinct_per_group
+
+    ds = _tbl(sf_dir, "events", columns=["event_type", "user_id"])
+    df = hll_distinct_per_group(ds, key="event_type", value_col="user_id", p=12)
+    df["est"] = round_half_away(df["est"], 3)
+    return df.astype({"est": "float64"})
+
+
 def events_salted_user_join(sf_dir: str):
     """Skew-safe salted hash join (stages/joins.salted_hash_join): enrich
     every event with its user's total event count — a LARGE x LARGE

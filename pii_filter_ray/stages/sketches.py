@@ -1,0 +1,204 @@
+"""HyperLogLog approximate COUNT DISTINCT per group (mergeable sketch).
+
+``events_distinct_users_per_type`` computes the exact answer with a
+two-level pair dedup — the right tool when (group, value) pairs are
+shuffle-affordable. At 100 TB the pair domain itself can be the
+bottleneck; the standard answer is a REGISTER sketch whose shuffle cost is
+fixed: each block contributes at most m=2^p rows per group (register id,
+max rho), merged with a plain Max aggregate — sketch merge IS register
+max, so partial aggregation is exact and associative, and the final
+register table on the driver is (groups x m), independent of row count.
+
+Hash: splitmix64 (public-domain finalizer; sequential-id-safe avalanche),
+computed in numpy uint64 wraparound arithmetic. The SQL oracle recomputes
+the SAME hash bit-exactly in DuckDB (HUGEINT mod-2^64 arithmetic with the
+XOR steps done through signed-BIGINT two's-complement conversion) — so
+the estimate is deterministically checkable, not just statistically.
+
+Estimator: standard HLL (Flajolet et al. 2007): E = alpha_m * m^2 / S,
+S = sum_j 2^(-M_j), with the small-range linear-counting correction
+E <= 2.5m -> m*ln(m/V) (V = zero registers). S is computed from an EXACT
+integer: S_int = sum_j 2^(53 - M_j) (every rho <= 53), so both sides
+derive the same double from the same integer — no float-sum order
+dependence anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Max
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 (wraparound mod 2^64)."""
+    old = np.seterr(over="ignore")
+    try:
+        z = x + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+    finally:
+        np.seterr(**old)
+
+
+def _rho(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rho) per hash: top p bits pick the register; rho =
+    1 + leading zeros of the remaining 64-p bits (in [1, 64-p+1])."""
+    reg = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = (h & np.uint64((1 << (64 - p)) - 1)).astype(np.int64)
+    # bit length via log2: exact for w < 2^53 (the 64-p=52-bit field)
+    bl = np.where(w > 0, np.floor(np.log2(np.maximum(w, 1))).astype(np.int64) + 1, 0)
+    return reg, (64 - p + 1) - bl
+
+
+def hll_estimate_from_registers(regs: np.ndarray, p: int) -> float:
+    """The deterministic estimator both sides compute: EXACT integer
+    S_int = sum 2^(53-M_j) (rho <= 53 when p >= 11), then one float
+    division — mirrored term-for-term by the SQL oracle."""
+    m = 1 << p
+    assert 64 - p + 1 <= 53, "rho must fit the exact-integer S encoding"
+    s_int = 0
+    for r in regs:
+        s_int += 1 << (53 - int(r))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m * 9007199254740992.0 / float(s_int)
+    v = int((regs == 0).sum())
+    if est <= 2.5 * m and v > 0:
+        est = m * math.log(m / v)
+    return est
+
+
+def hll_distinct_per_group(
+    ds: "ray.data.Dataset", key: str, value_col: str, p: int = 12
+) -> pd.DataFrame:
+    """DataFrame (key, est) — approximate distinct count of ``value_col``
+    (int64) per group. One register shuffle of <= m rows per group per
+    block; null keys/values ignored."""
+    m = 1 << p
+
+    def register_partials(batch: pa.Table) -> pa.Table:
+        t = batch.select([key, value_col])
+        t = t.filter(pc.and_(pc.is_valid(t[key]), pc.is_valid(t[value_col])))
+        keys_np = t[key].to_numpy(zero_copy_only=False)
+        vals = t[value_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = splitmix64(vals)
+        reg, rho = _rho(h, p)
+        out_k, out_r, out_v = [], [], []
+        for k_ in np.unique(keys_np):
+            km = keys_np == k_
+            r_ = np.zeros(m, dtype=np.int64)
+            np.maximum.at(r_, reg[km], rho[km])
+            nz = np.flatnonzero(r_)
+            out_k.extend([k_] * len(nz))
+            out_r.extend(nz.tolist())
+            out_v.extend(r_[nz].tolist())
+        return pa.table(
+            {
+                key: pa.array(out_k),
+                "reg": pa.array(out_r, pa.int64()),
+                "rho": pa.array(out_v, pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(register_partials, batch_format="pyarrow")
+        .groupby([key, "reg"])
+        .aggregate(Max("rho", alias_name="rho"))
+        .to_pandas()
+    )
+    rows = []
+    for k_, grp in merged.groupby(key, sort=False):
+        regs = np.zeros(m, dtype=np.int64)
+        regs[grp["reg"].to_numpy()] = grp["rho"].to_numpy()
+        rows.append({key: k_, "est": hll_estimate_from_registers(regs, p)})
+    return pd.DataFrame(rows).sort_values(key).reset_index(drop=True)
+
+
+# --- SQL oracle builder -----------------------------------------------------
+
+_K1 = 0x9E3779B97F4A7C15
+_K2 = 0xBF58476D1CE4E5B9
+_K3 = 0x94D049BB133111EB
+_M64 = "18446744073709551616::HUGEINT"
+_SIGN = "9223372036854775808::HUGEINT"
+
+
+def _sql_xor_shift(shift_div: int) -> str:
+    """u XOR (u >> k) over unsigned-64 HUGEINT ``u`` via signed-BIGINT
+    two's complement (shift_div = 2^k)."""
+    signed = f"CAST(u - CASE WHEN u >= {_SIGN} THEN {_M64} ELSE 0::HUGEINT END AS BIGINT)"
+    x = f"xor({signed}, CAST(u // {shift_div} AS BIGINT))"
+    return f"CAST({x} AS HUGEINT) + CASE WHEN {x} < 0 THEN {_M64} ELSE 0::HUGEINT END"
+
+
+def _sql_mulmod(k: int) -> str:
+    """(u * k) mod 2^64 in HUGEINT (32-bit split so no 128-bit overflow)."""
+    return (
+        f"(((u // 4294967296 * {k}) % 4294967296) * 4294967296"
+        f" + (u % 4294967296) * {k}) % {_M64}"
+    )
+
+
+def hll_sql(table: str, key: str, value_col: str, p: int = 12) -> str:
+    """DuckDB SQL recomputing hll_distinct_per_group bit-for-bit (hash,
+    registers, exact-integer S, estimator and correction), rounded to 3
+    decimals on both sides."""
+    m = 1 << p
+    reg_div = 1 << (64 - p)  # u // this = top p bits
+    return f"""
+        WITH s1 AS (
+            SELECT {key} AS k,
+                   (CAST({value_col} AS HUGEINT) + {_K1}) % {_M64} AS u
+            FROM {table}
+            WHERE {key} IS NOT NULL AND {value_col} IS NOT NULL
+        ),
+        s2 AS (SELECT k, {_sql_xor_shift(1 << 30)} AS u FROM s1),
+        s3 AS (SELECT k, {_sql_mulmod(_K2)} AS u FROM s2),
+        s4 AS (SELECT k, {_sql_xor_shift(1 << 27)} AS u FROM s3),
+        s5 AS (SELECT k, {_sql_mulmod(_K3)} AS u FROM s4),
+        s6 AS (SELECT k, {_sql_xor_shift(1 << 31)} AS u FROM s5),
+        hashed AS (
+            SELECT k,
+                   CAST(u // {reg_div} AS BIGINT) AS reg,
+                   CAST(u % {reg_div} AS BIGINT) AS w
+            FROM s6
+        ),
+        rhos AS (
+            SELECT k, reg,
+                   {64 - p + 1} - CASE WHEN w > 0
+                                       THEN length(printf('%b', w))
+                                       ELSE 0 END AS rho
+            FROM hashed
+        ),
+        regs AS (SELECT k, reg, max(rho) AS rho FROM rhos GROUP BY k, reg),
+        sums AS (
+            SELECT k,
+                   sum(CAST(1::BIGINT << (53 - rho) AS HUGEINT)) AS s_present,
+                   count(*) AS n_present
+            FROM regs GROUP BY k
+        ),
+        est0 AS (
+            SELECT k,
+                   ({m} - n_present) AS v,
+                   (0.7213 / (1.0 + 1.079 / {m})) * {m} * {m} * 9007199254740992.0
+                     / CAST(s_present
+                            + CAST({m} - n_present AS HUGEINT)
+                              * 9007199254740992::HUGEINT AS DOUBLE) AS e
+            FROM sums
+        )
+        SELECT k AS {key},
+               round(CASE WHEN e <= 2.5 * {m} AND v > 0
+                          THEN {m} * ln({m} / CAST(v AS DOUBLE))
+                          ELSE e END, 3) AS est
+        FROM est0
+        ORDER BY {key}
+    """

@@ -1,0 +1,99 @@
+"""HyperLogLog sketch (stages/sketches.py): estimator accuracy, register
+merge associativity (block-layout invariance), and the SQL bit-parity of
+the hash itself."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+
+from pii_filter_ray.stages.sketches import (
+    hll_distinct_per_group,
+    hll_estimate_from_registers,
+    hll_sql,
+    splitmix64,
+    _rho,
+)
+
+
+def _direct_estimate(vals: np.ndarray, p: int = 12) -> float:
+    m = 1 << p
+    reg, rho = _rho(splitmix64(vals.astype(np.uint64)), p)
+    regs = np.zeros(m, dtype=np.int64)
+    np.maximum.at(regs, reg, rho)
+    return hll_estimate_from_registers(regs, p)
+
+
+@pytest.mark.parametrize("n", [100, 1_000, 50_000])
+def test_estimator_accuracy_sequential_and_random(n):
+    # HLL p=12 standard error is ~1.6%; accept 3 sigma
+    est = _direct_estimate(np.arange(n, dtype=np.int64))
+    assert abs(est / n - 1) < 0.05, est
+    rng = np.random.RandomState(1)
+    ids = np.unique(rng.randint(0, 2**62, n))
+    est = _direct_estimate(ids)
+    assert abs(est / len(ids) - 1) < 0.05, est
+
+
+def test_block_layout_invariance(ray_session):
+    """The sketch is mergeable: any block partitioning yields identical
+    registers, hence the identical estimate."""
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], 20_000),
+        "v": rng.randint(0, 5_000, 20_000).astype("int64"),
+    })
+    outs = []
+    for parts in (1, 7, 32):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        outs.append(hll_distinct_per_group(ds, "k", "v").round(6))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
+
+
+def test_duplicates_do_not_move_estimate(ray_session):
+    """Repeating every value 50x leaves the registers untouched."""
+    base = pd.DataFrame({"k": ["g"] * 500, "v": np.arange(500, dtype="int64")})
+    rep = pd.concat([base] * 50, ignore_index=True)
+    a = hll_distinct_per_group(ray.data.from_pandas(base), "k", "v")
+    b = hll_distinct_per_group(ray.data.from_pandas(rep), "k", "v")
+    assert a["est"].iloc[0] == b["est"].iloc[0]
+
+
+def test_nulls_ignored(ray_session):
+    df = pd.DataFrame({
+        "k": ["a", "a", None, "a"],
+        "v": pd.array([1, None, 3, 1], dtype="Int64"),
+    })
+    out = hll_distinct_per_group(ray.data.from_pandas(df), "k", "v")
+    # group 'a' has distinct values {1}; linear counting gives ~1
+    assert len(out) == 1
+    assert abs(out["est"].iloc[0] - 1.0) < 0.51
+
+
+def test_sql_hash_bit_parity():
+    """The oracle's HUGEINT/xor reconstruction of splitmix64 is bit-exact
+    (register and rho identical) for adversarial id patterns."""
+    import duckdb
+
+    ids = np.unique(np.r_[
+        np.arange(1000, dtype=np.int64),
+        (1 << 62) - np.arange(100, dtype=np.int64),
+        np.random.RandomState(0).randint(0, 2**62, 1000),
+    ])
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"k": "x", "v": ids}))
+    sql = hll_sql("t", "k", "v", p=12)
+    # pull the intermediate registers by truncating the oracle at `regs`
+    inner = sql[: sql.index("sums AS")] + (
+        "sel AS (SELECT 1) SELECT reg, rho FROM regs ORDER BY reg"
+    )
+    got = con.execute(inner).fetchdf()
+    reg, rho = _rho(splitmix64(ids.astype(np.uint64)), 12)
+    regs = np.zeros(4096, dtype=np.int64)
+    np.maximum.at(regs, reg, rho)
+    exp = pd.DataFrame({"reg": np.flatnonzero(regs),
+                        "rho": regs[np.flatnonzero(regs)]})
+    got = got.astype({"reg": "int64", "rho": "int64"}).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True))
