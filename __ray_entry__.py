@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition_signals": r.doc_repetition_signals,
         # HyperLogLog register sketch (deterministic, SQL-recomputable)
         "events_hll_users": r.events_hll_users,
+        # dedup keep-rule: the corpus minus component non-representatives
+        "doc_dedup_corpus": r.doc_dedup_corpus,
         # grouped exact quantiles (stages/quantiles.py) + stratified sample
         "events_value_quantiles": r.events_value_quantiles,
         "doc_sample_per_lang": r.doc_sample_per_lang,
@@ -147,6 +149,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_jaccard_dups": o.doc_jaccard_dups_sql(),
         "doc_dup_components": o.doc_dup_components_sql(),
         "emb_cosine_neardup": o.emb_cosine_neardup_sql(),
+        "doc_dedup_corpus": o.doc_dedup_corpus_sql(),
         "emb_ivf_knn": o.emb_ivf_knn_sql(),
         # ground truth for the self-generated code corpus comes from the
         # generator's expectations sidecar (independent of the pipeline)
@@ -172,6 +175,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(list_filter(string_split_regex(text, '\\s+'),
                                         x -> x != '')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^ \\t\\n\\r\\f\\va-zA-Z0-9]+'
+                   )) AS BIGINT) AS n_bpe_tokens,
                    CAST(length(text) AS BIGINT) AS n_chars
             FROM documents
         """,

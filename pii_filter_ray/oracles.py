@@ -660,6 +660,32 @@ def doc_dup_components_sql(threshold: float = 0.5, max_df: int = 1000) -> str:
   FROM reach GROUP BY id"""
 
 
+def doc_dedup_corpus_sql(threshold: float = 0.5, max_df: int = 1000) -> str:
+    """Mirror of the near-dedup KEEP rule: the corpus minus every non-
+    representative member of a jaccard dup component (exact duplicates are
+    subsumed — a Jaccard-1.0 pair is always a component edge)."""
+    return f"""WITH RECURSIVE {jaccard_pairs_ctes(threshold, max_df).removeprefix("WITH ")},
+  nodes AS (
+    SELECT DISTINCT id FROM (
+      SELECT id_a AS id FROM jac_pairs UNION ALL SELECT id_b FROM jac_pairs
+    )
+  ),
+  bi_edges AS (
+    SELECT id_a AS a, id_b AS b FROM jac_pairs
+    UNION ALL
+    SELECT id_b AS a, id_a AS b FROM jac_pairs
+  ),
+  reach(id, r) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT e.a, reach.r FROM bi_edges e JOIN reach ON reach.id = e.b
+  ),
+  comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+  SELECT d.doc_id, d.lang
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+  WHERE c.id IS NULL OR c.component = d.doc_id"""
+
+
 def spec_pipeline_check_sql() -> str:
     """Mirror of the declarative PipelineSpec [sha256 -> quality_rules]
     chain (pipelines/spec.py — the §2.6 user-extension surface): sha256 of

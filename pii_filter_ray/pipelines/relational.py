@@ -742,6 +742,38 @@ def doc_dup_components(sf_dir: str, threshold: float = 0.5):
     return dup_components_joined(pairs)
 
 
+def doc_dedup_corpus(sf_dir: str, threshold: float = 0.5):
+    """Near-dedup KEEP rule — the step that actually materializes the
+    deduplicated corpus: drop every non-representative member (id !=
+    component label) of a Jaccard dup component, keep everything else.
+    Exact duplicates are subsumed (a Jaccard-1.0 pair is always an edge).
+    The drop-list is subtracted with the DISTRIBUTED hash_anti_join
+    (stages/joins.py) — no driver broadcast, so a 100 TB corpus with a
+    10% dup rate doesn't ship its drop set through the driver."""
+    from ..stages.dedup import dup_components_joined, jaccard_similarity_join
+    from ..stages.joins import hash_anti_join
+
+    text_ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = jaccard_similarity_join(
+        text_ds, text_col="text", id_col="doc_id", threshold=threshold
+    )
+    comps = dup_components_joined(pairs)
+
+    def drops(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.not_equal(batch["id"], batch["component"])
+        ).select(["id"])
+
+    docs = _tbl(sf_dir, "documents", columns=["doc_id", "lang"])
+    out = hash_anti_join(
+        docs, comps.map_batches(drops, batch_format="pyarrow"),
+        left_key="doc_id", right_key="id",
+        left_cols=["lang"], schema={"lang": pa.string()},
+    )
+    df = out.to_pandas().astype({"doc_id": "int64"})
+    return df[["doc_id", "lang"]]
+
+
 def events_sessions(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user: a new session starts after a >30 min gap.
     Same bucketed-vectorized shape as events_row_number: one pandas pass

@@ -14,22 +14,38 @@ from ..core.langid import detect_natural_lang
 from ..core.quality import quality_stats
 
 
-def token_stats_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
-    """Whitespace token count + char count per doc.
+# GPT-2-style pre-tokenizer, lookaround-free so Python re and RE2 (the
+# DuckDB oracle's regexp_extract_all) scan it identically: contraction
+# suffixes, optionally-space-prefixed letter/digit/symbol runs. Whitespace
+# is spelled as an explicit ASCII class — Python's \s would also match
+# Unicode whitespace while RE2's \s is ASCII-only, so \s must not appear.
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^ \t\n\r\f\va-zA-Z0-9]+"
+)
+_BPE_TOKEN_RE = __import__("re").compile(BPE_TOKEN_PATTERN)
 
-    SQL mirror: len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
-    — python str.split() splits on the same whitespace runs.
+
+def token_stats_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Whitespace token count + BPE-ish subword-unit count + char count.
+
+    SQL mirrors: len(list_filter(string_split_regex(text, '\\s+'), x -> x
+    != '')) — python str.split() splits on the same whitespace runs — and
+    len(regexp_extract_all(text, BPE_TOKEN_PATTERN)) for the BPE-ish count
+    (the pattern is engine-portable by construction; see above).
     """
     n_tokens: List[int] = []
+    n_bpe: List[int] = []
     n_chars: List[int] = []
     for v in batch[text_col].to_pylist():
         v = v or ""
         n_tokens.append(len(v.split()))
+        n_bpe.append(len(_BPE_TOKEN_RE.findall(v)))
         n_chars.append(len(v))
     return pa.table(
         {
             id_col: batch[id_col],
             "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
             "n_chars": pa.array(n_chars, pa.int64()),
         }
     )

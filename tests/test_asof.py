@@ -438,3 +438,46 @@ def test_detect_hot_keys_max_hot_guard(ray_session):
     )
     with pytest.raises(ValueError, match="max_hot"):
         detect_hot_keys(ds, "k", threshold=1, max_hot=10)
+
+
+@pytest.mark.parametrize("seed", [2, 9])
+def test_hash_anti_join_vs_pandas_reference(ray_session, seed):
+    import numpy as np
+
+    from pii_filter_ray.stages.joins import hash_anti_join
+
+    rng = np.random.RandomState(seed)
+    left = pd.DataFrame({
+        "k": rng.randint(0, 30, 300).astype("int64"),
+        "a": rng.randint(0, 1000, 300).astype("int64"),
+    })
+    right = pd.DataFrame({"k2": rng.randint(0, 40, 60).astype("int64")})
+    got = hash_anti_join(
+        ray.data.from_pandas(left).repartition(5),
+        ray.data.from_pandas(right).repartition(2),
+        left_key="k", right_key="k2",
+        left_cols=["a"], schema={"a": pa.int64()},
+        num_buckets=8,
+    ).to_pandas()
+    exp = left[~left["k"].isin(right["k2"])][["k", "a"]]
+    key = ["k", "a"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        exp.sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_hash_anti_join_empty_right_keeps_all(ray_session):
+    import numpy as np
+
+    from pii_filter_ray.stages.joins import hash_anti_join
+
+    left = pd.DataFrame({"k": np.arange(10, dtype="int64"),
+                         "a": np.arange(10, dtype="int64")})
+    right = pd.DataFrame({"k2": pd.Series(dtype="int64")})
+    got = hash_anti_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        left_key="k", right_key="k2",
+        left_cols=["a"], schema={"a": pa.int64()}, num_buckets=4,
+    ).to_pandas()
+    assert sorted(got["k"].tolist()) == list(range(10))

@@ -1,0 +1,63 @@
+"""BPE-ish token counting: the pattern must scan identically under Python
+re (the pipeline) and RE2 (the DuckDB oracle's regexp_extract_all)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from pii_filter_ray.stages.text_stats import BPE_TOKEN_PATTERN, _BPE_TOKEN_RE
+
+
+def duck_count(texts):
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"x": texts}))
+    sql_pat = BPE_TOKEN_PATTERN.replace("'", "''").replace("\\", "\\")
+    rows = con.execute(
+        f"SELECT coalesce(len(regexp_extract_all(x, '{sql_pat}')), 0) FROM t"
+    ).fetchall()
+    return [r[0] for r in rows]
+
+
+CASES = [
+    "hello world",
+    "it's John's 2nd try, we've 100% got it!",
+    "  leading  and   trailing   ",
+    "",
+    "a1b2c3",                      # letter/digit alternation splits
+    "don't can't won't I'll we're they've I'm he'd",
+    "symbols: @@## $5.99 (x+y)*z",
+    "unicode: café naïve 東京 — em—dash",
+    "tabs\tand\nnewlines\r\nmixed\x0b\x0c",
+    "'s at start",
+    "ends with apostrophe '",
+    "a'x non-contraction apostrophe",
+]
+
+
+def test_known_cases_match_duckdb():
+    got_py = [len(_BPE_TOKEN_RE.findall(t)) for t in CASES]
+    got_sql = duck_count(CASES)
+    assert got_py == got_sql
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fuzz_parity_with_re2(seed):
+    import random
+
+    rng = random.Random(seed)
+    alphabet = "ab 01'.,\t\n-_ä東!?:/\\()[]{}" + "'" * 3
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 120)))
+        for _ in range(300)
+    ]
+    got_py = [len(_BPE_TOKEN_RE.findall(t)) for t in texts]
+    got_sql = duck_count(texts)
+    assert got_py == got_sql
+
+
+def test_sensible_counts():
+    # "hello world" -> ["hello", " world"]
+    assert len(_BPE_TOKEN_RE.findall("hello world")) == 2
+    # contraction split: "it's" -> ["it", "'s"]
+    assert _BPE_TOKEN_RE.findall("it's") == ["it", "'s"]
+    assert len(_BPE_TOKEN_RE.findall("")) == 0
