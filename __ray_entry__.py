@@ -114,6 +114,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hll_users": r.events_hll_users,
         # dedup keep-rule: the corpus minus component non-representatives
         "doc_dedup_corpus": r.doc_dedup_corpus,
+        # bloom-prefiltered exact semi-join + moment-partial statistics
+        "orders_semi_bloom": r.orders_semi_bloom,
+        "lineitem_corr": r.lineitem_corr,
         # grouped exact quantiles (stages/quantiles.py) + stratified sample
         "events_value_quantiles": r.events_value_quantiles,
         "doc_sample_per_lang": r.doc_sample_per_lang,
@@ -459,6 +462,29 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o.o_orderpriority
         """,
         "events_hll_users": hll_sql("events", "event_type", "user_id", p=12),
+        "orders_semi_bloom": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '2000-06-30'
+            )
+        """,
+        "lineitem_corr": """
+            SELECT l_returnflag,
+                   round((n * sxy - sx * sy)
+                         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                         6) AS corr_qty_price
+            FROM (
+                SELECT l_returnflag,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       sum(l_quantity) AS sx,
+                       sum(l_extendedprice) AS sy,
+                       sum(l_quantity * l_quantity) AS sxx,
+                       sum(l_extendedprice * l_extendedprice) AS syy,
+                       sum(l_quantity * l_extendedprice) AS sxy
+                FROM lineitem GROUP BY l_returnflag
+            )
+        """,
         "doc_decontam": """
             WITH docs AS (
                 SELECT doc_id,

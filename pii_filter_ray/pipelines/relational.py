@@ -742,6 +742,89 @@ def doc_dup_components(sf_dir: str, threshold: float = 0.5):
     return dup_components_joined(pairs)
 
 
+def orders_semi_bloom(sf_dir: str):
+    """Bloom-prefiltered EXACT semi-join (stages/bloom.py + hash_semi_join):
+    orders with at least one lineitem shipped on/after 2000-06-30. The
+    bloom of recent-lineitem orderkeys broadcasts once (128 KiB regardless
+    of row count) and keeps definitely-unmatched orders out of the semi
+    shuffle; the exact join makes the output sketch-error-free."""
+    from ..stages.bloom import bloom_prefilter, build_bloom
+    from ..stages.joins import hash_semi_join
+
+    cutoff = pa.scalar(pd.Timestamp("2000-06-30"), pa.timestamp("us"))
+    lineitem = _tbl(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def recent(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch["l_shipdate"], cutoff)
+        ).select(["l_orderkey"])
+
+    recent_keys = lineitem.map_batches(recent, batch_format="pyarrow")
+    words = build_bloom(recent_keys, "l_orderkey")
+    orders = _tbl(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    pruned = bloom_prefilter(orders, "o_orderkey", words)
+    out = hash_semi_join(
+        pruned, recent_keys,
+        left_key="o_orderkey", right_key="l_orderkey",
+        left_cols=["o_totalprice"], schema={"o_totalprice": pa.float64()},
+    )
+    df = out.to_pandas().astype({"o_orderkey": "int64"})
+    return df[["o_orderkey", "o_totalprice"]]
+
+
+def lineitem_corr(sf_dir: str):
+    """Distributed Pearson correlation (quantity vs price per return flag)
+    from moment partials: each block ships one (sum x, y, x², y², xy, n)
+    row per key, the groupby merges moments, the driver applies the closed
+    form — the canonical 'statistical aggregate without a second pass'
+    pattern. Rounded to 6 so float merge order can't flip the compare."""
+    ds = _tbl(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        x = batch["l_quantity"].to_numpy()
+        y = batch["l_extendedprice"].to_numpy()
+        t = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "x": pa.array(x, pa.float64()),
+            "y": pa.array(y, pa.float64()),
+            "xx": pa.array(x * x, pa.float64()),
+            "yy": pa.array(y * y, pa.float64()),
+            "xy": pa.array(x * y, pa.float64()),
+        })
+        g = t.group_by("l_returnflag").aggregate(
+            [("x", "sum"), ("y", "sum"), ("xx", "sum"), ("yy", "sum"),
+             ("xy", "sum"), ("x", "count")]
+        )
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "sx": g["x_sum"], "sy": g["y_sum"], "sxx": g["xx_sum"],
+            "syy": g["yy_sum"], "sxy": g["xy_sum"],
+            "n": pc.cast(g["x_count"], pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("sx", alias_name="sx"), Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"), Sum("syy", alias_name="syy"),
+            Sum("sxy", alias_name="sxy"), Sum("n", alias_name="n"),
+        )
+        .to_pandas()
+    )
+    n = agg["n"].astype("float64")
+    num = n * agg["sxy"] - agg["sx"] * agg["sy"]
+    den = np.sqrt((n * agg["sxx"] - agg["sx"] * agg["sx"])
+                  * (n * agg["syy"] - agg["sy"] * agg["sy"]))
+    agg["corr_qty_price"] = round_half_away(num / den, 6)
+    return agg[["l_returnflag", "corr_qty_price"]].sort_values(
+        "l_returnflag"
+    ).reset_index(drop=True)
+
+
 def doc_dedup_corpus(sf_dir: str, threshold: float = 0.5):
     """Near-dedup KEEP rule — the step that actually materializes the
     deduplicated corpus: drop every non-representative member (id !=

@@ -152,6 +152,46 @@ def hash_anti_join(
     return tagged.groupby("__bucket").map_groups(bucket_anti, batch_format="pandas")
 
 
+def hash_semi_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    left_key: str,
+    right_key: str,
+    left_cols: List[str],
+    schema: Dict[str, pa.DataType],
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Distributed SEMI join on an int64 key: LEFT rows (each once) whose
+    key appears on the RIGHT at least once. Same shuffle shape as
+    :func:`hash_anti_join`; pair a Bloom prefilter (stages/bloom.py) in
+    front of it to keep definitely-unmatched left rows out of the shuffle
+    entirely. Returns [left_key] + left_cols."""
+    tagged = left.map_batches(
+        _tag(_LEFT, left_key, left_cols, schema, num_buckets), batch_format="pyarrow"
+    ).union(
+        right.map_batches(
+            _tag(_RIGHT, right_key, [], schema, num_buckets), batch_format="pyarrow"
+        )
+    )
+    from .asof import _pd_dtype
+
+    out_cols = [left_key, *left_cols]
+
+    def bucket_semi(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["__side"] == _LEFT][["__key", *left_cols]]
+        if len(lf) == 0:
+            cols = {left_key: pd.Series(dtype="int64")}
+            for c in left_cols:
+                cols[c] = pd.Series(dtype=_pd_dtype(schema[c]))
+            return pd.DataFrame(cols)[out_cols]
+        rk = g.loc[g["__side"] == _RIGHT, "__key"]
+        out = lf[lf["__key"].isin(rk)]
+        return out.rename(columns={"__key": left_key})[out_cols]
+
+    return tagged.groupby("__bucket").map_groups(bucket_semi, batch_format="pandas")
+
+
 def detect_hot_keys(
     ds: "ray.data.Dataset", key: str, threshold: int, max_hot: int = 1_000_000
 ) -> np.ndarray:

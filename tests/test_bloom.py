@@ -1,0 +1,76 @@
+"""Bloom join pruning (stages/bloom.py): the no-false-negative guarantee,
+block-layout invariance of the OR-merge, measured false-positive rate, and
+semi-join exactness through the prefilter."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from pii_filter_ray.stages.bloom import (
+    bloom_might_contain,
+    bloom_prefilter,
+    build_bloom,
+)
+from pii_filter_ray.stages.joins import hash_semi_join
+
+
+def test_no_false_negatives_and_layout_invariance(ray_session):
+    rng = np.random.RandomState(0)
+    keys = np.unique(rng.randint(0, 2**62, 5000)).astype("int64")
+    df = pd.DataFrame({"k": keys})
+    w1 = build_bloom(ray.data.from_pandas(df).repartition(1), "k")
+    w7 = build_bloom(ray.data.from_pandas(df).repartition(7), "k")
+    assert (w1 == w7).all()  # OR-merge is associative/commutative
+    assert bloom_might_contain(w1, keys).all()  # every inserted key present
+
+
+def test_false_positive_rate_sane():
+    rng = np.random.RandomState(1)
+    inserted = rng.randint(0, 2**62, 10_000).astype("int64")
+    words = np.zeros((1 << 20) // 64, dtype=np.uint64)
+    from pii_filter_ray.stages.bloom import _bloom_positions
+
+    pos = _bloom_positions(inserted, 7, 1 << 20).ravel()
+    np.bitwise_or.at(words, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64))
+    probes = rng.randint(2**62, 2**63 - 1, 20_000).astype("int64")
+    fp = bloom_might_contain(words, probes).mean()
+    # theory at n=1e4, m=2^20, k=7: ~1e-6; anything under 1% means working
+    assert fp < 0.01, fp
+
+
+def test_prefiltered_semi_join_exact(ray_session):
+    rng = np.random.RandomState(3)
+    left = pd.DataFrame({
+        "k": rng.randint(0, 5000, 3000).astype("int64"),
+        "a": rng.randint(0, 100, 3000).astype("int64"),
+    })
+    right = pd.DataFrame({"k2": rng.randint(0, 800, 400).astype("int64")})
+    rds = ray.data.from_pandas(right).repartition(3)
+    words = build_bloom(rds, "k2")
+    pruned = bloom_prefilter(
+        ray.data.from_pandas(left).repartition(5), "k", words
+    )
+    got = hash_semi_join(
+        pruned, rds,
+        left_key="k", right_key="k2",
+        left_cols=["a"], schema={"a": pa.int64()}, num_buckets=8,
+    ).to_pandas()
+    exp = left[left["k"].isin(right["k2"])][["k", "a"]]
+    key = ["k", "a"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        exp.sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_prefilter_actually_prunes(ray_session):
+    """Keys far outside the inserted set must be dropped before the
+    shuffle (the point of the bloom): with disjoint domains the pruned
+    dataset is (almost) empty."""
+    right = pd.DataFrame({"k2": np.arange(1000, dtype="int64")})
+    left = pd.DataFrame({"k": np.arange(10**9, 10**9 + 5000, dtype="int64")})
+    words = build_bloom(ray.data.from_pandas(right), "k2")
+    pruned = bloom_prefilter(ray.data.from_pandas(left), "k", words)
+    assert pruned.count() < 50  # fp-rate bound, not exactness
