@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped exact quantiles (stages/quantiles.py) + stratified sample
         "events_value_quantiles": r.events_value_quantiles,
         "doc_sample_per_lang": r.doc_sample_per_lang,
+        "doc_weighted_sample": r.doc_weighted_sample,
         # window frames + grouping sets
         "events_user_moving_avg": r.events_user_moving_avg,
         "events_rollup": r.events_rollup,
@@ -567,6 +568,21 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (
                            PARTITION BY lang
                            ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 3
+        """,
+        "doc_weighted_sample": """
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY pow(
+                               ((doc_id * 2654435761) % 4294967296 + 1.0)
+                                   / 4294967297.0,
+                               1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)
+                           ) DESC,
+                           doc_id
                        ) AS rn
                 FROM documents
             ) WHERE rn <= 3

@@ -1432,6 +1432,33 @@ def doc_sample_per_lang(sf_dir: str, k: int = 3):
     ).to_pandas()[["lang", "doc_id"]]
     return out.astype({"doc_id": "int64"})
 
+def doc_weighted_sample(sf_dir: str, k: int = 3):
+    """Deterministic WEIGHTED stratified sample: k docs per language with
+    inclusion probability ∝ n_chars, via Efraimidis-Spirakis keys
+    u^(1/weight) where u is a multiplicative-hash uniform of the stable id
+    — the weighted counterpart of doc_sample_per_lang, reproducible
+    anywhere including in SQL (no RNG state, no shuffle beyond the
+    salted top-k). Tie-break doc_id for full determinism."""
+    from ..stages.skew import salted_topk_per_group
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(2**32)
+        u = (h.astype(np.float64) + 1.0) / 4294967297.0
+        w = np.maximum(batch["n_chars"].to_numpy().astype(np.float64), 1.0)
+        return batch.append_column(
+            "es_key", pa.array(u ** (1.0 / w), pa.float64())
+        )
+
+    out = salted_topk_per_group(
+        ds.map_batches(add_key, batch_format="pyarrow"),
+        key="lang", order_col="es_key", k=k, id_cols=["doc_id"], descending=True,
+    ).to_pandas()[["lang", "doc_id"]]
+    return out.astype({"doc_id": "int64"})
+
+
 def events_user_moving_avg(sf_dir: str, frame: int = 3):
     """Window FRAME aggregate: per-user moving average of `value` over the
     last 3 events (ROWS 2 PRECEDING .. CURRENT ROW, ordered ts, event_id).

@@ -129,6 +129,51 @@ def test_salted_topk(ray_session):
         assert got == want, (key, got, want)
 
 
+def test_weighted_sample_es_keys(ray_session, tmp_path):
+    """doc_weighted_sample == a local Efraimidis-Spirakis reference, and the
+    weighting measurably biases selection toward long documents."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pii_filter_ray.pipelines.relational import doc_weighted_sample
+
+    rows = {"doc_id": [], "lang": [], "n_chars": [], "text": [], "source": []}
+    n = 0
+    for lang in ("pt", "en"):
+        for i in range(100):
+            rows["doc_id"].append(n)
+            rows["lang"].append(lang)
+            # half tiny, half 1000x heavier
+            rows["n_chars"].append(5 if i % 2 == 0 else 5000)
+            rows["text"].append("x")
+            rows["source"].append("t")
+            n += 1
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+
+    out = doc_weighted_sample(str(tmp_path), k=3)
+
+    # independent reference: same hash, numpy end to end
+    df = pd.DataFrame(rows)
+    ids = df["doc_id"].to_numpy().astype(np.uint64)
+    h = (ids * np.uint64(2654435761)) % np.uint64(2**32)
+    u = (h.astype(np.float64) + 1.0) / 4294967297.0
+    w = np.maximum(df["n_chars"].to_numpy().astype(np.float64), 1.0)
+    df["es_key"] = u ** (1.0 / w)
+    gt = (
+        df.sort_values(["es_key", "doc_id"], ascending=[False, True], kind="mergesort")
+        .groupby("lang")
+        .head(3)
+    )
+    for lang in ("pt", "en"):
+        got = sorted(out[out["lang"] == lang]["doc_id"])
+        want = sorted(gt[gt["lang"] == lang]["doc_id"])
+        assert got == want, (lang, got, want)
+
+    # heavy docs (odd ids) should dominate the sample
+    heavy = (out["doc_id"] % 2 == 1).sum()
+    assert heavy >= 5, out
+
+
 def test_restore_batch_stage(ray_session, small_corpus):
     import ray.data
 
