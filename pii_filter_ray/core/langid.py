@@ -78,13 +78,46 @@ _MD_STRONG_RE = re.compile(r"^(?:## |### |- |\* )", re.M)
 _MD_WEAK_RE = re.compile(r"^# ", re.M)
 
 
+def _md_counts_re(sample: str) -> Tuple[int, int]:
+    """Reference formulation of the markdown structural counts — kept for
+    the fuzz-equivalence test of the literal-count fast path below."""
+    return len(_MD_STRONG_RE.findall(sample)), len(_MD_WEAK_RE.findall(sample))
+
+
+_MD_PREFIXES = ("## ", "### ", "- ", "* ")
+
+
+def _md_counts(sample: str) -> Tuple[int, int]:
+    """(strong, weak) markdown line-marker counts via literal str.count —
+    provably identical to _md_counts_re: every ``^marker`` re.M match is
+    either at string start or directly after a '\\n', i.e. exactly one
+    '\\n<marker>' substring occurrence; the four strong markers are
+    mutually exclusive line prefixes ('### ' lines don't contain '\\n## '
+    because the third char is '#', '#### ' lines match neither), none
+    contains an inner newline (so occurrences never overlap), and '\\n# '
+    is disjoint from all of them.  ~2.5x faster than the two multiline
+    regex scans (the scans were ~30% of detect_code_lang)."""
+    strong = (
+        sample.count("\n## ")
+        + sample.count("\n### ")
+        + sample.count("\n- ")
+        + sample.count("\n* ")
+    )
+    if sample.startswith(_MD_PREFIXES):
+        strong += 1
+    weak = sample.count("\n# ")
+    if sample.startswith("# "):
+        weak += 1
+    return strong, weak
+
+
 def detect_code_lang(content: str, max_chars: int = 8192) -> Tuple[str, float]:
     """(language, confidence) for a source file; deterministic linear scorer.
 
     Feature weights accumulate over UNIQUE tokens x count (identical sums
     to the per-token loop, fewer dict probes) and the markdown structural
-    cue is two multiline regex counts instead of a per-line Python loop —
-    both equivalence-tested against the original formulation."""
+    cue is four literal substring counts (see _md_counts) — both
+    equivalence-tested against the original formulation."""
     if not content:
         return "text", 0.0
     sample = content[:max_chars]
@@ -99,9 +132,8 @@ def detect_code_lang(content: str, max_chars: int = 8192) -> Tuple[str, float]:
                 scores[lang] += w * cnt
     scores["text"] += _CODE_TEXT_BIAS * (n / 100.0)
     # markdown structural cue: lines starting with heading/bullet markers
-    scores["markdown"] += 2.0 * len(_MD_STRONG_RE.findall(sample)) + 0.75 * len(
-        _MD_WEAK_RE.findall(sample)
-    )
+    md_strong, md_weak = _md_counts(sample)
+    scores["markdown"] += 2.0 * md_strong + 0.75 * md_weak
     best = max(_LANG_ORDER, key=lambda k: scores[k])
     total = sum(scores.values()) or 1.0
     return best, scores[best] / total

@@ -66,6 +66,24 @@ def test_code_langid():
     assert detect_code_lang(prose * 3)[0] == "text"
 
 
+def test_md_counts_literal_equivalence():
+    """The literal str.count markdown-cue fast path must equal the re.M
+    regex reference on adversarial marker soup (fuzz) — proves the
+    disjoint-prefix / one-'\\n<marker>'-per-match argument."""
+    import random
+
+    from pii_filter_ray.core.langid import _md_counts, _md_counts_re
+
+    random.seed(11)
+    chunks = [
+        "# ", "## ", "### ", "#### ", "- ", "* ", "-", "*", "#", "\n",
+        "x", "text ", "```", "  - ", "\r\n", "##", "- item\n", "\n\n",
+    ]
+    for _ in range(50000):
+        s = "".join(random.choice(chunks) for _ in range(random.randint(0, 25)))
+        assert _md_counts(s) == _md_counts_re(s), repr(s)
+
+
 def test_natural_langid():
     assert detect_natural_lang("the quick brown fox jumps over the lazy dog and it was good")[0] == "en"
     assert detect_natural_lang("la casa de la pradera es muy bonita y el perro que vive en ella")[0] == "es"
