@@ -149,6 +149,12 @@ def run_bench() -> dict:
         "files_per_sec": round(n_code_files / queries["code_flagship"], 1),
     }
     ray.shutdown()
+    # Host-condition probe (~4s, after shutdown, untimed): this shared box's
+    # per-core speed at full width varies >3x day to day (measured envelope
+    # range 0.28-0.78; see BASELINE.md "Scaling"). Carrying the generic-kernel
+    # envelope in every bench line lets any two BENCH_r{N} files be compared
+    # honestly — divide files_per_sec by hw_envelope_fullwidth to normalize.
+    result["hw_envelope_fullwidth"] = _hw_envelope(1, NUM_CPUS)
     return result
 
 
