@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # north-star pipeline over the synthetic code corpus (self-input)
         "code_corpus_flagship": r.code_corpus_flagship,
         "code_corpus_repo_stats": r.code_corpus_repo_stats,
+        "code_line_dedup": r.code_line_dedup,
         "events_streaming_windows": r.events_streaming_windows,
         "mask_fixture_check": r.mask_fixture_check,
         "stat_ner_fixture_check": r.stat_ner_fixture_check,
@@ -159,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
         # generator's expectations sidecar (independent of the pipeline)
         "code_corpus_flagship": o.code_corpus_flagship_sql(),
         "code_corpus_repo_stats": o.code_corpus_repo_stats_sql(),
+        "code_line_dedup": o.code_line_dedup_sql(),
         "stat_ner_fixture_check": o.stat_ner_fixture_check_sql(),
         "doc_stat_ner": o.doc_stat_ner_sql(),
         "lineitem_quantity_quantiles": o.lineitem_quantity_quantiles_sql(),

@@ -709,3 +709,53 @@ def doc_lang_confusion_sql() -> str:
     SELECT d.lang, l.lang_detected, CAST(count(*) AS BIGINT) AS n
     FROM documents d JOIN lang_det l ON d.doc_id = l.doc_id
     GROUP BY 1, 2"""
+
+
+def code_line_dedup_sql(n_rows: int = 2000, seed: int = 42,
+                        min_chars: int = 12) -> str:
+    """Full recompute of corpus-wide line dedup (stages/line_dedup.py) over
+    the cached synthetic corpus: explode lines with zip-unnest ordinality,
+    rank occurrences of each substantial line by (fid, line_no), drop every
+    rank>1 occurrence, reassemble docs with string_agg. Groups by the line
+    TEXT itself (the Ray side groups by a 128-bit hash of it — identical up
+    to a negligible collision)."""
+    import os
+
+    from .sources.synthetic_code import corpus_dir
+
+    path = os.path.join(corpus_dir(n_rows=n_rows, seed=seed), "corpus")
+    return f"""
+WITH docs AS (
+  SELECT repo, path, repo || chr(1) || path AS fid, content
+  FROM read_parquet({_q(path + "/*.parquet")})
+),
+split AS (SELECT fid, string_split(content, chr(10)) AS sp FROM docs),
+l AS (
+  SELECT fid, unnest(sp) AS line,
+         CAST(unnest(range(len(sp))) AS BIGINT) AS line_no
+  FROM split
+),
+ranked AS (
+  SELECT fid, line_no,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY fid, line_no) AS rn
+  FROM l WHERE length(line) >= {min_chars}
+),
+drops AS (SELECT fid, line_no FROM ranked WHERE rn > 1),
+kept AS (
+  SELECT l.fid, l.line_no, l.line
+  FROM l LEFT JOIN drops d ON l.fid = d.fid AND l.line_no = d.line_no
+  WHERE d.fid IS NULL
+),
+agg AS (
+  SELECT fid, CAST(count(*) AS BIGINT) AS n_kept,
+         coalesce(string_agg(line, chr(10) ORDER BY line_no), '') AS content_dedup
+  FROM kept GROUP BY fid
+)
+SELECT d.repo, d.path,
+       CAST(CASE WHEN d.content IS NULL THEN 0
+            ELSE length(d.content) - length(replace(d.content, chr(10), '')) + 1
+            END AS BIGINT) AS n_lines,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CASE WHEN d.content IS NULL THEN NULL
+            ELSE coalesce(a.content_dedup, '') END AS content_dedup
+FROM docs d LEFT JOIN agg a ON d.fid = a.fid"""

@@ -958,6 +958,22 @@ def code_corpus_repo_stats(sf_dir: str):
     return per_repo_stats(quality_scrub(ds, mode="code", emit_mappings=False))
 
 
+def code_line_dedup(sf_dir: str):
+    """C4/RefinedWeb-style corpus-wide duplicate-line removal over the
+    synthetic code corpus (sf_dir unused; deterministic cached corpus):
+    every repeated occurrence of a substantial line (>=12 chars) is dropped
+    corpus-wide, keeping the (repo/path, line_no)-first one; docs rebuilt
+    from surviving lines (stages/line_dedup.py)."""
+    from ..sources.synthetic_code import corpus_path
+    from ..stages.line_dedup import line_dedup
+
+    ds = ray.data.read_parquet(corpus_path(n_rows=2000, seed=42))
+    df = line_dedup(
+        ds, content_col="content", fid_cols=("repo", "path"), min_chars=12
+    ).to_pandas()
+    return df.astype({"n_lines": "int64", "n_kept": "int64"})
+
+
 def events_streaming_windows(sf_dir: str):
     """STATEFUL streaming path: actor-held per-key tumbling daily windows
     (stages/streaming_window.py) — same result as the batch groupby, proven

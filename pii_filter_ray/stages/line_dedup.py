@@ -1,0 +1,263 @@
+"""Corpus-wide exact line-level deduplication (C4 / RefinedWeb style).
+
+Removes every repeated occurrence of a "substantial" line (raw length >=
+``min_chars``) across the whole corpus, keeping only the globally-first
+occurrence — first by lexicographic ``(file_id, line_no)``. Short lines
+(blank lines, braces, separators) never participate and are always kept.
+Documents are rebuilt from their surviving lines in original order.
+
+Distributed shape (hot-key safe by construction):
+
+1. **Explode + local pre-combine** (``map_batches``): each block splits its
+   docs into lines and keeps, per distinct line hash, only the block-local
+   lexicographic-min occurrence. Local losers are provably global losers
+   (they lose to their own block's min), so they are dropped *without ever
+   being shuffled* — a boilerplate line occurring a billion times
+   contributes at most one candidate row per block.
+2. **Global winner** (``groupby(hash(h) % B).map_groups``): candidates
+   co-locate by hash-bucket (NOT per distinct line — that would pay a
+   pandas call per line) and one vectorized sort+drop_duplicates per
+   bucket picks each line's global min. Per-line candidate multiplicity is
+   bounded by the block count, so no bucket is hot. The winner's
+   ``(fid, line_no)`` identity travels as plain columns — no key packing,
+   no inversion, no 2^k id caps.
+3. **Rebuild** (tagged-union bucket join by file id): winners and docs
+   co-locate by ``hash(fid) % num_buckets``; a substantial line survives
+   iff its ``line_no`` is in its file's winner set.
+
+Only line *hashes* (blake2b-128 hex) are shuffled in step 2, never line
+text; grouping by a 128-bit hash is equivalent to grouping by line text up
+to a ~2^-64 collision probability (the SQL oracle groups by the text
+itself). Winner ordering compares the file-id string bytewise on both
+sides (Python str compare == DuckDB binary collation for the ASCII ids the
+corpus uses).
+
+Reference context: the reference engine (/root/reference) has no
+corpus-level dedup at all — this is part of the training-data-pipeline
+extension surface (SURVEY §2.6 / §6), alongside stages/dedup.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .dedup import stable_hash64
+
+_FID_SEP = "\x01"  # joins multi-column file ids; never appears in the data
+
+
+def _line_hash(line: str) -> str:
+    return hashlib.blake2b(line.encode("utf-8"), digest_size=16).hexdigest()
+
+
+def _make_fid(batch: pa.Table, fid_cols: Sequence[str]) -> list:
+    cols = [batch[c].to_pylist() for c in fid_cols]
+    return [_FID_SEP.join(vs) for vs in zip(*cols)]
+
+
+def _candidates_fn(content_col: str, fid_cols: Sequence[str], min_chars: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        fids = _make_fid(batch, fid_cols)
+        texts = batch[content_col].to_pylist()
+        hs: list = []
+        fs: list = []
+        ns: list = []
+        for fid, text in zip(fids, texts):
+            if text is None:
+                continue
+            for i, line in enumerate(text.split("\n")):
+                if len(line) >= min_chars:
+                    hs.append(_line_hash(line))
+                    fs.append(fid)
+                    ns.append(i)
+        if not hs:
+            return pa.table(
+                {"h": pa.array([], pa.string()), "fid": pa.array([], pa.string()),
+                 "line_no": pa.array([], pa.int64())}
+            )
+        df = pd.DataFrame({"h": hs, "fid": fs, "line_no": np.asarray(ns, dtype=np.int64)})
+        # block-local winner per hash; losers are global losers — never shuffled
+        df = df.sort_values(["h", "fid", "line_no"], kind="mergesort")
+        df = df.drop_duplicates("h", keep="first")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return fn
+
+
+def _hash_bucket_fn(num_buckets: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        buckets = np.asarray(
+            [stable_hash64(h.encode()) % num_buckets
+             for h in batch["h"].to_pylist()], dtype=np.int64)
+        return batch.append_column("__hb", pa.array(buckets))
+
+    return fn
+
+
+def _pick_winners_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    """One vectorized pass per hash-bucket (NOT per distinct line — a
+    per-group map_groups over millions of tiny groups pays a pandas call
+    per line; bucketing keeps it to `num_buckets` sort+dedup kernels)."""
+    g = group.sort_values(["h", "fid", "line_no"], kind="mergesort")
+    return g.drop_duplicates("h", keep="first")[["fid", "line_no"]]
+
+
+def _tag_rebuild(kind: int, content_col: str, fid_cols: Sequence[str],
+                 num_buckets: int):
+    """Aligned tagged-union schema for the rebuild join. Winner rows
+    empty-fill the doc columns and docs zero-fill ``line_no`` (the fill is
+    never read on the other side; ints stay int through pandas group blocks
+    — the 2^53 float-upcast hazard documented in stages/joins.py)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out: dict = {}
+        if kind == 0:  # docs
+            fids = _make_fid(batch, fid_cols)
+            out["__m"] = pa.array(np.zeros(n, dtype=np.int8))
+            out["fid"] = pa.array(fids, pa.string())
+            out["line_no"] = pa.array(np.zeros(n, dtype=np.int64))
+            for c in fid_cols:
+                out[c] = batch[c]
+            out["__content"] = batch[content_col]
+        else:  # winners
+            fids = batch["fid"].to_pylist()
+            out["__m"] = pa.array(np.ones(n, dtype=np.int8))
+            out["fid"] = batch["fid"]
+            out["line_no"] = batch["line_no"]
+            for c in fid_cols:
+                out[c] = pa.array([""] * n, pa.string())
+            out["__content"] = pa.array([""] * n, pa.string())
+        out["__bucket"] = pa.array(
+            np.asarray([stable_hash64(f.encode()) % num_buckets for f in fids],
+                       dtype=np.int64))
+        return pa.table(out)
+
+    return fn
+
+
+def _rebuild_fn(fid_cols: Sequence[str], min_chars: int, out_col: str):
+    def fn(group: pd.DataFrame) -> pd.DataFrame:
+        docs = group[group["__m"] == 0]
+        winners = group[group["__m"] == 1]
+        win_by_fid: dict = {}
+        for fid, ln in zip(winners["fid"].to_numpy(), winners["line_no"].to_numpy()):
+            win_by_fid.setdefault(fid, set()).add(int(ln))
+        fid_arr = docs["fid"].to_numpy()
+        text_arr = docs["__content"].to_numpy()
+        id_arrs = {c: docs[c].to_numpy() for c in fid_cols}
+        out = {c: id_arrs[c] for c in fid_cols}
+        n_lines_l: list = []
+        n_kept_l: list = []
+        content_l: list = []
+        for fid, text in zip(fid_arr, text_arr):
+            if text is None or (isinstance(text, float) and np.isnan(text)):
+                n_lines_l.append(0)
+                n_kept_l.append(0)
+                content_l.append(None)
+                continue
+            lines = text.split("\n")
+            wins = win_by_fid.get(fid, ())
+            kept = [ln for i, ln in enumerate(lines)
+                    if len(ln) < min_chars or i in wins]
+            n_lines_l.append(len(lines))
+            n_kept_l.append(len(kept))
+            content_l.append("\n".join(kept))
+        res = pd.DataFrame(out)
+        res["n_lines"] = pd.Series(n_lines_l, dtype="int64")
+        res["n_kept"] = pd.Series(n_kept_l, dtype="int64")
+        res[out_col] = pd.Series(content_l, dtype="object")
+        return res
+
+    return fn
+
+
+def line_dedup(
+    ds: "ray.data.Dataset",
+    *,
+    content_col: str = "content",
+    fid_cols: Sequence[str] = ("repo", "path"),
+    min_chars: int = 12,
+    num_buckets: int = 64,
+    out_col: str = "content_dedup",
+) -> "ray.data.Dataset":
+    """Corpus-wide duplicate-line removal. Returns one row per input doc:
+    ``fid_cols + [n_lines, n_kept, out_col]`` where ``out_col`` is the doc
+    rebuilt from its surviving lines ('\\n'-joined; None for null content).
+
+    ``ds`` is consumed twice (candidates pass + rebuild pass) — both are
+    lazy streaming re-reads of the source, not materializations; at 100 TB
+    this is two scans, and only hashes/ids are ever shuffled, never text.
+    """
+    fid_cols = list(fid_cols)
+    docs = ds.select_columns(fid_cols + [content_col])
+
+    candidates = docs.map_batches(
+        _candidates_fn(content_col, fid_cols, min_chars), batch_format="pyarrow"
+    )
+    winners = candidates.map_batches(
+        _hash_bucket_fn(num_buckets), batch_format="pyarrow"
+    ).groupby("__hb").map_groups(_pick_winners_bucket, batch_format="pandas")
+
+    tagged = docs.map_batches(
+        _tag_rebuild(0, content_col, fid_cols, num_buckets), batch_format="pyarrow"
+    ).union(
+        winners.map_batches(
+            _tag_rebuild(1, content_col, fid_cols, num_buckets),
+            batch_format="pyarrow",
+        )
+    )
+    return tagged.groupby("__bucket").map_groups(
+        _rebuild_fn(fid_cols, min_chars, out_col), batch_format="pandas"
+    )
+
+
+def line_dedup_local(
+    rows: "list[dict]",
+    *,
+    content_col: str = "content",
+    fid_cols: Sequence[str] = ("repo", "path"),
+    min_chars: int = 12,
+    out_col: str = "content_dedup",
+) -> pd.DataFrame:
+    """In-memory reference implementation (tests pin the Ray operator to
+    this): one global pass in first-(fid, line_no) order."""
+    fid_cols = list(fid_cols)
+    seen: set = set()
+    winners: set = set()
+    order = sorted(
+        range(len(rows)),
+        key=lambda i: _FID_SEP.join(rows[i][c] for c in fid_cols),
+    )
+    for i in order:
+        fid = _FID_SEP.join(rows[i][c] for c in fid_cols)
+        text = rows[i].get(content_col)
+        if text is None:
+            continue
+        for ln, line in enumerate(text.split("\n")):
+            if len(line) >= min_chars and line not in seen:
+                seen.add(line)
+                winners.add((fid, ln))
+    out = []
+    for r in rows:
+        fid = _FID_SEP.join(r[c] for c in fid_cols)
+        text = r.get(content_col)
+        rec = {c: r[c] for c in fid_cols}
+        if text is None:
+            rec.update({"n_lines": 0, "n_kept": 0, out_col: None})
+        else:
+            lines = text.split("\n")
+            kept = [l for i, l in enumerate(lines)
+                    if len(l) < min_chars or (fid, i) in winners]
+            rec.update({"n_lines": len(lines), "n_kept": len(kept),
+                        out_col: "\n".join(kept)})
+        out.append(rec)
+    return pd.DataFrame(out)

@@ -1,0 +1,93 @@
+"""Corpus-wide line dedup (stages/line_dedup.py) vs the in-memory
+reference, including hot-line, layout-invariance and edge cases. The SQL
+oracle parity runs in test_oracle_conformance.py via code_line_dedup."""
+
+import random
+
+import pandas as pd
+import pytest
+
+import ray
+import ray.data
+
+from pii_filter_ray.stages.line_dedup import line_dedup, line_dedup_local
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(["repo", "path"], kind="mergesort").reset_index(drop=True)
+
+
+def _check(rows, **kw):
+    got = _norm(line_dedup(ray.data.from_items(rows), **kw).to_pandas())
+    want = _norm(line_dedup_local(rows, **{k: v for k, v in kw.items()
+                                           if k not in ("num_buckets",)}))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    return got
+
+
+def test_basic_cross_and_in_doc(ray_session):
+    rows = [
+        {"repo": "r2", "path": "b", "content":
+         "import os, sys, json\nx=1\nimport os, sys, json\nSHARED LONG LINE\n}"},
+        {"repo": "r1", "path": "a", "content":
+         "import os, sys, json\nSHARED LONG LINE\ny=2"},
+        {"repo": "r1", "path": "n", "content": None},
+        {"repo": "r3", "path": "e", "content": ""},
+    ]
+    got = _check(rows, num_buckets=4)
+    a = got[(got.repo == "r1") & (got.path == "a")].iloc[0]
+    # r1/a is lexicographically first: keeps both substantial lines
+    assert a.n_kept == 3 and "SHARED LONG LINE" in a.content_dedup
+    b = got[(got.repo == "r2") & (got.path == "b")].iloc[0]
+    # loses both shared lines AND its own in-doc repeat
+    assert b.content_dedup == "x=1\n}"
+    n = got[(got.path == "n")].iloc[0]
+    assert n.n_lines == 0 and n.content_dedup is None
+
+
+def test_hot_line_everywhere(ray_session):
+    """One boilerplate line in every doc: survives exactly once, in the
+    (fid, line_no)-first doc."""
+    rows = [{"repo": "r", "path": f"{i:03d}",
+             "content": f"unique line for document {i}\nTHE GLOBAL BOILERPLATE LINE"}
+            for i in range(50)]
+    got = _check(rows, num_buckets=8)
+    keep_mask = got.content_dedup.str.contains("BOILERPLATE")
+    assert keep_mask.sum() == 1
+    assert got[keep_mask].path.iloc[0] == "000"
+
+
+def test_layout_invariance_and_short_lines(ray_session):
+    rnd = random.Random(7)
+    pool = [f"substantial shared line number {i}" for i in range(20)]
+    rows = []
+    for d in range(60):
+        lines = [rnd.choice(pool) for _ in range(rnd.randrange(0, 6))]
+        lines += ["x=1", "", "}"]  # short lines: always kept, never deduped
+        rnd.shuffle(lines)
+        rows.append({"repo": f"g{d % 7}", "path": f"p{d:02d}",
+                     "content": "\n".join(lines)})
+    base = None
+    for nblocks in (1, 13):
+        ds = ray.data.from_items(rows).repartition(nblocks)
+        got = _norm(line_dedup(ds, num_buckets=5).to_pandas())
+        if base is None:
+            base = got
+            want = _norm(line_dedup_local(rows))
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        else:
+            pd.testing.assert_frame_equal(got, base, check_dtype=False)
+    # short lines all survived
+    assert (base.content_dedup.str.count("x=1") == 1).all()
+
+
+def test_min_chars_boundary(ray_session):
+    line11 = "exactly11ch"
+    line12 = "exactly12chr"
+    assert len(line11) == 11 and len(line12) == 12
+    rows = [{"repo": "r", "path": "a", "content": f"{line11}\n{line12}"},
+            {"repo": "r", "path": "b", "content": f"{line11}\n{line12}"}]
+    got = _check(rows, num_buckets=2, min_chars=12)
+    b = got[got.path == "b"].iloc[0]
+    assert b.content_dedup == line11  # 11-char line kept, 12-char deduped
