@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_corpus_flagship": r.code_corpus_flagship,
         "code_corpus_repo_stats": r.code_corpus_repo_stats,
         "code_line_dedup": r.code_line_dedup,
+        "customer_orders_full_outer": r.customer_orders_full_outer,
         "events_streaming_windows": r.events_streaming_windows,
         "mask_fixture_check": r.mask_fixture_check,
         "stat_ner_fixture_check": r.stat_ner_fixture_check,
@@ -161,6 +162,7 @@ def oracle_sql() -> dict[str, str]:
         "code_corpus_flagship": o.code_corpus_flagship_sql(),
         "code_corpus_repo_stats": o.code_corpus_repo_stats_sql(),
         "code_line_dedup": o.code_line_dedup_sql(),
+        "customer_orders_full_outer": o.customer_orders_full_outer_sql(),
         "stat_ner_fixture_check": o.stat_ner_fixture_check_sql(),
         "doc_stat_ner": o.doc_stat_ner_sql(),
         "lineitem_quantity_quantiles": o.lineitem_quantity_quantiles_sql(),

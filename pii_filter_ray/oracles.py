@@ -759,3 +759,18 @@ SELECT d.repo, d.path,
        CASE WHEN d.content IS NULL THEN NULL
             ELSE coalesce(a.content_dedup, '') END AS content_dedup
 FROM docs d LEFT JOIN agg a ON d.fid = a.fid"""
+
+
+def customer_orders_full_outer_sql() -> str:
+    """FULL OUTER JOIN mirror of stages/joins.hash_full_outer_join with the
+    same sentinel fills ('' / -1 / 0.0) and provenance flags."""
+    return """
+SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+       COALESCE(c.c_name, '') AS c_name,
+       CAST(COALESCE(o.o_orderkey, -1) AS BIGINT) AS o_orderkey,
+       COALESCE(o.o_totalprice, 0.0) AS o_totalprice,
+       (c.c_custkey IS NOT NULL) AS in_left,
+       (o.o_orderkey IS NOT NULL) AS in_right
+FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 0) c
+FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+  ON c.c_custkey = o.o_custkey"""

@@ -958,6 +958,36 @@ def code_corpus_repo_stats(sf_dir: str):
     return per_repo_stats(quality_scrub(ds, mode="code", emit_mappings=False))
 
 
+def customer_orders_full_outer(sf_dir: str):
+    """Distributed FULL OUTER join (stages/joins.hash_full_outer_join):
+    positive-balance customers x big orders (>300k). Exercises all three
+    row classes — matched pairs (order multiplicity preserved), customers
+    whose orders all fell to the price filter (left-only), and orders
+    whose customer fell to the balance filter (right-only) — with explicit
+    sentinel fills and in_left/in_right provenance flags instead of NULLs
+    (int64-exactness contract in stages/joins.py)."""
+    import pyarrow.compute as _pc
+
+    from ..stages.joins import hash_full_outer_join
+
+    cust = _tbl(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+    cust = cust.filter(expr="c_acctbal > 0").select_columns(["c_custkey", "c_name"])
+    orders = _tbl(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    orders = orders.filter(expr="o_totalprice > 300000")
+    out = hash_full_outer_join(
+        cust, orders,
+        left_key="c_custkey", right_key="o_custkey",
+        left_cols=["c_name"], right_cols=["o_orderkey", "o_totalprice"],
+        schema={"c_name": pa.string(), "o_orderkey": pa.int64(),
+                "o_totalprice": pa.float64()},
+        fills={"c_name": "", "o_orderkey": -1, "o_totalprice": 0.0},
+        out_key="custkey",
+    )
+    df = out.to_pandas()
+    return df.astype({"custkey": "int64", "o_orderkey": "int64",
+                      "in_left": "bool", "in_right": "bool"})
+
+
 def code_line_dedup(sf_dir: str):
     """C4/RefinedWeb-style corpus-wide duplicate-line removal over the
     synthetic code corpus (sf_dir unused; deterministic cached corpus):

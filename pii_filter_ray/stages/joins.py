@@ -326,3 +326,65 @@ def salted_hash_join(
     )
     bucket_join = _bucket_join_fn(left_key, left_cols, right_cols, schema)
     return tagged.groupby("__bucket").map_groups(bucket_join, batch_format="pandas")
+
+
+def hash_full_outer_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    left_key: str,
+    right_key: str,
+    left_cols: List[str],
+    right_cols: List[str],
+    schema: Dict[str, pa.DataType],
+    fills: Dict[str, object],
+    out_key: str = None,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """FULL OUTER equi-join on an int64 key: one row per matched pair plus
+    one per unmatched row of either side. Unmatched-side payload cells take
+    the caller's ``fills`` value for that column (a dtype-correct sentinel,
+    e.g. -1 / '' / 0.0) and two bool columns ``in_left`` / ``in_right``
+    mark provenance — explicit sentinels instead of SQL NULLs so int64
+    columns never round-trip through a pandas float NaN block (the 2^53
+    hazard in the module notes; the inner/left-only/right-only parts are
+    built separately and filled BEFORE concat, so no NaN ever exists).
+
+    Same shuffle contract as hash_join: one tagged-union co-partition by
+    key bucket, per-bucket vectorized merges. Requires ``fills[c]`` for
+    every payload column c."""
+    out_key = out_key or left_key
+    tagged = left.map_batches(
+        _tag(_LEFT, left_key, left_cols, schema, num_buckets), batch_format="pyarrow"
+    ).union(
+        right.map_batches(
+            _tag(_RIGHT, right_key, right_cols, schema, num_buckets),
+            batch_format="pyarrow",
+        )
+    )
+    from .asof import _pd_dtype
+
+    out_cols = [out_key, *left_cols, *right_cols, "in_left", "in_right"]
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["__side"] == _LEFT][["__key", *left_cols]]
+        rf = g[g["__side"] == _RIGHT][["__key", *right_cols]]
+        inner = lf.merge(rf, on="__key", how="inner")
+        inner["in_left"] = True
+        inner["in_right"] = True
+        lo = lf[~lf["__key"].isin(rf["__key"])].copy()
+        for c in right_cols:
+            lo[c] = pd.Series([fills[c]] * len(lo), index=lo.index,
+                              dtype=_pd_dtype(schema[c]))
+        lo["in_left"] = True
+        lo["in_right"] = False
+        ro = rf[~rf["__key"].isin(lf["__key"])].copy()
+        for c in left_cols:
+            ro[c] = pd.Series([fills[c]] * len(ro), index=ro.index,
+                              dtype=_pd_dtype(schema[c]))
+        ro["in_left"] = False
+        ro["in_right"] = True
+        out = pd.concat([inner, lo, ro], ignore_index=True)
+        return out.rename(columns={"__key": out_key})[out_cols]
+
+    return tagged.groupby("__bucket").map_groups(bucket_join, batch_format="pandas")

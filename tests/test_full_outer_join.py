@@ -1,0 +1,68 @@
+"""hash_full_outer_join vs a direct pandas outer merge (randomized), plus
+the int64>2^53 exactness contract and empty-side edges. SQL parity runs in
+test_oracle_conformance.py via customer_orders_full_outer."""
+
+import random
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from pii_filter_ray.stages.joins import hash_full_outer_join
+
+
+def _run(left_df, right_df, num_buckets=8):
+    out = hash_full_outer_join(
+        ray.data.from_pandas(left_df), ray.data.from_pandas(right_df),
+        left_key="k", right_key="k",
+        left_cols=["lv"], right_cols=["rv"],
+        schema={"lv": pa.int64(), "rv": pa.int64()},
+        fills={"lv": -1, "rv": -1},
+        num_buckets=num_buckets,
+    ).to_pandas()
+    return out.sort_values(list(out.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _expected(left_df, right_df):
+    m = left_df.merge(right_df, on="k", how="outer", indicator=True)
+    m["in_left"] = m["_merge"] != "right_only"
+    m["in_right"] = m["_merge"] != "left_only"
+    m["lv"] = m["lv"].fillna(-1).astype("int64")
+    m["rv"] = m["rv"].fillna(-1).astype("int64")
+    out = m[["k", "lv", "rv", "in_left", "in_right"]]
+    return out.sort_values(list(out.columns), kind="mergesort").reset_index(drop=True)
+
+
+def test_randomized_vs_pandas(ray_session):
+    rnd = random.Random(3)
+    left = pd.DataFrame({
+        "k": [rnd.randrange(40) for _ in range(200)],
+        "lv": [rnd.randrange(1000) for _ in range(200)],
+    })
+    right = pd.DataFrame({
+        "k": [rnd.randrange(60) for _ in range(150)],  # keys 40..59 right-only
+        "rv": [rnd.randrange(1000) for _ in range(150)],
+    })
+    pd.testing.assert_frame_equal(_run(left, right), _expected(left, right),
+                                  check_dtype=False)
+
+
+def test_int64_above_2_53_exact(ray_session):
+    big = (1 << 53) + 1
+    left = pd.DataFrame({"k": [1, 2], "lv": [big, big + 2]})
+    right = pd.DataFrame({"k": [2, 3], "rv": [big + 4, big + 6]})
+    out = _run(left, right, num_buckets=2)
+    assert set(out.lv) == {big, big + 2, -1}
+    assert set(out.rv) == {-1, big + 4, big + 6}
+
+
+def test_empty_sides(ray_session):
+    left = pd.DataFrame({"k": pd.Series([1], dtype="int64"),
+                         "lv": pd.Series([7], dtype="int64")})
+    empty = pd.DataFrame({"k": pd.Series(dtype="int64"),
+                          "rv": pd.Series(dtype="int64")})
+    out = _run(left, empty, num_buckets=2)
+    assert len(out) == 1 and not out.in_right.iloc[0] and out.rv.iloc[0] == -1
