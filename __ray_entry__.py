@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition_signals": r.doc_repetition_signals,
         # HyperLogLog register sketch (deterministic, SQL-recomputable)
         "events_hll_users": r.events_hll_users,
+        "events_cms_user_counts": r.events_cms_user_counts,
         # dedup keep-rule: the corpus minus component non-representatives
         "doc_dedup_corpus": r.doc_dedup_corpus,
         # bloom-prefiltered exact semi-join + moment-partial statistics
@@ -138,7 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from pii_filter_ray import oracles as o
-    from pii_filter_ray.stages.sketches import hll_sql
+    from pii_filter_ray.stages.sketches import cms_sql, hll_sql
 
     return {
         # full SQL recomputations of the non-trivial operators (see
@@ -467,6 +468,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o.o_orderpriority
         """,
         "events_hll_users": hll_sql("events", "event_type", "user_id", p=12),
+        "events_cms_user_counts": cms_sql("events", "user_id", n_keys=50, d=4, q=12),
         "orders_semi_bloom": """
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE o_orderkey IN (

@@ -1416,6 +1416,20 @@ def events_hll_users(sf_dir: str):
     return df.astype({"est": "float64"})
 
 
+def events_cms_user_counts(sf_dir: str):
+    """Count-Min sketch point estimates of per-user event counts for users
+    0..49 (stages/sketches.cms_counts_for_keys): every block ships at most
+    d*2^q counter cells regardless of row count, merged with a plain Sum —
+    the heavy-hitter counting sketch whose shuffle cost is FIXED at any
+    data scale. Deterministic (splitmix64 stream), so the SQL oracle
+    recomputes hash rows, counter cells and min-estimates bit-for-bit."""
+    from ..stages.sketches import cms_counts_for_keys
+
+    ds = _tbl(sf_dir, "events", columns=["user_id"])
+    df = cms_counts_for_keys(ds, value_col="user_id", keys=range(50), d=4, q=12)
+    return df.astype({"user_id": "int64", "est": "int64"})
+
+
 def events_salted_user_join(sf_dir: str):
     """Skew-safe salted hash join (stages/joins.salted_hash_join): enrich
     every event with its user's total event count — a LARGE x LARGE

@@ -202,3 +202,121 @@ def hll_sql(table: str, key: str, value_col: str, p: int = 12) -> str:
         FROM est0
         ORDER BY {key}
     """
+
+
+# --- Count-Min sketch --------------------------------------------------------
+
+_GOLD = 0x9E3779B97F4A7C15  # splitmix64 stream increment (public domain)
+
+
+def cms_counts_for_keys(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    keys,
+    d: int = 4,
+    q: int = 12,
+) -> pd.DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) point estimates:
+    DataFrame (value_col, est) for each queried key, est = min over the d
+    hash rows of the summed counter cell — always >= the true count, with
+    error <= 2N/w at >= 1-(1/2)^d probability.
+
+    Mergeable by construction: every block ships at most d*2^q nonzero
+    (row, slot, cnt) cells (FIXED size, independent of block rows), merged
+    with a plain Sum — so the shuffle cost never grows with data. Hash row
+    i is splitmix64(v + i*GOLD), the canonical splitmix64 stream, which the
+    SQL oracle (cms_sql) recomputes bit-for-bit; estimates are exact
+    integers, so the parity check is equality, not tolerance."""
+    w = 1 << q
+    gold = np.uint64(_GOLD)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = batch.select([value_col])
+        t = t.filter(pc.is_valid(t[value_col]))
+        vals = t[value_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        out_i: list = []
+        out_s: list = []
+        out_c: list = []
+        old = np.seterr(over="ignore")
+        try:
+            for i in range(d):
+                h = splitmix64(vals + np.uint64(i) * gold)
+                counts = np.bincount(
+                    (h % np.uint64(w)).astype(np.int64), minlength=w)
+                nz = np.flatnonzero(counts)
+                out_i.extend([i] * len(nz))
+                out_s.extend(nz.tolist())
+                out_c.extend(counts[nz].tolist())
+        finally:
+            np.seterr(**old)
+        return pa.table({"i": pa.array(out_i, pa.int64()),
+                         "slot": pa.array(out_s, pa.int64()),
+                         "cnt": pa.array(out_c, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    cells = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["i", "slot"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    mat = np.zeros((d, w), dtype=np.int64)
+    mat[cells["i"].to_numpy(), cells["slot"].to_numpy()] = cells["cnt"].to_numpy()
+    ks = np.asarray(list(keys), dtype=np.int64)
+    old = np.seterr(over="ignore")
+    try:
+        ests = np.full(len(ks), np.iinfo(np.int64).max, dtype=np.int64)
+        for i in range(d):
+            h = splitmix64(ks.astype(np.uint64) + np.uint64(i) * gold)
+            slots = (h % np.uint64(w)).astype(np.int64)
+            ests = np.minimum(ests, mat[i, slots])
+    finally:
+        np.seterr(**old)
+    return pd.DataFrame({value_col: ks, "est": ests}).sort_values(
+        value_col).reset_index(drop=True)
+
+
+def cms_sql(table: str, value_col: str, n_keys: int, d: int = 4,
+            q: int = 12) -> str:
+    """DuckDB SQL recomputing cms_counts_for_keys bit-for-bit for queried
+    keys 0..n_keys-1: the same splitmix64 stream per hash row (HUGEINT
+    mod-2^64), the same counter cells, the same min-over-rows estimate."""
+    w = 1 << q
+
+    def chain(src: str) -> str:
+        # splitmix64(v + i*GOLD): z1 = v + (i+1)*GOLD, then the xor/mul steps
+        return f"""
+        s1 AS (SELECT i, tag,
+                      (CAST(v AS HUGEINT) + (i + 1) * {_GOLD}::HUGEINT) % {_M64} AS u
+               FROM {src}),
+        s2 AS (SELECT i, tag, {_sql_xor_shift(1 << 30)} AS u FROM s1),
+        s3 AS (SELECT i, tag, {_sql_mulmod(_K2)} AS u FROM s2),
+        s4 AS (SELECT i, tag, {_sql_xor_shift(1 << 27)} AS u FROM s3),
+        s5 AS (SELECT i, tag, {_sql_mulmod(_K3)} AS u FROM s4),
+        s6 AS (SELECT i, tag, {_sql_xor_shift(1 << 31)} AS u FROM s5)"""
+
+    return f"""
+        WITH src AS (
+            SELECT CAST({value_col} AS HUGEINT) AS v, i.i AS i, -1::BIGINT AS tag
+            FROM {table}, (SELECT unnest(range({d})) AS i) i
+            WHERE {value_col} IS NOT NULL
+            UNION ALL
+            SELECT CAST(k.k AS HUGEINT) AS v, i.i AS i, CAST(k.k AS BIGINT) AS tag
+            FROM (SELECT unnest(range({n_keys})) AS k) k,
+                 (SELECT unnest(range({d})) AS i) i
+        ),
+        {chain("src")},
+        slotted AS (SELECT i, tag, CAST(u % {w} AS BIGINT) AS slot FROM s6),
+        cells AS (
+            SELECT i, slot, CAST(count(*) AS BIGINT) AS cnt
+            FROM slotted WHERE tag = -1 GROUP BY i, slot
+        ),
+        est AS (
+            SELECT s.tag AS key, min(coalesce(c.cnt, 0)) AS est
+            FROM (SELECT * FROM slotted WHERE tag >= 0) s
+            LEFT JOIN cells c ON s.i = c.i AND s.slot = c.slot
+            GROUP BY s.tag
+        )
+        SELECT CAST(key AS BIGINT) AS {value_col}, CAST(est AS BIGINT) AS est
+        FROM est ORDER BY 1"""

@@ -97,3 +97,62 @@ def test_sql_hash_bit_parity():
                         "rho": regs[np.flatnonzero(regs)]})
     got = got.astype({"reg": "int64", "rho": "int64"}).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp.reset_index(drop=True))
+
+
+# --- Count-Min sketch --------------------------------------------------------
+
+def test_cms_overestimate_and_error_bound_under_collisions(ray_session):
+    """Tiny width (w=16) forces collisions: every estimate must still be
+    >= truth, and min-over-4-rows must beat any single row's error."""
+    import ray.data
+    from pii_filter_ray.stages.sketches import cms_counts_for_keys
+
+    rng = np.random.RandomState(5)
+    vals = rng.zipf(1.5, 5000) % 200  # skewed key frequencies
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals.astype("int64")}))
+    est = cms_counts_for_keys(ds, "v", keys=range(200), d=4, q=4)
+    exact = pd.Series(vals).value_counts()
+    truth = exact.reindex(est["v"]).fillna(0).to_numpy()
+    assert (est["est"].to_numpy() >= truth).all()
+    # CM guarantee: err <= e*N/w with prob 1-e^-d; check a loose 3x bound
+    assert (est["est"].to_numpy() - truth).max() <= 3 * np.e * len(vals) / 16
+
+
+def test_cms_layout_invariance_and_nulls(ray_session):
+    import ray.data
+    from pii_filter_ray.stages.sketches import cms_counts_for_keys
+
+    vals = pd.array([1, 2, 2, 3, 3, 3, None, 7, 1, None], dtype="Int64")
+    df = pd.DataFrame({"v": vals})
+    base = None
+    for nblocks in (1, 5):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        got = cms_counts_for_keys(ds, "v", keys=range(8), d=4, q=12)
+        if base is None:
+            base = got
+        else:
+            pd.testing.assert_frame_equal(got, base)
+    # w=4096 with 5 distinct values: collisions are (checked) absent, so
+    # estimates equal the exact counts and nulls were ignored
+    assert base.set_index("v")["est"].to_dict() == {
+        0: 0, 1: 2, 2: 2, 3: 3, 4: 0, 5: 0, 6: 0, 7: 1}
+
+
+def test_cms_sql_bit_parity(ray_session):
+    """The DuckDB mirror recomputes hash rows, cells and min-estimates
+    IDENTICALLY on a random table (equality, no tolerance)."""
+    import duckdb
+
+    import ray.data
+    from pii_filter_ray.stages.sketches import cms_counts_for_keys, cms_sql
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({"v": rng.randint(0, 30, 400).astype("int64")})
+    got = cms_counts_for_keys(ray.data.from_pandas(df), "v",
+                              keys=range(30), d=4, q=6)
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(cms_sql("t", "v", n_keys=30, d=4, q=6)).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.astype({"v": "int64", "est": "int64"}),
+        want.astype({"v": "int64", "est": "int64"}))
