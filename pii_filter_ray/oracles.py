@@ -774,3 +774,19 @@ SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
 FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 0) c
 FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
   ON c.c_custkey = o.o_custkey"""
+
+
+def customer_order_setops_sql() -> str:
+    """Mirror of stages/setops.key_setop_counts: DISTINCT-key set algebra
+    between customer.c_custkey and orders.o_custkey."""
+    return """
+WITH l AS (SELECT DISTINCT c_custkey AS k FROM customer
+           WHERE c_custkey IS NOT NULL AND c_acctbal > 2000),
+     r AS (SELECT DISTINCT o_custkey AS k FROM orders
+           WHERE o_custkey IS NOT NULL AND o_totalprice > 150000)
+SELECT CAST((SELECT count(*) FROM l) AS BIGINT) AS n_left,
+       CAST((SELECT count(*) FROM r) AS BIGINT) AS n_right,
+       CAST((SELECT count(*) FROM (SELECT k FROM l INTERSECT SELECT k FROM r)) AS BIGINT) AS n_intersect,
+       CAST((SELECT count(*) FROM (SELECT k FROM l EXCEPT SELECT k FROM r)) AS BIGINT) AS n_left_only,
+       CAST((SELECT count(*) FROM (SELECT k FROM r EXCEPT SELECT k FROM l)) AS BIGINT) AS n_right_only,
+       CAST((SELECT count(*) FROM (SELECT k FROM l UNION SELECT k FROM r)) AS BIGINT) AS n_union"""

@@ -1416,6 +1416,21 @@ def events_hll_users(sf_dir: str):
     return df.astype({"est": "float64"})
 
 
+def customer_order_setops(sf_dir: str):
+    """Distinct-key set algebra (stages/setops.py): rich customers vs the
+    keys placing big orders — INTERSECT / EXCEPT / union
+    cardinalities in one bounded shuffle (block-local dedup, Max-merged
+    presence bits, per-block count partials; no key list on the driver)."""
+    from ..stages.setops import key_setop_counts
+
+    cust = _tbl(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    cust = cust.filter(expr="c_acctbal > 2000").select_columns(["c_custkey"])
+    orders = _tbl(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    orders = orders.filter(expr="o_totalprice > 150000").select_columns(["o_custkey"])
+    df = key_setop_counts(cust, orders, left_key="c_custkey", right_key="o_custkey")
+    return df.astype("int64")
+
+
 def events_cms_user_counts(sf_dir: str):
     """Count-Min sketch point estimates of per-user event counts for users
     0..49 (stages/sketches.cms_counts_for_keys): every block ships at most

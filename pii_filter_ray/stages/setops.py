@@ -1,0 +1,99 @@
+"""Distributed DISTINCT set operations over two key columns.
+
+INTERSECT / EXCEPT / union cardinalities between the key domains of two
+(possibly huge, possibly duplicated) datasets, computed with bounded
+shuffle: each block first collapses to its distinct keys with a per-side
+presence flag (pyarrow group_by — at most one row per key per side per
+block leaves the block), one Max-merge groupby resolves global presence,
+and a final per-block count partial reduces to a single row. No key list
+ever lands on the driver; skewed key multiplicity is absorbed by the
+block-local dedup (a key occurring a billion times ships once per block).
+
+The full presence table (key, in_left, in_right) is also exposed for
+callers that need the membership itself, not just cardinalities.
+
+Part of the relational extension surface (SURVEY §2.6): the reference
+engine (/root/reference, a FastAPI masking service) has no set algebra;
+this mirrors SQL INTERSECT / EXCEPT with DISTINCT semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Max, Sum
+
+
+def _flag_fn(key: str, side: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        t = batch.select([key])
+        t = t.filter(pc.is_valid(t[key]))
+        distinct = t.group_by([key]).aggregate([])
+        n = distinct.num_rows
+        ones = np.ones(n, dtype=np.int8)
+        zeros = np.zeros(n, dtype=np.int8)
+        return pa.table({
+            "k": distinct[key],
+            "in_left": pa.array(ones if side == 0 else zeros, pa.int8()),
+            "in_right": pa.array(zeros if side == 0 else ones, pa.int8()),
+        })
+
+    return fn
+
+
+def key_presence(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    left_key: str,
+    right_key: str,
+) -> "ray.data.Dataset":
+    """Dataset (k, in_left, in_right) with one row per distinct key of
+    either side; flags are 0/1 int8 (Max-merged presence bits)."""
+    tagged = left.map_batches(
+        _flag_fn(left_key, 0), batch_format="pyarrow"
+    ).union(right.map_batches(_flag_fn(right_key, 1), batch_format="pyarrow"))
+    return tagged.groupby("k").aggregate(
+        Max("in_left", alias_name="in_left"),
+        Max("in_right", alias_name="in_right"),
+    )
+
+
+def key_setop_counts(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    left_key: str,
+    right_key: str,
+) -> pd.DataFrame:
+    """One-row DataFrame: distinct-key cardinalities of left / right /
+    intersect / left-except-right / right-except-left / union. The final
+    reduction is a per-block count partial summed by one tiny aggregate —
+    the driver only ever sees a handful of partial rows."""
+    presence = key_presence(left, right, left_key=left_key, right_key=right_key)
+
+    def count_partials(batch: pa.Table) -> pa.Table:
+        l = batch["in_left"].to_numpy(zero_copy_only=False).astype(bool)
+        r = batch["in_right"].to_numpy(zero_copy_only=False).astype(bool)
+        return pa.table({
+            "n_left": pa.array([int(l.sum())], pa.int64()),
+            "n_right": pa.array([int(r.sum())], pa.int64()),
+            "n_intersect": pa.array([int((l & r).sum())], pa.int64()),
+            "n_left_only": pa.array([int((l & ~r).sum())], pa.int64()),
+            "n_right_only": pa.array([int((~l & r).sum())], pa.int64()),
+            "n_union": pa.array([len(l)], pa.int64()),
+        })
+
+    cols = ["n_left", "n_right", "n_intersect", "n_left_only",
+            "n_right_only", "n_union"]
+    totals = (
+        presence.map_batches(count_partials, batch_format="pyarrow")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )
+    # empty inputs: Dataset.aggregate yields None cells
+    return pd.DataFrame([{c: int(totals[c] or 0) for c in cols}])

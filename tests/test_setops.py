@@ -1,0 +1,51 @@
+"""Distributed distinct-key set ops (stages/setops.py) vs Python set
+algebra; duplicates, nulls, empty sides, layout invariance. SQL parity
+runs in test_oracle_conformance.py via customer_order_setops."""
+
+import random
+
+import pandas as pd
+import pytest
+
+import ray
+import ray.data
+
+from pii_filter_ray.stages.setops import key_presence, key_setop_counts
+
+
+def _expect(lvals, rvals):
+    L, R = set(v for v in lvals if v is not None), set(v for v in rvals if v is not None)
+    return {"n_left": len(L), "n_right": len(R), "n_intersect": len(L & R),
+            "n_left_only": len(L - R), "n_right_only": len(R - L),
+            "n_union": len(L | R)}
+
+
+def _run(lvals, rvals, nblocks=3):
+    l = ray.data.from_pandas(pd.DataFrame({"a": pd.array(lvals, dtype="Int64")}))
+    r = ray.data.from_pandas(pd.DataFrame({"b": pd.array(rvals, dtype="Int64")}))
+    df = key_setop_counts(l.repartition(nblocks), r.repartition(nblocks),
+                          left_key="a", right_key="b")
+    return df.iloc[0].to_dict()
+
+
+def test_randomized_vs_python_sets(ray_session):
+    rnd = random.Random(9)
+    lv = [rnd.randrange(80) for _ in range(500)] + [None] * 5   # heavy dups
+    rv = [rnd.randrange(120) for _ in range(300)] + [None] * 3
+    for nblocks in (1, 7):
+        assert _run(lv, rv, nblocks) == _expect(lv, rv)
+
+
+def test_empty_side(ray_session):
+    got = _run([1, 2, 2], [], nblocks=1)
+    assert got == {"n_left": 2, "n_right": 0, "n_intersect": 0,
+                   "n_left_only": 2, "n_right_only": 0, "n_union": 2}
+
+
+def test_presence_table(ray_session):
+    l = ray.data.from_items([{"a": 1}, {"a": 2}, {"a": 2}])
+    r = ray.data.from_items([{"b": 2}, {"b": 3}])
+    df = key_presence(l, r, left_key="a", right_key="b").to_pandas()
+    got = {int(k): (bool(il), bool(ir))
+           for k, il, ir in df[["k", "in_left", "in_right"]].itertuples(index=False)}
+    assert got == {1: (True, False), 2: (True, True), 3: (False, True)}
