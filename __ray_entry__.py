@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hll_users": r.events_hll_users,
         "events_cms_user_counts": r.events_cms_user_counts,
         "customer_order_setops": r.customer_order_setops,
+        "doc_percentile_filter": r.doc_percentile_filter,
         # dedup keep-rule: the corpus minus component non-representatives
         "doc_dedup_corpus": r.doc_dedup_corpus,
         # bloom-prefiltered exact semi-join + moment-partial statistics
@@ -166,6 +167,7 @@ def oracle_sql() -> dict[str, str]:
         "code_line_dedup": o.code_line_dedup_sql(),
         "customer_orders_full_outer": o.customer_orders_full_outer_sql(),
         "customer_order_setops": o.customer_order_setops_sql(),
+        "doc_percentile_filter": o.doc_percentile_filter_sql(),
         "stat_ner_fixture_check": o.stat_ner_fixture_check_sql(),
         "doc_stat_ner": o.doc_stat_ner_sql(),
         "lineitem_quantity_quantiles": o.lineitem_quantity_quantiles_sql(),

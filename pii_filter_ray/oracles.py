@@ -790,3 +790,18 @@ SELECT CAST((SELECT count(*) FROM l) AS BIGINT) AS n_left,
        CAST((SELECT count(*) FROM (SELECT k FROM l EXCEPT SELECT k FROM r)) AS BIGINT) AS n_left_only,
        CAST((SELECT count(*) FROM (SELECT k FROM r EXCEPT SELECT k FROM l)) AS BIGINT) AS n_right_only,
        CAST((SELECT count(*) FROM (SELECT k FROM l UNION SELECT k FROM r)) AS BIGINT) AS n_union"""
+
+
+def doc_percentile_filter_sql() -> str:
+    """Per-language p10/p90 winsorize gate on n_chars (quantile_disc both
+    sides — stages/quantiles.py matches DuckDB's discrete lower quantile)."""
+    return """
+WITH b AS (
+  SELECT lang, quantile_disc(n_chars, 0.1) AS lo, quantile_disc(n_chars, 0.9) AS hi
+  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL GROUP BY lang
+)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+FROM documents d JOIN b ON d.lang = b.lang
+WHERE d.n_chars BETWEEN b.lo AND b.hi
+GROUP BY d.lang ORDER BY d.lang"""

@@ -1416,6 +1416,41 @@ def events_hll_users(sf_dir: str):
     return df.astype({"est": "float64"})
 
 
+def doc_percentile_filter(sf_dir: str):
+    """Winsorize-style length gate, the quality-filter staple: per-language
+    p10/p90 of n_chars via the exact distributed quantile machinery
+    (stages/quantiles.grouped_quantile_disc — histogram refinement, no
+    sort), then one vectorized filter pass keeping docs inside their own
+    language's band. The bounds table is tiny (langs x 2) and rides the
+    task closure; per-row lookup is pc.index_in + take, no Python loop."""
+    from ..stages.quantiles import grouped_quantile_disc
+
+    ds = _tbl(sf_dir, "documents", columns=["lang", "n_chars"])
+    qdf = grouped_quantile_disc(ds, "lang", "n_chars", [0.1, 0.9])
+    piv = qdf.pivot_table(index="lang", columns="q", values="value")
+    langs = list(piv.index)
+    lang_arr = pa.array(langs, pa.string())
+    lo = np.asarray(piv[0.1], dtype=np.float64)
+    hi = np.asarray(piv[0.9], dtype=np.float64)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch["lang"], value_set=lang_arr)
+        idx_np = idx.to_numpy(zero_copy_only=False).astype(np.float64)
+        known = ~np.isnan(idx_np)
+        ii = np.where(known, idx_np, 0).astype(np.int64)
+        v = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mask = known & (v >= lo[ii]) & (v <= hi[ii])
+        return batch.filter(pa.array(mask))
+
+    kept = ds.map_batches(keep, batch_format="pyarrow")
+    df = preagg_groupby(
+        kept, ["lang"], sums={"sum_chars": "n_chars"}, count_alias="n_kept"
+    ).to_pandas()
+    return df.astype({"n_kept": "int64", "sum_chars": "int64"})[
+        ["lang", "n_kept", "sum_chars"]
+    ].sort_values("lang").reset_index(drop=True)
+
+
 def customer_order_setops(sf_dir: str):
     """Distinct-key set algebra (stages/setops.py): rich customers vs the
     keys placing big orders — INTERSECT / EXCEPT / union
