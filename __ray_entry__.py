@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_weighted_sample": r.doc_weighted_sample,
         # window frames + grouping sets
         "events_user_moving_avg": r.events_user_moving_avg,
+        "events_user_cumsum": r.events_user_cumsum,
         "events_rollup": r.events_rollup,
         "events_distinct_users_per_type": r.events_distinct_users_per_type,
         "events_daily_type_pivot": r.events_daily_type_pivot,
@@ -603,6 +604,14 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
                    ) AS avg3
+            FROM events
+        """,
+        "events_user_cumsum": """
+            SELECT event_id,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ), 2) AS cum_value
             FROM events
         """,
         "events_rollup": """

@@ -1598,6 +1598,31 @@ def events_user_moving_avg(sf_dir: str, frame: int = 3):
     return df.astype({"event_id": "int64", "avg3": "float64"})
 
 
+def events_user_cumsum(sf_dir: str):
+    """Running-total window: SUM(value) OVER (PARTITION BY user_id ORDER BY
+    ts, event_id ROWS UNBOUNDED PRECEDING). Same bucketed layout as
+    events_row_number — one vectorized sort + groupby-cumsum pass per hash
+    bucket, Python-call count fixed at the bucket count no matter how many
+    users. Sequential left-to-right accumulation matches the SQL running
+    frame's association; event_id uniqueness makes ROWS == RANGE."""
+    ds = _tbl(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def cumsum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cs = g.groupby("user_id")["value"].cumsum()
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "cum_value": cs.to_numpy()})
+
+    df = (
+        ds.map_batches(_add_user_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cumsum, batch_format="pandas")
+        .to_pandas()
+    )
+    df["cum_value"] = round_half_away(df["cum_value"])
+    return df.astype({"event_id": "int64", "cum_value": "float64"})
+
+
 def events_rollup(sf_dir: str):
     """GROUPING SETS ((event_type), (day), ()): three cheap pre-aggregated
     groupbys unioned — each shuffle moves one partial row per key per
