@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # window frames + grouping sets
         "events_user_moving_avg": r.events_user_moving_avg,
         "events_user_cumsum": r.events_user_cumsum,
+        "events_value_histogram": r.events_value_histogram,
+        "doc_bm25_top_docs": r.doc_bm25_top_docs,
         "events_rollup": r.events_rollup,
         "events_distinct_users_per_type": r.events_distinct_users_per_type,
         "events_daily_type_pivot": r.events_daily_type_pivot,
@@ -613,6 +615,78 @@ def oracle_sql() -> dict[str, str]:
                        ROWS UNBOUNDED PRECEDING
                    ), 2) AS cum_value
             FROM events
+        """,
+        "events_value_histogram": """
+            WITH s AS (
+                SELECT CAST(min(value) AS DOUBLE) AS lo,
+                       CAST(max(value) AS DOUBLE) AS hi
+                FROM events WHERE value IS NOT NULL
+            ),
+            p AS (SELECT lo, (hi - lo) / 20.0 AS w FROM s),
+            c AS (
+                SELECT LEAST(CAST(floor((value - lo) / w) AS BIGINT), 19) AS bucket,
+                       count(*) AS n
+                FROM events CROSS JOIN p
+                WHERE value IS NOT NULL
+                GROUP BY 1
+            )
+            SELECT CAST(t.i AS BIGINT) AS bucket,
+                   round(lo + t.i * w, 6) AS bin_lo,
+                   round(lo + (t.i + 1.0) * w, 6) AS bin_hi,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS n
+            FROM range(20) t(i) CROSS JOIN p LEFT JOIN c ON c.bucket = t.i
+        """,
+        "doc_bm25_top_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x != '')) AS term
+                FROM documents
+            ),
+            perdoc AS (
+                SELECT doc_id,
+                       CAST(count(*) AS DOUBLE) AS dl,
+                       CAST(count(*) FILTER (term = 'hash') AS DOUBLE) AS tf0,
+                       CAST(count(*) FILTER (term = 'join') AS DOUBLE) AS tf1,
+                       CAST(count(*) FILTER (term = 'stream') AS DOUBLE) AS tf2
+                FROM toks GROUP BY 1
+            ),
+            docs AS (
+                SELECT d.doc_id,
+                       coalesce(perdoc.dl, 0.0) AS dl,
+                       coalesce(perdoc.tf0, 0.0) AS tf0,
+                       coalesce(perdoc.tf1, 0.0) AS tf1,
+                       coalesce(perdoc.tf2, 0.0) AS tf2
+                FROM documents d LEFT JOIN perdoc USING (doc_id)
+            ),
+            st AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST((SELECT count(*) FROM toks) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE) AS avgdl,
+                       CAST(count(*) FILTER (tf0 > 0) AS DOUBLE) AS df0,
+                       CAST(count(*) FILTER (tf1 > 0) AS DOUBLE) AS df1,
+                       CAST(count(*) FILTER (tf2 > 0) AS DOUBLE) AS df2
+                FROM docs
+            ),
+            scored AS (
+                SELECT doc_id,
+                       round(
+                           ln(1.0 + (st.n - st.df0 + 0.5) / (st.df0 + 0.5))
+                               * (tf0 * (1.2 + 1.0))
+                               / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / st.avgdl))
+                         + ln(1.0 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+                               * (tf1 * (1.2 + 1.0))
+                               / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / st.avgdl))
+                         + ln(1.0 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+                               * (tf2 * (1.2 + 1.0))
+                               / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / st.avgdl)),
+                       6) AS score
+                FROM docs CROSS JOIN st
+            )
+            SELECT doc_id, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+                       AS rank
+            FROM scored ORDER BY score DESC, doc_id LIMIT 20
         """,
         "events_rollup": """
             WITH e AS (

@@ -1827,6 +1827,121 @@ def emb_label_centroids(sf_dir: str):
     ).sort_values(["label", "dim"]).reset_index(drop=True)
     return out.astype({"label": "int64", "dim": "int64", "mean": "float64"})
 
+def events_value_histogram(sf_dir: str, nbins: int = 20):
+    """Fixed-width numeric histogram with data-driven edges. Pass 1 is a
+    streaming Min/Max aggregate (scalar partials only); pass 2 emits one
+    np.bincount partial per block -> a <=nbins-key groupby Sum, so the
+    shuffle moves at most nbins rows per block regardless of data volume
+    and the driver only ever sees nbins rows. Bin index
+    floor((v - lo) / w) clamped to nbins-1 is the exact double-precision
+    expression the SQL oracle evaluates (same operand order), so counts
+    match with no tolerance; empty bins are emitted with n=0."""
+    ds = _tbl(sf_dir, "events", columns=["value"])
+    mm = ds.aggregate(Min("value"), Max("value"))
+    lo, hi = float(mm["min(value)"]), float(mm["max(value)"])
+    w = (hi - lo) / float(nbins)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        b = np.minimum(np.floor((v - lo) / w), nbins - 1).astype(np.int64)
+        cnt = np.bincount(b, minlength=nbins)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {"bucket": pa.array(nz, pa.int64()), "n": pa.array(cnt[nz], pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out = pd.DataFrame({"bucket": np.arange(nbins, dtype=np.int64)})
+    out = out.merge(agg, on="bucket", how="left")
+    out["n"] = out["n"].fillna(0)
+    buck = out["bucket"].to_numpy(np.float64)
+    out["bin_lo"] = round_half_away(lo + buck * w, 6)
+    out["bin_hi"] = round_half_away(lo + (buck + 1.0) * w, 6)
+    out = out[["bucket", "bin_lo", "bin_hi", "n"]]
+    return out.astype(
+        {"bucket": "int64", "bin_lo": "float64", "bin_hi": "float64", "n": "int64"}
+    )
+
+
+def doc_bm25_top_docs(sf_dir: str, k: int = 20):
+    """BM25 retrieval (k1=1.2, b=0.75, Lucene idf ln(1+(N-df+.5)/(df+.5)))
+    for the fixed query {hash, join, stream} over the documents table.
+    Pass 1: ONE partial row per block (doc count, token count, per-term
+    document frequencies) -> scalar Sum merge; corpus statistics then ride
+    the scoring closure — no broadcast, no second shuffle. Pass 2: per-doc
+    scoring inside map_batches with the score expression evaluated in the
+    exact operand order the SQL oracle uses (term contributions added
+    left-to-right), per-block top-k partials, and a driver merge of
+    blocks*k rows — documents never shuffle and the driver never sees the
+    corpus. Ranking is on the ROUNDED score (ties -> doc_id asc), the same
+    total order as the oracle's row_number."""
+    import math
+    from collections import Counter
+
+    terms = ("hash", "join", "stream")
+    k1, b_ = 1.2, 0.75
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        n_toks = 0
+        dfs = [0] * len(terms)
+        for v in batch["text"].to_pylist():
+            toks = (v or "").split()
+            n_toks += len(toks)
+            s = set(toks)
+            for i, t in enumerate(terms):
+                if t in s:
+                    dfs[i] += 1
+        cols = {"n_docs": [len(batch)], "n_toks": [n_toks]}
+        for i in range(len(terms)):
+            cols[f"df_{i}"] = [dfs[i]]
+        return pa.table(cols)
+
+    st = ds.map_batches(stats_partial, batch_format="pyarrow").aggregate(
+        Sum("n_docs"), Sum("n_toks"), *[Sum(f"df_{i}") for i in range(len(terms))]
+    )
+    n_docs = float(st["sum(n_docs)"])
+    avgdl = float(st["sum(n_toks)"]) / n_docs
+    idf = [
+        math.log(1.0 + (n_docs - float(st[f"sum(df_{i})"]) + 0.5)
+                 / (float(st[f"sum(df_{i})"]) + 0.5))
+        for i in range(len(terms))
+    ]
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        ids_out, s_out = [], []
+        for doc_id, v in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = (v or "").split()
+            dl = float(len(toks))
+            denom_adj = k1 * (1.0 - b_ + b_ * dl / avgdl)
+            c = Counter(toks)
+            s = 0.0
+            for i, t in enumerate(terms):
+                tf = float(c.get(t, 0))
+                s = s + idf[i] * (tf * (k1 + 1.0)) / (tf + denom_adj)
+            ids_out.append(doc_id)
+            s_out.append(float(round_half_away(s, 6)))
+        df = pd.DataFrame({"doc_id": ids_out, "score": s_out})
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    merged = (
+        ds.map_batches(score_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    merged["rank"] = np.arange(1, len(merged) + 1, dtype=np.int64)
+    return merged.astype({"doc_id": "int64", "score": "float64", "rank": "int64"})
+
+
 def spec_pipeline_check(sf_dir: str):
     """Drives the §2.6 user-extension surface end-to-end: a declarative
     PipelineSpec chaining two REGISTERED stages ([sha256 -> quality_rules],

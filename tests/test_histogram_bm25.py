@@ -1,0 +1,61 @@
+"""Invariant tests for the numeric histogram and BM25 retrieval operators
+(exactness vs DuckDB is covered by test_oracle_conformance)."""
+
+import duckdb
+import numpy as np
+
+from pii_filter_ray.pipelines import relational as r
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_histogram_partitions_all_rows(ray_session):
+    out = r.events_value_histogram(SF)
+    n_events = duckdb.sql(
+        f"SELECT count(value) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    assert int(out["n"].sum()) == n_events
+    assert list(out["bucket"]) == list(range(20))
+    # edges are contiguous and strictly increasing
+    assert (out["bin_hi"].to_numpy() > out["bin_lo"].to_numpy()).all()
+    assert np.allclose(out["bin_lo"].to_numpy()[1:], out["bin_hi"].to_numpy()[:-1])
+    # data-driven edges cover the observed range
+    lo, hi = duckdb.sql(
+        f"SELECT min(value), max(value) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()
+    assert out["bin_lo"].iloc[0] <= lo and out["bin_hi"].iloc[19] >= hi
+
+
+def test_bm25_ranking_invariants(ray_session):
+    out = r.doc_bm25_top_docs(SF)
+    assert len(out) == 20
+    assert list(out["rank"]) == list(range(1, 21))
+    s = out["score"].to_numpy()
+    assert (np.diff(s) <= 0).all()  # sorted by score desc
+    assert (s >= 0).all()
+    # ties broken by doc_id ascending
+    for i in range(19):
+        if s[i] == s[i + 1]:
+            assert out["doc_id"].iloc[i] < out["doc_id"].iloc[i + 1]
+
+
+def test_bm25_saturation_bounded(ray_session):
+    """Each term's contribution is bounded by idf*(k1+1) — the BM25 tf
+    saturation property — so the total score is below sum(idf)*2.2."""
+    import math
+
+    out = r.doc_bm25_top_docs(SF)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    n = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    bound = 0.0
+    for t in ("hash", "join", "stream"):
+        df = con.execute(
+            "SELECT count(*) FROM documents"
+            " WHERE list_contains(string_split_regex(text, '\\s+'), ?)",
+            [t],
+        ).fetchone()[0]
+        bound += math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * 2.2
+    assert (out["score"] < bound).all()
