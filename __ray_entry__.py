@@ -131,6 +131,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_cumsum": r.events_user_cumsum,
         "events_value_histogram": r.events_value_histogram,
         "doc_bm25_top_docs": r.doc_bm25_top_docs,
+        "events_user_lag": r.events_user_lag,
+        "events_value_percent_rank": r.events_value_percent_rank,
+        "part_fuzzy_pairs": r.part_fuzzy_pairs,
         "events_rollup": r.events_rollup,
         "events_distinct_users_per_type": r.events_distinct_users_per_type,
         "events_daily_type_pivot": r.events_daily_type_pivot,
@@ -615,6 +618,28 @@ def oracle_sql() -> dict[str, str]:
                        ROWS UNBOUNDED PRECEDING
                    ), 2) AS cum_value
             FROM events
+        """,
+        "events_user_lag": """
+            SELECT event_id,
+                   coalesce(lag(value) OVER w, 0.0) AS prev_value,
+                   round(coalesce(value - lag(value) OVER w, 0.0), 6) AS delta,
+                   lag(value) OVER w IS NOT NULL AS has_prev
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "events_value_percent_rank": """
+            SELECT event_id,
+                   round(percent_rank() OVER (ORDER BY value), 6) AS pr
+            FROM events
+        """,
+        "part_fuzzy_pairs": """
+            SELECT a.p_brand AS p_brand,
+                   a.p_partkey AS key_a,
+                   b.p_partkey AS key_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 4
         """,
         "events_value_histogram": """
             WITH s AS (

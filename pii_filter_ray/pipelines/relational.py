@@ -1827,6 +1827,137 @@ def emb_label_centroids(sf_dir: str):
     ).sort_values(["label", "dim"]).reset_index(drop=True)
     return out.astype({"label": "int64", "dim": "int64", "mean": "float64"})
 
+def events_user_lag(sf_dir: str):
+    """LAG window: previous value per user (ordered ts, event_id) plus the
+    delta. Same bucketed layout as events_row_number — one vectorized
+    sort + groupby-shift pass per hash bucket. NULL-free output contract
+    (coalesced prev/delta + has_prev flag) so the driver's value-hash
+    never sees NaN."""
+    ds = _tbl(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = g.groupby("user_id")["value"].shift(1)
+        has = prev.notna()
+        delta = round_half_away((g["value"] - prev).fillna(0.0).to_numpy(), 6)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "prev_value": prev.fillna(0.0).to_numpy(),
+                "delta": delta,
+                "has_prev": has.to_numpy(),
+            }
+        )
+
+    df = (
+        ds.map_batches(_add_user_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lag, batch_format="pandas")
+        .to_pandas()
+    )
+    return df.astype(
+        {"event_id": "int64", "prev_value": "float64", "delta": "float64",
+         "has_prev": "bool"}
+    )
+
+
+def events_value_percent_rank(sf_dir: str):
+    """Global PERCENT_RANK over events.value WITHOUT a global sort: the
+    100 TB pattern for a bounded-cardinality numeric domain (2-decimal
+    values here). Per-block distinct-value count partials -> one
+    groupby(v) Sum whose shuffle moves one row per distinct value per
+    block, a driver-side cumulative walk over the (small) distinct-value
+    table, then a second streaming pass mapping each row via
+    np.searchsorted into the strictly-below cumulative counts. rank-1 ==
+    count of strictly smaller values, so (below / (n-1)) is the exact
+    double DuckDB's percent_rank computes. An unbounded domain would
+    switch to the histogram-refinement machinery of stages/quantiles.py."""
+    ds = _tbl(sf_dir, "events", columns=["event_id", "value"])
+
+    def vcounts(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("value").aggregate([("value", "count")])
+        return pa.table({"v": g["value"], "n": pc.cast(g["value_count"], pa.int64())})
+
+    hist = (
+        ds.map_batches(vcounts, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    counts = hist["n"].to_numpy(np.int64)
+    total = int(counts.sum())
+    vals = hist["v"].to_numpy(np.float64)
+    below = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    denom = float(total - 1)
+
+    def pr(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        p = below[np.searchsorted(vals, v)] / denom
+        return pa.table(
+            {"event_id": batch["event_id"],
+             "pr": pa.array(round_half_away(p, 6), pa.float64())}
+        )
+
+    df = ds.map_batches(pr, batch_format="pyarrow").to_pandas()
+    return df.astype({"event_id": "int64", "pr": "float64"})
+
+
+def part_fuzzy_pairs(sf_dir: str, max_dist: int = 4):
+    """Edit-distance fuzzy-match candidate pairs under blocking: parts in
+    the same brand whose names are within Levenshtein distance 4. The
+    blocking key (p_brand) is the partitioning assumption — pair
+    enumeration is quadratic only within a block, never across the
+    corpus, and only (brand, key, name) rows shuffle. Distance is the
+    standard unit-cost DP evaluated over the short tail of each group
+    (length-difference prescreen first), identical to DuckDB's
+    levenshtein(), so the oracle matches with integer equality."""
+    ds = _tbl(sf_dir, "part", columns=["p_partkey", "p_brand", "p_name"])
+
+    def _lev(a: str, b: str, cap: int) -> int:
+        if abs(len(a) - len(b)) > cap:
+            return cap + 1
+        m = len(b)
+        idx = np.arange(m + 1, dtype=np.int64)
+        prev = idx.copy()
+        arr_b = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+        for i, ca in enumerate(a):
+            # candidate without the left-neighbor term
+            cand = np.empty(m + 1, dtype=np.int64)
+            cand[0] = i + 1
+            np.minimum(prev[:-1] + (arr_b != ord(ca)), prev[1:] + 1, out=cand[1:])
+            # fold in cur[j-1]+1 via the running-min transform:
+            # min_{i<=j}(cand[i] + (j-i)) = j + running_min(cand[i] - i)
+            prev = np.minimum.accumulate(cand - idx) + idx
+        return int(prev[-1])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g["p_partkey"].to_numpy(np.int64)
+        names = g["p_name"].tolist()
+        order = np.argsort(keys, kind="stable")
+        keys, names = keys[order], [names[i] for i in order]
+        ka, kb, dist = [], [], []
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                d = _lev(names[i], names[j], max_dist)
+                if d <= max_dist:
+                    ka.append(keys[i])
+                    kb.append(keys[j])
+                    dist.append(d)
+        return pd.DataFrame(
+            {
+                "p_brand": [g["p_brand"].iloc[0]] * len(ka),
+                "key_a": np.array(ka, dtype=np.int64),
+                "key_b": np.array(kb, dtype=np.int64),
+                "dist": np.array(dist, dtype=np.int64),
+            }
+        )
+
+    df = ds.groupby("p_brand").map_groups(pairs, batch_format="pandas").to_pandas()
+    return df.astype({"key_a": "int64", "key_b": "int64", "dist": "int64"})
+
+
 def events_value_histogram(sf_dir: str, nbins: int = 20):
     """Fixed-width numeric histogram with data-driven edges. Pass 1 is a
     streaming Min/Max aggregate (scalar partials only); pass 2 emits one
