@@ -134,6 +134,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_lag": r.events_user_lag,
         "events_value_percent_rank": r.events_value_percent_rank,
         "part_fuzzy_pairs": r.part_fuzzy_pairs,
+        "events_user_path": r.events_user_path,
+        "events_user_range_1h": r.events_user_range_1h,
+        "lineitem_regression": r.lineitem_regression,
+        "lineitem_profile": r.lineitem_profile,
         "events_rollup": r.events_rollup,
         "events_distinct_users_per_type": r.events_distinct_users_per_type,
         "events_daily_type_pivot": r.events_daily_type_pivot,
@@ -618,6 +622,60 @@ def oracle_sql() -> dict[str, str]:
                        ROWS UNBOUNDED PRECEDING
                    ), 2) AS cum_value
             FROM events
+        """,
+        "events_user_path": """
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
+        """,
+        "events_user_range_1h": """
+            SELECT event_id,
+                   CAST(count(*) OVER w AS BIGINT) AS n_1h,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w
+                        AS BIGINT) AS cents_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                         AND CURRENT ROW)
+        """,
+        "lineitem_regression": """
+            SELECT l_returnflag,
+                   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                       AS slope,
+                   round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                          * sx) / n, 6) AS intercept
+            FROM (
+                SELECT l_returnflag,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       sum(l_quantity) AS sx,
+                       sum(l_extendedprice) AS sy,
+                       sum(l_quantity * l_quantity) AS sxx,
+                       sum(l_quantity * l_extendedprice) AS sxy
+                FROM lineitem GROUP BY l_returnflag
+            )
+        """,
+        "lineitem_profile": """
+            SELECT 'l_quantity' AS col, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) - count(l_quantity) AS BIGINT) AS nulls,
+                   CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv,
+                   CAST(min(l_quantity) AS DOUBLE) AS vmin,
+                   CAST(max(l_quantity) AS DOUBLE) AS vmax
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(l_discount) AS BIGINT),
+                   CAST(count(DISTINCT l_discount) AS BIGINT),
+                   CAST(min(l_discount) AS DOUBLE),
+                   CAST(max(l_discount) AS DOUBLE)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_tax', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(l_tax) AS BIGINT),
+                   CAST(count(DISTINCT l_tax) AS BIGINT),
+                   CAST(min(l_tax) AS DOUBLE),
+                   CAST(max(l_tax) AS DOUBLE)
+            FROM lineitem
         """,
         "events_user_lag": """
             SELECT event_id,

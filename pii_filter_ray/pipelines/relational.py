@@ -1827,6 +1827,193 @@ def emb_label_centroids(sf_dir: str):
     ).sort_values(["label", "dim"]).reset_index(drop=True)
     return out.astype({"label": "int64", "dim": "int64", "mean": "float64"})
 
+def events_user_path(sf_dir: str):
+    """Ordered string aggregation: each user's chronological event_type
+    sequence joined with '>'. Same bucketed layout as events_row_number —
+    one sort + groupby-join pass per hash bucket; only (user, type, ts)
+    rows shuffle and the per-user path length is bounded by that user's
+    event count, never the corpus."""
+    ds = _tbl(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def path(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        agg = g.groupby("user_id")["event_type"].agg([(">".join), "size"])
+        agg.columns = ["path", "n_events"]
+        return agg.reset_index()
+
+    df = (
+        ds.map_batches(_add_user_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(path, batch_format="pandas")
+        .to_pandas()
+    )
+    return df.astype({"user_id": "int64", "path": "string", "n_events": "int64"})
+
+
+def events_user_range_1h(sf_dir: str):
+    """Time-RANGE window frame (RANGE INTERVAL 1 HOUR PRECEDING .. CURRENT
+    ROW, peers included): per-event count and integer cents-sum of the
+    user's trailing hour. Per-user two-pointer via np.searchsorted over the
+    sorted ts vector + int64 prefix sums — O(n log n) per bucket, no
+    per-window rescans, and the cents sum is exact integer arithmetic so
+    merge association can never flip a bit vs the SQL window."""
+    ds = _tbl(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    HOUR_NS = 3_600_000_000_000
+
+    def trailing(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        out_id, out_n, out_c = [], [], []
+        for _, u in g.groupby("user_id", sort=False):
+            ts = u["ts"].to_numpy("datetime64[ns]").astype(np.int64)
+            cents = round_half_away(
+                u["value"].to_numpy(np.float64) * 100.0, 0
+            ).astype(np.int64)
+            pref = np.concatenate([[0], np.cumsum(cents)])
+            lo = np.searchsorted(ts, ts - HOUR_NS, side="left")
+            hi = np.searchsorted(ts, ts, side="right")
+            out_id.append(u["event_id"].to_numpy(np.int64))
+            out_n.append(hi - lo)
+            out_c.append(pref[hi] - pref[lo])
+        return pd.DataFrame(
+            {
+                "event_id": np.concatenate(out_id),
+                "n_1h": np.concatenate(out_n).astype(np.int64),
+                "cents_1h": np.concatenate(out_c).astype(np.int64),
+            }
+        )
+
+    df = (
+        ds.map_batches(_add_user_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(trailing, batch_format="pandas")
+        .to_pandas()
+    )
+    return df.astype({"event_id": "int64", "n_1h": "int64", "cents_1h": "int64"})
+
+
+def lineitem_regression(sf_dir: str):
+    """Grouped OLS fit (extendedprice ~ quantity per return flag) from the
+    same one-shuffle moment partials as lineitem_corr: each block ships one
+    (sx, sy, sxx, sxy, n) row per key, the groupby merges moments, the
+    driver applies the closed form slope=(n*sxy-sx*sy)/(n*sxx-sx*sx),
+    intercept=(sy-slope*sx)/n. The oracle evaluates the identical closed
+    form over SQL sums; round(...,6) absorbs merge-order float noise."""
+    ds = _tbl(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        x = batch["l_quantity"].to_numpy()
+        y = batch["l_extendedprice"].to_numpy()
+        t = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "x": pa.array(x, pa.float64()),
+            "y": pa.array(y, pa.float64()),
+            "xx": pa.array(x * x, pa.float64()),
+            "xy": pa.array(x * y, pa.float64()),
+        })
+        g = t.group_by("l_returnflag").aggregate(
+            [("x", "sum"), ("y", "sum"), ("xx", "sum"), ("xy", "sum"),
+             ("x", "count")]
+        )
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "sx": g["x_sum"], "sy": g["y_sum"], "sxx": g["xx_sum"],
+            "sxy": g["xy_sum"], "n": pc.cast(g["x_count"], pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("sx", alias_name="sx"), Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"), Sum("sxy", alias_name="sxy"),
+            Sum("n", alias_name="n"),
+        )
+        .to_pandas()
+    )
+    n = agg["n"].astype("float64")
+    slope = (n * agg["sxy"] - agg["sx"] * agg["sy"]) / (
+        n * agg["sxx"] - agg["sx"] * agg["sx"]
+    )
+    intercept = (agg["sy"] - slope * agg["sx"]) / n
+    out = pd.DataFrame(
+        {
+            "l_returnflag": agg["l_returnflag"],
+            "slope": round_half_away(slope.to_numpy(), 6),
+            "intercept": round_half_away(intercept.to_numpy(), 6),
+        }
+    ).sort_values("l_returnflag").reset_index(drop=True)
+    return out.astype({"slope": "float64", "intercept": "float64"})
+
+
+def lineitem_profile(sf_dir: str):
+    """Dataset profiler over lineitem's numeric measure columns: row count,
+    null count, exact distinct count, min and max per column — the
+    schema-inspection pass a pipeline runs before choosing strategies
+    (dictionary vs scan, histogram bounds). One streaming pass emits
+    per-block partials per column: (n, nulls, min, max) as scalars plus
+    block-local DISTINCT values for the NDV merge, so a value occurring a
+    billion times ships once per block; the NDV groupby is the only
+    shuffle and it moves distinct values only."""
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    ds = _tbl(sf_dir, "lineitem", columns=cols)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        names, stat_ns, stat_nulls, mins, maxs = [], [], [], [], []
+        dist_col, dist_val = [], []
+        for c in cols:
+            arr = batch[c]
+            names.append(c)
+            stat_ns.append(len(arr))
+            stat_nulls.append(arr.null_count)
+            mins.append(float(pc.min(arr).as_py()))
+            maxs.append(float(pc.max(arr).as_py()))
+            for v in pc.unique(pc.drop_null(arr)).to_pylist():
+                dist_col.append(c)
+                dist_val.append(float(v))
+        # two logical streams share one table: stat rows + distinct rows
+        nstat, ndist = len(names), len(dist_col)
+        return pa.table(
+            {
+                "col": pa.array(names + dist_col, pa.string()),
+                "kind": pa.array(["s"] * nstat + ["d"] * ndist, pa.string()),
+                "n": pa.array(stat_ns + [0] * ndist, pa.int64()),
+                "nulls": pa.array(stat_nulls + [0] * ndist, pa.int64()),
+                "vmin": pa.array(mins + dist_val, pa.float64()),
+                "vmax": pa.array(maxs + dist_val, pa.float64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["col", "kind", "vmin"])
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("nulls", alias_name="nulls"),
+            Max("vmax", alias_name="vmax"),
+        )
+        .to_pandas()
+    )
+    rows = []
+    for c in cols:
+        stats = merged[(merged["col"] == c) & (merged["kind"] == "s")]
+        dist = merged[(merged["col"] == c) & (merged["kind"] == "d")]
+        rows.append(
+            {
+                "col": c,
+                "n": int(stats["n"].sum()),
+                "nulls": int(stats["nulls"].sum()),
+                "ndv": int(len(dist["vmin"].unique())),
+                "vmin": float(stats["vmin"].min()),
+                "vmax": float(stats["vmax"].max()),
+            }
+        )
+    out = pd.DataFrame(rows)
+    return out.astype(
+        {"col": "string", "n": "int64", "nulls": "int64", "ndv": "int64",
+         "vmin": "float64", "vmax": "float64"}
+    )
+
+
 def events_user_lag(sf_dir: str):
     """LAG window: previous value per user (ordered ts, event_id) plus the
     delta. Same bucketed layout as events_row_number — one vectorized
