@@ -138,6 +138,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_range_1h": r.events_user_range_1h,
         "lineitem_regression": r.lineitem_regression,
         "lineitem_profile": r.lineitem_profile,
+        "q5_local_supplier_volume": r.q5_local_supplier_volume,
+        "events_type_stddev": r.events_type_stddev,
+        "doc_tokens_explode": r.doc_tokens_explode,
+        "events_user_ntile": r.events_user_ntile,
         "events_rollup": r.events_rollup,
         "events_distinct_users_per_type": r.events_distinct_users_per_type,
         "events_daily_type_pivot": r.events_daily_type_pivot,
@@ -621,6 +625,50 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING
                    ), 2) AS cum_value
+            FROM events
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 10000.0, 0) AS BIGINT)) / 10000.0
+                       AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1998-01-01'
+            GROUP BY n_name
+        """,
+        "events_type_stddev": """
+            SELECT event_type,
+                   round(sqrt(n * sxx - sx * sx) / n, 6) AS sd_pop
+            FROM (
+                SELECT event_type,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       sum(value) AS sx,
+                       sum(value * value) AS sxx
+                FROM events GROUP BY event_type
+            )
+        """,
+        "doc_tokens_explode": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x != '') AS toks
+                FROM documents WHERE doc_id % 100 = 0
+            )
+            SELECT doc_id,
+                   CAST(unnest(range(len(toks))) + 1 AS BIGINT) AS pos,
+                   unnest(toks) AS term
+            FROM d
+        """,
+        "events_user_ntile": """
+            SELECT event_id,
+                   CAST(ntile(4) OVER (
+                       PARTITION BY user_id ORDER BY value, event_id
+                   ) AS BIGINT) AS tile
             FROM events
         """,
         "events_user_path": """

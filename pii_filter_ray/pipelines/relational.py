@@ -1827,6 +1827,195 @@ def emb_label_centroids(sf_dir: str):
     ).sort_values(["label", "dim"]).reset_index(drop=True)
     return out.astype({"label": "int64", "dim": "int64", "mean": "float64"})
 
+def q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 (local supplier volume, ASIA, 1996-1997) composed
+    Ray-Data-first: region/nation collapse driver-side; customer (pruned
+    to the region's nations) and supplier broadcast as (key, nationkey)
+    arrays read once and looked up via index_in/take; orders filter the
+    date range BEFORE the only all-to-all — the lineitem x filtered-orders
+    hash join (stages/joins.hash_join tagged-union co-partition). At
+    warehouse scale the customer broadcast would switch to a second
+    hash_join; supplier/nation/region stay broadcast at any scale.
+    Revenue is summed in exact integer 1e-4 units (extendedprice and
+    discount each carry 2 decimals), so shuffle merge order can't flip a
+    bit vs the SQL sum."""
+    from ..stages.joins import hash_join
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    asia_rk = {
+        rk for rk, rn in zip(region["r_regionkey"].to_pylist(),
+                             region["r_name"].to_pylist())
+        if rn == "ASIA"
+    }
+    nat_keys, nat_names = [], []
+    for nk, nname, rk in zip(nation["n_nationkey"].to_pylist(),
+                             nation["n_name"].to_pylist(),
+                             nation["n_regionkey"].to_pylist()):
+        if rk in asia_rk:
+            nat_keys.append(nk)
+            nat_names.append(nname)
+    nat_keys_arr = pa.array(nat_keys, pa.int64())
+    nat_names_arr = pa.array(nat_names, pa.string())
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    cust = cust.filter(pc.is_in(cust["c_nationkey"], value_set=nat_keys_arr))
+    add_cnat = broadcast_lookup_fn(
+        cust["c_custkey"].combine_chunks(), cust["c_nationkey"].combine_chunks(),
+        key_col="o_custkey", out_col="c_nat",
+    )
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    add_snat = broadcast_lookup_fn(
+        supp["s_suppkey"].combine_chunks(), supp["s_nationkey"].combine_chunks(),
+        key_col="l_suppkey", out_col="s_nat",
+    )
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+        hi = pa.scalar(pd.Timestamp("1998-01-01"), pa.timestamp("us"))
+        b = batch.filter(pc.and_(pc.greater_equal(batch["o_orderdate"], lo),
+                                 pc.less(batch["o_orderdate"], hi)))
+        b = add_cnat(b)
+        return b.filter(pc.is_valid(b["c_nat"])).select(["o_orderkey", "c_nat"])
+
+    def prep_lineitem(batch: pa.Table) -> pa.Table:
+        rev = round_half_away(
+            batch["l_extendedprice"].to_numpy()
+            * (1.0 - batch["l_discount"].to_numpy()) * 10000.0, 0
+        ).astype(np.int64)
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "l_suppkey": batch["l_suppkey"],
+            "rev_e4": pa.array(rev, pa.int64()),
+        })
+
+    orders = _tbl(sf_dir, "orders",
+                  columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        prep_orders, batch_format="pyarrow")
+    lineitem = _tbl(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                             "l_discount"]).map_batches(
+        prep_lineitem, batch_format="pyarrow")
+
+    joined = hash_join(
+        lineitem, orders,
+        left_key="l_orderkey", right_key="o_orderkey",
+        left_cols=["l_suppkey", "rev_e4"], right_cols=["c_nat"],
+        schema={"l_suppkey": pa.int64(), "rev_e4": pa.int64(),
+                "c_nat": pa.int64()},
+    )
+
+    def local_only(batch: pa.Table) -> pa.Table:
+        b = add_snat(batch)
+        b = b.filter(pc.equal(b["s_nat"], b["c_nat"]))
+        idx = pc.index_in(b["s_nat"], value_set=nat_keys_arr)
+        return pa.table({"n_name": pc.take(nat_names_arr, idx),
+                         "rev_e4": b["rev_e4"]})
+
+    df = preagg_groupby(
+        joined.map_batches(local_only, batch_format="pyarrow"),
+        ["n_name"], sums={"rev_e4": "rev_e4"},
+    ).to_pandas()
+    df["revenue"] = df["rev_e4"].astype(np.int64) / 10000.0
+    return df[["n_name", "revenue"]].astype({"revenue": "float64"})
+
+
+def events_type_stddev(sf_dir: str):
+    """Grouped population stddev from the one-shuffle moment partials
+    (sx, sxx, n per key per block); the driver applies the closed form
+    sqrt(n*sxx - sx*sx)/n, the oracle evaluates the identical expression
+    over SQL sums; round(...,6) absorbs merge-order float noise."""
+    ds = _tbl(sf_dir, "events", columns=["event_type", "value"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        x = batch["value"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "x": pa.array(x, pa.float64()),
+            "xx": pa.array(x * x, pa.float64()),
+        })
+        g = t.group_by("event_type").aggregate(
+            [("x", "sum"), ("xx", "sum"), ("x", "count")])
+        return pa.table({
+            "event_type": g["event_type"], "sx": g["x_sum"],
+            "sxx": g["xx_sum"], "n": pc.cast(g["x_count"], pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("sx", alias_name="sx"), Sum("sxx", alias_name="sxx"),
+                   Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    n = agg["n"].astype("float64")
+    sd = np.sqrt(n * agg["sxx"] - agg["sx"] * agg["sx"]) / n
+    out = pd.DataFrame({
+        "event_type": agg["event_type"],
+        "sd_pop": round_half_away(sd.to_numpy(), 6),
+    }).sort_values("event_type").reset_index(drop=True)
+    return out.astype({"sd_pop": "float64"})
+
+
+def doc_tokens_explode(sf_dir: str):
+    """Explode/unnest operator: every 100th document flat-maps to one row
+    per token with its 1-based position — the inverse of the aggregation
+    ops, exercised as a batch transform (each input batch expands in place;
+    no shuffle at all). The modulus predicate is applied at the batch level
+    before tokenization so non-sampled documents are never split."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_np = batch["doc_id"].to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array(ids_np % 100 == 0))
+        ids, pos, terms = [], [], []
+        for doc_id, v in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            toks = (v or "").split()
+            ids.extend([doc_id] * len(toks))
+            pos.extend(range(1, len(toks) + 1))
+            terms.extend(toks)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+        })
+
+    df = ds.map_batches(explode, batch_format="pyarrow").to_pandas()
+    return df.astype({"doc_id": "int64", "pos": "int64", "term": "string"})
+
+
+def events_user_ntile(sf_dir: str, tiles: int = 4):
+    """NTILE(4) per user over (value, event_id): the SQL bucket rule (the
+    first n%4 buckets take one extra row) evaluated fully vectorized —
+    after one bucketed sort, per-row index and group size come from
+    cumcount/transform and the tile assignment is pure numpy arithmetic;
+    no per-user Python loop."""
+    ds = _tbl(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def ntile(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "value", "event_id"], kind="mergesort")
+        grp = g.groupby("user_id")["event_id"]
+        i = grp.cumcount().to_numpy(np.int64)
+        n = grp.transform("size").to_numpy(np.int64)
+        base, rem = n // tiles, n % tiles
+        big = rem * (base + 1)  # rows covered by the (base+1)-sized tiles
+        safe_base = np.maximum(base, 1)
+        tile = np.where(i < big, i // (base + 1),
+                        rem + (i - big) // safe_base) + 1
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "tile": tile.astype(np.int64)})
+
+    df = (
+        ds.map_batches(_add_user_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(ntile, batch_format="pandas")
+        .to_pandas()
+    )
+    return df.astype({"event_id": "int64", "tile": "int64"})
+
+
 def events_user_path(sf_dir: str):
     """Ordered string aggregation: each user's chronological event_type
     sequence joined with '>'. Same bucketed layout as events_row_number —
