@@ -142,6 +142,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_stddev": r.events_type_stddev,
         "doc_tokens_explode": r.doc_tokens_explode,
         "events_user_ntile": r.events_user_ntile,
+        "region_nation_matrix": r.region_nation_matrix,
+        "events_type_dense_rank": r.events_type_dense_rank,
+        "events_user_entropy": r.events_user_entropy,
+        "events_daily_type_unpivot": r.events_daily_type_unpivot,
         "events_rollup": r.events_rollup,
         "events_distinct_users_per_type": r.events_distinct_users_per_type,
         "events_daily_type_pivot": r.events_daily_type_pivot,
@@ -670,6 +674,48 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY value, event_id
                    ) AS BIGINT) AS tile
             FROM events
+        """,
+        "region_nation_matrix": """
+            SELECT r_name, n_name,
+                   n_regionkey = r_regionkey AS in_region,
+                   CAST(coalesce(s.cnt, 0) AS BIGINT) AS n_suppliers
+            FROM region CROSS JOIN nation
+            LEFT JOIN (
+                SELECT s_nationkey, count(*) AS cnt FROM supplier GROUP BY 1
+            ) s ON s.s_nationkey = n_nationkey
+        """,
+        "events_type_dense_rank": """
+            SELECT event_id,
+                   CAST(dense_rank() OVER (
+                       PARTITION BY event_type ORDER BY value
+                   ) AS BIGINT) AS rnk
+            FROM events
+        """,
+        "events_user_entropy": """
+            WITH c AS (
+                SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY 1)
+            SELECT c.user_id,
+                   round(sum(-(c.n / t.tot) * ln(c.n / t.tot)), 6) AS entropy
+            FROM c JOIN t USING (user_id) GROUP BY c.user_id
+        """,
+        "events_daily_type_unpivot": """
+            WITH days AS (
+                SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events
+            ),
+            types(event_type) AS (
+                VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')
+            ),
+            c AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT d.day, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+            FROM days d CROSS JOIN types t
+            LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
         """,
         "events_user_path": """
             SELECT user_id,

@@ -1827,6 +1827,127 @@ def emb_label_centroids(sf_dir: str):
     ).sort_values(["label", "dim"]).reset_index(drop=True)
     return out.astype({"label": "int64", "dim": "int64", "mean": "float64"})
 
+def region_nation_matrix(sf_dir: str):
+    """CROSS JOIN of the two dimension tables with a fact-side aggregate
+    folded in: every (region, nation) pair annotated with whether the
+    nation belongs to the region and the nation's supplier count. The
+    cartesian product is dims-only (5 x 25 driver-side rows); the fact
+    side (supplier) contributes through one pre-aggregated groupby whose
+    shuffle moves one row per nation per block — the cross join never
+    touches fact data, which is the only shape a cross join is allowed to
+    take at 100 TB."""
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    ds = _tbl(sf_dir, "supplier", columns=["s_nationkey"])
+    counts = (
+        preagg_groupby(ds, ["s_nationkey"], count_alias="n_suppliers")
+        .to_pandas()
+        .set_index("s_nationkey")["n_suppliers"]
+    )
+    rows = []
+    for rk, rn in zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()):
+        for nk, nn, nrk in zip(
+            nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist(),
+            nation["n_regionkey"].to_pylist(),
+        ):
+            rows.append(
+                {"r_name": rn, "n_name": nn, "in_region": nrk == rk,
+                 "n_suppliers": int(counts.get(nk, 0))}
+            )
+    return pd.DataFrame(rows).astype(
+        {"r_name": "string", "n_name": "string", "in_region": "bool",
+         "n_suppliers": "int64"}
+    )
+
+
+def events_type_dense_rank(sf_dir: str):
+    """DENSE_RANK of value within event_type WITHOUT a per-group sort of
+    the data: per-(type, value) distinct-count partials -> one small
+    groupby (one row per distinct (type, value) per block shuffles), a
+    per-type cumulative walk over the distinct-value table on the driver,
+    then a second streaming pass assigning ranks via np.searchsorted per
+    type. Bounded by the distinct-value domain, like
+    events_value_percent_rank; ranks are exact integers."""
+    ds = _tbl(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def vcounts(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "value"]).aggregate([("value", "count")])
+        return pa.table({"event_type": g["event_type"], "v": g["value"]})
+
+    distinct = (
+        ds.map_batches(vcounts, batch_format="pyarrow")
+        .groupby(["event_type", "v"])
+        .aggregate(Count(alias_name="_n"))
+        .to_pandas()
+        .sort_values(["event_type", "v"])
+        .reset_index(drop=True)
+    )
+    rank_tbl = {
+        t: grp["v"].to_numpy(np.float64)
+        for t, grp in distinct.groupby("event_type", sort=False)
+    }
+
+    def assign(batch: pa.Table) -> pa.Table:
+        types = batch["event_type"].to_pylist()
+        vals = batch["value"].to_numpy(zero_copy_only=False)
+        out = np.empty(len(vals), dtype=np.int64)
+        for t in set(types):
+            m = np.array([x == t for x in types])
+            out[m] = np.searchsorted(rank_tbl[t], vals[m]) + 1
+        return pa.table(
+            {"event_id": batch["event_id"], "rnk": pa.array(out, pa.int64())}
+        )
+
+    df = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
+    return df.astype({"event_id": "int64", "rnk": "int64"})
+
+
+def events_user_entropy(sf_dir: str):
+    """Shannon entropy of each user's event-type distribution: the
+    (user, type) counts pre-aggregate per block (one row per pair per
+    block shuffles, never events), then one bucketed vectorized pass turns
+    counts into -sum(p*ln p). Contributions are summed in event_type order
+    on both sides; round(...,6) absorbs the SQL engine's unordered group
+    sum."""
+    ds = _tbl(sf_dir, "events", columns=["user_id", "event_type"])
+    counts = preagg_groupby(ds, ["user_id", "event_type"], count_alias="n")
+
+    def entropy(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type"], kind="mergesort")
+        tot = g.groupby("user_id")["n"].transform("sum").to_numpy(np.float64)
+        p = g["n"].to_numpy(np.float64) / tot
+        term = -(p * np.log(p))
+        out = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "t": term})
+        agg = out.groupby("user_id", sort=False)["t"].sum().reset_index()
+        ent = round_half_away(agg["t"].to_numpy(), 6)
+        ent[ent == 0] = 0.0  # DuckDB round() normalizes -0.0 to +0.0
+        agg["entropy"] = ent
+        return agg[["user_id", "entropy"]]
+
+    df = (
+        counts.map_batches(_add_user_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(entropy, batch_format="pandas")
+        .to_pandas()
+    )
+    return df.astype({"user_id": "int64", "entropy": "float64"})
+
+
+def events_daily_type_unpivot(sf_dir: str):
+    """UNPIVOT: the wide per-day event-type matrix (computed with the same
+    pre-aggregated indicator partials as events_daily_type_pivot) melted
+    back to long (day, event_type, n) rows, keeping zero cells — the
+    inverse reshape operator. All width happens on the already-aggregated
+    day table; raw events never reshape."""
+    wide = events_daily_type_pivot(sf_dir)
+    type_cols = [c for c in wide.columns if c != "day"]
+    long = wide.melt(id_vars="day", value_vars=type_cols,
+                     var_name="event_type", value_name="n")
+    long["event_type"] = long["event_type"].str.removeprefix("n_")
+    long = long.sort_values(["day", "event_type"]).reset_index(drop=True)
+    return long.astype({"event_type": "string", "n": "int64"})
+
+
 def q5_local_supplier_volume(sf_dir: str):
     """TPC-H Q5 (local supplier volume, ASIA, 1996-1997) composed
     Ray-Data-first: region/nation collapse driver-side; customer (pruned
