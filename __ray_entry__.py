@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_percentile_filter": r.doc_percentile_filter,
         # dedup keep-rule: the corpus minus component non-representatives
         "doc_dedup_corpus": r.doc_dedup_corpus,
+        "doc_curation_pipeline": r.doc_curation_pipeline,
         # bloom-prefiltered exact semi-join + moment-partial statistics
         "orders_semi_bloom": r.orders_semi_bloom,
         "lineitem_corr": r.lineitem_corr,
@@ -177,6 +178,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_components": o.doc_dup_components_sql(),
         "emb_cosine_neardup": o.emb_cosine_neardup_sql(),
         "doc_dedup_corpus": o.doc_dedup_corpus_sql(),
+        "doc_curation_pipeline": o.doc_curation_pipeline_sql(),
         "emb_ivf_knn": o.emb_ivf_knn_sql(),
         # ground truth for the self-generated code corpus comes from the
         # generator's expectations sidecar (independent of the pipeline)

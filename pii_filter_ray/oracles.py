@@ -61,12 +61,13 @@ def shingle_strings_cte(k: int = 3, table: str = "documents",
   )"""
 
 
-def jaccard_pairs_ctes(threshold: float, max_df: int, k: int = 3) -> str:
+def jaccard_pairs_ctes(threshold: float, max_df: int, k: int = 3,
+                       table: str = "documents") -> str:
     """CTE chain ending in ``jac_pairs(id_a, id_b, jaccard)`` — the exact
     inverted-index jaccard join (mirror of dedup.jaccard_similarity_join,
     including the df-pruning: shingles shared by more than max_df docs are
     excluded from intersection evidence on both sides)."""
-    return f"""WITH {shingle_strings_cte(k)},
+    return f"""WITH {shingle_strings_cte(k, table=table)},
   sh_rows AS (
     SELECT doc_id, unnest(shs) AS sh, len(shs) AS n_sh
     FROM doc_shingles WHERE len(shs) > 0
@@ -805,3 +806,67 @@ SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept,
 FROM documents d JOIN b ON d.lang = b.lang
 WHERE d.n_chars BETWEEN b.lo AND b.hi
 GROUP BY d.lang ORDER BY d.lang"""
+
+
+def doc_curation_pipeline_sql(threshold: float = 0.5, max_df: int = 1000) -> str:
+    """Mirror of the end-to-end curation composition: heuristic quality
+    gate (SQL-expressible rule subset, same CASE chain as doc_sql_keep) ->
+    jaccard near-dedup keep-rule over the SURVIVORS -> benchmark 5-gram
+    decontamination (bench slice doc_id % 97 of the full corpus)."""
+    jac = jaccard_pairs_ctes(threshold, max_df, table="kept").removeprefix("WITH ")
+    return f"""WITH RECURSIVE f AS (
+    SELECT doc_id, text, lang,
+           trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) = '' AS is_empty,
+           list_max(list_transform(string_split(text, chr(10)),
+                                   x -> length(x))) AS mll,
+           list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks,
+           length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS n_alnum,
+           length(text) AS n_chars
+    FROM documents
+  ),
+  kept AS (
+    SELECT doc_id, text, lang FROM f
+    WHERE NOT (is_empty OR mll > 1000
+        OR (len(toks) > 0 AND
+            CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+              / len(toks) > 25.0)
+        OR (n_chars > 0 AND CAST(n_alnum AS DOUBLE) / n_chars < 0.25))
+  ),
+  {jac},
+  nodes AS (
+    SELECT DISTINCT id FROM (
+      SELECT id_a AS id FROM jac_pairs UNION ALL SELECT id_b FROM jac_pairs
+    )
+  ),
+  bi_edges AS (
+    SELECT id_a AS a, id_b AS b FROM jac_pairs
+    UNION ALL
+    SELECT id_b AS a, id_a AS b FROM jac_pairs
+  ),
+  reach(id, r) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT e.a, reach.r FROM bi_edges e JOIN reach ON reach.id = e.b
+  ),
+  comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+  dedup AS (
+    SELECT k.doc_id, k.lang FROM kept k LEFT JOIN comp c ON k.doc_id = c.id
+    WHERE c.id IS NULL OR c.component = k.doc_id
+  ),
+  dws AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS ws
+    FROM documents
+  ),
+  grams AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ws) - 3),
+                                 i -> array_to_string(ws[i:i+4], ' '))) AS g
+    FROM dws WHERE len(ws) >= 5
+  ),
+  bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+  contaminated AS (
+    SELECT DISTINCT grams.doc_id FROM grams JOIN bench USING (g)
+  )
+  SELECT doc_id, lang FROM dedup
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)"""

@@ -1827,6 +1827,75 @@ def emb_label_centroids(sf_dir: str):
     ).sort_values(["label", "dim"]).reset_index(drop=True)
     return out.astype({"label": "int64", "dim": "int64", "mean": "float64"})
 
+def doc_curation_pipeline(sf_dir: str, threshold: float = 0.5):
+    """End-to-end training-corpus curation in one streaming composition —
+    the switchover pipeline a reference user runs: (1) heuristic quality
+    gate (SQL-expressible rule subset of core.quality, vectorized per
+    batch, no shuffle); (2) Jaccard near-dedup keep-rule over the
+    SURVIVORS (inverted-index similarity join -> join-based connected
+    components -> distributed anti-join subtracts non-representatives);
+    (3) benchmark decontamination (5-gram set of the held-out doc_id%97
+    slice built distributively and broadcast once; the corpus membership
+    pass is shuffle-free; contaminated ids subtracted with a second
+    anti-join). No shuffle ever carries document text — only ids, shingle
+    hashes and n-gram flags move; text is read column-pruned exactly
+    twice (gate+shingle pass, decontam pass)."""
+    from ..stages.decontam import benchmark_ngram_set, flag_contaminated
+    from ..stages.dedup import dup_components_joined, jaccard_similarity_join
+    from ..stages.joins import hash_anti_join
+    from ..stages.text_stats import sql_keep_batch
+
+    docs = _tbl(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def quality_gate(batch: pa.Table) -> pa.Table:
+        return batch.filter(sql_keep_batch(batch)["keep"])
+
+    kept = docs.map_batches(quality_gate, batch_format="pyarrow")
+
+    # stage 2: near-dedup keep rule over survivors (ids/hashes shuffle only)
+    pairs = jaccard_similarity_join(
+        kept, text_col="text", id_col="doc_id", threshold=threshold
+    )
+    comps = dup_components_joined(pairs)
+
+    def drops(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.not_equal(batch["id"], batch["component"])
+        ).select(["id"])
+
+    kept_slim = kept.select_columns(["doc_id", "lang"])
+    dedup = hash_anti_join(
+        kept_slim, comps.map_batches(drops, batch_format="pyarrow"),
+        left_key="doc_id", right_key="id",
+        left_cols=["lang"], schema={"lang": pa.string()},
+    )
+
+    # stage 3: decontamination — bench set from the FULL corpus slice,
+    # flags computed shuffle-free, contaminated ids anti-joined away
+    def bench_filter(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 97 == 0))
+
+    full = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    bset = benchmark_ngram_set(
+        full.map_batches(bench_filter, batch_format="pyarrow"), "text", 5
+    )
+    flagged = flag_contaminated(full, bset, id_col="doc_id",
+                                text_col="text", n=5)
+
+    def contaminated_ids(batch: pa.Table) -> pa.Table:
+        b = batch.filter(batch["contaminated"])
+        return pa.table({"cid": b["doc_id"]})
+
+    final = hash_anti_join(
+        dedup, flagged.map_batches(contaminated_ids, batch_format="pyarrow"),
+        left_key="doc_id", right_key="cid",
+        left_cols=["lang"], schema={"lang": pa.string()},
+    )
+    df = final.to_pandas().astype({"doc_id": "int64"})
+    return df[["doc_id", "lang"]]
+
+
 def region_nation_matrix(sf_dir: str):
     """CROSS JOIN of the two dimension tables with a fact-side aggregate
     folded in: every (region, nation) pair annotated with whether the
