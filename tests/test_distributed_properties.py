@@ -296,3 +296,33 @@ def test_jaccard_verify_joined_exact_with_huge_ids(ray_session):
     ).to_pandas()
     by_id = dict(zip(comp["id"], comp["component"]))
     assert by_id[ids[0]] == by_id[ids[1]] == by_id[ids[3]] == ids[0]
+
+
+import pandas as pd
+import pytest
+
+
+@pytest.mark.parametrize("qname", [
+    "events_value_histogram", "events_value_percent_rank",
+    "events_type_dense_rank", "doc_bm25_top_docs", "events_user_cumsum",
+    "events_user_ntile", "events_user_range_1h", "events_user_entropy",
+    "lineitem_profile",
+])
+def test_round2_ops_invariant_to_block_layout(ray_session, monkeypatch, qname):
+    """The round-2 window/rank/histogram/retrieval operators must produce
+    identical results under a different block layout (partial-aggregation
+    and bucketed-sort correctness)."""
+    from pii_filter_ray.pipelines import relational as r
+
+    fn = getattr(r, qname)
+    base = r._tbl
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(sorted(df.columns)).reset_index(drop=True)
+
+    got1 = norm(fn("/root/testdata/sf0.001"))
+    monkeypatch.setattr(
+        r, "_tbl", lambda sf, name, columns=None: base(sf, name, columns).repartition(9)
+    )
+    got2 = norm(fn("/root/testdata/sf0.001"))
+    pd.testing.assert_frame_equal(got1, got2)
