@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup keep-rule: the corpus minus component non-representatives
         "doc_dedup_corpus": r.doc_dedup_corpus,
         "doc_curation_pipeline": r.doc_curation_pipeline,
+        "nation_region_rollup": r.nation_region_rollup,
         # bloom-prefiltered exact semi-join + moment-partial statistics
         "orders_semi_bloom": r.orders_semi_bloom,
         "lineitem_corr": r.lineitem_corr,
@@ -772,6 +773,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(l_tax) AS DOUBLE),
                    CAST(max(l_tax) AS DOUBLE)
             FROM lineitem
+        """,
+        "nation_region_rollup": """
+            WITH o AS (
+                SELECT o_custkey,
+                       CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS cents
+                FROM orders
+            ),
+            n AS (
+                SELECT c.c_nationkey AS nk, sum(cents) AS c
+                FROM o JOIN customer c ON c.c_custkey = o.o_custkey
+                GROUP BY 1
+            )
+            SELECT 'nation' AS level, n_name AS name,
+                   CAST(coalesce(n.c, 0) AS BIGINT) AS total_cents
+            FROM nation LEFT JOIN n ON n.nk = n_nationkey
+            UNION ALL
+            SELECT 'region', r_name,
+                   CAST(coalesce(sum(n.c), 0) AS BIGINT)
+            FROM region
+            LEFT JOIN nation ON n_regionkey = r_regionkey
+            LEFT JOIN n ON n.nk = n_nationkey
+            GROUP BY r_name
         """,
         "events_user_lag": """
             SELECT event_id,

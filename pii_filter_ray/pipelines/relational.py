@@ -1827,6 +1827,55 @@ def emb_label_centroids(sf_dir: str):
     ).sort_values(["label", "dim"]).reset_index(drop=True)
     return out.astype({"label": "int64", "dim": "int64", "mean": "float64"})
 
+def nation_region_rollup(sf_dir: str):
+    """Two-level hierarchy aggregate from ONE shuffle — the aggregate-reuse
+    pattern: order revenue rolls up per nation AND per region, but only the
+    nation-level partials ever shuffle (one row per nation per block); the
+    region level is derived driver-side from the 25 nation totals and the
+    nation->region dim map. Revenue is exact integer cents, so the
+    second-level re-aggregation is bit-safe by construction. Nations and
+    regions with no orders appear with 0."""
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    add_nat = broadcast_lookup_fn(
+        cust["c_custkey"].combine_chunks(), cust["c_nationkey"].combine_chunks(),
+        key_col="o_custkey", out_col="nk",
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            batch["o_totalprice"].to_numpy() * 100.0, 0
+        ).astype(np.int64)
+        b = pa.table({"o_custkey": batch["o_custkey"],
+                      "cents": pa.array(cents, pa.int64())})
+        return add_nat(b).select(["nk", "cents"])
+
+    ds = _tbl(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    nat_totals = (
+        preagg_groupby(ds.map_batches(prep, batch_format="pyarrow"),
+                       ["nk"], sums={"cents": "cents"})
+        .to_pandas()
+        .set_index("nk")["cents"]
+    )
+    rows = []
+    region_sum: dict = {}
+    for nk, nname, rk in zip(nation["n_nationkey"].to_pylist(),
+                             nation["n_name"].to_pylist(),
+                             nation["n_regionkey"].to_pylist()):
+        c = int(nat_totals.get(nk, 0))
+        rows.append({"level": "nation", "name": nname, "total_cents": c})
+        region_sum[rk] = region_sum.get(rk, 0) + c
+    for rk, rname in zip(region["r_regionkey"].to_pylist(),
+                         region["r_name"].to_pylist()):
+        rows.append({"level": "region", "name": rname,
+                     "total_cents": int(region_sum.get(rk, 0))})
+    return pd.DataFrame(rows).astype(
+        {"level": "string", "name": "string", "total_cents": "int64"}
+    )
+
+
 def doc_curation_pipeline(sf_dir: str, threshold: float = 0.5):
     """End-to-end training-corpus curation in one streaming composition —
     the switchover pipeline a reference user runs: (1) heuristic quality
