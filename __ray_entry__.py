@@ -121,6 +121,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_corpus": r.doc_dedup_corpus,
         "doc_curation_pipeline": r.doc_curation_pipeline,
         "nation_region_rollup": r.nation_region_rollup,
+        "events_funnel": r.events_funnel,
+        "events_user_last_type": r.events_user_last_type,
+        "emb_label_variance": r.emb_label_variance,
         # bloom-prefiltered exact semi-join + moment-partial statistics
         "orders_semi_bloom": r.orders_semi_bloom,
         "lineitem_corr": r.lineitem_corr,
@@ -795,6 +798,50 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN nation ON n_regionkey = r_regionkey
             LEFT JOIN n ON n.nk = n_nationkey
             GROUP BY r_name
+        """,
+        "events_funnel": """
+            WITH m AS (
+                SELECT user_id,
+                       min(ts) FILTER (event_type = 'view') AS t_view,
+                       min(ts) FILTER (event_type = 'click') AS t_click,
+                       min(ts) FILTER (event_type = 'purchase') AS t_buy
+                FROM events GROUP BY user_id
+            )
+            SELECT 'view' AS stage,
+                   CAST(count(*) FILTER (t_view IS NOT NULL) AS BIGINT)
+                       AS n_users
+            FROM m
+            UNION ALL
+            SELECT 'view_click',
+                   CAST(count(*) FILTER (t_view IS NOT NULL
+                        AND t_click >= t_view) AS BIGINT)
+            FROM m
+            UNION ALL
+            SELECT 'view_click_purchase',
+                   CAST(count(*) FILTER (t_view IS NOT NULL
+                        AND t_click >= t_view AND t_buy >= t_click) AS BIGINT)
+            FROM m
+        """,
+        "events_user_last_type": """
+            SELECT user_id, event_type AS last_type FROM (
+                SELECT user_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "emb_label_variance": """
+            SELECT label, dim, round((n * q - s * s) / (n * n), 6) AS var_pop
+            FROM (
+                SELECT CAST(label AS BIGINT) AS label,
+                       CAST(i AS BIGINT) AS dim,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       sum(embedding[i + 1]) AS s,
+                       sum(embedding[i + 1] * embedding[i + 1]) AS q
+                FROM embeddings CROSS JOIN range(64) t(i)
+                GROUP BY 1, 2
+            )
         """,
         "events_user_lag": """
             SELECT event_id,

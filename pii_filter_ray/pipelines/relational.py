@@ -1827,6 +1827,130 @@ def emb_label_centroids(sf_dir: str):
     ).sort_values(["label", "dim"]).reset_index(drop=True)
     return out.astype({"label": "int64", "dim": "int64", "mean": "float64"})
 
+def events_funnel(sf_dir: str):
+    """Ordered funnel analysis (view -> click -> purchase): stage counts of
+    users whose FIRST click follows their first view and whose first
+    purchase follows that click. One shuffle moves per-(user, type)
+    min-timestamp partials (one row per pair per block, never events);
+    the ordered comparison is a bucketed vectorized pass; stage counts
+    come back as per-bucket partials summed on the driver."""
+    ds = _tbl(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def min_ts_partials(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["user_id", "event_type"]).aggregate([("ts", "min")])
+        return pa.table({"user_id": g["user_id"], "event_type": g["event_type"],
+                         "t": g["ts_min"]})
+
+    firsts = (
+        ds.map_batches(min_ts_partials, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Min("t", alias_name="t"))
+    )
+
+    def stage_partials(g: pd.DataFrame) -> pd.DataFrame:
+        wide = g.pivot_table(index="user_id", columns="event_type", values="t",
+                             aggfunc="min")
+        for c in ("view", "click", "purchase"):
+            if c not in wide.columns:
+                wide[c] = pd.NaT
+        s1 = wide["view"].notna()
+        s2 = s1 & wide["click"].notna() & (wide["click"] >= wide["view"])
+        s3 = s2 & wide["purchase"].notna() & (wide["purchase"] >= wide["click"])
+        return pd.DataFrame({
+            "stage": ["view", "view_click", "view_click_purchase"],
+            "n_users": np.array([s1.sum(), s2.sum(), s3.sum()], dtype=np.int64),
+        })
+
+    parts = (
+        firsts.map_batches(_add_user_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(stage_partials, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("stage", as_index=False)["n_users"].sum()
+    return out.astype({"stage": "string", "n_users": "int64"})
+
+
+def events_user_last_type(sf_dir: str):
+    """max_by / argmax-latest: each user's most recent event_type (maximal
+    (ts, event_id)). Per-block per-user argmax partials — one row per user
+    per block ships, never events — then the same vectorized pick over the
+    merged partials per hash bucket."""
+    ds = _tbl(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def argmax_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        return b.drop_duplicates("user_id", keep="last")
+
+    partials = ds.map_batches(argmax_partial, batch_format="pandas")
+    df = (
+        partials.map_batches(_add_user_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(argmax_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    out = df[["user_id", "event_type"]].rename(columns={"event_type": "last_type"})
+    return out.astype({"user_id": "int64", "last_type": "string"})
+
+
+def emb_label_variance(sf_dir: str):
+    """Per-label per-dimension population variance of the embedding column
+    from (sum, sumsq, count) vector partials — same bounded shuffle as
+    emb_label_centroids (one (label, dim) row per block, independent of
+    data size); the driver applies var = (n*sxx - sx*sx) / (n*n), the
+    oracle evaluates the identical closed form over SQL sums."""
+    ds = _tbl(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        labels = batch["label"].to_numpy(zero_copy_only=False)
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch["embedding"].to_pylist()])
+        out_l, out_s, out_q, out_n = [], [], [], []
+        for lab in np.unique(labels):
+            mask = labels == lab
+            out_l.append(int(lab))
+            out_s.append(m[mask].sum(axis=0).tolist())
+            out_q.append((m[mask] * m[mask]).sum(axis=0).tolist())
+            out_n.append(int(mask.sum()))
+        return pa.table({
+            "label": pa.array(out_l, pa.int64()),
+            "vsum": pa.array(out_s, pa.list_(pa.float64())),
+            "vsq": pa.array(out_q, pa.list_(pa.float64())),
+            "n": pa.array(out_n, pa.int64()),
+        })
+
+    def explode_dims(batch: pa.Table) -> pa.Table:
+        labs = batch["label"].to_numpy()
+        n = batch["n"].to_numpy()
+        ms = np.stack([np.asarray(v) for v in batch["vsum"].to_pylist()])
+        mq = np.stack([np.asarray(v) for v in batch["vsq"].to_pylist()])
+        dim = ms.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(labs, dim), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(labs)),
+                            pa.int64()),
+            "s": pa.array(ms.reshape(-1), pa.float64()),
+            "q": pa.array(mq.reshape(-1), pa.float64()),
+            "n": pa.array(np.repeat(n, dim), pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .map_batches(explode_dims, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("q", alias_name="q"),
+                   Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    n = agg["n"].astype("float64")
+    var = (n * agg["q"] - agg["s"] * agg["s"]) / (n * n)
+    v = round_half_away(var.to_numpy(), 6)
+    v[v == 0] = 0.0  # DuckDB round() normalizes -0.0 to +0.0
+    out = pd.DataFrame({"label": agg["label"], "dim": agg["dim"], "var_pop": v})
+    out = out.sort_values(["label", "dim"]).reset_index(drop=True)
+    return out.astype({"label": "int64", "dim": "int64", "var_pop": "float64"})
+
+
 def nation_region_rollup(sf_dir: str):
     """Two-level hierarchy aggregate from ONE shuffle — the aggregate-reuse
     pattern: order revenue rolls up per nation AND per region, but only the
