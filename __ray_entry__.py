@@ -159,6 +159,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # §2.6 extension surface driven end-to-end (declarative spec)
         "spec_pipeline_check": r.spec_pipeline_check,
         "doc_lang_confusion": r.doc_lang_confusion,
+        # Arrow-kernel substring counting / standardization / chi-square
+        "doc_term_counts": r.doc_term_counts,
+        "events_zscore_outliers": r.events_zscore_outliers,
+        "orders_chi2": r.orders_chi2,
     }
 
 
@@ -989,5 +993,50 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(embedding[i + 1]), 6) AS mean
             FROM embeddings CROSS JOIN range(64) t(i)
             GROUP BY 1, 2
+        """,
+        "doc_term_counts": """
+            SELECT doc_id,
+                   CAST((length(text) - length(replace(text, 'hash', '')))
+                        / 4 AS BIGINT) AS n_hash,
+                   CAST((length(text) - length(replace(text, 'join', '')))
+                        / 4 AS BIGINT) AS n_join,
+                   CAST((length(text) - length(replace(text, 'stream', '')))
+                        / 6 AS BIGINT) AS n_stream
+            FROM documents
+        """,
+        "events_zscore_outliers": """
+            WITH m AS (
+                SELECT event_type,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       sum(value) AS s,
+                       sum(value * value) AS q
+                FROM events GROUP BY 1
+            ),
+            z AS (
+                SELECT event_id,
+                       round((value - s / n) / (sqrt(n * q - s * s) / n), 6)
+                           AS z0
+                FROM events JOIN m USING (event_type)
+            )
+            SELECT event_id,
+                   CASE WHEN z0 = 0 THEN 0.0 ELSE z0 END AS z,
+                   abs(z0) > 3.0 AS is_outlier
+            FROM z
+        """,
+        "orders_chi2": """
+            WITH c AS (
+                SELECT o_orderpriority AS p, o_orderstatus AS s,
+                       CAST(count(*) AS DOUBLE) AS n
+                FROM orders GROUP BY 1, 2
+            ),
+            tot AS (SELECT sum(n) AS t FROM c),
+            r AS (SELECT p, sum(n) AS rn FROM c GROUP BY 1),
+            col AS (SELECT s, sum(n) AS cn FROM c GROUP BY 1)
+            SELECT round(sum(
+                       (c.n - r.rn * col.cn / tot.t)
+                       * (c.n - r.rn * col.cn / tot.t)
+                       / (r.rn * col.cn / tot.t)), 6) AS chi2,
+                   CAST(count(*) AS BIGINT) AS n_cells
+            FROM c JOIN r USING (p) JOIN col USING (s) CROSS JOIN tot
         """,
     }

@@ -1827,6 +1827,107 @@ def emb_label_centroids(sf_dir: str):
     ).sort_values(["label", "dim"]).reset_index(drop=True)
     return out.astype({"label": "int64", "dim": "int64", "mean": "float64"})
 
+def doc_term_counts(sf_dir: str):
+    """Multi-pattern literal substring counting, fully Arrow-native: three
+    pc.count_substring kernels per batch (zero-copy, C-speed, no Python
+    row loop, no shuffle). Non-overlapping left-to-right semantics match
+    the SQL length-difference idiom exactly, so counts are integer-equal."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    terms = ("hash", "join", "stream")
+
+    def count(batch: pa.Table) -> pa.Table:
+        cols = {"doc_id": batch["doc_id"]}
+        for t in terms:
+            cols[f"n_{t}"] = pc.cast(
+                pc.count_substring(batch["text"], pattern=t), pa.int64()
+            )
+        return pa.table(cols)
+
+    df = ds.map_batches(count, batch_format="pyarrow").to_pandas()
+    return df.astype({"doc_id": "int64",
+                      **{f"n_{t}": "int64" for t in terms}})
+
+
+def events_zscore_outliers(sf_dir: str):
+    """Two-pass standardization: per-type moments from one partial-row
+    shuffle, then a second streaming pass computing z = (v - mean) / sd
+    per event with the per-type constants riding the closure (no second
+    shuffle, no broadcast needed at 5 keys). The z expression is evaluated
+    in the oracle's operand order; outliers flagged on the ROUNDED z so
+    both sides decide from the same number."""
+    ds = _tbl(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        x = batch["value"].to_numpy(zero_copy_only=False)
+        t = pa.table({"event_type": batch["event_type"],
+                      "x": pa.array(x, pa.float64()),
+                      "xx": pa.array(x * x, pa.float64())})
+        g = t.group_by("event_type").aggregate(
+            [("x", "sum"), ("xx", "sum"), ("x", "count")])
+        return pa.table({"event_type": g["event_type"], "sx": g["x_sum"],
+                         "sxx": g["xx_sum"],
+                         "n": pc.cast(g["x_count"], pa.int64())})
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("sx", alias_name="sx"), Sum("sxx", alias_name="sxx"),
+                   Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    n = agg["n"].astype("float64").to_numpy()
+    mean = (agg["sx"] / n).to_numpy()
+    sd = (np.sqrt(n * agg["sxx"].to_numpy() - agg["sx"].to_numpy() ** 2) / n)
+    stats = {t: (m, s) for t, m, s in zip(agg["event_type"], mean, sd)}
+
+    def zpass(batch: pa.Table) -> pa.Table:
+        types = batch["event_type"].to_pylist()
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        mu = np.array([stats[t][0] for t in types])
+        sg = np.array([stats[t][1] for t in types])
+        z = round_half_away((v - mu) / sg, 6)
+        z[z == 0] = 0.0
+        return pa.table({
+            "event_id": batch["event_id"],
+            "z": pa.array(z, pa.float64()),
+            "is_outlier": pa.array(np.abs(z) > 3.0),
+        })
+
+    df = ds.map_batches(zpass, batch_format="pyarrow").to_pandas()
+    return df.astype({"event_id": "int64", "z": "float64",
+                      "is_outlier": "bool"})
+
+
+def orders_chi2(sf_dir: str):
+    """Chi-square independence statistic for orderpriority x orderstatus
+    from ONE pre-aggregated contingency shuffle (one cell row per pair per
+    block; counts stay exact integers). The statistic folds the cells in
+    (priority, status) sort order on both sides; expected counts and the
+    chi2 sum are the oracle's exact expression, rounded to 6."""
+    ds = _tbl(sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus"])
+    cells = (
+        preagg_groupby(ds, ["o_orderpriority", "o_orderstatus"],
+                       count_alias="n")
+        .to_pandas()
+        .sort_values(["o_orderpriority", "o_orderstatus"])
+        .reset_index(drop=True)
+    )
+    total = float(cells["n"].sum())
+    row_tot = cells.groupby("o_orderpriority")["n"].transform("sum").astype(
+        "float64")
+    col_tot = cells.groupby("o_orderstatus")["n"].transform("sum").astype(
+        "float64")
+    exp = row_tot.to_numpy() * col_tot.to_numpy() / total
+    obs = cells["n"].astype("float64").to_numpy()
+    chi2 = 0.0
+    for o, e in zip(obs, exp):
+        chi2 = chi2 + (o - e) * (o - e) / e
+    return pd.DataFrame({
+        "chi2": [float(round_half_away(chi2, 6))],
+        "n_cells": np.array([len(cells)], dtype=np.int64),
+    }).astype({"chi2": "float64", "n_cells": "int64"})
+
+
 def events_funnel(sf_dir: str):
     """Ordered funnel analysis (view -> click -> purchase): stage counts of
     users whose FIRST click follows their first view and whose first
