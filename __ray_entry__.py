@@ -163,6 +163,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_term_counts": r.doc_term_counts,
         "events_zscore_outliers": r.events_zscore_outliers,
         "orders_chi2": r.orders_chi2,
+        # covariance matrix, Markov transitions, cohort retention,
+        # RANK/CUME_DIST, per-group mode
+        "emb_covariance": r.emb_covariance,
+        "events_markov_transitions": r.events_markov_transitions,
+        "events_cohort_retention": r.events_cohort_retention,
+        "events_value_rank_cume": r.events_value_rank_cume,
+        "lineitem_mode_quantity": r.lineitem_mode_quantity,
     }
 
 
@@ -1038,5 +1045,69 @@ def oracle_sql() -> dict[str, str]:
                        / (r.rn * col.cn / tot.t)), 6) AS chi2,
                    CAST(count(*) AS BIGINT) AS n_cells
             FROM c JOIN r USING (p) JOIN col USING (s) CROSS JOIN tot
+        """,
+        "emb_covariance": """
+            SELECT CAST(i AS BIGINT) AS di, CAST(j AS BIGINT) AS dj,
+                   round((n * sxy - sx * sy) / (n * n), 6) AS cov
+            FROM (
+                SELECT i, j,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       sum(CAST(embedding[i + 1] AS DOUBLE)
+                           * CAST(embedding[j + 1] AS DOUBLE)) AS sxy,
+                       sum(CAST(embedding[i + 1] AS DOUBLE)) AS sx,
+                       sum(CAST(embedding[j + 1] AS DOUBLE)) AS sy
+                FROM embeddings
+                CROSS JOIN range(64) t(i) CROSS JOIN range(64) u(j)
+                GROUP BY 1, 2
+            )
+        """,
+        "events_markov_transitions": """
+            WITH s AS (
+                SELECT event_type AS src,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS dst
+                FROM events
+            ),
+            c AS (
+                SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+                FROM s WHERE dst IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT src, dst, n,
+                   round(CAST(n AS DOUBLE)
+                         / sum(n) OVER (PARTITION BY src), 6) AS p
+            FROM c
+        """,
+        "events_cohort_retention": """
+            WITH f AS (
+                SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+                FROM events GROUP BY 1
+            ),
+            d AS (
+                SELECT DISTINCT e.user_id, f.cohort,
+                       datediff('day', f.cohort, CAST(e.ts AS DATE)) AS off
+                FROM events e JOIN f USING (user_id)
+            )
+            SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+                   CAST(off AS BIGINT) AS day_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM d GROUP BY 1, 2
+        """,
+        "events_value_rank_cume": """
+            SELECT event_id,
+                   CAST(rank() OVER (ORDER BY value) AS BIGINT) AS rnk,
+                   round(cume_dist() OVER (ORDER BY value), 6) AS cd
+            FROM events
+        """,
+        "lineitem_mode_quantity": """
+            SELECT l_returnflag, l_quantity AS mode_quantity, n FROM (
+                SELECT l_returnflag, l_quantity,
+                       CAST(count(*) AS BIGINT) AS n,
+                       row_number() OVER (
+                           PARTITION BY l_returnflag
+                           ORDER BY count(*) DESC, l_quantity
+                       ) AS rn
+                FROM lineitem GROUP BY 1, 2
+            ) WHERE rn = 1
         """,
     }

@@ -2953,3 +2953,169 @@ def doc_lang_confusion(sf_dir: str):
         count_alias="n",
     ).to_pandas()
     return df.astype({"n": "int64"})[["lang", "lang_detected", "n"]]
+
+def emb_covariance(sf_dir: str):
+    """Global 64x64 population covariance matrix of the embedding column
+    from ONE bounded shuffle: each block emits 4096 (di, dj) rows carrying
+    sum(x_i*x_j), sum(x_i), sum(x_j) and n as float64 partials (32 KiB per
+    block regardless of data size), groupby (di, dj) sums them — 4096 keys
+    total — and the driver applies cov = (n*sxy - sx*sy)/(n*n). float32
+    inputs are widened to float64 BEFORE the products so both sides
+    multiply in double; the oracle casts the same way."""
+    ds = _tbl(sf_dir, "embeddings", columns=["embedding"])
+    DIM = 64
+    di = np.repeat(np.arange(DIM, dtype=np.int64), DIM)
+    dj = np.tile(np.arange(DIM, dtype=np.int64), DIM)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch["embedding"].to_pylist()])
+        s = m.sum(axis=0)
+        outer = m.T @ m  # (DIM, DIM) sum of per-row outer products
+        return pa.table({
+            "di": pa.array(di, pa.int64()),
+            "dj": pa.array(dj, pa.int64()),
+            "sxy": pa.array(outer.reshape(-1), pa.float64()),
+            "sx": pa.array(np.repeat(s, DIM), pa.float64()),
+            "sy": pa.array(np.tile(s, DIM), pa.float64()),
+            "n": pa.array(np.full(DIM * DIM, len(m), dtype=np.int64), pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["di", "dj"])
+        .aggregate(Sum("sxy", alias_name="sxy"), Sum("sx", alias_name="sx"),
+                   Sum("sy", alias_name="sy"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    n = agg["n"].astype("float64").to_numpy()
+    cov = (n * agg["sxy"].to_numpy() - agg["sx"].to_numpy() * agg["sy"].to_numpy()) / (n * n)
+    c = round_half_away(cov, 6)
+    c[c == 0] = 0.0
+    out = pd.DataFrame({"di": agg["di"], "dj": agg["dj"], "cov": c})
+    out = out.sort_values(["di", "dj"]).reset_index(drop=True)
+    return out.astype({"di": "int64", "dj": "int64", "cov": "float64"})
+
+
+def events_markov_transitions(sf_dir: str):
+    """First-order Markov transition matrix over each user's chronological
+    event-type sequence: bucketed per-user ordering (users never split
+    across buckets), consecutive pairs via one vectorized shift per bucket,
+    per-bucket (src, dst) count partials — so the final groupby shuffle
+    moves at most |types|^2 rows per bucket, never events. Transition
+    probability p = n / sum(n per src) computed on the tiny driver table."""
+    ds = _tbl(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same_user = g["user_id"].to_numpy()[:-1] == g["user_id"].to_numpy()[1:]
+        src = g["event_type"].to_numpy()[:-1][same_user]
+        dst = g["event_type"].to_numpy()[1:][same_user]
+        out = (pd.DataFrame({"src": src, "dst": dst})
+               .groupby(["src", "dst"], sort=False).size().reset_index(name="n"))
+        return out
+
+    counts = (
+        ds.map_batches(_add_user_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["src", "dst"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    tot = counts.groupby("src")["n"].transform("sum").astype("float64")
+    p = round_half_away((counts["n"] / tot).to_numpy(), 6)
+    out = pd.DataFrame({"src": counts["src"], "dst": counts["dst"],
+                        "n": counts["n"], "p": p})
+    return out.astype({"src": "string", "dst": "string", "n": "int64",
+                       "p": "float64"})
+
+
+def events_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: users grouped by their FIRST event day,
+    counted once per (cohort_day, day_offset) they were active. ONE
+    user-bucketed shuffle: inside each bucket the per-user first day and
+    the distinct day-offsets are both computed locally (users never split
+    across buckets), so only (cohort_day, offset) count partials leave the
+    bucket — never events, never the user list."""
+    ds = _tbl(sf_dir, "events", columns=["user_id", "ts"])
+
+    def cohort(g: pd.DataFrame) -> pd.DataFrame:
+        day = g["ts"].dt.normalize()
+        first = day.groupby(g["user_id"]).transform("min")
+        off = (day - first).dt.days
+        d = pd.DataFrame({
+            "cohort_day": first.dt.strftime("%Y-%m-%d"),
+            "day_offset": off.astype("int64"),
+            "user_id": g["user_id"],
+        }).drop_duplicates()
+        return (d.groupby(["cohort_day", "day_offset"], sort=False)
+                .size().reset_index(name="n_users"))
+
+    df = (
+        ds.map_batches(_add_user_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cohort, batch_format="pandas")
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()
+    )
+    return df.astype({"cohort_day": "string", "day_offset": "int64",
+                      "n_users": "int64"})
+
+
+def events_value_rank_cume(sf_dir: str):
+    """RANK() and CUME_DIST() over events.value without a global sort —
+    the distinct-value count-partial machinery of events_value_percent_rank
+    (rank = strictly-below + 1; cume_dist = through-count / n, DuckDB's
+    peers-inclusive definition). One bounded shuffle + one streaming map."""
+    ds = _tbl(sf_dir, "events", columns=["event_id", "value"])
+
+    def vcounts(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("value").aggregate([("value", "count")])
+        return pa.table({"v": g["value"], "n": pc.cast(g["value_count"], pa.int64())})
+
+    hist = (
+        ds.map_batches(vcounts, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    counts = hist["n"].to_numpy(np.int64)
+    total = float(counts.sum())
+    vals = hist["v"].to_numpy(np.float64)
+    cum = np.cumsum(counts)
+    below = np.concatenate([[0], cum[:-1]])
+
+    def rk(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(vals, v)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "rnk": pa.array(below[idx] + 1, pa.int64()),
+            "cd": pa.array(round_half_away(cum[idx] / total, 6), pa.float64()),
+        })
+
+    df = ds.map_batches(rk, batch_format="pyarrow").to_pandas()
+    return df.astype({"event_id": "int64", "rnk": "int64", "cd": "float64"})
+
+
+def lineitem_mode_quantity(sf_dir: str):
+    """Per-group MODE (most frequent l_quantity per l_returnflag, ties to
+    the smallest quantity — a deterministic contract DuckDB's bare mode()
+    does not make, so the oracle uses the explicit row_number formulation).
+    Pre-aggregated (flag, quantity) counts: the shuffle moves at most
+    |flags|x|distinct quantities| rows per block."""
+    ds = _tbl(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    counts = (
+        preagg_groupby(ds, ["l_returnflag", "l_quantity"], count_alias="n")
+        .to_pandas()
+        .sort_values(["l_returnflag", "n", "l_quantity"],
+                     ascending=[True, False, True], kind="mergesort")
+    )
+    top = counts.groupby("l_returnflag", sort=True).head(1).reset_index(drop=True)
+    top = top.rename(columns={"l_quantity": "mode_quantity"})
+    return top.astype({"l_returnflag": "string", "mode_quantity": "float64",
+                       "n": "int64"})
