@@ -170,6 +170,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohort_retention": r.events_cohort_retention,
         "events_value_rank_cume": r.events_value_rank_cume,
         "lineitem_mode_quantity": r.lineitem_mode_quantity,
+        # iterative distributed k-means + interpolated percentiles
+        "emb_kmeans": r.emb_kmeans,
+        "events_value_pcont": r.events_value_pcont,
     }
 
 
@@ -1109,5 +1112,74 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM lineitem GROUP BY 1, 2
             ) WHERE rn = 1
+        """,
+        "emb_kmeans": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 4),
+            a1 AS (
+                SELECT vec_id, v, cid FROM (
+                    SELECT e.vec_id, e.v, c.cid,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_distance(e.v, c.c), c.cid
+                           ) AS rn
+                    FROM e CROSS JOIN c0 c
+                ) WHERE rn = 1
+            ),
+            c1 AS (
+                SELECT cid, list(m ORDER BY dim) AS c FROM (
+                    SELECT cid, i AS dim, avg(v[i + 1]) AS m
+                    FROM a1 CROSS JOIN range(64) t(i) GROUP BY 1, 2
+                ) GROUP BY 1
+            ),
+            a2 AS (
+                SELECT vec_id, v, cid FROM (
+                    SELECT e.vec_id, e.v, c.cid,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_distance(e.v, c.c), c.cid
+                           ) AS rn
+                    FROM e CROSS JOIN c1 c
+                ) WHERE rn = 1
+            ),
+            c2 AS (
+                SELECT cid, list(m ORDER BY dim) AS c FROM (
+                    SELECT cid, i AS dim, avg(v[i + 1]) AS m
+                    FROM a2 CROSS JOIN range(64) t(i) GROUP BY 1, 2
+                ) GROUP BY 1
+            ),
+            a3 AS (
+                SELECT vec_id, v, cid FROM (
+                    SELECT e.vec_id, e.v, c.cid,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_distance(e.v, c.c), c.cid
+                           ) AS rn
+                    FROM e CROSS JOIN c2 c
+                ) WHERE rn = 1
+            )
+            SELECT CAST(cid AS BIGINT) AS cid, CAST(dim AS BIGINT) AS dim,
+                   round(avg(v[dim + 1]), 6) AS c,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT cid, vec_id, v FROM a3)
+            CROSS JOIN range(64) t(dim)
+            GROUP BY 1, 2
+        """,
+        "events_value_pcont": """
+            SELECT event_type, 0.25 AS q,
+                   round(quantile_cont(value, 0.25), 6) AS val
+            FROM events WHERE value IS NOT NULL GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.5, round(quantile_cont(value, 0.5), 6)
+            FROM events WHERE value IS NOT NULL GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.75, round(quantile_cont(value, 0.75), 6)
+            FROM events WHERE value IS NOT NULL GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.9, round(quantile_cont(value, 0.9), 6)
+            FROM events WHERE value IS NOT NULL GROUP BY event_type
         """,
     }

@@ -3119,3 +3119,120 @@ def lineitem_mode_quantity(sf_dir: str):
     top = top.rename(columns={"l_quantity": "mode_quantity"})
     return top.astype({"l_returnflag": "string", "mode_quantity": "float64",
                        "n": "int64"})
+
+def emb_kmeans(sf_dir: str, k: int = 4, iters: int = 3):
+    """Distributed Lloyd k-means, ITERS unrolled iterations, deterministic
+    init (the embeddings of vec_id < k). Each iteration is ONE streaming
+    pass: centroids ride the task closure (k x 64 floats — broadcast-small),
+    assignment is a vectorized argmin over exact (x-c)^2 distances, and each
+    block emits k x 64 (cid, dim, s, n) mean partials, so the per-iteration
+    shuffle moves at most 256 rows per block regardless of data size. A
+    cluster that loses every point drops out exactly as the SQL re-aggregate
+    drops it. Ties go to the lowest cid (argmin-first == the oracle's
+    ORDER BY distance, cid). Returns the post-final-assignment centroids and
+    cluster sizes as (cid, dim, c, n)."""
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def seeds(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["vec_id"], pa.scalar(k)))
+
+    seed_df = ds.map_batches(seeds, batch_format="pyarrow").to_pandas()
+    seed_df = seed_df.sort_values("vec_id")
+    cids = seed_df["vec_id"].to_numpy(np.int64)
+    cents = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in seed_df["embedding"]])
+
+    def assign_partials(batch: pa.Table, cids=None, cents=None) -> pa.Table:
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch["embedding"].to_pylist()])
+        d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)  # first (lowest-cid) wins ties
+        dim = m.shape[1]
+        out_c, out_d, out_s, out_n = [], [], [], []
+        for ci in range(len(cids)):
+            mask = a == ci
+            nn = int(mask.sum())
+            if nn == 0:
+                continue
+            out_c.append(np.full(dim, cids[ci], dtype=np.int64))
+            out_d.append(np.arange(dim, dtype=np.int64))
+            out_s.append(m[mask].sum(axis=0))
+            out_n.append(np.full(dim, nn, dtype=np.int64))
+        return pa.table({
+            "cid": pa.array(np.concatenate(out_c), pa.int64()),
+            "dim": pa.array(np.concatenate(out_d), pa.int64()),
+            "s": pa.array(np.concatenate(out_s), pa.float64()),
+            "n": pa.array(np.concatenate(out_n), pa.int64()),
+        })
+
+    import functools
+    agg = None
+    for _ in range(iters):
+        agg = (
+            ds.map_batches(
+                functools.partial(assign_partials, cids=cids, cents=cents),
+                batch_format="pyarrow")
+            .groupby(["cid", "dim"])
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+            .to_pandas()
+            .sort_values(["cid", "dim"])
+            .reset_index(drop=True)
+        )
+        cids = agg["cid"].to_numpy(np.int64).reshape(-1, 64)[:, 0]
+        cents = (agg["s"] / agg["n"]).to_numpy(np.float64).reshape(-1, 64)
+
+    out = pd.DataFrame({
+        "cid": agg["cid"],
+        "dim": agg["dim"],
+        "c": round_half_away((agg["s"] / agg["n"]).to_numpy(), 6),
+        "n": agg["n"],
+    })
+    return out.astype({"cid": "int64", "dim": "int64", "c": "float64",
+                       "n": "int64"})
+
+
+def events_value_pcont(sf_dir: str):
+    """Grouped interpolated percentiles (percentile_cont 0.25/0.5/0.75/0.9
+    per event_type) over a bounded-cardinality numeric domain, without any
+    sort: per-block (type, value) distinct-count partials, one bounded
+    groupby shuffle, then the driver walks each type's cumulative counts —
+    order statistic at rank r is vals[searchsorted(cum, r)] — and applies
+    the standard h = (n-1)q linear interpolation DuckDB's quantile_cont
+    uses. An unbounded domain would switch to stages/quantiles.py."""
+    ds = _tbl(sf_dir, "events", columns=["event_type", "value"])
+    QS = (0.25, 0.5, 0.75, 0.9)
+
+    def vcounts(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch["value"]))
+        g = t.group_by(["event_type", "value"]).aggregate([("value", "count")])
+        return pa.table({
+            "event_type": g["event_type"], "v": g["value"],
+            "n": pc.cast(g["value_count"], pa.int64()),
+        })
+
+    hist = (
+        ds.map_batches(vcounts, batch_format="pyarrow")
+        .groupby(["event_type", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["event_type", "v"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for et, g in hist.groupby("event_type", sort=True):
+        vals = g["v"].to_numpy(np.float64)
+        cum = np.cumsum(g["n"].to_numpy(np.int64))
+        n = int(cum[-1])
+
+        def order_stat(r):  # 1-indexed rank
+            return vals[np.searchsorted(cum, r)]
+
+        for q in QS:
+            h = (n - 1) * q
+            lo = order_stat(int(np.floor(h)) + 1)
+            hi = order_stat(min(int(np.floor(h)) + 2, n))
+            val = lo + (h - np.floor(h)) * (hi - lo)
+            rows.append((et, q, float(round_half_away(val, 6))))
+    out = pd.DataFrame(rows, columns=["event_type", "q", "val"])
+    return out.astype({"event_type": "string", "q": "float64",
+                       "val": "float64"})

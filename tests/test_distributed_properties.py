@@ -307,6 +307,10 @@ import pytest
     "events_type_dense_rank", "doc_bm25_top_docs", "events_user_cumsum",
     "events_user_ntile", "events_user_range_1h", "events_user_entropy",
     "lineitem_profile",
+    "doc_term_counts", "events_zscore_outliers", "orders_chi2",
+    "emb_covariance", "events_markov_transitions", "events_cohort_retention",
+    "events_value_rank_cume", "lineitem_mode_quantity", "emb_kmeans",
+    "events_value_pcont",
 ])
 def test_round2_ops_invariant_to_block_layout(ray_session, monkeypatch, qname):
     """The round-2 window/rank/histogram/retrieval operators must produce
