@@ -173,6 +173,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative distributed k-means + interpolated percentiles
         "emb_kmeans": r.emb_kmeans,
         "events_value_pcont": r.events_value_pcont,
+        # inter-event gaps, peak-rate minute, iterative graph PageRank
+        "events_user_gap_stats": r.events_user_gap_stats,
+        "events_peak_minute": r.events_peak_minute,
+        "supplier_pagerank": r.supplier_pagerank,
     }
 
 
@@ -1181,5 +1185,80 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT event_type, 0.9, round(quantile_cont(value, 0.9), 6)
             FROM events WHERE value IS NOT NULL GROUP BY event_type
+        """,
+        "events_user_gap_stats": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch(ts - lag(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       )) AS gap
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(coalesce(avg(gap), 0.0), 6) AS mean_gap_s,
+                   round(coalesce(max(gap), 0.0), 6) AS max_gap_s
+            FROM g GROUP BY 1
+        """,
+        "events_peak_minute": """
+            SELECT event_type, minute AS peak_minute, n FROM (
+                SELECT event_type, strftime(ts, '%Y-%m-%d %H:%M') AS minute,
+                       CAST(count(*) AS BIGINT) AS n,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY count(*) DESC, strftime(ts, '%Y-%m-%d %H:%M')
+                       ) AS rn
+                FROM events GROUP BY 1, 2
+            ) WHERE rn = 1
+        """,
+        "supplier_pagerank": """
+            WITH cw AS (
+                SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+                       CAST(count(*) AS DOUBLE) AS w
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2
+            ),
+            edges AS (
+                SELECT src, dst, w FROM cw
+                UNION ALL
+                SELECT dst, src, w FROM cw
+            ),
+            outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM outw),
+            r0 AS (SELECT src AS node, 1.0 / nn AS pr FROM outw CROSS JOIN n),
+            r1 AS (
+                SELECT e.dst AS node,
+                       0.15 / any_value(n.nn)
+                           + 0.85 * sum(r.pr * e.w / o.ow) AS pr
+                FROM edges e
+                JOIN r0 r ON r.node = e.src
+                JOIN outw o ON o.src = e.src
+                CROSS JOIN n
+                GROUP BY e.dst
+            ),
+            r2 AS (
+                SELECT e.dst AS node,
+                       0.15 / any_value(n.nn)
+                           + 0.85 * sum(r.pr * e.w / o.ow) AS pr
+                FROM edges e
+                JOIN r1 r ON r.node = e.src
+                JOIN outw o ON o.src = e.src
+                CROSS JOIN n
+                GROUP BY e.dst
+            ),
+            r3 AS (
+                SELECT e.dst AS node,
+                       0.15 / any_value(n.nn)
+                           + 0.85 * sum(r.pr * e.w / o.ow) AS pr
+                FROM edges e
+                JOIN r2 r ON r.node = e.src
+                JOIN outw o ON o.src = e.src
+                CROSS JOIN n
+                GROUP BY e.dst
+            )
+            SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
+                   CAST(node // 2 AS BIGINT) AS key,
+                   round(pr, 6) AS pr
+            FROM r3
         """,
     }

@@ -3236,3 +3236,202 @@ def events_value_pcont(sf_dir: str):
     out = pd.DataFrame(rows, columns=["event_type", "q", "val"])
     return out.astype({"event_type": "string", "q": "float64",
                        "val": "float64"})
+
+def events_user_gap_stats(sf_dir: str):
+    """Per-user inter-event time statistics (n_events, mean/max gap in
+    seconds): users hash into WINDOW_BUCKETS groups, each bucket computes
+    its users' gaps with one vectorized diff over the sorted ts vector —
+    users never split across buckets, so the result is final per bucket
+    and nothing shuffles twice. Single-event users report 0 gaps (the SQL
+    coalesce contract)."""
+    ds = _tbl(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        same = uid[:-1] == uid[1:]
+        gap_s = (ts[1:] - ts[:-1])[same] / 1_000_000.0
+        gsrc = uid[1:][same]
+        out = pd.DataFrame({"user_id": uid}).groupby("user_id").size().rename("n_events").reset_index()
+        if len(gsrc):
+            gstats = (pd.DataFrame({"user_id": gsrc, "gap": gap_s})
+                      .groupby("user_id")["gap"].agg(["mean", "max"]).reset_index())
+            out = out.merge(gstats, on="user_id", how="left")
+        else:
+            out["mean"] = np.nan
+            out["max"] = np.nan
+        out["mean_gap_s"] = round_half_away(out["mean"].fillna(0.0).to_numpy(), 6)
+        out["max_gap_s"] = round_half_away(out["max"].fillna(0.0).to_numpy(), 6)
+        return out[["user_id", "n_events", "mean_gap_s", "max_gap_s"]]
+
+    df = (
+        ds.map_batches(_add_user_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(gaps, batch_format="pandas")
+        .to_pandas()
+    )
+    return df.astype({"user_id": "int64", "n_events": "int64",
+                      "mean_gap_s": "float64", "max_gap_s": "float64"})
+
+
+def events_peak_minute(sf_dir: str):
+    """Peak-rate detection: for each event_type, the minute bucket with the
+    most events (ties to the earliest minute). (type, minute) count
+    partials pre-aggregate per block before the one bounded shuffle; the
+    per-type argmax runs on the tiny aggregated table."""
+    ds = _tbl(sf_dir, "events", columns=["event_type", "ts"])
+
+    def mb(batch: pa.Table) -> pa.Table:
+        minute = pc.strftime(batch["ts"], format="%Y-%m-%d %H:%M")
+        t = pa.table({"event_type": batch["event_type"], "minute": minute})
+        g = t.group_by(["event_type", "minute"]).aggregate([("minute", "count")])
+        return pa.table({"event_type": g["event_type"], "minute": g["minute"],
+                         "n": pc.cast(g["minute_count"], pa.int64())})
+
+    counts = (
+        ds.map_batches(mb, batch_format="pyarrow")
+        .groupby(["event_type", "minute"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["event_type", "n", "minute"],
+                     ascending=[True, False, True], kind="mergesort")
+    )
+    top = counts.groupby("event_type", sort=True).head(1).reset_index(drop=True)
+    top = top.rename(columns={"minute": "peak_minute"})
+    return top.astype({"event_type": "string", "peak_minute": "string",
+                       "n": "int64"})
+
+
+def supplier_pagerank(sf_dir: str, damping: float = 0.85, iters: int = 3,
+                      broadcast_limit: int = 5_000_000):
+    """Weighted PageRank over the customer<->supplier order-line graph,
+    ITERS unrolled power iterations — the iterative-graph-algorithm
+    counterpart of emb_kmeans. Nodes: custkey*2 and suppkey*2+1; edges
+    both directions weighted by line count. The cust-supp edge list comes
+    from the large x large lineitem><orders hash join, is pre-aggregated to
+    (src, dst, w) and materialized ONCE with its out-weight attached — the
+    bounded working set of iterative graph processing (far smaller than the
+    fact tables it came from; the object store spills if a node can't hold
+    its share). Each iteration then needs exactly ONE shuffle: the rank
+    vector (one float per node) is broadcast via ray.put + vectorized
+    index_in/take into a streaming pass over the edges, whose per-dst
+    contribution partials pre-aggregate before the groupby. Past
+    ``broadcast_limit`` nodes the iteration switches to the distributed
+    edges><ranks hash join (equivalence-tested at sf0.001) — same results,
+    two shuffles per iteration, no driver-resident state. Per-edge
+    contribution is evaluated (pr*w)/ow in the oracle's operand order.
+    Dangling mass is not redistributed (simplified PageRank; the SQL mirror
+    is identical). Nodes outside the edge list (customers with no orders)
+    are out of scope by construction on both sides."""
+    from ..stages.joins import hash_join
+
+    li = _tbl(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    orders = _tbl(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    pairs = hash_join(
+        li, orders, left_key="l_orderkey", right_key="o_orderkey",
+        left_cols=["l_suppkey"], right_cols=["o_custkey"],
+        schema={"l_suppkey": pa.int64(), "o_custkey": pa.int64()},
+    )
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        c = pc.multiply(batch["o_custkey"], pa.scalar(2, pa.int64()))
+        s = pc.add(pc.multiply(batch["l_suppkey"], pa.scalar(2, pa.int64())),
+                   pa.scalar(1, pa.int64()))
+        return pa.table({"src": c, "dst": s})
+
+    cw = preagg_groupby(
+        pairs.map_batches(to_edges, batch_format="pyarrow"), ["src", "dst"],
+        count_alias="wi",
+    )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        w = pc.cast(batch["wi"], pa.float64())
+        fwd = pa.table({"src": batch["src"], "dst": batch["dst"], "w": w})
+        rev = pa.table({"src": batch["dst"], "dst": batch["src"], "w": w})
+        return pa.concat_tables([fwd, rev])
+
+    edges = cw.map_batches(widen, batch_format="pyarrow")
+    outw = preagg_groupby(edges, ["src"], sums={"ow": "w"}).materialize()
+    n_nodes = outw.count()  # bidirectional edges: every node appears as src
+    base = (1.0 - damping) / float(n_nodes)
+
+    edges_ow = hash_join(
+        edges, outw, left_key="src", right_key="src",
+        left_cols=["dst", "w"], right_cols=["ow"],
+        schema={"dst": pa.int64(), "w": pa.float64(), "ow": pa.float64()},
+    ).materialize()
+
+    if n_nodes <= broadcast_limit:
+        # rank vector fits the broadcast budget (8 B/node): node->pr rides
+        # the object store once per iteration, contributions stream
+        nodes = np.sort(outw.to_pandas()["src"].to_numpy(np.int64))
+        pr = np.full(len(nodes), 1.0 / n_nodes)
+        for _ in range(iters):
+            ref = ray.put((nodes, pr))
+
+            def contrib(batch: pa.Table) -> pa.Table:
+                nk, pv = ray.get(ref)
+                idx = np.searchsorted(nk, batch["src"].to_numpy(zero_copy_only=False))
+                w = batch["w"].to_numpy(zero_copy_only=False)
+                ow = batch["ow"].to_numpy(zero_copy_only=False)
+                c = (pv[idx] * w) / ow
+                return pa.table({"dst": batch["dst"],
+                                 "c": pa.array(c, pa.float64())})
+
+            agg = (
+                preagg_groupby(
+                    edges_ow.map_batches(contrib, batch_format="pyarrow"),
+                    ["dst"], sums={"c": "c"})
+                .to_pandas()
+                .sort_values("dst")
+            )
+            # bidirectional edges: every node receives inbound mass, so the
+            # aggregated dst set is exactly the node set
+            nodes = agg["dst"].to_numpy(np.int64)
+            pr = base + damping * agg["c"].to_numpy(np.float64)
+        node, prv = nodes, pr
+    else:
+        def init_rank(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": batch["src"],
+                "pr": pa.array(np.full(len(batch), 1.0 / n_nodes), pa.float64()),
+            })
+
+        ranks = outw.map_batches(init_rank, batch_format="pyarrow")
+        for _ in range(iters):
+            joined = hash_join(
+                edges_ow, ranks, left_key="src", right_key="node",
+                left_cols=["dst", "w", "ow"], right_cols=["pr"],
+                schema={"dst": pa.int64(), "w": pa.float64(),
+                        "ow": pa.float64(), "pr": pa.float64()},
+            )
+
+            def contrib_d(batch: pa.Table) -> pa.Table:
+                c = pc.divide(pc.multiply(batch["pr"], batch["w"]), batch["ow"])
+                return pa.table({"dst": batch["dst"], "c": c})
+
+            agg = preagg_groupby(
+                joined.map_batches(contrib_d, batch_format="pyarrow"), ["dst"],
+                sums={"c": "c"},
+            )
+
+            def finish(batch: pa.Table, base=base, damping=damping) -> pa.Table:
+                pr_ = pc.add(pa.scalar(base),
+                             pc.multiply(pa.scalar(damping), batch["c"]))
+                return pa.table({"node": batch["dst"], "pr": pr_})
+
+            # checkpoint each iteration's (node, pr) table — one bounded row
+            # per node — so iteration i+1's join does not replay iteration i
+            ranks = agg.map_batches(finish, batch_format="pyarrow").materialize()
+
+        df = ranks.to_pandas()
+        node = df["node"].to_numpy(np.int64)
+        prv = df["pr"].to_numpy(np.float64)
+
+    out = pd.DataFrame({
+        "kind": np.where(node % 2 == 0, "cust", "supp"),
+        "key": node // 2,
+        "pr": round_half_away(prv, 6),
+    }).sort_values(["kind", "key"]).reset_index(drop=True)
+    return out.astype({"kind": "string", "key": "int64", "pr": "float64"})

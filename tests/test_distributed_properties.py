@@ -310,7 +310,7 @@ import pytest
     "doc_term_counts", "events_zscore_outliers", "orders_chi2",
     "emb_covariance", "events_markov_transitions", "events_cohort_retention",
     "events_value_rank_cume", "lineitem_mode_quantity", "emb_kmeans",
-    "events_value_pcont",
+    "events_value_pcont", "events_user_gap_stats", "events_peak_minute",
 ])
 def test_round2_ops_invariant_to_block_layout(ray_session, monkeypatch, qname):
     """The round-2 window/rank/histogram/retrieval operators must produce
@@ -330,3 +330,17 @@ def test_round2_ops_invariant_to_block_layout(ray_session, monkeypatch, qname):
     )
     got2 = norm(fn("/root/testdata/sf0.001"))
     pd.testing.assert_frame_equal(got1, got2)
+
+
+def test_pagerank_distributed_path_equivalent(ray_session):
+    """supplier_pagerank's broadcast-rank fast path and the distributed
+    edges><ranks hash-join path must agree (the size gate at
+    broadcast_limit only changes the execution strategy)."""
+    from pii_filter_ray.pipelines import relational as r
+
+    def norm(df):
+        return df.sort_values(["kind", "key"]).reset_index(drop=True)
+
+    a = norm(r.supplier_pagerank("/root/testdata/sf0.001"))
+    b = norm(r.supplier_pagerank("/root/testdata/sf0.001", broadcast_limit=0))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-9)
