@@ -177,6 +177,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_gap_stats": r.events_user_gap_stats,
         "events_peak_minute": r.events_peak_minute,
         "supplier_pagerank": r.supplier_pagerank,
+        # LLM training-data prep: chunking, sequence packing, quantization,
+        # semi-structured extraction
+        "doc_chunking": r.doc_chunking,
+        "doc_seq_packing": r.doc_seq_packing,
+        "emb_int8_quant": r.emb_int8_quant,
+        "events_props_json": r.events_props_json,
     }
 
 
@@ -1260,5 +1266,83 @@ def oracle_sql() -> dict[str, str]:
                    CAST(node // 2 AS BIGINT) AS key,
                    round(pr, 6) AS pr
             FROM r3
+        """,
+        # size=128, overlap=32 -> stride 96; codepoint-based boundaries on
+        # both sides (Python slicing == SQL substring)
+        "doc_chunking": """
+            WITH starts AS (
+                SELECT doc_id, text,
+                       unnest(range(0, length(text), 96)) AS s
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(s // 96 AS BIGINT) AS chunk_id,
+                   CAST(s AS BIGINT) AS chunk_start,
+                   CAST(length(substring(text, CAST(s + 1 AS INT), 128))
+                        AS BIGINT) AS n_chunk_chars,
+                   sha256(substring(text, CAST(s + 1 AS INT), 128))
+                       AS chunk_sha256
+            FROM starts
+        """,
+        "doc_seq_packing": """
+            WITH toks AS (
+                SELECT lang, doc_id,
+                       CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                            x -> x != '')) AS BIGINT) AS n_tok
+                FROM documents
+            ),
+            cum AS (
+                SELECT lang, n_tok,
+                       sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) - n_tok
+                           AS before
+                FROM toks
+            )
+            SELECT lang, CAST(before // 512 AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens
+            FROM cum GROUP BY lang, bin
+        """,
+        "emb_int8_quant": """
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ),
+            s AS (
+                SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) / 127.0
+                           AS scale,
+                       CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+                            THEN 1.0
+                            ELSE list_max(list_transform(v, x -> abs(x))) / 127.0
+                       END AS safe
+                FROM e
+            ),
+            q AS (
+                SELECT vec_id, v, scale,
+                       list_transform(v, x ->
+                           (CASE WHEN x > 0 THEN 1.0
+                                 WHEN x < 0 THEN -1.0 ELSE 0.0 END)
+                           * floor(abs(x) / safe + 0.5)) AS qv
+                FROM s
+            )
+            SELECT vec_id,
+                   round(scale, 6) AS scale6,
+                   CAST(list_sum(qv) AS BIGINT) AS q_sum,
+                   CAST(list_sum(list_transform(qv, x -> abs(x)))
+                        AS BIGINT) AS q_l1,
+                   round(list_sum(list_transform(range(1, len(v) + 1),
+                             i -> pow(v[i] - qv[i] * scale, 2))) / len(v), 6)
+                       AS mse6
+            FROM q
+        """,
+        "events_props_json": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+                   round(sum(CAST(props->>'$.k' AS BIGINT))
+                         / CAST(count(props->>'$.k') AS DOUBLE), 6) AS k_avg6
+            FROM events GROUP BY event_type
         """,
     }

@@ -3435,3 +3435,150 @@ def supplier_pagerank(sf_dir: str, damping: float = 0.85, iters: int = 3,
         "pr": round_half_away(prv, 6),
     }).sort_values(["kind", "key"]).reset_index(drop=True)
     return out.astype({"kind": "string", "key": "int64", "pr": "float64"})
+
+
+def doc_chunking(sf_dir: str, size: int = 128, overlap: int = 32):
+    """LLM-training document chunking: split every document into fixed-size
+    character windows (``size`` chars, ``size - overlap`` stride — the
+    standard overlapping-context layout). Pure batch-expansion flat-map: no
+    shuffle, no state, output rows carry only (ids, offsets, lengths,
+    sha256) so a 100 TB corpus re-chunks in one streaming pass whose output
+    is written, never collected. Chunk boundaries are codepoint-based on
+    both sides (Python slicing == SQL substring); empty documents produce
+    zero chunks (range(0, 0) is empty)."""
+    import hashlib
+
+    stride = size - overlap
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        dids, cids, starts, lens, shas = [], [], [], [], []
+        for did, txt in zip(batch["doc_id"].to_pylist(),
+                            batch["text"].to_pylist()):
+            n = len(txt)
+            for i, start in enumerate(range(0, n, stride)):
+                piece = txt[start:start + size]
+                dids.append(did)
+                cids.append(i)
+                starts.append(start)
+                lens.append(len(piece))
+                shas.append(hashlib.sha256(piece.encode("utf-8")).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(dids, pa.int64()),
+            "chunk_id": pa.array(cids, pa.int64()),
+            "chunk_start": pa.array(starts, pa.int64()),
+            "n_chunk_chars": pa.array(lens, pa.int64()),
+            "chunk_sha256": pa.array(shas, pa.string()),
+        })
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+def doc_seq_packing(sf_dir: str, ctx: int = 512):
+    """Sequence packing for training batches (concat-then-split): documents
+    are laid end-to-end in doc_id order within each language stream and cut
+    into ``ctx``-token bins — a document lands in the bin where its first
+    token falls (bin = tokens_before // ctx). Token counts ride a pyarrow
+    batch pass; ONE shuffle moves only (lang, doc_id, n_tok) triples into
+    language groups, where a vectorized cumsum assigns bins and the
+    per-(lang, bin) totals aggregate locally — final per group, nothing
+    shuffles twice. Packing streams are per-language here; at 100 TB you'd
+    pack per (lang, shard) so each stream stays a single task's worth —
+    the cumsum itself never needs global order beyond its own stream."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        nt = [len(t.split()) for t in batch["text"].to_pylist()]
+        return pa.table({"lang": batch["lang"], "doc_id": batch["doc_id"],
+                         "n_tok": pa.array(nt, pa.int64())})
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        nt = g["n_tok"].to_numpy(np.int64)
+        before = np.cumsum(nt) - nt
+        b = pd.DataFrame({"lang": g["lang"].to_numpy(),
+                          "bin": before // ctx, "n_tok": nt})
+        out = (b.groupby(["lang", "bin"], sort=True)
+                .agg(n_docs=("n_tok", "size"), n_tokens=("n_tok", "sum"))
+                .reset_index())
+        return out
+
+    df = (
+        ds.map_batches(toks, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(pack, batch_format="pandas")
+        .to_pandas()
+    )
+    return df.astype({"lang": "string", "bin": "int64",
+                      "n_docs": "int64", "n_tokens": "int64"})
+
+
+def emb_int8_quant(sf_dir: str):
+    """Per-vector symmetric int8 quantization (the storage/serving format
+    for 100 TB embedding shards): scale = max|x| / 127, q = sign(x) *
+    floor(|x|/scale + 0.5). Stateless vectorized batch pass — the whole
+    matrix math is one numpy broadcast per block, no shuffle; emitted
+    columns are the per-vector audit (scale, q-sums, reconstruction MSE),
+    never the raw vectors. Zero vectors quantize to all-zero with scale 0
+    (guarded divisor, same CASE as the SQL mirror). floor(+0.5) is used on
+    both sides because numpy round() is half-to-even while the oracle's
+    arithmetic is half-away."""
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def quant(batch: pa.Table) -> pa.Table:
+        emb = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        scale = np.abs(emb).max(axis=1) / 127.0
+        safe = np.where(scale == 0.0, 1.0, scale)
+        q = np.sign(emb) * np.floor(np.abs(emb) / safe[:, None] + 0.5)
+        err = emb - q * scale[:, None]
+        mse = np.sum(err * err, axis=1) / emb.shape[1]
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "scale6": pa.array(round_half_away(scale, 6), pa.float64()),
+            "q_sum": pa.array(q.sum(axis=1).astype(np.int64), pa.int64()),
+            "q_l1": pa.array(np.abs(q).sum(axis=1).astype(np.int64), pa.int64()),
+            "mse6": pa.array(round_half_away(mse, 6), pa.float64()),
+        })
+
+    return ds.map_batches(quant, batch_format="pyarrow")
+
+
+def events_props_json(sf_dir: str):
+    """Semi-structured column analytics: extract the integer field ``k``
+    from the JSON ``props`` column with ONE vectorized pc.extract_regex
+    pass (zero-copy Arrow; a nested document would swap in a real JSON
+    kernel, the plumbing is identical), then per-type (n, k_sum, k_avg)
+    from count/sum partials — one bounded shuffle of one row per type per
+    block. Rows whose props lack ``k`` count toward n but not k_sum,
+    matching SQL's null-skipping aggregates."""
+    ds = _tbl(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"], pattern=r'"k"\s*:\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": batch["event_type"], "k": k})
+
+    def partials(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type"]).aggregate(
+            [("k", "sum"), ("k", "count"), ("event_type", "count")])
+        return pa.table({
+            "event_type": g["event_type"],
+            "k_sum": pc.cast(g["k_sum"], pa.int64()),
+            "k_n": pc.cast(g["k_count"], pa.int64()),
+            "n": pc.cast(g["event_type_count"], pa.int64()),
+        })
+
+    df = (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("k_sum", alias_name="k_sum"),
+                   Sum("k_n", alias_name="k_n"),
+                   Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    df["k_avg6"] = round_half_away(
+        df["k_sum"].to_numpy(np.float64) / df["k_n"].to_numpy(np.float64), 6)
+    out = df[["event_type", "n", "k_sum", "k_avg6"]]
+    return out.astype({"event_type": "string", "n": "int64",
+                       "k_sum": "int64", "k_avg6": "float64"})
