@@ -183,6 +183,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_seq_packing": r.doc_seq_packing,
         "emb_int8_quant": r.emb_int8_quant,
         "events_props_json": r.events_props_json,
+        # further TPC-H compositions: promo ratio, EXISTS semi-join,
+        # HAVING + detail fetch, late-shipment priority audit
+        "q14_promo_revenue": r.q14_promo_revenue,
+        "q4_order_priority": r.q4_order_priority,
+        "q18_large_orders": r.q18_large_orders,
+        "lineitem_late_shipments": r.lineitem_late_shipments,
     }
 
 
@@ -1344,5 +1350,49 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CAST(props->>'$.k' AS BIGINT))
                          / CAST(count(props->>'$.k') AS DOUBLE), 6) AS k_avg6
             FROM events GROUP BY event_type
+        """,
+        "q14_promo_revenue": """
+            SELECT round(
+                100.0 * sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                    * 10000.0, 0) AS BIGINT) ELSE 0 END)
+                / sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                 * 10000.0, 0) AS BIGINT)), 6)
+                AS promo_revenue6
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= DATE '1995-09-01'
+              AND l_shipdate < DATE '1995-10-01'
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+            FROM orders
+            WHERE o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "q18_large_orders": """
+            SELECT c_name, c_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+                   o_totalprice,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY c_name, c_custkey, o_orderkey, o_date, o_totalprice
+            HAVING sum(l_quantity) > 300
+        """,
+        "lineitem_late_shipments": """
+            SELECT l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n_late,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS n_low
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+            GROUP BY l_linestatus
         """,
     }

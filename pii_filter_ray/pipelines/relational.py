@@ -3582,3 +3582,195 @@ def events_props_json(sf_dir: str):
     out = df[["event_type", "n", "k_sum", "k_avg6"]]
     return out.astype({"event_type": "string", "n": "int64",
                        "k_sum": "int64", "k_avg6": "float64"})
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 (promotion effect, September 1995): the month's lineitem
+    slice annotates each row with the part's PROMO flag via ONE broadcast
+    (part's (key, flag) arrays ride the object store once; per-batch
+    index_in/take — at warehouse scale part would flip to a hash_join,
+    lineitem side unchanged), then the ratio reduces from two exact
+    integer 1e-4-unit sums per block — no shuffle at all, the final merge
+    is one row per block. Scalar math mirrors the SQL operand order
+    (100.0 * promo / total)."""
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    promo = pc.cast(pc.equal(part["p_type"], pa.scalar("PROMO")), pa.int64())
+    add_promo = broadcast_lookup_fn(
+        part["p_partkey"].combine_chunks(), promo.combine_chunks(),
+        key_col="l_partkey", out_col="is_promo",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lo = pa.scalar(pd.Timestamp("1995-09-01"), pa.timestamp("us"))
+        hi = pa.scalar(pd.Timestamp("1995-10-01"), pa.timestamp("us"))
+        b = batch.filter(pc.and_(pc.greater_equal(batch["l_shipdate"], lo),
+                                 pc.less(batch["l_shipdate"], hi)))
+        b = add_promo(b)
+        rev = round_half_away(
+            b["l_extendedprice"].to_numpy()
+            * (1.0 - b["l_discount"].to_numpy()) * 10000.0, 0
+        ).astype(np.int64)
+        flag = b["is_promo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "promo_e4": pa.array([int((rev * flag).sum())], pa.int64()),
+            "total_e4": pa.array([int(rev.sum())], pa.int64()),
+        })
+
+    ds = _tbl(sf_dir, "lineitem",
+              columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                       "l_discount"])
+    tot = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("promo_e4", alias_name="p"), Sum("total_e4", alias_name="t"))
+    ratio = 100.0 * float(tot["p"]) / float(tot["t"])
+    return pd.DataFrame({"promo_revenue6": [float(round_half_away(ratio, 6))]})
+
+
+def q4_order_priority(sf_dir: str):
+    """TPC-H Q4 (order priority checking, Q1 1996, EXISTS rewritten over
+    available columns: at least one returned line). The date filter prunes
+    orders BEFORE the only shuffle; lineitem contributes only block-local
+    DISTINCT orderkeys of 'R' lines (a returned key repeated within a
+    block ships once) into the distributed semi-join's tagged-union
+    co-partition; priority counts then pre-aggregate per block."""
+    from ..stages.joins import hash_semi_join
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+        hi = pa.scalar(pd.Timestamp("1996-04-01"), pa.timestamp("us"))
+        b = batch.filter(pc.and_(pc.greater_equal(batch["o_orderdate"], lo),
+                                 pc.less(batch["o_orderdate"], hi)))
+        return b.select(["o_orderkey", "o_orderpriority"])
+
+    def r_keys(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["l_returnflag"], pa.scalar("R")))
+        return pa.table({"l_orderkey": pc.unique(b["l_orderkey"])})
+
+    orders = _tbl(sf_dir, "orders",
+                  columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+                  ).map_batches(prep_orders, batch_format="pyarrow")
+    keys = _tbl(sf_dir, "lineitem",
+                columns=["l_orderkey", "l_returnflag"]
+                ).map_batches(r_keys, batch_format="pyarrow")
+    semi = hash_semi_join(
+        orders, keys, left_key="o_orderkey", right_key="l_orderkey",
+        left_cols=["o_orderpriority"],
+        schema={"o_orderpriority": pa.string()},
+    )
+    df = preagg_groupby(semi, ["o_orderpriority"], count_alias="n").to_pandas()
+    return df.astype({"o_orderpriority": "string", "n": "int64"})
+
+
+def q18_large_orders(sf_dir: str, threshold: int = 300):
+    """TPC-H Q18 (large-volume customers): per-order quantity totals from
+    ONE shuffle of exact-integer partials (quantities are integral — one
+    row per orderkey per block pre-aggregates before the exchange), the
+    HAVING tail (> threshold) comes back to the driver bounded by the
+    skew tail itself, and the order/customer detail columns are fetched
+    with two broadcast-filtered streaming scans (is_in on the survivor
+    keys — each table is read once, column-pruned, and only matching rows
+    ever leave the tasks). No LIMIT: the HAVING threshold bounds the
+    result on both sides."""
+    def qty(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy().astype(np.int64)
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "qty": pa.array(q, pa.int64())})
+
+    li = _tbl(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    sums = preagg_groupby(li.map_batches(qty, batch_format="pyarrow"),
+                          ["l_orderkey"], sums={"sum_qty": "qty"})
+    surv = sums.filter(
+        lambda row: row["sum_qty"] > threshold).to_pandas()
+    if len(surv) == 0:
+        return pd.DataFrame({
+            "c_name": pd.Series(dtype="string"),
+            "c_custkey": pd.Series(dtype="int64"),
+            "o_orderkey": pd.Series(dtype="int64"),
+            "o_date": pd.Series(dtype="string"),
+            "o_totalprice": pd.Series(dtype="float64"),
+            "sum_qty": pd.Series(dtype="int64")})
+    okeys = pa.array(surv["l_orderkey"].to_numpy(np.int64), pa.int64())
+
+    def pick_orders(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_in(batch["o_orderkey"], value_set=okeys))
+        return pa.table({
+            "o_orderkey": b["o_orderkey"], "o_custkey": b["o_custkey"],
+            "o_date": pc.strftime(b["o_orderdate"], format="%Y-%m-%d"),
+            "o_totalprice": b["o_totalprice"]})
+
+    od = _tbl(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_orderdate",
+                       "o_totalprice"]
+              ).map_batches(pick_orders, batch_format="pyarrow").to_pandas()
+    ckeys = pa.array(od["o_custkey"].unique().astype(np.int64), pa.int64())
+
+    def pick_cust(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_in(batch["c_custkey"], value_set=ckeys))
+        return b.select(["c_custkey", "c_name"])
+
+    cu = _tbl(sf_dir, "customer", columns=["c_custkey", "c_name"]
+              ).map_batches(pick_cust, batch_format="pyarrow").to_pandas()
+    out = (surv.rename(columns={"l_orderkey": "o_orderkey"})
+           .merge(od, on="o_orderkey")
+           .merge(cu, left_on="o_custkey", right_on="c_custkey"))
+    out = out[["c_name", "c_custkey", "o_orderkey", "o_date",
+               "o_totalprice", "sum_qty"]]
+    return out.astype({"c_name": "string", "c_custkey": "int64",
+                       "o_orderkey": "int64", "o_date": "string",
+                       "o_totalprice": "float64", "sum_qty": "int64"})
+
+
+def lineitem_late_shipments(sf_dir: str):
+    """TPC-H Q12 shape (shipping-delay priority audit): lineitem and
+    orders meet in the LARGE x LARGE tagged-union hash join carrying only
+    int64 epoch-microsecond dates and a precomputed high-priority flag
+    (timestamps and the CASE collapse to integers BEFORE the shuffle);
+    late lines (shipped > 60 days after order) then pre-aggregate
+    per-block into (linestatus, n_late, n_high) partials."""
+    from ..stages.joins import hash_join
+
+    LATE_US = 60 * 86400 * 1_000_000
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        high = pc.cast(pc.is_in(batch["o_orderpriority"],
+                                value_set=pa.array(["1-URGENT", "2-HIGH"])),
+                       pa.int64())
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "odate_us": pc.cast(batch["o_orderdate"], pa.int64()),
+                         "high": high})
+
+    def prep_li(batch: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "l_linestatus": batch["l_linestatus"],
+                         "ship_us": pc.cast(batch["l_shipdate"], pa.int64())})
+
+    orders = _tbl(sf_dir, "orders",
+                  columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+                  ).map_batches(prep_orders, batch_format="pyarrow")
+    li = _tbl(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_linestatus", "l_shipdate"]
+              ).map_batches(prep_li, batch_format="pyarrow")
+    joined = hash_join(
+        li, orders, left_key="l_orderkey", right_key="o_orderkey",
+        left_cols=["l_linestatus", "ship_us"],
+        right_cols=["odate_us", "high"],
+        schema={"l_linestatus": pa.string(), "ship_us": pa.int64(),
+                "odate_us": pa.int64(), "high": pa.int64()},
+    )
+
+    def late(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater(
+            batch["ship_us"],
+            pc.add(batch["odate_us"], pa.scalar(LATE_US, pa.int64()))))
+        one = pa.array(np.ones(len(b), dtype=np.int64), pa.int64())
+        return pa.table({"l_linestatus": b["l_linestatus"],
+                         "one": one, "high": b["high"]})
+
+    df = preagg_groupby(
+        joined.map_batches(late, batch_format="pyarrow"),
+        ["l_linestatus"], sums={"n_late": "one", "n_high": "high"},
+    ).to_pandas()
+    df["n_low"] = df["n_late"] - df["n_high"]
+    return df[["l_linestatus", "n_late", "n_high", "n_low"]].astype(
+        {"l_linestatus": "string", "n_late": "int64",
+         "n_high": "int64", "n_low": "int64"})
