@@ -189,6 +189,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_order_priority": r.q4_order_priority,
         "q18_large_orders": r.q18_large_orders,
         "lineitem_late_shipments": r.lineitem_late_shipments,
+        # cube lattice, higher-moment stats, distributed-covariance PCA
+        "events_cube": r.events_cube,
+        "lineitem_skew_kurt": r.lineitem_skew_kurt,
+        "emb_pca_power": r.emb_pca_power,
     }
 
 
@@ -1394,5 +1398,81 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
             GROUP BY l_linestatus
+        """,
+        "events_cube": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(dow, 'ALL') AS dow,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 2) AS total
+            FROM (SELECT event_type, strftime(ts, '%w') AS dow, value
+                  FROM events)
+            GROUP BY CUBE(event_type, dow)
+        """,
+        "lineitem_skew_kurt": """
+            WITH q AS (
+                SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+                FROM lineitem
+            ),
+            p AS (
+                SELECT l_returnflag,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(count(*) AS DOUBLE) AS nd,
+                       CAST(sum(q) AS DOUBLE) AS s1,
+                       CAST(sum(q * q) AS DOUBLE) AS s2,
+                       CAST(sum(q * q * q) AS DOUBLE) AS s3,
+                       CAST(sum(q * q * q * q) AS DOUBLE) AS s4
+                FROM q GROUP BY l_returnflag
+            ),
+            m AS (
+                SELECT l_returnflag, n, s1 / nd AS mean, nd, s2, s3, s4
+                FROM p
+            ),
+            c AS (
+                SELECT l_returnflag, n, mean,
+                       s2 / nd - mean * mean AS m2,
+                       s3 / nd - 3 * mean * (s2 / nd)
+                           + 2 * mean * mean * mean AS m3,
+                       s4 / nd - 4 * mean * (s3 / nd)
+                           + 6 * mean * mean * (s2 / nd)
+                           - 3 * mean * mean * mean * mean AS m4
+                FROM m
+            )
+            SELECT l_returnflag, n,
+                   round(mean, 6) AS mean6,
+                   round(m3 / sqrt(m2 * m2 * m2), 6) AS skew6,
+                   round(m4 / (m2 * m2) - 3.0, 6) AS kurt6
+            FROM c
+        """,
+        "emb_pca_power": """
+            WITH cells AS (
+                SELECT i, j, (n * sxy - sx * sy) / (n * n) AS a
+                FROM (
+                    SELECT i, j,
+                           CAST(count(*) AS DOUBLE) AS n,
+                           sum(CAST(embedding[i + 1] AS DOUBLE)
+                               * CAST(embedding[j + 1] AS DOUBLE)) AS sxy,
+                           sum(CAST(embedding[i + 1] AS DOUBLE)) AS sx,
+                           sum(CAST(embedding[j + 1] AS DOUBLE)) AS sy
+                    FROM embeddings
+                    CROSS JOIN range(64) t(i) CROSS JOIN range(64) u(j)
+                    GROUP BY 1, 2
+                )
+            ),
+            v0 AS (SELECT i, 0.125 AS x FROM range(64) t(i)),
+            m1 AS (SELECT c.i AS i, sum(c.a * v.x) AS y
+                   FROM cells c JOIN v0 v ON v.i = c.j GROUP BY c.i),
+            n1 AS (SELECT sqrt(sum(y * y)) AS nrm FROM m1),
+            v1 AS (SELECT i, y / (SELECT nrm FROM n1) AS x FROM m1),
+            m2 AS (SELECT c.i AS i, sum(c.a * v.x) AS y
+                   FROM cells c JOIN v1 v ON v.i = c.j GROUP BY c.i),
+            n2 AS (SELECT sqrt(sum(y * y)) AS nrm FROM m2),
+            v2 AS (SELECT i, y / (SELECT nrm FROM n2) AS x FROM m2),
+            m3 AS (SELECT c.i AS i, sum(c.a * v.x) AS y
+                   FROM cells c JOIN v2 v ON v.i = c.j GROUP BY c.i),
+            n3 AS (SELECT sqrt(sum(y * y)) AS nrm FROM m3),
+            v3 AS (SELECT i, y / (SELECT nrm FROM n3) AS x FROM m3)
+            SELECT CAST(i AS BIGINT) AS di, round(x, 6) AS loading6,
+                   round((SELECT nrm FROM n3), 6) AS eigval6
+            FROM v3
         """,
     }

@@ -3774,3 +3774,159 @@ def lineitem_late_shipments(sf_dir: str):
     return df[["l_linestatus", "n_late", "n_high", "n_low"]].astype(
         {"l_linestatus": "string", "n_late": "int64",
          "n_high": "int64", "n_low": "int64"})
+
+
+def events_cube(sf_dir: str):
+    """GROUP BY CUBE(event_type, dow) from ONE shuffle: only (type, dow)
+    count/sum partials move (one row per pair per block, |types| x 7 keys
+    total), and all four grouping sets derive driver-side from that
+    bounded base table — the aggregate-reuse pattern of
+    nation_region_rollup extended to the full cube lattice. 'ALL' is the
+    rolled-dimension sentinel; %w weekday (Sunday=0) matches strftime on
+    both engines."""
+    ds = _tbl(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "dow": pc.strftime(batch["ts"], format="%w"),
+            "value": batch["value"],
+        })
+
+    base = preagg_groupby(
+        ds.map_batches(proj, batch_format="pyarrow"),
+        ["event_type", "dow"], sums={"total": "value"}, count_alias="n",
+    ).to_pandas()
+    by_type = (base.groupby("event_type", as_index=False)
+               .agg(n=("n", "sum"), total=("total", "sum")).assign(dow="ALL"))
+    by_dow = (base.groupby("dow", as_index=False)
+              .agg(n=("n", "sum"), total=("total", "sum"))
+              .assign(event_type="ALL"))
+    grand = pd.DataFrame({"event_type": ["ALL"], "dow": ["ALL"],
+                          "n": [base["n"].sum()],
+                          "total": [base["total"].sum()]})
+    df = pd.concat([base, by_type, by_dow, grand], ignore_index=True)
+    df["total"] = round_half_away(df["total"], 2)
+    return df[["event_type", "dow", "n", "total"]].astype(
+        {"event_type": "string", "dow": "string", "n": "int64",
+         "total": "float64"})
+
+
+def lineitem_skew_kurt(sf_dir: str):
+    """Grouped population skewness/kurtosis from ONE shuffle of exact
+    int64 power-sum partials (quantities are integral and bounded, so
+    sum(q^4) stays exact far past this sandbox's scale — ~6e18 at a
+    trillion rows is the int64 ceiling, noted here as the overflow
+    horizon). Because every input to the scalar moment formulas is an
+    exact integer on both sides and the expression trees mirror the SQL
+    literally (explicit multiplication chains, sqrt(m2*m2*m2) instead of
+    pow), the result is bit-identical, not merely tolerance-close."""
+    ds = _tbl(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy().astype(np.int64)
+        t = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "s1": pa.array(q, pa.int64()),
+            "s2": pa.array(q * q, pa.int64()),
+            "s3": pa.array(q * q * q, pa.int64()),
+            "s4": pa.array(q * q * q * q, pa.int64()),
+        })
+        g = t.group_by(["l_returnflag"]).aggregate(
+            [("s1", "sum"), ("s2", "sum"), ("s3", "sum"), ("s4", "sum"),
+             ("s1", "count")])
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "n": pc.cast(g["s1_count"], pa.int64()),
+            "s1": g["s1_sum"], "s2": g["s2_sum"],
+            "s3": g["s3_sum"], "s4": g["s4_sum"],
+        })
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("n", alias_name="n"), Sum("s1", alias_name="s1"),
+                   Sum("s2", alias_name="s2"), Sum("s3", alias_name="s3"),
+                   Sum("s4", alias_name="s4"))
+        .to_pandas()
+    )
+    n = agg["n"].to_numpy(np.float64)
+    s1 = agg["s1"].to_numpy(np.float64)
+    s2 = agg["s2"].to_numpy(np.float64)
+    s3 = agg["s3"].to_numpy(np.float64)
+    s4 = agg["s4"].to_numpy(np.float64)
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - 3 * mean * (s2 / n) + 2 * mean * mean * mean
+    m4 = (s4 / n - 4 * mean * (s3 / n) + 6 * mean * mean * (s2 / n)
+          - 3 * mean * mean * mean * mean)
+    skew = m3 / np.sqrt(m2 * m2 * m2)
+    kurt = m4 / (m2 * m2) - 3.0
+    out = pd.DataFrame({
+        "l_returnflag": agg["l_returnflag"],
+        "n": agg["n"].astype("int64"),
+        "mean6": round_half_away(mean, 6),
+        "skew6": round_half_away(skew, 6),
+        "kurt6": round_half_away(kurt, 6),
+    })
+    return out.astype({"l_returnflag": "string", "n": "int64",
+                       "mean6": "float64", "skew6": "float64",
+                       "kurt6": "float64"})
+
+
+def emb_pca_power(sf_dir: str, iters: int = 3):
+    """Top principal component by power iteration: the exact 64x64
+    covariance comes from emb_covariance's one bounded moment-partial
+    shuffle (32 KiB per block at any corpus size), then ITERS unrolled
+    matvec+normalize steps run driver-side on the 4096-entry matrix —
+    iterative linear algebra where the distributed pass produces the
+    small dense operator and only scalars iterate. Deterministic start
+    v0 = 1/8 (no randomness); the final normalization's norm is the
+    eigenvalue estimate ||A v||. The SQL mirror recomputes the covariance
+    cells and the same three matvecs as unrolled CTEs."""
+    ds = _tbl(sf_dir, "embeddings", columns=["embedding"])
+    DIM = 64
+    di = np.repeat(np.arange(DIM, dtype=np.int64), DIM)
+    dj = np.tile(np.arange(DIM, dtype=np.int64), DIM)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch["embedding"].to_pylist()])
+        s = m.sum(axis=0)
+        outer = m.T @ m
+        return pa.table({
+            "di": pa.array(di, pa.int64()),
+            "dj": pa.array(dj, pa.int64()),
+            "sxy": pa.array(outer.reshape(-1), pa.float64()),
+            "sx": pa.array(np.repeat(s, DIM), pa.float64()),
+            "sy": pa.array(np.tile(s, DIM), pa.float64()),
+            "n": pa.array(np.full(DIM * DIM, len(m), dtype=np.int64),
+                          pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["di", "dj"])
+        .aggregate(Sum("sxy", alias_name="sxy"), Sum("sx", alias_name="sx"),
+                   Sum("sy", alias_name="sy"), Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["di", "dj"])
+    )
+    n = agg["n"].to_numpy(np.float64)
+    cov = ((n * agg["sxy"].to_numpy() - agg["sx"].to_numpy()
+            * agg["sy"].to_numpy()) / (n * n))
+    A = cov.reshape(DIM, DIM)
+    v = np.full(DIM, 0.125, dtype=np.float64)
+    nrm = 0.0
+    for _ in range(iters):
+        y = A @ v
+        nrm = float(np.sqrt(np.sum(y * y)))
+        v = y / nrm
+    out = pd.DataFrame({
+        "di": np.arange(DIM, dtype=np.int64),
+        "loading6": round_half_away(v, 6),
+        "eigval6": np.full(DIM, float(round_half_away(nrm, 6))),
+    })
+    out.loc[out["loading6"] == 0, "loading6"] = 0.0
+    return out.astype({"di": "int64", "loading6": "float64",
+                       "eigval6": "float64"})
