@@ -311,6 +311,10 @@ import pytest
     "emb_covariance", "events_markov_transitions", "events_cohort_retention",
     "events_value_rank_cume", "lineitem_mode_quantity", "emb_kmeans",
     "events_value_pcont", "events_user_gap_stats", "events_peak_minute",
+    "doc_chunking", "doc_seq_packing", "emb_int8_quant", "events_props_json",
+    "q14_promo_revenue", "q4_order_priority", "q18_large_orders",
+    "lineitem_late_shipments", "events_cube", "lineitem_skew_kurt",
+    "emb_pca_power",
 ])
 def test_round2_ops_invariant_to_block_layout(ray_session, monkeypatch, qname):
     """The round-2 window/rank/histogram/retrieval operators must produce
@@ -321,7 +325,9 @@ def test_round2_ops_invariant_to_block_layout(ray_session, monkeypatch, qname):
     fn = getattr(r, qname)
     base = r._tbl
 
-    def norm(df: pd.DataFrame) -> pd.DataFrame:
+    def norm(df) -> pd.DataFrame:
+        if hasattr(df, "to_pandas"):
+            df = df.to_pandas()
         return df.sort_values(sorted(df.columns)).reset_index(drop=True)
 
     got1 = norm(fn("/root/testdata/sf0.001"))
