@@ -193,6 +193,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": r.events_cube,
         "lineitem_skew_kurt": r.lineitem_skew_kurt,
         "emb_pca_power": r.emb_pca_power,
+        # data-ops: normalized dedup, DQ expectations, table checksum, CDC
+        "doc_norm_dedup": r.doc_norm_dedup,
+        "orders_dq_check": r.orders_dq_check,
+        "orders_table_checksum": r.orders_table_checksum,
+        "orders_snapshot_diff": r.orders_snapshot_diff,
     }
 
 
@@ -1474,5 +1479,77 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(i AS BIGINT) AS di, round(x, 6) AS loading6,
                    round((SELECT nrm FROM n3), 6) AS eigval6
             FROM v3
+        """,
+        "doc_norm_dedup": f"""
+            WITH nrm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                           AS norm
+                FROM documents
+            ),
+            h AS (SELECT doc_id, {o.h64('norm')} AS h FROM nrm)
+            SELECT h, CAST(min(doc_id) AS BIGINT) AS keeper_id,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM h GROUP BY h
+        """,
+        "orders_dq_check": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS bad_price,
+                   CAST(sum(CASE WHEN o_orderdate < DATE '1990-01-01'
+                                   OR o_orderdate >= DATE '2030-01-01'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS bad_date,
+                   CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+                   CAST(sum(CASE WHEN o_orderpriority NOT IN
+                                ('1-URGENT', '2-HIGH', '3-MEDIUM',
+                                 '4-NOT SPECIFIED', '5-LOW')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS bad_priority,
+                   CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS bad_custkey
+            FROM orders
+        """,
+        "orders_table_checksum": f"""
+            WITH r AS (
+                SELECT concat_ws('|',
+                    CAST(o_orderkey AS VARCHAR),
+                    CAST(o_custkey AS VARCHAR),
+                    o_orderstatus,
+                    CAST(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)
+                         AS VARCHAR),
+                    strftime(o_orderdate, '%Y-%m-%d'),
+                    o_orderpriority) AS s
+                FROM orders
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(CAST(sum({o.h64('s')}) AS HUGEINT)
+                        % 9223372036854775808 AS BIGINT) AS checksum
+            FROM r
+        """,
+        "orders_snapshot_diff": """
+            WITH a AS (
+                SELECT o_orderkey AS key,
+                       CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS cents
+                FROM orders
+            ),
+            b AS (
+                SELECT key,
+                       CASE WHEN key % 3 = 0 THEN cents + 100
+                            ELSE cents END AS cents
+                FROM a WHERE key % 10 != 0
+                UNION ALL
+                SELECT key + 1000000000 AS key, cents
+                FROM a WHERE key % 10 = 5
+            ),
+            j AS (
+                SELECT a.key AS ka, b.key AS kb, a.cents AS ca, b.cents AS cb
+                FROM a FULL OUTER JOIN b ON a.key = b.key
+            )
+            SELECT CASE WHEN ka IS NULL THEN 'added'
+                        WHEN kb IS NULL THEN 'removed'
+                        WHEN ca != cb THEN 'changed'
+                        ELSE 'unchanged' END AS class,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM j GROUP BY 1
         """,
     }

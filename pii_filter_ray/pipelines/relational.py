@@ -3930,3 +3930,192 @@ def emb_pca_power(sf_dir: str, iters: int = 3):
     out.loc[out["loading6"] == 0, "loading6"] = 0.0
     return out.astype({"di": "int64", "loading6": "float64",
                        "eigval6": "float64"})
+
+
+def doc_norm_dedup(sf_dir: str):
+    """Normalized exact dedup (C4-style: casefold + whitespace-collapse +
+    trim before hashing): each block lowercases/normalizes with Arrow
+    kernels (utf8_lower, replace_substring_regex, trim — all C-speed,
+    zero Python per row), hashes the canonical form to the 63-bit
+    SQL-recomputable digest, and pre-combines (hash, min_id, count)
+    per block — a boilerplate document duplicated a billion times ships
+    one row per block, text never shuffles. Output: every normalized
+    group with its keeper (min doc_id) and size, so the oracle
+    value-checks the normalization+hash for every document (this corpus
+    happens to carry no normalized duplicates; the keep-rule variant
+    would just add HAVING n_docs > 1)."""
+    from ..stages.dedup import sql_hash64
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        # trim only ' ' (post-collapse the edges are plain spaces); RE2 \s
+        # matches the same class in both engines, and utf8_trim(" ")
+        # avoids Arrow's wider Unicode-whitespace trim diverging from SQL
+        norm = pc.utf8_trim(pc.replace_substring_regex(
+            pc.utf8_lower(batch["text"]), pattern=r"\s+", replacement=" "),
+            characters=" ")
+        h = pa.array([sql_hash64(s.encode("utf-8"))
+                      for s in norm.to_pylist()], pa.int64())
+        t = pa.table({"h": h, "doc_id": batch["doc_id"]})
+        g = t.group_by(["h"]).aggregate([("doc_id", "min"), ("doc_id", "count")])
+        return pa.table({"h": g["h"],
+                         "keeper_id": g["doc_id_min"],
+                         "n_docs": pc.cast(g["doc_id_count"], pa.int64())})
+
+    df = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("keeper_id", alias_name="keeper_id"),
+                   Sum("n_docs", alias_name="n_docs"))
+        .to_pandas()
+    )
+    return df[["h", "keeper_id", "n_docs"]].astype(
+        {"h": "int64", "keeper_id": "int64", "n_docs": "int64"})
+
+
+def orders_dq_check(sf_dir: str):
+    """Data-quality expectations at scale (the validation gate a 100 TB
+    ingest runs before anything downstream): declarative rules evaluate
+    as vectorized boolean kernels per block and reduce to ONE row of
+    violation counters per block — no shuffle, the merge is a single-row
+    Sum. Rules: positive price, date within the sane window, status and
+    priority in their declared domains, non-null custkey."""
+    ds = _tbl(sf_dir, "orders")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        bad_price = pc.sum(pc.cast(pc.less_equal(
+            batch["o_totalprice"], pa.scalar(0.0)), pa.int64())).as_py() or 0
+        lo = pa.scalar(pd.Timestamp("1990-01-01"), pa.timestamp("us"))
+        hi = pa.scalar(pd.Timestamp("2030-01-01"), pa.timestamp("us"))
+        bad_date = pc.sum(pc.cast(pc.or_(
+            pc.less(batch["o_orderdate"], lo),
+            pc.greater_equal(batch["o_orderdate"], hi)), pa.int64())).as_py() or 0
+        bad_status = pc.sum(pc.cast(pc.invert(pc.is_in(
+            batch["o_orderstatus"],
+            value_set=pa.array(["F", "O", "P"]))), pa.int64())).as_py() or 0
+        bad_priority = pc.sum(pc.cast(pc.invert(pc.is_in(
+            batch["o_orderpriority"],
+            value_set=pa.array(["1-URGENT", "2-HIGH", "3-MEDIUM",
+                                "4-NOT SPECIFIED", "5-LOW"]))),
+            pa.int64())).as_py() or 0
+        bad_cust = pc.sum(pc.cast(pc.is_null(batch["o_custkey"]),
+                                  pa.int64())).as_py() or 0
+        return pa.table({k: pa.array([v], pa.int64()) for k, v in [
+            ("n_rows", n), ("bad_price", bad_price), ("bad_date", bad_date),
+            ("bad_status", bad_status), ("bad_priority", bad_priority),
+            ("bad_custkey", bad_cust)]})
+
+    tot = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n_rows", alias_name="n_rows"),
+        Sum("bad_price", alias_name="bad_price"),
+        Sum("bad_date", alias_name="bad_date"),
+        Sum("bad_status", alias_name="bad_status"),
+        Sum("bad_priority", alias_name="bad_priority"),
+        Sum("bad_custkey", alias_name="bad_custkey"))
+    return pd.DataFrame({k: [int(tot[k])] for k in
+                         ["n_rows", "bad_price", "bad_date", "bad_status",
+                          "bad_priority", "bad_custkey"]})
+
+
+def orders_table_checksum(sf_dir: str):
+    """Order-invariant table digest (replica verification / migration
+    audit): every row canonicalizes to 'key|cust|status|cents|date|prio',
+    hashes to the 63-bit SQL-recomputable digest, and each block emits ONE
+    (sum mod 2^63, count) partial — the exact-overflow-free split-sum
+    (high/low 32-bit halves summed separately in int64) makes the block
+    partial bit-exact at any block size; the driver folds partials mod
+    2^63. Two tables are equal iff (n_rows, checksum) match, regardless
+    of row order or partitioning."""
+    from ..stages.dedup import sql_hash64
+
+    M = 1 << 63
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            batch["o_totalprice"].to_numpy() * 100.0, 0).astype(np.int64)
+        dates = pc.strftime(batch["o_orderdate"], format="%Y-%m-%d").to_pylist()
+        h = np.fromiter(
+            (sql_hash64(f"{k}|{c}|{s}|{ct}|{d}|{p}".encode())
+             for k, c, s, ct, d, p in zip(
+                 batch["o_orderkey"].to_pylist(),
+                 batch["o_custkey"].to_pylist(),
+                 batch["o_orderstatus"].to_pylist(),
+                 cents, dates,
+                 batch["o_orderpriority"].to_pylist())),
+            dtype=np.int64, count=len(batch))
+        hi = int(np.sum(h >> 32, dtype=np.int64))
+        lo = int(np.sum(h & 0xFFFFFFFF, dtype=np.int64))
+        part = (hi * (1 << 32) + lo) % M
+        return pa.table({"part": pa.array([part], pa.int64()),
+                         "n": pa.array([len(batch)], pa.int64())})
+
+    rows = (_tbl(sf_dir, "orders").map_batches(partial, batch_format="pyarrow")
+            .to_pandas())
+    checksum = int(sum(int(x) for x in rows["part"]) % M)
+    return pd.DataFrame({"n_rows": [int(rows["n"].sum())],
+                         "checksum": [checksum]})
+
+
+def orders_snapshot_diff(sf_dir: str):
+    """Snapshot diff / CDC classification: snapshot B derives from orders
+    deterministically (keys ending in 0 deleted; keys ending in 5
+    re-inserted under key+10^9 as adds; every key divisible by 3 gets
+    +1.00 on totalprice). Both snapshots stream as a tagged union through
+    ONE hash-bucketed shuffle carrying (key, side, cents); each bucket
+    classifies its keys vectorized (added / removed / changed / unchanged)
+    and emits per-class count partials — full snapshots never sit on the
+    driver. The oracle recomputes B and the FULL OUTER classification in
+    SQL."""
+    ADD_OFF = 1_000_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy()
+        cents = round_half_away(
+            batch["o_totalprice"].to_numpy() * 100.0, 0).astype(np.int64)
+        # side A: every original row
+        out_k = [k]
+        out_c = [cents]
+        out_s = [np.zeros(len(k), dtype=np.int64)]
+        # side B: deletes, bumps, adds
+        keep = k % 10 != 0
+        bk, bc = k[keep], cents[keep].copy()
+        bc[bk % 3 == 0] += 100
+        out_k.append(bk)
+        out_c.append(bc)
+        out_s.append(np.ones(len(bk), dtype=np.int64))
+        adds = k % 10 == 5
+        ak = k[adds] + ADD_OFF
+        out_k.append(ak)
+        out_c.append(cents[adds])
+        out_s.append(np.ones(len(ak), dtype=np.int64))
+        kk = np.concatenate(out_k)
+        return pa.table({
+            "key": pa.array(kk, pa.int64()),
+            "side": pa.array(np.concatenate(out_s), pa.int64()),
+            "cents": pa.array(np.concatenate(out_c), pa.int64()),
+            "bucket": pa.array((kk % 64).astype(np.int64), pa.int64()),
+        })
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == 0].set_index("key")["cents"]
+        b = g[g["side"] == 1].set_index("key")["cents"]
+        both = a.index.intersection(b.index)
+        changed = int((a.loc[both] != b.loc[both]).sum())
+        return pd.DataFrame({
+            "class": ["added", "removed", "changed", "unchanged"],
+            "n": [len(b.index.difference(a.index)),
+                  len(a.index.difference(b.index)),
+                  changed, len(both) - changed]})
+
+    ds = _tbl(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    df = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(classify, batch_format="pandas")
+        .groupby("class")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    return df.astype({"class": "string", "n": "int64"})

@@ -315,6 +315,8 @@ import pytest
     "q14_promo_revenue", "q4_order_priority", "q18_large_orders",
     "lineitem_late_shipments", "events_cube", "lineitem_skew_kurt",
     "emb_pca_power",
+    "doc_norm_dedup", "orders_dq_check", "orders_table_checksum",
+    "orders_snapshot_diff",
 ])
 def test_round2_ops_invariant_to_block_layout(ray_session, monkeypatch, qname):
     """The round-2 window/rank/histogram/retrieval operators must produce
@@ -350,3 +352,52 @@ def test_pagerank_distributed_path_equivalent(ray_session):
     a = norm(r.supplier_pagerank("/root/testdata/sf0.001"))
     b = norm(r.supplier_pagerank("/root/testdata/sf0.001", broadcast_limit=0))
     pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-9)
+
+
+def test_norm_dedup_collapses_case_and_whitespace(ray_session, tmp_path):
+    """doc_norm_dedup must group case/whitespace variants of the same text
+    (the sandbox corpus carries no such dups, so pin the semantics here)."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    docs = _pa.table({
+        "doc_id": _pa.array([1, 2, 3, 4, 5], _pa.int64()),
+        "text": _pa.array([
+            "Hello   World", "  hello world ", "HELLO\t\nWORLD",
+            "hello worlds", "hello world",
+        ], _pa.string()),
+    })
+    _pq.write_table(docs, tmp_path / "documents.parquet")
+    out = r.doc_norm_dedup(str(tmp_path)).sort_values("keeper_id")
+    assert len(out) == 2
+    big = out[out["n_docs"] == 4]
+    assert len(big) == 1 and big["keeper_id"].iloc[0] == 1
+    assert out[out["n_docs"] == 1]["keeper_id"].iloc[0] == 4
+
+
+def test_table_checksum_order_invariant_and_sensitive(ray_session, tmp_path):
+    """Checksum must be identical under row reorder/repartition and must
+    change when any field changes."""
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    base = r.orders_table_checksum("/root/testdata/sf0.001")
+    # reversed row order, same content
+    t = _pq.read_table("/root/testdata/sf0.001/orders.parquet")
+    rev = t.take(list(range(len(t) - 1, -1, -1)))
+    _pq.write_table(rev, tmp_path / "orders.parquet")
+    same = r.orders_table_checksum(str(tmp_path))
+    assert same["checksum"].iloc[0] == base["checksum"].iloc[0]
+    assert same["n_rows"].iloc[0] == base["n_rows"].iloc[0]
+    # one flipped status must change the digest
+    import pyarrow as _pa
+    st = t["o_orderstatus"].to_pylist()
+    st[0] = "X" if st[0] != "X" else "F"
+    mut = t.set_column(t.schema.get_field_index("o_orderstatus"),
+                       "o_orderstatus", _pa.array(st, _pa.string()))
+    _pq.write_table(mut, tmp_path / "orders.parquet")
+    diff = r.orders_table_checksum(str(tmp_path))
+    assert diff["checksum"].iloc[0] != base["checksum"].iloc[0]
