@@ -198,6 +198,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_dq_check": r.orders_dq_check,
         "orders_table_checksum": r.orders_table_checksum,
         "orders_snapshot_diff": r.orders_snapshot_diff,
+        # ML prep: hashing trick, bigram LM training, RFM segmentation
+        "doc_feature_hashing": r.doc_feature_hashing,
+        "doc_bigram_lm": r.doc_bigram_lm,
+        "customer_rfm": r.customer_rfm,
     }
 
 
@@ -1551,5 +1555,51 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'unchanged' END AS class,
                    CAST(count(*) AS BIGINT) AS n
             FROM j GROUP BY 1
+        """,
+        "doc_feature_hashing": f"""
+            SELECT CAST({o.h64('w')} % 256 AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest({o.words_expr('text')}) AS w FROM documents)
+            GROUP BY 1
+        """,
+        "doc_bigram_lm": f"""
+            WITH w AS (SELECT {o.words_expr('text')} AS ws FROM documents),
+            b AS (
+                SELECT ws[i] AS w1, ws[i + 1] AS w2
+                FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w)
+            ),
+            c AS (
+                SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+                FROM b GROUP BY 1, 2
+            ),
+            t AS (
+                SELECT w1, w2, n,
+                       CAST(sum(n) OVER (PARTITION BY w1) AS BIGINT) AS n_w1
+                FROM c
+            )
+            SELECT w1, w2, n, n_w1,
+                   round(CAST(n AS DOUBLE) / CAST(n_w1 AS DOUBLE), 6) AS p6
+            FROM t ORDER BY n DESC, w1, w2 LIMIT 30
+        """,
+        "customer_rfm": """
+            WITH pc_ AS (
+                SELECT o_custkey,
+                       max(o_orderdate) AS last_d,
+                       CAST(count(*) AS BIGINT) AS freq,
+                       CAST(sum(CAST(round(o_totalprice * 100.0, 0)
+                                     AS BIGINT)) AS BIGINT) AS cents
+                FROM orders GROUP BY 1
+            ),
+            m AS (SELECT max(o_orderdate) AS maxd FROM orders)
+            SELECT CASE WHEN epoch_us(maxd) - epoch_us(last_d)
+                             <= 31536000000000
+                        THEN 'active' ELSE 'lapsed' END
+                   || '-' ||
+                   CASE WHEN freq >= 8 THEN 'frequent'
+                        ELSE 'occasional' END AS segment,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(cents) AS BIGINT) AS total_cents
+            FROM pc_ CROSS JOIN m
+            GROUP BY 1
         """,
     }

@@ -4119,3 +4119,154 @@ def orders_snapshot_diff(sf_dir: str):
         .to_pandas()
     )
     return df.astype({"class": "string", "n": "int64"})
+
+
+def doc_feature_hashing(sf_dir: str, n_buckets: int = 256):
+    """Hashing-trick featurization (the fixed-width feature space a linear
+    model trains on at corpus scale): tokens hash into ``n_buckets``
+    buckets with the 63-bit SQL-recomputable digest, and each block emits
+    at most ``n_buckets`` (bucket, count) partials — the shuffle cost is
+    fixed at any corpus size, tokens never leave the task. Output: global
+    token count per feature bucket."""
+    from ..stages.dedup import sql_hash64
+
+    ds = _tbl(sf_dir, "documents", columns=["text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        counts = np.zeros(n_buckets, dtype=np.int64)
+        for t in batch["text"].to_pylist():
+            for w in t.split():
+                counts[sql_hash64(w.encode("utf-8")) % n_buckets] += 1
+        nz = np.nonzero(counts)[0]
+        return pa.table({"bucket": pa.array(nz.astype(np.int64), pa.int64()),
+                         "n": pa.array(counts[nz], pa.int64())})
+
+    df = (ds.map_batches(partials, batch_format="pyarrow")
+          .groupby("bucket").aggregate(Sum("n", alias_name="n")).to_pandas())
+    return df.astype({"bucket": "int64", "n": "int64"})
+
+
+def doc_bigram_lm(sf_dir: str, k: int = 30):
+    """Distributed bigram language-model training: word-bigram counts
+    pre-aggregate per block (a stop-word pair repeated a million times in
+    a block ships once), ONE (w1, w2) shuffle builds the global count
+    table, unigram-context totals come from a second bounded preagg over
+    that table, and the conditional probability P(w2|w1) attaches by
+    joining totals back — on the bounded aggregate, never the corpus.
+    The top-k surface (count DESC, then lexicographic) is extracted with
+    per-block top-k partials + a blocks*k driver merge, so the full
+    bigram vocabulary never sits on the driver."""
+    ds = _tbl(sf_dir, "documents", columns=["text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: "Counter" = Counter()
+        for t in batch["text"].to_pylist():
+            ws = t.split()
+            c.update(zip(ws, ws[1:]))
+        if not c:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        w1, w2 = zip(*c.keys())
+        return pa.table({"w1": pa.array(w1, pa.string()),
+                         "w2": pa.array(w2, pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    # checkpoint the bounded aggregate once — totals and top-k both read
+    # it, and without this the corpus pass would run twice
+    bigrams = (ds.map_batches(partials, batch_format="pyarrow")
+               .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n"))
+               .materialize())
+    totals = preagg_groupby(bigrams, ["w1"], sums={"n_w1": "n"})
+
+    def topk_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["n", "w1", "w2"],
+                            ascending=[False, True, True],
+                            kind="mergesort").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    top = (bigrams.map_batches(topk_block, batch_format="pyarrow")
+           .to_pandas()
+           .sort_values(["n", "w1", "w2"], ascending=[False, True, True],
+                        kind="mergesort").head(k))
+    # context totals for just the k surviving contexts: semi-filtered pull
+    # of the bounded totals table (k rows; the general path would
+    # hash_join bigrams><totals by w1 before the top-k)
+    want = pa.array(top["w1"].unique(), pa.string())
+    tot = (totals.map_batches(
+        lambda b: b.filter(pc.is_in(b["w1"], value_set=want)),
+        batch_format="pyarrow").to_pandas())
+    out = top.merge(tot, on="w1")
+    out["p6"] = round_half_away(
+        out["n"].to_numpy(np.float64) / out["n_w1"].to_numpy(np.float64), 6)
+    out = out[["w1", "w2", "n", "n_w1", "p6"]].reset_index(drop=True)
+    return out.astype({"w1": "string", "w2": "string", "n": "int64",
+                       "n_w1": "int64", "p6": "float64"})
+
+
+def customer_rfm(sf_dir: str):
+    """RFM segmentation: ONE preagg shuffle builds per-customer (last
+    order date, order count, exact total cents); a scalar Max pass pins
+    'now' to the corpus max date; segments derive vectorized from fixed
+    thresholds (recency <= 365 days = 'active'; frequency >= 8 =
+    'frequent') and reduce to per-segment count/total partials — the
+    customer table itself never aggregates on the driver."""
+    ds = _tbl(sf_dir, "orders",
+              columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            batch["o_totalprice"].to_numpy() * 100.0, 0).astype(np.int64)
+        return pa.table({
+            "o_custkey": batch["o_custkey"],
+            "d_us": pc.cast(batch["o_orderdate"], pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+            "one": pa.array(np.ones(len(batch), np.int64), pa.int64()),
+        })
+
+    p = ds.map_batches(prep, batch_format="pyarrow")
+    maxd = int(p.aggregate(Max("d_us", alias_name="m"))["m"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["o_custkey"]).aggregate(
+            [("d_us", "max"), ("one", "sum"), ("cents", "sum")])
+        return pa.table({"o_custkey": g["o_custkey"],
+                         "last_us": g["d_us_max"],
+                         "freq": g["one_sum"], "cents": g["cents_sum"]})
+
+    per_cust = (
+        p.map_batches(partials, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Max("last_us", alias_name="last_us"),
+                   Sum("freq", alias_name="freq"),
+                   Sum("cents", alias_name="cents"))
+    )
+    YEAR_US = 365 * 86400 * 1_000_000
+
+    def seg(batch: pa.Table) -> pa.Table:
+        last = batch["last_us"].to_numpy(zero_copy_only=False)
+        freq = batch["freq"].to_numpy(zero_copy_only=False)
+        cents = batch["cents"].to_numpy(zero_copy_only=False)
+        rec = np.where(maxd - last <= YEAR_US, "active", "lapsed")
+        fr = np.where(freq >= 8, "frequent", "occasional")
+        segs = np.char.add(np.char.add(rec.astype("U8"), "-"),
+                           fr.astype("U10"))
+        t = pa.table({"segment": pa.array(segs.tolist(), pa.string()),
+                      "one": pa.array(np.ones(len(batch), np.int64)),
+                      "cents": pa.array(cents, pa.int64())})
+        g = t.group_by(["segment"]).aggregate(
+            [("one", "sum"), ("cents", "sum")])
+        return pa.table({"segment": g["segment"],
+                         "n_customers": g["one_sum"],
+                         "cents": g["cents_sum"]})
+
+    df = (per_cust.map_batches(seg, batch_format="pyarrow")
+          .groupby("segment")
+          .aggregate(Sum("n_customers", alias_name="n_customers"),
+                     Sum("cents", alias_name="total_cents"))
+          .to_pandas())
+    return df[["segment", "n_customers", "total_cents"]].astype(
+        {"segment": "string", "n_customers": "int64",
+         "total_cents": "int64"})

@@ -316,7 +316,8 @@ import pytest
     "lineitem_late_shipments", "events_cube", "lineitem_skew_kurt",
     "emb_pca_power",
     "doc_norm_dedup", "orders_dq_check", "orders_table_checksum",
-    "orders_snapshot_diff",
+    "orders_snapshot_diff", "doc_feature_hashing", "doc_bigram_lm",
+    "customer_rfm",
 ])
 def test_round2_ops_invariant_to_block_layout(ray_session, monkeypatch, qname):
     """The round-2 window/rank/histogram/retrieval operators must produce
