@@ -202,12 +202,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_feature_hashing": r.doc_feature_hashing,
         "doc_bigram_lm": r.doc_bigram_lm,
         "customer_rfm": r.customer_rfm,
+        # planner statistics, interval union, layout keys
+        "orders_customer_join_card": r.orders_customer_join_card,
+        "events_user_coverage": r.events_user_coverage,
+        "events_zorder": r.events_zorder,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from pii_filter_ray import oracles as o
-    from pii_filter_ray.stages.sketches import cms_sql, hll_sql
+    from pii_filter_ray.stages.sketches import cms_sql, hll_join_card_sql, hll_sql
 
     return {
         # full SQL recomputations of the non-trivial operators (see
@@ -1601,5 +1605,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(cents) AS BIGINT) AS total_cents
             FROM pc_ CROSS JOIN m
             GROUP BY 1
+        """,
+        "orders_customer_join_card": hll_join_card_sql(
+            "SELECT o_custkey AS v FROM orders",
+            "SELECT c_custkey AS v FROM customer"),
+        "events_user_coverage": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS s,
+                       epoch_us(ts) + 300000000 AS f
+                FROM events
+            ),
+            x AS (
+                SELECT user_id, s, f,
+                       max(f) OVER (PARTITION BY user_id ORDER BY s
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev
+                FROM e
+            ),
+            y AS (
+                SELECT user_id, s, f,
+                       CASE WHEN prev IS NULL OR s > prev
+                            THEN 1 ELSE 0 END AS ni
+                FROM x
+            ),
+            z AS (
+                SELECT user_id, s, f,
+                       sum(ni) OVER (PARTITION BY user_id ORDER BY s
+                                     ROWS UNBOUNDED PRECEDING) AS isl
+                FROM y
+            ),
+            i AS (
+                SELECT user_id, isl, max(f) - min(s) AS cov
+                FROM z GROUP BY 1, 2
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+                   CAST(sum(cov) AS BIGINT) AS covered_us
+            FROM i GROUP BY user_id
+        """,
+        "events_zorder": """
+            SELECT event_id,
+                   CAST(list_sum(list_transform(range(0, 20), i ->
+                        ((((user_id & 1048575) >> i) & 1)
+                            * (1::BIGINT << (2 * i + 1)))
+                      + (((((epoch_us(ts) // 1000000) & 1048575) >> i) & 1)
+                            * (1::BIGINT << (2 * i)))
+                   )) AS BIGINT) AS zkey
+            FROM events
         """,
     }

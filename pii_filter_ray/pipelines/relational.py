@@ -4270,3 +4270,90 @@ def customer_rfm(sf_dir: str):
     return df[["segment", "n_customers", "total_cents"]].astype(
         {"segment": "string", "n_customers": "int64",
          "total_cents": "int64"})
+
+
+def orders_customer_join_card(sf_dir: str):
+    """Join-cardinality estimation before the join (the planner statistic
+    that decides broadcast vs shuffle vs skew handling at 100 TB): HLL
+    register sketches of orders.o_custkey and customer.c_custkey from one
+    streaming pass per side (<= 2^12 register rows per block shuffle),
+    union by elementwise register max, |A ∩ B| by inclusion-exclusion.
+    Deterministic, so the SQL oracle recomputes all four estimates
+    bit-for-bit."""
+    from ..stages.sketches import hll_join_cardinality
+
+    est = hll_join_cardinality(
+        _tbl(sf_dir, "orders", columns=["o_custkey"]),
+        _tbl(sf_dir, "customer", columns=["c_custkey"]),
+        left_key="o_custkey", right_key="c_custkey", p=12)
+    return pd.DataFrame({
+        "est_left": [float(round_half_away(est["est_left"], 3))],
+        "est_right": [float(round_half_away(est["est_right"], 3))],
+        "est_union": [float(round_half_away(est["est_union"], 3))],
+        "est_intersect": [float(round_half_away(est["est_intersect"], 3))],
+    })
+
+
+def events_user_coverage(sf_dir: str, hold_us: int = 300_000_000):
+    """Per-user interval-union coverage (activity dwell time): each event
+    opens a [ts, ts+5min) interval; overlapping intervals merge into
+    islands and the union length is exact integer microseconds. Users
+    hash into WINDOW_BUCKETS groups; inside a bucket the sweep is three
+    vectorized passes (sort, per-user running max-end, island cumsum) —
+    no Python loop, and a user's intervals never split across buckets so
+    the result is final per bucket. The SQL mirror is the gaps-and-islands
+    window idiom."""
+    ds = _tbl(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def cover(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        s = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        f = s + hold_us
+        u = g["user_id"].to_numpy(np.int64)
+        d = pd.DataFrame({"u": u, "s": s, "f": f})
+        d["cm"] = d.groupby("u")["f"].cummax()
+        prev = d.groupby("u")["cm"].shift(1)
+        new_island = prev.isna() | (d["s"] > prev)
+        d["isl"] = new_island.cumsum()
+        isl = d.groupby(["u", "isl"]).agg(s=("s", "min"), f=("f", "max"))
+        isl["cov"] = isl["f"] - isl["s"]
+        out = (isl.reset_index().groupby("u")
+               .agg(n_islands=("isl", "size"), covered_us=("cov", "sum"))
+               .reset_index().rename(columns={"u": "user_id"}))
+        return out
+
+    df = (
+        ds.map_batches(_add_user_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cover, batch_format="pandas")
+        .to_pandas()
+    )
+    return df.astype({"user_id": "int64", "n_islands": "int64",
+                      "covered_us": "int64"})
+
+
+def events_zorder(sf_dir: str, bits: int = 20):
+    """Morton (z-order) write-clustering keys: interleave the low ``bits``
+    of user_id and epoch-seconds so rows near each other in BOTH
+    dimensions land near each other in one sort order — the layout key a
+    partitioned writer sorts by so per-user time-range scans touch few
+    files. Pure vectorized bit math per block (20 shift/or passes over
+    the whole column, no shuffle); the SQL mirror evaluates the identical
+    bit-interleave."""
+    ds = _tbl(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def zkey(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = (pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+             // 1_000_000)
+        mask = (1 << bits) - 1
+        u &= mask
+        t = t & mask
+        z = np.zeros(len(u), dtype=np.int64)
+        for i in range(bits):
+            z |= ((u >> i) & 1) << (2 * i + 1)
+            z |= ((t >> i) & 1) << (2 * i)
+        return pa.table({"event_id": batch["event_id"],
+                         "zkey": pa.array(z, pa.int64())})
+
+    return ds.map_batches(zkey, batch_format="pyarrow")

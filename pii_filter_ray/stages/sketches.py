@@ -320,3 +320,121 @@ def cms_sql(table: str, value_col: str, n_keys: int, d: int = 4,
         )
         SELECT CAST(key AS BIGINT) AS {value_col}, CAST(est AS BIGINT) AS est
         FROM est ORDER BY 1"""
+
+
+def hll_join_cardinality(
+    left: "ray.data.Dataset", right: "ray.data.Dataset",
+    left_key: str, right_key: str, p: int = 12,
+) -> dict:
+    """Sketch-based join-cardinality estimation (the planner statistic a
+    distributed optimizer wants before committing to a shuffle strategy):
+    ONE streaming pass per side builds HLL registers (<= 2^p rows per
+    block shuffle), the union sketch is the elementwise register max, and
+    |A ∩ B| ≈ est(A) + est(B) - est(A∪B) by inclusion-exclusion. All
+    three estimates are deterministic (splitmix64 + exact-integer S +
+    linear-counting correction), so the SQL oracle recomputes them
+    bit-for-bit. Returns unrounded floats."""
+    m = 1 << p
+
+    def side(ds, key, label):
+        def reg_partials(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.is_valid(batch[key]))
+            vals = t[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = splitmix64(vals)
+            reg, rho = _rho(h, p)
+            r_ = np.zeros(m, dtype=np.int64)
+            np.maximum.at(r_, reg, rho)
+            nz = np.flatnonzero(r_)
+            return pa.table({"reg": pa.array(nz.astype(np.int64), pa.int64()),
+                             "rho": pa.array(r_[nz], pa.int64())})
+
+        merged = (ds.map_batches(reg_partials, batch_format="pyarrow")
+                  .groupby("reg").aggregate(Max("rho", alias_name="rho"))
+                  .to_pandas())
+        regs = np.zeros(m, dtype=np.int64)
+        regs[merged["reg"].to_numpy()] = merged["rho"].to_numpy()
+        return regs
+
+    ra = side(left, left_key, "a")
+    rb = side(right, right_key, "b")
+    ru = np.maximum(ra, rb)
+    ea = hll_estimate_from_registers(ra, p)
+    eb = hll_estimate_from_registers(rb, p)
+    eu = hll_estimate_from_registers(ru, p)
+    return {"est_left": ea, "est_right": eb, "est_union": eu,
+            "est_intersect": ea + eb - eu}
+
+
+def hll_join_card_sql(left_sql: str, right_sql: str, p: int = 12) -> str:
+    """DuckDB mirror of :func:`hll_join_cardinality`: recomputes both
+    sides' registers, the union registers, and all four estimates with
+    the same exact-integer arithmetic. ``left_sql``/``right_sql`` are
+    'SELECT <key> AS v FROM <table>' fragments."""
+    m = 1 << p
+    reg_div = 1 << (64 - p)
+    return f"""
+        WITH src AS (
+            SELECT 'a' AS k, v FROM ({left_sql})
+            UNION ALL
+            SELECT 'b' AS k, v FROM ({right_sql})
+        ),
+        s1 AS (
+            SELECT k, (CAST(v AS HUGEINT) + {_K1}) % {_M64} AS u
+            FROM src WHERE v IS NOT NULL
+        ),
+        s2 AS (SELECT k, {_sql_xor_shift(1 << 30)} AS u FROM s1),
+        s3 AS (SELECT k, {_sql_mulmod(_K2)} AS u FROM s2),
+        s4 AS (SELECT k, {_sql_xor_shift(1 << 27)} AS u FROM s3),
+        s5 AS (SELECT k, {_sql_mulmod(_K3)} AS u FROM s4),
+        s6 AS (SELECT k, {_sql_xor_shift(1 << 31)} AS u FROM s5),
+        hashed AS (
+            SELECT k, CAST(u // {reg_div} AS BIGINT) AS reg,
+                   CAST(u % {reg_div} AS BIGINT) AS w
+            FROM s6
+        ),
+        rhos AS (
+            SELECT k, reg,
+                   {64 - p + 1} - CASE WHEN w > 0
+                                       THEN length(printf('%b', w))
+                                       ELSE 0 END AS rho
+            FROM hashed
+        ),
+        regs AS (SELECT k, reg, max(rho) AS rho FROM rhos GROUP BY k, reg),
+        allregs AS (
+            SELECT k, reg, rho FROM regs
+            UNION ALL
+            SELECT 'u' AS k, reg, max(rho) AS rho FROM regs GROUP BY reg
+        ),
+        sums AS (
+            SELECT k,
+                   sum(CAST(1::BIGINT << (53 - rho) AS HUGEINT)) AS s_present,
+                   count(*) AS n_present
+            FROM allregs GROUP BY k
+        ),
+        est0 AS (
+            SELECT k,
+                   ({m} - n_present) AS v,
+                   (0.7213 / (1.0 + 1.079 / {m})) * {m} * {m} * 9007199254740992.0
+                     / CAST(s_present
+                            + CAST({m} - n_present AS HUGEINT)
+                              * 9007199254740992::HUGEINT AS DOUBLE) AS e
+            FROM sums
+        ),
+        est AS (
+            SELECT k,
+                   CASE WHEN e <= 2.5 * {m} AND v > 0
+                        THEN {m} * ln({m} / CAST(v AS DOUBLE))
+                        ELSE e END AS est
+            FROM est0
+        ),
+        piv AS (
+            SELECT max(CASE WHEN k = 'a' THEN est END) AS ea,
+                   max(CASE WHEN k = 'b' THEN est END) AS eb,
+                   max(CASE WHEN k = 'u' THEN est END) AS eu
+            FROM est
+        )
+        SELECT round(ea, 3) AS est_left, round(eb, 3) AS est_right,
+               round(eu, 3) AS est_union,
+               round(ea + eb - eu, 3) AS est_intersect
+        FROM piv
+    """

@@ -317,7 +317,8 @@ import pytest
     "emb_pca_power",
     "doc_norm_dedup", "orders_dq_check", "orders_table_checksum",
     "orders_snapshot_diff", "doc_feature_hashing", "doc_bigram_lm",
-    "customer_rfm",
+    "customer_rfm", "orders_customer_join_card", "events_user_coverage",
+    "events_zorder",
 ])
 def test_round2_ops_invariant_to_block_layout(ray_session, monkeypatch, qname):
     """The round-2 window/rank/histogram/retrieval operators must produce
