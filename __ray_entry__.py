@@ -206,6 +206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_join_card": r.orders_customer_join_card,
         "events_user_coverage": r.events_user_coverage,
         "events_zorder": r.events_zorder,
+        # tokenizer training: iterative BPE over the bounded vocab table
+        "doc_bpe_merges": r.doc_bpe_merges,
     }
 
 
@@ -245,6 +247,7 @@ def oracle_sql() -> dict[str, str]:
         "media_pipeline_check": o.media_pipeline_check_sql(),
         "spec_pipeline_check": o.spec_pipeline_check_sql(),
         "doc_lang_confusion": o.doc_lang_confusion_sql(),
+        "doc_bpe_merges": o.doc_bpe_merges_sql(),
         "doc_lang_stats": """
             SELECT lang,
                    CAST(count(*) AS BIGINT) AS n_docs,

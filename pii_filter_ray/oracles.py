@@ -870,3 +870,48 @@ def doc_curation_pipeline_sql(threshold: float = 0.5, max_df: int = 1000) -> str
   )
   SELECT doc_id, lang FROM dedup
   WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)"""
+
+
+def doc_bpe_merges_sql(iters: int = 3) -> str:
+    """Mirror of relational.doc_bpe_merges: word-frequency table, then
+    ITERS unrolled pair-count/argmax/padded-replace merge iterations.
+    replace() is the same non-overlapping left-to-right scan as Python
+    str.replace, so the vocab states stay identical step for step."""
+    ctes = [f"""
+  words AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest({words_expr('text')}) AS w FROM documents)
+    GROUP BY w
+  ),
+  v0 AS (
+    SELECT ' ' || array_to_string(
+               list_transform(range(1, length(w) + 1), i -> w[i]), ' ')
+           || ' ' AS r, n
+    FROM words
+  )"""]
+    for k in range(1, iters + 1):
+        prev = f"v{k - 1}"
+        ctes.append(f"""
+  p{k} AS (
+    SELECT t[i] AS a, t[i + 1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+    FROM (
+      SELECT t, n, unnest(range(1, len(t))) AS i
+      FROM (SELECT list_filter(string_split(r, ' '), x -> x != '') AS t, n
+            FROM {prev})
+    ) GROUP BY 1, 2
+  ),
+  m{k} AS (SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1),
+  v{k} AS (
+    SELECT replace(r,
+               ' ' || (SELECT a FROM m{k}) || ' '
+                   || (SELECT b FROM m{k}) || ' ',
+               ' ' || (SELECT a FROM m{k})
+                   || (SELECT b FROM m{k}) || ' ') AS r, n
+    FROM {prev}
+  )""")
+    finals = [
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, a AS sym_a, b AS sym_b,"
+        f" cnt AS pair_n FROM m{k}"
+        for k in range(1, iters + 1)
+    ]
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)

@@ -4357,3 +4357,78 @@ def events_zorder(sf_dir: str, bits: int = 20):
                          "zkey": pa.array(z, pa.int64())})
 
     return ds.map_batches(zkey, batch_format="pyarrow")
+
+
+def doc_bpe_merges(sf_dir: str, iters: int = 3):
+    """Distributed BPE vocabulary induction (tokenizer training), the
+    canonical two-phase shape: ONE corpus shuffle builds the bounded
+    word-frequency table (block-local Counter pre-combine — a stopword in
+    a billion documents ships one row per block), then every merge
+    iteration runs entirely on that materialized vocab working set:
+    adjacent-symbol pair counts pre-aggregate per vocab block, the winning
+    pair (max count, lexicographic tie-break) comes back as ONE row, and
+    the merge applies as a vectorized single-scan string replace over the
+    padded symbol strings. Replace is the standard non-overlapping
+    left-to-right scan on BOTH engines (verified identical), so a run of
+    repeated unigrams merges alternately within an iteration — the
+    remainder merges when the pair wins again, exactly like iterated BPE.
+    The corpus is read once; iterations never touch it."""
+    ds = _tbl(sf_dir, "documents", columns=["text"])
+
+    def word_partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: "Counter" = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(t.split())
+        return pa.table({"w": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    def to_repr(batch: pa.Table) -> pa.Table:
+        r = [" " + " ".join(w) + " " for w in batch["w"].to_pylist()]
+        return pa.table({"r": pa.array(r, pa.string()), "n": batch["n"]})
+
+    vocab = (ds.map_batches(word_partials, batch_format="pyarrow")
+             .groupby("w").aggregate(Sum("n", alias_name="n"))
+             .map_batches(to_repr, batch_format="pyarrow")
+             .materialize())
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: "Counter" = Counter()
+        for r, n in zip(batch["r"].to_pylist(),
+                        batch["n"].to_numpy(zero_copy_only=False)):
+            toks = r.split()
+            for pair in zip(toks, toks[1:]):
+                c[pair] += int(n)
+        if not c:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        a, b = zip(*c.keys())
+        return pa.table({"a": pa.array(a, pa.string()),
+                         "b": pa.array(b, pa.string()),
+                         "cnt": pa.array(list(c.values()), pa.int64())})
+
+    merges = []
+    for rank in range(1, iters + 1):
+        pairs = (vocab.map_batches(pair_partials, batch_format="pyarrow")
+                 .groupby(["a", "b"]).aggregate(Sum("cnt", alias_name="cnt"))
+                 .to_pandas())
+        top = pairs.sort_values(["cnt", "a", "b"],
+                                ascending=[False, True, True],
+                                kind="mergesort").head(1)
+        a, b = str(top["a"].iloc[0]), str(top["b"].iloc[0])
+        merges.append({"merge_rank": rank, "sym_a": a, "sym_b": b,
+                       "pair_n": int(top["cnt"].iloc[0])})
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+
+        def apply_merge(batch: pa.Table, pat=pat, rep=rep) -> pa.Table:
+            r = [s.replace(pat, rep) for s in batch["r"].to_pylist()]
+            return pa.table({"r": pa.array(r, pa.string()), "n": batch["n"]})
+
+        vocab = vocab.map_batches(apply_merge,
+                                  batch_format="pyarrow").materialize()
+
+    return pd.DataFrame(merges).astype(
+        {"merge_rank": "int64", "sym_a": "string", "sym_b": "string",
+         "pair_n": "int64"})

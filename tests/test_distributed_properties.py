@@ -318,7 +318,7 @@ import pytest
     "doc_norm_dedup", "orders_dq_check", "orders_table_checksum",
     "orders_snapshot_diff", "doc_feature_hashing", "doc_bigram_lm",
     "customer_rfm", "orders_customer_join_card", "events_user_coverage",
-    "events_zorder",
+    "events_zorder", "doc_bpe_merges",
 ])
 def test_round2_ops_invariant_to_block_layout(ray_session, monkeypatch, qname):
     """The round-2 window/rank/histogram/retrieval operators must produce
@@ -403,3 +403,36 @@ def test_table_checksum_order_invariant_and_sensitive(ray_session, tmp_path):
     _pq.write_table(mut, tmp_path / "orders.parquet")
     diff = r.orders_table_checksum(str(tmp_path))
     assert diff["checksum"].iloc[0] != base["checksum"].iloc[0]
+
+
+def test_bpe_merges_match_local_reference(ray_session, tmp_path):
+    """doc_bpe_merges must equal a from-scratch local BPE with the same
+    single-scan merge semantics on a classic toy corpus."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    from collections import Counter
+
+    from pii_filter_ray.pipelines import relational as r
+
+    corpus = ("low low low low low lower lower newest newest newest "
+              "newest newest newest widest widest widest")
+    _pq.write_table(_pa.table({"doc_id": _pa.array([1], _pa.int64()),
+                               "text": _pa.array([corpus], _pa.string())}),
+                    tmp_path / "documents.parquet")
+
+    # independent local reference
+    vocab = Counter(corpus.split())
+    reprs = {(" " + " ".join(w) + " "): n for w, n in vocab.items()}
+    expected = []
+    for rank in range(1, 4):
+        pc_: Counter = Counter()
+        for rep, n in reprs.items():
+            toks = rep.split()
+            for pair in zip(toks, toks[1:]):
+                pc_[pair] += n
+        (a, b), cnt = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((rank, a, b, cnt))
+        reprs = {rep.replace(f" {a} {b} ", f" {a}{b} "): n
+                 for rep, n in reprs.items()}
+    got = r.doc_bpe_merges(str(tmp_path))
+    assert [tuple(x) for x in got.itertuples(index=False)] == expected
