@@ -128,6 +128,8 @@ def run_bench() -> dict:
         ("events_daily", r.events_daily),
         ("doc_jaccard_dups", r.doc_jaccard_dups),
         ("lineitem_quantity_quantiles", r.lineitem_quantity_quantiles),
+        ("doc_chunking", r.doc_chunking),
+        ("doc_bpe_merges", r.doc_bpe_merges),
     ]:
         def run(fn=fn):
             import pandas as pd
