@@ -1366,18 +1366,20 @@ def oracle_sql() -> dict[str, str]:
         "events_props_json": """
             SELECT event_type,
                    CAST(count(*) AS BIGINT) AS n,
-                   CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
-                   round(sum(CAST(props->>'$.k' AS BIGINT))
-                         / CAST(count(props->>'$.k') AS DOUBLE), 6) AS k_avg6
+                   CAST(coalesce(sum(CAST(props->>'$.k' AS BIGINT)), 0)
+                        AS BIGINT) AS k_sum,
+                   round(coalesce(sum(CAST(props->>'$.k' AS BIGINT))
+                         / nullif(CAST(count(props->>'$.k') AS DOUBLE), 0),
+                         0.0), 6) AS k_avg6
             FROM events GROUP BY event_type
         """,
         "q14_promo_revenue": """
-            SELECT round(
+            SELECT round(coalesce(
                 100.0 * sum(CASE WHEN p_type = 'PROMO'
                     THEN CAST(round(l_extendedprice * (1 - l_discount)
                                     * 10000.0, 0) AS BIGINT) ELSE 0 END)
-                / sum(CAST(round(l_extendedprice * (1 - l_discount)
-                                 * 10000.0, 0) AS BIGINT)), 6)
+                / nullif(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                 * 10000.0, 0) AS BIGINT)), 0), 0.0), 6)
                 AS promo_revenue6
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= DATE '1995-09-01'

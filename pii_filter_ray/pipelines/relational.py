@@ -2954,31 +2954,30 @@ def doc_lang_confusion(sf_dir: str):
     ).to_pandas()
     return df.astype({"n": "int64"})[["lang", "lang_detected", "n"]]
 
-def emb_covariance(sf_dir: str):
-    """Global 64x64 population covariance matrix of the embedding column
-    from ONE bounded shuffle: each block emits 4096 (di, dj) rows carrying
-    sum(x_i*x_j), sum(x_i), sum(x_j) and n as float64 partials (32 KiB per
-    block regardless of data size), groupby (di, dj) sums them — 4096 keys
-    total — and the driver applies cov = (n*sxy - sx*sy)/(n*n). float32
-    inputs are widened to float64 BEFORE the products so both sides
-    multiply in double; the oracle casts the same way."""
+def _emb_cov_cells(sf_dir: str, dim: int = 64) -> pd.DataFrame:
+    """Shared distributed covariance pass (emb_covariance, emb_pca_power):
+    each block emits dim*dim (di, dj) rows carrying sum(x_i*x_j), sum(x_i),
+    sum(x_j) and n as float64 partials (32 KiB per block regardless of
+    data size); groupby (di, dj) sums them and the driver applies
+    cov = (n*sxy - sx*sy)/(n*n). float32 inputs widen to float64 BEFORE
+    the products so both sides multiply in double. Returns the sorted
+    (di, dj, cov) cells with UNROUNDED cov."""
     ds = _tbl(sf_dir, "embeddings", columns=["embedding"])
-    DIM = 64
-    di = np.repeat(np.arange(DIM, dtype=np.int64), DIM)
-    dj = np.tile(np.arange(DIM, dtype=np.int64), DIM)
+    di = np.repeat(np.arange(dim, dtype=np.int64), dim)
+    dj = np.tile(np.arange(dim, dtype=np.int64), dim)
 
     def partials(batch: pa.Table) -> pa.Table:
         m = np.stack([np.asarray(v, dtype=np.float64)
                       for v in batch["embedding"].to_pylist()])
         s = m.sum(axis=0)
-        outer = m.T @ m  # (DIM, DIM) sum of per-row outer products
+        outer = m.T @ m  # (dim, dim) sum of per-row outer products
         return pa.table({
             "di": pa.array(di, pa.int64()),
             "dj": pa.array(dj, pa.int64()),
             "sxy": pa.array(outer.reshape(-1), pa.float64()),
-            "sx": pa.array(np.repeat(s, DIM), pa.float64()),
-            "sy": pa.array(np.tile(s, DIM), pa.float64()),
-            "n": pa.array(np.full(DIM * DIM, len(m), dtype=np.int64), pa.int64()),
+            "sx": pa.array(np.repeat(s, dim), pa.float64()),
+            "sy": pa.array(np.tile(s, dim), pa.float64()),
+            "n": pa.array(np.full(dim * dim, len(m), dtype=np.int64), pa.int64()),
         })
 
     agg = (
@@ -2987,13 +2986,23 @@ def emb_covariance(sf_dir: str):
         .aggregate(Sum("sxy", alias_name="sxy"), Sum("sx", alias_name="sx"),
                    Sum("sy", alias_name="sy"), Sum("n", alias_name="n"))
         .to_pandas()
+        .sort_values(["di", "dj"])
+        .reset_index(drop=True)
     )
     n = agg["n"].astype("float64").to_numpy()
-    cov = (n * agg["sxy"].to_numpy() - agg["sx"].to_numpy() * agg["sy"].to_numpy()) / (n * n)
-    c = round_half_away(cov, 6)
+    agg["cov"] = (n * agg["sxy"].to_numpy()
+                  - agg["sx"].to_numpy() * agg["sy"].to_numpy()) / (n * n)
+    return agg[["di", "dj", "cov"]]
+
+
+def emb_covariance(sf_dir: str):
+    """Global 64x64 population covariance matrix of the embedding column
+    from ONE bounded shuffle (see :func:`_emb_cov_cells`); the oracle
+    casts and multiplies the same way."""
+    out = _emb_cov_cells(sf_dir)
+    c = round_half_away(out["cov"].to_numpy(), 6)
     c[c == 0] = 0.0
-    out = pd.DataFrame({"di": agg["di"], "dj": agg["dj"], "cov": c})
-    out = out.sort_values(["di", "dj"]).reset_index(drop=True)
+    out = out.assign(cov=c)
     return out.astype({"di": "int64", "dj": "int64", "cov": "float64"})
 
 
@@ -3577,8 +3586,13 @@ def events_props_json(sf_dir: str):
                    Sum("n", alias_name="n"))
         .to_pandas()
     )
+    # a type whose props never carry "k" sums to null -> 0 / avg 0.0
+    # (the oracle coalesces identically)
+    df["k_sum"] = df["k_sum"].fillna(0)
+    kn = df["k_n"].to_numpy(np.float64)
     df["k_avg6"] = round_half_away(
-        df["k_sum"].to_numpy(np.float64) / df["k_n"].to_numpy(np.float64), 6)
+        np.where(kn > 0, df["k_sum"].to_numpy(np.float64)
+                 / np.where(kn > 0, kn, 1.0), 0.0), 6)
     out = df[["event_type", "n", "k_sum", "k_avg6"]]
     return out.astype({"event_type": "string", "n": "int64",
                        "k_sum": "int64", "k_avg6": "float64"})
@@ -3607,6 +3621,9 @@ def q14_promo_revenue(sf_dir: str):
         b = batch.filter(pc.and_(pc.greater_equal(batch["l_shipdate"], lo),
                                  pc.less(batch["l_shipdate"], hi)))
         b = add_promo(b)
+        # INNER-join semantics: a partkey missing from part drops the row
+        # (a null flag would otherwise turn into INT64_MIN via NaN)
+        b = b.filter(pc.is_valid(b["is_promo"]))
         rev = round_half_away(
             b["l_extendedprice"].to_numpy()
             * (1.0 - b["l_discount"].to_numpy()) * 10000.0, 0
@@ -3622,7 +3639,9 @@ def q14_promo_revenue(sf_dir: str):
                        "l_discount"])
     tot = ds.map_batches(partial, batch_format="pyarrow").aggregate(
         Sum("promo_e4", alias_name="p"), Sum("total_e4", alias_name="t"))
-    ratio = 100.0 * float(tot["p"]) / float(tot["t"])
+    # empty month -> 0.0 (the oracle coalesces its NULL ratio the same way)
+    ratio = (100.0 * float(tot["p"]) / float(tot["t"])
+             if float(tot["t"]) != 0.0 else 0.0)
     return pd.DataFrame({"promo_revenue6": [float(round_half_away(ratio, 6))]})
 
 
@@ -3679,8 +3698,10 @@ def q18_large_orders(sf_dir: str, threshold: int = 300):
     li = _tbl(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
     sums = preagg_groupby(li.map_batches(qty, batch_format="pyarrow"),
                           ["l_orderkey"], sums={"sum_qty": "qty"})
-    surv = sums.filter(
-        lambda row: row["sum_qty"] > threshold).to_pandas()
+    surv = sums.map_batches(
+        lambda b: b.filter(pc.greater(b["sum_qty"],
+                                      pa.scalar(threshold, pa.int64()))),
+        batch_format="pyarrow").to_pandas()
     if len(surv) == 0:
         return pd.DataFrame({
             "c_name": pd.Series(dtype="string"),
@@ -3884,38 +3905,8 @@ def emb_pca_power(sf_dir: str, iters: int = 3):
     v0 = 1/8 (no randomness); the final normalization's norm is the
     eigenvalue estimate ||A v||. The SQL mirror recomputes the covariance
     cells and the same three matvecs as unrolled CTEs."""
-    ds = _tbl(sf_dir, "embeddings", columns=["embedding"])
     DIM = 64
-    di = np.repeat(np.arange(DIM, dtype=np.int64), DIM)
-    dj = np.tile(np.arange(DIM, dtype=np.int64), DIM)
-
-    def partials(batch: pa.Table) -> pa.Table:
-        m = np.stack([np.asarray(v, dtype=np.float64)
-                      for v in batch["embedding"].to_pylist()])
-        s = m.sum(axis=0)
-        outer = m.T @ m
-        return pa.table({
-            "di": pa.array(di, pa.int64()),
-            "dj": pa.array(dj, pa.int64()),
-            "sxy": pa.array(outer.reshape(-1), pa.float64()),
-            "sx": pa.array(np.repeat(s, DIM), pa.float64()),
-            "sy": pa.array(np.tile(s, DIM), pa.float64()),
-            "n": pa.array(np.full(DIM * DIM, len(m), dtype=np.int64),
-                          pa.int64()),
-        })
-
-    agg = (
-        ds.map_batches(partials, batch_format="pyarrow")
-        .groupby(["di", "dj"])
-        .aggregate(Sum("sxy", alias_name="sxy"), Sum("sx", alias_name="sx"),
-                   Sum("sy", alias_name="sy"), Sum("n", alias_name="n"))
-        .to_pandas()
-        .sort_values(["di", "dj"])
-    )
-    n = agg["n"].to_numpy(np.float64)
-    cov = ((n * agg["sxy"].to_numpy() - agg["sx"].to_numpy()
-            * agg["sy"].to_numpy()) / (n * n))
-    A = cov.reshape(DIM, DIM)
+    A = _emb_cov_cells(sf_dir, DIM)["cov"].to_numpy().reshape(DIM, DIM)
     v = np.full(DIM, 0.125, dtype=np.float64)
     nrm = 0.0
     for _ in range(iters):
@@ -3981,7 +3972,9 @@ def orders_dq_check(sf_dir: str):
     violation counters per block — no shuffle, the merge is a single-row
     Sum. Rules: positive price, date within the sane window, status and
     priority in their declared domains, non-null custkey."""
-    ds = _tbl(sf_dir, "orders")
+    ds = _tbl(sf_dir, "orders",
+              columns=["o_totalprice", "o_orderdate", "o_orderstatus",
+                       "o_orderpriority", "o_custkey"])
 
     def partial(batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -4051,7 +4044,10 @@ def orders_table_checksum(sf_dir: str):
         return pa.table({"part": pa.array([part], pa.int64()),
                          "n": pa.array([len(batch)], pa.int64())})
 
-    rows = (_tbl(sf_dir, "orders").map_batches(partial, batch_format="pyarrow")
+    rows = (_tbl(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                          "o_totalprice", "o_orderdate", "o_orderpriority"])
+            .map_batches(partial, batch_format="pyarrow")
             .to_pandas())
     checksum = int(sum(int(x) for x in rows["part"]) % M)
     return pd.DataFrame({"n_rows": [int(rows["n"].sum())],
@@ -4226,8 +4222,16 @@ def customer_rfm(sf_dir: str):
             "one": pa.array(np.ones(len(batch), np.int64), pa.int64()),
         })
 
+    # 'now' comes from a pruned single-column scan so the full prep pass
+    # (cents rounding etc.) runs exactly once, in the partials pipeline
+    def dcast(batch: pa.Table) -> pa.Table:
+        return pa.table({"d_us": pc.cast(batch["o_orderdate"], pa.int64())})
+
+    maxd = int(
+        _tbl(sf_dir, "orders", columns=["o_orderdate"])
+        .map_batches(dcast, batch_format="pyarrow")
+        .aggregate(Max("d_us", alias_name="m"))["m"])
     p = ds.map_batches(prep, batch_format="pyarrow")
-    maxd = int(p.aggregate(Max("d_us", alias_name="m"))["m"])
 
     def partials(batch: pa.Table) -> pa.Table:
         g = batch.group_by(["o_custkey"]).aggregate(
@@ -4414,6 +4418,11 @@ def doc_bpe_merges(sf_dir: str, iters: int = 3):
         pairs = (vocab.map_batches(pair_partials, batch_format="pyarrow")
                  .groupby(["a", "b"]).aggregate(Sum("cnt", alias_name="cnt"))
                  .to_pandas())
+        if len(pairs) == 0 or "cnt" not in pairs.columns:
+            # no adjacent pairs left (all-unigram vocab): fewer merge rows,
+            # exactly like the oracle's LIMIT 1 over an empty CTE (an empty
+            # Ray aggregate also loses its schema, hence the column check)
+            break
         top = pairs.sort_values(["cnt", "a", "b"],
                                 ascending=[False, True, True],
                                 kind="mergesort").head(1)
@@ -4429,6 +4438,8 @@ def doc_bpe_merges(sf_dir: str, iters: int = 3):
         vocab = vocab.map_batches(apply_merge,
                                   batch_format="pyarrow").materialize()
 
-    return pd.DataFrame(merges).astype(
+    out = pd.DataFrame(merges, columns=["merge_rank", "sym_a", "sym_b",
+                                        "pair_n"])
+    return out.astype(
         {"merge_rank": "int64", "sym_a": "string", "sym_b": "string",
          "pair_n": "int64"})

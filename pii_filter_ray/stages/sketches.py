@@ -336,7 +336,7 @@ def hll_join_cardinality(
     bit-for-bit. Returns unrounded floats."""
     m = 1 << p
 
-    def side(ds, key, label):
+    def side(ds, key):
         def reg_partials(batch: pa.Table) -> pa.Table:
             t = batch.filter(pc.is_valid(batch[key]))
             vals = t[key].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -355,8 +355,8 @@ def hll_join_cardinality(
         regs[merged["reg"].to_numpy()] = merged["rho"].to_numpy()
         return regs
 
-    ra = side(left, left_key, "a")
-    rb = side(right, right_key, "b")
+    ra = side(left, left_key)
+    rb = side(right, right_key)
     ru = np.maximum(ra, rb)
     ea = hll_estimate_from_registers(ra, p)
     eb = hll_estimate_from_registers(rb, p)

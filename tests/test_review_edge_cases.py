@@ -1,0 +1,77 @@
+"""Regression pins for review-found edge cases in the round-2 operators:
+missing-dimension keys, all-null extracted fields, and merge exhaustion
+must degrade exactly like their SQL oracles instead of corrupting or
+raising."""
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def test_q14_missing_partkey_drops_row(ray_session, tmp_path):
+    """A lineitem whose partkey has no part row follows INNER-join
+    semantics (dropped), not NaN->INT64_MIN corruption."""
+    from pii_filter_ray.pipelines import relational as r
+
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1], pa.int64()),
+        "p_type": pa.array(["PROMO"], pa.string()),
+    }), tmp_path / "part.parquet")
+    ts = pa.array([pd.Timestamp("1995-09-15")] * 3,
+                  pa.timestamp("us"))
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 999], pa.int64()),  # 999 unmatched
+        "l_shipdate": ts,
+        "l_extendedprice": pa.array([100.0, 50.0, 1000.0], pa.float64()),
+        "l_discount": pa.array([0.0, 0.0, 0.0], pa.float64()),
+    }), tmp_path / "lineitem.parquet")
+    out = r.q14_promo_revenue(str(tmp_path))
+    # both surviving rows are PROMO -> exactly 100.0
+    assert out["promo_revenue6"].iloc[0] == 100.0
+
+
+def test_q14_empty_month_returns_zero(ray_session, tmp_path):
+    from pii_filter_ray.pipelines import relational as r
+
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1], pa.int64()),
+        "p_type": pa.array(["PROMO"], pa.string()),
+    }), tmp_path / "part.parquet")
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1], pa.int64()),
+        "l_shipdate": pa.array([pd.Timestamp("1999-01-01")],
+                               pa.timestamp("us")),
+        "l_extendedprice": pa.array([100.0], pa.float64()),
+        "l_discount": pa.array([0.0], pa.float64()),
+    }), tmp_path / "lineitem.parquet")
+    out = r.q14_promo_revenue(str(tmp_path))
+    assert out["promo_revenue6"].iloc[0] == 0.0
+
+
+def test_props_json_type_without_k(ray_session, tmp_path):
+    """An event_type whose props never carry "k" reports k_sum=0 and
+    k_avg6=0.0 (the oracle's coalesce), not an astype crash."""
+    from pii_filter_ray.pipelines import relational as r
+
+    pq.write_table(pa.table({
+        "event_type": pa.array(["a", "a", "b"], pa.string()),
+        "props": pa.array(['{"k": 3}', '{"k": 5}', '{"x": 1}'], pa.string()),
+    }), tmp_path / "events.parquet")
+    out = r.events_props_json(str(tmp_path)).set_index("event_type")
+    assert out.loc["a", "k_sum"] == 8 and out.loc["a", "k_avg6"] == 4.0
+    assert out.loc["b", "k_sum"] == 0 and out.loc["b", "k_avg6"] == 0.0
+    assert out.loc["b", "n"] == 1
+
+
+def test_bpe_stops_when_pairs_exhausted(ray_session, tmp_path):
+    """An all-unigram vocab yields fewer merge rows, not an IndexError."""
+    from pii_filter_ray.pipelines import relational as r
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["a b a b"], pa.string()),
+    }), tmp_path / "documents.parquet")
+    out = r.doc_bpe_merges(str(tmp_path))
+    # words 'a' and 'b' are single symbols: zero adjacent pairs, no merges
+    assert len(out) == 0
