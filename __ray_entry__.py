@@ -189,6 +189,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_order_priority": r.q4_order_priority,
         "q18_large_orders": r.q18_large_orders,
         "lineitem_late_shipments": r.lineitem_late_shipments,
+        # TPC-H round 2b: top-k join, enrich-after-top-k, count
+        # distribution, disjunctive predicate pushthrough
+        "q3_shipping_priority": r.q3_shipping_priority,
+        "q10_returned_items": r.q10_returned_items,
+        "q13_order_count_distribution": r.q13_order_count_distribution,
+        "q19_disjunctive_revenue": r.q19_disjunctive_revenue,
         # cube lattice, higher-moment stats, distributed-covariance PCA
         "events_cube": r.events_cube,
         "lineitem_skew_kurt": r.lineitem_skew_kurt,
@@ -1405,6 +1411,62 @@ def oracle_sql() -> dict[str, str]:
             JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY c_name, c_custkey, o_orderkey, o_date, o_totalprice
             HAVING sum(l_quantity) > 300
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 10000.0, 0) AS BIGINT)) / 10000.0
+                       AS revenue,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_orderpriority
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < DATE '1997-06-15'
+              AND l_shipdate > DATE '1997-06-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 10000.0, 0) AS BIGINT)) / 10000.0
+                       AS revenue,
+                   c_acctbal, n_name
+            FROM customer, orders, lineitem, nation
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1996-04-01'
+              AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "q13_order_count_distribution": """
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM (
+                SELECT c_custkey,
+                       CAST(count(o_orderkey) AS BIGINT) AS c_count
+                FROM customer LEFT JOIN orders
+                  ON c_custkey = o_custkey
+                 AND o_orderpriority NOT LIKE '%URGENT%'
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT coalesce(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                           * 10000.0, 0) AS BIGINT)), 0)
+                       / 10000.0 AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
         """,
         "lineitem_late_shipments": """
             SELECT l_linestatus,

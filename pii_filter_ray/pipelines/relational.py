@@ -4443,3 +4443,230 @@ def doc_bpe_merges(sf_dir: str, iters: int = 3):
     return out.astype(
         {"merge_rank": "int64", "sym_a": "string", "sym_b": "string",
          "pair_n": "int64"})
+
+
+# --- TPC-H compositions round 2b: Q3 / Q10 / Q13 / Q19 shapes ----------------
+
+
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 (shipping priority, BUILDING segment, cutoff 1997-06-15).
+    Customer collapses to a broadcast membership set (only custkeys of the
+    segment ride the object store, read once per worker); orders filter
+    date + membership BEFORE the single all-to-all — the lineitem x
+    filtered-orders hash join — shipping only epoch-int dates and the
+    priority string. Revenue sums in exact integer 1e-4 units per
+    (orderkey, date, priority) group, so the top-10 boundary can't move
+    with merge order; the final sort+limit runs distributed on the
+    aggregated (one row per qualifying order) table."""
+    from ..stages.joins import hash_join
+
+    cutoff = pd.Timestamp("1997-06-15")
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = cust.filter(pc.equal(cust["c_mktsegment"], pa.scalar("BUILDING")))[
+        "c_custkey"].combine_chunks()
+    keys_ref = ray.put(keys)
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        hi = pa.scalar(cutoff, pa.timestamp("us"))
+        b = batch.filter(pc.less(batch["o_orderdate"], hi))
+        b = b.filter(pc.is_in(b["o_custkey"], value_set=ray.get(keys_ref)))
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_date_us": pc.cast(b["o_orderdate"], pa.int64()),
+            "o_orderpriority": b["o_orderpriority"],
+        })
+
+    def prep_lineitem(batch: pa.Table) -> pa.Table:
+        lo = pa.scalar(cutoff, pa.timestamp("us"))
+        b = batch.filter(pc.greater(batch["l_shipdate"], lo))
+        rev = round_half_away(
+            b["l_extendedprice"].to_numpy()
+            * (1.0 - b["l_discount"].to_numpy()) * 10000.0, 0
+        ).astype(np.int64)
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "rev_e4": pa.array(rev, pa.int64())})
+
+    orders = _tbl(sf_dir, "orders",
+                  columns=["o_orderkey", "o_custkey", "o_orderdate",
+                           "o_orderpriority"]).map_batches(
+        prep_orders, batch_format="pyarrow")
+    lineitem = _tbl(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_shipdate", "l_extendedprice",
+                             "l_discount"]).map_batches(
+        prep_lineitem, batch_format="pyarrow")
+    joined = hash_join(
+        lineitem, orders,
+        left_key="l_orderkey", right_key="o_orderkey",
+        left_cols=["rev_e4"], right_cols=["o_date_us", "o_orderpriority"],
+        schema={"rev_e4": pa.int64(), "o_date_us": pa.int64(),
+                "o_orderpriority": pa.string()},
+    )
+    top = (
+        preagg_groupby(joined,
+                       ["l_orderkey", "o_date_us", "o_orderpriority"],
+                       sums={"rev_e4": "rev_e4"})
+        .sort(["rev_e4", "l_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    return pd.DataFrame({
+        "l_orderkey": top["l_orderkey"].astype("int64"),
+        "revenue": top["rev_e4"].astype("int64") / 10000.0,
+        "o_orderdate": pd.to_datetime(top["o_date_us"], unit="us")
+                         .dt.strftime("%Y-%m-%d"),
+        "o_orderpriority": top["o_orderpriority"].astype("string"),
+    })
+
+
+def q10_returned_items(sf_dir: str):
+    """TPC-H Q10 (returned-item reporting, Q1 1996): lineitem keeps only
+    'R' lines (flag filter before the shuffle), orders keep only the
+    quarter; ONE hash join co-partitions them; revenue then pre-aggregates
+    per custkey (bounded by customer count) before the distributed
+    sort+limit 20. Customer/nation attributes decorate ONLY the 20
+    surviving rows via a key-filtered parquet read — the decoration never
+    touches the fact tables, which is the scale-right order (top-k first,
+    enrich after)."""
+    from ..stages.joins import hash_join
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+        hi = pa.scalar(pd.Timestamp("1996-04-01"), pa.timestamp("us"))
+        b = batch.filter(pc.and_(pc.greater_equal(batch["o_orderdate"], lo),
+                                 pc.less(batch["o_orderdate"], hi)))
+        return b.select(["o_orderkey", "o_custkey"])
+
+    def prep_lineitem(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["l_returnflag"], pa.scalar("R")))
+        rev = round_half_away(
+            b["l_extendedprice"].to_numpy()
+            * (1.0 - b["l_discount"].to_numpy()) * 10000.0, 0
+        ).astype(np.int64)
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "rev_e4": pa.array(rev, pa.int64())})
+
+    orders = _tbl(sf_dir, "orders",
+                  columns=["o_orderkey", "o_custkey", "o_orderdate"]
+                  ).map_batches(prep_orders, batch_format="pyarrow")
+    lineitem = _tbl(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                             "l_discount"]).map_batches(
+        prep_lineitem, batch_format="pyarrow")
+    joined = hash_join(
+        lineitem, orders,
+        left_key="l_orderkey", right_key="o_orderkey",
+        left_cols=["rev_e4"], right_cols=["o_custkey"],
+        schema={"rev_e4": pa.int64(), "o_custkey": pa.int64()},
+    )
+    top = (
+        preagg_groupby(joined, ["o_custkey"], sums={"rev_e4": "rev_e4"})
+        .sort(["rev_e4", "o_custkey"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    if len(top) == 0:
+        return pd.DataFrame({
+            "c_custkey": pd.array([], dtype="int64"),
+            "c_name": pd.array([], dtype="string"),
+            "revenue": pd.array([], dtype="float64"),
+            "c_acctbal": pd.array([], dtype="float64"),
+            "n_name": pd.array([], dtype="string"),
+        })
+    top_keys = top["o_custkey"].astype("int64").tolist()
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"],
+        filters=[("c_custkey", "in", top_keys)],
+    ).to_pandas().set_index("c_custkey")
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nation["n_nationkey"].to_pylist(),
+                    nation["n_name"].to_pylist()))
+    cust_rows = cust.loc[top_keys]
+    return pd.DataFrame({
+        "c_custkey": np.asarray(top_keys, dtype="int64"),
+        "c_name": cust_rows["c_name"].astype("string").to_numpy(),
+        "revenue": top["rev_e4"].astype("int64").to_numpy() / 10000.0,
+        "c_acctbal": cust_rows["c_acctbal"].astype("float64").to_numpy(),
+        "n_name": pd.array([nmap[int(k)] for k in cust_rows["c_nationkey"]],
+                           dtype="string"),
+    })
+
+
+def q13_order_count_distribution(sf_dir: str):
+    """TPC-H Q13 (customer order-count distribution, excluding URGENT
+    orders): the distribution-of-counts double aggregation. First shuffle:
+    per-custkey order counts (block-local partials, one row per custkey
+    per block). Second shuffle: counts-of-counts over the bounded
+    per-customer table (partials again — at most |distinct counts| rows
+    per block). Customers with ZERO qualifying orders never appear in the
+    fact scan; their row derives from parquet metadata row count minus the
+    sum of the distribution — no customer-table scan at all."""
+    ds = _tbl(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def flt(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.match_substring(batch["o_orderpriority"],
+                                            "URGENT"))
+        return batch.filter(keep).select(["o_custkey"])
+
+    per_cust = preagg_groupby(
+        ds.map_batches(flt, batch_format="pyarrow"),
+        ["o_custkey"], count_alias="c_count",
+    )
+    dist = preagg_groupby(per_cust, ["c_count"],
+                          count_alias="custdist").to_pandas()
+    total_customers = pq.ParquetFile(
+        os.path.join(sf_dir, "customer.parquet")).metadata.num_rows
+    zeros = int(total_customers) - int(dist["custdist"].sum())
+    if zeros > 0:
+        dist = pd.concat(
+            [dist, pd.DataFrame({"c_count": [0], "custdist": [zeros]})],
+            ignore_index=True)
+    return dist.astype({"c_count": "int64", "custdist": "int64"})
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape (discounted revenue under an OR-of-ANDs predicate
+    across the joined part attributes): part's (key, brand, size) arrays
+    broadcast once; every lineitem block annotates via index_in/take and
+    evaluates the whole disjunction as numpy boolean algebra — zero
+    shuffle, one (revenue, count) partial row per block. A partkey missing
+    from part nulls the take and the conjunction masks it out (INNER-join
+    semantics)."""
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand", "p_size"])
+    ref = ray.put((part["p_partkey"].combine_chunks(),
+                   part["p_brand"].combine_chunks(),
+                   part["p_size"].combine_chunks()))
+    branches = [("Brand#13", 1, 5, 1.0, 11.0),
+                ("Brand#23", 1, 10, 10.0, 20.0),
+                ("Brand#20", 1, 15, 20.0, 30.0)]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk, pb, ps = ray.get(ref)
+        idx = pc.index_in(batch["l_partkey"], value_set=pk)
+        brand = pc.take(pb, idx).to_numpy(zero_copy_only=False)
+        size = pc.take(ps, idx).to_numpy(zero_copy_only=False)
+        matched = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        size = np.where(matched, size, -1).astype(np.int64)
+        qty = batch["l_quantity"].to_numpy()
+        keep = np.zeros(len(qty), dtype=bool)
+        for b_brand, s_lo, s_hi, q_lo, q_hi in branches:
+            keep |= ((brand == b_brand) & (size >= s_lo) & (size <= s_hi)
+                     & (qty >= q_lo) & (qty <= q_hi))
+        keep &= matched
+        rev = round_half_away(
+            batch["l_extendedprice"].to_numpy()[keep]
+            * (1.0 - batch["l_discount"].to_numpy()[keep]) * 10000.0, 0
+        ).astype(np.int64)
+        return pa.table({"rev_e4": pa.array([int(rev.sum())], pa.int64()),
+                         "n": pa.array([int(keep.sum())], pa.int64())})
+
+    ds = _tbl(sf_dir, "lineitem",
+              columns=["l_partkey", "l_quantity", "l_extendedprice",
+                       "l_discount"])
+    tot = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("rev_e4", alias_name="rev"), Sum("n", alias_name="n"))
+    return pd.DataFrame({"revenue": [float(tot["rev"]) / 10000.0],
+                         "n_items": [int(tot["n"])]})

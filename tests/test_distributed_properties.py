@@ -319,6 +319,8 @@ import pytest
     "orders_snapshot_diff", "doc_feature_hashing", "doc_bigram_lm",
     "customer_rfm", "orders_customer_join_card", "events_user_coverage",
     "events_zorder", "doc_bpe_merges",
+    "q3_shipping_priority", "q10_returned_items",
+    "q13_order_count_distribution", "q19_disjunctive_revenue",
 ])
 def test_round2_ops_invariant_to_block_layout(ray_session, monkeypatch, qname):
     """The round-2 window/rank/histogram/retrieval operators must produce
