@@ -214,6 +214,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zorder": r.events_zorder,
         # tokenizer training: iterative BPE over the bounded vocab table
         "doc_bpe_merges": r.doc_bpe_merges,
+        # evaluation / monitoring: rank AUC, CUSUM change-point
+        "doc_quality_auc": r.doc_quality_auc,
+        "events_changepoint": r.events_changepoint,
     }
 
 
@@ -1411,6 +1414,49 @@ def oracle_sql() -> dict[str, str]:
             JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY c_name, c_custkey, o_orderkey, o_date, o_totalprice
             HAVING sum(l_quantity) > 300
+        """,
+        "doc_quality_auc": """
+            WITH g AS (
+                SELECT n_chars AS s,
+                       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+                       sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS neg
+                FROM documents GROUP BY n_chars
+            ), c AS (
+                SELECT s, pos, neg,
+                       coalesce(sum(neg) OVER (ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS neg_below
+                FROM g
+            )
+            SELECT round(sum(pos * (neg_below + neg / 2.0))
+                         / ((SELECT CAST(sum(pos) AS DOUBLE) FROM g)
+                            * (SELECT CAST(sum(neg) AS DOUBLE) FROM g)),
+                         6) AS auc,
+                   (SELECT CAST(sum(pos) AS BIGINT) FROM g) AS n_pos,
+                   (SELECT CAST(sum(neg) AS BIGINT) FROM g) AS n_neg
+            FROM c
+        """,
+        "events_changepoint": """
+            WITH d AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS day,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY day
+            ), m AS (
+                SELECT CAST(count(*) AS BIGINT) AS nd,
+                       CAST(sum(n) AS BIGINT) AS total
+                FROM d
+            ), c AS (
+                SELECT day,
+                       sum(n * (SELECT nd FROM m) - (SELECT total FROM m))
+                           OVER (ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS cusum
+                FROM d
+            )
+            SELECT day, CAST(cusum AS BIGINT) AS cusum_scaled,
+                   (SELECT nd FROM m) AS n_days
+            FROM c
+            ORDER BY abs(cusum) DESC, day
+            LIMIT 1
         """,
         "q3_shipping_priority": """
             SELECT l_orderkey,

@@ -4670,3 +4670,78 @@ def q19_disjunctive_revenue(sf_dir: str):
         Sum("rev_e4", alias_name="rev"), Sum("n", alias_name="n"))
     return pd.DataFrame({"revenue": [float(tot["rev"]) / 10000.0],
                          "n_items": [int(tot["n"])]})
+
+
+# --- evaluation metrics / monitoring ops -------------------------------------
+
+
+def doc_quality_auc(sf_dir: str):
+    """ROC-AUC of a score column (n_chars) against a binary label
+    (lang = 'en') via the Mann-Whitney rank statistic with midrank tie
+    handling — the distribution-level formulation: ONE shuffle moves
+    (score, pos_cnt, neg_cnt) partials keyed by DISTINCT score (bounded
+    by the score domain, never by corpus size); the driver walks the
+    sorted distinct-score table once: AUC = sum_s pos_s * (neg_below_s
+    + neg_s/2) / (P*N). All intermediate values are integers or exact
+    halves, so double summation is associativity-safe and the oracle
+    matches bit-for-bit."""
+    ds = _tbl(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        pos = pc.cast(pc.equal(batch["lang"], pa.scalar("en")), pa.int64())
+        t = pa.table({
+            "s": batch["n_chars"],
+            "pos": pos,
+            "neg": pc.subtract(pa.scalar(1, pa.int64()), pos),
+        })
+        g = t.group_by("s").aggregate([("pos", "sum"), ("neg", "sum")])
+        return pa.table({"s": g["s"], "pos": g["pos_sum"],
+                         "neg": g["neg_sum"]})
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("s")
+        .aggregate(Sum("pos", alias_name="pos"), Sum("neg", alias_name="neg"))
+        .to_pandas()
+        .sort_values("s", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    neg_below = agg["neg"].cumsum().shift(1, fill_value=0).astype("float64")
+    p_tot, n_tot = int(agg["pos"].sum()), int(agg["neg"].sum())
+    num = float((agg["pos"] * (neg_below + agg["neg"] / 2.0)).sum())
+    auc = num / (float(p_tot) * float(n_tot))
+    return pd.DataFrame({"auc": [float(round_half_away(auc, 6))],
+                         "n_pos": pd.array([p_tot], dtype="int64"),
+                         "n_neg": pd.array([n_tot], dtype="int64")})
+
+
+def events_changepoint(sf_dir: str):
+    """CUSUM change-point over the daily event-count series, in EXACT
+    integer arithmetic: deviation from the mean is scaled by n_days
+    (dev_i = n_i * n_days - total, an integer), so the cumulative sum,
+    the |argmax| and its tie-break (earliest day) are bit-identical
+    between engines regardless of merge or association order. The only
+    shuffle is the bounded daily pre-aggregation; the walk runs on the
+    (days)-sized table."""
+    ds = _tbl(sf_dir, "events", columns=["ts"])
+
+    def day_col(batch: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.strftime(batch["ts"], format="%Y-%m-%d")})
+
+    daily = (
+        preagg_groupby(ds.map_batches(day_col, batch_format="pyarrow"),
+                       ["day"], count_alias="n")
+        .to_pandas()
+        .sort_values("day", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    nd = len(daily)
+    total = int(daily["n"].sum())
+    dev = daily["n"].astype("int64") * nd - total
+    cusum = dev.cumsum()
+    k = int(np.argmax(np.abs(cusum.to_numpy())))
+    return pd.DataFrame({
+        "day": [str(daily["day"].iloc[k])],
+        "cusum_scaled": pd.array([int(cusum.iloc[k])], dtype="int64"),
+        "n_days": pd.array([nd], dtype="int64"),
+    })
