@@ -217,6 +217,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # evaluation / monitoring: rank AUC, CUSUM change-point
         "doc_quality_auc": r.doc_quality_auc,
         "events_changepoint": r.events_changepoint,
+        # Naive-Bayes training: per-language discriminative tokens
+        "doc_nb_discriminative": r.doc_nb_discriminative,
     }
 
 
@@ -1414,6 +1416,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY c_name, c_custkey, o_orderkey, o_date, o_totalprice
             HAVING sum(l_quantity) > 300
+        """,
+        "doc_nb_discriminative": f"""
+            WITH w AS (
+                SELECT lang, unnest({o.words_expr('text')}) AS token
+                FROM documents
+            ),
+            c AS (
+                SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+                FROM w GROUP BY 1, 2
+            ),
+            tt AS (
+                SELECT token, CAST(sum(n) AS BIGINT) AS n_tok
+                FROM c GROUP BY 1
+            ),
+            lt AS (
+                SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang_tot
+                FROM c GROUP BY 1
+            ),
+            g AS (
+                SELECT CAST(sum(n) AS BIGINT) AS grand,
+                       (SELECT CAST(count(*) AS BIGINT) FROM tt) AS v
+                FROM c
+            ),
+            s AS (
+                SELECT c.lang, c.token, c.n,
+                       tt.n_tok - c.n AS n_other,
+                       ((c.n + 1.0) * ((g.grand - lt.n_lang_tot) + g.v))
+                       / ((lt.n_lang_tot + g.v)
+                          * ((tt.n_tok - c.n) + 1.0)) AS score
+                FROM c JOIN tt USING (token) JOIN lt USING (lang)
+                CROSS JOIN g
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY lang ORDER BY score DESC, token) AS rk
+                FROM s
+            )
+            SELECT lang, token, n AS n_lang, n_other,
+                   round(score, 6) AS score6
+            FROM r WHERE rk <= 5
         """,
         "doc_quality_auc": """
             WITH g AS (

@@ -4745,3 +4745,87 @@ def events_changepoint(sf_dir: str):
         "cusum_scaled": pd.array([int(cusum.iloc[k])], dtype="int64"),
         "n_days": pd.array([nd], dtype="int64"),
     })
+
+
+def doc_nb_discriminative(sf_dir: str, k: int = 5):
+    """Naive-Bayes training over the declared language domain: the
+    classifier's per-language Laplace-smoothed token likelihoods, surfaced
+    as the top-k most DISCRIMINATIVE tokens per language (highest
+    smoothed-likelihood ratio vs all other languages pooled). ONE
+    (token)-keyed shuffle builds the pivoted count-vector table — each
+    block pre-combines to one row per distinct token carrying all 5
+    language counts, so the declared-domain pivot replaces a (lang,token)
+    join chain entirely. Language totals / vocab size reduce from the
+    bounded vocab table; scoring + per-language top-k run as per-block
+    partials with a blocks*k*langs driver merge — the vocabulary never
+    sits on the driver. The score expression mirrors the SQL operand
+    order exactly ((c+1.0)*(tot_other+V)) / ((tot_lang+V)*(c_other+1.0)),
+    so IEEE doubles agree bit-for-bit and ties break on token."""
+    langs = ["en", "es", "fr", "de", "zh"]
+    ds = _tbl(sf_dir, "documents", columns=["lang", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        per = {l: Counter() for l in langs}
+        for lang, text in zip(batch["lang"].to_pylist(),
+                              batch["text"].to_pylist()):
+            per[lang].update(text.split())  # undeclared lang fails loudly
+        vocab = sorted(set().union(*[set(c) for c in per.values()]))
+        cols = {"token": pa.array(vocab, pa.string())}
+        for l in langs:
+            c = per[l]
+            cols[f"n_{l}"] = pa.array([c.get(t, 0) for t in vocab],
+                                      pa.int64())
+        return pa.table(cols)
+
+    vocab_tbl = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(*[Sum(f"n_{l}", alias_name=f"n_{l}") for l in langs])
+        .materialize()
+    )
+    v_size = int(vocab_tbl.count())
+    tot_row = vocab_tbl.aggregate(
+        *[Sum(f"n_{l}", alias_name=f"n_{l}") for l in langs])
+    tot = {l: int(tot_row[f"n_{l}"]) for l in langs}
+    grand = sum(tot.values())
+
+    def topk_block(batch: pa.Table) -> pa.Table:
+        counts = {l: batch[f"n_{l}"].to_numpy(zero_copy_only=False)
+                  for l in langs}
+        n_tok = np.sum([counts[l] for l in langs], axis=0)
+        toks = np.asarray(batch["token"].to_pylist(), dtype=object)
+        frames = []
+        for l in langs:
+            c = counts[l]
+            seen = c > 0  # SQL's (lang, token) rows exist only where n >= 1
+            if not seen.any():
+                continue
+            c_s, other_s = c[seen], (n_tok - c)[seen]
+            score = (((c_s + 1.0) * float((grand - tot[l]) + v_size))
+                     / (float(tot[l] + v_size) * (other_s + 1.0)))
+            df = pd.DataFrame({"lang": l, "token": toks[seen],
+                               "n_lang": c_s, "n_other": other_s,
+                               "score": score})
+            frames.append(df.sort_values(["score", "token"],
+                                         ascending=[False, True],
+                                         kind="mergesort").head(k))
+        if not frames:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "token": pa.array([], pa.string()),
+                             "n_lang": pa.array([], pa.int64()),
+                             "n_other": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
+                                    preserve_index=False)
+
+    cand = vocab_tbl.map_batches(topk_block,
+                                 batch_format="pyarrow").to_pandas()
+    out = (cand.sort_values(["lang", "score", "token"],
+                            ascending=[True, False, True], kind="mergesort")
+           .groupby("lang", sort=True).head(k).reset_index(drop=True))
+    out["score6"] = round_half_away(out["score"].to_numpy(np.float64), 6)
+    out = out[["lang", "token", "n_lang", "n_other", "score6"]]
+    return out.astype({"lang": "string", "token": "string",
+                       "n_lang": "int64", "n_other": "int64",
+                       "score6": "float64"})
