@@ -219,6 +219,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_changepoint": r.events_changepoint,
         # Naive-Bayes training: per-language discriminative tokens
         "doc_nb_discriminative": r.doc_nb_discriminative,
+        # record-linkage blocking: global-order sorted neighborhood
+        "doc_sorted_neighborhood": r.doc_sorted_neighborhood,
     }
 
 
@@ -1416,6 +1418,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY c_name, c_custkey, o_orderkey, o_date, o_totalprice
             HAVING sum(l_quantity) > 300
+        """,
+        "doc_sorted_neighborhood": """
+            WITH k AS (
+                SELECT doc_id, substr(text, 1, 16) AS key FROM documents
+            ),
+            r AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY key, doc_id) - 1 AS rn
+                FROM k
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(b.rn - a.rn AS BIGINT) AS gap
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 2
         """,
         "doc_nb_discriminative": f"""
             WITH w AS (

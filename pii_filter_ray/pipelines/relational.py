@@ -4829,3 +4829,26 @@ def doc_nb_discriminative(sf_dir: str, k: int = 5):
     return out.astype({"lang": "string", "token": "string",
                        "n_lang": "int64", "n_other": "int64",
                        "score6": "float64"})
+
+
+def doc_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood blocking over documents: every pair of docs
+    within 3 positions of each other in the global (first-16-chars,
+    doc_id) sort order — see stages/blocking.py for the two-bounded-
+    shuffle global-rank construction (range buckets + pair-block
+    co-location with w-1 tail replication; no driver-side sort, shuffles
+    carry only (key, id, rank) triples)."""
+    from ..stages.blocking import sorted_neighborhood_pairs
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.utf8_slice_codeunits(batch["text"], 0, 16),
+            "doc_id": batch["doc_id"],
+        })
+
+    pairs = sorted_neighborhood_pairs(
+        ds.map_batches(prep, batch_format="pyarrow"), window=3)
+    df = pairs.to_pandas()
+    return df.astype({"id_a": "int64", "id_b": "int64", "gap": "int64"})

@@ -1,0 +1,160 @@
+"""Sorted-neighborhood blocking: candidate pairs from a GLOBAL sort order,
+distributed without ever sorting on the driver.
+
+The classic record-linkage sorted-neighborhood method (SNM) slides a
+w-record window over the corpus sorted by a blocking key and emits every
+pair inside the window. The global order is the hard part at scale — this
+module derives it from two bounded shuffles that only ever move
+(key, id, rank) triples, never payloads:
+
+1. **Range bucketing.** A per-block deterministic key sample picks B-1
+   cutpoints on the driver (O(B * blocks) keys, independent of corpus
+   size); rows shuffle to their key-range bucket (equal keys can never
+   split buckets because cutpoint comparison ignores the id tiebreak).
+   Each bucket sorts locally by (key, id); the global rank is the local
+   rank plus the bucket's offset (a B-entry cumulative-count table from a
+   tiny pre-aggregated count shuffle). Cutpoint CHOICE depends on the
+   block layout, but the derived ranks — and therefore the output — do
+   not (layout-invariance is tested).
+
+2. **Windowed pairing.** Ranks are dense integers, so pair-blocks of K
+   consecutive ranks co-locate every window: each row ships to block
+   floor(rank/K), and the last w-1 rows of a block also ship to the next
+   one (the only replication, w-1 rows per K). Inside a block, pair
+   (a, b) is emitted iff b is NATIVE to the block — internal pairs emit
+   once where both live, boundary pairs once in the successor block, and
+   replica-replica pairs are skipped because they already emitted as
+   natives one block earlier.
+
+The reference engine has no counterpart (it is a per-request service);
+this implements SURVEY §2.5's dedup/blocking extension family alongside
+MinHash/SimHash in stages/dedup.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def sorted_neighborhood_pairs(
+    keys_ds: "ray.data.Dataset",
+    *,
+    key_col: str = "key",
+    id_col: str = "doc_id",
+    window: int = 3,
+    num_range_buckets: int = 16,
+    pair_block: int = 4096,
+) -> "ray.data.Dataset":
+    """Candidate pairs (id_a, id_b, gap) for all records within ``window``
+    positions of each other in the global (key, id) sort order.
+
+    ``keys_ds`` must already be projected to (key_col, id_col) — one row
+    per record; ids must be unique int64. ``pair_block`` bounds per-task
+    memory in stage 2 and must exceed ``window``.
+    """
+    assert pair_block > window >= 2
+    keys_ds = keys_ds.materialize()  # sampled once, shuffled once
+
+    # --- stage 1a: deterministic per-block key sample -> driver cutpoints
+    def sample_keys(batch: pa.Table) -> pa.Table:
+        ks = sorted(batch[key_col].to_pylist())
+        if not ks:
+            return pa.table({"k": pa.array([], pa.string())})
+        idx = np.unique(np.linspace(0, len(ks) - 1, num=min(9, len(ks)))
+                        .astype(int))
+        return pa.table({"k": pa.array([ks[i] for i in idx], pa.string())})
+
+    cand = sorted(keys_ds.map_batches(
+        sample_keys, batch_format="pyarrow").to_pandas()["k"].tolist())
+    cuts: list[str] = []
+    if cand:
+        for i in range(1, num_range_buckets):
+            c = cand[(i * len(cand)) // num_range_buckets]
+            if not cuts or c > cuts[-1]:
+                cuts.append(c)
+    cuts_np = np.array(cuts, dtype=object)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch[key_col].to_pylist(), dtype=object)
+        b = np.searchsorted(cuts_np, k, side="right") if len(cuts_np) else \
+            np.zeros(len(k), dtype=np.int64)
+        return batch.append_column(
+            "bucket", pa.array(b.astype(np.int64), pa.int64()))
+
+    bucketed = keys_ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    # --- stage 1b: bucket offsets from a tiny pre-aggregated count shuffle
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["bucket"]).group_by("bucket").aggregate(
+            [("bucket", "count")])
+        return pa.table({"bucket": g["bucket"],
+                         "n": g["bucket_count"].cast(pa.int64())})
+
+    counts = (bucketed.map_batches(count_partial, batch_format="pyarrow")
+              .groupby("bucket").aggregate(Sum("n", alias_name="n"))
+              .to_pandas().sort_values("bucket"))
+    offsets = dict(zip(
+        counts["bucket"].astype(int),
+        np.concatenate([[0], counts["n"].to_numpy()[:-1].cumsum()])
+        .astype(np.int64)))
+
+    # --- stage 1c: per-bucket local sort -> global rank
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, id_col], kind="mergesort")
+        off = int(offsets[int(g["bucket"].iloc[0])])
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "rank": off + np.arange(len(g), dtype=np.int64),
+        })
+
+    ranked = bucketed.groupby("bucket").map_groups(
+        rank_group, batch_format="pandas")
+
+    # --- stage 2: pair-block co-location with w-1 tail replication
+    w, K = window, pair_block
+
+    def tag_pair_blocks(batch: pa.Table) -> pa.Table:
+        r = batch["rank"].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        p = r // K
+        rep = (r % K) >= K - (w - 1)
+        return pa.table({
+            "p": pa.array(np.concatenate([p, p[rep] + 1]), pa.int64()),
+            id_col: pa.array(np.concatenate([ids, ids[rep]]), pa.int64()),
+            "rank": pa.array(np.concatenate([r, r[rep]]), pa.int64()),
+        })
+
+    def pair_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("rank", kind="mergesort")
+        r = g["rank"].to_numpy()
+        ids = g[id_col].to_numpy()
+        p = int(g["p"].iloc[0])
+        out_a, out_b, out_gap = [], [], []
+        for j in range(1, w):
+            if len(r) <= j:
+                break
+            ra, rb = r[:-j], r[j:]
+            ia, ib = ids[:-j], ids[j:]
+            # b must be native (emit-once rule) and exactly j ranks ahead
+            m = (rb - ra == j) & (rb // K == p)
+            out_a.append(ia[m])
+            out_b.append(ib[m])
+            out_gap.append(np.full(int(m.sum()), j, dtype=np.int64))
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
+                                 "id_b": pd.array([], dtype="int64"),
+                                 "gap": pd.array([], dtype="int64")})
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a).astype(np.int64),
+            "id_b": np.concatenate(out_b).astype(np.int64),
+            "gap": np.concatenate(out_gap).astype(np.int64),
+        })
+
+    return (ranked.map_batches(tag_pair_blocks, batch_format="pyarrow")
+            .groupby("p").map_groups(pair_group, batch_format="pandas"))

@@ -322,6 +322,7 @@ import pytest
     "q3_shipping_priority", "q10_returned_items",
     "q13_order_count_distribution", "q19_disjunctive_revenue",
     "doc_quality_auc", "events_changepoint", "doc_nb_discriminative",
+    "doc_sorted_neighborhood",
 ])
 def test_round2_ops_invariant_to_block_layout(ray_session, monkeypatch, qname):
     """The round-2 window/rank/histogram/retrieval operators must produce
@@ -439,3 +440,36 @@ def test_bpe_merges_match_local_reference(ray_session, tmp_path):
                  for rep, n in reprs.items()}
     got = r.doc_bpe_merges(str(tmp_path))
     assert [tuple(x) for x in got.itertuples(index=False)] == expected
+
+
+def test_sorted_neighborhood_boundary_replication(ray_session):
+    """Force tiny pair-blocks and range buckets so cross-block windows
+    MUST flow through the tail-replication path; compare against a
+    brute-force local computation of the same window pairs."""
+    import numpy as np
+    import pyarrow as _pa
+    import ray as _ray
+
+    from pii_filter_ray.stages.blocking import sorted_neighborhood_pairs
+
+    rng = np.random.RandomState(7)
+    n = 300
+    keys = ["k%03d" % int(x) for x in rng.randint(0, 80, n)]  # heavy ties
+    ids = rng.permutation(n).astype("int64")
+    ds = _ray.data.from_arrow(_pa.table({
+        "key": _pa.array(keys, _pa.string()),
+        "doc_id": _pa.array(ids, _pa.int64()),
+    })).repartition(7)
+
+    for w, K, B in [(3, 16, 5), (4, 8, 3), (2, 300, 1)]:
+        got = (sorted_neighborhood_pairs(
+            ds, window=w, pair_block=K, num_range_buckets=B)
+            .to_pandas().sort_values(["id_a", "id_b"])
+            .reset_index(drop=True))
+        order = sorted(zip(keys, ids))
+        want = sorted(
+            (order[i][1], order[i + j][1], j)
+            for i in range(n) for j in range(1, w) if i + j < n
+        )
+        got_t = list(map(tuple, got[["id_a", "id_b", "gap"]].values))
+        assert sorted(got_t) == want, (w, K, B, len(got_t), len(want))
