@@ -221,6 +221,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_nb_discriminative": r.doc_nb_discriminative,
         # record-linkage blocking: global-order sorted neighborhood
         "doc_sorted_neighborhood": r.doc_sorted_neighborhood,
+        # graph analytics: degree-ordered wedge-check triangle counting
+        "part_triangle_count": r.part_triangle_count,
     }
 
 
@@ -1418,6 +1420,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY c_name, c_custkey, o_orderkey, o_date, o_totalprice
             HAVING sum(l_quantity) > 300
+        """,
+        "part_triangle_count": """
+            WITH pl AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            e AS (
+                SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+                FROM pl x JOIN pl y
+                  ON x.l_orderkey = y.l_orderkey
+                 AND x.l_partkey < y.l_partkey
+            ),
+            deg AS (
+                SELECT v, CAST(count(*) AS BIGINT) AS d
+                FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+                GROUP BY v
+            ),
+            o AS (
+                SELECT CASE WHEN da.d < db.d
+                              OR (da.d = db.d AND e.a < e.b)
+                            THEN e.a ELSE e.b END AS src
+                FROM e JOIN deg da ON da.v = e.a
+                       JOIN deg db ON db.v = e.b
+            ),
+            w AS (
+                SELECT CAST(coalesce(sum(c * (c - 1) / 2), 0) AS BIGINT)
+                       AS nw
+                FROM (SELECT src, count(*) AS c FROM o GROUP BY src)
+            ),
+            t AS (
+                SELECT CAST(count(*) AS BIGINT) AS nt
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+                   (SELECT nw FROM w) AS n_wedges,
+                   (SELECT nt FROM t) AS n_triangles
         """,
         "doc_sorted_neighborhood": """
             WITH k AS (

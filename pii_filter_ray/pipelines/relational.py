@@ -4852,3 +4852,136 @@ def doc_sorted_neighborhood(sf_dir: str):
         ds.map_batches(prep, batch_format="pyarrow"), window=3)
     df = pairs.to_pandas()
     return df.astype({"id_a": "int64", "id_b": "int64", "gap": "int64"})
+
+
+def part_triangle_count(sf_dir: str):
+    """Distributed triangle counting on the part co-occurrence graph
+    (parts are adjacent iff they appear in the same order), via the
+    classic degree-ordered wedge-check algorithm:
+
+    1. per-order canonical pairs (a < b) from an orderkey-bucketed
+       self-merge (per-order part lists are bounded by lines-per-order,
+       so the within-order quadratic is constant work per order);
+    2. the DISTINCT edge shuffle (block-local pre-dedup first);
+    3. degrees from endpoint-count partials; edges then orient from the
+       (degree, node)-SMALLER endpoint, which bounds every out-degree by
+       O(sqrt(E)) and therefore the total wedge count by O(E^1.5) — the
+       standard trick that makes the wedge stage tractable on skewed
+       graphs;
+    4. wedges (x, y) per source bucket via vectorized self-merge, counted
+       per pair (pre-combined per block);
+    5. closure = tagged-union marker join of wedge counts with the
+       canonical edge set: one groupby((x, y)) where a group contributes
+       its wedge count iff an edge marker is present.
+
+    Degrees broadcast under the node-catalog << edge-set assumption
+    (documented; the distributed alternative is two hash_joins of edges
+    against the degree table). All counts are exact integers."""
+    buckets = 64
+    ds = _tbl(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def dedup_tag(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        b = pc.cast(
+            pc.bit_wise_and(g["l_orderkey"], pa.scalar(buckets - 1)),
+            pa.int64())
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "l_partkey": g["l_partkey"], "bucket": b})
+
+    def order_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        e = m[["l_partkey_x", "l_partkey_y"]].drop_duplicates()
+        return pd.DataFrame({"a": e["l_partkey_x"].to_numpy(np.int64),
+                             "b": e["l_partkey_y"].to_numpy(np.int64)})
+
+    edges = (
+        ds.map_batches(dedup_tag, batch_format="pyarrow")
+        .groupby("bucket").map_groups(order_pairs, batch_format="pandas")
+        .groupby(["a", "b"]).aggregate(Count(alias_name="m"))
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+    n_edges = int(edges.count())
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"v": pa.concat_arrays([
+            batch["a"].combine_chunks(), batch["b"].combine_chunks()])})
+        g = t.group_by("v").aggregate([("v", "count")])
+        return pa.table({"v": g["v"],
+                         "d": pc.cast(g["v_count"], pa.int64())})
+
+    deg = (edges.map_batches(deg_partial, batch_format="pyarrow")
+           .groupby("v").aggregate(Sum("d", alias_name="d")).to_pandas())
+    deg_ref = ray.put((pa.array(deg["v"].to_numpy(np.int64), pa.int64()),
+                       pa.array(deg["d"].to_numpy(np.int64), pa.int64())))
+
+    def orient(batch: pa.Table) -> pa.Table:
+        vk, dk = ray.get(deg_ref)
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        da = pc.take(dk, pc.index_in(batch["a"], value_set=vk)).to_numpy(
+            zero_copy_only=False)
+        db = pc.take(dk, pc.index_in(batch["b"], value_set=vk)).to_numpy(
+            zero_copy_only=False)
+        lt = (da < db) | ((da == db) & (a < b))
+        src = np.where(lt, a, b).astype(np.int64)
+        dst = np.where(lt, b, a).astype(np.int64)
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64()),
+                         "sbucket": pa.array(src % buckets, pa.int64())})
+
+    def wedge_group(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="src")
+        m = m[m["dst_x"] < m["dst_y"]]
+        if len(m) == 0:
+            return pd.DataFrame({"x": pd.array([], dtype="int64"),
+                                 "y": pd.array([], dtype="int64"),
+                                 "w": pd.array([], dtype="int64")})
+        c = (m.groupby(["dst_x", "dst_y"], sort=False).size()
+             .reset_index(name="w"))
+        return pd.DataFrame({"x": c["dst_x"].to_numpy(np.int64),
+                             "y": c["dst_y"].to_numpy(np.int64),
+                             "w": c["w"].to_numpy(np.int64)})
+
+    wedges = (edges.map_batches(orient, batch_format="pyarrow")
+              .groupby("sbucket").map_groups(wedge_group,
+                                             batch_format="pandas"))
+
+    def edge_marker(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "x": batch["a"], "y": batch["b"],
+            "w": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "is_edge": pa.array(np.ones(n, np.int64), pa.int64()),
+        })
+
+    def wedge_tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "is_edge",
+            pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()))
+
+    closed = (
+        wedges.map_batches(wedge_tag, batch_format="pyarrow")
+        .union(edges.map_batches(edge_marker, batch_format="pyarrow"))
+        .groupby(["x", "y"])
+        .aggregate(Sum("w", alias_name="w"),
+                   Max("is_edge", alias_name="is_edge"))
+    )
+
+    def final_partial(batch: pa.Table) -> pa.Table:
+        w = batch["w"].to_numpy(zero_copy_only=False)
+        is_e = batch["is_edge"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "nw": pa.array([int(w.sum())], pa.int64()),
+            "nt": pa.array([int((w * is_e).sum())], pa.int64()),
+        })
+
+    tot = closed.map_batches(final_partial, batch_format="pyarrow").aggregate(
+        Sum("nw", alias_name="nw"), Sum("nt", alias_name="nt"))
+    return pd.DataFrame({
+        "n_edges": pd.array([n_edges], dtype="int64"),
+        "n_wedges": pd.array([int(tot["nw"])], dtype="int64"),
+        "n_triangles": pd.array([int(tot["nt"])], dtype="int64"),
+    })
