@@ -223,6 +223,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sorted_neighborhood": r.doc_sorted_neighborhood,
         # graph analytics: degree-ordered wedge-check triangle counting
         "part_triangle_count": r.part_triangle_count,
+        # streaming window dedup + WOE/IV feature binning
+        "events_window_dedup": r.events_window_dedup,
+        "orders_woe_iv": r.orders_woe_iv,
     }
 
 
@@ -1420,6 +1423,60 @@ def oracle_sql() -> dict[str, str]:
             JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY c_name, c_custkey, o_orderkey, o_date, o_totalprice
             HAVING sum(l_quantity) > 300
+        """,
+        "events_window_dedup": """
+            WITH x AS (
+                SELECT event_type, ts,
+                       lag(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS prev
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(sum(CASE WHEN prev IS NULL
+                                  OR epoch_us(ts) - epoch_us(prev)
+                                     > 3600000000
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(count(*) AS BIGINT) AS n_total
+            FROM x GROUP BY event_type
+        """,
+        "orders_woe_iv": """
+            WITH mm AS (
+                SELECT min(o_totalprice) AS lo,
+                       (max(o_totalprice) - min(o_totalprice)) / 8 AS width
+                FROM orders
+            ),
+            b AS (
+                SELECT CAST(least(floor((o_totalprice - mm.lo) / mm.width),
+                                  7) AS BIGINT) AS bin,
+                       CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END
+                           AS good,
+                       CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                           AS bad
+                FROM orders CROSS JOIN mm
+            ),
+            a AS (
+                SELECT bin, CAST(sum(good) AS BIGINT) AS good,
+                       CAST(sum(bad) AS BIGINT) AS bad
+                FROM b GROUP BY bin
+            ),
+            t AS (
+                SELECT CAST(sum(good) AS DOUBLE) AS g_tot,
+                       CAST(sum(bad) AS DOUBLE) AS b_tot
+                FROM a
+            ),
+            iv AS (
+                SELECT round(sum(((good + 0.5) / t.g_tot
+                                  - (bad + 0.5) / t.b_tot)
+                                 * ln(((good + 0.5) / t.g_tot)
+                                      / ((bad + 0.5) / t.b_tot))), 6)
+                           AS iv6
+                FROM a CROSS JOIN t
+            )
+            SELECT bin, good, bad,
+                   round(ln(((good + 0.5) / t.g_tot)
+                            / ((bad + 0.5) / t.b_tot)), 6) AS woe6,
+                   (SELECT iv6 FROM iv) AS iv6
+            FROM a CROSS JOIN t
         """,
         "part_triangle_count": """
             WITH pl AS (

@@ -4985,3 +4985,91 @@ def part_triangle_count(sf_dir: str):
         "n_wedges": pd.array([int(tot["nw"])], dtype="int64"),
         "n_triangles": pd.array([int(tot["nt"])], dtype="int64"),
     })
+
+
+def events_window_dedup(sf_dir: str):
+    """Streaming-style window deduplication: an event is KEPT iff no
+    earlier event with the same (user_id, event_type) occurred within the
+    preceding hour (LAG semantics; ties on ts break by event_id). One
+    user-bucketed shuffle; each bucket resolves ALL its users' chains in
+    one vectorized pandas pass (sort + grouped shift + epoch diff), then
+    per-type keep/total counts reduce from per-bucket partials — kept
+    event ids never travel to the driver."""
+    ds = _tbl(sf_dir, "events",
+              columns=["event_id", "user_id", "event_type", "ts"])
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"],
+                          kind="mergesort")
+        us = g["ts"].astype("datetime64[us]").astype("int64")  # epoch us
+        prev = us.groupby(
+            [g["user_id"], g["event_type"]], sort=False).shift(1)
+        keep = prev.isna() | ((us - prev) > 3_600_000_000)
+        out = pd.DataFrame({"event_type": g["event_type"],
+                            "kept": keep.astype("int64")})
+        c = out.groupby("event_type", sort=False).agg(
+            n_kept=("kept", "sum"), n_total=("kept", "size"))
+        return c.reset_index().astype(
+            {"n_kept": "int64", "n_total": "int64"})
+
+    df = (
+        ds.map_batches(_add_user_bucket, batch_format="pyarrow")
+        .groupby("bucket").map_groups(dedup_group, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n_kept", alias_name="n_kept"),
+                   Sum("n_total", alias_name="n_total"))
+        .to_pandas()
+    )
+    return df.astype({"event_type": "string", "n_kept": "int64",
+                      "n_total": "int64"})
+
+
+def orders_woe_iv(sf_dir: str):
+    """Weight-of-evidence / information-value feature binning (credit-
+    scoring prep): o_totalprice buckets into 8 fixed-width bins between
+    the global Min/Max (two scalar passes), the label is o_orderstatus =
+    'F', and each block reduces to at most 8 (bin, good, bad) partial
+    rows — the shuffle is bounded by the bin count regardless of table
+    size. WOE/IV evaluate on the 8-row table with the SQL expression
+    shapes mirrored exactly; round(6) absorbs libm ulps."""
+    nbins = 8
+    ds = _tbl(sf_dir, "orders", columns=["o_totalprice", "o_orderstatus"])
+    mm = ds.aggregate(Min("o_totalprice", alias_name="lo"),
+                      Max("o_totalprice", alias_name="hi"))
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    width = (hi - lo) / nbins
+
+    def partials(batch: pa.Table) -> pa.Table:
+        x = batch["o_totalprice"].to_numpy()
+        # oracle-mirrored bin rule: least(floor((x - lo) / width), nbins-1)
+        b = np.minimum(np.floor((x - lo) / width), nbins - 1).astype(np.int64)
+        bad = pc.equal(batch["o_orderstatus"],
+                       pa.scalar("F")).to_numpy(zero_copy_only=False)
+        good = (~bad).astype(np.int64)
+        t = pa.table({"bin": pa.array(b, pa.int64()),
+                      "good": pa.array(good, pa.int64()),
+                      "bad": pa.array(bad.astype(np.int64), pa.int64())})
+        g = t.group_by("bin").aggregate([("good", "sum"), ("bad", "sum")])
+        return pa.table({"bin": g["bin"], "good": g["good_sum"],
+                         "bad": g["bad_sum"]})
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("bin")
+           .aggregate(Sum("good", alias_name="good"),
+                      Sum("bad", alias_name="bad"))
+           .to_pandas().sort_values("bin").reset_index(drop=True))
+    g_tot, b_tot = float(agg["good"].sum()), float(agg["bad"].sum())
+    # Laplace-style +0.5 smoothing keeps empty-side bins finite, exactly
+    # as the oracle writes it
+    gr = (agg["good"].to_numpy(np.float64) + 0.5) / g_tot
+    br = (agg["bad"].to_numpy(np.float64) + 0.5) / b_tot
+    woe = np.log(gr / br)
+    iv = float(((gr - br) * woe).sum())
+    out = pd.DataFrame({
+        "bin": agg["bin"].astype("int64"),
+        "good": agg["good"].astype("int64"),
+        "bad": agg["bad"].astype("int64"),
+        "woe6": round_half_away(woe, 6),
+        "iv6": float(round_half_away(iv, 6)),
+    })
+    return out.astype({"woe6": "float64", "iv6": "float64"})
