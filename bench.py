@@ -130,6 +130,10 @@ def run_bench() -> dict:
         ("lineitem_quantity_quantiles", r.lineitem_quantity_quantiles),
         ("doc_chunking", r.doc_chunking),
         ("doc_bpe_merges", r.doc_bpe_merges),
+        ("q3_shipping_priority", r.q3_shipping_priority),
+        ("part_triangle_count", r.part_triangle_count),
+        ("doc_sorted_neighborhood", r.doc_sorted_neighborhood),
+        ("events_window_dedup", r.events_window_dedup),
     ]:
         def run(fn=fn):
             import pandas as pd

@@ -474,3 +474,14 @@ def test_sorted_neighborhood_boundary_replication(ray_session):
         )
         got_t = list(map(tuple, got[["id_a", "id_b", "gap"]].values))
         assert sorted(got_t) == want, (w, K, B, len(got_t), len(want))
+
+
+def test_triangle_closure_paths_equivalent(ray_session):
+    """part_triangle_count's broadcast-membership closure and the
+    distributed tagged-union marker join must agree (the size gate at
+    edge_broadcast_limit only changes the execution strategy)."""
+    from pii_filter_ray.pipelines import relational as r
+
+    a = r.part_triangle_count("/root/testdata/sf0.001", closure="broadcast")
+    b = r.part_triangle_count("/root/testdata/sf0.001", closure="shuffle")
+    assert a.equals(b)
