@@ -4559,8 +4559,21 @@ def q10_returned_items(sf_dir: str):
         left_cols=["rev_e4"], right_cols=["o_custkey"],
         schema={"rev_e4": pa.int64(), "o_custkey": pa.int64()},
     )
+    # INNER-join semantics with customer must hold BEFORE ranking: a
+    # custkey violating the FK would otherwise occupy a top-20 slot the
+    # oracle gives to the next customer. Membership is a broadcast
+    # is_in on the per-custkey AGGREGATE (bounded), not the fact table.
+    ckeys = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                          columns=["c_custkey"])["c_custkey"].combine_chunks()
+    ckeys_ref = ray.put(ckeys)
+
+    def known_customers(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(batch["o_custkey"], value_set=ray.get(ckeys_ref)))
+
     top = (
         preagg_groupby(joined, ["o_custkey"], sums={"rev_e4": "rev_e4"})
+        .map_batches(known_customers, batch_format="pyarrow")
         .sort(["rev_e4", "o_custkey"], descending=[True, False])
         .limit(20)
         .to_pandas()
@@ -4708,9 +4721,14 @@ def doc_quality_auc(sf_dir: str):
     )
     neg_below = agg["neg"].cumsum().shift(1, fill_value=0).astype("float64")
     p_tot, n_tot = int(agg["pos"].sum()), int(agg["neg"].sum())
-    num = float((agg["pos"] * (neg_below + agg["neg"] / 2.0)).sum())
-    auc = num / (float(p_tot) * float(n_tot))
-    return pd.DataFrame({"auc": [float(round_half_away(auc, 6))],
+    if p_tot == 0 or n_tot == 0:
+        # single-class (or empty) corpus: AUC undefined — the oracle's
+        # x/0.0 yields NULL, mirrored here as NaN
+        auc = float("nan")
+    else:
+        num = float((agg["pos"] * (neg_below + agg["neg"] / 2.0)).sum())
+        auc = float(round_half_away(num / (float(p_tot) * float(n_tot)), 6))
+    return pd.DataFrame({"auc": [auc],
                          "n_pos": pd.array([p_tot], dtype="int64"),
                          "n_neg": pd.array([n_tot], dtype="int64")})
 
@@ -4728,14 +4746,18 @@ def events_changepoint(sf_dir: str):
     def day_col(batch: pa.Table) -> pa.Table:
         return pa.table({"day": pc.strftime(batch["ts"], format="%Y-%m-%d")})
 
-    daily = (
-        preagg_groupby(ds.map_batches(day_col, batch_format="pyarrow"),
-                       ["day"], count_alias="n")
-        .to_pandas()
-        .sort_values("day", kind="mergesort")
-        .reset_index(drop=True)
-    )
+    daily = preagg_groupby(
+        ds.map_batches(day_col, batch_format="pyarrow"),
+        ["day"], count_alias="n").to_pandas()
+    # an empty Ray aggregate loses its schema entirely — test emptiness
+    # before touching columns
     nd = len(daily)
+    if nd == 0:
+        # no events: the oracle's LIMIT 1 over an empty CTE is zero rows
+        return pd.DataFrame({"day": pd.array([], dtype="string"),
+                             "cusum_scaled": pd.array([], dtype="int64"),
+                             "n_days": pd.array([], dtype="int64")})
+    daily = daily.sort_values("day", kind="mergesort").reset_index(drop=True)
     total = int(daily["n"].sum())
     dev = daily["n"].astype("int64") * nd - total
     cusum = dev.cumsum()
@@ -4927,6 +4949,12 @@ def part_triangle_count(sf_dir: str, closure: str | None = None,
         .materialize()
     )
     n_edges = int(edges.count())
+    if n_edges == 0:
+        # no order holds two distinct parts: empty graph, zero row like
+        # the oracle's aggregates over the empty edge CTE
+        return pd.DataFrame({"n_edges": pd.array([0], dtype="int64"),
+                             "n_wedges": pd.array([0], dtype="int64"),
+                             "n_triangles": pd.array([0], dtype="int64")})
 
     def deg_partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"v": pa.concat_arrays([
@@ -5020,6 +5048,11 @@ def part_triangle_count(sf_dir: str, closure: str | None = None,
     wedges = oriented.groupby("sbucket").map_groups(
         wedge_group, batch_format="pandas")
 
+    # the (x, y) combine is hash-BUCKETED (same rationale as pair_dedup:
+    # wedge-key cardinality approaches row count, so a Ray groupby((x,y))
+    # would pay per-group overhead on O(E^1.5) groups); each bucket
+    # resolves all its pairs with one vectorized pandas combine and
+    # reduces straight to a (nw, nt) partial row
     def edge_marker(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         return pa.table({
@@ -5033,24 +5066,29 @@ def part_triangle_count(sf_dir: str, closure: str | None = None,
             "is_edge",
             pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()))
 
-    closed = (
-        wedges.map_batches(wedge_tag, batch_format="pyarrow")
-        .union(edges.map_batches(edge_marker, batch_format="pyarrow"))
-        .groupby(["x", "y"])
-        .aggregate(Sum("w", alias_name="w"),
-                   Max("is_edge", alias_name="is_edge"))
-    )
+    def add_cbucket(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        y = batch["y"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        cb = (((x << np.uint64(32)) | y) % np.uint64(buckets)).astype(
+            np.int64)
+        return batch.append_column("cb", pa.array(cb, pa.int64()))
 
-    def final_partial(batch: pa.Table) -> pa.Table:
-        w = batch["w"].to_numpy(zero_copy_only=False)
-        is_e = batch["is_edge"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "nw": pa.array([int(w.sum())], pa.int64()),
-            "nt": pa.array([int((w * is_e).sum())], pa.int64()),
+    def close_group(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["x", "y"], sort=False).agg(
+            w=("w", "sum"), is_edge=("is_edge", "max"))
+        return pd.DataFrame({
+            "nw": pd.array([int(g["w"].sum())], dtype="int64"),
+            "nt": pd.array([int((c["w"] * c["is_edge"]).sum())],
+                           dtype="int64"),
         })
 
-    tot = closed.map_batches(final_partial, batch_format="pyarrow").aggregate(
-        Sum("nw", alias_name="nw"), Sum("nt", alias_name="nt"))
+    tot = (
+        wedges.map_batches(wedge_tag, batch_format="pyarrow")
+        .union(edges.map_batches(edge_marker, batch_format="pyarrow"))
+        .map_batches(add_cbucket, batch_format="pyarrow")
+        .groupby("cb").map_groups(close_group, batch_format="pandas")
+        .aggregate(Sum("nw", alias_name="nw"), Sum("nt", alias_name="nt"))
+    )
     return pd.DataFrame({
         "n_edges": pd.array([n_edges], dtype="int64"),
         "n_wedges": pd.array([int(tot["nw"])], dtype="int64"),
@@ -5109,6 +5147,13 @@ def orders_woe_iv(sf_dir: str):
                       Max("o_totalprice", alias_name="hi"))
     lo, hi = float(mm["lo"]), float(mm["hi"])
     width = (hi - lo) / nbins
+    if width == 0.0:
+        # constant (or single-row / empty) feature: 0/0 bins are garbage
+        # in BOTH engines (NaN->int is undefined; the oracle's CAST
+        # errors) — fail loudly instead of emitting a poisoned bin
+        raise ValueError(
+            "orders_woe_iv: o_totalprice is constant — fixed-width "
+            "binning is undefined (width = 0)")
 
     def partials(batch: pa.Table) -> pa.Table:
         x = batch["o_totalprice"].to_numpy()

@@ -75,3 +75,87 @@ def test_bpe_stops_when_pairs_exhausted(ray_session, tmp_path):
     out = r.doc_bpe_merges(str(tmp_path))
     # words 'a' and 'b' are single symbols: zero adjacent pairs, no merges
     assert len(out) == 0
+
+
+def test_auc_single_class_is_nan(ray_session, tmp_path):
+    """All-positive (or all-negative) corpus: AUC undefined -> NaN row,
+    mirroring the oracle's NULL, never ZeroDivisionError."""
+    import numpy as np
+
+    from pii_filter_ray.pipelines import relational as r
+
+    pq.write_table(pa.table({
+        "lang": pa.array(["en", "en", "en"], pa.string()),
+        "n_chars": pa.array([10, 20, 30], pa.int64()),
+    }), tmp_path / "documents.parquet")
+    out = r.doc_quality_auc(str(tmp_path))
+    assert np.isnan(out["auc"].iloc[0])
+    assert out["n_pos"].iloc[0] == 3 and out["n_neg"].iloc[0] == 0
+
+
+def test_changepoint_empty_events(ray_session, tmp_path):
+    from pii_filter_ray.pipelines import relational as r
+
+    pq.write_table(pa.table({
+        "ts": pa.array([], pa.timestamp("us")),
+    }), tmp_path / "events.parquet")
+    out = r.events_changepoint(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["day", "cusum_scaled", "n_days"]
+
+
+def test_triangles_empty_edge_set(ray_session, tmp_path):
+    """Every order holds one part: no edges, zero row — not an assert
+    crash on an empty degree table."""
+    from pii_filter_ray.pipelines import relational as r
+
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "l_partkey": pa.array([7, 8, 9], pa.int64()),
+    }), tmp_path / "lineitem.parquet")
+    out = r.part_triangle_count(str(tmp_path))
+    assert out.iloc[0].tolist() == [0, 0, 0]
+
+
+def test_woe_constant_feature_fails_loudly(ray_session, tmp_path):
+    from pii_filter_ray.pipelines import relational as r
+
+    pq.write_table(pa.table({
+        "o_totalprice": pa.array([5.0, 5.0], pa.float64()),
+        "o_orderstatus": pa.array(["F", "O"], pa.string()),
+    }), tmp_path / "orders.parquet")
+    with pytest.raises(ValueError, match="constant"):
+        r.orders_woe_iv(str(tmp_path))
+
+
+def test_q10_fk_violation_drops_before_ranking(ray_session, tmp_path):
+    """An o_custkey with no customer row must lose its top-20 slot to the
+    next customer (oracle INNER-join order), not KeyError at decoration."""
+    from pii_filter_ray.pipelines import relational as r
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1], pa.int64()),
+        "c_name": pa.array(["Customer#1"], pa.string()),
+        "c_nationkey": pa.array([0], pa.int32()),
+        "c_acctbal": pa.array([10.0], pa.float64()),
+    }), tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0], pa.int64()),
+        "n_name": pa.array(["BRAZIL"], pa.string()),
+    }), tmp_path / "nation.parquet")
+    ts = pa.array([pd.Timestamp("1996-02-01")] * 2, pa.timestamp("us"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([100, 200], pa.int64()),
+        "o_custkey": pa.array([1, 999], pa.int64()),  # 999 violates FK
+        "o_orderdate": ts,
+    }), tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([100, 200], pa.int64()),
+        "l_returnflag": pa.array(["R", "R"], pa.string()),
+        "l_extendedprice": pa.array([10.0, 99999.0], pa.float64()),
+        "l_discount": pa.array([0.0, 0.0], pa.float64()),
+    }), tmp_path / "lineitem.parquet")
+    out = r.q10_returned_items(str(tmp_path))
+    # the phantom big spender (custkey 999) is gone; customer 1 survives
+    assert out["c_custkey"].tolist() == [1]
+    assert out["n_name"].iloc[0] == "BRAZIL"
