@@ -226,6 +226,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # streaming window dedup + WOE/IV feature binning
         "events_window_dedup": r.events_window_dedup,
         "orders_woe_iv": r.orders_woe_iv,
+        # incremental view maintenance from the CDC delta
+        "orders_incremental_view": r.orders_incremental_view,
     }
 
 
@@ -1423,6 +1425,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY c_name, c_custkey, o_orderkey, o_date, o_totalprice
             HAVING sum(l_quantity) > 300
+        """,
+        "orders_incremental_view": """
+            WITH b AS (
+                SELECT CASE WHEN o_orderkey % 3 = 0
+                            THEN CAST(round(o_totalprice * 100.0, 0)
+                                      AS BIGINT) + 100
+                            ELSE CAST(round(o_totalprice * 100.0, 0)
+                                      AS BIGINT) END AS cents,
+                       strftime(o_orderdate, '%Y-%m') AS month
+                FROM orders WHERE o_orderkey % 10 != 0
+                UNION ALL
+                SELECT CAST(round(o_totalprice * 100.0, 0) AS BIGINT),
+                       strftime(o_orderdate, '%Y-%m')
+                FROM orders WHERE o_orderkey % 10 = 5
+            )
+            SELECT month, CAST(sum(cents) AS BIGINT) AS cents,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM b GROUP BY month
         """,
         "events_window_dedup": """
             WITH x AS (
