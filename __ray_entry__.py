@@ -228,6 +228,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_woe_iv": r.orders_woe_iv,
         # incremental view maintenance from the CDC delta
         "orders_incremental_view": r.orders_incremental_view,
+        # skew diagnostics: exact Gini from the count-of-counts table
+        "events_user_gini": r.events_user_gini,
     }
 
 
@@ -1425,6 +1427,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY c_name, c_custkey, o_orderkey, o_date, o_totalprice
             HAVING sum(l_quantity) > 300
+        """,
+        "events_user_gini": """
+            WITH u AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY user_id
+            ),
+            d AS (
+                SELECT c, CAST(count(*) AS BIGINT) AS f
+                FROM u GROUP BY c
+            ),
+            w AS (
+                SELECT c, f,
+                       coalesce(sum(f) OVER (ORDER BY c
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS r
+                FROM d
+            ),
+            agg AS (
+                SELECT CAST(sum(f) AS BIGINT) AS n,
+                       CAST(sum(c * f) AS BIGINT) AS total,
+                       CAST(sum(c * (f * r + f * (f + 1) // 2))
+                            AS BIGINT) AS s
+                FROM w
+            )
+            SELECT round((2.0 * s) / (CAST(n AS DOUBLE) * total)
+                         - (n + 1.0) / n, 6) AS gini6,
+                   n AS n_users, total AS total_events
+            FROM agg
         """,
         "orders_incremental_view": """
             WITH b AS (

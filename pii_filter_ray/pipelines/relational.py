@@ -5262,3 +5262,32 @@ def orders_incremental_view(sf_dir: str):
     view = view[view["n"] > 0].reset_index()[["month", "cents", "n"]]
     return (view.sort_values("month").reset_index(drop=True)
             .astype({"month": "string", "cents": "int64", "n": "int64"}))
+
+
+def events_user_gini(sf_dir: str):
+    """Gini coefficient of the per-user event-count distribution (skew
+    diagnostic for partition planning), computed EXACTLY from the
+    count-of-counts table: one shuffle builds per-user counts (partials
+    per block), a second bounded shuffle collapses them to (count c,
+    frequency f) pairs, and the rank-sum S = sum_c c*(f*r + f(f+1)/2)
+    (r = cumulative frequency of smaller counts) evaluates in pure int64
+    on the tiny distribution table — Gini = 2S/(n*T) - (n+1)/n derives
+    from three exact integers, so both engines compute the identical
+    double. Users never sort globally; ties are handled by the grouped
+    closed form."""
+    ds = _tbl(sf_dir, "events", columns=["user_id"])
+    per_user = preagg_groupby(ds, ["user_id"], count_alias="c")
+    dist = (preagg_groupby(per_user, ["c"], count_alias="f")
+            .to_pandas().sort_values("c").reset_index(drop=True))
+    c = dist["c"].to_numpy(np.int64)
+    f = dist["f"].to_numpy(np.int64)
+    n = int(f.sum())
+    total = int((c * f).sum())
+    r = np.concatenate([[0], f.cumsum()[:-1]])
+    s = int((c * (f * r + f * (f + 1) // 2)).sum())
+    gini = (2.0 * s) / (float(n) * float(total)) - (n + 1.0) / n
+    return pd.DataFrame({
+        "gini6": [float(round_half_away(gini, 6))],
+        "n_users": pd.array([n], dtype="int64"),
+        "total_events": pd.array([total], dtype="int64"),
+    })
