@@ -230,6 +230,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_incremental_view": r.orders_incremental_view,
         # skew diagnostics: exact Gini from the count-of-counts table
         "events_user_gini": r.events_user_gini,
+        # gap-fill densification + TPC-H Q17/Q22 shapes
+        "events_daily_gapfill": r.events_daily_gapfill,
+        "q17_small_quantity_revenue": r.q17_small_quantity_revenue,
+        "q22_dormant_rich_customers": r.q22_dormant_rich_customers,
     }
 
 
@@ -1427,6 +1431,62 @@ def oracle_sql() -> dict[str, str]:
             JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY c_name, c_custkey, o_orderkey, o_date, o_totalprice
             HAVING sum(l_quantity) > 300
+        """,
+        "events_daily_gapfill": """
+            WITH d AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS day,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY day
+            ),
+            m AS (
+                SELECT min(CAST(ts AS DATE)) AS lo,
+                       max(CAST(ts AS DATE)) AS hi
+                FROM events
+            ),
+            s AS (
+                SELECT strftime(unnest(generate_series(
+                           (SELECT lo FROM m), (SELECT hi FROM m),
+                           INTERVAL 1 DAY)), '%Y-%m-%d') AS day
+            )
+            SELECT s.day, coalesce(d.n, 0) AS n
+            FROM s LEFT JOIN d USING (day)
+        """,
+        "q17_small_quantity_revenue": """
+            WITH bp AS (
+                SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'
+            ),
+            a AS (
+                SELECT l_partkey, sum(l_quantity) AS sq,
+                       CAST(count(*) AS BIGINT) AS nq
+                FROM lineitem JOIN bp ON p_partkey = l_partkey
+                GROUP BY l_partkey
+            )
+            SELECT round(coalesce(sum(CAST(round(l.l_extendedprice * 100.0,
+                                                 0) AS BIGINT)), 0)
+                         / 100.0 / 7.0, 2) AS avg_yearly
+            FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
+            WHERE l.l_quantity < 0.2 * (a.sq / a.nq)
+        """,
+        "q22_dormant_rich_customers": """
+            WITH t AS (
+                SELECT sum(CAST(round(c_acctbal * 100.0, 0) AS BIGINT))
+                           AS c,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM customer WHERE c_acctbal > 0.0
+            )
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(sum(CAST(round(c_acctbal * 100.0, 0) AS BIGINT))
+                        AS BIGINT) AS totacctbal_cents
+            FROM customer CROSS JOIN t
+            WHERE c_acctbal > (c / (100.0 * n))
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= (SELECT max(o_orderdate)
+                                        FROM orders)
+                                       - INTERVAL 365 DAY)
+            GROUP BY c_nationkey
         """,
         "events_user_gini": """
             WITH u AS (

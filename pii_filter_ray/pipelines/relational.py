@@ -5291,3 +5291,147 @@ def events_user_gini(sf_dir: str):
         "n_users": pd.array([n], dtype="int64"),
         "total_events": pd.array([total], dtype="int64"),
     })
+
+
+def events_daily_gapfill(sf_dir: str):
+    """Date-spine densification: the daily count series with MISSING days
+    filled as zero rows. The spine bounds derive from two scalar Min/Max
+    passes; the spine itself is generated driver-side (bounded by the
+    date range, independent of event volume) and the bounded daily
+    aggregate reindexes onto it — the classic gap-fill ETL op without a
+    generate_series join against the fact table."""
+    ds = _tbl(sf_dir, "events", columns=["ts"])
+
+    def day_col(batch: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.strftime(batch["ts"], format="%Y-%m-%d")})
+
+    daily = preagg_groupby(
+        ds.map_batches(day_col, batch_format="pyarrow"),
+        ["day"], count_alias="n").to_pandas()
+    if len(daily) == 0:
+        return pd.DataFrame({"day": pd.array([], dtype="string"),
+                             "n": pd.array([], dtype="int64")})
+    daily = daily.set_index("day")
+    spine = pd.date_range(daily.index.min(), daily.index.max(),
+                          freq="D").strftime("%Y-%m-%d")
+    out = daily.reindex(spine, fill_value=0).reset_index(names="day")
+    return out.astype({"day": "string", "n": "int64"})
+
+
+def q17_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 (small-quantity-order revenue, Brand#23): the correlated
+    per-part average subquery becomes ONE bounded per-part aggregate —
+    lineitem pre-filters to the brand's partkeys (broadcast membership),
+    per-part (sum qty, count) partials shuffle at most |brand parts| rows
+    per block, and the 0.2*avg thresholds broadcast back for the second
+    pruned pass. Quantities are integral doubles, so sum/count — and
+    therefore the threshold comparison — are bit-exact in both engines;
+    revenue sums in exact cents."""
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand"])
+    bkeys = part.filter(pc.equal(part["p_brand"], pa.scalar("Brand#23")))[
+        "p_partkey"].combine_chunks()
+    bkeys_ref = ray.put(bkeys)
+
+    def qty_partials(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_in(batch["l_partkey"],
+                                  value_set=ray.get(bkeys_ref)))
+        t = pa.table({"l_partkey": b["l_partkey"], "q": b["l_quantity"]})
+        g = t.group_by("l_partkey").aggregate([("q", "sum"),
+                                               ("q", "count")])
+        return pa.table({"l_partkey": g["l_partkey"], "sq": g["q_sum"],
+                         "nq": pc.cast(g["q_count"], pa.int64())})
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    avgs = (_tbl(sf_dir, "lineitem", columns=li_cols[:2])
+            .map_batches(qty_partials, batch_format="pyarrow")
+            .groupby("l_partkey")
+            .aggregate(Sum("sq", alias_name="sq"),
+                       Sum("nq", alias_name="nq"))
+            .to_pandas())
+    if len(avgs) == 0:
+        return pd.DataFrame({"avg_yearly": [0.0]})
+    thr = 0.2 * (avgs["sq"].to_numpy(np.float64)
+                 / avgs["nq"].to_numpy(np.float64))
+    thr_ref = ray.put((pa.array(avgs["l_partkey"].to_numpy(np.int64),
+                                pa.int64()),
+                       pa.array(thr, pa.float64())))
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        pk, tv = ray.get(thr_ref)
+        idx = pc.index_in(batch["l_partkey"], value_set=pk)
+        t = pc.take(tv, idx).to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy()
+        keep = pc.is_valid(idx).to_numpy(zero_copy_only=False) & (
+            qty < np.where(np.isnan(t.astype(np.float64)), -np.inf,
+                           t.astype(np.float64)))
+        cents = round_half_away(
+            batch["l_extendedprice"].to_numpy()[keep] * 100.0, 0
+        ).astype(np.int64)
+        return pa.table({"cents": pa.array([int(cents.sum())], pa.int64())})
+
+    tot = (_tbl(sf_dir, "lineitem", columns=li_cols)
+           .map_batches(rev_partial, batch_format="pyarrow")
+           .aggregate(Sum("cents", alias_name="cents")))
+    avg_yearly = round_half_away(
+        (int(tot["cents"]) / 100.0) / 7.0, 2)
+    return pd.DataFrame({"avg_yearly": [float(avg_yearly)]})
+
+
+def q22_dormant_rich_customers(sf_dir: str):
+    """TPC-H Q22 shape (global sales opportunity, adapted to the sandbox
+    schema: nationkey replaces the phone prefix, and dormancy means no
+    order in the final 365 days of the data — every customer here has
+    SOME order): customers with an account balance above the
+    positive-balance average AND no recent order. The threshold derives
+    from EXACT cents (sum of doubles with two decimals is
+    association-dependent; integer cents are not), the anti-join
+    broadcasts block-distinct RECENT order custkeys (date filter before
+    the distinct), and per-nation count/total pre-aggregate per block."""
+    ds = _tbl(sf_dir, "customer",
+              columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        bal = batch["c_acctbal"].to_numpy()
+        pos = bal > 0.0
+        cents = round_half_away(bal[pos] * 100.0, 0).astype(np.int64)
+        return pa.table({"c": pa.array([int(cents.sum())], pa.int64()),
+                         "n": pa.array([int(pos.sum())], pa.int64())})
+
+    bp = ds.map_batches(bal_partial, batch_format="pyarrow").aggregate(
+        Sum("c", alias_name="c"), Sum("n", alias_name="n"))
+    # identical expression both sides: cents_sum / (100.0 * n)
+    threshold = int(bp["c"]) / (100.0 * int(bp["n"]))
+
+    orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                           columns=["o_custkey", "o_orderdate"])
+    hi = pc.max(orders["o_orderdate"])
+    cutoff = pa.scalar(hi.as_py() - pd.Timedelta(days=365),
+                       pa.timestamp("us"))
+    recent = orders.filter(pc.greater_equal(orders["o_orderdate"], cutoff))
+    okeys_ref = ray.put(pc.unique(recent["o_custkey"].combine_chunks()))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater(batch["c_acctbal"],
+                                    pa.scalar(threshold)))
+        b = b.filter(pc.invert(pc.is_in(b["c_custkey"],
+                                        value_set=ray.get(okeys_ref))))
+        cents = round_half_away(
+            b["c_acctbal"].to_numpy() * 100.0, 0).astype(np.int64)
+        return pa.table({
+            "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    df = preagg_groupby(
+        ds.map_batches(keep, batch_format="pyarrow"),
+        ["c_nationkey"], sums={"totacctbal_cents": "cents"},
+        count_alias="numcust").to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame({
+            "c_nationkey": pd.array([], dtype="int64"),
+            "numcust": pd.array([], dtype="int64"),
+            "totacctbal_cents": pd.array([], dtype="int64")})
+    return (df[["c_nationkey", "numcust", "totacctbal_cents"]]
+            .astype({"c_nationkey": "int64", "numcust": "int64",
+                     "totacctbal_cents": "int64"}))
