@@ -234,6 +234,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_gapfill": r.events_daily_gapfill,
         "q17_small_quantity_revenue": r.q17_small_quantity_revenue,
         "q22_dormant_rich_customers": r.q22_dormant_rich_customers,
+        # end-to-end entity resolution (SNM -> lev verify -> CC ->
+        # survivorship)
+        "doc_entity_resolution": r.doc_entity_resolution,
     }
 
 
@@ -1431,6 +1434,62 @@ def oracle_sql() -> dict[str, str]:
             JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY c_name, c_custkey, o_orderkey, o_date, o_totalprice
             HAVING sum(l_quantity) > 300
+        """,
+        "doc_entity_resolution": """
+            WITH RECURSIVE k AS (
+                SELECT doc_id, substr(text, 1, 16) AS key, n_chars
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id, key,
+                       row_number() OVER (ORDER BY key, doc_id) - 1 AS rn
+                FROM k
+            ),
+            cand AS (
+                SELECT a.doc_id AS id_a, a.key AS ka,
+                       b.doc_id AS id_b, b.key AS kb
+                FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 2
+            ),
+            edges AS (
+                SELECT id_a, id_b FROM cand
+                WHERE levenshtein(ka, kb) <= 4
+            ),
+            nodes AS (
+                SELECT DISTINCT id FROM (
+                    SELECT id_a AS id FROM edges
+                    UNION ALL SELECT id_b FROM edges
+                )
+            ),
+            bi AS (
+                SELECT id_a AS a, id_b AS b FROM edges
+                UNION ALL SELECT id_b, id_a FROM edges
+            ),
+            reach(id, r2) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT e.a, reach.r2 FROM bi e JOIN reach
+                  ON reach.id = e.b
+            ),
+            comp AS (
+                SELECT id, min(r2) AS component FROM reach GROUP BY id
+            ),
+            m AS (
+                SELECT c.component, c.id, k.n_chars
+                FROM comp c JOIN k ON k.doc_id = c.id
+            ),
+            s AS (
+                SELECT component, id, n_chars,
+                       row_number() OVER (PARTITION BY component
+                           ORDER BY n_chars DESC, id) AS rk
+                FROM m
+            )
+            SELECT CAST(a.component AS BIGINT) AS component,
+                   a.n_members,
+                   CAST(s.id AS BIGINT) AS canonical_id,
+                   CAST(s.n_chars AS BIGINT) AS canonical_chars
+            FROM (SELECT component, CAST(count(*) AS BIGINT) AS n_members
+                  FROM comp GROUP BY component) a
+            JOIN s ON s.component = a.component AND s.rk = 1
         """,
         "events_daily_gapfill": """
             WITH d AS (

@@ -2744,6 +2744,28 @@ def events_value_percent_rank(sf_dir: str):
     return df.astype({"event_id": "int64", "pr": "float64"})
 
 
+def _lev(a: str, b: str, cap: int) -> int:
+    """Unit-cost Levenshtein with a length-difference cap prescreen —
+    running-min DP identical to DuckDB's levenshtein() (fuzz-proved in
+    tests over 500 random cases). Shared by part_fuzzy_pairs and
+    doc_entity_resolution."""
+    if abs(len(a) - len(b)) > cap:
+        return cap + 1
+    m = len(b)
+    idx = np.arange(m + 1, dtype=np.int64)
+    prev = idx.copy()
+    arr_b = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    for i, ca in enumerate(a):
+        # candidate without the left-neighbor term
+        cand = np.empty(m + 1, dtype=np.int64)
+        cand[0] = i + 1
+        np.minimum(prev[:-1] + (arr_b != ord(ca)), prev[1:] + 1, out=cand[1:])
+        # fold in cur[j-1]+1 via the running-min transform:
+        # min_{i<=j}(cand[i] + (j-i)) = j + running_min(cand[i] - i)
+        prev = np.minimum.accumulate(cand - idx) + idx
+    return int(prev[-1])
+
+
 def part_fuzzy_pairs(sf_dir: str, max_dist: int = 4):
     """Edit-distance fuzzy-match candidate pairs under blocking: parts in
     the same brand whose names are within Levenshtein distance 4. The
@@ -2754,23 +2776,6 @@ def part_fuzzy_pairs(sf_dir: str, max_dist: int = 4):
     (length-difference prescreen first), identical to DuckDB's
     levenshtein(), so the oracle matches with integer equality."""
     ds = _tbl(sf_dir, "part", columns=["p_partkey", "p_brand", "p_name"])
-
-    def _lev(a: str, b: str, cap: int) -> int:
-        if abs(len(a) - len(b)) > cap:
-            return cap + 1
-        m = len(b)
-        idx = np.arange(m + 1, dtype=np.int64)
-        prev = idx.copy()
-        arr_b = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
-        for i, ca in enumerate(a):
-            # candidate without the left-neighbor term
-            cand = np.empty(m + 1, dtype=np.int64)
-            cand[0] = i + 1
-            np.minimum(prev[:-1] + (arr_b != ord(ca)), prev[1:] + 1, out=cand[1:])
-            # fold in cur[j-1]+1 via the running-min transform:
-            # min_{i<=j}(cand[i] + (j-i)) = j + running_min(cand[i] - i)
-            prev = np.minimum.accumulate(cand - idx) + idx
-        return int(prev[-1])
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         keys = g["p_partkey"].to_numpy(np.int64)
@@ -5435,3 +5440,97 @@ def q22_dormant_rich_customers(sf_dir: str):
     return (df[["c_nationkey", "numcust", "totacctbal_cents"]]
             .astype({"c_nationkey": "int64", "numcust": "int64",
                      "totacctbal_cents": "int64"}))
+
+
+def doc_entity_resolution(sf_dir: str):
+    """End-to-end entity resolution composed from the engine's own
+    stages: sorted-neighborhood blocking (stages/blocking.py, window 3 on
+    the first-16-chars key) -> Levenshtein verification of candidate
+    pairs (distance <= 4 on the blocking keys, the DuckDB-identical DP)
+    -> join-based connected components (stages/dedup.dup_components_joined
+    — no driver broadcast per round) -> survivorship: the canonical
+    record per component is the longest document (ties -> min doc_id),
+    resolved by per-block argmax partials so members never pool on one
+    task. Pair verification looks keys up via one broadcast (bounded:
+    16-char keys; the warehouse-scale alternative is a hash_join of pairs
+    against the key table by id). Output: one row per duplicate entity
+    (component, member count, canonical id + length)."""
+    from ..stages.blocking import sorted_neighborhood_pairs
+    from ..stages.dedup import dup_components_joined
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.utf8_slice_codeunits(batch["text"], 0, 16),
+            "doc_id": batch["doc_id"],
+        })
+
+    keys_ds = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    pairs = sorted_neighborhood_pairs(keys_ds, window=3)
+
+    kt = keys_ds.to_pandas()
+    key_ref = ray.put((pa.array(kt["doc_id"].to_numpy(np.int64),
+                                pa.int64()),
+                       pa.array(kt["key"].astype(str).tolist(),
+                                pa.string())))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ids, keys = ray.get(key_ref)
+        ka = pc.take(keys, pc.index_in(batch["id_a"], value_set=ids))
+        kb = pc.take(keys, pc.index_in(batch["id_b"], value_set=ids))
+        keep = np.fromiter(
+            (_lev(a, b, 4) <= 4 for a, b in zip(ka.to_pylist(),
+                                                kb.to_pylist())),
+            dtype=bool, count=batch.num_rows)
+        b = batch.filter(pa.array(keep))
+        return pa.table({"id_a": b["id_a"], "id_b": b["id_b"]})
+
+    edges = pairs.map_batches(verify, batch_format="pyarrow")
+    comp = dup_components_joined(edges)
+
+    nc = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "n_chars"])
+    nc_ref = ray.put((nc["doc_id"].combine_chunks(),
+                      nc["n_chars"].combine_chunks()))
+
+    def member_partial(batch: pa.Table) -> pa.Table:
+        ids, chars = ray.get(nc_ref)
+        n = pc.take(chars, pc.index_in(batch["id"], value_set=ids))
+        df = pd.DataFrame({
+            "component": batch["component"].to_numpy(zero_copy_only=False),
+            "id": batch["id"].to_numpy(zero_copy_only=False),
+            "n_chars": n.to_numpy(zero_copy_only=False),
+        })
+        # block-local survivor + count: at most one row per component
+        # per block ships
+        df = df.sort_values(["component", "n_chars", "id"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        g = df.groupby("component", sort=False)
+        best = g.head(1).rename(columns={"id": "best_id",
+                                         "n_chars": "best_chars"})
+        best["n"] = g.size().to_numpy()
+        return pa.Table.from_pandas(best, preserve_index=False)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["best_chars", "best_id"],
+                          ascending=[False, True], kind="mergesort")
+        return pd.DataFrame({
+            "component": [int(g["component"].iloc[0])],
+            "n_members": [int(g["n"].sum())],
+            "canonical_id": [int(g["best_id"].iloc[0])],
+            "canonical_chars": [int(g["best_chars"].iloc[0])],
+        })
+
+    df = (comp.map_batches(member_partial, batch_format="pyarrow")
+          .groupby("component").map_groups(combine, batch_format="pandas")
+          .to_pandas())
+    if len(df) == 0:
+        return pd.DataFrame({
+            "component": pd.array([], dtype="int64"),
+            "n_members": pd.array([], dtype="int64"),
+            "canonical_id": pd.array([], dtype="int64"),
+            "canonical_chars": pd.array([], dtype="int64")})
+    return df.astype({"component": "int64", "n_members": "int64",
+                      "canonical_id": "int64", "canonical_chars": "int64"})
