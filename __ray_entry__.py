@@ -237,6 +237,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # end-to-end entity resolution (SNM -> lev verify -> CC ->
         # survivorship)
         "doc_entity_resolution": r.doc_entity_resolution,
+        # last-touch attribution + TPC-H Q15 argmax-with-ties
+        "events_attribution": r.events_attribution,
+        "q15_top_supplier": r.q15_top_supplier,
     }
 
 
@@ -1434,6 +1437,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY c_name, c_custkey, o_orderkey, o_date, o_totalprice
             HAVING sum(l_quantity) > 300
+        """,
+        "events_attribution": """
+            WITH p AS (
+                SELECT user_id, ts FROM events
+                WHERE event_type = 'purchase'
+            ),
+            c AS (
+                SELECT user_id, ts FROM events WHERE event_type = 'click'
+            )
+            SELECT strftime(p.ts, '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS n_purchases,
+                   CAST(sum(CASE WHEN EXISTS (
+                       SELECT 1 FROM c
+                       WHERE c.user_id = p.user_id AND c.ts < p.ts
+                         AND c.ts >= p.ts - INTERVAL 72 HOUR)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed
+            FROM p GROUP BY day
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                      * 10000.0, 0) AS BIGINT)) AS rev_e4
+                FROM lineitem
+                WHERE l_shipdate >= DATE '1996-01-01'
+                  AND l_shipdate < DATE '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, rev_e4 / 10000.0 AS total_revenue
+            FROM supplier JOIN rev ON s_suppkey = l_suppkey
+            WHERE rev_e4 = (SELECT max(rev_e4) FROM rev)
         """,
         "doc_entity_resolution": """
             WITH RECURSIVE k AS (

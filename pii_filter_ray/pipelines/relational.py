@@ -5534,3 +5534,95 @@ def doc_entity_resolution(sf_dir: str):
             "canonical_chars": pd.array([], dtype="int64")})
     return df.astype({"component": "int64", "n_members": "int64",
                       "canonical_id": "int64", "canonical_chars": "int64"})
+
+
+def events_attribution(sf_dir: str):
+    """Last-touch attribution: a purchase is ATTRIBUTED iff the same user
+    clicked strictly before it and within 72 hours. One user-bucketed
+    shuffle; each bucket resolves all its users' purchase->click lookups
+    with a single vectorized pandas merge_asof (backward, 72h tolerance,
+    no exact matches), then per-day attributed/total counts reduce from
+    per-bucket partials. Attribution is EXISTS-based, so click-timestamp
+    ties cannot change the answer."""
+    ds = _tbl(sf_dir, "events",
+              columns=["event_id", "user_id", "event_type", "ts"])
+
+    def attrib_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        p = g[g["event_type"] == "purchase"][["user_id", "ts"]]
+        c = g[g["event_type"] == "click"][["user_id", "ts"]]
+        if len(p) == 0:
+            return pd.DataFrame({"day": pd.array([], dtype="string"),
+                                 "n_purchases": pd.array([], dtype="int64"),
+                                 "n_attributed": pd.array([], dtype="int64")})
+        m = pd.merge_asof(p, c.rename(columns={"ts": "click_ts"}),
+                          left_on="ts", right_on="click_ts", by="user_id",
+                          tolerance=pd.Timedelta(hours=72),
+                          allow_exact_matches=False, direction="backward")
+        out = pd.DataFrame({
+            "day": m["ts"].dt.strftime("%Y-%m-%d"),
+            "hit": m["click_ts"].notna().astype("int64"),
+        })
+        agg = out.groupby("day", sort=False).agg(
+            n_purchases=("hit", "size"), n_attributed=("hit", "sum"))
+        return agg.reset_index().astype(
+            {"n_purchases": "int64", "n_attributed": "int64"})
+
+    df = (
+        ds.map_batches(_add_user_bucket, batch_format="pyarrow")
+        .groupby("bucket").map_groups(attrib_group, batch_format="pandas")
+        .groupby("day")
+        .aggregate(Sum("n_purchases", alias_name="n_purchases"),
+                   Sum("n_attributed", alias_name="n_attributed"))
+        .to_pandas()
+    )
+    return df.astype({"day": "string", "n_purchases": "int64",
+                      "n_attributed": "int64"})
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 (top supplier, Q1 1996): per-supplier revenue
+    pre-aggregates in exact 1e-4 units (date filter before the bounded
+    shuffle), the maximum reduces to one scalar, and the = max filter
+    returns EVERY tied supplier exactly like the SQL subquery — integer
+    revenue makes the tie test exact. Names decorate only the winners
+    (driver-side read of the tiny supplier dim)."""
+    def prep(batch: pa.Table) -> pa.Table:
+        lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+        hi = pa.scalar(pd.Timestamp("1996-04-01"), pa.timestamp("us"))
+        b = batch.filter(pc.and_(pc.greater_equal(batch["l_shipdate"], lo),
+                                 pc.less(batch["l_shipdate"], hi)))
+        rev = round_half_away(
+            b["l_extendedprice"].to_numpy()
+            * (1.0 - b["l_discount"].to_numpy()) * 10000.0, 0
+        ).astype(np.int64)
+        t = pa.table({"l_suppkey": b["l_suppkey"],
+                      "rev_e4": pa.array(rev, pa.int64())})
+        g = t.group_by("l_suppkey").aggregate([("rev_e4", "sum")])
+        return pa.table({"l_suppkey": g["l_suppkey"],
+                         "rev_e4": g["rev_e4_sum"]})
+
+    rev = (_tbl(sf_dir, "lineitem",
+                columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                         "l_discount"])
+           .map_batches(prep, batch_format="pyarrow")
+           .groupby("l_suppkey")
+           .aggregate(Sum("rev_e4", alias_name="rev_e4"))
+           .materialize())
+    mx = rev.aggregate(Max("rev_e4", alias_name="m"))
+    m = int(mx["m"])
+
+    def winners(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["rev_e4"], pa.scalar(m)))
+
+    top = rev.map_batches(winners, batch_format="pyarrow").to_pandas()
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name"])
+    nmap = dict(zip(supp["s_suppkey"].to_pylist(),
+                    supp["s_name"].to_pylist()))
+    return pd.DataFrame({
+        "s_suppkey": top["l_suppkey"].astype("int64"),
+        "s_name": pd.array([nmap[int(k)] for k in top["l_suppkey"]],
+                           dtype="string"),
+        "total_revenue": top["rev_e4"].astype("int64") / 10000.0,
+    }).sort_values("s_suppkey").reset_index(drop=True)

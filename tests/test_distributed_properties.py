@@ -326,7 +326,7 @@ import pytest
     "events_window_dedup", "orders_woe_iv", "orders_incremental_view",
     "events_user_gini", "events_daily_gapfill",
     "q17_small_quantity_revenue", "q22_dormant_rich_customers",
-    "doc_entity_resolution",
+    "doc_entity_resolution", "events_attribution", "q15_top_supplier",
 ])
 def test_round2_ops_invariant_to_block_layout(ray_session, monkeypatch, qname):
     """The round-2 window/rank/histogram/retrieval operators must produce
