@@ -240,12 +240,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # last-touch attribution + TPC-H Q15 argmax-with-ties
         "events_attribution": r.events_attribution,
         "q15_top_supplier": r.q15_top_supplier,
+        # sliding-window sketch union: rolling 7-day distinct users
+        "events_rolling_distinct_users": r.events_rolling_distinct_users,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from pii_filter_ray import oracles as o
-    from pii_filter_ray.stages.sketches import cms_sql, hll_join_card_sql, hll_sql
+    from pii_filter_ray.stages.sketches import (
+        cms_sql, hll_join_card_sql, hll_rolling_sql, hll_sql)
 
     return {
         # full SQL recomputations of the non-trivial operators (see
@@ -578,6 +581,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o.o_orderpriority
         """,
         "events_hll_users": hll_sql("events", "event_type", "user_id", p=12),
+        "events_rolling_distinct_users": hll_rolling_sql(
+            "events", "strftime(ts, '%Y-%m-%d')", "user_id",
+            p=12, window_days=7),
         "events_cms_user_counts": cms_sql("events", "user_id", n_keys=50, d=4, q=12),
         "orders_semi_bloom": """
             SELECT o_orderkey, o_totalprice FROM orders

@@ -5626,3 +5626,26 @@ def q15_top_supplier(sf_dir: str):
                            dtype="string"),
         "total_revenue": top["rev_e4"].astype("int64") / 10000.0,
     }).sort_values("s_suppkey").reset_index(drop=True)
+
+
+def events_rolling_distinct_users(sf_dir: str):
+    """Rolling 7-day approximate distinct users per day via sliding-
+    window HLL union (stages/sketches.hll_rolling_distinct_per_day):
+    exact rolling COUNT(DISTINCT) cannot stream — every window would
+    re-deduplicate — but register sketches union by elementwise max, so
+    the shuffle is one bounded (day, reg) Max and each window estimate
+    derives on the (days x m) table. Deterministic; the SQL oracle
+    recomputes hash, registers and estimator bit-for-bit."""
+    from ..stages.sketches import hll_rolling_distinct_per_day
+
+    ds = _tbl(sf_dir, "events", columns=["ts", "user_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.strftime(batch["ts"], format="%Y-%m-%d"),
+            "user_id": batch["user_id"],
+        })
+
+    return hll_rolling_distinct_per_day(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        day_col="day", value_col="user_id", p=12, window_days=7)

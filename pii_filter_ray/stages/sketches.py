@@ -438,3 +438,137 @@ def hll_join_card_sql(left_sql: str, right_sql: str, p: int = 12) -> str:
                round(ea + eb - eu, 3) AS est_intersect
         FROM piv
     """
+
+
+# --- sliding-window sketch union ---------------------------------------------
+
+
+def hll_rolling_distinct_per_day(
+    ds: "ray.data.Dataset", day_col: str, value_col: str,
+    p: int = 10, window_days: int = 7,
+) -> pd.DataFrame:
+    """Rolling ``window_days``-day approximate distinct count per day —
+    the sketch-algebra answer to a query exact methods cannot stream:
+    rolling COUNT(DISTINCT) requires re-deduplicating every window, but
+    HLL registers UNION by elementwise max, so each day keeps one
+    m-register sketch (the only shuffle: (day, reg) Max over per-block
+    partials) and every window's estimate derives from a register-max
+    over its <= window_days sketches on the bounded (days x m) table.
+    Deterministic end-to-end (splitmix64 + exact-integer S), so the SQL
+    oracle (``hll_rolling_sql``) reproduces every estimate bit-for-bit."""
+    m = 1 << p
+
+    def register_partials(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.and_(pc.is_valid(batch[day_col]),
+                                 pc.is_valid(batch[value_col])))
+        days = np.asarray(t[day_col].to_pylist(), dtype=object)
+        vals = t[value_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = splitmix64(vals)
+        reg, rho = _rho(h, p)
+        out_d, out_r, out_v = [], [], []
+        for d_ in np.unique(days):
+            dm = days == d_
+            r_ = np.zeros(m, dtype=np.int64)
+            np.maximum.at(r_, reg[dm], rho[dm])
+            nz = np.flatnonzero(r_)
+            out_d.extend([d_] * len(nz))
+            out_r.extend(nz.tolist())
+            out_v.extend(r_[nz].tolist())
+        return pa.table({
+            "day": pa.array(out_d, pa.string()),
+            "reg": pa.array(out_r, pa.int64()),
+            "rho": pa.array(out_v, pa.int64()),
+        })
+
+    merged = (
+        ds.map_batches(register_partials, batch_format="pyarrow")
+        .groupby(["day", "reg"])
+        .aggregate(Max("rho", alias_name="rho"))
+        .to_pandas()
+    )
+    days = sorted(merged["day"].unique())
+    dnum = pd.to_datetime(pd.Series(days))
+    by_day = {
+        d_: grp for d_, grp in merged.groupby("day", sort=False)
+    }
+    rows = []
+    for i, d_ in enumerate(days):
+        lo = dnum.iloc[i] - pd.Timedelta(days=window_days - 1)
+        regs = np.zeros(m, dtype=np.int64)
+        for j in range(i, -1, -1):
+            if dnum.iloc[j] < lo:
+                break
+            grp = by_day[days[j]]
+            np.maximum.at(regs, grp["reg"].to_numpy(), grp["rho"].to_numpy())
+        rows.append({"day": d_,
+                     "est": round(hll_estimate_from_registers(regs, p), 3)})
+    return pd.DataFrame(rows)
+
+
+def hll_rolling_sql(table: str, day_expr: str, value_col: str,
+                    p: int = 10, window_days: int = 7) -> str:
+    """SQL mirror of ``hll_rolling_distinct_per_day``: per-day registers,
+    window union via a banded day self-join + register max, the same
+    exact-integer estimator."""
+    m = 1 << p
+    reg_div = 1 << (64 - p)
+    return f"""
+        WITH s1 AS (
+            SELECT {day_expr} AS k,
+                   (CAST({value_col} AS HUGEINT) + {_K1}) % {_M64} AS u
+            FROM {table}
+            WHERE {day_expr} IS NOT NULL AND {value_col} IS NOT NULL
+        ),
+        s2 AS (SELECT k, {_sql_xor_shift(1 << 30)} AS u FROM s1),
+        s3 AS (SELECT k, {_sql_mulmod(_K2)} AS u FROM s2),
+        s4 AS (SELECT k, {_sql_xor_shift(1 << 27)} AS u FROM s3),
+        s5 AS (SELECT k, {_sql_mulmod(_K3)} AS u FROM s4),
+        s6 AS (SELECT k, {_sql_xor_shift(1 << 31)} AS u FROM s5),
+        hashed AS (
+            SELECT k,
+                   CAST(u // {reg_div} AS BIGINT) AS reg,
+                   CAST(u % {reg_div} AS BIGINT) AS w
+            FROM s6
+        ),
+        rhos AS (
+            SELECT k, reg,
+                   {64 - p + 1} - CASE WHEN w > 0
+                                       THEN length(printf('%b', w))
+                                       ELSE 0 END AS rho
+            FROM hashed
+        ),
+        regs AS (SELECT k, reg, max(rho) AS rho FROM rhos GROUP BY k, reg),
+        days AS (SELECT DISTINCT k AS day FROM regs),
+        win AS (
+            SELECT d.day, r.reg, max(r.rho) AS rho
+            FROM days d JOIN regs r
+              ON strptime(r.k, '%Y-%m-%d')
+                 > strptime(d.day, '%Y-%m-%d')
+                   - INTERVAL {window_days} DAY
+             AND strptime(r.k, '%Y-%m-%d') <= strptime(d.day, '%Y-%m-%d')
+            GROUP BY d.day, r.reg
+        ),
+        sums AS (
+            SELECT day,
+                   sum(CAST(1::BIGINT << (53 - rho) AS HUGEINT))
+                       AS s_present,
+                   count(*) AS n_present
+            FROM win GROUP BY day
+        ),
+        est0 AS (
+            SELECT day,
+                   ({m} - n_present) AS v,
+                   (0.7213 / (1.0 + 1.079 / {m})) * {m} * {m}
+                     * 9007199254740992.0
+                     / CAST(s_present
+                            + CAST({m} - n_present AS HUGEINT)
+                              * 9007199254740992::HUGEINT AS DOUBLE) AS e
+            FROM sums
+        )
+        SELECT day,
+               round(CASE WHEN e <= 2.5 * {m} AND v > 0
+                          THEN {m} * ln({m} / CAST(v AS DOUBLE))
+                          ELSE e END, 3) AS est
+        FROM est0
+        ORDER BY day
+    """
