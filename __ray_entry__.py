@@ -242,6 +242,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": r.q15_top_supplier,
         # sliding-window sketch union: rolling 7-day distinct users
         "events_rolling_distinct_users": r.events_rolling_distinct_users,
+        # TPC-H Q7 nation-pair trade + grouped median over derived gaps
+        "q7_nation_trade_volume": r.q7_nation_trade_volume,
+        "events_gap_median": r.events_gap_median,
     }
 
 
@@ -1443,6 +1446,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY c_name, c_custkey, o_orderkey, o_date, o_totalprice
             HAVING sum(l_quantity) > 300
+        """,
+        "q7_nation_trade_volume": """
+            SELECT supp_nation, cust_nation, l_year,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 10000.0, 0) AS BIGINT)) / 10000.0
+                       AS revenue
+            FROM (
+                SELECT nx.n_name AS supp_nation, ny.n_name AS cust_nation,
+                       strftime(l_shipdate, '%Y') AS l_year,
+                       l_extendedprice, l_discount
+                FROM supplier, lineitem, orders, customer,
+                     nation nx, nation ny
+                WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+                  AND c_custkey = o_custkey
+                  AND s_nationkey = nx.n_nationkey
+                  AND c_nationkey = ny.n_nationkey
+                  AND ((nx.n_name = 'NATION_11' AND ny.n_name = 'NATION_20')
+                    OR (nx.n_name = 'NATION_20' AND ny.n_name = 'NATION_11'))
+                  AND l_shipdate >= DATE '1995-01-01'
+                  AND l_shipdate < DATE '1997-01-01'
+            )
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "events_gap_median": """
+            WITH g AS (
+                SELECT event_type,
+                       (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id))) / 1000000.0 AS gap_s
+                FROM events
+            )
+            SELECT event_type,
+                   round(quantile_disc(gap_s, 0.5), 6) AS median_gap_s
+            FROM g WHERE gap_s IS NOT NULL
+            GROUP BY event_type
         """,
         "events_attribution": """
             WITH p AS (

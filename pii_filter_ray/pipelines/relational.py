@@ -5649,3 +5649,140 @@ def events_rolling_distinct_users(sf_dir: str):
     return hll_rolling_distinct_per_day(
         ds.map_batches(prep, batch_format="pyarrow"),
         day_col="day", value_col="user_id", p=12, window_days=7)
+
+
+def q7_nation_trade_volume(sf_dir: str):
+    """TPC-H Q7 (volume shipping between two nations, 1995-1996):
+    supplier and customer collapse to broadcast (key -> nation-name)
+    lookups PRE-FILTERED to the two nations of interest (rows outside the
+    pair drop before the only shuffle), the lineitem x orders hash join
+    carries epoch-free year strings and exact 1e-4-unit revenue, and the
+    cross-pair predicate evaluates vectorized on the joined batch."""
+    from ..stages.joins import hash_join
+
+    n1, n2 = "NATION_11", "NATION_20"
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    nmap = {k: v for k, v in zip(nation["n_nationkey"].to_pylist(),
+                                 nation["n_name"].to_pylist())
+            if v in (n1, n2)}
+
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    sm = pc.is_in(supp["s_nationkey"],
+                  value_set=pa.array(list(nmap), pa.int32()))
+    supp = supp.filter(sm)
+    s_names = pa.array([nmap[k] for k in supp["s_nationkey"].to_pylist()],
+                       pa.string())
+    add_snat = broadcast_lookup_fn(
+        supp["s_suppkey"].combine_chunks(), s_names,
+        key_col="l_suppkey", out_col="supp_nation")
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    cm = pc.is_in(cust["c_nationkey"],
+                  value_set=pa.array(list(nmap), pa.int32()))
+    cust = cust.filter(cm)
+    c_names = pa.array([nmap[k] for k in cust["c_nationkey"].to_pylist()],
+                       pa.string())
+    add_cnat = broadcast_lookup_fn(
+        cust["c_custkey"].combine_chunks(), c_names,
+        key_col="o_custkey", out_col="cust_nation")
+
+    def prep_lineitem(batch: pa.Table) -> pa.Table:
+        lo = pa.scalar(pd.Timestamp("1995-01-01"), pa.timestamp("us"))
+        hi = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+        b = batch.filter(pc.and_(pc.greater_equal(batch["l_shipdate"], lo),
+                                 pc.less(batch["l_shipdate"], hi)))
+        b = add_snat(b)
+        b = b.filter(pc.is_valid(b["supp_nation"]))
+        rev = round_half_away(
+            b["l_extendedprice"].to_numpy()
+            * (1.0 - b["l_discount"].to_numpy()) * 10000.0, 0
+        ).astype(np.int64)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "supp_nation": b["supp_nation"],
+            "l_year": pc.strftime(b["l_shipdate"], format="%Y"),
+            "rev_e4": pa.array(rev, pa.int64()),
+        })
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        b = add_cnat(batch)
+        b = b.filter(pc.is_valid(b["cust_nation"]))
+        return b.select(["o_orderkey", "cust_nation"])
+
+    lineitem = _tbl(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                             "l_extendedprice", "l_discount"]).map_batches(
+        prep_lineitem, batch_format="pyarrow")
+    orders = _tbl(sf_dir, "orders",
+                  columns=["o_orderkey", "o_custkey"]).map_batches(
+        prep_orders, batch_format="pyarrow")
+    joined = hash_join(
+        lineitem, orders,
+        left_key="l_orderkey", right_key="o_orderkey",
+        left_cols=["supp_nation", "l_year", "rev_e4"],
+        right_cols=["cust_nation"],
+        schema={"supp_nation": pa.string(), "l_year": pa.string(),
+                "rev_e4": pa.int64(), "cust_nation": pa.string()},
+    )
+
+    def cross_pair(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(batch["supp_nation"],
+                                  batch["cust_nation"]))
+        return batch.filter(keep).select(
+            ["supp_nation", "cust_nation", "l_year", "rev_e4"])
+
+    df = preagg_groupby(
+        joined.map_batches(cross_pair, batch_format="pyarrow"),
+        ["supp_nation", "cust_nation", "l_year"],
+        sums={"rev_e4": "rev_e4"}).to_pandas()
+    if len(df) == 0:  # no cross-pair trade: empty aggregate loses schema
+        return pd.DataFrame({
+            "supp_nation": pd.array([], dtype="string"),
+            "cust_nation": pd.array([], dtype="string"),
+            "l_year": pd.array([], dtype="string"),
+            "revenue": pd.array([], dtype="float64")})
+    df["revenue"] = df["rev_e4"].astype("int64") / 10000.0
+    return (df[["supp_nation", "cust_nation", "l_year", "revenue"]]
+            .astype({"supp_nation": "string", "cust_nation": "string",
+                     "l_year": "string", "revenue": "float64"}))
+
+
+def events_gap_median(sf_dir: str):
+    """Grouped exact median over a DERIVED distribution: per-event-type
+    quantile_disc(0.5) of per-user inter-event gap seconds. Gaps derive
+    from one user-bucketed shuffle (vectorized sort + grouped diff per
+    bucket); the median then runs through the grouped-quantile stage
+    (stages/quantiles.py histogram refinement — no per-group sort). The
+    composition shows stage outputs feeding stages: the quantile operator
+    consumes a computed Dataset, not a table column."""
+    from ..stages.quantiles import grouped_quantile_disc
+
+    ds = _tbl(sf_dir, "events",
+              columns=["event_id", "user_id", "event_type", "ts"])
+
+    def gaps_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"],
+                          kind="mergesort")
+        us = g["ts"].astype("datetime64[us]").astype("int64")
+        prev = us.groupby([g["user_id"], g["event_type"]],
+                          sort=False).shift(1)
+        ok = prev.notna()
+        return pd.DataFrame({
+            "event_type": g["event_type"][ok],
+            "gap_s": ((us[ok] - prev[ok]) / 1_000_000.0).astype("float64"),
+        })
+
+    gaps = (ds.map_batches(_add_user_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(gaps_group,
+                                          batch_format="pandas"))
+    out = grouped_quantile_disc(gaps, key="event_type", value_col="gap_s",
+                                qs=[0.5])
+    out = out.rename(columns={"value": "median_gap_s"})
+    out["median_gap_s"] = round_half_away(
+        out["median_gap_s"].to_numpy(np.float64), 6)
+    return (out[["event_type", "median_gap_s"]]
+            .sort_values("event_type").reset_index(drop=True)
+            .astype({"event_type": "string", "median_gap_s": "float64"}))
