@@ -245,6 +245,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q7 nation-pair trade + grouped median over derived gaps
         "q7_nation_trade_volume": r.q7_nation_trade_volume,
         "events_gap_median": r.events_gap_median,
+        # TPC-H Q8 market share + grouped median absolute deviation
+        "q8_market_share": r.q8_market_share,
+        "events_value_mad": r.events_value_mad,
     }
 
 
@@ -1446,6 +1449,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY c_name, c_custkey, o_orderkey, o_date, o_totalprice
             HAVING sum(l_quantity) > 300
+        """,
+        "q8_market_share": """
+            WITH j AS (
+                SELECT strftime(o_orderdate, '%Y') AS o_year,
+                       CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 10000.0, 0) AS BIGINT) AS rev_e4,
+                       CASE WHEN n_name = 'NATION_20' THEN 1 ELSE 0 END
+                           AS tgt
+                FROM lineitem, orders, supplier, nation,
+                     (SELECT c_custkey FROM customer, nation, region
+                      WHERE c_nationkey = n_nationkey
+                        AND n_regionkey = r_regionkey
+                        AND r_name = 'ASIA') ac
+                WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+                  AND s_nationkey = n_nationkey
+                  AND o_custkey = ac.c_custkey
+                  AND o_orderdate >= DATE '1995-01-01'
+                  AND o_orderdate < DATE '1997-01-01'
+            )
+            SELECT o_year,
+                   round(CAST(sum(rev_e4 * tgt) AS DOUBLE)
+                         / CAST(sum(rev_e4) AS DOUBLE), 6) AS mkt_share6
+            FROM j GROUP BY o_year
+        """,
+        "events_value_mad": """
+            WITH med AS (
+                SELECT event_type, quantile_disc(value, 0.5) AS m
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_type,
+                   round(med.m, 6) AS median_value,
+                   round(quantile_disc(abs(e.value - med.m), 0.5), 6)
+                       AS mad6
+            FROM events e JOIN med ON e.event_type = med.event_type
+            GROUP BY e.event_type, med.m
         """,
         "q7_nation_trade_volume": """
             SELECT supp_nation, cust_nation, l_year,

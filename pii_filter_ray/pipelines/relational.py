@@ -5786,3 +5786,131 @@ def events_gap_median(sf_dir: str):
     return (out[["event_type", "median_gap_s"]]
             .sort_values("event_type").reset_index(drop=True)
             .astype({"event_type": "string", "median_gap_s": "float64"}))
+
+
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 (national market share): the share of ASIA-customer
+    order revenue supplied by NATION_20, per order year (1995-1996).
+    Customer collapses to a region-filtered broadcast membership; the
+    supplier flag (is the line's supplier from NATION_20?) rides the
+    lineitem side as an int64 0/1 through the single hash join; each
+    year then reduces from two exact 1e-4-unit sums and the share
+    mirrors the SQL operand order (nation_rev / total_rev)."""
+    from ..stages.joins import hash_join
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    asia = {rk for rk, rn in zip(region["r_regionkey"].to_pylist(),
+                                 region["r_name"].to_pylist())
+            if rn == "ASIA"}
+    asia_nations = pa.array(
+        [nk for nk, rk in zip(nation["n_nationkey"].to_pylist(),
+                              nation["n_regionkey"].to_pylist())
+         if rk in asia], pa.int32())
+    target = {nk for nk, nn in zip(nation["n_nationkey"].to_pylist(),
+                                   nation["n_name"].to_pylist())
+              if nn == "NATION_20"}
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    cust = cust.filter(pc.is_in(cust["c_nationkey"],
+                                value_set=asia_nations))
+    ckeys_ref = ray.put(cust["c_custkey"].combine_chunks())
+
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    flag = pa.array([1 if nk in target else 0
+                     for nk in supp["s_nationkey"].to_pylist()], pa.int64())
+    add_flag = broadcast_lookup_fn(
+        supp["s_suppkey"].combine_chunks(), flag,
+        key_col="l_suppkey", out_col="is_target")
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        lo = pa.scalar(pd.Timestamp("1995-01-01"), pa.timestamp("us"))
+        hi = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+        b = batch.filter(pc.and_(pc.greater_equal(batch["o_orderdate"], lo),
+                                 pc.less(batch["o_orderdate"], hi)))
+        b = b.filter(pc.is_in(b["o_custkey"],
+                              value_set=ray.get(ckeys_ref)))
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_year": pc.strftime(b["o_orderdate"], format="%Y"),
+        })
+
+    def prep_lineitem(batch: pa.Table) -> pa.Table:
+        b = add_flag(batch)
+        b = b.filter(pc.is_valid(b["is_target"]))
+        rev = round_half_away(
+            b["l_extendedprice"].to_numpy()
+            * (1.0 - b["l_discount"].to_numpy()) * 10000.0, 0
+        ).astype(np.int64)
+        tgt = b["is_target"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "rev_e4": pa.array(rev, pa.int64()),
+            "tgt_e4": pa.array(rev * tgt, pa.int64()),
+        })
+
+    orders = _tbl(sf_dir, "orders",
+                  columns=["o_orderkey", "o_custkey", "o_orderdate"]
+                  ).map_batches(prep_orders, batch_format="pyarrow")
+    lineitem = _tbl(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                             "l_discount"]).map_batches(
+        prep_lineitem, batch_format="pyarrow")
+    joined = hash_join(
+        lineitem, orders,
+        left_key="l_orderkey", right_key="o_orderkey",
+        left_cols=["rev_e4", "tgt_e4"], right_cols=["o_year"],
+        schema={"rev_e4": pa.int64(), "tgt_e4": pa.int64(),
+                "o_year": pa.string()},
+    )
+    df = preagg_groupby(joined, ["o_year"],
+                        sums={"rev_e4": "rev_e4", "tgt_e4": "tgt_e4"}
+                        ).to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame({"o_year": pd.array([], dtype="string"),
+                             "mkt_share6": pd.array([], dtype="float64")})
+    share = (df["tgt_e4"].astype("int64").to_numpy(np.float64)
+             / df["rev_e4"].astype("int64").to_numpy(np.float64))
+    return (pd.DataFrame({"o_year": df["o_year"].astype("string"),
+                          "mkt_share6": round_half_away(share, 6)})
+            .sort_values("o_year").reset_index(drop=True))
+
+
+def events_value_mad(sf_dir: str):
+    """Grouped median absolute deviation: per event_type, the exact
+    median of |value - median(value)|. TWO rounds of the grouped-
+    quantile histogram-refinement stage compose: round 1 pins each
+    group's median, round 2 consumes the DERIVED absolute-deviation
+    dataset (medians ride along as a broadcast dict) — the robust-
+    statistics pattern that needs no per-group sort in either round."""
+    from ..stages.quantiles import grouped_quantile_disc
+
+    ds = _tbl(sf_dir, "events", columns=["event_type", "value"])
+    med = grouped_quantile_disc(ds, key="event_type", value_col="value",
+                                qs=[0.5])
+    med_ref = ray.put(dict(zip(med["event_type"], med["value"])))
+
+    def absdev(batch: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        et = batch["event_type"].to_pylist()
+        v = batch["value"].to_numpy()
+        mv = np.fromiter((m[t] for t in et), dtype=np.float64,
+                         count=len(et))
+        return pa.table({
+            "event_type": batch["event_type"],
+            "adev": pa.array(np.abs(v - mv), pa.float64()),
+        })
+
+    mad = grouped_quantile_disc(
+        ds.map_batches(absdev, batch_format="pyarrow"),
+        key="event_type", value_col="adev", qs=[0.5])
+    out = pd.DataFrame({
+        "event_type": mad["event_type"].astype("string"),
+        "median_value": round_half_away(
+            med.set_index("event_type").loc[
+                mad["event_type"]]["value"].to_numpy(np.float64), 6),
+        "mad6": round_half_away(mad["value"].to_numpy(np.float64), 6),
+    })
+    return out.sort_values("event_type").reset_index(drop=True)

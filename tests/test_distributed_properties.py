@@ -328,7 +328,7 @@ import pytest
     "q17_small_quantity_revenue", "q22_dormant_rich_customers",
     "doc_entity_resolution", "events_attribution", "q15_top_supplier",
     "events_rolling_distinct_users", "q7_nation_trade_volume",
-    "events_gap_median",
+    "events_gap_median", "q8_market_share", "events_value_mad",
 ])
 def test_round2_ops_invariant_to_block_layout(ray_session, monkeypatch, qname):
     """The round-2 window/rank/histogram/retrieval operators must produce
