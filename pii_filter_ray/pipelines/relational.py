@@ -5282,8 +5282,16 @@ def events_user_gini(sf_dir: str):
     closed form."""
     ds = _tbl(sf_dir, "events", columns=["user_id"])
     per_user = preagg_groupby(ds, ["user_id"], count_alias="c")
-    dist = (preagg_groupby(per_user, ["c"], count_alias="f")
-            .to_pandas().sort_values("c").reset_index(drop=True))
+    dist = preagg_groupby(per_user, ["c"], count_alias="f").to_pandas()
+    # emptiness test BEFORE touching columns (empty aggregates lose schema)
+    if len(dist) == 0:
+        # empty events: the oracle's aggregate row is all-NULL — mirror
+        # as NaN/NA without crashing on 0/0
+        return pd.DataFrame({
+            "gini6": [float("nan")],
+            "n_users": pd.array([pd.NA], dtype="Int64"),
+            "total_events": pd.array([pd.NA], dtype="Int64")})
+    dist = dist.sort_values("c").reset_index(drop=True)
     c = dist["c"].to_numpy(np.int64)
     f = dist["f"].to_numpy(np.int64)
     n = int(f.sum())
@@ -5367,9 +5375,9 @@ def q17_small_quantity_revenue(sf_dir: str):
         idx = pc.index_in(batch["l_partkey"], value_set=pk)
         t = pc.take(tv, idx).to_numpy(zero_copy_only=False)
         qty = batch["l_quantity"].to_numpy()
-        keep = pc.is_valid(idx).to_numpy(zero_copy_only=False) & (
-            qty < np.where(np.isnan(t.astype(np.float64)), -np.inf,
-                           t.astype(np.float64)))
+        # unmatched parts take a null threshold -> NaN -> qty < NaN is
+        # already False; no extra masking pass needed
+        keep = qty < t
         cents = round_half_away(
             batch["l_extendedprice"].to_numpy()[keep] * 100.0, 0
         ).astype(np.int64)
@@ -5487,7 +5495,10 @@ def doc_entity_resolution(sf_dir: str):
         return pa.table({"id_a": b["id_a"], "id_b": b["id_b"]})
 
     edges = pairs.map_batches(verify, batch_format="pyarrow")
-    comp = dup_components_joined(edges)
+    # SNM edges form chain-like components whose diameter grows with
+    # cluster size; min-label propagation needs ~diameter rounds (the
+    # stage fails loud rather than splitting components at the cap)
+    comp = dup_components_joined(edges, max_iters=64)
 
     nc = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                        columns=["doc_id", "n_chars"])
@@ -5576,6 +5587,11 @@ def events_attribution(sf_dir: str):
                    Sum("n_attributed", alias_name="n_attributed"))
         .to_pandas()
     )
+    if len(df) == 0:  # no purchases anywhere: empty aggregate loses schema
+        return pd.DataFrame({
+            "day": pd.array([], dtype="string"),
+            "n_purchases": pd.array([], dtype="int64"),
+            "n_attributed": pd.array([], dtype="int64")})
     return df.astype({"day": "string", "n_purchases": "int64",
                       "n_attributed": "int64"})
 
@@ -5610,6 +5626,11 @@ def q15_top_supplier(sf_dir: str):
            .aggregate(Sum("rev_e4", alias_name="rev_e4"))
            .materialize())
     mx = rev.aggregate(Max("rev_e4", alias_name="m"))
+    if mx["m"] is None:  # no lineitem in the window: oracle's empty set
+        return pd.DataFrame({
+            "s_suppkey": pd.array([], dtype="int64"),
+            "s_name": pd.array([], dtype="string"),
+            "total_revenue": pd.array([], dtype="float64")})
     m = int(mx["m"])
 
     def winners(batch: pa.Table) -> pa.Table:
@@ -5646,9 +5667,13 @@ def events_rolling_distinct_users(sf_dir: str):
             "user_id": batch["user_id"],
         })
 
-    return hll_rolling_distinct_per_day(
+    df = hll_rolling_distinct_per_day(
         ds.map_batches(prep, batch_format="pyarrow"),
         day_col="day", value_col="user_id", p=12, window_days=7)
+    # round like the oracle does: DuckDB round() is half-away (Python's
+    # round() is half-to-even and breaks parity at representable halves)
+    df["est"] = round_half_away(df["est"].to_numpy(np.float64), 3)
+    return df
 
 
 def q7_nation_trade_volume(sf_dir: str):
@@ -5894,12 +5919,21 @@ def events_value_mad(sf_dir: str):
 
     def absdev(batch: pa.Table) -> pa.Table:
         m = ray.get(med_ref)
-        et = batch["event_type"].to_pylist()
-        v = batch["value"].to_numpy()
+        # a NULL value must not become a NaN abs-dev (arrow would treat
+        # it as a VALID float and round 2 would count it, unlike the
+        # oracle's null-skipping quantile_disc); an all-NULL type has no
+        # median and is dropped, matching the oracle's inner join
+        b = batch.filter(pc.is_valid(batch["value"]))
+        et = b["event_type"].to_pylist()
+        keep = np.fromiter((t in m for t in et), dtype=bool,
+                           count=len(et))
+        b = b.filter(pa.array(keep))
+        et = b["event_type"].to_pylist()
+        v = b["value"].to_numpy()
         mv = np.fromiter((m[t] for t in et), dtype=np.float64,
                          count=len(et))
         return pa.table({
-            "event_type": batch["event_type"],
+            "event_type": b["event_type"],
             "adev": pa.array(np.abs(v - mv), pa.float64()),
         })
 

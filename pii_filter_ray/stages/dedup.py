@@ -1031,6 +1031,7 @@ def dup_components_joined(
         .aggregate(Min("component", alias_name="component"))
         .materialize()
     )
+    converged = False
     prev_sum = None
     for _ in range(max_iters):
         tagged_labels = labels.map_batches(
@@ -1065,6 +1066,17 @@ def dup_components_joined(
         )
         cur_sum = labels.aggregate(Sum("component", alias_name="s"))["s"]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # min-label propagation moves one hop per round, so a component
+        # needs ~diameter rounds; returning silently-split components
+        # would corrupt every downstream dedup decision — fail loud
+        # (the long-chain scale path is pointer doubling / star
+        # contraction, not a bigger cap)
+        raise RuntimeError(
+            f"dup_components_joined: labels did not converge within "
+            f"max_iters={max_iters} rounds — component diameter exceeds "
+            f"the cap; raise max_iters")
     return labels

@@ -77,12 +77,12 @@ def hll_estimate_from_registers(regs: np.ndarray, p: int) -> float:
     return est
 
 
-def hll_distinct_per_group(
-    ds: "ray.data.Dataset", key: str, value_col: str, p: int = 12
-) -> pd.DataFrame:
-    """DataFrame (key, est) — approximate distinct count of ``value_col``
-    (int64) per group. One register shuffle of <= m rows per group per
-    block; null keys/values ignored."""
+def _register_partials_fn(key: str, value_col: str, p: int):
+    """Per-block HLL register partials keyed by an arbitrary column:
+    each block emits at most m=2^p (key, reg, rho-max) rows per distinct
+    key. Shared by hll_distinct_per_group and
+    hll_rolling_distinct_per_day so the hash/register path has exactly
+    one implementation."""
     m = 1 << p
 
     def register_partials(batch: pa.Table) -> pa.Table:
@@ -109,8 +109,20 @@ def hll_distinct_per_group(
             }
         )
 
+    return register_partials
+
+
+def hll_distinct_per_group(
+    ds: "ray.data.Dataset", key: str, value_col: str, p: int = 12
+) -> pd.DataFrame:
+    """DataFrame (key, est) — approximate distinct count of ``value_col``
+    (int64) per group. One register shuffle of <= m rows per group per
+    block; null keys/values ignored."""
+    m = 1 << p
+
     merged = (
-        ds.map_batches(register_partials, batch_format="pyarrow")
+        ds.map_batches(_register_partials_fn(key, value_col, p),
+                       batch_format="pyarrow")
         .groupby([key, "reg"])
         .aggregate(Max("rho", alias_name="rho"))
         .to_pandas()
@@ -148,18 +160,18 @@ def _sql_mulmod(k: int) -> str:
     )
 
 
-def hll_sql(table: str, key: str, value_col: str, p: int = 12) -> str:
-    """DuckDB SQL recomputing hll_distinct_per_group bit-for-bit (hash,
-    registers, exact-integer S, estimator and correction), rounded to 3
-    decimals on both sides."""
-    m = 1 << p
+def _hll_regs_ctes(table: str, key_expr: str, value_col: str,
+                   p: int) -> str:
+    """The shared CTE chain s1..regs: splitmix64 over unsigned-64
+    HUGEINT, register/rho split, per-key register max. ONE copy of the
+    bit-exact hash path — hll_sql and hll_rolling_sql both build on it,
+    so a hash/encoding tweak cannot leave one oracle stale."""
     reg_div = 1 << (64 - p)  # u // this = top p bits
-    return f"""
-        WITH s1 AS (
-            SELECT {key} AS k,
+    return f"""s1 AS (
+            SELECT {key_expr} AS k,
                    (CAST({value_col} AS HUGEINT) + {_K1}) % {_M64} AS u
             FROM {table}
-            WHERE {key} IS NOT NULL AND {value_col} IS NOT NULL
+            WHERE ({key_expr}) IS NOT NULL AND {value_col} IS NOT NULL
         ),
         s2 AS (SELECT k, {_sql_xor_shift(1 << 30)} AS u FROM s1),
         s3 AS (SELECT k, {_sql_mulmod(_K2)} AS u FROM s2),
@@ -179,7 +191,16 @@ def hll_sql(table: str, key: str, value_col: str, p: int = 12) -> str:
                                        ELSE 0 END AS rho
             FROM hashed
         ),
-        regs AS (SELECT k, reg, max(rho) AS rho FROM rhos GROUP BY k, reg),
+        regs AS (SELECT k, reg, max(rho) AS rho FROM rhos GROUP BY k, reg)"""
+
+
+def hll_sql(table: str, key: str, value_col: str, p: int = 12) -> str:
+    """DuckDB SQL recomputing hll_distinct_per_group bit-for-bit (hash,
+    registers, exact-integer S, estimator and correction), rounded to 3
+    decimals on both sides."""
+    m = 1 << p
+    return f"""
+        WITH {_hll_regs_ctes(table, key, value_col, p)},
         sums AS (
             SELECT k,
                    sum(CAST(1::BIGINT << (53 - rho) AS HUGEINT)) AS s_present,
@@ -445,7 +466,7 @@ def hll_join_card_sql(left_sql: str, right_sql: str, p: int = 12) -> str:
 
 def hll_rolling_distinct_per_day(
     ds: "ray.data.Dataset", day_col: str, value_col: str,
-    p: int = 10, window_days: int = 7,
+    p: int = 12, window_days: int = 7,
 ) -> pd.DataFrame:
     """Rolling ``window_days``-day approximate distinct count per day —
     the sketch-algebra answer to a query exact methods cannot stream:
@@ -455,33 +476,17 @@ def hll_rolling_distinct_per_day(
     partials) and every window's estimate derives from a register-max
     over its <= window_days sketches on the bounded (days x m) table.
     Deterministic end-to-end (splitmix64 + exact-integer S), so the SQL
-    oracle (``hll_rolling_sql``) reproduces every estimate bit-for-bit."""
+    oracle (``hll_rolling_sql``) reproduces every estimate bit-for-bit.
+    Estimates are returned UNROUNDED — the caller applies the repo's
+    round_half_away to match DuckDB round() (Python round() is
+    half-to-even and would break parity at representable halves).
+    ``p`` must be >= 12 (the exact-integer S encoding needs rho <= 53)."""
+    assert p >= 12, "exact-integer S encoding requires p >= 12"
     m = 1 << p
 
-    def register_partials(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.and_(pc.is_valid(batch[day_col]),
-                                 pc.is_valid(batch[value_col])))
-        days = np.asarray(t[day_col].to_pylist(), dtype=object)
-        vals = t[value_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = splitmix64(vals)
-        reg, rho = _rho(h, p)
-        out_d, out_r, out_v = [], [], []
-        for d_ in np.unique(days):
-            dm = days == d_
-            r_ = np.zeros(m, dtype=np.int64)
-            np.maximum.at(r_, reg[dm], rho[dm])
-            nz = np.flatnonzero(r_)
-            out_d.extend([d_] * len(nz))
-            out_r.extend(nz.tolist())
-            out_v.extend(r_[nz].tolist())
-        return pa.table({
-            "day": pa.array(out_d, pa.string()),
-            "reg": pa.array(out_r, pa.int64()),
-            "rho": pa.array(out_v, pa.int64()),
-        })
-
     merged = (
-        ds.map_batches(register_partials, batch_format="pyarrow")
+        ds.map_batches(_register_partials_fn(day_col, value_col, p),
+                       batch_format="pyarrow")
         .groupby(["day", "reg"])
         .aggregate(Max("rho", alias_name="rho"))
         .to_pandas()
@@ -501,43 +506,21 @@ def hll_rolling_distinct_per_day(
             grp = by_day[days[j]]
             np.maximum.at(regs, grp["reg"].to_numpy(), grp["rho"].to_numpy())
         rows.append({"day": d_,
-                     "est": round(hll_estimate_from_registers(regs, p), 3)})
+                     "est": hll_estimate_from_registers(regs, p)})
     return pd.DataFrame(rows)
 
 
 def hll_rolling_sql(table: str, day_expr: str, value_col: str,
-                    p: int = 10, window_days: int = 7) -> str:
-    """SQL mirror of ``hll_rolling_distinct_per_day``: per-day registers,
-    window union via a banded day self-join + register max, the same
-    exact-integer estimator."""
+                    p: int = 12, window_days: int = 7) -> str:
+    """SQL mirror of ``hll_rolling_distinct_per_day``: per-day registers
+    (the SHARED ``_hll_regs_ctes`` chain), window union via a banded day
+    self-join + register max, the same exact-integer estimator.
+    ``p`` must be >= 12 (rho <= 53 keeps the 1 << (53 - rho) shift
+    valid)."""
+    assert p >= 12, "exact-integer S encoding requires p >= 12"
     m = 1 << p
-    reg_div = 1 << (64 - p)
     return f"""
-        WITH s1 AS (
-            SELECT {day_expr} AS k,
-                   (CAST({value_col} AS HUGEINT) + {_K1}) % {_M64} AS u
-            FROM {table}
-            WHERE {day_expr} IS NOT NULL AND {value_col} IS NOT NULL
-        ),
-        s2 AS (SELECT k, {_sql_xor_shift(1 << 30)} AS u FROM s1),
-        s3 AS (SELECT k, {_sql_mulmod(_K2)} AS u FROM s2),
-        s4 AS (SELECT k, {_sql_xor_shift(1 << 27)} AS u FROM s3),
-        s5 AS (SELECT k, {_sql_mulmod(_K3)} AS u FROM s4),
-        s6 AS (SELECT k, {_sql_xor_shift(1 << 31)} AS u FROM s5),
-        hashed AS (
-            SELECT k,
-                   CAST(u // {reg_div} AS BIGINT) AS reg,
-                   CAST(u % {reg_div} AS BIGINT) AS w
-            FROM s6
-        ),
-        rhos AS (
-            SELECT k, reg,
-                   {64 - p + 1} - CASE WHEN w > 0
-                                       THEN length(printf('%b', w))
-                                       ELSE 0 END AS rho
-            FROM hashed
-        ),
-        regs AS (SELECT k, reg, max(rho) AS rho FROM rhos GROUP BY k, reg),
+        WITH {_hll_regs_ctes(table, day_expr, value_col, p)},
         days AS (SELECT DISTINCT k AS day FROM regs),
         win AS (
             SELECT d.day, r.reg, max(r.rho) AS rho

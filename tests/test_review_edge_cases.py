@@ -159,3 +159,91 @@ def test_q10_fk_violation_drops_before_ranking(ray_session, tmp_path):
     # the phantom big spender (custkey 999) is gone; customer 1 survives
     assert out["c_custkey"].tolist() == [1]
     assert out["n_name"].iloc[0] == "BRAZIL"
+
+
+def test_mad_null_values_match_oracle_semantics(ray_session, tmp_path):
+    """NULL values are skipped in BOTH quantile rounds (a NaN abs-dev
+    would be a valid arrow float and poison round 2); an all-NULL type
+    is dropped like the oracle's inner join."""
+    from pii_filter_ray.pipelines import relational as r
+
+    pq.write_table(pa.table({
+        "event_type": pa.array(["a", "a", "a", "b", "b"], pa.string()),
+        "value": pa.array([1.0, None, 3.0, None, None], pa.float64()),
+    }), tmp_path / "events.parquet")
+    out = r.events_value_mad(str(tmp_path))
+    assert out["event_type"].tolist() == ["a"]
+    # median of {1,3} via quantile_disc(0.5) = 1.0; abs devs {0, 2} -> 0.0
+    assert out["median_value"].iloc[0] == 1.0
+    assert out["mad6"].iloc[0] == 0.0
+
+
+def test_q15_empty_window(ray_session, tmp_path):
+    from pii_filter_ray.pipelines import relational as r
+
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array([1], pa.int64()),
+        "l_shipdate": pa.array([pd.Timestamp("1990-01-01")],
+                               pa.timestamp("us")),
+        "l_extendedprice": pa.array([10.0], pa.float64()),
+        "l_discount": pa.array([0.0], pa.float64()),
+    }), tmp_path / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1], pa.int64()),
+        "s_name": pa.array(["S1"], pa.string()),
+    }), tmp_path / "supplier.parquet")
+    out = r.q15_top_supplier(str(tmp_path))
+    assert len(out) == 0
+
+
+def test_gini_empty_events(ray_session, tmp_path):
+    from pii_filter_ray.pipelines import relational as r
+
+    pq.write_table(pa.table({"user_id": pa.array([], pa.int64())}),
+                   tmp_path / "events.parquet")
+    out = r.events_user_gini(str(tmp_path))
+    import numpy as np
+    assert len(out) == 1 and np.isnan(out["gini6"].iloc[0])
+
+
+def test_attribution_no_purchases(ray_session, tmp_path):
+    from pii_filter_ray.pipelines import relational as r
+
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([1, 2], pa.int64()),
+        "event_type": pa.array(["click", "view"], pa.string()),
+        "ts": pa.array([pd.Timestamp("2024-01-01")] * 2,
+                       pa.timestamp("us")),
+    }), tmp_path / "events.parquet")
+    out = r.events_attribution(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["day", "n_purchases", "n_attributed"]
+
+
+def test_cc_nonconvergence_fails_loudly(ray_session):
+    """A chain component whose diameter exceeds max_iters must raise,
+    never silently return split components."""
+    import pyarrow as _pa
+    import ray as _ray
+
+    from pii_filter_ray.stages.dedup import dup_components_joined
+
+    n = 12  # path 0-1-2-...-11: diameter 11 > max_iters=3
+    edges = _ray.data.from_arrow(_pa.table({
+        "id_a": _pa.array(list(range(n - 1)), _pa.int64()),
+        "id_b": _pa.array(list(range(1, n)), _pa.int64()),
+    }))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_components_joined(edges, max_iters=3)
+    # and with enough rounds the same chain resolves to one component
+    comp = dup_components_joined(edges, max_iters=n + 2).to_pandas()
+    assert set(comp["component"]) == {0}
+
+
+def test_rolling_hll_rejects_small_p(ray_session):
+    from pii_filter_ray.stages.sketches import (
+        hll_rolling_distinct_per_day, hll_rolling_sql)
+
+    with pytest.raises(AssertionError):
+        hll_rolling_sql("events", "x", "user_id", p=10)
