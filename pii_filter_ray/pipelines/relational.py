@@ -5497,7 +5497,10 @@ def doc_entity_resolution(sf_dir: str):
     edges = pairs.map_batches(verify, batch_format="pyarrow")
     # SNM edges form chain-like components whose diameter grows with
     # cluster size; min-label propagation needs ~diameter rounds (the
-    # stage fails loud rather than splitting components at the cap)
+    # stage fails loud rather than splitting components at the cap).
+    # For corpora where dup chains can outgrow this cap, swap in
+    # stages/dedup.dup_components_doubling — pointer jumping converges
+    # in O(log diameter) rounds (equivalence-tested)
     comp = dup_components_joined(edges, max_iters=64)
 
     nc = pq.read_table(os.path.join(sf_dir, "documents.parquet"),

@@ -1080,3 +1080,131 @@ def dup_components_joined(
             f"max_iters={max_iters} rounds — component diameter exceeds "
             f"the cap; raise max_iters")
     return labels
+
+
+def dup_components_doubling(
+    pairs: "ray.data.Dataset", max_iters: int = 48
+) -> "ray.data.Dataset":
+    """Connected components in O(log diameter) rounds — the scale answer
+    to chain-shaped components (sorted-neighborhood / near-dup edges),
+    where plain min-label propagation (``dup_components_joined``) needs
+    ~diameter rounds.
+
+    Shiloach-Vishkin-style alternation, all distributed:
+
+      A. edge relaxation — one tagged-union groupby per node: its label
+         row plus its adjacency rows; the group emits min-label messages
+         to every neighbor (exactly one hop of propagation);
+      B. pointer jumping — l(v) <- l(l(v)): requester rows keyed by the
+         CURRENT label join (one tagged-union groupby) against the label
+         table, so label chains halve every round.
+
+    Labels only decrease and are bounded by the component minimum, so
+    the label sum is a monotone convergence witness; like the joined
+    variant this FAILS LOUD if the cap is hit (log2 of any practical
+    diameter fits 48). Output: (id, component) — set-identical to
+    ``dup_components_joined`` (equivalence-tested on chains and random
+    graphs)."""
+    from ray.data.aggregate import Min, Sum
+
+    def adjacency(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_pylist()
+        b = batch["id_b"].to_pylist()
+        n = len(a) + len(b)
+        return pa.table({
+            "id": pa.array(a + b, pa.int64()),
+            "nbr": pa.array(b + a, pa.int64()),
+            "comp": pa.array(np.zeros(n, dtype="int64"), pa.int64()),
+            "__m": pa.array(np.zeros(n, dtype="int8"), pa.int8()),
+        })
+
+    adj = pairs.map_batches(adjacency, batch_format="pyarrow").materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_pylist()
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "component": pa.array(ids, pa.int64())})
+
+    labels = (
+        adj.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(Min("component", alias_name="component"))
+        .materialize()
+    )
+
+    def tag_labels(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "id": b["id"],
+            "nbr": pa.array(np.zeros(b.num_rows, dtype="int64"),
+                            pa.int64()),
+            "comp": pc.cast(b["component"], pa.int64()),
+            "__m": pa.array(np.ones(b.num_rows, dtype="int8"), pa.int8()),
+        })
+
+    def relax(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["__m"] == 1]
+        if len(lab) == 0:
+            return pd.DataFrame({"id": pd.Series(dtype="int64"),
+                                 "component": pd.Series(dtype="int64")})
+        comp = int(lab["comp"].min())
+        nbrs = g[g["__m"] == 0]["nbr"].tolist()
+        ids = nbrs + [int(g["id"].iloc[0])]
+        return pd.DataFrame({"id": ids, "component": [comp] * len(ids)})
+
+    def jump_group(g: pd.DataFrame) -> pd.DataFrame:
+        # group key = some label value k; marker row carries l(k),
+        # requester rows are nodes v whose current label is k
+        lab = g[g["__m"] == 1]
+        if len(lab) == 0:  # k is a label that is itself unlabeled here
+            return pd.DataFrame({"id": pd.Series(dtype="int64"),
+                                 "component": pd.Series(dtype="int64")})
+        comp = int(lab["comp"].min())
+        reqs = g[g["__m"] == 0]["nbr"].tolist()
+        ids = reqs + [int(g["id"].iloc[0])]
+        return pd.DataFrame({"id": ids, "component": [comp] * len(ids)})
+
+    converged = False
+    prev_sum = None
+    for _ in range(max_iters):
+        # A: one hop of neighbor-min propagation
+        labels = (
+            labels.map_batches(tag_labels, batch_format="pyarrow")
+            .union(adj)
+            .groupby("id")
+            .map_groups(relax, batch_format="pandas")
+            .groupby("id")
+            .aggregate(Min("component", alias_name="component"))
+            .materialize()
+        )
+
+        # B: pointer jump l(v) <- l(l(v)): requesters keyed by label
+        def requesters(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "id": pc.cast(b["component"], pa.int64()),  # group key
+                "nbr": b["id"],                             # requester
+                "comp": pa.array(np.zeros(b.num_rows, dtype="int64"),
+                                 pa.int64()),
+                "__m": pa.array(np.zeros(b.num_rows, dtype="int8"),
+                                pa.int8()),
+            })
+
+        labels = (
+            labels.map_batches(tag_labels, batch_format="pyarrow")
+            .union(labels.map_batches(requesters, batch_format="pyarrow"))
+            .groupby("id")
+            .map_groups(jump_group, batch_format="pandas")
+            .groupby("id")
+            .aggregate(Min("component", alias_name="component"))
+            .materialize()
+        )
+
+        cur_sum = labels.aggregate(Sum("component", alias_name="s"))["s"]
+        if cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"dup_components_doubling: labels did not converge within "
+            f"max_iters={max_iters} rounds")
+    return labels

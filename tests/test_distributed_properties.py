@@ -490,3 +490,36 @@ def test_triangle_closure_paths_equivalent(ray_session):
     a = r.part_triangle_count("/root/testdata/sf0.001", closure="broadcast")
     b = r.part_triangle_count("/root/testdata/sf0.001", closure="shuffle")
     assert a.equals(b)
+
+
+def test_cc_doubling_equivalent_and_log_rounds(ray_session):
+    """Pointer-jumping CC must match the propagation variant on a random
+    graph AND resolve a 64-node chain (diameter 63) within 10 rounds —
+    plain min-label propagation would need ~63."""
+    import numpy as np
+    import pyarrow as _pa
+    import ray as _ray
+
+    from pii_filter_ray.stages.dedup import (
+        dup_components_doubling, dup_components_joined)
+
+    def run(fn, edges, **kw):
+        df = fn(_ray.data.from_arrow(edges), **kw).to_pandas()
+        return sorted(map(tuple, df[["id", "component"]].values))
+
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 40, 45).astype("int64")
+    b = rng.randint(0, 40, 45).astype("int64")
+    keep = a != b
+    edges = _pa.table({"id_a": _pa.array(a[keep]), "id_b": _pa.array(b[keep])})
+    assert run(dup_components_doubling, edges) == run(
+        dup_components_joined, edges, max_iters=60)
+
+    n = 64
+    chain = _pa.table({
+        "id_a": _pa.array(list(range(n - 1)), _pa.int64()),
+        "id_b": _pa.array(list(range(1, n)), _pa.int64()),
+    })
+    comp = dup_components_doubling(
+        _ray.data.from_arrow(chain), max_iters=10).to_pandas()
+    assert set(comp["component"]) == {0} and len(comp) == n
