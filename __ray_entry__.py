@@ -248,6 +248,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q8 market share + grouped median absolute deviation
         "q8_market_share": r.q8_market_share,
         "events_value_mad": r.events_value_mad,
+        # lexical association + tokenizer-prep dictionary encoding
+        "doc_pmi_collocations": r.doc_pmi_collocations,
+        "doc_vocab_encode": r.doc_vocab_encode,
     }
 
 
@@ -1449,6 +1452,51 @@ def oracle_sql() -> dict[str, str]:
             JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY c_name, c_custkey, o_orderkey, o_date, o_totalprice
             HAVING sum(l_quantity) > 300
+        """,
+        "doc_pmi_collocations": f"""
+            WITH w AS (SELECT {o.words_expr('text')} AS ws FROM documents),
+            u AS (SELECT unnest(ws) AS w FROM w),
+            uc AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+                   FROM u GROUP BY w),
+            t1 AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM uc),
+            b AS (
+                SELECT ws[i] AS w1, ws[i + 1] AS w2
+                FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w)
+            ),
+            bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+                   FROM b GROUP BY 1, 2),
+            t2 AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM bc),
+            s AS (
+                SELECT bc.w1, bc.w2, bc.n,
+                       ln((bc.n / t2.t)
+                          / ((u1.n / t1.t) * (u2.n / t1.t))) AS pmi
+                FROM bc JOIN uc u1 ON u1.w = bc.w1
+                        JOIN uc u2 ON u2.w = bc.w2
+                CROSS JOIN t1 CROSS JOIN t2
+                WHERE bc.n >= 5
+            )
+            SELECT w1, w2, n, round(pmi, 6) AS pmi6
+            FROM s ORDER BY pmi DESC, w1, w2 LIMIT 10
+        """,
+        "doc_vocab_encode": f"""
+            WITH w AS (
+                SELECT doc_id, {o.words_expr('text')} AS ws FROM documents
+            ),
+            u AS (SELECT unnest(ws) AS w FROM w),
+            uc AS (SELECT w, count(*) AS n FROM u GROUP BY w),
+            v AS (
+                SELECT w, row_number() OVER (ORDER BY n DESC, w) AS tid
+                FROM uc QUALIFY tid <= 64
+            ),
+            tok AS (
+                SELECT doc_id, i AS pos, ws[i] AS term
+                FROM (SELECT doc_id, ws,
+                             unnest(range(1, least(len(ws), 8) + 1)) AS i
+                      FROM w WHERE doc_id % 100 = 0)
+            )
+            SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos,
+                   CAST(coalesce(v.tid, 0) AS BIGINT) AS token_id
+            FROM tok t LEFT JOIN v ON v.w = t.term
         """,
         "q8_market_share": """
             WITH j AS (

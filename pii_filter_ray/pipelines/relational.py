@@ -5951,3 +5951,134 @@ def events_value_mad(sf_dir: str):
         "mad6": round_half_away(mad["value"].to_numpy(np.float64), 6),
     })
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def doc_pmi_collocations(sf_dir: str, min_count: int = 5, k: int = 10):
+    """Top-k word collocations by pointwise mutual information:
+    PMI(w1,w2) = ln(p12 / (p1*p2)) over adjacent word pairs with
+    c12 >= min_count. Unigram and bigram tables build from block-local
+    Counter partials (one bounded shuffle each); unigram counts broadcast
+    back onto the bigram table (bounded by observed-pair vocabulary —
+    the warehouse-scale alternative is two hash_joins by token), PMI
+    evaluates with the SQL expression shape mirrored exactly, and top-k
+    extracts via per-block partials + a blocks*k driver merge."""
+    ds = _tbl(sf_dir, "documents", columns=["text"])
+
+    def uni_partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: "Counter" = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(t.split())
+        return pa.table({"w": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    def bi_partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: "Counter" = Counter()
+        for t in batch["text"].to_pylist():
+            ws = t.split()
+            c.update(zip(ws, ws[1:]))
+        if not c:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        w1, w2 = zip(*c.keys())
+        return pa.table({"w1": pa.array(w1, pa.string()),
+                         "w2": pa.array(w2, pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    uni = (ds.map_batches(uni_partials, batch_format="pyarrow")
+           .groupby("w").aggregate(Sum("n", alias_name="n"))
+           .materialize())
+    t1 = float(int(uni.aggregate(Sum("n", alias_name="s"))["s"]))
+    bi = (ds.map_batches(bi_partials, batch_format="pyarrow")
+          .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n"))
+          .materialize())
+    t2 = float(int(bi.aggregate(Sum("n", alias_name="s"))["s"]))
+
+    up = uni.to_pandas()
+    uref = ray.put(dict(zip(up["w"], up["n"].astype("int64"))))
+
+    def topk_block(batch: pa.Table) -> pa.Table:
+        u = ray.get(uref)
+        df = batch.to_pandas()
+        df = df[df["n"] >= min_count]
+        if len(df) == 0:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "pmi": pa.array([], pa.float64())})
+        c1 = df["w1"].map(u).astype("float64").to_numpy()
+        c2 = df["w2"].map(u).astype("float64").to_numpy()
+        c12 = df["n"].astype("float64").to_numpy()
+        # SQL-mirrored shape: ln((c12 / t2) / ((c1 / t1) * (c2 / t1)))
+        pmi = np.log((c12 / t2) / ((c1 / t1) * (c2 / t1)))
+        df = df.assign(pmi=pmi).sort_values(
+            ["pmi", "w1", "w2"], ascending=[False, True, True],
+            kind="mergesort").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    top = (bi.map_batches(topk_block, batch_format="pyarrow").to_pandas()
+           .sort_values(["pmi", "w1", "w2"], ascending=[False, True, True],
+                        kind="mergesort").head(k).reset_index(drop=True))
+    top["pmi6"] = round_half_away(top["pmi"].to_numpy(np.float64), 6)
+    return (top[["w1", "w2", "n", "pmi6"]]
+            .astype({"w1": "string", "w2": "string", "n": "int64",
+                     "pmi6": "float64"}))
+
+
+def doc_vocab_encode(sf_dir: str, vocab_size: int = 64):
+    """Dictionary encoding for tokenizer prep: the top-``vocab_size``
+    tokens by (count DESC, token) become dense ids 1..V; every 100th
+    document's first 8 tokens encode through the broadcast vocabulary
+    (OOV -> 0). The vocabulary extracts from the bounded count table via
+    per-block top-k partials — the full vocabulary never sorts
+    globally."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def uni_partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: "Counter" = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(t.split())
+        return pa.table({"w": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    counts = (ds.map_batches(uni_partials, batch_format="pyarrow")
+              .groupby("w").aggregate(Sum("n", alias_name="n")))
+
+    def topv_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n", "w"], ascending=[False, True],
+            kind="mergesort").head(vocab_size)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    vocab = (counts.map_batches(topv_block, batch_format="pyarrow")
+             .to_pandas()
+             .sort_values(["n", "w"], ascending=[False, True],
+                          kind="mergesort").head(vocab_size)
+             .reset_index(drop=True))
+    vmap = {w: i + 1 for i, w in enumerate(vocab["w"])}
+    vref = ray.put(vmap)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        vm = ray.get(vref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 100 == 0
+        out_d, out_p, out_t = [], [], []
+        for d, t in zip(ids[keep],
+                        np.asarray(batch["text"].to_pylist(),
+                                   dtype=object)[keep]):
+            for p, w in enumerate(t.split()[:8]):
+                out_d.append(int(d))
+                out_p.append(p + 1)
+                out_t.append(vm.get(w, 0))
+        return pa.table({
+            "doc_id": pa.array(out_d, pa.int64()),
+            "pos": pa.array(out_p, pa.int64()),
+            "token_id": pa.array(out_t, pa.int64()),
+        })
+
+    df = ds.map_batches(encode, batch_format="pyarrow").to_pandas()
+    return df.astype({"doc_id": "int64", "pos": "int64",
+                      "token_id": "int64"})
