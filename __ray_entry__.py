@@ -251,6 +251,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lexical association + tokenizer-prep dictionary encoding
         "doc_pmi_collocations": r.doc_pmi_collocations,
         "doc_vocab_encode": r.doc_vocab_encode,
+        # market-basket rules + daily series cross-correlation
+        "part_association_rules": r.part_association_rules,
+        "events_daily_xcorr": r.events_daily_xcorr,
     }
 
 
@@ -1452,6 +1455,62 @@ def oracle_sql() -> dict[str, str]:
             JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY c_name, c_custkey, o_orderkey, o_date, o_totalprice
             HAVING sum(l_quantity) > 300
+        """,
+        "part_association_rules": """
+            WITH pl AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            no AS (
+                SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
+                FROM lineitem
+            ),
+            ic AS (
+                SELECT l_partkey AS item, CAST(count(*) AS BIGINT) AS n
+                FROM pl GROUP BY 1
+            ),
+            pr AS (
+                SELECT x.l_partkey AS a, y.l_partkey AS b,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM pl x JOIN pl y
+                  ON x.l_orderkey = y.l_orderkey
+                 AND x.l_partkey < y.l_partkey
+                GROUP BY 1, 2
+            )
+            SELECT pr.a, pr.b, pr.n,
+                   round(pr.n / CAST(no.n AS DOUBLE), 6) AS support6,
+                   round(pr.n / CAST(ia.n AS DOUBLE), 6) AS conf_ab6,
+                   round(pr.n / CAST(ib.n AS DOUBLE), 6) AS conf_ba6
+            FROM pr JOIN ic ia ON ia.item = pr.a
+                    JOIN ic ib ON ib.item = pr.b
+            CROSS JOIN no
+            ORDER BY pr.n DESC, pr.a, pr.b LIMIT 10
+        """,
+        "events_daily_xcorr": """
+            WITH d AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS day,
+                       CAST(sum(CASE WHEN event_type = 'click'
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                       CAST(sum(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS y
+                FROM events
+                WHERE event_type IN ('click', 'purchase')
+                GROUP BY day
+            ),
+            a AS (
+                SELECT CAST(count(*) AS BIGINT) AS nd,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x * x) AS BIGINT) AS sxx,
+                       CAST(sum(y * y) AS BIGINT) AS syy,
+                       CAST(sum(x * y) AS BIGINT) AS sxy
+                FROM d
+            )
+            SELECT round(CAST(nd * sxy - sx * sy AS DOUBLE)
+                         / sqrt(CAST(nd * sxx - sx * sx AS DOUBLE)
+                                * CAST(nd * syy - sy * sy AS DOUBLE)),
+                         6) AS r6,
+                   nd AS n_days
+            FROM a
         """,
         "doc_pmi_collocations": f"""
             WITH w AS (SELECT {o.words_expr('text')} AS ws FROM documents),

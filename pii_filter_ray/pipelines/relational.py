@@ -6082,3 +6082,140 @@ def doc_vocab_encode(sf_dir: str, vocab_size: int = 64):
     df = ds.map_batches(encode, batch_format="pyarrow").to_pandas()
     return df.astype({"doc_id": "int64", "pos": "int64",
                       "token_id": "int64"})
+
+
+def part_association_rules(sf_dir: str, k: int = 10):
+    """Market-basket association rules (Apriori level 2): the top-k part
+    pairs by basket support, with support and both confidences. Pair
+    counts reuse the orderkey-bucketed within-basket pair expansion from
+    triangle counting, but keep MULTIPLICITY across baskets; the (a, b)
+    combine is hash-BUCKETED with a vectorized in-bucket sum (a Ray
+    groupby over |pairs| groups pays per-group overhead — the measured
+    211s-vs-6s lesson), and top-k extracts via per-block partials. Item
+    counts and the basket total are bounded aggregates; confidences
+    decorate ONLY the k winners."""
+    buckets = 64
+    ds = _tbl(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def dedup_tag(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        b = pc.cast(pc.bit_wise_and(g["l_orderkey"],
+                                    pa.scalar(buckets - 1)), pa.int64())
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "l_partkey": g["l_partkey"], "bucket": b})
+
+    def order_pairs_counted(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        # one distinct basket contributes each pair once; multiplicity
+        # ACROSS baskets is the support count — pre-combine per bucket
+        c = (m.groupby(["l_partkey_x", "l_partkey_y"], sort=False)
+             .size().reset_index(name="n"))
+        # distinct baskets + per-item basket counts, also per bucket
+        no = d["l_orderkey"].nunique()
+        ic = d.groupby("l_partkey", sort=False)["l_orderkey"].nunique()
+        pairs = pd.DataFrame({
+            "kind": "pair", "a": c["l_partkey_x"].to_numpy(np.int64),
+            "b": c["l_partkey_y"].to_numpy(np.int64),
+            "n": c["n"].to_numpy(np.int64)})
+        items = pd.DataFrame({
+            "kind": "item", "a": ic.index.to_numpy(np.int64),
+            "b": np.zeros(len(ic), np.int64),
+            "n": ic.to_numpy(np.int64)})
+        tot = pd.DataFrame({"kind": ["total"], "a": [0], "b": [0],
+                            "n": [int(no)]})
+        return pd.concat([pairs, items, tot], ignore_index=True)
+
+    rows = (ds.map_batches(dedup_tag, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(order_pairs_counted, batch_format="pandas")
+            .materialize())
+    # baskets are bucketed BY orderkey, so per-bucket pair/item/total
+    # partials are disjoint and sum exactly
+    def keep_kind(kind):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch["kind"], pa.scalar(kind)))
+        return fn
+
+    n_orders = int(rows.map_batches(keep_kind("total"),
+                                    batch_format="pyarrow")
+                   .aggregate(Sum("n", alias_name="s"))["s"])
+
+    def pair_bucket(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["kind"], pa.scalar("pair")))
+        a = b["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bb = b["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pb = (((a << np.uint64(32)) | bb) % np.uint64(buckets)).astype(
+            np.int64)
+        return pa.table({"a": b["a"], "b": b["b"], "n": b["n"],
+                         "pb": pa.array(pb, pa.int64())})
+
+    def pair_sum_topk(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["a", "b"], sort=False)["n"].sum().reset_index()
+        return c.sort_values(["n", "a", "b"],
+                             ascending=[False, True, True],
+                             kind="mergesort").head(k)
+
+    top = (rows.map_batches(pair_bucket, batch_format="pyarrow")
+           .groupby("pb").map_groups(pair_sum_topk, batch_format="pandas")
+           .to_pandas()
+           .sort_values(["n", "a", "b"], ascending=[False, True, True],
+                        kind="mergesort").head(k).reset_index(drop=True))
+
+    items = (rows.map_batches(keep_kind("item"), batch_format="pyarrow")
+             .groupby("a").aggregate(Sum("n", alias_name="n")).to_pandas())
+    imap = dict(zip(items["a"].astype("int64"), items["n"].astype("int64")))
+    na = top["a"].map(imap).astype("float64").to_numpy()
+    nb = top["b"].map(imap).astype("float64").to_numpy()
+    n = top["n"].astype("float64").to_numpy()
+    return pd.DataFrame({
+        "a": top["a"].astype("int64"), "b": top["b"].astype("int64"),
+        "n": top["n"].astype("int64"),
+        "support6": round_half_away(n / float(n_orders), 6),
+        "conf_ab6": round_half_away(n / na, 6),
+        "conf_ba6": round_half_away(n / nb, 6),
+    })
+
+
+def events_daily_xcorr(sf_dir: str):
+    """Pearson correlation between the daily click and purchase count
+    series: one bounded (day x {click,purchase}) pivot shuffle (count
+    partials per block), then the closed form evaluates from six EXACT
+    integer sums on the days table — both engines compute the identical
+    double. Days observed for only one series count the other as 0."""
+    ds = _tbl(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_in(batch["event_type"],
+                                  value_set=pa.array(["click", "purchase"],
+                                                     pa.string())))
+        t = pa.table({
+            "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+            "x": pc.cast(pc.equal(b["event_type"], pa.scalar("click")),
+                         pa.int64()),
+            "y": pc.cast(pc.equal(b["event_type"], pa.scalar("purchase")),
+                         pa.int64()),
+        })
+        g = t.group_by("day").aggregate([("x", "sum"), ("y", "sum")])
+        return pa.table({"day": g["day"], "x": g["x_sum"],
+                         "y": g["y_sum"]})
+
+    daily = (ds.map_batches(partials, batch_format="pyarrow")
+             .groupby("day")
+             .aggregate(Sum("x", alias_name="x"), Sum("y", alias_name="y"))
+             .to_pandas())
+    nd = len(daily)
+    if nd == 0:
+        return pd.DataFrame({"r6": [float("nan")],
+                             "n_days": pd.array([0], dtype="int64")})
+    x = daily["x"].to_numpy(np.int64)
+    y = daily["y"].to_numpy(np.int64)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx, syy, sxy = int((x * x).sum()), int((y * y).sum()), int((x * y).sum())
+    num = float(nd * sxy - sx * sy)
+    den = float(np.sqrt(float(nd * sxx - sx * sx)
+                        * float(nd * syy - sy * sy)))
+    r = num / den if den != 0.0 else float("nan")
+    return pd.DataFrame({"r6": [float(round_half_away(r, 6))],
+                         "n_days": pd.array([nd], dtype="int64")})
