@@ -4937,7 +4937,9 @@ def part_triangle_count(sf_dir: str, closure: str | None = None,
         # map_groups pays per-BUCKET instead
         a = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
         b = batch["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        pb = (((a << np.uint64(32)) | b) % np.uint64(buckets)).astype(
+        # polynomial mix, NOT (a<<32|b) — with buckets a power of two the
+        # shifted term is a multiple of the modulus and a would be dead
+        pb = ((a * np.uint64(1_000_003) + b) % np.uint64(buckets)).astype(
             np.int64)
         return batch.append_column("pb", pa.array(pb, pa.int64()))
 
@@ -5074,7 +5076,7 @@ def part_triangle_count(sf_dir: str, closure: str | None = None,
     def add_cbucket(batch: pa.Table) -> pa.Table:
         x = batch["x"].to_numpy(zero_copy_only=False).astype(np.uint64)
         y = batch["y"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        cb = (((x << np.uint64(32)) | y) % np.uint64(buckets)).astype(
+        cb = ((x * np.uint64(1_000_003) + y) % np.uint64(buckets)).astype(
             np.int64)
         return batch.append_column("cb", pa.array(cb, pa.int64()))
 
@@ -5953,6 +5955,19 @@ def events_value_mad(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def _word_count_partials(batch: pa.Table) -> pa.Table:
+    """Block-local token Counter partials over text.split() — the ONE
+    implementation of the whitespace tokenization contract mirrored by
+    oracles.words_expr (PMI, vocab encoding; the bigram/feature-hashing
+    ops keep their pair/bucket-specific variants)."""
+    from collections import Counter
+    c: "Counter" = Counter()
+    for t in batch["text"].to_pylist():
+        c.update(t.split())
+    return pa.table({"w": pa.array(list(c.keys()), pa.string()),
+                     "n": pa.array(list(c.values()), pa.int64())})
+
+
 def doc_pmi_collocations(sf_dir: str, min_count: int = 5, k: int = 10):
     """Top-k word collocations by pointwise mutual information:
     PMI(w1,w2) = ln(p12 / (p1*p2)) over adjacent word pairs with
@@ -5963,14 +5978,6 @@ def doc_pmi_collocations(sf_dir: str, min_count: int = 5, k: int = 10):
     evaluates with the SQL expression shape mirrored exactly, and top-k
     extracts via per-block partials + a blocks*k driver merge."""
     ds = _tbl(sf_dir, "documents", columns=["text"])
-
-    def uni_partials(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-        c: "Counter" = Counter()
-        for t in batch["text"].to_pylist():
-            c.update(t.split())
-        return pa.table({"w": pa.array(list(c.keys()), pa.string()),
-                         "n": pa.array(list(c.values()), pa.int64())})
 
     def bi_partials(batch: pa.Table) -> pa.Table:
         from collections import Counter
@@ -5987,16 +5994,16 @@ def doc_pmi_collocations(sf_dir: str, min_count: int = 5, k: int = 10):
                          "w2": pa.array(w2, pa.string()),
                          "n": pa.array(list(c.values()), pa.int64())})
 
-    uni = (ds.map_batches(uni_partials, batch_format="pyarrow")
+    uni = (ds.map_batches(_word_count_partials, batch_format="pyarrow")
            .groupby("w").aggregate(Sum("n", alias_name="n"))
            .materialize())
-    t1 = float(int(uni.aggregate(Sum("n", alias_name="s"))["s"]))
     bi = (ds.map_batches(bi_partials, batch_format="pyarrow")
           .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n"))
           .materialize())
     t2 = float(int(bi.aggregate(Sum("n", alias_name="s"))["s"]))
 
-    up = uni.to_pandas()
+    up = uni.to_pandas()  # collected anyway for the broadcast — derive
+    t1 = float(int(up["n"].sum()))  # the scalar total here, no extra pass
     uref = ray.put(dict(zip(up["w"], up["n"].astype("int64"))))
 
     def topk_block(batch: pa.Table) -> pa.Table:
@@ -6036,15 +6043,7 @@ def doc_vocab_encode(sf_dir: str, vocab_size: int = 64):
     globally."""
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def uni_partials(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-        c: "Counter" = Counter()
-        for t in batch["text"].to_pylist():
-            c.update(t.split())
-        return pa.table({"w": pa.array(list(c.keys()), pa.string()),
-                         "n": pa.array(list(c.values()), pa.int64())})
-
-    counts = (ds.map_batches(uni_partials, batch_format="pyarrow")
+    counts = (ds.map_batches(_word_count_partials, batch_format="pyarrow")
               .groupby("w").aggregate(Sum("n", alias_name="n")))
 
     def topv_block(batch: pa.Table) -> pa.Table:
@@ -6146,7 +6145,7 @@ def part_association_rules(sf_dir: str, k: int = 10):
         b = batch.filter(pc.equal(batch["kind"], pa.scalar("pair")))
         a = b["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
         bb = b["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        pb = (((a << np.uint64(32)) | bb) % np.uint64(buckets)).astype(
+        pb = ((a * np.uint64(1_000_003) + bb) % np.uint64(buckets)).astype(
             np.int64)
         return pa.table({"a": b["a"], "b": b["b"], "n": b["n"],
                          "pb": pa.array(pb, pa.int64())})

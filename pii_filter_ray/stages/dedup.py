@@ -980,6 +980,63 @@ def dup_components(
     return labels
 
 
+def _cc_empty_labels() -> "ray.data.Dataset":
+    """Typed empty (id, component) dataset for edge-less inputs."""
+    return ray.data.from_items([]).map_batches(
+        lambda b: pa.table({"id": pa.array([], pa.int64()),
+                            "component": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+def _cc_adjacency(batch: pa.Table) -> pa.Table:
+    """Bidirectional adjacency rows in the tagged-union message schema.
+    __m=0 marks adjacency rows; comp is ZERO-filled (never read on this
+    side) rather than null-filled — a nulled int64 column turns float64
+    in the pandas group block and silently rounds ids above 2^53. Shared
+    by BOTH component variants (propagation and pointer jumping) so the
+    message protocol has exactly one definition."""
+    a = batch["id_a"].to_pylist()
+    b = batch["id_b"].to_pylist()
+    n = len(a) + len(b)
+    return pa.table({
+        "id": pa.array(a + b, pa.int64()),
+        "nbr": pa.array(b + a, pa.int64()),
+        "comp": pa.array(np.zeros(n, dtype="int64"), pa.int64()),
+        "__m": pa.array(np.zeros(n, dtype="int8"), pa.int8()),
+    })
+
+
+def _cc_init_labels(batch: pa.Table) -> pa.Table:
+    ids = batch["id"].to_pylist()
+    return pa.table({"id": pa.array(ids, pa.int64()),
+                     "component": pa.array(ids, pa.int64())})
+
+
+def _cc_tag_labels(b: pa.Table) -> pa.Table:
+    """Current labels in the tagged-union message schema (__m=1)."""
+    return pa.table({
+        "id": b["id"],
+        "nbr": pa.array(np.zeros(b.num_rows, dtype="int64"), pa.int64()),
+        "comp": pc.cast(b["component"], pa.int64()),
+        "__m": pa.array(np.ones(b.num_rows, dtype="int8"), pa.int8()),
+    })
+
+
+def _cc_group_min_emit(g: pd.DataFrame) -> pd.DataFrame:
+    """One tagged-union group = one node (or one label value): the
+    marker rows' (__m=1) min comp broadcasts to every requester row
+    (__m=0, via nbr) and back to the group key itself."""
+    lab = g[g["__m"] == 1]
+    if len(lab) == 0:
+        return pd.DataFrame({"id": pd.Series(dtype="int64"),
+                             "component": pd.Series(dtype="int64")})
+    comp = int(lab["comp"].min())
+    reqs = g[g["__m"] == 0]["nbr"].tolist()
+    ids = reqs + [int(g["id"].iloc[0])]
+    return pd.DataFrame({"id": ids, "component": [comp] * len(ids)})
+
+
 def dup_components_joined(
     pairs: "ray.data.Dataset", max_iters: int = 10
 ) -> "ray.data.Dataset":
@@ -995,38 +1052,13 @@ def dup_components_joined(
     """
     from ray.data.aggregate import Min, Sum
 
-    def adjacency(batch: pa.Table) -> pa.Table:
-        # __m=0 marks adjacency rows; comp is ZERO-filled (never read on
-        # this side) rather than null-filled — nulled int64 turns float64
-        # in the pandas group block and rounds ids above 2^53
-        a = batch["id_a"].to_pylist()
-        b = batch["id_b"].to_pylist()
-        n = len(a) + len(b)
-        return pa.table(
-            {
-                "id": pa.array(a + b, pa.int64()),
-                "nbr": pa.array(b + a, pa.int64()),
-                "comp": pa.array(np.zeros(n, dtype="int64"), pa.int64()),
-                "__m": pa.array(np.zeros(n, dtype="int8"), pa.int8()),
-            }
-        )
-
     edges = pairs.select_columns(["id_a", "id_b"]).materialize()
     if edges.count() == 0:
-        return ray.data.from_items([]).map_batches(
-            lambda b: pa.table({"id": pa.array([], pa.int64()),
-                                "component": pa.array([], pa.int64())}),
-            batch_format="pyarrow",
-        )
-    adj = edges.map_batches(adjacency, batch_format="pyarrow").materialize()
-
-    def init_labels(batch: pa.Table) -> pa.Table:
-        ids = batch["id"].to_pylist()
-        return pa.table({"id": pa.array(ids, pa.int64()),
-                         "component": pa.array(ids, pa.int64())})
+        return _cc_empty_labels()
+    adj = edges.map_batches(_cc_adjacency, batch_format="pyarrow").materialize()
 
     labels = (
-        adj.map_batches(init_labels, batch_format="pyarrow")
+        adj.map_batches(_cc_init_labels, batch_format="pyarrow")
         .groupby("id")
         .aggregate(Min("component", alias_name="component"))
         .materialize()
@@ -1034,32 +1066,11 @@ def dup_components_joined(
     converged = False
     prev_sum = None
     for _ in range(max_iters):
-        tagged_labels = labels.map_batches(
-            lambda b: pa.table(
-                {
-                    "id": b["id"],
-                    "nbr": pa.array(np.zeros(b.num_rows, dtype="int64"), pa.int64()),
-                    "comp": pc.cast(b["component"], pa.int64()),
-                    "__m": pa.array(np.ones(b.num_rows, dtype="int8"), pa.int8()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-
-        def propagate(g: pd.DataFrame) -> pd.DataFrame:
-            comp_rows = g[g["__m"] == 1]
-            if len(comp_rows) == 0:
-                return pd.DataFrame({"id": pd.Series(dtype="int64"),
-                                     "component": pd.Series(dtype="int64")})
-            comp = int(comp_rows["comp"].min())
-            nbrs = g[g["__m"] == 0]["nbr"].tolist()
-            ids = nbrs + [int(g["id"].iloc[0])]
-            return pd.DataFrame({"id": ids, "component": [comp] * len(ids)})
-
         labels = (
-            tagged_labels.union(adj)
+            labels.map_batches(_cc_tag_labels, batch_format="pyarrow")
+            .union(adj)
             .groupby("id")
-            .map_groups(propagate, batch_format="pandas")
+            .map_groups(_cc_group_min_emit, batch_format="pandas")
             .groupby("id")
             .aggregate(Min("component", alias_name="component"))
             .materialize()
@@ -1107,77 +1118,36 @@ def dup_components_doubling(
     graphs)."""
     from ray.data.aggregate import Min, Sum
 
-    def adjacency(batch: pa.Table) -> pa.Table:
-        a = batch["id_a"].to_pylist()
-        b = batch["id_b"].to_pylist()
-        n = len(a) + len(b)
-        return pa.table({
-            "id": pa.array(a + b, pa.int64()),
-            "nbr": pa.array(b + a, pa.int64()),
-            "comp": pa.array(np.zeros(n, dtype="int64"), pa.int64()),
-            "__m": pa.array(np.zeros(n, dtype="int8"), pa.int8()),
-        })
-
-    adj = pairs.map_batches(adjacency, batch_format="pyarrow").materialize()
-
-    def init_labels(batch: pa.Table) -> pa.Table:
-        ids = batch["id"].to_pylist()
-        return pa.table({"id": pa.array(ids, pa.int64()),
-                         "component": pa.array(ids, pa.int64())})
+    edges = pairs.select_columns(["id_a", "id_b"]).materialize()
+    if edges.count() == 0:
+        return _cc_empty_labels()
+    adj = edges.map_batches(_cc_adjacency, batch_format="pyarrow").materialize()
 
     labels = (
-        adj.map_batches(init_labels, batch_format="pyarrow")
+        adj.map_batches(_cc_init_labels, batch_format="pyarrow")
         .groupby("id")
         .aggregate(Min("component", alias_name="component"))
         .materialize()
     )
 
-    def tag_labels(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "id": b["id"],
-            "nbr": pa.array(np.zeros(b.num_rows, dtype="int64"),
-                            pa.int64()),
-            "comp": pc.cast(b["component"], pa.int64()),
-            "__m": pa.array(np.ones(b.num_rows, dtype="int8"), pa.int8()),
-        })
-
-    def relax(g: pd.DataFrame) -> pd.DataFrame:
-        lab = g[g["__m"] == 1]
-        if len(lab) == 0:
-            return pd.DataFrame({"id": pd.Series(dtype="int64"),
-                                 "component": pd.Series(dtype="int64")})
-        comp = int(lab["comp"].min())
-        nbrs = g[g["__m"] == 0]["nbr"].tolist()
-        ids = nbrs + [int(g["id"].iloc[0])]
-        return pd.DataFrame({"id": ids, "component": [comp] * len(ids)})
-
-    def jump_group(g: pd.DataFrame) -> pd.DataFrame:
-        # group key = some label value k; marker row carries l(k),
-        # requester rows are nodes v whose current label is k
-        lab = g[g["__m"] == 1]
-        if len(lab) == 0:  # k is a label that is itself unlabeled here
-            return pd.DataFrame({"id": pd.Series(dtype="int64"),
-                                 "component": pd.Series(dtype="int64")})
-        comp = int(lab["comp"].min())
-        reqs = g[g["__m"] == 0]["nbr"].tolist()
-        ids = reqs + [int(g["id"].iloc[0])]
-        return pd.DataFrame({"id": ids, "component": [comp] * len(ids)})
-
     converged = False
     prev_sum = None
     for _ in range(max_iters):
-        # A: one hop of neighbor-min propagation
+        # A: one hop of neighbor-min propagation (identical message
+        # protocol to the joined variant — shared helpers)
         labels = (
-            labels.map_batches(tag_labels, batch_format="pyarrow")
+            labels.map_batches(_cc_tag_labels, batch_format="pyarrow")
             .union(adj)
             .groupby("id")
-            .map_groups(relax, batch_format="pandas")
+            .map_groups(_cc_group_min_emit, batch_format="pandas")
             .groupby("id")
             .aggregate(Min("component", alias_name="component"))
             .materialize()
         )
 
-        # B: pointer jump l(v) <- l(l(v)): requesters keyed by label
+        # B: pointer jump l(v) <- l(l(v)): requesters keyed by their
+        # CURRENT label; the group for label value k holds k's own
+        # label row (marker) plus every node whose label is k
         def requesters(b: pa.Table) -> pa.Table:
             return pa.table({
                 "id": pc.cast(b["component"], pa.int64()),  # group key
@@ -1189,10 +1159,10 @@ def dup_components_doubling(
             })
 
         labels = (
-            labels.map_batches(tag_labels, batch_format="pyarrow")
+            labels.map_batches(_cc_tag_labels, batch_format="pyarrow")
             .union(labels.map_batches(requesters, batch_format="pyarrow"))
             .groupby("id")
-            .map_groups(jump_group, batch_format="pandas")
+            .map_groups(_cc_group_min_emit, batch_format="pandas")
             .groupby("id")
             .aggregate(Min("component", alias_name="component"))
             .materialize()
