@@ -254,6 +254,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # market-basket rules + daily series cross-correlation
         "part_association_rules": r.part_association_rules,
         "events_daily_xcorr": r.events_daily_xcorr,
+        # time-to-event: signup -> first purchase horizon buckets
+        "events_conversion_latency": r.events_conversion_latency,
     }
 
 
@@ -1455,6 +1457,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY c_name, c_custkey, o_orderkey, o_date, o_totalprice
             HAVING sum(l_quantity) > 300
+        """,
+        "events_conversion_latency": """
+            WITH s AS (
+                SELECT user_id, min(ts) AS t0 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id
+            ),
+            p AS (
+                SELECT s.user_id, min(e.ts) AS t1
+                FROM s JOIN events e
+                  ON e.user_id = s.user_id
+                 AND e.event_type = 'purchase' AND e.ts >= s.t0
+                GROUP BY s.user_id
+            ),
+            j AS (
+                SELECT s.user_id,
+                       epoch_us(p.t1) - epoch_us(s.t0) AS gap
+                FROM s LEFT JOIN p ON p.user_id = s.user_id
+            )
+            SELECT CASE WHEN gap IS NULL THEN 'never'
+                        WHEN gap <= 3600000000 THEN 'le_1h'
+                        WHEN gap <= 86400000000 THEN 'le_1d'
+                        WHEN gap <= 604800000000 THEN 'le_7d'
+                        ELSE 'gt_7d' END AS horizon,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM j GROUP BY 1
         """,
         "part_association_rules": """
             WITH pl AS (

@@ -6218,3 +6218,50 @@ def events_daily_xcorr(sf_dir: str):
     r = num / den if den != 0.0 else float("nan")
     return pd.DataFrame({"r6": [float(round_half_away(r, 6))],
                          "n_days": pd.array([nd], dtype="int64")})
+
+
+def events_conversion_latency(sf_dir: str):
+    """Time-to-event analysis: how long from a user's FIRST signup to
+    their first purchase at-or-after it, bucketed into fixed horizons
+    (<=1h / <=1d / <=7d / >7d / never). One user-bucketed shuffle; each
+    bucket resolves all its users with one vectorized forward merge_asof
+    (first purchase >= first signup), then horizon counts reduce from
+    per-bucket partials — per-user timestamps never reach the driver."""
+    ds = _tbl(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    H = [(3_600_000_000, "le_1h"), (86_400_000_000, "le_1d"),
+         (604_800_000_000, "le_7d")]
+
+    def latency_group(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g[g["event_type"] == "signup"]
+             .groupby("user_id", sort=False)["ts"].min().reset_index())
+        if len(s) == 0:
+            return pd.DataFrame({"horizon": pd.array([], dtype="string"),
+                                 "n_users": pd.array([], dtype="int64")})
+        p = g[g["event_type"] == "purchase"][["user_id", "ts"]].sort_values(
+            "ts", kind="mergesort")
+        m = pd.merge_asof(
+            s.sort_values("ts", kind="mergesort"),
+            p.rename(columns={"ts": "pts"}),
+            left_on="ts", right_on="pts", by="user_id",
+            direction="forward", allow_exact_matches=True)
+        gap = m["pts"] - m["ts"]  # timedelta; NaT = never converted
+        horizon = np.full(len(m), "gt_7d", dtype=object)
+        for lim, name in reversed(H):
+            mask = gap.notna() & (gap <= pd.Timedelta(microseconds=lim))
+            horizon[mask.to_numpy()] = name
+        horizon[gap.isna().to_numpy()] = "never"
+        out = pd.DataFrame({"horizon": horizon}).groupby(
+            "horizon", sort=False).size().reset_index(name="n_users")
+        return out.astype({"horizon": "string", "n_users": "int64"})
+
+    df = (
+        ds.map_batches(_add_user_bucket, batch_format="pyarrow")
+        .groupby("bucket").map_groups(latency_group, batch_format="pandas")
+        .groupby("horizon")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()
+    )
+    if len(df) == 0:
+        return pd.DataFrame({"horizon": pd.array([], dtype="string"),
+                             "n_users": pd.array([], dtype="int64")})
+    return df.astype({"horizon": "string", "n_users": "int64"})
