@@ -256,6 +256,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_xcorr": r.events_daily_xcorr,
         # time-to-event: signup -> first purchase horizon buckets
         "events_conversion_latency": r.events_conversion_latency,
+        # stock-from-flow backlog series + revenue concentration
+        "orders_backlog_series": r.orders_backlog_series,
+        "orders_revenue_concentration": r.orders_revenue_concentration,
     }
 
 
@@ -1457,6 +1460,49 @@ def oracle_sql() -> dict[str, str]:
             JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY c_name, c_custkey, o_orderkey, o_date, o_totalprice
             HAVING sum(l_quantity) > 300
+        """,
+        "orders_backlog_series": """
+            WITH d AS (
+                SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                       1 AS delta
+                FROM orders
+                UNION ALL
+                SELECT strftime(o_orderdate
+                                + to_microseconds(
+                                    (o_orderkey % 30 + 1)
+                                    * 86400000000),
+                                '%Y-%m-%d') AS day,
+                       -1 AS delta
+                FROM orders
+            ),
+            g AS (
+                SELECT day, CAST(sum(delta) AS BIGINT) AS d
+                FROM d GROUP BY day
+            )
+            SELECT day,
+                   CAST(sum(d) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS open_count
+            FROM g
+        """,
+        "orders_revenue_concentration": """
+            WITH pc_ AS (
+                SELECT o_custkey,
+                       CAST(sum(CAST(round(o_totalprice * 100.0, 0)
+                                     AS BIGINT)) AS BIGINT) AS cents
+                FROM orders GROUP BY o_custkey
+            ),
+            tk AS (
+                SELECT CAST(sum(cents) AS BIGINT) AS topk_cents
+                FROM (SELECT cents FROM pc_
+                      ORDER BY cents DESC, o_custkey LIMIT 10)
+            ),
+            t AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents
+                  FROM pc_)
+            SELECT tk.topk_cents, t.total_cents,
+                   round(CAST(tk.topk_cents AS DOUBLE)
+                         / CAST(t.total_cents AS DOUBLE), 6) AS share6
+            FROM tk CROSS JOIN t
         """,
         "events_conversion_latency": """
             WITH s AS (

@@ -6265,3 +6265,68 @@ def events_conversion_latency(sf_dir: str):
         return pd.DataFrame({"horizon": pd.array([], dtype="string"),
                              "n_users": pd.array([], dtype="int64")})
     return df.astype({"horizon": "string", "n_users": "int64"})
+
+
+def orders_backlog_series(sf_dir: str):
+    """Stock-from-flow: the running count of OPEN orders per event day.
+    Every order contributes two deltas — +1 at o_orderdate, -1 at its
+    deterministic close date (orderkey % 30 + 1 days later) — which
+    pre-aggregate to one row per day per block; the bounded daily delta
+    table then integrates with one driver cumsum in exact integers
+    (SQL mirror: window SUM over the same delta days)."""
+    ds = _tbl(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    DAY_US = 86_400_000_000
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy()
+        open_us = pc.cast(batch["o_orderdate"], pa.int64()).to_numpy()
+        close_us = open_us + (k % 30 + 1) * DAY_US
+        both = np.concatenate([open_us, close_us])
+        d = np.concatenate([np.ones(len(k), np.int64),
+                            np.full(len(k), -1, np.int64)])
+        t = pa.table({
+            "day": pc.strftime(pa.array(both, pa.timestamp("us")),
+                               format="%Y-%m-%d"),
+            "d": pa.array(d, pa.int64()),
+        })
+        g = t.group_by("day").aggregate([("d", "sum")])
+        return pa.table({"day": g["day"], "d": g["d_sum"]})
+
+    daily = (ds.map_batches(deltas, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("d", alias_name="d"))
+             .to_pandas())
+    if len(daily) == 0:
+        return pd.DataFrame({"day": pd.array([], dtype="string"),
+                             "open_count": pd.array([], dtype="int64")})
+    daily = daily.sort_values("day", kind="mergesort").reset_index(drop=True)
+    daily["open_count"] = daily["d"].astype("int64").cumsum()
+    return (daily[["day", "open_count"]]
+            .astype({"day": "string", "open_count": "int64"}))
+
+
+def orders_revenue_concentration(sf_dir: str, k: int = 10):
+    """Revenue concentration: the share of total order revenue captured
+    by the top-k customers — one bounded per-custkey preagg in exact
+    cents, a distributed sort+limit for the k winners, a scalar total,
+    and a single mirrored division."""
+    ds = _tbl(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            batch["o_totalprice"].to_numpy() * 100.0, 0).astype(np.int64)
+        return pa.table({"o_custkey": batch["o_custkey"],
+                         "cents": pa.array(cents, pa.int64())})
+
+    per_cust = preagg_groupby(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["o_custkey"], sums={"cents": "cents"}).materialize()
+    top = (per_cust.sort(["cents", "o_custkey"], descending=[True, False])
+           .limit(k).to_pandas())
+    total = int(per_cust.aggregate(Sum("cents", alias_name="s"))["s"])
+    top_sum = int(top["cents"].sum())
+    return pd.DataFrame({
+        "topk_cents": pd.array([top_sum], dtype="int64"),
+        "total_cents": pd.array([total], dtype="int64"),
+        "share6": [float(round_half_away(
+            float(top_sum) / float(total), 6))],
+    })

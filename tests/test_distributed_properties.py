@@ -331,7 +331,8 @@ import pytest
     "events_gap_median", "q8_market_share", "events_value_mad",
     "doc_pmi_collocations", "doc_vocab_encode",
     "part_association_rules", "events_daily_xcorr",
-    "events_conversion_latency",
+    "events_conversion_latency", "orders_backlog_series",
+    "orders_revenue_concentration",
 ])
 def test_round2_ops_invariant_to_block_layout(ray_session, monkeypatch, qname):
     """The round-2 window/rank/histogram/retrieval operators must produce
