@@ -259,6 +259,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stock-from-flow backlog series + revenue concentration
         "orders_backlog_series": r.orders_backlog_series,
         "orders_revenue_concentration": r.orders_revenue_concentration,
+        # TPC-H Q2 shape: correlated-min (cheapest supplier per part)
+        "q2_min_price_supplier": r.q2_min_price_supplier,
     }
 
 
@@ -1460,6 +1462,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY c_name, c_custkey, o_orderkey, o_date, o_totalprice
             HAVING sum(l_quantity) > 300
+        """,
+        "q2_min_price_supplier": """
+            WITH ps AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(sum(CAST(round(l_extendedprice * 100.0, 0)
+                                     AS BIGINT)) AS BIGINT) AS cents,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_size = 15
+                GROUP BY l_partkey, l_suppkey
+            ),
+            a AS (
+                SELECT l_partkey, l_suppkey,
+                       (CAST(cents AS DOUBLE) / CAST(n AS DOUBLE))
+                           / 100.0 AS avg_price,
+                       row_number() OVER (
+                           PARTITION BY l_partkey
+                           ORDER BY (CAST(cents AS DOUBLE)
+                                     / CAST(n AS DOUBLE)) / 100.0,
+                                    l_suppkey) AS rk
+                FROM ps
+            )
+            SELECT a.l_partkey AS p_partkey, a.l_suppkey AS s_suppkey,
+                   s_name, round(avg_price, 6) AS avg_price6
+            FROM a JOIN supplier ON s_suppkey = a.l_suppkey
+            WHERE rk = 1
         """,
         "orders_backlog_series": """
             WITH d AS (

@@ -6330,3 +6330,81 @@ def orders_revenue_concentration(sf_dir: str, k: int = 10):
         "share6": [float(round_half_away(
             float(top_sum) / float(total), 6))],
     })
+
+
+def q2_min_price_supplier(sf_dir: str):
+    """TPC-H Q2 shape (minimum-cost supplier, adapted: cost = a part's
+    average sale price per supplier from lineitem history; parts of size
+    15 only). The correlated-min subquery becomes: one bounded
+    (part, supplier) aggregate (exact-cents sum + count partials per
+    block, pre-filtered to the size-15 partkeys by broadcast membership),
+    then a per-part argmin via block-local argmin partials + a per-part
+    final reduce — ties break on suppkey exactly like the oracle's
+    window. Supplier names decorate only the winners."""
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_size"])
+    pkeys = part.filter(pc.equal(part["p_size"], pa.scalar(15)))[
+        "p_partkey"].combine_chunks()
+    pkeys_ref = ray.put(pkeys)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_in(batch["l_partkey"],
+                                  value_set=ray.get(pkeys_ref)))
+        cents = round_half_away(
+            b["l_extendedprice"].to_numpy() * 100.0, 0).astype(np.int64)
+        t = pa.table({
+            "l_partkey": b["l_partkey"], "l_suppkey": b["l_suppkey"],
+            "cents": pa.array(cents, pa.int64()),
+            "one": pa.array(np.ones(len(cents), np.int64), pa.int64()),
+        })
+        g = t.group_by(["l_partkey", "l_suppkey"]).aggregate(
+            [("cents", "sum"), ("one", "sum")])
+        return pa.table({"l_partkey": g["l_partkey"],
+                         "l_suppkey": g["l_suppkey"],
+                         "cents": g["cents_sum"], "n": g["one_sum"]})
+
+    ps = (_tbl(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+          .map_batches(partials, batch_format="pyarrow")
+          .groupby(["l_partkey", "l_suppkey"])
+          .aggregate(Sum("cents", alias_name="cents"),
+                     Sum("n", alias_name="n")))
+
+    def argmin_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        # identical expression both sides: CAST(sum AS DOUBLE) / n
+        df["avg_price"] = (df["cents"].astype("float64")
+                           / df["n"].astype("float64")) / 100.0
+        df = df.sort_values(["l_partkey", "avg_price", "l_suppkey"],
+                            kind="mergesort")
+        best = df.groupby("l_partkey", sort=False).head(1)
+        return pa.Table.from_pandas(
+            best[["l_partkey", "l_suppkey", "avg_price"]],
+            preserve_index=False)
+
+    def argmin_final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["avg_price", "l_suppkey"], kind="mergesort")
+        return g.head(1)
+
+    best = (ps.map_batches(argmin_partial, batch_format="pyarrow")
+            .groupby("l_partkey")
+            .map_groups(argmin_final, batch_format="pandas")
+            .to_pandas())
+    if len(best) == 0:
+        return pd.DataFrame({
+            "p_partkey": pd.array([], dtype="int64"),
+            "s_suppkey": pd.array([], dtype="int64"),
+            "s_name": pd.array([], dtype="string"),
+            "avg_price6": pd.array([], dtype="float64")})
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name"])
+    nmap = dict(zip(supp["s_suppkey"].to_pylist(),
+                    supp["s_name"].to_pylist()))
+    return (pd.DataFrame({
+        "p_partkey": best["l_partkey"].astype("int64"),
+        "s_suppkey": best["l_suppkey"].astype("int64"),
+        "s_name": pd.array([nmap[int(k)] for k in best["l_suppkey"]],
+                           dtype="string"),
+        "avg_price6": round_half_away(
+            best["avg_price"].to_numpy(np.float64), 6),
+    }).sort_values("p_partkey").reset_index(drop=True))
