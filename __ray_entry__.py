@@ -261,6 +261,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_revenue_concentration": r.orders_revenue_concentration,
         # TPC-H Q2 shape: correlated-min (cheapest supplier per part)
         "q2_min_price_supplier": r.q2_min_price_supplier,
+        # robust preprocessing: winsorized moments at exact [p5, p95]
+        "orders_winsorized_stats": r.orders_winsorized_stats,
     }
 
 
@@ -1462,6 +1464,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY c_name, c_custkey, o_orderkey, o_date, o_totalprice
             HAVING sum(l_quantity) > 300
+        """,
+        "orders_winsorized_stats": """
+            WITH c AS (
+                SELECT CAST(round(o_totalprice * 100.0, 0) AS BIGINT)
+                           AS cents
+                FROM orders
+            ),
+            q AS (
+                SELECT CAST(quantile_disc(cents, 0.05) AS BIGINT) AS lo,
+                       CAST(quantile_disc(cents, 0.95) AS BIGINT) AS hi
+                FROM c
+            ),
+            m AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(cents) AS BIGINT) AS s,
+                       CAST(sum(cents * cents) AS BIGINT) AS ss,
+                       CAST(sum(greatest(q.lo, least(q.hi, cents)))
+                            AS BIGINT) AS ws,
+                       CAST(sum(greatest(q.lo, least(q.hi, cents))
+                                * greatest(q.lo, least(q.hi, cents)))
+                            AS BIGINT) AS wss
+                FROM c CROSS JOIN q
+            )
+            SELECT (SELECT lo FROM q) AS p5_cents,
+                   (SELECT hi FROM q) AS p95_cents,
+                   round((CAST(s AS DOUBLE) / n) / 100.0, 6) AS mean_raw6,
+                   round(sqrt(n * CAST(ss AS DOUBLE)
+                              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                         / n / 100.0, 6) AS sd_raw6,
+                   round((CAST(ws AS DOUBLE) / n) / 100.0, 6) AS mean_w6,
+                   round(sqrt(n * CAST(wss AS DOUBLE)
+                              - CAST(ws AS DOUBLE) * CAST(ws AS DOUBLE))
+                         / n / 100.0, 6) AS sd_w6
+            FROM m
         """,
         "q2_min_price_supplier": """
             WITH ps AS (

@@ -6408,3 +6408,61 @@ def q2_min_price_supplier(sf_dir: str):
         "avg_price6": round_half_away(
             best["avg_price"].to_numpy(np.float64), 6),
     }).sort_values("p_partkey").reset_index(drop=True))
+
+
+def orders_winsorized_stats(sf_dir: str):
+    """Robust preprocessing: winsorize o_totalprice at the exact
+    [p5, p95] quantiles and report mean/stddev before vs after. The
+    quantiles come from the grouped-quantile histogram-refinement stage
+    (single constant group — no sort); both moment sets reduce from
+    exact integer cent sums (clipping maps ints to ints), so every
+    output derives from integers + one mirrored expression."""
+    from ..stages.quantiles import grouped_quantile_disc
+
+    ds = _tbl(sf_dir, "orders", columns=["o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            batch["o_totalprice"].to_numpy() * 100.0, 0).astype(np.int64)
+        return pa.table({
+            "g": pa.array(["all"] * len(cents), pa.string()),
+            "cents": pa.array(cents.astype(np.float64), pa.float64()),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    q = grouped_quantile_disc(prepped, key="g", value_col="cents",
+                              qs=[0.05, 0.95])
+    q = dict(zip(q["q"], q["value"]))
+    lo, hi = int(q[0.05]), int(q[0.95])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        c = batch["cents"].to_numpy().astype(np.int64)
+        w = np.clip(c, lo, hi)
+        return pa.table({
+            "n": pa.array([len(c)], pa.int64()),
+            "s": pa.array([int(c.sum())], pa.int64()),
+            "ss": pa.array([int((c * c).sum())], pa.int64()),
+            "ws": pa.array([int(w.sum())], pa.int64()),
+            "wss": pa.array([int((w * w).sum())], pa.int64()),
+        })
+
+    tot = prepped.map_batches(moments, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+        Sum("ss", alias_name="ss"), Sum("ws", alias_name="ws"),
+        Sum("wss", alias_name="wss"))
+    n = float(tot["n"])
+
+    def stats(s: int, ss: int):
+        mean = (float(s) / n) / 100.0
+        sd = float(np.sqrt(n * float(ss) - float(s) * float(s))) / n / 100.0
+        return (float(round_half_away(mean, 6)),
+                float(round_half_away(sd, 6)))
+
+    mean_raw, sd_raw = stats(int(tot["s"]), int(tot["ss"]))
+    mean_w, sd_w = stats(int(tot["ws"]), int(tot["wss"]))
+    return pd.DataFrame({
+        "p5_cents": pd.array([lo], dtype="int64"),
+        "p95_cents": pd.array([hi], dtype="int64"),
+        "mean_raw6": [mean_raw], "sd_raw6": [sd_raw],
+        "mean_w6": [mean_w], "sd_w6": [sd_w],
+    })

@@ -333,6 +333,7 @@ import pytest
     "part_association_rules", "events_daily_xcorr",
     "events_conversion_latency", "orders_backlog_series",
     "orders_revenue_concentration", "q2_min_price_supplier",
+    "orders_winsorized_stats",
 ])
 def test_round2_ops_invariant_to_block_layout(ray_session, monkeypatch, qname):
     """The round-2 window/rank/histogram/retrieval operators must produce
