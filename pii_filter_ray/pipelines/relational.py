@@ -1229,6 +1229,9 @@ def events_asof_order(sf_dir: str):
         right_cols=["o_orderkey"],
         schema={"event_id": pa.int64(), "user_id": pa.int64(), "o_orderkey": pa.int64()},
         tie_break="o_orderkey",
+        # skew gate: a user with >= 5M rows on either side splits over time
+        # slices (stages/asof.py module notes) instead of landing one task
+        hot_threshold=5_000_000,
     )
     df = out.to_pandas()[["event_id", "user_id", "o_orderkey"]]
     return df.astype({"event_id": "int64", "user_id": "int64", "o_orderkey": "int64"})
@@ -1250,6 +1253,7 @@ def orders_events_7d(sf_dir: str):
         left_cols=["o_orderkey"],
         schema={"o_orderkey": pa.int64()},
         window=pd.Timedelta(days=7),
+        hot_threshold=5_000_000,  # hot-customer time-split (stages/asof.py)
     )
     df = out.to_pandas()[["o_orderkey", "n_in_range"]]
     return df.astype({"o_orderkey": "int64", "n_in_range": "int64"})

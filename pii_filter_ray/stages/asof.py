@@ -1,4 +1,4 @@
-"""Distributed as-of and range (interval) joins.
+"""Distributed as-of and range (interval) joins, with a hot-key time-split.
 
 Ray Data has no temporal-join primitive (the reference —
 DiegoAndradeD/pii-filter — has none either; these are north-star additions
@@ -12,12 +12,31 @@ each bucket is resolved by a single vectorized pandas call
 dispatch, no driver-side state. Partitioning assumptions, documented per
 the custom-operator contract:
 
-  * one bucket's rows (both sides) fit in a worker's heap; ``num_buckets``
-    scales bucket width down linearly with data size;
-  * keys never split across buckets (guaranteed by hashing the key);
-  * a single pathologically hot key would need a secondary time-range
-    split of its LEFT side (right side duplicated per split) — not wired,
-    called out here for the skew case.
+  * one group's rows (both sides) fit in a worker's heap; ``num_buckets``
+    scales group width down linearly with data size;
+  * keys never split across buckets (guaranteed by hashing the key) —
+    EXCEPT keys the hot-key census flags, which split by TIME SLICE:
+
+Hot-key time-split (the skew path). A single pathologically hot key (one
+user-id carrying a billion events) cannot be fixed by more buckets — a key
+never leaves its bucket. Keys with ≥ ``hot_threshold`` rows (distributed
+census, stages/joins.py:detect_hot_keys, run on BOTH sides) are split over
+``num_slices`` contiguous time ranges instead; cold keys take slice 0 and
+pay nothing. Group id = (key % num_buckets) * num_slices + slice, so the
+whole join is still ONE shuffle.
+
+  * ``asof_join``: backward matches can cross a slice boundary, so a
+    bounded CARRY phase first reduces the hot right side to its last row
+    per (key, slice) (block partials → one tiny (key, slice) shuffle →
+    ≤ |hot| × num_slices rows on the driver), prefix-merges those into
+    "latest right row before slice s starts" and broadcasts them; each
+    (key, slice) group prepends its carry row before the local merge_asof.
+  * ``range_count_join``: the window is bounded, so no carry is needed —
+    slice width is forced ≥ window and each hot RIGHT row replicates to at
+    most 2 slices (its own and the one a window-reach earlier).
+
+Both paths are output-identical to the plain path (equivalence-tested,
+including Zipf layouts) and fail loud if the carry exceeds ``max_carry``.
 
 As-of semantics: for each left row, the single right row with the same key
 and the greatest right-time <= left-time ("backward", inclusive). Ties on
@@ -34,12 +53,15 @@ Implementation notes for exactness:
   * the asof match itself joins on a positional row index, then gathers
     the right payload by index — so matches are decided by the index
     (never by payload null-ness) and payload values of any dtype pass
-    through ungathered/uncast.
+    through ungathered/uncast;
+  * slice assignment depends only on (key, time), so rows tied on
+    (key, time) always share a slice and the per-slice tie dedup is
+    equivalent to the plain path's global one.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -69,19 +91,68 @@ def _pd_dtype(typ: pa.DataType) -> str:
     return "object"
 
 
+def _resolve_hot(left, right, left_by: str, right_by: str,
+                 hot_threshold: Optional[int],
+                 hot_keys) -> np.ndarray:
+    """Sorted int64 hot-key set: caller-supplied, or a distributed census
+    over BOTH sides (either side alone can blow a group task's heap)."""
+    if hot_keys is not None:
+        return np.sort(np.asarray(hot_keys, dtype="int64"))
+    if hot_threshold is None:
+        return np.empty(0, dtype="int64")
+    from .joins import detect_hot_keys
+
+    hl = detect_hot_keys(left, left_by, hot_threshold)
+    hr = detect_hot_keys(right, right_by, hot_threshold)
+    return np.unique(np.r_[hl, hr])
+
+
+def _time_span_us(ds, on: str, time_range) -> Tuple[int, int]:
+    """[min, max] of ``on`` in integer microseconds — caller-supplied (at
+    100 TB the range is partition metadata; passing it skips a read pass)
+    or ONE tree-aggregated Min/Max over the pruned column."""
+    if time_range is not None:
+        lo, hi = time_range
+        return (int(pd.Timestamp(lo).value // 1000),
+                int(pd.Timestamp(hi).value // 1000))
+    from ray.data.aggregate import Max, Min
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table({"t": batch[on].cast(pa.timestamp("us")).cast(pa.int64())})
+
+    agg = ds.map_batches(to_us, batch_format="pyarrow").aggregate(
+        Min("t", alias_name="mn"), Max("t", alias_name="mx"))
+    return int(agg["mn"]), int(agg["mx"])
+
+
+def _slice_of(t_us: np.ndarray, mn: int, width: int, num_slices: int) -> np.ndarray:
+    return np.clip((t_us - mn) // width, 0, num_slices - 1).astype("int64")
+
+
 def _tagged(side: int, by: str, on: str, payload: List[str], schema: Dict[str, pa.DataType],
-            num_buckets: int):
+            num_buckets: int, num_slices: int = 1, hot_ref=None,
+            mn: int = 0, width: int = 1):
     """Batch fn producing the common tagged schema: __bucket/__side/__by/__on
-    + every payload column of BOTH sides (filler on the other side)."""
+    + every payload column of BOTH sides (filler on the other side). With a
+    hot set, hot rows take their time slice; cold rows take slice 0."""
 
     def fn(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         by_np = batch[by].to_numpy(zero_copy_only=False).astype("int64")
+        on_arr = batch[on].cast(pa.timestamp("us"))
+        sl = np.zeros(n, dtype="int64")
+        if hot_ref is not None and num_slices > 1:
+            hot = ray.get(hot_ref)
+            m = np.isin(by_np, hot) if len(hot) else np.zeros(n, dtype=bool)
+            if m.any():
+                t_us = on_arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+                sl[m] = _slice_of(t_us[m], mn, width, num_slices)
         cols = {
-            "__bucket": pa.array((by_np % num_buckets).astype("int32"), pa.int32()),
+            "__bucket": pa.array(
+                ((by_np % num_buckets) * num_slices + sl).astype("int32"), pa.int32()),
             "__side": pa.array(np.full(n, side, dtype="int8"), pa.int8()),
             "__by": pa.array(by_np, pa.int64()),
-            "__on": batch[on].cast(pa.timestamp("us")),
+            "__on": on_arr,
         }
         for name, typ in schema.items():
             cols[name] = (
@@ -100,6 +171,78 @@ def _split_sides(g: pd.DataFrame, left_cols: List[str], right_cols: List[str]):
     return lf, rf
 
 
+def _build_carry(right, right_by: str, right_on: str, right_cols: List[str],
+                 hot_keys: np.ndarray, mn: int, width: int, num_slices: int,
+                 num_buckets: int, tie_break: str,
+                 max_carry: int = 2_000_000) -> pd.DataFrame:
+    """Carry table for the as-of time-split: for every hot key and every
+    slice s ≥ 1, the single right row with the greatest (__on, tie_break)
+    among slices < s. Built distributively (block partials keep one row
+    per (key, slice) → one tiny shuffle reduces to the global per-(key,
+    slice) last) then prefix-merged on the driver over ≤ |hot| × num_slices
+    rows. Returns a frame keyed by __bucket with __by/__on + right payload."""
+    hot_ref = ray.put(hot_keys)
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        k = batch[right_by].to_numpy(zero_copy_only=False).astype("int64")
+        m = np.isin(k, hot) if len(hot) else np.zeros(len(k), dtype=bool)
+        cols = {"__by": pa.array(k[m], pa.int64())}
+        on_arr = batch[right_on].cast(pa.timestamp("us"))
+        t_us = on_arr.cast(pa.int64()).to_numpy(zero_copy_only=False)[m]
+        cols["__slice"] = pa.array(_slice_of(t_us, mn, width, num_slices), pa.int64())
+        cols["__on"] = on_arr.filter(pa.array(m))
+        for c in right_cols:
+            cols[c] = batch[c].filter(pa.array(m))
+        tbl = pa.table(cols)
+        if tbl.num_rows == 0:
+            return tbl
+        # block-local last per (key, slice): sort + keep-last, vectorized
+        df = tbl.to_pandas()
+        df = df.sort_values(["__by", "__slice", "__on", tie_break],
+                            kind="mergesort")
+        df = df.drop_duplicates(["__by", "__slice"], keep="last")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def reduce_last(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__by", "__slice", "__on", tie_break], kind="mergesort")
+        return g.drop_duplicates(["__by", "__slice"], keep="last")
+
+    last = (
+        right.map_batches(per_block, batch_format="pyarrow")
+        .groupby("__by")
+        .map_groups(reduce_last, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(last) > max_carry:
+        raise ValueError(
+            f"as-of carry table has {len(last)} rows (> max_carry={max_carry}); "
+            "raise hot_threshold or lower num_slices")
+    if len(last) == 0:
+        return pd.DataFrame()
+    last = last.sort_values(["__by", "__slice"], kind="mergesort")
+    out_parts = []
+    # per key: carry for target slice t = last row with slice < t
+    for key, grp in last.groupby("__by", sort=False):
+        slices = grp["__slice"].to_numpy()
+        first = int(slices[0])
+        targets = np.arange(first + 1, num_slices, dtype="int64")
+        if len(targets) == 0:
+            continue
+        src = np.searchsorted(slices, targets, side="left") - 1
+        rows = grp.iloc[src].copy()
+        rows["__slice"] = targets
+        out_parts.append(rows)
+    if not out_parts:
+        return pd.DataFrame()
+    carry = pd.concat(out_parts, ignore_index=True)
+    carry["__bucket"] = (
+        (carry["__by"].to_numpy() % num_buckets) * num_slices
+        + carry["__slice"].to_numpy()
+    ).astype("int32")
+    return carry[["__bucket", "__by", "__on", *right_cols]]
+
+
 def asof_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -113,6 +256,10 @@ def asof_join(
     schema: Dict[str, pa.DataType],
     tie_break: str,
     num_buckets: int = 64,
+    num_slices: int = 8,
+    hot_threshold: Optional[int] = None,
+    hot_keys=None,
+    time_range=None,
 ) -> "ray.data.Dataset":
     """Backward-inclusive as-of INNER join (left rows with no match drop).
 
@@ -121,9 +268,27 @@ def asof_join(
     equal right_on times within a key resolve deterministically (greatest
     wins). Returns columns: left_cols + [left_on] + right_cols, with the
     join key exposed as its LEFT name (include left_by in left_cols).
+
+    Skew: with ``hot_threshold`` set (or ``hot_keys`` given), keys above
+    the threshold split over ``num_slices`` time slices with a broadcast
+    carry (module notes); ``time_range`` (lo, hi) skips the Min/Max pass.
     """
-    tag_l = _tagged(_LEFT, left_by, left_on, left_cols, schema, num_buckets)
-    tag_r = _tagged(_RIGHT, right_by, right_on, right_cols, schema, num_buckets)
+    hot = _resolve_hot(left, right, left_by, right_by, hot_threshold, hot_keys)
+    n_slices = num_slices if len(hot) else 1
+    hot_ref = ray.put(hot) if len(hot) else None
+    mn = width = 1
+    carry = pd.DataFrame()
+    if len(hot):
+        mn, mx = _time_span_us(left, left_on, time_range)
+        width = max(1, -(-(mx - mn + 1) // n_slices))
+        carry = _build_carry(right, right_by, right_on, right_cols, hot,
+                             mn, width, n_slices, num_buckets, tie_break)
+    carry_ref = ray.put(carry) if len(carry) else None
+
+    tag_l = _tagged(_LEFT, left_by, left_on, left_cols, schema, num_buckets,
+                    n_slices, hot_ref, mn, width)
+    tag_r = _tagged(_RIGHT, right_by, right_on, right_cols, schema, num_buckets,
+                    n_slices, hot_ref, mn, width)
     tagged = left.map_batches(tag_l, batch_format="pyarrow").union(
         right.map_batches(tag_r, batch_format="pyarrow")
     )
@@ -138,6 +303,12 @@ def asof_join(
 
     def bucket_asof(g: pd.DataFrame) -> pd.DataFrame:
         lf, rf = _split_sides(g, left_cols, right_cols)
+        if carry_ref is not None:
+            cdf = ray.get(carry_ref)
+            add = cdf[cdf["__bucket"] == int(g["__bucket"].iloc[0])]
+            if len(add):
+                rf = pd.concat(
+                    [rf, add[["__by", "__on", *right_cols]]], ignore_index=True)
         if len(lf) == 0 or len(rf) == 0:
             return _empty_out()  # INNER: a bucket lacking a side emits nothing
         # deterministic: one right row per (key, time), greatest tie_break
@@ -169,6 +340,46 @@ def asof_join(
     )
 
 
+def _tagged_range_right(by: str, on: str, schema: Dict[str, pa.DataType],
+                        num_buckets: int, num_slices: int, hot_ref,
+                        mn: int, width: int, win_us: int):
+    """RIGHT-side tag fn for the range-count time-split: hot rows replicate
+    to their own slice and (when different) the slice a window-reach
+    earlier — slice width ≥ window guarantees ≤ 2 copies. Cold rows take
+    slice 0, one copy. Payload is filler-only (counting never reads it)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        by_np = batch[by].to_numpy(zero_copy_only=False).astype("int64")
+        on_arr = batch[on].cast(pa.timestamp("us"))
+        t_us = on_arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hot = ray.get(hot_ref)
+        m = np.isin(by_np, hot) if len(hot) else np.zeros(n, dtype=bool)
+        sl = np.zeros(n, dtype="int64")
+        if m.any():
+            sl[m] = _slice_of(t_us[m], mn, width, num_slices)
+        lo = np.where(
+            m, _slice_of(t_us - win_us + 1, mn, width, num_slices), sl)
+        extra = np.flatnonzero(lo != sl)
+        take = np.r_[np.arange(n, dtype="int64"), extra]
+        sl_all = np.r_[sl, lo[extra]]
+        by_all = by_np[take]
+        k = len(take)
+        cols = {
+            "__bucket": pa.array(
+                ((by_all % num_buckets) * num_slices + sl_all).astype("int32"),
+                pa.int32()),
+            "__side": pa.array(np.full(k, _RIGHT, dtype="int8"), pa.int8()),
+            "__by": pa.array(by_all, pa.int64()),
+            "__on": on_arr.take(pa.array(take, pa.int64())),
+        }
+        for name, typ in schema.items():
+            cols[name] = _fill_column(k, typ)
+        return pa.table(cols)
+
+    return fn
+
+
 def range_count_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -181,6 +392,10 @@ def range_count_join(
     schema: Dict[str, pa.DataType],
     window: "pd.Timedelta",
     num_buckets: int = 64,
+    num_slices: int = 8,
+    hot_threshold: Optional[int] = None,
+    hot_keys=None,
+    time_range=None,
 ) -> "ray.data.Dataset":
     """Banded range join, aggregated: for each LEFT row, the COUNT of right
     rows with the same key and right_on in [left_on, left_on + window).
@@ -190,13 +405,29 @@ def range_count_join(
     per-key Python, no pair materialization — the count form of a range
     join never explodes the output the way the pair form can).
     Returns columns: left_cols + [left_on, 'n_in_range'].
+
+    Skew: same hot-key contract as :func:`asof_join`, but carry-free —
+    slice width is forced ≥ window so hot right rows replicate ≤ 2×.
     """
-    tag_l = _tagged(_LEFT, left_by, left_on, left_cols, schema, num_buckets)
-    tag_r = _tagged(_RIGHT, right_by, right_on, [], schema, num_buckets)
+    win_us = np.int64(window // pd.Timedelta(microseconds=1))
+    hot = _resolve_hot(left, right, left_by, right_by, hot_threshold, hot_keys)
+    n_slices = num_slices if len(hot) else 1
+    hot_ref = ray.put(hot)
+    mn = width = 1
+    if len(hot):
+        mn, mx = _time_span_us(left, left_on, time_range)
+        width = max(int(win_us), 1, -(-(mx - mn + 1) // n_slices))
+
+    tag_l = _tagged(_LEFT, left_by, left_on, left_cols, schema, num_buckets,
+                    n_slices, hot_ref if len(hot) else None, mn, width)
+    if len(hot):
+        tag_r = _tagged_range_right(right_by, right_on, schema, num_buckets,
+                                    n_slices, hot_ref, mn, width, int(win_us))
+    else:
+        tag_r = _tagged(_RIGHT, right_by, right_on, [], schema, num_buckets)
     tagged = left.map_batches(tag_l, batch_format="pyarrow").union(
         right.map_batches(tag_r, batch_format="pyarrow")
     )
-    win_us = np.int64(window // pd.Timedelta(microseconds=1))
 
     def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
         lf, rf = _split_sides(g, left_cols, [])

@@ -481,3 +481,181 @@ def test_hash_anti_join_empty_right_keeps_all(ray_session):
         left_cols=["a"], schema={"a": pa.int64()}, num_buckets=4,
     ).to_pandas()
     assert sorted(got["k"].tolist()) == list(range(10))
+
+
+# ---------------------------------------------------------------------------
+# hot-key time-split (skew path)
+# ---------------------------------------------------------------------------
+
+def _zipf_frames(seed, n_l=800, n_r=300):
+    """Zipf-skewed keys: key 1 carries ~half of both sides."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    zl = np.minimum(rng.zipf(1.3, n_l), 25).astype("int64")
+    zr = np.minimum(rng.zipf(1.3, n_r), 25).astype("int64")
+    left = pd.DataFrame({
+        "lid": np.arange(n_l, dtype="int64"),
+        "k": zl,
+        "t": (pd.to_datetime("2024-01-01")
+              + pd.to_timedelta(rng.randint(0, 10**6, n_l), unit="s")
+              ).astype("datetime64[us]"),
+    })
+    right = pd.DataFrame({
+        "k2": zr,
+        "t2": (pd.to_datetime("2024-01-01")
+               + pd.to_timedelta(rng.randint(0, 10**6, n_r), unit="s")
+               ).astype("datetime64[us]"),
+        "rid": np.arange(1000, 1000 + n_r, dtype="int64"),
+    })
+    return left, right
+
+
+@pytest.mark.parametrize("seed", [4, 23])
+def test_asof_timesplit_equivalence_on_zipf(ray_session, seed):
+    """The hot-key time-split path must be output-identical to the plain
+    path on Zipf-skewed keys, across block layouts."""
+    from pii_filter_ray.stages.asof import asof_join
+
+    left, right = _zipf_frames(seed)
+    kw = dict(
+        left_by="k", right_by="k2", left_on="t", right_on="t2",
+        left_cols=["lid", "k"], right_cols=["rid"],
+        schema={"lid": pa.int64(), "k": pa.int64(), "rid": pa.int64()},
+        tie_break="rid",
+    )
+    lds = ray.data.from_pandas(left).repartition(7)
+    rds = ray.data.from_pandas(right).repartition(3)
+    plain = asof_join(lds, rds, num_buckets=8, **kw).to_pandas()
+    # threshold 20 makes several keys hot on at least one side
+    split = asof_join(
+        lds, rds, num_buckets=4, num_slices=6, hot_threshold=20, **kw
+    ).to_pandas()
+    split2 = asof_join(
+        lds.repartition(2), rds.repartition(9),
+        num_buckets=16, num_slices=3, hot_threshold=20, **kw
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_norm(plain), _norm(split))
+    pd.testing.assert_frame_equal(_norm(plain), _norm(split2))
+
+
+def test_asof_timesplit_carry_crosses_slices(ray_session):
+    """A hot key whose only right row sits many slices before its left rows
+    must still match: the carry row is the only possible source."""
+    import numpy as np
+
+    from pii_filter_ray.stages.asof import asof_join
+
+    n = 50
+    left = pd.DataFrame({
+        "lid": np.arange(n, dtype="int64"),
+        "k": np.full(n, 7, dtype="int64"),
+        # left times all late in the range
+        "t": (pd.to_datetime("2024-12-01")
+              + pd.to_timedelta(np.arange(n), unit="h")).astype("datetime64[us]"),
+    })
+    # pad the left time span so slices are wide: one early left row
+    left.loc[0, "t"] = pd.Timestamp("2024-01-01")
+    right = pd.DataFrame({
+        "k2": np.array([7, 7], dtype="int64"),
+        "t2": pd.to_datetime(["2024-01-02", "2024-01-03"]).astype("datetime64[us]"),
+        "rid": np.array([100, 101], dtype="int64"),
+    })
+    out = asof_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        left_by="k", right_by="k2", left_on="t", right_on="t2",
+        left_cols=["lid"], right_cols=["rid"],
+        schema={"lid": pa.int64(), "rid": pa.int64()},
+        tie_break="rid", num_buckets=4, num_slices=8, hot_threshold=10,
+    ).to_pandas()
+    # every late left row matches rid 101 via the carry; lid 0 (Jan 1) has
+    # no at-or-before right row and drops
+    assert len(out) == n - 1
+    assert set(out["rid"]) == {101}
+
+
+def test_asof_timesplit_actually_splits_hot_key(ray_session):
+    """The tag must spread a hot key's rows over multiple groups."""
+    import numpy as np
+
+    from pii_filter_ray.stages.asof import _tagged, _LEFT
+
+    n = 400
+    t = (pd.to_datetime("2024-01-01")
+         + pd.to_timedelta(np.arange(n), unit="h")).astype("datetime64[us]")
+    batch = pa.table({
+        "k": pa.array(np.full(n, 9, dtype="int64")),
+        "lid": pa.array(np.arange(n, dtype="int64")),
+        "t": pa.array(t, pa.timestamp("us")),
+    })
+    mn = int(t.astype("int64").min())
+    mx = int(t.astype("int64").max())
+    width = (mx - mn + 1 + 7) // 8
+    hot_ref = ray.put(np.array([9], dtype="int64"))
+    tag = _tagged(_LEFT, "k", "t", ["lid"], {"lid": pa.int64()}, 4,
+                  num_slices=8, hot_ref=hot_ref, mn=mn, width=width)
+    counts = pd.Series(tag(batch)["__bucket"].to_numpy()).value_counts()
+    assert len(counts) == 8 and counts.max() <= n // 8 + 8
+
+
+@pytest.mark.parametrize("seed", [6, 31])
+def test_range_count_timesplit_equivalence_on_zipf(ray_session, seed):
+    from pii_filter_ray.stages.asof import range_count_join
+
+    left, right = _zipf_frames(seed)
+    kw = dict(
+        left_by="k", right_by="k2", left_on="t", right_on="t2",
+        left_cols=["lid"], schema={"lid": pa.int64()},
+        window=pd.Timedelta(days=2),
+    )
+    lds = ray.data.from_pandas(left).repartition(5)
+    rds = ray.data.from_pandas(right).repartition(4)
+    plain = range_count_join(lds, rds, num_buckets=8, **kw).to_pandas()
+    split = range_count_join(
+        lds, rds, num_buckets=4, num_slices=5, hot_threshold=20, **kw
+    ).to_pandas()
+    key = ["lid", "n_in_range"]
+    pd.testing.assert_frame_equal(
+        plain[key].sort_values("lid").reset_index(drop=True),
+        split[key].sort_values("lid").reset_index(drop=True),
+    )
+
+
+def test_range_count_timesplit_window_spans_slice_boundary(ray_session):
+    """Right rows just across a slice boundary must still count (the <= 2x
+    replication): window == slice width forces the boundary case."""
+    import numpy as np
+
+    from pii_filter_ray.stages.asof import range_count_join
+
+    n = 64
+    left = pd.DataFrame({
+        "lid": np.arange(n, dtype="int64"),
+        "k": np.full(n, 3, dtype="int64"),
+        "t": (pd.to_datetime("2024-01-01")
+              + pd.to_timedelta(np.arange(n) * 6, unit="h")).astype("datetime64[us]"),
+    })
+    right = pd.DataFrame({
+        "k2": np.full(n, 3, dtype="int64"),
+        "t2": (pd.to_datetime("2024-01-01")
+               + pd.to_timedelta(np.arange(n) * 6 + 3, unit="h")
+               ).astype("datetime64[us]"),
+    })
+    kw = dict(
+        left_by="k", right_by="k2", left_on="t", right_on="t2",
+        left_cols=["lid"], schema={"lid": pa.int64()},
+        window=pd.Timedelta(hours=13),
+    )
+    lds, rds = ray.data.from_pandas(left), ray.data.from_pandas(right)
+    plain = range_count_join(lds, rds, num_buckets=4, **kw).to_pandas()
+    split = range_count_join(
+        lds, rds, num_buckets=4, num_slices=16, hot_threshold=5, **kw
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        plain.sort_values("lid").reset_index(drop=True)[["lid", "n_in_range"]],
+        split.sort_values("lid").reset_index(drop=True)[["lid", "n_in_range"]],
+    )
+    # sanity: window [t, t+13h) over right rows at +3h spacing-6h covers
+    # offsets +3h and +9h (2 rows), the tail row only its own +3h (1)
+    got = dict(zip(split["lid"], split["n_in_range"]))
+    assert got[0] == 2 and got[n - 1] == 1
