@@ -532,23 +532,131 @@ def _add_user_bucket(batch: pa.Table, n: int = WINDOW_BUCKETS) -> pa.Table:
     return batch.append_column("bucket", pa.array(b, pa.int32()))
 
 
-def events_row_number(sf_dir: str):
+class _WindowTimesplit:
+    """Two-level plan for whole-key window ops (ROW_NUMBER / running SUM)
+    under key skew. The plain plan assumes one user's rows fit one reducer;
+    a pathologically hot user breaks that silently. With this plan, users
+    above ``hot_threshold`` rows (distributed census) split over
+    ``num_slices`` contiguous time slices — still ONE shuffle, group id =
+    (user % WINDOW_BUCKETS) * num_slices + slice — and a bounded pre-pass
+    computes, per (hot user, slice), the COUNT and value-SUM of the user's
+    rows in EARLIER slices (block partials → one tiny shuffle → prefix on
+    ≤ |hot| × num_slices driver rows → broadcast). Each group then merges
+    the carry: local cumcount/cumsum + that user's offset for this slice.
+    Exactness: slice is a function of ts, so (ts, event_id)-ordering never
+    crosses a slice the wrong way; count offsets are exact ints; sum
+    offsets re-associate float adds, absorbed by the oracle-mirrored
+    round-to-cents (value is cents-quantized)."""
+
+    def __init__(self, ds, hot_threshold: int, num_slices: int,
+                 value_col: str | None = None):
+        from ..stages.asof import _slice_of, _time_span_us
+        from ..stages.joins import detect_hot_keys
+
+        self.num_slices = num_slices
+        self._slice_of = _slice_of
+        hot = detect_hot_keys(ds, "user_id", hot_threshold)
+        self.active = len(hot) > 0
+        if not self.active:
+            return
+        self.hot_ref = ray.put(hot)
+        self.mn, mx = _time_span_us(ds, "ts", None)
+        self.width = max(1, -(-(mx - self.mn + 1) // num_slices))
+
+        mn, width, S = self.mn, self.width, num_slices
+        hot_ref = self.hot_ref
+
+        def off_partial(batch: pa.Table) -> pa.Table:
+            h = ray.get(hot_ref)
+            u = batch["user_id"].to_numpy(zero_copy_only=False).astype("int64")
+            m = np.isin(u, h)
+            t_us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)[m]
+            sl = _slice_of(t_us, mn, width, S)
+            v = (batch[value_col].to_numpy(zero_copy_only=False)[m]
+                 if value_col else np.zeros(int(m.sum()), dtype="float64"))
+            tb = pa.table({
+                "user_id": pa.array(u[m], pa.int64()),
+                "sl": pa.array(sl, pa.int64()),
+                "n": pa.array(np.ones(int(m.sum()), dtype="int64"), pa.int64()),
+                "v": pa.array(v.astype("float64"), pa.float64()),
+            })
+            g = tb.group_by(["user_id", "sl"]).aggregate(
+                [("n", "sum"), ("v", "sum")])
+            return pa.table({"user_id": g["user_id"], "sl": g["sl"],
+                             "n": g["n_sum"], "v": g["v_sum"]})
+
+        per = (ds.map_batches(off_partial, batch_format="pyarrow")
+               .groupby(["user_id", "sl"])
+               .aggregate(Sum("n", alias_name="n"), Sum("v", alias_name="v"))
+               .to_pandas())
+        if len(per) > 2_000_000:
+            raise ValueError(
+                f"window time-split offset table has {len(per)} rows; "
+                "raise hot_threshold or lower num_slices")
+        per = per.sort_values(["user_id", "sl"], kind="mergesort")
+        gb = per.groupby("user_id", sort=False)
+        per["n_off"] = gb["n"].cumsum() - per["n"]
+        per["v_off"] = gb["v"].cumsum() - per["v"]
+        offmap: dict = {}
+        for sl, sub in per.groupby("sl", sort=False):
+            offmap[int(sl)] = (
+                dict(zip(sub["user_id"], sub["n_off"].astype("int64"))),
+                dict(zip(sub["user_id"], sub["v_off"].astype("float64"))),
+            )
+        self.off_ref = ray.put(offmap)
+
+    def tag(self, batch: pa.Table) -> pa.Table:
+        if not self.active:
+            return _add_user_bucket(batch)
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype("int64")
+        sl = np.zeros(len(u), dtype="int64")
+        h = ray.get(self.hot_ref)
+        m = np.isin(u, h)
+        if m.any():
+            t_us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)[m]
+            sl[m] = self._slice_of(t_us, self.mn, self.width, self.num_slices)
+        b = ((u % WINDOW_BUCKETS) * self.num_slices + sl).astype("int32")
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
+
+    def offsets(self, g: pd.DataFrame):
+        """(count_offsets, sum_offsets) pandas Series aligned to g's rows
+        for this group's slice (zeros when inactive / slice 0 / cold)."""
+        if not self.active:
+            z = np.zeros(len(g), dtype="int64")
+            return z, z.astype("float64")
+        sl = int(g["bucket"].iloc[0]) % self.num_slices
+        n_map, v_map = ray.get(self.off_ref).get(sl, ({}, {}))
+        if not n_map:
+            z = np.zeros(len(g), dtype="int64")
+            return z, z.astype("float64")
+        n_off = g["user_id"].map(n_map).fillna(0).astype("int64").to_numpy()
+        v_off = g["user_id"].map(v_map).fillna(0.0).astype("float64").to_numpy()
+        return n_off, v_off
+
+
+def events_row_number(sf_dir: str, hot_threshold: int = 5_000_000,
+                      num_slices: int = 8):
     """Window function: ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts,
     event_id). Keys are hashed into WINDOW_BUCKETS groups and each bucket's
     per-user windows are computed with ONE vectorized pandas pass
     (sort + cumcount) — bounded Python-call count instead of one call per
     user (the 100 TB form: millions of users, fixed task count). The
-    partitioning assumption: one bucket fits in one worker's memory; users
-    never split across buckets."""
+    partitioning assumption: one group fits in one worker's memory; users
+    above ``hot_threshold`` rows split over time slices with a broadcast
+    count carry (see _WindowTimesplit) instead of landing one reducer."""
     ds = _tbl(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    plan = _WindowTimesplit(ds, hot_threshold, num_slices)
 
     def number(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        rn = g.groupby("user_id").cumcount().to_numpy() + 1
+        n_off, _ = plan.offsets(g)
+        rn = g.groupby("user_id").cumcount().to_numpy() + 1 + n_off
         return pd.DataFrame({"event_id": g["event_id"].to_numpy(), "rn": rn})
 
     df = (
-        ds.map_batches(_add_user_bucket, batch_format="pyarrow")
+        ds.map_batches(plan.tag, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(number, batch_format="pandas")
         .to_pandas()
@@ -562,12 +670,18 @@ def top_part_per_brand(sf_dir: str):
     ds = _tbl(sf_dir, "part", columns=["p_brand", "p_partkey", "p_retailprice"])
 
     def argmax_partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        mx = df.groupby("p_brand")["p_retailprice"].transform("max")
-        best = df[df["p_retailprice"] == mx]
-        best = best.groupby(["p_brand", "p_retailprice"], as_index=False)["p_partkey"].min()
-        return pa.Table.from_pandas(best[["p_brand", "p_partkey", "p_retailprice"]],
-                                    preserve_index=False)
+        # block-local argmax in pure Arrow (no pandas copy of the raw
+        # projection): per-brand max, gather it back per row, keep the
+        # rows at the max, then per-(brand, price) min partkey
+        g = batch.group_by("p_brand").aggregate([("p_retailprice", "max")])
+        mx = pc.take(g["p_retailprice_max"],
+                     pc.index_in(batch["p_brand"], value_set=g["p_brand"]))
+        best = batch.filter(pc.equal(batch["p_retailprice"], mx))
+        out = best.group_by(["p_brand", "p_retailprice"]).aggregate(
+            [("p_partkey", "min")])
+        return pa.table({"p_brand": out["p_brand"],
+                         "p_partkey": out["p_partkey_min"],
+                         "p_retailprice": out["p_retailprice"]})
 
     def argmax_final(g: pd.DataFrame) -> pd.DataFrame:
         g = g[g["p_retailprice"] == g["p_retailprice"].max()]
@@ -1602,23 +1716,29 @@ def events_user_moving_avg(sf_dir: str, frame: int = 3):
     return df.astype({"event_id": "int64", "avg3": "float64"})
 
 
-def events_user_cumsum(sf_dir: str):
+def events_user_cumsum(sf_dir: str, hot_threshold: int = 5_000_000,
+                       num_slices: int = 8):
     """Running-total window: SUM(value) OVER (PARTITION BY user_id ORDER BY
     ts, event_id ROWS UNBOUNDED PRECEDING). Same bucketed layout as
     events_row_number — one vectorized sort + groupby-cumsum pass per hash
     bucket, Python-call count fixed at the bucket count no matter how many
     users. Sequential left-to-right accumulation matches the SQL running
-    frame's association; event_id uniqueness makes ROWS == RANGE."""
+    frame's association; event_id uniqueness makes ROWS == RANGE. Users
+    above ``hot_threshold`` rows split over time slices with a broadcast
+    sum carry (_WindowTimesplit); the carry re-associates float adds,
+    which the mirrored round-to-cents absorbs (value is cents-quantized)."""
     ds = _tbl(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    plan = _WindowTimesplit(ds, hot_threshold, num_slices, value_col="value")
 
     def cumsum(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        cs = g.groupby("user_id")["value"].cumsum()
+        _, v_off = plan.offsets(g)
+        cs = g.groupby("user_id")["value"].cumsum().to_numpy() + v_off
         return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
-                             "cum_value": cs.to_numpy()})
+                             "cum_value": cs})
 
     df = (
-        ds.map_batches(_add_user_bucket, batch_format="pyarrow")
+        ds.map_batches(plan.tag, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(cumsum, batch_format="pandas")
         .to_pandas()
@@ -4886,7 +5006,9 @@ def doc_sorted_neighborhood(sf_dir: str):
 
 
 def part_triangle_count(sf_dir: str, closure: str | None = None,
-                        edge_broadcast_limit: int = 50_000_000):
+                        edge_broadcast_limit: int = 50_000_000,
+                        degree: str | None = None,
+                        degree_broadcast_limit: int = 50_000_000):
     """Distributed triangle counting on the part co-occurrence graph
     (parts are adjacent iff they appear in the same order), via the
     classic degree-ordered wedge-check algorithm:
@@ -4912,9 +5034,12 @@ def part_triangle_count(sf_dir: str, closure: str | None = None,
        with edge markers, a group contributes its count iff a marker is
        present. Both paths are equivalence-tested.
 
-    Degrees broadcast under the node-catalog << edge-set assumption
-    (documented; the distributed alternative is two hash_joins of edges
-    against the degree table). All counts are exact integers."""
+    Degrees attach to edges by the same size gate: a node catalog up to
+    ``degree_broadcast_limit`` broadcasts once (ray.put + index_in per
+    block); above it (or with degree='join') two distributed hash_joins
+    of edges against the degree table run instead — no driver pull at any
+    |V|. Both paths are equivalence-tested. All counts are exact
+    integers."""
     buckets = 64
     ds = _tbl(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
 
@@ -4974,19 +5099,11 @@ def part_triangle_count(sf_dir: str, closure: str | None = None,
         return pa.table({"v": g["v"],
                          "d": pc.cast(g["v_count"], pa.int64())})
 
-    deg = (edges.map_batches(deg_partial, batch_format="pyarrow")
-           .groupby("v").aggregate(Sum("d", alias_name="d")).to_pandas())
-    deg_ref = ray.put((pa.array(deg["v"].to_numpy(np.int64), pa.int64()),
-                       pa.array(deg["d"].to_numpy(np.int64), pa.int64())))
+    deg_ds = (edges.map_batches(deg_partial, batch_format="pyarrow")
+              .groupby("v").aggregate(Sum("d", alias_name="d")).materialize())
+    n_nodes = int(deg_ds.count())
 
-    def orient(batch: pa.Table) -> pa.Table:
-        vk, dk = ray.get(deg_ref)
-        a = batch["a"].to_numpy(zero_copy_only=False)
-        b = batch["b"].to_numpy(zero_copy_only=False)
-        da = pc.take(dk, pc.index_in(batch["a"], value_set=vk)).to_numpy(
-            zero_copy_only=False)
-        db = pc.take(dk, pc.index_in(batch["b"], value_set=vk)).to_numpy(
-            zero_copy_only=False)
+    def _orient_cols(a, b, da, db):
         lt = (da < db) | ((da == db) & (a < b))
         src = np.where(lt, a, b).astype(np.int64)
         dst = np.where(lt, b, a).astype(np.int64)
@@ -4994,7 +5111,61 @@ def part_triangle_count(sf_dir: str, closure: str | None = None,
                          "dst": pa.array(dst, pa.int64()),
                          "sbucket": pa.array(src % buckets, pa.int64())})
 
-    oriented = edges.map_batches(orient, batch_format="pyarrow")
+    deg_broadcast = degree == "broadcast" or (
+        degree is None and n_nodes <= degree_broadcast_limit)
+    if deg_broadcast:
+        deg = deg_ds.to_pandas()
+        max_v = int(deg["v"].max())
+        deg_ref = ray.put((pa.array(deg["v"].to_numpy(np.int64), pa.int64()),
+                           pa.array(deg["d"].to_numpy(np.int64), pa.int64())))
+
+        def orient(batch: pa.Table) -> pa.Table:
+            vk, dk = ray.get(deg_ref)
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            da = pc.take(dk, pc.index_in(batch["a"], value_set=vk)).to_numpy(
+                zero_copy_only=False)
+            db = pc.take(dk, pc.index_in(batch["b"], value_set=vk)).to_numpy(
+                zero_copy_only=False)
+            return _orient_cols(a, b, da, db)
+
+        oriented = edges.map_batches(orient, batch_format="pyarrow")
+    else:
+        # distributed degree attach: two hash_joins of the edge table
+        # against the degree table (each a single co-partitioning shuffle;
+        # the degree table never touches the driver)
+        from ray.data.aggregate import Max as _Max
+        from ..stages.joins import hash_join
+
+        max_v = int(deg_ds.aggregate(_Max("v", alias_name="mx"))["mx"])
+
+        def as_da(batch: pa.Table) -> pa.Table:
+            return pa.table({"v": batch["v"], "da": batch["d"]})
+
+        def as_db(batch: pa.Table) -> pa.Table:
+            return pa.table({"v": batch["v"], "db": batch["d"]})
+
+        e1 = hash_join(
+            edges, deg_ds.map_batches(as_da, batch_format="pyarrow"),
+            left_key="a", right_key="v",
+            left_cols=["b"], right_cols=["da"],
+            schema={"b": pa.int64(), "da": pa.int64()}, num_buckets=buckets)
+        e2 = hash_join(
+            e1, deg_ds.map_batches(as_db, batch_format="pyarrow"),
+            left_key="b", right_key="v",
+            left_cols=["a", "da"], right_cols=["db"],
+            schema={"a": pa.int64(), "da": pa.int64(), "db": pa.int64()},
+            num_buckets=buckets)
+
+        def orient_joined(batch: pa.Table) -> pa.Table:
+            return _orient_cols(
+                batch["a"].to_numpy(zero_copy_only=False),
+                batch["b"].to_numpy(zero_copy_only=False),
+                batch["da"].to_numpy(zero_copy_only=False),
+                batch["db"].to_numpy(zero_copy_only=False))
+
+        oriented = e2.map_batches(orient_joined, batch_format="pyarrow")
+
     use_broadcast = closure == "broadcast" or (
         closure is None and n_edges <= edge_broadcast_limit)
 
@@ -5003,7 +5174,7 @@ def part_triangle_count(sf_dir: str, closure: str | None = None,
         # broadcast the SORTED key array once; each wedge bucket reduces
         # to one (nw, nt) row via searchsorted membership — wedges never
         # shuffle at all
-        assert int(deg["v"].max()) < (1 << 32)
+        assert max_v < (1 << 32)
 
         def pack(batch: pa.Table) -> pa.Table:
             a = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -5502,12 +5673,12 @@ def doc_entity_resolution(sf_dir: str):
 
     edges = pairs.map_batches(verify, batch_format="pyarrow")
     # SNM edges form chain-like components whose diameter grows with
-    # cluster size; min-label propagation needs ~diameter rounds (the
-    # stage fails loud rather than splitting components at the cap).
-    # For corpora where dup chains can outgrow this cap, swap in
-    # stages/dedup.dup_components_doubling — pointer jumping converges
-    # in O(log diameter) rounds (equivalence-tested)
-    comp = dup_components_joined(edges, max_iters=64)
+    # cluster size; the auto dispatcher tries min-label propagation
+    # (cheap rounds, wins on near-cliques) and on observed
+    # non-convergence restarts with pointer jumping — O(log diameter)
+    # rounds, so long chains never starve (equivalence-tested)
+    from ..stages.dedup import dup_components_auto
+    comp = dup_components_auto(edges, propagation_rounds=8)
 
     nc = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                        columns=["doc_id", "n_chars"])

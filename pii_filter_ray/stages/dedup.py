@@ -910,6 +910,13 @@ def simhash_dup_groups(
 # --- duplicate GROUPS: connected components over the pair graph -------------
 
 
+class CCNotConverged(RuntimeError):
+    """Raised when a components variant hits its round cap before the
+    labels converge — returning silently-split components would corrupt
+    every downstream dedup decision. ``dup_components_auto`` catches this
+    to escalate from propagation to pointer jumping."""
+
+
 def dup_components(
     pairs: "ray.data.Dataset", max_iters: int = 10, broadcast_node_limit: int = 500_000
 ) -> "ray.data.Dataset":
@@ -977,6 +984,13 @@ def dup_components(
         labels = new_labels
         if label_df.sort_values("id").reset_index(drop=True).equals(new):
             break
+    else:
+        # exhausted the cap while labels were still moving: same loud
+        # failure contract as the joined/doubling variants
+        raise CCNotConverged(
+            f"dup_components: labels did not converge within "
+            f"max_iters={max_iters} rounds — component diameter exceeds "
+            f"the cap; use dup_components_auto or raise max_iters")
     return labels
 
 
@@ -1086,10 +1100,10 @@ def dup_components_joined(
         # would corrupt every downstream dedup decision — fail loud
         # (the long-chain scale path is pointer doubling / star
         # contraction, not a bigger cap)
-        raise RuntimeError(
+        raise CCNotConverged(
             f"dup_components_joined: labels did not converge within "
             f"max_iters={max_iters} rounds — component diameter exceeds "
-            f"the cap; raise max_iters")
+            f"the cap; use dup_components_auto or raise max_iters")
     return labels
 
 
@@ -1174,7 +1188,33 @@ def dup_components_doubling(
             break
         prev_sum = cur_sum
     if not converged:
-        raise RuntimeError(
+        raise CCNotConverged(
             f"dup_components_doubling: labels did not converge within "
             f"max_iters={max_iters} rounds")
     return labels
+
+
+def dup_components_auto(
+    pairs: "ray.data.Dataset",
+    propagation_rounds: int = 8,
+    doubling_max_iters: int = 48,
+    broadcast_node_limit: int = 500_000,
+) -> "ray.data.Dataset":
+    """Shape-adaptive components dispatcher. LSH/near-dup pair graphs are
+    near-cliques (diameter 2-3), where plain min-label propagation wins:
+    cheapest round, 2-3 rounds total. Chain-shaped graphs (sorted-
+    neighborhood output, sliding-window edges) need ~diameter rounds and
+    starve propagation. Strategy: run propagation (`dup_components`, which
+    itself picks broadcast vs joined by node count) capped at
+    ``propagation_rounds``; if it fails loud with :class:`CCNotConverged`,
+    restart with pointer jumping (``dup_components_doubling``,
+    O(log diameter) rounds). Restarting wastes at most
+    ``propagation_rounds`` cheap rounds — a bounded price for never
+    paying doubling's heavier per-round shape on the common clique case.
+    Output is set-identical across all variants (equivalence-tested)."""
+    edges = pairs.select_columns(["id_a", "id_b"]).materialize()
+    try:
+        return dup_components(edges, max_iters=propagation_rounds,
+                              broadcast_node_limit=broadcast_node_limit)
+    except CCNotConverged:
+        return dup_components_doubling(edges, max_iters=doubling_max_iters)

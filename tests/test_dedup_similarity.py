@@ -314,3 +314,56 @@ def test_dup_components_auto_switch(dup_ds, ray_session):
         for r in dup_components(pairs, broadcast_node_limit=1).take_all()
     )
     assert a == b and len(a) > 0
+
+
+def test_dup_components_auto_escalates_on_chain(ray_session):
+    """A 40-node chain (diameter 39) starves 3 propagation rounds; the
+    dispatcher must fail over to pointer jumping and still return the
+    correct single component."""
+    import pandas as pd
+    import ray.data
+
+    from pii_filter_ray.stages.dedup import (
+        CCNotConverged, dup_components, dup_components_auto)
+
+    n = 40
+    pairs = ray.data.from_pandas(pd.DataFrame({
+        "id_a": list(range(n - 1)), "id_b": list(range(1, n))}))
+    # the capped propagation variant fails loud on its own...
+    import pytest
+    with pytest.raises(CCNotConverged):
+        dup_components(pairs, max_iters=3)
+    # ...and the dispatcher recovers via doubling
+    comp = (dup_components_auto(pairs, propagation_rounds=3)
+            .to_pandas().set_index("id")["component"].to_dict())
+    assert set(comp) == set(range(n)) and set(comp.values()) == {0}
+
+
+def test_dup_components_auto_matches_variants_on_random_graph(ray_session):
+    """auto / joined / doubling agree on a random graph with mixed shapes
+    (cliques + a chain)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pii_filter_ray.stages.dedup import (
+        dup_components_auto, dup_components_doubling, dup_components_joined)
+
+    rng = np.random.RandomState(11)
+    # clique on 0..5, clique on 10..13, chain 20..32, isolated pair 40-41
+    e = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    e += [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    e += [(i, i + 1) for i in range(20, 32)]
+    e += [(40, 41)]
+    rng.shuffle(e)
+    pairs = ray.data.from_pandas(pd.DataFrame(
+        {"id_a": [x[0] for x in e], "id_b": [x[1] for x in e]})).repartition(4)
+
+    def as_dict(ds):
+        return ds.to_pandas().set_index("id")["component"].to_dict()
+
+    a = as_dict(dup_components_auto(pairs, propagation_rounds=4))
+    b = as_dict(dup_components_joined(pairs, max_iters=20))
+    c = as_dict(dup_components_doubling(pairs))
+    assert a == b == c
+    assert a[5] == 0 and a[13] == 10 and a[31] == 20 and a[41] == 40

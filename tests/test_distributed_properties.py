@@ -497,6 +497,19 @@ def test_triangle_closure_paths_equivalent(ray_session):
     assert a.equals(b)
 
 
+def test_triangle_degree_paths_equivalent(ray_session):
+    """The degree-attach gate (broadcast vs two distributed hash_joins)
+    must not change the counts, on either closure path."""
+    from pii_filter_ray.pipelines import relational as r
+
+    base = r.part_triangle_count("/root/testdata/sf0.001", degree="broadcast")
+    joined = r.part_triangle_count("/root/testdata/sf0.001", degree="join")
+    assert base.equals(joined)
+    joined_shuffle = r.part_triangle_count(
+        "/root/testdata/sf0.001", degree="join", closure="shuffle")
+    assert base.equals(joined_shuffle)
+
+
 def test_cc_doubling_equivalent_and_log_rounds(ray_session):
     """Pointer-jumping CC must match the propagation variant on a random
     graph AND resolve a 64-node chain (diameter 63) within 10 rounds —
@@ -528,3 +541,39 @@ def test_cc_doubling_equivalent_and_log_rounds(ray_session):
     comp = dup_components_doubling(
         _ray.data.from_arrow(chain), max_iters=10).to_pandas()
     assert set(comp["component"]) == {0} and len(comp) == n
+
+
+def test_window_timesplit_equivalence(ray_session):
+    """events_row_number / events_user_cumsum with the hot-user time-split
+    forced on (every user hot, several slices) must equal the plain path —
+    the carry offsets reconstruct the exact per-user window."""
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base_rn = r.events_row_number(sf).sort_values("event_id").reset_index(drop=True)
+    split_rn = (r.events_row_number(sf, hot_threshold=2, num_slices=5)
+                .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(base_rn, split_rn)
+
+    base_cs = r.events_user_cumsum(sf).sort_values("event_id").reset_index(drop=True)
+    split_cs = (r.events_user_cumsum(sf, hot_threshold=2, num_slices=5)
+                .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(base_cs, split_cs)
+
+
+def test_window_timesplit_layout_invariance(ray_session, monkeypatch):
+    """The time-split window path must not depend on block layout."""
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    a = (r.events_row_number(sf, hot_threshold=3, num_slices=4)
+         .sort_values("event_id").reset_index(drop=True))
+    base = r._tbl
+
+    def shuffled(sf_dir, name, columns=None):
+        return base(sf_dir, name, columns=columns).repartition(7)
+
+    monkeypatch.setattr(r, "_tbl", shuffled)
+    b = (r.events_row_number(sf, hot_threshold=3, num_slices=4)
+         .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
