@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": r.customers_without_orders,
         # north-star pipeline over the synthetic code corpus (self-input)
         "code_corpus_flagship": r.code_corpus_flagship,
+        "code_corpus_flagship_actors": r.code_corpus_flagship_actors,
         "code_corpus_repo_stats": r.code_corpus_repo_stats,
         "code_line_dedup": r.code_line_dedup,
         "customer_orders_full_outer": r.customer_orders_full_outer,
@@ -111,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_salted_user_join": r.events_salted_user_join,
         # training-corpus hygiene: benchmark decontamination + repetition
         "doc_decontam": r.doc_decontam,
+        "doc_decontam_spans": r.doc_decontam_spans,
         "doc_repetition_signals": r.doc_repetition_signals,
         # HyperLogLog register sketch (deterministic, SQL-recomputable)
         "events_hll_users": r.events_hll_users,
@@ -329,6 +331,8 @@ def oracle_sql() -> dict[str, str]:
         # ground truth for the self-generated code corpus comes from the
         # generator's expectations sidecar (independent of the pipeline)
         "code_corpus_flagship": o.code_corpus_flagship_sql(),
+        # actor path must be bit-identical to the task path: same oracle
+        "code_corpus_flagship_actors": o.code_corpus_flagship_sql(),
         "code_corpus_repo_stats": o.code_corpus_repo_stats_sql(),
         "code_line_dedup": o.code_line_dedup_sql(),
         "customer_orders_full_outer": o.customer_orders_full_outer_sql(),
@@ -692,6 +696,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits,
                    n_hits > 0 AS contaminated
             FROM hits
+        """,
+        "doc_decontam_spans": """
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x != '') AS ws
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, i AS pos, array_to_string(ws[i:i+4], ' ') AS g
+                FROM docs, UNNEST(range(1, len(ws) - 3)) AS t(i)
+                WHERE len(ws) >= 5
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+            hitpos AS (
+                SELECT grams.doc_id, grams.pos, grams.g
+                FROM grams JOIN bench ON grams.g = bench.g
+            ),
+            runs AS (
+                SELECT doc_id, pos, g,
+                       pos - ROW_NUMBER() OVER (
+                           PARTITION BY doc_id ORDER BY pos) AS grp,
+                       pos - LAG(pos) OVER (
+                           PARTITION BY doc_id ORDER BY pos) AS delta
+                FROM hitpos
+            ),
+            per_doc AS (
+                SELECT doc_id,
+                       COUNT(DISTINCT g) AS n_hit_grams,
+                       COUNT(*) AS n_hit_pos,
+                       MAX(cnt) + 4 AS max_span_words,
+                       SUM(CASE WHEN delta IS NULL THEN 5
+                                ELSE LEAST(5, delta) END) AS covered_words
+                FROM (SELECT doc_id, pos, g, delta,
+                             COUNT(*) OVER (PARTITION BY doc_id, grp) AS cnt
+                      FROM runs)
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+                   CAST(coalesce(p.n_hit_pos, 0) AS BIGINT) AS n_hit_pos,
+                   CAST(coalesce(p.max_span_words, 0) AS BIGINT)
+                       AS max_span_words,
+                   CAST(coalesce(p.covered_words, 0) AS BIGINT)
+                       AS covered_words,
+                   round(CASE WHEN len(d.ws) = 0 THEN 0.0
+                              ELSE coalesce(p.covered_words, 0) * 1.0
+                                   / len(d.ws) END, 6) AS containment6
+            FROM docs d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
         """,
         "doc_repetition_signals": """
             WITH docs AS (

@@ -101,6 +101,23 @@ def run_bench() -> dict:
         ray.shutdown()
         return result
 
+    # --- headline 1b: same flagship on the ACTOR-POOL path with a
+    # DISK-LOADED model artifact (the real-model shape at 100x scale:
+    # langid/perplexity state read from a file once per actor __init__).
+    # Output is bit-identical to the task path (oracle-shared); the bench
+    # line pins that the actor path stays within ~20% of tasks.
+    from pii_filter_ray.core.perplexity import save_lm_artifact
+
+    lm_path = save_lm_artifact()
+
+    def code_flagship_actors():
+        ds = ray.data.read_parquet(code_path, override_num_blocks=n_blocks)
+        out = quality_scrub(ds, mode="code", emit_mappings=False,
+                            use_actors=True, lm_artifact=lm_path)
+        return out.count()
+
+    queries["code_flagship_actors"], _ = _timed(code_flagship_actors)
+
     # --- headline 2: documents flagship ---
     def doc_flagship():
         ds = ray.data.read_parquet(
@@ -161,6 +178,12 @@ def run_bench() -> dict:
     # envelope in every bench line lets any two BENCH_r{N} files be compared
     # honestly — divide files_per_sec by hw_envelope_fullwidth to normalize.
     result["hw_envelope_fullwidth"] = _hw_envelope(1, NUM_CPUS)
+    # round-over-round comparable throughput: divide out the host's
+    # day-to-day full-width speed swing (see BASELINE.md "Scaling")
+    result["files_per_sec_envnorm"] = round(
+        result["files_per_sec"] / result["hw_envelope_fullwidth"], 1)
+    result["files_per_sec_actors"] = round(
+        n_code_files / queries["code_flagship_actors"], 1)
     return result
 
 

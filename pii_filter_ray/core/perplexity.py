@@ -149,6 +149,35 @@ def default_lm() -> CharBigramLM:
     return _DEFAULT_LM
 
 
+def save_lm_artifact(path: str | None = None) -> str:
+    """Write the LM's dense float64 log2-prob matrix as an .npy artifact —
+    the sandbox stand-in for a fastText/KenLM binary. Loading it from disk
+    in an actor's ``__init__`` (CharBigramLM.from_artifact) exercises the
+    heavy-per-actor-state path with BIT-IDENTICAL scores (float64 round-
+    trips .npy exactly). Atomic write (tmp + rename) so concurrent bench
+    processes never observe a torn file."""
+    import os
+    import tempfile
+
+    if path is None:
+        path = "/tmp/pii_ray_lm/char_bigram_logp.npy"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".npy")
+        os.close(fd)
+        np.save(tmp, default_lm().logp)
+        os.replace(tmp, path)
+    return path
+
+
+def lm_from_artifact(path: str) -> CharBigramLM:
+    """Disk-loaded LM: same interface, matrix read from the artifact."""
+    obj = CharBigramLM.__new__(CharBigramLM)
+    obj.logp = np.load(path)
+    assert obj.logp.shape == (_VOCAB_SIZE, _VOCAB_SIZE)
+    return obj
+
+
 # Drop threshold in bits/char: well-formed code/prose lands ~3-4.5 with this
 # LM; random base64 ~6+; wrong-alphabet / binary noise higher still.
 DEFAULT_MAX_BITS_PER_CHAR = 6.0

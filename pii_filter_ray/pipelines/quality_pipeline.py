@@ -41,6 +41,7 @@ def quality_scrub(
     batch_size: int = 256,
     use_actors: bool = False,
     stat_ner: bool = False,
+    lm_artifact: Optional[str] = None,
 ) -> "ray.data.Dataset":
     """Apply the fused flagship stage.
 
@@ -64,6 +65,7 @@ def quality_scrub(
         "cfg": cfg,
         "emit_mappings": emit_mappings,
         "stat_ner": stat_ner,
+        "lm_artifact": lm_artifact,
     }
     if not use_actors:
         # concurrency is honored on the task path too (max concurrent

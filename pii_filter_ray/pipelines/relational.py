@@ -1062,6 +1062,29 @@ def code_corpus_flagship(sf_dir: str):
     )
 
 
+def code_corpus_flagship_actors(sf_dir: str):
+    """The flagship on the ACTOR-POOL compute path with a DISK-LOADED
+    model artifact — the 100×-scale shape where langid/perplexity state is
+    a real model file loaded once per actor in ``__init__``. Output is
+    bit-identical to code_corpus_flagship (same oracle); the artifact
+    (.npy of the LM's float64 log-prob matrix) stands in for a
+    fastText/KenLM binary, written once under /tmp."""
+    from ..core.perplexity import save_lm_artifact
+    from ..pipelines.quality_pipeline import quality_scrub
+    from ..sources.synthetic_code import corpus_path
+
+    ds = ray.data.read_parquet(corpus_path(n_rows=2000, seed=42))
+    # concurrency=None auto-sizes the fixed pool to cluster CPUs - 1 — a
+    # pool of exactly num_cpus starves the read tasks (deadlocks a small
+    # test session)
+    out = quality_scrub(ds, mode="code", emit_mappings=False,
+                        use_actors=True, concurrency=None,
+                        lm_artifact=save_lm_artifact())
+    return out.select_columns(
+        ["repo", "path", "keep", "drop_reason", "pii_count", "content_sha256"]
+    )
+
+
 def code_corpus_repo_stats(sf_dir: str):
     """Per-repo lineage stats (two-level skew-safe aggregate) over the
     synthetic code corpus; demonstrates the salted groupby-repo path."""
@@ -1480,6 +1503,33 @@ def doc_decontam(sf_dir: str, n: int = 5):
     out = flag_contaminated(docs, bset, id_col="doc_id", text_col="text", n=n)
     df = out.to_pandas()
     return df.astype({"doc_id": "int64", "n_hits": "int64", "contaminated": "bool"})
+
+
+def doc_decontam_spans(sf_dir: str, n: int = 5):
+    """Sliding-containment decontamination (stages/decontam.py,
+    flag_contaminated_spans): per document, the longest contaminated span
+    and the fraction of words covered by benchmark 5-grams — the signals
+    that separate a quoted sentence from a wholesale benchmark copy. Same
+    broadcast benchmark set and shuffle-free corpus pass as doc_decontam;
+    SQL mirror reconstructs runs with the gaps-and-islands window."""
+    from ..stages.decontam import benchmark_ngram_set, flag_contaminated_spans
+
+    docs = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_filter(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 97 == 0))
+
+    bench = docs.map_batches(bench_filter, batch_format="pyarrow")
+    bset = benchmark_ngram_set(bench, "text", n)
+    out = flag_contaminated_spans(
+        docs, bset, id_col="doc_id", text_col="text", n=n)
+    df = out.to_pandas()
+    df["containment6"] = round_half_away(df.pop("containment").to_numpy(), 6)
+    return df.astype({
+        "doc_id": "int64", "n_hit_grams": "int64", "n_hit_pos": "int64",
+        "max_span_words": "int64", "covered_words": "int64",
+        "containment6": "float64"})
 
 
 def doc_repetition_signals(sf_dir: str):

@@ -104,3 +104,63 @@ def flag_contaminated(
         )
 
     return corpus.map_batches(check, batch_format="pyarrow")
+
+
+def flag_contaminated_spans(
+    corpus: "ray.data.Dataset",
+    bench_ngrams: frozenset,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int,
+) -> "ray.data.Dataset":
+    """Sliding-containment decontamination: beyond the boolean flag, real
+    leakage checks want HOW MUCH of a document the benchmark covers (a
+    quoted sentence differs from a wholesale copy). Per document:
+
+      * n_hit_grams — distinct benchmark n-grams present;
+      * n_hit_pos — n-gram POSITIONS that hit (repeats count);
+      * max_span_words — the longest run of CONSECUTIVE hit positions,
+        in words (a run of r positions covers r + n - 1 words);
+      * covered_words — words covered by ANY hit n-gram (interval union:
+        with sorted hit positions, each gap contributes min(n, gap));
+      * containment6 — covered_words / total_words, rounded to 6.
+
+    Same broadcast-set shape as :func:`flag_contaminated` — zero corpus
+    shuffle, per-doc vectorized run/gap arithmetic over hit positions."""
+    ref = ray.put(bench_ngrams)
+
+    def check(batch: pa.Table) -> pa.Table:
+        bset = ray.get(ref)
+        m = batch.num_rows
+        n_hit_grams = np.zeros(m, dtype="int64")
+        n_hit_pos = np.zeros(m, dtype="int64")
+        max_span = np.zeros(m, dtype="int64")
+        covered = np.zeros(m, dtype="int64")
+        containment = np.zeros(m, dtype="float64")
+        for i, v in enumerate(batch[text_col].to_pylist()):
+            ws = (v or "").split()
+            grams = _doc_ngrams(v, n)
+            hit_pos = np.flatnonzero(
+                np.fromiter((g in bset for g in grams), dtype=bool,
+                            count=len(grams)))
+            if len(hit_pos) == 0:
+                continue
+            n_hit_grams[i] = len({grams[p] for p in hit_pos})
+            n_hit_pos[i] = len(hit_pos)
+            delta = np.diff(hit_pos)
+            breaks = np.flatnonzero(delta > 1)
+            run_lens = np.diff(np.r_[0, breaks + 1, len(hit_pos)])
+            max_span[i] = int(run_lens.max()) + n - 1
+            covered[i] = n + int(np.minimum(delta, n).sum())
+            containment[i] = covered[i] / len(ws)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_hit_grams": pa.array(n_hit_grams, pa.int64()),
+            "n_hit_pos": pa.array(n_hit_pos, pa.int64()),
+            "max_span_words": pa.array(max_span, pa.int64()),
+            "covered_words": pa.array(covered, pa.int64()),
+            "containment": pa.array(containment, pa.float64()),
+        })
+
+    return corpus.map_batches(check, batch_format="pyarrow")

@@ -174,6 +174,7 @@ class QualityScrubStage:
         enable_ner: bool = True,
         stat_ner: bool = False,
         drop_content: bool = False,
+        lm_artifact: Optional[str] = None,
     ):
         self.content_col = content_col
         self.lang_col = lang_col
@@ -186,7 +187,15 @@ class QualityScrubStage:
         self.extended = extended
         self.enable_ner = enable_ner
         self.drop_content = drop_content
-        self.lm = CharBigramLM()
+        # lm_artifact: load the scoring matrix from a DISK file (the
+        # fastText/KenLM-shaped per-actor cost at real scale) — output is
+        # bit-identical to the in-memory build (float64 .npy round-trip)
+        if lm_artifact is not None:
+            from ..core.perplexity import lm_from_artifact
+
+            self.lm = lm_from_artifact(lm_artifact)
+        else:
+            self.lm = CharBigramLM()
         # statistical NER is the heavy per-actor state (trained once per
         # actor/worker like a spaCy/fastText binary); prose corpora only
         self.stat_model = None
