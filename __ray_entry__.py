@@ -265,6 +265,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q2_min_price_supplier": r.q2_min_price_supplier,
         # robust preprocessing: winsorized moments at exact [p5, p95]
         "orders_winsorized_stats": r.orders_winsorized_stats,
+        # round 3: sliding-containment decontam + join compositions +
+        # winnowing + kNN classify + SCD2 + watermark sizing
+        "q21_waiting_supplier": r.q21_waiting_supplier,
+        "q9_nation_year_profit": r.q9_nation_year_profit,
+        "doc_winnowing": r.doc_winnowing,
+        "emb_knn_classify": r.emb_knn_classify,
+        "events_scd2_intervals": r.events_scd2_intervals,
+        "events_out_of_order_depth": r.events_out_of_order_depth,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -333,6 +341,101 @@ def oracle_sql() -> dict[str, str]:
         "code_corpus_flagship": o.code_corpus_flagship_sql(),
         # actor path must be bit-identical to the task path: same oracle
         "code_corpus_flagship_actors": o.code_corpus_flagship_sql(),
+        "doc_winnowing": o.doc_winnowing_sql(),
+        "q21_waiting_supplier": """
+            WITH ls AS (
+                SELECT l_orderkey, l_suppkey,
+                       max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                                THEN 1 ELSE 0 END) AS late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY l_orderkey, l_suppkey
+            ),
+            st AS (SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+                   FROM ls GROUP BY l_orderkey),
+            win AS (SELECT ls.l_suppkey FROM ls JOIN st USING (l_orderkey)
+                    WHERE ls.late = 1 AND st.n_supp >= 2 AND st.n_late = 1),
+            c AS (SELECT l_suppkey, count(*) AS n FROM win GROUP BY l_suppkey)
+            SELECT s.s_name, CAST(c.n AS BIGINT) AS numwait
+            FROM c JOIN supplier s ON s.s_suppkey = c.l_suppkey
+            ORDER BY numwait DESC, s.s_name
+            LIMIT 10
+        """,
+        "q9_nation_year_profit": """
+            SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 10000.0, 0) AS BIGINT)) / 10000.0
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY n_name, o_year
+        """,
+        "emb_knn_classify": """
+            WITH probes AS (SELECT vec_id AS qid, embedding AS qe
+                            FROM embeddings WHERE vec_id < 5),
+            nn AS (
+                SELECT p.qid, e.label, e.vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+                           round(list_cosine_similarity(
+                               CAST(e.embedding AS DOUBLE[]),
+                               CAST(p.qe AS DOUBLE[])), 9) DESC,
+                           e.vec_id) AS rk
+                FROM embeddings e, probes p
+                WHERE e.vec_id != p.qid
+            ),
+            votes AS (SELECT qid, label, count(*) AS v
+                      FROM nn WHERE rk <= 10 GROUP BY qid, label)
+            SELECT CAST(qid AS BIGINT) AS query_id,
+                   CAST(label AS BIGINT) AS pred_label,
+                   CAST(v AS BIGINT) AS n_votes
+            FROM votes
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY v DESC, label) = 1
+        """,
+        "events_scd2_intervals": """
+            WITH e AS (
+                SELECT user_id, event_id, event_type, ts,
+                       lag(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+                FROM events
+            ),
+            ch AS (
+                SELECT user_id, event_id, event_type, ts AS vf
+                FROM e WHERE prev IS NULL OR prev != event_type
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(event_id AS BIGINT) AS event_id,
+                   event_type,
+                   strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+                   coalesce(strftime(lead(vf) OVER (PARTITION BY user_id
+                                ORDER BY vf, event_id),
+                            '%Y-%m-%d %H:%M:%S'),
+                            '9999-12-31 00:00:00') AS valid_to
+            FROM ch
+        """,
+        "events_out_of_order_depth": """
+            WITH d AS (
+                SELECT user_id,
+                       CASE WHEN mx IS NULL OR mx <= ts THEN 0
+                            ELSE CAST(date_diff('microsecond', ts, mx)
+                                      AS BIGINT) // 1000000
+                       END AS late_s
+                FROM (SELECT user_id, ts,
+                             max(ts) OVER (PARTITION BY user_id
+                                 ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS mx
+                      FROM events)
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_late,
+                   CAST(max(late_s) AS BIGINT) AS max_late_s
+            FROM d GROUP BY user_id
+        """,
         "code_corpus_repo_stats": o.code_corpus_repo_stats_sql(),
         "code_line_dedup": o.code_line_dedup_sql(),
         "customer_orders_full_outer": o.customer_orders_full_outer_sql(),

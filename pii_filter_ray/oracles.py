@@ -915,3 +915,33 @@ def doc_bpe_merges_sql(iters: int = 3) -> str:
         for k in range(1, iters + 1)
     ]
     return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+def doc_winnowing_sql(k: int = 8, w: int = 6) -> str:
+    """Full winnowing recompute in SQL (mirror of
+    text_stats.winnowing_fingerprints_batch): per-position k-gram
+    polynomial hashes (HUGEINT wraparound = numpy uint64), list_min over
+    each w-window, DISTINCT, signed-int64 reinterpret. Same ASCII
+    codepoint==byte assumption as doc_fingerprint_sql."""
+    poly = f"(acc * 1000003 + c) % {_Q64}"
+    return f"""WITH h AS (
+    SELECT doc_id,
+           list_transform(
+             range(1, length(text) - {k} + 2),
+             i -> list_reduce(
+                    list_transform(range(i, i + {k}),
+                                   j -> CAST(unicode(text[j]) AS HUGEINT)),
+                    (acc, c) -> {poly})) AS hs
+    FROM documents
+    WHERE length(text) >= {k + w - 1}
+  ),
+  wm AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(hs) - {w} + 2),
+                                 i -> list_min(hs[i:i+{w - 1}]))) AS u
+    FROM h
+  )
+  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(CASE WHEN u >= {1 << 63} THEN u - {_Q64} ELSE u END AS BIGINT)
+           AS fp
+  FROM wm"""

@@ -54,9 +54,13 @@ def quality_scrub(
     pool, measured; tasks hit 2.3x the throughput on a 60k-file corpus).
     Pass ``use_actors=True`` for genuinely heavy per-actor state (real
     fastText/KenLM model files, GPU inference); then ``concurrency=None``
-    sizes a FIXED pool to all-but-one cluster CPU (autoscaling pools ramp
-    too slowly for batch jobs, and a pool of exactly num_cpus starves the
-    read tasks).
+    sizes a FIXED pool to 5/8 of cluster CPUs (autoscaling pools ramp too
+    slowly for batch jobs). The pool must leave real headroom for the READ
+    tasks that feed it: measured on a 32-cpu box, a 20-actor pool matches
+    the task path (18.7k files/s), while 30 actors collapse to 8.6k and 31
+    to 5.2k — the reads serialize on the leftover cores and the pool
+    starves. At 100 TB with heavier per-batch models (compute-bound), a
+    larger fraction pays — override ``concurrency`` explicitly.
     """
     stage_kwargs = {
         "content_col": content_col,
@@ -82,7 +86,7 @@ def quality_scrub(
         import ray
 
         n_cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        concurrency = max(1, n_cpus - 1)
+        concurrency = max(1, (n_cpus * 5) // 8)
     return ds.map_batches(
         QualityScrubStage,
         fn_constructor_kwargs=stage_kwargs,

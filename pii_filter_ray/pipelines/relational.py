@@ -6691,3 +6691,317 @@ def orders_winsorized_stats(sf_dir: str):
         "mean_raw6": [mean_raw], "sd_raw6": [sd_raw],
         "mean_w6": [mean_w], "sd_w6": [sd_w],
     })
+
+
+# --- round-3 additions: join compositions, winnowing, kNN classify, SCD2 ----
+
+
+def q21_waiting_supplier(sf_dir: str, late_days: int = 60, topk: int = 10):
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to the
+    available columns: a supplier 'kept an order waiting' when it shipped
+    a line more than ``late_days`` after the order date, the order involved
+    at least one OTHER supplier, and no other supplier was late — the
+    EXISTS / NOT EXISTS pair of the original collapses into per-order
+    (n_suppliers, n_late_suppliers) counts.
+
+    Distributed shape: block-local (orderkey, suppkey, max ship) partials
+    -> ONE LARGE x LARGE hash_join against orders carrying only int64
+    epoch-us dates -> orderkey-bucketed groups resolve the per-order
+    counts and emit the lone-late supplier -> per-block count partials +
+    tiny suppkey groupby -> per-block top-k + driver merge (k rows per
+    block); supplier names decorate only the winners (tiny dim)."""
+    from ..stages.joins import hash_join
+
+    late_us = np.int64(late_days) * 86_400_000_000
+
+    def prep_li(batch: pa.Table) -> pa.Table:
+        g = (pa.table({
+                "l_orderkey": batch["l_orderkey"],
+                "l_suppkey": batch["l_suppkey"],
+                "ship_us": batch["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()),
+            }).group_by(["l_orderkey", "l_suppkey"]).aggregate([("ship_us", "max")]))
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "l_suppkey": g["l_suppkey"],
+                         "ship_us": g["ship_us_max"]})
+
+    def prep_o(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "date_us": batch["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()),
+        })
+
+    li = _tbl(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_suppkey", "l_shipdate"]) \
+        .map_batches(prep_li, batch_format="pyarrow")
+    orders = _tbl(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]) \
+        .map_batches(prep_o, batch_format="pyarrow")
+    j = hash_join(
+        li, orders, left_key="l_orderkey", right_key="o_orderkey",
+        left_cols=["l_suppkey", "ship_us"], right_cols=["date_us"],
+        schema={"l_suppkey": pa.int64(), "ship_us": pa.int64(),
+                "date_us": pa.int64()})
+
+    def mark(batch: pa.Table) -> pa.Table:
+        late = (batch["ship_us"].to_numpy(zero_copy_only=False)
+                > batch["date_us"].to_numpy(zero_copy_only=False) + late_us)
+        b = (batch["l_orderkey"].to_numpy(zero_copy_only=False) % 64)
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "l_suppkey": batch["l_suppkey"],
+                         "late": pa.array(late.astype("int64"), pa.int64()),
+                         "ob": pa.array(b.astype("int64"), pa.int64())})
+
+    def per_order(g: pd.DataFrame) -> pd.DataFrame:
+        d = (g.groupby(["l_orderkey", "l_suppkey"], sort=False)["late"]
+             .max().reset_index())
+        st = d.groupby("l_orderkey", sort=False).agg(
+            n_supp=("l_suppkey", "size"), n_late=("late", "sum"))
+        elig = st[(st["n_supp"] >= 2) & (st["n_late"] == 1)].index
+        win = d[(d["late"] == 1) & d["l_orderkey"].isin(elig)]
+        c = win.groupby("l_suppkey", sort=False).size().reset_index(name="n")
+        return pd.DataFrame({"l_suppkey": c["l_suppkey"].to_numpy(np.int64),
+                             "n": c["n"].to_numpy(np.int64)})
+
+    counts = (j.map_batches(mark, batch_format="pyarrow")
+              .groupby("ob").map_groups(per_order, batch_format="pandas")
+              .groupby("l_suppkey").aggregate(Sum("n", alias_name="n")))
+
+    def topk_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n", "l_suppkey"], ascending=[False, True],
+            kind="mergesort").head(topk)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    top = (counts.map_batches(topk_block, batch_format="pyarrow").to_pandas())
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name"])
+    nmap = dict(zip(supp["s_suppkey"].to_pylist(), supp["s_name"].to_pylist()))
+    top["s_name"] = [nmap[int(k)] for k in top["l_suppkey"]]
+    top = (top.sort_values(["n", "s_name"], ascending=[False, True],
+                           kind="mergesort").head(topk).reset_index(drop=True))
+    return pd.DataFrame({"s_name": pd.array(top["s_name"], dtype="string"),
+                         "numwait": top["n"].astype("int64")})
+
+
+def q9_nation_year_profit(sf_dir: str, name_like: str = "widget"):
+    """TPC-H Q9 shape (product-line profit by nation and year): revenue of
+    lines whose PART NAME contains ``name_like``, grouped by the
+    supplier's nation and the ORDER year. Part filter broadcasts a
+    partkey set (node-catalog bound, like q2); supplier->nation collapses
+    driver-side into one broadcast int->name map (tiny dims); order year
+    attaches through the LARGE x LARGE hash_join carrying one int16-like
+    year column; exact 1e-4-unit integer cents pre-aggregate per block
+    before the tiny (nation, year) shuffle."""
+    from ..stages.joins import hash_join
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_name"])
+    keep = pc.match_substring(part["p_name"], name_like)
+    pk = pa.array(part.filter(keep)["p_partkey"].to_numpy(
+        zero_copy_only=False).astype("int64"), pa.int64())
+    pk_ref = ray.put(pk)
+
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    nname = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    smap = {int(s): nname[int(nk)] for s, nk in
+            zip(supp["s_suppkey"].to_pylist(), supp["s_nationkey"].to_pylist())}
+    smap_ref = ray.put(smap)
+
+    def prep_li(batch: pa.Table) -> pa.Table:
+        keys = ray.get(pk_ref)
+        m = pc.is_in(batch["l_partkey"], value_set=keys)
+        b = batch.filter(m)
+        rev = round_half_away(
+            b["l_extendedprice"].to_numpy()
+            * (1.0 - b["l_discount"].to_numpy()) * 10000.0, 0).astype(np.int64)
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_suppkey": b["l_suppkey"],
+                         "rev_e4": pa.array(rev, pa.int64())})
+
+    def prep_o(batch: pa.Table) -> pa.Table:
+        yr = pc.year(batch["o_orderdate"].cast(pa.timestamp("us")))
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "o_year": pc.cast(yr, pa.int64())})
+
+    li = _tbl(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_partkey", "l_suppkey",
+                       "l_extendedprice", "l_discount"]) \
+        .map_batches(prep_li, batch_format="pyarrow")
+    orders = _tbl(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]) \
+        .map_batches(prep_o, batch_format="pyarrow")
+    j = hash_join(li, orders, left_key="l_orderkey", right_key="o_orderkey",
+                  left_cols=["l_suppkey", "rev_e4"], right_cols=["o_year"],
+                  schema={"l_suppkey": pa.int64(), "rev_e4": pa.int64(),
+                          "o_year": pa.int64()})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sm = ray.get(smap_ref)
+        names = pa.array([sm[int(s)] for s in
+                          batch["l_suppkey"].to_pylist()], pa.string())
+        t = pa.table({"n_name": names, "o_year": batch["o_year"],
+                      "rev_e4": batch["rev_e4"]})
+        g = t.group_by(["n_name", "o_year"]).aggregate([("rev_e4", "sum")])
+        return pa.table({"n_name": g["n_name"], "o_year": g["o_year"],
+                         "rev_e4": g["rev_e4_sum"]})
+
+    df = (j.map_batches(partial, batch_format="pyarrow")
+          .groupby(["n_name", "o_year"])
+          .aggregate(Sum("rev_e4", alias_name="rev_e4")).to_pandas())
+    df["revenue"] = df["rev_e4"].astype("int64") / 10000.0
+    return (df[["n_name", "o_year", "revenue"]]
+            .astype({"n_name": "string", "o_year": "int64",
+                     "revenue": "float64"}))
+
+
+def doc_winnowing(sf_dir: str, k: int = 8, w: int = 6):
+    """Full winnowing fingerprints (MOSS; Schleimer et al. SIGMOD'03) per
+    document: distinct minima over every window of w consecutive k-gram
+    rolling hashes — any shared substring of length >= k + w - 1 shares a
+    fingerprint. Pure per-row map (stages/text_stats.py), zero shuffle;
+    the SQL oracle recomputes the polynomial hashes and window minima with
+    HUGEINT list arithmetic."""
+    from ..stages.text_stats import winnowing_fingerprints_batch
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return winnowing_fingerprints_batch(batch, k=k, w=w)
+
+    df = ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+    return df.astype({"doc_id": "int64", "fp": "int64"})
+
+
+def emb_knn_classify(sf_dir: str, n_probes: int = 5, k: int = 10):
+    """k-NN majority-vote classification for probe vectors vec_id <
+    ``n_probes``: each probe's label is the majority label of its k
+    nearest neighbors by cosine (self excluded; vote ties -> smaller
+    label). ONE corpus pass scores ALL probes: the probe matrix broadcasts
+    once (ray.put) and every block emits its local top-(k+1) per probe via
+    a single matmul — k+1 rows per (block, probe) reach the driver."""
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    from ..stages.similarity import _normalize, _to_matrix
+
+    probe_tbl = pa.concat_tables(ds.map_batches(
+        lambda b: b.filter(pc.less(b["vec_id"], pa.scalar(n_probes))),
+        batch_format="pyarrow").iter_batches(batch_format="pyarrow")) \
+        .sort_by("vec_id")
+    qids = probe_tbl["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+    Q = _normalize(_to_matrix(probe_tbl["embedding"]))
+    qref = ray.put((qids, Q))
+    kk = k + 1  # self may appear in a block's top list; dropped at merge
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        ids_q, Qm = ray.get(qref)
+        M = _normalize(_to_matrix(batch["embedding"]))
+        S = M @ Qm.T  # (n, n_probes)
+        out_q, out_id, out_sim, out_lab = [], [], [], []
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        lab = batch["label"].to_numpy(zero_copy_only=False)
+        top = min(kk, S.shape[0])
+        for c in range(S.shape[1]):
+            idx = np.argpartition(-S[:, c], top - 1)[:top]
+            out_q.append(np.full(top, ids_q[c], dtype="int64"))
+            out_id.append(vid[idx].astype("int64"))
+            out_sim.append(S[idx, c])
+            out_lab.append(lab[idx].astype("int64"))
+        return pa.table({
+            "qid": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "sim": pa.array(np.concatenate(out_sim), pa.float64()),
+            "label": pa.array(np.concatenate(out_lab), pa.int64()),
+        })
+
+    parts = ds.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    parts = parts[parts["qid"] != parts["vec_id"]]
+    parts["sim_r"] = parts["sim"].round(9)
+    rows = []
+    for qid, grp in parts.groupby("qid", sort=True):
+        nn = grp.sort_values(["sim_r", "vec_id"],
+                             ascending=[False, True],
+                             kind="mergesort").head(k)
+        votes = nn.groupby("label").size().reset_index(name="v")
+        votes = votes.sort_values(["v", "label"], ascending=[False, True],
+                                  kind="mergesort")
+        rows.append({"query_id": int(qid),
+                     "pred_label": int(votes["label"].iloc[0]),
+                     "n_votes": int(votes["v"].iloc[0])})
+    return pd.DataFrame(rows).astype({"query_id": "int64",
+                                      "pred_label": "int64",
+                                      "n_votes": "int64"})
+
+
+def events_scd2_intervals(sf_dir: str):
+    """SCD-2 dimension build from the event stream: per user, the validity
+    intervals of event_type — a row starts where the type CHANGES (ordered
+    by ts, event_id) and is valid until the next change (open intervals
+    close at the 9999-12-31 sentinel). The standard
+    slowly-changing-dimension construction, as one user-bucketed shuffle
+    with a vectorized change-detect + shift per bucket (same partitioning
+    contract as events_row_number)."""
+    ds = _tbl(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                         "event_type"])
+    fmt = "%Y-%m-%d %H:%M:%S"
+    sentinel = "9999-12-31 00:00:00"  # string timestamps: the open-interval
+    # sentinel overflows datetime64[ns], and string form makes the value
+    # hash resolution-independent vs the SQL oracle
+
+    def intervals(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        change = new_user | np.r_[True, et[1:] != et[:-1]]
+        ch = g[change]
+        cu = ch["user_id"].to_numpy()
+        from_str = ch["ts"].dt.strftime(fmt).to_numpy(dtype=object)
+        valid_to = np.concatenate([from_str[1:],
+                                   np.array([sentinel], dtype=object)])
+        last_of_user = np.r_[cu[1:] != cu[:-1], True]
+        valid_to[last_of_user] = sentinel
+        return pd.DataFrame({
+            "user_id": cu,
+            "event_id": ch["event_id"].to_numpy(),
+            "event_type": ch["event_type"].to_numpy(),
+            "valid_from": from_str,
+            "valid_to": valid_to,
+        })
+
+    df = (ds.map_batches(_add_user_bucket, batch_format="pyarrow")
+          .groupby("bucket").map_groups(intervals, batch_format="pandas")
+          .to_pandas())
+    return df.astype({"user_id": "int64", "event_id": "int64",
+                      "event_type": "string", "valid_from": "string",
+                      "valid_to": "string"})
+
+
+def events_out_of_order_depth(sf_dir: str):
+    """Watermark sizing signal for streaming ingestion: treating event_id
+    as ARRIVAL order, how far behind the per-user running max event-time
+    do events arrive? Per user: n_late (arrivals older than the running
+    max) and max_late_s (the watermark you'd need). One user-bucketed
+    shuffle; per bucket a vectorized prefix-max."""
+    ds = _tbl(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def depth(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        runmax = np.maximum.accumulate(t)
+        prev = np.r_[np.int64(0), runmax[:-1]]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        late_us = prev - t
+        late_us[new_user] = 0
+        late_s = np.maximum(late_us, 0) // 1_000_000
+        d = pd.DataFrame({"user_id": u, "late_s": late_s})
+        out = d.groupby("user_id", sort=False).agg(
+            n_late=("late_s", lambda x: int((x > 0).sum())),
+            max_late_s=("late_s", "max")).reset_index()
+        return out
+
+    df = (ds.map_batches(_add_user_bucket, batch_format="pyarrow")
+          .groupby("bucket").map_groups(depth, batch_format="pandas")
+          .to_pandas())
+    return df.astype({"user_id": "int64", "n_late": "int64",
+                      "max_late_s": "int64"})

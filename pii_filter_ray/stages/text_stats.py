@@ -170,3 +170,48 @@ def rolling_fingerprint_batch(
     return pa.table(
         {id_col: batch[id_col], "fingerprint": pa.array(fps, pa.int64())}
     )
+
+
+def winnowing_fingerprints_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 8, w: int = 6,
+) -> pa.Table:
+    """Full winnowing (MOSS-style robust fingerprints, Schleimer et al.
+    SIGMOD'03): the DISTINCT minima of every window of ``w`` consecutive
+    ``k``-gram rolling hashes — the guarantee is that any shared substring
+    of length >= w + k - 1 yields at least one shared fingerprint, while
+    per-doc fingerprint count stays ~2·len/w. ``rolling_fingerprint_batch``
+    is the 1-element degenerate case (one global min); this emits the
+    overlap-localizable set. Docs shorter than k + w - 1 chars emit no
+    rows (mirrored by the SQL oracle). Same polynomial hash, fully
+    vectorized: one shifted multiply-add pass for the k-gram hashes, one
+    sliding-window min, one unique."""
+    import numpy as np
+
+    ids_out, fps_out = [], []
+    id_vals = batch[id_col].to_pylist()
+    for row_i, v in enumerate(batch[text_col].to_pylist()):
+        v = v or ""
+        if len(v) < k + w - 1:
+            continue
+        codes = np.frombuffer(
+            v.encode("utf-8", "replace"), dtype=np.uint8).astype(np.uint64)
+        n = len(codes)
+        n_win = n - k + 1
+        H = np.zeros(n_win, dtype=np.uint64)
+        p = 1
+        with np.errstate(over="ignore"):
+            for j in range(k - 1, -1, -1):
+                H += codes[j: j + n_win] * np.uint64(p)
+                p = (p * 1000003) & 0xFFFFFFFFFFFFFFFF
+        mins = np.unique(
+            np.lib.stride_tricks.sliding_window_view(H, w).min(axis=1))
+        fps_out.append(mins.view(np.int64))  # two's-complement reinterpret
+        ids_out.append(np.full(len(mins), id_vals[row_i], dtype="int64"))
+    if not ids_out:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "fp": pa.array([], pa.int64())})
+    return pa.table({
+        id_col: pa.array(np.concatenate(ids_out), pa.int64()),
+        "fp": pa.array(np.concatenate(fps_out), pa.int64()),
+    })

@@ -334,6 +334,9 @@ import pytest
     "events_conversion_latency", "orders_backlog_series",
     "orders_revenue_concentration", "q2_min_price_supplier",
     "orders_winsorized_stats",
+    "q21_waiting_supplier", "q9_nation_year_profit", "doc_winnowing",
+    "emb_knn_classify", "events_scd2_intervals", "events_out_of_order_depth",
+    "doc_decontam_spans",
 ])
 def test_round2_ops_invariant_to_block_layout(ray_session, monkeypatch, qname):
     """The round-2 window/rank/histogram/retrieval operators must produce
