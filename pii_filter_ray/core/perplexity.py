@@ -156,16 +156,22 @@ def save_lm_artifact(path: str | None = None) -> str:
     heavy-per-actor-state path with BIT-IDENTICAL scores (float64 round-
     trips .npy exactly). Atomic write (tmp + rename) so concurrent bench
     processes never observe a torn file."""
+    import hashlib
     import os
     import tempfile
 
+    lm = default_lm()
     if path is None:
-        path = "/tmp/pii_ray_lm/char_bigram_logp.npy"
+        # CONTENT-ADDRESSED name: if the LM ever changes (training text,
+        # smoothing), the digest changes and a stale cached artifact from a
+        # previous build can never be silently loaded
+        digest = hashlib.sha256(lm.logp.tobytes()).hexdigest()[:16]
+        path = f"/tmp/pii_ray_lm/char_bigram_logp_{digest}.npy"
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".npy")
         os.close(fd)
-        np.save(tmp, default_lm().logp)
+        np.save(tmp, lm.logp)
         os.replace(tmp, path)
     return path
 

@@ -193,11 +193,20 @@ _CARGO_TRAILING = frozenset(
 )
 
 
+_CARGO_TRAIL_RE = re.compile(r"\s+(\S+)\s*$")
+
+
 def _trim_cargo(value: str) -> str:
-    toks = value.split()
-    while toks and toks[-1].lower() in _CARGO_TRAILING:
-        toks.pop()
-    return " ".join(toks)
+    """Strip trailing function-word tokens IN PLACE (the result must stay a
+    prefix of the original string — extract_entities recovers the span via
+    substring search, and re-joining tokens would collapse internal
+    whitespace runs like a wrapped job title and break that recovery)."""
+    v = value.rstrip()
+    while True:
+        m = _CARGO_TRAIL_RE.search(v)
+        if not m or m.group(1).lower() not in _CARGO_TRAILING:
+            return v
+        v = v[:m.start()]
 
 
 # 'médico/técnico(a)' are noun/ADJECTIVE-ambiguous: after a document or

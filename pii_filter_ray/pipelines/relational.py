@@ -1074,9 +1074,9 @@ def code_corpus_flagship_actors(sf_dir: str):
     from ..sources.synthetic_code import corpus_path
 
     ds = ray.data.read_parquet(corpus_path(n_rows=2000, seed=42))
-    # concurrency=None auto-sizes the fixed pool to cluster CPUs - 1 — a
-    # pool of exactly num_cpus starves the read tasks (deadlocks a small
-    # test session)
+    # concurrency=None auto-sizes the fixed pool to 5/8 of cluster CPUs —
+    # the pool must leave read-task headroom (a pool near num_cpus starves
+    # the reads; measured 4.5x collapse at 31/32, see quality_pipeline)
     out = quality_scrub(ds, mode="code", emit_mappings=False,
                         use_actors=True, concurrency=None,
                         lm_artifact=save_lm_artifact())
@@ -6765,19 +6765,25 @@ def q21_waiting_supplier(sf_dir: str, late_days: int = 60, topk: int = 10):
               .groupby("ob").map_groups(per_order, batch_format="pandas")
               .groupby("l_suppkey").aggregate(Sum("n", alias_name="n")))
 
-    def topk_block(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().sort_values(
-            ["n", "l_suppkey"], ascending=[False, True],
-            kind="mergesort").head(topk)
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    top = (counts.map_batches(topk_block, batch_format="pyarrow").to_pandas())
     supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
                          columns=["s_suppkey", "s_name"])
     nmap = dict(zip(supp["s_suppkey"].to_pylist(), supp["s_name"].to_pylist()))
-    top["s_name"] = [nmap[int(k)] for k in top["l_suppkey"]]
-    top = (top.sort_values(["n", "s_name"], ascending=[False, True],
-                           kind="mergesort").head(topk).reset_index(drop=True))
+    nmap_ref = ray.put(nmap)
+
+    def topk_block(batch: pa.Table) -> pa.Table:
+        # block-local top-k must use the FINAL ordering key (n DESC,
+        # s_name ASC) — tie-breaking by suppkey here could evict a
+        # count-tied supplier whose name sorts earlier than a kept one
+        nm = ray.get(nmap_ref)
+        df = batch.to_pandas()
+        df["s_name"] = df["l_suppkey"].map(nm)
+        df = df.sort_values(["n", "s_name"], ascending=[False, True],
+                            kind="mergesort").head(topk)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    top = (counts.map_batches(topk_block, batch_format="pyarrow").to_pandas()
+           .sort_values(["n", "s_name"], ascending=[False, True],
+                        kind="mergesort").head(topk).reset_index(drop=True))
     return pd.DataFrame({"s_name": pd.array(top["s_name"], dtype="string"),
                          "numwait": top["n"].astype("int64")})
 
@@ -6805,9 +6811,11 @@ def q9_nation_year_profit(sf_dir: str, name_like: str = "widget"):
     nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
                         columns=["n_nationkey", "n_name"])
     nname = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
-    smap = {int(s): nname[int(nk)] for s, nk in
-            zip(supp["s_suppkey"].to_pylist(), supp["s_nationkey"].to_pylist())}
-    smap_ref = ray.put(smap)
+    skeys = pa.array(supp["s_suppkey"].to_numpy(
+        zero_copy_only=False).astype("int64"), pa.int64())
+    snames = pa.array([nname[int(nk)] for nk in
+                       supp["s_nationkey"].to_pylist()], pa.string())
+    smap_ref = ray.put((skeys, snames))
 
     def prep_li(batch: pa.Table) -> pa.Table:
         keys = ray.get(pk_ref)
@@ -6837,9 +6845,8 @@ def q9_nation_year_profit(sf_dir: str, name_like: str = "widget"):
                           "o_year": pa.int64()})
 
     def partial(batch: pa.Table) -> pa.Table:
-        sm = ray.get(smap_ref)
-        names = pa.array([sm[int(s)] for s in
-                          batch["l_suppkey"].to_pylist()], pa.string())
+        sk, sn = ray.get(smap_ref)
+        names = pc.take(sn, pc.index_in(batch["l_suppkey"], value_set=sk))
         t = pa.table({"n_name": names, "o_year": batch["o_year"],
                       "rev_e4": batch["rev_e4"]})
         g = t.group_by(["n_name", "o_year"]).aggregate([("rev_e4", "sum")])
@@ -6900,8 +6907,12 @@ def emb_knn_classify(sf_dir: str, n_probes: int = 5, k: int = 10):
         vid = batch["vec_id"].to_numpy(zero_copy_only=False)
         lab = batch["label"].to_numpy(zero_copy_only=False)
         top = min(kk, S.shape[0])
+        # block-local selection must use the ORACLE's total order —
+        # (round(sim, 9) DESC, vec_id ASC) — or rounding-tied candidates
+        # at the cutoff would drop block-layout-dependently
+        S_r = np.round(S, 9)
         for c in range(S.shape[1]):
-            idx = np.argpartition(-S[:, c], top - 1)[:top]
+            idx = np.lexsort((vid, -S_r[:, c]))[:top]
             out_q.append(np.full(top, ids_q[c], dtype="int64"))
             out_id.append(vid[idx].astype("int64"))
             out_sim.append(S[idx, c])
@@ -6988,16 +6999,22 @@ def events_out_of_order_depth(sf_dir: str):
         g = g.sort_values(["user_id", "event_id"], kind="mergesort")
         u = g["user_id"].to_numpy()
         t = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
-        runmax = np.maximum.accumulate(t)
+        d = pd.DataFrame({"user_id": u, "t": t})
+        # PER-USER prefix max (a bucket holds many users; a global
+        # accumulate would leak an earlier user's late timestamps into the
+        # next user's lateness — caught by the sf0.01 oracle, where
+        # user_id % 64 collides)
+        runmax = d.groupby("user_id", sort=False)["t"].cummax().to_numpy()
         prev = np.r_[np.int64(0), runmax[:-1]]
         new_user = np.r_[True, u[1:] != u[:-1]]
         late_us = prev - t
         late_us[new_user] = 0
-        late_s = np.maximum(late_us, 0) // 1_000_000
-        d = pd.DataFrame({"user_id": u, "late_s": late_s})
+        d["late_s"] = np.maximum(late_us, 0) // 1_000_000
+        d["is_late"] = d["late_s"] > 0
         out = d.groupby("user_id", sort=False).agg(
-            n_late=("late_s", lambda x: int((x > 0).sum())),
+            n_late=("is_late", "sum"),
             max_late_s=("late_s", "max")).reset_index()
+        out["n_late"] = out["n_late"].astype("int64")
         return out
 
     df = (ds.map_batches(_add_user_bucket, batch_format="pyarrow")

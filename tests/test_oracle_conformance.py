@@ -8,7 +8,12 @@ import duckdb
 import pandas as pd
 import pytest
 
-SF_DIR = "/root/testdata/sf0.001"
+import os as _os
+
+# default sf0.001 for speed; the driver's gate runs sf0.01, where e.g.
+# user_id % 64 bucket collisions exist (>64 users) — sweep with
+# GRAFT_ORACLE_SF=/root/testdata/sf0.01 before shipping bucketed operators
+SF_DIR = _os.environ.get("GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",

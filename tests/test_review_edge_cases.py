@@ -247,3 +247,42 @@ def test_rolling_hll_rejects_small_p(ray_session):
 
     with pytest.raises(AssertionError):
         hll_rolling_sql("events", "x", "user_id", p=10)
+
+
+def test_out_of_order_depth_bucket_collision(ray_session):
+    """Two users sharing a hash bucket (user_id % 64 collision) must not
+    leak each other's running-max timestamps: user 65's in-order events
+    must report zero lateness even when user 1 (same bucket) has later
+    timestamps (round-3 review finding, reproduced at sf0.01)."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.01"  # 150 users -> real bucket collisions
+    got = (e.queries()["events_out_of_order_depth"](sf)
+           .sort_values("user_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    exp = (con.execute(e.oracle_sql()["events_out_of_order_depth"]).df()
+           .sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), exp.astype("int64"))
+
+
+def test_cargo_trim_preserves_internal_whitespace():
+    """A CARGO match wrapped across a line break must not crash span
+    recovery (round-3 review finding: token re-join collapsed the
+    newline, making the trimmed value unfindable in the raw match)."""
+    from pii_filter_ray.core import rule_ner
+
+    text = "O colaborador atua como gerente de\nvendas na unidade centro."
+    ents = rule_ner.extract_entities(text)  # must not raise
+    for ent in ents:
+        s, e = ent["span"]
+        assert text[s:e] == ent["value"]
+    # and the trim itself keeps prefixes intact
+    assert rule_ner._trim_cargo("técnica para") == "técnica"
+    assert rule_ner._trim_cargo("gerente de\nvendas") == "gerente de\nvendas"
+    assert rule_ner._trim_cargo("Coordenador da") == "Coordenador"
