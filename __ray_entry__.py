@@ -273,6 +273,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_classify": r.emb_knn_classify,
         "events_scd2_intervals": r.events_scd2_intervals,
         "events_out_of_order_depth": r.events_out_of_order_depth,
+        "q16_supplier_relationship": r.q16_supplier_relationship,
+        "q20_dominant_supplier": r.q20_dominant_supplier,
+        "doc_winnowing_pairs": r.doc_winnowing_pairs,
+        "doc_heavy_hitter_words": r.doc_heavy_hitter_words,
+        "doc_lang_kappa": r.doc_lang_kappa,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -342,6 +347,45 @@ def oracle_sql() -> dict[str, str]:
         # actor path must be bit-identical to the task path: same oracle
         "code_corpus_flagship_actors": o.code_corpus_flagship_sql(),
         "doc_winnowing": o.doc_winnowing_sql(),
+        "doc_winnowing_pairs": o.doc_winnowing_pairs_sql(),
+        "doc_lang_kappa": o.doc_lang_kappa_sql(),
+        "q16_supplier_relationship": """
+            SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_type != 'PROMO'
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_size
+        """,
+        "q20_dominant_supplier": """
+            WITH pq AS (
+                SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE '%widget%'
+                  AND l_shipdate >= TIMESTAMP '1995-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-01-01'
+                GROUP BY 1, 2
+            ),
+            tot AS (SELECT l_partkey, sum(q) AS tq FROM pq GROUP BY 1)
+            SELECT DISTINCT s_name
+            FROM pq JOIN tot USING (l_partkey)
+            JOIN supplier ON s_suppkey = l_suppkey
+            WHERE q > 0.5 * tq
+            ORDER BY s_name
+        """,
+        "doc_heavy_hitter_words": """
+            WITH words AS (
+                SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x != '')) AS w
+                FROM documents
+            ),
+            tot AS (SELECT count(*) AS n FROM words)
+            SELECT w, CAST(count(*) AS BIGINT) AS n
+            FROM words, tot
+            GROUP BY w, tot.n
+            HAVING count(*) * 500 >= tot.n
+        """,
         "q21_waiting_supplier": """
             WITH ls AS (
                 SELECT l_orderkey, l_suppkey,
@@ -1670,14 +1714,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM c
             ),
             m AS (
+                -- squared-cent sums exceed int64 past ~sf0.001: keep them
+                -- HUGEINT end-to-end (the Ray side merges exact Python
+                -- ints), cast to DOUBLE only inside the final expressions
                 SELECT CAST(count(*) AS DOUBLE) AS n,
                        CAST(sum(cents) AS BIGINT) AS s,
-                       CAST(sum(cents * cents) AS BIGINT) AS ss,
+                       sum(CAST(cents AS HUGEINT) * cents) AS ss,
                        CAST(sum(greatest(q.lo, least(q.hi, cents)))
                             AS BIGINT) AS ws,
-                       CAST(sum(greatest(q.lo, least(q.hi, cents))
-                                * greatest(q.lo, least(q.hi, cents)))
-                            AS BIGINT) AS wss
+                       sum(CAST(greatest(q.lo, least(q.hi, cents))
+                                AS HUGEINT)
+                           * greatest(q.lo, least(q.hi, cents))) AS wss
                 FROM c CROSS JOIN q
             )
             SELECT (SELECT lo FROM q) AS p5_cents,

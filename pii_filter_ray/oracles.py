@@ -917,14 +917,14 @@ def doc_bpe_merges_sql(iters: int = 3) -> str:
     return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
 
 
-def doc_winnowing_sql(k: int = 8, w: int = 6) -> str:
-    """Full winnowing recompute in SQL (mirror of
+def winnowing_ctes(k: int = 8, w: int = 6) -> str:
+    """CTE ``fps(doc_id, fp)`` — full winnowing recompute (mirror of
     text_stats.winnowing_fingerprints_batch): per-position k-gram
     polynomial hashes (HUGEINT wraparound = numpy uint64), list_min over
     each w-window, DISTINCT, signed-int64 reinterpret. Same ASCII
     codepoint==byte assumption as doc_fingerprint_sql."""
     poly = f"(acc * 1000003 + c) % {_Q64}"
-    return f"""WITH h AS (
+    return f"""h AS (
     SELECT doc_id,
            list_transform(
              range(1, length(text) - {k} + 2),
@@ -940,8 +940,58 @@ def doc_winnowing_sql(k: int = 8, w: int = 6) -> str:
            unnest(list_transform(range(1, len(hs) - {w} + 2),
                                  i -> list_min(hs[i:i+{w - 1}]))) AS u
     FROM h
-  )
-  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id,
-         CAST(CASE WHEN u >= {1 << 63} THEN u - {_Q64} ELSE u END AS BIGINT)
-           AS fp
-  FROM wm"""
+  ),
+  fps AS (
+    SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(CASE WHEN u >= {1 << 63} THEN u - {_Q64} ELSE u END
+                AS BIGINT) AS fp
+    FROM wm
+  )"""
+
+
+def doc_winnowing_sql(k: int = 8, w: int = 6) -> str:
+    return f"""WITH {winnowing_ctes(k, w)}
+    SELECT doc_id, fp FROM fps"""
+
+
+def doc_winnowing_pairs_sql(k: int = 8, w: int = 6, max_df: int = 50,
+                            min_shared: int = 3) -> str:
+    """Winnowing near-dup pairs: docs sharing >= min_shared fingerprints,
+    after dropping stop-fingerprints present in more than max_df docs
+    (boilerplate headers would otherwise pair everything with
+    everything — both sides prune identically, so the match is exact)."""
+    return f"""WITH {winnowing_ctes(k, w)},
+    df AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {max_df}),
+    f2 AS (SELECT doc_id, fp FROM fps JOIN df USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {min_shared}"""
+
+
+def doc_lang_kappa_sql() -> str:
+    """Cohen's kappa of claimed lang vs the stopword detector, fully
+    recomputed in SQL (langid_ctes) from exact integer confusion-matrix
+    marginals; the float expressions mirror the Ray side shape-for-shape."""
+    return f"""WITH {langid_ctes()},
+    conf AS (
+        SELECT d.lang AS a, l.lang_detected AS b, count(*) AS n
+        FROM documents d JOIN lang_det l ON d.doc_id = l.doc_id
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n) AS t,
+                   sum(CASE WHEN a = b THEN n ELSE 0 END) AS agree
+            FROM conf),
+    marg AS (
+        SELECT sum(rm.rn * cm.cn) AS s
+        FROM (SELECT a AS lab, sum(n) AS rn FROM conf GROUP BY 1) rm
+        JOIN (SELECT b AS lab, sum(n) AS cn FROM conf GROUP BY 1) cm
+          USING (lab)
+    )
+    SELECT CAST(t AS BIGINT) AS n,
+           round(agree * 1.0 / t, 6) AS po6,
+           round(s * 1.0 / (t * t), 6) AS pe6,
+           round((agree * 1.0 / t - s * 1.0 / (t * t))
+                 / (1 - s * 1.0 / (t * t)), 6) AS kappa6
+    FROM tot, marg"""

@@ -6660,22 +6660,42 @@ def orders_winsorized_stats(sf_dir: str):
     q = dict(zip(q["q"], q["value"]))
     lo, hi = int(q[0.05]), int(q[0.95])
 
+    def _exact_sq_sum(c: np.ndarray) -> int:
+        """Exact sum of squares of int64 cents as a PYTHON int — the sum
+        exceeds int64 past ~sf0.001 (squares ~2e15 × 1e5 rows), so the
+        block computes it 128-bit-exactly without a per-row loop: the
+        low 64 bits from deterministic uint64 wraparound, the high word
+        reconstructed from a float estimate whose error (~1e-11 relative)
+        is far inside the 2^63 decision window."""
+        cu = c.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            lo_bits = int((cu * cu).sum(dtype=np.uint64))
+        cf = c.astype(np.float64)  # cents < 2^53: exact
+        approx = float(np.dot(cf, cf))
+        hi_word = int(round((approx - lo_bits) / 2.0 ** 64))
+        return (hi_word << 64) + lo_bits
+
     def moments(batch: pa.Table) -> pa.Table:
         c = batch["cents"].to_numpy().astype(np.int64)
         w = np.clip(c, lo, hi)
+        # ss/wss travel as decimal STRINGS (exact beyond int64); the
+        # partial table is one row per block, merged driver-side
         return pa.table({
             "n": pa.array([len(c)], pa.int64()),
             "s": pa.array([int(c.sum())], pa.int64()),
-            "ss": pa.array([int((c * c).sum())], pa.int64()),
+            "ss": pa.array([str(_exact_sq_sum(c))], pa.string()),
             "ws": pa.array([int(w.sum())], pa.int64()),
-            "wss": pa.array([int((w * w).sum())], pa.int64()),
+            "wss": pa.array([str(_exact_sq_sum(w))], pa.string()),
         })
 
-    tot = prepped.map_batches(moments, batch_format="pyarrow").aggregate(
-        Sum("n", alias_name="n"), Sum("s", alias_name="s"),
-        Sum("ss", alias_name="ss"), Sum("ws", alias_name="ws"),
-        Sum("wss", alias_name="wss"))
-    n = float(tot["n"])
+    parts = prepped.map_batches(moments, batch_format="pyarrow").to_pandas()
+    n = float(parts["n"].sum())
+    tot = {
+        "s": int(parts["s"].sum()),
+        "ss": sum(int(v) for v in parts["ss"]),
+        "ws": int(parts["ws"].sum()),
+        "wss": sum(int(v) for v in parts["wss"]),
+    }
 
     def stats(s: int, ss: int):
         mean = (float(s) / n) / 100.0
@@ -6683,8 +6703,8 @@ def orders_winsorized_stats(sf_dir: str):
         return (float(round_half_away(mean, 6)),
                 float(round_half_away(sd, 6)))
 
-    mean_raw, sd_raw = stats(int(tot["s"]), int(tot["ss"]))
-    mean_w, sd_w = stats(int(tot["ws"]), int(tot["wss"]))
+    mean_raw, sd_raw = stats(tot["s"], tot["ss"])
+    mean_w, sd_w = stats(tot["ws"], tot["wss"])
     return pd.DataFrame({
         "p5_cents": pd.array([lo], dtype="int64"),
         "p95_cents": pd.array([hi], dtype="int64"),
@@ -7022,3 +7042,250 @@ def events_out_of_order_depth(sf_dir: str):
           .to_pandas())
     return df.astype({"user_id": "int64", "n_late": "int64",
                       "max_late_s": "int64"})
+
+
+def q16_supplier_relationship(sf_dir: str):
+    """TPC-H Q16 shape (parts/supplier relationship): distinct-supplier
+    counts per (p_brand, p_size) for non-PROMO parts, excluding suppliers
+    in bad standing (negative acctbal — the original's complaint
+    subquery). Part attrs and the exclusion set broadcast once (catalog
+    dims); the corpus pass emits block-distinct (brand, size, suppkey)
+    triples; a bounded groupby dedups globally and per-key count partials
+    finish."""
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand", "p_size", "p_type"])
+    keep = pc.invert(pc.equal(part["p_type"], "PROMO"))
+    part = part.filter(keep)
+    pmap_ref = ray.put((part["p_partkey"].combine_chunks(),
+                        part["p_brand"].combine_chunks(),
+                        pc.cast(part["p_size"], pa.int64()).combine_chunks()))
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_acctbal"])
+    bad = supp.filter(pc.less(supp["s_acctbal"], 0.0))["s_suppkey"]
+    bad_ref = ray.put(bad.combine_chunks())
+
+    def triples(batch: pa.Table) -> pa.Table:
+        pk, pb, psz = ray.get(pmap_ref)
+        badk = ray.get(bad_ref)
+        idx = pc.index_in(batch["l_partkey"], value_set=pk)
+        m = pc.and_(pc.is_valid(idx),
+                    pc.invert(pc.is_in(batch["l_suppkey"], value_set=badk)))
+        b = batch.filter(m)
+        idx = pc.index_in(b["l_partkey"], value_set=pk)
+        t = pa.table({"p_brand": pc.take(pb, idx),
+                      "p_size": pc.take(psz, idx),
+                      "l_suppkey": b["l_suppkey"]})
+        return t.group_by(["p_brand", "p_size", "l_suppkey"]).aggregate([])
+
+    distinct = (
+        _tbl(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+        .map_batches(triples, batch_format="pyarrow")
+        .groupby(["p_brand", "p_size", "l_suppkey"])
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        g = (batch.select(["p_brand", "p_size"])
+             .group_by(["p_brand", "p_size"]).aggregate([([], "count_all")]))
+        return pa.table({"p_brand": g["p_brand"], "p_size": g["p_size"],
+                         "supplier_cnt": pc.cast(g["count_all"], pa.int64())})
+
+    df = (distinct.map_batches(cnt_partial, batch_format="pyarrow")
+          .groupby(["p_brand", "p_size"])
+          .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt"))
+          .to_pandas())
+    return df.astype({"p_brand": "string", "p_size": "int64",
+                      "supplier_cnt": "int64"})
+
+
+def q20_dominant_supplier(sf_dir: str, name_like: str = "widget",
+                          share: float = 0.5):
+    """TPC-H Q20 shape (suppliers with excess stock, adapted): suppliers
+    who shipped MORE THAN ``share`` of a widget part's total 1995 volume —
+    the original's nested IN subqueries become one bounded
+    (partkey, suppkey) quantity aggregate plus a per-part total, resolved
+    inside partkey-bucketed groups (no second shuffle). Names sorted, one
+    row per qualifying supplier."""
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_name"])
+    pk = part.filter(pc.match_substring(part["p_name"], name_like))["p_partkey"]
+    pk_ref = ray.put(pk.combine_chunks())
+    lo = pa.scalar(pd.Timestamp("1995-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(pk_ref)
+        m = pc.and_(
+            pc.is_in(batch["l_partkey"], value_set=keys),
+            pc.and_(pc.greater_equal(batch["l_shipdate"], lo),
+                    pc.less(batch["l_shipdate"], hi)))
+        b = batch.filter(m)
+        g = pa.table({"l_partkey": b["l_partkey"],
+                      "l_suppkey": b["l_suppkey"],
+                      "q": b["l_quantity"]}) \
+            .group_by(["l_partkey", "l_suppkey"]).aggregate([("q", "sum")])
+        return pa.table({"l_partkey": g["l_partkey"],
+                         "l_suppkey": g["l_suppkey"], "q": g["q_sum"]})
+
+    agg = (_tbl(sf_dir, "lineitem",
+                columns=["l_partkey", "l_suppkey", "l_shipdate",
+                         "l_quantity"])
+           .map_batches(qty_partial, batch_format="pyarrow")
+           .groupby(["l_partkey", "l_suppkey"])
+           .aggregate(Sum("q", alias_name="q")))
+
+    def bucket_tag(batch: pa.Table) -> pa.Table:
+        b = (batch["l_partkey"].to_numpy(zero_copy_only=False) % 64)
+        return batch.append_column("pb", pa.array(b.astype("int64"), pa.int64()))
+
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        tq = g.groupby("l_partkey")["q"].transform("sum")
+        w = g[g["q"] > share * tq]
+        return pd.DataFrame({"l_suppkey": w["l_suppkey"].unique().astype(np.int64)})
+
+    sup_ids = (agg.map_batches(bucket_tag, batch_format="pyarrow")
+               .groupby("pb").map_groups(winners, batch_format="pandas")
+               .groupby("l_suppkey").aggregate(Count(alias_name="_c"))
+               .to_pandas())
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name"])
+    nmap = dict(zip(supp["s_suppkey"].to_pylist(), supp["s_name"].to_pylist()))
+    names = sorted(nmap[int(k)] for k in sup_ids["l_suppkey"])
+    return pd.DataFrame({"s_name": pd.array(names, dtype="string")})
+
+
+def doc_winnowing_pairs(sf_dir: str, k: int = 8, w: int = 6,
+                        max_df: int = 50, min_shared: int = 3):
+    """Winnowing near-dup pairs (the substring-overlap dedup family,
+    complementing exact/minhash/simhash/jaccard/embedding): documents
+    sharing >= ``min_shared`` winnowing fingerprints, after dropping
+    stop-fingerprints present in more than ``max_df`` docs (boilerplate
+    would pair everything with everything; the SQL oracle prunes
+    identically, so the match is exact). One fingerprint-bucketed shuffle:
+    all rows of a fingerprint co-locate, so the bucket sees each fp's
+    GLOBAL doc list — df-prune and pair generation are bucket-local,
+    followed by one bounded (id_a, id_b) count shuffle."""
+    from ..stages.text_stats import winnowing_fingerprints_batch
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fps(batch: pa.Table) -> pa.Table:
+        t = winnowing_fingerprints_batch(batch, k=k, w=w)
+        fb = (t["fp"].to_numpy(zero_copy_only=False).astype(np.uint64)
+              * np.uint64(1_000_003)) % np.uint64(64)
+        return t.append_column("fb", pa.array(fb.astype("int64"), pa.int64()))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("fp")["doc_id"].transform("size")
+        g = g[sizes <= max_df]
+        if len(g) == 0:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "ns": pd.Series(dtype="int64")})
+        m = g.merge(g, on="fp")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        c = (m.groupby(["doc_id_x", "doc_id_y"], sort=False).size()
+             .reset_index(name="ns"))
+        return pd.DataFrame({"id_a": c["doc_id_x"].to_numpy(np.int64),
+                             "id_b": c["doc_id_y"].to_numpy(np.int64),
+                             "ns": c["ns"].to_numpy(np.int64)})
+
+    pairs = (ds.map_batches(fps, batch_format="pyarrow")
+             .groupby("fb").map_groups(bucket_pairs, batch_format="pandas")
+             .groupby(["id_a", "id_b"])
+             .aggregate(Sum("ns", alias_name="n_shared")))
+    df = pairs.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n_shared"],
+                                            pa.scalar(min_shared))),
+        batch_format="pyarrow").to_pandas()
+    return df.astype({"id_a": "int64", "id_b": "int64", "n_shared": "int64"})
+
+
+def doc_heavy_hitter_words(sf_dir: str, k: int = 500):
+    """Two-pass exact heavy hitters: words with frequency >= total/``k``.
+    Pass 1 keeps each block's k most frequent words as candidates — the
+    union provably contains every global heavy hitter (at most k words
+    can reach a block's local N_b/k, and a word below N_b/k in EVERY
+    block is below N/k globally) while shipping only k rows per block.
+    Pass 2 recounts ONLY the broadcast candidates exactly and filters
+    with the integer test cnt * k >= N (no division). The oracle recounts
+    everything — the candidate stage only prunes, so the outputs match
+    exactly. The standard sketch-then-verify shape for vocabulary-scale
+    streams where a full word groupby is the bottleneck."""
+    from collections import Counter
+
+    ds = _tbl(sf_dir, "documents", columns=["text"])
+
+    def cand_block(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for v in batch["text"].to_pylist():
+            c.update((v or "").split())
+        top = [w for w, _ in c.most_common(k)]
+        return pa.table({"w": pa.array(top, pa.string())})
+
+    cand_tbl = pa.concat_tables(
+        ds.map_batches(cand_block, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow"))
+    cands = pa.array(sorted(set(cand_tbl["w"].to_pylist())), pa.string())
+    cand_ref = ray.put(cands)
+
+    def recount(batch: pa.Table) -> pa.Table:
+        cs = ray.get(cand_ref)
+        local: Counter = Counter()
+        n = 0
+        for v in batch["text"].to_pylist():
+            ws_ = (v or "").split()
+            n += len(ws_)
+            local.update(ws_)
+        keys = pa.array(list(local), pa.string())
+        vals = pa.array(list(local.values()), pa.int64())
+        keep = pc.is_in(keys, value_set=cs)
+        out = pa.table({"w": keys.filter(keep), "cnt": vals.filter(keep)})
+        return pa.concat_tables([
+            out, pa.table({"w": pa.array(["\x00total"], pa.string()),
+                           "cnt": pa.array([n], pa.int64())})])
+
+    counts = (ds.map_batches(recount, batch_format="pyarrow")
+              .groupby("w").aggregate(Sum("cnt", alias_name="cnt"))
+              .to_pandas())
+    total = int(counts.loc[counts["w"] == "\x00total", "cnt"].iloc[0])
+    hh = counts[(counts["w"] != "\x00total")
+                & (counts["cnt"] * k >= total)]
+    return (hh.rename(columns={"cnt": "n"})
+            .astype({"w": "string", "n": "int64"})
+            .reset_index(drop=True)[["w", "n"]])
+
+
+def doc_lang_kappa(sf_dir: str):
+    """Cohen's kappa between the CLAIMED language column and the stopword
+    detector — the scalar agreement audit on top of doc_lang_confusion.
+    Confusion cells pre-aggregate per block; the kappa arithmetic runs on
+    exact integer marginals with the SQL-mirrored expression shape."""
+    ds = _tbl(sf_dir, "documents", columns=["text", "lang"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        from ..core.langid import detect_natural_lang
+
+        det = [detect_natural_lang(v or "")[0] for v in batch["text"].to_pylist()]
+        return pa.table(
+            {"lang": batch["lang"], "lang_detected": pa.array(det, pa.string())}
+        )
+
+    conf = preagg_groupby(
+        ds.map_batches(cells, batch_format="pyarrow"),
+        ["lang", "lang_detected"], count_alias="n").to_pandas()
+    t = int(conf["n"].sum())
+    agree = int(conf.loc[conf["lang"] == conf["lang_detected"], "n"].sum())
+    rowm = conf.groupby("lang")["n"].sum()
+    colm = conf.groupby("lang_detected")["n"].sum()
+    s = int(sum(int(rowm[lab]) * int(colm[lab])
+                for lab in rowm.index if lab in colm.index))
+    po = agree * 1.0 / t
+    pe = s * 1.0 / (t * t)
+    kappa = (agree * 1.0 / t - s * 1.0 / (t * t)) / (1 - s * 1.0 / (t * t))
+    return pd.DataFrame({
+        "n": pd.array([t], dtype="int64"),
+        "po6": [float(round_half_away(po, 6))],
+        "pe6": [float(round_half_away(pe, 6))],
+        "kappa6": [float(round_half_away(kappa, 6))],
+    })

@@ -337,6 +337,8 @@ import pytest
     "q21_waiting_supplier", "q9_nation_year_profit", "doc_winnowing",
     "emb_knn_classify", "events_scd2_intervals", "events_out_of_order_depth",
     "doc_decontam_spans",
+    "q16_supplier_relationship", "q20_dominant_supplier",
+    "doc_winnowing_pairs", "doc_heavy_hitter_words", "doc_lang_kappa",
 ])
 def test_round2_ops_invariant_to_block_layout(ray_session, monkeypatch, qname):
     """The round-2 window/rank/histogram/retrieval operators must produce
