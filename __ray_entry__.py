@@ -278,6 +278,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnowing_pairs": r.doc_winnowing_pairs,
         "doc_heavy_hitter_words": r.doc_heavy_hitter_words,
         "doc_lang_kappa": r.doc_lang_kappa,
+        "lineitem_ks_test": r.lineitem_ks_test,
+        "doc_zipf_fit": r.doc_zipf_fit,
+        "emb_product_quantization": r.emb_product_quantization,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -373,6 +376,69 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON s_suppkey = l_suppkey
             WHERE q > 0.5 * tq
             ORDER BY s_name
+        """,
+        "lineitem_ks_test": """
+            WITH v AS (SELECT l_quantity AS q, l_returnflag AS f
+                       FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+            cnt AS (SELECT q,
+                           sum(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS nr,
+                           sum(CASE WHEN f = 'N' THEN 1 ELSE 0 END) AS nn
+                    FROM v GROUP BY q),
+            tot AS (SELECT sum(nr) AS tr, sum(nn) AS tn FROM cnt),
+            cdf AS (SELECT q, sum(nr) OVER (ORDER BY q) AS cr,
+                           sum(nn) OVER (ORDER BY q) AS cn FROM cnt)
+            SELECT CAST(tr AS BIGINT) AS n_r, CAST(tn AS BIGINT) AS n_n,
+                   round(max(abs(cr * 1.0 / tr - cn * 1.0 / tn)), 6) AS ks6
+            FROM cdf, tot GROUP BY tr, tn
+        """,
+        "doc_zipf_fit": """
+            WITH words AS (
+                SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x != '')) AS w
+                FROM documents
+            ),
+            c AS (SELECT w, count(*) AS n FROM words GROUP BY w),
+            top AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS r
+                    FROM c ORDER BY n DESC, w LIMIT 100),
+            s AS (SELECT count(*) * 1.0 AS cnt,
+                         sum(ln(r)) AS sx, sum(ln(n)) AS sy,
+                         sum(ln(r) * ln(n)) AS sxy,
+                         sum(ln(r) * ln(r)) AS sxx
+                  FROM top)
+            SELECT CAST(cnt AS BIGINT) AS n_words,
+                   round((sxy - sx * sy / cnt) / (sxx - sx * sx / cnt), 6)
+                       AS slope6,
+                   round(sy / cnt - ((sxy - sx * sy / cnt)
+                                     / (sxx - sx * sx / cnt)) * (sx / cnt),
+                         6) AS intercept6
+            FROM s
+        """,
+        "emb_product_quantization": """
+            WITH seeds AS (SELECT vec_id AS cid, embedding AS ce
+                           FROM embeddings WHERE vec_id < 4),
+            d AS (
+                SELECT e.vec_id, s.cid, j.j,
+                       list_sum(list_transform(
+                           list_transform(range(1, 17),
+                               t -> CAST(e.embedding[j.j * 16 + t] AS DOUBLE)
+                                    - CAST(s.ce[j.j * 16 + t] AS DOUBLE)),
+                           x -> x * x)) AS d2
+                FROM embeddings e, seeds s,
+                     (SELECT unnest(range(4)) AS j) j
+            ),
+            best AS (
+                SELECT vec_id, j, cid, d2,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                          ORDER BY d2, cid) AS rk
+                FROM d
+            )
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(max(CASE WHEN j = 0 THEN cid END) AS BIGINT) AS c0,
+                   CAST(max(CASE WHEN j = 1 THEN cid END) AS BIGINT) AS c1,
+                   CAST(max(CASE WHEN j = 2 THEN cid END) AS BIGINT) AS c2,
+                   CAST(max(CASE WHEN j = 3 THEN cid END) AS BIGINT) AS c3,
+                   round(sum(d2), 6) AS err6
+            FROM best WHERE rk = 1 GROUP BY vec_id
         """,
         "doc_heavy_hitter_words": """
             WITH words AS (

@@ -7289,3 +7289,115 @@ def doc_lang_kappa(sf_dir: str):
         "pe6": [float(round_half_away(pe, 6))],
         "kappa6": [float(round_half_away(kappa, 6))],
     })
+
+
+def lineitem_ks_test(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov distance between the quantity
+    distributions of returned (R) vs normal (N) lines — the standard
+    drift/AB-test check. Exact, not sampled: per-block (quantity, n_R,
+    n_N) count partials collapse to the value catalog (l_quantity has ~50
+    distinct values), cumulative counts and the sup-distance resolve on
+    the bounded table driver-side from exact integers."""
+    ds = _tbl(sf_dir, "lineitem", columns=["l_quantity", "l_returnflag"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch["l_returnflag"],
+                     value_set=pa.array(["R", "N"], pa.string()))
+        b = batch.filter(m)
+        isr = pc.cast(pc.equal(b["l_returnflag"], "R"), pa.int64())
+        t = pa.table({"q": b["l_quantity"], "nr": isr,
+                      "nn": pc.subtract(pa.scalar(1, pa.int64()), isr)})
+        g = t.group_by("q").aggregate([("nr", "sum"), ("nn", "sum")])
+        return pa.table({"q": g["q"], "nr": g["nr_sum"], "nn": g["nn_sum"]})
+
+    df = (ds.map_batches(partials, batch_format="pyarrow")
+          .groupby("q")
+          .aggregate(Sum("nr", alias_name="nr"), Sum("nn", alias_name="nn"))
+          .to_pandas().sort_values("q").reset_index(drop=True))
+    tr, tn = int(df["nr"].sum()), int(df["nn"].sum())
+    cr = df["nr"].cumsum().to_numpy(np.int64)
+    cn = df["nn"].cumsum().to_numpy(np.int64)
+    ks = float(np.max(np.abs(cr * 1.0 / tr - cn * 1.0 / tn)))
+    return pd.DataFrame({
+        "n_r": pd.array([tr], dtype="int64"),
+        "n_n": pd.array([tn], dtype="int64"),
+        "ks6": [float(round_half_away(ks, 6))],
+    })
+
+
+def doc_zipf_fit(sf_dir: str, topn: int = 100):
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    ln(frequency) on ln(rank) for the top-``topn`` words (rank by count
+    DESC, word ASC) — the standard corpus-health diagnostic (natural text
+    ~ -1). Word counts pre-aggregate per block; per-block top-n partials
+    bound the driver pull to n rows per block; the regression runs on
+    exact integer counts with the SQL-mirrored expression shape."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    counts = (ds.map_batches(_word_count_partials, batch_format="pyarrow")
+              .groupby("w").aggregate(Sum("n", alias_name="n")))
+
+    def top_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n", "w"], ascending=[False, True], kind="mergesort").head(topn)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    top = (counts.map_batches(top_block, batch_format="pyarrow").to_pandas()
+           .sort_values(["n", "w"], ascending=[False, True], kind="mergesort")
+           .head(topn).reset_index(drop=True))
+    r = np.arange(1, len(top) + 1, dtype=np.float64)
+    x = np.log(r)
+    y = np.log(top["n"].to_numpy(np.float64))
+    n = float(len(top))
+    sx, sy = float(x.sum()), float(y.sum())
+    sxy, sxx = float((x * y).sum()), float((x * x).sum())
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    intercept = sy / n - slope * (sx / n)
+    return pd.DataFrame({
+        "n_words": pd.array([len(top)], dtype="int64"),
+        "slope6": [float(round_half_away(slope, 6))],
+        "intercept6": [float(round_half_away(intercept, 6))],
+    })
+
+
+def emb_product_quantization(sf_dir: str, m: int = 4, k: int = 4):
+    """Product quantization (the memory-bound ANN layout: an IVF-PQ
+    index's fine quantizer): the 64-dim embedding splits into ``m``
+    16-dim subspaces, each encoded as the nearest of ``k`` sub-codebook
+    entries (here the deterministic seed vectors vec_id < k, sliced per
+    subspace — the distributed TRAINING path is emb_kmeans; this operator
+    demonstrates the encode layout and its distortion). Output: per-vector
+    codes (one int per subspace) + per-vector squared reconstruction
+    error. Codebooks broadcast once; encoding is one vectorized pass."""
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def seeds(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["vec_id"], pa.scalar(k)))
+
+    seed_df = (ds.map_batches(seeds, batch_format="pyarrow")
+               .to_pandas().sort_values("vec_id"))
+    cents = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in seed_df["embedding"]])  # (k, 64)
+    d = cents.shape[1]
+    sub = d // m
+    books = [cents[:, j * sub:(j + 1) * sub] for j in range(m)]
+    books_ref = ray.put(books)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        bs = ray.get(books_ref)
+        M = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch["embedding"].to_pylist()])
+        cols = {"vec_id": batch["vec_id"]}
+        err = np.zeros(len(M), dtype=np.float64)
+        for j, B in enumerate(bs):
+            X = M[:, j * sub:(j + 1) * sub]
+            d2 = ((X[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+            code = np.argmin(d2, axis=1)  # lowest code wins exact ties
+            cols[f"c{j}"] = pa.array(code.astype("int64"), pa.int64())
+            err += d2[np.arange(len(M)), code]
+        cols["err6"] = pa.array(round_half_away(err, 6), pa.float64())
+        return pa.table(cols)
+
+    df = ds.map_batches(encode, batch_format="pyarrow").to_pandas()
+    return df.astype({"vec_id": "int64",
+                      **{f"c{j}": "int64" for j in range(m)},
+                      "err6": "float64"})

@@ -339,6 +339,7 @@ import pytest
     "doc_decontam_spans",
     "q16_supplier_relationship", "q20_dominant_supplier",
     "doc_winnowing_pairs", "doc_heavy_hitter_words", "doc_lang_kappa",
+    "lineitem_ks_test", "doc_zipf_fit", "emb_product_quantization",
 ])
 def test_round2_ops_invariant_to_block_layout(ray_session, monkeypatch, qname):
     """The round-2 window/rank/histogram/retrieval operators must produce
