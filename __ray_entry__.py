@@ -281,6 +281,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_ks_test": r.lineitem_ks_test,
         "doc_zipf_fit": r.doc_zipf_fit,
         "emb_product_quantization": r.emb_product_quantization,
+        "events_stickiness": r.events_stickiness,
+        "events_hourly_anomaly": r.events_hourly_anomaly,
+        "orders_trend_mk": r.orders_trend_mk,
+        "part_link_prediction": r.part_link_prediction,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -376,6 +380,82 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON s_suppkey = l_suppkey
             WHERE q > 0.5 * tq
             ORDER BY s_name
+        """,
+        "events_stickiness": """
+            WITH du AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+                                        strftime(ts, '%Y-%m') AS mon,
+                                        user_id
+                        FROM events),
+            dau AS (SELECT day, mon, count(*) AS n FROM du GROUP BY 1, 2),
+            mau AS (SELECT mon, count(DISTINCT user_id) AS m
+                    FROM du GROUP BY 1),
+            davg AS (SELECT mon, sum(n) * 1.0 / count(*) AS davg
+                     FROM dau GROUP BY 1)
+            SELECT mon, CAST(m AS BIGINT) AS mau,
+                   round(davg, 6) AS dau_avg6,
+                   round(davg / m, 6) AS stickiness6
+            FROM mau JOIN davg USING (mon)
+        """,
+        "events_hourly_anomaly": """
+            WITH cell AS (
+                SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                       CAST(hour(ts) AS BIGINT) AS hour, count(*) AS n
+                FROM events GROUP BY 1, 2, 3
+            ),
+            base AS (
+                SELECT event_type, hour, count(*) AS cnt, sum(n) AS s,
+                       sum(n * n) AS ss
+                FROM cell GROUP BY 1, 2
+            ),
+            z AS (
+                SELECT c.event_type, c.day, c.hour, c.n,
+                       CASE WHEN b.cnt * b.ss - b.s * b.s > 0
+                            THEN (c.n - b.s * 1.0 / b.cnt)
+                                 / sqrt((b.cnt * 1.0 * b.ss
+                                         - b.s * 1.0 * b.s)
+                                        / (b.cnt * 1.0 * b.cnt))
+                            ELSE 0.0 END AS zz
+                FROM cell c JOIN base b USING (event_type, hour)
+            )
+            SELECT event_type, day, hour, CAST(n AS BIGINT) AS n,
+                   round(zz, 6) AS z6
+            FROM z WHERE abs(zz) > 3.0
+        """,
+        "orders_trend_mk": """
+            WITH d AS (
+                SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                       sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))
+                           AS cents
+                FROM orders GROUP BY 1
+            ),
+            p AS (
+                SELECT sum(CASE WHEN b.cents > a.cents THEN 1
+                                WHEN b.cents < a.cents THEN -1
+                                ELSE 0 END) AS s,
+                       (SELECT count(*) FROM d) AS n
+                FROM d a JOIN d b ON b.day > a.day
+            )
+            SELECT CAST(n AS BIGINT) AS n_days, CAST(s AS BIGINT) AS s_stat,
+                   round(s * 2.0 / (n * (n - 1.0)), 6) AS tau6
+            FROM p
+        """,
+        "part_link_prediction": """
+            WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+                  FROM pl x JOIN pl y ON x.l_orderkey = y.l_orderkey
+                                      AND x.l_partkey < y.l_partkey),
+            adj AS (SELECT a AS c, b AS nbr FROM e
+                    UNION ALL SELECT b, a FROM e),
+            cn AS (SELECT n1.nbr AS x, n2.nbr AS y, count(*) AS w
+                   FROM adj n1 JOIN adj n2 ON n1.c = n2.c
+                                           AND n1.nbr < n2.nbr
+                   GROUP BY 1, 2),
+            ne AS (SELECT cn.x, cn.y, cn.w FROM cn
+                   WHERE NOT EXISTS (SELECT 1 FROM e
+                                     WHERE e.a = cn.x AND e.b = cn.y))
+            SELECT CAST(x AS BIGINT) AS id_a, CAST(y AS BIGINT) AS id_b,
+                   CAST(w AS BIGINT) AS n_common
+            FROM ne ORDER BY w DESC, x, y LIMIT 20
         """,
         "lineitem_ks_test": """
             WITH v AS (SELECT l_quantity AS q, l_returnflag AS f

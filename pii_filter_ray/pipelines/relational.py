@@ -7401,3 +7401,243 @@ def emb_product_quantization(sf_dir: str, m: int = 4, k: int = 4):
     return df.astype({"vec_id": "int64",
                       **{f"c{j}": "int64" for j in range(m)},
                       "err6": "float64"})
+
+
+def events_stickiness(sf_dir: str):
+    """Product-analytics stickiness: per month, MAU, average DAU, and
+    DAU/MAU. One (day, month, user) distinct shuffle feeds both sides —
+    per-day counts and per-month distinct users — and the month-level
+    join happens on the bounded month catalog."""
+    ds = _tbl(sf_dir, "events", columns=["user_id", "ts"])
+
+    def du_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "day": pc.strftime(batch["ts"], format="%Y-%m-%d"),
+            "mon": pc.strftime(batch["ts"], format="%Y-%m"),
+            "user_id": batch["user_id"],
+        })
+        return t.group_by(["day", "mon", "user_id"]).aggregate([])
+
+    du = (ds.map_batches(du_partial, batch_format="pyarrow")
+          .groupby(["day", "mon", "user_id"])
+          .aggregate(Count(alias_name="_c")).materialize())
+
+    def day_cnt(batch: pa.Table) -> pa.Table:
+        g = batch.select(["day", "mon"]).group_by(["day", "mon"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"day": g["day"], "mon": g["mon"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    dau = (du.map_batches(day_cnt, batch_format="pyarrow")
+           .groupby(["day", "mon"]).aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+
+    def mu_partial(batch: pa.Table) -> pa.Table:
+        return batch.select(["mon", "user_id"]) \
+            .group_by(["mon", "user_id"]).aggregate([])
+
+    mau = (du.map_batches(mu_partial, batch_format="pyarrow")
+           .groupby(["mon", "user_id"]).aggregate(Count(alias_name="_c"))
+           .to_pandas().groupby("mon").size().rename("mau").reset_index())
+
+    davg = (dau.groupby("mon")
+            .agg(s=("n", "sum"), d=("n", "size")).reset_index())
+    out = davg.merge(mau, on="mon")
+    dav = out["s"].to_numpy(np.float64) * 1.0 / out["d"].to_numpy(np.float64)
+    m = out["mau"].to_numpy(np.float64)
+    return pd.DataFrame({
+        "mon": pd.array(out["mon"], dtype="string"),
+        "mau": out["mau"].astype("int64"),
+        "dau_avg6": round_half_away(dav, 6),
+        "stickiness6": round_half_away(dav / m, 6),
+    }).sort_values("mon").reset_index(drop=True)
+
+
+def events_hourly_anomaly(sf_dir: str, z_thresh: float = 3.0):
+    """Seasonal anomaly cells: per (event_type, hour-of-day), the
+    baseline mean/std of daily counts over OBSERVED (type, date, hour)
+    cells; cells with |z| > ``z_thresh`` are flagged. Count partials per
+    cell, one bounded shuffle, baseline + z on the cell catalog (types x
+    dates x 24). Population std from exact integer sums."""
+    ds = _tbl(sf_dir, "events", columns=["event_type", "ts"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "day": pc.strftime(batch["ts"], format="%Y-%m-%d"),
+            "hour": pc.cast(pc.hour(batch["ts"]), pa.int64()),
+        })
+        g = t.group_by(["event_type", "day", "hour"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g["event_type"], "day": g["day"],
+                         "hour": g["hour"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    cell = (ds.map_batches(cells, batch_format="pyarrow")
+            .groupby(["event_type", "day", "hour"])
+            .aggregate(Sum("n", alias_name="n")).to_pandas())
+    g = cell.groupby(["event_type", "hour"])
+    stats = g["n"].agg(cnt="size", s="sum",
+                       ss=lambda x: int((x.astype("int64") ** 2).sum()))
+    stats = stats.reset_index()
+    cell = cell.merge(stats, on=["event_type", "hour"])
+    cnt = cell["cnt"].to_numpy(np.float64)
+    s = cell["s"].to_numpy(np.float64)
+    ss = cell["ss"].to_numpy(np.float64)
+    mean = s / cnt
+    var = (cnt * ss - s * s) / (cnt * cnt)
+    sd = np.sqrt(np.maximum(var, 0.0))
+    n = cell["n"].to_numpy(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        z = np.where(sd > 0, (n - mean) / sd, 0.0)
+    flag = np.abs(z) > z_thresh
+    out = cell[flag].copy()
+    out["z6"] = round_half_away(z[flag], 6)
+    return (out[["event_type", "day", "hour", "n", "z6"]]
+            .astype({"event_type": "string", "day": "string",
+                     "hour": "int64", "n": "int64", "z6": "float64"})
+            .sort_values(["event_type", "day", "hour"])
+            .reset_index(drop=True))
+
+
+def orders_trend_mk(sf_dir: str):
+    """Mann-Kendall trend statistic over the daily-revenue series: S =
+    sum over day pairs of sign(rev_j - rev_i), plus Kendall's tau
+    normalization — the standard nonparametric drift test. Daily exact
+    cents pre-aggregate per block; S resolves on the bounded date catalog
+    (O(days^2) on ~2.4k days = one 46 MB sign matrix) from exact
+    integers, so the statistic is integer-exact."""
+    ds = _tbl(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def daily(batch: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            batch["o_totalprice"].to_numpy() * 100.0, 0).astype(np.int64)
+        t = pa.table({
+            "day": pc.strftime(batch["o_orderdate"], format="%Y-%m-%d"),
+            "cents": pa.array(cents, pa.int64()),
+        })
+        g = t.group_by("day").aggregate([("cents", "sum")])
+        return pa.table({"day": g["day"], "cents": g["cents_sum"]})
+
+    df = (ds.map_batches(daily, batch_format="pyarrow")
+          .groupby("day").aggregate(Sum("cents", alias_name="cents"))
+          .to_pandas().sort_values("day").reset_index(drop=True))
+    v = df["cents"].to_numpy(np.int64)
+    n = len(v)
+    diff_sign = np.sign(v[None, :] - v[:, None])
+    s_stat = int(np.triu(diff_sign, k=1).sum())
+    tau = s_stat * 2.0 / (n * (n - 1.0))
+    return pd.DataFrame({
+        "n_days": pd.array([n], dtype="int64"),
+        "s_stat": pd.array([s_stat], dtype="int64"),
+        "tau6": [float(round_half_away(tau, 6))],
+    })
+
+
+def part_link_prediction(sf_dir: str, topk: int = 20):
+    """Common-neighbors link prediction on the part co-occurrence graph:
+    the top-``topk`` NON-edge pairs by shared-neighbor count (the classic
+    'people also bought' candidate score). Unlike triangle counting,
+    common-neighbor counts need UNORIENTED wedges (every center
+    contributes), so the per-center quadratic is inherent — the shuffle
+    shape is: distinct edges (reusing the triangle pipeline's bucketed
+    dedup), adjacency bucketed by CENTER, per-center vectorized pair
+    partials, one (x, y) count shuffle with tagged edge markers (a pair
+    that IS an edge is excluded in-group), per-block top-k partials."""
+    buckets = 64
+    ds = _tbl(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def dedup_tag(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        b = pc.cast(pc.bit_wise_and(g["l_orderkey"],
+                                    pa.scalar(buckets - 1)), pa.int64())
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "l_partkey": g["l_partkey"], "bucket": b})
+
+    def order_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        e = m[["l_partkey_x", "l_partkey_y"]].drop_duplicates()
+        return pd.DataFrame({"a": e["l_partkey_x"].to_numpy(np.int64),
+                             "b": e["l_partkey_y"].to_numpy(np.int64)})
+
+    def pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pb = ((a * np.uint64(1_000_003) + b) % np.uint64(buckets)).astype(
+            np.int64)
+        return batch.append_column("pb", pa.array(pb, pa.int64()))
+
+    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[["a", "b"]].drop_duplicates()
+        return pd.DataFrame({"a": e["a"].to_numpy(np.int64),
+                             "b": e["b"].to_numpy(np.int64)})
+
+    edges = (
+        ds.map_batches(dedup_tag, batch_format="pyarrow")
+        .groupby("bucket").map_groups(order_pairs, batch_format="pandas")
+        .map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("pb").map_groups(pair_dedup, batch_format="pandas")
+        .materialize()
+    )
+
+    def adj(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        c = np.r_[a, b].astype(np.int64)
+        n = np.r_[b, a].astype(np.int64)
+        return pa.table({"c": pa.array(c, pa.int64()),
+                         "nbr": pa.array(n, pa.int64()),
+                         "cb": pa.array(c % buckets, pa.int64())})
+
+    def center_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="c")
+        m = m[m["nbr_x"] < m["nbr_y"]]
+        if len(m) == 0:
+            return pd.DataFrame({"x": pd.Series(dtype="int64"),
+                                 "y": pd.Series(dtype="int64"),
+                                 "w": pd.Series(dtype="int64"),
+                                 "is_edge": pd.Series(dtype="int64")})
+        cpr = (m.groupby(["nbr_x", "nbr_y"], sort=False).size()
+               .reset_index(name="w"))
+        return pd.DataFrame({"x": cpr["nbr_x"].to_numpy(np.int64),
+                             "y": cpr["nbr_y"].to_numpy(np.int64),
+                             "w": cpr["w"].to_numpy(np.int64),
+                             "is_edge": np.zeros(len(cpr), np.int64)})
+
+    def edge_marker(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"x": batch["a"], "y": batch["b"],
+                         "w": pa.array(np.zeros(n, np.int64), pa.int64()),
+                         "is_edge": pa.array(np.ones(n, np.int64), pa.int64())})
+
+    def add_cbucket(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        y = batch["y"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        cb2 = ((x * np.uint64(1_000_003) + y) % np.uint64(buckets)).astype(
+            np.int64)
+        return batch.append_column("cb2", pa.array(cb2, pa.int64()))
+
+    def nonedge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        cpr = g.groupby(["x", "y"], sort=False).agg(
+            w=("w", "sum"), is_edge=("is_edge", "max")).reset_index()
+        cpr = cpr[(cpr["is_edge"] == 0) & (cpr["w"] > 0)]
+        cpr = cpr.sort_values(["w", "x", "y"],
+                              ascending=[False, True, True],
+                              kind="mergesort").head(topk)
+        return pd.DataFrame({"x": cpr["x"].to_numpy(np.int64),
+                             "y": cpr["y"].to_numpy(np.int64),
+                             "w": cpr["w"].to_numpy(np.int64)})
+
+    wedges = (edges.map_batches(adj, batch_format="pyarrow")
+              .groupby("cb").map_groups(center_pairs, batch_format="pandas"))
+    top = (wedges.union(edges.map_batches(edge_marker, batch_format="pyarrow"))
+           .map_batches(add_cbucket, batch_format="pyarrow")
+           .groupby("cb2").map_groups(nonedge_topk, batch_format="pandas")
+           .to_pandas()
+           .sort_values(["w", "x", "y"], ascending=[False, True, True],
+                        kind="mergesort").head(topk).reset_index(drop=True))
+    return pd.DataFrame({"id_a": top["x"].astype("int64"),
+                         "id_b": top["y"].astype("int64"),
+                         "n_common": top["w"].astype("int64")})

@@ -340,6 +340,8 @@ import pytest
     "q16_supplier_relationship", "q20_dominant_supplier",
     "doc_winnowing_pairs", "doc_heavy_hitter_words", "doc_lang_kappa",
     "lineitem_ks_test", "doc_zipf_fit", "emb_product_quantization",
+    "events_stickiness", "events_hourly_anomaly", "orders_trend_mk",
+    "part_link_prediction",
 ])
 def test_round2_ops_invariant_to_block_layout(ray_session, monkeypatch, qname):
     """The round-2 window/rank/histogram/retrieval operators must produce
