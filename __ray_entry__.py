@@ -291,7 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # every operator family — quality/scrub, exact/fuzzy dedup, embeddings,
     # text analysis, training prep, TPC-H shapes, temporal/equi joins,
     # windows/streaming, sketches, graph/ER — instead of only the earliest
-    # entries. Pure reordering: same 169 keys, same callables.
+    # entries. Pure reordering: same keys, same callables.
     first = [
         "doc_lang_stats", "doc_scrub", "doc_quality_flags",
         "mask_fixture_check", "doc_stat_ner", "doc_toxicity",
@@ -409,7 +409,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             z AS (
                 SELECT c.event_type, c.day, c.hour, c.n,
-                       CASE WHEN b.cnt * b.ss - b.s * b.s > 0
+                       -- exact integer variance gate (HUGEINT: the
+                       -- products exceed int64 at large scale)
+                       CASE WHEN b.cnt * CAST(b.ss AS HUGEINT)
+                                 - CAST(b.s AS HUGEINT) * b.s > 0
                             THEN (c.n - b.s * 1.0 / b.cnt)
                                  / sqrt((b.cnt * 1.0 * b.ss
                                          - b.s * 1.0 * b.s)
@@ -481,9 +484,10 @@ def oracle_sql() -> dict[str, str]:
             top AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS r
                     FROM c ORDER BY n DESC, w LIMIT 100),
             s AS (SELECT count(*) * 1.0 AS cnt,
-                         sum(ln(r)) AS sx, sum(ln(n)) AS sy,
-                         sum(ln(r) * ln(n)) AS sxy,
-                         sum(ln(r) * ln(r)) AS sxx
+                         round(sum(ln(r)), 9) AS sx,
+                         round(sum(ln(n)), 9) AS sy,
+                         round(sum(ln(r) * ln(n)), 9) AS sxy,
+                         round(sum(ln(r) * ln(r)), 9) AS sxx
                   FROM top)
             SELECT CAST(cnt AS BIGINT) AS n_words,
                    round((sxy - sx * sy / cnt) / (sxx - sx * sx / cnt), 6)
@@ -498,11 +502,11 @@ def oracle_sql() -> dict[str, str]:
                            FROM embeddings WHERE vec_id < 4),
             d AS (
                 SELECT e.vec_id, s.cid, j.j,
-                       list_sum(list_transform(
+                       round(list_sum(list_transform(
                            list_transform(range(1, 17),
                                t -> CAST(e.embedding[j.j * 16 + t] AS DOUBLE)
                                     - CAST(s.ce[j.j * 16 + t] AS DOUBLE)),
-                           x -> x * x)) AS d2
+                           x -> x * x)), 9) AS d2
                 FROM embeddings e, seeds s,
                      (SELECT unnest(range(4)) AS j) j
             ),

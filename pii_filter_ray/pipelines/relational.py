@@ -7067,11 +7067,11 @@ def q16_supplier_relationship(sf_dir: str):
     def triples(batch: pa.Table) -> pa.Table:
         pk, pb, psz = ray.get(pmap_ref)
         badk = ray.get(bad_ref)
-        idx = pc.index_in(batch["l_partkey"], value_set=pk)
+        idx = pc.index_in(batch["l_partkey"], value_set=pk)  # ONE probe
         m = pc.and_(pc.is_valid(idx),
                     pc.invert(pc.is_in(batch["l_suppkey"], value_set=badk)))
+        idx = pc.filter(idx, m)
         b = batch.filter(m)
-        idx = pc.index_in(b["l_partkey"], value_set=pk)
         t = pa.table({"p_brand": pc.take(pb, idx),
                       "p_size": pc.take(psz, idx),
                       "l_suppkey": b["l_suppkey"]})
@@ -7212,16 +7212,15 @@ def doc_heavy_hitter_words(sf_dir: str, k: int = 500):
     everything — the candidate stage only prunes, so the outputs match
     exactly. The standard sketch-then-verify shape for vocabulary-scale
     streams where a full word groupby is the bottleneck."""
-    from collections import Counter
-
     ds = _tbl(sf_dir, "documents", columns=["text"])
 
     def cand_block(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for v in batch["text"].to_pylist():
-            c.update((v or "").split())
-        top = [w for w, _ in c.most_common(k)]
-        return pa.table({"w": pa.array(top, pa.string())})
+        # ONE tokenization contract: the shared word-count partial, then a
+        # block-local top-k (pandas sort over the block's vocabulary)
+        t = _word_count_partials(batch).to_pandas()
+        top = t.sort_values(["n", "w"], ascending=[False, True],
+                            kind="mergesort").head(k)
+        return pa.table({"w": pa.array(top["w"], pa.string())})
 
     cand_tbl = pa.concat_tables(
         ds.map_batches(cand_block, batch_format="pyarrow")
@@ -7231,26 +7230,24 @@ def doc_heavy_hitter_words(sf_dir: str, k: int = 500):
 
     def recount(batch: pa.Table) -> pa.Table:
         cs = ray.get(cand_ref)
-        local: Counter = Counter()
-        n = 0
-        for v in batch["text"].to_pylist():
-            ws_ = (v or "").split()
-            n += len(ws_)
-            local.update(ws_)
-        keys = pa.array(list(local), pa.string())
-        vals = pa.array(list(local.values()), pa.int64())
-        keep = pc.is_in(keys, value_set=cs)
-        out = pa.table({"w": keys.filter(keep), "cnt": vals.filter(keep)})
+        t = _word_count_partials(batch)
+        keep = pc.is_in(t["w"], value_set=cs)
+        out = pa.table({"w": t["w"].filter(keep),
+                        "cnt": pc.cast(t["n"].filter(keep), pa.int64())})
+        # block total = sum of ALL word counts; the total row's key is the
+        # EMPTY string, which str.split() can never produce (out-of-band
+        # by construction — a NUL-prefixed sentinel could collide with a
+        # real whitespace-delimited token)
+        n = pc.sum(t["n"]).as_py() or 0
         return pa.concat_tables([
-            out, pa.table({"w": pa.array(["\x00total"], pa.string()),
-                           "cnt": pa.array([n], pa.int64())})])
+            out, pa.table({"w": pa.array([""], pa.string()),
+                           "cnt": pa.array([int(n)], pa.int64())})])
 
     counts = (ds.map_batches(recount, batch_format="pyarrow")
               .groupby("w").aggregate(Sum("cnt", alias_name="cnt"))
               .to_pandas())
-    total = int(counts.loc[counts["w"] == "\x00total", "cnt"].iloc[0])
-    hh = counts[(counts["w"] != "\x00total")
-                & (counts["cnt"] * k >= total)]
+    total = int(counts.loc[counts["w"] == "", "cnt"].iloc[0])
+    hh = counts[(counts["w"] != "") & (counts["cnt"] * k >= total)]
     return (hh.rename(columns={"cnt": "n"})
             .astype({"w": "string", "n": "int64"})
             .reset_index(drop=True)[["w", "n"]])
@@ -7348,8 +7345,13 @@ def doc_zipf_fit(sf_dir: str, topn: int = 100):
     x = np.log(r)
     y = np.log(top["n"].to_numpy(np.float64))
     n = float(len(top))
-    sx, sy = float(x.sum()), float(y.sum())
-    sxy, sxx = float((x * y).sum()), float((x * x).sum())
+    # sums round to 9 digits on BOTH sides before the regression — numpy's
+    # pairwise reduction and SQL's sequential aggregate differ in last-ulp
+    # order, which the 9-digit snap absorbs ahead of the 6-digit output
+    sx = float(round_half_away(x.sum(), 9))
+    sy = float(round_half_away(y.sum(), 9))
+    sxy = float(round_half_away((x * y).sum(), 9))
+    sxx = float(round_half_away((x * x).sum(), 9))
     slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
     intercept = sy / n - slope * (sx / n)
     return pd.DataFrame({
@@ -7390,7 +7392,12 @@ def emb_product_quantization(sf_dir: str, m: int = 4, k: int = 4):
         err = np.zeros(len(M), dtype=np.float64)
         for j, B in enumerate(bs):
             X = M[:, j * sub:(j + 1) * sub]
-            d2 = ((X[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+            # distances round to 9 digits BEFORE the argmin and the error
+            # sum (both sides), so last-ulp summation-order differences
+            # between numpy and the SQL list arithmetic can never flip a
+            # tie or the 6-digit error rounding
+            d2 = round_half_away(
+                ((X[:, None, :] - B[None, :, :]) ** 2).sum(axis=2), 9)
             code = np.argmin(d2, axis=1)  # lowest code wins exact ties
             cols[f"c{j}"] = pa.array(code.astype("int64"), pa.int64())
             err += d2[np.arange(len(M)), code]
@@ -7480,16 +7487,22 @@ def events_hourly_anomaly(sf_dir: str, z_thresh: float = 3.0):
     stats = g["n"].agg(cnt="size", s="sum",
                        ss=lambda x: int((x.astype("int64") ** 2).sum()))
     stats = stats.reset_index()
+    # positive-variance gate on the EXACT integer discriminant (Python
+    # ints; the baseline table is the tiny types x 24 catalog) — a float
+    # test could disagree with the oracle's integer CASE past 2^53
+    stats["has_var"] = [
+        int(c) * int(q) - int(v) * int(v) > 0
+        for c, q, v in zip(stats["cnt"], stats["ss"], stats["s"])]
     cell = cell.merge(stats, on=["event_type", "hour"])
     cnt = cell["cnt"].to_numpy(np.float64)
     s = cell["s"].to_numpy(np.float64)
     ss = cell["ss"].to_numpy(np.float64)
     mean = s / cnt
     var = (cnt * ss - s * s) / (cnt * cnt)
-    sd = np.sqrt(np.maximum(var, 0.0))
     n = cell["n"].to_numpy(np.float64)
+    has_var = cell["has_var"].to_numpy(bool)
     with np.errstate(divide="ignore", invalid="ignore"):
-        z = np.where(sd > 0, (n - mean) / sd, 0.0)
+        z = np.where(has_var, (n - mean) / np.sqrt(var), 0.0)
     flag = np.abs(z) > z_thresh
     out = cell[flag].copy()
     out["z6"] = round_half_away(z[flag], 6)
