@@ -151,6 +151,8 @@ def run_bench() -> dict:
         ("part_triangle_count", r.part_triangle_count),
         ("doc_sorted_neighborhood", r.doc_sorted_neighborhood),
         ("events_window_dedup", r.events_window_dedup),
+        ("doc_winnowing_pairs", r.doc_winnowing_pairs),
+        ("q21_waiting_supplier", r.q21_waiting_supplier),
     ]:
         def run(fn=fn):
             import pandas as pd
