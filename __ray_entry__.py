@@ -285,6 +285,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_anomaly": r.events_hourly_anomaly,
         "orders_trend_mk": r.orders_trend_mk,
         "part_link_prediction": r.part_link_prediction,
+        # TPC-H Q11/Q12 shapes (completes all 22 query shapes), the
+        # canonical public LLM quality filters (Gopher, C4), PQ training
+        "q11_important_parts": r.q11_important_parts,
+        "q12_shipping_priority_class": r.q12_shipping_priority_class,
+        "doc_gopher_quality": r.doc_gopher_quality,
+        "doc_c4_line_filter": r.doc_c4_line_filter,
+        "emb_pq_train": r.emb_pq_train,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -459,6 +466,186 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(x AS BIGINT) AS id_a, CAST(y AS BIGINT) AS id_b,
                    CAST(w AS BIGINT) AS n_common
             FROM ne ORDER BY w DESC, x, y LIMIT 20
+        """,
+        "q11_important_parts": """
+            WITH pv AS (
+                SELECT l_partkey,
+                       sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                      * 10000.0, 0) AS BIGINT)) AS value_e4
+                FROM lineitem GROUP BY 1
+            ),
+            tot AS (SELECT sum(CAST(value_e4 AS HUGEINT)) AS t,
+                           count(*) AS np FROM pv)
+            SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+                   CAST(value_e4 AS BIGINT) AS value_e4
+            FROM pv, tot
+            WHERE CAST(value_e4 AS HUGEINT) * np * 2 > 3 * t
+            ORDER BY value_e4 DESC, l_partkey
+        """,
+        "q12_shipping_priority_class": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+            GROUP BY 1 ORDER BY 1
+        """,
+        "doc_gopher_quality": f"""
+            WITH d AS (SELECT doc_id, coalesce(text, '') AS t
+                       FROM documents),
+            feat AS (
+                SELECT doc_id,
+                       {o.words_expr('t')} AS words,
+                       string_split(t, chr(10)) AS lines,
+                       len(t) - len(replace(t, '#', '')) AS n_hash,
+                       (len(t) - len(replace(t, '...', ''))) // 3 AS n_dots
+                FROM d
+            ),
+            agg AS (
+                SELECT doc_id,
+                       len(words) AS nw,
+                       coalesce(list_sum(list_transform(words,
+                                                        w -> len(w))), 0)
+                           AS tc,
+                       len(list_filter(words,
+                           w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha,
+                       (CASE WHEN list_contains(
+                                list_transform(words, w -> lower(w)), 'the')
+                             THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(
+                                list_transform(words, w -> lower(w)), 'be')
+                               THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(
+                                list_transform(words, w -> lower(w)), 'to')
+                               THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(
+                                list_transform(words, w -> lower(w)), 'of')
+                               THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(
+                                list_transform(words, w -> lower(w)), 'and')
+                               THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(
+                                list_transform(words, w -> lower(w)), 'that')
+                               THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(
+                                list_transform(words, w -> lower(w)), 'have')
+                               THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(
+                                list_transform(words, w -> lower(w)), 'with')
+                               THEN 1 ELSE 0 END) AS n_stop,
+                       len(lines) AS nl,
+                       len(list_filter(lines,
+                           x -> ltrim(x, ' ') LIKE '-%'
+                                OR ltrim(x, ' ') LIKE '*%')) AS n_bullet,
+                       len(list_filter(lines,
+                           x -> rtrim(x, ' ') LIKE '%...')) AS n_ell,
+                       n_hash + n_dots AS n_sym
+                FROM feat
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(nw AS BIGINT) AS n_words,
+                   (nw BETWEEN 50 AND 100000) AS f_words,
+                   (3 * nw <= tc AND tc <= 10 * nw) AS f_mean_len,
+                   (10 * n_sym <= nw) AS f_symbol,
+                   (10 * n_bullet <= 9 * nl) AS f_bullet,
+                   (10 * n_ell <= 3 * nl) AS f_ellipsis,
+                   (5 * n_alpha >= 4 * nw) AS f_alpha,
+                   (n_stop >= 2) AS f_stop,
+                   ((nw BETWEEN 50 AND 100000)
+                    AND (3 * nw <= tc AND tc <= 10 * nw)
+                    AND (10 * n_sym <= nw)
+                    AND (10 * n_bullet <= 9 * nl)
+                    AND (10 * n_ell <= 3 * nl)
+                    AND (5 * n_alpha >= 4 * nw)
+                    AND (n_stop >= 2)) AS keep
+            FROM agg
+        """,
+        "doc_c4_line_filter": """
+            WITH d AS (SELECT doc_id, coalesce(text, '') AS t
+                       FROM documents),
+            k AS (
+                SELECT doc_id, t,
+                       len(string_split(t, chr(10))) AS n_lines,
+                       len(list_filter(string_split(t, chr(10)),
+                           ln -> (rtrim(ln, ' ') LIKE '%.'
+                                  OR rtrim(ln, ' ') LIKE '%!'
+                                  OR rtrim(ln, ' ') LIKE '%?'
+                                  OR rtrim(ln, ' ') LIKE '%"')
+                                 AND len(list_filter(
+                                         string_split_regex(ln, '\\s+'),
+                                         x -> x != '')) >= 5
+                                 AND NOT contains(lower(ln), 'javascript')))
+                           AS n_kept
+                FROM d
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_lines AS BIGINT) AS n_lines,
+                   CAST(n_kept AS BIGINT) AS n_kept,
+                   (n_kept >= 3 AND NOT contains(lower(t), 'lorem ipsum')
+                    AND NOT contains(t, '{')) AS keep
+            FROM k
+        """,
+        "emb_pq_train": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            js AS (SELECT unnest(range(4)) AS j),
+            c0 AS (
+                SELECT js.j, e.vec_id AS cid,
+                       list_transform(range(1, 17),
+                                      t -> v[js.j * 16 + t]) AS c
+                FROM e, js WHERE e.vec_id < 4
+            ),
+            d1 AS (
+                SELECT e.vec_id, c.j, c.cid,
+                       round(list_sum(list_transform(range(1, 17),
+                           t -> (v[c.j * 16 + t] - c.c[t])
+                                * (v[c.j * 16 + t] - c.c[t]))), 9) AS d2
+                FROM e, c0 c
+            ),
+            a1 AS (
+                SELECT vec_id, j, cid FROM (
+                    SELECT vec_id, j, cid,
+                           row_number() OVER (PARTITION BY vec_id, j
+                                              ORDER BY d2, cid) AS rn
+                    FROM d1) WHERE rn = 1
+            ),
+            c1 AS (
+                SELECT j, cid, list(m ORDER BY dim) AS c FROM (
+                    SELECT a.j, a.cid, t.i AS dim,
+                           round(avg(e.v[a.j * 16 + t.i + 1]), 9) AS m
+                    FROM a1 a JOIN e USING (vec_id)
+                    CROSS JOIN range(16) t(i)
+                    GROUP BY 1, 2, 3
+                ) GROUP BY 1, 2
+            ),
+            d2s AS (
+                SELECT e.vec_id, c.j, c.cid,
+                       round(list_sum(list_transform(range(1, 17),
+                           t -> (v[c.j * 16 + t] - c.c[t])
+                                * (v[c.j * 16 + t] - c.c[t]))), 9) AS d2
+                FROM e, c1 c
+            ),
+            a2 AS (
+                SELECT vec_id, j, cid FROM (
+                    SELECT vec_id, j, cid,
+                           row_number() OVER (PARTITION BY vec_id, j
+                                              ORDER BY d2, cid) AS rn
+                    FROM d2s) WHERE rn = 1
+            )
+            SELECT CAST(a.j AS BIGINT) AS j, CAST(a.cid AS BIGINT) AS cid,
+                   CAST(t.i AS BIGINT) AS dim,
+                   round(avg(e.v[a.j * 16 + t.i + 1]), 6) AS c6,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM a2 a JOIN e USING (vec_id) CROSS JOIN range(16) t(i)
+            GROUP BY 1, 2, 3
         """,
         "lineitem_ks_test": """
             WITH v AS (SELECT l_quantity AS q, l_returnflag AS f

@@ -7234,11 +7234,18 @@ def doc_heavy_hitter_words(sf_dir: str, k: int = 500):
 
     def cand_block(batch: pa.Table) -> pa.Table:
         # ONE tokenization contract: the shared word-count partial, then a
-        # block-local top-k (pandas sort over the block's vocabulary)
-        t = _word_count_partials(batch).to_pandas()
-        top = t.sort_values(["n", "w"], ascending=[False, True],
-                            kind="mergesort").head(k)
-        return pa.table({"w": pa.array(top["w"], pa.string())})
+        # block-local top-k via O(V) argpartition instead of a full
+        # vocabulary sort. The tie-break at the k-th count boundary is
+        # arbitrary, which the pigeonhole superset tolerates: a multiset
+        # top-k can evict a count-c word only by keeping k others with
+        # count >= c, and k+1 words with count >= N_b/k cannot exist —
+        # so every potential heavy hitter still reaches the recount.
+        t = _word_count_partials(batch)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        if len(n) > k:
+            idx = np.argpartition(n, len(n) - k)[len(n) - k:]
+            t = t.take(pa.array(np.sort(idx)))
+        return pa.table({"w": t["w"]})
 
     cand_tbl = pa.concat_tables(
         ds.map_batches(cand_block, batch_format="pyarrow")
@@ -7672,3 +7679,327 @@ def part_link_prediction(sf_dir: str, topk: int = 20):
     return pd.DataFrame({"id_a": top["x"].astype("int64"),
                          "id_b": top["y"].astype("int64"),
                          "n_common": top["w"].astype("int64")})
+
+
+def q11_important_parts(sf_dir: str):
+    """TPC-H Q11 shape (important stock identification), adapted to the
+    available columns: per-part sale value from lineitem (the partsupp
+    table does not exist in this corpus), keeping parts whose value
+    exceeds 1.5x the AVERAGE part value — the HAVING-vs-global-scalar
+    subquery shape, made scale-free the way Q11 scales its fraction by
+    1/SF (a fixed total-fraction cutoff empties as the part catalog
+    grows; 1.5x average keeps ~1% of parts at every tested scale).
+    Distributed shape: exact 1e-4-unit integer revenue partials
+    pre-aggregate per block, ONE partkey shuffle produces the per-part
+    table (bounded by the part catalog), the global (total, count) is a
+    second tiny aggregate over that table, and the threshold test is
+    integer-exact on both sides (value_e4 * 2 * n_parts > 3 * total in
+    HUGEINT on the SQL side collapses to value_e4 > (3 * total) //
+    (2 * n_parts) here — equivalent for integers, and immune to int64
+    overflow at any scale)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = round_half_away(
+            batch["l_extendedprice"].to_numpy()
+            * (1.0 - batch["l_discount"].to_numpy()) * 10000.0, 0
+        ).astype(np.int64)
+        t = pa.table({"l_partkey": batch["l_partkey"],
+                      "rev_e4": pa.array(rev, pa.int64())})
+        g = t.group_by("l_partkey").aggregate([("rev_e4", "sum")])
+        return pa.table({"l_partkey": g["l_partkey"],
+                         "rev_e4": g["rev_e4_sum"]})
+
+    ds = _tbl(sf_dir, "lineitem",
+              columns=["l_partkey", "l_extendedprice", "l_discount"])
+    per_part = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("l_partkey")
+                .aggregate(Sum("rev_e4", alias_name="value_e4"))
+                .materialize())
+    tot_row = per_part.aggregate(Sum("value_e4", alias_name="t"),
+                                 Count(alias_name="np"))
+    total = int(tot_row["t"] or 0)
+    n_parts = int(tot_row["np"] or 0)
+    if n_parts == 0:
+        return pd.DataFrame({"l_partkey": pd.Series(dtype="int64"),
+                             "value_e4": pd.Series(dtype="int64")})
+    # value_e4 * 2np > 3*total  <=>  value_e4 > (3*total) // (2np)  (ints)
+    thr = pa.scalar((3 * total) // (2 * n_parts), pa.int64())
+    df = (per_part.map_batches(
+            lambda b: b.filter(pc.greater(b["value_e4"], thr)),
+            batch_format="pyarrow")
+          .to_pandas())
+    if len(df) == 0:  # empty Ray results lose their schema
+        return pd.DataFrame({"l_partkey": pd.Series(dtype="int64"),
+                             "value_e4": pd.Series(dtype="int64")})
+    return (df.sort_values(["value_e4", "l_partkey"],
+                           ascending=[False, True], kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"l_partkey": "int64", "value_e4": "int64"}))
+
+
+def q12_shipping_priority_class(sf_dir: str, late_days: int = 60):
+    """TPC-H Q12 shape (shipping modes and order priority), adapted to the
+    available columns: l_returnflag stands in for l_shipmode and 'shipped
+    more than ``late_days`` after the order date' for the commit/receipt
+    lateness predicate, over 1996 shipments. The high/low priority split
+    rides the single LARGE x LARGE hash join as a 0/1 flag; per-
+    (returnflag, flag) counts pre-aggregate per block so the final
+    exchange is a handful of rows."""
+    from ..stages.joins import hash_join
+
+    late_us = np.int64(late_days) * 86_400_000_000
+
+    def prep_li(batch: pa.Table) -> pa.Table:
+        lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+        hi = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+        b = batch.filter(pc.and_(pc.greater_equal(batch["l_shipdate"], lo),
+                                 pc.less(batch["l_shipdate"], hi)))
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_returnflag": b["l_returnflag"],
+            "ship_us": b["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()),
+        })
+
+    def prep_o(batch: pa.Table) -> pa.Table:
+        hi = pc.is_in(batch["o_orderpriority"],
+                      value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "date_us": batch["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "is_high": pc.cast(hi, pa.int64()),
+        })
+
+    li = _tbl(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_returnflag", "l_shipdate"]) \
+        .map_batches(prep_li, batch_format="pyarrow")
+    orders = _tbl(sf_dir, "orders",
+                  columns=["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(prep_o, batch_format="pyarrow")
+    j = hash_join(
+        li, orders, left_key="l_orderkey", right_key="o_orderkey",
+        left_cols=["l_returnflag", "ship_us"],
+        right_cols=["date_us", "is_high"],
+        schema={"l_returnflag": pa.string(), "ship_us": pa.int64(),
+                "date_us": pa.int64(), "is_high": pa.int64()})
+
+    def late_partial(batch: pa.Table) -> pa.Table:
+        late = (batch["ship_us"].to_numpy(zero_copy_only=False)
+                > batch["date_us"].to_numpy(zero_copy_only=False) + late_us)
+        # the late predicate is part of the WHERE on both sides: a
+        # returnflag with zero late lines is ABSENT, like the SQL group
+        b = batch.filter(pa.array(late))
+        ihigh = b["is_high"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "high": pa.array((ihigh == 1).astype("int64"), pa.int64()),
+            "low": pa.array((ihigh == 0).astype("int64"), pa.int64()),
+        })
+        g = t.group_by("l_returnflag").aggregate([("high", "sum"),
+                                                  ("low", "sum")])
+        return pa.table({"l_returnflag": g["l_returnflag"],
+                         "high": g["high_sum"], "low": g["low_sum"]})
+
+    df = (j.map_batches(late_partial, batch_format="pyarrow")
+          .groupby("l_returnflag")
+          .aggregate(Sum("high", alias_name="high_line_count"),
+                     Sum("low", alias_name="low_line_count"))
+          .to_pandas()
+          .sort_values("l_returnflag", kind="mergesort")
+          .reset_index(drop=True))
+    return df.astype({"l_returnflag": "string", "high_line_count": "int64",
+                      "low_line_count": "int64"})
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", Table A1) — the canonical public LLM quality
+# filter. Every threshold test below is INTEGER-exact (ratios are cleared
+# of division on both sides) so the DuckDB mirror matches bit-for-bit.
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def doc_gopher_quality(sf_dir: str):
+    """Gopher quality rules per document: word-count bounds [50, 100000],
+    mean word length in [3, 10] chars, symbol-to-word ratio ('#' chars +
+    '...' occurrences) <= 0.1, bullet-started lines <= 90%, ellipsis-ended
+    lines <= 30%, words-with-an-alpha-char >= 80%, and >= 2 distinct
+    English stopwords present. Pure per-row map over a column-pruned read,
+    zero shuffle; ratio thresholds are cross-multiplied to integer tests
+    (10*symbols <= n_words etc.) so numpy and the SQL list arithmetic
+    agree exactly. Tokenization contract: python str.split() mirrored by
+    list_filter(string_split_regex(text, '\\s+'), x -> x != '') (same
+    convention as token_stats_batch)."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def flags(batch: pa.Table) -> pa.Table:
+        cols = {k: [] for k in
+                ("n_words", "f_words", "f_mean_len", "f_symbol", "f_bullet",
+                 "f_ellipsis", "f_alpha", "f_stop", "keep")}
+        for v in batch["text"].to_pylist():
+            v = v or ""
+            words = v.split()
+            nw = len(words)
+            tc = sum(len(w) for w in words)
+            n_alpha = sum(
+                1 for w in words
+                if any(("a" <= c <= "z") or ("A" <= c <= "Z") for c in w))
+            lw = {w.lower() for w in words}
+            n_stop = sum(1 for s in _GOPHER_STOPWORDS if s in lw)
+            lines = v.split("\n")
+            nl = len(lines)
+            n_bullet = sum(1 for l in lines
+                           if l.lstrip(" ").startswith(("-", "*")))
+            n_ell = sum(1 for l in lines if l.rstrip(" ").endswith("..."))
+            n_sym = v.count("#") + v.count("...")
+            f = {
+                "f_words": 50 <= nw <= 100000,
+                "f_mean_len": (3 * nw <= tc) and (tc <= 10 * nw),
+                "f_symbol": 10 * n_sym <= nw,
+                "f_bullet": 10 * n_bullet <= 9 * nl,
+                "f_ellipsis": 10 * n_ell <= 3 * nl,
+                "f_alpha": 5 * n_alpha >= 4 * nw,
+                "f_stop": n_stop >= 2,
+            }
+            cols["n_words"].append(nw)
+            for k2, b2 in f.items():
+                cols[k2].append(b2)
+            cols["keep"].append(all(f.values()))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(cols["n_words"], pa.int64()),
+            **{k2: pa.array(cols[k2], pa.bool_())
+               for k2 in ("f_words", "f_mean_len", "f_symbol", "f_bullet",
+                          "f_ellipsis", "f_alpha", "f_stop", "keep")},
+        })
+
+    df = ds.map_batches(flags, batch_format="pyarrow").to_pandas()
+    return df.astype({"doc_id": "int64", "n_words": "int64"})
+
+
+def doc_c4_line_filter(sf_dir: str):
+    """C4 line/page filters (Raffel et al. 2020, §2.2) per document: a
+    line is KEPT when it ends in terminal punctuation (. ! ? \") after
+    trailing-space trim, holds >= 5 whitespace words, and does not
+    contain 'javascript' (case-insensitive); the page is kept when >= 3
+    lines survive and the text contains neither 'lorem ipsum' (case-
+    insensitive) nor a curly brace. Pure per-row map, zero shuffle; every
+    predicate is mirrored by DuckDB list/string functions exactly."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def flags(batch: pa.Table) -> pa.Table:
+        n_lines, n_kept, keeps = [], [], []
+        for v in batch["text"].to_pylist():
+            v = v or ""
+            lines = v.split("\n")
+            kept = 0
+            for l in lines:
+                l2 = l.rstrip(" ")
+                if (l2.endswith((".", "!", "?", '"'))
+                        and len(l.split()) >= 5
+                        and "javascript" not in l.lower()):
+                    kept += 1
+            lv = v.lower()
+            n_lines.append(len(lines))
+            n_kept.append(kept)
+            keeps.append(kept >= 3 and "lorem ipsum" not in lv
+                         and "{" not in v)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_kept": pa.array(n_kept, pa.int64()),
+            "keep": pa.array(keeps, pa.bool_()),
+        })
+
+    df = ds.map_batches(flags, batch_format="pyarrow").to_pandas()
+    return df.astype({"doc_id": "int64", "n_lines": "int64",
+                      "n_kept": "int64"})
+
+
+def emb_pq_train(sf_dir: str, m: int = 4, k: int = 4, iters: int = 2):
+    """Product-quantization TRAINING (closes the emb_product_quantization
+    loop, which encodes against seed codebooks): ``iters`` unrolled Lloyd
+    iterations run independently per subspace, from the deterministic
+    seeds vec_id < k. Each iteration is ONE streaming pass: the m
+    sub-codebooks ride the object store (ray.put, m*k*16 floats),
+    assignment is a vectorized per-subspace argmin over distances rounded
+    to 9 digits (ties -> lowest cid; BOTH sides), and each block emits at
+    most m*k*16 (subspace, cid, dim, sum, n) mean partials, so the
+    per-iteration shuffle is catalog-bounded regardless of rows.
+    Centroids snap to 9 digits after every mean (both sides) so numpy-
+    vs-SQL summation-order ulps cannot drift across iterations. Returns
+    the final per-subspace codebooks and cluster sizes."""
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    seed_df = (ds.map_batches(
+        lambda b: b.filter(pc.less(b["vec_id"], pa.scalar(k))),
+        batch_format="pyarrow").to_pandas().sort_values("vec_id"))
+    cents = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in seed_df["embedding"]])  # (k, 64)
+    d = cents.shape[1]
+    sub = d // m
+    # books[j] rows are cids 0..k-1 in order (may shrink if a cid empties)
+    books = [(np.arange(k, dtype=np.int64),
+              cents[:, j * sub:(j + 1) * sub]) for j in range(m)]
+
+    import functools
+
+    def assign_partials(batch: pa.Table, books_ref=None) -> pa.Table:
+        bs = ray.get(books_ref)
+        M = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch["embedding"].to_pylist()])
+        out_j, out_c, out_d, out_s, out_n = [], [], [], [], []
+        for j, (cids, B) in enumerate(bs):
+            X = M[:, j * sub:(j + 1) * sub]
+            d2 = round_half_away(
+                ((X[:, None, :] - B[None, :, :]) ** 2).sum(axis=2), 9)
+            a = np.argmin(d2, axis=1)  # first (lowest-cid) wins ties
+            for ci in range(len(cids)):
+                mask = a == ci
+                nn = int(mask.sum())
+                if nn == 0:
+                    continue
+                out_j.append(np.full(sub, j, dtype=np.int64))
+                out_c.append(np.full(sub, cids[ci], dtype=np.int64))
+                out_d.append(np.arange(sub, dtype=np.int64))
+                out_s.append(X[mask].sum(axis=0))
+                out_n.append(np.full(sub, nn, dtype=np.int64))
+        if not out_j:
+            return pa.table({"j": pa.array([], pa.int64()),
+                             "cid": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "j": pa.array(np.concatenate(out_j), pa.int64()),
+            "cid": pa.array(np.concatenate(out_c), pa.int64()),
+            "dim": pa.array(np.concatenate(out_d), pa.int64()),
+            "s": pa.array(np.concatenate(out_s), pa.float64()),
+            "n": pa.array(np.concatenate(out_n), pa.int64()),
+        })
+
+    agg = None
+    for _ in range(iters):
+        books_ref = ray.put(books)
+        agg = (
+            ds.map_batches(
+                functools.partial(assign_partials, books_ref=books_ref),
+                batch_format="pyarrow")
+            .groupby(["j", "cid", "dim"])
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+            .to_pandas()
+            .sort_values(["j", "cid", "dim"])
+            .reset_index(drop=True)
+        )
+        books = []
+        for j in range(m):
+            gj = agg[agg["j"] == j]
+            cids = gj["cid"].to_numpy(np.int64).reshape(-1, sub)[:, 0]
+            cj = round_half_away(
+                (gj["s"] / gj["n"]).to_numpy(np.float64), 9
+            ).reshape(-1, sub)
+            books.append((cids, cj))
+
+    agg["c6"] = round_half_away(
+        (agg["s"] / agg["n"]).to_numpy(np.float64), 6)
+    return pd.DataFrame({
+        "j": agg["j"].astype("int64"), "cid": agg["cid"].astype("int64"),
+        "dim": agg["dim"].astype("int64"), "c6": agg["c6"].astype("float64"),
+        "n": agg["n"].astype("int64")})

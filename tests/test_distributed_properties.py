@@ -342,6 +342,8 @@ import pytest
     "lineitem_ks_test", "doc_zipf_fit", "emb_product_quantization",
     "events_stickiness", "events_hourly_anomaly", "orders_trend_mk",
     "part_link_prediction",
+    "q11_important_parts", "q12_shipping_priority_class",
+    "doc_gopher_quality", "doc_c4_line_filter", "emb_pq_train",
 ])
 def test_round2_ops_invariant_to_block_layout(ray_session, monkeypatch, qname):
     """The round-2 window/rank/histogram/retrieval operators must produce
