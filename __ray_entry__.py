@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_gopher_quality": r.doc_gopher_quality,
         "doc_c4_line_filter": r.doc_c4_line_filter,
         "emb_pq_train": r.emb_pq_train,
+        "doc_ccnet_ppl_buckets": r.doc_ccnet_ppl_buckets,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -592,6 +593,17 @@ def oracle_sql() -> dict[str, str]:
                    (n_kept >= 3 AND NOT contains(lower(t), 'lorem ipsum')
                     AND NOT contains(t, '{')) AS keep
             FROM k
+        """,
+        "doc_ccnet_ppl_buckets": f"""
+            WITH {o.perplexity_ctes()},
+            p6 AS (SELECT doc_id, round(ppl_bits, 6) AS ppl6 FROM ppl),
+            cut AS (SELECT quantile_disc(ppl6, 1.0/3) AS c1,
+                           quantile_disc(ppl6, 2.0/3) AS c2 FROM p6)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, ppl6,
+                   CASE WHEN ppl6 <= c1 THEN 'head'
+                        WHEN ppl6 <= c2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM p6, cut
         """,
         "emb_pq_train": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -8003,3 +8003,55 @@ def emb_pq_train(sf_dir: str, m: int = 4, k: int = 4, iters: int = 2):
         "j": agg["j"].astype("int64"), "cid": agg["cid"].astype("int64"),
         "dim": agg["dim"].astype("int64"), "c6": agg["c6"].astype("float64"),
         "n": agg["n"].astype("int64")})
+
+
+def doc_ccnet_ppl_buckets(sf_dir: str):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): documents
+    split into head/middle/tail by the TERCILES of the char-bigram LM
+    bits-per-char score — the classic language-model quality partitioning
+    for web corpora (CCNet buckets by KenLM perplexity against Wikipedia;
+    the deterministic in-repo LM stands in, scored by the same code path
+    the flagship uses and mirrored bit-for-bit by oracles.perplexity_ctes).
+    Three streaming passes, no global sort: (1) per-doc bits via the
+    per-worker cached LM stage, rounded to 6 digits on BOTH sides so
+    tercile membership cannot flip on numpy-vs-SQL summation ulps; (2)
+    exact tercile cutpoints from the histogram-refinement quantile stage
+    (quantile_disc semantics, rank ceil(q*n)); (3) a broadcast-cutpoint
+    bucket map over the scored table."""
+    from ..stages import cached_stage_fn
+    from ..stages.quality_scrub import PerplexityStage
+    from ..stages.quantiles import grouped_quantile_disc
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    ppl_fn = cached_stage_fn(PerplexityStage, content_col="text")
+
+    def score(batch: pa.Table) -> pa.Table:
+        t = ppl_fn(batch)
+        v = round_half_away(t["ppl_bits"].to_numpy(zero_copy_only=False), 6)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "ppl6": pa.array(v, pa.float64()),
+            "g": pa.array(np.zeros(len(v), np.int64), pa.int64()),
+        })
+
+    # materialize the REDUCED projection (doc_id, ppl6) once: the quantile
+    # stage and the bucket map both consume it, and re-scoring every doc a
+    # second time would double the LM cost for a 16-byte/doc table
+    scored = ds.map_batches(score, batch_format="pyarrow").materialize()
+    cuts = grouped_quantile_disc(scored, key="g", value_col="ppl6",
+                                 qs=[1.0 / 3.0, 2.0 / 3.0])
+    cs = cuts.sort_values("q")["value"].to_numpy(np.float64)
+    c1, c2 = float(cs[0]), float(cs[1])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        v = batch["ppl6"].to_numpy(zero_copy_only=False)
+        lab = np.where(v <= c1, "head", np.where(v <= c2, "middle", "tail"))
+        return pa.table({
+            "doc_id": batch["doc_id"], "ppl6": batch["ppl6"],
+            "bucket": pa.array([str(x) for x in lab], pa.string()),
+        })
+
+    df = scored.map_batches(bucket, batch_format="pyarrow").to_pandas()
+    return (df[["doc_id", "ppl6", "bucket"]]
+            .astype({"doc_id": "int64", "ppl6": "float64",
+                     "bucket": "string"}))
