@@ -293,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_c4_line_filter": r.doc_c4_line_filter,
         "emb_pq_train": r.emb_pq_train,
         "doc_ccnet_ppl_buckets": r.doc_ccnet_ppl_buckets,
+        "doc_ngram_novelty": r.doc_ngram_novelty,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -593,6 +594,23 @@ def oracle_sql() -> dict[str, str]:
                    (n_kept >= 3 AND NOT contains(lower(t), 'lorem ipsum')
                     AND NOT contains(t, '{')) AS keep
             FROM k
+        """,
+        "doc_ngram_novelty": f"""
+            WITH {o.shingle_strings_cte(3)},
+            sr AS (SELECT doc_id, unnest(shs) AS sh
+                   FROM doc_shingles WHERE len(shs) > 0),
+            fo AS (SELECT sh, min(doc_id) AS first_doc FROM sr GROUP BY sh),
+            pd AS (SELECT sr.doc_id,
+                          sum(CASE WHEN sr.doc_id = fo.first_doc
+                                   THEN 1 ELSE 0 END) AS n_first,
+                          count(*) AS n_shingles
+                   FROM sr JOIN fo USING (sh) GROUP BY 1)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_first AS BIGINT) AS n_first,
+                   CAST(n_shingles AS BIGINT) AS n_shingles,
+                   round(CAST(n_first AS DOUBLE) / n_shingles, 6)
+                       AS novelty6
+            FROM pd
         """,
         "doc_ccnet_ppl_buckets": f"""
             WITH {o.perplexity_ctes()},

@@ -8055,3 +8055,68 @@ def doc_ccnet_ppl_buckets(sf_dir: str):
     return (df[["doc_id", "ppl6", "bucket"]]
             .astype({"doc_id": "int64", "ppl6": "float64",
                      "bucket": "string"}))
+
+
+def doc_ngram_novelty(sf_dir: str, k: int = 3, buckets: int = 64):
+    """Corpus n-gram novelty per document (the dedup-diagnostic dual of
+    decontamination): the fraction of a doc's DISTINCT k-word shingles
+    whose global first occurrence (minimum doc_id over the corpus) is the
+    doc itself — near 1 means fresh text, near 0 means the doc restates
+    earlier content. ONE (doc_id, shingle-hash) distinct-pair shuffle
+    bucketed by shingle hash: every row of a shingle co-locates, so the
+    bucket resolves each shingle's global min doc in C-speed pandas and
+    emits per-doc (n_first, n_shingles) count partials; a second
+    doc-bucketed vectorized sum finishes (a raw per-doc Ray aggregate
+    would pay per-GROUP overhead on |docs| groups). Shingling/hash
+    contract shared with the jaccard/minhash family (word_shingles +
+    sql_hash64, mirrored by oracles.shingle_strings_cte); zero-shingle
+    docs are absent on both sides."""
+    from ..stages.dedup import sql_hash64, word_shingles
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sh_rows(batch: pa.Table) -> pa.Table:
+        ids_out, sh_out = [], []
+        for i, v in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            shs = {sql_hash64(s) for s in word_shingles(v or "", k=k)}
+            ids_out.extend([i] * len(shs))
+            sh_out.extend(shs)
+        sh = np.asarray(sh_out, dtype=np.int64)
+        sb = (sh.astype(np.uint64) * np.uint64(1_000_003)
+              % np.uint64(buckets)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
+                         "sh": pa.array(sh, pa.int64()),
+                         "sb": pa.array(sb, pa.int64())})
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("sh")["doc_id"].transform("min")
+        out = (g.assign(nf=(g["doc_id"] == first).astype("int64"))
+               .groupby("doc_id", as_index=False)
+               .agg(n_first=("nf", "sum"), n_shingles=("nf", "size")))
+        return out[["doc_id", "n_first", "n_shingles"]]
+
+    def add_db(batch: pa.Table) -> pa.Table:
+        db = (batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+              * np.uint64(1_000_003) % np.uint64(buckets)).astype(np.int64)
+        return batch.append_column("db", pa.array(db, pa.int64()))
+
+    def doc_sum(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("doc_id", as_index=False).agg(
+            n_first=("n_first", "sum"), n_shingles=("n_shingles", "sum"))
+        nov = round_half_away(
+            c["n_first"].to_numpy(np.float64)
+            / c["n_shingles"].to_numpy(np.float64), 6)
+        return pd.DataFrame({"doc_id": c["doc_id"].to_numpy(np.int64),
+                             "n_first": c["n_first"].to_numpy(np.int64),
+                             "n_shingles": c["n_shingles"].to_numpy(np.int64),
+                             "novelty6": nov})
+
+    df = (ds.map_batches(sh_rows, batch_format="pyarrow")
+          .groupby("sb").map_groups(bucket_counts, batch_format="pandas")
+          .map_batches(add_db, batch_format="pyarrow")
+          .groupby("db").map_groups(doc_sum, batch_format="pandas")
+          .to_pandas())
+    return (df.astype({"doc_id": "int64", "n_first": "int64",
+                       "n_shingles": "int64", "novelty6": "float64"})
+            .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
