@@ -294,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_pq_train": r.emb_pq_train,
         "doc_ccnet_ppl_buckets": r.doc_ccnet_ppl_buckets,
         "doc_ngram_novelty": r.doc_ngram_novelty,
+        "doc_fineweb_signals": r.doc_fineweb_signals,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -594,6 +595,47 @@ def oracle_sql() -> dict[str, str]:
                    (n_kept >= 3 AND NOT contains(lower(t), 'lorem ipsum')
                     AND NOT contains(t, '{')) AS keep
             FROM k
+        """,
+        "doc_fineweb_signals": """
+            WITH d AS (SELECT doc_id,
+                              string_split(coalesce(text, ''), chr(10))
+                                  AS lines
+                       FROM documents),
+            lr AS (SELECT doc_id, unnest(lines) AS l FROM d),
+            lc AS (SELECT doc_id, l, count(*) AS n FROM lr GROUP BY 1, 2),
+            ag AS (
+                SELECT doc_id,
+                       sum(n) AS nl,
+                       count(*) AS n_distinct,
+                       sum(len(l) * n) AS total_chars,
+                       sum(CASE WHEN n >= 2 THEN len(l) * n ELSE 0 END)
+                           AS chars_dup,
+                       sum(CASE WHEN len(l) <= 30 THEN n ELSE 0 END)
+                           AS n_short,
+                       sum(CASE WHEN rtrim(l, ' ') LIKE '%.'
+                                  OR rtrim(l, ' ') LIKE '%!'
+                                  OR rtrim(l, ' ') LIKE '%?'
+                                  OR rtrim(l, ' ') LIKE '%"'
+                                THEN n ELSE 0 END) AS n_punct
+                FROM lc GROUP BY 1
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(nl AS BIGINT) AS n_lines,
+                   round(CAST(nl - n_distinct AS DOUBLE) / nl, 6)
+                       AS dup_line_frac6,
+                   CASE WHEN total_chars > 0
+                        THEN round(CAST(chars_dup AS DOUBLE)
+                                   / total_chars, 6)
+                        ELSE 0.0 END AS dup_char_frac6,
+                   round(CAST(n_short AS DOUBLE) / nl, 6)
+                       AS short_line_frac6,
+                   round(CAST(n_punct AS DOUBLE) / nl, 6)
+                       AS punct_line_frac6,
+                   (10 * (nl - n_distinct) <= 3 * nl
+                    AND 5 * chars_dup <= total_chars
+                    AND 3 * n_short <= 2 * nl
+                    AND 25 * n_punct >= 3 * nl) AS keep
+            FROM ag
         """,
         "doc_ngram_novelty": f"""
             WITH {o.shingle_strings_cte(3)},

@@ -8120,3 +8120,62 @@ def doc_ngram_novelty(sf_dir: str, k: int = 3, buckets: int = 64):
     return (df.astype({"doc_id": "int64", "n_first": "int64",
                        "n_shingles": "int64", "novelty6": "float64"})
             .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
+
+
+def doc_fineweb_signals(sf_dir: str):
+    """FineWeb-style LINE-level repetition/format signals per document
+    (Penedo et al. 2024; complements the word-level doc_repetition_signals
+    and the Gopher/C4 filters): duplicate-line fraction, fraction of
+    characters sitting in duplicated lines, short-line (<= 30 chars)
+    fraction, and terminal-punctuation line fraction, plus the combined
+    keep rule. Pure per-row map, zero shuffle. Every ratio is a single
+    float division of exact integer counts rounded to 6 on both sides,
+    and the keep thresholds are cross-multiplied to integer tests
+    (10*dup_lines <= 3*n_lines etc.) so numpy and the DuckDB list
+    arithmetic agree bit-for-bit."""
+    from collections import Counter
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def signals(batch: pa.Table) -> pa.Table:
+        cols = {k: [] for k in
+                ("n_lines", "dup_line_frac6", "dup_char_frac6",
+                 "short_line_frac6", "punct_line_frac6", "keep")}
+        for v in batch["text"].to_pylist():
+            v = v or ""
+            lines = v.split("\n")
+            nl = len(lines)
+            c = Counter(lines)
+            n_dup = nl - len(c)
+            total_chars = sum(len(l) for l in lines)
+            chars_dup = sum(len(l) * n for l, n in c.items() if n >= 2)
+            n_short = sum(1 for l in lines if len(l) <= 30)
+            n_punct = sum(1 for l in lines
+                          if l.rstrip(" ").endswith((".", "!", "?", '"')))
+            cols["n_lines"].append(nl)
+            cols["dup_line_frac6"].append(
+                float(round_half_away(n_dup / nl, 6)))
+            cols["dup_char_frac6"].append(
+                float(round_half_away(chars_dup / total_chars, 6))
+                if total_chars else 0.0)
+            cols["short_line_frac6"].append(
+                float(round_half_away(n_short / nl, 6)))
+            cols["punct_line_frac6"].append(
+                float(round_half_away(n_punct / nl, 6)))
+            cols["keep"].append(
+                10 * n_dup <= 3 * nl and 5 * chars_dup <= total_chars
+                and 3 * n_short <= 2 * nl and 25 * n_punct >= 3 * nl)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_lines": pa.array(cols["n_lines"], pa.int64()),
+            "dup_line_frac6": pa.array(cols["dup_line_frac6"], pa.float64()),
+            "dup_char_frac6": pa.array(cols["dup_char_frac6"], pa.float64()),
+            "short_line_frac6": pa.array(cols["short_line_frac6"],
+                                         pa.float64()),
+            "punct_line_frac6": pa.array(cols["punct_line_frac6"],
+                                         pa.float64()),
+            "keep": pa.array(cols["keep"], pa.bool_()),
+        })
+
+    df = ds.map_batches(signals, batch_format="pyarrow").to_pandas()
+    return df.astype({"doc_id": "int64", "n_lines": "int64"})
