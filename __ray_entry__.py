@@ -295,6 +295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ccnet_ppl_buckets": r.doc_ccnet_ppl_buckets,
         "doc_ngram_novelty": r.doc_ngram_novelty,
         "doc_fineweb_signals": r.doc_fineweb_signals,
+        "emb_ivfpq_search": r.emb_ivfpq_search,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -595,6 +596,65 @@ def oracle_sql() -> dict[str, str]:
                    (n_kept >= 3 AND NOT contains(lower(t), 'lorem ipsum')
                     AND NOT contains(t, '{')) AS keep
             FROM k
+        """,
+        "emb_ivfpq_search": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 2),
+            cc AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+            probe AS (
+                SELECT cid FROM (
+                    SELECT cc.cid,
+                           row_number() OVER (ORDER BY
+                               round(list_sum(list_transform(range(1, 65),
+                                   t -> (qv[t] - c[t]) * (qv[t] - c[t]))),
+                                   9), cid) AS rn
+                    FROM cc, q) WHERE rn <= 2
+            ),
+            assign AS (
+                SELECT vec_id FROM (
+                    SELECT e.vec_id, cc.cid,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY round(list_sum(list_transform(
+                                   range(1, 65),
+                                   t -> (v[t] - c[t]) * (v[t] - c[t]))),
+                                   9), cc.cid) AS rn
+                    FROM e, cc)
+                WHERE rn = 1 AND cid IN (SELECT cid FROM probe)
+            ),
+            seeds AS (SELECT vec_id AS scid, v AS ce FROM e
+                      WHERE vec_id < 4),
+            js AS (SELECT unnest(range(4)) AS j),
+            codes AS (
+                SELECT vec_id, j, scid AS code FROM (
+                    SELECT e.vec_id, js.j, s.scid,
+                           row_number() OVER (PARTITION BY e.vec_id, js.j
+                               ORDER BY round(list_sum(list_transform(
+                                   range(1, 17),
+                                   t -> (v[js.j * 16 + t]
+                                         - ce[js.j * 16 + t])
+                                        * (v[js.j * 16 + t]
+                                           - ce[js.j * 16 + t]))), 9),
+                                   s.scid) AS rn
+                    FROM e, seeds s, js
+                    WHERE e.vec_id IN (SELECT vec_id FROM assign))
+                WHERE rn = 1
+            ),
+            lut AS (
+                SELECT js.j, s.scid AS code,
+                       round(list_sum(list_transform(range(1, 17),
+                           t -> (qv[js.j * 16 + t] - ce[js.j * 16 + t])
+                                * (qv[js.j * 16 + t]
+                                   - ce[js.j * 16 + t]))), 9) AS d2
+                FROM seeds s, q, js
+            ),
+            adc AS (
+                SELECT c.vec_id, round(sum(l.d2), 6) AS adc6
+                FROM codes c JOIN lut l ON l.j = c.j AND l.code = c.code
+                GROUP BY 1
+            )
+            SELECT CAST(vec_id AS BIGINT) AS vec_id, adc6
+            FROM adc ORDER BY adc6, vec_id LIMIT 10
         """,
         "doc_fineweb_signals": """
             WITH d AS (SELECT doc_id,

@@ -8179,3 +8179,71 @@ def doc_fineweb_signals(sf_dir: str):
 
     df = ds.map_batches(signals, batch_format="pyarrow").to_pandas()
     return df.astype({"doc_id": "int64", "n_lines": "int64"})
+
+
+def emb_ivfpq_search(sf_dir: str, n_cells: int = 8, n_probe: int = 2,
+                     k: int = 10, query_id: int = 2):
+    """Full IVF-PQ search stack (Jegou et al. 2011) in ONE corpus pass:
+    coarse-quantize every vector against the deterministic seed centroids
+    (vec_id < ``n_cells``), keep only vectors landing in the query's
+    ``n_probe`` nearest cells, PQ-encode survivors against the 4x16-dim
+    sub-codebooks (vec_id < 4, same layout as emb_product_quantization),
+    and rank by the asymmetric distance — the sum of broadcast
+    query-to-codebook LUT entries selected by each vector's codes. All
+    state (coarse centroids + codebooks + LUT: ~2 KB) rides the object
+    store once; each block emits k top rows, so the driver merge is
+    bounded by k x blocks. Every subspace/coarse distance rounds to 9
+    digits before argmin/probe selection and the 4-term ADC sum rounds to
+    6 on BOTH sides (the emb_product_quantization convention), so the SQL
+    mirror — which recomputes every distance with list arithmetic —
+    reproduces the ranking exactly."""
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    head = (ds.map_batches(
+        lambda b: b.filter(pc.less(b["vec_id"], pa.scalar(n_cells))),
+        batch_format="pyarrow").to_pandas().sort_values("vec_id"))
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in head["embedding"]])
+    C = V[:n_cells]                      # coarse centroids, cids 0..n-1
+    B = V[:4]                            # PQ sub-codebook rows, codes 0..3
+    qrow = ds.map_batches(
+        lambda b: b.filter(pc.equal(b["vec_id"], pa.scalar(query_id))),
+        batch_format="pyarrow").take(1)
+    q = np.asarray(qrow[0]["embedding"], dtype=np.float64)
+
+    d2q = round_half_away(((q[None, :] - C) ** 2).sum(axis=1), 9)
+    probe = np.sort(np.lexsort((np.arange(n_cells), d2q))[:n_probe])
+    lut = np.zeros((4, 4), dtype=np.float64)
+    for j in range(4):
+        lut[j] = round_half_away(
+            ((q[j * 16:(j + 1) * 16][None, :]
+              - B[:, j * 16:(j + 1) * 16]) ** 2).sum(axis=1), 9)
+    state = ray.put((C, B, lut, probe))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        Cc, Bb, lu, pr = ray.get(state)
+        M = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch["embedding"].to_pylist()])
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d2c = round_half_away(((M[:, None, :] - Cc[None]) ** 2).sum(axis=2), 9)
+        a = np.argmin(d2c, axis=1)  # lowest cid wins exact ties
+        mask = np.isin(a, pr)
+        if not mask.any():
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "adc6": pa.array([], pa.float64())})
+        M2, v2 = M[mask], vid[mask]
+        adc = np.zeros(len(M2), dtype=np.float64)
+        for j in range(4):
+            X = M2[:, j * 16:(j + 1) * 16]
+            d2 = round_half_away(
+                ((X[:, None, :] - Bb[None, :, j * 16:(j + 1) * 16]) ** 2)
+                .sum(axis=2), 9)
+            adc += lu[j, np.argmin(d2, axis=1)]
+        adc6 = round_half_away(adc, 6)
+        idx = np.lexsort((v2, adc6))[:k]
+        return pa.table({"vec_id": pa.array(v2[idx], pa.int64()),
+                         "adc6": pa.array(adc6[idx], pa.float64())})
+
+    parts = ds.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    top = (parts.sort_values(["adc6", "vec_id"], kind="mergesort").head(k)
+           .reset_index(drop=True))
+    return top.astype({"vec_id": "int64", "adc6": "float64"})
