@@ -296,6 +296,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_novelty": r.doc_ngram_novelty,
         "doc_fineweb_signals": r.doc_fineweb_signals,
         "emb_ivfpq_search": r.emb_ivfpq_search,
+        # embedding-space data pruning (Sorscher et al. 2022) and
+        # semantic dedup (SemDeDup, Abbas et al. 2023)
+        "emb_prototype_prune": r.emb_prototype_prune,
+        "emb_semdedup": r.emb_semdedup,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -655,6 +659,60 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(vec_id AS BIGINT) AS vec_id, adc6
             FROM adc ORDER BY adc6, vec_id LIMIT 10
+        """,
+        "emb_prototype_prune": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            cc AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+            d AS (
+                SELECT e.vec_id, cc.cid,
+                       round(list_sum(list_transform(range(1, 65),
+                           t -> (v[t] - c[t]) * (v[t] - c[t]))), 9) AS d29
+                FROM e, cc
+            ),
+            asg AS (
+                SELECT vec_id, cid, d29 FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY d29, cid) AS rn FROM d)
+                WHERE rn = 1
+            ),
+            cut AS (SELECT cid, quantile_disc(d29, 0.5) AS med
+                    FROM asg GROUP BY 1)
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(cid AS BIGINT) AS cid, d29,
+                   (d29 >= med) AS keep
+            FROM asg JOIN cut USING (cid)
+        """,
+        "emb_semdedup": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            cc AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 16),
+            d AS (
+                SELECT e.vec_id, cc.cid,
+                       round(list_sum(list_transform(range(1, 65),
+                           t -> (v[t] - c[t]) * (v[t] - c[t]))), 9) AS d29
+                FROM e, cc
+            ),
+            asg AS (
+                SELECT vec_id, cid FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY d29, cid) AS rn FROM d)
+                WHERE rn = 1
+            ),
+            dup AS (
+                SELECT b.vec_id, count(*) AS n_dup
+                FROM asg a JOIN asg b
+                     ON a.cid = b.cid AND a.vec_id < b.vec_id
+                JOIN e ea ON ea.vec_id = a.vec_id
+                JOIN e eb ON eb.vec_id = b.vec_id
+                WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4
+                GROUP BY 1
+            )
+            SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+                   CAST(a.cid AS BIGINT) AS cid,
+                   CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_earlier,
+                   (n_dup IS NULL) AS keep
+            FROM asg a LEFT JOIN dup ON dup.vec_id = a.vec_id
         """,
         "doc_fineweb_signals": """
             WITH d AS (SELECT doc_id,

@@ -8247,3 +8247,120 @@ def emb_ivfpq_search(sf_dir: str, n_cells: int = 8, n_probe: int = 2,
     top = (parts.sort_values(["adc6", "vec_id"], kind="mergesort").head(k)
            .reset_index(drop=True))
     return top.astype({"vec_id": "int64", "adc6": "float64"})
+
+
+def _seed_centroids(sf_dir: str, k: int):
+    """(dataset, centroid matrix) — deterministic seed centroids are the
+    first ``k`` vectors (vec_id < k), the emb_ivfpq_search convention, so
+    the SQL mirror can rebuild them with a WHERE filter."""
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    head = (ds.map_batches(
+        lambda b: b.filter(pc.less(b["vec_id"], pa.scalar(k))),
+        batch_format="pyarrow").to_pandas().sort_values("vec_id"))
+    C = np.stack([np.asarray(v, dtype=np.float64) for v in head["embedding"]])
+    return ds, C
+
+
+def emb_prototype_prune(sf_dir: str, k: int = 8):
+    """SSL-prototype data pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws"): assign every vector to its nearest prototype
+    (deterministic seed centroids, vec_id < ``k``) and keep the HARD half
+    of each cluster — examples at or above the cluster's exact median
+    squared distance to its prototype (easy, prototypical examples are
+    the ones scaling-law pruning discards). Rank-free and sort-free:
+    keep = d2 >= per-cluster quantile_disc(d2, 0.5) from the
+    histogram-refinement quantile stage, so only (cid, d2) partials and
+    k cutpoints ever move. Distances round to 9 digits before both the
+    argmin and the median (the emb_ivfpq_search convention) so the SQL
+    mirror — which recomputes every distance with list arithmetic —
+    agrees bit-for-bit. The scored 24-byte/vec projection materializes
+    once and feeds the quantile and keep passes."""
+    from ..stages.quantiles import grouped_quantile_disc
+
+    ds, C = _seed_centroids(sf_dir, k)
+    state = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        Cc = ray.get(state)
+        M = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch["embedding"].to_pylist()])
+        d2 = round_half_away(((M[:, None, :] - Cc[None]) ** 2).sum(axis=2), 9)
+        a = np.argmin(d2, axis=1)  # lowest cid wins exact ties
+        return pa.table({
+            "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+            "cid": pa.array(a.astype(np.int64), pa.int64()),
+            "d29": pa.array(d2[np.arange(len(a)), a], pa.float64()),
+        })
+
+    scored = ds.map_batches(assign, batch_format="pyarrow").materialize()
+    cuts = grouped_quantile_disc(scored, key="cid", value_col="d29", qs=[0.5])
+    med = np.full(k, np.inf)
+    for _, row in cuts.iterrows():
+        med[int(row["cid"])] = float(row["value"])
+    med_ref = ray.put(med)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        cid = batch["cid"].to_numpy(zero_copy_only=False)
+        d = batch["d29"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vec_id": batch["vec_id"], "cid": batch["cid"],
+            "d29": batch["d29"],
+            "keep": pa.array(d >= m[cid], pa.bool_()),
+        })
+
+    df = scored.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return df.astype({"vec_id": "int64", "cid": "int64",
+                      "d29": "float64", "keep": "bool"})
+
+
+def emb_semdedup(sf_dir: str, k: int = 16, tau: float = 0.4):
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by k-means
+    clustering + within-cluster pairwise cosine. Every vector assigns to
+    its nearest seed centroid (vec_id < ``k``, distances rounded to 9
+    before argmin); each cluster then computes its exact pairwise cosine
+    matrix and DROPS any vector with an EARLIER (smaller vec_id)
+    same-cluster neighbor at cos >= ``tau`` (rounded to 6 on both sides)
+    — the deterministic keep-the-first representative rule. The
+    clustering is what makes the quadratic step tractable at scale:
+    vectors shuffle ONCE keyed by cluster, pairwise work is
+    sum-of-squares of cluster sizes (k grows with the corpus so cluster
+    size stays bounded, per the paper), and only (vec_id, cid, count)
+    rows leave the groups. Output: per vector, the cluster, the number
+    of earlier near-duplicate neighbors, and the keep flag."""
+    ds, C = _seed_centroids(sf_dir, k)
+    state = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        Cc = ray.get(state)
+        M = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch["embedding"].to_pylist()])
+        d2 = round_half_away(((M[:, None, :] - Cc[None]) ** 2).sum(axis=2), 9)
+        a = np.argmin(d2, axis=1)
+        n = np.linalg.norm(M, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return pa.table({
+            "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+            "cid": pa.array(a.astype(np.int64), pa.int64()),
+            "vec": pa.array((M / n).tolist(), pa.list_(pa.float64())),
+        })
+
+    def cluster_dups(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy(np.int64)
+        M = np.stack(g["vec"].to_numpy())
+        sim6 = round_half_away(M @ M.T, 6)
+        # strictly-upper mask: column j counts rows i < j at or above tau
+        hit = np.triu(sim6 >= tau, k=1)
+        n_dup = hit.sum(axis=0).astype(np.int64)
+        return pd.DataFrame({
+            "vec_id": ids, "cid": g["cid"].to_numpy(np.int64),
+            "n_dup_earlier": n_dup, "keep": n_dup == 0,
+        })
+
+    df = (ds.map_batches(assign, batch_format="pyarrow")
+          .groupby("cid")
+          .map_groups(cluster_dups, batch_format="pandas")
+          .to_pandas())
+    return df.astype({"vec_id": "int64", "cid": "int64",
+                      "n_dup_earlier": "int64", "keep": "bool"})

@@ -345,7 +345,7 @@ import pytest
     "q11_important_parts", "q12_shipping_priority_class",
     "doc_gopher_quality", "doc_c4_line_filter", "emb_pq_train",
     "doc_ccnet_ppl_buckets", "doc_ngram_novelty", "doc_fineweb_signals",
-    "emb_ivfpq_search",
+    "emb_ivfpq_search", "emb_prototype_prune", "emb_semdedup",
 ])
 def test_round2_ops_invariant_to_block_layout(ray_session, monkeypatch, qname):
     """The round-2 window/rank/histogram/retrieval operators must produce
