@@ -300,6 +300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semantic dedup (SemDeDup, Abbas et al. 2023)
         "emb_prototype_prune": r.emb_prototype_prune,
         "emb_semdedup": r.emb_semdedup,
+        # DSIR hashed-ngram importance resampling weights (Xie et al. 2023)
+        "doc_dsir_weights": r.doc_dsir_weights,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -713,6 +715,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_earlier,
                    (n_dup IS NULL) AS keep
             FROM asg a LEFT JOIN dup ON dup.vec_id = a.vec_id
+        """,
+        "doc_dsir_weights": f"""
+            WITH tok AS (
+                SELECT doc_id, lang,
+                       CAST({o.h64('wd')} % 512 AS BIGINT) AS b
+                FROM (SELECT doc_id, lang,
+                             unnest({o.words_expr('text')}) AS wd
+                      FROM documents)
+            ),
+            cnt AS (
+                SELECT b, count(*) AS raw_c,
+                       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_c
+                FROM tok GROUP BY 1
+            ),
+            tot AS (SELECT sum(raw_c) AS raw_tot, sum(tgt_c) AS tgt_tot
+                    FROM cnt),
+            term AS (
+                SELECT b,
+                       CAST(round(1000000.0 * (
+                           ln(CAST(tgt_c + 1 AS DOUBLE) / (tgt_tot + 512))
+                         - ln(CAST(raw_c + 1 AS DOUBLE) / (raw_tot + 512))),
+                           0) AS BIGINT) AS ti
+                FROM cnt, tot
+            ),
+            pd AS (
+                SELECT doc_id, count(*) AS n_tokens, sum(ti) AS wi
+                FROM tok JOIN term USING (b) GROUP BY 1
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(wi AS BIGINT) AS logw_micro,
+                   round(CAST(wi AS DOUBLE) / 1000000.0, 6) AS logweight6
+            FROM pd
         """,
         "doc_fineweb_signals": """
             WITH d AS (SELECT doc_id,

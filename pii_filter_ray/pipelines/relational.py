@@ -8364,3 +8364,97 @@ def emb_semdedup(sf_dir: str, k: int = 16, tau: float = 0.4):
           .to_pandas())
     return df.astype({"vec_id": "int64", "cid": "int64",
                       "n_dup_earlier": "int64", "keep": "bool"})
+
+
+def doc_dsir_weights(sf_dir: str, n_buckets: int = 512,
+                     target_lang: str = "en"):
+    """DSIR importance weights (Xie et al. 2023, "Data selection for
+    language models via importance resampling"): per-document
+    log-importance of the target distribution (here the ``target_lang``
+    subset, the wiki-vs-crawl shape) over the raw distribution, both
+    modeled as hashed-unigram bag-of-words with add-1 smoothing. ONE
+    text pass builds the compact hashed feature projection (doc, bucket,
+    count — tokens hash with the corpus-wide sql_hash64 contract and are
+    hashed exactly once); the global bucket counts are a bounded
+    ``n_buckets``-row preagg of that projection, the per-bucket
+    log-ratio terms broadcast as a ~4 KB MICRO-FIXED-POINT int64 vector
+    (round(1e6*term)), and each doc's weight is an EXACT integer dot of
+    its count vector with the term vector — summation-order-free, so
+    numpy partials and the DuckDB SUM agree bit-for-bit with no float
+    accumulation anywhere (the only float step, ln of identical doubles,
+    is snapped at 6 digits inside the int terms). Per-doc partials
+    collapse through a 64-way doc-hash-bucketed vectorized sum (the
+    doc_ngram_novelty shape — never a per-doc Ray aggregate)."""
+    import math
+
+    from ..stages.dedup import sql_hash64
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        ids, bks, xs, xts = [], [], [], []
+        for i, t, lg in zip(batch["doc_id"].to_pylist(),
+                            batch["text"].to_pylist(),
+                            batch["lang"].to_pylist()):
+            ws = (t or "").split()
+            if not ws:
+                continue
+            c = Counter(sql_hash64(w.encode("utf-8")) % n_buckets
+                        for w in ws)
+            is_t = 1 if lg == target_lang else 0
+            for b, x in c.items():
+                ids.append(i); bks.append(b); xs.append(x)
+                xts.append(x * is_t)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "b": pa.array(bks, pa.int64()),
+                         "x": pa.array(xs, pa.int64()),
+                         "xt": pa.array(xts, pa.int64())})
+
+    feats = ds.map_batches(featurize, batch_format="pyarrow").materialize()
+    cnt = preagg_groupby(feats, ["b"],
+                         sums={"raw_c": "x", "tgt_c": "xt"}).to_pandas()
+    raw_tot = int(cnt["raw_c"].sum())
+    tgt_tot = int(cnt["tgt_c"].sum())
+    term = np.zeros(n_buckets, dtype=np.int64)
+    for b, rc, tc in zip(cnt["b"].to_numpy(np.int64),
+                         cnt["raw_c"].to_numpy(np.int64),
+                         cnt["tgt_c"].to_numpy(np.int64)):
+        v = 1e6 * (math.log(float(tc + 1) / float(tgt_tot + n_buckets))
+                   - math.log(float(rc + 1) / float(raw_tot + n_buckets)))
+        term[b] = int(round_half_away(v, 0))
+    term_ref = ray.put(term)
+
+    def doc_partials(batch: pa.Table) -> pa.Table:
+        ti = ray.get(term_ref)
+        df = pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+            "ntk": batch["x"].to_numpy(zero_copy_only=False),
+            "wi": batch["x"].to_numpy(zero_copy_only=False)
+                  * ti[batch["b"].to_numpy(zero_copy_only=False)],
+        })
+        g = df.groupby("doc_id", as_index=False).sum()
+        db = (g["doc_id"].to_numpy(np.uint64) * np.uint64(1_000_003)
+              % np.uint64(64)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(g["doc_id"], pa.int64()),
+                         "ntk": pa.array(g["ntk"], pa.int64()),
+                         "wi": pa.array(g["wi"], pa.int64()),
+                         "db": pa.array(db, pa.int64())})
+
+    def doc_sum(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("doc_id", as_index=False).agg(
+            n_tokens=("ntk", "sum"), logw_micro=("wi", "sum"))
+        lw = round_half_away(
+            c["logw_micro"].to_numpy(np.float64) / 1000000.0, 6)
+        return pd.DataFrame({
+            "doc_id": c["doc_id"].to_numpy(np.int64),
+            "n_tokens": c["n_tokens"].to_numpy(np.int64),
+            "logw_micro": c["logw_micro"].to_numpy(np.int64),
+            "logweight6": lw})
+
+    df = (feats.map_batches(doc_partials, batch_format="pyarrow")
+          .groupby("db").map_groups(doc_sum, batch_format="pandas")
+          .to_pandas())
+    return (df.astype({"doc_id": "int64", "n_tokens": "int64",
+                       "logw_micro": "int64", "logweight6": "float64"})
+            .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
