@@ -302,6 +302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_semdedup": r.emb_semdedup,
         # DSIR hashed-ngram importance resampling weights (Xie et al. 2023)
         "doc_dsir_weights": r.doc_dsir_weights,
+        # fastText-shape linear domain classifier, 2 unrolled GD steps
+        "doc_quality_logreg": r.doc_quality_logreg,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -748,6 +750,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(wi AS BIGINT) AS logw_micro,
                    round(CAST(wi AS DOUBLE) / 1000000.0, 6) AS logweight6
             FROM pd
+        """,
+        "doc_quality_logreg": f"""
+            WITH xb AS (
+                SELECT doc_id, CAST({o.h64('wd')} % 16 AS BIGINT) AS b,
+                       count(*) AS x,
+                       max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS y
+                FROM (SELECT doc_id, lang,
+                             unnest({o.words_expr('text')}) AS wd
+                      FROM documents)
+                GROUP BY 1, 2
+            ),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            g1 AS (
+                SELECT b, sum(CAST(x AS HUGEINT)
+                              * (500000 - 1000000 * y)) AS g
+                FROM xb GROUP BY 1
+            ),
+            w1a AS (
+                SELECT b, round(-0.1 * (CAST(g AS DOUBLE)
+                                        / (n_docs * 1000000.0)), 9) AS w1_9
+                FROM g1, n
+            ),
+            w1 AS (
+                SELECT b, w1_9,
+                       CAST(round(w1_9 * 1000000000.0, 0) AS BIGINT) AS wi1
+                FROM w1a
+            ),
+            md AS (
+                SELECT doc_id, sum(CAST(x AS HUGEINT) * wi1) AS mi,
+                       max(y) AS y
+                FROM xb JOIN w1 USING (b) GROUP BY 1
+            ),
+            r2 AS (
+                SELECT doc_id,
+                       CAST(round(round(1.0 / (1.0 + exp(
+                           -(CAST(mi AS DOUBLE) / 1000000000.0))), 6)
+                           * 1000000.0, 0) AS BIGINT)
+                       - 1000000 * y AS r
+                FROM md
+            ),
+            g2 AS (
+                SELECT b, sum(CAST(x AS HUGEINT) * r) AS g
+                FROM xb JOIN r2 USING (doc_id) GROUP BY 1
+            )
+            SELECT CAST(w1.b AS BIGINT) AS bucket, w1.w1_9 AS w1_9,
+                   round(w1.w1_9 - 0.1 * (CAST(g2.g AS DOUBLE)
+                                          / (n_docs * 1000000.0)), 9) AS w2_9
+            FROM w1 JOIN g2 USING (b), n
         """,
         "doc_fineweb_signals": """
             WITH d AS (SELECT doc_id,

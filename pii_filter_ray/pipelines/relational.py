@@ -8458,3 +8458,114 @@ def doc_dsir_weights(sf_dir: str, n_buckets: int = 512,
     return (df.astype({"doc_id": "int64", "n_tokens": "int64",
                        "logw_micro": "int64", "logweight6": "float64"})
             .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
+
+
+def doc_quality_logreg(sf_dir: str, n_buckets: int = 16, lr: float = 0.1,
+                       target_lang: str = "en"):
+    """Distributed logistic-regression domain classifier (the fastText
+    linear-classifier shape of Joulin et al. 2017 that CCNet/LLaMA-style
+    quality filtering trains at corpus scale): hashed-unigram counts ->
+    sigmoid, trained by TWO unrolled full-batch gradient steps from zero
+    init on the y = (lang == target_lang) label, exactly mirrored by an
+    unrolled SQL recompute (the emb_pq_train convention for iterative
+    algorithms). Determinism without float accumulation: at w0 = 0 the
+    sigmoid is exactly 1/2, so step 1's gradient is a pure INTEGER sum
+    (x * (500000 - 1000000*y) in micro units); step 2's margins are
+    exact integer dots against the nano-fixed-point w1 (round(1e9*w)),
+    its residuals snap to 6 digits straight out of the only float step
+    (one exp of identical doubles) and re-enter integer arithmetic —
+    so every gradient coordinate is a summation-order-free integer that
+    numpy block partials (merged as Python ints, immune to int64
+    overflow at any corpus size) and DuckDB HUGEINT SUM reproduce
+    bit-for-bit. Data movement: ONE text pass builds the compact
+    (doc, bucket, count, y) projection; step 1 is block partials
+    (n_buckets rows each) straight to the driver; step 2 is ONE 64-way
+    doc-hash-bucketed shuffle of the projection — margins, residuals
+    and gradient partials all resolve in-group at C speed. Output: the
+    per-bucket weights after each step."""
+    from ..stages.dedup import sql_hash64
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    n_docs = ds.count()
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        ids, bks, xs, ys, dbs = [], [], [], [], []
+        for i, t, lg in zip(batch["doc_id"].to_pylist(),
+                            batch["text"].to_pylist(),
+                            batch["lang"].to_pylist()):
+            ws = (t or "").split()
+            if not ws:
+                continue
+            c = Counter(sql_hash64(w.encode("utf-8")) % n_buckets
+                        for w in ws)
+            y = 1 if lg == target_lang else 0
+            db = int((np.uint64(i) * np.uint64(1_000_003)) % np.uint64(64))
+            for b, x in c.items():
+                ids.append(i); bks.append(b); xs.append(x)
+                ys.append(y); dbs.append(db)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "b": pa.array(bks, pa.int64()),
+                         "x": pa.array(xs, pa.int64()),
+                         "y": pa.array(ys, pa.int64()),
+                         "db": pa.array(dbs, pa.int64())})
+
+    feats = ds.map_batches(featurize, batch_format="pyarrow").materialize()
+
+    def g1_partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "b": batch["b"].to_numpy(zero_copy_only=False),
+            "v": batch["x"].to_numpy(zero_copy_only=False)
+                 * (500000 - 1000000
+                    * batch["y"].to_numpy(zero_copy_only=False)),
+        })
+        g = df.groupby("b", as_index=False)["v"].sum()
+        return pa.table({"b": pa.array(g["b"], pa.int64()),
+                         "v": pa.array(g["v"], pa.int64())})
+
+    # bounded pull: n_buckets rows per block; merge as PYTHON ints so the
+    # global sums cannot overflow int64 at any corpus size (the
+    # orders_winsorized_stats convention)
+    p1 = feats.map_batches(g1_partials, batch_format="pyarrow").to_pandas()
+    g1: Dict[int, int] = {}
+    for b, v in zip(p1["b"].to_numpy(np.int64), p1["v"].to_numpy(np.int64)):
+        g1[int(b)] = g1.get(int(b), 0) + int(v)
+    buckets = sorted(g1)
+    w1_9 = {b: float(round_half_away(
+        -lr * (float(g1[b]) / (n_docs * 1000000.0)), 9)) for b in buckets}
+    wi1 = np.zeros(n_buckets, dtype=np.int64)
+    for b in buckets:
+        wi1[b] = int(round_half_away(w1_9[b] * 1000000000.0, 0))
+    wi1_ref = ray.put(wi1)
+
+    def g2_group(g: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(wi1_ref)
+        g = g.assign(mp=g["x"].to_numpy(np.int64)
+                     * w[g["b"].to_numpy(np.int64)])
+        md = g.groupby("doc_id", as_index=False).agg(
+            mi=("mp", "sum"), y=("y", "max"))
+        sig6 = round_half_away(
+            1.0 / (1.0 + np.exp(-(md["mi"].to_numpy(np.float64)
+                                  / 1000000000.0))), 6)
+        r = (round_half_away(sig6 * 1000000.0, 0).astype(np.int64)
+             - 1000000 * md["y"].to_numpy(np.int64))
+        rmap = dict(zip(md["doc_id"].to_numpy(np.int64), r))
+        g = g.assign(v=g["x"].to_numpy(np.int64)
+                     * np.array([rmap[d] for d in
+                                 g["doc_id"].to_numpy(np.int64)],
+                                dtype=np.int64))
+        out = g.groupby("b", as_index=False)["v"].sum()
+        return out[["b", "v"]]
+
+    p2 = (feats.groupby("db").map_groups(g2_group, batch_format="pandas")
+          .to_pandas())
+    g2: Dict[int, int] = {}
+    for b, v in zip(p2["b"].to_numpy(np.int64), p2["v"].to_numpy(np.int64)):
+        g2[int(b)] = g2.get(int(b), 0) + int(v)
+    rows = []
+    for b in buckets:
+        w2 = float(round_half_away(
+            w1_9[b] - lr * (float(g2.get(b, 0)) / (n_docs * 1000000.0)), 9))
+        rows.append((b, w1_9[b], w2))
+    return pd.DataFrame(rows, columns=["bucket", "w1_9", "w2_9"]).astype(
+        {"bucket": "int64", "w1_9": "float64", "w2_9": "float64"})
