@@ -7155,7 +7155,8 @@ def q20_dominant_supplier(sf_dir: str, name_like: str = "widget",
 
 
 def doc_winnowing_pairs(sf_dir: str, k: int = 8, w: int = 6,
-                        max_df: int = 50, min_shared: int = 3):
+                        max_df: int = 50, min_shared: int = 3,
+                        pair_chunk_budget: int = 2_000_000):
     """Winnowing near-dup pairs (the substring-overlap dedup family,
     complementing exact/minhash/simhash/jaccard/embedding): documents
     sharing >= ``min_shared`` winnowing fingerprints, after dropping
@@ -7167,7 +7168,12 @@ def doc_winnowing_pairs(sf_dir: str, k: int = 8, w: int = 6,
     followed by one bounded pair-bucketed count shuffle (a Ray aggregate
     keyed on the raw (id_a, id_b) pays per-GROUP overhead on |pairs|
     groups — measured 165 s vs 3 s at 58k pairs; 64 bucket groups with a
-    C-speed pandas sum inside pay per-BUCKET instead)."""
+    C-speed pandas sum inside pay per-BUCKET instead). In-bucket pair
+    generation streams over fp CHUNKS of at most ``pair_chunk_budget``
+    raw pairs with incremental count folding, so a bucket dense with
+    near-max_df fingerprints (a heavily templated corpus) bounds peak
+    memory at the budget instead of materializing O(max_df^2 x fps) rows
+    — exact semantics, no cap, equivalence-tested."""
     from ..stages.text_stats import winnowing_fingerprints_batch
 
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
@@ -7181,14 +7187,43 @@ def doc_winnowing_pairs(sf_dir: str, k: int = 8, w: int = 6,
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         sizes = g.groupby("fp")["doc_id"].transform("size")
         g = g[sizes <= max_df]
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "ns": pd.Series(dtype="int64")})
         if len(g) == 0:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64"),
-                                 "ns": pd.Series(dtype="int64")})
-        m = g.merge(g, on="fp")
-        m = m[m["doc_id_x"] < m["doc_id_y"]]
-        c = (m.groupby(["doc_id_x", "doc_id_y"], sort=False).size()
-             .reset_index(name="ns"))
+            return empty
+        # chunk fps so no self-merge materializes more than the budget in
+        # raw pairs; fold each chunk's counts immediately
+        g = g.sort_values("fp", kind="mergesort")
+        df_per_fp = g.groupby("fp", sort=True).size()
+        cum = np.cumsum(
+            (df_per_fp * (df_per_fp - 1) // 2).to_numpy(np.int64))
+        bounds = [0]
+        while bounds[-1] < len(df_per_fp):
+            start = bounds[-1]
+            base = int(cum[start - 1]) if start else 0
+            nxt = int(np.searchsorted(cum, base + pair_chunk_budget,
+                                      side="right"))
+            bounds.append(max(nxt, start + 1))  # >= 1 fp per chunk
+        fp_vals = df_per_fp.index.to_numpy()
+        gfp = g["fp"].to_numpy()  # sorted — slice chunks positionally
+        row_at = np.searchsorted(gfp, fp_vals[np.minimum(
+            bounds, len(df_per_fp) - 1)], side="left")
+        row_at[-1] = len(gfp)
+        partials = []
+        for ci in range(len(bounds) - 1):
+            chunk = g.iloc[row_at[ci]:row_at[ci + 1]]
+            m = chunk.merge(chunk, on="fp")
+            m = m[m["doc_id_x"] < m["doc_id_y"]]
+            if len(m) == 0:
+                continue
+            partials.append(
+                m.groupby(["doc_id_x", "doc_id_y"], sort=False).size()
+                .reset_index(name="ns"))
+        if not partials:
+            return empty
+        c = (pd.concat(partials, ignore_index=True)
+             .groupby(["doc_id_x", "doc_id_y"], as_index=False)["ns"].sum())
         return pd.DataFrame({"id_a": c["doc_id_x"].to_numpy(np.int64),
                              "id_b": c["doc_id_y"].to_numpy(np.int64),
                              "ns": c["ns"].to_numpy(np.int64)})

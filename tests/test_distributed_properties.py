@@ -590,3 +590,16 @@ def test_window_timesplit_layout_invariance(ray_session, monkeypatch):
     b = (r.events_row_number(sf, hot_threshold=3, num_slices=4)
          .sort_values("event_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_winnowing_pairs_chunked_equivalence(ray_session):
+    """bucket-local pair generation must be exact under any chunk budget:
+    a budget of 10 raw pairs forces thousands of fp chunks with
+    incremental count folding, and the result must match the
+    single-merge default bit-for-bit."""
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    a = r.doc_winnowing_pairs(sf)
+    b = r.doc_winnowing_pairs(sf, pair_chunk_budget=10)
+    pd.testing.assert_frame_equal(a, b)
