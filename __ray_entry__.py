@@ -304,6 +304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dsir_weights": r.doc_dsir_weights,
         # fastText-shape linear domain classifier, 2 unrolled GD steps
         "doc_quality_logreg": r.doc_quality_logreg,
+        # hybrid lexical+dense retrieval via reciprocal-rank fusion
+        "doc_rrf_fusion": r.doc_rrf_fusion,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -798,6 +800,80 @@ def oracle_sql() -> dict[str, str]:
                    round(w1.w1_9 - 0.1 * (CAST(g2.g AS DOUBLE)
                                           / (n_docs * 1000000.0)), 9) AS w2_9
             FROM w1 JOIN g2 USING (b), n
+        """,
+        "doc_rrf_fusion": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x != '')) AS term
+                FROM documents
+            ),
+            perdoc AS (
+                SELECT doc_id,
+                       CAST(count(*) AS DOUBLE) AS dl,
+                       CAST(count(*) FILTER (term = 'hash') AS DOUBLE) AS tf0,
+                       CAST(count(*) FILTER (term = 'join') AS DOUBLE) AS tf1,
+                       CAST(count(*) FILTER (term = 'stream') AS DOUBLE) AS tf2
+                FROM toks GROUP BY 1
+            ),
+            docs AS (
+                SELECT d.doc_id,
+                       coalesce(perdoc.dl, 0.0) AS dl,
+                       coalesce(perdoc.tf0, 0.0) AS tf0,
+                       coalesce(perdoc.tf1, 0.0) AS tf1,
+                       coalesce(perdoc.tf2, 0.0) AS tf2
+                FROM documents d LEFT JOIN perdoc USING (doc_id)
+            ),
+            st AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST((SELECT count(*) FROM toks) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE) AS avgdl,
+                       CAST(count(*) FILTER (tf0 > 0) AS DOUBLE) AS df0,
+                       CAST(count(*) FILTER (tf1 > 0) AS DOUBLE) AS df1,
+                       CAST(count(*) FILTER (tf2 > 0) AS DOUBLE) AS df2
+                FROM docs
+            ),
+            scored AS (
+                SELECT doc_id,
+                       round(
+                           ln(1.0 + (st.n - st.df0 + 0.5) / (st.df0 + 0.5))
+                               * (tf0 * (1.2 + 1.0))
+                               / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / st.avgdl))
+                         + ln(1.0 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+                               * (tf1 * (1.2 + 1.0))
+                               / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / st.avgdl))
+                         + ln(1.0 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+                               * (tf2 * (1.2 + 1.0))
+                               / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / st.avgdl)),
+                       6) AS score
+                FROM docs CROSS JOIN st
+            ),
+            bm AS (
+                SELECT doc_id,
+                       CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                            AS BIGINT) AS ra
+                FROM scored ORDER BY score DESC, doc_id LIMIT 50
+            ),
+            cos AS (
+                SELECT doc_id, CAST(row_number() OVER (ORDER BY sim9 DESC,
+                           doc_id) AS BIGINT) AS rb
+                FROM (
+                    SELECT CAST(e.vec_id AS BIGINT) AS doc_id,
+                           round(list_cosine_similarity(
+                               CAST(e.embedding AS DOUBLE[]),
+                               CAST(q.embedding AS DOUBLE[])), 9) AS sim9
+                    FROM embeddings e,
+                         (SELECT embedding FROM embeddings
+                          WHERE vec_id = 0) q)
+                ORDER BY sim9 DESC, doc_id LIMIT 50
+            )
+            SELECT coalesce(bm.doc_id, cos.doc_id) AS doc_id,
+                   CAST(coalesce(ra, 0) AS BIGINT) AS rank_bm25,
+                   CAST(coalesce(rb, 0) AS BIGINT) AS rank_cos,
+                   round(coalesce(1.0 / (60 + ra), 0.0)
+                         + coalesce(1.0 / (60 + rb), 0.0), 9) AS rrf9
+            FROM bm FULL OUTER JOIN cos ON bm.doc_id = cos.doc_id
+            ORDER BY rrf9 DESC, doc_id LIMIT 10
         """,
         "doc_fineweb_signals": """
             WITH d AS (SELECT doc_id,

@@ -153,6 +153,8 @@ def run_bench() -> dict:
         ("events_window_dedup", r.events_window_dedup),
         ("doc_winnowing_pairs", r.doc_winnowing_pairs),
         ("q21_waiting_supplier", r.q21_waiting_supplier),
+        ("emb_semdedup", r.emb_semdedup),
+        ("doc_dsir_weights", r.doc_dsir_weights),
     ]:
         def run(fn=fn):
             import pandas as pd

@@ -8604,3 +8604,59 @@ def doc_quality_logreg(sf_dir: str, n_buckets: int = 16, lr: float = 0.1,
         rows.append((b, w1_9[b], w2))
     return pd.DataFrame(rows, columns=["bucket", "w1_9", "w2_9"]).astype(
         {"bucket": "int64", "w1_9": "float64", "w2_9": "float64"})
+
+
+def doc_rrf_fusion(sf_dir: str, k: int = 10, m: int = 50, c: int = 60,
+                   query_id: int = 0):
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009,
+    the standard lexical+dense fusion): RRF(d) = 1/(c+rank_bm25) +
+    1/(c+rank_cos) over the top-``m`` of each ranking, missing-list
+    membership contributing 0 (the fuse-top-k convention). The BM25 leg
+    reuses doc_bm25_top_docs (per-block scoring with driver-merged
+    block top-k partials); the dense leg ranks vec_id-aligned document
+    embeddings against the ``query_id`` embedding with per-block top-m
+    cosine partials (sim rounded to 9, ties by id — the emb_knn
+    convention). Fusion itself touches only 2m driver-side rows; both
+    legs never shuffle the corpus. Ranks are exact integers and each
+    RRF term is the same two-operand IEEE expression on both sides, so
+    the 9-digit rounded score matches DuckDB bit-for-bit."""
+    from ..stages.similarity import _normalize, _to_matrix
+
+    bm = doc_bm25_top_docs(sf_dir, k=m)[["doc_id", "rank"]].rename(
+        columns={"rank": "ra"})
+
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qrow = ds.map_batches(
+        lambda b: b.filter(pc.equal(b["vec_id"], pa.scalar(query_id))),
+        batch_format="pyarrow").take(1)
+    q = np.asarray(qrow[0]["embedding"], dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    qref = ray.put(q)
+
+    def block_topm(batch: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        mtx = _normalize(_to_matrix(batch["embedding"]))
+        sim9 = round_half_away(mtx @ qv, 9)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.lexsort((ids, -sim9))[:m]
+        return pa.table({"doc_id": pa.array(ids[idx], pa.int64()),
+                         "sim9": pa.array(sim9[idx], pa.float64())})
+
+    parts = ds.map_batches(block_topm, batch_format="pyarrow").to_pandas()
+    cos = (parts.sort_values(["sim9", "doc_id"], ascending=[False, True],
+                             kind="mergesort").head(m).reset_index(drop=True))
+    cos["rb"] = np.arange(1, len(cos) + 1, dtype=np.int64)
+
+    f = bm.merge(cos[["doc_id", "rb"]], on="doc_id", how="outer")
+    ra = f["ra"].to_numpy(np.float64)
+    rb = f["rb"].to_numpy(np.float64)
+    term_a = np.where(np.isnan(ra), 0.0, 1.0 / (c + ra))
+    term_b = np.where(np.isnan(rb), 0.0, 1.0 / (c + rb))
+    f["rrf9"] = round_half_away(term_a + term_b, 9)
+    f["rank_bm25"] = np.nan_to_num(ra).astype(np.int64)
+    f["rank_cos"] = np.nan_to_num(rb).astype(np.int64)
+    out = (f.sort_values(["rrf9", "doc_id"], ascending=[False, True],
+                         kind="mergesort").head(k).reset_index(drop=True))
+    return out[["doc_id", "rank_bm25", "rank_cos", "rrf9"]].astype(
+        {"doc_id": "int64", "rank_bm25": "int64", "rank_cos": "int64",
+         "rrf9": "float64"})
