@@ -306,6 +306,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_logreg": r.doc_quality_logreg,
         # hybrid lexical+dense retrieval via reciprocal-rank fusion
         "doc_rrf_fusion": r.doc_rrf_fusion,
+        # MinHash estimator-vs-exact-Jaccard calibration diagnostic
+        "doc_minhash_calibration": r.doc_minhash_calibration,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -363,6 +365,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash": o.doc_simhash_sql(),
         "doc_fingerprint": o.doc_fingerprint_sql(),
         "doc_minhash_candidates": o.doc_minhash_candidates_sql(),
+        "doc_minhash_calibration": o.doc_minhash_calibration_sql(),
         "doc_jaccard_dups": o.doc_jaccard_dups_sql(),
         "doc_dup_components": o.doc_dup_components_sql(),
         "emb_cosine_neardup": o.emb_cosine_neardup_sql(),

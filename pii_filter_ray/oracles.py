@@ -98,23 +98,20 @@ def doc_jaccard_dups_sql(threshold: float = 0.5, max_df: int = 1000) -> str:
     FROM jac_pairs"""
 
 
-def doc_minhash_candidates_sql(
+def _minhash_cand_ctes(
     num_perm: int = 64, bands: int = 16, seed: int = 7, max_bucket: int = 64,
     k: int = 3,
 ) -> str:
-    """Full MinHash+LSH recompute in SQL (mirror of dedup.MinHashStage +
-    minhash_lsh_pairs): 63-bit shingle hashes -> 64 permutations with the
-    exact uint64-wraparound-then-mod-p arithmetic (HUGEINT) -> per-band
-    polynomial band keys -> bucket collisions -> max_bucket-truncated pair
-    generation -> distinct pairs. Permutation constants are embedded as a
-    literal VALUES table (deterministic, from minhash_params_literal)."""
+    """Shared CTE chain (shingles -> sigs -> band_keys -> ranked -> cand)
+    of the full MinHash+LSH recompute — consumed by both the candidate
+    query and the calibration query."""
     from .stages.dedup import minhash_params_literal
 
     rows_per_band = num_perm // bands
     perm_rows = ", ".join(
         f"({i}, {a}, {b})" for i, a, b in minhash_params_literal(num_perm, seed)
     )
-    return f"""WITH {shingle_strings_cte(k)},
+    return f"""{shingle_strings_cte(k)},
   sh AS (
     SELECT doc_id, unnest(shs) AS h FROM doc_shingles WHERE len(shs) > 0
   ),
@@ -141,12 +138,69 @@ def doc_minhash_candidates_sql(
     SELECT doc_id, band_key,
            ROW_NUMBER() OVER (PARTITION BY band_key ORDER BY doc_id) AS rn
     FROM (SELECT DISTINCT doc_id, band_key FROM band_keys)
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM ranked a
+    JOIN ranked b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    WHERE a.rn <= {max_bucket} AND b.rn <= {max_bucket}
+  )"""
+
+
+def doc_minhash_candidates_sql(
+    num_perm: int = 64, bands: int = 16, seed: int = 7, max_bucket: int = 64,
+    k: int = 3,
+) -> str:
+    """Full MinHash+LSH recompute in SQL (mirror of dedup.MinHashStage +
+    minhash_lsh_pairs): 63-bit shingle hashes -> 64 permutations with the
+    exact uint64-wraparound-then-mod-p arithmetic (HUGEINT) -> per-band
+    polynomial band keys -> bucket collisions -> max_bucket-truncated pair
+    generation -> distinct pairs. Permutation constants are embedded as a
+    literal VALUES table (deterministic, from minhash_params_literal)."""
+    return f"""WITH {_minhash_cand_ctes(num_perm, bands, seed, max_bucket, k)}
+  SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b
+  FROM cand"""
+
+
+def doc_minhash_calibration_sql(
+    num_perm: int = 64, bands: int = 16, seed: int = 7, max_bucket: int = 64,
+    k: int = 3,
+) -> str:
+    """MinHash estimator calibration over the LSH candidate pairs: the
+    signature-agreement estimate (matching permutation minima / num_perm)
+    next to the EXACT distinct-shingle Jaccard and their absolute error —
+    the standard diagnostic for choosing (num_perm, bands). Reuses the
+    candidate CTE chain; the estimate and the exact value are both single
+    float divisions of exact integers rounded to 6."""
+    return f"""WITH {_minhash_cand_ctes(num_perm, bands, seed, max_bucket, k)},
+  est AS (
+    SELECT c.id_a, c.id_b,
+           count(*) FILTER (sa.v = sb.v) AS n_match
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.id_a
+    JOIN sigs sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+    GROUP BY 1, 2
+  ),
+  ssize AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+  inter AS (
+    SELECT c.id_a, c.id_b, count(*) AS ni
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b AND b.h = a.h
+    GROUP BY 1, 2
   )
-  SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a,
-                  CAST(b.doc_id AS BIGINT) AS id_b
-  FROM ranked a
-  JOIN ranked b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-  WHERE a.rn <= {max_bucket} AND b.rn <= {max_bucket}"""
+  SELECT id_a, id_b, est6, exact6,
+         round(abs(est6 - exact6), 6) AS abs_err6
+  FROM (
+    SELECT CAST(e.id_a AS BIGINT) AS id_a, CAST(e.id_b AS BIGINT) AS id_b,
+           round(CAST(n_match AS DOUBLE) / {num_perm}.0, 6) AS est6,
+           round(CAST(coalesce(ni, 0) AS DOUBLE)
+                 / (na.n + nb.n - coalesce(ni, 0)), 6) AS exact6
+    FROM est e
+    LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+    JOIN ssize na ON na.doc_id = e.id_a
+    JOIN ssize nb ON nb.doc_id = e.id_b
+  )"""
 
 
 def doc_simhash_sql() -> str:

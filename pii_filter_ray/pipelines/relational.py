@@ -8660,3 +8660,78 @@ def doc_rrf_fusion(sf_dir: str, k: int = 10, m: int = 50, c: int = 60,
     return out[["doc_id", "rank_bm25", "rank_cos", "rrf9"]].astype(
         {"doc_id": "int64", "rank_bm25": "int64", "rank_cos": "int64",
          "rrf9": "float64"})
+
+
+def doc_minhash_calibration(sf_dir: str, num_perm: int = 64,
+                            shingle_k: int = 3,
+                            member_pull_limit: int = 500_000):
+    """MinHash estimator calibration (the standard diagnostic for sizing
+    num_perm/bands before a corpus-scale dedup run): for every LSH
+    candidate pair, the signature-agreement ESTIMATE (matching
+    permutation minima / num_perm) next to the EXACT distinct-shingle
+    Jaccard and their absolute error. The candidate set is LSH-bounded
+    (band buckets capped at max_bucket); one corpus pass filters to the
+    candidates' member docs via a broadcast id array and emits ONLY
+    their signatures + shingle-hash sets (64+|shingles| ints per member,
+    never raw text), so driver state is bounded by the candidate set —
+    ``member_pull_limit`` fails loud past it (at that point run the
+    distributed jaccard_similarity_join instead; this op is the SMALL
+    diagnostic by construction). Both ratios are single float divisions
+    of exact integers rounded to 6 on both sides; the SQL mirror reuses
+    the full MinHash CTE chain (oracles.doc_minhash_calibration_sql)."""
+    from ..stages.dedup import (MinHashStage, minhash_lsh_pairs, sql_hash64,
+                                word_shingles)
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = minhash_lsh_pairs(ds, text_col="text", id_col="doc_id").to_pandas()
+    cols = ["id_a", "id_b", "est6", "exact6", "abs_err6"]
+    if len(cand) == 0:
+        return pd.DataFrame(columns=cols).astype(
+            {"id_a": "int64", "id_b": "int64", "est6": "float64",
+             "exact6": "float64", "abs_err6": "float64"})
+    members = np.unique(np.concatenate(
+        [cand["id_a"].to_numpy(np.int64), cand["id_b"].to_numpy(np.int64)]))
+    if len(members) > member_pull_limit:
+        raise ValueError(
+            f"{len(members)} candidate members exceed member_pull_limit="
+            f"{member_pull_limit}; use the distributed jaccard join for "
+            f"corpora this duplicated")
+    mref = ray.put(pa.array(members, pa.int64()))
+
+    def member_state(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_in(batch["doc_id"], value_set=ray.get(mref)))
+        st = MinHashStage("text", "doc_id", num_perm=num_perm,
+                          shingle_k=shingle_k)
+        ids, sigs, shs = [], [], []
+        for i, v in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            sh = {sql_hash64(s) for s in word_shingles(v or "", k=shingle_k)}
+            if not sh:
+                continue
+            ids.append(i)
+            sigs.append(st._sig(v or "").astype(np.int64).tolist())
+            shs.append(sorted(sh))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "sig": pa.array(sigs, pa.list_(pa.int64())),
+                         "shs": pa.array(shs, pa.list_(pa.int64()))})
+
+    state = ds.map_batches(member_state, batch_format="pyarrow").to_pandas()
+    sig_map = {int(r.doc_id): np.asarray(r.sig, dtype=np.int64)
+               for r in state.itertuples()}
+    sh_map = {int(r.doc_id): set(r.shs) for r in state.itertuples()}
+
+    rows = []
+    for a, b in zip(cand["id_a"].to_numpy(np.int64),
+                    cand["id_b"].to_numpy(np.int64)):
+        n_match = int((sig_map[a] == sig_map[b]).sum())
+        sa, sb = sh_map[a], sh_map[b]
+        ni = len(sa & sb)
+        est6 = float(round_half_away(n_match / float(num_perm), 6))
+        exact6 = float(round_half_away(
+            float(ni) / (len(sa) + len(sb) - ni), 6))
+        rows.append((int(a), int(b), est6, exact6,
+                     float(round_half_away(abs(est6 - exact6), 6))))
+    return (pd.DataFrame(rows, columns=cols)
+            .astype({"id_a": "int64", "id_b": "int64", "est6": "float64",
+                     "exact6": "float64", "abs_err6": "float64"})
+            .sort_values(["id_a", "id_b"], kind="mergesort")
+            .reset_index(drop=True))
