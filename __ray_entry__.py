@@ -308,6 +308,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rrf_fusion": r.doc_rrf_fusion,
         # MinHash estimator-vs-exact-Jaccard calibration diagnostic
         "doc_minhash_calibration": r.doc_minhash_calibration,
+        # end-to-end LSH-candidates -> verify -> CC -> keep-list dedup
+        "doc_fuzzy_dedup_corpus": r.doc_fuzzy_dedup_corpus,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -366,6 +368,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": o.doc_fingerprint_sql(),
         "doc_minhash_candidates": o.doc_minhash_candidates_sql(),
         "doc_minhash_calibration": o.doc_minhash_calibration_sql(),
+        "doc_fuzzy_dedup_corpus": o.doc_fuzzy_dedup_corpus_sql(),
         "doc_jaccard_dups": o.doc_jaccard_dups_sql(),
         "doc_dup_components": o.doc_dup_components_sql(),
         "emb_cosine_neardup": o.emb_cosine_neardup_sql(),

@@ -741,6 +741,55 @@ def doc_dedup_corpus_sql(threshold: float = 0.5, max_df: int = 1000) -> str:
   WHERE c.id IS NULL OR c.component = d.doc_id"""
 
 
+def doc_fuzzy_dedup_corpus_sql(
+    threshold: float = 0.5, num_perm: int = 64, bands: int = 16,
+    seed: int = 7, max_bucket: int = 64, k: int = 3,
+) -> str:
+    """Mirror of the END-TO-END approximate fuzzy-dedup keep list
+    (minhash_lsh_pairs -> verify_jaccard_pairs -> dup_components ->
+    anti-join): MinHash+LSH candidates (full CTE recompute), exact
+    distinct-shingle Jaccard verification of candidates only (RAW ratio
+    >= threshold, the verify_jaccard_pairs convention), recursive-CTE
+    transitive closure, corpus minus non-representatives."""
+    return f"""WITH RECURSIVE {_minhash_cand_ctes(num_perm, bands, seed, max_bucket, k)},
+  ssize AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+  inter AS (
+    SELECT c.id_a, c.id_b, count(*) AS ni
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b AND b.h = a.h
+    GROUP BY 1, 2
+  ),
+  vpairs AS (
+    SELECT c.id_a, c.id_b
+    FROM cand c
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN ssize na ON na.doc_id = c.id_a
+    JOIN ssize nb ON nb.doc_id = c.id_b
+    WHERE CAST(coalesce(ni, 0) AS DOUBLE)
+          / (na.n + nb.n - coalesce(ni, 0)) >= {threshold}
+  ),
+  nodes AS (
+    SELECT DISTINCT id FROM (
+      SELECT id_a AS id FROM vpairs UNION ALL SELECT id_b FROM vpairs
+    )
+  ),
+  bi_edges AS (
+    SELECT id_a AS a, id_b AS b FROM vpairs
+    UNION ALL
+    SELECT id_b AS a, id_a AS b FROM vpairs
+  ),
+  reach(id, r) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT e.a, reach.r FROM bi_edges e JOIN reach ON reach.id = e.b
+  ),
+  comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+  SELECT d.doc_id, d.lang
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+  WHERE c.id IS NULL OR c.component = d.doc_id"""
+
+
 def spec_pipeline_check_sql() -> str:
     """Mirror of the declarative PipelineSpec [sha256 -> quality_rules]
     chain (pipelines/spec.py — the §2.6 user-extension surface): sha256 of

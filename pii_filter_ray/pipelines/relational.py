@@ -8735,3 +8735,44 @@ def doc_minhash_calibration(sf_dir: str, num_perm: int = 64,
                      "exact6": "float64", "abs_err6": "float64"})
             .sort_values(["id_a", "id_b"], kind="mergesort")
             .reset_index(drop=True))
+
+
+def doc_fuzzy_dedup_corpus(sf_dir: str, threshold: float = 0.5):
+    """The END-TO-END approximate fuzzy-dedup keep list — the exact
+    composition RefinedWeb/SlimPajama-style pipelines run at corpus
+    scale, where exhaustive pairwise verification is impossible:
+    MinHash+LSH candidate generation (banded signatures, bounded
+    buckets) -> exact shingle-Jaccard verification of the CANDIDATES
+    ONLY (size-gated broadcast/distributed, stages/dedup.py:464) ->
+    connected components over the verified pairs (broadcast-free
+    tagged-union label propagation) -> corpus minus non-representatives
+    via the distributed hash_anti_join. Differs from doc_dedup_corpus
+    (which verifies exhaustively through the inverted shingle index):
+    this is the recall-bounded-by-LSH variant whose cost stays linear in
+    candidates, and whose SQL mirror recomputes the whole chain — LSH
+    banding, candidate-restricted verification, recursive closure, keep
+    rule."""
+    from ..stages.dedup import (dup_components_joined, minhash_lsh_pairs,
+                                verify_jaccard_pairs)
+    from ..stages.joins import hash_anti_join
+
+    text_ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    cands = minhash_lsh_pairs(text_ds, text_col="text", id_col="doc_id")
+    verified = verify_jaccard_pairs(
+        text_ds, cands, text_col="text", id_col="doc_id",
+        threshold=threshold)
+    comps = dup_components_joined(verified)
+
+    def drops(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.not_equal(batch["id"], batch["component"])).select(["id"])
+
+    docs = _tbl(sf_dir, "documents", columns=["doc_id", "lang"])
+    out = hash_anti_join(
+        docs, comps.map_batches(drops, batch_format="pyarrow"),
+        left_key="doc_id", right_key="id",
+        left_cols=["lang"], schema={"lang": pa.string()},
+    )
+    df = out.to_pandas().astype({"doc_id": "int64"})
+    return (df[["doc_id", "lang"]]
+            .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
