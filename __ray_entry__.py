@@ -295,6 +295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ccnet_ppl_buckets": r.doc_ccnet_ppl_buckets,
         "doc_ngram_novelty": r.doc_ngram_novelty,
         "doc_fineweb_signals": r.doc_fineweb_signals,
+        # ExactSubstr duplication coverage (Lee et al. 2022)
+        "doc_substring_dup_coverage": r.doc_substring_dup_coverage,
         "emb_ivfpq_search": r.emb_ivfpq_search,
         # embedding-space data pruning (Sorscher et al. 2022) and
         # semantic dedup (SemDeDup, Abbas et al. 2023)
@@ -938,6 +940,57 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(n_first AS DOUBLE) / n_shingles, 6)
                        AS novelty6
             FROM pd
+        """,
+        "doc_substring_dup_coverage": f"""
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x != '') AS ws
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, i AS pos,
+                       {o.h64("array_to_string(ws[i:i+4], ' ')")} AS gh
+                FROM docs, UNNEST(range(1, len(ws) - 3)) AS t(i)
+                WHERE len(ws) >= 5
+            ),
+            dupg AS (SELECT gh FROM grams GROUP BY gh
+                     HAVING count(*) >= 2),
+            hitpos AS (
+                SELECT g.doc_id, g.pos FROM grams g JOIN dupg USING (gh)
+            ),
+            runs AS (
+                SELECT doc_id, pos,
+                       pos - ROW_NUMBER() OVER (
+                           PARTITION BY doc_id ORDER BY pos) AS grp,
+                       pos - LAG(pos) OVER (
+                           PARTITION BY doc_id ORDER BY pos) AS delta
+                FROM hitpos
+            ),
+            per_doc AS (
+                SELECT doc_id,
+                       COUNT(*) AS n_dup_pos,
+                       MAX(cnt) + 4 AS max_span,
+                       SUM(CASE WHEN delta IS NULL THEN 5
+                                ELSE LEAST(5, delta) END) AS covered
+                FROM (SELECT doc_id, pos, delta,
+                             COUNT(*) OVER (
+                                 PARTITION BY doc_id, grp) AS cnt
+                      FROM runs)
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(len(d.ws) AS BIGINT) AS n_words,
+                   CAST(greatest(len(d.ws) - 4, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(p.n_dup_pos, 0) AS BIGINT) AS n_dup_pos,
+                   CAST(coalesce(p.max_span, 0) AS BIGINT)
+                       AS max_dup_span_words,
+                   CAST(coalesce(p.covered, 0) AS BIGINT)
+                       AS dup_covered_words,
+                   round(CASE WHEN len(d.ws) = 0 THEN 0.0
+                              ELSE coalesce(p.covered, 0) * 1.0
+                                   / len(d.ws) END, 6) AS dup_coverage6
+            FROM docs d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
         """,
         "doc_ccnet_ppl_buckets": f"""
             WITH {o.perplexity_ctes()},

@@ -8776,3 +8776,136 @@ def doc_fuzzy_dedup_corpus(sf_dir: str, threshold: float = 0.5):
     df = out.to_pandas().astype({"doc_id": "int64"})
     return (df[["doc_id", "lang"]]
             .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
+
+
+def doc_substring_dup_coverage(sf_dir: str, k: int = 5, buckets: int = 64):
+    """Exact-substring duplication coverage per document (the ExactSubstr
+    diagnostic of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", at word granularity): for every k-word gram
+    OCCURRENCE (position matters, unlike the distinct-shingle operators),
+    the gram is duplicated if the identical gram occurs at ANY other
+    position in the corpus — another doc or elsewhere in the same doc.
+    Reports per doc the number of duplicated gram positions, the longest
+    consecutive run of them extended to words (the longest substring the
+    ExactSubstr dedup would cut), the interval-union word coverage of all
+    duplicated grams, and coverage/n_words — the signal that separates a
+    quoted phrase from a wholesale copy.
+
+    Shape: ONE (gram-hash, doc_id, pos) shuffle bucketed by gram hash (all
+    occurrences of a gram co-locate, so the bucket resolves global
+    occurrence counts >= 2 in C-speed pandas and emits only the duplicated
+    (doc_id, pos) rows); those union with tiny per-doc word/gram-count
+    rows and resolve per doc in a doc-bucketed group via vectorized
+    gaps-and-islands (never a per-doc Ray aggregate). Hashes follow the
+    corpus-wide sql_hash64 contract so the DuckDB mirror joins on the SAME
+    63-bit hash — collision behavior identical on both sides. Docs with
+    fewer than k words emit no grams but still appear with zero stats."""
+    from ..stages.dedup import sql_hash64
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids_out, gh_out, pos_out = [], [], []
+        for i, v in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            ws = (v or "").split()
+            n_g = len(ws) - k + 1
+            for p in range(max(0, n_g)):
+                ids_out.append(i)
+                gh_out.append(sql_hash64(" ".join(ws[p:p + k]).encode()))
+                pos_out.append(p + 1)  # 1-based, mirrors UNNEST(range(1,..))
+        gh = np.asarray(gh_out, dtype=np.int64)
+        sb = (gh.astype(np.uint64) * np.uint64(1_000_003)
+              % np.uint64(buckets)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
+                         "gh": pa.array(gh, pa.int64()),
+                         "pos": pa.array(pos_out, pa.int64()),
+                         "sb": pa.array(sb, pa.int64())})
+
+    def dup_positions(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("gh")["doc_id"].transform("size")
+        out = g.loc[cnt >= 2, ["doc_id", "pos"]]
+        return out.astype({"doc_id": "int64", "pos": "int64"})
+
+    def _db(ids: np.ndarray) -> pa.Array:
+        db = (ids.astype(np.uint64) * np.uint64(1_000_003)
+              % np.uint64(buckets)).astype(np.int64)
+        return pa.array(db, pa.int64())
+
+    def tag_dup(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        z = pa.array(np.zeros(n, np.int64), pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "pos": batch["pos"],
+                         "nw": z, "n_grams": z,
+                         "kind": pa.array(np.zeros(n, np.int64), pa.int64()),
+                         "db": _db(ids)})
+
+    def doc_stats(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nw = np.asarray([len((v or "").split())
+                         for v in batch["text"].to_pylist()], np.int64)
+        n = batch.num_rows
+        return pa.table({"doc_id": batch["doc_id"],
+                         "pos": pa.array(np.zeros(n, np.int64), pa.int64()),
+                         "nw": pa.array(nw, pa.int64()),
+                         "n_grams": pa.array(np.maximum(nw - k + 1, 0),
+                                             pa.int64()),
+                         "kind": pa.array(np.ones(n, np.int64), pa.int64()),
+                         "db": _db(ids)})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        stats = g.loc[g["kind"] == 1, ["doc_id", "nw", "n_grams"]]
+        dup = (g.loc[g["kind"] == 0, ["doc_id", "pos"]]
+               .sort_values(["doc_id", "pos"], kind="mergesort"))
+        if len(dup):
+            doc = dup["doc_id"].to_numpy(np.int64)
+            pos = dup["pos"].to_numpy(np.int64)
+            new = np.empty(len(dup), bool)
+            new[0] = True
+            new[1:] = doc[1:] != doc[:-1]
+            delta = np.empty(len(dup), np.int64)
+            delta[0] = 0
+            delta[1:] = pos[1:] - pos[:-1]
+            # interval union of [pos, pos+k-1]: first-in-doc contributes k,
+            # later rows min(k, delta) — the decontam_spans identity
+            contrib = np.where(new, k, np.minimum(k, delta))
+            run_id = np.cumsum(new | (delta != 1))
+            ddf = pd.DataFrame({"doc_id": doc, "contrib": contrib,
+                                "run": run_id})
+            agg = ddf.groupby("doc_id").agg(
+                n_dup_pos=("contrib", "size"), covered=("contrib", "sum"))
+            max_run = (ddf.groupby(["doc_id", "run"]).size()
+                       .groupby("doc_id").max())
+            agg["max_span"] = max_run + (k - 1)
+            agg = agg.reset_index()
+        else:
+            agg = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                "n_dup_pos": pd.Series([], dtype="int64"),
+                                "covered": pd.Series([], dtype="int64"),
+                                "max_span": pd.Series([], dtype="int64")})
+        m = stats.merge(agg, on="doc_id", how="left").fillna(0)
+        nw = m["nw"].to_numpy(np.float64)
+        cov = m["covered"].to_numpy(np.float64)
+        frac = np.where(nw > 0, cov / np.where(nw > 0, nw, 1.0), 0.0)
+        return pd.DataFrame({
+            "doc_id": m["doc_id"].to_numpy(np.int64),
+            "n_words": m["nw"].to_numpy(np.int64),
+            "n_grams": m["n_grams"].to_numpy(np.int64),
+            "n_dup_pos": m["n_dup_pos"].to_numpy(np.int64),
+            "max_dup_span_words": m["max_span"].to_numpy(np.int64),
+            "dup_covered_words": m["covered"].to_numpy(np.int64),
+            "dup_coverage6": round_half_away(frac, 6)})
+
+    dup_ds = (ds.map_batches(gram_rows, batch_format="pyarrow")
+              .groupby("sb").map_groups(dup_positions, batch_format="pandas")
+              .map_batches(tag_dup, batch_format="pyarrow"))
+    tagged = ds.map_batches(doc_stats, batch_format="pyarrow").union(dup_ds)
+    df = (tagged.groupby("db").map_groups(finish, batch_format="pandas")
+          .to_pandas())
+    return (df.astype({"doc_id": "int64", "n_words": "int64",
+                       "n_grams": "int64", "n_dup_pos": "int64",
+                       "max_dup_span_words": "int64",
+                       "dup_covered_words": "int64",
+                       "dup_coverage6": "float64"})
+            .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
