@@ -297,6 +297,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fineweb_signals": r.doc_fineweb_signals,
         # ExactSubstr duplication coverage (Lee et al. 2022)
         "doc_substring_dup_coverage": r.doc_substring_dup_coverage,
+        # FineWeb-Edu-style percentile-rank quality blend
+        "doc_quality_rank_ensemble": r.doc_quality_rank_ensemble,
         "emb_ivfpq_search": r.emb_ivfpq_search,
         # embedding-space data pruning (Sorscher et al. 2022) and
         # semantic dedup (SemDeDup, Abbas et al. 2023)
@@ -991,6 +993,33 @@ def oracle_sql() -> dict[str, str]:
                               ELSE coalesce(p.covered, 0) * 1.0
                                    / len(d.ws) END, 6) AS dup_coverage6
             FROM docs d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        """,
+        "doc_quality_rank_ensemble": """
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x != '') AS ws
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, len(ws) AS nw,
+                       len(list_distinct(ws)) AS nu
+                FROM docs
+            ),
+            r AS (
+                SELECT doc_id, nw, nu,
+                       percent_rank() OVER (ORDER BY nw) AS pr1,
+                       percent_rank() OVER (ORDER BY nu) AS pr2
+                FROM s
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(nw AS BIGINT) AS n_words,
+                   CAST(nu AS BIGINT) AS n_unique_words,
+                   round(pr1, 6) AS pr_words6,
+                   round(pr2, 6) AS pr_unique6,
+                   round((pr1 + pr2) / 2, 6) AS ensemble6,
+                   round((pr1 + pr2) / 2, 6) >= 0.5 AS keep
+            FROM r
         """,
         "doc_ccnet_ppl_buckets": f"""
             WITH {o.perplexity_ctes()},

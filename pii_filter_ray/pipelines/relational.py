@@ -8909,3 +8909,67 @@ def doc_substring_dup_coverage(sf_dir: str, k: int = 5, buckets: int = 64):
                        "dup_covered_words": "int64",
                        "dup_coverage6": "float64"})
             .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
+
+
+def doc_quality_rank_ensemble(sf_dir: str):
+    """Percentile-rank ensemble quality filter (the FineWeb-Edu-style
+    blend: rank every document under each quality signal, average the
+    percentile ranks, keep the top half) over two integer signals — word
+    count and unique-word count. The exact tie-aware percent_rank
+    ((RANK-1)/(n-1), RANK = strictly-smaller count + 1) comes WITHOUT a
+    global sort: each signal's value catalog is bounded by max
+    words-per-doc regardless of corpus size, so a per-block value-count
+    preagg collapses to a tiny driver table whose sorted cumulative sum is
+    the strictly-smaller map; per-doc ranks are then one vectorized
+    searchsorted in a shuffle-free pass over the materialized-once
+    24-byte/doc signal projection. percent_rank doubles are the identical
+    single division both sides and the ensemble the identical two-operand
+    mean of the UNROUNDED ranks, so the 6-digit outputs match DuckDB's
+    window percent_rank bit-for-bit."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        nw_out, nu_out = [], []
+        for v in batch["text"].to_pylist():
+            ws = (v or "").split()
+            nw_out.append(len(ws))
+            nu_out.append(len(set(ws)))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "nw": pa.array(nw_out, pa.int64()),
+                         "nu": pa.array(nu_out, pa.int64())})
+
+    scored = ds.map_batches(sigs, batch_format="pyarrow").materialize()
+
+    def smaller_map(col: str):
+        cat = (preagg_groupby(scored, [col], count_alias="c")
+               .to_pandas().sort_values(col))
+        vals = cat[col].to_numpy(np.int64)
+        cnts = cat["c"].to_numpy(np.int64)
+        cum = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+        return vals, cum, int(cnts.sum())
+
+    v1, c1, n = smaller_map("nw")
+    v2, c2, _ = smaller_map("nu")
+    denom = float(n - 1) if n > 1 else 1.0  # n==1: percent_rank is 0
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nw = batch["nw"].to_numpy(zero_copy_only=False)
+        nu = batch["nu"].to_numpy(zero_copy_only=False)
+        pr1 = c1[np.searchsorted(v1, nw)] / denom
+        pr2 = c2[np.searchsorted(v2, nu)] / denom
+        ens6 = round_half_away((pr1 + pr2) / 2, 6)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(nw, pa.int64()),
+            "n_unique_words": pa.array(nu, pa.int64()),
+            "pr_words6": pa.array(round_half_away(pr1, 6), pa.float64()),
+            "pr_unique6": pa.array(round_half_away(pr2, 6), pa.float64()),
+            "ensemble6": pa.array(ens6, pa.float64()),
+            "keep": pa.array(ens6 >= 0.5)})
+
+    df = scored.map_batches(finish, batch_format="pyarrow").to_pandas()
+    return (df.astype({"doc_id": "int64", "n_words": "int64",
+                       "n_unique_words": "int64", "pr_words6": "float64",
+                       "pr_unique6": "float64", "ensemble6": "float64",
+                       "keep": "bool"})
+            .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
