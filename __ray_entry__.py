@@ -314,6 +314,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_calibration": r.doc_minhash_calibration,
         # end-to-end LSH-candidates -> verify -> CC -> keep-list dedup
         "doc_fuzzy_dedup_corpus": r.doc_fuzzy_dedup_corpus,
+        # cluster validation: ARI/NMI vs labels + simplified silhouette
+        "emb_cluster_agreement": r.emb_cluster_agreement,
+        "emb_silhouette": r.emb_silhouette,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -698,6 +701,118 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cid AS BIGINT) AS cid, d29,
                    (d29 >= med) AS keep
             FROM asg JOIN cut USING (cid)
+        """,
+        # ARI: all pair counts are exact HUGEINT (= Python int); MI/entropy
+        # terms use the DSIR micro-fixed-point contract (round(1e6 * p *
+        # ln(...)) summed as integers) so summation order cannot differ.
+        "emb_cluster_agreement": """
+            WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            cc AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+            d AS (
+                SELECT e.vec_id, e.label, cc.cid,
+                       round(list_sum(list_transform(range(1, 65),
+                           t -> (v[t] - c[t]) * (v[t] - c[t]))), 9) AS d29
+                FROM e, cc
+            ),
+            asg AS (
+                SELECT vec_id, label, cid FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY d29, cid) AS rn FROM d)
+                WHERE rn = 1
+            ),
+            ct AS (SELECT cid, label, CAST(count(*) AS HUGEINT) AS nij
+                   FROM asg GROUP BY 1, 2),
+            a AS (SELECT cid, sum(nij) AS ai_ FROM ct GROUP BY 1),
+            b AS (SELECT label, sum(nij) AS bj_ FROM ct GROUP BY 1),
+            n AS (SELECT sum(nij) AS nn FROM ct),
+            ps AS (SELECT
+                (SELECT sum(nij * (nij - 1) // 2) FROM ct) AS sij,
+                (SELECT sum(ai_ * (ai_ - 1) // 2) FROM a) AS sa,
+                (SELECT sum(bj_ * (bj_ - 1) // 2) FROM b) AS sb,
+                (SELECT nn * (nn - 1) // 2 FROM n) AS cn2),
+            mi AS (
+                SELECT sum(CAST(round(1000000.0
+                    * (CAST(nij AS DOUBLE) / CAST(nn AS DOUBLE))
+                    * ln(CAST(nij * nn AS DOUBLE)
+                         / CAST(ai_ * bj_ AS DOUBLE)), 0) AS BIGINT)) AS mim
+                FROM ct JOIN a USING (cid) JOIN b USING (label) CROSS JOIN n
+            ),
+            ha AS (
+                SELECT -sum(CAST(round(1000000.0
+                    * (CAST(ai_ AS DOUBLE) / CAST(nn AS DOUBLE))
+                    * ln(CAST(ai_ AS DOUBLE) / CAST(nn AS DOUBLE)),
+                    0) AS BIGINT)) AS ham
+                FROM a CROSS JOIN n
+            ),
+            hb AS (
+                SELECT -sum(CAST(round(1000000.0
+                    * (CAST(bj_ AS DOUBLE) / CAST(nn AS DOUBLE))
+                    * ln(CAST(bj_ AS DOUBLE) / CAST(nn AS DOUBLE)),
+                    0) AS BIGINT)) AS hbm
+                FROM b CROSS JOIN n
+            )
+            SELECT CAST(nn AS BIGINT) AS n_vectors,
+                   (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_clusters,
+                   (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_labels,
+                   round((CAST(sij AS DOUBLE)
+                          - CAST(sa * sb AS DOUBLE) / CAST(cn2 AS DOUBLE))
+                         / ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2.0
+                            - CAST(sa * sb AS DOUBLE) / CAST(cn2 AS DOUBLE)),
+                         6) AS ari6,
+                   round(CAST(mim AS DOUBLE)
+                         / sqrt(CAST(ham * hbm AS DOUBLE)), 6) AS nmi6
+            FROM n, ps, mi, ha, hb
+        """,
+        # per-vector s rounds to 9 (d2 -> 9 -> sqrt -> 9) then converts to
+        # nano-fixed-point int64 so the per-cluster means are exact-integer
+        # divisions mirrored on both sides
+        "emb_silhouette": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            cc AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+            d AS (
+                SELECT e.vec_id, cc.cid,
+                       round(list_sum(list_transform(range(1, 65),
+                           t -> (v[t] - c[t]) * (v[t] - c[t]))), 9) AS d29
+                FROM e, cc
+            ),
+            dist AS (SELECT vec_id, cid, d29, round(sqrt(d29), 9) AS dist9
+                     FROM d),
+            own AS (
+                SELECT vec_id, cid, dist9 AS a FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY d29, cid) AS rn FROM dist)
+                WHERE rn = 1
+            ),
+            oth AS (
+                SELECT d.vec_id, min(d.dist9) AS b
+                FROM dist d JOIN own o
+                     ON d.vec_id = o.vec_id AND d.cid != o.cid
+                GROUP BY 1
+            ),
+            s AS (
+                SELECT o.cid,
+                       CASE WHEN greatest(a, b) = 0 THEN 0.0
+                            ELSE round((b - a) / greatest(a, b), 9)
+                       END AS s9
+                FROM own o JOIN oth USING (vec_id)
+            ),
+            sn AS (
+                SELECT cid, CAST(count(*) AS BIGINT) AS n,
+                       sum(CAST(round(s9 * 1000000000.0, 0)
+                                AS BIGINT)) AS snano
+                FROM s GROUP BY 1
+            )
+            SELECT CAST(cid AS BIGINT) AS cid, n,
+                   round(CAST(snano AS DOUBLE) / CAST(n AS DOUBLE)
+                         / 1000000000.0, 6) AS mean_sil6
+            FROM sn
+            UNION ALL
+            SELECT CAST(-1 AS BIGINT), CAST(sum(n) AS BIGINT),
+                   round(CAST(sum(snano) AS DOUBLE)
+                         / CAST(sum(n) AS DOUBLE) / 1000000000.0, 6)
+            FROM sn
         """,
         "emb_semdedup": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

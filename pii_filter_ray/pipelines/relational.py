@@ -8973,3 +8973,146 @@ def doc_quality_rank_ensemble(sf_dir: str):
                        "pr_unique6": "float64", "ensemble6": "float64",
                        "keep": "bool"})
             .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
+
+
+def _centroid_assignments(sf_dir: str, k: int, extra_cols=None):
+    """(dataset-with-extra-cols, centroid matrix) plus a per-batch assigner
+    producing the deterministic nearest-seed-centroid id — the shared
+    front end of the cluster-evaluation family (emb_semdedup /
+    emb_prototype_prune convention: centroids are the first ``k`` vectors,
+    squared distances round to 9 digits before the argmin, ties break to
+    the smaller centroid id, mirroring the SQL row_number ORDER BY d29,
+    cid)."""
+    cols = ["vec_id", "embedding"] + list(extra_cols or [])
+    ds = _tbl(sf_dir, "embeddings", columns=cols)
+    _, C = _seed_centroids(sf_dir, k)
+    return ds, C
+
+
+def emb_cluster_agreement(sf_dir: str, k: int = 8):
+    """External cluster validation: Adjusted Rand Index and NMI between
+    the nearest-seed-centroid clustering and the ground-truth ``label``
+    column — the standard acceptance metric before trusting a clustering
+    for SemDeDup/prototype-pruning runs. ONE corpus pass assigns every
+    vector (d2 rounded to 9 before argmin, the emb_semdedup convention)
+    and pre-aggregates (cid, label) counts per block, so the shuffle moves
+    a bounded k x |label catalog| contingency table — never vectors — and
+    the driver holds only that table. All pair counts are EXACT Python
+    ints (overflow-immune, = SQL HUGEINT); the MI / entropy terms use the
+    DSIR micro-fixed-point contract (each cell's term is round(1e6 * p *
+    ln(ratio-of-identical-doubles)) summed as integers, so numpy/DuckDB
+    summation order cannot differ) and the final ARI/NMI divisions are
+    single float expressions with operand shapes mirrored in the oracle."""
+    import math
+
+    ds, C = _centroid_assignments(sf_dir, k, extra_cols=["label"])
+    state = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        Cc = ray.get(state)
+        M = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch["embedding"].to_pylist()])
+        d2 = round_half_away(((M[:, None, :] - Cc[None]) ** 2).sum(axis=2), 9)
+        a = np.argmin(d2, axis=1)
+        return pa.table({
+            "cid": pa.array(a.astype(np.int64), pa.int64()),
+            "label": pc.cast(batch["label"], pa.int64()),
+        })
+
+    ct = preagg_groupby(ds.map_batches(assign, batch_format="pyarrow"),
+                        ["cid", "label"], count_alias="nij").to_pandas()
+    nij = {(int(r.cid), int(r.label)): int(r.nij) for r in ct.itertuples()}
+    ai = {}
+    bj = {}
+    for (c, l), v in nij.items():
+        ai[c] = ai.get(c, 0) + v
+        bj[l] = bj.get(l, 0) + v
+    n = sum(ai.values())
+    sij = sum(v * (v - 1) // 2 for v in nij.values())
+    sa = sum(v * (v - 1) // 2 for v in ai.values())
+    sb = sum(v * (v - 1) // 2 for v in bj.values())
+    cn2 = n * (n - 1) // 2
+    exp = float(sa * sb) / float(cn2)
+    ari6 = float(round_half_away(
+        (float(sij) - exp) / ((float(sa) + float(sb)) / 2.0 - exp), 6))
+
+    mi_m = sum(
+        int(round_half_away(
+            1000000.0 * (float(v) / float(n))
+            * math.log(float(v * n) / float(ai[c] * bj[l])), 0))
+        for (c, l), v in nij.items())
+    ha_m = -sum(
+        int(round_half_away(
+            1000000.0 * (float(v) / float(n))
+            * math.log(float(v) / float(n)), 0))
+        for v in ai.values())
+    hb_m = -sum(
+        int(round_half_away(
+            1000000.0 * (float(v) / float(n))
+            * math.log(float(v) / float(n)), 0))
+        for v in bj.values())
+    nmi6 = float(round_half_away(
+        float(mi_m) / math.sqrt(float(ha_m * hb_m)), 6))
+
+    return pd.DataFrame({
+        "n_vectors": pd.array([n], dtype="int64"),
+        "n_clusters": pd.array([len(ai)], dtype="int64"),
+        "n_labels": pd.array([len(bj)], dtype="int64"),
+        "ari6": pd.array([ari6], dtype="float64"),
+        "nmi6": pd.array([nmi6], dtype="float64"),
+    })
+
+
+def emb_silhouette(sf_dir: str, k: int = 8):
+    """Simplified (centroid-based) silhouette per cluster + overall — the
+    internal cluster-quality dual of emb_cluster_agreement, and the O(n*k)
+    formulation that stays tractable where the classical O(n^2) pairwise
+    silhouette cannot (Hruschka et al. 2004): a(i) = euclidean distance to
+    the OWN centroid, b(i) = min distance to any OTHER centroid, s(i) =
+    (b-a)/max(a,b) (0 when both are 0). ONE corpus pass computes per-vector
+    s rounded to 9 digits (d2 -> round 9 -> sqrt -> round 9, so numpy
+    pairwise summation and DuckDB's sequential list_sum cannot diverge),
+    converts to NANO-FIXED-POINT int64, and pre-aggregates (cid, sum, n)
+    per block — the shuffle moves k partial rows per block and the means
+    are single mirrored float divisions of exact integers."""
+    ds, C = _centroid_assignments(sf_dir, k)
+    state = ray.put(C)
+
+    def sil(batch: pa.Table) -> pa.Table:
+        Cc = ray.get(state)
+        M = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch["embedding"].to_pylist()])
+        d2 = round_half_away(((M[:, None, :] - Cc[None]) ** 2).sum(axis=2), 9)
+        dist9 = round_half_away(np.sqrt(d2), 9)
+        own = np.argmin(d2, axis=1)
+        rows = np.arange(len(M))
+        a = dist9[rows, own]
+        masked = dist9.copy()
+        masked[rows, own] = np.inf
+        b = masked.min(axis=1)
+        mx = np.maximum(a, b)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s9 = np.where(mx == 0.0, 0.0, round_half_away((b - a) / mx, 9))
+        return pa.table({
+            "cid": pa.array(own.astype(np.int64), pa.int64()),
+            "snano": pa.array(
+                round_half_away(s9 * 1000000000.0, 0).astype(np.int64),
+                pa.int64()),
+        })
+
+    agg = preagg_groupby(ds.map_batches(sil, batch_format="pyarrow"),
+                         ["cid"], sums={"snano": "snano"},
+                         count_alias="n").to_pandas().sort_values("cid")
+    cids = agg["cid"].to_numpy(np.int64).tolist()
+    sn = [int(x) for x in agg["snano"]]
+    cnt = [int(x) for x in agg["n"]]
+    cids.append(-1)
+    sn.append(sum(sn))
+    cnt.append(sum(cnt))
+    mean6 = [float(round_half_away(
+        float(s) / float(c) / 1000000000.0, 6)) for s, c in zip(sn, cnt)]
+    return pd.DataFrame({
+        "cid": pd.array(cids, dtype="int64"),
+        "n": pd.array(cnt, dtype="int64"),
+        "mean_sil6": pd.array(mean6, dtype="float64"),
+    }).sort_values("cid").reset_index(drop=True)
