@@ -317,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cluster validation: ARI/NMI vs labels + simplified silhouette
         "emb_cluster_agreement": r.emb_cluster_agreement,
         "emb_silhouette": r.emb_silhouette,
+        # IVF recall@k vs exact ranking — ANN index sizing diagnostic
+        "emb_ann_recall": r.emb_ann_recall,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -763,6 +765,73 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(mim AS DOUBLE)
                          / sqrt(CAST(ham * hbm AS DOUBLE)), 6) AS nmi6
             FROM n, ps, mi, ha, hb
+        """,
+        # probes are centroid rows 1..5; exact and IVF rankings share the
+        # (round-9 sim DESC, vec_id) order; recall is one mirrored division
+        "emb_ann_recall": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            cc AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+            d AS (
+                SELECT e.vec_id, cc.cid,
+                       round(list_sum(list_transform(range(1, 65),
+                           t -> (v[t] - c[t]) * (v[t] - c[t]))), 9) AS d29
+                FROM e, cc
+            ),
+            asg AS (
+                SELECT vec_id, cid FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY d29, cid) AS rn FROM d)
+                WHERE rn = 1
+            ),
+            probes AS (SELECT vec_id AS pid, v AS pv FROM e
+                       WHERE vec_id BETWEEN 1 AND 5),
+            pcells AS (
+                SELECT pid, cid FROM (
+                    SELECT p.pid, cc.cid,
+                           row_number() OVER (PARTITION BY p.pid ORDER BY
+                               round(list_sum(list_transform(range(1, 65),
+                                   t -> (pv[t] - c[t]) * (pv[t] - c[t]))),
+                                   9), cc.cid) AS rn
+                    FROM probes p, cc)
+                WHERE rn <= 2
+            ),
+            sims AS (
+                SELECT p.pid, e.vec_id,
+                       round(list_cosine_similarity(e.v, p.pv), 9) AS sim9
+                FROM e, probes p WHERE e.vec_id != p.pid
+            ),
+            exact AS (
+                SELECT pid, vec_id FROM (
+                    SELECT pid, vec_id, row_number() OVER (PARTITION BY pid
+                        ORDER BY sim9 DESC, vec_id) AS rn FROM sims)
+                WHERE rn <= 10
+            ),
+            cand AS (
+                SELECT s.pid, s.vec_id, s.sim9
+                FROM sims s
+                JOIN asg a ON a.vec_id = s.vec_id
+                JOIN pcells pc ON pc.pid = s.pid AND pc.cid = a.cid
+            ),
+            ivf AS (
+                SELECT pid, vec_id FROM (
+                    SELECT pid, vec_id, row_number() OVER (PARTITION BY pid
+                        ORDER BY sim9 DESC, vec_id) AS rn FROM cand)
+                WHERE rn <= 10
+            ),
+            ncand AS (SELECT pid, CAST(count(*) AS BIGINT) AS n_cand
+                      FROM cand GROUP BY 1),
+            hit AS (
+                SELECT x.pid, CAST(count(*) AS BIGINT) AS n_hit
+                FROM exact x JOIN ivf i
+                     ON i.pid = x.pid AND i.vec_id = x.vec_id
+                GROUP BY 1
+            )
+            SELECT CAST(pid AS BIGINT) AS probe_id, n_cand,
+                   CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+                   round(CAST(coalesce(n_hit, 0) AS DOUBLE) / 10.0, 6)
+                       AS recall6
+            FROM ncand LEFT JOIN hit USING (pid)
         """,
         # per-vector s rounds to 9 (d2 -> 9 -> sqrt -> 9) then converts to
         # nano-fixed-point int64 so the per-cluster means are exact-integer

@@ -9116,3 +9116,89 @@ def emb_silhouette(sf_dir: str, k: int = 8):
         "n": pd.array(cnt, dtype="int64"),
         "mean_sil6": pd.array(mean6, dtype="float64"),
     }).sort_values("cid").reset_index(drop=True)
+
+
+def emb_ann_recall(sf_dir: str, k: int = 8, n_probe: int = 2,
+                   topk: int = 10):
+    """ANN-index calibration: recall@k of the IVF probe path against the
+    exact brute-force cosine ranking for 5 deterministic probe vectors
+    (vec_id 1..5) — the sizing diagnostic (how many cells must a query
+    probe?) run before committing an IVF layout to a corpus-scale search,
+    the ANN counterpart of doc_minhash_calibration. ONE corpus pass
+    computes, per block, every vector's nearest-seed-centroid cell
+    (d2 rounded 9 before argmin, the emb_ivfpq_search convention) and its
+    cosine to the broadcast 5-probe matrix (rounded to 9, the emb_knn
+    convention), then emits only block-local top-``topk`` partials for
+    the exact ranking, block-local top-``topk`` partials restricted to
+    the probe's ``n_probe`` nearest cells (the IVF candidate set), and a
+    per-block candidate-count partial — a bounded ~(2*topk+1) x 5 rows
+    per block, never vectors. Block top-k uses the oracle's exact
+    (rounded-sim DESC, vec_id) order so rounding ties cannot drop
+    layout-dependently; recall is a single mirrored division."""
+    ds, C = _centroid_assignments(sf_dir, k)
+    P = C[1:6]  # probes are centroid rows 1..5 (vec_id 1..5 < k)
+    pids = np.arange(1, 6, dtype=np.int64)
+    # each probe's n_probe nearest cells, ordered by (round-9 d2, cid)
+    d2p = round_half_away(((P[:, None, :] - C[None]) ** 2).sum(axis=2), 9)
+    cells = {}
+    for i, pid in enumerate(pids):
+        order = np.lexsort((np.arange(k), d2p[i]))
+        cells[int(pid)] = set(order[:n_probe].tolist())
+    state = ray.put((C, P, pids, cells))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        Cc, Pp, pp, cel = ray.get(state)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        M = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch["embedding"].to_pylist()])
+        d2 = round_half_away(((M[:, None, :] - Cc[None]) ** 2).sum(axis=2), 9)
+        cid = np.argmin(d2, axis=1)
+        nM = np.linalg.norm(M, axis=1)
+        nP = np.linalg.norm(Pp, axis=1)
+        sim9 = round_half_away((M @ Pp.T) / np.outer(nM, nP), 9)
+        o_pid, o_vid, o_sim, o_tag, o_cnt = [], [], [], [], []
+        for i, pid in enumerate(pp):
+            notself = ids != pid
+            s = sim9[:, i]
+            for tag, mask in (
+                ("e", notself),
+                ("i", notself & np.isin(cid, list(cel[int(pid)]))),
+            ):
+                mi = np.nonzero(mask)[0]
+                if len(mi):
+                    top = mi[np.lexsort((ids[mi], -s[mi]))[:topk]]
+                    o_pid.extend([pid] * len(top))
+                    o_vid.extend(ids[top].tolist())
+                    o_sim.extend(s[top].tolist())
+                    o_tag.extend([tag] * len(top))
+                    o_cnt.extend([0] * len(top))
+                if tag == "i":
+                    o_pid.append(pid); o_vid.append(-1); o_sim.append(0.0)
+                    o_tag.append("c"); o_cnt.append(int(mask.sum()))
+        return pa.table({
+            "pid": pa.array(o_pid, pa.int64()),
+            "vec_id": pa.array(o_vid, pa.int64()),
+            "sim9": pa.array(o_sim, pa.float64()),
+            "tag": pa.array(o_tag, pa.string()),
+            "cnt": pa.array(o_cnt, pa.int64()),
+        })
+
+    part = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    rows = []
+    for pid in pids:
+        pp = part[part["pid"] == pid]
+        n_cand = int(pp.loc[pp["tag"] == "c", "cnt"].sum())
+        tops = {}
+        for tag in ("e", "i"):
+            t = pp[pp["tag"] == tag]
+            order = np.lexsort((t["vec_id"].to_numpy(np.int64),
+                                -t["sim9"].to_numpy(np.float64)))
+            tops[tag] = set(t["vec_id"].to_numpy(np.int64)[order][:topk]
+                            .tolist())
+        n_hit = len(tops["e"] & tops["i"])
+        rows.append((int(pid), n_cand, n_hit,
+                     float(round_half_away(float(n_hit) / 10.0, 6))))
+    return pd.DataFrame(rows, columns=["probe_id", "n_cand", "n_hit",
+                                       "recall6"]).astype(
+        {"probe_id": "int64", "n_cand": "int64", "n_hit": "int64",
+         "recall6": "float64"})
