@@ -319,6 +319,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_silhouette": r.emb_silhouette,
         # IVF recall@k vs exact ranking — ANN index sizing diagnostic
         "emb_ann_recall": r.emb_ann_recall,
+        # TextRank keywords: damped PageRank on the word-adjacency graph
+        "doc_textrank_keywords": r.doc_textrank_keywords,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -3646,5 +3648,66 @@ def oracle_sql() -> dict[str, str]:
                             * (1::BIGINT << (2 * i)))
                    )) AS BIGINT) AS zkey
             FROM events
+        """,
+        "doc_textrank_keywords": f"""
+            WITH wds AS (
+                SELECT unnest({o.words_expr('text')}) AS wd FROM documents
+            ),
+            wc AS (SELECT wd, count(*) AS c FROM wds GROUP BY 1),
+            vocab AS (SELECT wd, c FROM wc ORDER BY c DESC, wd LIMIT 50),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vocab),
+            docs AS (SELECT {o.words_expr('text')} AS ws FROM documents),
+            adj AS (
+                SELECT least(ws[i], ws[i+1]) AS wa,
+                       greatest(ws[i], ws[i+1]) AS wb
+                FROM docs, UNNEST(range(1, len(ws))) AS t(i)
+                WHERE len(ws) >= 2 AND ws[i] != ws[i+1]
+            ),
+            e0 AS (
+                SELECT wa, wb, count(*) AS w FROM adj
+                WHERE wa IN (SELECT wd FROM vocab)
+                  AND wb IN (SELECT wd FROM vocab)
+                GROUP BY 1, 2
+            ),
+            edges AS (
+                SELECT wa AS src, wb AS dst, w FROM e0
+                UNION ALL
+                SELECT wb AS src, wa AS dst, w FROM e0
+            ),
+            dg AS (SELECT src, sum(w) AS wsum FROM edges GROUP BY 1),
+            t1 AS (
+                SELECT e.dst AS wd,
+                       sum(CAST(round(1000000000.0 * 0.85 * e.w
+                                      * (1.0 / nn.n) / dg.wsum, 0)
+                                AS BIGINT)) AS s
+                FROM edges e JOIN dg ON e.src = dg.src CROSS JOIN nn
+                GROUP BY 1
+            ),
+            p1 AS (
+                SELECT v.wd,
+                       round((1.0 - 0.85) / nn.n
+                             + COALESCE(t1.s, 0) / 1000000000.0, 9) AS p
+                FROM vocab v LEFT JOIN t1 USING (wd) CROSS JOIN nn
+            ),
+            t2 AS (
+                SELECT e.dst AS wd,
+                       sum(CAST(round(1000000000.0 * 0.85 * e.w
+                                      * p1.p / dg.wsum, 0)
+                                AS BIGINT)) AS s
+                FROM edges e
+                JOIN dg ON e.src = dg.src
+                JOIN p1 ON e.src = p1.wd
+                GROUP BY 1
+            ),
+            p2 AS (
+                SELECT v.wd, v.c,
+                       round((1.0 - 0.85) / nn.n
+                             + COALESCE(t2.s, 0) / 1000000000.0, 9) AS p
+                FROM vocab v LEFT JOIN t2 USING (wd) CROSS JOIN nn
+            )
+            SELECT wd AS word, CAST(c AS BIGINT) AS wcount, p AS score9,
+                   CAST(ROW_NUMBER() OVER (ORDER BY p DESC, wd)
+                        AS BIGINT) AS kw_rank
+            FROM p2
         """,
     }

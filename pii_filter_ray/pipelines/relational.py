@@ -9202,3 +9202,90 @@ def emb_ann_recall(sf_dir: str, k: int = 8, n_probe: int = 2,
                                        "recall6"]).astype(
         {"probe_id": "int64", "n_cand": "int64", "n_hit": "int64",
          "recall6": "float64"})
+
+
+def doc_textrank_keywords(sf_dir: str, vocab_n: int = 50, damping: float = 0.85):
+    """TextRank keyword extraction over the corpus word-adjacency graph
+    (Mihalcea & Tarau 2004, window = 2): nodes are the top-``vocab_n``
+    corpus words (count DESC, word ASC — the doc_zipf_fit selection),
+    undirected edges weighted by adjacent-occurrence counts, scored by
+    two unrolled damped-PageRank iterations from the uniform start. The
+    word-count pass reuses the shared whitespace-tokenizer partials and
+    pulls only per-block top-n candidates (exact by the pigeonhole
+    superset, as doc_zipf_fit); the pair pass filters against the
+    broadcast vocab set so per-block partials are bounded by
+    vocab_n^2/2 rows and the driver folds a catalog-bounded edge table
+    (<= 1225 edges) regardless of corpus size. Each rank flow term is
+    snapped to NANO-FIXED-POINT int64 (round(1e9 * d * w * p / W)) so
+    the per-node sums are order-free exact integers, and each
+    iteration's scores snap to 9 digits — numpy and the DuckDB unrolled
+    join arithmetic agree bit-for-bit."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    counts = (ds.map_batches(_word_count_partials, batch_format="pyarrow")
+              .groupby("w").aggregate(Sum("n", alias_name="n")))
+
+    def top_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n", "w"], ascending=[False, True], kind="mergesort").head(vocab_n)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    top = (counts.map_batches(top_block, batch_format="pyarrow").to_pandas()
+           .sort_values(["n", "w"], ascending=[False, True], kind="mergesort")
+           .head(vocab_n).reset_index(drop=True))
+    vocab = {w: int(n) for w, n in zip(top["w"], top["n"])}
+    vocab_ref = ray.put(frozenset(vocab))
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        vs = ray.get(vocab_ref)
+        c: "Counter" = Counter()
+        for t in batch["text"].to_pylist():
+            ws = (t or "").split()
+            for a, b in zip(ws, ws[1:]):
+                if a != b and a in vs and b in vs:
+                    c[(a, b) if a < b else (b, a)] += 1
+        if not c:
+            return pa.table({"wa": pa.array([], pa.string()),
+                             "wb": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        ks = list(c.keys())
+        return pa.table({"wa": pa.array([k[0] for k in ks], pa.string()),
+                         "wb": pa.array([k[1] for k in ks], pa.string()),
+                         "cnt": pa.array(list(c.values()), pa.int64())})
+
+    pairs = (ds.map_batches(pair_partials, batch_format="pyarrow")
+             .to_pandas())
+    if len(pairs):
+        pairs = pairs.groupby(["wa", "wb"], as_index=False)["cnt"].sum()
+    n = len(vocab)
+    # directed edge list (both orientations) + weighted out-degree
+    from collections import defaultdict
+    out_w: dict = defaultdict(int)
+    edges = []  # (src, dst, w)
+    for wa, wb, w in zip(pairs.get("wa", []), pairs.get("wb", []),
+                         pairs.get("cnt", [])):
+        w = int(w)
+        edges.append((wa, wb, w))
+        edges.append((wb, wa, w))
+        out_w[wa] += w
+        out_w[wb] += w
+
+    def iterate(p_prev: dict) -> dict:
+        sums: dict = defaultdict(int)
+        for src, dst, w in edges:
+            # mirror of SQL round(1e9 * d * w * p_src / W_src, 0)
+            sums[dst] += int(round_half_away(
+                1000000000.0 * damping * w * p_prev[src] / out_w[src], 0))
+        return {wd: float(round_half_away(
+            (1.0 - damping) / n + sums[wd] / 1000000000.0, 9))
+            for wd in vocab}
+
+    p0 = {wd: 1.0 / n for wd in vocab}
+    p2 = iterate(iterate(p0))
+    order = sorted(vocab, key=lambda wd: (-p2[wd], wd))
+    return pd.DataFrame({
+        "word": order,
+        "wcount": pd.array([vocab[wd] for wd in order], dtype="int64"),
+        "score9": [p2[wd] for wd in order],
+        "kw_rank": pd.array(range(1, n + 1), dtype="int64"),
+    })
