@@ -321,6 +321,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ann_recall": r.emb_ann_recall,
         # TextRank keywords: damped PageRank on the word-adjacency graph
         "doc_textrank_keywords": r.doc_textrank_keywords,
+        # sketch error calibration: CMS / HLL estimate vs exact + error
+        "events_cms_calibration": r.events_cms_calibration,
+        "events_hll_calibration": r.events_hll_calibration,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -3709,5 +3712,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (ORDER BY p DESC, wd)
                         AS BIGINT) AS kw_rank
             FROM p2
+        """,
+        "events_cms_calibration": f"""
+            WITH exact AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+                FROM events WHERE user_id < 50 GROUP BY 1
+            )
+            SELECT c.user_id, c.est,
+                   COALESCE(e.exact_n, 0) AS exact_n,
+                   c.est - COALESCE(e.exact_n, 0) AS overest,
+                   CASE WHEN COALESCE(e.exact_n, 0) > 0
+                        THEN round(CAST(c.est - e.exact_n AS DOUBLE)
+                                   / e.exact_n, 6)
+                        ELSE 0.0 END AS err_frac6
+            FROM ({cms_sql("events", "user_id", n_keys=50, d=4, q=12)}) c
+            LEFT JOIN exact e USING (user_id)
+        """,
+        "events_hll_calibration": f"""
+            WITH exact AS (
+                SELECT event_type,
+                       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n
+                FROM events GROUP BY 1
+            )
+            SELECT h.event_type, h.est, e.exact_n,
+                   round((h.est - e.exact_n) / e.exact_n, 6) AS rel_err6
+            FROM ({hll_sql("events", "event_type", "user_id", p=12)}) h
+            JOIN exact e USING (event_type)
         """,
     }

@@ -9289,3 +9289,72 @@ def doc_textrank_keywords(sf_dir: str, vocab_n: int = 50, damping: float = 0.85)
         "score9": [p2[wd] for wd in order],
         "kw_rank": pd.array(range(1, n + 1), dtype="int64"),
     })
+
+
+def events_cms_calibration(sf_dir: str, n_keys: int = 50):
+    """Count-Min sketch error calibration (completes the calibration
+    family of doc_minhash_calibration / emb_ann_recall): the CMS point
+    estimate for each queried key next to its EXACT count, the
+    overestimate (>= 0 by the CMS one-sided guarantee — a negative value
+    here would be a sketch bug) and the relative error — the (d, q)
+    sizing diagnostic run before trusting sketch counts on a
+    corpus-scale stream. The sketch pass is the fixed-cost
+    cms_counts_for_keys shuffle (d*2^q cells per block regardless of
+    rows); the exact side filters to the queried keys BEFORE its preagg
+    so the shuffle moves n_keys rows per block. Estimates and counts are
+    exact integers; the error is one mirrored float division."""
+    from ..stages.sketches import cms_counts_for_keys
+
+    ds = _tbl(sf_dir, "events", columns=["user_id"])
+    est = cms_counts_for_keys(ds, value_col="user_id",
+                              keys=range(n_keys), d=4, q=12)
+
+    def keep_keys(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["user_id"], n_keys))
+
+    exact = preagg_groupby(
+        ds.map_batches(keep_keys, batch_format="pyarrow"),
+        ["user_id"], count_alias="exact_n").to_pandas()
+    df = est.merge(exact, on="user_id", how="left")
+    ex = df["exact_n"].fillna(0).astype("int64")
+    es = df["est"].astype("int64")
+    err = [float(round_half_away((int(e) - int(x)) / int(x), 6))
+           if int(x) > 0 else 0.0 for e, x in zip(es, ex)]
+    return pd.DataFrame({
+        "user_id": df["user_id"].astype("int64"),
+        "est": es,
+        "exact_n": ex,
+        "overest": (es - ex).astype("int64"),
+        "err_frac6": pd.array(err, dtype="float64"),
+    }).sort_values("user_id", kind="mergesort").reset_index(drop=True)
+
+
+def events_hll_calibration(sf_dir: str):
+    """HyperLogLog error calibration: the per-event-type HLL estimate
+    (p=12, the deterministic splitmix64 sketch of events_hll_users) next
+    to the EXACT distinct-user count and the relative error — the
+    register-width sizing diagnostic before replacing exact distinct
+    counts with sketches at corpus scale. The exact side dedupes
+    (event_type, user_id) pairs through the same per-block preagg the
+    exact-distinct query uses (pairs shuffle once, already combined);
+    the estimate is the bit-exact mirrored HLL value rounded to 3, so
+    the relative error is one mirrored float expression."""
+    from ..stages.sketches import hll_distinct_per_group
+
+    ds = _tbl(sf_dir, "events", columns=["event_type", "user_id"])
+    df = hll_distinct_per_group(ds, key="event_type", value_col="user_id",
+                                p=12)
+    df["est"] = round_half_away(df["est"], 3)
+    pairs = preagg_groupby(ds, ["event_type", "user_id"], count_alias="n")
+    exact = preagg_groupby(pairs, ["event_type"],
+                           count_alias="exact_n").to_pandas()
+    m = df.merge(exact, on="event_type", how="inner")
+    rel = round_half_away(
+        (m["est"].to_numpy(np.float64) - m["exact_n"].to_numpy(np.int64))
+        / m["exact_n"].to_numpy(np.int64), 6)
+    return pd.DataFrame({
+        "event_type": m["event_type"],
+        "est": m["est"].astype("float64"),
+        "exact_n": m["exact_n"].astype("int64"),
+        "rel_err6": rel,
+    }).sort_values("event_type", kind="mergesort").reset_index(drop=True)
