@@ -324,6 +324,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketch error calibration: CMS / HLL estimate vs exact + error
         "events_cms_calibration": r.events_cms_calibration,
         "events_hll_calibration": r.events_hll_calibration,
+        # Welch's t-test: mean-shift companion to the KS distribution test
+        "lineitem_welch_ttest": r.lineitem_welch_ttest,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -3738,5 +3740,42 @@ def oracle_sql() -> dict[str, str]:
                    round((h.est - e.exact_n) / e.exact_n, 6) AS rel_err6
             FROM ({hll_sql("events", "event_type", "user_id", p=12)}) h
             JOIN exact e USING (event_type)
+        """,
+        "lineitem_welch_ttest": """
+            WITH g AS (
+                SELECT l_returnflag AS f, count(*) AS n,
+                       sum(CAST(l_quantity AS BIGINT)) AS s1,
+                       sum(CAST(l_quantity AS BIGINT)
+                           * CAST(l_quantity AS BIGINT)) AS s2
+                FROM lineitem WHERE l_returnflag IN ('R', 'N')
+                GROUP BY 1
+            ),
+            v AS (
+                SELECT f, n,
+                       CAST(s1 AS DOUBLE) / n AS m,
+                       (CAST(n AS HUGEINT) * s2
+                        - CAST(s1 AS HUGEINT) * s1)
+                         / (CAST(n AS HUGEINT) * (n - 1)) AS var
+                FROM g
+            ),
+            calc AS (
+                SELECT r.n AS n_r, nn.n AS n_n,
+                       r.m AS m_r, nn.m AS m_n,
+                       r.var AS v_r, nn.var AS v_n,
+                       r.var / r.n AS a1, nn.var / nn.n AS a2
+                FROM (SELECT * FROM v WHERE f = 'R') r,
+                     (SELECT * FROM v WHERE f = 'N') nn
+            )
+            SELECT CAST(n_r AS BIGINT) AS n_r,
+                   CAST(n_n AS BIGINT) AS n_n,
+                   round(m_r, 6) AS mean_r6,
+                   round(m_n, 6) AS mean_n6,
+                   round(v_r, 6) AS var_r6,
+                   round(v_n, 6) AS var_n6,
+                   round((m_r - m_n) / sqrt(a1 + a2), 6) AS t6,
+                   round((a1 + a2) * (a1 + a2)
+                         / (a1 * a1 / (n_r - 1)
+                            + a2 * a2 / (n_n - 1)), 6) AS df6
+            FROM calc
         """,
     }

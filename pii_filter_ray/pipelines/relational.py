@@ -9358,3 +9358,62 @@ def events_hll_calibration(sf_dir: str):
         "exact_n": m["exact_n"].astype("int64"),
         "rel_err6": rel,
     }).sort_values("event_type", kind="mergesort").reset_index(drop=True)
+
+
+def lineitem_welch_ttest(sf_dir: str):
+    """Welch's two-sample t-test between the quantity distributions of
+    returned (R) vs normal (N) lines — the unequal-variance mean-shift
+    companion to lineitem_ks_test's distribution-shape check. Exact
+    integer moments: per-block (flag, n, sum q, sum q^2) partials (two
+    rows per block — l_quantity is integer-valued), merged as Python
+    ints; the sample variance uses the overflow-immune form
+    (n*S2 - S1^2) / (n*(n-1)) so both sides divide the SAME exact
+    integers (HUGEINT in SQL), and the t statistic and
+    Welch-Satterthwaite df are the identical IEEE expression tree on
+    both sides — bit-for-bit agreement with no tolerance."""
+    ds = _tbl(sf_dir, "lineitem", columns=["l_quantity", "l_returnflag"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch["l_returnflag"],
+                     value_set=pa.array(["R", "N"], pa.string()))
+        b = batch.filter(m)
+        q = pc.cast(b["l_quantity"], pa.int64())
+        t = pa.table({"f": b["l_returnflag"], "one": pc.cast(
+            pc.equal(q, q), pa.int64()), "s1": q,
+            "s2": pc.multiply(q, q)})
+        g = t.group_by("f").aggregate(
+            [("one", "sum"), ("s1", "sum"), ("s2", "sum")])
+        return pa.table({"f": g["f"], "n": g["one_sum"],
+                         "s1": g["s1_sum"], "s2": g["s2_sum"]})
+
+    df = (ds.map_batches(partials, batch_format="pyarrow")
+          .groupby("f")
+          .aggregate(Sum("n", alias_name="n"), Sum("s1", alias_name="s1"),
+                     Sum("s2", alias_name="s2"))
+          .to_pandas().set_index("f"))
+    import math
+    stats = {}
+    for f in ("R", "N"):
+        n = int(df.loc[f, "n"])
+        s1 = int(df.loc[f, "s1"])
+        s2 = int(df.loc[f, "s2"])
+        m = s1 / n
+        var = (n * s2 - s1 * s1) / (n * (n - 1))
+        stats[f] = (n, m, var)
+    n_r, m_r, v_r = stats["R"]
+    n_n, m_n, v_n = stats["N"]
+    a1 = v_r / n_r
+    a2 = v_n / n_n
+    t_stat = (m_r - m_n) / math.sqrt(a1 + a2)
+    dof = (a1 + a2) * (a1 + a2) / (a1 * a1 / (n_r - 1)
+                                   + a2 * a2 / (n_n - 1))
+    return pd.DataFrame({
+        "n_r": pd.array([n_r], dtype="int64"),
+        "n_n": pd.array([n_n], dtype="int64"),
+        "mean_r6": [float(round_half_away(m_r, 6))],
+        "mean_n6": [float(round_half_away(m_n, 6))],
+        "var_r6": [float(round_half_away(v_r, 6))],
+        "var_n6": [float(round_half_away(v_n, 6))],
+        "t6": [float(round_half_away(t_stat, 6))],
+        "df6": [float(round_half_away(dof, 6))],
+    })
