@@ -326,6 +326,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hll_calibration": r.events_hll_calibration,
         # Welch's t-test: mean-shift companion to the KS distribution test
         "lineitem_welch_ttest": r.lineitem_welch_ttest,
+        # trailing-window EWMA smoothing of the daily revenue series
+        "orders_ewma_revenue": r.orders_ewma_revenue,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -3777,5 +3779,25 @@ def oracle_sql() -> dict[str, str]:
                          / (a1 * a1 / (n_r - 1)
                             + a2 * a2 / (n_n - 1)), 6) AS df6
             FROM calc
+        """,
+        "orders_ewma_revenue": f"""
+            WITH d AS (
+                SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                       sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))
+                           AS cents
+                FROM orders GROUP BY 1
+            ),
+            l AS (
+                SELECT day, cents,
+                       {", ".join(f"LAG(cents, {j}) OVER (ORDER BY day) AS c{j}" for j in range(1, 7))}
+                FROM d
+            )
+            SELECT day, CAST(cents AS BIGINT) AS cents,
+                   round((0.3 * cents
+                          {" ".join(f"+ CASE WHEN c{j} IS NULL THEN 0.0 ELSE {0.3 * (1.0 - 0.3) ** j!r} * c{j} END" for j in range(1, 7))})
+                         / (0.3
+                          {" ".join(f"+ CASE WHEN c{j} IS NULL THEN 0.0 ELSE {0.3 * (1.0 - 0.3) ** j!r} END" for j in range(1, 7))}),
+                         6) AS ewma6
+            FROM l
         """,
     }

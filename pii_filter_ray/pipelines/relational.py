@@ -9417,3 +9417,50 @@ def lineitem_welch_ttest(sf_dir: str):
         "t6": [float(round_half_away(t_stat, 6))],
         "df6": [float(round_half_away(dof, 6))],
     })
+
+
+def orders_ewma_revenue(sf_dir: str, alpha: float = 0.3, window: int = 7):
+    """Adjusted trailing-window EWMA smoothing of the daily-revenue
+    series (the monitoring-dashboard staple next to orders_trend_mk's
+    drift test): for each observed day, the exponentially-weighted mean
+    of the last ``window`` observed days' exact-cents revenue with
+    weights alpha*(1-alpha)^j, normalized over the AVAILABLE weights
+    (the pandas ewm(adjust=True) convention on a finite window). Daily
+    cents pre-aggregate per block (bounded date catalog); the smoothing
+    runs driver-side with the 7-term numerator/denominator UNROLLED in
+    the same left-associative order as the SQL mirror's literal
+    expression — identical IEEE trees on identical exact-integer inputs,
+    so the 6-digit output matches bit-for-bit (missing lags contribute
+    an exact +0.0 on both sides)."""
+    ds = _tbl(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def daily(batch: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            batch["o_totalprice"].to_numpy() * 100.0, 0).astype(np.int64)
+        t = pa.table({
+            "day": pc.strftime(batch["o_orderdate"], format="%Y-%m-%d"),
+            "cents": pa.array(cents, pa.int64()),
+        })
+        g = t.group_by("day").aggregate([("cents", "sum")])
+        return pa.table({"day": g["day"], "cents": g["cents_sum"]})
+
+    df = (ds.map_batches(daily, batch_format="pyarrow")
+          .groupby("day").aggregate(Sum("cents", alias_name="cents"))
+          .to_pandas().sort_values("day").reset_index(drop=True))
+    x = df["cents"].to_numpy(np.int64)
+    n = len(x)
+    num = alpha * x  # j = 0 term, float64
+    den = np.full(n, alpha, dtype=np.float64)
+    for j in range(1, window):
+        wj = alpha * (1.0 - alpha) ** j
+        avail = np.arange(n) >= j
+        xs = np.zeros(n, dtype=np.float64)
+        xs[j:] = wj * x[:n - j].astype(np.float64)
+        num = num + xs
+        den = den + np.where(avail, wj, 0.0)
+    ewma = round_half_away(num / den, 6)
+    return pd.DataFrame({
+        "day": df["day"],
+        "cents": df["cents"].astype("int64"),
+        "ewma6": ewma,
+    })
