@@ -328,6 +328,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_welch_ttest": r.lineitem_welch_ttest,
         # trailing-window EWMA smoothing of the daily revenue series
         "orders_ewma_revenue": r.orders_ewma_revenue,
+        # MMR greedy result diversification over the relevance pool
+        "emb_mmr_diversify": r.emb_mmr_diversify,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -386,6 +388,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": o.doc_fingerprint_sql(),
         "doc_minhash_candidates": o.doc_minhash_candidates_sql(),
         "doc_minhash_calibration": o.doc_minhash_calibration_sql(),
+        "emb_mmr_diversify": o.mmr_diversify_sql(),
         "doc_fuzzy_dedup_corpus": o.doc_fuzzy_dedup_corpus_sql(),
         "doc_jaccard_dups": o.doc_jaccard_dups_sql(),
         "doc_dup_components": o.doc_dup_components_sql(),

@@ -1098,3 +1098,72 @@ def doc_lang_kappa_sql() -> str:
            round((agree * 1.0 / t - s * 1.0 / (t * t))
                  / (1 - s * 1.0 / (t * t)), 6) AS kappa6
     FROM tot, marg"""
+
+
+def mmr_diversify_sql(n_probes: int = 2, pool_m: int = 20,
+                      k_select: int = 5) -> str:
+    """Full SQL recompute of emb_mmr_diversify: relevance pool per probe
+    (rel9 DESC, vec_id order), pairwise pool cosines, and the greedy MMR
+    selection UNROLLED one CTE pair (candN/pickN + running selected-set
+    ssetN) per step — every cosine snaps to 9 digits and the MMR score
+    is the same 0.5*rel9 - 0.5*msim expression the Ray side evaluates."""
+    steps = []
+    for s in range(2, k_select + 1):
+        prev = s - 1
+        steps.append(f""",
+    cand{s} AS (
+        SELECT p.qid, p.vec_id, p.rel9, max(s.sim9) AS msim
+        FROM pool p
+        JOIN psim s ON s.qid = p.qid AND s.a = p.vec_id
+        JOIN sset{prev} t ON t.qid = s.qid AND t.vec_id = s.b
+        WHERE NOT EXISTS (SELECT 1 FROM sset{prev} x
+                          WHERE x.qid = p.qid AND x.vec_id = p.vec_id)
+        GROUP BY 1, 2, 3
+    ),
+    pick{s} AS (
+        SELECT qid, vec_id, rel9, 0.5 * rel9 - 0.5 * msim AS score
+        FROM cand{s}
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                    0.5 * rel9 - 0.5 * msim DESC, vec_id) = 1
+    ),
+    sset{s} AS (SELECT * FROM sset{prev}
+                UNION ALL SELECT qid, vec_id FROM pick{s})""")
+    unions = "\n    UNION ALL ".join(
+        f"""SELECT CAST(qid AS BIGINT) AS probe_id,
+               CAST({s} AS BIGINT) AS step, CAST(vec_id AS BIGINT) AS vec_id,
+               rel9, round(score, 9) AS score9 FROM pick{s}"""
+        for s in range(1, k_select + 1))
+    return f"""WITH probes AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        WHERE vec_id < {n_probes}
+    ),
+    rel AS (
+        SELECT p.qid, e.vec_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(p.qe AS DOUBLE[])), 9)
+                   AS rel9
+        FROM embeddings e, probes p
+        WHERE e.vec_id != p.qid
+    ),
+    pool AS (
+        SELECT qid, vec_id, rel9 FROM rel
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY rel9 DESC, vec_id) <= {pool_m}
+    ),
+    psim AS (
+        SELECT pa_.qid, pa_.vec_id AS a, pb.vec_id AS b,
+               round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                            CAST(eb.embedding AS DOUBLE[])),
+                     9) AS sim9
+        FROM pool pa_ JOIN pool pb
+          ON pa_.qid = pb.qid AND pa_.vec_id != pb.vec_id
+        JOIN embeddings ea ON ea.vec_id = pa_.vec_id
+        JOIN embeddings eb ON eb.vec_id = pb.vec_id
+    ),
+    pick1 AS (
+        SELECT qid, vec_id, rel9, rel9 AS score FROM pool
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY rel9 DESC, vec_id) = 1
+    ),
+    sset1 AS (SELECT qid, vec_id FROM pick1){"".join(steps)}
+    {unions}"""

@@ -9464,3 +9464,99 @@ def orders_ewma_revenue(sf_dir: str, alpha: float = 0.3, window: int = 7):
         "cents": df["cents"].astype("int64"),
         "ewma6": ewma,
     })
+
+
+def emb_mmr_diversify(sf_dir: str, n_probes: int = 2, pool_m: int = 20,
+                      k_select: int = 5, lam: float = 0.5):
+    """Maximal Marginal Relevance result diversification (Carbonell &
+    Goldstein 1998, the retrieval/RAG re-ranking staple): for each probe
+    vector, greedily select ``k_select`` results from the top-``pool_m``
+    relevance pool, each step maximizing lam*rel - (1-lam)*max-sim-to-
+    already-selected. ONE corpus pass scores ALL probes (broadcast probe
+    matrix, per-block top-(m+1) partials in the oracle's exact
+    (rel9 DESC, vec_id) order); pool-member embeddings pull via a
+    broadcast id filter (<= n_probes*pool_m vectors — the
+    doc_minhash_calibration bounded-pull shape) and the greedy runs
+    driver-side on the bounded pool. Relevance and pairwise cosines snap
+    to 9 digits before the MMR formula, which is the identical IEEE
+    expression (0.5*rel9 - 0.5*msim) on both sides, so selection order
+    and scores match DuckDB's unrolled-CTE greedy bit-for-bit."""
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    from ..stages.similarity import _normalize, _to_matrix
+
+    probe_tbl = pa.concat_tables(ds.map_batches(
+        lambda b: b.filter(pc.less(b["vec_id"], pa.scalar(n_probes))),
+        batch_format="pyarrow").iter_batches(batch_format="pyarrow")) \
+        .sort_by("vec_id")
+    qids = probe_tbl["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+    Q = _normalize(_to_matrix(probe_tbl["embedding"]))
+    qref = ray.put((qids, Q))
+    mm = pool_m + 1  # the probe itself may appear; dropped at merge
+
+    def block_topm(batch: pa.Table) -> pa.Table:
+        ids_q, Qm = ray.get(qref)
+        M = _normalize(_to_matrix(batch["embedding"]))
+        S = M @ Qm.T
+        S_r = np.round(S, 9)
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        top = min(mm, S.shape[0])
+        out_q, out_id, out_rel = [], [], []
+        for c in range(S.shape[1]):
+            idx = np.lexsort((vid, -S_r[:, c]))[:top]
+            out_q.append(np.full(top, ids_q[c], dtype="int64"))
+            out_id.append(vid[idx].astype("int64"))
+            out_rel.append(S_r[idx, c])
+        return pa.table({
+            "qid": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "rel9": pa.array(np.concatenate(out_rel), pa.float64()),
+        })
+
+    parts = ds.map_batches(block_topm, batch_format="pyarrow").to_pandas()
+    parts = parts[parts["qid"] != parts["vec_id"]]
+    pools = {}
+    for qid, grp in parts.groupby("qid", sort=True):
+        pools[int(qid)] = (grp.sort_values(
+            ["rel9", "vec_id"], ascending=[False, True], kind="mergesort")
+            .head(pool_m)[["vec_id", "rel9"]].reset_index(drop=True))
+
+    members = sorted({int(v) for p in pools.values() for v in p["vec_id"]})
+    mem_arr = pa.array(members, pa.int64())
+
+    def pull(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["vec_id"], value_set=mem_arr))
+
+    mem_tbl = pa.concat_tables(
+        ds.map_batches(pull, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow"))
+    mids = mem_tbl["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+    Mv = _normalize(_to_matrix(mem_tbl["embedding"]))
+    vec = {int(i): Mv[j] for j, i in enumerate(mids)}
+
+    rows = []
+    for qid, pool in pools.items():
+        cand = list(zip(pool["vec_id"].astype(int), pool["rel9"]))
+        sel: list = []
+        for step in range(1, k_select + 1):
+            best = None
+            for vid_c, rel in cand:
+                if any(vid_c == s for s, _ in sel):
+                    continue
+                if not sel:
+                    score = float(rel)
+                else:
+                    msim = max(
+                        float(np.round(float(vec[vid_c] @ vec[s]), 9))
+                        for s, _ in sel)
+                    score = lam * float(rel) - (1.0 - lam) * msim
+                key = (-score, vid_c)
+                if best is None or key < best[0]:
+                    best = (key, vid_c, rel, score)
+            _, vid_c, rel, score = best
+            sel.append((vid_c, rel))
+            rows.append((int(qid), step, int(vid_c), float(rel),
+                         float(round_half_away(score, 9))))
+    return pd.DataFrame(rows, columns=["probe_id", "step", "vec_id",
+                                       "rel9", "score9"]).astype(
+        {"probe_id": "int64", "step": "int64", "vec_id": "int64",
+         "rel9": "float64", "score9": "float64"})
