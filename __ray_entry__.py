@@ -330,6 +330,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_ewma_revenue": r.orders_ewma_revenue,
         # MMR greedy result diversification over the relevance pool
         "emb_mmr_diversify": r.emb_mmr_diversify,
+        # dup-cluster size histogram: dedup-health diagnostic
+        "doc_dup_cluster_stats": r.doc_dup_cluster_stats,
+        # StarCoder/The-Stack file-level code quality filters
+        "code_starcoder_filters": r.code_starcoder_filters,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -389,6 +393,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_candidates": o.doc_minhash_candidates_sql(),
         "doc_minhash_calibration": o.doc_minhash_calibration_sql(),
         "emb_mmr_diversify": o.mmr_diversify_sql(),
+        "doc_dup_cluster_stats": o.dup_cluster_stats_sql(),
+        "code_starcoder_filters": o.code_starcoder_filters_sql(),
         "doc_fuzzy_dedup_corpus": o.doc_fuzzy_dedup_corpus_sql(),
         "doc_jaccard_dups": o.doc_jaccard_dups_sql(),
         "doc_dup_components": o.doc_dup_components_sql(),

@@ -1167,3 +1167,71 @@ def mmr_diversify_sql(n_probes: int = 2, pool_m: int = 20,
     ),
     sset1 AS (SELECT qid, vec_id FROM pick1){"".join(steps)}
     {unions}"""
+
+
+def dup_cluster_stats_sql(threshold: float = 0.5, max_df: int = 1000) -> str:
+    """Cluster-size histogram over the exact-Jaccard dup graph: the same
+    recursive-CTE transitive closure doc_dup_components_sql uses, then
+    per-component sizes and the (size, n_clusters, n_docs) rollup."""
+    return f"""WITH RECURSIVE {jaccard_pairs_ctes(threshold, max_df).removeprefix("WITH ")},
+  nodes AS (
+    SELECT DISTINCT id FROM (
+      SELECT id_a AS id FROM jac_pairs UNION ALL SELECT id_b FROM jac_pairs
+    )
+  ),
+  bi_edges AS (
+    SELECT id_a AS a, id_b AS b FROM jac_pairs
+    UNION ALL
+    SELECT id_b AS a, id_a AS b FROM jac_pairs
+  ),
+  reach(id, r) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT e.a, reach.r FROM bi_edges e JOIN reach ON reach.id = e.b
+  ),
+  comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+  sizes AS (SELECT component, count(*) AS csize FROM comp GROUP BY 1)
+  SELECT CAST(csize AS BIGINT) AS csize,
+         CAST(count(*) AS BIGINT) AS n_clusters,
+         CAST(sum(csize) AS BIGINT) AS n_docs
+  FROM sizes GROUP BY 1"""
+
+
+def code_starcoder_filters_sql(n_rows: int = 2000, seed: int = 42) -> str:
+    """Full recompute of code_starcoder_filters over the cached synthetic
+    corpus: per-file line metrics via list arithmetic, ASCII-alphanumeric
+    count via regexp_replace, the 3-line auto-generated header probe, and
+    the cross-multiplied integer keep tests."""
+    import os
+
+    from .sources.synthetic_code import corpus_dir
+
+    path = os.path.join(corpus_dir(n_rows=n_rows, seed=seed), "corpus")
+    return f"""
+WITH docs AS (
+  SELECT repo, path, content, string_split(content, chr(10)) AS sp,
+         length(content) AS nc
+  FROM read_parquet({_q(path + "/*.parquet")})
+),
+m AS (
+  SELECT repo, path, nc, len(sp) AS nl,
+         list_max(list_transform(sp, l -> length(l))) AS ml,
+         list_sum(list_transform(sp, l -> length(l))) AS sl,
+         length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g')) AS na,
+         (lower(array_to_string(sp[1:3], chr(10))) LIKE '%generated%')
+             AS is_autogen
+  FROM docs
+)
+SELECT repo, path,
+       CAST(nl AS BIGINT) AS n_lines,
+       CAST(ml AS BIGINT) AS max_line_len,
+       CAST(sl AS BIGINT) AS sum_line_len,
+       CAST(nc AS BIGINT) AS n_chars,
+       CAST(na AS BIGINT) AS n_alnum,
+       round(CAST(sl AS DOUBLE) / nl, 6) AS avg_line_len6,
+       CASE WHEN nc > 0 THEN round(CAST(na AS DOUBLE) / nc, 6)
+            ELSE 0.0 END AS alnum_frac6,
+       is_autogen,
+       (ml <= 1000 AND sl < 100 * nl AND 4 * na > nc
+        AND NOT is_autogen) AS keep
+FROM m"""

@@ -9560,3 +9560,91 @@ def emb_mmr_diversify(sf_dir: str, n_probes: int = 2, pool_m: int = 20,
                                        "rel9", "score9"]).astype(
         {"probe_id": "int64", "step": "int64", "vec_id": "int64",
          "rel9": "float64", "score9": "float64"})
+
+
+def doc_dup_cluster_stats(sf_dir: str, threshold: float = 0.5):
+    """Duplicate-cluster size distribution — the dedup-health diagnostic
+    read before choosing a keep rule (a heavy tail of giant clusters
+    means boilerplate; all-pairs means template spam): histogram of
+    connected-component sizes over the verified exact-Jaccard dup graph.
+    Reuses the jaccard_similarity_join -> dup_components_joined chain
+    (df-pruned inverted index, broadcast-free tagged-union propagation),
+    then collapses per-component sizes and the size histogram through
+    two bounded preagg shuffles — the driver only ever holds the
+    histogram (size catalog), never the component table."""
+    from ..stages.dedup import dup_components_joined, jaccard_similarity_join
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = jaccard_similarity_join(ds, text_col="text", id_col="doc_id",
+                                    threshold=threshold)
+    labels = dup_components_joined(pairs)
+    sizes = preagg_groupby(labels, ["component"], count_alias="csize")
+    hist = preagg_groupby(sizes, ["csize"], sums={"n_docs": "csize"},
+                          count_alias="n_clusters").to_pandas()
+    return (hist.astype({"csize": "int64", "n_clusters": "int64",
+                         "n_docs": "int64"})
+            [["csize", "n_clusters", "n_docs"]]
+            .sort_values("csize", kind="mergesort").reset_index(drop=True))
+
+
+def code_starcoder_filters(sf_dir: str):
+    """StarCoder/The-Stack-style file-level quality filters over the
+    source-code corpus (Kocetkov et al. 2022 The Stack; Li et al. 2023
+    StarCoder Appendix A): max line length <= 1000, average line length
+    < 100, ASCII-alphanumeric fraction > 0.25, and the auto-generated
+    header heuristic ('generated' in the first 3 lines) — the code
+    complement to the prose-side Gopher/C4/FineWeb filters. Pure per-row
+    map over the code table, zero shuffle; every ratio is one float
+    division of exact integer counts rounded to 6 and every keep
+    threshold a cross-multiplied integer test, mirrored by the DuckDB
+    list/regexp arithmetic bit-for-bit."""
+    import re as _re
+
+    from ..sources.synthetic_code import corpus_path
+
+    ds = ray.data.read_parquet(corpus_path(n_rows=2000, seed=42),
+                               columns=["repo", "path", "content"])
+    non_alnum = _re.compile(r"[^A-Za-z0-9]")
+
+    def signals(batch: pa.Table) -> pa.Table:
+        cols = {k: [] for k in
+                ("n_lines", "max_line_len", "sum_line_len", "n_chars",
+                 "n_alnum", "avg_line_len6", "alnum_frac6", "is_autogen",
+                 "keep")}
+        for c in batch["content"].to_pylist():
+            c = c or ""
+            lines = c.split("\n")
+            nl = len(lines)
+            ml = max(len(l) for l in lines)
+            sl = sum(len(l) for l in lines)
+            nc = len(c)
+            na = len(non_alnum.sub("", c))
+            auto = any("generated" in l.lower() for l in lines[:3])
+            cols["n_lines"].append(nl)
+            cols["max_line_len"].append(ml)
+            cols["sum_line_len"].append(sl)
+            cols["n_chars"].append(nc)
+            cols["n_alnum"].append(na)
+            cols["avg_line_len6"].append(float(round_half_away(sl / nl, 6)))
+            cols["alnum_frac6"].append(
+                float(round_half_away(na / nc, 6)) if nc else 0.0)
+            cols["is_autogen"].append(auto)
+            cols["keep"].append(ml <= 1000 and sl < 100 * nl
+                                and 4 * na > nc and not auto)
+        out = {"repo": batch["repo"], "path": batch["path"]}
+        for k in ("n_lines", "max_line_len", "sum_line_len", "n_chars",
+                  "n_alnum"):
+            out[k] = pa.array(cols[k], pa.int64())
+        out["avg_line_len6"] = pa.array(cols["avg_line_len6"], pa.float64())
+        out["alnum_frac6"] = pa.array(cols["alnum_frac6"], pa.float64())
+        out["is_autogen"] = pa.array(cols["is_autogen"], pa.bool_())
+        out["keep"] = pa.array(cols["keep"], pa.bool_())
+        return pa.table(out)
+
+    df = ds.map_batches(signals, batch_format="pyarrow").to_pandas()
+    return (df.astype({"n_lines": "int64", "max_line_len": "int64",
+                       "sum_line_len": "int64", "n_chars": "int64",
+                       "n_alnum": "int64", "is_autogen": "bool",
+                       "keep": "bool"})
+            .sort_values(["repo", "path"], kind="mergesort")
+            .reset_index(drop=True))
