@@ -334,6 +334,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_cluster_stats": r.doc_dup_cluster_stats,
         # StarCoder/The-Stack file-level code quality filters
         "code_starcoder_filters": r.code_starcoder_filters,
+        # Benford first-digit audit + Mann-Whitney rank-shift test
+        "orders_benford": r.orders_benford,
+        "lineitem_mannwhitney": r.lineitem_mannwhitney,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -3787,6 +3790,72 @@ def oracle_sql() -> dict[str, str]:
                    round((a1 + a2) * (a1 + a2)
                          / (a1 * a1 / (n_r - 1)
                             + a2 * a2 / (n_n - 1)), 6) AS df6
+            FROM calc
+        """,
+        "orders_benford": """
+            WITH c AS (
+                SELECT CAST(round(o_totalprice * 100.0, 0) AS BIGINT)
+                           AS cents
+                FROM orders
+            ),
+            dg AS (
+                SELECT CAST(left(CAST(cents AS VARCHAR), 1) AS BIGINT)
+                           AS digit
+                FROM c
+            ),
+            cnt0 AS (SELECT digit, count(*) AS n FROM dg GROUP BY 1),
+            d9 AS (SELECT unnest(range(1, 10)) AS digit),
+            cnt AS (SELECT d9.digit, COALESCE(cnt0.n, 0) AS n
+                    FROM d9 LEFT JOIN cnt0 USING (digit)),
+            tot AS (SELECT sum(n) AS total FROM cnt)
+            SELECT CAST(digit AS BIGINT) AS digit, CAST(n AS BIGINT) AS n,
+                   round(CAST(n AS DOUBLE) / total, 6) AS obs_frac6,
+                   round(log10(1.0 + 1.0 / digit), 6) AS exp_frac6,
+                   round((n - total * log10(1.0 + 1.0 / digit))
+                         * (n - total * log10(1.0 + 1.0 / digit))
+                         / (total * log10(1.0 + 1.0 / digit)), 6)
+                       AS chi2_term6
+            FROM cnt, tot
+        """,
+        "lineitem_mannwhitney": """
+            WITH g AS (
+                SELECT CAST(l_quantity AS BIGINT) AS q,
+                       sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                           AS nr,
+                       sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+                           AS nn
+                FROM lineitem WHERE l_returnflag IN ('R', 'N')
+                GROUP BY 1
+            ),
+            w AS (
+                SELECT q, nr, nn, nr + nn AS t,
+                       sum(nr + nn) OVER (ORDER BY q
+                           ROWS UNBOUNDED PRECEDING) - (nr + nn) AS cum
+                FROM g
+            ),
+            s AS (
+                SELECT sum(CAST(nr AS HUGEINT) * (2 * cum + t + 1))
+                           AS two_r1,
+                       sum(CAST(t AS HUGEINT) * t * t - t) AS st,
+                       sum(nr) AS nr_tot, sum(nn) AS nn_tot
+                FROM w
+            ),
+            calc AS (
+                SELECT nr_tot, nn_tot, nr_tot + nn_tot AS n,
+                       two_r1 - CAST(nr_tot AS HUGEINT) * (nr_tot + 1)
+                           AS two_u1,
+                       st
+                FROM s
+            )
+            SELECT CAST(nr_tot AS BIGINT) AS n_r,
+                   CAST(nn_tot AS BIGINT) AS n_n,
+                   CAST(two_u1 AS BIGINT) AS two_u1,
+                   round(CAST(two_u1 AS DOUBLE) / 2.0, 6) AS u1_6,
+                   round((CAST(two_u1 - CAST(nr_tot AS HUGEINT) * nn_tot
+                               AS DOUBLE) / 2.0)
+                         / sqrt(CAST(nr_tot AS HUGEINT) * nn_tot / 12.0
+                                * ((n + 1) - CAST(st AS DOUBLE)
+                                   / (n * (n - 1.0)))), 6) AS z6
             FROM calc
         """,
         "orders_ewma_revenue": f"""

@@ -9648,3 +9648,102 @@ def code_starcoder_filters(sf_dir: str):
                        "keep": "bool"})
             .sort_values(["repo", "path"], kind="mergesort")
             .reset_index(drop=True))
+
+
+def orders_benford(sf_dir: str):
+    """Benford's-law first-digit audit of order totals — the classic
+    data-quality / fraud screen (synthetic or fabricated value columns
+    flunk it): per leading digit of the exact-cents total, the observed
+    count and fraction vs the Benford expectation log10(1 + 1/d), plus
+    the per-digit chi-square term. Per-block 9-bin count partials (one
+    tiny row set per block, digit extracted vectorized from the cents
+    integer); fractions and terms are mirrored float expressions of
+    exact integers, and the chi-square terms stay PER-DIGIT so no
+    float-sum ordering exists anywhere."""
+    import math
+
+    ds = _tbl(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            batch["o_totalprice"].to_numpy() * 100.0, 0).astype(np.int64)
+        # leading digit: strip trailing digits by repeated //10 (vectorized)
+        v = cents.copy()
+        while True:
+            big = v >= 10
+            if not big.any():
+                break
+            v[big] //= 10
+        counts = np.bincount(v, minlength=10)[1:10]
+        return pa.table({"digit": pa.array(np.arange(1, 10), pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    df = (ds.map_batches(partials, batch_format="pyarrow")
+          .groupby("digit").aggregate(Sum("n", alias_name="n"))
+          .to_pandas().sort_values("digit").reset_index(drop=True))
+    total = int(df["n"].sum())
+    rows = []
+    for d, n in zip(df["digit"].astype(int), df["n"].astype(int)):
+        p = math.log10(1.0 + 1.0 / d)
+        obs = n / total
+        chi = (n - total * p) * (n - total * p) / (total * p)
+        rows.append((d, n, float(round_half_away(obs, 6)),
+                     float(round_half_away(p, 6)),
+                     float(round_half_away(chi, 6))))
+    return pd.DataFrame(rows, columns=["digit", "n", "obs_frac6",
+                                       "exp_frac6", "chi2_term6"]).astype(
+        {"digit": "int64", "n": "int64"})
+
+
+def lineitem_mannwhitney(sf_dir: str):
+    """Mann-Whitney U test (rank shift) between returned (R) and normal
+    (N) quantities — completing the two-sample family (KS = shape,
+    Welch = mean, MWU = rank): exact tie-corrected U and z from the same
+    bounded value catalog lineitem_ks_test uses. Ranks never need a
+    global sort: average ranks come from the catalog's cumulative
+    counts, kept EXACT as doubled-rank integers (2*R1 = sum nr*(2*cum +
+    t + 1)), so U, the tie term sum(t^3 - t) and the z numerator are
+    order-free exact integers (HUGEINT in SQL, Python ints here) and the
+    z statistic is one mirrored IEEE expression."""
+    import math
+
+    ds = _tbl(sf_dir, "lineitem", columns=["l_quantity", "l_returnflag"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch["l_returnflag"],
+                     value_set=pa.array(["R", "N"], pa.string()))
+        b = batch.filter(m)
+        isr = pc.cast(pc.equal(b["l_returnflag"], "R"), pa.int64())
+        t = pa.table({"q": pc.cast(b["l_quantity"], pa.int64()),
+                      "nr": isr,
+                      "nn": pc.subtract(pa.scalar(1, pa.int64()), isr)})
+        g = t.group_by("q").aggregate([("nr", "sum"), ("nn", "sum")])
+        return pa.table({"q": g["q"], "nr": g["nr_sum"], "nn": g["nn_sum"]})
+
+    df = (ds.map_batches(partials, batch_format="pyarrow")
+          .groupby("q")
+          .aggregate(Sum("nr", alias_name="nr"), Sum("nn", alias_name="nn"))
+          .to_pandas().sort_values("q").reset_index(drop=True))
+    nr_tot = int(df["nr"].sum())
+    nn_tot = int(df["nn"].sum())
+    n = nr_tot + nn_tot
+    two_r1 = 0
+    st = 0
+    cum = 0
+    for nr, nn in zip(df["nr"].astype(int), df["nn"].astype(int)):
+        t = nr + nn
+        two_r1 += nr * (2 * cum + t + 1)
+        st += t * t * t - t
+        cum += t
+    two_u1 = two_r1 - nr_tot * (nr_tot + 1)
+    num2 = two_u1 - nr_tot * nn_tot  # 2*(U1 - mu), exact int
+    ser = nr_tot * nn_tot
+    sigma2 = ser / 12.0 * ((n + 1) - st / (n * (n - 1.0)))
+    z = (num2 / 2.0) / math.sqrt(sigma2)
+    return pd.DataFrame({
+        "n_r": pd.array([nr_tot], dtype="int64"),
+        "n_n": pd.array([nn_tot], dtype="int64"),
+        "two_u1": pd.array([two_u1], dtype="int64"),
+        "u1_6": [float(round_half_away(two_u1 / 2.0, 6))],
+        "z6": [float(round_half_away(z, 6))],
+    })
