@@ -337,6 +337,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Benford first-digit audit + Mann-Whitney rank-shift test
         "orders_benford": r.orders_benford,
         "lineitem_mannwhitney": r.lineitem_mannwhitney,
+        # code governance: secrets scan + license filter (fixture-backed)
+        "code_secrets_scan": r.code_secrets_scan,
+        "code_license_filter": r.code_license_filter,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -398,6 +401,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_mmr_diversify": o.mmr_diversify_sql(),
         "doc_dup_cluster_stats": o.dup_cluster_stats_sql(),
         "code_starcoder_filters": o.code_starcoder_filters_sql(),
+        "code_secrets_scan": o.code_secrets_scan_sql(),
+        "code_license_filter": o.code_license_filter_sql(),
         "doc_fuzzy_dedup_corpus": o.doc_fuzzy_dedup_corpus_sql(),
         "doc_jaccard_dups": o.doc_jaccard_dups_sql(),
         "doc_dup_components": o.doc_dup_components_sql(),

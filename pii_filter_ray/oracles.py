@@ -1235,3 +1235,55 @@ SELECT repo, path,
        (ml <= 1000 AND sl < 100 * nl AND 4 * na > nc
         AND NOT is_autogen) AS keep
 FROM m"""
+
+
+def code_secrets_scan_sql() -> str:
+    """Dual recomputation of code_secrets_scan: the SAME fixture rows as a
+    VALUES literal, every pattern recounted with DuckDB's RE2
+    regexp_extract_all (patterns are the shared SECRET_PATTERNS literals —
+    RE2-safe, so match sets agree with Python re)."""
+    from .sources.code_governance_fixtures import (
+        SECRET_CASES, SECRET_PATTERNS, sql_values)
+
+    count_cols = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(content, '{pat}')) AS BIGINT)"
+        f" AS {name}" for name, pat in SECRET_PATTERNS)
+    any_expr = " + ".join(name for name, _ in SECRET_PATTERNS)
+    return f"""
+    WITH f AS (SELECT * FROM {sql_values(SECRET_CASES)}),
+    c AS (
+        SELECT case_id,
+           {count_cols}
+        FROM f
+    )
+    SELECT case_id, {", ".join(n for n, _ in SECRET_PATTERNS)},
+           ({any_expr}) > 0 AS has_secret
+    FROM c"""
+
+
+def code_license_filter_sql() -> str:
+    """Dual recomputation of code_license_filter: mirrored LIKE probes in
+    the same LICENSE_RULES precedence order over the lowercased first 5
+    lines of the same VALUES fixture rows."""
+    from .sources.code_governance_fixtures import (
+        LICENSE_CASES, LICENSE_RULES, PERMISSIVE, sql_values)
+
+    whens = "\n                ".join(
+        f"WHEN head LIKE '%{marker}%' THEN '{name}'"
+        for name, marker in LICENSE_RULES)
+    keep_list = ", ".join(f"'{p}'" for p in PERMISSIVE)
+    return f"""
+    WITH f AS (SELECT * FROM {sql_values(LICENSE_CASES)}),
+    h AS (
+        SELECT case_id,
+               lower(array_to_string(
+                   (string_split(content, chr(10)))[1:5], chr(10))) AS head
+        FROM f
+    ),
+    d AS (
+        SELECT case_id,
+               CASE {whens}
+                ELSE 'none' END AS license
+        FROM h
+    )
+    SELECT case_id, license, license IN ({keep_list}) AS keep FROM d"""

@@ -9747,3 +9747,80 @@ def lineitem_mannwhitney(sf_dir: str):
         "u1_6": [float(round_half_away(two_u1 / 2.0, 6))],
         "z6": [float(round_half_away(z, 6))],
     })
+
+
+def code_secrets_scan(sf_dir: str):
+    """Secrets scan over code — the code-payload analog of the PII
+    scrub (what The Stack / BigCode run before release): per file, the
+    count of AWS access keys, PEM private-key headers, Slack tokens,
+    bare 40-hex digests and inline connection-string passwords, plus the
+    any-secret flag. Runs over the authored governance fixture table
+    (the synthetic corpus is deliberately credential-free; the
+    mask_fixture_check pattern) — the stage itself is a zero-shuffle
+    compiled-regex map_batches identical in shape to the corpus-scale
+    scrub. The oracle reconstructs the SAME rows as a VALUES literal and
+    recounts every pattern with DuckDB's RE2 regexp_extract_all, so this
+    is a dual recomputation, not a pinned expectation."""
+    import re as _re
+
+    from ..sources.code_governance_fixtures import (
+        SECRET_PATTERNS, secret_fixture_table)
+
+    compiled = [(name, _re.compile(pat)) for name, pat in SECRET_PATTERNS]
+    ds = ray.data.from_arrow(secret_fixture_table())
+
+    def scan(batch: pa.Table) -> pa.Table:
+        out = {"case_id": batch["case_id"]}
+        counts = {name: [] for name, _ in compiled}
+        flags = []
+        for txt in batch["content"].to_pylist():
+            txt = txt or ""
+            any_hit = False
+            for name, rx in compiled:
+                n = len(rx.findall(txt))
+                counts[name].append(n)
+                any_hit = any_hit or n > 0
+            flags.append(any_hit)
+        for name, _ in compiled:
+            out[name] = pa.array(counts[name], pa.int64())
+        out["has_secret"] = pa.array(flags, pa.bool_())
+        return pa.table(out)
+
+    df = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    return (df.astype({n: "int64" for n, _ in SECRET_PATTERNS}
+                      | {"has_secret": "bool"})
+            .sort_values("case_id", kind="mergesort").reset_index(drop=True))
+
+
+def code_license_filter(sf_dir: str):
+    """License-header detection and the permissive-only keep rule — The
+    Stack's core governance step: probe the lowercased first 5 lines for
+    license markers in fixed precedence order (apache > mit > bsd >
+    agpl > gpl), keep = permissive (mit/apache/bsd). Runs over the
+    authored license fixture table (corpus is license-free); the stage
+    is a zero-shuffle per-row map. The oracle recomputes detection from
+    the same VALUES rows with mirrored LIKE probes in the same CASE
+    precedence order."""
+    from ..sources.code_governance_fixtures import (
+        LICENSE_RULES, PERMISSIVE, license_fixture_table)
+
+    ds = ray.data.from_arrow(license_fixture_table())
+
+    def detect(batch: pa.Table) -> pa.Table:
+        lics, keeps = [], []
+        for txt in batch["content"].to_pylist():
+            head = "\n".join((txt or "").split("\n")[:5]).lower()
+            lic = "none"
+            for name, marker in LICENSE_RULES:
+                if marker in head:
+                    lic = name
+                    break
+            lics.append(lic)
+            keeps.append(lic in PERMISSIVE)
+        return pa.table({"case_id": batch["case_id"],
+                         "license": pa.array(lics, pa.string()),
+                         "keep": pa.array(keeps, pa.bool_())})
+
+    df = ds.map_batches(detect, batch_format="pyarrow").to_pandas()
+    return (df.astype({"keep": "bool"})
+            .sort_values("case_id", kind="mergesort").reset_index(drop=True))
