@@ -340,6 +340,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # code governance: secrets scan + license filter (fixture-backed)
         "code_secrets_scan": r.code_secrets_scan,
         "code_license_filter": r.code_license_filter,
+        # simhash banding calibration: bit-sim proxy vs exact Jaccard
+        "doc_simhash_calibration": r.doc_simhash_calibration,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -403,6 +405,7 @@ def oracle_sql() -> dict[str, str]:
         "code_starcoder_filters": o.code_starcoder_filters_sql(),
         "code_secrets_scan": o.code_secrets_scan_sql(),
         "code_license_filter": o.code_license_filter_sql(),
+        "doc_simhash_calibration": o.doc_simhash_calibration_sql(),
         "doc_fuzzy_dedup_corpus": o.doc_fuzzy_dedup_corpus_sql(),
         "doc_jaccard_dups": o.doc_jaccard_dups_sql(),
         "doc_dup_components": o.doc_dup_components_sql(),

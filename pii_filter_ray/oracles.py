@@ -203,31 +203,86 @@ def doc_minhash_calibration_sql(
   )"""
 
 
-def doc_simhash_sql() -> str:
-    """SimHash recompute in SQL (mirror of dedup.SimHashStage with
+def _simhash_ctes() -> str:
+    """The SimHash recompute CTE chain (mirror of dedup.SimHashStage with
     sql_hash64 word hashes): per-word 63-bit hash, per-bit ±1 vote over all
-    word occurrences, bit set iff vote sum > 0."""
-    return f"""WITH doc_words AS (
+    word occurrences, bit set iff vote sum > 0. Ends in ``sh_all``
+    (doc_id, simhash); CTE names are sh_-prefixed so the chain composes
+    with shingle_strings_cte in one WITH (doc_simhash_calibration)."""
+    return f"""sh_words AS (
     SELECT doc_id, {words_expr()} AS words FROM documents
   ),
-  wh AS (
+  sh_wh AS (
     SELECT doc_id, {h64('w')} AS h
-    FROM (SELECT doc_id, unnest(words) AS w FROM doc_words)
+    FROM (SELECT doc_id, unnest(words) AS w FROM sh_words)
   ),
-  bits AS (
+  sh_bits AS (
     SELECT doc_id, bs.b AS b,
            CASE WHEN sum(CASE WHEN (h >> bs.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
                 THEN 1 ELSE 0 END AS bit
-    FROM wh CROSS JOIN (SELECT unnest(range(63)) AS b) bs
+    FROM sh_wh CROSS JOIN (SELECT unnest(range(63)) AS b) bs
     GROUP BY doc_id, bs.b
   ),
-  fp AS (
+  sh_fp AS (
     SELECT doc_id,
            sum(CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << CAST(b AS INT))) AS simhash
-    FROM bits GROUP BY doc_id
+    FROM sh_bits GROUP BY doc_id
+  ),
+  sh_all AS (
+    SELECT d.doc_id, CAST(COALESCE(sh_fp.simhash, 0) AS BIGINT) AS simhash
+    FROM documents d LEFT JOIN sh_fp ON d.doc_id = sh_fp.doc_id
+  )"""
+
+
+def doc_simhash_sql() -> str:
+    """SimHash recompute in SQL (the shared _simhash_ctes chain)."""
+    return f"""WITH {_simhash_ctes()}
+  SELECT doc_id, simhash FROM sh_all"""
+
+
+def doc_simhash_calibration_sql(max_hamming: int = 3,
+                                max_bucket: int = 128, k: int = 3) -> str:
+    """Full recompute of doc_simhash_calibration: the shared SimHash CTE
+    chain, 4x16-bit chunk banding with oversize buckets dropped WHOLE
+    (HAVING count(*) <= max_bucket — the Ray side's mirrored rule),
+    Hamming verification via bit_count(xor(...)), and the exact
+    distinct-shingle Jaccard of each surviving pair via list_intersect
+    on the shared shingle CTEs."""
+    return f"""WITH {_simhash_ctes()},
+  {shingle_strings_cte(k)},
+  ch AS (
+    SELECT doc_id, simhash, c.c AS chunk_id,
+           CAST((simhash // (CAST(1 AS BIGINT) << CAST(16 * c.c AS INT)))
+                % 65536 AS BIGINT) AS chunk_val
+    FROM sh_all, (SELECT unnest(range(4)) AS c) c
+  ),
+  ok AS (
+    SELECT chunk_id, chunk_val FROM ch
+    GROUP BY 1, 2 HAVING count(*) <= {max_bucket}
+  ),
+  p AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM ch a
+    JOIN ok ON ok.chunk_id = a.chunk_id AND ok.chunk_val = a.chunk_val
+    JOIN ch b ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+              AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+  ),
+  j AS (
+    SELECT p.id_a, p.id_b, p.hamming,
+           len(list_intersect(da.shs, db.shs)) AS ni,
+           len(da.shs) AS na, len(db.shs) AS nb
+    FROM p JOIN doc_shingles da ON da.doc_id = p.id_a
+           JOIN doc_shingles db ON db.doc_id = p.id_b
   )
-  SELECT d.doc_id, CAST(COALESCE(fp.simhash, 0) AS BIGINT) AS simhash
-  FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id"""
+  SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+         CAST(hamming AS BIGINT) AS hamming,
+         round(1.0 - hamming / 64.0, 6) AS bitsim6,
+         CASE WHEN na + nb - ni > 0
+              THEN round(CAST(ni AS DOUBLE) / (na + nb - ni), 6)
+              ELSE 0.0 END AS jaccard6
+  FROM j"""
 
 
 def doc_fingerprint_sql(window: int = 16) -> str:

@@ -9824,3 +9824,103 @@ def code_license_filter(sf_dir: str):
     df = ds.map_batches(detect, batch_format="pyarrow").to_pandas()
     return (df.astype({"keep": "bool"})
             .sort_values("case_id", kind="mergesort").reset_index(drop=True))
+
+
+def doc_simhash_calibration(sf_dir: str, max_hamming: int = 3,
+                            max_bucket: int = 128,
+                            member_pull_limit: int = 500_000):
+    """SimHash banding calibration (completes the dedup-diagnostic
+    family: minhash estimator error, ANN recall, sketch errors): for
+    every banded SimHash candidate pair within Hamming distance
+    ``max_hamming``, the bit-similarity proxy (1 - d/64) next to the
+    EXACT distinct-shingle Jaccard — the mapping read before choosing a
+    Hamming threshold for a corpus-scale simhash dedup. Pair generation
+    bands the 63-bit fingerprint into 4 16-bit chunks (pigeonhole
+    guarantee for d <= 3); buckets larger than ``max_bucket`` are
+    DROPPED WHOLE on both sides (HAVING count(*) <= max_bucket in the
+    mirror — the minhash max_bucket convention, loud in the count, never
+    silently truncated). Members' shingle sets pull via a broadcast id
+    filter bounded by ``member_pull_limit`` (fails loud past it); both
+    ratios are single float expressions of exact integers rounded to 6,
+    with the empty-shingle denominator guarded identically."""
+    from ..stages.dedup import (simhash_fingerprints, sql_hash64,
+                                word_shingles)
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    fps = simhash_fingerprints(ds, text_col="text", id_col="doc_id")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, cid, cval, sims = [], [], [], []
+        for d, sh in zip(batch["doc_id"].to_pylist(),
+                         batch["simhash"].to_pylist()):
+            for c in range(4):
+                ids.append(d)
+                cid.append(c)
+                cval.append((sh >> (16 * c)) & 0xFFFF)
+                sims.append(sh)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "chunk_id": pa.array(cid, pa.int64()),
+                         "chunk_val": pa.array(cval, pa.int64()),
+                         "simhash": pa.array(sims, pa.int64())})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"id_a": [], "id_b": [], "hamming": []}
+        rows = sorted(set(zip(g["doc_id"].astype(int),
+                              g["simhash"].astype(int))))
+        if len(rows) <= max_bucket:  # oversize buckets drop WHOLE (mirrored)
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    d = bin(rows[i][1] ^ rows[j][1]).count("1")
+                    if d <= max_hamming:
+                        out["id_a"].append(rows[i][0])
+                        out["id_b"].append(rows[j][0])
+                        out["hamming"].append(d)
+        return pd.DataFrame(out).astype(
+            {"id_a": "int64", "id_b": "int64", "hamming": "int64"})
+
+    cand = (fps.map_batches(explode, batch_format="pyarrow")
+            .groupby(["chunk_id", "chunk_val"])
+            .map_groups(bucket_pairs, batch_format="pandas")
+            .groupby(["id_a", "id_b"])
+            .aggregate(Min("hamming", alias_name="hamming"))
+            .to_pandas())
+    cols = ["id_a", "id_b", "hamming", "bitsim6", "jaccard6"]
+    if len(cand) == 0:
+        return pd.DataFrame(columns=cols).astype(
+            {"id_a": "int64", "id_b": "int64", "hamming": "int64",
+             "bitsim6": "float64", "jaccard6": "float64"})
+    members = np.unique(np.concatenate(
+        [cand["id_a"].to_numpy(np.int64), cand["id_b"].to_numpy(np.int64)]))
+    if len(members) > member_pull_limit:
+        raise ValueError(
+            f"{len(members)} candidate members exceed member_pull_limit="
+            f"{member_pull_limit}; run the distributed jaccard join for "
+            f"corpora this duplicated")
+    mref = ray.put(pa.array(members, pa.int64()))
+
+    def member_state(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_in(batch["doc_id"], value_set=ray.get(mref)))
+        ids, shs = [], []
+        for i, v in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            sh = {sql_hash64(s) for s in word_shingles(v or "", k=3)}
+            ids.append(i)
+            shs.append(sorted(sh))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "shs": pa.array(shs, pa.list_(pa.int64()))})
+
+    state = ds.map_batches(member_state, batch_format="pyarrow").to_pandas()
+    sh_map = {int(r.doc_id): set(r.shs) for r in state.itertuples()}
+    rows = []
+    for a, b, h in zip(cand["id_a"].to_numpy(np.int64),
+                       cand["id_b"].to_numpy(np.int64),
+                       cand["hamming"].to_numpy(np.int64)):
+        sa, sb = sh_map[int(a)], sh_map[int(b)]
+        ni = len(sa & sb)
+        den = len(sa) + len(sb) - ni
+        jac = float(round_half_away(ni / den, 6)) if den > 0 else 0.0
+        rows.append((int(a), int(b), int(h),
+                     float(round_half_away(1.0 - h / 64.0, 6)), jac))
+    return (pd.DataFrame(rows, columns=cols).astype(
+        {"id_a": "int64", "id_b": "int64", "hamming": "int64"})
+        .sort_values(["id_a", "id_b"], kind="mergesort")
+        .reset_index(drop=True))
