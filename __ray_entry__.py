@@ -342,6 +342,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_license_filter": r.code_license_filter,
         # simhash banding calibration: bit-sim proxy vs exact Jaccard
         "doc_simhash_calibration": r.doc_simhash_calibration,
+        # radius (range) search: recall-complete dual of top-k
+        "emb_range_search": r.emb_range_search,
+        # quality-aware dedup survivorship: keep the BEST doc per cluster
+        "doc_dedup_best_keep": r.doc_dedup_best_keep,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -406,6 +410,20 @@ def oracle_sql() -> dict[str, str]:
         "code_secrets_scan": o.code_secrets_scan_sql(),
         "code_license_filter": o.code_license_filter_sql(),
         "doc_simhash_calibration": o.doc_simhash_calibration_sql(),
+        "doc_dedup_best_keep": o.dedup_best_keep_sql(),
+        "emb_range_search": """
+            WITH probes AS (SELECT vec_id AS qid, embedding AS qe
+                            FROM embeddings WHERE vec_id < 2)
+            SELECT p.qid AS probe_id, e.vec_id,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(p.qe AS DOUBLE[])), 9) AS sim9
+            FROM embeddings e, probes p
+            WHERE e.vec_id != p.qid
+              AND round(list_cosine_similarity(
+                      CAST(e.embedding AS DOUBLE[]),
+                      CAST(p.qe AS DOUBLE[])), 9) >= 0.3
+        """,
         "doc_fuzzy_dedup_corpus": o.doc_fuzzy_dedup_corpus_sql(),
         "doc_jaccard_dups": o.doc_jaccard_dups_sql(),
         "doc_dup_components": o.doc_dup_components_sql(),

@@ -1342,3 +1342,44 @@ def code_license_filter_sql() -> str:
         FROM h
     )
     SELECT case_id, license, license IN ({keep_list}) AS keep FROM d"""
+
+
+def dedup_best_keep_sql(threshold: float = 0.5, max_df: int = 1000) -> str:
+    """Quality-aware survivorship mirror: the recursive-CTE closure over
+    the exact-Jaccard pair graph, each cluster's representative by
+    (word count DESC, doc_id ASC) via a window rank."""
+    return f"""WITH RECURSIVE {jaccard_pairs_ctes(threshold, max_df).removeprefix("WITH ")},
+  nodes AS (
+    SELECT DISTINCT id FROM (
+      SELECT id_a AS id FROM jac_pairs UNION ALL SELECT id_b FROM jac_pairs
+    )
+  ),
+  bi_edges AS (
+    SELECT id_a AS a, id_b AS b FROM jac_pairs
+    UNION ALL
+    SELECT id_b AS a, id_a AS b FROM jac_pairs
+  ),
+  reach(id, r) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT e.a, reach.r FROM bi_edges e JOIN reach ON reach.id = e.b
+  ),
+  comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+  wcnt AS (SELECT doc_id, len({words_expr('text')}) AS n_words
+           FROM documents),
+  m AS (
+    SELECT c.component, c.id, w.n_words
+    FROM comp c JOIN wcnt w ON w.doc_id = c.id
+  ),
+  rk AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY component
+                              ORDER BY n_words DESC, id) AS rn,
+           count(*) OVER (PARTITION BY component) AS cnt
+    FROM m
+  )
+  SELECT CAST(component AS BIGINT) AS component,
+         CAST(id AS BIGINT) AS keep_id,
+         CAST(n_words AS BIGINT) AS keep_words,
+         CAST(cnt AS BIGINT) AS csize
+  FROM rk WHERE rn = 1"""

@@ -9924,3 +9924,96 @@ def doc_simhash_calibration(sf_dir: str, max_hamming: int = 3,
         {"id_a": "int64", "id_b": "int64", "hamming": "int64"})
         .sort_values(["id_a", "id_b"], kind="mergesort")
         .reset_index(drop=True))
+
+
+def emb_range_search(sf_dir: str, n_probes: int = 2, threshold: float = 0.3):
+    """Range search (the radius dual of top-k): ALL vectors within
+    cosine >= ``threshold`` of each probe — the shape used for
+    recall-complete near-dup retrieval where top-k would truncate. One
+    corpus pass against the broadcast probe matrix; each block emits
+    only its in-radius rows (sim snapped to 9 digits BEFORE the
+    threshold on both sides, so boundary membership cannot flip), and
+    no driver-side merge logic exists at all — output size is the match
+    set, never the corpus."""
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    from ..stages.similarity import _normalize, _to_matrix
+
+    probe_tbl = pa.concat_tables(ds.map_batches(
+        lambda b: b.filter(pc.less(b["vec_id"], pa.scalar(n_probes))),
+        batch_format="pyarrow").iter_batches(batch_format="pyarrow")) \
+        .sort_by("vec_id")
+    qids = probe_tbl["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+    Q = _normalize(_to_matrix(probe_tbl["embedding"]))
+    qref = ray.put((qids, Q))
+
+    def block_range(batch: pa.Table) -> pa.Table:
+        ids_q, Qm = ray.get(qref)
+        M = _normalize(_to_matrix(batch["embedding"]))
+        S_r = np.round(M @ Qm.T, 9)
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        out_q, out_id, out_sim = [], [], []
+        for c in range(S_r.shape[1]):
+            hit = (S_r[:, c] >= threshold) & (vid != ids_q[c])
+            out_q.append(np.full(int(hit.sum()), ids_q[c], dtype="int64"))
+            out_id.append(vid[hit].astype("int64"))
+            out_sim.append(S_r[hit, c])
+        return pa.table({
+            "probe_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "sim9": pa.array(np.concatenate(out_sim), pa.float64()),
+        })
+
+    df = ds.map_batches(block_range, batch_format="pyarrow").to_pandas()
+    return (df.astype({"probe_id": "int64", "vec_id": "int64",
+                       "sim9": "float64"})
+            .sort_values(["probe_id", "vec_id"], kind="mergesort")
+            .reset_index(drop=True))
+
+
+def doc_dedup_best_keep(sf_dir: str, threshold: float = 0.5):
+    """Quality-aware dedup survivorship — the production keep rule
+    (keep the BEST document of each near-dup cluster, not the smallest
+    id): exact-Jaccard pairs -> connected components (broadcast-free
+    tagged-union propagation) -> per-cluster representative by word
+    count DESC, doc_id ASC. The per-doc quality signal (word count) is
+    a cheap projection pass joined onto the component table with the
+    distributed hash_join — the component table never lands on the
+    driver; the per-cluster argmax is one bounded map_groups over
+    components. Output: one row per cluster with its keep decision."""
+    from ..stages.dedup import dup_components_joined, jaccard_similarity_join
+    from ..stages.joins import hash_join
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = jaccard_similarity_join(ds, text_col="text", id_col="doc_id",
+                                    threshold=threshold)
+    comps = dup_components_joined(pairs)
+
+    def wc(batch: pa.Table) -> pa.Table:
+        n = [len((t or "").split()) for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_words": pa.array(n, pa.int64())})
+
+    words = ds.map_batches(wc, batch_format="pyarrow")
+    joined = hash_join(
+        comps, words,
+        left_key="id", right_key="doc_id",
+        left_cols=["component"], right_cols=["n_words"],
+        schema={"component": pa.int64(), "n_words": pa.int64()},
+    )
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for comp, grp in g.groupby("component"):
+            grp = grp.sort_values(["n_words", "id"],
+                                  ascending=[False, True], kind="mergesort")
+            out.append((int(comp), int(grp["id"].iloc[0]),
+                        int(grp["n_words"].iloc[0]), len(grp)))
+        return pd.DataFrame(out, columns=["component", "keep_id",
+                                          "keep_words", "csize"])
+
+    df = (joined.groupby("component")
+          .map_groups(best, batch_format="pandas").to_pandas())
+    return (df.astype({"component": "int64", "keep_id": "int64",
+                       "keep_words": "int64", "csize": "int64"})
+            .sort_values("component", kind="mergesort")
+            .reset_index(drop=True))
