@@ -346,6 +346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_range_search": r.emb_range_search,
         # quality-aware dedup survivorship: keep the BEST doc per cluster
         "doc_dedup_best_keep": r.doc_dedup_best_keep,
+        # governance report: per-type PII totals vs authored ground truth
+        "code_pii_type_stats": r.code_pii_type_stats,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -411,6 +413,7 @@ def oracle_sql() -> dict[str, str]:
         "code_license_filter": o.code_license_filter_sql(),
         "doc_simhash_calibration": o.doc_simhash_calibration_sql(),
         "doc_dedup_best_keep": o.dedup_best_keep_sql(),
+        "code_pii_type_stats": o.code_pii_type_stats_sql(),
         "emb_range_search": """
             WITH probes AS (SELECT vec_id AS qid, embedding AS qe
                             FROM embeddings WHERE vec_id < 2)

@@ -1383,3 +1383,16 @@ def dedup_best_keep_sql(threshold: float = 0.5, max_df: int = 1000) -> str:
          CAST(n_words AS BIGINT) AS keep_words,
          CAST(cnt AS BIGINT) AS csize
   FROM rk WHERE rn = 1"""
+
+
+def code_pii_type_stats_sql(n_rows: int = 2000, seed: int = 42) -> str:
+    """Ground-truth mirror of code_pii_type_stats: per-type totals from
+    the corpus's AUTHORED expectations (expect_pii_types, written
+    independently of the scrub implementation) over kept files."""
+    path = code_corpus_expectations_path(n_rows, seed)
+    return f"""
+    SELECT t AS pii_type, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(expect_pii_types) AS t
+          FROM read_parquet({_q(path)})
+          WHERE expect_keep)
+    GROUP BY 1"""

@@ -10017,3 +10017,38 @@ def doc_dedup_best_keep(sf_dir: str, threshold: float = 0.5):
                        "keep_words": "int64", "csize": "int64"})
             .sort_values("component", kind="mergesort")
             .reset_index(drop=True))
+
+
+def code_pii_type_stats(sf_dir: str):
+    """Corpus PII inventory by type — the governance report a scrub run
+    ships with (how many emails / CPFs / cards were masked): the REAL
+    fused scrub runs over the code corpus, kept files' pii_masked
+    entries explode to (type) rows and pre-aggregate per block, so the
+    shuffle moves one row per type per block. The oracle reads the
+    corpus's AUTHORED expectations (expect_pii_types per file, written
+    independently of the scrub implementation) — so this checks the
+    masking engine's per-type totals against ground truth, not against
+    itself."""
+    from ..pipelines.quality_pipeline import quality_scrub
+    from ..sources.synthetic_code import corpus_path
+
+    ds = ray.data.read_parquet(corpus_path(n_rows=2000, seed=42))
+    out = quality_scrub(ds, mode="code", emit_mappings=True)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: "Counter" = Counter()
+        for keep, masked in zip(batch["keep"].to_pylist(),
+                                batch["pii_masked"].to_pylist()):
+            if not keep:
+                continue
+            for m in masked or []:
+                c[m["type"]] += 1
+        return pa.table({"pii_type": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    df = (out.map_batches(explode, batch_format="pyarrow")
+          .groupby("pii_type").aggregate(Sum("n", alias_name="n"))
+          .to_pandas())
+    return (df.astype({"n": "int64"})
+            .sort_values("pii_type", kind="mergesort").reset_index(drop=True))
