@@ -348,6 +348,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_best_keep": r.doc_dedup_best_keep,
         # governance report: per-type PII totals vs authored ground truth
         "code_pii_type_stats": r.code_pii_type_stats,
+        # global clustering coefficient over the co-occurrence graph
+        "part_clustering_coeff": r.part_clustering_coeff,
+        # Heaps'-law vocabulary-growth fit (the Zipf dual)
+        "doc_heaps_law": r.doc_heaps_law,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -1355,6 +1359,30 @@ def oracle_sql() -> dict[str, str]:
                    round(sy / cnt - ((sxy - sx * sy / cnt)
                                      / (sxx - sx * sx / cnt)) * (sx / cnt),
                          6) AS intercept6
+            FROM s
+        """,
+        "doc_heaps_law": f"""
+            WITH tok AS (
+                SELECT lang, unnest({o.words_expr('text')}) AS w
+                FROM documents
+            ),
+            per AS (
+                SELECT lang, count(*) AS n_tok,
+                       count(DISTINCT w) AS v_distinct
+                FROM tok GROUP BY lang
+            ),
+            s AS (SELECT count(*) * 1.0 AS cnt,
+                         round(sum(ln(n_tok)), 9) AS sx,
+                         round(sum(ln(v_distinct)), 9) AS sy,
+                         round(sum(ln(n_tok) * ln(v_distinct)), 9) AS sxy,
+                         round(sum(ln(n_tok) * ln(n_tok)), 9) AS sxx
+                  FROM per)
+            SELECT CAST(cnt AS BIGINT) AS n_langs,
+                   round((sxy - sx * sy / cnt) / (sxx - sx * sx / cnt), 6)
+                       AS beta6,
+                   round(sy / cnt - ((sxy - sx * sy / cnt)
+                                     / (sxx - sx * sx / cnt)) * (sx / cnt),
+                         6) AS logk6
             FROM s
         """,
         "emb_product_quantization": """
@@ -3293,6 +3321,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
                    (SELECT nw FROM w) AS n_wedges,
                    (SELECT nt FROM t) AS n_triangles
+        """,
+        "part_clustering_coeff": """
+            WITH pl AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            e AS (
+                SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+                FROM pl x JOIN pl y
+                  ON x.l_orderkey = y.l_orderkey
+                 AND x.l_partkey < y.l_partkey
+            ),
+            deg AS (
+                SELECT v, CAST(count(*) AS BIGINT) AS d
+                FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+                GROUP BY v
+            ),
+            wp AS (
+                SELECT CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT)
+                           AS wp
+                FROM deg
+            ),
+            t AS (
+                SELECT CAST(count(*) AS BIGINT) AS nt
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+                   (SELECT nt FROM t) AS n_triangles,
+                   (SELECT wp FROM wp) AS wedge_paths,
+                   CASE WHEN (SELECT wp FROM wp) > 0
+                        THEN round(3 * (SELECT nt FROM t)
+                                   / (SELECT wp FROM wp), 6)
+                        ELSE 0.0 END AS clustering6
         """,
         "doc_sorted_neighborhood": """
             WITH k AS (

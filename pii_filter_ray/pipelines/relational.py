@@ -5058,7 +5058,8 @@ def doc_sorted_neighborhood(sf_dir: str):
 def part_triangle_count(sf_dir: str, closure: str | None = None,
                         edge_broadcast_limit: int = 50_000_000,
                         degree: str | None = None,
-                        degree_broadcast_limit: int = 50_000_000):
+                        degree_broadcast_limit: int = 50_000_000,
+                        with_clustering: bool = False):
     """Distributed triangle counting on the part co-occurrence graph
     (parts are adjacent iff they appear in the same order), via the
     classic degree-ordered wedge-check algorithm:
@@ -5135,12 +5136,26 @@ def part_triangle_count(sf_dir: str, closure: str | None = None,
         .materialize()
     )
     n_edges = int(edges.count())
+
+    def _finish(df: pd.DataFrame, wpaths: int) -> pd.DataFrame:
+        # optional global-clustering-coefficient columns (C = 3T / W with
+        # W = sum over nodes of C(deg, 2)) — the default schema is
+        # untouched so the triangle oracle stays byte-identical
+        if with_clustering:
+            nt = int(df["n_triangles"].iloc[0])
+            df["wedge_paths"] = pd.array([wpaths], dtype="int64")
+            df["clustering6"] = [
+                float(round_half_away(3 * nt / wpaths, 6)) if wpaths
+                else 0.0]
+        return df
+
     if n_edges == 0:
         # no order holds two distinct parts: empty graph, zero row like
         # the oracle's aggregates over the empty edge CTE
-        return pd.DataFrame({"n_edges": pd.array([0], dtype="int64"),
-                             "n_wedges": pd.array([0], dtype="int64"),
-                             "n_triangles": pd.array([0], dtype="int64")})
+        return _finish(
+            pd.DataFrame({"n_edges": pd.array([0], dtype="int64"),
+                          "n_wedges": pd.array([0], dtype="int64"),
+                          "n_triangles": pd.array([0], dtype="int64")}), 0)
 
     def deg_partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"v": pa.concat_arrays([
@@ -5152,6 +5167,15 @@ def part_triangle_count(sf_dir: str, closure: str | None = None,
     deg_ds = (edges.map_batches(deg_partial, batch_format="pyarrow")
               .groupby("v").aggregate(Sum("d", alias_name="d")).materialize())
     n_nodes = int(deg_ds.count())
+
+    wpaths = 0
+    if with_clustering:
+        def cw(batch: pa.Table) -> pa.Table:
+            d = batch["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"w2": pa.array(d * (d - 1) // 2, pa.int64())})
+
+        wpaths = int(deg_ds.map_batches(cw, batch_format="pyarrow")
+                     .aggregate(Sum("w2", alias_name="w2"))["w2"])
 
     def _orient_cols(a, b, da, db):
         lt = (da < db) | ((da == db) & (a < b))
@@ -5257,11 +5281,11 @@ def part_triangle_count(sf_dir: str, closure: str | None = None,
                .map_groups(wedge_close_group, batch_format="pandas")
                .aggregate(Sum("nw", alias_name="nw"),
                           Sum("nt", alias_name="nt")))
-        return pd.DataFrame({
+        return _finish(pd.DataFrame({
             "n_edges": pd.array([n_edges], dtype="int64"),
             "n_wedges": pd.array([int(tot["nw"])], dtype="int64"),
             "n_triangles": pd.array([int(tot["nt"])], dtype="int64"),
-        })
+        }), wpaths)
 
     # --- distributed closure: tagged-union marker join over (x, y) -------
     def wedge_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -5321,11 +5345,25 @@ def part_triangle_count(sf_dir: str, closure: str | None = None,
         .groupby("cb").map_groups(close_group, batch_format="pandas")
         .aggregate(Sum("nw", alias_name="nw"), Sum("nt", alias_name="nt"))
     )
-    return pd.DataFrame({
+    return _finish(pd.DataFrame({
         "n_edges": pd.array([n_edges], dtype="int64"),
         "n_wedges": pd.array([int(tot["nw"])], dtype="int64"),
         "n_triangles": pd.array([int(tot["nt"])], dtype="int64"),
-    })
+    }), wpaths)
+
+
+def part_clustering_coeff(sf_dir: str):
+    """Global clustering coefficient (transitivity) of the part
+    co-occurrence graph: C = 3*triangles / wedge-paths, the one-number
+    graph-health summary next to the raw triangle count. Rides the full
+    degree-ordered triangle pipeline (edge dedup, oriented wedges,
+    broadcast/shuffle closure gates all unchanged); the wedge-path count
+    W = sum over nodes of C(deg, 2) is one extra bounded aggregate over
+    the already-materialized degree table, and C is a single float
+    division of exact integers mirrored as 3*nt/wp in SQL."""
+    df = part_triangle_count(sf_dir, with_clustering=True)
+    return df[["n_edges", "n_triangles", "wedge_paths",
+               "clustering6"]].copy()
 
 
 def events_window_dedup(sf_dir: str):
@@ -10052,3 +10090,60 @@ def code_pii_type_stats(sf_dir: str):
           .to_pandas())
     return (df.astype({"n": "int64"})
             .sort_values("pii_type", kind="mergesort").reset_index(drop=True))
+
+
+def doc_heaps_law(sf_dir: str):
+    """Heaps'-law fit — the vocabulary-growth dual of doc_zipf_fit
+    (natural text: V ~ K * N^beta with beta ~ 0.4-0.6; a flat or
+    superlinear fit flags templated or randomly-generated corpora): one
+    (token count, distinct-word count) point per language, OLS of ln(V)
+    on ln(N) across languages. Token counts are per-block integer
+    partials; distinct counts collapse the (lang, word) pair table
+    through the same per-block preagg the exact-distinct queries use —
+    the vocabulary never sits on the driver, only per-lang counts do.
+    Regression sums snap to 9 digits before the slope (the doc_zipf_fit
+    convention) so numpy's pairwise reduction and SQL's sequential
+    aggregate agree."""
+    ds = _tbl(sf_dir, "documents", columns=["lang", "text"])
+
+    def tok_partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: "Counter" = Counter()
+        for lg, t in zip(batch["lang"].to_pylist(),
+                         batch["text"].to_pylist()):
+            c[lg] += len((t or "").split())
+        return pa.table({"lang": pa.array(list(c.keys()), pa.string()),
+                         "n_tok": pa.array(list(c.values()), pa.int64())})
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        pairs = set()
+        for lg, t in zip(batch["lang"].to_pylist(),
+                         batch["text"].to_pylist()):
+            for w in (t or "").split():
+                pairs.add((lg, w))
+        return pa.table({
+            "lang": pa.array([p[0] for p in pairs], pa.string()),
+            "w": pa.array([p[1] for p in pairs], pa.string())})
+
+    toks = (ds.map_batches(tok_partials, batch_format="pyarrow")
+            .groupby("lang").aggregate(Sum("n_tok", alias_name="n_tok")))
+    vocab = preagg_groupby(
+        ds.map_batches(pair_partials, batch_format="pyarrow"),
+        ["lang", "w"], count_alias="m")
+    vsizes = preagg_groupby(vocab, ["lang"], count_alias="v_distinct")
+    df = (toks.to_pandas().merge(vsizes.to_pandas(), on="lang")
+          .sort_values("lang", kind="mergesort").reset_index(drop=True))
+    x = np.log(df["n_tok"].to_numpy(np.float64))
+    y = np.log(df["v_distinct"].to_numpy(np.float64))
+    n = float(len(df))
+    sx = float(round_half_away(x.sum(), 9))
+    sy = float(round_half_away(y.sum(), 9))
+    sxy = float(round_half_away((x * y).sum(), 9))
+    sxx = float(round_half_away((x * x).sum(), 9))
+    beta = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    logk = sy / n - beta * (sx / n)
+    return pd.DataFrame({
+        "n_langs": pd.array([len(df)], dtype="int64"),
+        "beta6": [float(round_half_away(beta, 6))],
+        "logk6": [float(round_half_away(logk, 6))],
+    })
