@@ -352,6 +352,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_clustering_coeff": r.part_clustering_coeff,
         # Heaps'-law vocabulary-growth fit (the Zipf dual)
         "doc_heaps_law": r.doc_heaps_law,
+        # incremental (delta) near-dup screen vs the existing corpus
+        "doc_incremental_dedup": r.doc_incremental_dedup,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -410,6 +412,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": o.doc_fingerprint_sql(),
         "doc_minhash_candidates": o.doc_minhash_candidates_sql(),
         "doc_minhash_calibration": o.doc_minhash_calibration_sql(),
+        "doc_incremental_dedup": o.doc_incremental_dedup_sql(),
         "emb_mmr_diversify": o.mmr_diversify_sql(),
         "doc_dup_cluster_stats": o.dup_cluster_stats_sql(),
         "code_starcoder_filters": o.code_starcoder_filters_sql(),

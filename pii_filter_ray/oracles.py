@@ -1396,3 +1396,32 @@ def code_pii_type_stats_sql(n_rows: int = 2000, seed: int = 42) -> str:
           FROM read_parquet({_q(path)})
           WHERE expect_keep)
     GROUP BY 1"""
+
+
+def doc_incremental_dedup_sql(incoming=("src0", "src1"), num_perm: int = 64,
+                              bands: int = 16, seed: int = 7,
+                              k: int = 3) -> str:
+    """Incremental dedup mirror: the shared MinHash band-key chain, then
+    incoming docs' distinct band keys probed against the existing side's
+    distinct key set; zero-band and miss docs surface via the LEFT JOIN."""
+    inc = ", ".join(f"'{s}'" for s in incoming)
+    return f"""WITH {_minhash_cand_ctes(num_perm, bands, seed, 64, k)},
+  bkd AS (SELECT DISTINCT doc_id, band_key FROM band_keys),
+  exk AS (
+    SELECT DISTINCT b.band_key
+    FROM bkd b JOIN documents d USING (doc_id)
+    WHERE d.source NOT IN ({inc})
+  ),
+  hits AS (
+    SELECT b.doc_id, count(*) AS n
+    FROM bkd b
+    JOIN documents d USING (doc_id)
+    JOIN exk USING (band_key)
+    WHERE d.source IN ({inc})
+    GROUP BY 1
+  )
+  SELECT d.doc_id,
+         CAST(COALESCE(h.n, 0) AS BIGINT) AS n_band_hits,
+         h.doc_id IS NOT NULL AS is_candidate
+  FROM documents d LEFT JOIN hits h USING (doc_id)
+  WHERE d.source IN ({inc})"""

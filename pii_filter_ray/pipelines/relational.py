@@ -10147,3 +10147,96 @@ def doc_heaps_law(sf_dir: str):
         "beta6": [float(round_half_away(beta, 6))],
         "logk6": [float(round_half_away(logk, 6))],
     })
+
+
+def doc_incremental_dedup(sf_dir: str, incoming=("src0", "src1"),
+                          num_perm: int = 64, bands: int = 16,
+                          shingle_k: int = 3, seed: int = 7,
+                          buckets: int = 64):
+    """Incremental (delta) near-dup screen — the production ingestion
+    shape: flag each INCOMING document (sources in ``incoming``) whose
+    MinHash LSH band keys collide with any EXISTING document's band key,
+    without ever pairing existing docs against each other. Both sides
+    run the same cached MinHash stage; the membership resolves through
+    ONE band-key-bucketed tagged-union shuffle (existing rows are
+    markers, each bucket answers its incoming rows with a vectorized set
+    probe — never a per-band-key Ray group), and per-doc hit counts
+    collapse through the doc-bucketed sum with zero-rows unioned in so
+    shingle-less or miss docs appear with 0. Band keys/hashes follow the
+    corpus-wide MinHash contract, so the SQL mirror reuses the shared
+    _minhash_cand_ctes chain verbatim."""
+    from ..stages.dedup import MinHashStage
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    inc_set = pa.array(list(incoming), pa.string())
+
+    def split(want_incoming: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            m = pc.is_in(batch["source"], value_set=inc_set)
+            if not want_incoming:
+                m = pc.invert(m)
+            return batch.filter(m)
+        return fn
+
+    stage_kw = dict(text_col="text", id_col="doc_id", num_perm=num_perm,
+                    bands=bands, shingle_k=shingle_k, seed=seed)
+    inc_bands = (ds.map_batches(split(True), batch_format="pyarrow")
+                 .map_batches(cached_stage_fn(MinHashStage, **stage_kw),
+                              batch_format="pyarrow"))
+    ex_bands = (ds.map_batches(split(False), batch_format="pyarrow")
+                .map_batches(cached_stage_fn(MinHashStage, **stage_kw),
+                             batch_format="pyarrow"))
+
+    def tag(is_ex: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            g = batch.group_by(["doc_id", "band_key"]).aggregate([])
+            kb = (g["band_key"].to_numpy(zero_copy_only=False)
+                  .astype(np.uint64) * np.uint64(1_000_003)
+                  % np.uint64(buckets)).astype(np.int64)
+            return pa.table({
+                "doc_id": g["doc_id"], "band_key": g["band_key"],
+                "ex": pa.array(np.full(len(g), is_ex, np.int64), pa.int64()),
+                "kb": pa.array(kb, pa.int64())})
+        return fn
+
+    tagged = (inc_bands.map_batches(tag(0), batch_format="pyarrow")
+              .union(ex_bands.map_batches(tag(1), batch_format="pyarrow")))
+
+    def bucket_hits(g: pd.DataFrame) -> pd.DataFrame:
+        ex_keys = set(g.loc[g["ex"] == 1, "band_key"].astype(int))
+        inc_rows = g[g["ex"] == 0]
+        hit = inc_rows[inc_rows["band_key"].isin(ex_keys)]
+        c = (hit.groupby("doc_id", as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return pd.DataFrame({"doc_id": c["doc_id"].to_numpy(np.int64),
+                             "n": c["n"].to_numpy(np.int64)})
+
+    hits = (tagged.groupby("kb")
+            .map_groups(bucket_hits, batch_format="pandas"))
+
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        b = split(True)(batch)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n": pa.array(np.zeros(len(b), np.int64), pa.int64())})
+
+    def add_db(batch: pa.Table) -> pa.Table:
+        db = (batch["doc_id"].to_numpy(zero_copy_only=False)
+              .astype(np.uint64) * np.uint64(1_000_003)
+              % np.uint64(buckets)).astype(np.int64)
+        return batch.append_column("db", pa.array(db, pa.int64()))
+
+    def doc_sum(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("doc_id", as_index=False)["n"].sum()
+        return pd.DataFrame({
+            "doc_id": c["doc_id"].to_numpy(np.int64),
+            "n_band_hits": c["n"].to_numpy(np.int64),
+            "is_candidate": c["n"].to_numpy(np.int64) > 0})
+
+    df = (hits.union(ds.map_batches(zero_rows, batch_format="pyarrow"))
+          .map_batches(add_db, batch_format="pyarrow")
+          .groupby("db").map_groups(doc_sum, batch_format="pandas")
+          .to_pandas())
+    return (df.astype({"doc_id": "int64", "n_band_hits": "int64",
+                       "is_candidate": "bool"})
+            .sort_values("doc_id", kind="mergesort").reset_index(drop=True))

@@ -355,7 +355,7 @@ import pytest
     "orders_ewma_revenue", "emb_mmr_diversify", "doc_dup_cluster_stats",
     "orders_benford", "lineitem_mannwhitney", "doc_simhash_calibration",
     "emb_range_search", "doc_dedup_best_keep", "part_clustering_coeff",
-    "doc_heaps_law",
+    "doc_heaps_law", "doc_incremental_dedup",
 ])
 def test_round2_ops_invariant_to_block_layout(ray_session, monkeypatch, qname):
     """The round-2 window/rank/histogram/retrieval operators must produce
