@@ -354,6 +354,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_heaps_law": r.doc_heaps_law,
         # incremental (delta) near-dup screen vs the existing corpus
         "doc_incremental_dedup": r.doc_incremental_dedup,
+        # streaming allowed-lateness drop accounting (watermark dual)
+        "events_allowed_lateness": r.events_allowed_lateness,
+        # Wald-Wolfowitz runs test on the daily revenue series
+        "orders_runs_test": r.orders_runs_test,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -3885,6 +3889,57 @@ def oracle_sql() -> dict[str, str]:
                          / (a1 * a1 / (n_r - 1)
                             + a2 * a2 / (n_n - 1)), 6) AS df6
             FROM calc
+        """,
+        "events_allowed_lateness": """
+            WITH d AS (
+                SELECT event_type, epoch_us(ts) AS t,
+                       max(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev
+                FROM events
+            ),
+            agg AS (
+                SELECT event_type, count(*) AS nt,
+                       sum(CASE WHEN prev IS NOT NULL
+                                 AND prev - t > 600000000
+                                THEN 1 ELSE 0 END) AS nd
+                FROM d GROUP BY 1
+            )
+            SELECT event_type,
+                   CAST(nt AS BIGINT) AS n_total,
+                   CAST(nd AS BIGINT) AS n_dropped,
+                   round(CAST(nd AS DOUBLE) / nt, 6) AS drop_frac6
+            FROM agg
+        """,
+        "orders_runs_test": """
+            WITH d AS (
+                SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                       sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))
+                           AS cents
+                FROM orders GROUP BY 1
+            ),
+            med AS (SELECT quantile_disc(cents, 0.5) AS m FROM d),
+            s AS (SELECT day, cents > m AS sgn
+                  FROM d, med WHERE cents != m),
+            runs AS (SELECT sgn, lag(sgn) OVER (ORDER BY day) AS prev
+                     FROM s),
+            agg AS (
+                SELECT count(*) AS n,
+                       sum(CASE WHEN sgn THEN 1 ELSE 0 END) AS n1,
+                       sum(CASE WHEN sgn THEN 0 ELSE 1 END) AS n2,
+                       1 + sum(CASE WHEN prev IS NOT NULL AND sgn != prev
+                                    THEN 1 ELSE 0 END) AS r
+                FROM runs
+            )
+            SELECT CAST(n AS BIGINT) AS n_days_used,
+                   CAST(n1 AS BIGINT) AS n_above,
+                   CAST(n2 AS BIGINT) AS n_below,
+                   CAST(r AS BIGINT) AS r_runs,
+                   round((r - (1 + 2 * n1 * n2 / n))
+                         / sqrt((2 * n1 * n2 * (2 * n1 * n2 - n))
+                                / (n * n * (n - 1))), 6) AS z6
+            FROM agg
         """,
         "orders_benford": """
             WITH c AS (

@@ -10240,3 +10240,96 @@ def doc_incremental_dedup(sf_dir: str, incoming=("src0", "src1"),
     return (df.astype({"doc_id": "int64", "n_band_hits": "int64",
                        "is_candidate": "bool"})
             .sort_values("doc_id", kind="mergesort").reset_index(drop=True))
+
+
+def events_allowed_lateness(sf_dir: str, allowed_s: int = 600):
+    """Streaming allowed-lateness accounting — what a watermark of
+    ``allowed_s`` seconds would DROP: treating event_id as arrival
+    order, an event is dropped when it arrives more than ``allowed_s``
+    behind its user's running max event-time (the Beam/Flink allowed-
+    lateness rule; the sizing dual of events_out_of_order_depth).
+    One user-bucketed shuffle with the per-user vectorized prefix-max
+    (never a global accumulate — bucket collisions would leak lateness
+    across users), per-type partials reduce in-bucket, and one bounded
+    groupby finishes. Exact integer microsecond arithmetic both sides;
+    the drop fraction is one mirrored division."""
+    ds = _tbl(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                         "event_type"])
+    allowed_us = allowed_s * 1_000_000
+
+    def drops(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        d = pd.DataFrame({"u": u, "t": t,
+                          "event_type": g["event_type"].to_numpy()})
+        runmax = d.groupby("u", sort=False)["t"].cummax().to_numpy()
+        prev = np.r_[np.int64(0), runmax[:-1]]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        late_us = prev - t
+        late_us[new_user] = 0
+        d["dropped"] = (late_us > allowed_us).astype("int64")
+        out = d.groupby("event_type", as_index=False).agg(
+            n_total=("dropped", "size"), n_dropped=("dropped", "sum"))
+        return out[["event_type", "n_total", "n_dropped"]]
+
+    df = (ds.map_batches(_add_user_bucket, batch_format="pyarrow")
+          .groupby("bucket").map_groups(drops, batch_format="pandas")
+          .groupby("event_type")
+          .aggregate(Sum("n_total", alias_name="n_total"),
+                     Sum("n_dropped", alias_name="n_dropped"))
+          .to_pandas())
+    frac = round_half_away(
+        df["n_dropped"].to_numpy(np.float64)
+        / df["n_total"].to_numpy(np.float64), 6)
+    df["drop_frac6"] = frac
+    return (df.astype({"n_total": "int64", "n_dropped": "int64"})
+            .sort_values("event_type", kind="mergesort")
+            .reset_index(drop=True))
+
+
+def orders_runs_test(sf_dir: str):
+    """Wald-Wolfowitz runs test on the daily-revenue series vs its
+    median — the randomness/regime-shift companion to orders_trend_mk's
+    monotone-trend test: days above vs below the exact median (median
+    days excluded, the classic convention), the run count R over the
+    day-ordered sign sequence, and the normal-approximation z. Daily
+    exact cents pre-aggregate per block onto the bounded date catalog;
+    the median is quantile_disc(0.5) (rank ceil(n/2), the repo-wide
+    convention), R / n1 / n2 are exact integers, and mu / sigma^2 / z
+    are identical IEEE expression trees of those integers."""
+    import math
+
+    ds = _tbl(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def daily(batch: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            batch["o_totalprice"].to_numpy() * 100.0, 0).astype(np.int64)
+        t = pa.table({
+            "day": pc.strftime(batch["o_orderdate"], format="%Y-%m-%d"),
+            "cents": pa.array(cents, pa.int64()),
+        })
+        g = t.group_by("day").aggregate([("cents", "sum")])
+        return pa.table({"day": g["day"], "cents": g["cents_sum"]})
+
+    df = (ds.map_batches(daily, batch_format="pyarrow")
+          .groupby("day").aggregate(Sum("cents", alias_name="cents"))
+          .to_pandas().sort_values("day").reset_index(drop=True))
+    v = df["cents"].to_numpy(np.int64)
+    med = int(np.sort(v)[int(math.ceil(0.5 * len(v))) - 1])
+    keep = v != med
+    sign = v[keep] > med
+    n1 = int(sign.sum())
+    n2 = int(len(sign) - n1)
+    n = n1 + n2
+    r_runs = int(1 + (sign[1:] != sign[:-1]).sum()) if n else 0
+    mu = 1 + 2 * n1 * n2 / n
+    sigma2 = (2 * n1 * n2 * (2 * n1 * n2 - n)) / (n * n * (n - 1))
+    z = (r_runs - mu) / math.sqrt(sigma2)
+    return pd.DataFrame({
+        "n_days_used": pd.array([n], dtype="int64"),
+        "n_above": pd.array([n1], dtype="int64"),
+        "n_below": pd.array([n2], dtype="int64"),
+        "r_runs": pd.array([r_runs], dtype="int64"),
+        "z6": [float(round_half_away(z, 6))],
+    })

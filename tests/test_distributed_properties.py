@@ -356,6 +356,7 @@ import pytest
     "orders_benford", "lineitem_mannwhitney", "doc_simhash_calibration",
     "emb_range_search", "doc_dedup_best_keep", "part_clustering_coeff",
     "doc_heaps_law", "doc_incremental_dedup",
+    "events_allowed_lateness", "orders_runs_test",
 ])
 def test_round2_ops_invariant_to_block_layout(ray_session, monkeypatch, qname):
     """The round-2 window/rank/histogram/retrieval operators must produce
@@ -612,3 +613,40 @@ def test_winnowing_pairs_chunked_equivalence(ray_session):
     a = r.doc_winnowing_pairs(sf)
     b = r.doc_winnowing_pairs(sf, pair_chunk_budget=10)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_allowed_lateness_counts_late_arrivals(ray_session, tmp_path):
+    """The sf testdata has zero out-of-order arrivals, so the drop branch
+    needs a fabricated stream: one event 1000s late (dropped at the 600s
+    allowance), one 50s late (kept), plus a user colliding mod 64 with
+    the late user to prove per-user prefix-max isolation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    base = pd.Timestamp("2024-01-01").value // 1000  # us
+    rows = [
+        # user 1: arrival order e1(t+1000s), e2(t+0s: 1000s late -> DROP),
+        # e3(t+950s: 50s late -> keep)
+        (1, 1, base + 1000_000_000, "click"),
+        (2, 1, base + 0, "click"),
+        (3, 1, base + 950_000_000, "click"),
+        # user 65 (collides with user 1 mod 64): early ts AFTER user 1's
+        # max — must NOT inherit user 1's running max
+        (4, 65, base + 0, "click"),
+    ]
+    t = pa.table({
+        "event_id": pa.array([x[0] for x in rows], pa.int64()),
+        "user_id": pa.array([x[1] for x in rows], pa.int64()),
+        "ts": pa.array([x[2] for x in rows], pa.timestamp("us")),
+        "event_type": pa.array([x[3] for x in rows], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    df = r.events_allowed_lateness(str(tmp_path))
+    assert len(df) == 1
+    row = df.iloc[0]
+    assert int(row["n_total"]) == 4
+    assert int(row["n_dropped"]) == 1
+    assert abs(float(row["drop_frac6"]) - 0.25) < 1e-12
