@@ -358,6 +358,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_allowed_lateness": r.events_allowed_lateness,
         # Wald-Wolfowitz runs test on the daily revenue series
         "orders_runs_test": r.orders_runs_test,
+        # Theil-Sen robust slope of the daily revenue series (MK's dual)
+        "orders_theilsen": r.orders_theilsen,
+        # lag-1..7 autocorrelation of the gap-filled daily event counts
+        "events_autocorr": r.events_autocorr,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -4026,5 +4030,62 @@ def oracle_sql() -> dict[str, str]:
                           {" ".join(f"+ CASE WHEN c{j} IS NULL THEN 0.0 ELSE {0.3 * (1.0 - 0.3) ** j!r} END" for j in range(1, 7))}),
                          6) AS ewma6
             FROM l
+        """,
+        "orders_theilsen": """
+            WITH d AS (
+                SELECT epoch_us(o_orderdate) // 86400000000 AS dayidx,
+                       sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))
+                           AS cents
+                FROM orders GROUP BY 1
+            ),
+            s AS (
+                SELECT (b.cents - a.cents) * 1.0 / (b.dayidx - a.dayidx)
+                           AS slope
+                FROM d a JOIN d b ON b.dayidx > a.dayidx
+            ),
+            o AS (SELECT slope,
+                         row_number() OVER (ORDER BY slope) - 1 AS rn
+                  FROM s),
+            st AS (SELECT count(*) AS m FROM s)
+            SELECT (SELECT count(*) FROM d) AS n_days,
+                   CAST(m AS BIGINT) AS n_pairs,
+                   round(((SELECT slope FROM o WHERE rn = (m - 1) // 2)
+                          + (SELECT slope FROM o WHERE rn = m // 2))
+                         / 2.0, 6) AS slope6
+            FROM st
+        """,
+        "events_autocorr": """
+            WITH e AS (
+                SELECT epoch_us(ts) // 86400000000 AS d, count(*) AS c
+                FROM events GROUP BY 1
+            ),
+            bounds AS (SELECT min(d) AS dmin, max(d) AS dmax FROM e),
+            series AS (
+                SELECT gs.g AS d, CAST(coalesce(e.c, 0) AS HUGEINT) AS x
+                FROM (SELECT unnest(generate_series(dmin, dmax)) AS g
+                      FROM bounds) gs
+                LEFT JOIN e ON e.d = gs.g
+            ),
+            tot AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS s,
+                           sum(x * x) AS ss
+                    FROM series),
+            lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+            pl AS (
+                SELECT l.lag, sum(a.x * b.x) AS p, sum(a.x) AS h,
+                       sum(b.x) AS t2
+                FROM lags l
+                JOIN series a ON TRUE
+                JOIN series b ON b.d = a.d + l.lag
+                GROUP BY 1
+            )
+            SELECT CAST(lag AS BIGINT) AS lag,
+                   CAST(n AS BIGINT) AS n_days,
+                   CAST(n - lag AS BIGINT) AS n_terms,
+                   CASE WHEN n * n * ss - n * s * s = 0 THEN 0.0
+                        ELSE round((n * n * p - n * s * (h + t2)
+                                    + (n - lag) * s * s) * 1.0
+                                   / (n * n * ss - n * s * s), 6)
+                   END AS r6
+            FROM pl, tot ORDER BY lag
         """,
     }

@@ -10333,3 +10333,98 @@ def orders_runs_test(sf_dir: str):
         "r_runs": pd.array([r_runs], dtype="int64"),
         "z6": [float(round_half_away(z, 6))],
     })
+
+
+# --- round-3 additions IV: robust trend, ACF, readability, normality --------
+
+
+def orders_theilsen(sf_dir: str):
+    """Theil-Sen robust slope of the daily-revenue series — the
+    breakdown-resistant companion to ``orders_trend_mk`` (MK answers "is
+    there drift?", Theil-Sen answers "how steep?", immune to 29% outlier
+    contamination where OLS is not). Daily exact cents pre-aggregate per
+    block onto the bounded date catalog; every pairwise slope
+    (cents_j - cents_i) / (day_j - day_i) is the identical IEEE division
+    of exact integers on both sides (day index = epoch-microseconds //
+    86.4e9, mirroring SQL ``epoch_us // 86400000000``), and the median
+    avoids interpolation-formula skew by selecting BOTH middle order
+    statistics explicitly and averaging with the one mirrored
+    ``(lo + hi) / 2.0`` expression (quantile_cont's ``lo + 0.5*(hi-lo)``
+    can differ in the last ulp). O(days^2) slopes ~ 2.9M doubles at
+    sf0.1 — bounded by the calendar, never by row count."""
+    ds = _tbl(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def daily(batch: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            batch["o_totalprice"].to_numpy() * 100.0, 0).astype(np.int64)
+        us = batch["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        t = pa.table({
+            "dayidx": pa.array(us // 86_400_000_000, pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+        g = t.group_by("dayidx").aggregate([("cents", "sum")])
+        return pa.table({"dayidx": g["dayidx"], "cents": g["cents_sum"]})
+
+    df = (ds.map_batches(daily, batch_format="pyarrow")
+          .groupby("dayidx").aggregate(Sum("cents", alias_name="cents"))
+          .to_pandas().sort_values("dayidx").reset_index(drop=True))
+    d = df["dayidx"].to_numpy(np.int64)
+    v = df["cents"].to_numpy(np.int64)
+    n = len(v)
+    iu, ju = np.triu_indices(n, k=1)
+    slopes = (v[ju] - v[iu]).astype(np.float64) / (d[ju] - d[iu]).astype(
+        np.float64)
+    slopes.sort(kind="stable")
+    m = len(slopes)
+    med = (slopes[(m - 1) // 2] + slopes[m // 2]) / 2.0
+    return pd.DataFrame({
+        "n_days": pd.array([n], dtype="int64"),
+        "n_pairs": pd.array([m], dtype="int64"),
+        "slope6": [float(round_half_away(med, 6))],
+    })
+
+
+def events_autocorr(sf_dir: str, max_lag: int = 7):
+    """Lag-1..``max_lag`` autocorrelation of the gap-filled daily event
+    count series — the seasonality/persistence read next to
+    ``events_changepoint`` and ``events_daily_xcorr`` (a weekly cycle
+    shows as an r(7) spike). Per-block (day, count) partials collapse to
+    the bounded calendar; the ACF at each lag is a single float division
+    of two EXACT integers (the deviation algebra multiplied through by
+    n^2: num = n^2*P_l - n*S*(H_l+T_l) + (n-l)*S^2 over den = n^2*SS -
+    n*S^2), accumulated as Python ints (= SQL HUGEINT) so no float-sum
+    ordering exists; missing days enter as exact zeros on both sides."""
+    ds = _tbl(sf_dir, "events", columns=["ts"])
+
+    def daily(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({"dayidx": pa.array(us // 86_400_000_000, pa.int64())})
+        g = t.group_by("dayidx").aggregate([([], "count_all")])
+        return pa.table({"dayidx": g["dayidx"],
+                         "c": g["count_all"].cast(pa.int64())})
+
+    df = (ds.map_batches(daily, batch_format="pyarrow")
+          .groupby("dayidx").aggregate(Sum("c", alias_name="c"))
+          .to_pandas().sort_values("dayidx").reset_index(drop=True))
+    dmin, dmax = int(df["dayidx"].min()), int(df["dayidx"].max())
+    n = dmax - dmin + 1
+    x = np.zeros(n, dtype=np.int64)
+    x[df["dayidx"].to_numpy(np.int64) - dmin] = df["c"].to_numpy(np.int64)
+    s = int(x.sum())
+    ss = int((x.astype(object) * x).sum())
+    den = n * n * ss - n * s * s
+    rows = []
+    for lag in range(1, max_lag + 1):
+        head, tail = x[:-lag], x[lag:]
+        p = int((head.astype(object) * tail).sum())
+        h, t2 = int(head.sum()), int(tail.sum())
+        num = n * n * p - n * s * (h + t2) + (n - lag) * s * s
+        r = float(num) / float(den) if den != 0 else 0.0
+        rows.append((lag, n, n - lag, float(round_half_away(r, 6))))
+    return pd.DataFrame({
+        "lag": pd.array([r[0] for r in rows], dtype="int64"),
+        "n_days": pd.array([r[1] for r in rows], dtype="int64"),
+        "n_terms": pd.array([r[2] for r in rows], dtype="int64"),
+        "r6": [r[3] for r in rows],
+    })

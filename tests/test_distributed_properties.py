@@ -357,6 +357,7 @@ import pytest
     "emb_range_search", "doc_dedup_best_keep", "part_clustering_coeff",
     "doc_heaps_law", "doc_incremental_dedup",
     "events_allowed_lateness", "orders_runs_test",
+    "orders_theilsen", "events_autocorr",
 ])
 def test_round2_ops_invariant_to_block_layout(ray_session, monkeypatch, qname):
     """The round-2 window/rank/histogram/retrieval operators must produce
