@@ -362,6 +362,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_theilsen": r.orders_theilsen,
         # lag-1..7 autocorrelation of the gap-filled daily event counts
         "events_autocorr": r.events_autocorr,
+        # per-language macro Flesch Reading Ease (edu-quality signal)
+        "doc_readability": r.doc_readability,
+        # corpus-wide Jarque-Bera normality verdict on quantities
+        "lineitem_jarque_bera": r.lineitem_jarque_bera,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -4087,5 +4091,84 @@ def oracle_sql() -> dict[str, str]:
                                    / (n * n * ss - n * s * s), 6)
                    END AS r6
             FROM pl, tot ORDER BY lag
+        """,
+        "doc_readability": """
+            WITH w AS (
+                SELECT doc_id, lang,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x != '') AS words,
+                       greatest(1, len(regexp_extract_all(text, '[.!?]')))
+                           AS sents
+                FROM documents
+            ),
+            pw0 AS (SELECT doc_id, unnest(words) AS word FROM w),
+            pw AS (
+                SELECT doc_id,
+                       sum(greatest(1, len(regexp_extract_all(
+                           lower(word), '[aeiouy]+')))) AS syl
+                FROM pw0 GROUP BY 1
+            ),
+            perdoc AS (
+                SELECT w.lang, len(w.words) AS nw, w.sents,
+                       coalesce(pw.syl, 0) AS syl
+                FROM w LEFT JOIN pw USING (doc_id)
+            )
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nw) AS BIGINT) AS words,
+                   CAST(sum(sents) AS BIGINT) AS sentences,
+                   CAST(sum(syl) AS BIGINT) AS syllables,
+                   round(206.835
+                         - 1.015 * (sum(nw) * 1.0 / greatest(1, sum(sents)))
+                         - 84.6 * (sum(syl) * 1.0 / greatest(1, sum(nw))),
+                         6) AS fre6
+            FROM perdoc GROUP BY 1
+        """,
+        "lineitem_jarque_bera": """
+            WITH q AS (
+                SELECT CAST(round(l_quantity, 0) AS BIGINT) AS q
+                FROM lineitem
+            ),
+            m AS (
+                SELECT CAST(count(*) AS HUGEINT) AS n,
+                       sum(CAST(q AS HUGEINT)) AS s1,
+                       sum(CAST(q AS HUGEINT) * q) AS s2,
+                       sum(CAST(q AS HUGEINT) * q * q) AS s3,
+                       sum(CAST(q AS HUGEINT) * q * q * q) AS s4
+                FROM q
+            ),
+            a AS (
+                SELECT n,
+                       n * s2 - s1 * s1 AS a2,
+                       n * n * s3 - 3 * n * s1 * s2
+                           + 2 * s1 * s1 * s1 AS a3,
+                       n * n * n * s4 - 4 * n * n * s1 * s3
+                           + 6 * n * s1 * s1 * s2
+                           - 3 * s1 * s1 * s1 * s1 AS a4
+                FROM m
+            ),
+            sk AS (
+                SELECT n,
+                       (a3 * 1.0 / (n * n * n))
+                           / ((a2 * 1.0 / (n * n))
+                              * sqrt(a2 * 1.0 / (n * n))) AS skew,
+                       (a4 * 1.0 / (n * n * n * n))
+                           / ((a2 * 1.0 / (n * n))
+                              * (a2 * 1.0 / (n * n))) AS kurt
+                FROM a
+            ),
+            jb AS (
+                SELECT n, skew, kurt,
+                       (n / 6.0) * (skew * skew
+                                    + 0.25 * ((kurt - 3.0)
+                                              * (kurt - 3.0))) AS jbv
+                FROM sk
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   round(skew, 6) AS skew6,
+                   round(kurt, 6) AS kurt6,
+                   round(jbv, 6) AS jb6,
+                   round(exp(-jbv / 2.0), 6) AS p6
+            FROM jb
         """,
     }

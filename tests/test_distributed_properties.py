@@ -358,6 +358,7 @@ import pytest
     "doc_heaps_law", "doc_incremental_dedup",
     "events_allowed_lateness", "orders_runs_test",
     "orders_theilsen", "events_autocorr",
+    "doc_readability", "lineitem_jarque_bera",
 ])
 def test_round2_ops_invariant_to_block_layout(ray_session, monkeypatch, qname):
     """The round-2 window/rank/histogram/retrieval operators must produce
@@ -651,3 +652,36 @@ def test_allowed_lateness_counts_late_arrivals(ray_session, tmp_path):
     assert int(row["n_total"]) == 4
     assert int(row["n_dropped"]) == 1
     assert abs(float(row["drop_frac6"]) - 0.25) < 1e-12
+
+
+def test_readability_punctuation_and_syllable_branches(ray_session, tmp_path):
+    """The sf corpus has no sentence punctuation (the floor-1 branch
+    dominates), so the real sentence count, the vowel-less floor-1
+    top-up, and the uppercase-vowel lowering need a fabricated corpus:
+    'Hello world. Try this!' = 2 sentences, 4 words, syllables
+    e-llo/o/y-i (5 runs) + 0 vowel-less; 'xyz 123' = 1 word-pair with
+    'xyz' having the y-run and '123' vowel-less (floor 1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["Hello world. Try this!", "xyz 123"], pa.string()),
+        "lang": pa.array(["en", "en"], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    df = r.doc_readability(str(tmp_path))
+    assert len(df) == 1
+    row = df.iloc[0]
+    # doc1: words 4 ("Hello","world.","Try","this!"), sents 2 ('.'+'!'),
+    #   vowel runs on lowercase: he-llo(e,o) wo-rld.(o) try(y) this!(i) = 5
+    # doc2: words 2, sents floor 1, runs: xyz(y)=1, '123' vowel-less -> +1
+    assert int(row["n_docs"]) == 2
+    assert int(row["words"]) == 6
+    assert int(row["sentences"]) == 3
+    assert int(row["syllables"]) == 5 + 2
+    w, s, y = 6, 3, 7
+    expect = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+    assert abs(float(row["fre6"]) - round(expect, 6)) < 1e-9
