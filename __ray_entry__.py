@@ -366,6 +366,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_readability": r.doc_readability,
         # corpus-wide Jarque-Bera normality verdict on quantities
         "lineitem_jarque_bera": r.lineitem_jarque_bera,
+        # triplet mining: hardest positive/negative + semi-hard flag
+        "emb_hard_negatives": r.emb_hard_negatives,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -4170,5 +4172,42 @@ def oracle_sql() -> dict[str, str]:
                    round(jbv, 6) AS jb6,
                    round(exp(-jbv / 2.0), 6) AS p6
             FROM jb
+        """,
+        "emb_hard_negatives": """
+            WITH probes AS (
+                SELECT vec_id AS pid, embedding AS pe, label AS plab
+                FROM embeddings WHERE vec_id < 5
+            ),
+            sims AS (
+                SELECT p.pid, p.plab, e.vec_id, e.label,
+                       round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]),
+                           CAST(p.pe AS DOUBLE[])), 9) AS s9
+                FROM embeddings e, probes p
+                WHERE e.vec_id != p.pid
+            ),
+            pos AS (
+                SELECT pid, vec_id, s9,
+                       row_number() OVER (PARTITION BY pid
+                                          ORDER BY s9 DESC, vec_id) AS rn
+                FROM sims WHERE label = plab
+            ),
+            neg AS (
+                SELECT pid, vec_id, s9,
+                       row_number() OVER (PARTITION BY pid
+                                          ORDER BY s9 DESC, vec_id) AS rn
+                FROM sims WHERE label != plab
+            )
+            SELECT CAST(p.pid AS BIGINT) AS probe_id,
+                   CAST(pos.vec_id AS BIGINT) AS pos_id,
+                   pos.s9 AS pos_sim9,
+                   CAST(neg.vec_id AS BIGINT) AS neg_id,
+                   neg.s9 AS neg_sim9,
+                   round(pos.s9 - neg.s9, 6) AS margin6,
+                   (neg.s9 > pos.s9 - 0.2 AND neg.s9 < pos.s9) AS semi_hard
+            FROM probes p
+            JOIN pos ON pos.pid = p.pid AND pos.rn = 1
+            JOIN neg ON neg.pid = p.pid AND neg.rn = 1
+            ORDER BY probe_id
         """,
     }

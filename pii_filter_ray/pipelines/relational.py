@@ -10539,3 +10539,82 @@ def lineitem_jarque_bera(sf_dir: str):
         "jb6": [float(round_half_away(jb, 6))],
         "p6": [float(round_half_away(p, 6))],
     })
+
+
+def emb_hard_negatives(sf_dir: str, n_probes: int = 5, margin: float = 0.2):
+    """Triplet mining for contrastive embedding training (FaceNet,
+    Schroff et al. 2015): per probe, the hardest POSITIVE (most-similar
+    same-label vector) and hardest NEGATIVE (most-similar
+    different-label vector), the margin between them, and the semi-hard
+    flag (negative inside the margin band but still below the positive —
+    the pairs a triplet-loss epoch actually trains on). One corpus pass
+    against the broadcast probe matrix (labels ride the same ray.put);
+    each block emits at most 2 rows per probe (its local best of each
+    kind, in the corpus-wide (sim9 DESC, vec_id ASC) order — sims
+    snapped to 9 digits BEFORE the argmax so rounding ties cannot
+    resolve layout-dependently), and the driver folds blocks x 2 x
+    n_probes partial rows. margin6 and the semi-hard predicate are the
+    identical IEEE expressions of the two 9-snapped sims on both
+    sides."""
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    from ..stages.similarity import _normalize, _to_matrix
+
+    probe_tbl = pa.concat_tables(ds.map_batches(
+        lambda b: b.filter(pc.less(b["vec_id"], pa.scalar(n_probes))),
+        batch_format="pyarrow").iter_batches(batch_format="pyarrow")) \
+        .sort_by("vec_id")
+    pids = probe_tbl["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+    plabs = probe_tbl["label"].to_numpy(zero_copy_only=False).astype("int64")
+    Q = _normalize(_to_matrix(probe_tbl["embedding"]))
+    qref = ray.put((pids, plabs, Q))
+
+    def block_best(batch: pa.Table) -> pa.Table:
+        ids_q, labs_q, Qm = ray.get(qref)
+        M = _normalize(_to_matrix(batch["embedding"]))
+        S9 = np.round(M @ Qm.T, 9)
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype("int64")
+        out_p, out_k, out_id, out_s = [], [], [], []
+        for c in range(S9.shape[1]):
+            order = np.lexsort((vid, -S9[:, c]))
+            for kind, mask in (
+                    (0, (lab == labs_q[c]) & (vid != ids_q[c])),
+                    (1, lab != labs_q[c])):
+                om = order[mask[order]]
+                if len(om):
+                    out_p.append(ids_q[c])
+                    out_k.append(kind)
+                    out_id.append(vid[om[0]])
+                    out_s.append(S9[om[0], c])
+        return pa.table({
+            "probe_id": pa.array(out_p, pa.int64()),
+            "kind": pa.array(out_k, pa.int64()),
+            "vec_id": pa.array(out_id, pa.int64()),
+            "s9": pa.array(out_s, pa.float64()),
+        })
+
+    df = ds.map_batches(block_best, batch_format="pyarrow").to_pandas()
+    df = (df.sort_values(["probe_id", "kind", "s9", "vec_id"],
+                         ascending=[True, True, False, True],
+                         kind="mergesort")
+          .groupby(["probe_id", "kind"], as_index=False).first())
+    pos = df[df["kind"] == 0].set_index("probe_id")
+    neg = df[df["kind"] == 1].set_index("probe_id")
+    rows = []
+    for pid in pids:
+        ps, ns = float(pos.loc[pid, "s9"]), float(neg.loc[pid, "s9"])
+        rows.append((
+            int(pid), int(pos.loc[pid, "vec_id"]), ps,
+            int(neg.loc[pid, "vec_id"]), ns,
+            float(round_half_away(ps - ns, 6)),
+            bool((ns > ps - margin) and (ns < ps)),
+        ))
+    return pd.DataFrame({
+        "probe_id": pd.array([r[0] for r in rows], dtype="int64"),
+        "pos_id": pd.array([r[1] for r in rows], dtype="int64"),
+        "pos_sim9": [r[2] for r in rows],
+        "neg_id": pd.array([r[3] for r in rows], dtype="int64"),
+        "neg_sim9": [r[4] for r in rows],
+        "margin6": [r[5] for r in rows],
+        "semi_hard": pd.array([r[6] for r in rows], dtype="bool"),
+    })

@@ -358,7 +358,7 @@ import pytest
     "doc_heaps_law", "doc_incremental_dedup",
     "events_allowed_lateness", "orders_runs_test",
     "orders_theilsen", "events_autocorr",
-    "doc_readability", "lineitem_jarque_bera",
+    "doc_readability", "lineitem_jarque_bera", "emb_hard_negatives",
 ])
 def test_round2_ops_invariant_to_block_layout(ray_session, monkeypatch, qname):
     """The round-2 window/rank/histogram/retrieval operators must produce
