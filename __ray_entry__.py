@@ -368,6 +368,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_jarque_bera": r.lineitem_jarque_bera,
         # triplet mining: hardest positive/negative + semi-hard flag
         "emb_hard_negatives": r.emb_hard_negatives,
+        # KMV bottom-k distinct sketch vs exact count (sketch family)
+        "events_kmv_calibration": r.events_kmv_calibration,
+        # greedy k-center coreset selection (farthest-point traversal)
+        "emb_kcenter_coreset": r.emb_kcenter_coreset,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -411,7 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from pii_filter_ray import oracles as o
     from pii_filter_ray.stages.sketches import (
-        cms_sql, hll_join_card_sql, hll_rolling_sql, hll_sql)
+        cms_sql, hll_join_card_sql, hll_rolling_sql, hll_sql, kmv_sql)
 
     return {
         # full SQL recomputations of the non-trivial operators (see
@@ -3863,6 +3867,19 @@ def oracle_sql() -> dict[str, str]:
             FROM ({hll_sql("events", "event_type", "user_id", p=12)}) h
             JOIN exact e USING (event_type)
         """,
+        "events_kmv_calibration": f"""
+            WITH exact AS (
+                SELECT event_type,
+                       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n
+                FROM events GROUP BY 1
+            )
+            SELECT s.event_type, s.n_hashes, s.est3, e.exact_n,
+                   round((s.est3 - e.exact_n) / e.exact_n, 6) AS rel_err6
+            FROM ({kmv_sql("events", "event_type", "user_id", k=8)}) s
+            JOIN exact e USING (event_type)
+            ORDER BY event_type
+        """,
+        "emb_kcenter_coreset": o.kcenter_sql(k=6),
         "lineitem_welch_ttest": """
             WITH g AS (
                 SELECT l_returnflag AS f, count(*) AS n,

@@ -1425,3 +1425,51 @@ def doc_incremental_dedup_sql(incoming=("src0", "src1"), num_perm: int = 64,
          h.doc_id IS NOT NULL AS is_candidate
   FROM documents d LEFT JOIN hits h USING (doc_id)
   WHERE d.source IN ({inc})"""
+
+
+def kcenter_sql(k: int = 6) -> str:
+    """Greedy k-center (farthest-point traversal) unrolled to k CTE
+    rounds — the independent recomputation of emb_kcenter_coreset.
+    Every pairwise cosine snaps to 9 digits BEFORE the per-point min
+    over centers (min of snapped values is order-free), the per-round
+    argmax breaks ties on lowest vec_id, and the final row carries the
+    coverage radius (max over the leftover points' min distances)."""
+    steps = []
+    prev = "c0"
+    for i in range(1, k):
+        steps.append(f"""
+        d{i} AS (
+            SELECT e.vec_id,
+                   min(1 - round(list_cosine_similarity(e.v, c.v), 9)) AS d
+            FROM e, {prev} c
+            WHERE e.vec_id NOT IN (SELECT vec_id FROM {prev})
+            GROUP BY e.vec_id
+        ),
+        s{i} AS (SELECT vec_id, d FROM d{i} ORDER BY d DESC, vec_id LIMIT 1),
+        c{i} AS (SELECT * FROM {prev}
+                 UNION ALL
+                 SELECT e2.vec_id, e2.v FROM e e2
+                 WHERE e2.vec_id IN (SELECT vec_id FROM s{i})),""")
+        prev = f"c{i}"
+    sels = "\n            UNION ALL\n            ".join(
+        ["SELECT 0 AS sel_idx, (SELECT vec_id FROM c0) AS center_id,"
+         " 0.0 AS radius9"]
+        + [f"SELECT {i}, (SELECT vec_id FROM s{i}), (SELECT d FROM s{i})"
+           for i in range(1, k)]
+        + [f"SELECT {k}, -1, (SELECT max(d) FROM dcov)"])
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        c0 AS (SELECT vec_id, v FROM e WHERE vec_id = 0),
+        {''.join(steps)}
+        dcov AS (
+            SELECT e.vec_id,
+                   min(1 - round(list_cosine_similarity(e.v, c.v), 9)) AS d
+            FROM e, {prev} c
+            WHERE e.vec_id NOT IN (SELECT vec_id FROM {prev})
+            GROUP BY e.vec_id
+        )
+        SELECT CAST(sel_idx AS BIGINT) AS sel_idx,
+               CAST(center_id AS BIGINT) AS center_id, radius9
+        FROM ({sels}) ORDER BY sel_idx
+    """

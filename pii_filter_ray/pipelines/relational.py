@@ -10618,3 +10618,152 @@ def emb_hard_negatives(sf_dir: str, n_probes: int = 5, margin: float = 0.2):
         "margin6": [r[5] for r in rows],
         "semi_hard": pd.array([r[6] for r in rows], dtype="bool"),
     })
+
+
+def events_kmv_calibration(sf_dir: str, k: int = 8):
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch per event
+    type, calibrated against the exact distinct-user count — completes
+    the sketch family next to events_hll_calibration (registers) and
+    events_cms_calibration (counts): the KMV set is also the
+    deterministic hash-ordered uniform sample you keep per key when a
+    full distinct shuffle is off the table. The sketch pass ships at
+    most ``k`` uint64 hashes per (block, type): each block hashes its
+    block-distinct users with splitmix64 (a 64-bit bijection, so
+    distinct users = distinct hashes and collisions cannot occur) and
+    keeps the k smallest. The union of per-block bottom-k sets provably
+    contains the global bottom-k (a globally k-smallest hash has at most
+    k-1 hashes below it in its own block, so it survives the block cut),
+    and if the union holds fewer than k distinct hashes then every block
+    did too, so the union IS the full hash set and the count is exact.
+    est = (k-1) * 2^64 / h_(k): one mirrored float division of exact
+    integers, rounded to 3. Exact side: the (type, user) pre-agg dedup
+    pass of events_hll_calibration. SQL mirror: stages/sketches.kmv_sql
+    (one shared splitmix64 CTE chain with the HLL oracles)."""
+    from ..stages.sketches import splitmix64
+
+    ds = _tbl(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def bottomk(batch: pa.Table) -> pa.Table:
+        t = pa.table({"et": batch["event_type"], "u": batch["user_id"]})
+        t = t.filter(pc.and_(pc.is_valid(t["et"]), pc.is_valid(t["u"])))
+        g = t.group_by(["et", "u"]).aggregate([])  # block-distinct pairs
+        h = splitmix64(
+            g["u"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        ets = np.asarray(g["et"].to_pylist(), dtype=object)
+        out_t: list = []
+        out_h: list = []
+        for et in sorted(set(ets)):
+            hs = np.sort(h[ets == et])[:k]
+            out_t.extend([et] * len(hs))
+            out_h.extend(hs.tolist())
+        return pa.table({
+            "event_type": pa.array(out_t, pa.string()),
+            "h": pa.array(np.asarray(out_h, dtype=np.uint64), pa.uint64()),
+        })
+
+    parts = ds.map_batches(bottomk, batch_format="pyarrow").to_pandas()
+    pairs = preagg_groupby(ds, ["event_type", "user_id"], count_alias="n")
+    exact = preagg_groupby(pairs, ["event_type"],
+                           count_alias="exact_n").to_pandas() \
+        .set_index("event_type")["exact_n"]
+    rows = []
+    for et, grp in parts.groupby("event_type"):
+        H = np.unique(grp["h"].to_numpy().astype(np.uint64))  # sorted
+        nh = int(min(len(H), k))
+        if len(H) < k:
+            est3 = float(nh)
+        else:
+            est3 = float(round_half_away(
+                float((k - 1) * (1 << 64)) / float(int(H[k - 1])), 3))
+        ex = int(exact[et])
+        rows.append((et, nh, est3, ex,
+                     float(round_half_away((est3 - ex) / ex, 6))))
+    rows.sort(key=lambda r: r[0])
+    return pd.DataFrame({
+        "event_type": pd.array([r[0] for r in rows], dtype="string"),
+        "n_hashes": pd.array([r[1] for r in rows], dtype="int64"),
+        "est3": [r[2] for r in rows],
+        "exact_n": pd.array([r[3] for r in rows], dtype="int64"),
+        "rel_err6": [r[4] for r in rows],
+    })
+
+
+def emb_kcenter_coreset(sf_dir: str, k: int = 6):
+    """Greedy k-center coreset selection (farthest-point traversal,
+    Gonzalez 1985) — the geometric data-pruning primitive: pick the
+    point farthest from every chosen center, k-1 times, for a
+    2-approximation of the optimal k-center cover; the selected ids are
+    the maximally-diverse subsample and the final coverage radius is the
+    pruning objective. Seeded at vec_id 0 (the emb_pq_train seed
+    convention). Each round is ONE corpus pass against the broadcast
+    center matrix (k x 64 floats via ray.put): per block, cosine sims
+    snap to 9 digits BEFORE the min-distance/argmax (so rounding ties
+    cannot resolve layout-dependently; min over centers of (1 - s9)
+    equals 1 - max(s9), the identical IEEE expression the SQL's min()
+    produces), and the block emits ONE (vec_id, d, embedding) row — its
+    farthest point — so the driver folds blocks x 1 rows in (d DESC,
+    vec_id) order and the winner's embedding arrives with it (no
+    fetch-back pass). Zero shuffles; a final pass reports the coverage
+    radius. SQL mirror: oracles.kcenter_sql (k unrolled CTE rounds)."""
+    import functools
+
+    from ..stages.similarity import _normalize, _to_matrix
+
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    seed_tbl = pa.concat_tables(ds.map_batches(
+        lambda b: b.filter(pc.equal(b["vec_id"], pa.scalar(0))),
+        batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+    C = _normalize(_to_matrix(seed_tbl["embedding"]))
+    chosen = [0]
+    rows = [(0, 0, 0.0)]
+
+    def far_partial(batch: pa.Table, ref=None, emit_emb=True) -> pa.Table:
+        ids_c, Cm = ray.get(ref)
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        mask = ~np.isin(vid, ids_c)
+        cols: dict = {"vec_id": pa.array([], pa.int64()),
+                      "d": pa.array([], pa.float64())}
+        if emit_emb:
+            cols["embedding"] = pa.array([], batch["embedding"].type)
+        if not mask.any():
+            return pa.table(cols)
+        sub = batch.filter(pa.array(mask))
+        vid = vid[mask]
+        S9 = np.round(_normalize(_to_matrix(sub["embedding"])) @ Cm.T, 9)
+        d = 1.0 - S9.max(axis=1)
+        o = int(np.lexsort((vid, -d))[0])
+        cols = {"vec_id": pa.array([int(vid[o])], pa.int64()),
+                "d": pa.array([float(d[o])], pa.float64())}
+        if emit_emb:
+            emb = sub["embedding"]
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            cols["embedding"] = emb.take(pa.array([o]))
+        return pa.table(cols)
+
+    for i in range(1, k):
+        ref = ray.put((np.asarray(chosen, dtype=np.int64), C))
+        parts = pa.concat_tables(ds.map_batches(
+            functools.partial(far_partial, ref=ref),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+        vid = parts["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        dv = parts["d"].to_numpy(zero_copy_only=False)
+        o = int(np.lexsort((vid, -dv))[0])
+        sel_id, sel_d = int(vid[o]), float(dv[o])
+        rows.append((i, sel_id, sel_d))
+        chosen.append(sel_id)
+        C = np.vstack([C, _normalize(_to_matrix(
+            parts["embedding"].take(pa.array([o]))))])
+
+    ref = ray.put((np.asarray(chosen, dtype=np.int64), C))
+    parts = (ds.map_batches(
+        functools.partial(far_partial, ref=ref, emit_emb=False),
+        batch_format="pyarrow").to_pandas())
+    cov = float(parts["d"].max()) if len(parts) else 0.0
+    rows.append((k, -1, cov))
+    return pd.DataFrame({
+        "sel_idx": pd.array([r[0] for r in rows], dtype="int64"),
+        "center_id": pd.array([r[1] for r in rows], dtype="int64"),
+        "radius9": [r[2] for r in rows],
+    })

@@ -160,13 +160,11 @@ def _sql_mulmod(k: int) -> str:
     )
 
 
-def _hll_regs_ctes(table: str, key_expr: str, value_col: str,
-                   p: int) -> str:
-    """The shared CTE chain s1..regs: splitmix64 over unsigned-64
-    HUGEINT, register/rho split, per-key register max. ONE copy of the
-    bit-exact hash path — hll_sql and hll_rolling_sql both build on it,
-    so a hash/encoding tweak cannot leave one oracle stale."""
-    reg_div = 1 << (64 - p)  # u // this = top p bits
+def _hash_ctes(table: str, key_expr: str, value_col: str) -> str:
+    """The shared CTE chain s1..s6: splitmix64 over unsigned-64 HUGEINT.
+    ONE copy of the bit-exact hash path — the HLL register CTEs and
+    kmv_sql both build on it, so a hash/encoding tweak cannot leave one
+    oracle stale. s6 holds (k, u) with u the full 64-bit hash."""
     return f"""s1 AS (
             SELECT {key_expr} AS k,
                    (CAST({value_col} AS HUGEINT) + {_K1}) % {_M64} AS u
@@ -177,7 +175,50 @@ def _hll_regs_ctes(table: str, key_expr: str, value_col: str,
         s3 AS (SELECT k, {_sql_mulmod(_K2)} AS u FROM s2),
         s4 AS (SELECT k, {_sql_xor_shift(1 << 27)} AS u FROM s3),
         s5 AS (SELECT k, {_sql_mulmod(_K3)} AS u FROM s4),
-        s6 AS (SELECT k, {_sql_xor_shift(1 << 31)} AS u FROM s5),
+        s6 AS (SELECT k, {_sql_xor_shift(1 << 31)} AS u FROM s5)"""
+
+
+def kmv_sql(table: str, key: str, value_col: str, k: int) -> str:
+    """DuckDB SQL recomputing the KMV (k-minimum-values / bottom-k)
+    distinct estimate bit-for-bit: splitmix64 is a 64-bit bijection, so
+    hashing the DISTINCT (key, value) pairs yields exactly one distinct
+    hash per distinct value; with fewer than ``k`` hashes the estimate
+    is the exact count, else (k-1) * 2^64 / h_(k) — one float division
+    of exact integers — rounded to 3. n_hashes is LEAST(count, k): the
+    distributed bottom-k union can know the global count only below k."""
+    return f"""
+        WITH dpairs AS (
+            SELECT DISTINCT {key} AS dk, {value_col} AS dv FROM {table}
+        ),
+        {_hash_ctes('dpairs', 'dk', 'dv')},
+        ranked AS (
+            SELECT k, u,
+                   row_number() OVER (PARTITION BY k ORDER BY u) AS rn,
+                   count(*) OVER (PARTITION BY k) AS nh
+            FROM s6
+        ),
+        kth AS (
+            SELECT k, max(nh) AS nh,
+                   max(CASE WHEN rn = {k} THEN u END) AS hk
+            FROM ranked GROUP BY k
+        )
+        SELECT k AS {key},
+               CAST(LEAST(nh, {k}) AS BIGINT) AS n_hashes,
+               CASE WHEN nh < {k} THEN CAST(nh AS DOUBLE)
+                    ELSE round(CAST({k - 1}::HUGEINT
+                                    * 18446744073709551616::HUGEINT AS DOUBLE)
+                               / CAST(hk AS DOUBLE), 3) END AS est3
+        FROM kth
+    """
+
+
+def _hll_regs_ctes(table: str, key_expr: str, value_col: str,
+                   p: int) -> str:
+    """The shared CTE chain s1..regs: splitmix64 (via _hash_ctes),
+    register/rho split, per-key register max. hll_sql and
+    hll_rolling_sql both build on it."""
+    reg_div = 1 << (64 - p)  # u // this = top p bits
+    return f"""{_hash_ctes(table, key_expr, value_col)},
         hashed AS (
             SELECT k,
                    CAST(u // {reg_div} AS BIGINT) AS reg,

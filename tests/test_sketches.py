@@ -156,3 +156,67 @@ def test_cms_sql_bit_parity(ray_session):
     pd.testing.assert_frame_equal(
         got.astype({"v": "int64", "est": "int64"}),
         want.astype({"v": "int64", "est": "int64"}))
+
+
+def test_kmv_exact_branch_and_sql_parity(ray_session, tmp_path, monkeypatch):
+    """The sf corpora have >= k distinct users per type, so the KMV
+    exact-count branch (union of bottom-k sets smaller than k => it IS
+    the full hash set) needs a fabricated stream: type 'rare' with 3
+    users must report n_hashes=3 and est3=3.0 exactly, while 'hot' (40
+    users) exercises the (k-1)*2^64/h_(k) estimator — and both rows must
+    match the DuckDB kmv_sql mirror bit-for-bit across block layouts."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pii_filter_ray.pipelines import relational as r
+    from pii_filter_ray.stages.sketches import kmv_sql
+
+    rows_t, rows_u = [], []
+    for u in (7, 9, 11):
+        rows_t.append("rare"); rows_u.append(u)
+    for u in range(100, 140):
+        for _ in range(2):  # duplicates: distinct matters, rows don't
+            rows_t.append("hot"); rows_u.append(u)
+    tbl = pa.table({
+        "event_type": pa.array(rows_t, pa.string()),
+        "user_id": pa.array(rows_u, pa.int64()),
+        "ts": pa.array([0] * len(rows_t), pa.timestamp("us")),
+        "value": pa.array([0.0] * len(rows_t), pa.float64()),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    base = r._tbl
+    out = {}
+    for nblocks in (1, 7):
+        monkeypatch.setattr(
+            r, "_tbl",
+            lambda sf, name, columns=None, nb=nblocks:
+            base(sf, name, columns=columns).repartition(nb))
+        out[nblocks] = r.events_kmv_calibration(str(tmp_path), k=8)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(out[1], out[7])
+
+    got = out[1]
+    rare = got[got["event_type"] == "rare"].iloc[0]
+    assert rare["n_hashes"] == 3 and rare["est3"] == 3.0
+    assert rare["exact_n"] == 3 and rare["rel_err6"] == 0.0
+    hot = got[got["event_type"] == "hot"].iloc[0]
+    assert hot["n_hashes"] == 8 and hot["exact_n"] == 40
+
+    con = duckdb.connect()
+    con.register("events", tbl)
+    want = con.execute(f"""
+        WITH exact AS (
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n
+            FROM events GROUP BY 1
+        )
+        SELECT s.event_type, s.n_hashes, s.est3, e.exact_n,
+               round((s.est3 - e.exact_n) / e.exact_n, 6) AS rel_err6
+        FROM ({kmv_sql("events", "event_type", "user_id", k=8)}) s
+        JOIN exact e USING (event_type)
+        ORDER BY event_type
+    """).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.astype({"event_type": "object"}), want, check_dtype=False)
