@@ -372,6 +372,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_kmv_calibration": r.events_kmv_calibration,
         # greedy k-center coreset selection (farthest-point traversal)
         "emb_kcenter_coreset": r.emb_kcenter_coreset,
+        # train->holdout term-distribution drift (per-term KL contrib)
+        "doc_split_drift": r.doc_split_drift,
+        # sync label-propagation communities on the fuzzy-match graph
+        "part_label_propagation": r.part_label_propagation,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -3880,6 +3884,35 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY event_type
         """,
         "emb_kcenter_coreset": o.kcenter_sql(k=6),
+        "doc_split_drift": r"""
+            WITH toks AS (
+                SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80
+                            THEN 1 ELSE 0 END AS is_train,
+                       unnest(list_filter(string_split_regex(text, '\s+'),
+                                          x -> x != '')) AS word
+                FROM documents
+            ),
+            wc AS (
+                SELECT word,
+                       CAST(sum(is_train) AS BIGINT) AS n_train,
+                       CAST(sum(1 - is_train) AS BIGINT) AS n_hold
+                FROM toks GROUP BY word
+            ),
+            tot AS (SELECT sum(n_train) AS t, sum(n_hold) AS h,
+                           count(*) AS v
+                    FROM wc),
+            c AS (
+                SELECT word, n_train, n_hold,
+                       round(((n_train + 1) / CAST(t + v AS DOUBLE))
+                             * ln(((n_train + 1) / CAST(t + v AS DOUBLE))
+                                  / ((n_hold + 1) / CAST(h + v AS DOUBLE))),
+                             9) AS contrib9
+                FROM wc, tot
+            )
+            SELECT word, n_train, n_hold, contrib9
+            FROM c ORDER BY abs(contrib9) DESC, word LIMIT 20
+        """,
+        "part_label_propagation": o.label_propagation_sql(rounds=3),
         "lineitem_welch_ttest": """
             WITH g AS (
                 SELECT l_returnflag AS f, count(*) AS n,

@@ -1473,3 +1473,41 @@ def kcenter_sql(k: int = 6) -> str:
                CAST(center_id AS BIGINT) AS center_id, radius9
         FROM ({sels}) ORDER BY sel_idx
     """
+
+
+def label_propagation_sql(rounds: int = 3) -> str:
+    """Synchronous LPA unrolled to ``rounds`` count/rank/coalesce CTE
+    rounds over the levenshtein<=4 brand-blocked edge set — the
+    independent recomputation of part_label_propagation. The vote's tie
+    rule (count DESC, label ASC) is the row_number ORDER BY; isolated
+    nodes fall through the LEFT JOIN's COALESCE."""
+    ctes = ["""e AS (
+            SELECT a.p_partkey AS x, b.p_partkey AS y
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 4
+        ),
+        und AS (SELECT x AS n, y AS m FROM e UNION ALL SELECT y, x FROM e),
+        l0 AS (SELECT p_partkey AS n, p_partkey AS lbl FROM part)"""]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""v{i} AS (
+            SELECT u.n, l.lbl, count(*) AS c
+            FROM und u JOIN l{i - 1} l ON l.n = u.m
+            GROUP BY u.n, l.lbl
+        ),
+        w{i} AS (
+            SELECT n, lbl FROM (
+                SELECT n, lbl, row_number() OVER (
+                    PARTITION BY n ORDER BY c DESC, lbl) AS rn
+                FROM v{i})
+            WHERE rn = 1
+        ),
+        l{i} AS (
+            SELECT l{i - 1}.n, COALESCE(w{i}.lbl, l{i - 1}.lbl) AS lbl
+            FROM l{i - 1} LEFT JOIN w{i} USING (n)
+        )""")
+    return f"""
+        WITH {','.join(ctes)}
+        SELECT n AS p_partkey, CAST(lbl AS BIGINT) AS community
+        FROM l{rounds} ORDER BY n
+    """

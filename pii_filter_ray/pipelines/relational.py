@@ -10767,3 +10767,149 @@ def emb_kcenter_coreset(sf_dir: str, k: int = 6):
         "center_id": pd.array([r[1] for r in rows], dtype="int64"),
         "radius9": [r[2] for r in rows],
     })
+
+
+def doc_split_drift(sf_dir: str, k: int = 20):
+    """Train→holdout distribution-shift audit over the leakage-free hash
+    split (doc_hash_split's multiplicative-hash buckets: <80 train, else
+    holdout): the top-k terms by |KL(train||holdout) contribution| with
+    add-one smoothing over the shared vocabulary — the standard check
+    that a split didn't concentrate a domain (or that incoming data
+    drifted from the training distribution; same math as the DSIR-style
+    importance diagnostics, doc_dsir_weights). Per-block (word, n_train,
+    n_hold) Counter partials ride ONE vocabulary groupby (the tf-idf
+    shuffle shape — documents never move); totals T/H/V reduce from the
+    grouped table with scalar aggregates; each term's contribution
+    p*ln(p/q) with p=(c_t+1)/(T+V), q=(c_h+1)/(H+V) is computed
+    row-independently from exact integers (no float summation anywhere)
+    and snapped to 9 digits before the distributed (|contrib| DESC, word)
+    sort+limit, so the k-th-place boundary cannot resolve
+    layout-dependently."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = ((ids * np.uint64(2654435761)) % np.uint64(2**32)) \
+            % np.uint64(100)
+        is_train = bucket < 80
+        ct: Counter = Counter()
+        ch: Counter = Counter()
+        for tr, txt in zip(is_train, batch["text"].to_pylist()):
+            (ct if tr else ch).update((txt or "").split())
+        words = sorted(set(ct) | set(ch))
+        return pa.table({
+            "word": pa.array(words, pa.string()),
+            "n_train": pa.array([ct.get(w, 0) for w in words], pa.int64()),
+            "n_hold": pa.array([ch.get(w, 0) for w in words], pa.int64()),
+        })
+
+    grouped = (ds.map_batches(partials, batch_format="pyarrow")
+               .groupby("word")
+               .aggregate(Sum("n_train", alias_name="n_train"),
+                          Sum("n_hold", alias_name="n_hold"))
+               .materialize())
+    tot = grouped.aggregate(Sum("n_train"), Sum("n_hold"), Count())
+    t_tot = int(tot["sum(n_train)"])
+    h_tot = int(tot["sum(n_hold)"])
+    vocab = int(tot["count()"])
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        nt = batch["n_train"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nh = batch["n_hold"].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = (nt + 1.0) / float(t_tot + vocab)
+        q = (nh + 1.0) / float(h_tot + vocab)
+        c9 = round_half_away(p * np.log(p / q), 9)
+        return pa.table({
+            "word": batch["word"],
+            "n_train": batch["n_train"],
+            "n_hold": batch["n_hold"],
+            "contrib9": pa.array(c9, pa.float64()),
+            "abs9": pa.array(np.abs(c9), pa.float64()),
+        })
+
+    df = (grouped.map_batches(contrib, batch_format="pyarrow")
+          .sort(["abs9", "word"], descending=[True, False])
+          .limit(k).to_pandas())
+    return (df[["word", "n_train", "n_hold", "contrib9"]]
+            .astype({"word": "string", "n_train": "int64",
+                     "n_hold": "int64"}))
+
+
+def part_label_propagation(sf_dir: str, rounds: int = 3, max_dist: int = 4):
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007) over the brand-blocked fuzzy-match graph (part_fuzzy_pairs'
+    edges): labels start as own partkey; each round every node adopts its
+    neighbors' most frequent label (count DESC, label ASC — the
+    deterministic tie rule; isolated nodes keep their label), for a fixed
+    ``rounds`` budget so the sync oscillation cases are defined away.
+    Unlike the components family (min-label convergence), LPA's
+    frequency vote finds dense communities inside one component. Per
+    round: the label map ships once via ray.put (node catalog, the gated
+    degree-broadcast precedent of part_triangle_count), each edge block
+    emits pre-counted (node, neighbor-label) partials both directions,
+    and ONE bounded (node, label) groupby resolves the vote; the argmax
+    runs on the grouped table, never on edges. SQL mirror: ``rounds``
+    unrolled count/rank/coalesce CTE rounds."""
+    ds = _tbl(sf_dir, "part", columns=["p_partkey", "p_brand", "p_name"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g["p_partkey"].to_numpy(np.int64)
+        names = g["p_name"].tolist()
+        order = np.argsort(keys, kind="stable")
+        keys, names = keys[order], [names[i] for i in order]
+        ka, kb = [], []
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                if _lev(names[i], names[j], max_dist) <= max_dist:
+                    ka.append(keys[i])
+                    kb.append(keys[j])
+        return pd.DataFrame({"x": np.array(ka, dtype=np.int64),
+                             "y": np.array(kb, dtype=np.int64)})
+
+    edges = (ds.groupby("p_brand")
+             .map_groups(pairs, batch_format="pandas").materialize())
+
+    nodes = np.sort(
+        _tbl(sf_dir, "part", columns=["p_partkey"])
+        .to_pandas()["p_partkey"].to_numpy(np.int64))
+    labels = nodes.copy()
+
+    def vote_partials(batch: pa.Table, ref=None) -> pa.Table:
+        nd, lb = ray.get(ref)
+        x = batch["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.concatenate([x, y])
+        m = np.concatenate([y, x])
+        t = pa.table({
+            "n": pa.array(n, pa.int64()),
+            "lbl": pa.array(lb[np.searchsorted(nd, m)], pa.int64()),
+        })
+        g = t.group_by(["n", "lbl"]).aggregate([([], "count_all")])
+        return pa.table({"n": g["n"], "lbl": g["lbl"],
+                         "c": g["count_all"].cast(pa.int64())})
+
+    import functools
+
+    for _ in range(rounds):
+        ref = ray.put((nodes, labels))
+        votes = (edges.map_batches(
+            functools.partial(vote_partials, ref=ref),
+            batch_format="pyarrow")
+            .groupby(["n", "lbl"]).aggregate(Sum("c", alias_name="c"))
+            .to_pandas())
+        if len(votes):
+            votes = votes.sort_values(["n", "c", "lbl"],
+                                      ascending=[True, False, True],
+                                      kind="mergesort")
+            win = votes.groupby("n", as_index=False).first()
+            idx = np.searchsorted(nodes, win["n"].to_numpy(np.int64))
+            new = labels.copy()
+            new[idx] = win["lbl"].to_numpy(np.int64)
+            labels = new
+
+    return pd.DataFrame({
+        "p_partkey": pd.array(nodes, dtype="int64"),
+        "community": pd.array(labels, dtype="int64"),
+    })

@@ -685,3 +685,30 @@ def test_readability_punctuation_and_syllable_branches(ray_session, tmp_path):
     w, s, y = 6, 3, 7
     expect = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
     assert abs(float(row["fre6"]) - round(expect, 6)) < 1e-9
+
+
+def test_split_drift_and_lpa_layout_invariance(ray_session, monkeypatch):
+    """Top-k KL-contribution selection and the LPA vote must not depend
+    on block layout (contributions snap to 9 digits before the boundary
+    sort; the vote tie rule is (count DESC, label ASC) on exact
+    integers). Also pins that LPA is non-trivial: at least one node
+    adopts a neighbor's label."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    out = {}
+    for nb in (1, 9):
+        monkeypatch.setattr(
+            r, "_tbl",
+            lambda s, name, columns=None, nb=nb:
+            base(s, name, columns=columns).repartition(nb))
+        out[nb] = (r.doc_split_drift(sf).reset_index(drop=True),
+                   r.part_label_propagation(sf).reset_index(drop=True))
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(out[1][0], out[9][0])
+    pd.testing.assert_frame_equal(out[1][1], out[9][1])
+    lpa = out[1][1]
+    assert (lpa["community"] != lpa["p_partkey"]).any()
