@@ -376,6 +376,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split_drift": r.doc_split_drift,
         # sync label-propagation communities on the fuzzy-match graph
         "part_label_propagation": r.part_label_propagation,
+        # exact multimodal payload dedup manifest (digests shuffle, not blobs)
+        "media_dedup": r.media_dedup,
+        # one-way ANOVA across all three return-flag groups
+        "lineitem_anova": r.lineitem_anova,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -3913,6 +3917,55 @@ def oracle_sql() -> dict[str, str]:
             FROM c ORDER BY abs(contrib9) DESC, word LIMIT 20
         """,
         "part_label_propagation": o.label_propagation_sql(rounds=3),
+        "media_dedup": o.media_dedup_sql(),
+        "lineitem_anova": """
+            WITH g AS (
+                SELECT l_returnflag AS f, count(*) AS n,
+                       sum(CAST(l_quantity AS BIGINT)) AS s1,
+                       sum(CAST(l_quantity AS BIGINT)
+                           * CAST(l_quantity AS BIGINT)) AS s2
+                FROM lineitem GROUP BY 1
+            ),
+            p AS (
+                SELECT
+                    max(CASE WHEN f = 'A' THEN n END) AS n_a,
+                    max(CASE WHEN f = 'A' THEN s1 END) AS s1_a,
+                    max(CASE WHEN f = 'A' THEN s2 END) AS s2_a,
+                    max(CASE WHEN f = 'N' THEN n END) AS n_n,
+                    max(CASE WHEN f = 'N' THEN s1 END) AS s1_n,
+                    max(CASE WHEN f = 'N' THEN s2 END) AS s2_n,
+                    max(CASE WHEN f = 'R' THEN n END) AS n_r,
+                    max(CASE WHEN f = 'R' THEN s1 END) AS s1_r,
+                    max(CASE WHEN f = 'R' THEN s2 END) AS s2_r
+                FROM g
+            ),
+            m AS (
+                SELECT *,
+                       n_a + n_n + n_r AS n,
+                       (s1_a + s1_n + s1_r) / (n_a + n_n + n_r) AS gm,
+                       s1_a / n_a AS m_a, s1_n / n_n AS m_n,
+                       s1_r / n_r AS m_r
+                FROM p
+            ),
+            ss AS (
+                SELECT n,
+                       n_a * ((m_a - gm) * (m_a - gm))
+                       + n_n * ((m_n - gm) * (m_n - gm))
+                       + n_r * ((m_r - gm) * (m_r - gm)) AS ssb,
+                       (s2_a - (s1_a * s1_a) / n_a)
+                       + (s2_n - (s1_n * s1_n) / n_n)
+                       + (s2_r - (s1_r * s1_r) / n_r) AS ssw
+                FROM m
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(2 AS BIGINT) AS df1,
+                   CAST(n - 3 AS BIGINT) AS df2,
+                   round(ssb, 6) AS ssb6,
+                   round(ssw, 6) AS ssw6,
+                   round((ssb / 2.0) / (ssw / (n - 3)), 6) AS f6,
+                   round(ssb / (ssb + ssw), 6) AS eta2_6
+            FROM ss
+        """,
         "lineitem_welch_ttest": """
             WITH g AS (
                 SELECT l_returnflag AS f, count(*) AS n,

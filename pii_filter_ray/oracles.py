@@ -1511,3 +1511,21 @@ def label_propagation_sql(rounds: int = 3) -> str:
         SELECT n AS p_partkey, CAST(lbl AS BIGINT) AS community
         FROM l{rounds} ORDER BY n
     """
+
+
+def media_dedup_sql() -> str:
+    """Recomputes the exact-dedup manifest from the planted-duplicate
+    media parquet (relational.media_dups_table_path): group by payload
+    content hash (+ kind, constant within a hash group), lowest media_id
+    as representative, copy count, payload size."""
+    from .pipelines.relational import media_dups_table_path
+
+    return f"""
+    SELECT sha256(lower(hex(payload))) AS payload_sha256,
+           kind,
+           CAST(min(media_id) AS BIGINT) AS rep_id,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(octet_length(payload)) AS BIGINT) AS payload_bytes
+    FROM read_parquet({_q(media_dups_table_path())})
+    GROUP BY 1, 2
+    ORDER BY 1"""

@@ -10913,3 +10913,133 @@ def part_label_propagation(sf_dir: str, rounds: int = 3, max_dist: int = 4):
         "p_partkey": pd.array(nodes, dtype="int64"),
         "community": pd.array(labels, dtype="int64"),
     })
+
+
+_MEDIA_DUPS_CACHE = "/tmp/pii_ray_media/media_dups_n96_d24_s42.parquet"
+
+
+def media_dups_table_path() -> str:
+    """Materializes (once) the planted-duplicate media table: the base
+    synthetic table plus 24 rows whose payloads copy row (j*7) mod 96 —
+    the deterministic fixture for exact multimodal dedup (the base
+    payloads are distinct random bytes, so without planting, dedup would
+    be vacuous). Same atomic write discipline as media_table_path."""
+    from ..stages.multimodal import synthesize_media_table
+
+    if not os.path.exists(_MEDIA_DUPS_CACHE):
+        import tempfile
+
+        base = synthesize_media_table(n_rows=96, seed=42)
+        idx = [(j * 7) % 96 for j in range(24)]
+        dup = base.take(pa.array(idx, pa.int64()))
+        dup = dup.set_column(
+            dup.schema.get_field_index("media_id"), "media_id",
+            pa.array(range(96, 120), pa.int64()))
+        tbl = pa.concat_tables([base, dup])
+        os.makedirs(os.path.dirname(_MEDIA_DUPS_CACHE), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(_MEDIA_DUPS_CACHE), suffix=".tmp")
+        os.close(fd)
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, _MEDIA_DUPS_CACHE)
+    return _MEDIA_DUPS_CACHE
+
+
+def media_dedup(sf_dir: str):
+    """Exact multimodal dedup manifest over opaque binary payloads — the
+    dedup family applied to the media schema (images/audio/video as
+    binary columns + typed metadata): group by payload content hash,
+    keep the lowest media_id as representative, count copies. The
+    payload never shuffles: each block hashes locally and emits
+    (sha256, kind, min-id, count, bytes) partials, so the groupby moves
+    64-byte digests — the shape that matters when payloads are megabyte
+    blobs at 100 TB. Duplicates come from the planted-dup fixture
+    (media_dups_table_path); sha256-of-hex matches the
+    media_pipeline_check integrity convention so DuckDB can recompute
+    it (sha256(lower(hex(payload))))."""
+    import hashlib as _hashlib
+
+    ds = ray.data.read_parquet(media_dups_table_path())
+
+    def partials(batch: pa.Table) -> pa.Table:
+        pays = batch["payload"].to_pylist()
+        t = pa.table({
+            "payload_sha256": pa.array(
+                [_hashlib.sha256(p.hex().encode()).hexdigest()
+                 for p in pays], pa.string()),
+            "kind": batch["kind"],
+            "mid": batch["media_id"].cast(pa.int64()),
+            "one": pa.array(np.ones(len(pays), dtype=np.int64), pa.int64()),
+            "nbytes": pa.array([len(p) for p in pays], pa.int64()),
+        })
+        g = t.group_by(["payload_sha256", "kind"]).aggregate(
+            [("mid", "min"), ("one", "sum"), ("nbytes", "min")])
+        return pa.table({
+            "payload_sha256": g["payload_sha256"], "kind": g["kind"],
+            "rep_id": g["mid_min"], "n_copies": g["one_sum"],
+            "payload_bytes": g["nbytes_min"],
+        })
+
+    df = (ds.map_batches(partials, batch_format="pyarrow")
+          .groupby(["payload_sha256", "kind"])
+          .aggregate(Min("rep_id", alias_name="rep_id"),
+                     Sum("n_copies", alias_name="n_copies"),
+                     Min("payload_bytes", alias_name="payload_bytes"))
+          .to_pandas())
+    return (df.astype({"payload_sha256": "string", "kind": "string",
+                       "rep_id": "int64", "n_copies": "int64",
+                       "payload_bytes": "int64"})
+            .sort_values("payload_sha256", kind="mergesort")
+            .reset_index(drop=True))
+
+
+def lineitem_anova(sf_dir: str):
+    """One-way ANOVA F-test of quantity across ALL THREE return-flag
+    groups (A/N/R) — the k-group generalization completing the
+    two-sample family (Welch t, KS, Mann-Whitney). Exact integer
+    moments: per-block (flag, n, sum q, sum q^2) partials (three rows
+    per block), merged as Python ints (= SQL HUGEINT); the between/
+    within sums of squares are then evaluated in the FIXED A, N, R
+    order as the identical IEEE expression tree on both sides (three
+    explicit pivoted terms — never an unordered float SUM), so F and
+    eta-squared agree bit-for-bit with no tolerance."""
+    ds = _tbl(sf_dir, "lineitem", columns=["l_quantity", "l_returnflag"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        q = pc.cast(batch["l_quantity"], pa.int64())
+        t = pa.table({"f": batch["l_returnflag"],
+                      "one": pc.cast(pc.equal(q, q), pa.int64()),
+                      "s1": q, "s2": pc.multiply(q, q)})
+        g = t.group_by("f").aggregate(
+            [("one", "sum"), ("s1", "sum"), ("s2", "sum")])
+        return pa.table({"f": g["f"], "n": g["one_sum"],
+                         "s1": g["s1_sum"], "s2": g["s2_sum"]})
+
+    df = (ds.map_batches(partials, batch_format="pyarrow")
+          .groupby("f")
+          .aggregate(Sum("n", alias_name="n"), Sum("s1", alias_name="s1"),
+                     Sum("s2", alias_name="s2"))
+          .to_pandas().set_index("f"))
+    st = {f: (int(df.loc[f, "n"]), int(df.loc[f, "s1"]),
+              int(df.loc[f, "s2"])) for f in ("A", "N", "R")}
+    n = st["A"][0] + st["N"][0] + st["R"][0]
+    s1 = st["A"][1] + st["N"][1] + st["R"][1]
+    gm = s1 / n
+    means = {f: st[f][1] / st[f][0] for f in ("A", "N", "R")}
+    ssb = (st["A"][0] * ((means["A"] - gm) * (means["A"] - gm))
+           + st["N"][0] * ((means["N"] - gm) * (means["N"] - gm))
+           + st["R"][0] * ((means["R"] - gm) * (means["R"] - gm)))
+    ssw = ((st["A"][2] - (st["A"][1] * st["A"][1]) / st["A"][0])
+           + (st["N"][2] - (st["N"][1] * st["N"][1]) / st["N"][0])
+           + (st["R"][2] - (st["R"][1] * st["R"][1]) / st["R"][0]))
+    f_stat = (ssb / 2.0) / (ssw / (n - 3))
+    eta2 = ssb / (ssb + ssw)
+    return pd.DataFrame({
+        "n": pd.array([n], dtype="int64"),
+        "df1": pd.array([2], dtype="int64"),
+        "df2": pd.array([n - 3], dtype="int64"),
+        "ssb6": [float(round_half_away(ssb, 6))],
+        "ssw6": [float(round_half_away(ssw, 6))],
+        "f6": [float(round_half_away(f_stat, 6))],
+        "eta2_6": [float(round_half_away(eta2, 6))],
+    })

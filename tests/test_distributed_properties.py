@@ -712,3 +712,32 @@ def test_split_drift_and_lpa_layout_invariance(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(out[1][1], out[9][1])
     lpa = out[1][1]
     assert (lpa["community"] != lpa["p_partkey"]).any()
+
+
+def test_anova_layout_invariance_and_media_dedup_structure(ray_session,
+                                                           monkeypatch):
+    """ANOVA's exact-integer moment partials must fold identically under
+    any block layout; the media dedup manifest must recover exactly the
+    24 planted duplicate groups (each with one extra copy, rep = the
+    original lowest media_id < 96) and nothing else."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.lineitem_anova(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(11))
+    b = r.lineitem_anova(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+
+    md = r.media_dedup(sf)
+    assert len(md) == 96 and int(md["n_copies"].sum()) == 120
+    dups = md[md["n_copies"] > 1]
+    assert len(dups) == 24 and (dups["n_copies"] == 2).all()
+    assert (dups["rep_id"] < 96).all()
