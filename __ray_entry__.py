@@ -380,6 +380,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dedup": r.media_dedup,
         # one-way ANOVA across all three return-flag groups
         "lineitem_anova": r.lineitem_anova,
+        # Bloom FPR measured vs theoretical (closes the calibration family)
+        "customer_bloom_calibration": r.customer_bloom_calibration,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -422,6 +424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from pii_filter_ray import oracles as o
+    from pii_filter_ray.stages.bloom import bloom_fpr_sql
     from pii_filter_ray.stages.sketches import (
         cms_sql, hll_join_card_sql, hll_rolling_sql, hll_sql, kmv_sql)
 
@@ -3918,6 +3921,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "part_label_propagation": o.label_propagation_sql(rounds=3),
         "media_dedup": o.media_dedup_sql(),
+        "customer_bloom_calibration": bloom_fpr_sql(
+            "SELECT DISTINCT o_custkey AS key FROM orders",
+            "SELECT c_custkey + 1000000 AS key FROM customer",
+            m_bits=4096, k=3),
         "lineitem_anova": """
             WITH g AS (
                 SELECT l_returnflag AS f, count(*) AS n,

@@ -11043,3 +11043,67 @@ def lineitem_anova(sf_dir: str):
         "f6": [float(round_half_away(f_stat, 6))],
         "eta2_6": [float(round_half_away(eta2, 6))],
     })
+
+
+def customer_bloom_calibration(sf_dir: str, m_bits: int = 4096, k: int = 3):
+    """Bloom-filter false-positive-rate calibration — the sizing
+    diagnostic that closes the calibration family (HLL registers, CMS
+    cells, KMV bottom-k, MinHash/SimHash bands — and now the semi-join
+    prefilter of orders_semi_bloom, whose exactness HIDES its FP rate
+    behind the post-join): build the filter over orders' customer keys
+    (m deliberately small so false positives actually occur), probe a
+    KNOWN-DISJOINT key set (customer keys shifted by 1e6 — in this
+    synthetic data every customer has orders, so natural negatives
+    don't exist; probing disjoint keys is the standard FPR protocol
+    anyway), and measure the FP rate over the verified negatives next
+    to the theoretical rate from the OBSERVED fill, fill^k by explicit
+    left-associated multiplication.
+    Build side: per-block partial bit arrays OR-merge (m/8 bytes per
+    block, row-count independent); probe side: the word array broadcasts
+    once via ray.put, each block emits one (n_neg, n_fp) partial row;
+    exact negative membership uses the broadcast build key set (bounded
+    customer catalog — the customers_without_orders precedent). SQL
+    mirror: stages/bloom.bloom_fpr_sql (position-set semi-join, shared
+    splitmix64 CTE chain; no bit array materialized)."""
+    from ..stages.bloom import bloom_might_contain, build_bloom
+
+    orders = _tbl(sf_dir, "orders", columns=["o_custkey"])
+    words = build_bloom(orders, "o_custkey", m_bits=m_bits, k=k)
+    bits_set = int(sum(int(w).bit_count() for w in words))
+
+    build_keys = pc.unique(
+        pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                      columns=["o_custkey"])["o_custkey"].combine_chunks())
+    n_build_keys = len(build_keys)
+    wref = ray.put((words, build_keys))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        w, bks = ray.get(wref)
+        shifted = pc.add(batch["c_custkey"], pa.scalar(1_000_000))
+        keys = shifted.to_numpy(zero_copy_only=False)
+        neg = ~pc.is_in(shifted,
+                        value_set=bks).to_numpy(zero_copy_only=False)
+        might = bloom_might_contain(w, keys, k)
+        return pa.table({
+            "n_neg": pa.array([int(neg.sum())], pa.int64()),
+            "n_fp": pa.array([int((neg & might).sum())], pa.int64()),
+        })
+
+    agg = (_tbl(sf_dir, "customer", columns=["c_custkey"])
+           .map_batches(probe, batch_format="pyarrow")
+           .aggregate(Sum("n_neg"), Sum("n_fp")))
+    n_neg = int(agg["sum(n_neg)"])
+    n_fp = int(agg["sum(n_fp)"])
+    fill = bits_set / float(m_bits)
+    theory = fill
+    for _ in range(k - 1):
+        theory = theory * fill
+    return pd.DataFrame({
+        "n_build_keys": pd.array([n_build_keys], dtype="int64"),
+        "bits_set": pd.array([bits_set], dtype="int64"),
+        "n_neg": pd.array([n_neg], dtype="int64"),
+        "n_fp": pd.array([n_fp], dtype="int64"),
+        "fpr6": [float(round_half_away(n_fp / float(n_neg), 6))],
+        "fill6": [float(round_half_away(fill, 6))],
+        "theory_fpr6": [float(round_half_away(theory, 6))],
+    })

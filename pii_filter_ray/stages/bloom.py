@@ -89,3 +89,66 @@ def bloom_prefilter(
         return batch.filter(pa.array(bloom_might_contain(w, keys, k)))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bloom_fpr_sql(build_sql: str, probe_sql: str,
+                  m_bits: int, k: int) -> str:
+    """DuckDB SQL recomputing the Bloom filter's measured false-positive
+    rate bit-for-bit WITHOUT materializing the bit array: a probe
+    position is 'set' iff some build key maps to it, so membership is a
+    semi-join of position sets — the double-hashing positions
+    (h1 + i*h2) mod 2^64 mod m are recomputed from the shared splitmix64
+    CTE chain (four prefixed copies: h1/h2 x build/probe; h2's salt XOR
+    runs in signed-BIGINT two's complement and h2|=1 as u - u%2 + 1).
+    The theoretical FPR uses the OBSERVED fill (set bits / m) raised to
+    k by explicit left-associated multiplication, matching the Python
+    expression exactly. build_sql / probe_sql must yield one column
+    named key."""
+    salt_signed = int(_H2_SALT) - (1 << 64)
+    xor_b = f"xor(CAST(key AS BIGINT), CAST({salt_signed} AS BIGINT))"
+    xorv = (f"CAST({xor_b} AS HUGEINT)"
+            f" + CASE WHEN {xor_b} < 0"
+            f" THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END")
+    m64 = "18446744073709551616::HUGEINT"
+    from .sketches import _hash_ctes
+
+    fill_pow = " * ".join(["fill"] * k)
+    return f"""
+    WITH bk AS ({build_sql}),
+    pk AS ({probe_sql}),
+    {_hash_ctes('bk', 'key', 'key', prefix='b1_')},
+    {_hash_ctes('bk', 'key', xorv, prefix='b2_')},
+    {_hash_ctes('pk', 'key', 'key', prefix='p1_')},
+    {_hash_ctes('pk', 'key', xorv, prefix='p2_')},
+    iz AS (SELECT unnest(range({k})) AS i),
+    bh AS (SELECT a.k AS key, a.u AS h1, (b.u - (b.u % 2) + 1) AS h2
+           FROM b1_6 a JOIN b2_6 b ON a.k = b.k),
+    ph AS (SELECT a.k AS key, a.u AS h1, (b.u - (b.u % 2) + 1) AS h2
+           FROM p1_6 a JOIN p2_6 b ON a.k = b.k),
+    bpos AS (SELECT DISTINCT
+                 CAST((h1 + i.i * h2) % {m64} % {m_bits} AS BIGINT) AS pos
+             FROM bh, iz i),
+    ppos AS (SELECT key,
+                 CAST((h1 + i.i * h2) % {m64} % {m_bits} AS BIGINT) AS pos
+             FROM ph, iz i),
+    flags AS (SELECT key,
+                     bool_and(pos IN (SELECT pos FROM bpos)) AS might
+              FROM ppos GROUP BY key),
+    neg AS (SELECT key, might FROM flags
+            WHERE key NOT IN (SELECT key FROM bk)),
+    agg AS (SELECT (SELECT count(*) FROM bk) AS n_build_keys,
+                   (SELECT count(*) FROM bpos) AS bits_set,
+                   count(*) AS n_neg,
+                   CAST(sum(CASE WHEN might THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_fp
+            FROM neg),
+    fin AS (SELECT *, bits_set / CAST({m_bits} AS DOUBLE) AS fill FROM agg)
+    SELECT CAST(n_build_keys AS BIGINT) AS n_build_keys,
+           CAST(bits_set AS BIGINT) AS bits_set,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           n_fp,
+           round(n_fp / CAST(n_neg AS DOUBLE), 6) AS fpr6,
+           round(fill, 6) AS fill6,
+           round({fill_pow}, 6) AS theory_fpr6
+    FROM fin
+    """

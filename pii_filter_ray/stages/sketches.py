@@ -160,22 +160,26 @@ def _sql_mulmod(k: int) -> str:
     )
 
 
-def _hash_ctes(table: str, key_expr: str, value_col: str) -> str:
-    """The shared CTE chain s1..s6: splitmix64 over unsigned-64 HUGEINT.
-    ONE copy of the bit-exact hash path — the HLL register CTEs and
-    kmv_sql both build on it, so a hash/encoding tweak cannot leave one
-    oracle stale. s6 holds (k, u) with u the full 64-bit hash."""
-    return f"""s1 AS (
+def _hash_ctes(table: str, key_expr: str, value_col: str,
+               prefix: str = "s") -> str:
+    """The shared CTE chain {prefix}1..{prefix}6: splitmix64 over
+    unsigned-64 HUGEINT. ONE copy of the bit-exact hash path — the HLL
+    register CTEs, kmv_sql and bloom_fpr_sql all build on it, so a
+    hash/encoding tweak cannot leave one oracle stale. {prefix}6 holds
+    (k, u) with u the full 64-bit hash; a non-default prefix lets
+    several chains coexist in one query."""
+    p = prefix
+    return f"""{p}1 AS (
             SELECT {key_expr} AS k,
                    (CAST({value_col} AS HUGEINT) + {_K1}) % {_M64} AS u
             FROM {table}
-            WHERE ({key_expr}) IS NOT NULL AND {value_col} IS NOT NULL
+            WHERE ({key_expr}) IS NOT NULL AND ({value_col}) IS NOT NULL
         ),
-        s2 AS (SELECT k, {_sql_xor_shift(1 << 30)} AS u FROM s1),
-        s3 AS (SELECT k, {_sql_mulmod(_K2)} AS u FROM s2),
-        s4 AS (SELECT k, {_sql_xor_shift(1 << 27)} AS u FROM s3),
-        s5 AS (SELECT k, {_sql_mulmod(_K3)} AS u FROM s4),
-        s6 AS (SELECT k, {_sql_xor_shift(1 << 31)} AS u FROM s5)"""
+        {p}2 AS (SELECT k, {_sql_xor_shift(1 << 30)} AS u FROM {p}1),
+        {p}3 AS (SELECT k, {_sql_mulmod(_K2)} AS u FROM {p}2),
+        {p}4 AS (SELECT k, {_sql_xor_shift(1 << 27)} AS u FROM {p}3),
+        {p}5 AS (SELECT k, {_sql_mulmod(_K3)} AS u FROM {p}4),
+        {p}6 AS (SELECT k, {_sql_xor_shift(1 << 31)} AS u FROM {p}5)"""
 
 
 def kmv_sql(table: str, key: str, value_col: str, k: int) -> str:

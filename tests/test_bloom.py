@@ -74,3 +74,27 @@ def test_prefilter_actually_prunes(ray_session):
     words = build_bloom(ray.data.from_pandas(right), "k2")
     pruned = bloom_prefilter(ray.data.from_pandas(left), "k", words)
     assert pruned.count() < 50  # fp-rate bound, not exactness
+
+
+def test_bloom_calibration_layout_invariance(ray_session, monkeypatch):
+    """OR-merged partial bit arrays and (n_neg, n_fp) partial sums must
+    be block-layout independent; at sf0.001 the filter is underfilled
+    (fpr 0) so also pin that the theory field tracks the observed fill."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.customer_bloom_calibration(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(11))
+    b = r.customer_bloom_calibration(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    row = a.iloc[0]
+    assert row["n_neg"] == 150 and row["n_fp"] == 0
+    assert 0.0 < row["theory_fpr6"] < 0.01
