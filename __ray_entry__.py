@@ -382,6 +382,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_anova": r.lineitem_anova,
         # Bloom FPR measured vs theoretical (closes the calibration family)
         "customer_bloom_calibration": r.customer_bloom_calibration,
+        # day-of-week seasonality indices of daily revenue
+        "orders_dow_seasonality": r.orders_dow_seasonality,
+        # Brown-Forsythe variance-homogeneity test (ANOVA's assumption)
+        "lineitem_brown_forsythe": r.lineitem_brown_forsythe,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -3921,6 +3925,88 @@ def oracle_sql() -> dict[str, str]:
         """,
         "part_label_propagation": o.label_propagation_sql(rounds=3),
         "media_dedup": o.media_dedup_sql(),
+        "orders_dow_seasonality": """
+            WITH d AS (
+                SELECT epoch_us(o_orderdate) // 86400000000 AS dayidx,
+                       sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))
+                           AS cents
+                FROM orders GROUP BY 1
+            ),
+            t AS (SELECT count(*) AS n_all, sum(cents) AS s_all FROM d),
+            g AS (
+                SELECT (dayidx + 3) % 7 AS dow, count(*) AS n_days,
+                       sum(cents) AS sum_cents
+                FROM d GROUP BY 1
+            )
+            SELECT CAST(dow AS BIGINT) AS dow,
+                   CAST(n_days AS BIGINT) AS n_days,
+                   CAST(sum_cents AS BIGINT) AS sum_cents,
+                   round((sum_cents / n_days) / (s_all / n_all), 6) AS idx6
+            FROM g, t ORDER BY dow
+        """,
+        "lineitem_brown_forsythe": """
+            WITH cat AS (
+                SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS q,
+                       count(*) AS c
+                FROM lineitem GROUP BY 1, 2
+            ),
+            cum AS (
+                SELECT f, q, c,
+                       sum(c) OVER (PARTITION BY f ORDER BY q) AS cc,
+                       sum(c) OVER (PARTITION BY f) AS n
+                FROM cat
+            ),
+            meds AS (
+                SELECT f,
+                       min(CASE WHEN cc >= (n + 1) // 2 THEN q END)
+                       + min(CASE WHEN cc >= n // 2 + 1 THEN q END) AS med2
+                FROM cum GROUP BY f
+            ),
+            zm AS (
+                SELECT c.f, sum(c.c) AS n,
+                       sum(c.c * abs(2 * c.q - m.med2)) AS s1,
+                       sum(c.c * abs(2 * c.q - m.med2)
+                           * abs(2 * c.q - m.med2)) AS s2
+                FROM cat c JOIN meds m ON m.f = c.f
+                GROUP BY c.f
+            ),
+            p AS (
+                SELECT
+                    max(CASE WHEN f = 'A' THEN n END) AS n_a,
+                    max(CASE WHEN f = 'A' THEN s1 END) AS s1_a,
+                    max(CASE WHEN f = 'A' THEN s2 END) AS s2_a,
+                    max(CASE WHEN f = 'N' THEN n END) AS n_n,
+                    max(CASE WHEN f = 'N' THEN s1 END) AS s1_n,
+                    max(CASE WHEN f = 'N' THEN s2 END) AS s2_n,
+                    max(CASE WHEN f = 'R' THEN n END) AS n_r,
+                    max(CASE WHEN f = 'R' THEN s1 END) AS s1_r,
+                    max(CASE WHEN f = 'R' THEN s2 END) AS s2_r
+                FROM zm
+            ),
+            m AS (
+                SELECT *,
+                       n_a + n_n + n_r AS n,
+                       (s1_a + s1_n + s1_r) / (n_a + n_n + n_r) AS gm,
+                       s1_a / n_a AS m_a, s1_n / n_n AS m_n,
+                       s1_r / n_r AS m_r
+                FROM p
+            ),
+            ss AS (
+                SELECT n,
+                       n_a * ((m_a - gm) * (m_a - gm))
+                       + n_n * ((m_n - gm) * (m_n - gm))
+                       + n_r * ((m_r - gm) * (m_r - gm)) AS ssb,
+                       (s2_a - (s1_a * s1_a) / n_a)
+                       + (s2_n - (s1_n * s1_n) / n_n)
+                       + (s2_r - (s1_r * s1_r) / n_r) AS ssw
+                FROM m
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(2 AS BIGINT) AS df1,
+                   CAST(n - 3 AS BIGINT) AS df2,
+                   round((ssb / 2.0) / (ssw / (n - 3)), 6) AS w6
+            FROM ss
+        """,
         "customer_bloom_calibration": bloom_fpr_sql(
             "SELECT DISTINCT o_custkey AS key FROM orders",
             "SELECT c_custkey + 1000000 AS key FROM customer",

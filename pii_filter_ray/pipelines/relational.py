@@ -11107,3 +11107,112 @@ def customer_bloom_calibration(sf_dir: str, m_bits: int = 4096, k: int = 3):
         "fill6": [float(round_half_away(fill, 6))],
         "theory_fpr6": [float(round_half_away(theory, 6))],
     })
+
+
+def orders_dow_seasonality(sf_dir: str):
+    """Day-of-week seasonality indices of daily revenue — the seasonal
+    decomposition companion to the trend family (orders_trend_mk /
+    orders_theilsen measure drift; events_autocorr detects the weekly
+    cycle; this quantifies it). Daily exact cents pre-aggregate per
+    block onto the bounded date catalog (the theilsen shape); dow =
+    (epoch-day + 3) mod 7 (0 = Monday), computed as the SAME integer
+    expression both sides — no calendar function, no tz ambiguity. The
+    index is (mean daily cents for the dow) / (grand mean daily cents):
+    two exact-integer divisions and one float division, the identical
+    IEEE tree on both sides, snapped to 6."""
+    ds = _tbl(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def daily(batch: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            batch["o_totalprice"].to_numpy() * 100.0, 0).astype(np.int64)
+        us = batch["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        t = pa.table({
+            "dayidx": pa.array(us // 86_400_000_000, pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+        g = t.group_by("dayidx").aggregate([("cents", "sum")])
+        return pa.table({"dayidx": g["dayidx"], "cents": g["cents_sum"]})
+
+    df = (ds.map_batches(daily, batch_format="pyarrow")
+          .groupby("dayidx").aggregate(Sum("cents", alias_name="cents"))
+          .to_pandas())
+    d = df["dayidx"].to_numpy(np.int64)
+    v = df["cents"].to_numpy(np.int64)
+    n_all = len(d)
+    s_all = int(v.sum())
+    gm = s_all / n_all
+    rows = []
+    for dow in range(7):
+        m = ((d + 3) % 7) == dow
+        nd = int(m.sum())
+        if nd == 0:
+            continue
+        sd = int(v[m].sum())
+        rows.append((dow, nd, sd,
+                     float(round_half_away((sd / nd) / gm, 6))))
+    return pd.DataFrame({
+        "dow": pd.array([r[0] for r in rows], dtype="int64"),
+        "n_days": pd.array([r[1] for r in rows], dtype="int64"),
+        "sum_cents": pd.array([r[2] for r in rows], dtype="int64"),
+        "idx6": [r[3] for r in rows],
+    })
+
+
+def lineitem_brown_forsythe(sf_dir: str):
+    """Brown-Forsythe variance-homogeneity test across the three
+    return-flag groups — the assumption check BEHIND lineitem_anova
+    (ANOVA's F presumes equal variances; Brown-Forsythe is Levene's test
+    with median centering, robust to non-normality). Everything reduces
+    to the bounded (flag, quantity) value catalog in ONE shuffle (~3x50
+    exact count cells): group medians select BOTH middle order
+    statistics explicitly from cumulative catalog counts, and centering
+    uses z = |2q - (lo+hi)| so the half-integer median never leaves
+    integer arithmetic; the W statistic is then the one-way F on z
+    (scale-invariant, so the factor 2 cancels) evaluated from exact
+    integer z-moments in the FIXED A, N, R pivot order — the identical
+    IEEE tree both sides, like lineitem_anova."""
+    ds = _tbl(sf_dir, "lineitem", columns=["l_quantity", "l_returnflag"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        q = pc.cast(batch["l_quantity"], pa.int64())
+        t = pa.table({"f": batch["l_returnflag"], "q": q,
+                      "one": pc.cast(pc.equal(q, q), pa.int64())})
+        g = t.group_by(["f", "q"]).aggregate([("one", "sum")])
+        return pa.table({"f": g["f"], "q": g["q"],
+                         "c": g["one_sum"].cast(pa.int64())})
+
+    cat = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby(["f", "q"]).aggregate(Sum("c", alias_name="c"))
+           .to_pandas())
+    st = {}
+    for f in ("A", "N", "R"):
+        g = cat[cat["f"] == f].sort_values("q")
+        qs = g["q"].to_numpy(np.int64)
+        cs = g["c"].to_numpy(np.int64)
+        n = int(cs.sum())
+        cum = np.cumsum(cs)
+        lo = int(qs[np.searchsorted(cum, (n + 1) // 2)])
+        hi = int(qs[np.searchsorted(cum, n // 2 + 1)])
+        med2 = lo + hi  # = 2 * median, exact
+        z = np.abs(2 * qs - med2)
+        s1 = int((cs * z).sum())
+        s2 = int((cs * z * z).sum())
+        st[f] = (n, s1, s2)
+    n = st["A"][0] + st["N"][0] + st["R"][0]
+    s1 = st["A"][1] + st["N"][1] + st["R"][1]
+    gm = s1 / n
+    means = {f: st[f][1] / st[f][0] for f in ("A", "N", "R")}
+    ssb = (st["A"][0] * ((means["A"] - gm) * (means["A"] - gm))
+           + st["N"][0] * ((means["N"] - gm) * (means["N"] - gm))
+           + st["R"][0] * ((means["R"] - gm) * (means["R"] - gm)))
+    ssw = ((st["A"][2] - (st["A"][1] * st["A"][1]) / st["A"][0])
+           + (st["N"][2] - (st["N"][1] * st["N"][1]) / st["N"][0])
+           + (st["R"][2] - (st["R"][1] * st["R"][1]) / st["R"][0]))
+    w_stat = (ssb / 2.0) / (ssw / (n - 3))
+    return pd.DataFrame({
+        "n": pd.array([n], dtype="int64"),
+        "df1": pd.array([2], dtype="int64"),
+        "df2": pd.array([n - 3], dtype="int64"),
+        "w6": [float(round_half_away(w_stat, 6))],
+    })

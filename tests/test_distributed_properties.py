@@ -741,3 +741,25 @@ def test_anova_layout_invariance_and_media_dedup_structure(ray_session,
     dups = md[md["n_copies"] > 1]
     assert len(dups) == 24 and (dups["n_copies"] == 2).all()
     assert (dups["rep_id"] < 96).all()
+
+
+def test_dow_and_brown_forsythe_layout_invariance(ray_session, monkeypatch):
+    """Daily-cents catalog folding and the (flag, quantity) value-catalog
+    reduction must be block-layout independent."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a1, a2 = r.orders_dow_seasonality(sf), r.lineitem_brown_forsythe(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(11))
+    b1, b2 = r.orders_dow_seasonality(sf), r.lineitem_brown_forsythe(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a1.reset_index(drop=True),
+                                  b1.reset_index(drop=True))
+    pd.testing.assert_frame_equal(a2.reset_index(drop=True),
+                                  b2.reset_index(drop=True))
