@@ -386,6 +386,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_dow_seasonality": r.orders_dow_seasonality,
         # Brown-Forsythe variance-homogeneity test (ANOVA's assumption)
         "lineitem_brown_forsythe": r.lineitem_brown_forsythe,
+        # parquet vs JSONL ingestion equivalence (content-level checksum)
+        "code_format_roundtrip": r.code_format_roundtrip,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -3925,6 +3927,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "part_label_propagation": o.label_propagation_sql(rounds=3),
         "media_dedup": o.media_dedup_sql(),
+        "code_format_roundtrip": o.code_format_roundtrip_sql(),
         "orders_dow_seasonality": """
             WITH d AS (
                 SELECT epoch_us(o_orderdate) // 86400000000 AS dayidx,

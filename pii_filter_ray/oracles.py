@@ -1529,3 +1529,28 @@ def media_dedup_sql() -> str:
     FROM read_parquet({_q(media_dups_table_path())})
     GROUP BY 1, 2
     ORDER BY 1"""
+
+
+def code_format_roundtrip_sql() -> str:
+    """Recomputes the format-equivalence checksums from the files
+    themselves: the parquet shard directory and its JSONL export must
+    agree on row count, total content chars, and the order-free XOR of
+    per-row sha256 prefixes (first 14 hex chars as BIGINT)."""
+    import os
+
+    from .pipelines.relational import _corpus_jsonl_path
+    from .sources.synthetic_code import corpus_path
+
+    pdir = corpus_path(n_rows=2000, seed=42)
+    jpath = _corpus_jsonl_path(n_rows=2000, seed=42)
+    xh = "bit_xor(('0x' || substr(sha256(content), 1, 14))::BIGINT)"
+    return f"""
+    SELECT 'json' AS fmt, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(length(content)) AS BIGINT) AS sum_chars,
+           {xh} AS xor_hash
+    FROM read_json_auto({_q(jpath)})
+    UNION ALL
+    SELECT 'parquet', CAST(count(*) AS BIGINT),
+           CAST(sum(length(content)) AS BIGINT), {xh}
+    FROM read_parquet({_q(os.path.join(pdir, '*.parquet'))})
+    ORDER BY fmt"""

@@ -11216,3 +11216,74 @@ def lineitem_brown_forsythe(sf_dir: str):
         "df2": pd.array([n - 3], dtype="int64"),
         "w6": [float(round_half_away(w_stat, 6))],
     })
+
+
+def _corpus_jsonl_path(n_rows: int = 2000, seed: int = 42) -> str:
+    """Materializes (once) the JSONL export of the synthetic code corpus
+    — the crawler-export interop fixture for the format-roundtrip proof.
+    Derived from the SAME cached parquet shards, so the two formats hold
+    identical rows by construction; atomic write discipline as the media
+    fixtures."""
+    from ..sources.synthetic_code import corpus_path
+
+    pdir = corpus_path(n_rows=n_rows, seed=seed)
+    out = os.path.join(os.path.dirname(pdir), "corpus.jsonl")
+    if not os.path.exists(out):
+        import json as _json
+        import tempfile
+
+        tbl = pq.read_table(pdir)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(out), suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            for row in tbl.to_pylist():
+                fh.write(_json.dumps(row, sort_keys=True) + "\n")
+        os.replace(tmp, out)
+    return out
+
+
+def code_format_roundtrip(sf_dir: str):
+    """Source-format equivalence proof (SURVEY S1/S3: parquet is the
+    production source, row formats exist for crawler-export interop):
+    the SAME corpus read through read_code_corpus's parquet path (true
+    column pruning) and its JSONL path (post-read normalization) must
+    produce identical row counts, total content chars, and an
+    order-free XOR fold of per-row sha256 prefixes — a content-level
+    checksum no schema coercion bug can survive. Per-block partials
+    (n, sum_chars, xor) fold driver-side; XOR is associative and
+    commutative, so the fold is layout-free by construction. The oracle
+    recomputes both sides from the files themselves (read_parquet /
+    read_json_auto)."""
+    import hashlib as _hashlib
+
+    from ..sources.readers import read_code_corpus
+    from ..sources.synthetic_code import corpus_path
+
+    pdir = corpus_path(n_rows=2000, seed=42)
+    jpath = _corpus_jsonl_path(n_rows=2000, seed=42)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cont = batch["content"].to_pylist()
+        xr = 0
+        for c in cont:
+            xr ^= int(_hashlib.sha256(c.encode()).hexdigest()[:14], 16)
+        return pa.table({
+            "n": pa.array([len(cont)], pa.int64()),
+            "sum_chars": pa.array([sum(len(c) for c in cont)], pa.int64()),
+            "xh": pa.array([xr], pa.int64()),
+        })
+
+    rows = []
+    for fmt, src in (("json", jpath), ("parquet", pdir)):
+        parts = (read_code_corpus(src, format=fmt)
+                 .map_batches(partial, batch_format="pyarrow").to_pandas())
+        xh = 0
+        for v in parts["xh"]:
+            xh ^= int(v)
+        rows.append((fmt, int(parts["n"].sum()),
+                     int(parts["sum_chars"].sum()), xh))
+    return pd.DataFrame({
+        "fmt": pd.array([r[0] for r in rows], dtype="string"),
+        "n_rows": pd.array([r[1] for r in rows], dtype="int64"),
+        "sum_chars": pd.array([r[2] for r in rows], dtype="int64"),
+        "xor_hash": pd.array([r[3] for r in rows], dtype="int64"),
+    })
