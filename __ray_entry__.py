@@ -388,6 +388,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_brown_forsythe": r.lineitem_brown_forsythe,
         # parquet vs JSONL ingestion equivalence (content-level checksum)
         "code_format_roundtrip": r.code_format_roundtrip,
+        # k-core peeling on the fuzzy-match graph (density filter)
+        "part_kcore": r.part_kcore,
+        # histogram-sketch quantiles vs exact (quantile calibration)
+        "events_quantile_sketch": r.events_quantile_sketch,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -3928,6 +3932,60 @@ def oracle_sql() -> dict[str, str]:
         "part_label_propagation": o.label_propagation_sql(rounds=3),
         "media_dedup": o.media_dedup_sql(),
         "code_format_roundtrip": o.code_format_roundtrip_sql(),
+        "part_kcore": o.kcore_sql(k=2, rounds=8),
+        "events_quantile_sketch": """
+            WITH s AS (
+                SELECT CAST(min(value) AS DOUBLE) AS lo,
+                       CAST(max(value) AS DOUBLE) AS hi
+                FROM events WHERE value IS NOT NULL
+            ),
+            p AS (SELECT lo, (hi - lo) / 20.0 AS w FROM s),
+            c AS (
+                SELECT LEAST(CAST(floor((value - lo) / w) AS BIGINT), 19)
+                           AS bucket,
+                       count(*) AS n
+                FROM events CROSS JOIN p
+                WHERE value IS NOT NULL
+                GROUP BY 1
+            ),
+            cm AS (SELECT bucket, n, sum(n) OVER (ORDER BY bucket) AS cc
+                   FROM c),
+            tot AS (SELECT sum(n) AS nt FROM c),
+            qq AS (
+                SELECT CAST(0.5 AS DOUBLE) AS q, (1 * nt + 1) // 2 AS t
+                FROM tot
+                UNION ALL
+                SELECT CAST(0.9 AS DOUBLE), (9 * nt + 9) // 10 FROM tot
+                UNION ALL
+                SELECT CAST(0.99 AS DOUBLE), (99 * nt + 99) // 100 FROM tot
+            ),
+            sel AS (
+                SELECT q.q, q.t, min(cm.bucket) AS b
+                FROM qq q JOIN cm ON cm.cc >= q.t
+                GROUP BY q.q, q.t
+            ),
+            fin AS (
+                SELECT s2.q, s2.t, s2.b, cm.n AS cb, cm.cc - cm.n AS cumb
+                FROM sel s2 JOIN cm ON cm.bucket = s2.b
+            ),
+            ex AS (
+                SELECT CAST(0.5 AS DOUBLE) AS q,
+                       quantile_disc(value, 0.5) AS v FROM events
+                UNION ALL
+                SELECT CAST(0.9 AS DOUBLE),
+                       quantile_disc(value, 0.9) FROM events
+                UNION ALL
+                SELECT CAST(0.99 AS DOUBLE),
+                       quantile_disc(value, 0.99) FROM events
+            )
+            SELECT f.q, CAST(f.t AS BIGINT) AS t_rank,
+                   round(lo + w * (f.b + (f.t - f.cumb) / f.cb), 6) AS est6,
+                   round(ex.v, 6) AS exact6,
+                   round((lo + w * (f.b + (f.t - f.cumb) / f.cb)) - ex.v,
+                         6) AS err6
+            FROM fin f JOIN ex ON ex.q = f.q CROSS JOIN p
+            ORDER BY f.q
+        """,
         "orders_dow_seasonality": """
             WITH d AS (
                 SELECT epoch_us(o_orderdate) // 86400000000 AS dayidx,

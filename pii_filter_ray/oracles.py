@@ -1554,3 +1554,33 @@ def code_format_roundtrip_sql() -> str:
            CAST(sum(length(content)) AS BIGINT), {xh}
     FROM read_parquet({_q(os.path.join(pdir, '*.parquet'))})
     ORDER BY fmt"""
+
+
+def kcore_sql(k: int = 2, rounds: int = 8) -> str:
+    """k-core peeling unrolled to ``rounds`` degree/filter CTE rounds
+    over the levenshtein<=4 brand-blocked edge set — the independent
+    recomputation of part_kcore (rounds past the fixed point are
+    no-ops; the Ray side fails loud if the peel needs more)."""
+    ctes = ["""e AS (
+            SELECT a.p_partkey AS x, b.p_partkey AS y
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 4
+        ),
+        und AS (SELECT x AS n, y AS m FROM e UNION ALL SELECT y, x FROM e),
+        a0 AS (SELECT p_partkey AS n FROM part)"""]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""d{i} AS (
+            SELECT u.n, count(*) AS c
+            FROM und u
+            JOIN a{i - 1} xx ON u.n = xx.n
+            JOIN a{i - 1} yy ON u.m = yy.n
+            GROUP BY u.n
+        ),
+        a{i} AS (SELECT n FROM d{i} WHERE c >= {k})""")
+    return f"""
+        WITH {','.join(ctes)}
+        SELECT p_partkey,
+               p_partkey IN (SELECT n FROM a{rounds}) AS in_core
+        FROM part ORDER BY p_partkey
+    """

@@ -11287,3 +11287,164 @@ def code_format_roundtrip(sf_dir: str):
         "sum_chars": pd.array([r[2] for r in rows], dtype="int64"),
         "xor_hash": pd.array([r[3] for r in rows], dtype="int64"),
     })
+
+
+def part_kcore(sf_dir: str, k: int = 2, max_rounds: int = 8,
+               max_dist: int = 4):
+    """k-core decomposition of the brand-blocked fuzzy-match graph —
+    graph-based curation's density filter (drop weakly-connected noise
+    before community/ER passes; the peeling dual of part_clustering_
+    coeff's local density). Iteratively remove nodes with fewer than k
+    surviving neighbors until a fixed point. Each round is ONE pass over
+    the materialized edge table against the broadcast alive set (node
+    catalog, the part_triangle_count-degree precedent), emitting
+    pre-counted per-block degree partials into a bounded groupby. Rounds
+    are data-dependent, so the SQL mirror unrolls ``max_rounds`` peels
+    (extra rounds past the fixed point are no-ops) and the Ray side
+    FAILS LOUD if the peel hasn't converged by then — never a silently
+    truncated core (the dup_components iteration-cap discipline)."""
+    import functools
+
+    ds = _tbl(sf_dir, "part", columns=["p_partkey", "p_brand", "p_name"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g["p_partkey"].to_numpy(np.int64)
+        names = g["p_name"].tolist()
+        order = np.argsort(keys, kind="stable")
+        keys, names = keys[order], [names[i] for i in order]
+        ka, kb = [], []
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                if _lev(names[i], names[j], max_dist) <= max_dist:
+                    ka.append(keys[i])
+                    kb.append(keys[j])
+        return pd.DataFrame({"x": np.array(ka, dtype=np.int64),
+                             "y": np.array(kb, dtype=np.int64)})
+
+    edges = (ds.groupby("p_brand")
+             .map_groups(pairs, batch_format="pandas").materialize())
+    nodes = np.sort(
+        _tbl(sf_dir, "part", columns=["p_partkey"])
+        .to_pandas()["p_partkey"].to_numpy(np.int64))
+    alive = nodes.copy()
+
+    def deg_partials(batch: pa.Table, ref=None) -> pa.Table:
+        av = ray.get(ref)
+        x = batch["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.isin(x, av) & np.isin(y, av)
+        n = np.concatenate([x[m], y[m]])
+        if not len(n):
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        t = pa.table({"n": pa.array(n, pa.int64())})
+        g = t.group_by("n").aggregate([([], "count_all")])
+        return pa.table({"n": g["n"],
+                         "c": g["count_all"].cast(pa.int64())})
+
+    converged = False
+    for _ in range(max_rounds):
+        ref = ray.put(alive)
+        deg = (edges.map_batches(
+            functools.partial(deg_partials, ref=ref),
+            batch_format="pyarrow")
+            .groupby("n").aggregate(Sum("c", alias_name="c"))
+            .to_pandas())
+        keep = np.sort(
+            deg.loc[deg["c"] >= k, "n"].to_numpy(np.int64)) \
+            if len(deg) else np.array([], dtype=np.int64)
+        if len(keep) == len(alive) and np.array_equal(keep, alive):
+            converged = True
+            break
+        alive = keep
+        if len(alive) == 0:
+            converged = True
+            break
+    if not converged:
+        # one more pass to check the fixed point actually holds
+        ref = ray.put(alive)
+        deg = (edges.map_batches(
+            functools.partial(deg_partials, ref=ref),
+            batch_format="pyarrow")
+            .groupby("n").aggregate(Sum("c", alias_name="c"))
+            .to_pandas())
+        keep = np.sort(deg.loc[deg["c"] >= k, "n"].to_numpy(np.int64)) \
+            if len(deg) else np.array([], dtype=np.int64)
+        if not np.array_equal(keep, alive):
+            raise RuntimeError(
+                f"part_kcore: peel not converged after {max_rounds} rounds"
+                " — raise max_rounds (and its SQL unroll) for this graph")
+    core = set(alive.tolist())
+    return pd.DataFrame({
+        "p_partkey": pd.array(nodes, dtype="int64"),
+        "in_core": pd.array([int(n) in core for n in nodes],
+                            dtype="bool"),
+    })
+
+
+def events_quantile_sketch(sf_dir: str, nbins: int = 20):
+    """Quantile-sketch calibration: histogram-interpolated p50/p90/p99
+    estimates vs the EXACT streaming quantiles — the 'can 20 fixed bins
+    replace a full quantile pass?' sizing diagnostic that completes the
+    calibration family for the quantile dimension (distinct→HLL/KMV,
+    frequency→CMS, membership→Bloom, similarity→MinHash/SimHash bands).
+    The sketch side reuses the events_value_histogram shape (min/max
+    scalar pass + per-block bincount partials, at most nbins rows per
+    block); target ranks are ceil(q·n) in EXACT integer arithmetic
+    ((num·n + den - 1) // den), and the interpolation
+    lo + w·(bin + (t - cum_before)/count_in_bin) is the identical IEEE
+    tree both sides. The exact side is the oracle-verified streaming
+    grouped_quantile_disc under a constant key (three bounded passes,
+    no full sort)."""
+    from ..stages.quantiles import grouped_quantile_disc
+
+    ds = _tbl(sf_dir, "events", columns=["value"])
+    mm = ds.aggregate(Min("value"), Max("value"))
+    lo, hi = float(mm["min(value)"]), float(mm["max(value)"])
+    w = (hi - lo) / float(nbins)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        b = np.minimum(np.floor((v - lo) / w), nbins - 1).astype(np.int64)
+        cnt = np.bincount(b, minlength=nbins)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "n": pa.array(cnt[nz], pa.int64())})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket").aggregate(Sum("n", alias_name="n"))
+            .to_pandas().sort_values("bucket").reset_index(drop=True))
+    buckets = hist["bucket"].to_numpy(np.int64)
+    counts = hist["n"].to_numpy(np.int64)
+    cum = np.cumsum(counts)
+    n_total = int(cum[-1])
+
+    exact = grouped_quantile_disc(
+        ds.map_batches(
+            lambda b: b.append_column(
+                "all", pa.array(["all"] * b.num_rows, pa.string())),
+            batch_format="pyarrow"),
+        key="all", value_col="value", qs=(0.5, 0.9, 0.99))
+    exact_by_q = {float(r["q"]): float(r["value"])
+                  for _, r in exact.iterrows()}
+
+    rows = []
+    for num, den in ((1, 2), (9, 10), (99, 100)):
+        q = num / den
+        t = (num * n_total + den - 1) // den
+        i = int(np.searchsorted(cum, t))
+        b = int(buckets[i])
+        cumb = int(cum[i]) - int(counts[i])
+        est = lo + w * (b + (t - cumb) / int(counts[i]))
+        ex = exact_by_q[q]
+        rows.append((q, t, float(round_half_away(est, 6)),
+                     float(round_half_away(ex, 6)),
+                     float(round_half_away(est - ex, 6))))
+    return pd.DataFrame({
+        "q": [r[0] for r in rows],
+        "t_rank": pd.array([r[1] for r in rows], dtype="int64"),
+        "est6": [r[2] for r in rows],
+        "exact6": [r[3] for r in rows],
+        "err6": [r[4] for r in rows],
+    })

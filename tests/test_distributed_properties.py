@@ -763,3 +763,28 @@ def test_dow_and_brown_forsythe_layout_invariance(ray_session, monkeypatch):
                                   b1.reset_index(drop=True))
     pd.testing.assert_frame_equal(a2.reset_index(drop=True),
                                   b2.reset_index(drop=True))
+
+
+def test_kcore_and_quantile_sketch_layout_invariance(ray_session,
+                                                     monkeypatch):
+    """Peeling-round degree partials and histogram bincount partials must
+    fold identically under any block layout; also pins that the sf0.001
+    2-core is non-trivial (some nodes peeled, some survive)."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a1, a2 = r.part_kcore(sf), r.events_quantile_sketch(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b1, b2 = r.part_kcore(sf), r.events_quantile_sketch(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a1.reset_index(drop=True),
+                                  b1.reset_index(drop=True))
+    pd.testing.assert_frame_equal(a2.reset_index(drop=True),
+                                  b2.reset_index(drop=True))
+    assert 0 < int(a1["in_core"].sum()) < len(a1)
