@@ -392,6 +392,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_kcore": r.part_kcore,
         # histogram-sketch quantiles vs exact (quantile calibration)
         "events_quantile_sketch": r.events_quantile_sketch,
+        # (bands, rows) LSH sizing sweep from ONE signature pass
+        "doc_minhash_band_sweep": r.doc_minhash_band_sweep,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -3933,6 +3935,7 @@ def oracle_sql() -> dict[str, str]:
         "media_dedup": o.media_dedup_sql(),
         "code_format_roundtrip": o.code_format_roundtrip_sql(),
         "part_kcore": o.kcore_sql(k=2, rounds=8),
+        "doc_minhash_band_sweep": o.minhash_band_sweep_sql(),
         "events_quantile_sketch": """
             WITH s AS (
                 SELECT CAST(min(value) AS DOUBLE) AS lo,

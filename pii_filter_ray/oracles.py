@@ -1584,3 +1584,23 @@ def kcore_sql(k: int = 2, rounds: int = 8) -> str:
                p_partkey IN (SELECT n FROM a{rounds}) AS in_core
         FROM part ORDER BY p_partkey
     """
+
+
+def minhash_band_sweep_sql(num_perm: int = 64, seed: int = 7,
+                           max_bucket: int = 64, k: int = 3) -> str:
+    """The banding-sweep recompute: one full MinHash+LSH CTE chain per
+    (bands, rows) config (the signature arithmetic is identical across
+    configs — only the band fold width changes), candidate pairs counted
+    under the same truncation/distinct rules, thresholds as
+    power(1/b, 1/r) mirroring Python's ** on the same doubles."""
+    parts = []
+    for b, r in ((32, 2), (16, 4), (8, 8)):
+        parts.append(f"""
+    SELECT CAST({b} AS BIGINT) AS bands,
+           CAST({r} AS BIGINT) AS rows_per_band,
+           CAST((SELECT count(*)
+                 FROM (WITH {_minhash_cand_ctes(num_perm, b, seed,
+                                                max_bucket, k)}
+                       SELECT * FROM cand)) AS BIGINT) AS n_pairs,
+           round(power(1.0 / {b}, 1.0 / {r}), 6) AS thresh6""")
+    return " UNION ALL ".join(parts) + " ORDER BY bands DESC"

@@ -11448,3 +11448,54 @@ def events_quantile_sketch(sf_dir: str, nbins: int = 20):
         "exact6": [r[3] for r in rows],
         "err6": [r[4] for r in rows],
     })
+
+
+def doc_minhash_band_sweep(sf_dir: str, num_perm: int = 64, seed: int = 7,
+                           shingle_k: int = 3, max_bucket: int = 64):
+    """MinHash banding sweep — the (bands, rows-per-band) sizing curve
+    BEFORE committing a 100 TB dedup run to one config: candidate-pair
+    counts for (32x2, 16x4, 8x8) next to each config's S-curve threshold
+    (1/b)^(1/r) (the Jaccard level where collision probability hits
+    ~50%). The signature matrix is computed ONCE per doc
+    (MultiBandMinHashStage — shingle hashing and the 64 permutations are
+    the expensive part) and banded under every config in the same pass;
+    each config's (doc_id, band_key) slice then runs through the SAME
+    verified collision/pair machinery (minhash_lsh_pairs band_rows
+    bypass: identical truncation and distinct rules as
+    doc_minhash_candidates). The oracle recomputes all three chains in
+    SQL from the embedded permutation literals."""
+    from ..stages.dedup import MultiBandMinHashStage, minhash_lsh_pairs
+
+    configs = ((32, 2), (16, 4), (8, 8))
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    band_rows = ds.map_batches(
+        cached_stage_fn(
+            MultiBandMinHashStage,
+            configs=configs,
+            text_col="text",
+            id_col="doc_id",
+            num_perm=num_perm,
+            shingle_k=shingle_k,
+            seed=seed,
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    rows = []
+    for ci, (b, r) in enumerate(configs):
+        slice_ds = (band_rows
+                    .filter(expr=f"cfg == {ci}")
+                    .select_columns(["doc_id", "band_key"]))
+        pairs = minhash_lsh_pairs(
+            ds, "text", "doc_id", num_perm=num_perm, bands=b,
+            shingle_k=shingle_k, max_bucket=max_bucket, seed=seed,
+            band_rows=slice_ds)
+        n_pairs = pairs.count()
+        thresh = (1.0 / b) ** (1.0 / r)
+        rows.append((b, r, n_pairs, float(round_half_away(thresh, 6))))
+    return pd.DataFrame({
+        "bands": pd.array([x[0] for x in rows], dtype="int64"),
+        "rows_per_band": pd.array([x[1] for x in rows], dtype="int64"),
+        "n_pairs": pd.array([x[2] for x in rows], dtype="int64"),
+        "thresh6": [x[3] for x in rows],
+    })

@@ -241,6 +241,45 @@ def _bucket_pairs_fn(id_col: str, max_bucket: int):
     return bucket_pairs
 
 
+class MultiBandMinHashStage(MinHashStage):
+    """Band-config SWEEP variant: the signature is computed ONCE per doc
+    (the expensive part — shingle hashing + num_perm permutations) and
+    banded under EVERY (bands, rows_per_band) config in one pass,
+    emitting (id, cfg, band_key) rows. Feed each cfg's slice into
+    minhash_lsh_pairs(band_rows=...) to count candidates per config —
+    the (b, r) S-curve sizing diagnostic without num_configs signature
+    passes."""
+
+    def __init__(self, configs, **kw):
+        cfgs = tuple((int(b), int(r)) for b, r in configs)
+        num_perm = kw.get("num_perm", 64)
+        for b, r in cfgs:
+            assert b * r == num_perm, (b, r, num_perm)
+        kw["bands"] = cfgs[0][0]
+        super().__init__(**kw)
+        self.configs = cfgs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out, cfg_out, band_keys = [], [], []
+        for doc_id, text in zip(
+            batch[self.id_col].to_pylist(), batch[self.text_col].to_pylist()
+        ):
+            sig = self._sig(text or "")
+            if sig is None:
+                continue
+            for ci, (b, r) in enumerate(self.configs):
+                for band in range(b):
+                    ids_out.append(doc_id)
+                    cfg_out.append(ci)
+                    band_keys.append(
+                        self.band_key(band, sig[band * r:(band + 1) * r]))
+        return pa.table({
+            self.id_col: pa.array(ids_out),
+            "cfg": pa.array(cfg_out, pa.int64()),
+            "band_key": pa.array(band_keys, pa.int64()),
+        })
+
+
 def minhash_lsh_pairs(
     ds: "ray.data.Dataset",
     text_col: str,
@@ -252,6 +291,7 @@ def minhash_lsh_pairs(
     seed: int = 7,
     spill_dir: Optional[str] = None,
     broadcast_key_limit: int = 2_000_000,
+    band_rows: Optional["ray.data.Dataset"] = None,
 ) -> "ray.data.Dataset":
     """Candidate near-dup pairs (id_a < id_b) from LSH band buckets.
 
@@ -276,18 +316,19 @@ def minhash_lsh_pairs(
     """
     from ray.data.aggregate import Count, Sum
 
-    band_rows = ds.map_batches(
-        cached_stage_fn(
-            MinHashStage,
-            text_col=text_col,
-            id_col=id_col,
-            num_perm=num_perm,
-            bands=bands,
-            shingle_k=shingle_k,
-            seed=seed,
-        ),
-        batch_format="pyarrow",
-    )
+    if band_rows is None:
+        band_rows = ds.map_batches(
+            cached_stage_fn(
+                MinHashStage,
+                text_col=text_col,
+                id_col=id_col,
+                num_perm=num_perm,
+                bands=bands,
+                shingle_k=shingle_k,
+                seed=seed,
+            ),
+            batch_format="pyarrow",
+        )
     if spill_dir is not None:
         # corpus-scale path: persist the band table to parquet instead of
         # pinning it in the object store (it is consumed twice below).

@@ -788,3 +788,27 @@ def test_kcore_and_quantile_sketch_layout_invariance(ray_session,
     pd.testing.assert_frame_equal(a2.reset_index(drop=True),
                                   b2.reset_index(drop=True))
     assert 0 < int(a1["in_core"].sum()) < len(a1)
+
+
+def test_band_sweep_layout_invariance_and_monotonicity(ray_session,
+                                                       monkeypatch):
+    """The one-signature-pass multi-config banding must be block-layout
+    independent, and the candidate count must be non-increasing as the
+    S-curve threshold rises (more rows per band = stricter collisions)."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_minhash_band_sweep(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.doc_minhash_band_sweep(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    n = a.sort_values("thresh6")["n_pairs"].to_numpy()
+    assert (n[:-1] >= n[1:] - 0).all() and n[0] >= n[-1]
