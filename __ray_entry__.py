@@ -394,6 +394,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantile_sketch": r.events_quantile_sketch,
         # (bands, rows) LSH sizing sweep from ONE signature pass
         "doc_minhash_band_sweep": r.doc_minhash_band_sweep,
+        # worst-covered vectors under the k-center cover (pruning dual)
+        "emb_coreset_outliers": r.emb_coreset_outliers,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -3936,6 +3938,7 @@ def oracle_sql() -> dict[str, str]:
         "code_format_roundtrip": o.code_format_roundtrip_sql(),
         "part_kcore": o.kcore_sql(k=2, rounds=8),
         "doc_minhash_band_sweep": o.minhash_band_sweep_sql(),
+        "emb_coreset_outliers": o.kcenter_outliers_sql(k=6, m=20),
         "events_quantile_sketch": """
             WITH s AS (
                 SELECT CAST(min(value) AS DOUBLE) AS lo,

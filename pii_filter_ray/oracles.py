@@ -1604,3 +1604,19 @@ def minhash_band_sweep_sql(num_perm: int = 64, seed: int = 7,
                        SELECT * FROM cand)) AS BIGINT) AS n_pairs,
            round(power(1.0 / {b}, 1.0 / {r}), 6) AS thresh6""")
     return " UNION ALL ".join(parts) + " ORDER BY bands DESC"
+
+
+def kcenter_outliers_sql(k: int = 6, m: int = 20) -> str:
+    """The kcenter chain re-ranked: after the same k unrolled selection
+    rounds, the m worst-covered points by (min-distance DESC, vec_id)
+    with corpus-wide ranks — the recomputation of emb_coreset_outliers."""
+    base = kcenter_sql(k)
+    # reuse the chain verbatim up to dcov, swap the final projection
+    head, _, _ = base.rpartition("SELECT CAST(sel_idx AS BIGINT)")
+    return f"""{head}
+        SELECT CAST(row_number() OVER (ORDER BY d DESC, vec_id) AS BIGINT)
+                   AS rank,
+               CAST(vec_id AS BIGINT) AS vec_id,
+               d AS d9
+        FROM dcov ORDER BY d DESC, vec_id LIMIT {m}
+    """

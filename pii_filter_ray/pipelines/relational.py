@@ -11499,3 +11499,75 @@ def doc_minhash_band_sweep(sf_dir: str, num_perm: int = 64, seed: int = 7,
         "n_pairs": pd.array([x[2] for x in rows], dtype="int64"),
         "thresh6": [x[3] for x in rows],
     })
+
+
+def emb_coreset_outliers(sf_dir: str, k: int = 6, m: int = 20):
+    """The worst-covered points under the greedy k-center cover — the
+    'drop (or audit) the weirdest vectors' pruning primitive dual to
+    emb_kcenter_coreset's 'keep the most diverse': after the same k-round
+    farthest-point selection, one coverage pass emits each block's top-m
+    (min-distance DESC, vec_id) candidates — m rows per block, the
+    established top-k partial fold — and the driver keeps the global m.
+    Sims snap to 9 digits before every argmax (layout-safe ties); ranks
+    are corpus-wide (d9 DESC, vec_id). SQL mirror: the kcenter CTE chain
+    re-ranked (oracles.kcenter_outliers_sql)."""
+    import functools
+
+    from ..stages.similarity import _normalize, _to_matrix
+
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    seed_tbl = pa.concat_tables(ds.map_batches(
+        lambda b: b.filter(pc.equal(b["vec_id"], pa.scalar(0))),
+        batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+    C = _normalize(_to_matrix(seed_tbl["embedding"]))
+    chosen = [0]
+
+    def far_partial(batch: pa.Table, ref=None, topm: int = 1,
+                    emit_emb: bool = True) -> pa.Table:
+        ids_c, Cm = ray.get(ref)
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        mask = ~np.isin(vid, ids_c)
+        cols: dict = {"vec_id": pa.array([], pa.int64()),
+                      "d": pa.array([], pa.float64())}
+        if emit_emb:
+            cols["embedding"] = pa.array([], batch["embedding"].type)
+        if not mask.any():
+            return pa.table(cols)
+        sub = batch.filter(pa.array(mask))
+        vid = vid[mask]
+        S9 = np.round(_normalize(_to_matrix(sub["embedding"])) @ Cm.T, 9)
+        d = 1.0 - S9.max(axis=1)
+        o = np.lexsort((vid, -d))[:topm]
+        cols = {"vec_id": pa.array(vid[o], pa.int64()),
+                "d": pa.array(d[o], pa.float64())}
+        if emit_emb:
+            emb = sub["embedding"]
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            cols["embedding"] = emb.take(pa.array(o))
+        return pa.table(cols)
+
+    for _ in range(1, k):
+        ref = ray.put((np.asarray(chosen, dtype=np.int64), C))
+        parts = pa.concat_tables(ds.map_batches(
+            functools.partial(far_partial, ref=ref),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+        vid = parts["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        dv = parts["d"].to_numpy(zero_copy_only=False)
+        o = int(np.lexsort((vid, -dv))[0])
+        chosen.append(int(vid[o]))
+        C = np.vstack([C, _normalize(_to_matrix(
+            parts["embedding"].take(pa.array([o]))))])
+
+    ref = ray.put((np.asarray(chosen, dtype=np.int64), C))
+    parts = (ds.map_batches(
+        functools.partial(far_partial, ref=ref, topm=m, emit_emb=False),
+        batch_format="pyarrow").to_pandas())
+    parts = parts.sort_values(["d", "vec_id"], ascending=[False, True],
+                              kind="mergesort").head(m).reset_index(drop=True)
+    return pd.DataFrame({
+        "rank": pd.array(np.arange(1, len(parts) + 1), dtype="int64"),
+        "vec_id": parts["vec_id"].astype("int64"),
+        "d9": parts["d"].astype("float64"),
+    })

@@ -812,3 +812,24 @@ def test_band_sweep_layout_invariance_and_monotonicity(ray_session,
                                   b.reset_index(drop=True))
     n = a.sort_values("thresh6")["n_pairs"].to_numpy()
     assert (n[:-1] >= n[1:] - 0).all() and n[0] >= n[-1]
+
+
+def test_coreset_outliers_layout_invariance(ray_session, monkeypatch):
+    """Per-block top-m coverage partials must fold to the same global
+    top-m under any block layout."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.emb_coreset_outliers(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(13))
+    b = r.emb_coreset_outliers(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert len(a) == 20 and a["d9"].is_monotonic_decreasing
