@@ -155,6 +155,8 @@ def run_bench() -> dict:
         ("q21_waiting_supplier", r.q21_waiting_supplier),
         ("emb_semdedup", r.emb_semdedup),
         ("doc_dsir_weights", r.doc_dsir_weights),
+        ("doc_minhash_band_sweep", r.doc_minhash_band_sweep),
+        ("events_kmv_calibration", r.events_kmv_calibration),
     ]:
         def run(fn=fn):
             import pandas as pd
