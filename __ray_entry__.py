@@ -396,6 +396,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_band_sweep": r.doc_minhash_band_sweep,
         # worst-covered vectors under the k-center cover (pruning dual)
         "emb_coreset_outliers": r.emb_coreset_outliers,
+        # Welch heteroscedastic k-group ANOVA (no equal-variance assumption)
+        "lineitem_welch_anova": r.lineitem_welch_anova,
+        # Tukey boxplot-fence outlier counts (nonparametric rule)
+        "lineitem_tukey_outliers": r.lineitem_tukey_outliers,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -3942,6 +3946,89 @@ def oracle_sql() -> dict[str, str]:
         "part_kcore": o.kcore_sql(k=2, rounds=8),
         "doc_minhash_band_sweep": o.minhash_band_sweep_sql(),
         "emb_coreset_outliers": o.kcenter_outliers_sql(k=6, m=20),
+        "lineitem_welch_anova": """
+            WITH g AS (
+                SELECT l_returnflag AS f, count(*) AS n,
+                       sum(CAST(l_quantity AS BIGINT)) AS s1,
+                       sum(CAST(l_quantity AS BIGINT)
+                           * CAST(l_quantity AS BIGINT)) AS s2
+                FROM lineitem GROUP BY 1
+            ),
+            p AS (
+                SELECT
+                    max(CASE WHEN f = 'A' THEN n END) AS n_a,
+                    max(CASE WHEN f = 'A' THEN s1 END) AS s1_a,
+                    max(CASE WHEN f = 'A' THEN s2 END) AS s2_a,
+                    max(CASE WHEN f = 'N' THEN n END) AS n_n,
+                    max(CASE WHEN f = 'N' THEN s1 END) AS s1_n,
+                    max(CASE WHEN f = 'N' THEN s2 END) AS s2_n,
+                    max(CASE WHEN f = 'R' THEN n END) AS n_r,
+                    max(CASE WHEN f = 'R' THEN s1 END) AS s1_r,
+                    max(CASE WHEN f = 'R' THEN s2 END) AS s2_r
+                FROM g
+            ),
+            m AS (
+                SELECT *,
+                       s1_a / n_a AS m_a, s1_n / n_n AS m_n,
+                       s1_r / n_r AS m_r,
+                       n_a / ((n_a * s2_a - s1_a * s1_a)
+                              / (n_a * (n_a - 1))) AS w_a,
+                       n_n / ((n_n * s2_n - s1_n * s1_n)
+                              / (n_n * (n_n - 1))) AS w_n,
+                       n_r / ((n_r * s2_r - s1_r * s1_r)
+                              / (n_r * (n_r - 1))) AS w_r
+                FROM p
+            ),
+            w AS (
+                SELECT *,
+                       w_a + w_n + w_r AS w_tot,
+                       (w_a * m_a + w_n * m_n + w_r * m_r)
+                           / (w_a + w_n + w_r) AS mw
+                FROM m
+            ),
+            fin AS (
+                SELECT *,
+                       (w_a * ((m_a - mw) * (m_a - mw))
+                        + w_n * ((m_n - mw) * (m_n - mw))
+                        + w_r * ((m_r - mw) * (m_r - mw))) / 2.0 AS a_num,
+                       ((1 - w_a / w_tot) * (1 - w_a / w_tot)) / (n_a - 1)
+                       + ((1 - w_n / w_tot) * (1 - w_n / w_tot)) / (n_n - 1)
+                       + ((1 - w_r / w_tot) * (1 - w_r / w_tot)) / (n_r - 1)
+                           AS lam
+                FROM w
+            )
+            SELECT CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_n AS BIGINT) AS n_n,
+                   CAST(n_r AS BIGINT) AS n_r,
+                   round(a_num / (1 + 0.25 * lam), 6) AS fstar6,
+                   round(8.0 / (3.0 * lam), 6) AS df2_6
+            FROM fin
+        """,
+        "lineitem_tukey_outliers": """
+            WITH q AS (
+                SELECT quantile_disc(l_quantity, 0.25) AS q1,
+                       quantile_disc(l_quantity, 0.75) AS q3
+                FROM lineitem
+            ),
+            f AS (
+                SELECT CAST(q1 AS DOUBLE) AS q1, CAST(q3 AS DOUBLE) AS q3,
+                       CAST(q1 AS DOUBLE)
+                           - 1.5 * (CAST(q3 AS DOUBLE) - CAST(q1 AS DOUBLE))
+                           AS lo_fence,
+                       CAST(q3 AS DOUBLE)
+                           + 1.5 * (CAST(q3 AS DOUBLE) - CAST(q1 AS DOUBLE))
+                           AS hi_fence
+                FROM q
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   f.q1, f.q3, f.lo_fence, f.hi_fence,
+                   CAST(count(*) FILTER (l_quantity < f.lo_fence)
+                        AS BIGINT) AS n_below,
+                   CAST(count(*) FILTER (l_quantity > f.hi_fence)
+                        AS BIGINT) AS n_above
+            FROM lineitem CROSS JOIN f
+            GROUP BY f.q1, f.q3, f.lo_fence, f.hi_fence
+        """,
         "events_quantile_sketch": """
             WITH s AS (
                 SELECT CAST(min(value) AS DOUBLE) AS lo,

@@ -11571,3 +11571,110 @@ def emb_coreset_outliers(sf_dir: str, k: int = 6, m: int = 20):
         "vec_id": parts["vec_id"].astype("int64"),
         "d9": parts["d"].astype("float64"),
     })
+
+
+def lineitem_welch_anova(sf_dir: str):
+    """Welch's heteroscedastic one-way ANOVA across the three return-flag
+    groups — the k-group test that does NOT assume equal variances,
+    completing the trio (lineitem_anova assumes homogeneity;
+    lineitem_brown_forsythe tests that assumption; when it fails, THIS
+    is the test you run). Same exact-integer moment partials as
+    lineitem_anova (three (n, sum q, sum q^2) rows per block, Python-int
+    merge = SQL HUGEINT); the variance uses the overflow-immune
+    (n*S2 - S1^2)/(n*(n-1)) form, and F*, the Welch correction term and
+    the Satterthwaite df2 are evaluated in the FIXED A, N, R pivot order
+    as identical IEEE trees on both sides."""
+    ds = _tbl(sf_dir, "lineitem", columns=["l_quantity", "l_returnflag"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        q = pc.cast(batch["l_quantity"], pa.int64())
+        t = pa.table({"f": batch["l_returnflag"],
+                      "one": pc.cast(pc.equal(q, q), pa.int64()),
+                      "s1": q, "s2": pc.multiply(q, q)})
+        g = t.group_by("f").aggregate(
+            [("one", "sum"), ("s1", "sum"), ("s2", "sum")])
+        return pa.table({"f": g["f"], "n": g["one_sum"],
+                         "s1": g["s1_sum"], "s2": g["s2_sum"]})
+
+    df = (ds.map_batches(partials, batch_format="pyarrow")
+          .groupby("f")
+          .aggregate(Sum("n", alias_name="n"), Sum("s1", alias_name="s1"),
+                     Sum("s2", alias_name="s2"))
+          .to_pandas().set_index("f"))
+    st = {}
+    for f in ("A", "N", "R"):
+        n = int(df.loc[f, "n"])
+        s1 = int(df.loc[f, "s1"])
+        s2 = int(df.loc[f, "s2"])
+        m = s1 / n
+        var = (n * s2 - s1 * s1) / (n * (n - 1))
+        st[f] = (n, m, n / var)
+    w_tot = st["A"][2] + st["N"][2] + st["R"][2]
+    mw = (st["A"][2] * st["A"][1] + st["N"][2] * st["N"][1]
+          + st["R"][2] * st["R"][1]) / w_tot
+    a_num = (st["A"][2] * ((st["A"][1] - mw) * (st["A"][1] - mw))
+             + st["N"][2] * ((st["N"][1] - mw) * (st["N"][1] - mw))
+             + st["R"][2] * ((st["R"][1] - mw) * (st["R"][1] - mw))) / 2.0
+    lam = (((1 - st["A"][2] / w_tot) * (1 - st["A"][2] / w_tot))
+           / (st["A"][0] - 1)
+           + ((1 - st["N"][2] / w_tot) * (1 - st["N"][2] / w_tot))
+           / (st["N"][0] - 1)
+           + ((1 - st["R"][2] / w_tot) * (1 - st["R"][2] / w_tot))
+           / (st["R"][0] - 1))
+    f_star = a_num / (1 + 0.25 * lam)
+    df2 = 8.0 / (3.0 * lam)
+    return pd.DataFrame({
+        "n_a": pd.array([st["A"][0]], dtype="int64"),
+        "n_n": pd.array([st["N"][0]], dtype="int64"),
+        "n_r": pd.array([st["R"][0]], dtype="int64"),
+        "fstar6": [float(round_half_away(f_star, 6))],
+        "df2_6": [float(round_half_away(df2, 6))],
+    })
+
+
+def lineitem_tukey_outliers(sf_dir: str):
+    """Tukey boxplot-fence outlier counts on quantity — the classic
+    nonparametric rule next to events_zscore_outliers (parametric) and
+    events_value_mad (robust scale): Q1/Q3 via the oracle-verified
+    streaming quantile_disc machinery, fences at 1.5 IQR as one mirrored
+    float expression, and the outside counts from exact integer
+    comparisons on the bounded value catalog (quantity has ~50 distinct
+    values — one tiny shuffle, the lineitem_ks_test shape)."""
+    from ..stages.quantiles import grouped_quantile_disc
+
+    ds = _tbl(sf_dir, "lineitem", columns=["l_quantity"])
+    qs = grouped_quantile_disc(
+        ds.map_batches(
+            lambda b: pa.table({
+                "all": pa.array(["all"] * b.num_rows, pa.string()),
+                "q": pc.cast(b["l_quantity"], pa.float64())}),
+            batch_format="pyarrow"),
+        key="all", value_col="q", qs=(0.25, 0.75))
+    by_q = {float(r["q"]): float(r["value"]) for _, r in qs.iterrows()}
+    q1, q3 = by_q[0.25], by_q[0.75]
+    iqr = q3 - q1
+    lo = q1 - 1.5 * iqr
+    hi = q3 + 1.5 * iqr
+
+    def cat(batch: pa.Table) -> pa.Table:
+        q = pc.cast(batch["l_quantity"], pa.int64())
+        t = pa.table({"q": q, "one": pc.cast(pc.equal(q, q), pa.int64())})
+        g = t.group_by("q").aggregate([("one", "sum")])
+        return pa.table({"q": g["q"],
+                         "c": g["one_sum"].cast(pa.int64())})
+
+    catalog = (ds.map_batches(cat, batch_format="pyarrow")
+               .groupby("q").aggregate(Sum("c", alias_name="c"))
+               .to_pandas())
+    qv = catalog["q"].to_numpy(np.int64)
+    cv = catalog["c"].to_numpy(np.int64)
+    n = int(cv.sum())
+    n_below = int(cv[qv < lo].sum())
+    n_above = int(cv[qv > hi].sum())
+    return pd.DataFrame({
+        "n": pd.array([n], dtype="int64"),
+        "q1": [q1], "q3": [q3],
+        "lo_fence": [lo], "hi_fence": [hi],
+        "n_below": pd.array([n_below], dtype="int64"),
+        "n_above": pd.array([n_above], dtype="int64"),
+    })

@@ -833,3 +833,48 @@ def test_coreset_outliers_layout_invariance(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
     assert len(a) == 20 and a["d9"].is_monotonic_decreasing
+
+
+def test_welch_anova_layout_and_tukey_outlier_branch(ray_session, tmp_path,
+                                                     monkeypatch):
+    """Welch-ANOVA's moment partials must fold identically under any
+    layout. The sf quantities are uniform 1..50 (all inside the Tukey
+    fences), so the outside-fence counting branch needs a fabricated
+    skewed table: a long tail above the high fence must be counted, with
+    DuckDB bit-parity."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.lineitem_welch_anova(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(11))
+    b = r.lineitem_welch_anova(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+
+    # fabricated: 100 values at 10, 100 at 12, 5 extreme at 1000
+    qs = [10] * 100 + [12] * 100 + [1000] * 5
+    tbl = pa.table({
+        "l_quantity": pa.array(qs, pa.int64()),
+        "l_returnflag": pa.array(["N"] * len(qs), pa.string()),
+    })
+    pq.write_table(tbl, tmp_path / "lineitem.parquet")
+    got = r.lineitem_tukey_outliers(str(tmp_path))
+    assert int(got["n_above"].iloc[0]) == 5
+    assert int(got["n_below"].iloc[0]) == 0
+    import __ray_entry__ as e
+    con = duckdb.connect()
+    con.register("lineitem", tbl)
+    want = con.execute(e.oracle_sql()["lineitem_tukey_outliers"]).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reindex(sorted(got.columns), axis=1),
+        want.reindex(sorted(want.columns), axis=1), check_dtype=False)
