@@ -400,6 +400,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_welch_anova": r.lineitem_welch_anova,
         # Tukey boxplot-fence outlier counts (nonparametric rule)
         "lineitem_tukey_outliers": r.lineitem_tukey_outliers,
+        # N benchmark suites decontaminated in ONE corpus pass
+        "doc_decontam_multi": r.doc_decontam_multi,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -3946,6 +3948,41 @@ def oracle_sql() -> dict[str, str]:
         "part_kcore": o.kcore_sql(k=2, rounds=8),
         "doc_minhash_band_sweep": o.minhash_band_sweep_sql(),
         "emb_coreset_outliers": o.kcenter_outliers_sql(k=6, m=20),
+        "doc_decontam_multi": r"""
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'),
+                                   x -> x != '') AS ws
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws) - 3),
+                                             i -> array_to_string(ws[i:i+4],
+                                                                  ' '))) AS g
+                FROM docs WHERE len(ws) >= 5
+            ),
+            bench_a AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+            bench_b AS (SELECT DISTINCT g FROM grams WHERE doc_id % 89 = 0),
+            hit_a AS (
+                SELECT DISTINCT grams.doc_id, grams.g
+                FROM grams JOIN bench_a b ON grams.g = b.g
+            ),
+            hit_b AS (
+                SELECT DISTINCT grams.doc_id, grams.g
+                FROM grams JOIN bench_b b ON grams.g = b.g
+            ),
+            ca AS (SELECT doc_id, count(*) AS n FROM hit_a GROUP BY 1),
+            cb AS (SELECT doc_id, count(*) AS n FROM hit_b GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(coalesce(ca.n, 0) AS BIGINT) AS hits_a,
+                   CAST(coalesce(cb.n, 0) AS BIGINT) AS hits_b,
+                   coalesce(ca.n, 0) > 0 OR coalesce(cb.n, 0) > 0
+                       AS contaminated
+            FROM docs d
+            LEFT JOIN ca ON ca.doc_id = d.doc_id
+            LEFT JOIN cb ON cb.doc_id = d.doc_id
+        """,
         "lineitem_welch_anova": """
             WITH g AS (
                 SELECT l_returnflag AS f, count(*) AS n,

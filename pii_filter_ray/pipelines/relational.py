@@ -11678,3 +11678,46 @@ def lineitem_tukey_outliers(sf_dir: str):
         "n_below": pd.array([n_below], dtype="int64"),
         "n_above": pd.array([n_above], dtype="int64"),
     })
+
+
+def doc_decontam_multi(sf_dir: str, n: int = 5):
+    """Multi-benchmark decontamination in ONE corpus pass — the
+    real-world shape (GPT-3's appendix C checked 13 eval suites; you
+    never re-scan 100 TB per benchmark): two deterministic 'benchmark'
+    slices (doc_id % 97 == 0 and % 89 == 0, standing in for two held-out
+    suites) each build their distinct-5-gram set distributively; BOTH
+    sets ship in one ray.put and every corpus batch intersects each
+    document's grams against each suite locally — per-suite hit counts
+    and the any-suite contamination flag from a single shuffle-free
+    pass. Adding a suite adds only its (benchmark-sized) set build,
+    never a corpus re-scan."""
+    from ..stages.decontam import _doc_ngrams, benchmark_ngram_set
+
+    docs = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    sets = []
+    for mod in (97, 89):
+        bench = docs.map_batches(
+            lambda b, m=mod: b.filter(pa.array(
+                b["doc_id"].to_numpy(zero_copy_only=False) % m == 0)),
+            batch_format="pyarrow")
+        sets.append(benchmark_ngram_set(bench, "text", n))
+    ref = ray.put(tuple(sets))
+
+    def check(batch: pa.Table) -> pa.Table:
+        set_a, set_b = ray.get(ref)
+        ids = batch["doc_id"].to_pylist()
+        ha, hb = [], []
+        for t in batch["text"].to_pylist():
+            grams = set(_doc_ngrams(t, n))
+            ha.append(len(grams & set_a))
+            hb.append(len(grams & set_b))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "hits_a": pa.array(ha, pa.int64()),
+            "hits_b": pa.array(hb, pa.int64()),
+        })
+
+    df = docs.map_batches(check, batch_format="pyarrow").to_pandas()
+    df["contaminated"] = (df["hits_a"] > 0) | (df["hits_b"] > 0)
+    return df.astype({"doc_id": "int64", "hits_a": "int64",
+                      "hits_b": "int64", "contaminated": "bool"})
