@@ -402,6 +402,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_tukey_outliers": r.lineitem_tukey_outliers,
         # N benchmark suites decontaminated in ONE corpus pass
         "doc_decontam_multi": r.doc_decontam_multi,
+        # IVF recall@10 at n_probe 1/2/4 from one corpus pass
+        "emb_ann_nprobe_sweep": r.emb_ann_nprobe_sweep,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -3948,6 +3950,76 @@ def oracle_sql() -> dict[str, str]:
         "part_kcore": o.kcore_sql(k=2, rounds=8),
         "doc_minhash_band_sweep": o.minhash_band_sweep_sql(),
         "emb_coreset_outliers": o.kcenter_outliers_sql(k=6, m=20),
+        "emb_ann_nprobe_sweep": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            cc AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+            d AS (
+                SELECT e.vec_id, cc.cid,
+                       round(list_sum(list_transform(range(1, 65),
+                           t -> (v[t] - c[t]) * (v[t] - c[t]))), 9) AS d29
+                FROM e, cc
+            ),
+            asg AS (
+                SELECT vec_id, cid FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY d29, cid) AS rn FROM d)
+                WHERE rn = 1
+            ),
+            probes AS (SELECT vec_id AS pid, v AS pv FROM e
+                       WHERE vec_id BETWEEN 1 AND 5),
+            pcr AS (
+                SELECT p.pid, cc.cid,
+                       row_number() OVER (PARTITION BY p.pid ORDER BY
+                           round(list_sum(list_transform(range(1, 65),
+                               t -> (pv[t] - c[t]) * (pv[t] - c[t]))),
+                               9), cc.cid) AS rn
+                FROM probes p, cc
+            ),
+            levels(np) AS (VALUES (1), (2), (4)),
+            sims AS (
+                SELECT p.pid, e.vec_id,
+                       round(list_cosine_similarity(e.v, p.pv), 9) AS sim9
+                FROM e, probes p WHERE e.vec_id != p.pid
+            ),
+            exact AS (
+                SELECT pid, vec_id FROM (
+                    SELECT pid, vec_id, row_number() OVER (PARTITION BY pid
+                        ORDER BY sim9 DESC, vec_id) AS rn FROM sims)
+                WHERE rn <= 10
+            ),
+            cand AS (
+                SELECT l.np, s.pid, s.vec_id, s.sim9
+                FROM sims s
+                JOIN asg a ON a.vec_id = s.vec_id
+                JOIN pcr pc ON pc.pid = s.pid AND pc.cid = a.cid
+                JOIN levels l ON pc.rn <= l.np
+            ),
+            ivf AS (
+                SELECT np, pid, vec_id FROM (
+                    SELECT np, pid, vec_id,
+                           row_number() OVER (PARTITION BY np, pid
+                               ORDER BY sim9 DESC, vec_id) AS rn
+                    FROM cand)
+                WHERE rn <= 10
+            ),
+            ncand AS (SELECT np, pid, CAST(count(*) AS BIGINT) AS n_cand
+                      FROM cand GROUP BY 1, 2),
+            hit AS (
+                SELECT i.np, i.pid, CAST(count(*) AS BIGINT) AS n_hit
+                FROM ivf i JOIN exact x
+                     ON x.pid = i.pid AND x.vec_id = i.vec_id
+                GROUP BY 1, 2
+            )
+            SELECT CAST(n.np AS BIGINT) AS n_probe,
+                   CAST(n.pid AS BIGINT) AS probe_id,
+                   n.n_cand,
+                   CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+                   round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 10.0, 6)
+                       AS recall6
+            FROM ncand n LEFT JOIN hit h USING (np, pid)
+            ORDER BY n_probe, probe_id
+        """,
         "doc_decontam_multi": r"""
             WITH docs AS (
                 SELECT doc_id,

@@ -11721,3 +11721,93 @@ def doc_decontam_multi(sf_dir: str, n: int = 5):
     df["contaminated"] = (df["hits_a"] > 0) | (df["hits_b"] > 0)
     return df.astype({"doc_id": "int64", "hits_a": "int64",
                       "hits_b": "int64", "contaminated": "bool"})
+
+
+def emb_ann_nprobe_sweep(sf_dir: str, k: int = 8, topk: int = 10,
+                         levels: tuple = (1, 2, 4)):
+    """IVF n_probe tuning curve — recall@k at n_probe = 1, 2 and 4 from
+    ONE corpus pass (the 'how many cells must a query touch' decision
+    emb_ann_recall answers for a single setting): probe cells are nested
+    by distance order, so the same per-block pass emits exact-ranking
+    top-k partials once plus candidate top-k/count partials per level,
+    and the driver folds (levels x probes) recalls. Same conventions as
+    emb_ann_recall (seed centroids, d2 and sims snapped to 9 before
+    every argmin/argmax, block top-k in the oracle's (sim9 DESC, vec_id)
+    order); the oracle shares one CTE chain across levels via a
+    rn <= level join."""
+    ds, C = _centroid_assignments(sf_dir, k)
+    P = C[1:6]
+    pids = np.arange(1, 6, dtype=np.int64)
+    max_np = max(levels)
+    d2p = round_half_away(((P[:, None, :] - C[None]) ** 2).sum(axis=2), 9)
+    cells = {}
+    for i, pid in enumerate(pids):
+        order = np.lexsort((np.arange(k), d2p[i]))
+        cells[int(pid)] = order[:max_np].tolist()  # nested by rank
+    state = ray.put((C, P, pids, cells, tuple(levels)))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        Cc, Pp, pp, cel, lvls = ray.get(state)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        M = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch["embedding"].to_pylist()])
+        d2 = round_half_away(((M[:, None, :] - Cc[None]) ** 2).sum(axis=2),
+                             9)
+        cid = np.argmin(d2, axis=1)
+        nM = np.linalg.norm(M, axis=1)
+        nP = np.linalg.norm(Pp, axis=1)
+        sim9 = round_half_away((M @ Pp.T) / np.outer(nM, nP), 9)
+        o_np, o_pid, o_vid, o_sim, o_tag, o_cnt = [], [], [], [], [], []
+
+        def emit(np_lvl, pid, mask, tag, s):
+            mi = np.nonzero(mask)[0]
+            if len(mi):
+                top = mi[np.lexsort((ids[mi], -s[mi]))[:topk]]
+                o_np.extend([np_lvl] * len(top))
+                o_pid.extend([pid] * len(top))
+                o_vid.extend(ids[top].tolist())
+                o_sim.extend(s[top].tolist())
+                o_tag.extend([tag] * len(top))
+                o_cnt.extend([0] * len(top))
+
+        for i, pid in enumerate(pp):
+            notself = ids != pid
+            s = sim9[:, i]
+            emit(0, pid, notself, "e", s)
+            for lv in lvls:
+                m = notself & np.isin(cid, cel[int(pid)][:lv])
+                emit(lv, pid, m, "i", s)
+                o_np.append(lv); o_pid.append(pid); o_vid.append(-1)
+                o_sim.append(0.0); o_tag.append("c")
+                o_cnt.append(int(m.sum()))
+        return pa.table({
+            "np": pa.array(o_np, pa.int64()),
+            "pid": pa.array(o_pid, pa.int64()),
+            "vec_id": pa.array(o_vid, pa.int64()),
+            "sim9": pa.array(o_sim, pa.float64()),
+            "tag": pa.array(o_tag, pa.string()),
+            "cnt": pa.array(o_cnt, pa.int64()),
+        })
+
+    part = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+
+    def fold_top(t):
+        order = np.lexsort((t["vec_id"].to_numpy(np.int64),
+                            -t["sim9"].to_numpy(np.float64)))
+        return set(t["vec_id"].to_numpy(np.int64)[order][:topk].tolist())
+
+    rows = []
+    for lv in levels:
+        for pid in pids:
+            ex = fold_top(part[(part["np"] == 0) & (part["pid"] == pid)
+                               & (part["tag"] == "e")])
+            sl = part[(part["np"] == lv) & (part["pid"] == pid)]
+            iv = fold_top(sl[sl["tag"] == "i"])
+            n_cand = int(sl.loc[sl["tag"] == "c", "cnt"].sum())
+            n_hit = len(ex & iv)
+            rows.append((int(lv), int(pid), n_cand, n_hit,
+                         float(round_half_away(float(n_hit) / 10.0, 6))))
+    return pd.DataFrame(rows, columns=["n_probe", "probe_id", "n_cand",
+                                       "n_hit", "recall6"]).astype(
+        {"n_probe": "int64", "probe_id": "int64", "n_cand": "int64",
+         "n_hit": "int64", "recall6": "float64"})

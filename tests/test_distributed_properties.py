@@ -878,3 +878,27 @@ def test_welch_anova_layout_and_tukey_outlier_branch(ray_session, tmp_path,
     pd.testing.assert_frame_equal(
         got.reindex(sorted(got.columns), axis=1),
         want.reindex(sorted(want.columns), axis=1), check_dtype=False)
+
+
+def test_nprobe_sweep_layout_and_monotonicity(ray_session, monkeypatch):
+    """The one-pass multi-level IVF sweep must be layout-independent, and
+    per-probe recall must be non-decreasing in n_probe (nested cells can
+    only ADD candidates)."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.emb_ann_nprobe_sweep(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.emb_ann_nprobe_sweep(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    for pid, grp in a.groupby("probe_id"):
+        rec = grp.sort_values("n_probe")["recall6"].to_numpy()
+        assert (rec[1:] >= rec[:-1]).all(), pid
