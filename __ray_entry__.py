@@ -404,6 +404,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontam_multi": r.doc_decontam_multi,
         # IVF recall@10 at n_probe 1/2/4 from one corpus pass
         "emb_ann_nprobe_sweep": r.emb_ann_nprobe_sweep,
+        # do the quality signals agree? (Pearson, exact fixed-point moments)
+        "doc_signal_corr": r.doc_signal_corr,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -1315,6 +1317,36 @@ def oracle_sql() -> dict[str, str]:
                    round((pr1 + pr2) / 2, 6) AS ensemble6,
                    round((pr1 + pr2) / 2, 6) >= 0.5 AS keep
             FROM r
+        """,
+        "doc_signal_corr": f"""
+            WITH {o.perplexity_ctes()},
+            sig AS (
+                SELECT d.doc_id,
+                       CAST(round(round(p.ppl_bits, 6) * 1000000.0, 0)
+                            AS BIGINT) AS x,
+                       CAST(round(1000000.0 *
+                            (CASE WHEN len(list_filter(string_split_regex(
+                                        d.text, '\\s+'), w -> w != '')) = 0
+                                  THEN 0.0
+                                  ELSE CAST(length(replace(d.text, ' ', ''))
+                                       AS DOUBLE)
+                                       / len(list_filter(string_split_regex(
+                                             d.text, '\\s+'), w -> w != ''))
+                             END), 0) AS BIGINT) AS y
+                FROM documents d JOIN ppl p ON p.doc_id = d.doc_id
+            ),
+            m AS (
+                SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                       sum(x * x) AS sxx, sum(y * y) AS syy,
+                       sum(x * y) AS sxy
+                FROM sig
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))),
+                         6) AS r6
+            FROM m
         """,
         "doc_ccnet_ppl_buckets": f"""
             WITH {o.perplexity_ctes()},

@@ -11811,3 +11811,67 @@ def emb_ann_nprobe_sweep(sf_dir: str, k: int = 8, topk: int = 10,
                                        "n_hit", "recall6"]).astype(
         {"n_probe": "int64", "probe_id": "int64", "n_cand": "int64",
          "n_hit": "int64", "recall6": "float64"})
+
+
+def doc_signal_corr(sf_dir: str):
+    """Quality-signal agreement audit: Pearson correlation between the
+    char-bigram perplexity score (the CCNet-style LM signal) and the
+    mean word length (the structural signal it is most often confounded
+    with — long rare words inflate bigram surprise) — the 'do my quality
+    filters measure the same thing or complement each other' check run
+    before weighting signals into an ensemble
+    (doc_quality_rank_ensemble's input audit). Each doc's two signals
+    snap to micro-fixed-point int64 (round(1e6 * x)) so ALL moments are
+    exact integers (Python int = SQL HUGEINT — no float summation
+    anywhere; the noise fraction is an exact int/int division identical
+    on both sides, and ppl rounds through the same 6-digit convention
+    its bucket query uses); one moment row per block, one mirrored
+    (n·Σxy − ΣxΣy) / (√A·√B) evaluation. At corpus scale the HUGEINT
+    product bound (~1e31 here vs 1.7e38 max) is the knob — drop to 1e3
+    fixed-point past ~1e12 docs."""
+    from ..stages import cached_stage_fn
+    from ..stages.quality_scrub import PerplexityStage
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    ppl_fn = cached_stage_fn(PerplexityStage, content_col="text")
+
+    def moments(batch: pa.Table) -> pa.Table:
+        t = ppl_fn(batch)
+        ppl6 = round_half_away(
+            t["ppl_bits"].to_numpy(zero_copy_only=False), 6)
+        x = round_half_away(ppl6 * 1_000_000.0, 0).astype(np.int64)
+        ys = []
+        for txt in batch["text"].to_pylist():
+            n_words = len(txt.split())
+            if n_words == 0:
+                ys.append(0)
+                continue
+            n_nonspace = len(txt.replace(" ", ""))
+            ys.append(int(round_half_away(
+                1_000_000.0 * (n_nonspace / n_words), 0)))
+        y = np.asarray(ys, dtype=np.int64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxx": pa.array([int((x.astype(object) * x).sum())], pa.int64()),
+            "syy": pa.array([int((y.astype(object) * y).sum())], pa.int64()),
+            "sxy": pa.array([int((x.astype(object) * y).sum())], pa.int64()),
+        })
+
+    agg = (ds.map_batches(moments, batch_format="pyarrow")
+           .aggregate(Sum("n"), Sum("sx"), Sum("sy"), Sum("sxx"),
+                      Sum("syy"), Sum("sxy")))
+    n = int(agg["sum(n)"])
+    sx, sy = int(agg["sum(sx)"]), int(agg["sum(sy)"])
+    sxx, syy, sxy = (int(agg["sum(sxx)"]), int(agg["sum(syy)"]),
+                     int(agg["sum(sxy)"]))
+    num = n * sxy - sx * sy
+    a_var = n * sxx - sx * sx
+    b_var = n * syy - sy * sy
+    import math
+    r = float(num) / (math.sqrt(float(a_var)) * math.sqrt(float(b_var)))
+    return pd.DataFrame({
+        "n": pd.array([n], dtype="int64"),
+        "r6": [float(round_half_away(r, 6))],
+    })
