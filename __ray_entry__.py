@@ -406,6 +406,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ann_nprobe_sweep": r.emb_ann_nprobe_sweep,
         # do the quality signals agree? (Pearson, exact fixed-point moments)
         "doc_signal_corr": r.doc_signal_corr,
+        # partitioned SINK under the gate: write -> read back -> checksum
+        "doc_partitioned_write_roundtrip": r.doc_partitioned_write_roundtrip,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -1317,6 +1319,16 @@ def oracle_sql() -> dict[str, str]:
                    round((pr1 + pr2) / 2, 6) AS ensemble6,
                    round((pr1 + pr2) / 2, 6) >= 0.5 AS keep
             FROM r
+        """,
+        "doc_partitioned_write_roundtrip": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+                   bit_xor(('0x' || substr(sha256(text), 1, 14))::BIGINT)
+                       AS xor_hash
+            FROM documents
+            GROUP BY lang
+            ORDER BY lang
         """,
         "doc_signal_corr": f"""
             WITH {o.perplexity_ctes()},

@@ -11875,3 +11875,61 @@ def doc_signal_corr(sf_dir: str):
         "n": pd.array([n], dtype="int64"),
         "r6": [float(round_half_away(r, 6))],
     })
+
+
+def doc_partitioned_write_roundtrip(sf_dir: str):
+    """Partitioned SINK under the correctness gate: write the documents
+    table hive-partitioned by lang (write_parquet(partition_cols=…) — the
+    resumable-output layout every big run uses: one directory per key so
+    a failed run skips finished partitions), read the directory back, and
+    prove content fidelity per partition with row counts, total chars and
+    the order-free XOR fold of per-row sha256 prefixes. The oracle
+    computes the same per-lang fingerprint straight from the source
+    table, so any write-path loss (dropped rows, mangled encoding, a
+    partition routed to the wrong directory) breaks the hash. Scratch
+    goes under /tmp, cleared per run; the read-back recovers `lang` from
+    the hive path itself."""
+    import hashlib as _hashlib
+    import shutil as _shutil
+
+    out_dir = os.path.join(
+        "/tmp/pii_ray_roundtrip",
+        os.path.basename(os.path.normpath(sf_dir)))
+    _shutil.rmtree(out_dir, ignore_errors=True)
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    ds.write_parquet(out_dir, partition_cols=["lang"])
+
+    back = ray.data.read_parquet(out_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch["lang"].to_pylist()
+        texts = batch["text"].to_pylist()
+        agg: dict = {}
+        for lg, t in zip(langs, texts):
+            a = agg.setdefault(str(lg), [0, 0, 0])
+            a[0] += 1
+            a[1] += len(t)
+            a[2] ^= int(_hashlib.sha256(t.encode()).hexdigest()[:14], 16)
+        ks = sorted(agg)
+        return pa.table({
+            "lang": pa.array(ks, pa.string()),
+            "n": pa.array([agg[k][0] for k in ks], pa.int64()),
+            "sum_chars": pa.array([agg[k][1] for k in ks], pa.int64()),
+            "xh": pa.array([agg[k][2] for k in ks], pa.int64()),
+        })
+
+    parts = back.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for lg, grp in parts.groupby("lang"):
+        xh = 0
+        for v in grp["xh"]:
+            xh ^= int(v)
+        rows.append((lg, int(grp["n"].sum()),
+                     int(grp["sum_chars"].sum()), xh))
+    rows.sort(key=lambda r: r[0])
+    return pd.DataFrame({
+        "lang": pd.array([r[0] for r in rows], dtype="string"),
+        "n_rows": pd.array([r[1] for r in rows], dtype="int64"),
+        "sum_chars": pd.array([r[2] for r in rows], dtype="int64"),
+        "xor_hash": pd.array([r[3] for r in rows], dtype="int64"),
+    })
