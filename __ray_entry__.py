@@ -408,6 +408,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_signal_corr": r.doc_signal_corr,
         # partitioned SINK under the gate: write -> read back -> checksum
         "doc_partitioned_write_roundtrip": r.doc_partitioned_write_roundtrip,
+        # the corpus-release attrition table (per-stage drop counts)
+        "doc_curation_funnel": r.doc_curation_funnel,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -498,6 +500,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_cosine_neardup": o.emb_cosine_neardup_sql(),
         "doc_dedup_corpus": o.doc_dedup_corpus_sql(),
         "doc_curation_pipeline": o.doc_curation_pipeline_sql(),
+        "doc_curation_funnel": o.doc_curation_funnel_sql(),
         "emb_ivf_knn": o.emb_ivf_knn_sql(),
         # ground truth for the self-generated code corpus comes from the
         # generator's expectations sidecar (independent of the pipeline)

@@ -1620,3 +1620,30 @@ def kcenter_outliers_sql(k: int = 6, m: int = 20) -> str:
                d AS d9
         FROM dcov ORDER BY d DESC, vec_id LIMIT {m}
     """
+
+
+def doc_curation_funnel_sql(threshold: float = 0.5,
+                            max_df: int = 1000) -> str:
+    """The curation chain aggregated per stage — reuses the
+    doc_curation_pipeline mirror's CTE body verbatim and swaps the final
+    projection for the four-stage attrition counts."""
+    base = doc_curation_pipeline_sql(threshold, max_df)
+    head, _, _ = base.rpartition("SELECT doc_id, lang FROM dedup")
+    return f"""{head}
+  , n0 AS (SELECT count(*) AS n FROM documents),
+  n1 AS (SELECT count(*) AS n FROM kept),
+  n2 AS (SELECT count(*) AS n FROM dedup),
+  n3 AS (SELECT count(*) AS n FROM dedup
+         WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+  SELECT CAST(s.stage AS BIGINT) AS stage, s.name,
+         CAST(s.n AS BIGINT) AS n, CAST(s.dropped AS BIGINT) AS dropped
+  FROM (
+    SELECT 0 AS stage, 'raw' AS name, n0.n AS n, 0 AS dropped FROM n0
+    UNION ALL
+    SELECT 1, 'quality_keep', n1.n, n0.n - n1.n FROM n0, n1
+    UNION ALL
+    SELECT 2, 'dedup_keep', n2.n, n1.n - n2.n FROM n1, n2
+    UNION ALL
+    SELECT 3, 'decontam_keep', n3.n, n2.n - n3.n FROM n2, n3
+  ) s
+  ORDER BY stage"""

@@ -11933,3 +11933,78 @@ def doc_partitioned_write_roundtrip(sf_dir: str):
         "sum_chars": pd.array([r[2] for r in rows], dtype="int64"),
         "xor_hash": pd.array([r[3] for r in rows], dtype="int64"),
     })
+
+
+def doc_curation_funnel(sf_dir: str, threshold: float = 0.5):
+    """The corpus-release FUNNEL report: how many documents survive each
+    stage of the canonical curation chain (raw → heuristic quality gate →
+    near-dedup keep-rule → benchmark decontamination) — the attrition
+    table every dataset card publishes (C4, Gopher, FineWeb all report
+    per-stage drop counts). Same composition and semantics as
+    doc_curation_pipeline (whose output is the FINAL kept set); each
+    stage count is a streaming count() of the same chain — in a real run
+    these counters ride the job manifest for free, and no count ever
+    materializes text. Oracle: the same chained SQL mirror aggregated
+    per stage."""
+    from ..stages.decontam import benchmark_ngram_set, flag_contaminated
+    from ..stages.dedup import dup_components_joined, jaccard_similarity_join
+    from ..stages.joins import hash_anti_join
+    from ..stages.text_stats import sql_keep_batch
+
+    docs = _tbl(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    n_raw = _tbl(sf_dir, "documents", columns=["doc_id"]).count()
+
+    def quality_gate(batch: pa.Table) -> pa.Table:
+        return batch.filter(sql_keep_batch(batch)["keep"])
+
+    kept = docs.map_batches(quality_gate, batch_format="pyarrow")
+    n_quality = kept.count()
+
+    pairs = jaccard_similarity_join(
+        kept, text_col="text", id_col="doc_id", threshold=threshold)
+    comps = dup_components_joined(pairs)
+
+    def drops(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.not_equal(batch["id"], batch["component"])).select(["id"])
+
+    dedup = hash_anti_join(
+        kept.select_columns(["doc_id", "lang"]),
+        comps.map_batches(drops, batch_format="pyarrow"),
+        left_key="doc_id", right_key="id",
+        left_cols=["lang"], schema={"lang": pa.string()},
+    ).materialize()
+    n_dedup = dedup.count()
+
+    full = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_filter(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 97 == 0))
+
+    bset = benchmark_ngram_set(
+        full.map_batches(bench_filter, batch_format="pyarrow"), "text", 5)
+    flagged = flag_contaminated(full, bset, id_col="doc_id",
+                                text_col="text", n=5)
+
+    def contaminated_ids(batch: pa.Table) -> pa.Table:
+        b = batch.filter(batch["contaminated"])
+        return pa.table({"cid": b["doc_id"]})
+
+    final = hash_anti_join(
+        dedup, flagged.map_batches(contaminated_ids,
+                                   batch_format="pyarrow"),
+        left_key="doc_id", right_key="cid",
+        left_cols=["lang"], schema={"lang": pa.string()},
+    )
+    n_final = final.count()
+
+    names = ["raw", "quality_keep", "dedup_keep", "decontam_keep"]
+    ns = [n_raw, n_quality, n_dedup, n_final]
+    return pd.DataFrame({
+        "stage": pd.array(range(4), dtype="int64"),
+        "name": pd.array(names, dtype="string"),
+        "n": pd.array(ns, dtype="int64"),
+        "dropped": pd.array(
+            [0] + [ns[i - 1] - ns[i] for i in range(1, 4)], dtype="int64"),
+    })
