@@ -1647,3 +1647,39 @@ def doc_curation_funnel_sql(threshold: float = 0.5,
     SELECT 3, 'decontam_keep', n3.n, n2.n - n3.n FROM n2, n3
   ) s
   ORDER BY stage"""
+
+
+def code_repo_neardup_sql(max_df: int = 64, topk: int = 20) -> str:
+    """Repo-level file-set Jaccard recompute from the corpus parquet:
+    64-bit sha prefixes, df-pruned intersections (2..max_df), exact set
+    sizes, top-k by (jacc9 DESC, repo_a, repo_b)."""
+    import os
+
+    from .sources.synthetic_code import corpus_path
+
+    glob = os.path.join(corpus_path(n_rows=2000, seed=42), "*.parquet")
+    return f"""
+    WITH f AS (
+        SELECT repo,
+               ('0x' || substr(sha256(content), 1, 14))::BIGINT AS h
+        FROM read_parquet({_q(glob)})
+    ),
+    d AS (SELECT DISTINCT repo, h FROM f),
+    sizes AS (SELECT repo, count(*) AS sz FROM d GROUP BY repo),
+    dfp AS (SELECT h FROM d GROUP BY h
+            HAVING count(*) BETWEEN 2 AND {max_df}),
+    inter AS (
+        SELECT a.repo AS ra, b.repo AS rb, count(*) AS i
+        FROM d a
+        JOIN d b ON a.h = b.h AND a.repo < b.repo
+        JOIN dfp ON dfp.h = a.h
+        GROUP BY 1, 2
+    )
+    SELECT ra AS repo_a, rb AS repo_b,
+           CAST(i AS BIGINT) AS n_shared,
+           round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 9) AS jacc9
+    FROM inter
+    JOIN sizes sa ON sa.repo = ra
+    JOIN sizes sb ON sb.repo = rb
+    ORDER BY jacc9 DESC, ra, rb LIMIT {topk}
+    """

@@ -12008,3 +12008,72 @@ def doc_curation_funnel(sf_dir: str, threshold: float = 0.5):
         "dropped": pd.array(
             [0] + [ns[i - 1] - ns[i] for i in range(1, 4)], dtype="int64"),
     })
+
+
+def code_repo_neardup(sf_dir: str, max_df: int = 64, topk: int = 20):
+    """REPO-level near-duplicate ranking (The Stack v2 dedups whole
+    repositories, not just files): top-k repo pairs by file-SET Jaccard,
+    where a repo's set is its distinct file-content hashes. Hashes
+    shared by more than ``max_df`` repos are df-pruned from the
+    intersection signal on BOTH sides (ubiquitous boilerplate — a
+    LICENSE file in every repo — carries no similarity information and
+    would otherwise cost O(df²) pairs per hash; the doc_jaccard_dups
+    df-pruning convention), while set SIZES stay exact. Shape: one
+    (repo, hash64) distinct-pair shuffle (64-bit sha prefixes, never
+    content), a bounded colliding-hash broadcast filter, and pair
+    generation over only the surviving Σ df ≤ max_df·|shared| rows."""
+    import hashlib as _hashlib
+
+    from ..sources.synthetic_code import corpus_path
+
+    ds = ray.data.read_parquet(corpus_path(n_rows=2000, seed=42),
+                               columns=["repo", "content"])
+
+    def rh_partial(batch: pa.Table) -> pa.Table:
+        seen = set()
+        for rp, c in zip(batch["repo"].to_pylist(),
+                         batch["content"].to_pylist()):
+            seen.add((rp, int(_hashlib.sha256(
+                c.encode()).hexdigest()[:14], 16)))
+        ks = sorted(seen)
+        return pa.table({
+            "repo": pa.array([k[0] for k in ks], pa.string()),
+            "h": pa.array([k[1] for k in ks], pa.int64()),
+        })
+
+    rh = (ds.map_batches(rh_partial, batch_format="pyarrow")
+          .groupby(["repo", "h"])
+          .aggregate(Count(alias_name="dup"))
+          .select_columns(["repo", "h"])
+          .materialize())
+
+    sizes = preagg_groupby(rh, ["repo"], count_alias="sz").to_pandas() \
+        .set_index("repo")["sz"]
+
+    dfc = preagg_groupby(rh, ["h"], count_alias="c").to_pandas()
+    shared = dfc[(dfc["c"] >= 2) & (dfc["c"] <= max_df)]["h"]
+    sh_ref = ray.put(pa.array(shared.to_numpy(np.int64), pa.int64()))
+
+    def only_shared(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["h"], value_set=ray.get(sh_ref)))
+
+    rows = (rh.map_batches(only_shared, batch_format="pyarrow")
+            .to_pandas())
+    pairs: dict = {}
+    for h, grp in rows.groupby("h"):
+        rs = sorted(grp["repo"].tolist())
+        for i in range(len(rs)):
+            for j in range(i + 1, len(rs)):
+                pairs[(rs[i], rs[j])] = pairs.get((rs[i], rs[j]), 0) + 1
+    out = []
+    for (ra, rb), inter in pairs.items():
+        jac = inter / (int(sizes[ra]) + int(sizes[rb]) - inter)
+        out.append((ra, rb, inter, float(round_half_away(jac, 9))))
+    out.sort(key=lambda r: (-r[3], r[0], r[1]))
+    out = out[:topk]
+    return pd.DataFrame({
+        "repo_a": pd.array([r[0] for r in out], dtype="string"),
+        "repo_b": pd.array([r[1] for r in out], dtype="string"),
+        "n_shared": pd.array([r[2] for r in out], dtype="int64"),
+        "jacc9": [r[3] for r in out],
+    })
