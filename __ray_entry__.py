@@ -412,6 +412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_curation_funnel": r.doc_curation_funnel,
         # REPO-level near-dup ranking by file-set Jaccard (Stack-v2 style)
         "code_repo_neardup": r.code_repo_neardup,
+        # was the LPA partition any good? (per-community modularity)
+        "part_modularity": r.part_modularity,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -504,6 +506,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_curation_pipeline": o.doc_curation_pipeline_sql(),
         "doc_curation_funnel": o.doc_curation_funnel_sql(),
         "code_repo_neardup": o.code_repo_neardup_sql(),
+        "part_modularity": o.modularity_sql(rounds=3),
         "emb_ivf_knn": o.emb_ivf_knn_sql(),
         # ground truth for the self-generated code corpus comes from the
         # generator's expectations sidecar (independent of the pipeline)

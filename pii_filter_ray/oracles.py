@@ -1683,3 +1683,40 @@ def code_repo_neardup_sql(max_df: int = 64, topk: int = 20) -> str:
     JOIN sizes sb ON sb.repo = rb
     ORDER BY jacc9 DESC, ra, rb LIMIT {topk}
     """
+
+
+def modularity_sql(rounds: int = 3) -> str:
+    """Per-community Newman modularity contributions over the LPA
+    partition — reuses label_propagation_sql's CTE chain verbatim and
+    swaps the final projection for exact (n_nodes, e_internal, degree)
+    counts and the mirrored contribution expression."""
+    base = label_propagation_sql(rounds)
+    head, _, _ = base.rpartition("SELECT n AS p_partkey")
+    r = rounds
+    return f"""{head}
+        , mm AS (SELECT count(*) AS m FROM e),
+        deg AS (
+            SELECT l.lbl AS c, count(*) AS d
+            FROM und u JOIN l{r} l ON l.n = u.n GROUP BY 1
+        ),
+        eint AS (
+            SELECT la.lbl AS c, count(*) AS e_c
+            FROM e
+            JOIN l{r} la ON la.n = e.x
+            JOIN l{r} lb ON lb.n = e.y
+            WHERE la.lbl = lb.lbl GROUP BY 1
+        ),
+        csizes AS (SELECT lbl AS c, count(*) AS n_nodes FROM l{r} GROUP BY 1)
+        SELECT CAST(s.c AS BIGINT) AS community,
+               CAST(s.n_nodes AS BIGINT) AS n_nodes,
+               CAST(coalesce(ei.e_c, 0) AS BIGINT) AS e_internal,
+               CAST(coalesce(dg.d, 0) AS BIGINT) AS degree,
+               round(coalesce(ei.e_c, 0) / CAST(mm.m AS DOUBLE)
+                     - ((coalesce(dg.d, 0) / (2.0 * mm.m))
+                        * (coalesce(dg.d, 0) / (2.0 * mm.m))), 9)
+                   AS contrib9
+        FROM csizes s CROSS JOIN mm
+        LEFT JOIN eint ei ON ei.c = s.c
+        LEFT JOIN deg dg ON dg.c = s.c
+        ORDER BY community
+    """

@@ -12077,3 +12077,81 @@ def code_repo_neardup(sf_dir: str, max_df: int = 64, topk: int = 20):
         "n_shared": pd.array([r[2] for r in out], dtype="int64"),
         "jacc9": [r[3] for r in out],
     })
+
+
+def part_modularity(sf_dir: str, rounds: int = 3, max_dist: int = 4):
+    """Newman modularity of the LPA communities — the 'was that a good
+    partition' audit on top of part_label_propagation (modularity > 0
+    means denser-than-random inside communities; the quantity LPA
+    implicitly climbs). Per community: node count, internal edge count
+    e_c, total degree d_c — ALL exact integers from one edge pass against
+    the broadcast final label map — and the per-community contribution
+    e_c/m − (d_c/(2m))², each an independent mirrored float expression
+    of exact integers snapped to 9 (one row per community; no float
+    summation — sum the column yourself if you want the scalar Q).
+    Isolated nodes have d_c = 0 and contribute structurally-zero rows."""
+    import functools
+
+    lpa = part_label_propagation(sf_dir, rounds=rounds, max_dist=max_dist)
+    nodes = lpa["p_partkey"].to_numpy(np.int64)
+    labels = lpa["community"].to_numpy(np.int64)
+    lab_ref = ray.put((nodes, labels))
+
+    ds = _tbl(sf_dir, "part", columns=["p_partkey", "p_brand", "p_name"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g["p_partkey"].to_numpy(np.int64)
+        names = g["p_name"].tolist()
+        order = np.argsort(keys, kind="stable")
+        keys, names = keys[order], [names[i] for i in order]
+        ka, kb = [], []
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                if _lev(names[i], names[j], max_dist) <= max_dist:
+                    ka.append(keys[i])
+                    kb.append(keys[j])
+        return pd.DataFrame({"x": np.array(ka, dtype=np.int64),
+                             "y": np.array(kb, dtype=np.int64)})
+
+    edges = ds.groupby("p_brand").map_groups(pairs, batch_format="pandas")
+
+    def comm_partials(batch: pa.Table, ref=None) -> pa.Table:
+        nd, lb = ray.get(ref)
+        x = batch["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx = lb[np.searchsorted(nd, x)]
+        cy = lb[np.searchsorted(nd, y)]
+        t = pa.table({
+            "c": pa.array(np.concatenate([cx, cy]), pa.int64()),
+            "deg": pa.array(np.ones(2 * len(x), np.int64), pa.int64()),
+            "internal": pa.array(np.concatenate(
+                [(cx == cy).astype(np.int64),
+                 np.zeros(len(x), np.int64)]), pa.int64()),
+        })
+        g = t.group_by("c").aggregate([("deg", "sum"), ("internal", "sum")])
+        return pa.table({"c": g["c"], "deg": g["deg_sum"],
+                         "internal": g["internal_sum"]})
+
+    agg = (edges.map_batches(
+        functools.partial(comm_partials, ref=lab_ref),
+        batch_format="pyarrow")
+        .groupby("c").aggregate(Sum("deg", alias_name="deg"),
+                                Sum("internal", alias_name="internal"))
+        .to_pandas())
+    m = int(agg["deg"].sum()) // 2  # each edge contributes 2 degree
+    sizes = pd.Series(labels).value_counts()
+    stats = agg.set_index("c")
+    rows = []
+    for c in sorted(set(labels.tolist())):
+        e_c = int(stats["internal"].get(c, 0))
+        d_c = int(stats["deg"].get(c, 0))
+        contrib = (e_c / m) - ((d_c / (2 * m)) * (d_c / (2 * m)))
+        rows.append((int(c), int(sizes[c]), e_c, d_c,
+                     float(round_half_away(contrib, 9))))
+    return pd.DataFrame({
+        "community": pd.array([r[0] for r in rows], dtype="int64"),
+        "n_nodes": pd.array([r[1] for r in rows], dtype="int64"),
+        "e_internal": pd.array([r[2] for r in rows], dtype="int64"),
+        "degree": pd.array([r[3] for r in rows], dtype="int64"),
+        "contrib9": [r[4] for r in rows],
+    })
