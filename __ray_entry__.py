@@ -414,6 +414,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_repo_neardup": r.code_repo_neardup,
         # was the LPA partition any good? (per-community modularity)
         "part_modularity": r.part_modularity,
+        # Kaplan-Meier time-to-conversion with real right-censoring
+        "events_kaplan_meier": r.events_kaplan_meier,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -507,6 +509,56 @@ def oracle_sql() -> dict[str, str]:
         "doc_curation_funnel": o.doc_curation_funnel_sql(),
         "code_repo_neardup": o.code_repo_neardup_sql(),
         "part_modularity": o.modularity_sql(rounds=3),
+        "events_kaplan_meier": """
+            WITH RECURSIVE per_user AS (
+                SELECT user_id,
+                       CAST(min(epoch_us(ts)) AS BIGINT) AS t0,
+                       CAST(max(epoch_us(ts)) AS BIGINT) AS tmax,
+                       CAST(coalesce(min(CASE WHEN event_type = 'purchase'
+                                               AND value > 90.0
+                                              THEN epoch_us(ts) END),
+                                     9223372036854775807) AS BIGINT) AS tc
+                FROM events GROUP BY user_id
+            ),
+            bounds AS (SELECT max(tmax) AS wend FROM per_user),
+            labeled AS (
+                SELECT CASE WHEN tc <> 9223372036854775807
+                            THEN (tc - t0) // 3600000000
+                            ELSE ((SELECT wend FROM bounds) - t0)
+                                 // 3600000000 END AS dur,
+                       CASE WHEN tc <> 9223372036854775807
+                            THEN 1 ELSE 0 END AS conv
+                FROM per_user
+            ),
+            counts AS (
+                SELECT dur, CAST(sum(conv) AS BIGINT) AS d,
+                       CAST(sum(1 - conv) AS BIGINT) AS c,
+                       CAST(count(*) AS BIGINT) AS m
+                FROM labeled GROUP BY dur
+            ),
+            deaths AS (
+                SELECT c1.dur, c1.d, c1.c,
+                       CAST((SELECT sum(c2.m) FROM counts c2
+                             WHERE c2.dur >= c1.dur) AS BIGINT) AS n,
+                       CAST(row_number() OVER (ORDER BY c1.dur)
+                            AS BIGINT) AS rn
+                FROM counts c1 WHERE c1.d > 0
+            ),
+            km AS (
+                SELECT rn, dur, d, c, n,
+                       1.0 * (1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE))
+                           AS s
+                FROM deaths WHERE rn = 1
+                UNION ALL
+                SELECT d2.rn, d2.dur, d2.d, d2.c, d2.n,
+                       km.s * (1.0 - CAST(d2.d AS DOUBLE)
+                                     / CAST(d2.n AS DOUBLE))
+                FROM deaths d2 JOIN km ON d2.rn = km.rn + 1
+            )
+            SELECT dur AS t_hours, n AS n_risk, d AS d_conv,
+                   c AS c_censored, round(s, 9) AS survival9
+            FROM km
+        """,
         "emb_ivf_knn": o.emb_ivf_knn_sql(),
         # ground truth for the self-generated code corpus comes from the
         # generator's expectations sidecar (independent of the pipeline)

@@ -12155,3 +12155,78 @@ def part_modularity(sf_dir: str, rounds: int = 3, max_dist: int = 4):
         "degree": pd.array([r[3] for r in rows], dtype="int64"),
         "contrib9": [r[4] for r in rows],
     })
+
+
+def events_kaplan_meier(sf_dir: str, value_threshold: float = 90.0):
+    """Kaplan-Meier time-to-conversion curve (Kaplan & Meier 1958) — the
+    survival-analysis primitive behind retention/churn reporting that the
+    cohort-retention and conversion-latency queries cannot express: S(t)
+    with proper RIGHT-CENSORING of users who never convert. Subject: hours
+    from a user's first event to their first high-value purchase
+    (value > ``value_threshold``); users with no such purchase are censored
+    at the end of the observation window (global max ts). One events pass
+    emits per-(block, user) partials (min ts, max ts, min converting ts
+    with an int64-max sentinel for 'none in this block' — no null-skip
+    semantics in the fold), one bounded groupby collapses them to the user
+    catalog, and everything after runs on exact integer microseconds. The
+    KM product over death times is ORDER-FIXED (ascending duration,
+    left-associated s *= 1 - d/n) so the float tree is identical to the
+    SQL mirror's recursive CTE; d_i and the at-risk suffix sums n_i are
+    exact integers (deaths-before-censoring at tied times, the standard
+    convention). Output: one row per distinct conversion time."""
+    SENT = (1 << 63) - 1
+    ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "event_type", "value"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        conv = pc.and_(pc.equal(batch["event_type"], pa.scalar("purchase")),
+                       pc.greater(batch["value"], pa.scalar(value_threshold)))
+        conv_us = pc.if_else(conv, us, pa.scalar(SENT, pa.int64()))
+        t = pa.table({"user_id": batch["user_id"], "t_us": us, "c_us": conv_us})
+        g = t.group_by("user_id").aggregate(
+            [("t_us", "min"), ("t_us", "max"), ("c_us", "min")])
+        return pa.table({"user_id": g["user_id"], "t0": g["t_us_min"],
+                         "tmax": g["t_us_max"], "tc": g["c_us_min"]})
+
+    users = (ds.map_batches(partials, batch_format="pyarrow")
+             .groupby("user_id")
+             .aggregate(Min("t0", alias_name="t0"),
+                        Max("tmax", alias_name="tmax"),
+                        Min("tc", alias_name="tc"))
+             .to_pandas())
+    t0 = users["t0"].to_numpy(np.int64)
+    tc = users["tc"].to_numpy(np.int64)
+    wend = int(users["tmax"].max())
+    converted = tc != np.int64(SENT)
+    H = 3_600_000_000
+    dur = np.where(converted, (tc - t0) // H, (np.int64(wend) - t0) // H)
+
+    # bounded duration catalog: counts per (dur, converted)
+    cat: dict = {}
+    for dv, cv in zip(dur.tolist(), converted.tolist()):
+        d_, c_ = cat.get(dv, (0, 0))
+        cat[dv] = (d_ + (1 if cv else 0), c_ + (0 if cv else 1))
+    death_ts = sorted(t for t, (d_, _) in cat.items() if d_ > 0)
+    total = len(users)
+    # at-risk n_i = #{dur >= t_i} (exact suffix counts)
+    alldur = sorted(cat)
+    cum = 0
+    below: dict = {}
+    for t in alldur:
+        below[t] = cum
+        cum += cat[t][0] + cat[t][1]
+    s = 1.0
+    rows = []
+    for t in death_ts:
+        d_, c_ = cat[t]
+        n_ = total - below[t]
+        s = s * (1.0 - float(d_) / float(n_))
+        rows.append((int(t), int(n_), int(d_), int(c_),
+                     float(round_half_away(s, 9))))
+    return pd.DataFrame({
+        "t_hours": pd.array([r[0] for r in rows], dtype="int64"),
+        "n_risk": pd.array([r[1] for r in rows], dtype="int64"),
+        "d_conv": pd.array([r[2] for r in rows], dtype="int64"),
+        "c_censored": pd.array([r[3] for r in rows], dtype="int64"),
+        "survival9": [r[4] for r in rows],
+    })

@@ -902,3 +902,35 @@ def test_nprobe_sweep_layout_and_monotonicity(ray_session, monkeypatch):
     for pid, grp in a.groupby("probe_id"):
         rec = grp.sort_values("n_probe")["recall6"].to_numpy()
         assert (rec[1:] >= rec[:-1]).all(), pid
+
+
+def test_kaplan_meier_layout_invariance(ray_session, monkeypatch):
+    """The per-(block, user) sentinel-min/max partials must fold to the
+    same user catalog under any block layout; also pins that the sf0.001
+    curve has real censoring (c_censored > 0 somewhere) and that the
+    survival column is strictly decreasing across death times."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.events_kaplan_meier(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(13))
+    b = r.events_kaplan_meier(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    # real censoring: fewer conversions than users (censored users need
+    # not sit at a death time, so c_censored alone can be all-zero)
+    import pyarrow.parquet as pq
+
+    n_users = len(set(
+        pq.read_table(f"{sf}/events.parquet", columns=["user_id"])
+        ["user_id"].to_pylist()))
+    assert int(a["d_conv"].sum()) < n_users
+    sv = a["survival9"].to_numpy()
+    assert (sv[1:] < sv[:-1]).all() and sv[0] < 1.0
