@@ -416,6 +416,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_modularity": r.part_modularity,
         # Kaplan-Meier time-to-conversion with real right-censoring
         "events_kaplan_meier": r.events_kaplan_meier,
+        # bipartite HITS hubs/authorities, nano-fixed-point integer flows
+        "supplier_part_hits": r.supplier_part_hits,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -509,6 +511,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_curation_funnel": o.doc_curation_funnel_sql(),
         "code_repo_neardup": o.code_repo_neardup_sql(),
         "part_modularity": o.modularity_sql(rounds=3),
+        "supplier_part_hits": o.hits_sql(iters=2),
         "events_kaplan_meier": """
             WITH RECURSIVE per_user AS (
                 SELECT user_id,

@@ -1720,3 +1720,52 @@ def modularity_sql(rounds: int = 3) -> str:
         LEFT JOIN deg dg ON dg.c = s.c
         ORDER BY community
     """
+
+
+def hits_sql(iters: int = 2) -> str:
+    """Unrolled HITS mirror of supplier_part_hits: per half-iteration, an
+    exact HUGEINT sum of (w * nano) flows, one double division, round to
+    9, re-quantize to nano int64 — the same fixed-point convention as the
+    Ray side, so scores match bit-for-bit."""
+    ctes = [
+        "edges AS (SELECT l_suppkey AS s, l_partkey AS p,"
+        " CAST(count(*) AS BIGINT) AS w FROM lineitem GROUP BY 1, 2)",
+        "ns AS (SELECT count(DISTINCT s) AS n FROM edges)",
+        "h0n AS (SELECT DISTINCT s, CAST(round(1000000000.0 *"
+        " round(1.0 / CAST((SELECT n FROM ns) AS DOUBLE), 9), 0)"
+        " AS BIGINT) AS nano FROM edges)",
+    ]
+    prev = "h0n"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"a{i}i AS (SELECT p, sum(w * nano) AS v"
+            f" FROM edges JOIN {prev} USING (s) GROUP BY p)")
+        ctes.append(
+            f"a{i} AS (SELECT p, round(CAST(v AS DOUBLE) /"
+            f" CAST((SELECT sum(v) FROM a{i}i) AS DOUBLE), 9) AS s9"
+            f" FROM a{i}i)")
+        ctes.append(
+            f"a{i}n AS (SELECT p, CAST(round(1000000000.0 * s9, 0)"
+            f" AS BIGINT) AS nano FROM a{i})")
+        ctes.append(
+            f"h{i}i AS (SELECT s, sum(w * nano) AS v"
+            f" FROM edges JOIN a{i}n USING (p) GROUP BY s)")
+        ctes.append(
+            f"h{i} AS (SELECT s, round(CAST(v AS DOUBLE) /"
+            f" CAST((SELECT sum(v) FROM h{i}i) AS DOUBLE), 9) AS s9"
+            f" FROM h{i}i)")
+        ctes.append(
+            f"h{i}n AS (SELECT s, CAST(round(1000000000.0 * s9, 0)"
+            f" AS BIGINT) AS nano FROM h{i})")
+        prev = f"h{i}n"
+    return f"""
+        WITH {', '.join(ctes)},
+        sel AS (
+            SELECT 'authority' AS kind, p AS node_key, s9 FROM a{iters}
+            UNION ALL
+            SELECT 'hub' AS kind, s AS node_key, s9 FROM h{iters}
+        )
+        SELECT kind, node_key, s9 AS score9,
+               CAST(row_number() OVER (PARTITION BY kind
+                    ORDER BY s9 DESC, node_key) AS BIGINT) AS score_rank
+        FROM sel"""

@@ -12230,3 +12230,81 @@ def events_kaplan_meier(sf_dir: str, value_threshold: float = 90.0):
         "c_censored": pd.array([r[3] for r in rows], dtype="int64"),
         "survival9": [r[4] for r in rows],
     })
+
+
+def supplier_part_hits(sf_dir: str, iters: int = 2):
+    """HITS hubs-and-authorities (Kleinberg 1999) over the bipartite
+    supplier->part incidence graph from lineitem — the ranking dual of
+    supplier_pagerank: suppliers are hubs (supply many important parts),
+    parts are authorities (supplied by many strong hubs). The edge list
+    (supplier, part, line-count weight) comes from ONE pre-combined
+    groupby of the fact table and is materialized once; each half-
+    iteration is a single streaming pass over it: the current score
+    vector rides the object store as NANO-FIXED-POINT int64 (ray.put
+    once, vectorized searchsorted per batch), per-block integer partials
+    (w * nano) pre-aggregate before a bounded groupby on the node
+    catalog, and the L1 normalization is ONE float division of exact
+    integers per node (sum folded as Python ints = SQL HUGEINT), snapped
+    to 9 digits and re-quantized to nanos for the next pass — so every
+    accumulation is order-free exact integer arithmetic and the only
+    floats are mirrored single divisions (the doc_textrank_keywords
+    trick). int64 bound: a node's score-weighted in-degree must stay
+    under 2^63/1e9 ~ 9.2e9 lines — beyond that, split the pass by edge
+    range and fold the per-range partials as Python ints. Output: both
+    sides of iteration ``iters``, ranked within kind."""
+    edges = preagg_groupby(
+        _tbl(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"]),
+        ["l_suppkey", "l_partkey"], count_alias="w",
+    ).materialize()
+
+    def _pass(src_col: str, dst_col: str, nano_keys: np.ndarray,
+              nano_vals: np.ndarray):
+        ref = ray.put((nano_keys, nano_vals))
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            nk, nv = ray.get(ref)
+            idx = np.searchsorted(
+                nk, batch[src_col].to_numpy(zero_copy_only=False))
+            c = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64) \
+                * nv[idx]
+            t = pa.table({"k": batch[dst_col],
+                          "v": pa.array(c, pa.int64())})
+            g = t.group_by("k").aggregate([("v", "sum")])
+            return pa.table({"k": g["k"], "v": g["v_sum"]})
+
+        agg = (edges.map_batches(contrib, batch_format="pyarrow")
+               .groupby("k").aggregate(Sum("v", alias_name="v"))
+               .to_pandas().sort_values("k"))
+        keys = agg["k"].to_numpy(np.int64)
+        vals = [int(x) for x in agg["v"]]
+        tot = sum(vals)  # Python ints: exact (= SQL HUGEINT sum)
+        s9 = np.array([float(round_half_away(float(v) / float(tot), 9))
+                       for v in vals])
+        nano = np.array([int(round_half_away(1e9 * x, 0)) for x in s9],
+                        dtype=np.int64)
+        return keys, s9, nano
+
+    # uniform L1-normalized hub start, quantized through the same 9-digit
+    # + nano convention as every later score
+    supp = np.sort(np.unique(
+        edges.select_columns(["l_suppkey"]).to_pandas()
+        ["l_suppkey"].to_numpy(np.int64)))
+    n_s = len(supp)
+    h0_9 = float(round_half_away(1.0 / float(n_s), 9))
+    h_nano = np.full(n_s, int(round_half_away(1e9 * h0_9, 0)), np.int64)
+    h_keys = supp
+    for _ in range(iters):
+        a_keys, a9, a_nano = _pass("l_suppkey", "l_partkey", h_keys, h_nano)
+        h_keys, h9, h_nano = _pass("l_partkey", "l_suppkey", a_keys, a_nano)
+
+    def ranked(kind: str, keys: np.ndarray, s9: np.ndarray) -> pd.DataFrame:
+        order = np.lexsort((keys, -s9))
+        return pd.DataFrame({
+            "kind": kind,
+            "node_key": pd.array(keys[order], dtype="int64"),
+            "score9": s9[order],
+            "score_rank": pd.array(range(1, len(keys) + 1), dtype="int64"),
+        })
+
+    return pd.concat([ranked("authority", a_keys, a9),
+                      ranked("hub", h_keys, h9)], ignore_index=True)

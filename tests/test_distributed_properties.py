@@ -934,3 +934,27 @@ def test_kaplan_meier_layout_invariance(ray_session, monkeypatch):
     assert int(a["d_conv"].sum()) < n_users
     sv = a["survival9"].to_numpy()
     assert (sv[1:] < sv[:-1]).all() and sv[0] < 1.0
+
+
+def test_hits_layout_invariance(ray_session, monkeypatch):
+    """Nano-fixed-point integer flows must fold identically under any
+    block layout; also pins that the ranking is non-degenerate (scores
+    vary within each side)."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.supplier_part_hits(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(13))
+    b = r.supplier_part_hits(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    for kind in ("hub", "authority"):
+        s = a.loc[a["kind"] == kind, "score9"]
+        assert s.nunique() > 1
