@@ -418,6 +418,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_kaplan_meier": r.events_kaplan_meier,
         # bipartite HITS hubs/authorities, nano-fixed-point integer flows
         "supplier_part_hits": r.supplier_part_hits,
+        # Kendall tau-b on the bounded (quantity, discount) value catalog
+        "lineitem_kendall_tau": r.lineitem_kendall_tau,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -512,6 +514,39 @@ def oracle_sql() -> dict[str, str]:
         "code_repo_neardup": o.code_repo_neardup_sql(),
         "part_modularity": o.modularity_sql(rounds=3),
         "supplier_part_hits": o.hits_sql(iters=2),
+        "lineitem_kendall_tau": """
+            WITH cells AS (
+                SELECT CAST(l_quantity AS BIGINT) AS q,
+                       CAST(round(l_discount * 100, 0) AS BIGINT) AS d,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM lineitem GROUP BY 1, 2
+            ),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM cells),
+            pairs AS (
+                SELECT sum(CASE WHEN a.q < b.q AND a.d < b.d
+                                THEN CAST(a.n AS HUGEINT) * b.n
+                                ELSE 0 END) AS c,
+                       sum(CASE WHEN a.q < b.q AND a.d > b.d
+                                THEN CAST(a.n AS HUGEINT) * b.n
+                                ELSE 0 END) AS dd
+                FROM cells a, cells b
+            ),
+            mq AS (SELECT sum(CAST(t AS HUGEINT) * (t - 1) // 2) AS n1
+                   FROM (SELECT sum(n) AS t FROM cells GROUP BY q)),
+            md AS (SELECT sum(CAST(t AS HUGEINT) * (t - 1) // 2) AS n2
+                   FROM (SELECT sum(n) AS t FROM cells GROUP BY d)),
+            n0 AS (SELECT CAST(n AS HUGEINT) * (n - 1) // 2 AS n0, n
+                   FROM tot)
+            SELECT n AS n_rows,
+                   CAST(c AS BIGINT) AS concordant,
+                   CAST(dd AS BIGINT) AS discordant,
+                   CAST(n1 AS BIGINT) AS tie_pairs_q,
+                   CAST(n2 AS BIGINT) AS tie_pairs_d,
+                   round(CAST(c - dd AS DOUBLE)
+                         / (sqrt(CAST(n0 - n1 AS DOUBLE))
+                            * sqrt(CAST(n0 - n2 AS DOUBLE))), 9) AS tau_b9
+            FROM pairs, mq, md, n0
+        """,
         "events_kaplan_meier": """
             WITH RECURSIVE per_user AS (
                 SELECT user_id,

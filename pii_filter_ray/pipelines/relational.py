@@ -12308,3 +12308,63 @@ def supplier_part_hits(sf_dir: str, iters: int = 2):
 
     return pd.concat([ranked("authority", a_keys, a9),
                       ranked("hub", h_keys, h9)], ignore_index=True)
+
+
+def lineitem_kendall_tau(sf_dir: str):
+    """Kendall tau-b between quantity and discount — the rank-correlation
+    companion to lineitem_corr's Pearson (robust to monotone nonlinearity,
+    exact under heavy ties). Both variables live on tiny value catalogs
+    (50 quantities x 11 discount steps), so ONE pre-combined groupby
+    collapses the fact table to <= 550 (q, d, count) cells and the
+    O(cells^2) concordant/discordant fold runs on the driver in PYTHON
+    INTS (exact at any scale — n*n products overflow int64 past ~3e9
+    rows, so no numpy in the fold; = SQL HUGEINT). Discount snaps to
+    integer percent via the mirrored round(d*100, 0) so no float ever
+    enters a comparison. tau_b = (C-D)/(sqrt(n0-n1)*sqrt(n0-n2)) is one
+    fixed IEEE tree of exact integers (ties n1/n2 from per-axis marginal
+    counts). One row out."""
+    cells = preagg_groupby(
+        _tbl(sf_dir, "lineitem", columns=["l_quantity", "l_discount"])
+        .map_batches(
+            lambda b: pa.table({
+                "q": pc.cast(b["l_quantity"], pa.int64()),
+                "d": pc.cast(pc.round(
+                    pc.multiply(b["l_discount"], pa.scalar(100.0)),
+                    ndigits=0, round_mode="half_towards_infinity"),
+                    pa.int64()),
+            }),
+            batch_format="pyarrow"),
+        ["q", "d"], count_alias="n",
+    ).to_pandas()
+    qs = cells["q"].tolist()
+    ds_ = cells["d"].tolist()
+    ns = [int(x) for x in cells["n"]]
+    n = sum(ns)
+    C = D = 0
+    for i in range(len(ns)):
+        qi, di, ni = qs[i], ds_[i], ns[i]
+        for j in range(len(ns)):
+            if qi < qs[j]:
+                if di < ds_[j]:
+                    C += ni * ns[j]
+                elif di > ds_[j]:
+                    D += ni * ns[j]
+    from collections import Counter
+    tq: "Counter" = Counter()
+    td: "Counter" = Counter()
+    for q, d, m in zip(qs, ds_, ns):
+        tq[q] += m
+        td[d] += m
+    n0 = n * (n - 1) // 2
+    n1 = sum(t * (t - 1) // 2 for t in tq.values())
+    n2 = sum(t * (t - 1) // 2 for t in td.values())
+    tau = float(C - D) / (
+        np.sqrt(float(n0 - n1)) * np.sqrt(float(n0 - n2)))
+    return pd.DataFrame({
+        "n_rows": pd.array([n], dtype="int64"),
+        "concordant": pd.array([C], dtype="int64"),
+        "discordant": pd.array([D], dtype="int64"),
+        "tie_pairs_q": pd.array([n1], dtype="int64"),
+        "tie_pairs_d": pd.array([n2], dtype="int64"),
+        "tau_b9": [float(round_half_away(tau, 9))],
+    })

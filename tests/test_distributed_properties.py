@@ -958,3 +958,44 @@ def test_hits_layout_invariance(ray_session, monkeypatch):
     for kind in ("hub", "authority"):
         s = a.loc[a["kind"] == kind, "score9"]
         assert s.nunique() > 1
+
+
+def test_kendall_tau_layout_invariance(ray_session, monkeypatch):
+    """The (q, d, count) cell-catalog reduction must be block-layout
+    independent, and the pair ledger must be complete: C + D + ties
+    accounts for every unordered pair exactly once (C/D disjoint from
+    tied pairs only via inclusion-exclusion, so equality is a strong
+    structural pin)."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.lineitem_kendall_tau(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(13))
+    b = r.lineitem_kendall_tau(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    # ledger: n0 = C + D + (tied in q or d); tied-in-both counted once
+    row = a.iloc[0]
+    n = int(row["n_rows"])
+    n0 = n * (n - 1) // 2
+    # recompute tie overlap from the raw cells for the identity
+    import pyarrow.parquet as pq
+    import numpy as np
+    t = pq.read_table(f"{sf}/lineitem.parquet",
+                      columns=["l_quantity", "l_discount"])
+    q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = np.floor(np.abs(t["l_discount"].to_numpy(zero_copy_only=False)
+                        * 100.0) + 0.5).astype(np.int64)
+    from collections import Counter
+    both = Counter(zip(q.tolist(), d.tolist()))
+    n12 = sum(v * (v - 1) // 2 for v in both.values())
+    assert (int(row["concordant"]) + int(row["discordant"])
+            + int(row["tie_pairs_q"]) + int(row["tie_pairs_d"]) - n12
+            == n0)
