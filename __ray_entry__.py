@@ -420,6 +420,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_part_hits": r.supplier_part_hits,
         # Kendall tau-b on the bounded (quantity, discount) value catalog
         "lineitem_kendall_tau": r.lineitem_kendall_tau,
+        # XLM-R-style temperature resampling weights (alpha=0.5 -> sqrt)
+        "doc_lang_sampling_weights": r.doc_lang_sampling_weights,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -514,6 +516,36 @@ def oracle_sql() -> dict[str, str]:
         "code_repo_neardup": o.code_repo_neardup_sql(),
         "part_modularity": o.modularity_sql(rounds=3),
         "supplier_part_hits": o.hits_sql(iters=2),
+        "doc_lang_sampling_weights": """
+            WITH RECURSIVE counts AS (
+                SELECT lang, CAST(count(*) AS BIGINT) AS n
+                FROM documents GROUP BY lang
+            ),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts),
+            ranked AS (
+                SELECT lang, n,
+                       CAST(n AS DOUBLE)
+                           / CAST((SELECT t FROM tot) AS DOUBLE) AS p,
+                       sqrt(CAST(n AS DOUBLE)
+                            / CAST((SELECT t FROM tot) AS DOUBLE)) AS s,
+                       CAST(row_number() OVER (ORDER BY lang)
+                            AS BIGINT) AS rn
+                FROM counts
+            ),
+            acc AS (
+                SELECT rn, s AS a FROM ranked WHERE rn = 1
+                UNION ALL
+                SELECT r.rn, acc.a + r.s
+                FROM ranked r JOIN acc ON r.rn = acc.rn + 1
+            ),
+            norm AS (SELECT a AS bigs FROM acc
+                     WHERE rn = (SELECT count(*) FROM ranked))
+            SELECT lang, n AS n_docs,
+                   round(p, 9) AS share9,
+                   round(s / bigs, 9) AS weight9,
+                   round((s / bigs) / p, 9) AS boost9
+            FROM ranked, norm
+        """,
         "lineitem_kendall_tau": """
             WITH cells AS (
                 SELECT CAST(l_quantity AS BIGINT) AS q,

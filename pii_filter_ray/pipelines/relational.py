@@ -12368,3 +12368,39 @@ def lineitem_kendall_tau(sf_dir: str):
         "tie_pairs_d": pd.array([n2], dtype="int64"),
         "tau_b9": [float(round_half_away(tau, 9))],
     })
+
+
+def doc_lang_sampling_weights(sf_dir: str):
+    """Temperature-based multilingual resampling weights (XLM-R /
+    mBERT-style q_l ∝ p_l^alpha): the corpus-rebalancing table computed
+    before any multilingual training run so low-resource languages are
+    upsampled. alpha is fixed at 0.5 DELIBERATELY: p^0.5 = sqrt(p) is a
+    correctly-rounded IEEE operation both in numpy and DuckDB, whereas a
+    general pow() carries no cross-engine bit guarantee. One pre-combined
+    groupby collapses the corpus to the bounded language catalog; shares
+    are single mirrored double divisions of exact integer counts, and
+    the normalizer S = sum of sqrt-shares folds in FIXED lang-ASC
+    left-associated order (mirrored by a recursive CTE) — never an
+    unordered float SUM. boost9 = q_l/p_l is the up/down-sampling factor
+    actually applied to each language's shard weights."""
+    import math
+
+    counts = preagg_groupby(
+        _tbl(sf_dir, "documents", columns=["lang"]),
+        ["lang"], count_alias="n",
+    ).to_pandas().sort_values("lang").reset_index(drop=True)
+    ns = [int(x) for x in counts["n"]]
+    N = sum(ns)
+    ps = [float(n) / float(N) for n in ns]
+    ss = [math.sqrt(p) for p in ps]
+    S = ss[0]
+    for v in ss[1:]:
+        S = S + v
+    return pd.DataFrame({
+        "lang": counts["lang"],
+        "n_docs": pd.array(ns, dtype="int64"),
+        "share9": [float(round_half_away(p, 9)) for p in ps],
+        "weight9": [float(round_half_away(s / S, 9)) for s in ss],
+        "boost9": [float(round_half_away((s / S) / p, 9))
+                   for s, p in zip(ss, ps)],
+    })

@@ -999,3 +999,31 @@ def test_kendall_tau_layout_invariance(ray_session, monkeypatch):
     assert (int(row["concordant"]) + int(row["discordant"])
             + int(row["tie_pairs_q"]) + int(row["tie_pairs_d"]) - n12
             == n0)
+
+
+def test_sampling_weights_layout_and_direction(ray_session, monkeypatch):
+    """Language-count folding must be layout-free, weights must sum to ~1,
+    and the temperature rule must point the right way: below-average-share
+    languages get boost > 1, above-average get boost < 1."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_lang_sampling_weights(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.doc_lang_sampling_weights(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert abs(a["weight9"].sum() - 1.0) < 1e-6
+    mean_share = 1.0 / len(a)
+    for _, row in a.iterrows():
+        if row["share9"] < mean_share:
+            assert row["boost9"] > 1.0, row["lang"]
+        elif row["share9"] > mean_share:
+            assert row["boost9"] < 1.0, row["lang"]
