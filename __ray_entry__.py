@@ -422,6 +422,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_kendall_tau": r.lineitem_kendall_tau,
         # XLM-R-style temperature resampling weights (alpha=0.5 -> sqrt)
         "doc_lang_sampling_weights": r.doc_lang_sampling_weights,
+        # per-language code structure: line length / indent depth signals
+        "code_indent_stats": r.code_indent_stats,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -516,6 +518,7 @@ def oracle_sql() -> dict[str, str]:
         "code_repo_neardup": o.code_repo_neardup_sql(),
         "part_modularity": o.modularity_sql(rounds=3),
         "supplier_part_hits": o.hits_sql(iters=2),
+        "code_indent_stats": o.code_indent_stats_sql(),
         "doc_lang_sampling_weights": """
             WITH RECURSIVE counts AS (
                 SELECT lang, CAST(count(*) AS BIGINT) AS n

@@ -1769,3 +1769,37 @@ def hits_sql(iters: int = 2) -> str:
                CAST(row_number() OVER (PARTITION BY kind
                     ORDER BY s9 DESC, node_key) AS BIGINT) AS score_rank
         FROM sel"""
+
+
+def code_indent_stats_sql(n_rows: int = 2000, seed: int = 42) -> str:
+    """Line-exploded structural stats recomputed by DuckDB from the same
+    corpus parquet: string_split(chr(10)) line semantics, length/ltrim
+    indent depth, exact integer sums, one mirrored mean division."""
+    import os
+
+    from .sources.synthetic_code import corpus_path
+
+    glob = os.path.join(corpus_path(n_rows=n_rows, seed=seed), "*.parquet")
+    return f"""
+    WITH lines AS (
+        SELECT lang, unnest(string_split(content, chr(10))) AS line
+        FROM read_parquet({_q(glob)})
+    ),
+    per AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(length(line)) AS BIGINT) AS sum_len,
+               CAST(max(length(line)) AS BIGINT) AS max_line_len,
+               CAST(max(length(line) - length(ltrim(line, ' ')))
+                    AS BIGINT) AS max_indent
+        FROM lines GROUP BY lang
+    ),
+    files AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_files
+        FROM read_parquet({_q(glob)}) GROUP BY lang
+    )
+    SELECT p.lang, f.n_files, p.n_lines, p.max_line_len, p.max_indent,
+           round(CAST(p.sum_len AS DOUBLE) / CAST(p.n_lines AS DOUBLE),
+                 6) AS avg_line_len6
+    FROM per p JOIN files f USING (lang)
+    """

@@ -12404,3 +12404,72 @@ def doc_lang_sampling_weights(sf_dir: str):
         "boost9": [float(round_half_away((s / S) / p, 9))
                    for s, p in zip(ss, ps)],
     })
+
+
+def code_indent_stats(sf_dir: str):
+    """Per-language structural shape of the code corpus — the signals
+    code-quality filters gate on (StarCoder drops files by max line
+    length; indentation depth proxies nesting complexity): line counts,
+    max line length, max indentation depth and mean line length, all
+    from ONE corpus pass. Lines are exploded per batch with Arrow
+    kernels only (split_pattern -> flatten -> utf8_length / ltrim — no
+    Python loop touches a line) and reduced to per-(block, lang) partials
+    before the bounded language groupby; the mean is a single mirrored
+    division of exact integer sums. Split semantics (trailing newline
+    yields a final empty line) match DuckDB string_split exactly —
+    pinned by the oracle, not assumed. sf_dir unused (deterministic
+    cached corpus, the code_* family convention)."""
+    from ..sources.synthetic_code import corpus_path
+
+    ds = ray.data.read_parquet(corpus_path(n_rows=2000, seed=42),
+                               columns=["lang", "content"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        langs = batch["lang"]
+        split = pc.split_pattern(batch["content"], pattern="\n")
+        n_per = pc.list_value_length(split).to_numpy(zero_copy_only=False)
+        lines = pc.list_flatten(split)
+        lens = pc.utf8_length(lines)
+        indents = pc.subtract(
+            lens, pc.utf8_length(pc.utf8_ltrim(lines, characters=" ")))
+        line_lang = pa.array(
+            np.repeat(langs.to_numpy(zero_copy_only=False), n_per))
+        t = pa.table({
+            "lang": line_lang,
+            "len": pc.cast(lens, pa.int64()),
+            "ind": pc.cast(indents, pa.int64()),
+        })
+        g = t.group_by("lang").aggregate(
+            [("len", "sum"), ("len", "max"), ("ind", "max"),
+             ("len", "count")])
+        gf = (pa.table({"lang": langs})
+              .group_by("lang").aggregate([("lang", "count")]))
+        gf = pa.table({"lang": gf["lang"],
+                       "n_files": pc.cast(gf["lang_count"], pa.int64())})
+        out = pa.table({
+            "lang": g["lang"],
+            "n_lines": pc.cast(g["len_count"], pa.int64()),
+            "sum_len": g["len_sum"],
+            "max_line_len": g["len_max"],
+            "max_indent": g["ind_max"],
+        })
+        return out.join(gf, keys="lang")
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("n_lines", alias_name="n_lines"),
+                      Sum("sum_len", alias_name="sum_len"),
+                      Max("max_line_len", alias_name="max_line_len"),
+                      Max("max_indent", alias_name="max_indent"),
+                      Sum("n_files", alias_name="n_files"))
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    return pd.DataFrame({
+        "lang": agg["lang"],
+        "n_files": agg["n_files"].astype("int64"),
+        "n_lines": agg["n_lines"].astype("int64"),
+        "max_line_len": agg["max_line_len"].astype("int64"),
+        "max_indent": agg["max_indent"].astype("int64"),
+        "avg_line_len6": [
+            float(round_half_away(float(int(s)) / float(int(n)), 6))
+            for s, n in zip(agg["sum_len"], agg["n_lines"])],
+    })
