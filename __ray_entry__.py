@@ -424,6 +424,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_sampling_weights": r.doc_lang_sampling_weights,
         # per-language code structure: line length / indent depth signals
         "code_indent_stats": r.code_indent_stats,
+        # subwords-per-word tokenizer diagnostic per language
+        "doc_tokenizer_fertility": r.doc_tokenizer_fertility,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -519,6 +521,29 @@ def oracle_sql() -> dict[str, str]:
         "part_modularity": o.modularity_sql(rounds=3),
         "supplier_part_hits": o.hits_sql(iters=2),
         "code_indent_stats": o.code_indent_stats_sql(),
+        "doc_tokenizer_fertility": """
+            WITH per AS (
+                SELECT lang,
+                       CAST(len(list_filter(
+                           string_split_regex(text, '\\s+'),
+                           x -> x != '')) AS BIGINT) AS w,
+                       CAST(len(regexp_extract_all(text,
+                           '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^ \\t\\n\\r\\f\\va-zA-Z0-9]+'
+                       )) AS BIGINT) AS b,
+                       CAST(length(text) AS BIGINT) AS c
+                FROM documents
+            )
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(w) AS BIGINT) AS n_words,
+                   CAST(sum(b) AS BIGINT) AS n_bpe_tokens,
+                   CAST(sum(c) AS BIGINT) AS n_chars,
+                   round(CAST(sum(b) AS DOUBLE)
+                         / CAST(sum(w) AS DOUBLE), 6) AS fertility6,
+                   round(CAST(sum(c) AS DOUBLE)
+                         / CAST(sum(b) AS DOUBLE), 6) AS chars_per_token6
+            FROM per GROUP BY lang
+        """,
         "doc_lang_sampling_weights": """
             WITH RECURSIVE counts AS (
                 SELECT lang, CAST(count(*) AS BIGINT) AS n

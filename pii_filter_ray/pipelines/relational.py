@@ -12473,3 +12473,60 @@ def code_indent_stats(sf_dir: str):
             float(round_half_away(float(int(s)) / float(int(n)), 6))
             for s, n in zip(agg["sum_len"], agg["n_lines"])],
     })
+
+
+def doc_tokenizer_fertility(sf_dir: str):
+    """Tokenizer fertility per language — the standard multilingual
+    tokenizer diagnostic (subwords per word; ACL multilingual-BERT
+    analyses use exactly this to show which languages a vocab serves
+    badly) plus compression rate (chars per subword). Reuses the
+    engine-portable BPE-ish pre-tokenizer and whitespace word count of
+    doc_token_stats per block, pre-summed into per-(block, lang) exact
+    integer partials before the bounded language groupby; the two ratios
+    are single mirrored divisions of exact integer sums. A language with
+    fertility >> corpus mean is the one whose text a fixed vocab
+    fragments worst — the signal behind per-language vocab budgeting."""
+    from ..stages.text_stats import _BPE_TOKEN_RE
+
+    ds = _tbl(sf_dir, "documents", columns=["lang", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        langs = batch["lang"].to_pylist()
+        from collections import defaultdict
+        acc: dict = defaultdict(lambda: [0, 0, 0, 0])
+        for lg, v in zip(langs, batch["text"].to_pylist()):
+            v = v or ""
+            a = acc[lg]
+            a[0] += 1
+            a[1] += len(v.split())
+            a[2] += len(_BPE_TOKEN_RE.findall(v))
+            a[3] += len(v)
+        ks = sorted(acc)
+        return pa.table({
+            "lang": pa.array(ks, pa.string()),
+            "n_docs": pa.array([acc[k][0] for k in ks], pa.int64()),
+            "n_words": pa.array([acc[k][1] for k in ks], pa.int64()),
+            "n_bpe_tokens": pa.array([acc[k][2] for k in ks], pa.int64()),
+            "n_chars": pa.array([acc[k][3] for k in ks], pa.int64()),
+        })
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_words", alias_name="n_words"),
+                      Sum("n_bpe_tokens", alias_name="n_bpe_tokens"),
+                      Sum("n_chars", alias_name="n_chars"))
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    return pd.DataFrame({
+        "lang": agg["lang"],
+        "n_docs": agg["n_docs"].astype("int64"),
+        "n_words": agg["n_words"].astype("int64"),
+        "n_bpe_tokens": agg["n_bpe_tokens"].astype("int64"),
+        "n_chars": agg["n_chars"].astype("int64"),
+        "fertility6": [
+            float(round_half_away(float(int(b)) / float(int(w)), 6))
+            for b, w in zip(agg["n_bpe_tokens"], agg["n_words"])],
+        "chars_per_token6": [
+            float(round_half_away(float(int(c)) / float(int(b)), 6))
+            for c, b in zip(agg["n_chars"], agg["n_bpe_tokens"])],
+    })

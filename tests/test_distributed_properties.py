@@ -1050,3 +1050,25 @@ def test_indent_stats_layout_and_split_semantics(ray_session):
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
     assert (a["max_indent"] > 0).any()
+
+
+def test_fertility_layout_invariance(ray_session, monkeypatch):
+    """Per-(block, lang) token partials must fold identically under any
+    block layout; fertility must be >= 1 (a word is at least one subword
+    under the BPE-ish pre-tokenizer)."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_tokenizer_fertility(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.doc_tokenizer_fertility(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert (a["fertility6"] >= 1.0).all()
