@@ -426,6 +426,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_indent_stats": r.code_indent_stats,
         # subwords-per-word tokenizer diagnostic per language
         "doc_tokenizer_fertility": r.doc_tokenizer_fertility,
+        # single-source BFS hop layers (frontier expansion with distances)
+        "part_bfs_khop": r.part_bfs_khop,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -519,6 +521,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_curation_funnel": o.doc_curation_funnel_sql(),
         "code_repo_neardup": o.code_repo_neardup_sql(),
         "part_modularity": o.modularity_sql(rounds=3),
+        "part_bfs_khop": o.bfs_khop_sql(k=6),
         "supplier_part_hits": o.hits_sql(iters=2),
         "code_indent_stats": o.code_indent_stats_sql(),
         "doc_tokenizer_fertility": """

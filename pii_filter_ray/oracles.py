@@ -1803,3 +1803,30 @@ def code_indent_stats_sql(n_rows: int = 2000, seed: int = 42) -> str:
                  6) AS avg_line_len6
     FROM per p JOIN files f USING (lang)
     """
+
+
+def bfs_khop_sql(k: int = 6) -> str:
+    """Recursive-CTE BFS mirror of part_bfs_khop: same brand-blocked
+    levenshtein<=4 edge set as label_propagation_sql, deterministic
+    (degree DESC, n ASC) source, UNION-deduped (n, d) frontier states
+    bounded by d < k, min(d) as the hop distance."""
+    return f"""
+        WITH RECURSIVE e AS (
+            SELECT a.p_partkey AS x, b.p_partkey AS y
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 4
+        ),
+        und AS (SELECT x AS n, y AS m FROM e UNION ALL SELECT y, x FROM e),
+        deg AS (SELECT n, count(*) AS d FROM und GROUP BY n),
+        src AS (SELECT n FROM deg ORDER BY d DESC, n LIMIT 1),
+        bfs AS (
+            SELECT (SELECT n FROM src) AS n, 0 AS d
+            UNION
+            SELECT u.m, bfs.d + 1
+            FROM bfs JOIN und u ON u.n = bfs.n
+            WHERE bfs.d < {k}
+        )
+        SELECT n AS p_partkey, CAST(min(d) AS BIGINT) AS dist
+        FROM bfs GROUP BY n
+    """

@@ -12530,3 +12530,79 @@ def doc_tokenizer_fertility(sf_dir: str):
             float(round_half_away(float(int(c)) / float(int(b)), 6))
             for c, b in zip(agg["n_chars"], agg["n_bpe_tokens"])],
     })
+
+
+def part_bfs_khop(sf_dir: str, k: int = 6, max_dist: int = 4):
+    """Single-source BFS layers over the fuzzy-match part graph — the
+    canonical frontier-expansion (Pregel) shape the components/LPA family
+    cannot express because it carries DISTANCE semantics: every node
+    within ``k`` hops of the source, labeled with its exact hop count
+    (min distance, capped at k so the unrolled SQL mirror is finite and
+    the result is the honest 'k-hop neighborhood' query). The source is
+    deterministic — the (degree DESC, partkey ASC) top node from one
+    bounded degree pass. Each round is one streaming pass over the
+    materialized edge table against the broadcast frontier (np.isin on a
+    sorted int64 array), emitting per-block distinct-neighbor partials
+    into a bounded groupby; the driver keeps only the node->dist map
+    (node-catalog bounded). Early-exits when a frontier empties."""
+    import functools
+
+    ds = _tbl(sf_dir, "part", columns=["p_partkey", "p_brand", "p_name"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g["p_partkey"].to_numpy(np.int64)
+        names = g["p_name"].tolist()
+        order = np.argsort(keys, kind="stable")
+        keys, names = keys[order], [names[i] for i in order]
+        ka, kb = [], []
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                if _lev(names[i], names[j], max_dist) <= max_dist:
+                    ka.append(keys[i])
+                    kb.append(keys[j])
+        return pd.DataFrame({"x": np.array(ka, dtype=np.int64),
+                             "y": np.array(kb, dtype=np.int64)})
+
+    edges = (ds.groupby("p_brand").map_groups(pairs, batch_format="pandas")
+             .materialize())
+
+    def deg_partials(batch: pa.Table) -> pa.Table:
+        n = pa.chunked_array([batch["x"], batch["y"]]).combine_chunks()
+        t = pa.table({"n": n, "one": pa.array(
+            np.ones(len(n), np.int64), pa.int64())})
+        g = t.group_by("n").aggregate([("one", "sum")])
+        return pa.table({"n": g["n"], "d": g["one_sum"]})
+
+    deg = (edges.map_batches(deg_partials, batch_format="pyarrow")
+           .groupby("n").aggregate(Sum("d", alias_name="d"))
+           .to_pandas())
+    deg = deg.sort_values(["d", "n"], ascending=[False, True],
+                          kind="mergesort")
+    src = int(deg["n"].iloc[0])
+
+    dist = {src: 0}
+    frontier = np.array([src], dtype=np.int64)
+    for d in range(1, k + 1):
+        ref = ray.put(np.sort(frontier))
+
+        def neigh(batch: pa.Table, ref=ref) -> pa.Table:
+            fr = ray.get(ref)
+            x = batch["x"].to_numpy(zero_copy_only=False)
+            y = batch["y"].to_numpy(zero_copy_only=False)
+            out = np.concatenate([y[np.isin(x, fr)], x[np.isin(y, fr)]])
+            return pa.table({"n": pa.array(np.unique(out), pa.int64())})
+
+        seen = (edges.map_batches(neigh, batch_format="pyarrow")
+                .groupby("n").count().to_pandas())
+        newly = [int(n) for n in seen["n"] if int(n) not in dist]
+        if not newly:
+            break
+        for n in newly:
+            dist[n] = d
+        frontier = np.array(newly, dtype=np.int64)
+
+    ks = sorted(dist)
+    return pd.DataFrame({
+        "p_partkey": pd.array(ks, dtype="int64"),
+        "dist": pd.array([dist[n] for n in ks], dtype="int64"),
+    })

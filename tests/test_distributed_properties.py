@@ -1072,3 +1072,27 @@ def test_fertility_layout_invariance(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
     assert (a["fertility6"] >= 1.0).all()
+
+
+def test_bfs_khop_layout_and_layer_structure(ray_session, monkeypatch):
+    """Frontier expansion must be block-layout independent; BFS layers
+    must be structurally sound: exactly one dist-0 node, contiguous
+    layer numbers, and a multi-layer tree at sf0.001 (non-vacuous)."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.part_bfs_khop(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.part_bfs_khop(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    layers = sorted(a["dist"].unique().tolist())
+    assert layers[0] == 0 and (a["dist"] == 0).sum() == 1
+    assert layers == list(range(len(layers))) and len(layers) >= 2
