@@ -428,6 +428,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tokenizer_fertility": r.doc_tokenizer_fertility,
         # single-source BFS hop layers (frontier expansion with distances)
         "part_bfs_khop": r.part_bfs_khop,
+        # Spearman rho (tie-averaged ranks, exact integer moments)
+        "lineitem_spearman": r.lineitem_spearman,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -546,6 +548,39 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(c) AS DOUBLE)
                          / CAST(sum(b) AS DOUBLE), 6) AS chars_per_token6
             FROM per GROUP BY lang
+        """,
+        "lineitem_spearman": """
+            WITH cells AS (
+                SELECT CAST(l_quantity AS BIGINT) AS q,
+                       CAST(round(l_discount * 100, 0) AS BIGINT) AS d,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM lineitem GROUP BY 1, 2
+            ),
+            tot AS (SELECT CAST(sum(n) AS HUGEINT) AS n FROM cells),
+            rq AS (
+                SELECT q,
+                       2 * (sum(t) OVER (ORDER BY q) - t) + t + 1 AS r2
+                FROM (SELECT q, sum(n) AS t FROM cells GROUP BY q)
+            ),
+            rd AS (
+                SELECT d,
+                       2 * (sum(t) OVER (ORDER BY d) - t) + t + 1 AS r2
+                FROM (SELECT d, sum(n) AS t FROM cells GROUP BY d)
+            ),
+            mom AS (
+                SELECT sum(CAST(c.n AS HUGEINT) * rq.r2) AS sx,
+                       sum(CAST(c.n AS HUGEINT) * rd.r2) AS sy,
+                       sum(CAST(c.n AS HUGEINT) * rq.r2 * rq.r2) AS sxx,
+                       sum(CAST(c.n AS HUGEINT) * rd.r2 * rd.r2) AS syy,
+                       sum(CAST(c.n AS HUGEINT) * rq.r2 * rd.r2) AS sxy
+                FROM cells c JOIN rq USING (q) JOIN rd USING (d)
+            )
+            SELECT CAST(n AS BIGINT) AS n_rows,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))),
+                         9) AS rho9
+            FROM mom, tot
         """,
         "doc_lang_sampling_weights": """
             WITH RECURSIVE counts AS (

