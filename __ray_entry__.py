@@ -430,6 +430,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_bfs_khop": r.part_bfs_khop,
         # Spearman rho (tie-averaged ranks, exact integer moments)
         "lineitem_spearman": r.lineitem_spearman,
+        # recall@k under truncated embedding dims (Matryoshka curve)
+        "emb_matryoshka_recall": r.emb_matryoshka_recall,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -548,6 +550,45 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(c) AS DOUBLE)
                          / CAST(sum(b) AS DOUBLE), 6) AS chars_per_token6
             FROM per GROUP BY lang
+        """,
+        "emb_matryoshka_recall": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            probes AS (SELECT vec_id AS pid, v AS pv FROM e
+                       WHERE vec_id BETWEEN 1 AND 5),
+            lv AS (SELECT * FROM (VALUES (8), (16), (32)) AS t(dim)),
+            exact AS (
+                SELECT pid, vec_id FROM (
+                    SELECT p.pid, e.vec_id,
+                           row_number() OVER (PARTITION BY p.pid ORDER BY
+                               round(list_cosine_similarity(e.v, p.pv), 9)
+                                   DESC, e.vec_id) AS rn
+                    FROM e, probes p WHERE e.vec_id != p.pid)
+                WHERE rn <= 10
+            ),
+            trunc AS (
+                SELECT dim, pid, vec_id FROM (
+                    SELECT lv.dim, p.pid, e.vec_id,
+                           row_number() OVER (PARTITION BY lv.dim, p.pid
+                               ORDER BY round(list_cosine_similarity(
+                                   list_slice(e.v, 1, lv.dim),
+                                   list_slice(p.pv, 1, lv.dim)), 9)
+                                   DESC, e.vec_id) AS rn
+                    FROM e, probes p, lv WHERE e.vec_id != p.pid)
+                WHERE rn <= 10
+            ),
+            hits AS (
+                SELECT t.dim, t.pid, CAST(count(*) AS BIGINT) AS n_hit
+                FROM trunc t JOIN exact x
+                  ON x.pid = t.pid AND x.vec_id = t.vec_id
+                GROUP BY 1, 2
+            )
+            SELECT CAST(g.dim AS BIGINT) AS dim, g.pid AS probe_id,
+                   coalesce(h.n_hit, 0) AS n_hit,
+                   round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 10.0,
+                         6) AS recall6
+            FROM (SELECT lv.dim, p.pid FROM lv, probes p) g
+            LEFT JOIN hits h ON h.pid = g.pid AND h.dim = g.dim
         """,
         "lineitem_spearman": """
             WITH cells AS (

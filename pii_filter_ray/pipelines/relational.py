@@ -12667,3 +12667,86 @@ def lineitem_spearman(sf_dir: str):
         "n_rows": pd.array([n], dtype="int64"),
         "rho9": [float(round_half_away(rho, 9))],
     })
+
+
+def emb_matryoshka_recall(sf_dir: str, topk: int = 10,
+                          dims: tuple = (8, 16, 32)):
+    """Matryoshka-style dimension-truncation quality curve (Kusupati
+    2022; the 'how few dims can we afford to store/serve' decision for
+    an embedding index): recall@topk of the cosine ranking under the
+    FIRST d dimensions vs the full-dim exact ranking, for d in ``dims``,
+    per probe — all from ONE corpus pass. Each block emits the exact
+    full-dim top-k partials once plus per-truncation top-k partials
+    (sims snapped to 9 BEFORE every argsort, block top-k in the
+    oracle's (sim9 DESC, vec_id) order — the emb_ann_nprobe_sweep fold),
+    so the shuffle is (levels+1) x probes x topk rows per block
+    regardless of corpus size. The truncation reuses the same probe
+    matrix broadcast; norms are per-slice, not rescaled full norms."""
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # probe fetch: row-group-pruned parquet read, not a corpus filter pass
+    probes = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", ">=", 1), ("vec_id", "<=", 5)],
+    ).to_pandas().sort_values("vec_id")
+    P = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in probes["embedding"]])
+    pids = probes["vec_id"].to_numpy(np.int64)
+    state = ray.put((P, pids, tuple(dims)))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        Pp, pp, lvls = ray.get(state)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        M = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch["embedding"].to_pylist()])
+        o_dim, o_pid, o_vid, o_sim = [], [], [], []
+
+        def emit(dim_tag, i, s):
+            mask = ids != pp[i]
+            mi = np.nonzero(mask)[0]
+            if len(mi):
+                top = mi[np.lexsort((ids[mi], -s[mi]))[:topk]]
+                o_dim.extend([dim_tag] * len(top))
+                o_pid.extend([int(pp[i])] * len(top))
+                o_vid.extend(ids[top].tolist())
+                o_sim.extend(s[top].tolist())
+
+        full = round_half_away(
+            (M @ Pp.T) / np.outer(np.linalg.norm(M, axis=1),
+                                  np.linalg.norm(Pp, axis=1)), 9)
+        for i in range(len(pp)):
+            emit(0, i, full[:, i])
+        for d in lvls:
+            Md, Pd = M[:, :d], Pp[:, :d]
+            s9 = round_half_away(
+                (Md @ Pd.T) / np.outer(np.linalg.norm(Md, axis=1),
+                                       np.linalg.norm(Pd, axis=1)), 9)
+            for i in range(len(pp)):
+                emit(int(d), i, s9[:, i])
+        return pa.table({
+            "dim": pa.array(o_dim, pa.int64()),
+            "pid": pa.array(o_pid, pa.int64()),
+            "vec_id": pa.array(o_vid, pa.int64()),
+            "sim9": pa.array(o_sim, pa.float64()),
+        })
+
+    part = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+
+    def fold_top(t):
+        order = np.lexsort((t["vec_id"].to_numpy(np.int64),
+                            -t["sim9"].to_numpy(np.float64)))
+        return set(t["vec_id"].to_numpy(np.int64)[order][:topk].tolist())
+
+    rows = []
+    for d in dims:
+        for pid in pids:
+            ex = fold_top(part[(part["dim"] == 0) & (part["pid"] == pid)])
+            tr = fold_top(part[(part["dim"] == d) & (part["pid"] == pid)])
+            n_hit = len(ex & tr)
+            rows.append((int(d), int(pid), n_hit,
+                         float(round_half_away(float(n_hit) / float(topk),
+                                               6))))
+    return pd.DataFrame(rows, columns=["dim", "probe_id", "n_hit",
+                                       "recall6"]).astype(
+        {"dim": "int64", "probe_id": "int64", "n_hit": "int64",
+         "recall6": "float64"})

@@ -1118,3 +1118,27 @@ def test_spearman_layout_and_rank_identity(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
     assert -1.0 <= a["rho9"].iloc[0] <= 1.0
+
+
+def test_matryoshka_layout_and_monotonic_trend(ray_session, monkeypatch):
+    """Per-block truncated top-k partials must fold identically under any
+    block layout; mean recall must not collapse at the widest truncation
+    (32 of 64 dims should rank most of the true top-10) and must be
+    weakly worse at 8 dims than at 32 (information can only shrink)."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.emb_matryoshka_recall(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.emb_matryoshka_recall(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    mean = a.groupby("dim")["recall6"].mean()
+    assert mean[8] <= mean[32] and mean[32] > 0.3
