@@ -432,6 +432,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_spearman": r.lineitem_spearman,
         # recall@k under truncated embedding dims (Matryoshka curve)
         "emb_matryoshka_recall": r.emb_matryoshka_recall,
+        # per-label embedding health: norms + mean-vector concentration
+        "emb_health_stats": r.emb_health_stats,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -550,6 +552,43 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(c) AS DOUBLE)
                          / CAST(sum(b) AS DOUBLE), 6) AS chars_per_token6
             FROM per GROUP BY lang
+        """,
+        "emb_health_stats": """
+            WITH q AS (
+                SELECT label, vec_id, d.d,
+                       CAST(round(CAST(embedding[d.d] AS DOUBLE)
+                                  * 1000000.0, 0) AS BIGINT) AS m
+                FROM embeddings,
+                     (SELECT unnest(range(1, 65)) AS d) d
+            ),
+            pervec AS (
+                SELECT label, vec_id, sum(m * m) AS n2
+                FROM q GROUP BY 1, 2
+            ),
+            perlabel AS (
+                SELECT label, CAST(count(*) AS BIGINT) AS n,
+                       sum(n2) AS sn, min(n2) AS mn, max(n2) AS mx
+                FROM pervec GROUP BY 1
+            ),
+            dims AS (
+                SELECT label, d, sum(m) AS s FROM q GROUP BY 1, 2
+            ),
+            conc AS (
+                SELECT label, sum(CAST(s AS HUGEINT) * s) AS c2
+                FROM dims GROUP BY 1
+            )
+            SELECT CAST(p.label AS BIGINT) AS label, p.n AS n_vecs,
+                   round(sqrt(CAST(p.sn AS DOUBLE)
+                              / CAST(p.n AS DOUBLE)) / 1e6, 6)
+                       AS rms_norm6,
+                   round(sqrt(CAST(p.mn AS DOUBLE)) / 1e6, 6)
+                       AS min_norm6,
+                   round(sqrt(CAST(p.mx AS DOUBLE)) / 1e6, 6)
+                       AS max_norm6,
+                   round(CAST(c.c2 AS DOUBLE)
+                         / (CAST(p.n AS DOUBLE) * CAST(p.sn AS DOUBLE)),
+                         9) AS concentration9
+            FROM perlabel p JOIN conc c USING (label)
         """,
         "emb_matryoshka_recall": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -12750,3 +12750,83 @@ def emb_matryoshka_recall(sf_dir: str, topk: int = 10,
                                        "recall6"]).astype(
         {"dim": "int64", "probe_id": "int64", "n_hit": "int64",
          "recall6": "float64"})
+
+
+def emb_health_stats(sf_dir: str):
+    """Embedding-table health audit — the 'are these vectors sane' check
+    run before building any index on a delivered embedding column:
+    per label, vector count, RMS / min / max norm (degenerate near-zero
+    or exploding vectors), and the mean-vector CONCENTRATION
+    ||sum(v)||^2 / (n * sum||v||^2) — 1.0 when all vectors are identical,
+    ~1/n when isotropic; the anisotropy proxy that predicts whether
+    cosine retrieval will collapse. Every component quantizes to
+    micro-fixed-point int64 (round(1e6 x), exact for float32 inputs), so
+    per-vector norm^2, per-(label, dim) component sums and all folds are
+    order-free exact integers; the driver squares the bounded
+    (labels x 64) sum table in Python ints (= SQL HUGEINT) and the only
+    floats are mirrored sqrt/division trees. int64 bound: sum of norm^2
+    per label < 2^63 holds to ~1e5 vectors/label at unit scale — past
+    that, fold per-block partials as Python ints via a second tier."""
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+
+    def quant(batch: pa.Table):
+        M = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch["embedding"].to_pylist()])
+        m = round_half_away(M * 1_000_000.0, 0).astype(np.int64)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return lab, m
+
+    def stat_partials(batch: pa.Table) -> pa.Table:
+        lab, m = quant(batch)
+        n2 = (m * m).sum(axis=1)
+        t = pa.table({"label": pa.array(lab, pa.int64()),
+                      "n2": pa.array(n2, pa.int64()),
+                      "one": pa.array(np.ones(len(lab), np.int64),
+                                      pa.int64())})
+        g = t.group_by("label").aggregate(
+            [("one", "sum"), ("n2", "sum"), ("n2", "min"), ("n2", "max")])
+        return pa.table({"label": g["label"], "n": g["one_sum"],
+                         "sn": g["n2_sum"], "mn": g["n2_min"],
+                         "mx": g["n2_max"]})
+
+    def dim_partials(batch: pa.Table) -> pa.Table:
+        lab, m = quant(batch)
+        labs = np.unique(lab)
+        rows_l, rows_d, rows_s = [], [], []
+        for lv in labs:
+            sums = m[lab == lv].sum(axis=0)
+            rows_l.extend([int(lv)] * m.shape[1])
+            rows_d.extend(range(1, m.shape[1] + 1))
+            rows_s.extend(int(x) for x in sums)
+        return pa.table({"label": pa.array(rows_l, pa.int64()),
+                         "dim": pa.array(rows_d, pa.int64()),
+                         "s": pa.array(rows_s, pa.int64())})
+
+    stats = (ds.map_batches(stat_partials, batch_format="pyarrow")
+             .groupby("label")
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("sn", alias_name="sn"),
+                        Min("mn", alias_name="mn"),
+                        Max("mx", alias_name="mx"))
+             .to_pandas().sort_values("label").reset_index(drop=True))
+    dims = (ds.map_batches(dim_partials, batch_format="pyarrow")
+            .groupby(["label", "dim"])
+            .aggregate(Sum("s", alias_name="s"))
+            .to_pandas())
+    c2 = {int(lv): sum(int(s) * int(s)
+                       for s in dims.loc[dims["label"] == lv, "s"])
+          for lv in stats["label"]}
+    return pd.DataFrame({
+        "label": stats["label"].astype("int64"),
+        "n_vecs": stats["n"].astype("int64"),
+        "rms_norm6": [float(round_half_away(
+            np.sqrt(float(int(sn)) / float(int(n))) / 1e6, 6))
+            for sn, n in zip(stats["sn"], stats["n"])],
+        "min_norm6": [float(round_half_away(
+            np.sqrt(float(int(v))) / 1e6, 6)) for v in stats["mn"]],
+        "max_norm6": [float(round_half_away(
+            np.sqrt(float(int(v))) / 1e6, 6)) for v in stats["mx"]],
+        "concentration9": [float(round_half_away(
+            float(c2[int(lv)]) / (float(int(n)) * float(int(sn))), 9))
+            for lv, n, sn in zip(stats["label"], stats["n"], stats["sn"])],
+    })

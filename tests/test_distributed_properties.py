@@ -1142,3 +1142,28 @@ def test_matryoshka_layout_and_monotonic_trend(ray_session, monkeypatch):
                                   b.reset_index(drop=True))
     mean = a.groupby("dim")["recall6"].mean()
     assert mean[8] <= mean[32] and mean[32] > 0.3
+
+
+def test_emb_health_layout_and_isotropy(ray_session, monkeypatch):
+    """Fixed-point norm and per-dim sum partials must fold identically
+    under any block layout; on isotropic synthetic embeddings the
+    concentration must sit near 1/n (no mean-vector collapse) and norms
+    must satisfy min <= rms <= max."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.emb_health_stats(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.emb_health_stats(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    for _, row in a.iterrows():
+        assert row["min_norm6"] <= row["rms_norm6"] <= row["max_norm6"]
+        assert row["concentration9"] < 20.0 / row["n_vecs"]
