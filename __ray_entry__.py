@@ -449,22 +449,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_corpus",
         "emb_knn_top10", "emb_cosine_neardup", "emb_ivf_knn", "emb_kmeans",
         "emb_pca_power", "emb_int8_quant",
-        "doc_token_stats", "doc_bm25_top_docs", "doc_tfidf_top_terms",
+        "doc_token_stats", "doc_bm25_top_docs",
         "doc_bpe_merges",
         "doc_decontam", "doc_seq_packing", "doc_curation_pipeline",
-        "doc_hash_split",
         "doc_minhash_band_sweep", "emb_kcenter_coreset",
         "events_kmv_calibration", "media_dedup", "code_format_roundtrip",
         "q1_pricing_summary", "q3_shipping_priority", "q6_revenue",
-        "q2_min_price_supplier", "q15_top_supplier",
+        "q2_min_price_supplier",
         "q22_dormant_rich_customers",
         "events_asof_order", "orders_events_7d", "events_salted_user_join",
         "customer_orders_full_outer", "orders_semi_bloom",
-        "events_row_number", "events_user_cumsum",
+        "events_row_number",
         "events_streaming_windows", "events_attribution",
         "events_hll_users",
         "part_triangle_count", "doc_entity_resolution",
+        "events_kaplan_meier", "supplier_part_hits",
+        "emb_matryoshka_recall", "doc_tokenizer_fertility",
         # (window boundary — the rest keep a useful rough grouping)
+        "doc_tfidf_top_terms", "q15_top_supplier", "doc_hash_split",
+        "events_user_cumsum",
         "doc_pmi_collocations", "doc_vocab_encode", "doc_nb_discriminative",
         "q8_market_share", "events_rolling_distinct_users",
         "doc_sorted_neighborhood", "doc_quality_auc", "orders_woe_iv",
