@@ -434,6 +434,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_matryoshka_recall": r.emb_matryoshka_recall,
         # per-label embedding health: norms + mean-vector concentration
         "emb_health_stats": r.emb_health_stats,
+        # Holt level+trend smoothing (recursive, op-for-op CTE mirror)
+        "orders_holt_linear": r.orders_holt_linear,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -555,6 +557,39 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(c) AS DOUBLE)
                          / CAST(sum(b) AS DOUBLE), 6) AS chars_per_token6
             FROM per GROUP BY lang
+        """,
+        "orders_holt_linear": """
+            WITH RECURSIVE d AS (
+                SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                       sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))
+                           AS cents
+                FROM orders GROUP BY 1
+            ),
+            ranked AS (
+                SELECT day, cents,
+                       CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+                           AS rn
+                FROM d
+            ),
+            rec AS (
+                SELECT CAST(1 AS BIGINT) AS rn,
+                       CAST(r1.cents AS DOUBLE) AS l,
+                       CAST(r2.cents AS DOUBLE)
+                           - CAST(r1.cents AS DOUBLE) AS b
+                FROM ranked r1, ranked r2
+                WHERE r1.rn = 1 AND r2.rn = 2
+                UNION ALL
+                SELECT r.rn,
+                       0.3 * CAST(r.cents AS DOUBLE)
+                           + 0.7 * (rec.l + rec.b),
+                       0.2 * ((0.3 * CAST(r.cents AS DOUBLE)
+                               + 0.7 * (rec.l + rec.b)) - rec.l)
+                           + 0.8 * rec.b
+                FROM ranked r JOIN rec ON r.rn = rec.rn + 1
+            )
+            SELECT ranked.day, CAST(ranked.cents AS BIGINT) AS cents,
+                   round(rec.l, 6) AS level6, round(rec.b, 6) AS trend6
+            FROM ranked JOIN rec USING (rn)
         """,
         "emb_health_stats": """
             WITH q AS (

@@ -12830,3 +12830,48 @@ def emb_health_stats(sf_dir: str):
             float(c2[int(lv)]) / (float(int(n)) * float(int(sn))), 9))
             for lv, n, sn in zip(stats["label"], stats["n"], stats["sn"])],
     })
+
+
+def orders_holt_linear(sf_dir: str):
+    """Holt's double exponential smoothing (level + trend) of the daily
+    revenue series — the forecasting-grade smoother next to
+    orders_ewma_revenue's window EWMA (which cannot track a drifting
+    slope): l_t = a*y_t + (1-a)(l+b), b_t = g*(l_t - l) + (1-g)*b with
+    the standard l1 = y1, b1 = y2 - y1 initialization. Daily exact-cents
+    pre-aggregate per block onto the bounded date catalog (the one
+    shuffle); the recursion is inherently sequential, runs driver-side
+    over the catalog, and is mirrored OP-FOR-OP by a recursive CTE —
+    both sides evaluate the same literals (0.3/0.7 and 0.2/0.8, written
+    out so no 1-a subtraction can differ) and the same expression tree,
+    with the SQL step re-deriving l_t inside b_t's expression exactly as
+    the Python assigns it. Requires >= 2 observed days (asserted)."""
+    ds = _tbl(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def daily(batch: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            batch["o_totalprice"].to_numpy() * 100.0, 0).astype(np.int64)
+        t = pa.table({
+            "day": pc.strftime(batch["o_orderdate"], format="%Y-%m-%d"),
+            "cents": pa.array(cents, pa.int64()),
+        })
+        g = t.group_by("day").aggregate([("cents", "sum")])
+        return pa.table({"day": g["day"], "cents": g["cents_sum"]})
+
+    df = (ds.map_batches(daily, batch_format="pyarrow")
+          .groupby("day").aggregate(Sum("cents", alias_name="cents"))
+          .to_pandas().sort_values("day").reset_index(drop=True))
+    y = [float(int(v)) for v in df["cents"]]
+    assert len(y) >= 2, "Holt needs at least two observed days"
+    ls, bs = [y[0]], [y[1] - y[0]]
+    for t in range(1, len(y)):
+        lp, bp = ls[-1], bs[-1]
+        lt = 0.3 * y[t] + 0.7 * (lp + bp)
+        bt = 0.2 * (lt - lp) + 0.8 * bp
+        ls.append(lt)
+        bs.append(bt)
+    return pd.DataFrame({
+        "day": df["day"],
+        "cents": df["cents"].astype("int64"),
+        "level6": [float(round_half_away(v, 6)) for v in ls],
+        "trend6": [float(round_half_away(v, 6)) for v in bs],
+    })

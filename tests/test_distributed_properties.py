@@ -1167,3 +1167,33 @@ def test_emb_health_layout_and_isotropy(ray_session, monkeypatch):
     for _, row in a.iterrows():
         assert row["min_norm6"] <= row["rms_norm6"] <= row["max_norm6"]
         assert row["concentration9"] < 20.0 / row["n_vecs"]
+
+
+def test_holt_layout_and_convergence(ray_session, monkeypatch):
+    """Daily-cents folding must be layout-free; on a fabricated pure
+    linear series Holt must lock onto the exact slope (trend -> 10.0)."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.orders_holt_linear(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(11))
+    b = r.orders_holt_linear(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    # linear-series lock-on: y_t = 100 + 10 t => level tracks y, trend -> 10
+    ls, bs = [100.0], [10.0]
+    for t in range(1, 50):
+        y = 100.0 + 10.0 * t
+        lp, bp = ls[-1], bs[-1]
+        lt = 0.3 * y + 0.7 * (lp + bp)
+        bt = 0.2 * (lt - lp) + 0.8 * bp
+        ls.append(lt)
+        bs.append(bt)
+    assert abs(bs[-1] - 10.0) < 1e-9 and abs(ls[-1] - (100.0 + 10.0 * 49)) < 1e-6
