@@ -436,6 +436,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_health_stats": r.emb_health_stats,
         # Holt level+trend smoothing (recursive, op-for-op CTE mirror)
         "orders_holt_linear": r.orders_holt_linear,
+        # per-language char-distribution entropy terms (junk-text signal)
+        "doc_char_entropy": r.doc_char_entropy,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -557,6 +559,27 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(c) AS DOUBLE)
                          / CAST(sum(b) AS DOUBLE), 6) AS chars_per_token6
             FROM per GROUP BY lang
+        """,
+        "doc_char_entropy": """
+            WITH chars AS (
+                SELECT lang, unnest(string_split(text, '')) AS ch
+                FROM documents
+            ),
+            counts AS (
+                SELECT lang, ch, CAST(count(*) AS BIGINT) AS n
+                FROM chars GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT lang, CAST(sum(n) AS BIGINT) AS t
+                FROM counts GROUP BY 1
+            )
+            SELECT c.lang, c.ch, c.n,
+                   round(CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE), 9)
+                       AS p9,
+                   round(-(CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE))
+                         * ln(CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE)),
+                         9) AS contrib9
+            FROM counts c JOIN tot t USING (lang)
         """,
         "orders_holt_linear": """
             WITH RECURSIVE d AS (

@@ -12875,3 +12875,52 @@ def orders_holt_linear(sf_dir: str):
         "level6": [float(round_half_away(v, 6)) for v in ls],
         "trend6": [float(round_half_away(v, 6)) for v in bs],
     })
+
+
+def doc_char_entropy(sf_dir: str):
+    """Per-language character-distribution entropy terms — the unigram
+    information signal quality filters use to catch binary-junk /
+    keyboard-mash text (low entropy = repetitive, abnormally high =
+    random bytes). One pass folds per-(block, lang) character Counter
+    partials into the bounded (lang x alphabet) catalog of EXACT counts;
+    each output row carries one character's probability and its entropy
+    contribution -p*ln(p) as a ROW-INDEPENDENT mirrored float expression
+    of exact integers, snapped to 9 (the doc_split_drift / modularity
+    convention: never an unordered float sum — sum the column for the
+    per-language entropy in nats). Characters ride as single-char
+    strings so the SQL mirror's string_split(text, '') sees the same
+    tokens."""
+    ds = _tbl(sf_dir, "documents", columns=["lang", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        acc: dict = {}
+        for lg, v in zip(batch["lang"].to_pylist(),
+                         batch["text"].to_pylist()):
+            c = acc.setdefault(lg, Counter())
+            c.update(v or "")
+        rows_l, rows_c, rows_n = [], [], []
+        for lg in sorted(acc):
+            for ch, n in sorted(acc[lg].items()):
+                rows_l.append(lg)
+                rows_c.append(ch)
+                rows_n.append(n)
+        return pa.table({"lang": pa.array(rows_l, pa.string()),
+                         "ch": pa.array(rows_c, pa.string()),
+                         "n": pa.array(rows_n, pa.int64())})
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby(["lang", "ch"]).aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    totals = agg.groupby("lang")["n"].sum().to_dict()
+    agg = agg.sort_values(["lang", "ch"]).reset_index(drop=True)
+    ps = [float(int(n)) / float(int(totals[lg]))
+          for lg, n in zip(agg["lang"], agg["n"])]
+    return pd.DataFrame({
+        "lang": agg["lang"],
+        "ch": agg["ch"],
+        "n": agg["n"].astype("int64"),
+        "p9": [float(round_half_away(p, 9)) for p in ps],
+        "contrib9": [float(round_half_away(-p * np.log(p), 9))
+                     for p in ps],
+    })

@@ -1197,3 +1197,28 @@ def test_holt_layout_and_convergence(ray_session, monkeypatch):
         ls.append(lt)
         bs.append(bt)
     assert abs(bs[-1] - 10.0) < 1e-9 and abs(ls[-1] - (100.0 + 10.0 * 49)) < 1e-6
+
+
+def test_char_entropy_layout_and_bounds(ray_session, monkeypatch):
+    """Character-Counter partials must fold identically under any block
+    layout; per-language entropy (sum of contribs) must be positive and
+    below ln(alphabet size) (the uniform bound)."""
+    import numpy as np
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_char_entropy(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.doc_char_entropy(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    for lg, g in a.groupby("lang"):
+        h = g["contrib9"].sum()
+        assert 0.0 < h <= np.log(len(g)) + 1e-9, lg
