@@ -438,6 +438,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_holt_linear": r.orders_holt_linear,
         # per-language char-distribution entropy terms (junk-text signal)
         "doc_char_entropy": r.doc_char_entropy,
+        # ABC/Pareto class table by exact cumulative revenue share
+        "part_abc_classes": r.part_abc_classes,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -559,6 +561,31 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(c) AS DOUBLE)
                          / CAST(sum(b) AS DOUBLE), 6) AS chars_per_token6
             FROM per GROUP BY lang
+        """,
+        "part_abc_classes": """
+            WITH pr AS (
+                SELECT l_partkey,
+                       sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                      * 10000.0, 0) AS BIGINT)) AS u
+                FROM lineitem GROUP BY 1
+            ),
+            tot AS (SELECT sum(u) AS t FROM pr),
+            ranked AS (
+                SELECT l_partkey, u,
+                       CAST(row_number() OVER (ORDER BY u DESC, l_partkey)
+                            AS BIGINT) AS rev_rank,
+                       sum(u) OVER (ORDER BY u DESC, l_partkey) AS cum
+                FROM pr
+            )
+            SELECT l_partkey AS p_partkey,
+                   u / 10000.0 AS revenue,
+                   rev_rank,
+                   round(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE), 9)
+                       AS cum_share9,
+                   CASE WHEN cum * 10 <= t * 8 THEN 'A'
+                        WHEN cum * 20 <= t * 19 THEN 'B'
+                        ELSE 'C' END AS abc
+            FROM ranked, tot
         """,
         "doc_char_entropy": """
             WITH chars AS (

@@ -12924,3 +12924,57 @@ def doc_char_entropy(sf_dir: str):
         "contrib9": [float(round_half_away(-p * np.log(p), 9))
                      for p in ps],
     })
+
+
+def part_abc_classes(sf_dir: str):
+    """ABC (Pareto) inventory classification of parts by cumulative
+    revenue share — the 80/95 split every ops dashboard derives from
+    orders_revenue_concentration's Lorenz numbers but as an actionable
+    per-part CLASS table: rank parts by exact 1e-4-unit revenue (the q3
+    convention), accumulate, and label A while the running share stays
+    within 80%, B within 95%, C after. Classification thresholds are
+    EXACT INTEGER comparisons (cum*10 <= total*8, cum*20 <= total*19 —
+    no float ever decides a class boundary), ties broken (revenue DESC,
+    partkey ASC) on both sides; the cumulative share column is one
+    mirrored division snapped to 9. One pre-combined groupby collapses
+    lineitem to the bounded part catalog; the scan is driver-side over
+    that catalog with Python-int accumulation (= SQL HUGEINT window
+    sum)."""
+    ds = _tbl(sf_dir, "lineitem",
+              columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def units(batch: pa.Table) -> pa.Table:
+        u = round_half_away(
+            batch["l_extendedprice"].to_numpy()
+            * (1.0 - batch["l_discount"].to_numpy()) * 10000.0,
+            0).astype(np.int64)
+        return pa.table({"p": batch["l_partkey"],
+                         "u": pa.array(u, pa.int64())})
+
+    agg = (preagg_groupby(
+        ds.map_batches(units, batch_format="pyarrow"), ["p"],
+        sums={"u": "u"})
+        .to_pandas())
+    agg = agg.sort_values(["u", "p"], ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+    us = [int(x) for x in agg["u"]]
+    total = sum(us)
+    cum = 0
+    cums, classes = [], []
+    for u in us:
+        cum += u
+        cums.append(cum)
+        if cum * 10 <= total * 8:
+            classes.append("A")
+        elif cum * 20 <= total * 19:
+            classes.append("B")
+        else:
+            classes.append("C")
+    return pd.DataFrame({
+        "p_partkey": agg["p"].astype("int64"),
+        "revenue": [float(u) / 10000.0 for u in us],
+        "rev_rank": pd.array(range(1, len(us) + 1), dtype="int64"),
+        "cum_share9": [float(round_half_away(float(c) / float(total), 9))
+                       for c in cums],
+        "abc": classes,
+    })

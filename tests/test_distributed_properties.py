@@ -1222,3 +1222,30 @@ def test_char_entropy_layout_and_bounds(ray_session, monkeypatch):
     for lg, g in a.groupby("lang"):
         h = g["contrib9"].sum()
         assert 0.0 < h <= np.log(len(g)) + 1e-9, lg
+
+
+def test_abc_layout_and_class_structure(ray_session, monkeypatch):
+    """Per-part revenue folding must be layout-free; classes must be
+    monotone in rank (A block, then B block, then C block), all three
+    non-empty at sf0.001, and the last A row's share <= 0.8."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.part_abc_classes(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(11))
+    b = r.part_abc_classes(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    order = {"A": 0, "B": 1, "C": 2}
+    codes = [order[c] for c in a.sort_values("rev_rank")["abc"]]
+    assert codes == sorted(codes)
+    assert set(a["abc"]) == {"A", "B", "C"}
+    last_a = a[a["abc"] == "A"]["cum_share9"].max()
+    assert last_a <= 0.8
