@@ -440,6 +440,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_char_entropy": r.doc_char_entropy,
         # ABC/Pareto class table by exact cumulative revenue share
         "part_abc_classes": r.part_abc_classes,
+        # document-frequency boilerplate-line catalog (C4 line signal)
+        "code_boilerplate_lines": r.code_boilerplate_lines,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -539,6 +541,7 @@ def oracle_sql() -> dict[str, str]:
         "part_bfs_khop": o.bfs_khop_sql(k=6),
         "supplier_part_hits": o.hits_sql(iters=2),
         "code_indent_stats": o.code_indent_stats_sql(),
+        "code_boilerplate_lines": o.code_boilerplate_lines_sql(),
         "doc_tokenizer_fertility": """
             WITH per AS (
                 SELECT lang,

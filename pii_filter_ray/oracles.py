@@ -1830,3 +1830,30 @@ def bfs_khop_sql(k: int = 6) -> str:
         SELECT n AS p_partkey, CAST(min(d) AS BIGINT) AS dist
         FROM bfs GROUP BY n
     """
+
+
+def code_boilerplate_lines_sql(min_chars: int = 12, min_df: int = 2,
+                               topk: int = 20) -> str:
+    """Document-frequency boilerplate catalog recomputed by DuckDB from
+    the corpus parquet: per-file DISTINCT substantial lines, df count,
+    (df DESC, line ASC) top-k."""
+    import os
+
+    from .sources.synthetic_code import corpus_path
+
+    glob = os.path.join(corpus_path(n_rows=2000, seed=42), "*.parquet")
+    return f"""
+    WITH l AS (
+        SELECT repo, path, commit,
+               unnest(string_split(content, chr(10))) AS ln
+        FROM read_parquet({_q(glob)})
+    ),
+    d AS (SELECT DISTINCT repo, path, commit, ln FROM l
+          WHERE length(ln) >= {min_chars}),
+    df AS (SELECT ln, CAST(count(*) AS BIGINT) AS n_docs
+           FROM d GROUP BY ln HAVING count(*) >= {min_df})
+    SELECT ln AS line, n_docs,
+           CAST(row_number() OVER (ORDER BY n_docs DESC, ln) AS BIGINT)
+               AS df_rank
+    FROM df ORDER BY n_docs DESC, ln LIMIT {topk}
+    """

@@ -12978,3 +12978,50 @@ def part_abc_classes(sf_dir: str):
                        for c in cums],
         "abc": classes,
     })
+
+
+def code_boilerplate_lines(sf_dir: str, min_chars: int = 12,
+                           min_df: int = 2, topk: int = 20):
+    """The boilerplate catalog — substantial lines ranked by DOCUMENT
+    frequency (not occurrence count): the artifact every HTML/code
+    cleaning pipeline builds before stripping headers, footers and
+    license banners (C4 dropped lines by exactly this signal), and the
+    df-side complement of code_line_dedup's keep-first rule. Per block,
+    each doc contributes its DISTINCT substantial lines once (set(), so
+    a line repeated inside one doc cannot inflate df); the shuffle moves
+    (line, n_docs) partials — block-local pre-combine makes hot
+    boilerplate ship once per block, the code_line_dedup posture — into
+    one groupby, and only lines with df >= min_df reach the bounded
+    (df DESC, line ASC) top-k. At 100 TB the line strings would hash
+    first and resolve text for the top-k only; here lines are short and
+    the catalog small, so text ships directly (documented tradeoff).
+    Target is the code corpus (the documents table has no newlines —
+    checked, not assumed); sf_dir unused per the code_* convention."""
+    from ..sources.synthetic_code import corpus_path
+
+    ds = ray.data.read_parquet(corpus_path(n_rows=2000, seed=42),
+                               columns=["content"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: "Counter" = Counter()
+        for t in batch["content"].to_pylist():
+            for ln in set((t or "").split("\n")):
+                if len(ln) >= min_chars:
+                    c[ln] += 1
+        ks = sorted(c)
+        return pa.table({"line": pa.array(ks, pa.string()),
+                         "n_docs": pa.array([c[k] for k in ks],
+                                            pa.int64())})
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("line").aggregate(Sum("n_docs", alias_name="n_docs"))
+           .to_pandas())
+    agg = agg[agg["n_docs"] >= min_df]
+    agg = agg.sort_values(["n_docs", "line"], ascending=[False, True],
+                          kind="mergesort").head(topk).reset_index(drop=True)
+    return pd.DataFrame({
+        "line": agg["line"],
+        "n_docs": agg["n_docs"].astype("int64"),
+        "df_rank": pd.array(range(1, len(agg) + 1), dtype="int64"),
+    })

@@ -1249,3 +1249,19 @@ def test_abc_layout_and_class_structure(ray_session, monkeypatch):
     assert set(a["abc"]) == {"A", "B", "C"}
     last_a = a[a["abc"] == "A"]["cum_share9"].max()
     assert last_a <= 0.8
+
+
+def test_boilerplate_lines_structure(ray_session):
+    """The df catalog must be non-vacuous on the code corpus (shared
+    boilerplate exists by construction), ranks contiguous, every df >=
+    min_df, and within-doc repetition must not inflate df: no line's df
+    can exceed the corpus file count."""
+    from pii_filter_ray.pipelines import relational as r
+    from pii_filter_ray.sources.synthetic_code import corpus_path
+    import pyarrow.dataset as pads
+
+    a = r.code_boilerplate_lines("unused")
+    n_files = pads.dataset(corpus_path(n_rows=2000, seed=42)).count_rows()
+    assert len(a) > 0
+    assert (a["n_docs"] >= 2).all() and (a["n_docs"] <= n_files).all()
+    assert a["df_rank"].tolist() == list(range(1, len(a) + 1))
