@@ -442,6 +442,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_abc_classes": r.part_abc_classes,
         # document-frequency boilerplate-line catalog (C4 line signal)
         "code_boilerplate_lines": r.code_boilerplate_lines,
+        # exact largest-remainder token-budget allocation per language
+        "doc_token_budget_apportionment": r.doc_token_budget_apportionment,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -752,6 +754,40 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(CAST(n * syy - sy * sy AS DOUBLE))),
                          9) AS rho9
             FROM mom, tot
+        """,
+        "doc_token_budget_apportionment": """
+            WITH per AS (
+                SELECT lang,
+                       CAST(sum(len(regexp_extract_all(text,
+                           '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^ \\t\\n\\r\\f\\va-zA-Z0-9]+'
+                       ))) AS BIGINT) AS n
+                FROM documents GROUP BY lang
+            ),
+            tot AS (SELECT CAST(sum(n) AS HUGEINT) AS nn,
+                           CAST(count(*) AS BIGINT) AS k FROM per),
+            calc AS (
+                SELECT lang, n,
+                       CAST(1000000 * CAST(n AS HUGEINT) // nn
+                            AS BIGINT) AS base_alloc,
+                       CAST(1000000 * CAST(n AS HUGEINT) % nn
+                            AS HUGEINT) AS rem
+                FROM per, tot
+            ),
+            ranked AS (
+                SELECT lang, n, base_alloc,
+                       CAST(row_number() OVER (ORDER BY rem DESC, lang)
+                            AS BIGINT) AS remainder_rank
+                FROM calc
+            ),
+            leftover AS (
+                SELECT CAST(1000000 - sum(base_alloc) AS BIGINT) AS lo
+                FROM ranked
+            )
+            SELECT lang, n AS n_bpe_tokens, base_alloc, remainder_rank,
+                   base_alloc + CASE WHEN remainder_rank
+                                          <= (SELECT lo FROM leftover)
+                                     THEN 1 ELSE 0 END AS alloc
+            FROM ranked
         """,
         "doc_lang_sampling_weights": """
             WITH RECURSIVE counts AS (

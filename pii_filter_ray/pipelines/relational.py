@@ -13025,3 +13025,55 @@ def code_boilerplate_lines(sf_dir: str, min_chars: int = 12,
         "n_docs": agg["n_docs"].astype("int64"),
         "df_rank": pd.array(range(1, len(agg) + 1), dtype="int64"),
     })
+
+
+def doc_token_budget_apportionment(sf_dir: str, budget: int = 1_000_000):
+    """Largest-remainder (Hamilton) apportionment of a fixed training
+    token budget across languages — the exact-integer allocation step
+    after doc_lang_sampling_weights decides proportions: every language
+    gets floor(B * n_l / N) tokens, and the leftover B - sum(floors)
+    goes one token at a time to the largest remainders (B*n_l mod N,
+    ties lang ASC). The whole computation is integer arithmetic — no
+    float ever decides an allocation, and the allocations sum to B
+    EXACTLY by construction (the property proportional-share rounding
+    cannot give). Token counts are the fertility pass's exact per-lang
+    BPE sums; everything after the bounded language groupby runs on the
+    driver in Python ints (= SQL HUGEINT)."""
+    from ..stages.text_stats import _BPE_TOKEN_RE
+
+    ds = _tbl(sf_dir, "documents", columns=["lang", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: "Counter" = Counter()
+        for lg, v in zip(batch["lang"].to_pylist(),
+                         batch["text"].to_pylist()):
+            c[lg] += len(_BPE_TOKEN_RE.findall(v or ""))
+        ks = sorted(c)
+        return pa.table({"lang": pa.array(ks, pa.string()),
+                         "n": pa.array([c[k] for k in ks], pa.int64())})
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("lang").aggregate(Sum("n", alias_name="n"))
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    ns = [int(x) for x in agg["n"]]
+    N = sum(ns)
+    base = [budget * n // N for n in ns]
+    rem = [budget * n % N for n in ns]
+    leftover = budget - sum(base)
+    order = sorted(range(len(ns)),
+                   key=lambda i: (-rem[i], agg["lang"].iloc[i]))
+    bonus = [0] * len(ns)
+    for i in order[:leftover]:
+        bonus[i] = 1
+    rrank = [0] * len(ns)
+    for r, i in enumerate(order, start=1):
+        rrank[i] = r
+    return pd.DataFrame({
+        "lang": agg["lang"],
+        "n_bpe_tokens": pd.array(ns, dtype="int64"),
+        "base_alloc": pd.array(base, dtype="int64"),
+        "remainder_rank": pd.array(rrank, dtype="int64"),
+        "alloc": pd.array([b + x for b, x in zip(base, bonus)],
+                          dtype="int64"),
+    })

@@ -1265,3 +1265,30 @@ def test_boilerplate_lines_structure(ray_session):
     assert len(a) > 0
     assert (a["n_docs"] >= 2).all() and (a["n_docs"] <= n_files).all()
     assert a["df_rank"].tolist() == list(range(1, len(a) + 1))
+
+
+def test_apportionment_layout_and_exact_sum(ray_session, monkeypatch):
+    """Token-count folding must be layout-free; allocations must sum to
+    the budget EXACTLY (the property that defines largest-remainder) and
+    every bonus token must go to a better remainder rank than any
+    non-bonus language."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_token_budget_apportionment(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.doc_token_budget_apportionment(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert int(a["alloc"].sum()) == 1_000_000
+    bonus = a[a["alloc"] > a["base_alloc"]]["remainder_rank"]
+    plain = a[a["alloc"] == a["base_alloc"]]["remainder_rank"]
+    if len(bonus) and len(plain):
+        assert bonus.max() < plain.min()
