@@ -444,6 +444,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_boilerplate_lines": r.code_boilerplate_lines,
         # exact largest-remainder token-budget allocation per language
         "doc_token_budget_apportionment": r.doc_token_budget_apportionment,
+        # max_seq_len sizing: fit/truncation/padding tradeoff per level
+        "doc_context_length_coverage": r.doc_context_length_coverage,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -754,6 +756,38 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(CAST(n * syy - sy * sy AS DOUBLE))),
                          9) AS rho9
             FROM mom, tot
+        """,
+        "doc_context_length_coverage": """
+            WITH toks AS (
+                SELECT CAST(len(regexp_extract_all(text,
+                    '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^ \\t\\n\\r\\f\\va-zA-Z0-9]+'
+                )) AS BIGINT) AS t
+                FROM documents
+            ),
+            lv AS (SELECT * FROM (VALUES (64), (128), (256), (512))
+                   AS v(ctx_len)),
+            per AS (
+                SELECT CAST(ctx_len AS BIGINT) AS ctx_len,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(t) AS BIGINT) AS n_tokens,
+                       CAST(sum(CASE WHEN t <= ctx_len THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_fit,
+                       CAST(sum(CASE WHEN t > ctx_len THEN t - ctx_len
+                                     ELSE 0 END) AS BIGINT) AS trunc,
+                       CAST(sum(CASE WHEN t < ctx_len THEN t
+                                     ELSE ctx_len END) AS BIGINT) AS kept,
+                       CAST(sum(CASE WHEN t < ctx_len THEN ctx_len - t
+                                     ELSE 0 END) AS BIGINT) AS pad
+                FROM toks, lv GROUP BY 1
+            )
+            SELECT ctx_len, n_docs, n_fit,
+                   round(CAST(n_fit AS DOUBLE)
+                         / CAST(n_docs AS DOUBLE), 6) AS fit_frac6,
+                   round(CAST(trunc AS DOUBLE)
+                         / CAST(n_tokens AS DOUBLE), 6) AS trunc_frac6,
+                   round(CAST(pad AS DOUBLE)
+                         / CAST(pad + kept AS DOUBLE), 6) AS pad_frac6
+            FROM per
         """,
         "doc_token_budget_apportionment": """
             WITH per AS (

@@ -13077,3 +13077,67 @@ def doc_token_budget_apportionment(sf_dir: str, budget: int = 1_000_000):
         "alloc": pd.array([b + x for b, x in zip(base, bonus)],
                           dtype="int64"),
     })
+
+
+def doc_context_length_coverage(sf_dir: str,
+                                levels: tuple = (64, 128, 256, 512)):
+    """Context-length sizing table — the 'what max_seq_len do we train
+    at' decision every pretraining config commits to: for each candidate
+    length L, how many documents fit entirely, what fraction of ALL
+    tokens would be lost to truncation at L, and the padding overhead if
+    every doc were padded to L (the three numbers that trade off
+    against each other). ONE BPE-token-count pass feeds every level:
+    per block, per level, exact integer partials (docs fitting, tokens
+    kept, tokens truncated) pre-sum before a bounded (levels) groupby;
+    fractions are single mirrored divisions of exact integer sums. The
+    SQL mirror shares one token-count CTE across levels via a VALUES
+    join."""
+    from ..stages.text_stats import _BPE_TOKEN_RE
+
+    ds = _tbl(sf_dir, "documents", columns=["text"])
+    lvls = tuple(int(x) for x in levels)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        toks = [len(_BPE_TOKEN_RE.findall(v or ""))
+                for v in batch["text"].to_pylist()]
+        rows = []
+        for L in lvls:
+            fit = sum(1 for t in toks if t <= L)
+            trunc = sum(t - L for t in toks if t > L)
+            kept = sum(min(t, L) for t in toks)
+            pad = sum(L - t for t in toks if t < L)
+            rows.append((L, len(toks), sum(toks), fit, kept, trunc, pad))
+        return pa.table({
+            "ctx_len": pa.array([r[0] for r in rows], pa.int64()),
+            "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+            "n_tokens": pa.array([r[2] for r in rows], pa.int64()),
+            "n_fit": pa.array([r[3] for r in rows], pa.int64()),
+            "kept": pa.array([r[4] for r in rows], pa.int64()),
+            "trunc": pa.array([r[5] for r in rows], pa.int64()),
+            "pad": pa.array([r[6] for r in rows], pa.int64()),
+        })
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("ctx_len")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_tokens", alias_name="n_tokens"),
+                      Sum("n_fit", alias_name="n_fit"),
+                      Sum("kept", alias_name="kept"),
+                      Sum("trunc", alias_name="trunc"),
+                      Sum("pad", alias_name="pad"))
+           .to_pandas().sort_values("ctx_len").reset_index(drop=True))
+    out = {
+        "ctx_len": agg["ctx_len"].astype("int64"),
+        "n_docs": agg["n_docs"].astype("int64"),
+        "n_fit": agg["n_fit"].astype("int64"),
+        "fit_frac6": [float(round_half_away(
+            float(int(f)) / float(int(n)), 6))
+            for f, n in zip(agg["n_fit"], agg["n_docs"])],
+        "trunc_frac6": [float(round_half_away(
+            float(int(t)) / float(int(tt)), 6))
+            for t, tt in zip(agg["trunc"], agg["n_tokens"])],
+        "pad_frac6": [float(round_half_away(
+            float(int(p)) / float(int(p) + int(k)), 6))
+            for p, k in zip(agg["pad"], agg["kept"])],
+    }
+    return pd.DataFrame(out)

@@ -1292,3 +1292,30 @@ def test_apportionment_layout_and_exact_sum(ray_session, monkeypatch):
     plain = a[a["alloc"] == a["base_alloc"]]["remainder_rank"]
     if len(bonus) and len(plain):
         assert bonus.max() < plain.min()
+
+
+def test_context_coverage_layout_and_monotonicity(ray_session, monkeypatch):
+    """Per-level token partials must fold identically under any block
+    layout; longer contexts must fit weakly more docs, truncate weakly
+    less, and pad weakly more (the three-way tradeoff must point the
+    right directions)."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_context_length_coverage(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.doc_context_length_coverage(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    s = a.sort_values("ctx_len")
+    assert s["fit_frac6"].is_monotonic_increasing
+    assert s["trunc_frac6"].is_monotonic_decreasing
+    assert s["pad_frac6"].is_monotonic_increasing
+    assert 0.0 < s["fit_frac6"].iloc[0] < 1.0 or s["trunc_frac6"].iloc[0] > 0
