@@ -446,6 +446,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_budget_apportionment": r.doc_token_budget_apportionment,
         # max_seq_len sizing: fit/truncation/padding tradeoff per level
         "doc_context_length_coverage": r.doc_context_length_coverage,
+        # Fano index of dispersion of daily arrivals per event type
+        "events_poisson_dispersion": r.events_poisson_dispersion,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -756,6 +758,37 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(CAST(n * syy - sy * sy AS DOUBLE))),
                          9) AS rho9
             FROM mom, tot
+        """,
+        "events_poisson_dispersion": """
+            WITH d AS (
+                SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2
+            ),
+            span AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+            grid AS (
+                SELECT t.event_type, dd.day
+                FROM (SELECT DISTINCT event_type FROM d) t,
+                     (SELECT unnest(range(lo, hi + 1)) AS day
+                      FROM span) dd
+            ),
+            filled AS (
+                SELECT g.event_type, g.day, coalesce(d.c, 0) AS c
+                FROM grid g LEFT JOIN d USING (event_type, day)
+            ),
+            mom AS (
+                SELECT event_type,
+                       CAST(count(*) AS HUGEINT) AS n,
+                       CAST(sum(c) AS HUGEINT) AS sx,
+                       sum(CAST(c AS HUGEINT) * c) AS sxx
+                FROM filled GROUP BY 1
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n_days,
+                   CAST(sx AS BIGINT) AS total_events,
+                   round(CAST(n * sxx - sx * sx AS DOUBLE)
+                         / CAST((n - 1) * sx AS DOUBLE), 9)
+                       AS dispersion9
+            FROM mom
         """,
         "doc_context_length_coverage": """
             WITH toks AS (

@@ -13141,3 +13141,47 @@ def doc_context_length_coverage(sf_dir: str,
             for p, k in zip(agg["pad"], agg["kept"])],
     }
     return pd.DataFrame(out)
+
+
+def events_poisson_dispersion(sf_dir: str):
+    """Index-of-dispersion (Fano) test per event type — 'are arrivals
+    Poisson, bursty, or over-regular': variance-to-mean ratio of the
+    GAP-FILLED daily counts (missing days are exact zeros on both sides,
+    the events_autocorr convention; omitting them silently biases D
+    down). One pre-combined (type, day) count shuffle onto the bounded
+    type x day catalog; the ratio collapses algebraically to
+    (n*Sxx - Sx^2) / ((n-1) * Sx) — ONE float division of two exact
+    Python-int expressions (= SQL HUGEINT), no intermediate variance or
+    mean float ever computed. D ~ 1 Poisson, > 1 bursty/clustered,
+    < 1 under-dispersed (rate-limited)."""
+    ds = _tbl(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = pa.array(us // 86400000000, pa.int64())  # exact int floor
+        t = pa.table({"event_type": batch["event_type"], "day": day,
+                      "one": pa.array(np.ones(len(day), np.int64),
+                                      pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate([("one", "sum")])
+        return pa.table({"event_type": g["event_type"], "day": g["day"],
+                         "c": g["one_sum"]})
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby(["event_type", "day"])
+           .aggregate(Sum("c", alias_name="c"))
+           .to_pandas())
+    lo, hi = int(agg["day"].min()), int(agg["day"].max())
+    n = hi - lo + 1
+    rows = []
+    for et in sorted(agg["event_type"].unique()):
+        sub = {int(d): int(c) for d, c in
+               zip(agg.loc[agg["event_type"] == et, "day"],
+                   agg.loc[agg["event_type"] == et, "c"])}
+        sx = sum(sub.values())
+        sxx = sum(c * c for c in sub.values())  # zero days add 0 exactly
+        disp = float(n * sxx - sx * sx) / float((n - 1) * sx)
+        rows.append((et, n, sx, float(round_half_away(disp, 9))))
+    return pd.DataFrame(rows, columns=["event_type", "n_days",
+                                       "total_events",
+                                       "dispersion9"]).astype(
+        {"n_days": "int64", "total_events": "int64"})

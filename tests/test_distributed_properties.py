@@ -1319,3 +1319,44 @@ def test_context_coverage_layout_and_monotonicity(ray_session, monkeypatch):
     assert s["trunc_frac6"].is_monotonic_decreasing
     assert s["pad_frac6"].is_monotonic_increasing
     assert 0.0 < s["fit_frac6"].iloc[0] < 1.0 or s["trunc_frac6"].iloc[0] > 0
+
+
+def test_dispersion_layout_and_fabricated_branches(ray_session,
+                                                   monkeypatch, tmp_path):
+    """(type, day) count folding must be layout-free; fabricated streams
+    pin both tails: a constant-rate stream is under-dispersed (D < 1)
+    and an all-on-one-day burst is over-dispersed (D > 1)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.events_poisson_dispersion(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.events_poisson_dispersion(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    # fabricated: 10 days, 'flat' = 5/day exactly; 'burst' = 50 on day 0
+    import datetime as dt
+    rows_t, rows_ts = [], []
+    for d in range(10):
+        for i in range(5):
+            rows_t.append("flat")
+            rows_ts.append(dt.datetime(2024, 1, 1 + d, 12, i))
+    for i in range(50):
+        rows_t.append("burst")
+        rows_ts.append(dt.datetime(2024, 1, 1, 6, i))
+    t = pa.table({"event_type": pa.array(rows_t),
+                  "ts": pa.array(rows_ts, pa.timestamp("us"))})
+    pq.write_table(t, tmp_path / "events.parquet")
+    f = r.events_poisson_dispersion(str(tmp_path))
+    d = dict(zip(f["event_type"], f["dispersion9"]))
+    assert d["flat"] == 0.0  # constant rate: zero variance
+    assert d["burst"] > 1.0
