@@ -448,6 +448,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_context_length_coverage": r.doc_context_length_coverage,
         # Fano index of dispersion of daily arrivals per event type
         "events_poisson_dispersion": r.events_poisson_dispersion,
+        # greedy max-coverage selection (submodular (1-1/e) greedy)
+        "supplier_coverage_greedy": r.supplier_coverage_greedy,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -546,6 +548,7 @@ def oracle_sql() -> dict[str, str]:
         "part_modularity": o.modularity_sql(rounds=3),
         "part_bfs_khop": o.bfs_khop_sql(k=6),
         "supplier_part_hits": o.hits_sql(iters=2),
+        "supplier_coverage_greedy": o.coverage_greedy_sql(k=5),
         "code_indent_stats": o.code_indent_stats_sql(),
         "code_boilerplate_lines": o.code_boilerplate_lines_sql(),
         "doc_tokenizer_fertility": """

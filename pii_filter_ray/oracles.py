@@ -1857,3 +1857,35 @@ def code_boilerplate_lines_sql(min_chars: int = 12, min_df: int = 2,
                AS df_rank
     FROM df ORDER BY n_docs DESC, ln LIMIT {topk}
     """
+
+
+def coverage_greedy_sql(k: int = 5) -> str:
+    """Unrolled greedy max-coverage mirror of supplier_coverage_greedy:
+    per round, gains over not-yet-covered parts, (gain DESC, suppkey)
+    winner, covered set via UNION; rounds past exhaustion yield no row
+    (LIMIT 1 of an empty gain table), matching the Ray side's break."""
+    ctes = [
+        "e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p"
+        " FROM lineitem)",
+        "tot AS (SELECT CAST(count(DISTINCT p) AS BIGINT) AS t FROM e)",
+        "c0 AS (SELECT CAST(NULL AS BIGINT) AS p WHERE 1 = 0)",
+    ]
+    sels = []
+    for i in range(1, k + 1):
+        ctes.append(
+            f"g{i} AS (SELECT s, CAST(count(*) AS BIGINT) AS g FROM e"
+            f" WHERE p NOT IN (SELECT p FROM c{i - 1}) GROUP BY s)")
+        ctes.append(
+            f"w{i} AS (SELECT s, g FROM g{i} ORDER BY g DESC, s LIMIT 1)")
+        ctes.append(
+            f"c{i} AS (SELECT p FROM c{i - 1}"
+            f" UNION SELECT e.p FROM e JOIN w{i} USING (s))")
+        sels.append(
+            f"SELECT CAST({i} AS BIGINT) AS round, s AS s_suppkey,"
+            f" g AS gain,"
+            f" CAST((SELECT count(*) FROM c{i}) AS BIGINT)"
+            f" AS covered_parts,"
+            f" round(CAST((SELECT count(*) FROM c{i}) AS DOUBLE)"
+            f" / CAST(t AS DOUBLE), 9) AS coverage_share9"
+            f" FROM w{i}, tot")
+    return f"WITH {', '.join(ctes)} {' UNION ALL '.join(sels)}"

@@ -13185,3 +13185,74 @@ def events_poisson_dispersion(sf_dir: str):
                                        "total_events",
                                        "dispersion9"]).astype(
         {"n_days": "int64", "total_events": "int64"})
+
+
+def supplier_coverage_greedy(sf_dir: str, k: int = 5):
+    """Greedy maximum-coverage supplier selection — the submodular-
+    maximization shape (Nemhauser 1978: greedy is (1-1/e)-optimal) that
+    backs facility location, data-subset selection and seed picking;
+    no other operator in the engine exercises it: pick ``k`` suppliers
+    one at a time, each maximizing the count of parts NOT yet covered
+    (ties suppkey ASC). The distinct (supplier, part) incidence list is
+    ONE pre-combined groupby of the fact table, materialized once; each
+    round is a streaming gain pass against the broadcast covered-part
+    set (per-block exact partial counts into a bounded supplier-catalog
+    groupby — correct because the materialized edges are globally
+    distinct) plus one winner-filtered mini-pass to pull the newly
+    covered parts. Driver state is the covered-part id set (part-catalog
+    bounded, the triangle-degree precedent). Stops early if no supplier
+    adds coverage; coverage_share9 is one mirrored division of exact
+    integers."""
+    edges = preagg_groupby(
+        _tbl(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"]),
+        ["l_suppkey", "l_partkey"], count_alias="w",
+    ).materialize()
+    total_parts = int(edges.select_columns(["l_partkey"])
+                      .to_pandas()["l_partkey"].nunique())
+
+    covered = np.array([], dtype=np.int64)
+    rows = []
+    for rnd in range(1, k + 1):
+        ref = ray.put(np.sort(covered))
+
+        def gains(batch: pa.Table, ref=ref) -> pa.Table:
+            cov = ray.get(ref)
+            s = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+            p = batch["l_partkey"].to_numpy(zero_copy_only=False)
+            mask = ~np.isin(p, cov)
+            if not mask.any():
+                return pa.table({"s": pa.array([], pa.int64()),
+                                 "g": pa.array([], pa.int64())})
+            t = pa.table({"s": pa.array(s[mask], pa.int64()),
+                          "one": pa.array(np.ones(int(mask.sum()),
+                                                  np.int64), pa.int64())})
+            g = t.group_by("s").aggregate([("one", "sum")])
+            return pa.table({"s": g["s"], "g": g["one_sum"]})
+
+        agg = (edges.map_batches(gains, batch_format="pyarrow")
+               .groupby("s").aggregate(Sum("g", alias_name="g"))
+               .to_pandas())
+        if len(agg) == 0:
+            break
+        agg = agg.sort_values(["g", "s"], ascending=[False, True],
+                              kind="mergesort")
+        win_s, win_g = int(agg["s"].iloc[0]), int(agg["g"].iloc[0])
+
+        def pull(batch: pa.Table, ref=ref, win=win_s) -> pa.Table:
+            cov = ray.get(ref)
+            s = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+            p = batch["l_partkey"].to_numpy(zero_copy_only=False)
+            m = (s == win) & ~np.isin(p, cov)
+            return pa.table({"p": pa.array(np.unique(p[m]), pa.int64())})
+
+        new_parts = (edges.map_batches(pull, batch_format="pyarrow")
+                     .to_pandas()["p"].to_numpy(np.int64))
+        covered = np.unique(np.concatenate([covered, new_parts]))
+        rows.append((rnd, win_s, win_g, len(covered),
+                     float(round_half_away(
+                         float(len(covered)) / float(total_parts), 9))))
+    return pd.DataFrame(rows, columns=[
+        "round", "s_suppkey", "gain", "covered_parts",
+        "coverage_share9"]).astype(
+        {"round": "int64", "s_suppkey": "int64", "gain": "int64",
+         "covered_parts": "int64"})

@@ -1360,3 +1360,29 @@ def test_dispersion_layout_and_fabricated_branches(ray_session,
     d = dict(zip(f["event_type"], f["dispersion9"]))
     assert d["flat"] == 0.0  # constant rate: zero variance
     assert d["burst"] > 1.0
+
+
+def test_coverage_greedy_layout_and_submodularity(ray_session, monkeypatch):
+    """Gain-pass partials must fold identically under any block layout;
+    greedy structure must hold: gains weakly decreasing (submodularity
+    of coverage), covered_parts strictly increasing and consistent with
+    the cumulative gains."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.supplier_coverage_greedy(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.supplier_coverage_greedy(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    g = a["gain"].tolist()
+    assert g == sorted(g, reverse=True) and g[0] > 0
+    assert a["covered_parts"].tolist() == [
+        sum(g[:i + 1]) for i in range(len(g))]
