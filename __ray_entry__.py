@@ -450,6 +450,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_poisson_dispersion": r.events_poisson_dispersion,
         # greedy max-coverage selection (submodular (1-1/e) greedy)
         "supplier_coverage_greedy": r.supplier_coverage_greedy,
+        # per-source JSD-vs-rest terms over the top vocabulary
+        "doc_source_divergence": r.doc_source_divergence,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -549,6 +551,7 @@ def oracle_sql() -> dict[str, str]:
         "part_bfs_khop": o.bfs_khop_sql(k=6),
         "supplier_part_hits": o.hits_sql(iters=2),
         "supplier_coverage_greedy": o.coverage_greedy_sql(k=5),
+        "doc_source_divergence": o.source_divergence_sql(vocab_n=30),
         "code_indent_stats": o.code_indent_stats_sql(),
         "code_boilerplate_lines": o.code_boilerplate_lines_sql(),
         "doc_tokenizer_fertility": """

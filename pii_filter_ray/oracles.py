@@ -1889,3 +1889,42 @@ def coverage_greedy_sql(k: int = 5) -> str:
             f" / CAST(t AS DOUBLE), 9) AS coverage_share9"
             f" FROM w{i}, tot")
     return f"WITH {', '.join(ctes)} {' UNION ALL '.join(sels)}"
+
+
+def source_divergence_sql(vocab_n: int = 30) -> str:
+    """JSD-vs-rest mirror of doc_source_divergence: top-n vocab by
+    (count DESC, word ASC), zero-filled source x vocab grid, per-row
+    mirrored 0.5p·ln(2p/(p+q)) + 0.5q·ln(2q/(p+q)) with CASE-guarded
+    zero terms."""
+    P = "(CAST(f.n AS DOUBLE) / CAST(ts AS DOUBLE))"
+    Q = "(CAST(tw - f.n AS DOUBLE) / CAST(nn - ts AS DOUBLE))"
+    return f"""
+    WITH words AS (
+        SELECT source, unnest({words_expr()}) AS w FROM documents
+    ),
+    wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+           FROM words GROUP BY w),
+    vocab AS (SELECT w FROM wc ORDER BY n DESC, w LIMIT {vocab_n}),
+    sc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS n FROM words
+           WHERE w IN (SELECT w FROM vocab) GROUP BY 1, 2),
+    grid AS (SELECT s.source, v.w
+             FROM (SELECT DISTINCT source FROM documents) s, vocab v),
+    filled AS (SELECT g.source, g.w, coalesce(sc.n, 0) AS n
+               FROM grid g LEFT JOIN sc USING (source, w)),
+    totw AS (SELECT w, CAST(sum(n) AS BIGINT) AS tw
+             FROM filled GROUP BY w),
+    tots AS (SELECT source, CAST(sum(n) AS BIGINT) AS ts
+             FROM filled GROUP BY source),
+    alln AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM filled)
+    SELECT f.source, f.w, f.n AS n_source,
+           tw - f.n AS n_rest,
+           round(
+               CASE WHEN f.n > 0
+                    THEN 0.5 * {P} * ln((2.0 * {P}) / ({P} + {Q}))
+                    ELSE 0.0 END
+               + CASE WHEN tw - f.n > 0
+                      THEN 0.5 * {Q} * ln((2.0 * {Q}) / ({P} + {Q}))
+                      ELSE 0.0 END, 9) AS contrib9
+    FROM filled f
+    JOIN totw USING (w) JOIN tots USING (source), alln
+    """

@@ -13256,3 +13256,81 @@ def supplier_coverage_greedy(sf_dir: str, k: int = 5):
         "coverage_share9"]).astype(
         {"round": "int64", "s_suppkey": "int64", "gain": "int64",
          "covered_parts": "int64"})
+
+
+def doc_source_divergence(sf_dir: str, vocab_n: int = 30):
+    """Per-source Jensen-Shannon divergence terms vs the rest of the
+    corpus — the 'which source is the odd one out' profiling table run
+    before weighting sources into a training mix (the pairwise-free
+    version of the source-ablation question; symmetric and bounded
+    unlike doc_split_drift's KL). Distribution support is the corpus
+    top-``vocab_n`` vocabulary (count DESC, word ASC — the zipf/textrank
+    selection, exact by the pigeonhole block top-n), renormalized within
+    it on both sides; per-(source, word) counts come from ONE pass with
+    the vocab broadcast, zero-filled on the full source x vocab grid
+    (a vocab word ABSENT from a source still contributes its rest-side
+    term — dropping those rows would bias JSD down). Each row's
+    0.5*p*ln(2p/(p+q)) + 0.5*q*ln(2q/(p+q)) is a ROW-INDEPENDENT
+    mirrored float expression of exact integer counts; sum a source's
+    rows for its JSD in nats (the no-unordered-float-sum convention)."""
+    ds = _tbl(sf_dir, "documents", columns=["source", "text"])
+    counts = (ds.map_batches(_word_count_partials, batch_format="pyarrow")
+              .groupby("w").aggregate(Sum("n", alias_name="n")))
+
+    def top_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n", "w"], ascending=[False, True], kind="mergesort"
+        ).head(vocab_n)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    top = (counts.map_batches(top_block, batch_format="pyarrow").to_pandas()
+           .sort_values(["n", "w"], ascending=[False, True],
+                        kind="mergesort")
+           .head(vocab_n).reset_index(drop=True))
+    vocab = sorted(top["w"].tolist())
+    vocab_ref = ray.put(frozenset(vocab))
+
+    def src_partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        vs = ray.get(vocab_ref)
+        c: "Counter" = Counter()
+        for s, t in zip(batch["source"].to_pylist(),
+                        batch["text"].to_pylist()):
+            for w in (t or "").split():
+                if w in vs:
+                    c[(s, w)] += 1
+        ks = sorted(c)
+        return pa.table({
+            "source": pa.array([k[0] for k in ks], pa.string()),
+            "w": pa.array([k[1] for k in ks], pa.string()),
+            "n": pa.array([c[k] for k in ks], pa.int64()),
+        })
+
+    agg = (ds.map_batches(src_partials, batch_format="pyarrow")
+           .groupby(["source", "w"]).aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    sources = sorted(agg["source"].unique().tolist())
+    grid = {(s, w): 0 for s in sources for w in vocab}
+    for s, w, n in zip(agg["source"], agg["w"], agg["n"]):
+        grid[(s, w)] = int(n)
+    tot_w = {w: sum(grid[(s, w)] for s in sources) for w in vocab}
+    tot_s = {s: sum(grid[(s, w)] for w in vocab) for s in sources}
+    N = sum(tot_s.values())
+    rows = []
+    for s in sources:
+        assert tot_s[s] > 0, s
+        for w in vocab:
+            n_src = grid[(s, w)]
+            n_rest = tot_w[w] - n_src
+            p = float(n_src) / float(tot_s[s])
+            q = float(n_rest) / float(N - tot_s[s])
+            contrib = 0.0
+            if p > 0.0:
+                contrib = contrib + 0.5 * p * np.log((2.0 * p) / (p + q))
+            if q > 0.0:
+                contrib = contrib + 0.5 * q * np.log((2.0 * q) / (p + q))
+            rows.append((s, w, n_src, n_rest,
+                         float(round_half_away(contrib, 9))))
+    return pd.DataFrame(rows, columns=["source", "w", "n_source",
+                                       "n_rest", "contrib9"]).astype(
+        {"n_source": "int64", "n_rest": "int64"})

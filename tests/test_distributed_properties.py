@@ -1386,3 +1386,32 @@ def test_coverage_greedy_layout_and_submodularity(ray_session, monkeypatch):
     assert g == sorted(g, reverse=True) and g[0] > 0
     assert a["covered_parts"].tolist() == [
         sum(g[:i + 1]) for i in range(len(g))]
+
+
+def test_source_divergence_layout_and_bounds(ray_session, monkeypatch):
+    """Vocab-filtered per-(source, word) partials must fold identically
+    under any block layout; each source's summed JSD must sit in
+    [0, ln 2] (the JSD bound) and the grid must be complete
+    (sources x vocab rows, zero-filled)."""
+    import numpy as np
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_source_divergence(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.doc_source_divergence(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    n_sources = a["source"].nunique()
+    n_vocab = a["w"].nunique()
+    assert len(a) == n_sources * n_vocab
+    for s, g in a.groupby("source"):
+        jsd = g["contrib9"].sum()
+        assert -1e-9 <= jsd <= np.log(2.0) + 1e-9, (s, jsd)
