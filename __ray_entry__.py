@@ -452,6 +452,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_coverage_greedy": r.supplier_coverage_greedy,
         # per-source JSD-vs-rest terms over the top vocabulary
         "doc_source_divergence": r.doc_source_divergence,
+        # verify-side dedup threshold tuning curve (one exact join)
+        "doc_jaccard_threshold_sweep": r.doc_jaccard_threshold_sweep,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -552,6 +554,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_part_hits": o.hits_sql(iters=2),
         "supplier_coverage_greedy": o.coverage_greedy_sql(k=5),
         "doc_source_divergence": o.source_divergence_sql(vocab_n=30),
+        "doc_jaccard_threshold_sweep": o.jaccard_threshold_sweep_sql(),
         "code_indent_stats": o.code_indent_stats_sql(),
         "code_boilerplate_lines": o.code_boilerplate_lines_sql(),
         "doc_tokenizer_fertility": """

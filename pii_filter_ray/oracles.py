@@ -1928,3 +1928,30 @@ def source_divergence_sql(vocab_n: int = 30) -> str:
     FROM filled f
     JOIN totw USING (w) JOIN tots USING (source), alln
     """
+
+
+def jaccard_threshold_sweep_sql(thresholds=(0.3, 0.5, 0.7),
+                                max_df: int = 1000) -> str:
+    """One jac_pairs chain at the loosest threshold, per-level counts on
+    the 6-snapped jaccard with identical threshold literals."""
+    lo = min(thresholds)
+    vals = ", ".join(f"({t!r})" for t in thresholds)
+    return f"""{jaccard_pairs_ctes(lo, max_df)},
+    lv AS (SELECT * FROM (VALUES {vals}) v(thr)),
+    hits AS (
+        SELECT lv.thr, jp.id_a, jp.id_b
+        FROM lv JOIN jac_pairs jp ON round(jp.jaccard, 6) >= lv.thr
+    ),
+    pc AS (SELECT thr, CAST(count(*) AS BIGINT) AS n_pairs
+           FROM hits GROUP BY thr),
+    docs AS (
+        SELECT thr, id_a AS d FROM hits
+        UNION SELECT thr, id_b FROM hits
+    ),
+    dc AS (SELECT thr, CAST(count(*) AS BIGINT) AS n_docs
+           FROM docs GROUP BY thr)
+    SELECT lv.thr AS threshold,
+           coalesce(pc.n_pairs, 0) AS n_pairs,
+           coalesce(dc.n_docs, 0) AS n_docs
+    FROM lv LEFT JOIN pc ON pc.thr = lv.thr
+    LEFT JOIN dc ON dc.thr = lv.thr"""

@@ -13334,3 +13334,36 @@ def doc_source_divergence(sf_dir: str, vocab_n: int = 30):
     return pd.DataFrame(rows, columns=["source", "w", "n_source",
                                        "n_rest", "contrib9"]).astype(
         {"n_source": "int64", "n_rest": "int64"})
+
+
+def doc_jaccard_threshold_sweep(sf_dir: str,
+                                thresholds: tuple = (0.3, 0.5, 0.7)):
+    """Dedup-threshold tuning curve — the verify-side complement of
+    doc_minhash_band_sweep (which tunes CANDIDATE generation): from ONE
+    exact inverted-index Jaccard join at the loosest threshold, the
+    pair count and the number of affected documents at every candidate
+    threshold — the 'what similarity do we commit the dedup run to'
+    table. Pairs carry 6-snapped jaccard and every threshold compare
+    runs on the snapped value with the same literal on both sides, so
+    no boundary pair can flip between engines. The pair table is the
+    doc_jaccard_dups output scale (df-pruned, bounded); the per-level
+    fold is a driver pass over it — at corpus scale the counts become
+    one more bounded groupby."""
+    from ..stages.dedup import jaccard_similarity_join
+
+    lo = min(thresholds)
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = (jaccard_similarity_join(ds, text_col="text", id_col="doc_id",
+                                     threshold=lo)
+             .to_pandas())
+    j6 = round_half_away(pairs["jaccard"].to_numpy(np.float64), 6)
+    ia = pairs["id_a"].to_numpy(np.int64)
+    ib = pairs["id_b"].to_numpy(np.int64)
+    rows = []
+    for thr in thresholds:
+        m = j6 >= thr
+        docs = set(ia[m].tolist()) | set(ib[m].tolist())
+        rows.append((float(thr), int(m.sum()), len(docs)))
+    return pd.DataFrame(rows, columns=["threshold", "n_pairs",
+                                       "n_docs"]).astype(
+        {"n_pairs": "int64", "n_docs": "int64"})

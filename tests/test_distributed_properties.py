@@ -1415,3 +1415,28 @@ def test_source_divergence_layout_and_bounds(ray_session, monkeypatch):
     for s, g in a.groupby("source"):
         jsd = g["contrib9"].sum()
         assert -1e-9 <= jsd <= np.log(2.0) + 1e-9, (s, jsd)
+
+
+def test_jaccard_sweep_layout_and_monotonicity(ray_session, monkeypatch):
+    """The sweep must be block-layout independent, non-vacuous at the
+    loosest threshold, and strictly structured: pair and doc counts
+    non-increasing as the threshold rises."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_jaccard_threshold_sweep(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.doc_jaccard_threshold_sweep(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    s = a.sort_values("threshold")
+    assert s["n_pairs"].iloc[0] > 0
+    assert s["n_pairs"].is_monotonic_decreasing
+    assert s["n_docs"].is_monotonic_decreasing
