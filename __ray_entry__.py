@@ -454,6 +454,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_divergence": r.doc_source_divergence,
         # verify-side dedup threshold tuning curve (one exact join)
         "doc_jaccard_threshold_sweep": r.doc_jaccard_threshold_sweep,
+        # theta-style KMV union/intersection cardinality estimates
+        "events_kmv_setops": r.events_kmv_setops,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -504,7 +506,8 @@ def oracle_sql() -> dict[str, str]:
     from pii_filter_ray import oracles as o
     from pii_filter_ray.stages.bloom import bloom_fpr_sql
     from pii_filter_ray.stages.sketches import (
-        cms_sql, hll_join_card_sql, hll_rolling_sql, hll_sql, kmv_sql)
+        cms_sql, hll_join_card_sql, hll_rolling_sql, hll_sql, kmv_sql,
+        kmv_setops_sql)
 
     return {
         # full SQL recomputations of the non-trivial operators (see
@@ -555,6 +558,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_coverage_greedy": o.coverage_greedy_sql(k=5),
         "doc_source_divergence": o.source_divergence_sql(vocab_n=30),
         "doc_jaccard_threshold_sweep": o.jaccard_threshold_sweep_sql(),
+        "events_kmv_setops": kmv_setops_sql("click", "purchase", 8),
         "code_indent_stats": o.code_indent_stats_sql(),
         "code_boilerplate_lines": o.code_boilerplate_lines_sql(),
         "doc_tokenizer_fertility": """

@@ -13367,3 +13367,82 @@ def doc_jaccard_threshold_sweep(sf_dir: str,
     return pd.DataFrame(rows, columns=["threshold", "n_pairs",
                                        "n_docs"]).astype(
         {"n_pairs": "int64", "n_docs": "int64"})
+
+
+def events_kmv_setops(sf_dir: str, type_a: str = "click",
+                      type_b: str = "purchase", k: int = 8):
+    """Theta-sketch-style SET-OPERATION cardinality estimates from two
+    KMV sketches (union AND intersection |A∩B| — the op the calibration
+    family never exercised; Dasgupta 2016's theta framework): audience
+    overlap between two event types' user sets without ever shuffling
+    the users. Each type's bottom-k hash set folds from per-block
+    bottom-k partials (the events_kmv_calibration superset argument);
+    theta = min of the two kth values (2^64 when a sketch holds its
+    whole set, making the estimate exact), intersection counts sketch
+    hashes below theta present in BOTH, union applies the KMV estimator
+    to the k smallest of the merged sets — provably the global bottom-k
+    of A∪B since any such hash is within its own type's bottom-k. All
+    set math is exact uint64 integers; the two estimates are single
+    mirrored float expressions, and both ride next to the EXACT
+    union/intersection from the distinct-pair pre-agg so the error is
+    visible, not trusted."""
+    from ..stages.sketches import splitmix64
+
+    ds = _tbl(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def bottomk(batch: pa.Table) -> pa.Table:
+        t = pa.table({"et": batch["event_type"], "u": batch["user_id"]})
+        t = t.filter(pc.is_in(t["et"], value_set=pa.array(
+            [type_a, type_b])))
+        g = t.group_by(["et", "u"]).aggregate([])
+        h = splitmix64(
+            g["u"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        ets = np.asarray(g["et"].to_pylist(), dtype=object)
+        out_t, out_h = [], []
+        for et in sorted(set(ets)):
+            hs = np.sort(h[ets == et])[:k]
+            out_t.extend([et] * len(hs))
+            out_h.extend(hs.tolist())
+        return pa.table({
+            "event_type": pa.array(out_t, pa.string()),
+            "h": pa.array(np.asarray(out_h, dtype=np.uint64), pa.uint64()),
+        })
+
+    parts = ds.map_batches(bottomk, batch_format="pyarrow").to_pandas()
+
+    def sketch(et):
+        hs = np.unique(parts.loc[parts["event_type"] == et, "h"]
+                       .to_numpy().astype(np.uint64))[:k]
+        return [int(x) for x in hs]
+
+    KA, KB = sketch(type_a), sketch(type_b)
+
+    # exact sides from the distinct-pair pre-agg (bounded user catalog)
+    pairs = preagg_groupby(ds, ["event_type", "user_id"],
+                           count_alias="n").to_pandas()
+    ua = set(pairs.loc[pairs["event_type"] == type_a, "user_id"])
+    ub = set(pairs.loc[pairs["event_type"] == type_b, "user_id"])
+    na, nb = len(ua), len(ub)
+
+    FULL = 1 << 64
+    tha = KA[k - 1] if na >= k else FULL
+    thb = KB[k - 1] if nb >= k else FULL
+    th = min(tha, thb)
+    inter = len({h for h in KA if h < th} & {h for h in KB if h < th})
+    est_inter3 = float(round_half_away(
+        float(inter) * 18446744073709551616.0 / float(th), 3))
+    U = sorted(set(KA) | set(KB))[:k]
+    if len(U) < k:
+        est_union3 = float(len(U))
+    else:
+        est_union3 = float(round_half_away(
+            float((k - 1) * FULL) / float(U[k - 1]), 3))
+    return pd.DataFrame({
+        "type_a": [type_a], "type_b": [type_b],
+        "n_sketch_a": pd.array([min(na, k)], dtype="int64"),
+        "n_sketch_b": pd.array([min(nb, k)], dtype="int64"),
+        "exact_union": pd.array([len(ua | ub)], dtype="int64"),
+        "exact_inter": pd.array([len(ua & ub)], dtype="int64"),
+        "est_union3": [est_union3],
+        "est_inter3": [est_inter3],
+    })

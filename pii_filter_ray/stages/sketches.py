@@ -600,3 +600,65 @@ def hll_rolling_sql(table: str, day_expr: str, value_col: str,
         FROM est0
         ORDER BY day
     """
+
+
+def kmv_setops_sql(type_a: str, type_b: str, k: int) -> str:
+    """Theta-style union/intersection mirror of events_kmv_setops: one
+    shared splitmix64 chain, per-type bottom-k via row_number, theta =
+    min of kth values (2^64 for an exhausted sketch), mirrored float
+    estimate expressions, exact sides from the distinct pairs."""
+    full = "18446744073709551616::HUGEINT"
+    return f"""
+        WITH du AS (
+            SELECT DISTINCT event_type AS dk, user_id AS dv FROM events
+            WHERE event_type IN ('{type_a}', '{type_b}')
+        ),
+        {_hash_ctes('du', 'dk', 'dv')},
+        cnts AS (SELECT k, count(*) AS n FROM s6 GROUP BY k),
+        ka AS (SELECT u FROM (SELECT u, row_number() OVER (ORDER BY u)
+                              AS rn FROM s6 WHERE k = '{type_a}')
+               WHERE rn <= {k}),
+        kb AS (SELECT u FROM (SELECT u, row_number() OVER (ORDER BY u)
+                              AS rn FROM s6 WHERE k = '{type_b}')
+               WHERE rn <= {k}),
+        th AS (
+            SELECT LEAST(
+                CASE WHEN (SELECT n FROM cnts WHERE k = '{type_a}')
+                          >= {k}
+                     THEN (SELECT max(u) FROM ka) ELSE {full} END,
+                CASE WHEN (SELECT n FROM cnts WHERE k = '{type_b}')
+                          >= {k}
+                     THEN (SELECT max(u) FROM kb) ELSE {full} END
+            ) AS t
+        ),
+        inter AS (
+            SELECT CAST(count(*) AS BIGINT) AS c
+            FROM ka JOIN kb USING (u), th WHERE u < th.t
+        ),
+        un AS (SELECT u FROM (
+                   SELECT u, row_number() OVER (ORDER BY u) AS rn
+                   FROM (SELECT u FROM ka UNION SELECT u FROM kb))
+               WHERE rn <= {k}),
+        ucnt AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+                        max(u) AS uk FROM un),
+        exact_u AS (SELECT CAST(count(DISTINCT dv) AS BIGINT) AS x
+                    FROM du),
+        exact_i AS (SELECT CAST(count(*) AS BIGINT) AS x FROM (
+                        SELECT dv FROM du GROUP BY dv
+                        HAVING count(DISTINCT dk) = 2))
+        SELECT '{type_a}' AS type_a, '{type_b}' AS type_b,
+               CAST(LEAST((SELECT n FROM cnts WHERE k = '{type_a}'),
+                          {k}) AS BIGINT) AS n_sketch_a,
+               CAST(LEAST((SELECT n FROM cnts WHERE k = '{type_b}'),
+                          {k}) AS BIGINT) AS n_sketch_b,
+               exact_u.x AS exact_union,
+               exact_i.x AS exact_inter,
+               CASE WHEN nu < {k} THEN CAST(nu AS DOUBLE)
+                    ELSE round(CAST({k - 1}::HUGEINT
+                               * {full} AS DOUBLE)
+                               / CAST(uk AS DOUBLE), 3)
+               END AS est_union3,
+               round(CAST(inter.c AS DOUBLE) * 18446744073709551616.0
+                     / CAST(th.t AS DOUBLE), 3) AS est_inter3
+        FROM inter, ucnt, exact_u, exact_i, th
+    """

@@ -1440,3 +1440,41 @@ def test_jaccard_sweep_layout_and_monotonicity(ray_session, monkeypatch):
     assert s["n_pairs"].iloc[0] > 0
     assert s["n_pairs"].is_monotonic_decreasing
     assert s["n_docs"].is_monotonic_decreasing
+
+
+def test_kmv_setops_layout_and_fabricated_overlap(ray_session,
+                                                  monkeypatch, tmp_path):
+    """Bottom-k partial folding must be layout-free; a fabricated stream
+    with known half-overlap pins both estimators: disjoint types give
+    est_inter = 0 exactly, and identical types give est_union = the
+    single-set estimate."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.events_kmv_setops(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.events_kmv_setops(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    # fabricated: click users 0..99, purchase users 1000..1099 (disjoint)
+    t = pa.table({
+        "event_type": pa.array(["click"] * 100 + ["purchase"] * 100),
+        "user_id": pa.array(list(range(100))
+                            + list(range(1000, 1100)), pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    f = r.events_kmv_setops(str(tmp_path))
+    assert f["exact_inter"].iloc[0] == 0
+    # sketch intersection of disjoint sets CAN false-positive only on
+    # hash collision, impossible under a 64-bit bijection of disjoint ids
+    assert f["est_inter3"].iloc[0] == 0.0
+    assert f["exact_union"].iloc[0] == 200
