@@ -456,6 +456,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_jaccard_threshold_sweep": r.doc_jaccard_threshold_sweep,
         # theta-style KMV union/intersection cardinality estimates
         "events_kmv_setops": r.events_kmv_setops,
+        # brace-nesting depth + balance health per language
+        "code_nesting_depth": r.code_nesting_depth,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -561,6 +563,7 @@ def oracle_sql() -> dict[str, str]:
         "events_kmv_setops": kmv_setops_sql("click", "purchase", 8),
         "code_indent_stats": o.code_indent_stats_sql(),
         "code_boilerplate_lines": o.code_boilerplate_lines_sql(),
+        "code_nesting_depth": o.code_nesting_depth_sql(),
         "doc_tokenizer_fertility": """
             WITH per AS (
                 SELECT lang,

@@ -1955,3 +1955,54 @@ def jaccard_threshold_sweep_sql(thresholds=(0.3, 0.5, 0.7),
            coalesce(dc.n_docs, 0) AS n_docs
     FROM lv LEFT JOIN pc ON pc.thr = lv.thr
     LEFT JOIN dc ON dc.thr = lv.thr"""
+
+
+def code_nesting_depth_sql(n_rows: int = 2000, seed: int = 42) -> str:
+    """Running brace-balance mirror over character positions: per file
+    max depth (floored at 0), unbalanced = dips negative or ends
+    nonzero; per-language max/count."""
+    import os
+
+    from .sources.synthetic_code import corpus_path
+
+    glob = os.path.join(corpus_path(n_rows=n_rows, seed=seed), "*.parquet")
+    return f"""
+    WITH f AS (
+        SELECT row_number() OVER () AS fid, lang, content
+        FROM read_parquet({_q(glob)})
+    ),
+    mx AS (SELECT max(length(content)) AS m FROM f),
+    chars AS (
+        SELECT fid, lang, p.pos, content[p.pos] AS ch
+        FROM f, (SELECT unnest(range(1, (SELECT m FROM mx) + 1))
+                 AS pos) p
+        WHERE p.pos <= length(content)
+    ),
+    cum AS (
+        SELECT fid, lang,
+               sum(CASE ch WHEN chr(123) THEN 1
+                           WHEN chr(125) THEN -1 ELSE 0 END)
+                   OVER (PARTITION BY fid ORDER BY pos) AS c,
+               pos,
+               max(pos) OVER (PARTITION BY fid) AS lastpos
+        FROM chars
+    ),
+    perfile AS (
+        SELECT fid, lang,
+               GREATEST(0, max(c)) AS maxd,
+               CASE WHEN min(c) < 0
+                    OR max(CASE WHEN pos = lastpos THEN c END) <> 0
+                    THEN 1 ELSE 0 END AS unbal
+        FROM cum GROUP BY fid, lang
+    ),
+    empties AS (
+        SELECT fid, lang, 0 AS maxd, 0 AS unbal FROM f
+        WHERE length(content) = 0
+    ),
+    allf AS (SELECT * FROM perfile UNION ALL SELECT * FROM empties)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(max(maxd) AS BIGINT) AS max_depth,
+           CAST(sum(unbal) AS BIGINT) AS n_unbalanced
+    FROM allf GROUP BY lang
+    """

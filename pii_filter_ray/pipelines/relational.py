@@ -13446,3 +13446,59 @@ def events_kmv_setops(sf_dir: str, type_a: str = "click",
         "est_union3": [est_union3],
         "est_inter3": [est_inter3],
     })
+
+
+def code_nesting_depth(sf_dir: str):
+    """Brace-nesting depth per language — the cheap AST-free complexity
+    signal (max '{'-depth proxies structural nesting; a file whose
+    running balance dips negative or ends nonzero is truncated or
+    mangled — the corpus-health flag a code filter raises before
+    training on a crawl). The running balance is VECTORIZED per file:
+    content decodes to a uint32 codepoint array (utf-32-le — byte
+    tricks would miscount multi-byte text), braces map to +1/-1, one
+    cumsum gives max depth / min balance / final balance; per-(block,
+    lang) partials (max depth, unbalanced count, files) fold into the
+    bounded language groupby. The SQL mirror replays the same running
+    sum with a per-position window over character positions. sf_dir
+    unused (deterministic cached corpus, code_* convention)."""
+    from ..sources.synthetic_code import corpus_path
+
+    ds = ray.data.read_parquet(corpus_path(n_rows=2000, seed=42),
+                               columns=["lang", "content"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from collections import defaultdict
+        acc: dict = defaultdict(lambda: [0, 0, 0])  # files, maxd, unbal
+        for lg, t in zip(batch["lang"].to_pylist(),
+                         batch["content"].to_pylist()):
+            t = t or ""
+            a = acc[lg]
+            a[0] += 1
+            if t:
+                cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+                delta = (cp == 0x7B).astype(np.int64) \
+                    - (cp == 0x7D).astype(np.int64)
+                cum = np.cumsum(delta)
+                maxd = int(max(0, cum.max()))
+                unbal = bool(cum.min() < 0 or cum[-1] != 0)
+            else:
+                maxd, unbal = 0, False
+            a[1] = max(a[1], maxd)
+            a[2] += 1 if unbal else 0
+        ks = sorted(acc)
+        return pa.table({
+            "lang": pa.array(ks, pa.string()),
+            "n_files": pa.array([acc[k][0] for k in ks], pa.int64()),
+            "max_depth": pa.array([acc[k][1] for k in ks], pa.int64()),
+            "n_unbalanced": pa.array([acc[k][2] for k in ks], pa.int64()),
+        })
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("n_files", alias_name="n_files"),
+                      Max("max_depth", alias_name="max_depth"),
+                      Sum("n_unbalanced", alias_name="n_unbalanced"))
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    return agg.astype({"n_files": "int64", "max_depth": "int64",
+                       "n_unbalanced": "int64"})[
+        ["lang", "n_files", "max_depth", "n_unbalanced"]]

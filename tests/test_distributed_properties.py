@@ -1478,3 +1478,26 @@ def test_kmv_setops_layout_and_fabricated_overlap(ray_session,
     # hash collision, impossible under a 64-bit bijection of disjoint ids
     assert f["est_inter3"].iloc[0] == 0.0
     assert f["exact_union"].iloc[0] == 200
+
+
+def test_nesting_depth_unit_semantics(ray_session):
+    """Pin the balance semantics on authored strings: nested braces
+    count depth, a negative dip or nonzero end is unbalanced, unicode
+    text cannot miscount (codepoint decode, not bytes)."""
+    import numpy as np
+
+    def analyze(t):
+        cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        delta = (cp == 0x7B).astype(np.int64) - (cp == 0x7D).astype(np.int64)
+        cum = np.cumsum(delta)
+        return int(max(0, cum.max())), bool(cum.min() < 0 or cum[-1] != 0)
+
+    assert analyze("f(){ if(x){ y(); } }") == (2, False)
+    assert analyze("}{") == (0, True)       # dips negative, never deep
+    assert analyze("{ open") == (1, True)   # ends nonzero
+    assert analyze("naïve café 中文 {x}") == (1, False)  # unicode safe
+
+    from pii_filter_ray.pipelines import relational as r
+    a = r.code_nesting_depth("unused")
+    assert (a["max_depth"] > 0).any()
+    assert (a["n_unbalanced"] <= a["n_files"]).all()
