@@ -458,6 +458,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_kmv_setops": r.events_kmv_setops,
         # brace-nesting depth + balance health per language
         "code_nesting_depth": r.code_nesting_depth,
+        # per-label centroid drift between two embedding batches
+        "emb_centroid_drift": r.emb_centroid_drift,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -665,6 +667,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT ranked.day, CAST(ranked.cents AS BIGINT) AS cents,
                    round(rec.l, 6) AS level6, round(rec.b, 6) AS trend6
             FROM ranked JOIN rec USING (rn)
+        """,
+        "emb_centroid_drift": """
+            WITH q AS (
+                SELECT CAST(label AS BIGINT) AS label,
+                       vec_id % 2 AS half, d.d,
+                       CAST(round(CAST(embedding[d.d] AS DOUBLE)
+                                  * 1000000.0, 0) AS BIGINT) AS m
+                FROM embeddings,
+                     (SELECT unnest(range(1, 65)) AS d) d
+            ),
+            sums AS (
+                SELECT label, half, d, CAST(sum(m) AS BIGINT) AS s
+                FROM q GROUP BY 1, 2, 3
+            ),
+            cnts AS (
+                SELECT CAST(label AS BIGINT) AS label, vec_id % 2 AS half,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM embeddings GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT a.label,
+                       sum(CAST(a.s AS HUGEINT) * b.s) AS dot,
+                       sum(CAST(a.s AS HUGEINT) * a.s) AS n2a,
+                       sum(CAST(b.s AS HUGEINT) * b.s) AS n2b
+                FROM sums a JOIN sums b
+                  ON a.label = b.label AND a.d = b.d
+                 AND a.half = 0 AND b.half = 1
+                GROUP BY a.label
+            )
+            SELECT p.label,
+                   ca.n AS n_a, cb.n AS n_b,
+                   round(CAST(dot AS DOUBLE)
+                         / (sqrt(CAST(n2a AS DOUBLE))
+                            * sqrt(CAST(n2b AS DOUBLE))), 9)
+                       AS centroid_cos9
+            FROM pairs p
+            JOIN cnts ca ON ca.label = p.label AND ca.half = 0
+            JOIN cnts cb ON cb.label = p.label AND cb.half = 1
         """,
         "emb_health_stats": """
             WITH q AS (

@@ -13502,3 +13502,71 @@ def code_nesting_depth(sf_dir: str):
     return agg.astype({"n_files": "int64", "max_depth": "int64",
                        "n_unbalanced": "int64"})[
         ["lang", "n_files", "max_depth", "n_unbalanced"]]
+
+
+def emb_centroid_drift(sf_dir: str):
+    """Per-label centroid drift between two embedding 'batches' — the
+    monitoring check run when a new embedding-model version or a new
+    ingest batch lands: has each label's mean direction moved? Batches
+    are the deterministic vec_id parity split (the stand-in for
+    version A / version B); per (label, half, dim) component sums
+    quantize to micro-fixed-point int64 (the emb_health_stats
+    convention) and fold exactly, and the centroid cosine per label is
+    computed from the two EXACT integer sum vectors on the driver —
+    integer dot and norms in Python ints (= SQL HUGEINT), one mirrored
+    sqrt/division tree per label. cos ~ 1 means stable; the n_a/n_b
+    counts ride along so a drift reading on five vectors cannot be
+    over-read."""
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        M = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch["embedding"].to_pylist()])
+        m = round_half_away(M * 1_000_000.0, 0).astype(np.int64)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        half = (batch["vec_id"].to_numpy(zero_copy_only=False)
+                .astype(np.int64) % 2)
+        rows_l, rows_h, rows_d, rows_s, rows_n = [], [], [], [], []
+        for lv in np.unique(lab):
+            for hv in (0, 1):
+                sel = (lab == lv) & (half == hv)
+                if not sel.any():
+                    continue
+                sums = m[sel].sum(axis=0)
+                rows_l.extend([int(lv)] * m.shape[1])
+                rows_h.extend([int(hv)] * m.shape[1])
+                rows_d.extend(range(1, m.shape[1] + 1))
+                rows_s.extend(int(x) for x in sums)
+                rows_n.extend([int(sel.sum())] + [0] * (m.shape[1] - 1))
+        return pa.table({
+            "label": pa.array(rows_l, pa.int64()),
+            "half": pa.array(rows_h, pa.int64()),
+            "dim": pa.array(rows_d, pa.int64()),
+            "s": pa.array(rows_s, pa.int64()),
+            "nc": pa.array(rows_n, pa.int64()),
+        })
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby(["label", "half", "dim"])
+           .aggregate(Sum("s", alias_name="s"), Sum("nc", alias_name="nc"))
+           .to_pandas())
+    rows = []
+    for lv in sorted(agg["label"].unique()):
+        va, vb, na, nb = {}, {}, 0, 0
+        for _, r_ in agg[agg["label"] == lv].iterrows():
+            d_, h_ = int(r_["dim"]), int(r_["half"])
+            if h_ == 0:
+                va[d_] = int(r_["s"])
+                na += int(r_["nc"])
+            else:
+                vb[d_] = int(r_["s"])
+                nb += int(r_["nc"])
+        dims = sorted(set(va) | set(vb))
+        dot = sum(va.get(d_, 0) * vb.get(d_, 0) for d_ in dims)
+        n2a = sum(va.get(d_, 0) ** 2 for d_ in dims)
+        n2b = sum(vb.get(d_, 0) ** 2 for d_ in dims)
+        cos = float(dot) / (np.sqrt(float(n2a)) * np.sqrt(float(n2b)))
+        rows.append((int(lv), na, nb, float(round_half_away(cos, 9))))
+    return pd.DataFrame(rows, columns=["label", "n_a", "n_b",
+                                       "centroid_cos9"]).astype(
+        {"label": "int64", "n_a": "int64", "n_b": "int64"})

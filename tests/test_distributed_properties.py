@@ -1501,3 +1501,31 @@ def test_nesting_depth_unit_semantics(ray_session):
     a = r.code_nesting_depth("unused")
     assert (a["max_depth"] > 0).any()
     assert (a["n_unbalanced"] <= a["n_files"]).all()
+
+
+def test_centroid_drift_layout_and_self_consistency(ray_session,
+                                                    monkeypatch):
+    """Fixed-point (label, half, dim) sum partials must fold identically
+    under any block layout; on isotropic synthetic data the two halves'
+    centroids should neither be identical (cos < 1) nor anti-aligned
+    (cos > -1), and counts must split the label's vectors."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.emb_centroid_drift(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.emb_centroid_drift(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert ((a["centroid_cos9"] > -1.0) & (a["centroid_cos9"] < 1.0)).all()
+    h = r.emb_health_stats(sf)
+    tot = dict(zip(h["label"], h["n_vecs"]))
+    for _, row in a.iterrows():
+        assert int(row["n_a"]) + int(row["n_b"]) == int(tot[row["label"]])
