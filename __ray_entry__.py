@@ -460,6 +460,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_nesting_depth": r.code_nesting_depth,
         # per-label centroid drift between two embedding batches
         "emb_centroid_drift": r.emb_centroid_drift,
+        # vocab-size sizing curve: coverage / OOV at top-V cutoffs
+        "doc_vocab_coverage_sweep": r.doc_vocab_coverage_sweep,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -562,6 +564,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_coverage_greedy": o.coverage_greedy_sql(k=5),
         "doc_source_divergence": o.source_divergence_sql(vocab_n=30),
         "doc_jaccard_threshold_sweep": o.jaccard_threshold_sweep_sql(),
+        "doc_vocab_coverage_sweep": o.vocab_coverage_sweep_sql(),
         "events_kmv_setops": kmv_setops_sql("click", "purchase", 8),
         "code_indent_stats": o.code_indent_stats_sql(),
         "code_boilerplate_lines": o.code_boilerplate_lines_sql(),

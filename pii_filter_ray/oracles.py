@@ -2006,3 +2006,31 @@ def code_nesting_depth_sql(n_rows: int = 2000, seed: int = 42) -> str:
            CAST(sum(unbal) AS BIGINT) AS n_unbalanced
     FROM allf GROUP BY lang
     """
+
+
+def vocab_coverage_sweep_sql(sizes=(100, 500, 1000)) -> str:
+    """Top-V coverage mirror of doc_vocab_coverage_sweep: one word
+    explode, (count DESC, word ASC) ranking, per-V covered sums, OOV
+    fraction as a mirrored division of exact integers."""
+    vals = ", ".join(f"({int(v)})" for v in sizes)
+    return f"""
+    WITH words AS (
+        SELECT unnest({words_expr()}) AS w FROM documents
+    ),
+    wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+           FROM words GROUP BY w),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM words),
+    ranked AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rn FROM wc
+    ),
+    lv AS (SELECT * FROM (VALUES {vals}) v(vs)),
+    cov AS (
+        SELECT vs, CAST(sum(n) AS BIGINT) AS c
+        FROM lv JOIN ranked ON rn <= vs GROUP BY vs
+    )
+    SELECT CAST(vs AS BIGINT) AS vocab_size,
+           c AS covered_tokens,
+           round(CAST(t - c AS DOUBLE) / CAST(t AS DOUBLE), 6)
+               AS oov_frac6
+    FROM cov, tot
+    """

@@ -13570,3 +13570,52 @@ def emb_centroid_drift(sf_dir: str):
     return pd.DataFrame(rows, columns=["label", "n_a", "n_b",
                                        "centroid_cos9"]).astype(
         {"label": "int64", "n_a": "int64", "n_b": "int64"})
+
+
+def doc_vocab_coverage_sweep(sf_dir: str,
+                             sizes: tuple = (100, 500, 1000)):
+    """Vocabulary-size sizing curve — token coverage / OOV rate if we
+    commit a top-V word vocabulary, for V in ``sizes``: the table read
+    before fixing a tokenizer or feature-hash budget (doc_vocab_encode
+    commits to ONE size; this is the decision curve above it). One
+    word-count pass; each block ships its top-max(V) candidates (exact
+    by the pigeonhole superset argument of doc_zipf_fit — a word in the
+    global top-V is in some block's top-V) plus ONE total-token row per
+    block, so the driver folds a bounded candidate table, selects each
+    top-V by (count DESC, word ASC), and the coverage fractions are
+    single mirrored divisions of exact integer sums."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    vmax = max(sizes)
+    counts = (ds.map_batches(_word_count_partials, batch_format="pyarrow")
+              .groupby("w").aggregate(Sum("n", alias_name="n")))
+
+    def top_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n", "w"], ascending=[False, True], kind="mergesort"
+        ).head(vmax)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    top = (counts.map_batches(top_block, batch_format="pyarrow")
+           .to_pandas()
+           .sort_values(["n", "w"], ascending=[False, True],
+                        kind="mergesort")
+           .head(vmax).reset_index(drop=True))
+
+    def tok_totals(batch: pa.Table) -> pa.Table:
+        n = sum(len((t or "").split())
+                for t in batch["text"].to_pylist())
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    tot = sum(int(x) for x in
+              ds.map_batches(tok_totals, batch_format="pyarrow")
+              .to_pandas()["n"])  # Python-int fold (= SQL HUGEINT)
+    ns = [int(x) for x in top["n"]]
+    rows = []
+    for v in sizes:
+        covered = sum(ns[:v])
+        rows.append((int(v), covered,
+                     float(round_half_away(
+                         float(tot - covered) / float(tot), 6))))
+    return pd.DataFrame(rows, columns=["vocab_size", "covered_tokens",
+                                       "oov_frac6"]).astype(
+        {"vocab_size": "int64", "covered_tokens": "int64"})

@@ -1529,3 +1529,28 @@ def test_centroid_drift_layout_and_self_consistency(ray_session,
     tot = dict(zip(h["label"], h["n_vecs"]))
     for _, row in a.iterrows():
         assert int(row["n_a"]) + int(row["n_b"]) == int(tot[row["label"]])
+
+
+def test_vocab_coverage_layout_and_monotonicity(ray_session, monkeypatch):
+    """Block top-V candidate folding must be layout-free (pigeonhole
+    superset); coverage must grow and OOV shrink with vocab size, and
+    covered_tokens can never exceed the corpus total."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_vocab_coverage_sweep(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.doc_vocab_coverage_sweep(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    s = a.sort_values("vocab_size")
+    assert s["covered_tokens"].is_monotonic_increasing
+    assert s["oov_frac6"].is_monotonic_decreasing
+    assert (s["oov_frac6"] >= 0).all()
