@@ -462,6 +462,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_centroid_drift": r.emb_centroid_drift,
         # vocab-size sizing curve: coverage / OOV at top-V cutoffs
         "doc_vocab_coverage_sweep": r.doc_vocab_coverage_sweep,
+        # Newman degree assortativity of the fuzzy part graph
+        "part_assortativity": r.part_assortativity,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -560,6 +562,7 @@ def oracle_sql() -> dict[str, str]:
         "code_repo_neardup": o.code_repo_neardup_sql(),
         "part_modularity": o.modularity_sql(rounds=3),
         "part_bfs_khop": o.bfs_khop_sql(k=6),
+        "part_assortativity": o.assortativity_sql(),
         "supplier_part_hits": o.hits_sql(iters=2),
         "supplier_coverage_greedy": o.coverage_greedy_sql(k=5),
         "doc_source_divergence": o.source_divergence_sql(vocab_n=30),

@@ -2034,3 +2034,35 @@ def vocab_coverage_sweep_sql(sizes=(100, 500, 1000)) -> str:
                AS oov_frac6
     FROM cov, tot
     """
+
+
+def assortativity_sql() -> str:
+    """Newman degree-assortativity mirror over the brand-blocked
+    levenshtein<=4 edge set: symmetrized edge-end degree moments as
+    HUGEINT sums, one mirrored ratio."""
+    return """
+        WITH e AS (
+            SELECT a.p_partkey AS x, b.p_partkey AS y
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 4
+        ),
+        und AS (SELECT x AS a, y AS b FROM e UNION ALL SELECT y, x FROM e),
+        deg AS (SELECT a AS n, CAST(count(*) AS BIGINT) AS d
+                FROM und GROUP BY a),
+        mm AS (
+            SELECT CAST(count(*) AS HUGEINT) AS n2,
+                   CAST(sum(da.d) AS HUGEINT) AS sx,
+                   sum(CAST(da.d AS HUGEINT) * da.d) AS sxx,
+                   sum(CAST(da.d AS HUGEINT) * db.d) AS sxy
+            FROM und
+            JOIN deg da ON da.n = und.a
+            JOIN deg db ON db.n = und.b
+        )
+        SELECT CAST(n2 // 2 AS BIGINT) AS n_edges,
+               (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+               round(CAST(n2 * sxy - sx * sx AS DOUBLE)
+                     / CAST(n2 * sxx - sx * sx AS DOUBLE), 9)
+                   AS assortativity9
+        FROM mm
+    """

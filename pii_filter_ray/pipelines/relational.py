@@ -13619,3 +13619,80 @@ def doc_vocab_coverage_sweep(sf_dir: str,
     return pd.DataFrame(rows, columns=["vocab_size", "covered_tokens",
                                        "oov_frac6"]).astype(
         {"vocab_size": "int64", "covered_tokens": "int64"})
+
+
+def part_assortativity(sf_dir: str, max_dist: int = 4):
+    """Degree assortativity (Newman 2002 r) of the fuzzy-match part
+    graph — do well-connected parts match other well-connected parts?
+    Positive r (social-network-like) changes how dedup components grow;
+    negative (hub-and-spoke) changes where the skew lands. One edge pass
+    builds the bounded degree catalog; a second pass emits per-block
+    EXACT integer moment partials of (deg(x), deg(y)) over the
+    symmetrized edge ends against the broadcast degree map — degrees
+    are integers, so Sx, Sxx, Sxy fold as order-free Python ints
+    (= SQL HUGEINT) and r = (2m*Sxy - Sx^2)/(2m*Sxx - Sx^2) is one
+    mirrored float expression (by edge-end symmetry the x and y moments
+    coincide, collapsing Newman's formula to a single ratio)."""
+    import functools
+
+    ds = _tbl(sf_dir, "part", columns=["p_partkey", "p_brand", "p_name"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g["p_partkey"].to_numpy(np.int64)
+        names = g["p_name"].tolist()
+        order = np.argsort(keys, kind="stable")
+        keys, names = keys[order], [names[i] for i in order]
+        ka, kb = [], []
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                if _lev(names[i], names[j], max_dist) <= max_dist:
+                    ka.append(keys[i])
+                    kb.append(keys[j])
+        return pd.DataFrame({"x": np.array(ka, dtype=np.int64),
+                             "y": np.array(kb, dtype=np.int64)})
+
+    edges = (ds.groupby("p_brand").map_groups(pairs, batch_format="pandas")
+             .materialize())
+
+    def deg_partials(batch: pa.Table) -> pa.Table:
+        n = pa.chunked_array([batch["x"], batch["y"]]).combine_chunks()
+        t = pa.table({"n": n, "one": pa.array(
+            np.ones(len(n), np.int64), pa.int64())})
+        g = t.group_by("n").aggregate([("one", "sum")])
+        return pa.table({"n": g["n"], "d": g["one_sum"]})
+
+    deg = (edges.map_batches(deg_partials, batch_format="pyarrow")
+           .groupby("n").aggregate(Sum("d", alias_name="d"))
+           .to_pandas().sort_values("n"))
+    nodes = deg["n"].to_numpy(np.int64)
+    degs = deg["d"].to_numpy(np.int64)
+    ref = ray.put((nodes, degs))
+
+    def moments(batch: pa.Table) -> pa.Table:
+        nd, dg = ray.get(ref)
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        dx = dg[np.searchsorted(nd, x)].astype(object)
+        dy = dg[np.searchsorted(nd, y)].astype(object)
+        # symmetrized edge ends: each edge contributes (dx,dy) and (dy,dx)
+        sx = int((dx + dy).sum())
+        sxx = int((dx * dx + dy * dy).sum())
+        sxy = int(2 * (dx * dy).sum())
+        return pa.table({"m": pa.array([len(x)], pa.int64()),
+                         "sx": pa.array([sx], pa.int64()),
+                         "sxx": pa.array([sxx], pa.int64()),
+                         "sxy": pa.array([sxy], pa.int64())})
+
+    agg = (edges.map_batches(moments, batch_format="pyarrow")
+           .to_pandas())
+    m = sum(int(v) for v in agg["m"])
+    sx = sum(int(v) for v in agg["sx"])
+    sxx = sum(int(v) for v in agg["sxx"])
+    sxy = sum(int(v) for v in agg["sxy"])
+    n2 = 2 * m
+    r = float(n2 * sxy - sx * sx) / float(n2 * sxx - sx * sx)
+    return pd.DataFrame({
+        "n_edges": pd.array([m], dtype="int64"),
+        "n_nodes": pd.array([len(nodes)], dtype="int64"),
+        "assortativity9": [float(round_half_away(r, 9))],
+    })

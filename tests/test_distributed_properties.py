@@ -1554,3 +1554,29 @@ def test_vocab_coverage_layout_and_monotonicity(ray_session, monkeypatch):
     assert s["covered_tokens"].is_monotonic_increasing
     assert s["oov_frac6"].is_monotonic_decreasing
     assert (s["oov_frac6"] >= 0).all()
+
+
+def test_assortativity_layout_and_range(ray_session, monkeypatch):
+    """Degree-moment partials must fold identically under any block
+    layout; r must be a genuine correlation (within [-1, 1]) and the
+    edge/node counts must match the modularity query's graph."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.part_assortativity(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.part_assortativity(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert -1.0 <= a["assortativity9"].iloc[0] <= 1.0
+    mod = r.part_modularity(sf)
+    assert int(a["n_edges"].iloc[0]) == int(mod["e_internal"].sum()
+                                            + (mod["degree"].sum() // 2
+                                               - mod["e_internal"].sum()))
