@@ -464,6 +464,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_vocab_coverage_sweep": r.doc_vocab_coverage_sweep,
         # Newman degree assortativity of the fuzzy part graph
         "part_assortativity": r.part_assortativity,
+        # stationary distribution of the event-type Markov chain
+        "events_markov_stationary": r.events_markov_stationary,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -563,6 +565,7 @@ def oracle_sql() -> dict[str, str]:
         "part_modularity": o.modularity_sql(rounds=3),
         "part_bfs_khop": o.bfs_khop_sql(k=6),
         "part_assortativity": o.assortativity_sql(),
+        "events_markov_stationary": o.markov_stationary_sql(iters=4),
         "supplier_part_hits": o.hits_sql(iters=2),
         "supplier_coverage_greedy": o.coverage_greedy_sql(k=5),
         "doc_source_divergence": o.source_divergence_sql(vocab_n=30),

@@ -2066,3 +2066,49 @@ def assortativity_sql() -> str:
                    AS assortativity9
         FROM mm
     """
+
+
+def markov_stationary_sql(iters: int = 4) -> str:
+    """Unrolled nano-fixed-point power iterations over the lead()-window
+    transition counts — op-for-op mirror of events_markov_stationary."""
+    ctes = ["""s AS (
+            SELECT event_type AS src,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS dst
+            FROM events
+        ),
+        c AS (
+            SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+            FROM s WHERE dst IS NOT NULL GROUP BY 1, 2
+        ),
+        states AS (SELECT src AS st FROM c UNION SELECT dst FROM c),
+        rowsum AS (SELECT src, CAST(sum(n) AS BIGINT) AS r
+                   FROM c GROUP BY src),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+        p0 AS (SELECT st, round(1.0 / CAST((SELECT count(*) FROM states)
+                                           AS DOUBLE), 9) AS p
+               FROM states)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""f{i} AS (
+            SELECT c.dst AS st,
+                   CAST(sum(CAST(round(1000000000.0 * p{i - 1}.p
+                       * CAST(c.n AS DOUBLE) / CAST(r.r AS DOUBLE), 0)
+                       AS BIGINT)) AS BIGINT) AS fs
+            FROM c JOIN p{i - 1} ON p{i - 1}.st = c.src
+            JOIN rowsum r ON r.src = c.src
+            GROUP BY c.dst
+        ),
+        p{i} AS (
+            SELECT states.st,
+                   round(coalesce(f{i}.fs, 0) / 1000000000.0, 9) AS p
+            FROM states LEFT JOIN f{i} USING (st)
+        )""")
+    return f"""
+        WITH {','.join(ctes)}
+        SELECT p{iters}.st AS event_type, p{iters}.p AS stationary9,
+               round(CAST(coalesce(r.r, 0) AS DOUBLE)
+                     / CAST((SELECT t FROM tot) AS DOUBLE), 9)
+                   AS src_share9
+        FROM p{iters} LEFT JOIN rowsum r ON r.src = p{iters}.st
+    """

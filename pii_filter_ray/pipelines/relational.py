@@ -13696,3 +13696,59 @@ def part_assortativity(sf_dir: str, max_dist: int = 4):
         "n_nodes": pd.array([len(nodes)], dtype="int64"),
         "assortativity9": [float(round_half_away(r, 9))],
     })
+
+
+def events_markov_stationary(sf_dir: str, iters: int = 4):
+    """Stationary distribution of the event-type Markov chain — the
+    long-run 'where does a user session settle' summary on top of
+    events_markov_transitions' matrix (and the power-method companion
+    to supplier_pagerank on a bounded state space): ``iters`` unrolled
+    power iterations from the uniform start, each flow
+    round(1e9 * pi_i * n_ij / row_i) snapped to NANO int64 (the
+    textrank fixed-point convention) so per-state sums are order-free
+    exact integers and each iteration's probabilities snap to 9. The
+    transition counts come from the same bucketed per-user sequence
+    shuffle as the matrix query (at most |types|^2 rows per bucket
+    leave); everything after runs on the <= 25-cell driver catalog.
+    The empirical source share rides along — stationary vs empirical
+    divergence is the non-ergodicity signal."""
+    ds = _tbl(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "event_type"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = g["user_id"].to_numpy()[:-1] == g["user_id"].to_numpy()[1:]
+        src = g["event_type"].to_numpy()[:-1][same]
+        dst = g["event_type"].to_numpy()[1:][same]
+        return (pd.DataFrame({"src": src, "dst": dst})
+                .groupby(["src", "dst"], sort=False).size()
+                .reset_index(name="n"))
+
+    counts = (
+        ds.map_batches(_add_user_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["src", "dst"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    cells = [(s, d, int(n)) for s, d, n in
+             zip(counts["src"], counts["dst"], counts["n"])]
+    states = sorted({s for s, _, _ in cells} | {d for _, d, _ in cells})
+    row = {s: sum(n for s2, _, n in cells if s2 == s) for s in states}
+    total = sum(row.values())
+    k = len(states)
+    pi = {s: float(round_half_away(1.0 / float(k), 9)) for s in states}
+    for _ in range(iters):
+        sums = {s: 0 for s in states}
+        for s, d, n in cells:
+            sums[d] += int(round_half_away(
+                1000000000.0 * pi[s] * float(n) / float(row[s]), 0))
+        pi = {s: float(round_half_away(sums[s] / 1000000000.0, 9))
+              for s in states}
+    return pd.DataFrame({
+        "event_type": states,
+        "stationary9": [pi[s] for s in states],
+        "src_share9": [float(round_half_away(
+            float(row[s]) / float(total), 9)) for s in states],
+    })

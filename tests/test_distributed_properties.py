@@ -1580,3 +1580,30 @@ def test_assortativity_layout_and_range(ray_session, monkeypatch):
     assert int(a["n_edges"].iloc[0]) == int(mod["e_internal"].sum()
                                             + (mod["degree"].sum() // 2
                                                - mod["e_internal"].sum()))
+
+
+def test_markov_stationary_layout_and_probability(ray_session,
+                                                  monkeypatch):
+    """Bucketed transition folding must be layout-free; the stationary
+    vector must be a probability distribution up to nano rounding and
+    already near its own next iterate (fixed-point check)."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.events_markov_stationary(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.events_markov_stationary(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert abs(a["stationary9"].sum() - 1.0) < 1e-6
+    c = r.events_markov_stationary(sf, iters=5)
+    drift = (a.set_index("event_type")["stationary9"]
+             - c.set_index("event_type")["stationary9"]).abs().max()
+    assert drift < 0.02
