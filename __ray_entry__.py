@@ -466,6 +466,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_assortativity": r.part_assortativity,
         # stationary distribution of the event-type Markov chain
         "events_markov_stationary": r.events_markov_stationary,
+        # repeat-purchase cadence: exact p50/p90 day-gap order stats
+        "orders_interpurchase_time": r.orders_interpurchase_time,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -643,6 +645,38 @@ def oracle_sql() -> dict[str, str]:
                          * ln(CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE)),
                          9) AS contrib9
             FROM counts c JOIN tot t USING (lang)
+        """,
+        "orders_interpurchase_time": """
+            WITH d AS (
+                SELECT o_custkey,
+                       epoch_us(o_orderdate) // 86400000000 AS day,
+                       o_orderkey
+                FROM orders
+            ),
+            g AS (
+                SELECT day - lag(day) OVER (
+                    PARTITION BY o_custkey ORDER BY day, o_orderkey
+                ) AS gap
+                FROM d
+            ),
+            cat AS (
+                SELECT CAST(gap AS BIGINT) AS gap,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM g WHERE gap IS NOT NULL GROUP BY 1
+            ),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+                           sum(CAST(gap AS HUGEINT) * n) AS s FROM cat),
+            ranked AS (
+                SELECT gap, sum(n) OVER (ORDER BY gap) AS cum FROM cat
+            )
+            SELECT n AS n_gaps,
+                   (SELECT min(gap) FROM ranked
+                    WHERE cum >= (n + 1) // 2) AS p50_days,
+                   (SELECT min(gap) FROM ranked
+                    WHERE cum >= (9 * n + 9) // 10) AS p90_days,
+                   round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                       AS mean_days6
+            FROM tot
         """,
         "orders_holt_linear": """
             WITH RECURSIVE d AS (

@@ -13752,3 +13752,65 @@ def events_markov_stationary(sf_dir: str, iters: int = 4):
         "src_share9": [float(round_half_away(
             float(row[s]) / float(total), 9)) for s in states],
     })
+
+
+def orders_interpurchase_time(sf_dir: str):
+    """Repeat-purchase cadence — the distribution of day gaps between a
+    customer's consecutive orders (the number behind churn windows and
+    'dormant after N days' rules): exact p50/p90 as order statistics
+    selected from cumulative counts on the bounded gap catalog (the
+    lineitem_brown_forsythe convention; target ranks ceil(q*n) in exact
+    integer arithmetic) plus the mean as one mirrored division. Orders
+    bucket by customer hash (customers never split across buckets), per
+    bucket one vectorized sort + diff yields (gap, count) partials, and
+    only the tiny gap catalog shuffles. Same-day repeat orders count as
+    gap 0 on both sides; tie order within a day cannot change any day
+    difference."""
+    ds = _tbl(sf_dir, "orders", columns=["o_orderkey", "o_custkey",
+                                         "o_orderdate"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(batch["o_custkey"],
+                                    pa.scalar(63, pa.int64())), pa.int64())
+        return batch.append_column("bucket", b)
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort")
+        day = (g["o_orderdate"].astype("int64").to_numpy()
+               // 86_400_000_000)
+        cust = g["o_custkey"].to_numpy()
+        same = cust[:-1] == cust[1:]
+        gap = (day[1:] - day[:-1])[same]
+        if len(gap) == 0:
+            return pd.DataFrame({"gap": pd.array([], dtype="int64"),
+                                 "n": pd.array([], dtype="int64")})
+        u, c = np.unique(gap, return_counts=True)
+        return pd.DataFrame({"gap": u.astype(np.int64),
+                             "n": c.astype(np.int64)})
+
+    cat = (ds.map_batches(bucketize, batch_format="pyarrow")
+           .groupby("bucket").map_groups(gaps, batch_format="pandas")
+           .groupby("gap").aggregate(Sum("n", alias_name="n"))
+           .to_pandas().sort_values("gap").reset_index(drop=True))
+    gs = [int(x) for x in cat["gap"]]
+    ns = [int(x) for x in cat["n"]]
+    n = sum(ns)
+    s = sum(g_ * m for g_, m in zip(gs, ns))
+
+    def order_stat(rank):
+        cum = 0
+        for g_, m in zip(gs, ns):
+            cum += m
+            if cum >= rank:
+                return g_
+        raise AssertionError("rank beyond catalog")
+
+    p50 = order_stat((n + 1) // 2)
+    p90 = order_stat((9 * n + 9) // 10)
+    return pd.DataFrame({
+        "n_gaps": pd.array([n], dtype="int64"),
+        "p50_days": pd.array([p50], dtype="int64"),
+        "p90_days": pd.array([p90], dtype="int64"),
+        "mean_days6": [float(round_half_away(float(s) / float(n), 6))],
+    })

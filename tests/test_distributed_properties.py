@@ -1607,3 +1607,31 @@ def test_markov_stationary_layout_and_probability(ray_session,
     drift = (a.set_index("event_type")["stationary9"]
              - c.set_index("event_type")["stationary9"]).abs().max()
     assert drift < 0.02
+
+
+def test_interpurchase_layout_and_order_stats(ray_session, monkeypatch):
+    """Bucketed gap folding must be layout-free; order statistics must
+    bracket correctly (p50 <= p90) and a bucket-collision check: the
+    gap count must equal total orders minus distinct customers (each
+    customer contributes orders-1 gaps)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.orders_interpurchase_time(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.orders_interpurchase_time(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert a["p50_days"].iloc[0] <= a["p90_days"].iloc[0]
+    t = pq.read_table(f"{sf}/orders.parquet", columns=["o_custkey"])
+    n_orders = t.num_rows
+    n_cust = len(set(t["o_custkey"].to_pylist()))
+    assert int(a["n_gaps"].iloc[0]) == n_orders - n_cust
