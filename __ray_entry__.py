@@ -468,6 +468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_markov_stationary": r.events_markov_stationary,
         # repeat-purchase cadence: exact p50/p90 day-gap order stats
         "orders_interpurchase_time": r.orders_interpurchase_time,
+        "lineitem_ols_multi": r.lineitem_ols_multi,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -5285,5 +5286,72 @@ def oracle_sql() -> dict[str, str]:
             JOIN pos ON pos.pid = p.pid AND pos.rn = 1
             JOIN neg ON neg.pid = p.pid AND neg.rn = 1
             ORDER BY probe_id
+        """,
+        "lineitem_ols_multi": """
+            WITH m AS (
+                SELECT CAST(count(*) AS HUGEINT) AS n,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT)
+                           AS s1,
+                       CAST(sum(CAST(round(l_discount * 100.0, 0)
+                                     AS BIGINT)) AS HUGEINT) AS s2,
+                       CAST(sum(CAST(round(l_extendedprice * 100.0, 0)
+                                     AS BIGINT)) AS HUGEINT) AS sy,
+                       CAST(sum(CAST(l_quantity AS BIGINT)
+                                * CAST(l_quantity AS BIGINT)) AS HUGEINT)
+                           AS s11,
+                       CAST(sum(CAST(l_quantity AS BIGINT)
+                                * CAST(round(l_discount * 100.0, 0)
+                                       AS BIGINT)) AS HUGEINT) AS s12,
+                       CAST(sum(CAST(round(l_discount * 100.0, 0)
+                                     AS BIGINT)
+                                * CAST(round(l_discount * 100.0, 0)
+                                       AS BIGINT)) AS HUGEINT) AS s22,
+                       CAST(sum(CAST(l_quantity AS BIGINT)
+                                * CAST(round(l_extendedprice * 100.0, 0)
+                                       AS BIGINT)) AS HUGEINT) AS s1y,
+                       CAST(sum(CAST(round(l_discount * 100.0, 0)
+                                     AS BIGINT)
+                                * CAST(round(l_extendedprice * 100.0, 0)
+                                       AS BIGINT)) AS HUGEINT) AS s2y,
+                       sum(CAST(round(l_extendedprice * 100.0, 0)
+                                AS HUGEINT)
+                           * CAST(round(l_extendedprice * 100.0, 0)
+                                  AS HUGEINT)) AS syy
+                FROM lineitem
+            ),
+            c AS (
+                SELECT n, s1, s2, sy,
+                       n * s11 - s1 * s1 AS c11,
+                       n * s12 - s1 * s2 AS c12,
+                       n * s22 - s2 * s2 AS c22,
+                       n * s1y - s1 * sy AS c1y,
+                       n * s2y - s2 * sy AS c2y,
+                       n * syy - sy * sy AS cyy
+                FROM m
+            ),
+            d AS (
+                SELECT *,
+                       c11 * c22 - c12 * c12 AS detc,
+                       c1y * c22 - c2y * c12 AS n1,
+                       c2y * c11 - c1y * c12 AS n2
+                FROM c
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   round(CAST(n1 AS DOUBLE) / CAST(detc AS DOUBLE), 6)
+                       AS b1_cents6,
+                   round(CAST(n2 AS DOUBLE) / CAST(detc AS DOUBLE), 6)
+                       AS b2_cents6,
+                   round((CAST(sy AS DOUBLE)
+                          - (CAST(n1 AS DOUBLE) / CAST(detc AS DOUBLE))
+                            * CAST(s1 AS DOUBLE)
+                          - (CAST(n2 AS DOUBLE) / CAST(detc AS DOUBLE))
+                            * CAST(s2 AS DOUBLE))
+                         / CAST(n AS DOUBLE), 6) AS b0_cents6,
+                   round(((CAST(n1 AS DOUBLE) / CAST(detc AS DOUBLE))
+                          * CAST(c1y AS DOUBLE)
+                          + (CAST(n2 AS DOUBLE) / CAST(detc AS DOUBLE))
+                            * CAST(c2y AS DOUBLE))
+                         / CAST(cyy AS DOUBLE), 9) AS r2_9
+            FROM d
         """,
     }

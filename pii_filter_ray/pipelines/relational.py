@@ -13814,3 +13814,84 @@ def orders_interpurchase_time(sf_dir: str):
         "p90_days": pd.array([p90], dtype="int64"),
         "mean_days6": [float(round_half_away(float(s) / float(n), 6))],
     })
+
+
+def lineitem_ols_multi(sf_dir: str):
+    """Multivariate OLS via distributed normal equations — the closed-form
+    multiple regression (extendedprice ~ quantity + discount) every
+    feature-attribution / pricing-model sanity pass runs before training
+    anything iterative. One streaming pass emits ONE exact-integer moment
+    row per block (n, Sx1, Sx2, Sy, Sx1x1, Sx1x2, Sx2x2, Sx1y, Sx2y and the
+    128-bit Syy as a decimal string — the orders_winsorized_stats trick,
+    since price-cent squares overflow int64 past ~1e5 rows/block); the
+    driver folds them as order-free Python ints (= SQL HUGEINT), forms the
+    CENTERED cross-moment matrix C = n*Sxy - Sx*Sy (overflow-audited:
+    every HUGEINT intermediate stays < 1e33 at sf0.1 vs the 1.7e38 int128
+    ceiling), and solves the 2x2 system by Cramer's rule so each slope is
+    ONE mirrored float division of two exact integers. Intercept and R^2
+    are fixed-order IEEE trees over the same exact integers (R^2 uses the
+    identity SSR = b1*C1y + b2*C2y on centered moments). No float ever
+    folds across blocks, so the result is layout-invariant by
+    construction. Scale: the shuffle is one ~10-scalar row per block
+    regardless of rows; at 100 TB the int64 block partials stay exact
+    because each per-row product is < 6e8 and blocks are < 2^33 rows."""
+    ds = _tbl(sf_dir, "lineitem",
+              columns=["l_quantity", "l_discount", "l_extendedprice"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        q = pc.cast(batch["l_quantity"], pa.int64()).to_numpy()
+        d = round_half_away(
+            batch["l_discount"].to_numpy() * 100.0, 0).astype(np.int64)
+        p = round_half_away(
+            batch["l_extendedprice"].to_numpy() * 100.0, 0).astype(np.int64)
+
+        def sq128(c: np.ndarray) -> str:
+            cu = c.astype(np.uint64)
+            with np.errstate(over="ignore"):
+                lo_bits = int((cu * cu).sum(dtype=np.uint64))
+            cf = c.astype(np.float64)  # cents < 2^53: exact
+            approx = float(np.dot(cf, cf))
+            hi_word = int(round((approx - lo_bits) / 2.0 ** 64))
+            return str((hi_word << 64) + lo_bits)
+
+        return pa.table({
+            "n": pa.array([len(q)], pa.int64()),
+            "s1": pa.array([int(q.sum())], pa.int64()),
+            "s2": pa.array([int(d.sum())], pa.int64()),
+            "sy": pa.array([int(p.sum())], pa.int64()),
+            "s11": pa.array([int((q * q).sum())], pa.int64()),
+            "s12": pa.array([int((q * d).sum())], pa.int64()),
+            "s22": pa.array([int((d * d).sum())], pa.int64()),
+            "s1y": pa.array([int((q * p).sum())], pa.int64()),
+            "s2y": pa.array([int((d * p).sum())], pa.int64()),
+            "syy": pa.array([sq128(p)], pa.string()),
+        })
+
+    parts = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    s1, s2, sy = (int(parts[c].sum()) for c in ("s1", "s2", "sy"))
+    s11, s12, s22 = (int(parts[c].sum()) for c in ("s11", "s12", "s22"))
+    s1y, s2y = (int(parts[c].sum()) for c in ("s1y", "s2y"))
+    syy = sum(int(v) for v in parts["syy"])
+
+    c11 = n * s11 - s1 * s1
+    c12 = n * s12 - s1 * s2
+    c22 = n * s22 - s2 * s2
+    c1y = n * s1y - s1 * sy
+    c2y = n * s2y - s2 * sy
+    cyy = n * syy - sy * sy
+    detc = c11 * c22 - c12 * c12
+    n1 = c1y * c22 - c2y * c12
+    n2 = c2y * c11 - c1y * c12
+
+    b1 = float(n1) / float(detc)
+    b2 = float(n2) / float(detc)
+    b0 = (float(sy) - b1 * float(s1) - b2 * float(s2)) / float(n)
+    r2 = (b1 * float(c1y) + b2 * float(c2y)) / float(cyy)
+    return pd.DataFrame({
+        "n": pd.array([n], dtype="int64"),
+        "b1_cents6": [float(round_half_away(b1, 6))],
+        "b2_cents6": [float(round_half_away(b2, 6))],
+        "b0_cents6": [float(round_half_away(b0, 6))],
+        "r2_9": [float(round_half_away(r2, 9))],
+    })

@@ -1635,3 +1635,51 @@ def test_interpurchase_layout_and_order_stats(ray_session, monkeypatch):
     n_orders = t.num_rows
     n_cust = len(set(t["o_custkey"].to_pylist()))
     assert int(a["n_gaps"].iloc[0]) == n_orders - n_cust
+
+
+def test_ols_multi_layout_and_fit(ray_session, monkeypatch, tmp_path):
+    """The normal-equation moment fold must be layout-free (all merges are
+    Python-int sums) and R^2 must sit in [0, 1). The fit itself is pinned
+    on a FABRICATED table with a planted exact linear law
+    cents = 700*q + 3*d100 + 12345: Cramer's rule on exact integer moments
+    must recover the coefficients exactly (r2 = 1), which a float-folding
+    implementation would only approximate."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.lineitem_ols_multi(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.lineitem_ols_multi(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert 0.0 <= a["r2_9"].iloc[0] < 1.0
+
+    i = np.arange(60, dtype=np.int64)
+    q = (i % 7) + 1
+    d100 = (i * 3) % 11
+    cents = 700 * q + 3 * d100 + 12345
+    pq.write_table(pa.table({
+        "l_quantity": q.astype(np.float64),
+        "l_discount": d100.astype(np.float64) / 100.0,
+        "l_extendedprice": cents.astype(np.float64) / 100.0,
+    }), str(tmp_path / "lineitem.parquet"))
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None: base(str(tmp_path), name,
+                                           columns=columns))
+    f = r.lineitem_ols_multi(str(tmp_path))
+    monkeypatch.setattr(r, "_tbl", base)
+    assert f["b1_cents6"].iloc[0] == 700.0
+    assert f["b2_cents6"].iloc[0] == 3.0
+    assert f["b0_cents6"].iloc[0] == 12345.0
+    assert f["r2_9"].iloc[0] == 1.0
