@@ -469,6 +469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # repeat-purchase cadence: exact p50/p90 day-gap order stats
         "orders_interpurchase_time": r.orders_interpurchase_time,
         "lineitem_ols_multi": r.lineitem_ols_multi,
+        "lineitem_kruskal_wallis": r.lineitem_kruskal_wallis,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -5353,5 +5354,60 @@ def oracle_sql() -> dict[str, str]:
                             * CAST(c2y AS DOUBLE))
                          / CAST(cyy AS DOUBLE), 9) AS r2_9
             FROM d
+        """,
+        "lineitem_kruskal_wallis": """
+            WITH cells AS (
+                SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS q,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM lineitem GROUP BY 1, 2
+            ),
+            tot AS (SELECT CAST(sum(n) AS HUGEINT) AS nt FROM cells),
+            rq AS (
+                SELECT q,
+                       CAST(2 * (sum(t) OVER (ORDER BY q) - t) + t + 1
+                            AS HUGEINT) AS r2,
+                       CAST(t AS HUGEINT) AS t
+                FROM (SELECT q, sum(n) AS t FROM cells GROUP BY q)
+            ),
+            den AS (
+                SELECT sum(t * (r2 - ((SELECT nt FROM tot) + 1))
+                             * (r2 - ((SELECT nt FROM tot) + 1))) AS den
+                FROM rq
+            ),
+            grp AS (
+                SELECT c.f, CAST(sum(c.n) AS HUGEINT) AS ng,
+                       sum(CAST(c.n AS HUGEINT) * rq.r2) AS s2
+                FROM cells c JOIN rq USING (q) GROUP BY 1
+            ),
+            piv AS (
+                SELECT max(CASE WHEN f = 'A' THEN ng END) AS na,
+                       max(CASE WHEN f = 'N' THEN ng END) AS nn,
+                       max(CASE WHEN f = 'R' THEN ng END) AS nr,
+                       max(CASE WHEN f = 'A' THEN s2 END) AS sa,
+                       max(CASE WHEN f = 'N' THEN s2 END) AS sn,
+                       max(CASE WHEN f = 'R' THEN s2 END) AS sr
+                FROM grp
+            ),
+            dev AS (
+                SELECT na, nn, nr,
+                       sa - na * ((SELECT nt FROM tot) + 1) AS da,
+                       sn - nn * ((SELECT nt FROM tot) + 1) AS dn,
+                       sr - nr * ((SELECT nt FROM tot) + 1) AS dr
+                FROM piv
+            ),
+            fin AS (
+                SELECT da * da * nn * nr + dn * dn * na * nr
+                       + dr * dr * na * nn AS numn,
+                       na * nn * nr AS pn
+                FROM dev
+            )
+            SELECT CAST(nt AS BIGINT) AS n_rows,
+                   round(CAST(nt - 1 AS DOUBLE) * CAST(numn AS DOUBLE)
+                         / (CAST(pn AS DOUBLE) * CAST(den AS DOUBLE)),
+                         9) AS h9,
+                   round(CAST(nt - 1 AS DOUBLE) * CAST(numn AS DOUBLE)
+                         / (CAST(pn AS DOUBLE) * CAST(den AS DOUBLE))
+                         / CAST(nt - 1 AS DOUBLE), 9) AS eps2_9
+            FROM fin, den, tot
         """,
     }

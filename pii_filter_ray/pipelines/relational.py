@@ -13895,3 +13895,63 @@ def lineitem_ols_multi(sf_dir: str):
         "b0_cents6": [float(round_half_away(b0, 6))],
         "r2_9": [float(round_half_away(r2, 9))],
     })
+
+
+def lineitem_kruskal_wallis(sf_dir: str):
+    """Kruskal-Wallis H across the three return-flag groups — the
+    rank-based (distribution-free) k-group test completing the
+    nonparametric family next to lineitem_mannwhitney (two-sample) and
+    the parametric lineitem_anova/welch_anova: the test you run when
+    normality fails. On the bounded 50-value quantity catalog this is
+    EXACT integer arithmetic end-to-end via the lineitem_spearman
+    doubled-rank trick (R2 = 2c + t + 1 keeps tie-averaged ranks
+    integral; the factor 2s cancel in H's variance-ratio form
+    H = (N-1) * sum_g n_g (rbar_g - rbar)^2 / sum_i (r_i - rbar)^2,
+    which has the tie correction BUILT IN). One pre-combined groupby
+    collapses the fact table to the 3 x 50 cell catalog; the group
+    numerator folds over the common denominator n_A n_N n_R so H is ONE
+    mirrored float expression of exact Python ints (= SQL HUGEINT,
+    every intermediate < 3e33 at sf0.1). Epsilon-squared effect size
+    rides along (H / (N-1))."""
+    cells = preagg_groupby(
+        _tbl(sf_dir, "lineitem", columns=["l_quantity", "l_returnflag"])
+        .map_batches(
+            lambda b: pa.table({
+                "f": b["l_returnflag"],
+                "q": pc.cast(b["l_quantity"], pa.int64()),
+            }),
+            batch_format="pyarrow"),
+        ["f", "q"], count_alias="n",
+    ).to_pandas()
+    fs = list(cells["f"])
+    qs = [int(x) for x in cells["q"]]
+    ns = [int(x) for x in cells["n"]]
+    n_tot = sum(ns)
+
+    from collections import Counter
+    t = Counter()
+    for q, m in zip(qs, ns):
+        t[q] += m
+    r2, c = {}, 0
+    for v in sorted(t):
+        r2[v] = 2 * c + t[v] + 1
+        c += t[v]
+
+    den = sum(t[v] * (r2[v] - (n_tot + 1)) ** 2 for v in sorted(t))
+    ng = {g: 0 for g in ("A", "N", "R")}
+    s2 = {g: 0 for g in ("A", "N", "R")}
+    for f, q, m in zip(fs, qs, ns):
+        ng[f] += m
+        s2[f] += m * r2[q]
+    d = {g: s2[g] - ng[g] * (n_tot + 1) for g in ("A", "N", "R")}
+    numn = (d["A"] * d["A"] * ng["N"] * ng["R"]
+            + d["N"] * d["N"] * ng["A"] * ng["R"]
+            + d["R"] * d["R"] * ng["A"] * ng["N"])
+    pn = ng["A"] * ng["N"] * ng["R"]
+    h = (float(n_tot - 1) * float(numn)) / (float(pn) * float(den))
+    eps2 = h / float(n_tot - 1)
+    return pd.DataFrame({
+        "n_rows": pd.array([n_tot], dtype="int64"),
+        "h9": [float(round_half_away(h, 9))],
+        "eps2_9": [float(round_half_away(eps2, 9))],
+    })

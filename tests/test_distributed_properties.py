@@ -1683,3 +1683,45 @@ def test_ols_multi_layout_and_fit(ray_session, monkeypatch, tmp_path):
     assert f["b2_cents6"].iloc[0] == 3.0
     assert f["b0_cents6"].iloc[0] == 12345.0
     assert f["r2_9"].iloc[0] == 1.0
+
+
+def test_kruskal_wallis_layout_and_shift(ray_session, monkeypatch, tmp_path):
+    """The doubled-rank fold must be layout-free, H must be ~chi2(2)-small
+    on the independent synthetic columns, and a FABRICATED table with a
+    planted location shift (group R's quantities strictly above A's and
+    N's) must push H near its k-group maximum while eps^2 -> ~1."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.lineitem_kruskal_wallis(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.lineitem_kruskal_wallis(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert 0.0 <= a["eps2_9"].iloc[0] <= 1.0
+
+    i = np.arange(90, dtype=np.int64)
+    flag = np.array(["A", "N", "R"])[i % 3]
+    q = (i % 5) + 1 + np.where(flag == "R", 40, 0)
+    pq.write_table(pa.table({
+        "l_quantity": q.astype(np.float64),
+        "l_returnflag": flag,
+    }), str(tmp_path / "lineitem.parquet"))
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None: base(str(tmp_path), name,
+                                           columns=columns))
+    f = r.lineitem_kruskal_wallis(str(tmp_path))
+    monkeypatch.setattr(r, "_tbl", base)
+    assert f["h9"].iloc[0] > 30.0
+    assert f["eps2_9"].iloc[0] > 0.4
