@@ -470,6 +470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_interpurchase_time": r.orders_interpurchase_time,
         "lineitem_ols_multi": r.lineitem_ols_multi,
         "lineitem_kruskal_wallis": r.lineitem_kruskal_wallis,
+        "doc_cdc_chunks": r.doc_cdc_chunks,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -530,6 +531,7 @@ def oracle_sql() -> dict[str, str]:
         # language voting and toxicity scoring are all re-executed by
         # DuckDB itself; constants are embedded as literal tables)
         "doc_scrub": o.doc_scrub_sql(),
+        "doc_cdc_chunks": o.doc_cdc_chunks_sql(),
         "doc_langid": o.doc_langid_sql(),
         "doc_toxicity": o.doc_toxicity_sql(),
         "doc_simhash": o.doc_simhash_sql(),

@@ -2112,3 +2112,76 @@ def markov_stationary_sql(iters: int = 4) -> str:
                    AS src_share9
         FROM p{iters} LEFT JOIN rowsum r ON r.src = p{iters}.st
     """
+
+
+def doc_cdc_chunks_sql(k: int = 8, divisor: int = 64) -> str:
+    """Full content-defined-chunking recompute in SQL (mirror of
+    relational.doc_cdc_chunks): per-position k-gram polynomial window
+    hashes via list_reduce (HUGEINT % 2^64 = numpy uint64 wraparound,
+    the winnowing_ctes convention), boundary after any window whose hash
+    is divisible by ``divisor`` (final byte never cut), chunk substrings
+    re-hashed with the same polynomial, identities grouped on
+    (hash, len) and the dedup summary folded from exact integers."""
+    q = 1 << 64
+    b = 1000003
+    return f"""
+    WITH docs AS (
+        SELECT text, length(text) AS n FROM documents
+        WHERE length(text) >= 1
+    ),
+    h AS (
+      SELECT text, n,
+        CASE WHEN n >= {k} THEN
+          list_transform(range(1, n - {k} + 2),
+            i -> list_reduce(list_transform(range(i, i + {k}),
+                             j -> CAST(unicode(text[j]) AS HUGEINT)),
+                             (acc, c) -> (acc * {b} + c) % {q}))
+        ELSE CAST([] AS HUGEINT[]) END AS hs
+      FROM docs
+    ),
+    cuts AS (
+      SELECT text, n,
+        list_filter(list_transform(range(1, len(hs) + 1),
+                    i -> CASE WHEN hs[i] % {divisor} = 0
+                         THEN i + {k} - 1 ELSE 0 END),
+                    e -> e > 0 AND e < n) AS ce
+      FROM h
+    ),
+    spans AS (
+      SELECT text,
+        list_prepend(CAST(1 AS BIGINT),
+                     list_transform(ce, e -> CAST(e + 1 AS BIGINT))) AS ss,
+        list_append(list_transform(ce, e -> CAST(e AS BIGINT)),
+                    CAST(n AS BIGINT)) AS ee
+      FROM cuts
+    ),
+    chunks AS (
+      SELECT unnest(list_transform(range(1, len(ss) + 1),
+                    i -> text[ss[i]:ee[i]])) AS ck
+      FROM spans
+    ),
+    hashed AS (
+      SELECT CAST(length(ck) AS BIGINT) AS clen,
+        CAST(CASE WHEN r >= {1 << 63} THEN r - {q} ELSE r END
+             AS BIGINT) AS ch
+      FROM (SELECT ck,
+                   list_reduce(list_transform(range(1, length(ck) + 1),
+                               j -> CAST(unicode(ck[j]) AS HUGEINT)),
+                               (acc, c) -> (acc * {b} + c) % {q}) AS r
+            FROM chunks)
+    ),
+    grouped AS (
+        SELECT ch, clen, CAST(count(*) AS BIGINT) AS cnt
+        FROM hashed GROUP BY 1, 2
+    )
+    SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(clen * cnt) AS BIGINT) AS total_chars,
+           CAST(sum(clen) AS BIGINT) AS distinct_chars,
+           CAST(sum(clen * (cnt - 1)) AS BIGINT) AS dup_chars,
+           round(CAST(sum(clen) AS DOUBLE)
+                 / CAST(sum(clen * cnt) AS DOUBLE), 6) AS dedup_ratio6,
+           round(CAST(sum(clen * cnt) AS DOUBLE)
+                 / CAST(sum(cnt) AS DOUBLE), 6) AS mean_chunk_len6
+    FROM grouped
+    """

@@ -13955,3 +13955,101 @@ def lineitem_kruskal_wallis(sf_dir: str):
         "h9": [float(round_half_away(h, 9))],
         "eps2_9": [float(round_half_away(eps2, 9))],
     })
+
+
+def doc_cdc_chunks(sf_dir: str, k: int = 8, divisor: int = 64):
+    """Content-defined chunking dedup estimate — the rsync/LBFS/backup
+    family's shift-resilient alternative to fixed-size blocks, applied
+    to corpus payloads: a chunk boundary falls AFTER any k-gram window
+    whose rolling hash is divisible by ``divisor``, so boundaries move
+    WITH the content (inserting a byte near the head only reshapes the
+    chunks around the edit, where fixed-size chunking would shift every
+    downstream block — the property the test pins). Per doc the numpy
+    side computes all window hashes and all chunk hashes from ONE
+    prefix-polynomial array via the modular-inverse identity
+    H(l..r) = (S[r] - S[l-1]) * B^r with S[t] = sum c_j * Binv^j — pure
+    uint64 wraparound (= the oracle's per-window HUGEINT list_reduce mod
+    2^64, equivalence-prototyped exactly), no per-char Python loop.
+    Chunk identities (hash, len) pre-combine per block before the one
+    groupby shuffle; the summary folds exact integer partials. Unlike
+    production CDC the rule carries no min/max clamp — the pure
+    divisibility rule is stateless per position, which is exactly what
+    makes it embarrassingly parallel and SQL-mirrorable (documented
+    trade-off: degenerate content can yield length-1 or whole-doc
+    chunks). Scale: chunk tables shuffle (hash, len, count) only —
+    never text; at 100 TB the groupby is the standard hash-partitioned
+    exact dedup shape."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    B = 1000003
+    Q = 1 << 64
+    Binv = pow(B, -1, Q)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        cnt: Counter = Counter()
+        for v in batch["text"].to_pylist():
+            v = v or ""
+            codes = np.frombuffer(v.encode("utf-32-le"),
+                                  np.uint32).astype(np.uint64)
+            n = len(codes)
+            if n == 0:
+                continue
+            with np.errstate(over="ignore"):
+                binv_pow = np.multiply.accumulate(
+                    np.full(n, Binv, np.uint64))
+                S = np.zeros(n + 1, np.uint64)
+                S[1:] = np.cumsum(codes * binv_pow)
+                Bpow = np.ones(n + 1, np.uint64)
+                Bpow[1:] = np.multiply.accumulate(np.full(n, B, np.uint64))
+                if n >= k:
+                    idx = np.arange(n - k + 1)
+                    h = (S[idx + k] - S[idx]) * Bpow[idx + k]
+                    ce = (idx + k)[(h % np.uint64(divisor) == 0)
+                                   & (idx + k < n)]
+                else:
+                    ce = np.array([], np.int64)
+                starts = np.concatenate([[1], ce + 1]).astype(np.int64)
+                ends = np.concatenate([ce, [n]]).astype(np.int64)
+                H = (S[ends] - S[starts - 1]) * Bpow[ends]
+            for ch, cl in zip(H.view(np.int64).tolist(),
+                              (ends - starts + 1).tolist()):
+                cnt[(ch, cl)] += 1
+        ks = list(cnt)
+        return pa.table({
+            "ch": pa.array([x[0] for x in ks], pa.int64()),
+            "clen": pa.array([x[1] for x in ks], pa.int64()),
+            "n": pa.array([cnt[x] for x in ks], pa.int64()),
+        })
+
+    grouped = (ds.map_batches(partials, batch_format="pyarrow")
+               .groupby(["ch", "clen"])
+               .aggregate(Sum("n", alias_name="n")))
+
+    def stats(batch: pa.Table) -> pa.Table:
+        cl = batch["clen"].to_numpy()
+        m = batch["n"].to_numpy()
+        return pa.table({
+            "n_chunks": pa.array([int(m.sum())], pa.int64()),
+            "n_distinct": pa.array([len(m)], pa.int64()),
+            "total_chars": pa.array([int((cl * m).sum())], pa.int64()),
+            "distinct_chars": pa.array([int(cl.sum())], pa.int64()),
+            "dup_chars": pa.array([int((cl * (m - 1)).sum())], pa.int64()),
+        })
+
+    parts = grouped.map_batches(stats, batch_format="pyarrow").to_pandas()
+    n_chunks = int(parts["n_chunks"].sum())
+    n_distinct = int(parts["n_distinct"].sum())
+    total = int(parts["total_chars"].sum())
+    distinct = int(parts["distinct_chars"].sum())
+    dup = int(parts["dup_chars"].sum())
+    return pd.DataFrame({
+        "n_chunks": pd.array([n_chunks], dtype="int64"),
+        "n_distinct": pd.array([n_distinct], dtype="int64"),
+        "total_chars": pd.array([total], dtype="int64"),
+        "distinct_chars": pd.array([distinct], dtype="int64"),
+        "dup_chars": pd.array([dup], dtype="int64"),
+        "dedup_ratio6": [float(round_half_away(
+            float(distinct) / float(total), 6))],
+        "mean_chunk_len6": [float(round_half_away(
+            float(total) / float(n_chunks), 6))],
+    })

@@ -1725,3 +1725,53 @@ def test_kruskal_wallis_layout_and_shift(ray_session, monkeypatch, tmp_path):
     monkeypatch.setattr(r, "_tbl", base)
     assert f["h9"].iloc[0] > 30.0
     assert f["eps2_9"].iloc[0] > 0.4
+
+
+def test_cdc_chunks_layout_and_shift_resilience(ray_session, monkeypatch,
+                                                tmp_path):
+    """The chunk-identity fold must be layout-free, the summary ledger
+    must tie out (dup_chars = total - distinct requires every chunk
+    occurrence counted exactly once), and the DEFINING content-defined
+    property must hold: prefixing one character onto a long diverse doc
+    may only reshape the chunks around the edit, so the shifted copy
+    shares most of its chunk identities with the original — fixed-size
+    chunking would shift every block and share none."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_cdc_chunks(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.doc_cdc_chunks(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert (int(a["dup_chars"].iloc[0])
+            == int(a["total_chars"].iloc[0])
+            - int(a["distinct_chars"].iloc[0]))
+    assert 0.0 < a["dedup_ratio6"].iloc[0] <= 1.0
+
+    # shift resilience on a diverse doc: numbered words never repeat, so
+    # cut positions are content-anchored and survive a 1-char prefix
+    doc = " ".join(f"w{i}token{i * 7 % 9973}" for i in range(400))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": [doc, "X" + doc],
+    }), str(tmp_path / "documents.parquet"))
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None: base(str(tmp_path), name,
+                                           columns=columns))
+    f = r.doc_cdc_chunks(str(tmp_path))
+    monkeypatch.setattr(r, "_tbl", base)
+    # two near-identical docs: dup_chars must recover most of one copy
+    assert (int(f["dup_chars"].iloc[0])
+            > 0.8 * int(f["total_chars"].iloc[0]) / 2)
