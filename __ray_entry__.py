@@ -471,6 +471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_ols_multi": r.lineitem_ols_multi,
         "lineitem_kruskal_wallis": r.lineitem_kruskal_wallis,
         "doc_cdc_chunks": r.doc_cdc_chunks,
+        "emb_jl_distortion": r.emb_jl_distortion,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -532,6 +533,7 @@ def oracle_sql() -> dict[str, str]:
         # DuckDB itself; constants are embedded as literal tables)
         "doc_scrub": o.doc_scrub_sql(),
         "doc_cdc_chunks": o.doc_cdc_chunks_sql(),
+        "emb_jl_distortion": o.emb_jl_distortion_sql(),
         "doc_langid": o.doc_langid_sql(),
         "doc_toxicity": o.doc_toxicity_sql(),
         "doc_simhash": o.doc_simhash_sql(),

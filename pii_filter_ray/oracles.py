@@ -2185,3 +2185,63 @@ def doc_cdc_chunks_sql(k: int = 8, divisor: int = 64) -> str:
                  / CAST(sum(cnt) AS DOUBLE), 6) AS mean_chunk_len6
     FROM grouped
     """
+
+
+def emb_jl_distortion_sql(kproj: int = 16, dim: int = 64,
+                          seed: int = 29) -> str:
+    """JL-projection distortion recompute in SQL (mirror of
+    relational.emb_jl_distortion): the deterministic ±1 sign matrix is
+    embedded as literals (the _hyperplanes convention); DuckDB
+    re-quantizes every vector to micro-fixed-point, recomputes the
+    int64-exact projection norms, and the only floats are the identical
+    per-row ratio / bucket / round trees."""
+    from .stages.similarity import jl_signs
+
+    S = jl_signs(dim, kproj, seed)
+    rows = ", ".join(f"({d}, {j}, {int(S[d, j])})"
+                     for d in range(dim) for j in range(kproj))
+    return f"""
+    WITH sg(d, j, s) AS (VALUES {rows}),
+    q AS (
+        SELECT vec_id, dd.d,
+               CAST(round(CAST(embedding[dd.d + 1] AS DOUBLE)
+                          * 1000000.0, 0) AS BIGINT) AS m
+        FROM embeddings, (SELECT unnest(range(0, {dim})) AS d) dd
+    ),
+    norm AS (
+        SELECT vec_id, sum(CAST(m AS HUGEINT) * m) AS n2
+        FROM q GROUP BY 1
+    ),
+    proj AS (
+        SELECT q.vec_id, sg.j, sum(CAST(q.m AS HUGEINT) * sg.s) AS p
+        FROM q JOIN sg ON sg.d = q.d GROUP BY 1, 2
+    ),
+    pn AS (SELECT vec_id, sum(p * p) AS pn2 FROM proj GROUP BY 1),
+    r AS (
+        SELECT CAST(pn2 AS DOUBLE)
+               / (CAST({kproj} AS DOUBLE) * CAST(n2 AS DOUBLE)) AS dist,
+               pn2, n2
+        FROM pn JOIN norm USING (vec_id) WHERE n2 > 0
+    ),
+    b AS (
+        SELECT least(CAST(floor(dist * 10.0) AS BIGINT),
+                     CAST(19 AS BIGINT)) AS bucket,
+               round(dist, 9) AS dist9, pn2, n2
+        FROM r
+    ),
+    per AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(pn2) AS DOUBLE)
+                     / (CAST({kproj} AS DOUBLE)
+                        * CAST(sum(n2) AS DOUBLE)), 9) AS bucket_ratio9,
+               min(dist9) AS min_dist9, max(dist9) AS max_dist9
+        FROM b GROUP BY 1
+    ),
+    g AS (
+        SELECT round(CAST(sum(pn2) AS DOUBLE)
+                     / (CAST({kproj} AS DOUBLE)
+                        * CAST(sum(n2) AS DOUBLE)), 9) AS gmean9
+        FROM b
+    )
+    SELECT per.*, g.gmean9 FROM per, g
+    """

@@ -14053,3 +14053,78 @@ def doc_cdc_chunks(sf_dir: str, k: int = 8, divisor: int = 64):
         "mean_chunk_len6": [float(round_half_away(
             float(total) / float(n_chunks), 6))],
     })
+
+
+def emb_jl_distortion(sf_dir: str, kproj: int = 16):
+    """Johnson-Lindenstrauss projection distortion audit — the check run
+    before committing a random-projection index or sketch width: for
+    EVERY corpus vector, the ratio ||Rv||^2 / (k * ||v||^2) under a
+    deterministic ±1 sign projection (Achlioptas), whose expectation is
+    exactly 1 — so the histogram of per-vector ratios IS the measured
+    distortion envelope at width k. Vectors quantize to micro-fixed-point
+    int64 (exact for float32), projections are int64 matmuls, so both
+    norm^2 and proj-norm^2 are EXACT integers per row and the only float
+    is the mirrored per-row ratio (then bucketed by floor(10r), capped at
+    19 — identical IEEE on both sides, so no boundary row can flip).
+    Per-block per-bucket partials carry counts plus 128-bit exact
+    pn2/n2 sums as decimal strings (pn2 overflows int64 per block past
+    ~1e2 rows); the driver folds the <=20-bucket catalog in Python ints.
+    Output: per-bucket n, ratio-of-sums, min/max of row-snapped ratios,
+    with the global mean ratio riding on every row."""
+    from ..stages.similarity import jl_signs
+    signs = jl_signs(64, kproj)
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        M = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch["embedding"].to_pylist()])
+        m = round_half_away(M * 1_000_000.0, 0).astype(np.int64)
+        n2 = (m * m).sum(axis=1)
+        keep = n2 > 0
+        m, n2 = m[keep], n2[keep]
+        p = m @ signs
+        pn2 = (p * p).sum(axis=1)
+        dist = pn2.astype(np.float64) / (float(kproj)
+                                         * n2.astype(np.float64))
+        bucket = np.minimum(np.floor(dist * 10.0), 19.0).astype(np.int64)
+        d9 = round_half_away(dist, 9)
+        rows = []
+        for bk in np.unique(bucket):
+            s = bucket == bk
+            rows.append((int(bk), int(s.sum()),
+                         str(sum(int(x) for x in pn2[s])),
+                         str(sum(int(x) for x in n2[s])),
+                         float(d9[s].min()), float(d9[s].max())))
+        return pa.table({
+            "bucket": pa.array([r[0] for r in rows], pa.int64()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "pn2": pa.array([r[2] for r in rows], pa.string()),
+            "n2": pa.array([r[3] for r in rows], pa.string()),
+            "mn": pa.array([r[4] for r in rows], pa.float64()),
+            "mx": pa.array([r[5] for r in rows], pa.float64()),
+        })
+
+    parts = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    agg: Dict[int, list] = {}
+    for _, row in parts.iterrows():
+        b = int(row["bucket"])
+        cur = agg.setdefault(b, [0, 0, 0, float("inf"), float("-inf")])
+        cur[0] += int(row["n"])
+        cur[1] += int(row["pn2"])
+        cur[2] += int(row["n2"])
+        cur[3] = min(cur[3], float(row["mn"]))
+        cur[4] = max(cur[4], float(row["mx"]))
+    g_pn2 = sum(v[1] for v in agg.values())
+    g_n2 = sum(v[2] for v in agg.values())
+    gmean = float(g_pn2) / (float(kproj) * float(g_n2))
+    bks = sorted(agg)
+    return pd.DataFrame({
+        "bucket": pd.array(bks, dtype="int64"),
+        "n": pd.array([agg[b][0] for b in bks], dtype="int64"),
+        "bucket_ratio9": [float(round_half_away(
+            float(agg[b][1]) / (float(kproj) * float(agg[b][2])), 9))
+            for b in bks],
+        "min_dist9": [agg[b][3] for b in bks],
+        "max_dist9": [agg[b][4] for b in bks],
+        "gmean9": [float(round_half_away(gmean, 9))] * len(bks),
+    })

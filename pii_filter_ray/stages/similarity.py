@@ -264,3 +264,12 @@ def ivf_knn(
         batch_format="pyarrow",
     )
     return knn_bruteforce(filtered, q, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def jl_signs(dim: int = 64, kproj: int = 16, seed: int = 29) -> np.ndarray:
+    """Deterministic ±1 Johnson-Lindenstrauss sign matrix (dim x kproj) —
+    the Achlioptas '01 database-friendly projection. Shared between the
+    Ray pipeline and the DuckDB oracle (embedded there as VALUES
+    literals, the _hyperplanes convention)."""
+    rng = np.random.RandomState(seed)
+    return (rng.randint(0, 2, size=(dim, kproj)) * 2 - 1).astype(np.int64)

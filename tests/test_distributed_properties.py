@@ -1775,3 +1775,31 @@ def test_cdc_chunks_layout_and_shift_resilience(ray_session, monkeypatch,
     # two near-identical docs: dup_chars must recover most of one copy
     assert (int(f["dup_chars"].iloc[0])
             > 0.8 * int(f["total_chars"].iloc[0]) / 2)
+
+
+def test_jl_distortion_layout_and_unbiasedness(ray_session, monkeypatch):
+    """The bucketed distortion fold must be layout-free, the ledger must
+    tie out (bucket counts sum to the embeddings row count), and the
+    JL estimator's unbiasedness must show: the corpus-wide mean ratio
+    sits near 1 (the ±1 projection is exactly unbiased in expectation;
+    at n≈1000 64-dim vectors the sample mean lands well inside ±0.15)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.emb_jl_distortion(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.emb_jl_distortion(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id"])
+    assert int(a["n"].sum()) == t.num_rows
+    assert 0.85 < a["gmean9"].iloc[0] < 1.15
+    assert ((a["min_dist9"] <= a["max_dist9"]).all())
