@@ -2245,3 +2245,74 @@ def emb_jl_distortion_sql(kproj: int = 16, dim: int = 64,
     )
     SELECT per.*, g.gmean9 FROM per, g
     """
+
+
+def media_phash_neardup_sql(max_hamming: int = 7) -> str:
+    """Full perceptual-hash recompute in SQL (mirror of
+    relational.media_phash_neardup): DuckDB fake-decodes every payload
+    byte from the hex encoding, rebuilds the 32x32 grayscale tiling,
+    runs the EXACT integer-quantized separable 2-D DCT (the 8x32 basis
+    is embedded as literals — quantizing the basis keeps every
+    coefficient an exact HUGEINT, so no float fold order can flip a
+    bit), thresholds on the rank-32 non-DC order statistic and scans
+    ALL pairs at hamming <= max_hamming. The Ray side's 8x8-bit banding
+    is recall-lossless at this radius (pigeonhole), so banded+verified
+    equals this all-pairs scan exactly."""
+    from .pipelines.relational import media_neardups_table_path
+    from .stages.multimodal import dct8_matrix_q
+
+    Cq = dct8_matrix_q()
+    cu_rows = ", ".join(f"({u}, {r}, {int(Cq[u, r])})"
+                        for u in range(8) for r in range(32))
+    return f"""
+    WITH cu(u, r, w) AS (VALUES {cu_rows}),
+    hx AS (
+        SELECT media_id, hex(payload) AS h,
+               octet_length(payload) AS n
+        FROM read_parquet({_q(media_neardups_table_path())})
+    ),
+    pix AS (
+        SELECT media_id, i // 32 AS r, i % 32 AS c,
+               CAST(16 * (strpos('0123456789ABCDEF',
+                                 substr(h, 2 * (i % n) + 1, 1)) - 1)
+                    + (strpos('0123456789ABCDEF',
+                              substr(h, 2 * (i % n) + 2, 1)) - 1)
+                    AS BIGINT) AS p
+        FROM hx, (SELECT unnest(range(0, 1024)) AS i)
+    ),
+    g AS (
+        SELECT pix.media_id, cu.u, pix.c,
+               sum(CAST(cu.w AS HUGEINT) * pix.p) AS gv
+        FROM pix JOIN cu ON cu.r = pix.r GROUP BY 1, 2, 3
+    ),
+    f AS (
+        SELECT g.media_id, g.u, cu.u AS v, sum(g.gv * cu.w) AS fv
+        FROM g JOIN cu ON cu.r = g.c GROUP BY 1, 2, 3
+    ),
+    thr AS (
+        SELECT media_id, fv AS t FROM (
+            SELECT media_id, fv,
+                   row_number() OVER (PARTITION BY media_id
+                                      ORDER BY fv) AS rn
+            FROM f WHERE NOT (u = 0 AND v = 0)
+        ) WHERE rn = 32
+    ),
+    hsh AS (
+        SELECT f.media_id,
+               sum(CASE WHEN NOT (u = 0 AND v = 0) AND fv > t
+                   THEN CAST(1 AS HUGEINT) << CAST(u * 8 + v AS INT)
+                   ELSE 0 END) AS ph
+        FROM f JOIN thr USING (media_id) GROUP BY 1
+    ),
+    signed AS (
+        SELECT media_id,
+               CAST(CASE WHEN ph >= {1 << 63} THEN ph - {1 << 64}
+                    ELSE ph END AS BIGINT) AS ph
+        FROM hsh
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+    FROM signed a JOIN signed b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.ph, b.ph)) <= {max_hamming}
+    ORDER BY id_a, id_b
+    """

@@ -14128,3 +14128,112 @@ def emb_jl_distortion(sf_dir: str, kproj: int = 16):
         "max_dist9": [agg[b][4] for b in bks],
         "gmean9": [float(round_half_away(gmean, 9))] * len(bks),
     })
+
+
+_MEDIA_NEARDUPS_CACHE = os.path.join(
+    os.path.dirname(_MEDIA_CACHE), "media_neardups.parquet")
+
+
+def media_neardups_table_path() -> str:
+    """Materializes (once) the planted NEAR-duplicate media table: the
+    96-row base plus 24 rows whose payloads copy row (j*7) mod 96 with
+    3 + (j mod 8) deterministically-corrupted bytes — the perceptual-
+    dedup fixture (exact dups would make pHash vacuous: byte-identical
+    payloads hash identically by construction). Same atomic write
+    discipline as media_table_path."""
+    from ..stages.multimodal import synthesize_media_table
+
+    if not os.path.exists(_MEDIA_NEARDUPS_CACHE):
+        import random
+        import tempfile
+
+        base = synthesize_media_table(n_rows=96, seed=42)
+        pays = base["payload"].to_pylist()
+        rows = {"media_id": [], "kind": [], "format": [], "payload": [],
+                "width": [], "height": [], "duration_ms": []}
+        for j in range(24):
+            src = (j * 7) % 96
+            b = bytearray(pays[src])
+            rj = random.Random(1000 + j)
+            for _ in range(3 + (j % 8)):
+                pos = rj.randrange(len(b))
+                b[pos] = (b[pos] + rj.randrange(1, 256)) % 256
+            rows["media_id"].append(96 + j)
+            for c in ("kind", "format", "width", "height", "duration_ms"):
+                rows[c].append(base[c][src].as_py())
+            rows["payload"].append(bytes(b))
+        from ..stages.multimodal import MEDIA_SCHEMA
+        extra = pa.table({n: pa.array(rows[n], MEDIA_SCHEMA.field(n).type)
+                          for n in MEDIA_SCHEMA.names})
+        tbl = pa.concat_tables([base, extra])
+        os.makedirs(os.path.dirname(_MEDIA_NEARDUPS_CACHE), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(_MEDIA_NEARDUPS_CACHE), suffix=".tmp")
+        os.close(fd)
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, _MEDIA_NEARDUPS_CACHE)
+    return _MEDIA_NEARDUPS_CACHE
+
+
+def media_phash_neardup(sf_dir: str, max_hamming: int = 7):
+    """Perceptual near-duplicate detection over multimodal payloads —
+    the pHash/DCT family (the image-dedup workhorse behind every crawl
+    pipeline's 'same picture, different compression' pass), run on the
+    planted near-dup fixture: 64-bit DCT hashes per media
+    (stages.multimodal.phash64_batch — exact-integer DCT so the oracle
+    recomputes every bit), then 8 bands x 8 bits LSH. The band split is
+    RECALL-LOSSLESS for this radius by pigeonhole: hamming <= 7 over 8
+    bands forces at least one untouched band, so banded candidates are
+    a strict superset of true pairs and the exact Hamming verify makes
+    the result identical to the oracle's all-pairs scan. Hashes ride
+    with their band rows, so pair verification happens in-group with no
+    join-back; only (band, key, id, hash) rows ever shuffle, never
+    payloads. At 100 TB this is the same banded shape as doc_simhash
+    (bucket caps + pair-chunk budget documented there)."""
+    ds = ray.data.read_parquet(media_neardups_table_path(),
+                               columns=["media_id", "payload"])
+    from ..stages.multimodal import phash64_batch
+
+    hashes = ds.map_batches(phash64_batch, batch_format="pyarrow")
+
+    def bands(batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy()
+        ph = batch["ph"].to_numpy().view(np.uint64)
+        n = len(ids)
+        bnd = np.repeat(np.arange(8, dtype=np.int64), n)
+        rid = np.tile(ids, 8)
+        rph = np.tile(ph, 8)
+        key = ((rph >> (bnd.astype(np.uint64) * np.uint64(8)))
+               & np.uint64(0xFF)).astype(np.int64)
+        return pa.table({
+            "band": pa.array(bnd, pa.int64()),
+            "key": pa.array(key, pa.int64()),
+            "media_id": pa.array(rid, pa.int64()),
+            "ph": pa.array(rph.view(np.int64), pa.int64()),
+        })
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["media_id"].to_numpy()
+        ph = g["ph"].to_numpy().view(np.uint64)
+        order = np.argsort(ids)
+        ids, ph = ids[order], ph[order]
+        ia, ib, hm = [], [], []
+        for i in range(len(ids)):
+            x = ph[i + 1:] ^ ph[i]
+            d = np.array([bin(int(v)).count("1") for v in x], np.int64)
+            keep = d <= max_hamming
+            ia.extend([int(ids[i])] * int(keep.sum()))
+            ib.extend(int(v) for v in ids[i + 1:][keep])
+            hm.extend(int(v) for v in d[keep])
+        return pd.DataFrame({"id_a": pd.array(ia, dtype="int64"),
+                             "id_b": pd.array(ib, dtype="int64"),
+                             "hamming": pd.array(hm, dtype="int64")})
+
+    df = (hashes.map_batches(bands, batch_format="pyarrow")
+          .groupby(["band", "key"]).map_groups(pairs, batch_format="pandas")
+          .groupby(["id_a", "id_b"]).aggregate(Min("hamming",
+                                                   alias_name="hamming"))
+          .to_pandas())
+    return (df.astype({"id_a": "int64", "id_b": "int64",
+                       "hamming": "int64"})
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))

@@ -186,3 +186,46 @@ def sample_video_frames(
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def dct8_matrix_q() -> np.ndarray:
+    """Integer-quantized 8x32 DCT-II basis: Cq[u, r] =
+    round(cos(pi*(2r+1)*u/64) * 1e6) as int64. Quantizing the basis (not
+    the result) makes the whole 2-D DCT EXACT integer arithmetic — the
+    property that lets the DuckDB oracle recompute perceptual hashes
+    bit-for-bit (float DCT sums would be fold-order-dependent)."""
+    import math
+
+    return np.array(
+        [[round(math.cos(math.pi * (2 * r + 1) * u / 64) * 1e6)
+          for r in range(32)] for u in range(8)], dtype=np.int64)
+
+
+def phash64_batch(batch: pa.Table) -> pa.Table:
+    """Perceptual 64-bit DCT hash per media row (pHash family): the
+    payload fake-decodes to a 32x32 grayscale by byte tiling —
+    pixel(r, c) = payload[(r*32 + c) mod len] — which is the documented
+    stub-codec integration point (a real build swaps in PIL decode +
+    resize; everything downstream is real). F = Cq @ P @ Cq^T is the
+    exact-integer 8x8 low-frequency block (|F| < 2.7e17 < 2^63); bit
+    k = u*8+v is set when F[u,v] exceeds the lower median of the 63
+    non-DC coefficients (exact order statistic, rank 32). Output is the
+    signed-int64 reinterpret next to media_id — payloads never leave
+    the block."""
+    Cq = dct8_matrix_q()
+    ids = batch["media_id"].to_pylist()
+    out = []
+    for p in batch["payload"].to_pylist():
+        b = np.frombuffer(p, np.uint8).astype(np.int64)
+        idx = np.arange(1024) % len(b)
+        F = (Cq @ b[idx].reshape(32, 32) @ Cq.T).flatten()
+        thr = np.sort(F[1:])[31]
+        with np.errstate(over="ignore"):
+            bits = ((F[1:] > thr).astype(np.uint64)
+                    << np.arange(1, 64, dtype=np.uint64)).sum(
+                        dtype=np.uint64)
+        out.append(int(np.uint64(bits).view(np.int64)))
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "ph": pa.array(out, pa.int64()),
+    })

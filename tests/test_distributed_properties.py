@@ -1803,3 +1803,36 @@ def test_jl_distortion_layout_and_unbiasedness(ray_session, monkeypatch):
     assert int(a["n"].sum()) == t.num_rows
     assert 0.85 < a["gmean9"].iloc[0] < 1.15
     assert ((a["min_dist9"] <= a["max_dist9"]).all())
+
+
+def test_phash_neardup_layout_and_planted_pairs(ray_session, monkeypatch):
+    """The banded perceptual-dedup pipeline must be layout-free and must
+    recover exactly the planted near-dup structure: every found pair
+    links a planted copy (id >= 96) back to its source (id_a = 7*(id_b
+    - 96) mod 96), no base-vs-base pair survives (random payload pHashes
+    sit at hamming ~32, far beyond the radius), and recall over the 24
+    planted corruptions stays >= 20/24 (heavier corruptions may
+    legitimately exceed the radius)."""
+    import pandas as pd
+
+    import ray.data as rd
+    from pii_filter_ray.pipelines import relational as r
+
+    a = r.media_phash_neardup("unused")
+    path = r.media_neardups_table_path()
+    orig = rd.read_parquet
+
+    def shuffled(p, columns=None, **kw):
+        return orig(p, columns=columns, **kw).repartition(7)
+
+    monkeypatch.setattr(rd, "read_parquet", shuffled)
+    monkeypatch.setattr(r.ray.data, "read_parquet", shuffled)
+    b = r.media_phash_neardup("unused")
+    monkeypatch.setattr(rd, "read_parquet", orig)
+    monkeypatch.setattr(r.ray.data, "read_parquet", orig)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert len(a) >= 20
+    assert (a["id_b"] >= 96).all()
+    assert (a["id_a"] == (a["id_b"] - 96) * 7 % 96).all()
+    assert (a["hamming"] <= 7).all()
