@@ -473,6 +473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_cdc_chunks": r.doc_cdc_chunks,
         "emb_jl_distortion": r.emb_jl_distortion,
         "media_phash_neardup": r.media_phash_neardup,
+        "doc_bootstrap_ci": r.doc_bootstrap_ci,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -536,6 +537,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_cdc_chunks": o.doc_cdc_chunks_sql(),
         "emb_jl_distortion": o.emb_jl_distortion_sql(),
         "media_phash_neardup": o.media_phash_neardup_sql(),
+        "doc_bootstrap_ci": o.doc_bootstrap_ci_sql(),
         "doc_langid": o.doc_langid_sql(),
         "doc_toxicity": o.doc_toxicity_sql(),
         "doc_simhash": o.doc_simhash_sql(),

@@ -2316,3 +2316,60 @@ def media_phash_neardup_sql(max_hamming: int = 7) -> str:
     WHERE bit_count(xor(a.ph, b.ph)) <= {max_hamming}
     ORDER BY id_a, id_b
     """
+
+
+def doc_bootstrap_ci_sql(n_boot: int = 40) -> str:
+    """Deterministic Poisson-bootstrap recompute in SQL (mirror of
+    relational.doc_bootstrap_ci): the splitmix64 stream is re-executed
+    per (doc, resample) on the shared bit-exact chain primitives, the
+    Poisson(1) inverse-CDF thresholds are the same frozen integer
+    literals, and the CI bounds are order statistics over the snapped
+    per-resample means."""
+    from .stages.sketches import (_K1, _K2, _K3, _M64, _sql_mulmod,
+                                  _sql_xor_shift, poisson1_thresholds)
+
+    thr = poisson1_thresholds()
+    ind = " + ".join(
+        f"CASE WHEN u >= {c}::HUGEINT THEN 1 ELSE 0 END" for c in thr)
+    cols = "b, len"
+    return f"""
+    WITH base AS (SELECT doc_id, length(text) AS len FROM documents),
+    c1 AS (
+        SELECT bb.b, base.len,
+               (CAST(base.doc_id AS HUGEINT)
+                + CAST(CASE WHEN bb.b = -1 THEN 0 ELSE bb.b END
+                       AS HUGEINT) * {_K1}::HUGEINT
+                + {_K1}::HUGEINT) % {_M64} AS u
+        FROM base, (SELECT unnest(range(-1, {n_boot})) AS b) bb
+    ),
+    c2 AS (SELECT {cols}, {_sql_xor_shift(1 << 30)} AS u FROM c1),
+    c3 AS (SELECT {cols}, {_sql_mulmod(_K2)} AS u FROM c2),
+    c4 AS (SELECT {cols}, {_sql_xor_shift(1 << 27)} AS u FROM c3),
+    c5 AS (SELECT {cols}, {_sql_mulmod(_K3)} AS u FROM c4),
+    c6 AS (SELECT {cols}, {_sql_xor_shift(1 << 31)} AS u FROM c5),
+    w AS (
+        SELECT b, len,
+               CASE WHEN b = -1 THEN 1 ELSE {ind} END AS w
+        FROM c6
+    ),
+    agg AS (
+        SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+               sum(CAST(w AS HUGEINT) * len) AS swl
+        FROM w GROUP BY 1
+    ),
+    m AS (
+        SELECT b, n_eff,
+               round(CAST(swl AS DOUBLE) / CAST(n_eff AS DOUBLE), 6)
+                   AS mean6
+        FROM agg
+    ),
+    ci AS (
+        SELECT max(CASE WHEN rn = 1 THEN mean6 END) AS lo,
+               max(CASE WHEN rn = {n_boot - 1} THEN mean6 END) AS hi
+        FROM (SELECT mean6, row_number() OVER (ORDER BY mean6) AS rn
+              FROM m WHERE b >= 0)
+    )
+    SELECT CAST(m.b AS BIGINT) AS b, m.n_eff, m.mean6,
+           ci.lo AS ci_lo6, ci.hi AS ci_hi6
+    FROM m, ci ORDER BY b
+    """

@@ -14237,3 +14237,66 @@ def media_phash_neardup(sf_dir: str, max_hamming: int = 7):
     return (df.astype({"id_a": "int64", "id_b": "int64",
                        "hamming": "int64"})
             .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+def doc_bootstrap_ci(sf_dir: str, n_boot: int = 40):
+    """Percentile-bootstrap confidence interval for the mean document
+    length — resampling inference made DETERMINISTIC and distributed:
+    resample b includes doc i with multiplicity w = inverse-CDF
+    Poisson(1) of splitmix64(doc_id + b*GOLD) (the canonical splitmix
+    stream; the Poisson CDF is frozen into exact integer thresholds via
+    stages.sketches.poisson1_thresholds so no float can flip a draw —
+    the multinomial bootstrap converges to independent Poisson(1)
+    weights, the classic 'Poisson bootstrap' that needs NO global
+    coordination: any worker can weight any row knowing only (id, b)).
+    One corpus pass emits per-(block, b) exact integer partials
+    (sum w, sum w*len) for all 40 resamples plus the b = -1 point
+    estimate (w = 1); per-resample means are mirrored divisions and the
+    CI bounds are order statistics (ranks 1 and 39 of 40, the ceil
+    convention) on the SNAPPED means, so engine agreement is exact.
+    Scale: the shuffle is <= 41 rows per block regardless of corpus
+    size; at 100 TB this is how you put error bars on any corpus stat
+    without a second pass."""
+    from ..stages.sketches import poisson1_thresholds, splitmix64
+    thr = poisson1_thresholds()
+    gold = np.uint64(0x9E3779B97F4A7C15)
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.uint64)
+        lens = pc.utf8_length(batch["text"]).to_numpy().astype(np.int64)
+        bs, sws, swls = [], [], []
+        bs.append(-1)
+        sws.append(len(ids))
+        swls.append(int(lens.sum()))
+        with np.errstate(over="ignore"):
+            for b in range(n_boot):
+                u = splitmix64(ids + np.uint64(b) * gold)
+                w = np.zeros(len(ids), np.int64)
+                for c in thr:
+                    w += (u >= np.uint64(c))
+                bs.append(b)
+                sws.append(int(w.sum()))
+                swls.append(int((w * lens).sum()))
+        return pa.table({
+            "b": pa.array(bs, pa.int64()),
+            "sw": pa.array(sws, pa.int64()),
+            "swl": pa.array(swls, pa.int64()),
+        })
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("b")
+           .aggregate(Sum("sw", alias_name="sw"),
+                      Sum("swl", alias_name="swl"))
+           .to_pandas().sort_values("b").reset_index(drop=True))
+    mean6 = [float(round_half_away(float(swl) / float(sw), 6))
+             for sw, swl in zip(agg["sw"], agg["swl"])]
+    boots = sorted(m for b, m in zip(agg["b"], mean6) if b >= 0)
+    lo, hi = boots[0], boots[n_boot - 2]
+    return pd.DataFrame({
+        "b": agg["b"].astype("int64"),
+        "n_eff": agg["sw"].astype("int64"),
+        "mean6": mean6,
+        "ci_lo6": [lo] * len(agg),
+        "ci_hi6": [hi] * len(agg),
+    })

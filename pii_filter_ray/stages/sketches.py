@@ -662,3 +662,19 @@ def kmv_setops_sql(type_a: str, type_b: str, k: int) -> str:
                      / CAST(th.t AS DOUBLE), 3) AS est_inter3
         FROM inter, ucnt, exact_u, exact_i, th
     """
+
+
+def poisson1_thresholds(max_k: int = 8) -> list:
+    """Integer thresholds C_k = floor(CDF_Poisson(1)(k) * 2^64) for the
+    deterministic hash bootstrap: a uniform 64-bit hash u maps to the
+    multiplicity w = #{k < max_k : u >= C_k} — the inverse-CDF draw of a
+    Poisson(1) count truncated at max_k (P(X >= 8) ~ 1e-6, documented).
+    Python computes the float CDF once; BOTH engines compare against
+    these exact integer literals, so no CDF float can flip a draw."""
+    cdf, term = 0.0, math.exp(-1.0)
+    out = []
+    for k in range(max_k):
+        cdf += term
+        out.append(int(cdf * 18446744073709551616.0))
+        term /= (k + 1)
+    return out

@@ -1836,3 +1836,37 @@ def test_phash_neardup_layout_and_planted_pairs(ray_session, monkeypatch):
     assert (a["id_b"] >= 96).all()
     assert (a["id_a"] == (a["id_b"] - 96) * 7 % 96).all()
     assert (a["hamming"] <= 7).all()
+
+
+def test_bootstrap_ci_layout_and_coverage(ray_session, monkeypatch):
+    """The per-resample weight fold must be layout-free (weights depend
+    only on (doc_id, b), never on blocking), the point estimate must sit
+    inside the percentile CI, resample effective sizes must center on n
+    (Poisson(1) weights sum to ~n), and the CI must be a proper
+    non-degenerate interval."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_bootstrap_ci(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.doc_bootstrap_ci(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    point = a[a["b"] == -1]
+    n = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id"]).num_rows
+    assert int(point["n_eff"].iloc[0]) == n
+    pm = point["mean6"].iloc[0]
+    lo, hi = a["ci_lo6"].iloc[0], a["ci_hi6"].iloc[0]
+    assert lo < pm < hi
+    assert lo < hi
+    boots = a[a["b"] >= 0]
+    assert abs(boots["n_eff"].mean() - n) < 0.2 * n
