@@ -474,6 +474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_jl_distortion": r.emb_jl_distortion,
         "media_phash_neardup": r.media_phash_neardup,
         "doc_bootstrap_ci": r.doc_bootstrap_ci,
+        "doc_gains_deciles": r.doc_gains_deciles,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -5417,5 +5418,54 @@ def oracle_sql() -> dict[str, str]:
                          / (CAST(pn AS DOUBLE) * CAST(den AS DOUBLE))
                          / CAST(nt - 1 AS DOUBLE), 9) AS eps2_9
             FROM fin, den, tot
+        """,
+        "doc_gains_deciles": """
+            WITH cat AS (
+                SELECT n_chars AS s,
+                       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS pos,
+                       CAST(count(*) AS BIGINT) AS t
+                FROM documents GROUP BY 1
+            ),
+            cum AS (
+                SELECT s,
+                       sum(pos) OVER (ORDER BY s DESC) AS cpos,
+                       sum(t) OVER (ORDER BY s DESC) AS cn
+                FROM cat
+            ),
+            tot AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
+                           CAST(sum(t) AS BIGINT) AS n FROM cat),
+            dec AS (SELECT unnest(range(1, 11)) AS decile),
+            targets AS (
+                SELECT dec.decile, dec.decile * tot.n // 10 AS tgt
+                FROM dec, tot
+            ),
+            cum0 AS (
+                SELECT cpos, cn FROM cum
+                UNION ALL SELECT 0 AS cpos, 0 AS cn
+            ),
+            pick AS (
+                SELECT t.decile, max(c.cn) AS cn
+                FROM targets t JOIN cum0 c ON c.cn <= t.tgt
+                GROUP BY 1
+            ),
+            joined AS (
+                SELECT pick.decile, pick.cn,
+                       coalesce(cum.cpos, 0) AS cpos
+                FROM pick LEFT JOIN cum ON cum.cn = pick.cn
+            )
+            SELECT CAST(j.decile AS BIGINT) AS decile,
+                   CAST(j.cn AS BIGINT) AS boundary_rank,
+                   CAST(j.cpos AS BIGINT) AS cum_pos,
+                   round(CAST(j.cpos AS DOUBLE)
+                         / CAST(tot.p AS DOUBLE), 6) AS gain6,
+                   CASE WHEN j.cn = 0 THEN NULL
+                        ELSE round((CAST(j.cpos AS DOUBLE)
+                                    * CAST(tot.n AS DOUBLE))
+                                   / (CAST(tot.p AS DOUBLE)
+                                      * CAST(j.cn AS DOUBLE)), 6)
+                   END AS lift6
+            FROM joined j, tot
+            ORDER BY decile
         """,
     }

@@ -14300,3 +14300,67 @@ def doc_bootstrap_ci(sf_dir: str, n_boot: int = 40):
         "ci_lo6": [lo] * len(agg),
         "ci_hi6": [hi] * len(agg),
     })
+
+
+def doc_gains_deciles(sf_dir: str):
+    """Cumulative gains / lift table — the decile chart every scored
+    filter gets judged by before anyone trusts its AUC: rank the corpus
+    by score (n_chars) descending and report, at each decile of the
+    population, how many positives (lang = 'en') the top slice
+    captures and the lift over random. Rides the doc_quality_auc
+    distinct-score catalog (ONE shuffle of (score, pos, total) rows
+    bounded by the score domain, never corpus size); decile boundaries
+    snap to the finest GROUP boundary not exceeding rank d*n//10 — the
+    grouped-gains convention that keeps every cumulative count an EXACT
+    integer instead of fractionally splitting tied scores (a tie-broken
+    per-row rank would need a global sort; the snapped chart is what a
+    binned gains plot shows anyway, and the snap error is bounded by
+    the largest tie group). gain6 and lift6 are single mirrored float
+    expressions of exact integers; a decile with no qualifying boundary
+    (all mass in one giant first group) yields NULL lift on both
+    sides."""
+    ds = _tbl(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        pos = pc.cast(pc.equal(batch["lang"], pa.scalar("en")), pa.int64())
+        t = pa.table({
+            "s": batch["n_chars"],
+            "pos": pos,
+            "one": pc.cast(pc.equal(pos, pos), pa.int64()),
+        })
+        g = t.group_by("s").aggregate([("pos", "sum"), ("one", "sum")])
+        return pa.table({"s": g["s"], "pos": g["pos_sum"],
+                         "t": g["one_sum"]})
+
+    cat = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("s")
+           .aggregate(Sum("pos", alias_name="pos"),
+                      Sum("t", alias_name="t"))
+           .to_pandas()
+           .sort_values("s", ascending=False, kind="mergesort")
+           .reset_index(drop=True))
+    cpos = cat["pos"].cumsum()
+    cn = cat["t"].cumsum()
+    p_tot = int(cat["pos"].sum())
+    n_tot = int(cat["t"].sum())
+    rows = []
+    for d in range(1, 11):
+        target = d * n_tot // 10
+        ok = cn[cn <= target]
+        if len(ok) == 0:
+            rows.append((d, 0, 0, float(round_half_away(0.0, 6)), None))
+            continue
+        i = ok.index[-1]
+        b_cn, b_cpos = int(cn[i]), int(cpos[i])
+        gain = float(round_half_away(float(b_cpos) / float(p_tot), 6))
+        lift = float(round_half_away(
+            (float(b_cpos) * float(n_tot))
+            / (float(p_tot) * float(b_cn)), 6))
+        rows.append((d, b_cn, b_cpos, gain, lift))
+    return pd.DataFrame({
+        "decile": pd.array([r[0] for r in rows], dtype="int64"),
+        "boundary_rank": pd.array([r[1] for r in rows], dtype="int64"),
+        "cum_pos": pd.array([r[2] for r in rows], dtype="int64"),
+        "gain6": [r[3] for r in rows],
+        "lift6": [r[4] for r in rows],
+    })

@@ -1870,3 +1870,34 @@ def test_bootstrap_ci_layout_and_coverage(ray_session, monkeypatch):
     assert lo < hi
     boots = a[a["b"] >= 0]
     assert abs(boots["n_eff"].mean() - n) < 0.2 * n
+
+
+def test_gains_deciles_layout_and_monotonicity(ray_session, monkeypatch):
+    """The gains table must be layout-free and structurally sound:
+    boundary ranks and cumulative positives weakly increase with decile,
+    decile 10's boundary is exactly n with gain exactly 1, and every
+    boundary rank never exceeds its decile target d*n//10 (the snap
+    convention)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_gains_deciles(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.doc_gains_deciles(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    n = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id"]).num_rows
+    assert (a["boundary_rank"].diff().dropna() >= 0).all()
+    assert (a["cum_pos"].diff().dropna() >= 0).all()
+    assert int(a["boundary_rank"].iloc[-1]) == n
+    assert a["gain6"].iloc[-1] == 1.0
+    assert (a["boundary_rank"] <= a["decile"] * n // 10).all()
