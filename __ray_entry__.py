@@ -475,6 +475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_phash_neardup": r.media_phash_neardup,
         "doc_bootstrap_ci": r.doc_bootstrap_ci,
         "doc_gains_deciles": r.doc_gains_deciles,
+        "supplier_hhi": r.supplier_hhi,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -5467,5 +5468,29 @@ def oracle_sql() -> dict[str, str]:
                    END AS lift6
             FROM joined j, tot
             ORDER BY decile
+        """,
+        "supplier_hhi": """
+            WITH rev AS (
+                SELECT s.s_nationkey AS nk, l.l_suppkey AS sk,
+                       sum(CAST(round(l.l_extendedprice
+                                      * (1 - l.l_discount)
+                                      * 10000.0, 0) AS HUGEINT)) AS u
+                FROM lineitem l JOIN supplier s
+                  ON s.s_suppkey = l.l_suppkey
+                GROUP BY 1, 2
+            ),
+            agg AS (
+                SELECT nk, CAST(count(*) AS BIGINT) AS n_suppliers,
+                       sum(u) AS tot, sum(u * u) AS sq
+                FROM rev GROUP BY 1
+            )
+            SELECT CAST(nk AS BIGINT) AS nationkey, n_suppliers,
+                   tot / 10000.0 AS revenue,
+                   round(CAST(sq AS DOUBLE)
+                         / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)),
+                         9) AS hhi9,
+                   round((CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))
+                         / CAST(sq AS DOUBLE), 6) AS enp6
+            FROM agg ORDER BY nationkey
         """,
     }

@@ -14364,3 +14364,58 @@ def doc_gains_deciles(sf_dir: str):
         "gain6": [r[3] for r in rows],
         "lift6": [r[4] for r in rows],
     })
+
+
+def supplier_hhi(sf_dir: str):
+    """Herfindahl-Hirschman concentration of supplier revenue per nation
+    — the antitrust-grade 'is this market a monopoly' number (sum of
+    squared revenue shares) plus its reciprocal, the effective number
+    of players; the single-figure complement to the Lorenz/Gini/ABC
+    family that regulators and sourcing teams actually quote. Revenue
+    quantizes to the exact 1e-4-unit integers of the q3 convention and
+    pre-combines per block before ONE (suppkey) groupby; the squared
+    fold runs driver-side over the supplier-catalog-bounded table in
+    Python ints (= SQL HUGEINT — supplier revenue squares overflow
+    int64 past ~sf0.01, same reason the SQL casts before multiplying),
+    and hhi9/enp6 are single mirrored float expressions."""
+    ds = _tbl(sf_dir, "lineitem",
+              columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        rev = round_half_away(
+            batch["l_extendedprice"].to_numpy()
+            * (1.0 - batch["l_discount"].to_numpy()) * 10000.0, 0
+        ).astype(np.int64)
+        t = pa.table({"sk": batch["l_suppkey"],
+                      "u": pa.array(rev, pa.int64())})
+        g = t.group_by("sk").aggregate([("u", "sum")])
+        return pa.table({"sk": g["sk"], "u": g["u_sum"]})
+
+    rev = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("sk").aggregate(Sum("u", alias_name="u"))
+           .to_pandas())
+    supp = _tbl(sf_dir, "supplier",
+                columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nk_of = dict(zip(supp["s_suppkey"].astype(int),
+                     supp["s_nationkey"].astype(int)))
+    agg: Dict[int, list] = {}
+    for sk, u in zip(rev["sk"], rev["u"]):
+        nk = nk_of[int(sk)]
+        cur = agg.setdefault(nk, [0, 0, 0])
+        cur[0] += 1
+        cur[1] += int(u)
+        cur[2] += int(u) * int(u)
+    nks = sorted(agg)
+    tots = [agg[n][1] for n in nks]
+    sqs = [agg[n][2] for n in nks]
+    return pd.DataFrame({
+        "nationkey": pd.array(nks, dtype="int64"),
+        "n_suppliers": pd.array([agg[n][0] for n in nks], dtype="int64"),
+        "revenue": [float(t) / 10000.0 for t in tots],
+        "hhi9": [float(round_half_away(
+            float(s) / (float(t) * float(t)), 9))
+            for s, t in zip(sqs, tots)],
+        "enp6": [float(round_half_away(
+            (float(t) * float(t)) / float(s), 6))
+            for s, t in zip(sqs, tots)],
+    })

@@ -1901,3 +1901,29 @@ def test_gains_deciles_layout_and_monotonicity(ray_session, monkeypatch):
     assert int(a["boundary_rank"].iloc[-1]) == n
     assert a["gain6"].iloc[-1] == 1.0
     assert (a["boundary_rank"] <= a["decile"] * n // 10).all()
+
+
+def test_hhi_layout_and_bounds(ray_session, monkeypatch):
+    """The HHI fold must be layout-free and obey the structural bounds:
+    1/n_suppliers <= HHI <= 1 per nation (equality left iff shares are
+    equal, right iff one supplier owns the market) and the effective
+    number of players must sit in [1, n_suppliers]."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.supplier_hhi(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.supplier_hhi(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    ns = a["n_suppliers"].astype(float)
+    assert ((a["hhi9"] >= 1.0 / ns - 1e-9)
+            & (a["hhi9"] <= 1.0 + 1e-9)).all()
+    assert ((a["enp6"] >= 1.0 - 1e-6) & (a["enp6"] <= ns + 1e-6)).all()
