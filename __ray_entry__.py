@@ -476,6 +476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bootstrap_ci": r.doc_bootstrap_ci,
         "doc_gains_deciles": r.doc_gains_deciles,
         "supplier_hhi": r.supplier_hhi,
+        "customer_k_anonymity": r.customer_k_anonymity,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -5492,5 +5493,48 @@ def oracle_sql() -> dict[str, str]:
                    round((CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))
                          / CAST(sq AS DOUBLE), 6) AS enp6
             FROM agg ORDER BY nationkey
+        """,
+        "customer_k_anonymity": """
+            WITH cust AS (
+                SELECT c_nationkey AS nk,
+                       CAST(floor(CAST(round(c_acctbal * 100.0, 0)
+                                       AS BIGINT) / 100000.0)
+                            AS BIGINT) AS kb,
+                       c_mktsegment AS seg
+                FROM customer
+            ),
+            cs AS (
+                SELECT nk, kb, seg, CAST(count(*) AS HUGEINT) AS cnt
+                FROM cust GROUP BY 1, 2, 3
+            ),
+            cls AS (
+                SELECT nk, kb, sum(cnt) AS sz,
+                       CAST(count(*) AS BIGINT) AS l
+                FROM cs GROUP BY 1, 2
+            ),
+            g AS (SELECT seg, sum(cnt) AS gcnt FROM cs GROUP BY 1),
+            tot AS (SELECT sum(gcnt) AS n FROM g),
+            t AS (
+                SELECT c.nk, c.kb,
+                       sum(abs(COALESCE(x.cnt, 0) * tot.n
+                               - g.gcnt * c.sz)) AS tnum
+                FROM cls c CROSS JOIN g CROSS JOIN tot
+                LEFT JOIN cs x
+                  ON x.nk = c.nk AND x.kb = c.kb AND x.seg = g.seg
+                GROUP BY c.nk, c.kb
+            )
+            SELECT CAST(c.nk AS BIGINT) AS nationkey,
+                   CAST(c.kb AS BIGINT) AS bal_kb,
+                   CAST(c.sz AS BIGINT) AS class_size,
+                   c.l AS l_distinct,
+                   CAST(CASE WHEN c.sz >= 5 THEN 1 ELSE 0 END
+                        AS BIGINT) AS k5,
+                   round(CAST(t.tnum AS DOUBLE)
+                         / (2.0 * CAST(c.sz AS DOUBLE)
+                            * CAST(tot.n AS DOUBLE)), 6) AS tvd6
+            FROM cls c
+            JOIN t ON t.nk = c.nk AND t.kb = c.kb
+            CROSS JOIN tot
+            ORDER BY nationkey, bal_kb
         """,
     }

@@ -14419,3 +14419,70 @@ def supplier_hhi(sf_dir: str):
             (float(t) * float(t)) / float(s), 6))
             for s, t in zip(sqs, tots)],
     })
+
+
+def customer_k_anonymity(sf_dir: str):
+    """k-anonymity / l-diversity / t-closeness audit over quasi-identifier
+    classes — the re-identification-risk triad a privacy review runs on any
+    table BEFORE release (the measurement counterpart of the reference's
+    scrub layer, /root/reference/src/services/regex_service.py: masking
+    removes direct identifiers; this audits what the residual
+    quasi-identifiers still leak). QI class = (nationkey, $1000 account
+    balance bucket), sensitive attribute = market segment. Per class:
+    size (k), distinct sensitive values (l), a k>=5 flag, and t-closeness
+    as total-variation distance between the class's segment distribution
+    and the corpus's. TVD folds EXACTLY: the numerator is the integer
+    sum over ALL segments of |cnt_cs*N - glob_s*size| (absent segments
+    contribute glob_s*size), so the only float is one mirrored division.
+    Balances quantize to exact cents (round-half-away, the engine-wide
+    money convention) and bucket by true floor division so negative
+    balances land in bucket -1 identically on both engines. Per-block
+    pre-combine on (nk, bucket, segment) before ONE groupby; the driver
+    fold runs over the QI-domain-bounded catalog (nations x ~12 buckets
+    x 5 segments), never the row count — the 100 TB shape."""
+    ds = _tbl(sf_dir, "customer",
+              columns=["c_nationkey", "c_acctbal", "c_mktsegment"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            batch["c_acctbal"].to_numpy() * 100.0, 0).astype(np.int64)
+        kb = np.floor_divide(cents, 100000)
+        t = pa.table({
+            "nk": pc.cast(batch["c_nationkey"], pa.int64()),
+            "kb": pa.array(kb, pa.int64()),
+            "seg": batch["c_mktsegment"],
+        })
+        g = t.group_by(["nk", "kb", "seg"]).aggregate([([], "count_all")])
+        return pa.table({"nk": g["nk"], "kb": g["kb"], "seg": g["seg"],
+                         "cnt": pc.cast(g["count_all"], pa.int64())})
+
+    cat = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby(["nk", "kb", "seg"]).aggregate(Sum("cnt", alias_name="cnt"))
+           .to_pandas())
+    glob: Dict[str, int] = {}
+    classes: Dict[tuple, Dict[str, int]] = {}
+    for nk, kb, seg, cnt in zip(cat["nk"], cat["kb"], cat["seg"], cat["cnt"]):
+        glob[seg] = glob.get(seg, 0) + int(cnt)
+        classes.setdefault((int(nk), int(kb)), {})[seg] = int(cnt)
+    n_total = sum(glob.values())
+    keys = sorted(classes)
+    sizes, ls, k5s, tvds = [], [], [], []
+    for key in keys:
+        segs = classes[key]
+        size = sum(segs.values())
+        tnum = 0
+        for seg, gcnt in glob.items():
+            tnum += abs(segs.get(seg, 0) * n_total - gcnt * size)
+        sizes.append(size)
+        ls.append(len(segs))
+        k5s.append(1 if size >= 5 else 0)
+        tvds.append(float(round_half_away(
+            float(tnum) / (2.0 * float(size) * float(n_total)), 6)))
+    return pd.DataFrame({
+        "nationkey": pd.array([k[0] for k in keys], dtype="int64"),
+        "bal_kb": pd.array([k[1] for k in keys], dtype="int64"),
+        "class_size": pd.array(sizes, dtype="int64"),
+        "l_distinct": pd.array(ls, dtype="int64"),
+        "k5": pd.array(k5s, dtype="int64"),
+        "tvd6": tvds,
+    })

@@ -1927,3 +1927,38 @@ def test_hhi_layout_and_bounds(ray_session, monkeypatch):
     assert ((a["hhi9"] >= 1.0 / ns - 1e-9)
             & (a["hhi9"] <= 1.0 + 1e-9)).all()
     assert ((a["enp6"] >= 1.0 - 1e-6) & (a["enp6"] <= ns + 1e-6)).all()
+
+
+def test_k_anonymity_layout_and_ledger(ray_session, monkeypatch):
+    """The privacy audit must be layout-free and structurally sound:
+    class sizes sum to the full customer count (no row lost to a QI
+    class), l-diversity is bounded by the segment catalog and by the
+    class size, the k5 flag restates the size test, and t-closeness is
+    a genuine total-variation distance (in [0, 1], and exactly 0 only
+    if the class mirrors the corpus mix)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.customer_k_anonymity(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.customer_k_anonymity(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    n_cust = pq.read_table(sf + "/customer.parquet").num_rows
+    assert int(a["class_size"].sum()) == n_cust
+    n_segs = pq.read_table(
+        sf + "/customer.parquet", columns=["c_mktsegment"]
+    )["c_mktsegment"].to_pandas().nunique()
+    assert (a["l_distinct"] <= n_segs).all()
+    assert (a["l_distinct"] <= a["class_size"]).all()
+    assert (a["l_distinct"] >= 1).all()
+    assert (a["k5"] == (a["class_size"] >= 5).astype("int64")).all()
+    assert ((a["tvd6"] >= 0.0) & (a["tvd6"] <= 1.0)).all()
