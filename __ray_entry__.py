@@ -477,6 +477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_gains_deciles": r.doc_gains_deciles,
         "supplier_hhi": r.supplier_hhi,
         "customer_k_anonymity": r.customer_k_anonymity,
+        "events_forecast_backtest": r.events_forecast_backtest,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -5536,5 +5537,78 @@ def oracle_sql() -> dict[str, str]:
             JOIN t ON t.nk = c.nk AND t.kb = c.kb
             CROSS JOIN tot
             ORDER BY nationkey, bal_kb
+        """,
+        "events_forecast_backtest": """
+            WITH d AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS day,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY day
+            ),
+            m AS (
+                SELECT min(CAST(ts AS DATE)) AS lo,
+                       max(CAST(ts AS DATE)) AS hi
+                FROM events
+            ),
+            s AS (
+                SELECT strftime(unnest(generate_series(
+                           (SELECT lo FROM m), (SELECT hi FROM m),
+                           INTERVAL 1 DAY)), '%Y-%m-%d') AS day
+            ),
+            f AS (
+                SELECT s.day, coalesce(d.n, 0) AS y,
+                       row_number() OVER (ORDER BY s.day) AS rn
+                FROM s LEFT JOIN d USING (day)
+            ),
+            w AS (
+                SELECT rn, y,
+                       lag(y, 1) OVER (ORDER BY rn) AS y1,
+                       lag(y, 7) OVER (ORDER BY rn) AS y7,
+                       sum(y) OVER (ORDER BY rn
+                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS s7
+                FROM f
+            ),
+            e AS (SELECT * FROM w WHERE rn > 7),
+            a AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(abs(y - y1)) AS BIGINT) AS a_naive,
+                       CAST(sum(abs(y - y7)) AS BIGINT) AS a_snaive,
+                       CAST(sum(abs(7 * y - s7)) AS BIGINT) AS a_ma,
+                       CAST(sum(y) AS BIGINT) AS ytot
+                FROM e
+            )
+            SELECT * FROM (
+                SELECT 'ma7' AS method, n AS n_days,
+                       round(CAST(a_ma AS DOUBLE)
+                             / (7.0 * CAST(n AS DOUBLE)), 6) AS mae6,
+                       CASE WHEN ytot = 0 THEN NULL
+                            ELSE round(CAST(a_ma AS DOUBLE)
+                                       / (7.0 * CAST(ytot AS DOUBLE)), 6)
+                       END AS wape6,
+                       CASE WHEN a_naive = 0 THEN NULL
+                            ELSE round(CAST(a_ma AS DOUBLE)
+                                       / (7.0 * CAST(a_naive AS DOUBLE)), 6)
+                       END AS mase6
+                FROM a
+                UNION ALL
+                SELECT 'naive', n,
+                       round(CAST(a_naive AS DOUBLE) / CAST(n AS DOUBLE), 6),
+                       CASE WHEN ytot = 0 THEN NULL
+                            ELSE round(CAST(a_naive AS DOUBLE)
+                                       / CAST(ytot AS DOUBLE), 6) END,
+                       CASE WHEN a_naive = 0 THEN NULL
+                            ELSE round(CAST(a_naive AS DOUBLE)
+                                       / CAST(a_naive AS DOUBLE), 6) END
+                FROM a
+                UNION ALL
+                SELECT 'snaive', n,
+                       round(CAST(a_snaive AS DOUBLE) / CAST(n AS DOUBLE), 6),
+                       CASE WHEN ytot = 0 THEN NULL
+                            ELSE round(CAST(a_snaive AS DOUBLE)
+                                       / CAST(ytot AS DOUBLE), 6) END,
+                       CASE WHEN a_naive = 0 THEN NULL
+                            ELSE round(CAST(a_snaive AS DOUBLE)
+                                       / CAST(a_naive AS DOUBLE), 6) END
+                FROM a
+            ) ORDER BY method
         """,
     }

@@ -14486,3 +14486,70 @@ def customer_k_anonymity(sf_dir: str):
         "k5": pd.array(k5s, dtype="int64"),
         "tvd6": tvds,
     })
+
+
+def events_forecast_backtest(sf_dir: str):
+    """Rolling-origin forecast backtest over the daily event series — the
+    evaluation every capacity-planning forecast gets before anyone trusts
+    it: three standard baselines (naive = yesterday, seasonal-naive =
+    same weekday last week, ma7 = trailing 7-day mean) scored on every
+    day with a full week of history, by MAE, WAPE (the scale-free
+    sum|err|/sum y), and MASE (error relative to naive — the Hyndman
+    convention that makes 'beats 1.0' the bar). All three error ledgers
+    are EXACT integers — the ma7 ledger scales by 7 so |7y - sum7| never
+    leaves integer arithmetic — and every reported metric is a single
+    mirrored division. The daily aggregate is the only shuffle (bounded
+    by the date catalog); the spine fill and the rolling fold run
+    driver-side over dates, never rows — the 100 TB shape."""
+    ds = _tbl(sf_dir, "events", columns=["ts"])
+
+    def day_col(batch: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.strftime(batch["ts"], format="%Y-%m-%d")})
+
+    daily = preagg_groupby(
+        ds.map_batches(day_col, batch_format="pyarrow"),
+        ["day"], count_alias="n").to_pandas()
+    out_empty = pd.DataFrame({
+        "method": pd.array(["ma7", "naive", "snaive"], dtype="str"),
+        "n_days": pd.array([0, 0, 0], dtype="int64"),
+        "mae6": pd.array([None] * 3, dtype="float64"),
+        "wape6": pd.array([None] * 3, dtype="float64"),
+        "mase6": pd.array([None] * 3, dtype="float64"),
+    })
+    if len(daily) == 0:
+        return out_empty
+    daily = daily.set_index("day")
+    spine = pd.date_range(daily.index.min(), daily.index.max(),
+                          freq="D").strftime("%Y-%m-%d")
+    y = daily.reindex(spine, fill_value=0)["n"].astype(int).to_list()
+    if len(y) <= 7:
+        return out_empty
+    a_naive = a_snaive = a_ma = ytot = 0
+    n_eval = len(y) - 7
+    for i in range(7, len(y)):
+        a_naive += abs(y[i] - y[i - 1])
+        a_snaive += abs(y[i] - y[i - 7])
+        a_ma += abs(7 * y[i] - sum(y[i - 7:i]))
+        ytot += y[i]
+
+    def div6(num: float, den: float):
+        return float(round_half_away(num / den, 6)) if den != 0.0 else None
+
+    rows = [
+        ("ma7", div6(float(a_ma), 7.0 * float(n_eval)),
+         div6(float(a_ma), 7.0 * float(ytot)),
+         div6(float(a_ma), 7.0 * float(a_naive))),
+        ("naive", div6(float(a_naive), float(n_eval)),
+         div6(float(a_naive), float(ytot)),
+         div6(float(a_naive), float(a_naive))),
+        ("snaive", div6(float(a_snaive), float(n_eval)),
+         div6(float(a_snaive), float(ytot)),
+         div6(float(a_snaive), float(a_naive))),
+    ]
+    return pd.DataFrame({
+        "method": pd.array([r[0] for r in rows], dtype="str"),
+        "n_days": pd.array([n_eval] * 3, dtype="int64"),
+        "mae6": pd.array([r[1] for r in rows], dtype="float64"),
+        "wape6": pd.array([r[2] for r in rows], dtype="float64"),
+        "mase6": pd.array([r[3] for r in rows], dtype="float64"),
+    })

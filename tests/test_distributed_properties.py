@@ -1962,3 +1962,33 @@ def test_k_anonymity_layout_and_ledger(ray_session, monkeypatch):
     assert (a["l_distinct"] >= 1).all()
     assert (a["k5"] == (a["class_size"] >= 5).astype("int64")).all()
     assert ((a["tvd6"] >= 0.0) & (a["tvd6"] <= 1.0)).all()
+
+
+def test_forecast_backtest_layout_and_structure(ray_session, monkeypatch):
+    """The backtest fold must be layout-free; structurally, naive's MASE
+    is exactly 1 (it is its own denominator), every metric is
+    non-negative, and the evaluation window is the spine minus the
+    7-day warm-up."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.events_forecast_backtest(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.events_forecast_backtest(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert list(a["method"]) == ["ma7", "naive", "snaive"]
+    gf = r.events_daily_gapfill(sf)
+    assert set(a["n_days"]) == {len(gf) - 7}
+    naive = a[a["method"] == "naive"].iloc[0]
+    assert naive["mase6"] == 1.0
+    for col in ("mae6", "wape6", "mase6"):
+        vals = a[col].dropna()
+        assert (vals >= 0.0).all()
