@@ -478,6 +478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_hhi": r.supplier_hhi,
         "customer_k_anonymity": r.customer_k_anonymity,
         "events_forecast_backtest": r.events_forecast_backtest,
+        "doc_quantile_normalize": r.doc_quantile_normalize,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -5610,5 +5611,35 @@ def oracle_sql() -> dict[str, str]:
                                        / CAST(a_naive AS DOUBLE), 6) END
                 FROM a
             ) ORDER BY method
+        """,
+        "doc_quantile_normalize": """
+            WITH c AS (
+                SELECT source, n_chars AS len,
+                       CAST(count(*) AS HUGEINT) AS cnt
+                FROM documents GROUP BY 1, 2
+            ),
+            src AS (SELECT source, sum(cnt) AS ns FROM c GROUP BY 1),
+            tot AS (SELECT sum(cnt) AS n FROM c),
+            gl AS (SELECT len, sum(cnt) AS g FROM c GROUP BY 1),
+            gcum AS (
+                SELECT len, sum(g) OVER (ORDER BY len) AS gc FROM gl
+            ),
+            wc AS (
+                SELECT source, len, cnt,
+                       sum(cnt) OVER (PARTITION BY source ORDER BY len)
+                           - cnt AS cb
+                FROM c
+            )
+            SELECT w.source, CAST(w.len AS BIGINT) AS len,
+                   CAST(w.cnt AS BIGINT) AS cnt,
+                   CAST(min(g.len) AS BIGINT) AS qnorm,
+                   round(CAST(2 * w.cb + w.cnt AS DOUBLE)
+                         / (2.0 * CAST(s.ns AS DOUBLE)), 6) AS p6
+            FROM wc w
+            JOIN src s ON s.source = w.source
+            CROSS JOIN tot t
+            JOIN gcum g ON 2 * s.ns * g.gc >= t.n * (2 * w.cb + w.cnt)
+            GROUP BY w.source, w.len, w.cnt, w.cb, s.ns
+            ORDER BY w.source, len
         """,
     }

@@ -14553,3 +14553,65 @@ def events_forecast_backtest(sf_dir: str):
         "wape6": pd.array([r[2] for r in rows], dtype="float64"),
         "mase6": pd.array([r[3] for r in rows], dtype="float64"),
     })
+
+
+def doc_quantile_normalize(sf_dir: str):
+    """Cross-source quantile normalization of the document-length
+    distribution — the Bolstad microarray method applied to corpus
+    curation: before a single global threshold can compare documents
+    from different crawls, each source's score distribution is mapped
+    onto the corpus distribution by rank. Every (source, len) group maps
+    to the smallest global length whose corpus CDF reaches the group's
+    within-source midrank, and that selection is decided by EXACT
+    integer cross-multiplication (2*ns*Gcum >= N*(2*cum_below + cnt)) —
+    no float ever picks a quantile; the reported midrank p6 is the only
+    float, one mirrored division. The single shuffle is the (source,
+    len) pre-combined count aggregate, bounded by sources x the score
+    domain (the doc_quality_auc catalog argument), never corpus rows;
+    the monotone CDF walk runs driver-side over that catalog with
+    Python-int thresholds (N*(2cb+cnt) overflows int64 at extreme
+    corpus sizes — the SQL mirror casts to HUGEINT for the same
+    reason). Reads only (source, n_chars): the text column never
+    leaves storage."""
+    import bisect
+
+    ds = _tbl(sf_dir, "documents", columns=["source", "n_chars"])
+    cat = (preagg_groupby(ds, ["source", "n_chars"], count_alias="cnt")
+           .to_pandas())
+    recs = sorted(
+        (str(s), int(ln), int(c))
+        for s, ln, c in zip(cat["source"], cat["n_chars"], cat["cnt"]))
+    glens: Dict[int, int] = {}
+    ns: Dict[str, int] = {}
+    for s, ln, c in recs:
+        glens[ln] = glens.get(ln, 0) + c
+        ns[s] = ns.get(s, 0) + c
+    n_total = sum(ns.values())
+    gl_sorted = sorted(glens)
+    gcum = []
+    run = 0
+    for ln in gl_sorted:
+        run += glens[ln]
+        gcum.append(run)
+    out_src, out_len, out_cnt, out_q, out_p = [], [], [], [], []
+    cb: Dict[str, int] = {}
+    for s, ln, c in recs:
+        below = cb.get(s, 0)
+        cb[s] = below + c
+        thresh = n_total * (2 * below + c)
+        den = 2 * ns[s]
+        bound = -(-thresh // den)
+        idx = bisect.bisect_left(gcum, bound)
+        out_src.append(s)
+        out_len.append(ln)
+        out_cnt.append(c)
+        out_q.append(gl_sorted[idx])
+        out_p.append(float(round_half_away(
+            float(2 * below + c) / (2.0 * float(ns[s])), 6)))
+    return pd.DataFrame({
+        "source": pd.array(out_src, dtype="str"),
+        "len": pd.array(out_len, dtype="int64"),
+        "cnt": pd.array(out_cnt, dtype="int64"),
+        "qnorm": pd.array(out_q, dtype="int64"),
+        "p6": pd.array(out_p, dtype="float64"),
+    })

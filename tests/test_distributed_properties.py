@@ -1992,3 +1992,36 @@ def test_forecast_backtest_layout_and_structure(ray_session, monkeypatch):
     for col in ("mae6", "wape6", "mase6"):
         vals = a[col].dropna()
         assert (vals >= 0.0).all()
+
+
+def test_quantile_normalize_layout_and_structure(ray_session, monkeypatch):
+    """Quantile normalization must be layout-free; structurally, the
+    mapping is monotone within each source (higher raw length never maps
+    to a smaller global quantile), every mapped value is an observed
+    global length, counts ledger back to the corpus, and the midrank p6
+    is strictly inside (0, 1]."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_quantile_normalize(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.doc_quantile_normalize(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    tbl = pq.read_table(sf + "/documents.parquet", columns=["n_chars"])
+    assert int(a["cnt"].sum()) == tbl.num_rows
+    all_lens = set(tbl["n_chars"].to_pylist())
+    assert set(a["qnorm"]).issubset(all_lens)
+    for _, grp in a.groupby("source"):
+        grp = grp.sort_values("len")
+        assert grp["qnorm"].is_monotonic_increasing
+        assert grp["p6"].is_monotonic_increasing
+    assert ((a["p6"] > 0.0) & (a["p6"] <= 1.0)).all()
