@@ -479,6 +479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_k_anonymity": r.customer_k_anonymity,
         "events_forecast_backtest": r.events_forecast_backtest,
         "doc_quantile_normalize": r.doc_quantile_normalize,
+        "doc_bm25_ndcg": r.doc_bm25_ndcg,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -5641,5 +5642,93 @@ def oracle_sql() -> dict[str, str]:
             JOIN gcum g ON 2 * s.ns * g.gc >= t.n * (2 * w.cb + w.cnt)
             GROUP BY w.source, w.len, w.cnt, w.cb, s.ns
             ORDER BY w.source, len
+        """,
+        "doc_bm25_ndcg": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x != '')) AS term
+                FROM documents
+            ),
+            perdoc AS (
+                SELECT doc_id,
+                       CAST(count(*) AS DOUBLE) AS dl,
+                       CAST(count(*) FILTER (term = 'hash') AS DOUBLE) AS tf0,
+                       CAST(count(*) FILTER (term = 'join') AS DOUBLE) AS tf1,
+                       CAST(count(*) FILTER (term = 'stream') AS DOUBLE) AS tf2
+                FROM toks GROUP BY 1
+            ),
+            docs AS (
+                SELECT d.doc_id,
+                       coalesce(perdoc.dl, 0.0) AS dl,
+                       coalesce(perdoc.tf0, 0.0) AS tf0,
+                       coalesce(perdoc.tf1, 0.0) AS tf1,
+                       coalesce(perdoc.tf2, 0.0) AS tf2
+                FROM documents d LEFT JOIN perdoc USING (doc_id)
+            ),
+            st AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST((SELECT count(*) FROM toks) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE) AS avgdl,
+                       CAST(count(*) FILTER (tf0 > 0) AS DOUBLE) AS df0,
+                       CAST(count(*) FILTER (tf1 > 0) AS DOUBLE) AS df1,
+                       CAST(count(*) FILTER (tf2 > 0) AS DOUBLE) AS df2
+                FROM docs
+            ),
+            scored AS (
+                SELECT doc_id,
+                       CAST((tf0 > 0) AS BIGINT) + CAST((tf1 > 0) AS BIGINT)
+                           + CAST((tf2 > 0) AS BIGINT) AS rel,
+                       round(
+                           ln(1.0 + (st.n - st.df0 + 0.5) / (st.df0 + 0.5))
+                               * (tf0 * (1.2 + 1.0))
+                               / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / st.avgdl))
+                         + ln(1.0 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+                               * (tf1 * (1.2 + 1.0))
+                               / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / st.avgdl))
+                         + ln(1.0 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+                               * (tf2 * (1.2 + 1.0))
+                               / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / st.avgdl)),
+                       6) AS score
+                FROM docs CROSS JOIN st
+            ),
+            topk AS (
+                SELECT doc_id, score, rel,
+                       CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                            AS BIGINT) AS rank
+                FROM scored ORDER BY score DESC, doc_id LIMIT 10
+            ),
+            w(rank, wm) AS (
+                VALUES (1, 1000000), (2, 630930), (3, 500000),
+                       (4, 430677), (5, 386853), (6, 356207),
+                       (7, 333333), (8, 315465), (9, 301030), (10, 289065)
+            ),
+            hist AS (
+                SELECT CAST(count(*) FILTER (rel = 3) AS BIGINT) AS c3,
+                       CAST(count(*) FILTER (rel = 2) AS BIGINT) AS c2,
+                       CAST(count(*) FILTER (rel = 1) AS BIGINT) AS c1
+                FROM scored
+            ),
+            gains AS (
+                SELECT t.rank, t.doc_id, t.score, t.rel,
+                       t.rel * w.wm AS g,
+                       CASE WHEN t.rank <= h.c3 THEN 3
+                            WHEN t.rank <= h.c3 + h.c2 THEN 2
+                            WHEN t.rank <= h.c3 + h.c2 + h.c1 THEN 1
+                            ELSE 0 END * w.wm AS ig
+                FROM topk t JOIN w ON w.rank = t.rank CROSS JOIN hist h
+            ),
+            cum AS (
+                SELECT rank, doc_id, score, rel,
+                       sum(g) OVER (ORDER BY rank) AS cdcg,
+                       sum(ig) OVER (ORDER BY rank) AS cidcg
+                FROM gains
+            )
+            SELECT doc_id, score, rel, rank,
+                   CASE WHEN cidcg = 0 THEN NULL
+                        ELSE round(CAST(cdcg AS DOUBLE)
+                                   / CAST(cidcg AS DOUBLE), 6)
+                   END AS ndcg6
+            FROM cum ORDER BY rank
         """,
     }

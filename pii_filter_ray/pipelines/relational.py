@@ -14615,3 +14615,108 @@ def doc_quantile_normalize(sf_dir: str):
         "qnorm": pd.array(out_q, dtype="int64"),
         "p6": pd.array(out_p, dtype="float64"),
     })
+
+
+def doc_bm25_ndcg(sf_dir: str, k: int = 10):
+    """NDCG@1..k curve of the BM25 ranking (same k1=1.2 / b=0.75 /
+    Lucene-idf / rounded-score-then-doc_id total order as
+    doc_bm25_top_docs) against a term-coverage relevance label (rel =
+    how many of the query terms the document contains, 0..3) — the
+    ranking-quality report every retrieval stage gets before its output
+    feeds curation. The rank discount 1/log2(i+1) is QUANTIZED to
+    integer micro-units frozen identically into both engines (the
+    phash DCT-basis convention: quantize the basis, not the result), so
+    DCG and ideal-DCG are exact integer cumsums — ideal gains come from
+    the corpus-wide rel histogram (4 buckets riding the stats partial),
+    not a second ranking pass — and each NDCG cutoff is one mirrored
+    division. Documents never shuffle: per-block top-k partials merge
+    blocks*k rows on the driver, the 100 TB shape of the base ranking."""
+    import math
+    from collections import Counter
+
+    terms = ("hash", "join", "stream")
+    k1, b_ = 1.2, 0.75
+    wmicro = (1000000, 630930, 500000, 430677, 386853,
+              356207, 333333, 315465, 301030, 289065)[:k]
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        n_toks = 0
+        dfs = [0] * len(terms)
+        hist = [0] * (len(terms) + 1)
+        for v in batch["text"].to_pylist():
+            toks = (v or "").split()
+            n_toks += len(toks)
+            s = set(toks)
+            rel = 0
+            for i, t in enumerate(terms):
+                if t in s:
+                    dfs[i] += 1
+                    rel += 1
+            hist[rel] += 1
+        cols = {"n_docs": [len(batch)], "n_toks": [n_toks]}
+        for i in range(len(terms)):
+            cols[f"df_{i}"] = [dfs[i]]
+        for rl in range(len(terms) + 1):
+            cols[f"h_{rl}"] = [hist[rl]]
+        return pa.table(cols)
+
+    st = ds.map_batches(stats_partial, batch_format="pyarrow").aggregate(
+        Sum("n_docs"), Sum("n_toks"),
+        *[Sum(f"df_{i}") for i in range(len(terms))],
+        *[Sum(f"h_{rl}") for rl in range(len(terms) + 1)],
+    )
+    n_docs = float(st["sum(n_docs)"])
+    avgdl = float(st["sum(n_toks)"]) / n_docs
+    idf = [
+        math.log(1.0 + (n_docs - float(st[f"sum(df_{i})"]) + 0.5)
+                 / (float(st[f"sum(df_{i})"]) + 0.5))
+        for i in range(len(terms))
+    ]
+    hist = [int(st[f"sum(h_{rl})"]) for rl in range(len(terms) + 1)]
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        ids_out, s_out, r_out = [], [], []
+        for doc_id, v in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            toks = (v or "").split()
+            dl = float(len(toks))
+            denom_adj = k1 * (1.0 - b_ + b_ * dl / avgdl)
+            c = Counter(toks)
+            s = 0.0
+            rel = 0
+            for i, t in enumerate(terms):
+                tf = float(c.get(t, 0))
+                if tf > 0:
+                    rel += 1
+                s = s + idf[i] * (tf * (k1 + 1.0)) / (tf + denom_adj)
+            ids_out.append(doc_id)
+            s_out.append(float(round_half_away(s, 6)))
+            r_out.append(rel)
+        df = pd.DataFrame({"doc_id": ids_out, "score": s_out, "rel": r_out})
+        df = df.sort_values(["score", "doc_id"],
+                            ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    merged = (
+        ds.map_batches(score_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    ideal = []
+    for rl in range(len(terms), 0, -1):
+        ideal.extend([rl] * hist[rl])
+    dcg = idcg = 0
+    ndcgs = []
+    for i in range(len(merged)):
+        dcg += int(merged["rel"][i]) * wmicro[i]
+        idcg += (ideal[i] if i < len(ideal) else 0) * wmicro[i]
+        ndcgs.append(
+            float(round_half_away(float(dcg) / float(idcg), 6))
+            if idcg > 0 else None)
+    merged["rank"] = np.arange(1, len(merged) + 1, dtype=np.int64)
+    merged["ndcg6"] = pd.array(ndcgs, dtype="float64")
+    return merged.astype({"doc_id": "int64", "score": "float64",
+                          "rel": "int64", "rank": "int64"})

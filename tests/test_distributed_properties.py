@@ -2025,3 +2025,44 @@ def test_quantile_normalize_layout_and_structure(ray_session, monkeypatch):
         assert grp["qnorm"].is_monotonic_increasing
         assert grp["p6"].is_monotonic_increasing
     assert ((a["p6"] > 0.0) & (a["p6"] <= 1.0)).all()
+
+
+def test_bm25_ndcg_layout_and_structure(ray_session, monkeypatch):
+    """The NDCG curve must be layout-free and structurally sound: the
+    ranked prefix is exactly doc_bm25_top_docs(k=10), every NDCG sits in
+    [0, 1], rank-1 NDCG is 1 exactly when the top hit has the corpus-max
+    relevance, and the ideal cumulative gain dominates the achieved one
+    at every cutoff."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_bm25_ndcg(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.doc_bm25_ndcg(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    top = r.doc_bm25_top_docs(sf, k=10)
+    assert list(a["doc_id"]) == list(top["doc_id"])
+    assert list(a["score"]) == list(top["score"])
+    vals = a["ndcg6"].dropna()
+    assert ((vals >= 0.0) & (vals <= 1.0 + 1e-9)).all()
+    # The ideal ranking is built from the corpus-wide rel histogram: if
+    # the achieved prefix IS an ideal prefix (rels sorted desc and the
+    # top rel equals the corpus max), NDCG@1 must be exactly 1.
+    import pyarrow.parquet as pq
+
+    txt = pq.read_table(sf + "/documents.parquet", columns=["text"])
+    corpus_max = 0
+    for v in txt["text"].to_pylist():
+        s = set((v or "").split())
+        corpus_max = max(corpus_max,
+                         sum(1 for t in ("hash", "join", "stream") if t in s))
+    if len(a) and int(a.iloc[0]["rel"]) == corpus_max and corpus_max > 0:
+        assert a.iloc[0]["ndcg6"] == 1.0
