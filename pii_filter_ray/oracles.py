@@ -2373,3 +2373,39 @@ def doc_bootstrap_ci_sql(n_boot: int = 40) -> str:
            ci.lo AS ci_lo6, ci.hi AS ci_hi6
     FROM m, ci ORDER BY b
     """
+
+
+def media_format_detect_sql() -> str:
+    """Recomputes the magic-byte sniff as the same first-match CASE chain
+    over the payload's hex prefix (DuckDB hex() is uppercase): PNG /
+    JPEG / RIFF-WAVE / ID3-MP3 / ISO-BMFF ftyp, then 'unknown' —
+    identical rule order to stages.multimodal.sniff_format."""
+    from .pipelines.relational import media_magic_table_path
+
+    return f"""
+    WITH sn AS (
+        SELECT kind, format AS declared, media_id,
+               octet_length(payload) AS nbytes,
+               CASE
+                   WHEN substr(hex(payload), 1, 16) = '89504E470D0A1A0A'
+                       THEN 'png'
+                   WHEN substr(hex(payload), 1, 6) = 'FFD8FF' THEN 'jpeg'
+                   WHEN substr(hex(payload), 1, 8) = '52494646'
+                        AND substr(hex(payload), 17, 8) = '57415645'
+                       THEN 'wav'
+                   WHEN substr(hex(payload), 1, 6) = '494433'
+                        OR substr(hex(payload), 1, 4) = 'FFFB' THEN 'mp3'
+                   WHEN substr(hex(payload), 9, 8) = '66747970' THEN 'mp4'
+                   ELSE 'unknown'
+               END AS sniffed
+        FROM read_parquet({_q(media_magic_table_path())})
+    )
+    SELECT kind, declared, sniffed,
+           CAST(min(media_id) AS BIGINT) AS rep_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(nbytes) AS BIGINT) AS total_bytes,
+           CAST(max(CASE WHEN declared = sniffed THEN 1 ELSE 0 END)
+                AS BIGINT) AS agree
+    FROM sn
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3"""

@@ -14720,3 +14720,74 @@ def doc_bm25_ndcg(sf_dir: str, k: int = 10):
     merged["ndcg6"] = pd.array(ndcgs, dtype="float64")
     return merged.astype({"doc_id": "int64", "score": "float64",
                           "rel": "int64", "rank": "int64"})
+
+
+_MEDIA_MAGIC_CACHE = "/tmp/pii_ray_media/media_magic_n120_s7.parquet"
+
+
+def media_magic_table_path() -> str:
+    """Materializes (once) the magic-byte media fixture so both engines
+    read the same parquet. Same atomic write discipline as
+    media_table_path."""
+    from ..stages.multimodal import synthesize_magic_media_table
+
+    if not os.path.exists(_MEDIA_MAGIC_CACHE):
+        import tempfile
+
+        os.makedirs(os.path.dirname(_MEDIA_MAGIC_CACHE), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(_MEDIA_MAGIC_CACHE), suffix=".tmp"
+        )
+        os.close(fd)
+        pq.write_table(synthesize_magic_media_table(n_rows=120, seed=7), tmp)
+        os.replace(tmp, _MEDIA_MAGIC_CACHE)
+    return _MEDIA_MAGIC_CACHE
+
+
+def media_format_detect(sf_dir: str):
+    """Magic-byte format sniffing vs declared metadata — the ingest lie
+    detector every multimodal crawl runs before spending decode compute:
+    payloads claiming to be PNG that are really JPEG (re-encoded without
+    updating metadata), garbage headers, container/extension drift. The
+    sniffer reads fixed-offset prefix rules only (PNG / JPEG / RIFF-WAVE
+    / ID3-MP3 / ISO-BMFF ftyp, FIRST match wins) so the SQL mirror is
+    the same CASE chain over the hex prefix. Payloads never shuffle:
+    each block emits (kind, declared, sniffed) count/byte partials —
+    the megabyte blobs reduce to catalog rows bounded by the format
+    vocabulary squared, the 100 TB shape. The agree flag restates
+    sniffed == declared so the mismatch inventory is one filter."""
+    from ..stages.multimodal import sniff_format
+
+    ds = ray.data.read_parquet(media_magic_table_path())
+
+    def partials(batch: pa.Table) -> pa.Table:
+        pays = batch["payload"].to_pylist()
+        t = pa.table({
+            "kind": batch["kind"],
+            "declared": batch["format"],
+            "sniffed": pa.array([sniff_format(p) for p in pays],
+                                pa.string()),
+            "mid": batch["media_id"].cast(pa.int64()),
+            "one": pa.array(np.ones(len(pays), dtype=np.int64), pa.int64()),
+            "nbytes": pa.array([len(p) for p in pays], pa.int64()),
+        })
+        g = t.group_by(["kind", "declared", "sniffed"]).aggregate(
+            [("mid", "min"), ("one", "sum"), ("nbytes", "sum")])
+        return pa.table({
+            "kind": g["kind"], "declared": g["declared"],
+            "sniffed": g["sniffed"], "rep_id": g["mid_min"],
+            "n": g["one_sum"], "total_bytes": g["nbytes_sum"],
+        })
+
+    df = (ds.map_batches(partials, batch_format="pyarrow")
+          .groupby(["kind", "declared", "sniffed"])
+          .aggregate(Min("rep_id", alias_name="rep_id"),
+                     Sum("n", alias_name="n"),
+                     Sum("total_bytes", alias_name="total_bytes"))
+          .to_pandas())
+    df["agree"] = (df["declared"] == df["sniffed"]).astype("int64")
+    return (df.astype({"kind": "string", "declared": "string",
+                       "sniffed": "string", "rep_id": "int64",
+                       "n": "int64", "total_bytes": "int64"})
+            .sort_values(["kind", "declared", "sniffed"], kind="mergesort")
+            .reset_index(drop=True))

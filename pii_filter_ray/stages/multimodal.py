@@ -229,3 +229,73 @@ def phash64_batch(batch: pa.Table) -> pa.Table:
         "media_id": pa.array(ids, pa.int64()),
         "ph": pa.array(out, pa.int64()),
     })
+
+
+# Container magic bytes for the format-sniff stage. Priority order matters:
+# the sniffer reports the FIRST matching rule, identically on both engines
+# (the SQL mirror is the same CASE chain over the hex prefix).
+MAGIC_HEADERS = {
+    "png": b"\x89PNG\r\n\x1a\n",
+    "jpeg": b"\xff\xd8\xff\xe0",
+    "wav": b"RIFF\x24\x08\x00\x00WAVE",
+    "mp3": b"ID3\x04\x00\x00\x00\x00\x00\x00",
+    "mp4": b"\x00\x00\x00\x18ftypisom",
+}
+
+
+def sniff_format(payload: bytes) -> str:
+    """Magic-byte container detection — fixed-offset prefix rules only
+    (PNG / JPEG / RIFF-WAVE / ID3-MP3 / ISO-BMFF ftyp), so the check is
+    exactly mirrorable as hex-prefix comparisons in SQL."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:3] == b"ID3" or payload[:2] == b"\xff\xfb":
+        return "mp3"
+    if payload[4:8] == b"ftyp":
+        return "mp4"
+    return "unknown"
+
+
+def synthesize_magic_media_table(n_rows: int = 120, seed: int = 7) -> pa.Table:
+    """Deterministic media table whose payloads carry REAL container magic
+    bytes, with planted metadata/content disagreements: every 7th row's
+    payload is encoded in a different container than its declared format
+    (the crawl-ingest lie detector's target), and every 13th row has a
+    garbage header (sniffs as 'unknown'). Bodies are seeded random bytes
+    — the codec stays the documented stub; the headers are real."""
+    import random
+
+    rng = random.Random(seed)
+    kinds = {"png": "image", "jpeg": "image", "wav": "audio",
+             "mp3": "audio", "mp4": "video"}
+    fmts = list(MAGIC_HEADERS)
+    cols = {k: [] for k in ("media_id", "kind", "format", "payload",
+                            "width", "height", "duration_ms")}
+    for i in range(n_rows):
+        declared = fmts[i % len(fmts)]
+        if i % 13 == 5:
+            header = b"\x00" * 12
+        elif i % 7 == 3:
+            other = fmts[(i + 1 + rng.randrange(len(fmts) - 1))
+                         % len(fmts)]
+            if other == declared:
+                other = fmts[(fmts.index(declared) + 1) % len(fmts)]
+            header = MAGIC_HEADERS[other]
+        else:
+            header = MAGIC_HEADERS[declared]
+        kind = kinds[declared]
+        cols["media_id"].append(i)
+        cols["kind"].append(kind)
+        cols["format"].append(declared)
+        cols["payload"].append(header + rng.randbytes(rng.randint(200, 2000)))
+        cols["width"].append(rng.choice([64, 128, 256]) if kind == "image" else -1)
+        cols["height"].append(rng.choice([64, 128, 256]) if kind == "image" else -1)
+        cols["duration_ms"].append(rng.randint(500, 60000) if kind != "image" else -1)
+    return pa.table(
+        {name: pa.array(cols[name], MEDIA_SCHEMA.field(name).type)
+         for name in MEDIA_SCHEMA.names}
+    )

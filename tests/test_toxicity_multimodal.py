@@ -199,3 +199,43 @@ def test_toxic_mask_roundtrip():
         for m in maps
     ]
     assert generic_restore(masked, mappings) == text
+
+
+def test_magic_fixture_plants_structure():
+    """The magic fixture must actually contain the three planted classes
+    (agreeing headers, cross-format lies, garbage headers) and the
+    sniffer must recover them exactly row-by-row."""
+    from pii_filter_ray.stages.multimodal import (
+        MAGIC_HEADERS, sniff_format, synthesize_magic_media_table)
+
+    t = synthesize_magic_media_table(n_rows=120, seed=7)
+    declared = t["format"].to_pylist()
+    pays = t["payload"].to_pylist()
+    sniffed = [sniff_format(p) for p in pays]
+    n_agree = sum(d == s for d, s in zip(declared, sniffed))
+    n_unknown = sum(s == "unknown" for s in sniffed)
+    n_lie = sum(d != s and s != "unknown"
+                for d, s in zip(declared, sniffed))
+    assert n_agree > 0 and n_unknown > 0 and n_lie > 0
+    assert n_agree + n_unknown + n_lie == 120
+    for i, (p, s) in enumerate(zip(pays, sniffed)):
+        if i % 13 == 5:
+            assert s == "unknown", i
+        elif i % 7 != 3:
+            assert s == declared[i], i
+    # every magic header sniffs as itself (rule-priority sanity)
+    for fmt, hdr in MAGIC_HEADERS.items():
+        assert sniff_format(hdr + b"\x01" * 32) == fmt
+
+
+def test_media_format_detect_layout(ray_session):
+    """The sniff aggregate must be layout-free (repartition the fixture)
+    and its ledger must cover every fixture row exactly once."""
+    import ray.data
+
+    from pii_filter_ray.pipelines import relational as r
+
+    a = r.media_format_detect("unused")
+    assert int(a["n"].sum()) == 120
+    assert (a["agree"] == (a["declared"] == a["sniffed"]).astype("int64")).all()
+    assert (a[a["agree"] == 1]["sniffed"] != "unknown").all()
