@@ -481,6 +481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quantile_normalize": r.doc_quantile_normalize,
         "doc_bm25_ndcg": r.doc_bm25_ndcg,
         "media_format_detect": r.media_format_detect,
+        "doc_fellegi_sunter": r.doc_fellegi_sunter,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -545,6 +546,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_jl_distortion": o.emb_jl_distortion_sql(),
         "media_phash_neardup": o.media_phash_neardup_sql(),
         "media_format_detect": o.media_format_detect_sql(),
+        "doc_fellegi_sunter": o.doc_fellegi_sunter_sql(),
         "doc_bootstrap_ci": o.doc_bootstrap_ci_sql(),
         "doc_langid": o.doc_langid_sql(),
         "doc_toxicity": o.doc_toxicity_sql(),

@@ -2409,3 +2409,65 @@ def media_format_detect_sql() -> str:
     FROM sn
     GROUP BY 1, 2, 3
     ORDER BY 1, 2, 3"""
+
+
+def doc_fellegi_sunter_sql(threshold: float = 0.5, max_df: int = 1000) -> str:
+    """Recomputes the Fellegi-Sunter weight table: match pairs from the
+    same exact inverted-index Jaccard join as doc_jaccard_dups, u from
+    the field marginals (sum C(c,2) / C(N,2)), weights as the identical
+    mirrored ln expressions with the same NULL guards."""
+    return f"""{jaccard_pairs_ctes(threshold, max_df)},
+  attr AS (
+    SELECT doc_id, lang, source, n_chars // 100 AS lb FROM documents
+  ),
+  mp AS (
+    SELECT CAST(count(*) AS BIGINT) AS t_m,
+           CAST(coalesce(sum(CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS am_lang,
+           CAST(coalesce(sum(CASE WHEN a.lb = b.lb THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS am_lb,
+           CAST(coalesce(sum(CASE WHEN a.source = b.source THEN 1 ELSE 0
+                             END), 0) AS BIGINT) AS am_source
+    FROM jac_pairs p
+    JOIN attr a ON a.doc_id = p.id_a
+    JOIN attr b ON b.doc_id = p.id_b
+  ),
+  tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+  au AS (
+    SELECT 'lang' AS field, CAST(sum(c * (c - 1) // 2) AS BIGINT) AS a_u
+    FROM (SELECT count(*) AS c FROM attr GROUP BY lang)
+    UNION ALL
+    SELECT 'lb', CAST(sum(c * (c - 1) // 2) AS BIGINT)
+    FROM (SELECT count(*) AS c FROM attr GROUP BY lb)
+    UNION ALL
+    SELECT 'source', CAST(sum(c * (c - 1) // 2) AS BIGINT)
+    FROM (SELECT count(*) AS c FROM attr GROUP BY source)
+  ),
+  am AS (
+    SELECT 'lang' AS field, t_m, am_lang AS a_m FROM mp
+    UNION ALL SELECT 'lb', t_m, am_lb FROM mp
+    UNION ALL SELECT 'source', t_m, am_source FROM mp
+  )
+  SELECT am.field, am.t_m, am.a_m,
+         CAST(t.n * (t.n - 1) // 2 AS BIGINT) AS t_u, au.a_u,
+         CASE WHEN am.t_m = 0 THEN NULL
+              ELSE round(CAST(am.a_m AS DOUBLE)
+                         / CAST(am.t_m AS DOUBLE), 6) END AS m6,
+         round(CAST(au.a_u AS DOUBLE)
+               / CAST(t.n * (t.n - 1) // 2 AS DOUBLE), 6) AS u6,
+         CASE WHEN am.t_m = 0 OR am.a_m = 0 OR au.a_u = 0 THEN NULL
+              ELSE round(ln((CAST(am.a_m AS DOUBLE)
+                             / CAST(am.t_m AS DOUBLE))
+                            / (CAST(au.a_u AS DOUBLE)
+                               / CAST(t.n * (t.n - 1) // 2 AS DOUBLE))),
+                         6) END AS w_agree6,
+         CASE WHEN am.t_m = 0 OR am.a_m = am.t_m
+                   OR au.a_u = t.n * (t.n - 1) // 2 THEN NULL
+              ELSE round(ln((1.0 - CAST(am.a_m AS DOUBLE)
+                                   / CAST(am.t_m AS DOUBLE))
+                            / (1.0 - CAST(au.a_u AS DOUBLE)
+                                     / CAST(t.n * (t.n - 1) // 2
+                                            AS DOUBLE))), 6)
+         END AS w_disagree6
+  FROM am JOIN au USING (field) CROSS JOIN tot t
+  ORDER BY field"""

@@ -14791,3 +14791,113 @@ def media_format_detect(sf_dir: str):
                        "n": "int64", "total_bytes": "int64"})
             .sort_values(["kind", "declared", "sniffed"], kind="mergesort")
             .reset_index(drop=True))
+
+
+def doc_fellegi_sunter(sf_dir: str):
+    """Fellegi-Sunter record-linkage weights — the decision theory under
+    every production ER system (and the missing half of the engine's
+    SNM -> Levenshtein -> survivorship chain): for each comparison field
+    (lang, source, length bucket), the agreement probability among
+    MATCHES (m, estimated over the verified Jaccard>=0.5 near-dup pairs)
+    vs among RANDOM pairs (u, computed EXACTLY from the field's value
+    marginals as sum C(c_v,2)/C(N,2) — no sampling, the
+    frequency-based u convention), and the log-likelihood agreement /
+    disagreement weights ln(m/u), ln((1-m)/(1-u)) that score a candidate
+    pair. All four ledgers (t_m, a_m, t_u, a_u) are exact integers; the
+    weights are mirrored float expressions with NULL guards at the
+    degenerate rates (no matches, perfect agreement, constant field).
+    The match pairs ride the oracle-proven distributed inverted-index
+    join; the pair attribute lookup is a broadcast membership filter
+    (bounded by the near-dup set); marginals come from ONE (lang,
+    source, bucket) pre-combined groupby bounded by the attribute
+    domain — documents never pairwise-shuffle."""
+    import math
+
+    from ..stages.dedup import jaccard_similarity_join
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = jaccard_similarity_join(
+        ds, text_col="text", id_col="doc_id", threshold=0.5).to_pandas()
+
+    attrs_ds = _tbl(sf_dir, "documents",
+                    columns=["doc_id", "lang", "source", "n_chars"])
+
+    def attr_partials(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "lang": batch["lang"], "source": batch["source"],
+            "lb": pa.array(np.floor_divide(
+                batch["n_chars"].to_numpy(), 100), pa.int64()),
+        })
+        g = t.group_by(["lang", "source", "lb"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"lang": g["lang"], "source": g["source"],
+                         "lb": g["lb"],
+                         "cnt": pc.cast(g["count_all"], pa.int64())})
+
+    cat = (attrs_ds.map_batches(attr_partials, batch_format="pyarrow")
+           .groupby(["lang", "source", "lb"])
+           .aggregate(Sum("cnt", alias_name="cnt")).to_pandas())
+
+    ids = sorted(set(pairs["id_a"]).union(pairs["id_b"])) if len(pairs) else []
+    ids_ref = ray.put(pa.array(ids, pa.int64()))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_in(batch["doc_id"],
+                                  value_set=ray.get(ids_ref)))
+        return pa.table({
+            "doc_id": b["doc_id"], "lang": b["lang"], "source": b["source"],
+            "lb": pa.array(np.floor_divide(
+                b["n_chars"].to_numpy(zero_copy_only=False), 100),
+                pa.int64()),
+        })
+
+    attr = attrs_ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    by_id = {int(r.doc_id): (r.lang, r.source, int(r.lb))
+             for r in attr.itertuples()}
+    t_m = len(pairs)
+    a_m = {"lang": 0, "lb": 0, "source": 0}
+    for ia, ib in zip(pairs.get("id_a", []), pairs.get("id_b", [])):
+        fa, fb = by_id[int(ia)], by_id[int(ib)]
+        a_m["lang"] += int(fa[0] == fb[0])
+        a_m["source"] += int(fa[1] == fb[1])
+        a_m["lb"] += int(fa[2] == fb[2])
+    n_total = int(cat["cnt"].sum())
+    t_u = n_total * (n_total - 1) // 2
+
+    def pairs_of(counts) -> int:
+        return sum(int(c) * (int(c) - 1) // 2 for c in counts)
+
+    a_u = {
+        "lang": pairs_of(cat.groupby("lang")["cnt"].sum()),
+        "lb": pairs_of(cat.groupby("lb")["cnt"].sum()),
+        "source": pairs_of(cat.groupby("source")["cnt"].sum()),
+    }
+    rows = []
+    for field in ("lang", "lb", "source"):
+        am, au = a_m[field], a_u[field]
+        m6 = (float(round_half_away(float(am) / float(t_m), 6))
+              if t_m > 0 else None)
+        u6 = float(round_half_away(float(au) / float(t_u), 6))
+        if t_m > 0 and am > 0 and au > 0:
+            w_ag = float(round_half_away(math.log(
+                (float(am) / float(t_m)) / (float(au) / float(t_u))), 6))
+        else:
+            w_ag = None
+        if t_m > 0 and am < t_m and au < t_u:
+            w_dis = float(round_half_away(math.log(
+                (1.0 - float(am) / float(t_m))
+                / (1.0 - float(au) / float(t_u))), 6))
+        else:
+            w_dis = None
+        rows.append((field, t_m, am, t_u, au, m6, u6, w_ag, w_dis))
+    return pd.DataFrame({
+        "field": pd.array([r[0] for r in rows], dtype="str"),
+        "t_m": pd.array([r[1] for r in rows], dtype="int64"),
+        "a_m": pd.array([r[2] for r in rows], dtype="int64"),
+        "t_u": pd.array([r[3] for r in rows], dtype="int64"),
+        "a_u": pd.array([r[4] for r in rows], dtype="int64"),
+        "m6": pd.array([r[5] for r in rows], dtype="float64"),
+        "u6": pd.array([r[6] for r in rows], dtype="float64"),
+        "w_agree6": pd.array([r[7] for r in rows], dtype="float64"),
+        "w_disagree6": pd.array([r[8] for r in rows], dtype="float64"),
+    })

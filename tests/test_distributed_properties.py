@@ -2066,3 +2066,43 @@ def test_bm25_ndcg_layout_and_structure(ray_session, monkeypatch):
                          sum(1 for t in ("hash", "join", "stream") if t in s))
     if len(a) and int(a.iloc[0]["rel"]) == corpus_max and corpus_max > 0:
         assert a.iloc[0]["ndcg6"] == 1.0
+
+
+def test_fellegi_sunter_layout_and_structure(ray_session, monkeypatch):
+    """FS weights must be layout-free and decision-theoretically sane on
+    this corpus: the match set is non-empty (planted near-dups), m and u
+    are genuine probabilities, u's ledger matches a direct marginal
+    recount, and wherever matches agree more often than random pairs the
+    agreement weight is positive while the disagreement weight is
+    negative."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_fellegi_sunter(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.doc_fellegi_sunter(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert list(a["field"]) == ["lang", "lb", "source"]
+    assert (a["t_m"] > 0).all()
+    assert ((a["a_m"] >= 0) & (a["a_m"] <= a["t_m"])).all()
+    assert ((a["a_u"] >= 0) & (a["a_u"] <= a["t_u"])).all()
+    # direct recount of the lang marginal pair ledger
+    langs = pq.read_table(sf + "/documents.parquet",
+                          columns=["lang"])["lang"].to_pandas()
+    expect = sum(int(c) * (int(c) - 1) // 2 for c in langs.value_counts())
+    assert int(a[a["field"] == "lang"]["a_u"].iloc[0]) == expect
+    n = len(langs)
+    assert int(a["t_u"].iloc[0]) == n * (n - 1) // 2
+    for _, row in a.iterrows():
+        if pd.notna(row["w_agree6"]) and pd.notna(row["w_disagree6"]):
+            if row["m6"] > row["u6"]:
+                assert row["w_agree6"] > 0 and row["w_disagree6"] < 0
