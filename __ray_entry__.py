@@ -482,6 +482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25_ndcg": r.doc_bm25_ndcg,
         "media_format_detect": r.media_format_detect,
         "doc_fellegi_sunter": r.doc_fellegi_sunter,
+        "doc_source_diversity": r.doc_source_diversity,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -5734,5 +5735,28 @@ def oracle_sql() -> dict[str, str]:
                                    / CAST(cidcg AS DOUBLE), 6)
                    END AS ndcg6
             FROM cum ORDER BY rank
+        """,
+        "doc_source_diversity": """
+            WITH c AS (
+                SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt
+                FROM documents GROUP BY 1, 2
+            ),
+            a AS (
+                SELECT source,
+                       CAST(count(*) AS BIGINT) AS n_langs,
+                       CAST(sum(cnt) AS BIGINT) AS n,
+                       CAST(sum(cnt * (cnt - 1)) AS BIGINT) AS ss,
+                       CAST(max(cnt) AS BIGINT) AS mx
+                FROM c GROUP BY 1
+            )
+            SELECT source, n AS n_docs, n_langs,
+                   CASE WHEN n <= 1 THEN NULL
+                        ELSE round(CAST(ss AS DOUBLE)
+                                   / (CAST(n AS DOUBLE)
+                                      * CAST(n - 1 AS DOUBLE)), 6)
+                   END AS simpson6,
+                   round(CAST(mx AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                       AS berger_parker6
+            FROM a ORDER BY source
         """,
     }

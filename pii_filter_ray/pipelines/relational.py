@@ -14901,3 +14901,42 @@ def doc_fellegi_sunter(sf_dir: str):
         "w_agree6": pd.array([r[7] for r in rows], dtype="float64"),
         "w_disagree6": pd.array([r[8] for r in rows], dtype="float64"),
     })
+
+
+def doc_source_diversity(sf_dir: str):
+    """Per-source language-diversity profile — the ecology triad
+    (richness, Simpson, Berger-Parker) a mix-engineering review reads
+    next to the sampling weights: how many languages a source carries,
+    the probability two random docs from it share a language (Simpson's
+    index — 1 = monoculture), and the dominant language's share. Both
+    indices are EXACT rationals of integer count ledgers — Simpson is
+    sum c(c-1) / (n(n-1)), dominance is max c / n — so each reported
+    value is one mirrored division (no entropy-style float sum whose
+    order could differ across engines). ONE (source, lang) pre-combined
+    groupby bounded by the attribute domain; the fold is driver-side
+    over that catalog, never rows."""
+    ds = _tbl(sf_dir, "documents", columns=["source", "lang"])
+    cat = (preagg_groupby(ds, ["source", "lang"], count_alias="cnt")
+           .to_pandas())
+    agg: Dict[str, list] = {}
+    for s, c in zip(cat["source"], cat["cnt"]):
+        cur = agg.setdefault(str(s), [0, 0, 0, 0])
+        cur[0] += 1
+        cur[1] += int(c)
+        cur[2] += int(c) * (int(c) - 1)
+        cur[3] = max(cur[3], int(c))
+    srcs = sorted(agg)
+    simpson, dom = [], []
+    for s in srcs:
+        _, n, ss, mx = agg[s]
+        simpson.append(
+            float(round_half_away(float(ss) / (float(n) * float(n - 1)), 6))
+            if n > 1 else None)
+        dom.append(float(round_half_away(float(mx) / float(n), 6)))
+    return pd.DataFrame({
+        "source": pd.array(srcs, dtype="str"),
+        "n_docs": pd.array([agg[s][1] for s in srcs], dtype="int64"),
+        "n_langs": pd.array([agg[s][0] for s in srcs], dtype="int64"),
+        "simpson6": pd.array(simpson, dtype="float64"),
+        "berger_parker6": pd.array(dom, dtype="float64"),
+    })

@@ -2106,3 +2106,35 @@ def test_fellegi_sunter_layout_and_structure(ray_session, monkeypatch):
         if pd.notna(row["w_agree6"]) and pd.notna(row["w_disagree6"]):
             if row["m6"] > row["u6"]:
                 assert row["w_agree6"] > 0 and row["w_disagree6"] < 0
+
+
+def test_source_diversity_layout_and_bounds(ray_session, monkeypatch):
+    """Diversity indices must be layout-free and obey the ecology
+    sandwich: Berger-Parker dominance in [1/n_langs, 1], Simpson in
+    [0, 1], Simpson == 1 iff the source is a one-language monoculture,
+    and doc counts ledger to the corpus."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_source_diversity(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.doc_source_diversity(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    n_docs = pq.read_table(sf + "/documents.parquet").num_rows
+    assert int(a["n_docs"].sum()) == n_docs
+    nl = a["n_langs"].astype(float)
+    assert ((a["berger_parker6"] >= 1.0 / nl - 1e-6)
+            & (a["berger_parker6"] <= 1.0)).all()
+    s_ok = a["simpson6"].dropna()
+    assert ((s_ok >= 0.0) & (s_ok <= 1.0)).all()
+    mono = a[(a["n_langs"] == 1) & (a["n_docs"] > 1)]
+    assert (mono["simpson6"] == 1.0).all()
