@@ -483,6 +483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_format_detect": r.media_format_detect,
         "doc_fellegi_sunter": r.doc_fellegi_sunter,
         "doc_source_diversity": r.doc_source_diversity,
+        "doc_doremi_weights": r.doc_doremi_weights,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -548,6 +549,7 @@ def oracle_sql() -> dict[str, str]:
         "media_phash_neardup": o.media_phash_neardup_sql(),
         "media_format_detect": o.media_format_detect_sql(),
         "doc_fellegi_sunter": o.doc_fellegi_sunter_sql(),
+        "doc_doremi_weights": o.doc_doremi_weights_sql(),
         "doc_bootstrap_ci": o.doc_bootstrap_ci_sql(),
         "doc_langid": o.doc_langid_sql(),
         "doc_toxicity": o.doc_toxicity_sql(),

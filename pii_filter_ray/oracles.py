@@ -2471,3 +2471,46 @@ def doc_fellegi_sunter_sql(threshold: float = 0.5, max_df: int = 1000) -> str:
          END AS w_disagree6
   FROM am JOIN au USING (field) CROSS JOIN tot t
   ORDER BY field"""
+
+
+def doc_doremi_weights_sql() -> str:
+    """Recomputes the DoReMi tilt from the same bigram-LM recompute as
+    the flagship (perplexity_ctes), with the identical micro-unit loss
+    quantization, mirrored excess expression, nano-unit tilt snap, and
+    exact-integer normalization."""
+    return f"""WITH {perplexity_ctes()},
+  pm AS (
+    SELECT d.source,
+           CAST(round(round(p.ppl_bits, 6) * 1000000.0, 0) AS BIGINT)
+               AS pmicro
+    FROM documents d JOIN ppl p ON p.doc_id = d.doc_id
+  ),
+  per AS (
+    SELECT source, CAST(sum(pmicro) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pm GROUP BY 1
+  ),
+  tot AS (
+    SELECT CAST(sum(s) AS BIGINT) AS st, CAST(sum(n) AS BIGINT) AS nt
+    FROM per
+  ),
+  tl AS (
+    SELECT per.source, per.s, per.n,
+           round((CAST(per.s AS DOUBLE) / CAST(per.n AS DOUBLE)
+                  - CAST(t.st AS DOUBLE) / CAST(t.nt AS DOUBLE))
+                 / 1000000.0, 9) AS excess9,
+           CAST(round(exp((CAST(per.s AS DOUBLE) / CAST(per.n AS DOUBLE)
+                           - CAST(t.st AS DOUBLE) / CAST(t.nt AS DOUBLE))
+                          / 1000000.0) * 1000000000.0, 0) AS BIGINT)
+               AS tilt_nano
+    FROM per CROSS JOIN tot t
+  ),
+  z AS (SELECT CAST(sum(n * tilt_nano) AS HUGEINT) AS z FROM tl)
+  SELECT tl.source, tl.n AS n_docs, tl.s AS loss_micro_sum, tl.excess9,
+         tl.tilt_nano,
+         round(CAST(tl.n AS DOUBLE) / CAST(t.nt AS DOUBLE), 6)
+             AS baseline6,
+         round(CAST(tl.n * tl.tilt_nano AS DOUBLE) / CAST(z.z AS DOUBLE), 6)
+             AS doremi_w6
+  FROM tl CROSS JOIN tot t CROSS JOIN z
+  ORDER BY tl.source"""

@@ -14940,3 +14940,68 @@ def doc_source_diversity(sf_dir: str):
         "simpson6": pd.array(simpson, dtype="float64"),
         "berger_parker6": pd.array(dom, dtype="float64"),
     })
+
+
+def doc_doremi_weights(sf_dir: str):
+    """DoReMi-style mixture reweighting (Xie et al. 2023's operating
+    principle, one exponential-tilt step with static losses): upweight
+    the sources whose mean LM loss exceeds the corpus mean — the domain
+    reweighting every multi-source training mix gets between proxy runs.
+    Per-doc loss is the char-bigram bits-per-char score ROUNDED to 6
+    digits on both engines (the ccnet convention) then lifted to an
+    exact micro-unit integer, so per-source loss sums are order-free
+    integer ledgers. The excess loss is one mirrored float expression,
+    the tilt exp(excess) SNAPS to a nano-unit integer on both engines
+    (quantize the factor, not the normalization), and the final weight
+    n_i*tilt_i / sum_j n_j*tilt_j is exact-integer-over-exact-integer —
+    ONE mirrored division per source, no float normalization whose
+    summation order could differ. One scoring pass, one bounded
+    (source) groupby; the fold is driver-side over the source catalog."""
+    import math
+
+    from ..stages import cached_stage_fn
+    from ..stages.quality_scrub import PerplexityStage
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    ppl_fn = cached_stage_fn(PerplexityStage, content_col="text")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = ppl_fn(batch)
+        p6 = round_half_away(
+            t["ppl_bits"].to_numpy(zero_copy_only=False), 6)
+        pmicro = round_half_away(p6 * 1000000.0, 0).astype(np.int64)
+        g = pa.table({
+            "source": t["source"],
+            "s": pa.array(pmicro, pa.int64()),
+            "one": pa.array(np.ones(len(pmicro), np.int64), pa.int64()),
+        }).group_by("source").aggregate([("s", "sum"), ("one", "sum")])
+        return pa.table({"source": g["source"], "s": g["s_sum"],
+                         "n": g["one_sum"]})
+
+    cat = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+           .to_pandas())
+    srcs = sorted(str(s) for s in cat["source"])
+    by = {str(r.source): (int(r.s), int(r.n)) for r in cat.itertuples()}
+    s_tot = sum(v[0] for v in by.values())
+    n_tot = sum(v[1] for v in by.values())
+    tilt_nano: Dict[str, int] = {}
+    excess9: Dict[str, float] = {}
+    for s in srcs:
+        si, ni = by[s]
+        x = (float(si) / float(ni) - float(s_tot) / float(n_tot)) / 1000000.0
+        excess9[s] = float(round_half_away(x, 9))
+        tilt_nano[s] = int(round_half_away(math.exp(x) * 1000000000.0, 0))
+    z = sum(by[s][1] * tilt_nano[s] for s in srcs)
+    return pd.DataFrame({
+        "source": pd.array(srcs, dtype="str"),
+        "n_docs": pd.array([by[s][1] for s in srcs], dtype="int64"),
+        "loss_micro_sum": pd.array([by[s][0] for s in srcs], dtype="int64"),
+        "excess9": pd.array([excess9[s] for s in srcs], dtype="float64"),
+        "tilt_nano": pd.array([tilt_nano[s] for s in srcs], dtype="int64"),
+        "baseline6": [float(round_half_away(
+            float(by[s][1]) / float(n_tot), 6)) for s in srcs],
+        "doremi_w6": [float(round_half_away(
+            float(by[s][1] * tilt_nano[s]) / float(z), 6)) for s in srcs],
+    })

@@ -2138,3 +2138,38 @@ def test_source_diversity_layout_and_bounds(ray_session, monkeypatch):
     assert ((s_ok >= 0.0) & (s_ok <= 1.0)).all()
     mono = a[(a["n_langs"] == 1) & (a["n_docs"] > 1)]
     assert (mono["simpson6"] == 1.0).all()
+
+
+def test_doremi_layout_and_tilt_direction(ray_session, monkeypatch):
+    """The tilt must be layout-free and point the right way: weights sum
+    to ~1, every source with above-corpus-mean loss gets upweighted
+    relative to its baseline share and every below-mean source gets
+    downweighted (the DoReMi direction), and a zero-excess source would
+    keep tilt exactly 1e9 nano-units."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_doremi_weights(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.doc_doremi_weights(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert abs(a["doremi_w6"].sum() - 1.0) < 1e-4
+    assert abs(a["baseline6"].sum() - 1.0) < 1e-4
+    up = a[a["excess9"] > 0]
+    dn = a[a["excess9"] < 0]
+    assert (up["tilt_nano"] > 1000000000).all()
+    assert (dn["tilt_nano"] < 1000000000).all()
+    # reweighting is monotone in excess loss: sorting by excess, the
+    # weight-to-baseline ratio (= tilt up to the shared normalizer)
+    # never decreases — the guaranteed DoReMi direction
+    srt = a.sort_values("excess9")
+    ratio = srt["doremi_w6"] / srt["baseline6"]
+    assert (ratio.diff().dropna() >= -1e-6).all()
