@@ -484,6 +484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fellegi_sunter": r.doc_fellegi_sunter,
         "doc_source_diversity": r.doc_source_diversity,
         "doc_doremi_weights": r.doc_doremi_weights,
+        "events_session_sweep": r.events_session_sweep,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -5760,5 +5761,35 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(mx AS DOUBLE) / CAST(n AS DOUBLE), 6)
                        AS berger_parker6
             FROM a ORDER BY source
+        """,
+        "events_session_sweep": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch_us(ts) - epoch_us(lag(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id))
+                           AS gap_us
+                FROM events
+            ),
+            u AS (
+                SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+                FROM events
+            ),
+            t(timeout_s) AS (
+                VALUES (300), (900), (1800), (3600), (7200)
+            )
+            SELECT CAST(t.timeout_s AS BIGINT) AS timeout_s, u.n_users,
+                   CAST(count(*) FILTER (
+                       g.gap_us > CAST(t.timeout_s AS BIGINT) * 1000000) AS BIGINT)
+                       AS n_gaps_over,
+                   u.n_users + CAST(count(*) FILTER (
+                       g.gap_us > CAST(t.timeout_s AS BIGINT) * 1000000) AS BIGINT)
+                       AS n_sessions,
+                   round(CAST(u.n_users + count(*) FILTER (
+                             g.gap_us > CAST(t.timeout_s AS BIGINT) * 1000000) AS DOUBLE)
+                         / CAST(u.n_users AS DOUBLE), 6)
+                       AS sessions_per_user6
+            FROM t CROSS JOIN g CROSS JOIN u
+            GROUP BY t.timeout_s, u.n_users
+            ORDER BY timeout_s
         """,
     }

@@ -15005,3 +15005,53 @@ def doc_doremi_weights(sf_dir: str):
         "doremi_w6": [float(round_half_away(
             float(by[s][1] * tilt_nano[s]) / float(z), 6)) for s in srcs],
     })
+
+
+SESSION_SWEEP_TIMEOUTS = (300, 900, 1800, 3600, 7200)
+
+
+def events_session_sweep(sf_dir: str):
+    """Session-timeout tuning curve — how many sessions the corpus splits
+    into at each candidate inactivity timeout, from ONE pass (the sweep
+    every sessionization pipeline runs before freezing its 30-minute
+    default). Identity: n_sessions(T) = n_users + #(within-user gaps >
+    T), so the whole curve is five exact integer counters over the same
+    per-user sorted-diff vector — users hash into buckets (never split),
+    each bucket emits one counter row, and the merge is a scalar Sum.
+    Gaps compare in exact integer MICROSECONDS against T*1e6 (DuckDB's
+    date_diff('second') truncates and would disagree on sub-second
+    boundaries — epoch_us mirrors exactly); ties at equal ts yield gap 0
+    under any tie order, so the curve is layout- and tie-order-free.
+    sessions_per_user6 is one mirrored division per row."""
+    ds = _tbl(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        same = uid[:-1] == uid[1:]
+        gaps = (ts[1:] - ts[:-1])[same]
+        row = {"n_users": [int(np.unique(uid).size)]}
+        for t in SESSION_SWEEP_TIMEOUTS:
+            row[f"over_{t}"] = [int((gaps > t * 1_000_000).sum())]
+        return pd.DataFrame(row)
+
+    st = (ds.map_batches(_add_user_bucket, batch_format="pyarrow")
+          .groupby("bucket").map_groups(sweep, batch_format="pandas")
+          .aggregate(Sum("n_users"),
+                     *[Sum(f"over_{t}") for t in SESSION_SWEEP_TIMEOUTS]))
+    n_users = int(st["sum(n_users)"])
+    rows = []
+    for t in SESSION_SWEEP_TIMEOUTS:
+        over = int(st[f"sum(over_{t})"])
+        rows.append((t, n_users, over, n_users + over,
+                     float(round_half_away(
+                         float(n_users + over) / float(n_users), 6))))
+    return pd.DataFrame({
+        "timeout_s": pd.array([r[0] for r in rows], dtype="int64"),
+        "n_users": pd.array([r[1] for r in rows], dtype="int64"),
+        "n_gaps_over": pd.array([r[2] for r in rows], dtype="int64"),
+        "n_sessions": pd.array([r[3] for r in rows], dtype="int64"),
+        "sessions_per_user6": pd.array([r[4] for r in rows],
+                                       dtype="float64"),
+    })

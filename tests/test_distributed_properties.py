@@ -2173,3 +2173,40 @@ def test_doremi_layout_and_tilt_direction(ray_session, monkeypatch):
     srt = a.sort_values("excess9")
     ratio = srt["doremi_w6"] / srt["baseline6"]
     assert (ratio.diff().dropna() >= -1e-6).all()
+
+
+def test_session_sweep_layout_and_monotone(ray_session, monkeypatch):
+    """The timeout curve must be layout-free and monotone: raising the
+    timeout can only merge sessions (n_sessions non-increasing in T),
+    the zero-timeout limit is bounded by event count, the
+    infinite-timeout limit by user count, and the T=1800 row must agree
+    with an independent per-user recount."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.events_session_sweep(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.events_session_sweep(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert a["n_sessions"].is_monotonic_decreasing
+    ev = pq.read_table(sf + "/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    assert (a["n_sessions"] <= len(ev)).all()
+    assert (a["n_sessions"] >= a["n_users"]).all()
+    assert (a["n_users"] == ev["user_id"].nunique()).all()
+    # independent recount at T=1800
+    ev = ev.sort_values(["user_id", "ts"], kind="mergesort")
+    gaps = ev.groupby("user_id")["ts"].diff().dropna()
+    over = int((gaps.dt.total_seconds() * 1_000_000
+                > 1800 * 1_000_000).sum())
+    row = a[a["timeout_s"] == 1800].iloc[0]
+    assert int(row["n_gaps_over"]) == over
