@@ -2210,3 +2210,29 @@ def test_session_sweep_layout_and_monotone(ray_session, monkeypatch):
                 > 1800 * 1_000_000).sum())
     row = a[a["timeout_s"] == 1800].iloc[0]
     assert int(row["n_gaps_over"]) == over
+
+
+@pytest.mark.parametrize("nparts", [17, 37])
+def test_power_method_family_layout_stress(ray_session, monkeypatch, nparts):
+    """Backlog probe made permanent: supplier_pagerank and emb_kmeans are
+    the two queries whose cross-engine equality leans on benign float
+    summation (float32-derived exactness / small-term structure) rather
+    than integer snapping — pin that their outputs are bit-identical
+    under aggressive re-blocking, the layout stress that would expose a
+    fold-order flicker first."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    for fn in (r.supplier_pagerank, r.emb_kmeans):
+        a = fn(sf)
+        monkeypatch.setattr(
+            r, "_tbl",
+            lambda s, name, columns=None:
+            base(s, name, columns=columns).repartition(nparts))
+        b = fn(sf)
+        monkeypatch.setattr(r, "_tbl", base)
+        pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                      b.reset_index(drop=True))
