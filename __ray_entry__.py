@@ -485,6 +485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_diversity": r.doc_source_diversity,
         "doc_doremi_weights": r.doc_doremi_weights,
         "events_session_sweep": r.events_session_sweep,
+        "doc_source_overlap": r.doc_source_overlap,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -5792,4 +5793,5 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY t.timeout_s, u.n_users
             ORDER BY timeout_s
         """,
+        "doc_source_overlap": o.doc_source_overlap_sql(),
     }

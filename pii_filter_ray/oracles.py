@@ -2514,3 +2514,36 @@ def doc_doremi_weights_sql() -> str:
              AS doremi_w6
   FROM tl CROSS JOIN tot t CROSS JOIN z
   ORDER BY tl.source"""
+
+
+def doc_source_overlap_sql(k: int = 3) -> str:
+    """Pairwise source shingle-overlap matrix (mirror of
+    relational.doc_source_overlap): per source the distinct shingle-hash
+    set (shared shingle_strings_cte contract), per unordered pair the
+    exact intersection, Jaccard and both directional containments."""
+    return f"""WITH {shingle_strings_cte(k)},
+  sh AS (
+    SELECT DISTINCT source, h FROM (
+      SELECT d.source AS source, unnest(s.shs) AS h
+      FROM doc_shingles s JOIN documents d USING (doc_id))
+  ),
+  ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+  pr AS (
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS inter
+    FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+  )
+  SELECT na.source AS src_a, nb.source AS src_b,
+         na.n AS n_a, nb.n AS n_b,
+         COALESCE(pr.inter, 0) AS inter,
+         round(CAST(COALESCE(pr.inter, 0) AS DOUBLE)
+               / CAST(na.n + nb.n - COALESCE(pr.inter, 0) AS DOUBLE), 6)
+             AS jaccard6,
+         round(CAST(COALESCE(pr.inter, 0) AS DOUBLE)
+               / CAST(na.n AS DOUBLE), 6) AS contain_a6,
+         round(CAST(COALESCE(pr.inter, 0) AS DOUBLE)
+               / CAST(nb.n AS DOUBLE), 6) AS contain_b6
+  FROM ns na JOIN ns nb ON na.source < nb.source
+  LEFT JOIN pr ON pr.src_a = na.source AND pr.src_b = nb.source
+  ORDER BY src_a, src_b"""

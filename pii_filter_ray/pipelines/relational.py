@@ -15055,3 +15055,91 @@ def events_session_sweep(sf_dir: str):
         "sessions_per_user6": pd.array([r[4] for r in rows],
                                        dtype="float64"),
     })
+
+
+def doc_source_overlap(sf_dir: str, shingle_k: int = 3,
+                       num_buckets: int = 64):
+    """Pairwise corpus-overlap matrix between sources — the
+    "how much of C4 is already inside CommonCrawl" question a mix
+    engineer answers before weighting sources into a training blend:
+    for every source pair, the Jaccard overlap of their distinct
+    word-shingle sets plus BOTH directional containments (a small
+    source fully contained in a big one has tiny Jaccard but
+    containment ~1 — the signal that actually decides "drop the
+    subset source"). Shingle contract shared with the jaccard/minhash
+    family (word_shingles + sql_hash64, mirrored by
+    oracles.shingle_strings_cte). Text never shuffles: each block
+    emits its distinct (shingle_hash, source) pairs, hash-bucketed so
+    cross-block dedup happens inside bounded groups, and each bucket
+    folds to at most |sources|^2 + |sources| counter rows. All ledgers
+    are exact integers; jaccard6 / containments are single mirrored
+    divisions over the driver-side source-catalog fold (never rows)."""
+    from ..stages.dedup import sql_hash64, word_shingles
+
+    ds = _tbl(sf_dir, "documents", columns=["text", "source"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        hs_l, src_l = [], []
+        for text, src in zip(batch["text"].to_pylist(),
+                             batch["source"].to_pylist()):
+            for h in {sql_hash64(s)
+                      for s in word_shingles(text or "", shingle_k)}:
+                hs_l.append(h)
+                src_l.append(src)
+        t = pa.table({
+            "h": pa.array(hs_l, pa.int64()),
+            "source": pa.array(src_l, pa.string()),
+        }).group_by(["h", "source"]).aggregate([])
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["h"],
+                                              num_buckets - 1), pa.int32()))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["h", "source"])
+        ns = g.groupby("source").size()
+        m = g.merge(g, on="h")
+        m = m[m["source_x"] < m["source_y"]]
+        pairs = m.groupby(["source_x", "source_y"]).size()
+        return pd.DataFrame({
+            "src_a": ([str(s) for s in ns.index]
+                      + [str(a) for a, _ in pairs.index]),
+            "src_b": ([""] * len(ns) + [str(b) for _, b in pairs.index]),
+            "cnt": np.concatenate([
+                ns.to_numpy(np.int64),
+                pairs.to_numpy(np.int64)]) if len(pairs) or len(ns)
+            else np.array([], np.int64),
+        })
+
+    part = (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby("bucket").map_groups(fold, batch_format="pandas")
+            .to_pandas())
+    n_by: Dict[str, int] = {}
+    inter: Dict[tuple, int] = {}
+    for a, b, c in zip(part["src_a"], part["src_b"], part["cnt"]):
+        if b == "":
+            n_by[str(a)] = n_by.get(str(a), 0) + int(c)
+        else:
+            k = (str(a), str(b))
+            inter[k] = inter.get(k, 0) + int(c)
+    srcs = sorted(n_by)
+    rows = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            iv = inter.get((a, b), 0)
+            na, nb = n_by[a], n_by[b]
+            rows.append((
+                a, b, na, nb, iv,
+                float(round_half_away(float(iv) / float(na + nb - iv), 6)),
+                float(round_half_away(float(iv) / float(na), 6)),
+                float(round_half_away(float(iv) / float(nb), 6)),
+            ))
+    return pd.DataFrame({
+        "src_a": pd.array([r[0] for r in rows], dtype="str"),
+        "src_b": pd.array([r[1] for r in rows], dtype="str"),
+        "n_a": pd.array([r[2] for r in rows], dtype="int64"),
+        "n_b": pd.array([r[3] for r in rows], dtype="int64"),
+        "inter": pd.array([r[4] for r in rows], dtype="int64"),
+        "jaccard6": pd.array([r[5] for r in rows], dtype="float64"),
+        "contain_a6": pd.array([r[6] for r in rows], dtype="float64"),
+        "contain_b6": pd.array([r[7] for r in rows], dtype="float64"),
+    })

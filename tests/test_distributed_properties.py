@@ -2236,3 +2236,36 @@ def test_power_method_family_layout_stress(ray_session, monkeypatch, nparts):
         monkeypatch.setattr(r, "_tbl", base)
         pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                       b.reset_index(drop=True))
+
+
+def test_source_overlap_layout_and_sandwich(ray_session, monkeypatch):
+    """The overlap matrix must be layout-free and obey the set-algebra
+    sandwich: inter <= min(n_a, n_b), jaccard <= both containments
+    (union >= each side), every source appears with ONE consistent
+    set size across all its rows, the pair count is C(n_sources, 2),
+    and the matrix is non-vacuous (sources share common-word shingles)."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_source_overlap(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.doc_source_overlap(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert (a["inter"] <= a[["n_a", "n_b"]].min(axis=1)).all()
+    assert (a["jaccard6"] <= a["contain_a6"] + 1e-9).all()
+    assert (a["jaccard6"] <= a["contain_b6"] + 1e-9).all()
+    sizes = {}
+    for _, row in a.iterrows():
+        for s, n in ((row["src_a"], row["n_a"]), (row["src_b"], row["n_b"])):
+            assert sizes.setdefault(s, n) == n
+    ns = len(sizes)
+    assert len(a) == ns * (ns - 1) // 2
+    assert (a["inter"] > 0).any()
