@@ -486,6 +486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_doremi_weights": r.doc_doremi_weights,
         "events_session_sweep": r.events_session_sweep,
         "doc_source_overlap": r.doc_source_overlap,
+        "doc_blocking_quality": r.doc_blocking_quality,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -5794,4 +5795,5 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY timeout_s
         """,
         "doc_source_overlap": o.doc_source_overlap_sql(),
+        "doc_blocking_quality": o.doc_blocking_quality_sql(),
     }

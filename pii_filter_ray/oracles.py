@@ -2547,3 +2547,72 @@ def doc_source_overlap_sql(k: int = 3) -> str:
   FROM ns na JOIN ns nb ON na.source < nb.source
   LEFT JOIN pr ON pr.src_a = na.source AND pr.src_b = nb.source
   ORDER BY src_a, src_b"""
+
+
+def doc_blocking_quality_sql(threshold: float = 0.5, max_df: int = 1000,
+                             k: int = 3) -> str:
+    """Blocking-evaluation triad (mirror of relational.doc_blocking_quality):
+    both candidate generators — MinHash+LSH (shared _minhash_cand_ctes
+    chain) and sorted-neighborhood window 3 — graded against the exact
+    Jaccard >= threshold truth (shared sh_rows/shared/pair_counts chain)
+    by reduction ratio, pairs completeness and pair quality."""
+    return f"""WITH {_minhash_cand_ctes(k=k)},
+  sh_rows AS (
+    SELECT doc_id, unnest(shs) AS sh, len(shs) AS n_sh
+    FROM doc_shingles WHERE len(shs) > 0
+  ),
+  shared AS (
+    SELECT sh FROM sh_rows GROUP BY sh
+    HAVING count(*) >= 2 AND count(*) <= {max_df}
+  ),
+  pair_counts AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS c, min(a.n_sh) AS n_a, min(b.n_sh) AS n_b
+    FROM sh_rows a
+    JOIN sh_rows b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    JOIN shared s ON s.sh = a.sh
+    GROUP BY 1, 2
+  ),
+  truth AS (
+    SELECT id_a, id_b FROM pair_counts
+    WHERE CAST(c AS DOUBLE) / (n_a + n_b - c) >= {threshold}
+  ),
+  snm_r AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY substr(text, 1, 16), doc_id) - 1
+               AS rn
+    FROM documents
+  ),
+  snm AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM snm_r a JOIN snm_r b ON b.rn > a.rn AND b.rn <= a.rn + 2
+  ),
+  base AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) * (CAST(count(*) AS BIGINT) - 1) // 2
+               AS n_space,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true
+    FROM documents
+  ),
+  schemes AS (
+    SELECT 'minhash_lsh' AS scheme,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand c
+            JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b) AS n_hit
+    UNION ALL
+    SELECT 'sorted_neighborhood',
+           (SELECT CAST(count(*) AS BIGINT) FROM snm),
+           (SELECT CAST(count(*) AS BIGINT) FROM snm c
+            JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b)
+  )
+  SELECT s.scheme, s.n_cand, b.n_true, s.n_hit,
+         round(1.0 - CAST(s.n_cand AS DOUBLE)
+                     / CAST(b.n_space AS DOUBLE), 6) AS rr6,
+         CASE WHEN b.n_true = 0 THEN NULL
+              ELSE round(CAST(s.n_hit AS DOUBLE)
+                         / CAST(b.n_true AS DOUBLE), 6) END AS pc6,
+         CASE WHEN s.n_cand = 0 THEN NULL
+              ELSE round(CAST(s.n_hit AS DOUBLE)
+                         / CAST(s.n_cand AS DOUBLE), 6) END AS pq6
+  FROM schemes s CROSS JOIN base b
+  ORDER BY scheme"""

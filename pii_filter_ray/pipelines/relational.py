@@ -15143,3 +15143,100 @@ def doc_source_overlap(sf_dir: str, shingle_k: int = 3,
         "contain_a6": pd.array([r[6] for r in rows], dtype="float64"),
         "contain_b6": pd.array([r[7] for r in rows], dtype="float64"),
     })
+
+
+def doc_blocking_quality(sf_dir: str, threshold: float = 0.5,
+                         num_buckets: int = 64):
+    """Blocking-scheme evaluation triad (Christen's standard ER metrics):
+    grades BOTH candidate generators the engine ships — sorted-
+    neighborhood (window 3) and MinHash+LSH — against the exact
+    inverted-index Jaccard >= threshold truth set, reporting per scheme
+    the reduction ratio (1 - candidates/C(N,2), how much of the
+    quadratic pair space the blocker prunes), pairs completeness
+    (recall: fraction of true matches surviving as candidates) and pair
+    quality (precision: fraction of candidates that are true matches).
+    This is the table that decides WHICH blocker a corpus-scale dedup
+    run uses. All four ledgers per scheme are exact integers; the three
+    ratios are single mirrored divisions with NULL guards at the
+    degenerate denominators. Candidate/truth pair sets never land on
+    the driver: the hit count tags both sets, hash-buckets the pair
+    keys, and each bucket folds to one counter row."""
+    from ..stages.blocking import sorted_neighborhood_pairs
+    from ..stages.dedup import jaccard_similarity_join, minhash_lsh_pairs
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
+    n_space = n_docs * (n_docs - 1) // 2
+
+    truth = jaccard_similarity_join(
+        ds, "text", "doc_id", threshold=threshold
+    ).select_columns(["id_a", "id_b"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.utf8_slice_codeunits(batch["text"], 0, 16),
+            "doc_id": batch["doc_id"],
+        })
+
+    snm = sorted_neighborhood_pairs(
+        ds.map_batches(prep, batch_format="pyarrow"), window=3
+    ).select_columns(["id_a", "id_b"])
+    lsh = minhash_lsh_pairs(
+        ds, text_col="text", id_col="doc_id"
+    ).select_columns(["id_a", "id_b"])
+
+    def tagger(is_truth: bool):
+        def tag(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            one = np.ones(n, np.int64)
+            zero = np.zeros(n, np.int64)
+            a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            bucket = ((a * 2654435761 + b) % num_buckets).astype(np.int32)
+            return pa.table({
+                "id_a": pa.array(a, pa.int64()),
+                "id_b": pa.array(b, pa.int64()),
+                "c": pa.array(zero if is_truth else one, pa.int64()),
+                "t": pa.array(one if is_truth else zero, pa.int64()),
+                "bucket": pa.array(bucket, pa.int32()),
+            })
+        return tag
+
+    def hits(cand: "ray.data.Dataset") -> int:
+        u = cand.map_batches(tagger(False), batch_format="pyarrow").union(
+            truth.map_batches(tagger(True), batch_format="pyarrow"))
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            m = g.groupby(["id_a", "id_b"]).agg(
+                c=("c", "max"), t=("t", "max"))
+            return pd.DataFrame({
+                "n_hit": [int(((m["c"] > 0) & (m["t"] > 0)).sum())]})
+
+        st = (u.groupby("bucket").map_groups(fold, batch_format="pandas")
+              .aggregate(Sum("n_hit")))
+        return int(st["sum(n_hit)"] or 0)
+
+    n_true = truth.count()
+    rows = []
+    for scheme, cand in (("minhash_lsh", lsh),
+                         ("sorted_neighborhood", snm)):
+        n_cand = cand.count()
+        n_hit = hits(cand) if n_cand else 0
+        rows.append((
+            scheme, n_cand, n_true, n_hit,
+            float(round_half_away(
+                1.0 - float(n_cand) / float(n_space), 6)),
+            (float(round_half_away(float(n_hit) / float(n_true), 6))
+             if n_true else None),
+            (float(round_half_away(float(n_hit) / float(n_cand), 6))
+             if n_cand else None),
+        ))
+    return pd.DataFrame({
+        "scheme": pd.array([r[0] for r in rows], dtype="str"),
+        "n_cand": pd.array([r[1] for r in rows], dtype="int64"),
+        "n_true": pd.array([r[2] for r in rows], dtype="int64"),
+        "n_hit": pd.array([r[3] for r in rows], dtype="int64"),
+        "rr6": pd.array([r[4] for r in rows], dtype="float64"),
+        "pc6": pd.array([r[5] for r in rows], dtype="float64"),
+        "pq6": pd.array([r[6] for r in rows], dtype="float64"),
+    })

@@ -2269,3 +2269,34 @@ def test_source_overlap_layout_and_sandwich(ray_session, monkeypatch):
     ns = len(sizes)
     assert len(a) == ns * (ns - 1) // 2
     assert (a["inter"] > 0).any()
+
+
+def test_blocking_quality_layout_and_bounds(ray_session, monkeypatch):
+    """The blocking triad must be layout-free and obey its algebra:
+    n_hit <= min(n_cand, n_true), every ratio in [0, 1] (rr can be
+    negative only if a blocker EXPANDS the pair space, impossible
+    here), both schemes share one n_true ledger, and LSH at the
+    default banding must be a non-vacuous candidate generator."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_blocking_quality(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.doc_blocking_quality(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert (a["n_hit"] <= a[["n_cand", "n_true"]].min(axis=1)).all()
+    assert a["n_true"].nunique() == 1
+    assert ((a["rr6"] >= 0.0) & (a["rr6"] <= 1.0)).all()
+    for c in ("pc6", "pq6"):
+        v = a[c].dropna()
+        assert ((v >= 0.0) & (v <= 1.0)).all()
+    lsh = a[a["scheme"] == "minhash_lsh"].iloc[0]
+    assert lsh["n_cand"] > 0
