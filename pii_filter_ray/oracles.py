@@ -2616,3 +2616,28 @@ def doc_blocking_quality_sql(threshold: float = 0.5, max_df: int = 1000,
                          / CAST(s.n_cand AS DOUBLE), 6) END AS pq6
   FROM schemes s CROSS JOIN base b
   ORDER BY scheme"""
+
+
+def doc_chao1_vocab_sql() -> str:
+    """Chao1 + Good-Turing vocabulary-saturation mirror
+    (relational.doc_chao1_vocab): word counts -> frequency-of-
+    frequencies -> the two closed-form estimators over exact ledgers."""
+    return f"""WITH w AS (
+    SELECT unnest({words_expr('text')}) AS word FROM documents
+  ),
+  wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1),
+  led AS (
+    SELECT CAST(count(*) AS BIGINT) AS v,
+           CAST(sum(n) AS BIGINT) AS n_tok,
+           CAST(count(*) FILTER (n = 1) AS BIGINT) AS f1,
+           CAST(count(*) FILTER (n = 2) AS BIGINT) AS f2
+    FROM wc
+  )
+  SELECT v AS n_words, n_tok AS n_tokens, f1, f2,
+         round(CAST(v AS DOUBLE)
+               + CAST(f1 * (f1 - 1) AS DOUBLE)
+                 / CAST(2 * (f2 + 1) AS DOUBLE), 6) AS chao16,
+         CASE WHEN n_tok = 0 THEN NULL
+              ELSE round(CAST(f1 AS DOUBLE) / CAST(n_tok AS DOUBLE), 6)
+         END AS gt_unseen6
+  FROM led"""

@@ -15240,3 +15240,68 @@ def doc_blocking_quality(sf_dir: str, threshold: float = 0.5,
         "pc6": pd.array([r[5] for r in rows], dtype="float64"),
         "pq6": pd.array([r[6] for r in rows], dtype="float64"),
     })
+
+
+def doc_chao1_vocab(sf_dir: str):
+    """Vocabulary saturation audit — Chao1 richness estimate plus the
+    Good-Turing unseen-probability mass, the two numbers that answer
+    "has this corpus's vocabulary converged, or does the next crawl
+    shard still buy new words?" before committing a tokenizer vocab.
+    Both estimators are functions of the word frequency-of-frequencies
+    only: Chao1 (bias-corrected) = V + F1*(F1-1)/(2*(F2+1)) and
+    Good-Turing P0 = F1/N — EXACT rationals of four integer ledgers
+    (V distinct words, N total tokens, F1 singletons, F2 doubletons),
+    so each reported value is one mirrored float expression with no
+    order-dependent summation. Two bounded shuffles: per-block word-
+    count partials -> groupby(word) (vocab-bounded, the doc_top_words
+    shape), then the count column collapses to per-block frequency-
+    histogram partials -> one tiny groupby(cnt) bounded by the max
+    word frequency. Words never ride with documents; text never
+    shuffles twice."""
+    ds = _tbl(sf_dir, "documents", columns=["text"])
+
+    def word_partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for v in batch["text"].to_pylist():
+            counts.update((v or "").split())
+        return pa.table({
+            "word": pa.array(list(counts.keys()), pa.string()),
+            "n": pa.array(list(counts.values()), pa.int64()),
+        })
+
+    word_counts = (ds.map_batches(word_partials, batch_format="pyarrow")
+                   .groupby("word")
+                   .aggregate(Sum("n", alias_name="n")))
+
+    def fof_partials(batch: pa.Table) -> pa.Table:
+        g = pa.table({
+            "cnt": batch["n"],
+            "f": pa.array(np.ones(len(batch), np.int64), pa.int64()),
+            "tok": batch["n"],
+        }).group_by("cnt").aggregate([("f", "sum"), ("tok", "sum")])
+        return pa.table({"cnt": g["cnt"], "f": g["f_sum"],
+                         "tok": g["tok_sum"]})
+
+    fof = (word_counts.map_batches(fof_partials, batch_format="pyarrow")
+           .groupby("cnt")
+           .aggregate(Sum("f", alias_name="f"), Sum("tok", alias_name="tok"))
+           .to_pandas())
+    v = int(fof["f"].sum())
+    n_tok = int(fof["tok"].sum())
+    by = {int(c): int(f) for c, f in zip(fof["cnt"], fof["f"])}
+    f1, f2 = by.get(1, 0), by.get(2, 0)
+    chao1 = float(v) + float(f1 * (f1 - 1)) / float(2 * (f2 + 1))
+    p0 = float(f1) / float(n_tok) if n_tok else None
+    return pd.DataFrame({
+        "n_words": pd.array([v], dtype="int64"),
+        "n_tokens": pd.array([n_tok], dtype="int64"),
+        "f1": pd.array([f1], dtype="int64"),
+        "f2": pd.array([f2], dtype="int64"),
+        "chao16": pd.array([float(round_half_away(chao1, 6))],
+                           dtype="float64"),
+        "gt_unseen6": pd.array(
+            [float(round_half_away(p0, 6)) if p0 is not None else None],
+            dtype="float64"),
+    })

@@ -2300,3 +2300,44 @@ def test_blocking_quality_layout_and_bounds(ray_session, monkeypatch):
         assert ((v >= 0.0) & (v <= 1.0)).all()
     lsh = a[a["scheme"] == "minhash_lsh"].iloc[0]
     assert lsh["n_cand"] > 0
+
+
+def test_chao1_layout_and_estimator_algebra(ray_session, monkeypatch):
+    """Chao1 must be layout-free and obey the estimator's algebra:
+    chao1 >= V always (the correction is non-negative), F1 + 2*F2 <= N,
+    F1 + F2 <= V, Good-Turing unseen mass in [0, 1], and the ledgers
+    must tie out against an independent driver-side recount."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_chao1_vocab(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.doc_chao1_vocab(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    row = a.iloc[0]
+    assert row["chao16"] >= row["n_words"]
+    assert row["f1"] + 2 * row["f2"] <= row["n_tokens"]
+    assert row["f1"] + row["f2"] <= row["n_words"]
+    assert 0.0 <= row["gt_unseen6"] <= 1.0
+
+    import collections
+
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(sf + "/documents.parquet",
+                          columns=["text"])["text"].to_pylist()
+    c = collections.Counter()
+    for t in texts:
+        c.update((t or "").split())
+    assert row["n_words"] == len(c)
+    assert row["n_tokens"] == sum(c.values())
+    assert row["f1"] == sum(1 for v in c.values() if v == 1)
+    assert row["f2"] == sum(1 for v in c.values() if v == 2)
