@@ -2641,3 +2641,45 @@ def doc_chao1_vocab_sql() -> str:
               ELSE round(CAST(f1 AS DOUBLE) / CAST(n_tok AS DOUBLE), 6)
          END AS gt_unseen6
   FROM led"""
+
+
+def doc_reliability_diagram_sql(half_len: int = 500) -> str:
+    """Reliability-diagram / Murphy-term mirror
+    (relational.doc_reliability_diagram): snap the length-prior
+    forecast to micro units, bin on the snapped integer, exact ledgers
+    per bin, one mirrored float expression per reported statistic."""
+    return f"""WITH p AS (
+    SELECT CAST(round(1000000.0 * (CAST(n_chars AS DOUBLE)
+                                   / CAST(n_chars + {half_len} AS DOUBLE)),
+                      0) AS BIGINT) AS pm,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+    FROM documents
+  ),
+  b AS (
+    SELECT pm // 100000 AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST(sum(pm) AS BIGINT) AS sp_micro,
+           sum(CAST(pm - 1000000 * y AS HUGEINT)
+               * CAST(pm - 1000000 * y AS HUGEINT)) AS sq
+    FROM p GROUP BY 1
+  ),
+  g AS (
+    SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(n_pos) AS BIGINT) AS pp
+    FROM b
+  )
+  SELECT bin, n, n_pos, sp_micro,
+         round(CAST(sp_micro AS DOUBLE) / CAST(n AS DOUBLE)
+               / 1000000.0, 6) AS fbar6,
+         round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obar6,
+         round(CAST(sq AS DOUBLE)
+               / (CAST(n AS DOUBLE) * 1000000000000.0), 9) AS bin_brier9,
+         round(CAST(CAST(sp_micro - n_pos * 1000000 AS HUGEINT)
+                    * CAST(sp_micro - n_pos * 1000000 AS HUGEINT) AS DOUBLE)
+               / (CAST(n AS DOUBLE) * 1000000000000.0), 9)
+             AS rel_contrib9,
+         round(CAST(CAST(n_pos * g.nn - g.pp * n AS HUGEINT)
+                    * CAST(n_pos * g.nn - g.pp * n AS HUGEINT) AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(g.nn AS DOUBLE)
+                  * CAST(g.nn AS DOUBLE)), 9) AS res_contrib9
+  FROM b CROSS JOIN g ORDER BY bin"""

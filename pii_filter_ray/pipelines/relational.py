@@ -15305,3 +15305,84 @@ def doc_chao1_vocab(sf_dir: str):
             [float(round_half_away(p0, 6)) if p0 is not None else None],
             dtype="float64"),
     })
+
+
+def doc_reliability_diagram(sf_dir: str, half_len: int = 500):
+    """Calibration audit of a probabilistic quality forecast — the
+    reliability diagram plus Murphy's per-bin Brier decomposition terms,
+    the table a curation review reads before trusting ANY score as a
+    probability (doc_quality_auc says the score RANKS well; this says
+    whether 0.8 means 80%). Forecast: the length-prior squashing
+    p = n_chars / (n_chars + half_len) against the same lang = 'en'
+    label as the AUC family. p SNAPS to micro-unit integers on both
+    engines before binning (bin = pm // 1e5), so no boundary doc can
+    flip bins; per bin the four ledgers (n, positives, sum of snapped
+    forecasts, sum of squared micro-errors) are exact integers — the
+    squared-error ledger folds as Python ints (SQL HUGEINT) so it
+    cannot overflow at any corpus size — and every reported statistic
+    (forecast mean, observed rate, bin Brier, reliability and
+    resolution contributions) is ONE mirrored float expression of
+    exact integers. Blocks ship at most 11 counter rows each; no
+    shuffle at all."""
+    ds = _tbl(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        p = nch / (nch + float(half_len))
+        pm = round_half_away(1000000.0 * p, 0).astype(np.int64)
+        y = pc.equal(batch["lang"], pa.scalar("en")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        d = pm - 1000000 * y
+        df = pd.DataFrame({"bin": pm // 100000, "y": y, "pm": pm,
+                           "sq": d * d})
+        g = df.groupby("bin", as_index=False).agg(
+            n=("y", "size"), n_pos=("y", "sum"), sp=("pm", "sum"),
+            sq=("sq", "sum"))
+        return pa.table({
+            "bin": pa.array(g["bin"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            "n_pos": pa.array(g["n_pos"].to_numpy(np.int64), pa.int64()),
+            "sp": pa.array(g["sp"].to_numpy(np.int64), pa.int64()),
+            "sq": pa.array([str(int(v)) for v in g["sq"]], pa.string()),
+        })
+
+    parts = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    agg: Dict[int, list] = {}
+    for b, n, p_, sp, sq in zip(parts["bin"], parts["n"], parts["n_pos"],
+                                parts["sp"], parts["sq"]):
+        cur = agg.setdefault(int(b), [0, 0, 0, 0])
+        cur[0] += int(n)
+        cur[1] += int(p_)
+        cur[2] += int(sp)
+        cur[3] += int(sq)
+    nn = sum(v[0] for v in agg.values())
+    pp = sum(v[1] for v in agg.values())
+    rows = []
+    for b in sorted(agg):
+        n, pos, sp, sq = agg[b]
+        d = sp - pos * 1000000
+        e = pos * nn - pp * n
+        rows.append((
+            b, n, pos, sp,
+            float(round_half_away(
+                float(sp) / float(n) / 1000000.0, 6)),
+            float(round_half_away(float(pos) / float(n), 6)),
+            float(round_half_away(
+                float(sq) / (float(n) * 1000000000000.0), 9)),
+            float(round_half_away(
+                float(d * d) / (float(n) * 1000000000000.0), 9)),
+            float(round_half_away(
+                float(e * e) / (float(n) * float(nn) * float(nn)), 9)),
+        ))
+    return pd.DataFrame({
+        "bin": pd.array([r[0] for r in rows], dtype="int64"),
+        "n": pd.array([r[1] for r in rows], dtype="int64"),
+        "n_pos": pd.array([r[2] for r in rows], dtype="int64"),
+        "sp_micro": pd.array([r[3] for r in rows], dtype="int64"),
+        "fbar6": pd.array([r[4] for r in rows], dtype="float64"),
+        "obar6": pd.array([r[5] for r in rows], dtype="float64"),
+        "bin_brier9": pd.array([r[6] for r in rows], dtype="float64"),
+        "rel_contrib9": pd.array([r[7] for r in rows], dtype="float64"),
+        "res_contrib9": pd.array([r[8] for r in rows], dtype="float64"),
+    })

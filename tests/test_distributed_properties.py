@@ -2341,3 +2341,38 @@ def test_chao1_layout_and_estimator_algebra(ray_session, monkeypatch):
     assert row["n_tokens"] == sum(c.values())
     assert row["f1"] == sum(1 for v in c.values() if v == 1)
     assert row["f2"] == sum(1 for v in c.values() if v == 2)
+
+
+def test_reliability_diagram_layout_and_murphy_algebra(
+        ray_session, monkeypatch):
+    """The calibration table must be layout-free and obey the diagram's
+    algebra: bin means live inside their bin's forecast interval
+    [bin/10, (bin+1)/10), observed rates in [0, 1], every contribution
+    non-negative, the doc ledger ties to the corpus, and a bin whose
+    forecast mean equals its observed rate has zero reliability
+    contribution."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_reliability_diagram(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.doc_reliability_diagram(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    n_docs = pq.read_table(sf + "/documents.parquet").num_rows
+    assert int(a["n"].sum()) == n_docs
+    assert (a["fbar6"] >= a["bin"] / 10.0 - 1e-6).all()
+    assert (a["fbar6"] <= (a["bin"] + 1) / 10.0 + 1e-6).all()
+    assert ((a["obar6"] >= 0.0) & (a["obar6"] <= 1.0)).all()
+    for c in ("bin_brier9", "rel_contrib9", "res_contrib9"):
+        assert (a[c] >= 0.0).all()
+    perfect = a[a["fbar6"] == a["obar6"]]
+    assert (perfect["rel_contrib9"] <= 1e-9).all()
