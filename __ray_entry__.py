@@ -489,6 +489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_blocking_quality": r.doc_blocking_quality,
         "doc_chao1_vocab": r.doc_chao1_vocab,
         "doc_reliability_diagram": r.doc_reliability_diagram,
+        "media_wav_duration": r.media_wav_duration,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -5800,4 +5801,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_blocking_quality": o.doc_blocking_quality_sql(),
         "doc_chao1_vocab": o.doc_chao1_vocab_sql(),
         "doc_reliability_diagram": o.doc_reliability_diagram_sql(),
+        "media_wav_duration": o.media_wav_duration_sql(),
     }

@@ -2683,3 +2683,49 @@ def doc_reliability_diagram_sql(half_len: int = 500) -> str:
                / (CAST(n AS DOUBLE) * CAST(g.nn AS DOUBLE)
                   * CAST(g.nn AS DOUBLE)), 9) AS res_contrib9
   FROM b CROSS JOIN g ORDER BY bin"""
+
+
+def media_wav_duration_sql() -> str:
+    """Recomputes the fixed-offset WAV header parse from the payload's
+    hex string (little-endian byte reassembly: byte offset k -> hex
+    position 2k+1) and the three header invariants — identical integer
+    arithmetic to relational.media_wav_duration, floats never appear."""
+    from .pipelines.relational import media_wav_table_path
+
+    def u16(k: int) -> str:
+        p = 2 * k + 1
+        return (f"CAST(CAST('0x' || substr(h, {p + 2}, 2) || "
+                f"substr(h, {p}, 2) AS UBIGINT) AS BIGINT)")
+
+    def u32(k: int) -> str:
+        p = 2 * k + 1
+        return (f"CAST(CAST('0x' || substr(h, {p + 6}, 2) || "
+                f"substr(h, {p + 4}, 2) || substr(h, {p + 2}, 2) || "
+                f"substr(h, {p}, 2) AS UBIGINT) AS BIGINT)")
+
+    return f"""
+    WITH raw AS (
+        SELECT media_id, declared_ms, hex(payload) AS h,
+               octet_length(payload) AS plen
+        FROM read_parquet({_q(media_wav_table_path())})
+    ),
+    fields AS (
+        SELECT media_id, declared_ms, plen,
+               {u16(22)} AS channels,
+               {u32(24)} AS sample_rate,
+               {u32(28)} AS byte_rate,
+               {u16(34)} AS bits,
+               {u32(40)} AS data_size
+        FROM raw
+    )
+    SELECT media_id, channels, sample_rate, byte_rate, bits, data_size,
+           plen - 44 AS body_bytes,
+           data_size * 1000000 // byte_rate // 1000 AS parsed_ms,
+           declared_ms,
+           CASE WHEN byte_rate = sample_rate * channels * bits // 8
+                THEN 1 ELSE 0 END AS rate_ok,
+           CASE WHEN plen - 44 = data_size THEN 1 ELSE 0 END AS size_ok,
+           CASE WHEN data_size * 1000000 // byte_rate // 1000 = declared_ms
+                THEN 1 ELSE 0 END AS decl_ok
+    FROM fields
+    ORDER BY media_id"""

@@ -15386,3 +15386,81 @@ def doc_reliability_diagram(sf_dir: str, half_len: int = 500):
         "rel_contrib9": pd.array([r[7] for r in rows], dtype="float64"),
         "res_contrib9": pd.array([r[8] for r in rows], dtype="float64"),
     })
+
+
+_MEDIA_WAV_CACHE = "/tmp/pii_ray_media/media_wav_n96_s11.parquet"
+
+
+def media_wav_table_path() -> str:
+    """Materializes (once) the canonical-WAV audio fixture so both engines
+    read the same parquet. Same atomic write discipline as
+    media_magic_table_path."""
+    from ..stages.multimodal import synthesize_wav_media_table
+
+    if not os.path.exists(_MEDIA_WAV_CACHE):
+        import tempfile
+
+        os.makedirs(os.path.dirname(_MEDIA_WAV_CACHE), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(_MEDIA_WAV_CACHE), suffix=".tmp"
+        )
+        os.close(fd)
+        pq.write_table(synthesize_wav_media_table(n_rows=96, seed=11), tmp)
+        os.replace(tmp, _MEDIA_WAV_CACHE)
+    return _MEDIA_WAV_CACHE
+
+
+def media_wav_duration(sf_dir: str):
+    """Container-metadata extraction for audio payloads — the header
+    audit an ingest pipeline runs INSTEAD of decoding: parse the
+    canonical PCM WAV fmt/data chunks at fixed little-endian offsets
+    (channels @22, sample_rate @24, byte_rate @28, bits @34, data_size
+    @40) and cross-check three header invariants per payload: the
+    byte_rate field against sample_rate*channels*bits/8 (transcoder
+    lies), the payload length against the data-chunk size (truncated
+    fetches), and the integer-exact parsed duration
+    data_size*1e6 // byte_rate against the declared duration metadata
+    (drifted catalogs). Fixed-offset parsing is what makes this
+    SQL-mirrorable byte for byte (hex-substring little-endian
+    reassembly); every output is an integer or a flag — no floats at
+    all. Payloads never shuffle: the map emits only the parsed scalar
+    rows. At 100 TB the same stage runs as an actor-pool map over the
+    blob column with this exact schema."""
+    import struct
+
+    ds = ray.data.read_parquet(media_wav_table_path())
+
+    def parse(batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("media_id", "channels", "sample_rate",
+                               "byte_rate", "bits", "data_size",
+                               "body_bytes", "parsed_ms", "declared_ms",
+                               "rate_ok", "size_ok", "decl_ok")}
+        for mid, pay, decl in zip(batch["media_id"].to_pylist(),
+                                  batch["payload"].to_pylist(),
+                                  batch["declared_ms"].to_pylist()):
+            ch, sr = struct.unpack_from("<H", pay, 22)[0], \
+                struct.unpack_from("<I", pay, 24)[0]
+            br = struct.unpack_from("<I", pay, 28)[0]
+            bits = struct.unpack_from("<H", pay, 34)[0]
+            dsz = struct.unpack_from("<I", pay, 40)[0]
+            body = len(pay) - 44
+            pms = dsz * 1_000_000 // br // 1000
+            out["media_id"].append(mid)
+            out["channels"].append(ch)
+            out["sample_rate"].append(sr)
+            out["byte_rate"].append(br)
+            out["bits"].append(bits)
+            out["data_size"].append(dsz)
+            out["body_bytes"].append(body)
+            out["parsed_ms"].append(pms)
+            out["declared_ms"].append(decl)
+            out["rate_ok"].append(int(br == sr * ch * bits // 8))
+            out["size_ok"].append(int(body == dsz))
+            out["decl_ok"].append(int(pms == decl))
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in out.items()})
+
+    df = ds.map_batches(parse, batch_format="pyarrow").to_pandas()
+    return (df.astype({k: "int64" for k in df.columns})
+            .sort_values("media_id", kind="mergesort")
+            .reset_index(drop=True))

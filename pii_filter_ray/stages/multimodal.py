@@ -299,3 +299,48 @@ def synthesize_magic_media_table(n_rows: int = 120, seed: int = 7) -> pa.Table:
         {name: pa.array(cols[name], MEDIA_SCHEMA.field(name).type)
          for name in MEDIA_SCHEMA.names}
     )
+
+
+def synthesize_wav_media_table(n_rows: int = 96, seed: int = 11) -> pa.Table:
+    """Deterministic audio table whose payloads are CANONICAL 44-byte PCM
+    WAV files (real RIFF/fmt/data chunks, seeded noise bodies) with three
+    planted lie classes a crawl-ingest audit must catch: every 11th row's
+    byte_rate header field disagrees with sample_rate*channels*bits/8
+    (a transcoder bug), every 13th row's payload is TRUNCATED below its
+    data-chunk size (an interrupted fetch), and every 5th row's declared
+    duration metadata drifted +250 ms from the audio itself. The codec
+    stays the documented stub; the headers are real and fully parseable
+    at fixed offsets — which is exactly what makes the parse SQL-
+    mirrorable byte for byte."""
+    import random
+    import struct
+
+    rng = random.Random(seed)
+    rates = [8000, 16000, 22050, 44100, 48000]
+    ids, payloads, declared = [], [], []
+    for i in range(n_rows):
+        sr = rates[i % len(rates)]
+        ch = 1 + (i % 2)
+        bits = 8 * (1 + ((i // 2) % 2))
+        true_br = sr * ch * bits // 8
+        body_n = rng.randint(400, 4000)
+        data_size = body_n
+        br_field = true_br + 7 if i % 11 == 4 else true_br
+        body = rng.randbytes(body_n)
+        if i % 13 == 6:
+            body = body[: body_n // 2]
+        hdr = (b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sr,
+                                       br_field, ch * bits // 8, bits)
+               + b"data" + struct.pack("<I", data_size))
+        decl = data_size * 1000 // true_br
+        if i % 5 == 2:
+            decl += 250
+        ids.append(i)
+        payloads.append(hdr + body)
+        declared.append(decl)
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+        "declared_ms": pa.array(declared, pa.int64()),
+    })

@@ -2376,3 +2376,43 @@ def test_reliability_diagram_layout_and_murphy_algebra(
         assert (a[c] >= 0.0).all()
     perfect = a[a["fbar6"] == a["obar6"]]
     assert (perfect["rel_contrib9"] <= 1e-9).all()
+
+
+def test_wav_duration_layout_and_planted_lies(ray_session, monkeypatch):
+    """The WAV header audit must be layout-free and recover EXACTLY the
+    three planted lie classes: byte-rate lies on i % 11 == 4 rows,
+    truncations on i % 13 == 6 rows, and declared-duration drift on the
+    +250 ms rows — every honest row passes all three checks, and the
+    parsed fields must round-trip the fixture's construction law."""
+    import pandas as pd
+
+    import ray.data
+
+    from pii_filter_ray.pipelines import relational as r
+
+    a = r.media_wav_duration("/root/testdata/sf0.001")
+    rp = ray.data.read_parquet
+
+    def rp9(path, **kw):
+        return rp(path, **kw).repartition(9)
+
+    monkeypatch.setattr(ray.data, "read_parquet", rp9)
+    b = r.media_wav_duration("/root/testdata/sf0.001")
+    monkeypatch.setattr(ray.data, "read_parquet", rp)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert len(a) == 96
+    i = a["media_id"]
+    assert (a["rate_ok"] == (i % 11 != 4).astype("int64")).all()
+    assert (a["size_ok"] == (i % 13 != 6).astype("int64")).all()
+    # +250 ms drift rows always disagree; honest rows (no drift, no
+    # byte-rate lie) always agree. Rate-lie rows are data-dependent:
+    # a +7 B/s lie can vanish under the millisecond floor.
+    drift = i % 5 == 2
+    honest = ~drift & (i % 11 != 4)
+    assert (a.loc[drift, "decl_ok"] == 0).all()
+    assert (a.loc[honest, "decl_ok"] == 1).all()
+    rates = [8000, 16000, 22050, 44100, 48000]
+    assert (a["sample_rate"] == [rates[x % 5] for x in i]).all()
+    assert (a["channels"] == (i % 2 + 1)).all()
+    assert (a["bits"] == 8 * ((i // 2) % 2 + 1)).all()
