@@ -490,6 +490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chao1_vocab": r.doc_chao1_vocab,
         "doc_reliability_diagram": r.doc_reliability_diagram,
         "media_wav_duration": r.media_wav_duration,
+        "orders_holt_winters": r.orders_holt_winters,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -5802,4 +5803,60 @@ def oracle_sql() -> dict[str, str]:
         "doc_chao1_vocab": o.doc_chao1_vocab_sql(),
         "doc_reliability_diagram": o.doc_reliability_diagram_sql(),
         "media_wav_duration": o.media_wav_duration_sql(),
+        "orders_holt_winters": """
+            WITH RECURSIVE d AS (
+                SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                       sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))
+                           AS cents
+                FROM orders GROUP BY 1
+            ),
+            ranked AS (
+                SELECT day, cents,
+                       CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+                           AS rn
+                FROM d
+            ),
+            init AS (
+                SELECT CAST(sum(cents) FILTER (rn <= 7) AS DOUBLE) / 7.0
+                           AS l0,
+                       (CAST(sum(cents) FILTER (rn > 7 AND rn <= 14)
+                             AS DOUBLE)
+                        - CAST(sum(cents) FILTER (rn <= 7) AS DOUBLE))
+                           / 49.0 AS b0
+                FROM ranked
+            ),
+            sinit AS (
+                SELECT list(CAST(r.cents AS DOUBLE) - i.l0 ORDER BY r.rn)
+                           AS s
+                FROM ranked r CROSS JOIN init i WHERE r.rn <= 7
+            ),
+            rec(rn, l, b, s, snew) AS (
+                SELECT CAST(7 AS BIGINT), i.l0, i.b0, si.s, si.s[7]
+                FROM init i CROSS JOIN sinit si
+                UNION ALL
+                SELECT r.rn,
+                       0.3 * (CAST(r.cents AS DOUBLE) - rec.s[1])
+                           + 0.7 * (rec.l + rec.b),
+                       0.2 * ((0.3 * (CAST(r.cents AS DOUBLE) - rec.s[1])
+                               + 0.7 * (rec.l + rec.b)) - rec.l)
+                           + 0.8 * rec.b,
+                       rec.s[2:7]
+                           || [0.1 * (CAST(r.cents AS DOUBLE)
+                                      - (0.3 * (CAST(r.cents AS DOUBLE)
+                                                - rec.s[1])
+                                         + 0.7 * (rec.l + rec.b)))
+                               + 0.9 * rec.s[1]],
+                       0.1 * (CAST(r.cents AS DOUBLE)
+                              - (0.3 * (CAST(r.cents AS DOUBLE)
+                                        - rec.s[1])
+                                 + 0.7 * (rec.l + rec.b)))
+                           + 0.9 * rec.s[1]
+                FROM ranked r JOIN rec ON r.rn = rec.rn + 1
+            )
+            SELECT ranked.day, CAST(ranked.cents AS BIGINT) AS cents,
+                   round(rec.l, 6) AS level6, round(rec.b, 6) AS trend6,
+                   round(rec.snew, 6) AS seasonal6
+            FROM ranked JOIN rec USING (rn)
+            ORDER BY ranked.day
+        """,
     }

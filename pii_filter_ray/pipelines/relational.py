@@ -15464,3 +15464,62 @@ def media_wav_duration(sf_dir: str):
     return (df.astype({k: "int64" for k in df.columns})
             .sort_values("media_id", kind="mergesort")
             .reset_index(drop=True))
+
+
+def orders_holt_winters(sf_dir: str):
+    """Holt-Winters ADDITIVE triple exponential smoothing (level + trend
+    + 7-lane seasonality) of the daily revenue series — the
+    capacity-planning smoother the Holt linear model cannot be when the
+    series has a weekly rhythm. Classic initialization over the first
+    two seasons: l = mean(y_1..y_7) and b = (sum(y_8..y_14) -
+    sum(y_1..y_7)) / 49 are single divisions of EXACT integer cent
+    sums, s_i = y_i - l one float sub each; then the textbook recursion
+    l_t = 0.3(y_t - s_{t-7}) + 0.7(l + b), b_t = 0.2(l_t - l) + 0.8 b,
+    s_t = 0.1(y_t - l_t) + 0.9 s_{t-7} with every coefficient written
+    as a literal on both engines. Seasonality is indexed by POSITION
+    mod 7 in the observed-day sequence (the smoother's own convention;
+    calendar alignment is the gapfill query's job). One bounded date-
+    catalog shuffle; the inherently sequential recursion folds
+    driver-side, mirrored op-for-op by a recursive CTE carrying the
+    7-element seasonal list (sliced and re-derived inline exactly as
+    the Python assigns it). Requires >= 14 observed days (asserted)."""
+    ds = _tbl(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def daily(batch: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            batch["o_totalprice"].to_numpy() * 100.0, 0).astype(np.int64)
+        t = pa.table({
+            "day": pc.strftime(batch["o_orderdate"], format="%Y-%m-%d"),
+            "cents": pa.array(cents, pa.int64()),
+        })
+        g = t.group_by("day").aggregate([("cents", "sum")])
+        return pa.table({"day": g["day"], "cents": g["cents_sum"]})
+
+    df = (ds.map_batches(daily, batch_format="pyarrow")
+          .groupby("day").aggregate(Sum("cents", alias_name="cents"))
+          .to_pandas().sort_values("day").reset_index(drop=True))
+    c = [int(v) for v in df["cents"]]
+    assert len(c) >= 14, "Holt-Winters needs two full 7-day seasons"
+    y = [float(v) for v in c]
+    l = float(sum(c[:7])) / 7.0
+    b = (float(sum(c[7:14])) - float(sum(c[:7]))) / 49.0
+    s = [y[i] - l for i in range(7)]
+    days, cents_o, ls, bs, ss = ([df["day"][6]], [c[6]], [l], [b], [s[6]])
+    for t in range(7, len(y)):
+        l_new = 0.3 * (y[t] - s[0]) + 0.7 * (l + b)
+        b_new = 0.2 * (l_new - l) + 0.8 * b
+        s_new = 0.1 * (y[t] - l_new) + 0.9 * s[0]
+        s = s[1:] + [s_new]
+        l, b = l_new, b_new
+        days.append(df["day"][t])
+        cents_o.append(c[t])
+        ls.append(l)
+        bs.append(b)
+        ss.append(s_new)
+    return pd.DataFrame({
+        "day": pd.array(days, dtype="str"),
+        "cents": pd.array(cents_o, dtype="int64"),
+        "level6": [float(round_half_away(v, 6)) for v in ls],
+        "trend6": [float(round_half_away(v, 6)) for v in bs],
+        "seasonal6": [float(round_half_away(v, 6)) for v in ss],
+    })

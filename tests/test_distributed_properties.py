@@ -2416,3 +2416,61 @@ def test_wav_duration_layout_and_planted_lies(ray_session, monkeypatch):
     assert (a["sample_rate"] == [rates[x % 5] for x in i]).all()
     assert (a["channels"] == (i % 2 + 1)).all()
     assert (a["bits"] == 8 * ((i // 2) % 2 + 1)).all()
+
+
+def test_holt_winters_layout_and_flat_fixed_point(ray_session, monkeypatch):
+    """Holt-Winters must be layout-free, carry the documented init in
+    row one (level = exact mean of the first week, seasonal = y7 - l0),
+    emit n_days - 6 rows — and on a perfectly FLAT fabricated series
+    the triple (level, trend, seasonal) must sit EXACTLY at (y, 0, 0)
+    forever: every recursion term is exact in floats there, so any
+    drift would expose a formula error."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.orders_holt_winters(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.orders_holt_winters(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    import duckdb
+
+    n_days, c7, l0 = duckdb.sql(f"""
+        WITH d AS (
+          SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                 sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS c
+          FROM read_parquet('{sf}/orders.parquet') GROUP BY 1
+        ), r AS (
+          SELECT c, row_number() OVER (ORDER BY day) AS rn FROM d)
+        SELECT (SELECT count(*) FROM r),
+               (SELECT c FROM r WHERE rn = 7),
+               CAST((SELECT sum(c) FROM r WHERE rn <= 7) AS DOUBLE) / 7.0
+    """).fetchone()
+    assert len(a) == n_days - 6
+    assert a.iloc[0]["level6"] == round(l0, 6)
+    assert a.iloc[0]["seasonal6"] == round(float(c7) - l0, 6)
+
+    flat = pa.table({
+        "o_orderdate": pa.array(
+            [pd.Timestamp("1995-01-01") + pd.Timedelta(days=i)
+             for i in range(21)]),
+        "o_totalprice": pa.array([100.0] * 21, pa.float64()),
+    })
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None: ray.data.from_arrow(flat))
+    f = r.orders_holt_winters(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    assert (f["level6"] == 10000.0).all()
+    assert (f["trend6"] == 0.0).all()
+    assert (f["seasonal6"] == 0.0).all()
