@@ -491,6 +491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_reliability_diagram": r.doc_reliability_diagram,
         "media_wav_duration": r.media_wav_duration,
         "orders_holt_winters": r.orders_holt_winters,
+        "doc_containment_dups": r.doc_containment_dups,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -5859,4 +5860,5 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked JOIN rec USING (rn)
             ORDER BY ranked.day
         """,
+        "doc_containment_dups": o.doc_containment_dups_sql(),
     }

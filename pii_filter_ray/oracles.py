@@ -2729,3 +2729,21 @@ def media_wav_duration_sql() -> str:
                 THEN 1 ELSE 0 END AS decl_ok
     FROM fields
     ORDER BY media_id"""
+
+
+def doc_containment_dups_sql(threshold: float = 0.5,
+                             max_df: int = 1000, k: int = 3) -> str:
+    """Directed-containment mirror (relational.doc_containment_dups):
+    the shared pair_counts chain with the keep rule on either
+    direction's containment instead of Jaccard."""
+    return f"""{jaccard_pairs_ctes(threshold, max_df, k)}
+  SELECT id_a, id_b, CAST(c AS BIGINT) AS inter,
+         CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         round(CAST(c AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS contain_a6,
+         round(CAST(c AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS contain_b6,
+         round(CAST(c AS DOUBLE) / CAST(n_a + n_b - c AS DOUBLE), 6)
+             AS jaccard6
+  FROM pair_counts
+  WHERE CAST(c AS DOUBLE) / CAST(n_a AS DOUBLE) >= {threshold}
+     OR CAST(c AS DOUBLE) / CAST(n_b AS DOUBLE) >= {threshold}
+  ORDER BY id_a, id_b"""

@@ -15523,3 +15523,49 @@ def orders_holt_winters(sf_dir: str):
         "trend6": [float(round_half_away(v, 6)) for v in bs],
         "seasonal6": [float(round_half_away(v, 6)) for v in ss],
     })
+
+
+def doc_containment_dups(sf_dir: str, threshold: float = 0.5):
+    """Directed containment near-dup join — the subset-dup detector
+    Jaccard structurally misses: when a small document hides inside a
+    big one, |A∩B|/|A| ~ 1 while Jaccard ~ |A|/|B| can sit far below
+    any sane threshold (the reason dedup literature keeps containment
+    as a separate operator since Broder). Same distributed inverted-
+    index machinery as doc_jaccard_dups (df-pruned shingle buckets,
+    pair-count partials, size-gated merge) with the keep rule max of
+    the two directions >= threshold, applied to the SAME exact integer
+    ledgers; the three reported ratios are single mirrored divisions.
+    Jaccard rides along so the pairs this operator catches and the
+    Jaccard join would drop are one filter away."""
+    from ..stages.dedup import jaccard_similarity_join
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = jaccard_similarity_join(
+        ds, "text", "doc_id", threshold=threshold,
+        score_mode="containment").to_pandas()
+    if len(pairs) == 0:
+        return pd.DataFrame({
+            "id_a": pd.array([], dtype="int64"),
+            "id_b": pd.array([], dtype="int64"),
+            "inter": pd.array([], dtype="int64"),
+            "n_a": pd.array([], dtype="int64"),
+            "n_b": pd.array([], dtype="int64"),
+            "contain_a6": pd.array([], dtype="float64"),
+            "contain_b6": pd.array([], dtype="float64"),
+            "jaccard6": pd.array([], dtype="float64"),
+        })
+    c = pairs["c"].to_numpy(np.float64)
+    na = pairs["n_a"].to_numpy(np.float64)
+    nb = pairs["n_b"].to_numpy(np.float64)
+    out = pd.DataFrame({
+        "id_a": pairs["id_a"].astype("int64"),
+        "id_b": pairs["id_b"].astype("int64"),
+        "inter": pairs["c"].astype("int64"),
+        "n_a": pairs["n_a"].astype("int64"),
+        "n_b": pairs["n_b"].astype("int64"),
+        "contain_a6": round_half_away(c / na, 6),
+        "contain_b6": round_half_away(c / nb, 6),
+        "jaccard6": round_half_away(c / (na + nb - c), 6),
+    })
+    return (out.sort_values(["id_a", "id_b"], kind="mergesort")
+            .reset_index(drop=True))

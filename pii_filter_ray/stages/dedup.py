@@ -709,6 +709,7 @@ def jaccard_similarity_join(
     shingle_k: int = 3,
     max_df: int = 1000,
     driver_merge_limit: int = 2_000_000,
+    score_mode: str = "jaccard",
 ) -> "ray.data.Dataset":
     """EXACT all-pairs word-shingle Jaccard join — no LSH, no driver index.
 
@@ -802,6 +803,25 @@ def jaccard_similarity_join(
         agg = g.groupby(["id_a", "id_b"], as_index=False).agg(
             c=("c", "sum"), n_a=("n_a", "first"), n_b=("n_b", "first")
         )
+        if score_mode == "containment":
+            # directed containment |A∩B|/|A| (resp. /|B|): keep the pair
+            # when EITHER direction clears the threshold — the subset-dup
+            # signal Jaccard misses when a small doc hides in a big one.
+            # Emit the exact integer ledgers; callers derive the mirrored
+            # ratios so the float expression stays under the query's
+            # control.
+            cf = agg["c"].to_numpy(dtype=np.float64)
+            keep = (cf / agg["n_a"].to_numpy(dtype=np.float64)
+                    >= threshold) | (
+                cf / agg["n_b"].to_numpy(dtype=np.float64) >= threshold)
+            out = agg[keep]
+            return pd.DataFrame(
+                {"id_a": out["id_a"].to_numpy(),
+                 "id_b": out["id_b"].to_numpy(),
+                 "c": out["c"].to_numpy(dtype=np.int64),
+                 "n_a": out["n_a"].to_numpy(dtype=np.int64),
+                 "n_b": out["n_b"].to_numpy(dtype=np.int64)}
+            )
         jac = agg["c"].to_numpy(dtype=np.float64) / (
             agg["n_a"].to_numpy(dtype=np.float64)
             + agg["n_b"].to_numpy(dtype=np.float64)
@@ -828,6 +848,18 @@ def jaccard_similarity_join(
     # takes over.
     if pair_partials.count() <= driver_merge_limit:
         merged = merge_and_score(pair_partials.to_pandas())
+        if score_mode == "containment":
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "id_a": pa.array(merged["id_a"].to_numpy(), pa.int64()),
+                        "id_b": pa.array(merged["id_b"].to_numpy(), pa.int64()),
+                        "c": pa.array(merged["c"].to_numpy(), pa.int64()),
+                        "n_a": pa.array(merged["n_a"].to_numpy(), pa.int64()),
+                        "n_b": pa.array(merged["n_b"].to_numpy(), pa.int64()),
+                    }
+                )
+            )
         return ray.data.from_arrow(
             pa.table(
                 {

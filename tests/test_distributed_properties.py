@@ -2474,3 +2474,56 @@ def test_holt_winters_layout_and_flat_fixed_point(ray_session, monkeypatch):
     assert (f["level6"] == 10000.0).all()
     assert (f["trend6"] == 0.0).all()
     assert (f["seasonal6"] == 0.0).all()
+
+
+def test_containment_dups_layout_and_subset_recovery(
+        ray_session, monkeypatch):
+    """Containment must be layout-free, dominate Jaccard pairwise
+    (contain_x >= jaccard always), superset the Jaccard join at the
+    same threshold, and — the operator's reason to exist — recover a
+    fabricated prefix-containment pair EXACTLY: doc A a strict prefix
+    of doc B gives contain_a == 1.0 (every in-A shingle window also
+    sits in B) with jaccard far below the threshold that would have
+    caught it."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_containment_dups(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.doc_containment_dups(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert (a["contain_a6"] >= a["jaccard6"] - 1e-9).all()
+    assert (a["contain_b6"] >= a["jaccard6"] - 1e-9).all()
+    assert (a[["contain_a6", "contain_b6"]].max(axis=1) >= 0.5).all()
+    jac = r.doc_jaccard_dups(sf).to_pandas()
+    cont_pairs = set(zip(a["id_a"], a["id_b"]))
+    assert set(zip(jac["id_a"], jac["id_b"])) <= cont_pairs
+
+    words_a = " ".join(f"w{i}" for i in range(40))
+    words_b = words_a + " " + " ".join(f"x{i}" for i in range(160))
+    fab = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([words_a, words_b,
+                          "entirely unrelated filler terms"], pa.string()),
+    })
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None: ray.data.from_arrow(fab))
+    f = r.doc_containment_dups(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    assert len(f) == 1
+    row = f.iloc[0]
+    assert (row["id_a"], row["id_b"]) == (1, 2)
+    assert row["contain_a6"] == 1.0
+    assert row["jaccard6"] < 0.5
