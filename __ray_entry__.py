@@ -492,6 +492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_wav_duration": r.media_wav_duration,
         "orders_holt_winters": r.orders_holt_winters,
         "doc_containment_dups": r.doc_containment_dups,
+        "doc_source_funnel": r.doc_source_funnel,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -5861,4 +5862,5 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY ranked.day
         """,
         "doc_containment_dups": o.doc_containment_dups_sql(),
+        "doc_source_funnel": o.doc_source_funnel_sql(),
     }

@@ -2747,3 +2747,45 @@ def doc_containment_dups_sql(threshold: float = 0.5,
   WHERE CAST(c AS DOUBLE) / CAST(n_a AS DOUBLE) >= {threshold}
      OR CAST(c AS DOUBLE) / CAST(n_b AS DOUBLE) >= {threshold}
   ORDER BY id_a, id_b"""
+
+
+def doc_source_funnel_sql(max_bits: float = 6.0,
+                          max_toxicity: float = 5.0) -> str:
+    """Per-source attrition-matrix mirror (relational.doc_source_funnel):
+    the flagship verdict chain (heuristics -> lang gate -> perplexity ->
+    toxicity, same precedence) joined back to source, then the bounded
+    (source x reason) count matrix with one mirrored share division."""
+    compat = " OR ".join(
+        f"(d.lang = {_q(a)} AND l.lang_detected = {_q(b)})"
+        for a, b in _LANG_COMPAT_PAIRS
+    )
+    lang_ok = (f"(d.lang IS NULL OR d.lang = l.lang_detected "
+               f"OR l.lang_detected = 'und' OR {compat})")
+    return f"""WITH {heuristics_ctes()}, {langid_ctes()}, {toxicity_ctes()}, {perplexity_ctes()},
+  verdict AS (
+    SELECT d.source,
+      CASE
+        WHEN h.reason_h <> '' THEN h.reason_h
+        WHEN NOT {lang_ok} THEN 'lang_mismatch'
+        WHEN p.ppl_bits > {max_bits} THEN 'perplexity'
+        WHEN t.toxicity > {max_toxicity} THEN 'toxicity'
+        ELSE '' END AS drop_reason
+    FROM documents d
+    JOIN heur h USING (doc_id)
+    JOIN lang_det l USING (doc_id)
+    JOIN tox t USING (doc_id)
+    JOIN ppl p USING (doc_id)
+  ),
+  agg AS (
+    SELECT source, drop_reason, CAST(count(*) AS BIGINT) AS n
+    FROM verdict GROUP BY 1, 2
+  ),
+  tot AS (
+    SELECT source, CAST(sum(n) AS BIGINT) AS src_total
+    FROM agg GROUP BY 1
+  )
+  SELECT a.source, a.drop_reason, a.n, t.src_total,
+         round(CAST(a.n AS DOUBLE) / CAST(t.src_total AS DOUBLE), 6)
+             AS share6
+  FROM agg a JOIN tot t USING (source)
+  ORDER BY a.source, a.drop_reason"""

@@ -15569,3 +15569,43 @@ def doc_containment_dups(sf_dir: str, threshold: float = 0.5):
     })
     return (out.sort_values(["id_a", "id_b"], kind="mergesort")
             .reset_index(drop=True))
+
+
+def doc_source_funnel(sf_dir: str):
+    """Per-source quality-filter attrition matrix — WHICH source loses
+    WHAT fraction to WHICH filter, the table a mix review reads before
+    blaming a source for shrinking (a source can die at the heuristics
+    gate and never even reach the perplexity filter; corpus-wide funnel
+    counts hide that). One fused flagship pass (the zero-shuffle
+    quality_scrub stage) emits (source, drop_reason) per doc; blocks
+    pre-combine to catalog-bounded count partials before ONE groupby
+    over the (source x reason) domain; per-row share6 is a single
+    mirrored division over the driver-side catalog fold. The SQL
+    mirror reuses the full verdict CTE chain of the flagship oracle,
+    so every drop decision is independently recomputed."""
+    from .quality_pipeline import quality_scrub
+
+    ds = _tbl(sf_dir, "documents",
+              columns=["doc_id", "text", "lang", "source"])
+    out = quality_scrub(ds, content_col="text", lang_col="lang",
+                        mode="text", emit_mappings=False)
+    cat = (preagg_groupby(
+        out.select_columns(["source", "drop_reason"]),
+        ["source", "drop_reason"], count_alias="n").to_pandas())
+    totals: Dict[str, int] = {}
+    for s, n in zip(cat["source"], cat["n"]):
+        totals[str(s)] = totals.get(str(s), 0) + int(n)
+    rows = sorted(
+        (str(s), str(dr), int(n)) for s, dr, n in
+        zip(cat["source"], cat["drop_reason"], cat["n"]))
+    return pd.DataFrame({
+        "source": pd.array([r[0] for r in rows], dtype="str"),
+        "drop_reason": pd.array([r[1] for r in rows], dtype="str"),
+        "n": pd.array([r[2] for r in rows], dtype="int64"),
+        "src_total": pd.array([totals[r[0]] for r in rows],
+                              dtype="int64"),
+        "share6": pd.array(
+            [float(round_half_away(
+                float(r[2]) / float(totals[r[0]]), 6)) for r in rows],
+            dtype="float64"),
+    })

@@ -2527,3 +2527,42 @@ def test_containment_dups_layout_and_subset_recovery(
     assert (row["id_a"], row["id_b"]) == (1, 2)
     assert row["contain_a6"] == 1.0
     assert row["jaccard6"] < 0.5
+
+
+def test_source_funnel_layout_and_cross_query_ledgers(
+        ray_session, monkeypatch):
+    """The attrition matrix must be layout-free, ledger to the corpus
+    (sum n == n_docs, per-source totals consistent), have shares
+    summing to exactly 1 within each source (exact rationals over one
+    denominator), and agree with the flagship: the total kept count
+    (drop_reason == '') must equal doc_scrub's keep == True count."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_source_funnel(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.doc_source_funnel(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    n_docs = pq.read_table(sf + "/documents.parquet").num_rows
+    assert int(a["n"].sum()) == n_docs
+    per_src = a.groupby("source")["n"].sum()
+    tot = a.drop_duplicates("source").set_index("source")["src_total"]
+    assert (per_src == tot).all()
+    # exact rationals over one denominator per source: shares sum to 1
+    share_sum = a.groupby("source").apply(
+        lambda g: sum(g["n"]) / g["src_total"].iloc[0],
+        include_groups=False)
+    assert (share_sum == 1.0).all()
+    scrub = r.doc_scrub(sf)
+    scrub_df = scrub.to_pandas() if hasattr(scrub, "to_pandas") else scrub
+    kept = int(a.loc[a["drop_reason"] == "", "n"].sum())
+    assert kept == int(scrub_df["keep"].sum())
