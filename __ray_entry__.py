@@ -493,6 +493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_holt_winters": r.orders_holt_winters,
         "doc_containment_dups": r.doc_containment_dups,
         "doc_source_funnel": r.doc_source_funnel,
+        "doc_kneser_ney": r.doc_kneser_ney,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -5863,4 +5864,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_containment_dups": o.doc_containment_dups_sql(),
         "doc_source_funnel": o.doc_source_funnel_sql(),
+        "doc_kneser_ney": f"""
+            WITH w AS (SELECT {o.words_expr('text')} AS ws FROM documents),
+            b AS (
+                SELECT ws[i] AS w1, ws[i + 1] AS w2
+                FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w)
+            ),
+            c AS (
+                SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+                FROM b GROUP BY 1, 2
+            ),
+            ctx AS (
+                SELECT w1, CAST(sum(n) AS BIGINT) AS c1,
+                       CAST(count(*) AS BIGINT) AS n_fol
+                FROM c GROUP BY 1
+            ),
+            cont AS (
+                SELECT w2, CAST(count(*) AS BIGINT) AS n_prec
+                FROM c GROUP BY 1
+            ),
+            nt AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM c),
+            top AS (
+                SELECT w1, w2, n FROM c ORDER BY n DESC, w1, w2 LIMIT 30
+            )
+            SELECT t.w1, t.w2, t.n, x.c1, x.n_fol, p.n_prec, nt.n_types,
+                   round(CAST(t.n AS DOUBLE) / CAST(x.c1 AS DOUBLE), 6)
+                       AS p_mle6,
+                   round((CAST(t.n AS DOUBLE) - 0.75)
+                             / CAST(x.c1 AS DOUBLE)
+                         + 0.75 * CAST(x.n_fol AS DOUBLE)
+                             / CAST(x.c1 AS DOUBLE)
+                             * (CAST(p.n_prec AS DOUBLE)
+                                / CAST(nt.n_types AS DOUBLE)), 6)
+                       AS p_kn6
+            FROM top t JOIN ctx x USING (w1) JOIN cont p USING (w2)
+            CROSS JOIN nt
+            ORDER BY t.n DESC, t.w1, t.w2
+        """,
     }

@@ -15609,3 +15609,82 @@ def doc_source_funnel(sf_dir: str):
                 float(r[2]) / float(totals[r[0]]), 6)) for r in rows],
             dtype="float64"),
     })
+
+
+def doc_kneser_ney(sf_dir: str, k: int = 30, discount: float = 0.75):
+    """Kneser-Ney smoothed bigram LM over the top-k bigram surface —
+    the smoothing every n-gram LM production system (KenLM/CCNet-style
+    perplexity filters) actually ships, next to doc_bigram_lm's raw
+    MLE: p_KN(w2|w1) = (c12 - D)/c1 + D * n_fol(w1)/c1 *
+    (n_prec(w2)/n_types), where the continuation count n_prec asks "how
+    many contexts does w2 complete" rather than "how often does it
+    occur" (the insight that makes 'Francisco' rare as a continuation).
+    D = 0.75 is an exact binary fraction, so every ledger is an exact
+    integer off the bounded bigram table (row count per w1 = distinct
+    followers, per w2 = continuation count, table size = bigram types)
+    and p_kn6 / p_mle6 are single mirrored float expressions. Shapes
+    reuse doc_bigram_lm exactly: per-block bigram-count partials, ONE
+    bounded (w1, w2) shuffle, two bounded preaggs, per-block top-k
+    partials + a blocks*k driver merge — the corpus text shuffles
+    once, the vocabulary never sits on the driver."""
+    ds = _tbl(sf_dir, "documents", columns=["text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: "Counter" = Counter()
+        for t in batch["text"].to_pylist():
+            ws = t.split()
+            c.update(zip(ws, ws[1:]))
+        if not c:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        w1, w2 = zip(*c.keys())
+        return pa.table({"w1": pa.array(w1, pa.string()),
+                         "w2": pa.array(w2, pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    bigrams = (ds.map_batches(partials, batch_format="pyarrow")
+               .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n"))
+               .materialize())
+    n_types = bigrams.count()
+    ctx = preagg_groupby(bigrams, ["w1"], sums={"c1": "n"},
+                         count_alias="n_fol")
+    cont = preagg_groupby(bigrams, ["w2"], count_alias="n_prec")
+
+    def topk_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["n", "w1", "w2"],
+                            ascending=[False, True, True],
+                            kind="mergesort").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    top = (bigrams.map_batches(topk_block, batch_format="pyarrow")
+           .to_pandas()
+           .sort_values(["n", "w1", "w2"], ascending=[False, True, True],
+                        kind="mergesort").head(k))
+    want1 = pa.array(top["w1"].unique(), pa.string())
+    want2 = pa.array(top["w2"].unique(), pa.string())
+    ctx_df = (ctx.map_batches(
+        lambda b: b.filter(pc.is_in(b["w1"], value_set=want1)),
+        batch_format="pyarrow").to_pandas())
+    cont_df = (cont.map_batches(
+        lambda b: b.filter(pc.is_in(b["w2"], value_set=want2)),
+        batch_format="pyarrow").to_pandas())
+    out = top.merge(ctx_df, on="w1").merge(cont_df, on="w2")
+    c12 = out["n"].to_numpy(np.float64)
+    c1 = out["c1"].to_numpy(np.float64)
+    nf = out["n_fol"].to_numpy(np.float64)
+    npr = out["n_prec"].to_numpy(np.float64)
+    out["p_mle6"] = round_half_away(c12 / c1, 6)
+    out["p_kn6"] = round_half_away(
+        (c12 - discount) / c1
+        + discount * nf / c1 * (npr / float(n_types)), 6)
+    out = (out[["w1", "w2", "n", "c1", "n_fol", "n_prec",
+                "p_mle6", "p_kn6"]]
+           .sort_values(["n", "w1", "w2"], ascending=[False, True, True],
+                        kind="mergesort").reset_index(drop=True))
+    out["n_types"] = np.int64(n_types)
+    return out.astype({"w1": "str", "w2": "str", "n": "int64",
+                       "c1": "int64", "n_fol": "int64", "n_prec": "int64",
+                       "n_types": "int64"})

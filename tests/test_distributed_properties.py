@@ -2566,3 +2566,38 @@ def test_source_funnel_layout_and_cross_query_ledgers(
     scrub_df = scrub.to_pandas() if hasattr(scrub, "to_pandas") else scrub
     kept = int(a.loc[a["drop_reason"] == "", "n"].sum())
     assert kept == int(scrub_df["keep"].sum())
+
+
+def test_kneser_ney_layout_and_smoothing_algebra(ray_session, monkeypatch):
+    """KN smoothing must be layout-free, share its raw surface with
+    doc_bigram_lm (same top-30 bigrams, same MLE), keep probabilities
+    in (0, 1], and discount mass correctly: p_kn < p_mle whenever the
+    redistributed continuation mass is smaller than the 0.75 discount
+    taken (and the continuation term is always strictly positive, so
+    p_kn > (c12 - 0.75)/c1 exactly)."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_kneser_ney(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.doc_kneser_ney(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    mle = r.doc_bigram_lm(sf)
+    assert list(zip(a["w1"], a["w2"], a["n"])) == \
+        list(zip(mle["w1"], mle["w2"], mle["n"]))
+    assert (a["p_mle6"] == mle["p6"]).all()
+    for c in ("p_mle6", "p_kn6"):
+        assert ((a[c] > 0.0) & (a[c] <= 1.0)).all()
+    base_term = (a["n"] - 0.75) / a["c1"]
+    assert (a["p_kn6"] > base_term - 1e-6).all()
+    assert (a["n_prec"] >= 1).all()
+    assert (a["n_fol"] >= 1).all()
+    assert (a["n_prec"] <= a["n_types"]).all()
