@@ -494,6 +494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_containment_dups": r.doc_containment_dups,
         "doc_source_funnel": r.doc_source_funnel,
         "doc_kneser_ney": r.doc_kneser_ney,
+        "doc_split_balance": r.doc_split_balance,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -5900,5 +5901,49 @@ def oracle_sql() -> dict[str, str]:
             FROM top t JOIN ctx x USING (w1) JOIN cont p USING (w2)
             CROSS JOIN nt
             ORDER BY t.n DESC, t.w1, t.w2
+        """,
+        "doc_split_balance": """
+            WITH s AS (
+                SELECT lang,
+                       CASE WHEN (doc_id * 2654435761) % 4294967296 % 100
+                                 < 80 THEN 'train'
+                            WHEN (doc_id * 2654435761) % 4294967296 % 100
+                                 < 90 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM documents
+            ),
+            c AS (
+                SELECT lang, split, CAST(count(*) AS DOUBLE) AS n
+                FROM s GROUP BY 1, 2
+            ),
+            tot AS (SELECT sum(n) AS t FROM c),
+            r AS (SELECT lang, sum(n) AS rn FROM c GROUP BY 1),
+            col AS (SELECT split, sum(n) AS cn FROM c GROUP BY 1),
+            st AS (
+                SELECT sum((c.n - r.rn * col.cn / tot.t)
+                           * (c.n - r.rn * col.cn / tot.t)
+                           / (r.rn * col.cn / tot.t)) AS chi2,
+                       CAST(count(*) AS BIGINT) AS n_cells,
+                       CAST(sum(c.n) AS BIGINT) AS n_docs,
+                       CAST(sum(c.n) FILTER (c.split = 'train') AS BIGINT)
+                           AS n_train,
+                       CAST(sum(c.n) FILTER (c.split = 'val') AS BIGINT)
+                           AS n_val,
+                       CAST(sum(c.n) FILTER (c.split = 'test') AS BIGINT)
+                           AS n_test,
+                       CAST(count(DISTINCT c.lang) AS BIGINT) AS nl,
+                       CAST(count(DISTINCT c.split) AS BIGINT) AS ns,
+                       any_value(tot.t) AS t
+                FROM c JOIN r USING (lang) JOIN col USING (split)
+                CROSS JOIN tot
+            )
+            SELECT round(chi2, 6) AS chi2_6,
+                   CASE WHEN least(nl - 1, ns - 1) = 0 THEN NULL
+                        ELSE round(sqrt(chi2 / (t * CAST(least(nl - 1,
+                                                               ns - 1)
+                                                         AS DOUBLE))), 6)
+                   END AS cramers_v6,
+                   n_cells, n_docs, n_train, n_val, n_test
+            FROM st
         """,
     }

@@ -15688,3 +15688,70 @@ def doc_kneser_ney(sf_dir: str, k: int = 30, discount: float = 0.75):
     return out.astype({"w1": "str", "w2": "str", "n": "int64",
                        "c1": "int64", "n_fol": "int64", "n_prec": "int64",
                        "n_types": "int64"})
+
+
+def doc_split_balance(sf_dir: str):
+    """Split-hygiene audit — chi-square independence of lang x
+    train/val/test assignment under the engine's multiplicative hash
+    split, plus Cramér's V: the check that a 'random' split didn't
+    concentrate a language into one fold (the silent eval-skew bug
+    every holdout pipeline ships once). ONE pre-aggregated contingency
+    shuffle (a cell row per block); the statistic folds the bounded
+    lang x 3 cell catalog in sorted order on both engines (the
+    orders_chi2 convention) from exact integer counts; V =
+    sqrt(chi2 / (N * min(L-1, S-1))) is one more mirrored expression.
+    The split law is shared verbatim with doc_hash_split /
+    doc_split_drift, so this audits the ACTUAL production split."""
+    import math
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.uint64)
+        bucket = ((ids * np.uint64(2654435761)) % np.uint64(2 ** 32)) \
+            % np.uint64(100)
+        split = np.where(bucket < 80, "train",
+                         np.where(bucket < 90, "val", "test"))
+        t = pa.table({
+            "lang": batch["lang"],
+            "split": pa.array(split, pa.string()),
+            "one": pa.array(np.ones(len(ids), np.int64), pa.int64()),
+        }).group_by(["lang", "split"]).aggregate([("one", "sum")])
+        return pa.table({"lang": t["lang"], "split": t["split"],
+                         "n": t["one_sum"]})
+
+    cells = (ds.map_batches(partials, batch_format="pyarrow")
+             .groupby(["lang", "split"])
+             .aggregate(Sum("n", alias_name="n"))
+             .to_pandas()
+             .sort_values(["lang", "split"], kind="mergesort")
+             .reset_index(drop=True))
+    total = float(cells["n"].sum())
+    row_tot = cells.groupby("lang")["n"].transform("sum").astype("float64")
+    col_tot = cells.groupby("split")["n"].transform("sum").astype("float64")
+    obs = cells["n"].astype("float64").to_numpy()
+    exp = row_tot.to_numpy() * col_tot.to_numpy() / total
+    chi2 = 0.0
+    for o_, e_ in zip(obs, exp):
+        chi2 = chi2 + (o_ - e_) * (o_ - e_) / e_
+    n_lang = cells["lang"].nunique()
+    n_split = cells["split"].nunique()
+    dof_min = float(min(n_lang - 1, n_split - 1))
+    v = math.sqrt(chi2 / (total * dof_min)) if dof_min > 0 else None
+    return pd.DataFrame({
+        "chi2_6": [float(round_half_away(chi2, 6))],
+        "cramers_v6": [float(round_half_away(v, 6))
+                       if v is not None else None],
+        "n_cells": pd.array([len(cells)], dtype="int64"),
+        "n_docs": pd.array([int(cells["n"].sum())], dtype="int64"),
+        "n_train": pd.array(
+            [int(cells.loc[cells["split"] == "train", "n"].sum())],
+            dtype="int64"),
+        "n_val": pd.array(
+            [int(cells.loc[cells["split"] == "val", "n"].sum())],
+            dtype="int64"),
+        "n_test": pd.array(
+            [int(cells.loc[cells["split"] == "test", "n"].sum())],
+            dtype="int64"),
+    })

@@ -2601,3 +2601,39 @@ def test_kneser_ney_layout_and_smoothing_algebra(ray_session, monkeypatch):
     assert (a["n_prec"] >= 1).all()
     assert (a["n_fol"] >= 1).all()
     assert (a["n_prec"] <= a["n_types"]).all()
+
+
+def test_split_balance_layout_and_ledgers(ray_session, monkeypatch):
+    """The split audit must be layout-free, ledger exactly (train + val
+    + test == corpus), keep chi2 >= 0 and V in [0, 1], and agree with
+    an independent driver-side recount of the split law."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import numpy as np
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_split_balance(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.doc_split_balance(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    row = a.iloc[0]
+    n_docs = pq.read_table(sf + "/documents.parquet").num_rows
+    assert row["n_docs"] == n_docs
+    assert row["n_train"] + row["n_val"] + row["n_test"] == n_docs
+    assert row["chi2_6"] >= 0.0
+    assert 0.0 <= row["cramers_v6"] <= 1.0
+    ids = pq.read_table(sf + "/documents.parquet",
+                        columns=["doc_id"])["doc_id"].to_numpy().astype(
+        np.uint64)
+    bucket = ((ids * np.uint64(2654435761)) % np.uint64(2 ** 32)) \
+        % np.uint64(100)
+    assert row["n_train"] == int((bucket < 80).sum())
+    assert row["n_val"] == int(((bucket >= 80) & (bucket < 90)).sum())
