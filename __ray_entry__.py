@@ -495,6 +495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_funnel": r.doc_source_funnel,
         "doc_kneser_ney": r.doc_kneser_ney,
         "doc_split_balance": r.doc_split_balance,
+        "doc_bm25_param_sweep": r.doc_bm25_param_sweep,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -5945,5 +5946,73 @@ def oracle_sql() -> dict[str, str]:
                    END AS cramers_v6,
                    n_cells, n_docs, n_train, n_val, n_test
             FROM st
+        """,
+        "doc_bm25_param_sweep": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x != '')) AS term
+                FROM documents
+            ),
+            perdoc AS (
+                SELECT doc_id,
+                       CAST(count(*) AS DOUBLE) AS dl,
+                       CAST(count(*) FILTER (term = 'hash') AS DOUBLE) AS tf0,
+                       CAST(count(*) FILTER (term = 'join') AS DOUBLE) AS tf1,
+                       CAST(count(*) FILTER (term = 'stream') AS DOUBLE) AS tf2
+                FROM toks GROUP BY 1
+            ),
+            docs AS (
+                SELECT d.doc_id,
+                       coalesce(perdoc.dl, 0.0) AS dl,
+                       coalesce(perdoc.tf0, 0.0) AS tf0,
+                       coalesce(perdoc.tf1, 0.0) AS tf1,
+                       coalesce(perdoc.tf2, 0.0) AS tf2
+                FROM documents d LEFT JOIN perdoc USING (doc_id)
+            ),
+            st AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST((SELECT count(*) FROM toks) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE) AS avgdl,
+                       CAST(count(*) FILTER (tf0 > 0) AS DOUBLE) AS df0,
+                       CAST(count(*) FILTER (tf1 > 0) AS DOUBLE) AS df1,
+                       CAST(count(*) FILTER (tf2 > 0) AS DOUBLE) AS df2
+                FROM docs
+            ),
+            combos(cid, k1, b) AS (
+                VALUES (CAST(0 AS BIGINT), CAST(1.2 AS DOUBLE),
+                        CAST(0.75 AS DOUBLE)),
+                       (1, CAST(0.9 AS DOUBLE), CAST(0.4 AS DOUBLE)),
+                       (2, CAST(2.0 AS DOUBLE), CAST(0.75 AS DOUBLE)),
+                       (3, CAST(1.2 AS DOUBLE), CAST(0.0 AS DOUBLE))
+            ),
+            scored AS (
+                SELECT cb.cid, cb.k1, cb.b, docs.doc_id,
+                       round(
+                           ln(1.0 + (st.n - st.df0 + 0.5) / (st.df0 + 0.5))
+                               * (tf0 * (cb.k1 + 1.0))
+                               / (tf0 + cb.k1 * (1.0 - cb.b
+                                                 + cb.b * dl / st.avgdl))
+                         + ln(1.0 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+                               * (tf1 * (cb.k1 + 1.0))
+                               / (tf1 + cb.k1 * (1.0 - cb.b
+                                                 + cb.b * dl / st.avgdl))
+                         + ln(1.0 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+                               * (tf2 * (cb.k1 + 1.0))
+                               / (tf2 + cb.k1 * (1.0 - cb.b
+                                                 + cb.b * dl / st.avgdl)),
+                           6) AS score6
+                FROM docs CROSS JOIN st CROSS JOIN combos cb
+            ),
+            ranked AS (
+                SELECT cid, k1, b, doc_id, score6,
+                       CAST(row_number() OVER (
+                           PARTITION BY cid
+                           ORDER BY score6 DESC, doc_id) AS BIGINT) AS rank
+                FROM scored
+            )
+            SELECT cid, k1, b, rank, doc_id, score6
+            FROM ranked WHERE rank <= 10
+            ORDER BY cid, rank
         """,
     }

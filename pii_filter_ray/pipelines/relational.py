@@ -15755,3 +15755,98 @@ def doc_split_balance(sf_dir: str):
             [int(cells.loc[cells["split"] == "test", "n"].sum())],
             dtype="int64"),
     })
+
+
+BM25_SWEEP_COMBOS = ((0, 1.2, 0.75), (1, 0.9, 0.4), (2, 2.0, 0.75),
+                     (3, 1.2, 0.0))
+
+
+def doc_bm25_param_sweep(sf_dir: str, k: int = 10):
+    """BM25 k1/b tuning sweep — the retrieval ranking at FOUR standard
+    parameter points (Lucene default 1.2/0.75, the short-doc 0.9/0.4
+    recommendation, high-saturation 2.0/0.75, and b = 0 i.e. no length
+    normalization) from ONE corpus pass, the tuning table a retrieval
+    stack reads before committing parameters (the events_session_sweep
+    pattern applied to ranking). Same term/idf/rounded-score total
+    order contract as doc_bm25_top_docs; the per-doc score for every
+    combo is computed inside the same map over the same token counts,
+    each block emits combos x k top partials (documents never shuffle,
+    the driver merges blocks*combos*k rows), and ranking is on the
+    6-SNAPPED score so no boundary doc can flip engines."""
+    import math
+    from collections import Counter
+
+    terms = ("hash", "join", "stream")
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        n_toks = 0
+        dfs = [0] * len(terms)
+        for v in batch["text"].to_pylist():
+            toks = (v or "").split()
+            n_toks += len(toks)
+            s = set(toks)
+            for i, t in enumerate(terms):
+                if t in s:
+                    dfs[i] += 1
+        cols = {"n_docs": [len(batch)], "n_toks": [n_toks]}
+        for i in range(len(terms)):
+            cols[f"df_{i}"] = [dfs[i]]
+        return pa.table(cols)
+
+    st = ds.map_batches(stats_partial, batch_format="pyarrow").aggregate(
+        Sum("n_docs"), Sum("n_toks"),
+        *[Sum(f"df_{i}") for i in range(len(terms))])
+    n_docs = float(st["sum(n_docs)"])
+    avgdl = float(st["sum(n_toks)"]) / n_docs
+    idf = [
+        math.log(1.0 + (n_docs - float(st[f"sum(df_{i})"]) + 0.5)
+                 / (float(st[f"sum(df_{i})"]) + 0.5))
+        for i in range(len(terms))
+    ]
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        rows = {"cid": [], "doc_id": [], "score": []}
+        per_combo: Dict[int, list] = {c[0]: [] for c in BM25_SWEEP_COMBOS}
+        for doc_id, v in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            toks = (v or "").split()
+            dl = float(len(toks))
+            c = Counter(toks)
+            for cid, k1, b_ in BM25_SWEEP_COMBOS:
+                s = 0.0
+                for i, t in enumerate(terms):
+                    tf = float(c.get(t, 0))
+                    s = s + idf[i] * (tf * (k1 + 1.0)) / (
+                        tf + k1 * (1.0 - b_ + b_ * dl / avgdl))
+                per_combo[cid].append(
+                    (float(round_half_away(s, 6)), doc_id))
+        for cid, lst in per_combo.items():
+            lst.sort(key=lambda x: (-x[0], x[1]))
+            for s, d in lst[:k]:
+                rows["cid"].append(cid)
+                rows["doc_id"].append(d)
+                rows["score"].append(s)
+        return pa.table({
+            "cid": pa.array(rows["cid"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score": pa.array(rows["score"], pa.float64()),
+        })
+
+    part = ds.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    out_rows = []
+    for cid, k1, b_ in BM25_SWEEP_COMBOS:
+        g = part[part["cid"] == cid].sort_values(
+            ["score", "doc_id"], ascending=[False, True],
+            kind="mergesort").head(k)
+        for rank, (_, row) in enumerate(g.iterrows(), start=1):
+            out_rows.append((cid, k1, b_, rank, int(row["doc_id"]),
+                             float(row["score"])))
+    return pd.DataFrame({
+        "cid": pd.array([r[0] for r in out_rows], dtype="int64"),
+        "k1": pd.array([r[1] for r in out_rows], dtype="float64"),
+        "b": pd.array([r[2] for r in out_rows], dtype="float64"),
+        "rank": pd.array([r[3] for r in out_rows], dtype="int64"),
+        "doc_id": pd.array([r[4] for r in out_rows], dtype="int64"),
+        "score6": pd.array([r[5] for r in out_rows], dtype="float64"),
+    })

