@@ -496,6 +496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_kneser_ney": r.doc_kneser_ney,
         "doc_split_balance": r.doc_split_balance,
         "doc_bm25_param_sweep": r.doc_bm25_param_sweep,
+        "emb_lof": r.emb_lof,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6014,5 +6015,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT cid, k1, b, rank, doc_id, score6
             FROM ranked WHERE rank <= 10
             ORDER BY cid, rank
+        """,
+        "emb_lof": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            d AS (
+                SELECT a.vec_id AS p, b.vec_id AS o,
+                       CAST(round(sqrt(round(list_sum(list_transform(
+                                range(1, 65),
+                                t -> (a.v[t] - b.v[t])
+                                     * (a.v[t] - b.v[t]))), 9))
+                                  * 1000000000.0, 0) AS BIGINT) AS dn
+                FROM e a JOIN e b ON a.vec_id <> b.vec_id
+            ),
+            knn AS (
+                SELECT p, o, dn, row_number() OVER (
+                    PARTITION BY p ORDER BY dn, o) AS rn
+                FROM d
+            ),
+            k5 AS (SELECT p, o, dn FROM knn WHERE rn <= 5),
+            kd AS (SELECT p AS pt, max(dn) AS kdist FROM k5 GROUP BY 1),
+            s AS (
+                SELECT k.p, sum(greatest(kd.kdist, k.dn)) AS sp
+                FROM k5 k JOIN kd ON kd.pt = k.o
+                GROUP BY 1
+            ),
+            ratio AS (
+                SELECT k.p,
+                       sum(CAST(round(CAST(sp_p.sp AS DOUBLE)
+                                      / CAST(so.sp AS DOUBLE)
+                                      * 1000000000.0, 0) AS BIGINT))
+                           FILTER (WHERE so.sp <> 0) AS rsum,
+                       max(CASE WHEN so.sp = 0 THEN 1 ELSE 0 END)
+                           AS has_zero
+                FROM k5 k
+                JOIN s sp_p ON sp_p.p = k.p
+                JOIN s so ON so.p = k.o
+                GROUP BY 1
+            )
+            SELECT CAST(s.p AS BIGINT) AS vec_id,
+                   CAST(kd.kdist AS BIGINT) AS kdist_nano,
+                   CAST(s.sp AS BIGINT) AS s_reach,
+                   CASE WHEN ratio.has_zero = 1 THEN NULL
+                        ELSE round(CAST(ratio.rsum AS DOUBLE)
+                                   / (5.0 * 1000000000.0), 6)
+                   END AS lof6
+            FROM s
+            JOIN kd ON kd.pt = s.p
+            JOIN ratio ON ratio.p = s.p
+            ORDER BY vec_id
         """,
     }

@@ -15850,3 +15850,97 @@ def doc_bm25_param_sweep(sf_dir: str, k: int = 10):
         "doc_id": pd.array([r[4] for r in out_rows], dtype="int64"),
         "score6": pd.array([r[5] for r in out_rows], dtype="float64"),
     })
+
+
+def emb_lof(sf_dir: str, k: int = 5):
+    """Local Outlier Factor (Breunig et al. 2000) over the embedding
+    corpus — the density-based outlier family next to the engine's
+    distance-rank (emb_coreset_outliers) and moment (events_zscore_
+    outliers) detectors: a point is anomalous not because it is FAR from
+    everything but because its local density is low RELATIVE to its
+    neighbors' — the cluster-edge-vs-sparse-region distinction z-scores
+    cannot make, which is why LOF is the default unsupervised screen for
+    embedding-space junk before training. Per point: its k-distance, the
+    sum of reachability distances to its kNN, and LOF = mean over
+    neighbors o of lrd(o)/lrd(p). Cross-engine determinism: pair d2
+    snaps to 9 digits (the emb-family convention, mirrored by
+    round(list_sum(...),9)), the true distance lifts to EXACT nano
+    integers via round(sqrt(d2_9)*1e9) — sqrt of an identical double is
+    identical IEEE on both engines — so the kNN ranking, k-distance,
+    reach = max(kdist(o), d(p,o)) and the reach SUMS are pure integer
+    arithmetic; lrd never materializes as a float — each lrd(o)/lrd(p)
+    collapses to S_p/S_o of exact integers, quantized to nano BEFORE the
+    order-free integer sum, and lof6 is one final mirrored division.
+    One corpus pass against the broadcast vector catalog emits exactly k
+    kNN-graph rows per point; every later step folds the n*k graph
+    catalog, never re-touching vectors. At 100 TB the same fold runs on
+    the IVF-ANN kNN graph (emb_ivf_knn's index) with the reach/lrd steps
+    as two bounded hash joins of the graph against its per-point sums."""
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ref_tbl = pa.concat_tables(
+        ds.iter_batches(batch_format="pyarrow")).sort_by("vec_id")
+    rids = ref_tbl["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+    R = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in ref_tbl["embedding"].to_pylist()])
+    n = len(rids)
+    if n <= k:
+        return pd.DataFrame({
+            "vec_id": pd.array([], dtype="int64"),
+            "kdist_nano": pd.array([], dtype="int64"),
+            "s_reach": pd.array([], dtype="int64"),
+            "lof6": pd.array([], dtype="float64"),
+        })
+    ref = ray.put((rids, R))
+
+    def knn_rows(batch: pa.Table) -> pa.Table:
+        ids_r, Rm = ray.get(ref)
+        M = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch["embedding"].to_pylist()])
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        d2 = round_half_away(((M[:, None, :] - Rm[None]) ** 2).sum(axis=2), 9)
+        dn = round_half_away(np.sqrt(d2) * 1e9, 0).astype(np.int64)
+        ps, os_, ds_ = [], [], []
+        for i in range(len(vid)):
+            row = dn[i].copy()
+            mask = ids_r != vid[i]
+            order = np.lexsort((ids_r[mask], row[mask]))[:k]
+            sel_ids = ids_r[mask][order]
+            sel_d = row[mask][order]
+            ps.extend([int(vid[i])] * len(order))
+            os_.extend(int(x) for x in sel_ids)
+            ds_.extend(int(x) for x in sel_d)
+        return pa.table({
+            "p": pa.array(ps, pa.int64()),
+            "o": pa.array(os_, pa.int64()),
+            "dn": pa.array(ds_, pa.int64()),
+        })
+
+    graph = (ds.map_batches(knn_rows, batch_format="pyarrow")
+             .to_pandas())
+    # kdist(p) = distance to its k-th neighbor (max over its kNN rows)
+    kdist = graph.groupby("p")["dn"].max().to_dict()
+    # reach(p,o) = max(kdist(o), d(p,o)); S_p = integer sum over kNN(p)
+    s_reach: Dict[int, int] = {}
+    for p, o, dn in zip(graph["p"], graph["o"], graph["dn"]):
+        s_reach[int(p)] = s_reach.get(int(p), 0) + max(
+            int(kdist[int(o)]), int(dn))
+    lof_num: Dict[int, object] = {}
+    for p, o in zip(graph["p"], graph["o"]):
+        sp, so = s_reach[int(p)], s_reach[int(o)]
+        if lof_num.get(int(p), 0) is None:
+            continue
+        if so == 0:
+            lof_num[int(p)] = None
+            continue
+        r9 = int(round_half_away(float(sp) / float(so) * 1e9, 0))
+        lof_num[int(p)] = lof_num.get(int(p), 0) + r9
+    ids = sorted(s_reach)
+    return pd.DataFrame({
+        "vec_id": pd.array(ids, dtype="int64"),
+        "kdist_nano": pd.array([int(kdist[i]) for i in ids], dtype="int64"),
+        "s_reach": pd.array([int(s_reach[i]) for i in ids], dtype="int64"),
+        "lof6": pd.array(
+            [None if lof_num.get(i) is None else
+             float(round_half_away(float(lof_num[i]) / (k * 1e9), 6))
+             for i in ids], dtype="float64"),
+    })

@@ -2670,3 +2670,61 @@ def test_bm25_sweep_layout_and_default_prefix(ray_session, monkeypatch):
         assert len(g) == 10
         assert list(g["rank"]) == list(range(1, 11))
         assert (g["score6"].diff().dropna() <= 1e-12).all()
+
+
+def test_lof_layout_planted_outlier_and_ledgers(ray_session, monkeypatch,
+                                                tmp_path):
+    """LOF must be layout-free; its integer ledgers must satisfy the
+    reachability bounds (S_p >= sum of kNN distances >= k * nearest,
+    kdist = the max kNN-row distance); every vector must appear exactly
+    once; and a planted far outlier over a tight cluster must take the
+    corpus-max LOF score while in-cluster points sit near 1."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.emb_lof(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.emb_lof(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+
+    n = _pq.read_table(sf + "/embeddings.parquet").num_rows
+    assert len(a) == n
+    assert a["vec_id"].is_unique
+    # reach(p,o) >= d(p,o) and there are k rows, so S_p >= k * 0 and
+    # S_p >= kdist contribution of at least the k-th neighbor
+    assert (a["s_reach"] >= a["kdist_nano"]).all()
+    assert (a["kdist_nano"] > 0).all()
+    assert a["lof6"].notna().all()
+    assert (a["lof6"] > 0).all()
+
+    # planted outlier: 24 points in a tight ball + one far point
+    rng = np.random.RandomState(7)
+    dim = 64
+    cluster = rng.normal(0.0, 0.01, size=(24, dim))
+    outlier = np.full((1, dim), 5.0)
+    M = np.vstack([cluster, outlier]).astype(np.float32)
+    tbl = _pa.table({
+        "vec_id": _pa.array(list(range(25)), _pa.int64()),
+        "embedding": _pa.array([row.tolist() for row in M],
+                               _pa.list_(_pa.float32())),
+        "label": _pa.array([0] * 25, _pa.int32()),
+    })
+    _pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    out = r.emb_lof(str(tmp_path))
+    assert len(out) == 25
+    out_row = out[out["vec_id"] == 24].iloc[0]
+    assert out_row["lof6"] == out["lof6"].max()
+    assert out_row["lof6"] > 1.5
+    incluster = out[out["vec_id"] < 24]["lof6"]
+    assert (incluster < out_row["lof6"] / 2).all()
