@@ -497,6 +497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split_balance": r.doc_split_balance,
         "doc_bm25_param_sweep": r.doc_bm25_param_sweep,
         "emb_lof": r.emb_lof,
+        "events_bot_regularity": r.events_bot_regularity,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6064,5 +6065,49 @@ def oracle_sql() -> dict[str, str]:
             JOIN kd ON kd.pt = s.p
             JOIN ratio ON ratio.p = s.p
             ORDER BY vec_id
+        """,
+        "events_bot_regularity": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS gap
+                FROM events
+            ),
+            gg AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+            m AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(gap) AS HUGEINT) AS s1,
+                       sum(CAST(gap AS HUGEINT) * gap) AS s2
+                FROM gg GROUP BY 1
+            ),
+            md AS (
+                SELECT user_id, max(c) AS maxc FROM (
+                    SELECT user_id, gap, CAST(count(*) AS BIGINT) AS c
+                    FROM gg GROUP BY 1, 2)
+                GROUP BY 1
+            ),
+            sc AS (
+                SELECT m.user_id, m.n, m.s1, md.maxc,
+                       CASE WHEN m.n < 2 OR m.s1 = 0 THEN NULL
+                            ELSE round(
+                                sqrt(CAST(m.n * m.s2 - m.s1 * m.s1
+                                          AS DOUBLE)
+                                     / CAST(m.n * (m.n - 1) AS DOUBLE))
+                                / (CAST(m.s1 AS DOUBLE)
+                                   / CAST(m.n AS DOUBLE)), 6)
+                       END AS cv6
+                FROM m JOIN md ON md.user_id = m.user_id
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   n AS n_gaps,
+                   CAST(s1 AS BIGINT) AS sum_gap_us,
+                   cv6,
+                   round(CAST(maxc AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                       AS modal_share6,
+                   (n >= 5 AND ((cv6 IS NOT NULL AND cv6 <= 0.25)
+                                OR 2 * maxc >= n)) AS is_bot
+            FROM sc
+            ORDER BY user_id
         """,
     }

@@ -15944,3 +15944,80 @@ def emb_lof(sf_dir: str, k: int = 5):
              float(round_half_away(float(lof_num[i]) / (k * 1e9), 6))
              for i in ids], dtype="float64"),
     })
+
+
+def events_bot_regularity(sf_dir: str):
+    """Timer-bot detection from inter-event cadence — the anti-abuse
+    screen a crawl/telemetry cleaning pass runs before any engagement
+    stat: humans are bursty (gap coefficient of variation near or above
+    1), scripted clients fire on timers (CV near 0, and usually the SAME
+    gap over and over — the modal-gap share). Per user with >= 1 gap:
+    gap count, exact total gap (microseconds), CV of gaps, the share of
+    gaps equal to the user's most common gap value, and the bot flag
+    (>= 5 gaps AND (cv6 <= 0.25 OR the modal gap is at least half of
+    them — an EXACT 2*maxc >= n integer compare, no float boundary)).
+    Users hash into 64 buckets (never split, the window-family shape);
+    one vectorized sort+diff per bucket, then a per-user fold whose
+    moment ledgers are exact Python ints (gap^2 sums overflow int64 at
+    microsecond resolution — same 128-bit lesson as
+    orders_winsorized_stats, mirrored by HUGEINT): variance
+    (n*S2 - S1^2)/(n*(n-1)) and cv = sqrt(var)/(S1/n) are single
+    mirrored IEEE trees of exact integers, NULL when n < 2 or the mean
+    gap is zero on both engines. Buckets emit final per-user rows;
+    nothing shuffles twice, and only (user, scalar) rows ever move."""
+    import math
+
+    ds = _tbl(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(batch["user_id"],
+                                    pa.scalar(63, pa.int64())), pa.int64())
+        return batch.append_column("bucket", b)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        same = uid[:-1] == uid[1:]
+        gap = (ts[1:] - ts[:-1])[same]
+        gsrc = uid[1:][same]
+        out = {"user_id": [], "n_gaps": [], "sum_gap_us": [],
+               "cv6": [], "modal_share6": [], "is_bot": []}
+        if len(gsrc):
+            users, starts = np.unique(gsrc, return_index=True)
+            bounds = list(starts) + [len(gsrc)]
+            for i, u in enumerate(users):
+                seg = gap[bounds[i]:bounds[i + 1]]
+                n = len(seg)
+                s1 = int(seg.sum())
+                s2 = sum(int(x) * int(x) for x in seg)
+                _, cnts = np.unique(seg, return_counts=True)
+                maxc = int(cnts.max())
+                if n < 2 or s1 == 0:
+                    cv = None
+                else:
+                    var = float(n * s2 - s1 * s1) / float(n * (n - 1))
+                    cv = float(round_half_away(
+                        math.sqrt(var) / (float(s1) / float(n)), 6))
+                out["user_id"].append(int(u))
+                out["n_gaps"].append(n)
+                out["sum_gap_us"].append(s1)
+                out["cv6"].append(cv)
+                out["modal_share6"].append(float(round_half_away(
+                    float(maxc) / float(n), 6)))
+                out["is_bot"].append(bool(
+                    n >= 5 and ((cv is not None and cv <= 0.25)
+                                or 2 * maxc >= n)))
+        return pd.DataFrame({
+            "user_id": pd.array(out["user_id"], dtype="int64"),
+            "n_gaps": pd.array(out["n_gaps"], dtype="int64"),
+            "sum_gap_us": pd.array(out["sum_gap_us"], dtype="int64"),
+            "cv6": pd.array(out["cv6"], dtype="float64"),
+            "modal_share6": pd.array(out["modal_share6"], dtype="float64"),
+            "is_bot": pd.array(out["is_bot"], dtype="bool"),
+        })
+
+    df = (ds.map_batches(bucketize, batch_format="pyarrow")
+          .groupby("bucket").map_groups(per_user, batch_format="pandas")
+          .to_pandas())
+    return df.sort_values("user_id").reset_index(drop=True)

@@ -2728,3 +2728,73 @@ def test_lof_layout_planted_outlier_and_ledgers(ray_session, monkeypatch,
     assert out_row["lof6"] > 1.5
     incluster = out[out["vec_id"] < 24]["lof6"]
     assert (incluster < out_row["lof6"] / 2).all()
+
+
+def test_bot_regularity_layout_ledger_and_planted_bot(ray_session,
+                                                      monkeypatch,
+                                                      tmp_path):
+    """Bot-regularity must be layout-free; its gap ledger must tie
+    exactly to the corpus (sum n_gaps == events - distinct users — the
+    per-user-isolation invariant a bucket collision would break); and
+    planted clients must classify correctly: a perfect 60s timer (cv 0,
+    modal share 1 -> bot), a zero-gap burst spammer (NULL cv, modal
+    share 1 -> bot), and an irregular human (high cv, low modal share
+    -> not bot)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.events_bot_regularity(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.events_bot_regularity(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+
+    ev = _pq.read_table(sf + "/events.parquet", columns=["user_id"])
+    n_events = ev.num_rows
+    n_users = ev["user_id"].to_pandas().nunique()
+    assert int(a["n_gaps"].sum()) == n_events - n_users
+    assert (a["modal_share6"] > 0).all()
+    assert (a["modal_share6"] <= 1).all()
+
+    # planted clients
+    base_ts = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = []
+    # user 1: perfect 60s timer, 11 events -> 10 identical gaps
+    for i in range(11):
+        rows.append((len(rows), base_ts + np.timedelta64(60 * i, "s"), 1))
+    # user 2: zero-gap burst, 8 events at the same instant
+    for i in range(8):
+        rows.append((len(rows), base_ts, 2))
+    # user 3: irregular human, gaps 1s/50s/7s/300s/23s/900s/5s
+    offs = np.cumsum([0, 1, 50, 7, 300, 23, 900, 5])
+    for o in offs:
+        rows.append((len(rows), base_ts + np.timedelta64(int(o), "s"), 3))
+    tbl = _pa.table({
+        "event_id": _pa.array([r_[0] for r_ in rows], _pa.int64()),
+        "ts": _pa.array([r_[1] for r_ in rows], _pa.timestamp("us")),
+        "user_id": _pa.array([r_[2] for r_ in rows], _pa.int64()),
+        "event_type": _pa.array(["x"] * len(rows), _pa.string()),
+        "value": _pa.array([0.0] * len(rows), _pa.float64()),
+        "props": _pa.array(["{}"] * len(rows), _pa.string()),
+    })
+    _pq.write_table(tbl, tmp_path / "events.parquet")
+    out = r.events_bot_regularity(str(tmp_path)).set_index("user_id")
+    assert out.loc[1, "cv6"] == 0.0
+    assert out.loc[1, "modal_share6"] == 1.0
+    assert bool(out.loc[1, "is_bot"])
+    assert pd.isna(out.loc[2, "cv6"])
+    assert out.loc[2, "modal_share6"] == 1.0
+    assert bool(out.loc[2, "is_bot"])
+    assert out.loc[3, "cv6"] > 1.0
+    assert out.loc[3, "modal_share6"] < 0.5
+    assert not bool(out.loc[3, "is_bot"])
