@@ -498,6 +498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25_param_sweep": r.doc_bm25_param_sweep,
         "emb_lof": r.emb_lof,
         "events_bot_regularity": r.events_bot_regularity,
+        "orders_cohort_ltv": r.orders_cohort_ltv,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6109,5 +6110,40 @@ def oracle_sql() -> dict[str, str]:
                                 OR 2 * maxc >= n)) AS is_bot
             FROM sc
             ORDER BY user_id
+        """,
+        "orders_cohort_ltv": """
+            WITH o AS (
+                SELECT o_custkey,
+                       year(o_orderdate) * 12
+                           + (month(o_orderdate) - 1) AS midx,
+                       CAST(round(o_totalprice * 100.0, 0) AS BIGINT)
+                           AS cents
+                FROM orders
+            ),
+            f AS (SELECT o_custkey, min(midx) AS cm FROM o GROUP BY 1),
+            sz AS (SELECT cm, CAST(count(*) AS BIGINT) AS n_customers
+                   FROM f GROUP BY 1),
+            rev AS (
+                SELECT f.cm, o.midx - f.cm AS moff,
+                       CAST(sum(o.cents) AS BIGINT) AS cents
+                FROM o JOIN f USING (o_custkey)
+                GROUP BY 1, 2
+            ),
+            cumr AS (
+                SELECT cm, moff, cents,
+                       CAST(sum(cents) OVER (
+                           PARTITION BY cm ORDER BY moff) AS BIGINT)
+                           AS cum_cents
+                FROM rev
+            )
+            SELECT printf('%04d-%02d', cm // 12, cm % 12 + 1)
+                       AS cohort_month,
+                   moff AS month_offset,
+                   cents, cum_cents, sz.n_customers,
+                   round(CAST(cum_cents AS DOUBLE)
+                         / CAST(sz.n_customers AS DOUBLE) / 100.0, 6)
+                       AS ltv6
+            FROM cumr JOIN sz USING (cm)
+            ORDER BY cohort_month, month_offset
         """,
     }

@@ -16021,3 +16021,80 @@ def events_bot_regularity(sf_dir: str):
           .groupby("bucket").map_groups(per_user, batch_format="pandas")
           .to_pandas())
     return df.sort_values("user_id").reset_index(drop=True)
+
+
+def orders_cohort_ltv(sf_dir: str):
+    """Cohort LTV triangle — the revenue-side companion to
+    events_cohort_retention and the table every growth/finance review
+    reads: customers cohorted by their FIRST order month, revenue
+    accumulated by month offset, and cumulative LTV per customer at
+    each age. Orders bucket by customer hash (customers never split,
+    the window-family shape), so each bucket derives its customers'
+    cohort months locally and emits only (cohort_month, offset) exact-
+    cents revenue partials plus cohort-size count partials attached to
+    the offset-0 row every cohort necessarily has; ONE bounded shuffle
+    over the months x offsets catalog. The driver fold accumulates
+    cum_cents per cohort in exact Python ints (= the oracle's window
+    SUM), and ltv6 is one mirrored division chain
+    (cum/n)/100 rounded to 6 — no float ever enters a ledger."""
+    ds = _tbl(sf_dir, "orders",
+              columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = (batch["o_custkey"].to_numpy(zero_copy_only=False)
+             % WINDOW_BUCKETS).astype("int32")
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        midx = (g["o_orderdate"].dt.year * 12
+                + (g["o_orderdate"].dt.month - 1)).astype("int64")
+        first = midx.groupby(g["o_custkey"]).transform("min")
+        cents = round_half_away(
+            g["o_totalprice"].to_numpy() * 100.0, 0).astype(np.int64)
+        d = pd.DataFrame({"cm": first.to_numpy(np.int64),
+                          "moff": (midx - first).to_numpy(np.int64),
+                          "cents": cents})
+        rev = d.groupby(["cm", "moff"], sort=False)["cents"].sum().reset_index()
+        fc = pd.DataFrame({"cust": g["o_custkey"], "cm": first}
+                          ).drop_duplicates("cust")
+        nc = fc.groupby("cm").size().reset_index(name="ncust")
+        rev = rev.merge(nc.assign(moff=np.int64(0)),
+                        on=["cm", "moff"], how="left")
+        rev["ncust"] = rev["ncust"].fillna(0).astype("int64")
+        return rev.astype({"cm": "int64", "moff": "int64",
+                           "cents": "int64"})
+
+    cat = (ds.map_batches(bucketize, batch_format="pyarrow")
+           .groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+           .groupby(["cm", "moff"])
+           .aggregate(Sum("cents", alias_name="cents"),
+                      Sum("ncust", alias_name="ncust"))
+           .to_pandas()
+           .sort_values(["cm", "moff"], kind="mergesort")
+           .reset_index(drop=True))
+
+    n_by_cm = {int(r.cm): int(r.ncust)
+               for r in cat[cat["moff"] == 0].itertuples()}
+    cum_by_cm: dict = {}
+    rows = {"cohort_month": [], "month_offset": [], "cents": [],
+            "cum_cents": [], "n_customers": [], "ltv6": []}
+    for r in cat.itertuples():
+        cm, cents = int(r.cm), int(r.cents)
+        cum = cum_by_cm.get(cm, 0) + cents
+        cum_by_cm[cm] = cum
+        n = n_by_cm[cm]
+        rows["cohort_month"].append(f"{cm // 12:04d}-{cm % 12 + 1:02d}")
+        rows["month_offset"].append(int(r.moff))
+        rows["cents"].append(cents)
+        rows["cum_cents"].append(cum)
+        rows["n_customers"].append(n)
+        rows["ltv6"].append(float(round_half_away(
+            float(cum) / float(n) / 100.0, 6)))
+    return pd.DataFrame({
+        "cohort_month": pd.array(rows["cohort_month"], dtype="string"),
+        "month_offset": pd.array(rows["month_offset"], dtype="int64"),
+        "cents": pd.array(rows["cents"], dtype="int64"),
+        "cum_cents": pd.array(rows["cum_cents"], dtype="int64"),
+        "n_customers": pd.array(rows["n_customers"], dtype="int64"),
+        "ltv6": pd.array(rows["ltv6"], dtype="float64"),
+    })

@@ -2798,3 +2798,40 @@ def test_bot_regularity_layout_ledger_and_planted_bot(ray_session,
     assert out.loc[3, "cv6"] > 1.0
     assert out.loc[3, "modal_share6"] < 0.5
     assert not bool(out.loc[3, "is_bot"])
+
+
+def test_cohort_ltv_layout_ledger_and_triangle(ray_session, monkeypatch):
+    """Cohort LTV must be layout-free; its cents ledger must tie exactly
+    to the corpus total (every order lands in exactly one cell); cohort
+    sizes must tie to the distinct-customer count; cum_cents must equal
+    the running sum of cents within each cohort (and its final value the
+    cohort's total); and ltv must be nondecreasing in month offset."""
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.orders_cohort_ltv(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.orders_cohort_ltv(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+
+    o = _pq.read_table(sf + "/orders.parquet",
+                       columns=["o_custkey", "o_totalprice"]).to_pandas()
+    total_cents = int(r.round_half_away(
+        o["o_totalprice"].to_numpy() * 100.0, 0).astype("int64").sum())
+    assert int(a["cents"].sum()) == total_cents
+    first = a[a["month_offset"] == 0]
+    assert int(first["n_customers"].sum()) == o["o_custkey"].nunique()
+    for cm, g in a.groupby("cohort_month"):
+        g = g.sort_values("month_offset")
+        assert (g["cum_cents"].to_numpy()
+                == g["cents"].cumsum().to_numpy()).all()
+        assert (g["ltv6"].diff().dropna() >= 0).all()
+        assert g["n_customers"].nunique() == 1
