@@ -499,6 +499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_lof": r.emb_lof,
         "events_bot_regularity": r.events_bot_regularity,
         "orders_cohort_ltv": r.orders_cohort_ltv,
+        "doc_term_burstiness": r.doc_term_burstiness,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6145,5 +6146,35 @@ def oracle_sql() -> dict[str, str]:
                        AS ltv6
             FROM cumr JOIN sz USING (cm)
             ORDER BY cohort_month, month_offset
+        """,
+        "doc_term_burstiness": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x != '')) AS word
+                FROM documents
+            ),
+            pdc AS (
+                SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+                FROM tok GROUP BY 1, 2
+            ),
+            agg AS (
+                SELECT word, CAST(count(*) AS BIGINT) AS df,
+                       CAST(sum(c) AS BIGINT) AS n_total,
+                       CAST(sum(c * c) AS BIGINT) AS s2
+                FROM pdc GROUP BY 1
+            ),
+            nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            top AS (SELECT * FROM agg ORDER BY df DESC, word LIMIT 20)
+            SELECT word, df, n_total,
+                   round((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                          - (CAST(n_total AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (CAST(n_total AS DOUBLE) / CAST(n AS DOUBLE)))
+                         / (CAST(n_total AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                       AS vmr6,
+                   round(CAST(n_total AS DOUBLE) / CAST(df AS DOUBLE), 6)
+                       AS burst6
+            FROM top, nd
+            ORDER BY df DESC, word
         """,
     }

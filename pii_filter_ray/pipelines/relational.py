@@ -16098,3 +16098,65 @@ def orders_cohort_ltv(sf_dir: str):
         "n_customers": pd.array(rows["n_customers"], dtype="int64"),
         "ltv6": pd.array(rows["ltv6"], dtype="float64"),
     })
+
+
+def doc_term_burstiness(sf_dir: str, k: int = 20):
+    """Term dispersion/burstiness for the top-k document-frequency terms
+    — the corpus-linguistics screen (Church & Gale 1995) behind stopword
+    and keyword decisions: a term with variance-to-mean ratio ~1 is
+    Poisson-scattered (function word), VMR >> 1 is bursty (topical — it
+    stacks up inside few documents), and burst = mean occurrences per
+    CONTAINING doc is the classic burstiness index. Per block, per-doc
+    Counters (docs never span blocks) fold to per-term (df, n_total,
+    sum c^2) integer partials — one row per distinct term per block —
+    then ONE vocabulary groupby and a distributed (df DESC, term ASC)
+    top-k; only the k winners and the streaming doc count reach the
+    driver, where vmr6 = (S2/N - (S1/N)^2)/(S1/N) and
+    burst6 = S1/df are single mirrored IEEE trees of exact integers."""
+    ds = _tbl(sf_dir, "documents", columns=["text"])
+    n_docs = ds.count()
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        df_c: Counter = Counter()
+        s1_c: Counter = Counter()
+        s2_c: Counter = Counter()
+        for v in batch["text"].to_pylist():
+            dc = Counter((v or "").split())
+            for w, c in dc.items():
+                df_c[w] += 1
+                s1_c[w] += c
+                s2_c[w] += c * c
+        words = list(df_c.keys())
+        return pa.table({
+            "word": pa.array(words, pa.string()),
+            "df": pa.array([df_c[w] for w in words], pa.int64()),
+            "n_total": pa.array([s1_c[w] for w in words], pa.int64()),
+            "s2": pa.array([s2_c[w] for w in words], pa.int64()),
+        })
+
+    top = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("word")
+           .aggregate(Sum("df", alias_name="df"),
+                      Sum("n_total", alias_name="n_total"),
+                      Sum("s2", alias_name="s2"))
+           .sort(["df", "word"], descending=[True, False])
+           .limit(k)
+           .to_pandas())
+
+    n = float(n_docs)
+    vmr, burst = [], []
+    for r in top.itertuples():
+        m = float(r.n_total) / n
+        vmr.append(float(round_half_away(
+            (float(r.s2) / n - m * m) / m, 6)))
+        burst.append(float(round_half_away(
+            float(r.n_total) / float(r.df), 6)))
+    return pd.DataFrame({
+        "word": pd.array(top["word"], dtype="string"),
+        "df": pd.array(top["df"], dtype="int64"),
+        "n_total": pd.array(top["n_total"], dtype="int64"),
+        "vmr6": pd.array(vmr, dtype="float64"),
+        "burst6": pd.array(burst, dtype="float64"),
+    })

@@ -2835,3 +2835,59 @@ def test_cohort_ltv_layout_ledger_and_triangle(ray_session, monkeypatch):
                 == g["cents"].cumsum().to_numpy()).all()
         assert (g["ltv6"].diff().dropna() >= 0).all()
         assert g["n_customers"].nunique() == 1
+
+
+def test_term_burstiness_layout_ledger_and_planted(ray_session, monkeypatch,
+                                                   tmp_path):
+    """Burstiness must be layout-free; each winner's ledgers must tie
+    exactly to a driver-side recount of the corpus; and planted extremes
+    must separate: a term appearing once in EVERY doc has vmr 0 (no
+    variance) and burst 1, while a term stacking all its occurrences in
+    one doc has vmr >> 1 and burst == its in-doc count."""
+    import collections
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_term_burstiness(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.doc_term_burstiness(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+
+    texts = _pq.read_table(sf + "/documents.parquet",
+                           columns=["text"])["text"].to_pylist()
+    df_c, s1_c = collections.Counter(), collections.Counter()
+    for t in texts:
+        dc = collections.Counter((t or "").split())
+        for w, c in dc.items():
+            df_c[w] += 1
+            s1_c[w] += c
+    for row in a.itertuples():
+        assert df_c[row.word] == row.df
+        assert s1_c[row.word] == row.n_total
+
+    # planted extremes: 10 docs; "uni" once per doc, "burst" 9x in doc 0
+    docs = [("uni " + ("burst " * 9 if i == 0 else "") + f"pad{i}").strip()
+            for i in range(10)]
+    tbl = _pa.table({
+        "doc_id": _pa.array(range(10), _pa.int64()),
+        "text": _pa.array(docs, _pa.string()),
+        "lang": _pa.array(["en"] * 10, _pa.string()),
+        "source": _pa.array(["t"] * 10, _pa.string()),
+        "n_chars": _pa.array([len(d) for d in docs], _pa.int64()),
+    })
+    _pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = r.doc_term_burstiness(str(tmp_path)).set_index("word")
+    assert out.loc["uni", "vmr6"] == 0.0
+    assert out.loc["uni", "burst6"] == 1.0
+    assert out.loc["burst", "vmr6"] > 5.0
+    assert out.loc["burst", "burst6"] == 9.0
