@@ -500,6 +500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_bot_regularity": r.events_bot_regularity,
         "orders_cohort_ltv": r.orders_cohort_ltv,
         "doc_term_burstiness": r.doc_term_burstiness,
+        "orders_control_chart": r.orders_control_chart,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6176,5 +6177,67 @@ def oracle_sql() -> dict[str, str]:
                        AS burst6
             FROM top, nd
             ORDER BY df DESC, word
+        """,
+        "orders_control_chart": """
+            WITH d AS (
+                SELECT strftime(date_trunc('day', o_orderdate),
+                                '%Y-%m-%d') AS day,
+                       CAST(sum(CAST(round(o_totalprice * 100.0, 0)
+                                     AS BIGINT)) AS BIGINT) AS cents
+                FROM orders GROUP BY 1
+            ),
+            m AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(cents) AS HUGEINT) AS s1,
+                       sum(CAST(cents AS HUGEINT) * cents) AS s2
+                FROM d
+            ),
+            z AS (
+                SELECT day, cents,
+                       CASE WHEN m.n < 2
+                                 OR m.n * m.s2 - m.s1 * m.s1 = 0
+                            THEN NULL
+                            ELSE (CAST(cents AS DOUBLE)
+                                  - CAST(m.s1 AS DOUBLE)
+                                    / CAST(m.n AS DOUBLE))
+                                 / sqrt(CAST(m.n * m.s2 - m.s1 * m.s1
+                                             AS DOUBLE)
+                                        / CAST(m.n * (m.n - 1)
+                                               AS DOUBLE))
+                       END AS zz
+                FROM d, m
+            ),
+            w AS (
+                SELECT day, cents, zz,
+                       sum(CASE WHEN zz > 2 THEN 1 ELSE 0 END)
+                           OVER win3 AS hi2,
+                       sum(CASE WHEN zz < -2 THEN 1 ELSE 0 END)
+                           OVER win3 AS lo2,
+                       sum(CASE WHEN zz > 1 THEN 1 ELSE 0 END)
+                           OVER win5 AS hi1,
+                       sum(CASE WHEN zz < -1 THEN 1 ELSE 0 END)
+                           OVER win5 AS lo1,
+                       sum(CASE WHEN zz > 0 THEN 1 ELSE 0 END)
+                           OVER win8 AS hi0,
+                       sum(CASE WHEN zz < 0 THEN 1 ELSE 0 END)
+                           OVER win8 AS lo0
+                FROM z
+                WINDOW win3 AS (ORDER BY day
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                       win5 AS (ORDER BY day
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                       win8 AS (ORDER BY day
+                    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+            )
+            SELECT day, cents, round(zz, 6) AS z6,
+                   COALESCE(abs(zz) > 3, FALSE) AS r1,
+                   (hi2 >= 2 OR lo2 >= 2) AS r2,
+                   (hi1 >= 4 OR lo1 >= 4) AS r3,
+                   (hi0 = 8 OR lo0 = 8) AS r4,
+                   (COALESCE(abs(zz) > 3, FALSE)
+                    OR hi2 >= 2 OR lo2 >= 2
+                    OR hi1 >= 4 OR lo1 >= 4
+                    OR hi0 = 8 OR lo0 = 8) AS any_signal
+            FROM w ORDER BY day
         """,
     }

@@ -16160,3 +16160,72 @@ def doc_term_burstiness(sf_dir: str, k: int = 20):
         "vmr6": pd.array(vmr, dtype="float64"),
         "burst6": pd.array(burst, dtype="float64"),
     })
+
+
+def orders_control_chart(sf_dir: str):
+    """Shewhart X-chart with the Western Electric run rules over the
+    daily-revenue series — the monitoring layer that turns
+    orders_ewma_revenue's smoothed line into ALERTS, catching both the
+    single blown day (rule 1) and the slow drift no single point reveals
+    (rules 2-4): r1 |z| > 3; r2 >= 2 of the trailing 3 points beyond
+    2 sigma on one side; r3 >= 4 of the trailing 5 beyond 1 sigma on one
+    side; r4 all of the trailing 8 on one side of center. One bounded
+    daily exact-cents shuffle; center and sigma come from the full
+    series' moment ledgers kept as exact Python ints (daily cents^2 sums
+    overflow int64 — the HUGEINT convention), each z is one mirrored
+    IEEE tree, and every rule is an integer count over trailing windows
+    of boolean z-threshold compares of IDENTICAL doubles, so no float
+    boundary can flip a flag between engines. A zero-variance or
+    single-day series NULL-poisons z and reports no signals on both
+    engines. z6 rounds for display only; rules use the raw z."""
+    ds = _tbl(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def daily(batch: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            batch["o_totalprice"].to_numpy() * 100.0, 0).astype(np.int64)
+        t = pa.table({
+            "day": pc.strftime(batch["o_orderdate"], format="%Y-%m-%d"),
+            "cents": pa.array(cents, pa.int64()),
+        })
+        g = t.group_by("day").aggregate([("cents", "sum")])
+        return pa.table({"day": g["day"], "cents": g["cents_sum"]})
+
+    df = (ds.map_batches(daily, batch_format="pyarrow")
+          .groupby("day").aggregate(Sum("cents", alias_name="cents"))
+          .to_pandas().sort_values("day").reset_index(drop=True))
+    x = df["cents"].to_numpy(np.int64)
+    n = len(x)
+    s1 = int(x.sum())
+    s2 = sum(int(v) * int(v) for v in x)
+    if n < 2 or n * s2 - s1 * s1 == 0:
+        z = np.full(n, np.nan)
+    else:
+        import math
+        sigma = math.sqrt(float(n * s2 - s1 * s1)
+                          / float(n * (n - 1)))
+        z = (x.astype(np.float64)
+             - float(s1) / float(n)) / sigma
+
+    def trail(flags: np.ndarray, w: int) -> np.ndarray:
+        cs = np.concatenate([[0], np.cumsum(flags.astype(np.int64))])
+        lo = np.maximum(np.arange(n) + 1 - w, 0)
+        return cs[1:] - cs[lo]
+
+    with np.errstate(invalid="ignore"):
+        hi2, lo2 = trail(z > 2, 3), trail(z < -2, 3)
+        hi1, lo1 = trail(z > 1, 5), trail(z < -1, 5)
+        hi0, lo0 = trail(z > 0, 8), trail(z < 0, 8)
+        r1 = np.nan_to_num(np.abs(z)) > 3
+    r2 = (hi2 >= 2) | (lo2 >= 2)
+    r3 = (hi1 >= 4) | (lo1 >= 4)
+    r4 = (hi0 == 8) | (lo0 == 8)
+    return pd.DataFrame({
+        "day": pd.array(df["day"], dtype="string"),
+        "cents": pd.array(x, dtype="int64"),
+        "z6": pd.array(round_half_away(z, 6), dtype="float64"),
+        "r1": pd.array(r1, dtype="bool"),
+        "r2": pd.array(r2, dtype="bool"),
+        "r3": pd.array(r3, dtype="bool"),
+        "r4": pd.array(r4, dtype="bool"),
+        "any_signal": pd.array(r1 | r2 | r3 | r4, dtype="bool"),
+    })

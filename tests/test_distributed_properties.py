@@ -2891,3 +2891,62 @@ def test_term_burstiness_layout_ledger_and_planted(ray_session, monkeypatch,
     assert out.loc["uni", "burst6"] == 1.0
     assert out.loc["burst", "vmr6"] > 5.0
     assert out.loc["burst", "burst6"] == 9.0
+
+
+def test_control_chart_layout_ledger_and_planted_shift(ray_session,
+                                                       monkeypatch,
+                                                       tmp_path):
+    """The control chart must be layout-free, tie its cents ledger to the
+    corpus total, and fire the right Western Electric rules on planted
+    patterns: one blown day trips r1 (and nothing before it), while an
+    8-day mean shift trips r4 by its 8th day even though no single
+    shifted day is beyond 3 sigma."""
+    import numpy as np
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.orders_control_chart(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.orders_control_chart(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+
+    o = _pq.read_table(sf + "/orders.parquet", columns=["o_totalprice"])
+    total = int(r.round_half_away(
+        o["o_totalprice"].to_numpy() * 100.0, 0).astype("int64").sum())
+    assert int(a["cents"].sum()) == total
+    assert bool((a["any_signal"] == (a.r1 | a.r2 | a.r3 | a.r4)).all())
+
+    # planted: 30 quiet days (alternating 100/110), day 30 blown 4x,
+    # days 31-38 shifted +25%
+    days, prices = [], []
+    base_day = np.datetime64("2024-01-01", "us")
+    vals = [100.0 if i % 2 == 0 else 110.0 for i in range(30)]
+    vals.append(420.0)
+    vals += [131.0 if i % 2 == 0 else 138.0 for i in range(8)]
+    for i, v in enumerate(vals):
+        days.append(base_day + np.timedelta64(i, "D").astype(
+            "timedelta64[us]"))
+        prices.append(v)
+    tbl = _pa.table({
+        "o_orderkey": _pa.array(range(len(vals)), _pa.int64()),
+        "o_custkey": _pa.array([1] * len(vals), _pa.int64()),
+        "o_orderstatus": _pa.array(["O"] * len(vals), _pa.string()),
+        "o_totalprice": _pa.array(prices, _pa.float64()),
+        "o_orderdate": _pa.array(days, _pa.timestamp("us")),
+        "o_orderpriority": _pa.array(["1"] * len(vals), _pa.string()),
+    })
+    _pq.write_table(tbl, tmp_path / "orders.parquet")
+    out = r.orders_control_chart(str(tmp_path)).reset_index(drop=True)
+    assert bool(out.loc[30, "r1"])
+    assert not out.loc[:29, "r1"].any()
+    assert bool(out.loc[38, "r4"])  # 8th consecutive shifted day
+    assert bool(out.loc[38, "any_signal"])
