@@ -501,6 +501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cohort_ltv": r.orders_cohort_ltv,
         "doc_term_burstiness": r.doc_term_burstiness,
         "orders_control_chart": r.orders_control_chart,
+        "doc_heldout_ppl": r.doc_heldout_ppl,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6239,5 +6240,69 @@ def oracle_sql() -> dict[str, str]:
                     OR hi1 >= 4 OR lo1 >= 4
                     OR hi0 = 8 OR lo0 = 8) AS any_signal
             FROM w ORDER BY day
+        """,
+        "doc_heldout_ppl": f"""
+            WITH sp AS (
+                SELECT doc_id, text,
+                       (doc_id * 2654435761) % 4294967296 % 100 AS b
+                FROM documents
+            ),
+            trw AS (SELECT {o.words_expr('text')} AS ws
+                    FROM sp WHERE b < 80),
+            trb AS (
+                SELECT ws[i] AS w1, ws[i + 1] AS w2
+                FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM trw)
+            ),
+            big AS (
+                SELECT {o.h64("w1 || chr(31) || w2")} AS bh,
+                       {o.h64('w1')} AS w1h,
+                       CAST(count(*) AS BIGINT) AS c12
+                FROM trb GROUP BY 1, 2
+            ),
+            ctx AS (SELECT w1h, CAST(sum(c12) AS BIGINT) AS c1
+                    FROM big GROUP BY 1),
+            voc AS (
+                SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+                FROM (SELECT unnest(ws) AS w FROM trw)
+            ),
+            tew AS (SELECT doc_id, {o.words_expr('text')} AS ws
+                    FROM sp WHERE b >= 90),
+            teb AS (
+                SELECT doc_id, {o.h64('ws[i]')} AS w1h,
+                       {o.h64("ws[i] || chr(31) || ws[i + 1]")} AS bh
+                FROM (SELECT doc_id, ws,
+                             unnest(range(1, len(ws))) AS i FROM tew)
+            ),
+            sc AS (
+                SELECT t.doc_id,
+                       CAST(round(-log2(
+                           CAST(coalesce(big.c12, 0) + 1 AS DOUBLE)
+                           / CAST(coalesce(ctx.c1, 0) + voc.v AS DOUBLE))
+                           * 1000000.0, 0) AS BIGINT) AS nb,
+                       CASE WHEN big.c12 IS NULL THEN 1 ELSE 0 END
+                           AS unseen
+                FROM teb t
+                LEFT JOIN big ON big.bh = t.bh
+                LEFT JOIN ctx ON ctx.w1h = t.w1h
+                CROSS JOIN voc
+            ),
+            agg AS (
+                SELECT doc_id, CAST(sum(nb) AS BIGINT) AS bits_micro,
+                       CAST(sum(unseen) AS BIGINT) AS n_unseen,
+                       CAST(count(*) AS BIGINT) AS nb_cnt
+                FROM sc GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(greatest(len(d.ws) - 1, 0) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(agg.bits_micro, 0) AS BIGINT)
+                       AS bits_micro,
+                   CAST(coalesce(agg.n_unseen, 0) AS BIGINT) AS n_unseen,
+                   round(CAST(agg.bits_micro AS DOUBLE)
+                         / CAST(agg.nb_cnt AS DOUBLE) / 1000000.0, 6)
+                       AS bits6,
+                   round(CAST(agg.n_unseen AS DOUBLE)
+                         / CAST(agg.nb_cnt AS DOUBLE), 6) AS oov6
+            FROM tew d LEFT JOIN agg USING (doc_id)
+            ORDER BY d.doc_id
         """,
     }

@@ -16229,3 +16229,150 @@ def orders_control_chart(sf_dir: str):
         "r4": pd.array(r4, dtype="bool"),
         "any_signal": pd.array(r1 | r2 | r3 | r4, dtype="bool"),
     })
+
+
+def doc_heldout_ppl(sf_dir: str):
+    """Held-out language-model evaluation across the engine's OWN
+    train/test hash split — the eval loop every LM-based quality filter
+    (CCNet, the perplexity gates in this repo) closes before trusting
+    its scores: train an add-one-smoothed bigram LM on the train split
+    (the doc_hash_split law verbatim: (doc_id * 2654435761) mod 2^32
+    mod 100; < 80 train, >= 90 test), then score every TEST doc's mean
+    bits-per-bigram and OOV-bigram rate. The model is never driver-side:
+    train bigram counts and context totals are vocabulary-bounded
+    aggregates keyed by sql_hash64, and the test instances probe them
+    with two distributed hash_left_joins (stages/joins.py — a miss IS
+    the defined unseen case, filling c12/c1 = 0), so at 100 TB both the
+    corpus and the model table shuffle once each. Determinism chain:
+    p = (c12+1)/(c1+V) is one mirrored division of exact integers;
+    each distinct pair's -log2(p) quantizes to MICRO-unit integers on
+    both engines BEFORE the order-free per-doc sum (numpy and DuckDB
+    log2 disagree at the ULP level — measured 3% of raw bits, 0 of
+    200k micro-rounded values); bits6 and oov6 are single mirrored
+    divisions, NULL for test docs with no bigram on both engines."""
+    from ..stages.dedup import sql_hash64
+    from ..stages.joins import hash_left_join
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _buckets(ids: np.ndarray) -> np.ndarray:
+        return ((ids.astype(np.uint64) * np.uint64(2654435761))
+                % np.uint64(2 ** 32)) % np.uint64(100)
+
+    def train_bigrams(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        b = _buckets(batch["doc_id"].to_numpy())
+        for t, keep in zip(batch["text"].to_pylist(), b < 80):
+            if keep:
+                ws = (t or "").split()
+                c.update(zip(ws, ws[1:]))
+        keys = list(c.keys())
+        return pa.table({
+            "w1h": pa.array([sql_hash64(a.encode()) for a, _ in keys],
+                            pa.int64()),
+            "bh": pa.array([sql_hash64((a + "\x1f" + b2).encode())
+                            for a, b2 in keys], pa.int64()),
+            "n": pa.array([c[k] for k in keys], pa.int64()),
+        })
+
+    bigrams = (ds.map_batches(train_bigrams, batch_format="pyarrow")
+               .groupby(["w1h", "bh"]).aggregate(Sum("n", alias_name="c12"))
+               .materialize())
+    totals = preagg_groupby(bigrams, ["w1h"], sums={"c1": "c12"})
+
+    def train_tokens(batch: pa.Table) -> pa.Table:
+        s: set = set()
+        b = _buckets(batch["doc_id"].to_numpy())
+        for t, keep in zip(batch["text"].to_pylist(), b < 80):
+            if keep:
+                s.update(sql_hash64(w.encode()) for w in (t or "").split())
+        return pa.table({"th": pa.array(sorted(s), pa.int64())})
+
+    v_size = int(ds.map_batches(train_tokens, batch_format="pyarrow")
+                 .groupby("th").count().count())
+
+    def test_instances(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        doc, w1h, bh, cnt = [], [], [], []
+        b = _buckets(batch["doc_id"].to_numpy())
+        for i, t, keep in zip(batch["doc_id"].to_pylist(),
+                              batch["text"].to_pylist(), b >= 90):
+            if keep:
+                ws = (t or "").split()
+                c = Counter(zip(ws, ws[1:]))
+                for (a, b2), k in c.items():
+                    doc.append(i)
+                    w1h.append(sql_hash64(a.encode()))
+                    bh.append(sql_hash64((a + "\x1f" + b2).encode()))
+                    cnt.append(k)
+        return pa.table({"doc_id": pa.array(doc, pa.int64()),
+                         "w1h": pa.array(w1h, pa.int64()),
+                         "bh": pa.array(bh, pa.int64()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    def test_docs(batch: pa.Table) -> pa.Table:
+        b = _buckets(batch["doc_id"].to_numpy())
+        keep = b >= 90
+        nbg = np.array([max(len((t or "").split()) - 1, 0)
+                        for t in batch["text"].to_pylist()], np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"].filter(pa.array(keep)),
+            "n_bigrams": pa.array(nbg[keep], pa.int64()),
+        })
+
+    inst = ds.map_batches(test_instances, batch_format="pyarrow")
+    j1 = hash_left_join(
+        inst, bigrams, left_key="bh", right_key="bh",
+        left_cols=["doc_id", "w1h", "cnt"], right_cols=["c12"],
+        schema={"doc_id": pa.int64(), "w1h": pa.int64(),
+                "cnt": pa.int64(), "c12": pa.int64()},
+        fill={"c12": 0})
+    j2 = hash_left_join(
+        j1, totals, left_key="w1h", right_key="w1h",
+        left_cols=["doc_id", "cnt", "c12"], right_cols=["c1"],
+        schema={"doc_id": pa.int64(), "cnt": pa.int64(),
+                "c12": pa.int64(), "c1": pa.int64()},
+        fill={"c1": 0})
+
+    def score(batch: pa.Table) -> pa.Table:
+        c12 = batch["c12"].to_numpy(zero_copy_only=False)
+        c1 = batch["c1"].to_numpy(zero_copy_only=False)
+        cnt = batch["cnt"].to_numpy(zero_copy_only=False)
+        p = (c12 + 1.0) / (c1 + float(v_size))
+        micro = round_half_away(-np.log2(p) * 1e6, 0).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "nb": pa.array(micro * cnt, pa.int64()),
+            "unseen": pa.array(np.where(c12 == 0, cnt, 0), pa.int64()),
+        })
+
+    sums = preagg_groupby(
+        j2.map_batches(score, batch_format="pyarrow"),
+        ["doc_id"], sums={"bits_micro": "nb", "n_unseen": "unseen"})
+    final = hash_left_join(
+        ds.map_batches(test_docs, batch_format="pyarrow"), sums,
+        left_key="doc_id", right_key="doc_id",
+        left_cols=["n_bigrams"], right_cols=["bits_micro", "n_unseen"],
+        schema={"n_bigrams": pa.int64(), "bits_micro": pa.int64(),
+                "n_unseen": pa.int64()},
+        fill={"bits_micro": 0, "n_unseen": 0})
+    df = final.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    nb = df["n_bigrams"].to_numpy(np.int64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        bits = np.where(
+            nb > 0,
+            round_half_away(df["bits_micro"].to_numpy(np.float64)
+                            / nb.astype(np.float64) / 1e6, 6), np.nan)
+        oov = np.where(
+            nb > 0,
+            round_half_away(df["n_unseen"].to_numpy(np.float64)
+                            / nb.astype(np.float64), 6), np.nan)
+    return pd.DataFrame({
+        "doc_id": pd.array(df["doc_id"], dtype="int64"),
+        "n_bigrams": pd.array(nb, dtype="int64"),
+        "bits_micro": pd.array(df["bits_micro"], dtype="int64"),
+        "n_unseen": pd.array(df["n_unseen"], dtype="int64"),
+        "bits6": pd.array(bits, dtype="float64"),
+        "oov6": pd.array(oov, dtype="float64"),
+    })

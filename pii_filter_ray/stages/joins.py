@@ -388,3 +388,50 @@ def hash_full_outer_join(
         return out.rename(columns={"__key": out_key})[out_cols]
 
     return tagged.groupby("__bucket").map_groups(bucket_join, batch_format="pandas")
+
+
+def hash_left_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    left_key: str,
+    right_key: str,
+    left_cols: List[str],
+    right_cols: List[str],
+    schema: Dict[str, pa.DataType],
+    fill: Dict[str, object],
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """LEFT OUTER equi-join on an int64 key: every LEFT row survives;
+    missing RIGHT payload fills with the caller's explicit ``fill[col]``
+    default (e.g. 0 for a count lookup) instead of NULL, so downstream
+    integer arithmetic never passes through a pandas float upcast. Same
+    one-shuffle tagged-union co-partitioning as :func:`hash_join`; the
+    canonical use is probing a bounded model/count table where a miss
+    has defined semantics (unseen n-gram -> count 0)."""
+    tagged = left.map_batches(
+        _tag(_LEFT, left_key, left_cols, schema, num_buckets), batch_format="pyarrow"
+    ).union(
+        right.map_batches(
+            _tag(_RIGHT, right_key, right_cols, schema, num_buckets),
+            batch_format="pyarrow",
+        )
+    )
+    from .asof import _pd_dtype
+
+    out_cols = [left_key, *left_cols, *right_cols]
+
+    def bucket_left(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["__side"] == _LEFT][["__key", *left_cols]]
+        if len(lf) == 0:
+            cols = {left_key: pd.Series(dtype="int64")}
+            for c in [*left_cols, *right_cols]:
+                cols[c] = pd.Series(dtype=_pd_dtype(schema[c]))
+            return pd.DataFrame(cols)[out_cols]
+        rf = g[g["__side"] == _RIGHT][["__key", *right_cols]]
+        out = lf.merge(rf, on="__key", how="left")
+        for c in right_cols:
+            out[c] = out[c].fillna(fill[c]).astype(_pd_dtype(schema[c]))
+        return out.rename(columns={"__key": left_key})[out_cols]
+
+    return tagged.groupby("__bucket").map_groups(bucket_left, batch_format="pandas")

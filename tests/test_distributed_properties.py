@@ -2950,3 +2950,62 @@ def test_control_chart_layout_ledger_and_planted_shift(ray_session,
     assert not out.loc[:29, "r1"].any()
     assert bool(out.loc[38, "r4"])  # 8th consecutive shifted day
     assert bool(out.loc[38, "any_signal"])
+
+
+def test_heldout_ppl_layout_split_and_smoothing(ray_session, monkeypatch,
+                                                tmp_path):
+    """Held-out LM eval must be layout-free; must cover exactly the test
+    split of the shared hash-split law (driver-side recount); and the
+    smoothing must behave: a test doc made of train-frequent bigrams
+    scores fewer bits than one of never-seen tokens, whose every bigram
+    is OOV (oov6 == 1) and scores exactly -log2(1/V) bits per bigram."""
+    import numpy as np
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_heldout_ppl(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.doc_heldout_ppl(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+
+    ids = _pq.read_table(sf + "/documents.parquet",
+                         columns=["doc_id"])["doc_id"].to_numpy()
+    bkt = ((ids.astype(np.uint64) * np.uint64(2654435761))
+           % np.uint64(2 ** 32)) % np.uint64(100)
+    assert set(a["doc_id"]) == set(ids[bkt >= 90].tolist())
+    assert (a.loc[a["n_bigrams"] > 0, "oov6"] <= 1).all()
+    assert (a["n_unseen"] <= a["n_bigrams"]).all()
+
+    # planted: train docs repeat "a b" (ids hash to train); test doc 93
+    # (bucket >= 90) is all familiar bigrams, test doc 96 all-novel
+    def bucket(i):
+        return (i * 2654435761) % 2 ** 32 % 100
+
+    train_ids = [i for i in range(200) if bucket(i) < 80][:5]
+    test_ids = [i for i in range(200) if bucket(i) >= 90][:2]
+    rows = [(i, "a b a b a b a b") for i in train_ids]
+    rows.append((test_ids[0], "a b a b"))
+    rows.append((test_ids[1], "zz qq zz qq"))
+    tbl = _pa.table({
+        "doc_id": _pa.array([x[0] for x in rows], _pa.int64()),
+        "text": _pa.array([x[1] for x in rows], _pa.string()),
+        "lang": _pa.array(["en"] * len(rows), _pa.string()),
+        "source": _pa.array(["t"] * len(rows), _pa.string()),
+        "n_chars": _pa.array([len(x[1]) for x in rows], _pa.int64()),
+    })
+    _pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = r.doc_heldout_ppl(str(tmp_path)).set_index("doc_id")
+    fam, nov = out.loc[test_ids[0]], out.loc[test_ids[1]]
+    assert fam["oov6"] < 1.0 and nov["oov6"] == 1.0
+    assert fam["bits6"] < nov["bits6"]
+    # V = 2 ('a','b'); every novel bigram: -log2(1/2) = 1 bit exactly
+    assert nov["bits6"] == 1.0

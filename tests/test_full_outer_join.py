@@ -66,3 +66,32 @@ def test_empty_sides(ray_session):
                           "rv": pd.Series(dtype="int64")})
     out = _run(left, empty, num_buckets=2)
     assert len(out) == 1 and not out.in_right.iloc[0] and out.rv.iloc[0] == -1
+
+
+def test_left_join_randomized_vs_pandas(ray_session):
+    """hash_left_join vs a direct pandas left merge (randomized keys with
+    dupes on the left, unique right), including the fill contract: a miss
+    yields the caller's default, never NULL/float upcast."""
+    from pii_filter_ray.stages.joins import hash_left_join
+
+    rnd = random.Random(7)
+    left = pd.DataFrame({
+        "k": [rnd.randrange(40) for _ in range(300)],
+        "lv": range(300),
+    }).astype("int64")
+    right = pd.DataFrame({
+        "k": list(range(0, 40, 2)),
+        "rv": [k * 10 for k in range(0, 40, 2)],
+    }).astype("int64")
+    out = hash_left_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        left_key="k", right_key="k",
+        left_cols=["lv"], right_cols=["rv"],
+        schema={"lv": pa.int64(), "rv": pa.int64()},
+        fill={"rv": 0}, num_buckets=8,
+    ).to_pandas().sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    exp = left.merge(right, on="k", how="left")
+    exp["rv"] = exp["rv"].fillna(0).astype("int64")
+    exp = exp.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[["k", "lv", "rv"]], exp)
+    assert str(out["rv"].dtype) == "int64"
