@@ -502,6 +502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_term_burstiness": r.doc_term_burstiness,
         "orders_control_chart": r.orders_control_chart,
         "doc_heldout_ppl": r.doc_heldout_ppl,
+        "lineitem_twoway_anova": r.lineitem_twoway_anova,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6304,5 +6305,83 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(agg.nb_cnt AS DOUBLE), 6) AS oov6
             FROM tew d LEFT JOIN agg USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "lineitem_twoway_anova": """
+            WITH c AS (
+                SELECT l_returnflag AS f, l_linestatus AS s,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                           AS s1,
+                       CAST(sum(CAST(l_quantity AS BIGINT)
+                                * CAST(l_quantity AS BIGINT)) AS BIGINT)
+                           AS s2
+                FROM lineitem GROUP BY 1, 2
+            ),
+            p AS (
+                SELECT
+                    max(CASE WHEN f='A' AND s='F' THEN n END) AS n_af,
+                    max(CASE WHEN f='A' AND s='O' THEN n END) AS n_ao,
+                    max(CASE WHEN f='N' AND s='F' THEN n END) AS n_nf,
+                    max(CASE WHEN f='N' AND s='O' THEN n END) AS n_no,
+                    max(CASE WHEN f='R' AND s='F' THEN n END) AS n_rf,
+                    max(CASE WHEN f='R' AND s='O' THEN n END) AS n_ro,
+                    max(CASE WHEN f='A' AND s='F' THEN s1 END) AS a_af,
+                    max(CASE WHEN f='A' AND s='O' THEN s1 END) AS a_ao,
+                    max(CASE WHEN f='N' AND s='F' THEN s1 END) AS a_nf,
+                    max(CASE WHEN f='N' AND s='O' THEN s1 END) AS a_no,
+                    max(CASE WHEN f='R' AND s='F' THEN s1 END) AS a_rf,
+                    max(CASE WHEN f='R' AND s='O' THEN s1 END) AS a_ro,
+                    CAST(sum(s2) AS BIGINT) AS s2t
+                FROM c
+            ),
+            q AS (
+                SELECT *,
+                    n_af + n_ao + n_nf + n_no + n_rf + n_ro AS nt,
+                    a_af + a_ao + a_nf + a_no + a_rf + a_ro AS s1t
+                FROM p
+            ),
+            e AS (
+                SELECT *,
+                    CAST(s1t * s1t AS DOUBLE) / CAST(nt AS DOUBLE) AS g
+                FROM q
+            ),
+            ss AS (
+                SELECT *,
+                    (CAST(a_af * a_af AS DOUBLE) / CAST(n_af AS DOUBLE)
+                     + CAST(a_ao * a_ao AS DOUBLE) / CAST(n_ao AS DOUBLE)
+                     + CAST(a_nf * a_nf AS DOUBLE) / CAST(n_nf AS DOUBLE)
+                     + CAST(a_no * a_no AS DOUBLE) / CAST(n_no AS DOUBLE)
+                     + CAST(a_rf * a_rf AS DOUBLE) / CAST(n_rf AS DOUBLE)
+                     + CAST(a_ro * a_ro AS DOUBLE) / CAST(n_ro AS DOUBLE))
+                    - g AS ss_cells,
+                    (CAST((a_af + a_ao) * (a_af + a_ao) AS DOUBLE)
+                         / CAST(n_af + n_ao AS DOUBLE)
+                     + CAST((a_nf + a_no) * (a_nf + a_no) AS DOUBLE)
+                         / CAST(n_nf + n_no AS DOUBLE)
+                     + CAST((a_rf + a_ro) * (a_rf + a_ro) AS DOUBLE)
+                         / CAST(n_rf + n_ro AS DOUBLE)) - g AS ss_a,
+                    (CAST((a_af + a_nf + a_rf) * (a_af + a_nf + a_rf)
+                          AS DOUBLE) / CAST(n_af + n_nf + n_rf AS DOUBLE)
+                     + CAST((a_ao + a_no + a_ro) * (a_ao + a_no + a_ro)
+                          AS DOUBLE) / CAST(n_ao + n_no + n_ro AS DOUBLE))
+                    - g AS ss_b,
+                    CAST(s2t AS DOUBLE) - g AS ss_tot
+                FROM e
+            )
+            SELECT nt AS n,
+                   round(ss_a, 6) AS ss_a6,
+                   round(ss_b, 6) AS ss_b6,
+                   round(ss_cells - ss_a - ss_b, 6) AS ss_ab6,
+                   round(ss_tot - ss_cells, 6) AS ss_w6,
+                   round((ss_a / 2.0)
+                         / ((ss_tot - ss_cells) / CAST(nt - 6 AS DOUBLE)),
+                         6) AS f_a6,
+                   round((ss_b / 1.0)
+                         / ((ss_tot - ss_cells) / CAST(nt - 6 AS DOUBLE)),
+                         6) AS f_b6,
+                   round(((ss_cells - ss_a - ss_b) / 2.0)
+                         / ((ss_tot - ss_cells) / CAST(nt - 6 AS DOUBLE)),
+                         6) AS f_ab6
+            FROM ss
         """,
     }

@@ -16376,3 +16376,85 @@ def doc_heldout_ppl(sf_dir: str):
         "bits6": pd.array(bits, dtype="float64"),
         "oov6": pd.array(oov, dtype="float64"),
     })
+
+
+def lineitem_twoway_anova(sf_dir: str):
+    """Two-factor ANOVA with interaction (returnflag x linestatus on
+    quantity) — the factorial companion to lineitem_anova's one-way F:
+    main effects answer 'does each factor matter marginally', the
+    interaction term answers the question one-way tests structurally
+    cannot ('does the flag effect DIFFER by status'). Sequential
+    (Type-I, A-then-B) decomposition over the weighted cell means —
+    exact and standard on this near-balanced design, documented as
+    order-dependent for heavily unbalanced ones. Per block: 6
+    (flag, status, n, sum q, sum q^2) integer partial rows; ONE bounded
+    shuffle over the 3x2 cell catalog; every SS is then an explicit
+    FIXED-ORDER IEEE expression over exact integer ledgers (cell terms
+    s1^2/n summed left-associatively in (A,F)..(R,O) order, identical
+    on both engines — never an unordered float SUM), so the three F
+    statistics agree bit-for-bit with no tolerance."""
+    ds = _tbl(sf_dir, "lineitem",
+              columns=["l_quantity", "l_returnflag", "l_linestatus"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        q = pc.cast(batch["l_quantity"], pa.int64())
+        t = pa.table({"f": batch["l_returnflag"],
+                      "s": batch["l_linestatus"],
+                      "one": pc.cast(pc.equal(q, q), pa.int64()),
+                      "s1": q, "s2": pc.multiply(q, q)})
+        g = t.group_by(["f", "s"]).aggregate(
+            [("one", "sum"), ("s1", "sum"), ("s2", "sum")])
+        return pa.table({"f": g["f"], "s": g["s"], "n": g["one_sum"],
+                         "s1": g["s1_sum"], "s2": g["s2_sum"]})
+
+    df = (ds.map_batches(partials, batch_format="pyarrow")
+          .groupby(["f", "s"])
+          .aggregate(Sum("n", alias_name="n"), Sum("s1", alias_name="s1"),
+                     Sum("s2", alias_name="s2"))
+          .to_pandas().set_index(["f", "s"]))
+    order = [("A", "F"), ("A", "O"), ("N", "F"),
+             ("N", "O"), ("R", "F"), ("R", "O")]
+    c = {k: (int(df.loc[k, "n"]), int(df.loc[k, "s1"]),
+             int(df.loc[k, "s2"])) for k in order}
+    nt = sum(v[0] for v in c.values())
+    s1t = sum(v[1] for v in c.values())
+    s2t = sum(v[2] for v in c.values())
+    g = float(s1t * s1t) / float(nt)
+
+    def term(s1: int, n: int) -> float:
+        return float(s1 * s1) / float(n)
+
+    ss_cells = (term(c[order[0]][1], c[order[0]][0])
+                + term(c[order[1]][1], c[order[1]][0])
+                + term(c[order[2]][1], c[order[2]][0])
+                + term(c[order[3]][1], c[order[3]][0])
+                + term(c[order[4]][1], c[order[4]][0])
+                + term(c[order[5]][1], c[order[5]][0])) - g
+    lvlA = {a: (sum(c[(a, s)][0] for s in ("F", "O")),
+                sum(c[(a, s)][1] for s in ("F", "O")))
+            for a in ("A", "N", "R")}
+    lvlB = {s: (sum(c[(a, s)][0] for a in ("A", "N", "R")),
+                sum(c[(a, s)][1] for a in ("A", "N", "R")))
+            for s in ("F", "O")}
+    ss_a = (term(lvlA["A"][1], lvlA["A"][0])
+            + term(lvlA["N"][1], lvlA["N"][0])
+            + term(lvlA["R"][1], lvlA["R"][0])) - g
+    ss_b = (term(lvlB["F"][1], lvlB["F"][0])
+            + term(lvlB["O"][1], lvlB["O"][0])) - g
+    ss_tot = float(s2t) - g
+    ss_ab = ss_cells - ss_a - ss_b
+    ss_w = ss_tot - ss_cells
+    dfw = float(nt - 6)
+    f_a = (ss_a / 2.0) / (ss_w / dfw)
+    f_b = (ss_b / 1.0) / (ss_w / dfw)
+    f_ab = (ss_ab / 2.0) / (ss_w / dfw)
+    return pd.DataFrame({
+        "n": pd.array([nt], dtype="int64"),
+        "ss_a6": [float(round_half_away(ss_a, 6))],
+        "ss_b6": [float(round_half_away(ss_b, 6))],
+        "ss_ab6": [float(round_half_away(ss_ab, 6))],
+        "ss_w6": [float(round_half_away(ss_w, 6))],
+        "f_a6": [float(round_half_away(f_a, 6))],
+        "f_b6": [float(round_half_away(f_b, 6))],
+        "f_ab6": [float(round_half_away(f_ab, 6))],
+    })

@@ -3009,3 +3009,68 @@ def test_heldout_ppl_layout_split_and_smoothing(ray_session, monkeypatch,
     assert fam["bits6"] < nov["bits6"]
     # V = 2 ('a','b'); every novel bigram: -log2(1/2) = 1 bit exactly
     assert nov["bits6"] == 1.0
+
+
+def test_twoway_anova_layout_identity_and_planted_interaction(
+        ray_session, monkeypatch, tmp_path):
+    """Two-way ANOVA must be layout-free; its SS decomposition must tie
+    (ss_a + ss_b + ss_ab + ss_w ~= ss_total recomputed driver-side); and
+    a planted pure-interaction design (cell means +d, -d, -d, +d with
+    zero marginal effects) must put all signal in f_ab6."""
+    import numpy as np
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.lineitem_twoway_anova(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(11))
+    b = r.lineitem_twoway_anova(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+
+    li = _pq.read_table(sf + "/lineitem.parquet",
+                        columns=["l_quantity"]).to_pandas()
+    q = li["l_quantity"].to_numpy(np.int64)
+    ss_tot = float((q.astype(np.float64) ** 2).sum()) \
+        - float(q.sum()) ** 2 / len(q)
+    parts = float(a.ss_a6[0] + a.ss_b6[0] + a.ss_ab6[0] + a.ss_w6[0])
+    assert abs(parts - ss_tot) < 1e-3 * max(ss_tot, 1.0)
+
+    # planted pure interaction: 2x2 of the (A,N)x(F,O) cells, 40 rows
+    # per cell, means 30/10/10/30 — marginals identical, interaction huge
+    rows = []
+    means = {("A", "F"): 30, ("A", "O"): 10,
+             ("N", "F"): 10, ("N", "O"): 30}
+    # R cells must exist for the fixed 3x2 catalog: give them mean 20
+    means[("R", "F")] = 20
+    means[("R", "O")] = 20
+    for (f, s), m in means.items():
+        for i in range(40):
+            rows.append((f, s, float(m + (1 if i % 2 == 0 else -1))))
+    tbl = _pa.table({
+        "l_orderkey": _pa.array(range(len(rows)), _pa.int64()),
+        "l_partkey": _pa.array([1] * len(rows), _pa.int64()),
+        "l_suppkey": _pa.array([1] * len(rows), _pa.int64()),
+        "l_linenumber": _pa.array([1] * len(rows), _pa.int32()),
+        "l_quantity": _pa.array([x[2] for x in rows], _pa.float64()),
+        "l_extendedprice": _pa.array([0.0] * len(rows), _pa.float64()),
+        "l_discount": _pa.array([0.0] * len(rows), _pa.float64()),
+        "l_tax": _pa.array([0.0] * len(rows), _pa.float64()),
+        "l_returnflag": _pa.array([x[0] for x in rows], _pa.string()),
+        "l_linestatus": _pa.array([x[1] for x in rows], _pa.string()),
+        "l_shipdate": _pa.array(
+            [np.datetime64("2024-01-01", "us")] * len(rows),
+            _pa.timestamp("us")),
+    })
+    _pq.write_table(tbl, tmp_path / "lineitem.parquet")
+    out = r.lineitem_twoway_anova(str(tmp_path)).iloc[0]
+    assert abs(out["ss_a6"]) < 1e-6 and abs(out["ss_b6"]) < 1e-6
+    assert out["f_ab6"] > 100.0
+    assert out["ss_ab6"] > 100.0
