@@ -503,6 +503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_control_chart": r.orders_control_chart,
         "doc_heldout_ppl": r.doc_heldout_ppl,
         "lineitem_twoway_anova": r.lineitem_twoway_anova,
+        "orders_seasonal_decompose": r.orders_seasonal_decompose,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6383,5 +6384,57 @@ def oracle_sql() -> dict[str, str]:
                          / ((ss_tot - ss_cells) / CAST(nt - 6 AS DOUBLE)),
                          6) AS f_ab6
             FROM ss
+        """,
+        "orders_seasonal_decompose": """
+            WITH daily AS (
+                SELECT CAST(date_trunc('day', o_orderdate) AS DATE)
+                           AS day,
+                       CAST(sum(CAST(round(o_totalprice * 100.0, 0)
+                                     AS BIGINT)) AS BIGINT) AS cents
+                FROM orders GROUP BY 1
+            ),
+            bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+            spine AS (
+                SELECT CAST(unnest(generate_series(
+                           CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+                           INTERVAL 1 DAY)) AS DATE) AS day
+                FROM bounds
+            ),
+            g AS (
+                SELECT s.day, coalesce(d.cents, 0) AS cents,
+                       datediff('day', DATE '1970-01-01', s.day) % 7
+                           AS dk,
+                       row_number() OVER (ORDER BY s.day) AS rn,
+                       count(*) OVER () AS nn
+                FROM spine s LEFT JOIN daily d ON d.day = s.day
+            ),
+            t AS (
+                SELECT day, cents, dk,
+                       CASE WHEN rn >= 4 AND rn <= nn - 3 THEN
+                           CAST(sum(cents) OVER (ORDER BY day
+                               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                               AS BIGINT)
+                       END AS s7
+                FROM g
+            ),
+            sk AS (
+                SELECT dk,
+                       CAST(sum(7 * cents - s7) AS BIGINT) AS sdet,
+                       CAST(count(*) AS BIGINT) AS ndk
+                FROM t WHERE s7 IS NOT NULL GROUP BY 1
+            )
+            SELECT strftime(t.day, '%Y-%m-%d') AS day, t.cents,
+                   round(CAST(t.s7 AS DOUBLE) / 7.0, 6) AS trend6,
+                   round(CAST(sk.sdet AS DOUBLE)
+                         / (7.0 * CAST(sk.ndk AS DOUBLE)), 6)
+                       AS seasonal6,
+                   CASE WHEN t.s7 IS NULL THEN NULL ELSE
+                       round(CAST(t.cents AS DOUBLE)
+                             - CAST(t.s7 AS DOUBLE) / 7.0
+                             - CAST(sk.sdet AS DOUBLE)
+                               / (7.0 * CAST(sk.ndk AS DOUBLE)), 6)
+                   END AS resid6
+            FROM t LEFT JOIN sk ON sk.dk = t.dk
+            ORDER BY day
         """,
     }

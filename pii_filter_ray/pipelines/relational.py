@@ -16458,3 +16458,77 @@ def lineitem_twoway_anova(sf_dir: str):
         "f_b6": [float(round_half_away(f_b, 6))],
         "f_ab6": [float(round_half_away(f_ab, 6))],
     })
+
+
+def orders_seasonal_decompose(sf_dir: str):
+    """Classical additive time-series decomposition of daily revenue —
+    the trend/seasonal/residual split every monitoring stack draws
+    before alerting on a raw series (orders_dow_seasonality reports the
+    weekly profile; THIS removes it, exposing the residual the anomaly
+    rules should actually watch): trend = centered 7-day moving average
+    over the ZERO-GAP-FILLED calendar spine (a missing day IS zero
+    revenue), seasonal = per day-of-week mean of the detrended series,
+    residual = observed - trend - seasonal. ONE bounded daily
+    exact-cents shuffle; the spine fill and folds run driver-side over
+    the bounded date catalog. Exactness: the 7-day window sum s7 and
+    the detrended value 7*x - s7 never leave integer arithmetic (the
+    seasonal ledger per DOW is an order-free integer sum), the DOW key
+    is epoch-days mod 7 (identical arithmetic both engines — pandas
+    and DuckDB disagree on weekday numbering), and trend/seasonal/
+    residual are single mirrored IEEE trees; edge days without a full
+    window NULL trend and residual on both engines."""
+    ds = _tbl(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def daily(batch: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            batch["o_totalprice"].to_numpy() * 100.0, 0).astype(np.int64)
+        t = pa.table({
+            "day": pc.strftime(batch["o_orderdate"], format="%Y-%m-%d"),
+            "cents": pa.array(cents, pa.int64()),
+        })
+        g = t.group_by("day").aggregate([("cents", "sum")])
+        return pa.table({"day": g["day"], "cents": g["cents_sum"]})
+
+    obs = (ds.map_batches(daily, batch_format="pyarrow")
+           .groupby("day").aggregate(Sum("cents", alias_name="cents"))
+           .to_pandas())
+    od = pd.to_datetime(obs["day"]).to_numpy("datetime64[D]")
+    spine = np.arange(od.min(), od.max() + np.timedelta64(1, "D"))
+    x = np.zeros(len(spine), np.int64)
+    x[(od - spine[0]).astype(np.int64)] = obs["cents"].to_numpy(np.int64)
+    n = len(spine)
+    dk = (spine.astype("datetime64[D]").astype(np.int64)) % 7
+    cs = np.concatenate([[0], np.cumsum(x)])
+    s7 = np.full(n, -1, np.int64)
+    defined = np.zeros(n, bool)
+    if n >= 7:
+        core = np.arange(3, n - 3)
+        s7[core] = cs[core + 4] - cs[core - 3]
+        defined[core] = True
+    sdet = np.zeros(7, np.int64)
+    ndk = np.zeros(7, np.int64)
+    np.add.at(sdet, dk[defined], 7 * x[defined] - s7[defined])
+    np.add.at(ndk, dk[defined], 1)
+    seas = np.full(7, np.nan)
+    nz = ndk > 0
+    seas[nz] = round_half_away(
+        sdet[nz].astype(np.float64) / (7.0 * ndk[nz].astype(np.float64)),
+        6)
+    seas_raw = np.full(7, np.nan)
+    seas_raw[nz] = sdet[nz].astype(np.float64) \
+        / (7.0 * ndk[nz].astype(np.float64))
+    trend = np.full(n, np.nan)
+    trend[defined] = round_half_away(
+        s7[defined].astype(np.float64) / 7.0, 6)
+    resid = np.full(n, np.nan)
+    resid[defined] = round_half_away(
+        x[defined].astype(np.float64)
+        - s7[defined].astype(np.float64) / 7.0
+        - seas_raw[dk[defined]], 6)
+    return pd.DataFrame({
+        "day": pd.array([str(d) for d in spine], dtype="string"),
+        "cents": pd.array(x, dtype="int64"),
+        "trend6": pd.array(trend, dtype="float64"),
+        "seasonal6": pd.array(seas[dk], dtype="float64"),
+        "resid6": pd.array(resid, dtype="float64"),
+    })

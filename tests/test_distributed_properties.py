@@ -3074,3 +3074,61 @@ def test_twoway_anova_layout_identity_and_planted_interaction(
     assert abs(out["ss_a6"]) < 1e-6 and abs(out["ss_b6"]) < 1e-6
     assert out["f_ab6"] > 100.0
     assert out["ss_ab6"] > 100.0
+
+
+def test_seasonal_decompose_layout_identity_and_planted_wave(
+        ray_session, monkeypatch, tmp_path):
+    """Decomposition must be layout-free; reassembly must be exact on
+    defined days (trend + seasonal + resid == cents within rounding);
+    the seasonal ledger must be mean-zero-ish by construction; and a
+    planted pure weekly square wave over a flat base must land almost
+    entirely in the seasonal component (residual ~ 0, trend ~ base)."""
+    import numpy as np
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.orders_seasonal_decompose(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.orders_seasonal_decompose(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+
+    d = a.dropna(subset=["trend6"])
+    recon = d["trend6"] + d["seasonal6"] + d["resid6"]
+    assert (abs(recon - d["cents"]) < 2e-5).all()
+
+    # planted: 70 days, revenue 100 + 40 on dk==0 days only
+    days = np.arange(np.datetime64("2024-01-01"),
+                     np.datetime64("2024-03-11"))
+    dk = days.astype("datetime64[D]").astype(np.int64) % 7
+    prices = np.where(dk == 0, 1.40, 1.00)
+    tbl = _pa.table({
+        "o_orderkey": _pa.array(range(len(days)), _pa.int64()),
+        "o_custkey": _pa.array([1] * len(days), _pa.int64()),
+        "o_orderstatus": _pa.array(["O"] * len(days), _pa.string()),
+        "o_totalprice": _pa.array(prices, _pa.float64()),
+        "o_orderdate": _pa.array(
+            days.astype("datetime64[us]"), _pa.timestamp("us")),
+        "o_orderpriority": _pa.array(["1"] * len(days), _pa.string()),
+    })
+    _pq.write_table(tbl, tmp_path / "orders.parquet")
+    out = r.orders_seasonal_decompose(str(tmp_path))
+    mid = out.dropna(subset=["resid6"])
+    # every full 7-day window sums to 740 cents -> trend exactly 740/7
+    assert (abs(mid["trend6"] - 740.0 / 7.0) < 1e-6).all()
+    assert (abs(mid["resid6"]) < 1e-5).all()
+    spike = out[out["day"].map(
+        lambda s: np.datetime64(s).astype("datetime64[D]")
+        .astype(int) % 7 == 0)]["seasonal6"]
+    flat = out[out["day"].map(
+        lambda s: np.datetime64(s).astype("datetime64[D]")
+        .astype(int) % 7 != 0)]["seasonal6"]
+    assert (spike > 30).all() and (flat < 0).all()
