@@ -504,6 +504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_heldout_ppl": r.doc_heldout_ppl,
         "lineitem_twoway_anova": r.lineitem_twoway_anova,
         "orders_seasonal_decompose": r.orders_seasonal_decompose,
+        "events_psi_drift": r.events_psi_drift,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6436,5 +6437,62 @@ def oracle_sql() -> dict[str, str]:
                    END AS resid6
             FROM t LEFT JOIN sk ON sk.dk = t.dk
             ORDER BY day
+        """,
+        "events_psi_drift": """
+            WITH tb AS (SELECT min(epoch_us(ts)) AS tmin,
+                               max(epoch_us(ts)) AS tmax FROM events),
+            lab AS (
+                SELECT value,
+                       CASE WHEN 2 * epoch_us(ts) <= tb.tmin + tb.tmax
+                            THEN 0 ELSE 1 END AS side
+                FROM events, tb
+            ),
+            vr AS (SELECT min(value) AS vmin, max(value) AS vmax
+                   FROM lab WHERE side = 0),
+            bn AS (
+                SELECT side,
+                       CASE WHEN vr.vmax = vr.vmin THEN 0
+                            ELSE LEAST(GREATEST(CAST(floor(
+                                (value - vr.vmin) * 10.0
+                                / (vr.vmax - vr.vmin)) AS BIGINT),
+                                0), 9)
+                       END AS bin
+                FROM lab, vr
+            ),
+            bins AS (SELECT unnest(range(0, 10)) AS bin),
+            rn AS (SELECT bin, CAST(count(*) AS BIGINT) AS n
+                   FROM bn WHERE side = 0 GROUP BY 1),
+            cn AS (SELECT bin, CAST(count(*) AS BIGINT) AS n
+                   FROM bn WHERE side = 1 GROUP BY 1),
+            tot AS (SELECT
+                CAST((SELECT count(*) FROM bn WHERE side = 0)
+                     AS BIGINT) AS nr,
+                CAST((SELECT count(*) FROM bn WHERE side = 1)
+                     AS BIGINT) AS nc),
+            pq AS (
+                SELECT bins.bin,
+                       CAST(coalesce(rn.n, 0) AS BIGINT) AS ref_n,
+                       CAST(coalesce(cn.n, 0) AS BIGINT) AS cur_n,
+                       CAST(coalesce(rn.n, 0) + 1 AS DOUBLE)
+                           / CAST(tot.nr + 10 AS DOUBLE) AS p,
+                       CAST(coalesce(cn.n, 0) + 1 AS DOUBLE)
+                           / CAST(tot.nc + 10 AS DOUBLE) AS q
+                FROM bins LEFT JOIN rn USING (bin)
+                          LEFT JOIN cn USING (bin), tot
+            ),
+            tm AS (
+                SELECT bin, ref_n, cur_n, p, q,
+                       CAST(round((p - q) * ln(p / q)
+                                  * 1000000000.0, 0) AS BIGINT)
+                           AS term_nano
+                FROM pq
+            ),
+            s AS (SELECT CAST(sum(term_nano) AS BIGINT) AS sn FROM tm)
+            SELECT bin, ref_n, cur_n,
+                   round(p, 6) AS p6, round(q, 6) AS q6, term_nano,
+                   round(CAST(s.sn AS DOUBLE) / 1000000000.0, 6)
+                       AS psi6,
+                   s.sn > 200000000 AS is_drift
+            FROM tm, s ORDER BY bin
         """,
     }

@@ -16532,3 +16532,87 @@ def orders_seasonal_decompose(sf_dir: str):
         "seasonal6": pd.array(seas[dk], dtype="float64"),
         "resid6": pd.array(resid, dtype="float64"),
     })
+
+
+def events_psi_drift(sf_dir: str, n_bins: int = 10):
+    """Population Stability Index between the first and second time-half
+    of events.value — the industry-standard drift screen (credit-risk
+    heritage, now every model monitor's default) that completes the
+    drift family: doc_split_drift checks a categorical x split,
+    doc_source_divergence compares sources, THIS watches one
+    distribution move through TIME, with the standard smoothed-PSI fold
+    and the psi > 0.2 'investigate' rule. Halves split on the exact
+    midpoint 2*ts <= tmin + tmax (integer microseconds, no division);
+    bins are n_bins equal-width over the REFERENCE half's [vmin, vmax]
+    with out-of-range current values clamped (the scorecard
+    convention); the bin index floor((v - vmin) * 10 / (vmax - vmin))
+    is the IDENTICAL IEEE tree on both engines, so a value near an edge
+    bins the same everywhere. One pass emits (side, bin) count partials
+    (<= 2*n_bins rows per block) into ONE bounded shuffle; each bin's
+    Laplace-smoothed term (p-q)*ln(p/q) quantizes to NANO-unit integers
+    before the order-free sum (the log2-ULP lesson from
+    doc_heldout_ppl), psi6 is one mirrored division, and is_drift is
+    the EXACT integer compare sum_nano > 0.2 * 1e9."""
+    ds = _tbl(sf_dir, "events", columns=["ts", "value"])
+
+    def tcast(batch: pa.Table) -> pa.Table:
+        return pa.table({"t": pc.cast(batch["ts"], pa.int64())})
+
+    trow = (ds.map_batches(tcast, batch_format="pyarrow")
+            .aggregate(Min("t", alias_name="tmin"),
+                       Max("t", alias_name="tmax")))
+    tmin, tmax = int(trow["tmin"]), int(trow["tmax"])
+
+    def ref_vals(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch["ts"], pa.int64()).to_numpy()
+        v = batch["value"].to_numpy()
+        return pa.table({"v": pa.array(v[2 * t <= tmin + tmax],
+                                       pa.float64())})
+
+    vrow = (ds.map_batches(ref_vals, batch_format="pyarrow")
+            .aggregate(Min("v", alias_name="vmin"),
+                       Max("v", alias_name="vmax")))
+    vmin, vmax = float(vrow["vmin"]), float(vrow["vmax"])
+
+    def bin_partials(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch["ts"], pa.int64()).to_numpy()
+        v = batch["value"].to_numpy()
+        is_ref = 2 * t <= tmin + tmax
+        if vmax == vmin:
+            b = np.zeros(len(v), np.int64)
+        else:
+            b = np.clip(np.floor((v - vmin) * float(n_bins)
+                                 / (vmax - vmin)), 0,
+                        n_bins - 1).astype(np.int64)
+        side = np.where(is_ref, 0, 1).astype(np.int64)
+        df = pd.DataFrame({"side": side, "bin": b})
+        g = df.groupby(["side", "bin"]).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            pa.schema([("side", pa.int64()), ("bin", pa.int64()),
+                       ("n", pa.int64())]))
+
+    cat = (ds.map_batches(bin_partials, batch_format="pyarrow")
+           .groupby(["side", "bin"]).aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    ref = np.zeros(n_bins, np.int64)
+    cur = np.zeros(n_bins, np.int64)
+    for r_ in cat.itertuples():
+        (ref if r_.side == 0 else cur)[int(r_.bin)] += int(r_.n)
+    nr, nc = int(ref.sum()), int(cur.sum())
+    p = (ref + 1.0) / float(nr + n_bins)
+    q = (cur + 1.0) / float(nc + n_bins)
+    term = round_half_away((p - q) * np.log(p / q) * 1e9, 0).astype(
+        np.int64)
+    s = int(term.sum())
+    psi6 = float(round_half_away(float(s) / 1e9, 6))
+    drift = bool(s > 200000000)
+    return pd.DataFrame({
+        "bin": pd.array(range(n_bins), dtype="int64"),
+        "ref_n": pd.array(ref, dtype="int64"),
+        "cur_n": pd.array(cur, dtype="int64"),
+        "p6": pd.array(round_half_away(p, 6), dtype="float64"),
+        "q6": pd.array(round_half_away(q, 6), dtype="float64"),
+        "term_nano": pd.array(term, dtype="int64"),
+        "psi6": pd.array([psi6] * n_bins, dtype="float64"),
+        "is_drift": pd.array([drift] * n_bins, dtype="bool"),
+    })

@@ -3132,3 +3132,63 @@ def test_seasonal_decompose_layout_identity_and_planted_wave(
         lambda s: np.datetime64(s).astype("datetime64[D]")
         .astype(int) % 7 != 0)]["seasonal6"]
     assert (spike > 30).all() and (flat < 0).all()
+
+
+def test_psi_drift_layout_ledger_and_planted_shift(ray_session,
+                                                   monkeypatch, tmp_path):
+    """PSI must be layout-free; its two ledgers must tie exactly to the
+    corpus row count; identical halves must read ~0 PSI (below the 0.1
+    'stable' line); and a planted hard distribution shift (uniform-low
+    first half, uniform-high second) must trip is_drift."""
+    import numpy as np
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.events_psi_drift(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.events_psi_drift(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+
+    n_events = _pq.read_metadata(sf + "/events.parquet").num_rows
+    assert int(a["ref_n"].sum() + a["cur_n"].sum()) == n_events
+    assert a["psi6"].nunique() == 1 and a["is_drift"].nunique() == 1
+
+    def mk(vals_first, vals_second, path):
+        n1, n2 = len(vals_first), len(vals_second)
+        t0 = np.datetime64("2024-01-01T00:00:00", "us")
+        ts = ([t0 + np.timedelta64(i, "s") for i in range(n1)]
+              + [t0 + np.timedelta64(10 ** 6 + i, "s") for i in range(n2)])
+        tbl = _pa.table({
+            "event_id": _pa.array(range(n1 + n2), _pa.int64()),
+            "ts": _pa.array(ts, _pa.timestamp("us")),
+            "user_id": _pa.array([1] * (n1 + n2), _pa.int64()),
+            "event_type": _pa.array(["x"] * (n1 + n2), _pa.string()),
+            "value": _pa.array(list(vals_first) + list(vals_second),
+                               _pa.float64()),
+            "props": _pa.array(["{}"] * (n1 + n2), _pa.string()),
+        })
+        _pq.write_table(tbl, path / "events.parquet")
+
+    same = [float(1 + (i * 7) % 100) for i in range(400)]
+    mk(same, same, tmp_path)
+    out = r.events_psi_drift(str(tmp_path))
+    assert not out["is_drift"].iloc[0]
+    assert out["psi6"].iloc[0] < 0.1
+
+    shift_dir = tmp_path / "s"
+    shift_dir.mkdir()
+    low = [float(1 + (i * 7) % 50) for i in range(400)]
+    high = [float(51 + (i * 7) % 49) for i in range(400)]
+    mk(low, high, shift_dir)
+    out2 = r.events_psi_drift(str(shift_dir))
+    assert bool(out2["is_drift"].iloc[0])
+    assert out2["psi6"].iloc[0] > 1.0
