@@ -505,6 +505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_twoway_anova": r.lineitem_twoway_anova,
         "orders_seasonal_decompose": r.orders_seasonal_decompose,
         "events_psi_drift": r.events_psi_drift,
+        "doc_mattr": r.doc_mattr,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6494,5 +6495,43 @@ def oracle_sql() -> dict[str, str]:
                        AS psi6,
                    s.sn > 200000000 AS is_drift
             FROM tm, s ORDER BY bin
+        """,
+        "doc_mattr": f"""
+            WITH w AS (
+                SELECT doc_id, {o.words_expr('text')} AS ws FROM documents
+            ),
+            base AS (
+                SELECT doc_id, ws, len(ws) AS n,
+                       LEAST(50, len(ws)) AS w_eff,
+                       CASE WHEN len(ws) = 0 THEN 0
+                            ELSE len(ws) - LEAST(50, len(ws)) + 1
+                       END AS n_win
+                FROM w
+            ),
+            wins AS (
+                SELECT doc_id,
+                       CAST(len(list_distinct(
+                           list_slice(ws, i, i + w_eff - 1)))
+                           AS BIGINT) AS d
+                FROM (SELECT doc_id, ws, w_eff,
+                             unnest(range(1, n_win + 1)) AS i
+                      FROM base WHERE n > 0)
+            ),
+            s AS (
+                SELECT doc_id, CAST(sum(d) AS BIGINT) AS sum_distinct
+                FROM wins GROUP BY 1
+            )
+            SELECT b.doc_id,
+                   CAST(b.n AS BIGINT) AS n_tokens,
+                   CAST(b.n_win AS BIGINT) AS n_windows,
+                   CAST(coalesce(s.sum_distinct, 0) AS BIGINT)
+                       AS sum_distinct,
+                   CASE WHEN b.n = 0 THEN NULL
+                        ELSE round(CAST(s.sum_distinct AS DOUBLE)
+                                   / CAST(b.n_win * b.w_eff AS DOUBLE),
+                                   6)
+                   END AS mattr6
+            FROM base b LEFT JOIN s USING (doc_id)
+            ORDER BY b.doc_id
         """,
     }

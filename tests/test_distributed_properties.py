@@ -3192,3 +3192,56 @@ def test_psi_drift_layout_ledger_and_planted_shift(ray_session,
     out2 = r.events_psi_drift(str(shift_dir))
     assert bool(out2["is_drift"].iloc[0])
     assert out2["psi6"].iloc[0] > 1.0
+
+
+def test_mattr_layout_bruteforce_and_extremes(ray_session, monkeypatch,
+                                              tmp_path):
+    """MATTR must be layout-free; the closed-form window-distinct ledger
+    must equal a brute-force per-window recount on real corpus docs; and
+    the planted extremes must pin the scale: an all-repeat doc scores
+    1/w per window, an all-unique doc scores exactly 1, a short doc
+    falls back to its single full-window TTR, an empty doc is NULL."""
+    import numpy as np
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_mattr(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.doc_mattr(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+
+    docs = _pq.read_table(sf + "/documents.parquet",
+                          columns=["doc_id", "text"]).to_pandas()
+    byid = a.set_index("doc_id")
+    for _, row in docs.head(10).iterrows():
+        ws = row["text"].split()
+        w_eff = min(50, len(ws))
+        brute = sum(len(set(ws[i:i + w_eff]))
+                    for i in range(len(ws) - w_eff + 1))
+        assert byid.loc[row["doc_id"], "sum_distinct"] == brute
+
+    texts = ["a " * 120, " ".join(f"t{i}" for i in range(120)),
+             "x y x", ""]
+    tbl = _pa.table({
+        "doc_id": _pa.array(range(4), _pa.int64()),
+        "text": _pa.array([t.strip() for t in texts], _pa.string()),
+        "lang": _pa.array(["en"] * 4, _pa.string()),
+        "source": _pa.array(["t"] * 4, _pa.string()),
+        "n_chars": _pa.array([len(t) for t in texts], _pa.int64()),
+    })
+    _pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = r.doc_mattr(str(tmp_path)).set_index("doc_id")
+    assert out.loc[0, "mattr6"] == 0.02          # 1 distinct / 50
+    assert out.loc[1, "mattr6"] == 1.0
+    assert out.loc[2, "n_windows"] == 1
+    assert out.loc[2, "mattr6"] == round(2 / 3, 6)
+    assert pd.isna(out.loc[3, "mattr6"])
