@@ -506,6 +506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_seasonal_decompose": r.orders_seasonal_decompose,
         "events_psi_drift": r.events_psi_drift,
         "doc_mattr": r.doc_mattr,
+        "media_png_dims": r.media_png_dims,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6534,4 +6535,5 @@ def oracle_sql() -> dict[str, str]:
             FROM base b LEFT JOIN s USING (doc_id)
             ORDER BY b.doc_id
         """,
+        "media_png_dims": o.media_png_dims_sql(),
     }

@@ -2789,3 +2789,46 @@ def doc_source_funnel_sql(max_bits: float = 6.0,
              AS share6
   FROM agg a JOIN tot t USING (source)
   ORDER BY a.source, a.drop_reason"""
+
+
+def media_png_dims_sql() -> str:
+    """Recomputes the fixed-offset PNG header parse from the payload's
+    hex string (big-endian fields are DIRECT hex substrings: byte
+    offset k -> hex position 2k+1) and the four defect checks —
+    identical integer arithmetic to relational.media_png_dims."""
+    from .pipelines.relational import media_png_table_path
+
+    def be32(k: int) -> str:
+        p = 2 * k + 1
+        return (f"CAST(CAST('0x' || substr(h, {p}, 8) AS UBIGINT) "
+                f"AS BIGINT)")
+
+    def be8(k: int) -> str:
+        p = 2 * k + 1
+        return f"CAST(CAST('0x' || substr(h, {p}, 2) AS UBIGINT) AS BIGINT)"
+
+    return f"""
+    WITH raw AS (
+        SELECT media_id, decl_w, decl_h, hex(payload) AS h
+        FROM read_parquet({_q(media_png_table_path())})
+    ),
+    fields AS (
+        SELECT media_id, decl_w, decl_h,
+               CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+                    THEN 1 ELSE 0 END AS magic_ok,
+               {be32(16)} AS width,
+               {be32(20)} AS height,
+               {be8(24)} AS bit_depth,
+               {be8(25)} AS color_type
+        FROM raw
+    )
+    SELECT media_id, magic_ok, width, height, bit_depth, color_type,
+           decl_w, decl_h,
+           CASE WHEN width > 0 AND height > 0 THEN 1 ELSE 0 END
+               AS valid_dims,
+           CASE WHEN width = decl_w AND height = decl_h THEN 1 ELSE 0 END
+               AS decl_ok,
+           CASE WHEN width * height > 16700000 THEN 1 ELSE 0 END
+               AS is_bomb
+    FROM fields
+    ORDER BY media_id"""

@@ -16674,3 +16674,77 @@ def doc_mattr(sf_dir: str, w: int = 50):
 
     df = ds.map_batches(per_doc, batch_format="pyarrow").to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)
+
+
+_MEDIA_PNG_CACHE = "/tmp/pii_ray_media/media_png_n96_s13.parquet"
+
+
+def media_png_table_path() -> str:
+    """Materializes (once) the PNG-header image fixture so both engines
+    read the same parquet. Same atomic write discipline as
+    media_wav_table_path."""
+    from ..stages.multimodal import synthesize_png_media_table
+
+    if not os.path.exists(_MEDIA_PNG_CACHE):
+        import tempfile
+
+        os.makedirs(os.path.dirname(_MEDIA_PNG_CACHE), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(_MEDIA_PNG_CACHE), suffix=".tmp"
+        )
+        os.close(fd)
+        pq.write_table(synthesize_png_media_table(n_rows=96, seed=13), tmp)
+        os.replace(tmp, _MEDIA_PNG_CACHE)
+    return _MEDIA_PNG_CACHE
+
+
+def media_png_dims(sf_dir: str):
+    """PNG header audit for image payloads — the image-side companion to
+    media_wav_duration's WAV parse, and the screen an image-ingest
+    pipeline runs BEFORE spending a decode: verify the 8-byte magic,
+    read width/height/bit-depth/color-type from the IHDR at fixed
+    big-endian offsets, and cross-check four defect classes per payload:
+    corrupted magic (not a PNG), zero-dimension headers (invalid), the
+    catalog dimensions against the header (stale catalogs), and a
+    decompression-bomb flag (w*h > 16.7 MPix — the byte size of a
+    payload cannot reveal what its header will inflate to). Big-endian
+    fixed offsets are direct hex-substring reads in the oracle; every
+    output is an integer or a flag, no floats. Payloads never shuffle
+    (the map emits parsed scalars only); at 100 TB this is an actor-pool
+    map over the blob column with this exact schema."""
+    import struct
+
+    ds = ray.data.read_parquet(media_png_table_path())
+
+    def parse(batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("media_id", "magic_ok", "width", "height",
+                               "bit_depth", "color_type", "decl_w",
+                               "decl_h", "valid_dims", "decl_ok",
+                               "is_bomb")}
+        sig = b"\x89PNG\r\n\x1a\n"
+        for mid, pay, dw, dh in zip(batch["media_id"].to_pylist(),
+                                    batch["payload"].to_pylist(),
+                                    batch["decl_w"].to_pylist(),
+                                    batch["decl_h"].to_pylist()):
+            magic = int(pay[:8] == sig)
+            w = struct.unpack_from(">I", pay, 16)[0]
+            h = struct.unpack_from(">I", pay, 20)[0]
+            bd, ct = pay[24], pay[25]
+            out["media_id"].append(mid)
+            out["magic_ok"].append(magic)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["bit_depth"].append(bd)
+            out["color_type"].append(ct)
+            out["decl_w"].append(dw)
+            out["decl_h"].append(dh)
+            out["valid_dims"].append(int(w > 0 and h > 0))
+            out["decl_ok"].append(int(w == dw and h == dh))
+            out["is_bomb"].append(int(w * h > 16700000))
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in out.items()})
+
+    df = ds.map_batches(parse, batch_format="pyarrow").to_pandas()
+    return (df.astype({k: "int64" for k in df.columns})
+            .sort_values("media_id", kind="mergesort")
+            .reset_index(drop=True))

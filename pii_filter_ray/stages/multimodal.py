@@ -344,3 +344,46 @@ def synthesize_wav_media_table(n_rows: int = 96, seed: int = 11) -> pa.Table:
         "payload": pa.array(payloads, pa.binary()),
         "declared_ms": pa.array(declared, pa.int64()),
     })
+
+
+def synthesize_png_media_table(n_rows: int = 96, seed: int = 13) -> pa.Table:
+    """Deterministic image table whose payloads carry REAL PNG
+    signatures and IHDR chunks (8-byte magic, 13-byte IHDR at fixed
+    offsets, seeded noise bodies) with four planted defect classes an
+    image-ingest audit must catch: every 13th payload's magic is
+    corrupted (not a PNG at all), every 11th header declares a ZERO
+    width (invalid image), every 7th row's catalog width drifted +16 px
+    from the header (stale catalog), and every 17th header declares
+    8000x8000 (a decompression-bomb candidate the byte-size of the
+    payload cannot reveal). Fixed-offset big-endian fields are what
+    make the parse SQL-mirrorable byte for byte; CRC validation would
+    need a real zlib and stays with the codec stub."""
+    import random
+    import struct
+
+    rng = random.Random(seed)
+    dims = [(64, 64), (128, 96), (256, 256), (640, 480), (32, 32)]
+    ids, payloads, dw, dh = [], [], [], []
+    for i in range(n_rows):
+        w, h = dims[i % len(dims)]
+        if i % 17 == 9:
+            w, h = 8000, 8000
+        hdr_w = 0 if i % 11 == 4 else w
+        ihdr = struct.pack(">II", hdr_w, h) + bytes(
+            [8, 2 if i % 2 == 0 else 6, 0, 0, 0])
+        sig = b"\x89PNG\r\n\x1a\n"
+        if i % 13 == 6:
+            sig = b"\x89JNK\r\n\x1a\n"
+        payload = (sig + struct.pack(">I", 13) + b"IHDR" + ihdr
+                   + rng.randbytes(4) + rng.randbytes(rng.randint(64, 512)))
+        decl_w = w + 16 if i % 7 == 3 else w
+        ids.append(i)
+        payloads.append(payload)
+        dw.append(decl_w)
+        dh.append(h)
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+        "decl_w": pa.array(dw, pa.int64()),
+        "decl_h": pa.array(dh, pa.int64()),
+    })

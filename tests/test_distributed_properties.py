@@ -3245,3 +3245,27 @@ def test_mattr_layout_bruteforce_and_extremes(ray_session, monkeypatch,
     assert out.loc[2, "n_windows"] == 1
     assert out.loc[2, "mattr6"] == round(2 / 3, 6)
     assert pd.isna(out.loc[3, "mattr6"])
+
+
+def test_png_dims_planted_defect_classes(ray_session):
+    """The PNG audit must recover each planted defect class exactly by
+    the fixture's construction law: corrupted magic every 13th (i%13==6),
+    zero-width headers every 11th (i%11==4), catalog drift every 7th
+    (i%7==3) plus wherever the header itself lies, and the 8000x8000
+    bomb every 17th (i%17==9)."""
+    from pii_filter_ray.pipelines import relational as r
+
+    out = r.media_png_dims("unused").set_index("media_id")
+    for i in out.index:
+        assert out.loc[i, "magic_ok"] == (0 if i % 13 == 6 else 1)
+        assert out.loc[i, "valid_dims"] == (0 if i % 11 == 4 else 1)
+        assert out.loc[i, "is_bomb"] == (
+            1 if (i % 17 == 9 and i % 11 != 4) else 0)
+        drift = i % 7 == 3
+        zero_w = i % 11 == 4
+        assert out.loc[i, "decl_ok"] == (0 if (drift or zero_w) else 1)
+    # all four classes actually occur in the fixture
+    assert (out["magic_ok"] == 0).any()
+    assert (out["valid_dims"] == 0).any()
+    assert (out["is_bomb"] == 1).any()
+    assert (out["decl_ok"] == 0).any()
