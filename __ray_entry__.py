@@ -507,6 +507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_psi_drift": r.events_psi_drift,
         "doc_mattr": r.doc_mattr,
         "media_png_dims": r.media_png_dims,
+        "emb_conductance": r.emb_conductance,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6536,4 +6537,66 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY b.doc_id
         """,
         "media_png_dims": o.media_png_dims_sql(),
+        "emb_conductance": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            seeds AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 4),
+            ad AS (
+                SELECT a.vec_id, s.cid,
+                       row_number() OVER (PARTITION BY a.vec_id
+                           ORDER BY round(list_sum(list_transform(
+                               range(1, 65),
+                               t -> (a.v[t] - s.v[t])
+                                    * (a.v[t] - s.v[t]))), 9),
+                                    s.cid) AS rn
+                FROM e a JOIN seeds s ON TRUE
+            ),
+            lab AS (SELECT vec_id, cid FROM ad WHERE rn = 1),
+            d AS (
+                SELECT a.vec_id AS p, b.vec_id AS o,
+                       CAST(round(sqrt(round(list_sum(list_transform(
+                                range(1, 65),
+                                t -> (a.v[t] - b.v[t])
+                                     * (a.v[t] - b.v[t]))), 9))
+                                  * 1000000000.0, 0) AS BIGINT) AS dn
+                FROM e a JOIN e b ON a.vec_id <> b.vec_id
+            ),
+            knn AS (
+                SELECT p, o, row_number() OVER (
+                    PARTITION BY p ORDER BY dn, o) AS rn
+                FROM d
+            ),
+            edges AS (
+                SELECT DISTINCT LEAST(p, o) AS lo, GREATEST(p, o) AS hi
+                FROM knn WHERE rn <= 5
+            ),
+            le AS (
+                SELECT l1.cid AS cl, l2.cid AS ch
+                FROM edges e2
+                JOIN lab l1 ON l1.vec_id = e2.lo
+                JOIN lab l2 ON l2.vec_id = e2.hi
+            ),
+            cl AS (SELECT DISTINCT cid FROM lab),
+            vc AS (
+                SELECT c.cid,
+                       CAST((SELECT count(*) FROM le WHERE cl = c.cid)
+                          + (SELECT count(*) FROM le WHERE ch = c.cid)
+                            AS BIGINT) AS vol,
+                       CAST((SELECT count(*) FROM le
+                             WHERE cl <> ch
+                               AND (cl = c.cid OR ch = c.cid))
+                            AS BIGINT) AS cut,
+                       CAST((SELECT count(*) FROM lab
+                             WHERE cid = c.cid) AS BIGINT) AS n_nodes
+                FROM cl c
+            ),
+            tot AS (SELECT CAST(sum(vol) AS BIGINT) AS volt FROM vc)
+            SELECT cid, n_nodes, vol, cut,
+                   CASE WHEN LEAST(vol, tot.volt - vol) = 0 THEN NULL
+                        ELSE round(CAST(cut AS DOUBLE)
+                                   / CAST(LEAST(vol, tot.volt - vol)
+                                          AS DOUBLE), 6)
+                   END AS phi6
+            FROM vc, tot ORDER BY cid
+        """,
     }

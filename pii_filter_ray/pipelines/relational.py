@@ -16748,3 +16748,87 @@ def media_png_dims(sf_dir: str):
     return (df.astype({k: "int64" for k in df.columns})
             .sort_values("media_id", kind="mergesort")
             .reset_index(drop=True))
+
+
+def emb_conductance(sf_dir: str, k_clusters: int = 4, k: int = 5):
+    """Graph-cut quality of a partition of the embedding corpus — the
+    graph-side cluster validity check next to emb_silhouette's distance
+    view: conductance phi(S) = cut(S) / min(vol(S), vol(rest)) of each
+    seed-Voronoi cell (nearest of the vec_id < k_clusters seeds, the
+    emb_kmeans init convention) over the SYMMETRIZED kNN graph — low
+    phi = the partition respects the data's neighborhood structure,
+    phi near 1 = the 'cluster' is a slice through a connected blob.
+    Cross-engine determinism is the LOF convention end-to-end: pair d2
+    snaps to 9, dn = round(sqrt(d2_9)*1e9) exact nano ints, kNN ranked
+    (dn ASC, id ASC), assignment argmin on (d2_9, cid); the undirected
+    edge set is the DISTINCT (lo, hi) union of directed kNN edges, and
+    vol/cut/phi are pure integer ledgers with one mirrored division.
+    One corpus pass against the broadcast vector catalog (labels ride
+    the broadcast — computed once from the same snapped distances);
+    everything after folds the n*k edge catalog, never vectors. At
+    100 TB: the IVF kNN graph + a bounded label hash-join."""
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ref_tbl = pa.concat_tables(
+        ds.iter_batches(batch_format="pyarrow")).sort_by("vec_id")
+    rids = ref_tbl["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+    R = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in ref_tbl["embedding"].to_pylist()])
+    n = len(rids)
+    seed_mask = rids < k_clusters
+    S = R[seed_mask]
+    scids = rids[seed_mask]
+    d2s = round_half_away(((R[:, None, :] - S[None]) ** 2).sum(axis=2), 9)
+    labels = np.empty(n, np.int64)
+    for i in range(n):
+        o = np.lexsort((scids, d2s[i]))[0]
+        labels[i] = scids[o]
+    lab_by_id = dict(zip(rids.tolist(), labels.tolist()))
+    ref = ray.put((rids, R, labels))
+
+    def knn_edges(batch: pa.Table) -> pa.Table:
+        ids_r, Rm, lab = ray.get(ref)
+        M = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch["embedding"].to_pylist()])
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        d2 = round_half_away(((M[:, None, :] - Rm[None]) ** 2).sum(axis=2),
+                             9)
+        dn = round_half_away(np.sqrt(d2) * 1e9, 0).astype(np.int64)
+        lo_l, hi_l = [], []
+        for i in range(len(vid)):
+            mask = ids_r != vid[i]
+            order = np.lexsort((ids_r[mask], dn[i][mask]))[:k]
+            for oid in ids_r[mask][order]:
+                a, b = int(vid[i]), int(oid)
+                lo_l.append(min(a, b))
+                hi_l.append(max(a, b))
+        t = pa.table({"lo": pa.array(lo_l, pa.int64()),
+                      "hi": pa.array(hi_l, pa.int64())})
+        g = t.group_by(["lo", "hi"]).aggregate([([], "count_all")])
+        return pa.table({"lo": g["lo"], "hi": g["hi"]})
+
+    edges = (ds.map_batches(knn_edges, batch_format="pyarrow")
+             .groupby(["lo", "hi"]).count()
+             .to_pandas())
+    vol = np.zeros(k_clusters, np.int64)
+    cut = np.zeros(k_clusters, np.int64)
+    for lo, hi in zip(edges["lo"], edges["hi"]):
+        cl, ch = lab_by_id[int(lo)], lab_by_id[int(hi)]
+        vol[cl] += 1
+        vol[ch] += 1
+        if cl != ch:
+            cut[cl] += 1
+            cut[ch] += 1
+    volt = int(vol.sum())
+    nn = np.bincount(labels, minlength=k_clusters).astype(np.int64)
+    phi = []
+    for c in range(k_clusters):
+        m = min(int(vol[c]), volt - int(vol[c]))
+        phi.append(None if m == 0 else float(round_half_away(
+            float(cut[c]) / float(m), 6)))
+    return pd.DataFrame({
+        "cid": pd.array(range(k_clusters), dtype="int64"),
+        "n_nodes": pd.array(nn, dtype="int64"),
+        "vol": pd.array(vol, dtype="int64"),
+        "cut": pd.array(cut, dtype="int64"),
+        "phi6": pd.array(phi, dtype="float64"),
+    })

@@ -3269,3 +3269,64 @@ def test_png_dims_planted_defect_classes(ray_session):
     assert (out["valid_dims"] == 0).any()
     assert (out["is_bomb"] == 1).any()
     assert (out["decl_ok"] == 0).any()
+
+
+def test_conductance_layout_ledgers_and_planted_clusters(ray_session,
+                                                         monkeypatch,
+                                                         tmp_path):
+    """Conductance must be layout-free; its ledgers must tie (sum of
+    per-cluster cuts even — every crossing edge counted once per side;
+    vol >= cut; node counts cover the corpus); and on planted
+    well-separated Gaussian-ish blobs around the seeds the kNN graph
+    barely crosses, so every cluster's phi must be near 0."""
+    import numpy as np
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.emb_conductance(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.emb_conductance(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+
+    n_vec = _pq.read_metadata(sf + "/embeddings.parquet").num_rows
+    assert int(a["n_nodes"].sum()) == n_vec
+    assert int(a["cut"].sum()) % 2 == 0
+    assert (a["cut"] <= a["vol"]).all()
+
+    # planted: 4 blobs at distance 100 from each other, radius < 1
+    rng = np.random.RandomState(5)
+    vecs, ids = [], []
+    for c in range(4):
+        center = np.zeros(64)
+        center[c] = 100.0
+        # seed vectors 0..3 must BE the blob centers
+        vecs.append(center)
+        ids.append(c)
+    nxt = 4
+    for c in range(4):
+        center = np.zeros(64)
+        center[c] = 100.0
+        for _ in range(12):
+            vecs.append(center + rng.uniform(-0.5, 0.5, 64))
+            ids.append(nxt)
+            nxt += 1
+    tbl = _pa.table({
+        "vec_id": _pa.array(ids, _pa.int64()),
+        "embedding": _pa.array([list(map(float, v)) for v in vecs],
+                               _pa.list_(_pa.float64())),
+        "label": _pa.array([0] * len(ids), _pa.int64()),
+    })
+    _pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    out = r.emb_conductance(str(tmp_path))
+    assert (out["n_nodes"] == 13).all()
+    assert (out["phi6"].fillna(0) == 0).all()
+    assert (out["cut"] == 0).all()
