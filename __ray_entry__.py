@@ -508,6 +508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mattr": r.doc_mattr,
         "media_png_dims": r.media_png_dims,
         "emb_conductance": r.emb_conductance,
+        "doc_rake_keywords": r.doc_rake_keywords,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -556,6 +557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from pii_filter_ray import oracles as o
+    from pii_filter_ray.pipelines import relational as r
     from pii_filter_ray.stages.bloom import bloom_fpr_sql
     from pii_filter_ray.stages.sketches import (
         cms_sql, hll_join_card_sql, hll_rolling_sql, hll_sql, kmv_sql,
@@ -6598,5 +6600,66 @@ def oracle_sql() -> dict[str, str]:
                                           AS DOUBLE), 6)
                    END AS phi6
             FROM vc, tot ORDER BY cid
+        """,
+        "doc_rake_keywords": f"""
+            WITH tok AS (
+                SELECT doc_id, ws[i] AS w, i AS pos,
+                       CASE WHEN ws[i] IN ({', '.join(
+                           repr(s) for s in r._RAKE_STOPWORDS)})
+                            THEN 1 ELSE 0 END AS is_stop
+                FROM (SELECT doc_id, ws,
+                             unnest(range(1, len(ws) + 1)) AS i
+                      FROM (SELECT doc_id, {o.words_expr('text')} AS ws
+                            FROM documents))
+            ),
+            grp AS (
+                SELECT doc_id, w, pos, is_stop,
+                       sum(is_stop) OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS g
+                FROM tok
+            ),
+            phr AS (
+                SELECT doc_id, g,
+                       string_agg(w, ' ' ORDER BY pos) AS phrase,
+                       CAST(count(*) AS BIGINT) AS L
+                FROM grp WHERE is_stop = 0
+                GROUP BY 1, 2
+            ),
+            wstats AS (
+                SELECT w, CAST(count(*) AS BIGINT) AS freq,
+                       CAST(sum(L) AS BIGINT) AS deg
+                FROM (SELECT unnest(string_split(phrase, ' ')) AS w, L
+                      FROM phr)
+                GROUP BY 1
+            ),
+            wsc AS (
+                SELECT w, CAST(round(CAST(deg AS DOUBLE)
+                                     / CAST(freq AS DOUBLE)
+                                     * 1000000000.0, 0) AS BIGINT)
+                           AS wscore
+                FROM wstats
+            ),
+            pcat AS (
+                SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ
+                FROM phr GROUP BY 1
+            ),
+            psc AS (
+                SELECT p.phrase,
+                       CAST(sum(wsc.wscore) AS BIGINT) AS score_nano
+                FROM (SELECT phrase,
+                             unnest(string_split(phrase, ' ')) AS w
+                      FROM pcat) p
+                JOIN wsc USING (w)
+                GROUP BY 1
+            )
+            SELECT pcat.phrase,
+                   CAST(len(string_split(pcat.phrase, ' ')) AS BIGINT)
+                       AS n_words,
+                   pcat.n_occ, psc.score_nano,
+                   round(CAST(psc.score_nano AS DOUBLE)
+                         / 1000000000.0, 6) AS score6
+            FROM pcat JOIN psc USING (phrase)
+            ORDER BY psc.score_nano DESC, pcat.phrase
+            LIMIT 15
         """,
     }

@@ -16832,3 +16832,144 @@ def emb_conductance(sf_dir: str, k_clusters: int = 4, k: int = 5):
         "cut": pd.array(cut, dtype="int64"),
         "phi6": pd.array(phi, dtype="float64"),
     })
+
+
+_RAKE_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "on", "for",
+    "with", "as", "by", "at", "from", "is", "are", "was", "be",
+    "this", "that", "it", "its", "we", "you",
+)
+
+
+def doc_rake_keywords(sf_dir: str, k: int = 15):
+    """RAKE keyword extraction (Rose et al. 2010) — the second classic
+    keyword algorithm next to doc_textrank_keywords' graph view: split
+    token streams on stopwords into candidate phrases, score each word
+    by degree/frequency (degree = summed length of every phrase it
+    appears in — co-occurrence reach; frequency = its occurrence
+    count), and score a phrase as the sum of its word scores, which is
+    what lets RAKE surface MULTI-WORD keyphrases single-word counts
+    bury. Corpus-level variant (ledgers aggregate over all docs).
+    Fully distributed: pass 1 folds per-block (word, freq, deg) integer
+    partials into the vocabulary groupby; pass 2 builds the distinct
+    phrase catalog (hash-keyed counts); the phrase-word explosion then
+    probes word scores with a hash_left_join and folds per-phrase sums
+    — the vocabulary never sits on the driver, only the k winners do.
+    Determinism: freq/deg are exact integer ledgers, each word score
+    deg/freq quantizes to NANO-unit integers before the order-free
+    per-phrase sum, ranking is on the integer (score_nano DESC, phrase
+    ASC), and score6 is one mirrored division."""
+    from ..stages.dedup import sql_hash64
+    from ..stages.joins import hash_left_join
+
+    stop = frozenset(_RAKE_STOPWORDS)
+    ds = _tbl(sf_dir, "documents", columns=["text"])
+
+    def phrases_of(text: str):
+        cur = []
+        for w in (text or "").split():
+            if w in stop:
+                if cur:
+                    yield cur
+                    cur = []
+            else:
+                cur.append(w)
+        if cur:
+            yield cur
+
+    def word_partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        freq: Counter = Counter()
+        deg: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            for ph in phrases_of(t):
+                L = len(ph)
+                for w in ph:
+                    freq[w] += 1
+                    deg[w] += L
+        words = list(freq.keys())
+        return pa.table({
+            "wh": pa.array([sql_hash64(w.encode()) for w in words],
+                           pa.int64()),
+            "freq": pa.array([freq[w] for w in words], pa.int64()),
+            "deg": pa.array([deg[w] for w in words], pa.int64()),
+        })
+
+    def to_score(batch: pa.Table) -> pa.Table:
+        f = batch["freq"].to_numpy(zero_copy_only=False)
+        d = batch["deg"].to_numpy(zero_copy_only=False)
+        sn = round_half_away(d.astype(np.float64)
+                             / f.astype(np.float64) * 1e9, 0)
+        return pa.table({"wh": batch["wh"],
+                         "wscore": pa.array(sn.astype(np.int64),
+                                            pa.int64())})
+
+    word_scores = (ds.map_batches(word_partials, batch_format="pyarrow")
+                   .groupby("wh")
+                   .aggregate(Sum("freq", alias_name="freq"),
+                              Sum("deg", alias_name="deg"))
+                   .map_batches(to_score, batch_format="pyarrow"))
+
+    def phrase_partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            for ph in phrases_of(t):
+                c[" ".join(ph)] += 1
+        phs = list(c.keys())
+        return pa.table({
+            "ph": pa.array([sql_hash64(p.encode()) for p in phs],
+                           pa.int64()),
+            "phrase": pa.array(phs, pa.string()),
+            "n_occ": pa.array([c[p] for p in phs], pa.int64()),
+        })
+
+    phrase_tbl = (ds.map_batches(phrase_partials, batch_format="pyarrow")
+                  .groupby(["ph", "phrase"])
+                  .aggregate(Sum("n_occ", alias_name="n_occ"))
+                  .materialize())
+
+    def explode(batch: pa.Table) -> pa.Table:
+        phk, wh = [], []
+        for p, phrase in zip(batch["ph"].to_pylist(),
+                             batch["phrase"].to_pylist()):
+            for w in phrase.split():
+                phk.append(p)
+                wh.append(sql_hash64(w.encode()))
+        return pa.table({"ph": pa.array(phk, pa.int64()),
+                         "wh": pa.array(wh, pa.int64())})
+
+    pairs = phrase_tbl.map_batches(explode, batch_format="pyarrow")
+    scored = hash_left_join(
+        pairs, word_scores, left_key="wh", right_key="wh",
+        left_cols=["ph"], right_cols=["wscore"],
+        schema={"ph": pa.int64(), "wscore": pa.int64()},
+        fill={"wscore": 0})
+    sums = preagg_groupby(scored, ["ph"], sums={"score_nano": "wscore"})
+    joined = hash_left_join(
+        phrase_tbl, sums, left_key="ph", right_key="ph",
+        left_cols=["phrase", "n_occ"], right_cols=["score_nano"],
+        schema={"phrase": pa.string(), "n_occ": pa.int64(),
+                "score_nano": pa.int64()},
+        fill={"score_nano": 0})
+
+    def topk_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["score_nano", "phrase"],
+                           ascending=[False, True],
+                           kind="mergesort").head(k),
+            preserve_index=False)
+
+    top = (joined.map_batches(topk_block, batch_format="pyarrow")
+           .to_pandas()
+           .sort_values(["score_nano", "phrase"],
+                        ascending=[False, True], kind="mergesort")
+           .head(k).reset_index(drop=True))
+    top["n_words"] = top["phrase"].map(lambda p: len(p.split()))
+    top["score6"] = round_half_away(
+        top["score_nano"].to_numpy(np.float64) / 1e9, 6)
+    out = top[["phrase", "n_words", "n_occ", "score_nano", "score6"]]
+    return out.astype({"phrase": "string", "n_words": "int64",
+                       "n_occ": "int64", "score_nano": "int64",
+                       "score6": "float64"})

@@ -3330,3 +3330,45 @@ def test_conductance_layout_ledgers_and_planted_clusters(ray_session,
     assert (out["n_nodes"] == 13).all()
     assert (out["phi6"].fillna(0) == 0).all()
     assert (out["cut"] == 0).all()
+
+
+def test_rake_layout_and_planted_multiword(ray_session, monkeypatch,
+                                           tmp_path):
+    """RAKE must be layout-free, and on the planted corpus must exhibit
+    its defining property — multi-word phrases outrank their own
+    constituent words — with EXACT integer scores recomputable by hand:
+    'deep learning model' (2.5 + 2.5 + 3 = 8) beats 'deep learning'
+    (5), both split out by stopwords."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_rake_keywords(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.doc_rake_keywords(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert (a["score_nano"].diff().dropna() <= 0).all()
+
+    texts = ["a deep learning model and deep learning"]
+    tbl = _pa.table({
+        "doc_id": _pa.array([0], _pa.int64()),
+        "text": _pa.array(texts, _pa.string()),
+        "lang": _pa.array(["en"], _pa.string()),
+        "source": _pa.array(["t"], _pa.string()),
+        "n_chars": _pa.array([len(texts[0])], _pa.int64()),
+    })
+    _pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = r.doc_rake_keywords(str(tmp_path))
+    assert out.iloc[0]["phrase"] == "deep learning model"
+    assert out.iloc[0]["score_nano"] == 8_000_000_000
+    assert out.iloc[1]["phrase"] == "deep learning"
+    assert out.iloc[1]["score_nano"] == 5_000_000_000
+    assert out.iloc[0]["n_words"] == 3 and out.iloc[1]["n_occ"] == 1
