@@ -509,6 +509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_png_dims": r.media_png_dims,
         "emb_conductance": r.emb_conductance,
         "doc_rake_keywords": r.doc_rake_keywords,
+        "code_halstead": r.code_halstead,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6662,4 +6663,5 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY psc.score_nano DESC, pcat.phrase
             LIMIT 15
         """,
+        "code_halstead": o.code_halstead_sql(),
     }

@@ -2832,3 +2832,93 @@ def media_png_dims_sql() -> str:
                AS is_bomb
     FROM fields
     ORDER BY media_id"""
+
+
+def code_halstead_sql(n_rows: int = 2000, seed: int = 42) -> str:
+    """Halstead mirror: the identical word/operator regex token split,
+    keyword reclassification, per-file distinct/total ledgers, and the
+    micro-quantized V/D/E expressions (see relational.code_halstead)."""
+    import os
+
+    from .pipelines.relational import (_HALSTEAD_KEYWORDS,
+                                       _HALSTEAD_OP_RE,
+                                       _HALSTEAD_WORD_RE)
+    from .sources.synthetic_code import corpus_path
+
+    glob = os.path.join(corpus_path(n_rows=n_rows, seed=seed), "*.parquet")
+    kws = ", ".join(repr(k) for k in _HALSTEAD_KEYWORDS)
+    return f"""
+    WITH f AS (
+        SELECT row_number() OVER () AS fid, lang, content
+        FROM read_parquet({_q(glob)})
+    ),
+    wt AS (
+        SELECT fid, unnest(regexp_extract_all(content,
+                   {_q(_HALSTEAD_WORD_RE)})) AS tok
+        FROM f
+    ),
+    st AS (
+        SELECT fid, unnest(regexp_extract_all(content,
+                   {_q(_HALSTEAD_OP_RE)})) AS tok
+        FROM f
+    ),
+    ops AS (
+        SELECT fid, tok FROM st
+        UNION ALL
+        SELECT fid, tok FROM wt WHERE tok IN ({kws})
+    ),
+    opd AS (SELECT fid, tok FROM wt WHERE tok NOT IN ({kws})),
+    o1 AS (SELECT fid, CAST(count(*) AS BIGINT) AS n1,
+                  CAST(count(DISTINCT tok) AS BIGINT) AS e1
+           FROM ops GROUP BY 1),
+    o2 AS (SELECT fid, CAST(count(*) AS BIGINT) AS n2,
+                  CAST(count(DISTINCT tok) AS BIGINT) AS e2
+           FROM opd GROUP BY 1),
+    pf AS (
+        SELECT f.fid, f.lang,
+               coalesce(o1.n1, 0) AS n1, coalesce(o1.e1, 0) AS e1,
+               coalesce(o2.n2, 0) AS n2, coalesce(o2.e2, 0) AS e2
+        FROM f
+        LEFT JOIN o1 ON o1.fid = f.fid
+        LEFT JOIN o2 ON o2.fid = f.fid
+    ),
+    m AS (
+        SELECT lang,
+            CAST(count(*) AS BIGINT) AS n_files,
+            CAST(sum(CASE WHEN e1 = 0 OR e2 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_degen,
+            CAST(sum(n1) AS BIGINT) AS sum_n1,
+            CAST(sum(n2) AS BIGINT) AS sum_n2,
+            CAST(sum(CASE WHEN e1 > 0 AND e2 > 0 THEN
+                CAST(round(CAST(n1 + n2 AS DOUBLE)
+                           * log2(CAST(e1 + e2 AS DOUBLE))
+                           * 1000000.0, 0) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS sv,
+            CAST(sum(CASE WHEN e1 > 0 AND e2 > 0 THEN
+                CAST(round(CAST(e1 AS DOUBLE) / 2.0
+                           * (CAST(n2 AS DOUBLE) / CAST(e2 AS DOUBLE))
+                           * 1000000.0, 0) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS sd,
+            CAST(sum(CASE WHEN e1 > 0 AND e2 > 0 THEN
+                CAST(round((CAST(e1 AS DOUBLE) / 2.0
+                            * (CAST(n2 AS DOUBLE) / CAST(e2 AS DOUBLE)))
+                           * (CAST(n1 + n2 AS DOUBLE)
+                              * log2(CAST(e1 + e2 AS DOUBLE)))
+                           * 1000000.0, 0) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS se
+        FROM pf GROUP BY 1
+    )
+    SELECT lang, n_files, n_degen, sum_n1, sum_n2,
+           CASE WHEN n_files - n_degen = 0 THEN NULL
+                ELSE round(CAST(sv AS DOUBLE)
+                           / CAST(n_files - n_degen AS DOUBLE)
+                           / 1000000.0, 6) END AS volume6,
+           CASE WHEN n_files - n_degen = 0 THEN NULL
+                ELSE round(CAST(sd AS DOUBLE)
+                           / CAST(n_files - n_degen AS DOUBLE)
+                           / 1000000.0, 6) END AS difficulty6,
+           CASE WHEN n_files - n_degen = 0 THEN NULL
+                ELSE round(CAST(se AS DOUBLE)
+                           / CAST(n_files - n_degen AS DOUBLE)
+                           / 1000000.0, 6) END AS effort6
+    FROM m ORDER BY lang"""

