@@ -510,6 +510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_conductance": r.emb_conductance,
         "doc_rake_keywords": r.doc_rake_keywords,
         "code_halstead": r.code_halstead,
+        "orders_periodogram": r.orders_periodogram,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6664,4 +6665,59 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 15
         """,
         "code_halstead": o.code_halstead_sql(),
+        "orders_periodogram": """
+            WITH daily AS (
+                SELECT CAST(date_trunc('day', o_orderdate) AS DATE)
+                           AS day,
+                       CAST(sum(CAST(round(o_totalprice * 100.0, 0)
+                                     AS BIGINT)) AS BIGINT) AS cents
+                FROM orders GROUP BY 1
+            ),
+            bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+            spine AS (
+                SELECT CAST(unnest(generate_series(
+                           CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+                           INTERVAL 1 DAY)) AS DATE) AS day
+                FROM bounds
+            ),
+            g AS (
+                SELECT s.day, coalesce(d.cents, 0) AS cents,
+                       row_number() OVER (ORDER BY s.day) - 1 AS t
+                FROM spine s LEFT JOIN daily d ON d.day = s.day
+            ),
+            tot AS (SELECT CAST(sum(cents) AS BIGINT) AS s1,
+                           CAST(count(*) AS BIGINT) AS n FROM g),
+            per AS (SELECT unnest([7, 14, 30]) AS period),
+            terms AS (
+                SELECT per.period,
+                       CAST(round(CAST(tot.n * g.cents - tot.s1
+                                       AS DOUBLE)
+                                  / CAST(tot.n AS DOUBLE)
+                                  * cos(2.0 * pi() * g.t / per.period)
+                                  * 1000000.0, 0) AS BIGINT) AS tc,
+                       CAST(round(CAST(tot.n * g.cents - tot.s1
+                                       AS DOUBLE)
+                                  / CAST(tot.n AS DOUBLE)
+                                  * sin(2.0 * pi() * g.t / per.period)
+                                  * 1000000.0, 0) AS BIGINT) AS ts
+                FROM g, tot, per
+            ),
+            cs AS (
+                SELECT period, CAST(sum(tc) AS BIGINT) AS c_micro,
+                       CAST(sum(ts) AS BIGINT) AS s_micro
+                FROM terms GROUP BY 1
+            ),
+            pw AS (
+                SELECT period, c_micro, s_micro,
+                       CAST(c_micro AS HUGEINT) * c_micro
+                       + CAST(s_micro AS HUGEINT) * s_micro AS p2
+                FROM cs
+            ),
+            mx AS (SELECT max(p2) AS m FROM pw)
+            SELECT CAST(period AS BIGINT) AS period, c_micro, s_micro,
+                   round(CAST(p2 AS DOUBLE) / CAST(tot.n AS DOUBLE)
+                         / 1000000000000.0, 6) AS power6,
+                   p2 = mx.m AS is_peak
+            FROM pw, mx, tot ORDER BY period
+        """,
     }

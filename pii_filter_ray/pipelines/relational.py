@@ -17083,3 +17083,69 @@ def code_halstead(sf_dir: str):
         "difficulty6": pd.array(out["difficulty6"], dtype="float64"),
         "effort6": pd.array(out["effort6"], dtype="float64"),
     })
+
+
+def orders_periodogram(sf_dir: str, periods=(7, 14, 30)):
+    """Discrete-Fourier periodogram of daily revenue at candidate
+    periods — the frequency-domain detector that ANSWERS what
+    orders_dow_seasonality assumes: which rhythm actually dominates the
+    series (power at period 7 vs 14 vs 30), the standard screen before
+    fitting any seasonal model. Over the zero-gap-filled calendar spine
+    (the orders_seasonal_decompose convention): power(p) =
+    (C_p^2 + S_p^2) / n with C_p = sum_t dm_t cos(2 pi t / p),
+    S_p likewise with sin, dm_t the demeaned series. Determinism chain:
+    dm_t = (n*x_t - S1)/n is one mirrored division of exact integers
+    (never a float mean subtraction), each cos/sin term quantizes to
+    MICRO-unit integers before the order-free sums (cos/sin ULP — the
+    log-ULP convention), C^2 + S^2 folds in exact Python ints (= SQL
+    HUGEINT), power6 is one mirrored division chain, and is_peak is an
+    EXACT integer max compare across the candidate set. ONE bounded
+    daily exact-cents shuffle; the spectral fold runs driver-side over
+    the bounded date catalog."""
+    import math
+
+    ds = _tbl(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def daily(batch: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            batch["o_totalprice"].to_numpy() * 100.0, 0).astype(np.int64)
+        t = pa.table({
+            "day": pc.strftime(batch["o_orderdate"], format="%Y-%m-%d"),
+            "cents": pa.array(cents, pa.int64()),
+        })
+        g = t.group_by("day").aggregate([("cents", "sum")])
+        return pa.table({"day": g["day"], "cents": g["cents_sum"]})
+
+    obs = (ds.map_batches(daily, batch_format="pyarrow")
+           .groupby("day").aggregate(Sum("cents", alias_name="cents"))
+           .to_pandas())
+    od = pd.to_datetime(obs["day"]).to_numpy("datetime64[D]")
+    spine = np.arange(od.min(), od.max() + np.timedelta64(1, "D"))
+    x = np.zeros(len(spine), np.int64)
+    x[(od - spine[0]).astype(np.int64)] = obs["cents"].to_numpy(np.int64)
+    n = len(spine)
+    s1 = int(x.sum())
+    t_arr = np.arange(n, dtype=np.float64)
+    dm = (n * x.astype(np.float64) - float(s1)) / float(n)
+    rows = {"period": [], "c_micro": [], "s_micro": [], "power6": []}
+    powers = []
+    for p in periods:
+        ang = 2.0 * math.pi * t_arr / float(p)
+        c_m = round_half_away(dm * np.cos(ang) * 1e6, 0).astype(np.int64)
+        s_m = round_half_away(dm * np.sin(ang) * 1e6, 0).astype(np.int64)
+        C, S = int(c_m.sum()), int(s_m.sum())
+        pw = C * C + S * S
+        powers.append(pw)
+        rows["period"].append(int(p))
+        rows["c_micro"].append(C)
+        rows["s_micro"].append(S)
+        rows["power6"].append(float(round_half_away(
+            float(pw) / float(n) / 1e12, 6)))
+    mx = max(powers)
+    return pd.DataFrame({
+        "period": pd.array(rows["period"], dtype="int64"),
+        "c_micro": pd.array(rows["c_micro"], dtype="int64"),
+        "s_micro": pd.array(rows["s_micro"], dtype="int64"),
+        "power6": pd.array(rows["power6"], dtype="float64"),
+        "is_peak": pd.array([pw == mx for pw in powers], dtype="bool"),
+    })

@@ -3418,3 +3418,49 @@ def test_halstead_layout_ledger_and_hand_computed(ray_session):
         == (4, 4, 3, 3)
     v = 7 * math.log2(7)
     assert abs(2.0 * v - (2 * v)) < 1e-12
+
+
+def test_periodogram_layout_and_planted_weekly_wave(ray_session,
+                                                    monkeypatch,
+                                                    tmp_path):
+    """The periodogram must be layout-free and must find a planted pure
+    7-day square wave: power at period 7 dominates 14 and 30 by an
+    order of magnitude and carries the is_peak flag (the same fixture
+    the decomposition test isolates in its seasonal component)."""
+    import numpy as np
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.orders_periodogram(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(9))
+    b = r.orders_periodogram(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert int(a["is_peak"].sum()) >= 1
+
+    days = np.arange(np.datetime64("2024-01-01"),
+                     np.datetime64("2024-05-20"))  # 140 days = 20 weeks
+    dk = days.astype("datetime64[D]").astype(np.int64) % 7
+    prices = np.where(dk == 0, 2.00, 1.00)
+    tbl = _pa.table({
+        "o_orderkey": _pa.array(range(len(days)), _pa.int64()),
+        "o_custkey": _pa.array([1] * len(days), _pa.int64()),
+        "o_orderstatus": _pa.array(["O"] * len(days), _pa.string()),
+        "o_totalprice": _pa.array(prices, _pa.float64()),
+        "o_orderdate": _pa.array(days.astype("datetime64[us]"),
+                                 _pa.timestamp("us")),
+        "o_orderpriority": _pa.array(["1"] * len(days), _pa.string()),
+    })
+    _pq.write_table(tbl, tmp_path / "orders.parquet")
+    out = r.orders_periodogram(str(tmp_path)).set_index("period")
+    assert bool(out.loc[7, "is_peak"])
+    assert out.loc[7, "power6"] > 10 * out.loc[14, "power6"]
+    assert out.loc[7, "power6"] > 10 * out.loc[30, "power6"]
