@@ -529,10 +529,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats", "doc_bm25_top_docs",
         "doc_bpe_merges",
         "doc_decontam", "doc_seq_packing", "doc_curation_pipeline",
-        "doc_minhash_band_sweep", "emb_kcenter_coreset",
+        "doc_heldout_ppl", "emb_kcenter_coreset",
         "events_kmv_calibration", "media_dedup", "code_format_roundtrip",
-        "q1_pricing_summary", "q3_shipping_priority", "q6_revenue",
-        "q2_min_price_supplier",
+        "q1_pricing_summary", "q3_shipping_priority", "events_psi_drift",
+        "orders_control_chart",
         "q22_dormant_rich_customers",
         "events_asof_order", "orders_events_7d", "events_salted_user_join",
         "customer_orders_full_outer", "orders_semi_bloom",
