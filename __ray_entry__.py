@@ -511,6 +511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rake_keywords": r.doc_rake_keywords,
         "code_halstead": r.code_halstead,
         "orders_periodogram": r.orders_periodogram,
+        "emb_hubness": r.emb_hubness,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6719,5 +6720,58 @@ def oracle_sql() -> dict[str, str]:
                          / 1000000000000.0, 6) AS power6,
                    p2 = mx.m AS is_peak
             FROM pw, mx, tot ORDER BY period
+        """,
+        "emb_hubness": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            d AS (
+                SELECT a.vec_id AS p, b.vec_id AS o,
+                       CAST(round(sqrt(round(list_sum(list_transform(
+                                range(1, 65),
+                                t -> (a.v[t] - b.v[t])
+                                     * (a.v[t] - b.v[t]))), 9))
+                                  * 1000000000.0, 0) AS BIGINT) AS dn
+                FROM e a JOIN e b ON a.vec_id <> b.vec_id
+            ),
+            knn AS (
+                SELECT p, o, row_number() OVER (
+                    PARTITION BY p ORDER BY dn, o) AS rn
+                FROM d
+            ),
+            indeg AS (
+                SELECT e.vec_id,
+                       CAST(coalesce(c.n, 0) AS BIGINT) AS deg
+                FROM e LEFT JOIN (
+                    SELECT o, CAST(count(*) AS BIGINT) AS n
+                    FROM knn WHERE rn <= 5 GROUP BY 1) c
+                    ON c.o = e.vec_id
+            ),
+            mm AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(deg) AS BIGINT) AS s1,
+                       sum(CAST(deg AS HUGEINT) * deg) AS s2,
+                       sum(CAST(deg AS HUGEINT) * deg * deg) AS s3,
+                       CAST(max(deg) AS BIGINT) AS max_deg,
+                       CAST(sum(CASE WHEN deg > 10 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_hubs,
+                       CAST(sum(CASE WHEN deg = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_orphans
+                FROM indeg
+            ),
+            m2 AS (
+                SELECT *,
+                       CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+                       CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS s2n,
+                       CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS s3n
+                FROM mm
+            ),
+            m3 AS (SELECT *, s2n - m * m AS var FROM m2)
+            SELECT n, s1 AS sum_deg, max_deg, n_hubs, n_orphans,
+                   CASE WHEN var = 0 THEN NULL
+                        ELSE round((s3n - 3.0 * m * s2n
+                                    + 2.0 * m * m * m)
+                                   / (var * sqrt(var)), 6)
+                   END AS skew6
+            FROM m3
         """,
     }

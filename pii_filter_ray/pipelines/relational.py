@@ -17149,3 +17149,80 @@ def orders_periodogram(sf_dir: str, periods=(7, 14, 30)):
         "power6": pd.array(rows["power6"], dtype="float64"),
         "is_peak": pd.array([pw == mx for pw in powers], dtype="bool"),
     })
+
+
+def emb_hubness(sf_dir: str, k: int = 5):
+    """Hubness of the embedding space (Radovanovic et al. 2010) — the
+    vector-search pathology metric the ANN family needs before trusting
+    recall numbers: in high dimensions a few points become 'hubs' that
+    appear in everyone's kNN list while others become never-retrieved
+    orphans, which silently skews retrieval, dedup and LOF. Measured as
+    the skewness of the k-occurrence distribution (in-degree of the
+    DIRECTED kNN graph) plus the operational tails: max in-degree, hub
+    count (> 2k), and orphan count (0). The kNN ranking is the LOF
+    convention verbatim (d2 snapped to 9, dn = round(sqrt(d2_9)*1e9),
+    (dn ASC, id ASC)); in-degrees are exact integer counts from ONE
+    bounded (neighbor-id) shuffle of count partials; the moment fold
+    runs over the bounded degree catalog in exact Python ints (= SQL
+    HUGEINT — degree^3 sums), and skewness g1 = (S3/n - 3*m*S2/n +
+    2*m^3) / s^3 is a single mirrored IEEE tree with NULL at zero
+    variance. Mean in-degree == k exactly (every point emits k edges) —
+    pinned as the ledger invariant."""
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ref_tbl = pa.concat_tables(
+        ds.iter_batches(batch_format="pyarrow")).sort_by("vec_id")
+    rids = ref_tbl["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+    R = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in ref_tbl["embedding"].to_pylist()])
+    ref = ray.put((rids, R))
+
+    def knn_partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        ids_r, Rm = ray.get(ref)
+        M = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch["embedding"].to_pylist()])
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        d2 = round_half_away(((M[:, None, :] - Rm[None]) ** 2).sum(axis=2),
+                             9)
+        dn = round_half_away(np.sqrt(d2) * 1e9, 0).astype(np.int64)
+        c: Counter = Counter()
+        for i in range(len(vid)):
+            mask = ids_r != vid[i]
+            order = np.lexsort((ids_r[mask], dn[i][mask]))[:k]
+            for oid in ids_r[mask][order]:
+                c[int(oid)] += 1
+        ks = sorted(c)
+        return pa.table({"o": pa.array(ks, pa.int64()),
+                         "n": pa.array([c[x] for x in ks], pa.int64())})
+
+    deg = (ds.map_batches(knn_partials, batch_format="pyarrow")
+           .groupby("o").aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    n_total = len(rids)
+    d = np.zeros(n_total, np.int64)
+    pos = {int(v): i for i, v in enumerate(rids)}
+    for o, c in zip(deg["o"], deg["n"]):
+        d[pos[int(o)]] = int(c)
+    n = n_total
+    s1 = int(d.sum())
+    s2 = sum(int(x) * int(x) for x in d)
+    s3 = sum(int(x) ** 3 for x in d)
+    m = float(s1) / float(n)
+    var = float(s2) / float(n) - m * m
+    if var == 0.0:
+        skew = None
+    else:
+        import math
+        # denominator written var*sqrt(var) (not **1.5 / power()): sqrt
+        # is IEEE-correctly-rounded everywhere, pow is not
+        skew = float(round_half_away(
+            (float(s3) / float(n) - 3.0 * m * (float(s2) / float(n))
+             + 2.0 * m * m * m) / (var * math.sqrt(var)), 6))
+    return pd.DataFrame({
+        "n": pd.array([n], dtype="int64"),
+        "sum_deg": pd.array([s1], dtype="int64"),
+        "max_deg": pd.array([int(d.max())], dtype="int64"),
+        "n_hubs": pd.array([int((d > 2 * k).sum())], dtype="int64"),
+        "n_orphans": pd.array([int((d == 0).sum())], dtype="int64"),
+        "skew6": pd.array([skew], dtype="float64"),
+    })

@@ -3464,3 +3464,57 @@ def test_periodogram_layout_and_planted_weekly_wave(ray_session,
     assert bool(out.loc[7, "is_peak"])
     assert out.loc[7, "power6"] > 10 * out.loc[14, "power6"]
     assert out.loc[7, "power6"] > 10 * out.loc[30, "power6"]
+
+
+def test_hubness_layout_ledgers_and_planted_star(ray_session, monkeypatch,
+                                                 tmp_path):
+    """Hubness must be layout-free; the in-degree ledger must tie
+    exactly (sum_deg == n*k — every point emits exactly k directed
+    edges); and on a planted 64-d star (center at the origin, 20
+    satellites at 10*e_i, so each satellite's nearest neighbor is the
+    center at distance 10 while satellite-satellite distances are all
+    sqrt(200), tie-broken by id ASC) the in-degree distribution is
+    hand-computable: center and satellites 1-4 each get degree 20
+    (hubs), satellite 5 gets 5, satellites 6-20 get 0 (orphans),
+    totalling 21*5 = 105, with positive skew."""
+    import numpy as np
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.emb_hubness(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.emb_hubness(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert int(a["sum_deg"].iloc[0]) == 5 * int(a["n"].iloc[0])
+    assert int(a["max_deg"].iloc[0]) >= 5
+
+    vecs = [np.zeros(64)]
+    ids = [0]
+    for i in range(1, 21):
+        v = np.zeros(64)
+        v[i - 1] = 10.0
+        vecs.append(v)
+        ids.append(i)
+    tbl = _pa.table({
+        "vec_id": _pa.array(ids, _pa.int64()),
+        "embedding": _pa.array([list(map(float, v)) for v in vecs],
+                               _pa.list_(_pa.float64())),
+        "label": _pa.array([0] * len(ids), _pa.int64()),
+    })
+    _pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    out = r.emb_hubness(str(tmp_path))
+    assert int(out["n"].iloc[0]) == 21
+    assert int(out["sum_deg"].iloc[0]) == 105
+    assert int(out["max_deg"].iloc[0]) == 20
+    assert int(out["n_hubs"].iloc[0]) == 5
+    assert int(out["n_orphans"].iloc[0]) == 15
+    assert float(out["skew6"].iloc[0]) > 0
