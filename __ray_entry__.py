@@ -512,6 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_halstead": r.code_halstead,
         "orders_periodogram": r.orders_periodogram,
         "emb_hubness": r.emb_hubness,
+        "code_cyclomatic": r.code_cyclomatic,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6666,6 +6667,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 15
         """,
         "code_halstead": o.code_halstead_sql(),
+        "code_cyclomatic": o.code_cyclomatic_sql(),
         "orders_periodogram": """
             WITH daily AS (
                 SELECT CAST(date_trunc('day', o_orderdate) AS DATE)

@@ -2922,3 +2922,51 @@ def code_halstead_sql(n_rows: int = 2000, seed: int = 42) -> str:
                            / CAST(n_files - n_degen AS DOUBLE)
                            / 1000000.0, 6) END AS effort6
     FROM m ORDER BY lang"""
+
+
+def code_cyclomatic_sql(n_rows: int = 2000, seed: int = 42,
+                        complex_cc: int = 10) -> str:
+    """McCabe mirror: the identical word-token regex stream with the
+    branch-keyword IN-list plus a direct regexp count of && / ||, the
+    same exact integer per-file CC = decisions + 1 ledger, textbook
+    CC > 10 threshold, and one mirrored mean division (see
+    relational.code_cyclomatic)."""
+    import os
+
+    from .pipelines.relational import (_HALSTEAD_WORD_RE,
+                                       _MCCABE_KEYWORDS, _MCCABE_OP_RE)
+    from .sources.synthetic_code import corpus_path
+
+    glob = os.path.join(corpus_path(n_rows=n_rows, seed=seed), "*.parquet")
+    kws = ", ".join(repr(k) for k in _MCCABE_KEYWORDS)
+    return f"""
+    WITH f AS (
+        SELECT row_number() OVER () AS fid, lang, content
+        FROM read_parquet({_q(glob)})
+    ),
+    wt AS (
+        SELECT fid, unnest(regexp_extract_all(content,
+                   {_q(_HALSTEAD_WORD_RE)})) AS tok
+        FROM f
+    ),
+    kwc AS (
+        SELECT fid, CAST(count(*) AS BIGINT) AS kn
+        FROM wt WHERE tok IN ({kws}) GROUP BY 1
+    ),
+    pf AS (
+        SELECT f.fid, f.lang,
+               coalesce(kwc.kn, 0)
+               + CAST(len(regexp_extract_all(f.content,
+                          {_q(_MCCABE_OP_RE)})) AS BIGINT)
+               + 1 AS cc
+        FROM f LEFT JOIN kwc ON kwc.fid = f.fid
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(cc) AS BIGINT) AS sum_cc,
+           CAST(max(cc) AS BIGINT) AS max_cc,
+           CAST(sum(CASE WHEN cc > {complex_cc} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_complex,
+           round(CAST(sum(cc) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+               AS mean_cc6
+    FROM pf GROUP BY 1 ORDER BY 1"""

@@ -17226,3 +17226,77 @@ def emb_hubness(sf_dir: str, k: int = 5):
         "n_orphans": pd.array([int((d == 0).sum())], dtype="int64"),
         "skew6": pd.array([skew], dtype="float64"),
     })
+
+
+_MCCABE_KEYWORDS = (
+    "if", "elif", "for", "while", "case", "catch", "except", "switch",
+    "when",
+)
+_MCCABE_OP_RE = r"&&|\|\|"
+
+
+def code_cyclomatic(sf_dir: str, complex_cc: int = 10):
+    """McCabe cyclomatic complexity per language over the code corpus —
+    the classic decision-point metric (McCabe 1976) next to
+    code_halstead's operator/operand view, and the second input a
+    maintainability-index filter needs: CC = 1 + branch keywords
+    (word tokens from the shared _HALSTEAD_WORD_RE stream, so a
+    substring like 'uniform' never counts as 'for') + short-circuit
+    && / || occurrences — the standard lexical approximation used when
+    no parser is available. Every per-file ledger is an EXACT integer
+    (count, sum, max, over-threshold flag at the textbook CC > 10),
+    files never span blocks so the map is shuffle-FREE into a tiny
+    per-language groupby, and mean_cc6 is one mirrored division.
+    sf_dir unused (deterministic cached corpus, code_* convention)."""
+    import re
+
+    from ..sources.synthetic_code import corpus_path
+
+    word_re = re.compile(_HALSTEAD_WORD_RE)
+    op_re = re.compile(_MCCABE_OP_RE)
+    kw = frozenset(_MCCABE_KEYWORDS)
+    ds = ray.data.read_parquet(corpus_path(n_rows=2000, seed=42),
+                               columns=["lang", "content"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from collections import defaultdict
+        acc: dict = defaultdict(lambda: [0, 0, 0, 0])
+        # files, sum_cc, max_cc, n_complex
+        for lg, t in zip(batch["lang"].to_pylist(),
+                         batch["content"].to_pylist()):
+            t = t or ""
+            d = sum(1 for w in word_re.findall(t) if w in kw) \
+                + len(op_re.findall(t))
+            cc = d + 1
+            a = acc[lg]
+            a[0] += 1
+            a[1] += cc
+            a[2] = max(a[2], cc)
+            a[3] += 1 if cc > complex_cc else 0
+        ks = sorted(acc)
+        cols = list(zip(*[acc[k] for k in ks])) if ks else [[]] * 4
+        return pa.table({
+            "lang": pa.array(ks, pa.string()),
+            "n_files": pa.array(cols[0], pa.int64()),
+            "sum_cc": pa.array(cols[1], pa.int64()),
+            "max_cc": pa.array(cols[2], pa.int64()),
+            "n_complex": pa.array(cols[3], pa.int64()),
+        })
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("n_files", alias_name="n_files"),
+                      Sum("sum_cc", alias_name="sum_cc"),
+                      Max("max_cc", alias_name="max_cc"),
+                      Sum("n_complex", alias_name="n_complex"))
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    mean6 = [float(round_half_away(float(int(s)) / float(int(n)), 6))
+             for s, n in zip(agg["sum_cc"], agg["n_files"])]
+    return pd.DataFrame({
+        "lang": pd.array(agg["lang"], dtype="string"),
+        "n_files": pd.array(agg["n_files"], dtype="int64"),
+        "sum_cc": pd.array(agg["sum_cc"], dtype="int64"),
+        "max_cc": pd.array(agg["max_cc"], dtype="int64"),
+        "n_complex": pd.array(agg["n_complex"], dtype="int64"),
+        "mean_cc6": pd.array(mean6, dtype="float64"),
+    })

@@ -3518,3 +3518,50 @@ def test_hubness_layout_ledgers_and_planted_star(ray_session, monkeypatch,
     assert int(out["n_hubs"].iloc[0]) == 5
     assert int(out["n_orphans"].iloc[0]) == 15
     assert float(out["skew6"].iloc[0]) > 0
+
+
+def test_cyclomatic_ledger_and_hand_computed(ray_session):
+    """Cyclomatic per-language ledgers must tie to a driver-side
+    token recount (sum, max, over-threshold count), prose languages
+    must sit at the CC == 1 floor (mean exactly 1), and a
+    hand-computable snippet must produce the textbook number:
+    'if (a && b) { while (c) {} }' has decisions if + && + while = 3,
+    so CC = 4."""
+    import re
+
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+    from pii_filter_ray.sources.synthetic_code import corpus_path
+
+    out = r.code_cyclomatic("unused").set_index("lang")
+    word_re = re.compile(r._HALSTEAD_WORD_RE)
+    op_re = re.compile(r._MCCABE_OP_RE)
+    kw = frozenset(r._MCCABE_KEYWORDS)
+    tbl = _pq.read_table(corpus_path(n_rows=2000, seed=42),
+                         columns=["lang", "content"]).to_pandas()
+    import collections
+    s: collections.Counter = collections.Counter()
+    mx: dict = {}
+    n: collections.Counter = collections.Counter()
+    cx: collections.Counter = collections.Counter()
+    for lg, t in zip(tbl["lang"], tbl["content"]):
+        cc = 1 + sum(1 for w in word_re.findall(t or "") if w in kw) \
+            + len(op_re.findall(t or ""))
+        s[lg] += cc
+        n[lg] += 1
+        mx[lg] = max(mx.get(lg, 0), cc)
+        cx[lg] += 1 if cc > 10 else 0
+    for lg in out.index:
+        assert int(out.loc[lg, "sum_cc"]) == s[lg]
+        assert int(out.loc[lg, "n_files"]) == n[lg]
+        assert int(out.loc[lg, "max_cc"]) == mx[lg]
+        assert int(out.loc[lg, "n_complex"]) == cx[lg]
+    for lg in ("text", "markdown"):
+        assert float(out.loc[lg, "mean_cc6"]) == 1.0
+        assert int(out.loc[lg, "max_cc"]) == 1
+
+    t = "if (a && b) { while (c) {} }"
+    cc = 1 + sum(1 for w in word_re.findall(t) if w in kw) \
+        + len(op_re.findall(t))
+    assert cc == 4
