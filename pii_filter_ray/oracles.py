@@ -2970,3 +2970,27 @@ def code_cyclomatic_sql(n_rows: int = 2000, seed: int = 42,
            round(CAST(sum(cc) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
                AS mean_cc6
     FROM pf GROUP BY 1 ORDER BY 1"""
+
+
+def doc_good_turing_sql(max_r: int = 5) -> str:
+    """Good-Turing adjusted-count mirror (relational.doc_good_turing):
+    word counts -> frequency-of-frequencies -> r* = (r+1)*N_{r+1}/N_r
+    as one division of exact integer ledgers, NULL where N_r = 0."""
+    return f"""WITH w AS (
+    SELECT unnest({words_expr('text')}) AS word FROM documents
+  ),
+  wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1),
+  fof AS (SELECT n AS cnt, CAST(count(*) AS BIGINT) AS f
+          FROM wc GROUP BY 1),
+  rr AS (SELECT unnest(generate_series(1, {max_r})) AS r)
+  SELECT CAST(rr.r AS BIGINT) AS r,
+         CAST(coalesce(a.f, 0) AS BIGINT) AS n_r,
+         CAST(coalesce(b.f, 0) AS BIGINT) AS n_next,
+         CASE WHEN coalesce(a.f, 0) = 0 THEN NULL
+              ELSE round(CAST((rr.r + 1) * coalesce(b.f, 0) AS DOUBLE)
+                         / CAST(a.f AS DOUBLE), 6)
+         END AS r_star6
+  FROM rr
+  LEFT JOIN fof a ON a.cnt = rr.r
+  LEFT JOIN fof b ON b.cnt = rr.r + 1
+  ORDER BY r"""

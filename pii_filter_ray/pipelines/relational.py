@@ -17300,3 +17300,64 @@ def code_cyclomatic(sf_dir: str, complex_cc: int = 10):
         "n_complex": pd.array(agg["n_complex"], dtype="int64"),
         "mean_cc6": pd.array(mean6, dtype="float64"),
     })
+
+
+def doc_good_turing(sf_dir: str, max_r: int = 5):
+    """Good-Turing adjusted-count table (Gale & Sampson 1995) — the
+    full smoothing ledger doc_chao1_vocab only summarizes at r = 0:
+    for each small count r, the frequency-of-frequencies N_r and the
+    adjusted count r* = (r+1) * N_{r+1} / N_r, the quantity Katz
+    backoff and every GT-smoothed language model substitutes for raw
+    counts (and the table that shows WHY: r* < r exactly when mass is
+    being reserved for unseen events). Same two bounded shuffles as
+    the chao1 family — per-block word-count partials into the
+    vocab-bounded groupby(word), then the count column folds into a
+    tiny groupby(cnt) histogram; the r* row is ONE mirrored division
+    of exact integer ledgers ((r+1)*N_{r+1} folds as an exact int on
+    both engines), quantized to 6, NULL where N_r = 0. Words never
+    ride with documents; the driver sees only the bounded fof
+    catalog."""
+    ds = _tbl(sf_dir, "documents", columns=["text"])
+
+    def word_partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for v in batch["text"].to_pylist():
+            counts.update((v or "").split())
+        return pa.table({
+            "word": pa.array(list(counts.keys()), pa.string()),
+            "n": pa.array(list(counts.values()), pa.int64()),
+        })
+
+    word_counts = (ds.map_batches(word_partials, batch_format="pyarrow")
+                   .groupby("word")
+                   .aggregate(Sum("n", alias_name="n")))
+
+    def fof_partials(batch: pa.Table) -> pa.Table:
+        g = pa.table({
+            "cnt": batch["n"],
+            "f": pa.array(np.ones(len(batch), np.int64), pa.int64()),
+        }).group_by("cnt").aggregate([("f", "sum")])
+        return pa.table({"cnt": g["cnt"], "f": g["f_sum"]})
+
+    fof = (word_counts.map_batches(fof_partials, batch_format="pyarrow")
+           .groupby("cnt")
+           .aggregate(Sum("f", alias_name="f"))
+           .to_pandas())
+    by = {int(c): int(f) for c, f in zip(fof["cnt"], fof["f"])}
+    rows = {"r": [], "n_r": [], "n_next": [], "r_star6": []}
+    for r in range(1, max_r + 1):
+        nr, nn = by.get(r, 0), by.get(r + 1, 0)
+        rows["r"].append(r)
+        rows["n_r"].append(nr)
+        rows["n_next"].append(nn)
+        rows["r_star6"].append(
+            None if nr == 0 else
+            float(round_half_away(float((r + 1) * nn) / float(nr), 6)))
+    return pd.DataFrame({
+        "r": pd.array(rows["r"], dtype="int64"),
+        "n_r": pd.array(rows["n_r"], dtype="int64"),
+        "n_next": pd.array(rows["n_next"], dtype="int64"),
+        "r_star6": pd.array(rows["r_star6"], dtype="float64"),
+    })

@@ -3565,3 +3565,43 @@ def test_cyclomatic_ledger_and_hand_computed(ray_session):
     cc = 1 + sum(1 for w in word_re.findall(t) if w in kw) \
         + len(op_re.findall(t))
     assert cc == 4
+
+
+def test_good_turing_layout_and_planted_fof(ray_session, monkeypatch,
+                                            tmp_path):
+    """Good-Turing must be layout-free and must reproduce a planted
+    frequency-of-frequencies table exactly: a corpus whose word counts
+    are {a:1, b:1, c:2, d:3, e:3, f:3} has N1=2, N2=1, N3=3, so
+    r*(1) = 2*N2/N1 = 1.0 (mass reserved for unseen), r*(2) = 3*N3/N2
+    = 9.0, r*(3) = 4*N4/N3 = 0.0, and r = 4, 5 are NULL (N_r = 0)."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_good_turing(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.doc_good_turing(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert (a["n_r"] >= 0).all() and len(a) == 5
+
+    tbl = _pa.table({
+        "doc_id": _pa.array([0, 1], _pa.int64()),
+        "text": _pa.array(["a b c d e f", "c d e f d e f"], _pa.string()),
+        "lang": _pa.array(["en", "en"], _pa.string()),
+    })
+    _pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = r.doc_good_turing(str(tmp_path)).set_index("r")
+    assert list(out["n_r"]) == [2, 1, 3, 0, 0]
+    assert list(out["n_next"]) == [1, 3, 0, 0, 0]
+    assert float(out.loc[1, "r_star6"]) == 1.0
+    assert float(out.loc[2, "r_star6"]) == 9.0
+    assert float(out.loc[3, "r_star6"]) == 0.0
+    assert pd.isna(out.loc[4, "r_star6"]) and pd.isna(out.loc[5, "r_star6"])
