@@ -2994,3 +2994,75 @@ def doc_good_turing_sql(max_r: int = 5) -> str:
   LEFT JOIN fof a ON a.cnt = rr.r
   LEFT JOIN fof b ON b.cnt = rr.r + 1
   ORDER BY r"""
+
+
+def emb_dbscan_sql(eps: float = 1.16, min_pts: int = 4) -> str:
+    """DBSCAN mirror (relational.emb_dbscan): the snapped nano-integer
+    eps ball, |ball|+1 >= min_pts core rule, recursive-CTE min-label
+    closure of the core-core graph (isolated cores self-label), the
+    deterministic border -> nearest-core assignment (dn ASC, id ASC),
+    and the per-cluster core/border ledgers plus the -1 noise row."""
+    from .pipelines.relational import round_half_away
+
+    eps_nano = int(round_half_away(float(eps) * 1e9, 0))
+    return f"""WITH RECURSIVE e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  ),
+  d AS (
+    SELECT a.vec_id AS p, b.vec_id AS o,
+           CAST(round(sqrt(round(list_sum(list_transform(
+                    range(1, 65),
+                    t -> (a.v[t] - b.v[t]) * (a.v[t] - b.v[t]))), 9))
+                      * 1000000000.0, 0) AS BIGINT) AS dn
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+  ),
+  nb AS (SELECT p, o, dn FROM d WHERE dn <= {eps_nano}),
+  deg AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM nb GROUP BY 1),
+  core AS (
+    SELECT e.vec_id AS id FROM e
+    LEFT JOIN deg ON deg.p = e.vec_id
+    WHERE coalesce(deg.c, 0) + 1 >= {min_pts}
+  ),
+  ce AS (
+    SELECT nb.p AS a, nb.o AS b FROM nb
+    JOIN core c1 ON c1.id = nb.p
+    JOIN core c2 ON c2.id = nb.o
+  ),
+  reach(id, r) AS (
+    SELECT id, id FROM core
+    UNION
+    SELECT ce.a, reach.r FROM ce JOIN reach ON reach.id = ce.b
+  ),
+  comp AS (SELECT id, CAST(min(r) AS BIGINT) AS component
+           FROM reach GROUP BY id),
+  bord AS (
+    SELECT nb.p, nb.o,
+           row_number() OVER (PARTITION BY nb.p
+                              ORDER BY nb.dn, nb.o) AS rn
+    FROM nb
+    JOIN core c2 ON c2.id = nb.o
+    WHERE nb.p NOT IN (SELECT id FROM core)
+  ),
+  bassign AS (SELECT p, o FROM bord WHERE rn = 1),
+  bcomp AS (SELECT b.p, c.component FROM bassign b
+            JOIN comp c ON c.id = b.o),
+  ccore AS (SELECT component AS cluster_id,
+                   CAST(count(*) AS BIGINT) AS n_core
+            FROM comp GROUP BY 1),
+  cbord AS (SELECT component AS cluster_id,
+                   CAST(count(*) AS BIGINT) AS n_border
+            FROM bcomp GROUP BY 1),
+  noise AS (
+    SELECT CAST(count(*) AS BIGINT) AS n FROM e
+    WHERE vec_id NOT IN (SELECT id FROM core)
+      AND vec_id NOT IN (SELECT p FROM bassign)
+  )
+  SELECT CAST(-1 AS BIGINT) AS cluster_id,
+         CAST(0 AS BIGINT) AS n_core, CAST(0 AS BIGINT) AS n_border,
+         n AS n_pts
+  FROM noise
+  UNION ALL
+  SELECT cc.cluster_id, cc.n_core, coalesce(cb.n_border, 0),
+         cc.n_core + coalesce(cb.n_border, 0)
+  FROM ccore cc LEFT JOIN cbord cb ON cb.cluster_id = cc.cluster_id
+  ORDER BY cluster_id"""

@@ -17361,3 +17361,137 @@ def doc_good_turing(sf_dir: str, max_r: int = 5):
         "n_next": pd.array(rows["n_next"], dtype="int64"),
         "r_star6": pd.array(rows["r_star6"], dtype="float64"),
     })
+
+
+def emb_dbscan(sf_dir: str, eps: float = 1.16, min_pts: int = 4):
+    """Deterministic DBSCAN over the embedding space (Ester et al.
+    1996) — the density clustering the curation stack needs where
+    emb_kmeans' Voronoi partition lies: clusters of ARBITRARY shape
+    plus an explicit noise class, with the border/core distinction
+    that tells a sampler which points anchor a mode vs merely touch
+    one. Determinism is the LOF convention end-to-end: d2 snaps to 9,
+    dn = round(sqrt(d2_9)*1e9) exact nano ints, the eps ball is the
+    integer compare dn <= round(eps*1e9) (no boundary point can flip
+    sides), core iff |ball| + 1 >= min_pts; classic DBSCAN's
+    order-dependent border tie is replaced by the deterministic rule
+    border -> NEAREST core, ties (dn ASC, core id ASC); cluster id =
+    min core vec_id of the component. Two corpus passes against the
+    broadcast vector catalog (degree census, then a single tagged
+    emit of core-core edges / border assignments / noise markers);
+    components run through the shape-adaptive dup_components_auto
+    dispatcher (min-label propagation, pointer-doubling restart on deep
+    graphs) — no driver-side union-find; the driver
+    folds only the bounded per-cluster ledgers. At 100 TB: the
+    IVF-pruned eps-ball scan + the same CC machinery
+    (stages/dedup.dup_components_doubling for chain-shaped graphs)."""
+    from ..stages.dedup import dup_components_auto
+
+    eps_nano = int(round_half_away(float(eps) * 1e9, 0))
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ref_tbl = pa.concat_tables(
+        ds.iter_batches(batch_format="pyarrow")).sort_by("vec_id")
+    rids = ref_tbl["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+    R = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in ref_tbl["embedding"].to_pylist()])
+    ref = ray.put((rids, R))
+
+    def _dn(M: np.ndarray, Rm: np.ndarray) -> np.ndarray:
+        d2 = round_half_away(((M[:, None, :] - Rm[None]) ** 2).sum(axis=2),
+                             9)
+        return round_half_away(np.sqrt(d2) * 1e9, 0).astype(np.int64)
+
+    def deg_partials(batch: pa.Table) -> pa.Table:
+        ids_r, Rm = ray.get(ref)
+        M = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch["embedding"].to_pylist()])
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        dn = _dn(M, Rm)
+        within = (dn <= eps_nano) & (ids_r[None, :] != vid[:, None])
+        return pa.table({
+            "vec_id": pa.array(vid, pa.int64()),
+            "deg": pa.array(within.sum(axis=1).astype(np.int64),
+                            pa.int64()),
+        })
+
+    core_tbl = (ds.map_batches(deg_partials, batch_format="pyarrow")
+                .filter(expr=f"deg >= {int(min_pts) - 1}")
+                .select_columns(["vec_id"])
+                .to_pandas())
+    core_ids = frozenset(int(v) for v in core_tbl["vec_id"])
+    core_ref = ray.put(core_ids)
+
+    def emit_partials(batch: pa.Table) -> pa.Table:
+        ids_r, Rm = ray.get(ref)
+        cores = ray.get(core_ref)
+        is_core_r = np.fromiter((int(x) in cores for x in ids_r),
+                                dtype=bool, count=len(ids_r))
+        M = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch["embedding"].to_pylist()])
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        dn = _dn(M, Rm)
+        pp, oo, kk = [], [], []
+        for i in range(len(vid)):
+            p = int(vid[i])
+            ball = (dn[i] <= eps_nano) & (ids_r != p)
+            if p in cores:
+                # undirected core-core edges once (p < o); _cc_adjacency
+                # symmetrizes downstream
+                for o in ids_r[ball & is_core_r & (ids_r > p)]:
+                    pp.append(p)
+                    oo.append(int(o))
+                    kk.append(0)
+            else:
+                cm = ball & is_core_r
+                if cm.any():
+                    # nearest core, ties (dn ASC, id ASC)
+                    j = np.lexsort((ids_r[cm], dn[i][cm]))[0]
+                    pp.append(p)
+                    oo.append(int(ids_r[cm][j]))
+                    kk.append(1)
+                else:
+                    pp.append(p)
+                    oo.append(-1)
+                    kk.append(2)
+        return pa.table({"p": pa.array(pp, pa.int64()),
+                         "o": pa.array(oo, pa.int64()),
+                         "kind": pa.array(kk, pa.int8())})
+
+    tagged = ds.map_batches(emit_partials,
+                            batch_format="pyarrow").materialize()
+    edges = (tagged.filter(expr="kind == 0")
+             .map_batches(lambda b: pa.table({"id_a": b["p"],
+                                              "id_b": b["o"]}),
+                          batch_format="pyarrow"))
+    labels = dup_components_auto(edges).to_pandas()
+    comp = {int(i): int(c)
+            for i, c in zip(labels["id"], labels["component"])}
+    for c in core_ids:       # isolated cores form singleton clusters
+        comp.setdefault(c, c)
+    # fold border counts per anchoring CORE (bounded by the core
+    # catalog) and the single noise scalar distributively — the driver
+    # never sees per-point rows, only the |core|-bounded count table
+    per_core = (tagged.filter(expr="kind == 1")
+                .groupby("o").count().to_pandas())
+    n_noise = tagged.filter(expr="kind == 2").count()
+    from collections import Counter
+    n_core: Counter = Counter()
+    for c in core_ids:
+        n_core[comp[c]] += 1
+    n_border: Counter = Counter()
+    if len(per_core):     # zero borders -> empty (column-less) frame
+        for o, c in zip(per_core["o"], per_core["count()"]):
+            n_border[comp[int(o)]] += int(c)
+    cids = sorted(n_core)
+    rows = {
+        "cluster_id": [-1] + cids,
+        "n_core": [0] + [n_core[c] for c in cids],
+        "n_border": [0] + [n_border.get(c, 0) for c in cids],
+        "n_pts": [n_noise] + [n_core[c] + n_border.get(c, 0)
+                              for c in cids],
+    }
+    return pd.DataFrame({
+        "cluster_id": pd.array(rows["cluster_id"], dtype="int64"),
+        "n_core": pd.array(rows["n_core"], dtype="int64"),
+        "n_border": pd.array(rows["n_border"], dtype="int64"),
+        "n_pts": pd.array(rows["n_pts"], dtype="int64"),
+    })

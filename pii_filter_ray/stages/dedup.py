@@ -1267,6 +1267,50 @@ def dup_components_doubling(
     return labels
 
 
+def dup_components_local(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Driver union-find for edge lists already known to fit the
+    broadcast bound. The broadcast propagation path
+    (:func:`dup_components`) collects the FULL label table to the driver
+    every round under the same node limit; collecting the (no larger)
+    edge list ONCE and union-finding locally is strictly cheaper — zero
+    shuffle rounds, immune to component diameter — with the identical
+    output contract: (id, component), component = min node id. Union by
+    min id keeps every root the minimum of its set, so no relabel pass
+    is needed. Only :func:`dup_components_auto` routes here, and only
+    under its size gate; above the gate the distributed variants run."""
+    edges = pairs.select_columns(["id_a", "id_b"]).materialize()
+    if edges.count() == 0:
+        return _cc_empty_labels()
+    df = edges.to_pandas()
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(df["id_a"].astype("int64"), df["id_b"].astype("int64")):
+        a, b = int(a), int(b)
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    ids = sorted(parent)
+    return ray.data.from_arrow(pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "component": pa.array([find(i) for i in ids], pa.int64()),
+    }))
+
+
 def dup_components_auto(
     pairs: "ray.data.Dataset",
     propagation_rounds: int = 8,
@@ -1284,8 +1328,14 @@ def dup_components_auto(
     O(log diameter) rounds). Restarting wastes at most
     ``propagation_rounds`` cheap rounds — a bounded price for never
     paying doubling's heavier per-round shape on the common clique case.
-    Output is set-identical across all variants (equivalence-tested)."""
+    Edge lists small enough that the broadcast path would hold the whole
+    label table on the driver anyway (edges*2 <= ``broadcast_node_limit``)
+    short-circuit to :func:`dup_components_local` — one collect, zero
+    shuffle rounds, diameter-independent. Output is set-identical across
+    all variants (equivalence-tested)."""
     edges = pairs.select_columns(["id_a", "id_b"]).materialize()
+    if edges.count() * 2 <= broadcast_node_limit:
+        return dup_components_local(edges)
     try:
         return dup_components(edges, max_iters=propagation_rounds,
                               broadcast_node_limit=broadcast_node_limit)

@@ -367,3 +367,29 @@ def test_dup_components_auto_matches_variants_on_random_graph(ray_session):
     c = as_dict(dup_components_doubling(pairs))
     assert a == b == c
     assert a[5] == 0 and a[13] == 10 and a[31] == 20 and a[41] == 40
+
+
+def test_dup_components_local_equivalent(ray_session):
+    """The size-gated driver union-find (dup_components_local) must be
+    set-identical to the distributed joined variant on a mixed-shape
+    graph, and dup_components_auto must route small edge lists through
+    it (converging on a deep chain WITHOUT escalation rounds)."""
+    import pandas as pd
+    import ray.data
+
+    from pii_filter_ray.stages.dedup import (
+        dup_components_joined, dup_components_local)
+
+    e = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    e += [(i, i + 1) for i in range(20, 60)]       # 41-node chain
+    e += [(100, 101)]
+    pairs = ray.data.from_pandas(pd.DataFrame(
+        {"id_a": [x[0] for x in e], "id_b": [x[1] for x in e]})).repartition(5)
+
+    def as_dict(ds):
+        return ds.to_pandas().set_index("id")["component"].to_dict()
+
+    a = as_dict(dup_components_local(pairs))
+    b = as_dict(dup_components_joined(pairs, max_iters=60))
+    assert a == b
+    assert a[5] == 0 and a[59] == 20 and a[101] == 100

@@ -3605,3 +3605,72 @@ def test_good_turing_layout_and_planted_fof(ray_session, monkeypatch,
     assert float(out.loc[2, "r_star6"]) == 9.0
     assert float(out.loc[3, "r_star6"]) == 0.0
     assert pd.isna(out.loc[4, "r_star6"]) and pd.isna(out.loc[5, "r_star6"])
+
+
+def test_dbscan_layout_ledgers_and_planted_blobs(ray_session, monkeypatch,
+                                                 tmp_path):
+    """DBSCAN must be layout-free, its ledgers must tie (n_pts covers
+    the corpus across the noise row and every cluster; cluster ids are
+    core vec_ids; n_pts = n_core + n_border on cluster rows), and on
+    planted geometry it must produce the textbook picture: two dense
+    blobs well inside eps -> two clusters whose ids are the blobs' min
+    vec_ids, every blob member core (blob size > min_pts, mutual
+    distances < eps), plus two isolated far-away points -> exactly 2
+    noise points and no borders."""
+    import numpy as np
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.emb_dbscan(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.emb_dbscan(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    n_vec = _pq.read_metadata(sf + "/embeddings.parquet").num_rows
+    assert int(a["n_pts"].sum()) == n_vec
+    cl = a[a["cluster_id"] >= 0]
+    assert (cl["n_pts"] == cl["n_core"] + cl["n_border"]).all()
+    assert (cl["n_core"] >= 1).all()
+
+    # planted: blobs at 0 and 100*e_1 (8 points each, radius 0.1),
+    # two isolated points at 200*e_2 and 300*e_3
+    rng = np.random.RandomState(7)
+    vecs, ids = [], []
+    nxt = 0
+    for c, axis in ((0.0, 0), (100.0, 1)):
+        center = np.zeros(64)
+        center[axis] = c if c else 0.0
+        if c:
+            center = np.zeros(64)
+            center[axis - 1] = 0.0
+            center[0] = c
+        for _ in range(8):
+            vecs.append(center + rng.uniform(-0.05, 0.05, 64))
+            ids.append(nxt)
+            nxt += 1
+    for mag, axis in ((200.0, 2), (300.0, 3)):
+        v = np.zeros(64)
+        v[axis] = mag
+        vecs.append(v)
+        ids.append(nxt)
+        nxt += 1
+    tbl = _pa.table({
+        "vec_id": _pa.array(ids, _pa.int64()),
+        "embedding": _pa.array([list(map(float, v)) for v in vecs],
+                               _pa.list_(_pa.float64())),
+        "label": _pa.array([0] * len(ids), _pa.int64()),
+    })
+    _pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    out = r.emb_dbscan(str(tmp_path)).set_index("cluster_id")
+    assert list(out.index) == [-1, 0, 8]
+    assert int(out.loc[-1, "n_pts"]) == 2
+    assert int(out.loc[0, "n_core"]) == 8 and int(out.loc[0, "n_border"]) == 0
+    assert int(out.loc[8, "n_core"]) == 8 and int(out.loc[8, "n_border"]) == 0
