@@ -515,6 +515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_cyclomatic": r.code_cyclomatic,
         "doc_good_turing": r.doc_good_turing,
         "emb_dbscan": r.emb_dbscan,
+        "code_maintainability": r.code_maintainability,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6672,6 +6673,7 @@ def oracle_sql() -> dict[str, str]:
         "code_cyclomatic": o.code_cyclomatic_sql(),
         "doc_good_turing": o.doc_good_turing_sql(),
         "emb_dbscan": o.emb_dbscan_sql(),
+        "code_maintainability": o.code_maintainability_sql(),
         "orders_periodogram": """
             WITH daily AS (
                 SELECT CAST(date_trunc('day', o_orderdate) AS DATE)

@@ -3066,3 +3066,106 @@ def emb_dbscan_sql(eps: float = 1.16, min_pts: int = 4) -> str:
          cc.n_core + coalesce(cb.n_border, 0)
   FROM ccore cc LEFT JOIN cbord cb ON cb.cluster_id = cc.cluster_id
   ORDER BY cluster_id"""
+
+
+def code_maintainability_sql(n_rows: int = 2000, seed: int = 42,
+                             low_mi: float = 65.0) -> str:
+    """Maintainability Index mirror (relational.code_maintainability):
+    the identical halstead token split for V, the identical McCabe
+    keyword/&&-|| count for CC, LoC = newline-split length (empties
+    included), the SAME left-associative IEEE tree
+    ((171 - 5.2*ln(V)) - 0.23*CC) - 16.2*ln(LoC) quantized to
+    micro-unit integers per file BEFORE the per-language fold, and the
+    exact integer low-MI compare."""
+    import os
+
+    from .pipelines.relational import (_HALSTEAD_KEYWORDS,
+                                       _HALSTEAD_OP_RE,
+                                       _HALSTEAD_WORD_RE,
+                                       _MCCABE_KEYWORDS, _MCCABE_OP_RE,
+                                       round_half_away)
+    from .sources.synthetic_code import corpus_path
+
+    glob = os.path.join(corpus_path(n_rows=n_rows, seed=seed), "*.parquet")
+    hkws = ", ".join(repr(k) for k in _HALSTEAD_KEYWORDS)
+    mkws = ", ".join(repr(k) for k in _MCCABE_KEYWORDS)
+    low_micro = int(round_half_away(float(low_mi) * 1e6, 0))
+    return f"""
+    WITH f AS (
+        SELECT row_number() OVER () AS fid, lang, content
+        FROM read_parquet({_q(glob)})
+    ),
+    wt AS (
+        SELECT fid, unnest(regexp_extract_all(content,
+                   {_q(_HALSTEAD_WORD_RE)})) AS tok
+        FROM f
+    ),
+    st AS (
+        SELECT fid, unnest(regexp_extract_all(content,
+                   {_q(_HALSTEAD_OP_RE)})) AS tok
+        FROM f
+    ),
+    ops AS (
+        SELECT fid, tok FROM st
+        UNION ALL
+        SELECT fid, tok FROM wt WHERE tok IN ({hkws})
+    ),
+    opd AS (SELECT fid, tok FROM wt WHERE tok NOT IN ({hkws})),
+    o1 AS (SELECT fid, CAST(count(*) AS BIGINT) AS n1,
+                  CAST(count(DISTINCT tok) AS BIGINT) AS e1
+           FROM ops GROUP BY 1),
+    o2 AS (SELECT fid, CAST(count(*) AS BIGINT) AS n2,
+                  CAST(count(DISTINCT tok) AS BIGINT) AS e2
+           FROM opd GROUP BY 1),
+    kwc AS (
+        SELECT fid, CAST(count(*) AS BIGINT) AS kn
+        FROM wt WHERE tok IN ({mkws}) GROUP BY 1
+    ),
+    pf AS (
+        SELECT f.fid, f.lang,
+               coalesce(o1.n1, 0) AS n1, coalesce(o1.e1, 0) AS e1,
+               coalesce(o2.n2, 0) AS n2, coalesce(o2.e2, 0) AS e2,
+               coalesce(kwc.kn, 0)
+               + CAST(len(regexp_extract_all(f.content,
+                          {_q(_MCCABE_OP_RE)})) AS BIGINT)
+               + 1 AS cc,
+               CAST(len(string_split(f.content, chr(10))) AS BIGINT)
+                   AS loc
+        FROM f
+        LEFT JOIN o1 ON o1.fid = f.fid
+        LEFT JOIN o2 ON o2.fid = f.fid
+        LEFT JOIN kwc ON kwc.fid = f.fid
+    ),
+    mi AS (
+        SELECT fid, lang,
+               CASE WHEN e1 = 0 OR e2 = 0 THEN NULL
+                    ELSE CAST(round(
+                        (((171.0
+                           - 5.2 * ln(CAST(n1 + n2 AS DOUBLE)
+                                      * log2(CAST(e1 + e2 AS DOUBLE))))
+                          - 0.23 * CAST(cc AS DOUBLE))
+                         - 16.2 * ln(CAST(loc AS DOUBLE)))
+                        * 1000000.0, 0) AS BIGINT)
+               END AS mi_micro
+        FROM pf
+    ),
+    m AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(CASE WHEN mi_micro IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_degen,
+               CAST(sum(mi_micro) AS BIGINT) AS s_mi,
+               CAST(min(mi_micro) AS BIGINT) AS mn_mi,
+               CAST(sum(CASE WHEN mi_micro < {low_micro} THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_low
+        FROM mi GROUP BY 1
+    )
+    SELECT lang, n_files, n_degen, coalesce(n_low, 0) AS n_low,
+           CASE WHEN n_files - n_degen = 0 THEN NULL
+                ELSE round(CAST(s_mi AS DOUBLE)
+                           / CAST(n_files - n_degen AS DOUBLE)
+                           / 1000000.0, 6) END AS mean_mi6,
+           CASE WHEN n_files - n_degen = 0 THEN NULL
+                ELSE round(CAST(mn_mi AS DOUBLE) / 1000000.0, 6)
+           END AS min_mi6
+    FROM m ORDER BY lang"""

@@ -17302,6 +17302,112 @@ def code_cyclomatic(sf_dir: str, complex_cc: int = 10):
     })
 
 
+def code_maintainability(sf_dir: str, low_mi: float = 65.0):
+    """Maintainability Index per language over the code corpus — the
+    classic composite (Oman & Hagemeister 1992, the un-normalized
+    171-point scale) that turns code_halstead's volume and
+    code_cyclomatic's decision count into ONE per-file maintainability
+    score: MI = 171 - 5.2*ln(V) - 0.23*CC - 16.2*ln(LoC), with the
+    textbook MI < 65 'hard to maintain' flag. One shuffle-FREE pass
+    (files never span blocks) re-derives all three inputs per file with
+    the SHARED token conventions (_HALSTEAD_WORD_RE/_HALSTEAD_OP_RE
+    split + keyword reclassification for V; _MCCABE_KEYWORDS word
+    tokens + && / || for CC; LoC = newline-split line count, empties
+    included). Determinism: V, ln's and the MI expression are ONE
+    mirrored left-associative IEEE tree per file, quantized to
+    MICRO-unit integers BEFORE the order-free per-language sum/min (the
+    log-ULP convention), and the low flag is the EXACT integer compare
+    mi_micro < low_mi*1e6. Halstead-degenerate files (no operators or
+    no operands — V undefined) are counted and excluded from the MI
+    ledgers identically on both engines. sf_dir unused (deterministic
+    cached corpus, code_* convention)."""
+    import math
+    import re
+
+    from ..sources.synthetic_code import corpus_path
+
+    word_re = re.compile(_HALSTEAD_WORD_RE)
+    op_re = re.compile(_HALSTEAD_OP_RE)
+    cc_op_re = re.compile(_MCCABE_OP_RE)
+    hkw = frozenset(_HALSTEAD_KEYWORDS)
+    mkw = frozenset(_MCCABE_KEYWORDS)
+    low_micro = int(round_half_away(float(low_mi) * 1e6, 0))
+    ds = ray.data.read_parquet(corpus_path(n_rows=2000, seed=42),
+                               columns=["lang", "content"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from collections import defaultdict
+        acc: dict = defaultdict(lambda: [0, 0, 0, None, 0])
+        # files, degen, sum_mi_micro, min_mi_micro, n_low
+        for lg, t in zip(batch["lang"].to_pylist(),
+                         batch["content"].to_pylist()):
+            t = t or ""
+            words = word_re.findall(t)
+            sym = op_re.findall(t)
+            n1 = len(sym) + sum(1 for w in words if w in hkw)
+            opd = [w for w in words if w not in hkw]
+            n2 = len(opd)
+            e1 = len(set(sym) | {w for w in words if w in hkw})
+            e2 = len(set(opd))
+            a = acc[lg]
+            a[0] += 1
+            if e1 == 0 or e2 == 0:
+                a[1] += 1
+                continue
+            cc = 1 + sum(1 for w in words if w in mkw) \
+                + len(cc_op_re.findall(t))
+            loc = len(t.split("\n"))
+            v = float(n1 + n2) * math.log2(float(e1 + e2))
+            mi = (171.0 - 5.2 * math.log(v)) - 0.23 * float(cc) \
+                - 16.2 * math.log(float(loc))
+            mi_micro = int(round_half_away(mi * 1e6, 0))
+            a[2] += mi_micro
+            a[3] = mi_micro if a[3] is None else min(a[3], mi_micro)
+            a[4] += 1 if mi_micro < low_micro else 0
+        ks = sorted(acc)
+        rows = [acc[k] for k in ks]
+        return pa.table({
+            "lang": pa.array(ks, pa.string()),
+            "n_files": pa.array([r[0] for r in rows], pa.int64()),
+            "n_degen": pa.array([r[1] for r in rows], pa.int64()),
+            "s_mi": pa.array([r[2] for r in rows], pa.int64()),
+            # blocks with only degenerate files of a language carry a
+            # neutral +inf stand-in the Min fold ignores
+            "mn_mi": pa.array(
+                [r[3] if r[3] is not None else (1 << 62) for r in rows],
+                pa.int64()),
+            "n_low": pa.array([r[4] for r in rows], pa.int64()),
+        })
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("n_files", alias_name="n_files"),
+                      Sum("n_degen", alias_name="n_degen"),
+                      Sum("s_mi", alias_name="s_mi"),
+                      Min("mn_mi", alias_name="mn_mi"),
+                      Sum("n_low", alias_name="n_low"))
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    mean6, min6 = [], []
+    for i in range(len(agg)):
+        neff = int(agg["n_files"][i]) - int(agg["n_degen"][i])
+        if neff == 0:
+            mean6.append(None)
+            min6.append(None)
+        else:
+            mean6.append(float(round_half_away(
+                float(int(agg["s_mi"][i])) / float(neff) / 1e6, 6)))
+            min6.append(float(round_half_away(
+                float(int(agg["mn_mi"][i])) / 1e6, 6)))
+    return pd.DataFrame({
+        "lang": pd.array(agg["lang"], dtype="string"),
+        "n_files": pd.array(agg["n_files"], dtype="int64"),
+        "n_degen": pd.array(agg["n_degen"], dtype="int64"),
+        "n_low": pd.array(agg["n_low"], dtype="int64"),
+        "mean_mi6": pd.array(mean6, dtype="float64"),
+        "min_mi6": pd.array(min6, dtype="float64"),
+    })
+
+
 def doc_good_turing(sf_dir: str, max_r: int = 5):
     """Good-Turing adjusted-count table (Gale & Sampson 1995) — the
     full smoothing ledger doc_chao1_vocab only summarizes at r = 0:

@@ -3674,3 +3674,79 @@ def test_dbscan_layout_ledgers_and_planted_blobs(ray_session, monkeypatch,
     assert int(out.loc[-1, "n_pts"]) == 2
     assert int(out.loc[0, "n_core"]) == 8 and int(out.loc[0, "n_border"]) == 0
     assert int(out.loc[8, "n_core"]) == 8 and int(out.loc[8, "n_border"]) == 0
+
+
+def test_maintainability_ledger_and_hand_computed(ray_session):
+    """MI per-language ledgers must tie to a driver-side recount of the
+    full per-file expression (same regex streams, same micro
+    quantization), the sums must decompose (n_low <= n_files - n_degen,
+    min <= mean), and a hand-computable file must produce the textbook
+    composite: 'int a = b + 1;' (ops = sym{= + ;} plus the reclassified
+    'int' keyword: N1 = 4/e1 = 4, operands N2 = 3/e2 = 3, so
+    V = 7*log2(7); CC = 1, LoC = 1) gives
+    MI = 171 - 5.2*ln(V) - 0.23 - 0."""
+    import collections
+    import math
+    import re
+
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+    from pii_filter_ray.sources.synthetic_code import corpus_path
+
+    out = r.code_maintainability("unused").set_index("lang")
+    word_re = re.compile(r._HALSTEAD_WORD_RE)
+    op_re = re.compile(r._HALSTEAD_OP_RE)
+    cc_re = re.compile(r._MCCABE_OP_RE)
+    hkw = frozenset(r._HALSTEAD_KEYWORDS)
+    mkw = frozenset(r._MCCABE_KEYWORDS)
+
+    def mi_micro(t: str):
+        words = word_re.findall(t)
+        sym = op_re.findall(t)
+        n1 = len(sym) + sum(1 for w in words if w in hkw)
+        opd = [w for w in words if w not in hkw]
+        e1 = len(set(sym) | {w for w in words if w in hkw})
+        e2 = len(set(opd))
+        if e1 == 0 or e2 == 0:
+            return None
+        cc = 1 + sum(1 for w in words if w in mkw) + len(cc_re.findall(t))
+        v = float(n1 + len(opd)) * math.log2(float(e1 + e2))
+        mi = (171.0 - 5.2 * math.log(v)) - 0.23 * float(cc) \
+            - 16.2 * math.log(float(len(t.split("\n"))))
+        return int(r.round_half_away(mi * 1e6, 0))
+
+    tbl = _pq.read_table(corpus_path(n_rows=2000, seed=42),
+                         columns=["lang", "content"]).to_pandas()
+    s: collections.Counter = collections.Counter()
+    n: collections.Counter = collections.Counter()
+    dg: collections.Counter = collections.Counter()
+    lo: collections.Counter = collections.Counter()
+    mn: dict = {}
+    for lg, t in zip(tbl["lang"], tbl["content"]):
+        m = mi_micro(t or "")
+        n[lg] += 1
+        if m is None:
+            dg[lg] += 1
+            continue
+        s[lg] += m
+        lo[lg] += 1 if m < 65_000_000 else 0
+        mn[lg] = m if lg not in mn else min(mn[lg], m)
+    for lg in out.index:
+        assert int(out.loc[lg, "n_files"]) == n[lg]
+        assert int(out.loc[lg, "n_degen"]) == dg[lg]
+        assert int(out.loc[lg, "n_low"]) == lo[lg]
+        neff = n[lg] - dg[lg]
+        if neff:
+            assert float(out.loc[lg, "mean_mi6"]) == float(
+                r.round_half_away(float(s[lg]) / float(neff) / 1e6, 6))
+            assert float(out.loc[lg, "min_mi6"]) == float(
+                r.round_half_away(float(mn[lg]) / 1e6, 6))
+            assert out.loc[lg, "min_mi6"] <= out.loc[lg, "mean_mi6"]
+            assert lo[lg] <= neff
+
+    t = "int a = b + 1;"
+    v = 7.0 * math.log2(7.0)
+    want = (171.0 - 5.2 * math.log(v)) - 0.23 * 1.0 \
+        - 16.2 * math.log(1.0)
+    assert mi_micro(t) == int(r.round_half_away(want * 1e6, 0))
