@@ -516,6 +516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_good_turing": r.doc_good_turing,
         "emb_dbscan": r.emb_dbscan,
         "code_maintainability": r.code_maintainability,
+        "events_ams_f2": r.events_ams_f2,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6674,6 +6675,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_good_turing": o.doc_good_turing_sql(),
         "emb_dbscan": o.emb_dbscan_sql(),
         "code_maintainability": o.code_maintainability_sql(),
+        "events_ams_f2": o.events_ams_f2_sql(),
         "orders_periodogram": """
             WITH daily AS (
                 SELECT CAST(date_trunc('day', o_orderdate) AS DATE)

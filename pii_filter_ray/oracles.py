@@ -3169,3 +3169,37 @@ def code_maintainability_sql(n_rows: int = 2000, seed: int = 42,
                 ELSE round(CAST(mn_mi AS DOUBLE) / 1000000.0, 6)
            END AS min_mi6
     FROM m ORDER BY lang"""
+
+
+def events_ams_f2_sql(k: int = 15) -> str:
+    """AMS F2 mirror (relational.events_ams_f2): one sql_hash64 per
+    user, sign j = bit j of the hash, exact integer counters and
+    squared estimates in HUGEINT, the discrete median (middle order
+    statistic, k odd), exact F2 from per-user counts, integer
+    within-2x compares, one mirrored IEEE division for rel_err6."""
+    h = h64("'ams|' || CAST(user_id AS VARCHAR)")
+    return f"""WITH e AS (
+    SELECT user_id, {h} AS h FROM events WHERE user_id IS NOT NULL
+  ),
+  js AS (SELECT unnest(generate_series(0, {k - 1})) AS j),
+  s AS (
+    SELECT js.j,
+           CAST(sum(CASE WHEN (e.h >> js.j) % 2 = 0 THEN 1 ELSE -1 END)
+                AS BIGINT) AS sj
+    FROM e CROSS JOIN js GROUP BY 1
+  ),
+  est AS (SELECT j, CAST(sj AS HUGEINT) * sj AS est FROM s),
+  med AS (SELECT est FROM est ORDER BY est LIMIT 1 OFFSET {k // 2}),
+  ex AS (
+    SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS f2
+    FROM (SELECT count(*) AS c FROM e GROUP BY user_id)
+  )
+  SELECT CAST({k} AS BIGINT) AS k,
+         ex.f2 AS exact_f2,
+         CAST(med.est AS BIGINT) AS est_median,
+         round((CAST(med.est AS DOUBLE) - CAST(ex.f2 AS DOUBLE))
+               / CAST(ex.f2 AS DOUBLE), 6) AS rel_err6,
+         (SELECT CAST(count(*) AS BIGINT) FROM est
+          WHERE est.est <= 2 * CAST(ex.f2 AS HUGEINT)
+            AND CAST(ex.f2 AS HUGEINT) <= 2 * est.est) AS n_within2x
+  FROM ex, med"""

@@ -17601,3 +17601,82 @@ def emb_dbscan(sf_dir: str, eps: float = 1.16, min_pts: int = 4):
         "n_border": pd.array(rows["n_border"], dtype="int64"),
         "n_pts": pd.array(rows["n_pts"], dtype="int64"),
     })
+
+
+def events_ams_f2(sf_dir: str, k: int = 15):
+    """AMS tug-of-war sketch of the second frequency moment (Alon,
+    Matias & Szegedy 1996) over events.user_id — the one classic sketch
+    the family still lacked (HLL counts distinct = F0, CMS point
+    frequencies, KMV bottom-k; THIS estimates F2 = sum of squared user
+    frequencies, i.e. the SELF-JOIN SIZE — the quantity a distributed
+    planner needs to cost a user-keyed join and the standard skew
+    screen: F2 >> F1^2/F0 means a heavy-hitter key). Entirely integer
+    arithmetic end-to-end: ±1 signs come from bits 0..k-1 of ONE 63-bit
+    sql_hash64('ams|' + user) per distinct user (one hash, k signs —
+    mirrored in SQL by (h >> j) % 2), each of the k counters folds as an
+    exact integer Sum of per-block partials (a block hashes its
+    block-distinct users once and weights signs by local counts), the
+    per-counter estimate is s_j^2 in exact Python ints (= HUGEINT), the
+    estimator is the exact DISCRETE median (k odd -> the middle order
+    statistic, no interpolation), and the within-2x calibration flags
+    are integer compares. Exact side: the per-user count shuffle (the
+    HLL-calibration shape), F2 folded in exact ints. ONE bounded
+    (k-row) sketch shuffle + one user-catalog-bounded exact shuffle;
+    rel_err6 is the single mirrored IEEE division."""
+    from ..stages.dedup import sql_hash64
+
+    ds = _tbl(sf_dir, "events", columns=["user_id"])
+
+    def sketch_partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for u in batch["user_id"].to_pylist():
+            if u is not None:
+                c[int(u)] += 1
+        s = [0] * k
+        for u, n in c.items():
+            h = sql_hash64(f"ams|{u}".encode())
+            for j in range(k):
+                s[j] += n if ((h >> j) & 1) == 0 else -n
+        return pa.table({
+            "j": pa.array(list(range(k)), pa.int64()),
+            "s": pa.array(s, pa.int64()),
+        })
+
+    cnt = (ds.map_batches(sketch_partials, batch_format="pyarrow")
+           .groupby("j").aggregate(Sum("s", alias_name="s"))
+           .to_pandas())
+    s_by_j = {int(j): int(s) for j, s in zip(cnt["j"], cnt["s"])}
+    ests = sorted(s_by_j[j] * s_by_j[j] for j in range(k))
+    est_med = ests[k // 2]
+
+    def count_partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for u in batch["user_id"].to_pylist():
+            if u is not None:
+                c[int(u)] += 1
+        return pa.table({
+            "u": pa.array(list(c.keys()), pa.int64()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        })
+
+    per_user = (ds.map_batches(count_partials, batch_format="pyarrow")
+                .groupby("u").aggregate(Sum("n", alias_name="n")))
+
+    def sq_partials(batch: pa.Table) -> pa.Table:
+        tot = sum(int(n) * int(n) for n in batch["n"].to_pylist())
+        return pa.table({"f2": pa.array([tot], pa.int64())})
+
+    f2 = int(per_user.map_batches(sq_partials, batch_format="pyarrow")
+             .aggregate(Sum("f2", alias_name="f2"))["f2"])
+    n_within = sum(1 for e in ests if e <= 2 * f2 and f2 <= 2 * e)
+    rel = float(round_half_away(
+        (float(est_med) - float(f2)) / float(f2), 6))
+    return pd.DataFrame({
+        "k": pd.array([k], dtype="int64"),
+        "exact_f2": pd.array([f2], dtype="int64"),
+        "est_median": pd.array([est_med], dtype="int64"),
+        "rel_err6": pd.array([rel], dtype="float64"),
+        "n_within2x": pd.array([n_within], dtype="int64"),
+    })

@@ -3750,3 +3750,59 @@ def test_maintainability_ledger_and_hand_computed(ray_session):
     want = (171.0 - 5.2 * math.log(v)) - 0.23 * 1.0 \
         - 16.2 * math.log(1.0)
     assert mi_micro(t) == int(r.round_half_away(want * 1e6, 0))
+
+
+def test_ams_f2_layout_and_planted_exactness(ray_session, monkeypatch,
+                                             tmp_path):
+    """AMS F2 must be layout-free, its exact ledger must tie to a
+    driver-side recount of per-user counts, and on planted corpora the
+    sketch algebra must be visible: with ONE user of n events every
+    counter is +-n, every estimate is exactly n^2 = F2 (rel_err 0, all
+    k within 2x); with users {3,4} events every counter is +-3+-4 so
+    the median estimate must be one of {1, 49} while exact F2 = 25."""
+    import collections
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.events_ams_f2(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.events_ams_f2(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    ev = _pq.read_table(sf + "/events.parquet",
+                        columns=["user_id"]).to_pandas()
+    c = collections.Counter(int(u) for u in ev["user_id"].dropna())
+    assert int(a["exact_f2"].iloc[0]) == sum(n * n for n in c.values())
+    assert 0 <= int(a["n_within2x"].iloc[0]) <= 15
+
+    def planted(counts, d):
+        rows = []
+        for u, n in counts.items():
+            rows.extend([u] * n)
+        tbl = _pa.table({
+            "event_id": _pa.array(range(len(rows)), _pa.int64()),
+            "user_id": _pa.array(rows, _pa.int64()),
+            "event_type": _pa.array(["click"] * len(rows), _pa.string()),
+        })
+        d.mkdir(exist_ok=True)
+        _pq.write_table(tbl, d / "events.parquet")
+        return r.events_ams_f2(str(d))
+
+    one = planted({7: 6}, tmp_path / "one")
+    assert int(one["exact_f2"].iloc[0]) == 36
+    assert int(one["est_median"].iloc[0]) == 36
+    assert float(one["rel_err6"].iloc[0]) == 0.0
+    assert int(one["n_within2x"].iloc[0]) == 15
+
+    two = planted({7: 3, 8: 4}, tmp_path / "two")
+    assert int(two["exact_f2"].iloc[0]) == 25
+    assert int(two["est_median"].iloc[0]) in (1, 49)
