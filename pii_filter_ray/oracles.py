@@ -3203,3 +3203,44 @@ def events_ams_f2_sql(k: int = 15) -> str:
           WHERE est.est <= 2 * CAST(ex.f2 AS HUGEINT)
             AND CAST(ex.f2 AS HUGEINT) <= 2 * est.est) AS n_within2x
   FROM ex, med"""
+
+
+def doc_qlm_dirichlet_sql(k: int = 20, mu: int = 2000) -> str:
+    """Dirichlet query-likelihood mirror (relational.doc_qlm_dirichlet):
+    the identical whitespace token split, exact-integer corpus/term
+    ledgers, per-term ln of the same exact-int ratio quantized to
+    micro-units BEFORE the per-doc sum, zero-cf terms skipped, and the
+    integer (score_micro DESC, doc_id ASC) row_number ranking."""
+    terms = ("hash", "join", "stream")
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(terms))
+    cf_cols = ", ".join(
+        f"CAST(sum(tf{i}) AS BIGINT) AS cf{i}" for i in range(len(terms)))
+    term_sum = " + ".join(
+        f"""CASE WHEN c.cf{i} = 0 THEN 0
+             ELSE CAST(round(ln(CAST(d.tf{i} * c.ctot
+                                     + {mu} * c.cf{i} AS DOUBLE)
+                                / CAST((d.dl + {mu}) * c.ctot AS DOUBLE))
+                             * 1000000.0, 0) AS BIGINT) END"""
+        for i in range(len(terms)))
+    return f"""WITH t AS (
+    SELECT doc_id, {words_expr("coalesce(text, '')")} AS toks
+    FROM documents
+  ),
+  d AS (
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, {tf_cols} FROM t
+  ),
+  c AS (SELECT CAST(sum(dl) AS BIGINT) AS ctot, {cf_cols} FROM d),
+  s AS (
+    SELECT d.doc_id, {term_sum} AS s_micro
+    FROM d, c
+  ),
+  r AS (
+    SELECT doc_id, s_micro,
+           row_number() OVER (ORDER BY s_micro DESC, doc_id) AS rank
+    FROM s
+  )
+  SELECT doc_id, round(CAST(s_micro AS DOUBLE) / 1000000.0, 6) AS score6,
+         CAST(rank AS BIGINT) AS rank
+  FROM r WHERE rank <= {k} ORDER BY rank"""

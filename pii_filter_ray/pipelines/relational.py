@@ -17680,3 +17680,81 @@ def events_ams_f2(sf_dir: str, k: int = 15):
         "rel_err6": pd.array([rel], dtype="float64"),
         "n_within2x": pd.array([n_within], dtype="int64"),
     })
+
+
+def doc_qlm_dirichlet(sf_dir: str, k: int = 20, mu: int = 2000):
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty 2001) for the fixed query {hash, join, stream} — the
+    LANGUAGE-MODEL ranking next to doc_bm25_top_docs' tf-idf view, and
+    the second member every retrieval-evaluation harness compares
+    (score(d) = sum_w log p(w|d), p(w|d) = (tf + mu*p(w|C))/(dl + mu)):
+    unlike BM25 it scores EVERY document on EVERY query term (absent
+    terms shrink toward the collection model, penalized by doc length),
+    so rankings disagree exactly where smoothing matters. Same
+    two-pass shape as BM25: pass 1 folds ONE partial row per block
+    (corpus token count + per-term COLLECTION frequencies — cf, not
+    df); the stats ride the scoring closure. Pass 2 scores per doc
+    shuffle-free with per-block top-k partials. Determinism: each
+    term's log p collapses to ln of a ratio of EXACT integers
+    ((tf*C + mu*cf) / ((dl+mu)*C), all < 2^53 so the doubles are
+    exact), quantized to MICRO-unit integers BEFORE the order-free
+    per-doc sum (the log-ULP convention), ranking is the integer
+    (score_micro DESC, doc_id ASC) total order, and terms with zero
+    collection frequency contribute nothing on both engines."""
+    import math
+    from collections import Counter
+
+    terms = ("hash", "join", "stream")
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        n_toks = 0
+        cfs = [0] * len(terms)
+        for v in batch["text"].to_pylist():
+            toks = (v or "").split()
+            n_toks += len(toks)
+            c = Counter(toks)
+            for i, t in enumerate(terms):
+                cfs[i] += c.get(t, 0)
+        cols = {"n_toks": [n_toks]}
+        for i in range(len(terms)):
+            cols[f"cf_{i}"] = [cfs[i]]
+        return pa.table(cols)
+
+    st = ds.map_batches(stats_partial, batch_format="pyarrow").aggregate(
+        Sum("n_toks"), *[Sum(f"cf_{i}") for i in range(len(terms))])
+    ctot = int(st["sum(n_toks)"])
+    cf = [int(st[f"sum(cf_{i})"]) for i in range(len(terms))]
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        ids_out, s_out = [], []
+        for doc_id, v in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            toks = (v or "").split()
+            dl = len(toks)
+            c = Counter(toks)
+            s = 0
+            for i, t in enumerate(terms):
+                if cf[i] == 0:
+                    continue
+                num = c.get(t, 0) * ctot + mu * cf[i]
+                den = (dl + mu) * ctot
+                s += int(round_half_away(
+                    math.log(float(num) / float(den)) * 1e6, 0))
+            ids_out.append(doc_id)
+            s_out.append(s)
+        df = pd.DataFrame({"doc_id": ids_out, "s_micro": s_out})
+        df = df.sort_values(["s_micro", "doc_id"],
+                            ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    merged = (ds.map_batches(score_topk, batch_format="pyarrow")
+              .to_pandas()
+              .sort_values(["s_micro", "doc_id"], ascending=[False, True])
+              .head(k).reset_index(drop=True))
+    merged["rank"] = np.arange(1, len(merged) + 1, dtype=np.int64)
+    merged["score6"] = [
+        float(round_half_away(float(int(s)) / 1e6, 6))
+        for s in merged["s_micro"]]
+    return merged.astype({"doc_id": "int64"})[
+        ["doc_id", "score6", "rank"]]

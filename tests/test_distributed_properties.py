@@ -3806,3 +3806,62 @@ def test_ams_f2_layout_and_planted_exactness(ray_session, monkeypatch,
     two = planted({7: 3, 8: 4}, tmp_path / "two")
     assert int(two["exact_f2"].iloc[0]) == 25
     assert int(two["est_median"].iloc[0]) in (1, 49)
+
+
+def test_qlm_dirichlet_layout_and_planted_smoothing(ray_session,
+                                                    monkeypatch, tmp_path):
+    """Dirichlet QLM must be layout-free, return exactly k ranked rows,
+    and on a planted corpus reproduce the hand-computed smoothing
+    algebra: with query {hash, join, stream} and mu = 2000, a doc
+    containing a term beats a same-length doc without it, and the
+    absent-term penalty grows with doc length (the length
+    normalization BM25 lacks on absent terms)."""
+    import math
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_qlm_dirichlet(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.doc_qlm_dirichlet(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert len(a) == 20
+    assert list(a["rank"]) == list(range(1, 21))
+    assert (a["score6"].to_numpy()[:-1] >= a["score6"].to_numpy()[1:]).all()
+
+    texts = [
+        "hash join stream",          # all three terms, dl 3
+        "hash a b",                  # one term, dl 3
+        "x y z",                     # none, dl 3
+        "x y z " * 50,               # none, dl 150 (longer -> worse)
+    ]
+    tbl = _pa.table({
+        "doc_id": _pa.array(range(len(texts)), _pa.int64()),
+        "text": _pa.array(texts, _pa.string()),
+        "lang": _pa.array(["en"] * len(texts), _pa.string()),
+    })
+    _pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = r.doc_qlm_dirichlet(str(tmp_path), k=4).set_index("doc_id")
+    assert list(out["rank"]) == [1, 2, 3, 4] and list(out.index) == [0, 1, 2, 3]
+
+    # hand recompute doc 0's score with the exact-integer ratio chain
+    ctot = sum(len(t.split()) for t in texts)
+    mu = 2000
+    cf = {"hash": 2, "join": 1, "stream": 1}
+    s = 0
+    for t in ("hash", "join", "stream"):
+        num = (1 if t in ("hash", "join", "stream") else 0) * ctot \
+            + mu * cf[t]
+        s += int(r.round_half_away(
+            math.log(float(num) / float((3 + mu) * ctot)) * 1e6, 0))
+    assert float(out.loc[0, "score6"]) == float(
+        r.round_half_away(float(s) / 1e6, 6))
