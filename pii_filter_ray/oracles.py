@@ -3244,3 +3244,88 @@ def doc_qlm_dirichlet_sql(k: int = 20, mu: int = 2000) -> str:
   SELECT doc_id, round(CAST(s_micro AS DOUBLE) / 1000000.0, 6) AS score6,
          CAST(rank AS BIGINT) AS rank
   FROM r WHERE rank <= {k} ORDER BY rank"""
+
+
+def lineitem_cat_association_sql() -> str:
+    """Categorical-association mirror (relational.lineitem_cat_association):
+    exact integer contingency/margin ledgers, nano-quantized chi2 and
+    entropy cell terms summed order-free, the identical IEEE trees for
+    Cramér's V and both Theil's U directions, NULL on degenerate
+    marginals."""
+    return """WITH c AS (
+    SELECT l_returnflag AS x, l_linestatus AS y,
+           CAST(count(*) AS BIGINT) AS nxy
+    FROM lineitem GROUP BY 1, 2
+  ),
+  rx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM c GROUP BY 1),
+  ry AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM c GROUP BY 1),
+  nn AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM c),
+  grid AS (
+    -- the FULL r x c grid: unobserved cells carry their expected
+    -- count into chi2 and contribute exactly 0 to the entropies
+    SELECT rx.x, ry.y, rx.nx, ry.ny, coalesce(c.nxy, 0) AS nxy
+    FROM rx CROSS JOIN ry
+    LEFT JOIN c ON c.x = rx.x AND c.y = ry.y
+  ),
+  terms AS (
+    SELECT
+      CAST(round((CAST(g.nxy AS DOUBLE)
+                  - CAST(g.nx AS DOUBLE) * CAST(g.ny AS DOUBLE)
+                    / CAST(nn.n AS DOUBLE))
+                 * (CAST(g.nxy AS DOUBLE)
+                    - CAST(g.nx AS DOUBLE) * CAST(g.ny AS DOUBLE)
+                      / CAST(nn.n AS DOUBLE))
+                 / (CAST(g.nx AS DOUBLE) * CAST(g.ny AS DOUBLE)
+                    / CAST(nn.n AS DOUBLE))
+                 * 1000000000.0, 0) AS BIGINT) AS chi_nano,
+      CASE WHEN g.nxy = 0 THEN 0 ELSE
+      CAST(round((CAST(g.nxy AS DOUBLE) / CAST(nn.n AS DOUBLE))
+                 * ln(CAST(g.ny AS DOUBLE) / CAST(g.nxy AS DOUBLE))
+                 * 1000000000.0, 0) AS BIGINT) END AS hxy_nano,
+      CASE WHEN g.nxy = 0 THEN 0 ELSE
+      CAST(round((CAST(g.nxy AS DOUBLE) / CAST(nn.n AS DOUBLE))
+                 * ln(CAST(g.nx AS DOUBLE) / CAST(g.nxy AS DOUBLE))
+                 * 1000000000.0, 0) AS BIGINT) END AS hyx_nano
+    FROM grid g
+    CROSS JOIN nn
+  ),
+  hx AS (
+    SELECT CAST(sum(CAST(round(
+        (CAST(rx.nx AS DOUBLE) / CAST(nn.n AS DOUBLE))
+        * ln(CAST(nn.n AS DOUBLE) / CAST(rx.nx AS DOUBLE))
+        * 1000000000.0, 0) AS BIGINT)) AS BIGINT) AS s
+    FROM rx CROSS JOIN nn
+  ),
+  hy AS (
+    SELECT CAST(sum(CAST(round(
+        (CAST(ry.ny AS DOUBLE) / CAST(nn.n AS DOUBLE))
+        * ln(CAST(nn.n AS DOUBLE) / CAST(ry.ny AS DOUBLE))
+        * 1000000000.0, 0) AS BIGINT)) AS BIGINT) AS s
+    FROM ry CROSS JOIN nn
+  ),
+  agg AS (
+    SELECT CAST(sum(chi_nano) AS BIGINT) AS s_chi,
+           CAST(sum(hxy_nano) AS BIGINT) AS s_hxy,
+           CAST(sum(hyx_nano) AS BIGINT) AS s_hyx,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM terms
+  ),
+  dims AS (
+    SELECT least((SELECT count(*) FROM rx),
+                 (SELECT count(*) FROM ry)) - 1 AS kmin
+  )
+  SELECT nn.n AS n, agg.n_cells AS n_cells,
+         CASE WHEN dims.kmin = 0 THEN NULL
+              ELSE round(sqrt((CAST(agg.s_chi AS DOUBLE) / 1000000000.0)
+                              / (CAST(nn.n AS DOUBLE)
+                                 * CAST(dims.kmin AS DOUBLE))), 6)
+         END AS cramers_v6,
+         CASE WHEN hx.s = 0 THEN NULL
+              ELSE round(CAST(hx.s - agg.s_hxy AS DOUBLE)
+                         / CAST(hx.s AS DOUBLE), 6)
+         END AS u_flag_given_status6,
+         CASE WHEN hy.s = 0 THEN NULL
+              ELSE round(CAST(hy.s - agg.s_hyx AS DOUBLE)
+                         / CAST(hy.s AS DOUBLE), 6)
+         END AS u_status_given_flag6
+  FROM agg, nn, hx, hy, dims"""

@@ -17758,3 +17758,77 @@ def doc_qlm_dirichlet(sf_dir: str, k: int = 20, mu: int = 2000):
         for s in merged["s_micro"]]
     return merged.astype({"doc_id": "int64"})[
         ["doc_id", "score6", "rank"]]
+
+
+def lineitem_cat_association(sf_dir: str):
+    """Categorical-association panel for l_returnflag x l_linestatus —
+    the two numbers orders_chi2's raw statistic cannot give: Cramér's V
+    (the [0,1]-normalized effect size a chi2 of any magnitude reduces
+    to) and Theil's U in BOTH directions (the asymmetric uncertainty
+    coefficient U(X|Y) = (H(X) - H(X|Y))/H(X) — how much knowing
+    linestatus reduces returnflag entropy and vice versa; asymmetric
+    where V is symmetric, which is exactly what makes it the right
+    feature-redundancy screen). ONE pre-aggregated contingency shuffle
+    (a cell row per pair per block, counts exact integers); every
+    downstream quantity folds over the bounded r x c catalog: each
+    chi2 cell term (obs-exp)^2/exp and each entropy term
+    (n_/n)*ln(ratio of exact ints) quantizes to NANO-unit integers
+    BEFORE the order-free sums (the log-ULP convention), V is one
+    mirrored IEEE tree sqrt((S_chi/1e9)/(n*(min(r,c)-1))), each U is
+    one mirrored division of exact nano ledgers, and degenerate
+    marginals (zero entropy) NULL the affected U on both engines."""
+    import math
+
+    ds = _tbl(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
+    cells = (preagg_groupby(ds, ["l_returnflag", "l_linestatus"],
+                            count_alias="nxy")
+             .to_pandas()
+             .sort_values(["l_returnflag", "l_linestatus"])
+             .reset_index(drop=True))
+    nx = {x: int(g["nxy"].sum())
+          for x, g in cells.groupby("l_returnflag")}
+    ny = {y: int(g["nxy"].sum())
+          for y, g in cells.groupby("l_linestatus")}
+    n = int(cells["nxy"].sum())
+    obs = {(x, y): int(v) for x, y, v in zip(
+        cells["l_returnflag"], cells["l_linestatus"], cells["nxy"])}
+    s_chi = 0
+    s_hxy = 0   # H(X|Y) ledger: (nxy/n) * ln(ny/nxy)
+    s_hyx = 0   # H(Y|X) ledger: (nxy/n) * ln(nx/nxy)
+    # the FULL r x c grid: unobserved cells carry their whole expected
+    # count into chi2 (a perfect-association table owes half its
+    # statistic to them) and contribute exactly 0 to the entropies
+    for x in sorted(nx):
+        for y in sorted(ny):
+            nxy = obs.get((x, y), 0)
+            e = float(nx[x]) * float(ny[y]) / float(n)
+            s_chi += int(round_half_away(
+                (float(nxy) - e) * (float(nxy) - e) / e * 1e9, 0))
+            if nxy == 0:
+                continue
+            s_hxy += int(round_half_away(
+                (float(nxy) / float(n))
+                * math.log(float(ny[y]) / float(nxy)) * 1e9, 0))
+            s_hyx += int(round_half_away(
+                (float(nxy) / float(n))
+                * math.log(float(nx[x]) / float(nxy)) * 1e9, 0))
+    s_hx = sum(int(round_half_away(
+        (float(v) / float(n)) * math.log(float(n) / float(v)) * 1e9, 0))
+        for v in nx.values())
+    s_hy = sum(int(round_half_away(
+        (float(v) / float(n)) * math.log(float(n) / float(v)) * 1e9, 0))
+        for v in ny.values())
+    kmin = min(len(nx), len(ny)) - 1
+    v6 = None if kmin == 0 else float(round_half_away(math.sqrt(
+        (float(s_chi) / 1e9) / (float(n) * float(kmin))), 6))
+    u_x6 = None if s_hx == 0 else float(round_half_away(
+        float(s_hx - s_hxy) / float(s_hx), 6))
+    u_y6 = None if s_hy == 0 else float(round_half_away(
+        float(s_hy - s_hyx) / float(s_hy), 6))
+    return pd.DataFrame({
+        "n": pd.array([n], dtype="int64"),
+        "n_cells": pd.array([len(nx) * len(ny)], dtype="int64"),
+        "cramers_v6": pd.array([v6], dtype="float64"),
+        "u_flag_given_status6": pd.array([u_x6], dtype="float64"),
+        "u_status_given_flag6": pd.array([u_y6], dtype="float64"),
+    })

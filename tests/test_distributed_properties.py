@@ -3865,3 +3865,55 @@ def test_qlm_dirichlet_layout_and_planted_smoothing(ray_session,
             math.log(float(num) / float((3 + mu) * ctot)) * 1e6, 0))
     assert float(out.loc[0, "score6"]) == float(
         r.round_half_away(float(s) / 1e6, 6))
+
+
+def test_cat_association_layout_and_planted_extremes(ray_session,
+                                                     monkeypatch, tmp_path):
+    """The association panel must be layout-free, bounded in [0,1], and
+    pin the two textbook extremes on planted 2x2 tables: a perfectly
+    diagonal table (X determines Y) gives Cramér's V = 1 and both
+    Theil's U = 1 exactly; a uniform independent table gives all three
+    exactly 0."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.lineitem_cat_association(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.lineitem_cat_association(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    for c in ("cramers_v6", "u_flag_given_status6", "u_status_given_flag6"):
+        assert 0.0 <= float(a[c].iloc[0]) <= 1.0
+
+    def planted(cells, d):
+        xs, ys = [], []
+        for (x, y), n in cells.items():
+            xs.extend([x] * n)
+            ys.extend([y] * n)
+        tbl = _pa.table({
+            "l_orderkey": _pa.array(range(len(xs)), _pa.int64()),
+            "l_returnflag": _pa.array(xs, _pa.string()),
+            "l_linestatus": _pa.array(ys, _pa.string()),
+        })
+        d.mkdir(exist_ok=True)
+        _pq.write_table(tbl, d / "lineitem.parquet")
+        return r.lineitem_cat_association(str(d))
+
+    diag = planted({("a", "c"): 5, ("b", "d"): 5}, tmp_path / "diag")
+    assert float(diag["cramers_v6"].iloc[0]) == 1.0
+    assert float(diag["u_flag_given_status6"].iloc[0]) == 1.0
+    assert float(diag["u_status_given_flag6"].iloc[0]) == 1.0
+
+    ind = planted({("a", "c"): 5, ("a", "d"): 5,
+                   ("b", "c"): 5, ("b", "d"): 5}, tmp_path / "ind")
+    assert float(ind["cramers_v6"].iloc[0]) == 0.0
+    assert float(ind["u_flag_given_status6"].iloc[0]) == 0.0
+    assert float(ind["u_status_given_flag6"].iloc[0]) == 0.0
