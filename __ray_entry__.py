@@ -519,6 +519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ams_f2": r.events_ams_f2,
         "doc_qlm_dirichlet": r.doc_qlm_dirichlet,
         "lineitem_cat_association": r.lineitem_cat_association,
+        "media_gif_dims": r.media_gif_dims,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6680,6 +6681,7 @@ def oracle_sql() -> dict[str, str]:
         "events_ams_f2": o.events_ams_f2_sql(),
         "doc_qlm_dirichlet": o.doc_qlm_dirichlet_sql(),
         "lineitem_cat_association": o.lineitem_cat_association_sql(),
+        "media_gif_dims": o.media_gif_dims_sql(),
         "orders_periodogram": """
             WITH daily AS (
                 SELECT CAST(date_trunc('day', o_orderdate) AS DATE)

@@ -3329,3 +3329,53 @@ def lineitem_cat_association_sql() -> str:
                          / CAST(hy.s AS DOUBLE), 6)
          END AS u_status_given_flag6
   FROM agg, nn, hx, hy, dims"""
+
+
+def media_gif_dims_sql() -> str:
+    """Recomputes the GIF logical-screen-descriptor parse from the
+    payload's hex string — LITTLE-endian u16 fields reassemble as
+    hi-byte || lo-byte hex pairs (byte k -> hex position 2k+1), the
+    packed flags byte splits with integer shifts, identical integer
+    arithmetic to relational.media_gif_dims."""
+    from .pipelines.relational import media_gif_table_path
+
+    def le16(k: int) -> str:
+        lo, hi = 2 * k + 1, 2 * (k + 1) + 1
+        return (f"CAST(CAST('0x' || substr(h, {hi}, 2) "
+                f"|| substr(h, {lo}, 2) AS UBIGINT) AS BIGINT)")
+
+    def be8(k: int) -> str:
+        p = 2 * k + 1
+        return f"CAST(CAST('0x' || substr(h, {p}, 2) AS UBIGINT) AS BIGINT)"
+
+    return f"""
+    WITH raw AS (
+        SELECT media_id, decl_w, decl_h, hex(payload) AS h
+        FROM read_parquet({_q(media_gif_table_path())})
+    ),
+    fields AS (
+        SELECT media_id, decl_w, decl_h,
+               CASE WHEN substr(h, 1, 12) IN ('474946383761',
+                                              '474946383961')
+                    THEN 1 ELSE 0 END AS magic_ok,
+               CASE WHEN substr(h, 1, 12) = '474946383961'
+                    THEN 1 ELSE 0 END AS is_89a,
+               {le16(6)} AS width,
+               {le16(8)} AS height,
+               ({be8(10)} >> 7) & 1 AS has_gct,
+               {be8(10)} & 7 AS gct_size
+        FROM raw
+    )
+    SELECT media_id, magic_ok, is_89a, width, height,
+           CAST(has_gct AS BIGINT) AS has_gct,
+           CAST(CASE WHEN has_gct = 1 THEN 1 << (gct_size + 1)
+                     ELSE 0 END AS BIGINT) AS n_colors,
+           decl_w, decl_h,
+           CASE WHEN width > 0 AND height > 0 THEN 1 ELSE 0 END
+               AS valid_dims,
+           CASE WHEN width = decl_w AND height = decl_h THEN 1 ELSE 0 END
+               AS decl_ok,
+           CASE WHEN width * height > 16700000 THEN 1 ELSE 0 END
+               AS is_bomb
+    FROM fields
+    ORDER BY media_id"""

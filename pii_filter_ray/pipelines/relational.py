@@ -17832,3 +17832,80 @@ def lineitem_cat_association(sf_dir: str):
         "u_flag_given_status6": pd.array([u_x6], dtype="float64"),
         "u_status_given_flag6": pd.array([u_y6], dtype="float64"),
     })
+
+
+_MEDIA_GIF_CACHE = "/tmp/pii_ray_media/media_gif_n96_s17.parquet"
+
+
+def media_gif_table_path() -> str:
+    """Materializes (once) the GIF-header image fixture so both engines
+    read the same parquet (the media_png_table_path discipline)."""
+    from ..stages.multimodal import synthesize_gif_media_table
+
+    if not os.path.exists(_MEDIA_GIF_CACHE):
+        import tempfile
+
+        os.makedirs(os.path.dirname(_MEDIA_GIF_CACHE), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(_MEDIA_GIF_CACHE), suffix=".tmp")
+        os.close(fd)
+        pq.write_table(synthesize_gif_media_table(n_rows=96, seed=17), tmp)
+        os.replace(tmp, _MEDIA_GIF_CACHE)
+    return _MEDIA_GIF_CACHE
+
+
+def media_gif_dims(sf_dir: str):
+    """GIF header audit — the third member of the pre-decode screen
+    family (media_wav_duration parses RIFF, media_png_dims parses
+    big-endian IHDR; THIS parses the LITTLE-endian GIF logical screen
+    descriptor, the byte order the other two never exercise): verify
+    the 6-byte version signature (and report the 87a/89a census), read
+    width/height as LE u16 at offsets 6/8, unpack the flags byte at 10
+    into the global-color-table bit and its 2^(size+1) color count
+    (pure integer bit arithmetic on both engines), and cross-check the
+    same four defect classes as the PNG audit: corrupted magic,
+    zero-dimension headers, catalog drift, and the decompression-bomb
+    flag w*h > 16.7 MPix. Payloads never shuffle (the map emits parsed
+    scalars only); at 100 TB this is an actor-pool map over the blob
+    column with this exact schema. LZW decode honestly stays with the
+    codec stub."""
+    import struct
+
+    ds = ray.data.read_parquet(media_gif_table_path())
+
+    def parse(batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("media_id", "magic_ok", "is_89a", "width",
+                               "height", "has_gct", "n_colors", "decl_w",
+                               "decl_h", "valid_dims", "decl_ok",
+                               "is_bomb")}
+        for mid, pay, dw, dh in zip(batch["media_id"].to_pylist(),
+                                    batch["payload"].to_pylist(),
+                                    batch["decl_w"].to_pylist(),
+                                    batch["decl_h"].to_pylist()):
+            sig = pay[:6]
+            magic = int(sig in (b"GIF87a", b"GIF89a"))
+            is89 = int(sig == b"GIF89a")
+            w = struct.unpack_from("<H", pay, 6)[0]
+            h = struct.unpack_from("<H", pay, 8)[0]
+            packed = pay[10]
+            gct = (packed >> 7) & 1
+            n_colors = (1 << ((packed & 7) + 1)) if gct else 0
+            out["media_id"].append(mid)
+            out["magic_ok"].append(magic)
+            out["is_89a"].append(is89)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["has_gct"].append(gct)
+            out["n_colors"].append(n_colors)
+            out["decl_w"].append(dw)
+            out["decl_h"].append(dh)
+            out["valid_dims"].append(int(w > 0 and h > 0))
+            out["decl_ok"].append(int(w == dw and h == dh))
+            out["is_bomb"].append(int(w * h > 16700000))
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in out.items()})
+
+    df = ds.map_batches(parse, batch_format="pyarrow").to_pandas()
+    return (df.astype({k: "int64" for k in df.columns})
+            .sort_values("media_id", kind="mergesort")
+            .reset_index(drop=True))

@@ -387,3 +387,50 @@ def synthesize_png_media_table(n_rows: int = 96, seed: int = 13) -> pa.Table:
         "decl_w": pa.array(dw, pa.int64()),
         "decl_h": pa.array(dh, pa.int64()),
     })
+
+
+def synthesize_gif_media_table(n_rows: int = 96, seed: int = 17) -> pa.Table:
+    """Deterministic image table whose payloads carry REAL GIF headers
+    (6-byte version signature, LITTLE-endian 16-bit logical-screen
+    width/height at offsets 6/8, the packed flags byte at 10 carrying
+    the global-color-table bit and its 2^(size+1) color count) with the
+    planted defect classes a crawl audit must catch, on coprime cycles:
+    every 13th payload's magic is corrupted (not a GIF), every 11th
+    header declares ZERO width, every 7th row's catalog width drifted
+    +16 px from the header, and every 17th header declares 8000x8000
+    (decompression bomb — 64 MPix from a tiny payload). Versions
+    alternate 89a/87a (a census column, not a defect). Little-endian
+    fields make the SQL mirror reassemble hex byte pairs — the
+    complementary exercise to the PNG fixture's direct big-endian
+    reads. LZW decode stays with the codec stub."""
+    import random
+    import struct
+
+    rng = random.Random(seed)
+    dims = [(64, 64), (128, 96), (320, 200), (640, 480), (16, 16)]
+    ids, payloads, dw, dh = [], [], [], []
+    for i in range(n_rows):
+        w, h = dims[i % len(dims)]
+        if i % 17 == 9:
+            w, h = 8000, 8000
+        hdr_w = 0 if i % 11 == 4 else w
+        sig = b"GIF89a" if i % 2 == 0 else b"GIF87a"
+        if i % 13 == 6:
+            sig = b"GIX87a"
+        gct_flag = 1 if i % 3 != 0 else 0
+        gct_size = i % 8
+        packed = (gct_flag << 7) | (0b010 << 4) | gct_size
+        payload = (sig + struct.pack("<HH", hdr_w, h)
+                   + bytes([packed, 0, 0])
+                   + rng.randbytes(rng.randint(64, 512)))
+        decl_w = w + 16 if i % 7 == 3 else w
+        ids.append(i)
+        payloads.append(payload)
+        dw.append(decl_w)
+        dh.append(h)
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+        "decl_w": pa.array(dw, pa.int64()),
+        "decl_h": pa.array(dh, pa.int64()),
+    })

@@ -3917,3 +3917,33 @@ def test_cat_association_layout_and_planted_extremes(ray_session,
     assert float(ind["cramers_v6"].iloc[0]) == 0.0
     assert float(ind["u_flag_given_status6"].iloc[0]) == 0.0
     assert float(ind["u_status_given_flag6"].iloc[0]) == 0.0
+
+
+def test_gif_dims_defect_recovery(ray_session):
+    """The GIF audit must recover every planted defect class exactly by
+    the fixture's construction law (coprime cycles over 96 rows), the
+    color count must follow 2^(size+1) under the GCT bit, and the
+    version census must alternate by parity."""
+    from pii_filter_ray.pipelines import relational as r
+
+    out = r.media_gif_dims("unused").set_index("media_id")
+    n = 96
+    bad_magic = {i for i in range(n) if i % 13 == 6}
+    zero_w = {i for i in range(n) if i % 11 == 4}
+    drift = {i for i in range(n) if i % 7 == 3}
+    bomb = {i for i in range(n) if i % 17 == 9}
+    assert set(out[out["magic_ok"] == 0].index) == bad_magic
+    assert set(out[(out["valid_dims"] == 0)].index) == zero_w
+    # decl_ok fails where the catalog drifted OR the header width is 0
+    # (decl keeps the true width) — exactly the union of the two laws
+    assert set(out[out["decl_ok"] == 0].index) == drift | zero_w
+    assert set(out[out["is_bomb"] == 1].index) == \
+        {i for i in bomb if i % 11 != 4}
+    assert all(bool(f) for f in bad_magic | zero_w | drift | bomb)
+    for i in range(n):
+        assert int(out.loc[i, "is_89a"]) == (1 if (i % 2 == 0
+                                                   and i % 13 != 6) else 0)
+        gct = 1 if i % 3 != 0 else 0
+        assert int(out.loc[i, "has_gct"]) == gct
+        want = (1 << ((i % 8) + 1)) if gct else 0
+        assert int(out.loc[i, "n_colors"]) == want
