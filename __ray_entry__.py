@@ -520,6 +520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_qlm_dirichlet": r.doc_qlm_dirichlet,
         "lineitem_cat_association": r.lineitem_cat_association,
         "media_gif_dims": r.media_gif_dims,
+        "events_nelson_aalen": r.events_nelson_aalen,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6682,6 +6683,56 @@ def oracle_sql() -> dict[str, str]:
         "doc_qlm_dirichlet": o.doc_qlm_dirichlet_sql(),
         "lineitem_cat_association": o.lineitem_cat_association_sql(),
         "media_gif_dims": o.media_gif_dims_sql(),
+        "events_nelson_aalen": """
+            WITH per_user AS (
+                SELECT user_id,
+                       CAST(min(epoch_us(ts)) AS BIGINT) AS t0,
+                       CAST(max(epoch_us(ts)) AS BIGINT) AS tmax,
+                       CAST(coalesce(min(CASE WHEN event_type = 'purchase'
+                                               AND value > 90.0
+                                              THEN epoch_us(ts) END),
+                                     9223372036854775807) AS BIGINT) AS tc
+                FROM events GROUP BY user_id
+            ),
+            bounds AS (SELECT max(tmax) AS wend FROM per_user),
+            labeled AS (
+                SELECT CASE WHEN tc <> 9223372036854775807
+                            THEN (tc - t0) // 3600000000
+                            ELSE ((SELECT wend FROM bounds) - t0)
+                                 // 3600000000 END AS dur,
+                       CASE WHEN tc <> 9223372036854775807
+                            THEN 1 ELSE 0 END AS conv
+                FROM per_user
+            ),
+            counts AS (
+                SELECT dur, CAST(sum(conv) AS BIGINT) AS d,
+                       CAST(count(*) AS BIGINT) AS m
+                FROM labeled GROUP BY dur
+            ),
+            deaths AS (
+                SELECT c1.dur, c1.d,
+                       CAST((SELECT sum(c2.m) FROM counts c2
+                             WHERE c2.dur >= c1.dur) AS BIGINT) AS n
+                FROM counts c1 WHERE c1.d > 0
+            ),
+            steps AS (
+                SELECT dur, d, n,
+                       CAST(round(CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
+                                  * 1000000000.0, 0) AS BIGINT) AS step
+                FROM deaths
+            ),
+            cumulative AS (
+                SELECT dur, d, n,
+                       CAST(sum(step) OVER (ORDER BY dur) AS BIGINT) AS cum
+                FROM steps
+            )
+            SELECT dur AS t_hours, n AS n_risk, d AS d_conv,
+                   round(CAST(cum AS DOUBLE) / 1000000000.0, 9)
+                       AS na_cumhaz9,
+                   round(exp(-(CAST(cum AS DOUBLE) / 1000000000.0)), 9)
+                       AS fh_survival9
+            FROM cumulative ORDER BY t_hours
+        """,
         "orders_periodogram": """
             WITH daily AS (
                 SELECT CAST(date_trunc('day', o_orderdate) AS DATE)

@@ -3947,3 +3947,66 @@ def test_gif_dims_defect_recovery(ray_session):
         assert int(out.loc[i, "has_gct"]) == gct
         want = (1 << ((i % 8) + 1)) if gct else 0
         assert int(out.loc[i, "n_colors"]) == want
+
+
+def test_nelson_aalen_layout_km_consistency_and_planted(ray_session,
+                                                        monkeypatch,
+                                                        tmp_path):
+    """Nelson-Aalen must be layout-free, share KM's exact risk-set
+    ledgers row for row (same derivation, same death times), satisfy
+    the textbook inequality exp(-H(t)) >= S_KM(t) everywhere, and on a
+    planted cohort reproduce hand arithmetic: 4 users converting at
+    hours {1, 1, 2} with one censored later gives H(1) = 2/4 and
+    H(2) = 2/4 + 1/2 = 1.0 exactly."""
+    import numpy as np
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.events_nelson_aalen(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.events_nelson_aalen(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    km = r.events_kaplan_meier(sf)
+    assert list(a["t_hours"]) == list(km["t_hours"])
+    assert list(a["n_risk"]) == list(km["n_risk"])
+    assert list(a["d_conv"]) == list(km["d_conv"])
+    assert (a["na_cumhaz9"].to_numpy()[1:]
+            >= a["na_cumhaz9"].to_numpy()[:-1]).all()
+    assert (a["fh_survival9"].to_numpy()
+            >= km["survival9"].to_numpy() - 1e-9).all()
+
+    # planted: users 1,2 convert at +1h, user 3 at +2h, user 4 never
+    # (censored at window end +3h)
+    base_us = 1_600_000_000_000_000
+    H = 3_600_000_000
+    rows = []
+    for u in (1, 2, 3, 4):
+        rows.append((u, base_us, "view", 1.0))
+    rows.append((1, base_us + H, "purchase", 99.0))
+    rows.append((2, base_us + H, "purchase", 99.0))
+    rows.append((3, base_us + 2 * H, "purchase", 99.0))
+    rows.append((4, base_us + 3 * H, "view", 1.0))
+    tbl = _pa.table({
+        "user_id": _pa.array([x[0] for x in rows], _pa.int64()),
+        "ts": _pa.array(
+            np.array([x[1] for x in rows], dtype="datetime64[us]"),
+            _pa.timestamp("us")),
+        "event_type": _pa.array([x[2] for x in rows], _pa.string()),
+        "value": _pa.array([x[3] for x in rows], _pa.float64()),
+    })
+    _pq.write_table(tbl, tmp_path / "events.parquet")
+    out = r.events_nelson_aalen(str(tmp_path)).set_index("t_hours")
+    assert list(out.index) == [1, 2]
+    assert int(out.loc[1, "n_risk"]) == 4 and int(out.loc[1, "d_conv"]) == 2
+    assert int(out.loc[2, "n_risk"]) == 2 and int(out.loc[2, "d_conv"]) == 1
+    assert float(out.loc[1, "na_cumhaz9"]) == 0.5
+    assert float(out.loc[2, "na_cumhaz9"]) == 1.0
