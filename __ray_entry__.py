@@ -521,6 +521,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_cat_association": r.lineitem_cat_association,
         "media_gif_dims": r.media_gif_dims,
         "events_nelson_aalen": r.events_nelson_aalen,
+        "events_type_scc": r.events_type_scc,
+        "doc_burrows_delta": r.doc_burrows_delta,
+        "code_comment_density": r.code_comment_density,
+        "part_harmonic_centrality": r.part_harmonic_centrality,
+        "doc_unicode_anomalies": r.doc_unicode_anomalies,
+        "lineitem_croston": r.lineitem_croston,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6683,6 +6689,42 @@ def oracle_sql() -> dict[str, str]:
         "doc_qlm_dirichlet": o.doc_qlm_dirichlet_sql(),
         "lineitem_cat_association": o.lineitem_cat_association_sql(),
         "media_gif_dims": o.media_gif_dims_sql(),
+        "doc_burrows_delta": o.doc_burrows_delta_sql(),
+        "code_comment_density": o.code_comment_density_sql(),
+        "part_harmonic_centrality": o.part_harmonic_centrality_sql(),
+        "doc_unicode_anomalies": o.doc_unicode_anomalies_sql(),
+        "lineitem_croston": o.lineitem_croston_sql(),
+        "events_type_scc": """
+            WITH RECURSIVE seq AS (
+                SELECT event_type AS src,
+                       lead(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS dst
+                FROM events
+            ),
+            e AS (
+                SELECT DISTINCT src, dst FROM seq
+                WHERE dst IS NOT NULL AND dst <> src
+            ),
+            reach(src, dst) AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst
+            ),
+            types AS (SELECT DISTINCT event_type AS t FROM events),
+            mutual AS (
+                SELECT t AS a, t AS b FROM types
+                UNION
+                SELECT r1.src, r1.dst
+                FROM reach r1 JOIN reach r2
+                  ON r1.src = r2.dst AND r1.dst = r2.src
+            ),
+            scc AS (SELECT a AS t, min(b) AS scc_id FROM mutual GROUP BY a),
+            sz AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size
+                   FROM scc GROUP BY 1)
+            SELECT scc.t AS event_type, scc.scc_id, sz.scc_size
+            FROM scc JOIN sz USING (scc_id)
+            ORDER BY event_type
+        """,
         "events_nelson_aalen": """
             WITH per_user AS (
                 SELECT user_id,

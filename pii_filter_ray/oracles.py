@@ -3379,3 +3379,219 @@ def media_gif_dims_sql() -> str:
                AS is_bomb
     FROM fields
     ORDER BY media_id"""
+
+
+def doc_burrows_delta_sql(m: int = 20) -> str:
+    """Burrows's Delta mirror (relational.doc_burrows_delta): the same
+    whitespace token stream, the (count DESC, word ASC) top-m cut, the
+    FULL source x word grid with zero cells, nano-quantized relative
+    frequencies, HUGEINT per-word moments, the identical z tree
+    (n*f - S)/sqrt(n*Q - S^2) with the constant-word zero, and
+    micro-quantized pair terms."""
+    return f"""WITH tok AS (
+    SELECT source, unnest({words_expr("coalesce(text, '')")}) AS word
+    FROM documents
+  ),
+  wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+  topw AS (
+    SELECT word FROM wc
+    QUALIFY row_number() OVER (ORDER BY n DESC, word) <= {m}
+  ),
+  ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         FROM tok GROUP BY 1),
+  nsw AS (
+    SELECT source, tok.word, CAST(count(*) AS BIGINT) AS c
+    FROM tok JOIN topw ON topw.word = tok.word GROUP BY 1, 2
+  ),
+  grid AS (
+    SELECT ns.source, topw.word, ns.n, coalesce(nsw.c, 0) AS c
+    FROM ns CROSS JOIN topw
+    LEFT JOIN nsw ON nsw.source = ns.source AND nsw.word = topw.word
+  ),
+  f AS (
+    SELECT source, word,
+           CAST(round(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                      * 1000000000.0, 0) AS BIGINT) AS fn
+    FROM grid
+  ),
+  st AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS nsrc,
+           CAST(sum(CAST(fn AS HUGEINT)) AS HUGEINT) AS s,
+           CAST(sum(CAST(fn AS HUGEINT) * fn) AS HUGEINT) AS q
+    FROM f GROUP BY 1
+  ),
+  z AS (
+    SELECT f.source, f.word,
+           CASE WHEN st.nsrc * st.q - st.s * st.s = 0 THEN 0.0
+                ELSE CAST(st.nsrc * f.fn - st.s AS DOUBLE)
+                     / sqrt(CAST(st.nsrc * st.q - st.s * st.s AS DOUBLE))
+           END AS z
+    FROM f JOIN st ON st.word = f.word
+  ),
+  pt AS (
+    SELECT a.source AS s1, b.source AS s2,
+           CAST(round(abs(a.z - b.z) * 1000000.0, 0) AS BIGINT) AS t
+    FROM z a JOIN z b ON a.word = b.word AND a.source < b.source
+  )
+  SELECT s1, s2,
+         round(CAST(sum(t) AS DOUBLE) / CAST({m} AS DOUBLE)
+               / 1000000.0, 6) AS delta6
+  FROM pt GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def code_comment_density_sql(n_rows: int = 2000, seed: int = 42) -> str:
+    """Comment-density mirror (relational.code_comment_density): the
+    identical newline split and line-anchored comment/blank regexes,
+    exact integer per-file and per-language ledgers, the
+    cross-multiplied suspect test, and two mirrored divisions."""
+    import os
+
+    from .pipelines.relational import _BLANK_LINE_RE, _COMMENT_LINE_RE
+    from .sources.synthetic_code import corpus_path
+
+    glob = os.path.join(corpus_path(n_rows=n_rows, seed=seed), "*.parquet")
+    return f"""
+    WITH f AS (
+        SELECT row_number() OVER () AS fid, lang,
+               string_split(coalesce(content, ''), chr(10)) AS lines
+        FROM read_parquet({_q(glob)})
+    ),
+    ln AS (SELECT fid, lang, unnest(lines) AS l FROM f),
+    pf AS (
+        SELECT fid, any_value(lang) AS lang,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN regexp_matches(l,
+                    {_q(_COMMENT_LINE_RE)}) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_comment,
+               CAST(sum(CASE WHEN regexp_matches(l,
+                    {_q(_BLANK_LINE_RE)}) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_blank
+        FROM ln GROUP BY fid
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(n_lines) AS BIGINT) AS sum_lines,
+           CAST(sum(n_comment) AS BIGINT) AS sum_comment,
+           CAST(sum(n_blank) AS BIGINT) AS sum_blank,
+           CAST(sum(CASE WHEN 2 * n_comment > n_lines THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_suspect,
+           round(CAST(sum(n_comment) AS DOUBLE)
+                 / CAST(sum(n_lines) AS DOUBLE), 6) AS comment_ratio6,
+           round(CAST(sum(n_blank) AS DOUBLE)
+                 / CAST(sum(n_lines) AS DOUBLE), 6) AS blank_ratio6
+    FROM pf GROUP BY 1 ORDER BY 1"""
+
+
+def part_harmonic_centrality_sql(h: int = 4, depth: int = 3) -> str:
+    """Multi-source bounded-BFS harmonic mirror
+    (relational.part_harmonic_centrality): the bfs_khop edge set and
+    (degree DESC, key ASC) source rule seeded with h rows, UNION-deduped
+    (src, node, d) states bounded by d < depth, per-distance reach
+    counts, and the exact nano 1/d ledger."""
+    assert depth == 3, "output columns are fixed at depth 3"
+    w = [int(round(1e9 / d)) for d in (1, 2, 3)]
+    w[2] = 333333333
+    return f"""
+        WITH RECURSIVE e AS (
+            SELECT a.p_partkey AS x, b.p_partkey AS y
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 4
+        ),
+        und AS (SELECT x AS n, y AS m FROM e UNION ALL SELECT y, x FROM e),
+        deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+                FROM und GROUP BY n),
+        src AS (SELECT n, d FROM deg ORDER BY d DESC, n LIMIT {h}),
+        bfs(s, n, dd) AS (
+            SELECT n, n, 0 FROM src
+            UNION
+            SELECT bfs.s, u.m, bfs.dd + 1
+            FROM bfs JOIN und u ON u.n = bfs.n
+            WHERE bfs.dd < {depth}
+        ),
+        md AS (SELECT s, n, CAST(min(dd) AS BIGINT) AS d
+               FROM bfs GROUP BY 1, 2),
+        cnt AS (SELECT s, d, CAST(count(*) AS BIGINT) AS c
+                FROM md WHERE d > 0 GROUP BY 1, 2)
+        SELECT src.n AS p_partkey, src.d AS degree,
+               coalesce(c1.c, 0) AS n_d1,
+               coalesce(c2.c, 0) AS n_d2,
+               coalesce(c3.c, 0) AS n_d3,
+               round(CAST(coalesce(c1.c, 0) * {w[0]}
+                          + coalesce(c2.c, 0) * {w[1]}
+                          + coalesce(c3.c, 0) * {w[2]} AS DOUBLE)
+                     / 1000000000.0, 6) AS harmonic6
+        FROM src
+        LEFT JOIN cnt c1 ON c1.s = src.n AND c1.d = 1
+        LEFT JOIN cnt c2 ON c2.s = src.n AND c2.d = 2
+        LEFT JOIN cnt c3 ON c3.s = src.n AND c3.d = 3
+        ORDER BY p_partkey"""
+
+
+def doc_unicode_anomalies_sql() -> str:
+    """Unicode-anomaly mirror (relational.doc_unicode_anomalies): the
+    same three character classes counted by len(regexp_extract_all)
+    (RE2 hex escapes == the Python literals), an exact substring count
+    for U+FFFD, and the integer clean conjunction."""
+    zw = "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]"
+    ctrl = "[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]"
+    na = "[^\\x{00}-\\x{7F}]"
+    return f"""WITH d AS (
+    SELECT doc_id, coalesce(text, '') AS t FROM documents
+  ),
+  c AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{zw}')) AS BIGINT)
+               AS n_zerowidth,
+           CAST(len(regexp_extract_all(t, '{ctrl}')) AS BIGINT)
+               AS n_control,
+           CAST(len(regexp_extract_all(t, '\\x{{FFFD}}')) AS BIGINT)
+               AS n_replacement,
+           CAST(len(regexp_extract_all(t, '{na}')) AS BIGINT)
+               AS n_nonascii
+    FROM d
+  )
+  SELECT doc_id, n_zerowidth, n_control, n_replacement, n_nonascii,
+         CAST(CASE WHEN n_zerowidth = 0 AND n_control = 0
+                    AND n_replacement = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_clean
+  FROM c ORDER BY doc_id"""
+
+
+def lineitem_croston_sql() -> str:
+    """Croston mirror (relational.lineitem_croston): min-partkey
+    target, exact-integer daily quantities, the op-for-op recursive
+    smoothing CTE with written-out 0.1/0.9 literals, gap via
+    date_diff, NULL p/forecast on the first demand row."""
+    return """WITH RECURSIVE tgt AS (
+    SELECT min(l_partkey) AS pk FROM lineitem
+  ),
+  d AS (
+    SELECT l_shipdate AS day,
+           CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+               AS qty
+    FROM lineitem, tgt WHERE l_partkey = tgt.pk GROUP BY 1
+  ),
+  seq AS (
+    SELECT day, qty,
+           CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
+           CAST(date_diff('day', lag(day) OVER (ORDER BY day), day)
+                AS BIGINT) AS gap
+    FROM d
+  ),
+  cro AS (
+    SELECT rn, day, qty, gap,
+           CAST(qty AS DOUBLE) AS z, CAST(NULL AS DOUBLE) AS p
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.rn, s.day, s.qty, s.gap,
+           0.1 * CAST(s.qty AS DOUBLE) + 0.9 * c.z,
+           CASE WHEN c.p IS NULL THEN CAST(s.gap AS DOUBLE)
+                ELSE 0.1 * CAST(s.gap AS DOUBLE) + 0.9 * c.p END
+    FROM seq s JOIN cro c ON s.rn = c.rn + 1
+  )
+  SELECT strftime(day, '%Y-%m-%d') AS day, qty,
+         round(z, 6) AS z6, round(p, 6) AS p6,
+         CASE WHEN p IS NULL THEN NULL ELSE round(z / p, 6) END
+             AS forecast6
+  FROM cro ORDER BY day"""

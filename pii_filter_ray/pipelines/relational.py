@@ -17990,3 +17990,483 @@ def events_nelson_aalen(sf_dir: str, value_threshold: float = 90.0):
         "na_cumhaz9": [r[3] for r in rows],
         "fh_survival9": [r[4] for r in rows],
     })
+
+
+def events_type_scc(sf_dir: str):
+    """Strongly-connected components of the event-type transition graph
+    — the condensation view the Markov family needs before anyone
+    trusts events_markov_stationary: a stationary distribution is only
+    meaningful on the closed communicating class, and THIS query names
+    it (which types are mutually reachable, which are transient
+    feeders/sinks). Directed edges are the distinct (src, dst) pairs of
+    events_markov_transitions' derivation verbatim (bucketed per-user
+    chronological sequences, consecutive pairs, users never split);
+    self-loops drop (they never change reachability). The type catalog
+    is bounded, so the transitive closure runs driver-side as a boolean
+    matrix squaring over |types|^2 bits — the SQL mirror is a recursive
+    reachability CTE — and scc_id = lexicographic MIN type among the
+    mutually-reachable set (reflexive closure included, so isolated and
+    transient types form singletons identically on both engines).
+    Output: one row per type with its component and the component
+    size."""
+    ds = _tbl(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "event_type"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = g["user_id"].to_numpy()[:-1] == g["user_id"].to_numpy()[1:]
+        src = g["event_type"].to_numpy()[:-1][same]
+        dst = g["event_type"].to_numpy()[1:][same]
+        out = (pd.DataFrame({"src": src, "dst": dst})
+               .drop_duplicates())
+        return out
+
+    edges = (ds.map_batches(_add_user_bucket, batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(pairs, batch_format="pandas")
+             .groupby(["src", "dst"]).count()
+             .to_pandas())
+    types = sorted(set(
+        preagg_groupby(_tbl(sf_dir, "events", columns=["event_type"]),
+                       ["event_type"], count_alias="n")
+        .to_pandas()["event_type"]))
+    idx = {t: i for i, t in enumerate(types)}
+    n = len(types)
+    adj = np.eye(n, dtype=bool)     # reflexive closure
+    for s, d in zip(edges["src"], edges["dst"]):
+        if s != d:
+            adj[idx[s], idx[d]] = True
+    # boolean closure by repeated squaring: log2(n) matmuls over a
+    # bounded catalog
+    reach = adj.copy()
+    while True:
+        nxt = reach | (reach @ reach)
+        if (nxt == reach).all():
+            break
+        reach = nxt
+    mutual = reach & reach.T
+    scc_id = [types[int(np.flatnonzero(mutual[i])[0])] for i in range(n)]
+    from collections import Counter
+    sizes = Counter(scc_id)
+    return pd.DataFrame({
+        "event_type": pd.array(types, dtype="string"),
+        "scc_id": pd.array(scc_id, dtype="string"),
+        "scc_size": pd.array([sizes[s] for s in scc_id], dtype="int64"),
+    })
+
+
+def doc_burrows_delta(sf_dir: str, m: int = 20):
+    """Burrows's Delta (Burrows 2002) between corpus sources — the
+    classic stylometric distance an attribution/contamination audit
+    reads: over the m most frequent corpus words (the function-word
+    band, where style lives and topic does not), z-score each source's
+    relative frequency across the source catalog and report
+    delta(s1, s2) = mean_w |z1 - z2| for every source pair — which
+    sources write alike, which one drifts. Three bounded shuffles:
+    per-block word-count partials into the vocab groupby with a
+    distributed top-m cut (count DESC, word ASC); per-source token
+    totals; per-(source, top-word) counts against the broadcast word
+    set. The driver folds only the |sources| x m grid — INCLUDING
+    zero cells (a source never using a common word is a strong style
+    signal, not a missing row). Determinism: f_nano = round(c/n * 1e9)
+    exact ints; per-word moments S, Q fold as exact Python ints
+    (= HUGEINT); z = (n_src*f_nano - S)/sqrt(n_src*Q - S^2) is one
+    mirrored IEEE tree over exact-int operands (0 where the word is
+    constant across sources, on both engines); each pair term |z1-z2|
+    quantizes to MICRO-unit integers before the order-free per-pair
+    sum; delta6 is one mirrored division chain."""
+    import math
+    from collections import Counter
+
+    ds = _tbl(sf_dir, "documents", columns=["source", "text"])
+
+    def word_partials(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update((t or "").split())
+        return pa.table({
+            "word": pa.array(list(c.keys()), pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        })
+
+    word_counts = (ds.map_batches(word_partials, batch_format="pyarrow")
+                   .groupby("word").aggregate(Sum("n", alias_name="n")))
+
+    def topm_partial(batch: pa.Table) -> pa.Table:
+        df = pa.table({"word": batch["word"], "n": batch["n"]}).to_pandas()
+        df = df.sort_values(["n", "word"], ascending=[False, True],
+                            kind="mergesort").head(m)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    topw = (word_counts.map_batches(topm_partial, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values(["n", "word"], ascending=[False, True],
+                         kind="mergesort").head(m))
+    words = sorted(topw["word"])
+    wset = ray.put(frozenset(words))
+
+    def per_source(batch: pa.Table) -> pa.Table:
+        ws = ray.get(wset)
+        tot: Counter = Counter()
+        cnt: Counter = Counter()
+        for s, t in zip(batch["source"].to_pylist(),
+                        batch["text"].to_pylist()):
+            toks = (t or "").split()
+            tot[s] += len(toks)
+            for tk in toks:
+                if tk in ws:
+                    cnt[(s, tk)] += 1
+        rows_s, rows_w, rows_c = [], [], []
+        for s, n in tot.items():
+            rows_s.append(s)
+            rows_w.append("")        # sentinel: token-total row
+            rows_c.append(n)
+        for (s, w_), n in cnt.items():
+            rows_s.append(s)
+            rows_w.append(w_)
+            rows_c.append(n)
+        return pa.table({
+            "source": pa.array(rows_s, pa.string()),
+            "word": pa.array(rows_w, pa.string()),
+            "c": pa.array(rows_c, pa.int64()),
+        })
+
+    cat = (ds.map_batches(per_source, batch_format="pyarrow")
+           .groupby(["source", "word"]).aggregate(Sum("c", alias_name="c"))
+           .to_pandas())
+    n_s = {s: int(c) for s, w_, c in zip(cat["source"], cat["word"],
+                                         cat["c"]) if w_ == ""}
+    c_sw = {(s, w_): int(c) for s, w_, c in zip(cat["source"], cat["word"],
+                                                cat["c"]) if w_ != ""}
+    sources = sorted(n_s)
+    nsrc = len(sources)
+    f_nano = {(s, w_): int(round_half_away(
+        float(c_sw.get((s, w_), 0)) / float(n_s[s]) * 1e9, 0))
+        for s in sources for w_ in words}
+    z = {}
+    for w_ in words:
+        S = sum(f_nano[(s, w_)] for s in sources)
+        Q = sum(f_nano[(s, w_)] ** 2 for s in sources)
+        den2 = nsrc * Q - S * S
+        for s in sources:
+            z[(s, w_)] = 0.0 if den2 == 0 else (
+                float(nsrc * f_nano[(s, w_)] - S)
+                / math.sqrt(float(den2)))
+    rows = []
+    for i in range(nsrc):
+        for j in range(i + 1, nsrc):
+            s1, s2 = sources[i], sources[j]
+            t = sum(int(round_half_away(
+                abs(z[(s1, w_)] - z[(s2, w_)]) * 1e6, 0)) for w_ in words)
+            rows.append((s1, s2, float(round_half_away(
+                float(t) / float(m) / 1e6, 6))))
+    return pd.DataFrame({
+        "s1": pd.array([r[0] for r in rows], dtype="string"),
+        "s2": pd.array([r[1] for r in rows], dtype="string"),
+        "delta6": pd.array([r[2] for r in rows], dtype="float64"),
+    })
+
+
+_COMMENT_LINE_RE = r"^[ \t]*(//|#|--)"
+_BLANK_LINE_RE = r"^[ \t]*$"
+
+
+def code_comment_density(sf_dir: str):
+    """Comment and blank-line density per language over the code corpus
+    — the classic documentation-vs-boilerplate signal The-Stack-style
+    curation thresholds next to code_starcoder_filters' length/alnum
+    gates (too FEW comments reads as minified/generated, too MANY as a
+    license-header or data file): per file, the newline-split line
+    count, LINE-comment count (lstripped //, #, or -- prefixes — the
+    lexical approximation shared by cloc; block comments stay with the
+    parser stub), and blank count, each an EXACT integer from one
+    shared regex per side. The suspect flag is the cross-multiplied
+    integer test 2*n_comment > n_lines (comment-majority file — no
+    float threshold can flip engines). Files never span blocks so the
+    map is shuffle-FREE into a tiny per-language groupby of integer
+    ledgers; the two density means are single mirrored divisions of
+    exact corpus sums. sf_dir unused (deterministic cached corpus,
+    code_* convention)."""
+    import re
+
+    from ..sources.synthetic_code import corpus_path
+
+    com_re = re.compile(_COMMENT_LINE_RE)
+    blank_re = re.compile(_BLANK_LINE_RE)
+    ds = ray.data.read_parquet(corpus_path(n_rows=2000, seed=42),
+                               columns=["lang", "content"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from collections import defaultdict
+        acc: dict = defaultdict(lambda: [0, 0, 0, 0, 0])
+        # files, sum_lines, sum_comment, sum_blank, n_suspect
+        for lg, t in zip(batch["lang"].to_pylist(),
+                         batch["content"].to_pylist()):
+            lines = (t or "").split("\n")
+            nc = sum(1 for l in lines if com_re.match(l))
+            nb = sum(1 for l in lines if blank_re.match(l))
+            a = acc[lg]
+            a[0] += 1
+            a[1] += len(lines)
+            a[2] += nc
+            a[3] += nb
+            a[4] += 1 if 2 * nc > len(lines) else 0
+        ks = sorted(acc)
+        rows = [acc[k] for k in ks]
+        return pa.table({
+            "lang": pa.array(ks, pa.string()),
+            "n_files": pa.array([r[0] for r in rows], pa.int64()),
+            "sum_lines": pa.array([r[1] for r in rows], pa.int64()),
+            "sum_comment": pa.array([r[2] for r in rows], pa.int64()),
+            "sum_blank": pa.array([r[3] for r in rows], pa.int64()),
+            "n_suspect": pa.array([r[4] for r in rows], pa.int64()),
+        })
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("n_files", alias_name="n_files"),
+                      Sum("sum_lines", alias_name="sum_lines"),
+                      Sum("sum_comment", alias_name="sum_comment"),
+                      Sum("sum_blank", alias_name="sum_blank"),
+                      Sum("n_suspect", alias_name="n_suspect"))
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    com6 = [float(round_half_away(float(int(c)) / float(int(n)), 6))
+            for c, n in zip(agg["sum_comment"], agg["sum_lines"])]
+    blk6 = [float(round_half_away(float(int(c)) / float(int(n)), 6))
+            for c, n in zip(agg["sum_blank"], agg["sum_lines"])]
+    return pd.DataFrame({
+        "lang": pd.array(agg["lang"], dtype="string"),
+        "n_files": pd.array(agg["n_files"], dtype="int64"),
+        "sum_lines": pd.array(agg["sum_lines"], dtype="int64"),
+        "sum_comment": pd.array(agg["sum_comment"], dtype="int64"),
+        "sum_blank": pd.array(agg["sum_blank"], dtype="int64"),
+        "n_suspect": pd.array(agg["n_suspect"], dtype="int64"),
+        "comment_ratio6": pd.array(com6, dtype="float64"),
+        "blank_ratio6": pd.array(blk6, dtype="float64"),
+    })
+
+
+def part_harmonic_centrality(sf_dir: str, h: int = 4, depth: int = 3):
+    """Bounded-depth harmonic centrality of the top-degree hubs over
+    the fuzzy-match part graph — the reach-WEIGHTED ranking the degree
+    census cannot give (two nodes of equal degree differ enormously in
+    2-3 hop reach) and the honest, k-bounded form of closeness that
+    stays computable at 100 TB: for each of the ``h`` top hubs
+    ((degree DESC, key ASC) — the part_bfs_khop source rule), BFS to
+    ``depth`` hops and report hc = sum over reached nodes of 1/dist.
+    All ``h`` sources run SIMULTANEOUSLY: each round is ONE streaming
+    pass over the materialized edge table against the broadcast
+    per-source frontiers, emitting (src, node) distinct partials into
+    a bounded groupby — depth passes total, not h x depth. The 1/d
+    ledger is EXACT integers end-to-end: hc_nano = sum_d n_d *
+    round(1e9/d) (per-distance counts are exact ints, the per-distance
+    nano weights are shared constants), so hc6 is one mirrored
+    division and the per-distance reach columns are exact."""
+    ds = _tbl(sf_dir, "part", columns=["p_partkey", "p_brand", "p_name"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g["p_partkey"].to_numpy(np.int64)
+        names = g["p_name"].tolist()
+        order = np.argsort(keys, kind="stable")
+        keys, names = keys[order], [names[i] for i in order]
+        ka, kb = [], []
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                if _lev(names[i], names[j], 4) <= 4:
+                    ka.append(keys[i])
+                    kb.append(keys[j])
+        return pd.DataFrame({"x": np.array(ka, dtype=np.int64),
+                             "y": np.array(kb, dtype=np.int64)})
+
+    edges = (ds.groupby("p_brand").map_groups(pairs, batch_format="pandas")
+             .materialize())
+
+    def deg_partials(batch: pa.Table) -> pa.Table:
+        n = pa.chunked_array([batch["x"], batch["y"]]).combine_chunks()
+        t = pa.table({"n": n, "one": pa.array(
+            np.ones(len(n), np.int64), pa.int64())})
+        g = t.group_by("n").aggregate([("one", "sum")])
+        return pa.table({"n": g["n"], "d": g["one_sum"]})
+
+    deg = (edges.map_batches(deg_partials, batch_format="pyarrow")
+           .groupby("n").aggregate(Sum("d", alias_name="d"))
+           .to_pandas()
+           .sort_values(["d", "n"], ascending=[False, True],
+                        kind="mergesort"))
+    srcs = [int(n) for n in deg["n"].head(h)]
+    src_deg = {int(n): int(d) for n, d in zip(deg["n"], deg["d"])}
+
+    dist: dict = {(s, s): 0 for s in srcs}
+    frontier = {s: np.array([s], dtype=np.int64) for s in srcs}
+    counts = {s: {d: 0 for d in range(1, depth + 1)} for s in srcs}
+    for d in range(1, depth + 1):
+        ref = ray.put({s: np.sort(f) for s, f in frontier.items()
+                       if len(f)})
+
+        def neigh(batch: pa.Table, ref=ref) -> pa.Table:
+            frs = ray.get(ref)
+            x = batch["x"].to_numpy(zero_copy_only=False)
+            y = batch["y"].to_numpy(zero_copy_only=False)
+            ss, nn = [], []
+            for s, fr in frs.items():
+                out = np.unique(np.concatenate(
+                    [y[np.isin(x, fr)], x[np.isin(y, fr)]]))
+                ss.extend([s] * len(out))
+                nn.extend(out.tolist())
+            return pa.table({"s": pa.array(ss, pa.int64()),
+                             "n": pa.array(nn, pa.int64())})
+
+        seen = (edges.map_batches(neigh, batch_format="pyarrow")
+                .groupby(["s", "n"]).count().to_pandas())
+        nxt = {s: [] for s in srcs}
+        for s, n in zip(seen["s"], seen["n"]):
+            s, n = int(s), int(n)
+            if (s, n) not in dist:
+                dist[(s, n)] = d
+                counts[s][d] += 1
+                nxt[s].append(n)
+        frontier = {s: np.array(v, dtype=np.int64) for s, v in nxt.items()}
+        if not any(len(v) for v in frontier.values()):
+            break
+
+    w = {d: int(round_half_away(1e9 / float(d), 0))
+         for d in range(1, depth + 1)}
+    rows = []
+    for s in srcs:
+        hc_nano = sum(counts[s][d] * w[d] for d in range(1, depth + 1))
+        rows.append((s, src_deg[s],
+                     counts[s][1], counts[s][2], counts[s][3],
+                     float(round_half_away(float(hc_nano) / 1e9, 6))))
+    rows.sort(key=lambda r_: r_[0])
+    return pd.DataFrame({
+        "p_partkey": pd.array([r_[0] for r_ in rows], dtype="int64"),
+        "degree": pd.array([r_[1] for r_ in rows], dtype="int64"),
+        "n_d1": pd.array([r_[2] for r_ in rows], dtype="int64"),
+        "n_d2": pd.array([r_[3] for r_ in rows], dtype="int64"),
+        "n_d3": pd.array([r_[4] for r_ in rows], dtype="int64"),
+        "harmonic6": pd.array([r_[5] for r_ in rows], dtype="float64"),
+    })
+
+
+_ZW_RE = "[\u200b\u200c\u200d\ufeff]"
+_CTRL_RE = "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+_NONASCII_RE = "[^\x00-\x7f]"
+
+
+def doc_unicode_anomalies(sf_dir: str):
+    """Unicode-anomaly screen per document — the crawl-hygiene audit a
+    curation pass runs BEFORE tokenization, catching the four payload
+    classes that silently corrupt training text: zero-width characters
+    (ZWSP/ZWNJ/ZWJ/BOM — invisible joiners used for watermarking and
+    adversarial token splitting), raw control bytes (mojibake and
+    binary-in-text), U+FFFD replacement characters (upstream decode
+    already failed once), and the non-ASCII census that contextualizes
+    all three. Shuffle-FREE: one per-doc map emits exact integer counts
+    from three shared character-class regexes (non-overlapping
+    single-char matches, so count(matches) == count(chars), identical
+    in Python re and DuckDB's RE2 via len(regexp_extract_all)); the
+    clean flag is the integer conjunction of the three zero tests.
+    Output: one row per document, doc_id-sorted."""
+    import re
+
+    zw = re.compile(_ZW_RE)
+    ctrl = re.compile(_CTRL_RE)
+    nonascii = re.compile(_NONASCII_RE)
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        ids, nz, nc, nr, na, clean = [], [], [], [], [], []
+        for i, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            t = t or ""
+            z = len(zw.findall(t))
+            c = len(ctrl.findall(t))
+            r_ = t.count("\ufffd")
+            a = len(nonascii.findall(t))
+            ids.append(i)
+            nz.append(z)
+            nc.append(c)
+            nr.append(r_)
+            na.append(a)
+            clean.append(int(z == 0 and c == 0 and r_ == 0))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_zerowidth": pa.array(nz, pa.int64()),
+            "n_control": pa.array(nc, pa.int64()),
+            "n_replacement": pa.array(nr, pa.int64()),
+            "n_nonascii": pa.array(na, pa.int64()),
+            "is_clean": pa.array(clean, pa.int64()),
+        })
+
+    df = ds.map_batches(per_doc, batch_format="pyarrow").to_pandas()
+    return (df.astype({c: "int64" for c in df.columns})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def lineitem_croston(sf_dir: str):
+    """Croston's method (Croston 1972) on an INTERMITTENT demand series
+    — the forecaster the Holt/Holt-Winters family is wrong for: daily
+    shipped quantity of one part is zero most days, and smoothing the
+    zeros drives a classical level to useless near-zero values; Croston
+    instead smooths demand SIZE z and inter-demand INTERVAL p
+    separately, updating only at demand points, with forecast z/p (the
+    demand rate). Target part = min(l_partkey) (deterministic,
+    mirrored). ONE bounded (day, qty) exact-integer shuffle (quantities
+    round to exact ints, summed per ship day); the recursion is
+    inherently sequential, runs driver-side over the bounded demand-day
+    catalog, and is mirrored OP-FOR-OP by a recursive CTE — both sides
+    evaluate the same written-out literals (0.1/0.9) and expression
+    trees (the orders_holt_linear convention). Init: z = first demand,
+    p starts at the first inter-demand gap (first row's p and forecast
+    are NULL on both engines)."""
+    ds = _tbl(sf_dir, "lineitem",
+              columns=["l_partkey", "l_shipdate", "l_quantity"])
+
+    tgt = int(ds.aggregate(Min("l_partkey", alias_name="mn"))["mn"])
+
+    def daily(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["l_partkey"], pa.scalar(tgt))
+        b = batch.filter(m)
+        if b.num_rows == 0:
+            return pa.table({"day": pa.array([], pa.string()),
+                             "qty": pa.array([], pa.int64())})
+        qty = round_half_away(
+            b["l_quantity"].to_numpy(zero_copy_only=False).astype(
+                np.float64), 0).astype(np.int64)
+        t = pa.table({
+            "day": pc.strftime(b["l_shipdate"], format="%Y-%m-%d"),
+            "qty": pa.array(qty, pa.int64()),
+        })
+        g = t.group_by("day").aggregate([("qty", "sum")])
+        return pa.table({"day": g["day"], "qty": g["qty_sum"]})
+
+    df = (ds.map_batches(daily, batch_format="pyarrow")
+          .groupby("day").aggregate(Sum("qty", alias_name="qty"))
+          .to_pandas().sort_values("day").reset_index(drop=True))
+    days = pd.to_datetime(df["day"]).to_numpy("datetime64[D]")
+    gaps = np.r_[np.int64(0),
+                 (days[1:] - days[:-1]).astype("timedelta64[D]")
+                 .astype(np.int64)]
+    z = None
+    p = None
+    zs, ps, fc = [], [], []
+    for i in range(len(df)):
+        qty = float(int(df["qty"][i]))
+        if z is None:
+            z = qty
+        else:
+            z = 0.1 * qty + 0.9 * z
+            p = (float(gaps[i]) if p is None
+                 else 0.1 * float(gaps[i]) + 0.9 * p)
+        zs.append(float(round_half_away(z, 6)))
+        ps.append(None if p is None else float(round_half_away(p, 6)))
+        fc.append(None if p is None
+                  else float(round_half_away(z / p, 6)))
+    return pd.DataFrame({
+        "day": pd.array(df["day"], dtype="string"),
+        "qty": pd.array(df["qty"], dtype="int64"),
+        "z6": pd.array(zs, dtype="float64"),
+        "p6": pd.array(ps, dtype="float64"),
+        "forecast6": pd.array(fc, dtype="float64"),
+    })

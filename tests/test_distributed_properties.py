@@ -4010,3 +4010,283 @@ def test_nelson_aalen_layout_km_consistency_and_planted(ray_session,
     assert int(out.loc[2, "n_risk"]) == 2 and int(out.loc[2, "d_conv"]) == 1
     assert float(out.loc[1, "na_cumhaz9"]) == 0.5
     assert float(out.loc[2, "na_cumhaz9"]) == 1.0
+
+
+def test_type_scc_layout_and_planted_cycle(ray_session, monkeypatch,
+                                           tmp_path):
+    """SCC must be layout-free, cover the full type catalog with
+    consistent component sizes, and on a planted transition graph
+    reproduce the textbook condensation: one user walking
+    d -> a -> b -> c -> a -> b -> c makes {a, b, c} one component of
+    size 3 labeled 'a' while the transient feeder d stays a
+    singleton."""
+    import numpy as np
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.events_type_scc(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.events_type_scc(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    sz = a.groupby("scc_id").size()
+    for cid, grp in a.groupby("scc_id"):
+        assert (grp["scc_size"] == len(grp)).all()
+        assert min(grp["event_type"]) == cid
+
+    walk = ["d", "a", "b", "c", "a", "b", "c"]
+    base_us = 1_600_000_000_000_000
+    tbl = _pa.table({
+        "event_id": _pa.array(range(len(walk)), _pa.int64()),
+        "user_id": _pa.array([1] * len(walk), _pa.int64()),
+        "ts": _pa.array(np.array(
+            [base_us + i * 1_000_000 for i in range(len(walk))],
+            dtype="datetime64[us]"), _pa.timestamp("us")),
+        "event_type": _pa.array(walk, _pa.string()),
+    })
+    _pq.write_table(tbl, tmp_path / "events.parquet")
+    out = r.events_type_scc(str(tmp_path)).set_index("event_type")
+    assert out.loc["a", "scc_id"] == "a" and out.loc["a", "scc_size"] == 3
+    assert out.loc["b", "scc_id"] == "a" and out.loc["c", "scc_id"] == "a"
+    assert out.loc["d", "scc_id"] == "d" and out.loc["d", "scc_size"] == 1
+
+
+def test_burrows_delta_layout_and_planted_styles(ray_session, monkeypatch,
+                                                 tmp_path):
+    """Burrows's Delta must be layout-free, symmetric-complete over the
+    source-pair catalog, and on planted styles behave as the textbook
+    says: two sources sharing word frequencies score (near) zero delta
+    against each other and a large delta against a third source whose
+    function-word profile differs."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_burrows_delta(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.doc_burrows_delta(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    n_src = len(set(a["s1"]) | set(a["s2"]))
+    assert len(a) == n_src * (n_src - 1) // 2
+    assert (a["delta6"] >= 0).all()
+
+    docs = [
+        (0, "the cat sat on the mat and the dog ran", "alpha"),
+        (1, "the bird flew over the hill and the fox hid", "alpha"),
+        (2, "the sun rose on the lake and the mist fell", "beta"),
+        (3, "the rain fell on the roof and the wind blew", "beta"),
+        (4, "code code code code code code code code code code", "gamma"),
+        (5, "data data data data data data data data data data", "gamma"),
+    ]
+    tbl = _pa.table({
+        "doc_id": _pa.array([d[0] for d in docs], _pa.int64()),
+        "text": _pa.array([d[1] for d in docs], _pa.string()),
+        "lang": _pa.array(["en"] * len(docs), _pa.string()),
+        "source": _pa.array([d[2] for d in docs], _pa.string()),
+    })
+    _pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = r.doc_burrows_delta(str(tmp_path), m=5)
+    d = {(r_.s1, r_.s2): float(r_.delta6) for r_ in out.itertuples()}
+    assert d[("alpha", "beta")] < d[("alpha", "gamma")]
+    assert d[("alpha", "beta")] < d[("beta", "gamma")]
+
+
+def test_comment_density_ledger_and_hand_computed(ray_session):
+    """Comment-density per-language ledgers must tie to a driver-side
+    regex recount, prose languages must carry (near) zero comment
+    lines, and a hand-computable file must split exactly: 2 comment
+    lines (// and   #), 1 blank, 5 lines total -> suspect (2*2 < 5 ->
+    not suspect), ratios 0.4/0.2."""
+    import collections
+    import re
+
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+    from pii_filter_ray.sources.synthetic_code import corpus_path
+
+    out = r.code_comment_density("unused").set_index("lang")
+    com_re = re.compile(r._COMMENT_LINE_RE)
+    blank_re = re.compile(r._BLANK_LINE_RE)
+    tbl = _pq.read_table(corpus_path(n_rows=2000, seed=42),
+                         columns=["lang", "content"]).to_pandas()
+    s = collections.Counter()
+    c = collections.Counter()
+    bl = collections.Counter()
+    n = collections.Counter()
+    su = collections.Counter()
+    for lg, t in zip(tbl["lang"], tbl["content"]):
+        lines = (t or "").split("\n")
+        nc = sum(1 for l in lines if com_re.match(l))
+        nb = sum(1 for l in lines if blank_re.match(l))
+        n[lg] += 1
+        s[lg] += len(lines)
+        c[lg] += nc
+        bl[lg] += nb
+        su[lg] += 1 if 2 * nc > len(lines) else 0
+    for lg in out.index:
+        assert int(out.loc[lg, "n_files"]) == n[lg]
+        assert int(out.loc[lg, "sum_lines"]) == s[lg]
+        assert int(out.loc[lg, "sum_comment"]) == c[lg]
+        assert int(out.loc[lg, "sum_blank"]) == bl[lg]
+        assert int(out.loc[lg, "n_suspect"]) == su[lg]
+
+    t = "// header\nint x;\n\n  # note\ndone"
+    lines = t.split("\n")
+    assert sum(1 for l in lines if com_re.match(l)) == 2
+    assert sum(1 for l in lines if blank_re.match(l)) == 1
+    assert len(lines) == 5
+
+
+def test_harmonic_centrality_layout_and_planted_path(ray_session,
+                                                     monkeypatch, tmp_path):
+    """Harmonic centrality must be layout-free, its reach ledgers must
+    nest consistently with the hub degrees (n_d1 == degree), and a
+    planted 4-node path graph (names drifting 4 edits per step inside
+    one brand, 8 edits across steps — so only adjacent nodes fall
+    within the lev<=4 gate) must reproduce hand arithmetic: an end
+    node reaches {1, 1, 1} nodes at d = 1, 2, 3 for hc = 1 + 1/2 +
+    1/3, a middle node reaches {2, 1} for hc = 2.5."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.part_harmonic_centrality(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.part_harmonic_centrality(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert (a["n_d1"] == a["degree"]).all()
+    assert (a["harmonic6"] > 0).all()
+
+    names = ["a" * 12, "a" * 8 + "b" * 4, "a" * 4 + "b" * 8, "b" * 12]
+    tbl = _pa.table({
+        "p_partkey": _pa.array(range(4), _pa.int64()),
+        "p_brand": _pa.array(["BR"] * 4, _pa.string()),
+        "p_name": _pa.array(names, _pa.string()),
+    })
+    _pq.write_table(tbl, tmp_path / "part.parquet")
+    out = r.part_harmonic_centrality(str(tmp_path)).set_index("p_partkey")
+    assert list(out.index) == [0, 1, 2, 3]
+    assert list(out["degree"]) == [1, 2, 2, 1]
+    assert list(out.loc[0, ["n_d1", "n_d2", "n_d3"]]) == [1, 1, 1]
+    assert list(out.loc[1, ["n_d1", "n_d2", "n_d3"]]) == [2, 1, 0]
+    assert float(out.loc[0, "harmonic6"]) == float(r.round_half_away(
+        float(1000000000 + 500000000 + 333333333) / 1e9, 6))
+    assert float(out.loc[1, "harmonic6"]) == 2.5
+
+
+def test_unicode_anomalies_layout_and_planted_payloads(ray_session,
+                                                       monkeypatch,
+                                                       tmp_path):
+    """The unicode screen must be layout-free, cover the corpus one row
+    per doc, and recover planted payloads exactly: a ZWSP+ZWJ doc, a
+    control-byte doc, a U+FFFD doc, an accented (non-ASCII but clean)
+    doc, and a pure-ASCII doc — with is_clean deciding on the three
+    corruption classes only (accents are not corruption)."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_unicode_anomalies(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.doc_unicode_anomalies(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    import pyarrow.parquet as pq2
+    assert len(a) == pq2.read_metadata(
+        sf + "/documents.parquet").num_rows
+
+    texts = [
+        "wa​ter‍mark",         # 2 zero-width
+        "bin\x01ary\x1f\x00soup",        # 3 control
+        "dec�de fail�",        # 2 replacement
+        "café naïve",          # 2 non-ascii, clean
+        "plain ascii",                   # clean
+    ]
+    tbl = _pa.table({
+        "doc_id": _pa.array(range(len(texts)), _pa.int64()),
+        "text": _pa.array(texts, _pa.string()),
+        "lang": _pa.array(["en"] * len(texts), _pa.string()),
+    })
+    _pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = r.doc_unicode_anomalies(str(tmp_path)).set_index("doc_id")
+    assert list(out["n_zerowidth"]) == [2, 0, 0, 0, 0]
+    assert list(out["n_control"]) == [0, 3, 0, 0, 0]
+    assert list(out["n_replacement"]) == [0, 0, 2, 0, 0]
+    assert list(out["n_nonascii"]) == [2, 0, 2, 2, 0]
+    assert list(out["is_clean"]) == [0, 0, 0, 1, 1]
+
+
+def test_croston_layout_and_planted_recursion(ray_session, monkeypatch,
+                                              tmp_path):
+    """Croston must be layout-free, NULL its first-row interval and
+    forecast, and reproduce hand-smoothed arithmetic on a planted
+    3-demand series (qty 10/20/30 at gaps 2, 2): z = 10, 11, 12.9;
+    p = NULL, 2, 2; forecast = NULL, 5.5, 6.45."""
+    import numpy as np
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.lineitem_croston(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.lineitem_croston(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert pd.isna(a["p6"].iloc[0]) and pd.isna(a["forecast6"].iloc[0])
+    if len(a) > 1:
+        assert a["p6"].iloc[1:].notna().all()
+
+    days = np.array(["2024-01-01", "2024-01-03", "2024-01-05"],
+                    dtype="datetime64[D]")
+    tbl = _pa.table({
+        "l_partkey": _pa.array([7, 7, 7], _pa.int64()),
+        "l_shipdate": _pa.array(days.astype("datetime64[us]"),
+                                _pa.timestamp("us")),
+        "l_quantity": _pa.array([10.0, 20.0, 30.0], _pa.float64()),
+    })
+    _pq.write_table(tbl, tmp_path / "lineitem.parquet")
+    out = r.lineitem_croston(str(tmp_path))
+    assert list(out["qty"]) == [10, 20, 30]
+    assert list(out["z6"]) == [10.0, 11.0, 12.9]
+    assert pd.isna(out["p6"].iloc[0])
+    assert list(out["p6"].iloc[1:]) == [2.0, 2.0]
+    assert list(out["forecast6"].iloc[1:]) == [5.5, 6.45]
