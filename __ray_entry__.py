@@ -536,7 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # entries. Pure reordering: same keys, same callables.
     first = [
         "doc_lang_stats", "doc_scrub", "doc_quality_flags",
-        "mask_fixture_check", "doc_stat_ner", "doc_toxicity",
+        "mask_fixture_check", "doc_stat_ner", "doc_unicode_anomalies",
         "doc_exact_dedup", "doc_minhash_candidates", "doc_jaccard_dups",
         "doc_simhash", "doc_dup_components", "code_line_dedup",
         "doc_dedup_corpus",
@@ -546,18 +546,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_merges",
         "doc_decontam", "doc_seq_packing", "doc_curation_pipeline",
         "doc_heldout_ppl", "emb_kcenter_coreset",
-        "events_kmv_calibration", "media_dedup", "code_format_roundtrip",
+        "events_ams_f2", "media_dedup", "code_format_roundtrip",
         "q1_pricing_summary", "q3_shipping_priority", "events_psi_drift",
         "orders_control_chart",
-        "q22_dormant_rich_customers",
+        "emb_dbscan",
         "events_asof_order", "orders_events_7d", "events_salted_user_join",
         "customer_orders_full_outer", "orders_semi_bloom",
         "events_row_number",
         "events_streaming_windows", "events_attribution",
         "events_hll_users",
         "part_triangle_count", "doc_entity_resolution",
-        "events_kaplan_meier", "supplier_part_hits",
-        "emb_matryoshka_recall", "doc_tokenizer_fertility",
+        "events_kaplan_meier", "code_maintainability",
+        "doc_burrows_delta", "lineitem_cat_association",
         # (window boundary — the rest keep a useful rough grouping)
         "doc_tfidf_top_terms", "q15_top_supplier", "doc_hash_split",
         "events_user_cumsum",
