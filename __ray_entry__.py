@@ -527,6 +527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_harmonic_centrality": r.part_harmonic_centrality,
         "doc_unicode_anomalies": r.doc_unicode_anomalies,
         "lineitem_croston": r.lineitem_croston,
+        "part_betweenness": r.part_betweenness,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6694,6 +6695,7 @@ def oracle_sql() -> dict[str, str]:
         "part_harmonic_centrality": o.part_harmonic_centrality_sql(),
         "doc_unicode_anomalies": o.doc_unicode_anomalies_sql(),
         "lineitem_croston": o.lineitem_croston_sql(),
+        "part_betweenness": o.part_betweenness_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

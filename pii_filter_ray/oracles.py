@@ -3595,3 +3595,83 @@ def lineitem_croston_sql() -> str:
          CASE WHEN p IS NULL THEN NULL ELSE round(z / p, 6) END
              AS forecast6
   FROM cro ORDER BY day"""
+
+
+def part_betweenness_sql(h: int = 4, depth: int = 3) -> str:
+    """Pivot-betweenness mirror (relational.part_betweenness): the
+    bfs_khop edge set and (degree DESC, key ASC) h-hub source rule,
+    the depth-3 BFS DAG unrolled level by level with exact HUGEINT
+    shortest-path counts (sigma at level d = sum of level-(d-1)
+    predecessor sigmas over und edges), then the Brandes backward
+    accumulation with each dependency term quantized once to nano
+    units by the identical integer formula r = (2e9*sv + sw) //
+    (2*sw); term = (r * (1e9 + delta_w)) // 1e9, summed per (source,
+    node) and then per node. Only nodes with at least one dependency
+    term appear, matching the engine's sparse delta ledger."""
+    assert depth == 3, "backward accumulation is unrolled at depth 3"
+    G = 1_000_000_000
+    return f"""
+        WITH e AS (
+            SELECT a.p_partkey AS x, b.p_partkey AS y
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 4
+        ),
+        und AS (SELECT x AS n, y AS m FROM e UNION ALL SELECT y, x FROM e),
+        deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+                FROM und GROUP BY n),
+        src AS (SELECT n FROM deg ORDER BY d DESC, n LIMIT {h}),
+        l0 AS (SELECT n AS s, n, CAST(1 AS HUGEINT) AS sg FROM src),
+        l1 AS (
+            SELECT l0.s, u.m AS n, CAST(sum(l0.sg) AS HUGEINT) AS sg
+            FROM l0 JOIN und u ON u.n = l0.n
+            WHERE u.m <> l0.s
+            GROUP BY 1, 2
+        ),
+        l2 AS (
+            SELECT l1.s, u.m AS n, CAST(sum(l1.sg) AS HUGEINT) AS sg
+            FROM l1 JOIN und u ON u.n = l1.n
+            WHERE u.m <> l1.s
+              AND NOT EXISTS (SELECT 1 FROM l1 p
+                              WHERE p.s = l1.s AND p.n = u.m)
+            GROUP BY 1, 2
+        ),
+        l3 AS (
+            SELECT l2.s, u.m AS n, CAST(sum(l2.sg) AS HUGEINT) AS sg
+            FROM l2 JOIN und u ON u.n = l2.n
+            WHERE u.m <> l2.s
+              AND NOT EXISTS (SELECT 1 FROM l1 p
+                              WHERE p.s = l2.s AND p.n = u.m)
+              AND NOT EXISTS (SELECT 1 FROM l2 p
+                              WHERE p.s = l2.s AND p.n = u.m)
+            GROUP BY 1, 2
+        ),
+        d2 AS (
+            SELECT v.s, v.n,
+                   CAST(sum(
+                       ((2000000000 * v.sg + w.sg) // (2 * w.sg))
+                       * {G} // {G}
+                   ) AS HUGEINT) AS dl
+            FROM l2 v
+            JOIN und u ON u.n = v.n
+            JOIN l3 w ON w.s = v.s AND w.n = u.m
+            GROUP BY 1, 2
+        ),
+        d1 AS (
+            SELECT v.s, v.n,
+                   CAST(sum(
+                       ((2000000000 * v.sg + w.sg) // (2 * w.sg))
+                       * ({G} + coalesce(dd.dl, 0)) // {G}
+                   ) AS HUGEINT) AS dl
+            FROM l1 v
+            JOIN und u ON u.n = v.n
+            JOIN l2 w ON w.s = v.s AND w.n = u.m
+            LEFT JOIN d2 dd ON dd.s = w.s AND dd.n = w.n
+            GROUP BY 1, 2
+        ),
+        alld AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+        SELECT n AS p_partkey,
+               CAST(count(*) AS BIGINT) AS n_sources,
+               CAST(sum(dl) AS BIGINT) AS bt_nano,
+               round(CAST(sum(dl) AS DOUBLE) / 1000000000.0, 6) AS bt6
+        FROM alld GROUP BY n ORDER BY p_partkey"""

@@ -18470,3 +18470,184 @@ def lineitem_croston(sf_dir: str):
         "p6": pd.array(ps, dtype="float64"),
         "forecast6": pd.array(fc, dtype="float64"),
     })
+
+
+def part_betweenness(sf_dir: str, h: int = 4, depth: int = 3):
+    """Bounded-depth pivot betweenness (Brandes 2001 accumulation from
+    the Brandes-Pich 2007 pivot sample) over the fuzzy part graph — the
+    WHO-SITS-ON-THE-PATHS ranking that degree and harmonic reach cannot
+    give: a bridge node of degree 2 joining two dense brand families
+    dominates betweenness while staying invisible to every reach
+    census. Sources are the ``h`` top hubs ((degree DESC, key ASC) —
+    the bfs_khop/harmonic source rule); each runs a depth-``depth`` BFS
+    carrying shortest-path counts sigma, then the classic backward
+    dependency accumulation delta(v) = sum over successors w of
+    (sigma_v / sigma_w) * (1 + delta(w)).
+
+    All sources run SIMULTANEOUSLY, and every pass is one streaming
+    map over the materialized edge table against broadcast per-source
+    frontier state — depth forward passes (sigma partials into a
+    bounded (src, node) groupby) plus depth-1 backward passes
+    (dependency-term partials the same way): 2*depth-1 passes total,
+    never h x depth, and the driver holds only the h-source bounded
+    reach ledgers (the documented harmonic/bfs_khop contract).
+
+    Determinism: sigma is an exact integer end-to-end; each dependency
+    term quantizes ONCE to nano units — r = round_half_up(1e9 *
+    sigma_v / sigma_w) = (2e9*sv + sw) // (2*sw), term =
+    (r * (1e9 + delta_w)) // 1e9 — so delta is an order-independent
+    integer sum of integer terms (Python ints here, HUGEINT in the
+    mirror; terms stay far below 2^63 because sigma ratios and deltas
+    are bounded by the h-hub 3-hop reach). bt6 is one mirrored
+    division. Output: one row per node with positive dependency from
+    >= 1 source (endpoints and untouched nodes have true bounded
+    betweenness 0 and are absent on both engines), key-sorted."""
+    G = 1_000_000_000
+    ds = _tbl(sf_dir, "part", columns=["p_partkey", "p_brand", "p_name"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g["p_partkey"].to_numpy(np.int64)
+        names = g["p_name"].tolist()
+        order = np.argsort(keys, kind="stable")
+        keys, names = keys[order], [names[i] for i in order]
+        ka, kb = [], []
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                if _lev(names[i], names[j], 4) <= 4:
+                    ka.append(keys[i])
+                    kb.append(keys[j])
+        return pd.DataFrame({"x": np.array(ka, dtype=np.int64),
+                             "y": np.array(kb, dtype=np.int64)})
+
+    edges = (ds.groupby("p_brand").map_groups(pairs, batch_format="pandas")
+             .materialize())
+
+    def deg_partials(batch: pa.Table) -> pa.Table:
+        n = pa.chunked_array([batch["x"], batch["y"]]).combine_chunks()
+        t = pa.table({"n": n, "one": pa.array(
+            np.ones(len(n), np.int64), pa.int64())})
+        g = t.group_by("n").aggregate([("one", "sum")])
+        return pa.table({"n": g["n"], "d": g["one_sum"]})
+
+    deg = (edges.map_batches(deg_partials, batch_format="pyarrow")
+           .groupby("n").aggregate(Sum("d", alias_name="d"))
+           .to_pandas()
+           .sort_values(["d", "n"], ascending=[False, True],
+                        kind="mergesort"))
+    srcs = [int(n) for n in deg["n"].head(h)]
+
+    # forward: per-source levels with exact integer sigma
+    dist: dict = {(s, s): 0 for s in srcs}
+    sigma: dict = {(s, s): 1 for s in srcs}
+    levels = {s: {0: np.array([s], dtype=np.int64)} for s in srcs}
+    frontier = {s: np.array([s], dtype=np.int64) for s in srcs}
+    for d in range(1, depth + 1):
+        fr_state = {}
+        for s, f in frontier.items():
+            if len(f):
+                f = np.sort(f)
+                fr_state[s] = (f, np.array([sigma[(s, int(n))] for n in f],
+                                           dtype=np.int64))
+        ref = ray.put(fr_state)
+
+        def fwd(batch: pa.Table, ref=ref) -> pa.Table:
+            frs = ray.get(ref)
+            x = batch["x"].to_numpy(zero_copy_only=False)
+            y = batch["y"].to_numpy(zero_copy_only=False)
+            acc: dict = {}
+            for s, (fr, sg) in frs.items():
+                for a, b in ((x, y), (y, x)):
+                    m = np.isin(a, fr)
+                    if not m.any():
+                        continue
+                    src_sig = sg[np.searchsorted(fr, a[m])]
+                    for n, v in zip(b[m].tolist(), src_sig.tolist()):
+                        acc[(s, n)] = acc.get((s, n), 0) + v
+            ks = list(acc.keys())
+            return pa.table({
+                "s": pa.array([k[0] for k in ks], pa.int64()),
+                "n": pa.array([k[1] for k in ks], pa.int64()),
+                "sg": pa.array([acc[k] for k in ks], pa.int64()),
+            })
+
+        seen = (edges.map_batches(fwd, batch_format="pyarrow")
+                .groupby(["s", "n"]).aggregate(Sum("sg", alias_name="sg"))
+                .to_pandas())
+        nxt = {s: [] for s in srcs}
+        for s, n, sg in zip(seen["s"], seen["n"], seen["sg"]):
+            s, n = int(s), int(n)
+            if (s, n) not in dist:
+                dist[(s, n)] = d
+                sigma[(s, n)] = int(sg)
+                nxt[s].append(n)
+        frontier = {s: np.array(v, dtype=np.int64) for s, v in nxt.items()}
+        for s in srcs:
+            levels[s][d] = np.sort(frontier[s]) if len(frontier[s]) else \
+                np.array([], dtype=np.int64)
+        if not any(len(v) for v in frontier.values()):
+            break
+
+    # backward: per-term nano-quantized dependency accumulation
+    delta: dict = {}
+    for d in range(depth - 1, 0, -1):
+        bw_state = {}
+        for s in srcs:
+            lvl = levels[s].get(d, np.array([], dtype=np.int64))
+            suc = levels[s].get(d + 1, np.array([], dtype=np.int64))
+            if len(lvl) and len(suc):
+                bw_state[s] = (
+                    lvl,
+                    np.array([sigma[(s, int(n))] for n in lvl], np.int64),
+                    suc,
+                    np.array([sigma[(s, int(n))] for n in suc], np.int64),
+                    np.array([delta.get((s, int(n)), 0) for n in suc],
+                             np.int64),
+                )
+        if not bw_state:
+            continue
+        ref = ray.put(bw_state)
+
+        def bwd(batch: pa.Table, ref=ref) -> pa.Table:
+            st = ray.get(ref)
+            x = batch["x"].to_numpy(zero_copy_only=False)
+            y = batch["y"].to_numpy(zero_copy_only=False)
+            acc: dict = {}
+            for s, (lvl, lsg, suc, ssg, sdl) in st.items():
+                for a, b in ((x, y), (y, x)):
+                    m = np.isin(a, lvl) & np.isin(b, suc)
+                    if not m.any():
+                        continue
+                    vi = np.searchsorted(lvl, a[m])
+                    wi = np.searchsorted(suc, b[m])
+                    for v, sv, sw, dw in zip(
+                            a[m].tolist(), lsg[vi].tolist(),
+                            ssg[wi].tolist(), sdl[wi].tolist()):
+                        r = (2_000_000_000 * sv + sw) // (2 * sw)
+                        acc[(s, v)] = acc.get((s, v), 0) + \
+                            (r * (1_000_000_000 + dw)) // 1_000_000_000
+            ks = list(acc.keys())
+            return pa.table({
+                "s": pa.array([k[0] for k in ks], pa.int64()),
+                "n": pa.array([k[1] for k in ks], pa.int64()),
+                "t": pa.array([acc[k] for k in ks], pa.int64()),
+            })
+
+        got = (edges.map_batches(bwd, batch_format="pyarrow")
+               .groupby(["s", "n"]).aggregate(Sum("t", alias_name="t"))
+               .to_pandas())
+        for s, n, t in zip(got["s"], got["n"], got["t"]):
+            delta[(int(s), int(n))] = int(t)
+
+    agg: dict = {}
+    for (s, n), t in delta.items():
+        cnt, tot = agg.get(n, (0, 0))
+        agg[n] = (cnt + 1, tot + t)
+    rows = sorted(agg.items())
+    return pd.DataFrame({
+        "p_partkey": pd.array([n for n, _ in rows], dtype="int64"),
+        "n_sources": pd.array([c for _, (c, _t) in rows], dtype="int64"),
+        "bt_nano": pd.array([t for _, (_c, t) in rows], dtype="int64"),
+        "bt6": pd.array(
+            [float(round_half_away(t / 1e9, 6)) for _, (_c, t) in rows],
+            dtype="float64"),
+    })

@@ -4290,3 +4290,45 @@ def test_croston_layout_and_planted_recursion(ray_session, monkeypatch,
     assert pd.isna(out["p6"].iloc[0])
     assert list(out["p6"].iloc[1:]) == [2.0, 2.0]
     assert list(out["forecast6"].iloc[1:]) == [5.5, 6.45]
+
+
+def test_betweenness_layout_and_planted_path(ray_session, monkeypatch,
+                                             tmp_path):
+    """Pivot betweenness must be layout-free and reproduce Brandes hand
+    arithmetic on the planted 4-node path 0-1-2-3 (the harmonic test's
+    name-drift construction, all four nodes become sources at h=4):
+    node 1 accumulates delta 2 from source 0 (1+delta(2)=2), 1 from
+    source 3, 1 from source 2 -> bt 4.0 over 3 sources; node 2 is
+    symmetric; endpoints receive no dependency terms and are absent
+    from the sparse ledger on both engines."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.part_betweenness(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.part_betweenness(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert (a["bt_nano"] > 0).all()
+    assert (a["n_sources"] >= 1).all()
+
+    names = ["a" * 12, "a" * 8 + "b" * 4, "a" * 4 + "b" * 8, "b" * 12]
+    tbl = _pa.table({
+        "p_partkey": _pa.array(range(4), _pa.int64()),
+        "p_brand": _pa.array(["BR"] * 4, _pa.string()),
+        "p_name": _pa.array(names, _pa.string()),
+    })
+    _pq.write_table(tbl, tmp_path / "part.parquet")
+    out = r.part_betweenness(str(tmp_path)).set_index("p_partkey")
+    assert list(out.index) == [1, 2]
+    assert list(out["n_sources"]) == [3, 3]
+    assert list(out["bt_nano"]) == [4_000_000_000, 4_000_000_000]
+    assert list(out["bt6"]) == [4.0, 4.0]
