@@ -528,6 +528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_unicode_anomalies": r.doc_unicode_anomalies,
         "lineitem_croston": r.lineitem_croston,
         "part_betweenness": r.part_betweenness,
+        "events_dp_daily": r.events_dp_daily,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6696,6 +6697,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_unicode_anomalies": o.doc_unicode_anomalies_sql(),
         "lineitem_croston": o.lineitem_croston_sql(),
         "part_betweenness": o.part_betweenness_sql(),
+        "events_dp_daily": o.events_dp_daily_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

@@ -3675,3 +3675,39 @@ def part_betweenness_sql(h: int = 4, depth: int = 3) -> str:
                CAST(sum(dl) AS BIGINT) AS bt_nano,
                round(CAST(sum(dl) AS DOUBLE) / 1000000000.0, 6) AS bt6
         FROM alld GROUP BY n ORDER BY p_partkey"""
+
+
+
+def events_dp_daily_sql() -> str:
+    """Laplace-mechanism mirror (relational.events_dp_daily): the same
+    day catalog, the 63-bit hash of 'dp-lo|' / 'dp-hi|' || day, u =
+    (h + 0.5) / 2^63, and the two-branch inverse-CDF noise expression
+    with the b = 2 / 0.5 scales written out as literals."""
+    hlo = h64("'dp-lo|' || day")
+    hhi = h64("'dp-hi|' || day")
+
+    def noise(u: str, b: str) -> str:
+        return (f"CASE WHEN {u} < 0.5 THEN {b} * ln(2.0 * {u}) "
+                f"ELSE -{b} * ln(2.0 * (1.0 - {u})) END")
+
+    nlo = noise("ulo", "2.0")
+    nhi = noise("uhi", "0.5")
+    return f"""WITH d AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+      ),
+      u AS (
+        SELECT day, n,
+               (CAST({hlo} AS DOUBLE) + 0.5)
+                   / 9223372036854775808.0 AS ulo,
+               (CAST({hhi} AS DOUBLE) + 0.5)
+                   / 9223372036854775808.0 AS uhi
+        FROM d
+      )
+      SELECT day, n,
+             round({nlo}, 9) AS noise_lo9,
+             round(CAST(n AS DOUBLE) + {nlo}, 6) AS dp_lo6,
+             round({nhi}, 9) AS noise_hi9,
+             round(CAST(n AS DOUBLE) + {nhi}, 6) AS dp_hi6
+      FROM u ORDER BY day"""

@@ -18651,3 +18651,60 @@ def part_betweenness(sf_dir: str, h: int = 4, depth: int = 3):
             [float(round_half_away(t / 1e9, 6)) for _, (_c, t) in rows],
             dtype="float64"),
     })
+
+
+def events_dp_daily(sf_dir: str):
+    """Differentially-private daily event counts by the Laplace mechanism
+    (Dwork-McSherry-Nissim-Smith 2006) under a DETERMINISTIC seeded noise
+    draw — the release shape a training-data pipeline uses to publish
+    corpus statistics without exposing any single contributor, made
+    oracle-checkable by deriving each day's noise from the 63-bit
+    SQL-recomputable hash instead of an RNG: u = (h + 0.5) / 2^63 in
+    (0, 1), noise = b*ln(2u) if u < 0.5 else -b*ln(2(1-u)) (the exact
+    inverse-CDF of Laplace(b)), h = sql_hash64('dp-lo|'||day) /
+    ('dp-hi|'||day) for the two budgets. Sensitivity of a per-day count
+    is 1, so b = 1/eps: the row carries both a cautious eps=0.5 (b=2)
+    and a permissive eps=2 (b=0.5) release — sequential composition of
+    the pair costs eps=2.5, documented. Counts stream through the
+    per-block pre-combine groupby (one bounded shuffle over the day
+    catalog); noise is a per-row expression over that bounded table.
+    Every noise term is a ROW-INDEPENDENT mirrored IEEE expression of
+    the exact integer hash (the doc_char_entropy convention — never an
+    unordered float sum); noise rounds to 9, the noisy counts to 6."""
+    from ..stages.dedup import sql_hash64
+
+    ds = _tbl(sf_dir, "events", columns=["ts"])
+
+    def day_col(batch: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.strftime(batch["ts"], format="%Y-%m-%d")})
+
+    df = preagg_groupby(
+        ds.map_batches(day_col, batch_format="pyarrow"), ["day"],
+        count_alias="n",
+    ).to_pandas().sort_values("day").reset_index(drop=True)
+
+    import math
+
+    def lap(tag: str, day: str, b: float) -> float:
+        h = sql_hash64(f"{tag}|{day}".encode())
+        u = (h + 0.5) / 9223372036854775808.0
+        return b * math.log(2.0 * u) if u < 0.5 \
+            else -b * math.log(2.0 * (1.0 - u))
+
+    lo = [lap("dp-lo", d, 2.0) for d in df["day"]]
+    hi = [lap("dp-hi", d, 0.5) for d in df["day"]]
+    n = df["n"].astype("int64")
+    return pd.DataFrame({
+        "day": df["day"],
+        "n": n,
+        "noise_lo9": pd.array([float(round_half_away(v, 9)) for v in lo],
+                              dtype="float64"),
+        "dp_lo6": pd.array(
+            [float(round_half_away(float(c) + v, 6))
+             for c, v in zip(n, lo)], dtype="float64"),
+        "noise_hi9": pd.array([float(round_half_away(v, 9)) for v in hi],
+                              dtype="float64"),
+        "dp_hi6": pd.array(
+            [float(round_half_away(float(c) + v, 6))
+             for c, v in zip(n, hi)], dtype="float64"),
+    })

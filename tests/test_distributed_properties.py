@@ -4332,3 +4332,62 @@ def test_betweenness_layout_and_planted_path(ray_session, monkeypatch,
     assert list(out["n_sources"]) == [3, 3]
     assert list(out["bt_nano"]) == [4_000_000_000, 4_000_000_000]
     assert list(out["bt6"]) == [4.0, 4.0]
+
+
+def test_dp_daily_layout_and_noise_contract(ray_session, monkeypatch,
+                                            tmp_path):
+    """The DP release must be layout-free, its noise must be a pure
+    function of the day string (same day -> same noise regardless of
+    the counts behind it), the sign must follow the inverse-CDF branch
+    (sign(u - 0.5)), and the noisy counts must equal count + unrounded
+    noise re-quantized at 6."""
+    import math
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+    from pii_filter_ray.stages.dedup import sql_hash64
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.events_dp_daily(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.events_dp_daily(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+
+    def lap(tag, day, bscale):
+        h = sql_hash64(f"{tag}|{day}".encode())
+        u = (h + 0.5) / 9223372036854775808.0
+        v = bscale * math.log(2.0 * u) if u < 0.5 \
+            else -bscale * math.log(2.0 * (1.0 - u))
+        return u, v
+
+    for _, row in a.iterrows():
+        ulo, vlo = lap("dp-lo", row["day"], 2.0)
+        uhi, vhi = lap("dp-hi", row["day"], 0.5)
+        assert float(row["noise_lo9"]) == float(r.round_half_away(vlo, 9))
+        assert float(row["noise_hi9"]) == float(r.round_half_away(vhi, 9))
+        assert (float(row["noise_lo9"]) > 0) == (ulo >= 0.5)
+        assert float(row["dp_lo6"]) == float(
+            r.round_half_away(float(row["n"]) + vlo, 6))
+        assert float(row["dp_hi6"]) == float(
+            r.round_half_away(float(row["n"]) + vhi, 6))
+
+    # noise is a pure function of the day string: a synthetic table
+    # sharing one day with the real corpus reproduces that day's noise
+    # under a completely different count
+    day = str(a["day"].iloc[0])
+    ts = pd.to_datetime([f"{day} 01:02:03"] * 3)
+    tbl = _pa.table({"ts": _pa.array(ts, _pa.timestamp("us"))})
+    _pq.write_table(tbl, tmp_path / "events.parquet")
+    out = r.events_dp_daily(str(tmp_path))
+    assert len(out) == 1
+    assert int(out["n"].iloc[0]) == 3
+    assert float(out["noise_lo9"].iloc[0]) == float(a["noise_lo9"].iloc[0])
+    assert float(out["noise_hi9"].iloc[0]) == float(a["noise_hi9"].iloc[0])
