@@ -529,6 +529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_croston": r.lineitem_croston,
         "part_betweenness": r.part_betweenness,
         "events_dp_daily": r.events_dp_daily,
+        "doc_yule_simpson": r.doc_yule_simpson,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6698,6 +6699,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_croston": o.lineitem_croston_sql(),
         "part_betweenness": o.part_betweenness_sql(),
         "events_dp_daily": o.events_dp_daily_sql(),
+        "doc_yule_simpson": o.doc_yule_simpson_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

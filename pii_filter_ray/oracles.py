@@ -3711,3 +3711,37 @@ def events_dp_daily_sql() -> str:
              round({nhi}, 9) AS noise_hi9,
              round(CAST(n AS DOUBLE) + {nhi}, 6) AS dp_hi6
       FROM u ORDER BY day"""
+
+
+def doc_yule_simpson_sql() -> str:
+    """Lexical-richness mirror (relational.doc_yule_simpson): the
+    doc_top_words whitespace tokenization, the exact (V, N, S2) integer
+    spectrum ledger per language, and the three statistics as the same
+    single IEEE expressions (Yule's K at 6, Simpson's D and Herdan's C
+    at 9); N <= 1 languages excluded."""
+    return r"""WITH w AS (
+        SELECT lang,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x != '')) AS word
+        FROM documents
+      ),
+      f AS (
+        SELECT lang, word, CAST(count(*) AS BIGINT) AS m
+        FROM w GROUP BY 1, 2
+      ),
+      s AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS vocab,
+               CAST(sum(m) AS BIGINT) AS n_tokens,
+               CAST(sum(m * m) AS BIGINT) AS s2
+        FROM f GROUP BY lang
+      )
+      SELECT lang, vocab, n_tokens, s2,
+             round(10000.0 * CAST(s2 - n_tokens AS DOUBLE)
+                   / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)),
+                   6) AS yule_k6,
+             round(CAST(s2 - n_tokens AS DOUBLE)
+                   / (CAST(n_tokens AS DOUBLE)
+                      * CAST(n_tokens - 1 AS DOUBLE)), 9) AS simpson9,
+             round(ln(CAST(vocab AS DOUBLE))
+                   / ln(CAST(n_tokens AS DOUBLE)), 9) AS herdan9
+      FROM s WHERE n_tokens > 1 ORDER BY lang"""

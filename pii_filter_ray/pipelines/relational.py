@@ -18708,3 +18708,82 @@ def events_dp_daily(sf_dir: str):
             [float(round_half_away(float(c) + v, 6))
              for c, v in zip(n, hi)], dtype="float64"),
     })
+
+
+def doc_yule_simpson(sf_dir: str):
+    """Per-language lexical-richness characteristics from the EXACT
+    token-frequency spectrum: Yule's K = 1e4 * (S2 - N) / N^2 (Yule
+    1944 — repeat-rate per 10k token pairs, the classic constant-size
+    vocabulary-richness measure), Simpson's D = (S2 - N) / (N(N-1))
+    (the probability two token draws without replacement coincide),
+    and Herdan's C = ln V / ln N (log-log type-token slope), where N =
+    total tokens, V = vocabulary size and S2 = sum of squared token
+    frequencies. Complements doc_good_turing / doc_chao1_vocab (which
+    read the LOW end of the spectrum) with the repeat-rate statistics
+    that read its HEAVY end. Two bounded shuffles, neither moving
+    text: per-block (lang, word) Counter partials fold into the
+    vocabulary table (the doc_top_words shape), then per-block
+    spectrum partials (V, N, S2 as exact int64 sums over that table)
+    fold into one row per language — the vocabulary never sits on the
+    driver. Every statistic is a single mirrored IEEE expression of
+    the exact integer ledger (S2 - N is also Simpson's numerator
+    sum m(m-1)); languages with N <= 1 are excluded on both engines."""
+    ds = _tbl(sf_dir, "documents", columns=["lang", "text"])
+
+    def word_partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        acc: dict = {}
+        for lg, v in zip(batch["lang"].to_pylist(),
+                         batch["text"].to_pylist()):
+            acc.setdefault(lg, Counter()).update((v or "").split())
+        ls, ws, ns = [], [], []
+        for lg in sorted(acc):
+            for w, n in acc[lg].items():
+                ls.append(lg)
+                ws.append(w)
+                ns.append(n)
+        return pa.table({"lang": pa.array(ls, pa.string()),
+                         "word": pa.array(ws, pa.string()),
+                         "m": pa.array(ns, pa.int64())})
+
+    freq = (ds.map_batches(word_partials, batch_format="pyarrow")
+            .groupby(["lang", "word"]).aggregate(Sum("m", alias_name="m")))
+
+    def spec_partials(batch: pa.Table) -> pa.Table:
+        m = batch["m"]
+        t = pa.table({"lang": batch["lang"],
+                      "v": pc.cast(pc.equal(m, m), pa.int64()),
+                      "n1": m, "s2": pc.multiply(m, m)})
+        g = t.group_by("lang").aggregate(
+            [("v", "sum"), ("n1", "sum"), ("s2", "sum")])
+        return pa.table({"lang": g["lang"], "v": g["v_sum"],
+                         "n1": g["n1_sum"], "s2": g["s2_sum"]})
+
+    agg = (freq.map_batches(spec_partials, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("v", alias_name="v"), Sum("n1", alias_name="n1"),
+                      Sum("s2", alias_name="s2"))
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    agg = agg[agg["n1"] > 1].reset_index(drop=True)
+    v = agg["v"].astype("int64")
+    n = agg["n1"].astype("int64")
+    s2 = agg["s2"].astype("int64")
+    yule = [float(round_half_away(
+        10000.0 * float(int(b) - int(a)) / (float(int(a)) * float(int(a))),
+        6)) for a, b in zip(n, s2)]
+    simp = [float(round_half_away(
+        float(int(b) - int(a)) / (float(int(a)) * float(int(a) - 1)), 9))
+        for a, b in zip(n, s2)]
+    herd = [float(round_half_away(
+        np.log(float(int(c))) / np.log(float(int(a))), 9))
+        for a, c in zip(n, v)]
+    return pd.DataFrame({
+        "lang": agg["lang"],
+        "vocab": v,
+        "n_tokens": n,
+        "s2": s2,
+        "yule_k6": pd.array(yule, dtype="float64"),
+        "simpson9": pd.array(simp, dtype="float64"),
+        "herdan9": pd.array(herd, dtype="float64"),
+    })

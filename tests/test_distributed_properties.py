@@ -4391,3 +4391,46 @@ def test_dp_daily_layout_and_noise_contract(ray_session, monkeypatch,
     assert int(out["n"].iloc[0]) == 3
     assert float(out["noise_lo9"].iloc[0]) == float(a["noise_lo9"].iloc[0])
     assert float(out["noise_hi9"].iloc[0]) == float(a["noise_hi9"].iloc[0])
+
+
+def test_yule_simpson_layout_and_planted_spectrum(ray_session, monkeypatch,
+                                                  tmp_path):
+    """Lexical-richness stats must be layout-free and reproduce hand
+    arithmetic on a planted corpus: lang 'aa' = one doc 'x x x y'
+    (N=4, V=2, S2=9+1=10 -> K = 1e4*6/16 = 3750, D = 6/12 = 0.5,
+    C = ln2/ln4 = 0.5); lang 'bb' = all-distinct tokens (S2 = N ->
+    K = 0, D = 0); a single-token lang is excluded (N <= 1)."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_yule_simpson(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.doc_yule_simpson(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert (a["s2"] >= a["n_tokens"]).all()
+    assert (a["vocab"] <= a["n_tokens"]).all()
+
+    tbl = _pa.table({
+        "lang": _pa.array(["aa", "bb", "cc"], _pa.string()),
+        "text": _pa.array(["x x x y", "p q r s t", "solo"], _pa.string()),
+    })
+    _pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = r.doc_yule_simpson(str(tmp_path)).set_index("lang")
+    assert list(out.index) == ["aa", "bb"]
+    assert int(out.loc["aa", "n_tokens"]) == 4
+    assert int(out.loc["aa", "vocab"]) == 2
+    assert int(out.loc["aa", "s2"]) == 10
+    assert float(out.loc["aa", "yule_k6"]) == 3750.0
+    assert float(out.loc["aa", "simpson9"]) == 0.5
+    assert float(out.loc["aa", "herdan9"]) == 0.5
+    assert float(out.loc["bb", "yule_k6"]) == 0.0
+    assert float(out.loc["bb", "simpson9"]) == 0.0
