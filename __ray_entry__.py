@@ -530,6 +530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_betweenness": r.part_betweenness,
         "events_dp_daily": r.events_dp_daily,
         "doc_yule_simpson": r.doc_yule_simpson,
+        "media_jpeg_dims": r.media_jpeg_dims,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6700,6 +6701,7 @@ def oracle_sql() -> dict[str, str]:
         "part_betweenness": o.part_betweenness_sql(),
         "events_dp_daily": o.events_dp_daily_sql(),
         "doc_yule_simpson": o.doc_yule_simpson_sql(),
+        "media_jpeg_dims": o.media_jpeg_dims_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

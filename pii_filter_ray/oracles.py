@@ -3745,3 +3745,83 @@ def doc_yule_simpson_sql() -> str:
              round(ln(CAST(vocab AS DOUBLE))
                    / ln(CAST(n_tokens AS DOUBLE)), 9) AS herdan9
       FROM s WHERE n_tokens > 1 ORDER BY lang"""
+
+
+def media_jpeg_dims_sql(max_segments: int = 16) -> str:
+    """Recomputes the JPEG marker walk from the payload's hex string
+    (relational.media_jpeg_dims): a RECURSIVE CTE advances pos ->
+    pos + 2 + BE16-length exactly like the engine loop (byte b lives
+    at hex chars 2b+1..2b+2), stops examining at the SOF0/SOF2/SOS
+    markers, a broken FF alignment, the length guard 2*pos+6 <
+    len(hex) or the segment cap, then reads the frame fields at fixed
+    offsets from the found SOF."""
+    from .pipelines.relational import media_jpeg_table_path
+
+    def be8(pos: str, off: int) -> str:
+        return (f"CAST(CAST('0x' || substr(h, 2 * ({pos} + {off}) + 1, 2) "
+                f"AS UBIGINT) AS BIGINT)")
+
+    def be16(pos: str, off: int) -> str:
+        return (f"CAST(CAST('0x' || substr(h, 2 * ({pos} + {off}) + 1, 4) "
+                f"AS UBIGINT) AS BIGINT)")
+
+    return f"""
+    WITH RECURSIVE raw AS (
+        SELECT media_id, decl_w, decl_h, hex(payload) AS h
+        FROM read_parquet({_q(media_jpeg_table_path())})
+    ),
+    base AS (
+        SELECT media_id, decl_w, decl_h, h,
+               CASE WHEN substr(h, 1, 4) = 'FFD8' THEN 1 ELSE 0 END
+                   AS magic_ok
+        FROM raw
+    ),
+    walk(media_id, pos, depth) AS (
+        SELECT media_id, 2, 0 FROM base WHERE magic_ok = 1
+        UNION ALL
+        SELECT w.media_id,
+               w.pos + 2 + {be16("w.pos", 2)},
+               w.depth + 1
+        FROM walk w JOIN base b USING (media_id)
+        WHERE w.depth < {max_segments - 1}
+          AND 2 * w.pos + 6 < len(b.h)
+          AND substr(b.h, 2 * w.pos + 1, 2) = 'FF'
+          AND substr(b.h, 2 * w.pos + 3, 2) NOT IN ('C0', 'C2', 'DA')
+    ),
+    sof AS (
+        SELECT w.media_id, min(w.depth) AS depth, min(w.pos) AS pos
+        FROM walk w JOIN base b USING (media_id)
+        WHERE 2 * w.pos + 6 < len(b.h)
+          AND substr(b.h, 2 * w.pos + 1, 2) = 'FF'
+          AND substr(b.h, 2 * w.pos + 3, 2) IN ('C0', 'C2')
+          AND 2 * (w.pos + 9) < len(b.h)
+        GROUP BY w.media_id
+    ),
+    parsed AS (
+        SELECT b.media_id, b.magic_ok, b.decl_w, b.decl_h,
+               CASE WHEN s.media_id IS NULL THEN 0 ELSE 1 END AS sof_found,
+               CASE WHEN s.media_id IS NULL THEN 0
+                    WHEN substr(b.h, 2 * s.pos + 3, 2) = 'C2' THEN 1
+                    ELSE 0 END AS is_progressive,
+               coalesce(s.depth, 0) AS n_skipped,
+               CASE WHEN s.media_id IS NULL THEN 0
+                    ELSE {be8("s.pos", 4)} END AS precision,
+               CASE WHEN s.media_id IS NULL THEN 0
+                    ELSE {be16("s.pos", 7)} END AS width,
+               CASE WHEN s.media_id IS NULL THEN 0
+                    ELSE {be16("s.pos", 5)} END AS height,
+               CASE WHEN s.media_id IS NULL THEN 0
+                    ELSE {be8("s.pos", 9)} END AS n_components
+        FROM base b LEFT JOIN sof s USING (media_id)
+    )
+    SELECT media_id, magic_ok, sof_found, is_progressive,
+           CAST(n_skipped AS BIGINT) AS n_skipped, precision,
+           width, height, n_components, decl_w, decl_h,
+           CASE WHEN width > 0 AND height > 0 THEN 1 ELSE 0 END
+               AS valid_dims,
+           CASE WHEN width = decl_w AND height = decl_h THEN 1 ELSE 0 END
+               AS decl_ok,
+           CASE WHEN width * height > 16700000 THEN 1 ELSE 0 END
+               AS is_bomb
+    FROM parsed
+    ORDER BY media_id"""

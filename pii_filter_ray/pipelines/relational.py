@@ -18787,3 +18787,100 @@ def doc_yule_simpson(sf_dir: str):
         "simpson9": pd.array(simp, dtype="float64"),
         "herdan9": pd.array(herd, dtype="float64"),
     })
+
+
+_MEDIA_JPEG_CACHE = "/tmp/pii_ray_media/media_jpeg_n96_s23.parquet"
+
+
+def media_jpeg_table_path() -> str:
+    """Materializes (once) the JPEG marker-chain fixture so both engines
+    read the same parquet (the media_png/gif_table_path discipline)."""
+    from ..stages.multimodal import synthesize_jpeg_media_table
+
+    if not os.path.exists(_MEDIA_JPEG_CACHE):
+        import tempfile
+
+        os.makedirs(os.path.dirname(_MEDIA_JPEG_CACHE), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(_MEDIA_JPEG_CACHE), suffix=".tmp")
+        os.close(fd)
+        pq.write_table(synthesize_jpeg_media_table(n_rows=96, seed=23), tmp)
+        os.replace(tmp, _MEDIA_JPEG_CACHE)
+    return _MEDIA_JPEG_CACHE
+
+
+def media_jpeg_dims(sf_dir: str, max_segments: int = 16):
+    """JPEG frame-header audit — the fourth member of the pre-decode
+    screen family, and the first whose dimensions CANNOT be read at a
+    fixed offset: after the SOI magic the parser must WALK the marker
+    chain (APP0 / COM / DQT ... each a 2-byte marker plus big-endian
+    u16 length) until the SOF0/SOF2 frame header, then read precision,
+    BE u16 height/width and the component count. The engine loop and
+    the oracle's recursive CTE advance by the identical pos + 2 + len
+    rule, bounded at ``max_segments``; a payload with corrupted SOI
+    (or no SOF before the scan marker / cap) reports zeroed parse
+    fields on both engines. Same four planted defect classes as the
+    PNG/GIF audits (corrupt magic / zero width / catalog drift /
+    64-MPix bomb) plus the baseline-vs-progressive census and the
+    skipped-segment count that pins the walk depth. Payloads never
+    shuffle (the map emits parsed scalars only); at 100 TB this is an
+    actor-pool map over the blob column. Entropy-coded scan decode
+    honestly stays with the codec stub."""
+    ds = ray.data.read_parquet(media_jpeg_table_path())
+
+    def parse(batch: pa.Table) -> pa.Table:
+        cols = ("media_id", "magic_ok", "sof_found", "is_progressive",
+                "n_skipped", "precision", "width", "height",
+                "n_components", "decl_w", "decl_h", "valid_dims",
+                "decl_ok", "is_bomb")
+        out = {k: [] for k in cols}
+
+        def be16(b: bytes, p: int) -> int:
+            return (b[p] << 8) | b[p + 1]
+
+        for mid, pay, dw, dh in zip(batch["media_id"].to_pylist(),
+                                    batch["payload"].to_pylist(),
+                                    batch["decl_w"].to_pylist(),
+                                    batch["decl_h"].to_pylist()):
+            magic = int(pay[:2] == b"\xff\xd8")
+            sof = prog = nskip = prec = w = h = ncomp = 0
+            if magic:
+                p, depth = 2, 0
+                while p + 3 < len(pay) and depth < max_segments:
+                    if pay[p] != 0xFF:
+                        break
+                    mk = pay[p + 1]
+                    if mk in (0xC0, 0xC2):
+                        if p + 9 < len(pay):
+                            sof = 1
+                            prog = int(mk == 0xC2)
+                            nskip = depth
+                            prec = pay[p + 4]
+                            h = be16(pay, p + 5)
+                            w = be16(pay, p + 7)
+                            ncomp = pay[p + 9]
+                        break
+                    if mk == 0xDA:
+                        break
+                    p += 2 + be16(pay, p + 2)
+                    depth += 1
+            out["media_id"].append(mid)
+            out["magic_ok"].append(magic)
+            out["sof_found"].append(sof)
+            out["is_progressive"].append(prog)
+            out["n_skipped"].append(nskip)
+            out["precision"].append(prec)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["n_components"].append(ncomp)
+            out["decl_w"].append(dw)
+            out["decl_h"].append(dh)
+            out["valid_dims"].append(int(w > 0 and h > 0))
+            out["decl_ok"].append(int(w == dw and h == dh))
+            out["is_bomb"].append(int(w * h > 16700000))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    df = ds.map_batches(parse, batch_format="pyarrow").to_pandas()
+    return (df.astype({k: "int64" for k in df.columns})
+            .sort_values("media_id", kind="mergesort")
+            .reset_index(drop=True))

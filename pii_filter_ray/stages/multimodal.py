@@ -434,3 +434,58 @@ def synthesize_gif_media_table(n_rows: int = 96, seed: int = 17) -> pa.Table:
         "decl_w": pa.array(dw, pa.int64()),
         "decl_h": pa.array(dh, pa.int64()),
     })
+
+
+def synthesize_jpeg_media_table(n_rows: int = 96, seed: int = 23) -> pa.Table:
+    """Deterministic image table whose payloads carry REAL JPEG marker
+    structure — SOI, then a VARIABLE-length segment chain (APP0, i%3
+    COM comment segments, DQT) before the SOF0/SOF2 frame header that
+    holds precision / BE u16 height / BE u16 width / component count.
+    Unlike the PNG/GIF fixtures (fixed header offsets), finding the
+    dimensions REQUIRES walking the chain by each segment's big-endian
+    length field — the engine loops, the SQL mirror recurses. Planted
+    defect classes on the audit family's coprime cycles: every 13th
+    payload's SOI magic is corrupted, every 11th SOF declares ZERO
+    width, every 7th row's catalog width drifted +16 px, every 17th
+    declares 8000x8000 (decompression bomb). Baseline/progressive
+    (SOF0/SOF2) alternates as a census column. Entropy-coded scan
+    decode stays with the codec stub."""
+    import random
+    import struct
+
+    rng = random.Random(seed)
+    dims = [(64, 64), (128, 96), (320, 200), (640, 480), (16, 16)]
+    ids, payloads, dw, dh = [], [], [], []
+    for i in range(n_rows):
+        w, h = dims[i % len(dims)]
+        if i % 17 == 9:
+            w, h = 8000, 8000
+        hdr_w = 0 if i % 11 == 4 else w
+        soi = b"\xff\xd8" if i % 13 != 6 else b"\xff\xd7"
+        segs = []
+        segs.append(b"\xff\xe0" + struct.pack(">H", 16)
+                    + b"JFIF\x00" + rng.randbytes(9))
+        for j in range(i % 3):
+            body = rng.randbytes(6 + j)
+            segs.append(b"\xff\xfe" + struct.pack(">H", 2 + len(body))
+                        + body)
+        segs.append(b"\xff\xdb" + struct.pack(">H", 67)
+                    + rng.randbytes(65))
+        sof_marker = b"\xff\xc0" if i % 2 == 0 else b"\xff\xc2"
+        sof = (sof_marker + struct.pack(">H", 17) + bytes([8])
+               + struct.pack(">HH", h, hdr_w) + bytes([3])
+               + rng.randbytes(9))
+        tail = b"\xff\xda" + struct.pack(">H", 12) + rng.randbytes(
+            rng.randint(64, 512))
+        payload = soi + b"".join(segs) + sof + tail
+        decl_w = w + 16 if i % 7 == 3 else w
+        ids.append(i)
+        payloads.append(payload)
+        dw.append(decl_w)
+        dh.append(h)
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+        "decl_w": pa.array(dw, pa.int64()),
+        "decl_h": pa.array(dh, pa.int64()),
+    })

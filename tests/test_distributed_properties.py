@@ -4434,3 +4434,41 @@ def test_yule_simpson_layout_and_planted_spectrum(ray_session, monkeypatch,
     assert float(out.loc["aa", "herdan9"]) == 0.5
     assert float(out.loc["bb", "yule_k6"]) == 0.0
     assert float(out.loc["bb", "simpson9"]) == 0.0
+
+
+def test_jpeg_dims_walk_and_planted_defects(ray_session):
+    """The JPEG audit must recover each planted defect class exactly on
+    its construction cycle, pin the walk depth to the built segment
+    chain (APP0 + i%3 COMs + DQT -> n_skipped = 2 + i%3), census
+    baseline/progressive by parity, and zero every parse field on
+    corrupted-magic rows."""
+    from pii_filter_ray.pipelines import relational as r
+
+    out = r.media_jpeg_dims("unused").set_index("media_id")
+    assert len(out) == 96
+    for i in range(96):
+        row = out.loc[i]
+        if i % 13 == 6:
+            assert int(row["magic_ok"]) == 0
+            assert int(row["sof_found"]) == 0
+            for c in ("is_progressive", "n_skipped", "precision",
+                      "width", "height", "n_components", "valid_dims",
+                      "decl_ok", "is_bomb"):
+                assert int(row[c]) == 0, (i, c)
+            continue
+        assert int(row["magic_ok"]) == 1
+        assert int(row["sof_found"]) == 1
+        assert int(row["is_progressive"]) == (i % 2)
+        assert int(row["n_skipped"]) == 2 + (i % 3)
+        assert int(row["precision"]) == 8
+        assert int(row["n_components"]) == 3
+        w, h = [(64, 64), (128, 96), (320, 200), (640, 480), (16, 16)][i % 5]
+        if i % 17 == 9:
+            w, h = 8000, 8000
+        hdr_w = 0 if i % 11 == 4 else w
+        assert int(row["width"]) == hdr_w
+        assert int(row["height"]) == h
+        assert int(row["valid_dims"]) == int(hdr_w > 0)
+        decl_w = w + 16 if i % 7 == 3 else w
+        assert int(row["decl_ok"]) == int(hdr_w == decl_w and h == int(row["decl_h"]))
+        assert int(row["is_bomb"]) == int(hdr_w * h > 16700000)
