@@ -531,6 +531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dp_daily": r.events_dp_daily,
         "doc_yule_simpson": r.doc_yule_simpson,
         "media_jpeg_dims": r.media_jpeg_dims,
+        "media_mp4_boxes": r.media_mp4_boxes,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6702,6 +6703,7 @@ def oracle_sql() -> dict[str, str]:
         "events_dp_daily": o.events_dp_daily_sql(),
         "doc_yule_simpson": o.doc_yule_simpson_sql(),
         "media_jpeg_dims": o.media_jpeg_dims_sql(),
+        "media_mp4_boxes": o.media_mp4_boxes_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

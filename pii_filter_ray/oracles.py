@@ -3825,3 +3825,129 @@ def media_jpeg_dims_sql(max_segments: int = 16) -> str:
                AS is_bomb
     FROM parsed
     ORDER BY media_id"""
+
+
+def media_mp4_boxes_sql(max_boxes: int = 8, max_inner: int = 6) -> str:
+    """Recomputes the nested ISO-BMFF walk from the payload's hex string
+    (relational.media_mp4_boxes): a first RECURSIVE CTE advances
+    pos -> pos + BE32-size over the top-level boxes exactly like the
+    engine loop (byte b lives at hex chars 2b+1..2b+2), stopping to
+    examine at `moov`/`mdat`, an invalid size, the length guard or the
+    box cap; a second recursive CTE walks moov's children from
+    moov.pos + 8 to `mvhd`, bounded by moov's own extent; the movie
+    header's fields are then read at the version-branched offsets (v0:
+    ts@+20/dur u32@+24, v1: ts@+28/dur u64@+32), and duration_ms is
+    the same exact integer division on both engines."""
+    from .pipelines.relational import media_mp4_table_path
+
+    def be8(pos: str, off: int) -> str:
+        return (f"CAST(CAST('0x' || substr(h, 2 * ({pos} + {off}) + 1, 2) "
+                f"AS UBIGINT) AS BIGINT)")
+
+    def be32(pos: str, off: int) -> str:
+        return (f"CAST(CAST('0x' || substr(h, 2 * ({pos} + {off}) + 1, 8) "
+                f"AS UBIGINT) AS BIGINT)")
+
+    def be64(pos: str, off: int) -> str:
+        return (f"CAST(CAST('0x' || substr(h, 2 * ({pos} + {off}) + 1, 16) "
+                f"AS UBIGINT) AS BIGINT)")
+
+    def typ(pos: str) -> str:
+        return f"substr(h, 2 * ({pos}) + 9, 8)"
+
+    return f"""
+    WITH RECURSIVE raw AS (
+        SELECT media_id, decl_ms, hex(payload) AS h
+        FROM read_parquet({_q(media_mp4_table_path())})
+    ),
+    base AS (
+        SELECT media_id, decl_ms, h,
+               CASE WHEN len(h) >= 32 AND substr(h, 9, 8) = '66747970'
+                    THEN 1 ELSE 0 END AS magic_ok
+        FROM raw
+    ),
+    walk(media_id, pos, depth) AS (
+        SELECT media_id, 0, 0 FROM base WHERE magic_ok = 1
+        UNION ALL
+        SELECT w.media_id, w.pos + {be32("w.pos", 0)}, w.depth + 1
+        FROM walk w JOIN base b USING (media_id)
+        WHERE w.depth < {max_boxes - 1}
+          AND 2 * (w.pos + 8) <= len(b.h)
+          AND {be32("w.pos", 0)} >= 8
+          AND 2 * (w.pos + {be32("w.pos", 0)}) <= len(b.h)
+          AND {typ("w.pos")} NOT IN ('6D6F6F76', '6D646174')
+    ),
+    moov AS (
+        SELECT w.media_id, min(w.depth) AS ntop, min(w.pos) AS mpos,
+               min({be32("w.pos", 0)}) AS msize
+        FROM walk w JOIN base b USING (media_id)
+        WHERE 2 * (w.pos + 8) <= len(b.h)
+          AND {typ("w.pos")} = '6D6F6F76'
+          AND {be32("w.pos", 0)} >= 8
+          AND 2 * (w.pos + {be32("w.pos", 0)}) <= len(b.h)
+        GROUP BY w.media_id
+    ),
+    inner_walk(media_id, pos, idep) AS (
+        SELECT media_id, mpos + 8, 0 FROM moov
+        UNION ALL
+        SELECT iw.media_id, iw.pos + {be32("iw.pos", 0)}, iw.idep + 1
+        FROM inner_walk iw
+             JOIN moov m USING (media_id)
+             JOIN base b USING (media_id)
+        WHERE iw.idep < {max_inner - 1}
+          AND iw.pos + 8 <= m.mpos + m.msize
+          AND {be32("iw.pos", 0)} >= 8
+          AND iw.pos + {be32("iw.pos", 0)} <= m.mpos + m.msize
+          AND {typ("iw.pos")} != '6D766864'
+    ),
+    mvhd AS (
+        SELECT iw.media_id, min(iw.idep) AS ninner, min(iw.pos) AS qpos
+        FROM inner_walk iw
+             JOIN moov m USING (media_id)
+             JOIN base b USING (media_id)
+        WHERE iw.pos + 8 <= m.mpos + m.msize
+          AND {typ("iw.pos")} = '6D766864'
+          AND {be32("iw.pos", 0)} >= 8
+          AND iw.pos + {be32("iw.pos", 0)} <= m.mpos + m.msize
+        GROUP BY iw.media_id
+    ),
+    fields AS (
+        SELECT v.media_id, v.ninner, v.qpos,
+               {be8("v.qpos", 8)} AS ver,
+               CASE WHEN {be8("v.qpos", 8)} = 1
+                    THEN {be32("v.qpos", 28)}
+                    ELSE {be32("v.qpos", 20)} END AS ts,
+               CASE WHEN {be8("v.qpos", 8)} = 1
+                    THEN {be64("v.qpos", 32)}
+                    ELSE {be32("v.qpos", 24)} END AS dur
+        FROM mvhd v JOIN base b USING (media_id)
+    )
+    SELECT b.media_id, b.magic_ok,
+           CASE WHEN b.magic_ok = 0 THEN ''
+                WHEN substr(b.h, 17, 8) = '69736F6D' THEN 'isom'
+                WHEN substr(b.h, 17, 8) = '6D703432' THEN 'mp42'
+                ELSE '' END AS brand,
+           CASE WHEN m.media_id IS NULL THEN 0 ELSE 1 END AS moov_found,
+           CASE WHEN f.media_id IS NULL THEN 0 ELSE 1 END AS mvhd_found,
+           coalesce(f.ver, 0) AS mvhd_version,
+           CASE WHEN m.media_id IS NULL THEN 0
+                ELSE CAST(m.ntop AS BIGINT) END AS n_top_skipped,
+           CASE WHEN f.media_id IS NULL THEN 0
+                ELSE CAST(f.ninner AS BIGINT) END AS n_inner_skipped,
+           coalesce(f.ts, 0) AS timescale,
+           coalesce(f.dur, 0) AS duration,
+           CASE WHEN coalesce(f.ts, 0) > 0
+                THEN (f.dur * 1000) // f.ts ELSE 0 END AS duration_ms,
+           b.decl_ms,
+           CASE WHEN coalesce(f.ts, 0) > 0 AND coalesce(f.dur, 0) > 0
+                THEN 1 ELSE 0 END AS valid_time,
+           CASE WHEN coalesce(f.ts, 0) > 0
+                 AND (f.dur * 1000) // f.ts = b.decl_ms
+                THEN 1 ELSE 0 END AS decl_ok,
+           CASE WHEN coalesce(f.ts, 0) > 0
+                 AND (f.dur * 1000) // f.ts > 86400000
+                THEN 1 ELSE 0 END AS is_bomb
+    FROM base b
+         LEFT JOIN moov m USING (media_id)
+         LEFT JOIN fields f USING (media_id)
+    ORDER BY b.media_id"""

@@ -18884,3 +18884,119 @@ def media_jpeg_dims(sf_dir: str, max_segments: int = 16):
     return (df.astype({k: "int64" for k in df.columns})
             .sort_values("media_id", kind="mergesort")
             .reset_index(drop=True))
+
+
+_MEDIA_MP4_CACHE = "/tmp/pii_ray_media/media_mp4_n96_s29.parquet"
+
+
+def media_mp4_table_path() -> str:
+    """Materializes (once) the MP4 box-walk fixture so both engines read
+    the same parquet (the media_png/gif/jpeg_table_path discipline)."""
+    from ..stages.multimodal import synthesize_mp4_media_table
+
+    if not os.path.exists(_MEDIA_MP4_CACHE):
+        import tempfile
+
+        os.makedirs(os.path.dirname(_MEDIA_MP4_CACHE), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(_MEDIA_MP4_CACHE), suffix=".tmp")
+        os.close(fd)
+        pq.write_table(synthesize_mp4_media_table(n_rows=96, seed=29), tmp)
+        os.replace(tmp, _MEDIA_MP4_CACHE)
+    return _MEDIA_MP4_CACHE
+
+
+def media_mp4_boxes(sf_dir: str, max_boxes: int = 8, max_inner: int = 6):
+    """ISO-BMFF (MP4) movie-header audit — the VIDEO member of the
+    pre-decode screen family, and the first that needs a NESTED walk:
+    top-level boxes ([BE u32 size][4cc type]) are advanced by pos +
+    size to the `moov` container (stopping at `mdat`, a short/invalid
+    size, or the box cap), then moov's CHILDREN are walked the same
+    way to the `mvhd` movie header, whose timescale/duration offsets
+    BRANCH on the version byte (v0: u32 ts@+20 / u32 dur@+24; v1: u32
+    ts@+28 / u64 dur@+32 after the 64-bit timestamps). duration_ms =
+    dur * 1000 // ts is exact integer arithmetic on both engines.
+    Planted defect classes (fixture cycles): corrupted ftyp magic,
+    zero timescale, +5 s catalog drift, >24 h runaway-duration bomb,
+    and a missing `moov` (the not-fast-start shape — at 100 TB these
+    are the uploads a streaming ingest must quarantine before
+    transcode). Payloads never shuffle: the map emits parsed scalars
+    only; at scale this is an actor-pool map over the blob column.
+    Sample decode honestly stays with the codec stub."""
+    ds = ray.data.read_parquet(media_mp4_table_path())
+
+    def be32(b: bytes, p: int) -> int:
+        return int.from_bytes(b[p:p + 4], "big")
+
+    def parse(batch: pa.Table) -> pa.Table:
+        int_cols = ("media_id", "magic_ok", "moov_found", "mvhd_found",
+                    "mvhd_version", "n_top_skipped", "n_inner_skipped",
+                    "timescale", "duration", "duration_ms", "decl_ms",
+                    "valid_time", "decl_ok", "is_bomb")
+        out = {k: [] for k in int_cols}
+        brands = []
+        for mid, pay, dms in zip(batch["media_id"].to_pylist(),
+                                 batch["payload"].to_pylist(),
+                                 batch["decl_ms"].to_pylist()):
+            magic = int(len(pay) >= 16 and pay[4:8] == b"ftyp")
+            brand = ""
+            moov = mvhd = ver = ntop = ninner = ts = dur = 0
+            if magic:
+                brand = pay[8:12].decode("ascii", "replace")
+                p, depth = 0, 0
+                mpos = msize = -1
+                while p + 8 <= len(pay) and depth < max_boxes:
+                    size = be32(pay, p)
+                    typ = pay[p + 4:p + 8]
+                    if size < 8 or p + size > len(pay):
+                        break
+                    if typ == b"moov":
+                        moov, mpos, msize, ntop = 1, p, size, depth
+                        break
+                    if typ == b"mdat":
+                        break
+                    p, depth = p + size, depth + 1
+                if moov:
+                    q, idep = mpos + 8, 0
+                    while q + 8 <= mpos + msize and idep < max_inner:
+                        size = be32(pay, q)
+                        typ = pay[q + 4:q + 8]
+                        if size < 8 or q + size > mpos + msize:
+                            break
+                        if typ == b"mvhd":
+                            mvhd, ninner = 1, idep
+                            ver = pay[q + 8]
+                            if ver == 1:
+                                ts = be32(pay, q + 28)
+                                dur = int.from_bytes(
+                                    pay[q + 32:q + 40], "big")
+                            else:
+                                ts = be32(pay, q + 20)
+                                dur = be32(pay, q + 24)
+                            break
+                        q, idep = q + size, idep + 1
+            dur_ms = dur * 1000 // ts if ts > 0 else 0
+            out["media_id"].append(mid)
+            out["magic_ok"].append(magic)
+            brands.append(brand)
+            out["moov_found"].append(moov)
+            out["mvhd_found"].append(mvhd)
+            out["mvhd_version"].append(ver if mvhd else 0)
+            out["n_top_skipped"].append(ntop if moov else 0)
+            out["n_inner_skipped"].append(ninner if mvhd else 0)
+            out["timescale"].append(ts)
+            out["duration"].append(dur)
+            out["duration_ms"].append(dur_ms)
+            out["decl_ms"].append(dms)
+            out["valid_time"].append(int(ts > 0 and dur > 0))
+            out["decl_ok"].append(int(dur_ms == dms and ts > 0))
+            out["is_bomb"].append(int(dur_ms > 86_400_000))
+        cols = {k: pa.array(v, pa.int64()) for k, v in out.items()}
+        cols["brand"] = pa.array(brands, pa.string())
+        order = list(int_cols)
+        order.insert(2, "brand")
+        return pa.table({k: cols[k] for k in order})
+
+    df = ds.map_batches(parse, batch_format="pyarrow").to_pandas()
+    return (df.sort_values("media_id", kind="mergesort")
+            .reset_index(drop=True))

@@ -489,3 +489,78 @@ def synthesize_jpeg_media_table(n_rows: int = 96, seed: int = 23) -> pa.Table:
         "decl_w": pa.array(dw, pa.int64()),
         "decl_h": pa.array(dh, pa.int64()),
     })
+
+
+def synthesize_mp4_media_table(n_rows: int = 96, seed: int = 29) -> pa.Table:
+    """Deterministic VIDEO-container table whose payloads carry real
+    ISO-BMFF (MP4) box structure — a `ftyp` box (major brand isom/mp42
+    alternating every two rows), i%3 variable-size `free` boxes, a
+    `moov` container whose children are i%2 `free` boxes then the
+    `mvhd` movie header (VERSION-BRANCHED: v0 u32 timescale@+20 /
+    duration@+24, v1 u32 timescale@+28 / u64 duration@+32, alternating
+    by row parity), a trailing `trak` stub inside moov, then `mdat`.
+    Unlike the image audits this requires a NESTED walk: top-level
+    boxes by their BE u32 size to `moov`, then `moov`'s children to
+    `mvhd`. Planted defect classes on the family's coprime cycles:
+    every 13th payload's `ftyp` magic is corrupted, every 11th mvhd
+    declares ZERO timescale, every 7th row's catalog duration drifted
+    +5 s, every 17th declares a >24 h duration (runaway-duration
+    bomb), and every 19th payload has NO `moov` at all (the
+    not-fast-start / truncated-upload shape: ftyp straight to mdat).
+    Sample decode stays with the codec stub."""
+    import random
+    import struct
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    rng = random.Random(seed)
+    pairs = [(1000, 30_000), (600, 54_000), (90_000, 13_500_000),
+             (44_100, 308_700), (12_288, 1_228_800)]
+    ids, payloads, decl = [], [], []
+    for i in range(n_rows):
+        ts, dur = pairs[i % len(pairs)]
+        if i % 17 == 9:
+            ts, dur = 1000, 100_000_000
+        decl_ms = dur * 1000 // ts
+        if i % 7 == 3:
+            decl_ms += 5000
+        if i % 11 == 4:
+            ts = 0
+        version = i % 2
+        if version == 0:
+            mvhd_body = (bytes([0]) + b"\x00\x00\x00"
+                         + struct.pack(">II", rng.randrange(1 << 32),
+                                       rng.randrange(1 << 32))
+                         + struct.pack(">II", ts, dur)
+                         + rng.randbytes(80))
+        else:
+            mvhd_body = (bytes([1]) + b"\x00\x00\x00"
+                         + struct.pack(">QQ", rng.randrange(1 << 63),
+                                       rng.randrange(1 << 63))
+                         + struct.pack(">I", ts)
+                         + struct.pack(">Q", dur)
+                         + rng.randbytes(80))
+        brand = b"isom" if i % 4 < 2 else b"mp42"
+        ftyp = box(b"ftyp", brand + struct.pack(">I", 512))
+        if i % 13 == 6:
+            ftyp = ftyp[:4] + b"ftXX" + ftyp[8:]
+        tops = [ftyp]
+        for j in range(i % 3):
+            tops.append(box(b"free", rng.randbytes(5 + 3 * j)))
+        if i % 19 != 12:
+            kids = []
+            for j in range(i % 2):
+                kids.append(box(b"free", rng.randbytes(7 + j)))
+            kids.append(box(b"mvhd", mvhd_body))
+            kids.append(box(b"trak", rng.randbytes(rng.randint(16, 48))))
+            tops.append(box(b"moov", b"".join(kids)))
+        tops.append(box(b"mdat", rng.randbytes(rng.randint(32, 256))))
+        ids.append(i)
+        payloads.append(b"".join(tops))
+        decl.append(decl_ms)
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+        "decl_ms": pa.array(decl, pa.int64()),
+    })

@@ -4472,3 +4472,63 @@ def test_jpeg_dims_walk_and_planted_defects(ray_session):
         decl_w = w + 16 if i % 7 == 3 else w
         assert int(row["decl_ok"]) == int(hdr_w == decl_w and h == int(row["decl_h"]))
         assert int(row["is_bomb"]) == int(hdr_w * h > 16700000)
+
+
+def test_mp4_boxes_nested_walk_and_planted_defects(ray_session):
+    """The MP4 audit must recover each planted defect class exactly on
+    its construction cycle, pin BOTH walk depths to the built box tree
+    (n_top_skipped = 1 + i%3 frees before moov, n_inner_skipped = i%2
+    frees before mvhd), read timescale/duration through the correct
+    version branch (v0/v1 alternating by parity), and zero every parse
+    field on corrupt-magic and moov-less rows."""
+    from pii_filter_ray.pipelines import relational as r
+
+    out = r.media_mp4_boxes("unused").set_index("media_id")
+    assert len(out) == 96
+    pairs = [(1000, 30_000), (600, 54_000), (90_000, 13_500_000),
+             (44_100, 308_700), (12_288, 1_228_800)]
+    for i in range(96):
+        row = out.loc[i]
+        if i % 13 == 6:
+            assert int(row["magic_ok"]) == 0
+            assert row["brand"] == ""
+            for c in ("moov_found", "mvhd_found", "mvhd_version",
+                      "n_top_skipped", "n_inner_skipped", "timescale",
+                      "duration", "duration_ms", "valid_time",
+                      "decl_ok", "is_bomb"):
+                assert int(row[c]) == 0, (i, c)
+            continue
+        assert int(row["magic_ok"]) == 1
+        assert row["brand"] == ("isom" if i % 4 < 2 else "mp42")
+        if i % 19 == 12:
+            assert int(row["moov_found"]) == 0
+            assert int(row["mvhd_found"]) == 0
+            assert int(row["timescale"]) == 0
+            assert int(row["duration_ms"]) == 0
+            assert int(row["decl_ok"]) == 0
+            continue
+        assert int(row["moov_found"]) == 1
+        assert int(row["mvhd_found"]) == 1
+        assert int(row["mvhd_version"]) == i % 2
+        assert int(row["n_top_skipped"]) == 1 + i % 3
+        assert int(row["n_inner_skipped"]) == i % 2
+        ts, dur = pairs[i % 5]
+        if i % 17 == 9:
+            ts, dur = 1000, 100_000_000
+        ms = dur * 1000 // ts
+        decl = ms + 5000 if i % 7 == 3 else ms
+        if i % 11 == 4:
+            assert int(row["timescale"]) == 0
+            assert int(row["duration"]) == dur
+            assert int(row["duration_ms"]) == 0
+            assert int(row["valid_time"]) == 0
+            assert int(row["decl_ok"]) == 0
+            assert int(row["is_bomb"]) == 0
+            continue
+        assert int(row["timescale"]) == ts
+        assert int(row["duration"]) == dur
+        assert int(row["duration_ms"]) == ms
+        assert int(row["decl_ms"]) == decl
+        assert int(row["valid_time"]) == 1
+        assert int(row["decl_ok"]) == int(ms == decl)
+        assert int(row["is_bomb"]) == int(ms > 86_400_000)
