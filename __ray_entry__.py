@@ -532,6 +532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_yule_simpson": r.doc_yule_simpson,
         "media_jpeg_dims": r.media_jpeg_dims,
         "media_mp4_boxes": r.media_mp4_boxes,
+        "part_hyperball": r.part_hyperball,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6704,6 +6705,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_yule_simpson": o.doc_yule_simpson_sql(),
         "media_jpeg_dims": o.media_jpeg_dims_sql(),
         "media_mp4_boxes": o.media_mp4_boxes_sql(),
+        "part_hyperball": o.part_hyperball_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

@@ -3951,3 +3951,82 @@ def media_mp4_boxes_sql(max_boxes: int = 8, max_inner: int = 6) -> str:
          LEFT JOIN moov m USING (media_id)
          LEFT JOIN fields f USING (media_id)
     ORDER BY b.media_id"""
+
+
+def part_hyperball_sql(p: int = 12) -> str:
+    """HyperBall mirror (relational.part_hyperball): the bfs_khop
+    levenshtein<=4 brand-blocked edge set, the shared splitmix64 +
+    register/rho CTE chain seeded with each node's OWN key as the
+    sketched element, two unrolled register max-merge rounds (own regs
+    UNION ALL neighbor regs, GROUP BY node/reg MAX rho), then the
+    repo's single HLL estimator arithmetic per node per round (exact
+    HUGEINT S with the absent-register 2^53 term, one float division,
+    linear-counting branch), rounded to 3 on both engines."""
+    from .stages.sketches import _hll_regs_ctes
+
+    m = 1 << p
+
+    def est(r: str, alias: str) -> str:
+        return f"""sums_{r} AS (
+            SELECT node,
+                   sum(CAST(1::BIGINT << (53 - rho) AS HUGEINT)) AS sp,
+                   count(*) AS npr
+            FROM {r} GROUP BY node
+        ),
+        e_{r} AS (
+            SELECT node, ({m} - npr) AS v,
+                   (0.7213 / (1.0 + 1.079 / {m})) * {m} * {m}
+                     * 9007199254740992.0
+                     / CAST(sp + CAST({m} - npr AS HUGEINT)
+                            * 9007199254740992::HUGEINT AS DOUBLE) AS e
+            FROM sums_{r}
+        ),
+        {alias} AS (
+            SELECT node,
+                   round(CASE WHEN e <= 2.5 * {m} AND v > 0
+                              THEN {m} * ln({m} / CAST(v AS DOUBLE))
+                              ELSE e END, 3) AS est
+            FROM e_{r}
+        )"""
+
+    return f"""
+        WITH edges AS (
+            SELECT a.p_partkey AS x, b.p_partkey AS y
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 4
+        ),
+        und AS (SELECT x AS n, y AS mm FROM edges
+                UNION ALL SELECT y, x FROM edges),
+        dg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+               FROM und GROUP BY n),
+        nodes AS (SELECT p_partkey AS n FROM part),
+        {_hll_regs_ctes('nodes', 'n', 'n', p)},
+        r0 AS (SELECT k AS node, reg, rho FROM regs),
+        r1 AS (
+            SELECT node, reg, max(rho) AS rho FROM (
+                SELECT node, reg, rho FROM r0
+                UNION ALL
+                SELECT u.n AS node, r.reg, r.rho
+                FROM und u JOIN r0 r ON r.node = u.mm
+            ) GROUP BY node, reg
+        ),
+        r2 AS (
+            SELECT node, reg, max(rho) AS rho FROM (
+                SELECT node, reg, rho FROM r1
+                UNION ALL
+                SELECT u.n AS node, r.reg, r.rho
+                FROM und u JOIN r1 r ON r.node = u.mm
+            ) GROUP BY node, reg
+        ),
+        {est('r1', 'b1')},
+        {est('r2', 'b2')}
+        SELECT nodes.n AS p_partkey,
+               coalesce(dg.d, 0) AS degree,
+               b1.est AS ball1_est3,
+               b2.est AS ball2_est3
+        FROM nodes
+        LEFT JOIN dg ON dg.n = nodes.n
+        JOIN b1 ON b1.node = nodes.n
+        JOIN b2 ON b2.node = nodes.n
+        ORDER BY p_partkey"""

@@ -19000,3 +19000,147 @@ def media_mp4_boxes(sf_dir: str, max_boxes: int = 8, max_inner: int = 6):
     df = ds.map_batches(parse, batch_format="pyarrow").to_pandas()
     return (df.sort_values("media_id", kind="mergesort")
             .reset_index(drop=True))
+
+
+def part_hyperball(sf_dir: str, p: int = 12, rounds: int = 2):
+    """HyperBall / HyperANF neighborhood-function estimation (Boldi,
+    Rosa & Vigna 2011; Palmer et al.'s ANF lineage) over the fuzzy part
+    graph: every node carries an HLL sketch of its k-hop ball, and one
+    round replaces each sketch by the register-wise MAX of its own and
+    its neighbors' sketches — the union-through-max trick that turns
+    all-pairs reachability into ``rounds`` streaming passes. This is
+    THE shape for effective-diameter / centrality estimation at web
+    scale: sketches are tiny and mergeable, so the per-round shuffle is
+    bounded by (nodes x present registers), never by paths. Engine
+    rounds stream the materialized edge table against the BROADCAST
+    register ledger (vectorized range-gather + block-local (node, reg)
+    max pre-combine) into a bounded (node, reg) groupby-max; the
+    driver holds only the register ledger (<= ball-size rows per
+    node). Estimates reuse the repo's single HLL estimator arithmetic
+    (exact integer S, one float division, linear-counting branch) with
+    the splitmix64 hash of the node key as the sketched element, so
+    the SQL mirror recomputes every register and both ball estimates
+    bit-for-bit via two unrolled max-merge rounds. Ball at round 1 =
+    degree + 1 exactly; the estimate column shows the sketch error an
+    ANF user accepts."""
+    import math
+
+    from ..stages.sketches import splitmix64
+
+    assert 64 - p + 1 <= 53, "rho must fit the exact-integer S encoding"
+    m = 1 << p
+    ds = _tbl(sf_dir, "part", columns=["p_partkey", "p_brand", "p_name"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g["p_partkey"].to_numpy(np.int64)
+        names = g["p_name"].tolist()
+        order = np.argsort(keys, kind="stable")
+        keys, names = keys[order], [names[i] for i in order]
+        ka, kb = [], []
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                if _lev(names[i], names[j], 4) <= 4:
+                    ka.append(keys[i])
+                    kb.append(keys[j])
+        return pd.DataFrame({"x": np.array(ka, dtype=np.int64),
+                             "y": np.array(kb, dtype=np.int64)})
+
+    edges = (ds.groupby("p_brand").map_groups(pairs, batch_format="pandas")
+             .materialize())
+
+    def deg_partials(batch: pa.Table) -> pa.Table:
+        n = pa.chunked_array([batch["x"], batch["y"]]).combine_chunks()
+        t = pa.table({"n": n, "one": pa.array(
+            np.ones(len(n), np.int64), pa.int64())})
+        g = t.group_by("n").aggregate([("one", "sum")])
+        return pa.table({"n": g["n"], "d": g["one_sum"]})
+
+    deg = (edges.map_batches(deg_partials, batch_format="pyarrow")
+           .groupby("n").aggregate(Sum("d", alias_name="d"))
+           .to_pandas().set_index("n")["d"])
+
+    nodes = np.sort(pd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey"])["p_partkey"].to_numpy(np.int64))
+    h = splitmix64(nodes.astype(np.uint64))
+    reg0 = (h >> np.uint64(64 - p)).astype(np.int64)
+    w0 = (h & np.uint64((1 << (64 - p)) - 1)).astype(np.int64)
+    bl = np.where(w0 > 0,
+                  np.floor(np.log2(np.maximum(w0, 1))).astype(np.int64) + 1,
+                  0)
+    state = pd.DataFrame({"node": nodes, "reg": reg0,
+                          "rho": (64 - p + 1) - bl})
+
+    def estimates(st: pd.DataFrame) -> pd.Series:
+        out = {}
+        for node, grp in st.groupby("node", sort=False):
+            s_int = sum(1 << (53 - int(r)) for r in grp["rho"])
+            n_present = len(grp)
+            s_int += (m - n_present) * (1 << 53)
+            alpha = 0.7213 / (1.0 + 1.079 / m)
+            est = alpha * m * m * 9007199254740992.0 / float(s_int)
+            v = m - n_present
+            if est <= 2.5 * m and v > 0:
+                est = m * math.log(m / v)
+            out[node] = float(round_half_away(est, 3))
+        return pd.Series(out)
+
+    ests = []
+    for _ in range(rounds):
+        srt = state.sort_values(["node", "reg"], kind="mergesort")
+        uniq = srt["node"].to_numpy(np.int64)
+        bounds = np.flatnonzero(np.r_[True, uniq[1:] != uniq[:-1]])
+        u_nodes = uniq[bounds]
+        offsets = np.r_[bounds, len(uniq)]
+        regs_arr = srt["reg"].to_numpy(np.int64)
+        rhos_arr = srt["rho"].to_numpy(np.int64)
+        ref = ray.put((u_nodes, offsets, regs_arr, rhos_arr))
+
+        def emit(batch: pa.Table, ref=ref) -> pa.Table:
+            un, off, rg, rh = ray.get(ref)
+            x = batch["x"].to_numpy(zero_copy_only=False)
+            y = batch["y"].to_numpy(zero_copy_only=False)
+            dsts, srcs = [], []
+            for a, b in ((x, y), (y, x)):
+                idx = np.searchsorted(un, b)
+                ok = (idx < len(un)) & (un[np.minimum(idx, len(un) - 1)] == b)
+                dsts.append(a[ok])
+                srcs.append(idx[ok])
+            dst = np.concatenate(dsts)
+            src = np.concatenate(srcs)
+            starts, ends = off[src], off[src + 1]
+            counts = ends - starts
+            total = int(counts.sum())
+            if total == 0:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "reg": pa.array([], pa.int64()),
+                                 "rho": pa.array([], pa.int64())})
+            base = np.repeat(starts, counts)
+            csum = np.repeat(np.r_[0, np.cumsum(counts)[:-1]], counts)
+            pos = base + (np.arange(total, dtype=np.int64) - csum)
+            node_e = np.repeat(dst, counts)
+            reg_e, rho_e = rg[pos], rh[pos]
+            order = np.lexsort((rho_e, reg_e, node_e))
+            node_e, reg_e, rho_e = node_e[order], reg_e[order], rho_e[order]
+            last = np.r_[(node_e[1:] != node_e[:-1])
+                         | (reg_e[1:] != reg_e[:-1]), True]
+            return pa.table({"node": pa.array(node_e[last], pa.int64()),
+                             "reg": pa.array(reg_e[last], pa.int64()),
+                             "rho": pa.array(rho_e[last], pa.int64())})
+
+        partials = (edges.map_batches(emit, batch_format="pyarrow")
+                    .groupby(["node", "reg"])
+                    .aggregate(Max("rho", alias_name="rho"))
+                    .to_pandas())
+        state = (pd.concat([state, partials], ignore_index=True)
+                 .groupby(["node", "reg"], as_index=False)["rho"].max())
+        ests.append(estimates(state))
+
+    degree = pd.Series(nodes, index=nodes).map(deg).fillna(0).astype("int64")
+    out = pd.DataFrame({
+        "p_partkey": nodes,
+        "degree": degree.to_numpy(),
+        "ball1_est3": ests[0].reindex(nodes).to_numpy(),
+        "ball2_est3": ests[1].reindex(nodes).to_numpy(),
+    })
+    return out.reset_index(drop=True)

@@ -4532,3 +4532,77 @@ def test_mp4_boxes_nested_walk_and_planted_defects(ray_session):
         assert int(row["valid_time"]) == 1
         assert int(row["decl_ok"]) == int(ms == decl)
         assert int(row["is_bomb"]) == int(ms > 86_400_000)
+
+
+def test_hyperball_layout_and_planted_path(ray_session, tmp_path,
+                                           monkeypatch):
+    """HyperBall must be block-layout invariant, estimate exactly 1.0
+    for isolated nodes (single own register, linear counting at
+    m=4096), be monotone ball2 >= ball1, and on a planted 4-node PATH
+    graph (brand-blocked Levenshtein edges engineered 0-1-2-3) the
+    per-round estimates must equal the estimator applied to the EXACT
+    ball register sets — pinning the max-merge propagation itself."""
+    import math
+
+    import numpy as np
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+    from pii_filter_ray.stages.sketches import splitmix64
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.part_hyperball(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.part_hyperball(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    iso = a[a["degree"] == 0]
+    assert len(iso) > 0
+    assert (iso["ball1_est3"] == 1.0).all()
+    assert (iso["ball2_est3"] == 1.0).all()
+    assert (a["ball2_est3"] >= a["ball1_est3"]).all()
+
+    names = ["aaaaaaaaaa", "aaaaaaabbb", "aaabbbbbbb", "bbbbbbbbbb"]
+    keys = [11, 22, 33, 44]
+    tbl = _pa.table({
+        "p_partkey": _pa.array(keys, _pa.int64()),
+        "p_brand": _pa.array(["B#1"] * 4, _pa.string()),
+        "p_name": _pa.array(names, _pa.string()),
+    })
+    _pq.write_table(tbl, tmp_path / "part.parquet")
+    out = r.part_hyperball(str(tmp_path)).set_index("p_partkey")
+    assert list(out["degree"]) == [1, 2, 2, 1]
+
+    p, m = 12, 4096
+    h = splitmix64(np.array(keys, dtype=np.uint64))
+    reg = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = (h & np.uint64((1 << (64 - p)) - 1)).astype(np.int64)
+    rho = np.where(w > 0, (64 - p + 1)
+                   - (np.floor(np.log2(np.maximum(w, 1))).astype(np.int64)
+                      + 1), 64 - p + 1)
+    balls = {0: [{0, 1}, {0, 1, 2}], 1: [{0, 1, 2}, {0, 1, 2, 3}],
+             2: [{1, 2, 3}, {0, 1, 2, 3}], 3: [{2, 3}, {1, 2, 3}]}
+
+    def expect(members: set) -> float:
+        regmax: dict = {}
+        for i in members:
+            regmax[int(reg[i])] = max(regmax.get(int(reg[i]), 0),
+                                      int(rho[i]))
+        s_int = sum(1 << (53 - v) for v in regmax.values())
+        s_int += (m - len(regmax)) * (1 << 53)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = alpha * m * m * 9007199254740992.0 / float(s_int)
+        v = m - len(regmax)
+        if est <= 2.5 * m and v > 0:
+            est = m * math.log(m / v)
+        return round(est, 3)
+
+    for i, key in enumerate(keys):
+        assert float(out.loc[key, "ball1_est3"]) == expect(balls[i][0]), i
+        assert float(out.loc[key, "ball2_est3"]) == expect(balls[i][1]), i
