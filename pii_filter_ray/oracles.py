@@ -4030,3 +4030,109 @@ def part_hyperball_sql(p: int = 12) -> str:
         JOIN b1 ON b1.node = nodes.n
         JOIN b2 ON b2.node = nodes.n
         ORDER BY p_partkey"""
+
+
+def events_markov_removal_sql(iters: int = 16) -> str:
+    """Removal-effect mirror (relational.events_markov_removal): journeys
+    rebuilt with window functions (row_number order ts/event_id, cut at
+    the user's first 'purchase', START prefix, CONV/NULL terminal),
+    transition counts grouped, then the SAME nano-quantized fixed point
+    unrolled ``iters`` times over a (variant, state) grid — variant ''
+    is the base chain, every other variant clamps one channel's
+    probability to 0 after each sweep (visits redirected to NULL).
+    removal9 subtracts rounded iterates; share9 renormalizes the
+    rounded removals, zero-guarded, all in mirrored IEEE arithmetic."""
+    ctes = ["""seq AS MATERIALIZED (
+            SELECT user_id, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM events
+        ),
+        cut AS (
+            SELECT user_id, min(rn) AS cut FROM seq
+            WHERE event_type = 'purchase' GROUP BY user_id
+        ),
+        mx AS (SELECT user_id, max(rn) AS mxrn FROM seq GROUP BY user_id),
+        nodes AS MATERIALIZED (
+            SELECT user_id, 0 AS rn, 'START' AS st
+            FROM (SELECT DISTINCT user_id FROM seq)
+            UNION ALL
+            SELECT s.user_id, s.rn, s.event_type
+            FROM seq s LEFT JOIN cut USING (user_id)
+            WHERE cut.cut IS NULL OR s.rn < cut.cut
+            UNION ALL
+            SELECT user_id, cut AS rn, 'CONV' FROM cut
+            UNION ALL
+            SELECT m.user_id, m.mxrn + 1, 'NULL'
+            FROM mx m LEFT JOIN cut USING (user_id)
+            WHERE cut.cut IS NULL
+        ),
+        c AS MATERIALIZED (
+            SELECT a.st AS src, b.st AS dst, CAST(count(*) AS BIGINT) AS n
+            FROM nodes a JOIN nodes b
+              ON a.user_id = b.user_id AND b.rn = a.rn + 1
+            GROUP BY 1, 2
+        ),
+        rowsum AS MATERIALIZED (SELECT src, CAST(sum(n) AS BIGINT) AS r
+                   FROM c GROUP BY src),
+        ch AS MATERIALIZED (
+            SELECT st FROM (SELECT src AS st FROM c UNION SELECT dst FROM c)
+            WHERE st NOT IN ('START', 'CONV', 'NULL')
+        ),
+        variants AS MATERIALIZED (SELECT '' AS rm UNION ALL SELECT st FROM ch),
+        upd AS MATERIALIZED (
+            SELECT v.rm, u.st
+            FROM variants v CROSS JOIN
+                 (SELECT st FROM ch UNION ALL SELECT 'START') u
+        ),
+        p0 AS MATERIALIZED (SELECT rm, st, 0.0 AS p FROM upd)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""f{i} AS MATERIALIZED (
+            SELECT u.rm, c.src AS st,
+                   CAST(sum(CAST(round(1000000000.0
+                       * CASE WHEN c.dst = 'CONV' THEN 1.0
+                              WHEN c.dst = 'NULL' THEN 0.0
+                              WHEN c.dst = u.rm THEN 0.0
+                              ELSE coalesce(pp.p, 0.0) END
+                       * CAST(c.n AS DOUBLE) / CAST(r.r AS DOUBLE), 0)
+                       AS BIGINT)) AS BIGINT) AS fs
+            FROM variants u
+            CROSS JOIN c
+            JOIN rowsum r ON r.src = c.src
+            LEFT JOIN p{i - 1} pp ON pp.rm = u.rm AND pp.st = c.dst
+            GROUP BY u.rm, c.src
+        ),
+        p{i} AS MATERIALIZED (
+            SELECT upd.rm, upd.st,
+                   CASE WHEN upd.st = upd.rm THEN 0.0
+                        ELSE round(coalesce(f{i}.fs, 0) / 1000000000.0, 9)
+                   END AS p
+            FROM upd LEFT JOIN f{i} USING (rm, st)
+        )""")
+    last = f"p{iters}"
+    return f"""
+        WITH {','.join(ctes)},
+        basev AS (SELECT p FROM {last} WHERE rm = '' AND st = 'START'),
+        remv AS (
+            SELECT rm AS channel, p AS p_removed
+            FROM {last} WHERE rm != '' AND st = 'START'
+        ),
+        nin AS (
+            SELECT dst AS channel, CAST(sum(n) AS BIGINT) AS n_in
+            FROM c WHERE dst NOT IN ('START', 'CONV', 'NULL')
+            GROUP BY dst
+        ),
+        rtab AS (
+            SELECT r.channel, coalesce(n.n_in, 0) AS n_in,
+                   (SELECT p FROM basev) AS p_base9,
+                   r.p_removed AS p_removed9,
+                   round((SELECT p FROM basev) - r.p_removed, 9) AS removal9
+            FROM remv r LEFT JOIN nin n USING (channel)
+        ),
+        tot AS (SELECT sum(removal9) AS t FROM rtab)
+        SELECT channel, n_in, p_base9, p_removed9, removal9,
+               CASE WHEN (SELECT t FROM tot) > 0
+                    THEN round(removal9 / (SELECT t FROM tot), 9)
+                    ELSE 0.0 END AS share9
+        FROM rtab ORDER BY channel"""

@@ -19144,3 +19144,99 @@ def part_hyperball(sf_dir: str, p: int = 12, rounds: int = 2):
         "ball2_est3": ests[1].reindex(nodes).to_numpy(),
     })
     return out.reset_index(drop=True)
+
+
+def events_markov_removal(sf_dir: str, iters: int = 16):
+    """Markov removal-effect attribution (Anderl et al. 2014 — the
+    data-driven alternative to last-touch): each user's event sequence
+    up to the FIRST 'purchase' becomes a journey START -> channels ->
+    CONV (absorbing; the purchase) or NULL (absorbing; no purchase),
+    the journey transitions define an absorbing Markov chain, and each
+    channel's credit is its REMOVAL EFFECT — how much the START
+    conversion probability drops when visits to that channel are
+    redirected to NULL. The conversion probabilities solve p = T p
+    with p(CONV)=1, p(NULL)=0 by ``iters`` fixed-point sweeps; every
+    per-cell term round(1e9 * p[dst] * n / row) snaps to NANO int64
+    (the markov_stationary convention) so per-state sums are
+    order-free exact integers and both engines converge through
+    IDENTICAL iterates — correctness-as-parity does not depend on the
+    spectral gap. Transition counts come from the same bucketed
+    per-user sequence shuffle as the matrix query (at most |types|^2
+    rows per bucket leave; journeys never sit on the driver); the
+    fixed points (1 base + one per channel) run on the bounded
+    state catalog. share9 re-normalizes the rounded removal effects."""
+    ds = _tbl(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "event_type"])
+
+    def journeys(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        rows: dict = {}
+        for uid, grp in g.groupby("user_id", sort=False):
+            types = grp["event_type"].tolist()
+            cut = types.index("purchase") if "purchase" in types else None
+            if cut is None:
+                nodes = ["START"] + types + ["NULL"]
+            else:
+                nodes = ["START"] + types[:cut] + ["CONV"]
+            for a, b in zip(nodes[:-1], nodes[1:]):
+                rows[(a, b)] = rows.get((a, b), 0) + 1
+        ks = sorted(rows)
+        return pd.DataFrame({"src": [a for a, _ in ks],
+                             "dst": [b for _, b in ks],
+                             "n": [rows[k] for k in ks]})
+
+    counts = (
+        ds.map_batches(_add_user_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(journeys, batch_format="pandas")
+        .groupby(["src", "dst"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    cells = [(s, d, int(n)) for s, d, n in
+             zip(counts["src"], counts["dst"], counts["n"])]
+    row = {}
+    for s, _, n in cells:
+        row[s] = row.get(s, 0) + n
+    channels = sorted({x for s, d, _ in cells for x in (s, d)}
+                      - {"START", "CONV", "NULL"})
+    upd = channels + ["START"]
+
+    def fixed_point(removed: str | None) -> float:
+        p = {s: 0.0 for s in upd}
+        for _ in range(iters):
+            sums = {s: 0 for s in upd}
+            for s, d, n in cells:
+                if d == "CONV":
+                    pv = 1.0
+                elif d == "NULL" or d == removed:
+                    pv = 0.0
+                else:
+                    pv = p[d]
+                sums[s] += int(round_half_away(
+                    1000000000.0 * pv * float(n) / float(row[s]), 0))
+            p = {s: float(round_half_away(sums[s] / 1000000000.0, 9))
+                 for s in upd}
+            if removed is not None:
+                p[removed] = 0.0
+        return p["START"]
+
+    p_base = fixed_point(None)
+    n_in = {c: 0 for c in channels}
+    for _, d, n in cells:
+        if d in n_in:
+            n_in[d] += n
+    removed = {c: fixed_point(c) for c in channels}
+    removal = {c: float(round_half_away(p_base - removed[c], 9))
+               for c in channels}
+    tot = sum(removal.values())
+    share = {c: (float(round_half_away(removal[c] / tot, 9))
+                 if tot > 0 else 0.0) for c in channels}
+    return pd.DataFrame({
+        "channel": channels,
+        "n_in": pd.array([n_in[c] for c in channels], dtype="int64"),
+        "p_base9": [p_base] * len(channels),
+        "p_removed9": [removed[c] for c in channels],
+        "removal9": [removal[c] for c in channels],
+        "share9": [share[c] for c in channels],
+    })

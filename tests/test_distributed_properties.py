@@ -4606,3 +4606,60 @@ def test_hyperball_layout_and_planted_path(ray_session, tmp_path,
     for i, key in enumerate(keys):
         assert float(out.loc[key, "ball1_est3"]) == expect(balls[i][0]), i
         assert float(out.loc[key, "ball2_est3"]) == expect(balls[i][1]), i
+
+
+def test_markov_removal_layout_and_planted_journeys(ray_session, tmp_path,
+                                                    monkeypatch):
+    """Removal-effect attribution must be block-layout invariant, obey
+    the probability laws (0 <= p_removed <= p_base <= 1, shares
+    renormalize the rounded removals), and on a planted 3-user journey
+    table the fixed point is hand arithmetic: p(click)=0.5,
+    p(view)=0.75, p_base = 2/3*0.75 + 1/3*0.5 = 0.666666667; removing
+    view leaves 1/3*0.5 (removal 0.5), removing click leaves
+    2/3*0.5 (removal 0.333333334)."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.events_markov_removal(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.events_markov_removal(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert (a["p_removed9"] <= a["p_base9"]).all()
+    assert (a["removal9"] >= 0).all()
+    tot = float(a["removal9"].sum())
+    for _, row in a.iterrows():
+        assert abs(float(row["share9"]) - float(row["removal9"]) / tot) < 1e-8
+
+    ts0 = pd.Timestamp("2024-01-01")
+    rows = [
+        (1, ts0, 101, "view"), (2, ts0 + pd.Timedelta("1h"), 101, "purchase"),
+        (3, ts0, 102, "view"), (4, ts0 + pd.Timedelta("1h"), 102, "click"),
+        (5, ts0 + pd.Timedelta("2h"), 102, "purchase"),
+        (6, ts0, 103, "click"),
+    ]
+    tbl = _pa.table({
+        "event_id": _pa.array([e for e, _, _, _ in rows], _pa.int64()),
+        "ts": _pa.array([t for _, t, _, _ in rows],
+                        _pa.timestamp("us")),
+        "user_id": _pa.array([u for _, _, u, _ in rows], _pa.int64()),
+        "event_type": _pa.array([y for _, _, _, y in rows], _pa.string()),
+    })
+    _pq.write_table(tbl, tmp_path / "events.parquet")
+    out = r.events_markov_removal(str(tmp_path)).set_index("channel")
+    assert list(out.index) == ["click", "view"]
+    assert float(out.loc["view", "p_base9"]) == 0.666666667
+    assert int(out.loc["view", "n_in"]) == 2
+    assert int(out.loc["click", "n_in"]) == 2
+    assert float(out.loc["view", "p_removed9"]) == 0.166666667
+    assert float(out.loc["view", "removal9"]) == 0.5
+    assert float(out.loc["click", "p_removed9"]) == 0.333333333
+    assert float(out.loc["click", "removal9"]) == 0.333333334
