@@ -534,6 +534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_mp4_boxes": r.media_mp4_boxes,
         "part_hyperball": r.part_hyperball,
         "events_markov_removal": r.events_markov_removal,
+        "events_page_hinkley": r.events_page_hinkley,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6708,6 +6709,7 @@ def oracle_sql() -> dict[str, str]:
         "media_mp4_boxes": o.media_mp4_boxes_sql(),
         "part_hyperball": o.part_hyperball_sql(),
         "events_markov_removal": o.events_markov_removal_sql(),
+        "events_page_hinkley": o.events_page_hinkley_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

@@ -4136,3 +4136,60 @@ def events_markov_removal_sql(iters: int = 16) -> str:
                     THEN round(removal9 / (SELECT t FROM tot), 9)
                     ELSE 0.0 END AS share9
         FROM rtab ORDER BY channel"""
+
+
+def events_page_hinkley_sql(delta: float = 0.5, lam: float = 20.0) -> str:
+    """Page-Hinkley mirror (relational.events_page_hinkley): per-day
+    exact micro-int ledgers (round-half-away per row), window
+    cumulative sums by day rank, then a recursive CTE walking the SAME
+    9-snapped two-sided recursion m_t = GREATEST(0, round(m_{t-1} +
+    (x_t - mean_t -+ delta), 9)) in mirrored IEEE order."""
+    return f"""
+    WITH RECURSIVE d0 AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT))
+                    AS BIGINT) AS sv,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    d AS MATERIALIZED (
+        SELECT day, sv, n,
+               row_number() OVER (ORDER BY day) AS rn,
+               sum(sv) OVER (ORDER BY day) AS csv,
+               sum(n) OVER (ORDER BY day) AS cn
+        FROM d0
+    ),
+    walk(rn, minc, mdec) AS (
+        SELECT rn,
+               GREATEST(0.0, round(0.0 + ((sv / 1000000.0)
+                   / CAST(n AS DOUBLE)
+                   - (csv / 1000000.0) / CAST(cn AS DOUBLE)
+                   - {delta!r}), 9)),
+               GREATEST(0.0, round(0.0 + ((csv / 1000000.0)
+                   / CAST(cn AS DOUBLE)
+                   - (sv / 1000000.0) / CAST(n AS DOUBLE)
+                   - {delta!r}), 9))
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.rn,
+               GREATEST(0.0, round(w.minc + ((d.sv / 1000000.0)
+                   / CAST(d.n AS DOUBLE)
+                   - (d.csv / 1000000.0) / CAST(d.cn AS DOUBLE)
+                   - {delta!r}), 9)),
+               GREATEST(0.0, round(w.mdec + ((d.csv / 1000000.0)
+                   / CAST(d.cn AS DOUBLE)
+                   - (d.sv / 1000000.0) / CAST(d.n AS DOUBLE)
+                   - {delta!r}), 9))
+        FROM walk w JOIN d ON d.rn = w.rn + 1
+    )
+    SELECT d.day, d.n,
+           round((d.sv / 1000000.0) / CAST(d.n AS DOUBLE), 6) AS xbar6,
+           round((d.csv / 1000000.0) / CAST(d.cn AS DOUBLE), 6)
+               AS cum_mean6,
+           w.minc AS ph_inc9, w.mdec AS ph_dec9,
+           CAST(CASE WHEN w.minc > {lam!r} THEN 1 ELSE 0 END AS BIGINT)
+               AS alarm_inc,
+           CAST(CASE WHEN w.mdec > {lam!r} THEN 1 ELSE 0 END AS BIGINT)
+               AS alarm_dec
+    FROM d JOIN walk w USING (rn)
+    ORDER BY d.day"""

@@ -19240,3 +19240,66 @@ def events_markov_removal(sf_dir: str, iters: int = 16):
         "removal9": [removal[c] for c in channels],
         "share9": [share[c] for c in channels],
     })
+
+
+def events_page_hinkley(sf_dir: str, delta: float = 0.5,
+                        lam: float = 20.0):
+    """Page-Hinkley mean-shift detection over the daily value series —
+    the sequential drift test (Page 1954; Hinkley 1971) a streaming
+    pipeline runs on its own telemetry to catch level shifts that the
+    control-chart's independent-day z-scores miss, because PH
+    ACCUMULATES small deviations: m_t = max(0, m_{t-1} + (x_t -
+    mean_t - delta)) against the running mean, alarming when the
+    cumulative drift exceeds ``lam`` (both directions tracked). Daily
+    sums quantize to exact micro int64 per row before folding
+    (round-half-away), so the only floats are the mirrored divisions
+    and the recursion itself, whose every iterate snaps to 9 decimals
+    (the dp-daily convention) — both engines walk IDENTICAL m_t
+    sequences. One bounded shuffle (per-block day partials into the
+    day catalog); the sequential recursion runs over the bounded day
+    table on the driver, mirrored by a recursive CTE over day rank."""
+    ds = _tbl(sf_dir, "events", columns=["ts", "value"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(batch["ts"], format="%Y-%m-%d")
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        sv = round_half_away(v * 1000000.0, 0).astype(np.int64)
+        t = pa.table({"day": day, "sv": pa.array(sv, pa.int64()),
+                      "one": pa.array(np.ones(len(sv), np.int64),
+                                      pa.int64())})
+        g = t.group_by("day").aggregate([("sv", "sum"), ("one", "sum")])
+        return pa.table({"day": g["day"], "sv": g["sv_sum"],
+                         "n": g["one_sum"]})
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("day")
+           .aggregate(Sum("sv", alias_name="sv"), Sum("n", alias_name="n"))
+           .to_pandas().sort_values("day").reset_index(drop=True))
+    sv = agg["sv"].astype("int64").tolist()
+    n = agg["n"].astype("int64").tolist()
+    minc = mdec = 0.0
+    cum_sv = cum_n = 0
+    xbars, cmeans, incs, decs, ainc, adec = [], [], [], [], [], []
+    for svi, ni in zip(sv, n):
+        cum_sv += int(svi)
+        cum_n += int(ni)
+        x = (svi / 1000000.0) / float(ni)
+        mean = (cum_sv / 1000000.0) / float(cum_n)
+        minc = max(0.0, float(round_half_away(minc + (x - mean - delta), 9)))
+        mdec = max(0.0, float(round_half_away(mdec + (mean - x - delta), 9)))
+        xbars.append(float(round_half_away(x, 6)))
+        cmeans.append(float(round_half_away(mean, 6)))
+        incs.append(minc)
+        decs.append(mdec)
+        ainc.append(1 if minc > lam else 0)
+        adec.append(1 if mdec > lam else 0)
+    return pd.DataFrame({
+        "day": agg["day"],
+        "n": pd.array(n, dtype="int64"),
+        "xbar6": pd.array(xbars, dtype="float64"),
+        "cum_mean6": pd.array(cmeans, dtype="float64"),
+        "ph_inc9": pd.array(incs, dtype="float64"),
+        "ph_dec9": pd.array(decs, dtype="float64"),
+        "alarm_inc": pd.array(ainc, dtype="int64"),
+        "alarm_dec": pd.array(adec, dtype="int64"),
+    })

@@ -4663,3 +4663,43 @@ def test_markov_removal_layout_and_planted_journeys(ray_session, tmp_path,
     assert float(out.loc["view", "removal9"]) == 0.5
     assert float(out.loc["click", "p_removed9"]) == 0.333333333
     assert float(out.loc["click", "removal9"]) == 0.333333334
+
+
+def test_page_hinkley_layout_and_planted_shift(ray_session, tmp_path,
+                                               monkeypatch):
+    """PH must be block-layout invariant, keep both statistics
+    non-negative, and on a planted level shift (three days at 10, three
+    at 30) the increase statistic is hand arithmetic: 0,0,0 then 12.0,
+    19.5, 25.666666667 — first alarm exactly on day 6; the decrease
+    side stays silent."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.events_page_hinkley(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.events_page_hinkley(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert (a["ph_inc9"] >= 0).all() and (a["ph_dec9"] >= 0).all()
+
+    days = pd.to_datetime(
+        ["2024-03-0%d" % d for d in range(1, 7)])
+    vals = [10.0, 10.0, 10.0, 30.0, 30.0, 30.0]
+    tbl = _pa.table({
+        "ts": _pa.array(days, _pa.timestamp("us")),
+        "value": _pa.array(vals, _pa.float64()),
+    })
+    _pq.write_table(tbl, tmp_path / "events.parquet")
+    out = r.events_page_hinkley(str(tmp_path))
+    assert list(out["ph_inc9"]) == [0.0, 0.0, 0.0, 14.5, 26.0, 35.5]
+    assert list(out["alarm_inc"]) == [0, 0, 0, 0, 1, 1]
+    assert list(out["alarm_dec"]) == [0, 0, 0, 0, 0, 0]
+    assert list(out["cum_mean6"])[-1] == 20.0
