@@ -535,6 +535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_hyperball": r.part_hyperball,
         "events_markov_removal": r.events_markov_removal,
         "events_page_hinkley": r.events_page_hinkley,
+        "orders_zonemap_pruning": r.orders_zonemap_pruning,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6710,6 +6711,7 @@ def oracle_sql() -> dict[str, str]:
         "part_hyperball": o.part_hyperball_sql(),
         "events_markov_removal": o.events_markov_removal_sql(),
         "events_page_hinkley": o.events_page_hinkley_sql(),
+        "orders_zonemap_pruning": o.orders_zonemap_pruning_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

@@ -4193,3 +4193,51 @@ def events_page_hinkley_sql(delta: float = 0.5, lam: float = 20.0) -> str:
                AS alarm_dec
     FROM d JOIN walk w USING (rn)
     ORDER BY d.day"""
+
+
+def orders_zonemap_pruning_sql(n_hash: int = 32) -> str:
+    """Zone-map mirror (relational.orders_zonemap_pruning): the same
+    two block rules (o_orderkey % n_hash; strftime %Y%m month), exact
+    epoch_us min/max/count per (layout, block), the identical half-open
+    pruning rule, and one mirrored division for skip_frac6."""
+    return f"""
+    WITH b AS (
+        SELECT layout, blk,
+               min(us) AS mn, max(us) AS mx,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(m) AS BIGINT) AS nm
+        FROM (
+            SELECT o_orderkey % {n_hash} AS blk, 'hash' AS layout,
+                   epoch_us(o_orderdate) AS us,
+                   CASE WHEN o_orderdate >= TIMESTAMP '1996-04-01'
+                         AND o_orderdate < TIMESTAMP '1996-07-01'
+                        THEN 1 ELSE 0 END AS m
+            FROM orders
+            UNION ALL
+            SELECT CAST(strftime(o_orderdate, '%Y%m') AS BIGINT), 'date',
+                   epoch_us(o_orderdate),
+                   CASE WHEN o_orderdate >= TIMESTAMP '1996-04-01'
+                         AND o_orderdate < TIMESTAMP '1996-07-01'
+                        THEN 1 ELSE 0 END
+            FROM orders
+        ) GROUP BY layout, blk
+    ),
+    lim AS (
+        SELECT epoch_us(TIMESTAMP '1996-04-01') AS lo,
+               epoch_us(TIMESTAMP '1996-07-01') AS hi
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(CASE WHEN mx < (SELECT lo FROM lim)
+                          OR mn >= (SELECT hi FROM lim)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+           CAST(sum(cnt) AS BIGINT) AS rows_total,
+           CAST(sum(CASE WHEN mx < (SELECT lo FROM lim)
+                          OR mn >= (SELECT hi FROM lim)
+                         THEN cnt ELSE 0 END) AS BIGINT) AS rows_skipped,
+           round(CAST(sum(CASE WHEN mx < (SELECT lo FROM lim)
+                                OR mn >= (SELECT hi FROM lim)
+                               THEN cnt ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(cnt) AS DOUBLE), 6) AS skip_frac6,
+           CAST(sum(nm) AS BIGINT) AS n_match
+    FROM b GROUP BY layout ORDER BY layout"""

@@ -19303,3 +19303,72 @@ def events_page_hinkley(sf_dir: str, delta: float = 0.5,
         "alarm_inc": pd.array(ainc, dtype="int64"),
         "alarm_dec": pd.array(adec, dtype="int64"),
     })
+
+
+def orders_zonemap_pruning(sf_dir: str, n_hash: int = 32):
+    """Zone-map (min-max) pruning audit — the storage-layout question
+    every 100 TB table answers before anything else: for the same
+    quarter predicate (o_orderdate in [1996-04-01, 1996-07-01)), how
+    many file-partitions can a reader SKIP from footer statistics
+    alone, under a hash layout (o_orderkey % n_hash — the 'just
+    distribute it' default) versus a date-clustered layout (one
+    partition per order month — the sort-key-aware choice)? Per block
+    and layout, one streaming pass emits exact epoch-microsecond
+    min/max/count partials (timestamps never shuffle as values, only
+    the bounded (layout, block) catalog does); a block is pruned iff
+    max < lo or min >= hi — precisely the Parquet row-group /
+    zone-map rule. The verdict rides in skip_frac6: hash layouts skip
+    ~nothing because every block spans the full date range;
+    date-clustered layouts skip every out-of-range month. n_match
+    (the true selected rows) is identical across layouts — pruning
+    changes I/O, never answers."""
+    lo = int(pd.Timestamp("1996-04-01").value // 1000)
+    hi = int(pd.Timestamp("1996-07-01").value // 1000)
+    ds = _tbl(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        us = batch["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        hblk = (keys % n_hash).astype(np.int64)
+        month = pc.strftime(batch["o_orderdate"], format="%Y%m")
+        mblk = month.to_numpy(zero_copy_only=False).astype(np.int64)
+        match = ((us >= lo) & (us < hi)).astype(np.int64)
+        frames = []
+        for layout, blk in (("hash", hblk), ("date", mblk)):
+            df = pd.DataFrame({"blk": blk, "us": us, "m": match})
+            g = df.groupby("blk", as_index=False).agg(
+                mn=("us", "min"), mx=("us", "max"), cnt=("us", "size"),
+                nm=("m", "sum"))
+            g.insert(0, "layout", layout)
+            frames.append(g)
+        out = pd.concat(frames, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    cat = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby(["layout", "blk"])
+           .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"),
+                      Sum("cnt", alias_name="cnt"),
+                      Sum("nm", alias_name="nm"))
+           .to_pandas())
+    rows = []
+    for layout, grp in cat.groupby("layout", sort=True):
+        pruned = (grp["mx"] < lo) | (grp["mn"] >= hi)
+        n_blocks = len(grp)
+        n_pruned = int(pruned.sum())
+        rows_total = int(grp["cnt"].sum())
+        rows_skipped = int(grp.loc[pruned, "cnt"].sum())
+        rows.append({
+            "layout": layout,
+            "n_blocks": n_blocks,
+            "n_pruned": n_pruned,
+            "rows_total": rows_total,
+            "rows_skipped": rows_skipped,
+            "skip_frac6": float(round_half_away(
+                float(rows_skipped) / float(rows_total), 6)),
+            "n_match": int(grp["nm"].sum()),
+        })
+    df = pd.DataFrame(rows)
+    return df.astype({c: "int64" for c in
+                      ("n_blocks", "n_pruned", "rows_total",
+                       "rows_skipped", "n_match")})

@@ -4703,3 +4703,47 @@ def test_page_hinkley_layout_and_planted_shift(ray_session, tmp_path,
     assert list(out["alarm_inc"]) == [0, 0, 0, 0, 1, 1]
     assert list(out["alarm_dec"]) == [0, 0, 0, 0, 0, 0]
     assert list(out["cum_mean6"])[-1] == 20.0
+
+
+def test_zonemap_pruning_layout_and_planted_months(ray_session, tmp_path,
+                                                   monkeypatch):
+    """The zone-map audit must be block-layout invariant (the zone maps
+    are over LOGICAL blocks, not physical ones), report identical
+    n_match under both layouts, and on a planted 4-month table prune
+    exactly the out-of-quarter months under the date layout while the
+    single spanning hash block is unprunable."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.orders_zonemap_pruning(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.orders_zonemap_pruning(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert a["n_match"].nunique() == 1
+    srt = a.set_index("layout")
+    assert srt.loc["date", "skip_frac6"] >= srt.loc["hash", "skip_frac6"]
+
+    dates = pd.to_datetime(["1996-03-15", "1996-04-10", "1996-05-20",
+                            "1996-08-01"])
+    tbl = _pa.table({
+        "o_orderkey": _pa.array([0, 32, 64, 96], _pa.int64()),
+        "o_orderdate": _pa.array(dates, _pa.timestamp("us")),
+    })
+    _pq.write_table(tbl, tmp_path / "orders.parquet")
+    out = r.orders_zonemap_pruning(str(tmp_path)).set_index("layout")
+    assert int(out.loc["date", "n_blocks"]) == 4
+    assert int(out.loc["date", "n_pruned"]) == 2
+    assert int(out.loc["date", "rows_skipped"]) == 2
+    assert float(out.loc["date", "skip_frac6"]) == 0.5
+    assert int(out.loc["hash", "n_blocks"]) == 1
+    assert int(out.loc["hash", "n_pruned"]) == 0
+    assert int(out.loc["hash", "n_match"]) == 2
