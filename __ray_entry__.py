@@ -536,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_markov_removal": r.events_markov_removal,
         "events_page_hinkley": r.events_page_hinkley,
         "orders_zonemap_pruning": r.orders_zonemap_pruning,
+        "media_tiff_dims": r.media_tiff_dims,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6712,6 +6713,7 @@ def oracle_sql() -> dict[str, str]:
         "events_markov_removal": o.events_markov_removal_sql(),
         "events_page_hinkley": o.events_page_hinkley_sql(),
         "orders_zonemap_pruning": o.orders_zonemap_pruning_sql(),
+        "media_tiff_dims": o.media_tiff_dims_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

@@ -4241,3 +4241,102 @@ def orders_zonemap_pruning_sql(n_hash: int = 32) -> str:
                  / CAST(sum(cnt) AS DOUBLE), 6) AS skip_frac6,
            CAST(sum(nm) AS BIGINT) AS n_match
     FROM b GROUP BY layout ORDER BY layout"""
+
+
+def media_tiff_dims_sql(max_entries: int = 16) -> str:
+    """TIFF IFD mirror (relational.media_tiff_dims): every integer is
+    assembled from per-byte hex reads under a CASE'd endian branch
+    (row byte-order mark 'II'/'MM' == hex '4949'/'4D4D'), the first
+    IFD's 12-byte entries are joined against a bounded range capped at
+    LEAST(n_entries, max_entries), the width honors the SHORT/LONG
+    type branch (left-justified u16 vs full u32), and the per-tag
+    fields fold with max() over the single-occurrence tags."""
+    from .pipelines.relational import media_tiff_table_path
+
+    def by(pos: str, off: int = 0) -> str:
+        return (f"CAST(CAST('0x' || substr(h, 2 * ({pos} + {off}) + 1, 2) "
+                f"AS UBIGINT) AS BIGINT)")
+
+    def u16(pos: str, off: int = 0) -> str:
+        return (f"(CASE WHEN is_le = 1 "
+                f"THEN {by(pos, off)} + 256 * {by(pos, off + 1)} "
+                f"ELSE 256 * {by(pos, off)} + {by(pos, off + 1)} END)")
+
+    def u32(pos: str, off: int = 0) -> str:
+        return (f"(CASE WHEN is_le = 1 "
+                f"THEN {by(pos, off)} + 256 * {by(pos, off + 1)} "
+                f"+ 65536 * {by(pos, off + 2)} "
+                f"+ 16777216 * {by(pos, off + 3)} "
+                f"ELSE 16777216 * {by(pos, off)} + 65536 * {by(pos, off + 1)} "
+                f"+ 256 * {by(pos, off + 2)} + {by(pos, off + 3)} END)")
+
+    return f"""
+    WITH raw AS (
+        SELECT media_id, decl_w, decl_h, hex(payload) AS h
+        FROM read_parquet({_q(media_tiff_table_path())})
+    ),
+    base AS (
+        SELECT media_id, decl_w, decl_h, h,
+               CASE WHEN substr(h, 1, 4) = '4949' THEN 1 ELSE 0 END AS is_le
+        FROM raw
+    ),
+    hdr AS (
+        SELECT media_id, decl_w, decl_h, h, is_le,
+               CASE WHEN len(h) >= 16
+                     AND substr(h, 1, 4) IN ('4949', '4D4D')
+                     AND {u16('2')} = 42
+                    THEN 1 ELSE 0 END AS magic_ok
+        FROM base
+    ),
+    ifd AS (
+        SELECT media_id, decl_w, decl_h, is_le, h, magic_ok,
+               CASE WHEN magic_ok = 1 THEN {u32('4')} ELSE 0 END AS ifd_off
+        FROM hdr
+    ),
+    cnt AS (
+        SELECT i.*, CASE WHEN magic_ok = 1
+                         THEN {u16('i.ifd_off')} ELSE 0 END AS n_entries
+        FROM ifd i
+    ),
+    ent AS (
+        SELECT c.media_id,
+               {u16('(c.ifd_off + 2 + 12 * r.j)')} AS tag,
+               {u16('(c.ifd_off + 2 + 12 * r.j)', 2)} AS typ,
+               CASE WHEN {u16('(c.ifd_off + 2 + 12 * r.j)', 2)} = 4
+                    THEN {u32('(c.ifd_off + 2 + 12 * r.j)', 8)}
+                    ELSE {u16('(c.ifd_off + 2 + 12 * r.j)', 8)} END AS val
+        FROM cnt c
+        JOIN (SELECT unnest(range(0, {max_entries})) AS j) r
+          ON r.j < LEAST(c.n_entries, {max_entries})
+        WHERE c.magic_ok = 1
+    ),
+    tags AS (
+        SELECT media_id,
+               max(CASE WHEN tag = 256 THEN 1 ELSE 0 END) AS has_width,
+               max(CASE WHEN tag = 256 AND typ = 4 THEN 1 ELSE 0 END)
+                   AS width_is_long,
+               max(CASE WHEN tag = 256 THEN val ELSE 0 END) AS width,
+               max(CASE WHEN tag = 257 THEN val ELSE 0 END) AS height,
+               max(CASE WHEN tag = 258 THEN val ELSE 0 END) AS bits,
+               max(CASE WHEN tag = 277 THEN val ELSE 0 END) AS samples
+        FROM ent GROUP BY media_id
+    )
+    SELECT c.media_id, c.magic_ok, c.is_le,
+           c.ifd_off, c.n_entries,
+           coalesce(t.has_width, 0) AS has_width,
+           coalesce(t.width_is_long, 0) AS width_is_long,
+           coalesce(t.width, 0) AS width,
+           coalesce(t.height, 0) AS height,
+           coalesce(t.bits, 0) AS bits,
+           coalesce(t.samples, 0) AS samples,
+           c.decl_w, c.decl_h,
+           CASE WHEN coalesce(t.width, 0) > 0
+                 AND coalesce(t.height, 0) > 0 THEN 1 ELSE 0 END
+               AS valid_dims,
+           CASE WHEN coalesce(t.width, 0) = c.decl_w
+                 AND coalesce(t.height, 0) = c.decl_h THEN 1 ELSE 0 END
+               AS decl_ok,
+           CASE WHEN coalesce(t.width, 0) * coalesce(t.height, 0)
+                    > 16700000 THEN 1 ELSE 0 END AS is_bomb
+    FROM cnt c LEFT JOIN tags t USING (media_id)
+    ORDER BY c.media_id"""

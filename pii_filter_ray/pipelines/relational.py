@@ -19372,3 +19372,106 @@ def orders_zonemap_pruning(sf_dir: str, n_hash: int = 32):
     return df.astype({c: "int64" for c in
                       ("n_blocks", "n_pruned", "rows_total",
                        "rows_skipped", "n_match")})
+
+
+_MEDIA_TIFF_CACHE = "/tmp/pii_ray_media/media_tiff_n96_s31.parquet"
+
+
+def media_tiff_table_path() -> str:
+    """Materializes (once) the TIFF endian-branch fixture so both engines
+    read the same parquet (the media_*_table_path discipline)."""
+    from ..stages.multimodal import synthesize_tiff_media_table
+
+    if not os.path.exists(_MEDIA_TIFF_CACHE):
+        import tempfile
+
+        os.makedirs(os.path.dirname(_MEDIA_TIFF_CACHE), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(_MEDIA_TIFF_CACHE), suffix=".tmp")
+        os.close(fd)
+        pq.write_table(synthesize_tiff_media_table(n_rows=96, seed=31), tmp)
+        os.replace(tmp, _MEDIA_TIFF_CACHE)
+    return _MEDIA_TIFF_CACHE
+
+
+def media_tiff_dims(sf_dir: str, max_entries: int = 16):
+    """TIFF IFD audit — the pre-decode screen family's ENDIANNESS
+    BRANCH member: the first two bytes ('II'/'MM') flip the byte order
+    of EVERY subsequent multi-byte read (magic 42, the u32 IFD offset,
+    the entry count, each 12-byte entry's tag/type/value), and the
+    ImageWidth entry's TYPE alternates SHORT/LONG — left-justified
+    2-byte values vs full 4-byte values, the classic TIFF reader trap
+    a naive fixed-offset parser fails three different ways. The engine
+    scans the first IFD's entries (capped at ``max_entries``) for tags
+    256/257/258/277 among decoys; the SQL mirror joins the same entry
+    positions against a bounded range and assembles every integer from
+    per-byte hex reads under a CASE'd endian branch. Same planted
+    defect classes as the family (corrupt magic / zero width / +16 px
+    catalog drift / 64-MPix bomb) plus a MISSING-width-tag class —
+    dims can be absent, not just wrong. Payloads never shuffle;
+    strip/tile decode stays with the codec stub."""
+    ds = ray.data.read_parquet(media_tiff_table_path())
+
+    def parse(batch: pa.Table) -> pa.Table:
+        cols = ("media_id", "magic_ok", "is_le", "ifd_off", "n_entries",
+                "has_width", "width_is_long", "width", "height", "bits",
+                "samples", "decl_w", "decl_h", "valid_dims", "decl_ok",
+                "is_bomb")
+        out = {k: [] for k in cols}
+        for mid, pay, dwv, dhv in zip(batch["media_id"].to_pylist(),
+                                      batch["payload"].to_pylist(),
+                                      batch["decl_w"].to_pylist(),
+                                      batch["decl_h"].to_pylist()):
+            is_le = int(len(pay) >= 2 and pay[:2] == b"II")
+
+            def u16(p: int) -> int:
+                return (pay[p] + (pay[p + 1] << 8) if is_le
+                        else (pay[p] << 8) + pay[p + 1])
+
+            def u32(p: int) -> int:
+                if is_le:
+                    return (pay[p] + (pay[p + 1] << 8)
+                            + (pay[p + 2] << 16) + (pay[p + 3] << 24))
+                return ((pay[p] << 24) + (pay[p + 1] << 16)
+                        + (pay[p + 2] << 8) + pay[p + 3])
+
+            magic = int(len(pay) >= 8 and pay[:2] in (b"II", b"MM")
+                        and u16(2) == 42)
+            ifd = nent = hasw = wlong = w = h = bits = samp = 0
+            if magic:
+                ifd = u32(4)
+                nent = u16(ifd)
+                for j in range(min(nent, max_entries)):
+                    p = ifd + 2 + 12 * j
+                    tag, typ = u16(p), u16(p + 2)
+                    val = u32(p + 8) if typ == 4 else u16(p + 8)
+                    if tag == 256:
+                        hasw, wlong, w = 1, int(typ == 4), val
+                    elif tag == 257:
+                        h = val
+                    elif tag == 258:
+                        bits = val
+                    elif tag == 277:
+                        samp = val
+            out["media_id"].append(mid)
+            out["magic_ok"].append(magic)
+            out["is_le"].append(is_le)
+            out["ifd_off"].append(ifd)
+            out["n_entries"].append(nent)
+            out["has_width"].append(hasw)
+            out["width_is_long"].append(wlong)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["bits"].append(bits)
+            out["samples"].append(samp)
+            out["decl_w"].append(dwv)
+            out["decl_h"].append(dhv)
+            out["valid_dims"].append(int(w > 0 and h > 0))
+            out["decl_ok"].append(int(w == dwv and h == dhv))
+            out["is_bomb"].append(int(w * h > 16700000))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    df = ds.map_batches(parse, batch_format="pyarrow").to_pandas()
+    return (df.astype({k: "int64" for k in df.columns})
+            .sort_values("media_id", kind="mergesort")
+            .reset_index(drop=True))

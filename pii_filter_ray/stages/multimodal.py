@@ -564,3 +564,72 @@ def synthesize_mp4_media_table(n_rows: int = 96, seed: int = 29) -> pa.Table:
         "payload": pa.array(payloads, pa.binary()),
         "decl_ms": pa.array(decl, pa.int64()),
     })
+
+
+def synthesize_tiff_media_table(n_rows: int = 96, seed: int = 31) -> pa.Table:
+    """Deterministic image table whose payloads carry real TIFF
+    structure — and the family's first ENDIANNESS BRANCH: rows
+    alternate little-endian ('II') and big-endian ('MM') headers, so
+    every multi-byte read (magic 42, IFD offset, entry count, tags,
+    values) must switch byte order per row. The first IFD sits behind
+    i%5 padding bytes (the offset is data, not a constant), holds 12-
+    byte entries mixing decoy tags (258 BitsPerSample, 259 Compression,
+    277 SamplesPerPixel) with ImageWidth(256)/ImageLength(257), and the
+    width entry's TYPE alternates SHORT(3)/LONG(4) with i%3 — left-
+    justified 2-byte values vs full 4-byte values, the classic TIFF
+    reader trap. Planted defect classes on the family's coprime
+    cycles: every 13th magic is 43, every 11th declares ZERO width,
+    every 7th row's catalog width drifted +16 px, every 17th declares
+    8000x8000 (64-MPix bomb), every 19th has NO width tag at all.
+    Strip/tile decode stays with the codec stub."""
+    import random
+    import struct
+
+    rng = random.Random(seed)
+    dims = [(64, 64), (128, 96), (320, 200), (640, 480), (16, 16)]
+    ids, payloads, dw, dh = [], [], [], []
+    for i in range(n_rows):
+        w, h = dims[i % len(dims)]
+        if i % 17 == 9:
+            w, h = 8000, 8000
+        hdr_w = 0 if i % 11 == 4 else w
+        le = i % 2 == 0
+        e = "<" if le else ">"
+        pad = rng.randbytes(i % 5)
+        ifd_off = 8 + len(pad)
+        magic = 42 if i % 13 != 6 else 43
+        width_long = i % 3 == 0
+        entries = []
+        if i % 19 != 12:
+            if width_long:
+                entries.append(struct.pack(e + "HHI", 256, 4, 1)
+                               + struct.pack(e + "I", hdr_w))
+            else:
+                entries.append(struct.pack(e + "HHI", 256, 3, 1)
+                               + struct.pack(e + "H", hdr_w) + b"\x00\x00")
+        entries.append(struct.pack(e + "HHI", 257, 3, 1)
+                       + struct.pack(e + "H", h) + b"\x00\x00")
+        entries.append(struct.pack(e + "HHI", 258, 3, 1)
+                       + struct.pack(e + "H", 8) + b"\x00\x00")
+        if i % 2 == 0:
+            entries.append(struct.pack(e + "HHI", 259, 3, 1)
+                           + struct.pack(e + "H", 1) + b"\x00\x00")
+        entries.append(struct.pack(e + "HHI", 277, 3, 1)
+                       + struct.pack(e + "H", 3) + b"\x00\x00")
+        ifd = (struct.pack(e + "H", len(entries)) + b"".join(entries)
+               + struct.pack(e + "I", 0))
+        payload = ((b"II" if le else b"MM")
+                   + struct.pack(e + "H", magic)
+                   + struct.pack(e + "I", ifd_off)
+                   + pad + ifd + rng.randbytes(rng.randint(16, 64)))
+        decl_w = w + 16 if i % 7 == 3 else w
+        ids.append(i)
+        payloads.append(payload)
+        dw.append(decl_w)
+        dh.append(h)
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+        "decl_w": pa.array(dw, pa.int64()),
+        "decl_h": pa.array(dh, pa.int64()),
+    })

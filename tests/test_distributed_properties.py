@@ -4747,3 +4747,51 @@ def test_zonemap_pruning_layout_and_planted_months(ray_session, tmp_path,
     assert int(out.loc["hash", "n_blocks"]) == 1
     assert int(out.loc["hash", "n_pruned"]) == 0
     assert int(out.loc["hash", "n_match"]) == 2
+
+
+def test_tiff_dims_endian_branch_and_planted_defects(ray_session):
+    """The TIFF audit must recover each planted defect class exactly on
+    its construction cycle, read the SAME logical values through BOTH
+    byte orders (is_le = 1 - i%2 parity census), honor the SHORT/LONG
+    width-type branch (width_is_long = [i%3 == 0]), pin the padded IFD
+    offset (8 + i%5) and the entry count (5 - i%2, minus a missing
+    width tag every 19th), and zero every parse field on corrupt-magic
+    rows."""
+    from pii_filter_ray.pipelines import relational as r
+
+    out = r.media_tiff_dims("unused").set_index("media_id")
+    assert len(out) == 96
+    for i in range(96):
+        row = out.loc[i]
+        assert int(row["is_le"]) == (1 if i % 2 == 0 else 0)
+        if i % 13 == 6:
+            assert int(row["magic_ok"]) == 0
+            for c in ("ifd_off", "n_entries", "has_width", "width",
+                      "height", "bits", "samples", "valid_dims",
+                      "decl_ok", "is_bomb"):
+                assert int(row[c]) == 0, (i, c)
+            continue
+        assert int(row["magic_ok"]) == 1
+        assert int(row["ifd_off"]) == 8 + i % 5
+        n_exp = (4 if i % 2 == 0 else 3) + (1 if i % 19 != 12 else 0)
+        assert int(row["n_entries"]) == n_exp
+        assert int(row["bits"]) == 8
+        assert int(row["samples"]) == 3
+        if i % 19 == 12:
+            assert int(row["has_width"]) == 0
+            assert int(row["width"]) == 0
+            assert int(row["valid_dims"]) == 0
+            assert int(row["decl_ok"]) == 0
+            continue
+        assert int(row["has_width"]) == 1
+        assert int(row["width_is_long"]) == (1 if i % 3 == 0 else 0)
+        w, h = [(64, 64), (128, 96), (320, 200), (640, 480), (16, 16)][i % 5]
+        if i % 17 == 9:
+            w, h = 8000, 8000
+        hdr_w = 0 if i % 11 == 4 else w
+        assert int(row["width"]) == hdr_w
+        assert int(row["height"]) == h
+        decl_w = w + 16 if i % 7 == 3 else w
+        assert int(row["decl_ok"]) == int(hdr_w == decl_w
+                                          and h == int(row["decl_h"]))
+        assert int(row["is_bomb"]) == int(hdr_w * h > 16700000)
