@@ -537,6 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_page_hinkley": r.events_page_hinkley,
         "orders_zonemap_pruning": r.orders_zonemap_pruning,
         "media_tiff_dims": r.media_tiff_dims,
+        "events_shapley_attribution": r.events_shapley_attribution,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6714,6 +6715,7 @@ def oracle_sql() -> dict[str, str]:
         "events_page_hinkley": o.events_page_hinkley_sql(),
         "orders_zonemap_pruning": o.orders_zonemap_pruning_sql(),
         "media_tiff_dims": o.media_tiff_dims_sql(),
+        "events_shapley_attribution": o.events_shapley_attribution_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

@@ -4340,3 +4340,99 @@ def media_tiff_dims_sql(max_entries: int = 16) -> str:
                     > 16700000 THEN 1 ELSE 0 END AS is_bomb
     FROM cnt c LEFT JOIN tags t USING (media_id)
     ORDER BY c.media_id"""
+
+
+def events_shapley_attribution_sql() -> str:
+    """Shapley mirror (relational.events_shapley_attribution): journeys
+    rebuilt as (user, day) sessions cut at the first 'purchase'
+    (window row_number), channel indices by name rank, session masks
+    as DISTINCT bit sums, the coalition lattice as a bounded range,
+    v(T) by the subset join (mask & T) = mask with the zero-guard, and
+    the exact Shapley sum with factorial weights (exact doubles
+    through 10!) and every term round(1e9 * w * (v1 - v0)) snapped to
+    nano BIGINT — order-free on both engines."""
+    return """
+    WITH seq AS MATERIALIZED (
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+                   ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ),
+    cut AS MATERIALIZED (
+        SELECT user_id, day, min(rn) AS cut FROM seq
+        WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    pref AS MATERIALIZED (
+        SELECT DISTINCT s.user_id, s.day, s.event_type
+        FROM seq s LEFT JOIN cut USING (user_id, day)
+        WHERE cut.cut IS NULL OR s.rn < cut.cut
+    ),
+    ch AS (SELECT DISTINCT event_type AS st FROM pref),
+    chidx AS MATERIALIZED (
+        SELECT st, CAST(row_number() OVER (ORDER BY st) - 1 AS BIGINT)
+                   AS ix
+        FROM ch
+    ),
+    kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM chidx),
+    jall AS (SELECT DISTINCT user_id, day FROM seq),
+    jm AS (
+        SELECT p.user_id, p.day,
+               sum(DISTINCT (1::BIGINT << ci.ix)) AS mask
+        FROM pref p JOIN chidx ci ON ci.st = p.event_type
+        GROUP BY 1, 2
+    ),
+    jmask AS MATERIALIZED (
+        SELECT a.user_id, a.day, coalesce(jm.mask, 0) AS mask,
+               CASE WHEN c.cut IS NOT NULL THEN 1 ELSE 0 END AS conv
+        FROM jall a
+        LEFT JOIN jm USING (user_id, day)
+        LEFT JOIN cut c USING (user_id, day)
+    ),
+    magg AS MATERIALIZED (
+        SELECT mask, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(conv) AS BIGINT) AS nc
+        FROM jmask GROUP BY mask
+    ),
+    coal AS (
+        SELECT unnest(range(0, (SELECT 1::BIGINT << k FROM kk))) AS t
+    ),
+    vt AS MATERIALIZED (
+        SELECT t.t, coalesce(sum(m.n), 0) AS n, coalesce(sum(m.nc), 0) AS c
+        FROM coal t LEFT JOIN magg m ON (m.mask & t.t) = m.mask
+        GROUP BY t.t
+    ),
+    vv AS MATERIALIZED (
+        SELECT t, CASE WHEN n > 0 THEN CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                       ELSE 0.0 END AS v
+        FROM vt
+    ),
+    terms AS (
+        SELECT ci.st AS channel,
+               CAST(sum(CAST(round(1000000000.0
+                   * (factorial(CAST(bit_count(t.t) AS INTEGER))
+                      * factorial(CAST((SELECT k FROM kk)
+                                       - bit_count(t.t) - 1 AS INTEGER))
+                      / factorial(CAST((SELECT k FROM kk) AS INTEGER)))
+                   * (v1.v - v0.v), 0) AS BIGINT)) AS BIGINT) AS nano
+        FROM chidx ci
+        JOIN coal t ON (t.t & (1::BIGINT << ci.ix)) = 0
+        JOIN vv v0 ON v0.t = t.t
+        JOIN vv v1 ON v1.t = (t.t | (1::BIGINT << ci.ix))
+        GROUP BY ci.st
+    ),
+    nwith AS (
+        SELECT ci.st AS channel, CAST(sum(m.n) AS BIGINT) AS n_with
+        FROM chidx ci JOIN magg m ON (m.mask & (1::BIGINT << ci.ix)) != 0
+        GROUP BY ci.st
+    )
+    SELECT t.channel,
+           coalesce(nw.n_with, 0) AS n_with,
+           round(t.nano / 1000000000.0, 9) AS shapley9,
+           round((SELECT v FROM vv
+                  WHERE t = (SELECT (1::BIGINT << k) - 1 FROM kk)), 9)
+               AS v_full9,
+           round((SELECT v FROM vv WHERE t = 0), 9) AS v_empty9
+    FROM terms t LEFT JOIN nwith nw USING (channel)
+    ORDER BY t.channel"""

@@ -19475,3 +19475,95 @@ def media_tiff_dims(sf_dir: str, max_entries: int = 16):
     return (df.astype({k: "int64" for k in df.columns})
             .sort_values("media_id", kind="mergesort")
             .reset_index(drop=True))
+
+
+def events_shapley_attribution(sf_dir: str):
+    """Exact Shapley-value attribution (Shapley 1953; the
+    coalition-game counterpart of events_markov_removal's chain
+    surgery): each user's pre-conversion journey contributes its SET
+    of touched channels, the characteristic function v(T) is the
+    conversion rate among journeys whose channel set fits inside
+    coalition T (journey = one (user, day) SESSION up to its first
+    'purchase' — the session scoping that leaves real non-converting
+    coalitions), and each channel's credit is the exact Shapley sum
+    phi_i = sum_T |T|!(k-|T|-1)!/k! (v(T+i) - v(T)) over the 2^k
+    coalition lattice. Negative credits are real (a channel whose
+    presence predicts NON-conversion earns one) — the game-theoretic
+    signal removal effects blur. ONE bounded shuffle: per-user-bucket
+    journeys fold to canonical channel-set strings (at most 2^k x 2
+    partial rows per block); the lattice walk runs on the driver's
+    bounded coalition catalog with every term round(1e9 * w *
+    (v1 - v0)) snapped to nano int64 so the sum is order-free, the
+    factorial weights exact integer products, and v one mirrored
+    division. v_full/v_empty ride along as the efficiency-axiom
+    context (sum phi = v_full - v_empty up to nano rounding). Weights
+    stay float-exact through k <= 10 channels — the event-type
+    catalog's regime by construction."""
+    from math import factorial
+
+    ds = _tbl(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "event_type"])
+
+    def journeys(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g["day"] = g["ts"].dt.strftime("%Y-%m-%d")
+        acc: dict = {}
+        for _, grp in g.groupby(["user_id", "day"], sort=False):
+            types = grp["event_type"].tolist()
+            cut = types.index("purchase") if "purchase" in types else None
+            prefix = types[:cut] if cut is not None else types
+            key = ("|".join(sorted(set(prefix))),
+                   1 if cut is not None else 0)
+            acc[key] = acc.get(key, 0) + 1
+        ks = sorted(acc)
+        return pd.DataFrame({"chanset": [c for c, _ in ks],
+                             "conv": [v for _, v in ks],
+                             "n": [acc[k] for k in ks]})
+
+    agg = (
+        ds.map_batches(_add_user_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(journeys, batch_format="pandas")
+        .groupby(["chanset", "conv"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    channels = sorted({c for s in agg["chanset"] for c in s.split("|") if c})
+    k = len(channels)
+    idx = {c: i for i, c in enumerate(channels)}
+    masks: dict = {}
+    for s, cv, n in zip(agg["chanset"], agg["conv"], agg["n"]):
+        m = 0
+        for c in s.split("|"):
+            if c:
+                m |= 1 << idx[c]
+        cnt, conv = masks.get(m, (0, 0))
+        masks[m] = (cnt + int(n), conv + int(cv) * int(n))
+    nt, ct = {}, {}
+    for t in range(1 << k):
+        nt[t] = sum(n for m, (n, _) in masks.items() if (m & t) == m)
+        ct[t] = sum(c for m, (_, c) in masks.items() if (m & t) == m)
+    v = {t: (float(ct[t]) / float(nt[t]) if nt[t] > 0 else 0.0)
+         for t in range(1 << k)}
+    full, empty = v[(1 << k) - 1], v[0]
+    rows = []
+    for c in channels:
+        i = idx[c]
+        nano = 0
+        for t in range(1 << k):
+            if t & (1 << i):
+                continue
+            w = float(factorial(bin(t).count("1"))
+                      * factorial(k - bin(t).count("1") - 1)) \
+                / float(factorial(k))
+            nano += int(round_half_away(
+                1000000000.0 * w * (v[t | (1 << i)] - v[t]), 0))
+        n_with = sum(n for m, (n, _) in masks.items() if m & (1 << i))
+        rows.append({
+            "channel": c,
+            "n_with": n_with,
+            "shapley9": float(round_half_away(nano / 1000000000.0, 9)),
+            "v_full9": float(round_half_away(full, 9)),
+            "v_empty9": float(round_half_away(empty, 9)),
+        })
+    return pd.DataFrame(rows).astype({"n_with": "int64"})

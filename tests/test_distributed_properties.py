@@ -4795,3 +4795,58 @@ def test_tiff_dims_endian_branch_and_planted_defects(ray_session):
         assert int(row["decl_ok"]) == int(hdr_w == decl_w
                                           and h == int(row["decl_h"]))
         assert int(row["is_bomb"]) == int(hdr_w * h > 16700000)
+
+
+def test_shapley_attribution_layout_and_planted_lattice(ray_session,
+                                                        tmp_path,
+                                                        monkeypatch):
+    """Shapley attribution must be block-layout invariant, satisfy the
+    efficiency axiom (sum phi = v_full - v_empty up to nano rounding),
+    and on a planted 5-session 2-channel lattice the values are hand
+    arithmetic: v(empty)=1, v(view)=1, v(click)=0.5, v(full)=0.8 give
+    phi_view = 0.15 and phi_click = -0.35 — a NEGATIVE credit."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.events_shapley_attribution(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.events_shapley_attribution(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert abs(float(a["shapley9"].sum())
+               - (float(a["v_full9"].iloc[0])
+                  - float(a["v_empty9"].iloc[0]))) < 1e-7
+
+    ts0 = pd.Timestamp("2024-01-01 08:00")
+    h = pd.Timedelta("1h")
+    rows = [
+        (1, ts0, 1, "view"), (2, ts0 + h, 1, "purchase"),
+        (3, ts0, 2, "view"), (4, ts0 + h, 2, "purchase"),
+        (5, ts0, 3, "click"),
+        (6, ts0, 4, "view"), (7, ts0 + h, 4, "click"),
+        (8, ts0 + 2 * h, 4, "purchase"),
+        (9, ts0, 5, "purchase"),
+    ]
+    tbl = _pa.table({
+        "event_id": _pa.array([e for e, _, _, _ in rows], _pa.int64()),
+        "ts": _pa.array([t for _, t, _, _ in rows], _pa.timestamp("us")),
+        "user_id": _pa.array([u for _, _, u, _ in rows], _pa.int64()),
+        "event_type": _pa.array([y for _, _, _, y in rows], _pa.string()),
+    })
+    _pq.write_table(tbl, tmp_path / "events.parquet")
+    out = r.events_shapley_attribution(str(tmp_path)).set_index("channel")
+    assert list(out.index) == ["click", "view"]
+    assert float(out.loc["view", "shapley9"]) == 0.15
+    assert float(out.loc["click", "shapley9"]) == -0.35
+    assert float(out.loc["view", "v_full9"]) == 0.8
+    assert float(out.loc["view", "v_empty9"]) == 1.0
+    assert int(out.loc["view", "n_with"]) == 3
+    assert int(out.loc["click", "n_with"]) == 2
