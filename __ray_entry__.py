@@ -538,6 +538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_zonemap_pruning": r.orders_zonemap_pruning,
         "media_tiff_dims": r.media_tiff_dims,
         "events_shapley_attribution": r.events_shapley_attribution,
+        "doc_compaction_plan": r.doc_compaction_plan,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6716,6 +6717,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_zonemap_pruning": o.orders_zonemap_pruning_sql(),
         "media_tiff_dims": o.media_tiff_dims_sql(),
         "events_shapley_attribution": o.events_shapley_attribution_sql(),
+        "doc_compaction_plan": o.doc_compaction_plan_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

@@ -4436,3 +4436,33 @@ def events_shapley_attribution_sql() -> str:
            round((SELECT v FROM vv WHERE t = 0), 9) AS v_empty9
     FROM terms t LEFT JOIN nwith nw USING (channel)
     ORDER BY t.channel"""
+
+
+def doc_compaction_plan_sql(capacity: int = 4000) -> str:
+    """Next-fit mirror (relational.doc_compaction_plan): the shard
+    catalog grouped from documents, rank by lang within source, then a
+    recursive CTE advancing one shard per step with the identical
+    integer load/close rule (close when load > 0 and load + sz >
+    capacity; an oversized shard rides alone)."""
+    return f"""
+    WITH RECURSIVE cat AS MATERIALIZED (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sz,
+               row_number() OVER (PARTITION BY source ORDER BY lang)
+                   AS rn
+        FROM documents GROUP BY source, lang
+    ),
+    walk(source, rn, bin_id, load) AS (
+        SELECT source, rn, 0::BIGINT, sz FROM cat WHERE rn = 1
+        UNION ALL
+        SELECT c.source, c.rn,
+               CASE WHEN w.load > 0 AND w.load + c.sz > {capacity}
+                    THEN w.bin_id + 1 ELSE w.bin_id END,
+               CASE WHEN w.load > 0 AND w.load + c.sz > {capacity}
+                    THEN c.sz ELSE w.load + c.sz END
+        FROM walk w JOIN cat c
+          ON c.source = w.source AND c.rn = w.rn + 1
+    )
+    SELECT c.source, c.lang, c.n_docs, c.sz, w.bin_id
+    FROM cat c JOIN walk w ON w.source = c.source AND w.rn = c.rn
+    ORDER BY c.source, c.lang"""

@@ -19567,3 +19567,56 @@ def events_shapley_attribution(sf_dir: str):
             "v_empty9": float(round_half_away(empty, 9)),
         })
     return pd.DataFrame(rows).astype({"n_with": "int64"})
+
+
+def doc_compaction_plan(sf_dir: str, capacity: int = 4000):
+    """Small-files compaction planning — the metadata-scale operator a
+    100 TB lake runs nightly: pack each source's per-language shards
+    (size = exact char count, the byte proxy) into target-capacity
+    output files by the NEXT-FIT rule (shards in deterministic lang
+    order; if the open bin cannot take the next shard, close it and
+    open a new one — an oversized shard rides alone in its own bin).
+    The planner never touches document bytes: ONE bounded shuffle
+    folds per-block (source, lang) count/size partials into the shard
+    catalog, and the sequential packing walks that bounded catalog on
+    the driver — exactly how a real compactor plans over file manifest
+    METADATA, not data. All arithmetic is integer-exact; the SQL
+    mirror advances a recursive CTE per source by the identical
+    load/close rule. bin_id is 0-based within source, so the plan is
+    resumable per source partition."""
+    ds = _tbl(sf_dir, "documents", columns=["source", "lang", "n_chars"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = pa.table({"source": batch["source"], "lang": batch["lang"],
+                      "sz": batch["n_chars"],
+                      "one": pa.array(np.ones(batch.num_rows, np.int64),
+                                      pa.int64())})
+        g = t.group_by(["source", "lang"]).aggregate(
+            [("sz", "sum"), ("one", "sum")])
+        return pa.table({"source": g["source"], "lang": g["lang"],
+                         "sz": g["sz_sum"], "n": g["one_sum"]})
+
+    cat = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby(["source", "lang"])
+           .aggregate(Sum("sz", alias_name="sz"), Sum("n", alias_name="n"))
+           .to_pandas()
+           .sort_values(["source", "lang"], kind="mergesort")
+           .reset_index(drop=True))
+    bins = []
+    cur_src, load, bin_id = None, 0, 0
+    for src, sz in zip(cat["source"], cat["sz"]):
+        sz = int(sz)
+        if src != cur_src:
+            cur_src, bin_id, load = src, 0, sz
+        elif load > 0 and load + sz > capacity:
+            bin_id, load = bin_id + 1, sz
+        else:
+            load += sz
+        bins.append(bin_id)
+    return pd.DataFrame({
+        "source": cat["source"],
+        "lang": cat["lang"],
+        "n_docs": cat["n"].astype("int64"),
+        "sz": cat["sz"].astype("int64"),
+        "bin_id": pd.array(bins, dtype="int64"),
+    })

@@ -4850,3 +4850,53 @@ def test_shapley_attribution_layout_and_planted_lattice(ray_session,
     assert float(out.loc["view", "v_empty9"]) == 1.0
     assert int(out.loc["view", "n_with"]) == 3
     assert int(out.loc["click", "n_with"]) == 2
+
+
+def test_compaction_plan_layout_and_planted_packing(ray_session, tmp_path,
+                                                    monkeypatch):
+    """The compaction plan must be block-layout invariant, respect the
+    next-fit invariants (bin_ids start at 0 per source and step by at
+    most 1 in lang order; no bin except oversize-singletons exceeds
+    capacity), and pack a planted shard sequence exactly: sizes
+    [3000, 900, 900, 5000, 100] at capacity 4000 -> bins
+    [0, 0, 1, 2, 3] (900 joins 3000; the next 900 opens bin 1; the
+    oversized 5000 rides alone; 100 cannot join it)."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_compaction_plan(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.doc_compaction_plan(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    for _, grp in a.groupby("source"):
+        ids = grp["bin_id"].tolist()
+        assert ids[0] == 0
+        assert all(b2 - b1 in (0, 1) for b1, b2 in zip(ids, ids[1:]))
+        loads = grp.groupby("bin_id")["sz"].agg(["sum", "size"])
+        over = loads[loads["sum"] > 4000]
+        assert (over["size"] == 1).all()
+
+    sizes = [3000, 900, 900, 5000, 100]
+    langs = ["aa", "bb", "cc", "dd", "ee"]
+    docs, ls = [], []
+    for lg, sz in zip(langs, sizes):
+        docs.append(sz)
+        ls.append(lg)
+    tbl = _pa.table({
+        "source": _pa.array(["s1"] * 5, _pa.string()),
+        "lang": _pa.array(ls, _pa.string()),
+        "n_chars": _pa.array(docs, _pa.int64()),
+    })
+    _pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = r.doc_compaction_plan(str(tmp_path))
+    assert list(out["bin_id"]) == [0, 0, 1, 2, 3]
+    assert list(out["sz"]) == sizes
