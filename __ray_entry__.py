@@ -539,6 +539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_tiff_dims": r.media_tiff_dims,
         "events_shapley_attribution": r.events_shapley_attribution,
         "doc_compaction_plan": r.doc_compaction_plan,
+        "media_webp_dims": r.media_webp_dims,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6718,6 +6719,7 @@ def oracle_sql() -> dict[str, str]:
         "media_tiff_dims": o.media_tiff_dims_sql(),
         "events_shapley_attribution": o.events_shapley_attribution_sql(),
         "doc_compaction_plan": o.doc_compaction_plan_sql(),
+        "media_webp_dims": o.media_webp_dims_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

@@ -4466,3 +4466,118 @@ def doc_compaction_plan_sql(capacity: int = 4000) -> str:
     SELECT c.source, c.lang, c.n_docs, c.sz, w.bin_id
     FROM cat c JOIN walk w ON w.source = c.source AND w.rn = c.rn
     ORDER BY c.source, c.lang"""
+
+
+def media_webp_dims_sql(max_chunks: int = 8) -> str:
+    """WebP mirror (relational.media_webp_dims): the RIFF chunk walk as
+    a recursive CTE advancing pos + 8 + size + size%2 (little-endian
+    u32 sizes from per-byte hex reads, EVEN padding), format chunk at
+    the first VP8X/VP8L/'VP8 ' tag, then the three dimension decodings
+    — u24le minus-one fields, the VP8L 14-bit packed fields extracted
+    with integer // and % (no whole-byte read exists), and the lossy
+    u16le fields behind the 0x9D012A sync — with the same signature
+    guards, truncation flag and zero-on-corrupt contract."""
+    from .pipelines.relational import media_webp_table_path
+
+    def by(pos: str, off: int = 0) -> str:
+        return (f"CAST(CAST('0x' || substr(h, 2 * ({pos} + {off}) + 1, 2) "
+                f"AS UBIGINT) AS BIGINT)")
+
+    def u16(pos: str, off: int = 0) -> str:
+        return f"({by(pos, off)} + 256 * {by(pos, off + 1)})"
+
+    def u24(pos: str, off: int = 0) -> str:
+        return (f"({by(pos, off)} + 256 * {by(pos, off + 1)} "
+                f"+ 65536 * {by(pos, off + 2)})")
+
+    def u32(pos: str, off: int = 0) -> str:
+        return (f"({u16(pos, off)} + 65536 * {u16(pos, off + 2)})")
+
+    fmt_tags = "('56503858', '5650384C', '56503820')"
+    return f"""
+    WITH RECURSIVE raw AS (
+        SELECT media_id, decl_w, decl_h, hex(payload) AS h
+        FROM read_parquet({_q(media_webp_table_path())})
+    ),
+    base AS (
+        SELECT media_id, decl_w, decl_h, h,
+               CASE WHEN len(h) >= 24 AND substr(h, 1, 8) = '52494646'
+                     AND substr(h, 17, 8) = '57454250'
+                    THEN 1 ELSE 0 END AS magic_ok
+        FROM raw
+    ),
+    hdr AS (
+        SELECT *, CASE WHEN magic_ok = 1
+                        AND {u32('4')} > len(h) // 2 - 8
+                       THEN 1 ELSE 0 END AS truncated
+        FROM base
+    ),
+    walk(media_id, pos, depth) AS (
+        SELECT media_id, 12, 0 FROM hdr WHERE magic_ok = 1
+        UNION ALL
+        SELECT w.media_id,
+               w.pos + 8 + {u32('w.pos', 4)} + ({u32('w.pos', 4)} % 2),
+               w.depth + 1
+        FROM walk w JOIN hdr b USING (media_id)
+        WHERE w.depth < {max_chunks - 1}
+          AND 2 * (w.pos + 8) <= len(b.h)
+          AND substr(b.h, 2 * w.pos + 1, 8) NOT IN {fmt_tags}
+    ),
+    fchunk AS (
+        SELECT w.media_id, min(w.depth) AS nskip, min(w.pos) AS pos
+        FROM walk w JOIN hdr b USING (media_id)
+        WHERE 2 * (w.pos + 8) <= len(b.h)
+          AND substr(b.h, 2 * w.pos + 1, 8) IN {fmt_tags}
+        GROUP BY w.media_id
+    ),
+    parsed AS (
+        SELECT b.media_id, f.nskip, f.pos,
+               substr(b.h, 2 * f.pos + 1, 8) AS tag,
+               CASE substr(b.h, 2 * f.pos + 1, 8)
+                    WHEN '56503858' THEN 'VP8X'
+                    WHEN '5650384C' THEN 'VP8L'
+                    ELSE 'VP8' END AS fmt,
+               CASE
+                 WHEN substr(b.h, 2 * f.pos + 1, 8) = '56503858'
+                      AND 2 * (f.pos + 18) <= len(b.h)
+                 THEN 1
+                 WHEN substr(b.h, 2 * f.pos + 1, 8) = '5650384C'
+                      AND 2 * (f.pos + 13) <= len(b.h)
+                      AND substr(b.h, 2 * (f.pos + 8) + 1, 2) = '2F'
+                 THEN 1
+                 WHEN substr(b.h, 2 * f.pos + 1, 8) = '56503820'
+                      AND 2 * (f.pos + 18) <= len(b.h)
+                      AND substr(b.h, 2 * (f.pos + 11) + 1, 6) = '9D012A'
+                 THEN 1 ELSE 0 END AS sig,
+               CASE substr(b.h, 2 * f.pos + 1, 8)
+                    WHEN '56503858' THEN {u24('f.pos', 12)} + 1
+                    WHEN '5650384C'
+                        THEN {u32('f.pos', 9)} % 16384 + 1
+                    ELSE {u16('f.pos', 14)} % 16384 END AS w_raw,
+               CASE substr(b.h, 2 * f.pos + 1, 8)
+                    WHEN '56503858' THEN {u24('f.pos', 15)} + 1
+                    WHEN '5650384C'
+                        THEN ({u32('f.pos', 9)} // 16384) % 16384 + 1
+                    ELSE {u16('f.pos', 16)} % 16384 END AS h_raw
+        FROM hdr b JOIN fchunk f USING (media_id)
+    )
+    SELECT b.media_id, b.magic_ok,
+           CASE WHEN b.magic_ok = 1 THEN b.truncated ELSE 0 END
+               AS truncated,
+           coalesce(p.fmt, '') AS fmt,
+           coalesce(p.nskip, 0) AS n_skipped,
+           coalesce(p.sig, 0) AS sig_ok,
+           CASE WHEN coalesce(p.sig, 0) = 1 THEN p.w_raw ELSE 0 END
+               AS width,
+           CASE WHEN coalesce(p.sig, 0) = 1 THEN p.h_raw ELSE 0 END
+               AS height,
+           b.decl_w, b.decl_h,
+           CASE WHEN coalesce(p.sig, 0) = 1 AND p.w_raw > 0
+                 AND p.h_raw > 0 THEN 1 ELSE 0 END AS valid_dims,
+           CASE WHEN coalesce(p.sig, 0) = 1 AND p.w_raw = b.decl_w
+                 AND p.h_raw = b.decl_h THEN 1 ELSE 0 END AS decl_ok,
+           CASE WHEN coalesce(p.sig, 0) = 1
+                 AND p.w_raw * p.h_raw > 16700000 THEN 1 ELSE 0 END
+               AS is_bomb
+    FROM hdr b LEFT JOIN parsed p USING (media_id)
+    ORDER BY b.media_id"""

@@ -19620,3 +19620,115 @@ def doc_compaction_plan(sf_dir: str, capacity: int = 4000):
         "sz": cat["sz"].astype("int64"),
         "bin_id": pd.array(bins, dtype="int64"),
     })
+
+
+_MEDIA_WEBP_CACHE = "/tmp/pii_ray_media/media_webp_n96_s37.parquet"
+
+
+def media_webp_table_path() -> str:
+    """Materializes (once) the WebP bit-field fixture so both engines
+    read the same parquet (the media_*_table_path discipline)."""
+    from ..stages.multimodal import synthesize_webp_media_table
+
+    if not os.path.exists(_MEDIA_WEBP_CACHE):
+        import tempfile
+
+        os.makedirs(os.path.dirname(_MEDIA_WEBP_CACHE), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(_MEDIA_WEBP_CACHE), suffix=".tmp")
+        os.close(fd)
+        pq.write_table(synthesize_webp_media_table(n_rows=96, seed=37), tmp)
+        os.replace(tmp, _MEDIA_WEBP_CACHE)
+    return _MEDIA_WEBP_CACHE
+
+
+def media_webp_dims(sf_dir: str, max_chunks: int = 8):
+    """WebP (RIFF) canvas audit — the pre-decode screen family's
+    SUB-BYTE BIT-FIELD member: the RIFF chunk walk (little-endian
+    sizes, EVEN padding) reaches one of three format chunks whose
+    dimension encodings differ in kind — 'VP8X' u24le minus-one canvas
+    fields (which CANNOT encode zero: the zero-width defect surfaces
+    as a 1-pixel canvas, exactly as real WebP), 'VP8L' width-1 /
+    height-1 packed as 14-bit fields of one u32le behind the 0x2F
+    signature (extracted by integer // and %, no byte is read whole),
+    and lossy 'VP8 ' u16le fields behind the 0x9D012A sync code. A
+    TRUNCATED container (declared RIFF size beyond the payload — the
+    mid-upload shape) is flagged but still parsed, the streaming-
+    reader behavior. Corrupt RIFF magic zeroes every parse field.
+    Payloads never shuffle; pixel decode stays with the codec stub."""
+    ds = ray.data.read_parquet(media_webp_table_path())
+
+    def parse(batch: pa.Table) -> pa.Table:
+        int_cols = ("media_id", "magic_ok", "truncated", "n_skipped",
+                    "sig_ok", "width", "height", "decl_w", "decl_h",
+                    "valid_dims", "decl_ok", "is_bomb")
+        out = {k: [] for k in int_cols}
+        fmts = []
+
+        def u16(b, p):
+            return b[p] + (b[p + 1] << 8)
+
+        def u24(b, p):
+            return b[p] + (b[p + 1] << 8) + (b[p + 2] << 16)
+
+        def u32(b, p):
+            return u16(b, p) + (u16(b, p + 2) << 16)
+
+        for mid, pay, dwv, dhv in zip(batch["media_id"].to_pylist(),
+                                      batch["payload"].to_pylist(),
+                                      batch["decl_w"].to_pylist(),
+                                      batch["decl_h"].to_pylist()):
+            magic = int(len(pay) >= 12 and pay[:4] == b"RIFF"
+                        and pay[8:12] == b"WEBP")
+            trunc = sig = w = h = nskip = 0
+            fmt = ""
+            if magic:
+                trunc = int(u32(pay, 4) > len(pay) - 8)
+                p, depth = 12, 0
+                while p + 8 <= len(pay) and depth < max_chunks:
+                    tag = pay[p:p + 4]
+                    size = u32(pay, p + 4)
+                    body = p + 8
+                    if tag in (b"VP8X", b"VP8L", b"VP8 "):
+                        fmt = tag.decode("ascii").strip()
+                        nskip = depth
+                        if tag == b"VP8X" and body + 10 <= len(pay):
+                            sig = 1
+                            w = u24(pay, body + 4) + 1
+                            h = u24(pay, body + 7) + 1
+                        elif tag == b"VP8L" and body + 5 <= len(pay):
+                            if pay[body] == 0x2F:
+                                sig = 1
+                                packed = u32(pay, body + 1)
+                                w = packed % 16384 + 1
+                                h = (packed // 16384) % 16384 + 1
+                        elif tag == b"VP8 " and body + 10 <= len(pay):
+                            if pay[body + 3:body + 6] == b"\x9d\x01\x2a":
+                                sig = 1
+                                w = u16(pay, body + 6) % 16384
+                                h = u16(pay, body + 8) % 16384
+                        break
+                    p = body + size + (size & 1)
+                    depth += 1
+            out["media_id"].append(mid)
+            out["magic_ok"].append(magic)
+            out["truncated"].append(trunc)
+            fmts.append(fmt)
+            out["n_skipped"].append(nskip)
+            out["sig_ok"].append(sig)
+            out["width"].append(w if sig else 0)
+            out["height"].append(h if sig else 0)
+            out["decl_w"].append(dwv)
+            out["decl_h"].append(dhv)
+            out["valid_dims"].append(int(sig == 1 and w > 0 and h > 0))
+            out["decl_ok"].append(int(sig == 1 and w == dwv and h == dhv))
+            out["is_bomb"].append(int(sig == 1 and w * h > 16700000))
+        cols = {k: pa.array(v, pa.int64()) for k, v in out.items()}
+        cols["fmt"] = pa.array(fmts, pa.string())
+        order = list(int_cols)
+        order.insert(3, "fmt")
+        return pa.table({k: cols[k] for k in order})
+
+    df = ds.map_batches(parse, batch_format="pyarrow").to_pandas()
+    return (df.sort_values("media_id", kind="mergesort")
+            .reset_index(drop=True))

@@ -633,3 +633,72 @@ def synthesize_tiff_media_table(n_rows: int = 96, seed: int = 31) -> pa.Table:
         "decl_w": pa.array(dw, pa.int64()),
         "decl_h": pa.array(dh, pa.int64()),
     })
+
+
+def synthesize_webp_media_table(n_rows: int = 96, seed: int = 37) -> pa.Table:
+    """Deterministic image table whose payloads carry real WebP (RIFF)
+    structure and the family's first SUB-BYTE BIT FIELDS: after the
+    'RIFF'[u32le size]'WEBP' container header and i%3 padding 'XTRA'
+    chunks (each 8-byte header + even-padded body — the RIFF walk),
+    rows alternate THREE format chunks: 'VP8X' (extended: canvas
+    width/height as u24le MINUS-ONE fields at byte offsets 4/7 of the
+    chunk body), 'VP8L' (lossless: signature byte 0x2F then width-1 in
+    bits 0..13 and height-1 in bits 14..27 of a packed u32le — the
+    bit-extraction trap), and 'VP8 ' (lossy: frame tag, 0x9D012A sync,
+    then u16le width/height with 2-bit scaling fields masked off).
+    Planted defect classes on the family's coprime cycles: corrupted
+    RIFF magic every 13th, ZERO width every 11th, +16 px catalog
+    drift every 7th, 8000x8000 bomb every 17th, and a TRUNCATED
+    container every 19th (declared RIFF size larger than the payload
+    — the mid-upload shape). Pixel decode stays with the codec stub."""
+    import random
+    import struct
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    rng = random.Random(seed)
+    dims = [(64, 64), (128, 96), (320, 200), (640, 480), (16, 16)]
+    ids, payloads, dw, dh = [], [], [], []
+    for i in range(n_rows):
+        w, h = dims[i % len(dims)]
+        if i % 17 == 9:
+            w, h = 8000, 8000
+        hdr_w = 0 if i % 11 == 4 else w
+        kind = i % 3  # 0: VP8X, 1: VP8L, 2: VP8 (lossy)
+        chunks = []
+        for j in range(i % 3):
+            chunks.append(chunk(b"XTRA", rng.randbytes(3 + 2 * j)))
+        if kind == 0:
+            body = (bytes([0x10]) + b"\x00\x00\x00"
+                    + struct.pack("<I", max(hdr_w - 1, 0) & 0xFFFFFF)[:3]
+                    + struct.pack("<I", max(h - 1, 0) & 0xFFFFFF)[:3])
+            chunks.append(chunk(b"VP8X", body))
+        elif kind == 1:
+            packed = ((max(hdr_w - 1, 0) & 0x3FFF)
+                      | ((max(h - 1, 0) & 0x3FFF) << 14))
+            body = bytes([0x2F]) + struct.pack("<I", packed)
+            chunks.append(chunk(b"VP8L", body + rng.randbytes(6)))
+        else:
+            body = (rng.randbytes(3) + b"\x9d\x01\x2a"
+                    + struct.pack("<HH", hdr_w & 0x3FFF, h & 0x3FFF)
+                    + rng.randbytes(8))
+            chunks.append(chunk(b"VP8 ", body))
+        inner = b"WEBP" + b"".join(chunks)
+        riff_size = len(inner)
+        if i % 19 == 12:
+            riff_size = len(inner) + 64
+        magic = b"RIFF" if i % 13 != 6 else b"RIFX"
+        payload = magic + struct.pack("<I", riff_size) + inner
+        decl_w = w + 16 if i % 7 == 3 else w
+        ids.append(i)
+        payloads.append(payload)
+        dw.append(decl_w)
+        dh.append(h)
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+        "decl_w": pa.array(dw, pa.int64()),
+        "decl_h": pa.array(dh, pa.int64()),
+    })

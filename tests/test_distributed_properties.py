@@ -4900,3 +4900,45 @@ def test_compaction_plan_layout_and_planted_packing(ray_session, tmp_path,
     out = r.doc_compaction_plan(str(tmp_path))
     assert list(out["bin_id"]) == [0, 0, 1, 2, 3]
     assert list(out["sz"]) == sizes
+
+
+def test_webp_dims_bitfields_and_planted_defects(ray_session):
+    """The WebP audit must recover each planted defect class exactly on
+    its construction cycle, decode all three dimension encodings (VP8X
+    u24le minus-one, VP8L 14-bit packed, lossy VP8 u16le) by the i%3
+    format census, pin the chunk-walk depth (n_skipped = i%3 XTRA
+    chunks), flag the truncated container every 19th WITHOUT dropping
+    its parse, surface the minus-one law (zero width reads back as a
+    1-pixel canvas on VP8X/VP8L, as in real WebP), and zero every
+    parse field on corrupt-magic rows."""
+    from pii_filter_ray.pipelines import relational as r
+
+    out = r.media_webp_dims("unused").set_index("media_id")
+    assert len(out) == 96
+    for i in range(96):
+        row = out.loc[i]
+        if i % 13 == 6:
+            assert int(row["magic_ok"]) == 0
+            assert row["fmt"] == ""
+            for c in ("truncated", "n_skipped", "sig_ok", "width",
+                      "height", "valid_dims", "decl_ok", "is_bomb"):
+                assert int(row[c]) == 0, (i, c)
+            continue
+        assert int(row["magic_ok"]) == 1
+        assert int(row["truncated"]) == (1 if i % 19 == 12 else 0)
+        kind = i % 3
+        assert row["fmt"] == ["VP8X", "VP8L", "VP8"][kind]
+        assert int(row["n_skipped"]) == i % 3
+        assert int(row["sig_ok"]) == 1
+        w, h = [(64, 64), (128, 96), (320, 200), (640, 480), (16, 16)][i % 5]
+        if i % 17 == 9:
+            w, h = 8000, 8000
+        hdr_w = 0 if i % 11 == 4 else w
+        exp_w = hdr_w if kind == 2 else max(hdr_w - 1, 0) + 1
+        assert int(row["width"]) == exp_w, i
+        assert int(row["height"]) == h
+        decl_w = w + 16 if i % 7 == 3 else w
+        assert int(row["decl_ok"]) == int(exp_w == decl_w
+                                          and h == int(row["decl_h"]))
+        assert int(row["is_bomb"]) == int(exp_w * h > 16700000)
+        assert int(row["valid_dims"]) == int(exp_w > 0)
