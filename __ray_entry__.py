@@ -540,6 +540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_shapley_attribution": r.events_shapley_attribution,
         "doc_compaction_plan": r.doc_compaction_plan,
         "media_webp_dims": r.media_webp_dims,
+        "lineitem_theil_atkinson": r.lineitem_theil_atkinson,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6720,6 +6721,7 @@ def oracle_sql() -> dict[str, str]:
         "events_shapley_attribution": o.events_shapley_attribution_sql(),
         "doc_compaction_plan": o.doc_compaction_plan_sql(),
         "media_webp_dims": o.media_webp_dims_sql(),
+        "lineitem_theil_atkinson": o.lineitem_theil_atkinson_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

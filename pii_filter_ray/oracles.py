@@ -4581,3 +4581,51 @@ def media_webp_dims_sql(max_chunks: int = 8) -> str:
                AS is_bomb
     FROM hdr b LEFT JOIN parsed p USING (media_id)
     ORDER BY b.media_id"""
+
+
+def lineitem_theil_atkinson_sql() -> str:
+    """Inequality mirror (relational.lineitem_theil_atkinson): exact
+    cent/count ledgers per flag, then per-row nano terms with the
+    identical IEEE expressions — (c*N)/C and its ln for Theil T,
+    ln(C/(c*N)) for the mean log deviation, sqrt(c) for Atkinson —
+    summed as BIGINT and divided once per statistic."""
+    return """
+    WITH g AS MATERIALIZED (
+        SELECT l_returnflag,
+               CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT))
+                    AS BIGINT) AS c,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1
+    ),
+    t AS (
+        SELECT l.l_returnflag,
+               sum(CAST(round(1000000000.0
+                   * (((CAST(round(l.l_extendedprice * 100.0, 0) AS BIGINT)
+                        * g.n) / CAST(g.c AS DOUBLE))
+                      * ln((CAST(round(l.l_extendedprice * 100.0, 0)
+                                 AS BIGINT) * g.n)
+                           / CAST(g.c AS DOUBLE))), 0) AS BIGINT))
+                   AS st,
+               sum(CAST(round(1000000000.0
+                   * ln(CAST(g.c AS DOUBLE)
+                        / (CAST(round(l.l_extendedprice * 100.0, 0)
+                                AS BIGINT) * g.n)), 0) AS BIGINT)) AS sl,
+               sum(CAST(round(1000000000.0
+                   * sqrt(CAST(round(l.l_extendedprice * 100.0, 0)
+                               AS BIGINT)), 0) AS BIGINT)) AS ss
+        FROM lineitem l JOIN g ON g.l_returnflag = l.l_returnflag
+        GROUP BY l.l_returnflag
+    )
+    SELECT g.l_returnflag, g.n,
+           round(CAST(g.c AS DOUBLE) / g.n, 6) AS mu_cents6,
+           round((CAST(t.st AS DOUBLE) / 1000000000.0) / CAST(g.n AS DOUBLE),
+                 9) AS theil_t9,
+           round((CAST(t.sl AS DOUBLE) / 1000000000.0) / CAST(g.n AS DOUBLE),
+                 9) AS theil_l9,
+           round(1.0 - (((CAST(t.ss AS DOUBLE) / 1000000000.0)
+                         / CAST(g.n AS DOUBLE))
+                        * ((CAST(t.ss AS DOUBLE) / 1000000000.0)
+                           / CAST(g.n AS DOUBLE)))
+                       / (CAST(g.c AS DOUBLE) / g.n), 9) AS atkinson9
+    FROM g JOIN t USING (l_returnflag)
+    ORDER BY g.l_returnflag"""

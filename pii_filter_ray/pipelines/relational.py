@@ -19732,3 +19732,97 @@ def media_webp_dims(sf_dir: str, max_chunks: int = 8):
     df = ds.map_batches(parse, batch_format="pyarrow").to_pandas()
     return (df.sort_values("media_id", kind="mergesort")
             .reset_index(drop=True))
+
+
+def lineitem_theil_atkinson(sf_dir: str):
+    """Inequality indices over extended prices per return flag — the
+    decomposable measures the Gini/HHI family lacks: Theil T =
+    (1/N) sum (x/mu) ln(x/mu), Theil L (mean log deviation) =
+    (1/N) sum ln(mu/x), and Atkinson(eps=0.5) = 1 - (mean sqrt x)^2 /
+    mu — the welfare-weighted triple a revenue-concentration review
+    reads next to supplier_hhi. TWO streaming passes: pass 1 folds the
+    exact cent/count ledgers per group (bounded shuffle), pass 2
+    carries those constants in the task closure and emits per-row
+    terms ROUND(1e9 * term) as nano int64 partials — the per-row
+    floats are each ONE mirrored IEEE expression of exact integers
+    ((c*N)/C fits float64 exactly below 2^53), and the nano ledgers
+    make every sum order-free: no unordered float accumulation
+    anywhere. Group catalog is the 3-flag domain; nothing unbounded
+    ever sits on the driver."""
+    ds = _tbl(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    def cents(batch: pa.Table) -> np.ndarray:
+        return round_half_away(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * 100.0, 0).astype(np.int64)
+
+    def pass1(batch: pa.Table) -> pa.Table:
+        c = cents(batch)
+        t = pa.table({"l_returnflag": batch["l_returnflag"],
+                      "c": pa.array(c, pa.int64()),
+                      "one": pa.array(np.ones(len(c), np.int64),
+                                      pa.int64())})
+        g = t.group_by("l_returnflag").aggregate(
+            [("c", "sum"), ("one", "sum")])
+        return pa.table({"l_returnflag": g["l_returnflag"],
+                         "csum": g["c_sum"], "n": g["one_sum"]})
+
+    base = (ds.map_batches(pass1, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(Sum("csum", alias_name="csum"),
+                       Sum("n", alias_name="n"))
+            .to_pandas().sort_values("l_returnflag")
+            .reset_index(drop=True))
+    consts = {f: (int(cs), int(n)) for f, cs, n in
+              zip(base["l_returnflag"], base["csum"], base["n"])}
+
+    def pass2(batch: pa.Table, consts=consts) -> pa.Table:
+        c = cents(batch)
+        flags = batch["l_returnflag"].to_numpy(zero_copy_only=False)
+        rows = {"l_returnflag": [], "st": [], "sl": [], "ss": []}
+        for f in np.unique(flags):
+            C, N = consts[str(f)]
+            ci = c[flags == f]
+            cn = ci * np.int64(N)
+            xn = cn / float(C)
+            t_nano = round_half_away(
+                1000000000.0 * (xn * np.log(xn)), 0).astype(np.int64)
+            l_nano = round_half_away(
+                1000000000.0 * np.log(float(C) / cn), 0).astype(np.int64)
+            s_nano = round_half_away(
+                1000000000.0 * np.sqrt(ci), 0).astype(np.int64)
+            rows["l_returnflag"].append(str(f))
+            rows["st"].append(int(t_nano.sum()))
+            rows["sl"].append(int(l_nano.sum()))
+            rows["ss"].append(int(s_nano.sum()))
+        return pa.table({"l_returnflag": pa.array(rows["l_returnflag"],
+                                                  pa.string()),
+                         "st": pa.array(rows["st"], pa.int64()),
+                         "sl": pa.array(rows["sl"], pa.int64()),
+                         "ss": pa.array(rows["ss"], pa.int64())})
+
+    agg = (ds.map_batches(pass2, batch_format="pyarrow")
+           .groupby("l_returnflag")
+           .aggregate(Sum("st", alias_name="st"),
+                      Sum("sl", alias_name="sl"),
+                      Sum("ss", alias_name="ss"))
+           .to_pandas().sort_values("l_returnflag")
+           .reset_index(drop=True))
+    out = base.merge(agg, on="l_returnflag")
+    mu = [float(c) / float(n) for c, n in zip(out["csum"], out["n"])]
+    theil_t = [float(round_half_away((s / 1000000000.0) / float(n), 9))
+               for s, n in zip(out["st"], out["n"])]
+    theil_l = [float(round_half_away((s / 1000000000.0) / float(n), 9))
+               for s, n in zip(out["sl"], out["n"])]
+    atk = []
+    for s, n, m in zip(out["ss"], out["n"], mu):
+        msq = (s / 1000000000.0) / float(n)
+        atk.append(float(round_half_away(1.0 - (msq * msq) / m, 9)))
+    return pd.DataFrame({
+        "l_returnflag": out["l_returnflag"],
+        "n": out["n"].astype("int64"),
+        "mu_cents6": [float(round_half_away(m, 6)) for m in mu],
+        "theil_t9": theil_t,
+        "theil_l9": theil_l,
+        "atkinson9": atk,
+    })

@@ -4942,3 +4942,48 @@ def test_webp_dims_bitfields_and_planted_defects(ray_session):
                                           and h == int(row["decl_h"]))
         assert int(row["is_bomb"]) == int(exp_w * h > 16700000)
         assert int(row["valid_dims"]) == int(exp_w > 0)
+
+
+def test_theil_atkinson_layout_and_planted_ledger(ray_session, tmp_path,
+                                                  monkeypatch):
+    """Inequality indices must be block-layout invariant, satisfy the
+    index laws (all three non-negative, zero on a degenerate equal
+    distribution), and reproduce hand arithmetic on a planted
+    [1.00, 1.00, 4.00] group: Theil T = (2*0.5ln0.5 + 2ln2)/3 =
+    ln2/3 = Theil L (this distribution's T/L coincidence) = 0.23104906,
+    Atkinson(0.5) =
+    1 - (40/3)^2/200 = 0.111111111 (sqrts exact)."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.lineitem_theil_atkinson(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.lineitem_theil_atkinson(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert (a["theil_t9"] > 0).all()
+    assert (a["theil_l9"] >= a["theil_t9"] * 0).all()
+    assert (a["atkinson9"] > 0).all() and (a["atkinson9"] < 1).all()
+
+    tbl = _pa.table({
+        "l_returnflag": _pa.array(["X", "X", "X", "E", "E"], _pa.string()),
+        "l_extendedprice": _pa.array([1.0, 1.0, 4.0, 2.0, 2.0],
+                                     _pa.float64()),
+    })
+    _pq.write_table(tbl, tmp_path / "lineitem.parquet")
+    out = r.lineitem_theil_atkinson(str(tmp_path)).set_index("l_returnflag")
+    assert float(out.loc["X", "theil_t9"]) == 0.23104906
+    assert float(out.loc["X", "theil_l9"]) == 0.23104906
+    assert float(out.loc["X", "atkinson9"]) == 0.111111111
+    assert float(out.loc["X", "mu_cents6"]) == 200.0
+    assert float(out.loc["E", "theil_t9"]) == 0.0
+    assert float(out.loc["E", "theil_l9"]) == 0.0
+    assert float(out.loc["E", "atkinson9"]) == 0.0
