@@ -4629,3 +4629,64 @@ def lineitem_theil_atkinson_sql() -> str:
                        / (CAST(g.c AS DOUBLE) / g.n), 9) AS atkinson9
     FROM g JOIN t USING (l_returnflag)
     ORDER BY g.l_returnflag"""
+
+
+def doc_mtld_sql(threshold: float = 0.72) -> str:
+    """MTLD mirror (relational.doc_mtld): tokens via the shared
+    words_expr, then a recursive CTE advancing one token per step and
+    carrying the factor ledger (n_factors, factor token count, type
+    LIST) with the identical reset rule — the TTR comparison runs on
+    the same CAST(types AS DOUBLE)/tokens expression — and the same
+    partial-factor tail and defined-denominator convention."""
+    return f"""
+    WITH RECURSIVE w AS MATERIALIZED (
+        SELECT doc_id, {words_expr('text')} AS ws FROM documents
+    ),
+    base AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+    walk(doc_id, pos, nf, tk, typs, ttr) AS (
+        SELECT doc_id, 0, 0, 0, CAST([] AS VARCHAR[]),
+               CAST(1.0 AS DOUBLE)
+        FROM base WHERE n > 0
+        UNION ALL
+        SELECT b.doc_id, wk.pos + 1,
+               CASE WHEN nttr < {threshold!r} THEN wk.nf + 1
+                    ELSE wk.nf END,
+               CASE WHEN nttr < {threshold!r} THEN 0 ELSE wk.tk + 1 END,
+               CASE WHEN nttr < {threshold!r} THEN CAST([] AS VARCHAR[])
+                    ELSE ntyps END,
+               nttr
+        FROM walk wk
+        JOIN base b ON b.doc_id = wk.doc_id AND wk.pos < b.n
+        CROSS JOIN LATERAL (
+            SELECT CASE WHEN list_contains(wk.typs, b.ws[wk.pos + 1])
+                        THEN wk.typs
+                        ELSE list_append(wk.typs, b.ws[wk.pos + 1])
+                   END AS ntyps
+        ) t1
+        CROSS JOIN LATERAL (
+            SELECT CAST(len(t1.ntyps) AS DOUBLE) / (wk.tk + 1) AS nttr
+        ) t2
+    ),
+    fin AS (
+        SELECT doc_id, nf, tk, ttr,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY pos DESC) AS rn
+        FROM walk
+    ),
+    res AS (
+        SELECT f.doc_id, b.n, f.nf,
+               CASE WHEN f.tk > 0
+                    THEN round((1.0 - f.ttr) / (1.0 - {threshold!r}), 6)
+                    ELSE 0.0 END AS rem
+        FROM fin f JOIN base b USING (doc_id)
+        WHERE f.rn = 1
+    )
+    SELECT b.doc_id,
+           CAST(b.n AS BIGINT) AS n_tokens,
+           CAST(coalesce(r.nf, 0) AS BIGINT) AS n_factors,
+           coalesce(r.rem, 0.0) AS partial6,
+           CASE WHEN coalesce(r.nf, 0) + coalesce(r.rem, 0.0) > 0
+                THEN round(b.n / (r.nf + r.rem), 6)
+                ELSE 0.0 END AS mtld6
+    FROM base b LEFT JOIN res r USING (doc_id)
+    ORDER BY b.doc_id"""

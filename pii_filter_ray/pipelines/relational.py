@@ -19826,3 +19826,59 @@ def lineitem_theil_atkinson(sf_dir: str):
         "theil_l9": theil_l,
         "atkinson9": atk,
     })
+
+
+def doc_mtld(sf_dir: str, threshold: float = 0.72):
+    """MTLD — Measure of Textual Lexical Diversity (McCarthy & Jarvis
+    2010), the SEQUENTIAL companion to doc_mattr's sliding windows:
+    walk the token stream keeping the current factor's type set; each
+    time the running TTR (types/tokens within the factor) drops below
+    ``threshold`` a factor completes and the ledger resets; the tail
+    contributes the standard partial factor (1 - TTR_end)/(1 -
+    threshold), and MTLD(forward) = n_tokens / (factors + partial) —
+    mean factor length, the diversity score that (unlike raw TTR) does
+    not fall mechanically with length. Shuffle-FREE: one per-doc map
+    emits (n_tokens, n_factors, partial micro-snapped, mtld6) scalar
+    rows; the SQL mirror advances a recursive CTE over token positions
+    carrying the factor ledger (count, token count, type LIST) with
+    the identical reset rule and IEEE comparisons. Docs where no
+    factor ever completes and the tail TTR is 1.0 read mtld6 = 0 on
+    both engines (the defined-denominator convention)."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        ids, nts, nfs, parts, mtlds = [], [], [], [], []
+        for did, txt in zip(batch["doc_id"].to_pylist(),
+                            batch["text"].to_pylist()):
+            toks = (txt or "").split()
+            nf, tk = 0, 0
+            typs: set = set()
+            ttr = 1.0
+            for w in toks:
+                typs.add(w)
+                tk += 1
+                ttr = len(typs) / tk
+                if ttr < threshold:
+                    nf += 1
+                    tk, typs = 0, set()
+            rem = ((1.0 - ttr) / (1.0 - threshold)) if tk > 0 else 0.0
+            rem = float(round_half_away(rem, 6))
+            denom = nf + rem
+            mtld = (float(round_half_away(len(toks) / denom, 6))
+                    if denom > 0 else 0.0)
+            ids.append(did)
+            nts.append(len(toks))
+            nfs.append(nf)
+            parts.append(rem)
+            mtlds.append(mtld)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(nts, pa.int64()),
+            "n_factors": pa.array(nfs, pa.int64()),
+            "partial6": pa.array(parts, pa.float64()),
+            "mtld6": pa.array(mtlds, pa.float64()),
+        })
+
+    df = ds.map_batches(per_doc, batch_format="pyarrow").to_pandas()
+    return (df.sort_values("doc_id", kind="mergesort")
+            .reset_index(drop=True))

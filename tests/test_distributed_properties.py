@@ -4987,3 +4987,50 @@ def test_theil_atkinson_layout_and_planted_ledger(ray_session, tmp_path,
     assert float(out.loc["E", "theil_t9"]) == 0.0
     assert float(out.loc["E", "theil_l9"]) == 0.0
     assert float(out.loc["E", "atkinson9"]) == 0.0
+
+
+def test_mtld_layout_and_planted_factors(ray_session, tmp_path,
+                                         monkeypatch):
+    """MTLD must be block-layout invariant, agree with the factor laws
+    (mtld6 = 0 exactly when no factor completes and the tail TTR is 1;
+    n_factors * mean-length bounded by n_tokens), and reproduce the
+    hand-walked factor counts: the 14-token 'a b c d e f g a*7' doc
+    completes 3 factors with an empty tail (MTLD = 14/3), a 3-token
+    all-distinct doc never factors (mtld 0), and 'a b c d a' ends
+    mid-factor with TTR 0.8 (partial = 0.2/0.28, MTLD = 5/0.714286 = 6.999997)."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_mtld(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.doc_mtld(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert (a["partial6"] >= 0).all()
+    assert ((a["mtld6"] > 0) | ((a["n_factors"] == 0)
+                                & (a["partial6"] == 0))).all()
+
+    tbl = _pa.table({
+        "doc_id": _pa.array([1, 2, 3], _pa.int64()),
+        "text": _pa.array(["a b c d e f g a a a a a a a",
+                           "p q r",
+                           "a b c d a"], _pa.string()),
+    })
+    _pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = r.doc_mtld(str(tmp_path)).set_index("doc_id")
+    assert int(out.loc[1, "n_factors"]) == 3
+    assert float(out.loc[1, "partial6"]) == 0.0
+    assert float(out.loc[1, "mtld6"]) == 4.666667
+    assert int(out.loc[2, "n_factors"]) == 0
+    assert float(out.loc[2, "mtld6"]) == 0.0
+    assert int(out.loc[3, "n_factors"]) == 0
+    assert float(out.loc[3, "partial6"]) == 0.714286
+    assert float(out.loc[3, "mtld6"]) == 6.999997
