@@ -542,6 +542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_webp_dims": r.media_webp_dims,
         "lineitem_theil_atkinson": r.lineitem_theil_atkinson,
         "doc_mtld": r.doc_mtld,
+        "part_ktruss": r.part_ktruss,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6724,6 +6725,7 @@ def oracle_sql() -> dict[str, str]:
         "media_webp_dims": o.media_webp_dims_sql(),
         "lineitem_theil_atkinson": o.lineitem_theil_atkinson_sql(),
         "doc_mtld": o.doc_mtld_sql(),
+        "part_ktruss": o.part_ktruss_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

@@ -4690,3 +4690,40 @@ def doc_mtld_sql(threshold: float = 0.72) -> str:
                 ELSE 0.0 END AS mtld6
     FROM base b LEFT JOIN res r USING (doc_id)
     ORDER BY b.doc_id"""
+
+
+def part_ktruss_sql(k: int = 4, rounds: int = 6) -> str:
+    """k-truss mirror (relational.part_ktruss): the kcore_sql unroll
+    discipline at EDGE level — per round, each edge's triangle support
+    counted by joining both endpoints' surviving neighbor sets, edges
+    under k-2 dropped; rounds past the fixed point are no-ops. Final
+    projection is the node view (in_truss, surviving incident-edge
+    count)."""
+    ctes = ["""e0 AS MATERIALIZED (
+            SELECT a.p_partkey AS x, b.p_partkey AS y
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 4
+        ),
+        u0 AS MATERIALIZED (SELECT x AS n, y AS m FROM e0 UNION ALL SELECT y, x FROM e0)"""]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""s{i} AS MATERIALIZED (
+            SELECT e.x, e.y, count(*) AS c
+            FROM e{i - 1} e
+            JOIN u{i - 1} a ON a.n = e.x
+            JOIN u{i - 1} b ON b.n = e.y AND b.m = a.m
+            GROUP BY e.x, e.y
+        ),
+        e{i} AS MATERIALIZED (SELECT x, y FROM s{i} WHERE c >= {k - 2}),
+        u{i} AS MATERIALIZED (SELECT x AS n, y AS m FROM e{i}
+                 UNION ALL SELECT y, x FROM e{i})""")
+    return f"""
+        WITH {','.join(ctes)},
+        deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+                FROM u{rounds} GROUP BY n)
+        SELECT p.p_partkey,
+               CAST(CASE WHEN deg.n IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                   AS in_truss,
+               coalesce(deg.d, 0) AS truss_deg
+        FROM part p LEFT JOIN deg ON deg.n = p.p_partkey
+        ORDER BY p.p_partkey"""

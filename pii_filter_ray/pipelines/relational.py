@@ -19882,3 +19882,93 @@ def doc_mtld(sf_dir: str, threshold: float = 0.72):
     df = ds.map_batches(per_doc, batch_format="pyarrow").to_pandas()
     return (df.sort_values("doc_id", kind="mergesort")
             .reset_index(drop=True))
+
+
+def part_ktruss(sf_dir: str, k: int = 4, max_rounds: int = 6,
+                max_dist: int = 4):
+    """k-truss decomposition of the fuzzy part graph — the EDGE-level
+    cohesion filter one rung above part_kcore: every surviving edge
+    must sit in at least k-2 triangles among surviving edges, so a
+    truss keeps only groups glued by mutual neighbors (the ER-blocking
+    cleanup that kills chain artifacts a 2-core keeps). Each peel
+    round is one streaming pass over the distributed edge table
+    against the BROADCAST alive adjacency (edge-catalog bounded, the
+    triangle-count degree precedent): per edge, triangle support by
+    sorted-neighbor-list intersection, drop edges under k-2, repeat to
+    the fixed point. Rounds are data-dependent: the SQL mirror unrolls
+    ``max_rounds`` support/filter rounds (no-ops past the fixed
+    point) and the Ray side FAILS LOUD if unconverged — never a
+    silently truncated truss (the kcore discipline). Output is the
+    node view: in_truss + surviving incident-edge count."""
+    ds = _tbl(sf_dir, "part", columns=["p_partkey", "p_brand", "p_name"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g["p_partkey"].to_numpy(np.int64)
+        names = g["p_name"].tolist()
+        order = np.argsort(keys, kind="stable")
+        keys, names = keys[order], [names[i] for i in order]
+        ka, kb = [], []
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                if _lev(names[i], names[j], max_dist) <= max_dist:
+                    ka.append(keys[i])
+                    kb.append(keys[j])
+        return pd.DataFrame({"x": np.array(ka, dtype=np.int64),
+                             "y": np.array(kb, dtype=np.int64)})
+
+    edges = (ds.groupby("p_brand")
+             .map_groups(pairs, batch_format="pandas").materialize())
+    alive = (edges.to_pandas().sort_values(["x", "y"], kind="mergesort")
+             .reset_index(drop=True))
+
+    def survivors(alive_df: pd.DataFrame) -> pd.DataFrame:
+        adj: dict = {}
+        for a, b in zip(alive_df["x"], alive_df["y"]):
+            adj.setdefault(int(a), set()).add(int(b))
+            adj.setdefault(int(b), set()).add(int(a))
+        ref = ray.put(adj)
+
+        def supp(batch: pa.Table, ref=ref) -> pa.Table:
+            ad = ray.get(ref)
+            xs = batch["x"].to_numpy(zero_copy_only=False)
+            ys = batch["y"].to_numpy(zero_copy_only=False)
+            ox, oy = [], []
+            for a, b in zip(xs, ys):
+                na = ad.get(int(a))
+                if na is None or int(b) not in na:
+                    continue
+                if len(na & ad[int(b)]) >= k - 2:
+                    ox.append(int(a))
+                    oy.append(int(b))
+            return pa.table({"x": pa.array(ox, pa.int64()),
+                             "y": pa.array(oy, pa.int64())})
+
+        return (edges.map_batches(supp, batch_format="pyarrow")
+                .to_pandas().sort_values(["x", "y"], kind="mergesort")
+                .reset_index(drop=True))
+
+    converged = False
+    for _ in range(max_rounds):
+        nxt = survivors(alive)
+        if len(nxt) == len(alive):
+            converged = True
+            break
+        alive = nxt
+    if not converged:
+        raise RuntimeError(
+            f"part_ktruss: peel unconverged after {max_rounds} rounds "
+            f"({len(alive)} edges alive) — raise max_rounds")
+    nodes = np.sort(pd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey"])["p_partkey"].to_numpy(np.int64))
+    cnt: dict = {}
+    for a, b in zip(alive["x"], alive["y"]):
+        cnt[int(a)] = cnt.get(int(a), 0) + 1
+        cnt[int(b)] = cnt.get(int(b), 0) + 1
+    return pd.DataFrame({
+        "p_partkey": nodes,
+        "in_truss": pd.array([1 if n in cnt else 0 for n in nodes],
+                             dtype="int64"),
+        "truss_deg": pd.array([cnt.get(int(n), 0) for n in nodes],
+                              dtype="int64"),
+    })

@@ -5034,3 +5034,42 @@ def test_mtld_layout_and_planted_factors(ray_session, tmp_path,
     assert int(out.loc[3, "n_factors"]) == 0
     assert float(out.loc[3, "partial6"]) == 0.714286
     assert float(out.loc[3, "mtld6"]) == 6.999997
+
+
+def test_ktruss_layout_and_planted_clique(ray_session, tmp_path,
+                                          monkeypatch):
+    """The 4-truss must be block-layout invariant, sit inside the
+    2-core (every truss edge needs 2 triangles, so truss nodes have
+    degree >= 3 in the truss), and on a planted graph keep exactly the
+    4-clique (identical names, each node truss_deg 3) while peeling a
+    triangle-free 2-path entirely."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.part_ktruss(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.part_ktruss(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    inb = a[a["in_truss"] == 1]
+    assert (inb["truss_deg"] >= 3).all()
+    assert (a.loc[a["in_truss"] == 0, "truss_deg"] == 0).all()
+
+    tbl = _pa.table({
+        "p_partkey": _pa.array([1, 2, 3, 4, 10, 11], _pa.int64()),
+        "p_brand": _pa.array(["A"] * 4 + ["B"] * 2, _pa.string()),
+        "p_name": _pa.array(["aaaaaaaaaa"] * 4
+                            + ["cccccccccc", "ccccccdddd"], _pa.string()),
+    })
+    _pq.write_table(tbl, tmp_path / "part.parquet")
+    out = r.part_ktruss(str(tmp_path)).set_index("p_partkey")
+    assert list(out["in_truss"]) == [1, 1, 1, 1, 0, 0]
+    assert list(out["truss_deg"]) == [3, 3, 3, 3, 0, 0]
