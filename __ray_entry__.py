@@ -543,6 +543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_theil_atkinson": r.lineitem_theil_atkinson,
         "doc_mtld": r.doc_mtld,
         "part_ktruss": r.part_ktruss,
+        "lineitem_welch_anova_price": r.lineitem_welch_anova_price,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6726,6 +6727,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_theil_atkinson": o.lineitem_theil_atkinson_sql(),
         "doc_mtld": o.doc_mtld_sql(),
         "part_ktruss": o.part_ktruss_sql(),
+        "lineitem_welch_anova_price": o.lineitem_welch_anova_price_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

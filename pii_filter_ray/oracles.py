@@ -4727,3 +4727,86 @@ def part_ktruss_sql(k: int = 4, rounds: int = 6) -> str:
                coalesce(deg.d, 0) AS truss_deg
         FROM part p LEFT JOIN deg ON deg.n = p.p_partkey
         ORDER BY p.p_partkey"""
+
+
+def lineitem_welch_anova_price_sql() -> str:
+    """Welch-ANOVA mirror (relational.lineitem_welch_anova_price): HUGEINT
+    squared-cent ledgers per flag, then the identical IEEE expression
+    sequence — per-group mean/variance from exact integers, femto-snapped
+    weights, the weighted grand mean from integer nano sums, pico/femto
+    snapped numerator/denominator terms — and one final F / df2
+    expression each, rounded once."""
+    return """
+    WITH g AS MATERIALIZED (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT))
+                    AS BIGINT) AS c,
+               sum(CAST(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+                        AS HUGEINT)
+                   * CAST(round(l_extendedprice * 100.0, 0) AS BIGINT))
+                   AS ss
+        FROM lineitem GROUP BY 1
+    ),
+    p AS (
+        SELECT l_returnflag, n,
+               CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+               (CAST(ss AS DOUBLE)
+                - CAST(c AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                   / CAST(n - 1 AS DOUBLE) AS s2
+        FROM g
+    ),
+    q AS (
+        SELECT *,
+               CAST(round(1e15 * (CAST(n AS DOUBLE) / s2), 0) AS BIGINT)
+                   AS w_femto
+        FROM p
+    ),
+    r AS (
+        SELECT *,
+               CAST(round(1e15 * ((CAST(w_femto AS DOUBLE) / 1e15) * m), 0)
+                    AS BIGINT) AS wm_femto
+        FROM q
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS n_total,
+               CAST(sum(w_femto) AS BIGINT) AS w_femto_sum,
+               CAST(sum(wm_femto) AS BIGINT) AS wm_femto_sum
+        FROM r
+    ),
+    x AS (
+        SELECT k, n_total, w_femto_sum,
+               (CAST(wm_femto_sum AS DOUBLE) / 1e15)
+                   / (CAST(w_femto_sum AS DOUBLE) / 1e15) AS xbar
+        FROM tot
+    ),
+    terms AS (
+        SELECT CAST(round(1e12 * ((CAST(r.w_femto AS DOUBLE) / 1e15)
+                                  * (r.m - x.xbar) * (r.m - x.xbar)), 0)
+                    AS BIGINT) AS a_pico,
+               CAST(round(1e15 * ((1.0 - (CAST(r.w_femto AS DOUBLE) / 1e15)
+                                        / (CAST(x.w_femto_sum AS DOUBLE)
+                                           / 1e15))
+                                  * (1.0 - (CAST(r.w_femto AS DOUBLE) / 1e15)
+                                         / (CAST(x.w_femto_sum AS DOUBLE)
+                                            / 1e15))
+                                  / CAST(r.n - 1 AS DOUBLE)), 0)
+                    AS BIGINT) AS b_femto
+        FROM r CROSS JOIN x
+    ),
+    s AS (
+        SELECT CAST(sum(a_pico) AS BIGINT) AS sa,
+               CAST(sum(b_femto) AS BIGINT) AS sb
+        FROM terms
+    )
+    SELECT x.k AS k, x.n_total AS n_total,
+           round(x.xbar, 6) AS xbar_cents6,
+           round(((CAST(s.sa AS DOUBLE) / 1e12) / CAST(x.k - 1 AS DOUBLE))
+                 / (1.0 + ((2.0 * CAST(x.k - 2 AS DOUBLE))
+                           / CAST(x.k * x.k - 1 AS DOUBLE))
+                        * (CAST(s.sb AS DOUBLE) / 1e15)), 9) AS welch_f9,
+           x.k - 1 AS df1,
+           round(CAST(x.k * x.k - 1 AS DOUBLE)
+                 / (3.0 * (CAST(s.sb AS DOUBLE) / 1e15)), 6) AS df2_6
+    FROM x CROSS JOIN s"""

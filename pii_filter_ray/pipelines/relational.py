@@ -19972,3 +19972,111 @@ def part_ktruss(sf_dir: str, k: int = 4, max_rounds: int = 6,
         "truss_deg": pd.array([cnt.get(int(n), 0) for n in nodes],
                               dtype="int64"),
     })
+
+
+def lineitem_welch_anova_price(sf_dir: str):
+    """Welch's heteroscedastic one-way ANOVA of extended price (cents)
+    across return flags — the unequal-variance k-group mean test the
+    classical F (which lineitem_anova-style pooled variance would
+    assume) gets wrong under variance imbalance; Welch (1951) weights
+    each group by n/s^2 and corrects the denominator df by
+    Welch–Satterthwaite. Distributed shape: ONE streaming pass folds
+    per-(block, flag) ledgers — count, exact cent sum (int64) and the
+    exact 128-bit sum of squared cents shipped as a decimal STRING
+    (the orders_winsorized_stats trick: uint64 wraparound low word +
+    float-reconstructed high word) — so the gathered partial table is
+    blocks x |flags| tiny rows and every downstream number derives
+    from exact integers. The driver (and the SQL mirror, from HUGEINT
+    ledgers) then walks the identical IEEE expression sequence:
+    per-group mean and sample variance, weights snapped to femto int64
+    (order-free sums; nano is too coarse for n/s^2 at real variance
+    scales, and the snap fails loud if a near-degenerate group would
+    overflow the ledger), the weighted grand mean, and per-group
+    numerator/denominator terms snapped to pico/femto int64 before the
+    final single-expression F and df2. Fails loud on a degenerate
+    group (n < 2 or zero variance) instead of emitting NaN."""
+    ds = _tbl(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    def _exact_sq_sum(c: np.ndarray) -> int:
+        cu = c.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            lo_bits = int((cu * cu).sum(dtype=np.uint64))
+        cf = c.astype(np.float64)
+        approx = float(np.dot(cf, cf))
+        hi_word = int(round((approx - lo_bits) / 2.0 ** 64))
+        return (hi_word << 64) + lo_bits
+
+    def ledgers(batch: pa.Table) -> pa.Table:
+        c = round_half_away(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * 100.0, 0).astype(np.int64)
+        flags = batch["l_returnflag"].to_numpy(zero_copy_only=False)
+        rows = {"l_returnflag": [], "n": [], "c": [], "ss": []}
+        for f in np.unique(flags):
+            ci = c[flags == f]
+            rows["l_returnflag"].append(str(f))
+            rows["n"].append(len(ci))
+            rows["c"].append(int(ci.sum()))
+            rows["ss"].append(str(_exact_sq_sum(ci)))
+        return pa.table({
+            "l_returnflag": pa.array(rows["l_returnflag"], pa.string()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "c": pa.array(rows["c"], pa.int64()),
+            "ss": pa.array(rows["ss"], pa.string()),
+        })
+
+    parts = ds.map_batches(ledgers, batch_format="pyarrow").to_pandas()
+    merged: dict = {}
+    for f, n, cs, ss in zip(parts["l_returnflag"], parts["n"],
+                            parts["c"], parts["ss"]):
+        pn, pc, pss = merged.get(f, (0, 0, 0))
+        merged[f] = (pn + int(n), pc + int(cs), pss + int(ss))
+
+    k = len(merged)
+    stats = []
+    for f in sorted(merged):
+        n, C, SS = merged[f]
+        if n < 2:
+            raise ValueError(
+                f"lineitem_welch_anova_price: group {f!r} has n={n} < 2")
+        m = float(C) / float(n)
+        s2 = (float(SS) - float(C) * float(C) / float(n)) / float(n - 1)
+        if s2 <= 0.0:
+            raise ValueError(
+                f"lineitem_welch_anova_price: group {f!r} has zero variance")
+        w_femto = int(round_half_away(1e15 * (float(n) / s2), 0))
+        w = float(w_femto) / 1e15
+        wm_femto = int(round_half_away(1e15 * (w * m), 0))
+        if max(abs(w_femto), abs(wm_femto)) >= (1 << 62):
+            raise ValueError(
+                "lineitem_welch_anova_price: femto-snapped weight exceeds the "
+                "int64 ledger (near-degenerate variance at scale) — "
+                "documented regime violated, failing loud")
+        stats.append((n, m, w_femto, w, wm_femto))
+    n_total = sum(s[0] for s in stats)
+    w_sum = sum(s[2] for s in stats)
+    wm_sum = sum(s[4] for s in stats)
+    if w_sum == 0:
+        raise ValueError(
+            "lineitem_welch_anova_price: all femto-snapped weights are zero")
+    xbar = (float(wm_sum) / 1e15) / (float(w_sum) / 1e15)
+    W = float(w_sum) / 1e15
+    sa = sb = 0
+    for n, m, w_femto, w, wm_femto in stats:
+        sa += int(round_half_away(1e12 * (w * (m - xbar) * (m - xbar)), 0))
+        u = 1.0 - w / W
+        sb += int(round_half_away(1e15 * (u * u / float(n - 1)), 0))
+    a_num = (float(sa) / 1e12) / float(k - 1)
+    den = (1.0 + ((2.0 * float(k - 2)) / float(k * k - 1))
+           * (float(sb) / 1e15))
+    welch_f9 = float(round_half_away(a_num / den, 9))
+    df2_6 = float(round_half_away(
+        float(k * k - 1) / (3.0 * (float(sb) / 1e15)), 6))
+    return pd.DataFrame({
+        "k": pd.array([k], dtype="int64"),
+        "n_total": pd.array([n_total], dtype="int64"),
+        "xbar_cents6": [float(round_half_away(xbar, 6))],
+        "welch_f9": [welch_f9],
+        "df1": pd.array([k - 1], dtype="int64"),
+        "df2_6": [df2_6],
+    })

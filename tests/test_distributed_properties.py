@@ -5073,3 +5073,48 @@ def test_ktruss_layout_and_planted_clique(ray_session, tmp_path,
     out = r.part_ktruss(str(tmp_path)).set_index("p_partkey")
     assert list(out["in_truss"]) == [1, 1, 1, 1, 0, 0]
     assert list(out["truss_deg"]) == [3, 3, 3, 3, 0, 0]
+
+
+def test_welch_anova_price_layout_and_planted_ttest(ray_session, tmp_path,
+                                              monkeypatch):
+    """Welch ANOVA must be block-layout invariant, satisfy the test's
+    laws (F > 0, df1 = k-1, df2 between min(n_j)-1 and n_total-k), and
+    reproduce the k=2 identity F = Welch-t^2 on a planted pair of
+    groups X=[1.00,2.00,3.00], Y=[10.00,20.00,30.00] (cents means
+    200/2000, variances 1e4/1e6): t = -1800/sqrt(336666.67) ->
+    F = 9.623762376, Welch-Satterthwaite df2 = 2.039996, weighted
+    grand mean 217.821782 cents."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.lineitem_welch_anova_price(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.lineitem_welch_anova_price(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert float(a["welch_f9"].iloc[0]) > 0
+    assert int(a["df1"].iloc[0]) == int(a["k"].iloc[0]) - 1
+    assert 0 < float(a["df2_6"].iloc[0]) < float(a["n_total"].iloc[0])
+
+    tbl = _pa.table({
+        "l_returnflag": _pa.array(["X", "X", "X", "Y", "Y", "Y"],
+                                  _pa.string()),
+        "l_extendedprice": _pa.array([1.0, 2.0, 3.0, 10.0, 20.0, 30.0],
+                                     _pa.float64()),
+    })
+    _pq.write_table(tbl, tmp_path / "lineitem.parquet")
+    out = r.lineitem_welch_anova_price(str(tmp_path))
+    assert int(out["k"].iloc[0]) == 2
+    assert int(out["n_total"].iloc[0]) == 6
+    assert float(out["xbar_cents6"].iloc[0]) == 217.821782
+    assert float(out["welch_f9"].iloc[0]) == 9.623762376
+    assert int(out["df1"].iloc[0]) == 1
+    assert float(out["df2_6"].iloc[0]) == 2.039996
