@@ -4810,61 +4810,3 @@ def lineitem_welch_anova_price_sql() -> str:
            round(CAST(x.k * x.k - 1 AS DOUBLE)
                  / (3.0 * (CAST(s.sb AS DOUBLE) / 1e15)), 6) AS df2_6
     FROM x CROSS JOIN s"""
-
-
-def supplier_hits_sql() -> str:
-    """HITS mirror (relational.supplier_hits, iters=2): the identical
-    unrolled half-steps — per-edge nano-snapped flows
-    round(1e9 * (w * score)) summed as BIGINT per node, one float
-    division per node per half-step rounded to 9 digits — and the same
-    final supplier decoration with weighted degree and hub rank."""
-    return """
-    WITH e AS MATERIALIZED (
-        SELECT l_suppkey AS s, l_partkey AS p,
-               CAST(count(*) AS BIGINT) AS w
-        FROM lineitem GROUP BY 1, 2
-    ),
-    ns AS (SELECT CAST(count(*) AS BIGINT) AS c FROM supplier),
-    a1n AS (
-        SELECT p, CAST(sum(CAST(round(1e9 * (w * (1.0 / ns.c)), 0)
-                              AS BIGINT)) AS BIGINT) AS f
-        FROM e CROSS JOIN ns GROUP BY p
-    ),
-    a1t AS (SELECT CAST(sum(f) AS BIGINT) AS t FROM a1n),
-    a1 AS (SELECT p, round(CAST(f AS DOUBLE) / CAST(t AS DOUBLE), 9) AS a
-           FROM a1n CROSS JOIN a1t),
-    h1n AS (
-        SELECT e.s, CAST(sum(CAST(round(1e9 * (e.w * a1.a), 0)
-                                AS BIGINT)) AS BIGINT) AS f
-        FROM e JOIN a1 USING (p) GROUP BY e.s
-    ),
-    h1t AS (SELECT CAST(sum(f) AS BIGINT) AS t FROM h1n),
-    h1 AS (SELECT s, round(CAST(f AS DOUBLE) / CAST(t AS DOUBLE), 9) AS h
-           FROM h1n CROSS JOIN h1t),
-    a2n AS (
-        SELECT e.p, CAST(sum(CAST(round(1e9 * (e.w * h1.h), 0)
-                                AS BIGINT)) AS BIGINT) AS f
-        FROM e JOIN h1 USING (s) GROUP BY e.p
-    ),
-    a2t AS (SELECT CAST(sum(f) AS BIGINT) AS t FROM a2n),
-    a2 AS (SELECT p, round(CAST(f AS DOUBLE) / CAST(t AS DOUBLE), 9) AS a
-           FROM a2n CROSS JOIN a2t),
-    h2n AS (
-        SELECT e.s, CAST(sum(CAST(round(1e9 * (e.w * a2.a), 0)
-                                AS BIGINT)) AS BIGINT) AS f
-        FROM e JOIN a2 USING (p) GROUP BY e.s
-    ),
-    h2t AS (SELECT CAST(sum(f) AS BIGINT) AS t FROM h2n),
-    h2 AS (SELECT s, round(CAST(f AS DOUBLE) / CAST(t AS DOUBLE), 9) AS h
-           FROM h2n CROSS JOIN h2t),
-    wd AS (SELECT s, CAST(sum(w) AS BIGINT) AS wdeg FROM e GROUP BY s)
-    SELECT s_suppkey,
-           coalesce(wd.wdeg, 0) AS wdeg,
-           coalesce(h2.h, 0.0) AS hub9,
-           CAST(row_number() OVER (
-                    ORDER BY coalesce(h2.h, 0.0) DESC, s_suppkey)
-                AS BIGINT) AS hub_rank
-    FROM supplier
-    LEFT JOIN wd ON wd.s = s_suppkey
-    LEFT JOIN h2 ON h2.s = s_suppkey
-    ORDER BY s_suppkey"""

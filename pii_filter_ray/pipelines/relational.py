@@ -20080,85 +20080,3 @@ def lineitem_welch_anova_price(sf_dir: str):
         "df1": pd.array([k - 1], dtype="int64"),
         "df2_6": [df2_6],
     })
-
-
-def supplier_hits(sf_dir: str, iters: int = 2):
-    """HITS hubs over the bipartite supplier->part supply graph
-    (Kleinberg 1999): suppliers are hubs, parts are authorities, edge
-    weight = lineitem count for the (supplier, part) pair; ``iters``
-    mutually-recursive rounds (authority = L1-normalized weighted sum
-    of incident hub scores, hub = same over authority scores) from the
-    uniform hub start 1/|S| — the bipartite companion to
-    supplier_pagerank that separates breadth (a hub supplies many
-    well-sourced parts) from raw volume. Distributed shape: the edge
-    table folds ONCE via per-block preagg (the only raw-row shuffle)
-    and is materialized for the 2*iters half-steps; each half-step
-    streams the edges against the BROADCAST score vector (sorted-key
-    searchsorted, node-catalog bounded — the triangle-count degree
-    precedent) emitting per-block per-node NANO-FIXED-POINT int64 flow
-    partials round(1e9 * (w * score)) into a catalog-bounded groupby,
-    so per-node sums are order-free exact integers; normalization is
-    one mirrored float division per node, scores snap to 9 digits per
-    half-step. The SQL mirror unrolls the identical joins and
-    arithmetic bit-for-bit. Output: every supplier with its weighted
-    degree, hub score and dense hub rank."""
-    ds = _tbl(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
-    edges = preagg_groupby(
-        ds, ["l_suppkey", "l_partkey"], count_alias="w").materialize()
-    n_s = int(_tbl(sf_dir, "supplier", columns=["s_suppkey"]).count())
-    h0 = 1.0 / float(n_s)
-
-    def half_step(score, src_col: str, dst_col: str) -> dict:
-        """One flow half-step: dst_raw = sum_e w_e * score[src_e],
-        nano-snapped per edge, L1-normalized to 9 digits. ``score`` is
-        None for the uniform start."""
-        if score is None:
-            ref = ray.put(None)
-        else:
-            ks = np.array(sorted(score), dtype=np.int64)
-            vs = np.array([score[int(k)] for k in ks], dtype=np.float64)
-            ref = ray.put((ks, vs))
-
-        def fn(batch: pa.Table) -> pa.Table:
-            sc = ray.get(ref)
-            s = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            d = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            w = batch["w"].to_numpy(zero_copy_only=False).astype(np.float64)
-            sv = (np.full(len(s), h0)
-                  if sc is None else sc[1][np.searchsorted(sc[0], s)])
-            nano = round_half_away(1e9 * (w * sv), 0).astype(np.int64)
-            g = (pa.table({"node": pa.array(d, pa.int64()),
-                           "f": pa.array(nano, pa.int64())})
-                 .group_by("node").aggregate([("f", "sum")]))
-            return pa.table({"node": g["node"], "f": g["f_sum"]})
-
-        agg = (edges.map_batches(fn, batch_format="pyarrow")
-               .groupby("node").aggregate(Sum("f", alias_name="f"))
-               .to_pandas())
-        total = int(agg["f"].sum())
-        if total == 0:
-            raise ValueError("supplier_hits: zero total flow (empty graph)")
-        return {int(n): float(round_half_away(float(f) / float(total), 9))
-                for n, f in zip(agg["node"], agg["f"])}
-
-    h = None
-    for _ in range(iters):
-        a = half_step(h, "l_suppkey", "l_partkey")
-        h = half_step(a, "l_partkey", "l_suppkey")
-
-    wdeg = (edges.groupby("l_suppkey")
-            .aggregate(Sum("w", alias_name="wdeg")).to_pandas())
-    wd = {int(s): int(w) for s, w in zip(wdeg["l_suppkey"], wdeg["wdeg"])}
-    sups = np.sort(_tbl(sf_dir, "supplier", columns=["s_suppkey"])
-                   .to_pandas()["s_suppkey"].to_numpy(np.int64))
-    hub = [h.get(int(s), 0.0) for s in sups]
-    order = sorted(range(len(sups)), key=lambda i: (-hub[i], int(sups[i])))
-    rank = np.empty(len(sups), dtype=np.int64)
-    for pos, i in enumerate(order):
-        rank[i] = pos + 1
-    return pd.DataFrame({
-        "s_suppkey": pd.array(sups, dtype="int64"),
-        "wdeg": pd.array([wd.get(int(s), 0) for s in sups], dtype="int64"),
-        "hub9": hub,
-        "hub_rank": pd.array(rank, dtype="int64"),
-    })

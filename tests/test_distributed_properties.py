@@ -5118,47 +5118,3 @@ def test_welch_anova_price_layout_and_planted_ttest(ray_session, tmp_path,
     assert float(out["welch_f9"].iloc[0]) == 9.623762376
     assert int(out["df1"].iloc[0]) == 1
     assert float(out["df2_6"].iloc[0]) == 2.039996
-
-
-def test_hits_layout_and_planted_bipartite(ray_session, tmp_path,
-                                           monkeypatch):
-    """HITS must be block-layout invariant, satisfy the score laws
-    (hub9 sums to ~1 over suppliers, ranks are a permutation), and
-    reproduce the hand-walked planted graph: suppliers {1,2}, parts
-    {10,11}, edges 1-10 (w=2), 1-11 (w=1), 2-11 (w=1). From h0=0.5:
-    a1 = (.5,.5), h1 = (.75,.25), a2 = (.6,.4), h2 = (0.8, 0.2) —
-    every normalization lands on exact decimals."""
-    import pyarrow as _pa
-    import pyarrow.parquet as _pq
-
-    from pii_filter_ray.pipelines import relational as r
-
-    sf = "/root/testdata/sf0.001"
-    base = r._tbl
-    a = r.supplier_hits(sf)
-    monkeypatch.setattr(
-        r, "_tbl",
-        lambda s, name, columns=None:
-        base(s, name, columns=columns).repartition(7))
-    b = r.supplier_hits(sf)
-    monkeypatch.setattr(r, "_tbl", base)
-    pd.testing.assert_frame_equal(a.reset_index(drop=True),
-                                  b.reset_index(drop=True))
-    assert abs(float(a["hub9"].sum()) - 1.0) < 1e-6
-    assert sorted(a["hub_rank"]) == list(range(1, len(a) + 1))
-    assert (a.sort_values("hub_rank")["hub9"].diff().dropna() <= 0).all()
-
-    _pq.write_table(_pa.table({
-        "l_suppkey": _pa.array([1, 1, 1, 2], _pa.int64()),
-        "l_partkey": _pa.array([10, 10, 11, 11], _pa.int64()),
-    }), tmp_path / "lineitem.parquet")
-    _pq.write_table(_pa.table({
-        "s_suppkey": _pa.array([1, 2], _pa.int64()),
-    }), tmp_path / "supplier.parquet")
-    out = r.supplier_hits(str(tmp_path)).set_index("s_suppkey")
-    assert float(out.loc[1, "hub9"]) == 0.8
-    assert float(out.loc[2, "hub9"]) == 0.2
-    assert int(out.loc[1, "wdeg"]) == 3
-    assert int(out.loc[2, "wdeg"]) == 1
-    assert int(out.loc[1, "hub_rank"]) == 1
-    assert int(out.loc[2, "hub_rank"]) == 2
