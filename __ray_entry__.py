@@ -544,6 +544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mtld": r.doc_mtld,
         "part_ktruss": r.part_ktruss,
         "lineitem_welch_anova_price": r.lineitem_welch_anova_price,
+        "orders_benford": r.orders_benford,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6728,6 +6729,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_mtld": o.doc_mtld_sql(),
         "part_ktruss": o.part_ktruss_sql(),
         "lineitem_welch_anova_price": o.lineitem_welch_anova_price_sql(),
+        "orders_benford": o.orders_benford_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

@@ -4810,3 +4810,52 @@ def lineitem_welch_anova_price_sql() -> str:
            round(CAST(x.k * x.k - 1 AS DOUBLE)
                  / (3.0 * (CAST(s.sb AS DOUBLE) / 1e15)), 6) AS df2_6
     FROM x CROSS JOIN s"""
+
+
+def orders_benford_sql() -> str:
+    """Benford mirror (relational.orders_benford): first digit by
+    substr of the decimal cents (equals the engine's repeated integer
+    //10 by construction), generate_series zero-fill over the 9-digit
+    catalog, and per-digit chi-square terms using the SAME Python
+    float literals for log10(1 + 1/d) — inlined below so both engines
+    evaluate one identical IEEE expression per digit."""
+    import math
+
+    from .pipelines.relational import round_half_away
+
+    cases_p = " ".join(
+        f"WHEN {d} THEN {math.log10(1.0 + 1.0 / d)!r}"
+        for d in range(1, 10))
+    cases_p6 = " ".join(
+        f"WHEN {d} THEN "
+        f"{float(round_half_away(math.log10(1.0 + 1.0 / d), 6))!r}"
+        for d in range(1, 10))
+    return f"""
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    f AS (
+        SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                   AS digit
+        FROM c WHERE cents > 0
+    ),
+    g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM g),
+    d AS (SELECT CAST(generate_series AS BIGINT) AS digit
+          FROM generate_series(1, 9)),
+    j AS (
+        SELECT d.digit, coalesce(g.n, 0) AS n,
+               CASE d.digit {cases_p} END AS p,
+               CASE d.digit {cases_p6} END AS p6
+        FROM d LEFT JOIN g USING (digit)
+    )
+    SELECT j.digit, j.n,
+           round(CAST(j.n AS DOUBLE) / CAST(t.n_total AS DOUBLE), 6)
+               AS obs_freq6,
+           j.p6 AS benford_freq6,
+           round(((CAST(j.n AS DOUBLE) - CAST(t.n_total AS DOUBLE) * j.p)
+                  * (CAST(j.n AS DOUBLE) - CAST(t.n_total AS DOUBLE) * j.p))
+                 / (CAST(t.n_total AS DOUBLE) * j.p), 9) AS chi2_term9
+    FROM j CROSS JOIN t
+    ORDER BY j.digit"""

@@ -20080,3 +20080,61 @@ def lineitem_welch_anova_price(sf_dir: str):
         "df1": pd.array([k - 1], dtype="int64"),
         "df2_6": [df2_6],
     })
+
+
+def orders_benford(sf_dir: str):
+    """Benford first-digit conformance of order totals — the fraud/
+    synthetic-data screen: naturally-occurring multiplicative amounts
+    follow P(d) = log10(1 + 1/d), and a corpus whose leading digits
+    deviate (flat, or spiked at psychological price points) was
+    generated, capped, or tampered with. The first digit comes from
+    EXACT integer arithmetic (cents, then repeated //10 — never float
+    log10, whose boundary cells at exact powers of ten are a bit-parity
+    trap vs SQL's substr-of-decimal, which it matches by construction);
+    per-block partials pre-count the 9-bin digit catalog so the shuffle
+    is 9 rows per block. The Benford probabilities are computed once in
+    Python and INLINED as float literals into the SQL mirror (the
+    hyperplane/centroid-literal precedent) so the chi-square
+    contribution per digit is one identical IEEE expression on both
+    engines. Output: all 9 digits (zero-filled), observed vs Benford
+    frequency, and the per-digit chi-square term."""
+    import math
+
+    ds = _tbl(sf_dir, "orders", columns=["o_totalprice"])
+
+    def digit_partials(batch: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False)
+            * 100.0, 0).astype(np.int64)
+        d = cents[cents > 0]
+        while (d >= 10).any():
+            d = np.where(d >= 10, d // 10, d)
+        digits, counts = np.unique(d, return_counts=True)
+        return pa.table({"digit": pa.array(digits, pa.int64()),
+                         "n": pa.array(counts.astype(np.int64), pa.int64())})
+
+    agg = (ds.map_batches(digit_partials, batch_format="pyarrow")
+           .groupby("digit").aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    cnt = {int(dd): int(nn) for dd, nn in zip(agg["digit"], agg["n"])}
+    n_total = sum(cnt.values())
+    rows = {"digit": [], "n": [], "obs_freq6": [], "benford_freq6": [],
+            "chi2_term9": []}
+    for d in range(1, 10):
+        p = math.log10(1.0 + 1.0 / d)
+        n = cnt.get(d, 0)
+        e = float(n_total) * p
+        term = (float(n) - e) * (float(n) - e) / e
+        rows["digit"].append(d)
+        rows["n"].append(n)
+        rows["obs_freq6"].append(
+            float(round_half_away(float(n) / float(n_total), 6)))
+        rows["benford_freq6"].append(float(round_half_away(p, 6)))
+        rows["chi2_term9"].append(float(round_half_away(term, 9)))
+    return pd.DataFrame({
+        "digit": pd.array(rows["digit"], dtype="int64"),
+        "n": pd.array(rows["n"], dtype="int64"),
+        "obs_freq6": rows["obs_freq6"],
+        "benford_freq6": rows["benford_freq6"],
+        "chi2_term9": rows["chi2_term9"],
+    })

@@ -5118,3 +5118,50 @@ def test_welch_anova_price_layout_and_planted_ttest(ray_session, tmp_path,
     assert float(out["welch_f9"].iloc[0]) == 9.623762376
     assert int(out["df1"].iloc[0]) == 1
     assert float(out["df2_6"].iloc[0]) == 2.039996
+
+
+def test_benford_layout_and_planted_digits(ray_session, tmp_path,
+                                           monkeypatch):
+    """Benford conformance must be block-layout invariant, satisfy the
+    table laws (all 9 digits present, counts sum to the positive-cents
+    row count, observed frequencies sum to ~1, Benford frequencies are
+    the log10(1+1/d) literals), and count planted first digits exactly:
+    [1.00, 1.50, 2.00, 9.99, 0.00] has positive cents {100, 150, 200,
+    999} -> digits 1,1,2,9 with N=4 (the zero row drops)."""
+    import math
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.orders_benford(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.orders_benford(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert list(a["digit"]) == list(range(1, 10))
+    assert abs(float(a["obs_freq6"].sum()) - 1.0) < 1e-5
+    assert float(a["benford_freq6"].iloc[0]) == 0.30103
+    assert (a["chi2_term9"] >= 0).all()
+
+    _pq.write_table(_pa.table({
+        "o_totalprice": _pa.array([1.0, 1.5, 2.0, 9.99, 0.0],
+                                  _pa.float64()),
+    }), tmp_path / "orders.parquet")
+    out = r.orders_benford(str(tmp_path)).set_index("digit")
+    assert int(out.loc[1, "n"]) == 2
+    assert int(out.loc[2, "n"]) == 1
+    assert int(out.loc[9, "n"]) == 1
+    assert int(out["n"].sum()) == 4
+    assert float(out.loc[1, "obs_freq6"]) == 0.5
+    p3 = math.log10(1.0 + 1.0 / 3.0)
+    e3 = 4.0 * p3
+    assert float(out.loc[3, "chi2_term9"]) == float(
+        r.round_half_away((0.0 - e3) * (0.0 - e3) / e3, 9))
