@@ -334,8 +334,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_cluster_stats": r.doc_dup_cluster_stats,
         # StarCoder/The-Stack file-level code quality filters
         "code_starcoder_filters": r.code_starcoder_filters,
-        # Benford first-digit audit + Mann-Whitney rank-shift test
-        "orders_benford": r.orders_benford,
+        # Mann-Whitney rank-shift test (Benford registered with the
+        # round-3 final batch below)
         "lineitem_mannwhitney": r.lineitem_mannwhitney,
         # code governance: secrets scan + license filter (fixture-backed)
         "code_secrets_scan": r.code_secrets_scan,
@@ -5111,31 +5111,6 @@ def oracle_sql() -> dict[str, str]:
                          / sqrt((2 * n1 * n2 * (2 * n1 * n2 - n))
                                 / (n * n * (n - 1))), 6) AS z6
             FROM agg
-        """,
-        "orders_benford": """
-            WITH c AS (
-                SELECT CAST(round(o_totalprice * 100.0, 0) AS BIGINT)
-                           AS cents
-                FROM orders
-            ),
-            dg AS (
-                SELECT CAST(left(CAST(cents AS VARCHAR), 1) AS BIGINT)
-                           AS digit
-                FROM c
-            ),
-            cnt0 AS (SELECT digit, count(*) AS n FROM dg GROUP BY 1),
-            d9 AS (SELECT unnest(range(1, 10)) AS digit),
-            cnt AS (SELECT d9.digit, COALESCE(cnt0.n, 0) AS n
-                    FROM d9 LEFT JOIN cnt0 USING (digit)),
-            tot AS (SELECT sum(n) AS total FROM cnt)
-            SELECT CAST(digit AS BIGINT) AS digit, CAST(n AS BIGINT) AS n,
-                   round(CAST(n AS DOUBLE) / total, 6) AS obs_frac6,
-                   round(log10(1.0 + 1.0 / digit), 6) AS exp_frac6,
-                   round((n - total * log10(1.0 + 1.0 / digit))
-                         * (n - total * log10(1.0 + 1.0 / digit))
-                         / (total * log10(1.0 + 1.0 / digit)), 6)
-                       AS chi2_term6
-            FROM cnt, tot
         """,
         "lineitem_mannwhitney": """
             WITH g AS (

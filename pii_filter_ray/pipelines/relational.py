@@ -9688,51 +9688,6 @@ def code_starcoder_filters(sf_dir: str):
             .reset_index(drop=True))
 
 
-def orders_benford(sf_dir: str):
-    """Benford's-law first-digit audit of order totals — the classic
-    data-quality / fraud screen (synthetic or fabricated value columns
-    flunk it): per leading digit of the exact-cents total, the observed
-    count and fraction vs the Benford expectation log10(1 + 1/d), plus
-    the per-digit chi-square term. Per-block 9-bin count partials (one
-    tiny row set per block, digit extracted vectorized from the cents
-    integer); fractions and terms are mirrored float expressions of
-    exact integers, and the chi-square terms stay PER-DIGIT so no
-    float-sum ordering exists anywhere."""
-    import math
-
-    ds = _tbl(sf_dir, "orders", columns=["o_totalprice"])
-
-    def partials(batch: pa.Table) -> pa.Table:
-        cents = round_half_away(
-            batch["o_totalprice"].to_numpy() * 100.0, 0).astype(np.int64)
-        # leading digit: strip trailing digits by repeated //10 (vectorized)
-        v = cents.copy()
-        while True:
-            big = v >= 10
-            if not big.any():
-                break
-            v[big] //= 10
-        counts = np.bincount(v, minlength=10)[1:10]
-        return pa.table({"digit": pa.array(np.arange(1, 10), pa.int64()),
-                         "n": pa.array(counts, pa.int64())})
-
-    df = (ds.map_batches(partials, batch_format="pyarrow")
-          .groupby("digit").aggregate(Sum("n", alias_name="n"))
-          .to_pandas().sort_values("digit").reset_index(drop=True))
-    total = int(df["n"].sum())
-    rows = []
-    for d, n in zip(df["digit"].astype(int), df["n"].astype(int)):
-        p = math.log10(1.0 + 1.0 / d)
-        obs = n / total
-        chi = (n - total * p) * (n - total * p) / (total * p)
-        rows.append((d, n, float(round_half_away(obs, 6)),
-                     float(round_half_away(p, 6)),
-                     float(round_half_away(chi, 6))))
-    return pd.DataFrame(rows, columns=["digit", "n", "obs_frac6",
-                                       "exp_frac6", "chi2_term6"]).astype(
-        {"digit": "int64", "n": "int64"})
-
-
 def lineitem_mannwhitney(sf_dir: str):
     """Mann-Whitney U test (rank shift) between returned (R) and normal
     (N) quantities — completing the two-sample family (KS = shape,
