@@ -545,6 +545,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_ktruss": r.part_ktruss,
         "lineitem_welch_anova_price": r.lineitem_welch_anova_price,
         "orders_benford": r.orders_benford,
+        # PAVA isotonic regression: shape-constrained fit / calibration
+        "lineitem_isotonic": r.lineitem_isotonic,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6705,6 +6707,7 @@ def oracle_sql() -> dict[str, str]:
         "part_ktruss": o.part_ktruss_sql(),
         "lineitem_welch_anova_price": o.lineitem_welch_anova_price_sql(),
         "orders_benford": o.orders_benford_sql(),
+        "lineitem_isotonic": o.lineitem_isotonic_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

@@ -4859,3 +4859,45 @@ def orders_benford_sql() -> str:
                  / (CAST(t.n_total AS DOUBLE) * j.p), 9) AS chi2_term9
     FROM j CROSS JOIN t
     ORDER BY j.digit"""
+
+
+def lineitem_isotonic_sql() -> str:
+    """PAVA mirror (relational.lineitem_isotonic): the max-min
+    characterization evaluated literally over the bounded quantity
+    catalog — min over right endpoints then max over left endpoints of
+    the interval mean, each mean one HUGEINT nano-cent floor division
+    (floor commutes with min/max, so this IS the floored PAVA fit).
+    O(|catalog|^3) triples ~ 31k rows at 50 quantities — bounded by the
+    catalog, never by row count."""
+    return """
+    WITH q AS (
+        SELECT CAST(l_quantity AS BIGINT) AS quantity,
+               CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT))
+                    AS HUGEINT) AS cents
+        FROM lineitem GROUP BY 1
+    ),
+    o AS (
+        SELECT quantity, n, cents,
+               sum(n) OVER (ORDER BY quantity) - n AS c0,
+               sum(cents) OVER (ORDER BY quantity) - cents AS p0,
+               sum(n) OVER (ORDER BY quantity) AS c1,
+               sum(cents) OVER (ORDER BY quantity) AS p1
+        FROM q
+    ),
+    tri AS (
+        SELECT i.quantity AS quantity, j.quantity AS jq,
+               min((k.p1 - j.p0) * CAST(1000000000 AS HUGEINT)
+                   // (k.c1 - j.c0)) AS mn
+        FROM o i, o j, o k
+        WHERE j.quantity <= i.quantity AND k.quantity >= i.quantity
+        GROUP BY 1, 2
+    ),
+    fit AS (SELECT quantity, max(mn) AS iso_nano FROM tri GROUP BY 1)
+    SELECT o.quantity,
+           CAST(o.n AS BIGINT) AS n,
+           CAST(o.cents * CAST(1000000000 AS HUGEINT) // o.n AS BIGINT)
+               AS mean_nano,
+           CAST(fit.iso_nano AS BIGINT) AS iso_nano
+    FROM o JOIN fit USING (quantity)
+    ORDER BY o.quantity"""

@@ -20093,3 +20093,69 @@ def orders_benford(sf_dir: str):
         "benford_freq6": rows["benford_freq6"],
         "chi2_term9": rows["chi2_term9"],
     })
+
+
+def lineitem_isotonic(sf_dir: str):
+    """Isotonic (monotone nondecreasing) regression of mean extended
+    price vs quantity — PAVA, the shape-constrained fit used for score
+    calibration and dose-response audits (here: does revenue per line
+    rise monotonically with quantity, and what is the nearest monotone
+    curve where it does not?). The heavy pass is one distributed
+    groupby onto the bounded quantity catalog (per-block (quantity,
+    cents, n) partials, so the shuffle moves |catalog| rows per block);
+    the fit itself runs on the driver over ~50 rows via the max-min
+    characterization fit_i = max_{j<=i} min_{k>=i} mean(y[j..k]).
+    Everything is EXACT integer arithmetic: cents sums as Python ints
+    (= SQL HUGEINT), and each interval mean is floored to nano-cents
+    with one integer division — because floor is monotone it commutes
+    with the outer max/min, so the output is exactly floor(true PAVA
+    fit * 1e9), bit-identical to the SQL mirror's HUGEINT ``//`` by
+    construction (no float comparison ever happens on either side)."""
+    ds = _tbl(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            batch["l_extendedprice"].to_numpy() * 100.0, 0).astype(np.int64)
+        t = pa.table({
+            "quantity": pc.cast(batch["l_quantity"], pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+        g = t.group_by("quantity").aggregate(
+            [("cents", "sum"), ([], "count_all")])
+        return pa.table({"quantity": g["quantity"], "cents": g["cents_sum"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    df = (ds.map_batches(partials, batch_format="pyarrow")
+          .groupby("quantity")
+          .aggregate(Sum("cents", alias_name="cents"),
+                     Sum("n", alias_name="n"))
+          .to_pandas().sort_values("quantity").reset_index(drop=True))
+    qs = [int(x) for x in df["quantity"]]
+    cents = [int(x) for x in df["cents"]]
+    ns = [int(x) for x in df["n"]]
+    m = len(qs)
+    P = [0]
+    C = [0]
+    for c_, n_ in zip(cents, ns):
+        P.append(P[-1] + c_)
+        C.append(C[-1] + n_)
+    NANO = 1_000_000_000
+    iso = []
+    for i in range(m):
+        best = None
+        for j in range(i + 1):
+            mn = None
+            for k in range(i, m):
+                v = ((P[k + 1] - P[j]) * NANO) // (C[k + 1] - C[j])
+                if mn is None or v < mn:
+                    mn = v
+            if best is None or mn > best:
+                best = mn
+        iso.append(best)
+    return pd.DataFrame({
+        "quantity": pd.array(qs, dtype="int64"),
+        "n": pd.array(ns, dtype="int64"),
+        "mean_nano": pd.array(
+            [(c_ * NANO) // n_ for c_, n_ in zip(cents, ns)], dtype="int64"),
+        "iso_nano": pd.array(iso, dtype="int64"),
+    })

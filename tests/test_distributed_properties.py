@@ -5165,3 +5165,48 @@ def test_benford_layout_and_planted_digits(ray_session, tmp_path,
     e3 = 4.0 * p3
     assert float(out.loc[3, "chi2_term9"]) == float(
         r.round_half_away((0.0 - e3) * (0.0 - e3) / e3, 9))
+
+
+def test_isotonic_layout_planted_and_monotone(ray_session, tmp_path,
+                                              monkeypatch):
+    """PAVA isotonic fit must be block-layout invariant, nondecreasing
+    by law, equal to the raw means when they are already monotone, and
+    pool a planted violation exactly: qty 1 = one 10.00 line (mean 1000
+    cents), qty 2 = two 2.00 lines (mean 200 -- violation), qty 3 = one
+    9.00 line. PAVA pools {1,2} to (1000+400)/3 cents, so the nano fit
+    is [466666666666, 466666666666, 900000000000] (floor of the exact
+    rational, because floor commutes with the max-min)."""
+    import pandas as pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.lineitem_isotonic(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.lineitem_isotonic(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    iso = a["iso_nano"].to_numpy()
+    assert (iso[1:] >= iso[:-1]).all()
+    mean = a["mean_nano"].to_numpy()
+    if (mean[1:] >= mean[:-1]).all():
+        assert (iso == mean).all()
+
+    _pq.write_table(_pa.table({
+        "l_quantity": _pa.array([1.0, 2.0, 2.0, 3.0], _pa.float64()),
+        "l_extendedprice": _pa.array([10.0, 2.0, 2.0, 9.0], _pa.float64()),
+    }), tmp_path / "lineitem.parquet")
+    out = r.lineitem_isotonic(str(tmp_path))
+    assert list(out["quantity"]) == [1, 2, 3]
+    assert list(out["n"]) == [1, 2, 1]
+    assert list(out["mean_nano"]) == [1000_000_000_000, 200_000_000_000,
+                                      900_000_000_000]
+    assert list(out["iso_nano"]) == [466_666_666_666, 466_666_666_666,
+                                     900_000_000_000]
