@@ -547,6 +547,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_benford": r.orders_benford,
         # PAVA isotonic regression: shape-constrained fit / calibration
         "lineitem_isotonic": r.lineitem_isotonic,
+        # greedy bipartite one-to-one assignment (Hungarian-free audit)
+        "supplier_part_assignment": r.supplier_part_assignment,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6708,6 +6710,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_welch_anova_price": o.lineitem_welch_anova_price_sql(),
         "orders_benford": o.orders_benford_sql(),
         "lineitem_isotonic": o.lineitem_isotonic_sql(),
+        "supplier_part_assignment": o.supplier_part_assignment_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

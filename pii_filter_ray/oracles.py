@@ -4901,3 +4901,48 @@ def lineitem_isotonic_sql() -> str:
            CAST(fit.iso_nano AS BIGINT) AS iso_nano
     FROM o JOIN fit USING (quantity)
     ORDER BY o.quantity"""
+
+
+def supplier_part_assignment_sql(per_supplier: int = 5) -> str:
+    """Greedy matching mirror (relational.supplier_part_assignment):
+    identical candidate pool (top-``per_supplier`` edges per supplier by
+    weight DESC, partkey ASC), then the inherently-sequential greedy
+    scan replayed as a single-row-state recursive CTE — each step picks
+    the heaviest still-available edge (tiebreak suppkey, partkey) and
+    appends both endpoints to the carried matched-vertex lists; the
+    LATERAL yields no row once no edge remains, terminating the
+    recursion. Iterations are bounded by the matching size."""
+    return f"""
+    WITH RECURSIVE e0 AS (
+        SELECT CAST(l_suppkey AS BIGINT) AS s,
+               CAST(l_partkey AS BIGINT) AS p,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    e AS (
+        SELECT s, p, w FROM (
+            SELECT s, p, w,
+                   row_number() OVER (PARTITION BY s
+                                      ORDER BY w DESC, p ASC) AS rk
+            FROM e0
+        ) WHERE rk <= {per_supplier}
+    ),
+    st AS (
+        SELECT 0 AS step, CAST(NULL AS BIGINT) AS s,
+               CAST(NULL AS BIGINT) AS p, CAST(NULL AS BIGINT) AS w,
+               CAST([] AS BIGINT[]) AS ms, CAST([] AS BIGINT[]) AS mp
+        UNION ALL
+        SELECT st.step + 1, pick.s, pick.p, pick.w,
+               list_append(st.ms, pick.s), list_append(st.mp, pick.p)
+        FROM st, LATERAL (
+            SELECT e.s, e.p, e.w FROM e
+            WHERE NOT list_contains(st.ms, e.s)
+              AND NOT list_contains(st.mp, e.p)
+            ORDER BY e.w DESC, e.s ASC, e.p ASC
+            LIMIT 1
+        ) pick
+    )
+    SELECT CAST(step AS BIGINT) AS step, s AS suppkey, p AS partkey,
+           w AS qty
+    FROM st WHERE step > 0
+    ORDER BY step"""

@@ -20159,3 +20159,70 @@ def lineitem_isotonic(sf_dir: str):
             [(c_ * NANO) // n_ for c_, n_ in zip(cents, ns)], dtype="int64"),
         "iso_nano": pd.array(iso, dtype="int64"),
     })
+
+
+def supplier_part_assignment(sf_dir: str, per_supplier: int = 5):
+    """Greedy one-to-one supplier-to-part assignment — the
+    Hungarian-free matching audit (sourcing/dedup-ownership shape:
+    give each supplier at most one part and each part at most one
+    supplier, preferring the heaviest observed relationships). Edge
+    weights are exact shipped-quantity integers aggregated with one
+    distributed (supplier, part) groupby; the candidate pool is then
+    pruned DISTRIBUTED to the top-``per_supplier`` edges per supplier
+    (hash-bucketed map_groups, tiebreak weight DESC then partkey ASC,
+    mirroring SQL row_number), so the driver-side greedy scan -- which
+    is inherently sequential, like all maximal-matching audits -- runs
+    over a pool bounded by 5x|suppliers|, never by |lineitem|. Greedy
+    picks the heaviest available edge (tiebreak suppkey, partkey), so
+    picked weights are nonincreasing by construction. The SQL mirror
+    replays the same scan as a single-row-state recursive CTE carrying
+    the matched vertex sets as lists."""
+    buckets = 64
+    ds = _tbl(sf_dir, "lineitem",
+              columns=["l_suppkey", "l_partkey", "l_quantity"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "s": pc.cast(batch["l_suppkey"], pa.int64()),
+            "p": pc.cast(batch["l_partkey"], pa.int64()),
+            "w": pc.cast(batch["l_quantity"], pa.int64()),
+        })
+        g = t.group_by(["s", "p"]).aggregate([("w", "sum")])
+        return pa.table({"s": g["s"], "p": g["p"], "w": g["w_sum"]})
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(batch["s"], pa.scalar(buckets - 1)),
+                    pa.int64())
+        return batch.append_column("bucket", b)
+
+    def top_per_supplier(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["s", "w", "p"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("s", sort=False).head(per_supplier)
+        return g[["s", "p", "w"]].reset_index(drop=True)
+
+    pool = (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby(["s", "p"]).aggregate(Sum("w", alias_name="w"))
+            .map_batches(bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(top_per_supplier, batch_format="pandas")
+            .to_pandas())
+    pool = pool.sort_values(["w", "s", "p"],
+                            ascending=[False, True, True], kind="mergesort")
+    used_s: set = set()
+    used_p: set = set()
+    rows = []
+    for s, p, w in zip(pool["s"].to_numpy(np.int64),
+                       pool["p"].to_numpy(np.int64),
+                       pool["w"].to_numpy(np.int64)):
+        if s in used_s or p in used_p:
+            continue
+        used_s.add(int(s))
+        used_p.add(int(p))
+        rows.append((len(rows) + 1, int(s), int(p), int(w)))
+    return pd.DataFrame({
+        "step": pd.array([r[0] for r in rows], dtype="int64"),
+        "suppkey": pd.array([r[1] for r in rows], dtype="int64"),
+        "partkey": pd.array([r[2] for r in rows], dtype="int64"),
+        "qty": pd.array([r[3] for r in rows], dtype="int64"),
+    })

@@ -5210,3 +5210,46 @@ def test_isotonic_layout_planted_and_monotone(ray_session, tmp_path,
                                       900_000_000_000]
     assert list(out["iso_nano"]) == [466_666_666_666, 466_666_666_666,
                                      900_000_000_000]
+
+
+def test_assignment_layout_laws_and_planted(ray_session, tmp_path,
+                                            monkeypatch):
+    """Greedy assignment must be block-layout invariant, satisfy the
+    matching laws (suppkey and partkey each used at most once, steps
+    dense 1..n, picked weights nonincreasing -- availability only
+    shrinks, so each later pick is no heavier), and replay a planted
+    conflict exactly: edges s1-p1 w10, s1-p2 w9, s2-p1 w8, s2-p3 w1
+    greedy-match to (s1,p1,10) then (s2,p3,1) -- s2 loses p1 to the
+    heavier s1 edge and falls through to its w=1 alternative."""
+    import pandas as pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.supplier_part_assignment(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.supplier_part_assignment(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert a["suppkey"].is_unique and a["partkey"].is_unique
+    assert list(a["step"]) == list(range(1, len(a) + 1))
+    w = a["qty"].to_numpy()
+    assert (w[1:] <= w[:-1]).all()
+
+    _pq.write_table(_pa.table({
+        "l_suppkey": _pa.array([1, 1, 1, 2, 2], _pa.int64()),
+        "l_partkey": _pa.array([1, 1, 2, 1, 3], _pa.int64()),
+        "l_quantity": _pa.array([6.0, 4.0, 9.0, 8.0, 1.0], _pa.float64()),
+    }), tmp_path / "lineitem.parquet")
+    out = r.supplier_part_assignment(str(tmp_path))
+    assert list(out["step"]) == [1, 2]
+    assert list(out["suppkey"]) == [1, 2]
+    assert list(out["partkey"]) == [1, 3]
+    assert list(out["qty"]) == [10, 1]
