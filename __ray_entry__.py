@@ -549,6 +549,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_isotonic": r.lineitem_isotonic,
         # greedy bipartite one-to-one assignment (Hungarian-free audit)
         "supplier_part_assignment": r.supplier_part_assignment,
+        # deterministic hash-sample quantile calibration vs exact ranks
+        "orders_sample_quantiles": r.orders_sample_quantiles,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6711,6 +6713,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_benford": o.orders_benford_sql(),
         "lineitem_isotonic": o.lineitem_isotonic_sql(),
         "supplier_part_assignment": o.supplier_part_assignment_sql(),
+        "orders_sample_quantiles": o.orders_sample_quantiles_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

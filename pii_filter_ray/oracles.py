@@ -4946,3 +4946,63 @@ def supplier_part_assignment_sql(per_supplier: int = 5) -> str:
            w AS qty
     FROM st WHERE step > 0
     ORDER BY step"""
+
+
+def orders_sample_quantiles_sql(rate_shift: int = 4) -> str:
+    """Sampling-calibration mirror (relational.orders_sample_quantiles):
+    the shared splitmix64 CTE chain flags the deterministic
+    1/2^``rate_shift`` sample, both quantile ladders resolve by
+    nearest-rank selection (min cents whose cumulative count reaches
+    floor(p*(N-1)/100)+1 — integer arithmetic only), and the relative
+    error is the one mirrored float division of exact integers."""
+    from .stages.sketches import _hash_ctes
+
+    thresh = (1 << 64) >> rate_shift
+    return f"""
+    WITH src AS (
+        SELECT CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS cents,
+               CAST(o_orderkey AS BIGINT) AS okey
+        FROM orders
+    ),
+    {_hash_ctes('src', 'cents', 'okey')},
+    flag AS (
+        SELECT k AS cents,
+               CASE WHEN u < {thresh} THEN 1 ELSE 0 END AS in_s
+        FROM s6
+    ),
+    cat AS (
+        SELECT cents, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(in_s) AS BIGINT) AS ns
+        FROM flag GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS n_total, sum(ns) AS n_sample FROM cat),
+    c AS (
+        SELECT cents,
+               sum(n) OVER (ORDER BY cents) AS cum,
+               sum(ns) OVER (ORDER BY cents) AS cums
+        FROM cat
+    ),
+    lv AS (SELECT CAST(unnest([10, 25, 50, 75, 90]) AS BIGINT) AS p),
+    r AS (
+        SELECT lv.p,
+               (lv.p * (t.n_total - 1)) // 100 AS rk,
+               (lv.p * (t.n_sample - 1)) // 100 AS rks,
+               t.n_total, t.n_sample
+        FROM lv, tot t
+    ),
+    ex AS (
+        SELECT r.p, min(c.cents) AS exact_cents
+        FROM r JOIN c ON c.cum >= r.rk + 1 GROUP BY 1
+    ),
+    sm AS (
+        SELECT r.p, min(c.cents) AS sample_cents
+        FROM r JOIN c ON c.cums >= r.rks + 1 GROUP BY 1
+    )
+    SELECT r.p, CAST(r.n_total AS BIGINT) AS n_total,
+           CAST(r.n_sample AS BIGINT) AS n_sample,
+           ex.exact_cents, sm.sample_cents,
+           round((CAST(sm.sample_cents AS DOUBLE)
+                  - CAST(ex.exact_cents AS DOUBLE))
+                 / CAST(ex.exact_cents AS DOUBLE), 6) AS rel_err6
+    FROM r JOIN ex USING (p) JOIN sm USING (p)
+    ORDER BY r.p"""

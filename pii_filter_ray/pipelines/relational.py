@@ -20226,3 +20226,67 @@ def supplier_part_assignment(sf_dir: str, per_supplier: int = 5):
         "partkey": pd.array([r[2] for r in rows], dtype="int64"),
         "qty": pd.array([r[3] for r in rows], dtype="int64"),
     })
+
+
+def orders_sample_quantiles(sf_dir: str, rate_shift: int = 4):
+    """Sampling-calibration audit: quantiles of order totals estimated
+    from a DETERMINISTIC 1/2^``rate_shift`` hash sample (row kept iff
+    splitmix64(o_orderkey) falls in the bottom 1/16 of hash space — the
+    reproducible stand-in for reservoir sampling, with the same uniform
+    marginal and none of the RNG-state coupling) against the EXACT
+    order statistics, with the relative error per quantile level. One
+    distributed pass builds the (cents, n, n_sample) value catalog
+    (per-block group partials; the sample flag is a vectorized hash
+    compare, so sampling costs no second pass); both the exact and the
+    sample quantile then resolve on the driver from cumulative counts
+    over the bounded price catalog at the nearest-rank index
+    floor(p*(N-1)/100) — pure integer selection, no interpolation, so
+    every output value is an exact catalog member and the only float is
+    the one mirrored rel-err division."""
+    from ..stages.sketches import splitmix64
+
+    ds = _tbl(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            batch["o_totalprice"].to_numpy() * 100.0, 0).astype(np.int64)
+        if rate_shift == 0:
+            ins = np.ones(len(cents), np.int64)  # threshold 2^64: all in
+        else:
+            h = splitmix64(batch["o_orderkey"].to_numpy(
+                zero_copy_only=False).astype(np.uint64))
+            ins = (h < np.uint64((1 << 64) >> rate_shift)).astype(np.int64)
+        t = pa.table({
+            "cents": pa.array(cents, pa.int64()),
+            "n": pa.array(np.ones(len(cents), np.int64), pa.int64()),
+            "ns": pa.array(ins, pa.int64()),
+        })
+        g = t.group_by("cents").aggregate([("n", "sum"), ("ns", "sum")])
+        return pa.table({"cents": g["cents"], "n": g["n_sum"],
+                         "ns": g["ns_sum"]})
+
+    df = (ds.map_batches(partials, batch_format="pyarrow")
+          .groupby("cents")
+          .aggregate(Sum("n", alias_name="n"), Sum("ns", alias_name="ns"))
+          .to_pandas().sort_values("cents").reset_index(drop=True))
+    cents = df["cents"].to_numpy(np.int64)
+    cum = df["n"].to_numpy(np.int64).cumsum()
+    cums = df["ns"].to_numpy(np.int64).cumsum()
+    n_total = int(cum[-1])
+    n_sample = int(cums[-1])
+    rows = []
+    for p in (10, 25, 50, 75, 90):
+        rk = (p * (n_total - 1)) // 100
+        rks = (p * (n_sample - 1)) // 100
+        exact = int(cents[np.searchsorted(cum, rk + 1)])
+        samp = int(cents[np.searchsorted(cums, rks + 1)])
+        rows.append((p, n_total, n_sample, exact, samp,
+                     float(round_half_away((samp - exact) / exact, 6))))
+    return pd.DataFrame({
+        "p": pd.array([r[0] for r in rows], dtype="int64"),
+        "n_total": pd.array([r[1] for r in rows], dtype="int64"),
+        "n_sample": pd.array([r[2] for r in rows], dtype="int64"),
+        "exact_cents": pd.array([r[3] for r in rows], dtype="int64"),
+        "sample_cents": pd.array([r[4] for r in rows], dtype="int64"),
+        "rel_err6": [r[5] for r in rows],
+    })

@@ -5253,3 +5253,49 @@ def test_assignment_layout_laws_and_planted(ray_session, tmp_path,
     assert list(out["suppkey"]) == [1, 2]
     assert list(out["partkey"]) == [1, 3]
     assert list(out["qty"]) == [10, 1]
+
+
+def test_sample_quantiles_layout_laws_and_planted(ray_session, tmp_path,
+                                                  monkeypatch):
+    """Hash-sample quantile calibration must be block-layout invariant
+    and satisfy the ladder laws: both quantile columns nondecreasing in
+    p, every value a member of the exact cents multiset, n_sample <=
+    n_total, and rel_err == 0 wherever sample and exact agree. Planted:
+    with the sample containing every row (monkeypatched via rate_shift=0
+    -> threshold 2^64, all hashes below), sample quantiles EQUAL exact
+    quantiles at every level."""
+    import pandas as pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.orders_sample_quantiles(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.orders_sample_quantiles(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    ex = a["exact_cents"].to_numpy()
+    sm = a["sample_cents"].to_numpy()
+    assert (ex[1:] >= ex[:-1]).all() and (sm[1:] >= sm[:-1]).all()
+    assert (a["n_sample"] <= a["n_total"]).all()
+    same = ex == sm
+    assert (a["rel_err6"].to_numpy()[same] == 0.0).all()
+
+    _pq.write_table(_pa.table({
+        "o_orderkey": _pa.array(list(range(1, 101)), _pa.int64()),
+        "o_totalprice": _pa.array([float(i) for i in range(1, 101)],
+                                  _pa.float64()),
+    }), tmp_path / "orders.parquet")
+    full = r.orders_sample_quantiles(str(tmp_path), rate_shift=0)
+    assert (full["n_sample"] == full["n_total"]).all()
+    assert list(full["exact_cents"]) == list(full["sample_cents"])
+    assert (full["rel_err6"] == 0.0).all()
+    # nearest-rank on 100 known values: p50 -> rank floor(50*99/100)=49
+    assert int(full.set_index("p").loc[50, "exact_cents"]) == 5000
