@@ -551,6 +551,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_part_assignment": r.supplier_part_assignment,
         # deterministic hash-sample quantile calibration vs exact ranks
         "orders_sample_quantiles": r.orders_sample_quantiles,
+        # decision-stump info-gain split search over the keep label
+        "doc_quality_stump": r.doc_quality_stump,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6714,6 +6716,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_isotonic": o.lineitem_isotonic_sql(),
         "supplier_part_assignment": o.supplier_part_assignment_sql(),
         "orders_sample_quantiles": o.orders_sample_quantiles_sql(),
+        "doc_quality_stump": o.doc_quality_stump_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

@@ -5006,3 +5006,74 @@ def orders_sample_quantiles_sql(rate_shift: int = 4) -> str:
                  / CAST(ex.exact_cents AS DOUBLE), 6) AS rel_err6
     FROM r JOIN ex USING (p) JOIN sm USING (p)
     ORDER BY r.p"""
+
+
+def _binary_entropy_sql(k: str, n: str) -> str:
+    """Inline binary-entropy expression H(k/n) in nats with 0*ln(0)
+    pinned to 0 — expanded per call site so every gain stays one
+    row-independent IEEE expression (the doc_char_entropy convention)."""
+    p = f"(CAST({k} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    q = f"(CAST(({n}) - ({k}) AS DOUBLE) / CAST({n} AS DOUBLE))"
+    return (f"CASE WHEN ({k}) = 0 OR ({k}) = ({n}) THEN 0.0 "
+            f"ELSE -{p} * ln({p}) - {q} * ln({q}) END")
+
+
+def doc_quality_stump_sql() -> str:
+    """Stump mirror (relational.doc_quality_stump): the doc_sql_keep
+    label law and the doc_token_stats whitespace-token law rebuilt
+    verbatim, cumulative exact counts over the token-count catalog, and
+    per-threshold information gain as one mirrored expression of six
+    BIGINTs (binary entropies inlined via _binary_entropy_sql)."""
+    hl = _binary_entropy_sql("c.kl", "c.nl")
+    hr = _binary_entropy_sql("t.kt - c.kl", "t.nn - c.nl")
+    hroot = _binary_entropy_sql("t.kt", "t.nn")
+    return f"""
+    WITH f AS (
+        SELECT trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11)
+                          || chr(12)) = '' AS is_empty,
+               list_max(list_transform(string_split(text, chr(10)),
+                                       x -> length(x))) AS mll,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x != '') AS toks,
+               length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))
+                   AS n_alnum,
+               length(text) AS n_chars
+        FROM documents
+    ),
+    lab AS (
+        SELECT CAST(len(toks) AS BIGINT) AS tok,
+               CASE WHEN is_empty THEN 0
+                    WHEN mll > 1000 THEN 0
+                    WHEN len(toks) > 0 AND
+                         CAST(list_sum(list_transform(toks,
+                                                      x -> length(x)))
+                              AS DOUBLE) / len(toks) > 25.0 THEN 0
+                    WHEN n_chars > 0 AND
+                         CAST(n_alnum AS DOUBLE) / n_chars < 0.25 THEN 0
+                    ELSE 1 END AS k
+        FROM f
+    ),
+    cat AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(k) AS BIGINT) AS kk
+        FROM lab GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                   CAST(sum(kk) AS BIGINT) AS kt FROM cat),
+    c AS (
+        SELECT tok,
+               CAST(sum(n) OVER (ORDER BY tok) AS BIGINT) AS nl,
+               CAST(sum(kk) OVER (ORDER BY tok) AS BIGINT) AS kl
+        FROM cat
+    )
+    SELECT c.tok AS threshold,
+           c.nl AS n_left, c.kl AS keep_left,
+           CAST(t.nn - c.nl AS BIGINT) AS n_right,
+           CAST(t.kt - c.kl AS BIGINT) AS keep_right,
+           round({hroot}
+                 - (CAST(c.nl AS DOUBLE) / CAST(t.nn AS DOUBLE)) * ({hl})
+                 - (CAST(t.nn - c.nl AS DOUBLE) / CAST(t.nn AS DOUBLE))
+                   * ({hr}), 9) AS gain9
+    FROM c, tot t
+    WHERE t.nn - c.nl > 0
+    ORDER BY c.tok"""

@@ -20290,3 +20290,71 @@ def orders_sample_quantiles(sf_dir: str, rate_shift: int = 4):
         "sample_cents": pd.array([r[4] for r in rows], dtype="int64"),
         "rel_err6": [r[5] for r in rows],
     })
+
+
+def doc_quality_stump(sf_dir: str):
+    """Decision-stump split search: for every token-count threshold t,
+    the information gain of the split (n_tokens <= t | > t) against the
+    structural keep label — the CART/ID3 primitive, used in curation to
+    derive a cheap length filter from an expensive gold quality label
+    (the best row IS the learned stump). One distributed pass builds
+    the bounded (n_tokens, n, keepers) catalog from the SAME mirrored
+    laws doc_token_stats and doc_sql_keep already pin (whitespace-run
+    token count; empty/max-line/long-token/alnum keep rule); the sweep
+    then resolves on the driver from cumulative EXACT counts. Following
+    the doc_char_entropy convention there is no float sum anywhere:
+    each row's gain is one ROW-INDEPENDENT mirrored IEEE expression of
+    six exact integers (binary entropy of root minus weighted child
+    entropies, 0*ln(0) pinned to 0), snapped to 9. Rows with an empty
+    right side are excluded (a split must be proper)."""
+    import math
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ts = token_stats_batch(batch)
+        kb = sql_keep_batch(batch)
+        t = pa.table({
+            "tok": ts["n_tokens"],
+            "n": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+            "k": pc.cast(kb["keep"], pa.int64()),
+        })
+        g = t.group_by("tok").aggregate([("n", "sum"), ("k", "sum")])
+        return pa.table({"tok": g["tok"], "n": g["n_sum"], "k": g["k_sum"]})
+
+    df = (ds.map_batches(partials, batch_format="pyarrow")
+          .groupby("tok")
+          .aggregate(Sum("n", alias_name="n"), Sum("k", alias_name="k"))
+          .to_pandas().sort_values("tok").reset_index(drop=True))
+    toks = df["tok"].to_numpy(np.int64)
+    nl_cum = df["n"].to_numpy(np.int64).cumsum()
+    kl_cum = df["k"].to_numpy(np.int64).cumsum()
+    n_tot = int(nl_cum[-1])
+    k_tot = int(kl_cum[-1])
+
+    def h(k: int, n: int) -> float:
+        if k == 0 or k == n:
+            return 0.0
+        p = float(k) / float(n)
+        q = float(n - k) / float(n)
+        return -p * math.log(p) - q * math.log(q)
+
+    h_root = h(k_tot, n_tot)
+    rows = []
+    for t_, nl, kl in zip(toks, nl_cum, kl_cum):
+        nl, kl = int(nl), int(kl)
+        nr, kr = n_tot - nl, k_tot - kl
+        if nr == 0:
+            continue
+        gain = (h_root - (float(nl) / float(n_tot)) * h(kl, nl)
+                - (float(nr) / float(n_tot)) * h(kr, nr))
+        rows.append((int(t_), nl, kl, nr, kr,
+                     float(round_half_away(gain, 9))))
+    return pd.DataFrame({
+        "threshold": pd.array([r[0] for r in rows], dtype="int64"),
+        "n_left": pd.array([r[1] for r in rows], dtype="int64"),
+        "keep_left": pd.array([r[2] for r in rows], dtype="int64"),
+        "n_right": pd.array([r[3] for r in rows], dtype="int64"),
+        "keep_right": pd.array([r[4] for r in rows], dtype="int64"),
+        "gain9": [r[5] for r in rows],
+    })

@@ -5299,3 +5299,54 @@ def test_sample_quantiles_layout_laws_and_planted(ray_session, tmp_path,
     assert (full["rel_err6"] == 0.0).all()
     # nearest-rank on 100 known values: p50 -> rank floor(50*99/100)=49
     assert int(full.set_index("p").loc[50, "exact_cents"]) == 5000
+
+
+def test_stump_layout_laws_and_planted(ray_session, tmp_path, monkeypatch):
+    """Info-gain stump sweep must be block-layout invariant and satisfy
+    the split laws (left+right counts partition N at every threshold,
+    keepers never exceed counts, every gain in [0, ln 2], no threshold
+    with an empty right side). Planted: four docs where token count
+    separates the keep label PERFECTLY (two 1-token keepers, two junk
+    docs pushed over the long-token rule) give gain == H(1/2) = ln 2 at
+    the separating threshold and gain < ln 2 elsewhere."""
+    import math
+
+    import pandas as pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_quality_stump(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.doc_quality_stump(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    n_tot = int(a["n_left"].iloc[0] + a["n_right"].iloc[0])
+    assert ((a["n_left"] + a["n_right"]) == n_tot).all()
+    assert (a["keep_left"] <= a["n_left"]).all()
+    assert (a["keep_right"] <= a["n_right"]).all()
+    assert (a["n_right"] > 0).all()
+    g = a["gain9"].to_numpy()
+    assert (g >= -1e-9).all() and (g <= math.log(2.0) + 1e-9).all()
+
+    junk = "x" * 60  # one 60-char token: mean token len > 25 -> dropped
+    _pq.write_table(_pa.table({
+        "doc_id": _pa.array([1, 2, 3, 4], _pa.int64()),
+        "text": _pa.array(["ok", "ok", junk + " " + junk,
+                           junk + " " + junk + " " + junk],
+                          _pa.string()),
+    }), tmp_path / "documents.parquet")
+    out = r.doc_quality_stump(str(tmp_path)).set_index("threshold")
+    assert int(out.loc[1, "keep_left"]) == 2
+    assert int(out.loc[1, "n_left"]) == 2
+    assert int(out.loc[1, "keep_right"]) == 0
+    assert float(out.loc[1, "gain9"]) == float(
+        r.round_half_away(math.log(2.0), 9))
+    assert float(out.loc[2, "gain9"]) < float(out.loc[1, "gain9"])
