@@ -553,6 +553,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_sample_quantiles": r.orders_sample_quantiles,
         # decision-stump info-gain split search over the keep label
         "doc_quality_stump": r.doc_quality_stump,
+        # split-conformal prediction-interval calibration (coverage audit)
+        "lineitem_conformal": r.lineitem_conformal,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6717,6 +6719,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_part_assignment": o.supplier_part_assignment_sql(),
         "orders_sample_quantiles": o.orders_sample_quantiles_sql(),
         "doc_quality_stump": o.doc_quality_stump_sql(),
+        "lineitem_conformal": o.lineitem_conformal_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

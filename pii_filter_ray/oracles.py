@@ -5077,3 +5077,85 @@ def doc_quality_stump_sql() -> str:
     FROM c, tot t
     WHERE t.nn - c.nl > 0
     ORDER BY c.tok"""
+
+
+def lineitem_conformal_sql(target_pct: int = 90) -> str:
+    """Split-conformal mirror (relational.lineitem_conformal): the
+    shared multiplicative split law on (orderkey*8 + linenumber), OLS
+    moments as HUGEINT sums over the train catalog, slope/intercept/
+    residual-score/coverage each one mirrored IEEE expression, and the
+    conformal rank by the same integer ceiling. The RANGE-frame
+    cumulative over calibration scores selects the identical qhat the
+    driver's cumsum/searchsorted picks (ties share a score, and both
+    rules select the first score group whose through-total reaches
+    k)."""
+    return f"""
+    WITH src AS (
+        SELECT CAST(l_quantity AS BIGINT) AS q,
+               CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) AS c,
+               (CAST(l_orderkey * 8 + l_linenumber AS HUGEINT)
+                * 2654435761) % 4294967296 % 100 AS b
+        FROM lineitem
+    ),
+    sp AS (
+        SELECT q, c,
+               CASE WHEN b < 60 THEN 'train'
+                    WHEN b < 80 THEN 'cal'
+                    ELSE 'test' END AS split
+        FROM src
+    ),
+    cat AS (
+        SELECT q, c, split, CAST(count(*) AS BIGINT) AS n
+        FROM sp GROUP BY 1, 2, 3
+    ),
+    m AS (
+        SELECT CAST(sum(n) AS HUGEINT) AS n,
+               sum(CAST(n AS HUGEINT) * q) AS s1,
+               sum(CAST(n AS HUGEINT) * q * q) AS s2,
+               sum(CAST(n AS HUGEINT) * c) AS sy,
+               sum(CAST(n AS HUGEINT) * q * c) AS sqy
+        FROM cat WHERE split = 'train'
+    ),
+    ab AS (
+        SELECT CAST(n * sqy - s1 * sy AS DOUBLE)
+                   / CAST(n * s2 - s1 * s1 AS DOUBLE) AS a,
+               n, s1, sy
+        FROM m
+    ),
+    ab2 AS (
+        SELECT a,
+               (CAST(sy AS DOUBLE) - a * CAST(s1 AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS b,
+               CAST(n AS BIGINT) AS n_train
+        FROM ab
+    ),
+    sc AS (
+        SELECT cat.split, cat.n,
+               abs(CAST(cat.c AS DOUBLE)
+                   - (ab2.a * CAST(cat.q AS DOUBLE) + ab2.b)) AS s
+        FROM cat, ab2
+    ),
+    kq AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_cal,
+               LEAST(({target_pct} * (CAST(sum(n) AS BIGINT) + 1) + 99)
+                     // 100, CAST(sum(n) AS BIGINT)) AS k
+        FROM sc WHERE split = 'cal'
+    ),
+    cum AS (
+        SELECT s, sum(n) OVER (ORDER BY s) AS cum
+        FROM sc WHERE split = 'cal'
+    ),
+    qh AS (SELECT min(s) AS qhat FROM cum, kq WHERE cum.cum >= kq.k),
+    tst AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_test,
+               CAST(sum(CASE WHEN s <= qh.qhat THEN n ELSE 0 END)
+                    AS BIGINT) AS n_cov
+        FROM sc, qh WHERE split = 'test'
+    )
+    SELECT ab2.n_train, kq.n_cal, tst.n_test,
+           round(ab2.a, 9) AS slope9,
+           round(ab2.b, 9) AS intercept9,
+           round(qh.qhat, 6) AS qhat6,
+           round(CAST(tst.n_cov AS DOUBLE) / CAST(tst.n_test AS DOUBLE),
+                 6) AS coverage6
+    FROM ab2, kq, tst, qh"""

@@ -20358,3 +20358,91 @@ def doc_quality_stump(sf_dir: str):
         "keep_right": pd.array([r[4] for r in rows], dtype="int64"),
         "gain9": [r[5] for r in rows],
     })
+
+
+def lineitem_conformal(sf_dir: str, target_pct: int = 90):
+    """Split-conformal prediction-interval calibration — the modern
+    distribution-free uncertainty audit: fit OLS (extended price ~
+    quantity) on a deterministic TRAIN split, set the interval
+    half-width qhat to the ceil((n_cal+1)*0.9)-th smallest absolute
+    residual on a disjoint CALIBRATION split, and report the achieved
+    coverage on a held-out TEST split (conformal theory promises
+    >= 90% regardless of the model's quality — the audit checks it).
+    The split reuses the doc_hash_split multiplicative law on the
+    (orderkey*8 + linenumber) row key (<60 train, <80 cal, else test).
+    One distributed pass builds the (quantity, cents, split) catalog;
+    everything downstream resolves on the driver from the catalog:
+    OLS moments as exact Python ints (= SQL HUGEINT), slope/intercept
+    as mirrored float divisions, per-catalog-row residual scores as one
+    identical IEEE expression, the conformal rank by integer ceiling,
+    and coverage as one mirrored division of exact counts. Residual
+    ties cost nothing: selection is over the SCORE value, and SQL's
+    RANGE-frame cumulative equals the first-group-reaching-k rule the
+    driver's cumsum/searchsorted implements."""
+    ds = _tbl(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_linenumber", "l_quantity",
+                       "l_extendedprice"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            batch["l_extendedprice"].to_numpy() * 100.0, 0).astype(np.int64)
+        kk = (batch["l_orderkey"].to_numpy(zero_copy_only=False)
+              .astype(np.uint64) * np.uint64(8)
+              + batch["l_linenumber"].to_numpy(
+                  zero_copy_only=False).astype(np.uint64))
+        old = np.seterr(over="ignore")
+        try:
+            b = ((kk * np.uint64(2654435761)) % np.uint64(4294967296)
+                 % np.uint64(100)).astype(np.int64)
+        finally:
+            np.seterr(**old)
+        split = np.where(b < 60, "train", np.where(b < 80, "cal", "test"))
+        t = pa.table({
+            "q": pc.cast(batch["l_quantity"], pa.int64()),
+            "c": pa.array(cents, pa.int64()),
+            "split": pa.array(split, pa.string()),
+        })
+        g = t.group_by(["q", "c", "split"]).aggregate([([], "count_all")])
+        return pa.table({"q": g["q"], "c": g["c"], "split": g["split"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    cat = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby(["q", "c", "split"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    n_tr = s1 = s2 = sy = sqy = 0
+    for q, c, sp, n in zip(cat["q"], cat["c"], cat["split"], cat["n"]):
+        if sp != "train":
+            continue
+        q, c, n = int(q), int(c), int(n)
+        n_tr += n
+        s1 += n * q
+        s2 += n * q * q
+        sy += n * c
+        sqy += n * q * c
+    slope = float(n_tr * sqy - s1 * sy) / float(n_tr * s2 - s1 * s1)
+    intercept = (float(sy) - slope * float(s1)) / float(n_tr)
+    score = np.abs(
+        cat["c"].to_numpy(np.int64).astype(np.float64)
+        - (slope * cat["q"].to_numpy(np.int64).astype(np.float64)
+           + intercept))
+    is_cal = (cat["split"] == "cal").to_numpy()
+    is_test = (cat["split"] == "test").to_numpy()
+    counts = cat["n"].to_numpy(np.int64)
+    n_cal = int(counts[is_cal].sum())
+    n_test = int(counts[is_test].sum())
+    k = min((target_pct * (n_cal + 1) + 99) // 100, n_cal)
+    order = np.argsort(score[is_cal], kind="mergesort")
+    cs = score[is_cal][order]
+    cum = counts[is_cal][order].cumsum()
+    qhat = float(cs[np.searchsorted(cum, k)])
+    n_cov = int(counts[is_test][score[is_test] <= qhat].sum())
+    return pd.DataFrame({
+        "n_train": pd.array([n_tr], dtype="int64"),
+        "n_cal": pd.array([n_cal], dtype="int64"),
+        "n_test": pd.array([n_test], dtype="int64"),
+        "slope9": [float(round_half_away(slope, 9))],
+        "intercept9": [float(round_half_away(intercept, 9))],
+        "qhat6": [float(round_half_away(qhat, 6))],
+        "coverage6": [float(round_half_away(n_cov / n_test, 6))],
+    })

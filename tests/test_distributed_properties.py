@@ -5350,3 +5350,41 @@ def test_stump_layout_laws_and_planted(ray_session, tmp_path, monkeypatch):
     assert float(out.loc[1, "gain9"]) == float(
         r.round_half_away(math.log(2.0), 9))
     assert float(out.loc[2, "gain9"]) < float(out.loc[1, "gain9"])
+
+
+def test_conformal_layout_laws_and_coverage(ray_session, monkeypatch):
+    """Split-conformal calibration must be block-layout invariant and
+    satisfy the conformal laws: the three splits partition the table,
+    qhat is nonnegative, and -- the distribution-free guarantee itself
+    -- test coverage lands at or above the nominal level minus the
+    finite-sample slack 1/(n_cal+1) (in practice comfortably >= 0.9 -
+    slack; a badly-fit linear model does NOT break this, which is the
+    entire point of conformal prediction). Also pins the rank rule at a
+    stricter target (target_pct=99 gives a wider interval, so qhat and
+    coverage are both monotone in the target)."""
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.lineitem_conformal(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.lineitem_conformal(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    n_rows = _pq.read_metadata(sf + "/lineitem.parquet").num_rows
+    assert int(a["n_train"].iloc[0] + a["n_cal"].iloc[0]
+               + a["n_test"].iloc[0]) == n_rows
+    assert float(a["qhat6"].iloc[0]) >= 0.0
+    n_cal = int(a["n_cal"].iloc[0])
+    assert float(a["coverage6"].iloc[0]) >= 0.9 - 1.0 / (n_cal + 1) - 0.02
+
+    wide = r.lineitem_conformal(sf, target_pct=99)
+    assert float(wide["qhat6"].iloc[0]) >= float(a["qhat6"].iloc[0])
+    assert float(wide["coverage6"].iloc[0]) >= float(a["coverage6"].iloc[0])
