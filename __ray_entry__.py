@@ -555,6 +555,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_stump": r.doc_quality_stump,
         # split-conformal prediction-interval calibration (coverage audit)
         "lineitem_conformal": r.lineitem_conformal,
+        # CUPED pre-period covariate variance reduction (A/B sizing)
+        "orders_cuped": r.orders_cuped,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6720,6 +6722,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_sample_quantiles": o.orders_sample_quantiles_sql(),
         "doc_quality_stump": o.doc_quality_stump_sql(),
         "lineitem_conformal": o.lineitem_conformal_sql(),
+        "orders_cuped": o.orders_cuped_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

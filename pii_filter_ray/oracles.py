@@ -5159,3 +5159,44 @@ def lineitem_conformal_sql(target_pct: int = 90) -> str:
            round(CAST(tst.n_cov AS DOUBLE) / CAST(tst.n_test AS DOUBLE),
                  6) AS coverage6
     FROM ab2, kq, tst, qh"""
+
+
+def orders_cuped_sql(split_us: int = 891_388_800_000_000) -> str:
+    """CUPED mirror (relational.orders_cuped): per-customer pre/post
+    exact cents via one conditional groupby, second-order moments as
+    HUGEINT sums (the engine ships them as 128-bit decimal-string
+    ledgers; both are exact integers), and theta / rho^2 as the same
+    single IEEE expressions of five exact integers."""
+    return f"""
+    WITH pc AS (
+        SELECT o_custkey,
+               sum(CASE WHEN epoch_us(o_orderdate) < {split_us}
+                        THEN CAST(round(o_totalprice * 100.0, 0) AS BIGINT)
+                        ELSE 0 END) AS x,
+               sum(CASE WHEN epoch_us(o_orderdate) < {split_us}
+                        THEN 0
+                        ELSE CAST(round(o_totalprice * 100.0, 0) AS BIGINT)
+                        END) AS y
+        FROM orders GROUP BY 1
+    ),
+    m AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(x) AS HUGEINT) AS sx,
+               CAST(sum(y) AS HUGEINT) AS sy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(y AS HUGEINT) * y) AS syy,
+               sum(CAST(x AS HUGEINT) * y) AS sxy
+        FROM pc
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS mean_pre_cents6,
+           round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS mean_post_cents6,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS theta9,
+           round((CAST(n * sxy - sx * sy AS DOUBLE)
+                  * CAST(n * sxy - sx * sy AS DOUBLE))
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 9) AS rho2_9
+    FROM m"""

@@ -20446,3 +20446,86 @@ def lineitem_conformal(sf_dir: str, target_pct: int = 90):
         "qhat6": [float(round_half_away(qhat, 6))],
         "coverage6": [float(round_half_away(n_cov / n_test, 6))],
     })
+
+
+def orders_cuped(sf_dir: str, split_us: int = 891_388_800_000_000):
+    """CUPED variance reduction (Deng et al. 2013) — the experimentation
+    workhorse: using each customer's PRE-period revenue as the control
+    covariate for their POST-period revenue, report theta =
+    cov(pre, post)/var(pre) and the variance fraction rho^2 that CUPED
+    adjustment removes (the direct answer to "how much smaller can the
+    A/B test get?"). Two distributed stages: one groupby folds orders
+    into per-customer (pre_cents, post_cents) exact-integer pairs
+    (customers missing a period contribute exact zeros on both
+    engines); a second streaming pass ships one ~6-scalar moment ledger
+    per block — n and the linear sums as int64, the three second-order
+    sums as exact 128-bit decimal STRINGS (the orders_winsorized_stats
+    wraparound-low-word trick, since squared customer-lifetime cents
+    overflow int64) — merged as Python ints (= SQL HUGEINT). theta and
+    rho^2 are then single mirrored IEEE expressions of five exact
+    integers; the split boundary is exact epoch-microseconds
+    (1998-04-01, the sf corpus midpoint), mirroring SQL epoch_us."""
+    ds = _tbl(sf_dir, "orders",
+              columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def per_customer(batch: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            batch["o_totalprice"].to_numpy() * 100.0, 0).astype(np.int64)
+        us = batch["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        pre = np.where(us < split_us, cents, 0)
+        post = np.where(us < split_us, 0, cents)
+        t = pa.table({
+            "ck": pc.cast(batch["o_custkey"], pa.int64()),
+            "x": pa.array(pre, pa.int64()),
+            "y": pa.array(post, pa.int64()),
+        })
+        g = t.group_by("ck").aggregate([("x", "sum"), ("y", "sum")])
+        return pa.table({"ck": g["ck"], "x": g["x_sum"], "y": g["y_sum"]})
+
+    def _exact_prod_sum(a: np.ndarray, b: np.ndarray) -> str:
+        au = a.astype(np.uint64)
+        bu = b.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            lo_bits = int((au * bu).sum(dtype=np.uint64))
+        approx = float(np.dot(a.astype(np.float64), b.astype(np.float64)))
+        hi_word = int(round((approx - lo_bits) / 2.0 ** 64))
+        return str((hi_word << 64) + lo_bits)
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxx": pa.array([_exact_prod_sum(x, x)], pa.string()),
+            "syy": pa.array([_exact_prod_sum(y, y)], pa.string()),
+            "sxy": pa.array([_exact_prod_sum(x, y)], pa.string()),
+        })
+
+    parts = (ds.map_batches(per_customer, batch_format="pyarrow")
+             .groupby("ck")
+             .aggregate(Sum("x", alias_name="x"), Sum("y", alias_name="y"))
+             .map_batches(moments, batch_format="pyarrow")
+             .to_pandas())
+    n = int(parts["n"].sum())
+    sx = int(parts["sx"].sum())
+    sy = int(parts["sy"].sum())
+    sxx = sum(int(v) for v in parts["sxx"])
+    syy = sum(int(v) for v in parts["syy"])
+    sxy = sum(int(v) for v in parts["sxy"])
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    theta = float(cov) / float(vx)
+    rho2 = (float(cov) * float(cov)) / (float(vx) * float(vy))
+    return pd.DataFrame({
+        "n_customers": pd.array([n], dtype="int64"),
+        "mean_pre_cents6": [float(round_half_away(
+            float(sx) / float(n), 6))],
+        "mean_post_cents6": [float(round_half_away(
+            float(sy) / float(n), 6))],
+        "theta9": [float(round_half_away(theta, 9))],
+        "rho2_9": [float(round_half_away(rho2, 9))],
+    })

@@ -5388,3 +5388,53 @@ def test_conformal_layout_laws_and_coverage(ray_session, monkeypatch):
     wide = r.lineitem_conformal(sf, target_pct=99)
     assert float(wide["qhat6"].iloc[0]) >= float(a["qhat6"].iloc[0])
     assert float(wide["coverage6"].iloc[0]) >= float(a["coverage6"].iloc[0])
+
+
+def test_cuped_layout_laws_and_planted(ray_session, tmp_path, monkeypatch):
+    """CUPED must be block-layout invariant, bound rho^2 to [0, 1]
+    (it is a squared correlation), and recover a planted exact linear
+    relationship: customers whose post-period revenue is exactly
+    2x their pre-period revenue give theta == 2 and rho^2 == 1."""
+    import pandas as pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.orders_cuped(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.orders_cuped(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    rho2 = float(a["rho2_9"].iloc[0])
+    assert -1e-9 <= rho2 <= 1.0 + 1e-9
+
+    import datetime as _dt
+    pre = _dt.datetime(1996, 1, 1)
+    post = _dt.datetime(2000, 1, 1)
+    _pq.write_table(_pa.table({
+        "o_custkey": _pa.array([1, 1, 2, 3], _pa.int64()),
+        "o_orderdate": _pa.array([pre, post, pre, pre],
+                                 _pa.timestamp("us")),
+        "o_totalprice": _pa.array([10.0, 20.0, 30.0, 50.0],
+                                  _pa.float64()),
+    }), tmp_path / "orders.parquet")
+    # plant post = 2 * pre for customers 2 and 3 via extra post rows
+    t = _pq.read_table(tmp_path / "orders.parquet")
+    extra = _pa.table({
+        "o_custkey": _pa.array([2, 3], _pa.int64()),
+        "o_orderdate": _pa.array([post, post], _pa.timestamp("us")),
+        "o_totalprice": _pa.array([60.0, 100.0], _pa.float64()),
+    })
+    _pq.write_table(_pa.concat_tables([t, extra]),
+                    tmp_path / "orders.parquet")
+    out = r.orders_cuped(str(tmp_path))
+    assert int(out["n_customers"].iloc[0]) == 3
+    assert float(out["theta9"].iloc[0]) == 2.0
+    assert float(out["rho2_9"].iloc[0]) == 1.0
