@@ -557,6 +557,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_conformal": r.lineitem_conformal,
         # CUPED pre-period covariate variance reduction (A/B sizing)
         "orders_cuped": r.orders_cuped,
+        # exact-integer 1-D Wasserstein distribution-shift distance
+        "orders_wasserstein": r.orders_wasserstein,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6723,6 +6725,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_stump": o.doc_quality_stump_sql(),
         "lineitem_conformal": o.lineitem_conformal_sql(),
         "orders_cuped": o.orders_cuped_sql(),
+        "orders_wasserstein": o.orders_wasserstein_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

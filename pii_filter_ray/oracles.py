@@ -5200,3 +5200,38 @@ def orders_cuped_sql(split_us: int = 891_388_800_000_000) -> str:
                  / (CAST(n * sxx - sx * sx AS DOUBLE)
                     * CAST(n * syy - sy * sy AS DOUBLE)), 9) AS rho2_9
     FROM m"""
+
+
+def orders_wasserstein_sql(split_us: int = 891_388_800_000_000) -> str:
+    """W1 mirror (relational.orders_wasserstein): cents catalog with
+    per-side counts, RANGE cumulatives and lead(cents) per step, the
+    integral as one exact HUGEINT sum of |cumA*nB - cumB*nA| * step
+    terms, and the single mirrored division at the end."""
+    return f"""
+    WITH cat AS (
+        SELECT CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS cents,
+               CAST(sum(CASE WHEN epoch_us(o_orderdate) < {split_us}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS na,
+               CAST(sum(CASE WHEN epoch_us(o_orderdate) < {split_us}
+                             THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(na) AS HUGEINT) AS n_pre,
+                   CAST(sum(nb) AS HUGEINT) AS n_post FROM cat),
+    c AS (
+        SELECT cents,
+               CAST(sum(na) OVER (ORDER BY cents) AS HUGEINT) AS ca,
+               CAST(sum(nb) OVER (ORDER BY cents) AS HUGEINT) AS cb,
+               lead(cents) OVER (ORDER BY cents) AS nxt
+        FROM cat
+    ),
+    num AS (
+        SELECT sum(abs(c.ca * t.n_post - c.cb * t.n_pre)
+                   * (c.nxt - c.cents)) AS num
+        FROM c, tot t WHERE c.nxt IS NOT NULL
+    )
+    SELECT CAST(t.n_pre AS BIGINT) AS n_pre,
+           CAST(t.n_post AS BIGINT) AS n_post,
+           round(CAST(num.num AS DOUBLE)
+                 / CAST(t.n_pre * t.n_post AS DOUBLE), 6) AS w1_cents6
+    FROM num, tot t"""

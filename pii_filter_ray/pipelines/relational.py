@@ -20529,3 +20529,55 @@ def orders_cuped(sf_dir: str, split_us: int = 891_388_800_000_000):
         "theta9": [float(round_half_away(theta, 9))],
         "rho2_9": [float(round_half_away(rho2, 9))],
     })
+
+
+def orders_wasserstein(sf_dir: str, split_us: int = 891_388_800_000_000):
+    """1-D Wasserstein-1 (earth-mover) distance between the pre- and
+    post-period order-value distributions — the distribution-shift
+    measure that, unlike KS/TVD/PSI, weights shifts by HOW FAR mass
+    moved in cents (the quantity a revenue-drift monitor actually
+    wants). W1 = integral |F_pre - F_post| dv discretizes exactly on
+    the cents catalog: multiplying through by n_pre*n_post makes every
+    step term |cumA*nB - cumB*nA| * (v_next - v) an EXACT integer, so
+    the whole integral accumulates as one Python-int sum (= SQL's
+    overflow-free HUGEINT sum — no float-sum ordering anywhere) and
+    the only float is the final mirrored division by n_pre*n_post.
+    One distributed pass builds the (cents, n_pre, n_post) catalog;
+    the fold is catalog-bounded, never row-bounded."""
+    ds = _tbl(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            batch["o_totalprice"].to_numpy() * 100.0, 0).astype(np.int64)
+        us = batch["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        pre = (us < split_us).astype(np.int64)
+        t = pa.table({
+            "cents": pa.array(cents, pa.int64()),
+            "na": pa.array(pre, pa.int64()),
+            "nb": pa.array(1 - pre, pa.int64()),
+        })
+        g = t.group_by("cents").aggregate([("na", "sum"), ("nb", "sum")])
+        return pa.table({"cents": g["cents"], "na": g["na_sum"],
+                         "nb": g["nb_sum"]})
+
+    df = (ds.map_batches(partials, batch_format="pyarrow")
+          .groupby("cents")
+          .aggregate(Sum("na", alias_name="na"), Sum("nb", alias_name="nb"))
+          .to_pandas().sort_values("cents").reset_index(drop=True))
+    v = [int(x) for x in df["cents"]]
+    na = [int(x) for x in df["na"]]
+    nb = [int(x) for x in df["nb"]]
+    n_pre, n_post = sum(na), sum(nb)
+    num = 0
+    ca = cb = 0
+    for i in range(len(v) - 1):
+        ca += na[i]
+        cb += nb[i]
+        num += abs(ca * n_post - cb * n_pre) * (v[i + 1] - v[i])
+    w1 = float(num) / float(n_pre * n_post)
+    return pd.DataFrame({
+        "n_pre": pd.array([n_pre], dtype="int64"),
+        "n_post": pd.array([n_post], dtype="int64"),
+        "w1_cents6": [float(round_half_away(w1, 6))],
+    })

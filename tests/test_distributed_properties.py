@@ -5438,3 +5438,54 @@ def test_cuped_layout_laws_and_planted(ray_session, tmp_path, monkeypatch):
     assert int(out["n_customers"].iloc[0]) == 3
     assert float(out["theta9"].iloc[0]) == 2.0
     assert float(out["rho2_9"].iloc[0]) == 1.0
+
+
+def test_wasserstein_layout_laws_and_planted(ray_session, tmp_path,
+                                             monkeypatch):
+    """W1 must be block-layout invariant and metric-lawful: zero for
+    identical distributions, and for a planted pure translation (post =
+    pre shifted by exactly 500 cents) W1 equals the shift — the
+    signature property that separates EMD from KS/TVD (which would both
+    saturate regardless of shift size)."""
+    import datetime as _dt
+
+    import pandas as pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.orders_wasserstein(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.orders_wasserstein(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert float(a["w1_cents6"].iloc[0]) >= 0.0
+
+    pre = _dt.datetime(1996, 1, 1)
+    post = _dt.datetime(2000, 1, 1)
+    vals_pre = [10.0, 20.0, 30.0]
+    # translation: every post value = pre value + 5.00
+    vals_post = [15.0, 25.0, 35.0]
+    _pq.write_table(_pa.table({
+        "o_orderdate": _pa.array([pre] * 3 + [post] * 3,
+                                 _pa.timestamp("us")),
+        "o_totalprice": _pa.array(vals_pre + vals_post, _pa.float64()),
+    }), tmp_path / "orders.parquet")
+    out = r.orders_wasserstein(str(tmp_path))
+    assert float(out["w1_cents6"].iloc[0]) == 500.0
+
+    # identical distributions -> exactly zero
+    _pq.write_table(_pa.table({
+        "o_orderdate": _pa.array([pre] * 3 + [post] * 3,
+                                 _pa.timestamp("us")),
+        "o_totalprice": _pa.array(vals_pre + vals_pre, _pa.float64()),
+    }), tmp_path / "orders.parquet")
+    out0 = r.orders_wasserstein(str(tmp_path))
+    assert float(out0["w1_cents6"].iloc[0]) == 0.0
