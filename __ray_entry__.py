@@ -559,6 +559,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cuped": r.orders_cuped,
         # exact-integer 1-D Wasserstein distribution-shift distance
         "orders_wasserstein": r.orders_wasserstein,
+        # A/B power analysis: required n per arm across an MDE grid
+        "orders_power_analysis": r.orders_power_analysis,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6726,6 +6728,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_conformal": o.lineitem_conformal_sql(),
         "orders_cuped": o.orders_cuped_sql(),
         "orders_wasserstein": o.orders_wasserstein_sql(),
+        "orders_power_analysis": o.orders_power_analysis_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

@@ -5235,3 +5235,38 @@ def orders_wasserstein_sql(split_us: int = 891_388_800_000_000) -> str:
            round(CAST(num.num AS DOUBLE)
                  / CAST(t.n_pre * t.n_post AS DOUBLE), 6) AS w1_cents6
     FROM num, tot t"""
+
+
+def orders_power_analysis_sql() -> str:
+    """Power-analysis mirror (relational.orders_power_analysis):
+    HUGEINT moment ledger, the MDE grid via VALUES, and per-row
+    mirrored expressions with the SAME (z_a+z_b)^2 float literal the
+    engine uses (imported, not retyped)."""
+    from .pipelines.relational import POWER_Z_SQ
+
+    return f"""
+    WITH m AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))
+                    AS HUGEINT) AS s,
+               sum(CAST(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)
+                        AS HUGEINT)
+                   * CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS ss
+        FROM orders
+    ),
+    grid AS (SELECT CAST(unnest([1, 2, 5, 10]) AS BIGINT) AS mde_pct),
+    v AS (
+        SELECT CAST(n * ss - s * s AS DOUBLE)
+                   / CAST(n * (n - 1) AS DOUBLE) AS var,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+        FROM m
+    )
+    SELECT g.mde_pct,
+           round(v.mean, 6) AS mean_cents6,
+           round(sqrt(v.var), 6) AS sd_cents6,
+           CAST(ceil(2.0 * {POWER_Z_SQ!r} * v.var
+                     / (((CAST(g.mde_pct AS DOUBLE) * v.mean) / 100.0)
+                        * ((CAST(g.mde_pct AS DOUBLE) * v.mean) / 100.0)))
+                AS BIGINT) AS n_per_arm
+    FROM grid g, v
+    ORDER BY g.mde_pct"""

@@ -20581,3 +20581,66 @@ def orders_wasserstein(sf_dir: str, split_us: int = 891_388_800_000_000):
         "n_post": pd.array([n_post], dtype="int64"),
         "w1_cents6": [float(round_half_away(w1, 6))],
     })
+
+
+def orders_power_analysis(sf_dir: str):
+    """A/B sample-size calculator over the observed revenue metric —
+    the planning half of the experimentation family (CUPED is the
+    variance-reduction half): for each minimum-detectable-effect on
+    the MDE grid {1, 2, 5, 10}% of the mean order value, the required
+    per-arm n for a two-sided alpha=0.05, power=0.8 two-sample test,
+    n = ceil(2 * (z_a + z_b)^2 * sigma^2 / delta^2). One streaming
+    pass ships a single (n, sum, sumsq) ledger per block — the sum as
+    int64, the squared-cents sum as the exact 128-bit decimal string
+    (winsorized-stats trick) — merged as Python ints; mean, variance,
+    delta and n are then per-row mirrored IEEE expressions of the
+    exact integers, with (z_{0.025} + z_{0.8})^2 computed once in
+    Python and INLINED as a float literal into the SQL (the
+    Benford-literal precedent: no cross-engine erf/quantile function
+    ever runs)."""
+    import math
+
+    ds = _tbl(sf_dir, "orders", columns=["o_totalprice"])
+
+    def _exact_sq_sum(c: np.ndarray) -> str:
+        cu = c.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            lo_bits = int((cu * cu).sum(dtype=np.uint64))
+        approx = float(np.dot(c.astype(np.float64), c.astype(np.float64)))
+        hi_word = int(round((approx - lo_bits) / 2.0 ** 64))
+        return str((hi_word << 64) + lo_bits)
+
+    def ledger(batch: pa.Table) -> pa.Table:
+        c = round_half_away(
+            batch["o_totalprice"].to_numpy() * 100.0, 0).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(c)], pa.int64()),
+            "s": pa.array([int(c.sum())], pa.int64()),
+            "ss": pa.array([_exact_sq_sum(c)], pa.string()),
+        })
+
+    parts = ds.map_batches(ledger, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    s = int(parts["s"].sum())
+    ss = sum(int(v) for v in parts["ss"])
+    zsq = POWER_Z_SQ  # (z_{0.025} + z_{0.8})^2, shared with the oracle
+    var = float(n * ss - s * s) / float(n * (n - 1))
+    mean = float(s) / float(n)
+    rows = []
+    for m in (1, 2, 5, 10):
+        delta = (float(m) * mean) / 100.0
+        n_arm = int(math.ceil(2.0 * zsq * var / (delta * delta)))
+        rows.append((m, float(round_half_away(mean, 6)),
+                     float(round_half_away(math.sqrt(var), 6)), n_arm))
+    return pd.DataFrame({
+        "mde_pct": pd.array([r[0] for r in rows], dtype="int64"),
+        "mean_cents6": [r[1] for r in rows],
+        "sd_cents6": [r[2] for r in rows],
+        "n_per_arm": pd.array([r[3] for r in rows], dtype="int64"),
+    })
+
+
+# (z_{0.025} + z_{0.8})^2 for alpha=0.05 two-sided, power=0.8 — computed
+# once from the standard normal quantiles and inlined as a literal into
+# BOTH engines so no erf/quantile function ever runs cross-engine.
+POWER_Z_SQ = (1.959963984540054 + 0.8416212335729143) ** 2

@@ -5489,3 +5489,51 @@ def test_wasserstein_layout_laws_and_planted(ray_session, tmp_path,
     }), tmp_path / "orders.parquet")
     out0 = r.orders_wasserstein(str(tmp_path))
     assert float(out0["w1_cents6"].iloc[0]) == 0.0
+
+
+def test_power_analysis_layout_laws_and_planted(ray_session, tmp_path,
+                                                monkeypatch):
+    """Power analysis must be block-layout invariant and satisfy the
+    design laws: n_per_arm strictly decreasing in MDE (quadratically:
+    halving the effect quadruples the n, up to ceiling slack), all
+    positive. Planted two-point distribution {100, 300} (mean 200.00
+    cents, variance 40000/3 * ... ): exact variance n*ss-s^2 over
+    n*(n-1) checks the ledger path end-to-end via the closed form."""
+    import math
+
+    import pandas as pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.orders_power_analysis(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.orders_power_analysis(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    n = a["n_per_arm"].to_numpy()
+    assert (n > 0).all()
+    assert (n[1:] < n[:-1]).all()
+    # quadratic law between mde 1% and 2%: ratio ~4 within ceiling slack
+    assert abs(float(n[0]) / float(n[1]) - 4.0) < 0.01
+
+    _pq.write_table(_pa.table({
+        "o_totalprice": _pa.array([1.0, 3.0, 1.0, 3.0], _pa.float64()),
+    }), tmp_path / "orders.parquet")
+    out = r.orders_power_analysis(str(tmp_path))
+    # cents {100,300,100,300}: n=4, s=800, ss=200000
+    # var = (4*200000 - 640000) / 12 = 13333.333...
+    var = (4 * 200000 - 800 * 800) / (4 * 3)
+    assert float(out["mean_cents6"].iloc[0]) == 200.0
+    assert float(out["sd_cents6"].iloc[0]) == float(
+        r.round_half_away(math.sqrt(var), 6))
+    m1 = out.set_index("mde_pct")
+    exp = math.ceil(2.0 * r.POWER_Z_SQ * var / (2.0 * 2.0))
+    assert int(m1.loc[1, "n_per_arm"]) == exp
