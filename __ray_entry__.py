@@ -561,6 +561,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_wasserstein": r.orders_wasserstein,
         # A/B power analysis: required n per arm across an MDE grid
         "orders_power_analysis": r.orders_power_analysis,
+        # difference-in-differences across the period boundary
+        "orders_did": r.orders_did,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6729,6 +6731,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_cuped": o.orders_cuped_sql(),
         "orders_wasserstein": o.orders_wasserstein_sql(),
         "orders_power_analysis": o.orders_power_analysis_sql(),
+        "orders_did": o.orders_did_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

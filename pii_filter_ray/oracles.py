@@ -5270,3 +5270,48 @@ def orders_power_analysis_sql() -> str:
                 AS BIGINT) AS n_per_arm
     FROM grid g, v
     ORDER BY g.mde_pct"""
+
+
+def orders_did_sql(treat_segment: str = "BUILDING",
+                   split_us: int = 891_388_800_000_000) -> str:
+    """DiD mirror (relational.orders_did): the segment join, four
+    (group, period) exact ledgers, and the same mirrored mean/DiD
+    expressions of exact integers."""
+    return f"""
+    WITH j AS (
+        SELECT CASE WHEN c.c_mktsegment = '{treat_segment}'
+                    THEN 'T' ELSE 'C' END AS grp,
+               CASE WHEN epoch_us(o.o_orderdate) < {split_us}
+                    THEN 'pre' ELSE 'post' END AS period,
+               CAST(round(o.o_totalprice * 100.0, 0) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cell AS (
+        SELECT grp, period, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS c
+        FROM j GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT
+            max(CASE WHEN grp = 'T' AND period = 'pre' THEN n END) AS ntp,
+            max(CASE WHEN grp = 'T' AND period = 'pre' THEN c END) AS ctp,
+            max(CASE WHEN grp = 'T' AND period = 'post' THEN n END) AS nto,
+            max(CASE WHEN grp = 'T' AND period = 'post' THEN c END) AS cto,
+            max(CASE WHEN grp = 'C' AND period = 'pre' THEN n END) AS ncp,
+            max(CASE WHEN grp = 'C' AND period = 'pre' THEN c END) AS ccp,
+            max(CASE WHEN grp = 'C' AND period = 'post' THEN n END) AS nco,
+            max(CASE WHEN grp = 'C' AND period = 'post' THEN c END) AS cco
+        FROM cell
+    )
+    SELECT CAST(ntp + nto AS BIGINT) AS n_treat,
+           CAST(ncp + nco AS BIGINT) AS n_control,
+           round(CAST(ctp AS DOUBLE) / CAST(ntp AS DOUBLE), 6) AS t_pre6,
+           round(CAST(cto AS DOUBLE) / CAST(nto AS DOUBLE), 6) AS t_post6,
+           round(CAST(ccp AS DOUBLE) / CAST(ncp AS DOUBLE), 6) AS c_pre6,
+           round(CAST(cco AS DOUBLE) / CAST(nco AS DOUBLE), 6) AS c_post6,
+           round((CAST(cto AS DOUBLE) / CAST(nto AS DOUBLE)
+                  - CAST(ctp AS DOUBLE) / CAST(ntp AS DOUBLE))
+                 - (CAST(cco AS DOUBLE) / CAST(nco AS DOUBLE)
+                    - CAST(ccp AS DOUBLE) / CAST(ncp AS DOUBLE)), 6)
+               AS did_cents6
+    FROM w"""

@@ -20644,3 +20644,78 @@ def orders_power_analysis(sf_dir: str):
 # once from the standard normal quantiles and inlined as a literal into
 # BOTH engines so no erf/quantile function ever runs cross-engine.
 POWER_Z_SQ = (1.959963984540054 + 0.8416212335729143) ** 2
+
+
+def orders_did(sf_dir: str, treat_segment: str = "BUILDING",
+               split_us: int = 891_388_800_000_000):
+    """Difference-in-differences — the causal-inference staple: did the
+    ``treat_segment`` customers' mean order value move differently
+    across the period boundary than everyone else's? DiD = (T_post -
+    T_pre) - (C_post - C_pre), reported with all four cell means so the
+    parallel-trends eyeball is possible. The segment rides in via the
+    broadcast customer-dim lookup (revenue_by_mktsegment's ray.put
+    pattern: the dim ships ONCE per node, never per batch); one
+    streaming pass then folds exact (n, cents) ledgers for the four
+    (group, period) cells — a 4-row shuffle per block — and every mean
+    plus the DiD estimate is a mirrored IEEE expression of exact
+    integers. The boundary is the corpus-midpoint epoch-microsecond
+    split shared with orders_cuped/orders_wasserstein."""
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"])
+    add_segment = broadcast_lookup_fn(
+        cust["c_custkey"].combine_chunks(),
+        cust["c_mktsegment"].combine_chunks(),
+        key_col="o_custkey", out_col="c_mktsegment")
+
+    ds = _tbl(sf_dir, "orders",
+              columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        batch = add_segment(batch)
+        cents = round_half_away(
+            batch["o_totalprice"].to_numpy() * 100.0, 0).astype(np.int64)
+        us = batch["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        seg = batch["c_mktsegment"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "grp": pa.array(np.where(seg == treat_segment, "T", "C"),
+                            pa.string()),
+            "period": pa.array(np.where(us < split_us, "pre", "post"),
+                               pa.string()),
+            "n": pa.array(np.ones(len(cents), np.int64), pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+        g = t.group_by(["grp", "period"]).aggregate(
+            [("n", "sum"), ("cents", "sum")])
+        return pa.table({"grp": g["grp"], "period": g["period"],
+                         "n": g["n_sum"], "cents": g["cents_sum"]})
+
+    df = (ds.map_batches(cells, batch_format="pyarrow")
+          .groupby(["grp", "period"])
+          .aggregate(Sum("n", alias_name="n"),
+                     Sum("cents", alias_name="cents"))
+          .to_pandas())
+    cell = {(g, p): (int(n), int(c))
+            for g, p, n, c in zip(df["grp"], df["period"],
+                                  df["n"], df["cents"])}
+
+    def mean(g: str, p: str) -> float:
+        n, c = cell[(g, p)]
+        return float(c) / float(n)
+
+    did = ((mean("T", "post") - mean("T", "pre"))
+           - (mean("C", "post") - mean("C", "pre")))
+    return pd.DataFrame({
+        "n_treat": pd.array(
+            [cell[("T", "pre")][0] + cell[("T", "post")][0]],
+            dtype="int64"),
+        "n_control": pd.array(
+            [cell[("C", "pre")][0] + cell[("C", "post")][0]],
+            dtype="int64"),
+        "t_pre6": [float(round_half_away(mean("T", "pre"), 6))],
+        "t_post6": [float(round_half_away(mean("T", "post"), 6))],
+        "c_pre6": [float(round_half_away(mean("C", "pre"), 6))],
+        "c_post6": [float(round_half_away(mean("C", "post"), 6))],
+        "did_cents6": [float(round_half_away(did, 6))],
+    })

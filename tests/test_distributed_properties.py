@@ -5537,3 +5537,52 @@ def test_power_analysis_layout_laws_and_planted(ray_session, tmp_path,
     m1 = out.set_index("mde_pct")
     exp = math.ceil(2.0 * r.POWER_Z_SQ * var / (2.0 * 2.0))
     assert int(m1.loc[1, "n_per_arm"]) == exp
+
+
+def test_did_layout_identity_and_planted(ray_session, tmp_path,
+                                         monkeypatch):
+    """DiD must be block-layout invariant, algebraically consistent
+    (did == (t_post - t_pre) - (c_post - c_pre) recomputed from the
+    reported cell means within snap tolerance), and recover a planted
+    effect exactly: treated mean moves 1.00 -> 3.00 across the
+    boundary while control moves 1.00 -> 2.00, so DiD = +100 cents."""
+    import datetime as _dt
+
+    import pandas as pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.orders_did(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.orders_did(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    recomputed = ((float(a["t_post6"].iloc[0]) - float(a["t_pre6"].iloc[0]))
+                  - (float(a["c_post6"].iloc[0])
+                     - float(a["c_pre6"].iloc[0])))
+    assert abs(recomputed - float(a["did_cents6"].iloc[0])) < 1e-5
+
+    pre = _dt.datetime(1996, 1, 1)
+    post = _dt.datetime(2000, 1, 1)
+    _pq.write_table(_pa.table({
+        "c_custkey": _pa.array([1, 2], _pa.int64()),
+        "c_mktsegment": _pa.array(["BUILDING", "MACHINERY"], _pa.string()),
+    }), tmp_path / "customer.parquet")
+    _pq.write_table(_pa.table({
+        "o_custkey": _pa.array([1, 1, 2, 2], _pa.int64()),
+        "o_orderdate": _pa.array([pre, post, pre, post],
+                                 _pa.timestamp("us")),
+        "o_totalprice": _pa.array([1.0, 3.0, 1.0, 2.0], _pa.float64()),
+    }), tmp_path / "orders.parquet")
+    out = r.orders_did(str(tmp_path))
+    assert int(out["n_treat"].iloc[0]) == 2
+    assert int(out["n_control"].iloc[0]) == 2
+    assert float(out["did_cents6"].iloc[0]) == 100.0
