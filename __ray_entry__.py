@@ -563,6 +563,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_power_analysis": r.orders_power_analysis,
         # difference-in-differences across the period boundary
         "orders_did": r.orders_did,
+        # group-fairness audit of the keep filter (four-fifths rule)
+        "doc_fairness_audit": r.doc_fairness_audit,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6732,6 +6734,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_wasserstein": o.orders_wasserstein_sql(),
         "orders_power_analysis": o.orders_power_analysis_sql(),
         "orders_did": o.orders_did_sql(),
+        "doc_fairness_audit": o.doc_fairness_audit_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

@@ -5315,3 +5315,68 @@ def orders_did_sql(treat_segment: str = "BUILDING",
                     - CAST(ccp AS DOUBLE) / CAST(ncp AS DOUBLE)), 6)
                AS did_cents6
     FROM w"""
+
+
+def doc_fairness_audit_sql() -> str:
+    """Fairness mirror (relational.doc_fairness_audit): the
+    doc_sql_keep label law, the most-favored group via exact HUGEINT
+    cross-product dominance (NOT EXISTS a strictly-better group;
+    earliest lang among ties, matching the driver's strict-> scan),
+    and DI / SPD as the same single mirrored divisions; the 0.8 flag
+    tests the snapped di6."""
+    return """
+    WITH f AS (
+        SELECT lang,
+               trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11)
+                          || chr(12)) = '' AS is_empty,
+               list_max(list_transform(string_split(text, chr(10)),
+                                       x -> length(x))) AS mll,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x != '') AS toks,
+               length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))
+                   AS n_alnum,
+               length(text) AS n_chars
+        FROM documents
+    ),
+    lab AS (
+        SELECT lang,
+               CASE WHEN is_empty THEN 0
+                    WHEN mll > 1000 THEN 0
+                    WHEN len(toks) > 0 AND
+                         CAST(list_sum(list_transform(toks,
+                                                      x -> length(x)))
+                              AS DOUBLE) / len(toks) > 25.0 THEN 0
+                    WHEN n_chars > 0 AND
+                         CAST(n_alnum AS DOUBLE) / n_chars < 0.25 THEN 0
+                    ELSE 1 END AS k
+        FROM f
+    ),
+    cat AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(k) AS BIGINT) AS k
+        FROM lab GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                   CAST(sum(k) AS BIGINT) AS kk FROM cat),
+    mx AS (
+        SELECT c1.n AS n_max, c1.k AS k_max
+        FROM cat c1
+        WHERE NOT EXISTS (
+            SELECT 1 FROM cat c2
+            WHERE CAST(c2.k AS HUGEINT) * c1.n
+                  > CAST(c1.k AS HUGEINT) * c2.n)
+        ORDER BY c1.lang LIMIT 1
+    )
+    SELECT cat.lang, cat.n, cat.k AS n_keep,
+           round(CAST(cat.k AS DOUBLE) / CAST(cat.n AS DOUBLE), 6)
+               AS keep_rate6,
+           round(CAST(cat.k * mx.n_max AS DOUBLE)
+                 / CAST(mx.k_max * cat.n AS DOUBLE), 6) AS di6,
+           round(CAST(cat.k * mx.n_max AS DOUBLE)
+                 / CAST(mx.k_max * cat.n AS DOUBLE), 6) < 0.8
+               AS flag_four_fifths,
+           round(CAST(cat.k AS DOUBLE) / CAST(cat.n AS DOUBLE)
+                 - CAST(t.kk AS DOUBLE) / CAST(t.nn AS DOUBLE), 6)
+               AS spd6
+    FROM cat, tot t, mx
+    ORDER BY cat.lang"""

@@ -20719,3 +20719,65 @@ def orders_did(sf_dir: str, treat_segment: str = "BUILDING",
         "c_post6": [float(round_half_away(mean("C", "post"), 6))],
         "did_cents6": [float(round_half_away(did, 6))],
     })
+
+
+def doc_fairness_audit(sf_dir: str):
+    """Group-fairness audit of the structural keep filter — the
+    responsible-AI screen a curation pipeline owes its corpus: per
+    language, the keep (selection) rate, the disparate-impact ratio
+    against the most-favored language, the four-fifths-rule flag
+    (DI < 0.8 — the classic adverse-impact threshold), and the
+    statistical parity difference vs the corpus rate. One distributed
+    pass folds the (lang, n, keepers) catalog using the SAME
+    doc_sql_keep label law the stump reuses; the most-favored group is
+    the exact-rate argmax (rate ties are harmless: any maximizer gives
+    the identical DI because the ratios are equal), and each DI is ONE
+    mirrored float division of exact integer cross-products
+    k*n_max / (k_max*n), so no intermediate rate float ever feeds a
+    comparison. The 0.8 flag tests the SNAPPED di6 on both engines so
+    the boundary cannot flicker in the last ulp."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        kb = sql_keep_batch(batch)
+        t = pa.table({
+            "lang": batch["lang"],
+            "n": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+            "k": pc.cast(kb["keep"], pa.int64()),
+        })
+        g = t.group_by("lang").aggregate([("n", "sum"), ("k", "sum")])
+        return pa.table({"lang": g["lang"], "n": g["n_sum"],
+                         "k": g["k_sum"]})
+
+    df = (ds.map_batches(partials, batch_format="pyarrow")
+          .groupby("lang")
+          .aggregate(Sum("n", alias_name="n"), Sum("k", alias_name="k"))
+          .to_pandas().sort_values("lang").reset_index(drop=True))
+    langs = [str(x) for x in df["lang"]]
+    ns = [int(x) for x in df["n"]]
+    ks = [int(x) for x in df["k"]]
+    n_tot, k_tot = sum(ns), sum(ks)
+    # exact-rate argmax by cross-multiplication (no float comparison)
+    mi = 0
+    for i in range(1, len(langs)):
+        if ks[i] * ns[mi] > ks[mi] * ns[i]:
+            mi = i
+    k_max, n_max = ks[mi], ns[mi]
+    rows = []
+    for lg, n, k in zip(langs, ns, ks):
+        rate6 = float(round_half_away(float(k) / float(n), 6))
+        di6 = float(round_half_away(
+            float(k * n_max) / float(k_max * n), 6))
+        spd6 = float(round_half_away(
+            float(k) / float(n) - float(k_tot) / float(n_tot), 6))
+        rows.append((lg, n, k, rate6, di6, di6 < 0.8, spd6))
+    return pd.DataFrame({
+        "lang": pd.array([r[0] for r in rows], dtype="string"),
+        "n": pd.array([r[1] for r in rows], dtype="int64"),
+        "n_keep": pd.array([r[2] for r in rows], dtype="int64"),
+        "keep_rate6": [r[3] for r in rows],
+        "di6": [r[4] for r in rows],
+        "flag_four_fifths": pd.array([r[5] for r in rows],
+                                     dtype="bool"),
+        "spd6": [r[6] for r in rows],
+    })

@@ -5586,3 +5586,48 @@ def test_did_layout_identity_and_planted(ray_session, tmp_path,
     assert int(out["n_treat"].iloc[0]) == 2
     assert int(out["n_control"].iloc[0]) == 2
     assert float(out["did_cents6"].iloc[0]) == 100.0
+
+
+def test_fairness_layout_laws_and_planted(ray_session, tmp_path,
+                                          monkeypatch):
+    """Fairness audit must be block-layout invariant and lawful: DI in
+    (0, 1] with at least one group at exactly 1.0 (the most-favored
+    group), keepers bounded by counts, SPDs summing to ~0 when weighted
+    by group size. Planted: lang A keeps 4/4, lang B keeps 2/4 (two
+    docs pushed over the long-token rule) -> B's DI is exactly 0.5 and
+    the four-fifths flag fires for B only."""
+    import pandas as pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.doc_fairness_audit(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.doc_fairness_audit(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert (a["n_keep"] <= a["n"]).all()
+    di = a["di6"].to_numpy()
+    assert (di > 0).all() and (di <= 1.0).all() and (di == 1.0).any()
+    wspd = float((a["spd6"] * a["n"]).sum()) / float(a["n"].sum())
+    assert abs(wspd) < 1e-5
+
+    junk = "y" * 60
+    _pq.write_table(_pa.table({
+        "doc_id": _pa.array(list(range(8)), _pa.int64()),
+        "lang": _pa.array(["aa"] * 4 + ["bb"] * 4, _pa.string()),
+        "text": _pa.array(["ok"] * 4 + ["ok", "ok", junk, junk],
+                          _pa.string()),
+    }), tmp_path / "documents.parquet")
+    out = r.doc_fairness_audit(str(tmp_path)).set_index("lang")
+    assert float(out.loc["aa", "di6"]) == 1.0
+    assert float(out.loc["bb", "di6"]) == 0.5
+    assert not bool(out.loc["aa", "flag_four_fifths"])
+    assert bool(out.loc["bb", "flag_four_fifths"])
