@@ -565,6 +565,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_did": r.orders_did,
         # group-fairness audit of the keep filter (four-fifths rule)
         "doc_fairness_audit": r.doc_fairness_audit,
+        # Simpson's-paradox slope-flip screen (confounding audit)
+        "lineitem_simpson_paradox": r.lineitem_simpson_paradox,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6735,6 +6737,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_power_analysis": o.orders_power_analysis_sql(),
         "orders_did": o.orders_did_sql(),
         "doc_fairness_audit": o.doc_fairness_audit_sql(),
+        "lineitem_simpson_paradox": o.lineitem_simpson_paradox_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

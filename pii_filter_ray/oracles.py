@@ -5380,3 +5380,48 @@ def doc_fairness_audit_sql() -> str:
                AS spd6
     FROM cat, tot t, mx
     ORDER BY cat.lang"""
+
+
+def lineitem_simpson_paradox_sql() -> str:
+    """Simpson mirror (relational.lineitem_simpson_paradox): per-flag
+    and pooled int64 moment ledgers, one mirrored slope division each,
+    and the flip flag as a sign comparison of the identically-computed
+    doubles; the ALL row unions in with flip pinned FALSE."""
+    sl = ("CAST(n * sxy - sx * sy AS DOUBLE)"
+          " / CAST(n * sxx - sx * sx AS DOUBLE)")
+    return f"""
+    WITH src AS (
+        SELECT l_returnflag AS stratum,
+               CAST(round(l_discount * 100.0, 0) AS BIGINT) AS x,
+               CAST(l_quantity AS BIGINT) AS y
+        FROM lineitem
+    ),
+    g AS (
+        SELECT stratum, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM src GROUP BY 1
+    ),
+    a AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(sx) AS BIGINT) AS sx,
+               CAST(sum(sy) AS BIGINT) AS sy,
+               CAST(sum(sxx) AS BIGINT) AS sxx,
+               CAST(sum(sxy) AS BIGINT) AS sxy
+        FROM g
+    )
+    SELECT g.stratum, g.n,
+           round({sl.replace('n ', 'g.n ').replace('sxy', 'g.sxy')
+                    .replace('sx ', 'g.sx ').replace('sy', 'g.sy')
+                    .replace('sxx', 'g.sxx').replace('sx*', 'g.sx*')}, 9)
+               AS slope9,
+           ({sl.replace('n ', 'g.n ').replace('sxy', 'g.sxy')
+               .replace('sx ', 'g.sx ').replace('sy', 'g.sy')
+               .replace('sxx', 'g.sxx')} > 0)
+           != ((SELECT {sl} FROM a) > 0) AS flips_vs_aggregate
+    FROM g
+    UNION ALL
+    SELECT 'ALL', a.n, round({sl}, 9), FALSE FROM a
+    ORDER BY stratum"""

@@ -20781,3 +20781,78 @@ def doc_fairness_audit(sf_dir: str):
                                      dtype="bool"),
         "spd6": [r[6] for r in rows],
     })
+
+
+def lineitem_simpson_paradox(sf_dir: str):
+    """Simpson's-paradox screen on the discount→quantity association:
+    the OLS slope computed per return-flag stratum AND on the pooled
+    table, with a flag wherever a stratum's slope sign CONTRADICTS the
+    aggregate's — the classic confounding audit (an association that
+    reverses under stratification must not be read causally, and a
+    curation metric that flips sign across strata is being driven by
+    mix, not effect). Discount rides as exact percent points and
+    quantity as exact units, so the per-(block, stratum) moment ledger
+    is five int64 scalars whose GLOBAL sums stay within int64 even at
+    petabyte row counts (products bounded by 500 per row); each slope
+    is then one mirrored IEEE division of exact integers and the flip
+    flag compares the SIGNS of identically-computed doubles on both
+    engines (no snap involved, so no boundary to flicker)."""
+    ds = _tbl(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_discount", "l_quantity"])
+
+    def ledger(batch: pa.Table) -> pa.Table:
+        x = round_half_away(
+            batch["l_discount"].to_numpy() * 100.0, 0).astype(np.int64)
+        y = pc.cast(batch["l_quantity"], pa.int64()).to_numpy()
+        flags = batch["l_returnflag"].to_numpy(zero_copy_only=False)
+        rows = {"stratum": [], "n": [], "sx": [], "sy": [], "sxx": [],
+                "sxy": []}
+        for f in np.unique(flags):
+            m = flags == f
+            xi, yi = x[m], y[m]
+            rows["stratum"].append(str(f))
+            rows["n"].append(int(m.sum()))
+            rows["sx"].append(int(xi.sum()))
+            rows["sy"].append(int(yi.sum()))
+            rows["sxx"].append(int((xi * xi).sum()))
+            rows["sxy"].append(int((xi * yi).sum()))
+        return pa.table({
+            "stratum": pa.array(rows["stratum"], pa.string()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "sx": pa.array(rows["sx"], pa.int64()),
+            "sy": pa.array(rows["sy"], pa.int64()),
+            "sxx": pa.array(rows["sxx"], pa.int64()),
+            "sxy": pa.array(rows["sxy"], pa.int64()),
+        })
+
+    parts = (ds.map_batches(ledger, batch_format="pyarrow")
+             .groupby("stratum")
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("sx", alias_name="sx"),
+                        Sum("sy", alias_name="sy"),
+                        Sum("sxx", alias_name="sxx"),
+                        Sum("sxy", alias_name="sxy"))
+             .to_pandas().sort_values("stratum").reset_index(drop=True))
+
+    def slope(n, sx, sy, sxx, sxy) -> float:
+        return (float(n * sxy - sx * sy)
+                / float(n * sxx - sx * sx))
+
+    tot = [int(parts[c].sum()) for c in ("n", "sx", "sy", "sxx", "sxy")]
+    s_all = slope(*tot)
+    rows = []
+    for _, r in parts.iterrows():
+        vals = (int(r["n"]), int(r["sx"]), int(r["sy"]),
+                int(r["sxx"]), int(r["sxy"]))
+        s = slope(*vals)
+        rows.append((str(r["stratum"]), vals[0],
+                     float(round_half_away(s, 9)),
+                     (s > 0) != (s_all > 0)))
+    rows.append(("ALL", tot[0], float(round_half_away(s_all, 9)), False))
+    return pd.DataFrame({
+        "stratum": pd.array([r[0] for r in rows], dtype="string"),
+        "n": pd.array([r[1] for r in rows], dtype="int64"),
+        "slope9": [r[2] for r in rows],
+        "flips_vs_aggregate": pd.array([r[3] for r in rows],
+                                       dtype="bool"),
+    })

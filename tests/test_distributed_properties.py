@@ -5631,3 +5631,44 @@ def test_fairness_layout_laws_and_planted(ray_session, tmp_path,
     assert float(out.loc["bb", "di6"]) == 0.5
     assert not bool(out.loc["aa", "flag_four_fifths"])
     assert bool(out.loc["bb", "flag_four_fifths"])
+
+
+def test_simpson_layout_laws_and_planted_flip(ray_session, tmp_path,
+                                              monkeypatch):
+    """Simpson screen must be block-layout invariant, carry exactly one
+    ALL row (never flagged), and detect a planted textbook reversal:
+    two strata each with slope +2 whose pooled cloud slopes NEGATIVE
+    (within-stratum gain, between-stratum confounding) -> both strata
+    flagged, ALL slope < 0."""
+    import pandas as pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.lineitem_simpson_paradox(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.lineitem_simpson_paradox(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert (a["stratum"] == "ALL").sum() == 1
+    assert not bool(
+        a.set_index("stratum").loc["ALL", "flips_vs_aggregate"])
+
+    _pq.write_table(_pa.table({
+        "l_returnflag": _pa.array(["A", "A", "B", "B"], _pa.string()),
+        "l_discount": _pa.array([0.01, 0.02, 0.05, 0.06], _pa.float64()),
+        "l_quantity": _pa.array([10.0, 12.0, 2.0, 4.0], _pa.float64()),
+    }), tmp_path / "lineitem.parquet")
+    out = r.lineitem_simpson_paradox(str(tmp_path)).set_index("stratum")
+    assert float(out.loc["A", "slope9"]) == 2.0
+    assert float(out.loc["B", "slope9"]) == 2.0
+    assert float(out.loc["ALL", "slope9"]) < 0.0
+    assert bool(out.loc["A", "flips_vs_aggregate"])
+    assert bool(out.loc["B", "flips_vs_aggregate"])
