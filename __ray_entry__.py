@@ -567,6 +567,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fairness_audit": r.doc_fairness_audit,
         # Simpson's-paradox slope-flip screen (confounding audit)
         "lineitem_simpson_paradox": r.lineitem_simpson_paradox,
+        # pairwise PII-type co-occurrence lift vs authored ground truth
+        "code_pii_cooccurrence": r.code_pii_cooccurrence,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6738,6 +6740,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_did": o.orders_did_sql(),
         "doc_fairness_audit": o.doc_fairness_audit_sql(),
         "lineitem_simpson_paradox": o.lineitem_simpson_paradox_sql(),
+        "code_pii_cooccurrence": o.code_pii_cooccurrence_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

@@ -5425,3 +5425,39 @@ def lineitem_simpson_paradox_sql() -> str:
     UNION ALL
     SELECT 'ALL', a.n, round({sl}, 9), FALSE FROM a
     ORDER BY stratum"""
+
+
+def code_pii_cooccurrence_sql(n_rows: int = 2000, seed: int = 42) -> str:
+    """Ground-truth mirror of code_pii_cooccurrence: distinct authored
+    expect_pii_types per kept file, pair counts via a self-join on the
+    row id (a < b), and the same mirrored lift division — a doc-level
+    SET comparison of the masking engine against authored truth."""
+    path = code_corpus_expectations_path(n_rows, seed)
+    return f"""
+    WITH kept AS (
+        SELECT row_number() OVER () AS rid, expect_pii_types AS ts
+        FROM read_parquet({_q(path)})
+        WHERE expect_keep
+    ),
+    ex AS (
+        SELECT DISTINCT rid, unnest(ts) AS t FROM kept
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM kept),
+    singles AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY 1
+    ),
+    pairs AS (
+        SELECT x.t AS type_a, y.t AS type_b,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM ex x JOIN ex y ON x.rid = y.rid AND x.t < y.t
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           sa.n AS n_a, sb.n AS n_b, t.n_docs,
+           round(CAST(p.n_both * t.n_docs AS DOUBLE)
+                 / CAST(sa.n * sb.n AS DOUBLE), 9) AS lift9
+    FROM pairs p
+    JOIN singles sa ON sa.t = p.type_a
+    JOIN singles sb ON sb.t = p.type_b
+    CROSS JOIN tot t
+    ORDER BY p.type_a, p.type_b"""

@@ -20856,3 +20856,76 @@ def lineitem_simpson_paradox(sf_dir: str):
         "flips_vs_aggregate": pd.array([r[3] for r in rows],
                                        dtype="bool"),
     })
+
+
+def code_pii_cooccurrence(sf_dir: str):
+    """Pairwise PII-type co-occurrence lift over kept files — the
+    governance follow-up to code_pii_type_stats: which identifier
+    types travel TOGETHER (email+phone in signatures, CPF+card in
+    payment dumps), reported as observed co-occurrence vs the
+    independence expectation, lift = n_both*N / (n_a*n_b). The REAL
+    fused scrub runs over the code corpus and each kept file's
+    pii_masked entries collapse to a distinct type set; per-block
+    partials emit (a, b) pair counts (a < b), per-type counts as
+    (t, t) rows and the kept total, so one groupby moves a
+    pair-catalog-bounded shuffle. The oracle recomputes from the
+    corpus's AUTHORED expect_pii_types — a doc-LEVEL set comparison
+    against ground truth, strictly stronger than the per-type totals
+    check. Lift is one mirrored division of exact integer
+    cross-products."""
+    from itertools import combinations
+
+    from ..pipelines.quality_pipeline import quality_scrub
+    from ..sources.synthetic_code import corpus_path
+
+    ds = ray.data.read_parquet(corpus_path(n_rows=2000, seed=42))
+    out = quality_scrub(ds, mode="code", emit_mappings=True)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: "Counter" = Counter()
+        for keep, masked in zip(batch["keep"].to_pylist(),
+                                batch["pii_masked"].to_pylist()):
+            if not keep:
+                continue
+            c[("__N__", "__N__")] += 1
+            types = sorted({m["type"] for m in (masked or [])})
+            for t in types:
+                c[(t, t)] += 1
+            for a, b in combinations(types, 2):
+                c[(a, b)] += 1
+        return pa.table({
+            "a": pa.array([k[0] for k in c], pa.string()),
+            "b": pa.array([k[1] for k in c], pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        })
+
+    df = (out.map_batches(explode, batch_format="pyarrow")
+          .groupby(["a", "b"]).aggregate(Sum("n", alias_name="n"))
+          .to_pandas())
+    n_docs = 0
+    singles: Dict[str, int] = {}
+    pairs = []
+    for a, b, n in zip(df["a"], df["b"], df["n"]):
+        if a == "__N__":
+            n_docs = int(n)
+        elif a == b:
+            singles[str(a)] = int(n)
+        else:
+            pairs.append((str(a), str(b), int(n)))
+    pairs.sort()
+    rows = []
+    for a, b, nab in pairs:
+        na, nb = singles[a], singles[b]
+        lift9 = float(round_half_away(
+            float(nab * n_docs) / float(na * nb), 9))
+        rows.append((a, b, nab, na, nb, n_docs, lift9))
+    return pd.DataFrame({
+        "type_a": pd.array([r[0] for r in rows], dtype="string"),
+        "type_b": pd.array([r[1] for r in rows], dtype="string"),
+        "n_both": pd.array([r[2] for r in rows], dtype="int64"),
+        "n_a": pd.array([r[3] for r in rows], dtype="int64"),
+        "n_b": pd.array([r[4] for r in rows], dtype="int64"),
+        "n_docs": pd.array([r[5] for r in rows], dtype="int64"),
+        "lift9": [r[6] for r in rows],
+    })

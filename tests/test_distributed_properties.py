@@ -5672,3 +5672,36 @@ def test_simpson_layout_laws_and_planted_flip(ray_session, tmp_path,
     assert float(out.loc["ALL", "slope9"]) < 0.0
     assert bool(out.loc["A", "flips_vs_aggregate"])
     assert bool(out.loc["B", "flips_vs_aggregate"])
+
+
+def test_pii_cooccurrence_layout_and_laws(ray_session, monkeypatch):
+    """PII co-occurrence must be block-layout invariant (repartitioned
+    corpus read) and lawful: ordered pairs (type_a < type_b), n_both
+    bounded by min(n_a, n_b) and by n_docs, and lift9 > 0; lift == the
+    mirrored cross-product division recomputed from the row's own
+    counts."""
+    import pandas as pd
+
+    import ray.data as rd
+    from pii_filter_ray.pipelines import relational as r
+
+    a = r.code_pii_cooccurrence("unused")
+    base = rd.read_parquet
+
+    def repart(path, **kw):
+        return base(path, **kw).repartition(7)
+
+    monkeypatch.setattr(rd, "read_parquet", repart)
+    b = r.code_pii_cooccurrence("unused")
+    monkeypatch.setattr(rd, "read_parquet", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert (a["type_a"] < a["type_b"]).all()
+    assert (a["n_both"] <= a[["n_a", "n_b"]].min(axis=1)).all()
+    assert (a["n_both"] <= a["n_docs"]).all()
+    assert (a["lift9"] > 0).all()
+    for _, row in a.iterrows():
+        exp = float(r.round_half_away(
+            float(int(row["n_both"]) * int(row["n_docs"]))
+            / float(int(row["n_a"]) * int(row["n_b"])), 9))
+        assert float(row["lift9"]) == exp
