@@ -569,6 +569,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_simpson_paradox": r.lineitem_simpson_paradox,
         # pairwise PII-type co-occurrence lift vs authored ground truth
         "code_pii_cooccurrence": r.code_pii_cooccurrence,
+        # FD + FK constraint-discovery audit (schema mining)
+        "schema_constraints_audit": r.schema_constraints_audit,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6741,6 +6743,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fairness_audit": o.doc_fairness_audit_sql(),
         "lineitem_simpson_paradox": o.lineitem_simpson_paradox_sql(),
         "code_pii_cooccurrence": o.code_pii_cooccurrence_sql(),
+        "schema_constraints_audit": o.schema_constraints_audit_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

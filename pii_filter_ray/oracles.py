@@ -5461,3 +5461,47 @@ def code_pii_cooccurrence_sql(n_rows: int = 2000, seed: int = 42) -> str:
     JOIN singles sb ON sb.t = p.type_b
     CROSS JOIN tot t
     ORDER BY p.type_a, p.type_b"""
+
+
+def schema_constraints_audit_sql() -> str:
+    """Constraint-audit mirror (relational.schema_constraints_audit):
+    each FD as count-distinct-rhs-per-lhs with >1 as the violation,
+    each FK as distinct child keys LEFT JOINed to distinct parent keys,
+    UNION ALLed into the same six-row report."""
+
+    def fd(name, table, lhs, rhs):
+        return f"""
+        SELECT '{name}' AS rule,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violations,
+               sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) = 0 AS holds
+        FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS c
+              FROM {table} GROUP BY 1)"""
+
+    def fk(name, child_t, child_c, parent_t, parent_c):
+        return f"""
+        SELECT '{name}' AS rule,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violations,
+               sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) = 0 AS holds
+        FROM (SELECT DISTINCT {child_c} AS k FROM {child_t}) c
+        LEFT JOIN (SELECT DISTINCT {parent_c} AS k FROM {parent_t}) p
+            USING (k)"""
+
+    parts = [
+        fd("fd:customer.c_custkey->c_nationkey",
+           "customer", "c_custkey", "c_nationkey"),
+        fd("fd:nation.n_nationkey->n_regionkey",
+           "nation", "n_nationkey", "n_regionkey"),
+        fd("fd:orders.o_custkey->o_orderpriority",
+           "orders", "o_custkey", "o_orderpriority"),
+        fd("fd:lineitem.l_partkey->l_suppkey",
+           "lineitem", "l_partkey", "l_suppkey"),
+        fk("fk:orders.o_custkey->customer.c_custkey",
+           "orders", "o_custkey", "customer", "c_custkey"),
+        fk("fk:lineitem.l_suppkey->supplier.s_suppkey",
+           "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY rule"

@@ -20929,3 +20929,111 @@ def code_pii_cooccurrence(sf_dir: str):
         "n_docs": pd.array([r[5] for r in rows], dtype="int64"),
         "lift9": [r[6] for r in rows],
     })
+
+
+def schema_constraints_audit(sf_dir: str):
+    """Constraint-discovery audit — the profiling pass that mines what
+    dq_check then enforces: does each CANDIDATE functional dependency
+    (custkey→nationkey, nationkey→regionkey, custkey→orderpriority,
+    partkey→suppkey) actually hold, and is each candidate foreign key
+    (orders.custkey⊆customer, lineitem.suppkey⊆supplier) referentially
+    intact? Per FD: distinct (lhs, rhs) pairs dedup in one groupby,
+    hash-bucketed map_groups then count per bucket how many lhs keys
+    carry >1 rhs (the violation definition), so the driver folds
+    |buckets| scalars. Per FK: distinct keys tagged child/parent union
+    into one groupby (key → side maxima); unique-key rows then reduce
+    to per-block violation counters (child keys with no parent) — no
+    second shuffle. Everything is exact integer counting; `holds` is
+    n_violations == 0 on both engines."""
+    buckets = 64
+
+    def fd(table: str, lhs: str, rhs: str):
+        ds = _tbl(sf_dir, table, columns=[lhs, rhs])
+
+        def pairs(batch: pa.Table) -> pa.Table:
+            g = batch.group_by([lhs, rhs]).aggregate([])
+            return pa.table({
+                "l": pc.cast(g[lhs], pa.int64()),
+                "r": pc.cast(g[rhs], pa.string()),
+            })
+
+        def bucketize(batch: pa.Table) -> pa.Table:
+            b = pc.cast(pc.bit_wise_and(batch["l"],
+                                        pa.scalar(buckets - 1)), pa.int64())
+            return batch.append_column("bucket", b)
+
+        def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            nun = g.groupby("l")["r"].nunique()
+            return pd.DataFrame({
+                "n_keys": [int(len(nun))],
+                "n_viol": [int((nun > 1).sum())],
+            })
+
+        parts = (ds.map_batches(pairs, batch_format="pyarrow")
+                 .groupby(["l", "r"]).aggregate(Count())
+                 .map_batches(bucketize, batch_format="pyarrow")
+                 .groupby("bucket")
+                 .map_groups(count_bucket, batch_format="pandas")
+                 .to_pandas())
+        return int(parts["n_keys"].sum()), int(parts["n_viol"].sum())
+
+    def fk(child_t: str, child_c: str, parent_t: str, parent_c: str):
+        def tag(col: str, flag: int):
+            def f(batch: pa.Table) -> pa.Table:
+                g = batch.group_by([col]).aggregate([])
+                n = g.num_rows
+                return pa.table({
+                    "k": pc.cast(g[col], pa.int64()),
+                    "child": pa.array(
+                        np.full(n, 1 - flag, np.int64), pa.int64()),
+                    "parent": pa.array(
+                        np.full(n, flag, np.int64), pa.int64()),
+                })
+            return f
+
+        child = _tbl(sf_dir, child_t, columns=[child_c]).map_batches(
+            tag(child_c, 0), batch_format="pyarrow")
+        parent = _tbl(sf_dir, parent_t, columns=[parent_c]).map_batches(
+            tag(parent_c, 1), batch_format="pyarrow")
+
+        def count_part(batch: pa.Table) -> pa.Table:
+            ch = batch["child"].to_numpy(zero_copy_only=False)
+            par = batch["parent"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "n_keys": pa.array([int((ch > 0).sum())], pa.int64()),
+                "n_viol": pa.array(
+                    [int(((ch > 0) & (par == 0)).sum())], pa.int64()),
+            })
+
+        parts = (child.union(parent)
+                 .groupby("k")
+                 .aggregate(Max("child", alias_name="child"),
+                            Max("parent", alias_name="parent"))
+                 .map_batches(count_part, batch_format="pyarrow")
+                 .to_pandas())
+        return int(parts["n_keys"].sum()), int(parts["n_viol"].sum())
+
+    checks = [
+        ("fd:customer.c_custkey->c_nationkey",
+         lambda: fd("customer", "c_custkey", "c_nationkey")),
+        ("fd:nation.n_nationkey->n_regionkey",
+         lambda: fd("nation", "n_nationkey", "n_regionkey")),
+        ("fd:orders.o_custkey->o_orderpriority",
+         lambda: fd("orders", "o_custkey", "o_orderpriority")),
+        ("fd:lineitem.l_partkey->l_suppkey",
+         lambda: fd("lineitem", "l_partkey", "l_suppkey")),
+        ("fk:orders.o_custkey->customer.c_custkey",
+         lambda: fk("orders", "o_custkey", "customer", "c_custkey")),
+        ("fk:lineitem.l_suppkey->supplier.s_suppkey",
+         lambda: fk("lineitem", "l_suppkey", "supplier", "s_suppkey")),
+    ]
+    rows = []
+    for name, run in checks:
+        n_keys, n_viol = run()
+        rows.append((name, n_keys, n_viol, n_viol == 0))
+    return pd.DataFrame({
+        "rule": pd.array([r[0] for r in rows], dtype="string"),
+        "n_keys": pd.array([r[1] for r in rows], dtype="int64"),
+        "n_violations": pd.array([r[2] for r in rows], dtype="int64"),
+        "holds": pd.array([r[3] for r in rows], dtype="bool"),
+    })

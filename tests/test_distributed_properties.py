@@ -5705,3 +5705,66 @@ def test_pii_cooccurrence_layout_and_laws(ray_session, monkeypatch):
             float(int(row["n_both"]) * int(row["n_docs"]))
             / float(int(row["n_a"]) * int(row["n_b"])), 9))
         assert float(row["lift9"]) == exp
+
+
+def test_schema_constraints_layout_laws_and_planted(ray_session, tmp_path,
+                                                    monkeypatch):
+    """Constraint audit must be block-layout invariant, lawful
+    (violations bounded by keys, holds == (violations == 0), six fixed
+    rules), report the TPC-H-true facts (key-based FDs and both FKs
+    hold on the sf tables), and count planted violations exactly: a
+    customer table where custkey 1 maps to two nations and an orders
+    row referencing a missing customer."""
+    import pandas as pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.schema_constraints_audit(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.schema_constraints_audit(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert len(a) == 6
+    assert (a["n_violations"] <= a["n_keys"]).all()
+    assert (a["holds"] == (a["n_violations"] == 0)).all()
+    s = a.set_index("rule")
+    assert bool(s.loc["fd:customer.c_custkey->c_nationkey", "holds"])
+    assert bool(s.loc["fd:nation.n_nationkey->n_regionkey", "holds"])
+    assert bool(s.loc["fk:orders.o_custkey->customer.c_custkey", "holds"])
+    assert bool(s.loc["fk:lineitem.l_suppkey->supplier.s_suppkey",
+                      "holds"])
+
+    import datetime as _dt
+    ts = _dt.datetime(1996, 1, 1)
+    _pq.write_table(_pa.table({
+        "c_custkey": _pa.array([1, 1, 2], _pa.int64()),
+        "c_nationkey": _pa.array([10, 11, 10], _pa.int64()),
+    }), tmp_path / "customer.parquet")
+    _pq.write_table(_pa.table({
+        "n_nationkey": _pa.array([10, 11], _pa.int64()),
+        "n_regionkey": _pa.array([0, 0], _pa.int64()),
+    }), tmp_path / "nation.parquet")
+    _pq.write_table(_pa.table({
+        "o_custkey": _pa.array([1, 2, 99], _pa.int64()),
+        "o_orderpriority": _pa.array(["1-URGENT"] * 3, _pa.string()),
+    }), tmp_path / "orders.parquet")
+    _pq.write_table(_pa.table({
+        "l_partkey": _pa.array([5], _pa.int64()),
+        "l_suppkey": _pa.array([7], _pa.int64()),
+    }), tmp_path / "lineitem.parquet")
+    _pq.write_table(_pa.table({
+        "s_suppkey": _pa.array([7], _pa.int64()),
+    }), tmp_path / "supplier.parquet")
+    out = r.schema_constraints_audit(str(tmp_path)).set_index("rule")
+    fdc = out.loc["fd:customer.c_custkey->c_nationkey"]
+    assert int(fdc["n_keys"]) == 2 and int(fdc["n_violations"]) == 1
+    fko = out.loc["fk:orders.o_custkey->customer.c_custkey"]
+    assert int(fko["n_keys"]) == 3 and int(fko["n_violations"]) == 1
