@@ -571,6 +571,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_pii_cooccurrence": r.code_pii_cooccurrence,
         # FD + FK constraint-discovery audit (schema mining)
         "schema_constraints_audit": r.schema_constraints_audit,
+        # matrix profile: motif/discord mining over the daily series
+        "orders_matrix_profile": r.orders_matrix_profile,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6744,6 +6746,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_simpson_paradox": o.lineitem_simpson_paradox_sql(),
         "code_pii_cooccurrence": o.code_pii_cooccurrence_sql(),
         "schema_constraints_audit": o.schema_constraints_audit_sql(),
+        "orders_matrix_profile": o.orders_matrix_profile_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

@@ -5505,3 +5505,59 @@ def schema_constraints_audit_sql() -> str:
            "lineitem", "l_suppkey", "supplier", "s_suppkey"),
     ]
     return " UNION ALL ".join(parts) + " ORDER BY rule"
+
+
+def orders_matrix_profile_sql(w: int = 7, excl: int = 7) -> str:
+    """Matrix-profile mirror (relational.orders_matrix_profile):
+    gap-filled daily catalog via range unnest, windows as ``w`` lead
+    columns, all pair distances as exact HUGEINT sums of squared cent
+    diffs with the |shift| >= ``excl`` exclusion, per-window HUGEINT
+    min plus smallest-neighbor tiebreak, and the single mirrored sqrt."""
+    leads = ",\n               ".join(
+        f"lead(c, {t}) OVER (ORDER BY d) AS c{t}" for t in range(1, w))
+    wcols = ", ".join(["c AS c0"] + [f"c{t}" for t in range(1, w)])
+    dist = "\n             + ".join(
+        f"CAST(a.c{t} - b.c{t} AS HUGEINT) * (a.c{t} - b.c{t})"
+        for t in range(w))
+    return f"""
+    WITH daily0 AS (
+        SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+               CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))
+                    AS BIGINT) AS c
+        FROM orders GROUP BY 1
+    ),
+    rng AS (SELECT min(d) AS dmin, max(d) AS dmax FROM daily0),
+    idx AS (
+        SELECT unnest(range(0, CAST((SELECT dmax - dmin + 1 FROM rng)
+                                    AS BIGINT))) AS i
+    ),
+    days AS (
+        SELECT CAST((SELECT dmin FROM rng) + idx.i AS BIGINT) AS d,
+               COALESCE(daily0.c, 0) AS c
+        FROM idx
+        LEFT JOIN daily0 ON daily0.d = (SELECT dmin FROM rng) + idx.i
+    ),
+    win0 AS (
+        SELECT d, c,
+               {leads}
+        FROM days
+    ),
+    wins AS (
+        SELECT d, {wcols}
+        FROM win0 WHERE d <= (SELECT dmax FROM rng) - {w - 1}
+    ),
+    pairs AS (
+        SELECT a.d AS d, b.d AS bd,
+               {dist} AS dist
+        FROM wins a, wins b WHERE abs(a.d - b.d) >= {excl}
+    ),
+    p AS (SELECT d, min(dist) AS md FROM pairs GROUP BY 1),
+    nn AS (
+        SELECT pairs.d, min(pairs.bd) AS nn_d
+        FROM pairs JOIN p ON pairs.d = p.d AND pairs.dist = p.md
+        GROUP BY 1
+    )
+    SELECT p.d AS dayidx, nn.nn_d AS nn_dayidx,
+           round(sqrt(CAST(p.md AS DOUBLE)), 6) AS dist6
+    FROM p JOIN nn ON p.d = nn.d
+    ORDER BY p.d"""

@@ -5768,3 +5768,72 @@ def test_schema_constraints_layout_laws_and_planted(ray_session, tmp_path,
     assert int(fdc["n_keys"]) == 2 and int(fdc["n_violations"]) == 1
     fko = out.loc["fk:orders.o_custkey->customer.c_custkey"]
     assert int(fko["n_keys"]) == 3 and int(fko["n_violations"]) == 1
+
+
+def test_matrix_profile_layout_paths_and_planted(ray_session, tmp_path,
+                                                 monkeypatch):
+    """Matrix profile must be block-layout invariant, agree EXACTLY
+    between the int64-vectorized path and the Python-int fallback
+    (forced via a tiny magnitude threshold monkeypatch is not possible
+    on a function-local guard, so the fallback is exercised through a
+    planted series with a huge spike instead), respect the exclusion
+    zone |nn - d| >= 7, and find a planted exact motif: two identical
+    7-day revenue patterns 14 days apart give dist6 == 0 with each
+    window naming the other (smallest neighbor on ties)."""
+    import datetime as _dt
+
+    import pandas as pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.orders_matrix_profile(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.orders_matrix_profile(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert ((a["nn_dayidx"] - a["dayidx"]).abs() >= 7).all()
+    assert (a["dist6"] >= 0).all()
+
+    # planted: 22-day calendar, identical patterns on days 0-6 and 14-20
+    base_day = _dt.datetime(1996, 1, 1)
+    pattern = [5.0, 1.0, 2.0, 9.0, 4.0, 3.0, 7.0]
+    days, prices = [], []
+    for t, v in enumerate(pattern):
+        days.append(base_day + _dt.timedelta(days=t))
+        prices.append(v)
+        days.append(base_day + _dt.timedelta(days=14 + t))
+        prices.append(v)
+    days.append(base_day + _dt.timedelta(days=21))
+    prices.append(1000.0)  # spike discord
+    _pq.write_table(_pa.table({
+        "o_orderdate": _pa.array(days, _pa.timestamp("us")),
+        "o_totalprice": _pa.array(prices, _pa.float64()),
+    }), tmp_path / "orders.parquet")
+    out = r.orders_matrix_profile(str(tmp_path)).set_index("dayidx")
+    d0 = int(out.index.min())
+    assert float(out.loc[d0, "dist6"]) == 0.0
+    assert int(out.loc[d0, "nn_dayidx"]) == d0 + 14
+    assert float(out.loc[d0 + 14, "dist6"]) == 0.0
+    assert int(out.loc[d0 + 14, "nn_dayidx"]) == d0
+    # the spike-containing window is the discord (max profile value)
+    assert out["dist6"].idxmax() >= d0 + 15
+
+    # exact-path / fallback-path equivalence on the same planted table
+    got_np = r.orders_matrix_profile(str(tmp_path))
+    import numpy as _np
+    real_abs = _np.abs
+    monkeypatch.setattr(_np, "abs",
+                        lambda v: real_abs(v) * 10**9
+                        if getattr(v, "dtype", None) == _np.int64
+                        and v.ndim == 1 else real_abs(v))
+    got_py = r.orders_matrix_profile(str(tmp_path))
+    monkeypatch.setattr(_np, "abs", real_abs)
+    pd.testing.assert_frame_equal(got_np, got_py)
