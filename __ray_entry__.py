@@ -573,6 +573,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "schema_constraints_audit": r.schema_constraints_audit,
         # matrix profile: motif/discord mining over the daily series
         "orders_matrix_profile": r.orders_matrix_profile,
+        # linear CKA: does int8 storage preserve embedding geometry?
+        "emb_quant_cka": r.emb_quant_cka,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6747,6 +6749,7 @@ def oracle_sql() -> dict[str, str]:
         "code_pii_cooccurrence": o.code_pii_cooccurrence_sql(),
         "schema_constraints_audit": o.schema_constraints_audit_sql(),
         "orders_matrix_profile": o.orders_matrix_profile_sql(),
+        "emb_quant_cka": o.emb_quant_cka_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

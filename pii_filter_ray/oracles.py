@@ -5561,3 +5561,65 @@ def orders_matrix_profile_sql(w: int = 7, excl: int = 7) -> str:
            round(sqrt(CAST(p.md AS DOUBLE)), 6) AS dist6
     FROM p JOIN nn ON p.d = nn.d
     ORDER BY p.d"""
+
+
+def emb_quant_cka_sql(dim: int = 64) -> str:
+    """CKA mirror (relational.emb_quant_cka): the emb_int8_quant
+    dequantization law per row, the emb_covariance cross-join cell
+    pass for xx/yy/xy, nano-int64 snapping of every covariance cell so
+    both Frobenius norms and the cross term are exact HUGEINT sums of
+    squares, and the single mirrored CKA expression."""
+    return f"""
+    WITH q0 AS (
+        SELECT embedding,
+               list_max(list_transform(embedding,
+                                       v -> abs(CAST(v AS DOUBLE))))
+                   / 127.0 AS scale
+        FROM embeddings
+    ),
+    q AS (
+        SELECT embedding,
+               CASE WHEN scale = 0
+                    THEN list_transform(embedding,
+                                        v -> CAST(v AS DOUBLE))
+                    ELSE list_transform(embedding, v ->
+                        sign(CAST(v AS DOUBLE))
+                        * floor(abs(CAST(v AS DOUBLE)) / scale + 0.5)
+                        * scale)
+               END AS y
+        FROM q0
+    ),
+    cells AS (
+        SELECT i, j,
+               CAST(count(*) AS DOUBLE) AS n,
+               sum(CAST(embedding[i + 1] AS DOUBLE)
+                   * CAST(embedding[j + 1] AS DOUBLE)) AS xx,
+               sum(y[i + 1] * y[j + 1]) AS yy,
+               sum(CAST(embedding[i + 1] AS DOUBLE) * y[j + 1]) AS xy,
+               sum(CAST(embedding[i + 1] AS DOUBLE)) AS sxi,
+               sum(CAST(embedding[j + 1] AS DOUBLE)) AS sxj,
+               sum(y[i + 1]) AS syi,
+               sum(y[j + 1]) AS syj
+        FROM q CROSS JOIN range({dim}) t(i) CROSS JOIN range({dim}) u(j)
+        GROUP BY 1, 2
+    ),
+    ints AS (
+        SELECT CAST(round((n * xx - sxi * sxj) / (n * n)
+                          * 1000000000.0, 0) AS HUGEINT) AS cxx,
+               CAST(round((n * yy - syi * syj) / (n * n)
+                          * 1000000000.0, 0) AS HUGEINT) AS cyy,
+               CAST(round((n * xy - sxi * syj) / (n * n)
+                          * 1000000000.0, 0) AS HUGEINT) AS cxy,
+               CAST(n AS BIGINT) AS nv
+        FROM cells
+    ),
+    h AS (
+        SELECT sum(cxx * cxx) AS hxx, sum(cyy * cyy) AS hyy,
+               sum(cxy * cxy) AS hxy, max(nv) AS nv
+        FROM ints
+    )
+    SELECT nv AS n_vectors,
+           round(CAST(hxy AS DOUBLE)
+                 / sqrt(CAST(hxx AS DOUBLE) * CAST(hyy AS DOUBLE)), 9)
+               AS cka9
+    FROM h"""

@@ -21115,3 +21115,80 @@ def orders_matrix_profile(sf_dir: str, w: int = 7, excl: int = 7):
         "dist6": [float(round_half_away(math.sqrt(float(m)), 6))
                   for m in mds],
     })
+
+
+def emb_quant_cka(sf_dir: str, dim: int = 64):
+    """Linear CKA (Kornblith et al. 2019) between the raw embeddings
+    and their int8-dequantized reconstruction — the GLOBAL geometry
+    answer to the question emb_int8_quant's per-vector MSE answers
+    locally: does int8 storage preserve the representation's
+    similarity structure? CKA = ||C_xy||_F^2 / (||C_xx||_F ||C_yy||_F)
+    over the centered cross-covariance cells. One bounded shuffle (the
+    _emb_cov_cells shape, dim^2 rows per block) carries float64 moment
+    partials for xx/yy/xy; the driver then snaps every covariance cell
+    to NANO int64 (round-half-away, the engine-wide snap) so each
+    Frobenius norm is an EXACT integer sum of squares (= SQL HUGEINT —
+    no unordered float sum of 4096 terms on either engine) and CKA is
+    one mirrored float expression of three exact integers. The
+    quantization law is emb_int8_quant's verbatim: per-vector scale
+    max|x|/127, q = sign*floor(|x|/scale + 0.5), y = q*scale, zero
+    vectors pass through."""
+    import math
+
+    ds = _tbl(sf_dir, "embeddings", columns=["embedding"])
+    di = np.repeat(np.arange(dim, dtype=np.int64), dim)
+    dj = np.tile(np.arange(dim, dtype=np.int64), dim)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch["embedding"].to_pylist()])
+        scale = np.abs(m).max(axis=1) / 127.0
+        safe = np.where(scale == 0.0, 1.0, scale)
+        q = np.sign(m) * np.floor(np.abs(m) / safe[:, None] + 0.5)
+        y = q * scale[:, None]
+        sx = m.sum(axis=0)
+        sy = y.sum(axis=0)
+        return pa.table({
+            "di": pa.array(di, pa.int64()),
+            "dj": pa.array(dj, pa.int64()),
+            "xx": pa.array((m.T @ m).reshape(-1), pa.float64()),
+            "yy": pa.array((y.T @ y).reshape(-1), pa.float64()),
+            "xy": pa.array((m.T @ y).reshape(-1), pa.float64()),
+            "sxi": pa.array(np.repeat(sx, dim), pa.float64()),
+            "sxj": pa.array(np.tile(sx, dim), pa.float64()),
+            "syi": pa.array(np.repeat(sy, dim), pa.float64()),
+            "syj": pa.array(np.tile(sy, dim), pa.float64()),
+            "n": pa.array(np.full(dim * dim, len(m), np.int64),
+                          pa.int64()),
+        })
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby(["di", "dj"])
+           .aggregate(Sum("xx", alias_name="xx"),
+                      Sum("yy", alias_name="yy"),
+                      Sum("xy", alias_name="xy"),
+                      Sum("sxi", alias_name="sxi"),
+                      Sum("sxj", alias_name="sxj"),
+                      Sum("syi", alias_name="syi"),
+                      Sum("syj", alias_name="syj"),
+                      Sum("n", alias_name="n"))
+           .to_pandas())
+    n = agg["n"].astype("float64").to_numpy()
+    nn = n * n
+    cxx = (n * agg["xx"].to_numpy()
+           - agg["sxi"].to_numpy() * agg["sxj"].to_numpy()) / nn
+    cyy = (n * agg["yy"].to_numpy()
+           - agg["syi"].to_numpy() * agg["syj"].to_numpy()) / nn
+    cxy = (n * agg["xy"].to_numpy()
+           - agg["sxi"].to_numpy() * agg["syj"].to_numpy()) / nn
+    ixx = [int(v) for v in round_half_away(cxx * 1000000000.0, 0)]
+    iyy = [int(v) for v in round_half_away(cyy * 1000000000.0, 0)]
+    ixy = [int(v) for v in round_half_away(cxy * 1000000000.0, 0)]
+    hxx = sum(v * v for v in ixx)
+    hyy = sum(v * v for v in iyy)
+    hxy = sum(v * v for v in ixy)
+    cka = float(hxy) / math.sqrt(float(hxx) * float(hyy))
+    return pd.DataFrame({
+        "n_vectors": pd.array([int(agg["n"].iloc[0])], dtype="int64"),
+        "cka9": [float(round_half_away(cka, 9))],
+    })

@@ -5837,3 +5837,46 @@ def test_matrix_profile_layout_paths_and_planted(ray_session, tmp_path,
     got_py = r.orders_matrix_profile(str(tmp_path))
     monkeypatch.setattr(_np, "abs", real_abs)
     pd.testing.assert_frame_equal(got_np, got_py)
+
+
+def test_cka_layout_and_identity_law(ray_session, tmp_path, monkeypatch):
+    """CKA must be block-layout invariant, bounded in (0, 1], high for
+    int8 (which reconstructs well), and EXACTLY 1.0 when Y == X by
+    construction: vectors whose max|x| quantizes losslessly (all
+    entries integer multiples of max/127) dequantize to themselves, so
+    every cross-covariance cell equals the auto-covariance cell and
+    the ratio is exactly one."""
+    import pandas as pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.emb_quant_cka(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.emb_quant_cka(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    cka = float(a["cka9"].iloc[0])
+    assert 0.0 < cka <= 1.0
+    assert cka > 0.99  # int8 preserves geometry nearly perfectly
+
+    # lossless-quantization vectors: entries in {-127..127} * s, so
+    # |x|/scale is integral and floor(.+0.5) reproduces it exactly
+    import numpy as _np
+    rngv = [[127.0] + [float(((i * 7 + d * 3) % 255) - 127)
+                       for d in range(1, 64)]
+            for i in range(20)]  # max|x| = 127 -> scale 1 -> y == x
+    _pq.write_table(_pa.table({
+        "vec_id": _pa.array(list(range(20)), _pa.int64()),
+        "embedding": _pa.array(rngv, _pa.list_(_pa.float64())),
+    }), tmp_path / "embeddings.parquet")
+    out = r.emb_quant_cka(str(tmp_path))
+    assert float(out["cka9"].iloc[0]) == 1.0
+    assert int(out["n_vectors"].iloc[0]) == 20
