@@ -575,6 +575,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_matrix_profile": r.orders_matrix_profile,
         # linear CKA: does int8 storage preserve embedding geometry?
         "emb_quant_cka": r.emb_quant_cka,
+        # equi-width vs equi-depth histogram reconstruction error
+        "events_histogram_error": r.events_histogram_error,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6750,6 +6752,7 @@ def oracle_sql() -> dict[str, str]:
         "schema_constraints_audit": o.schema_constraints_audit_sql(),
         "orders_matrix_profile": o.orders_matrix_profile_sql(),
         "emb_quant_cka": o.emb_quant_cka_sql(),
+        "events_histogram_error": o.events_histogram_error_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

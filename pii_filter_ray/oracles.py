@@ -5623,3 +5623,70 @@ def emb_quant_cka_sql(dim: int = 64) -> str:
                  / sqrt(CAST(hxx AS DOUBLE) * CAST(hyy AS DOUBLE)), 9)
                AS cka9
     FROM h"""
+
+
+def events_histogram_error_sql(k: int = 16) -> str:
+    """Histogram-error mirror (relational.events_histogram_error):
+    the exact cents catalog, integer-split equi-width edges, the
+    nearest-rank equi-depth edges via cumulative selection, bin
+    assignment as count-of-edges <= v, HUGEINT per-bin folds, and the
+    same row-independent ss - s*s/n expression with empty bins pinned
+    to 0.0."""
+    return f"""
+    WITH cat AS (
+        SELECT CAST(round(value * 100.0, 0) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    b AS (SELECT min(v) AS vmin, max(v) AS vmax,
+                 CAST(sum(n) AS BIGINT) AS n_tot FROM cat),
+    cum AS (
+        SELECT v, n, sum(n) OVER (ORDER BY v) AS c FROM cat
+    ),
+    ew AS (
+        SELECT CAST(i AS BIGINT) AS i,
+               b.vmin + (i * (b.vmax - b.vmin + 1)) // {k} AS e
+        FROM range(1, {k}) r(i), b
+    ),
+    ed AS (
+        SELECT CAST(r.i AS BIGINT) AS i,
+               (SELECT min(cum.v) FROM cum, b
+                WHERE cum.c >= (r.i * (b.n_tot - 1)) // {k} + 1) AS e
+        FROM range(1, {k}) r(i)
+    ),
+    assigned AS (
+        SELECT 'equi_width' AS method, cat.v, cat.n,
+               (SELECT count(*) FROM ew WHERE ew.e <= cat.v) AS bin
+        FROM cat
+        UNION ALL
+        SELECT 'equi_depth', cat.v, cat.n,
+               (SELECT count(*) FROM ed WHERE ed.e <= cat.v) AS bin
+        FROM cat
+    ),
+    bins AS (
+        SELECT CAST(unnest(range(0, {k})) AS BIGINT) AS bin
+    ),
+    folded AS (
+        SELECT method, bin,
+               CAST(sum(n) AS HUGEINT) AS nb,
+               sum(CAST(n AS HUGEINT) * v) AS s,
+               sum(CAST(n AS HUGEINT) * v * v) AS ss
+        FROM assigned GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT m.method, bins.bin
+        FROM bins, (VALUES ('equi_width'), ('equi_depth')) m(method)
+    )
+    SELECT g.method, g.bin,
+           CASE WHEN g.bin = 0 THEN (SELECT vmin FROM b)
+                WHEN g.method = 'equi_width'
+                THEN (SELECT e FROM ew WHERE ew.i = g.bin)
+                ELSE (SELECT e FROM ed WHERE ed.i = g.bin) END AS lo,
+           CAST(COALESCE(f.nb, 0) AS BIGINT) AS n,
+           CASE WHEN f.nb IS NULL OR f.nb = 0 THEN 0.0
+                ELSE round(CAST(f.ss AS DOUBLE)
+                           - CAST(f.s AS DOUBLE) * CAST(f.s AS DOUBLE)
+                             / CAST(f.nb AS DOUBLE), 6) END AS sse6
+    FROM grid g LEFT JOIN folded f
+        ON f.method = g.method AND f.bin = g.bin
+    ORDER BY g.method, g.bin"""

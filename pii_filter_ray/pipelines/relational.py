@@ -21192,3 +21192,71 @@ def emb_quant_cka(sf_dir: str, dim: int = 64):
         "n_vectors": pd.array([int(agg["n"].iloc[0])], dtype="int64"),
         "cka9": [float(round_half_away(cka, 9))],
     })
+
+
+def events_histogram_error(sf_dir: str, k: int = 16):
+    """Histogram-planning audit: the same ``k``-bin budget spent two
+    ways — equi-WIDTH (integer-split value range) vs equi-DEPTH
+    (nearest-rank quantile boundaries) — scored by per-bin
+    reconstruction SSE (sum of squared deviation from the bin mean,
+    the error a histogram-backed estimator commits). The answer a
+    storage/stats planner needs before choosing its zonemap/synopsis
+    layout. One distributed pass builds the exact (cents, n) value
+    catalog; edges, bin assignment (count of edges <= v, ==
+    searchsorted-right) and the per-bin (n, sum, sumsq) folds are all
+    integer-exact on the driver (Python ints = SQL HUGEINT), and each
+    bin's SSE is one row-independent mirrored float expression
+    ss - s*s/n of three exact integers (empty bins pin 0.0 on both
+    engines). Output: 2k rows (method, bin, lo edge, n, sse6)."""
+    ds = _tbl(sf_dir, "events", columns=["value"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        t = pa.table({"cents": pa.array(cents, pa.int64())})
+        g = t.group_by("cents").aggregate([([], "count_all")])
+        return pa.table({"cents": g["cents"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    df = (ds.map_batches(partials, batch_format="pyarrow")
+          .groupby("cents").aggregate(Sum("n", alias_name="n"))
+          .to_pandas().sort_values("cents").reset_index(drop=True))
+    v = [int(x) for x in df["cents"]]
+    cnt = [int(x) for x in df["n"]]
+    cum = []
+    acc = 0
+    for c_ in cnt:
+        acc += c_
+        cum.append(acc)
+    n_tot = acc
+    vmin, vmax = v[0], v[-1]
+    ew_edges = [vmin + (i * (vmax - vmin + 1)) // k for i in range(1, k)]
+    ed_edges = []
+    for i in range(1, k):
+        r = (i * (n_tot - 1)) // k
+        j = next(idx for idx, c_ in enumerate(cum) if c_ >= r + 1)
+        ed_edges.append(v[j])
+    rows = []
+    for method, edges in (("equi_width", ew_edges),
+                          ("equi_depth", ed_edges)):
+        agg = [[0, 0, 0] for _ in range(k)]  # n, s, ss per bin
+        for val, c_ in zip(v, cnt):
+            b = sum(1 for e in edges if e <= val)
+            agg[b][0] += c_
+            agg[b][1] += c_ * val
+            agg[b][2] += c_ * val * val
+        for b in range(k):
+            n_, s_, ss_ = agg[b]
+            lo = vmin if b == 0 else edges[b - 1]
+            sse = (0.0 if n_ == 0
+                   else float(ss_) - float(s_) * float(s_) / float(n_))
+            rows.append((method, b, lo, n_,
+                         float(round_half_away(sse, 6))))
+    return pd.DataFrame({
+        "method": pd.array([r[0] for r in rows], dtype="string"),
+        "bin": pd.array([r[1] for r in rows], dtype="int64"),
+        "lo": pd.array([r[2] for r in rows], dtype="int64"),
+        "n": pd.array([r[3] for r in rows], dtype="int64"),
+        "sse6": [r[4] for r in rows],
+    })

@@ -5880,3 +5880,50 @@ def test_cka_layout_and_identity_law(ray_session, tmp_path, monkeypatch):
     out = r.emb_quant_cka(str(tmp_path))
     assert float(out["cka9"].iloc[0]) == 1.0
     assert int(out["n_vectors"].iloc[0]) == 20
+
+
+def test_histogram_error_layout_laws_and_planted(ray_session, tmp_path,
+                                                 monkeypatch):
+    """Histogram audit must be block-layout invariant and lawful: 2k
+    rows, bin counts per method summing to N, SSE nonnegative, lo
+    nondecreasing per method, and equi-depth total SSE <= equi-width
+    on a planted skewed distribution (the reason equi-depth exists:
+    uniform [1..16] values plus a far outlier cluster make equi-width
+    waste 15 bins on emptiness while equi-depth splits the mass)."""
+    import pandas as pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.events_histogram_error(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.events_histogram_error(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert len(a) == 32
+    tot = a.groupby("method")["n"].sum()
+    assert tot["equi_width"] == tot["equi_depth"]
+    assert (a["sse6"] >= 0).all()
+    for m, g in a.groupby("method"):
+        lo = g.sort_values("bin")["lo"].to_numpy()
+        assert (lo[1:] >= lo[:-1]).all()
+
+    # hand-computed plant: cents 1..32 once each. Equi-width edges
+    # 1+2i give 16 two-value bins (SSE 0.5 each -> 8.0 total);
+    # equi-depth nearest-rank edges {2,4,...,30} give {1}, fourteen
+    # two-value bins, and {30,31,32} (SSE 2) -> 9.0 total.
+    vals = [i / 100.0 for i in range(1, 33)]
+    _pq.write_table(_pa.table({
+        "value": _pa.array(vals, _pa.float64()),
+    }), tmp_path / "events.parquet")
+    out = r.events_histogram_error(str(tmp_path))
+    sse = out.groupby("method")["sse6"].sum()
+    assert float(sse["equi_width"]) == 8.0
+    assert float(sse["equi_depth"]) == 9.0
