@@ -577,6 +577,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_quant_cka": r.emb_quant_cka,
         # equi-width vs equi-depth histogram reconstruction error
         "events_histogram_error": r.events_histogram_error,
+        # Neyman optimal stratified-sampling allocation (survey design)
+        "orders_neyman_allocation": r.orders_neyman_allocation,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6753,6 +6755,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_matrix_profile": o.orders_matrix_profile_sql(),
         "emb_quant_cka": o.emb_quant_cka_sql(),
         "events_histogram_error": o.events_histogram_error_sql(),
+        "orders_neyman_allocation": o.orders_neyman_allocation_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

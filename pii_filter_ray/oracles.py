@@ -5690,3 +5690,39 @@ def events_histogram_error_sql(k: int = 16) -> str:
     FROM grid g LEFT JOIN folded f
         ON f.method = g.method AND f.bin = g.bin
     ORDER BY g.method, g.bin"""
+
+
+def orders_neyman_allocation_sql(budget: int = 10_000) -> str:
+    """Neyman mirror (relational.orders_neyman_allocation): HUGEINT
+    ledgers per priority, the same mirrored variance/sd expressions,
+    micro-int64 snapping of each N_h*S_h term so the denominator is an
+    exact integer sum, and pure-integer allocations."""
+    return f"""
+    WITH led AS (
+        SELECT o_orderpriority AS stratum,
+               CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))
+                    AS HUGEINT) AS s,
+               sum(CAST(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)
+                        AS HUGEINT)
+                   * CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS ss
+        FROM orders GROUP BY 1
+    ),
+    t AS (
+        SELECT stratum, n,
+               sqrt(CAST(n * ss - s * s AS DOUBLE)
+                    / CAST(n * (n - 1) AS DOUBLE)) AS sd,
+               CAST(round(CAST(n AS DOUBLE)
+                          * sqrt(CAST(n * ss - s * s AS DOUBLE)
+                                 / CAST(n * (n - 1) AS DOUBLE))
+                          * 1000000.0, 0) AS HUGEINT) AS term
+        FROM led
+    ),
+    d AS (SELECT sum(term) AS den, sum(n) AS n_tot FROM t)
+    SELECT t.stratum,
+           CAST(t.n AS BIGINT) AS n_pop,
+           round(t.sd, 6) AS sd_cents6,
+           CAST(({budget} * t.term) // d.den AS BIGINT) AS neyman_n,
+           CAST(({budget} * t.n) // d.n_tot AS BIGINT) AS proportional_n
+    FROM t, d
+    ORDER BY t.stratum"""

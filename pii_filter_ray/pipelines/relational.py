@@ -21260,3 +21260,82 @@ def events_histogram_error(sf_dir: str, k: int = 16):
         "n": pd.array([r[3] for r in rows], dtype="int64"),
         "sse6": [r[4] for r in rows],
     })
+
+
+def orders_neyman_allocation(sf_dir: str, budget: int = 10_000):
+    """Neyman optimal stratified-sampling allocation — the survey-
+    design planner: given a total sample budget, allocate n_h
+    proportional to N_h * S_h (stratum size x stratum std dev), the
+    allocation that minimizes the stratified estimator's variance;
+    reported next to proportional allocation so the readout shows
+    where variance concentrates. Strata are order priorities (no
+    join). One streaming pass folds per-(block, stratum) exact
+    ledgers — count, cent sum (int64) and squared-cent sum as the
+    128-bit decimal string. The N_h*S_h terms are each one mirrored
+    IEEE expression of exact integers SNAPPED to micro int64 (the
+    engine-wide snap-then-integer-sum pattern), so the denominator is
+    an exact integer sum and every allocation is pure integer
+    arithmetic: n_h = budget * term_h // sum(terms) — no float sum,
+    no float comparison, anywhere."""
+    import math
+
+    ds = _tbl(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def _exact_sq_sum(c: np.ndarray) -> str:
+        cu = c.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            lo_bits = int((cu * cu).sum(dtype=np.uint64))
+        approx = float(np.dot(c.astype(np.float64), c.astype(np.float64)))
+        hi_word = int(round((approx - lo_bits) / 2.0 ** 64))
+        return str((hi_word << 64) + lo_bits)
+
+    def ledgers(batch: pa.Table) -> pa.Table:
+        c = round_half_away(
+            batch["o_totalprice"].to_numpy() * 100.0, 0).astype(np.int64)
+        pr = batch["o_orderpriority"].to_numpy(zero_copy_only=False)
+        rows = {"stratum": [], "n": [], "s": [], "ss": []}
+        for p in np.unique(pr):
+            ci = c[pr == p]
+            rows["stratum"].append(str(p))
+            rows["n"].append(len(ci))
+            rows["s"].append(int(ci.sum()))
+            rows["ss"].append(_exact_sq_sum(ci))
+        return pa.table({
+            "stratum": pa.array(rows["stratum"], pa.string()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "s": pa.array(rows["s"], pa.int64()),
+            "ss": pa.array(rows["ss"], pa.string()),
+        })
+
+    parts = ds.map_batches(ledgers, batch_format="pyarrow").to_pandas()
+    merged: Dict[str, list] = {}
+    for st, n, s, ss in zip(parts["stratum"], parts["n"], parts["s"],
+                            parts["ss"]):
+        m = merged.setdefault(str(st), [0, 0, 0])
+        m[0] += int(n)
+        m[1] += int(s)
+        m[2] += int(ss)
+    strata = sorted(merged)
+    n_tot = sum(merged[s][0] for s in strata)
+    terms = {}
+    sds = {}
+    for st in strata:
+        n, s, ss = merged[st]
+        var = float(n * ss - s * s) / float(n * (n - 1))
+        sd = math.sqrt(var)
+        sds[st] = sd
+        terms[st] = int(round_half_away(float(n) * sd * 1000000.0, 0))
+    den = sum(terms.values())
+    rows = []
+    for st in strata:
+        n = merged[st][0]
+        rows.append((st, n, float(round_half_away(sds[st], 6)),
+                     (budget * terms[st]) // den,
+                     (budget * n) // n_tot))
+    return pd.DataFrame({
+        "stratum": pd.array([r[0] for r in rows], dtype="string"),
+        "n_pop": pd.array([r[1] for r in rows], dtype="int64"),
+        "sd_cents6": [r[2] for r in rows],
+        "neyman_n": pd.array([r[3] for r in rows], dtype="int64"),
+        "proportional_n": pd.array([r[4] for r in rows], dtype="int64"),
+    })

@@ -5927,3 +5927,48 @@ def test_histogram_error_layout_laws_and_planted(ray_session, tmp_path,
     sse = out.groupby("method")["sse6"].sum()
     assert float(sse["equi_width"]) == 8.0
     assert float(sse["equi_depth"]) == 9.0
+
+
+def test_neyman_layout_laws_and_planted(ray_session, tmp_path,
+                                        monkeypatch):
+    """Neyman allocation must be block-layout invariant and lawful:
+    allocations within budget (floor division leaves slack < k),
+    proportional allocation tracking population shares, and the
+    defining property on a planted two-stratum table: equal sizes but
+    4x the std dev means the volatile stratum gets ~4x the Neyman
+    sample while proportional still splits 50/50."""
+    import pandas as pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.orders_neyman_allocation(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.orders_neyman_allocation(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert int(a["neyman_n"].sum()) <= 10_000
+    assert 10_000 - int(a["neyman_n"].sum()) < len(a)
+    assert int(a["proportional_n"].sum()) <= 10_000
+
+    # stratum A: sd ~ s, stratum B: sd ~ 4s, equal sizes
+    va = [10.0, 12.0] * 20
+    vb = [10.0, 18.0] * 20
+    _pq.write_table(_pa.table({
+        "o_orderpriority": _pa.array(["A"] * 40 + ["B"] * 40,
+                                     _pa.string()),
+        "o_totalprice": _pa.array(va + vb, _pa.float64()),
+    }), tmp_path / "orders.parquet")
+    out = r.orders_neyman_allocation(str(tmp_path)).set_index("stratum")
+    assert int(out.loc["A", "proportional_n"]) == 5000
+    assert int(out.loc["B", "proportional_n"]) == 5000
+    # 1:4 split up to the micro-snap + floor slack (one unit each)
+    assert abs(int(out.loc["A", "neyman_n"]) - 2000) <= 1
+    assert abs(int(out.loc["B", "neyman_n"]) - 8000) <= 1
