@@ -579,6 +579,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_histogram_error": r.events_histogram_error,
         # Neyman optimal stratified-sampling allocation (survey design)
         "orders_neyman_allocation": r.orders_neyman_allocation,
+        # Bradley-Terry ranking from pairwise shipping duels
+        "supplier_bradley_terry": r.supplier_bradley_terry,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6756,6 +6758,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_quant_cka": o.emb_quant_cka_sql(),
         "events_histogram_error": o.events_histogram_error_sql(),
         "orders_neyman_allocation": o.orders_neyman_allocation_sql(),
+        "supplier_bradley_terry": o.supplier_bradley_terry_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

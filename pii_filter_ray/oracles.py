@@ -5726,3 +5726,80 @@ def orders_neyman_allocation_sql(budget: int = 10_000) -> str:
            CAST(({budget} * t.n) // d.n_tot AS BIGINT) AS proportional_n
     FROM t, d
     ORDER BY t.stratum"""
+
+
+def supplier_bradley_terry_sql(rounds: int = 8) -> str:
+    """Bradley-Terry mirror (relational.supplier_bradley_terry): the
+    same duel construction (per-part strict-greater quantity), then the
+    ALL-INTEGER MM fixed point unrolled to ``rounds`` CTE rounds —
+    every term, denominator, update and renormalization is a HUGEINT
+    floor-division expression, so each round is bit-identical to the
+    engine's and the final ranking needs no float tiebreak."""
+    big = 10 ** 18
+    nano = 10 ** 9
+    steps = []
+    prev = "p0"
+    for r in range(1, rounds + 1):
+        steps.append(f"""
+    t{r} AS MATERIALIZED (
+        SELECT g.a, g.b,
+               (g.g * CAST({big} AS HUGEINT)) // (pa.p + pb.p) AS t
+        FROM g JOIN {prev} pa ON pa.s = g.a
+               JOIN {prev} pb ON pb.s = g.b
+    ),
+    d{r} AS MATERIALIZED (
+        SELECT s, CAST(sum(t) AS HUGEINT) AS d
+        FROM (SELECT a AS s, t FROM t{r}
+              UNION ALL SELECT b AS s, t FROM t{r})
+        GROUP BY 1
+    ),
+    u{r} AS MATERIALIZED (
+        SELECT wt.s, (wt.w * CAST({big} AS HUGEINT)) // d{r}.d AS p
+        FROM wt JOIN d{r} USING (s)
+    ),
+    n{r} AS MATERIALIZED (SELECT CAST(sum(p) AS HUGEINT) AS tot,
+                    CAST(count(*) AS HUGEINT) AS ns FROM u{r}),
+    p{r} AS MATERIALIZED (
+        SELECT u{r}.s,
+               (u{r}.p * n{r}.ns * CAST({nano} AS HUGEINT))
+                   // n{r}.tot AS p
+        FROM u{r}, n{r}
+    )""")
+        prev = f"p{r}"
+    return f"""
+    WITH q AS MATERIALIZED (
+        SELECT CAST(l_partkey AS BIGINT) AS p,
+               CAST(l_suppkey AS BIGINT) AS s,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    wd AS MATERIALIZED (
+        SELECT a.s AS i, b.s AS j, CAST(count(*) AS BIGINT) AS n
+        FROM q a JOIN q b ON a.p = b.p AND a.s != b.s AND a.w > b.w
+        GROUP BY 1, 2
+    ),
+    supps AS MATERIALIZED (
+        SELECT DISTINCT s
+        FROM (SELECT i AS s FROM wd UNION SELECT j AS s FROM wd)
+    ),
+    wt AS MATERIALIZED (SELECT i AS s, CAST(sum(n) AS HUGEINT) AS w
+           FROM wd GROUP BY 1),
+    lt AS MATERIALIZED (SELECT j AS s, CAST(sum(n) AS BIGINT) AS l
+           FROM wd GROUP BY 1),
+    g AS MATERIALIZED (
+        SELECT LEAST(i, j) AS a, GREATEST(i, j) AS b,
+               CAST(sum(n) AS HUGEINT) AS g
+        FROM wd GROUP BY 1, 2
+    ),
+    p0 AS MATERIALIZED (SELECT s, CAST({nano} AS HUGEINT) AS p FROM supps),
+    {','.join(steps)}
+    SELECT supps.s AS suppkey,
+           CAST(wt.w AS BIGINT) AS wins,
+           lt.l AS losses,
+           CAST({prev}.p AS BIGINT) AS bt_nano,
+           CAST(row_number() OVER (ORDER BY {prev}.p DESC, supps.s ASC)
+                AS BIGINT) AS rank
+    FROM supps JOIN wt ON wt.s = supps.s
+               JOIN lt ON lt.s = supps.s
+               JOIN {prev} ON {prev}.s = supps.s
+    ORDER BY supps.s"""

@@ -21339,3 +21339,99 @@ def orders_neyman_allocation(sf_dir: str, budget: int = 10_000):
         "neyman_n": pd.array([r[3] for r in rows], dtype="int64"),
         "proportional_n": pd.array([r[4] for r in rows], dtype="int64"),
     })
+
+
+def supplier_bradley_terry(sf_dir: str, rounds: int = 8):
+    """Bradley-Terry preference ranking from pairwise comparisons —
+    ranking-from-duels (chess/LLM-arena math) grounded in shipping
+    data: for every part, the supplier shipping MORE of it beats the
+    other (ties skip); the MM fixed point pi_i = W_i / sum_j
+    g_ij/(pi_i + pi_j) then converts win counts into strengths that
+    account for opponent quality (beating a strong supplier counts
+    for more — what raw win rates cannot express). Comparisons build
+    distributed: (part, supplier) quantities dedup in one groupby,
+    per-part duels via hash-bucketed map_groups, then one |S|^2-bounded
+    groupby to the directed win matrix. The fixed point itself is
+    ALL-INTEGER (the HITS nano-fixed-point scheme, taken further):
+    strengths live as nano ints, each round's terms are
+    g_ij * 10^18 // (P_i + P_j) (exact floor division), the per-i
+    denominator is an exact integer sum, the update is
+    W_i * 10^18 // D_i and the mean-1 renormalization is one more
+    floor division — so EVERY round is bit-identical to the SQL
+    mirror's unrolled HUGEINT CTEs with no float anywhere, and ties in
+    the final ranking resolve on exact integers (strength DESC,
+    suppkey ASC). FAILS LOUD if any supplier lacks a win or a loss
+    (the comparison graph must be strongly connected for BT to be
+    identified; the sf corpus is dense enough everywhere)."""
+    buckets = 64
+    ds = _tbl(sf_dir, "lineitem",
+              columns=["l_suppkey", "l_partkey", "l_quantity"])
+
+    def qty(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "p": pc.cast(batch["l_partkey"], pa.int64()),
+            "s": pc.cast(batch["l_suppkey"], pa.int64()),
+            "w": pc.cast(batch["l_quantity"], pa.int64()),
+        })
+        g = t.group_by(["p", "s"]).aggregate([("w", "sum")])
+        return pa.table({"p": g["p"], "s": g["s"], "w": g["w_sum"]})
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(batch["p"],
+                                    pa.scalar(buckets - 1)), pa.int64())
+        return batch.append_column("bucket", b)
+
+    def duels(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="p")
+        m = m[(m["s_x"] != m["s_y"]) & (m["w_x"] > m["w_y"])]
+        out = (m.groupby(["s_x", "s_y"]).size().reset_index(name="n"))
+        return pd.DataFrame({"i": out["s_x"].to_numpy(np.int64),
+                             "j": out["s_y"].to_numpy(np.int64),
+                             "n": out["n"].to_numpy(np.int64)})
+
+    # duels are already per-bucket pre-combined; the final (i, j) merge
+    # happens on the driver, which must hold the |S|^2 win matrix for
+    # the fixed point anyway (a Ray groupby here measured 39 s for a
+    # 410k-row -> 9.9k-group combine pandas does in milliseconds)
+    wins = (ds.map_batches(qty, batch_format="pyarrow")
+            .groupby(["p", "s"]).aggregate(Sum("w", alias_name="w"))
+            .map_batches(bucketize, batch_format="pyarrow")
+            .groupby("bucket").map_groups(duels, batch_format="pandas")
+            .to_pandas())
+    w_dir: Dict[tuple, int] = {}
+    for i, j, n in zip(wins["i"], wins["j"], wins["n"]):
+        key = (int(i), int(j))
+        w_dir[key] = w_dir.get(key, 0) + int(n)
+    supps = sorted({k[0] for k in w_dir} | {k[1] for k in w_dir})
+    w_tot = {s: 0 for s in supps}
+    l_tot = {s: 0 for s in supps}
+    games: Dict[tuple, int] = {}
+    for (i, j), n in w_dir.items():
+        w_tot[i] += n
+        l_tot[j] += n
+        key = (i, j) if i < j else (j, i)
+        games[key] = games.get(key, 0) + n
+    assert all(w_tot[s] > 0 for s in supps), "BT: supplier with no win"
+    assert all(l_tot[s] > 0 for s in supps), "BT: supplier with no loss"
+    NANO = 10 ** 9
+    BIG = 10 ** 18
+    p = {s: NANO for s in supps}
+    ns = len(supps)
+    for _ in range(rounds):
+        d = {s: 0 for s in supps}
+        for (i, j), g_ in games.items():
+            t_ = (g_ * BIG) // (p[i] + p[j])
+            d[i] += t_
+            d[j] += t_
+        p2 = {s: (w_tot[s] * BIG) // d[s] for s in supps}
+        tot = sum(p2.values())
+        p = {s: (p2[s] * ns * NANO) // tot for s in supps}
+    order = sorted(supps, key=lambda s: (-p[s], s))
+    rank = {s: r + 1 for r, s in enumerate(order)}
+    return pd.DataFrame({
+        "suppkey": pd.array(supps, dtype="int64"),
+        "wins": pd.array([w_tot[s] for s in supps], dtype="int64"),
+        "losses": pd.array([l_tot[s] for s in supps], dtype="int64"),
+        "bt_nano": pd.array([p[s] for s in supps], dtype="int64"),
+        "rank": pd.array([rank[s] for s in supps], dtype="int64"),
+    })

@@ -5972,3 +5972,52 @@ def test_neyman_layout_laws_and_planted(ray_session, tmp_path,
     # 1:4 split up to the micro-snap + floor slack (one unit each)
     assert abs(int(out.loc["A", "neyman_n"]) - 2000) <= 1
     assert abs(int(out.loc["B", "neyman_n"]) - 8000) <= 1
+
+
+def test_bradley_terry_layout_laws_and_planted(ray_session, tmp_path,
+                                               monkeypatch):
+    """Bradley-Terry must be block-layout invariant and lawful: ranks a
+    permutation of 1..|S|, total wins == total losses, strengths
+    normalized to mean ~1 (nano). Planted transitive tournament
+    (A beats B twice, B beats C twice, A beats C twice, C steals one
+    from A so every supplier has a win and a loss) must rank A > B > C
+    with strictly decreasing strengths."""
+    import pandas as pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.supplier_bradley_terry(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.supplier_bradley_terry(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert sorted(a["rank"]) == list(range(1, len(a) + 1))
+    assert int(a["wins"].sum()) == int(a["losses"].sum())
+    mean_nano = float(a["bt_nano"].mean())
+    assert abs(mean_nano - 1e9) / 1e9 < 0.05
+
+    sup, part, qty = [], [], []
+    duels_plan = [(1, 2), (1, 2), (2, 3), (2, 3), (1, 3), (1, 3), (3, 1)]
+    for pid, (winner, loser) in enumerate(duels_plan, start=1):
+        sup += [winner, loser]
+        part += [pid, pid]
+        qty += [10.0, 5.0]
+    _pq.write_table(_pa.table({
+        "l_suppkey": _pa.array(sup, _pa.int64()),
+        "l_partkey": _pa.array(part, _pa.int64()),
+        "l_quantity": _pa.array(qty, _pa.float64()),
+    }), tmp_path / "lineitem.parquet")
+    out = r.supplier_bradley_terry(str(tmp_path)).set_index("suppkey")
+    assert int(out.loc[1, "rank"]) == 1
+    assert int(out.loc[2, "rank"]) == 2
+    assert int(out.loc[3, "rank"]) == 3
+    assert (int(out.loc[1, "bt_nano"]) > int(out.loc[2, "bt_nano"])
+            > int(out.loc[3, "bt_nano"]))
