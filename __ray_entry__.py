@@ -581,6 +581,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_neyman_allocation": r.orders_neyman_allocation,
         # Bradley-Terry ranking from pairwise shipping duels
         "supplier_bradley_terry": r.supplier_bradley_terry,
+        # learned-index feasibility: linear rank~key error bounds
+        "orders_learned_index": r.orders_learned_index,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6759,6 +6761,7 @@ def oracle_sql() -> dict[str, str]:
         "events_histogram_error": o.events_histogram_error_sql(),
         "orders_neyman_allocation": o.orders_neyman_allocation_sql(),
         "supplier_bradley_terry": o.supplier_bradley_terry_sql(),
+        "orders_learned_index": o.orders_learned_index_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

@@ -5803,3 +5803,55 @@ def supplier_bradley_terry_sql(rounds: int = 8) -> str:
                JOIN lt ON lt.s = supps.s
                JOIN {prev} ON {prev}.s = supps.s
     ORDER BY supps.s"""
+
+
+def orders_learned_index_sql(window: int = 64) -> str:
+    """Learned-index mirror (relational.orders_learned_index): the
+    cents catalog with doubled midpoint ranks kept integral, HUGEINT
+    OLS moments, the same mirrored slope/intercept/error expressions,
+    a MAX (order-free) and an exact hit count."""
+    return f"""
+    WITH cat AS (
+        SELECT CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
+    ),
+    rk AS (
+        SELECT v, n,
+               2 * (sum(n) OVER (ORDER BY v) - n) + (n - 1) AS r2
+        FROM cat
+    ),
+    m AS (
+        SELECT CAST(count(*) AS HUGEINT) AS nk,
+               CAST(sum(v) AS HUGEINT) AS sx,
+               sum(CAST(v AS HUGEINT) * v) AS sx2,
+               CAST(sum(r2) AS HUGEINT) AS sy2,
+               sum(CAST(v AS HUGEINT) * r2) AS sxy2
+        FROM rk
+    ),
+    ab AS (
+        SELECT CAST(nk * sxy2 - sx * sy2 AS DOUBLE)
+                   / CAST(2 * (nk * sx2 - sx * sx) AS DOUBLE) AS a,
+               nk, sx, sy2
+        FROM m
+    ),
+    ab2 AS (
+        SELECT a,
+               ((CAST(sy2 AS DOUBLE) / 2.0) - a * CAST(sx AS DOUBLE))
+                   / CAST(nk AS DOUBLE) AS b,
+               CAST(nk AS BIGINT) AS n_keys
+        FROM ab
+    ),
+    err AS (
+        SELECT rk.v,
+               abs(CAST(rk.r2 AS DOUBLE) / 2.0
+                   - (ab2.a * CAST(rk.v AS DOUBLE) + ab2.b)) AS e
+        FROM rk, ab2
+    )
+    SELECT ab2.n_keys,
+           round(ab2.a, 9) AS slope9,
+           round(ab2.b, 6) AS intercept6,
+           round((SELECT max(e) FROM err), 6) AS max_err6,
+           (SELECT CAST(sum(CASE WHEN e <= {window}.0 THEN 1 ELSE 0 END)
+                        AS BIGINT) FROM err) AS n_within_window
+    FROM ab2"""

@@ -21435,3 +21435,68 @@ def supplier_bradley_terry(sf_dir: str, rounds: int = 8):
         "bt_nano": pd.array([p[s] for s in supps], dtype="int64"),
         "rank": pd.array([rank[s] for s in supps], dtype="int64"),
     })
+
+
+def orders_learned_index(sf_dir: str, window: int = 64):
+    """Learned-index feasibility audit (Kraska et al. 2018): fit the
+    one-segment linear model rank ~ key over the sorted key space of
+    order-total cents and report the error bounds that decide whether
+    a learned index can replace a B-tree level — the MAX absolute
+    position error (the binary-search window a lookup must fall back
+    to) and how many keys land within a ``window``-slot page. One
+    distributed pass builds the exact (cents, n) catalog; ranks are
+    midpoints of each key's cumulative slot range (duplicate keys
+    share one rank, the learned-index convention). OLS moments fold as
+    exact Python ints (= HUGEINT; products of cents x rank overflow
+    int64, so the driver folds catalog rows as Python ints); slope and
+    intercept are mirrored float divisions, each key's prediction
+    error one identical IEEE expression, and the two reported
+    aggregates are order-free (a MAX, and an exact integer COUNT of
+    snapped-comparison hits: |err| <= window tests identical doubles
+    on both engines)."""
+    ds = _tbl(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            batch["o_totalprice"].to_numpy() * 100.0, 0).astype(np.int64)
+        t = pa.table({"cents": pa.array(cents, pa.int64())})
+        g = t.group_by("cents").aggregate([([], "count_all")])
+        return pa.table({"cents": g["cents"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    df = (ds.map_batches(partials, batch_format="pyarrow")
+          .groupby("cents").aggregate(Sum("n", alias_name="n"))
+          .to_pandas().sort_values("cents").reset_index(drop=True))
+    v = [int(x) for x in df["cents"]]
+    cnt = [int(x) for x in df["n"]]
+    # rank of key = midpoint of its slot range as double-rank int
+    # (2*rank keeps it integral: lo + hi where hi = lo + n - 1)
+    ranks2 = []
+    acc = 0
+    for c_ in cnt:
+        ranks2.append(2 * acc + (c_ - 1))
+        acc += c_
+    n_keys = len(v)
+    s_x = sum(v)
+    s_x2 = sum(a * a for a in v)
+    s_y2 = sum(ranks2)                      # 2*sum(rank)
+    s_xy2 = sum(a * r for a, r in zip(v, ranks2))  # 2*sum(key*rank)
+    # slope of rank~key: (n*sxy - sx*sy)/(n*sxx - sx^2), halved ranks
+    slope = (float(n_keys * s_xy2 - s_x * s_y2)
+             / float(2 * (n_keys * s_x2 - s_x * s_x)))
+    intercept = ((float(s_y2) / 2.0) - slope * float(s_x)) / float(n_keys)
+    max_err = 0.0
+    n_hit = 0
+    for a, r2 in zip(v, ranks2):
+        err = abs(float(r2) / 2.0 - (slope * float(a) + intercept))
+        if err > max_err:
+            max_err = err
+        if err <= float(window):
+            n_hit += 1
+    return pd.DataFrame({
+        "n_keys": pd.array([n_keys], dtype="int64"),
+        "slope9": [float(round_half_away(slope, 9))],
+        "intercept6": [float(round_half_away(intercept, 6))],
+        "max_err6": [float(round_half_away(max_err, 6))],
+        "n_within_window": pd.array([n_hit], dtype="int64"),
+    })

@@ -6021,3 +6021,42 @@ def test_bradley_terry_layout_laws_and_planted(ray_session, tmp_path,
     assert int(out.loc[3, "rank"]) == 3
     assert (int(out.loc[1, "bt_nano"]) > int(out.loc[2, "bt_nano"])
             > int(out.loc[3, "bt_nano"]))
+
+
+def test_learned_index_layout_laws_and_planted(ray_session, tmp_path,
+                                               monkeypatch):
+    """Learned-index audit must be block-layout invariant and lawful:
+    positive slope over sorted keys, hits bounded by key count, and a
+    planted PERFECTLY linear key space (cents 100, 200, ..., 3200 once
+    each) fit exactly: slope 1/100, max error 0, every key within the
+    window."""
+    import pandas as pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.orders_learned_index(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.orders_learned_index(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert float(a["slope9"].iloc[0]) > 0
+    assert int(a["n_within_window"].iloc[0]) <= int(a["n_keys"].iloc[0])
+    assert float(a["max_err6"].iloc[0]) >= 0.0
+
+    _pq.write_table(_pa.table({
+        "o_totalprice": _pa.array([float(i) for i in range(1, 33)],
+                                  _pa.float64()),
+    }), tmp_path / "orders.parquet")
+    out = r.orders_learned_index(str(tmp_path))
+    assert int(out["n_keys"].iloc[0]) == 32
+    assert float(out["slope9"].iloc[0]) == 0.01
+    assert float(out["max_err6"].iloc[0]) == 0.0
+    assert int(out["n_within_window"].iloc[0]) == 32
