@@ -583,6 +583,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_bradley_terry": r.supplier_bradley_terry,
         # learned-index feasibility: linear rank~key error bounds
         "orders_learned_index": r.orders_learned_index,
+        # consistent-hashing ring balance across vnode configs
+        "events_consistent_hash_balance": r.events_consistent_hash_balance,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6762,6 +6764,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_neyman_allocation": o.orders_neyman_allocation_sql(),
         "supplier_bradley_terry": o.supplier_bradley_terry_sql(),
         "orders_learned_index": o.orders_learned_index_sql(),
+        "events_consistent_hash_balance":
+            o.events_consistent_hash_balance_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

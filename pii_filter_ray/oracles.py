@@ -5855,3 +5855,69 @@ def orders_learned_index_sql(window: int = 64) -> str:
            (SELECT CAST(sum(CASE WHEN e <= {window}.0 THEN 1 ELSE 0 END)
                         AS BIGINT) FROM err) AS n_within_window
     FROM ab2"""
+
+
+def events_consistent_hash_balance_sql(n_nodes: int = 16) -> str:
+    """Consistent-hash mirror (relational.events_consistent_hash_balance):
+    ring points and key hashes from the shared splitmix64 CTE chains,
+    clockwise-successor assignment via a sorted union window
+    (first_value IGNORE NULLS over the following frame; keys sort
+    before a ring point at the same position so an exact hit assigns
+    to it, matching searchsorted side='left'), COALESCE wrap to the
+    ring minimum, zero-filled (vnodes, node) catalog."""
+    from .pipelines.relational import _RING_SALT as salt
+    from .stages.sketches import _hash_ctes
+
+    return f"""
+    WITH cfgs AS (SELECT unnest([1, 4, 16, 64]) AS v),
+    ring0 AS (
+        SELECT cfgs.v AS cfg, n.n AS node, r.r AS rep,
+               CAST({salt} + n.n * 64 + r.r + 1 AS BIGINT) AS inp
+        FROM cfgs, range({n_nodes}) n(n), range(64) r(r)
+        WHERE r.r < cfgs.v
+    ),
+    {_hash_ctes('ring0', 'cfg * 1000 + node', 'inp', prefix='r')},
+    ring AS (
+        SELECT k // 1000 AS cfg, k % 1000 AS node, u AS pos
+        FROM r6
+    ),
+    dusers AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS uid
+               FROM events WHERE user_id IS NOT NULL),
+    {_hash_ctes('dusers', 'uid', 'uid', prefix='k')},
+    keys AS (SELECT u AS pos FROM k6),
+    uni AS (
+        SELECT cfg, pos, node, 1 AS is_ring
+        FROM ring
+        UNION ALL
+        SELECT cfgs.v, keys.pos, NULL, 0
+        FROM keys, cfgs
+    ),
+    asg AS (
+        SELECT cfg, pos, is_ring,
+               COALESCE(
+                   first_value(node IGNORE NULLS) OVER (
+                       PARTITION BY cfg
+                       ORDER BY pos, is_ring
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+                   (SELECT r2.node FROM ring r2 WHERE r2.cfg = uni.cfg
+                    ORDER BY r2.pos LIMIT 1)) AS node
+        FROM uni
+    ),
+    counts AS (
+        SELECT cfg AS vnodes, node, CAST(count(*) AS BIGINT) AS n
+        FROM asg WHERE is_ring = 0 GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT cfgs.v AS vnodes, n.n AS node
+        FROM cfgs, range({n_nodes}) n(n)
+    ),
+    tot AS (SELECT vnodes, sum(n) AS t FROM counts GROUP BY 1)
+    SELECT CAST(g.vnodes AS BIGINT) AS vnodes,
+           CAST(g.node AS BIGINT) AS node,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+           round(CAST(COALESCE(c.n, 0) AS DOUBLE)
+                 / CAST(t.t AS DOUBLE), 6) AS share6
+    FROM grid g
+    LEFT JOIN counts c ON c.vnodes = g.vnodes AND c.node = g.node
+    JOIN tot t ON t.vnodes = g.vnodes
+    ORDER BY g.vnodes, g.node"""

@@ -6060,3 +6060,34 @@ def test_learned_index_layout_laws_and_planted(ray_session, tmp_path,
     assert float(out["slope9"].iloc[0]) == 0.01
     assert float(out["max_err6"].iloc[0]) == 0.0
     assert int(out["n_within_window"].iloc[0]) == 32
+
+
+def test_consistent_hash_layout_and_laws(ray_session, monkeypatch):
+    """Consistent-hash audit must be block-layout invariant and
+    lawful: a complete 4x16 (vnodes, node) catalog, per-config counts
+    summing to the same distinct-user total, shares summing to ~1,
+    and the defining trend on real keys: max node share with 64
+    vnodes strictly below max share with 1 vnode (more virtual nodes
+    -> smoother ring)."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.events_consistent_hash_balance(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.events_consistent_hash_balance(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert len(a) == 64
+    totals = a.groupby("vnodes")["n"].sum()
+    assert totals.nunique() == 1
+    shares = a.groupby("vnodes")["share6"].sum()
+    assert ((shares - 1.0).abs() < 1e-4).all()
+    mx = a.groupby("vnodes")["share6"].max()
+    assert mx[64] < mx[1]
