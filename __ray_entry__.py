@@ -585,6 +585,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_learned_index": r.orders_learned_index,
         # consistent-hashing ring balance across vnode configs
         "events_consistent_hash_balance": r.events_consistent_hash_balance,
+        # skyline / Pareto frontier (multi-objective preference query)
+        "part_skyline": r.part_skyline,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6766,6 +6768,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_learned_index": o.orders_learned_index_sql(),
         "events_consistent_hash_balance":
             o.events_consistent_hash_balance_sql(),
+        "part_skyline": o.part_skyline_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

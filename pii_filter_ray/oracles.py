@@ -5921,3 +5921,23 @@ def events_consistent_hash_balance_sql(n_nodes: int = 16) -> str:
     LEFT JOIN counts c ON c.vnodes = g.vnodes AND c.node = g.node
     JOIN tot t ON t.vnodes = g.vnodes
     ORDER BY g.vnodes, g.node"""
+
+
+def part_skyline_sql() -> str:
+    """Skyline mirror (relational.part_skyline): the declarative
+    NOT EXISTS dominance predicate over exact integer (cents, size)."""
+    return """
+    WITH p AS (
+        SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+               CAST(round(p_retailprice * 100.0, 0) AS BIGINT)
+                   AS price_cents,
+               CAST(p_size AS BIGINT) AS p_size
+        FROM part
+    )
+    SELECT a.p_partkey, a.price_cents, a.p_size
+    FROM p a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p b
+        WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+          AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))
+    ORDER BY a.price_cents, a.p_size, a.p_partkey"""

@@ -6091,3 +6091,46 @@ def test_consistent_hash_layout_and_laws(ray_session, monkeypatch):
     assert ((shares - 1.0).abs() < 1e-4).all()
     mx = a.groupby("vnodes")["share6"].max()
     assert mx[64] < mx[1]
+
+
+def test_skyline_layout_laws_and_planted(ray_session, tmp_path,
+                                         monkeypatch):
+    """Skyline must be block-layout invariant (the local-skyline union
+    is provably a superset of the global frontier under any blocking)
+    and lawful: along ascending price the surviving sizes are strictly
+    increasing (a cheaper-or-equal part with >= size would dominate),
+    except exact (price, size) duplicates which are mutually
+    non-dominated and all kept. Planted: {(1,5), (2,9), (3,7), (2,9),
+    (1,5)} -> frontier {(1,5) x2, (2,9) x2}; (3,7) is dominated by
+    (2,9)."""
+    import pandas as pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.part_skyline(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.part_skyline(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    dd = a.drop_duplicates(["price_cents", "p_size"])
+    pc_ = dd["price_cents"].to_numpy()
+    sz = dd["p_size"].to_numpy()
+    assert (pc_[1:] > pc_[:-1]).all()
+    assert (sz[1:] > sz[:-1]).all()
+
+    _pq.write_table(_pa.table({
+        "p_partkey": _pa.array([1, 2, 3, 4, 5], _pa.int64()),
+        "p_size": _pa.array([5, 9, 7, 9, 5], _pa.int64()),
+        "p_retailprice": _pa.array([0.01, 0.02, 0.03, 0.02, 0.01],
+                                   _pa.float64()),
+    }), tmp_path / "part.parquet")
+    out = r.part_skyline(str(tmp_path))
+    assert sorted(out["p_partkey"]) == [1, 2, 4, 5]
