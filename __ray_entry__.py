@@ -587,6 +587,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_consistent_hash_balance": r.events_consistent_hash_balance,
         # skyline / Pareto frontier (multi-objective preference query)
         "part_skyline": r.part_skyline,
+        # v-optimal DP segmentation of the per-quantity revenue series
+        "lineitem_voptimal_segments": r.lineitem_voptimal_segments,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6769,6 +6771,7 @@ def oracle_sql() -> dict[str, str]:
         "events_consistent_hash_balance":
             o.events_consistent_hash_balance_sql(),
         "part_skyline": o.part_skyline_sql(),
+        "lineitem_voptimal_segments": o.lineitem_voptimal_segments_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

@@ -5941,3 +5941,87 @@ def part_skyline_sql() -> str:
         WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
           AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))
     ORDER BY a.price_cents, a.p_size, a.p_partkey"""
+
+
+def lineitem_voptimal_segments_sql(k: int = 6) -> str:
+    """V-optimal mirror (relational.lineitem_voptimal_segments): the
+    interval-SSE table from HUGEINT prefix sums with the same
+    round-to-integer snap, the DP unrolled to ``k`` MATERIALIZED CTE
+    rounds (min over splits, argmin = smallest split among minima),
+    ``k-1`` single-row backtrack CTEs, and the segments re-read from
+    the SSE table."""
+    rounds = []
+    for r in range(2, k + 1):
+        rounds.append(f"""
+    dp{r} AS MATERIALIZED (
+        SELECT s.j AS i, min(dp{r - 1}.v + s.e) AS v
+        FROM dp{r - 1} JOIN sse s ON s.i = dp{r - 1}.i + 1
+        WHERE dp{r - 1}.i >= {r - 2}
+        GROUP BY 1
+    ),
+    a{r} AS MATERIALIZED (
+        SELECT s.j AS i, min(dp{r - 1}.i) AS mm
+        FROM dp{r - 1}
+        JOIN sse s ON s.i = dp{r - 1}.i + 1
+        JOIN dp{r} d ON d.i = s.j AND dp{r - 1}.v + s.e = d.v
+        WHERE dp{r - 1}.i >= {r - 2}
+        GROUP BY 1
+    )""")
+    bts = [f"""
+    c{k - 1} AS (SELECT a{k}.mm AS e FROM a{k}, mx
+                 WHERE a{k}.i = mx.last)"""]
+    for r in range(k - 1, 1, -1):
+        bts.append(f"""
+    c{r - 1} AS (SELECT a{r}.mm AS e FROM a{r}, c{r}
+                 WHERE a{r}.i = c{r}.e)""")
+    segs = []
+    for seg in range(1, k + 1):
+        if seg == 1:
+            start, end, frm = "0", "c1.e", "c1"
+        elif seg == k:
+            start, end, frm = f"c{k - 1}.e + 1", "mx.last", f"c{k - 1}, mx"
+        else:
+            start, end = f"c{seg - 1}.e + 1", f"c{seg}.e"
+            frm = f"c{seg - 1}, c{seg}"
+        segs.append(f"""
+    SELECT CAST({seg} AS BIGINT) AS seg,
+           (SELECT q FROM idx WHERE i = {start}) AS q_start,
+           (SELECT q FROM idx WHERE i = {end}) AS q_end,
+           CAST(({end}) - ({start}) + 1 AS BIGINT) AS n_points,
+           (SELECT CAST(e AS DOUBLE) FROM sse
+            WHERE sse.i = ({start}) AND sse.j = ({end})) AS sse
+    FROM {frm}""")
+    return f"""
+    WITH cat AS MATERIALIZED (
+        SELECT CAST(l_quantity AS BIGINT) AS q,
+               CAST(sum(CAST(round(l_extendedprice * 100.0, 0)
+                             AS BIGINT)) AS HUGEINT) AS cents
+        FROM lineitem GROUP BY 1
+    ),
+    idx AS MATERIALIZED (
+        SELECT q,
+               CAST(row_number() OVER (ORDER BY q) - 1 AS BIGINT) AS i,
+               sum(cents) OVER (ORDER BY q) - cents AS cp0,
+               sum(cents * cents) OVER (ORDER BY q)
+                   - cents * cents AS cpp0,
+               sum(cents) OVER (ORDER BY q) AS cp,
+               sum(cents * cents) OVER (ORDER BY q) AS cpp
+        FROM cat
+    ),
+    mx AS (SELECT CAST(max(i) AS BIGINT) AS last FROM idx),
+    sse AS MATERIALIZED (
+        SELECT a.i AS i, b.i AS j,
+               CAST(round(CAST(b.cpp - a.cpp0 AS DOUBLE)
+                          - CAST(b.cp - a.cp0 AS DOUBLE)
+                            * CAST(b.cp - a.cp0 AS DOUBLE)
+                            / CAST(b.i - a.i + 1 AS DOUBLE), 0)
+                    AS HUGEINT) AS e
+        FROM idx a JOIN idx b ON a.i <= b.i
+    ),
+    dp1 AS MATERIALIZED (
+        SELECT j AS i, e AS v FROM sse WHERE i = 0
+    ),
+    {','.join(rounds)},
+    {','.join(bts)}
+    {' UNION ALL '.join(segs)}
+    ORDER BY seg"""
