@@ -589,6 +589,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_skyline": r.part_skyline,
         # v-optimal DP segmentation of the per-quantity revenue series
         "lineitem_voptimal_segments": r.lineitem_voptimal_segments,
+        # Huffman optimal-prefix-code bits audit (compression planning)
+        "events_huffman_audit": r.events_huffman_audit,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6772,6 +6774,7 @@ def oracle_sql() -> dict[str, str]:
             o.events_consistent_hash_balance_sql(),
         "part_skyline": o.part_skyline_sql(),
         "lineitem_voptimal_segments": o.lineitem_voptimal_segments_sql(),
+        "events_huffman_audit": o.events_huffman_audit_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

@@ -6025,3 +6025,34 @@ def lineitem_voptimal_segments_sql(k: int = 6) -> str:
     {','.join(bts)}
     {' UNION ALL '.join(segs)}
     ORDER BY seg"""
+
+
+def events_huffman_audit_sql() -> str:
+    """Huffman mirror (relational.events_huffman_audit): the recursive
+    single-row-state CTE carrying the sorted (freq, id) node list as a
+    list of structs; each step merges the first two, appends the
+    merged node with the lexicographically-smaller id, and re-sorts —
+    bit-identical to the driver's tuple-sorted merge loop."""
+    return """
+    WITH RECURSIVE cat AS (
+        SELECT event_type AS sym, CAST(count(*) AS BIGINT) AS f
+        FROM events GROUP BY 1
+    ),
+    init AS (
+        SELECT list_sort(list({'f': f, 'id': sym})) AS st FROM cat
+    ),
+    h AS (
+        SELECT 0 AS step, CAST(0 AS BIGINT) AS merged,
+               CAST(0 AS BIGINT) AS cum, st
+        FROM init
+        UNION ALL
+        SELECT h.step + 1,
+               CAST(h.st[1].f + h.st[2].f AS BIGINT),
+               h.cum + h.st[1].f + h.st[2].f,
+               list_sort(list_append(h.st[3:],
+                   {'f': h.st[1].f + h.st[2].f,
+                    'id': least(h.st[1].id, h.st[2].id)}))
+        FROM h WHERE len(h.st) > 1
+    )
+    SELECT CAST(step AS BIGINT) AS step, merged, cum
+    FROM h WHERE step > 0 ORDER BY step"""

@@ -6181,3 +6181,51 @@ def test_voptimal_layout_laws_and_planted(ray_session, tmp_path,
     assert list(out["q_start"]) == [1, 4, 7]
     assert list(out["q_end"]) == [3, 6, 9]
     assert float(out["sse"].sum()) == 0.0
+
+
+def test_huffman_layout_laws_and_planted(ray_session, tmp_path,
+                                         monkeypatch):
+    """Huffman audit must be block-layout invariant and lawful: k-1
+    merge steps for k symbols, nondecreasing merged frequencies (the
+    Huffman invariant), the last cum equal to the sum of all merges,
+    and optimal expected length within [H, H+1) of the entropy bound.
+    Planted dyadic frequencies {1, 1, 2, 4} give code lengths
+    {3, 3, 2, 1} -> total bits = 1*3 + 1*3 + 2*2 + 4*1 = 14, and the
+    merge sums are exactly [2, 4, 8] -> cum 14."""
+    import math
+
+    import pandas as pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.events_huffman_audit(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.events_huffman_audit(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    merged = a["merged"].to_numpy()
+    assert (merged[1:] >= merged[:-1]).all()
+    assert int(a["cum"].iloc[-1]) == int(a["merged"].sum())
+    import pyarrow.parquet as _pq2
+    ev = _pq2.read_table(sf + "/events.parquet", columns=["event_type"])
+    s = pd.Series(ev["event_type"].to_pylist()).value_counts()
+    n = int(s.sum())
+    H = sum(-(c / n) * math.log2(c / n) for c in s)
+    avg = float(a["cum"].iloc[-1]) / n
+    assert H - 1e-9 <= avg < H + 1.0
+
+    _pq.write_table(_pa.table({
+        "event_type": _pa.array(["a"] * 1 + ["b"] * 1 + ["c"] * 2
+                                + ["d"] * 4, _pa.string()),
+    }), tmp_path / "events.parquet")
+    out = r.events_huffman_audit(str(tmp_path))
+    assert list(out["merged"]) == [2, 4, 8]
+    assert int(out["cum"].iloc[-1]) == 14
