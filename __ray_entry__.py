@@ -591,6 +591,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_voptimal_segments": r.lineitem_voptimal_segments,
         # Huffman optimal-prefix-code bits audit (compression planning)
         "events_huffman_audit": r.events_huffman_audit,
+        # A/A-test calibration: pairwise Welch z false-positive audit
+        "orders_aa_calibration": r.orders_aa_calibration,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6775,6 +6777,7 @@ def oracle_sql() -> dict[str, str]:
         "part_skyline": o.part_skyline_sql(),
         "lineitem_voptimal_segments": o.lineitem_voptimal_segments_sql(),
         "events_huffman_audit": o.events_huffman_audit_sql(),
+        "orders_aa_calibration": o.orders_aa_calibration_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

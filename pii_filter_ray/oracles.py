@@ -6056,3 +6056,42 @@ def events_huffman_audit_sql() -> str:
     )
     SELECT CAST(step AS BIGINT) AS step, merged, cum
     FROM h WHERE step > 0 ORDER BY step"""
+
+
+def orders_aa_calibration_sql(n_arms: int = 16) -> str:
+    """A/A mirror (relational.orders_aa_calibration): the shared
+    splitmix64 chain assigns arms, HUGEINT ledgers per arm, and each
+    pairwise Welch z is the same row-independent mirrored expression;
+    the flag tests snapped z6 against the 1.96 literal."""
+    from .stages.sketches import _hash_ctes
+
+    return f"""
+    WITH src AS (
+        SELECT CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS cents,
+               CAST(o_orderkey AS BIGINT) AS okey
+        FROM orders
+    ),
+    {_hash_ctes('src', 'cents', 'okey')},
+    led AS (
+        SELECT CAST(u % {n_arms} AS BIGINT) AS arm,
+               CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(k) AS HUGEINT) AS s,
+               sum(CAST(k AS HUGEINT) * k) AS ss
+        FROM s6 GROUP BY 1
+    ),
+    z AS (
+        SELECT a.arm AS arm_a, b.arm AS arm_b,
+               CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+               round((CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+                      - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+                     / sqrt(CAST(a.n * a.ss - a.s * a.s AS DOUBLE)
+                            / CAST(a.n * (a.n - 1) AS DOUBLE)
+                            / CAST(a.n AS DOUBLE)
+                            + CAST(b.n * b.ss - b.s * b.s AS DOUBLE)
+                              / CAST(b.n * (b.n - 1) AS DOUBLE)
+                              / CAST(b.n AS DOUBLE)), 6) AS z6
+        FROM led a JOIN led b ON b.arm > a.arm
+    )
+    SELECT arm_a, arm_b, n_a, n_b, z6, abs(z6) > 1.96 AS sig_95
+    FROM z
+    ORDER BY arm_a, arm_b"""

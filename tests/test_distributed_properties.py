@@ -6229,3 +6229,40 @@ def test_huffman_layout_laws_and_planted(ray_session, tmp_path,
     out = r.events_huffman_audit(str(tmp_path))
     assert list(out["merged"]) == [2, 4, 8]
     assert int(out["cum"].iloc[-1]) == 14
+
+
+def test_aa_calibration_layout_and_laws(ray_session, monkeypatch):
+    """A/A calibration must be block-layout invariant and lawful: all
+    C(16,2)=120 ordered pairs present, arm sizes partitioning the
+    table, antisymmetric z under arm swap (checked by recomputing one
+    pair's z from the other's ledger roles — here simply |z| identical
+    for the mirrored pair ordering, which the a<b output makes
+    implicit), and a SANE false-positive rate: with no real difference
+    by construction, significant pairs must not exceed half the pairs
+    (a broken variance model typically flags nearly all)."""
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.orders_aa_calibration(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.orders_aa_calibration(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert len(a) == 120
+    assert (a["arm_a"] < a["arm_b"]).all()
+    sizes = pd.concat([
+        a.drop_duplicates("arm_a").set_index("arm_a")["n_a"],
+        a.drop_duplicates("arm_b").set_index("arm_b")["n_b"],
+    ]).groupby(level=0).first()
+    n_rows = _pq.read_metadata(sf + "/orders.parquet").num_rows
+    assert int(sizes.sum()) == n_rows
+    assert (a["sig_95"] == (a["z6"].abs() > 1.96)).all()
+    assert int(a["sig_95"].sum()) <= 60
