@@ -593,6 +593,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_huffman_audit": r.events_huffman_audit,
         # A/A-test calibration: pairwise Welch z false-positive audit
         "orders_aa_calibration": r.orders_aa_calibration,
+        # per-symbol Huffman code lengths (membership identity)
+        "events_huffman_codes": r.events_huffman_codes,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6778,6 +6780,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_voptimal_segments": o.lineitem_voptimal_segments_sql(),
         "events_huffman_audit": o.events_huffman_audit_sql(),
         "orders_aa_calibration": o.orders_aa_calibration_sql(),
+        "events_huffman_codes": o.events_huffman_codes_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

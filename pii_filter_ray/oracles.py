@@ -6095,3 +6095,39 @@ def orders_aa_calibration_sql(n_arms: int = 16) -> str:
     SELECT arm_a, arm_b, n_a, n_b, z6, abs(z6) > 1.96 AS sig_95
     FROM z
     ORDER BY arm_a, arm_b"""
+
+
+def events_huffman_codes_sql() -> str:
+    """Code-lengths mirror (relational.events_huffman_codes): the same
+    recursive struct-list state extended with member arrays; a
+    symbol's length is the count of merge steps containing it."""
+    return """
+    WITH RECURSIVE cat AS (
+        SELECT event_type AS sym, CAST(count(*) AS BIGINT) AS f
+        FROM events GROUP BY 1
+    ),
+    init AS (
+        SELECT list_sort(list({'f': f, 'id': sym, 'ms': [sym]})) AS st
+        FROM cat
+    ),
+    h AS (
+        SELECT 0 AS step, CAST([] AS VARCHAR[]) AS merged_ms, st
+        FROM init
+        UNION ALL
+        SELECT h.step + 1,
+               list_concat(h.st[1].ms, h.st[2].ms),
+               list_sort(list_append(h.st[3:],
+                   {'f': h.st[1].f + h.st[2].f,
+                    'id': least(h.st[1].id, h.st[2].id),
+                    'ms': list_concat(h.st[1].ms, h.st[2].ms)}))
+        FROM h WHERE len(h.st) > 1
+    ),
+    steps AS (SELECT merged_ms FROM h WHERE step > 0)
+    SELECT cat.sym, cat.f AS n,
+           CAST((SELECT count(*) FROM steps
+                 WHERE list_contains(steps.merged_ms, cat.sym))
+                AS BIGINT) AS len_bits,
+           CAST(cat.f * (SELECT count(*) FROM steps
+                         WHERE list_contains(steps.merged_ms, cat.sym))
+                AS BIGINT) AS bits
+    FROM cat ORDER BY cat.sym"""

@@ -6266,3 +6266,48 @@ def test_aa_calibration_layout_and_laws(ray_session, monkeypatch):
     assert int(sizes.sum()) == n_rows
     assert (a["sig_95"] == (a["z6"].abs() > 1.96)).all()
     assert int(a["sig_95"].sum()) <= 60
+
+
+def test_huffman_codes_layout_laws_and_planted(ray_session, tmp_path,
+                                               monkeypatch):
+    """Huffman code lengths must be block-layout invariant and
+    lawful: Kraft EQUALITY sum(2^-len) == 1 (Huffman trees are full),
+    total bits equal to the audit's final cum on the same table, and
+    shorter codes for more frequent symbols (weak monotonicity).
+    Planted dyadic {1,1,2,4} gives lengths {3,3,2,1} exactly."""
+    from fractions import Fraction
+
+    import pandas as pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.events_huffman_codes(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.events_huffman_codes(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    kraft = sum(Fraction(1, 2 ** int(l)) for l in a["len_bits"])
+    assert kraft == 1
+    audit = r.events_huffman_audit(sf)
+    assert int(a["bits"].sum()) == int(audit["cum"].iloc[-1])
+    srt = a.sort_values("n", ascending=False)
+    lens = srt["len_bits"].to_numpy()
+    assert (lens[1:] >= lens[:-1]).all()
+
+    _pq.write_table(_pa.table({
+        "event_type": _pa.array(["a"] + ["b"] + ["c"] * 2 + ["d"] * 4,
+                                _pa.string()),
+    }), tmp_path / "events.parquet")
+    out = r.events_huffman_codes(str(tmp_path)).set_index("sym")
+    assert int(out.loc["a", "len_bits"]) == 3
+    assert int(out.loc["b", "len_bits"]) == 3
+    assert int(out.loc["c", "len_bits"]) == 2
+    assert int(out.loc["d", "len_bits"]) == 1
