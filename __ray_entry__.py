@@ -595,6 +595,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_aa_calibration": r.orders_aa_calibration,
         # per-symbol Huffman code lengths (membership identity)
         "events_huffman_codes": r.events_huffman_codes,
+        # maximum spanning tree backbone of supplier collaboration
+        "supplier_mst": r.supplier_mst,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6781,6 +6783,7 @@ def oracle_sql() -> dict[str, str]:
         "events_huffman_audit": o.events_huffman_audit_sql(),
         "orders_aa_calibration": o.orders_aa_calibration_sql(),
         "events_huffman_codes": o.events_huffman_codes_sql(),
+        "supplier_mst": o.supplier_mst_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

@@ -6131,3 +6131,45 @@ def events_huffman_codes_sql() -> str:
                          WHERE list_contains(steps.merged_ms, cat.sym))
                 AS BIGINT) AS bits
     FROM cat ORDER BY cat.sym"""
+
+
+def supplier_mst_sql() -> str:
+    """Max-spanning-tree mirror (relational.supplier_mst): the same
+    distinct-part pair weights, then Prim's walk from the smallest
+    supplier as a single-row-state recursive CTE — visited set as a
+    list, LATERAL picks the heaviest crossing edge (tiebreak smallest
+    (a, b)), empty LATERAL terminates."""
+    return """
+    WITH RECURSIVE q AS (
+        SELECT DISTINCT CAST(l_partkey AS BIGINT) AS p,
+               CAST(l_suppkey AS BIGINT) AS s
+        FROM lineitem
+    ),
+    e AS (
+        SELECT a.s AS a, b.s AS b, CAST(count(*) AS BIGINT) AS w
+        FROM q a JOIN q b ON a.p = b.p AND a.s < b.s
+        GROUP BY 1, 2
+    ),
+    v0 AS (SELECT min(x) AS start FROM
+           (SELECT a AS x FROM e UNION SELECT b FROM e)),
+    st AS (
+        SELECT 0 AS step, CAST(NULL AS BIGINT) AS a,
+               CAST(NULL AS BIGINT) AS b, CAST(NULL AS BIGINT) AS w,
+               [start] AS vis
+        FROM v0
+        UNION ALL
+        SELECT st.step + 1, pick.a, pick.b, pick.w,
+               list_append(st.vis,
+                           CASE WHEN list_contains(st.vis, pick.a)
+                                THEN pick.b ELSE pick.a END)
+        FROM st, LATERAL (
+            SELECT e.a, e.b, e.w FROM e
+            WHERE list_contains(st.vis, e.a)
+                  != list_contains(st.vis, e.b)
+            ORDER BY e.w DESC, e.a ASC, e.b ASC
+            LIMIT 1
+        ) pick
+    )
+    SELECT CAST(step AS BIGINT) AS step, a, b, w AS shared_parts
+    FROM st WHERE step > 0
+    ORDER BY step"""

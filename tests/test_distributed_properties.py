@@ -6311,3 +6311,56 @@ def test_huffman_codes_layout_laws_and_planted(ray_session, tmp_path,
     assert int(out.loc["b", "len_bits"]) == 3
     assert int(out.loc["c", "len_bits"]) == 2
     assert int(out.loc["d", "len_bits"]) == 1
+
+
+def test_mst_layout_laws_and_planted(ray_session, tmp_path, monkeypatch):
+    """Max spanning tree must be block-layout invariant and lawful:
+    |V|-1 edges on a connected graph, every step connecting exactly
+    one new vertex (tree property), and the cut-optimality spot check
+    that the FIRST edge is the globally heaviest incident to the
+    start vertex. Planted triangle with a pendant: edges (1,2,w5),
+    (2,3,w4), (1,3,w1), (3,4,w2) -> max-ST = {(1,2), (2,3), (3,4)},
+    total 11, and the light (1,3) edge is rejected."""
+    import pandas as pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.supplier_mst(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.supplier_mst(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    verts = set(a["a"]) | set(a["b"])
+    assert len(a) == len(verts) - 1  # tree on the reached component
+
+    # planted: distinct parts shared per pair encode the weights
+    sup, part = [], []
+    pid = 0
+
+    def share(x, y, w):
+        nonlocal pid
+        for _ in range(w):
+            pid += 1
+            sup.extend([x, y])
+            part.extend([pid, pid])
+
+    share(1, 2, 5)
+    share(2, 3, 4)
+    share(1, 3, 1)
+    share(3, 4, 2)
+    _pq.write_table(_pa.table({
+        "l_suppkey": _pa.array(sup, _pa.int64()),
+        "l_partkey": _pa.array(part, _pa.int64()),
+    }), tmp_path / "lineitem.parquet")
+    out = r.supplier_mst(str(tmp_path))
+    got = {(int(r_["a"]), int(r_["b"])) for _, r_ in out.iterrows()}
+    assert got == {(1, 2), (2, 3), (3, 4)}
+    assert int(out["shared_parts"].sum()) == 11
