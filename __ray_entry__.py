@@ -597,6 +597,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_huffman_codes": r.events_huffman_codes,
         # maximum spanning tree backbone of supplier collaboration
         "supplier_mst": r.supplier_mst,
+        # LRU hit-rate curve via Mattson stack distances
+        "events_lru_hit_rate": r.events_lru_hit_rate,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6784,6 +6786,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_aa_calibration": o.orders_aa_calibration_sql(),
         "events_huffman_codes": o.events_huffman_codes_sql(),
         "supplier_mst": o.supplier_mst_sql(),
+        "events_lru_hit_rate": o.events_lru_hit_rate_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

@@ -6173,3 +6173,37 @@ def supplier_mst_sql() -> str:
     SELECT CAST(step AS BIGINT) AS step, a, b, w AS shared_parts
     FROM st WHERE step > 0
     ORDER BY step"""
+
+
+def events_lru_hit_rate_sql() -> str:
+    """LRU mirror (relational.events_lru_hit_rate): positional stream
+    via row_number over (ts, event_id), per-access reuse distance as a
+    count-distinct over the open positional interval since the
+    previous access, and per-size hit counts/rates as exact integers
+    with one mirrored division."""
+    return """
+    WITH pos AS (
+        SELECT CAST(user_id AS BIGINT) AS u,
+               row_number() OVER (ORDER BY ts, event_id) - 1 AS rn
+        FROM events
+    ),
+    pp AS (
+        SELECT u, rn, lag(rn) OVER (PARTITION BY u ORDER BY rn) AS prev
+        FROM pos
+    ),
+    rd AS (
+        SELECT pp.rn,
+               (SELECT count(DISTINCT p2.u) FROM pos p2
+                WHERE p2.rn > pp.prev AND p2.rn < pp.rn) AS d
+        FROM pp WHERE pp.prev IS NOT NULL
+    ),
+    sizes AS (SELECT unnest([4, 16, 64]) AS k),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n_re FROM rd)
+    SELECT CAST(s.k AS BIGINT) AS cache_size, a.n_re AS n_reaccesses,
+           h.hits,
+           round(CAST(h.hits AS DOUBLE) / CAST(a.n_re AS DOUBLE), 6)
+               AS hit_rate6
+    FROM sizes s, agg a, LATERAL (
+        SELECT CAST(sum(CASE WHEN rd.d < s.k THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hits FROM rd) h
+    ORDER BY s.k"""

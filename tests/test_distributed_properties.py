@@ -6364,3 +6364,51 @@ def test_mst_layout_laws_and_planted(ray_session, tmp_path, monkeypatch):
     got = {(int(r_["a"]), int(r_["b"])) for _, r_ in out.iterrows()}
     assert got == {(1, 2), (2, 3), (3, 4)}
     assert int(out["shared_parts"].sum()) == 11
+
+
+def test_lru_layout_laws_and_planted(ray_session, tmp_path, monkeypatch):
+    """LRU hit-rate curve must be block-layout invariant and lawful:
+    hits monotone nondecreasing in cache size, bounded by
+    re-accesses, and reproduce a hand-traced stream exactly. Stream
+    A B A C B A (users), reuse distances: A->1 (B between), B->1 (A at
+    pos2... C between? trace: positions 0..5; A@2: between 0 and 2 is
+    {B} -> d=1; B@4: between 1 and 4 -> {A, C} -> d=2; A@5: between 2
+    and 5 -> {C, B} -> d=2. k=1: hits where d<1 -> 0; k=2: d<2 -> 1;
+    k=3: d<3 -> 3."""
+    import datetime as _dt
+
+    import pandas as pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.events_lru_hit_rate(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.events_lru_hit_rate(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    hits = a.sort_values("cache_size")["hits"].to_numpy()
+    assert (hits[1:] >= hits[:-1]).all()
+    assert (a["hits"] <= a["n_reaccesses"]).all()
+
+    t0 = _dt.datetime(2024, 1, 1)
+    stream = [10, 20, 10, 30, 20, 10]  # A B A C B A
+    _pq.write_table(_pa.table({
+        "event_id": _pa.array(list(range(6)), _pa.int64()),
+        "ts": _pa.array([t0 + _dt.timedelta(seconds=i)
+                         for i in range(6)], _pa.timestamp("us")),
+        "user_id": _pa.array(stream, _pa.int64()),
+    }), tmp_path / "events.parquet")
+    out = r.events_lru_hit_rate(str(tmp_path), sizes=(1, 2, 3)) \
+        .set_index("cache_size")
+    assert int(out.loc[1, "n_reaccesses"]) == 3
+    assert int(out.loc[1, "hits"]) == 0
+    assert int(out.loc[2, "hits"]) == 1
+    assert int(out.loc[3, "hits"]) == 3
