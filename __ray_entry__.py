@@ -599,6 +599,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_mst": r.supplier_mst,
         # LRU hit-rate curve via Mattson stack distances
         "events_lru_hit_rate": r.events_lru_hit_rate,
+        # newsvendor critical-quantile stocking decision + exact cost
+        "orders_newsvendor": r.orders_newsvendor,
     }
     # Present a family-representative FIRST-50 window: external samplers
     # that check only a prefix of this dict (e.g. the first 50 names) see
@@ -6787,6 +6789,7 @@ def oracle_sql() -> dict[str, str]:
         "events_huffman_codes": o.events_huffman_codes_sql(),
         "supplier_mst": o.supplier_mst_sql(),
         "events_lru_hit_rate": o.events_lru_hit_rate_sql(),
+        "orders_newsvendor": o.orders_newsvendor_sql(),
         "events_type_scc": """
             WITH RECURSIVE seq AS (
                 SELECT event_type AS src,

@@ -6207,3 +6207,53 @@ def events_lru_hit_rate_sql() -> str:
         SELECT CAST(sum(CASE WHEN rd.d < s.k THEN 1 ELSE 0 END)
                     AS BIGINT) AS hits FROM rd) h
     ORDER BY s.k"""
+
+
+def orders_newsvendor_sql(
+        cost_grid: tuple = ((1, 1), (3, 1), (9, 1))) -> str:
+    """Newsvendor mirror (relational.orders_newsvendor): gap-filled
+    daily-demand catalog, the critical quantile by the same
+    cross-multiplied integer comparison, the exact HUGEINT cost fold,
+    and one mirrored division."""
+    grid = ", ".join(f"({cu}, {co})" for cu, co in cost_grid)
+    return f"""
+    WITH daily AS (
+        SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
+    ),
+    rng AS (SELECT min(d) AS dmin, max(d) AS dmax,
+                   CAST(count(*) AS BIGINT) AS n_present FROM daily),
+    nd AS (SELECT CAST(dmax - dmin + 1 AS BIGINT) AS n_days, n_present
+           FROM rng),
+    cat0 AS (SELECT n AS dem, CAST(count(*) AS BIGINT) AS nda
+             FROM daily GROUP BY 1),
+    cat AS (
+        SELECT dem, nda FROM cat0
+        UNION ALL
+        SELECT 0, (SELECT n_days - n_present FROM nd)
+        WHERE (SELECT n_days - n_present FROM nd) > 0
+    ),
+    grid AS (SELECT * FROM (VALUES {grid}) g(cu, co)),
+    cum AS (SELECT dem, nda, sum(nda) OVER (ORDER BY dem) AS c
+            FROM cat),
+    q AS (
+        SELECT g.cu, g.co,
+               (SELECT min(cum.dem) FROM cum, nd
+                WHERE (g.cu + g.co) * cum.c >= g.cu * nd.n_days)
+                   AS q_opt
+        FROM grid g
+    )
+    SELECT CAST(q.cu AS BIGINT) AS cu, CAST(q.co AS BIGINT) AS co,
+           q.q_opt, nd.n_days,
+           round(CAST((SELECT sum(CAST(nda AS HUGEINT)
+                           * (q.cu * CASE WHEN dem > q.q_opt
+                                          THEN dem - q.q_opt
+                                          ELSE 0 END
+                              + q.co * CASE WHEN dem < q.q_opt
+                                            THEN q.q_opt - dem
+                                            ELSE 0 END))
+                       FROM cat) AS DOUBLE)
+                 / CAST(nd.n_days AS DOUBLE), 6) AS exp_cost6
+    FROM q, nd
+    ORDER BY q.cu, q.co"""

@@ -6412,3 +6412,72 @@ def test_lru_layout_laws_and_planted(ray_session, tmp_path, monkeypatch):
     assert int(out.loc[1, "hits"]) == 0
     assert int(out.loc[2, "hits"]) == 1
     assert int(out.loc[3, "hits"]) == 3
+
+
+def test_newsvendor_layout_laws_and_planted(ray_session, tmp_path,
+                                            monkeypatch):
+    """Newsvendor must be block-layout invariant and satisfy the
+    decision laws: q_opt nondecreasing in the critical ratio, and the
+    DISCRETE OPTIMALITY certificate — recomputing the exact expected
+    cost at q*-1 and q*+1 from the same demand catalog must never
+    beat q* (checked for every grid row). Planted: demand days
+    {1,1,1,3} (four days) with (cu, co) = (1, 1) -> critical ratio
+    0.5 -> q* = 1 (cum 3/4 >= 2), expected cost = (0+0+0+2)/4 = 0.5;
+    with (3, 1) -> ratio 0.75 -> q* = 1 as well (3/4 of days) but
+    underage costs triple: (0+0+0+3*2)/4 = 1.5."""
+    import datetime as _dt
+
+    import pandas as pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    base = r._tbl
+    a = r.orders_newsvendor(sf)
+    monkeypatch.setattr(
+        r, "_tbl",
+        lambda s, name, columns=None:
+        base(s, name, columns=columns).repartition(7))
+    b = r.orders_newsvendor(sf)
+    monkeypatch.setattr(r, "_tbl", base)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    q = a["q_opt"].to_numpy()
+    assert (q[1:] >= q[:-1]).all()  # grid is ordered by ratio
+
+    # optimality certificate on the real catalog
+    daily = r._tbl(sf, "orders", columns=["o_orderdate"]).to_pandas()
+    days = (daily["o_orderdate"].astype("int64") // 86_400_000_000)
+    counts = days.value_counts()
+    n_days = int(days.max() - days.min() + 1)
+    demand = counts.value_counts().to_dict()
+    miss = n_days - len(counts)
+    if miss:
+        demand[0] = demand.get(0, 0) + miss
+
+    def cost(q_, cu, co):
+        tot = 0
+        for d, nd in demand.items():
+            tot += nd * (cu * max(d - q_, 0) + co * max(q_ - d, 0))
+        return tot
+
+    for _, row in a.iterrows():
+        cu, co, qo = int(row["cu"]), int(row["co"]), int(row["q_opt"])
+        assert cost(qo, cu, co) <= cost(qo - 1, cu, co)
+        assert cost(qo, cu, co) <= cost(qo + 1, cu, co)
+
+    t0 = _dt.datetime(1996, 1, 1)
+    dts = []
+    for day, cnt in enumerate([1, 1, 1, 3]):
+        for _ in range(cnt):
+            dts.append(t0 + _dt.timedelta(days=day))
+    _pq.write_table(_pa.table({
+        "o_orderdate": _pa.array(dts, _pa.timestamp("us")),
+    }), tmp_path / "orders.parquet")
+    out = r.orders_newsvendor(str(tmp_path)).set_index("cu")
+    assert int(out.loc[1, "q_opt"]) == 1
+    assert float(out.loc[1, "exp_cost6"]) == 0.5
+    assert int(out.loc[3, "q_opt"]) == 1
+    assert float(out.loc[3, "exp_cost6"]) == 1.5
