@@ -5386,9 +5386,15 @@ def lineitem_simpson_paradox_sql() -> str:
     """Simpson mirror (relational.lineitem_simpson_paradox): per-flag
     and pooled int64 moment ledgers, one mirrored slope division each,
     and the flip flag as a sign comparison of the identically-computed
-    doubles; the ALL row unions in with flip pinned FALSE."""
-    sl = ("CAST(n * sxy - sx * sy AS DOUBLE)"
-          " / CAST(n * sxx - sx * sx AS DOUBLE)")
+    doubles; the ALL row unions in with flip pinned FALSE.
+
+    The moment cross-products are formed in HUGEINT (n*sxy etc.
+    exceed int64 at sf>=10 row counts) to match the driver's
+    arbitrary-precision Python-int fold, same as orders_cuped_sql."""
+    sl = ("CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy"
+          " AS DOUBLE)"
+          " / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx"
+          " AS DOUBLE)")
     return f"""
     WITH src AS (
         SELECT l_returnflag AS stratum,
