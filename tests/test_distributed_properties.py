@@ -6365,6 +6365,16 @@ def test_mst_layout_laws_and_planted(ray_session, tmp_path, monkeypatch):
     assert got == {(1, 2), (2, 3), (3, 4)}
     assert int(out["shared_parts"].sum()) == 11
 
+    # the driver edge pull is gated: above edge_broadcast_limit the
+    # operator fails LOUD instead of exhausting driver heap (the
+    # planted graph has 4 distinct edges)
+    import pytest as _pytest
+    with _pytest.raises(AssertionError, match="edge_broadcast_limit"):
+        r.supplier_mst(str(tmp_path), edge_broadcast_limit=3)
+    under = r.supplier_mst(str(tmp_path), edge_broadcast_limit=4)
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  under.reset_index(drop=True))
+
 
 def test_lru_layout_laws_and_planted(ray_session, tmp_path, monkeypatch):
     """LRU hit-rate curve must be block-layout invariant and lawful:
@@ -6394,6 +6404,13 @@ def test_lru_layout_laws_and_planted(ray_session, tmp_path, monkeypatch):
     monkeypatch.setattr(r, "_tbl", base)
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
+    # batch-size invariance: tiny driver batches force the carried
+    # most-recent-access state across hundreds of batch boundaries
+    monkeypatch.setenv("PII_RAY_LRU_BATCH", "37")
+    c = r.events_lru_hit_rate(sf)
+    monkeypatch.delenv("PII_RAY_LRU_BATCH")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  c.reset_index(drop=True))
     hits = a.sort_values("cache_size")["hits"].to_numpy()
     assert (hits[1:] >= hits[:-1]).all()
     assert (a["hits"] <= a["n_reaccesses"]).all()
