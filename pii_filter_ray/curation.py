@@ -1,0 +1,529 @@
+"""The full curation DAG, staged and resumable (VERDICT r3 task #1).
+
+    scrub -> exact dedup -> MinHash/Jaccard near-dup -> keep-rule
+          -> partitioned final write, with manifests at every stage
+
+    python -m pii_filter_ray.curation --input <sharded corpus dir> \
+        --output /tmp/cur_out --partitions 32 [--threshold 0.8] [--no-resume]
+
+Checkpoint design (two granularities):
+
+* **Stage level** — each stage publishes its output directory atomically
+  (write to ``.tmp-<stage>``, ``os.rename`` into place) and then writes
+  ``_manifest/stage-<name>.json``. A stage is complete iff its marker
+  exists; a resumed run skips completed stages wholesale. A crash
+  mid-stage leaves only a tmp dir, which the rerun clears.
+* **Partition level inside scrub** — the scrub stage IS
+  :func:`pii_filter_ray.job.run_job`, which already checkpoints per
+  partition; a kill mid-scrub resumes at partition granularity.
+
+A resume validates the job fingerprint (input shards, partitions,
+threshold, rules version) and fails loudly on mismatch — completed stages
+computed under a different config must never mix with new ones.
+
+Dedup semantics (all on the MASKED content of kept rows — dedup after
+scrub, so two files differing only in their PII literals dedup together,
+which is the curation-correct order):
+
+* exact: sha-hash groups, keep the min ``doc_key``; every other member
+  goes to the drop list.
+* near-dup: MinHash band LSH candidates -> exact word-shingle Jaccard
+  verify at ``threshold`` -> connected components -> keep the component
+  representative (min key), drop the rest.
+* ``doc_key`` = blake2b64(repo|path|commit) — deterministic, recomputable
+  in any stage, collision probability ~n^2/2^64 (~1e-7 at 3M rows).
+
+The final stage subtracts both drop lists (size-gated broadcast
+``pc.is_in``; distributed anti-join above the gate) and writes the final
+corpus partitioned by the scrub partition key, plus a stage-metrics
+parquet (rows in/out per stage — the lineage record).
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import shutil
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .state.checkpoint import JobManifest
+
+STAGES = ("scrub", "exact", "neardup", "final")
+
+
+def doc_key_batch(batch: pa.Table) -> pa.Array:
+    """int64 blake2b64(repo|path|commit) — the DAG-wide document key."""
+    keys = [
+        int.from_bytes(
+            hashlib.blake2b(f"{r}|{p}|{c}".encode(), digest_size=8).digest(),
+            "little", signed=True)
+        for r, p, c in zip(batch["repo"].to_pylist(),
+                           batch["path"].to_pylist(),
+                           batch["commit"].to_pylist())
+    ]
+    return pa.array(keys, pa.int64())
+
+
+class CurationManifest:
+    """Stage-level markers beside run_job's per-partition manifest."""
+
+    def __init__(self, output_dir: str):
+        self.output_dir = output_dir
+        self.manifest_dir = os.path.join(output_dir, "_manifest")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    def _stage_path(self, stage: str) -> str:
+        return os.path.join(self.manifest_dir, f"stage-{stage}.json")
+
+    def stage_done(self, stage: str) -> bool:
+        return os.path.exists(self._stage_path(stage))
+
+    def mark_stage(self, stage: str, stats: Dict) -> None:
+        entry = {"stage": stage, "completed_at": time.time(), "stats": stats}
+        tmp = self._stage_path(stage) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+        os.replace(tmp, self._stage_path(stage))
+
+    def stage_stats(self, stage: str) -> Optional[Dict]:
+        if not self.stage_done(stage):
+            return None
+        with open(self._stage_path(stage)) as f:
+            return json.load(f)
+
+    def write_config(self, config: Dict) -> None:
+        path = os.path.join(self.manifest_dir, "curation.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                existing = json.load(f)
+            for key in sorted(set(existing) | set(config)):
+                if existing.get(key) != config.get(key):
+                    raise ValueError(
+                        f"curation resume config mismatch for {key!r}: "
+                        f"{existing.get(key)!r} != {config.get(key)!r}")
+            return
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(config, f)
+        os.replace(tmp, path)
+
+
+def _stage_dir(output_dir: str, stage: str) -> str:
+    return os.path.join(output_dir, stage)
+
+
+def _publish(tmp_dir: str, final_dir: str) -> None:
+    shutil.rmtree(final_dir, ignore_errors=True)
+    os.rename(tmp_dir, final_dir)
+
+
+def _read_scrubbed(scrub_dir: str, columns: List[str]):
+    """Column-pruned read over every completed scrub partition."""
+    import ray.data
+
+    part_dirs = sorted(
+        os.path.join(scrub_dir, name)
+        for name in os.listdir(scrub_dir)
+        if name.startswith("part=")
+    )
+    files = [os.path.join(d, f)
+             for d in part_dirs for f in sorted(os.listdir(d))
+             if f.endswith(".parquet")]
+    return ray.data.read_parquet(files, columns=columns)
+
+
+def _kept_keyed(scrub_dir: str, columns: List[str]):
+    """Kept rows with the doc_key column attached (pruned read)."""
+    ds = _read_scrubbed(scrub_dir,
+                        ["repo", "path", "commit", "keep"] + columns)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(batch["keep"])
+        out = pa.table({"doc_key": doc_key_batch(batch)})
+        for c in columns:
+            out = out.append_column(c, batch[c])
+        return out
+
+    return ds.map_batches(keyed, batch_format="pyarrow")
+
+
+def _write_drops(ds, tmp_dir: str) -> int:
+    """Persist a one-column (doc_key) drop list; returns its row count."""
+    import ray.data  # noqa: F401
+
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
+    ds = ds.materialize()
+    n = ds.count()
+    if n:
+        ds.write_parquet(tmp_dir)
+    return n
+
+
+def _load_drop_keys(drop_dirs: List[str],
+                    broadcast_limit: int) -> Optional[np.ndarray]:
+    """All drop keys as one sorted int64 array when under the broadcast
+    gate, else None (callers fall back to a distributed anti-join)."""
+    import pyarrow.parquet as pq
+
+    tables = []
+    total = 0
+    for d in drop_dirs:
+        if not os.path.isdir(d):
+            continue
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                t = pq.read_table(os.path.join(d, f), columns=["doc_key"])
+                total += t.num_rows
+                if total > broadcast_limit:
+                    return None
+                tables.append(t)
+    if not tables:
+        return np.empty(0, np.int64)
+    keys = pa.concat_tables(tables)["doc_key"].to_numpy(zero_copy_only=False)
+    return np.unique(keys)
+
+
+def _drop_keys_fn(keys: np.ndarray, key_col: Optional[str]):
+    """Batch filter removing rows whose key is in the SORTED broadcast
+    ``keys`` array (ray.put once, binary-searched per batch — the
+    broadcast_lookup_fn convention). ``key_col=None`` derives the key from
+    (repo, path, commit) via :func:`doc_key_batch`."""
+    import ray
+
+    ref = ray.put(np.asarray(keys, np.int64))
+
+    def drop(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref)  # local plasma read, zero-copy cached per worker
+        if len(ks) == 0 or batch.num_rows == 0:
+            return batch
+        kv = (batch[key_col].to_numpy(zero_copy_only=False)
+              if key_col is not None
+              else doc_key_batch(batch).to_numpy(zero_copy_only=False))
+        pos = np.clip(np.searchsorted(ks, kv), 0, len(ks) - 1)
+        return batch.filter(pa.array(ks[pos] != kv))
+
+    return drop
+
+
+def run_curation(
+    input_path: str,
+    output_dir: str,
+    partitions: int = 32,
+    mode: str = "code",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    resume: bool = True,
+    concurrency=None,
+    parts_per_pass: int = 8,
+    drop_broadcast_limit: int = 50_000_000,
+    fail_after: Optional[str] = None,
+) -> Dict:
+    """Run (or resume) the staged curation DAG; returns the stage summary.
+
+    ``fail_after`` (tests/stress harness): raise RuntimeError immediately
+    after the named stage checkpoints — a deterministic mid-DAG crash.
+    """
+    import ray.data
+
+    from .core.patterns import RULES_VERSION
+    from .job import run_job
+    from .stages.dedup import (
+        dup_components_auto,
+        minhash_lsh_pairs,
+        verify_jaccard_pairs,
+    )
+    from .stages.joins import hash_anti_join
+    from ray.data.aggregate import Min
+
+    os.makedirs(output_dir, exist_ok=True)
+    manifest = CurationManifest(output_dir)
+    if not resume:
+        for stage in STAGES:
+            shutil.rmtree(_stage_dir(output_dir, stage), ignore_errors=True)
+        shutil.rmtree(manifest.manifest_dir, ignore_errors=True)
+        os.makedirs(manifest.manifest_dir, exist_ok=True)
+    manifest.write_config({
+        "input": os.path.abspath(input_path), "partitions": partitions,
+        "mode": mode, "threshold": threshold, "num_perm": num_perm,
+        "bands": bands, "shingle_k": shingle_k,
+        "rules_version": RULES_VERSION,
+    })
+
+    def _maybe_fail(stage: str) -> None:
+        if fail_after == stage:
+            raise RuntimeError(f"injected crash after stage {stage!r}")
+
+    # ---- stage 1: scrub (partition-level resumable via run_job) ---------
+    scrub_dir = _stage_dir(output_dir, "scrub")
+    if not manifest.stage_done("scrub"):
+        t0 = time.time()
+        os.makedirs(scrub_dir, exist_ok=True)
+        summary = run_job(
+            input_path, scrub_dir, partitions=partitions, mode=mode,
+            resume=True, concurrency=concurrency,
+            parts_per_pass=parts_per_pass)
+        manifest.mark_stage("scrub", {
+            "seconds": round(time.time() - t0, 3),
+            "rows": summary["totals"].get("rows", 0),
+            "kept": summary["totals"].get("kept", 0),
+            "pii_found": summary["totals"].get("pii_found", 0),
+        })
+    _maybe_fail("scrub")
+
+    # ---- stage 2: exact dedup over masked content of kept rows ----------
+    exact_dir = _stage_dir(output_dir, "exact")
+    if not manifest.stage_done("exact"):
+        t0 = time.time()
+        kept = _kept_keyed(scrub_dir, ["content_masked"])
+
+        def hash_partial(batch: pa.Table) -> pa.Table:
+            # (hash64, key) pairs only — text never crosses the shuffle
+            hs = [
+                int.from_bytes(
+                    hashlib.blake2b((v or "").encode(),
+                                    digest_size=8).digest(),
+                    "little", signed=True)
+                for v in batch["content_masked"].to_pylist()
+            ]
+            return pa.table({
+                "text_hash": pa.array(hs, pa.int64()),
+                "doc_key": batch["doc_key"],
+            })
+
+        pairs = kept.map_batches(hash_partial, batch_format="pyarrow")
+        reps = (pairs.groupby("text_hash")
+                .aggregate(Min("doc_key", alias_name="rep_key")))
+        # drops = every (hash, key) whose key is not its group's min; one
+        # hash-join on the 8-byte hash key, ids only
+        joined = hash_anti_join(
+            pairs, reps.map_batches(
+                lambda b: pa.table({"text_hash": b["text_hash"],
+                                    "doc_key": b["rep_key"]}),
+                batch_format="pyarrow"),
+            left_key="doc_key", right_key="doc_key",
+            left_cols=["text_hash"], schema={"text_hash": pa.int64()},
+        )
+        tmp = os.path.join(output_dir, ".tmp-exact")
+        n_drops = _write_drops(
+            joined.map_batches(
+                lambda b: pa.table({"doc_key": b["doc_key"]}),
+                batch_format="pyarrow"),
+            tmp)
+        _publish(tmp, exact_dir)
+        manifest.mark_stage("exact", {
+            "seconds": round(time.time() - t0, 3), "drops": n_drops})
+    _maybe_fail("exact")
+
+    # ---- stage 3: near-dup over exact-dedup survivors -------------------
+    neardup_dir = _stage_dir(output_dir, "neardup")
+    if not manifest.stage_done("neardup"):
+        t0 = time.time()
+        exact_keys = _load_drop_keys([exact_dir], drop_broadcast_limit)
+        kept = _kept_keyed(scrub_dir, ["content_masked"])
+        if exact_keys is not None:
+            survivors = kept.map_batches(
+                _drop_keys_fn(exact_keys, key_col="doc_key"),
+                batch_format="pyarrow")
+        else:
+            import ray.data as _rd
+
+            drops_ds = _rd.read_parquet(exact_dir)
+            survivors = hash_anti_join(
+                kept, drops_ds, left_key="doc_key", right_key="doc_key",
+                left_cols=["content_masked"],
+                schema={"content_masked": pa.string()},
+            )
+        spill = os.path.join(output_dir, ".spill-bands")
+        cand = minhash_lsh_pairs(
+            survivors, text_col="content_masked", id_col="doc_key",
+            num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+            spill_dir=spill)
+        verified = verify_jaccard_pairs(
+            survivors, cand, text_col="content_masked", id_col="doc_key",
+            threshold=threshold, shingle_k=shingle_k)
+        comps = dup_components_auto(
+            verified.map_batches(
+                lambda b: pa.table({"id_a": b["id_a"], "id_b": b["id_b"]}),
+                batch_format="pyarrow"))
+        tmp = os.path.join(output_dir, ".tmp-neardup")
+        n_drops = _write_drops(
+            comps.map_batches(
+                lambda b: pa.table({"doc_key": b["id"]}).filter(
+                    pc.not_equal(b["id"], b["component"])),
+                batch_format="pyarrow"),
+            tmp)
+        _publish(tmp, neardup_dir)
+        shutil.rmtree(spill, ignore_errors=True)
+        manifest.mark_stage("neardup", {
+            "seconds": round(time.time() - t0, 3), "drops": n_drops})
+    _maybe_fail("neardup")
+
+    # ---- stage 4: final anti-join + partitioned write -------------------
+    final_dir = _stage_dir(output_dir, "final")
+    if not manifest.stage_done("final"):
+        t0 = time.time()
+        drop_keys = _load_drop_keys([exact_dir, neardup_dir],
+                                    drop_broadcast_limit)
+        out_cols = ["repo", "path", "commit", "lang", "content_masked",
+                    "content_sha256", "pii_count", "part_id"]
+        ds = _read_scrubbed(scrub_dir, ["keep"] + out_cols)
+
+        if drop_keys is not None:
+            drop_fn = _drop_keys_fn(drop_keys, key_col=None)
+
+            def finalize(batch: pa.Table) -> pa.Table:
+                batch = batch.filter(batch["keep"])
+                batch = drop_fn(batch)
+                out = batch.select(out_cols)
+                return out.append_column(
+                    "part_key", pc.cast(batch["part_id"], pa.int32()))
+
+            final_ds = ds.map_batches(finalize, batch_format="pyarrow")
+        else:
+            import ray.data as _rd
+
+            def keep_keyed(batch: pa.Table) -> pa.Table:
+                batch = batch.filter(batch["keep"])
+                return batch.append_column("doc_key", doc_key_batch(batch))
+
+            keyed = ds.map_batches(keep_keyed, batch_format="pyarrow")
+            drops_ds = _rd.read_parquet(
+                [d for d in (exact_dir, neardup_dir) if os.listdir(d)])
+            schema = {c: t for c, t in zip(
+                ["repo", "path", "commit", "lang", "content_masked",
+                 "content_sha256", "pii_count", "part_id"],
+                [pa.string()] * 6 + [pa.int32(), pa.int32()])}
+            joined = hash_anti_join(
+                keyed, drops_ds, left_key="doc_key", right_key="doc_key",
+                left_cols=out_cols, schema=schema)
+            final_ds = joined.map_batches(
+                lambda b: b.select(out_cols).append_column(
+                    "part_key", pc.cast(b["part_id"], pa.int32())),
+                batch_format="pyarrow")
+
+        tmp = os.path.join(output_dir, ".tmp-final")
+        shutil.rmtree(tmp, ignore_errors=True)
+        final_ds.write_parquet(tmp, partition_cols=["part_key"])
+        _publish(tmp, final_dir)
+        # lineage metrics: one row per stage
+        stats_rows = []
+        for stage in ("scrub", "exact", "neardup"):
+            s = manifest.stage_stats(stage)["stats"]
+            stats_rows.append((stage, s))
+        import pyarrow.parquet as pq
+
+        n_final = 0
+        for root, _dirs, files in os.walk(final_dir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n_final += pq.read_metadata(
+                        os.path.join(root, f)).num_rows
+        manifest.mark_stage("final", {
+            "seconds": round(time.time() - t0, 3), "rows": n_final})
+        metrics_dir = os.path.join(output_dir, "_metrics")
+        os.makedirs(metrics_dir, exist_ok=True)
+        mrows = {
+            "stage": [s for s, _ in stats_rows] + ["final"],
+            "rows": [int(st.get("rows", st.get("drops", 0)))
+                     for _, st in stats_rows] + [n_final],
+            "seconds": [float(st["seconds"]) for _, st in stats_rows]
+            + [round(time.time() - t0, 3)],
+        }
+        tmpf = os.path.join(metrics_dir, ".curation_metrics.tmp")
+        pq.write_table(pa.table({
+            "stage": pa.array(mrows["stage"], pa.string()),
+            "rows": pa.array(mrows["rows"], pa.int64()),
+            "seconds": pa.array(mrows["seconds"], pa.float64()),
+        }), tmpf)
+        os.replace(tmpf, os.path.join(metrics_dir,
+                                      "curation_metrics.parquet"))
+    _maybe_fail("final")
+
+    return {s: manifest.stage_stats(s) for s in STAGES}
+
+
+def curation_digest(output_dir: str) -> Dict:
+    """Order-independent content digest of the final corpus: sum mod 2^64
+    of per-row blake2b64(repo|path|commit|lang|sha|masked-hash) plus the
+    row count — equal digests mean equal output sets. Computed
+    distributed (map_batches partials, driver folds per-block sums)."""
+    import ray.data
+
+    final_dir = _stage_dir(output_dir, "final")
+    files = []
+    for root, _dirs, fs in os.walk(final_dir):
+        files += [os.path.join(root, f) for f in fs
+                  if f.endswith(".parquet")]
+    if not files:
+        return {"rows": 0, "digest": "0"}
+    ds = ray.data.read_parquet(files, columns=[
+        "repo", "path", "commit", "lang", "content_sha256",
+        "content_masked", "pii_count"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        total = 0
+        for r, p, c, lg, sha, m, n in zip(
+                batch["repo"].to_pylist(), batch["path"].to_pylist(),
+                batch["commit"].to_pylist(), batch["lang"].to_pylist(),
+                batch["content_sha256"].to_pylist(),
+                batch["content_masked"].to_pylist(),
+                batch["pii_count"].to_pylist()):
+            mh = hashlib.blake2b((m or "").encode(),
+                                 digest_size=8).hexdigest()
+            row = f"{r}|{p}|{c}|{lg}|{sha}|{mh}|{n}"
+            total = (total + int.from_bytes(
+                hashlib.blake2b(row.encode(), digest_size=8).digest(),
+                "little")) % (1 << 64)
+        return pa.table({"h": pa.array([str(total)], pa.string()),
+                         "n": pa.array([batch.num_rows], pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    total = 0
+    for h in agg["h"]:
+        total = (total + int(h)) % (1 << 64)
+    return {"rows": int(agg["n"].sum()), "digest": f"{total:016x}"}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument("--mode", choices=["code", "text"], default="code")
+    ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--parts-per-pass", type=int, default=8)
+    ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--digest", action="store_true",
+                    help="print the final-output digest and exit")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    if args.digest:
+        print(json.dumps(curation_digest(args.output)))
+    else:
+        summary = run_curation(
+            args.input, args.output, partitions=args.partitions,
+            mode=args.mode, threshold=args.threshold,
+            resume=not args.no_resume, parts_per_pass=args.parts_per_pass)
+        print(json.dumps(summary))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,265 @@
+"""Distributed deterministic stress corpus with planted duplicates.
+
+The full-DAG stress input (VERDICT r3 task #1): a sharded Parquet corpus
+in the north-star schema ``(repo, path, commit, lang, content)`` at
+memory-pressure scale (millions of files, tens of GB, MB-scale rows
+included per SURVEY §7.3's wide-row risk), generated IN PARALLEL by Ray
+tasks — one task per shard, each deterministic from ``(seed, shard_id)``
+so the same ``(n_rows, seed)`` always yields byte-identical shards no
+matter how generation is scheduled.
+
+Row classes (drawn per row from a row-local rng, so any row's full record
+is recomputable from ``(seed, row_id)`` alone — that is what makes CROSS-
+SHARD duplicate planting cheap: a dup row simply regenerates its victim's
+content instead of reading it):
+
+    unique    ~80%  clean generated code (the corpus bulk)
+    exact_dup  ~6%  verbatim copy of a unique-class victim row
+    near_dup   ~6%  victim content + 2 small line edits (Jaccard >~0.9)
+    junk       ~4%  minified/base64/repetition/empty (quality-drop bait)
+    pii        ~4%  unique content with injected PII literals
+
+A deterministic slice of UNIQUE rows is widened to ``mb_row_bytes``
+(MB-scale) by sampling lines from a per-seed snippet pool — shingle-
+diverse enough that wide rows do NOT all near-dup each other (pool
+overlap keeps cross-row Jaccard ~0.2, well under verify thresholds).
+
+An expectations sidecar (row_id, klass, victim_row_id, repo, path,
+commit) is written when ``emit_expectations`` — tests use it to assert
+the DAG's dedup decisions against planted ground truth.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import random
+from typing import Dict, List, Optional, Tuple
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .synthetic_code import (
+    _GEN_BY_LANG,
+    _gen_junk,
+    _inject_pii,
+    LANGS,
+)
+
+# class thresholds on rng.random(): [0, .80) unique, [.80, .86) exact_dup,
+# [.86, .92) near_dup, [.92, .96) junk, [.96, 1) pii
+_CLASS_EDGES = (0.80, 0.86, 0.92, 0.96)
+_CLASSES = ("unique", "exact_dup", "near_dup", "junk", "pii")
+
+_CODE_LANGS = LANGS[:4]  # python javascript java go
+
+
+def _row_rng(seed: int, row_id: int) -> random.Random:
+    # distinct stream from synthetic_code's (seed << 20) ^ row_id — the
+    # same-hash-domain-collision lesson from NOTES.md: salt every domain
+    return random.Random((seed << 23) ^ 0x5DEECE66D ^ row_id)
+
+
+def _row_class(seed: int, row_id: int) -> str:
+    r = _row_rng(seed, row_id).random()
+    for edge, name in zip(_CLASS_EDGES, _CLASSES):
+        if r < edge:
+            return name
+    return _CLASSES[-1]
+
+
+def _victim_of(seed: int, row_id: int, n_rows: int) -> int:
+    """Deterministic unique-class victim for a dup row: Knuth-hash probe
+    forward until a unique-class row is found (p(unique)=0.8 — the probe
+    terminates almost immediately; hard cap keeps it total)."""
+    v = (row_id * 2654435761 + 0x9E3779B9) % n_rows
+    for _ in range(200):
+        if v != row_id and _row_class(seed, v) == "unique":
+            return v
+        v = (v + 1) % n_rows
+    raise AssertionError("stress corpus: no unique victim in 200 probes")
+
+
+def _unique_content(seed: int, row_id: int,
+                    mb_bytes: int = 0,
+                    pool: Optional[List[str]] = None) -> Tuple[str, str]:
+    """(lang, content) for a unique-class row — recomputable anywhere."""
+    rng = _row_rng(seed, row_id)
+    rng.random()  # burn the class draw so content differs from it
+    lang = _CODE_LANGS[rng.randrange(4)]
+    content = _GEN_BY_LANG[lang](rng, rng.randint(4, 24))
+    if mb_bytes and pool:
+        # widen to MB scale from the shared snippet pool; a unique header
+        # keeps the row globally distinct while the pool keeps its shingle
+        # profile diverse (not self-repetitive -> survives the repetition
+        # heuristic, and pool overlap stays below near-dup thresholds)
+        parts = [content, f"# wide-row {row_id} {seed}"]
+        size = sum(len(p) for p in parts)
+        while size < mb_bytes:
+            s = pool[rng.randrange(len(pool))]
+            parts.append(s)
+            size += len(s) + 1
+        content = "\n".join(parts)
+    return lang, content
+
+
+def _near_dup_mutate(rng: random.Random, content: str) -> str:
+    """Two small line edits: insert a comment, append a trailer — keeps
+    word-shingle Jaccard >~0.9 on KB-scale rows."""
+    lines = content.split("\n")
+    pos = rng.randint(0, len(lines))
+    lines.insert(pos, f"# edited {rng.randint(0, 10**9)}")
+    lines.append(f"# trailer {rng.randint(0, 10**9)}")
+    return "\n".join(lines)
+
+
+def _snippet_pool(seed: int, n: int = 4096) -> List[str]:
+    """Per-seed pool of ~1KB code snippets for widening MB rows."""
+    rng = random.Random((seed << 17) ^ 0xA5A5A5)
+    pool = []
+    for i in range(n):
+        lang = _CODE_LANGS[rng.randrange(4)]
+        pool.append(_GEN_BY_LANG[lang](rng, 3))
+    return pool
+
+
+def make_row(seed: int, row_id: int, n_rows: int, n_repos: int,
+             mb_every: int, mb_bytes: int,
+             pool: Optional[List[str]]) -> Dict:
+    """Full record for one row — the single source of truth used by both
+    the generating task and any victim regeneration."""
+    klass = _row_class(seed, row_id)
+    rng = _row_rng(seed, row_id)
+    rng.random()  # class draw
+    victim = -1
+    if klass == "unique":
+        wide = mb_every and (row_id % mb_every == 7)
+        lang, content = _unique_content(
+            seed, row_id, mb_bytes=(mb_bytes if wide else 0), pool=pool)
+    elif klass in ("exact_dup", "near_dup"):
+        victim = _victim_of(seed, row_id, n_rows)
+        # victims are never widened rows? they may be — fine: an MB-scale
+        # dup is exactly the wide-row stress the dedup stages should see
+        lang, content = _unique_content(
+            seed, victim,
+            mb_bytes=(mb_bytes if (mb_every and victim % mb_every == 7)
+                      else 0),
+            pool=pool)
+        if klass == "near_dup":
+            content = _near_dup_mutate(rng, content)
+    elif klass == "junk":
+        lang = LANGS[rng.randrange(len(LANGS))]
+        content, _reason = _gen_junk(rng)
+    else:  # pii
+        lang, content = _unique_content(seed, row_id)
+        content, _pii = _inject_pii(rng, content, lang)
+
+    # zipf-ish repo assignment from the row rng (parallel-safe, skewed)
+    repo_idx = min(int((1.0 / (1.0 - rng.random() * 0.999)) ** 1.2) - 1,
+                   n_repos - 1)
+    repo = f"org_{repo_idx % 10:03d}/repo_{repo_idx:04d}"
+    commit = hashlib.sha1(f"{repo}:{seed}".encode()).hexdigest()
+    ext = {"python": "py", "javascript": "js", "java": "java", "go": "go",
+           "markdown": "md", "text": "txt"}[lang]
+    path = f"src/m_{row_id % 64:02d}/f_{row_id:08d}.{ext}"
+    return {"repo": repo, "path": path, "commit": commit, "lang": lang,
+            "content": content, "klass": klass, "victim": victim}
+
+
+def generate_shard(seed: int, shard_id: int, rows_per_shard: int,
+                   n_rows: int, n_repos: int, mb_every: int,
+                   mb_bytes: int,
+                   with_pool: bool) -> Tuple[pa.Table, pa.Table]:
+    """(corpus_shard, expectations_shard) for rows
+    [shard_id*rows_per_shard, ...)."""
+    pool = _snippet_pool(seed) if with_pool else None
+    lo = shard_id * rows_per_shard
+    hi = min(lo + rows_per_shard, n_rows)
+    cols: Dict[str, list] = {k: [] for k in
+                             ("repo", "path", "commit", "lang", "content")}
+    exp: Dict[str, list] = {k: [] for k in
+                            ("row_id", "klass", "victim", "repo", "path",
+                             "commit")}
+    for row_id in range(lo, hi):
+        rec = make_row(seed, row_id, n_rows, n_repos, mb_every, mb_bytes,
+                       pool)
+        for k in cols:
+            cols[k].append(rec[k])
+        exp["row_id"].append(row_id)
+        exp["klass"].append(rec["klass"])
+        exp["victim"].append(rec["victim"])
+        for k in ("repo", "path", "commit"):
+            exp[k].append(rec[k])
+    corpus = pa.table({
+        "repo": pa.array(cols["repo"], pa.string()),
+        "path": pa.array(cols["path"], pa.string()),
+        "commit": pa.array(cols["commit"], pa.string()),
+        "lang": pa.array(cols["lang"], pa.string()),
+        "content": pa.array(cols["content"], pa.string()),
+    })
+    expect = pa.table({
+        "row_id": pa.array(exp["row_id"], pa.int64()),
+        "klass": pa.array(exp["klass"], pa.string()),
+        "victim": pa.array(exp["victim"], pa.int64()),
+        "repo": pa.array(exp["repo"], pa.string()),
+        "path": pa.array(exp["path"], pa.string()),
+        "commit": pa.array(exp["commit"], pa.string()),
+    })
+    return corpus, expect
+
+
+def stress_corpus_dir(
+    n_rows: int,
+    seed: int = 42,
+    root: str = "/tmp/pii_ray_stress",
+    rows_per_shard: int = 8192,
+    n_repos: int = 500,
+    mb_every: int = 1000,   # ~0.1% of rows widened; 0 disables
+    mb_bytes: int = 1_500_000,
+    emit_expectations: bool = True,
+) -> str:
+    """Generate (once, cached) the stress corpus; returns the directory
+    holding ``corpus/`` (sharded parquet) and ``expectations.parquet``.
+
+    Generation is one Ray task per shard (pure function of
+    (seed, shard_id)), so a 15 GB corpus materializes at cluster speed;
+    the publish is an atomic rename behind a ``_complete`` marker exactly
+    like synthetic_code.corpus_dir.
+    """
+    import ray
+
+    d = os.path.join(root, f"n{n_rows}_s{seed}_m{mb_every}")
+    marker = os.path.join(d, "_complete")
+    if os.path.exists(marker):
+        return d
+    tmp = f"{d}.tmp-{os.getpid()}"
+    os.makedirs(os.path.join(tmp, "corpus"), exist_ok=True)
+    n_shards = (n_rows + rows_per_shard - 1) // rows_per_shard
+
+    @ray.remote
+    def _write_shard(shard_id: int) -> dict:
+        corpus, expect = generate_shard(
+            seed, shard_id, rows_per_shard, n_rows, n_repos, mb_every,
+            mb_bytes, with_pool=bool(mb_every))
+        pq.write_table(
+            corpus,
+            os.path.join(tmp, "corpus", f"part-{shard_id:05d}.parquet"),
+            row_group_size=2048, compression="zstd")
+        return {"shard": shard_id, "rows": corpus.num_rows,
+                "bytes": sum(len(c) for c in corpus["content"].to_pylist()),
+                "expect": expect if emit_expectations else None}
+
+    results = ray.get([_write_shard.remote(s) for s in range(n_shards)])
+    if emit_expectations:
+        expect = pa.concat_tables([r["expect"] for r in results])
+        pq.write_table(expect, os.path.join(tmp, "expectations.parquet"))
+    total_bytes = sum(r["bytes"] for r in results)
+    with open(os.path.join(tmp, "_complete"), "w") as f:
+        f.write(f"{n_rows} rows, {total_bytes} content bytes")
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return d

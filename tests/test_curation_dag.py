@@ -1,0 +1,164 @@
+"""Full curation DAG (scrub -> exact dedup -> near-dup -> keep-rule ->
+partitioned write): planted-ground-truth dedup decisions, stage-level
+crash+resume digest equality, and resume-config validation.
+
+The input is the stress corpus (sources/stress_corpus.py) whose
+expectations sidecar records each row's class and dup victim — the DAG's
+decisions are asserted against that plan, not against itself.
+"""
+
+import hashlib
+import json
+import os
+import shutil
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from pii_filter_ray.curation import (
+    curation_digest,
+    run_curation,
+)
+
+N_ROWS = 4000
+SEED = 13
+
+
+def _doc_key(repo: str, path: str, commit: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(f"{repo}|{path}|{commit}".encode(),
+                        digest_size=8).digest(),
+        "little", signed=True)
+
+
+@pytest.fixture(scope="module")
+def stress_dir(ray_session):
+    from pii_filter_ray.sources.stress_corpus import stress_corpus_dir
+
+    return stress_corpus_dir(
+        n_rows=N_ROWS, seed=SEED, rows_per_shard=256,
+        mb_every=500, mb_bytes=120_000)
+
+
+@pytest.fixture(scope="module")
+def dag_out(ray_session, stress_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("curation") / "out")
+    run_curation(os.path.join(stress_dir, "corpus"), out,
+                 partitions=8, threshold=0.8)
+    return out
+
+
+def _final_keys(out_dir: str) -> set:
+    final = os.path.join(out_dir, "final")
+    files = [os.path.join(r, f) for r, _d, fs in os.walk(final)
+             for f in fs if f.endswith(".parquet")]
+    t = pq.read_table(files, columns=["repo", "path", "commit"])
+    return {
+        _doc_key(r, p, c)
+        for r, p, c in zip(t["repo"].to_pylist(), t["path"].to_pylist(),
+                           t["commit"].to_pylist())
+    }
+
+
+def test_planted_dedup_ground_truth(dag_out, stress_dir):
+    exp = pq.read_table(
+        os.path.join(stress_dir, "expectations.parquet")).to_pandas()
+    exp["doc_key"] = [
+        _doc_key(r, p, c)
+        for r, p, c in zip(exp["repo"], exp["path"], exp["commit"])
+    ]
+    by_row = exp.set_index("row_id")
+    final = _final_keys(dag_out)
+
+    # junk rows never reach the final corpus (quality gate)
+    junk = exp[exp["klass"] == "junk"]
+    assert not any(k in final for k in junk["doc_key"]), \
+        "junk rows must be dropped by the scrub stage"
+
+    # per dup group (victim + all its exact/near dups): at most ONE
+    # survivor, and that survivor exists for almost every group (a group
+    # can only lose its survivor when chance content similarity merges
+    # two groups into one near-dup component)
+    dups = exp[exp["klass"].isin(["exact_dup", "near_dup"])]
+    groups = dups.groupby("victim")
+    n_groups = 0
+    n_with_survivor = 0
+    for victim, g in groups:
+        members = [by_row.loc[victim, "doc_key"]] + list(g["doc_key"])
+        alive = [k for k in members if k in final]
+        assert len(alive) <= 1, (
+            f"dup group of victim row {victim} has {len(alive)} survivors"
+        )
+        n_groups += 1
+        n_with_survivor += bool(alive)
+    assert n_groups > 50  # the plant actually planted
+    assert n_with_survivor >= 0.95 * n_groups
+
+    # exact-dup DIRECTION: when a group survivor exists it is the min
+    # doc_key among the group's exact-identical members (keep-rule)
+    exact = exp[exp["klass"] == "exact_dup"]
+    checked = 0
+    for victim, g in exact.groupby("victim"):
+        near_sibs = dups[(dups["victim"] == victim)
+                         & (dups["klass"] == "near_dup")]
+        if len(near_sibs):
+            continue  # mixed group: survivor decided by component rule
+        members = [by_row.loc[victim, "doc_key"]] + list(g["doc_key"])
+        alive = [k for k in members if k in final]
+        if alive:
+            assert alive[0] == min(members)
+            checked += 1
+    assert checked > 10
+
+    # loner unique rows (no dups pointing at them) overwhelmingly survive
+    victims = set(dups["victim"])
+    loners = exp[(exp["klass"] == "unique")
+                 & ~exp["row_id"].isin(victims)]
+    alive = sum(1 for k in loners["doc_key"] if k in final)
+    assert alive >= 0.95 * len(loners)
+
+
+def test_stage_metrics_lineage(dag_out):
+    m = pq.read_table(os.path.join(
+        dag_out, "_metrics", "curation_metrics.parquet")).to_pandas()
+    assert list(m["stage"]) == ["scrub", "exact", "neardup", "final"]
+    assert (m["seconds"] > 0).all()
+    scrub = json.load(open(os.path.join(
+        dag_out, "_manifest", "stage-scrub.json")))
+    final_rows = int(m.set_index("stage").loc["final", "rows"])
+    assert 0 < final_rows < scrub["stats"]["kept"]
+
+
+@pytest.mark.parametrize("crash_stage", ["scrub", "exact", "neardup"])
+def test_crash_resume_digest_equality(ray_session, stress_dir, tmp_path,
+                                      dag_out, crash_stage):
+    """Kill the DAG right after ``crash_stage`` checkpoints; the resumed
+    run must produce a byte-identical final corpus (order-independent
+    digest) to the uninterrupted reference run."""
+    ref = curation_digest(dag_out)
+    out = str(tmp_path / f"crash_{crash_stage}")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_curation(os.path.join(stress_dir, "corpus"), out,
+                     partitions=8, threshold=0.8, fail_after=crash_stage)
+    # stages at-or-before the crash are checkpointed, the rest are not
+    assert os.path.exists(
+        os.path.join(out, "_manifest", f"stage-{crash_stage}.json"))
+    assert not os.path.exists(
+        os.path.join(out, "_manifest", "stage-final.json"))
+    run_curation(os.path.join(stress_dir, "corpus"), out,
+                 partitions=8, threshold=0.8)
+    assert curation_digest(out) == ref
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_resume_config_mismatch_fails_loud(ray_session, stress_dir,
+                                           tmp_path, dag_out):
+    out = str(tmp_path / "cfg")
+    with pytest.raises(RuntimeError):
+        run_curation(os.path.join(stress_dir, "corpus"), out,
+                     partitions=8, threshold=0.8, fail_after="scrub")
+    with pytest.raises(ValueError, match="config mismatch"):
+        run_curation(os.path.join(stress_dir, "corpus"), out,
+                     partitions=8, threshold=0.5)
+    shutil.rmtree(out, ignore_errors=True)
