@@ -286,8 +286,8 @@ def run_curation(
         t0 = time.time()
         kept = _kept_keyed(scrub_dir, ["content_masked"])
 
-        def hash_partial(batch: pa.Table) -> pa.Table:
-            # (hash64, key) pairs only — text never crosses the shuffle
+        def hash_rows(batch: pa.Table) -> pa.Table:
+            # (hash64, key) pairs only — text never crosses any shuffle
             hs = [
                 int.from_bytes(
                     hashlib.blake2b((v or "").encode(),
@@ -300,28 +300,92 @@ def run_curation(
                 "doc_key": batch["doc_key"],
             })
 
-        pairs = kept.map_batches(hash_partial, batch_format="pyarrow")
-        reps = (pairs.groupby("text_hash")
-                .aggregate(Min("doc_key", alias_name="rep_key")))
-        # drops = every (hash, key) whose key is not its group's min; one
-        # hash-join on the 8-byte hash key, ids only
-        joined = hash_anti_join(
-            pairs, reps.map_batches(
-                lambda b: pa.table({"text_hash": b["text_hash"],
-                                    "doc_key": b["rep_key"]}),
-                batch_format="pyarrow"),
-            left_key="doc_key", right_key="doc_key",
-            left_cols=["text_hash"], schema={"text_hash": pa.int64()},
-        )
-        tmp = os.path.join(output_dir, ".tmp-exact")
-        n_drops = _write_drops(
-            joined.map_batches(
+        # content hashed ONCE; the (hash, key) pair table is consumed by
+        # both passes below, so pin it (16 bytes/row — tiny vs the corpus)
+        pairs = kept.map_batches(
+            hash_rows, batch_format="pyarrow").materialize()
+
+        def group_partial(batch: pa.Table) -> pa.Table:
+            g = batch.group_by("text_hash").aggregate(
+                [("doc_key", "count"), ("doc_key", "min")])
+            return pa.table({
+                "text_hash": g["text_hash"],
+                "n": pc.cast(g["doc_key_count"], pa.int64()),
+                "min_key": g["doc_key_min"],
+            })
+
+        from ray.data.aggregate import Sum
+
+        groups = (pairs.map_batches(group_partial, batch_format="pyarrow")
+                  .groupby("text_hash")
+                  .aggregate(Sum("n", alias_name="n"),
+                             Min("min_key", alias_name="min_key")))
+        # dup groups are the rare case: keep only n > 1 rows (bounded by
+        # the duplicate count, NOT the corpus) and broadcast the
+        # (hash -> group min) map; each pair row then decides its own
+        # drop locally. Above the gate, fall back to the distributed
+        # rep anti-join (ids only).
+        dup_groups = groups.map_batches(
+            lambda b: b.filter(pc.greater(b["n"], 1)),
+            batch_format="pyarrow").materialize()
+        n_dup_groups = dup_groups.count()
+        if n_dup_groups <= drop_broadcast_limit:
+            import ray
+
+            dup_df = dup_groups.to_pandas()
+            h_sorted = np.sort(dup_df["text_hash"].to_numpy(np.int64))
+            order = np.argsort(dup_df["text_hash"].to_numpy(np.int64),
+                               kind="stable")
+            m_sorted = dup_df["min_key"].to_numpy(np.int64)[order]
+            ref = ray.put((h_sorted, m_sorted))
+
+            def drops_fn(batch: pa.Table) -> pa.Table:
+                hs, ms = ray.get(ref)
+                hv = batch["text_hash"].to_numpy(zero_copy_only=False)
+                kv = batch["doc_key"].to_numpy(zero_copy_only=False)
+                if len(hs) == 0:
+                    return pa.table({"doc_key": pa.array([], pa.int64())})
+                pos = np.clip(np.searchsorted(hs, hv), 0, len(hs) - 1)
+                is_drop = (hs[pos] == hv) & (ms[pos] != kv)
+                return pa.table(
+                    {"doc_key": pa.array(kv[is_drop], pa.int64())})
+
+            drops_ds = pairs.map_batches(drops_fn, batch_format="pyarrow")
+        else:
+            reps = dup_groups.map_batches(
+                lambda b: pa.table({"doc_key": b["min_key"]}),
+                batch_format="pyarrow")
+            in_dup = hash_anti_join(  # pairs NOT in any dup group are kept
+                pairs, reps, left_key="doc_key", right_key="doc_key",
+                left_cols=["text_hash"], schema={"text_hash": pa.int64()},
+            )
+            # rows of dup groups minus each group's min = drops; in_dup
+            # still contains all singleton rows, so anti-join once more
+            # against the singleton hashes is needed — instead join the
+            # (hash) of dup groups: a row is a drop iff its hash is a dup
+            # hash AND its key is not the rep (reps removed above)
+            from .stages.joins import hash_semi_join
+
+            drops_ds = hash_semi_join(
+                in_dup.map_batches(
+                    lambda b: pa.table({"text_hash": b["text_hash"],
+                                        "doc_key": b["doc_key"]}),
+                    batch_format="pyarrow"),
+                dup_groups.map_batches(
+                    lambda b: pa.table({"text_hash": b["text_hash"]}),
+                    batch_format="pyarrow"),
+                left_key="text_hash", right_key="text_hash",
+                left_cols=["doc_key"], schema={"doc_key": pa.int64()},
+            ).map_batches(
                 lambda b: pa.table({"doc_key": b["doc_key"]}),
-                batch_format="pyarrow"),
-            tmp)
+                batch_format="pyarrow")
+
+        tmp = os.path.join(output_dir, ".tmp-exact")
+        n_drops = _write_drops(drops_ds, tmp)
         _publish(tmp, exact_dir)
         manifest.mark_stage("exact", {
-            "seconds": round(time.time() - t0, 3), "drops": n_drops})
+            "seconds": round(time.time() - t0, 3), "drops": n_drops,
+            "dup_groups": n_dup_groups})
     _maybe_fail("exact")
 
     # ---- stage 3: near-dup over exact-dedup survivors -------------------

@@ -1,0 +1,207 @@
+"""Full-DAG stress protocol at memory-pressure scale (VERDICT r3 #1).
+
+Phases (each its own Ray session so measurements are clean):
+  gen     -- distributed-generate the stress corpus (default 3M rows,
+             ~12 GB content, ~0.1% MB-scale rows)
+  runA    -- uninterrupted curation DAG; record per-stage wall, digest,
+             object-store/spill stats
+  runB    -- launch the same job in a subprocess, SIGKILL it mid-run,
+             then resume to completion; record digest + resume wall
+  report  -- one JSON line comparing digests (the resumability proof)
+
+Usage:
+    python scripts/stress_curation.py [--rows 3000000] [--cpus 32] \
+        [--kill-after-frac 0.35] [--out /tmp/cur_stress]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _ray_init(cpus: int):
+    import ray
+
+    ray.init(address="local", num_cpus=cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    return ray
+
+
+class ShmPeakPoller:
+    """Peak plasma (object-store) usage, measured as /dev/shm bytes used
+    — Ray's object store is shm-backed, so the poll IS the store's
+    footprint (plus noise from other shm users, none in this sandbox)."""
+
+    def __init__(self, interval: float = 0.5):
+        import threading
+
+        self.peak = 0
+        self._stop = threading.Event()
+
+        def _poll():
+            while not self._stop.is_set():
+                try:
+                    st = os.statvfs("/dev/shm")
+                    used = (st.f_blocks - st.f_bfree) * st.f_frsize
+                    self.peak = max(self.peak, used)
+                except OSError:
+                    pass
+                self._stop.wait(interval)
+
+        self._t = threading.Thread(target=_poll, daemon=True)
+        self._t.start()
+
+    def stop(self) -> int:
+        self._stop.set()
+        self._t.join(timeout=2)
+        return self.peak
+
+
+def _spill_stats() -> dict:
+    """Spill counters parsed from the newest Ray session's raylet log
+    (the grpc-backed memory_summary API is unavailable in this sandbox)."""
+    import glob
+    import re
+
+    sessions = sorted(
+        glob.glob("/tmp/ray/session_*") + glob.glob("/tmp/ray/ray/session_*"),
+        key=os.path.getmtime)
+    if not sessions:
+        return {}
+    out = {}
+    for name in ("raylet.out", "raylet.err"):
+        path = os.path.join(sessions[-1], "logs", name)
+        if not os.path.exists(path):
+            continue
+        last = None
+        with open(path, errors="replace") as f:
+            for line in f:
+                if "Spilled" in line:
+                    m = re.search(r"Spilled (\d+) MiB, (\d+) objects", line)
+                    if m:
+                        last = {"spilled_mib": int(m.group(1)),
+                                "spilled_objects": int(m.group(2))}
+        if last:
+            out.update(last)
+    return out or {"spilled_mib": 0, "spilled_objects": 0}
+
+
+def phase_gen(args) -> str:
+    _ray_init(args.cpus)
+    from pii_filter_ray.sources.stress_corpus import stress_corpus_dir
+
+    t0 = time.time()
+    d = stress_corpus_dir(
+        n_rows=args.rows, seed=args.seed, root=args.corpus_root,
+        rows_per_shard=8192, mb_every=args.mb_every,
+        mb_bytes=args.mb_bytes, emit_expectations=False)
+    print(json.dumps({"phase": "gen", "seconds": round(time.time() - t0, 1),
+                      "dir": d}), flush=True)
+    import ray
+
+    ray.shutdown()
+    return d
+
+
+def phase_run(corpus: str, out: str, cpus: int, partitions: int) -> dict:
+    ray = _ray_init(cpus)
+    from pii_filter_ray.curation import curation_digest, run_curation
+
+    poller = ShmPeakPoller()
+    t0 = time.time()
+    summary = run_curation(corpus, out, partitions=partitions)
+    wall = time.time() - t0
+    digest = curation_digest(out)
+    res = {
+        "wall_seconds": round(wall, 1),
+        "stages": {k: v["stats"] for k, v in summary.items()},
+        "digest": digest,
+        "peak_object_store_mib": round(poller.stop() / (1 << 20)),
+        "spill": _spill_stats(),
+    }
+    ray.shutdown()
+    return res
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=3_000_000)
+    ap.add_argument("--seed", type=int, default=77)
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument("--mb-every", type=int, default=1000)
+    ap.add_argument("--mb-bytes", type=int, default=1_500_000)
+    ap.add_argument("--kill-after-frac", type=float, default=0.35)
+    ap.add_argument("--out", default="/tmp/cur_stress")
+    ap.add_argument("--corpus-root", default="/tmp/pii_ray_stress")
+    ap.add_argument("--phase", choices=["all", "gen", "runA", "runB"],
+                    default="all")
+    ap.add_argument("--_subrun", default=None, help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args._subrun:
+        # child process for the kill test: run the DAG until killed
+        corpus, out = args._subrun.split("::")
+        res = phase_run(corpus, out, args.cpus, args.partitions)
+        print(json.dumps({"phase": "subrun", **res}), flush=True)
+        return
+
+    corpus_dir = phase_gen(args)
+    corpus = os.path.join(corpus_dir, "corpus")
+
+    out_a = os.path.join(args.out, "runA")
+    out_b = os.path.join(args.out, "runB")
+    shutil.rmtree(args.out, ignore_errors=True)
+    os.makedirs(args.out, exist_ok=True)
+
+    res_a = phase_run(corpus, out_a, args.cpus, args.partitions)
+    print(json.dumps({"phase": "runA", **res_a}), flush=True)
+    # free the disk before run B; the digest is what we keep
+    shutil.rmtree(out_a, ignore_errors=True)
+
+    # run B: SIGKILL mid-run at kill_after_frac of run A's wall, resume
+    kill_at = max(5.0, args.kill_after_frac * res_a["wall_seconds"])
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__),
+         f"--_subrun={corpus}::{out_b}",
+         f"--cpus={args.cpus}", f"--partitions={args.partitions}"],
+        cwd=REPO, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True)
+    time.sleep(kill_at)
+    os.killpg(os.getpgid(child.pid), signal.SIGKILL)
+    child.wait()
+    print(json.dumps({"phase": "kill", "killed_after_s": round(kill_at, 1)}),
+          flush=True)
+    time.sleep(3)  # let the killed Ray session's sockets clear
+
+    t0 = time.time()
+    res_b = phase_run(corpus, out_b, args.cpus, args.partitions)
+    res_b["resume_wall_seconds"] = round(time.time() - t0, 1)
+    print(json.dumps({"phase": "runB_resume", **res_b}), flush=True)
+
+    equal = res_a["digest"] == res_b["digest"]
+    print(json.dumps({
+        "phase": "report",
+        "digest_equal": equal,
+        "digest_a": res_a["digest"],
+        "digest_b": res_b["digest"],
+        "runA_wall": res_a["wall_seconds"],
+        "runB_resume_wall": res_b["resume_wall_seconds"],
+        "killed_after_s": round(kill_at, 1),
+    }), flush=True)
+    if not equal:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
