@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunking": r.doc_chunking,
         "doc_seq_packing": r.doc_seq_packing,
         "emb_int8_quant": r.emb_int8_quant,
+        "emb_device_score": r.emb_device_score,
         "events_props_json": r.events_props_json,
         # further TPC-H compositions: promo ratio, EXISTS semi-join,
         # HAVING + detail fetch, late-shipment priority audit
@@ -3507,6 +3508,36 @@ def oracle_sql() -> dict[str, str]:
                    round(list_sum(list_transform(range(1, len(v) + 1),
                              i -> pow(v[i] - qv[i] * scale, 2))) / len(v), 6)
                        AS mse6
+            FROM q
+        """,
+        "emb_device_score": """
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ),
+            s AS (
+                SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) / 127.0
+                           AS scale,
+                       CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+                            THEN 1.0
+                            ELSE list_max(list_transform(v, x -> abs(x))) / 127.0
+                       END AS safe
+                FROM e
+            ),
+            q AS (
+                SELECT vec_id, scale,
+                       list_transform(range(1, len(v) + 1), i ->
+                           ((CASE WHEN v[i] > 0 THEN 1.0
+                                  WHEN v[i] < 0 THEN -1.0 ELSE 0.0 END)
+                            * floor(abs(v[i]) / safe + 0.5))
+                           * CAST(((i * 37) % 255) - 127 AS DOUBLE)) AS prods
+                FROM s
+            )
+            SELECT vec_id,
+                   CAST(list_sum(prods) AS BIGINT) AS qdot,
+                   round(list_sum(prods) * scale, 9) AS score9
             FROM q
         """,
         "events_props_json": """

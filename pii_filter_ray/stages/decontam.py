@@ -36,6 +36,27 @@ import ray
 import ray.data
 
 
+# Per-worker-process cache of deserialized benchmark sets, keyed by the
+# ObjectRef. ray.get of a plasma object re-pays pickle deserialization of
+# a large str-set unless the worker caches it; at the 10^6-entry scale a
+# real benchmark suite reaches (~100 MB of n-gram strings) that per-batch
+# cost would dominate the stage. Module globals persist for the lifetime
+# of the worker process, so each worker deserializes the set exactly ONCE
+# (measured in BASELINE.md's decontam-at-scale bench).
+_BSET_CACHE: dict = {}
+
+
+def _cached_bset(ref):
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    bset = _BSET_CACHE.get(key)
+    if bset is None:
+        if len(_BSET_CACHE) > 4:  # don't pin stale sets in long workers
+            _BSET_CACHE.clear()
+        bset = ray.get(ref)
+        _BSET_CACHE[key] = bset
+    return bset
+
+
 def _doc_ngrams(text: str, n: int) -> List[str]:
     ws = (text or "").split()
     if len(ws) < n:
@@ -90,7 +111,7 @@ def flag_contaminated(
     ref = ray.put(bench_ngrams)
 
     def check(batch: pa.Table) -> pa.Table:
-        bset = ray.get(ref)
+        bset = _cached_bset(ref)
         ids = batch[id_col]
         hits = np.empty(batch.num_rows, dtype="int64")
         for i, v in enumerate(batch[text_col].to_pylist()):
@@ -131,7 +152,7 @@ def flag_contaminated_spans(
     ref = ray.put(bench_ngrams)
 
     def check(batch: pa.Table) -> pa.Table:
-        bset = ray.get(ref)
+        bset = _cached_bset(ref)
         m = batch.num_rows
         n_hit_grams = np.zeros(m, dtype="int64")
         n_hit_pos = np.zeros(m, dtype="int64")

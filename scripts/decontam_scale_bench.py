@@ -1,0 +1,117 @@
+"""Decontam bench at real benchmark-suite scale (VERDICT r3 task #7).
+
+Real eval suites carry ~10^6 distinct n-grams. This script times
+flag_contaminated over the sf documents table twice — once with the
+corpus-derived bench set (~10^4 grams) and once with that set UNIONED
+with 10^6 synthetic 5-grams (drawn from a disjoint synthetic vocabulary,
+so hit behavior is unchanged) — and reports both walls. With the set
+broadcast via ray.put once and deserialized once per worker
+(stages/decontam._cached_bset), the big-set pass must match the small-set
+pass within noise; per-batch re-deserialization would show up as a
+multi-x blowup.
+
+    python scripts/decontam_scale_bench.py [--sf /root/testdata/sf0.1]
+        [--cpus 32] [--extra 1000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def synthetic_grams(n: int, width: int = 5, seed: int = 99) -> list:
+    """n deterministic synthetic word n-grams over a token space disjoint
+    from the corpus vocabulary (tokens 'zq<k>' never occur in testdata)."""
+    out = []
+    x = seed
+    for i in range(n):
+        toks = []
+        for _ in range(width):
+            x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            toks.append(f"zq{x % 1_000_000}")
+        out.append(" ".join(toks))
+    return out
+
+
+def run_pass(sf: str, bench_set: frozenset, n: int = 5) -> dict:
+    import ray.data
+
+    from pii_filter_ray.stages.decontam import flag_contaminated
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf, "documents.parquet"), columns=["doc_id", "text"])
+    t0 = time.time()
+    out = flag_contaminated(ds, bench_set, id_col="doc_id",
+                            text_col="text", n=n)
+    agg = out.map_batches(
+        lambda b: __import__("pyarrow").table({
+            "n": [b.num_rows],
+            "c": [int(sum(b["contaminated"].to_pylist()))]}),
+        batch_format="pyarrow").to_pandas()
+    wall = time.time() - t0
+    return {"wall_s": round(wall, 2), "rows": int(agg["n"].sum()),
+            "contaminated": int(agg["c"].sum())}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get(
+        "GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--extra", type=int, default=1_000_000)
+    args = ap.parse_args()
+
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+
+    from pii_filter_ray.stages.decontam import benchmark_ngram_set
+
+    docs = ray.data.read_parquet(
+        os.path.join(args.sf, "documents.parquet"),
+        columns=["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda b: b.filter(__import__("pyarrow").array(
+            [i % 97 == 0 for i in b["doc_id"].to_pylist()])),
+        batch_format="pyarrow")
+    small = benchmark_ngram_set(bench, "text", 5)
+
+    t0 = time.time()
+    extra = synthetic_grams(args.extra)
+    big = frozenset(small | set(extra))
+    build_s = time.time() - t0
+
+    r_small = run_pass(args.sf, small)
+    r_big = run_pass(args.sf, big)
+    # warm second passes (workers already hold the deserialized sets)
+    r_small2 = run_pass(args.sf, small)
+    r_big2 = run_pass(args.sf, big)
+
+    assert r_small["contaminated"] == r_big["contaminated"], \
+        "synthetic grams must not change hit behavior"
+    print(json.dumps({
+        "sf": args.sf, "cpus": args.cpus,
+        "small_set_grams": len(small),
+        "big_set_grams": len(big),
+        "big_set_build_s": round(build_s, 2),
+        "small_cold": r_small, "big_cold": r_big,
+        "small_warm": r_small2, "big_warm": r_big2,
+        "warm_ratio_big_over_small": round(
+            r_big2["wall_s"] / max(r_small2["wall_s"], 1e-9), 3),
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""GPU-shaped actor stage: resource-request plumbing, batch-size
+invariance, and exactness of the quantized dot."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _dataset():
+    import ray.data
+
+    rng = np.random.default_rng(5)
+    emb = rng.normal(size=(300, 64)).astype(np.float32)
+    emb[7] = 0.0  # zero vector passes through with scale 0
+    return ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(300), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in emb],
+                              pa.list_(pa.float32())),
+    }))
+
+
+def test_device_score_batchsize_and_concurrency_invariant(ray_session):
+    from pii_filter_ray.stages.device_scorer import device_score
+
+    a = device_score(_dataset(), batch_size=256, concurrency=2) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    b = device_score(_dataset(), batch_size=17, concurrency=3) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert int(a.loc[7, "qdot"]) == 0 and float(a.loc[7, "score9"]) == 0.0
+
+
+def test_device_score_exact_vs_local(ray_session):
+    """The distributed actor path must equal a plain local recomputation
+    of the law (quantize + int dot) — exactness, not approximation."""
+    from pii_filter_ray.stages.device_scorer import (
+        DeviceEmbeddingScorer,
+        device_score,
+        device_weights,
+    )
+
+    ds = _dataset()
+    got = device_score(ds, batch_size=64) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    local = DeviceEmbeddingScorer(dim=64)(
+        pa.concat_tables([pa.table(b) for b in
+                          ds.iter_batches(batch_format="pyarrow")]))
+    want = local.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    w = device_weights(64)
+    assert w.min() >= -127 and w.max() <= 127 and len(set(w)) > 32
+
+
+def test_device_resource_request_accepted(ray_session):
+    """num_gpus plumbing: a zero-GPU request must run in the sandbox;
+    the kwarg path for a real request is the same code path (asserted by
+    building the pipeline lazily with num_gpus>0 — scheduling would wait
+    for a GPU, so only plan construction is exercised)."""
+    import ray.data  # noqa: F401
+
+    from pii_filter_ray.stages.device_scorer import device_score
+
+    out = device_score(_dataset(), num_gpus=0.0, batch_size=128)
+    assert out.count() == 300
+    lazy = device_score(_dataset(), num_gpus=0.5, batch_size=128)
+    # plan builds with the GPU request attached; not executed (no GPU)
+    assert "MapBatches" in str(lazy)
