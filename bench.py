@@ -271,6 +271,63 @@ def run_scaling() -> dict:
     }
 
 
+def run_wide() -> dict:
+    """MB-scale-row flagship line (SURVEY §7.3 wide-row risk; VERDICT r3
+    task #5): the same fused quality+scrub stage over a corpus whose EVERY
+    row is ~1.5 MB (stress generator, mb_every=1). The stage is O(content
+    bytes), so bytes/s is the honest headline; files/s is reported for
+    continuity. Tuning that differs from the KB-row flagship: batch_size=8
+    (a 256-row batch of MB rows would be ~400 MB in one task heap) and
+    target_max_block_size=32 MB so batch x concurrency stays inside
+    worker heaps."""
+    rows = int(os.environ.get("GRAFT_WIDE_ROWS", "2000"))
+    mb_bytes = int(os.environ.get("GRAFT_WIDE_BYTES", "1500000"))
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    from pii_filter_ray.pipelines.quality_pipeline import (
+        configure_context_for_large_files,
+        quality_scrub,
+    )
+    from pii_filter_ray.sources.stress_corpus import stress_corpus_dir
+
+    d = stress_corpus_dir(n_rows=rows, seed=55, rows_per_shard=32,
+                          mb_every=1, mb_bytes=mb_bytes,
+                          emit_expectations=False)
+    corpus = os.path.join(d, "corpus")
+    total_bytes = int(open(os.path.join(d, "_complete")).read()
+                      .split(",")[1].split()[0])
+    configure_context_for_large_files(32)
+    # warm the worker pool + page cache (untimed, as in run_bench)
+    quality_scrub(ray.data.read_parquet(corpus).limit(64), mode="code",
+                  emit_mappings=False, batch_size=8).count()
+
+    def wide_flagship():
+        ds = ray.data.read_parquet(corpus)
+        return quality_scrub(ds, mode="code", emit_mappings=False,
+                             batch_size=8).count()
+
+    wall, n = _timed(wide_flagship)
+    ray.shutdown()
+    return {
+        "metric": "MB-scale-row flagship wall time",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "rows": n,
+        "mean_row_bytes": round(total_bytes / max(n, 1)),
+        "total_content_mb": round(total_bytes / 1e6, 1),
+        "files_per_sec": round(n / wall, 1),
+        "mb_per_sec": round(total_bytes / 1e6 / wall, 1),
+        "num_cpus": NUM_CPUS,
+        "batch_size": 8,
+        "target_max_block_mb": 32,
+    }
+
+
 def run_stats() -> str:
     """ds.stats() snapshot of the flagship (NOTES #4: per-stage regression
     tracking). Prints the per-operator wall/cpu/rows breakdown."""
@@ -296,6 +353,8 @@ def run_stats() -> str:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--wide" in sys.argv:
+        print(json.dumps(run_wide()))
     elif "--stats" in sys.argv:
         print(run_stats())
     else:

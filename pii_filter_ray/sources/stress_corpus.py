@@ -68,6 +68,13 @@ def _row_class(seed: int, row_id: int) -> str:
     return _CLASSES[-1]
 
 
+def _is_wide(row_id: int, mb_every: int) -> bool:
+    """Deterministic wide-row predicate: every mb_every-th row (offset 7
+    mod mb_every, so mb_every=1 widens EVERY row — the --wide bench
+    corpus); 0 disables."""
+    return bool(mb_every) and (row_id % mb_every) == (7 % mb_every)
+
+
 def _victim_of(seed: int, row_id: int, n_rows: int) -> int:
     """Deterministic unique-class victim for a dup row: Knuth-hash probe
     forward until a unique-class row is found (p(unique)=0.8 — the probe
@@ -133,17 +140,17 @@ def make_row(seed: int, row_id: int, n_rows: int, n_repos: int,
     rng.random()  # class draw
     victim = -1
     if klass == "unique":
-        wide = mb_every and (row_id % mb_every == 7)
         lang, content = _unique_content(
-            seed, row_id, mb_bytes=(mb_bytes if wide else 0), pool=pool)
+            seed, row_id,
+            mb_bytes=(mb_bytes if _is_wide(row_id, mb_every) else 0),
+            pool=pool)
     elif klass in ("exact_dup", "near_dup"):
         victim = _victim_of(seed, row_id, n_rows)
-        # victims are never widened rows? they may be — fine: an MB-scale
+        # victims may themselves be widened rows — fine: an MB-scale
         # dup is exactly the wide-row stress the dedup stages should see
         lang, content = _unique_content(
             seed, victim,
-            mb_bytes=(mb_bytes if (mb_every and victim % mb_every == 7)
-                      else 0),
+            mb_bytes=(mb_bytes if _is_wide(victim, mb_every) else 0),
             pool=pool)
         if klass == "near_dup":
             content = _near_dup_mutate(rng, content)
