@@ -241,6 +241,36 @@ def _bucket_pairs_fn(id_col: str, max_bucket: int):
     return bucket_pairs
 
 
+def _bucket_pairs_blocks_fn(id_col: str, max_bucket: int):
+    """Vectorized multi-group form of :func:`_bucket_pairs_fn`: one pandas
+    block spans MANY band_key groups (hash-bucketed), and every step —
+    distinct, truncate-to-max_bucket by id order, a<b self-merge — is a
+    C-speed kernel over the whole block instead of a Python call per
+    group. Output is set-identical to mapping _bucket_pairs_fn over each
+    band_key group (equivalence pinned in tests, including oversized
+    buckets)."""
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64")})
+        if len(g) == 0:
+            return empty
+        d = (g[["band_key", id_col]].drop_duplicates()
+             .sort_values(["band_key", id_col], kind="mergesort"))
+        d = d[d.groupby("band_key", sort=False).cumcount() < max_bucket]
+        m = d.merge(d, on="band_key")
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        if len(m) == 0:
+            return empty
+        out = m[[f"{id_col}_x", f"{id_col}_y"]].drop_duplicates()
+        return pd.DataFrame({
+            "id_a": out[f"{id_col}_x"].to_numpy().astype("int64"),
+            "id_b": out[f"{id_col}_y"].to_numpy().astype("int64"),
+        })
+
+    return block_pairs
+
+
 class MultiBandMinHashStage(MinHashStage):
     """Band-config SWEEP variant: the signature is computed ONCE per doc
     (the expensive part — shingle hashing + num_perm permutations) and
@@ -418,41 +448,71 @@ def minhash_lsh_pairs(
 
         colliding_rows = band_rows.map_batches(semi_join, batch_format="pyarrow")
     else:
-        # distributed path: tagged-union groupby semi-join — the colliding
-        # key table never touches the driver. Markers carry an EXPLICIT
-        # __m flag and a zero-filled id (never read) instead of a null id:
-        # a nulled int64 column becomes float64 in the pandas group block
-        # and silently rounds ids above 2^53.
+        # distributed path, VECTORIZED per hash bucket (round-4 stress-run
+        # finding: the old tagged-union semi-join ran a Python pandas call
+        # PER band_key group — at 3M docs x 16 bands that is millions of
+        # groups and the stage crawled at ~50% cpu for tens of minutes.
+        # Bucketing band_key into a fixed fan-out makes every step one
+        # C-speed kernel per bucket: the shuffle is the same one exchange,
+        # but a bucket block holds thousands of key groups handled by a
+        # single pandas isin). Markers carry an EXPLICIT __m flag and a
+        # zero-filled id (never read) instead of a null id: a nulled
+        # int64 column becomes float64 in the pandas group block and
+        # silently rounds ids above 2^53.
+        n_buckets = 64
+
+        def add_bucket(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "__bucket",
+                pc.cast(pc.bit_wise_and(b["band_key"],
+                                        pa.scalar(n_buckets - 1)),
+                        pa.int32()))
+
         marker = colliding.map_batches(
-            lambda b: pa.table(
+            lambda b: add_bucket(pa.table(
                 {
                     "band_key": b["band_key"],
                     id_col: pa.array(np.zeros(b.num_rows, dtype="int64"), pa.int64()),
                     "__m": pa.array(np.ones(b.num_rows, dtype="int8"), pa.int8()),
                 }
-            ),
+            )),
             batch_format="pyarrow",
         )
         tagged_band = band_rows.map_batches(
-            lambda b: b.append_column(
+            lambda b: add_bucket(b.append_column(
                 "__m", pa.array(np.zeros(b.num_rows, dtype="int8"), pa.int8())
-            ),
+            )),
             batch_format="pyarrow",
         )
 
         def keep_marked(g: pd.DataFrame) -> pd.DataFrame:
-            if (g["__m"] == 1).any():
-                return g[g["__m"] == 0][["band_key", id_col]]
-            return g.iloc[0:0][["band_key", id_col]]
+            # one bucket = many band_key groups: vectorized isin against
+            # the bucket's marker keys (NOT a per-group Python call)
+            mk = g.loc[g["__m"] == 1, "band_key"]
+            out = g[(g["__m"] == 0) & g["band_key"].isin(mk)]
+            return out[["band_key", id_col]]
 
         colliding_rows = (
-            tagged_band.union(marker).groupby("band_key").map_groups(
+            tagged_band.union(marker).groupby("__bucket").map_groups(
                 keep_marked, batch_format="pandas"
             )
         )
 
-    pairs = colliding_rows.groupby("band_key").map_groups(
-        _bucket_pairs_fn(id_col, max_bucket), batch_format="pandas"
+    # pair generation, bucketed the same way: each pandas block spans many
+    # band_key groups; truncation to max_bucket (by id order) and the
+    # a<b self-merge are all C-speed (equivalence with the per-group
+    # _bucket_pairs_fn contract is pinned in tests)
+    def add_pair_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__bucket",
+            pc.cast(pc.bit_wise_and(b["band_key"], pa.scalar(63)),
+                    pa.int32()))
+
+    pairs = (
+        colliding_rows.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_bucket_pairs_blocks_fn(id_col, max_bucket),
+                    batch_format="pandas")
     )
     # distinct pairs (a pair can collide in several bands)
     return (
@@ -603,49 +663,152 @@ def _verify_pairs_joined(
     candidate_pairs: "ray.data.Dataset",
     id_col: str,
     threshold: float,
+    cand_id_broadcast_limit: int = 20_000_000,
 ) -> "ray.data.Dataset":
     """Fully distributed verify: hash-join pairs to shingle sets by id via
-    two tagged-union groupby shuffles (the at-scale path; semantics proven
-    equal to the broadcast path by test_jaccard_verify_joined_equivalent)."""
+    two tagged-union exchanges (the at-scale path; semantics proven equal
+    to the broadcast path by test_jaccard_verify_joined_equivalent).
 
+    Round-4 stress-run rewrite: the old form grouped by the RAW doc id —
+    one Python pandas call per doc, over the FULL signature table unioned
+    in twice — which at 3M docs meant millions of interpreter calls and a
+    corpus-wide shingle-payload shuffle per stage. Now (1) the signature
+    table is cut to candidate-involved docs first — a map-side pc.is_in
+    against the broadcast candidate-id array when the distinct candidate
+    count is under ``cand_id_broadcast_limit`` (ids only, 8 B each; 20M
+    ids = 160 MB on a 128 GiB node), else a bucketed distributed
+    semi-join — and (2) both join stages group by a 64-way hash BUCKET of
+    the key, so each pandas block spans thousands of key groups handled
+    by one C-speed merge, with the per-PAIR jaccard loop the only
+    remaining Python (bounded by the candidate count, not the corpus)."""
+    from ray.data.aggregate import Count as _Count
+
+    n_buckets = 64
+
+    # ---- distinct candidate ids (tiny: 2 int64 cols -> distinct) --------
+    def pair_ids(b: pa.Table) -> pa.Table:
+        return pa.table({"cid": pa.concat_arrays([
+            pc.cast(b["id_a"], pa.int64()).combine_chunks(),
+            pc.cast(b["id_b"], pa.int64()).combine_chunks(),
+        ])})
+
+    def id_partials(b: pa.Table) -> pa.Table:
+        return pa.table({"cid": b["cid"].combine_chunks().unique()})
+
+    cand_ids = (candidate_pairs.map_batches(pair_ids, batch_format="pyarrow")
+                .map_batches(id_partials, batch_format="pyarrow")
+                .groupby("cid").aggregate(_Count(alias_name="_n"))
+                .select_columns(["cid"]).materialize())
+    n_cand = cand_ids.count()
+    if n_cand == 0:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }))
+
+    if n_cand <= cand_id_broadcast_limit:
+        ids_np = np.sort(cand_ids.to_pandas()["cid"].to_numpy(np.int64))
+        ids_ref = ray.put(ids_np)
+
+        def cut(b: pa.Table) -> pa.Table:
+            ids = ray.get(ids_ref)
+            kv = pc.cast(b[id_col], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            pos = np.clip(np.searchsorted(ids, kv), 0, len(ids) - 1)
+            return b.filter(pa.array(ids[pos] == kv))
+
+        cand_sigs = sig_ds.map_batches(cut, batch_format="pyarrow")
+    else:
+        # bucketed distributed semi-join (ids only on the marker side)
+        def tag_sig_semi(b: pa.Table) -> pa.Table:
+            k = pc.cast(b[id_col], pa.int64())
+            return pa.table({
+                "k": k, "sig": b["sig"],
+                "__m": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
+                "__bucket": pc.cast(
+                    pc.bit_wise_and(k, pa.scalar(n_buckets - 1)),
+                    pa.int32()),
+            })
+
+        def tag_cid_semi(b: pa.Table) -> pa.Table:
+            k = b["cid"].combine_chunks()
+            return pa.table({
+                "k": k,
+                "sig": pa.array([None] * b.num_rows, pa.list_(pa.int64())),
+                "__m": pa.array(np.ones(b.num_rows, np.int8), pa.int8()),
+                "__bucket": pc.cast(
+                    pc.bit_wise_and(k, pa.scalar(n_buckets - 1)),
+                    pa.int32()),
+            })
+
+        def keep_sig(g: pd.DataFrame) -> pd.DataFrame:
+            mk = g.loc[g["__m"] == 1, "k"]
+            out = g[(g["__m"] == 0) & g["k"].isin(mk)]
+            return out[["k", "sig"]].rename(columns={"k": id_col})
+
+        def sig_as_arrow(b: pd.DataFrame) -> pa.Table:
+            # explicit list<int64> conversion: a pandas list column would
+            # round-trip through Ray's tensor extension and refuse to
+            # concat with the arrow-list blocks it unions with later
+            return pa.table({
+                id_col: pa.array(b[id_col], pa.int64()),
+                "sig": pa.array(
+                    [None if s is None else list(s) for s in b["sig"]],
+                    pa.list_(pa.int64())),
+            })
+
+        cand_sigs = (
+            sig_ds.map_batches(tag_sig_semi, batch_format="pyarrow")
+            .union(cand_ids.map_batches(tag_cid_semi,
+                                        batch_format="pyarrow"))
+            .groupby("__bucket")
+            .map_groups(keep_sig, batch_format="pandas")
+            .map_batches(sig_as_arrow, batch_format="pandas"))
+
+    # ---- stage 1: attach sig_a (bucketed vectorized merge on id_a) ------
     def tag_sigs(b: pa.Table) -> pa.Table:
-        # sig rows: __m=1; id columns ZERO-filled (never read on this side)
-        # rather than null-filled — a nulled int64 column becomes float64 in
-        # the pandas group block and silently rounds ids above 2^53
         n = b.num_rows
-        return pa.table(
-            {
-                "join_key": pc.cast(b[id_col], pa.int64()),
-                "sig": b["sig"],
-                "id_a": pa.array(np.zeros(n, dtype="int64"), pa.int64()),
-                "id_b": pa.array(np.zeros(n, dtype="int64"), pa.int64()),
-                "sig_a": pa.array([None] * n, pa.list_(pa.int64())),
-                "__m": pa.array(np.ones(n, dtype="int8"), pa.int8()),
-            }
-        )
+        k = pc.cast(b[id_col], pa.int64())
+        return pa.table({
+            "join_key": k,
+            "sig": b["sig"],
+            "id_a": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "id_b": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "sig_a": pa.array([None] * n, pa.list_(pa.int64())),
+            "__m": pa.array(np.ones(n, np.int8), pa.int8()),
+            "__bucket": pc.cast(
+                pc.bit_wise_and(k, pa.scalar(n_buckets - 1)),
+                pa.int32()),
+        })
 
     def tag_pairs(b: pa.Table) -> pa.Table:
         n = b.num_rows
-        return pa.table(
-            {
-                "join_key": pc.cast(b["id_a"], pa.int64()),
-                "sig": pa.array([None] * n, pa.list_(pa.int64())),
-                "id_a": b["id_a"],
-                "id_b": b["id_b"],
-                "sig_a": pa.array([None] * n, pa.list_(pa.int64())),
-                "__m": pa.array(np.zeros(n, dtype="int8"), pa.int8()),
-            }
-        )
+        k = pc.cast(b["id_a"], pa.int64())
+        return pa.table({
+            "join_key": k,
+            "sig": pa.array([None] * n, pa.list_(pa.int64())),
+            "id_a": pc.cast(b["id_a"], pa.int64()),
+            "id_b": pc.cast(b["id_b"], pa.int64()),
+            "sig_a": pa.array([None] * n, pa.list_(pa.int64())),
+            "__m": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "__bucket": pc.cast(
+                pc.bit_wise_and(k, pa.scalar(n_buckets - 1)), pa.int32()),
+        })
 
     def attach_a(g: pd.DataFrame) -> pd.DataFrame:
         sig_rows = g[g["__m"] == 1]
         pair_rows = g[g["__m"] == 0]
         if len(sig_rows) == 0 or len(pair_rows) == 0:
             return pair_rows.iloc[0:0]
-        sig = sig_rows["sig"].iloc[0]
-        out = pair_rows.copy()
-        out["sig_a"] = [sig] * len(out)
+        lut = pd.Series(sig_rows["sig"].to_numpy(),
+                        index=sig_rows["join_key"].to_numpy())
+        sigs = lut.reindex(pair_rows["join_key"].to_numpy())
+        keep = sigs.notna().to_numpy()
+        out = pair_rows[keep].copy()
+        out["sig_a"] = sigs[keep].to_numpy()
         out["join_key"] = out["id_b"]
+        out["__bucket"] = (out["id_b"] % n_buckets).astype("int32")
         return out
 
     def as_arrow(b: pd.DataFrame) -> pa.Table:
@@ -663,13 +826,14 @@ def _verify_pairs_joined(
                     pa.list_(pa.int64()),
                 ),
                 "__m": pa.array(b["__m"], pa.int8()),
+                "__bucket": pa.array(b["__bucket"], pa.int32()),
             }
         )
 
     stage1 = (
-        sig_ds.map_batches(tag_sigs, batch_format="pyarrow")
+        cand_sigs.map_batches(tag_sigs, batch_format="pyarrow")
         .union(candidate_pairs.map_batches(tag_pairs, batch_format="pyarrow"))
-        .groupby("join_key")
+        .groupby("__bucket")
         .map_groups(attach_a, batch_format="pandas")
         # normalize back to Arrow blocks: union() requires homogeneous block
         # types, and the next union partner is Arrow
@@ -684,19 +848,26 @@ def _verify_pairs_joined(
                 {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
                  "jaccard": pd.Series(dtype="float64")}
             )
-        sig_b = sig_rows["sig"].iloc[0]
+        lut = pd.Series(sig_rows["sig"].to_numpy(),
+                        index=sig_rows["join_key"].to_numpy())
+        sigs_b = lut.reindex(pair_rows["join_key"].to_numpy()).to_numpy()
         out_a, out_b, out_j = [], [], []
-        for _, row in pair_rows.iterrows():
-            j = _jaccard_from_sigs(row["sig_a"], sig_b)
+        for ia, ib, sa, sb in zip(pair_rows["id_a"].to_numpy(),
+                                  pair_rows["id_b"].to_numpy(),
+                                  pair_rows["sig_a"].to_numpy(), sigs_b):
+            if sb is None or (isinstance(sb, float) and pd.isna(sb)):
+                continue
+            j = _jaccard_from_sigs(sa, sb)
             if j >= threshold:
-                out_a.append(int(row["id_a"]))
-                out_b.append(int(row["id_b"]))
+                out_a.append(int(ia))
+                out_b.append(int(ib))
                 out_j.append(j)
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
 
     return (
-        stage1.union(sig_ds.map_batches(tag_sigs, batch_format="pyarrow"))
-        .groupby("join_key")
+        stage1.union(cand_sigs.map_batches(tag_sigs,
+                                           batch_format="pyarrow"))
+        .groupby("__bucket")
         .map_groups(attach_b_and_score, batch_format="pandas")
     )
 

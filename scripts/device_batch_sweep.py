@@ -1,0 +1,72 @@
+"""Device-scorer batch-size sweep (VERDICT r3 task #6 documentation).
+
+Times emb_device_score's actor path over a replicated embeddings table at
+several device-batch sizes. The matmul is O(batch), so throughput should
+rise until per-batch dispatch is amortized, then flatten — the knee is
+the number to carry to a real device (where the ceiling becomes device
+memory instead). Results recorded in BASELINE.md.
+
+    python scripts/device_batch_sweep.py [--copies 200] [--cpus 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=200,
+                    help="replications of the sf0.001 embeddings table")
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--concurrency", type=int, default=4)
+    args = ap.parse_args()
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from pii_filter_ray.stages.device_scorer import device_score
+
+    import pyarrow.parquet as pq
+
+    base = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    n = base.num_rows * args.copies
+    tables = []
+    for c in range(args.copies):
+        ids = pa.array(np.arange(base.num_rows, dtype=np.int64)
+                       + c * base.num_rows, pa.int64())
+        tables.append(pa.table({"vec_id": ids,
+                                "embedding": base["embedding"]}))
+    big = pa.concat_tables(tables)
+
+    rows = []
+    for bs in (32, 128, 512, 2048, 8192):
+        ds = ray.data.from_arrow(big).repartition(args.cpus * 4)
+        t0 = time.time()
+        cnt = device_score(ds, batch_size=bs,
+                           concurrency=args.concurrency).count()
+        wall = time.time() - t0
+        rows.append({"batch_size": bs, "wall_s": round(wall, 2),
+                     "vecs_per_sec": round(cnt / wall)})
+    print(json.dumps({"rows": n, "cpus": args.cpus,
+                      "concurrency": args.concurrency, "sweep": rows}))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -299,6 +299,44 @@ def test_jaccard_verify_joined_equivalent(dup_ds, ray_session):
     )
     assert base == joined
     assert len(base) > 0
+    # force the bucketed distributed candidate-id semi-join sub-path too
+    joined2 = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in _verify_pairs_joined(
+            sig_ds, cands, "doc_id", 0.5,
+            cand_id_broadcast_limit=0).take_all()
+    )
+    assert base == joined2
+
+
+def test_bucket_pairs_blocks_equivalent_to_per_group():
+    """The vectorized multi-group pair generator must emit exactly the
+    per-group generator's pairs, including max_bucket truncation on an
+    oversized bucket."""
+    import numpy as np
+    import pandas as pd
+
+    from pii_filter_ray.stages.dedup import (
+        _bucket_pairs_blocks_fn,
+        _bucket_pairs_fn,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for key in range(40):
+        size = int(rng.integers(1, 12)) if key % 7 else 30  # oversized
+        ids = rng.choice(10_000, size=size, replace=False)
+        rows += [(key, int(i)) for i in ids]
+    g = pd.DataFrame(rows, columns=["band_key", "doc_id"])
+
+    per_group = _bucket_pairs_fn("doc_id", max_bucket=8)
+    want = set()
+    for _, grp in g.groupby("band_key"):
+        out = per_group(grp)
+        want |= set(zip(out["id_a"], out["id_b"]))
+    got_df = _bucket_pairs_blocks_fn("doc_id", max_bucket=8)(g)
+    got = set(zip(got_df["id_a"], got_df["id_b"]))
+    assert got == want and len(want) > 100
 
 
 def test_dup_components_auto_switch(dup_ds, ray_session):
