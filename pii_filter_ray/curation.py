@@ -29,7 +29,14 @@ which is the curation-correct order):
   goes to the drop list.
 * near-dup: MinHash band LSH candidates -> exact word-shingle Jaccard
   verify at ``threshold`` -> connected components -> keep the component
-  representative (min key), drop the rest.
+  representative (min key), drop the rest. Banding defaults to b=8, r=8
+  (num_perm=64): the S-curve midpoint (1/b)^(1/r) ~ 0.77 sits at the
+  default 0.8 verify threshold, so chance collisions between merely
+  similar documents stay rare while true near-dups (J >= 0.85) collide
+  with probability >= 1-(1-0.85^8)^8 ~ 0.96. The 3M-row stress run is
+  what forced this tuning: b=16/r=4 (midpoint ~0.5) floods the candidate
+  stage with billions of truncated chance pairs on any corpus whose
+  random-pair Jaccard has mass above ~0.3.
 * ``doc_key`` = blake2b64(repo|path|commit) — deterministic, recomputable
   in any stage, collision probability ~n^2/2^64 (~1e-7 at 3M rows).
 
@@ -220,7 +227,7 @@ def run_curation(
     mode: str = "code",
     threshold: float = 0.8,
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int = 8,
     shingle_k: int = 3,
     resume: bool = True,
     concurrency=None,

@@ -40,11 +40,101 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from .synthetic_code import (
-    _GEN_BY_LANG,
     _gen_junk,
     _inject_pii,
     LANGS,
+    _COMMENT_WORDS,
+    _IDENT_WORDS,
 )
+
+# --- diversified code generators (stress-only) ---------------------------
+# synthetic_code's generators draw identifiers from a 24-word vocabulary,
+# which makes two RANDOM documents share ~30% word-shingle Jaccard — fine
+# for masking/quality tests, but at 3M rows it floods MinHash LSH with
+# chance band collisions no real code corpus produces (real identifiers
+# are near-unique). The stress generators append an rng numeric suffix to
+# every identifier, so lines are corpus-unique unless deliberately
+# duplicated; the planted exact/near dups still reproduce exactly because
+# victims regenerate from the same rng stream. synthetic_code itself is
+# left untouched to keep bench corpora comparable round over round.
+
+
+def _divident(rng: random.Random) -> str:
+    return ("_".join(rng.sample(_IDENT_WORDS, rng.randint(1, 2)))
+            + f"_{rng.randint(0, 99999)}")
+
+
+def _divcomment(rng: random.Random, n: int = 6) -> str:
+    return (" ".join(rng.choice(_COMMENT_WORDS) for _ in range(n))
+            + f" c{rng.randint(0, 99999)}")
+
+
+def _div_python(rng: random.Random, n_funcs: int) -> str:
+    out = ["import os", "import sys", ""]
+    for _ in range(n_funcs):
+        fn, arg, var = _divident(rng), _divident(rng), _divident(rng)
+        out += [
+            f"def {fn}({arg}):",
+            f"    # {_divcomment(rng)}",
+            f"    {var} = {arg} + {rng.randint(1, 99)}",
+            f"    return {var} * {rng.randint(2, 9)}",
+            "",
+        ]
+    return "\n".join(out)
+
+
+def _div_javascript(rng: random.Random, n_funcs: int) -> str:
+    out = ["const util = require('util');", ""]
+    for _ in range(n_funcs):
+        fn, arg, var = _divident(rng), _divident(rng), _divident(rng)
+        out += [
+            f"function {fn}({arg}) {{",
+            f"  // {_divcomment(rng)}",
+            f"  let {var} = {arg} + {rng.randint(1, 99)};",
+            f"  return {var} * {rng.randint(2, 9)};",
+            "}",
+            "",
+        ]
+    return "\n".join(out)
+
+
+def _div_java(rng: random.Random, n_funcs: int) -> str:
+    cls = "".join(w.capitalize() for w in rng.sample(_IDENT_WORDS, 2))
+    out = [f"public class {cls}{rng.randint(0, 99999)} {{"]
+    for _ in range(n_funcs):
+        fn, arg, var = _divident(rng), _divident(rng), _divident(rng)
+        out += [
+            f"    // {_divcomment(rng)}",
+            f"    public static int {fn}(int {arg}) {{",
+            f"        int {var} = {arg} + {rng.randint(1, 99)};",
+            f"        return {var} * {rng.randint(2, 9)};",
+            "    }",
+        ]
+    out += ["}", ""]
+    return "\n".join(out)
+
+
+def _div_go(rng: random.Random, n_funcs: int) -> str:
+    out = ["package main", "", "import \"fmt\"", ""]
+    for _ in range(n_funcs):
+        fn, arg, var = _divident(rng), _divident(rng), _divident(rng)
+        out += [
+            f"// {_divcomment(rng)}",
+            f"func {fn}({arg} int) int {{",
+            f"\t{var} := {arg} + {rng.randint(1, 99)}",
+            f"\treturn {var} * {rng.randint(2, 9)}",
+            "}",
+            "",
+        ]
+    return "\n".join(out)
+
+
+_GEN_BY_LANG = {
+    "python": _div_python,
+    "javascript": _div_javascript,
+    "java": _div_java,
+    "go": _div_go,
+}
 
 # class thresholds on rng.random(): [0, .80) unique, [.80, .86) exact_dup,
 # [.86, .92) near_dup, [.92, .96) junk, [.96, 1) pii
@@ -111,12 +201,13 @@ def _unique_content(seed: int, row_id: int,
 
 
 def _near_dup_mutate(rng: random.Random, content: str) -> str:
-    """Two small line edits: insert a comment, append a trailer — keeps
-    word-shingle Jaccard >~0.9 on KB-scale rows."""
+    """One inserted comment line — keeps word-shingle Jaccard >~0.92 on
+    the shortest (4-func, ~22-line) docs, so b=8/r=8 banding catches the
+    plant with per-pair probability >~0.999 (LSH recall is inherently
+    probabilistic; the DAG test budgets a <=2% miss rate)."""
     lines = content.split("\n")
     pos = rng.randint(0, len(lines))
     lines.insert(pos, f"# edited {rng.randint(0, 10**9)}")
-    lines.append(f"# trailer {rng.randint(0, 10**9)}")
     return "\n".join(lines)
 
 
@@ -235,7 +326,9 @@ def stress_corpus_dir(
     """
     import ray
 
-    d = os.path.join(root, f"n{n_rows}_s{seed}_m{mb_every}")
+    # v2: diversified-identifier generators (cache key must change with
+    # the generator version or a stale corpus silently serves old content)
+    d = os.path.join(root, f"n{n_rows}_s{seed}_m{mb_every}_v2")
     marker = os.path.join(d, "_complete")
     if os.path.exists(marker):
         return d

@@ -77,22 +77,38 @@ def test_planted_dedup_ground_truth(dag_out, stress_dir):
         "junk rows must be dropped by the scrub stage"
 
     # per dup group (victim + all its exact/near dups): at most ONE
-    # survivor, and that survivor exists for almost every group (a group
-    # can only lose its survivor when chance content similarity merges
-    # two groups into one near-dup component)
+    # survivor for groups containing only EXACT dups (deterministic sha
+    # dedup), and a <=2% miss budget for groups with near-dups — LSH
+    # recall is probabilistic (b=8, r=8 at the plant's J>~0.92 gives
+    # per-pair recall >~0.999; the budget covers the tail). Survivors
+    # exist for almost every group (a group only loses its survivor when
+    # chance similarity merges two groups into one component).
     dups = exp[exp["klass"].isin(["exact_dup", "near_dup"])]
     groups = dups.groupby("victim")
     n_groups = 0
     n_with_survivor = 0
+    n_near_groups = 0
+    n_near_misses = 0
     for victim, g in groups:
         members = [by_row.loc[victim, "doc_key"]] + list(g["doc_key"])
         alive = [k for k in members if k in final]
-        assert len(alive) <= 1, (
-            f"dup group of victim row {victim} has {len(alive)} survivors"
-        )
+        has_near = (g["klass"] == "near_dup").any()
+        if has_near:
+            n_near_groups += 1
+            if len(alive) > 1:
+                n_near_misses += 1
+        else:
+            assert len(alive) <= 1, (
+                f"exact-dup group of victim row {victim} has "
+                f"{len(alive)} survivors"
+            )
         n_groups += 1
         n_with_survivor += bool(alive)
     assert n_groups > 50  # the plant actually planted
+    assert n_near_groups > 25
+    assert n_near_misses <= max(1, 0.02 * n_near_groups), (
+        f"{n_near_misses}/{n_near_groups} near-dup groups missed"
+    )
     assert n_with_survivor >= 0.95 * n_groups
 
     # exact-dup DIRECTION: when a group survivor exists it is the min
