@@ -8,11 +8,13 @@ processed as its own sub-pipeline, written to ``out/part=p`` via an atomic
 rename, and recorded in the manifest with per-partition lineage stats
 (rows, kept, pii found). A rerun skips completed partitions.
 
-Partitioning: sharded-directory inputs map whole FILES to partitions by
-filename hash (each partition reads only its own shards — the at-scale
-layout; the shard list is fingerprinted so a resume against a changed
-input fails loudly); single-file inputs fall back to hash-of-row filtering
-with a re-scan per partition (documented tradeoff, correctness identical).
+Partitioning (--partition-scheme, recorded so resumes stay consistent):
+``row_hash`` (default) streams the WHOLE input once and hive-partitions
+by a per-row key hash — the fastest clean-run shape; a resume re-scans
+and filters to pending partitions. ``file_hash`` maps shard files to
+partitions by filename hash so a resumed partition reads only its own
+shards — the read-optimal choice when resumes are common. Either way the
+input is fingerprinted so a resume against a changed input fails loudly.
 """
 
 from __future__ import annotations
@@ -79,14 +81,28 @@ def run_job(
     limit_parts: Optional[int] = None,
     concurrency=None,
     parts_per_pass: int = 8,
+    drop_content: bool = False,
+    partition_scheme: str = "auto",
 ) -> dict:
     """Returns the manifest summary. Ray must already be initialised by the
     caller (or auto-inits on first Dataset use).
 
-    Partitioning strategy: sharded-directory inputs map whole FILES to
-    partitions (each partition reads only its own shards — the true
-    at-scale layout); a single-file input falls back to hash-of-row
-    filtering with a documented re-scan per partition.
+    Partitioning strategy (``partition_scheme``, recorded in job.json so a
+    resume always continues with the scheme its outputs were built under):
+
+    * ``row_hash`` (the ``auto`` default for fresh runs) — ONE streaming
+      pass over the whole input; part_id = blake2b(repo|path|commit) % P
+      per row, hive-partitioned write. Fastest clean-run shape (measured
+      145 s vs 261 s chunked on the 3M-row stress corpus: no per-chunk
+      pipeline restarts, no Dataset.union — a union of 32 sub-datasets
+      degenerates in the streaming executor). A resume re-scans the input
+      and filters to pending partitions BEFORE the scrub (the filter is a
+      hash per row; the re-read is the documented cost).
+    * ``file_hash`` — shard files map to partitions by filename hash, and
+      partitions are processed in chunks of ``parts_per_pass``. A resume
+      reads ONLY pending partitions' shards — the read-optimal choice at
+      100 TB when resumes are common or input bytes dominate. Requires a
+      sharded-directory input (single files fall back to row_hash).
     """
     import ray.data
 
@@ -94,7 +110,26 @@ def run_job(
 
     from .core.patterns import RULES_VERSION
 
-    file_parts = _partition_files(input_path, partitions)
+    if partition_scheme not in ("auto", "row_hash", "file_hash"):
+        raise ValueError(f"unknown partition_scheme {partition_scheme!r}")
+    manifest = JobManifest(output_dir)
+    if not resume:
+        # a fresh recompute: clear the fingerprint, part manifests, and any
+        # stale partition outputs so a changed config can't mix with them
+        shutil.rmtree(manifest.manifest_dir, ignore_errors=True)
+        os.makedirs(manifest.manifest_dir, exist_ok=True)
+        for name in os.listdir(output_dir):
+            if name.startswith("part=") or name.startswith(".tmp-part="):
+                shutil.rmtree(os.path.join(output_dir, name), ignore_errors=True)
+    prev_cfg = manifest.read_config()
+    if partition_scheme == "auto":
+        scheme = (prev_cfg or {}).get("scheme", "row_hash")
+    else:
+        scheme = partition_scheme
+    file_parts = (_partition_files(input_path, partitions)
+                  if scheme == "file_hash" else None)
+    if scheme == "file_hash" and file_parts is None:
+        scheme = "row_hash"  # not a sharded directory — only one shape fits
     # fingerprint the shard set: a resume against a CHANGED input directory
     # (shards added/removed between crash and resume) would silently lose or
     # duplicate rows, since completed partitions are skipped wholesale
@@ -126,19 +161,11 @@ def run_job(
                     parts_sig.append(f"{f}|{fst.st_size}|{fst.st_mtime_ns}")
             sig += "|" + "|".join(parts_sig)
         shard_fingerprint = hashlib.blake2b(sig.encode(), digest_size=8).hexdigest()
-    manifest = JobManifest(output_dir)
-    if not resume:
-        # a fresh recompute: clear the fingerprint, part manifests, and any
-        # stale partition outputs so a changed config can't mix with them
-        shutil.rmtree(manifest.manifest_dir, ignore_errors=True)
-        os.makedirs(manifest.manifest_dir, exist_ok=True)
-        for name in os.listdir(output_dir):
-            if name.startswith("part=") or name.startswith(".tmp-part="):
-                shutil.rmtree(os.path.join(output_dir, name), ignore_errors=True)
     manifest.write_job_config(
         {"input": os.path.abspath(input_path), "partitions": partitions,
          "mode": mode, "rules_version": RULES_VERSION,
-         "shard_fingerprint": shard_fingerprint}
+         "shard_fingerprint": shard_fingerprint,
+         "drop_content": drop_content, "scheme": scheme}
     )
 
     todo = [p for p in range(partitions) if not manifest.is_done(p)]
@@ -207,7 +234,8 @@ def run_job(
                 stage_root = os.path.join(output_dir, ".stage")
                 shutil.rmtree(stage_root, ignore_errors=True)
                 scrubbed = quality_scrub(
-                    ds, mode=mode, emit_mappings=False, concurrency=concurrency
+                    ds, mode=mode, emit_mappings=False, concurrency=concurrency,
+                    drop_content=drop_content,
                 ).map_batches(
                     lambda b: b.append_column(
                         "part_key", pc.cast(b["part_id"], pa.int32())
@@ -252,7 +280,8 @@ def run_job(
                 batch_format="pyarrow",
             )
         scrubbed = quality_scrub(
-            ds, mode=mode, emit_mappings=False, concurrency=concurrency
+            ds, mode=mode, emit_mappings=False, concurrency=concurrency,
+            drop_content=drop_content,
         ).map_batches(
             lambda b: b.append_column("part_key", pc.cast(b["part_id"], pa.int32())),
             batch_format="pyarrow",
@@ -316,6 +345,14 @@ def main(argv=None):
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--limit-parts", type=int, default=None,
                     help="process at most N pending partitions (operational chunking)")
+    ap.add_argument("--partition-scheme", default="auto",
+                    choices=["auto", "row_hash", "file_hash"],
+                    help="row_hash: one streaming pass (fastest clean run);"
+                         " file_hash: shard-mapped chunks (read-optimal"
+                         " resume); auto: resume's recorded scheme, else"
+                         " row_hash")
+    ap.add_argument("--drop-content", action="store_true",
+                    help="output masked content only (halves sink bytes)")
     ap.add_argument("--parts-per-pass", type=int, default=8,
                     help="partitions written per streaming pass (failure "
                          "granularity vs fixed-pipeline-cost amortization)")
@@ -340,6 +377,8 @@ def main(argv=None):
         resume=not args.no_resume,
         limit_parts=args.limit_parts,
         parts_per_pass=args.parts_per_pass,
+        drop_content=args.drop_content,
+        partition_scheme=args.partition_scheme,
     )
     print(json.dumps(summary))
     ray.shutdown()

@@ -42,6 +42,7 @@ def quality_scrub(
     use_actors: bool = False,
     stat_ner: bool = False,
     lm_artifact: Optional[str] = None,
+    drop_content: bool = False,
 ) -> "ray.data.Dataset":
     """Apply the fused flagship stage.
 
@@ -70,6 +71,11 @@ def quality_scrub(
         "emit_mappings": emit_mappings,
         "stat_ner": stat_ner,
         "lm_artifact": lm_artifact,
+        # drop_content=True replaces the original content with the masked
+        # form in the output (SCALE.md "Output"): halves sink bytes and
+        # object-store traffic for consumers that only need the curated
+        # text — the curation DAG's scrub stage passes True
+        "drop_content": drop_content,
     }
     if not use_actors:
         # concurrency is honored on the task path too (max concurrent

@@ -59,6 +59,14 @@ class JobManifest:
         with open(self._part_path(part)) as f:
             return json.load(f)
 
+    def read_config(self) -> Optional[Dict]:
+        """The recorded job config, or None before the first write."""
+        path = os.path.join(self.manifest_dir, "job.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
     def write_job_config(self, config: Dict) -> None:
         """Persist (and on resume, validate) the job fingerprint so a resume
         with different partitioning/config fails loudly instead of mixing."""
@@ -66,7 +74,7 @@ class JobManifest:
         if os.path.exists(path):
             with open(path) as f:
                 existing = json.load(f)
-            for key in ("input", "partitions", "mode", "rules_version", "shard_fingerprint"):
+            for key in sorted(set(existing) | set(config)):
                 if existing.get(key) != config.get(key):
                     raise ValueError(
                         f"resume config mismatch for {key!r}: "

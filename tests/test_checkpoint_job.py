@@ -190,7 +190,8 @@ def test_file_mapped_partitions(ray_session, tmp_path_factory):
     assert sum(len(v) for v in assignment.values()) == 3
 
     out = str(tmp_path_factory.mktemp("filemap_out"))
-    s = run_job(src, out, partitions=2, concurrency=2)
+    s = run_job(src, out, partitions=2, concurrency=2,
+                partition_scheme="file_hash")
     assert s["done_parts"] == 2 and s["totals"]["rows"] == 9000
     # each partition's rows are tagged with ITS part id (file-mapped branch)
     import pyarrow.parquet as pq_
