@@ -234,6 +234,7 @@ def run_curation(
     parts_per_pass: int = 8,
     drop_broadcast_limit: int = 50_000_000,
     fail_after: Optional[str] = None,
+    partition_scheme: str = "auto",
 ) -> Dict:
     """Run (or resume) the staged curation DAG; returns the stage summary.
 
@@ -283,8 +284,14 @@ def run_curation(
             # no downstream stage reads the raw text, and carrying it
             # doubled the scrub stage's sink bytes (5.5 -> 3.2 GB at 3M
             # rows). The scheme default (row_hash one-pass) is the other
-            # half of the round-4 scrub speedup: 270 s -> ~145 s.
-            drop_content=True)
+            # half of the round-4 scrub speedup: 270 s -> ~145 s — at the
+            # cost of all-or-nothing scrub resume (one pass = one
+            # checkpoint unit); pass partition_scheme="file_hash" when
+            # resumes are common and scrub dominates (its chunked passes
+            # checkpoint every parts_per_pass partitions; both protocols
+            # measured in BASELINE.md with digest-identical output).
+            drop_content=True,
+            partition_scheme=partition_scheme)
         manifest.mark_stage("scrub", {
             "seconds": round(time.time() - t0, 3),
             "rows": summary["totals"].get("rows", 0),
