@@ -68,23 +68,48 @@ _WS = " \t\n\r\x0b\x0c"
 
 
 def _digit_regions(text: str) -> List[Tuple[int, int]]:
-    """Merged, whitespace-snapped windows around every digit cluster."""
+    """Merged, whitespace-snapped windows around every digit cluster.
+
+    Edge snapping uses ``str.rfind``/``str.find`` per whitespace char (6
+    C-speed scans of a <=120-byte range) instead of a Python char walk —
+    on digit-dense source text (identifiers like ``batch_4711``) this
+    function runs once per scrubbed file and the walk was ~25% of the
+    whole fused stage (profiled on the 3M-row stress mix). Semantics are
+    byte-identical to the walk: region start = one past the last
+    whitespace in [start-CAP, start-PAD), else start-CAP; region end =
+    the first whitespace in [end+PAD, end+CAP), else end+CAP — the same
+    fixed points the while-loops reached (equivalence fuzz-tested in
+    test_prescreen_fuzz.py)."""
     n = len(text)
     regions: List[Tuple[int, int]] = []
     for m in _DIGIT_CLUSTER_FINDITER(text):
         s = m.start() - _REGION_PAD
+        if s > 0:
+            s_min = max(0, m.start() - _REGION_SNAP_CAP)
+            if s > s_min:
+                w = -1
+                for c in _WS:
+                    f = text.rfind(c, s_min, s)
+                    if f > w:
+                        w = f
+                s = w + 1 if w >= 0 else s_min
+        else:
+            s = 0
         e = m.end() + _REGION_PAD
-        # snap outward to a whitespace boundary (bounded walk)
-        s_min = max(0, m.start() - _REGION_SNAP_CAP)
-        while s > s_min and s > 0 and text[s - 1] not in _WS:
-            s -= 1
-        s = max(0, s)
-        e_max = min(n, m.end() + _REGION_SNAP_CAP)
-        while e < e_max and e < n and text[e] not in _WS:
-            e += 1
-        e = min(n, e)
+        if e < n:
+            e_max = min(n, m.end() + _REGION_SNAP_CAP)
+            if e < e_max:
+                w = -1
+                for c in _WS:
+                    f = text.find(c, e, e_max)
+                    if f != -1 and (w == -1 or f < w):
+                        w = f
+                e = w if w != -1 else e_max
+        else:
+            e = n
         if regions and s <= regions[-1][1]:
-            regions[-1] = (regions[-1][0], max(regions[-1][1], e))
+            if e > regions[-1][1]:
+                regions[-1] = (regions[-1][0], e)
         else:
             regions.append((s, e))
     return regions

@@ -235,6 +235,7 @@ def run_curation(
     drop_broadcast_limit: int = 50_000_000,
     fail_after: Optional[str] = None,
     partition_scheme: str = "auto",
+    verify_bottom_k: Optional[int] = None,
 ) -> Dict:
     """Run (or resume) the staged curation DAG; returns the stage summary.
 
@@ -264,6 +265,7 @@ def run_curation(
         "input": os.path.abspath(input_path), "partitions": partitions,
         "mode": mode, "threshold": threshold, "num_perm": num_perm,
         "bands": bands, "shingle_k": shingle_k,
+        "verify_bottom_k": verify_bottom_k,
         "rules_version": RULES_VERSION,
     })
 
@@ -432,9 +434,14 @@ def run_curation(
             survivors, text_col="content_masked", id_col="doc_key",
             num_perm=num_perm, bands=bands, shingle_k=shingle_k,
             spill_dir=spill)
+        # verify_bottom_k (None = exact Jaccard) is the wide-row scale
+        # knob: MB-scale docs carry ~200k-shingle sets through the verify
+        # join; a bottom-k sketch bounds that payload at 8k bytes with
+        # ~sqrt(J(1-J)/k) estimation error near the threshold
         verified = verify_jaccard_pairs(
             survivors, cand, text_col="content_masked", id_col="doc_key",
-            threshold=threshold, shingle_k=shingle_k)
+            threshold=threshold, shingle_k=shingle_k,
+            bottom_k=verify_bottom_k)
         comps = dup_components_auto(
             verified.map_batches(
                 lambda b: pa.table({"id_a": b["id_a"], "id_b": b["id_b"]}),

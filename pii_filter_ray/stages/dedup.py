@@ -528,10 +528,17 @@ def _shingle_sets_for_ids(
     text_col: str,
     id_col: str,
     shingle_k: int,
+    bottom_k: Optional[int] = None,
 ) -> "ray.data.Dataset":
     """(id, sig: list<int64>) — per-doc DISTINCT shingle hashes, optionally
     restricted to the ids in ``id_array`` (broadcast once, filtered with a
-    vectorized is_in before any shingling work)."""
+    vectorized is_in before any shingling work).
+
+    ``bottom_k`` caps each signature at the k SMALLEST hashes (the
+    classic bottom-k / KMV sketch): an MB-scale document's ~200k-shingle
+    set becomes a fixed k-hash payload, bounding what the verify join
+    ships, at the cost of estimating Jaccard (see _jaccard_bottom_k;
+    exact whenever both docs have <= k shingles)."""
     id_ref = ray.put(id_array) if id_array is not None else None
 
     def sigs(batch: pa.Table) -> pa.Table:
@@ -540,6 +547,8 @@ def _shingle_sets_for_ids(
         ids, sig_col = [], []
         for doc_id, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
             hs = sorted({sql_hash64(s) for s in word_shingles(text or "", shingle_k)})
+            if bottom_k is not None:
+                hs = hs[:bottom_k]
             ids.append(doc_id)
             sig_col.append(hs)
         return pa.table(
@@ -550,6 +559,22 @@ def _shingle_sets_for_ids(
         )
 
     return ds.select_columns([id_col, text_col]).map_batches(sigs, batch_format="pyarrow")
+
+
+def _jaccard_bottom_k(sa, sb, k: int) -> float:
+    """KMV/bottom-k Jaccard estimate from two bottom-k sketches: take the
+    k smallest of the sketch UNION (= the union's own bottom-k, since
+    each side contributes its k smallest) and count how many lie in both
+    sketches — an unbiased estimator with std ~ sqrt(J(1-J)/k)
+    (Broder 1997 / Beyer et al. 2007). Exact when both input sets had
+    <= k elements (the sketches ARE the sets)."""
+    A = set() if sa is None else set(sa)
+    B = set() if sb is None else set(sb)
+    if not A or not B:
+        return -1.0
+    union_bottom = sorted(A | B)[:k]
+    hits = sum(1 for h in union_bottom if h in A and h in B)
+    return hits / len(union_bottom)
 
 
 def _jaccard_from_sigs(sa, sb) -> float:
@@ -570,6 +595,7 @@ def verify_jaccard_pairs(
     threshold: float,
     shingle_k: int = 3,
     broadcast_doc_limit: int = 200_000,
+    bottom_k: Optional[int] = None,
 ) -> "ray.data.Dataset":
     """Exact word-shingle Jaccard verification of candidate pairs —
     distributed; the driver never holds a corpus-wide index, and never
@@ -584,6 +610,11 @@ def verify_jaccard_pairs(
     work) and the pairs are hash-JOINED back to them by id (two
     tagged-union groupby shuffles) with nothing on the driver.
     """
+    # ``bottom_k`` (None = exact) caps each signature at its k smallest
+    # hashes and scores with the KMV estimator — the wide-row scale path:
+    # per-doc payload bounded at 8k bytes instead of O(doc shingles), at
+    # estimation error ~sqrt(J(1-J)/k) near the threshold (exact for docs
+    # with <= k shingles; accuracy law pinned in tests).
     # pin the candidate pairs once — they are consumed several times below,
     # and a lazy Dataset would re-run the whole upstream LSH per consumption
     candidate_pairs = candidate_pairs.materialize()
@@ -622,13 +653,17 @@ def verify_jaccard_pairs(
         # corpus (streaming; within a small constant of the required work)
         # and hash-join pairs to sigs distributively. Materialized because
         # the joined verify consumes it in both union stages.
-        sig_ds = _shingle_sets_for_ids(ds, None, text_col, id_col, shingle_k).materialize()
-        return _verify_pairs_joined(sig_ds, candidate_pairs, id_col, threshold)
+        sig_ds = _shingle_sets_for_ids(
+            ds, None, text_col, id_col, shingle_k,
+            bottom_k=bottom_k).materialize()
+        return _verify_pairs_joined(sig_ds, candidate_pairs, id_col,
+                                    threshold, bottom_k=bottom_k)
 
     cand_ids = pa.array(
         sorted(distinct_ids.select_columns(["cid"]).to_pandas()["cid"]), pa.int64()
     )
-    sig_ds = _shingle_sets_for_ids(ds, cand_ids, text_col, id_col, shingle_k)
+    sig_ds = _shingle_sets_for_ids(ds, cand_ids, text_col, id_col,
+                                   shingle_k, bottom_k=bottom_k)
 
     # broadcast path (cand_ids <= 2*n_pairs <= broadcast_doc_limit by the
     # branch above): candidate-doc sigs only, shipped once via ray.put
@@ -642,7 +677,9 @@ def verify_jaccard_pairs(
         idx = ray.get(ref)  # local plasma read, cached per worker
         keep_a, keep_b, jac = [], [], []
         for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
-            j = _jaccard_from_sigs(idx.get(a), idx.get(b))
+            j = (_jaccard_from_sigs(idx.get(a), idx.get(b))
+                 if bottom_k is None
+                 else _jaccard_bottom_k(idx.get(a), idx.get(b), bottom_k))
             if j >= threshold:
                 keep_a.append(a)
                 keep_b.append(b)
@@ -664,6 +701,7 @@ def _verify_pairs_joined(
     id_col: str,
     threshold: float,
     cand_id_broadcast_limit: int = 20_000_000,
+    bottom_k: Optional[int] = None,
 ) -> "ray.data.Dataset":
     """Fully distributed verify: hash-join pairs to shingle sets by id via
     two tagged-union exchanges (the at-scale path; semantics proven equal
@@ -857,7 +895,8 @@ def _verify_pairs_joined(
                                   pair_rows["sig_a"].to_numpy(), sigs_b):
             if sb is None or (isinstance(sb, float) and pd.isna(sb)):
                 continue
-            j = _jaccard_from_sigs(sa, sb)
+            j = (_jaccard_from_sigs(sa, sb) if bottom_k is None
+                 else _jaccard_bottom_k(sa, sb, bottom_k))
             if j >= threshold:
                 out_a.append(int(ia))
                 out_b.append(int(ib))

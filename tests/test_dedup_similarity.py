@@ -431,3 +431,78 @@ def test_dup_components_local_equivalent(ray_session):
     b = as_dict(dup_components_joined(pairs, max_iters=60))
     assert a == b
     assert a[5] == 0 and a[59] == 20 and a[101] == 100
+
+
+def test_bottom_k_jaccard_estimator_laws():
+    """KMV bottom-k estimator: exact when both sets fit in k; accurate to
+    ~sqrt(J(1-J)/k) on large sets with planted overlap; monotone-safe at
+    the extremes (J=0 -> 0, J=1 -> 1)."""
+    import numpy as np
+
+    from pii_filter_ray.stages.dedup import (
+        _jaccard_bottom_k,
+        _jaccard_from_sigs,
+    )
+
+    rng = np.random.default_rng(11)
+    # small sets: sketch == set -> estimator == exact
+    a = sorted(rng.choice(10**12, 50, replace=False).tolist())
+    b = sorted(set(a[:30]) | set(rng.choice(10**12, 20, replace=False).tolist()))
+    assert _jaccard_bottom_k(a, b, 256) == _jaccard_from_sigs(a, b)
+
+    # large sets with planted J = |inter| / |union|
+    inter = rng.choice(10**12, 6000, replace=False).tolist()
+    only_a = rng.choice(10**12, 4000, replace=False).tolist()
+    only_b = rng.choice(10**12, 4000, replace=False).tolist()
+    A = sorted(set(inter) | set(only_a))
+    B = sorted(set(inter) | set(only_b))
+    exact = _jaccard_from_sigs(A, B)
+    k = 256
+    est = _jaccard_bottom_k(sorted(A)[:k], sorted(B)[:k], k)
+    # std ~ sqrt(J(1-J)/k) ~ 0.031 at J~0.43; 4 sigma bound
+    assert abs(est - exact) < 0.13, (est, exact)
+
+    # extremes
+    assert _jaccard_bottom_k(A[:k], A[:k], k) == 1.0
+    disjoint = sorted(set(only_a))[:k]
+    assert _jaccard_bottom_k(disjoint, sorted(set(only_b))[:k], k) == 0.0
+    assert _jaccard_bottom_k(None, A[:k], k) == -1.0
+
+
+def test_verify_bottom_k_paths_agree(dup_ds, ray_session):
+    """Broadcast and joined verify must produce identical output under
+    bottom_k too (the sketch changes the score, not the plumbing), and
+    on the KB-scale fixture corpus (docs far under k shingles) the
+    sketch verify equals the exact verify outright."""
+    from pii_filter_ray.stages.dedup import (
+        _shingle_sets_for_ids,
+        _verify_pairs_joined,
+        minhash_lsh_pairs,
+        verify_jaccard_pairs,
+    )
+
+    ds = dup_ds
+    cands = minhash_lsh_pairs(ds, text_col="text", id_col="doc_id").materialize()
+    exact = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in verify_jaccard_pairs(ds, cands, "text", "doc_id", 0.5).take_all()
+    )
+    sketch = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in verify_jaccard_pairs(ds, cands, "text", "doc_id", 0.5,
+                                      bottom_k=4096).take_all()
+    )
+    assert exact == sketch  # fixture docs have << 4096 shingles
+    sig_ds = _shingle_sets_for_ids(ds, None, "text", "doc_id", 3,
+                                   bottom_k=64)
+    j1 = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in _verify_pairs_joined(sig_ds, cands, "doc_id", 0.5,
+                                      bottom_k=64).take_all()
+    )
+    j2 = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in verify_jaccard_pairs(ds, cands, "text", "doc_id", 0.5,
+                                      bottom_k=64).take_all()
+    )
+    assert j1 == j2 and len(j1) > 0
