@@ -236,6 +236,7 @@ def run_curation(
     fail_after: Optional[str] = None,
     partition_scheme: str = "auto",
     verify_bottom_k: Optional[int] = None,
+    lsh_sample_mod: Optional[int] = None,
 ) -> Dict:
     """Run (or resume) the staged curation DAG; returns the stage summary.
 
@@ -266,6 +267,7 @@ def run_curation(
         "mode": mode, "threshold": threshold, "num_perm": num_perm,
         "bands": bands, "shingle_k": shingle_k,
         "verify_bottom_k": verify_bottom_k,
+        "lsh_sample_mod": lsh_sample_mod,
         "rules_version": RULES_VERSION,
     })
 
@@ -430,10 +432,15 @@ def run_curation(
                 schema={"content_masked": pa.string()},
             )
         spill = os.path.join(output_dir, ".spill-bands")
+        # lsh_sample_mod (None = exact) mod-hash-samples each doc's
+        # shingles before the 64-permutation pass — with verify_bottom_k
+        # it is the wide-row pair of knobs: sampling cuts the MB-row
+        # MinHash floor ~mod-fold, the bottom-k sketch bounds the verify
+        # payload; both deterministic, both fingerprinted above
         cand = minhash_lsh_pairs(
             survivors, text_col="content_masked", id_col="doc_key",
             num_perm=num_perm, bands=bands, shingle_k=shingle_k,
-            spill_dir=spill)
+            spill_dir=spill, sample_mod=lsh_sample_mod)
         # verify_bottom_k (None = exact Jaccard) is the wide-row scale
         # knob: MB-scale docs carry ~200k-shingle sets through the verify
         # join; a bottom-k sketch bounds that payload at 8k bytes with

@@ -161,6 +161,7 @@ class MinHashStage:
         bands: int = 16,
         shingle_k: int = 3,
         seed: int = 7,
+        sample_mod: Optional[int] = None,
     ):
         assert num_perm % bands == 0
         self.text_col, self.id_col = text_col, id_col
@@ -168,6 +169,15 @@ class MinHashStage:
         self.rows_per_band = num_perm // bands
         self.shingle_k = shingle_k
         self.a, self.b = _minhash_params(num_perm, seed)
+        # sample_mod: mod-hash shingle sampling (keep shingles whose
+        # sql_hash64 % sample_mod == 0) — the wide-row floor cutter: an
+        # MB-scale doc's ~200k shingles shrink ~sample_mod-fold BEFORE
+        # the 64-permutation pass. Because both docs of any pair are
+        # sampled by the SAME deterministic rule, the sample is a uniform
+        # subsample of their union, so J(sample(A), sample(B)) estimates
+        # J(A, B) (Broder's mod-sketch); signatures remain deterministic.
+        # None = exact (the default; the oracle-paired query path).
+        self.sample_mod = sample_mod
         self._shingle_cache: dict = {}
 
     def _sig(self, text: str) -> Optional[np.ndarray]:
@@ -186,6 +196,12 @@ class MinHashStage:
                 v = sql_hash64(s)
                 cache[s] = v
             hs[i] = v
+        if self.sample_mod is not None:
+            kept = hs[hs % np.uint64(self.sample_mod) == 0]
+            # tiny docs may lose every shingle to sampling; fall back to
+            # the full set so no document silently drops out of LSH
+            if len(kept) >= self.rows_per_band:
+                hs = kept
         # (a*h + b) with uint64 wraparound, then mod p, min per permutation —
         # the SQL mirror reproduces the wraparound via HUGEINT % 2^64
         with np.errstate(over="ignore"):
@@ -322,6 +338,7 @@ def minhash_lsh_pairs(
     spill_dir: Optional[str] = None,
     broadcast_key_limit: int = 2_000_000,
     band_rows: Optional["ray.data.Dataset"] = None,
+    sample_mod: Optional[int] = None,
 ) -> "ray.data.Dataset":
     """Candidate near-dup pairs (id_a < id_b) from LSH band buckets.
 
@@ -356,6 +373,7 @@ def minhash_lsh_pairs(
                 bands=bands,
                 shingle_k=shingle_k,
                 seed=seed,
+                sample_mod=sample_mod,
             ),
             batch_format="pyarrow",
         )

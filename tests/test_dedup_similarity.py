@@ -506,3 +506,67 @@ def test_verify_bottom_k_paths_agree(dup_ds, ray_session):
                                       bottom_k=64).take_all()
     )
     assert j1 == j2 and len(j1) > 0
+
+
+def test_minhash_sample_mod_wide_rows(ray_session):
+    """Mod-hash shingle sampling: wide docs' planted near-dup pairs are
+    still found at sample_mod=16 (J(sample(A), sample(B)) estimates
+    J(A,B) because both sides sample by the same deterministic rule),
+    output stays deterministic, and tiny docs fall back to their full
+    shingle set instead of silently dropping out of LSH."""
+    import random
+
+    import ray.data
+
+    from pii_filter_ray.stages.dedup import MinHashStage, minhash_lsh_pairs
+
+    rng = random.Random(17)
+    words = [f"tok{i}_{rng.randint(0, 10**6)}" for i in range(30_000)]
+    rows = {"doc_id": [], "text": []}
+    # 8 wide base docs (~6k words each) + a near-dup of each (2% edit)
+    for i in range(8):
+        ws = [rng.choice(words) for _ in range(6000)]
+        rows["doc_id"].append(i)
+        rows["text"].append(" ".join(ws))
+        dup = list(ws)
+        for _ in range(120):
+            dup[rng.randrange(len(dup))] = rng.choice(words)
+        rows["doc_id"].append(100 + i)
+        rows["text"].append(" ".join(dup))
+    # a handful of tiny docs (fallback path: sampling would empty them)
+    for i in range(5):
+        rows["doc_id"].append(500 + i)
+        rows["text"].append(" ".join(rng.choice(words) for _ in range(12)))
+    import pyarrow as _pa
+
+    ds = ray.data.from_arrow(_pa.table({
+        "doc_id": _pa.array(rows["doc_id"], _pa.int64()),
+        "text": _pa.array(rows["text"], _pa.string()),
+    }))
+    pairs = minhash_lsh_pairs(ds, "text", "doc_id",
+                              sample_mod=16).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    found = sum((i, 100 + i) in got for i in range(8))
+    assert found >= 7, f"only {found}/8 wide near-dup pairs found"
+
+    # determinism: same input -> identical pair set
+    pairs2 = minhash_lsh_pairs(ds, "text", "doc_id",
+                               sample_mod=16).to_pandas()
+    assert got == set(zip(pairs2["id_a"], pairs2["id_b"]))
+
+    # tiny-doc fallback: the signature of a 12-word doc is computed from
+    # its FULL shingle set (identical to the unsampled stage)
+    exact_stage = MinHashStage("text", "doc_id")
+    sampled_stage = MinHashStage("text", "doc_id", sample_mod=16)
+    tiny = rows["text"][-1]
+    import numpy as _np
+
+    assert _np.array_equal(exact_stage._sig(tiny), sampled_stage._sig(tiny))
+
+    # sampling genuinely shrinks the wide-doc working set ~mod-fold
+    wide = rows["text"][0]
+    from pii_filter_ray.stages.dedup import sql_hash64, word_shingles
+
+    hs = [sql_hash64(s) for s in set(word_shingles(wide, 3))]
+    kept = sum(1 for h in hs if h % 16 == 0)
+    assert kept < len(hs) / 8
