@@ -162,6 +162,7 @@ class MinHashStage:
         shingle_k: int = 3,
         seed: int = 7,
         sample_mod: Optional[int] = None,
+        sample_min_shingles: int = 4096,
     ):
         assert num_perm % bands == 0
         self.text_col, self.id_col = text_col, id_col
@@ -177,7 +178,14 @@ class MinHashStage:
         # subsample of their union, so J(sample(A), sample(B)) estimates
         # J(A, B) (Broder's mod-sketch); signatures remain deterministic.
         # None = exact (the default; the oracle-paired query path).
+        # Sampling is SIZE-GATED (sample_min_shingles): small docs keep
+        # their exact sets — they are cheap anyway and sampling them
+        # costs recall — while docs above the gate shrink ~mod-fold.
+        # The asymmetry on mixed pairs (one sampled, one not) is
+        # harmless: true Jaccard is bounded by the size ratio, so a
+        # wide-vs-small pair can never sit near a dedup threshold.
         self.sample_mod = sample_mod
+        self.sample_min_shingles = sample_min_shingles
         self._shingle_cache: dict = {}
 
     def _sig(self, text: str) -> Optional[np.ndarray]:
@@ -196,10 +204,11 @@ class MinHashStage:
                 v = sql_hash64(s)
                 cache[s] = v
             hs[i] = v
-        if self.sample_mod is not None:
+        if (self.sample_mod is not None
+                and len(hs) >= self.sample_min_shingles):
             kept = hs[hs % np.uint64(self.sample_mod) == 0]
-            # tiny docs may lose every shingle to sampling; fall back to
-            # the full set so no document silently drops out of LSH
+            # a pathological doc may lose every shingle to sampling; fall
+            # back to the full set so nothing silently drops out of LSH
             if len(kept) >= self.rows_per_band:
                 hs = kept
         # (a*h + b) with uint64 wraparound, then mod p, min per permutation —
@@ -339,6 +348,7 @@ def minhash_lsh_pairs(
     broadcast_key_limit: int = 2_000_000,
     band_rows: Optional["ray.data.Dataset"] = None,
     sample_mod: Optional[int] = None,
+    sample_min_shingles: int = 4096,
 ) -> "ray.data.Dataset":
     """Candidate near-dup pairs (id_a < id_b) from LSH band buckets.
 
@@ -374,6 +384,7 @@ def minhash_lsh_pairs(
                 shingle_k=shingle_k,
                 seed=seed,
                 sample_mod=sample_mod,
+                sample_min_shingles=sample_min_shingles,
             ),
             batch_format="pyarrow",
         )
@@ -665,14 +676,27 @@ def verify_jaccard_pairs(
     n_docs = distinct_ids.count()
 
     if n_docs > broadcast_doc_limit:
-        # at-scale path: the candidate-doc set itself is too large to hold
-        # anywhere central, which also means candidates cover a significant
-        # fraction of the corpus — compute shingle sets for the whole
-        # corpus (streaming; within a small constant of the required work)
-        # and hash-join pairs to sigs distributively. Materialized because
-        # the joined verify consumes it in both union stages.
+        # joined at-scale path. The candidate-doc set is too large for a
+        # driver-held sig INDEX, but the candidate ID ARRAY (8 B/doc) is
+        # usually still broadcastable — and filtering docs by id BEFORE
+        # shingling is the difference between shingling the candidates
+        # and shingling the whole corpus (round-4 3M-row finding: the
+        # old form re-shingled all 2.9M docs to verify ~0.4M candidates
+        # — the dominant cost of the whole near-dup stage). Only past
+        # ~20M candidate docs does the id broadcast itself become
+        # unreasonable; then candidates genuinely cover the corpus and
+        # whole-corpus shingling is within a small constant of required
+        # work anyway. Materialized because the joined verify consumes
+        # it in both union stages.
+        if n_docs <= 20_000_000:
+            cand_np = np.sort(
+                distinct_ids.select_columns(["cid"]).to_pandas()["cid"]
+                .to_numpy(np.int64))
+            cand_arr = pa.array(cand_np, pa.int64())
+        else:
+            cand_arr = None
         sig_ds = _shingle_sets_for_ids(
-            ds, None, text_col, id_col, shingle_k,
+            ds, cand_arr, text_col, id_col, shingle_k,
             bottom_k=bottom_k).materialize()
         return _verify_pairs_joined(sig_ds, candidate_pairs, id_col,
                                     threshold, bottom_k=bottom_k)

@@ -543,21 +543,22 @@ def test_minhash_sample_mod_wide_rows(ray_session):
         "doc_id": _pa.array(rows["doc_id"], _pa.int64()),
         "text": _pa.array(rows["text"], _pa.string()),
     }))
-    pairs = minhash_lsh_pairs(ds, "text", "doc_id",
-                              sample_mod=16).to_pandas()
+    pairs = minhash_lsh_pairs(ds, "text", "doc_id", sample_mod=16,
+                              sample_min_shingles=1024).to_pandas()
     got = set(zip(pairs["id_a"], pairs["id_b"]))
     found = sum((i, 100 + i) in got for i in range(8))
     assert found >= 7, f"only {found}/8 wide near-dup pairs found"
 
     # determinism: same input -> identical pair set
-    pairs2 = minhash_lsh_pairs(ds, "text", "doc_id",
-                               sample_mod=16).to_pandas()
+    pairs2 = minhash_lsh_pairs(ds, "text", "doc_id", sample_mod=16,
+                               sample_min_shingles=1024).to_pandas()
     assert got == set(zip(pairs2["id_a"], pairs2["id_b"]))
 
     # tiny-doc fallback: the signature of a 12-word doc is computed from
     # its FULL shingle set (identical to the unsampled stage)
     exact_stage = MinHashStage("text", "doc_id")
-    sampled_stage = MinHashStage("text", "doc_id", sample_mod=16)
+    sampled_stage = MinHashStage("text", "doc_id", sample_mod=16,
+                                 sample_min_shingles=1024)
     tiny = rows["text"][-1]
     import numpy as _np
 
