@@ -601,6 +601,17 @@ def main(argv=None):
     ap.add_argument("--threshold", type=float, default=0.8)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--parts-per-pass", type=int, default=8)
+    ap.add_argument("--partition-scheme", default="auto",
+                    choices=["auto", "row_hash", "file_hash"],
+                    help="scrub-stage partitioning (see job.py): row_hash "
+                         "= fastest clean pass; file_hash = read-optimal "
+                         "resume; auto = resume's recorded scheme")
+    ap.add_argument("--verify-bottom-k", type=int, default=None,
+                    help="cap verify signatures at the k smallest shingle "
+                         "hashes (KMV estimate; None = exact Jaccard)")
+    ap.add_argument("--lsh-sample-mod", type=int, default=None,
+                    help="mod-hash shingle sampling before the MinHash "
+                         "permutation pass (None = exact)")
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--digest", action="store_true",
                     help="print the final-output digest and exit")
@@ -618,7 +629,10 @@ def main(argv=None):
         summary = run_curation(
             args.input, args.output, partitions=args.partitions,
             mode=args.mode, threshold=args.threshold,
-            resume=not args.no_resume, parts_per_pass=args.parts_per_pass)
+            resume=not args.no_resume, parts_per_pass=args.parts_per_pass,
+            partition_scheme=args.partition_scheme,
+            verify_bottom_k=args.verify_bottom_k,
+            lsh_sample_mod=args.lsh_sample_mod)
         print(json.dumps(summary))
     ray.shutdown()
 

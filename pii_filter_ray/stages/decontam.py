@@ -55,6 +55,14 @@ _PUT_CACHE: dict = {}
 
 
 def _put_once(bench_ngrams):
+    # identity-keyed caching is only sound for immutable sets: a caller
+    # mutating the same object in place between passes would silently
+    # reuse the stale plasma copy (same id, different contents)
+    if not isinstance(bench_ngrams, frozenset):
+        raise TypeError(
+            "bench_ngrams must be a frozenset (benchmark_ngram_set returns "
+            "one); the broadcast cache keys by object identity and a "
+            "mutable set could change contents without changing identity")
     key = id(bench_ngrams)
     hit = _PUT_CACHE.get(key)
     if hit is None:

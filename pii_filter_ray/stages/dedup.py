@@ -162,7 +162,6 @@ class MinHashStage:
         shingle_k: int = 3,
         seed: int = 7,
         sample_mod: Optional[int] = None,
-        sample_min_shingles: int = 4096,
     ):
         assert num_perm % bands == 0
         self.text_col, self.id_col = text_col, id_col
@@ -178,14 +177,21 @@ class MinHashStage:
         # subsample of their union, so J(sample(A), sample(B)) estimates
         # J(A, B) (Broder's mod-sketch); signatures remain deterministic.
         # None = exact (the default; the oracle-paired query path).
-        # Sampling is SIZE-GATED (sample_min_shingles): small docs keep
-        # their exact sets — they are cheap anyway and sampling them
-        # costs recall — while docs above the gate shrink ~mod-fold.
-        # The asymmetry on mixed pairs (one sampled, one not) is
-        # harmless: true Jaccard is bounded by the size ratio, so a
-        # wide-vs-small pair can never sit near a dedup threshold.
+        # EVERY doc samples by the same rule (no size gate — a gate makes
+        # a near-dup pair straddling it incomparable: one side sampled,
+        # one exact, and per-permutation signature agreement collapses to
+        # ~1/mod, silently losing the pair). The only fallback is
+        # degeneracy: a doc whose sample is smaller than one band
+        # (rows_per_band hashes) keeps its full set so it cannot drop
+        # out of LSH. DOCUMENTED RESIDUAL: a near-dup pair can still
+        # straddle the fallback itself (one side keeps ceil(r) sampled
+        # hashes, the other falls back with r-1); such docs have ~r*mod
+        # expected shingles (~128 at the defaults) and the straddle needs
+        # the correlated samples of two nearly-equal sets to land on
+        # opposite sides of r, so the loss is confined to a thin,
+        # chance-hit boundary (quantified in
+        # test_minhash_sample_mod_boundary).
         self.sample_mod = sample_mod
-        self.sample_min_shingles = sample_min_shingles
         self._shingle_cache: dict = {}
 
     def _sig(self, text: str) -> Optional[np.ndarray]:
@@ -204,11 +210,10 @@ class MinHashStage:
                 v = sql_hash64(s)
                 cache[s] = v
             hs[i] = v
-        if (self.sample_mod is not None
-                and len(hs) >= self.sample_min_shingles):
+        if self.sample_mod is not None:
             kept = hs[hs % np.uint64(self.sample_mod) == 0]
-            # a pathological doc may lose every shingle to sampling; fall
-            # back to the full set so nothing silently drops out of LSH
+            # a small doc may lose (nearly) every shingle to sampling;
+            # fall back to the full set so nothing drops out of LSH
             if len(kept) >= self.rows_per_band:
                 hs = kept
         # (a*h + b) with uint64 wraparound, then mod p, min per permutation —
@@ -348,7 +353,6 @@ def minhash_lsh_pairs(
     broadcast_key_limit: int = 2_000_000,
     band_rows: Optional["ray.data.Dataset"] = None,
     sample_mod: Optional[int] = None,
-    sample_min_shingles: int = 4096,
 ) -> "ray.data.Dataset":
     """Candidate near-dup pairs (id_a < id_b) from LSH band buckets.
 
@@ -384,7 +388,6 @@ def minhash_lsh_pairs(
                 shingle_k=shingle_k,
                 seed=seed,
                 sample_mod=sample_mod,
-                sample_min_shingles=sample_min_shingles,
             ),
             batch_format="pyarrow",
         )
@@ -877,7 +880,11 @@ def _verify_pairs_joined(
         })
 
     def attach_a(g: pd.DataFrame) -> pd.DataFrame:
-        sig_rows = g[g["__m"] == 1]
+        # drop_duplicates: verify_jaccard_pairs is a public API over an
+        # arbitrary ds — duplicate doc ids (or a ~n^2/2^64 doc_key
+        # collision) would make reindex() raise on a non-unique index;
+        # keeping the first matches the old per-group sig.iloc[0]
+        sig_rows = g[g["__m"] == 1].drop_duplicates("join_key")
         pair_rows = g[g["__m"] == 0]
         if len(sig_rows) == 0 or len(pair_rows) == 0:
             return pair_rows.iloc[0:0]
@@ -921,7 +928,7 @@ def _verify_pairs_joined(
     )
 
     def attach_b_and_score(g: pd.DataFrame) -> pd.DataFrame:
-        sig_rows = g[g["__m"] == 1]
+        sig_rows = g[g["__m"] == 1].drop_duplicates("join_key")
         pair_rows = g[g["__m"] == 0]
         if len(sig_rows) == 0 or len(pair_rows) == 0:
             return pd.DataFrame(

@@ -309,6 +309,34 @@ def test_jaccard_verify_joined_equivalent(dup_ds, ray_session):
     assert base == joined2
 
 
+def test_jaccard_verify_joined_tolerates_duplicate_ids(dup_ds, ray_session):
+    """ADVICE r4 (low): verify_jaccard_pairs is a public API over an
+    arbitrary ds — a dataset with a REPEATED doc id (or a doc_key
+    collision) must not crash the joined path's reindex lookup; the first
+    occurrence wins, matching the old per-group sig.iloc[0] semantics."""
+    from pii_filter_ray.stages.dedup import (
+        _shingle_sets_for_ids,
+        _verify_pairs_joined,
+        minhash_lsh_pairs,
+        verify_jaccard_pairs,
+    )
+
+    ds = dup_ds.union(dup_ds.limit(3))  # duplicate the first 3 ids
+    cands = minhash_lsh_pairs(
+        ds, text_col="text", id_col="doc_id").materialize()
+    base = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in verify_jaccard_pairs(
+            ds, cands, "text", "doc_id", 0.5).take_all()
+    )
+    sig_ds = _shingle_sets_for_ids(ds, None, "text", "doc_id", 3)
+    joined = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in _verify_pairs_joined(sig_ds, cands, "doc_id", 0.5).take_all()
+    )
+    assert base == joined and len(joined) > 0
+
+
 def test_bucket_pairs_blocks_equivalent_to_per_group():
     """The vectorized multi-group pair generator must emit exactly the
     per-group generator's pairs, including max_bucket truncation on an
@@ -543,22 +571,21 @@ def test_minhash_sample_mod_wide_rows(ray_session):
         "doc_id": _pa.array(rows["doc_id"], _pa.int64()),
         "text": _pa.array(rows["text"], _pa.string()),
     }))
-    pairs = minhash_lsh_pairs(ds, "text", "doc_id", sample_mod=16,
-                              sample_min_shingles=1024).to_pandas()
+    pairs = minhash_lsh_pairs(ds, "text", "doc_id",
+                              sample_mod=16).to_pandas()
     got = set(zip(pairs["id_a"], pairs["id_b"]))
     found = sum((i, 100 + i) in got for i in range(8))
     assert found >= 7, f"only {found}/8 wide near-dup pairs found"
 
     # determinism: same input -> identical pair set
-    pairs2 = minhash_lsh_pairs(ds, "text", "doc_id", sample_mod=16,
-                               sample_min_shingles=1024).to_pandas()
+    pairs2 = minhash_lsh_pairs(ds, "text", "doc_id",
+                               sample_mod=16).to_pandas()
     assert got == set(zip(pairs2["id_a"], pairs2["id_b"]))
 
     # tiny-doc fallback: the signature of a 12-word doc is computed from
     # its FULL shingle set (identical to the unsampled stage)
     exact_stage = MinHashStage("text", "doc_id")
-    sampled_stage = MinHashStage("text", "doc_id", sample_mod=16,
-                                 sample_min_shingles=1024)
+    sampled_stage = MinHashStage("text", "doc_id", sample_mod=16)
     tiny = rows["text"][-1]
     import numpy as _np
 
@@ -571,3 +598,59 @@ def test_minhash_sample_mod_wide_rows(ray_session):
     hs = [sql_hash64(s) for s in set(word_shingles(wide, 3))]
     kept = sum(1 for h in hs if h % 16 == 0)
     assert kept < len(hs) / 8
+
+
+def test_minhash_sample_mod_boundary(ray_session):
+    """ADVICE r4 (medium): near-dup pairs whose shingle counts sit at the
+    sampling boundary must not be silently lost. With the size gate gone,
+    every doc samples by the same mod rule, so a mid-size pair (well above
+    the rows_per_band fallback) is always sampled consistently; docs AT
+    the fallback boundary (~rows_per_band * mod expected shingles) carry
+    the one documented residual straddle risk — this pins the measured
+    recall there so a regression (e.g. a reintroduced gate) is loud."""
+    import random
+
+    import pyarrow as _pa
+    import ray.data
+
+    from pii_filter_ray.stages.dedup import minhash_lsh_pairs
+
+    rng = random.Random(23)
+    vocab = [f"w{i}_{rng.randint(0, 10**6)}" for i in range(50_000)]
+
+    def plant(base_id, n_words, n_edits, rows):
+        ws = [rng.choice(vocab) for _ in range(n_words)]
+        rows["doc_id"].append(base_id)
+        rows["text"].append(" ".join(ws))
+        dup = list(ws)
+        for _ in range(n_edits):
+            dup[rng.randrange(len(dup))] = rng.choice(vocab)
+        rows["doc_id"].append(base_id + 1000)
+        rows["text"].append(" ".join(dup))
+
+    rows = {"doc_id": [], "text": []}
+    # 12 mid-size pairs (600 words ~ 600 shingles: sampled at mod=16 with
+    # expected ~37 kept >> rows_per_band=8 — the gate-straddle regime the
+    # old size gate broke: under it, a 4100-shingle doc sampled while its
+    # 4090-shingle near-dup stayed exact)
+    for i in range(12):
+        plant(10 * i, 600, 12, rows)
+    # 12 fallback-boundary pairs (~130 words: expected kept ~ 8.1 ~ r —
+    # the residual straddle zone)
+    for i in range(12):
+        plant(2000 + 10 * i, 130, 3, rows)
+    ds = ray.data.from_arrow(_pa.table({
+        "doc_id": _pa.array(rows["doc_id"], _pa.int64()),
+        "text": _pa.array(rows["text"], _pa.string()),
+    }))
+    pairs = minhash_lsh_pairs(ds, "text", "doc_id",
+                              sample_mod=16).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    mid = sum((10 * i, 10 * i + 1000) in got for i in range(12))
+    edge = sum((2000 + 10 * i, 3000 + 10 * i) in got for i in range(12))
+    # mid-size pairs are the advice's regression target: consistent
+    # sampling must recover essentially all of them
+    assert mid >= 11, f"mid-size sampled pairs: {mid}/12 found"
+    # boundary pairs: most survive (both sides usually land on the same
+    # side of the fallback); the budget documents the residual
+    assert edge >= 8, f"fallback-boundary pairs: {edge}/12 found"
