@@ -220,9 +220,9 @@ def _hw_envelope(lo: int, hi: int) -> float:
     return round(t_lo / t_hi, 3)  # per-proc slowdown at hi width
 
 
-def run_scaling() -> dict:
-    """Same headline at two parallelism levels in fresh processes (the
-    sandbox proxy for the N-vs-4N-node criterion; see BASELINE.md)."""
+def _scaling_pair(lo: int, hi: int, trials: int) -> dict:
+    """One lo->hi cpu pair: best-of-N flagship runs in fresh subprocesses
+    per level, plus the box's own hw envelope at the same widths."""
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_MODE="flagship")
@@ -233,15 +233,6 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # Default pair 8 -> 32 cpus: the proxy for N -> 4N NODES at the full
-    # box width. Round 1 straddled 0.8 here from shared LLC/DRAM
-    # saturation; the round-2 prescreen work cut per-file memory traffic
-    # enough that the pair now clears the bar outright (0.833 measured,
-    # BASELINE.md). The unsaturated 4 -> 16 pair (0.949) remains available
-    # via GRAFT_SCALING_LO/HI.
-    lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
-    hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
-    trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))
     # best-of-N per level: single-trial variance on this shared box is >20%,
     # so the fastest trial is the best estimate of steady-state throughput
     runs_lo = [run(lo) for _ in range(trials)]
@@ -252,7 +243,6 @@ def run_scaling() -> dict:
     eff = (t_lo / t_hi) / (hi / lo)
     envelope = _hw_envelope(lo, hi)
     return {
-        "metric": f"scaling efficiency ({lo} -> {hi} cpus, fresh ray sessions, best of {trials})",
         f"sec_{lo}": t_lo,
         f"sec_{hi}": t_hi,
         f"files_per_sec_{lo}": r_lo["files_per_sec"],
@@ -268,6 +258,41 @@ def run_scaling() -> dict:
         "trials_per_level": trials,
         f"all_sec_{lo}": [r["value"] for r in runs_lo],
         f"all_sec_{hi}": [r["value"] for r in runs_hi],
+    }
+
+
+def run_scaling() -> dict:
+    """Same headline at two parallelism levels in fresh processes (the
+    sandbox proxy for the N-vs-4N-node criterion; see BASELINE.md).
+
+    TWO standing pairs per round (VERDICT r4 task #4): 4 -> 16 cpus is the
+    UNSATURATED pair — the honest node-scaling analog, since multi-node
+    clusters replicate whole memory systems and never cross a within-box
+    bandwidth cliff; 8 -> 32 is the saturated full-width pair, reported
+    with the box's own hw envelope for attribution. GRAFT_SCALING_LO/HI
+    still select a single custom pair."""
+    trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))
+    if "GRAFT_SCALING_LO" in os.environ or "GRAFT_SCALING_HI" in os.environ:
+        lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+        hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
+        pair = _scaling_pair(lo, hi, trials)
+        return {
+            "metric": f"scaling efficiency ({lo} -> {hi} cpus, fresh ray "
+                      f"sessions, best of {trials})",
+            **pair,
+        }
+    p_unsat = _scaling_pair(4, 16, trials)
+    p_sat = _scaling_pair(8, 32, trials)
+    return {
+        "metric": "scaling efficiency (standing pairs 4->16 unsaturated + "
+                  f"8->32 full-width, fresh ray sessions, best of {trials})",
+        # top-level keys mirror the historical 8->32 report for
+        # round-over-round comparability
+        **p_sat,
+        "pair_4_16": p_unsat,
+        "pair_8_32": p_sat,
+        "scaling_efficiency_4_16": p_unsat["scaling_efficiency"],
+        "engine_vs_envelope_4_16": p_unsat["engine_vs_envelope"],
     }
 
 

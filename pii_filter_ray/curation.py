@@ -1,10 +1,12 @@
 """The full curation DAG, staged and resumable (VERDICT r3 task #1).
 
-    scrub -> exact dedup -> MinHash/Jaccard near-dup -> keep-rule
-          -> partitioned final write, with manifests at every stage
+    scrub -> exact dedup -> MinHash/Jaccard near-dup -> benchmark
+    decontamination -> keep-rule -> partitioned final write, with
+    manifests at every stage
 
     python -m pii_filter_ray.curation --input <sharded corpus dir> \
-        --output /tmp/cur_out --partitions 32 [--threshold 0.8] [--no-resume]
+        --output /tmp/cur_out --partitions 32 [--threshold 0.8] \
+        [--benchmark <parquet of eval docs>] [--no-resume]
 
 Checkpoint design (two granularities):
 
@@ -62,7 +64,7 @@ import pyarrow.compute as pc
 
 from .state.checkpoint import JobManifest
 
-STAGES = ("scrub", "exact", "neardup", "final")
+STAGES = ("scrub", "exact", "neardup", "decontam", "final")
 
 
 def doc_key_batch(batch: pa.Table) -> pa.Array:
@@ -237,6 +239,10 @@ def run_curation(
     partition_scheme: str = "auto",
     verify_bottom_k: Optional[int] = None,
     lsh_sample_mod: Optional[int] = None,
+    benchmark_path: Optional[str] = None,
+    decontam_n: int = 8,
+    decontam_text_col: str = "text",
+    decontam_max_ngrams: int = 50_000_000,
 ) -> Dict:
     """Run (or resume) the staged curation DAG; returns the stage summary.
 
@@ -268,6 +274,10 @@ def run_curation(
         "bands": bands, "shingle_k": shingle_k,
         "verify_bottom_k": verify_bottom_k,
         "lsh_sample_mod": lsh_sample_mod,
+        "benchmark": (os.path.abspath(benchmark_path)
+                      if benchmark_path else None),
+        "decontam_n": decontam_n,
+        "decontam_text_col": decontam_text_col,
         "rules_version": RULES_VERSION,
     })
 
@@ -437,6 +447,10 @@ def run_curation(
         # it is the wide-row pair of knobs: sampling cuts the MB-row
         # MinHash floor ~mod-fold, the bottom-k sketch bounds the verify
         # payload; both deterministic, both fingerprinted above
+        # the band spill doubles as the standing LSH index for future
+        # --append runs: the final stage prunes it to surviving docs and
+        # publishes it as _bands (16 B/row — ~0.4% of corpus bytes), so an
+        # append never re-shingles the standing corpus
         cand = minhash_lsh_pairs(
             survivors, text_col="content_masked", id_col="doc_key",
             num_perm=num_perm, bands=bands, shingle_k=shingle_k,
@@ -461,93 +475,685 @@ def run_curation(
                 batch_format="pyarrow"),
             tmp)
         _publish(tmp, neardup_dir)
-        shutil.rmtree(spill, ignore_errors=True)
+        # spill kept on disk: the final stage prunes it into _bands
         manifest.mark_stage("neardup", {
             "seconds": round(time.time() - t0, 3), "drops": n_drops})
     _maybe_fail("neardup")
 
-    # ---- stage 4: final anti-join + partitioned write -------------------
-    final_dir = _stage_dir(output_dir, "final")
-    if not manifest.stage_done("final"):
-        t0 = time.time()
-        drop_keys = _load_drop_keys([exact_dir, neardup_dir],
-                                    drop_broadcast_limit)
-        out_cols = ["repo", "path", "commit", "lang", "content_masked",
-                    "content_sha256", "pii_count", "part_id"]
-        ds = _read_scrubbed(scrub_dir, ["keep"] + out_cols)
+    # ---- stage 4: benchmark decontamination over dedup survivors --------
+    # A corpus release decontaminates AFTER dedup (dropping a contaminated
+    # representative must not resurrect its dups — they are already on the
+    # dedup drop lists, so subtracting all three lists composes). The
+    # benchmark n-gram set is built distributively and broadcast ONCE
+    # (ray.put + per-worker cache in stages/decontam.py); the corpus side
+    # is one shuffle-free streaming pass. No benchmark configured ->
+    # the stage checkpoints as an explicit zero-drop skip so the DAG
+    # shape (and digests of benchmark-free runs) stay stable.
+    decontam_dir = _stage_dir(output_dir, "decontam")
+    _stage_decontam(
+        output_dir, manifest, scrub_dir, [exact_dir, neardup_dir],
+        benchmark_path, decontam_text_col, decontam_n,
+        decontam_max_ngrams, drop_broadcast_limit)
+    _maybe_fail("decontam")
 
-        if drop_keys is not None:
-            drop_fn = _drop_keys_fn(drop_keys, key_col=None)
-
-            def finalize(batch: pa.Table) -> pa.Table:
-                batch = batch.filter(batch["keep"])
-                batch = drop_fn(batch)
-                out = batch.select(out_cols)
-                return out.append_column(
-                    "part_key", pc.cast(batch["part_id"], pa.int32()))
-
-            final_ds = ds.map_batches(finalize, batch_format="pyarrow")
-        else:
-            import ray.data as _rd
-
-            def keep_keyed(batch: pa.Table) -> pa.Table:
-                batch = batch.filter(batch["keep"])
-                return batch.append_column("doc_key", doc_key_batch(batch))
-
-            keyed = ds.map_batches(keep_keyed, batch_format="pyarrow")
-            drops_ds = _rd.read_parquet(
-                [d for d in (exact_dir, neardup_dir) if os.listdir(d)])
-            schema = {c: t for c, t in zip(
-                ["repo", "path", "commit", "lang", "content_masked",
-                 "content_sha256", "pii_count", "part_id"],
-                [pa.string()] * 6 + [pa.int32(), pa.int32()])}
-            joined = hash_anti_join(
-                keyed, drops_ds, left_key="doc_key", right_key="doc_key",
-                left_cols=out_cols, schema=schema)
-            final_ds = joined.map_batches(
-                lambda b: b.select(out_cols).append_column(
-                    "part_key", pc.cast(b["part_id"], pa.int32())),
-                batch_format="pyarrow")
-
-        tmp = os.path.join(output_dir, ".tmp-final")
-        shutil.rmtree(tmp, ignore_errors=True)
-        final_ds.write_parquet(tmp, partition_cols=["part_key"])
-        _publish(tmp, final_dir)
-        # lineage metrics: one row per stage
-        stats_rows = []
-        for stage in ("scrub", "exact", "neardup"):
-            s = manifest.stage_stats(stage)["stats"]
-            stats_rows.append((stage, s))
-        import pyarrow.parquet as pq
-
-        n_final = 0
-        for root, _dirs, files in os.walk(final_dir):
-            for f in files:
-                if f.endswith(".parquet"):
-                    n_final += pq.read_metadata(
-                        os.path.join(root, f)).num_rows
-        manifest.mark_stage("final", {
-            "seconds": round(time.time() - t0, 3), "rows": n_final})
-        metrics_dir = os.path.join(output_dir, "_metrics")
-        os.makedirs(metrics_dir, exist_ok=True)
-        mrows = {
-            "stage": [s for s, _ in stats_rows] + ["final"],
-            "rows": [int(st.get("rows", st.get("drops", 0)))
-                     for _, st in stats_rows] + [n_final],
-            "seconds": [float(st["seconds"]) for _, st in stats_rows]
-            + [round(time.time() - t0, 3)],
-        }
-        tmpf = os.path.join(metrics_dir, ".curation_metrics.tmp")
-        pq.write_table(pa.table({
-            "stage": pa.array(mrows["stage"], pa.string()),
-            "rows": pa.array(mrows["rows"], pa.int64()),
-            "seconds": pa.array(mrows["seconds"], pa.float64()),
-        }), tmpf)
-        os.replace(tmpf, os.path.join(metrics_dir,
-                                      "curation_metrics.parquet"))
+    # ---- stage 5: final anti-join + partitioned write -------------------
+    _stage_final(output_dir, manifest, scrub_dir,
+                 [exact_dir, neardup_dir, decontam_dir],
+                 drop_broadcast_limit)
     _maybe_fail("final")
 
     return {s: manifest.stage_stats(s) for s in STAGES}
+
+
+def _stage_decontam(
+    output_dir: str,
+    manifest: CurationManifest,
+    scrub_dir: str,
+    dedup_drop_dirs: List[str],
+    benchmark_path: Optional[str],
+    decontam_text_col: str,
+    decontam_n: int,
+    decontam_max_ngrams: int,
+    drop_broadcast_limit: int,
+) -> None:
+    """Benchmark-decontamination stage body, shared by the base DAG and
+    --append runs (both decontaminate THIS run's dedup survivors)."""
+    import ray.data
+
+    from .stages.joins import hash_anti_join
+
+    decontam_dir = _stage_dir(output_dir, "decontam")
+    if manifest.stage_done("decontam"):
+        return
+    t0 = time.time()
+    if benchmark_path is None:
+        os.makedirs(decontam_dir, exist_ok=True)
+        manifest.mark_stage("decontam", {
+            "seconds": round(time.time() - t0, 3), "drops": 0,
+            "skipped": True})
+        return
+    from .stages.decontam import benchmark_ngram_set, flag_contaminated
+
+    bench = ray.data.read_parquet(benchmark_path)
+    bset = benchmark_ngram_set(
+        bench, decontam_text_col, decontam_n,
+        max_ngrams=decontam_max_ngrams)
+    dedup_keys = _load_drop_keys(dedup_drop_dirs, drop_broadcast_limit)
+    kept = _kept_keyed(scrub_dir, ["content_masked"])
+    if dedup_keys is not None:
+        survivors = kept.map_batches(
+            _drop_keys_fn(dedup_keys, key_col="doc_key"),
+            batch_format="pyarrow")
+    else:
+        survivors = hash_anti_join(
+            kept,
+            ray.data.read_parquet(
+                [d for d in dedup_drop_dirs if os.listdir(d)]),
+            left_key="doc_key", right_key="doc_key",
+            left_cols=["content_masked"],
+            schema={"content_masked": pa.string()},
+        )
+    flagged = flag_contaminated(
+        survivors, bset, id_col="doc_key",
+        text_col="content_masked", n=decontam_n)
+    drops_ds = flagged.map_batches(
+        lambda b: b.filter(b["contaminated"]).select(["doc_key"]),
+        batch_format="pyarrow")
+    tmp = os.path.join(output_dir, ".tmp-decontam")
+    n_drops = _write_drops(drops_ds, tmp)
+    _publish(tmp, decontam_dir)
+    manifest.mark_stage("decontam", {
+        "seconds": round(time.time() - t0, 3), "drops": n_drops,
+        "bench_ngrams": len(bset)})
+
+
+def _stage_final(
+    output_dir: str,
+    manifest: CurationManifest,
+    scrub_dir: str,
+    drop_dirs: List[str],
+    drop_broadcast_limit: int,
+) -> None:
+    """Final stage body (shared by base and --append runs): subtract every
+    drop list from the kept rows, write the partitioned corpus, publish
+    the survivor-pruned _bands index, and emit the funnel metrics."""
+    import ray.data
+
+    from .stages.joins import hash_anti_join
+
+    final_dir = _stage_dir(output_dir, "final")
+    if manifest.stage_done("final"):
+        return
+    t0 = time.time()
+    drop_keys = _load_drop_keys(drop_dirs, drop_broadcast_limit)
+    out_cols = ["repo", "path", "commit", "lang", "content_masked",
+                "content_sha256", "pii_count", "part_id"]
+    ds = _read_scrubbed(scrub_dir, ["keep"] + out_cols)
+
+    if drop_keys is not None:
+        drop_fn = _drop_keys_fn(drop_keys, key_col=None)
+
+        def finalize(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(batch["keep"])
+            batch = drop_fn(batch)
+            out = batch.select(out_cols)
+            return out.append_column(
+                "part_key", pc.cast(batch["part_id"], pa.int32()))
+
+        final_ds = ds.map_batches(finalize, batch_format="pyarrow")
+    else:
+        def keep_keyed(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(batch["keep"])
+            return batch.append_column("doc_key", doc_key_batch(batch))
+
+        keyed = ds.map_batches(keep_keyed, batch_format="pyarrow")
+        drops_ds = ray.data.read_parquet(
+            [d for d in drop_dirs if os.listdir(d)])
+        schema = {c: t for c, t in zip(
+            ["repo", "path", "commit", "lang", "content_masked",
+             "content_sha256", "pii_count", "part_id"],
+            [pa.string()] * 6 + [pa.int32(), pa.int32()])}
+        joined = hash_anti_join(
+            keyed, drops_ds, left_key="doc_key", right_key="doc_key",
+            left_cols=out_cols, schema=schema)
+        final_ds = joined.map_batches(
+            lambda b: b.select(out_cols).append_column(
+                "part_key", pc.cast(b["part_id"], pa.int32())),
+            batch_format="pyarrow")
+
+    tmp = os.path.join(output_dir, ".tmp-final")
+    shutil.rmtree(tmp, ignore_errors=True)
+    final_ds.write_parquet(tmp, partition_cols=["part_key"])
+    _publish(tmp, final_dir)
+    # publish the SURVIVOR-pruned LSH band table as _bands — the
+    # standing near-dup index a future --append run reads instead of
+    # re-shingling this corpus (16 B/row; absent on pre-r5 outputs,
+    # where appends fall back to recomputing standing signatures)
+    spill = os.path.join(output_dir, ".spill-bands")
+    if os.path.isdir(spill):
+        band_ds = ray.data.read_parquet(spill)
+        if drop_keys is not None:
+            band_ds = band_ds.map_batches(
+                _drop_keys_fn(drop_keys, key_col="doc_key"),
+                batch_format="pyarrow")
+        else:
+            band_ds = hash_anti_join(
+                band_ds,
+                ray.data.read_parquet(
+                    [d for d in drop_dirs if os.listdir(d)]),
+                left_key="doc_key", right_key="doc_key",
+                left_cols=["band_key"],
+                schema={"band_key": pa.int64()},
+            )
+        bands_tmp = os.path.join(output_dir, ".tmp-bands")
+        shutil.rmtree(bands_tmp, ignore_errors=True)
+        os.makedirs(bands_tmp, exist_ok=True)
+        band_ds.write_parquet(bands_tmp)
+        _publish(bands_tmp, os.path.join(output_dir, "_bands"))
+        shutil.rmtree(spill, ignore_errors=True)
+    # lineage metrics: one row per stage
+    stats_rows = []
+    for stage in ("scrub", "exact", "neardup", "decontam"):
+        s = manifest.stage_stats(stage)["stats"]
+        stats_rows.append((stage, s))
+    import pyarrow.parquet as pq
+
+    n_final = 0
+    for root, _dirs, files in os.walk(final_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                n_final += pq.read_metadata(
+                    os.path.join(root, f)).num_rows
+    manifest.mark_stage("final", {
+        "seconds": round(time.time() - t0, 3), "rows": n_final})
+    metrics_dir = os.path.join(output_dir, "_metrics")
+    os.makedirs(metrics_dir, exist_ok=True)
+    mrows = {
+        "stage": [s for s, _ in stats_rows] + ["final"],
+        "rows": [int(st.get("rows", st.get("drops", 0)))
+                 for _, st in stats_rows] + [n_final],
+        "seconds": [float(st["seconds"]) for _, st in stats_rows]
+        + [round(time.time() - t0, 3)],
+    }
+    tmpf = os.path.join(metrics_dir, ".curation_metrics.tmp")
+    pq.write_table(pa.table({
+        "stage": pa.array(mrows["stage"], pa.string()),
+        "rows": pa.array(mrows["rows"], pa.int64()),
+        "seconds": pa.array(mrows["seconds"], pa.float64()),
+    }), tmpf)
+    os.replace(tmpf, os.path.join(metrics_dir,
+                                  "curation_metrics.parquet"))
+
+
+def _read_config(output_dir: str) -> Optional[Dict]:
+    path = os.path.join(output_dir, "_manifest", "curation.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _chain_outputs(output_dir: str) -> List[str]:
+    """This run's output dir plus every prior in its --append chain
+    (newest first). Each append run records its ``prior`` in the config
+    manifest; the chain therefore walks back to the base run."""
+    out, cur, seen = [], os.path.abspath(output_dir), set()
+    while cur and cur not in seen:
+        seen.add(cur)
+        out.append(cur)
+        cfg = _read_config(cur)
+        cur = (cfg or {}).get("prior")
+    return out
+
+
+def _final_files(output_dir: str) -> List[str]:
+    final_dir = _stage_dir(output_dir, "final")
+    files = []
+    for root, _dirs, fs in os.walk(final_dir):
+        files += [os.path.join(root, f) for f in fs
+                  if f.endswith(".parquet")]
+    return files
+
+
+def _standing_keyed(chain: List[str], columns: List[str]):
+    """The standing corpus (every final partition across the chain) with
+    doc_key attached — column-pruned read, streaming."""
+    import ray.data
+
+    files = [f for out in chain for f in _final_files(out)]
+    ds = ray.data.read_parquet(files,
+                               columns=["repo", "path", "commit"] + columns)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        out = pa.table({"doc_key": doc_key_batch(batch)})
+        for c in columns:
+            out = out.append_column(c, batch[c])
+        return out
+
+    return ds.map_batches(keyed, batch_format="pyarrow")
+
+
+def run_curation_append(
+    input_path: str,
+    output_dir: str,
+    prior_output: str,
+    partitions: Optional[int] = None,
+    resume: bool = True,
+    concurrency=None,
+    parts_per_pass: int = 8,
+    drop_broadcast_limit: int = 50_000_000,
+    new_id_broadcast_limit: int = 50_000_000,
+    fail_after: Optional[str] = None,
+    partition_scheme: str = "auto",
+) -> Dict:
+    """Incremental curation (VERDICT r4 task #7): curate a NEW shard batch
+    against a standing corpus without recomputing the world.
+
+    The delta runs the same five stages into its OWN output dir; the
+    standing corpus (the --append chain of ``prior_output``) is read-only:
+
+    * exact: a new doc whose masked-content hash matches ANY standing doc
+      is dropped outright (standing wins); within-delta groups keep the
+      min doc_key, as in the base DAG.
+    * near-dup: LSH candidates over delta + standing band rows — the
+      standing side comes from each chain run's published ``_bands`` index
+      (16 B/row; no standing re-shingle), falling back to recomputation
+      only for pre-index outputs. Candidate pairs are cut to
+      delta-involving ones (standing-standing pairs were settled when
+      those runs executed); exact Jaccard verify reads standing content
+      only for candidate docs. A verified component drops ALL its delta
+      members when it touches a standing doc, else all but the min key.
+    * decontam/final: the shared stage bodies — drop lists subtract, the
+      delta's survivors land in ``output_dir/final``, and the delta's own
+      ``_bands`` index is published so the NEXT append chains on.
+
+    Near-dup/decontam knobs (threshold, banding, shingle_k, sampling,
+    benchmark) are INHERITED from the prior's config — a delta deduped
+    under different parameters than its standing corpus is meaningless —
+    and recorded (with the ``prior`` pointer) in this run's manifest.
+    The standing corpus is never rewritten: the total corpus is the chain
+    union (``chain_digest``), and each append is one immutable increment.
+    """
+    import ray.data
+
+    from .job import run_job
+    from .stages.dedup import (
+        MinHashStage,
+        cached_stage_fn,
+        dup_components_auto,
+        minhash_lsh_pairs,
+        verify_jaccard_pairs,
+    )
+    from .stages.joins import hash_semi_join
+    from ray.data.aggregate import Min, Sum
+
+    prior_output = os.path.abspath(prior_output)
+    prior_cfg = _read_config(prior_output)
+    if prior_cfg is None:
+        raise ValueError(
+            f"prior output {prior_output!r} has no curation manifest")
+    if not os.path.exists(os.path.join(prior_output, "_manifest",
+                                       "stage-final.json")):
+        raise ValueError(
+            f"prior output {prior_output!r} has not completed its final "
+            "stage; append only chains onto finished runs")
+    mode = prior_cfg["mode"]
+    threshold = float(prior_cfg["threshold"])
+    num_perm = int(prior_cfg["num_perm"])
+    bands = int(prior_cfg["bands"])
+    shingle_k = int(prior_cfg["shingle_k"])
+    verify_bottom_k = prior_cfg.get("verify_bottom_k")
+    lsh_sample_mod = prior_cfg.get("lsh_sample_mod")
+    benchmark_path = prior_cfg.get("benchmark")
+    decontam_n = int(prior_cfg.get("decontam_n", 8))
+    decontam_text_col = prior_cfg.get("decontam_text_col", "text")
+    if partitions is None:
+        partitions = int(prior_cfg["partitions"])
+
+    os.makedirs(output_dir, exist_ok=True)
+    manifest = CurationManifest(output_dir)
+    if not resume:
+        for stage in STAGES:
+            shutil.rmtree(_stage_dir(output_dir, stage), ignore_errors=True)
+        shutil.rmtree(manifest.manifest_dir, ignore_errors=True)
+        os.makedirs(manifest.manifest_dir, exist_ok=True)
+    manifest.write_config({
+        "input": os.path.abspath(input_path), "partitions": partitions,
+        "mode": mode, "threshold": threshold, "num_perm": num_perm,
+        "bands": bands, "shingle_k": shingle_k,
+        "verify_bottom_k": verify_bottom_k,
+        "lsh_sample_mod": lsh_sample_mod,
+        "benchmark": benchmark_path,
+        "decontam_n": decontam_n,
+        "decontam_text_col": decontam_text_col,
+        "rules_version": prior_cfg["rules_version"],
+        "prior": prior_output,
+    })
+    chain = _chain_outputs(prior_output)
+
+    def _maybe_fail(stage: str) -> None:
+        if fail_after == stage:
+            raise RuntimeError(f"injected crash after stage {stage!r}")
+
+    # ---- stage 1: scrub the delta (same resumable job) ------------------
+    scrub_dir = _stage_dir(output_dir, "scrub")
+    if not manifest.stage_done("scrub"):
+        t0 = time.time()
+        os.makedirs(scrub_dir, exist_ok=True)
+        summary = run_job(
+            input_path, scrub_dir, partitions=partitions, mode=mode,
+            resume=True, concurrency=concurrency,
+            parts_per_pass=parts_per_pass, drop_content=True,
+            partition_scheme=partition_scheme)
+        manifest.mark_stage("scrub", {
+            "seconds": round(time.time() - t0, 3),
+            "rows": summary["totals"].get("rows", 0),
+            "kept": summary["totals"].get("kept", 0),
+            "pii_found": summary["totals"].get("pii_found", 0),
+        })
+    _maybe_fail("scrub")
+
+    # ---- stage 2: exact dedup, delta-vs-(delta ∪ standing) --------------
+    exact_dir = _stage_dir(output_dir, "exact")
+    if not manifest.stage_done("exact"):
+        t0 = time.time()
+        kept = _kept_keyed(scrub_dir, ["content_masked"])
+
+        def hash_rows(batch: pa.Table) -> pa.Table:
+            hs = [
+                int.from_bytes(
+                    hashlib.blake2b((v or "").encode(),
+                                    digest_size=8).digest(),
+                    "little", signed=True)
+                for v in batch["content_masked"].to_pylist()
+            ]
+            return pa.table({
+                "text_hash": pa.array(hs, pa.int64()),
+                "doc_key": batch["doc_key"],
+            })
+
+        pairs = kept.map_batches(
+            hash_rows, batch_format="pyarrow").materialize()
+
+        # within-delta dup groups (delta is small by construction — its
+        # dup-group catalog broadcasts; the base DAG's distributed
+        # fallback applies when a 'delta' is itself corpus-scale)
+        def group_partial(batch: pa.Table) -> pa.Table:
+            g = batch.group_by("text_hash").aggregate(
+                [("doc_key", "count"), ("doc_key", "min")])
+            return pa.table({
+                "text_hash": g["text_hash"],
+                "n": pc.cast(g["doc_key_count"], pa.int64()),
+                "min_key": g["doc_key_min"],
+            })
+
+        groups = (pairs.map_batches(group_partial, batch_format="pyarrow")
+                  .groupby("text_hash")
+                  .aggregate(Sum("n", alias_name="n"),
+                             Min("min_key", alias_name="min_key")))
+        dup_groups = groups.map_batches(
+            lambda b: b.filter(pc.greater(b["n"], 1)),
+            batch_format="pyarrow").materialize()
+        n_dup_groups = dup_groups.count()
+        assert n_dup_groups <= drop_broadcast_limit, (
+            f"{n_dup_groups} within-delta dup groups exceed the broadcast "
+            "gate; curate this batch as a base run instead")
+        within_drops = ray.data.from_arrow(pa.table({
+            "doc_key": pa.array([], pa.int64())}))
+        if n_dup_groups:
+            dup_df = dup_groups.to_pandas()
+            h_sorted = np.sort(dup_df["text_hash"].to_numpy(np.int64))
+            order = np.argsort(dup_df["text_hash"].to_numpy(np.int64),
+                               kind="stable")
+            m_sorted = dup_df["min_key"].to_numpy(np.int64)[order]
+            ref = ray.put((h_sorted, m_sorted))
+
+            def within_fn(batch: pa.Table) -> pa.Table:
+                hs, ms = ray.get(ref)
+                hv = batch["text_hash"].to_numpy(zero_copy_only=False)
+                kv = batch["doc_key"].to_numpy(zero_copy_only=False)
+                pos = np.clip(np.searchsorted(hs, hv), 0, len(hs) - 1)
+                is_drop = (hs[pos] == hv) & (ms[pos] != kv)
+                return pa.table(
+                    {"doc_key": pa.array(kv[is_drop], pa.int64())})
+
+            within_drops = pairs.map_batches(
+                within_fn, batch_format="pyarrow")
+
+        # cross-standing: ANY delta doc whose hash exists in the standing
+        # corpus is dropped, min included — standing wins. Per-block
+        # distinct partials keep the standing shuffle to int64 hashes.
+        standing = _standing_keyed(chain, ["content_masked"])
+
+        def st_hash_partial(batch: pa.Table) -> pa.Table:
+            hs = {
+                int.from_bytes(
+                    hashlib.blake2b((v or "").encode(),
+                                    digest_size=8).digest(),
+                    "little", signed=True)
+                for v in batch["content_masked"].to_pylist()
+            }
+            return pa.table({"text_hash": pa.array(sorted(hs), pa.int64())})
+
+        st_hashes = standing.map_batches(
+            st_hash_partial, batch_format="pyarrow").materialize()
+        if st_hashes.count() <= drop_broadcast_limit:
+            st_np = np.unique(np.concatenate([
+                b["text_hash"].to_numpy(zero_copy_only=False)
+                for b in st_hashes.iter_batches(batch_format="pyarrow")
+            ] or [np.empty(0, np.int64)]))
+            st_ref = ray.put(st_np)
+
+            def cross_fn(batch: pa.Table) -> pa.Table:
+                sh = ray.get(st_ref)
+                hv = batch["text_hash"].to_numpy(zero_copy_only=False)
+                kv = batch["doc_key"].to_numpy(zero_copy_only=False)
+                if len(sh) == 0:
+                    return pa.table({"doc_key": pa.array([], pa.int64())})
+                pos = np.clip(np.searchsorted(sh, hv), 0, len(sh) - 1)
+                return pa.table({"doc_key": pa.array(
+                    kv[sh[pos] == hv], pa.int64())})
+
+            cross_drops = pairs.map_batches(cross_fn,
+                                            batch_format="pyarrow")
+        else:
+            cross_drops = hash_semi_join(
+                pairs, st_hashes,
+                left_key="text_hash", right_key="text_hash",
+                left_cols=["doc_key"], schema={"doc_key": pa.int64()},
+            ).map_batches(
+                lambda b: pa.table({"doc_key": b["doc_key"]}),
+                batch_format="pyarrow")
+
+        tmp = os.path.join(output_dir, ".tmp-exact")
+        n_drops = _write_drops(within_drops.union(cross_drops), tmp)
+        _publish(tmp, exact_dir)
+        manifest.mark_stage("exact", {
+            "seconds": round(time.time() - t0, 3), "drops": n_drops,
+            "dup_groups": n_dup_groups})
+    _maybe_fail("exact")
+
+    # ---- stage 3: near-dup, delta-vs-(delta ∪ standing) -----------------
+    neardup_dir = _stage_dir(output_dir, "neardup")
+    if not manifest.stage_done("neardup"):
+        t0 = time.time()
+        exact_keys = _load_drop_keys([exact_dir], drop_broadcast_limit)
+        assert exact_keys is not None, (
+            "append exact drop list exceeds the broadcast gate; curate "
+            "this batch as a base run instead")
+        kept = _kept_keyed(scrub_dir, ["content_masked"])
+        survivors = kept.map_batches(
+            _drop_keys_fn(exact_keys, key_col="doc_key"),
+            batch_format="pyarrow")
+
+        # delta band rows, spilled so the final stage can publish them as
+        # this run's _bands (delta rows ONLY — standing bands live in the
+        # chain outputs they came from)
+        spill = os.path.join(output_dir, ".spill-bands")
+        shutil.rmtree(spill, ignore_errors=True)
+        survivors.map_batches(
+            cached_stage_fn(
+                MinHashStage, text_col="content_masked", id_col="doc_key",
+                num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+                sample_mod=lsh_sample_mod),
+            batch_format="pyarrow").write_parquet(spill)
+        new_bands = ray.data.read_parquet(spill)
+
+        # standing band rows: the published per-run _bands index; a chain
+        # run without one (pre-index output) falls back to re-shingling
+        # that run's final corpus
+        standing_band_parts = []
+        for out in chain:
+            bdir = os.path.join(out, "_bands")
+            if os.path.isdir(bdir):
+                bfiles = [os.path.join(bdir, f)
+                          for f in sorted(os.listdir(bdir))
+                          if f.endswith(".parquet")]
+                if bfiles:
+                    standing_band_parts.append(
+                        ray.data.read_parquet(bfiles))
+            else:
+                standing_band_parts.append(
+                    _standing_keyed([out], ["content_masked"]).map_batches(
+                        cached_stage_fn(
+                            MinHashStage, text_col="content_masked",
+                            id_col="doc_key", num_perm=num_perm,
+                            bands=bands, shingle_k=shingle_k,
+                            sample_mod=lsh_sample_mod),
+                        batch_format="pyarrow"))
+        band_rows = new_bands
+        for part in standing_band_parts:
+            band_rows = band_rows.union(part)
+
+        cand = minhash_lsh_pairs(
+            survivors, text_col="content_masked", id_col="doc_key",
+            num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+            band_rows=band_rows, band_rows_stable=True,
+            sample_mod=lsh_sample_mod)
+
+        # cut candidates to delta-involving pairs (standing-standing were
+        # settled when those runs executed)
+        new_ids_df = survivors.select_columns(["doc_key"]).materialize()
+        n_new = new_ids_df.count()
+        assert n_new <= new_id_broadcast_limit, (
+            f"{n_new} delta docs exceed the id broadcast gate; curate "
+            "this batch as a base run instead")
+        new_ids = np.sort(np.unique(np.concatenate([
+            b["doc_key"].to_numpy(zero_copy_only=False)
+            for b in new_ids_df.iter_batches(batch_format="pyarrow")
+        ] or [np.empty(0, np.int64)])))
+        new_ref = ray.put(new_ids)
+
+        def _in_new(arr: np.ndarray, ids: np.ndarray) -> np.ndarray:
+            if len(ids) == 0:
+                return np.zeros(len(arr), dtype=bool)
+            pos = np.clip(np.searchsorted(ids, arr), 0, len(ids) - 1)
+            return ids[pos] == arr
+
+        def cut_pairs(batch: pa.Table) -> pa.Table:
+            ids = ray.get(new_ref)
+            a = batch["id_a"].to_numpy(zero_copy_only=False)
+            b = batch["id_b"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(
+                _in_new(a, ids) | _in_new(b, ids)))
+
+        cand_new = cand.map_batches(cut_pairs, batch_format="pyarrow")
+
+        # verify over delta survivors ∪ standing content (sigs computed
+        # only for candidate-involved docs inside verify_jaccard_pairs)
+        union_ds = survivors.union(
+            _standing_keyed(chain, ["content_masked"]))
+        verified = verify_jaccard_pairs(
+            union_ds, cand_new, text_col="content_masked",
+            id_col="doc_key", threshold=threshold, shingle_k=shingle_k,
+            bottom_k=verify_bottom_k)
+
+        # components over verified edges; a component touching ANY
+        # standing doc drops all its delta members (the standing corpus
+        # is immutable), else the min-key delta member survives
+        comps = dup_components_auto(
+            verified.map_batches(
+                lambda b: pa.table({"id_a": b["id_a"], "id_b": b["id_b"]}),
+                batch_format="pyarrow"))
+
+        def mark(batch: pa.Table) -> pa.Table:
+            ids = ray.get(new_ref)
+            iv = batch["id"].to_numpy(zero_copy_only=False)
+            isn = _in_new(iv, ids)
+            return pa.table({
+                "component": batch["component"],
+                "id": batch["id"],
+                "is_new": pa.array(isn, pa.bool_()),
+                "n_standing": pa.array((~isn).astype(np.int64), pa.int64()),
+                "masked_id": pa.array(
+                    np.where(isn, iv, np.iinfo(np.int64).max), pa.int64()),
+            })
+
+        marked = comps.map_batches(mark,
+                                   batch_format="pyarrow").materialize()
+        dec = (marked.groupby("component")
+               .aggregate(Sum("n_standing", alias_name="n_standing"),
+                          Min("masked_id", alias_name="min_new"))
+               ).materialize()
+        n_comps = dec.count()
+        assert n_comps <= drop_broadcast_limit, (
+            f"{n_comps} near-dup components exceed the broadcast gate")
+        if n_comps:
+            dec_df = dec.to_pandas()
+            c_np = dec_df["component"].to_numpy(np.int64)
+            order = np.argsort(c_np, kind="stable")
+            c_sorted = c_np[order]
+            st_cnt = dec_df["n_standing"].to_numpy(np.int64)[order]
+            min_new = dec_df["min_new"].to_numpy(np.int64)[order]
+            dec_ref = ray.put((c_sorted, st_cnt, min_new))
+
+            def decide(batch: pa.Table) -> pa.Table:
+                cs, sc, mn = ray.get(dec_ref)
+                comp = batch["component"].to_numpy(zero_copy_only=False)
+                iv = batch["id"].to_numpy(zero_copy_only=False)
+                isn = batch["is_new"].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(cs, comp)
+                drop = isn & ((sc[pos] > 0) | (iv != mn[pos]))
+                return pa.table(
+                    {"doc_key": pa.array(iv[drop], pa.int64())})
+
+            drops_ds = marked.map_batches(decide, batch_format="pyarrow")
+        else:
+            drops_ds = ray.data.from_arrow(pa.table({
+                "doc_key": pa.array([], pa.int64())}))
+        tmp = os.path.join(output_dir, ".tmp-neardup")
+        n_drops = _write_drops(drops_ds, tmp)
+        _publish(tmp, neardup_dir)
+        manifest.mark_stage("neardup", {
+            "seconds": round(time.time() - t0, 3), "drops": n_drops})
+    _maybe_fail("neardup")
+
+    # ---- stages 4+5: shared bodies --------------------------------------
+    decontam_dir = _stage_dir(output_dir, "decontam")
+    _stage_decontam(
+        output_dir, manifest, scrub_dir, [exact_dir, neardup_dir],
+        benchmark_path, decontam_text_col, decontam_n, 50_000_000,
+        drop_broadcast_limit)
+    _maybe_fail("decontam")
+    _stage_final(output_dir, manifest, scrub_dir,
+                 [exact_dir, neardup_dir, decontam_dir],
+                 drop_broadcast_limit)
+    _maybe_fail("final")
+
+    return {s: manifest.stage_stats(s) for s in STAGES}
+
+
+def chain_digest(output_dir: str) -> Dict:
+    """Digest of the WHOLE standing corpus (this run plus its --append
+    chain): curation_digest's per-row sum is additive mod 2^64, so the
+    chain digest folds the per-run digests without re-reading anything
+    twice."""
+    total, rows = 0, 0
+    for out in _chain_outputs(output_dir):
+        d = curation_digest(out)
+        rows += d["rows"]
+        total = (total + int(d["digest"], 16)) % (1 << 64)
+    return {"rows": rows, "digest": f"{total:016x}"}
 
 
 def curation_digest(output_dir: str) -> Dict:
@@ -596,7 +1202,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
-    ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument("--partitions", type=int, default=None,
+                    help="default 32 for a base run; an --append run "
+                         "inherits the prior's value when unset")
     ap.add_argument("--mode", choices=["code", "text"], default="code")
     ap.add_argument("--threshold", type=float, default=0.8)
     ap.add_argument("--no-resume", action="store_true")
@@ -612,6 +1220,20 @@ def main(argv=None):
     ap.add_argument("--lsh-sample-mod", type=int, default=None,
                     help="mod-hash shingle sampling before the MinHash "
                          "permutation pass (None = exact)")
+    ap.add_argument("--benchmark", default=None,
+                    help="parquet of evaluation/benchmark docs; dedup "
+                         "survivors sharing any word n-gram with it are "
+                         "dropped (omit to skip decontamination)")
+    ap.add_argument("--decontam-n", type=int, default=8,
+                    help="decontamination n-gram length (words)")
+    ap.add_argument("--decontam-text-col", default="text",
+                    help="text column of the benchmark parquet")
+    ap.add_argument("--prior", default=None,
+                    help="APPEND MODE: path of a completed curation output "
+                         "to chain onto — the input shards are curated "
+                         "against delta ∪ standing and written as a new "
+                         "immutable increment (dedup/decontam knobs are "
+                         "inherited from the prior's config)")
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--digest", action="store_true",
                     help="print the final-output digest and exit")
@@ -624,15 +1246,26 @@ def main(argv=None):
                  include_dashboard=False, ignore_reinit_error=True,
                  logging_level="ERROR")
     if args.digest:
-        print(json.dumps(curation_digest(args.output)))
+        print(json.dumps({"run": curation_digest(args.output),
+                          "chain": chain_digest(args.output)}))
+    elif args.prior:
+        summary = run_curation_append(
+            args.input, args.output, prior_output=args.prior,
+            partitions=args.partitions,
+            resume=not args.no_resume, parts_per_pass=args.parts_per_pass,
+            partition_scheme=args.partition_scheme)
+        print(json.dumps(summary))
     else:
         summary = run_curation(
-            args.input, args.output, partitions=args.partitions,
+            args.input, args.output, partitions=args.partitions or 32,
             mode=args.mode, threshold=args.threshold,
             resume=not args.no_resume, parts_per_pass=args.parts_per_pass,
             partition_scheme=args.partition_scheme,
             verify_bottom_k=args.verify_bottom_k,
-            lsh_sample_mod=args.lsh_sample_mod)
+            lsh_sample_mod=args.lsh_sample_mod,
+            benchmark_path=args.benchmark,
+            decontam_n=args.decontam_n,
+            decontam_text_col=args.decontam_text_col)
         print(json.dumps(summary))
     ray.shutdown()
 

@@ -353,6 +353,7 @@ def minhash_lsh_pairs(
     broadcast_key_limit: int = 2_000_000,
     band_rows: Optional["ray.data.Dataset"] = None,
     sample_mod: Optional[int] = None,
+    band_rows_stable: bool = False,
 ) -> "ray.data.Dataset":
     """Candidate near-dup pairs (id_a < id_b) from LSH band buckets.
 
@@ -402,7 +403,11 @@ def minhash_lsh_pairs(
         _shutil.rmtree(spill_dir, ignore_errors=True)
         band_rows.write_parquet(spill_dir)
         band_rows = ray.data.read_parquet(spill_dir)
-    else:
+    elif not band_rows_stable:
+        # band_rows is consumed twice below; pin it unless the caller
+        # guarantees it is already cheap to re-consume (parquet-backed or
+        # materialized — e.g. --append's standing _bands index, which must
+        # NOT be copied into the object store corpus-wide per append)
         band_rows = band_rows.materialize()
 
     # colliding keys (count>=2) via aggregate — no per-bucket python calls

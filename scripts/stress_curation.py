@@ -113,13 +113,31 @@ def phase_gen(args) -> str:
     return d
 
 
-def phase_run(corpus: str, out: str, cpus: int, partitions: int) -> dict:
+def make_benchmark(corpus: str, path: str, n_docs: int = 500) -> str:
+    """Deterministic benchmark parquet quoting ``n_docs`` corpus docs (every
+    k-th row of the first shard) — plants real contamination so the
+    protocol's decontam stage does measurable work."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shard = sorted(f for f in os.listdir(corpus) if f.endswith(".parquet"))[0]
+    t = pq.read_table(os.path.join(corpus, shard), columns=["content"])
+    step = max(1, t.num_rows // n_docs)
+    texts = [v for v in t["content"].to_pylist()[::step][:n_docs]
+             if v and len(v.split()) >= 16]
+    pq.write_table(pa.table({"text": pa.array(texts, pa.string())}), path)
+    return path
+
+
+def phase_run(corpus: str, out: str, cpus: int, partitions: int,
+              benchmark: str = None) -> dict:
     ray = _ray_init(cpus)
     from pii_filter_ray.curation import curation_digest, run_curation
 
     poller = ShmPeakPoller()
     t0 = time.time()
-    summary = run_curation(corpus, out, partitions=partitions)
+    summary = run_curation(corpus, out, partitions=partitions,
+                           benchmark_path=benchmark)
     wall = time.time() - t0
     digest = curation_digest(out)
     res = {
@@ -146,25 +164,35 @@ def main():
     ap.add_argument("--corpus-root", default="/tmp/pii_ray_stress")
     ap.add_argument("--phase", choices=["all", "gen", "runA", "runB"],
                     default="all")
+    ap.add_argument("--benchmark", choices=["none", "auto"], default="auto",
+                    help="auto: plant a 500-doc benchmark quoting corpus "
+                         "docs so the decontam stage does real work; "
+                         "none: 4-stage-equivalent run (decontam skips)")
     ap.add_argument("--_subrun", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     if args._subrun:
         # child process for the kill test: run the DAG until killed
-        corpus, out = args._subrun.split("::")
-        res = phase_run(corpus, out, args.cpus, args.partitions)
+        corpus, out, bench = (args._subrun.split("::") + [None])[:3]
+        res = phase_run(corpus, out, args.cpus, args.partitions,
+                        benchmark=bench or None)
         print(json.dumps({"phase": "subrun", **res}), flush=True)
         return
 
     corpus_dir = phase_gen(args)
     corpus = os.path.join(corpus_dir, "corpus")
+    bench = None
+    if args.benchmark == "auto":
+        bench = make_benchmark(
+            corpus, os.path.join(corpus_dir, "benchmark.parquet"))
 
     out_a = os.path.join(args.out, "runA")
     out_b = os.path.join(args.out, "runB")
     shutil.rmtree(args.out, ignore_errors=True)
     os.makedirs(args.out, exist_ok=True)
 
-    res_a = phase_run(corpus, out_a, args.cpus, args.partitions)
+    res_a = phase_run(corpus, out_a, args.cpus, args.partitions,
+                      benchmark=bench)
     print(json.dumps({"phase": "runA", **res_a}), flush=True)
     # free the disk before run B; the digest is what we keep
     shutil.rmtree(out_a, ignore_errors=True)
@@ -173,7 +201,7 @@ def main():
     kill_at = max(5.0, args.kill_after_frac * res_a["wall_seconds"])
     child = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__),
-         f"--_subrun={corpus}::{out_b}",
+         f"--_subrun={corpus}::{out_b}::{bench or ''}",
          f"--cpus={args.cpus}", f"--partitions={args.partitions}"],
         cwd=REPO, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         start_new_session=True)
@@ -185,7 +213,8 @@ def main():
     time.sleep(3)  # let the killed Ray session's sockets clear
 
     t0 = time.time()
-    res_b = phase_run(corpus, out_b, args.cpus, args.partitions)
+    res_b = phase_run(corpus, out_b, args.cpus, args.partitions,
+                      benchmark=bench)
     res_b["resume_wall_seconds"] = round(time.time() - t0, 1)
     print(json.dumps({"phase": "runB_resume", **res_b}), flush=True)
 

@@ -138,15 +138,17 @@ def test_planted_dedup_ground_truth(dag_out, stress_dir):
 def test_stage_metrics_lineage(dag_out):
     m = pq.read_table(os.path.join(
         dag_out, "_metrics", "curation_metrics.parquet")).to_pandas()
-    assert list(m["stage"]) == ["scrub", "exact", "neardup", "final"]
-    assert (m["seconds"] > 0).all()
+    assert list(m["stage"]) == ["scrub", "exact", "neardup", "decontam",
+                                "final"]
+    assert (m["seconds"] >= 0).all()
     scrub = json.load(open(os.path.join(
         dag_out, "_manifest", "stage-scrub.json")))
     final_rows = int(m.set_index("stage").loc["final", "rows"])
     assert 0 < final_rows < scrub["stats"]["kept"]
 
 
-@pytest.mark.parametrize("crash_stage", ["scrub", "exact", "neardup"])
+@pytest.mark.parametrize("crash_stage", ["scrub", "exact", "neardup",
+                                         "decontam"])
 def test_crash_resume_digest_equality(ray_session, stress_dir, tmp_path,
                                       dag_out, crash_stage):
     """Kill the DAG right after ``crash_stage`` checkpoints; the resumed
@@ -166,6 +168,196 @@ def test_crash_resume_digest_equality(ray_session, stress_dir, tmp_path,
                  partitions=8, threshold=0.8)
     assert curation_digest(out) == ref
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_decontam_stage_planted(ray_session, stress_dir, tmp_path, dag_out):
+    """Decontamination as the fifth resumable stage (VERDICT r4 task #2):
+    a benchmark quoting 20 final-corpus documents must remove exactly the
+    flagged dedup survivors from the final output, the funnel metrics
+    carry a decontam row, and a crash right after the decontam checkpoint
+    resumes to the same final corpus (digest equality against an
+    uninterrupted decontaminated run)."""
+    import pyarrow as pa
+
+    from pii_filter_ray.curation import run_curation as rc
+
+    # benchmark = the masked content of 20 deterministic final docs with
+    # enough words to carry 8-grams (planted contamination ground truth)
+    final_dir = os.path.join(dag_out, "final")
+    files = [os.path.join(r, f) for r, _d, fs in os.walk(final_dir)
+             for f in fs if f.endswith(".parquet")]
+    t = pq.read_table(
+        files, columns=["repo", "path", "commit", "content_masked"])
+    rows = sorted(
+        (
+            (_doc_key(r, p, c), m)
+            for r, p, c, m in zip(
+                t["repo"].to_pylist(), t["path"].to_pylist(),
+                t["commit"].to_pylist(), t["content_masked"].to_pylist())
+            if m and len(m.split()) >= 16
+        ),
+    )[:20]
+    assert len(rows) == 20
+    planted_keys = {k for k, _m in rows}
+    bench_path = str(tmp_path / "benchmark.parquet")
+    pq.write_table(
+        pa.table({"text": pa.array([m for _k, m in rows], pa.string())}),
+        bench_path)
+
+    corpus = os.path.join(stress_dir, "corpus")
+    out_ref = str(tmp_path / "deconta_ref")
+    rc(corpus, out_ref, partitions=8, threshold=0.8,
+       benchmark_path=bench_path)
+    ref_digest = curation_digest(out_ref)
+
+    out = str(tmp_path / "decontam_crash")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        rc(corpus, out, partitions=8, threshold=0.8,
+           benchmark_path=bench_path, fail_after="decontam")
+    assert os.path.exists(
+        os.path.join(out, "_manifest", "stage-decontam.json"))
+    summary = rc(corpus, out, partitions=8, threshold=0.8,
+                 benchmark_path=bench_path)
+    assert curation_digest(out) == ref_digest
+
+    # planted docs are gone; nothing outside the decontam drop count left
+    final = _final_keys(out)
+    assert not (planted_keys & final), "contaminated docs must be dropped"
+    base = _final_keys(dag_out)
+    n_drops = summary["decontam"]["stats"]["drops"]
+    assert n_drops >= 20
+    assert final <= base
+    assert len(base) - len(final) == n_drops
+
+    # funnel metrics carry the decontam row with the same drop count
+    m = pq.read_table(os.path.join(
+        out, "_metrics", "curation_metrics.parquet")).to_pandas()
+    assert int(m.set_index("stage").loc["decontam", "rows"]) == n_drops
+
+    # resuming with a DIFFERENT benchmark config fails loudly
+    with pytest.raises(ValueError, match="config mismatch"):
+        rc(corpus, out, partitions=8, threshold=0.8, benchmark_path=None)
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(out_ref, ignore_errors=True)
+
+
+def test_append_incremental(ray_session, stress_dir, tmp_path, dag_out):
+    """--append mode (VERDICT r4 task #7): a delta batch curated against
+    the standing corpus. Planted truth: delta rows that exactly copy a
+    standing doc's content are dropped (standing wins), delta rows that
+    near-duplicate a standing doc are dropped via the standing _bands
+    index, fresh delta docs survive as a new immutable increment, the
+    standing output is untouched, and the chain digest folds both runs.
+    Crash+resume: a kill after the neardup checkpoint resumes to the same
+    digest as an uninterrupted append."""
+    import pyarrow as pa
+
+    from pii_filter_ray.curation import (
+        chain_digest,
+        run_curation_append,
+    )
+    from pii_filter_ray.sources.stress_corpus import stress_corpus_dir
+
+    base_digest = curation_digest(dag_out)
+    assert os.path.isdir(os.path.join(dag_out, "_bands")), \
+        "base run must publish its _bands index"
+
+    # standing docs to plant against: final rows with >= 120 words whose
+    # ORIGINAL raw content we can recover from the input corpus
+    final_dir = os.path.join(dag_out, "final")
+    ffiles = [os.path.join(r, f) for r, _d, fs in os.walk(final_dir)
+              for f in fs if f.endswith(".parquet")]
+    ft = pq.read_table(ffiles, columns=["repo", "path", "commit"])
+    final_ids = {(r, p, c) for r, p, c in zip(
+        ft["repo"].to_pylist(), ft["path"].to_pylist(),
+        ft["commit"].to_pylist())}
+    cfiles = [os.path.join(stress_dir, "corpus", f)
+              for f in sorted(os.listdir(os.path.join(stress_dir, "corpus")))
+              if f.endswith(".parquet")]
+    ct = pq.read_table(cfiles)
+    victims = []
+    for i in range(ct.num_rows):
+        key = (ct["repo"][i].as_py(), ct["path"][i].as_py(),
+               ct["commit"][i].as_py())
+        content = ct["content"][i].as_py()
+        if key in final_ids and content and len(content.split()) >= 120:
+            victims.append((key, content))
+        if len(victims) >= 10:
+            break
+    assert len(victims) == 10
+
+    # delta = a fresh stress batch (different seed -> fresh docs, plus its
+    # own internal dups/junk the append DAG must still handle) + a planted
+    # shard: 5 exact copies and 5 near-dups (2 word edits) of standing docs
+    delta_src = stress_corpus_dir(
+        n_rows=600, seed=31, rows_per_shard=256,
+        mb_every=500, mb_bytes=120_000, emit_expectations=False)
+    delta_dir = str(tmp_path / "delta")
+    os.makedirs(delta_dir, exist_ok=True)
+    for f in sorted(os.listdir(os.path.join(delta_src, "corpus"))):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(delta_src, "corpus", f),
+                        os.path.join(delta_dir, f))
+    rows = {"repo": [], "path": [], "commit": [], "lang": [],
+            "content": []}
+    planted_exact, planted_near = [], []
+    for i, ((_r, _p, _c), content) in enumerate(victims):
+        if i < 5:
+            planted_content = content
+        else:
+            ws = content.split()
+            ws[10] = f"qz{i}edit"
+            ws[60] = f"qz{i}edit2"
+            planted_content = " ".join(ws)
+        repo, path, commit = ("org_delta/repo_a", f"src/planted_{i}.js",
+                              f"{i:040x}")
+        rows["repo"].append(repo)
+        rows["path"].append(path)
+        rows["commit"].append(commit)
+        rows["lang"].append("javascript")
+        rows["content"].append(planted_content)
+        (planted_exact if i < 5 else planted_near).append(
+            _doc_key(repo, path, commit))
+    pq.write_table(pa.table({k: pa.array(v, pa.string())
+                             for k, v in rows.items()}),
+                   os.path.join(delta_dir, "planted.parquet"))
+
+    # uninterrupted reference append
+    out_ref = str(tmp_path / "append_ref")
+    summary = run_curation_append(delta_dir, out_ref, prior_output=dag_out)
+    ref_digest = curation_digest(out_ref)
+    final = _final_keys(out_ref)
+
+    assert not (set(planted_exact) & final), \
+        "exact copies of standing docs must be dropped"
+    assert not (set(planted_near) & final), \
+        "near-dups of standing docs must be dropped (via _bands index)"
+    assert len(final) > 300, "fresh delta docs must survive"
+    assert summary["exact"]["stats"]["drops"] >= 5
+    assert summary["neardup"]["stats"]["drops"] >= 5
+
+    # the standing corpus is untouched and the chain digest folds
+    assert curation_digest(dag_out) == base_digest
+    cd = chain_digest(out_ref)
+    assert cd["rows"] == base_digest["rows"] + ref_digest["rows"]
+    expect = (int(base_digest["digest"], 16)
+              + int(ref_digest["digest"], 16)) % (1 << 64)
+    assert cd["digest"] == f"{expect:016x}"
+
+    # the append publishes its own _bands increment (delta rows only)
+    assert os.path.isdir(os.path.join(out_ref, "_bands"))
+
+    # crash after neardup checkpoints -> resume reproduces the digest
+    out = str(tmp_path / "append_crash")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_curation_append(delta_dir, out, prior_output=dag_out,
+                            fail_after="neardup")
+    summary2 = run_curation_append(delta_dir, out, prior_output=dag_out)
+    assert curation_digest(out) == ref_digest
+    assert summary2["neardup"]["stats"]["drops"] == \
+        summary["neardup"]["stats"]["drops"]
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(out_ref, ignore_errors=True)
 
 
 def test_resume_config_mismatch_fails_loud(ray_session, stress_dir,
