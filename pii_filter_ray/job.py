@@ -83,6 +83,7 @@ def run_job(
     parts_per_pass: int = 8,
     drop_content: bool = False,
     partition_scheme: str = "auto",
+    row_chunks: int = 4,
 ) -> dict:
     """Returns the manifest summary. Ray must already be initialised by the
     caller (or auto-inits on first Dataset use).
@@ -90,14 +91,16 @@ def run_job(
     Partitioning strategy (``partition_scheme``, recorded in job.json so a
     resume always continues with the scheme its outputs were built under):
 
-    * ``row_hash`` (the ``auto`` default for fresh runs) — ONE streaming
-      pass over the whole input; part_id = blake2b(repo|path|commit) % P
-      per row, hive-partitioned write. Fastest clean-run shape (measured
-      145 s vs 261 s chunked on the 3M-row stress corpus: no per-chunk
-      pipeline restarts, no Dataset.union — a union of 32 sub-datasets
-      degenerates in the streaming executor). A resume re-scans the input
-      and filters to pending partitions BEFORE the scrub (the filter is a
-      hash per row; the re-read is the documented cost).
+    * ``row_hash`` (the ``auto`` default for fresh runs) — ``row_chunks``
+      streaming passes over round-robin slices of the shard list; part_id
+      = blake2b(repo|path|commit) % P per row, hive-partitioned write per
+      pass, each pass checkpointed with a chunk marker (round-5: a
+      mid-run kill resumes at pass granularity instead of restarting the
+      whole scrub). Still the fastest clean-run shape: no Dataset.union
+      (part_id is per-row — a union of 32 sub-datasets degenerates in the
+      streaming executor) and only row_chunks-1 extra fixed pipeline
+      costs (~1-2 s each against the 145 s one-pass wall measured at 3M
+      rows; the old one-pass form is row_chunks=1).
     * ``file_hash`` — shard files map to partitions by filename hash, and
       partitions are processed in chunks of ``parts_per_pass``. A resume
       reads ONLY pending partitions' shards — the read-optimal choice at
@@ -119,7 +122,8 @@ def run_job(
         shutil.rmtree(manifest.manifest_dir, ignore_errors=True)
         os.makedirs(manifest.manifest_dir, exist_ok=True)
         for name in os.listdir(output_dir):
-            if name.startswith("part=") or name.startswith(".tmp-part="):
+            if (name.startswith("part=") or name.startswith(".tmp-part=")
+                    or name.startswith(".chunks-part=")):
                 shutil.rmtree(os.path.join(output_dir, name), ignore_errors=True)
     prev_cfg = manifest.read_config()
     if partition_scheme == "auto":
@@ -165,7 +169,10 @@ def run_job(
         {"input": os.path.abspath(input_path), "partitions": partitions,
          "mode": mode, "rules_version": RULES_VERSION,
          "shard_fingerprint": shard_fingerprint,
-         "drop_content": drop_content, "scheme": scheme}
+         "drop_content": drop_content, "scheme": scheme,
+         # chunk boundaries must be identical across a resume: a marker
+         # from a 4-chunk run must never satisfy an 8-chunk resume
+         "row_chunks": row_chunks if scheme == "row_hash" else None}
     )
 
     todo = [p for p in range(partitions) if not manifest.is_done(p)]
@@ -260,12 +267,11 @@ def run_job(
                     extra={"chunk_seconds": round(chunk_wall, 3),
                            "chunk_parts": len(chunk)},
                 )
-    elif todo:
-        # single-file input: ONE pass over the input writes every pending
-        # partition via a hive-partitioned write on the part hash (the
-        # round-1 fallback re-read the whole input once per partition —
-        # P-fold read amplification). part_id is carried twice for the
-        # write: as a kept data column and as the (consumed) partition key.
+    elif todo and limit_parts is not None and len(todo) < partitions:
+        # operational chunking (limit_parts): the CALLER bounds which
+        # partitions this invocation produces, so chunk markers (which
+        # assert a full-input pass) don't apply — keep the single-pass
+        # row-filtered form for this niche
         stage_root = os.path.join(output_dir, ".stage")
         shutil.rmtree(stage_root, ignore_errors=True)
         t0 = time.time()
@@ -273,12 +279,11 @@ def run_job(
         ds = ds.map_batches(
             lambda b, P=partitions: add_part_id(b, P), batch_format="pyarrow"
         )
-        if len(todo) < partitions:
-            pend = pa.array(sorted(todo), pa.int32())
-            ds = ds.map_batches(
-                lambda b, s=pend: b.filter(pc.is_in(b["part_id"], value_set=s)),
-                batch_format="pyarrow",
-            )
+        pend = pa.array(sorted(todo), pa.int32())
+        ds = ds.map_batches(
+            lambda b, s=pend: b.filter(pc.is_in(b["part_id"], value_set=s)),
+            batch_format="pyarrow",
+        )
         scrubbed = quality_scrub(
             ds, mode=mode, emit_mappings=False, concurrency=concurrency,
             drop_content=drop_content,
@@ -297,6 +302,103 @@ def run_job(
                 os.rename(staged, tmp_dir)
             _finalize_part(part, tmp_dir, per_part)
         shutil.rmtree(stage_root, ignore_errors=True)
+    elif todo:
+        # row_hash scheme, CHUNKED (round-5): the shard list splits
+        # round-robin into ``row_chunks`` passes; each pass streams its
+        # files once, hive-writes on the per-row part hash, MOVES the
+        # written files into per-partition accumulation dirs under
+        # chunk-prefixed names, and checkpoints with a chunk marker. A
+        # mid-run kill therefore resumes at pass granularity (redoing at
+        # most one pass) instead of restarting the whole scrub — the
+        # file_hash-grade resume at row_hash-grade clean speed: no
+        # Dataset.union (part_id is per-row), and only row_chunks-1 extra
+        # fixed pipeline costs (~1-2 s each vs a 145 s pass at 3M rows).
+        # Partition markers are written LAST, after every chunk, so the
+        # "partition done" contract downstream is unchanged.
+        if os.path.isdir(input_path):
+            in_files = sorted(
+                os.path.join(input_path, f)
+                for f in os.listdir(input_path)
+                if f.endswith(".parquet")
+            )
+        else:
+            in_files = [input_path]
+        n_chunks = max(1, min(row_chunks, len(in_files)))
+
+        def chunk_part_dir(part: int) -> str:
+            return os.path.join(output_dir, f".chunks-part={part:04d}")
+
+        chunk_walls = []
+        for ci in range(n_chunks):
+            if manifest.is_chunk_done(ci):
+                cs = manifest.chunk_stats(ci)
+                chunk_walls.append(float(cs["stats"].get("seconds", 0.0)))
+                continue
+            # clear any partially-moved files from a killed attempt of
+            # THIS chunk (deterministic chunk-prefixed names)
+            prefix = f"chunk{ci:04d}-"
+            for part in range(partitions):
+                d = chunk_part_dir(part)
+                if os.path.isdir(d):
+                    for name in os.listdir(d):
+                        if name.startswith(prefix):
+                            os.remove(os.path.join(d, name))
+            t0 = time.time()
+            stage_root = os.path.join(output_dir, ".stage")
+            shutil.rmtree(stage_root, ignore_errors=True)
+            chunk_in = in_files[ci::n_chunks]
+            ds = ray.data.read_parquet(
+                chunk_in[0] if len(chunk_in) == 1 else chunk_in)
+            ds = ds.map_batches(
+                lambda b, P=partitions: add_part_id(b, P),
+                batch_format="pyarrow",
+            )
+            if len(todo) < partitions:
+                # partitions outside todo are already done (the only way
+                # todo shrinks); skipping their rows is safe because a
+                # later resume can only see a smaller todo
+                pend = pa.array(sorted(todo), pa.int32())
+                ds = ds.map_batches(
+                    lambda b, s=pend: b.filter(
+                        pc.is_in(b["part_id"], value_set=s)),
+                    batch_format="pyarrow",
+                )
+            scrubbed = quality_scrub(
+                ds, mode=mode, emit_mappings=False, concurrency=concurrency,
+                drop_content=drop_content,
+            ).map_batches(
+                lambda b: b.append_column(
+                    "part_key", pc.cast(b["part_id"], pa.int32())),
+                batch_format="pyarrow",
+            )
+            scrubbed.write_parquet(stage_root, partition_cols=["part_key"])
+            for part in range(partitions):
+                staged = os.path.join(stage_root, f"part_key={part}")
+                if not os.path.isdir(staged):
+                    continue
+                dst = chunk_part_dir(part)
+                os.makedirs(dst, exist_ok=True)
+                for j, name in enumerate(sorted(os.listdir(staged))):
+                    if name.endswith(".parquet"):
+                        os.rename(os.path.join(staged, name),
+                                  os.path.join(dst, f"{prefix}{j:05d}.parquet"))
+            shutil.rmtree(stage_root, ignore_errors=True)
+            wall = time.time() - t0
+            chunk_walls.append(wall)
+            manifest.mark_chunk_done(ci, {
+                "seconds": round(wall, 3), "files": len(in_files[ci::n_chunks])})
+        # every chunk checkpointed -> finalize pending partitions from the
+        # accumulated chunk files (idempotent: a crash here leaves done
+        # parts renamed+marked and pending ones still accumulating)
+        per_part = sum(chunk_walls) / max(1, partitions)
+        for part in todo:
+            _finalize_part(part, chunk_part_dir(part), per_part)
+        # stray accumulation dirs (partitions already done before this
+        # run — e.g. after a limit_parts invocation) are dead weight
+        for name in os.listdir(output_dir):
+            if name.startswith(".chunks-part="):
+                shutil.rmtree(os.path.join(output_dir, name),
+                              ignore_errors=True)
 
     _write_metrics_table(manifest)
     return manifest.summary()
@@ -356,6 +458,9 @@ def main(argv=None):
     ap.add_argument("--parts-per-pass", type=int, default=8,
                     help="partitions written per streaming pass (failure "
                          "granularity vs fixed-pipeline-cost amortization)")
+    ap.add_argument("--row-chunks", type=int, default=4,
+                    help="row_hash scheme: input passes, each its own "
+                         "resume checkpoint (1 = the old single pass)")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -379,6 +484,7 @@ def main(argv=None):
         parts_per_pass=args.parts_per_pass,
         drop_content=args.drop_content,
         partition_scheme=args.partition_scheme,
+        row_chunks=args.row_chunks,
     )
     print(json.dumps(summary))
     ray.shutdown()

@@ -59,6 +59,32 @@ class JobManifest:
         with open(self._part_path(part)) as f:
             return json.load(f)
 
+    # -- chunk markers (row_hash intra-pass checkpoints) -------------------
+    # The chunked row_hash scheme splits the input shard list into passes;
+    # each pass checkpoints with a chunk marker so a mid-run kill resumes
+    # at pass granularity instead of restarting the whole scrub. Partition
+    # markers are still written LAST (after every chunk), so downstream
+    # consumers' "partition done" contract is unchanged.
+    def _chunk_path(self, chunk: int) -> str:
+        return os.path.join(self.manifest_dir, f"chunk-{chunk:04d}.json")
+
+    def is_chunk_done(self, chunk: int) -> bool:
+        return os.path.exists(self._chunk_path(chunk))
+
+    def mark_chunk_done(self, chunk: int, stats: Optional[Dict] = None) -> None:
+        entry = {"chunk": chunk, "completed_at": time.time(),
+                 "stats": stats or {}}
+        tmp = self._chunk_path(chunk) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+        os.rename(tmp, self._chunk_path(chunk))
+
+    def chunk_stats(self, chunk: int) -> Optional[Dict]:
+        if not self.is_chunk_done(chunk):
+            return None
+        with open(self._chunk_path(chunk)) as f:
+            return json.load(f)
+
     def read_config(self) -> Optional[Dict]:
         """The recorded job config, or None before the first write."""
         path = os.path.join(self.manifest_dir, "job.json")

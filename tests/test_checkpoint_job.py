@@ -280,6 +280,65 @@ def test_single_file_limit_parts_then_resume(ray_session, tmp_path_factory):
         assert os.path.getmtime(m.part_output_dir(p)) == mtimes[p]
 
 
+def test_row_hash_chunk_resume(ray_session, tmp_path_factory, monkeypatch):
+    """Intra-pass checkpointing for the row_hash scheme (VERDICT r4 task
+    #3): a crash mid-run (after chunk 0 of 3 checkpoints) must resume by
+    re-running ONLY the unfinished chunks, and the final output must be
+    row-identical to an uninterrupted run."""
+    import pyarrow.parquet as pq_
+
+    import pii_filter_ray.pipelines.quality_pipeline as qp
+    from pii_filter_ray.job import run_job
+    from pii_filter_ray.sources.synthetic_code import corpus_path as cpath
+
+    src = cpath(n_rows=9000, seed=42)  # 3 shards -> 3 chunks (row_chunks=4)
+
+    def row_set(out_dir):
+        m = JobManifest(out_dir)
+        keys = set()
+        for p in m.done_parts():
+            d = m.part_output_dir(p)
+            if any(f.endswith(".parquet") for f in os.listdir(d)):
+                t = pq_.read_table(d, columns=["repo", "path", "commit",
+                                               "keep", "content_masked"])
+                keys.update(zip(*(t[c].to_pylist() for c in t.column_names)))
+        return keys
+
+    d = tmp_path_factory.mktemp("chunk_resume")
+    out_ref = str(d / "ref")
+    run_job(src, out_ref, partitions=4, concurrency=2)
+    ref = row_set(out_ref)
+
+    real = qp.quality_scrub
+    calls = {"n": 0}
+
+    def crashing(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected mid-pass crash")
+        return real(*a, **k)
+
+    monkeypatch.setattr(qp, "quality_scrub", crashing)
+    out = str(d / "out")
+    with pytest.raises(RuntimeError, match="injected mid-pass crash"):
+        run_job(src, out, partitions=4, concurrency=2)
+    m = JobManifest(out)
+    assert m.is_chunk_done(0) and not m.is_chunk_done(1)
+    assert m.done_parts() == []  # partitions finalize only after ALL chunks
+
+    resumed = {"n": 0}
+
+    def counting(*a, **k):
+        resumed["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(qp, "quality_scrub", counting)
+    s = run_job(src, out, partitions=4, concurrency=2)
+    assert resumed["n"] == 2, "chunk 0 must be skipped on resume"
+    assert s["done_parts"] == 4 and s["totals"]["rows"] == 9000
+    assert row_set(out) == ref
+
+
 def test_stale_staging_dir_does_not_corrupt_output(ray_session, tmp_path_factory):
     """A crash mid-pass leaves .stage residue; the next run must clear it
     and produce exactly the correct output (no phantom rows)."""
