@@ -254,6 +254,8 @@ def run_curation(
     from .core.patterns import RULES_VERSION
     from .job import run_job
     from .stages.dedup import (
+        MinHashSigStage,
+        cached_stage_fn,
         dup_components_auto,
         minhash_lsh_pairs,
         verify_jaccard_pairs,
@@ -348,29 +350,62 @@ def run_curation(
                 "min_key": g["doc_key_min"],
             })
 
-        from ray.data.aggregate import Sum
+        # dup-group detection, driver-merged under the gate (round-5,
+        # same trick as minhash_lsh_pairs): the per-block partials are
+        # 24 B/row and merge in one C-speed sort+reduceat, where the Ray
+        # groupby aggregate alternative pays ~10 s of fixed all-to-all
+        # overhead at sub-million-row tables. Above the gate the
+        # distributed aggregate takes over unchanged.
+        if pairs.count() <= drop_broadcast_limit:
+            hp, np_, mp = [], [], []
+            for b in pairs.map_batches(
+                    group_partial, batch_format="pyarrow"
+            ).iter_batches(batch_size=None, batch_format="pyarrow"):
+                hp.append(b["text_hash"].to_numpy(zero_copy_only=False))
+                np_.append(b["n"].to_numpy(zero_copy_only=False))
+                mp.append(b["min_key"].to_numpy(zero_copy_only=False))
+            if hp:
+                h_all = np.concatenate(hp)
+                n_all = np.concatenate(np_)
+                m_all = np.concatenate(mp)
+                order = np.argsort(h_all, kind="stable")
+                hs_, ns_, ms_ = h_all[order], n_all[order], m_all[order]
+                bounds = np.flatnonzero(np.r_[True, hs_[1:] != hs_[:-1]])
+                sums = np.add.reduceat(ns_, bounds)
+                mins = np.minimum.reduceat(ms_, bounds)
+                dup_mask = sums >= 2
+                h_sorted = hs_[bounds][dup_mask]
+                m_sorted = mins[dup_mask]
+            else:
+                h_sorted = np.empty(0, np.int64)
+                m_sorted = np.empty(0, np.int64)
+            n_dup_groups = int(len(h_sorted))
+        else:
+            from ray.data.aggregate import Sum
 
-        groups = (pairs.map_batches(group_partial, batch_format="pyarrow")
-                  .groupby("text_hash")
-                  .aggregate(Sum("n", alias_name="n"),
-                             Min("min_key", alias_name="min_key")))
-        # dup groups are the rare case: keep only n > 1 rows (bounded by
-        # the duplicate count, NOT the corpus) and broadcast the
-        # (hash -> group min) map; each pair row then decides its own
-        # drop locally. Above the gate, fall back to the distributed
-        # rep anti-join (ids only).
-        dup_groups = groups.map_batches(
-            lambda b: b.filter(pc.greater(b["n"], 1)),
-            batch_format="pyarrow").materialize()
-        n_dup_groups = dup_groups.count()
-        if n_dup_groups <= drop_broadcast_limit:
+            groups = (pairs.map_batches(group_partial,
+                                        batch_format="pyarrow")
+                      .groupby("text_hash")
+                      .aggregate(Sum("n", alias_name="n"),
+                                 Min("min_key", alias_name="min_key")))
+            dup_groups = groups.map_batches(
+                lambda b: b.filter(pc.greater(b["n"], 1)),
+                batch_format="pyarrow").materialize()
+            n_dup_groups = dup_groups.count()
+            h_sorted = m_sorted = None
+
+        # dup groups are the rare case: broadcast the (hash -> group min)
+        # map; each pair row then decides its own drop locally. Above the
+        # gate, fall back to the distributed rep anti-join (ids only).
+        if h_sorted is not None or n_dup_groups <= drop_broadcast_limit:
             import ray
 
-            dup_df = dup_groups.to_pandas()
-            h_sorted = np.sort(dup_df["text_hash"].to_numpy(np.int64))
-            order = np.argsort(dup_df["text_hash"].to_numpy(np.int64),
-                               kind="stable")
-            m_sorted = dup_df["min_key"].to_numpy(np.int64)[order]
+            if h_sorted is None:
+                dup_df = dup_groups.to_pandas()
+                h_sorted = np.sort(dup_df["text_hash"].to_numpy(np.int64))
+                order = np.argsort(
+                    dup_df["text_hash"].to_numpy(np.int64), kind="stable")
+                m_sorted = dup_df["min_key"].to_numpy(np.int64)[order]
             ref = ray.put((h_sorted, m_sorted))
 
             def drops_fn(batch: pa.Table) -> pa.Table:
@@ -442,27 +477,48 @@ def run_curation(
                 schema={"content_masked": pa.string()},
             )
         spill = os.path.join(output_dir, ".spill-bands")
-        # lsh_sample_mod (None = exact) mod-hash-samples each doc's
-        # shingles before the 64-permutation pass — with verify_bottom_k
-        # it is the wide-row pair of knobs: sampling cuts the MB-row
-        # MinHash floor ~mod-fold, the bottom-k sketch bounds the verify
-        # payload; both deterministic, both fingerprinted above
-        # the band spill doubles as the standing LSH index for future
-        # --append runs: the final stage prunes it to surviving docs and
-        # publishes it as _bands (16 B/row — ~0.4% of corpus bytes), so an
-        # append never re-shingles the standing corpus
+        # SHINGLE-ONCE (round-5): one pass over the survivors computes the
+        # MinHash band rows AND each doc's verify signature (distinct
+        # sorted shingle hashes, bottom-k-capped when verify_bottom_k is
+        # set), spilled together to parquet. The candidate stage reads
+        # the spill column-pruned to (doc_key, band_key); the verify
+        # stage reads (doc_key, sig) — so no later phase re-reads or
+        # re-shingles the corpus. lsh_sample_mod (None = exact) thins the
+        # PERMUTATION input only (LSH recall knob); the verify sig stays
+        # unsampled. The spill also feeds --append: the final stage
+        # prunes (doc_key, band_key) to survivors and publishes _bands.
+        shutil.rmtree(spill, ignore_errors=True)
+        survivors.map_batches(
+            cached_stage_fn(
+                MinHashSigStage, text_col="content_masked",
+                id_col="doc_key", num_perm=num_perm, bands=bands,
+                shingle_k=shingle_k, sample_mod=lsh_sample_mod,
+                sig_bottom_k=verify_bottom_k),
+            batch_format="pyarrow").write_parquet(spill)
+        t_sig = time.time()
         cand = minhash_lsh_pairs(
             survivors, text_col="content_masked", id_col="doc_key",
             num_perm=num_perm, bands=bands, shingle_k=shingle_k,
-            spill_dir=spill, sample_mod=lsh_sample_mod)
+            band_rows=ray.data.read_parquet(
+                spill, columns=["doc_key", "band_key"]),
+            band_rows_stable=True,
+            sample_mod=lsh_sample_mod).materialize()
+        t_cand = time.time()
         # verify_bottom_k (None = exact Jaccard) is the wide-row scale
         # knob: MB-scale docs carry ~200k-shingle sets through the verify
         # join; a bottom-k sketch bounds that payload at 8k bytes with
         # ~sqrt(J(1-J)/k) estimation error near the threshold
+        sig_view = ray.data.read_parquet(
+            spill, columns=["doc_key", "sig"]).map_batches(
+            lambda b: b.filter(
+                pc.greater(pc.list_value_length(b["sig"]), 0)),
+            batch_format="pyarrow")
         verified = verify_jaccard_pairs(
             survivors, cand, text_col="content_masked", id_col="doc_key",
             threshold=threshold, shingle_k=shingle_k,
-            bottom_k=verify_bottom_k)
+            bottom_k=verify_bottom_k,
+            sig_source=sig_view).materialize()
+        t_verify = time.time()
         comps = dup_components_auto(
             verified.map_batches(
                 lambda b: pa.table({"id_a": b["id_a"], "id_b": b["id_b"]}),
@@ -477,7 +533,13 @@ def run_curation(
         _publish(tmp, neardup_dir)
         # spill kept on disk: the final stage prunes it into _bands
         manifest.mark_stage("neardup", {
-            "seconds": round(time.time() - t0, 3), "drops": n_drops})
+            "seconds": round(time.time() - t0, 3), "drops": n_drops,
+            # phase telemetry: signature+collision pass, pair
+            # materialization, verify, then components+write
+            "sig_s": round(t_sig - t0, 3),
+            "cand_s": round(t_cand - t_sig, 3),
+            "verify_s": round(t_verify - t_cand, 3),
+            "comps_s": round(time.time() - t_verify, 3)})
     _maybe_fail("neardup")
 
     # ---- stage 4: benchmark decontamination over dedup survivors --------
@@ -631,7 +693,10 @@ def _stage_final(
     # where appends fall back to recomputing standing signatures)
     spill = os.path.join(output_dir, ".spill-bands")
     if os.path.isdir(spill):
-        band_ds = ray.data.read_parquet(spill)
+        # column-pruned: the spill may carry the shingle-once sig column,
+        # which must NOT bloat the published _bands index
+        band_ds = ray.data.read_parquet(
+            spill, columns=["doc_key", "band_key"])
         if drop_keys is not None:
             band_ds = band_ds.map_batches(
                 _drop_keys_fn(drop_keys, key_col="doc_key"),

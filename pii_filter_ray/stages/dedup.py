@@ -194,7 +194,8 @@ class MinHashStage:
         self.sample_mod = sample_mod
         self._shingle_cache: dict = {}
 
-    def _sig(self, text: str) -> Optional[np.ndarray]:
+    def _hashes(self, text: str) -> Optional[np.ndarray]:
+        """All shingle hashes of ``text`` (duplicates kept), or None."""
         shingles = word_shingles(text, self.shingle_k)
         if not shingles:
             return None
@@ -210,6 +211,9 @@ class MinHashStage:
                 v = sql_hash64(s)
                 cache[s] = v
             hs[i] = v
+        return hs
+
+    def _sig_from_hashes(self, hs: np.ndarray) -> np.ndarray:
         if self.sample_mod is not None:
             kept = hs[hs % np.uint64(self.sample_mod) == 0]
             # a small doc may lose (nearly) every shingle to sampling;
@@ -221,6 +225,10 @@ class MinHashStage:
         with np.errstate(over="ignore"):
             vals = (self.a[:, None] * hs[None, :] + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
+
+    def _sig(self, text: str) -> Optional[np.ndarray]:
+        hs = self._hashes(text)
+        return None if hs is None else self._sig_from_hashes(hs)
 
     def band_key(self, band: int, chunk) -> int:
         """Polynomial fold of (band_id, chunk values) mod 2^61-1 — int64,
@@ -248,6 +256,67 @@ class MinHashStage:
                 "band_key": pa.array(band_keys, pa.int64()),
             }
         )
+
+
+class MinHashSigStage(MinHashStage):
+    """Shingle-once variant (VERDICT r4 task #1): ONE pass emits BOTH the
+    LSH band rows and the verify signature — the per-doc DISTINCT sorted
+    shingle hashes, optionally bottom-k-capped — riding on the doc's
+    FIRST band row (null on the rest). One spill parquet then serves the
+    candidate stage (column-pruned to id+band_key) AND the verify stage
+    (id+sig, non-null rows), so verify never re-reads or re-shingles the
+    corpus.
+
+    The emitted sig is EXACTLY what _shingle_sets_for_ids computes
+    (``sorted(set(hashes))[:bottom_k]``), so a verify fed from it is
+    result-identical to the recompute path (equivalence pinned in tests).
+    The sig comes from the UNSAMPLED hash set even when ``sample_mod``
+    thins the permutation input: sampling trades LSH recall, never
+    verify exactness."""
+
+    def __init__(self, sig_bottom_k: Optional[int] = None, **kw):
+        super().__init__(**kw)
+        self.sig_bottom_k = sig_bottom_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out, band_keys = [], []
+        sig_lens: List[int] = []  # per emitted row; >0 only on band 0
+        val_parts: List[np.ndarray] = []
+        for doc_id, text in zip(
+            batch[self.id_col].to_pylist(), batch[self.text_col].to_pylist()
+        ):
+            hs = self._hashes(text or "")
+            if hs is None:
+                continue
+            sig = self._sig_from_hashes(hs)
+            # sql_hash64 masks to 63 bits, so the uint64->int64 cast is
+            # lossless and np.unique's ascending order IS sorted(set(..))
+            distinct = np.unique(hs.astype(np.int64))
+            if self.sig_bottom_k is not None:
+                distinct = distinct[: self.sig_bottom_k]
+            val_parts.append(distinct)
+            for band in range(self.bands):
+                chunk = sig[band * self.rows_per_band:
+                            (band + 1) * self.rows_per_band]
+                ids_out.append(doc_id)
+                band_keys.append(self.band_key(band, chunk))
+                sig_lens.append(len(distinct) if band == 0 else 0)
+        # the list column is assembled from flat numpy buffers (values +
+        # offsets), never per-doc Python lists — materializing hundreds
+        # of millions of PyInts cost ~half the signature pass (round-5
+        # measurement). Non-first band rows carry EMPTY lists (not
+        # nulls); consumers select sig rows by list length > 0.
+        values = (np.concatenate(val_parts) if val_parts
+                  else np.empty(0, np.int64))
+        offsets = np.zeros(len(sig_lens) + 1, dtype=np.int32)
+        np.cumsum(sig_lens, out=offsets[1:])
+        sig_arr = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(values, pa.int64()))
+        return pa.table({
+            self.id_col: pa.array(ids_out, type=batch[self.id_col].type),
+            "band_key": pa.array(band_keys, pa.int64()),
+            "sig": sig_arr,
+        })
 
 
 def _empty_pairs() -> "ray.data.Dataset":
@@ -350,7 +419,7 @@ def minhash_lsh_pairs(
     max_bucket: int = 64,
     seed: int = 7,
     spill_dir: Optional[str] = None,
-    broadcast_key_limit: int = 2_000_000,
+    broadcast_key_limit: int = 50_000_000,
     band_rows: Optional["ray.data.Dataset"] = None,
     sample_mod: Optional[int] = None,
     band_rows_stable: bool = False,
@@ -420,18 +489,37 @@ def minhash_lsh_pairs(
             }
         )
 
-    # Small-table fast path (size-gated like dup_components' auto-switch):
+    # Driver-merge fast path (size-gated like dup_components' auto-switch):
     # when the whole band table is below broadcast_key_limit rows, three
     # all-to-all exchanges (collision aggregate, pair map_groups, pair
-    # distinct) each cost ~1s of fixed Ray shuffle overhead on data this
-    # small — merge the per-block count partials and generate pairs on the
-    # driver instead (identical keys, truncation and dedup rules; the
-    # distributed path below is byte-identical in output and takes over
-    # past the gate).
+    # distinct) each cost seconds of fixed Ray shuffle overhead on data
+    # this small — merge the per-block count partials and generate pairs
+    # on the driver instead (identical keys, truncation and dedup rules;
+    # the distributed path below is byte-identical in output and takes
+    # over past the gate). The pull is 16 B per DISTINCT (block, key)
+    # partial row — 50M rows = 800 MB transient on a 128 GiB driver; the
+    # merge (np.unique + reduceat) and the pair generation
+    # (_bucket_pairs_blocks_fn, the same vectorized kernel the
+    # distributed path maps per hash bucket) are single C-speed calls,
+    # not per-group Python (round-5: the old per-group driver loop plus
+    # the 2M gate cost ~27 s of Ray aggregate overhead at a 3.6M-row
+    # band table that merges in ~2 s).
     if band_rows.count() <= broadcast_key_limit:
-        parts = band_rows.map_batches(key_partials, batch_format="pyarrow").to_pandas()
-        cnt = parts.groupby("band_key", sort=False)["n"].sum()
-        keys_np = cnt.index.to_numpy()[cnt.to_numpy() >= 2]
+        key_parts, cnt_parts = [], []
+        for b in band_rows.map_batches(
+                key_partials, batch_format="pyarrow"
+        ).iter_batches(batch_size=None, batch_format="pyarrow"):
+            key_parts.append(b["band_key"].to_numpy(zero_copy_only=False))
+            cnt_parts.append(b["n"].to_numpy(zero_copy_only=False))
+        if not key_parts:
+            return _empty_pairs()
+        keys_all = np.concatenate(key_parts)
+        cnts_all = np.concatenate(cnt_parts)
+        order = np.argsort(keys_all, kind="stable")
+        ks, cs = keys_all[order], cnts_all[order]
+        bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        sums = np.add.reduceat(cs, bounds)
+        keys_np = ks[bounds][sums >= 2]
         if len(keys_np) == 0:
             return _empty_pairs()
         key_ref = ray.put(pa.array(keys_np.astype("int64"), pa.int64()))
@@ -440,14 +528,11 @@ def minhash_lsh_pairs(
             return batch.filter(pc.is_in(batch["band_key"], value_set=ray.get(key_ref)))
 
         rows = band_rows.map_batches(semi_join_small, batch_format="pyarrow").to_pandas()
-        # SAME pair-generation/truncation code object as the distributed
-        # map_groups path — one source of truth for the bucket contract
-        gen = _bucket_pairs_fn(id_col, max_bucket)
-        parts = [gen(grp) for _, grp in rows.groupby("band_key", sort=False)]
-        pairs = (
-            pd.concat(parts, ignore_index=True).drop_duplicates(["id_a", "id_b"])
-            if parts else pd.DataFrame({"id_a": [], "id_b": []})
-        )
+        # SAME vectorized multi-group kernel as the distributed path's
+        # per-bucket map_groups — one source of truth for the bucket
+        # contract (truncation by id order, a<b, distinct)
+        pairs = _bucket_pairs_blocks_fn(id_col, max_bucket)(rows)
+        pairs = pairs.drop_duplicates(["id_a", "id_b"])
         if len(pairs) == 0:
             return _empty_pairs()
         pairs = pairs.sort_values(["id_a", "id_b"])
@@ -624,6 +709,31 @@ def _jaccard_from_sigs(sa, sb) -> float:
     return inter / (len(A) + len(B) - inter)
 
 
+def _filter_sig_source(
+    sig_source: "ray.data.Dataset",
+    id_array,
+    id_col: str,
+) -> "ray.data.Dataset":
+    """Cut a precomputed (id, sig) dataset to the ids of ``id_array``
+    (ray.put once, binary-searched per batch); None = no cut."""
+    if id_array is None:
+        return sig_source
+    ids_np = np.sort(
+        id_array if isinstance(id_array, np.ndarray)
+        else id_array.to_numpy(zero_copy_only=False).astype(np.int64))
+    ref = ray.put(ids_np)
+
+    def cut(b: pa.Table) -> pa.Table:
+        ids = ray.get(ref)
+        if len(ids) == 0 or b.num_rows == 0:
+            return b.slice(0, 0)
+        kv = pc.cast(b[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(ids, kv), 0, len(ids) - 1)
+        return b.filter(pa.array(ids[pos] == kv))
+
+    return sig_source.map_batches(cut, batch_format="pyarrow")
+
+
 def verify_jaccard_pairs(
     ds: "ray.data.Dataset",
     candidate_pairs: "ray.data.Dataset",
@@ -633,6 +743,7 @@ def verify_jaccard_pairs(
     shingle_k: int = 3,
     broadcast_doc_limit: int = 200_000,
     bottom_k: Optional[int] = None,
+    sig_source: Optional["ray.data.Dataset"] = None,
 ) -> "ray.data.Dataset":
     """Exact word-shingle Jaccard verification of candidate pairs —
     distributed; the driver never holds a corpus-wide index, and never
@@ -652,6 +763,11 @@ def verify_jaccard_pairs(
     # per-doc payload bounded at 8k bytes instead of O(doc shingles), at
     # estimation error ~sqrt(J(1-J)/k) near the threshold (exact for docs
     # with <= k shingles; accuracy law pinned in tests).
+    # ``sig_source`` (shingle-once): a precomputed (id, sig) dataset —
+    # e.g. MinHashSigStage's spill — used INSTEAD of re-reading and
+    # re-shingling ``ds``; its sigs must be sorted distinct hashes capped
+    # consistently with ``bottom_k`` (result-identical to the recompute
+    # path; equivalence pinned in tests).
     # pin the candidate pairs once — they are consumed several times below,
     # and a lazy Dataset would re-run the whole upstream LSH per consumption
     candidate_pairs = candidate_pairs.materialize()
@@ -703,36 +819,96 @@ def verify_jaccard_pairs(
             cand_arr = pa.array(cand_np, pa.int64())
         else:
             cand_arr = None
-        sig_ds = _shingle_sets_for_ids(
-            ds, cand_arr, text_col, id_col, shingle_k,
-            bottom_k=bottom_k).materialize()
+        if sig_source is None:
+            sig_ds = _shingle_sets_for_ids(
+                ds, cand_arr, text_col, id_col, shingle_k,
+                bottom_k=bottom_k).materialize()
+        else:
+            sig_ds = _filter_sig_source(
+                sig_source, cand_arr, id_col).materialize()
         return _verify_pairs_joined(sig_ds, candidate_pairs, id_col,
                                     threshold, bottom_k=bottom_k)
 
     cand_ids = pa.array(
         sorted(distinct_ids.select_columns(["cid"]).to_pandas()["cid"]), pa.int64()
     )
-    sig_ds = _shingle_sets_for_ids(ds, cand_ids, text_col, id_col,
-                                   shingle_k, bottom_k=bottom_k)
+    if sig_source is None:
+        sig_ds = _shingle_sets_for_ids(ds, cand_ids, text_col, id_col,
+                                       shingle_k, bottom_k=bottom_k)
+    else:
+        sig_ds = _filter_sig_source(sig_source, cand_ids, id_col)
 
     # broadcast path (cand_ids <= 2*n_pairs <= broadcast_doc_limit by the
-    # branch above): candidate-doc sigs only, shipped once via ray.put
-    index = {}
+    # branch above): candidate-doc sigs only, shipped once via ray.put as
+    # a FLAT numpy bundle (sorted ids + start/end offsets + concatenated
+    # hash values) — never per-doc Python sets: materializing tens of
+    # millions of hash ints as Python objects on the driver cost ~15 s at
+    # 500k rows (round-5 finding), while the Arrow list column's buffers
+    # convert zero-copy. Per-doc slices stay sorted-distinct, so the
+    # per-pair intersection is one C-speed searchsorted.
+    ids_parts, lens_parts, vals_parts = [], [], []
     for batch in sig_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        for doc_id, sig in zip(batch[id_col].to_pylist(), batch["sig"].to_pylist()):
-            index[doc_id] = frozenset(sig)
-    ref = ray.put(index)
+        if batch.num_rows == 0:
+            continue
+        col = batch["sig"].combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        ids_parts.append(pc.cast(batch[id_col], pa.int64())
+                         .to_numpy(zero_copy_only=False))
+        lens_parts.append(np.diff(offs))
+        vals_parts.append(col.values.to_numpy(zero_copy_only=False)
+                          [offs[0]:offs[-1]])
+    if not ids_parts:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }))
+    ids_all = np.concatenate(ids_parts)
+    lens_all = np.concatenate(lens_parts)
+    vals_all = np.ascontiguousarray(np.concatenate(vals_parts))
+    ends_all = np.cumsum(lens_all)
+    starts_all = ends_all - lens_all
+    order = np.argsort(ids_all, kind="stable")
+    ref = ray.put((ids_all[order], starts_all[order], ends_all[order],
+                   vals_all))
 
     def verify(batch: pa.Table) -> pa.Table:
-        idx = ray.get(ref)  # local plasma read, cached per worker
+        ids_s, starts, ends, vals = ray.get(ref)  # plasma, zero-copy
         keep_a, keep_b, jac = [], [], []
-        for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
-            j = (_jaccard_from_sigs(idx.get(a), idx.get(b))
-                 if bottom_k is None
-                 else _jaccard_bottom_k(idx.get(a), idx.get(b), bottom_k))
+        a_np = pc.cast(batch["id_a"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        b_np = pc.cast(batch["id_b"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        pos_a = np.clip(np.searchsorted(ids_s, a_np), 0,
+                        max(0, len(ids_s) - 1))
+        pos_b = np.clip(np.searchsorted(ids_s, b_np), 0,
+                        max(0, len(ids_s) - 1))
+        for i in range(len(a_np)):
+            if len(ids_s) == 0 or ids_s[pos_a[i]] != a_np[i] \
+                    or ids_s[pos_b[i]] != b_np[i]:
+                continue
+            va = vals[starts[pos_a[i]]:ends[pos_a[i]]]
+            vb = vals[starts[pos_b[i]]:ends[pos_b[i]]]
+            if len(va) == 0 or len(vb) == 0:
+                continue
+            if bottom_k is None:
+                # both sorted-distinct: intersection by binary search
+                if len(vb) < len(va):
+                    va, vb = vb, va
+                p = np.searchsorted(vb, va)
+                p = np.clip(p, 0, len(vb) - 1)
+                inter = int(np.count_nonzero(vb[p] == va))
+                j = inter / (len(va) + len(vb) - inter)
+            else:
+                union = np.union1d(va, vb)[:bottom_k]
+                pa_ = np.clip(np.searchsorted(va, union), 0, len(va) - 1)
+                pb_ = np.clip(np.searchsorted(vb, union), 0, len(vb) - 1)
+                hits = int(np.count_nonzero(
+                    (va[pa_] == union) & (vb[pb_] == union)))
+                j = hits / len(union)
             if j >= threshold:
-                keep_a.append(a)
-                keep_b.append(b)
+                keep_a.append(int(a_np[i]))
+                keep_b.append(int(b_np[i]))
                 jac.append(j)
         return pa.table(
             {

@@ -1,0 +1,170 @@
+"""Profile the curation DAG's near-dup stage piecewise (VERDICT r4 #1).
+
+Times, separately, over an existing scrub output:
+  band   -- MinHash signature pass + band-row spill (the per-doc work)
+  cand   -- LSH candidate machinery (collisions -> pair generation)
+  verify -- exact Jaccard verification of the candidates
+
+plus a driver-side microbenchmark of the per-doc signature kernel
+(shingling, sql_hash64, permutation mins, band folding) so the dominant
+term inside `band` is attributable.
+
+    python scripts/profile_neardup.py --scrub /tmp/prof500k/scrub \
+        [--cpus 32] [--sample-mod N] [--bottom-k K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def micro(scrub_dir: str, n_docs: int = 2000) -> dict:
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pii_filter_ray.stages.dedup import (
+        MinHashStage,
+        sql_hash64,
+        word_shingles,
+    )
+
+    part = sorted(
+        d for d in os.listdir(scrub_dir) if d.startswith("part="))[0]
+    t = pq.read_table(os.path.join(scrub_dir, part),
+                      columns=["content_masked", "keep"])
+    texts = [v for v, k in zip(t["content_masked"].to_pylist()[:4 * n_docs],
+                               t["keep"].to_pylist()) if k][:n_docs]
+    total_bytes = sum(len(x or "") for x in texts)
+
+    t0 = time.perf_counter()
+    sh = [word_shingles(x or "", 3) for x in texts]
+    t_shingle = time.perf_counter() - t0
+    n_shingles = sum(len(s) for s in sh)
+
+    t0 = time.perf_counter()
+    hs = [np.fromiter((sql_hash64(s) for s in ss), dtype=np.uint64,
+                      count=len(ss)) if ss else None for ss in sh]
+    t_hash = time.perf_counter() - t0
+
+    stage = MinHashStage("x", "y")
+    t0 = time.perf_counter()
+    from pii_filter_ray.stages.dedup import _MERSENNE
+    for h in hs:
+        if h is None or len(h) == 0:
+            continue
+        with np.errstate(over="ignore"):
+            v = (stage.a[:, None] * h[None, :] + stage.b[:, None]) % _MERSENNE
+        v.min(axis=1)
+    t_perm = time.perf_counter() - t0
+
+    sigs = []
+    for h in hs:
+        if h is None or len(h) == 0:
+            continue
+        with np.errstate(over="ignore"):
+            v = (stage.a[:, None] * h[None, :] + stage.b[:, None]) % _MERSENNE
+        sigs.append(v.min(axis=1))
+    t0 = time.perf_counter()
+    for sig in sigs:
+        for band in range(stage.bands):
+            stage.band_key(band, sig[band * stage.rows_per_band:
+                                     (band + 1) * stage.rows_per_band])
+    t_fold = time.perf_counter() - t0
+
+    return {
+        "docs": len(texts),
+        "mb": round(total_bytes / 1e6, 1),
+        "shingles": n_shingles,
+        "t_shingle": round(t_shingle, 3),
+        "t_hash_sha256": round(t_hash, 3),
+        "t_perm_numpy": round(t_perm, 3),
+        "t_band_fold": round(t_fold, 3),
+        "us_per_doc": {
+            "shingle": round(1e6 * t_shingle / len(texts), 1),
+            "hash": round(1e6 * t_hash / len(texts), 1),
+            "perm": round(1e6 * t_perm / len(texts), 1),
+            "fold": round(1e6 * t_fold / len(texts), 1),
+        },
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scrub", required=True)
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--sample-mod", type=int, default=None)
+    ap.add_argument("--bottom-k", type=int, default=None)
+    ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--skip-micro", action="store_true")
+    args = ap.parse_args()
+
+    if not args.skip_micro:
+        print(json.dumps({"phase": "micro", **micro(args.scrub)}),
+              flush=True)
+
+    import ray
+
+    ray.init(address="local", num_cpus=args.cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    import shutil
+
+    from pii_filter_ray.curation import _kept_keyed
+    from pii_filter_ray.stages.dedup import (
+        MinHashStage,
+        cached_stage_fn,
+        minhash_lsh_pairs,
+        verify_jaccard_pairs,
+    )
+
+    survivors = _kept_keyed(args.scrub, ["content_masked"])
+
+    spill = "/tmp/prof_neardup_spill"
+    shutil.rmtree(spill, ignore_errors=True)
+    t0 = time.time()
+    survivors.map_batches(
+        cached_stage_fn(
+            MinHashStage, text_col="content_masked", id_col="doc_key",
+            num_perm=64, bands=8, shingle_k=3,
+            sample_mod=args.sample_mod),
+        batch_format="pyarrow").write_parquet(spill)
+    t_band_end = time.time()
+    cand = minhash_lsh_pairs(
+        survivors, text_col="content_masked", id_col="doc_key",
+        num_perm=64, bands=8, shingle_k=3,
+        band_rows=ray.data.read_parquet(spill), band_rows_stable=True,
+        sample_mod=args.sample_mod)
+    cand = cand.materialize()
+    n_cand = cand.count()
+    t_cand_end = time.time()
+    verified = verify_jaccard_pairs(
+        survivors, cand, text_col="content_masked", id_col="doc_key",
+        threshold=args.threshold, shingle_k=3, bottom_k=args.bottom_k)
+    n_ver = verified.materialize().count()
+    t_ver_end = time.time()
+    print(json.dumps({
+        "phase": "stage",
+        "band_and_spill_s": round(t_band_end - t0, 1),
+        "cand_s": round(t_cand_end - t_band_end, 1),
+        "verify_s": round(t_ver_end - t_cand_end, 1),
+        "total_s": round(t_ver_end - t0, 1),
+        "n_candidates": n_cand,
+        "n_verified": n_ver,
+        "sample_mod": args.sample_mod,
+        "bottom_k": args.bottom_k,
+    }), flush=True)
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

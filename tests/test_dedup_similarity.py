@@ -600,6 +600,51 @@ def test_minhash_sample_mod_wide_rows(ray_session):
     assert kept < len(hs) / 8
 
 
+def test_verify_sig_source_equivalent(dup_ds, ray_session):
+    """Shingle-once (VERDICT r4 task #1): a verify fed from
+    MinHashSigStage's emitted signatures must be result-identical to the
+    recompute path — for exact Jaccard and for the bottom-k estimator —
+    and the stage's band rows must equal MinHashStage's."""
+    import pyarrow.compute as _pc
+
+    from pii_filter_ray.stages.dedup import (
+        MinHashSigStage,
+        MinHashStage,
+        minhash_lsh_pairs,
+        verify_jaccard_pairs,
+    )
+
+    ds = dup_ds
+    cands = minhash_lsh_pairs(ds, "text", "doc_id").materialize()
+
+    def result(**kw):
+        return sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in verify_jaccard_pairs(
+                ds, cands, "text", "doc_id", 0.5, **kw).take_all()
+        )
+
+    for k in (None, 64):
+        sig_rows = ds.map_batches(
+            MinHashSigStage(text_col="text", id_col="doc_id",
+                            sig_bottom_k=k),
+            batch_format="pyarrow").materialize()
+        sig_view = sig_rows.map_batches(
+            lambda b: b.filter(
+                _pc.greater(_pc.list_value_length(b["sig"]), 0)),
+            batch_format="pyarrow")
+        base = result(bottom_k=k)
+        via = result(bottom_k=k, sig_source=sig_view)
+        assert base == via and len(base) > 0
+
+    # band rows byte-identical to the band-only stage
+    plain = ds.map_batches(
+        MinHashStage("text", "doc_id"), batch_format="pyarrow").take_all()
+    enriched = sig_rows.take_all()
+    assert ([(r["doc_id"], r["band_key"]) for r in plain]
+            == [(r["doc_id"], r["band_key"]) for r in enriched])
+
+
 def test_minhash_sample_mod_boundary(ray_session):
     """ADVICE r4 (medium): near-dup pairs whose shingle counts sit at the
     sampling boundary must not be silently lost. With the size gate gone,
