@@ -21,7 +21,7 @@ from typing import Dict, List
 # Version stamp of the rule set (patterns, priorities, FP lists, thresholds).
 # Recorded in every job manifest; a resume under a different rules version
 # fails loudly instead of mixing differently-scrubbed partitions.
-RULES_VERSION = "2026.08.17-r3"
+RULES_VERSION = "2026.08.20-r5"
 
 # --- Base patterns (reference parity; constants.py:11-25) -------------------
 
@@ -199,6 +199,24 @@ CARGO_TECH_AREAS = [
 ]
 CARGO_ENG_AREAS = ["software", "dados", "segurança", "sistemas"]
 
+# Round-5 CARGO vocabulary increment (golden-dataset FN classes: C-suite,
+# Head-de-X, department nouns, market/creative professions). Every
+# addition was verified ZERO-hit word-bounded on the synthetic documents
+# / code / stress corpora, so no oracle pin or curation digest moves.
+# 'presidente' is deliberately absent ("Rodovia Presidente Dutra" is a
+# street); only the hyphenated vice-presidente joins.
+CARGO_HEAD_WORDS += [
+    "arquiteto", "arquiteta", "cientista", "pesquisador", "pesquisadora",
+    "operador", "operadora", "editor", "editora", "redator", "redatora",
+    "apresentador", "apresentadora", "embaixador", "embaixadora",
+    "vice-presidente", "diretoria", "gerência", "gerencia",
+    "coordenação", "coordenacao",
+]
+CARGO_SINGLE += [
+    "designer", "atriz", "eletricista", "tesoureiro", "tesoureira",
+    "conselheiro", "conselheira",
+]
+
 def _alt(words) -> str:
     return "|".join(re.escape(w) for w in sorted(words, key=len, reverse=True))
 
@@ -236,6 +254,20 @@ CARGO_RULER_PATTERNS: List[re.Pattern] = [
     ),
     # single-token professions
     re.compile(rf"\b(?:{_alt(CARGO_SINGLE)})\b", re.IGNORECASE),
+    # English/compound tech-market titles (round-5 golden FN classes)
+    re.compile(
+        r"\b(?:tech\s+lead|product\s+(?:owner|manager)|project\s+manager|"
+        r"scrum\s+master)\b"
+        r"(?:\s+(?:sênior|senior|júnior|junior|pleno))?",
+        re.IGNORECASE,
+    ),
+    re.compile(r"\bhead\s+de\s+\w+(?:\s+[A-ZÀ-Þ][\w-]*)?", re.IGNORECASE),
+    # C-suite acronyms stay case-SENSITIVE so code identifiers and English
+    # prose substrings (vector, sector) can never match; bare VP fails the
+    # 3-char guard, so it anchors on its 'de' continuation
+    re.compile(r"\b(?:CEO|CTO|CFO|COO|CDO|CIO)\b"
+               r"|\bVP\s+de\s+\w+"
+               r"|\bChief\s+[A-Z][a-z]+\s+Officer\b"),
 ]
 
 NER_PII_TYPES = {

@@ -82,7 +82,14 @@ _GENERATORS: List[Tuple[str, List[re.Pattern]]] = [
 # anchors below are required literals of the respective patterns.
 from .patterns import CARGO_HEAD_WORDS, CARGO_SINGLE
 
-_CARGO_ANCHORS = tuple(CARGO_HEAD_WORDS + CARGO_SINGLE + ["dev"])
+_CARGO_ANCHORS = tuple(CARGO_HEAD_WORDS + CARGO_SINGLE + [
+    # prescreen literals for the round-5 English/compound title patterns;
+    # a prescreen hit only enables the real (case-sensitive where needed)
+    # patterns, so broad substrings ("cto" in "vector") cost speed, never
+    # correctness
+    "dev", "tech lead", "product", "scrum", "head", "chief",
+    "ceo", "cto", "cfo", "coo", "cdo", "cio", "vp ",
+])
 _ORG_ANCHORS = ("ltda", "s.a", "s/a", "inc", "corp", "llc", "gmbh", "empresa",
                 "banco", "seguradora", "corretora", "financeira",
                 "cooperativa", "operadora", "caixa econ", "saúde", "saude",
@@ -246,6 +253,60 @@ def _cargo_context_ok(value: str, text: str, start: int) -> bool:
     return True
 
 
+# Compound-title continuations a Portuguese head may legitimately carry
+# capitalized ("Editor Chefe", "Apresentadora Sênior") — anything else
+# capitalized directly after a relational head starts a PERSON NAME.
+from .patterns import CARGO_SENIORITY
+
+_CARGO_ALLOWED_CONT = frozenset(
+    [w.lower() for w in CARGO_SENIORITY]
+    + ["chefe", "geral", "executivo", "executiva", "adjunto", "adjunta",
+       "titular"])
+_CARGO_PT_HEADS = frozenset(w.lower() for w in CARGO_HEAD_WORDS)
+_NAME_RUN_RE = re.compile(r"\S+\s+[\w'-]+")  # head + t1 WORD (punctuation
+# after t1 must stay outside, so "Publicitária. Queixa" can't look like a
+# name continuation)
+_NEXT_CAP_RE = re.compile(r"[ \t]+[A-ZÀ-Þ][a-zà-þ]")
+
+
+def _cargo_honorific(value: str, text: str, start: int) -> bool:
+    """True when the candidate is an honorific title+person-name use
+    ("Diretora Claudia Ferraz", "estagiária Maisa Silva") — the golden
+    dataset never types these as CARGO: the NAME is the entity and the
+    title decorates it (round-5; dropping the candidate also unblocks the
+    NOME claim on the name). Trigger: a Portuguese relational head
+    directly followed (no de/em connector) by a capitalized token whose
+    run continues with ANOTHER capitalized token separated by plain
+    spaces — a full personal name. A single capitalized continuation
+    ("Redatora Publicitária. Queixa…") stays: compound-title adjectives
+    end there, names don't."""
+    toks = value.split()
+    if len(toks) < 2 or toks[0].lower() not in _CARGO_PT_HEADS:
+        return False
+    t1 = toks[1]
+    if not t1[:1].isupper() or t1.lower() in _CARGO_ALLOWED_CONT:
+        return False
+    m = _NAME_RUN_RE.match(text[start:])
+    if m is None:
+        return False
+    return bool(_NEXT_CAP_RE.match(text[start + m.end():]))
+
+
+# Imperative roleplay framings assign the READER a profession ("Atue como
+# um especialista em…", "Você é meu assistente de segurança") — prompt
+# scaffolding, not a data subject's job title; the golden dataset never
+# annotates them. Indicative forms ("Ela atua como Redatora…") describe a
+# real person's role and are untouched.
+_CARGO_ROLEPLAY_RE = re.compile(
+    r"(?:\batue\b|\baja\b|\bvoc[êe]\s+[ée])"
+    r"(?:\s+como)?\s+(?:um|uma|meu|minha)\s*$",
+    re.IGNORECASE)
+
+
+def _cargo_roleplay(text: str, start: int) -> bool:
+    return bool(_CARGO_ROLEPLAY_RE.search(text[max(0, start - 48):start]))
+
+
 # Portuguese legal/HR section headings title-case the leading particle
 # ("Do Local de Trabalho", "Da Qualificação", "Dos Deveres") — a real
 # person name never STARTS with a capitalized particle (particles are
@@ -324,8 +385,12 @@ def extract_entities(
                     value = _trim_cargo(value)
                     if not value:
                         continue
-                    if not _cargo_context_ok(
-                            value, text, m.start() + m.group(0).index(value)):
+                    vstart = m.start() + m.group(0).index(value)
+                    if not _cargo_context_ok(value, text, vstart):
+                        continue
+                    if _cargo_honorific(value, text, vstart):
+                        continue
+                    if _cargo_roleplay(text, vstart):
                         continue
                 if not _passes_guards(value, pii_type):
                     continue

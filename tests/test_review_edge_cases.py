@@ -286,3 +286,38 @@ def test_cargo_trim_preserves_internal_whitespace():
     assert rule_ner._trim_cargo("técnica para") == "técnica"
     assert rule_ner._trim_cargo("gerente de\nvendas") == "gerente de\nvendas"
     assert rule_ner._trim_cargo("Coordenador da") == "Coordenador"
+
+
+def test_cargo_honorific_and_roleplay_guards():
+    """Round-5 CARGO increment: honorific title+full-name uses and
+    imperative roleplay framings are not job titles; compound titles,
+    indicative 'atua como', and the new C-suite/English vocabulary are."""
+    from pii_filter_ray.core import rule_ner
+
+    def cargos(text):
+        ents = rule_ner.filter_overlapping_entities(
+            rule_ner.extract_entities(text))
+        return [e["value"] for e in ents if e["type"] == "CARGO"]
+
+    # honorific + full name -> dropped (and the NOME claim is unblocked)
+    ents = rule_ner.filter_overlapping_entities(
+        rule_ner.extract_entities(
+            "Prepare o plano para a Diretora Claudia Ferraz amanhã."))
+    assert not [e for e in ents if e["type"] == "CARGO"]
+    assert any(e["type"] == "NOME_COMPLETO"
+               and "Claudia Ferraz" in e["value"] for e in ents)
+    # single capitalized continuation stays (compound-title adjective)
+    assert cargos("Ela atua como Redatora Publicitária. Queixa anotada.")
+    # allowed capitalized continuations stay
+    assert cargos("O cargo dele é Editor Chefe.") == ["Editor Chefe"]
+    # imperative roleplay dropped; indicative kept
+    assert not cargos("Atue como um especialista em tributos.")
+    assert not cargos("Você é meu assistente de segurança hoje.")
+    assert cargos("Ele atua como um consultor de riscos na firma.")
+    # round-5 vocabulary: C-suite (case-sensitive), English compounds,
+    # department heads
+    assert cargos("Bem-vindo ao novo CTO, Henri Castelli.") == ["CTO"]
+    assert not cargos("the eigenvector and sector codes cto_x are fine")
+    assert cargos("Promovido para Tech Lead da squad.") == ["Tech Lead"]
+    assert cargos("Ela assume a Diretoria de Dramaturgia em Paris.")
+    assert cargos("Indicada para a vaga de Tesoureira.") == ["Tesoureira"]
