@@ -77,7 +77,11 @@ def run_bench() -> dict:
     # 49 blocks = 1.53 task waves at 32 cpus — wave quantization alone caps
     # scaling efficiency at ~0.77 (measured; a small-corpus artifact: at
     # 100 TB every node owns thousands of blocks and no such cliff exists).
-    n_blocks = max(64, NUM_CPUS * 6)
+    # 4 blocks/cpu is the measured sweet spot at this corpus size (round-5
+    # sweep at 32 cpus: 64 -> 86.7k f/s, 128 -> 88.1k, 192 -> 77.3k,
+    # 384 -> 53.8k, 768 -> 37.3k — past ~4/cpu per-task fixed costs
+    # dominate the ~200ms tasks).
+    n_blocks = max(64, NUM_CPUS * 4)
 
     def code_flagship():
         ds = ray.data.read_parquet(code_path, override_num_blocks=n_blocks)

@@ -126,14 +126,33 @@ class CharBigramLM:
         # rounded-to-6-digits comparison)
         self.logp = np.log2(probs)
 
+    @property
+    def _pair_bits(self) -> np.ndarray:
+        """(256*256,) flat -log2p per BYTE pair: the vocab encoding folded
+        into the table (512 KB, L2-resident) so scoring skips the per-row
+        _ENC_TABLE pass — entries are the exact float64 logp values, and
+        the mean runs over the same values in the same order, so scores
+        are bit-identical to the 2D-gather form (round-5; pinned in
+        tests). Built lazily so artifact-loaded LMs get it too."""
+        pb = getattr(self, "_pair_bits_cache", None)
+        if pb is None:
+            pb = (-self.logp)[np.ix_(_ENC_TABLE, _ENC_TABLE)].ravel()
+            self._pair_bits_cache = pb
+        return pb
+
     def bits_per_char(self, text: str, data: bytes | None = None) -> float:
         """Average -log2 P(c_i | c_{i-1}); 0.0 for texts shorter than 2 chars."""
         if not text or len(text) < 2:
             return 0.0
-        codes = _encode(text, data)
-        if len(codes) < 2:
+        if data is None:
+            data = text.encode("utf-8", errors="replace")
+        if len(data) < 2:
             return 0.0
-        return float(-self.logp[codes[:-1], codes[1:]].mean())
+        b = np.frombuffer(data, dtype=np.uint8)
+        idx = b[:-1].astype(np.uint16)
+        idx <<= 8
+        idx |= b[1:]
+        return float(self._pair_bits[idx].mean())
 
     def perplexity(self, text: str) -> float:
         return float(2.0 ** self.bits_per_char(text))

@@ -46,6 +46,24 @@ _SPACE_TABLE = np.zeros(256, dtype=bool)
 for _c in (9, 10, 11, 12, 13, 32, 28, 29, 30, 31):  # python str.split() ASCII ws
     _SPACE_TABLE[_c] = True
 
+# fused byte-class table (round-5): alnum and split-whitespace are
+# DISJOINT classes, so one fancy-index pass + one bincount replaces the
+# two boolean-table passes and their separate reductions
+_CLASS_TABLE = np.zeros(256, dtype=np.uint8)
+_CLASS_TABLE[_ALNUM_TABLE] = 1
+_CLASS_TABLE[_SPACE_TABLE] = 2
+
+# C-bytes kernels (round-5 profile): per-doc numpy costs ~1-3 us of
+# dispatch PER OP on KB-scale buffers, so the stats below run on bytes
+# methods (translate/split/count — single C passes, no temporaries);
+# numpy remains only where it wins (the trigram sort).
+# str.split()'s whitespace includes \x1c-\x1f, bytes.split()'s does not —
+# normalizing those four to ' ' first makes bytes.split() byte-identical
+# to the _SPACE_TABLE semantics.
+_WS_NORM = bytes(32 if b in (28, 29, 30, 31) else b for b in range(256))
+_NON_ALNUM_BYTES = bytes(b for b in range(256) if not _ALNUM_TABLE[b])
+_WS_BYTES = (b" ", b"\t", b"\n", b"\r", b"\x0b", b"\x0c")
+
 
 def trigram_diversity(text: str) -> float:
     """distinct byte-3grams / total byte-3grams; 1.0 for very short text."""
@@ -62,10 +80,17 @@ def trigram_diversity(text: str) -> float:
     return distinct / (n - 2)
 
 
-def quality_stats(text: str, data: bytes | None = None) -> dict:
+def quality_stats(text: str, data: bytes | None = None,
+                  trigram_min_chars: int = 0) -> dict:
     """All heuristic features for one document — numpy-vectorized; used by
     both the pure oracle and the Ray stage (single source of truth).
-    ``data`` lets callers share one UTF-8 encoding across stages."""
+    ``data`` lets callers share one UTF-8 encoding across stages.
+
+    ``trigram_min_chars``: texts SHORTER than this report the sentinel
+    trigram_diversity 1.0 without building/sorting the trigram array —
+    heuristic_drop_reason passes its repetition_min_chars, below which the
+    value is never consulted (default 0 = always exact, the oracle path).
+    """
     if not text:
         return {
             "n_chars": 0, "n_lines": 0, "max_line_len": 0,
@@ -74,26 +99,29 @@ def quality_stats(text: str, data: bytes | None = None) -> dict:
         }
     if data is None:
         data = text.encode("utf-8", "replace")
-    codes = np.frombuffer(data, dtype=np.uint8)
-    n = len(codes)
+    n = len(data)
 
-    # line stats from newline positions
-    nl = np.flatnonzero(codes == 10)
-    bounds = np.concatenate(([-1], nl, [n]))
-    line_lens = np.diff(bounds) - 1  # segment between separators, per str.split
+    # C-bytes kernels: translate/split/count are single C passes with no
+    # per-op numpy dispatch (~1-3 us each on KB docs — the old form's
+    # dominant cost). norm maps \x1c-\x1f to ' ' so bytes.split()
+    # reproduces the str.split() whitespace table exactly.
+    norm = data.translate(_WS_NORM)
+    tokens = norm.split()
+    starts = len(tokens)
+    ws_bytes = sum(norm.count(c) for c in _WS_BYTES)
+    token_bytes = n - ws_bytes
+    n_alnum = len(data.translate(None, _NON_ALNUM_BYTES))
 
-    # token stats from whitespace runs
-    is_space = _SPACE_TABLE[codes]
-    non_space = ~is_space
-    starts = int(non_space[0]) + int(
-        np.count_nonzero(non_space[1:] & is_space[:-1])
-    )
-    token_bytes = int(non_space.sum())
+    if b"\n" in data:
+        lines = data.split(b"\n")
+        n_lines = len(lines)
+        max_line = max(map(len, lines))
+    else:
+        n_lines, max_line = 1, n
 
-    n_alnum = int(_ALNUM_TABLE[codes].sum())
-
-    # trigram diversity inline (reuse codes)
-    if n >= 3:
+    # trigram diversity (numpy: the sort genuinely wins there)
+    if n >= max(3, trigram_min_chars):
+        codes = np.frombuffer(data, dtype=np.uint8)
         c32 = codes.astype(np.uint32)
         tri = c32[:-2] | (c32[1:-1] << 8) | (c32[2:] << 16)
         tri.sort()  # same distinct count as np.unique, fewer allocations
@@ -103,8 +131,8 @@ def quality_stats(text: str, data: bytes | None = None) -> dict:
 
     return {
         "n_chars": n,
-        "n_lines": len(line_lens),
-        "max_line_len": int(line_lens.max()),
+        "n_lines": n_lines,
+        "max_line_len": max_line,
         "mean_token_len": (token_bytes / starts) if starts else 0.0,
         "alnum_ratio": n_alnum / n,
         "trigram_diversity": tri_div,
@@ -118,7 +146,8 @@ def heuristic_drop_reason(
     """(keep, drop_reason) for the heuristic rules alone; reason '' when kept."""
     if text is None or len(text.strip()) < cfg.min_chars:
         return False, "empty"
-    stats = quality_stats(text, data=data)
+    stats = quality_stats(text, data=data,
+                          trigram_min_chars=cfg.repetition_min_chars)
     if (
         stats["n_chars"] >= cfg.repetition_min_chars
         and stats["trigram_diversity"] < cfg.max_repetition

@@ -117,3 +117,127 @@ def test_lm_deterministic():
     a, b = CharBigramLM(), CharBigramLM()
     assert a.bits_per_char("hello world") == b.bits_per_char("hello world")
 
+
+
+def test_quality_stats_fused_class_equivalence():
+    """Round-5 fast path (fused byte-class table + bincount + newline-gap
+    max-line) must be value-identical to the original two-boolean-table
+    formulation, including the trigram gate sentinel semantics."""
+    import random
+
+    import numpy as np
+
+    from pii_filter_ray.core.quality import (
+        _ALNUM_TABLE,
+        _SPACE_TABLE,
+        quality_stats,
+    )
+
+    def ref_stats(text):
+        if not text:
+            return quality_stats("")
+        data = text.encode("utf-8", "replace")
+        codes = np.frombuffer(data, dtype=np.uint8)
+        n = len(codes)
+        nl = np.flatnonzero(codes == 10)
+        bounds = np.concatenate(([-1], nl, [n]))
+        line_lens = np.diff(bounds) - 1
+        is_space = _SPACE_TABLE[codes]
+        non_space = ~is_space
+        starts = int(non_space[0]) + int(
+            np.count_nonzero(non_space[1:] & is_space[:-1]))
+        token_bytes = int(non_space.sum())
+        n_alnum = int(_ALNUM_TABLE[codes].sum())
+        if n >= 3:
+            c32 = codes.astype(np.uint32)
+            tri = c32[:-2] | (c32[1:-1] << 8) | (c32[2:] << 16)
+            tri.sort()
+            tri_div = (1 + int(np.count_nonzero(tri[1:] != tri[:-1]))) / (n - 2)
+        else:
+            tri_div = 1.0
+        return {
+            "n_chars": n, "n_lines": len(line_lens),
+            "max_line_len": int(line_lens.max()),
+            "mean_token_len": (token_bytes / starts) if starts else 0.0,
+            "alnum_ratio": n_alnum / n, "trigram_diversity": tri_div,
+            "n_tokens": starts,
+        }
+
+    rng = random.Random(5)
+    alpha = "abc XYZ\n\t\r 0189{}[]()!@#é漢\x00\x1f\x1c"
+    cases = ["", "\n", "a", "ab", "abc", "\n\n\n", "x" * 500, "ab \n" * 100]
+    cases += ["".join(rng.choice(alpha)
+                      for _ in range(rng.randint(0, 300)))
+              for _ in range(800)]
+    for t in cases:
+        assert quality_stats(t) == ref_stats(t), repr(t[:60])
+
+    # gate: below trigram_min_chars the sentinel 1.0 is reported (the
+    # value is never consulted there); at/above it stays exact
+    s = "qr" * 150
+    assert quality_stats(s, trigram_min_chars=301)["trigram_diversity"] == 1.0
+    assert (quality_stats(s, trigram_min_chars=300)["trigram_diversity"]
+            == ref_stats(s)["trigram_diversity"])
+
+
+def test_langid_featured_path_equivalence():
+    """Round-5 langid fast path: featured-only Counter + (optionally
+    batch-precomputed) token count must reproduce the original
+    all-tokens formulation exactly — language, confidence, and the RE2
+    batch count itself."""
+    import random
+    import re
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pii_filter_ray.core.langid import (
+        _CODE_FEATURES,
+        _CODE_TEXT_BIAS,
+        _FEATURE_INDEX,
+        _LANG_ORDER,
+        _TOKEN_RE,
+        _md_counts,
+        LANGID_MAX_CHARS,
+        detect_code_lang,
+    )
+
+    def ref_detect(content, max_chars=LANGID_MAX_CHARS):
+        if not content:
+            return "text", 0.0
+        sample = content[:max_chars]
+        toks = _TOKEN_RE.findall(sample)
+        n = max(1, len(toks))
+        scores = {lang: 0.0 for lang in _CODE_FEATURES}
+        for t, cnt in Counter(toks).items():
+            hits = _FEATURE_INDEX.get(t)
+            if hits:
+                for lang, w in hits:
+                    scores[lang] += w * cnt
+        scores["text"] += _CODE_TEXT_BIAS * (n / 100.0)
+        md_strong, md_weak = _md_counts(sample)
+        scores["markdown"] += 2.0 * md_strong + 0.75 * md_weak
+        best = max(_LANG_ORDER, key=lambda k: scores[k])
+        total = sum(scores.values()) or 1.0
+        return best, scores[best] / total
+
+    rng = random.Random(11)
+    bits = ["def", "self", "func", "const", "let", "=>", ":=", "#", "//",
+            "/*", "```", ";", "{", "}", "public", "void", "fmt", "err",
+            " ", "\n", "x1", "_priv", "deffoo", "xdef", "selfmade", "é",
+            "## ", "- ", "System", "nil", "window", "=", "==", "/"]
+    cases = ["", "def def def", "# only", "```python\ndef f(): pass\n```"]
+    cases += ["".join(rng.choice(bits) for _ in range(rng.randint(0, 160)))
+              for _ in range(1500)]
+    for t in cases:
+        assert detect_code_lang(t) == ref_detect(t), repr(t[:60])
+
+    # the batch RE2 token count equals the per-row tokenizer's count
+    col = pa.array(cases, pa.string())
+    counts = pc.count_substring_regex(
+        pc.utf8_slice_codeunits(col, 0, LANGID_MAX_CHARS),
+        pattern=_TOKEN_RE.pattern).to_pylist()
+    for t, c in zip(cases, counts):
+        assert c == len(_TOKEN_RE.findall(t[:LANGID_MAX_CHARS]))
+        assert detect_code_lang(t, n_tokens=c) == ref_detect(t)
