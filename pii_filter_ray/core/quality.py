@@ -101,23 +101,42 @@ def quality_stats(text: str, data: bytes | None = None,
         data = text.encode("utf-8", "replace")
     n = len(data)
 
-    # C-bytes kernels: translate/split/count are single C passes with no
-    # per-op numpy dispatch (~1-3 us each on KB docs — the old form's
-    # dominant cost). norm maps \x1c-\x1f to ' ' so bytes.split()
-    # reproduces the str.split() whitespace table exactly.
-    norm = data.translate(_WS_NORM)
-    tokens = norm.split()
-    starts = len(tokens)
-    ws_bytes = sum(norm.count(c) for c in _WS_BYTES)
-    token_bytes = n - ws_bytes
-    n_alnum = len(data.translate(None, _NON_ALNUM_BYTES))
+    if n <= 65536:
+        # C-bytes kernels: translate/split/count are single C passes with
+        # no per-op numpy dispatch (~1-3 us each on KB docs — the old
+        # form's dominant cost). norm maps \x1c-\x1f to ' ' so
+        # bytes.split() reproduces the str.split() whitespace table
+        # exactly. Size-gated: on MB-scale docs split()'s per-token
+        # allocations LOSE to the numpy passes (~10% measured), so wide
+        # rows take the vectorized branch below (value-identical; both
+        # pinned by the equivalence fuzz test).
+        norm = data.translate(_WS_NORM)
+        starts = len(norm.split())
+        ws_bytes = sum(norm.count(c) for c in _WS_BYTES)
+        token_bytes = n - ws_bytes
+        n_alnum = len(data.translate(None, _NON_ALNUM_BYTES))
 
-    if b"\n" in data:
-        lines = data.split(b"\n")
-        n_lines = len(lines)
-        max_line = max(map(len, lines))
+        if b"\n" in data:
+            lines = data.split(b"\n")
+            n_lines = len(lines)
+            max_line = max(map(len, lines))
+        else:
+            n_lines, max_line = 1, n
     else:
-        n_lines, max_line = 1, n
+        codes_w = np.frombuffer(data, dtype=np.uint8)
+        is_space = _SPACE_TABLE[codes_w]
+        non_space = ~is_space
+        starts = int(non_space[0]) + int(
+            np.count_nonzero(non_space[1:] & is_space[:-1]))
+        token_bytes = int(non_space.sum())
+        n_alnum = int(_ALNUM_TABLE[codes_w].sum())
+        nl = np.flatnonzero(codes_w == 10)
+        if len(nl) == 0:
+            n_lines, max_line = 1, n
+        else:
+            gaps_max = int(np.diff(nl).max()) - 1 if len(nl) > 1 else -1
+            max_line = max(int(nl[0]), gaps_max, n - 1 - int(nl[-1]))
+            n_lines = len(nl) + 1
 
     # trigram diversity (numpy: the sort genuinely wins there)
     if n >= max(3, trigram_min_chars):

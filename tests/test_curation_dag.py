@@ -360,6 +360,75 @@ def test_append_incremental(ray_session, stress_dir, tmp_path, dag_out):
     shutil.rmtree(out_ref, ignore_errors=True)
 
 
+def test_append_chain_two_deep(ray_session, stress_dir, tmp_path, dag_out):
+    """A second append chains onto the FIRST append's output: the standing
+    side is the whole chain (base ∪ append1), so a delta-2 doc that
+    exactly copies an append-1 survivor is dropped via the chain walk,
+    and the chain digest folds all three runs."""
+    import pyarrow as pa
+
+    from pii_filter_ray.curation import chain_digest, run_curation_append
+    from pii_filter_ray.sources.stress_corpus import stress_corpus_dir
+
+    def mkdelta(seed, out_name):
+        src = stress_corpus_dir(
+            n_rows=300, seed=seed, rows_per_shard=128,
+            mb_every=500, mb_bytes=120_000, emit_expectations=False)
+        d = str(tmp_path / out_name)
+        os.makedirs(d, exist_ok=True)
+        for f in sorted(os.listdir(os.path.join(src, "corpus"))):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(src, "corpus", f),
+                            os.path.join(d, f))
+        return d
+
+    delta1 = mkdelta(41, "chain_d1")
+    out1 = str(tmp_path / "chain_a1")
+    run_curation_append(delta1, out1, prior_output=dag_out)
+    d1_final = _final_keys(out1)
+    assert d1_final
+
+    # find a delta-1 SOURCE row that survived append 1 (>= 16 words) and
+    # plant its raw content into delta 2 under a new identity
+    t = pq.read_table([os.path.join(delta1, f)
+                       for f in sorted(os.listdir(delta1))])
+    victim = None
+    for i in range(t.num_rows):
+        key = _doc_key(t["repo"][i].as_py(), t["path"][i].as_py(),
+                       t["commit"][i].as_py())
+        content = t["content"][i].as_py()
+        if key in d1_final and content and len(content.split()) >= 16:
+            victim = content
+            break
+    assert victim is not None
+
+    delta2 = mkdelta(43, "chain_d2")
+    planted_key = _doc_key("org_chain/repo_z", "src/copied.js", "f" * 40)
+    pq.write_table(pa.table({
+        "repo": pa.array(["org_chain/repo_z"], pa.string()),
+        "path": pa.array(["src/copied.js"], pa.string()),
+        "commit": pa.array(["f" * 40], pa.string()),
+        "lang": pa.array(["javascript"], pa.string()),
+        "content": pa.array([victim], pa.string()),
+    }), os.path.join(delta2, "planted.parquet"))
+
+    out2 = str(tmp_path / "chain_a2")
+    summary = run_curation_append(delta2, out2, prior_output=out1)
+    final2 = _final_keys(out2)
+    assert planted_key not in final2, \
+        "a copy of an append-1 survivor must be dropped via the chain"
+    assert summary["exact"]["stats"]["drops"] >= 1
+
+    # chain digest over all three runs is additive in rows and digest
+    cd = chain_digest(out2)
+    parts = [curation_digest(p) for p in (out2, out1, dag_out)]
+    assert cd["rows"] == sum(p["rows"] for p in parts)
+    expect = sum(int(p["digest"], 16) for p in parts) % (1 << 64)
+    assert cd["digest"] == f"{expect:016x}"
+    shutil.rmtree(out1, ignore_errors=True)
+    shutil.rmtree(out2, ignore_errors=True)
+
+
 def test_resume_config_mismatch_fails_loud(ray_session, stress_dir,
                                            tmp_path, dag_out):
     out = str(tmp_path / "cfg")

@@ -169,6 +169,10 @@ def test_quality_stats_fused_class_equivalence():
     cases += ["".join(rng.choice(alpha)
                       for _ in range(rng.randint(0, 300)))
               for _ in range(800)]
+    # wide rows take the size-gated numpy branch (> 64 KiB) — pin it and
+    # the exact gate boundary against the same reference
+    wide = "".join(rng.choice(alpha) for _ in range(70_000))
+    cases += [wide, wide[:65536], wide[:65537]]
     for t in cases:
         assert quality_stats(t) == ref_stats(t), repr(t[:60])
 
