@@ -181,6 +181,8 @@ def main():
 
     corpus_dir = phase_gen(args)
     corpus = os.path.join(corpus_dir, "corpus")
+    if args.phase == "gen":
+        return
     bench = None
     if args.benchmark == "auto":
         bench = make_benchmark(
@@ -194,6 +196,8 @@ def main():
     res_a = phase_run(corpus, out_a, args.cpus, args.partitions,
                       benchmark=bench)
     print(json.dumps({"phase": "runA", **res_a}), flush=True)
+    if args.phase == "runA":
+        return  # output kept (e.g. as a standing corpus for --append runs)
     # free the disk before run B; the digest is what we keep
     shutil.rmtree(out_a, ignore_errors=True)
 
