@@ -522,6 +522,50 @@ def test_triangle_closure_paths_equivalent(ray_session):
     assert a.equals(b)
 
 
+def test_triangle_driver_build_equivalent(ray_session):
+    """The size-gated driver-merge edge build (round-5 small-shuffle
+    law: edges/degrees/orientation as driver numpy kernels, wedge+
+    closure still distributed over src-aligned blocks) must reproduce
+    the fully distributed build exactly, including the clustering
+    columns, and the forced-distributed spelling must actually take the
+    distributed path (gate respected)."""
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    drv = r.part_triangle_count(sf, build="driver")
+    dist = r.part_triangle_count(sf, build="distributed")
+    assert drv.equals(dist)
+    auto = r.part_triangle_count(sf)  # sf0.001 is far under the gate
+    assert auto.equals(dist)
+    drv_c = r.part_triangle_count(sf, build="driver", with_clustering=True)
+    dist_c = r.part_triangle_count(
+        sf, build="distributed", with_clustering=True)
+    assert drv_c.equals(dist_c)
+    # a forced tiny gate must fall back to the distributed build
+    gated = r.part_triangle_count(sf, driver_merge_limit=1)
+    assert gated.equals(dist)
+
+
+def test_q21_driver_merge_equivalent(ray_session):
+    """q21's size-gated driver merge (partials pulled once, per-order
+    resolution via lexsort+reduceat) must match the distributed
+    join+groupby path, and a forced tiny gate must take the distributed
+    path."""
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    drv = r.q21_waiting_supplier(sf, build="driver")
+    dist = r.q21_waiting_supplier(sf, build="distributed")
+    assert drv.equals(dist)
+    assert r.q21_waiting_supplier(sf).equals(dist)
+    assert r.q21_waiting_supplier(sf, driver_merge_limit=1).equals(dist)
+    # knob passthrough on both paths
+    d5 = r.q21_waiting_supplier(sf, late_days=5, topk=3, build="driver")
+    j5 = r.q21_waiting_supplier(sf, late_days=5, topk=3,
+                                build="distributed")
+    assert d5.equals(j5) and len(d5) <= 3
+
+
 def test_triangle_degree_paths_equivalent(ray_session):
     """The degree-attach gate (broadcast vs two distributed hash_joins)
     must not change the counts, on either closure path."""
