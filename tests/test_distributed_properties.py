@@ -546,6 +546,20 @@ def test_triangle_driver_build_equivalent(ray_session):
     assert gated.equals(dist)
 
 
+def test_q3_driver_merge_equivalent(ray_session):
+    """q3's size-gated driver merge (per-block revenue partials +
+    searchsorted order attach) must match the distributed
+    join+groupby+sort path, including on a forced tiny gate."""
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    drv = r.q3_shipping_priority(sf, build="driver")
+    dist = r.q3_shipping_priority(sf, build="distributed")
+    assert drv.equals(dist)
+    assert r.q3_shipping_priority(sf).equals(dist)
+    assert r.q3_shipping_priority(sf, driver_merge_limit=1).equals(dist)
+
+
 def test_q21_driver_merge_equivalent(ray_session):
     """q21's size-gated driver merge (partials pulled once, per-order
     resolution via lexsort+reduceat) must match the distributed
