@@ -546,6 +546,28 @@ def test_triangle_driver_build_equivalent(ray_session):
     assert gated.equals(dist)
 
 
+def test_bpe_and_kmv_driver_merge_equivalent(ray_session):
+    """doc_bpe_merges (vocab pulled once, merge iterations on the
+    driver) and events_kmv_calibration (exact side via pulled
+    block-distinct pairs) must match their distributed paths, including
+    non-default iteration/k knobs and forced tiny gates."""
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    assert r.doc_bpe_merges(sf, build="driver").equals(
+        r.doc_bpe_merges(sf, build="distributed"))
+    assert r.doc_bpe_merges(sf, iters=6).equals(
+        r.doc_bpe_merges(sf, iters=6, build="distributed"))
+    assert r.doc_bpe_merges(sf, driver_merge_limit=1).equals(
+        r.doc_bpe_merges(sf, build="driver"))
+    assert r.events_kmv_calibration(sf, build="driver").equals(
+        r.events_kmv_calibration(sf, build="distributed"))
+    assert r.events_kmv_calibration(sf, k=3).equals(
+        r.events_kmv_calibration(sf, k=3, build="distributed"))
+    assert r.events_kmv_calibration(sf, driver_merge_limit=1).equals(
+        r.events_kmv_calibration(sf, build="driver"))
+
+
 def test_q3_driver_merge_equivalent(ray_session):
     """q3's size-gated driver merge (per-block revenue partials +
     searchsorted order attach) must match the distributed
