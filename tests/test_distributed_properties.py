@@ -568,6 +568,29 @@ def test_bpe_and_kmv_driver_merge_equivalent(ray_session):
         r.events_kmv_calibration(sf, build="driver"))
 
 
+def test_semdedup_dsir_driver_merge_equivalent(ray_session):
+    """emb_semdedup (per-cluster kernel run driver-side under the gate)
+    and doc_dsir_weights (bucket counts via bincount accumulate, doc
+    sums via sort+reduceat) must match their distributed paths at
+    default and non-default knobs."""
+    from pii_filter_ray.pipelines import relational as r
+
+    sf = "/root/testdata/sf0.001"
+    assert r.emb_semdedup(sf, build="driver").equals(
+        r.emb_semdedup(sf, build="distributed"))
+    assert r.emb_semdedup(sf, k=8, tau=0.6).equals(
+        r.emb_semdedup(sf, k=8, tau=0.6, build="distributed"))
+    assert r.emb_semdedup(sf, driver_merge_limit=1).equals(
+        r.emb_semdedup(sf, build="driver"))
+    assert r.doc_dsir_weights(sf, build="driver").equals(
+        r.doc_dsir_weights(sf, build="distributed"))
+    assert r.doc_dsir_weights(sf, n_buckets=64, target_lang="pt").equals(
+        r.doc_dsir_weights(sf, n_buckets=64, target_lang="pt",
+                           build="distributed"))
+    assert r.doc_dsir_weights(sf, driver_merge_limit=1).equals(
+        r.doc_dsir_weights(sf, build="driver"))
+
+
 def test_q3_driver_merge_equivalent(ray_session):
     """q3's size-gated driver merge (per-block revenue partials +
     searchsorted order attach) must match the distributed
