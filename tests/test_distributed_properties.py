@@ -568,6 +568,39 @@ def test_bpe_and_kmv_driver_merge_equivalent(ray_session):
         r.events_kmv_calibration(sf, build="driver"))
 
 
+def test_sorted_window_winnow_driver_merge_equivalent(ray_session):
+    """doc_sorted_neighborhood (global lexsort + shifted slices),
+    events_window_dedup (adjacent-row LAG after one lexsort) and
+    doc_winnowing_pairs (the same bucket_pairs/pair_sum kernels run
+    once on the pulled global fingerprint table) must match their
+    distributed paths (order-insensitive where the distributed output
+    order is block-dependent)."""
+    import pandas as pd
+
+    from pii_filter_ray.pipelines import relational as r
+
+    def norm(df):
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    sf = "/root/testdata/sf0.001"
+    assert norm(r.doc_sorted_neighborhood(sf, build="driver")).equals(
+        norm(r.doc_sorted_neighborhood(sf, build="distributed")))
+    assert norm(r.doc_sorted_neighborhood(sf, driver_merge_limit=1)).equals(
+        norm(r.doc_sorted_neighborhood(sf, build="driver")))
+    assert norm(r.events_window_dedup(sf, build="driver")).equals(
+        norm(r.events_window_dedup(sf, build="distributed")))
+    assert norm(r.events_window_dedup(sf, driver_merge_limit=1)).equals(
+        norm(r.events_window_dedup(sf, build="driver")))
+    assert r.doc_winnowing_pairs(sf, build="driver").equals(
+        r.doc_winnowing_pairs(sf, build="distributed"))
+    assert r.doc_winnowing_pairs(
+        sf, max_df=10, min_shared=2, build="driver").equals(
+        r.doc_winnowing_pairs(sf, max_df=10, min_shared=2,
+                              build="distributed"))
+    assert r.doc_winnowing_pairs(sf, driver_merge_limit=1).equals(
+        r.doc_winnowing_pairs(sf, build="driver"))
+
+
 def test_semdedup_dsir_driver_merge_equivalent(ray_session):
     """emb_semdedup (per-cluster kernel run driver-side under the gate)
     and doc_dsir_weights (bucket counts via bincount accumulate, doc
