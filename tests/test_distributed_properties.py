@@ -568,6 +568,22 @@ def test_bpe_and_kmv_driver_merge_equivalent(ray_session):
         r.events_kmv_calibration(sf, build="driver"))
 
 
+def test_q1_driver_merge_equivalent(ray_session):
+    """q1's partials are <=|flag x status| rows per block, so the
+    driver pandas merge must reproduce the Ray aggregate (round(2)
+    output contract) on both forced paths and the auto gate."""
+    from pii_filter_ray.pipelines import relational as r
+
+    def norm(df):
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    sf = "/root/testdata/sf0.001"
+    dist = norm(r.q1_pricing_summary(sf, build="distributed"))
+    assert norm(r.q1_pricing_summary(sf, build="driver")).equals(dist)
+    assert norm(r.q1_pricing_summary(sf)).equals(dist)
+    assert norm(r.q1_pricing_summary(sf, driver_merge_limit=1)).equals(dist)
+
+
 def test_sorted_window_winnow_driver_merge_equivalent(ray_session):
     """doc_sorted_neighborhood (global lexsort + shifted slices),
     events_window_dedup (adjacent-row LAG after one lexsort) and
