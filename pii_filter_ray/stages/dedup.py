@@ -86,14 +86,21 @@ def _text_hash_key(v: Optional[str]) -> str:
 
 
 def exact_dedup_representatives(
-    ds: "ray.data.Dataset", text_col: str, id_col: str
+    ds: "ray.data.Dataset", text_col: str, id_col: str,
+    build: "str | None" = None, driver_merge_limit: int = 20_000_000,
 ) -> "ray.data.Dataset":
     """min(id) per distinct text — hash-partition + per-group min.
 
     Per-batch pre-combine keeps the shuffle small: each block contributes at
     most one row per distinct hash, so the groupby moves (hash, id) pairs,
     never the text payload.
-    """
+
+    Driver-merge gate (round-5 small-shuffle law): below
+    ``driver_merge_limit`` input rows the per-block (hash, min id)
+    partials pull once and merge with one pandas groupby — the shuffle
+    was only merge machinery over pre-combined pairs. Callers passing a
+    transformed (non-read) dataset should force build='distributed':
+    the auto gate's ds.count() is only metadata-cheap on reads."""
 
     def partial(batch: pa.Table) -> pa.Table:
         keys = pa.array(
@@ -103,6 +110,20 @@ def exact_dedup_representatives(
         t = pa.table({"text_hash": keys, id_col: batch[id_col]})
         g = t.group_by("text_hash").aggregate([(id_col, "min")])
         return pa.table({"text_hash": g["text_hash"], id_col: g[f"{id_col}_min"]})
+
+    if build == "driver" or (
+            build is None and ds.count() <= driver_merge_limit):
+        frames = [b.to_pandas() for b in ds.map_batches(
+            partial, batch_format="pyarrow"
+        ).iter_batches(batch_size=None, batch_format="pyarrow")]
+        if frames:
+            allp = pd.concat(frames, ignore_index=True)
+            reps = (allp.groupby("text_hash", as_index=False)[id_col]
+                    .min()[[id_col]])
+        else:
+            reps = pd.DataFrame({id_col: pd.Series(dtype="int64")})
+        return ray.data.from_arrow(pa.Table.from_pandas(
+            reps, preserve_index=False))
 
     from ray.data.aggregate import Min
 

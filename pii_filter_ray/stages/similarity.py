@@ -87,6 +87,8 @@ def cosine_neardup_pairs(
     seed: int = 13,
     max_bucket: int = 2048,
     driver_merge_limit: int = 2_000_000,
+    build: "str | None" = None,
+    driver_build_limit: int = 1_000_000,
 ) -> "ray.data.Dataset":
     """Approximate all-pairs cosine near-duplicates via hyperplane LSH.
 
@@ -135,6 +137,53 @@ def cosine_neardup_pairs(
         )
 
     from ray.data.aggregate import Max
+
+    if build == "driver" or (
+            build is None and ds.count() <= driver_build_limit):
+        # Driver-merge gate (round-5 small-shuffle law): the one
+        # all-to-all exists to co-locate (table, bucket) groups, whose
+        # catalog is bounded at n_tables * 2^n_bits — below the gate the
+        # raw (id, vec) rows pull once (n x dim x 8 B), both tables'
+        # codes compute in two matmuls, and the SAME bucket_pairs kernel
+        # runs per group over argsort slices. The .tolist() float64
+        # round-trip of the distributed path is exact, so sims are
+        # byte-identical. Distributed path unchanged past the gate.
+        ids_l, vecs_l = [], []
+        for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+            ids_l.append(np.asarray(b[id_col].to_pylist(), dtype=np.int64))
+            vecs_l.append(_to_matrix(b[vec_col]))
+        out_frames = []
+        if ids_l:
+            ids_all = np.concatenate(ids_l)
+            V = _normalize(np.vstack(vecs_l))
+            for t in range(n_tables):
+                H = _hyperplanes(V.shape[1], n_bits, seed + t)
+                bits = (V @ H) > 0
+                codes = (bits * (1 << np.arange(n_bits))).sum(axis=1)
+                order = np.argsort(codes, kind="stable")
+                cs = codes[order]
+                starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+                for gi, s in enumerate(starts):
+                    e = starts[gi + 1] if gi + 1 < len(starts) else len(cs)
+                    if e - s < 2:
+                        continue
+                    sel = order[s:e]
+                    out_frames.append(bucket_pairs(pd.DataFrame({
+                        id_col: ids_all[sel],
+                        "vec": list(V[sel]),
+                    })))
+        out_frames = [f for f in out_frames if len(f)]
+        if not out_frames:
+            return ray.data.from_arrow(pa.table(
+                {"id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}))
+        df = pd.concat(out_frames, ignore_index=True)
+        agg = df.groupby(["id_a", "id_b"], as_index=False)["sim"].max()
+        return ray.data.from_arrow(pa.table(
+            {"id_a": pa.array(agg["id_a"].to_numpy(), pa.int64()),
+             "id_b": pa.array(agg["id_b"].to_numpy(), pa.int64()),
+             "sim": pa.array(agg["sim"].to_numpy(), pa.float64())}))
 
     pairs = (
         ds.map_batches(assign, batch_format="pyarrow")

@@ -568,6 +568,43 @@ def test_bpe_and_kmv_driver_merge_equivalent(ray_session):
         r.events_kmv_calibration(sf, build="driver"))
 
 
+def test_exact_dedup_cosine_neardup_driver_merge_equivalent(ray_session):
+    """exact_dedup_representatives (hash partials merged with one pandas
+    groupby) and cosine_neardup_pairs (codes from two matmuls, the same
+    bucket_pairs kernel over argsort slices) must match their
+    distributed paths order-insensitively."""
+    from pii_filter_ray.pipelines import relational as r
+    from pii_filter_ray.stages.dedup import exact_dedup_representatives
+    from pii_filter_ray.stages.similarity import cosine_neardup_pairs
+
+    def norm(df):
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    sf = "/root/testdata/sf0.001"
+
+    def docs():
+        return r._tbl(sf, "documents", columns=["doc_id", "text"])
+
+    def embs():
+        return r._tbl(sf, "embeddings", columns=["vec_id", "embedding"])
+
+    dist = norm(exact_dedup_representatives(
+        docs(), "text", "doc_id", build="distributed").to_pandas())
+    assert norm(exact_dedup_representatives(
+        docs(), "text", "doc_id", build="driver").to_pandas()).equals(dist)
+    assert norm(exact_dedup_representatives(
+        docs(), "text", "doc_id",
+        driver_merge_limit=1).to_pandas()).equals(dist)
+
+    kw = dict(threshold=0.4, n_bits=6, n_tables=8)
+    cdist = norm(cosine_neardup_pairs(
+        embs(), build="distributed", **kw).to_pandas())
+    assert norm(cosine_neardup_pairs(
+        embs(), build="driver", **kw).to_pandas()).equals(cdist)
+    assert norm(cosine_neardup_pairs(
+        embs(), driver_build_limit=1, **kw).to_pandas()).equals(cdist)
+
+
 def test_q1_driver_merge_equivalent(ray_session):
     """q1's partials are <=|flag x status| rows per block, so the
     driver pandas merge must reproduce the Ray aggregate (round(2)
