@@ -1171,8 +1171,18 @@ def jaccard_similarity_join(
     max_df: int = 1000,
     driver_merge_limit: int = 2_000_000,
     score_mode: str = "jaccard",
+    build: "str | None" = None,
+    driver_build_limit: int = 2_000,
+    input_rows: "int | None" = None,
 ) -> "ray.data.Dataset":
     """EXACT all-pairs word-shingle Jaccard join — no LSH, no driver index.
+
+    ``driver_build_limit`` is deliberately LOW (2k docs): unlike the
+    other round-5 driver merges, the in-bucket self-merge here is real
+    parallel compute, and the measured crossover vs the 256-bucket
+    distributed form is only a few thousand docs — past it the driver
+    path LOSES despite saving the shuffle (measured 1.7 s driver vs
+    1.5 s distributed at 5k docs, but 0.2 s vs 1.5 s at 500).
 
     Classic inverted-index self-join, fully distributed:
 
@@ -1295,20 +1305,7 @@ def jaccard_similarity_join(
              "jaccard": jac[keep]}
         )
 
-    pair_partials = (
-        shingle_rows.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .materialize()
-    )
-    # Size-gated driver merge (same pattern as minhash_lsh_pairs): the
-    # pair partials are one row per (pair, shingle-bucket) — tiny for
-    # ordinary corpora — and the final all-to-all costs ~1s of fixed
-    # overhead; below the gate, run the SAME merge_and_score once on the
-    # driver. Past the gate the distributed pair_bucket groupby (unchanged)
-    # takes over.
-    if pair_partials.count() <= driver_merge_limit:
-        merged = merge_and_score(pair_partials.to_pandas())
+    def merged_to_ds(merged: pd.DataFrame) -> "ray.data.Dataset":
         if score_mode == "containment":
             return ray.data.from_arrow(
                 pa.table(
@@ -1330,6 +1327,45 @@ def jaccard_similarity_join(
                 }
             )
         )
+
+    # Driver-build gate (round-5 small-shuffle law): the one remaining
+    # all-to-all co-locates shingle rows purely so df-pruning and pair
+    # generation see each shingle whole — below ``driver_build_limit``
+    # DOCS the exploded rows pull once (24 B/row, amplification ~ one
+    # row per distinct doc shingle) and the SAME bucket_pairs +
+    # merge_and_score kernels run once globally (global df == bucket df
+    # by construction). The gate is on the DOC count because
+    # shingle_rows.count() would execute the explode pass twice; callers
+    # passing a transformed (non-read) dataset should supply
+    # ``input_rows`` (an upper bound is fine — e.g. the raw table's
+    # metadata count before a filter) so the auto gate never runs an
+    # extra pass just to count.
+    if build == "driver" or (
+            build is None
+            and (input_rows if input_rows is not None else ds.count())
+            <= driver_build_limit):
+        frames = [b.to_pandas() for b in shingle_rows.iter_batches(
+            batch_size=None, batch_format="pyarrow")]
+        allr = (pd.concat(frames, ignore_index=True) if frames
+                else pd.DataFrame({"sh": pd.Series(dtype="int64"),
+                                   id_col: pd.Series(dtype="int64"),
+                                   "n_sh": pd.Series(dtype="int64")}))
+        return merged_to_ds(merge_and_score(bucket_pairs(allr)))
+
+    pair_partials = (
+        shingle_rows.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .materialize()
+    )
+    # Size-gated driver merge (same pattern as minhash_lsh_pairs): the
+    # pair partials are one row per (pair, shingle-bucket) — tiny for
+    # ordinary corpora — and the final all-to-all costs ~1s of fixed
+    # overhead; below the gate, run the SAME merge_and_score once on the
+    # driver. Past the gate the distributed pair_bucket groupby (unchanged)
+    # takes over.
+    if pair_partials.count() <= driver_merge_limit:
+        return merged_to_ds(merge_and_score(pair_partials.to_pandas()))
     return pair_partials.groupby("pair_bucket").map_groups(
         merge_and_score, batch_format="pandas"
     )

@@ -568,6 +568,45 @@ def test_bpe_and_kmv_driver_merge_equivalent(ray_session):
         r.events_kmv_calibration(sf, build="driver"))
 
 
+def test_jaccard_join_driver_build_equivalent(ray_session):
+    """jaccard_similarity_join's driver build (exploded shingle rows
+    pulled once, the same bucket_pairs + merge_and_score kernels run
+    globally) must match the distributed path in both score modes; the
+    gate is deliberately low (real parallel compute past ~2k docs), so
+    the forced spellings are the coverage."""
+    from pii_filter_ray.pipelines import relational as r
+    from pii_filter_ray.stages.dedup import jaccard_similarity_join
+
+    def norm(df):
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    sf = "/root/testdata/sf0.001"
+
+    def docs():
+        return r._tbl(sf, "documents", columns=["doc_id", "text"])
+
+    for sm in ("jaccard", "containment"):
+        dist = norm(jaccard_similarity_join(
+            docs(), "text", "doc_id", threshold=0.5, score_mode=sm,
+            build="distributed").to_pandas())
+        assert norm(jaccard_similarity_join(
+            docs(), "text", "doc_id", threshold=0.5, score_mode=sm,
+            build="driver").to_pandas()).equals(dist)
+        assert norm(jaccard_similarity_join(
+            docs(), "text", "doc_id", threshold=0.5, score_mode=sm,
+            driver_build_limit=1).to_pandas()).equals(dist)
+    # the input_rows hint must gate identically to ds.count()
+    dist = norm(jaccard_similarity_join(
+        docs(), "text", "doc_id", threshold=0.5,
+        build="distributed").to_pandas())
+    assert norm(jaccard_similarity_join(
+        docs(), "text", "doc_id", threshold=0.5,
+        input_rows=500).to_pandas()).equals(dist)
+    assert norm(jaccard_similarity_join(
+        docs(), "text", "doc_id", threshold=0.5,
+        input_rows=10**9).to_pandas()).equals(dist)
+
+
 def test_exact_dedup_cosine_neardup_driver_merge_equivalent(ray_session):
     """exact_dedup_representatives (hash partials merged with one pandas
     groupby) and cosine_neardup_pairs (codes from two matmuls, the same
