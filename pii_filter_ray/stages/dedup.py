@@ -163,6 +163,38 @@ def exact_dedup(
 # --- MinHash + LSH -----------------------------------------------------------
 
 
+def _fold_band_keys(sigs: np.ndarray, bands: int,
+                    rows_per_band: int) -> np.ndarray:
+    """Vectorized MinHashStage.band_key over a (n_docs, num_perm)
+    signature matrix: the Python-int fold acc = (acc*_FOLD_B + v) % p
+    done in pure uint64 via Mersenne decomposition — p = 2^61-1 and
+    _FOLD_B < 2^20, so with acc < p split as a1*2^32 + a0: a1*B < 2^49,
+    (a1*B)*2^32 mod p = (t>>29) + ((t & (2^29-1)) << 32) (because
+    2^61 ≡ 1 mod p), a0*B < 2^52, and every partial sum stays under
+    2^62 with one conditional subtract. Bit-identical to the scalar
+    fold (pinned in tests); returns (n_docs, bands) int64."""
+    p = np.uint64(_MERSENNE)
+    B = np.uint64(_FOLD_B)
+    mask32 = np.uint64(0xFFFFFFFF)
+    mask29 = np.uint64((1 << 29) - 1)
+    s32, s29 = np.uint64(32), np.uint64(29)
+    n = sigs.shape[0]
+    out = np.empty((n, bands), dtype=np.int64)
+    for band in range(bands):
+        acc = np.full(n, band, dtype=np.uint64)
+        for j in range(rows_per_band):
+            v = sigs[:, band * rows_per_band + j].astype(np.uint64)
+            t1 = (acc >> s32) * B
+            t1m = (t1 >> s29) + ((t1 & mask29) << s32)
+            t1m = np.where(t1m >= p, t1m - p, t1m)
+            tot = t1m + (acc & mask32) * B
+            tot = np.where(tot >= p, tot - p, tot)
+            acc = tot + v
+            acc = np.where(acc >= p, acc - p, acc)
+        out[:, band] = acc.astype(np.int64)
+    return out
+
+
 class MinHashStage:
     """Per-actor MinHash signatures; emits one row per (doc, band).
 
@@ -234,18 +266,49 @@ class MinHashStage:
             hs[i] = v
         return hs
 
-    def _sig_from_hashes(self, hs: np.ndarray) -> np.ndarray:
+    def _sample(self, hs: np.ndarray) -> np.ndarray:
         if self.sample_mod is not None:
             kept = hs[hs % np.uint64(self.sample_mod) == 0]
             # a small doc may lose (nearly) every shingle to sampling;
             # fall back to the full set so nothing drops out of LSH
             if len(kept) >= self.rows_per_band:
                 hs = kept
+        return hs
+
+    def _sig_from_hashes(self, hs: np.ndarray) -> np.ndarray:
+        hs = self._sample(hs)
         # (a*h + b) with uint64 wraparound, then mod p, min per permutation —
         # the SQL mirror reproduces the wraparound via HUGEINT % 2^64
         with np.errstate(over="ignore"):
             vals = (self.a[:, None] * hs[None, :] + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
+
+    def _sigs_batch(self, hs_list: "List[np.ndarray]") -> np.ndarray:
+        """Batched signatures for a list of (already sampled) per-doc
+        hash arrays: one concatenated permutation pass per ~64k-shingle
+        chunk with a minimum.reduceat per doc, replacing num_docs
+        separate numpy dispatches. Arithmetic identical to
+        _sig_from_hashes (same wraparound, same mod, same min)."""
+        n = len(hs_list)
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        start = 0
+        while start < n:
+            end, total = start, 0
+            while end < n and (end == start
+                               or total + len(hs_list[end]) <= 65536):
+                total += len(hs_list[end])
+                end += 1
+            H = np.concatenate(hs_list[start:end])
+            lens = np.fromiter((len(h) for h in hs_list[start:end]),
+                               dtype=np.int64, count=end - start)
+            offs = np.zeros(end - start, dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            with np.errstate(over="ignore"):
+                vals = (self.a[:, None] * H[None, :]
+                        + self.b[:, None]) % _MERSENNE
+            sigs[start:end] = np.minimum.reduceat(vals, offs, axis=1).T
+            start = end
+        return sigs
 
     def _sig(self, text: str) -> Optional[np.ndarray]:
         hs = self._hashes(text)
@@ -260,21 +323,34 @@ class MinHashStage:
         return acc
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids_out, band_keys = [], []
+        # batched form of the per-doc loop (round-5 closing session):
+        # shingle hashing stays per-doc (string work + cache), but the
+        # permutation pass and the band-key fold run as chunked numpy
+        # kernels over the whole batch — bit-identical keys (pinned in
+        # test_minhash_batched_kernels_bit_identical)
+        ids, hs_list = [], []
         for doc_id, text in zip(
             batch[self.id_col].to_pylist(), batch[self.text_col].to_pylist()
         ):
-            sig = self._sig(text or "")
-            if sig is None:
+            hs = self._hashes(text or "")
+            if hs is None:
                 continue
-            for band in range(self.bands):
-                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                ids_out.append(doc_id)
-                band_keys.append(self.band_key(band, chunk))
+            ids.append(doc_id)
+            hs_list.append(self._sample(hs))
+        if not ids:
+            return pa.table(
+                {
+                    self.id_col: pa.array([], type=batch[self.id_col].type),
+                    "band_key": pa.array([], pa.int64()),
+                }
+            )
+        keys = _fold_band_keys(
+            self._sigs_batch(hs_list), self.bands, self.rows_per_band)
+        ids_out = [d for d in ids for _ in range(self.bands)]
         return pa.table(
             {
                 self.id_col: pa.array(ids_out),
-                "band_key": pa.array(band_keys, pa.int64()),
+                "band_key": pa.array(keys.reshape(-1), pa.int64()),
             }
         )
 
@@ -300,7 +376,7 @@ class MinHashSigStage(MinHashStage):
         self.sig_bottom_k = sig_bottom_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids_out, band_keys = [], []
+        ids, hs_list = [], []
         sig_lens: List[int] = []  # per emitted row; >0 only on band 0
         val_parts: List[np.ndarray] = []
         for doc_id, text in zip(
@@ -309,19 +385,24 @@ class MinHashSigStage(MinHashStage):
             hs = self._hashes(text or "")
             if hs is None:
                 continue
-            sig = self._sig_from_hashes(hs)
             # sql_hash64 masks to 63 bits, so the uint64->int64 cast is
             # lossless and np.unique's ascending order IS sorted(set(..))
             distinct = np.unique(hs.astype(np.int64))
             if self.sig_bottom_k is not None:
                 distinct = distinct[: self.sig_bottom_k]
             val_parts.append(distinct)
-            for band in range(self.bands):
-                chunk = sig[band * self.rows_per_band:
-                            (band + 1) * self.rows_per_band]
-                ids_out.append(doc_id)
-                band_keys.append(self.band_key(band, chunk))
-                sig_lens.append(len(distinct) if band == 0 else 0)
+            ids.append(doc_id)
+            hs_list.append(self._sample(hs))
+            sig_lens.append(len(distinct))
+            sig_lens.extend([0] * (self.bands - 1))
+        if ids:
+            keys = _fold_band_keys(
+                self._sigs_batch(hs_list), self.bands, self.rows_per_band)
+            band_keys = keys.reshape(-1)
+            ids_out = [d for d in ids for _ in range(self.bands)]
+        else:
+            band_keys = np.empty(0, np.int64)
+            ids_out = []
         # the list column is assembled from flat numpy buffers (values +
         # offsets), never per-doc Python lists — materializing hundreds
         # of millions of PyInts cost ~half the signature pass (round-5
@@ -410,19 +491,33 @@ class MultiBandMinHashStage(MinHashStage):
         self.configs = cfgs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids_out, cfg_out, band_keys = [], [], []
+        ids, hs_list = [], []
         for doc_id, text in zip(
             batch[self.id_col].to_pylist(), batch[self.text_col].to_pylist()
         ):
-            sig = self._sig(text or "")
-            if sig is None:
+            hs = self._hashes(text or "")
+            if hs is None:
                 continue
-            for ci, (b, r) in enumerate(self.configs):
-                for band in range(b):
-                    ids_out.append(doc_id)
-                    cfg_out.append(ci)
-                    band_keys.append(
-                        self.band_key(band, sig[band * r:(band + 1) * r]))
+            ids.append(doc_id)
+            hs_list.append(self._sample(hs))
+        if not ids:
+            return pa.table({
+                self.id_col: pa.array([], type=batch[self.id_col].type),
+                "cfg": pa.array([], pa.int64()),
+                "band_key": pa.array([], pa.int64()),
+            })
+        sigs = self._sigs_batch(hs_list)
+        n = len(ids)
+        # per-config banding of the SAME signature matrix; row order
+        # matches the old per-doc loop (doc-major, then cfg, then band)
+        per_cfg_keys = [_fold_band_keys(sigs, b, r)
+                        for (b, r) in self.configs]
+        total_rows_per_doc = sum(b for b, _ in self.configs)
+        ids_out = [d for d in ids for _ in range(total_rows_per_doc)]
+        cfg_out = np.tile(
+            np.concatenate([np.full(b, ci, dtype=np.int64)
+                            for ci, (b, _) in enumerate(self.configs)]), n)
+        band_keys = np.hstack(per_cfg_keys).reshape(-1)
         return pa.table({
             self.id_col: pa.array(ids_out),
             "cfg": pa.array(cfg_out, pa.int64()),

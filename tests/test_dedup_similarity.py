@@ -9,6 +9,40 @@ import pyarrow as pa
 import pytest
 
 
+def test_minhash_batched_kernels_bit_identical():
+    """The batched permutation pass (_sigs_batch, chunked concat +
+    minimum.reduceat) and the vectorized Mersenne band-key fold
+    (_fold_band_keys) must be BIT-identical to the scalar per-doc
+    _sig_from_hashes / band_key they replaced, including boundary
+    signature values (0 and p-1), multi-chunk batches, and the
+    sample_mod path."""
+    from pii_filter_ray.stages.dedup import (
+        _MERSENNE, MinHashStage, _fold_band_keys)
+
+    st = MinHashStage(text_col="t", id_col="i", num_perm=64, bands=16,
+                      shingle_k=3, seed=7)
+    rng = np.random.RandomState(0)
+    sigs = rng.randint(0, _MERSENNE, size=(64, 64)).astype(np.uint64)
+    sigs[0, :] = np.uint64(_MERSENNE - 1)
+    sigs[1, :] = np.uint64(0)
+    vec = _fold_band_keys(sigs, 16, 4)
+    for i in range(len(sigs)):
+        for band in range(16):
+            assert vec[i, band] == st.band_key(
+                band, sigs[i, band * 4:(band + 1) * 4])
+    # force multiple chunks with a few wide docs
+    hs_list = [rng.randint(0, 1 << 63, size=n).astype(np.uint64)
+               for n in list(rng.randint(1, 400, size=120)) + [70_000, 3]]
+    bat = st._sigs_batch(hs_list)
+    for i, hs in enumerate(hs_list):
+        assert (bat[i] == st._sig_from_hashes(hs)).all()
+    st2 = MinHashStage(text_col="t", id_col="i", num_perm=64, bands=8,
+                       shingle_k=3, seed=7, sample_mod=16)
+    bat2 = st2._sigs_batch([st2._sample(h) for h in hs_list])
+    for i, hs in enumerate(hs_list):
+        assert (bat2[i] == st2._sig_from_hashes(hs)).all()
+
+
 def _docs_with_dups():
     """60 base docs + exact dups + near dups (90% shingle overlap)."""
     rng = random.Random(5)
