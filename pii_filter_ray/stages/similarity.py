@@ -138,8 +138,18 @@ def cosine_neardup_pairs(
 
     from ray.data.aggregate import Max
 
-    if build == "driver" or (
-            build is None and ds.count() <= driver_build_limit):
+    def _int_id_schema() -> bool:
+        try:
+            f = ds.schema().base_schema.field(id_col)
+        except Exception:
+            return False
+        import pyarrow.types as pat
+
+        return pat.is_integer(f.type)
+
+    if build != "distributed" and (build == "driver" or (
+            build is None and _int_id_schema()
+            and ds.count() <= driver_build_limit)):
         # Driver-merge gate (round-5 small-shuffle law): the one
         # all-to-all exists to co-locate (table, bucket) groups, whose
         # catalog is bounded at n_tables * 2^n_bits — below the gate the
@@ -147,7 +157,10 @@ def cosine_neardup_pairs(
         # codes compute in two matmuls, and the SAME bucket_pairs kernel
         # runs per group over argsort slices. The .tolist() float64
         # round-trip of the distributed path is exact, so sims are
-        # byte-identical. Distributed path unchanged past the gate.
+        # byte-identical. The auto gate additionally requires an INTEGER
+        # id column (this path emits int64 id_a/id_b; the distributed
+        # branch supports any id type and keeps non-integer callers).
+        # Distributed path unchanged past the gate.
         ids_l, vecs_l = [], []
         for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
             ids_l.append(np.asarray(b[id_col].to_pylist(), dtype=np.int64))
@@ -198,11 +211,19 @@ def cosine_neardup_pairs(
     if pairs.count() <= driver_merge_limit:
         df = pairs.to_pandas()
         agg = df.groupby(["id_a", "id_b"], as_index=False)["sim"].max()
+        # natural id types (ids may be strings — only the DRIVER BUILD
+        # above requires integer ids; this merge serves any id_col).
+        # Empty results keep the historical int64 schema.
+        if len(agg) == 0:
+            return ray.data.from_arrow(
+                pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())}))
         return ray.data.from_arrow(
             pa.table(
                 {
-                    "id_a": pa.array(agg["id_a"].to_numpy(), pa.int64()),
-                    "id_b": pa.array(agg["id_b"].to_numpy(), pa.int64()),
+                    "id_a": pa.array(agg["id_a"].tolist()),
+                    "id_b": pa.array(agg["id_b"].tolist()),
                     "sim": pa.array(agg["sim"].to_numpy(), pa.float64()),
                 }
             )

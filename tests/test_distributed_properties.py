@@ -568,6 +568,85 @@ def test_bpe_and_kmv_driver_merge_equivalent(ray_session):
         r.events_kmv_calibration(sf, build="driver"))
 
 
+def test_driver_merge_edge_cases(ray_session, tmp_path):
+    """Review-pass hardening: empty orders must yield empty q3/q21
+    results (not an empty-array searchsorted IndexError), a winner
+    missing from the supplier dim gets a null name like the distributed
+    Series.map, and cosine_neardup_pairs with STRING ids auto-falls back
+    to the distributed path and emits string id columns."""
+    import numpy as np
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    import ray as _ray
+
+    from pii_filter_ray.pipelines import relational as r
+    from pii_filter_ray.stages.similarity import cosine_neardup_pairs
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _pq.write_table(_pa.table({
+        "l_orderkey": _pa.array([1, 1, 2], _pa.int64()),
+        "l_suppkey": _pa.array([10, 11, 10], _pa.int64()),
+        "l_partkey": _pa.array([5, 6, 7], _pa.int64()),
+        "l_shipdate": _pa.array(
+            [np.datetime64("1998-01-01", "us")] * 3,
+            _pa.timestamp("us")),
+        "l_extendedprice": _pa.array([10.0, 20.0, 30.0]),
+        "l_discount": _pa.array([0.0, 0.0, 0.0]),
+    }), sf / "lineitem.parquet")
+    _pq.write_table(_pa.table({
+        "o_orderkey": _pa.array([], _pa.int64()),
+        "o_custkey": _pa.array([], _pa.int64()),
+        "o_orderdate": _pa.array([], _pa.timestamp("us")),
+        "o_orderpriority": _pa.array([], _pa.string()),
+    }), sf / "orders.parquet")
+    _pq.write_table(_pa.table({
+        "c_custkey": _pa.array([1], _pa.int64()),
+        "c_mktsegment": _pa.array(["BUILDING"], _pa.string()),
+    }), sf / "customer.parquet")
+    _pq.write_table(_pa.table({
+        "s_suppkey": _pa.array([99], _pa.int64()),  # winners 10/11 absent
+        "s_name": _pa.array(["S99"], _pa.string()),
+    }), sf / "supplier.parquet")
+
+    assert len(r.q3_shipping_priority(str(sf), build="driver")) == 0
+    assert len(r.q21_waiting_supplier(str(sf), build="driver")) == 0
+
+    # missing-supplier tolerance: orders exist, both suppliers ship the
+    # same order, one late -> winner suppkey 11 is not in supplier dim
+    _pq.write_table(_pa.table({
+        "o_orderkey": _pa.array([1], _pa.int64()),
+        "o_custkey": _pa.array([1], _pa.int64()),
+        "o_orderdate": _pa.array(
+            [np.datetime64("1997-01-01", "us")], _pa.timestamp("us")),
+        "o_orderpriority": _pa.array(["1-URGENT"], _pa.string()),
+    }), sf / "orders.parquet")
+    _pq.write_table(_pa.table({
+        "l_orderkey": _pa.array([1, 1], _pa.int64()),
+        "l_suppkey": _pa.array([10, 11], _pa.int64()),
+        "l_partkey": _pa.array([5, 6], _pa.int64()),
+        "l_shipdate": _pa.array(
+            [np.datetime64("1997-01-10", "us"),
+             np.datetime64("1998-01-01", "us")], _pa.timestamp("us")),
+        "l_extendedprice": _pa.array([10.0, 20.0]),
+        "l_discount": _pa.array([0.0, 0.0]),
+    }), sf / "lineitem.parquet")
+    out = r.q21_waiting_supplier(str(sf), build="driver")
+    assert len(out) == 1 and out["numwait"].iloc[0] == 1
+    assert out["s_name"].isna().iloc[0]  # null name, not a KeyError
+
+    # string ids: auto gate must take the distributed path and keep type
+    tbl = _pa.table({
+        "name": _pa.array([f"v{i}" for i in range(12)]),
+        "embedding": _pa.array(
+            [[float(i % 3), 1.0, 0.5] for i in range(12)],
+            _pa.list_(_pa.float64()))})
+    out2 = cosine_neardup_pairs(
+        _ray.data.from_arrow(tbl), threshold=0.9, id_col="name",
+        n_bits=2, n_tables=1).to_pandas()
+    assert out2["id_a"].map(type).eq(str).all()
+
+
 def test_jaccard_join_driver_build_equivalent(ray_session):
     """jaccard_similarity_join's driver build (exploded shingle rows
     pulled once, the same bucket_pairs + merge_and_score kernels run
