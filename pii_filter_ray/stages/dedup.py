@@ -1874,32 +1874,37 @@ def dup_components_local(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
     if edges.count() == 0:
         return _cc_empty_labels()
     df = edges.to_pandas()
-    parent: dict = {}
-
-    def find(x: int) -> int:
-        r = x
-        while parent[r] != r:
-            r = parent[r]
-        while parent[x] != r:
-            parent[x], x = r, parent[x]
-        return r
-
-    for a, b in zip(df["id_a"].astype("int64"), df["id_b"].astype("int64")):
-        a, b = int(a), int(b)
-        if a not in parent:
-            parent[a] = a
-        if b not in parent:
-            parent[b] = b
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            if ra < rb:
-                parent[rb] = ra
-            else:
-                parent[ra] = rb
-    ids = sorted(parent)
+    # vectorized Shiloach-Vishkin-style union (round-5 closing session:
+    # the old per-edge Python union-find cost ~5 us/edge, which at the
+    # multi-million-edge graphs the raised auto gate now routes here
+    # would be slower than the distributed rounds it replaces). Nodes
+    # compress to indices via np.unique — ASCENDING, so min index ==
+    # min node id and the (id, component=min id) contract is free.
+    a = df["id_a"].to_numpy(np.int64)
+    b = df["id_b"].to_numpy(np.int64)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = inv[: len(a)], inv[len(a):]
+    parent = np.arange(len(nodes), dtype=np.int64)
+    for _ in range(64):
+        la, lb = parent[ea], parent[eb]
+        diff = la != lb
+        if not diff.any():
+            break
+        lo = np.minimum(la[diff], lb[diff])
+        hi = np.maximum(la[diff], lb[diff])
+        # hook the larger root label onto the smaller (labels are roots
+        # after the compression below, so this merges whole trees)
+        np.minimum.at(parent, hi, lo)
+        while True:
+            nxt = parent[parent]
+            if np.array_equal(nxt, parent):
+                break
+            parent = nxt
+    else:  # pragma: no cover - SV converges in O(log n) rounds
+        raise RuntimeError("dup_components_local: not converged")
     return ray.data.from_arrow(pa.table({
-        "id": pa.array(ids, pa.int64()),
-        "component": pa.array([find(i) for i in ids], pa.int64()),
+        "id": pa.array(nodes, pa.int64()),
+        "component": pa.array(nodes[parent], pa.int64()),
     }))
 
 
@@ -1908,6 +1913,7 @@ def dup_components_auto(
     propagation_rounds: int = 8,
     doubling_max_iters: int = 48,
     broadcast_node_limit: int = 500_000,
+    edge_local_limit: int = 20_000_000,
 ) -> "ray.data.Dataset":
     """Shape-adaptive components dispatcher. LSH/near-dup pair graphs are
     near-cliques (diameter 2-3), where plain min-label propagation wins:
@@ -1920,13 +1926,17 @@ def dup_components_auto(
     O(log diameter) rounds). Restarting wastes at most
     ``propagation_rounds`` cheap rounds — a bounded price for never
     paying doubling's heavier per-round shape on the common clique case.
-    Edge lists small enough that the broadcast path would hold the whole
-    label table on the driver anyway (edges*2 <= ``broadcast_node_limit``)
-    short-circuit to :func:`dup_components_local` — one collect, zero
-    shuffle rounds, diameter-independent. Output is set-identical across
-    all variants (equivalence-tested)."""
+    Edge lists up to ``edge_local_limit`` rows (16 B/edge — 20M edges =
+    320 MB, the round-5 driver-merge gate scale) short-circuit to
+    :func:`dup_components_local` — one collect + a vectorized
+    Shiloach-Vishkin union, zero shuffle rounds, diameter-independent.
+    Motivating measurement (round-5 closing, 6M-row stress corpus): a
+    5.7M-edge chance-near-dup chain graph failed the 8 propagation
+    rounds and sat in pointer-doubling rounds for 20+ minutes; the
+    local union handles the same graph in seconds. Output is
+    set-identical across all variants (equivalence-tested)."""
     edges = pairs.select_columns(["id_a", "id_b"]).materialize()
-    if edges.count() * 2 <= broadcast_node_limit:
+    if edges.count() <= edge_local_limit:
         return dup_components_local(edges)
     try:
         return dup_components(edges, max_iters=propagation_rounds,

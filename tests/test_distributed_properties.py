@@ -842,6 +842,46 @@ def test_triangle_degree_paths_equivalent(ray_session):
     assert base.equals(joined_shuffle)
 
 
+def test_cc_local_vectorized_equivalent(ray_session):
+    """The vectorized Shiloach-Vishkin dup_components_local must be
+    set-identical to pointer-doubling on fuzzed random graphs with
+    non-contiguous ids, resolve a 3000-node chain (the diameter case
+    that defeats propagation) to component 0, and the raised
+    edge_local_limit must route dup_components_auto to it."""
+    import numpy as np
+    import pyarrow as _pa
+    import ray as _ray
+
+    from pii_filter_ray.stages.dedup import (
+        dup_components_auto, dup_components_doubling,
+        dup_components_local)
+
+    def run(fn, a, b, **kw):
+        ds = _ray.data.from_arrow(_pa.table({
+            "id_a": _pa.array(np.asarray(a, np.int64), _pa.int64()),
+            "id_b": _pa.array(np.asarray(b, np.int64), _pa.int64())}))
+        return (fn(ds, **kw).to_pandas()
+                .sort_values("id").reset_index(drop=True))
+
+    rng = np.random.RandomState(3)
+    for trial in range(4):
+        n = rng.randint(5, 300)
+        m = rng.randint(1, 600)
+        a = rng.randint(0, n, m) * 7 + 3
+        b = rng.randint(0, n, m) * 7 + 3
+        keep = a != b
+        a, b = a[keep], b[keep]
+        if len(a) == 0:
+            continue
+        assert run(dup_components_local, a, b).equals(
+            run(dup_components_doubling, a, b)), trial
+    chain = np.arange(2999)
+    out = run(dup_components_local, chain, chain + 1)
+    assert (out["component"] == 0).all() and len(out) == 3000
+    # auto routes multi-edge graphs to the local path under the new gate
+    assert run(dup_components_auto, chain, chain + 1).equals(out)
+
+
 def test_cc_doubling_equivalent_and_log_rounds(ray_session):
     """Pointer-jumping CC must match the propagation variant on a random
     graph AND resolve a 64-node chain (diameter 63) within 10 rounds —
