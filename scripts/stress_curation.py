@@ -74,7 +74,11 @@ def _spill_stats() -> dict:
     import re
 
     sessions = sorted(
-        glob.glob("/tmp/ray/session_*") + glob.glob("/tmp/ray/ray/session_*"),
+        (p for p in glob.glob("/tmp/ray/session_*")
+         + glob.glob("/tmp/ray/ray/session_*")
+         # skip the session_latest symlink (it matches the glob and can
+         # dangle after log cleanup) and anything else unstatable
+         if not os.path.islink(p) and os.path.exists(p)),
         key=os.path.getmtime)
     if not sessions:
         return {}
